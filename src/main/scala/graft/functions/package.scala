@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{Column, GraftShims, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.functions._
+
+import graft.expr.{CosineSimilarity, DocFingerprint, RegexpExtractOrNull}
+
+/** The engine's scalar-function surface: thin `Column` builders over
+  * custom Catalyst expressions plus named compositions of built-ins.
+  * Everything here stays inside whole-stage codegen (no Scala UDFs on
+  * hot paths).
+  */
+package object functions {
+
+  private def col(e: Expression): Column = GraftShims.column(e)
+  private def ex(c: Column): Expression = GraftShims.expression(c)
+
+  /** Pig-semantics regex extract: NULL on non-match (not `''`).
+    * Reference README.md:127-140. */
+  def regexp_extract_or_null(subject: Column, pattern: String, idx: Int = 1): Column =
+    col(RegexpExtractOrNull(ex(subject), ex(lit(pattern)), ex(lit(idx))))
+
+  /** Cosine similarity of two `array<float>` columns (codegen'd). */
+  def cosine_similarity(a: Column, b: Column): Column =
+    col(CosineSimilarity(ex(a), ex(b)))
+
+  /** 64-bit rolling-hash fingerprint of a string column (codegen'd). */
+  def doc_fingerprint(c: Column): Column = col(DocFingerprint(ex(c)))
+
+  /** Parse `$78.91` / `$1,234.56`-style currency strings into exact
+    * decimal. The reference stores money as raw strings and defers
+    * parsing to query time (README.md:52-56, 239-256); this operator
+    * makes that coercion explicit and exact. `try_cast` semantics:
+    * garbage parses to NULL under ANSI mode instead of throwing. */
+  def parse_money(c: Column): Column =
+    regexp_replace(c, "[$,]", "").try_cast("decimal(18,2)")
+
+  /** Register SQL names for the custom expressions so `spark.sql`
+    * queries can use them alongside built-ins. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "regexp_extract_or_null",
+      es => es match {
+        case Seq(s, p) => new RegexpExtractOrNull(s, p)
+        case Seq(s, p, i) => RegexpExtractOrNull(s, p, i)
+        case _ => throw new IllegalArgumentException(
+          "regexp_extract_or_null(subject, pattern[, idx])")
+      },
+      "internal")
+    reg.createOrReplaceTempFunction(
+      "cosine_similarity", es => CosineSimilarity(es(0), es(1)), "internal")
+    reg.createOrReplaceTempFunction(
+      "doc_fingerprint", es => DocFingerprint(es.head), "internal")
+  }
+}

