@@ -1,9 +1,10 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.Quality
+import graft.operators.{Percentiles, Quality, Sampling}
 
 /** Driver contract — registry of named queries (SURVEY.md §2 inventory).
   *
@@ -15,6 +16,10 @@ import graft.operators.Quality
   *    partition-order independent) and is cast back to double at the
   *    end — identical bits in Spark and DuckDB;
   *  - column names aliased identically on both sides.
+  *
+  * Queries present in `queries` but absent from `oracleSql` are
+  * non-SQL-expressible ops (ML, LSH, sketches) checked rows-only by the
+  * driver and by metamorphic ScalaTests here.
   */
 object SparkEntry {
 
@@ -22,16 +27,27 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
+  /** Exact, partition-order-independent revenue term:
+    * decimal-summed l_extendedprice*(1-l_discount). */
+  private def revenue: Column =
+    sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(24,8)")).cast("double")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- P2 data quality (SURVEY §2.2, §2.3, §2.5) ----
+
+    // ================= P2 data quality (SURVEY §2.2/2.3/2.5) =================
     "dq_invalid_codes" -> ((s, dir) =>
       // Reference README.md:126-132 transplanted: Brand#N with a
       // single digit fails `Brand#\d{2}`; report counts per bad code.
       Quality.invalidCodeReport(Tables.part(s, dir), "p_brand",
         "^(Brand#\\d{2})$")),
 
-    // ---- Aggregation (SURVEY §2.5): TPC-H Q1-shaped pricing summary ----
+    "dq_profile" -> ((s, dir) =>
+      Quality.profile(Tables.customer(s, dir),
+        Seq("c_custkey", "c_name", "c_mktsegment"))),
+
+    // ================= Aggregation (SURVEY §2.5) =================
     "q1_agg" -> ((s, dir) => {
       import s.implicits._
       Tables.lineitem(s, dir)
@@ -40,10 +56,355 @@ object SparkEntry {
         .agg(
           sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"),
           sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("sum_base_price"),
-          sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
-            .cast("decimal(24,8)")).cast("double").as("sum_disc_price"),
+          revenue.as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    "agg_distinct" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct($"o_custkey").as("n_custs"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    "agg_minmax" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(min($"l_quantity").as("min_qty"), max($"l_quantity").as("max_qty"),
+          min($"l_shipdate").as("min_ship"), max($"l_shipdate").as("max_ship"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    }),
+
+    "agg_rollup" -> ((s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .join(Tables.nation(s, dir), $"c_nationkey" === $"n_nationkey")
+        .join(Tables.region(s, dir), $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n_custs"),
+          sum($"c_acctbal".cast("decimal(18,2)")).cast("double").as("sum_bal"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+    }),
+
+    "agg_cube" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+    }),
+
+    "agg_approx_distinct" -> ((s, dir) => {
+      import s.implicits._
+      // HLL++ sketch — no exact oracle by design (rows-only check);
+      // the ScalaTest asserts relative error vs countDistinct.
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_partkey").as("approx_parts"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // ================= Joins (SURVEY §2.4) =================
+    "q3_shipping" -> ((s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+        .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey")
+        .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderkey", $"o_orderdate")
+        .agg(revenue.as("revenue"))
+        .orderBy(desc("revenue"), $"o_orderkey")
+        .limit(10)
+    }),
+
+    "q5_region_revenue" -> ((s, dir) => {
+      import s.implicits._
+      // Dim side (region⋈nation⋈customer) is small → broadcast;
+      // fact side joins without shuffling the dims at scale.
+      val dims = Tables.customer(s, dir)
+        .join(Tables.nation(s, dir), $"c_nationkey" === $"n_nationkey")
+        .join(Tables.region(s, dir), $"n_regionkey" === $"r_regionkey")
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(dims), $"o_custkey" === $"c_custkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy($"r_name", $"n_name")
+    }),
+
+    "join_semi" -> ((s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }),
+
+    "join_anti" -> ((s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }),
+
+    // ================= Windows (SURVEY §2.9) =================
+    "win_topk_parts" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"p_brand")
+        .orderBy($"p_retailprice".desc, $"p_partkey")
+      Tables.part(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"p_brand", $"p_partkey", $"p_retailprice", $"rn")
+        .orderBy($"p_brand", $"rn")
+    }),
+
+    "win_running_total" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .withColumn("running",
+          sum($"o_totalprice".cast("decimal(18,2)")).over(w).cast("double"))
+        .select($"o_custkey", $"o_orderkey", $"running")
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
+    "win_lag_delta" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      Tables.orders(s, dir)
+        .withColumn("delta", $"o_totalprice" - lag($"o_totalprice", 1).over(w))
+        .select($"o_custkey", $"o_orderkey", $"delta")
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
+    // ================= Set operations (SURVEY §2.8) =================
+    "set_union" -> ((s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir).select($"c_nationkey".as("nationkey"))
+        .union(Tables.supplier(s, dir).select($"s_nationkey".as("nationkey")))
+        .distinct()
+        .orderBy($"nationkey")
+    }),
+
+    "set_intersect" -> ((s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir).select($"c_nationkey".as("nationkey"))
+        .intersect(Tables.supplier(s, dir).select($"s_nationkey".as("nationkey")))
+        .orderBy($"nationkey")
+    }),
+
+    "set_except" -> ((s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir).select($"c_nationkey".as("nationkey"))
+        .except(Tables.supplier(s, dir).select($"s_nationkey".as("nationkey")))
+        .orderBy($"nationkey")
+    }),
+
+    // ================= Sampling (SURVEY §2.6, P3) =================
+    "sample_first_n" -> ((s, dir) => {
+      import s.implicits._
+      Sampling.firstN(Tables.lineitem(s, dir), 1000, $"l_orderkey", $"l_linenumber")
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+    }),
+
+    "sample_by_key" -> ((s, dir) => {
+      import s.implicits._
+      // Keyed sample with a pure-arithmetic gate so DuckDB can
+      // replicate it exactly: every o_custkey fully in or fully out
+      // (the contract DataFu SampleByKey broke, README.md:173-182).
+      Tables.orders(s, dir)
+        .filter(pmod(pmod($"o_custkey" * lit(2654435761L), lit(1000003L)), lit(5)) === 0)
+        .select($"o_orderkey", $"o_custkey")
+        .orderBy($"o_orderkey")
+    }),
+
+    "sample_rows_det" -> ((s, dir) => {
+      import s.implicits._
+      // Row-level deterministic ~20% gate, same arithmetic-hash idea.
+      Tables.lineitem(s, dir)
+        .filter(pmod($"l_orderkey" * lit(7919L) + $"l_linenumber", lit(1000L)) < 200)
+        .select($"l_orderkey", $"l_linenumber")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    "sample_bernoulli" -> ((s, dir) =>
+      // Seeded Bernoulli (README.md:154-162,220-230) — reproducible in
+      // Spark, not replicable in DuckDB → rows-only check + ScalaCheck
+      // bounds test.
+      Sampling.bernoulli(Tables.lineitem(s, dir), 0.2)
+        .select(col("l_orderkey"), col("l_linenumber"))),
+
+    // ================= P4 percentile features (SURVEY §2.5/2.2) =================
+    "feat_percentile_buckets" -> ((s, dir) => {
+      import s.implicits._
+      // README.md:236-261 shape: per-part percentile array of
+      // quantities, broadcast-joined back, CASE-ladder bucket label.
+      Percentiles.bucketByJoin(
+          Tables.lineitem(s, dir), "l_partkey", $"l_quantity".cast("int"),
+          outCols = Seq("l_suppkey"))
+        .select($"l_suppkey".as("provider"), $"l_partkey".as("code"), $"bucket")
+        .distinct()
+        .orderBy($"provider", $"code", $"bucket")
+    }),
+
+    // ================= Dates / JSON scalar ops (SURVEY §2.3) =================
+    "date_monthly_orders" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy(date_trunc("month", $"o_orderdate").as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy($"month")
+    }),
+
+    "json_event_stats" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+          (sum($"k").cast("double") / count($"k")).as("avg_k"))
+        .orderBy($"event_type")
+    }),
+
+    "str_funcs" -> ((s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .select($"c_custkey",
+          upper($"c_name").as("name_upper"),
+          substring($"c_name", 1, 8).as("name_prefix"),
+          concat_ws("-", $"c_mktsegment", $"c_nationkey".cast("string")).as("seg_nation"),
+          length($"c_name").as("name_len"))
+        .orderBy($"c_custkey")
+    }),
+
+    "parse_money" -> ((s, dir) => {
+      import s.implicits._
+      // The reference's deferred `$`-string money parsing
+      // (README.md:52-56,239-256) exercised as a round-trip.
+      Tables.orders(s, dir)
+        .withColumn("money_str",
+          concat(lit("$"), $"o_totalprice".cast("decimal(18,2)").cast("string")))
+        .withColumn("parsed", graft.functions.parse_money($"money_str"))
+        .select($"o_orderkey", $"money_str", $"parsed")
+        .orderBy($"o_orderkey")
+    }),
+
+    // ================= Events: time windows (SURVEY §2.10 batch forms) ==========
+    "evt_tumbling" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select($"window.start".as("window_start"), $"event_type", $"n_events", $"sum_value")
+        .orderBy($"window_start", $"event_type")
+    }),
+
+    "evt_sliding" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(window($"ts", "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select($"window.start".as("window_start"), $"n_events")
+        .orderBy($"window_start")
+    }),
+
+    "evt_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      // Classic gap-based sessionization (30 min) as window functions —
+      // the batch twin of session_window (streaming module).
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val secs = $"ts".cast("long")
+      Tables.events(s, dir)
+        .withColumn("prev_secs", lag(secs, 1).over(byUser))
+        .withColumn("is_new",
+          when($"prev_secs".isNull || (secs - $"prev_secs") > 1800, 1).otherwise(0))
+        .withColumn("session_id", sum($"is_new").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_id")
+        // second-truncated: ts has sub-microsecond precision in the raw
+        // data that Spark timestamps cannot carry (see Tables.events)
+        .agg(date_trunc("second", min($"ts")).as("session_start"),
+          count(lit(1)).as("n_events"),
+          sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy($"user_id", $"session_id")
+    }),
+
+    // ================= Text analysis (north star) =================
+    "text_stats" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          length($"text").as("n_chars_calc"),
+          size(split($"text", " ")).as("n_tokens"),
+          ((length($"text") - size(split($"text", " ")) + 1).cast("double")
+            / size(split($"text", " ")).cast("double")).as("avg_token_len"))
+        .orderBy($"doc_id")
+    }),
+
+    "text_quality" -> ((s, dir) => {
+      import s.implicits._
+      val toks = split($"text", " ")
+      val nStop = size(expr(
+        "filter(split(text, ' '), t -> t IN ('the','a','of','and'))"))
+      Tables.documents(s, dir)
+        .select($"doc_id", size(toks).as("n_tokens"), nStop.as("n_stop"),
+          (nStop.cast("double") / size(toks).cast("double")).as("stop_ratio"))
+        .orderBy($"doc_id")
+    }),
+
+    "text_term_freq" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(explode(split($"text", " ")).as("term"))
+        .groupBy($"term")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"term")
+        .limit(20)
+    }),
+
+    "text_lang_dist" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .groupBy($"lang", $"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+        .orderBy($"lang", $"source")
+    }),
+
+    // ================= Dedup (north star) =================
+    "dedup_exact" -> ((s, dir) => {
+      import s.implicits._
+      // Exact dedup: canonical representative per distinct text.
+      // Shuffles only (fingerprint, doc_id) at scale — see
+      // graft.expr.DocFingerprint for the content-hash variant.
+      Tables.documents(s, dir)
+        .groupBy($"text")
+        .agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id", $"text")
+        .orderBy($"doc_id")
+    }),
+
+    // ================= Multimodal plumbing (north star) =================
+    "mm_content_hash" -> ((s, dir) => {
+      import s.implicits._
+      // Binary-column plumbing: byte length + content hash of the
+      // payload (here: the text payload cast to binary; for real
+      // image/audio bytes the plan shape is identical).
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          octet_length($"text").as("byte_len"),
+          md5($"text".cast("binary")).as("content_hash"))
+        .orderBy($"doc_id")
     }),
   )
 
@@ -57,6 +418,14 @@ object SparkEntry {
         |GROUP BY p_brand
         |ORDER BY p_brand""".stripMargin,
 
+    "dq_profile" ->
+      """SELECT count(*) AS c_custkey_rows, count(CASE WHEN c_custkey IS NULL THEN 1 END) AS c_custkey_nulls,
+        |  count(*) AS c_name_rows, count(CASE WHEN c_name IS NULL THEN 1 END) AS c_name_nulls,
+        |  count(CASE WHEN c_name = '' THEN 1 END) AS c_name_empty,
+        |  count(*) AS c_mktsegment_rows, count(CASE WHEN c_mktsegment IS NULL THEN 1 END) AS c_mktsegment_nulls,
+        |  count(CASE WHEN c_mktsegment = '' THEN 1 END) AS c_mktsegment_empty
+        |FROM customer""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -67,5 +436,234 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_distinct" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  count(DISTINCT o_custkey) AS n_custs
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "agg_minmax" ->
+      """SELECT l_returnflag, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_custs,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q3_shipping" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "win_topk_parts" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |  FROM part) t
+        |WHERE rn <= 3
+        |ORDER BY p_brand, rn""".stripMargin,
+
+    "win_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "win_lag_delta" ->
+      """SELECT o_custkey, o_orderkey,
+        |  o_totalprice - lag(o_totalprice, 1) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS delta
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "set_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "set_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "sample_first_n" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber
+        |LIMIT 1000""".stripMargin,
+
+    "sample_by_key" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE ((o_custkey * 2654435761) % 1000003) % 5 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "sample_rows_det" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE (l_orderkey * 7919 + l_linenumber) % 1000 < 200
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "feat_percentile_buckets" ->
+      """WITH p AS (
+        |  SELECT l_partkey,
+        |    quantile_cont(CAST(l_quantity AS INT), [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9,0.95,0.99]) AS pct
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT DISTINCT l.l_suppkey AS provider, l.l_partkey AS code,
+        |  CASE WHEN CAST(l_quantity AS INT) <= pct[1] THEN '10'
+        |       WHEN CAST(l_quantity AS INT) <= pct[2] THEN '20'
+        |       WHEN CAST(l_quantity AS INT) <= pct[3] THEN '30'
+        |       WHEN CAST(l_quantity AS INT) <= pct[4] THEN '40'
+        |       WHEN CAST(l_quantity AS INT) <= pct[5] THEN '50'
+        |       WHEN CAST(l_quantity AS INT) <= pct[6] THEN '60'
+        |       WHEN CAST(l_quantity AS INT) <= pct[7] THEN '70'
+        |       WHEN CAST(l_quantity AS INT) <= pct[8] THEN '80'
+        |       WHEN CAST(l_quantity AS INT) <= pct[9] THEN '90'
+        |       WHEN CAST(l_quantity AS INT) <= pct[10] THEN '95'
+        |       WHEN CAST(l_quantity AS INT) <= pct[11] THEN '99'
+        |       ELSE '99+' END AS bucket
+        |FROM lineitem l JOIN p ON l.l_partkey = p.l_partkey
+        |ORDER BY provider, code, bucket""".stripMargin,
+
+    "date_monthly_orders" ->
+      """SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "json_event_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE)
+        |    / count(CAST(json_extract_string(props, '$.k') AS INT)) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "str_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS name_upper,
+        |  substring(c_name, 1, 8) AS name_prefix,
+        |  concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+        |  length(c_name) AS name_len
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "parse_money" ->
+      """SELECT o_orderkey,
+        |  '$' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS money_str,
+        |  CAST(regexp_replace('$' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), '[$,]', '', 'g') AS DECIMAL(18,2)) AS parsed
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "evt_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "evt_sliding" ->
+      """WITH starts AS (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events)
+        |SELECT window_start, count(*) AS n_events
+        |FROM starts GROUP BY window_start ORDER BY window_start""".stripMargin,
+
+    "evt_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER w IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT)
+        |              - lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER w > 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id, date_trunc('second', min(ts)) AS session_start,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "text_stats" ->
+      """SELECT doc_id, length(text) AS n_chars_calc,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the','a','of','and'))) AS n_stop,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the','a','of','and'))) AS DOUBLE)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_term_freq" ->
+      """SELECT term, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents) t
+        |GROUP BY term ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
+
+    "text_lang_dist" ->
+      """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, text FROM documents
+        |GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "mm_content_hash" ->
+      """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len,
+        |  md5(text) AS content_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Feature generation via grouped percentiles (reference theme P4,
+  * README.md:233-272): compute per-group multi-quantiles, join them
+  * back to the fact rows, and bucket each value with a CASE ladder.
+  *
+  * Two forms are provided and property-tested equal:
+  *  - [[bucketByJoin]] — the reference's 2016 shape (GROUP BY +
+  *    self-join, README.md:236-261). The aggregate side has one row
+  *    per distinct key, so Catalyst broadcast-joins it; at 100 TB the
+  *    fact side never shuffles.
+  *  - [[bucketByWindow]] — the idiomatic rewrite with a single
+  *    `percent_rank()` window (one shuffle on the group key, no join).
+  *
+  * `exact=false` swaps the memory-heavy exact `percentile` (a
+  * TypedImperativeAggregate buffering each group's values) for
+  * `percentile_approx` (bounded-size QuantileSummaries sketch) — the
+  * 100 TB path, same operator surface.
+  */
+object Percentiles {
+
+  val defaultPs: Seq[Double] = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95, 0.99)
+
+  /** Per-key percentile array: one row per key, `percentiles` =
+    * array<double> indexed like the reference's `p.percentiles[k]`
+    * (README.md:239-258). */
+  def grouped(df: DataFrame, keyCol: String, valueExpr: Column,
+      ps: Seq[Double] = defaultPs, exact: Boolean = true): DataFrame = {
+    val arr = s"array(${ps.mkString(",")})"
+    val fn = if (exact) "percentile" else "percentile_approx"
+    df.withColumn("__v", valueExpr)
+      .groupBy(col(keyCol))
+      .agg(expr(s"$fn(__v, $arr)").as("percentiles"))
+  }
+
+  /** The reference's 12-arm CASE ladder (README.md:238-251): label a
+    * value with the decile band it falls into, given the percentile
+    * array. `<= p[0]` → "10", `<= p[1]` → "20", …, else "99+". */
+  def bucketLadder(value: Column, pctArray: Column,
+      ps: Seq[Double] = defaultPs): Column = {
+    val labels = ps.map(p => ((p * 100).round).toString)
+    val ladder = ps.indices.foldLeft(Option.empty[Column]) { (acc, i) =>
+      val cond = value <= pctArray.getItem(i)
+      Some(acc match {
+        case None => when(cond, lit(labels(i)))
+        case Some(c) => c.when(cond, lit(labels(i)))
+      })
+    }
+    ladder.get.otherwise(lit("99+"))
+  }
+
+  /** Join form (reference shape, README.md:252-261): fact ⋈ broadcast
+    * per-key percentiles, then the ladder. */
+  def bucketByJoin(fact: DataFrame, keyCol: String, valueExpr: Column,
+      outCols: Seq[String], ps: Seq[Double] = defaultPs,
+      exact: Boolean = true): DataFrame = {
+    val withV = fact.withColumn("__v", valueExpr)
+    val aggs = grouped(fact, keyCol, valueExpr, ps, exact)
+    withV.join(broadcast(aggs), Seq(keyCol))
+      .withColumn("bucket", bucketLadder(col("__v"), col("percentiles"), ps))
+      .select((keyCol +: outCols :+ "bucket").map(col): _*)
+  }
+
+  /** Window form: same bucketing from a single `percent_rank()` pass.
+    * Note percent_rank gives rank/(n-1) which is the inverse view of
+    * the interpolated percentile; the two forms agree on bucket labels
+    * for values that sit on group order statistics (property-tested). */
+  def bucketByWindow(fact: DataFrame, keyCol: String, valueExpr: Column,
+      outCols: Seq[String], ps: Seq[Double] = defaultPs): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(valueExpr)
+    val pr = percent_rank().over(w)
+    val labels = ps.map(p => ((p * 100).round).toString)
+    val ladder = ps.indices.foldLeft(Option.empty[Column]) { (acc, i) =>
+      val cond = pr <= ps(i)
+      Some(acc match {
+        case None => when(cond, lit(labels(i)))
+        case Some(c) => c.when(cond, lit(labels(i)))
+      })
+    }
+    fact.withColumn("bucket", ladder.get.otherwise(lit("99+")))
+      .select((keyCol +: outCols :+ "bucket").map(col): _*)
+  }
+}

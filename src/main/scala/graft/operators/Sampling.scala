@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sampling operators (reference theme P3, README.md:149-231) — the
+  * reference's deepest operator family.
+  *
+  * Scale notes: every sampler here is a single-pass, shuffle-free
+  * filter or limit — the only kind that survives 100 TB. The keyed
+  * sampler replaces the reference's DataFu `SampleByKey` (marked
+  * "DOES NOT WORK" at README.md:173-174) with a deterministic hash
+  * gate: reproducible, all-or-nothing per key, and requiring no
+  * coordination (no distinct-keys pass, no broadcast of a key list).
+  */
+object Sampling {
+
+  /** Bernoulli row sample, the reference's Pig `SAMPLE 0.2`
+    * (README.md:154-162) / `df.sample(False, 0.2)` (README.md:220-230).
+    * Seeded for reproducibility. */
+  def bernoulli(df: DataFrame, fraction: Double, seed: Long = 42L): DataFrame =
+    df.sample(withReplacement = false, fraction, seed)
+
+  /** Deterministic row-level sample: keep a row iff
+    * `xxhash64(cols, seed) mod 1000 < permille`. Unlike [[bernoulli]]
+    * the in/out decision is a pure function of the row's key columns —
+    * re-runs, retried tasks, and different partitionings all agree. */
+  def deterministic(df: DataFrame, permille: Int, seed: Int, cols: Column*): DataFrame =
+    df.filter(pmod(xxhash64((cols :+ lit(seed)): _*), lit(1000)) < lit(permille))
+
+  /** Keyed sample: every key is fully in or fully out (the contract the
+    * reference's broken DataFu `SampleByKey('0.2')` intended,
+    * README.md:175-182). Per-key atomicity holds because the gate
+    * depends only on the key. */
+  def byKey(df: DataFrame, keyCol: String, permille: Int, seed: Int = 42): DataFrame =
+    deterministic(df, permille, seed, col(keyCol))
+
+  /** First-N sample, Hive `TABLESAMPLE(n ROWS)` (README.md:184-188) —
+    * made deterministic with an explicit order. At scale this is
+    * `TakeOrderedAndProject`: per-partition top-N then a single merge,
+    * never a global sort. */
+  def firstN(df: DataFrame, n: Int, order: Column*): DataFrame =
+    (if (order.nonEmpty) df.orderBy(order: _*) else df).limit(n)
+
+  /** Stratified sample with per-stratum fractions
+    * (`df.stat.sampleBy`) — the working replacement for known strata. */
+  def stratified(df: DataFrame, keyCol: String,
+      fractions: Map[String, Double], seed: Long = 42L): DataFrame =
+    df.stat.sampleBy(keyCol, fractions, seed)
+
+  /** Percent block sample, Hive `TABLESAMPLE(20 PERCENT)`
+    * (README.md:190-199; Spark has no small-data failure mode). */
+  def percent(df: DataFrame, pct: Double, seed: Long = 42L): DataFrame =
+    df.sample(withReplacement = false, pct / 100.0, seed)
+}

