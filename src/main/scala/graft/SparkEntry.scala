@@ -4,7 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ml.{Projection, TextFeatures}
 import graft.operators.{Percentiles, Quality, Sampling}
+import graft.streaming.EventStreams
 
 /** Driver contract — registry of named queries (SURVEY.md §2 inventory).
   *
@@ -34,7 +37,10 @@ object SparkEntry {
       .cast("decimal(24,8)")).cast("double")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ northStarQueries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ================= P2 data quality (SURVEY §2.2/2.3/2.5) =================
     "dq_invalid_codes" -> ((s, dir) =>
@@ -408,6 +414,170 @@ object SparkEntry {
     }),
   )
 
+  /** North-star operators: dedup, similarity search, text analysis,
+    * ML features, multimodal, session windows. Mostly rows-only (the
+    * driver's weaker check) — the exact-value guarantees live in the
+    * ScalaTest metamorphic/property suites. */
+  private def northStarQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- dedup family ----
+    "dedup_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.fingerprint(Tables.documents(s, dir), "text")
+        .select($"doc_id", $"fingerprint")
+        .orderBy($"doc_id")
+    }),
+
+    "dedup_simhash" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.simhashNearDup(Tables.documents(s, dir), "text", "doc_id",
+          maxHamming = 16)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    "dedup_minhash" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.minhashNearDup(Tables.documents(s, dir), "text", "doc_id",
+          maxDist = 0.4)
+        .select($"id_a", $"id_b", round($"jaccard_dist", 6).as("jaccard_dist"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val candidates = Dedup.simhashNearDup(docs, "text", "doc_id", maxHamming = 20)
+        .select($"id_a", $"id_b")
+      Dedup.ngramJaccard(candidates, docs, "text", "doc_id", n = 3)
+        .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    "dedup_embedding" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.embeddingNearDup(Tables.embeddings(s, dir), "embedding", "vec_id",
+          minCosine = 0.35, planes = 4)
+        .select($"id_a", $"id_b", round($"cosine", 6).as("cosine"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // ---- similarity search family ----
+    "sim_topk_brute" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 20),
+          "embedding", "vec_id", k = 5)
+        // decimal, not round(): both engines agree on decimal exactly,
+        // while round-to-double differs in the last ulp
+        .select($"q_id", $"n_id", $"cosine".cast("decimal(10,6)").as("cosine"), $"rn")
+        .orderBy($"q_id", $"rn")
+    }),
+
+    "sim_topk_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb, emb.filter($"vec_id" < 20),
+          "embedding", "vec_id", k = 5, planes = 6)
+        .select($"q_id", $"n_id", round($"cosine", 6).as("cosine"), $"rn")
+        .orderBy($"q_id", $"rn")
+    }),
+
+    "sim_topk_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter($"vec_id" < 20),
+          "embedding", "vec_id", k = 5, nlist = 16, nprobe = 4)
+        .select($"q_id", $"n_id", round($"cosine", 6).as("cosine"), $"rn")
+        .orderBy($"q_id", $"rn")
+    }),
+
+    // ---- text analysis family ----
+    "text_langid" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.langId(Tables.documents(s, dir), "text")
+        .select($"doc_id", $"lang_pred", round($"lang_score", 6).as("lang_score"))
+        .orderBy($"doc_id")
+    }),
+
+    "text_token_counts" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.tokenCounts(Tables.documents(s, dir), "text")
+        .select($"doc_id", $"n_ws_tokens", $"n_bpe_chunks", $"n_tokens_est")
+        .orderBy($"doc_id")
+    }),
+
+    "text_quality_score" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.qualityScore(Tables.documents(s, dir), "text")
+        .select($"doc_id", $"quality_score", $"stop_ratio",
+          $"digit_ratio", $"punct_ratio")
+        .orderBy($"doc_id")
+    }),
+
+    "text_entities" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.extractEntities(Tables.documents(s, dir), "text")
+        .select($"doc_id", $"entities", size($"entities").as("n_entities"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- ML features (P5) ----
+    "ml_tfidf" -> ((s, dir) => {
+      import s.implicits._
+      val (df, _) = TextFeatures.tfidf(Tables.documents(s, dir), "text")
+      // vector columns summarized to stable scalars for the dump
+      df.select($"doc_id",
+          aggregate(org.apache.spark.ml.functions.vector_to_array($"tfidf"),
+            lit(0.0), (a, x) => a + x * x).as("l2sq"))
+        .select($"doc_id", round(sqrt($"l2sq"), 6).as("tfidf_l2"))
+        .orderBy($"doc_id")
+    }),
+
+    "ml_word2vec" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val top = docs.select(explode(split(lower($"text"), "\\s+")).as("t"))
+        .groupBy($"t").count().orderBy($"count".desc, $"t").head().getString(0)
+      val model = TextFeatures.word2vec(docs, "text")
+      TextFeatures.synonyms(model, top, 10)
+        .select($"word", round($"similarity", 6).as("similarity"))
+        .orderBy($"similarity".desc, $"word")
+    }),
+
+    "ml_pca" -> ((s, dir) => {
+      import s.implicits._
+      val (projected, _) = Projection.pca(Tables.embeddings(s, dir), "embedding", k = 8)
+      projected.select($"vec_id", transform($"pca", x => round(x, 6)).as("pca"))
+        .orderBy($"vec_id")
+    }),
+
+    // ---- multimodal plumbing ----
+    "mm_decode" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.decodeImageStub(
+          Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text"))
+        .toDF()
+        .withColumn("mean_byte", round($"mean_byte", 6))
+        .orderBy($"media_id")
+    }),
+
+    "mm_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.frameSample(
+          Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text"),
+          frameBytes = 64, stride = 2)
+        .orderBy($"media_id", $"frame_no")
+    }),
+
+    // ---- streaming batch twin ----
+    "evt_session_window" -> ((s, dir) => {
+      import s.implicits._
+      EventStreams.sessionWindows(Tables.events(s, dir))
+        .withColumn("session_start", date_trunc("second", $"session_start"))
+        .orderBy($"user_id", $"session_start")
+    }),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -665,5 +835,46 @@ object SparkEntry {
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len,
         |  md5(text) AS content_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "sim_topk_brute" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id AS n_id,
+        |    list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS raw_cosine
+        |  FROM q, embeddings e WHERE q.q_id != e.vec_id),
+        |ranked AS (
+        |  SELECT q_id, n_id, raw_cosine,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY raw_cosine DESC, n_id) AS rn
+        |  FROM scored)
+        |SELECT q_id, n_id, CAST(raw_cosine AS DECIMAL(10,6)) AS cosine, rn FROM ranked WHERE rn <= 5
+        |ORDER BY q_id, rn""".stripMargin,
+
+    "text_token_counts" ->
+      """SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_chunks,
+        |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS INT) AS n_tokens_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "evt_session_window" ->
+      // session_window closes a session when the inter-event gap is
+      // >= 30 min (strict window-end semantics, unlike evt_sessionize's
+      // floored-seconds > 1800)
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(epoch(ts), 1) OVER w IS NULL
+        |           OR epoch(ts) - lag(epoch(ts), 1) OVER w >= 1800.0
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked)
+        |SELECT user_id, date_trunc('second', min(ts)) AS session_start,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftShims, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions._
 
-import graft.expr.{CosineSimilarity, DocFingerprint, RegexpExtractOrNull}
+import graft.expr.{CosineSimilarity, DocFingerprint, RegexpExtractOrNull, SimHash64}
 
 /** The engine's scalar-function surface: thin `Column` builders over
   * custom Catalyst expressions plus named compositions of built-ins.
@@ -27,6 +27,9 @@ package object functions {
 
   /** 64-bit rolling-hash fingerprint of a string column (codegen'd). */
   def doc_fingerprint(c: Column): Column = col(DocFingerprint(ex(c)))
+
+  /** 64-bit SimHash near-dup fingerprint of a document (codegen'd). */
+  def simhash64(c: Column): Column = col(SimHash64(ex(c)))
 
   /** Parse `$78.91` / `$1,234.56`-style currency strings into exact
     * decimal. The reference stores money as raw strings and defers
@@ -53,5 +56,7 @@ package object functions {
       "cosine_similarity", es => CosineSimilarity(es(0), es(1)), "internal")
     reg.createOrReplaceTempFunction(
       "doc_fingerprint", es => DocFingerprint(es.head), "internal")
+    reg.createOrReplaceTempFunction(
+      "simhash64", es => SimHash64(es.head), "internal")
   }
 }

@@ -1,0 +1,128 @@
+package graft.llm
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, NGram, RegexTokenizer}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{doc_fingerprint, simhash64}
+
+/** Deduplication for LLM-training corpora (north star; no analogue in
+  * the reference, which predates the need — SURVEY.md §2.8).
+  *
+  * Scale design, in order of cost at 100 TB:
+  *  - [[exact]]: shuffle (fingerprint, id) pairs — 16 bytes/row, never
+  *    the document text. One hash-agg.
+  *  - [[simhashNearDup]]: one codegen'd pass to fingerprint, then B
+  *    band-rotations as self-join keys. Candidate pairs only where a
+  *    16-bit band collides; verify by Hamming distance. No O(n²).
+  *  - [[minhashNearDup]]: shingle → MinHash signatures → LSH OR-banding
+  *    via spark.ml `approxSimilarityJoin` — the standard
+  *    Broder/Leskovec pipeline; join cost scales with bucket collision
+  *    counts, not n².
+  *  - [[ngramJaccard]]: exact Jaccard verification on candidate pairs
+  *    (use after LSH blocking; never call on an unblocked corpus).
+  */
+object Dedup {
+
+  /** Exact dedup keeping the smallest id per distinct payload.
+    * Groups on the 64-bit content fingerprint + the text only to break
+    * (astronomically unlikely) fingerprint collisions. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(doc_fingerprint(col(textCol)).as("fp"), col(textCol))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col(textCol))
+
+  /** Drop-duplicates form (Spark's hash-agg based `dropDuplicates`). */
+  def distinctRows(df: DataFrame, cols: Seq[String]): DataFrame =
+    if (cols.isEmpty) df.dropDuplicates() else df.dropDuplicates(cols)
+
+  /** SimHash near-dup candidate pairs: documents whose 64-bit SimHash
+    * differs by <= maxHamming bits. Banding: split the fingerprint
+    * into 4 16-bit bands; by pigeonhole, any pair within Hamming
+    * distance 3 collides on at least one band — so the self-join runs
+    * per-band on band equality (a broadcast-free shuffle join on a
+    * 2-byte-entropy key), then exact Hamming verifies. */
+  def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fp = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    val banded = fp.select(col("id"), col("sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("sh"), col("bk.band"), col("bk.key"))
+    val a = banded.select(col("band"), col("key"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("key"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct() // a pair may collide on several bands
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Character-shingle MinHash-LSH near-dup pairs with Jaccard
+    * distance below `maxDist` (spark.ml MinHashLSH /
+    * approxSimilarityJoin). Returns (id_a, id_b, jaccard_dist). */
+  def minhashNearDup(df: DataFrame, textCol: String, idCol: String,
+      maxDist: Double = 0.6, shingle: Int = 5, numTables: Int = 8,
+      numFeatures: Int = 1 << 18, seed: Long = 42L): DataFrame = {
+    val chars = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("chars", split(regexp_replace(col("text"), "\\s+", " "), ""))
+    val ngram = new NGram().setN(shingle).setInputCol("chars").setOutputCol("shingles")
+    val shingled = ngram.transform(chars)
+      .filter(size(col("shingles")) > 0)
+    val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
+      .setNumFeatures(numFeatures).setBinary(true)
+    val feats = tf.transform(shingled)
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numTables).setSeed(seed)
+    val model = lsh.fit(feats)
+    model.approxSimilarityJoin(feats, feats, maxDist, "jaccard_dist")
+      .filter(col("datasetA.id") < col("datasetB.id"))
+      .select(col("datasetA.id").as("id_a"), col("datasetB.id").as("id_b"),
+        col("jaccard_dist"))
+  }
+
+  /** Exact token n-gram Jaccard similarity for candidate pairs.
+    * `pairs` must carry (id_a, id_b); `docs` maps id → text. Intended
+    * as the verify stage after [[simhashNearDup]]/[[minhashNearDup]]
+    * blocking. */
+  def ngramJaccard(pairs: DataFrame, docs: DataFrame, textCol: String,
+      idCol: String, n: Int = 3): DataFrame = {
+    def grams(c: Column): Column = {
+      val toks = split(c, " ")
+      array_distinct(transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    }
+    val g = docs.select(col(idCol).as("gid"), grams(col(textCol)).as("grams"))
+    pairs
+      .join(g.select(col("gid").as("id_a"), col("grams").as("grams_a")), "id_a")
+      .join(g.select(col("gid").as("id_b"), col("grams").as("grams_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("grams_a"), col("grams_b"))))
+      .withColumn("uni", size(array_union(col("grams_a"), col("grams_b"))))
+      .select(col("id_a"), col("id_b"),
+        when(col("uni") === 0, 0.0)
+          .otherwise(col("inter").cast("double") / col("uni").cast("double"))
+          .as("jaccard"))
+  }
+
+  /** Embedding near-dup: pairs with cosine >= threshold, blocked by
+    * random-hyperplane LSH sign bits to avoid O(n²) (see
+    * Similarity.cosineLshBuckets for the bucketing). */
+  def embeddingNearDup(emb: DataFrame, vecCol: String, idCol: String,
+      minCosine: Double = 0.95, planes: Int = 12, seed: Long = 42L): DataFrame = {
+    val bucketed = Similarity.cosineLshBuckets(emb, vecCol, idCol, planes, seed)
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", graft.functions.cosine_similarity(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .distinct()
+  }
+}

@@ -1,0 +1,127 @@
+package graft.llm
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.cosine_similarity
+
+/** Similarity search over an embedding column (north star).
+  *
+  * Three tiers, trading recall for cost:
+  *  - [[bruteForceTopK]]: exact cosine top-k, O(|queries|·n). The
+  *    baseline and the re-rank stage of the approximate tiers. The
+  *    inner product is the codegen'd [[graft.expr.CosineSimilarity]];
+  *    per-query top-k is a window `row_number`, so no global sort and
+  *    the shuffle carries only (query, candidate, score).
+  *  - [[cosineLshBuckets]] + [[lshTopK]]: random-hyperplane sign LSH.
+  *    One projection pass per row; candidates restricted to the
+  *    query's bucket. Tunable recall via `planes` (fewer planes =
+  *    bigger buckets = higher recall, more work).
+  *  - [[ivfTopK]]: IVF — KMeans-partitioned index probing the
+  *    `nprobe` nearest centroids. The 100 TB path: index build is one
+  *    ML fit + one assignment pass; queries touch nprobe/k of the
+  *    corpus.
+  */
+object Similarity {
+
+  /** Exact cosine top-k of `queries` against `candidates`
+    * (self-matches excluded when ids collide). */
+  def bruteForceTopK(candidates: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = candidates.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", cosine_similarity(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("n_id"), col("cosine"), col("rn"))
+  }
+
+  /** Random-hyperplane sign buckets: `planes` pseudo-random
+    * hyperplanes (deterministic from `seed`), bucket = sign-bit
+    * string. Cosine-similar vectors agree on most signs (Charikar
+    * 2002), so near-identical vectors share a bucket with high
+    * probability. Output: (id, vec, bucket). */
+  def cosineLshBuckets(emb: DataFrame, vecCol: String, idCol: String,
+      planes: Int = 12, seed: Long = 42L): DataFrame = {
+    // Pseudo-random plane p, dim d gets deterministic coefficient
+    // hash(p,d,seed) scaled to [-1,1]; the projection is expressed with
+    // higher-order array functions — no UDF, stays in codegen.
+    val dims = sequence(lit(0), size(col(vecCol)) - 1)
+    val bucketBits = (0 until planes).map { p =>
+      val coef = (i: org.apache.spark.sql.Column) =>
+        (pmod(xxhash64(lit(seed), lit(p), i), lit(2000001L)).cast("double")
+          / lit(1000000.0)) - lit(1.0)
+      val dot = aggregate(
+        zip_with(col(vecCol), transform(dims, coef), (v, c) => v * c),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1)).otherwise(lit(0)).cast("string")
+    }
+    emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      concat(bucketBits: _*).as("bucket"))
+  }
+
+  /** Approximate top-k: candidates restricted to the query's LSH
+    * bucket, exact cosine re-rank inside. */
+  def lshTopK(emb: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, k: Int, planes: Int = 8, seed: Long = 42L): DataFrame = {
+    val cb = cosineLshBuckets(emb, vecCol, idCol, planes, seed)
+    val qb = cosineLshBuckets(queries, vecCol, idCol, planes, seed)
+      .select(col("id").as("q_id"), col("vec").as("q_vec"), col("bucket"))
+    val scored = qb.join(cb, "bucket")
+      .filter(col("q_id") =!= col("id"))
+      .withColumn("cosine", cosine_similarity(col("q_vec"), col("vec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("id").as("n_id"), col("cosine"), col("rn"))
+  }
+
+  /** IVF index: KMeans cluster assignment per row. Returns
+    * (centroids model output) DataFrame with `cluster` column added. */
+  def ivfAssign(emb: DataFrame, vecCol: String, nlist: Int = 16,
+      seed: Long = 42L): (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
+    val withVec = emb.withColumn("__mlvec", array_to_vector(col(vecCol)))
+    val km = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("__mlvec").setPredictionCol("cluster")
+    val model = km.fit(withVec)
+    (model.transform(withVec).drop("__mlvec"), model)
+  }
+
+  /** IVF top-k: probe the `nprobe` centroids nearest to each query,
+    * exact cosine re-rank within those inverted lists. */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val spark = emb.sparkSession
+    val (assigned, model) = ivfAssign(emb, vecCol, nlist, seed)
+    // centroid table is tiny (nlist rows) → broadcast to score queries
+    import spark.implicits._
+    val cents = model.clusterCenters.zipWithIndex.map { case (v, i) =>
+      (i, v.toArray.map(_.toFloat))
+    }.toSeq.toDF("cluster", "centroid")
+    val qCents = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdist", cosine_similarity(col("q_vec"), col("centroid")))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cdist").desc, col("cluster"))
+    val probes = qCents.withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("cluster"))
+    val scored = probes.join(
+        assigned.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("cluster")),
+        "cluster")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", cosine_similarity(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("n_id"), col("cosine"), col("rn"))
+  }
+}

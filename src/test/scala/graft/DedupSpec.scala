@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Dedup
+import graft.expr.SimHash64
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  val base = "the quick brown fox jumps over the lazy dog again and again today"
+
+  test("exact dedup keeps one representative per distinct text, min id") {
+    val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa")).toDF("doc_id", "text")
+    val got = Dedup.exact(df, "text", "doc_id").collect()
+      .map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(got == Map("aaa" -> 1L, "bbb" -> 2L))
+  }
+
+  test("simhash: identical docs hash identical; near docs within few bits; far docs far") {
+    val a = SimHash64.compute(base.getBytes("UTF-8"))
+    val a2 = SimHash64.compute(base.getBytes("UTF-8"))
+    val near = SimHash64.compute(base.replace("dog", "cat").getBytes("UTF-8"))
+    val far = SimHash64.compute(
+      "completely different content about spark query engines at scale".getBytes("UTF-8"))
+    assert(a == a2)
+    assert(SimHash64.hamming(a, near) < SimHash64.hamming(a, far))
+    assert(SimHash64.hamming(a, near) <= 16)
+  }
+
+  test("simhashNearDup finds planted near-duplicates") {
+    val docs = (0 until 50).map(i => (i.toLong, s"unique document number $i with words " +
+        s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i")) ++
+      Seq((100L, base), (101L, base.replace("dog", "cat")))
+    val df = docs.toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDup(df, "text", "doc_id", maxHamming = 12)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((100L, 101L)), s"got ${pairs.mkString(",")}")
+  }
+
+  test("minhashNearDup: planted near-dup pair found, distance sane") {
+    val docs = (0 until 30).map(i => (i.toLong,
+        s"doc $i " + (0 until 30).map(j => s"tok${i}_$j").mkString(" "))) ++
+      Seq((100L, base * 3), (101L, (base * 3).replace("dog", "cat")))
+    val df = docs.toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDup(df, "text", "doc_id", maxDist = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 100L && p._2 == 101L && p._3 < 0.3),
+      s"got ${pairs.mkString(",")}")
+  }
+
+  test("ngramJaccard: identical docs = 1.0, disjoint docs = 0.0") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w v u")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.ngramJaccard(pairs, docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((1L, 2L)) == 1.0)
+    assert(got((1L, 3L)) == 0.0)
+  }
+
+  test("embeddingNearDup finds a planted duplicate vector") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }
+    val planted = vecs :+ (100L, vecs.head._2.map(v => v * 1.001f))
+    val df = planted.toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(df, "embedding", "vec_id",
+        minCosine = 0.99, planes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 100L)), s"got ${pairs.mkString(",")}")
+  }
+}

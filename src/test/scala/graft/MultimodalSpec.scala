@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val media = Multimodal.asMedia(Tables.documents(spark, sf0001), "doc_id", "text")
+
+  test("asMedia: binary payload survives round-trip, modality assigned") {
+    val rows = media.limit(10).collect()
+    assert(rows.forall(r => Set("image", "audio", "video")(r.getString(1))))
+    val doc = Tables.documents(spark, sf0001).filter($"doc_id" === rows.head.getLong(0))
+      .select("text").head().getString(0)
+    assert(new String(rows.head.getAs[Array[Byte]](2), "UTF-8") == doc)
+  }
+
+  test("decodeImageStub: deterministic, sane metadata") {
+    val a = Multimodal.decodeImageStub(media).collect().sortBy(_.media_id)
+    val b = Multimodal.decodeImageStub(media).collect().sortBy(_.media_id)
+    assert(a.toSeq == b.toSeq)
+    a.foreach { d =>
+      assert(d.width >= 64 && d.width < 256)
+      assert(d.height >= 64 && d.height < 256)
+      assert(d.mean_byte >= 0.0 && d.mean_byte < 256.0)
+      assert(d.n_bytes > 0)
+    }
+  }
+
+  test("frameSample stride=1 covers all payload bytes; stride=2 halves frames") {
+    val all = Multimodal.frameSample(media, frameBytes = 64, stride = 1)
+    val half = Multimodal.frameSample(media, frameBytes = 64, stride = 2)
+    val totalBytes = all.agg(sum("frame_bytes")).collect()(0).getLong(0)
+    val payloadBytes = media.agg(sum(octet_length($"payload"))).collect()(0).getLong(0)
+    assert(totalBytes == payloadBytes)
+    val nAll = all.count(); val nHalf = half.count()
+    assert(nHalf >= nAll / 2 && nHalf <= nAll / 2 + media.count())
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.cosine_similarity
+import graft.llm.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine_similarity expression: hand-checked values, symmetry, range") {
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f)),
+      (Array(1f, 0f), Array(0f, 1f)),
+      (Array(1f, 1f), Array(1f, 1f)),
+      (Array(1f, 2f), Array(2f, 4f)),
+      (Array(0f, 0f), Array(1f, 1f))).toDF("a", "b")
+    val got = df.select(cosine_similarity($"a", $"b")).collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(math.abs(got(1)) < 1e-12)
+    assert(math.abs(got(2) - 1.0) < 1e-12)
+    assert(math.abs(got(3) - 1.0) < 1e-12)
+    assert(got(4) == 0.0) // zero-norm convention
+    // symmetry
+    val sym = df.select(cosine_similarity($"b", $"a")).collect().map(_.getDouble(0))
+    assert(got.sameElements(sym))
+  }
+
+  test("cosine_similarity: length mismatch -> null; null input -> null") {
+    val df = Seq((Array(1f, 2f), Array(1f, 2f, 3f))).toDF("a", "b")
+    assert(df.select(cosine_similarity($"a", $"b")).collect()(0).isNullAt(0))
+    val df2 = Seq((Some(Array(1f)), Option.empty[Array[Float]])).toDF("a", "b")
+    assert(df2.select(cosine_similarity($"a", $"b")).collect()(0).isNullAt(0))
+  }
+
+  test("bruteForceTopK: k rows per query, descending, no self-match") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val got = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 5),
+      "embedding", "vec_id", k = 3).collect()
+    val byQ = got.groupBy(_.getLong(0))
+    assert(byQ.size == 5 && byQ.values.forall(_.length == 3))
+    byQ.values.foreach { rows =>
+      val sims = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.sameElements(sims.sorted.reverse))
+      rows.foreach(r => assert(r.getLong(0) != r.getLong(1)))
+    }
+  }
+
+  test("lshTopK: on clustered data recall@3 vs brute force is high") {
+    val rnd = new scala.util.Random(3)
+    // 4 tight clusters of 25 vectors each
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat * 5))
+    val vecs = (0 until 100).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(v => v + rnd.nextGaussian().toFloat * 0.1f))
+    }
+    val df = vecs.toDF("vec_id", "embedding").cache()
+    val q = df.filter($"vec_id" < 8)
+    val brute = Similarity.bruteForceTopK(df, q, "embedding", "vec_id", 3)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(df, q, "embedding", "vec_id", 3, planes = 6)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("ivfTopK: on clustered data recall@3 vs brute force is high") {
+    val rnd = new scala.util.Random(5)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat * 5))
+    val vecs = (0 until 100).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(v => v + rnd.nextGaussian().toFloat * 0.1f))
+    }
+    val df = vecs.toDF("vec_id", "embedding").cache()
+    val q = df.filter($"vec_id" < 8)
+    val brute = Similarity.bruteForceTopK(df, q, "embedding", "vec_id", 3)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(df, q, "embedding", "vec_id", 3, nlist = 4, nprobe = 2)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = new Timestamp(
+    java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli + minute * 60000L)
+
+  val sample = Seq(
+    Event(1, ts(0), 1, "click", 1.0),
+    Event(2, ts(5), 1, "click", 2.0),
+    Event(3, ts(90), 1, "view", 3.0),  // 85-min gap -> new session, new window
+    Event(4, ts(2), 2, "click", 4.0),
+    Event(5, ts(200), 2, "view", 5.0))
+
+  test("tumblingCounts over MemoryStream matches batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.tumblingCounts(mem.toDF(), "1 hour")
+      .writeStream.outputMode("complete").format("memory").queryName("tumble").start()
+    mem.addData(sample: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("tumble")
+      .select("window_start", "event_type", "n_events").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    val batch = EventStreams.tumblingCounts(sample.toDF(), "1 hour")
+      .select("window_start", "event_type", "n_events").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("sessionWindows: 30-min gap splits sessions (batch mode)") {
+    val got = EventStreams.sessionWindows(sample.toDF(), "30 minutes")
+      .select("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+    // user 1: {e1,e2} then {e3}; user 2: {e4}, {e5}
+    assert(got == List((1L, 1L), (1L, 2L), (2L, 1L), (2L, 1L)))
+  }
+
+  test("dedupWithinWatermark drops duplicate event_ids in stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.dedupWithinWatermark(mem.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    mem.addData(sample ++ sample: _*) // every event duplicated
+    q.processAllAvailable()
+    val n = spark.table("dedup").count()
+    q.stop()
+    assert(n == sample.length)
+  }
+
+  test("sessionizeStateful agrees with sessionWindows on session structure") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionizeStateful(mem.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("sess").start()
+    mem.addData(sample: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("sess")
+      .select("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+    q.stop()
+    assert(streamed == List((1L, 1L), (1L, 2L), (2L, 1L), (2L, 1L)))
+  }
+
+  test("streaming parquet source: tumbling agg over readStream on events dir") {
+    // FileStreamSource needs a directory; stage the single-file table
+    val dir = java.nio.file.Files.createTempDirectory("evt_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("part-000.parquet"))
+    val raw = spark.read.parquet(s"$sf0001/events.parquet")
+    val stream = spark.readStream.schema(raw.schema)
+      .parquet(dir.toString)
+      // same nanos-long → timestamp conversion as Tables.events
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStreams.tumblingCounts(stream, "6 hours")
+      .writeStream.outputMode("complete").format("memory").queryName("pq").start()
+    q.processAllAvailable()
+    val streamed = spark.table("pq").agg(sum("n_events")).collect()(0).getLong(0)
+    q.stop()
+    assert(streamed == Tables.events(spark, sf0001).count())
+  }
+}

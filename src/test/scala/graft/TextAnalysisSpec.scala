@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId identifies stopword-rich samples") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and it is a good day for the dog"),
+      (2L, "le chat est sur la table et il est un bon jour pour les chats"),
+      (3L, "der hund ist ein gutes tier und die katze ist auch ein tier"),
+      (4L, "el perro es un buen animal y la casa es de los gatos"),
+      (5L, "zzz qqq www rrr ttt")).toDF("doc_id", "text")
+    val got = TextAnalysis.langId(df, "text").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(1L) == "en"); assert(got(2L) == "fr")
+    assert(got(3L) == "de"); assert(got(4L) == "es")
+    assert(got(5L) == "und")
+  }
+
+  test("tokenCounts: ws tokens, bpe chunks, estimate") {
+    val df = Seq((1L, "hello world, it's 2024!")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(df, "text").collect()(0)
+    assert(r.getAs[Int]("n_ws_tokens") == 4)
+    // chunks: hello, world, ",", it, "'", s, 2024, "!"
+    assert(r.getAs[Int]("n_bpe_chunks") == 8)
+    assert(r.getAs[Int]("n_tokens_est") == math.ceil(23 / 4.0).toInt)
+  }
+
+  test("qualityScore in [0,1]; clean prose scores above digit soup") {
+    val df = Seq(
+      (1L, ("the quick brown fox jumps over the lazy dog and it is a fine day " * 4)),
+      (2L, "000 111 222 333 444 555 666 777 888 999 000 111 222 333 444 555"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.qualityScore(df, "text").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality_score")).toMap
+    assert(got.values.forall(s => s >= 0.0 && s <= 1.0))
+    assert(got(1L) > got(2L))
+  }
+
+  test("fingerprint: equal texts equal, different texts differ") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprint(df, "text").collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("fingerprint")).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("extractEntities: capitalized spans, multi-word merge, subset of text") {
+    val df = Seq((1L, "Barack Obama visited Paris while Angela Merkel stayed in Berlin"))
+      .toDF("doc_id", "text")
+    val ents = TextAnalysis.extractEntities(df, "text").collect()(0)
+      .getSeq[String](2)
+    assert(ents.contains("Barack Obama"))
+    assert(ents.contains("Paris"))
+    assert(ents.contains("Angela Merkel"))
+    assert(ents.contains("Berlin"))
+  }
+}

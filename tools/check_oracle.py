@@ -13,6 +13,13 @@ import duckdb
 def canon(rel):
     df = rel.fetchdf()
     df = df[sorted(df.columns)]
+    # list/array columns (numpy arrays) are unhashable/unsortable →
+    # canonicalize to tuples
+    for c in df.columns:
+        if df[c].dtype == object and df[c].map(
+                lambda v: hasattr(v, "__len__") and not isinstance(v, (str, bytes))).any():
+            df[c] = df[c].map(lambda v: tuple(v) if hasattr(v, "__len__")
+                              and not isinstance(v, (str, bytes)) else v)
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
