@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.parse_money
+import graft.operators.Quality
+import graft.sources.{Csv, Writers}
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  val fixture = getClass.getResource("/medicare_sample.csv").getPath
+  lazy val raw = Csv.read(spark, fixture, Csv.medicareSchema)
+
+  // The §1.4 pathologies the reference trips on, as assertions:
+
+  test("quoted commas stay in one field (the reference column-shifts them)") {
+    val r = Csv.valid(raw).filter($"hcpcs_code" === "99223").collect()(0)
+    assert(r.getAs[String]("hcpcs_description") ==
+      "Initial hospital care, per day, 70 minutes")
+    assert(r.getAs[Int]("line_srvc_cnt") == 93)
+    // quoted comma inside credentials too
+    val g = Csv.valid(raw).filter($"hcpcs_code" === "J9310").collect()(0)
+    assert(g.getAs[String]("nppes_credentials") == "M.D., PH.D.")
+  }
+
+  test("banner + mid-data header rows land in _corrupt_record, not data") {
+    val bad = Csv.corrupt(raw).collect().map(_.getString(0))
+    assert(bad.exists(_.startsWith("CPT only copyright")))
+    assert(bad.exists(_.startsWith("NPI,NPPES_PROVIDER")))
+    // and no parsed row carries header junk
+    assert(Csv.valid(raw).filter($"npi" === "NPI").count() == 0)
+  }
+
+  test("readMedicare applies the reference's npi != '' predicate") {
+    val all = Csv.valid(raw)
+    val med = Csv.readMedicare(spark, fixture)
+    assert(all.filter($"npi" === "" || $"npi".isNull).count() >= 1)
+    assert(med.filter($"npi" === "" || $"npi".isNull).count() == 0)
+    assert(med.count() < all.count())
+  }
+
+  test("invalid-HCPCS report on the fixture finds the planted bad code") {
+    val rpt = Quality.invalidCodeReport(
+      Csv.readMedicare(spark, fixture), "hcpcs_code", "^([A-Z0-9]\\d{3}[A-Z0-9])$")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rpt.contains("BAD99"))
+    assert(!rpt.contains("99223") && !rpt.contains("G0008") && !rpt.contains("J9310"))
+  }
+
+  test("parse_money handles $-prefixed strings exactly") {
+    val got = Csv.readMedicare(spark, fixture)
+      .filter($"hcpcs_code" === "88304")
+      .select(parse_money($"average_submitted_chrg_amt").cast("string"))
+      .collect()(0).getString(0)
+    assert(got == "128.00")
+  }
+
+  test("ORC+ZLIB roundtrip preserves rows (the reference's CTAS)") {
+    val dir = java.nio.file.Files.createTempDirectory("orc_rt").toString
+    val med = Csv.readMedicare(spark, fixture)
+    Writers.toOrcZlib(med, s"$dir/medicare_orc")
+    val back = spark.read.orc(s"$dir/medicare_orc")
+    assert(back.count() == med.count())
+    assert(back.schema == med.schema)
+  }
+
+  test("CSV sink roundtrip (PigStorage analogue), overwrite mode") {
+    val dir = java.nio.file.Files.createTempDirectory("csv_rt").toString
+    val med = Csv.readMedicare(spark, fixture).select($"npi", $"hcpcs_code")
+    Writers.toCsv(med, s"$dir/out")
+    Writers.toCsv(med, s"$dir/out") // overwrite, like Pig rmf
+    val back = spark.read.schema("npi string, hcpcs_code string").csv(s"$dir/out")
+    assert(back.count() == med.count())
+  }
+
+  test("wholeTextFiles and lines scans") {
+    val whole = Writers.wholeTextFiles(spark, fixture)
+    assert(whole.count() == 1)
+    assert(whole.select("contents").head().getString(0).contains("ENKESHAFI"))
+    val lines = Writers.lines(spark, fixture)
+    assert(lines.count() == 11)
+  }
+}
