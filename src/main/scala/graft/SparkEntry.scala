@@ -40,6 +40,27 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ northStarQueries
 
+  /** Headline bench set: every relational/text/events operator plus
+    * the cheap north-star paths. Excluded: ML model fits (word2vec,
+    * tfidf, pca — training benchmarks, not query benchmarks) and the
+    * LSH joins whose cost is threshold-dependent rather than
+    * scan-dependent. */
+  val benchQueries: Seq[String] = Seq(
+    "q1_agg", "q3_shipping", "q5_region_revenue",
+    "agg_distinct", "agg_minmax", "agg_rollup", "agg_cube", "agg_approx_distinct",
+    "join_semi", "join_anti",
+    "win_topk_parts", "win_running_total", "win_lag_delta",
+    "set_union", "set_intersect", "set_except",
+    "sample_first_n", "sample_by_key", "sample_rows_det", "sample_bernoulli",
+    "feat_percentile_buckets",
+    "dq_invalid_codes", "dq_profile",
+    "date_monthly_orders", "json_event_stats", "str_funcs", "parse_money",
+    "evt_tumbling", "evt_sliding", "evt_sessionize", "evt_session_window",
+    "text_stats", "text_quality", "text_term_freq", "text_lang_dist",
+    "text_langid", "text_token_counts", "text_quality_score", "text_entities",
+    "dedup_exact", "dedup_fingerprint", "dedup_simhash",
+    "sim_topk_brute", "mm_content_hash", "mm_decode")
+
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ================= P2 data quality (SURVEY §2.2/2.3/2.5) =================

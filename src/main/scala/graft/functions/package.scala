@@ -37,7 +37,7 @@ package object functions {
     * makes that coercion explicit and exact. `try_cast` semantics:
     * garbage parses to NULL under ANSI mode instead of throwing. */
   def parse_money(c: Column): Column =
-    regexp_replace(c, "[$,]", "").try_cast("decimal(18,2)")
+    translate(c, "$,", "").try_cast("decimal(18,2)")
 
   /** Register SQL names for the custom expressions so `spark.sql`
     * queries can use them alongside built-ins. */
