@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.ml.{Projection, TextFeatures}
-import graft.operators.{Percentiles, Quality, Sampling}
+import graft.operators.{AsOf, Percentiles, Quality, Sampling}
 import graft.streaming.EventStreams
 
 /** Driver contract — registry of named queries (SURVEY.md §2 inventory).
@@ -590,6 +590,33 @@ object SparkEntry {
         .orderBy($"media_id", $"frame_no")
     }),
 
+    // ---- as-of join (time-series; no analogue in the reference) ----
+    "asof_signup_value" -> ((s, dir) => {
+      import s.implicits._
+      // for each purchase, the user's latest signup at-or-before it
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", $"value")
+      val signups = ev.filter($"event_type" === "signup")
+        .select($"user_id", $"ts".as("signup_ts"), $"value".as("signup_value"))
+      AsOf.joinAsOf(purchases, signups, "user_id", "ts", "signup_ts",
+          payload = Seq("signup_value"))
+        .select($"event_id", $"user_id",
+          date_trunc("second", $"ts").as("ts_s"), $"signup_value")
+        .orderBy($"event_id")
+    }),
+
+    // ---- SQL text surface (spark.sql over registered views) ----
+    "sql_q6_discount" -> ((s, dir) => {
+      Catalog.registerViews(s, dir)
+      s.sql("""
+        SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(24,8))) AS DOUBLE) AS revenue,
+               count(*) AS n
+        FROM lineitem
+        WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07
+      """)
+    }),
+
     // ---- streaming batch twin ----
     "evt_session_window" -> ((s, dir) => {
       import s.implicits._
@@ -875,6 +902,20 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_chunks,
         |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS INT) AS n_tokens_est
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "asof_signup_value" ->
+      """SELECT p.event_id, p.user_id, date_trunc('second', p.ts) AS ts_s,
+        |  s.value AS signup_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND s.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "sql_q6_discount" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(24,8))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07""".stripMargin,
 
     "evt_session_window" ->
       // session_window closes a session when the inter-event gap is

@@ -1,0 +1,53 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.AsOf
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("joinAsOf picks latest right row at-or-before each left row, per key") {
+    val left = Seq(
+      (1L, 10L, t(10)), (2L, 10L, t(30)), (3L, 10L, t(5)),
+      (4L, 20L, t(15)), (5L, 30L, t(50)))
+      .toDF("l_id", "key", "lts")
+    val right = Seq(
+      (10L, t(0), "a"), (10L, t(20), "b"), (10L, t(30), "c"),
+      (20L, t(100), "z"))
+      .toDF("key", "rts", "tag")
+    val got = AsOf.joinAsOf(left, right, "key", "lts", "rts", Seq("tag"))
+      .select($"l_id", $"tag").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got(1L) == "a")   // t10 -> a (t0)
+    assert(got(2L) == "c")   // t30 -> c (t30, <= inclusive)
+    assert(got(3L) == "a")   // t5 -> a
+    assert(got(4L) == null)  // right at t100 is after t15
+    assert(got(5L) == null)  // no right rows for key 30
+    // all left rows survive
+    assert(AsOf.joinAsOf(left, right, "key", "lts", "rts", Seq("tag")).count() == 5)
+  }
+
+  test("asof_signup_value: every purchase keeps exactly one row; signup precedes purchase") {
+    val out = SparkEntry.queries("asof_signup_value")(spark, sf0001).cache()
+    val purchases = Tables.events(spark, sf0001).filter($"event_type" === "purchase")
+    assert(out.count() == purchases.count())
+    // spot-check semantics: join back and verify signup_value matches
+    // the max-ts signup <= purchase ts for 5 sampled purchases
+    val ev = Tables.events(spark, sf0001).collect()
+    val signupsByUser = ev.filter(_.getAs[String]("event_type") == "signup")
+      .groupBy(_.getAs[Long]("user_id"))
+    out.limit(200).collect().take(50).foreach { r =>
+      val eid = r.getLong(0); val uid = r.getLong(1)
+      val pts = ev.find(_.getAs[Long]("event_id") == eid).get.getAs[Timestamp]("ts")
+      val expect = signupsByUser.getOrElse(uid, Array.empty)
+        .filter(e => !e.getAs[Timestamp]("ts").after(pts))
+        .sortBy(e => (e.getAs[Timestamp]("ts").getTime, e.getAs[Long]("event_id")))
+        .lastOption.map(_.getAs[Double]("value"))
+      val gotV = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+      assert(gotV == expect, s"event $eid user $uid")
+    }
+  }
+}

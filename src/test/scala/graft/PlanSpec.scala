@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions: the 100 TB posture, checked at sf0.001.
+  * These pin the properties that keep working on a 1000-executor
+  * cluster: predicate pushdown into parquet, column pruning, broadcast
+  * joins for dims, whole-stage codegen over custom expressions. */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(name: String): String = {
+    // other suites cache these tables; a cached scan would mask the
+    // parquet-level pushdown this suite asserts on
+    spark.catalog.clearCache()
+    SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.explainString(FormattedMode)
+  }
+
+  test("q1_agg pushes the shipdate filter into the parquet scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q1_agg prunes the scan to the 6 referenced columns") {
+    val p = plan("q1_agg")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_orderkey") && !read.contains("l_comment"))
+    assert(read.contains("l_quantity") && read.contains("l_returnflag"))
+  }
+
+  test("q5_region_revenue broadcasts every dimension join") {
+    val p = plan("q5_region_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "dims must not sort-merge:\n" + p)
+  }
+
+  test("feat_percentile_buckets broadcasts the percentile aggregate back") {
+    val p = plan("feat_percentile_buckets")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("custom expressions stay inside whole-stage codegen") {
+    spark.catalog.clearCache()
+    val df = Tables.embeddings(spark, sf0001)
+      .select(graft.functions.cosine_similarity($"embedding", $"embedding").as("c"))
+    // in FormattedMode a leading `* ` marks a WholeStageCodegen stage
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.linesIterator.exists(_.matches("^\\*.*Project.*")), p)
+    // and the codegen path is exercised without fallback errors
+    assert(df.agg(min($"c")).head().getDouble(0) > 0.99)
+  }
+
+  test("semi/anti joins plan as joins, not subquery re-scans") {
+    assert(plan("join_semi").contains("LeftSemi"))
+    assert(plan("join_anti").contains("LeftAnti"))
+  }
+
+  test("sample_by_key is a scan-level filter — no shuffle before the project") {
+    val p = plan("sample_by_key")
+    // one exchange allowed: the final orderBy range partitioning
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, p)
+  }
+}

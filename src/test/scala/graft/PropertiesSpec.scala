@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+import graft.expr.SimHash64
+import graft.llm.Dedup
+import graft.operators.Sampling
+
+/** Property tests (SURVEY.md §5.3) over seeded generators — the
+  * ScalaCheck style without the scalatestplus bridge (offline cache
+  * carries scalatest + scalacheck only). */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vocab = Array("the", "fox", "dog", "spark", "query", "scan", "merge", "data")
+  private def randText(rnd: Random): String =
+    Array.fill(1 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+
+  test("simhash: deterministic, self-distance 0, symmetric, bounded") {
+    val rnd = new Random(42)
+    (1 to 200).foreach { _ =>
+      val t1 = randText(rnd); val t2 = randText(rnd)
+      val a = SimHash64.compute(t1.getBytes("UTF-8"))
+      val a2 = SimHash64.compute(t1.getBytes("UTF-8"))
+      val b = SimHash64.compute(t2.getBytes("UTF-8"))
+      assert(a == a2 && SimHash64.hamming(a, a2) == 0)
+      val d = SimHash64.hamming(a, b)
+      assert(d == SimHash64.hamming(b, a) && d >= 0 && d <= 64)
+    }
+  }
+
+  test("interpreted eval matches codegen for custom expressions") {
+    // SimHash64/DocFingerprint nullSafeEval vs the codegen'd plan path
+    val rnd = new Random(7)
+    val rows = (1 to 50).map(i => (i.toLong, randText(rnd)))
+    val df = rows.toDF("id", "text")
+    val viaPlan = df.select($"id", graft.functions.simhash64($"text"),
+        graft.functions.doc_fingerprint($"text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    rows.foreach { case (id, t) =>
+      val bytes = t.getBytes("UTF-8")
+      assert(viaPlan(id)._1 == SimHash64.compute(bytes))
+      var h = 1125899906842597L
+      bytes.foreach(b => h = 31L * h + b)
+      assert(viaPlan(id)._2 == h)
+    }
+  }
+
+  test("deterministic sampler: monotone in permille, subset semantics") {
+    val li = Tables.lineitem(spark, sf0001).cache()
+    val n = li.count()
+    val counts = Seq(0, 100, 300, 600, 1000).map { pm =>
+      pm -> Sampling.deterministic(li, pm, 7, $"l_orderkey", $"l_linenumber").count()
+    }
+    counts.sliding(2).foreach {
+      case Seq((_, a), (_, b)) => assert(a <= b)
+      case _ =>
+    }
+    assert(counts.head._2 == 0L)
+    assert(counts.last._2 == n)
+    // subset: every row sampled at 300 is sampled at 600
+    val at300 = Sampling.deterministic(li, 300, 7, $"l_orderkey", $"l_linenumber")
+    val at600 = Sampling.deterministic(li, 600, 7, $"l_orderkey", $"l_linenumber")
+    assert(at300.exceptAll(at600).count() == 0)
+  }
+
+  test("exact dedup: idempotent, order-insensitive, count = distinct texts") {
+    val rnd = new Random(11)
+    (1 to 5).foreach { _ =>
+      val ts = List.fill(30)(randText(rnd))
+      val df = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val once = Dedup.exact(df, "text", "doc_id")
+      val twice = Dedup.exact(once, "text", "doc_id")
+      assert(once.count() == twice.count())
+      assert(once.count() == ts.distinct.length)
+      val shuffled = Random.shuffle(ts.zipWithIndex).map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      assert(Dedup.exact(shuffled, "text", "doc_id")
+        .select("text").collect().map(_.getString(0)).sorted.toSeq ==
+        once.select("text").collect().map(_.getString(0)).sorted.toSeq)
+    }
+  }
+
+  test("cosine similarity: range [-1,1], symmetry, scale invariance") {
+    val rnd = new Random(13)
+    val pairs = (1 to 40).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat),
+        Array.fill(8)(rnd.nextGaussian().toFloat))
+    }
+    val df = pairs.toDF("id", "a", "b")
+    import graft.functions.cosine_similarity
+    val rowsAb = df.select($"id", cosine_similarity($"a", $"b")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rowsBa = df.select($"id", cosine_similarity($"b", $"a")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val scaled = df.select($"id",
+        cosine_similarity(transform($"a", x => x * 2.0f), $"b")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    pairs.foreach { case (id, _, _) =>
+      assert(rowsAb(id) >= -1.0000001 && rowsAb(id) <= 1.0000001)
+      assert(rowsAb(id) == rowsBa(id))
+      assert(math.abs(rowsAb(id) - scaled(id)) < 1e-9)
+    }
+  }
+}
