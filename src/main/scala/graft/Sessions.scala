@@ -19,6 +19,10 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // corrupt-row policy (sources.Csv) must be projection-independent:
+      // with pruning on, a narrow projection parses only the referenced
+      // columns and under-length/banner rows silently pass as valid
+      .config("spark.sql.csv.parser.columnPruning.enabled", "false")
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft-warehouse")
       .config("spark.ui.enabled", "false")

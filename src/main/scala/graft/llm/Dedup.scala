@@ -37,19 +37,34 @@ object Dedup {
   def distinctRows(df: DataFrame, cols: Seq[String]): DataFrame =
     if (cols.isEmpty) df.dropDuplicates() else df.dropDuplicates(cols)
 
-  /** SimHash near-dup candidate pairs: documents whose 64-bit SimHash
-    * differs by <= maxHamming bits. Banding: split the fingerprint
-    * into 4 16-bit bands; by pigeonhole, any pair within Hamming
-    * distance 3 collides on at least one band — so the self-join runs
-    * per-band on band equality (a broadcast-free shuffle join on a
-    * 2-byte-entropy key), then exact Hamming verifies. */
+  /** SimHash near-dup candidate pairs: ALL document pairs whose 64-bit
+    * SimHash differs by <= maxHamming bits. Banding: the fingerprint is
+    * split into `maxHamming + 1` near-equal-width bands; by pigeonhole,
+    * any pair within Hamming distance maxHamming agrees exactly on at
+    * least one band — so the self-join runs per-band on band equality
+    * (a broadcast-free shuffle join), then exact Hamming verifies. The
+    * recall guarantee is total for every radius; the COST is not: band
+    * width is 64/(maxHamming+1) bits, so radii past ~7 shrink the band
+    * keyspace toward all-pairs. At 100 TB keep maxHamming <= 7
+    * (8 bands × 8 bits) and use [[minhashNearDup]] for coarser radii. */
   def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0,63] (got $maxHamming)")
+    val bands = maxHamming + 1
+    // distribute 64 bits into `bands` chunks, widths differing by <= 1
+    val base = 64 / bands
+    val rem = 64 % bands
+    val widths = Seq.tabulate(bands)(b => if (b < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
     val fp = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    val bandKeys = (0 until bands).map { b =>
+      val mask = if (widths(b) >= 64) -1L else (1L << widths(b)) - 1L
+      struct(lit(b).as("band"),
+        shiftright(col("sh"), offsets(b)).bitwiseAND(lit(mask)).as("key"))
+    }
     val banded = fp.select(col("id"), col("sh"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+      explode(array(bandKeys: _*)).as("bk"))
       .select(col("id"), col("sh"), col("bk.band"), col("bk.key"))
     val a = banded.select(col("band"), col("key"),
       col("id").as("id_a"), col("sh").as("sh_a"))

@@ -67,21 +67,55 @@ object Similarity {
       concat(bucketBits: _*).as("bucket"))
   }
 
-  /** Approximate top-k: candidates restricted to the query's LSH
-    * bucket, exact cosine re-rank inside. */
+  /** Multi-table sign-LSH buckets: `tables` independent hash tables of
+    * `planes` hyperplanes each (the standard OR-of-ANDs construction —
+    * per-table precision from `planes`, recall from `tables`; a single
+    * table's recall@k collapses for isotropic embeddings). One pass
+    * computes all tables×planes projections; output one row per
+    * (id, table) with that table's bucket. */
+  def cosineLshBucketsMulti(emb: DataFrame, vecCol: String, idCol: String,
+      planes: Int, tables: Int, seed: Long = 42L): DataFrame = {
+    val dims = sequence(lit(0), size(col(vecCol)) - 1)
+    val tableBuckets = (0 until tables).map { t =>
+      val bits = (0 until planes).map { p =>
+        val coef = (i: org.apache.spark.sql.Column) =>
+          (pmod(xxhash64(lit(seed), lit(t), lit(p), i), lit(2000001L)).cast("double")
+            / lit(1000000.0)) - lit(1.0)
+        val dot = aggregate(
+          zip_with(col(vecCol), transform(dims, coef), (v, c) => v * c),
+          lit(0.0), (acc, x) => acc + x)
+        when(dot >= 0, lit(1)).otherwise(lit(0)).cast("string")
+      }
+      struct(lit(t).as("table"), concat(bits: _*).as("bucket"))
+    }
+    emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        explode(array(tableBuckets: _*)).as("tb"))
+      .select(col("id"), col("vec"), col("tb.table"), col("tb.bucket"))
+  }
+
+  /** Approximate top-k: candidates = pairs sharing a bucket in ANY of
+    * the `tables` hash tables, exact cosine re-rank over the distinct
+    * candidate set. Shuffle payload after scoring is only
+    * (q_id, n_id, cosine). */
   def lshTopK(emb: DataFrame, queries: DataFrame, vecCol: String,
-      idCol: String, k: Int, planes: Int = 8, seed: Long = 42L): DataFrame = {
-    val cb = cosineLshBuckets(emb, vecCol, idCol, planes, seed)
-    val qb = cosineLshBuckets(queries, vecCol, idCol, planes, seed)
-      .select(col("id").as("q_id"), col("vec").as("q_vec"), col("bucket"))
-    val scored = qb.join(cb, "bucket")
+      idCol: String, k: Int, planes: Int = 6, tables: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val cb = cosineLshBucketsMulti(emb, vecCol, idCol, planes, tables, seed)
+    val qb = cosineLshBucketsMulti(queries, vecCol, idCol, planes, tables, seed)
+      .select(col("id").as("q_id"), col("vec").as("q_vec"),
+        col("table"), col("bucket"))
+    val scored = qb.join(cb, Seq("table", "bucket"))
       .filter(col("q_id") =!= col("id"))
       .withColumn("cosine", cosine_similarity(col("q_vec"), col("vec")))
+      // a pair colliding in several tables is scored per collision
+      // (row-local, codegen'd); dedup on the scored triple
+      .select(col("q_id"), col("id").as("n_id"), col("cosine"))
+      .distinct()
     val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("id"))
+      .orderBy(col("cosine").desc, col("n_id"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .select(col("q_id"), col("id").as("n_id"), col("cosine"), col("rn"))
+      .select(col("q_id"), col("n_id"), col("cosine"), col("rn"))
   }
 
   /** IVF index: KMeans cluster assignment per row. Returns
@@ -95,28 +129,42 @@ object Similarity {
     (model.transform(withVec).drop("__mlvec"), model)
   }
 
-  /** IVF top-k: probe the `nprobe` centroids nearest to each query,
-    * exact cosine re-rank within those inverted lists. */
-  def ivfTopK(emb: DataFrame, queries: DataFrame, vecCol: String,
-      idCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-      seed: Long = 42L): DataFrame = {
+  /** A built IVF index: the per-row inverted-list assignment
+    * (`n_id`, `n_vec`, `cluster`) and the tiny centroid table. Build
+    * ONCE with [[ivfBuild]] (one KMeans fit + one assignment pass over
+    * the corpus — persist/write `assigned` for reuse), then serve any
+    * number of query batches with [[ivfProbe]]. At 100 TB the build is
+    * a batch job and the probe touches ~nprobe/nlist of the corpus;
+    * re-fitting per query would re-read the corpus every call. */
+  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame, nlist: Int)
+
+  /** Build the IVF index (the expensive, do-once half). */
+  def ivfBuild(emb: DataFrame, vecCol: String, idCol: String,
+      nlist: Int = 16, seed: Long = 42L): IvfIndex = {
     val spark = emb.sparkSession
     val (assigned, model) = ivfAssign(emb, vecCol, nlist, seed)
-    // centroid table is tiny (nlist rows) → broadcast to score queries
     import spark.implicits._
     val cents = model.clusterCenters.zipWithIndex.map { case (v, i) =>
       (i, v.toArray.map(_.toFloat))
     }.toSeq.toDF("cluster", "centroid")
+    IvfIndex(
+      assigned.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("cluster")),
+      cents, nlist)
+  }
+
+  /** Probe a built index: route each query to its `nprobe` nearest
+    * centroids (broadcast — nlist rows), exact cosine re-rank within
+    * those inverted lists. The cheap, repeatable half. */
+  def ivfProbe(index: IvfIndex, queries: DataFrame, vecCol: String,
+      idCol: String, k: Int, nprobe: Int = 4): DataFrame = {
     val qCents = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-      .crossJoin(broadcast(cents))
+      .crossJoin(broadcast(index.centroids))
       .withColumn("cdist", cosine_similarity(col("q_vec"), col("centroid")))
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cdist").desc, col("cluster"))
     val probes = qCents.withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nprobe)
       .select(col("q_id"), col("q_vec"), col("cluster"))
-    val scored = probes.join(
-        assigned.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("cluster")),
-        "cluster")
+    val scored = probes.join(index.assigned, "cluster")
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cosine", cosine_similarity(col("q_vec"), col("n_vec")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
@@ -124,4 +172,11 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("q_id"), col("n_id"), col("cosine"), col("rn"))
   }
+
+  /** Build + probe in one call (small/one-shot use; for anything
+    * repeated, hold the [[IvfIndex]] and call [[ivfProbe]]). */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      seed: Long = 42L): DataFrame =
+    ivfProbe(ivfBuild(emb, vecCol, idCol, nlist, seed), queries, vecCol, idCol, k, nprobe)
 }

@@ -23,18 +23,28 @@ object TextAnalysis {
   private def tokens(c: Column): Column = split(c, "\\s+")
 
   /** Language-ID: argmax over stopword-hit ratios per profile.
-    * Returns (…, lang_pred, lang_score). Unknown → "und". */
+    * Returns (…, lang_pred, lang_score). Unknown → "und".
+    *
+    * The token array and the best-scoring struct are each materialized
+    * once in their own projection; later expressions reference the
+    * attribute, not a copy of the tree (CollapseProject keeps the
+    * non-cheap alias un-inlined). The naive form — `greatest(...)`
+    * referenced three times, each score re-splitting the text —
+    * duplicated the tree ~12×, defeated codegen CSE, and cost 15.8 s /
+    * 16 MiB task binaries at sf0.1. */
   def langId(df: DataFrame, textCol: String): DataFrame = {
-    val toks = tokens(lower(col(textCol)))
+    val withToks = df.withColumn("__toks", tokens(lower(col(textCol))))
     val scores = stopwordProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
-      val hits = size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
-      struct((hits.cast("double") / greatest(size(toks), lit(1))).as("score"),
+      val hits = size(filter(col("__toks"), t => t.isin(words.map(lit(_)): _*)))
+      struct((hits.cast("double") / greatest(size(col("__toks")), lit(1))).as("score"),
         lit(lang).as("lang"))
     }
-    val best = greatest(scores: _*)
-    df.withColumn("lang_pred",
-        when(best.getField("score") > 0, best.getField("lang")).otherwise("und"))
-      .withColumn("lang_score", best.getField("score"))
+    withToks
+      .withColumn("__best", greatest(scores: _*))
+      .withColumn("lang_pred",
+        when(col("__best.score") > 0, col("__best.lang")).otherwise("und"))
+      .withColumn("lang_score", col("__best.score"))
+      .drop("__toks", "__best")
   }
 
   /** Whitespace token count + a BPE-ish subword estimate: unicode
@@ -66,10 +76,14 @@ object TextAnalysis {
     val score = greatest(lit(0.0), least(lit(1.0),
       lenScore * (lit(1.0) - digitRatio) * (lit(1.0) - punctRatio)
         * (lit(0.5) + stopRatio)))
-    df.withColumn("quality_score", round(score, 6))
-      .withColumn("stop_ratio", round(stopRatio, 6))
-      .withColumn("digit_ratio", round(digitRatio, 6))
-      .withColumn("punct_ratio", round(punctRatio, 6))
+    // raw doubles, no rounding: every term is deterministic IEEE
+    // arithmetic over exact integers, so the oracle replicating the
+    // same expression tree is bit-identical (round()'s decimal
+    // tie-breaking is NOT engine-portable)
+    df.withColumn("quality_score", score)
+      .withColumn("stop_ratio", stopRatio)
+      .withColumn("digit_ratio", digitRatio)
+      .withColumn("punct_ratio", punctRatio)
   }
 
   /** Rolling-hash fingerprint column (see graft.expr.DocFingerprint). */

@@ -33,12 +33,22 @@ object Scale {
     * 100 TB this converts every fact⋈fact join on the bucket key from
     * a full shuffle into a zip of co-located buckets. */
   def writeBucketed(df: DataFrame, table: String, keyCol: String,
-      buckets: Int = 32): Unit =
+      buckets: Int = 32): Unit = {
+    val spark = df.sparkSession
+    // reclaim stale state from a prior JVM: a crashed/old run can leave
+    // the warehouse dir without a catalog entry, which saveAsTable
+    // (even mode=overwrite) refuses with LOCATION_ALREADY_EXISTS
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, keyCol)
       .sortBy(keyCol)
       .format("parquet")
       .saveAsTable(table) // managed, under spark.sql.warehouse.dir
+  }
 
   /** Repartition-by-key helper for reusing one partitioning across
     * several downstream aggregations (pay the shuffle once). */

@@ -21,10 +21,14 @@ object Csv {
 
   /** Quoted-CSV scan: schema-declared (never inferred — the reference
     * declares its DDL up front, README.md:29-56), quote-aware,
-    * malformed rows captured. */
+    * malformed rows captured. Streams by default — a 100 TB ingest must
+    * not pin itself to storage memory; pass `cache = true` only for the
+    * corrupt-record *report* path (Spark disallows queries that
+    * reference only the internal corrupt column on an uncached scan). */
   def read(spark: SparkSession, path: String, schema: StructType,
-      header: Boolean = false, delimiter: String = ","): DataFrame =
-    spark.read
+      header: Boolean = false, delimiter: String = ",",
+      cache: Boolean = false): DataFrame = {
+    val df = spark.read
       .schema(schema.add(corruptCol, StringType))
       .option("header", header)
       .option("sep", delimiter)
@@ -33,14 +37,16 @@ object Csv {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", corruptCol)
       .csv(path)
-      .cache() // corrupt-record column requires the parsed+raw rows to agree
+    if (cache) df.cache() else df
+  }
 
   /** Valid rows only. */
   def valid(df: DataFrame): DataFrame =
     df.filter(col(corruptCol).isNull).drop(corruptCol)
 
   /** The malformed-row report: what the reference's pipeline silently
-    * column-shifted, surfaced as data. */
+    * column-shifted, surfaced as data. Requires a `cache = true` scan
+    * (the projection references only the corrupt column). */
   def corrupt(df: DataFrame): DataFrame =
     df.filter(col(corruptCol).isNotNull).select(col(corruptCol))
 

@@ -61,34 +61,58 @@ object EventStreams {
 
   /** Custom stateful sessionization with `flatMapGroupsWithState` —
     * the escape hatch when session semantics outgrow session_window
-    * (e.g. cross-field session keys, value-dependent gaps). Emits a
-    * session when `gapSeconds` passes without events (event-time,
-    * tracked per user). */
-  def sessionizeStateful(events: Dataset[Event], gapSeconds: Long = 1800)
-      : Dataset[SessionOut] = {
+    * (e.g. cross-field session keys, value-dependent gaps).
+    *
+    * Correct multi-batch semantics: each invocation merges the new
+    * micro-batch's events into the sessions carried in GroupState, then
+    * emits ONLY sessions closed by the event-time watermark (no more
+    * events can join them); still-open sessions stay in state with an
+    * event-time timeout at `last + gap`, so a user who goes quiet gets
+    * their final session flushed when the watermark passes the gap.
+    * Append-mode output therefore contains each session exactly once.
+    *
+    * Late events that re-open or extend a watermark-closed session are
+    * dropped with the watermark, as in every watermarked aggregation. */
+  def sessionizeStateful(events: Dataset[Event], gapSeconds: Long = 1800,
+      watermark: String = "2 hours"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+
+    def close(userId: Long)(s: SessState): SessionOut =
+      SessionOut(userId, new java.sql.Timestamp(s.start * 1000), s.n, s.sum)
 
     def fn(userId: Long, rows: Iterator[Event],
         state: GroupState[Seq[SessState]]): Iterator[SessionOut] = {
-      // Batch-friendly stateful fn: fold this group's (sorted) events
-      // into gap-separated sessions; emit all closed+open sessions.
+      // merge: resume from the open sessions in state (most recent at
+      // head), fold in this batch's events in event-time order (on a
+      // timeout invocation `rows` is empty — same logic applies)
       val evs = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-      val sessions = evs.foldLeft(List.empty[SessState]) { (acc, e) =>
+      val prior = state.getOption.getOrElse(Seq.empty).toList
+      val sessions = evs.foldLeft(prior) { (acc, e) =>
         val t = e.ts.getTime / 1000
         acc match {
-          case h :: tl if t - h.last <= gapSeconds =>
-            SessState(h.start, t, h.n + 1, h.sum + e.value) :: tl
+          case h :: tl if t - h.last <= gapSeconds && t >= h.start =>
+            SessState(h.start, math.max(h.last, t), h.n + 1, h.sum + e.value) :: tl
           case _ => SessState(t, t, 1, e.value) :: acc
         }
-      }.reverse
-      state.update(sessions)
-      sessions.iterator.map(s => SessionOut(userId,
-        new java.sql.Timestamp(s.start * 1000), s.n, s.sum))
+      }
+      // emit only sessions the watermark has sealed (no event that
+      // could still arrive may join them); keep the rest in state with
+      // a timeout at the earliest possible close
+      val wmSec = state.getCurrentWatermarkMs() / 1000
+      val (open, closed) = sessions.partition(s => s.last + gapSeconds > wmSec)
+      if (open.nonEmpty) {
+        state.update(open)
+        state.setTimeoutTimestamp(open.map(s => s.last + gapSeconds).min * 1000)
+      } else {
+        state.remove()
+      }
+      closed.reverse.iterator.map(close(userId))
     }
 
-    events.groupByKey(_.user_id)
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(fn)
+        GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
   case class SessState(start: Long, last: Long, n: Long, sum: Double)

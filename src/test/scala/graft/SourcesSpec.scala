@@ -9,7 +9,8 @@ class SourcesSpec extends SparkSpec {
   import spark.implicits._
 
   val fixture = getClass.getResource("/medicare_sample.csv").getPath
-  lazy val raw = Csv.read(spark, fixture, Csv.medicareSchema)
+  // cache=true: the corrupt-report test projects only the corrupt column
+  lazy val raw = Csv.read(spark, fixture, Csv.medicareSchema, cache = true)
 
   // The §1.4 pathologies the reference trips on, as assertions:
 

@@ -58,18 +58,49 @@ class StreamingSpec extends SparkSpec {
     assert(n == sample.length)
   }
 
-  test("sessionizeStateful agrees with sessionWindows on session structure") {
+  test("sessionizeStateful merges one session split across micro-batches, emits once closed") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
-    val q = EventStreams.sessionizeStateful(mem.toDS())
+    val q = EventStreams.sessionizeStateful(mem.toDS(), gapSeconds = 1800)
       .writeStream.outputMode("append").format("memory").queryName("sess").start()
-    mem.addData(sample: _*)
+    // batch 1: first half of user 1's session — nothing may be emitted
+    // (the session is still open; emitting here is what the old
+    // re-emit-everything bug did)
+    mem.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(5), 1, "click", 2.0))
     q.processAllAvailable()
-    val streamed = spark.table("sess")
+    assert(spark.table("sess").count() == 0, "open session must not be emitted")
+    // batch 2: extends the SAME session (10 min < 30-min gap), plus a
+    // far-future event that advances the watermark past its close
+    mem.addData(Event(3, ts(10), 1, "click", 4.0), Event(4, ts(600), 2, "view", 8.0))
+    q.processAllAvailable()
+    val got = spark.table("sess")
+      .select("user_id", "n_events", "sum_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    q.stop()
+    // exactly one session: the merged 3-event session for user 1
+    // (user 2's session is still open when the stream stops)
+    assert(got == List((1L, 3L, 7.0)), s"got $got")
+  }
+
+  test("sessionizeStateful: quiet user's final session flushes via event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionizeStateful(mem.toDS(), gapSeconds = 1800)
+      .writeStream.outputMode("append").format("memory").queryName("sessto").start()
+    mem.addData(Event(1, ts(0), 1, "click", 1.0))
+    q.processAllAvailable()
+    // user 1 goes quiet; only OTHER users' events advance the watermark
+    mem.addData(Event(2, ts(500), 2, "view", 2.0))
+    q.processAllAvailable()
+    mem.addData(Event(3, ts(900), 2, "view", 3.0))
+    q.processAllAvailable()
+    val got = spark.table("sessto")
       .select("user_id", "n_events").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toList.sorted
     q.stop()
-    assert(streamed == List((1L, 1L), (1L, 2L), (2L, 1L), (2L, 1L)))
+    // user 1's single-event session closed by timeout; user 2's first
+    // session (ts 500) closed when ts(900) pushed the watermark past it
+    assert(got == List((1L, 1L), (2L, 1L)), s"got $got")
   }
 
   test("streaming parquet source: tumbling agg over readStream on events dir") {

@@ -60,6 +60,8 @@ def main(sf_dir, out_dir):
         if not ok:
             if not ok_schema:
                 print(f"    schema: spark={list(got.columns)} oracle={list(want.columns)}")
+            elif len(got) != len(want):
+                print(f"    row counts differ: spark={len(got)} oracle={len(want)}")
             else:
                 import pandas as pd
                 neq = (got != want) & ~(got.isna() & want.isna())
