@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.ml.{Projection, TextFeatures}
 import graft.operators.{AsOf, Percentiles, Quality, Sampling}
-import graft.sources.Csv
+import graft.sources.{Csv, Writers}
 import graft.streaming.EventStreams
 
 /** Driver contract — registry of named queries (SURVEY.md §2 inventory).
@@ -101,7 +101,7 @@ object SparkEntry {
   val benchQueries: Seq[String] = Seq(
     "q1_agg", "q3_shipping", "q5_region_revenue", "sql_q6_discount",
     "agg_distinct", "agg_minmax", "agg_rollup", "agg_cube", "agg_approx_distinct",
-    "join_semi", "join_anti", "asof_signup_value",
+    "join_semi", "join_anti", "join_salted", "agg_copartition", "asof_signup_value",
     "win_topk_parts", "win_running_total", "win_lag_delta",
     "set_union", "set_intersect", "set_except",
     "sample_first_n", "sample_by_key", "sample_rows_det", "sample_bernoulli",
@@ -113,7 +113,7 @@ object SparkEntry {
     "evt_tumbling", "evt_sliding", "evt_sessionize", "evt_session_window",
     "text_stats", "text_quality", "text_term_freq", "text_lang_dist",
     "text_langid", "text_token_counts", "text_quality_score", "text_entities",
-    "dedup_exact", "dedup_fingerprint", "dedup_simhash",
+    "dedup_exact", "dedup_fingerprint", "dedup_simhash", "pipeline_clean_corpus",
     "sim_topk_brute", "mm_content_hash", "mm_decode", "mm_frame_sample")
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -233,6 +233,38 @@ object SparkEntry {
         .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey", "left_anti")
         .select($"c_custkey", $"c_name")
         .orderBy($"c_custkey")
+    }),
+
+    "join_salted" -> ((s, dir) => {
+      import s.implicits._
+      // Skew-salted fact⋈fact join (operators.Scale.saltedJoin): the
+      // oracle is the PLAIN join — salting must be invisible in the
+      // result, it only re-shapes the shuffle for pathological keys.
+      val ord = Tables.orders(s, dir)
+        .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
+      graft.operators.Scale.saltedJoin(Tables.lineitem(s, dir), ord,
+          "l_orderkey", salt = 8)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum($"l_quantity".cast("int")).cast("bigint").as("sum_qty"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    "agg_copartition" -> ((s, dir) => {
+      import s.implicits._
+      // Two aggregations over one explicit partitioning
+      // (operators.Scale.copartition): both branches hash-agg in place
+      // and the Exchange is planned once (ReusedExchange) — the
+      // pay-the-shuffle-once pattern for multi-agg pipelines.
+      val co = graft.operators.Scale.copartition(
+        Tables.lineitem(s, dir), "l_suppkey", 32)
+      val totals = co.groupBy($"l_suppkey")
+        .agg(count(lit(1)).as("n_items"))
+      val returns = co.filter($"l_returnflag" === "R").groupBy($"l_suppkey")
+        .agg(sum($"l_quantity".cast("int")).cast("bigint").as("returned_qty"))
+      totals.join(returns, Seq("l_suppkey"), "left")
+        .select($"l_suppkey", $"n_items", $"returned_qty")
+        .orderBy($"l_suppkey")
     }),
 
     // ================= Windows (SURVEY §2.9) =================
@@ -400,6 +432,56 @@ object SparkEntry {
         sum(when(col(Csv.corruptCol).isNull, 1L).otherwise(0L)).as("n_valid"))
     }),
 
+    // ============ Sinks + auxiliary scans (SURVEY §2.1) ============
+    "orc_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      // the reference's text→ORC+ZLIB CTAS with ingest predicate
+      // (README.md:111-118): convert a filtered projection to ORC, read
+      // it back, aggregate. The oracle computes the same aggregate from
+      // the parquet source directly — the roundtrip must be lossless.
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_${math.abs(dir.hashCode)}"
+      Writers.toOrcZlib(Tables.orders(s, dir)
+        .filter($"o_orderpriority" =!= "")
+        .select($"o_orderkey", $"o_totalprice", $"o_orderpriority"), out)
+      s.read.orc(out)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(24,8)")).cast("double").as("sum_price"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    "csv_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      // PigStorage(',') sink + rmf overwrite (README.md:131-132), then
+      // re-ingest with a declared schema; doubles round-trip via
+      // shortest-representation text. Oracle reads the parquet source —
+      // any CSV quoting/parsing loss shows as a hash mismatch.
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${math.abs(dir.hashCode)}"
+      val cust = Tables.customer(s, dir)
+        .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal", $"c_mktsegment")
+      Writers.toCsv(cust, out, header = true)
+      s.read.option("header", "true").schema(cust.schema).csv(out)
+        .orderBy($"c_custkey")
+    }),
+
+    "wholefile_scan" -> ((s, dir) => {
+      import s.implicits._
+      // sc.wholeTextFiles analogue (README.md:297): one row per file
+      Writers.wholeTextFiles(s, medicareCsv)
+        .select(regexp_extract($"file", "[^/]+$", 0).as("file_name"),
+          length($"contents").cast("bigint").as("n_chars"),
+          md5($"contents".cast("binary")).as("content_md5"))
+    }),
+
+    "line_scan" -> ((s, dir) => {
+      import s.implicits._
+      // sc.textFile analogue (README.md:352,385): one row per line
+      Writers.lines(s, medicareCsv)
+        .agg(count(lit(1)).as("n_lines"),
+          sum(length($"line")).cast("bigint").as("sum_chars"),
+          sum(when(length($"line") === 0, 1L).otherwise(0L)).as("n_empty"))
+    }),
+
     // ================= Dates / JSON scalar ops (SURVEY §2.3) =================
     "date_monthly_orders" -> ((s, dir) => {
       import s.implicits._
@@ -412,8 +494,12 @@ object SparkEntry {
 
     "json_event_stats" -> ((s, dir) => {
       import s.implicits._
+      // from_json with a declared schema parses each props string ONCE;
+      // get_json_object would re-parse per extracted key
       Tables.events(s, dir)
-        .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+        .withColumn("k",
+          from_json($"props", org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k"))
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
           (sum($"k").cast("double") / count($"k")).as("avg_k"))
@@ -602,6 +688,116 @@ object SparkEntry {
           minCosine = 0.35, planes = 4)
         .select($"id_a", $"id_b", round($"cosine", 6).as("cosine"))
         .orderBy($"id_a", $"id_b")
+    }),
+
+    // ---- dedup verification gates: each approximate/blocked tier is
+    // checked against ground truth computed INSIDE the plan over the
+    // full corpus (quadratic by construction — correctness artifacts
+    // for the driver, never in benchQueries) ----
+    "dedup_fp_agree" -> ((s, dir) => {
+      import s.implicits._
+      // fingerprint-keyed dedup must select exactly the ids that
+      // text-keyed dedup selects; DuckDB independently computes the
+      // distinct-text count the fingerprint count must equal
+      val docs = Tables.documents(s, dir)
+      val byFp = TextAnalysis.fingerprint(docs, "text")
+        .groupBy($"fingerprint").agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id")
+      val byText = docs.groupBy($"text").agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id")
+      byFp.agg(count(lit(1)).cast("bigint").as("n_distinct"))
+        .crossJoin(byFp.exceptAll(byText).union(byText.exceptAll(byFp))
+          .agg((count(lit(1)) === 0).as("ids_agree")))
+    }),
+
+    "dedup_simhash_complete" -> ((s, dir) => {
+      import s.implicits._
+      // empirical pigeonhole check: banded candidates == brute-force
+      // all-pairs Hamming <= 7 (the banding promises TOTAL recall, so
+      // the sets must be equal, not merely overlap)
+      val docs = Tables.documents(s, dir)
+      val fp = docs.select($"doc_id".as("id"),
+        graft.functions.simhash64($"text").as("sh"))
+      val brute = fp.select($"id".as("id_a"), $"sh".as("sh_a"))
+        .crossJoin(fp.select($"id".as("id_b"), $"sh".as("sh_b")))
+        .filter($"id_a" < $"id_b")
+        .filter(bit_count($"sh_a".bitwiseXOR($"sh_b")) <= 7)
+        .select($"id_a", $"id_b")
+      val banded = Dedup.simhashNearDup(docs, "text", "doc_id", maxHamming = 7)
+        .select($"id_a", $"id_b")
+      brute.agg(count(lit(1)).as("n_brute"))
+        .crossJoin(banded.agg(count(lit(1)).as("n_banded")))
+        .crossJoin(brute.exceptAll(banded).union(banded.exceptAll(brute))
+          .agg((count(lit(1)) === 0).as("complete")))
+        .select(($"n_brute" > 0).as("nonempty"), $"complete")
+    }),
+
+    "dedup_minhash_recall" -> ((s, dir) => {
+      import s.implicits._
+      // ground truth: exact char-5-gram Jaccard >= 0.6 over all pairs
+      // (the mirror of minhashNearDup's maxDist = 0.4). n_true is
+      // independently recomputed by the DuckDB oracle; the recall gate
+      // is a threshold boolean (8 OR'd tables make P(miss) <= 0.4^8
+      // per true pair, so >= 0.9 has huge margin)
+      val docs = Tables.documents(s, dir)
+      val norm = docs.select($"doc_id",
+          regexp_replace($"text", "\\s+", " ").as("t"))
+        .filter(length($"t") >= 5)
+      val grams = norm.select($"doc_id", array_distinct(
+        transform(sequence(lit(0), length($"t") - 5),
+          i => $"t".substr(i + 1, lit(5)))).as("grams"))
+      val truth = grams.select($"doc_id".as("id_a"), $"grams".as("ga"))
+        .crossJoin(grams.select($"doc_id".as("id_b"), $"grams".as("gb")))
+        .filter($"id_a" < $"id_b")
+        .withColumn("inter", size(array_intersect($"ga", $"gb")))
+        .withColumn("uni", size($"ga") + size($"gb") - $"inter")
+        .filter($"inter".cast("double") / $"uni" >= 0.6)
+        .select($"id_a", $"id_b")
+      val cand = Dedup.minhashNearDup(docs, "text", "doc_id", maxDist = 0.4)
+        .select($"id_a", $"id_b")
+      truth.agg(count(lit(1)).cast("bigint").as("n_true"))
+        .crossJoin(truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+          .agg(count(lit(1)).as("n_hit")))
+        .select($"n_true",
+          ($"n_hit".cast("double") / $"n_true" >= 0.9).as("recall_ok"))
+    }),
+
+    "dedup_embedding_recall" -> ((s, dir) => {
+      import s.implicits._
+      // ground truth: brute-force all-pairs cosine >= 0.35; the
+      // hyperplane-blocked tier must recover >= 90% of it
+      val emb = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding")
+      val truth = emb.select($"vec_id".as("id_a"), $"embedding".as("va"))
+        .crossJoin(emb.select($"vec_id".as("id_b"), $"embedding".as("vb")))
+        .filter($"id_a" < $"id_b")
+        .filter(graft.functions.cosine_similarity($"va", $"vb") >= 0.35)
+        .select($"id_a", $"id_b")
+      val cand = Dedup.embeddingNearDup(emb, "embedding", "vec_id",
+          minCosine = 0.35, planes = 4)
+        .select($"id_a", $"id_b")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+          .agg(count(lit(1)).as("n_hit")))
+        .select(($"n_true" > 0).as("nonempty"),
+          ($"n_hit".cast("double") / $"n_true" >= 0.9).as("recall_ok"))
+    }),
+
+    // ---- the flagship composition: what an LLM-data pipeline
+    // actually runs — language filter + quality filter + exact dedup,
+    // emitting the kept corpus with token counts. Every stage is
+    // row-local or one hash-agg; the whole plan is one shuffle. ----
+    "pipeline_clean_corpus" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val scored = TextAnalysis.qualityScore(
+        TextAnalysis.langId(docs, "text"), "text")
+      scored.filter($"lang_pred" === "en" && $"quality_score" >= 0.3)
+        .groupBy($"text")
+        .agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id",
+          size(split($"text", "\\s+")).as("n_ws_tokens"))
+        .orderBy($"doc_id")
     }),
 
     // ---- similarity search family ----
@@ -1035,6 +1231,29 @@ object SparkEntry {
          |SELECT CAST(a.n - p.n AS BIGINT) AS n_corrupt, CAST(p.n AS BIGINT) AS n_valid
          |FROM all_lines a, parsed p""".stripMargin,
 
+    "orc_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(24,8))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderpriority != ''
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "csv_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "wholefile_scan" ->
+      s"""SELECT regexp_extract(filename, '[^/]+$$') AS file_name,
+         |  CAST(length(content) AS BIGINT) AS n_chars,
+         |  md5(content) AS content_md5
+         |FROM read_text('$medicareCsv')""".stripMargin,
+
+    "line_scan" ->
+      s"""SELECT count(*) AS n_lines,
+         |  CAST(sum(length(line)) AS BIGINT) AS sum_chars,
+         |  CAST(sum(CASE WHEN length(line) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+         |FROM read_csv('$medicareCsv', header=false, delim=e'\\x01', quote='',
+         |  columns={'line':'VARCHAR'}, auto_detect=false)""".stripMargin,
+
     "date_monthly_orders" ->
       """SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
@@ -1123,6 +1342,95 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, text FROM documents
         |GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "join_salted" ->
+      // the oracle is the PLAIN join: salting must be result-invisible
+      """SELECT o.o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l.l_quantity AS INT)) AS BIGINT) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
+
+    "agg_copartition" ->
+      """WITH totals AS (
+        |  SELECT l_suppkey, count(*) AS n_items FROM lineitem GROUP BY l_suppkey),
+        |ret AS (
+        |  SELECT l_suppkey, CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS returned_qty
+        |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_suppkey)
+        |SELECT t.l_suppkey, t.n_items, r.returned_qty
+        |FROM totals t LEFT JOIN ret r USING (l_suppkey)
+        |ORDER BY l_suppkey""".stripMargin,
+
+    // fingerprint-keyed dedup must pick exactly the ids text-keyed
+    // dedup picks; DuckDB independently recomputes the distinct-text
+    // count the fingerprint-group count must equal
+    "dedup_fp_agree" ->
+      """SELECT CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+        |  true AS ids_agree FROM documents""".stripMargin,
+
+    // pigeonhole-complete banding: candidates == brute-force pairs
+    "dedup_simhash_complete" ->
+      "SELECT true AS nonempty, true AS complete",
+
+    // ground truth (exact char-5-gram Jaccard >= 0.6 over all pairs)
+    // recomputed independently in DuckDB; the recall gate is a boolean
+    "dedup_minhash_recall" ->
+      """WITH norm AS (
+        |  SELECT doc_id, regexp_replace(text, '\s+', ' ', 'g') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(0, length(t) - 4),
+        |    i -> substring(t, CAST(i AS INT) + 1, 5))) AS grams
+        |  FROM norm WHERE length(t) >= 5),
+        |p AS (
+        |  SELECT len(list_intersect(a.grams, b.grams)) AS inter,
+        |    len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS uni
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_true, true AS recall_ok
+        |FROM p WHERE CAST(inter AS DOUBLE) / uni >= 0.6""".stripMargin,
+
+    "dedup_embedding_recall" ->
+      "SELECT true AS nonempty, true AS recall_ok",
+
+    // langId + qualityScore + exact dedup composed — the full DuckDB
+    // replica of the clean-corpus pipeline
+    "pipeline_clean_corpus" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','eine','zu','den','von'))) AS DOUBLE) / greatest(len(toks), 1) AS s_de,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS DOUBLE) / greatest(len(toks), 1) AS s_en,
+        |    CAST(len(list_filter(toks, x -> x IN ('el','la','los','de','y','un','una','es','que','por'))) AS DOUBLE) / greatest(len(toks), 1) AS s_es,
+        |    CAST(len(list_filter(toks, x -> x IN ('le','la','les','de','et','un','une','est','que','pour'))) AS DOUBLE) / greatest(len(toks), 1) AS s_fr
+        |  FROM t),
+        |l AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |         WHEN s_fr >= greatest(s_de, s_en, s_es) THEN 'fr'
+        |         WHEN s_es >= greatest(s_de, s_en) THEN 'es'
+        |         WHEN s_en >= s_de THEN 'en'
+        |         ELSE 'de' END AS lang_pred
+        |  FROM s),
+        |q AS (
+        |  SELECT doc_id,
+        |    greatest(0.0, least(1.0,
+        |      least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+        |      * (1.0 - (CAST(length(text) AS DOUBLE) - length(regexp_replace(text, '[0-9]', '', 'g'))) / greatest(CAST(length(text) AS DOUBLE), 1.0))
+        |      * (1.0 - (CAST(length(text) AS DOUBLE) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) / greatest(CAST(length(text) AS DOUBLE), 1.0))
+        |      * (0.5 + CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |          x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS DOUBLE)
+        |          / CAST(greatest(len(string_split_regex(text, '\s+')), 1) AS DOUBLE)))) AS quality_score
+        |  FROM documents),
+        |kept AS (
+        |  SELECT l.text FROM l JOIN q USING (doc_id)
+        |  WHERE l.lang_pred = 'en' AND q.quality_score >= 0.3),
+        |dedup AS (
+        |  SELECT min(d.doc_id) AS doc_id, k.text
+        |  FROM (SELECT DISTINCT text FROM kept) k
+        |  JOIN documents d ON d.text = k.text
+        |  GROUP BY k.text)
+        |SELECT doc_id,
+        |  CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_ws_tokens
+        |FROM dedup ORDER BY doc_id""".stripMargin,
 
     "mm_content_hash" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len,

@@ -125,15 +125,34 @@ object Dedup {
           .as("jaccard"))
   }
 
-  /** Embedding near-dup: pairs with cosine >= threshold, blocked by
-    * random-hyperplane LSH sign bits to avoid O(n²) (see
-    * Similarity.cosineLshBuckets for the bucketing). */
+  /** Embedding near-dup: pairs with cosine >= `minCosine`, blocked by
+    * multi-table random-hyperplane sign LSH (OR-of-ANDs) to avoid
+    * O(n²). The number of tables is DERIVED from the threshold: with
+    * per-plane sign-agreement probability p = 1 - acos(minCosine)/π
+    * (Charikar 2002), a table of `planes` planes catches a
+    * threshold-grade pair with probability p^planes, so
+    * `ceil(log(1-targetRecall) / log(1-p^planes))` independent tables
+    * bound the per-pair miss rate at 1-targetRecall. High thresholds
+    * (real near-dups, >= 0.9) need few tables of many planes; low
+    * thresholds are intrinsically expensive for sign LSH — the derived
+    * table count makes that cost explicit instead of silently dropping
+    * recall. */
   def embeddingNearDup(emb: DataFrame, vecCol: String, idCol: String,
-      minCosine: Double = 0.95, planes: Int = 12, seed: Long = 42L): DataFrame = {
-    val bucketed = Similarity.cosineLshBuckets(emb, vecCol, idCol, planes, seed)
-    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, "bucket")
+      minCosine: Double = 0.95, planes: Int = 12, targetRecall: Double = 0.95,
+      maxTables: Int = 32, seed: Long = 42L): DataFrame = {
+    require(minCosine > -1.0 && minCosine < 1.0,
+      s"minCosine must be in (-1,1) (got $minCosine)")
+    val p = 1.0 - math.acos(minCosine) / math.Pi
+    val pTable = math.pow(p, planes)
+    val tables = math.max(1, math.min(maxTables,
+      math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - pTable)).toInt))
+    val bucketed =
+      Similarity.cosineLshBucketsMulti(emb, vecCol, idCol, planes, tables, seed)
+    val a = bucketed.select(col("table"), col("bucket"),
+      col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = bucketed.select(col("table"), col("bucket"),
+      col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", graft.functions.cosine_similarity(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= minCosine)
