@@ -111,6 +111,7 @@ object SparkEntry {
     "dq_invalid_codes", "dq_profile",
     "date_monthly_orders", "json_event_stats", "str_funcs", "parse_money",
     "evt_tumbling", "evt_sliding", "evt_sessionize", "evt_session_window",
+    "evt_stream_join",
     "text_stats", "text_quality", "text_term_freq", "text_lang_dist",
     "text_langid", "text_token_counts", "text_quality_score", "text_entities",
     "dedup_exact", "dedup_fingerprint", "dedup_simhash", "pipeline_clean_corpus",
@@ -252,18 +253,21 @@ object SparkEntry {
 
     "agg_copartition" -> ((s, dir) => {
       import s.implicits._
-      // Two aggregations over one explicit partitioning
-      // (operators.Scale.copartition): both branches hash-agg in place
-      // and the Exchange is planned once (ReusedExchange) — the
-      // pay-the-shuffle-once pattern for multi-agg pipelines.
+      // Two aggregation LEVELS over one explicit partitioning
+      // (operators.Scale.copartition): hashpartitioning(l_suppkey)
+      // satisfies the clustered distribution of BOTH the
+      // (l_suppkey, l_returnflag) agg and the l_suppkey rollup, so the
+      // whole chain runs on a single shuffle. Without the explicit
+      // partitioning Catalyst plans two exchanges — one per grouping.
       val co = graft.operators.Scale.copartition(
         Tables.lineitem(s, dir), "l_suppkey", 32)
-      val totals = co.groupBy($"l_suppkey")
-        .agg(count(lit(1)).as("n_items"))
-      val returns = co.filter($"l_returnflag" === "R").groupBy($"l_suppkey")
-        .agg(sum($"l_quantity".cast("int")).cast("bigint").as("returned_qty"))
-      totals.join(returns, Seq("l_suppkey"), "left")
-        .select($"l_suppkey", $"n_items", $"returned_qty")
+      co.groupBy($"l_suppkey", $"l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          sum($"l_quantity".cast("int")).as("q"))
+        .groupBy($"l_suppkey")
+        .agg(sum($"n_items").cast("bigint").as("n_items"),
+          count(lit(1)).cast("bigint").as("n_flags"),
+          max(when($"l_returnflag" === "R", $"q")).cast("bigint").as("returned_qty"))
         .orderBy($"l_suppkey")
     }),
 
@@ -952,10 +956,11 @@ object SparkEntry {
     // ---- multimodal plumbing ----
     "mm_decode" -> ((s, dir) => {
       import s.implicits._
+      // mean_byte stays un-rounded: integer byte-sum / int count is one
+      // IEEE division, bit-identical in any engine (round() is not)
       Multimodal.decodeImageStub(
           Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text"))
         .toDF()
-        .withColumn("mean_byte", round($"mean_byte", 6))
         .orderBy($"media_id")
     }),
 
@@ -994,7 +999,24 @@ object SparkEntry {
       """)
     }),
 
-    // ---- streaming batch twin ----
+    // ---- streaming batch twins ----
+    "evt_stream_join" -> ((s, dir) => {
+      import s.implicits._
+      // batch twin of EventStreams.purchaseAttribution (stream-stream
+      // join with watermark-bounded state): purchases ⋈ signups of the
+      // same user within the trailing 7 days
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", $"value")
+      val signups = ev.filter($"event_type" === "signup")
+      EventStreams.purchaseAttribution(purchases, signups)
+        .select($"event_id", $"user_id",
+          date_trunc("second", $"ts").as("ts_s"),
+          date_trunc("second", $"signup_ts").as("signup_ts_s"),
+          $"signup_value")
+        .orderBy($"event_id", $"signup_ts_s", $"signup_value")
+    }),
+
     "evt_session_window" -> ((s, dir) => {
       import s.implicits._
       EventStreams.sessionWindows(Tables.events(s, dir))
@@ -1351,14 +1373,14 @@ object SparkEntry {
         |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
 
     "agg_copartition" ->
-      """WITH totals AS (
-        |  SELECT l_suppkey, count(*) AS n_items FROM lineitem GROUP BY l_suppkey),
-        |ret AS (
-        |  SELECT l_suppkey, CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS returned_qty
-        |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_suppkey)
-        |SELECT t.l_suppkey, t.n_items, r.returned_qty
-        |FROM totals t LEFT JOIN ret r USING (l_suppkey)
-        |ORDER BY l_suppkey""".stripMargin,
+      """WITH bf AS (
+        |  SELECT l_suppkey, l_returnflag, count(*) AS n_items,
+        |    sum(CAST(l_quantity AS INT)) AS q
+        |  FROM lineitem GROUP BY l_suppkey, l_returnflag)
+        |SELECT l_suppkey, CAST(sum(n_items) AS BIGINT) AS n_items,
+        |  CAST(count(*) AS BIGINT) AS n_flags,
+        |  CAST(max(CASE WHEN l_returnflag = 'R' THEN q END) AS BIGINT) AS returned_qty
+        |FROM bf GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
 
     // fingerprint-keyed dedup must pick exactly the ids text-keyed
     // dedup picks; DuckDB independently recomputes the distinct-text
@@ -1436,6 +1458,36 @@ object SparkEntry {
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len,
         |  md5(text) AS content_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the decode STUB's fake metadata is pure byte arithmetic; the
+    // documents fixture is ASCII (verified octet_length == length at
+    // every sf), so DuckDB codepoints == payload bytes
+    "mm_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text, length(text) AS n FROM documents)
+        |SELECT media_id,
+        |  CAST(64 + CASE WHEN n = 0 THEN 0 ELSE ascii(substring(text, 1, 1)) % 192 END AS INT) AS width,
+        |  CAST(64 + CASE WHEN n < 2 THEN 0 ELSE ascii(substring(text, 2, 1)) % 192 END AS INT) AS height,
+        |  CAST(n AS INT) AS n_bytes,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE
+        |    CAST(list_sum(list_transform(range(0, n),
+        |      i -> ascii(substring(text, CAST(i AS INT) + 1, 1)))) AS DOUBLE) / n END AS mean_byte
+        |FROM m ORDER BY media_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+        |    octet_length(CAST(text AS BLOB)) AS n
+        |  FROM documents),
+        |f AS (
+        |  SELECT media_id, modality, n,
+        |    unnest(range(0, greatest(CAST(ceil(n / 64.0) AS INT), 1))) AS frame_no
+        |  FROM m)
+        |SELECT media_id, modality, CAST(frame_no AS INT) AS frame_no,
+        |  CAST(greatest(least(64, n - frame_no * 64), 0) AS INT) AS frame_bytes
+        |FROM f WHERE frame_no % 2 = 0
+        |ORDER BY media_id, frame_no""".stripMargin,
 
     "sim_topk_brute" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 20),
@@ -1520,6 +1572,15 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_chunks,
         |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS INT) AS n_tokens_est
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "evt_stream_join" ->
+      """SELECT p.event_id, p.user_id, date_trunc('second', p.ts) AS ts_s,
+        |  date_trunc('second', s.ts) AS signup_ts_s, s.value AS signup_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND s.ts <= p.ts
+        | AND s.ts >= p.ts - INTERVAL 7 DAY
+        |ORDER BY p.event_id, signup_ts_s, signup_value""".stripMargin,
 
     "asof_signup_value" ->
       """SELECT p.event_id, p.user_id, date_trunc('second', p.ts) AS ts_s,

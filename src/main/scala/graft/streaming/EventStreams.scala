@@ -59,6 +59,29 @@ object EventStreams {
   def dedupWithinWatermark(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
 
+  /** Stream-stream inner join: each purchase matched to the same
+    * user's signups within the trailing `maxAgeSeconds` window.
+    *
+    * Both inputs carry a watermark and the join condition bounds
+    * `signup_ts` to [purchase_ts - maxAge, purchase_ts], which is what
+    * lets Structured Streaming EXPIRE buffered join state — an
+    * unbounded-state stream join (equi-key only, no time bound) grows
+    * forever on a 100 TB/day feed. Works identically as a batch join
+    * (the oracle-checked `evt_stream_join` twin). */
+  def purchaseAttribution(purchases: DataFrame, signups: DataFrame,
+      maxAgeSeconds: Long = 7L * 24 * 3600,
+      watermark: String = "2 hours"): DataFrame = {
+    val p = purchases.withWatermark("ts", watermark)
+    val s = signups
+      .select(col("user_id").as("s_user_id"), col("ts").as("signup_ts"),
+        col("value").as("signup_value"))
+      .withWatermark("signup_ts", watermark)
+    p.join(s, col("user_id") === col("s_user_id")
+        && col("signup_ts") <= col("ts")
+        && col("signup_ts") >= col("ts") - expr(s"INTERVAL $maxAgeSeconds SECONDS"))
+      .drop("s_user_id")
+  }
+
   /** Custom stateful sessionization with `flatMapGroupsWithState` —
     * the escape hatch when session semantics outgrow session_window
     * (e.g. cross-field session keys, value-dependent gaps).

@@ -18,6 +18,12 @@ class PlanSpec extends SparkSpec {
       .queryExecution.explainString(FormattedMode)
   }
 
+  /** Count Exchange operators in a FormattedMode plan (node names and
+    * arguments print on separate `(n) Exchange` / `Arguments:` lines —
+    * a single-line "Exchange hashpartitioning" match finds nothing). */
+  private def countExchanges(p: String): Int =
+    p.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*"))
+
   test("q1_agg pushes the shipdate filter into the parquet scan") {
     val p = plan("q1_agg")
     assert(p.contains("PushedFilters"), p)
@@ -61,7 +67,34 @@ class PlanSpec extends SparkSpec {
   test("sample_by_key is a scan-level filter — no shuffle before the project") {
     val p = plan("sample_by_key")
     // one exchange allowed: the final orderBy range partitioning
-    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
-    assert(exchanges <= 1, p)
+    assert(countExchanges(p) <= 1, p)
+  }
+
+  test("agg_copartition runs both aggregation levels on one shuffle") {
+    val p = plan("agg_copartition")
+    // exactly one hash exchange (the explicit copartition); the
+    // (l_suppkey, l_returnflag) agg and the l_suppkey rollup both run
+    // in place on it. The only other exchange is the orderBy range.
+    // FormattedMode prints each Exchange's partitioning on its own
+    // `Arguments:` line
+    val hashExchanges = p.linesIterator
+      .count(_.contains("Arguments: hashpartitioning"))
+    assert(hashExchanges == 1, p)
+  }
+
+  test("join_salted spreads the join across salt keys, result unchanged") {
+    val p = plan("join_salted")
+    // the salted key participates in the join (shuffle re-shaped) …
+    assert(p.contains("__salt"), p)
+    // … and the plan stays a hash/sort join on (key, salt), not a
+    // broadcast of the exploded side or a nested loop
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("pipeline_clean_corpus is one shuffle + the final sort") {
+    val p = plan("pipeline_clean_corpus")
+    // row-local scoring stages must not introduce exchanges: one for
+    // the dedup groupBy, one range partitioning for the orderBy
+    assert(countExchanges(p) <= 2, p)
   }
 }

@@ -103,6 +103,41 @@ class StreamingSpec extends SparkSpec {
     assert(got == List((1L, 1L), (2L, 1L)), s"got $got")
   }
 
+  test("purchaseAttribution stream-stream join matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = Seq(
+      Event(10, ts(60), 1, "purchase", 9.99),
+      Event(11, ts(300), 2, "purchase", 5.00),
+      Event(12, ts(400), 3, "purchase", 1.00)) // user 3 never signed up
+    val signups = Seq(
+      Event(20, ts(0), 1, "signup", 0.0),
+      Event(21, ts(30), 1, "signup", 0.5), // both within 7d of e10
+      Event(22, ts(299), 2, "signup", 0.7))
+    val memP = MemoryStream[Event]
+    val memS = MemoryStream[Event]
+    val joined = EventStreams.purchaseAttribution(
+      memP.toDF().select($"event_id", $"user_id", $"ts", $"value"),
+      memS.toDF())
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin").start()
+    // split across micro-batches: signups first, then purchases
+    memS.addData(signups: _*)
+    q.processAllAvailable()
+    memP.addData(purchases: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("ssjoin")
+      .select("event_id", "signup_value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    q.stop()
+    val batch = EventStreams.purchaseAttribution(
+        purchases.toDF().select($"event_id", $"user_id", $"ts", $"value"),
+        signups.toDF())
+      .select("event_id", "signup_value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(streamed == batch)
+    assert(batch == Set((10L, 0.0), (10L, 0.5), (11L, 0.7)))
+  }
+
   test("streaming parquet source: tumbling agg over readStream on events dir") {
     // FileStreamSource needs a directory; stage the single-file table
     val dir = java.nio.file.Files.createTempDirectory("evt_stream")
