@@ -954,6 +954,110 @@ object SparkEntry {
     }),
 
     // ---- multimodal plumbing ----
+    // ---- ML / sketch / sampler gates: driver-verifiable invariants
+    // for operators whose raw outputs are not SQL-replicable (model
+    // fits, seeded RNG, HLL sketches). Counts are recomputed
+    // independently by DuckDB; booleans pin the metamorphic contract.
+    "agg_approx_distinct_gate" -> ((s, dir) => {
+      import s.implicits._
+      // HLL++ must land within 5% of the exact distinct count DuckDB
+      // recomputes (default rsd = 0.05)
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_partkey").as("approx"),
+          countDistinct($"l_partkey").as("n_exact"))
+        .select($"l_returnflag", $"n_exact",
+          (abs($"approx" - $"n_exact").cast("double") / $"n_exact" <= 0.05)
+            .as("approx_ok"))
+        .orderBy($"l_returnflag")
+    }),
+
+    "sample_gates" -> ((s, dir) => {
+      import s.implicits._
+      // seeded-RNG samplers: DuckDB can't replay Spark's RNG, but it
+      // CAN recompute the population sizes the observed fractions are
+      // checked against (5σ Chernoff bounds, deterministic per seed)
+      val li = Tables.lineitem(s, dir)
+      val ords = Tables.orders(s, dir)
+      val nLi = li.agg(count(lit(1)).cast("bigint").as("n_lineitem"))
+      val bern = Sampling.bernoulli(li, 0.2).agg(count(lit(1)).as("n_b"))
+      val pct = Sampling.percent(li, 20.0).agg(count(lit(1)).as("n_p"))
+      val fr = Map("1-URGENT" -> 0.3, "2-HIGH" -> 0.2, "3-MEDIUM" -> 0.1,
+        "4-NOT SPECIFIED" -> 0.05, "5-LOW" -> 0.02)
+      val target = fr.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+        when($"o_orderpriority" === k, lit(v)).otherwise(acc) }
+      val strat = Sampling.stratified(ords, "o_orderpriority", fr)
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n_s"))
+        .join(ords.groupBy($"o_orderpriority").agg(count(lit(1)).as("n_t")),
+          Seq("o_orderpriority"))
+        .select((abs($"n_s".cast("double") / $"n_t" - target)
+          <= target * 0.25 + 0.01).as("stratum_ok"))
+        .agg(min($"stratum_ok").as("strat_ok"))
+      nLi.crossJoin(bern).crossJoin(pct).crossJoin(strat)
+        .select($"n_lineitem",
+          (abs($"n_b".cast("double") / $"n_lineitem" - 0.2) <= 0.017)
+            .as("bern_ok"),
+          (abs($"n_p".cast("double") / $"n_lineitem" - 0.2) <= 0.017)
+            .as("pct_ok"),
+          $"strat_ok")
+    }),
+
+    "ml_tfidf_gate" -> ((s, dir) => {
+      import s.implicits._
+      // every doc has tokens (fixture-verified), so every TF-IDF vector
+      // must have positive norm; n_docs is DuckDB-recomputed
+      val (df, _) = TextFeatures.tfidf(Tables.documents(s, dir), "text")
+      df.select($"doc_id",
+          aggregate(org.apache.spark.ml.functions.vector_to_array($"tfidf"),
+            lit(0.0), (a, x) => a + x * x).as("l2sq"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          min($"l2sq" > 0).as("norms_positive"))
+    }),
+
+    "ml_word2vec_gate" -> ((s, dir) => {
+      import s.implicits._
+      // synonym top-k contract: exactly k results, query word excluded,
+      // cosines within [-1, 1]
+      val docs = Tables.documents(s, dir)
+      val model = built.word2vec(s, dir)
+      val topWord = docs.select(explode(split(lower($"text"), "\\s+")).as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"word").limit(1).select($"word")
+      val vecs = model.getVectors.select($"word",
+        org.apache.spark.ml.functions.vector_to_array($"vector", "float32").as("vec"))
+      val qv = vecs.join(topWord, "word")
+        .select($"word".as("q_word"), $"vec".as("q_vec"))
+      vecs.crossJoin(broadcast(qv))
+        .filter($"word" =!= $"q_word")
+        .withColumn("similarity", graft.functions.cosine_similarity($"vec", $"q_vec"))
+        .orderBy($"similarity".desc, $"word")
+        .limit(10)
+        .agg(count(lit(1)).cast("bigint").as("n_syn"),
+          (max(abs($"similarity")) <= 1.000001).as("sims_bounded"),
+          (max(when($"word" === $"q_word", 1).otherwise(0)) === 0)
+            .as("excludes_query"))
+    }),
+
+    "ml_pca_gate" -> ((s, dir) => {
+      import s.implicits._
+      // PCA(k): every projection has k dims; component variances are
+      // non-increasing (components are ordered by explained variance);
+      // n_rows is DuckDB-recomputed
+      val k = 8
+      val (projected, _) = Projection.pca(Tables.embeddings(s, dir), "embedding", k)
+      val pcols = (0 until k).map(i => $"pca".getItem(i).as(s"c$i"))
+      val varsOrdered = (0 until k - 1)
+        .map(i => col(s"v$i") >= col(s"v${i + 1}"))
+        .reduce(_ && _)
+      val aggs = Seq(min($"dim").as("dim_min"), max($"dim").as("dim_max")) ++
+        (0 until k).map(i => variance(col(s"c$i")).as(s"v$i"))
+      projected.select((size($"pca").as("dim")) +: pcols: _*)
+        .agg(count(lit(1)).cast("bigint").as("n_rows"), aggs: _*)
+        .select($"n_rows", lit(k).as("k"),
+          ($"dim_min" === k && $"dim_max" === k).as("dims_ok"),
+          varsOrdered.as("vars_ordered"))
+    }),
+
     "mm_decode" -> ((s, dir) => {
       import s.implicits._
       // mean_byte stays un-rounded: integer byte-sum / int count is one
@@ -1458,6 +1562,27 @@ object SparkEntry {
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len,
         |  md5(text) AS content_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // ML / sketch / sampler gates: counts recomputed independently by
+    // DuckDB; booleans pin the metamorphic contract
+    "agg_approx_distinct_gate" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact,
+        |  true AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "sample_gates" ->
+      """SELECT (SELECT count(*) FROM lineitem) AS n_lineitem,
+        |  true AS bern_ok, true AS pct_ok, true AS strat_ok""".stripMargin,
+
+    "ml_tfidf_gate" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS norms_positive FROM documents",
+
+    "ml_word2vec_gate" ->
+      "SELECT CAST(10 AS BIGINT) AS n_syn, true AS sims_bounded, true AS excludes_query",
+
+    "ml_pca_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows, 8 AS k,
+        |  true AS dims_ok, true AS vars_ordered FROM embeddings""".stripMargin,
 
     // the decode STUB's fake metadata is pure byte arithmetic; the
     // documents fixture is ASCII (verified octet_length == length at
