@@ -114,6 +114,7 @@ object SparkEntry {
     "evt_stream_join",
     "text_stats", "text_quality", "text_term_freq", "text_lang_dist",
     "text_langid", "text_token_counts", "text_quality_score", "text_entities",
+    "text_chunk",
     "dedup_exact", "dedup_fingerprint", "dedup_simhash", "pipeline_clean_corpus",
     "sim_topk_brute", "mm_content_hash", "mm_decode", "mm_frame_sample")
 
@@ -466,6 +467,23 @@ object SparkEntry {
       Writers.toCsv(cust, out, header = true)
       s.read.option("header", "true").schema(cust.schema).csv(out)
         .orderBy($"c_custkey")
+    }),
+
+    "partitioned_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      // Hive-style partitioned layout (the 100 TB data-lake pattern):
+      // write orders partitioned by o_orderpriority, read back with a
+      // partition predicate. The scan must prune to ONE directory
+      // (PlanSpec pins PartitionFilters) and the result must match the
+      // unpartitioned source (oracle).
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_${math.abs(dir.hashCode)}"
+      Tables.orders(s, dir).write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(out)
+      s.read.parquet(out)
+        .filter($"o_orderpriority" === "1-URGENT")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(24,8)")).cast("double").as("sum_price"))
     }),
 
     "wholefile_scan" -> ((s, dir) => {
@@ -896,6 +914,14 @@ object SparkEntry {
         .select($"doc_id", $"quality_score", $"stop_ratio",
           $"digit_ratio", $"punct_ratio")
         .orderBy($"doc_id")
+    }),
+
+    "text_chunk" -> ((s, dir) => {
+      import s.implicits._
+      // 64-token windows, 16-token overlap — context-window prep
+      TextAnalysis.chunk(Tables.documents(s, dir), "text", "doc_id",
+          chunkTokens = 64, overlap = 16)
+        .orderBy($"doc_id", $"chunk_no")
     }),
 
     "text_entities" -> ((s, dir) => {
@@ -1367,6 +1393,12 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
+    "partitioned_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(24,8))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderpriority""".stripMargin,
+
     "wholefile_scan" ->
       s"""SELECT regexp_extract(filename, '[^/]+$$') AS file_name,
          |  CAST(length(content) AS BIGINT) AS n_chars,
@@ -1685,6 +1717,20 @@ object SparkEntry {
 
     "sim_recall_ivf" ->
       "SELECT 5 AS k, 100 AS n_true, true AS recall_ok",
+
+    "text_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |n AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    greatest(CAST(ceil((len(toks) - 16) / 48.0) AS INT), 1) AS nc FROM t),
+        |c AS (
+        |  SELECT doc_id, toks, n, unnest(range(0, nc)) AS chunk_no FROM n)
+        |SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
+        |  array_to_string(list_slice(toks, chunk_no * 48 + 1,
+        |    least(chunk_no * 48 + 64, n)), ' ') AS chunk_text,
+        |  CAST(least(64, n - chunk_no * 48) AS INT) AS chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
 
     "text_entities" ->
       """SELECT doc_id,

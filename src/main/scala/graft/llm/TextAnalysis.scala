@@ -90,6 +90,32 @@ object TextAnalysis {
   def fingerprint(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fingerprint", doc_fingerprint(col(textCol)))
 
+  /** Token-window chunking: split each document into windows of
+    * `chunkTokens` whitespace tokens advancing by `chunkTokens -
+    * overlap` — the standard context-window prep for embedding /
+    * pretraining pipelines. Pure column algebra (split → transform →
+    * posexplode), so it stays in codegen and scales as a row-local
+    * flatMap: no shuffle, output rows ≈ input tokens / step.
+    * Output: (id, chunk_no, chunk_text, chunk_tokens). */
+  def chunk(df: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens (got $overlap, $chunkTokens)")
+    val step = chunkTokens - overlap
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("__nc", greatest(
+        ceil((col("__n") - lit(overlap)).cast("double") / step).cast("int"), lit(1)))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), col("__nc") - 1), i =>
+          struct(
+            concat_ws(" ", slice(col("__toks"), i * step + 1, lit(chunkTokens)))
+              .as("chunk_text"),
+            least(lit(chunkTokens), col("__n") - i * step).as("chunk_tokens")))))
+      .select(col(idCol), col("pos").as("chunk_no"),
+        col("col.chunk_text"), col("col.chunk_tokens"))
+  }
+
   /** NER-lite: capitalized-span extraction (the JVM-side approximation
     * of the reference's NLTK `ne_chunk` pipeline, README.md:339-358 —
     * documented as heuristic, see SURVEY.md §2.3). Consecutive

@@ -91,6 +91,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("partitioned_roundtrip prunes the scan to one partition directory") {
+    val p = plan("partitioned_roundtrip")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("o_orderpriority"), p)
+    // the predicate lives in PartitionFilters (directory pruning), not
+    // in the data filters — nothing of the other partitions is read
+    assert(pf.contains("1-URGENT"), p)
+  }
+
   test("pipeline_clean_corpus is one shuffle + the final sort") {
     val p = plan("pipeline_clean_corpus")
     // row-local scoring stages must not introduce exchanges: one for

@@ -58,4 +58,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ents.contains("Angela Merkel"))
     assert(ents.contains("Berlin"))
   }
+
+  test("chunk: windows cover every token, overlap by exactly `overlap`, short docs = 1 chunk") {
+    val text = (1 to 100).map(i => s"t$i").mkString(" ") // 100 tokens
+    val df = Seq((1L, text), (2L, "just three tokens")).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunk(df, "text", "doc_id",
+        chunkTokens = 10, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val doc1 = chunks.filter(_._1 == 1L).sortBy(_._2)
+    // step = 8: ceil((100-2)/8) = 13 windows
+    assert(doc1.length == 13)
+    assert(doc1.forall(_._4 <= 10))
+    // consecutive windows share exactly `overlap` tokens
+    val w0 = doc1(0)._3.split(" ")
+    val w1 = doc1(1)._3.split(" ")
+    assert(w0.takeRight(2).sameElements(w1.take(2)))
+    // every source token appears in some chunk
+    val seen = doc1.flatMap(_._3.split(" ")).toSet
+    assert((1 to 100).forall(i => seen.contains(s"t$i")))
+    // short doc: one chunk, full text, token count = 3
+    val doc2 = chunks.filter(_._1 == 2L)
+    assert(doc2.length == 1 && doc2(0)._3 == "just three tokens" && doc2(0)._4 == 3)
+  }
 }
