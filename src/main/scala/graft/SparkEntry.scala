@@ -716,6 +716,23 @@ object SparkEntry {
     // checked against ground truth computed INSIDE the plan over the
     // full corpus (quadratic by construction — correctness artifacts
     // for the driver, never in benchQueries) ----
+    "dedup_ngram_exact" -> ((s, dir) => {
+      import s.implicits._
+      // ngramJaccard's arithmetic verified value-level: ALL pairs with
+      // token-3-gram Jaccard >= 0.5, DuckDB recomputing the same grams
+      // (quadratic by construction — correctness artifact; production
+      // runs ngramJaccard only on LSH-blocked candidates)
+      val docs = Tables.documents(s, dir)
+      val pairs = docs.select($"doc_id".as("id_a"))
+        .crossJoin(docs.select($"doc_id".as("id_b")))
+        .filter($"id_a" < $"id_b")
+      Dedup.ngramJaccard(pairs, docs, "text", "doc_id", n = 3)
+        .filter($"jaccard" >= 0.5)
+        .select($"id_a", $"id_b",
+          $"jaccard".cast("decimal(10,6)").cast("double").as("jaccard"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
     "dedup_fp_agree" -> ((s, dir) => {
       import s.implicits._
       // fingerprint-keyed dedup must select exactly the ids that
@@ -1517,6 +1534,25 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_flags,
         |  CAST(max(CASE WHEN l_returnflag = 'R' THEN q END) AS BIGINT) AS returned_qty
         |FROM bf GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "dedup_ngram_exact" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(toks) - 3, 0) + 1),
+        |    i -> array_to_string(list_slice(toks, CAST(i AS INT) + 1,
+        |      least(CAST(i AS INT) + 3, len(toks))), ' '))) AS grams
+        |  FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.grams, b.grams)) AS inter,
+        |    len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS uni
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |  CAST(CAST(CAST(inter AS DOUBLE) / uni AS DECIMAL(10,6)) AS DOUBLE) AS jaccard
+        |FROM p WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // fingerprint-keyed dedup must pick exactly the ids text-keyed
     // dedup picks; DuckDB independently recomputes the distinct-text
