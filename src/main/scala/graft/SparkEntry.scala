@@ -116,7 +116,8 @@ object SparkEntry {
     "text_langid", "text_token_counts", "text_quality_score", "text_entities",
     "text_chunk",
     "dedup_exact", "dedup_fingerprint", "dedup_simhash", "pipeline_clean_corpus",
-    "sim_topk_brute", "mm_content_hash", "mm_decode", "mm_frame_sample")
+    "sim_topk_brute", "mm_content_hash", "mm_decode", "mm_frame_sample",
+    "mm_resize")
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -270,6 +271,27 @@ object SparkEntry {
           count(lit(1)).cast("bigint").as("n_flags"),
           max(when($"l_returnflag" === "R", $"q")).cast("bigint").as("returned_qty"))
         .orderBy($"l_suppkey")
+    }),
+
+    "bucketed_join" -> ((s, dir) => {
+      import s.implicits._
+      // co-located fact⋈fact join over bucketed tables: both sides
+      // pre-bucketed on the join key, so the join runs shuffle-free
+      // (ScaleSpec pins zero exchanges before the agg). Oracle = the
+      // plain join; bucketing must be result-invisible.
+      val suf = math.abs(dir.hashCode).toString
+      graft.operators.Scale.writeBucketed(
+        Tables.orders(s, dir).select($"o_orderkey", $"o_orderpriority"),
+        s"orders_bq_$suf", "o_orderkey", buckets = 8)
+      graft.operators.Scale.writeBucketed(
+        Tables.lineitem(s, dir)
+          .select($"l_orderkey".as("o_orderkey"), $"l_quantity"),
+        s"lineitem_bq_$suf", "o_orderkey", buckets = 8)
+      s.table(s"lineitem_bq_$suf").join(s.table(s"orders_bq_$suf"), "o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum($"l_quantity".cast("int")).cast("bigint").as("sum_qty"))
+        .orderBy($"o_orderpriority")
     }),
 
     // ================= Windows (SURVEY §2.9) =================
@@ -1111,6 +1133,18 @@ object SparkEntry {
         .orderBy($"media_id")
     }),
 
+    "mm_resize" -> ((s, dir) => {
+      import s.implicits._
+      // fixed-size binary normalization (truncate-or-pad); the oracle
+      // pins the output size and the unpadded-prefix checksum
+      Multimodal.resizeStub(
+          Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text"),
+          targetBytes = 128)
+        .select($"media_id", $"resized_bytes",
+          md5(substring($"payload", 1, 128)).as("prefix_md5"))
+        .orderBy($"media_id")
+    }),
+
     "mm_frame_sample" -> ((s, dir) => {
       import s.implicits._
       Multimodal.frameSample(
@@ -1554,6 +1588,14 @@ object SparkEntry {
         |FROM p WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
+    "bucketed_join" ->
+      // same result as join_salted's oracle: bucketing, like salting,
+      // only re-shapes execution
+      """SELECT o.o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l.l_quantity AS INT)) AS BIGINT) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
+
     // fingerprint-keyed dedup must pick exactly the ids text-keyed
     // dedup picks; DuckDB independently recomputes the distinct-text
     // count the fingerprint-group count must equal
@@ -1666,6 +1708,11 @@ object SparkEntry {
         |    CAST(list_sum(list_transform(range(0, n),
         |      i -> ascii(substring(text, CAST(i AS INT) + 1, 1)))) AS DOUBLE) / n END AS mean_byte
         |FROM m ORDER BY media_id""".stripMargin,
+
+    "mm_resize" ->
+      """SELECT doc_id AS media_id, 128 AS resized_bytes,
+        |  md5(substring(text, 1, 128)) AS prefix_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH m AS (

@@ -56,6 +56,18 @@ object Multimodal {
       }
   }
 
+  /** Resize STUB: normalize every payload to exactly `targetBytes` —
+    * truncate long payloads, zero-pad short ones. The real pipeline
+    * swaps this for an image resize; what stays identical is the
+    * contract a training loader needs (fixed-size binary column,
+    * row-local, codegen'd — `substring`/`concat` on binary, no UDF). */
+  def resizeStub(media: DataFrame, targetBytes: Int): DataFrame = {
+    val pad = lit(Array.fill[Byte](targetBytes)(0))
+    media.withColumn("resized",
+        substring(concat(col("payload"), pad), 1, targetBytes))
+      .withColumn("resized_bytes", octet_length(col("resized")))
+  }
+
   /** Frame sampling: slice the payload into fixed-size "frames" and
     * keep every `stride`-th — pure column algebra (substring on
     * binary), no UDF, so it stays in codegen and pushes through

@@ -37,4 +37,18 @@ class MultimodalSpec extends SparkSpec {
     val nAll = all.count(); val nHalf = half.count()
     assert(nHalf >= nAll / 2 && nHalf <= nAll / 2 + media.count())
   }
+
+  test("resizeStub: every payload becomes exactly targetBytes; short ones zero-padded") {
+    val resized = Multimodal.resizeStub(media, targetBytes = 100)
+    val sizes = resized.select("resized_bytes").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(sizes == Set(100))
+    // a payload shorter than target keeps its prefix and pads with NULs
+    val shortRow = resized
+      .filter(octet_length($"payload") < 100)
+      .select($"payload", $"resized").head()
+    val (orig, res) = (shortRow.getAs[Array[Byte]](0), shortRow.getAs[Array[Byte]](1))
+    assert(res.take(orig.length).sameElements(orig))
+    assert(res.drop(orig.length).forall(_ == 0))
+  }
 }
