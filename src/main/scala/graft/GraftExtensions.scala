@@ -40,5 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info(classOf[SimHash64], "simhash64"),
       (es: Seq[Expression]) => SimHash64(es.head)))
+    // brute-force Hamming joins → pigeonhole-banded equi-joins
+    ext.injectOptimizerRule(_ => graft.plans.HammingJoinRewrite)
   }
 }

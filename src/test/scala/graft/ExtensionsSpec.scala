@@ -38,4 +38,54 @@ class ExtensionsSpec extends SparkSpec {
       SparkSession.setActiveSession(orig)
     }
   }
+
+  test("HammingJoinRewrite: banded equi-join replaces the cartesian, results identical") {
+    import org.apache.spark.sql.functions._
+    val orig = spark
+    // baseline WITHOUT the rule, on the plain shared session
+    def hammingPairs(s: SparkSession): Array[(Long, Long)] = {
+      import s.implicits._
+      val docs = (0 until 200).map { i =>
+        (i.toLong, s"the quick brown fox ${i % 17} jumps over dog ${i % 5}")
+      }.toDF("id", "text")
+      val fp = docs.select($"id", graft.functions.simhash64($"text").as("sh"))
+      fp.select($"id".as("id_a"), $"sh".as("sh_a"))
+        .crossJoin(fp.select($"id".as("id_b"), $"sh".as("sh_b")))
+        .filter($"id_a" < $"id_b")
+        .filter(bit_count($"sh_a".bitwiseXOR($"sh_b")) <= lit(7))
+        .select($"id_a", $"id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    val expected = hammingPairs(orig).toSet
+    assert(expected.nonEmpty)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().master("local[2]")
+      .withExtensions(new GraftExtensions()).getOrCreate()
+    try {
+      import s2.implicits._
+      val docs = (0 until 200).map { i =>
+        (i.toLong, s"the quick brown fox ${i % 17} jumps over dog ${i % 5}")
+      }.toDF("id", "text")
+      val fp = docs.select($"id", graft.functions.simhash64($"text").as("sh"))
+      val joined = fp.select($"id".as("id_a"), $"sh".as("sh_a"))
+        .crossJoin(fp.select($"id".as("id_b"), $"sh".as("sh_b")))
+        .filter($"id_a" < $"id_b")
+        .filter(bit_count($"sh_a".bitwiseXOR($"sh_b")) <= lit(7))
+        .select($"id_a", $"id_b")
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("__hamming_band"), optimized)
+      assert(optimized.contains("Generate"), optimized)
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(!physical.contains("CartesianProduct"),
+        "rewrite must remove the cartesian:\n" + physical)
+      val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected)
+      // multiplicity preserved: exactly one row per qualifying pair
+      assert(joined.count() == expected.size)
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
 }
