@@ -41,4 +41,41 @@ class ScaleSpec extends SparkSpec {
     assert(a == b)
     li.unpersist()
   }
+
+  test("AQE splits a pathologically skewed join partition at runtime") {
+    // one key carries ~97% of the probe side — the moderate-skew case
+    // AQE's skew-join handles without explicit salting. Thresholds are
+    // lowered so local-scale data triggers the same mechanism that
+    // fires at the default 256 MB on a cluster.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val probe = spark.range(100000)
+        .select(when($"id" % 100 =!= 0, lit(0L)).otherwise($"id").as("k"),
+          $"id".as("v"))
+      val build = spark.range(200).select($"id".as("k"), ($"id" * 2).as("w"))
+      val joined = probe.join(build, "k")
+      // execute THIS queryExecution (count() would plan a separate
+      // query and leave this one un-run, isFinalPlan=false)
+      assert(joined.collect().nonEmpty)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("AQEShuffleRead skewed")
+          && finalPlan.contains("skew=true"),
+        "expected a skew-split SortMergeJoin over AQEShuffleRead:\n" + finalPlan)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
