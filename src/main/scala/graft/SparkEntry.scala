@@ -743,8 +743,9 @@ object SparkEntry {
       // ngramJaccard's arithmetic verified value-level: ALL pairs with
       // token-3-gram Jaccard >= 0.5, DuckDB recomputing the same grams
       // (quadratic by construction — correctness artifact; production
-      // runs ngramJaccard only on LSH-blocked candidates)
-      val docs = Tables.documents(s, dir)
+      // runs ngramJaccard only on LSH-blocked candidates). Capped to
+      // doc_id < 500 (no-op at sf0.01).
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
       val pairs = docs.select($"doc_id".as("id_a"))
         .crossJoin(docs.select($"doc_id".as("id_b")))
         .filter($"id_a" < $"id_b")
@@ -775,8 +776,11 @@ object SparkEntry {
       import s.implicits._
       // empirical pigeonhole check: banded candidates == brute-force
       // all-pairs Hamming <= 7 (the banding promises TOTAL recall, so
-      // the sets must be equal, not merely overlap)
-      val docs = Tables.documents(s, dir)
+      // the sets must be equal, not merely overlap). Capped to a
+      // deterministic id subset: the gate is quadratic by construction
+      // and must stay bounded if the driver ever verifies at a larger
+      // sf (no-op at sf0.01, where every doc_id < 500).
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
       val fp = docs.select($"doc_id".as("id"),
         graft.functions.simhash64($"text").as("sh"))
       val brute = fp.select($"id".as("id_a"), $"sh".as("sh_a"))
@@ -799,8 +803,9 @@ object SparkEntry {
       // (the mirror of minhashNearDup's maxDist = 0.4). n_true is
       // independently recomputed by the DuckDB oracle; the recall gate
       // is a threshold boolean (8 OR'd tables make P(miss) <= 0.4^8
-      // per true pair, so >= 0.9 has huge margin)
-      val docs = Tables.documents(s, dir)
+      // per true pair, so >= 0.9 has huge margin). Quadratic -> capped
+      // to doc_id < 500 (no-op at sf0.01).
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
       val norm = docs.select($"doc_id",
           regexp_replace($"text", "\\s+", " ").as("t"))
         .filter(length($"t") >= 5)
@@ -826,8 +831,10 @@ object SparkEntry {
     "dedup_embedding_recall" -> ((s, dir) => {
       import s.implicits._
       // ground truth: brute-force all-pairs cosine >= 0.35; the
-      // hyperplane-blocked tier must recover >= 90% of it
+      // hyperplane-blocked tier must recover >= 90% of it. Quadratic ->
+      // capped to vec_id < 500 (no-op at sf0.01).
       val emb = Tables.embeddings(s, dir)
+        .filter($"vec_id" < 500)
         .select($"vec_id", $"embedding")
       val truth = emb.select($"vec_id".as("id_a"), $"embedding".as("va"))
         .crossJoin(emb.select($"vec_id".as("id_b"), $"embedding".as("vb")))
@@ -1571,7 +1578,8 @@ object SparkEntry {
 
     "dedup_ngram_exact" ->
       """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id < 500),
         |g AS (
         |  SELECT doc_id, list_distinct(list_transform(
         |    range(0, greatest(len(toks) - 3, 0) + 1),
@@ -1611,7 +1619,8 @@ object SparkEntry {
     // recomputed independently in DuckDB; the recall gate is a boolean
     "dedup_minhash_recall" ->
       """WITH norm AS (
-        |  SELECT doc_id, regexp_replace(text, '\s+', ' ', 'g') AS t FROM documents),
+        |  SELECT doc_id, regexp_replace(text, '\s+', ' ', 'g') AS t
+        |  FROM documents WHERE doc_id < 500),
         |g AS (
         |  SELECT doc_id, list_distinct(list_transform(range(0, length(t) - 4),
         |    i -> substring(t, CAST(i AS INT) + 1, 5))) AS grams
