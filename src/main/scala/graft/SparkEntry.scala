@@ -107,7 +107,7 @@ object SparkEntry {
     "sample_first_n", "sample_by_key", "sample_rows_det", "sample_bernoulli",
     "sample_percent", "sample_stratified",
     "feat_percentile_buckets", "feat_percentile_buckets_approx",
-    "feat_percentile_buckets_window",
+    "feat_percentile_buckets_window", "pipeline_feature_matrix",
     "dq_invalid_codes", "dq_profile",
     "date_monthly_orders", "json_event_stats", "str_funcs", "parse_money",
     "evt_tumbling", "evt_sliding", "evt_sessionize", "evt_session_window",
@@ -432,6 +432,23 @@ object SparkEntry {
       Percentiles.bucketByJoin(
           Tables.lineitem(s, dir), "l_partkey", $"l_quantity".cast("int"),
           outCols = Seq("l_suppkey"), exact = false)
+        .select($"l_suppkey".as("provider"), $"l_partkey".as("code"), $"bucket")
+        .distinct()
+        .orderBy($"provider", $"code", $"bucket")
+    }),
+
+    "pipeline_feature_matrix" -> ((s, dir) => {
+      import s.implicits._
+      // Reference P3+P4 composed end-to-end: keyed provider sample
+      // (all-or-nothing per l_suppkey, pure-arithmetic gate DuckDB
+      // replicates) feeding grouped-percentile bucket features — the
+      // reference's "feature matrix" flow (README.md:149-272) as one
+      // plan: scan → filter → percentile agg → broadcast join-back →
+      // ladder → distinct.
+      val sampled = Tables.lineitem(s, dir)
+        .filter(pmod(pmod($"l_suppkey" * lit(2654435761L), lit(1000003L)), lit(4)) === 0)
+      Percentiles.bucketByJoin(sampled, "l_partkey", $"l_quantity".cast("int"),
+          outCols = Seq("l_suppkey"))
         .select($"l_suppkey".as("provider"), $"l_partkey".as("code"), $"bucket")
         .distinct()
         .orderBy($"provider", $"code", $"bucket")
@@ -1421,6 +1438,30 @@ object SparkEntry {
         |       WHEN pr <= 0.99 THEN '99'
         |       ELSE '99+' END AS bucket
         |FROM r
+        |ORDER BY provider, code, bucket""".stripMargin,
+
+    "pipeline_feature_matrix" ->
+      """WITH s AS (
+        |  SELECT * FROM lineitem
+        |  WHERE ((l_suppkey * 2654435761) % 1000003) % 4 = 0),
+        |p AS (
+        |  SELECT l_partkey,
+        |    quantile_cont(CAST(l_quantity AS INT), [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9,0.95,0.99]) AS pct
+        |  FROM s GROUP BY l_partkey)
+        |SELECT DISTINCT l.l_suppkey AS provider, l.l_partkey AS code,
+        |  CASE WHEN CAST(l_quantity AS INT) <= pct[1] THEN '10'
+        |       WHEN CAST(l_quantity AS INT) <= pct[2] THEN '20'
+        |       WHEN CAST(l_quantity AS INT) <= pct[3] THEN '30'
+        |       WHEN CAST(l_quantity AS INT) <= pct[4] THEN '40'
+        |       WHEN CAST(l_quantity AS INT) <= pct[5] THEN '50'
+        |       WHEN CAST(l_quantity AS INT) <= pct[6] THEN '60'
+        |       WHEN CAST(l_quantity AS INT) <= pct[7] THEN '70'
+        |       WHEN CAST(l_quantity AS INT) <= pct[8] THEN '80'
+        |       WHEN CAST(l_quantity AS INT) <= pct[9] THEN '90'
+        |       WHEN CAST(l_quantity AS INT) <= pct[10] THEN '95'
+        |       WHEN CAST(l_quantity AS INT) <= pct[11] THEN '99'
+        |       ELSE '99+' END AS bucket
+        |FROM s l JOIN p ON l.l_partkey = p.l_partkey
         |ORDER BY provider, code, bucket""".stripMargin,
 
     "csv_medicare_ingest" ->
