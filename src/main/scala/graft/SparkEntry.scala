@@ -101,6 +101,7 @@ object SparkEntry {
   val benchQueries: Seq[String] = Seq(
     "q1_agg", "q3_shipping", "q5_region_revenue", "sql_q6_discount",
     "agg_distinct", "agg_minmax", "agg_rollup", "agg_cube", "agg_approx_distinct",
+    "agg_collect_list",
     "join_semi", "join_anti", "join_salted", "agg_copartition", "asof_signup_value",
     "win_topk_parts", "win_running_total", "win_lag_delta",
     "set_union", "set_intersect", "set_except",
@@ -292,6 +293,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"),
           sum($"l_quantity".cast("int")).cast("bigint").as("sum_qty"))
         .orderBy($"o_orderpriority")
+    }),
+
+    "agg_collect_list" -> ((s, dir) => {
+      import s.implicits._
+      // array-agg surface: collect_list is order-nondeterministic
+      // across partitions, so sort_array pins it; emitted as a scalar
+      // string (raw array columns crash the driver's pandas sort)
+      Tables.lineitem(s, dir)
+        .groupBy($"l_orderkey")
+        .agg(
+          concat_ws(",", sort_array(collect_list($"l_linenumber".cast("int"))))
+            .as("lines"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"l_orderkey")
     }),
 
     // ================= Windows (SURVEY §2.9) =================
@@ -1636,6 +1651,12 @@ object SparkEntry {
         |  CAST(CAST(CAST(inter AS DOUBLE) / uni AS DECIMAL(10,6)) AS DOUBLE) AS jaccard
         |FROM p WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "agg_collect_list" ->
+      """SELECT l_orderkey,
+        |  array_to_string(list(CAST(l_linenumber AS INT) ORDER BY l_linenumber), ',') AS lines,
+        |  count(*) AS n_lines
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
 
     "bucketed_join" ->
       // same result as join_salted's oracle: bucketing, like salting,
