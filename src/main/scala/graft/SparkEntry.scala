@@ -101,7 +101,7 @@ object SparkEntry {
   val benchQueries: Seq[String] = Seq(
     "q1_agg", "q3_shipping", "q5_region_revenue", "sql_q6_discount",
     "agg_distinct", "agg_minmax", "agg_rollup", "agg_cube", "agg_approx_distinct",
-    "agg_collect_list",
+    "agg_collect_list", "agg_pivot",
     "join_semi", "join_anti", "join_salted", "agg_copartition", "asof_signup_value",
     "win_topk_parts", "win_running_total", "win_lag_delta",
     "set_union", "set_intersect", "set_except",
@@ -293,6 +293,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"),
           sum($"l_quantity".cast("int")).cast("bigint").as("sum_qty"))
         .orderBy($"o_orderpriority")
+    }),
+
+    "agg_pivot" -> ((s, dir) => {
+      import s.implicits._
+      // pivot with an EXPLICIT value list: deterministic schema, and at
+      // scale it skips the extra distinct-values job an implicit pivot
+      // runs first. count over an absent (user, type) cell is NULL.
+      Tables.events(s, dir)
+        .groupBy($"user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .orderBy($"user_id")
     }),
 
     "agg_collect_list" -> ((s, dir) => {
@@ -1208,6 +1220,25 @@ object SparkEntry {
         .orderBy($"event_id")
     }),
 
+    "null_handling" -> ((s, dir) => {
+      import s.implicits._
+      // DataFrameNaFunctions over a genuine null source: purchases with
+      // no prior signup carry NULL from the as-of left join; count the
+      // null population, then na.fill and aggregate the filled column
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", $"value")
+      val signups = ev.filter($"event_type" === "signup")
+        .select($"user_id", $"ts".as("signup_ts"), $"value".as("signup_value"))
+      val asof = AsOf.joinAsOf(purchases, signups, "user_id", "ts", "signup_ts",
+        payload = Seq("signup_value"))
+      asof.agg(count(lit(1)).as("n"),
+          sum(when($"signup_value".isNull, 1L).otherwise(0L)).as("n_null"))
+        .crossJoin(asof.na.fill(0.0, Seq("signup_value"))
+          .agg(sum($"signup_value".cast("decimal(18,2)")).cast("double")
+            .as("sum_filled")))
+    }),
+
     // ---- SQL text surface (spark.sql over registered views) ----
     "sql_q6_discount" -> ((s, dir) => {
       Catalog.registerViews(s, dir)
@@ -1652,6 +1683,15 @@ object SparkEntry {
         |FROM p WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
+    "agg_pivot" ->
+      """SELECT user_id,
+        |  NULLIF(count(*) FILTER (event_type = 'click'), 0) AS click,
+        |  NULLIF(count(*) FILTER (event_type = 'error'), 0) AS error,
+        |  NULLIF(count(*) FILTER (event_type = 'purchase'), 0) AS purchase,
+        |  NULLIF(count(*) FILTER (event_type = 'signup'), 0) AS signup,
+        |  NULLIF(count(*) FILTER (event_type = 'view'), 0) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "agg_collect_list" ->
       """SELECT l_orderkey,
         |  array_to_string(list(CAST(l_linenumber AS INT) ORDER BY l_linenumber), ',') AS lines,
@@ -1914,6 +1954,17 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |  ON p.user_id = s.user_id AND s.ts <= p.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "null_handling" ->
+      """WITH a AS (
+        |  SELECT p.event_id, s.value AS signup_value
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |    ON p.user_id = s.user_id AND s.ts <= p.ts)
+        |SELECT count(*) AS n,
+        |  CAST(sum(CASE WHEN signup_value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(sum(CAST(COALESCE(signup_value, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS sum_filled
+        |FROM a""".stripMargin,
 
     "sql_q6_discount" ->
       """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(24,8))) AS DOUBLE) AS revenue,
