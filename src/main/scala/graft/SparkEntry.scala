@@ -101,7 +101,8 @@ object SparkEntry {
   val benchQueries: Seq[String] = Seq(
     "q1_agg", "q3_shipping", "q5_region_revenue", "sql_q6_discount",
     "agg_distinct", "agg_minmax", "agg_rollup", "agg_cube", "agg_approx_distinct",
-    "agg_collect_list", "agg_pivot",
+    "agg_collect_list", "agg_pivot", "agg_grouping_sets", "date_funcs",
+    "null_handling",
     "join_semi", "join_anti", "join_salted", "agg_copartition", "asof_signup_value",
     "win_topk_parts", "win_running_total", "win_lag_delta",
     "set_union", "set_intersect", "set_except",
@@ -293,6 +294,39 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"),
           sum($"l_quantity".cast("int")).cast("bigint").as("sum_qty"))
         .orderBy($"o_orderpriority")
+    }),
+
+    "agg_grouping_sets" -> ((s, dir) => {
+      // grouping sets distinct from rollup/cube: an explicit lattice
+      // subset, via the SQL surface over registered views
+      Catalog.registerViews(s, dir)
+      s.sql("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+      """)
+    }),
+
+    "date_funcs" -> ((s, dir) => {
+      import s.implicits._
+      // date scalar surface (the reference never touches dates; the
+      // engine ships Spark's built-ins — SURVEY §2.3 note). dayofweek
+      // is aligned to Spark's 1=Sunday in the oracle (DuckDB dow is
+      // 0=Sunday).
+      Tables.orders(s, dir)
+        .select($"o_orderkey",
+          to_date($"o_orderdate").as("d"),
+          year($"o_orderdate").as("yr"),
+          month($"o_orderdate").as("mo"),
+          dayofmonth($"o_orderdate").as("dom"),
+          quarter($"o_orderdate").as("qtr"),
+          dayofweek($"o_orderdate").as("dow"),
+          datediff(lit(java.sql.Date.valueOf("2005-01-01")), $"o_orderdate")
+            .as("days_to_2005"),
+          date_add(to_date($"o_orderdate"), 30).as("d_plus_30"))
+        .orderBy($"o_orderkey")
     }),
 
     "agg_pivot" -> ((s, dir) => {
@@ -1682,6 +1716,24 @@ object SparkEntry {
         |  CAST(CAST(CAST(inter AS DOUBLE) / uni AS DECIMAL(10,6)) AS DOUBLE) AS jaccard
         |FROM p WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "date_funcs" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2005-01-01') AS INT) AS days_to_2005,
+        |  CAST(o_orderdate AS DATE) + 30 AS d_plus_30
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "agg_pivot" ->
       """SELECT user_id,
