@@ -903,7 +903,12 @@ object SparkEntry {
         .crossJoin(truth.join(cand, Seq("id_a", "id_b"), "left_semi")
           .agg(count(lit(1)).as("n_hit")))
         .select($"n_true",
-          ($"n_hit".cast("double") / $"n_true" >= 0.9).as("recall_ok"))
+          // empty truth set → vacuously true (0.0/0.0 is NaN, and
+          // NaN >= 0.9 would red the gate exactly when there is
+          // nothing to recall)
+          when($"n_true" === 0, lit(true))
+            .otherwise($"n_hit".cast("double") / $"n_true" >= 0.9)
+            .as("recall_ok"))
     }),
 
     "dedup_embedding_recall" -> ((s, dir) => {
@@ -1110,14 +1115,16 @@ object SparkEntry {
     // independently by DuckDB; booleans pin the metamorphic contract.
     "agg_approx_distinct_gate" -> ((s, dir) => {
       import s.implicits._
-      // HLL++ must land within 5% of the exact distinct count DuckDB
-      // recomputes (default rsd = 0.05)
+      // HLL++ must land within 3 relative standard errors of the exact
+      // distinct count DuckDB recomputes (rsd = 0.05 is a std-dev, not
+      // a bound — a hard 1-rsd gate would red legitimate estimates at
+      // an unverified scale factor)
       Tables.lineitem(s, dir)
         .groupBy($"l_returnflag")
         .agg(approx_count_distinct($"l_partkey").as("approx"),
           countDistinct($"l_partkey").as("n_exact"))
         .select($"l_returnflag", $"n_exact",
-          (abs($"approx" - $"n_exact").cast("double") / $"n_exact" <= 0.05)
+          (abs($"approx" - $"n_exact").cast("double") / $"n_exact" <= 0.15)
             .as("approx_ok"))
         .orderBy($"l_returnflag")
     }),
@@ -1584,12 +1591,19 @@ object SparkEntry {
          |  md5(content) AS content_md5
          |FROM read_text('$medicareCsv')""".stripMargin,
 
+    // read_text + split, not read_csv: the CSV reader's nullstr/skip
+    // behavior on blank lines diverges from Spark's text source (which
+    // yields an empty row). Unix line endings assumed (the fixture's).
     "line_scan" ->
-      s"""SELECT count(*) AS n_lines,
+      s"""WITH t AS (SELECT content, string_split(content, chr(10)) AS ls0
+         |  FROM read_text('$medicareCsv')),
+         |x AS (SELECT CASE WHEN ends_with(content, chr(10))
+         |    THEN list_slice(ls0, 1, len(ls0) - 1) ELSE ls0 END AS ls FROM t),
+         |l AS (SELECT unnest(ls) AS line FROM x)
+         |SELECT count(*) AS n_lines,
          |  CAST(sum(length(line)) AS BIGINT) AS sum_chars,
          |  CAST(sum(CASE WHEN length(line) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
-         |FROM read_csv('$medicareCsv', header=false, delim=e'\\x01', quote='',
-         |  columns={'line':'VARCHAR'}, auto_detect=false)""".stripMargin,
+         |FROM l""".stripMargin,
 
     "date_monthly_orders" ->
       """SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n_orders,

@@ -39,24 +39,38 @@ package object functions {
   def parse_money(c: Column): Column =
     translate(c, "$,", "").try_cast("decimal(18,2)")
 
+  /** The single source of truth for the SQL-name surface, consumed by
+    * both registration paths ([[registerAll]] for programmatic
+    * sessions, [[graft.GraftExtensions]] for `spark.sql.extensions`
+    * deployments) so the two can never drift. Each builder validates
+    * arity with a usage message rather than surfacing a raw
+    * IndexOutOfBounds to SQL clients. */
+  val sqlBuilders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("regexp_extract_or_null", classOf[RegexpExtractOrNull], {
+      case Seq(s, p)    => new RegexpExtractOrNull(s, p)
+      case Seq(s, p, i) => RegexpExtractOrNull(s, p, i)
+      case _ => throw new IllegalArgumentException(
+        "regexp_extract_or_null(subject, pattern[, idx])")
+    }),
+    ("cosine_similarity", classOf[CosineSimilarity], {
+      case Seq(a, b) => CosineSimilarity(a, b)
+      case _ => throw new IllegalArgumentException("cosine_similarity(a, b)")
+    }),
+    ("doc_fingerprint", classOf[DocFingerprint], {
+      case Seq(c) => DocFingerprint(c)
+      case _ => throw new IllegalArgumentException("doc_fingerprint(text)")
+    }),
+    ("simhash64", classOf[SimHash64], {
+      case Seq(c) => SimHash64(c)
+      case _ => throw new IllegalArgumentException("simhash64(text)")
+    }))
+
   /** Register SQL names for the custom expressions so `spark.sql`
     * queries can use them alongside built-ins. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "regexp_extract_or_null",
-      es => es match {
-        case Seq(s, p) => new RegexpExtractOrNull(s, p)
-        case Seq(s, p, i) => RegexpExtractOrNull(s, p, i)
-        case _ => throw new IllegalArgumentException(
-          "regexp_extract_or_null(subject, pattern[, idx])")
-      },
-      "internal")
-    reg.createOrReplaceTempFunction(
-      "cosine_similarity", es => CosineSimilarity(es(0), es(1)), "internal")
-    reg.createOrReplaceTempFunction(
-      "doc_fingerprint", es => DocFingerprint(es.head), "internal")
-    reg.createOrReplaceTempFunction(
-      "simhash64", es => SimHash64(es.head), "internal")
+    sqlBuilders.foreach { case (name, _, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "internal")
+    }
   }
 }

@@ -52,16 +52,13 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming <= 63,
       s"maxHamming must be in [0,63] (got $maxHamming)")
     val bands = maxHamming + 1
-    // distribute 64 bits into `bands` chunks, widths differing by <= 1
-    val base = 64 / bands
-    val rem = 64 % bands
-    val widths = Seq.tabulate(bands)(b => if (b < rem) base + 1 else base)
-    val offsets = widths.scanLeft(0)(_ + _)
+    // 64 bits distributed into `bands` chunks (graft.expr.BandLayout —
+    // shared with the HammingJoinRewrite optimizer rule)
+    val layout = graft.expr.BandLayout(bands)
     val fp = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
-    val bandKeys = (0 until bands).map { b =>
-      val mask = if (widths(b) >= 64) -1L else (1L << widths(b)) - 1L
+    val bandKeys = layout.zipWithIndex.map { case ((offset, mask), b) =>
       struct(lit(b).as("band"),
-        shiftright(col("sh"), offsets(b)).bitwiseAND(lit(mask)).as("key"))
+        shiftright(col("sh"), offset).bitwiseAND(lit(mask)).as("key"))
     }
     val banded = fp.select(col("id"), col("sh"),
       explode(array(bandKeys: _*)).as("bk"))

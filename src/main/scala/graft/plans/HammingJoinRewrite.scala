@@ -64,13 +64,11 @@ object HammingJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         case None => j
         case Some((a, b, k)) =>
           val bands = k + 1
-          val base = 64 / bands
-          val rem = 64 % bands
-          val widths = Seq.tabulate(bands)(i => if (i < rem) base + 1 else base)
-          val offsets = widths.scanLeft(0)(_ + _)
+          // same layout as Dedup.simhashNearDup (graft.expr.BandLayout)
+          val layout = graft.expr.BandLayout(bands)
           def bandKey(e: Expression, i: Int): Expression = {
-            val mask = if (widths(i) >= 64) -1L else (1L << widths(i)) - 1L
-            BitwiseAnd(ShiftRightUnsigned(e, Literal(offsets(i))), Literal(mask))
+            val (offset, mask) = layout(i)
+            BitwiseAnd(ShiftRightUnsigned(e, Literal(offset)), Literal(mask))
           }
           def explodeSide(child: LogicalPlan, e: Expression, name: String)
               : (Generate, Attribute) = {

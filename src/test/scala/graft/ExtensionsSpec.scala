@@ -42,8 +42,9 @@ class ExtensionsSpec extends SparkSpec {
   test("HammingJoinRewrite: banded equi-join replaces the cartesian, results identical") {
     import org.apache.spark.sql.functions._
     val orig = spark
-    // baseline WITHOUT the rule, on the plain shared session
-    def hammingPairs(s: SparkSession): Array[(Long, Long)] = {
+    // ONE plan definition, built against whichever session is passed —
+    // the comparison is only valid while both sides share it
+    def hammingJoin(s: SparkSession): org.apache.spark.sql.DataFrame = {
       import s.implicits._
       val docs = (0 until 200).map { i =>
         (i.toLong, s"the quick brown fox ${i % 17} jumps over dog ${i % 5}")
@@ -54,25 +55,17 @@ class ExtensionsSpec extends SparkSpec {
         .filter($"id_a" < $"id_b")
         .filter(bit_count($"sh_a".bitwiseXOR($"sh_b")) <= lit(7))
         .select($"id_a", $"id_b")
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
     }
-    val expected = hammingPairs(orig).toSet
+    // baseline WITHOUT the rule, on the plain shared session
+    val expected = hammingJoin(orig)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(expected.nonEmpty)
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val s2 = SparkSession.builder().master("local[2]")
       .withExtensions(new GraftExtensions()).getOrCreate()
     try {
-      import s2.implicits._
-      val docs = (0 until 200).map { i =>
-        (i.toLong, s"the quick brown fox ${i % 17} jumps over dog ${i % 5}")
-      }.toDF("id", "text")
-      val fp = docs.select($"id", graft.functions.simhash64($"text").as("sh"))
-      val joined = fp.select($"id".as("id_a"), $"sh".as("sh_a"))
-        .crossJoin(fp.select($"id".as("id_b"), $"sh".as("sh_b")))
-        .filter($"id_a" < $"id_b")
-        .filter(bit_count($"sh_a".bitwiseXOR($"sh_b")) <= lit(7))
-        .select($"id_a", $"id_b")
+      val joined = hammingJoin(s2)
       val optimized = joined.queryExecution.optimizedPlan.toString
       assert(optimized.contains("__hamming_band"), optimized)
       assert(optimized.contains("Generate"), optimized)
