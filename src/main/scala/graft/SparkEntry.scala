@@ -586,6 +586,18 @@ object SparkEntry {
           sum($"o_totalprice".cast("decimal(24,8)")).cast("double").as("sum_price"))
     }),
 
+    "jsonl_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      // JSON-lines interchange (the LLM-corpus wire format): write a
+      // documents projection as JSONL, read it back with a declared
+      // schema — string escaping (quotes, newlines) must round-trip.
+      // Oracle reads the parquet source directly.
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_${math.abs(dir.hashCode)}"
+      val docs = Tables.documents(s, dir).select($"doc_id", $"lang", $"text")
+      docs.write.mode("overwrite").json(out)
+      s.read.schema(docs.schema).json(out).orderBy($"doc_id")
+    }),
+
     "wholefile_scan" -> ((s, dir) => {
       import s.implicits._
       // sc.wholeTextFiles analogue (README.md:297): one row per file
@@ -1578,6 +1590,9 @@ object SparkEntry {
     "csv_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "jsonl_roundtrip" ->
+      """SELECT doc_id, lang, text FROM documents ORDER BY doc_id""",
 
     "partitioned_roundtrip" ->
       """SELECT o_orderpriority, count(*) AS n,
