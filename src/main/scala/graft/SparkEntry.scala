@@ -116,7 +116,7 @@ object SparkEntry {
     "evt_stream_join",
     "text_stats", "text_quality", "text_term_freq", "text_lang_dist",
     "text_langid", "text_token_counts", "text_quality_score", "text_entities",
-    "text_chunk",
+    "text_chunk", "text_redact",
     "dedup_exact", "dedup_fingerprint", "dedup_simhash", "pipeline_clean_corpus",
     "sim_topk_brute", "mm_content_hash", "mm_decode", "mm_frame_sample",
     "mm_resize")
@@ -1057,6 +1057,16 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    "text_redact" -> ((s, dir) => {
+      import s.implicits._
+      // PII scrub over the corpus; md5 of the redacted text keeps the
+      // dump row narrow while still pinning every replaced character
+      TextAnalysis.redactPii(Tables.documents(s, dir), "text")
+        .select($"doc_id", md5($"text_redacted".cast("binary")).as("redacted_md5"),
+          $"n_email", $"n_phone", $"n_ip")
+        .orderBy($"doc_id")
+    }),
+
     "text_chunk" -> ((s, dir) => {
       import s.implicits._
       // 64-token windows, 16-token overlap — context-window prep
@@ -1992,6 +2002,17 @@ object SparkEntry {
 
     "sim_recall_ivf" ->
       "SELECT 5 AS k, 100 AS n_true, true AS recall_ok",
+
+    "text_redact" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+        |    '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<phone>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<ip>', 'g')) AS redacted_md5,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS INT) AS n_phone,
+        |  CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ip
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_chunk" ->
       """WITH t AS (

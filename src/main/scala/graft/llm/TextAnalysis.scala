@@ -116,6 +116,28 @@ object TextAnalysis {
         col("col.chunk_text"), col("col.chunk_tokens"))
   }
 
+  /** PII patterns shared by [[redactPii]] and its oracle — kept to a
+    * regex dialect Spark (Java) and DuckDB (RE2) agree on. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b",
+    "ip"    -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b")
+
+  /** PII scrub (training-data hygiene): replace emails/phones/IPs with
+    * typed placeholders and count what was redacted. Row-local
+    * regexp_replace/regexp_extract_all chain — codegen'd, shuffle-free,
+    * linear in text size at any corpus scale. */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val redacted = piiPatterns.foldLeft(col(textCol)) { case (c, (kind, pat)) =>
+      regexp_replace(c, pat, s"<$kind>")
+    }
+    piiPatterns.foldLeft(df.withColumn("text_redacted", redacted)) {
+      case (d, (kind, pat)) =>
+        d.withColumn(s"n_$kind",
+          size(regexp_extract_all(col(textCol), lit(pat), lit(0))))
+    }
+  }
+
   /** NER-lite: capitalized-span extraction (the JVM-side approximation
     * of the reference's NLTK `ne_chunk` pipeline, README.md:339-358 —
     * documented as heuristic, see SURVEY.md §2.3). Consecutive

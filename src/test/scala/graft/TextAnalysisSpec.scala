@@ -59,6 +59,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ents.contains("Berlin"))
   }
 
+  test("redactPii: planted emails/phones/IPs replaced and counted; clean text untouched") {
+    val df = Seq(
+      (1L, "contact bob.smith+x@example.org or 555-123-4567, server 10.0.0.1 ok"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(df, "text").orderBy("doc_id").collect()
+    val row1 = r(0)
+    assert(row1.getAs[String]("text_redacted") ==
+      "contact <email> or <phone>, server <ip> ok")
+    assert(row1.getAs[Int]("n_email") == 1)
+    assert(row1.getAs[Int]("n_phone") == 1)
+    assert(row1.getAs[Int]("n_ip") == 1)
+    val row2 = r(1)
+    assert(row2.getAs[String]("text_redacted") == "no pii here at all")
+    assert(row2.getAs[Int]("n_email") + row2.getAs[Int]("n_phone")
+      + row2.getAs[Int]("n_ip") == 0)
+  }
+
   test("chunk: windows cover every token, overlap by exactly `overlap`, short docs = 1 chunk") {
     val text = (1 to 100).map(i => s"t$i").mkString(" ") // 100 tokens
     val df = Seq((1L, text), (2L, "just three tokens")).toDF("doc_id", "text")
