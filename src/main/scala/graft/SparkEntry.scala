@@ -1283,6 +1283,27 @@ object SparkEntry {
         .orderBy($"event_id")
     }),
 
+    "sketch_bloom" -> ((s, dir) => {
+      // Bloom-filter membership gate (Spark's runtime-filter machinery
+      // exposed via graft.functions): build on customer keys once (a
+      // scalar subquery — at scale, persist the one-row sketch), probe
+      // member and non-member key sets. No false negatives → every
+      // member probes true; false positives bounded by the sizing.
+      Catalog.registerViews(s, dir)
+      graft.functions.registerAll(s)
+      s.sql("""
+        WITH bf AS (SELECT bloom_filter_agg(c_custkey, 2000L, 65536L) AS b FROM customer)
+        SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM orders JOIN customer ON o_custkey = c_custkey) AS n_members,
+          (SELECT count(*) FROM orders
+             WHERE might_contain((SELECT b FROM bf), o_custkey))
+            = (SELECT count(*) FROM orders) AS no_false_neg,
+          (SELECT sum(CASE WHEN might_contain((SELECT b FROM bf), o_custkey + 1000000)
+                           THEN 1 ELSE 0 END) FROM orders)
+            <= (SELECT count(*) FROM orders) * 0.05 AS fp_bounded
+      """)
+    }),
+
     "null_handling" -> ((s, dir) => {
       import s.implicits._
       // DataFrameNaFunctions over a genuine null source: purchases with
@@ -2056,6 +2077,11 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |  ON p.user_id = s.user_id AND s.ts <= p.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "sketch_bloom" ->
+      """SELECT (SELECT CAST(count(*) AS BIGINT)
+        |   FROM orders JOIN customer ON o_custkey = c_custkey) AS n_members,
+        |  true AS no_false_neg, true AS fp_bounded""".stripMargin,
 
     "null_handling" ->
       """WITH a AS (

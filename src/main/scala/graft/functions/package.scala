@@ -63,6 +63,23 @@ package object functions {
     ("simhash64", classOf[SimHash64], {
       case Seq(c) => SimHash64(c)
       case _ => throw new IllegalArgumentException("simhash64(text)")
+    }),
+    // Spark ships Bloom-filter expressions for its runtime filters but
+    // does not register them publicly; the engine exposes them — the
+    // URL/document membership-sketch staple of dedup pipelines.
+    ("bloom_filter_agg",
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate], {
+      case Seq(c)       => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+      case Seq(c, n)    => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n)
+      case Seq(c, n, b) => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n, b)
+      case _ => throw new IllegalArgumentException(
+        "bloom_filter_agg(col[, estimatedItems[, numBits]])")
+    }),
+    ("might_contain",
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain], {
+      case Seq(b, v) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(b, v)
+      case _ => throw new IllegalArgumentException("might_contain(bloom, value)")
     }))
 
   /** Register SQL names for the custom expressions so `spark.sql`
