@@ -101,8 +101,8 @@ object SparkEntry {
   val benchQueries: Seq[String] = Seq(
     "q1_agg", "q3_shipping", "q5_region_revenue", "sql_q6_discount",
     "agg_distinct", "agg_minmax", "agg_rollup", "agg_cube", "agg_approx_distinct",
-    "agg_collect_list", "agg_pivot", "agg_grouping_sets", "date_funcs",
-    "null_handling",
+    "agg_collect_list", "agg_pivot", "agg_unpivot", "agg_grouping_sets",
+    "date_funcs", "null_handling", "str_levenshtein", "sketch_bloom",
     "join_semi", "join_anti", "join_salted", "agg_copartition", "asof_signup_value",
     "win_topk_parts", "win_running_total", "win_lag_delta",
     "set_union", "set_intersect", "set_except",
@@ -339,6 +339,35 @@ object SparkEntry {
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .agg(count(lit(1)))
         .orderBy($"user_id")
+    }),
+
+    "agg_unpivot" -> ((s, dir) => {
+      import s.implicits._
+      // unpivot (melt): wide per-priority counts back to long form —
+      // the inverse of agg_pivot, dropping the NULL cells of absent
+      // (user, type) combinations
+      Tables.events(s, dir)
+        .groupBy($"user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .unpivot(Array($"user_id"),
+          Array($"click", $"error", $"purchase", $"signup", $"view"),
+          "event_type", "n")
+        .filter($"n".isNotNull)
+        .orderBy($"user_id", $"event_type")
+    }),
+
+    "str_levenshtein" -> ((s, dir) => {
+      import s.implicits._
+      // fuzzy string matching over the nation dimension: edit-distance
+      // pairs below a threshold (tiny dim → broadcast self-join)
+      val n = Tables.nation(s, dir).select($"n_name")
+      n.select($"n_name".as("name_a"))
+        .crossJoin(broadcast(n.select($"n_name".as("name_b"))))
+        .filter($"name_a" < $"name_b")
+        .withColumn("dist", levenshtein($"name_a", $"name_b"))
+        .filter($"dist" <= 1)
+        .orderBy($"name_a", $"name_b")
     }),
 
     "agg_collect_list" -> ((s, dir) => {
@@ -1803,6 +1832,19 @@ object SparkEntry {
         |  NULLIF(count(*) FILTER (event_type = 'signup'), 0) AS signup,
         |  NULLIF(count(*) FILTER (event_type = 'view'), 0) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "agg_unpivot" ->
+      // the un-pivoted counts are just the grouped counts in long form
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "str_levenshtein" ->
+      """SELECT a.n_name AS name_a, b.n_name AS name_b,
+        |  CAST(levenshtein(a.n_name, b.n_name) AS INT) AS dist
+        |FROM nation a JOIN nation b ON a.n_name < b.n_name
+        |WHERE levenshtein(a.n_name, b.n_name) <= 1
+        |ORDER BY name_a, name_b""".stripMargin,
 
     "agg_collect_list" ->
       """SELECT l_orderkey,
