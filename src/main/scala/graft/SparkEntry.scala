@@ -104,7 +104,7 @@ object SparkEntry {
     "agg_collect_list", "agg_pivot", "agg_unpivot", "agg_grouping_sets",
     "date_funcs", "null_handling", "str_levenshtein", "sketch_bloom",
     "join_semi", "join_anti", "join_salted", "agg_copartition", "asof_signup_value",
-    "win_topk_parts", "win_running_total", "win_lag_delta",
+    "win_topk_parts", "win_running_total", "win_lag_delta", "win_rank_family",
     "set_union", "set_intersect", "set_except",
     "sample_first_n", "sample_by_key", "sample_rows_det", "sample_bernoulli",
     "sample_percent", "sample_stratified",
@@ -415,6 +415,23 @@ object SparkEntry {
         .withColumn("delta", $"o_totalprice" - lag($"o_totalprice", 1).over(w))
         .select($"o_custkey", $"o_orderkey", $"delta")
         .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
+    "win_rank_family" -> ((s, dir) => {
+      import s.implicits._
+      // the remaining ranking/analytic family in one pass: ntile,
+      // cume_dist, first/last value over an explicit frame. One window
+      // spec → one shuffle; ties broken by the unique order key.
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice", $"o_orderkey")
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderpriority",
+          ntile(4).over(w).as("quartile"),
+          cume_dist().over(w).as("cdist"),
+          first($"o_orderkey").over(wFull).as("cheapest_key"),
+          last($"o_orderkey").over(wFull).as("priciest_key"))
+        .orderBy($"o_orderkey")
     }),
 
     // ================= Set operations (SURVEY §2.8) =================
@@ -1499,6 +1516,18 @@ object SparkEntry {
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS delta
         |FROM orders
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "win_rank_family" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  cume_dist() OVER w AS cdist,
+        |  first_value(o_orderkey) OVER wf AS cheapest_key,
+        |  last_value(o_orderkey) OVER wf AS priciest_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+        |  wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "set_union" ->
       """SELECT c_nationkey AS nationkey FROM customer
