@@ -103,4 +103,57 @@ class PropertiesSpec extends SparkSpec {
       assert(math.abs(rowsAb(id) - scaled(id)) < 1e-9)
     }
   }
+
+  test("BandLayout: bands tile all 64 bits exactly, widths differ by <= 1") {
+    (1 to 64).foreach { bands =>
+      val layout = graft.expr.BandLayout(bands)
+      assert(layout.size == bands)
+      val widths = layout.map { case (_, mask) => java.lang.Long.bitCount(mask) }
+      assert(widths.sum == 64, s"bands=$bands widths=$widths")
+      assert(widths.max - widths.min <= 1)
+      // bands are contiguous and non-overlapping: offsets are the
+      // running sum of widths
+      val offsets = layout.map(_._1)
+      assert(offsets == widths.scanLeft(0)(_ + _).init)
+      // pigeonhole, empirically: flipping any `bands - 1` bits leaves
+      // at least one band untouched
+      val rnd = new scala.util.Random(bands)
+      val x = rnd.nextLong()
+      val flipped = (0 until bands - 1).foldLeft(x)((v, _) =>
+        v ^ (1L << rnd.nextInt(64)))
+      val sameBand = layout.exists { case (off, mask) =>
+        ((x >>> off) & mask) == ((flipped >>> off) & mask)
+      }
+      assert(sameBand)
+    }
+  }
+
+  test("chunk: random texts/params — full token coverage, bounded sizes, exact overlap") {
+    val rnd = new scala.util.Random(11)
+    (0 until 20).foreach { trial =>
+      val n = 1 + rnd.nextInt(300)
+      val chunkTokens = 2 + rnd.nextInt(40)
+      val overlap = rnd.nextInt(chunkTokens)
+      val step = chunkTokens - overlap
+      val text = (0 until n).map(i => s"w$i").mkString(" ")
+      val rows = graft.llm.TextAnalysis.chunk(
+          Seq((1L, text)).toDF("doc_id", "text"), "text", "doc_id",
+          chunkTokens, overlap)
+        .orderBy("chunk_no")
+        .collect().map(r => (r.getInt(1), r.getString(2), r.getInt(3)))
+      // every chunk within size; every token covered; count formula holds
+      assert(rows.forall(_._3 <= chunkTokens), s"trial $trial")
+      val seen = rows.flatMap(_._2.split(" ")).toSet
+      assert((0 until n).forall(i => seen.contains(s"w$i")), s"trial $trial")
+      val expected = math.max(math.ceil((n - overlap).toDouble / step).toInt, 1)
+      assert(rows.length == expected, s"trial $trial n=$n ct=$chunkTokens ov=$overlap")
+      // consecutive chunks share exactly `overlap` tokens when full
+      rows.sliding(2).foreach {
+        case Array((_, a, ta), (_, b, _)) if ta == chunkTokens =>
+          assert(a.split(" ").takeRight(overlap).sameElements(
+            b.split(" ").take(overlap)), s"trial $trial")
+        case _ =>
+      }
+    }
+  }
 }
