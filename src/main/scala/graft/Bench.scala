@@ -34,10 +34,21 @@ object Bench {
     // ~15% run-to-run from JVM/GC jitter alone
     val results = SparkEntry.benchQueries.map(n =>
       n -> math.min(runOnce(n), runOnce(n)))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // The driver keeps only the last ~2000 characters of output and
+    // parses the JSON line out of that window — a full-precision line
+    // with every query overflows it and the window cuts the line's
+    // head off (unparseable). Emit millisecond precision, and degrade
+    // further if the query list ever grows the line past the window.
+    def fmt(v: Double, dp: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+    def line(dp: Int): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    println(Seq(3, 2, 1).map(line).find(_.length <= 1750).getOrElse(line(1)))
     spark.stop()
   }
 }
