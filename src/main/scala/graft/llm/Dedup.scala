@@ -25,13 +25,29 @@ import graft.functions.{doc_fingerprint, simhash64}
   */
 object Dedup {
 
-  /** Exact dedup keeping the smallest id per distinct payload.
-    * Groups on the 64-bit content fingerprint + the text only to break
-    * (astronomically unlikely) fingerprint collisions. */
-  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.groupBy(doc_fingerprint(col(textCol)).as("fp"), col(textCol))
-      .agg(min(col(idCol)).as(idCol))
+  /** Exact dedup keeping the smallest id per distinct payload
+    * (`idCol` must be unique per row, e.g. a doc id).
+    *
+    * Two-phase so the document text NEVER crosses a shuffle keyed by
+    * itself: (1) aggregate `min(id)` over a 128-bit content key — the
+    * codegen'd 64-bit fingerprint plus an independent xxhash64, so the
+    * winner exchange carries 24 bytes/row and a birthday collision
+    * needs ~2^64 distinct docs (a lone 64-bit key would already expect
+    * collisions at the 10^10-doc corpus this targets); (2) semi-join
+    * the winner ids back to the source for the payload — broadcast
+    * when the winner set fits, an 8-byte-keyed shuffle otherwise.
+    * [[graft.SparkEntry]]'s `dedup_fp_agree` gate cross-checks the
+    * keyed distinct count against the true text-distinct count. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val winners = df
+      .select(doc_fingerprint(col(textCol)).as("fp"),
+        xxhash64(col(textCol)).as("fp2"), col(idCol).as("__win"))
+      .groupBy(col("fp"), col("fp2"))
+      .agg(min(col("__win")).as("__win"))
+      .select(col("__win"))
+    df.join(winners, col(idCol) === col("__win"), "left_semi")
       .select(col(idCol), col(textCol))
+  }
 
   /** Drop-duplicates form (Spark's hash-agg based `dropDuplicates`). */
   def distinctRows(df: DataFrame, cols: Seq[String]): DataFrame =

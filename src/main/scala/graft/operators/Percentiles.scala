@@ -11,15 +11,23 @@ import org.apache.spark.sql.functions._
   * Two forms are provided and property-tested equal:
   *  - [[bucketByJoin]] — the reference's 2016 shape (GROUP BY +
   *    self-join, README.md:236-261). The aggregate side has one row
-  *    per distinct key, so Catalyst broadcast-joins it; at 100 TB the
-  *    fact side never shuffles.
+  *    per distinct key; the join back is left UNHINTED so Catalyst's
+  *    size estimate (and AQE's runtime re-plan) picks broadcast when
+  *    the key cardinality is small and degrades to sort-merge when it
+  *    is not — a forced broadcast hint would bypass the size check and
+  *    OOM on a 10⁸-key corpus. PlanSpec pins both regimes.
   *  - [[bucketByWindow]] — the idiomatic rewrite with a single
   *    `percent_rank()` window (one shuffle on the group key, no join).
+  *    The documented path when the key cardinality is itself huge.
   *
   * `exact=false` swaps the memory-heavy exact `percentile` (a
   * TypedImperativeAggregate buffering each group's values) for
   * `percentile_approx` (bounded-size QuantileSummaries sketch) — the
-  * 100 TB path, same operator surface.
+  * 100 TB path, same operator surface. `accuracy` is the sketch's
+  * size/error knob (Spark default 10000): the sketch is exact while a
+  * group's row count stays under ~accuracy, so lower accuracies are
+  * both cheaper and still exact for small groups; at 100 TB keep it
+  * at 10⁴ for ±10⁻⁴ relative-rank error.
   */
 object Percentiles {
 
@@ -29,12 +37,15 @@ object Percentiles {
     * array<double> indexed like the reference's `p.percentiles[k]`
     * (README.md:239-258). */
   def grouped(df: DataFrame, keyCol: String, valueExpr: Column,
-      ps: Seq[Double] = defaultPs, exact: Boolean = true): DataFrame = {
+      ps: Seq[Double] = defaultPs, exact: Boolean = true,
+      accuracy: Int = 10000): DataFrame = {
     val arr = s"array(${ps.mkString(",")})"
-    val fn = if (exact) "percentile" else "percentile_approx"
+    val call =
+      if (exact) s"percentile(__v, $arr)"
+      else s"percentile_approx(__v, $arr, $accuracy)"
     df.withColumn("__v", valueExpr)
       .groupBy(col(keyCol))
-      .agg(expr(s"$fn(__v, $arr)").as("percentiles"))
+      .agg(expr(call).as("percentiles"))
   }
 
   /** The reference's 12-arm CASE ladder (README.md:238-251): label a
@@ -53,14 +64,17 @@ object Percentiles {
     ladder.get.otherwise(lit("99+"))
   }
 
-  /** Join form (reference shape, README.md:252-261): fact ⋈ broadcast
-    * per-key percentiles, then the ladder. */
+  /** Join form (reference shape, README.md:252-261): fact ⋈ per-key
+    * percentiles, then the ladder. The join is deliberately unhinted —
+    * Catalyst/AQE broadcasts the aggregate when its size estimate fits
+    * `autoBroadcastJoinThreshold` and falls back to sort-merge when the
+    * key cardinality makes a broadcast unsafe (see class doc). */
   def bucketByJoin(fact: DataFrame, keyCol: String, valueExpr: Column,
       outCols: Seq[String], ps: Seq[Double] = defaultPs,
-      exact: Boolean = true): DataFrame = {
+      exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
     val withV = fact.withColumn("__v", valueExpr)
-    val aggs = grouped(fact, keyCol, valueExpr, ps, exact)
-    withV.join(broadcast(aggs), Seq(keyCol))
+    val aggs = grouped(fact, keyCol, valueExpr, ps, exact, accuracy)
+    withV.join(aggs, Seq(keyCol))
       .withColumn("bucket", bucketLadder(col("__v"), col("percentiles"), ps))
       .select((keyCol +: outCols :+ "bucket").map(col): _*)
   }

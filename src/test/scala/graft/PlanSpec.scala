@@ -44,8 +44,29 @@ class PlanSpec extends SparkSpec {
   }
 
   test("feat_percentile_buckets broadcasts the percentile aggregate back") {
+    // UNHINTED: the broadcast must come from Catalyst's size estimate
+    // of the aggregate side, not a forced hint that would bypass the
+    // safety check at high key cardinality
     val p = plan("feat_percentile_buckets")
     assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("feat_percentile_buckets degrades to sort-merge past the broadcast threshold") {
+    // simulate the 10⁸-key regime where the per-key aggregate no
+    // longer fits a broadcast: with the threshold off, the unhinted
+    // join must fall back to SortMergeJoin instead of OOMing on a
+    // forced broadcast
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("feat_percentile_buckets")
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("BroadcastHashJoin"), p)
+    } finally saved match {
+      case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("custom expressions stay inside whole-stage codegen") {
@@ -98,6 +119,23 @@ class PlanSpec extends SparkSpec {
     // the predicate lives in PartitionFilters (directory pruning), not
     // in the data filters — nothing of the other partitions is read
     assert(pf.contains("1-URGENT"), p)
+  }
+
+  test("dedup_exact's winner-election shuffle carries hashes+ids, never text") {
+    val p = plan("dedup_exact")
+    // locate each hash-partitioned Exchange detail block and check its
+    // Input row: the groupBy exchange must carry only bigint columns
+    // (fp, fp2, doc_id) — the text payload may appear only in the
+    // final orderBy range exchange, where it is the query's output
+    val blocks = p.split("\\n\\n").toSeq
+    val hashExchanges = blocks.filter(b =>
+      b.linesIterator.exists(_.matches("\\(\\d+\\) Exchange.*")) &&
+        b.contains("Arguments: hashpartitioning"))
+    assert(hashExchanges.nonEmpty, p)
+    hashExchanges.foreach { b =>
+      val input = b.linesIterator.find(_.startsWith("Input")).getOrElse("")
+      assert(!input.contains("text#"), s"text in winner shuffle:\n$b")
+    }
   }
 
   test("pipeline_clean_corpus is one shuffle + the final sort") {
