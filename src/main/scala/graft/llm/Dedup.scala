@@ -37,7 +37,17 @@ object Dedup {
     * the winner ids back to the source for the payload — broadcast
     * when the winner set fits, an 8-byte-keyed shuffle otherwise.
     * [[graft.SparkEntry]]'s `dedup_fp_agree` gate cross-checks the
-    * keyed distinct count against the true text-distinct count. */
+    * keyed distinct count against the true text-distinct count.
+    *
+    * ADVERSARIAL CAVEAT: the birthday bound assumes random inputs.
+    * DocFingerprint is a base-31 polynomial — trivially collidable on
+    * crafted text — so against a hostile corpus exactness rests on
+    * xxhash64 alone (also non-cryptographic). A crafted double
+    * collision silently merges two distinct documents. For corpora an
+    * adversary can seed (open web crawls), swap one key for a
+    * cryptographic hash: `sha2(col, 256)` costs one extra pass and
+    * removes the crafted-collision class entirely; the two-phase
+    * shuffle shape is unchanged. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val winners = df
       .select(doc_fingerprint(col(textCol)).as("fp"),
@@ -52,6 +62,33 @@ object Dedup {
   /** Drop-duplicates form (Spark's hash-agg based `dropDuplicates`). */
   def distinctRows(df: DataFrame, cols: Seq[String]): DataFrame =
     if (cols.isEmpty) df.dropDuplicates() else df.dropDuplicates(cols)
+
+  /** Paragraph-level dedup (the C4/Gopher step after document dedup):
+    * split each document into non-overlapping `chunkTokens`-token
+    * windows ([[TextAnalysis.chunk]] with overlap 0 — swap in a
+    * newline split upstream for literal paragraphs), elect ONE winner
+    * per distinct chunk text across the whole corpus (smallest
+    * (id, chunk_no)), and return the surviving chunks.
+    *
+    * Same two-phase scale shape as [[exact]], one level finer: the
+    * winner election shuffles (fp, fp2, id, chunk_no) — ~28 bytes per
+    * CHUNK, never the chunk text — and the survivors come back via an
+    * equi-join on (id, chunk_no). Chunking itself is row-local column
+    * algebra, so the whole operator costs one hash-agg plus one
+    * 12-byte-keyed join at any corpus size. [[exact]]'s adversarial-
+    * collision caveat applies per chunk. */
+  def paragraphDedup(df: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int = 64): DataFrame = {
+    val chunks = TextAnalysis.chunk(df, textCol, idCol, chunkTokens, overlap = 0)
+    val winners = chunks
+      .select(doc_fingerprint(col("chunk_text")).as("fp"),
+        xxhash64(col("chunk_text")).as("fp2"),
+        struct(col(idCol), col("chunk_no")).as("__pos"))
+      .groupBy(col("fp"), col("fp2"))
+      .agg(min(col("__pos")).as("__pos"))
+      .select(col(s"__pos.$idCol").as(idCol), col("__pos.chunk_no").as("chunk_no"))
+    chunks.join(winners, Seq(idCol, "chunk_no"), "left_semi")
+  }
 
   /** SimHash near-dup candidate pairs: ALL document pairs whose 64-bit
     * SimHash differs by <= maxHamming bits. Banding: the fingerprint is

@@ -16,6 +16,31 @@ class DedupSpec extends SparkSpec {
     assert(got == Map("aaa" -> 1L, "bbb" -> 2L))
   }
 
+  test("paragraphDedup: shared chunk survives once, unique chunks all survive") {
+    // 4-token windows; doc 1 and doc 2 share an identical second chunk,
+    // doc 3 is all-unique. The shared chunk must survive only at its
+    // smallest (doc_id, chunk_no); everything else survives untouched.
+    val shared = "same same same same"
+    val df = Seq(
+      (1L, s"one two three four $shared"),
+      (2L, s"five six seven eight $shared"),
+      (3L, "nine ten eleven twelve")).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(df, "text", "doc_id", chunkTokens = 4)
+      .select("doc_id", "chunk_no", "chunk_text").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(got == Map(
+      (1L, 0) -> "one two three four",
+      (1L, 1) -> shared,
+      (2L, 0) -> "five six seven eight",
+      (3L, 0) -> "nine ten eleven twelve"))
+  }
+
+  test("paragraphDedup is idempotent on an already-deduped corpus") {
+    val df = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
+    val once = Dedup.paragraphDedup(df, "text", "doc_id", chunkTokens = 4)
+    assert(once.count() == 2)
+  }
+
   test("simhash: identical docs hash identical; near docs within few bits; far docs far") {
     val a = SimHash64.compute(base.getBytes("UTF-8"))
     val a2 = SimHash64.compute(base.getBytes("UTF-8"))
