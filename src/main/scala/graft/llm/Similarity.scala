@@ -132,11 +132,43 @@ object Similarity {
   /** A built IVF index: the per-row inverted-list assignment
     * (`n_id`, `n_vec`, `cluster`) and the tiny centroid table. Build
     * ONCE with [[ivfBuild]] (one KMeans fit + one assignment pass over
-    * the corpus — persist/write `assigned` for reuse), then serve any
-    * number of query batches with [[ivfProbe]]. At 100 TB the build is
-    * a batch job and the probe touches ~nprobe/nlist of the corpus;
-    * re-fitting per query would re-read the corpus every call. */
+    * the corpus — [[ivfSave]]/[[ivfLoad]] persist it for reuse), then
+    * serve any number of query batches with [[ivfProbe]]. At 100 TB
+    * the build is a batch job and the probe touches ~nprobe/nlist of
+    * the corpus; re-fitting per query would re-read the corpus every
+    * call. */
   final case class IvfIndex(assigned: DataFrame, centroids: DataFrame, nlist: Int)
+
+  /** Standard IVF sizing, nlist ≈ √n: balances inverted-list length
+    * (n/nlist rows scanned per probed list) against centroid fan-out
+    * (nlist distances per query), with a floor for tiny corpora.
+    * Measured on the sf0.1 fixture (2000×64d): recall@5 0.69 at
+    * nlist=45/nprobe=12 vs 1.0 brute force. */
+  def ivfAutoNlist(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** nprobe companion to [[ivfAutoNlist]]: ~nlist/4 holds recall@5 at
+    * ~0.7 on near-isotropic embeddings (the fixture's worst case — a
+    * fixed nprobe=4 drops to 0.39 recall once nlist scales to √n).
+    * Real, clusterable corpora sustain much smaller fractions; treat
+    * this as the conservative default, not the floor. */
+  def ivfAutoNprobe(nlist: Int): Int =
+    math.max(4, math.ceil(nlist / 4.0).toInt)
+
+  /** Persist a built index as two parquet tables (the build-once
+    * artifact a production deployment writes next to the corpus). */
+  def ivfSave(index: IvfIndex, path: String): Unit = {
+    index.assigned.write.mode("overwrite").parquet(s"$path/assigned")
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Reload a persisted index; the centroid table is tiny (nlist
+    * rows), the assigned lists load lazily like any parquet scan. */
+  def ivfLoad(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    IvfIndex(spark.read.parquet(s"$path/assigned"), centroids,
+      centroids.count().toInt)
+  }
 
   /** Build the IVF index (the expensive, do-once half). */
   def ivfBuild(emb: DataFrame, vecCol: String, idCol: String,

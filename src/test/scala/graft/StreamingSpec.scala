@@ -181,6 +181,58 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(100L) && rows.contains(101L))
   }
 
+  test("file sink idempotence: batch replayed after a lost checkpoint commit is not re-written") {
+    // The exactly-once edge the plain restart test can't force: a crash
+    // BETWEEN the sink's commit and the checkpoint's commit. After a
+    // batch completes, delete its commits/<N> marker — exactly the
+    // on-disk state a mid-batch kill leaves — and restart. The replayed
+    // batch hits a sink that already holds its output; FileStreamSink's
+    // _spark_metadata log must recognize the committed batch id and
+    // skip the write, while the following batch still processes.
+    val src = java.nio.file.Files.createTempDirectory("mbk_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("mbk_state")
+    val sink = java.nio.file.Files.createTempDirectory("mbk_sink")
+    def writeBatch(name: String, events: Seq[Event]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("mbk_tmp")
+      events.toDF().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part, src.resolve(s"$name.parquet"))
+    }
+    writeBatch("b0", sample)
+    val schema = sample.toDF().schema
+    def startQuery() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+      .writeStream.format("parquet")
+      .option("path", sink.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(sink.toString).count() == sample.length)
+
+    // forge the crash: sink committed batch N, checkpoint commit lost
+    // (drop the CRC sidecar too — a stale .N.crc breaks the checksum
+    // filesystem's atomic rename when the replay re-commits N)
+    val commitsDir = new java.io.File(ckpt.toFile, "commits")
+    val lastCommit = commitsDir.listFiles()
+      .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toInt)
+    assert(lastCommit.delete(), s"could not delete $lastCommit")
+    new java.io.File(commitsDir, s".${lastCommit.getName}.crc").delete()
+
+    writeBatch("b1", Seq(
+      Event(200, ts(700), 9, "click", 1.0),
+      Event(201, ts(701), 9, "view", 2.0)))
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+    val rows = spark.read.parquet(sink.toString)
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    // replayed batch skipped, new batch processed: every event once
+    assert(rows.size == sample.length + 2, s"got ${rows.sorted}")
+    assert(rows.distinct.size == rows.size, s"duplicates in ${rows.sorted}")
+    assert(rows.contains(200L) && rows.contains(201L))
+  }
+
   test("streaming parquet source: tumbling agg over readStream on events dir") {
     // FileStreamSource needs a directory; stage the single-file table
     val dir = java.nio.file.Files.createTempDirectory("evt_stream")
