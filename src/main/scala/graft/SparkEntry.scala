@@ -156,7 +156,7 @@ object SparkEntry {
     "evt_stream_join",
     "text_stats", "text_quality", "text_term_freq", "text_lang_dist",
     "text_langid", "text_token_counts", "text_quality_score", "text_entities",
-    "text_chunk", "text_redact",
+    "text_chunk", "text_redact", "text_repetition", "decontaminate",
     "dedup_exact", "dedup_paragraph", "dedup_fingerprint", "dedup_simhash",
     "pipeline_clean_corpus",
     "sim_topk_brute", "sim_topk_ivf",
@@ -1275,6 +1275,32 @@ object SparkEntry {
         .orderBy($"doc_id", $"chunk_no")
     }),
 
+    "text_repetition" -> ((s, dir) => {
+      import s.implicits._
+      // Gopher-style repetition signals, value-matched by the oracle
+      // (each fraction is one IEEE division of exact ints)
+      TextAnalysis.repetitionScore(Tables.documents(s, dir), "text")
+        .select($"doc_id", $"dup_token_frac", $"top_bigram_frac",
+          $"dup_trigram_frac")
+        .orderBy($"doc_id")
+    }),
+
+    "decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      // benchmark-overlap decontamination: every 97th doc stands in for
+      // the eval set; the rest is the training corpus. n=4 token-grams
+      // here (the operator default is the GPT-3-style 13-gram — on this
+      // synthetic soup fixture 4 is the length where overlap exists:
+      // 8 contaminated docs at sf0.01). Oracle recomputes the grams and
+      // the overlap from scratch in DuckDB.
+      val docs = Tables.documents(s, dir)
+      graft.llm.Decontaminate.flag(
+          docs.filter($"doc_id" % 97 =!= 0),
+          docs.filter($"doc_id" % 97 === 0),
+          "text", "doc_id", n = 4)
+        .orderBy($"doc_id")
+    }),
+
     "text_entities" -> ((s, dir) => {
       import s.implicits._
       // entity array joined to one sortable string: raw array<string>
@@ -2368,6 +2394,52 @@ object SparkEntry {
         |    least(chunk_no * 48 + 64, n)), ' ') AS chunk_text,
         |  CAST(least(64, n - chunk_no * 48) AS INT) AS chunk_tokens
         |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
+
+    // replicates TextAnalysis.repetitionScore: every fraction is one
+    // int/int division in both engines → bit-identical doubles
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    CASE WHEN len(toks) >= 2 THEN list_transform(range(0, len(toks) - 1),
+        |      i -> array_to_string(list_slice(toks, CAST(i AS INT) + 1, CAST(i AS INT) + 2), ' '))
+        |      ELSE [] END AS g2,
+        |    CASE WHEN len(toks) >= 3 THEN list_transform(range(0, len(toks) - 2),
+        |      i -> array_to_string(list_slice(toks, CAST(i AS INT) + 1, CAST(i AS INT) + 3), ' '))
+        |      ELSE [] END AS g3
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN n > 0 THEN CAST(n - len(list_distinct(toks)) AS DOUBLE) / CAST(n AS DOUBLE)
+        |       ELSE 0.0 END AS dup_token_frac,
+        |  CASE WHEN len(g2) > 0 THEN
+        |    CAST(list_max(list_transform(list_distinct(g2), x -> len(list_filter(g2, y -> y = x)))) AS DOUBLE)
+        |      / CAST(len(g2) AS DOUBLE)
+        |       ELSE 0.0 END AS top_bigram_frac,
+        |  CASE WHEN len(g3) > 0 THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE)
+        |       ELSE 0.0 END AS dup_trigram_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // replicates Decontaminate.flag at n=4 over the %97 benchmark split
+    "decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 4 THEN
+        |    list_distinct(list_transform(range(0, len(toks) - 3),
+        |      i -> array_to_string(list_slice(toks, CAST(i AS INT) + 1, CAST(i AS INT) + 4), ' ')))
+        |    ELSE [] END AS grams
+        |  FROM t),
+        |bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+        |corp AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n_hits FROM corp
+        |  WHERE gram IN (SELECT gram FROM bench) GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+        |  COALESCE(h.n_hits, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+        |LEFT JOIN hits h USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "text_entities" ->
       """SELECT doc_id,

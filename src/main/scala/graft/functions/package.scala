@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftShims, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions._
 
-import graft.expr.{CosineSimilarity, DocFingerprint, RegexpExtractOrNull, SimHash64}
+import graft.expr.{CosineSimilarity, DocFingerprint, RegexpExtractOrNull, RepetitionStats, SimHash64, TokenNGrams}
 
 /** The engine's scalar-function surface: thin `Column` builders over
   * custom Catalyst expressions plus named compositions of built-ins.
@@ -30,6 +30,14 @@ package object functions {
 
   /** 64-bit SimHash near-dup fingerprint of a document (codegen'd). */
   def simhash64(c: Column): Column = col(SimHash64(ex(c)))
+
+  /** Gopher-style repetition statistics struct (codegen'd one-pass;
+    * see [[graft.expr.RepetitionStats]]). */
+  def repetition_stats(c: Column): Column = col(RepetitionStats(ex(c)))
+
+  /** Whitespace-token n-grams as array<string> (codegen'd one-pass;
+    * see [[graft.expr.TokenNGrams]]). */
+  def token_ngrams(c: Column, n: Int): Column = col(TokenNGrams(ex(c), n))
 
   /** Parse `$78.91` / `$1,234.56`-style currency strings into exact
     * decimal. The reference stores money as raw strings and defers
@@ -63,6 +71,16 @@ package object functions {
     ("simhash64", classOf[SimHash64], {
       case Seq(c) => SimHash64(c)
       case _ => throw new IllegalArgumentException("simhash64(text)")
+    }),
+    ("repetition_stats", classOf[RepetitionStats], {
+      case Seq(c) => RepetitionStats(c)
+      case _ => throw new IllegalArgumentException("repetition_stats(text)")
+    }),
+    ("token_ngrams", classOf[TokenNGrams], {
+      case Seq(c, n) if n.foldable =>
+        TokenNGrams(c, n.eval().asInstanceOf[Number].intValue())
+      case _ => throw new IllegalArgumentException(
+        "token_ngrams(text, n) — n must be a literal")
     }),
     // Spark ships Bloom-filter expressions for its runtime filters but
     // does not register them publicly; the engine exposes them — the

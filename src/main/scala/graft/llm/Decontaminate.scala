@@ -1,0 +1,48 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for LLM training corpora (north star; no
+  * analogue in the 2016 reference): flag training documents that share
+  * a long token n-gram with an evaluation/benchmark set, the standard
+  * GPT-3-style 13-gram overlap check (Brown et al. 2020 §C).
+  *
+  * Scale shape: the benchmark side is small by construction (eval sets
+  * are MBs, the corpus is the 100 TB side), so its distinct-gram set
+  * broadcasts and the corpus-side probe is a map-side semi-join — the
+  * corpus text is exploded row-locally and NEVER shuffles. If the
+  * benchmark ever outgrows the broadcast threshold, pre-hash both
+  * sides' grams to 8-byte keys (xxhash64) and let the join shuffle
+  * those instead; the plan below is agnostic to that swap.
+  */
+object Decontaminate {
+
+  /** One row per corpus document: (idCol, n_hits, contaminated), where
+    * `n_hits` counts the DISTINCT `n`-grams the document shares with
+    * any benchmark document. Documents shorter than `n` tokens are
+    * clean by definition. Gram boundaries come from
+    * [[TextAnalysis.tokenGrams]] so an external oracle can replicate
+    * them exactly. */
+  def flag(corpus: DataFrame, benchmark: DataFrame, textCol: String,
+      idCol: String, n: Int = 13): DataFrame = {
+    // no cross-document distinct on the benchmark grams: a left_semi
+    // probe is insensitive to build-side duplicates, and the global
+    // dedup would cost the plan's only gram-keyed shuffle (per-doc
+    // array_distinct keeps the broadcast payload bounded row-locally)
+    val benchGrams = benchmark
+      .select(explode(array_distinct(
+        TextAnalysis.tokenGrams(col(textCol), n))).as("gram"))
+    val corpusGrams = corpus
+      .select(col(idCol), explode(array_distinct(
+        TextAnalysis.tokenGrams(col(textCol), n))).as("gram"))
+    val hits = corpusGrams
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+}

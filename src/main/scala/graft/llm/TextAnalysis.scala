@@ -86,6 +86,50 @@ object TextAnalysis {
       .withColumn("punct_ratio", punctRatio)
   }
 
+  /** Token n-grams from an ALREADY-SPLIT token array column;
+    * documents shorter than `n` tokens have none. Callers should bind
+    * `toks` to a materialized attribute, not an inline `split` tree —
+    * this expression references it up to three times, and higher-order
+    * functions evaluate interpreted, so an inlined tree re-splits the
+    * document per reference. */
+  def tokenGramsFromTokens(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Token n-grams of a raw text column, via the codegen'd
+    * [[graft.expr.TokenNGrams]] (value-identical to
+    * [[tokenGramsFromTokens]] over `split(c, "\\s+")`, ~10× cheaper —
+    * see that expression's scaladoc). Used by [[Decontaminate]]; the
+    * DuckDB oracles replicate the same gram boundaries. */
+  def tokenGrams(c: Column, n: Int): Column =
+    graft.functions.token_ngrams(c, n)
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1, adapted
+    * to whitespace tokens — the fixture has no newlines): fraction of
+    * repeated tokens, the most-frequent-bigram's share of all bigrams,
+    * and the fraction of repeated trigrams. High values = boilerplate/
+    * spam; filter downstream like quality_score.
+    *
+    * Implemented as ONE custom codegen Expression
+    * ([[graft.expr.RepetitionStats]]), not column algebra — the
+    * higher-order-function forms all run INTERPRETED and were measured
+    * at sf0.1 (one partition): naive nested
+    * `transform(distinct, g -> count(filter(...)))` with the gram tree
+    * inlined in lambdas: 20+ min; gram arrays materialized as
+    * attributes: 14 s; sort + run-length `aggregate`: 4 s; xxhash64
+    * gram identity: 3 s. The single-pass JVM loop: ~0.6 s steady-state, with exact
+    * string-gram identity. The lesson generalizes: past a few dozen
+    * per-row element operations, a custom Expression beats
+    * higher-order column algebra by the interpretation constant. */
+  def repetitionScore(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__rs", graft.functions.repetition_stats(col(textCol)))
+      .withColumn("dup_token_frac", col("__rs.dup_token_frac"))
+      .withColumn("top_bigram_frac", col("__rs.top_bigram_frac"))
+      .withColumn("dup_trigram_frac", col("__rs.dup_trigram_frac"))
+      .drop("__rs")
+
   /** Rolling-hash fingerprint column (see graft.expr.DocFingerprint). */
   def fingerprint(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fingerprint", doc_fingerprint(col(textCol)))

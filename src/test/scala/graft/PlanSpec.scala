@@ -138,6 +138,35 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dedup_paragraph's winner-election shuffle carries hashes+ids, never chunk text") {
+    val p = plan("dedup_paragraph")
+    // same contract as dedup_exact, one level finer: the (fp, fp2)
+    // groupBy exchange must not ship chunk_text; the text may appear
+    // only in the survivor join-back and the final output sort
+    val blocks = p.split("\\n\\n").toSeq
+    val hashExchanges = blocks.filter(b =>
+      b.linesIterator.exists(_.matches("\\(\\d+\\) Exchange.*")) &&
+        b.contains("Arguments: hashpartitioning") &&
+        b.contains("fp#"))
+    assert(hashExchanges.nonEmpty, p)
+    hashExchanges.foreach { b =>
+      val input = b.linesIterator.find(_.startsWith("Input")).getOrElse("")
+      assert(!input.contains("chunk_text#"), s"chunk text in winner shuffle:\n$b")
+    }
+  }
+
+  test("decontaminate broadcasts the benchmark grams; corpus side never shuffles grams") {
+    val p = plan("decontaminate")
+    // the overlap probe must be a broadcast semi-join (the benchmark is
+    // the small side by construction) — no gram-keyed hash exchange
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    val blocks = p.split("\\n\\n").toSeq
+    blocks.filter(b => b.contains("Arguments: hashpartitioning")).foreach { b =>
+      val input = b.linesIterator.find(_.startsWith("Input")).getOrElse("")
+      assert(!input.contains("gram#"), s"gram-keyed shuffle:\n$b")
+    }
+  }
+
   test("pipeline_clean_corpus is one shuffle + the final sort") {
     val p = plan("pipeline_clean_corpus")
     // row-local scoring stages must not introduce exchanges: one for

@@ -29,6 +29,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Int]("n_tokens_est") == math.ceil(23 / 4.0).toInt)
   }
 
+  test("repetitionScore: exact fractions on crafted docs") {
+    val df = Seq(
+      (1L, "a a a a"),   // 3/4 dup tokens; "a a"×3 of 3 bigrams; "a a a"×2 → 1/2 dup trigrams
+      (2L, "a b c d"),   // all distinct; 3 distinct bigrams → top 1/3; no dup trigrams
+      (3L, "x")          // too short for any gram
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionScore(df, "text").collect()
+      .map(r => r.getLong(0) -> (r.getAs[Double]("dup_token_frac"),
+        r.getAs[Double]("top_bigram_frac"), r.getAs[Double]("dup_trigram_frac"))).toMap
+    assert(got(1L) == ((0.75, 1.0, 0.5)))
+    assert(got(2L) == ((0.0, 1.0 / 3.0, 0.0)))
+    assert(got(3L) == ((0.0, 0.0, 0.0)))
+  }
+
+  test("decontaminate flags only docs sharing an n-gram with the benchmark") {
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix the quick brown fox jumps suffix"), // shares 2 distinct 4-grams
+      (2L, "totally unrelated words appear here now"),
+      (3L, "too short")).toDF("doc_id", "text")
+    val got = graft.llm.Decontaminate.flag(corpus, bench, "text", "doc_id", n = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got == Map(1L -> ((2L, true)), 2L -> ((0L, false)), 3L -> ((0L, false))))
+  }
+
   test("qualityScore in [0,1]; clean prose scores above digit soup") {
     val df = Seq(
       (1L, ("the quick brown fox jumps over the lazy dog and it is a fine day " * 4)),
