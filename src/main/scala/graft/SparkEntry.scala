@@ -1275,6 +1275,27 @@ object SparkEntry {
         .orderBy($"doc_id", $"chunk_no")
     }),
 
+    "decontaminate_bloom_gate" -> ((s, dir) => {
+      import s.implicits._
+      // Bloom-probe decontamination vs the exact broadcast join on the
+      // same split: Bloom must flag a superset (no false negatives —
+      // a truly shared gram always probes true) with false-positive
+      // flags bounded by the sketch sizing (≤ 1% of docs here, vast
+      // margin for a 2^23-bit sketch over ~3k benchmark grams).
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter($"doc_id" % 97 =!= 0)
+      val bench = docs.filter($"doc_id" % 97 === 0)
+      val exact = graft.llm.Decontaminate.flag(corpus, bench, "text", "doc_id", n = 4)
+        .select($"doc_id", $"contaminated".as("c_exact"))
+      val bloom = graft.llm.Decontaminate.flagBloom(corpus, bench, "text", "doc_id", n = 4)
+        .select($"doc_id", $"contaminated".as("c_bloom"))
+      exact.join(bloom, "doc_id")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          min(!$"c_exact" || $"c_bloom").as("no_false_neg"),
+          (sum(when($"c_bloom" && !$"c_exact", 1L).otherwise(0L))
+            <= ceil(count(lit(1)) * 0.01)).as("fp_bounded"))
+    }),
+
     "text_repetition" -> ((s, dir) => {
       import s.implicits._
       // Gopher-style repetition signals, value-matched by the oracle
@@ -2357,6 +2378,10 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS INT) AS n_phone,
         |  CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ip
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "decontaminate_bloom_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS no_false_neg,
+        |  true AS fp_bounded FROM documents WHERE doc_id % 97 <> 0""".stripMargin,
 
     // replica of TextAnalysis.chunk(64, overlap 0) + the winner
     // election (smallest (doc_id, chunk_no) per distinct chunk text)

@@ -39,6 +39,18 @@ package object functions {
     * see [[graft.expr.TokenNGrams]]). */
   def token_ngrams(c: Column, n: Int): Column = col(TokenNGrams(ex(c), n))
 
+  /** Bloom-filter aggregate over a LONG column as a Column builder
+    * (the SQL name `bloom_filter_agg` is registered separately). */
+  def bloom_filter_agg(c: Column, estimatedItems: Long, numBits: Long): Column =
+    col(new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      ex(c), ex(lit(estimatedItems)), ex(lit(numBits))).toAggregateExpression())
+
+  /** Bloom membership probe; `bloom` must be foldable (a literal
+    * sketch) or a scalar subquery, per Spark's contract. */
+  def might_contain(bloom: Column, v: Column): Column =
+    col(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      ex(bloom), ex(v)))
+
   /** Parse `$78.91` / `$1,234.56`-style currency strings into exact
     * decimal. The reference stores money as raw strings and defers
     * parsing to query time (README.md:52-56, 239-256); this operator

@@ -45,4 +45,41 @@ object Decontaminate {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
+
+  /** Bloom-sketch variant of [[flag]] for when even the benchmark's
+    * raw gram set is too big to broadcast comfortably: aggregate the
+    * benchmark's gram hashes into ONE Bloom sketch (a do-once job —
+    * `numBits` bits total, e.g. 2^26 ≈ 8 MiB for a 10M-gram benchmark
+    * at ~1% FP), collect the sketch, and probe the corpus with a
+    * row-local `might_contain` — no join at all on the corpus side.
+    *
+    * Semantics vs [[flag]]: no false negatives (every truly shared
+    * gram probes true), but Bloom false positives can overcount
+    * `n_hits` and flag a clean document with probability bounded by
+    * the sketch sizing — conservative in the safe direction for
+    * contamination filtering. SIDE-EFFECTING at construction: the
+    * sketch build runs eagerly so the probe can embed it as a literal
+    * (the same build-once/ship-to-probe shape as Spark's own runtime
+    * filters). */
+  def flagBloom(corpus: DataFrame, benchmark: DataFrame, textCol: String,
+      idCol: String, n: Int = 13, estimatedGrams: Long = 1L << 20,
+      numBits: Long = 1L << 23): DataFrame = {
+    val sketch = benchmark
+      .select(explode(array_distinct(
+        TextAnalysis.tokenGrams(col(textCol), n))).as("gram"))
+      .agg(graft.functions.bloom_filter_agg(
+        xxhash64(col("gram")), estimatedGrams, numBits).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val corpusGrams = corpus
+      .select(col(idCol), explode(array_distinct(
+        TextAnalysis.tokenGrams(col(textCol), n))).as("gram"))
+    val hits = corpusGrams
+      .filter(graft.functions.might_contain(lit(sketch), xxhash64(col("gram"))))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
 }

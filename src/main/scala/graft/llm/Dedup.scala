@@ -44,14 +44,18 @@ object Dedup {
     * crafted text — so against a hostile corpus exactness rests on
     * xxhash64 alone (also non-cryptographic). A crafted double
     * collision silently merges two distinct documents. For corpora an
-    * adversary can seed (open web crawls), swap one key for a
-    * cryptographic hash: `sha2(col, 256)` costs one extra pass and
-    * removes the crafted-collision class entirely; the two-phase
-    * shuffle shape is unchanged. */
-  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    * adversary can seed (open web crawls), pass `strongKey = true`:
+    * the second key becomes SHA-256 of the text, removing the
+    * crafted-collision class entirely for one extra hash pass and a
+    * 64-byte-wider shuffle row; the two-phase shuffle shape is
+    * unchanged. */
+  def exact(df: DataFrame, textCol: String, idCol: String,
+      strongKey: Boolean = false): DataFrame = {
+    val key2 =
+      if (strongKey) sha2(col(textCol), 256) else xxhash64(col(textCol))
     val winners = df
       .select(doc_fingerprint(col(textCol)).as("fp"),
-        xxhash64(col(textCol)).as("fp2"), col(idCol).as("__win"))
+        key2.as("fp2"), col(idCol).as("__win"))
       .groupBy(col("fp"), col("fp2"))
       .agg(min(col("__win")).as("__win"))
       .select(col("__win"))

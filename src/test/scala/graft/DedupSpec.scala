@@ -35,6 +35,15 @@ class DedupSpec extends SparkSpec {
       (3L, 0) -> "nine ten eleven twelve"))
   }
 
+  test("exact dedup with strongKey (sha2) selects the same survivors") {
+    val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "ccc"), (5L, "bbb"))
+      .toDF("doc_id", "text")
+    def ids(strong: Boolean) = Dedup.exact(df, "text", "doc_id", strong)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(strong = true) == ids(strong = false))
+    assert(ids(strong = true) == Set(1L, 2L, 4L))
+  }
+
   test("paragraphDedup is idempotent on an already-deduped corpus") {
     val df = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
     val once = Dedup.paragraphDedup(df, "text", "doc_id", chunkTokens = 4)

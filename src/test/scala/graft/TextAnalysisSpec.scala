@@ -54,6 +54,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Map(1L -> ((2L, true)), 2L -> ((0L, false)), 3L -> ((0L, false))))
   }
 
+  test("flagBloom: superset of exact flags, no false negatives") {
+    val bench = Seq((100L, "the quick brown fox jumps high today")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix the quick brown fox jumps suffix"),
+      (2L, "totally unrelated words appear here now"),
+      (3L, "more clean content with no overlap at all")).toDF("doc_id", "text")
+    def flags(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val exact = flags(graft.llm.Decontaminate.flag(corpus, bench, "text", "doc_id", n = 4))
+    val bloom = flags(graft.llm.Decontaminate.flagBloom(corpus, bench, "text", "doc_id", n = 4))
+    assert(exact(1L) && !exact(2L) && !exact(3L))
+    // bloom ⊇ exact (no false negatives); on 3 grams FPs are ~impossible
+    assert(exact.forall { case (id, c) => !c || bloom(id) })
+    assert(bloom == exact)
+  }
+
   test("qualityScore in [0,1]; clean prose scores above digit soup") {
     val df = Seq(
       (1L, ("the quick brown fox jumps over the lazy dog and it is a fine day " * 4)),
