@@ -158,7 +158,7 @@ object SparkEntry {
     "text_langid", "text_token_counts", "text_quality_score", "text_entities",
     "text_chunk", "text_redact", "text_repetition", "decontaminate",
     "dedup_exact", "dedup_paragraph", "dedup_fingerprint", "dedup_simhash",
-    "pipeline_clean_corpus",
+    "pipeline_clean_corpus", "pipeline_curation", "sketch_freq_items",
     "sim_topk_brute", "sim_topk_ivf",
     "mm_content_hash", "mm_decode", "mm_frame_sample",
     "mm_resize")
@@ -1153,6 +1153,37 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // The whole curation flow a training-data team runs, as ONE plan:
+    // language filter → quality floor → repetition cap →
+    // decontamination vs the benchmark split → paragraph-level dedup →
+    // per-surviving-doc chunk/token budget. Every stage is an
+    // oracle-proven operator above; the DuckDB oracle replays the
+    // composition stage for stage, so a drift anywhere in the chain
+    // hash-mismatches. Scale shape: three row-local scoring stages, a
+    // broadcast gram probe, one 28-byte winner-election shuffle, one
+    // id-keyed agg.
+    "pipeline_curation" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter($"doc_id" % 97 === 0)
+      val corpus = docs.filter($"doc_id" % 97 =!= 0)
+      val scored = TextAnalysis.repetitionScore(
+        TextAnalysis.qualityScore(TextAnalysis.langId(corpus, "text"), "text"),
+        "text")
+      val kept = scored.filter($"lang_pred" === "en" &&
+          $"quality_score" >= 0.3 && $"dup_token_frac" <= 0.6)
+        .select($"doc_id", $"text")
+      val contaminated = graft.llm.Decontaminate
+        .flag(kept, bench, "text", "doc_id", n = 4)
+        .filter($"contaminated").select($"doc_id")
+      val clean = kept.join(contaminated, Seq("doc_id"), "left_anti")
+      Dedup.paragraphDedup(clean, "text", "doc_id", chunkTokens = 64)
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum($"chunk_tokens").cast("bigint").as("n_tokens"))
+        .orderBy($"doc_id")
+    }),
+
     // ---- similarity search family ----
     "sim_topk_brute" -> ((s, dir) => {
       import s.implicits._
@@ -1567,6 +1598,26 @@ object SparkEntry {
                            THEN 1 ELSE 0 END) FROM orders)
             <= (SELECT count(*) FROM orders) * 0.05 AS fp_bounded
       """)
+    }),
+
+    "sketch_freq_items" -> ((s, dir) => {
+      import s.implicits._
+      // Karp-Papadimitriou-Shenker frequent-items sketch
+      // (df.stat.freqItems): one mergeable pass, returns a SUPERSET of
+      // every value with frequency share > support. Gate: all five
+      // o_orderpriority values sit near 20% > 0.15 support, so each
+      // must appear; n_orders is DuckDB-recomputed.
+      val ords = Tables.orders(s, dir)
+      val items = ords.stat.freqItems(Array("o_orderpriority"), 0.15)
+        .select(explode($"o_orderpriority_freqItems").as("item"))
+      val heavy = ords.groupBy($"o_orderpriority").agg(count(lit(1)).as("c"))
+        .crossJoin(ords.agg(count(lit(1)).as("n")))
+        .filter($"c" > $"n" * 0.15)
+        .select($"o_orderpriority".as("item"))
+      heavy.join(items, Seq("item"), "left_anti")
+        .agg((count(lit(1)) === 0).as("all_heavy_found"))
+        .crossJoin(ords.agg(count(lit(1)).cast("bigint").as("n_orders")))
+        .select($"n_orders", $"all_heavy_found")
     }),
 
     "null_handling" -> ((s, dir) => {
@@ -2382,6 +2433,94 @@ object SparkEntry {
     "decontaminate_bloom_gate" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS no_false_neg,
         |  true AS fp_bounded FROM documents WHERE doc_id % 97 <> 0""".stripMargin,
+
+    "sketch_freq_items" ->
+      """SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_orders,
+        |  true AS all_heavy_found""".stripMargin,
+
+    // the curation composition replayed stage for stage: langid →
+    // quality → dup-token cap → 4-gram decontamination vs the %97
+    // benchmark split → paragraph dedup (64-token chunks, min
+    // (doc_id, chunk_no) election) → per-doc chunk/token budget
+    "pipeline_curation" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split_regex(text, '\s+') AS toks,
+        |    string_split_regex(lower(text), '\s+') AS ltoks
+        |  FROM documents WHERE doc_id % 97 <> 0),
+        |s AS (
+        |  SELECT doc_id, text, toks,
+        |    CAST(len(list_filter(ltoks, x -> x IN ('der','die','das','und','ist','ein','eine','zu','den','von'))) AS DOUBLE) / greatest(len(ltoks), 1) AS s_de,
+        |    CAST(len(list_filter(ltoks, x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS DOUBLE) / greatest(len(ltoks), 1) AS s_en,
+        |    CAST(len(list_filter(ltoks, x -> x IN ('el','la','los','de','y','un','una','es','que','por'))) AS DOUBLE) / greatest(len(ltoks), 1) AS s_es,
+        |    CAST(len(list_filter(ltoks, x -> x IN ('le','la','les','de','et','un','une','est','que','pour'))) AS DOUBLE) / greatest(len(ltoks), 1) AS s_fr
+        |  FROM t),
+        |l AS (
+        |  SELECT doc_id, text, toks,
+        |    CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |         WHEN s_fr >= greatest(s_de, s_en, s_es) THEN 'fr'
+        |         WHEN s_es >= greatest(s_de, s_en) THEN 'es'
+        |         WHEN s_en >= s_de THEN 'en'
+        |         ELSE 'de' END AS lang_pred
+        |  FROM s),
+        |q AS (
+        |  SELECT doc_id,
+        |    greatest(0.0, least(1.0,
+        |      least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+        |      * (1.0 - (CAST(length(text) AS DOUBLE) - length(regexp_replace(text, '[0-9]', '', 'g'))) / greatest(CAST(length(text) AS DOUBLE), 1.0))
+        |      * (1.0 - (CAST(length(text) AS DOUBLE) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) / greatest(CAST(length(text) AS DOUBLE), 1.0))
+        |      * (0.5 + CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |          x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS DOUBLE)
+        |          / CAST(greatest(len(string_split_regex(text, '\s+')), 1) AS DOUBLE)))) AS quality_score
+        |  FROM documents WHERE doc_id % 97 <> 0),
+        |r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) > 0 THEN CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks)
+        |         ELSE 0.0 END AS dup_token_frac
+        |  FROM t),
+        |kept AS (
+        |  SELECT l.doc_id, l.text, l.toks
+        |  FROM l JOIN q USING (doc_id) JOIN r USING (doc_id)
+        |  WHERE l.lang_pred = 'en' AND q.quality_score >= 0.3
+        |    AND r.dup_token_frac <= 0.6),
+        |bg AS (
+        |  SELECT CASE WHEN len(toks) >= 4 THEN
+        |    list_distinct(list_transform(range(0, len(toks) - 3),
+        |      i -> array_to_string(list_slice(toks, CAST(i AS INT) + 1, CAST(i AS INT) + 4), ' ')))
+        |    ELSE [] END AS grams
+        |  FROM (SELECT string_split_regex(text, '\s+') AS toks
+        |        FROM documents WHERE doc_id % 97 = 0)),
+        |bench AS (SELECT DISTINCT unnest(grams) AS gram FROM bg),
+        |kg AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 4 THEN
+        |    list_distinct(list_transform(range(0, len(toks) - 3),
+        |      i -> array_to_string(list_slice(toks, CAST(i AS INT) + 1, CAST(i AS INT) + 4), ' ')))
+        |    ELSE [] END AS grams
+        |  FROM kept),
+        |contaminated AS (
+        |  SELECT DISTINCT doc_id
+        |  FROM (SELECT doc_id, unnest(grams) AS gram FROM kg)
+        |  WHERE gram IN (SELECT gram FROM bench)),
+        |clean AS (
+        |  SELECT doc_id, toks FROM kept
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |n AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    greatest(CAST(ceil(len(toks) / 64.0) AS INT), 1) AS nc FROM clean),
+        |c AS (
+        |  SELECT doc_id, toks, n, unnest(range(0, nc)) AS chunk_no FROM n),
+        |ch AS (
+        |  SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
+        |    array_to_string(list_slice(toks, chunk_no * 64 + 1,
+        |      least(chunk_no * 64 + 64, n)), ' ') AS chunk_text,
+        |    CAST(least(64, n - chunk_no * 64) AS INT) AS chunk_tokens
+        |  FROM c),
+        |w AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY chunk_text ORDER BY doc_id, chunk_no) AS rn
+        |  FROM ch)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(chunk_tokens) AS BIGINT) AS n_tokens
+        |FROM w WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // replica of TextAnalysis.chunk(64, overlap 0) + the winner
     // election (smallest (doc_id, chunk_no) per distinct chunk text)

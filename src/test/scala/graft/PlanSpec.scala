@@ -173,4 +173,19 @@ class PlanSpec extends SparkSpec {
     // the dedup groupBy, one range partitioning for the orderBy
     assert(countExchanges(p) <= 2, p)
   }
+
+  test("pipeline_curation: bounded exchanges, none keyed by text or grams") {
+    val p = plan("pipeline_curation")
+    // three scoring stages are row-local; the probe is broadcast; what
+    // remains: contamination agg + anti-join + election + final agg on
+    // ids/fingerprints, plus the orderBy range exchange
+    assert(countExchanges(p) <= 6, p)
+    p.split("\\n\\n").toSeq
+      .filter(_.contains("Arguments: hashpartitioning")).foreach { b =>
+        val args = b.linesIterator
+          .find(_.trim.startsWith("Arguments: hashpartitioning")).getOrElse("")
+        assert(!args.contains("text#") && !args.contains("gram#")
+          && !args.contains("chunk_text#"), s"payload-keyed shuffle:\n$b")
+      }
+  }
 }
