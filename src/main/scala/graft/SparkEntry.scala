@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.ml.{Projection, TextFeatures}
-import graft.operators.{AsOf, Percentiles, Quality, Sampling}
+import graft.operators.{AsOf, Graph, Percentiles, Quality, Sampling}
 import graft.sources.{Csv, Writers}
 import graft.streaming.EventStreams
 
@@ -158,6 +158,7 @@ object SparkEntry {
     "text_langid", "text_token_counts", "text_quality_score", "text_entities",
     "text_chunk", "text_redact", "text_repetition", "decontaminate",
     "dedup_exact", "dedup_paragraph", "dedup_fingerprint", "dedup_simhash",
+    "dedup_clusters_gate",
     "pipeline_clean_corpus", "pipeline_curation", "sketch_freq_items",
     "sim_topk_brute", "sim_topk_ivf",
     "mm_content_hash", "mm_decode", "mm_frame_sample",
@@ -567,6 +568,23 @@ object SparkEntry {
         .filter(pmod($"l_orderkey" * lit(7919L) + $"l_linenumber", lit(1000L)) < 200)
         .select($"l_orderkey", $"l_linenumber")
         .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    "sample_mixture" -> ((s, dir) => {
+      import s.implicits._
+      // Data mixing: resample the corpus toward a target language
+      // mixture (50% en / 20% zh / 10% each de-es-fr of a 6000-token
+      // budget). The deterministic arithmetic row gate + all-integer
+      // thresholds let DuckDB replay the exact keep/drop set.
+      val docs = Tables.documents(s, dir).select($"doc_id", $"lang",
+        size(split($"text", " ")).cast("long").as("n_tok"))
+      Sampling.mixtureByBudget(docs, "lang", "n_tok",
+          weightsPermille = Map("en" -> 500, "zh" -> 200, "de" -> 100,
+            "es" -> 100, "fr" -> 100),
+          budgetTokens = 6000L,
+          rowGate = $"doc_id" * lit(7919L) + lit(13L))
+        .select($"doc_id", $"lang", $"n_tok")
+        .orderBy($"doc_id")
     }),
 
     "sample_bernoulli" -> ((s, dir) =>
@@ -1006,6 +1024,73 @@ object SparkEntry {
           minCosine = 0.35, planes = 4)
         .select($"id_a", $"id_b", round($"cosine", 6).as("cosine"))
         .orderBy($"id_a", $"id_b")
+    }),
+
+    "dedup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      // SIDE-EFFECTING (not a pure plan builder): connectedComponents
+      // runs its label-propagation rounds eagerly (localCheckpoint per
+      // round). Near-dup is NOT transitive, so pair output alone
+      // under-deduplicates: this is the transitive-closure step — every
+      // doc gets the smallest doc_id of its near-dup component as
+      // cluster_id (docs with no near-dup cluster to themselves). The
+      // edge set is the ngram-Jaccard>=0.5 pair graph the DuckDB
+      // oracle can recompute exactly; the oracle then replays the
+      // closure with a recursive CTE, so a wrong label ANYWHERE
+      // hash-mismatches. Production runs the same operator over
+      // simhash/minhash candidate pairs (see dedup_clusters_gate).
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+      val allPairs = docs.select($"doc_id".as("id_a"))
+        .crossJoin(docs.select($"doc_id".as("id_b")))
+        .filter($"id_a" < $"id_b")
+      val edges = Dedup.ngramJaccard(allPairs, docs, "text", "doc_id", n = 3)
+        .filter($"jaccard" >= 0.5)
+      Graph.assignClusters(docs.select($"doc_id"), "doc_id", edges)
+        .orderBy($"doc_id")
+    }),
+
+    "dedup_clusters_gate" -> ((s, dir) => {
+      import s.implicits._
+      // The production path: clusters over the FULL simhash-banded
+      // candidate graph (no doc_id cap, edges Spark-only). DuckDB
+      // cannot recompute simhash, so instead of value-matching we
+      // assert the two properties that DEFINE a canonical component
+      // labeling, computed over the whole graph inside the plan:
+      //   closure  — every edge joins two vertices with equal labels
+      //   minimal  — every label equals min(doc_id) over its members
+      // plus a non-degeneracy count (some real cluster exists).
+      val docs = Tables.documents(s, dir)
+      val edges = Dedup.simhashNearDup(docs, "text", "doc_id", maxHamming = 7)
+        .select($"id_a", $"id_b")
+      val assigned = Graph.assignClusters(docs.select($"doc_id"), "doc_id", edges)
+      val e2 = edges
+        .join(assigned.select($"doc_id".as("id_a"), $"cluster_id".as("ca")), "id_a")
+        .join(assigned.select($"doc_id".as("id_b"), $"cluster_id".as("cb")), "id_b")
+      val minimal = assigned.groupBy($"cluster_id")
+        .agg(min($"doc_id").as("min_member"))
+      e2.agg(coalesce(sum(when($"ca" =!= $"cb", 1).otherwise(0)), lit(0))
+          .as("n_open_edges"))
+        .crossJoin(minimal.agg(
+          sum(when($"cluster_id" =!= $"min_member", 1).otherwise(0))
+            .as("n_noncanonical")))
+        .crossJoin(assigned.filter($"cluster_id" =!= $"doc_id")
+          .agg(count(lit(1)).as("n_merged")))
+        .select($"n_open_edges" === 0, $"n_noncanonical" === 0, $"n_merged" > 0)
+        .toDF("closed", "canonical", "nontrivial")
+    }),
+
+    "shard_by_budget" -> ((s, dir) => {
+      import s.implicits._
+      // SIDE-EFFECTING (not a pure plan builder): the per-partition
+      // subtotal pass of the distributed prefix sum runs eagerly.
+      // Corpus → fixed-token-budget output shards (~2000 tokens each);
+      // the oracle recomputes the running sum with a window function,
+      // so any drift in the two-phase prefix sum hash-mismatches.
+      val docs = Tables.documents(s, dir).select($"doc_id",
+        size(split($"text", " ")).cast("long").as("n_tok"))
+      Scale.tokenShards(docs, "doc_id", "n_tok", budgetTokens = 2000L)
+        .select($"doc_id", $"shard_id")
+        .orderBy($"doc_id")
     }),
 
     // ---- dedup verification gates: each approximate/blocked tier is
@@ -2544,6 +2629,45 @@ object SparkEntry {
         |  FROM ch)
         |SELECT doc_id, chunk_no, chunk_text, chunk_tokens
         |FROM w WHERE rn = 1 ORDER BY doc_id, chunk_no""".stripMargin,
+
+    // the transitive closure replayed independently: same 3-gram
+    // Jaccard edge set as dedup_ngram_exact, then a recursive CTE
+    // walks each component (symmetric edges ⇒ reachable = component)
+    // and takes min(id) — exactly connectedComponents' contract
+    "dedup_clusters" ->
+      """WITH RECURSIVE
+        |t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id < 500),
+        |g AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(toks) - 3, 0) + 1),
+        |    i -> array_to_string(list_slice(toks, CAST(i AS INT) + 1,
+        |      least(CAST(i AS INT) + 3, len(toks))), ' '))) AS grams
+        |  FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.grams, b.grams)) AS inter,
+        |    len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS uni
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id),
+        |e AS (
+        |  SELECT id_a, id_b FROM p
+        |  WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.5),
+        |sym AS (
+        |  SELECT id_a AS u, id_b AS v FROM e
+        |  UNION SELECT id_b, id_a FROM e),
+        |walk(id, comp) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+        |  UNION
+        |  SELECT s.v, w.comp FROM walk w JOIN sym s ON s.u = w.id),
+        |cc AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
+        |SELECT d.doc_id, COALESCE(cc.comp, d.doc_id) AS cluster_id
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
+        |LEFT JOIN cc ON cc.id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "dedup_clusters_gate" ->
+      "SELECT true AS closed, true AS canonical, true AS nontrivial",
 
     "text_chunk" ->
       """WITH t AS (

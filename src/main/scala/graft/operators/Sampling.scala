@@ -52,4 +52,43 @@ object Sampling {
     * (README.md:190-199; Spark has no small-data failure mode). */
   def percent(df: DataFrame, pct: Double, seed: Long = 42L): DataFrame =
     df.sample(withReplacement = false, pct / 100.0, seed)
+
+  /** Mixture sampling to a token budget — the training-data "data
+    * mixing" step: given target mixture weights per group (language,
+    * source domain, ...) and a TOTAL token budget, keep each group at
+    * rate `min(1, budget*w_g / tokens_g)` via a deterministic per-row
+    * gate, so one pass yields a corpus approximating the target
+    * mixture. Groups absent from `weightsPermille` get weight 0
+    * (dropped); a group smaller than its target keeps everything
+    * (rate capped at 1 — no upsampling).
+    *
+    * All arithmetic is integer — permille weights, permyriad
+    * thresholds, integer `DIV` — so the keep/drop decision replays
+    * bit-identically in any engine (the DuckDB oracle re-derives it).
+    * `rowGate` must be a deterministic long per row (e.g. an
+    * arithmetic or hash function of the row's id) — uniformity of its
+    * low 4 digits is what makes the realized rate track the target.
+    *
+    * Scale: one hash-agg over the group dim (tiny), a broadcast join
+    * of that dim back, and a row-local gate — the corpus itself never
+    * shuffles. */
+  def mixtureByBudget(df: DataFrame, groupCol: String, tokenCol: String,
+      weightsPermille: Map[String, Int], budgetTokens: Long,
+      rowGate: Column): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0 (got $budgetTokens)")
+    require(weightsPermille.values.forall(_ >= 0), "weights must be >= 0")
+    // per-group token targets are driver constants: fold them into a
+    // literal CASE so the lookup is row-local (no weights join)
+    val targetCol = weightsPermille.foldLeft(lit(0L)) { case (acc, (g, w)) =>
+      when(col(groupCol) === lit(g), lit(budgetTokens * w / 1000L)).otherwise(acc)
+    }
+    val totals = df.groupBy(col(groupCol))
+      .agg(sum(col(tokenCol)).cast("long").as("__tot"))
+    df.join(broadcast(totals), Seq(groupCol))
+      .withColumn("__target", targetCol)
+      .withColumn("__thresh",
+        least(lit(10000L), expr("(10000 * __target) DIV __tot")))
+      .filter(pmod(rowGate, lit(10000L)) < col("__thresh"))
+      .drop("__tot", "__target", "__thresh")
+  }
 }

@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Scale-out machinery that only matters when the data no longer fits
   * one node: skew-salted joins and bucketed (pre-partitioned) tables
@@ -54,4 +56,59 @@ object Scale {
     * several downstream aggregations (pay the shuffle once). */
   def copartition(df: DataFrame, keyCol: String, partitions: Int): DataFrame =
     df.repartition(partitions, col(keyCol))
+
+  /** Token-budget sharding: assign every row a `shard_id` such that
+    * consecutive rows in `idCol` order accumulate ~`budgetTokens`
+    * tokens per shard — how a training corpus is split into
+    * fixed-token-count output files. A row's shard is
+    * `floor(tokens_before_it / budget)`, so the result is a pure
+    * function of the data (independent of partitioning) and a shard
+    * overshoots the budget by at most one row's tokens.
+    *
+    * The global running sum is a DISTRIBUTED PREFIX SUM, not a
+    * single-partition window (`Window.orderBy` with no partitionBy
+    * funnels 100 TB through one task): (1) range-repartition by id
+    * and sort within partitions; (2) one tiny aggregate collects the
+    * per-partition subtotals — `numPartitions` rows, the only
+    * driver-side state; (3) broadcast the exclusive prefix offsets
+    * back and stream each partition once, adding its offset to a local
+    * running sum (genuine per-partition imperative logic — the
+    * mapPartitions escape hatch earns its keep here). Null token
+    * counts count as 0. SIDE-EFFECTING at plan-construction time: the
+    * subtotal pass runs eagerly (the input is localCheckpoint'd so the
+    * range shuffle is paid once, not twice). */
+  def tokenShards(df: DataFrame, idCol: String, tokenCol: String,
+      budgetTokens: Long, partitions: Int = 0): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0 (got $budgetTokens)")
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(p, col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .localCheckpoint(true)
+    val tokIdx = ranged.schema.fieldIndex(tokenCol)
+    val sums = ranged
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(sum(col(tokenCol).cast("long")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      (0 until p).map { i =>
+        val o = i -> acc; acc += sums.getOrElse(i, 0L); o
+      }.toMap
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val outSchema = ranged.schema.add("shard_id", LongType, nullable = false)
+    ranged.mapPartitions { it =>
+      val off = bc.value.getOrElse(TaskContext.getPartitionId(), 0L)
+      var run = 0L
+      it.map { r =>
+        val t = if (r.isNullAt(tokIdx)) 0L
+          else r.getAs[Number](tokIdx).longValue()
+        val start = off + run
+        run += t
+        Row.fromSeq(r.toSeq :+ start / budgetTokens)
+      }
+    }(Encoders.row(outSchema))
+  }
 }

@@ -1,0 +1,72 @@
+package graft
+
+import scala.util.Random
+
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side union-find ground truth for property tests. */
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0L until n.toLong).map(i => i -> find(i)).toMap
+  }
+
+  test("two components, a chain and a triangle") {
+    // chain 1-2-3-4 (diameter 3) and triangle 10-11-12
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (12L, 10L))
+      .toDF("id_a", "id_b")
+    val cc = Graph.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("orientation and duplicate edges do not matter") {
+    val e1 = Seq((5L, 9L), (9L, 5L), (5L, 9L), (9L, 7L)).toDF("id_a", "id_b")
+    val cc = Graph.connectedComponents(e1).as[(Long, Long)].collect().toMap
+    assert(cc == Map(5L -> 5L, 9L -> 5L, 7L -> 5L))
+  }
+
+  test("assignClusters gives isolated docs their own id") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("doc_id", "text")
+    val edges = Seq((2L, 4L)).toDF("id_a", "id_b")
+    val out = Graph.assignClusters(docs, "doc_id", edges)
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 2L))
+  }
+
+  test("non-convergence fails loudly rather than returning bad labels") {
+    // a 12-vertex path has diameter 11 > maxIter 2 rounds of hash-min
+    val edges = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.connectedComponents(edges, maxIter = 2)
+    }
+    assert(ex.getMessage.contains("converge"))
+  }
+
+  test("property: labels match driver-side union-find on random graphs") {
+    val rnd = new Random(42)
+    (1 to 8).foreach { _ =>
+      val n = 2 + rnd.nextInt(23)
+      val es = Seq.fill(1 + rnd.nextInt(40))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      if (es.nonEmpty) {
+        val truth = unionFind(n, es)
+        val cc = Graph.connectedComponents(es.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+        cc.foreach { case (id, comp) => assert(comp == truth(id),
+          s"vertex $id: got $comp, union-find says ${truth(id)} (edges=$es)") }
+      }
+    }
+  }
+}
