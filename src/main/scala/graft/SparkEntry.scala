@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.ml.{Projection, TextFeatures}
-import graft.operators.{AsOf, Graph, Percentiles, Quality, Sampling}
+import graft.operators.{AsOf, Graph, Percentiles, Quality, Sampling, Scale}
 import graft.sources.{Csv, Writers}
 import graft.streaming.EventStreams
 
