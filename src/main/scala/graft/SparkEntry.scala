@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{CorpusOverlap, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.ml.{Projection, TextFeatures}
 import graft.operators.{AsOf, Graph, Percentiles, Quality, Sampling, Scale}
 import graft.sources.{Csv, Writers}
@@ -147,16 +147,17 @@ object SparkEntry {
     "win_topk_parts", "win_running_total", "win_lag_delta", "win_rank_family",
     "set_union", "set_intersect", "set_except",
     "sample_first_n", "sample_by_key", "sample_rows_det", "sample_bernoulli",
-    "sample_percent", "sample_stratified",
+    "sample_percent", "sample_stratified", "split_train_test",
     "feat_percentile_buckets", "feat_percentile_buckets_approx",
     "feat_percentile_buckets_window", "pipeline_feature_matrix",
     "dq_invalid_codes", "dq_profile",
     "date_monthly_orders", "json_event_stats", "str_funcs", "parse_money",
     "evt_tumbling", "evt_sliding", "evt_sessionize", "evt_session_window",
-    "evt_stream_join",
+    "evt_stream_join", "evt_funnel",
     "text_stats", "text_quality", "text_term_freq", "text_lang_dist",
     "text_langid", "text_token_counts", "text_quality_score", "text_entities",
-    "text_chunk", "text_redact", "text_repetition", "decontaminate",
+    "text_chunk", "text_redact", "text_repetition", "text_compress_gate",
+    "decontaminate", "corpus_overlap",
     "dedup_exact", "dedup_paragraph", "dedup_fingerprint", "dedup_simhash",
     "dedup_clusters_gate",
     "pipeline_clean_corpus", "pipeline_curation", "sketch_freq_items",
@@ -584,6 +585,19 @@ object SparkEntry {
           budgetTokens = 6000L,
           rowGate = $"doc_id" * lit(7919L) + lit(13L))
         .select($"doc_id", $"lang", $"n_tok")
+        .orderBy($"doc_id")
+    }),
+
+    "split_train_test" -> ((s, dir) => {
+      import s.implicits._
+      // Reproducible 80/10/10 train/val/test split: the assignment is
+      // a pure function of doc_id, so appends never reshuffle old rows
+      // across splits (the no-leakage contract randomSplit can't give).
+      // Portable arithmetic gate here so DuckDB replays the ladder
+      // bit-for-bit; production uses Sampling.splitByKey (xxhash64).
+      Sampling.splitByHash(Tables.documents(s, dir).select($"doc_id"),
+          splits = Seq("train" -> 800, "val" -> 100, "test" -> 100),
+          gate = $"doc_id" * lit(7919L) + lit(31L))
         .orderBy($"doc_id")
     }),
 
@@ -1438,6 +1452,44 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    "corpus_overlap" -> ((s, dir) => {
+      import s.implicits._
+      // Vocabulary overlap between two sources (doc_id parity split of
+      // the corpus): exact md5-keyed 3-gram Jaccard, value-matched by
+      // the oracle, plus a boolean pinning the KMV sketch — the 100 TB
+      // production path — to within 0.1 of the exact answer (k=1024 ⇒
+      // ~3σ at 1/sqrt(k) ≈ 0.03).
+      val docs = Tables.documents(s, dir)
+      val a = docs.filter($"doc_id" % 2 === 0)
+      val b = docs.filter($"doc_id" % 2 =!= 0)
+      val est = CorpusOverlap.kmvEstimate(a, b, "text", n = 3, k = 1024)
+      CorpusOverlap.exact(a, b, "text", n = 3)
+        .crossJoin(est)
+        // jaccard ships unrounded: one IEEE division of exact ints is
+        // bit-identical across engines, while round() is not
+        .select($"n_grams_a", $"n_grams_b", $"n_shared", $"jaccard",
+          (abs($"est_jaccard" - $"jaccard") <= 0.1).as("kmv_ok"))
+    }),
+
+    "text_compress_gate" -> ((s, dir) => {
+      import s.implicits._
+      // Compression-ratio quality signal (deflate_length expression):
+      // DuckDB can't deflate, so the gate pins the two per-document
+      // inequalities that hold for EVERY input by zlib's contracts —
+      // stored-block bound (len <= n + 5*ceil(n/65535) + tiny) and
+      // sub-additivity under doubling (deflate(t||t) finds the repeat)
+      // — aggregated with bool_and so one violation anywhere fails.
+      val scored = Tables.documents(s, dir).select(
+        graft.functions.deflate_length($"text").as("dl"),
+        graft.functions.deflate_length(concat($"text", $"text")).as("dl2"),
+        octet_length($"text").as("nb"))
+      scored.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(bool_and($"dl" > 0 && $"dl" <= $"nb" + ($"nb" / 65535 + 1) * 5 + 8),
+          lit(true)).as("bounded"),
+        coalesce(bool_and($"dl2" < $"dl" * 2 + 16), lit(true)).as("sublinear_double"))
+    }),
+
     "text_entities" -> ((s, dir) => {
       import s.implicits._
       // entity array joined to one sortable string: raw array<string>
@@ -1776,6 +1828,18 @@ object SparkEntry {
         .withColumn("session_start", date_trunc("second", $"session_start"))
         .orderBy($"user_id", $"session_start")
     }),
+
+    "evt_funnel" -> ((s, dir) => {
+      import s.implicits._
+      // view -> click -> purchase conversion funnel: earliest per-user
+      // completion time of each stage, later stages NULL where the
+      // funnel stalled. The min-chain semantics are pure inequalities,
+      // so the oracle replays them with three chained CTEs.
+      EventStreams.funnel(Tables.events(s, dir),
+          steps = Seq("view", "click", "purchase"))
+        .toDF("user_id", "t_view", "t_click", "t_purchase")
+        .orderBy($"user_id")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1959,6 +2023,67 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber FROM lineitem
         |WHERE (l_orderkey * 7919 + l_linenumber) % 1000 < 200
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "split_train_test" ->
+      """SELECT doc_id,
+        |  CASE WHEN (doc_id * 7919 + 31) % 1000 >= 900 THEN 'test'
+        |       WHEN (doc_id * 7919 + 31) % 1000 >= 800 THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "evt_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts >= s1.t_view
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t_click
+        |  GROUP BY e.user_id)
+        |SELECT s1.user_id, t_view, t_click, t_purchase
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY s1.user_id""".stripMargin,
+
+    // exact columns value-matched (DuckDB recomputes the md5-keyed
+    // 3-gram vocabularies from scratch); the KMV-sketch arm is the
+    // boolean gate
+    "corpus_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+        |    list_distinct(list_transform(range(0, len(toks) - 2),
+        |      i -> array_to_string(list_slice(toks, CAST(i AS INT) + 1, CAST(i AS INT) + 3), ' ')))
+        |    ELSE [] END AS grams
+        |  FROM t),
+        |k AS (
+        |  SELECT md5(unnest(grams)) AS k,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS in_a,
+        |    CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END AS in_b
+        |  FROM g),
+        |m AS (SELECT k, max(in_a) AS in_a, max(in_b) AS in_b FROM k GROUP BY k),
+        |agg AS (
+        |  SELECT CAST(sum(in_a) AS BIGINT) AS n_grams_a,
+        |    CAST(sum(in_b) AS BIGINT) AS n_grams_b,
+        |    CAST(sum(in_a * in_b) AS BIGINT) AS n_shared
+        |  FROM m)
+        |SELECT n_grams_a, n_grams_b, n_shared,
+        |  CAST(n_shared AS DOUBLE) /
+        |    CAST(n_grams_a + n_grams_b - n_shared AS DOUBLE) AS jaccard,
+        |  true AS kmv_ok
+        |FROM agg""".stripMargin,
+
+    // zlib-contract gate: the per-document inequalities hold for every
+    // input, so the oracle is the literal all-true row plus the count
+    "text_compress_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  true AS bounded, true AS sublinear_double
+        |FROM documents""".stripMargin,
 
     "feat_percentile_buckets" ->
       """WITH p AS (

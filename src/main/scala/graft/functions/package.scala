@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftShims, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions._
 
-import graft.expr.{CosineSimilarity, DocFingerprint, RegexpExtractOrNull, RepetitionStats, SimHash64, TokenNGrams}
+import graft.expr.{CosineSimilarity, DeflateLength, DocFingerprint, RegexpExtractOrNull, RepetitionStats, SimHash64, TokenNGrams}
 
 /** The engine's scalar-function surface: thin `Column` builders over
   * custom Catalyst expressions plus named compositions of built-ins.
@@ -38,6 +38,17 @@ package object functions {
   /** Whitespace-token n-grams as array<string> (codegen'd one-pass;
     * see [[graft.expr.TokenNGrams]]). */
   def token_ngrams(c: Column, n: Int): Column = col(TokenNGrams(ex(c), n))
+
+  /** Raw-DEFLATE byte length of a string (codegen'd; see
+    * [[graft.expr.DeflateLength]]). */
+  def deflate_length(c: Column): Column = col(DeflateLength(ex(c)))
+
+  /** Compression-ratio quality signal: `deflate_len / utf8_len`,
+    * NULL-safe on empty strings. Repetitive boilerplate scores low,
+    * random noise scores high; curation filters cut both tails. */
+  def compression_ratio(c: Column): Column =
+    deflate_length(c).cast("double") /
+      nullif(octet_length(c), lit(0)).cast("double")
 
   /** Bloom-filter aggregate over a LONG column as a Column builder
     * (the SQL name `bloom_filter_agg` is registered separately). */
@@ -93,6 +104,10 @@ package object functions {
         TokenNGrams(c, n.eval().asInstanceOf[Number].intValue())
       case _ => throw new IllegalArgumentException(
         "token_ngrams(text, n) — n must be a literal")
+    }),
+    ("deflate_length", classOf[DeflateLength], {
+      case Seq(c) => DeflateLength(c)
+      case _ => throw new IllegalArgumentException("deflate_length(text)")
     }),
     // Spark ships Bloom-filter expressions for its runtime filters but
     // does not register them publicly; the engine exposes them — the

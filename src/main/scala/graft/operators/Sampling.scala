@@ -91,4 +91,41 @@ object Sampling {
       .filter(pmod(rowGate, lit(10000L)) < col("__thresh"))
       .drop("__tot", "__target", "__thresh")
   }
+
+  /** Deterministic train/validation/test split: every row gets a
+    * `split` label from its hash bucket, so the assignment is a pure
+    * function of the row's key — reproducible across re-runs, stable
+    * under appends (an old row never changes split when new rows
+    * arrive, unlike `randomSplit` whose assignment depends on
+    * partitioning), and disjoint/exhaustive by construction. This is
+    * THE contract an ML pipeline needs to guarantee no train/test
+    * leakage across retrainings.
+    *
+    * `splits` maps label -> permille weight (must sum to 1000);
+    * buckets are carved from the cumulative ladder in the given order.
+    * `gate` is any deterministic long per row — `xxhash64(key, seed)`
+    * in production (see [[splitByKey]]), or a portable arithmetic hash
+    * when an external engine must replay the assignment exactly.
+    *
+    * Scale: a row-local projection — no shuffle, no sort, nothing
+    * collected. */
+  def splitByHash(df: DataFrame, splits: Seq[(String, Int)],
+      gate: Column): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 1000,
+      s"split weights must sum to 1000 permille (got $splits)")
+    val bucket = pmod(gate, lit(1000L))
+    val ladder = splits.scanLeft(0)(_ + _._2).init.zip(splits)
+    val labelCol = ladder.tail.foldLeft(lit(ladder.head._2._1)) {
+      case (acc, (lo, (name, _))) => when(bucket >= lit(lo), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", labelCol)
+  }
+
+  /** [[splitByHash]] keyed by `keyCol` with the production xxhash64
+    * gate. Keying by a GROUP id (user, document cluster, session)
+    * rather than the row id is what keeps correlated rows out of
+    * opposite splits. */
+  def splitByKey(df: DataFrame, keyCol: String, splits: Seq[(String, Int)],
+      seed: Int = 42): DataFrame =
+    splitByHash(df, splits, xxhash64(col(keyCol), lit(seed)))
 }

@@ -139,4 +139,37 @@ object EventStreams {
   }
 
   case class SessState(start: Long, last: Long, n: Long, sum: Double)
+
+  /** Ordered funnel analysis: for each user, the earliest timestamp at
+    * which each successive step was completed, where step i counts
+    * only at-or-after the user's step i-1 completion time (`>=`, so
+    * simultaneous events — same-batch logging — advance the funnel).
+    * A user appears iff they completed step 1; later columns are NULL
+    * from the first step not reached. The min-chain formulation is
+    * order-free (pure inequalities, no processing-order dependence),
+    * so any engine replays it exactly.
+    *
+    * Scale: each stage filters to ONE event type (predicate pushed to
+    * the scan) and joins/aggregates on the user key; every exchange
+    * hash-partitions on `userCol`, so Spark reuses the first stage's
+    * partitioning instead of re-shuffling the chain. */
+  def funnel(events: DataFrame, steps: Seq[String], userCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type"): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps (got $steps)")
+    val s0 = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))
+    steps.tail.zipWithIndex.foldLeft(s0) { case (acc, (step, i)) =>
+      val prevT = s"t${i + 1}"
+      val evs = events.filter(col(typeCol) === step)
+        .select(col(userCol), col(tsCol).as("__ts"))
+      // prior stage times are constant per user after the join, so
+      // min() reproduces them exactly while keeping the group key
+      // minimal (the user id alone)
+      val priors = (1 to i + 1).map(j => min(col(s"t$j")).as(s"t$j"))
+      acc.join(evs, Seq(userCol), "left")
+        .groupBy(col(userCol))
+        .agg(priors.head, priors.tail :+
+          min(when(col("__ts") >= col(prevT), col("__ts"))).as(s"t${i + 2}"): _*)
+    }
+  }
 }

@@ -80,6 +80,19 @@ class PlanSpec extends SparkSpec {
     assert(df.agg(min($"c")).head().getDouble(0) > 0.99)
   }
 
+  test("deflate_length stays inside whole-stage codegen") {
+    spark.catalog.clearCache()
+    val df = Tables.documents(spark, sf0001)
+      .select(graft.functions.deflate_length($"text").as("dl"))
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.linesIterator.exists(_.matches("^\\*.*Project.*")), p)
+    assert(df.agg(min($"dl")).head().getInt(0) > 0)
+  }
+
+  test("split_train_test is a row-local projection — only the sort exchange") {
+    assert(countExchanges(plan("split_train_test")) <= 1)
+  }
+
   test("semi/anti joins plan as joins, not subquery re-scans") {
     assert(plan("join_semi").contains("LeftSemi"))
     assert(plan("join_anti").contains("LeftAnti"))

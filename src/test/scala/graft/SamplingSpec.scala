@@ -44,6 +44,45 @@ class SamplingSpec extends SparkSpec {
     assert(rows.sameElements(rows.sorted))
   }
 
+  test("splitByKey: disjoint, exhaustive, near target proportions") {
+    val splits = Seq("train" -> 800, "val" -> 100, "test" -> 100)
+    val got = Sampling.splitByKey(lineitem, "l_orderkey", splits)
+    val n = lineitem.count()
+    val byLabel = got.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exhaustive: every row got exactly one of the three labels
+    assert(byLabel.values.sum == n)
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    // proportions: keyed gate (per order), so tolerance is loose
+    assert(math.abs(byLabel("train").toDouble / n - 0.8) < 0.08,
+      s"train frac ${byLabel("train").toDouble / n}")
+  }
+
+  test("splitByKey: assignment is stable under appends (subset-invariant)") {
+    val splits = Seq("train" -> 900, "test" -> 100)
+    val all = Sampling.splitByKey(orders, "o_custkey", splits)
+      .select($"o_orderkey", $"split")
+    val subset = Sampling.splitByKey(orders.filter($"o_orderkey" < 3000), "o_custkey", splits)
+      .select($"o_orderkey", $"split".as("split2"))
+    // the same row gets the same split whether or not other rows exist
+    assert(all.join(subset, "o_orderkey")
+      .filter($"split" =!= $"split2").count() == 0)
+  }
+
+  test("splitByKey: per-key atomicity — a key never straddles splits") {
+    val got = Sampling.splitByKey(lineitem, "l_orderkey",
+      Seq("a" -> 500, "b" -> 500))
+    assert(got.groupBy("l_orderkey")
+      .agg(countDistinct($"split").as("k"))
+      .filter($"k" > 1).count() == 0)
+  }
+
+  test("splitByHash rejects weights that don't sum to 1000") {
+    intercept[IllegalArgumentException] {
+      Sampling.splitByHash(orders, Seq("a" -> 500), lit(1L))
+    }
+  }
+
   test("stratified sampleBy approximates requested fractions") {
     val fr = Map("BUILDING" -> 0.5, "MACHINERY" -> 0.1)
     val c = Tables.customer(spark, sf001)

@@ -251,4 +251,24 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(streamed == Tables.events(spark, sf0001).count())
   }
+
+  test("funnel: min-chain stage times, stalls go NULL, >= admits ties") {
+    val events = Seq(
+      // user 1 completes all three stages in order
+      (1L, ts(0), 1L, "view"), (1L, ts(5), 1L, "click"), (1L, ts(9), 1L, "buy"),
+      // user 2: click BEFORE the first view never counts; no click after
+      (2L, ts(1), 2L, "click"), (2L, ts(4), 2L, "view"),
+      // user 3: view and click simultaneous — >= lets the funnel advance
+      (3L, ts(7), 3L, "view"), (3L, ts(7), 3L, "click"),
+      // user 4 never views: absent from the result entirely
+      (4L, ts(2), 4L, "click"), (4L, ts(3), 4L, "buy"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventStreams.funnel(events, Seq("view", "click", "buy"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getTimestamp(1), r.getTimestamp(2), r.getTimestamp(3))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((ts(0), ts(5), ts(9))))
+    assert(got(2L) == ((ts(4), null, null)))
+    assert(got(3L) == ((ts(7), ts(7), null)))
+  }
 }

@@ -138,4 +138,32 @@ class TextAnalysisSpec extends SparkSpec {
     val doc2 = chunks.filter(_._1 == 2L)
     assert(doc2.length == 1 && doc2(0)._3 == "just three tokens" && doc2(0)._4 == 3)
   }
+
+  test("deflate_length matches a direct Deflater run and orders by entropy") {
+    val repetitive = "spam " * 200
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "takes a long nap under the old oak tree near the river bank"
+    val df = Seq((1L, repetitive), (2L, prose), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+        graft.functions.deflate_length($"text").as("dl"),
+        graft.functions.compression_ratio($"text").as("ratio"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else (r.getInt(1), r.getDouble(2)))).toMap
+    // reference value straight from java.util.zip on the same bytes
+    assert(got(1L)._1 == graft.expr.DeflateLength.compute(
+      repetitive.getBytes("UTF-8")))
+    // repetitive text compresses far below natural prose
+    assert(got(1L)._2 < 0.1, s"repetitive ratio ${got(1L)._2}")
+    assert(got(2L)._2 > 0.5, s"prose ratio ${got(2L)._2}")
+    // null propagates
+    assert(got(3L) == null)
+  }
+
+  test("deflate_length is usable from SQL after registerAll") {
+    graft.functions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT deflate_length('aaaaaaaaaaaaaaaaaaaaaaaa') AS dl").collect()(0)
+    assert(r.getInt(0) > 0 && r.getInt(0) < 24)
+  }
 }
