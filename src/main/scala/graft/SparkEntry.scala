@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.llm.{CorpusOverlap, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.ml.{Projection, TextFeatures}
-import graft.operators.{AsOf, Graph, Percentiles, Quality, Sampling, Scale}
+import graft.operators.{AsOf, Graph, Merge, Percentiles, Quality, Sampling, Scale}
 import graft.sources.{Csv, Writers}
 import graft.streaming.EventStreams
 
@@ -145,7 +145,9 @@ object SparkEntry {
     "date_funcs", "null_handling", "str_levenshtein", "sketch_bloom",
     "join_semi", "join_anti", "join_salted", "agg_copartition", "asof_signup_value",
     "win_topk_parts", "win_running_total", "win_lag_delta", "win_rank_family",
+    "win_rolling_range",
     "set_union", "set_intersect", "set_except",
+    "merge_upsert", "merge_scd2",
     "sample_first_n", "sample_by_key", "sample_rows_det", "sample_bernoulli",
     "sample_percent", "sample_stratified", "split_train_test",
     "feat_percentile_buckets", "feat_percentile_buckets_approx",
@@ -153,7 +155,7 @@ object SparkEntry {
     "dq_invalid_codes", "dq_profile",
     "date_monthly_orders", "json_event_stats", "str_funcs", "parse_money",
     "evt_tumbling", "evt_sliding", "evt_sessionize", "evt_session_window",
-    "evt_stream_join", "evt_funnel",
+    "evt_stream_join", "evt_funnel", "evt_retention",
     "text_stats", "text_quality", "text_term_freq", "text_lang_dist",
     "text_langid", "text_token_counts", "text_quality_score", "text_entities",
     "text_chunk", "text_redact", "text_repetition", "text_compress_gate",
@@ -542,6 +544,40 @@ object SparkEntry {
       Tables.customer(s, dir).select($"c_nationkey".as("nationkey"))
         .except(Tables.supplier(s, dir).select($"s_nationkey".as("nationkey")))
         .orderBy($"nationkey")
+    }),
+
+    // ============ Changeset application (MERGE family) ============
+    "merge_upsert" -> ((s, dir) => {
+      import s.implicits._
+      // SCD1 upsert: a deterministic changeset derived from the data —
+      // keys %10==3 get price+1000 (those also %100==33 are deletes),
+      // negated keys %10==4 are inserts. The oracle replays the same
+      // anti-join-plus-union algebra in SQL.
+      val base = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val upd = Tables.orders(s, dir).filter($"o_orderkey" % 10 === 3)
+        .select($"o_orderkey", $"o_custkey",
+          ($"o_totalprice" + 1000.0).as("o_totalprice"),
+          ($"o_orderkey" % 100 === 33).as("is_delete"))
+      val ins = Tables.orders(s, dir).filter($"o_orderkey" % 10 === 4)
+        .select((-$"o_orderkey").as("o_orderkey"), $"o_custkey",
+          $"o_totalprice", lit(false).as("is_delete"))
+      Merge.upsert(base, upd.unionByName(ins), Seq("o_orderkey"),
+          deleteCol = Some("is_delete"))
+        .orderBy($"o_orderkey")
+    }),
+
+    "merge_scd2" -> ((s, dir) => {
+      import s.implicits._
+      // SCD2 history build over the events changelog: each user's
+      // value-versions get [valid_from, valid_to) effective ranges,
+      // open-ended (NULL) for the current one. (user_id, ts) is unique
+      // in the data, so the ordering is total.
+      Merge.scd2(Tables.events(s, dir)
+            .select($"user_id", $"ts", $"value"),
+          keyCols = Seq("user_id"), tsCol = "ts")
+        .select($"user_id", $"valid_from", $"valid_to", $"is_current", $"value")
+        .orderBy($"user_id", $"valid_from")
     }),
 
     // ================= Sampling (SURVEY §2.6, P3) =================
@@ -1829,6 +1865,36 @@ object SparkEntry {
         .orderBy($"user_id", $"session_start")
     }),
 
+    "evt_retention" -> ((s, dir) => {
+      import s.implicits._
+      // Cohort retention matrix: users bucketed by first-active week,
+      // counted in each later week they return. Weeks are Monday-
+      // truncated dates in both engines; offsets are exact multiples
+      // of 7 days, so the integer week arithmetic replays anywhere.
+      val ev = Tables.events(s, dir)
+        .select($"user_id", date_trunc("week", $"ts").cast("date").as("wk"))
+      val cohort = ev.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+      ev.distinct().join(cohort, "user_id")
+        .groupBy($"cohort_wk",
+          (datediff($"wk", $"cohort_wk") / 7).cast("long").as("week_offset"))
+        .agg(count_distinct($"user_id").as("n_users"))
+        .orderBy($"cohort_wk", $"week_offset")
+    }),
+
+    "win_rolling_range" -> ((s, dir) => {
+      import s.implicits._
+      // Event-time rolling 1-hour sum per user — a RANGE frame over
+      // integer microseconds (micro-aligned in the data, so Spark's
+      // micros == DuckDB's epoch_us and the frames agree exactly);
+      // decimal inside the sum, double only at the edge.
+      val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      Tables.events(s, dir)
+        .select($"event_id", $"user_id",
+          sum($"value".cast("decimal(18,6)")).over(w).cast("double").as("roll_1h"))
+        .orderBy($"event_id")
+    }),
+
     "evt_funnel" -> ((s, dir) => {
       import s.implicits._
       // view -> click -> purchase conversion funnel: earliest per-user
@@ -2030,6 +2096,49 @@ object SparkEntry {
         |       WHEN (doc_id * 7919 + 31) % 1000 >= 800 THEN 'val'
         |       ELSE 'train' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "merge_upsert" ->
+      """WITH changes AS (
+        |  SELECT o_orderkey AS k, o_custkey AS c,
+        |    o_totalprice + 1000 AS p, o_orderkey % 100 = 33 AS del
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT -o_orderkey, o_custkey, o_totalprice, false
+        |  FROM orders WHERE o_orderkey % 10 = 4),
+        |kept AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT k FROM changes))
+        |SELECT * FROM kept
+        |UNION ALL
+        |SELECT k, c, p FROM changes WHERE NOT del
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "merge_scd2" ->
+      """SELECT user_id, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current,
+        |  value
+        |FROM events
+        |ORDER BY user_id, valid_from""".stripMargin,
+
+    "evt_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        |cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, wk FROM ev)
+        |SELECT cohort_wk, CAST((wk - cohort_wk) // 7 AS BIGINT) AS week_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM act JOIN cohort USING (user_id)
+        |GROUP BY cohort_wk, week_offset
+        |ORDER BY cohort_wk, week_offset""".stripMargin,
+
+    "win_rolling_range" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_1h
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
 
     "evt_funnel" ->
       """WITH s1 AS (

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Merge
+
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsert: update, insert, delete in one changeset") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val changes = Seq(
+      (2L, "B", false),  // update
+      (4L, "d", false),  // insert
+      (3L, null.asInstanceOf[String], true)) // delete
+      .toDF("id", "v", "is_delete")
+    val got = Merge.upsert(base, changes, Seq("id"), Some("is_delete"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "B", 4L -> "d"))
+  }
+
+  test("upsert: anti join broadcasts a small changeset — base payload never shuffles") {
+    val base = Tables.orders(spark, sf001)
+    val changes = base.limit(10).withColumn("is_delete", lit(false))
+    val plan = Merge.upsert(base, changes, Seq("o_orderkey"), Some("is_delete"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+  }
+
+  test("latestByKey keeps exactly the highest version per key") {
+    val log = Seq((1L, 1L, "x"), (1L, 3L, "z"), (1L, 2L, "y"), (2L, 1L, "p"))
+      .toDF("id", "version", "v")
+    val got = Merge.latestByKey(log, Seq("id"), "version")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(1L -> "z", 2L -> "p"))
+  }
+
+  test("scd2: effective ranges chain, exactly one current row per key") {
+    val ts = (m: Int) => new java.sql.Timestamp(m * 60000L)
+    val log = Seq((1L, ts(0), "a"), (1L, ts(10), "b"), (1L, ts(20), "c"),
+      (2L, ts(5), "q")).toDF("id", "ts", "v")
+    val rows = Merge.scd2(log, Seq("id"), "ts")
+      .select($"id", $"valid_from", $"valid_to", $"is_current", $"v")
+      .collect()
+    val k1 = rows.filter(_.getLong(0) == 1L).sortBy(_.getTimestamp(1).getTime)
+    // each version closes exactly when the next opens
+    assert(k1.map(_.getTimestamp(1)) sameElements Array(ts(0), ts(10), ts(20)))
+    assert(k1(0).getTimestamp(2) == ts(10) && k1(1).getTimestamp(2) == ts(20))
+    assert(k1(2).getTimestamp(2) == null && k1(2).getBoolean(3))
+    assert(rows.count(r => r.getBoolean(3)) == 2) // one current row per key
+  }
+}
