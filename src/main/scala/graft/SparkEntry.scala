@@ -836,6 +836,27 @@ object SparkEntry {
       s.read.schema(docs.schema).json(out).orderBy($"doc_id")
     }),
 
+    "schema_evolution" -> ((s, dir) => {
+      import s.implicits._
+      // Data-lake schema evolution: an old writer produced 2-column
+      // files, a new writer adds o_totalprice; a mergeSchema read must
+      // see the union schema with NULLs for the old files' missing
+      // column. Oracle recomputes the same counts from the source —
+      // any row lost or column misaligned in the merge shifts them.
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_evo_${math.abs(dir.hashCode)}"
+      val orders = Tables.orders(s, dir)
+      orders.filter($"o_orderkey" % 2 === 0)
+        .select($"o_orderkey", $"o_custkey")
+        .write.mode("overwrite").parquet(s"$out/v1")
+      orders.filter($"o_orderkey" % 2 =!= 0)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .write.mode("overwrite").parquet(s"$out/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
+        .agg(count(lit(1)).as("n_rows"),
+          count($"o_totalprice").as("n_with_price"),
+          sum($"o_totalprice".cast("decimal(24,8)")).cast("double").as("sum_price"))
+    }),
+
     "wholefile_scan" -> ((s, dir) => {
       import s.implicits._
       // sc.wholeTextFiles analogue (README.md:297): one row per file
@@ -2314,6 +2335,14 @@ object SparkEntry {
 
     "jsonl_roundtrip" ->
       """SELECT doc_id, lang, text FROM documents ORDER BY doc_id""",
+
+    "schema_evolution" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(CASE WHEN o_orderkey % 2 <> 0 THEN 1 END) AS BIGINT)
+        |    AS n_with_price,
+        |  CAST(sum(CASE WHEN o_orderkey % 2 <> 0
+        |    THEN CAST(o_totalprice AS DECIMAL(24,8)) END) AS DOUBLE) AS sum_price
+        |FROM orders""".stripMargin,
 
     "catalog_table_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n_orders,

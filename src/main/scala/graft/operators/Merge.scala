@@ -46,6 +46,55 @@ object Merge {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Streaming CDC apply — the `foreachBatch` body that turns a
+    * changelog stream into versioned table snapshots:
+    * {{{
+    * stream.writeStream.foreachBatch { (batch, id) =>
+    *   Merge.applyChangeBatch(base, id, batch, Seq("k"), "version", Some("del"))
+    * }
+    * }}}
+    * Batch `i` reads the newest snapshot with version < i, applies the
+    * micro-batch's net effect ([[latestByKey]] then [[upsert]]), and
+    * overwrites `dir/v=i`. Exactly-once falls out of determinism: a
+    * replayed batch (restart between sink write and checkpoint commit)
+    * has the same id and same content, so it rewrites `v=i`
+    * byte-identically instead of double-applying. Readers pick the
+    * highest complete version — the snapshot-isolation convention of
+    * every log-structured table format, minus the format dependency.
+    */
+  def applyChangeBatch(targetBase: String, batchId: Long, changes: DataFrame,
+      keyCols: Seq[String], versionCol: String,
+      deleteCol: Option[String] = None): Unit = {
+    val spark = changes.sparkSession
+    val prior = latestSnapshotVersion(spark, targetBase, below = batchId)
+    val net = latestByKey(changes, keyCols, versionCol).drop(versionCol)
+    val base = prior match {
+      case Some(v) => spark.read.parquet(s"$targetBase/v=$v")
+      case None =>
+        val cols = deleteCol.map(d => net.drop(d)).getOrElse(net).schema
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cols)
+    }
+    upsert(base, net, keyCols, deleteCol)
+      .write.mode("overwrite").parquet(s"$targetBase/v=$batchId")
+  }
+
+  /** Highest committed snapshot version under `targetBase` (strictly
+    * below `below` when scanning for a batch's base). Listing is one
+    * driver-side FS call over version directories, not data files. */
+  def latestSnapshotVersion(spark: org.apache.spark.sql.SparkSession,
+      targetBase: String, below: Long = Long.MaxValue): Option[Long] = {
+    val path = new org.apache.hadoop.fs.Path(targetBase)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else fs.listStatus(path).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("v=") => s.stripPrefix("v=").toLong }
+      .filter(_ < below)
+      .sorted(Ordering[Long].reverse)
+      .headOption
+  }
+
   /** SCD-type-2 history build: turn a changelog into effective-dated
     * rows — each version valid from its own timestamp until the key's
     * next version (`valid_to` NULL = current). One window over the

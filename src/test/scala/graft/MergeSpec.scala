@@ -34,6 +34,57 @@ class MergeSpec extends SparkSpec {
     assert(got == Map(1L -> "z", 2L -> "p"))
   }
 
+  test("applyChangeBatch: streaming CDC snapshots, idempotent on batch replay") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    def batch(rows: Seq[(Long, Long, String, Boolean)]) =
+      rows.toDF("id", "version", "v", "is_delete")
+
+    // batch 0: initial load (includes an intra-batch version conflict)
+    Merge.applyChangeBatch(dir, 0L,
+      batch(Seq((1L, 1L, "a0", false), (1L, 2L, "a1", false), (2L, 1L, "b", false))),
+      Seq("id"), "version", Some("is_delete"))
+    // batch 1: update 1, delete 2, insert 3
+    Merge.applyChangeBatch(dir, 1L,
+      batch(Seq((1L, 3L, "a2", false), (2L, 2L, null, true), (3L, 1L, "c", false))),
+      Seq("id"), "version", Some("is_delete"))
+
+    def snapshot() = {
+      val v = Merge.latestSnapshotVersion(spark, dir).get
+      spark.read.parquet(s"$dir/v=$v").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    assert(snapshot() == Map(1L -> "a2", 3L -> "c"))
+
+    // replay batch 1 (restart between sink write and checkpoint
+    // commit): the rewrite must not double-apply or corrupt
+    Merge.applyChangeBatch(dir, 1L,
+      batch(Seq((1L, 3L, "a2", false), (2L, 2L, null, true), (3L, 1L, "c", false))),
+      Seq("id"), "version", Some("is_delete"))
+    assert(snapshot() == Map(1L -> "a2", 3L -> "c"))
+  }
+
+  test("applyChangeBatch drives a real foreachBatch stream end-to-end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_stream").toString
+    val in = MemoryStream[(Long, Long, String, Boolean)]
+    val q = in.toDF().toDF("id", "version", "v", "is_delete")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        Merge.applyChangeBatch(dir, id, b, Seq("id"), "version", Some("is_delete"))
+      }
+      .start()
+    in.addData((1L, 1L, "x", false), (2L, 1L, "y", false))
+    q.processAllAvailable()
+    in.addData((1L, 2L, "x2", false), (2L, 2L, null, true))
+    q.processAllAvailable()
+    q.stop()
+    val v = Merge.latestSnapshotVersion(spark, dir).get
+    val got = spark.read.parquet(s"$dir/v=$v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "x2"))
+  }
+
   test("scd2: effective ranges chain, exactly one current row per key") {
     val ts = (m: Int) => new java.sql.Timestamp(m * 60000L)
     val log = Seq((1L, ts(0), "a"), (1L, ts(10), "b"), (1L, ts(20), "c"),
