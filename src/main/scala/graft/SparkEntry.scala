@@ -143,6 +143,7 @@ object SparkEntry {
     "agg_distinct", "agg_minmax", "agg_rollup", "agg_cube", "agg_approx_distinct",
     "agg_collect_list", "agg_pivot", "agg_unpivot", "agg_grouping_sets",
     "date_funcs", "null_handling", "str_levenshtein", "sketch_bloom",
+    "sketch_topk", "sketch_hll_persist",
     "join_semi", "join_anti", "join_salted", "agg_copartition", "asof_signup_value",
     "win_topk_parts", "win_running_total", "win_lag_delta", "win_rank_family",
     "win_rolling_range",
@@ -1814,6 +1815,69 @@ object SparkEntry {
         .select($"n_orders", $"all_heavy_found")
     }),
 
+    "sketch_topk" -> ((s, dir) => {
+      import s.implicits._
+      // Custom SpaceSaving TypedImperativeAggregate, exact regime:
+      // source cardinality (20) < capacity (32), so no counter ever
+      // evicts and the sketch equals the true GROUP BY — value-matched
+      // by the oracle, err pinned to 0.
+      Tables.documents(s, dir)
+        .agg(graft.functions.topk_sketch($"source", 32).as("tk"))
+        .select(explode($"tk").as("e"))
+        .select($"e.item".as("item"), $"e.cnt".as("cnt"), $"e.err".as("err"))
+        .orderBy($"item")
+    }),
+
+    "sketch_hll_persist" -> ((s, dir) => {
+      import s.implicits._
+      // Incremental distinct counting, the warehouse pattern: build
+      // per-partition HLL sketches (datasketches binaries), PERSIST
+      // them through parquet, read back and union-merge to a global
+      // estimate — distinct-counting new data never rescans old data.
+      // SIDE-EFFECTING (writes the sketch table at construction).
+      // Oracle pins the exact distinct; the estimate gate allows the
+      // sketch's documented ~1.6% rse at lgK=12, tripled.
+      val docs = Tables.documents(s, dir)
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_hll_${math.abs(dir.hashCode)}"
+      docs.groupBy($"source")
+        .agg(hll_sketch_agg(xxhash64($"text")).as("sk"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+        .crossJoin(docs.agg(count_distinct($"text").as("n_distinct")))
+        .select($"n_distinct",
+          (abs($"est" - $"n_distinct") <= $"n_distinct" * 0.05).as("hll_ok"))
+    }),
+
+    "sketch_topk_gate" -> ((s, dir) => {
+      import s.implicits._
+      // Eviction regime: whitespace tokens (high cardinality) through
+      // capacity 64. Contracts computed against in-plan exact counts
+      // (verification artifact — never in benchQueries):
+      //   hh_found — every token with true share > 2N/capacity is in
+      //              the sketch (the SpaceSaving guarantee, doubled
+      //              for merge slack);
+      //   bounds_ok — every reported count within 2N/capacity of true.
+      val toks = Tables.documents(s, dir)
+        .select(explode(split($"text", "\\s+")).as("tok"))
+        .filter(length($"tok") > 0)
+      val sk = toks.agg(graft.functions.topk_sketch($"tok", 64).as("tk"))
+        .select(explode($"tk").as("e"))
+        .select($"e.item".as("tok"), $"e.cnt".as("cnt"))
+      val truth = toks.groupBy($"tok").agg(count(lit(1)).as("true_cnt"))
+      val n = toks.agg(count(lit(1)).as("n"))
+      val slack = $"n" * 2 / 64
+      val missingHeavy = truth.crossJoin(n)
+        .filter($"true_cnt" > slack)
+        .join(sk, Seq("tok"), "left_anti")
+      val badBounds = sk.join(truth, Seq("tok")).crossJoin(n)
+        .filter(abs($"cnt" - $"true_cnt") > slack)
+      missingHeavy.agg((count(lit(1)) === 0).as("hh_found"))
+        .crossJoin(badBounds.agg((count(lit(1)) === 0).as("bounds_ok")))
+        .crossJoin(toks.agg(count(lit(1)).cast("bigint").as("n_tokens")))
+        .select($"n_tokens", $"hh_found", $"bounds_ok")
+    }),
+
     "null_handling" -> ((s, dir) => {
       import s.implicits._
       // DataFrameNaFunctions over a genuine null source: purchases with
@@ -2785,6 +2849,23 @@ object SparkEntry {
     "sketch_freq_items" ->
       """SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_orders,
         |  true AS all_heavy_found""".stripMargin,
+
+    "sketch_hll_persist" ->
+      """SELECT CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+        |  true AS hll_ok
+        |FROM documents""".stripMargin,
+
+    "sketch_topk" ->
+      """SELECT source AS item, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(0 AS BIGINT) AS err
+        |FROM documents GROUP BY source ORDER BY item""".stripMargin,
+
+    "sketch_topk_gate" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS tok FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+        |  true AS hh_found, true AS bounds_ok
+        |FROM toks WHERE len(tok) > 0""".stripMargin,
 
     // the curation composition replayed stage for stage: langid →
     // quality → dup-token cap → 4-gram decontamination vs the %97

@@ -50,6 +50,13 @@ package object functions {
     deflate_length(c).cast("double") /
       nullif(octet_length(c), lit(0)).cast("double")
 
+  /** SpaceSaving heavy-hitters aggregate: top items of a string column
+    * as `array<struct<item, cnt, err>>`. Map-side partial aggregation
+    * ships `capacity`-sized summaries, never raw items; exact (err=0)
+    * whenever true cardinality <= capacity. */
+  def topk_sketch(c: Column, capacity: Int): Column =
+    col(graft.expr.TopKSketch(ex(c), capacity).toAggregateExpression())
+
   /** Bloom-filter aggregate over a LONG column as a Column builder
     * (the SQL name `bloom_filter_agg` is registered separately). */
   def bloom_filter_agg(c: Column, estimatedItems: Long, numBits: Long): Column =
@@ -108,6 +115,13 @@ package object functions {
     ("deflate_length", classOf[DeflateLength], {
       case Seq(c) => DeflateLength(c)
       case _ => throw new IllegalArgumentException("deflate_length(text)")
+    }),
+    ("topk_sketch", classOf[graft.expr.TopKSketch], {
+      case Seq(c, k) if k.foldable =>
+        graft.expr.TopKSketch(c, k.eval().asInstanceOf[Number].intValue())
+          .toAggregateExpression()
+      case _ => throw new IllegalArgumentException(
+        "topk_sketch(item, capacity) — capacity must be a literal")
     }),
     // Spark ships Bloom-filter expressions for its runtime filters but
     // does not register them publicly; the engine exposes them — the
