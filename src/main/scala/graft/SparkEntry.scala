@@ -30,9 +30,14 @@ import graft.streaming.EventStreams
   * CTASes a managed table), the `spark.sql` entries (register temp
   * views), `csv_corrupt_rows` (eager one-row scan so the cached CSV
   * can be unpersisted before return), the `ml_*` entries (fit the
-  * cached model on first touch per sf dir), and `ml_word2vec_gate`
+  * cached model on first touch per sf dir), `ml_word2vec_gate`
   * (collects the 1-row top-word + calls the findSynonyms API it
-  * cross-checks). Callers that only want a plan should skip those.
+  * cross-checks), the `*_roundtrip`/`schema_evolution`/
+  * `sketch_hll_persist` sink tests (write a tmp dataset at
+  * construction), `shard_by_budget`/`dedup_clusters*` (run their
+  * eager subtotal/label-propagation passes), and
+  * `decontaminate_bloom_gate` (collects the benchmark Bloom sketch).
+  * Callers that only want a plan should skip those.
   */
 object SparkEntry {
 
@@ -856,6 +861,50 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           count($"o_totalprice").as("n_with_price"),
           sum($"o_totalprice".cast("decimal(24,8)")).cast("double").as("sum_price"))
+    }),
+
+    "zorder_layout" -> ((s, dir) => {
+      import s.implicits._
+      // Multi-dimensional clustering for data skipping: the same
+      // projection written 16-file range-partitioned linearly (by
+      // partkey) vs by Morton key. Gates (computed from per-file
+      // min/max, the statistics parquet readers prune on): the Z
+      // layout must shrink the per-file suppkey span to <0.5x the
+      // linear layout's (theory: ~0.25x at 16 files) while keeping
+      // the per-file partkey span under half its full range — i.e. it
+      // buys skipping on BOTH columns. SIDE-EFFECTING (writes both
+      // layouts at construction).
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_${math.abs(dir.hashCode)}"
+      val li = Tables.lineitem(s, dir)
+        .select($"l_partkey".cast("int").as("pk"), $"l_suppkey".cast("int").as("sk"))
+      li.repartitionByRange(16, $"pk")
+        .write.mode("overwrite").parquet(s"$out/linear")
+      // dims must share a bit-width before interleaving (partkey uses
+      // ~2x the bits of suppkey; raw interleave would leave the morton
+      // key's high bits all-partkey and never cluster suppkey) — scale
+      // both to 16-bit with their in-plan min/max, a 1-row broadcast
+      val b = li.agg(min($"pk").as("pk0"), max($"pk").as("pk1"),
+        min($"sk").as("sk0"), max($"sk").as("sk1"))
+      def norm(c: Column, lo: Column, hi: Column): Column =
+        ((c - lo).cast("long") * 65535L / greatest(hi - lo, lit(1))).cast("long")
+      li.crossJoin(broadcast(b))
+        .repartitionByRange(16, graft.functions.interleave_bits(
+          norm($"pk", $"pk0", $"pk1"), norm($"sk", $"sk0", $"sk1")))
+        .select($"pk", $"sk")
+        .write.mode("overwrite").parquet(s"$out/zorder")
+      def spans(path: String) = s.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max($"sk") - min($"sk")).as("span_sk"),
+          (max($"pk") - min($"pk")).as("span_pk"))
+        .agg(avg($"span_sk").as("avg_sk"), avg($"span_pk").as("avg_pk"))
+      val lin = spans(s"$out/linear").select($"avg_sk".as("lin_sk"), $"avg_pk".as("lin_pk"))
+      val zo = spans(s"$out/zorder").select($"avg_sk".as("z_sk"), $"avg_pk".as("z_pk"))
+      val range = li.agg((max($"pk") - min($"pk")).as("pk_range"))
+      li.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(lin).crossJoin(zo).crossJoin(range)
+        .select($"n_rows",
+          ($"z_sk" < $"lin_sk" * 0.5).as("z_sk_improves"),
+          ($"z_pk" < $"pk_range" * 0.5).as("z_pk_bounded"))
     }),
 
     "wholefile_scan" -> ((s, dir) => {
@@ -2399,6 +2448,11 @@ object SparkEntry {
 
     "jsonl_roundtrip" ->
       """SELECT doc_id, lang, text FROM documents ORDER BY doc_id""",
+
+    "zorder_layout" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  true AS z_sk_improves, true AS z_pk_bounded
+        |FROM lineitem""".stripMargin,
 
     "schema_evolution" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftShims, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions._
 
-import graft.expr.{CosineSimilarity, DeflateLength, DocFingerprint, RegexpExtractOrNull, RepetitionStats, SimHash64, TokenNGrams}
+import graft.expr.{CosineSimilarity, DeflateLength, DocFingerprint, InterleaveBits, RegexpExtractOrNull, RepetitionStats, SimHash64, TokenNGrams}
 
 /** The engine's scalar-function surface: thin `Column` builders over
   * custom Catalyst expressions plus named compositions of built-ins.
@@ -42,6 +42,12 @@ package object functions {
   /** Raw-DEFLATE byte length of a string (codegen'd; see
     * [[graft.expr.DeflateLength]]). */
   def deflate_length(c: Column): Column = col(DeflateLength(ex(c)))
+
+  /** Morton Z-order key of two integral columns (codegen'd; see
+    * [[graft.expr.InterleaveBits]]) — sort or range-partition by this
+    * to cluster writes for two-column data skipping. */
+  def interleave_bits(a: Column, b: Column): Column =
+    col(InterleaveBits(ex(a), ex(b)))
 
   /** Compression-ratio quality signal: `deflate_len / utf8_len`,
     * NULL-safe on empty strings. Repetitive boilerplate scores low,
@@ -115,6 +121,10 @@ package object functions {
     ("deflate_length", classOf[DeflateLength], {
       case Seq(c) => DeflateLength(c)
       case _ => throw new IllegalArgumentException("deflate_length(text)")
+    }),
+    ("interleave_bits", classOf[InterleaveBits], {
+      case Seq(a, b) => InterleaveBits(a, b)
+      case _ => throw new IllegalArgumentException("interleave_bits(a, b)")
     }),
     ("topk_sketch", classOf[graft.expr.TopKSketch], {
       case Seq(c, k) if k.foldable =>

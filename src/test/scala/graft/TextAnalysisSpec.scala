@@ -160,6 +160,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L) == null)
   }
 
+  test("interleave_bits: morton spread matches a naive bit loop") {
+    def naive(a: Long, b: Long): Long = {
+      var out = 0L
+      for (i <- 0 until 32)
+        out |= (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      out
+    }
+    for ((a, b) <- Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L),
+        (0xffffffffL, 0L), (12345L, 67890L)))
+      assert(graft.expr.InterleaveBits.morton(a, b) == naive(a, b), s"($a,$b)")
+    // column form agrees (exercises codegen path)
+    val got = Seq((3, 5)).toDF("a", "b")
+      .select(graft.functions.interleave_bits($"a", $"b")).collect()(0).getLong(0)
+    assert(got == naive(3, 5))
+  }
+
   test("deflate_length is usable from SQL after registerAll") {
     graft.functions.registerAll(spark)
     val r = spark.sql(
