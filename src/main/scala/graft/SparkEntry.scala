@@ -161,7 +161,7 @@ object SparkEntry {
     "dq_invalid_codes", "dq_profile",
     "date_monthly_orders", "json_event_stats", "str_funcs", "parse_money",
     "evt_tumbling", "evt_sliding", "evt_sessionize", "evt_session_window",
-    "evt_stream_join", "evt_funnel", "evt_retention",
+    "evt_stream_join", "evt_funnel", "evt_retention", "evt_transitions",
     "text_stats", "text_quality", "text_term_freq", "text_lang_dist",
     "text_langid", "text_token_counts", "text_quality_score", "text_entities",
     "text_chunk", "text_redact", "text_repetition", "text_compress_gate",
@@ -1999,6 +1999,21 @@ object SparkEntry {
         .orderBy($"user_id", $"session_start")
     }),
 
+    "evt_transitions" -> ((s, dir) => {
+      import s.implicits._
+      // First-order event transition matrix (the Markov structure of
+      // user journeys): count every consecutive (prev -> next) pair
+      // per user in event-time order. One window + one agg, both
+      // keyed on the user / pair — nothing wide.
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, dir)
+        .withColumn("prev", lag($"event_type", 1).over(w))
+        .filter($"prev".isNotNull)
+        .groupBy($"prev", $"event_type".as("next"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"prev", $"next")
+    }),
+
     "evt_retention" -> ((s, dir) => {
       import s.implicits._
       // Cohort retention matrix: users bucketed by first-active week,
@@ -2254,6 +2269,16 @@ object SparkEntry {
         |  value
         |FROM events
         |ORDER BY user_id, valid_from""".stripMargin,
+
+    "evt_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events)
+        |SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS n
+        |FROM seq WHERE prev IS NOT NULL
+        |GROUP BY prev, next ORDER BY prev, next""".stripMargin,
 
     "evt_retention" ->
       """WITH ev AS (
