@@ -863,6 +863,29 @@ object SparkEntry {
           sum($"o_totalprice".cast("decimal(24,8)")).cast("double").as("sum_price"))
     }),
 
+    "incremental_agg" -> ((s, dir) => {
+      import s.implicits._
+      // Incremental materialization: persist a daily aggregate table
+      // once (the only pass over raw history), then derive the monthly
+      // report FROM THE DAILY TABLE — at 100 TB new days append to the
+      // daily table and history never rescans. The oracle computes the
+      // monthly directly from the source, so the two-level rollup must
+      // be lossless (counts and decimal sums re-aggregate exactly;
+      // averages are re-derived from sums, never averaged-of-averages).
+      // SIDE-EFFECTING (writes the daily table at construction).
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_incr_${math.abs(dir.hashCode)}"
+      Tables.lineitem(s, dir)
+        .groupBy($"l_shipdate".cast("date").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity".cast("decimal(18,2)")).as("qty"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .groupBy(date_trunc("month", $"day").cast("date").as("month"))
+        .agg(sum($"n").cast("bigint").as("n_items"),
+          sum($"qty").cast("double").as("sum_qty"))
+        .orderBy($"month")
+    }),
+
     "zorder_layout" -> ((s, dir) => {
       import s.implicits._
       // Multi-dimensional clustering for data skipping: the same
@@ -2478,6 +2501,12 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  true AS z_sk_improves, true AS z_pk_bounded
         |FROM lineitem""".stripMargin,
+
+    "incremental_agg" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY month ORDER BY month""".stripMargin,
 
     "schema_evolution" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
