@@ -93,6 +93,15 @@ class PlanSpec extends SparkSpec {
     assert(countExchanges(plan("split_train_test")) <= 1)
   }
 
+  test("topk_sketch aggregates map-side — raw items never shuffle") {
+    val p = plan("sketch_topk")
+    // partial summaries before the exchange, final merge after: the
+    // shuffle carries capacity-sized sketch buffers, not the column
+    assert(p.contains("partial_topk_sketch"), p)
+    assert(p.contains("topk_sketch"), p)
+    assert(countExchanges(p) <= 2, p) // single-partition agg + sort
+  }
+
   test("semi/anti joins plan as joins, not subquery re-scans") {
     assert(plan("join_semi").contains("LeftSemi"))
     assert(plan("join_anti").contains("LeftAnti"))
