@@ -2269,6 +2269,44 @@ object SparkEntry {
         |       ELSE 'train' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Replays mixtureByBudget's all-integer gate exactly: per-group
+    // token totals, driver-constant targets budget*w/1000 (6000 tokens
+    // at 500/200/100/100/100 permille), permyriad threshold
+    // min(10000, 10000*target DIV total), keep iff
+    // (doc_id*7919+13) % 10000 < threshold. Langs outside the target
+    // mixture get threshold 0 (dropped), same as the Spark CASE fold.
+    "sample_mixture" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |tot AS (
+        |  SELECT lang, CAST(sum(n_tok) AS BIGINT) AS tot
+        |  FROM d GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_tok
+        |FROM d JOIN tot USING (lang)
+        |WHERE (d.doc_id * 7919 + 13) % 10000 <
+        |  least(10000, (10000 * (CASE d.lang
+        |    WHEN 'en' THEN 3000 WHEN 'zh' THEN 1200
+        |    WHEN 'de' THEN 600 WHEN 'es' THEN 600 WHEN 'fr' THEN 600
+        |    ELSE 0 END)) // tot.tot)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Recomputes tokenShards' distributed prefix sum with a plain
+    // window running-sum: shard = floor(tokens_strictly_before / 2000)
+    // in doc_id order. Any drift in the two-phase offset/broadcast
+    // machinery hash-mismatches here.
+    "shard_by_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000
+        |    AS BIGINT) AS shard_id
+        |FROM d ORDER BY doc_id""".stripMargin,
+
     "merge_upsert" ->
       """WITH changes AS (
         |  SELECT o_orderkey AS k, o_custkey AS c,

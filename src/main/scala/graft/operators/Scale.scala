@@ -89,7 +89,9 @@ object Scale {
     val tokIdx = ranged.schema.fieldIndex(tokenCol)
     val sums = ranged
       .groupBy(spark_partition_id().as("pid"))
-      .agg(sum(col(tokenCol).cast("long")).as("s"))
+      // coalesce: a partition whose rows all carry null token counts
+      // must contribute 0, not a null subtotal
+      .agg(coalesce(sum(col(tokenCol).cast("long")), lit(0L)).as("s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets: Map[Int, Long] = {
       var acc = 0L

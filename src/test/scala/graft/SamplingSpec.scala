@@ -83,6 +83,66 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("mixtureByBudget replays exactly as the integer-threshold filter") {
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"lang",
+      size(split($"text", " ")).cast("long").as("n_tok"))
+    val weights = Map("en" -> 500, "zh" -> 200, "de" -> 100, "es" -> 100, "fr" -> 100)
+    val budget = 6000L
+    val got = Sampling.mixtureByBudget(docs, "lang", "n_tok", weights, budget,
+        rowGate = $"doc_id" * lit(7919L) + lit(13L))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    // driver-side replay of the documented all-integer decision
+    val tots = docs.groupBy($"lang").agg(sum($"n_tok").as("tot")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ref = docs.select($"doc_id", $"lang").collect().filter { r =>
+      val target = budget * weights.getOrElse(r.getString(1), 0) / 1000L
+      val thresh = math.min(10000L, 10000L * target / tots(r.getString(1)))
+      (r.getLong(0) * 7919L + 13L) % 10000L < thresh
+    }.map(_.getLong(0)).toSet
+    assert(got == ref)
+  }
+
+  test("mixtureByBudget: groups absent from the mixture are dropped") {
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"lang",
+      size(split($"text", " ")).cast("long").as("n_tok"))
+    val got = Sampling.mixtureByBudget(docs, "lang", "n_tok",
+      Map("en" -> 1000), 6000L, $"doc_id")
+    assert(got.filter($"lang" =!= "en").count() == 0)
+  }
+
+  test("mixtureByBudget: a group under its target keeps everything (no upsampling)") {
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"lang",
+      size(split($"text", " ")).cast("long").as("n_tok"))
+    // budget so large every group's target exceeds its token mass ->
+    // threshold caps at 10000 permyriad -> identity on weighted groups
+    val got = Sampling.mixtureByBudget(docs, "lang", "n_tok",
+      Map("en" -> 500, "zh" -> 500), 1000000000L, $"doc_id")
+    assert(got.count() == docs.filter($"lang".isin("en", "zh")).count())
+  }
+
+  test("mixtureByBudget: realized token mass tracks the target per group") {
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"lang",
+      size(split($"text", " ")).cast("long").as("n_tok"))
+    val weights = Map("en" -> 500, "zh" -> 200, "de" -> 100, "es" -> 100, "fr" -> 100)
+    val budget = 6000L
+    val kept = Sampling.mixtureByBudget(docs, "lang", "n_tok", weights, budget,
+        rowGate = $"doc_id" * lit(7919L) + lit(13L))
+      .groupBy($"lang").agg(sum($"n_tok").as("mass")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tots = docs.groupBy($"lang").agg(sum($"n_tok").as("tot")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    weights.foreach { case (g, w) =>
+      val target = budget * w / 1000L
+      if (tots.getOrElse(g, 0L) > target) {
+        val mass = kept.getOrElse(g, 0L).toDouble
+        // arithmetic gate over dense ids is near-equidistributed;
+        // tolerance covers token-count/gate correlation noise
+        assert(mass > target * 0.4 && mass < target * 2.5,
+          s"group $g: mass $mass vs target $target")
+      }
+    }
+  }
+
   test("stratified sampleBy approximates requested fractions") {
     val fr = Map("BUILDING" -> 0.5, "MACHINERY" -> 0.1)
     val c = Tables.customer(spark, sf001)

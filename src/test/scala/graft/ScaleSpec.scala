@@ -42,6 +42,59 @@ class ScaleSpec extends SparkSpec {
     li.unpersist()
   }
 
+  test("tokenShards matches a window running-sum reference") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf0001).select($"doc_id",
+      size(split($"text", " ")).cast("long").as("n_tok"))
+    val got = Scale.tokenShards(docs, "doc_id", "n_tok", budgetTokens = 2000L)
+      .select($"doc_id", $"shard_id")
+    // single-partition window is fine at test scale; it is exactly the
+    // semantics the distributed prefix sum must reproduce
+    val w = Window.orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ref = docs
+      .withColumn("sum_before", coalesce(sum($"n_tok").over(w), lit(0L)))
+      .select($"doc_id", expr("sum_before DIV 2000").as("shard_id"))
+    assert(got.except(ref).count() == 0 && ref.except(got).count() == 0)
+  }
+
+  test("tokenShards: shards are monotone and respect the budget bound") {
+    val docs = Tables.documents(spark, sf0001).select($"doc_id",
+      size(split($"text", " ")).cast("long").as("n_tok"))
+    val got = Scale.tokenShards(docs, "doc_id", "n_tok", budgetTokens = 2000L)
+    // monotone non-decreasing shard ids in doc_id order
+    val pairs = got.select($"doc_id", $"shard_id")
+      .orderBy($"doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.sliding(2).forall {
+      case Array((_, s1), (_, s2)) => s1 <= s2; case _ => true })
+    // every shard's token sum stays under budget + one max-doc overshoot
+    val maxDoc = docs.agg(max($"n_tok")).head().getLong(0)
+    val over = got.groupBy($"shard_id").agg(sum($"n_tok").as("s"))
+      .filter($"s" > lit(2000L + maxDoc)).count()
+    assert(over == 0)
+  }
+
+  test("tokenShards: prefix stability — appending rows never re-shards old ones") {
+    val docs = Tables.documents(spark, sf0001).select($"doc_id",
+      size(split($"text", " ")).cast("long").as("n_tok"))
+    val full = Scale.tokenShards(docs, "doc_id", "n_tok", 2000L)
+      .select($"doc_id", $"shard_id")
+    val prefix = Scale.tokenShards(docs.filter($"doc_id" < 250), "doc_id", "n_tok", 2000L)
+      .select($"doc_id", $"shard_id".as("shard_id2"))
+    assert(full.join(prefix, "doc_id")
+      .filter($"shard_id" =!= $"shard_id2").count() == 0)
+  }
+
+  test("tokenShards: null token counts count as zero") {
+    val df = Seq((1L, Option(5L)), (2L, Option.empty[Long]), (3L, Option(7L)))
+      .toDF("id", "tok")
+    val got = Scale.tokenShards(df, "id", "tok", budgetTokens = 4L)
+      .select($"id", $"shard_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cumsum-before: id1=0 -> shard 0; id2=5 -> 1; id3=5 (null adds 0) -> 1
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("AQE splits a pathologically skewed join partition at runtime") {
     // one key carries ~97% of the probe side — the moderate-skew case
     // AQE's skew-join handles without explicit salting. Thresholds are
