@@ -899,35 +899,56 @@ object SparkEntry {
       // layouts at construction).
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_${math.abs(dir.hashCode)}"
       val li = Tables.lineitem(s, dir)
-        .select($"l_partkey".cast("int").as("pk"), $"l_suppkey".cast("int").as("sk"))
+        .select($"l_partkey".cast("int").as("pk"), $"l_suppkey".cast("int").as("sk"),
+          $"l_orderkey".cast("int").as("ok"))
       li.repartitionByRange(16, $"pk")
         .write.mode("overwrite").parquet(s"$out/linear")
       // dims must share a bit-width before interleaving (partkey uses
       // ~2x the bits of suppkey; raw interleave would leave the morton
       // key's high bits all-partkey and never cluster suppkey) — scale
-      // both to 16-bit with their in-plan min/max, a 1-row broadcast
+      // all to 16-bit with their in-plan min/max, a 1-row broadcast
       val b = li.agg(min($"pk").as("pk0"), max($"pk").as("pk1"),
-        min($"sk").as("sk0"), max($"sk").as("sk1"))
+        min($"sk").as("sk0"), max($"sk").as("sk1"),
+        min($"ok").as("ok0"), max($"ok").as("ok1"))
       def norm(c: Column, lo: Column, hi: Column): Column =
         ((c - lo).cast("long") * 65535L / greatest(hi - lo, lit(1))).cast("long")
       li.crossJoin(broadcast(b))
         .repartitionByRange(16, graft.functions.interleave_bits(
           norm($"pk", $"pk0", $"pk1"), norm($"sk", $"sk0", $"sk1")))
-        .select($"pk", $"sk")
+        .select($"pk", $"sk", $"ok")
         .write.mode("overwrite").parquet(s"$out/zorder")
+      // 3-D variant: same normalize-then-interleave, 21 bits per dim
+      li.crossJoin(broadcast(b))
+        .repartitionByRange(16, graft.functions.interleave_bits(
+          norm($"pk", $"pk0", $"pk1"), norm($"sk", $"sk0", $"sk1"),
+          norm($"ok", $"ok0", $"ok1")))
+        .select($"pk", $"sk", $"ok")
+        .write.mode("overwrite").parquet(s"$out/zorder3")
       def spans(path: String) = s.read.parquet(path)
         .groupBy(input_file_name().as("f"))
         .agg((max($"sk") - min($"sk")).as("span_sk"),
-          (max($"pk") - min($"pk")).as("span_pk"))
-        .agg(avg($"span_sk").as("avg_sk"), avg($"span_pk").as("avg_pk"))
-      val lin = spans(s"$out/linear").select($"avg_sk".as("lin_sk"), $"avg_pk".as("lin_pk"))
+          (max($"pk") - min($"pk")).as("span_pk"),
+          (max($"ok") - min($"ok")).as("span_ok"))
+        .agg(avg($"span_sk").as("avg_sk"), avg($"span_pk").as("avg_pk"),
+          avg($"span_ok").as("avg_ok"))
+      val lin = spans(s"$out/linear")
+        .select($"avg_sk".as("lin_sk"), $"avg_pk".as("lin_pk"), $"avg_ok".as("lin_ok"))
       val zo = spans(s"$out/zorder").select($"avg_sk".as("z_sk"), $"avg_pk".as("z_pk"))
-      val range = li.agg((max($"pk") - min($"pk")).as("pk_range"))
+      val z3 = spans(s"$out/zorder3")
+        .select($"avg_sk".as("z3_sk"), $"avg_pk".as("z3_pk"), $"avg_ok".as("z3_ok"))
+      val range = li.agg((max($"pk") - min($"pk")).as("pk_range"),
+        (max($"ok") - min($"ok")).as("ok_range"))
       li.agg(count(lit(1)).as("n_rows"))
-        .crossJoin(lin).crossJoin(zo).crossJoin(range)
+        .crossJoin(lin).crossJoin(zo).crossJoin(z3).crossJoin(range)
         .select($"n_rows",
           ($"z_sk" < $"lin_sk" * 0.5).as("z_sk_improves"),
-          ($"z_pk" < $"pk_range" * 0.5).as("z_pk_bounded"))
+          ($"z_pk" < $"pk_range" * 0.5).as("z_pk_bounded"),
+          // 3-D: all three per-file spans must beat the unclustered
+          // dims of the linear layout / stay bounded on the sort dim.
+          // 16 Z-ranges over 3 cycled dims split each dim 1-2 times
+          // (spans 1/4-1/2 of range); 0.7 leaves correlation margin.
+          ($"z3_sk" < $"lin_sk" * 0.7 && $"z3_ok" < $"lin_ok" * 0.7 &&
+            $"z3_pk" < $"pk_range" * 0.7).as("z3_improves_all"))
     }),
 
     "wholefile_scan" -> ((s, dir) => {
@@ -2537,7 +2558,8 @@ object SparkEntry {
 
     "zorder_layout" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
-        |  true AS z_sk_improves, true AS z_pk_bounded
+        |  true AS z_sk_improves, true AS z_pk_bounded,
+        |  true AS z3_improves_all
         |FROM lineitem""".stripMargin,
 
     "incremental_agg" ->

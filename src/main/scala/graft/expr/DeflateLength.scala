@@ -51,7 +51,10 @@ case class DeflateLength(child: Expression) extends UnaryExpression {
 object DeflateLength {
   // one Deflater per executor thread, reset between rows: Deflater
   // construction allocates native zlib state and is ~1000x the cost of
-  // compressing a short document
+  // compressing a short document. The native state is reclaimed only
+  // when its thread dies (no end() call) — correct for Spark's fixed
+  // executor task pools; an embedding with heavy thread churn should
+  // swap this for a size-bounded pool that end()s on eviction.
   private val local: ThreadLocal[Deflater] = ThreadLocal.withInitial(() =>
     new Deflater(Deflater.DEFAULT_COMPRESSION, /* nowrap = */ true))
 

@@ -5,6 +5,7 @@ import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream, ByteAr
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -72,6 +73,13 @@ case class TopKSketch(
   extends TypedImperativeAggregate[SpaceSavingSummary] {
 
   require(capacity > 0, s"topk_sketch capacity must be > 0 (got $capacity)")
+
+  // reject non-string children at analysis time (a ClassCastException
+  // in update() is the runtime alternative)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.sql}")
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false

@@ -43,11 +43,13 @@ package object functions {
     * [[graft.expr.DeflateLength]]). */
   def deflate_length(c: Column): Column = col(DeflateLength(ex(c)))
 
-  /** Morton Z-order key of two integral columns (codegen'd; see
+  /** Morton Z-order key of 2-4 integral columns (codegen'd; see
     * [[graft.expr.InterleaveBits]]) — sort or range-partition by this
-    * to cluster writes for two-column data skipping. */
-  def interleave_bits(a: Column, b: Column): Column =
-    col(InterleaveBits(ex(a), ex(b)))
+    * to cluster writes for multi-column data skipping. Bit budget is
+    * 64/k per column (k=2: 32 bits, k=3: 21, k=4: 16); normalize wider
+    * keys into the budget first. */
+  def interleave_bits(cols: Column*): Column =
+    col(InterleaveBits(cols.map(ex)))
 
   /** Compression-ratio quality signal: `deflate_len / utf8_len`,
     * NULL-safe on empty strings. Repetitive boilerplate scores low,
@@ -123,8 +125,9 @@ package object functions {
       case _ => throw new IllegalArgumentException("deflate_length(text)")
     }),
     ("interleave_bits", classOf[InterleaveBits], {
-      case Seq(a, b) => InterleaveBits(a, b)
-      case _ => throw new IllegalArgumentException("interleave_bits(a, b)")
+      case cs if cs.size >= 2 && cs.size <= 4 => InterleaveBits(cs)
+      case _ => throw new IllegalArgumentException(
+        "interleave_bits(a, b[, c[, d]]) — 2 to 4 columns")
     }),
     ("topk_sketch", classOf[graft.expr.TopKSketch], {
       case Seq(c, k) if k.foldable =>

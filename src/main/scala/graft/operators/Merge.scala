@@ -25,10 +25,25 @@ object Merge {
     * rows whose `deleteCol` (if given) is true are removed. `changes`
     * must be key-unique (one row per key; pre-aggregate with
     * [[latestByKey]] when replaying a multi-version log). Both inputs
-    * must share the schema (minus `deleteCol`). */
+    * must share the schema (minus `deleteCol`).
+    *
+    * `assertUniqueKeys = true` runs an eager uniqueness check over the
+    * changeset (one extra pass over the SMALL side only — the snapshot
+    * is untouched) and fails loudly on a duplicate key instead of
+    * silently emitting duplicate rows. Off by default so the pure-plan
+    * path stays lazy; turn it on in pipelines whose changelog source
+    * can't guarantee key-uniqueness upstream. */
   def upsert(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
-      deleteCol: Option[String] = None): DataFrame = {
+      deleteCol: Option[String] = None,
+      assertUniqueKeys: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
+    if (assertUniqueKeys) {
+      val dup = changes.groupBy(keyCols.map(col): _*)
+        .count().filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"upsert changeset has duplicate key ${dup.headOption.orNull}; " +
+          "collapse it first with Merge.latestByKey")
+    }
     val keep = deleteCol.map(d => changes.filter(!col(d)).drop(d))
       .getOrElse(changes)
     base.join(changes.select(keyCols.map(col): _*), keyCols, "left_anti")
@@ -80,7 +95,11 @@ object Merge {
 
   /** Highest committed snapshot version under `targetBase` (strictly
     * below `below` when scanning for a batch's base). Listing is one
-    * driver-side FS call over version directories, not data files. */
+    * driver-side FS call over version directories, not data files.
+    * "Committed" = the directory carries the `_SUCCESS` marker Spark's
+    * commit protocol writes last — a crash mid-overwrite leaves a
+    * partial `v=` directory with no marker, and readers must not
+    * consume it as if committed. */
   def latestSnapshotVersion(spark: org.apache.spark.sql.SparkSession,
       targetBase: String, below: Long = Long.MaxValue): Option[Long] = {
     val path = new org.apache.hadoop.fs.Path(targetBase)
@@ -88,11 +107,44 @@ object Merge {
     if (!fs.exists(path)) None
     else fs.listStatus(path).toSeq
       .filter(_.isDirectory)
+      .filter(st => fs.exists(
+        new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
       .map(_.getPath.getName)
       .collect { case s if s.startsWith("v=") => s.stripPrefix("v=").toLong }
       .filter(_ < below)
       .sorted(Ordering[Long].reverse)
       .headOption
+  }
+
+  /** Snapshot retention sweep: delete all but the newest `keep`
+    * committed snapshots under `targetBase` (and any uncommitted
+    * partials older than the retained set — debris from crashed
+    * writes). Replay safety: [[applyChangeBatch]] for batch `i` only
+    * reads the newest snapshot below `i`, so retention of versions
+    * older than the checkpoint's replay horizon never changes a
+    * replayed batch's input. One driver-side listing, `O(versions)`
+    * FS deletes, no job. */
+  def retainSnapshots(spark: org.apache.spark.sql.SparkSession,
+      targetBase: String, keep: Int): Unit = {
+    require(keep >= 1, s"must retain at least one snapshot (got $keep)")
+    val path = new org.apache.hadoop.fs.Path(targetBase)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return
+    val dirs = fs.listStatus(path).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("v=")) Some(n.stripPrefix("v=").toLong -> st.getPath)
+        else None
+      }
+    val committed = dirs.filter { case (_, p) =>
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) }
+    val retained = committed.map(_._1).sorted(Ordering[Long].reverse)
+      .take(keep).toSet
+    dirs.foreach { case (v, p) =>
+      if (!retained.contains(v) && retained.forall(v < _))
+        fs.delete(p, true)
+    }
   }
 
   /** SCD-type-2 history build: turn a changelog into effective-dated

@@ -85,6 +85,61 @@ class MergeSpec extends SparkSpec {
     assert(got == Map(1L -> "x2"))
   }
 
+  test("upsert: assertUniqueKeys fails loudly on a duplicate-key changeset") {
+    val base = Seq((1L, "a")).toDF("id", "v")
+    val dup = Seq((2L, "b"), (2L, "b2")).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      Merge.upsert(base, dup, Seq("id"), assertUniqueKeys = true)
+    }
+    // unique changeset passes the same check
+    val ok = Merge.upsert(base, Seq((2L, "b")).toDF("id", "v"),
+      Seq("id"), assertUniqueKeys = true)
+    assert(ok.count() == 2)
+  }
+
+  test("latestSnapshotVersion ignores uncommitted (no _SUCCESS) partials") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_commit").toString
+    Merge.applyChangeBatch(dir, 0L,
+      Seq((1L, 1L, "a", false)).toDF("id", "version", "v", "is_delete"),
+      Seq("id"), "version", Some("is_delete"))
+    // simulate a crash mid-overwrite of v=5: directory exists, data
+    // file present, no _SUCCESS marker
+    val partial = new java.io.File(s"$dir/v=5")
+    assert(partial.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/v=5/part-00000.parquet"), Array[Byte](1))
+    assert(Merge.latestSnapshotVersion(spark, dir).contains(0L))
+    // the next batch rebuilds from the committed base, not the partial
+    Merge.applyChangeBatch(dir, 5L,
+      Seq((2L, 1L, "b", false)).toDF("id", "version", "v", "is_delete"),
+      Seq("id"), "version", Some("is_delete"))
+    val got = spark.read.parquet(s"$dir/v=5").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "b"))
+  }
+
+  test("retainSnapshots keeps the newest n and replay still works") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_retain").toString
+    def batch(rows: Seq[(Long, Long, String, Boolean)]) =
+      rows.toDF("id", "version", "v", "is_delete")
+    Merge.applyChangeBatch(dir, 0L, batch(Seq((1L, 1L, "a", false))),
+      Seq("id"), "version", Some("is_delete"))
+    Merge.applyChangeBatch(dir, 1L, batch(Seq((2L, 1L, "b", false))),
+      Seq("id"), "version", Some("is_delete"))
+    Merge.applyChangeBatch(dir, 2L, batch(Seq((3L, 1L, "c", false))),
+      Seq("id"), "version", Some("is_delete"))
+    Merge.retainSnapshots(spark, dir, keep = 2)
+    val left = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(left == Set("v=1", "v=2"), s"got $left")
+    // replay of the LAST batch (the one a restart would redeliver)
+    // reads v=1 and rewrites v=2 identically
+    Merge.applyChangeBatch(dir, 2L, batch(Seq((3L, 1L, "c", false))),
+      Seq("id"), "version", Some("is_delete"))
+    val got = spark.read.parquet(s"$dir/v=2").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
   test("scd2: effective ranges chain, exactly one current row per key") {
     val ts = (m: Int) => new java.sql.Timestamp(m * 60000L)
     val log = Seq((1L, ts(0), "a"), (1L, ts(10), "b"), (1L, ts(20), "c"),

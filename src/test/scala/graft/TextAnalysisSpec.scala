@@ -176,6 +176,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == naive(3, 5))
   }
 
+  test("interleave_bits: 3-D and 4-D morton match naive bit loops") {
+    def naive(xs: Seq[Long]): Long = {
+      val k = xs.size
+      var out = 0L
+      for (i <- 0 until 64 / k; (x, d) <- xs.zipWithIndex)
+        out |= ((x >> i) & 1L) << (k * i + d)
+      out
+    }
+    val cases = Seq(0L, 1L, 3L, 0x1fffffL, 0xffffL, 54321L, 0xffffffffL)
+    for (a <- cases; b <- cases; c <- Seq(0L, 7L, 0x1fffffL)) {
+      assert(graft.expr.InterleaveBits.morton3(a, b, c) == naive(Seq(a, b, c)),
+        s"morton3($a,$b,$c)")
+      assert(graft.expr.InterleaveBits.morton4(a, b, c, a) == naive(Seq(a, b, c, a)),
+        s"morton4($a,$b,$c,$a)")
+    }
+    // column + SQL forms agree (exercise codegen and the registry)
+    graft.functions.registerAll(spark)
+    val viaCol = Seq((3, 5, 6)).toDF("a", "b", "c")
+      .select(graft.functions.interleave_bits($"a", $"b", $"c"))
+      .collect()(0).getLong(0)
+    val viaSql = spark.sql("SELECT interleave_bits(3, 5, 6) AS z")
+      .collect()(0).getLong(0)
+    assert(viaCol == naive(Seq(3L, 5L, 6L)) && viaSql == viaCol)
+    // analysis-time rejection of bad arity and non-integral input
+    intercept[Exception] { spark.sql("SELECT interleave_bits(1)").collect() }
+    intercept[Exception] { spark.sql("SELECT interleave_bits('a', 'b')").collect() }
+  }
+
   test("deflate_length is usable from SQL after registerAll") {
     graft.functions.registerAll(spark)
     val r = spark.sql(

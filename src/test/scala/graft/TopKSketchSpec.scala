@@ -54,4 +54,12 @@ class TopKSketchSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(r == Map("p" -> 2L, "q" -> 1L))
   }
+
+  test("topk_sketch rejects a non-string column at analysis time") {
+    graft.functions.registerAll(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT topk_sketch(c, 4) FROM VALUES (1),(2) AS t(c)").collect()
+    }
+    assert(e.getMessage.contains("string"), e.getMessage)
+  }
 }
