@@ -148,7 +148,7 @@ object SparkEntry {
     "agg_distinct", "agg_minmax", "agg_rollup", "agg_cube", "agg_approx_distinct",
     "agg_collect_list", "agg_pivot", "agg_unpivot", "agg_grouping_sets",
     "date_funcs", "null_handling", "str_levenshtein", "sketch_bloom",
-    "sketch_topk", "sketch_hll_persist",
+    "sketch_topk", "sketch_hll_persist", "sketch_kll_persist",
     "join_semi", "join_anti", "join_salted", "agg_copartition", "asof_signup_value",
     "win_topk_parts", "win_running_total", "win_lag_delta", "win_rank_family",
     "win_rolling_range",
@@ -1942,6 +1942,32 @@ object SparkEntry {
           (abs($"est" - $"n_distinct") <= $"n_distinct" * 0.05).as("hll_ok"))
     }),
 
+    "sketch_kll_persist" -> ((s, dir) => {
+      import s.implicits._
+      // Incremental percentiles, completing the persisted-sketch pair
+      // with sketch_hll_persist: per-group KLL sketches (datasketches
+      // binaries) PERSIST through parquet; the global quantile is a
+      // k-row merge — a percentile refresh over growing data merges
+      // sketches instead of rescanning history. SIDE-EFFECTING (writes
+      // the sketch table at construction). Gate is in RANK space (the
+      // KLL contract): the true rank of each estimated quantile must
+      // sit within 3x the k=200 rse (~1.65%) of its target rank.
+      val li = Tables.lineitem(s, dir)
+        .select($"l_extendedprice".cast("double").as("x"), $"l_returnflag")
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_kll_${math.abs(dir.hashCode)}"
+      li.groupBy($"l_returnflag")
+        .agg(graft.functions.kll_sketch_agg($"x").as("sk"))
+        .write.mode("overwrite").parquet(out)
+      val est = s.read.parquet(out)
+        .agg(graft.functions.kll_merge_agg($"sk").as("sk"))
+        .select(graft.functions.kll_quantile($"sk", lit(0.5)).as("p50"),
+          graft.functions.kll_quantile($"sk", lit(0.9)).as("p90"))
+      li.crossJoin(broadcast(est))
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          (abs(avg(($"x" <= $"p50").cast("double")) - 0.5) <= 0.05).as("p50_ok"),
+          (abs(avg(($"x" <= $"p90").cast("double")) - 0.9) <= 0.05).as("p90_ok"))
+    }),
+
     "sketch_topk_gate" -> ((s, dir) => {
       import s.implicits._
       // Eviction regime: whitespace tokens (high cardinality) through
@@ -3022,6 +3048,11 @@ object SparkEntry {
       """SELECT CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
         |  true AS hll_ok
         |FROM documents""".stripMargin,
+
+    "sketch_kll_persist" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  true AS p50_ok, true AS p90_ok
+        |FROM lineitem""".stripMargin,
 
     "sketch_topk" ->
       """SELECT source AS item, CAST(count(*) AS BIGINT) AS cnt,

@@ -65,6 +65,21 @@ package object functions {
   def topk_sketch(c: Column, capacity: Int): Column =
     col(graft.expr.TopKSketch(ex(c), capacity).toAggregateExpression())
 
+  /** KLL doubles-quantile sketch aggregate (binary, mergeable,
+    * parquet-persistable). Rank error ~1.65% at default k=200. */
+  def kll_sketch_agg(c: Column, k: Int = 200): Column =
+    col(graft.expr.KllSketchAgg(ex(c.cast("double")), k).toAggregateExpression())
+
+  /** Union of serialized KLL sketches — the read-back half of
+    * incremental percentile maintenance. */
+  def kll_merge_agg(c: Column): Column =
+    col(graft.expr.KllMergeAgg(ex(c)).toAggregateExpression())
+
+  /** Quantile estimate at `rank` from a serialized KLL sketch;
+    * NULL on an empty sketch. */
+  def kll_quantile(sketch: Column, rank: Column): Column =
+    col(graft.expr.KllQuantile(ex(sketch), ex(rank.cast("double"))))
+
   /** Bloom-filter aggregate over a LONG column as a Column builder
     * (the SQL name `bloom_filter_agg` is registered separately). */
   def bloom_filter_agg(c: Column, estimatedItems: Long, numBits: Long): Column =
@@ -135,6 +150,22 @@ package object functions {
           .toAggregateExpression()
       case _ => throw new IllegalArgumentException(
         "topk_sketch(item, capacity) — capacity must be a literal")
+    }),
+    ("kll_sketch_agg", classOf[graft.expr.KllSketchAgg], {
+      case Seq(c) => graft.expr.KllSketchAgg(c).toAggregateExpression()
+      case Seq(c, k) if k.foldable =>
+        graft.expr.KllSketchAgg(c, k.eval().asInstanceOf[Number].intValue())
+          .toAggregateExpression()
+      case _ => throw new IllegalArgumentException(
+        "kll_sketch_agg(x[, k]) — k must be a literal")
+    }),
+    ("kll_merge_agg", classOf[graft.expr.KllMergeAgg], {
+      case Seq(c) => graft.expr.KllMergeAgg(c).toAggregateExpression()
+      case _ => throw new IllegalArgumentException("kll_merge_agg(sketch)")
+    }),
+    ("kll_quantile", classOf[graft.expr.KllQuantile], {
+      case Seq(s, q) => graft.expr.KllQuantile(s, q)
+      case _ => throw new IllegalArgumentException("kll_quantile(sketch, rank)")
     }),
     // Spark ships Bloom-filter expressions for its runtime filters but
     // does not register them publicly; the engine exposes them — the
