@@ -38,8 +38,14 @@ object Bench {
     // discards it whenever the other two agree.)
     def median3(a: Double, b: Double, c: Double): Double =
       math.max(math.min(a, b), math.min(math.max(a, b), c))
-    val results = SparkEntry.benchQueries.map(n =>
-      n -> median3(runOnce(n), runOnce(n), runOnce(n)))
+    val results = SparkEntry.benchQueries.map { n =>
+      val (a, b, c) = (runOnce(n), runOnce(n), runOnce(n))
+      // all three samples to stderr so dispersion is auditable from
+      // the log without re-running (the JSON line carries the median)
+      System.err.println(
+        f"[bench] $n%s samples: $a%.3f $b%.3f $c%.3f -> median ${median3(a, b, c)}%.3f")
+      n -> median3(a, b, c)
+    }
     val total = results.map(_._2).sum
 
     // The driver keeps only the last ~2000 characters of output and

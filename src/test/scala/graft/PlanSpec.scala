@@ -113,6 +113,19 @@ class PlanSpec extends SparkSpec {
     assert(countExchanges(p) <= 1, p)
   }
 
+  test("evt_funnel reuses one user-key partitioning across all step stages") {
+    // 3-step funnel = 3 event-type legs. Each leg may pay at most one
+    // hash exchange to land on the user key; the join+groupBy(user)
+    // chain must run IN PLACE on that partitioning (a refactor that
+    // breaks outputPartitioning silently adds an exchange per stage,
+    // turning k steps into 2k shuffles at 100 TB). Only other exchange
+    // allowed: the final orderBy range partitioning.
+    val p = plan("evt_funnel")
+    val hashExchanges = p.linesIterator
+      .count(_.contains("Arguments: hashpartitioning"))
+    assert(hashExchanges <= 3, s"expected <=3 hash exchanges:\n$p")
+  }
+
   test("agg_copartition runs both aggregation levels on one shuffle") {
     val p = plan("agg_copartition")
     // exactly one hash exchange (the explicit copartition); the
