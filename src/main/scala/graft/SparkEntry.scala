@@ -149,6 +149,7 @@ object SparkEntry {
     "agg_collect_list", "agg_pivot", "agg_unpivot", "agg_grouping_sets",
     "date_funcs", "null_handling", "str_levenshtein", "sketch_bloom",
     "sketch_topk", "sketch_hll_persist", "sketch_kll_persist",
+    "sketch_theta_persist",
     "join_semi", "join_anti", "join_salted", "agg_copartition", "asof_signup_value",
     "win_topk_parts", "win_running_total", "win_lag_delta", "win_rank_family",
     "win_rolling_range",
@@ -1968,6 +1969,48 @@ object SparkEntry {
           (abs(avg(($"x" <= $"p90").cast("double")) - 0.9) <= 0.05).as("p90_ok"))
     }),
 
+    "sketch_theta_persist" -> ((s, dir) => {
+      import s.implicits._
+      // Distinct-count SET ALGEBRA at scale: per-half Theta sketches
+      // of the word-3-gram vocabulary PERSIST through parquet; |A|,
+      // |B|, |A∪B|, |A∩B|, |A\B| then come from k-row sketch algebra
+      // — no vocabulary shuffle, no corpus rescan. SIDE-EFFECTING
+      // (writes the sketch table at construction). Exact counts (the
+      // oracle-matched columns) come from the md5-keyed exact path;
+      // booleans gate each estimate at ~3x its rse (union family
+      // ~1.6% at lgK=12; intersection/difference widen by sqrt(U/I)
+      // per the documented Theta error model — ~3% at this overlap).
+      val docs = Tables.documents(s, dir)
+      val grams = docs.select(($"doc_id" % 2 === 0).as("in_a"),
+        explode(array_distinct(
+          TextAnalysis.tokenGrams($"text", 3))).as("gram"))
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_theta_${math.abs(dir.hashCode)}"
+      grams.groupBy($"in_a")
+        .agg(graft.functions.theta_sketch_agg($"gram").as("sk"))
+        .write.mode("overwrite").parquet(out)
+      import graft.functions.{theta_estimate, theta_intersect, theta_union_agg, theta_union, theta_difference}
+      val est = s.read.parquet(out)
+        .agg(theta_union_agg(when($"in_a", $"sk")).as("ska"),
+          theta_union_agg(when(!$"in_a", $"sk")).as("skb"))
+        .select(theta_estimate($"ska").as("est_a"),
+          theta_estimate($"skb").as("est_b"),
+          theta_estimate(theta_union($"ska", $"skb")).as("est_u"),
+          theta_estimate(theta_intersect($"ska", $"skb")).as("est_i"),
+          theta_estimate(theta_difference($"ska", $"skb")).as("est_d"))
+      val a = docs.filter($"doc_id" % 2 === 0)
+      val b = docs.filter($"doc_id" % 2 =!= 0)
+      CorpusOverlap.exact(a, b, "text", n = 3)
+        .crossJoin(broadcast(est))
+        .select($"n_grams_a", $"n_grams_b", $"n_shared",
+          (abs($"est_a" - $"n_grams_a") <= $"n_grams_a" * 0.05).as("theta_a_ok"),
+          (abs($"est_b" - $"n_grams_b") <= $"n_grams_b" * 0.05).as("theta_b_ok"),
+          (abs($"est_u" - ($"n_grams_a" + $"n_grams_b" - $"n_shared"))
+            <= ($"n_grams_a" + $"n_grams_b" - $"n_shared") * 0.05).as("theta_u_ok"),
+          (abs($"est_i" - $"n_shared") <= $"n_shared" * 0.10).as("theta_i_ok"),
+          (abs($"est_d" - ($"n_grams_a" - $"n_shared"))
+            <= ($"n_grams_a" - $"n_shared") * 0.10).as("theta_d_ok"))
+    }),
+
     "sketch_topk_gate" -> ((s, dir) => {
       import s.implicits._
       // Eviction regime: whitespace tokens (high cardinality) through
@@ -3053,6 +3096,30 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  true AS p50_ok, true AS p90_ok
         |FROM lineitem""".stripMargin,
+
+    // same exact-overlap CTE as corpus_overlap; the theta estimates
+    // are gated in-plan, so the oracle pins the exact counts + true
+    "sketch_theta_persist" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+        |    list_distinct(list_transform(range(0, len(toks) - 2),
+        |      i -> array_to_string(list_slice(toks, CAST(i AS INT) + 1, CAST(i AS INT) + 3), ' ')))
+        |    ELSE [] END AS grams
+        |  FROM t),
+        |k AS (
+        |  SELECT md5(unnest(grams)) AS k,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS in_a,
+        |    CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END AS in_b
+        |  FROM g),
+        |m AS (SELECT k, max(in_a) AS in_a, max(in_b) AS in_b FROM k GROUP BY k)
+        |SELECT CAST(sum(in_a) AS BIGINT) AS n_grams_a,
+        |  CAST(sum(in_b) AS BIGINT) AS n_grams_b,
+        |  CAST(sum(in_a * in_b) AS BIGINT) AS n_shared,
+        |  true AS theta_a_ok, true AS theta_b_ok, true AS theta_u_ok,
+        |  true AS theta_i_ok, true AS theta_d_ok
+        |FROM m""".stripMargin,
 
     "sketch_topk" ->
       """SELECT source AS item, CAST(count(*) AS BIGINT) AS cnt,

@@ -80,6 +80,32 @@ package object functions {
   def kll_quantile(sketch: Column, rank: Column): Column =
     col(graft.expr.KllQuantile(ex(sketch), ex(rank.cast("double"))))
 
+  /** Theta distinct-count sketch aggregate over a string/integral
+    * column (binary, mergeable, parquet-persistable) — the set-algebra
+    * member of the sketch family. */
+  def theta_sketch_agg(c: Column, lgK: Int = 12): Column =
+    col(graft.expr.ThetaSketchAgg(ex(c), lgK).toAggregateExpression())
+
+  /** Union of serialized Theta sketches. */
+  def theta_union_agg(c: Column): Column =
+    col(graft.expr.ThetaUnionAgg(ex(c)).toAggregateExpression())
+
+  /** Distinct-count estimate of a serialized Theta sketch. */
+  def theta_estimate(c: Column): Column = col(graft.expr.ThetaEstimate(ex(c)))
+
+  /** Pairwise union sketch of two serialized Theta sketches. */
+  def theta_union(a: Column, b: Column): Column =
+    col(graft.expr.ThetaUnionPair(ex(a), ex(b)))
+
+  /** Intersection sketch of two serialized Theta sketches:
+    * `theta_estimate(theta_intersect(a, b))` ≈ `|A ∩ B|`. */
+  def theta_intersect(a: Column, b: Column): Column =
+    col(graft.expr.ThetaIntersect(ex(a), ex(b)))
+
+  /** A-not-B sketch of two serialized Theta sketches. */
+  def theta_difference(a: Column, b: Column): Column =
+    col(graft.expr.ThetaDifference(ex(a), ex(b)))
+
   /** Bloom-filter aggregate over a LONG column as a Column builder
     * (the SQL name `bloom_filter_agg` is registered separately). */
   def bloom_filter_agg(c: Column, estimatedItems: Long, numBits: Long): Column =
@@ -166,6 +192,34 @@ package object functions {
     ("kll_quantile", classOf[graft.expr.KllQuantile], {
       case Seq(s, q) => graft.expr.KllQuantile(s, q)
       case _ => throw new IllegalArgumentException("kll_quantile(sketch, rank)")
+    }),
+    ("theta_sketch_agg", classOf[graft.expr.ThetaSketchAgg], {
+      case Seq(c) => graft.expr.ThetaSketchAgg(c).toAggregateExpression()
+      case Seq(c, k) if k.foldable =>
+        graft.expr.ThetaSketchAgg(c, k.eval().asInstanceOf[Number].intValue())
+          .toAggregateExpression()
+      case _ => throw new IllegalArgumentException(
+        "theta_sketch_agg(x[, lgK]) — lgK must be a literal")
+    }),
+    ("theta_union_agg", classOf[graft.expr.ThetaUnionAgg], {
+      case Seq(c) => graft.expr.ThetaUnionAgg(c).toAggregateExpression()
+      case _ => throw new IllegalArgumentException("theta_union_agg(sketch)")
+    }),
+    ("theta_estimate", classOf[graft.expr.ThetaEstimate], {
+      case Seq(c) => graft.expr.ThetaEstimate(c)
+      case _ => throw new IllegalArgumentException("theta_estimate(sketch)")
+    }),
+    ("theta_union", classOf[graft.expr.ThetaUnionPair], {
+      case Seq(a, b) => graft.expr.ThetaUnionPair(a, b)
+      case _ => throw new IllegalArgumentException("theta_union(a, b)")
+    }),
+    ("theta_intersect", classOf[graft.expr.ThetaIntersect], {
+      case Seq(a, b) => graft.expr.ThetaIntersect(a, b)
+      case _ => throw new IllegalArgumentException("theta_intersect(a, b)")
+    }),
+    ("theta_difference", classOf[graft.expr.ThetaDifference], {
+      case Seq(a, b) => graft.expr.ThetaDifference(a, b)
+      case _ => throw new IllegalArgumentException("theta_difference(a, b)")
     }),
     // Spark ships Bloom-filter expressions for its runtime filters but
     // does not register them publicly; the engine exposes them — the
