@@ -631,6 +631,24 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    "sample_mixture_epochs" -> ((s, dir) => {
+      import s.implicits._
+      // Data mixing WITH upsampling: a 30k-token budget at
+      // 400/300/100/100/100 permille puts en at ~1.02 epochs, zh at
+      // ~2.2 (whole-corpus repeats + fractional gate) and downsamples
+      // de/es/fr. Integer thresholds + the arithmetic row gate let
+      // DuckDB replay the exact copy set, epoch numbers included.
+      val docs = Tables.documents(s, dir).select($"doc_id", $"lang",
+        size(split($"text", " ")).cast("long").as("n_tok"))
+      Sampling.mixtureWithEpochs(docs, "lang", "n_tok",
+          weightsPermille = Map("en" -> 400, "zh" -> 300, "de" -> 100,
+            "es" -> 100, "fr" -> 100),
+          budgetTokens = 30000L,
+          rowGate = $"doc_id" * lit(7919L) + lit(13L))
+        .select($"doc_id", $"lang", $"n_tok", $"epoch")
+        .orderBy($"doc_id", $"epoch")
+    }),
+
     "split_train_test" -> ((s, dir) => {
       import s.implicits._
       // Reproducible 80/10/10 train/val/test split: the assignment is
@@ -2381,6 +2399,34 @@ object SparkEntry {
         |    WHEN 'de' THEN 600 WHEN 'es' THEN 600 WHEN 'fr' THEN 600
         |    ELSE 0 END)) // tot.tot)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Replays mixtureWithEpochs' copy set: whole epochs target DIV tot
+    // plus the fractional-remainder gate, capped at 100, exploded via
+    // range(); targets are budget*w/1000 = 12000/9000/3000.
+    "sample_mixture_epochs" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |t AS (
+        |  SELECT lang, CAST(sum(n_tok) AS BIGINT) AS tot
+        |  FROM d GROUP BY lang),
+        |p AS (
+        |  SELECT d.doc_id, d.lang, d.n_tok, t.tot,
+        |    CAST(CASE d.lang WHEN 'en' THEN 12000 WHEN 'zh' THEN 9000
+        |      WHEN 'de' THEN 3000 WHEN 'es' THEN 3000 WHEN 'fr' THEN 3000
+        |      ELSE 0 END AS BIGINT) AS target
+        |  FROM d JOIN t USING (lang)),
+        |r AS (
+        |  SELECT doc_id, lang, n_tok,
+        |    least(100, (target // tot)
+        |      + CASE WHEN (doc_id * 7919 + 13) % 10000 <
+        |          (10000 * (target - (target // tot) * tot)) // tot
+        |        THEN 1 ELSE 0 END) AS rep
+        |  FROM p)
+        |SELECT doc_id, lang, n_tok,
+        |  CAST(unnest(range(1, rep + 1)) AS BIGINT) AS epoch
+        |FROM r WHERE rep > 0 ORDER BY doc_id, epoch""".stripMargin,
 
     // Recomputes tokenShards' distributed prefix sum with a plain
     // window running-sum: shard = floor(tokens_strictly_before / 2000)

@@ -92,6 +92,47 @@ object Sampling {
       .drop("__tot", "__target", "__thresh")
   }
 
+  /** Mixture resampling WITH upsampling — [[mixtureByBudget]] can only
+    * keep or drop, but real training mixtures run small high-value
+    * domains for MULTIPLE EPOCHS ("2.2 epochs of wiki, 0.4 of web").
+    * Each row gets a repeat count:
+    * `rep = floor(target/total) + (1 if gate < frac_threshold else 0)`
+    * — whole epochs for every row plus a deterministic row gate for
+    * the fractional remainder — then explodes into `rep` copies with
+    * an `epoch` column (1-based). `rep = 0` rows are dropped, so the
+    * downsampling regime degenerates to exactly [[mixtureByBudget]]'s
+    * keep/drop gate. All arithmetic is integer (permille weights,
+    * permyriad thresholds, `DIV`), so an external engine replays the
+    * exact copy set. `maxEpochs` caps runaway upsampling when a group
+    * is orders of magnitude below target (a misconfiguration guard,
+    * applied after the fractional draw and replayed by the oracle).
+    *
+    * Scale: same shape as [[mixtureByBudget]] — a tiny broadcast of
+    * per-group totals plus a row-local gate; `explode(sequence)` emits
+    * copies without shuffling the corpus. */
+  def mixtureWithEpochs(df: DataFrame, groupCol: String, tokenCol: String,
+      weightsPermille: Map[String, Int], budgetTokens: Long,
+      rowGate: Column, maxEpochs: Int = 100): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0 (got $budgetTokens)")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1 (got $maxEpochs)")
+    require(weightsPermille.values.forall(_ >= 0), "weights must be >= 0")
+    val targetCol = weightsPermille.foldLeft(lit(0L)) { case (acc, (g, w)) =>
+      when(col(groupCol) === lit(g), lit(budgetTokens * w / 1000L)).otherwise(acc)
+    }
+    val totals = df.groupBy(col(groupCol))
+      .agg(sum(col(tokenCol)).cast("long").as("__tot"))
+    df.join(broadcast(totals), Seq(groupCol))
+      .withColumn("__target", targetCol)
+      .withColumn("__full", expr("__target DIV __tot"))
+      .withColumn("__rep", least(lit(maxEpochs.toLong),
+        col("__full") + when(pmod(rowGate, lit(10000L)) <
+          expr("(10000 * (__target - __full * __tot)) DIV __tot"), 1L)
+          .otherwise(0L)))
+      .filter(col("__rep") > 0)
+      .withColumn("epoch", explode(sequence(lit(1L), col("__rep"))))
+      .drop("__tot", "__target", "__full", "__rep")
+  }
+
   /** Deterministic train/validation/test split: every row gets a
     * `split` label from its hash bucket, so the assignment is a pure
     * function of the row's key — reproducible across re-runs, stable

@@ -143,6 +143,51 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("mixtureWithEpochs: upsampled group's token mass tracks its target") {
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"lang",
+      size(split($"text", " ")).cast("long").as("n_tok"))
+    val weights = Map("en" -> 400, "zh" -> 300, "de" -> 100, "es" -> 100, "fr" -> 100)
+    val budget = 30000L
+    val got = Sampling.mixtureWithEpochs(docs, "lang", "n_tok", weights, budget,
+      rowGate = $"doc_id" * lit(7919L) + lit(13L))
+    val mass = got.groupBy($"lang").agg(sum($"n_tok").as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // zh target 9000 needs >2 epochs: repeats make the mass reachable
+    val zhTarget = budget * 300 / 1000
+    assert(math.abs(mass("zh") - zhTarget).toDouble / zhTarget < 0.35,
+      s"zh mass ${mass("zh")} vs target $zhTarget")
+    // whole-epoch copies: every zh doc appears at least floor(ratio) times
+    val tots = docs.groupBy($"lang").agg(sum($"n_tok").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val zhFull = zhTarget / tots("zh")
+    val minEpochs = got.filter($"lang" === "zh").groupBy($"doc_id")
+      .agg(max($"epoch").as("e")).agg(min($"e")).head().getLong(0)
+    assert(minEpochs >= zhFull, s"min zh epochs $minEpochs < whole epochs $zhFull")
+  }
+
+  test("mixtureWithEpochs degenerates to mixtureByBudget when nothing upsamples") {
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"lang",
+      size(split($"text", " ")).cast("long").as("n_tok"))
+    val weights = Map("en" -> 500, "zh" -> 200, "de" -> 100, "es" -> 100, "fr" -> 100)
+    val gate = $"doc_id" * lit(7919L) + lit(13L)
+    val epochs = Sampling.mixtureWithEpochs(docs, "lang", "n_tok", weights, 6000L, gate)
+    val keep = Sampling.mixtureByBudget(docs, "lang", "n_tok", weights, 6000L, gate)
+    // all ratios <= 1: every kept row has exactly epoch 1, same set
+    assert(epochs.filter($"epoch" =!= 1L).count() == 0)
+    val a = epochs.select($"doc_id").collect().map(_.getLong(0)).toSet
+    val b = keep.select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("mixtureWithEpochs: maxEpochs caps runaway upsampling") {
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"lang",
+      size(split($"text", " ")).cast("long").as("n_tok"))
+    // zh target is ~100x its mass; the cap must hold it at 3 copies
+    val got = Sampling.mixtureWithEpochs(docs, "lang", "n_tok",
+      Map("zh" -> 1000), 400000L, $"doc_id", maxEpochs = 3)
+    assert(got.agg(max($"epoch")).head().getLong(0) == 3L)
+  }
+
   test("stratified sampleBy approximates requested fractions") {
     val fr = Map("BUILDING" -> 0.5, "MACHINERY" -> 0.1)
     val c = Tables.customer(spark, sf001)
