@@ -25,12 +25,12 @@ import org.apache.spark.sql.functions._
   *    page has diameter <= 2-3 via banding collisions), so the
   *    practical round count is small; `maxIter` guards pathological
   *    chains, and the operator FAILS LOUDLY rather than returning
-  *    un-converged labels. For adversarial high-diameter graphs,
-  *    switch to the alternating large-star/small-star algorithm
-  *    (Kiveris et al., "Connected Components in MapReduce and
-  *    Beyond", SoCC'14) which converges in O(log^2 n) rounds; hash-min
-  *    is chosen here because dup graphs make its per-round cost
-  *    strictly cheaper and its round count in practice smaller.
+  *    un-converged labels. For adversarial high-diameter graphs, use
+  *    [[connectedComponentsStar]] (alternating large-star/small-star,
+  *    Kiveris et al. SoCC'14, O(log^2 n) rounds — same output
+  *    contract); hash-min is the default because dup graphs make its
+  *    per-round cost strictly cheaper and its round count in practice
+  *    smaller.
   *  - The per-round convergence check is a count over the checkpointed
   *    label table (an 8-byte column scan), not a collect of labels.
   */
@@ -76,6 +76,92 @@ object Graph {
         "the graph has a longer path than expected for a dup-cluster " +
         "graph; raise maxIter or use large-star/small-star")
     labels
+  }
+
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the adversarial-diameter fallback to
+    * [[connectedComponents]]: O(log^2 n) rounds regardless of graph
+    * shape, where hash-min needs O(diameter). Use it when the dup
+    * graph can contain long chains (e.g. near-dup edges from sliding
+    * windows over a document stream); prefer hash-min for the shallow
+    * dense clusters banding produces, where its per-round cost is
+    * strictly cheaper.
+    *
+    * Per round: two neighborhood-min aggregations and two 8-byte-keyed
+    * joins over the (shrinking) edge list; edges are kept canonical as
+    * (child > parent) pairs, and lineage is truncated per round.
+    * Convergence = a full large+small cycle leaves the edge set
+    * unchanged at BOTH steps (small-star alone is a fixpoint of any
+    * monotone chain and must not terminate the loop). Fails loudly
+    * past `maxIter` like the hash-min variant.
+    *
+    * Returns (`id`, `comp`) for every vertex appearing in `edges`,
+    * `comp` = smallest vertex id in the component — the same contract
+    * as [[connectedComponents]], so the two are interchangeable. */
+  def connectedComponentsStar(edges: DataFrame, srcCol: String = "id_a",
+      dstCol: String = "id_b", maxIter: Int = 50): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    var e = e0.select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint(true)
+    val allVertices = e0.select(col("a").as("id"))
+      .union(e0.select(col("b").as("id"))).distinct()
+      .localCheckpoint(true)
+
+    // full (node, neighbor) view of the canonical edge list
+    def nbrs(es: DataFrame) =
+      es.union(es.select(col("v").as("u"), col("u").as("v")))
+
+    // m(u) = min(u, min of u's neighbors) over the given neighborhood
+    def mins(nb: DataFrame) = nb.groupBy(col("u"))
+      .agg(least(min(col("v")), first(col("u"))).as("m"))
+
+    // set equality for canonical edge lists; cheap count gate first
+    def sameEdges(x: DataFrame, y: DataFrame, nx: Long, ny: Long): Boolean =
+      nx == ny && x.exceptAll(y).isEmpty
+
+    var iter = 0
+    var converged = false
+    var nE = e.count()
+    while (!converged && iter < maxIter) {
+      // LARGE-STAR: every node links its LARGER neighbors to its
+      // neighborhood min — long tails fold onto local minima
+      val nb = nbrs(e)
+      val large = nb.filter(col("v") > col("u"))
+        .join(mins(nb), "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct().localCheckpoint(true)
+      val nLarge = large.count()
+      val largeStable = sameEdges(large, e, nLarge, nE)
+      // SMALL-STAR on large-star's output: every node links its
+      // SMALLER neighbors (and itself) to the min of that smaller set
+      // — stars flatten. Canonical (u > v) IS the smaller-neighbor view
+      val smaller = large
+      val mSmall = smaller.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = smaller.join(mSmall, "u")
+        .select(explode(array(
+          struct(col("u"), col("m").as("v")),
+          struct(col("v").as("u"), col("m").as("v")))).as("e"))
+        .select(col("e.u"), col("e.v"))
+        .filter(col("u") =!= col("v"))
+        .distinct().localCheckpoint(true)
+      val nSmall = small.count()
+      converged = largeStable && sameEdges(small, large, nSmall, nLarge)
+      e = small
+      nE = nSmall
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponentsStar did not converge within $maxIter rounds")
+    // fixpoint is a rooted star per component: children point at the
+    // root (= component min); roots label themselves
+    val children = e.select(col("u").as("id"), col("v").as("comp"))
+    val roots = allVertices.join(children.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("comp", col("id"))
+    children.union(roots)
   }
 
   /** Total cluster assignment: every row of `df` gets a `cluster_id` —

@@ -69,4 +69,41 @@ class GraphSpec extends SparkSpec {
       }
     }
   }
+
+  test("star CC: same contract as hash-min on chain + triangle + orientation") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (12L, 10L), (4L, 3L), (1L, 2L)).toDF("id_a", "id_b")
+    val cc = Graph.connectedComponentsStar(edges).as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("star CC converges in O(log^2 n) rounds on a deep path hash-min can't do") {
+    // a 200-vertex path: hash-min needs 199 rounds (fails loudly at
+    // maxIter=20); large-star/small-star contracts it geometrically
+    val edges = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Graph.connectedComponents(edges, maxIter = 20)
+    }
+    val cc = Graph.connectedComponentsStar(edges, maxIter = 20)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.size == 200 && cc.values.forall(_ == 0L))
+  }
+
+  test("property: star CC agrees with union-find on random graphs") {
+    val rnd = new Random(7)
+    (1 to 6).foreach { _ =>
+      val n = 2 + rnd.nextInt(23)
+      val es = Seq.fill(1 + rnd.nextInt(40))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      if (es.nonEmpty) {
+        val truth = unionFind(n, es)
+        val cc = Graph.connectedComponentsStar(es.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+        cc.foreach { case (id, comp) => assert(comp == truth(id),
+          s"vertex $id: got $comp, union-find says ${truth(id)} (edges=$es)") }
+      }
+    }
+  }
 }
