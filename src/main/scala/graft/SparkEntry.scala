@@ -1233,6 +1233,27 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    "dedup_clusters_star_gate" -> ((s, dir) => {
+      import s.implicits._
+      // Algorithm cross-check on the production graph: the
+      // large-star/small-star CC (the high-diameter fallback) must
+      // label the full simhash-banded candidate graph IDENTICALLY to
+      // hash-min — both contracts are "component = min member id", so
+      // any disagreement anywhere is a bug in one of them. One row:
+      // (n_vertices, all_agree).
+      val docs = Tables.documents(s, dir)
+      val edges = Dedup.simhashNearDup(docs, "text", "doc_id", maxHamming = 7)
+        .select($"id_a", $"id_b")
+      val hm = Graph.connectedComponents(edges)
+        .withColumnRenamed("comp", "c_hm")
+      val star = Graph.connectedComponentsStar(edges)
+        .withColumnRenamed("comp", "c_star")
+      hm.join(star, "id")
+        .agg((count(lit(1)) > 0).as("nontrivial"),
+          (coalesce(sum(when($"c_hm" =!= $"c_star", 1).otherwise(0)), lit(0)) === 0)
+            .as("all_agree"))
+    }),
+
     "dedup_clusters_gate" -> ((s, dir) => {
       import s.implicits._
       // The production path: clusters over the FULL simhash-banded
@@ -3324,6 +3345,9 @@ object SparkEntry {
 
     "dedup_clusters_gate" ->
       "SELECT true AS closed, true AS canonical, true AS nontrivial",
+
+    "dedup_clusters_star_gate" ->
+      "SELECT true AS nontrivial, true AS all_agree",
 
     "text_chunk" ->
       """WITH t AS (
