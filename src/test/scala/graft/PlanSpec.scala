@@ -102,6 +102,33 @@ class PlanSpec extends SparkSpec {
     assert(countExchanges(p) <= 2, p) // single-partition agg + sort
   }
 
+  test("kll and theta sketch aggregates run map-side partials — raw values never shuffle") {
+    spark.catalog.clearCache()
+    val docs = Tables.documents(spark, sf0001)
+    val theta = docs
+      .select($"source", explode(split($"text", " ")).as("tok"))
+      .groupBy($"source")
+      .agg(graft.functions.theta_sketch_agg($"tok").as("sk"))
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    // partial union sketches before the exchange: the shuffle carries
+    // lgK-bounded binaries per (partition, group), never the tokens
+    assert(theta.contains("partial_theta_sketch_agg"), theta)
+    val kll = Tables.lineitem(spark, sf0001)
+      .groupBy($"l_returnflag")
+      .agg(graft.functions.kll_sketch_agg($"l_extendedprice").as("sk"))
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(kll.contains("partial_kll_sketch_agg"), kll)
+  }
+
+  test("sample_mixture_epochs broadcasts group totals — the corpus never shuffles") {
+    val p = plan("sample_mixture_epochs")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // two exchanges allowed: the k-row group-totals aggregation that
+    // feeds the broadcast, and the final orderBy range partitioning —
+    // the corpus itself flows scan -> join -> explode with no shuffle
+    assert(countExchanges(p) <= 2, p)
+  }
+
   test("semi/anti joins plan as joins, not subquery re-scans") {
     assert(plan("join_semi").contains("LeftSemi"))
     assert(plan("join_anti").contains("LeftAnti"))
