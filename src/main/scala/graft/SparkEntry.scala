@@ -151,6 +151,7 @@ object SparkEntry {
     "sketch_topk", "sketch_hll_persist", "sketch_kll_persist",
     "sketch_theta_persist",
     "join_semi", "join_anti", "join_salted", "agg_copartition", "asof_signup_value",
+    "asof_next_purchase",
     "win_topk_parts", "win_running_total", "win_lag_delta", "win_rank_family",
     "win_rolling_range",
     "set_union", "set_intersect", "set_except",
@@ -1907,6 +1908,22 @@ object SparkEntry {
         .orderBy($"event_id")
     }),
 
+    "asof_next_purchase" -> ((s, dir) => {
+      import s.implicits._
+      // forward as-of: for each signup, the user's EARLIEST purchase
+      // at-or-after it (time-to-conversion analytics)
+      val ev = Tables.events(s, dir)
+      val signups = ev.filter($"event_type" === "signup")
+        .select($"event_id", $"user_id", $"ts")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts".as("purchase_ts"), $"value".as("purchase_value"))
+      AsOf.joinAsOf(signups, purchases, "user_id", "ts", "purchase_ts",
+          payload = Seq("purchase_value"), direction = "forward")
+        .select($"event_id", $"user_id",
+          date_trunc("second", $"ts").as("ts_s"), $"purchase_value")
+        .orderBy($"event_id")
+    }),
+
     "sketch_bloom" -> ((s, dir) => {
       // Bloom-filter membership gate (Spark's runtime-filter machinery
       // exposed via graft.functions): build on customer keys once (a
@@ -3437,6 +3454,14 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |  ON p.user_id = s.user_id AND s.ts <= p.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "asof_next_purchase" ->
+      """SELECT s.event_id, s.user_id, date_trunc('second', s.ts) AS ts_s,
+        |  p.value AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON s.user_id = p.user_id AND p.ts >= s.ts
+        |ORDER BY s.event_id""".stripMargin,
 
     "sketch_bloom" ->
       """SELECT (SELECT CAST(count(*) AS BIGINT)

@@ -30,6 +30,38 @@ class AsOfSpec extends SparkSpec {
     assert(AsOf.joinAsOf(left, right, "key", "lts", "rts", Seq("tag")).count() == 5)
   }
 
+  test("forward direction picks earliest right row at-or-after, per key") {
+    val left = Seq(
+      (1L, 10L, t(10)), (2L, 10L, t(30)), (3L, 10L, t(35)),
+      (4L, 20L, t(150)), (5L, 30L, t(50)))
+      .toDF("l_id", "key", "lts")
+    val right = Seq(
+      (10L, t(0), "a"), (10L, t(20), "b"), (10L, t(30), "c"),
+      (20L, t(100), "z"))
+      .toDF("key", "rts", "tag")
+    val got = AsOf.joinAsOf(left, right, "key", "lts", "rts", Seq("tag"),
+        direction = "forward")
+      .select($"l_id", $"tag").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got(1L) == "b")   // t10 -> b (t20)
+    assert(got(2L) == "c")   // t30 -> c (>= inclusive)
+    assert(got(3L) == null)  // t35: nothing after
+    assert(got(4L) == null)  // right t100 is before t150
+    assert(got(5L) == null)  // no right rows for key 30
+  }
+
+  test("tolerance nulls matches farther than the bound, keeps the row") {
+    val left = Seq((1L, 10L, t(10)), (2L, 10L, t(100))).toDF("l_id", "key", "lts")
+    val right = Seq((10L, t(0), "a")).toDF("key", "rts", "tag")
+    val got = AsOf.joinAsOf(left, right, "key", "lts", "rts", Seq("tag"),
+        toleranceSeconds = Some(15 * 60L))
+      .select($"l_id", $"tag").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    // t10 is 10 min after a (within 15 min); t100 is 100 min after (nulled)
+    assert(got == Map(1L -> "a", 2L -> null))
+    assert(got.size == 2)
+  }
+
   test("asof_signup_value: every purchase keeps exactly one row; signup precedes purchase") {
     val out = SparkEntry.queries("asof_signup_value")(spark, sf0001).cache()
     val purchases = Tables.events(spark, sf0001).filter($"event_type" === "purchase")
