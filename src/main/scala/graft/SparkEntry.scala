@@ -159,7 +159,8 @@ object SparkEntry {
     "sample_first_n", "sample_by_key", "sample_rows_det", "sample_bernoulli",
     "sample_percent", "sample_stratified", "split_train_test",
     "feat_percentile_buckets", "feat_percentile_buckets_approx",
-    "feat_percentile_buckets_window", "pipeline_feature_matrix",
+    "feat_percentile_buckets_window", "feat_percentile_buckets_kll",
+    "pipeline_feature_matrix",
     "dq_invalid_codes", "dq_profile",
     "date_monthly_orders", "json_event_stats", "str_funcs", "parse_money",
     "evt_tumbling", "evt_sliding", "evt_sessionize", "evt_session_window",
@@ -725,6 +726,28 @@ object SparkEntry {
         .select($"l_suppkey".as("provider"), $"l_partkey".as("code"), $"bucket")
         .distinct()
         .orderBy($"provider", $"code", $"bucket")
+    }),
+
+    "feat_percentile_buckets_kll" -> ((s, dir) => {
+      import s.implicits._
+      // The persistable-sketch bucketing path (bucketBySketch): per-key
+      // KLL quantile arrays instead of percentile buffers — at 100 TB
+      // the sketch side persists and refreshes by merge instead of
+      // rescan. Gate: per-row bucket agreement with the exact form
+      // >= 97% (labels can differ only inside the ~1.65% rank band
+      // around a decile boundary); n_rows value-matched.
+      val li = Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
+      val exact = Percentiles.bucketByJoin(li, "l_partkey",
+          $"l_quantity".cast("int"), outCols = Seq("l_orderkey", "l_linenumber"))
+        .select($"l_orderkey", $"l_linenumber", $"bucket".as("b_exact"))
+      val sk = Percentiles.bucketBySketch(li, "l_partkey",
+          $"l_quantity".cast("int"), outCols = Seq("l_orderkey", "l_linenumber"))
+        .select($"l_orderkey", $"l_linenumber", $"bucket".as("b_kll"))
+      exact.join(sk, Seq("l_orderkey", "l_linenumber"))
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          (avg(when($"b_exact" === $"b_kll", 1.0).otherwise(0.0)) >= 0.97)
+            .as("kll_agree"))
     }),
 
     "pipeline_feature_matrix" -> ((s, dir) => {
@@ -3179,6 +3202,10 @@ object SparkEntry {
     "sketch_kll_persist" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  true AS p50_ok, true AS p90_ok
+        |FROM lineitem""".stripMargin,
+
+    "feat_percentile_buckets_kll" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS kll_agree
         |FROM lineitem""".stripMargin,
 
     // same exact-overlap CTE as corpus_overlap; the theta estimates

@@ -79,6 +79,27 @@ object Percentiles {
       .select((keyCol +: outCols :+ "bucket").map(col): _*)
   }
 
+  /** Sketch form: per-key KLL quantile sketches → quantile array →
+    * the same join-back ladder. Unlike `percentile_approx`'s opaque
+    * buffer, the KLL aggregate side is a plain binary column, so at
+    * 100 TB it can be PERSISTED and refreshed incrementally — merge
+    * new partitions' sketches instead of rescanning history (the
+    * bucketing twin of `sketch_kll_persist`). Rank error at k=200 is
+    * ~1.65%, so bucket labels can disagree with the exact form only
+    * for values within that rank band of a decile boundary. */
+  def bucketBySketch(fact: DataFrame, keyCol: String, valueExpr: Column,
+      outCols: Seq[String], ps: Seq[Double] = defaultPs,
+      k: Int = 200): DataFrame = {
+    val withV = fact.withColumn("__v", valueExpr)
+    val aggs = withV.groupBy(col(keyCol))
+      .agg(graft.functions.kll_sketch_agg(col("__v"), k).as("__sk"))
+      .select(col(keyCol), array(ps.map(p =>
+        graft.functions.kll_quantile(col("__sk"), lit(p))): _*).as("percentiles"))
+    withV.join(aggs, Seq(keyCol))
+      .withColumn("bucket", bucketLadder(col("__v"), col("percentiles"), ps))
+      .select((keyCol +: outCols :+ "bucket").map(col): _*)
+  }
+
   /** Window form: same bucketing from a single `percent_rank()` pass.
     * Note percent_rank gives rank/(n-1) which is the inverse view of
     * the interpolated percentile; the two forms agree on bucket labels
