@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.llm.{CorpusOverlap, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.ml.{Projection, TextFeatures}
-import graft.operators.{AsOf, Graph, Merge, Percentiles, Quality, Sampling, Scale}
+import graft.operators.{AsOf, Graph, IntervalJoin, Merge, Percentiles, Quality, Sampling, Scale}
 import graft.sources.{Csv, Writers}
 import graft.streaming.EventStreams
 
@@ -151,13 +151,15 @@ object SparkEntry {
     "sketch_topk", "sketch_hll_persist", "sketch_kll_persist",
     "sketch_theta_persist",
     "join_semi", "join_anti", "join_salted", "agg_copartition", "asof_signup_value",
-    "asof_next_purchase",
+    "asof_next_purchase", "interval_join_promo", "interval_join_incidents",
+    "interval_overlap_campaigns",
     "win_topk_parts", "win_running_total", "win_lag_delta", "win_rank_family",
     "win_rolling_range",
     "set_union", "set_intersect", "set_except",
     "merge_upsert", "merge_scd2",
     "sample_first_n", "sample_by_key", "sample_rows_det", "sample_bernoulli",
     "sample_percent", "sample_stratified", "split_train_test",
+    "sample_weighted_pps", "sample_weighted_topk",
     "feat_percentile_buckets", "feat_percentile_buckets_approx",
     "feat_percentile_buckets_window", "feat_percentile_buckets_kll",
     "pipeline_feature_matrix",
@@ -651,6 +653,31 @@ object SparkEntry {
         .orderBy($"doc_id", $"epoch")
     }),
 
+    "sample_weighted_pps" -> ((s, dir) => {
+      import s.implicits._
+      // Poisson PPS: keep each document with probability
+      // n_chars/2000 — longer (higher-weight) docs proportionally more
+      // likely. All-integer gate → DuckDB replays the exact keep set.
+      Sampling.weightedBernoulli(
+          Tables.documents(s, dir).select($"doc_id", $"lang", $"n_chars"),
+          "n_chars", denom = 2000L,
+          gate = $"doc_id" * lit(7919L) + lit(47L))
+        .orderBy($"doc_id")
+    }),
+
+    "sample_weighted_topk" -> ((s, dir) => {
+      import s.implicits._
+      // Fixed-size weighted draw (Efraimidis-Spirakis A-ES): top-100
+      // by priority ln(u)/n_chars with a deterministic uniform — the
+      // oracle recomputes the same priorities and takes the same 100.
+      Sampling.weightedTopK(
+          Tables.documents(s, dir).select($"doc_id", $"n_chars"),
+          "n_chars", k = 100,
+          gate = $"doc_id" * lit(2654435761L) + lit(97L),
+          tieBreak = Seq($"doc_id"))
+        .orderBy($"doc_id")
+    }),
+
     "split_train_test" -> ((s, dir) => {
       import s.implicits._
       // Reproducible 80/10/10 train/val/test split: the assignment is
@@ -733,18 +760,30 @@ object SparkEntry {
       // The persistable-sketch bucketing path (bucketBySketch): per-key
       // KLL quantile arrays instead of percentile buffers — at 100 TB
       // the sketch side persists and refreshes by merge instead of
-      // rescan. Gate: per-row bucket agreement with the exact form
-      // >= 97% (labels can differ only inside the ~1.65% rank band
-      // around a decile boundary); n_rows value-matched.
+      // rescan. Gate: per-row bucket agreement with an EXACT
+      // inclusive-rank boundary array (smallest v with cume_dist >= p
+      // — the same quantile convention datasketches KLL uses, so
+      // labels can differ only inside the sketch's ~1.65% rank band
+      // around a decile boundary; in the uncompacted regime they agree
+      // bit-for-bit). Both ladders evaluate in ONE pass over the fact
+      // — two per-key aggregate joins, never a row-identity join (the
+      // synthetic lineitem has no unique row key; (l_orderkey,
+      // l_linenumber) duplicates would fan out).
       val li = Tables.lineitem(s, dir)
-        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
-      val exact = Percentiles.bucketByJoin(li, "l_partkey",
-          $"l_quantity".cast("int"), outCols = Seq("l_orderkey", "l_linenumber"))
-        .select($"l_orderkey", $"l_linenumber", $"bucket".as("b_exact"))
-      val sk = Percentiles.bucketBySketch(li, "l_partkey",
-          $"l_quantity".cast("int"), outCols = Seq("l_orderkey", "l_linenumber"))
-        .select($"l_orderkey", $"l_linenumber", $"bucket".as("b_kll"))
-      exact.join(sk, Seq("l_orderkey", "l_linenumber"))
+        .select($"l_partkey", $"l_quantity".cast("int").cast("double").as("__v"))
+      val w = Window.partitionBy($"l_partkey").orderBy($"__v")
+      val ex = li.withColumn("__cd", cume_dist().over(w))
+        .groupBy($"l_partkey")
+        .agg(array(Percentiles.defaultPs.map(p =>
+          min(when($"__cd" >= p, $"__v"))): _*).as("p_exact"))
+      val kl = li.groupBy($"l_partkey")
+        .agg(graft.functions.kll_sketch_agg($"__v", 200).as("__sk"))
+        .select($"l_partkey", array(Percentiles.defaultPs.map(p =>
+          graft.functions.kll_quantile($"__sk", lit(p))): _*).as("p_kll"))
+      li.join(ex, Seq("l_partkey")).join(kl, Seq("l_partkey"))
+        .select(
+          Percentiles.bucketLadder($"__v", $"p_exact").as("b_exact"),
+          Percentiles.bucketLadder($"__v", $"p_kll").as("b_kll"))
         .agg(count(lit(1)).cast("bigint").as("n_rows"),
           (avg(when($"b_exact" === $"b_kll", 1.0).otherwise(0.0)) >= 0.97)
             .as("kll_agree"))
@@ -992,6 +1031,34 @@ object SparkEntry {
           // (spans 1/4-1/2 of range); 0.7 leaves correlation margin.
           ($"z3_sk" < $"lin_sk" * 0.7 && $"z3_ok" < $"lin_ok" * 0.7 &&
             $"z3_pk" < $"pk_range" * 0.7).as("z3_improves_all"))
+    }),
+
+    "range_layout" -> ((s, dir) => {
+      import s.implicits._
+      // Range-partitioned SORTED write — the 1-D data-skipping layout
+      // (ORDER BY at write time): repartitionByRange + sortWithin
+      // Partitions gives pairwise-disjoint per-file key ranges, so a
+      // point/range predicate prunes to one file via parquet min/max.
+      // Gates (from the re-read files' own statistics columns): row
+      // count preserved, >= 8 non-empty files, and NO file's range
+      // strictly overlaps its predecessor's (equal boundary keys may
+      // touch — RangePartitioner keeps equal keys together, but the
+      // gate only needs disjoint-or-touching for skipping to work).
+      // SIDE-EFFECTING (writes the layout at construction).
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_rangelayout_${math.abs(dir.hashCode)}"
+      val li = Tables.lineitem(s, dir)
+        .select($"l_partkey".cast("int").as("pk"), $"l_suppkey".cast("int").as("sk"))
+      li.repartitionByRange(16, $"pk").sortWithinPartitions($"pk")
+        .write.mode("overwrite").parquet(out)
+      val stats = s.read.parquet(out)
+        .groupBy(input_file_name().as("f"))
+        .agg(min($"pk").as("lo"), max($"pk").as("hi"), count(lit(1)).as("n"))
+      val w = Window.orderBy($"lo", $"hi", $"f") // ~16 rows: single-task window is fine
+      stats.withColumn("prev_hi", lag($"hi", 1).over(w))
+        .agg(sum($"n").cast("bigint").as("n_rows"),
+          (count(lit(1)) >= 8).as("files_ge_8"),
+          (sum(when($"lo" < $"prev_hi", 1L).otherwise(0L)) === 0)
+            .as("ranges_disjoint"))
     }),
 
     "wholefile_scan" -> ((s, dir) => {
@@ -1947,6 +2014,70 @@ object SparkEntry {
         .orderBy($"event_id")
     }),
 
+    "interval_join_promo" -> ((s, dir) => {
+      import s.implicits._
+      // Keyed point-in-interval join (operators.IntervalJoin): every
+      // 97th order anchors a 45-day per-customer promo window; count
+      // the customer's orders landing inside each window. The oracle
+      // is the naive BETWEEN join — bucketing must be invisible. The
+      // production plan is a shuffled equi-join on (custkey, 30-day
+      // bucket), never a BroadcastNestedLoopJoin (PlanSpec-pinned).
+      val ords = Tables.orders(s, dir)
+      val anchors = ords.filter($"o_orderkey" % 97 === 0)
+        .select($"o_custkey", $"o_orderkey".as("promo_id"),
+          $"o_orderdate".as("promo_start"),
+          ($"o_orderdate" + expr("INTERVAL 45 DAYS")).as("promo_end"))
+      val points = ords.select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        $"o_totalprice")
+      IntervalJoin.pointInInterval(points, anchors, "o_orderdate",
+          "promo_start", "promo_end", keys = Seq("o_custkey"),
+          bucketSeconds = 30L * 86400)
+        .groupBy($"promo_id")
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy($"promo_id")
+    }),
+
+    "interval_join_incidents" -> ((s, dir) => {
+      import s.implicits._
+      // KEYLESS range join — the case naive Spark can only plan as a
+      // BroadcastNestedLoopJoin: the 20 highest-value events spawn
+      // ±30-minute incident windows; count events and integer-cents
+      // value mass inside each. Joined on the time bucket alone.
+      val ev = Tables.events(s, dir)
+      val incidents = ev.orderBy($"value".desc, $"event_id").limit(20)
+        .select($"event_id".as("incident_id"),
+          ($"ts" - expr("INTERVAL 30 MINUTES")).as("w_start"),
+          ($"ts" + expr("INTERVAL 30 MINUTES")).as("w_end"))
+      val points = ev.select($"event_id", $"ts", $"value")
+      IntervalJoin.pointInInterval(points, incidents, "ts",
+          "w_start", "w_end", keys = Nil, bucketSeconds = 1800L)
+        .groupBy($"incident_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(round($"value" * 100).cast("long")).as("value_cents"))
+        .orderBy($"incident_id")
+    }),
+
+    "interval_overlap_campaigns" -> ((s, dir) => {
+      import s.implicits._
+      // Interval x interval overlap join: two anchor families of
+      // promo windows (every 89th order: 30 days; every 97th: 45
+      // days); emit each overlapping (a, b) window pair exactly once.
+      // Keyless — the worst case for naive planning — bucketized on
+      // 30-day grains instead.
+      val ords = Tables.orders(s, dir)
+      val a = ords.filter($"o_orderkey" % 89 === 0)
+        .select($"o_orderkey".as("a_id"), $"o_orderdate".as("a_start"),
+          ($"o_orderdate" + expr("INTERVAL 30 DAYS")).as("a_end"))
+      val b = ords.filter($"o_orderkey" % 97 === 0)
+        .select($"o_orderkey".as("b_id"), $"o_orderdate".as("b_start"),
+          ($"o_orderdate" + expr("INTERVAL 45 DAYS")).as("b_end"))
+      IntervalJoin.intervalOverlap(a, b, "a_start", "a_end",
+          "b_start", "b_end", keys = Nil, bucketSeconds = 30L * 86400)
+        .select($"a_id", $"b_id")
+        .orderBy($"a_id", $"b_id")
+    }),
+
     "sketch_bloom" -> ((s, dir) => {
       // Bloom-filter membership gate (Spark's runtime-filter machinery
       // exposed via graft.functions): build on customer keys once (a
@@ -2438,6 +2569,21 @@ object SparkEntry {
         |       ELSE 'train' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "sample_weighted_pps" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE (doc_id * 7919 + 47) % 2000 < n_chars
+        |ORDER BY doc_id""".stripMargin,
+
+    // Replays the A-ES draw: same deterministic uniform, same
+    // log-space priority ln(u)/w, same top-100 with doc_id tiebreak.
+    "sample_weighted_topk" ->
+      """WITH pick AS (
+        |  SELECT doc_id, n_chars,
+        |    ln(((doc_id * 2654435761 + 97) % 1000003 + 1) / 1000004.0)
+        |      / n_chars AS aes
+        |  FROM documents ORDER BY aes DESC, doc_id LIMIT 100)
+        |SELECT doc_id, n_chars FROM pick ORDER BY doc_id""".stripMargin,
+
     // Replays mixtureByBudget's all-integer gate exactly: per-group
     // token totals, driver-constant targets budget*w/1000 (6000 tokens
     // at 500/200/100/100/100 permille), permyriad threshold
@@ -2736,6 +2882,11 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  true AS z_sk_improves, true AS z_pk_bounded,
         |  true AS z3_improves_all
+        |FROM lineitem""".stripMargin,
+
+    "range_layout" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  true AS files_ge_8, true AS ranges_disjoint
         |FROM lineitem""".stripMargin,
 
     "incremental_agg" ->
@@ -3489,6 +3640,39 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON s.user_id = p.user_id AND p.ts >= s.ts
         |ORDER BY s.event_id""".stripMargin,
+
+    "interval_join_promo" ->
+      """SELECT a.o_orderkey AS promo_id, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(p.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders a JOIN orders p ON p.o_custkey = a.o_custkey
+        |  AND p.o_orderdate BETWEEN a.o_orderdate
+        |                        AND a.o_orderdate + INTERVAL 45 DAY
+        |WHERE a.o_orderkey % 97 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "interval_join_incidents" ->
+      """WITH inc AS (
+        |  SELECT event_id AS incident_id,
+        |    ts - INTERVAL 30 MINUTE AS w_start,
+        |    ts + INTERVAL 30 MINUTE AS w_end
+        |  FROM events ORDER BY value DESC, event_id LIMIT 20)
+        |SELECT i.incident_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events e JOIN inc i ON e.ts BETWEEN i.w_start AND i.w_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "interval_overlap_campaigns" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS a_id, o_orderdate AS a_start,
+        |    o_orderdate + INTERVAL 30 DAY AS a_end
+        |  FROM orders WHERE o_orderkey % 89 = 0),
+        |b AS (
+        |  SELECT o_orderkey AS b_id, o_orderdate AS b_start,
+        |    o_orderdate + INTERVAL 45 DAY AS b_end
+        |  FROM orders WHERE o_orderkey % 97 = 0)
+        |SELECT a_id, b_id FROM a JOIN b
+        |  ON a_start <= b_end AND b_start <= a_end
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "sketch_bloom" ->
       """SELECT (SELECT CAST(count(*) AS BIGINT)

@@ -155,10 +155,16 @@ case class KllQuantile(left: Expression, right: Expression)
       q.asInstanceOf[Double])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (sk, q) => s"""
-      java.lang.Double r = graft.expr.KllSketchOps.quantileOrNull($sk, $q);
-      if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = r.doubleValue(); }""")
+    nullSafeCodeGen(ctx, ev, (sk, q) => {
+      // freshName: several kll_quantile calls commonly share one
+      // projection (a quantile array) — a fixed local would collide
+      // and knock the whole stage out of codegen
+      val r = ctx.freshName("kllq")
+      s"""
+      java.lang.Double $r = graft.expr.KllSketchOps.quantileOrNull($sk, $q);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $r.doubleValue(); }"""
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): KllQuantile =

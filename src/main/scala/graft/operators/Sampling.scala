@@ -169,4 +169,47 @@ object Sampling {
   def splitByKey(df: DataFrame, keyCol: String, splits: Seq[(String, Int)],
       seed: Int = 42): DataFrame =
     splitByHash(df, splits, xxhash64(col(keyCol), lit(seed)))
+
+  /** Poisson PPS (probability-proportional-to-size) sample: keep a row
+    * with probability `weight / denom` — quality-weighted corpus
+    * sampling ("sample documents proportional to quality score /
+    * length") in one shuffle-free pass. The decision
+    * `pmod(gate, denom) < weight` is all-integer, so a deterministic
+    * `gate` (arithmetic or hash of the row id) makes the exact keep
+    * set replayable by any engine, re-run, or retried task. Weights
+    * `>= denom` are always kept (prob capped at 1); `<= 0` never.
+    *
+    * Scale: a row-local filter — no shuffle, no weight normalization
+    * pass. (For an exact-size sample use [[weightedTopK]].) */
+  def weightedBernoulli(df: DataFrame, weightCol: String, denom: Long,
+      gate: Column): DataFrame = {
+    require(denom > 0, s"denom must be > 0 (got $denom)")
+    df.filter(pmod(gate, lit(denom)) < col(weightCol).cast("long"))
+  }
+
+  /** Fixed-size weighted sample without replacement — Efraimidis &
+    * Spirakis A-ES (IPL 2006): give each row priority `u^(1/w)` with
+    * `u ~ Uniform(0,1)` and keep the k largest, which selects each row
+    * with probability proportional to its weight among those not yet
+    * chosen. Implemented in log space (`ln(u)/w`, same order) with a
+    * DETERMINISTIC uniform `u = (pmod(gate, m)+1)/(m+1)` so the draw
+    * is reproducible and externally replayable. Rows with
+    * non-positive weight are excluded (priority undefined).
+    *
+    * Scale: `orderBy(priority).limit(k)` plans as
+    * TakeOrderedAndProject — per-partition top-k then a single k-row
+    * merge on the driver; nothing global is sorted. `tieBreak` pins
+    * total order in the (measure-zero) event of equal priorities. */
+  def weightedTopK(df: DataFrame, weightCol: String, k: Int, gate: Column,
+      modulus: Long = 1000003L, tieBreak: Seq[Column] = Nil): DataFrame = {
+    require(k > 0, s"k must be > 0 (got $k)")
+    require(modulus > 1, s"modulus must be > 1 (got $modulus)")
+    val u = (pmod(gate, lit(modulus)).cast("double") + lit(1.0)) /
+      lit(modulus.toDouble + 1.0)
+    df.filter(col(weightCol) > 0)
+      .withColumn("__aes", log(u) / col(weightCol).cast("double"))
+      .orderBy(col("__aes").desc +: tieBreak: _*)
+      .limit(k)
+      .drop("__aes")
+  }
 }

@@ -55,6 +55,32 @@ class KllSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("bucketBySketch matches a driver-side inclusive-rank ladder (exact regime)") {
+    // 3 keys x 120 rows, k=200 > group size => the sketch holds every
+    // value and kll_quantile is the exact inclusive-rank quantile
+    // (smallest v with rank >= p) — labels must match bit-for-bit.
+    val rows = for (g <- 0 until 3; i <- 0 until 120)
+      yield (g.toLong, i.toLong, ((i * 37 + g * 11) % 50).toDouble)
+    val df = rows.toDF("g", "i", "v")
+    val got = operators.Percentiles.bucketBySketch(df, "g", $"v", outCols = Seq("i"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getString(2))).toMap
+    val ps = operators.Percentiles.defaultPs
+    val labels = ps.map(p => ((p * 100).round).toString)
+    for (g <- 0 until 3) {
+      val vs = rows.filter(_._1 == g).map(_._3).sorted
+      val bounds = ps.map { p =>
+        vs(math.max(0, math.ceil(p * vs.length).toInt - 1)) // smallest v with incl. rank >= p
+      }
+      rows.filter(_._1 == g).foreach { case (_, i, v) =>
+        val want = bounds.indexWhere(v <= _) match {
+          case -1 => "99+"
+          case j => labels(j)
+        }
+        assert(got((g.toLong, i)) == want, s"g=$g i=$i v=$v")
+      }
+    }
+  }
+
   test("kll functions registered for SQL; non-double input rejected at analysis") {
     graft.functions.registerAll(spark)
     val q = spark.sql(

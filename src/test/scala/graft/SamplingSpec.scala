@@ -188,6 +188,56 @@ class SamplingSpec extends SparkSpec {
     assert(got.agg(max($"epoch")).head().getLong(0) == 3L)
   }
 
+  test("weightedBernoulli: inclusion tracks weight; deterministic; integer-exact") {
+    val docs = Tables.documents(spark, sf001).select($"doc_id", $"n_chars").cache()
+    val gate = $"doc_id" * lit(7919L) + lit(47L)
+    val got = Sampling.weightedBernoulli(docs, "n_chars", denom = 2000L, gate)
+    // determinism: same exact set twice
+    val a = got.collect().map(_.getLong(0)).sorted
+    val b = Sampling.weightedBernoulli(docs, "n_chars", 2000L, gate)
+      .collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+    // realized rate ~ E[n_chars]/2000 within 5-sigma
+    val stats = docs.agg(sum($"n_chars").cast("double").as("w"),
+      count(lit(1)).cast("double").as("n")).head()
+    val expect = stats.getDouble(0) / 2000.0
+    val sigma = math.sqrt(expect) // Poisson-binomial upper bound
+    assert(math.abs(a.length - expect) < 5 * sigma,
+      s"kept ${a.length}, expected ~$expect")
+    // longer docs kept more often: mean weight of kept > corpus mean
+    val keptMean = Sampling.weightedBernoulli(docs, "n_chars", 2000L, gate)
+      .agg(avg($"n_chars")).head().getDouble(0)
+    assert(keptMean > stats.getDouble(0) / stats.getDouble(1))
+    // weight >= denom is always kept, <= 0 never
+    val extremes = Seq((1L, 5000L), (2L, 0L), (3L, -7L)).toDF("doc_id", "n_chars")
+    val e = Sampling.weightedBernoulli(extremes, "n_chars", 2000L, gate)
+      .collect().map(_.getLong(0)).toSet
+    assert(e == Set(1L))
+  }
+
+  test("weightedTopK: exactly k rows, reproducible, matches in-memory A-ES") {
+    val docs = Tables.documents(spark, sf001).select($"doc_id", $"n_chars").cache()
+    val gate = $"doc_id" * lit(2654435761L) + lit(97L)
+    val got = Sampling.weightedTopK(docs, "n_chars", k = 100, gate,
+      tieBreak = Seq($"doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got.size == 100)
+    // replay the same draw driver-side
+    val all = docs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = all.filter(_._2 > 0).map { case (id, w) =>
+      val u = ((id * 2654435761L + 97L) % 1000003L + 1).toDouble / 1000004.0
+      (id, math.log(u) / w)
+    }.sortBy { case (id, p) => (-p, id) }.take(100).map(_._1).toSet
+    assert(got == expect)
+    // reproducible
+    val again = Sampling.weightedTopK(docs, "n_chars", 100, gate,
+      tieBreak = Seq($"doc_id")).collect().map(_.getLong(0)).toSet
+    assert(again == got)
+    // weight bias: the weighted draw's mean weight beats uniform top-100
+    val meanW = all.map(_._2).sum.toDouble / all.length
+    val gotMeanW = all.filter(t => got(t._1)).map(_._2).sum.toDouble / 100
+    assert(gotMeanW > meanW, s"weighted draw mean $gotMeanW <= corpus mean $meanW")
+  }
+
   test("stratified sampleBy approximates requested fractions") {
     val fr = Map("BUILDING" -> 0.5, "MACHINERY" -> 0.1)
     val c = Tables.customer(spark, sf001)
