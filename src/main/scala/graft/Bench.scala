@@ -38,7 +38,13 @@ object Bench {
     // discards it whenever the other two agree.)
     def median3(a: Double, b: Double, c: Double): Double =
       math.max(math.min(a, b), math.min(math.max(a, b), c))
-    val results = SparkEntry.benchQueries.map { n =>
+    // optional arg: comma-separated name filter (local iteration only;
+    // the driver always runs the full list)
+    val names = if (args.nonEmpty) {
+      val only = args(0).split(",").toSet
+      SparkEntry.benchQueries.filter(only.contains)
+    } else SparkEntry.benchQueries
+    val results = names.map { n =>
       val (a, b, c) = (runOnce(n), runOnce(n), runOnce(n))
       // all three samples to stderr so dispersion is auditable from
       // the log without re-running (the JSON line carries the median)

@@ -1389,6 +1389,20 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    "pack_sequences" -> ((s, dir) => {
+      import s.implicits._
+      // SIDE-EFFECTING (prefix-sum subtotal pass runs eagerly).
+      // Concat-and-chunk packing index at seqLen=512: one row per
+      // (doc x training sequence it intersects) with in-doc and
+      // in-sequence offsets. Pure function of the data — the oracle
+      // replays it from the window running sum + series explode.
+      val docs = Tables.documents(s, dir).select($"doc_id",
+        size(split($"text", " ")).cast("long").as("n_tok"))
+      Scale.packSequences(docs, "doc_id", "n_tok", seqLen = 512L)
+        .select($"doc_id", $"seq_id", $"doc_off", $"seq_off", $"chunk_len")
+        .orderBy($"doc_id", $"seq_id")
+    }),
+
     // ---- dedup verification gates: each approximate/blocked tier is
     // checked against ground truth computed INSIDE the plan over the
     // full corpus (quadratic by construction — correctness artifacts
@@ -2649,6 +2663,31 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000
         |    AS BIGINT) AS shard_id
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // Replays packSequences closed-form: exclusive running sum in
+    // doc_id order -> each doc spans [start, start+n) -> explode the
+    // 512-token sequence windows it intersects, offsets by arithmetic.
+    "pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS st
+        |  FROM d WHERE n_tok > 0),
+        |e AS (
+        |  SELECT doc_id, n_tok, st,
+        |    unnest(generate_series(st // 512, (st + n_tok - 1) // 512)) AS seq_id
+        |  FROM c)
+        |SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(greatest(seq_id * 512 - st, 0) AS BIGINT) AS doc_off,
+        |  CAST(greatest(st - seq_id * 512, 0) AS BIGINT) AS seq_off,
+        |  CAST(least((seq_id + 1) * 512, st + n_tok)
+        |    - greatest(seq_id * 512, st) AS BIGINT) AS chunk_len
+        |FROM e ORDER BY doc_id, seq_id""".stripMargin,
 
     "merge_upsert" ->
       """WITH changes AS (

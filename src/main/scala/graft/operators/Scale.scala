@@ -80,6 +80,20 @@ object Scale {
   def tokenShards(df: DataFrame, idCol: String, tokenCol: String,
       budgetTokens: Long, partitions: Int = 0): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be > 0 (got $budgetTokens)")
+    tokenStarts(df, idCol, tokenCol, "__tok_start", partitions)
+      .withColumn("shard_id",
+        (col("__tok_start") / lit(budgetTokens)).cast("long"))
+      .drop("__tok_start")
+  }
+
+  /** Global exclusive prefix sum of `tokenCol` in `idCol` order,
+    * emitted as `startCol` — the distributed-prefix-sum core shared by
+    * [[tokenShards]] and [[packSequences]] (see tokenShards doc for
+    * the shape: range-repartition → per-partition subtotals → the one
+    * justified collect — numPartitions rows — → broadcast offsets →
+    * one streaming pass). */
+  def tokenStarts(df: DataFrame, idCol: String, tokenCol: String,
+      startCol: String, partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val p = if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -100,7 +114,7 @@ object Scale {
       }.toMap
     }
     val bc = spark.sparkContext.broadcast(offsets)
-    val outSchema = ranged.schema.add("shard_id", LongType, nullable = false)
+    val outSchema = ranged.schema.add(startCol, LongType, nullable = false)
     ranged.mapPartitions { it =>
       val off = bc.value.getOrElse(TaskContext.getPartitionId(), 0L)
       var run = 0L
@@ -109,8 +123,42 @@ object Scale {
           else r.getAs[Number](tokIdx).longValue()
         val start = off + run
         run += t
-        Row.fromSeq(r.toSeq :+ start / budgetTokens)
+        Row.fromSeq(r.toSeq :+ start)
       }
     }(Encoders.row(outSchema))
+  }
+
+  /** Sequence packing — the LLM-pretraining "concatenate the corpus
+    * and chunk it into fixed-length training sequences" step, as an
+    * INDEX: concatenating documents in `idCol` order, each document
+    * occupies global token interval [start, start+n); training
+    * sequence `s` is the fixed window [s*seqLen, (s+1)*seqLen). The
+    * result has one row per (document × sequence it intersects):
+    * `seq_id`, `doc_off` (first token of the doc in this chunk),
+    * `seq_off` (where it lands in the sequence), `chunk_len`. Docs
+    * split across sequence boundaries (standard concat-and-chunk);
+    * zero/null-token docs occupy no tokens and are dropped.
+    *
+    * Scale: the prefix sum is [[tokenStarts]] (one range shuffle +
+    * a numPartitions-row collect); the explode is row-local with
+    * fan-out ceil(n/seqLen)+1 ≤ 2 for typical docs ≤ seqLen. The
+    * result is a pure function of the data — any engine can replay
+    * it from the running sum (see the pack_sequences oracle). */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+      seqLen: Long, partitions: Int = 0): DataFrame = {
+    require(seqLen > 0, s"seqLen must be > 0 (got $seqLen)")
+    val n = col(tokenCol).cast("long")
+    val start = col("__tok_start")
+    val s = col("seq_id")
+    tokenStarts(df, idCol, tokenCol, "__tok_start", partitions)
+      .filter(n > 0)
+      .withColumn("seq_id", explode(sequence(
+        (start / seqLen).cast("long"),
+        ((start + n - 1) / seqLen).cast("long"))))
+      .withColumn("doc_off", greatest(s * seqLen - start, lit(0L)))
+      .withColumn("seq_off", greatest(start - s * seqLen, lit(0L)))
+      .withColumn("chunk_len",
+        least((s + 1) * seqLen, start + n) - greatest(s * seqLen, start))
+      .drop("__tok_start")
   }
 }

@@ -95,6 +95,46 @@ class ScaleSpec extends SparkSpec {
     assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("packSequences: chunks tile every doc and every sequence exactly") {
+    val docs = Tables.documents(spark, sf0001).select($"doc_id",
+      size(split($"text", " ")).cast("long").as("n_tok")).cache()
+    val L = 512L
+    val got = Scale.packSequences(docs, "doc_id", "n_tok", seqLen = L).cache()
+    // per-doc: chunk lengths sum to n_tok, doc_offs tile [0, n_tok)
+    assert(got.groupBy($"doc_id", $"n_tok")
+      .agg(sum($"chunk_len").as("s"), min($"doc_off").as("o0"),
+        max($"doc_off" + $"chunk_len").as("o1"))
+      .filter($"s" =!= $"n_tok" || $"o0" =!= 0L || $"o1" =!= $"n_tok")
+      .count() == 0)
+    // per-sequence: chunks tile [0, L) exactly — sum of lengths == L
+    // and offsets contiguous — for every sequence but the last
+    val lastSeq = got.agg(max($"seq_id")).head().getLong(0)
+    assert(got.filter($"seq_id" < lastSeq).groupBy($"seq_id")
+      .agg(sum($"chunk_len").as("s"), min($"seq_off").as("o0"),
+        max($"seq_off" + $"chunk_len").as("o1"))
+      .filter($"s" =!= L || $"o0" =!= 0L || $"o1" =!= L)
+      .count() == 0)
+    // total token conservation
+    val tot = docs.agg(sum($"n_tok")).head().getLong(0)
+    assert(got.agg(sum($"chunk_len")).head().getLong(0) == tot)
+    // partitioning-invariant: same index under a different partition count
+    val alt = Scale.packSequences(docs, "doc_id", "n_tok", L, partitions = 7)
+    assert(got.select($"doc_id", $"seq_id", $"doc_off", $"seq_off", $"chunk_len")
+      .except(alt.select($"doc_id", $"seq_id", $"doc_off", $"seq_off", $"chunk_len"))
+      .count() == 0)
+    got.unpersist(); docs.unpersist()
+  }
+
+  test("packSequences: zero/null-token docs are dropped, short corpus packs to one seq") {
+    val df = Seq((1L, Option(100L)), (2L, Option(0L)), (3L, Option.empty[Long]),
+      (4L, Option(50L))).toDF("id", "tok")
+    val got = Scale.packSequences(df, "id", "tok", seqLen = 512L)
+      .select($"id", $"seq_id", $"doc_off", $"seq_off", $"chunk_len")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set((1L, 0L, 0L, 0L, 100L), (4L, 0L, 0L, 100L, 50L)))
+  }
+
   test("AQE splits a pathologically skewed join partition at runtime") {
     // one key carries ~97% of the probe side — the moderate-skew case
     // AQE's skew-join handles without explicit salting. Thresholds are
