@@ -159,11 +159,11 @@ object SparkEntry {
     "merge_upsert", "merge_scd2",
     "sample_first_n", "sample_by_key", "sample_rows_det", "sample_bernoulli",
     "sample_percent", "sample_stratified", "split_train_test",
-    "sample_weighted_pps", "sample_weighted_topk",
+    "sample_weighted_pps", "sample_weighted_topk", "sample_weighted_by_group",
     "feat_percentile_buckets", "feat_percentile_buckets_approx",
     "feat_percentile_buckets_window", "feat_percentile_buckets_kll",
     "pipeline_feature_matrix",
-    "dq_invalid_codes", "dq_profile",
+    "dq_invalid_codes", "dq_profile", "dq_outliers",
     "date_monthly_orders", "json_event_stats", "str_funcs", "parse_money",
     "evt_tumbling", "evt_sliding", "evt_sessionize", "evt_session_window",
     "evt_stream_join", "evt_funnel", "evt_retention", "evt_transitions",
@@ -190,6 +190,21 @@ object SparkEntry {
     "dq_profile" -> ((s, dir) =>
       Quality.profile(Tables.customer(s, dir),
         Seq("c_custkey", "c_name", "c_mktsegment"))),
+
+    "dq_outliers" -> ((s, dir) => {
+      import s.implicits._
+      // Tukey-fence outlier report per order priority: robust IQR
+      // fences (quartiles + 1.5*IQR), counted per group. The oracle
+      // recomputes fences with quantile_cont (same interpolation as
+      // Spark's percentile) and replays the flag.
+      Quality.tagOutliers(Tables.orders(s, dir), "o_orderpriority",
+          $"o_totalprice")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          sum(when($"is_outlier", 1L).otherwise(0L)).cast("bigint")
+            .as("n_outliers"))
+        .orderBy($"o_orderpriority")
+    }),
 
     // ================= Aggregation (SURVEY §2.5) =================
     "q1_agg" -> ((s, dir) => {
@@ -673,6 +688,20 @@ object SparkEntry {
       Sampling.weightedTopK(
           Tables.documents(s, dir).select($"doc_id", $"n_chars"),
           "n_chars", k = 100,
+          gate = $"doc_id" * lit(2654435761L) + lit(97L),
+          tieBreak = Seq($"doc_id"))
+        .orderBy($"doc_id")
+    }),
+
+    "sample_weighted_by_group" -> ((s, dir) => {
+      import s.implicits._
+      // Stratified weighted draw: per language, the 20 docs winning
+      // the deterministic A-ES draw weighted by n_chars — one window
+      // pass, no global sort. The oracle replays priorities and the
+      // per-group row_number cut exactly.
+      Sampling.weightedTopKPerGroup(
+          Tables.documents(s, dir).select($"doc_id", $"lang", $"n_chars"),
+          "lang", "n_chars", k = 20,
           gate = $"doc_id" * lit(2654435761L) + lit(97L),
           tieBreak = Seq($"doc_id"))
         .orderBy($"doc_id")
@@ -2412,6 +2441,19 @@ object SparkEntry {
         |  count(CASE WHEN c_mktsegment = '' THEN 1 END) AS c_mktsegment_empty
         |FROM customer""".stripMargin,
 
+    "dq_outliers" ->
+      """WITH f AS (
+        |  SELECT o_orderpriority,
+        |    quantile_cont(o_totalprice, 0.25) AS q1,
+        |    quantile_cont(o_totalprice, 0.75) AS q3
+        |  FROM orders GROUP BY 1)
+        |SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN o.o_totalprice < q1 - 1.5 * (q3 - q1)
+        |             OR o.o_totalprice > q3 + 1.5 * (q3 - q1)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM orders o JOIN f USING (o_orderpriority)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -2597,6 +2639,17 @@ object SparkEntry {
         |      / n_chars AS aes
         |  FROM documents ORDER BY aes DESC, doc_id LIMIT 100)
         |SELECT doc_id, n_chars FROM pick ORDER BY doc_id""".stripMargin,
+
+    // Grouped A-ES replay: same priorities, per-language row_number cut
+    "sample_weighted_by_group" ->
+      """WITH pr AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY
+        |      ln(((doc_id * 2654435761 + 97) % 1000003 + 1) / 1000004.0)
+        |        / n_chars DESC, doc_id) AS rn
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, lang, n_chars FROM pr WHERE rn <= 20
+        |ORDER BY doc_id""".stripMargin,
 
     // Replays mixtureByBudget's all-integer gate exactly: per-group
     // token totals, driver-constant targets budget*w/1000 (6000 tokens

@@ -36,6 +36,33 @@ object Quality {
       .agg(count(lit(1)).as("n_invalid"))
       .orderBy(col(column))
 
+  /** Tukey-fence outlier tagging: per group (or globally with a
+    * constant group column), flag values outside
+    * [q1 - k*IQR, q3 + k*IQR]. The robust alternative to z-scores —
+    * quartiles don't move when the outliers themselves get bigger.
+    *
+    * Scale: one aggregate per group (exact interpolated percentile;
+    * swap `exact=false` for the sketch at extreme group sizes) and an
+    * unhinted join back — broadcast while the group dimension is
+    * small, sort-merge past the threshold, same posture as
+    * [[Percentiles.bucketByJoin]]. The fact side never re-shuffles
+    * on anything but the group key. */
+  def tagOutliers(df: DataFrame, groupCol: String, valueExpr: Column,
+      k: Double = 1.5, exact: Boolean = true,
+      accuracy: Int = 10000): DataFrame = {
+    val q = if (exact) "percentile(__v, array(0.25, 0.75))"
+      else s"percentile_approx(__v, array(0.25, 0.75), $accuracy)"
+    val withV = df.withColumn("__v", valueExpr)
+    val fences = withV.groupBy(col(groupCol))
+      .agg(expr(q).as("__q"))
+      .select(col(groupCol),
+        (col("__q").getItem(0) - (col("__q").getItem(1) - col("__q").getItem(0)) * k).as("__lo"),
+        (col("__q").getItem(1) + (col("__q").getItem(1) - col("__q").getItem(0)) * k).as("__hi"))
+    withV.join(fences, Seq(groupCol))
+      .withColumn("is_outlier", col("__v") < col("__lo") || col("__v") > col("__hi"))
+      .drop("__lo", "__hi")
+  }
+
   /** Per-column profile: null count + empty-string count + distinct
     * count for the given columns. Generalizes the reference's ad-hoc
     * "there are some empty fields" checks (README.md:117,141). One

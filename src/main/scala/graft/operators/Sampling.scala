@@ -212,4 +212,31 @@ object Sampling {
       .limit(k)
       .drop("__aes")
   }
+
+  /** Per-group fixed-size weighted sample without replacement — the
+    * grouped form of [[weightedTopK]] (same Efraimidis-Spirakis
+    * priority, same deterministic uniform): keep each group's k
+    * highest-priority rows. Stratified corpus downsampling ("keep the
+    * 100 best-weighted docs per language") in one window pass.
+    *
+    * Scale: one shuffle on the group key; `row_number` over
+    * (priority, tieBreak) within each group — no global sort, no
+    * per-group limit collection. Weights <= 0 are excluded. Pass
+    * `weightCol = null`-free lit(1) weights for a uniform per-group
+    * reservoir. */
+  def weightedTopKPerGroup(df: DataFrame, groupCol: String, weightCol: String,
+      k: Int, gate: Column, modulus: Long = 1000003L,
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    require(k > 0, s"k must be > 0 (got $k)")
+    require(modulus > 1, s"modulus must be > 1 (got $modulus)")
+    val u = (pmod(gate, lit(modulus)).cast("double") + lit(1.0)) /
+      lit(modulus.toDouble + 1.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy((log(u) / col(weightCol).cast("double")).desc +: tieBreak: _*)
+    df.filter(col(weightCol) > 0)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
 }

@@ -53,4 +53,23 @@ class QualitySpec extends SparkSpec {
     val sumQty = li.agg(sum($"l_quantity")).collect()(0).getDouble(0)
     assert(math.abs(got.map(_.getDouble(2)).sum - sumQty) < 1e-6)
   }
+
+  test("tagOutliers: Tukey fences flag exactly the planted extremes") {
+    // group a: 1..20 plus planted 1000 and -1000; group b: all-equal
+    // (IQR 0 => only values != the constant are outliers; here none)
+    val rows = (1 to 20).map(v => ("a", v.toDouble)) ++
+      Seq(("a", 1000.0), ("a", -1000.0)) ++ (1 to 10).map(_ => ("b", 5.0))
+    val df = rows.toDF("g", "v")
+    val got = Quality.tagOutliers(df, "g", $"v")
+      .filter($"is_outlier").select($"g", $"v").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(got == Set(("a", 1000.0), ("a", -1000.0)))
+    // row count preserved (join-back fans nothing out)
+    assert(Quality.tagOutliers(df, "g", $"v").count() == rows.length)
+    // sketch path agrees on this small data (exact while uncompressed)
+    val approx = Quality.tagOutliers(df, "g", $"v", exact = false)
+      .filter($"is_outlier").select($"g", $"v").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(approx == got)
+  }
 }

@@ -238,6 +238,29 @@ class SamplingSpec extends SparkSpec {
     assert(gotMeanW > meanW, s"weighted draw mean $gotMeanW <= corpus mean $meanW")
   }
 
+  test("weightedTopKPerGroup: k per group, matches driver-side per-group A-ES") {
+    val docs = Tables.documents(spark, sf001)
+      .select($"doc_id", $"lang", $"n_chars").cache()
+    val gate = $"doc_id" * lit(2654435761L) + lit(97L)
+    val got = Sampling.weightedTopKPerGroup(docs, "lang", "n_chars", k = 5,
+        gate, tieBreak = Seq($"doc_id"))
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    val all = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = all.filter(_._3 > 0).groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+      rows.map { case (id, _, w) =>
+        val u = ((id * 2654435761L + 97L) % 1000003L + 1).toDouble / 1000004.0
+        (id, math.log(u) / w)
+      }.sortBy { case (id, p) => (-p, id) }.take(5).map(t => (lang, t._1))
+    }.toSet
+    assert(got == expect)
+    // every group with >= 5 positive-weight rows contributes exactly 5
+    val sizes = all.filter(_._3 > 0).groupBy(_._2).view.mapValues(_.length)
+    got.groupBy(_._1).foreach { case (lang, picked) =>
+      assert(picked.size == math.min(5, sizes(lang)), lang)
+    }
+    docs.unpersist()
+  }
+
   test("stratified sampleBy approximates requested fractions") {
     val fr = Map("BUILDING" -> 0.5, "MACHINERY" -> 0.1)
     val c = Tables.customer(spark, sf001)
