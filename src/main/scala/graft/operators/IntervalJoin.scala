@@ -27,6 +27,13 @@ import org.apache.spark.sql.types.{DataType, DateType, TimestampNTZType, Timesta
   * key. An interval longer than `maxBucketsPerInterval` buckets
   * fails loudly (raise_error) rather than silently exploding a task —
   * same fail-loud posture as Graph.connectedComponents past maxIter.
+  *
+  * STREAMING: [[pointInInterval]] also accepts a STREAMING `points`
+  * side against static `intervals` — the bucket column is a stateless
+  * row-local projection and the join is a plain stream-static inner
+  * equi-join, so it runs in append mode with no state store at all
+  * (IntervalJoinSpec pins it; the streaming enrichment shape —
+  * "which campaign window does this live event fall in").
   */
 object IntervalJoin {
 

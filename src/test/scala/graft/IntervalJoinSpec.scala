@@ -109,6 +109,28 @@ class IntervalJoinSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("stream-static enrichment: streaming points against static intervals, append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, Long, Timestamp)]
+    val pts = mem.toDF().toDF("p_id", "key", "ts")
+    val out = IntervalJoin.pointInInterval(pts, intervals,
+        "ts", "i_start", "i_end", keys = Seq("key"), bucketSeconds = 600)
+      .select($"p_id", $"i_id")
+    // append mode with NO watermark: legal only because the plan is
+    // completely stateless (projection + stream-static inner join)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("ivj_stream").start()
+    mem.addData((1L, 10L, t(0)), (2L, 10L, t(30)), (3L, 10L, t(61)))
+    q.processAllAvailable()
+    mem.addData((4L, 20L, t(30)), (5L, 30L, t(30)))
+    q.processAllAvailable()
+    val got = spark.table("ivj_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(got == Set((1L, 101L), (2L, 101L), (2L, 102L), (4L, 103L)))
+  }
+
   test("interval_join_incidents agrees with a driver-side naive join at sf0.001") {
     val got = SparkEntry.queries("interval_join_incidents")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
