@@ -156,7 +156,7 @@ object SparkEntry {
     "win_topk_parts", "win_running_total", "win_lag_delta", "win_rank_family",
     "win_rolling_range",
     "set_union", "set_intersect", "set_except",
-    "merge_upsert", "merge_scd2",
+    "merge_upsert", "merge_scd2", "merge_diff",
     "sample_first_n", "sample_by_key", "sample_rows_det", "sample_bernoulli",
     "sample_percent", "sample_stratified", "split_train_test",
     "sample_weighted_pps", "sample_weighted_topk", "sample_weighted_by_group",
@@ -590,6 +590,30 @@ object SparkEntry {
           $"o_totalprice", lit(false).as("is_delete"))
       Merge.upsert(base, upd.unionByName(ins), Seq("o_orderkey"),
           deleteCol = Some("is_delete"))
+        .orderBy($"o_orderkey")
+    }),
+
+    "merge_diff" -> ((s, dir) => {
+      import s.implicits._
+      // Snapshot reconciliation: diff(base, upsert(base, changes))
+      // must recover exactly the changeset — deletes as `removed`,
+      // updates as `changed` (with the column list), inserts as
+      // `added`. The oracle states that recovery directly from the
+      // changeset definition; array scalarized via concat_ws.
+      val base = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val upd = Tables.orders(s, dir).filter($"o_orderkey" % 10 === 3)
+        .select($"o_orderkey", $"o_custkey",
+          ($"o_totalprice" + 1000.0).as("o_totalprice"),
+          ($"o_orderkey" % 100 === 33).as("is_delete"))
+      val ins = Tables.orders(s, dir).filter($"o_orderkey" % 10 === 4)
+        .select((-$"o_orderkey").as("o_orderkey"), $"o_custkey",
+          $"o_totalprice", lit(false).as("is_delete"))
+      val after = Merge.upsert(base, upd.unionByName(ins), Seq("o_orderkey"),
+        deleteCol = Some("is_delete"))
+      Merge.diff(base, after, Seq("o_orderkey"))
+        .select($"o_orderkey", $"change_type",
+          concat_ws(",", $"changed_cols").as("changed_cols"))
         .orderBy($"o_orderkey")
     }),
 
@@ -2756,6 +2780,19 @@ object SparkEntry {
         |SELECT * FROM kept
         |UNION ALL
         |SELECT k, c, p FROM changes WHERE NOT del
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // diff(base, upsert(base, changes)) recovers the changeset: the
+    // oracle states that recovery straight from the change definition
+    "merge_diff" ->
+      """SELECT o_orderkey, 'removed' AS change_type, '' AS changed_cols
+        |FROM orders WHERE o_orderkey % 10 = 3 AND o_orderkey % 100 = 33
+        |UNION ALL
+        |SELECT o_orderkey, 'changed', 'o_totalprice'
+        |FROM orders WHERE o_orderkey % 10 = 3 AND o_orderkey % 100 <> 33
+        |UNION ALL
+        |SELECT -o_orderkey, 'added', ''
+        |FROM orders WHERE o_orderkey % 10 = 4
         |ORDER BY o_orderkey""".stripMargin,
 
     "merge_scd2" ->

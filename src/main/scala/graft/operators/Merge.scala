@@ -93,6 +93,44 @@ object Merge {
       .write.mode("overwrite").parquet(s"$targetBase/v=$batchId")
   }
 
+  /** Snapshot diff — the reconciliation inverse of [[upsert]]: compare
+    * two versions of a table by key and report every `added`,
+    * `removed`, and `changed` key, plus WHICH columns changed
+    * (null-safe comparison, so null→value and value→null both count).
+    * The audit primitive for CDC pipelines: `diff(v_n, apply(v_n,
+    * changes))` must equal the changes, and `diff(v_n, v_n)` must be
+    * empty.
+    *
+    * Scale: one full-outer join keyed on `keyCols` — both sides
+    * shuffle once on the key (unavoidable for a total diff); on
+    * bucketed/co-partitioned snapshots (see [[graft.operators.Scale]])
+    * it degenerates to a zip of co-located buckets with no exchange.
+    * Column comparison is row-local. Unchanged keys are dropped
+    * before anything widens. */
+  def diff(before: DataFrame, after: DataFrame, keyCols: Seq[String],
+      compareCols: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "diff needs at least one key column")
+    val cmp = if (compareCols.nonEmpty) compareCols
+      else before.columns.filterNot(keyCols.contains).toSeq
+    val b = cmp.foldLeft(before)((d, c) => d.withColumnRenamed(c, s"__b_$c"))
+      .withColumn("__b_present", lit(true))
+    val a = cmp.foldLeft(after)((d, c) => d.withColumnRenamed(c, s"__a_$c"))
+      .withColumn("__a_present", lit(true))
+    val anyChange = cmp.map(c => !(col(s"__b_$c") <=> col(s"__a_$c")))
+      .reduce(_ || _)
+    b.join(a, keyCols, "full_outer")
+      .withColumn("change_type",
+        when(col("__a_present").isNull, "removed")
+          .when(col("__b_present").isNull, "added")
+          .when(anyChange, "changed"))
+      .filter(col("change_type").isNotNull)
+      .withColumn("changed_cols",
+        when(col("change_type") === "changed", array_compact(array(cmp.map(c =>
+          when(!(col(s"__b_$c") <=> col(s"__a_$c")), lit(c))): _*)))
+          .otherwise(array().cast("array<string>")))
+      .select(keyCols.map(col) ++ Seq(col("change_type"), col("changed_cols")): _*)
+  }
+
   /** Highest committed snapshot version under `targetBase` (strictly
     * below `below` when scanning for a batch's base). Listing is one
     * driver-side FS call over version directories, not data files.

@@ -140,6 +140,30 @@ class MergeSpec extends SparkSpec {
     assert(got == Map(1L -> "a", 2L -> "b", 3L -> "c"))
   }
 
+  test("diff: recovers add/remove/change with column attribution; self-diff empty") {
+    val before = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, null.asInstanceOf[String], 30.0),
+      (4L, "d", 40.0)).toDF("k", "s", "v")
+    val after = Seq((1L, "a", 10.0),            // unchanged
+      (2L, "B", 20.0),                          // s changed
+      (3L, "now", 31.0),                        // null->value AND v changed
+      (5L, "e", 50.0))                          // added; 4 removed
+      .toDF("k", "s", "v")
+    val got = operators.Merge.diff(before, after, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getSeq[String](2).toList)).toSet
+    assert(got == Set(
+      (2L, "changed", List("s")),
+      (3L, "changed", List("s", "v")),
+      (4L, "removed", Nil),
+      (5L, "added", Nil)))
+    assert(operators.Merge.diff(before, before, Seq("k")).count() == 0)
+    // diff(base, upsert(base, c)) == c, on a quick synthetic roundtrip
+    val changes = Seq((2L, "z", 99.0)).toDF("k", "s", "v")
+    val up = operators.Merge.upsert(before, changes, Seq("k"))
+    val d = operators.Merge.diff(before, up, Seq("k")).collect()
+    assert(d.length == 1 && d(0).getLong(0) == 2L && d(0).getString(1) == "changed")
+  }
+
   test("scd2: effective ranges chain, exactly one current row per key") {
     val ts = (m: Int) => new java.sql.Timestamp(m * 60000L)
     val log = Seq((1L, ts(0), "a"), (1L, ts(10), "b"), (1L, ts(20), "c"),
