@@ -167,6 +167,7 @@ object SparkEntry {
     "date_monthly_orders", "json_event_stats", "str_funcs", "parse_money",
     "evt_tumbling", "evt_sliding", "evt_sessionize", "evt_session_window",
     "evt_stream_join", "evt_funnel", "evt_retention", "evt_transitions",
+    "ts_resample_ffill",
     "text_stats", "text_quality", "text_term_freq", "text_lang_dist",
     "text_langid", "text_token_counts", "text_quality_score", "text_entities",
     "text_chunk", "text_redact", "text_repetition", "text_compress_gate",
@@ -2389,6 +2390,25 @@ object SparkEntry {
         .orderBy($"user_id", $"session_start")
     }),
 
+    "ts_resample_ffill" -> ((s, dir) => {
+      import s.implicits._
+      // Irregular events -> regular hourly series per event_type, gap
+      // buckets explicit, value mass carried forward. Aggregates are
+      // order-independent integers (count + cents sum) so the oracle
+      // replays bit-exactly; first bucket per key always has data
+      // (grid starts at the key's min), so ffill has no leading nulls.
+      val res = operators.TimeSeries.resample(
+        Tables.events(s, dir), "event_type", "ts", stepSeconds = 3600L,
+        aggs = Seq(count(lit(1)).cast("bigint").as("n_events"),
+          sum(round($"value" * 100).cast("long")).as("cents")))
+      operators.TimeSeries.fillForward(res, "event_type", "bucket_ts",
+          Seq("cents"))
+        .select($"event_type", $"bucket_ts",
+          coalesce($"n_events", lit(0L)).as("n_events"),
+          $"cents".as("cents_ffill"))
+        .orderBy($"event_type", $"bucket_ts")
+    }),
+
     "evt_transitions" -> ((s, dir) => {
       import s.implicits._
       // First-order event transition matrix (the Markov structure of
@@ -2802,6 +2822,30 @@ object SparkEntry {
         |  value
         |FROM events
         |ORDER BY user_id, valid_from""".stripMargin,
+
+    // Replays resample+ffill: same hourly buckets, generate_series
+    // grid, left join, and an IGNORE NULLS carry-forward window
+    "ts_resample_ffill" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |pb AS (
+        |  SELECT event_type, b, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM e GROUP BY 1, 2),
+        |sp AS (SELECT event_type, min(b) AS b0, max(b) AS b1 FROM e GROUP BY 1),
+        |g AS (SELECT event_type, unnest(generate_series(b0, b1)) AS b FROM sp),
+        |j AS (
+        |  SELECT g.event_type, g.b, pb.n, pb.cents
+        |  FROM g LEFT JOIN pb USING (event_type, b))
+        |SELECT event_type, epoch_ms(b * 3600000) AS bucket_ts,
+        |  COALESCE(n, 0) AS n_events,
+        |  last_value(cents IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_ffill
+        |FROM j ORDER BY event_type, b""".stripMargin,
 
     "evt_transitions" ->
       """WITH seq AS (

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: resample irregular event times onto a
+  * fixed grid (gap rows included) and carry observations forward —
+  * the missing half of the temporal toolkit next to as-of joins
+  * ([[AsOf]]) and interval joins ([[IntervalJoin]]). Irregular →
+  * regular is what turns an event log into model-ready series
+  * (features at fixed cadence, dashboards with explicit gaps).
+  *
+  * Scale: per-key min/max is one partial-aggregated pass; the grid
+  * explodes one row per (key, step) — the OUTPUT size, nothing
+  * quadratic; the value join is an equi-join on (key, bucket); the
+  * forward fill is one window shuffle on the key. No driver-side
+  * state, no global sort. Grid cardinality is the caller's contract:
+  * a key spanning years at 1-second steps is a deliberate 10⁷-row
+  * series, so [[resample]] guards with `maxStepsPerKey` (fail loudly,
+  * like IntervalJoin's fan-out cap).
+  */
+object TimeSeries {
+
+  /** Forward fill: replace NULLs in `valueCols` with the key's most
+    * recent non-null value in `orderCol` order. One window, one
+    * shuffle on `keyCol`. */
+  def fillForward(df: DataFrame, keyCol: String, orderCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    valueCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
+
+  /** Resample each key's series onto a fixed `stepSeconds` grid from
+    * its first to its last observation: one row per (key, bucket),
+    * `aggs` evaluated over the observations inside each bucket, gap
+    * buckets present with NULL aggregates (forward-fill afterwards
+    * with [[fillForward]] if carry-forward semantics are wanted).
+    * `bucket_ts` is the grid instant (bucket start, UTC epoch
+    * arithmetic — same convention as IntervalJoin's buckets).
+    *
+    * `aggs` are standard aggregate Columns evaluated per (key,
+    * bucket), e.g. `avg($"value").as("v")` — alias every agg. */
+  def resample(df: DataFrame, keyCol: String, tsCol: String,
+      stepSeconds: Long, aggs: Seq[Column],
+      maxStepsPerKey: Long = 1000000L): DataFrame = {
+    require(stepSeconds > 0, s"stepSeconds must be > 0 (got $stepSeconds)")
+    require(aggs.nonEmpty, "resample needs at least one aggregate")
+    val sec = col(tsCol).cast("timestamp").cast("long")
+    val b = floor(sec / stepSeconds).cast("long")
+    // observations aggregated into their bucket
+    val perBucket = df.withColumn("__b", b)
+      .groupBy(col(keyCol), col("__b"))
+      .agg(aggs.head, aggs.tail: _*)
+    // per-key grid, gap buckets included; loud failure on absurd grids
+    val spans = df.withColumn("__b", b)
+      .groupBy(col(keyCol))
+      .agg(min(col("__b")).as("__b0"), max(col("__b")).as("__b1"))
+    val guarded = when(col("__b1") - col("__b0") >= lit(maxStepsPerKey),
+        raise_error(concat(
+          lit(s"TimeSeries.resample: a key spans >= $maxStepsPerKey steps of " +
+            s"${stepSeconds}s — raise stepSeconds or split the series (key="),
+          col(keyCol).cast("string"), lit(")"))))
+      .otherwise(col("__b1"))
+    val grid = spans
+      .withColumn("__b", explode(sequence(col("__b0"), guarded)))
+      .select(col(keyCol), col("__b"))
+    grid.join(perBucket, Seq(keyCol, "__b"), "left")
+      .withColumn("bucket_ts",
+        (col("__b") * stepSeconds).cast("timestamp"))
+      .drop("__b")
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.TimeSeries
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(hour: Int, minute: Int = 0) = new Timestamp(
+    java.time.Instant.parse("2024-03-01T00:00:00Z").toEpochMilli
+      + (hour * 60L + minute) * 60000L)
+
+  // key "a": hours 0, 0, 3 (gap at 1, 2); key "b": hour 5 only
+  private val obs = Seq(
+    ("a", t(0, 10), 1.0), ("a", t(0, 50), 2.0), ("a", t(3, 5), 10.0),
+    ("b", t(5, 30), 7.0)).toDF("k", "ts", "v")
+
+  test("resample: contiguous hourly grid per key, gaps NULL, in-bucket aggs exact") {
+    val got = TimeSeries.resample(obs, "k", "ts", 3600L,
+        Seq(count(lit(1)).cast("bigint").as("n"), sum($"v").as("s")))
+      .orderBy($"k", $"bucket_ts").collect()
+      .map(r => (r.getString(0), r.getTimestamp(3), // k, bucket_ts
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+    // key a: 4 buckets (0..3), key b: 1 bucket
+    assert(got.map(_._1).toSeq == Seq("a", "a", "a", "a", "b"))
+    assert(got.map(_._2).toSeq == Seq(t(0), t(1), t(2), t(3), t(5)))
+    assert(got.map(_._3).toSeq == Seq(2L, -1L, -1L, 1L, 1L))
+    assert(got(0)._4 == 3.0 && got(3)._4 == 10.0 && got(4)._4 == 7.0)
+  }
+
+  test("fillForward carries last non-null per key; leading nulls stay null") {
+    val df = Seq(("a", 1, Option(5.0)), ("a", 2, None), ("a", 3, None),
+      ("a", 4, Option(9.0)), ("b", 1, None), ("b", 2, Option(1.0)))
+      .toDF("k", "o", "v")
+    val got = TimeSeries.fillForward(df, "k", "o", Seq("v"))
+      .orderBy($"k", $"o").collect()
+      .map(r => if (r.isNullAt(2)) Double.NaN else r.getDouble(2))
+    assert(got(0) == 5.0 && got(1) == 5.0 && got(2) == 5.0 && got(3) == 9.0)
+    assert(got(4).isNaN && got(5) == 1.0) // b's leading gap stays null
+  }
+
+  test("resample + fillForward compose: gap buckets inherit the prior value") {
+    val res = TimeSeries.resample(obs, "k", "ts", 3600L,
+      Seq(sum($"v").as("s")))
+    val filled = TimeSeries.fillForward(res, "k", "bucket_ts", Seq("s"))
+      .filter($"k" === "a").orderBy($"bucket_ts")
+      .select($"s").collect().map(_.getDouble(0))
+    assert(filled.toSeq == Seq(3.0, 3.0, 3.0, 10.0))
+  }
+
+  test("a key spanning more than maxStepsPerKey buckets fails loudly") {
+    val wide = Seq(("a", t(0), 1.0), ("a", t(5000), 2.0)).toDF("k", "ts", "v")
+    val ex = intercept[Exception] {
+      TimeSeries.resample(wide, "k", "ts", 3600L,
+        Seq(count(lit(1)).as("n")), maxStepsPerKey = 10).count()
+    }
+    def msgs(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(ex).exists(_.contains("TimeSeries.resample")), ex.toString)
+  }
+}
