@@ -156,7 +156,7 @@ object SparkEntry {
     "win_topk_parts", "win_running_total", "win_lag_delta", "win_rank_family",
     "win_rolling_range",
     "set_union", "set_intersect", "set_except",
-    "merge_upsert", "merge_scd2", "merge_diff",
+    "merge_upsert", "merge_scd2", "merge_diff", "fuzzy_join_names",
     "sample_first_n", "sample_by_key", "sample_rows_det", "sample_bernoulli",
     "sample_percent", "sample_stratified", "split_train_test",
     "sample_weighted_pps", "sample_weighted_topk", "sample_weighted_by_group",
@@ -616,6 +616,24 @@ object SparkEntry {
         .select($"o_orderkey", $"change_type",
           concat_ws(",", $"changed_cols").as("changed_cols"))
         .orderBy($"o_orderkey")
+    }),
+
+    "fuzzy_join_names" -> ((s, dir) => {
+      import s.implicits._
+      // Edit-distance similarity join: deterministically corrupted
+      // part names (first char -> 'x' on keys %7==0) matched back to
+      // the catalog within distance 1 via FastSS deletion-neighborhood
+      // blocking + exact levenshtein verify. The oracle is the naive
+      // quadratic levenshtein join — blocking must be invisible
+      // (complete). Plan never contains a cartesian (FuzzyJoinSpec).
+      val parts = Tables.part(s, dir).select($"p_partkey", $"p_name")
+      val corrupted = parts.filter($"p_partkey" % 7 === 0)
+        .select($"p_partkey".as("c_key"),
+          concat(lit("x"), substring($"p_name", 2, 100)).as("c_name"))
+      operators.FuzzyJoin.joinWithinEditDistance(corrupted, parts,
+          "c_key", "c_name", "p_partkey", "p_name", k = 1)
+        .select($"l_id", $"r_id", $"edit_dist")
+        .orderBy($"l_id", $"r_id")
     }),
 
     "merge_scd2" -> ((s, dir) => {
@@ -2801,6 +2819,16 @@ object SparkEntry {
         |UNION ALL
         |SELECT k, c, p FROM changes WHERE NOT del
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the naive quadratic form the blocked join must equal exactly
+    "fuzzy_join_names" ->
+      """WITH c AS (
+        |  SELECT p_partkey AS l_id, 'x' || substr(p_name, 2) AS l_str
+        |  FROM part WHERE p_partkey % 7 = 0)
+        |SELECT l_id, p.p_partkey AS r_id,
+        |  CAST(levenshtein(l_str, p.p_name) AS INT) AS edit_dist
+        |FROM c JOIN part p ON levenshtein(l_str, p.p_name) <= 1
+        |ORDER BY l_id, r_id""".stripMargin,
 
     // diff(base, upsert(base, changes)) recovers the changeset: the
     // oracle states that recovery straight from the change definition
