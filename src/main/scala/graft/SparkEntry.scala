@@ -149,7 +149,7 @@ object SparkEntry {
     "agg_collect_list", "agg_pivot", "agg_unpivot", "agg_grouping_sets",
     "date_funcs", "null_handling", "str_levenshtein", "sketch_bloom",
     "sketch_topk", "sketch_hll_persist", "sketch_kll_persist",
-    "sketch_theta_persist",
+    "sketch_theta_persist", "sketch_join_cardinality",
     "join_semi", "join_anti", "join_salted", "agg_copartition", "asof_signup_value",
     "asof_next_purchase", "interval_join_promo", "interval_join_incidents",
     "interval_overlap_campaigns",
@@ -2265,6 +2265,36 @@ object SparkEntry {
           (abs(avg(($"x" <= $"p90").cast("double")) - 0.9) <= 0.05).as("p90_ok"))
     }),
 
+    "sketch_join_cardinality" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.{theta_sketch_agg, theta_estimate,
+        theta_intersect, theta_difference}
+      // Pre-flight join sizing WITHOUT running the join: Theta
+      // sketches of both key columns give |O ∩ C| (semi-join key
+      // cardinality) and |C \ O| (anti-join size) from two 1-row
+      // sketch aggregates — the optimizer-style estimate a 100 TB
+      // join deserves before you commit a shuffle to it. Exact counts
+      // are the oracle-matched columns; booleans gate the estimates
+      // at 3x rse x the documented intersection inflation (exact in
+      // the sub-k regime the correctness SFs run at). All crossJoins
+      // below are 1-row gate aggregates.
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val sk = o.agg(theta_sketch_agg($"o_custkey").as("o_sk"))
+        .crossJoin(c.agg(theta_sketch_agg($"c_custkey").as("c_sk")))
+        .select(theta_estimate(theta_intersect($"o_sk", $"c_sk")).as("est_semi"),
+          theta_estimate(theta_difference($"c_sk", $"o_sk")).as("est_anti"))
+      val exact = o.join(c, $"o_custkey" === $"c_custkey", "left_semi")
+        .agg(countDistinct($"o_custkey").cast("bigint").as("n_semi_exact"))
+        .crossJoin(c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+          .agg(count(lit(1)).cast("bigint").as("n_anti_exact")))
+      exact.crossJoin(sk).select($"n_semi_exact", $"n_anti_exact",
+        (abs($"est_semi" - $"n_semi_exact") <= $"n_semi_exact" * 0.06)
+          .as("semi_ok"),
+        (abs($"est_anti" - $"n_anti_exact") <= $"n_anti_exact" * 0.06 + 1.0)
+          .as("anti_ok"))
+    }),
+
     "sketch_theta_persist" -> ((s, dir) => {
       import s.implicits._
       // Distinct-count SET ALGEBRA at scale: per-half Theta sketches
@@ -3562,6 +3592,14 @@ object SparkEntry {
 
     // same exact-overlap CTE as corpus_overlap; the theta estimates
     // are gated in-plan, so the oracle pins the exact counts + true
+    "sketch_join_cardinality" ->
+      """SELECT
+        |  (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+        |   FROM orders JOIN customer ON o_custkey = c_custkey) AS n_semi_exact,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_anti_exact,
+        |  true AS semi_ok, true AS anti_ok""".stripMargin,
+
     "sketch_theta_persist" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
