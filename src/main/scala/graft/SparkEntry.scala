@@ -171,6 +171,7 @@ object SparkEntry {
     "text_stats", "text_quality", "text_term_freq", "text_lang_dist",
     "text_langid", "text_token_counts", "text_quality_score", "text_entities",
     "text_chunk", "text_redact", "text_repetition", "text_compress_gate",
+    "text_unigram_nll",
     "decontaminate", "corpus_overlap",
     "dedup_exact", "dedup_paragraph", "dedup_fingerprint", "dedup_simhash",
     "dedup_clusters_gate",
@@ -1752,6 +1753,16 @@ object SparkEntry {
       TextAnalysis.qualityScore(Tables.documents(s, dir), "text")
         .select($"doc_id", $"quality_score", $"stop_ratio",
           $"digit_ratio", $"punct_ratio")
+        .orderBy($"doc_id")
+    }),
+
+    "text_unigram_nll" -> ((s, dir) => {
+      import s.implicits._
+      // Unigram-LM NLL quality signal: per-doc sum of -ln p(token)
+      // under the corpus's own unigram model, quantized to micro-nats
+      // so the sum is order-independent and DuckDB-replayable.
+      // Perplexity = exp(nll_micros/1e6/n_tok) downstream.
+      TextAnalysis.unigramNll(Tables.documents(s, dir), "doc_id", "text")
         .orderBy($"doc_id")
     }),
 
@@ -3547,6 +3558,21 @@ object SparkEntry {
         |    len_score * (1.0 - digit_ratio) * (1.0 - punct_ratio) * (0.5 + stop_ratio))) AS quality_score,
         |  stop_ratio, digit_ratio, punct_ratio
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Exact replay of the micro-nat-quantized unigram NLL: same
+    // tokens, same corpus frequencies, same per-token rounding
+    "text_unigram_nll" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+        |  FROM documents),
+        |t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |v AS (SELECT tok, count(*) AS f FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(sum(-round(ln(CAST(f AS DOUBLE) / n) * 1000000))
+        |    AS BIGINT) AS nll_micros
+        |FROM t JOIN v USING (tok), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // ANN quality gates: threshold booleans, not pinned recall values —
     // a plane-count/seed/testdata retune shifts the exact recall but

@@ -59,6 +59,35 @@ object TextAnalysis {
         ceil(length(col(textCol)).cast("double") / 4.0).cast("int"))
   }
 
+  /** Unigram language-model NLL — the CCNet/RedPajama-style
+    * perplexity quality signal: each token scored by the corpus's own
+    * unigram log-probability, summed per document. Emitted as an
+    * INTEGER micro-nat sum (`-round(ln p * 1e6)` per token) so the
+    * aggregate is order-independent and exactly replayable by any
+    * engine; downstream perplexity = `exp(nll_micros / 1e6 / n_tok)`.
+    * High NLL/token = rare-token soup (boilerplate, mojibake, code in
+    * a prose corpus) — the filter cut. Docs with no tokens drop out.
+    *
+    * Scale: one explode + a vocabulary hash-agg + an unhinted
+    * token-keyed join of the exploded stream against the vocabulary
+    * dim (broadcast while it fits, shuffle otherwise) + the per-doc
+    * re-agg. The corpus total is a 1-row broadcast. Nothing holds
+    * text after the explode — only (id, token). */
+  def unigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok") =!= "")
+    val vocab = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__f"))
+    val total = vocab.agg(sum(col("__f")).as("__tot"))
+    toks.join(vocab, "__tok")
+      .crossJoin(broadcast(total)) // 1-row corpus total
+      .withColumn("__nll_micros",
+        (-round(log(col("__f").cast("double") / col("__tot").cast("double"))
+          * 1e6)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("bigint").as("n_tok"),
+        sum(col("__nll_micros")).cast("bigint").as("nll_micros"))
+  }
+
   /** Quality score in [0,1]: penalizes very short docs, all-caps,
     * high digit/punct density, low stopword ratio (the C4/Gopher-style
     * hand rules, expressed as one column formula). */

@@ -210,4 +210,28 @@ class TextAnalysisSpec extends SparkSpec {
       "SELECT deflate_length('aaaaaaaaaaaaaaaaaaaaaaaa') AS dl").collect()(0)
     assert(r.getInt(0) > 0 && r.getInt(0) < 24)
   }
+
+  test("unigramNll matches a driver-side unigram model; rare-token docs score worse") {
+    import graft.llm.TextAnalysis
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the the the the"),              // all common tokens
+      (3L, "zyzzyva qwghlm xyzzy"),         // all hapax tokens
+      (4L, "")).toDF("doc_id", "text")      // empty: drops out
+    val got = TextAnalysis.unigramNll(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // driver replica
+    val corpus = Seq("the cat sat on the mat", "the the the the",
+      "zyzzyva qwghlm xyzzy").flatMap(_.split("\\s+")).filter(_.nonEmpty)
+    val freq = corpus.groupBy(identity).view.mapValues(_.length.toDouble)
+    val tot = corpus.length.toDouble
+    def nll(s: String) = s.split("\\s+").filter(_.nonEmpty)
+      .map(t => -math.round(math.log(freq(t) / tot) * 1e6)).sum
+    assert(got(1L) == (6L, nll("the cat sat on the mat")))
+    assert(got(2L) == (4L, nll("the the the the")))
+    assert(got(3L) == (3L, nll("zyzzyva qwghlm xyzzy")))
+    assert(!got.contains(4L))
+    // per-token NLL ordering: common < rare
+    assert(got(2L)._2 / 4 < got(3L)._2 / 3)
+  }
 }
