@@ -45,31 +45,43 @@ object FuzzyJoin {
 
   /** All (left, right) row pairs with `levenshtein(lCol, rCol) <= k`;
     * output = left id/string, right id/string, `edit_dist`. Ids must
-    * identify rows (pairs are distinct'd on them). `k` is 1 or 2.
-    * Rows whose string is NULL never match; strings longer than
-    * `maxLen` raise. */
+    * identify rows. `k` is 1 or 2. Rows whose string is NULL never
+    * match; strings longer than `maxLen` raise.
+    *
+    * Blocking and verification run over DISTINCT strings, then the
+    * verified string pairs re-expand to row ids with two equi-joins.
+    * On deduplicated keys this costs one extra shuffle and nothing
+    * else; on repetitive corpora (real-world name columns routinely
+    * carry 100-10000x duplication) it collapses the candidate
+    * explosion from |rows sharing a variant|² to
+    * |distinct strings sharing a variant|². */
   def joinWithinEditDistance(left: DataFrame, right: DataFrame,
       lId: String, lCol: String, rId: String, rCol: String,
       k: Int, maxLen: Int = 64): DataFrame = {
     require(k == 1 || k == 2, s"k must be 1 or 2 (got $k)")
-    def side(df: DataFrame, id: String, c: String, pid: String, ps: String) = {
+    def side(df: DataFrame, c: String, ps: String) = {
       // the guard lives INSIDE the variant expression — a standalone
       // guard column would be pruned away unevaluated
-      val guarded = when(length(col(c)) > maxLen,
+      val guarded = when(length(col(ps)) > maxLen,
         raise_error(concat(lit(s"FuzzyJoin: string longer than $maxLen " +
           "chars — edit-distance blocking is for short keys; use the " +
           "n-gram/MinHash family for long text (value="),
-          col(c), lit(")")))).otherwise(col(c))
+          col(ps), lit(")")))).otherwise(col(ps))
       df.filter(col(c).isNotNull)
-        .select(col(id).as(pid), col(c).as(ps),
-          explode(variants(guarded, k)).as("__v"))
-        .select(col(pid), col(ps), xxhash64(col("__v")).as("__vh"))
+        .select(col(c).as(ps)).distinct()
+        .select(col(ps), explode(variants(guarded, k)).as("__v"))
+        .select(col(ps), xxhash64(col("__v")).as("__vh"))
     }
-    val l = side(left, lId, lCol, "l_id", "l_str")
-    val r = side(right, rId, rCol, "r_id", "r_str")
-    l.join(r, "__vh")
-      .select("l_id", "l_str", "r_id", "r_str").distinct()
+    val l = side(left, lCol, "l_str")
+    val r = side(right, rCol, "r_str")
+    val pairs = l.join(r, "__vh")
+      .select("l_str", "r_str").distinct()
       .withColumn("edit_dist", levenshtein(col("l_str"), col("r_str")))
       .filter(col("edit_dist") <= k)
+    pairs
+      .join(left.select(col(lId).as("l_id"), col(lCol).as("l_str")), "l_str")
+      .join(right.select(col(rId).as("r_id"), col(rCol).as("r_str")), "r_str")
+      .select(col("l_id"), col("l_str"), col("r_id"), col("r_str"),
+        col("edit_dist"))
   }
 }
