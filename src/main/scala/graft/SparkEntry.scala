@@ -163,7 +163,7 @@ object SparkEntry {
     "feat_percentile_buckets", "feat_percentile_buckets_approx",
     "feat_percentile_buckets_window", "feat_percentile_buckets_kll",
     "pipeline_feature_matrix",
-    "dq_invalid_codes", "dq_profile", "dq_outliers",
+    "dq_invalid_codes", "dq_profile", "dq_outliers", "dq_histogram",
     "date_monthly_orders", "json_event_stats", "str_funcs", "parse_money",
     "evt_tumbling", "evt_sliding", "evt_sessionize", "evt_session_window",
     "evt_stream_join", "evt_funnel", "evt_retention", "evt_transitions",
@@ -617,6 +617,15 @@ object SparkEntry {
         .select($"o_orderkey", $"change_type",
           concat_ws(",", $"changed_cols").as("changed_cols"))
         .orderBy($"o_orderkey")
+    }),
+
+    "dq_histogram" -> ((s, dir) => {
+      import s.implicits._
+      // 20-bin equi-width histogram of order totals, empty bins
+      // explicit; the oracle replays the identical IEEE bucket
+      // arithmetic, so counts AND bin edges hash-match.
+      Quality.equiWidthHistogram(Tables.orders(s, dir), $"o_totalprice", 20)
+        .orderBy($"bin")
     }),
 
     "fuzzy_join_names" -> ((s, dir) => {
@@ -2860,6 +2869,22 @@ object SparkEntry {
         |UNION ALL
         |SELECT k, c, p FROM changes WHERE NOT del
         |ORDER BY o_orderkey""".stripMargin,
+
+    // identical IEEE bucket arithmetic, complete grid via
+    // generate_series, zero-filled empty bins
+    "dq_histogram" ->
+      """WITH mm AS (
+        |  SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo,
+        |    CAST(max(o_totalprice) AS DOUBLE) AS hi FROM orders),
+        |c AS (
+        |  SELECT least(CAST(floor((o_totalprice - lo) * 20 / (hi - lo))
+        |      AS BIGINT), 19) AS bin, count(*) AS n
+        |  FROM orders, mm GROUP BY 1),
+        |g AS (SELECT unnest(generate_series(0, 19)) AS bin, lo, hi FROM mm)
+        |SELECT g.bin, g.lo + (g.hi - g.lo) * g.bin / 20 AS bin_lo,
+        |  g.lo + (g.hi - g.lo) * (g.bin + 1) / 20 AS bin_hi,
+        |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        |FROM g LEFT JOIN c USING (bin) ORDER BY g.bin""".stripMargin,
 
     // the naive quadratic form the blocked join must equal exactly
     "fuzzy_join_names" ->

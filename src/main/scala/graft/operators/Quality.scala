@@ -63,6 +63,37 @@ object Quality {
       .drop("__lo", "__hi")
   }
 
+  /** Equi-width histogram with a complete bin grid (empty bins
+    * present with zero counts — a histogram with silent holes reads
+    * as a different distribution). The bucket formula is explicit
+    * IEEE arithmetic (`floor((v - lo) * bins / (hi - lo))`, top edge
+    * closed) rather than an engine built-in, so any engine replays it
+    * bit-exactly. Scale: one min/max pass (1-row broadcast), one
+    * row-local bucket projection, one `bins`-row aggregate. */
+  def equiWidthHistogram(df: DataFrame, valueExpr: Column,
+      bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be > 0 (got $bins)")
+    val mm = df.agg(min(valueExpr).cast("double").as("__lo"),
+      max(valueExpr).cast("double").as("__hi"))
+    val counts = df.crossJoin(broadcast(mm)) // 1-row min/max
+      .withColumn("bin", when(col("__hi") === col("__lo"), lit(0L))
+        .otherwise(least(
+          floor((valueExpr.cast("double") - col("__lo")) * bins /
+            (col("__hi") - col("__lo"))).cast("long"),
+          lit(bins - 1L))))
+      .filter(col("bin").isNotNull) // null values carry no bin
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    mm.select(col("__lo"), col("__hi"),
+        explode(sequence(lit(0L), lit(bins - 1L))).as("bin"))
+      .join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        (col("__lo") + (col("__hi") - col("__lo")) * col("bin") / bins)
+          .as("bin_lo"),
+        (col("__lo") + (col("__hi") - col("__lo")) * (col("bin") + 1) / bins)
+          .as("bin_hi"),
+        coalesce(col("n"), lit(0L)).cast("bigint").as("n"))
+  }
+
   /** Per-column profile: null count + empty-string count + distinct
     * count for the given columns. Generalizes the reference's ad-hoc
     * "there are some empty fields" checks (README.md:117,141). One

@@ -72,4 +72,21 @@ class QualitySpec extends SparkSpec {
       .map(r => (r.getString(0), r.getDouble(1))).toSet
     assert(approx == got)
   }
+
+  test("equiWidthHistogram: complete grid, conservation, closed top edge, degenerate input") {
+    val df = (Seq.fill(5)(0.0) ++ Seq(9.9, 10.0) ++ Seq.fill(3)(5.0)).toDF("v")
+    val h = Quality.equiWidthHistogram(df, $"v", 10)
+      .orderBy($"bin").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(h.length == 10)                       // every bin present
+    assert(h.map(_._4).sum == 10)                // all rows binned
+    assert(h(0)._4 == 5 && h(5)._4 == 3)         // 0.0s and 5.0s
+    assert(h(9)._4 == 2)                         // 9.9 and max=10.0 share the top bin
+    assert(h(0)._2 == 0.0 && h(9)._3 == 10.0)    // edges span [min, max]
+    assert(h.count(_._4 == 0L) == 7)             // empty bins explicit
+    // single distinct value: everything lands in bin 0, no div-by-zero
+    val one = Seq(7.0, 7.0, 7.0).toDF("v")
+    val h1 = Quality.equiWidthHistogram(one, $"v", 4).orderBy($"bin").collect()
+    assert(h1.map(_.getLong(3)).sum == 3 && h1(0).getLong(3) == 3)
+  }
 }
