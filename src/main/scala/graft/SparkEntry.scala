@@ -164,6 +164,7 @@ object SparkEntry {
     "feat_percentile_buckets_window", "feat_percentile_buckets_kll",
     "pipeline_feature_matrix",
     "dq_invalid_codes", "dq_profile", "dq_outliers", "dq_histogram",
+    "dq_impute",
     "date_monthly_orders", "json_event_stats", "str_funcs", "parse_money",
     "evt_tumbling", "evt_sliding", "evt_sessionize", "evt_session_window",
     "evt_stream_join", "evt_funnel", "evt_retention", "evt_transitions",
@@ -616,6 +617,21 @@ object SparkEntry {
       Merge.diff(base, after, Seq("o_orderkey"))
         .select($"o_orderkey", $"change_type",
           concat_ws(",", $"changed_cols").as("changed_cols"))
+        .orderBy($"o_orderkey")
+    }),
+
+    "dq_impute" -> ((s, dir) => {
+      import s.implicits._
+      // Median imputation: deterministically null out %13 keys, fill
+      // with the priority-group median of the surviving values. The
+      // oracle recomputes the same interpolated median
+      // (quantile_cont == Spark percentile) and the same fill set.
+      val base = Tables.orders(s, dir).select($"o_orderkey", $"o_orderpriority",
+        when($"o_orderkey" % 13 === 0, lit(null)).otherwise($"o_totalprice")
+          .as("p"))
+      Quality.imputeWithGroupMedian(base, "o_orderpriority", "p")
+        .filter($"p_was_null")
+        .select($"o_orderkey", $"p_imputed")
         .orderBy($"o_orderkey")
     }),
 
@@ -2869,6 +2885,19 @@ object SparkEntry {
         |UNION ALL
         |SELECT k, c, p FROM changes WHERE NOT del
         |ORDER BY o_orderkey""".stripMargin,
+
+    "dq_impute" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN NULL
+        |         ELSE o_totalprice END AS p
+        |  FROM orders),
+        |m AS (
+        |  SELECT o_orderpriority, quantile_cont(p, 0.5) AS med
+        |  FROM base GROUP BY 1)
+        |SELECT o_orderkey, med AS p_imputed
+        |FROM base JOIN m USING (o_orderpriority)
+        |WHERE p IS NULL ORDER BY o_orderkey""".stripMargin,
 
     // identical IEEE bucket arithmetic, complete grid via
     // generate_series, zero-filled empty bins

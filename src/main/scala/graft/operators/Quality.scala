@@ -63,6 +63,28 @@ object Quality {
       .drop("__lo", "__hi")
   }
 
+  /** Median-impute NULLs per group: each NULL in `valueCol` becomes
+    * its group's exact interpolated median (computed over the
+    * non-null values). Median, not mean, deliberately: it is robust
+    * to the outliers dirty data carries, and being an order statistic
+    * it is engine-exact (a distributed mean of doubles depends on
+    * summation order). Adds `<valueCol>_imputed` = the filled column
+    * and `<valueCol>_was_null`.
+    *
+    * Scale: one per-group aggregate + an unhinted join-back, the
+    * [[Percentiles.bucketByJoin]] posture; swap in
+    * `percentile_approx` upstream if a group's values can't buffer. */
+  def imputeWithGroupMedian(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+    df.join(med, Seq(groupCol))
+      .withColumn(s"${valueCol}_was_null", col(valueCol).isNull)
+      .withColumn(s"${valueCol}_imputed",
+        coalesce(col(valueCol).cast("double"), col("__med")))
+      .drop("__med")
+  }
+
   /** Equi-width histogram with a complete bin grid (empty bins
     * present with zero counts — a histogram with silent holes reads
     * as a different distribution). The bucket formula is explicit

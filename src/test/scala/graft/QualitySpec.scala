@@ -89,4 +89,18 @@ class QualitySpec extends SparkSpec {
     val h1 = Quality.equiWidthHistogram(one, $"v", 4).orderBy($"bin").collect()
     assert(h1.map(_.getLong(3)).sum == 3 && h1(0).getLong(3) == 3)
   }
+
+  test("imputeWithGroupMedian fills nulls with the group's non-null median") {
+    val df = Seq(("a", Option(1.0)), ("a", Option(3.0)), ("a", None),
+      ("b", Option(10.0)), ("b", None)).toDF("g", "v")
+    val got = Quality.imputeWithGroupMedian(df, "g", "v")
+      .select($"g", $"v_imputed", $"v_was_null").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+    // group a median of {1,3} = 2.0; group b median of {10} = 10.0
+    assert(got.filter(t => t._1 == "a" && t._3).map(_._2).toSeq == Seq(2.0))
+    assert(got.filter(t => t._1 == "b" && t._3).map(_._2).toSeq == Seq(10.0))
+    // non-null rows unchanged, row count preserved
+    assert(got.count(!_._3) == 3 && got.length == 5)
+    assert(got.filter(t => t._1 == "a" && !t._3).map(_._2).sorted.toSeq == Seq(1.0, 3.0))
+  }
 }
