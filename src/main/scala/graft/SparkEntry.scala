@@ -164,7 +164,7 @@ object SparkEntry {
     "feat_percentile_buckets_window", "feat_percentile_buckets_kll",
     "pipeline_feature_matrix",
     "dq_invalid_codes", "dq_profile", "dq_outliers", "dq_histogram",
-    "dq_impute",
+    "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "str_funcs", "parse_money",
     "evt_tumbling", "evt_sliding", "evt_sessionize", "evt_session_window",
     "evt_stream_join", "evt_funnel", "evt_retention", "evt_transitions",
@@ -177,7 +177,7 @@ object SparkEntry {
     "dedup_exact", "dedup_paragraph", "dedup_fingerprint", "dedup_simhash",
     "dedup_clusters_gate",
     "pipeline_clean_corpus", "pipeline_curation", "sketch_freq_items",
-    "sim_topk_brute", "sim_topk_ivf",
+    "sim_topk_brute", "sim_topk_ivf", "sim_quantized_recall",
     "mm_content_hash", "mm_decode", "mm_frame_sample",
     "mm_resize")
 
@@ -641,6 +641,26 @@ object SparkEntry {
       // explicit; the oracle replays the identical IEEE bucket
       // arithmetic, so counts AND bin edges hash-match.
       Quality.equiWidthHistogram(Tables.orders(s, dir), $"o_totalprice", 20)
+        .orderBy($"bin")
+    }),
+
+    "dq_histogram_depth" -> ((s, dir) => {
+      import s.implicits._
+      // Equi-DEPTH histogram (quartile bins): boundaries from the
+      // exact interpolated percentile array — the scale path (one
+      // aggregate + row-local ladder), never a global ntile window.
+      // Counts per bin differ from n/4 exactly by boundary ties —
+      // which is what the oracle replays.
+      val o = Tables.orders(s, dir)
+      val qs = o.agg(expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))")
+        .as("__q"))
+      o.crossJoin(broadcast(qs)) // 1-row boundary array
+        .withColumn("bin",
+          when($"o_totalprice" <= $"__q".getItem(0), 1L)
+            .when($"o_totalprice" <= $"__q".getItem(1), 2L)
+            .when($"o_totalprice" <= $"__q".getItem(2), 3L)
+            .otherwise(4L))
+        .groupBy($"bin").agg(count(lit(1)).cast("bigint").as("n"))
         .orderBy($"bin")
     }),
 
@@ -1716,6 +1736,33 @@ object SparkEntry {
 
     // ---- ANN quality gates: recall@k of each approximate tier vs the
     // exact brute-force answer, as one driver-checkable row ----
+    "sim_quantized_recall" -> ((s, dir) => {
+      import s.implicits._
+      // int8 storage path: quantize every vector (4x scan IO at
+      // 100 TB), run the same exact top-5 over the quantized table,
+      // and gate (a) top-k agreement vs float32 and (b) the cosine
+      // perturbation bound on the agreed pairs. Cosine is
+      // scale-invariant, so only rounding noise separates the two.
+      val emb = Tables.embeddings(s, dir)
+      val qz = Similarity.quantizeInt8(emb, "embedding")
+        .select($"vec_id",
+          transform($"q_vec", b => b.cast("float")).as("embedding"))
+      val brute = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 20),
+          "embedding", "vec_id", k = 5)
+        .select($"q_id", $"n_id", $"cosine")
+      val qtop = Similarity.bruteForceTopK(qz, qz.filter($"vec_id" < 20),
+          "embedding", "vec_id", k = 5)
+        .select($"q_id", $"n_id", $"cosine".as("q_cosine"))
+      val hits = brute.join(qtop, Seq("q_id", "n_id"))
+      brute.agg(count(lit(1)).as("n_true"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit"),
+          max(abs($"cosine" - $"q_cosine")).as("max_err")))
+        .select(lit(5).as("k"), $"n_true",
+          (($"n_hit".cast("double") / $"n_true".cast("double")) >= 0.9)
+            .as("recall_ok"),
+          ($"max_err" <= 0.05).as("err_ok"))
+    }),
+
     "sim_recall_lsh" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
@@ -2915,6 +2962,19 @@ object SparkEntry {
         |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n
         |FROM g LEFT JOIN c USING (bin) ORDER BY g.bin""".stripMargin,
 
+    "dq_histogram_depth" ->
+      """WITH q AS (
+        |  SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+        |    quantile_cont(o_totalprice, 0.5) AS q2,
+        |    quantile_cont(o_totalprice, 0.75) AS q3
+        |  FROM orders)
+        |SELECT CASE WHEN o_totalprice <= q1 THEN 1
+        |            WHEN o_totalprice <= q2 THEN 2
+        |            WHEN o_totalprice <= q3 THEN 3
+        |            ELSE 4 END AS bin,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders, q GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // the naive quadratic form the blocked join must equal exactly
     "fuzzy_join_names" ->
       """WITH c AS (
@@ -3631,6 +3691,9 @@ object SparkEntry {
     // ANN quality gates: threshold booleans, not pinned recall values —
     // a plane-count/seed/testdata retune shifts the exact recall but
     // not the contract (LSH >= 0.4 at 6 planes, IVF >= 0.6).
+    "sim_quantized_recall" ->
+      "SELECT 5 AS k, 100 AS n_true, true AS recall_ok, true AS err_ok",
+
     "sim_recall_lsh" ->
       "SELECT 5 AS k, 100 AS n_true, true AS recall_ok",
 

@@ -79,4 +79,27 @@ class SimilaritySpec extends SparkSpec {
     val recall = (brute & ivf).size.toDouble / brute.size
     assert(recall >= 0.8, s"recall $recall")
   }
+
+  test("quantizeInt8: values in [-127,127], max|v| maps to ±127, cosine preserved") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.49f, -0.98f, 0.26f)),   // near-parallel to 1
+      (3L, Array(-1.0f, 0.0f, 1.0f)),
+      (4L, Array(0.0f, 0.0f, 0.0f)))       // zero vector
+      .toDF("vec_id", "embedding")
+    val qz = Similarity.quantizeInt8(vecs, "embedding")
+      .select($"vec_id", $"q_vec", $"q_scale").collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Byte](1).toArray, r.getDouble(2))).toMap
+    assert(qz(1L)._1.toSeq == Seq[Byte](64, -127, 32)) // 0.5*127, -1*127, .25*127
+    assert(qz(4L)._1.forall(_ == 0))                   // zero vector -> zeros
+    assert(qz.values.forall(_._1.forall(b => b >= -127 && b <= 127)))
+    // quantized cosine within 2% of exact for the near-parallel pair
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val exact = cos(Array(0.5, -1.0, 0.25), Array(0.49, -0.98, 0.26))
+    val quant = cos(qz(1L)._1.map(_.toDouble), qz(2L)._1.map(_.toDouble))
+    assert(math.abs(exact - quant) < 0.02, s"exact=$exact quant=$quant")
+  }
 }
