@@ -140,6 +140,90 @@ object EventStreams {
 
   case class SessState(start: Long, last: Long, n: Long, sum: Double)
 
+  case class FunnelOut(user_id: Long, steps_completed: Int,
+      first_step_ts: java.sql.Timestamp)
+
+  /** Streaming funnel — the stateful twin of [[funnel]] with the
+    * bounded-completion contract a stream needs: a user's funnel is
+    * the min-chain over their events in `[t1, t1 + horizonSeconds]`
+    * (t1 = their earliest step-1 event), finalized and emitted EXACTLY
+    * ONCE when the event-time watermark passes `t1 + horizon` (every
+    * event that could still influence the chain has arrived). Unbounded
+    * all-history funnels don't stream — the horizon is what bounds
+    * state.
+    *
+    * State per user = the buffered step events still relevant:
+    * pre-t1 events older than the watermark are pruned every
+    * invocation (no step-1 event can arrive below the watermark to
+    * make them eligible), so state is O(events within horizon).
+    * Late events inside the watermark are handled exactly — a late
+    * step-1 event can pull t1 back and re-qualify buffered events,
+    * which is why events buffer until the seal instead of folding
+    * incrementally. */
+  def funnelStateful(events: Dataset[Event], steps: Seq[String],
+      horizonSeconds: Long = 24 * 3600,
+      watermark: String = "2 hours"): Dataset[FunnelOut] = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps (got $steps)")
+    import events.sparkSession.implicits._
+    val stepSet = steps.toSet
+
+    def seal(userId: Long, evs: Seq[(Long, String)], t1: Long): FunnelOut = {
+      val inWin = evs.filter(e => e._1 >= t1 && e._1 <= t1 + horizonSeconds * 1000)
+      val chain = steps.tail.scanLeft(Option(t1)) { (prev, step) =>
+        prev.flatMap { p =>
+          val cand = inWin.filter(e => e._2 == step && e._1 >= p)
+          if (cand.isEmpty) None else Some(cand.map(_._1).min)
+        }
+      }
+      FunnelOut(userId, chain.count(_.isDefined),
+        new java.sql.Timestamp(t1))
+    }
+
+    def fn(userId: Long, rows: Iterator[Event],
+        state: GroupState[Seq[(Long, String)]]): Iterator[FunnelOut] = {
+      val fresh = rows.filter(e => stepSet.contains(e.event_type))
+        .map(e => (e.ts.getTime, e.event_type)).toSeq
+      val wmMs = state.getCurrentWatermarkMs()
+      val buffered = state.getOption.getOrElse(Seq.empty) ++ fresh
+      val t1 = buffered.filter(_._2 == steps.head).map(_._1).minOption
+      t1 match {
+        case Some(t) if wmMs > t + horizonSeconds * 1000 =>
+          // sealed: no event below the watermark can arrive, and
+          // everything at or after it is outside the horizon
+          state.remove()
+          Iterator.single(seal(userId, buffered, t))
+        case Some(t) =>
+          // bounded state: keep the in-window events plus any pre-t1
+          // events a late (within-watermark) step-1 arrival could
+          // still re-qualify; everything past the horizon is
+          // irrelevant forever (t1 only ever moves earlier)
+          val keep = buffered.filter(e =>
+            (e._1 >= t && e._1 <= t + horizonSeconds * 1000) ||
+              (e._1 >= wmMs && e._1 < t))
+          state.update(keep)
+          // fire when the horizon seals (+1ms: timeout must exceed wm)
+          state.setTimeoutTimestamp(math.max(t + horizonSeconds * 1000, wmMs) + 1)
+          Iterator.empty
+        case None =>
+          // no funnel start yet: events below the watermark can never
+          // become eligible (a qualifying step-1 event would need
+          // ts <= theirs <= wm — impossible now) — prune them
+          val keep = buffered.filter(_._1 >= wmMs)
+          if (keep.isEmpty) { if (state.exists) state.remove() }
+          else {
+            state.update(keep)
+            state.setTimeoutTimestamp(keep.map(_._1).max + horizonSeconds * 1000 + 1)
+          }
+          Iterator.empty
+      }
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Ordered funnel analysis: for each user, the earliest timestamp at
     * which each successive step was completed, where step i counts
     * only at-or-after the user's step i-1 completion time (`>=`, so

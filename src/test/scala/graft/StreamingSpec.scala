@@ -105,6 +105,54 @@ class StreamingSpec extends SparkSpec {
     assert(got == List((1L, 1L), (2L, 1L)), s"got $got")
   }
 
+  test("funnelStateful: min-chain over the horizon, exactly-once at seal, late step-1 handled") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val mem = MemoryStream[Event]
+    val q = EventStreams.funnelStateful(mem.toDS(), steps,
+        horizonSeconds = 3600, watermark = "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("fun").start()
+    // user 1 completes all 3 steps IN ORDER but delivered out of order
+    // across batches (the late step-1 stays within the 30-min
+    // watermark tolerance — beyond it Spark correctly drops the row
+    // before the state function ever sees it); user 2 skips the middle
+    // step (click before view must NOT count); user 3 only views.
+    mem.addData(Event(1, ts(10), 1, "click", 0), Event(2, ts(20), 1, "purchase", 0))
+    q.processAllAvailable()
+    assert(spark.table("fun").count() == 0, "nothing sealed yet")
+    mem.addData(Event(3, ts(5), 1, "view", 0),          // late start, within watermark
+      Event(4, ts(6), 2, "click", 0), Event(5, ts(8), 2, "view", 0),
+      Event(6, ts(9), 2, "purchase", 0),                 // purchase >= view but click missing
+      Event(7, ts(7), 3, "view", 0))
+    q.processAllAvailable()
+    // watermark movers: far-future events from an unrelated user
+    // (wm = 200-30 = 170 > t1+60 for users 1-3 -> their horizons seal)
+    mem.addData(Event(8, ts(200), 99, "view", 0))
+    q.processAllAvailable()
+    // wm = 400-30 = 370 > 200+60 -> user 99 seals too
+    mem.addData(Event(9, ts(400), 99, "click", 0))
+    q.processAllAvailable()
+    val got = spark.table("fun")
+      .select("user_id", "steps_completed").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    q.stop()
+    // user 1: view@5 -> click@10 -> purchase@20 = 3 steps
+    // user 2: view@8 -> click? click@6 < view@8 -> chain stops = 1
+    // user 3: view only = 1
+    assert(got.get(1L).contains(3), s"got $got")
+    assert(got.get(2L).contains(1), s"got $got")
+    assert(got.get(3L).contains(1), s"got $got")
+    // agreement with the batch funnel on the sealed users
+    val batch = EventStreams.funnel(
+      Seq(Event(1, ts(10), 1, "click", 0), Event(2, ts(20), 1, "purchase", 0),
+        Event(3, ts(5), 1, "view", 0), Event(4, ts(6), 2, "click", 0),
+        Event(5, ts(8), 2, "view", 0), Event(6, ts(9), 2, "purchase", 0),
+        Event(7, ts(7), 3, "view", 0)).toDF(), steps)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 3).count(i => !r.isNullAt(r.fieldIndex(s"t$i")))).toMap
+    assert(Seq(1L, 2L, 3L).forall(u => got(u) == batch(u)), s"got=$got batch=$batch")
+  }
+
   test("purchaseAttribution stream-stream join matches the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val purchases = Seq(
