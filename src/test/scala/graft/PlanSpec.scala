@@ -229,6 +229,45 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("text_unigram_nll: document text never shuffles — only (id, token) and aggregates") {
+    val p = plan("text_unigram_nll")
+    val blocks = p.split("\\n\\n").toSeq
+    val hashExchanges = blocks.filter(b =>
+      b.linesIterator.exists(_.matches("\\(\\d+\\) Exchange.*")) &&
+        b.contains("Arguments: hashpartitioning"))
+    assert(hashExchanges.nonEmpty, p)
+    hashExchanges.foreach { b =>
+      val input = b.linesIterator.find(_.startsWith("Input")).getOrElse("")
+      assert(!input.contains("text#"), s"text in exchange:\n$b")
+    }
+  }
+
+  test("interval_join_promo: equi-join on (custkey, bucket), never a nested loop") {
+    val p = plan("interval_join_promo")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // the probe side must hash-partition on the composite key, not
+    // broadcast the fact table
+    assert(p.contains("hashpartitioning"), p)
+  }
+
+  test("ts_resample_ffill: bounded exchanges (bucket agg, span agg, grid join, ffill window)") {
+    val p = plan("ts_resample_ffill")
+    // one keyed agg + one span agg + the grid equi-join + one window
+    // shuffle + the output sort; a refactor that re-shuffles per
+    // stage shows up as a jump here
+    assert(countExchanges(p) <= 6, s"exchanges=${countExchanges(p)}\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("fuzzy_join_names: variant blocking is an equi-join over distinct strings") {
+    val p = plan("fuzzy_join_names")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // the levenshtein verify must sit above the variant-hash join,
+    // never as a join condition on its own (that would be the
+    // quadratic plan)
+    assert(p.contains("levenshtein"), p)
+  }
+
   test("pipeline_clean_corpus is one shuffle + the final sort") {
     val p = plan("pipeline_clean_corpus")
     // row-local scoring stages must not introduce exchanges: one for
