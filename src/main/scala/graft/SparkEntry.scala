@@ -144,7 +144,8 @@ object SparkEntry {
     * LSH joins whose cost is threshold-dependent rather than
     * scan-dependent. */
   val benchQueries: Seq[String] = Seq(
-    "q1_agg", "q3_shipping", "q5_region_revenue", "sql_q6_discount",
+    "q1_agg", "q3_shipping", "q4_priority", "q5_region_revenue",
+    "q10_returns", "sql_q6_discount",
     "agg_distinct", "agg_minmax", "agg_rollup", "agg_cube", "agg_approx_distinct",
     "agg_collect_list", "agg_pivot", "agg_unpivot", "agg_grouping_sets",
     "date_funcs", "null_handling", "str_levenshtein", "sketch_bloom",
@@ -282,6 +283,38 @@ object SparkEntry {
         .agg(revenue.as("revenue"))
         .orderBy(desc("revenue"), $"o_orderkey")
         .limit(10)
+    }),
+
+    "q4_priority" -> ((s, dir) => {
+      import s.implicits._
+      // TPC-H Q4 adapted to this schema (no commitdate/receiptdate):
+      // count orders per priority having at least one line item
+      // shipped > 30 days after the order date — the EXISTS shape,
+      // planned as a left-semi join (equi key + non-equi residual),
+      // so the fact side dedups in the join, never via distinct.
+      Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir),
+          $"o_orderkey" === $"l_orderkey" &&
+            $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 30 DAYS"),
+          "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).cast("bigint").as("order_count"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    "q10_returns" -> ((s, dir) => {
+      import s.implicits._
+      // TPC-H Q10 shape: revenue lost to returned items per customer,
+      // top 20. Customer dim broadcasts; the orders⋈lineitem join
+      // shuffles once on the order key.
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey")
+        .join(Tables.lineitem(s, dir).filter($"l_returnflag" === "R"),
+          $"o_orderkey" === $"l_orderkey")
+        .groupBy($"c_custkey", $"c_name")
+        .agg(revenue.as("revenue"))
+        .orderBy($"revenue".desc, $"c_custkey")
+        .limit(20)
     }),
 
     "q5_region_revenue" -> ((s, dir) => {
@@ -2676,6 +2709,26 @@ object SparkEntry {
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderkey
         |LIMIT 10""".stripMargin,
+
+    "q4_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q10_returns" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
 
     "q5_region_revenue" ->
       """SELECT r_name, n_name,
