@@ -149,7 +149,7 @@ object SparkEntry {
     "agg_distinct", "agg_minmax", "agg_rollup", "agg_cube", "agg_approx_distinct",
     "agg_collect_list", "agg_pivot", "agg_unpivot", "agg_grouping_sets",
     "date_funcs", "null_handling", "str_levenshtein", "sketch_bloom",
-    "sketch_topk", "sketch_hll_persist", "sketch_kll_persist",
+    "sketch_topk", "sketch_topk_grouped", "sketch_hll_persist", "sketch_kll_persist",
     "sketch_theta_persist", "sketch_join_cardinality",
     "join_semi", "join_anti", "join_salted", "agg_copartition", "asof_signup_value",
     "asof_next_purchase", "interval_join_promo", "interval_join_incidents",
@@ -2334,6 +2334,24 @@ object SparkEntry {
         .orderBy($"item")
     }),
 
+    "sketch_topk_grouped" -> ((s, dir) => {
+      import s.implicits._
+      // The same SpaceSaving aggregate composed under groupBy: top-3
+      // heavy-hitter sources PER LANGUAGE — per-group sketches live in
+      // the hash aggregate like any built-in (map-side partials
+      // pinned by PlanSpec for the global form). Exact regime, so the
+      // oracle is the true grouped count + row_number cut.
+      val w = Window.partitionBy($"lang").orderBy($"cnt".desc, $"item")
+      Tables.documents(s, dir)
+        .groupBy($"lang")
+        .agg(graft.functions.topk_sketch($"source", 32).as("tk"))
+        .select($"lang", explode($"tk").as("e"))
+        .select($"lang", $"e.item".as("item"), $"e.cnt".as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3).drop("rn")
+        .orderBy($"lang", $"cnt".desc, $"item")
+    }),
+
     "sketch_hll_persist" -> ((s, dir) => {
       import s.implicits._
       // Incremental distinct counting, the warehouse pattern: build
@@ -3822,6 +3840,17 @@ object SparkEntry {
       """SELECT source AS item, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(0 AS BIGINT) AS err
         |FROM documents GROUP BY source ORDER BY item""".stripMargin,
+
+    "sketch_topk_grouped" ->
+      """WITH c AS (
+        |  SELECT lang, source AS item, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, item, cnt,
+        |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, item) AS rn
+        |  FROM c)
+        |SELECT lang, item, cnt FROM r WHERE rn <= 3
+        |ORDER BY lang, cnt DESC, item""".stripMargin,
 
     "sketch_topk_gate" ->
       """WITH toks AS (
