@@ -1212,6 +1212,29 @@ object SparkEntry {
             .as("ranges_disjoint"))
     }),
 
+    "compact_small_files" -> ((s, dir) => {
+      import s.implicits._
+      // Small-files compaction sweep: scatter lineitem into 64 tiny
+      // files (the decay shape of a streaming sink), compact to
+      // ~20k-row files, and prove the rewrite both shrank the file
+      // count and changed NOTHING — row count and integer-cents mass
+      // are value-matched against the source table by the oracle.
+      // SIDE-EFFECTING (writes + compacts at construction).
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_compact_${math.abs(dir.hashCode)}"
+      val li = Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_partkey", $"l_extendedprice")
+      li.repartition(64).write.mode("overwrite").parquet(out)
+      val (before, after) = Writers.compactParquet(s, out,
+        targetRowsPerFile = 20000L)
+      s.read.parquet(out).agg(
+          count(lit(1)).cast("bigint").as("n_rows"),
+          sum(round($"l_extendedprice" * 100).cast("long")).cast("bigint")
+            .as("cents"))
+        .select($"n_rows", $"cents",
+          lit(after < before).as("files_shrunk"),
+          lit(after >= 1L).as("nonempty"))
+    }),
+
     "wholefile_scan" -> ((s, dir) => {
       import s.implicits._
       // sc.wholeTextFiles analogue (README.md:297): one row per file
@@ -3309,6 +3332,13 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  true AS z_sk_improves, true AS z_pk_bounded,
         |  true AS z3_improves_all
+        |FROM lineitem""".stripMargin,
+
+    "compact_small_files" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  true AS files_shrunk, true AS nonempty
         |FROM lineitem""".stripMargin,
 
     "range_layout" ->

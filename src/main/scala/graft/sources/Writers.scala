@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.input_file_name
 
@@ -36,4 +37,41 @@ object Writers {
   /** Line scan: one row per line — `sc.textFile` (README.md:352,385). */
   def lines(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path).withColumnRenamed("value", "line")
+
+  /** Small-files compaction — the table-maintenance sweep every
+    * streaming/incremental sink eventually needs: rewrite a parquet
+    * directory into `ceil(rows / targetRowsPerFile)` files. A 100 TB
+    * table fed by per-batch appends decays into millions of KB-sized
+    * files whose open/footer cost dominates scans; compaction restores
+    * scan-sized files without changing a single row.
+    *
+    * Crash-safe sequencing: write the compacted copy NEXT TO the
+    * target (`<dir>__compact_tmp`), verify its row count, then swap
+    * via two renames (old → `__old`, tmp → dir) and delete the
+    * original. A crash before the final rename leaves the original
+    * intact (readers keep working); the stale tmp/old dirs are
+    * re-swept on the next run. Returns (filesBefore, filesAfter). */
+  def compactParquet(spark: SparkSession, dir: String,
+      targetRowsPerFile: Long): (Long, Long) = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir + "__compact_tmp")
+    val old = new Path(dir + "__compact_old")
+    fs.delete(tmp, true); fs.delete(old, true) // stale debris from a crash
+    val df = spark.read.parquet(dir)
+    val n = df.count()
+    val filesBefore = spark.read.parquet(dir)
+      .select(input_file_name()).distinct().count()
+    val parts = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile)
+    df.repartition(parts.toInt).write.parquet(tmp.toString)
+    val nNew = spark.read.parquet(tmp.toString).count()
+    require(nNew == n, s"compaction row drift: $n -> $nNew (aborted, original intact)")
+    require(fs.rename(p, old), s"rename $p -> $old failed")
+    require(fs.rename(tmp, p), s"rename $tmp -> $p failed")
+    fs.delete(old, true)
+    val filesAfter = spark.read.parquet(dir)
+      .select(input_file_name()).distinct().count()
+    (filesBefore, filesAfter)
+  }
 }

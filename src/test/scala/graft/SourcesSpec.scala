@@ -81,4 +81,20 @@ class SourcesSpec extends SparkSpec {
     val lines = Writers.lines(spark, fixture)
     assert(lines.count() == 11)
   }
+
+  test("compactParquet shrinks the file count, preserves every row, sweeps stale tmp") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmp").toString + "/t"
+    val df = spark.range(10000).selectExpr("id", "id % 7 AS g")
+    df.repartition(32).write.parquet(dir)
+    // stale debris from a "crashed" prior run must not break the sweep
+    spark.range(5).write.parquet(dir + "__compact_tmp")
+    val (before, after) = Writers.compactParquet(spark, dir, targetRowsPerFile = 5000L)
+    assert(before >= 32 && after == 2, s"before=$before after=$after")
+    val got = spark.read.parquet(dir)
+    assert(got.count() == 10000)
+    assert(got.agg(sum($"id")).head().getLong(0) == 10000L * 9999 / 2)
+    // idempotent re-run: already compacted, file count stays
+    val (b2, a2) = Writers.compactParquet(spark, dir, targetRowsPerFile = 5000L)
+    assert(b2 == 2 && a2 == 2)
+  }
 }
