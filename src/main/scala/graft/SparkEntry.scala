@@ -2684,10 +2684,13 @@ object SparkEntry {
 
     "dq_profile" ->
       """SELECT count(*) AS c_custkey_rows, count(CASE WHEN c_custkey IS NULL THEN 1 END) AS c_custkey_nulls,
+        |  count(DISTINCT c_custkey) AS c_custkey_distinct,
         |  count(*) AS c_name_rows, count(CASE WHEN c_name IS NULL THEN 1 END) AS c_name_nulls,
         |  count(CASE WHEN c_name = '' THEN 1 END) AS c_name_empty,
+        |  count(DISTINCT c_name) AS c_name_distinct,
         |  count(*) AS c_mktsegment_rows, count(CASE WHEN c_mktsegment IS NULL THEN 1 END) AS c_mktsegment_nulls,
-        |  count(CASE WHEN c_mktsegment = '' THEN 1 END) AS c_mktsegment_empty
+        |  count(CASE WHEN c_mktsegment = '' THEN 1 END) AS c_mktsegment_empty,
+        |  count(DISTINCT c_mktsegment) AS c_mktsegment_distinct
         |FROM customer""".stripMargin,
 
     "dq_outliers" ->

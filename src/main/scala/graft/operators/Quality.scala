@@ -119,8 +119,13 @@ object Quality {
   /** Per-column profile: null count + empty-string count + distinct
     * count for the given columns. Generalizes the reference's ad-hoc
     * "there are some empty fields" checks (README.md:117,141). One
-    * aggregate pass, no shuffle beyond the final 1-row reduce. */
-  def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    * aggregate pass to a 1-row result. Distinct counts are exact
+    * (`exactDistinct = true`, an Expand per column) — at 100 TB flip
+    * to `approx_count_distinct` (HLL++, single pass, ~2% rse) via the
+    * knob, same operator surface as the percentile family's
+    * exact/approx twin. */
+  def profile(df: DataFrame, columns: Seq[String],
+      exactDistinct: Boolean = true): DataFrame = {
     val aggs: Seq[Column] = columns.flatMap { c =>
       val isStr = df.schema(c).dataType ==
         org.apache.spark.sql.types.StringType
@@ -128,7 +133,9 @@ object Quality {
         count(lit(1)).as(s"${c}_rows"),
         count(when(col(c).isNull, 1)).as(s"${c}_nulls")) ++
         (if (isStr) Seq(count(when(col(c) === "", 1)).as(s"${c}_empty"))
-         else Seq.empty)
+         else Seq.empty) :+
+        (if (exactDistinct) count_distinct(col(c)).as(s"${c}_distinct")
+         else approx_count_distinct(col(c)).as(s"${c}_distinct"))
     }
     df.agg(aggs.head, aggs.tail: _*)
   }
