@@ -21,6 +21,13 @@ class QueriesSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
   }
 
+  test("every benchQueries name resolves — a typo here nulls the round's BENCH record") {
+    val missing = SparkEntry.benchQueries.toSet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"benchQueries without queries: $missing")
+    val dupes = SparkEntry.benchQueries.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dupes.isEmpty, s"duplicate bench entries: $dupes")
+  }
+
   test("entry() flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
