@@ -39,9 +39,13 @@ object Bench {
     def median3(a: Double, b: Double, c: Double): Double =
       math.max(math.min(a, b), math.min(math.max(a, b), c))
     // optional arg: comma-separated name filter (local iteration only;
-    // the driver always runs the full list)
+    // the driver always runs the full list). Unknown names fail loudly —
+    // a typo must not produce an empty-but-green run.
     val names = if (args.nonEmpty) {
       val only = args(0).split(",").toSet
+      val unknown = only -- SparkEntry.benchQueries.toSet
+      require(unknown.isEmpty,
+        s"unknown bench queries: ${unknown.mkString(", ")}")
       SparkEntry.benchQueries.filter(only.contains)
     } else SparkEntry.benchQueries
     val results = names.map { n =>
@@ -55,22 +59,39 @@ object Bench {
     val total = results.map(_._2).sum
 
     // The driver keeps only the last ~2000 characters of output and
-    // parses the JSON line out of that window — a full-precision line
-    // with every query overflows it and the window cuts the line's
-    // head off (unparseable). Emit millisecond precision, and degrade
-    // further if the query list ever grows the line past the window.
+    // parses the JSON line out of that window. Round 7's per-query map
+    // grew past the window even at 1-decimal precision and the round
+    // recorded `"parsed": null` — so the per-query breakdown goes to
+    // STDERR (auditable from the log, never graded), and the LAST
+    // stdout line is a short total-only JSON that cannot overflow.
     def fmt(v: Double, dp: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
-    def line(dp: Int): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
+      .mkString("{", ",", "}")
+    // The graded line keeps the "queries" key but bounds it: the
+    // slowest queries first, cut off before the line can approach the
+    // window. ~110 full entries never fit; the slowest ~30 always do,
+    // and they are the ones a perf reviewer needs.
+    val topEntries = {
+      val b = new StringBuilder
+      val it = results.sortBy(-_._2).iterator
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
+      var full = false
+      while (it.hasNext && !full) {
+        val e = it.next()
+        if (b.length + e.length + 1 < 900) {
+          if (b.nonEmpty) b.append(',')
+          b.append(e)
+        } else full = true
+      }
+      b.toString
     }
-    // Stop the session BEFORE printing: the driver parses the JSON
-    // line out of the tail of the output, and Spark's shutdown logging
-    // (executor/BlockManager teardown) must not land after the line
-    // and push it out of the ~2000-char window.
+    // Stop the session BEFORE printing: Spark's shutdown logging
+    // (executor/BlockManager teardown) must not land after the JSON
+    // line and push it out of the driver's ~2000-char tail window.
     spark.stop()
-    println(Seq(3, 2, 1).map(line).find(_.length <= 1750).getOrElse(line(1)))
+    System.err.println(s"[bench] all queries: $fullQs")
+    System.err.flush()
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":{$topEntries},"n":${results.size},"sf":"$sfDir"}""")
   }
 }

@@ -140,9 +140,15 @@ object SparkEntry {
 
   /** Headline bench set: every relational/text/events operator plus
     * the cheap north-star paths. Excluded: ML model fits (word2vec,
-    * tfidf, pca — training benchmarks, not query benchmarks) and the
+    * tfidf, pca — training benchmarks, not query benchmarks), the
     * LSH joins whose cost is threshold-dependent rather than
-    * scan-dependent. */
+    * scan-dependent, and ALL verification gates (`*_gate`,
+    * agreement/recall checks such as feat_percentile_buckets_kll or
+    * sim_quantized_recall) — those run a production plan PLUS a
+    * ground-truth replay, so benching them double-counts work no
+    * production user pays for. Gates stay in `queries` (correctness)
+    * only; the production shape they verify is benched directly
+    * (e.g. dedup_clusters, not dedup_clusters_gate). */
   val benchQueries: Seq[String] = Seq(
     "q1_agg", "q3_shipping", "q4_priority", "q5_region_revenue",
     "q10_returns", "sql_q6_discount",
@@ -162,7 +168,7 @@ object SparkEntry {
     "sample_percent", "sample_stratified", "split_train_test",
     "sample_weighted_pps", "sample_weighted_topk", "sample_weighted_by_group",
     "feat_percentile_buckets", "feat_percentile_buckets_approx",
-    "feat_percentile_buckets_window", "feat_percentile_buckets_kll",
+    "feat_percentile_buckets_window",
     "pipeline_feature_matrix",
     "dq_invalid_codes", "dq_profile", "dq_outliers", "dq_histogram",
     "dq_histogram_depth", "dq_impute",
@@ -172,15 +178,15 @@ object SparkEntry {
     "ts_resample_ffill",
     "text_stats", "text_quality", "text_term_freq", "text_lang_dist",
     "text_langid", "text_token_counts", "text_quality_score", "text_entities",
-    "text_chunk", "text_redact", "text_repetition", "text_compress_gate",
-    "text_unigram_nll",
+    "text_chunk", "text_redact", "text_repetition",
+    "text_unigram_nll", "text_normalize",
     "decontaminate", "corpus_overlap",
     "dedup_exact", "dedup_paragraph", "dedup_fingerprint", "dedup_simhash",
-    "dedup_clusters_gate",
+    "dedup_clusters",
     "pipeline_clean_corpus", "pipeline_curation", "sketch_freq_items",
-    "sim_topk_brute", "sim_topk_ivf", "sim_quantized_recall",
-    "mm_content_hash", "mm_decode", "mm_frame_sample",
-    "mm_resize")
+    "sim_topk_brute", "sim_topk_ivf",
+    "mm_content_hash", "mm_decode", "mm_decode_real", "mm_decode_audio",
+    "mm_frame_sample", "mm_resize")
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -414,8 +420,11 @@ object SparkEntry {
       // (l_suppkey, l_returnflag) agg and the l_suppkey rollup, so the
       // whole chain runs on a single shuffle. Without the explicit
       // partitioning Catalyst plans two exchanges — one per grouping.
+      // partition count follows the session's shuffle parallelism —
+      // a hardcoded constant is only right on one cluster size
       val co = graft.operators.Scale.copartition(
-        Tables.lineitem(s, dir), "l_suppkey", 32)
+        Tables.lineitem(s, dir), "l_suppkey",
+        s.conf.get("spark.sql.shuffle.partitions").toInt)
       co.groupBy($"l_suppkey", $"l_returnflag")
         .agg(count(lit(1)).as("n_items"),
           sum($"l_quantity".cast("int")).as("q"))
@@ -1859,6 +1868,47 @@ object SparkEntry {
           (($"n_hit".cast("double") / $"n_true".cast("double")) >= 0.6).as("recall_ok"))
     }),
 
+    "sim_ivf_append_recall" -> ((s, dir) => {
+      import s.implicits._
+      // Incremental-maintenance gate: build the index on 90% of the
+      // corpus, append the held-out 10% by centroid assignment (NO
+      // KMeans re-fit — the daily-ingest path), probe a fixed query
+      // set against the appended index and a full rebuild. Contracts:
+      // (a) every corpus vector is indexed exactly once after the
+      // append; (b) appended-index recall@5 holds the rebuild gate's
+      // absolute floor AND parity with the rebuild (boolean, not the
+      // raw recall — KMeans centroids are environment-sensitive).
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(pmod($"vec_id", lit(10)) =!= 0)
+      val extra = emb.filter(pmod($"vec_id", lit(10)) === 0)
+      val q = emb.filter($"vec_id" < 20)
+      val idxApp = Similarity.ivfAppend(
+        Similarity.ivfBuild(base, "embedding", "vec_id",
+          nlist = Similarity.ivfAutoNlist(emb.count())),
+        extra, "embedding", "vec_id")
+      val idxFull = built.ivfIndex(s, dir)
+      val brute = Similarity.bruteForceTopK(emb, q, "embedding", "vec_id", k = 5)
+        .select($"q_id", $"n_id")
+      def nHits(idx: graft.llm.Similarity.IvfIndex): DataFrame =
+        brute.join(
+          Similarity.ivfProbe(idx, q, "embedding", "vec_id", k = 5,
+              nprobe = Similarity.ivfAutoNprobe(idx.nlist))
+            .select($"q_id", $"n_id"),
+          Seq("q_id", "n_id"), "left_semi")
+          .agg(count(lit(1)).cast("double"))
+      val counts = idxApp.assigned.agg(
+        count(lit(1)).as("n_indexed"),
+        count_distinct($"n_id").as("n_uniq"))
+      emb.agg(count(lit(1)).as("n_total")).crossJoin(counts)
+        .crossJoin(nHits(idxApp).toDF("h_app"))
+        .crossJoin(nHits(idxFull).toDF("h_full"))
+        .crossJoin(brute.agg(count(lit(1)).cast("double").as("n_true")))
+        .select($"n_total".as("n_indexed"),
+          ($"n_indexed" === $"n_total" && $"n_uniq" === $"n_total").as("all_indexed"),
+          ($"h_app" / $"n_true" >= 0.55 &&
+            $"h_app" / $"n_true" >= $"h_full" / $"n_true" - 0.15).as("recall_ok"))
+    }),
+
     // ---- text analysis family ----
     "text_langid" -> ((s, dir) => {
       import s.implicits._
@@ -1873,6 +1923,24 @@ object SparkEntry {
       import s.implicits._
       TextAnalysis.tokenCounts(Tables.documents(s, dir), "text")
         .select($"doc_id", $"n_ws_tokens", $"n_bpe_chunks", $"n_tokens_est")
+        .orderBy($"doc_id")
+    }),
+
+    "text_normalize" -> ((s, dir) => {
+      import s.implicits._
+      // Unicode hygiene ahead of dedup keys. The fixture corpus is
+      // pure ASCII (verified — already NFC), so the query plants
+      // codepoint-variant suffixes: odd docs get DECOMPOSED
+      // e+U+0301 plus a zero-width space, even docs the composed
+      // U+00E9. normalize_text (strip → NFC → casefold) must converge
+      // both to identical bytes; DuckDB's nfc_normalize replays it.
+      val suffix = when(pmod($"doc_id", lit(2)) === 1,
+        lit("Cafe\u0301\u200B")).otherwise(lit("Caf\u00E9"))
+      Tables.documents(s, dir)
+        .select($"doc_id", concat($"text", suffix).as("raw"))
+        .select($"doc_id",
+          graft.functions.normalize_text($"raw", caseFold = true).as("text_norm"))
+        .withColumn("n_chars", length($"text_norm"))
         .orderBy($"doc_id")
     }),
 
@@ -2183,6 +2251,32 @@ object SparkEntry {
       // IEEE division, bit-identical in any engine (round() is not)
       Multimodal.decodeImageStub(
           Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text"))
+        .toDF()
+        .orderBy($"media_id")
+    }),
+
+    "mm_decode_real" -> ((s, dir) => {
+      import s.implicits._
+      // GENUINE codec round-trip: encode deterministic constant-fill
+      // PNGs (dims + gray level closed-form in the id), then decode
+      // with javax.imageio and report what the RASTER says. The
+      // oracle states the closed form — a fabricated decode could not
+      // match it, because the values only agree if the bytes were
+      // really encoded and parsed. Undecodable payloads keep the
+      // stub fallback path (mm_decode covers it).
+      Multimodal.decodeImage(
+          Multimodal.syntheticPng(Tables.documents(s, dir), "doc_id"))
+        .toDF()
+        .orderBy($"media_id")
+    }),
+
+    "mm_decode_audio" -> ((s, dir) => {
+      import s.implicits._
+      // the audio twin of mm_decode_real: a genuine
+      // javax.sound.sampled WAV encode→decode round-trip against the
+      // encoder's closed form
+      Multimodal.decodeAudio(
+          Multimodal.syntheticWav(Tables.documents(s, dir), "doc_id"))
         .toDF()
         .orderBy($"media_id")
     }),
@@ -2669,6 +2763,120 @@ object SparkEntry {
           steps = Seq("view", "click", "purchase"))
         .toDF("user_id", "t_view", "t_click", "t_purchase")
         .orderBy($"user_id")
+    }),
+
+    "evt_funnel_stateful_replay" -> ((s, dir) => {
+      import s.implicits._
+      // Driver-graded gate for the STREAMING funnel
+      // (EventStreams.funnelStateful, previously spec-tested only):
+      // feed the whole events table through a MemoryStream, advance
+      // the watermark past every horizon with a far-future sentinel,
+      // and emit the sealed rows. The 90-day horizon exceeds the
+      // data's 30-day span, so every user is a single episode and the
+      // sealed output must equal the batch min-chain funnel, which
+      // the oracle replays in SQL. GATE-ONLY collect: bounded test
+      // data feeding the in-memory source — production streams arrive
+      // from a real source, never via collect.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val evs = Tables.events(s, dir)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[EventStreams.Event].collect().toSeq
+      val sink = s"funnel_replay_${math.abs(dir.hashCode)}"
+      s.catalog.dropTempView(sink)
+      val mem = MemoryStream[EventStreams.Event]
+      val q = EventStreams.funnelStateful(mem.toDS(),
+          Seq("view", "click", "purchase"),
+          horizonSeconds = 90L * 24 * 3600, watermark = "1 second")
+        .writeStream.outputMode("append").format("memory")
+        .queryName(sink).start()
+      try {
+        mem.addData(evs)
+        q.processAllAvailable()
+        // sentinel from an unrelated user: wm -> 2035, sealing all
+        mem.addData(EventStreams.Event(-1L,
+          java.sql.Timestamp.valueOf("2035-01-01 00:00:00"), -1L, "view", 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink).filter($"user_id" >= 0)
+        .select($"user_id",
+          $"steps_completed".cast("bigint").as("steps_completed"),
+          $"first_step_ts")
+        .orderBy($"user_id")
+    }),
+
+    "merge_cdc_replay" -> ((s, dir) => {
+      import s.implicits._
+      // Driver-graded gate for streaming CDC apply
+      // (Merge.applyChangeBatch, previously spec-tested only): fold a
+      // 3-batch deterministic changelog into versioned snapshots —
+      // batch 1 carries TWO versions of the same keys (latestByKey
+      // must collapse them) — then REPLAY batch 1 after batch 2 is
+      // committed (a restart between sink write and checkpoint commit
+      // re-delivers a batch; determinism makes the rewrite identical
+      // instead of double-applied). The final snapshot must equal the
+      // fold's closed form, which the oracle states directly.
+      val orders = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_cdc_${math.abs(dir.hashCode)}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true) // stale prior runs
+      def b0 = orders.filter($"o_orderkey" % 4 === 0)
+        .withColumn("version", lit(0L)).withColumn("del", lit(false))
+      def b1 = orders.filter($"o_orderkey" % 8 === 0)
+          .withColumn("o_totalprice", $"o_totalprice" + 50.0)
+          .withColumn("version", lit(10L)).withColumn("del", lit(false))
+        .unionByName(orders.filter($"o_orderkey" % 8 === 0)
+          .withColumn("o_totalprice", $"o_totalprice" + 100.0)
+          .withColumn("version", lit(11L)).withColumn("del", lit(false)))
+        .unionByName(orders.filter($"o_orderkey" % 4 === 1)
+          .withColumn("version", lit(12L)).withColumn("del", lit(false)))
+      def b2 = orders.filter($"o_orderkey" % 16 === 0)
+          .withColumn("version", lit(20L)).withColumn("del", lit(true))
+        .unionByName(orders.filter($"o_orderkey" % 4 === 1)
+          .withColumn("o_totalprice", $"o_totalprice" * 2.0)
+          .withColumn("version", lit(21L)).withColumn("del", lit(false)))
+      Merge.applyChangeBatch(base, 0, b0, Seq("o_orderkey"), "version", Some("del"))
+      Merge.applyChangeBatch(base, 1, b1, Seq("o_orderkey"), "version", Some("del"))
+      Merge.applyChangeBatch(base, 2, b2, Seq("o_orderkey"), "version", Some("del"))
+      Merge.applyChangeBatch(base, 1, b1, Seq("o_orderkey"), "version", Some("del")) // replay
+      val vFinal = Merge.latestSnapshotVersion(s, base).get
+      s.read.parquet(s"$base/v=$vFinal").orderBy($"o_orderkey")
+    }),
+
+    "sketch_stream_merge" -> ((s, dir) => {
+      import s.implicits._
+      // Driver-graded gate for streaming sketch maintenance
+      // (SketchStreams.applySketchBatch, previously spec-tested only):
+      // 3 deterministic micro-batches maintain per-source HLL sketches
+      // incrementally; the merged estimate must EQUAL the one-shot
+      // sketch over the whole table (HLL union is register-wise max —
+      // deterministic, not approximate, agreement), anchored to the
+      // exact distinct count the oracle recomputes.
+      val docs = Tables.documents(s, dir)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_skstream_${math.abs(dir.hashCode)}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true) // stale prior runs
+      (0L to 2L).foreach { i =>
+        graft.streaming.SketchStreams.applySketchBatch(base, i,
+          docs.filter(pmod(xxhash64($"doc_id"), lit(3)) === i),
+          Seq("source"), hll_sketch_agg(xxhash64($"text")),
+          c => hll_union_agg(c))
+      }
+      val vFinal = Merge.latestSnapshotVersion(s, base).get
+      val inc = s.read.parquet(s"$base/v=$vFinal")
+        .select($"source", hll_sketch_estimate($"sk").as("est_inc"))
+      val oneShot = docs.groupBy($"source")
+        .agg(hll_sketch_estimate(hll_sketch_agg(xxhash64($"text"))).as("est_one"))
+      val exact = docs.groupBy($"source")
+        .agg(count_distinct($"text").as("n_distinct"))
+      exact.join(inc, "source").join(oneShot, "source")
+        .select($"source", $"n_distinct",
+          ($"est_inc" === $"est_one").as("inc_eq_oneshot"),
+          (abs($"est_inc" - $"n_distinct") <= $"n_distinct" * 0.05).as("est_ok"))
+        .orderBy($"source")
     }),
   )
 
@@ -3173,6 +3381,49 @@ object SparkEntry {
         |SELECT s1.user_id, t_view, t_click, t_purchase
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |ORDER BY s1.user_id""".stripMargin,
+
+    // the streaming funnel's sealed output == the batch min-chain (the
+    // 90-day horizon covers the 30-day data span; first_step_ts is
+    // ms-precision — java.sql.Timestamp.getTime — so truncate)
+    "evt_funnel_stateful_replay" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts >= s1.t1
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+        |  GROUP BY e.user_id)
+        |SELECT s1.user_id,
+        |  CAST(1 + CASE WHEN s2.user_id IS NOT NULL THEN 1 ELSE 0 END
+        |         + CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END
+        |    AS BIGINT) AS steps_completed,
+        |  date_trunc('milliseconds', s1.t1) AS first_step_ts
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY s1.user_id""".stripMargin,
+
+    // closed form of the 3-batch CDC fold (replayed batch included):
+    // %16==0 deleted; surviving %8==0 carry +100 (version 11 wins over
+    // 10 inside batch 1); %4==1 inserted then doubled
+    "merge_cdc_replay" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 8 = 0 THEN o_totalprice + 100.0
+        |       WHEN o_orderkey % 4 = 1 THEN o_totalprice * 2.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |WHERE (o_orderkey % 4 = 0 AND o_orderkey % 16 <> 0)
+        |   OR o_orderkey % 4 = 1
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "sketch_stream_merge" ->
+      """SELECT source, CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+        |  true AS inc_eq_oneshot, true AS est_ok
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // exact columns value-matched (DuckDB recomputes the md5-keyed
     // 3-gram vocabularies from scratch); the KMV-sketch arm is the
@@ -3698,6 +3949,24 @@ object SparkEntry {
         |      i -> ascii(substring(text, CAST(i AS INT) + 1, 1)))) AS DOUBLE) / n END AS mean_byte
         |FROM m ORDER BY media_id""".stripMargin,
 
+    // the decode is real (javax.imageio parses the PNG bytes); the
+    // oracle can therefore state the encoder's closed-form inputs
+    "mm_decode_real" ->
+      """SELECT doc_id AS media_id, true AS decoded,
+        |  CAST(4 + doc_id % 13 AS INT) AS width,
+        |  CAST(4 + doc_id % 11 AS INT) AS height,
+        |  3 AS channels,
+        |  CAST(doc_id % 256 AS DOUBLE) AS mean_px
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // constant-amplitude PCM: every |sample| == amp, so the mean is
+    // exact in any engine
+    "mm_decode_audio" ->
+      """SELECT doc_id AS media_id, true AS decoded, 8000 AS sample_rate,
+        |  1 AS channels, CAST(64 + doc_id % 128 AS BIGINT) AS n_frames,
+        |  CAST((doc_id % 100) * 100 AS DOUBLE) AS mean_abs
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "mm_resize" ->
       """SELECT doc_id AS media_id, 128 AS resized_bytes,
         |  md5(substring(text, 1, 128)) AS prefix_md5
@@ -3803,6 +4072,10 @@ object SparkEntry {
 
     "sim_recall_ivf" ->
       "SELECT 5 AS k, 100 AS n_true, true AS recall_ok",
+
+    "sim_ivf_append_recall" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_indexed, true AS all_indexed,
+        |  true AS recall_ok FROM embeddings""".stripMargin,
 
     "text_redact" ->
       """SELECT doc_id,
@@ -4111,6 +4384,25 @@ object SparkEntry {
       """SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_ws_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_chunks,
         |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS INT) AS n_tokens_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // replays normalize_text's strip → NFC → casefold order exactly;
+    // chr(769)=U+0301 combining acute, chr(8203..8205)+chr(65279) are
+    // the zero-width/format class, chr(233)=é composed
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  lower(nfc_normalize(regexp_replace(
+        |    text || CASE WHEN doc_id % 2 = 1
+        |      THEN 'Cafe' || chr(769) || chr(8203)
+        |      ELSE 'Caf' || chr(233) END,
+        |    '[' || chr(8203) || '-' || chr(8205) || chr(65279) || ']',
+        |    '', 'g'))) AS text_norm,
+        |  CAST(length(lower(nfc_normalize(regexp_replace(
+        |    text || CASE WHEN doc_id % 2 = 1
+        |      THEN 'Cafe' || chr(769) || chr(8203)
+        |      ELSE 'Caf' || chr(233) END,
+        |    '[' || chr(8203) || '-' || chr(8205) || chr(65279) || ']',
+        |    '', 'g')))) AS INT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "evt_stream_join" ->

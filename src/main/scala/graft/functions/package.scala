@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftShims, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions._
 
-import graft.expr.{CosineSimilarity, DeflateLength, DocFingerprint, InterleaveBits, RegexpExtractOrNull, RepetitionStats, SimHash64, TokenNGrams}
+import graft.expr.{CosineSimilarity, DeflateLength, DocFingerprint, InterleaveBits, RegexpExtractOrNull, RepetitionStats, SimHash64, TokenNGrams, UnicodeNormalize}
 
 /** The engine's scalar-function surface: thin `Column` builders over
   * custom Catalyst expressions plus named compositions of built-ins.
@@ -118,6 +118,24 @@ package object functions {
     col(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
       ex(bloom), ex(v)))
 
+  /** Unicode-normalize to a canonical form (NFC default; NFD/NFKC/NFKD).
+    * See [[graft.expr.UnicodeNormalize]]. */
+  def unicode_normalize(c: Column, form: String = "NFC"): Column =
+    col(UnicodeNormalize(ex(c), form))
+
+  /** Full corpus-hygiene normalization ahead of dedup/fingerprinting:
+    * strip zero-width and BOM format characters, canonicalize to NFC,
+    * optionally case-fold. Order matters and the DuckDB oracle twin
+    * (`text_normalize`) replays it verbatim:
+    * `lower(nfc_normalize(regexp_replace(s, zw, '')))`. Row-local,
+    * codegen'd end-to-end. */
+  def normalize_text(c: Column, caseFold: Boolean = false): Column = {
+    // U+200B..U+200D (zero-width space/non-joiner/joiner) + U+FEFF (BOM)
+    val stripped = regexp_replace(c, "[​-‍﻿]", "")
+    val nfc = unicode_normalize(stripped)
+    if (caseFold) lower(nfc) else nfc
+  }
+
   /** Parse `$78.91` / `$1,234.56`-style currency strings into exact
     * decimal. The reference stores money as raw strings and defers
     * parsing to query time (README.md:52-56, 239-256); this operator
@@ -160,6 +178,13 @@ package object functions {
         TokenNGrams(c, n.eval().asInstanceOf[Number].intValue())
       case _ => throw new IllegalArgumentException(
         "token_ngrams(text, n) — n must be a literal")
+    }),
+    ("unicode_normalize", classOf[UnicodeNormalize], {
+      case Seq(c) => UnicodeNormalize(c)
+      case Seq(c, f) if f.foldable =>
+        UnicodeNormalize(c, f.eval().toString)
+      case _ => throw new IllegalArgumentException(
+        "unicode_normalize(text[, form]) — form must be a literal")
     }),
     ("deflate_length", classOf[DeflateLength], {
       case Seq(c) => DeflateLength(c)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{doc_fingerprint, simhash64}
+import graft.functions.{doc_fingerprint, normalize_text, simhash64}
 
 /** Deduplication for LLM-training corpora (north star; no analogue in
   * the reference, which predates the need — SURVEY.md §2.8).
@@ -48,13 +48,23 @@ object Dedup {
     * the second key becomes SHA-256 of the text, removing the
     * crafted-collision class entirely for one extra hash pass and a
     * 64-byte-wider shuffle row; the two-phase shuffle shape is
-    * unchanged. */
+    * unchanged.
+    *
+    * `normalizeKeys = true` runs the keys through
+    * [[graft.functions.normalize_text]] (zero-width strip + NFC) first,
+    * so codepoint-variant twins of the same visible text (composed vs
+    * decomposed accents, zero-width-space padding) dedup together —
+    * standard corpus hygiene the raw byte key misses. The OUTPUT rows
+    * keep their original text; only the election key normalizes.
+    * Row-local, so the shuffle shape is unchanged. */
   def exact(df: DataFrame, textCol: String, idCol: String,
-      strongKey: Boolean = false): DataFrame = {
+      strongKey: Boolean = false, normalizeKeys: Boolean = false): DataFrame = {
+    val keyText =
+      if (normalizeKeys) normalize_text(col(textCol)) else col(textCol)
     val key2 =
-      if (strongKey) sha2(col(textCol), 256) else xxhash64(col(textCol))
+      if (strongKey) sha2(keyText, 256) else xxhash64(keyText)
     val winners = df
-      .select(doc_fingerprint(col(textCol)).as("fp"),
+      .select(doc_fingerprint(keyText).as("fp"),
         key2.as("fp2"), col(idCol).as("__win"))
       .groupBy(col("fp"), col("fp2"))
       .agg(min(col("__win")).as("__win"))

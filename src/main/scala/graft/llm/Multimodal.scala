@@ -7,20 +7,27 @@ import org.apache.spark.sql.functions._
   * opaque `binary` payloads with typed metadata, and the
   * decode/feature/sample stages a training pipeline runs over them.
   *
-  * The container has no image/audio codecs, so [[decodeImageStub]] is
-  * a clearly-marked deterministic STUB — it fabricates plausible
-  * (width, height, channel-mean) metadata from the payload bytes. The
-  * Spark-side shape is the real deliverable: binary columns flow
-  * through parquet scans/shuffles untouched, per-row decode is a
-  * typed `mapPartitions` (one codec init per partition, the pattern a
-  * real JNI/FFI decoder needs), and frame sampling is pure column
-  * algebra over binary slices.
+  * [[decodeImage]] is a GENUINE decoder: `javax.imageio` ships in the
+  * JDK (PNG/BMP/GIF/JPEG readers, no native deps), so image payloads
+  * are actually parsed — dimensions, band count, and pixel statistics
+  * come from the decoded raster. Payloads no JDK reader accepts fall
+  * back to [[decodeImageStub]]'s fabricated metadata, flagged
+  * `decoded = false`. Audio/video codecs are NOT in the JDK; those
+  * modalities keep the stub path. The Spark-side shape is shared by
+  * both: binary columns flow through parquet scans/shuffles
+  * untouched, per-row decode is a typed `mapPartitions` (one codec
+  * init per partition, the pattern a real JNI/FFI decoder needs), and
+  * frame sampling is pure column algebra over binary slices.
   */
 object Multimodal {
 
   case class MediaRow(media_id: Long, modality: String, payload: Array[Byte])
   case class DecodedImage(media_id: Long, width: Int, height: Int,
       n_bytes: Int, mean_byte: Double)
+  case class DecodedMedia(media_id: Long, decoded: Boolean, width: Int,
+      height: Int, channels: Int, mean_px: Double)
+  case class DecodedAudio(media_id: Long, decoded: Boolean,
+      sample_rate: Int, channels: Int, n_frames: Long, mean_abs: Double)
 
   /** Wrap a text corpus as fake media payloads (modality round-robin)
     * — the testdata has no real image bytes; schema/partitioning are
@@ -52,6 +59,167 @@ object Multimodal {
             height = 64 + (if (n < 2) 0 else (payload(1) & 0xff) % 192),
             n_bytes = n,
             mean_byte = if (n == 0) 0.0 else sum.toDouble / n)
+        }
+      }
+  }
+
+  /** Deterministic REAL PNGs as media payloads: each row becomes a
+    * constant-fill RGB image with dimensions and gray level derived
+    * from the id (`width = 4 + id % 13`, `height = 4 + id % 11`,
+    * `fill = id % 256`), encoded through `javax.imageio`'s PNG writer.
+    * The closed-form metadata is what lets a SQL oracle grade a
+    * genuine decode end-to-end ([[decodeImage]] must read BACK exactly
+    * these values from the bytes). Encoding is mapPartitions with
+    * per-partition codec init — the same shape a real
+    * fetch-and-transcode ingest stage uses. */
+  def syntheticPng(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file spill
+        ids.map { id =>
+          val (w, h) = (4 + (id % 13).toInt, 4 + (id % 11).toInt)
+          val g = (id % 256).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          val rgb = (g << 16) | (g << 8) | g
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("media_id", "payload")
+      .withColumn("modality", lit("image"))
+  }
+
+  /** REAL image decode: parse each payload with `javax.imageio` and
+    * report the decoded raster's width, height, band count, and exact
+    * mean sample value (sum of every sample in every band / count —
+    * integer sum, one IEEE division, engine-exact for a SQL oracle).
+    * Undecodable payloads (no JDK reader claims them) degrade to the
+    * [[decodeImageStub]] fabrication with `decoded = false` — the
+    * documented no-codec fallback, now the exception instead of the
+    * rule. */
+  def decodeImage(media: DataFrame): Dataset[DecodedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // partition-level codec init
+        rows.map { case (id, payload) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: java.io.IOException => null }
+          if (img != null) {
+            val raster = img.getRaster
+            val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+            var sum = 0L
+            var b = 0
+            while (b < bands) {
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { sum += raster.getSample(x, y, b); x += 1 }
+                y += 1
+              }
+              b += 1
+            }
+            DecodedMedia(id, decoded = true, w, h, bands,
+              sum.toDouble / (w.toLong * h * bands))
+          } else {
+            val n = payload.length
+            var s = 0L
+            var i = 0
+            while (i < n) { s += payload(i) & 0xff; i += 1 }
+            DecodedMedia(id, decoded = false,
+              width = 64 + (if (n == 0) 0 else (payload(0) & 0xff) % 192),
+              height = 64 + (if (n < 2) 0 else (payload(1) & 0xff) % 192),
+              channels = 0,
+              mean_px = if (n == 0) 0.0 else s.toDouble / n)
+          }
+        }
+      }
+  }
+
+  /** Deterministic REAL WAVs: 16-bit PCM mono at 8 kHz, frame count
+    * and constant amplitude closed-form in the id (`n_frames = 64 +
+    * id % 128`, `amplitude = (id % 100) * 100`), written through
+    * `javax.sound.sampled`'s WAV encoder — the audio twin of
+    * [[syntheticPng]], giving the decode gate a closed form. */
+  def syntheticWav(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val nFrames = 64 + (id % 128).toInt
+          val amp = ((id % 100) * 100).toInt
+          val pcm = new Array[Byte](nFrames * 2) // 16-bit mono LE
+          var i = 0
+          while (i < nFrames) {
+            pcm(2 * i) = (amp & 0xff).toByte
+            pcm(2 * i + 1) = ((amp >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+            true, false) // signed, little-endian
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("media_id", "payload")
+      .withColumn("modality", lit("audio"))
+  }
+
+  /** REAL audio decode via `javax.sound.sampled` (WAV/AIFF/AU in the
+    * JDK): parse the container, report the format's sample rate /
+    * channel count / frame length and the exact mean |sample| over
+    * the 16-bit PCM stream. Payloads no JDK reader accepts return
+    * `decoded = false` with zeroed metadata — same fallback posture
+    * as [[decodeImage]]. */
+  def decodeAudio(media: DataFrame): Dataset[DecodedAudio] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            val fmt = ais.getFormat
+            val frames = ais.getFrameLength
+            val bytes = ais.readAllBytes()
+            val le = !fmt.isBigEndian
+            var sum = 0L
+            var n = 0L
+            var i = 0
+            if (fmt.getSampleSizeInBits == 16) {
+              while (i + 1 < bytes.length) {
+                val s =
+                  if (le) ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
+                  else ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort
+                sum += math.abs(s.toLong); n += 1; i += 2
+              }
+            }
+            DecodedAudio(id, decoded = true,
+              fmt.getSampleRate.toInt, fmt.getChannels, frames,
+              if (n == 0) 0.0 else sum.toDouble / n)
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException |
+                 _: java.io.IOException =>
+              DecodedAudio(id, decoded = false, 0, 0, 0L, 0.0)
+          }
         }
       }
   }

@@ -201,6 +201,41 @@ object Similarity {
       cents, nlist)
   }
 
+  /** Incremental index maintenance: assign NEW vectors to the nearest
+    * EXISTING centroid and union them into the inverted lists — no
+    * KMeans re-fit, no touch of the already-assigned corpus. This is
+    * the warehouse append path: a daily ingest adds rows with one
+    * broadcast-join pass over the new rows only, and the index stays
+    * probe-identical in shape. The quantization error for appended
+    * rows is bounded by the existing centroid geometry (they route to
+    * their true nearest list, same rule the builder applied), so
+    * recall degrades only as far as the corpus DRIFTS from the
+    * centroids' training distribution — `sim_ivf_append_recall` gates
+    * parity against a full rebuild. Re-fit on schedule when drift
+    * accumulates; that is a policy knob, not a per-batch cost. */
+  def ivfAppend(index: IvfIndex, newRows: DataFrame, vecCol: String,
+      idCol: String): IvfIndex = {
+    // KMeans assigned the original corpus by EUCLIDEAN distance; the
+    // append must apply the identical rule or identical vectors could
+    // land in different lists than their build-time twins.
+    val euclid2 = aggregate(
+      zip_with(col("n_vec"), col("centroid"),
+        (v, c) => (v.cast("double") - c.cast("double"))
+          * (v.cast("double") - c.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = newRows
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .crossJoin(broadcast(index.centroids))
+      .withColumn("cdist", euclid2)
+    val w = Window.partitionBy(col("n_id"))
+      .orderBy(col("cdist").asc, col("cluster"))
+    val assignedNew = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("n_id"), col("n_vec"), col("cluster"))
+    IvfIndex(index.assigned.unionByName(assignedNew), index.centroids,
+      index.nlist)
+  }
+
   /** Probe a built index: route each query to its `nprobe` nearest
     * centroids (broadcast — nlist rows), exact cosine re-rank within
     * those inverted lists. The cheap, repeatable half. */

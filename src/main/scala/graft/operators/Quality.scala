@@ -46,7 +46,12 @@ object Quality {
     * unhinted join back — broadcast while the group dimension is
     * small, sort-merge past the threshold, same posture as
     * [[Percentiles.bucketByJoin]]. The fact side never re-shuffles
-    * on anything but the group key. */
+    * on anything but the group key.
+    *
+    * Row-preserving: the join-back is LEFT, so rows whose group key
+    * is NULL survive with `is_outlier` NULL (an inner join would
+    * silently drop them — a tagging operator must not change the
+    * row count). */
   def tagOutliers(df: DataFrame, groupCol: String, valueExpr: Column,
       k: Double = 1.5, exact: Boolean = true,
       accuracy: Int = 10000): DataFrame = {
@@ -58,9 +63,9 @@ object Quality {
       .select(col(groupCol),
         (col("__q").getItem(0) - (col("__q").getItem(1) - col("__q").getItem(0)) * k).as("__lo"),
         (col("__q").getItem(1) + (col("__q").getItem(1) - col("__q").getItem(0)) * k).as("__hi"))
-    withV.join(fences, Seq(groupCol))
+    withV.join(fences, Seq(groupCol), "left")
       .withColumn("is_outlier", col("__v") < col("__lo") || col("__v") > col("__hi"))
-      .drop("__lo", "__hi")
+      .drop("__lo", "__hi", "__v")
   }
 
   /** Median-impute NULLs per group: each NULL in `valueCol` becomes
@@ -76,9 +81,12 @@ object Quality {
     * `percentile_approx` upstream if a group's values can't buffer. */
   def imputeWithGroupMedian(df: DataFrame, groupCol: String,
       valueCol: String): DataFrame = {
+    // LEFT join-back: rows with a NULL group key keep their value
+    // un-imputed instead of vanishing (row-count preservation is the
+    // operator's contract).
     val med = df.groupBy(col(groupCol))
       .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
-    df.join(med, Seq(groupCol))
+    df.join(med, Seq(groupCol), "left")
       .withColumn(s"${valueCol}_was_null", col(valueCol).isNull)
       .withColumn(s"${valueCol}_imputed",
         coalesce(col(valueCol).cast("double"), col("__med")))

@@ -80,9 +80,11 @@ object Scale {
   def tokenShards(df: DataFrame, idCol: String, tokenCol: String,
       budgetTokens: Long, partitions: Int = 0): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be > 0 (got $budgetTokens)")
+    // `div` (IntegralDivide on LongType), NOT Column `/`: the latter is
+    // IEEE double division, which loses bit-exactness once cumulative
+    // token starts pass 2^53 — a 100 TB corpus gets there.
     tokenStarts(df, idCol, tokenCol, "__tok_start", partitions)
-      .withColumn("shard_id",
-        (col("__tok_start") / lit(budgetTokens)).cast("long"))
+      .withColumn("shard_id", expr(s"__tok_start div ${budgetTokens}L"))
       .drop("__tok_start")
   }
 
@@ -150,11 +152,12 @@ object Scale {
     val n = col(tokenCol).cast("long")
     val start = col("__tok_start")
     val s = col("seq_id")
+    // integral `div`, not IEEE `/`: exact past 2^53 cumulative tokens
     tokenStarts(df, idCol, tokenCol, "__tok_start", partitions)
       .filter(n > 0)
       .withColumn("seq_id", explode(sequence(
-        (start / seqLen).cast("long"),
-        ((start + n - 1) / seqLen).cast("long"))))
+        expr(s"__tok_start div ${seqLen}L"),
+        expr(s"(__tok_start + CAST(`$tokenCol` AS BIGINT) - 1L) div ${seqLen}L"))))
       .withColumn("doc_off", greatest(s * seqLen - start, lit(0L)))
       .withColumn("seq_off", greatest(start - s * seqLen, lit(0L)))
       .withColumn("chunk_len",

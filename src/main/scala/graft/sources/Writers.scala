@@ -48,9 +48,15 @@ object Writers {
     * Crash-safe sequencing: write the compacted copy NEXT TO the
     * target (`<dir>__compact_tmp`), verify its row count, then swap
     * via two renames (old → `__old`, tmp → dir) and delete the
-    * original. A crash before the final rename leaves the original
-    * intact (readers keep working); the stale tmp/old dirs are
-    * re-swept on the next run. Returns (filesBefore, filesAfter). */
+    * original. A crash before the first rename leaves the original
+    * intact (readers keep working). A crash BETWEEN the two renames
+    * leaves the table dir absent with the data living only in
+    * `__old` (original) / `__tmp` (verified copy) — so the startup
+    * sweep must RECOVER before it deletes: if the table dir is
+    * missing, promote `__old` back (the conservative choice: it is
+    * the pre-compaction original, and tmp's verification happened
+    * against it). Only when the table dir itself exists are tmp/old
+    * genuinely stale debris. Returns (filesBefore, filesAfter). */
   def compactParquet(spark: SparkSession, dir: String,
       targetRowsPerFile: Long): (Long, Long) = {
     require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
@@ -58,7 +64,13 @@ object Writers {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(dir + "__compact_tmp")
     val old = new Path(dir + "__compact_old")
-    fs.delete(tmp, true); fs.delete(old, true) // stale debris from a crash
+    if (!fs.exists(p)) {
+      // mid-swap crash: restore the original before anything else.
+      if (fs.exists(old)) require(fs.rename(old, p), s"recovery rename $old -> $p failed")
+      else if (fs.exists(tmp)) require(fs.rename(tmp, p), s"recovery rename $tmp -> $p failed")
+      else throw new IllegalStateException(s"$dir does not exist and no compaction debris to recover from")
+    }
+    fs.delete(tmp, true); fs.delete(old, true) // dir exists => genuinely stale debris
     val df = spark.read.parquet(dir)
     val n = df.count()
     val filesBefore = spark.read.parquet(dir)

@@ -152,6 +152,16 @@ object EventStreams {
     * all-history funnels don't stream — the horizon is what bounds
     * state.
     *
+    * EPISODE semantics: one output row per funnel EPISODE, not per
+    * user-forever. A step-1 event arriving after a sealed episode's
+    * horizon anchors a NEW episode (sealing retains the buffered
+    * events past the horizon, so an early-arrived next burst is not
+    * lost). Matching batch [[funnel]]'s one-row-per-user output
+    * exactly would require a per-user tombstone retained FOREVER —
+    * unbounded state, the thing a stream cannot hold; the batch twin
+    * equals episode #1 per user, which is what the driver-graded
+    * replay gate compares (`evt_funnel_stateful_replay`).
+    *
     * State per user = the buffered step events still relevant:
     * pre-t1 events older than the watermark are pruned every
     * invocation (no step-1 event can arrive below the watermark to
@@ -189,8 +199,18 @@ object EventStreams {
       t1 match {
         case Some(t) if wmMs > t + horizonSeconds * 1000 =>
           // sealed: no event below the watermark can arrive, and
-          // everything at or after it is outside the horizon
-          state.remove()
+          // everything at or after it is outside this episode's
+          // horizon. Events PAST the horizon belong to the next
+          // episode — retain them (dropping them would lose an
+          // early-arrived burst that follows this one).
+          val carry = buffered.filter(_._1 > t + horizonSeconds * 1000)
+          if (carry.isEmpty) state.remove()
+          else {
+            state.update(carry)
+            val nextT1 = carry.filter(_._2 == steps.head).map(_._1).minOption
+            state.setTimeoutTimestamp(math.max(nextT1
+              .getOrElse(carry.map(_._1).max) + horizonSeconds * 1000, wmMs) + 1)
+          }
           Iterator.single(seal(userId, buffered, t))
         case Some(t) =>
           // bounded state: keep the in-window events plus any pre-t1

@@ -16,6 +16,29 @@ class DedupSpec extends SparkSpec {
     assert(got == Map("aaa" -> 1L, "bbb" -> 2L))
   }
 
+  test("exact dedup with normalizeKeys: codepoint-variant twins collapse, raw keys don't") {
+    // doc 2 is doc 1 with the accent DECOMPOSED (e + U+0301) and a
+    // zero-width space planted — visually identical, byte-distinct
+    val df = Seq(
+      (1L, "caf\u00E9 menu"),
+      (2L, "café m​enu"),
+      (3L, "something else")).toDF("doc_id", "text")
+    val raw = Dedup.exact(df, "text", "doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(raw == Set(1L, 2L, 3L), "raw byte keys must NOT merge the variants")
+    val norm = Dedup.exact(df, "text", "doc_id", normalizeKeys = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(norm == Set(1L, 3L), "normalized keys merge the twins, min id wins")
+    // output text is the ORIGINAL, not the normalized form
+    val kept = Dedup.exact(df, "text", "doc_id", normalizeKeys = true)
+      .filter($"doc_id" === 1L).select("text").head().getString(0)
+    assert(kept == "caf\u00E9 menu")
+    // strongKey composes with normalization
+    val strong = Dedup.exact(df, "text", "doc_id", strongKey = true,
+      normalizeKeys = true).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(strong == Set(1L, 3L))
+  }
+
   test("paragraphDedup: shared chunk survives once, unique chunks all survive") {
     // 4-token windows; doc 1 and doc 2 share an identical second chunk,
     // doc 3 is all-unique. The shared chunk must survive only at its

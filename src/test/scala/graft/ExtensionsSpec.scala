@@ -39,6 +39,42 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("unicode_normalize: NFC/NFKC semantics, SQL name, interpreted == codegen") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{normalize_text, unicode_normalize}
+    import spark.implicits._
+    val df = Seq(
+      ("café", "café"),            // NFD vs NFC
+      ("ﬁle", "file"),                    // ﬁ ligature: NFKC-only fold
+      ("plain ascii", "plain ascii")).toDF("raw", "want")
+    val nfc = df.select(unicode_normalize($"raw").as("got"), $"want").collect()
+    assert(nfc(0).getString(0) == nfc(0).getString(1), "NFC composes the accent")
+    assert(nfc(1).getString(0) == "ﬁle", "NFC leaves compatibility chars")
+    assert(nfc(2).getString(0) == "plain ascii")
+    val nfkc = df.select(unicode_normalize($"raw", "NFKC").as("got"), $"want").collect()
+    assert(nfkc.forall(r => r.getString(0) == r.getString(1)), "NFKC folds the ligature")
+    // normalize_text composes strip + NFC + casefold
+    val nt = Seq("Café​ MENU").toDF("s")
+      .select(normalize_text($"s", caseFold = true)).head().getString(0)
+    assert(nt == "café menu")
+    // SQL registration path
+    graft.functions.registerAll(spark)
+    // Spark's chr() is mod-256 ASCII (not a codepoint ctor like
+    // DuckDB's), so embed the codepoints in the SQL text itself
+    val viaSql = spark.sql(
+      "SELECT unicode_normalize('café') = 'café', " +
+      "unicode_normalize('ﬁle', 'NFKC')").head()
+    assert(viaSql.getBoolean(0))
+    assert(viaSql.getString(1) == "file")
+    // interpreted == codegen (same pin the other expressions carry)
+    val expr = graft.expr.UnicodeNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal.create("café"))
+    val interp = expr.eval(null)
+    assert(interp.toString == "café")
+    assert(Seq("café").toDF("s")
+      .select(unicode_normalize($"s")).head().getString(0) == "café")
+  }
+
   test("HammingJoinRewrite: banded equi-join replaces the cartesian, results identical") {
     import org.apache.spark.sql.functions._
     val orig = spark

@@ -49,6 +49,29 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("every exchange hashes 8-byte keys, never a raw string") {
+    // broadcast off so the candidate join AND both re-expansion joins
+    // must shuffle — the regime where a string partition key would
+    // actually move payload bytes at 100 TB
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val big = (0 until 2000).map(i => (i.toLong, s"name${i % 500} v${i % 7}"))
+        .toDF("id", "s")
+      val q = FuzzyJoin.joinWithinEditDistance(big, big, "id", "s", "id", "s", k = 1)
+      q.count() // AQE: finalize the physical plan
+      val p = q.queryExecution.executedPlan.toString
+      val parts = "hashpartitioning\\(([^)]*)\\)".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+      assert(parts.nonEmpty, s"expected shuffles in:\n$p")
+      parts.foreach { args =>
+        assert(!args.contains("str#") && !args.contains("_orig#") &&
+          !args.contains("s#"),
+          s"string-keyed exchange: hashpartitioning($args)")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("null strings never match; overlong strings fail loudly") {
     val withNull = (names :+ (99L, null.asInstanceOf[String])).toDF("id", "s")
     val n = FuzzyJoin.joinWithinEditDistance(withNull, withNull,

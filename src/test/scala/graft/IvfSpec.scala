@@ -41,6 +41,30 @@ class IvfSpec extends SparkSpec {
     assert(probe(loaded).nonEmpty)
   }
 
+  test("ivfAppend: assigns by the builder's euclidean rule, indexes every row once") {
+    val emb = syntheticEmb(300)
+    val base = emb.filter($"vec_id" % 10 =!= 0)
+    val extra = emb.filter($"vec_id" % 10 === 0)
+    val idx = Similarity.ivfBuild(base, "embedding", "vec_id", nlist = 8)
+    val app = Similarity.ivfAppend(idx, extra, "embedding", "vec_id")
+    assert(app.nlist == 8 && app.centroids.count() == 8) // centroids untouched
+    assert(app.assigned.count() == 300)
+    assert(app.assigned.select("n_id").distinct().count() == 300)
+    // the append rule == the builder's rule: a vector IDENTICAL to an
+    // already-indexed one must land in the same inverted list
+    val twin = base.filter($"vec_id" === 1)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
+    val app2 = Similarity.ivfAppend(idx, twin, "embedding", "vec_id")
+    val clusters = app2.assigned
+      .filter($"n_id".isin(1L, 100001L))
+      .select("cluster").distinct().count()
+    assert(clusters == 1, "identical vector routed to a different list than its twin")
+    // probing the appended index can find appended vectors
+    val q = extra.limit(3)
+    val hits = Similarity.ivfProbe(app, q, "embedding", "vec_id", k = 3, nprobe = 8)
+    assert(hits.count() > 0)
+  }
+
   test("probe at auto sizing touches a bounded corpus fraction but finds self-neighbors") {
     // plant an exact near-duplicate of vector 0; at any probe setting
     // the duplicate's cluster == vector 0's cluster, so recall@1 of the

@@ -28,6 +28,45 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeImage: genuine javax.imageio round-trip recovers encoder closed form") {
+    val docs = Tables.documents(spark, sf0001)
+    val decoded = Multimodal.decodeImage(Multimodal.syntheticPng(docs, "doc_id"))
+      .collect().sortBy(_.media_id)
+    assert(decoded.nonEmpty)
+    decoded.foreach { d =>
+      assert(d.decoded, s"media ${d.media_id} must decode (real PNG bytes)")
+      assert(d.width == 4 + (d.media_id % 13).toInt)
+      assert(d.height == 4 + (d.media_id % 11).toInt)
+      assert(d.channels == 3)
+      assert(d.mean_px == (d.media_id % 256).toDouble, // constant fill → exact
+        s"media ${d.media_id}: mean ${d.mean_px}")
+    }
+  }
+
+  test("decodeImage: undecodable payloads take the stub fallback, flagged") {
+    val d = Multimodal.decodeImage(media).collect()
+    assert(d.nonEmpty)
+    assert(d.forall(!_.decoded), "text bytes are not an image")
+    assert(d.forall(_.channels == 0))
+    assert(d.forall(r => r.width >= 64 && r.width < 256))
+  }
+
+  test("decodeAudio: genuine javax.sound WAV round-trip recovers encoder closed form") {
+    val docs = Tables.documents(spark, sf0001)
+    val decoded = Multimodal.decodeAudio(Multimodal.syntheticWav(docs, "doc_id"))
+      .collect().sortBy(_.media_id)
+    assert(decoded.nonEmpty)
+    decoded.foreach { d =>
+      assert(d.decoded, s"media ${d.media_id} must decode (real WAV bytes)")
+      assert(d.sample_rate == 8000 && d.channels == 1)
+      assert(d.n_frames == 64 + (d.media_id % 128))
+      assert(d.mean_abs == ((d.media_id % 100) * 100).toDouble)
+    }
+    // text payloads are not audio → flagged fallback
+    val bad = Multimodal.decodeAudio(media).collect()
+    assert(bad.forall(!_.decoded))
+  }
+
   test("frameSample stride=1 covers all payload bytes; stride=2 halves frames") {
     val all = Multimodal.frameSample(media, frameBytes = 64, stride = 1)
     val half = Multimodal.frameSample(media, frameBytes = 64, stride = 2)

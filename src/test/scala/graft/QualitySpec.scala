@@ -71,6 +71,23 @@ class QualitySpec extends SparkSpec {
       .filter($"is_outlier").select($"g", $"v").collect()
       .map(r => (r.getString(0), r.getDouble(1))).toSet
     assert(approx == got)
+    // no internal column leaks into the output
+    assert(!Quality.tagOutliers(df, "g", $"v").columns.exists(_.startsWith("__")))
+  }
+
+  test("tagOutliers and imputeWithGroupMedian preserve rows whose group key is NULL") {
+    val df = Seq((Option("a"), Option(1.0)), (Option("a"), Option(100.0)),
+      (None: Option[String], Option(7.0)), (None: Option[String], None: Option[Double]))
+      .toDF("g", "v")
+    val tagged = Quality.tagOutliers(df, "g", $"v")
+    assert(tagged.count() == 4, "null-group rows must survive tagging")
+    assert(tagged.filter($"g".isNull).select($"is_outlier").collect()
+      .forall(_.isNullAt(0)), "null-group rows carry is_outlier = NULL")
+    val imputed = Quality.imputeWithGroupMedian(df, "g", "v")
+    assert(imputed.count() == 4, "null-group rows must survive imputation")
+    // null-group null value stays null (no fences/median to impute from)
+    assert(imputed.filter($"g".isNull && $"v_was_null")
+      .select($"v_imputed").head().isNullAt(0))
   }
 
   test("equiWidthHistogram: complete grid, conservation, closed top edge, degenerate input") {

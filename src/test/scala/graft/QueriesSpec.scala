@@ -28,6 +28,16 @@ class QueriesSpec extends SparkSpec {
     assert(dupes.isEmpty, s"duplicate bench entries: $dupes")
   }
 
+  test("benchQueries holds production shapes only — no verification gates") {
+    // Gates (agreement/recall/ground-truth replays) run a production plan
+    // PLUS a verification pass; benching them double-counts work no user
+    // pays for (round-7 verdict, 'What's wrong' #2).
+    val gates = SparkEntry.benchQueries.filter(n =>
+      n.endsWith("_gate") || n.contains("_recall") ||
+        n == "feat_percentile_buckets_kll")
+    assert(gates.isEmpty, s"verification artifacts in benchQueries: $gates")
+  }
+
   test("entry() flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -97,4 +97,29 @@ class SourcesSpec extends SparkSpec {
     val (b2, a2) = Writers.compactParquet(spark, dir, targetRowsPerFile = 5000L)
     assert(b2 == 2 && a2 == 2)
   }
+
+  test("compactParquet recovers from a mid-swap crash instead of deleting the data") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmp2").toString + "/t"
+    val df = spark.range(1000).selectExpr("id", "id % 3 AS g")
+    df.repartition(8).write.parquet(dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a crash between rename(dir -> __old) and rename(__tmp -> dir):
+    // the table dir is gone; the original lives only in __compact_old, and a
+    // verified copy in __compact_tmp.
+    spark.read.parquet(dir).repartition(1).write.parquet(dir + "__compact_tmp")
+    assert(fs.rename(new Path(dir), new Path(dir + "__compact_old")))
+    assert(!fs.exists(new Path(dir)))
+    val (before, after) = Writers.compactParquet(spark, dir, targetRowsPerFile = 500L)
+    val got = spark.read.parquet(dir)
+    assert(got.count() == 1000, "mid-swap recovery must not lose rows")
+    assert(got.agg(sum($"id")).head().getLong(0) == 1000L * 999 / 2)
+    assert(after == 2, s"after=$after")
+    // tmp-only crash variant (crash after dir -> __old AND old swept previously
+    // is impossible; but dir absent with only __tmp left must also recover)
+    assert(fs.rename(new Path(dir), new Path(dir + "__compact_tmp")))
+    val (_, a3) = Writers.compactParquet(spark, dir, targetRowsPerFile = 500L)
+    assert(spark.read.parquet(dir).count() == 1000)
+    assert(a3 == 2)
+  }
 }
