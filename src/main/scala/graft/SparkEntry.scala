@@ -1409,6 +1409,25 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    "dedup_unicode" -> ((s, dir) => {
+      import s.implicits._
+      // Unicode-normalized dedup, driver-graded end to end: every doc
+      // is doubled into an NFC twin (even id, composed é) and an NFD
+      // twin (odd id, decomposed e+U+0301). With normalizeKeys the
+      // election must collapse each pair to its even (min-id) twin,
+      // keeping the twin's ORIGINAL composed text — the oracle states
+      // that closed form directly, so a normalization miss (pairs
+      // surviving) or an over-merge both hash-mismatch.
+      val docs = Tables.documents(s, dir)
+      val nfc = docs.select(($"doc_id" * 2).as("doc_id"),
+        concat($"text", lit("Caf\u00E9")).as("text"))
+      val nfd = docs.select(($"doc_id" * 2 + 1).as("doc_id"),
+        concat($"text", lit("Cafe\u0301")).as("text"))
+      Dedup.exact(nfc.unionByName(nfd), "text", "doc_id",
+          normalizeKeys = true)
+        .orderBy($"doc_id")
+    }),
+
     // ================= Multimodal plumbing (north star) =================
     "mm_content_hash" -> ((s, dir) => {
       import s.implicits._
@@ -3733,6 +3752,12 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, text FROM documents
         |GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    // closed form: of each planted NFC/NFD twin pair the even
+    // (composed, min-id) row survives with its original text
+    "dedup_unicode" ->
+      """SELECT doc_id * 2 AS doc_id, text || 'Caf' || chr(233) AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "join_salted" ->
       // the oracle is the PLAIN join: salting must be result-invisible

@@ -33,7 +33,7 @@ class QueriesSpec extends SparkSpec {
     // PLUS a verification pass; benching them double-counts work no user
     // pays for (round-7 verdict, 'What's wrong' #2).
     val gates = SparkEntry.benchQueries.filter(n =>
-      n.endsWith("_gate") || n.contains("_recall") ||
+      n.endsWith("_gate") || n.contains("_recall") || n.endsWith("_replay") ||
         n == "feat_percentile_buckets_kll")
     assert(gates.isEmpty, s"verification artifacts in benchQueries: $gates")
   }
