@@ -1221,6 +1221,33 @@ object SparkEntry {
             .as("ranges_disjoint"))
     }),
 
+    "zonemap_prune" -> ((s, dir) => {
+      import s.implicits._
+      // Data skipping end-to-end: range-sorted layout → per-file zone
+      // map → a METADATA-pruned read whose filtered aggregate must
+      // equal the full-scan answer (the oracle states it from the
+      // source table), while the gates pin that pruning genuinely
+      // skipped files and an impossible range prunes to zero files.
+      // The pruned read returns whole files, so the predicate still
+      // applies — skipping only removes IO, never rows.
+      // SIDE-EFFECTING (writes layout + zone map at construction).
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_zonemap_${math.abs(dir.hashCode)}"
+      val li = Tables.lineitem(s, dir)
+        .select($"l_partkey".cast("int").as("pk"), $"l_extendedprice")
+      li.repartitionByRange(16, $"pk").sortWithinPartitions($"pk")
+        .write.mode("overwrite").parquet(out)
+      Writers.writeZoneMap(s, out, Seq("pk"))
+      val (pruned, kept, total) = Writers.prunedRead(s, out, "pk", 1, 100)
+      val (empty, kept0, _) = Writers.prunedRead(s, out, "pk", -200, -100)
+      pruned.filter($"pk".between(1, 100))
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          sum(round($"l_extendedprice" * 100).cast("long")).cast("bigint")
+            .as("cents"))
+        .select($"n_rows", $"cents",
+          lit(kept < total).as("files_skipped"),
+          lit(kept0 == 0L && empty.count() == 0L).as("empty_range_prunes_all"))
+    }),
+
     "compact_small_files" -> ((s, dir) => {
       import s.implicits._
       // Small-files compaction sweep: scatter lineitem into 64 tiny
@@ -3613,6 +3640,14 @@ object SparkEntry {
         |    AS cents,
         |  true AS files_shrunk, true AS nonempty
         |FROM lineitem""".stripMargin,
+
+    // the pruned+filtered aggregate must equal the full-scan answer
+    "zonemap_prune" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  true AS files_skipped, true AS empty_range_prunes_all
+        |FROM lineitem WHERE CAST(l_partkey AS INT) BETWEEN 1 AND 100""".stripMargin,
 
     "range_layout" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -86,4 +86,69 @@ object Writers {
       .select(input_file_name()).distinct().count()
     (filesBefore, filesAfter)
   }
+
+  /** Zone map — per-FILE min/max statistics for `cols`, persisted next
+    * to the table (`<dir>__zonemap`). The data-skipping half of the
+    * clustered-write story: [[compactParquet]]/range/Z-order layouts
+    * concentrate each file's key range, and the zone map is what lets
+    * a reader SKIP files whose range can't match a predicate — the
+    * Delta/Iceberg file-stats pattern without the table format. At
+    * 100 TB the map is metadata-sized (one row per file) while the
+    * skipped IO is the table itself; parquet's own row-group min/max
+    * only helps AFTER a file is opened and listed, so at
+    * millions-of-files scale the zone map is what cuts the listing.
+    *
+    * One scan of the projected columns builds it (columnar pruning
+    * keeps the scan narrow). REBUILD after any write to the dir —
+    * the map records the files it indexed, and [[prunedRead]] fails
+    * loudly on drift rather than returning silently stale results. */
+  def writeZoneMap(spark: SparkSession, dir: String, cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "zone map needs at least one column")
+    import org.apache.spark.sql.functions._
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"__${c}_min"), max(col(c)).as(s"__${c}_max"))) :+
+      count(lit(1)).as("__n_rows")
+    val stats = spark.read.parquet(dir).select(cols.map(col): _*)
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+    stats.coalesce(1).write.mode("overwrite").parquet(dir + "__zonemap")
+    spark.read.parquet(dir + "__zonemap").count()
+  }
+
+  /** Metadata-only pruned scan: keep the files whose `[min, max]` zone
+    * can intersect `[lo, hi]` on `c`, and read ONLY those. Returns
+    * (pruned DataFrame, files kept, files total). The file-list
+    * collect is the zone map itself — one row per file, the justified
+    * metadata-scale driver step of every data-skipping reader.
+    *
+    * Correct pruning for NULL zones falls out of SQL three-valued
+    * logic: a file whose `c` is entirely NULL has NULL min/max, the
+    * intersect test evaluates NULL, and the file is skipped — rows
+    * that are NULL on `c` can never satisfy a range predicate, so
+    * skipping is exact. Fails loudly if the table's current files
+    * drift from the map (stale map = silent wrong answers otherwise). */
+  def prunedRead(spark: SparkSession, dir: String, c: String,
+      lo: Any, hi: Any): (DataFrame, Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val zm = spark.read.parquet(dir + "__zonemap").cache()
+    // staleness gate by FILESYSTEM listing (pure metadata — a table
+    // scan here would defeat the point), compared on basenames
+    // (part-file names carry a write-UUID, so they are unique)
+    def base(f: String) = f.substring(f.lastIndexOf('/') + 1)
+    val mapped = zm.select("__file").collect().map(r => base(r.getString(0))).toSet
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val current = fs.listStatus(p).map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith(".")).toSet
+    require(mapped == current,
+      s"zone map is stale for $dir (${mapped.size} mapped vs " +
+        s"${current.size} current files) — rebuild with writeZoneMap")
+    val keep = zm.filter(
+        !(col(s"__${c}_max") < lit(lo) || col(s"__${c}_min") > lit(hi)))
+      .select("__file").collect().map(_.getString(0))
+    val df =
+      if (keep.isEmpty) spark.read.parquet(dir).limit(0)
+      else spark.read.parquet(keep: _*)
+    (df, keep.length.toLong, mapped.size.toLong)
+  }
 }

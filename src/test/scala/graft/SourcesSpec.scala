@@ -98,6 +98,35 @@ class SourcesSpec extends SparkSpec {
     assert(b2 == 2 && a2 == 2)
   }
 
+  test("zone map prunes files by min/max, never rows; stale maps fail loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zm").toString + "/t"
+    val df = spark.range(10000).selectExpr("id AS k", "id * 2 AS v")
+    df.repartitionByRange(10, $"k").sortWithinPartitions($"k")
+      .write.parquet(dir)
+    val nFiles = Writers.writeZoneMap(spark, dir, Seq("k"))
+    assert(nFiles == 10)
+    // pruned read + predicate == full-scan answer; most files skipped
+    val (pruned, kept, total) = Writers.prunedRead(spark, dir, "k", 100, 1200)
+    assert(total == 10 && kept < total && kept >= 1)
+    val got = pruned.filter($"k".between(100, 1200)).agg(sum($"v")).head().getLong(0)
+    val want = df.filter($"k".between(100, 1200)).agg(sum($"v")).head().getLong(0)
+    assert(got == want)
+    // impossible range prunes everything but keeps the schema
+    val (empty, kept0, _) = Writers.prunedRead(spark, dir, "k", -10, -5)
+    assert(kept0 == 0 && empty.count() == 0 && empty.columns.sameElements(Array("k", "v")))
+    // a write invalidates the map: fail loudly, not silently-stale
+    spark.range(5).selectExpr("id + 50000 AS k", "id AS v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Writers.prunedRead(spark, dir, "k", 0, 10)
+    }
+    assert(e.getMessage.contains("stale"))
+    // rebuild heals it and the new file is visible
+    Writers.writeZoneMap(spark, dir, Seq("k"))
+    val (p2, _, t2) = Writers.prunedRead(spark, dir, "k", 50000, 60000)
+    assert(t2 == 11 && p2.filter($"k" >= 50000).count() == 5)
+  }
+
   test("compactParquet recovers from a mid-swap crash instead of deleting the data") {
     import org.apache.hadoop.fs.Path
     val dir = java.nio.file.Files.createTempDirectory("graft_cmp2").toString + "/t"
