@@ -109,6 +109,13 @@ object SparkEntry {
       })
     def word2vec(s: SparkSession, dir: String): org.apache.spark.ml.feature.Word2VecModel =
       w2v.getOrElseUpdate(dir, TextFeatures.word2vec(Tables.documents(s, dir), "text"))
+    private val bpeM = TrieMap.empty[String, graft.llm.Bpe.BpeModel]
+    def bpe(s: SparkSession, dir: String): graft.llm.Bpe.BpeModel =
+      bpeM.getOrElseUpdate(dir,
+        // train once per sf dir (one corpus pass + vocab-scale merge
+        // loop); every bpe_* query and bench repeat reuses the model
+        graft.llm.Bpe.train(Tables.documents(s, dir), "text",
+          nMerges = 200, maxVocabWords = 100000))
   }
 
   /** Shared by `ml_word2vec` and `ml_word2vec_gate` (one definition so
@@ -179,7 +186,7 @@ object SparkEntry {
     "text_stats", "text_quality", "text_term_freq", "text_lang_dist",
     "text_langid", "text_token_counts", "text_quality_score", "text_entities",
     "text_chunk", "text_redact", "text_repetition",
-    "text_unigram_nll", "text_normalize",
+    "text_unigram_nll", "text_normalize", "bpe_tokenize",
     "decontaminate", "corpus_overlap",
     "dedup_exact", "dedup_paragraph", "dedup_fingerprint", "dedup_simhash",
     "dedup_clusters",
@@ -1970,6 +1977,56 @@ object SparkEntry {
       TextAnalysis.tokenCounts(Tables.documents(s, dir), "text")
         .select($"doc_id", $"n_ws_tokens", $"n_bpe_chunks", $"n_tokens_est")
         .orderBy($"doc_id")
+    }),
+
+    "bpe_tokenize" -> ((s, dir) => {
+      import s.implicits._
+      // Real BPE tokenization (trained on this corpus, model cached
+      // per dir): one row per doc with the token count and a token-
+      // stream fingerprint (md5 over a -joined token list — no
+      // raw array columns in dump output, per oracle conventions).
+      // No SQL oracle can replay a learned tokenizer, so this is
+      // rows-only; bpe_gate is the hash-matched companion that pins
+      // round-trip, bounds, and compression on the same model.
+      graft.llm.Bpe.encode(Tables.documents(s, dir), "text", "doc_id",
+          built.bpe(s, dir))
+        .select($"doc_id", $"n_tokens",
+          md5(concat_ws("", $"tokens").cast("binary")).as("tokens_md5"))
+        .orderBy($"doc_id")
+    }),
+
+    "bpe_gate" -> ((s, dir) => {
+      import s.implicits._
+      // Driver-graded contracts of the learned tokenizer, all decided
+      // inside the plan: (a) round-trip — stripping </w> markers and
+      // concatenating tokens reconstructs every document's lowercased
+      // whitespace words; (b) bounds — every word is >= 1 and <= |w|+1
+      // tokens; (c) compression — 200 merges tokenize the training
+      // corpus strictly below character count (the point of BPE). The
+      // doc/word-count anchors are DuckDB-replayed exactly.
+      val enc = graft.llm.Bpe.encode(Tables.documents(s, dir), "text",
+        "doc_id", built.bpe(s, dir))
+      val src = Tables.documents(s, dir).select($"doc_id",
+        array_join(filter(split(lower($"text"), "\\s+"),
+          w => length(w) > 0), "").as("word_chars"),
+        size(filter(split(lower($"text"), "\\s+"),
+          w => length(w) > 0)).cast("long").as("n_words"))
+      enc.select($"doc_id", $"n_tokens".cast("long").as("n_tokens"),
+          array_join(transform($"tokens",
+            t => replace(t, lit(graft.llm.Bpe.EndOfWord), lit(""))), "")
+            .as("tok_chars"),
+          size(filter($"tokens",
+            t => t.endsWith(graft.llm.Bpe.EndOfWord))).cast("long")
+            .as("n_terminal"))
+        .join(src, "doc_id")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum($"n_words").cast("bigint").as("n_words_total"),
+          min($"tok_chars" === $"word_chars" && $"n_terminal" === $"n_words")
+            .as("roundtrip_ok"),
+          min($"n_tokens" >= $"n_words" &&
+            $"n_tokens" <= length($"word_chars") + $"n_words").as("bounds_ok"),
+          (sum($"n_tokens") < sum(length($"word_chars") + $"n_words"))
+            .as("compressed"))
     }),
 
     "text_normalize" -> ((s, dir) => {
@@ -4445,6 +4502,19 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_chunks,
         |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS INT) AS n_tokens_est
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the tokenizer itself is learned (no SQL replay); the gate's
+    // anchors are exact and its contracts are in-plan booleans
+    "bpe_gate" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |        x -> len(x) > 0)) AS n_words
+        |  FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS n_words_total,
+        |  true AS roundtrip_ok, true AS bounds_ok, true AS compressed
+        |FROM w""".stripMargin,
 
     // replays normalize_text's strip → NFC → casefold order exactly;
     // chr(769)=U+0301 combining acute, chr(8203..8205)+chr(65279) are

@@ -1,0 +1,170 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer — train + encode, the real version of
+  * the `n_bpe_chunks` regex estimate in [[TextAnalysis.tokenCounts]]
+  * (north star: a training pipeline needs actual token ids and
+  * boundaries, not an estimate).
+  *
+  * Scale shape, 100 TB posture:
+  *  - TRAIN touches the corpus ONCE: a word-frequency aggregation
+  *    (word-keyed shuffle — words are short bounded strings, and the
+  *    agg is map-side combined, so the exchange carries the distinct
+  *    vocabulary, not the corpus). The merge loop then runs on the
+  *    collected top-`maxVocabWords` frequency table — the
+  *    Zipf-compressed training set every production BPE trainer holds
+  *    in memory (HuggingFace/SentencePiece do exactly this); the
+  *    corpus itself NEVER collects. The collect is bounded by
+  *    construction: `maxVocabWords` rows of (word, count).
+  *  - ENCODE is row-local: merge ranks broadcast once (≤ `nMerges`
+  *    entries), each document tokenized independently in
+  *    `mapPartitions` with the standard greedy lowest-rank-first
+  *    algorithm. No shuffles at all.
+  *
+  * Determinism: pair counting breaks ties (count, then lexicographic
+  * pair), so the same corpus always learns the same merge table.
+  * Words are whitespace tokens of the lowercased text; each word ends
+  * with the terminal symbol `</w>` so token sequences are
+  * word-reversible (round-trip gated in `bpe_gate`).
+  */
+object Bpe {
+
+  final val EndOfWord = "</w>"
+
+  /** A trained tokenizer: ordered merge table (rank = position) plus
+    * the vocabulary it induces (base characters + one entry per
+    * merge). */
+  final case class BpeModel(merges: Seq[(String, String)],
+      baseSymbols: Set[String]) {
+    lazy val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.toMap
+    def vocab: Set[String] =
+      baseSymbols ++ merges.map { case (a, b) => a + b }
+    def vocabSize: Int = vocab.size
+  }
+
+  private[graft] def wordSymbols(w: String): Vector[String] =
+    w.map(_.toString).toVector :+ EndOfWord
+
+  /** Distributed word-frequency table: the one corpus pass of
+    * training. Lowercased whitespace words, capped to the
+    * `maxVocabWords` most frequent (deterministic count-then-word
+    * tiebreak) — the Zipf head carries virtually all pair mass. */
+  def wordCounts(df: DataFrame, textCol: String,
+      maxVocabWords: Int): DataFrame =
+    df.select(explode(split(lower(col(textCol)), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(maxVocabWords)
+
+  /** Train `nMerges` merges. `minPairCount` stops early once the best
+    * remaining pair is too rare to matter (prevents memorizing
+    * singleton typos as merges). */
+  def train(df: DataFrame, textCol: String, nMerges: Int,
+      maxVocabWords: Int = 1000000, minPairCount: Long = 2L): BpeModel = {
+    require(nMerges >= 0, s"nMerges must be >= 0 (got $nMerges)")
+    // BOUNDED collect: maxVocabWords (word, count) rows — the
+    // documented vocab-scale driver step, never the corpus.
+    val freq: Array[(String, Long)] =
+      wordCounts(df, textCol, maxVocabWords)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+    val baseSymbols =
+      freq.iterator.flatMap(_._1.map(_.toString)).toSet + EndOfWord
+
+    var words: Array[(Vector[String], Long)] =
+      freq.map { case (w, n) => (wordSymbols(w), n) }
+    val merges = Vector.newBuilder[(String, String)]
+    var i = 0
+    var done = false
+    while (i < nMerges && !done) {
+      val pairCounts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      words.foreach { case (syms, n) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          val p = (syms(j), syms(j + 1))
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + n)
+          j += 1
+        }
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        // deterministic argmax: count desc, then lexicographic pair
+        val best = pairCounts.maxBy { case ((a, b), n) => (n, a, b) }(
+          Ordering.Tuple3(Ordering.Long,
+            Ordering.String.reverse, Ordering.String.reverse))
+        if (best._2 < minPairCount) done = true
+        else {
+          val (a, b) = best._1
+          merges += ((a, b))
+          words = words.map { case (syms, n) => (mergePair(syms, a, b), n) }
+          i += 1
+        }
+      }
+    }
+    BpeModel(merges.result(), baseSymbols)
+  }
+
+  /** One left-to-right greedy replacement pass of adjacent (a, b) →
+    * ab — the training-side merge application. */
+  private[graft] def mergePair(syms: Vector[String], a: String,
+      b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var j = 0
+    while (j < syms.length) {
+      if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+        out += (a + b); j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out.result()
+  }
+
+  /** Standard greedy BPE encode of one word: repeatedly merge the
+    * present pair with the LOWEST rank until none applies. */
+  private[graft] def encodeWord(w: String,
+      ranks: Map[(String, String), Int]): Vector[String] = {
+    var syms = wordSymbols(w)
+    var continue = syms.length > 1
+    while (continue) {
+      var bestRank = Int.MaxValue
+      var bestPair: (String, String) = null
+      var j = 0
+      while (j < syms.length - 1) {
+        val r = ranks.getOrElse((syms(j), syms(j + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestPair = (syms(j), syms(j + 1)) }
+        j += 1
+      }
+      if (bestPair == null) continue = false
+      else syms = mergePair(syms, bestPair._1, bestPair._2)
+    }
+    syms
+  }
+
+  /** Tokenize a corpus with a trained model: row-local mapPartitions
+    * over a broadcast merge table; output one row per document with
+    * the token array and its length. OOV characters (absent from the
+    * training alphabet) pass through as single-character tokens —
+    * encode never fails, it just doesn't compress them. */
+  def encode(df: DataFrame, textCol: String, idCol: String,
+      model: BpeModel): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model.ranks)
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { rows =>
+        val ranks = bc.value
+        rows.map { case (id, text) =>
+          val toks =
+            if (text == null) Vector.empty[String]
+            else text.toLowerCase.split("\\s+").iterator
+              .filter(_.nonEmpty)
+              .flatMap(w => encodeWord(w, ranks)).toVector
+          (id, toks, toks.length)
+        }
+      }
+      .toDF(idCol, "tokens", "n_tokens")
+  }
+}
