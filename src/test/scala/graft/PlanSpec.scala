@@ -289,4 +289,45 @@ class PlanSpec extends SparkSpec {
           && !args.contains("chunk_text#"), s"payload-keyed shuffle:\n$b")
       }
   }
+
+  test("text_normalize: row-local codegen projection — only the output sort shuffles") {
+    val p = plan("text_normalize")
+    // the single exchange is the deterministic orderBy
+    assert(countExchanges(p) <= 1, p)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("text") && !read.contains("source"),
+      s"scan not pruned: $read")
+    // codegen asserted on the bare projection (the registered query's
+    // AQE wrapper hides codegen ids until execution): leading `* `
+    // marks the whole-stage-codegen Project, and it runs with
+    // fallback disabled elsewhere in ExtensionsSpec
+    spark.catalog.clearCache()
+    val bare = Tables.documents(spark, sf0001)
+      .select(graft.functions.normalize_text($"text", caseFold = true))
+      .queryExecution.explainString(FormattedMode)
+    assert(bare.linesIterator.exists(_.matches("^\\*.*Project.*")), bare)
+  }
+
+  test("dedup_unicode: normalized election shuffles hashes+ids, never text") {
+    val p = plan("dedup_unicode")
+    val blocks = p.split("\\n\\n").toSeq
+    val hashExchanges = blocks.filter(b =>
+      b.linesIterator.exists(_.matches("\\(\\d+\\) Exchange.*")) &&
+        b.contains("Arguments: hashpartitioning"))
+    assert(hashExchanges.nonEmpty, p)
+    hashExchanges.foreach { b =>
+      val input = b.linesIterator.find(_.startsWith("Input")).getOrElse("")
+      assert(!input.contains("text#"),
+        s"text in normalized winner shuffle:\n$b")
+    }
+  }
+
+  test("bpe encode is shuffle-free — tokenization adds zero exchanges") {
+    val model = graft.llm.Bpe.BpeModel(Seq(("a", "b")),
+      Set("a", "b", graft.llm.Bpe.EndOfWord))
+    val p = graft.llm.Bpe.encode(
+        Tables.documents(spark, sf0001), "text", "doc_id", model)
+      .queryExecution.explainString(FormattedMode)
+    assert(countExchanges(p) == 0, p)
+  }
 }
