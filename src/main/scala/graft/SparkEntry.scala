@@ -158,7 +158,7 @@ object SparkEntry {
     * (e.g. dedup_clusters, not dedup_clusters_gate). */
   val benchQueries: Seq[String] = Seq(
     "q1_agg", "q3_shipping", "q4_priority", "q5_region_revenue",
-    "q10_returns", "sql_q6_discount",
+    "q10_returns", "q14_promo_revenue", "sql_q6_discount",
     "agg_distinct", "agg_minmax", "agg_rollup", "agg_cube", "agg_approx_distinct",
     "agg_collect_list", "agg_pivot", "agg_unpivot", "agg_grouping_sets",
     "date_funcs", "null_handling", "str_levenshtein", "sketch_bloom",
@@ -2740,6 +2740,30 @@ object SparkEntry {
     }),
 
     // ---- SQL text surface (spark.sql over registered views) ----
+    "q14_promo_revenue" -> ((s, dir) => {
+      import s.implicits._
+      // TPC-H Q14 shape: promo revenue share over one shipdate month.
+      // part is the dimension — broadcast, so the fact side never
+      // shuffles; both revenue sums stay exact DECIMAL until the end,
+      // and the percent is ONE IEEE division of the two exact sums
+      // (engine-identical, no round()).
+      val rev = ($"l_extendedprice" * (lit(1.0d) - $"l_discount"))
+        .cast("decimal(24,8)")
+      Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1996-03-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
+        .agg(
+          sum(when($"p_type" === "PROMO", rev)
+            .otherwise(lit(0).cast("decimal(24,8)"))).as("promo_dec"),
+          sum(rev).as("total_dec"))
+        .select(
+          $"promo_dec".cast("double").as("promo_revenue"),
+          $"total_dec".cast("double").as("total_revenue"),
+          ($"promo_dec".cast("double") * lit(100.0d) /
+            $"total_dec".cast("double")).as("promo_pct"))
+    }),
+
     "sql_q6_discount" -> ((s, dir) => {
       Catalog.registerViews(s, dir)
       s.sql("""
@@ -4614,6 +4638,21 @@ object SparkEntry {
         |  count(*) AS n
         |FROM lineitem
         |WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """WITH j AS (
+        |  SELECT CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8)) AS rev,
+        |    p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00')
+        |SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+        |         ELSE CAST(0 AS DECIMAL(24,8)) END) AS DOUBLE) AS promo_revenue,
+        |  CAST(sum(rev) AS DOUBLE) AS total_revenue,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+        |         ELSE CAST(0 AS DECIMAL(24,8)) END) AS DOUBLE) * 100.0
+        |    / CAST(sum(rev) AS DOUBLE) AS promo_pct
+        |FROM j""".stripMargin,
 
     "evt_session_window" ->
       // session_window closes a session when the inter-event gap is

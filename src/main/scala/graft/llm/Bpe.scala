@@ -143,6 +143,61 @@ object Bpe {
     syms
   }
 
+  /** Persist a trained model as two parquet tables (ordered merge
+    * table + base alphabet) — the build-once artifact a production
+    * pipeline writes next to the corpus, like the IVF index. */
+  def save(model: BpeModel, spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    model.merges.zipWithIndex
+      .map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+    model.baseSymbols.toSeq.sorted.toDF("symbol")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/alphabet")
+  }
+
+  /** Reload a persisted model (rank order restored). */
+  def load(spark: SparkSession, path: String): BpeModel = {
+    val merges = spark.read.parquet(s"$path/merges")
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val alphabet = spark.read.parquet(s"$path/alphabet")
+      .collect().map(_.getString(0)).toSet
+    BpeModel(merges, alphabet)
+  }
+
+  /** Deterministic token-id assignment: vocabulary sorted
+    * lexicographically, ids = positions. Stable across runs on the
+    * same model; id 0.. vocabSize-1, OOV encodes as [[UnkId]]. */
+  final val UnkId = -1
+  def vocabIds(model: BpeModel): Map[String, Int] =
+    model.vocab.toSeq.sorted.zipWithIndex.toMap
+
+  /** [[encode]] to integer ids — what a training loader consumes.
+    * Same row-local shape; OOV tokens (characters outside the
+    * training alphabet) map to [[UnkId]]. */
+  def encodeToIds(df: DataFrame, textCol: String, idCol: String,
+      model: BpeModel): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bcRanks = spark.sparkContext.broadcast(model.ranks)
+    val bcIds = spark.sparkContext.broadcast(vocabIds(model))
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { rows =>
+        val (ranks, ids) = (bcRanks.value, bcIds.value)
+        rows.map { case (id, text) =>
+          val toks =
+            if (text == null) Vector.empty[Int]
+            else text.toLowerCase.split("\\s+").iterator
+              .filter(_.nonEmpty)
+              .flatMap(w => encodeWord(w, ranks))
+              .map(t => ids.getOrElse(t, UnkId)).toVector
+          (id, toks, toks.length)
+        }
+      }
+      .toDF(idCol, "token_ids", "n_tokens")
+  }
+
   /** Tokenize a corpus with a trained model: row-local mapPartitions
     * over a broadcast merge table; output one row per document with
     * the token array and its length. OOV characters (absent from the

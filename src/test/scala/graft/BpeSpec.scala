@@ -65,6 +65,33 @@ class BpeSpec extends SparkSpec {
     assert(got == Vector("e", "st", Bpe.EndOfWord), s"got $got")
   }
 
+  test("save/load round-trips the model; ids are stable and reversible") {
+    val model = Bpe.train(corpus, "text", nMerges = 30, minPairCount = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft_bpe").toString + "/m"
+    Bpe.save(model, spark, path)
+    val loaded = Bpe.load(spark, path)
+    assert(loaded.merges == model.merges, "merge order must survive parquet")
+    assert(loaded.baseSymbols == model.baseSymbols)
+    // ids: deterministic, dense, reversible through the sorted vocab
+    val ids = Bpe.vocabIds(model)
+    assert(ids.values.toSeq.sorted == (0 until model.vocabSize))
+    val rev = ids.map(_.swap)
+    val encIds = Bpe.encodeToIds(corpus, "text", "doc_id", model)
+      .select($"doc_id", $"token_ids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val encToks = Bpe.encode(corpus, "text", "doc_id", model)
+      .select($"doc_id", $"tokens").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    encIds.foreach { case (id, seq) =>
+      assert(seq.forall(_ >= 0), "training corpus has no OOV")
+      assert(seq.map(rev) == encToks(id), s"doc $id ids != tokens")
+    }
+    // OOV chars map to UnkId
+    val oov = Bpe.encodeToIds(Seq((9L, "☃")).toDF("doc_id", "text"),
+      "text", "doc_id", model).select($"token_ids").head().getSeq[Int](0)
+    assert(oov.head == Bpe.UnkId)
+  }
+
   test("vocab: base alphabet + merge products, bounded by nMerges") {
     val m = Bpe.train(corpus, "text", nMerges = 20, minPairCount = 2)
     assert(m.vocabSize <= m.baseSymbols.size + 20)
