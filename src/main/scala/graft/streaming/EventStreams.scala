@@ -213,13 +213,16 @@ object EventStreams {
           }
           Iterator.single(seal(userId, buffered, t))
         case Some(t) =>
-          // bounded state: keep the in-window events plus any pre-t1
-          // events a late (within-watermark) step-1 arrival could
-          // still re-qualify; everything past the horizon is
-          // irrelevant forever (t1 only ever moves earlier)
-          val keep = buffered.filter(e =>
-            (e._1 >= t && e._1 <= t + horizonSeconds * 1000) ||
-              (e._1 >= wmMs && e._1 < t))
+          // bounded state: keep everything at or after t1 — the
+          // in-window events this episode seals with AND any
+          // post-horizon events (they are the NEXT episode's burst;
+          // dropping them here would lose an early-arrived follow-up,
+          // the exact miss the two-episode StreamingSpec case pins) —
+          // plus pre-t1 events a late (within-watermark) step-1
+          // arrival could still re-qualify. Only pre-t1 events below
+          // the watermark are gone forever (t1 only moves earlier,
+          // and no step-1 event can arrive below the watermark).
+          val keep = buffered.filter(e => e._1 >= t || e._1 >= wmMs)
           state.update(keep)
           // fire when the horizon seals (+1ms: timeout must exceed wm)
           state.setTimeoutTimestamp(math.max(t + horizonSeconds * 1000, wmMs) + 1)

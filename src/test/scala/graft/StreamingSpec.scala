@@ -153,6 +153,33 @@ class StreamingSpec extends SparkSpec {
     assert(Seq(1L, 2L, 3L).forall(u => got(u) == batch(u)), s"got=$got batch=$batch")
   }
 
+  test("funnelStateful: a post-horizon burst becomes a SECOND episode, not a lost one") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val mem = MemoryStream[Event]
+    val q = EventStreams.funnelStateful(mem.toDS(), steps,
+        horizonSeconds = 3600, watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("fun2").start()
+    // burst A (min 0..20, completes the funnel) and burst B (min
+    // 100..110, view+click) arrive TOGETHER — B is past A's 60-min
+    // horizon, so it must survive A's seal as the next episode's buffer
+    mem.addData(Event(1, ts(0), 5, "view", 0), Event(2, ts(10), 5, "click", 0),
+      Event(3, ts(20), 5, "purchase", 0),
+      Event(4, ts(100), 5, "view", 0), Event(5, ts(110), 5, "click", 0))
+    q.processAllAvailable()
+    mem.addData(Event(6, ts(200), 99, "view", 0)) // wm 190 > 0+60: seal A
+    q.processAllAvailable()
+    mem.addData(Event(7, ts(400), 99, "view", 0)) // wm 390 > 100+60: seal B
+    q.processAllAvailable()
+    val got = spark.table("fun2").filter($"user_id" === 5)
+      .select("steps_completed", "first_step_ts").collect()
+      .map(r => (r.getInt(0), r.getTimestamp(1))).sortBy(_._2.getTime)
+    q.stop()
+    assert(got.length == 2, s"expected two episodes, got ${got.toSeq}")
+    assert(got(0) == ((3, ts(0))), s"episode A: ${got(0)}")
+    assert(got(1) == ((2, ts(100))), s"episode B: ${got(1)}")
+  }
+
   test("purchaseAttribution stream-stream join matches the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val purchases = Seq(
