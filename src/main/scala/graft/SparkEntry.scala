@@ -190,7 +190,8 @@ object SparkEntry {
     "decontaminate", "corpus_overlap",
     "dedup_exact", "dedup_paragraph", "dedup_fingerprint", "dedup_simhash",
     "dedup_clusters",
-    "pipeline_clean_corpus", "pipeline_curation", "sketch_freq_items",
+    "pipeline_clean_corpus", "pipeline_curation", "pipeline_tokenize_pack",
+    "sketch_freq_items",
     "sim_topk_brute", "sim_topk_ivf",
     "mm_content_hash", "mm_decode", "mm_decode_real", "mm_decode_audio",
     "mm_frame_sample", "mm_resize")
@@ -1793,6 +1794,61 @@ object SparkEntry {
     // hash-mismatches. Scale shape: three row-local scoring stages, a
     // broadcast gram probe, one 28-byte winner-election shuffle, one
     // id-keyed agg.
+    "pipeline_tokenize_pack" -> ((s, dir) => {
+      import s.implicits._
+      // The end-to-end training-data path, four operators composed:
+      // unicode-normalized exact dedup → REAL BPE tokenization (model
+      // cached per dir) → concat-and-chunk sequence packing at 512
+      // tokens. Deterministic (every stage is), but not SQL-replayable
+      // (the tokenizer is learned) — pipeline_tokenize_pack_gate holds
+      // the hash-matched conservation contract.
+      val deduped = graft.llm.Dedup.exact(Tables.documents(s, dir),
+        "text", "doc_id", normalizeKeys = true)
+      val toks = graft.llm.Bpe.encode(deduped, "text", "doc_id",
+        built.bpe(s, dir))
+      graft.operators.Scale.packSequences(
+          toks.select($"doc_id", $"n_tokens"), "doc_id", "n_tokens",
+          seqLen = 512L)
+        .groupBy($"seq_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum($"chunk_len").cast("bigint").as("seq_fill"))
+        .orderBy($"seq_id")
+    }),
+
+    "pipeline_tokenize_pack_gate" -> ((s, dir) => {
+      import s.implicits._
+      // Conservation contract of the composed pipeline, anchored to
+      // DuckDB-exact counts: the dedup survivor count is replayed
+      // exactly; every token lands in exactly one chunk (sum of
+      // chunk_len == sum of n_tokens); every sequence except the last
+      // is filled to exactly 512; offsets stay inside their sequence.
+      val deduped = graft.llm.Dedup.exact(Tables.documents(s, dir),
+        "text", "doc_id", normalizeKeys = true)
+      val toks = graft.llm.Bpe.encode(deduped, "text", "doc_id",
+        built.bpe(s, dir))
+      val packed = graft.operators.Scale.packSequences(
+        toks.select($"doc_id", $"n_tokens"), "doc_id", "n_tokens",
+        seqLen = 512L)
+      val seqFill = packed.groupBy($"seq_id")
+        .agg(sum($"chunk_len").as("fill"))
+      // every sequence but the last is filled to exactly 512 — the
+      // max(seq_id) comes from a 1-row aggregate INSIDE the plan
+      val fullSeqs = seqFill
+        .crossJoin(seqFill.agg(max($"seq_id").as("__mx")))
+        .agg(coalesce(min(when($"seq_id" < $"__mx", $"fill" === 512L)),
+          lit(true)).as("full_seqs"))
+      packed.agg(
+          count_distinct($"doc_id").cast("bigint").as("n_docs"),
+          sum($"chunk_len").as("tok_total"),
+          min($"seq_off" >= 0 && $"seq_off" < 512 &&
+            $"chunk_len" > 0 && $"chunk_len" <= 512).as("offsets_ok"))
+        .crossJoin(toks.agg(sum($"n_tokens").as("tok_in")))
+        .crossJoin(fullSeqs)
+        .select($"n_docs",
+          ($"tok_total" === $"tok_in").as("tokens_conserved"),
+          $"offsets_ok", $"full_seqs")
+    }),
+
     "pipeline_curation" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
@@ -4310,6 +4366,18 @@ object SparkEntry {
     // quality → dup-token cap → 4-gram decontamination vs the %97
     // benchmark split → paragraph dedup (64-token chunks, min
     // (doc_id, chunk_no) election) → per-doc chunk/token budget
+    // the tokenizer is learned, so the packed output is rows-only;
+    // this gate's anchors are exact (dedup survivors with >= 1 word)
+    // and its conservation contracts are in-plan booleans
+    "pipeline_tokenize_pack_gate" ->
+      """WITH d AS (
+        |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  true AS tokens_conserved, true AS offsets_ok, true AS full_seqs
+        |FROM d
+        |WHERE len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) > 0""".stripMargin,
+
     "pipeline_curation" ->
       """WITH t AS (
         |  SELECT doc_id, text, string_split_regex(text, '\s+') AS toks,

@@ -154,6 +154,26 @@ object Merge {
       .headOption
   }
 
+  /** Time-travel read: the newest COMMITTED snapshot, or — with
+    * `asOf` — the newest committed snapshot whose version is <= that
+    * batch id (what the table looked like after batch `asOf`
+    * applied). The snapshot-isolation read path of the versioned
+    * [[applyChangeBatch]] layout: one metadata listing picks the
+    * directory, then it scans like any parquet table. Fails loudly
+    * when nothing committed matches rather than returning an empty
+    * frame a pipeline would happily aggregate. */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession,
+      targetBase: String,
+      asOf: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    val bound = asOf.map(_ + 1).getOrElse(Long.MaxValue)
+    latestSnapshotVersion(spark, targetBase, below = bound) match {
+      case Some(v) => spark.read.parquet(s"$targetBase/v=$v")
+      case None => throw new IllegalStateException(
+        s"no committed snapshot at $targetBase" +
+          asOf.map(a => s" as of batch $a").getOrElse(""))
+    }
+  }
+
   /** Snapshot retention sweep: delete all but the newest `keep`
     * committed snapshots under `targetBase` (and any uncommitted
     * partials older than the retained set — debris from crashed

@@ -61,6 +61,18 @@ class MergeSpec extends SparkSpec {
       batch(Seq((1L, 3L, "a2", false), (2L, 2L, null, true), (3L, 1L, "c", false))),
       Seq("id"), "version", Some("is_delete"))
     assert(snapshot() == Map(1L -> "a2", 3L -> "c"))
+
+    // time travel: asOf batch 0 sees the pre-update state, latest sees
+    // the current one, and a too-early asOf fails loudly
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(Merge.readSnapshot(spark, dir, asOf = Some(0L))) ==
+      Map(1L -> "a1", 2L -> "b"))
+    assert(rows(Merge.readSnapshot(spark, dir)) == Map(1L -> "a2", 3L -> "c"))
+    val e = intercept[IllegalStateException] {
+      Merge.readSnapshot(spark, dir + "/nope")
+    }
+    assert(e.getMessage.contains("no committed snapshot"))
   }
 
   test("applyChangeBatch drives a real foreachBatch stream end-to-end") {
