@@ -7,17 +7,18 @@ import org.apache.spark.sql.functions._
   * opaque `binary` payloads with typed metadata, and the
   * decode/feature/sample stages a training pipeline runs over them.
   *
-  * [[decodeImage]] is a GENUINE decoder: `javax.imageio` ships in the
-  * JDK (PNG/BMP/GIF/JPEG readers, no native deps), so image payloads
-  * are actually parsed — dimensions, band count, and pixel statistics
-  * come from the decoded raster. Payloads no JDK reader accepts fall
-  * back to [[decodeImageStub]]'s fabricated metadata, flagged
-  * `decoded = false`. Audio/video codecs are NOT in the JDK; those
-  * modalities keep the stub path. The Spark-side shape is shared by
-  * both: binary columns flow through parquet scans/shuffles
-  * untouched, per-row decode is a typed `mapPartitions` (one codec
-  * init per partition, the pattern a real JNI/FFI decoder needs), and
-  * frame sampling is pure column algebra over binary slices.
+  * [[decodeImage]] and [[decodeAudio]] are GENUINE decoders:
+  * `javax.imageio` (PNG/BMP/GIF/JPEG) and `javax.sound.sampled`
+  * (WAV/AIFF/AU) ship in the JDK with no native deps, so image and
+  * audio payloads are actually parsed — dimensions, band counts, and
+  * pixel/sample statistics come from the decoded raster/PCM stream.
+  * Payloads no JDK reader accepts fall back to fabricated metadata
+  * flagged `decoded = false`. Video has no JDK codec and keeps the
+  * documented stub path. The Spark-side shape is shared by all:
+  * binary columns flow through parquet scans/shuffles untouched,
+  * per-row decode is a typed `mapPartitions` (one codec init per
+  * partition, the pattern a real JNI/FFI decoder needs), and frame
+  * sampling is pure column algebra over binary slices.
   */
 object Multimodal {
 
