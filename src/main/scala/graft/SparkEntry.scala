@@ -177,7 +177,8 @@ object SparkEntry {
     "feat_percentile_buckets", "feat_percentile_buckets_approx",
     "feat_percentile_buckets_window",
     "pipeline_feature_matrix",
-    "dq_invalid_codes", "dq_profile", "dq_outliers", "dq_histogram",
+    "dq_invalid_codes", "dq_expectations", "dq_profile", "dq_outliers",
+    "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "str_funcs", "parse_money",
     "evt_tumbling", "evt_sliding", "evt_sessionize", "evt_session_window",
@@ -204,6 +205,24 @@ object SparkEntry {
       // single digit fails `Brand#\d{2}`; report counts per bad code.
       Quality.invalidCodeReport(Tables.part(s, dir), "p_brand",
         "^(Brand#\\d{2})$")),
+
+    "dq_expectations" -> ((s, dir) => {
+      import graft.operators.Quality.Expectation
+      import s.implicits._
+      // Declarative expectation suite — the whole row-local set runs
+      // in ONE scan (single hash-agg, per-rule rows from one explode);
+      // the uniqueness rule adds its count-vs-distinct pass. The
+      // l_orderkey uniqueness rule FAILS by design (lineitem has
+      // multiple lines per order) — a suite that can't report a
+      // failing rule proves nothing.
+      Quality.expect(Tables.lineitem(s, dir), Seq(
+          Expectation.notNull("l_orderkey"),
+          Expectation.between("l_quantity", 1, 50),
+          Expectation.inSet("l_returnflag", Seq("A", "N", "R")),
+          Expectation.matches("l_linestatus", "(^[OF]$)"),
+          Expectation.unique("l_orderkey")))
+        .orderBy($"rule")
+    }),
 
     "dq_profile" -> ((s, dir) =>
       Quality.profile(Tables.customer(s, dir),
@@ -3072,6 +3091,33 @@ object SparkEntry {
         |WHERE NULLIF(regexp_extract(p_brand, '^(Brand#\d{2})$', 1), '') IS NULL
         |GROUP BY p_brand
         |ORDER BY p_brand""".stripMargin,
+
+    // each rule replayed as its exact violation count; NULL counts as
+    // a violation everywhere (the suite's documented null posture)
+    "dq_expectations" ->
+      """WITH r AS (
+        |  SELECT 'l_orderkey is not null' AS rule,
+        |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violations FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity between 1 and 50',
+        |    CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+        |      OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag in {A,N,R}',
+        |    CAST(sum(CASE WHEN l_returnflag IS NULL
+        |      OR l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linestatus matches (^[OF]$)',
+        |    CAST(sum(CASE WHEN l_linestatus IS NULL
+        |      OR NOT regexp_matches(l_linestatus, '^[OF]$') THEN 1 ELSE 0 END)
+        |      AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_orderkey is unique',
+        |    CAST(count(*) - count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem)
+        |SELECT rule, n_violations, n_violations = 0 AS passed
+        |FROM r ORDER BY rule""".stripMargin,
 
     "dq_profile" ->
       """SELECT count(*) AS c_custkey_rows, count(CASE WHEN c_custkey IS NULL THEN 1 END) AS c_custkey_nulls,

@@ -28,6 +28,64 @@ object Quality {
   def invalidRows(df: DataFrame, column: String, pattern: String): DataFrame =
     df.filter(regexp_extract_or_null(col(column), pattern).isNull)
 
+  /** A declarative expectation: `name` labels the rule, `violation`
+    * is a Column predicate that is TRUE on each row BREAKING the rule
+    * (null-safe: author it so NULL evaluates true/false explicitly —
+    * a raw `col < 5` is NULL on null input and would undercount).
+    * `uniqueOn` marks a whole-column uniqueness rule instead. */
+  final case class Expectation(name: String, violation: Column,
+      uniqueOn: Option[String] = None)
+
+  object Expectation {
+    def notNull(c: String): Expectation =
+      Expectation(s"$c is not null", col(c).isNull)
+    def between(c: String, lo: Any, hi: Any): Expectation =
+      Expectation(s"$c between $lo and $hi",
+        col(c).isNull || col(c) < lit(lo) || col(c) > lit(hi))
+    def inSet(c: String, values: Seq[Any]): Expectation =
+      Expectation(s"$c in {${values.mkString(",")}}",
+        col(c).isNull || !col(c).isin(values: _*))
+    def matches(c: String, pattern: String): Expectation =
+      Expectation(s"$c matches $pattern",
+        regexp_extract_or_null(col(c), pattern).isNull)
+    def unique(c: String): Expectation =
+      Expectation(s"$c is unique", lit(false), uniqueOn = Some(c))
+  }
+
+  /** Great-Expectations-style suite run: every row-local rule is a
+    * conditional-count aggregate, so the WHOLE suite costs one scan
+    * of the table (one hash-agg with map-side partials; the per-rule
+    * report rows come from a single explode of that 1-row aggregate,
+    * not per-rule re-scans). [[Expectation.unique]] rules can't be
+    * row-local; each adds a count-vs-distinct aggregate over its
+    * column — one shuffle of that column only. Nothing collects.
+    * Output: (rule, n_violations, passed) per rule. */
+  def expect(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
+    require(rules.nonEmpty, "expect needs at least one rule")
+    val (uniqueRules, rowRules) = rules.partition(_.uniqueOn.isDefined)
+    val rowReport: Option[DataFrame] =
+      if (rowRules.isEmpty) None
+      else {
+        val aggs = rowRules.zipWithIndex.map { case (r, i) =>
+          sum(when(r.violation, 1L).otherwise(0L)).as(s"__v_$i")
+        }
+        val pairs = rowRules.zipWithIndex.map { case (r, i) =>
+          struct(lit(r.name).as("rule"), col(s"__v_$i").as("n_violations"))
+        }
+        Some(df.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(pairs: _*)).as("__kv"))
+          .select(col("__kv.rule"), col("__kv.n_violations")))
+      }
+    val uniqueReports = uniqueRules.map { r =>
+      val c = r.uniqueOn.get
+      df.agg((count(col(c)) - count_distinct(col(c))).as("n_violations"))
+        .select(lit(r.name).as("rule"), col("n_violations"))
+    }
+    (rowReport.toSeq ++ uniqueReports)
+      .reduce(_ unionByName _)
+      .withColumn("passed", col("n_violations") === 0L)
+  }
+
   /** Count of invalid rows per distinct offending value — the
     * reference's invalid-code report (README.md:129-132). */
   def invalidCodeReport(df: DataFrame, column: String, pattern: String): DataFrame =

@@ -75,6 +75,32 @@ class QualitySpec extends SparkSpec {
     assert(!Quality.tagOutliers(df, "g", $"v").columns.exists(_.startsWith("__")))
   }
 
+  test("expect: one-scan suite counts planted violations, NULLs violate, unique counts dupes") {
+    import graft.operators.Quality.Expectation
+    val df = Seq(
+      (Option(1L), Option(5.0), "A"),
+      (Option(2L), Option(500.0), "A"),   // between violation
+      (Option(2L), None, "B"),            // null value violates between; dup id
+      (None, Option(7.0), "Z"))           // null id; Z not in set
+      .toDF("id", "v", "flag")
+    val got = Quality.expect(df, Seq(
+        Expectation.notNull("id"),
+        Expectation.between("v", 0, 100),
+        Expectation.inSet("flag", Seq("A", "B")),
+        Expectation.unique("id")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got("id is not null") == ((1L, false)))
+    assert(got("v between 0 and 100") == ((2L, false)), got)
+    assert(got("flag in {A,B}") == ((1L, false)))
+    // count - count_distinct over NON-NULL ids: 3 - 2 = 1
+    assert(got("id is unique") == ((1L, false)))
+    // an all-green suite reports passed = true
+    val clean = Quality.expect(df.filter($"id" === 1L),
+      Seq(Expectation.notNull("id"), Expectation.unique("id")))
+      .collect().map(r => r.getBoolean(2))
+    assert(clean.forall(identity))
+  }
+
   test("tagOutliers and imputeWithGroupMedian preserve rows whose group key is NULL") {
     val df = Seq((Option("a"), Option(1.0)), (Option("a"), Option(100.0)),
       (None: Option[String], Option(7.0)), (None: Option[String], None: Option[Double]))
