@@ -159,6 +159,7 @@ object SparkEntry {
   val benchQueries: Seq[String] = Seq(
     "q1_agg", "q3_shipping", "q4_priority", "q5_region_revenue",
     "q10_returns", "q14_promo_revenue", "sql_q6_discount",
+    "join_bloom_prefilter",
     "agg_distinct", "agg_minmax", "agg_rollup", "agg_cube", "agg_approx_distinct",
     "agg_collect_list", "agg_pivot", "agg_unpivot", "agg_grouping_sets",
     "date_funcs", "null_handling", "str_levenshtein", "sketch_bloom",
@@ -2815,6 +2816,25 @@ object SparkEntry {
     }),
 
     // ---- SQL text surface (spark.sql over registered views) ----
+    "join_bloom_prefilter" -> ((s, dir) => {
+      import s.implicits._
+      // Runtime-filter join: the urgent-orders dim's keys become ONE
+      // Bloom sketch probed at the fact scan, so non-matching fact
+      // rows die before the join's exchange — the oracle is the PLAIN
+      // join (the prefilter must be result-invisible; the exact join
+      // clears false positives).
+      val dim = Tables.orders(s, dir)
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey", $"o_orderpriority")
+      graft.operators.Scale.bloomPrefilteredJoin(
+          Tables.lineitem(s, dir).select($"l_orderkey", $"l_quantity"),
+          dim, "l_orderkey", "o_orderkey", expectedDimKeys = 100000L)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum($"l_quantity".cast("int")).cast("bigint").as("sum_qty"))
+        .orderBy($"o_orderpriority")
+    }),
+
     "q14_promo_revenue" -> ((s, dir) => {
       import s.implicits._
       // TPC-H Q14 shape: promo revenue share over one shipdate month.
@@ -4752,6 +4772,15 @@ object SparkEntry {
         |  count(*) AS n
         |FROM lineitem
         |WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07""".stripMargin,
+
+    // the plain join IS the oracle: the bloom prefilter must be
+    // result-invisible
+    "join_bloom_prefilter" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q14_promo_revenue" ->
       """WITH j AS (

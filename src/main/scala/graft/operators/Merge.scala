@@ -32,10 +32,18 @@ object Merge {
     * is untouched) and fails loudly on a duplicate key instead of
     * silently emitting duplicate rows. Off by default so the pure-plan
     * path stays lazy; turn it on in pipelines whose changelog source
-    * can't guarantee key-uniqueness upstream. */
+    * can't guarantee key-uniqueness upstream.
+    *
+    * `allowSchemaEvolution = true` merges mismatched schemas by name:
+    * columns the changeset adds appear NULL on untouched base rows,
+    * columns it drops appear NULL on its own rows (the additive
+    * evolution every long-lived CDC pipeline eventually hits). Off by
+    * default — a silent schema drift in a supposedly-stable feed
+    * should fail loudly, not widen the table. */
   def upsert(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
       deleteCol: Option[String] = None,
-      assertUniqueKeys: Boolean = false): DataFrame = {
+      assertUniqueKeys: Boolean = false,
+      allowSchemaEvolution: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     if (assertUniqueKeys) {
       val dup = changes.groupBy(keyCols.map(col): _*)
@@ -47,7 +55,7 @@ object Merge {
     val keep = deleteCol.map(d => changes.filter(!col(d)).drop(d))
       .getOrElse(changes)
     base.join(changes.select(keyCols.map(col): _*), keyCols, "left_anti")
-      .unionByName(keep)
+      .unionByName(keep, allowMissingColumns = allowSchemaEvolution)
   }
 
   /** Collapse a multi-version changelog to the latest row per key
@@ -79,7 +87,8 @@ object Merge {
     */
   def applyChangeBatch(targetBase: String, batchId: Long, changes: DataFrame,
       keyCols: Seq[String], versionCol: String,
-      deleteCol: Option[String] = None): Unit = {
+      deleteCol: Option[String] = None,
+      allowSchemaEvolution: Boolean = false): Unit = {
     val spark = changes.sparkSession
     val prior = latestSnapshotVersion(spark, targetBase, below = batchId)
     val net = latestByKey(changes, keyCols, versionCol).drop(versionCol)
@@ -89,7 +98,8 @@ object Merge {
         val cols = deleteCol.map(d => net.drop(d)).getOrElse(net).schema
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cols)
     }
-    upsert(base, net, keyCols, deleteCol)
+    upsert(base, net, keyCols, deleteCol,
+        allowSchemaEvolution = allowSchemaEvolution)
       .write.mode("overwrite").parquet(s"$targetBase/v=$batchId")
   }
 

@@ -29,6 +29,38 @@ object Scale {
     p.join(b, Seq(keyCol, "__salt")).drop("__salt")
   }
 
+  /** Bloom-prefiltered join — the runtime-filter pattern as an
+    * explicit operator: aggregate the (selective) dim side's keys into
+    * ONE Bloom sketch (a 1-row aggregate, broadcast), drop the fact
+    * rows whose key cannot be in the dim BEFORE the join's exchange,
+    * then run the exact equi-join (which also clears the Bloom's
+    * false positives — the result is exactly the plain join's).
+    *
+    * At 100 TB this is the difference between shuffling the whole
+    * fact table and shuffling only the ~|dim-matching| slice: with a
+    * 1% -selective dim, ~99% of fact rows die at the scan side for
+    * the cost of one broadcast bitmap probe per row. Spark's own
+    * `spark.sql.optimizer.runtime.bloomFilter` applies the same trick
+    * only when its heuristics fire; this form is deterministic and
+    * composable. `join_bloom_prefilter` pins result-equality to the
+    * plain join; ScaleSpec pins that the probe sits BELOW the join.
+    *
+    * EAGER: building the sketch runs one aggregation job over the dim
+    * side at call time (the 1-row sketch must be a literal —
+    * `might_contain` requires a constant bloom, the same contract
+    * [[graft.llm.Decontaminate.flagBloom]] documents). The dim side
+    * of a prefilter is selective by construction; if it isn't, use a
+    * plain join. */
+  def bloomPrefilteredJoin(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String,
+      expectedDimKeys: Long = 1000000L): DataFrame = {
+    val sketch = dim.agg(graft.functions.bloom_filter_agg(
+        col(dimKey), expectedDimKeys, expectedDimKeys * 8).as("__bf"))
+      .head().getAs[Array[Byte]](0)
+    fact.filter(graft.functions.might_contain(lit(sketch), col(factKey)))
+      .join(dim, col(factKey) === col(dimKey))
+  }
+
   /** Write a table bucketed by `keyCol` into the session catalog:
     * joins/aggregations on `keyCol` between tables bucketed the same
     * way need no shuffle (the scan reports the hash partitioning). At

@@ -97,6 +97,23 @@ class MergeSpec extends SparkSpec {
     assert(got == Map(1L -> "x2"))
   }
 
+  test("upsert: schema evolution widens by name behind the flag, fails loudly without") {
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val changes = Seq((2L, "b2", 9.5), (3L, "c", 1.0)).toDF("id", "v", "score")
+    // default: drift fails loudly
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Merge.upsert(base, changes, Seq("id")).collect()
+    }
+    val evolved = Merge.upsert(base, changes, Seq("id"),
+      allowSchemaEvolution = true)
+    assert(evolved.columns.toSeq == Seq("id", "v", "score"))
+    val rows = evolved.collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(rows == Map(1L -> ("a", None), 2L -> ("b2", Some(9.5)),
+      3L -> ("c", Some(1.0))), rows.toString)
+  }
+
   test("upsert: assertUniqueKeys fails loudly on a duplicate-key changeset") {
     val base = Seq((1L, "a")).toDF("id", "v")
     val dup = Seq((2L, "b"), (2L, "b2")).toDF("id", "v")

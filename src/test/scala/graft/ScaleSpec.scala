@@ -135,6 +135,32 @@ class ScaleSpec extends SparkSpec {
     assert(got == Set((1L, 0L, 0L, 0L, 100L), (4L, 0L, 0L, 100L, 50L)))
   }
 
+  test("bloomPrefilteredJoin: result equals the plain join, probe sits below the join") {
+    // Range source, not a local Seq: ConvertToLocalRelation would fold
+    // the probe filter into the LocalTableScan at optimization time
+    // and there would be nothing left to pin
+    val fact = spark.range(5000).selectExpr("id % 500 AS k", "id AS payload")
+    val dim = Seq((7L, "a"), (13L, "b"), (400L, "c")).toDF("dk", "tag")
+    val got = Scale.bloomPrefilteredJoin(fact, dim, "k", "dk",
+        expectedDimKeys = 100L)
+      .select($"k", $"payload", $"tag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val want = fact.join(dim, $"k" === $"dk")
+      .select($"k", $"payload", $"tag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == want, "prefilter must be result-invisible")
+    assert(want.size == 30) // 3 keys x 10 fact rows each
+    // plan shape: the might_contain filter runs on the fact side
+    // BELOW the join — that is the whole point of the prefilter
+    val p = Scale.bloomPrefilteredJoin(fact, dim, "k", "dk", 100L)
+      .queryExecution.executedPlan.toString
+    val probeIdx = p.indexOf("might_contain")
+    val joinIdx = p.indexOf("Join")
+    assert(probeIdx >= 0, p)
+    assert(joinIdx >= 0 && joinIdx < probeIdx,
+      s"probe must be under the join (join@$joinIdx probe@$probeIdx):\n$p")
+  }
+
   test("AQE splits a pathologically skewed join partition at runtime") {
     // one key carries ~97% of the probe side — the moderate-skew case
     // AQE's skew-join handles without explicit salting. Thresholds are
