@@ -183,7 +183,7 @@ object SparkEntry {
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "str_funcs", "parse_money",
     "evt_tumbling", "evt_sliding", "evt_sessionize", "evt_session_window",
-    "evt_stream_join", "evt_funnel", "evt_retention", "evt_transitions",
+    "evt_stream_join", "evt_enrich_static", "evt_funnel", "evt_retention", "evt_transitions",
     "ts_resample_ffill",
     "text_stats", "text_quality", "text_term_freq", "text_lang_dist",
     "text_langid", "text_token_counts", "text_quality_score", "text_entities",
@@ -2887,6 +2887,21 @@ object SparkEntry {
     }),
 
     // ---- streaming batch twins ----
+    "evt_enrich_static" -> ((s, dir) => {
+      import s.implicits._
+      // stream-static enrichment's batch twin: the same left join
+      // (runs identically under readStream — StreamingSpec drives the
+      // MemoryStream form); dim columns projected before the join so
+      // the broadcast ships only what the output needs
+      graft.streaming.EventStreams.enrichStatic(
+          Tables.events(s, dir),
+          Tables.customer(s, dir)
+            .select($"c_custkey", $"c_mktsegment", $"c_nationkey"),
+          "user_id", "c_custkey")
+        .select($"event_id", $"user_id", $"c_mktsegment", $"c_nationkey")
+        .orderBy($"event_id")
+    }),
+
     "evt_stream_join" -> ((s, dir) => {
       import s.implicits._
       // batch twin of EventStreams.purchaseAttribution (stream-stream
@@ -4692,6 +4707,11 @@ object SparkEntry {
         |    '[' || chr(8203) || '-' || chr(8205) || chr(65279) || ']',
         |    '', 'g')))) AS INT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "evt_enrich_static" ->
+      """SELECT event_id, user_id, c_mktsegment, c_nationkey
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |ORDER BY event_id""".stripMargin,
 
     "evt_stream_join" ->
       """SELECT p.event_id, p.user_id, date_trunc('second', p.ts) AS ts_s,

@@ -82,6 +82,21 @@ object EventStreams {
       .drop("s_user_id")
   }
 
+  /** Stream-static enrichment: join a watermarked event stream
+    * against a STATIC dimension table — the most common production
+    * streaming join (enrich clicks with user/account attributes). No
+    * state at all: the static side broadcasts (or re-scans per
+    * micro-batch past the threshold) and rows join map-side, so this
+    * scales with the stream's arrival rate, not with history. The
+    * static side is re-resolved per batch for file sources, which is
+    * what makes slowly-refreshed dim snapshots pick up automatically.
+    * Left join keeps unmatched events (an enrichment must not drop
+    * traffic); batch twin `evt_enrich_static` is oracle-checked. */
+  def enrichStatic(events: DataFrame, dim: DataFrame, eventKey: String,
+      dimKey: String, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .join(dim, col(eventKey) === col(dimKey), "left")
+
   /** Custom stateful sessionization with `flatMapGroupsWithState` —
     * the escape hatch when session semantics outgrow session_window
     * (e.g. cross-field session keys, value-dependent gaps).

@@ -180,6 +180,24 @@ class StreamingSpec extends SparkSpec {
     assert(got(1) == ((2, ts(100))), s"episode B: ${got(1)}")
   }
 
+  test("enrichStatic: stream-static left join enriches, keeps unmatched traffic") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("cust_id", "tier")
+    val mem = MemoryStream[Event]
+    val q = EventStreams.enrichStatic(mem.toDF(), dim, "user_id", "cust_id")
+      .select($"event_id", $"user_id", $"tier")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enrich").start()
+    mem.addData(Event(1, ts(1), 1, "view", 0), Event(2, ts(2), 2, "view", 0),
+      Event(3, ts(3), 7, "view", 0)) // user 7 has no dim row
+    q.processAllAvailable()
+    val got = spark.table("enrich").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    q.stop()
+    assert(got == Map(1L -> Some("GOLD"), 2L -> Some("SILVER"), 3L -> None),
+      s"got $got")
+  }
+
   test("purchaseAttribution stream-stream join matches the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val purchases = Seq(
