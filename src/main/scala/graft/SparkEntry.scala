@@ -221,7 +221,9 @@ object SparkEntry {
           Expectation.between("l_quantity", 1, 50),
           Expectation.inSet("l_returnflag", Seq("A", "N", "R")),
           Expectation.matches("l_linestatus", "(^[OF]$)"),
-          Expectation.unique("l_orderkey")))
+          Expectation.unique("l_orderkey"),
+          Expectation.foreignKey("l_orderkey", "orders",
+            Tables.orders(s, dir), "o_orderkey")))
         .orderBy($"rule")
     }),
 
@@ -3150,7 +3152,12 @@ object SparkEntry {
         |      AS BIGINT) FROM lineitem
         |  UNION ALL
         |  SELECT 'l_orderkey is unique',
-        |    CAST(count(*) - count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem)
+        |    CAST(count(*) - count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_orderkey references orders.o_orderkey',
+        |    CAST(count(*) AS BIGINT) FROM lineitem
+        |    WHERE l_orderkey IS NOT NULL
+        |      AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
         |SELECT rule, n_violations, n_violations = 0 AS passed
         |FROM r ORDER BY rule""".stripMargin,
 

@@ -32,9 +32,11 @@ object Quality {
     * is a Column predicate that is TRUE on each row BREAKING the rule
     * (null-safe: author it so NULL evaluates true/false explicitly —
     * a raw `col < 5` is NULL on null input and would undercount).
-    * `uniqueOn` marks a whole-column uniqueness rule instead. */
+    * `uniqueOn` marks a whole-column uniqueness rule; `refTable`
+    * marks a referential-integrity rule against another table. */
   final case class Expectation(name: String, violation: Column,
-      uniqueOn: Option[String] = None)
+      uniqueOn: Option[String] = None,
+      refTable: Option[(String, DataFrame, String)] = None)
 
   object Expectation {
     def notNull(c: String): Expectation =
@@ -50,6 +52,14 @@ object Quality {
         regexp_extract_or_null(col(c), pattern).isNull)
     def unique(c: String): Expectation =
       Expectation(s"$c is unique", lit(false), uniqueOn = Some(c))
+    /** Referential integrity: every non-null `c` must exist in
+      * `dim(dimKey)` — orphans are violations (NULL `c` is NOT a
+      * violation here; pair with [[notNull]] when the FK is
+      * mandatory). */
+    def foreignKey(c: String, dimName: String, dim: DataFrame,
+        dimKey: String): Expectation =
+      Expectation(s"$c references $dimName.$dimKey", lit(false),
+        refTable = Some((c, dim, dimKey)))
   }
 
   /** Great-Expectations-style suite run: every row-local rule is a
@@ -58,11 +68,16 @@ object Quality {
     * report rows come from a single explode of that 1-row aggregate,
     * not per-rule re-scans). [[Expectation.unique]] rules can't be
     * row-local; each adds a count-vs-distinct aggregate over its
-    * column — one shuffle of that column only. Nothing collects.
-    * Output: (rule, n_violations, passed) per rule. */
+    * column — one shuffle of that column only.
+    * [[Expectation.foreignKey]] rules each add one LEFT-ANTI join
+    * against their dim (broadcast while the dim's key column fits —
+    * the usual case — so the fact side still never shuffles).
+    * Nothing collects. Output: (rule, n_violations, passed) per
+    * rule. */
   def expect(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
     require(rules.nonEmpty, "expect needs at least one rule")
-    val (uniqueRules, rowRules) = rules.partition(_.uniqueOn.isDefined)
+    val (fkRules, rest) = rules.partition(_.refTable.isDefined)
+    val (uniqueRules, rowRules) = rest.partition(_.uniqueOn.isDefined)
     val rowReport: Option[DataFrame] =
       if (rowRules.isEmpty) None
       else {
@@ -81,7 +96,14 @@ object Quality {
       df.agg((count(col(c)) - count_distinct(col(c))).as("n_violations"))
         .select(lit(r.name).as("rule"), col("n_violations"))
     }
-    (rowReport.toSeq ++ uniqueReports)
+    val fkReports = fkRules.map { r =>
+      val (c, dim, dimKey) = r.refTable.get
+      df.filter(col(c).isNotNull)
+        .join(dim.select(col(dimKey).as(c)), Seq(c), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit(r.name).as("rule"), col("n_violations"))
+    }
+    (rowReport.toSeq ++ uniqueReports ++ fkReports)
       .reduce(_ unionByName _)
       .withColumn("passed", col("n_violations") === 0L)
   }

@@ -99,6 +99,13 @@ class QualitySpec extends SparkSpec {
       Seq(Expectation.notNull("id"), Expectation.unique("id")))
       .collect().map(r => r.getBoolean(2))
     assert(clean.forall(identity))
+    // foreign key: id 1 exists in the dim, 2 is an orphan (x2 rows),
+    // the NULL id is not an FK violation (that's notNull's job)
+    val dim = Seq(Tuple1(1L)).toDF("ref_id")
+    val fk = Quality.expect(df, Seq(
+        Expectation.foreignKey("id", "dim", dim, "ref_id")))
+      .collect().map(r => (r.getLong(1), r.getBoolean(2))).head
+    assert(fk == ((2L, false)), fk.toString)
   }
 
   test("tagOutliers and imputeWithGroupMedian preserve rows whose group key is NULL") {
