@@ -184,7 +184,7 @@ object SparkEntry {
     "date_monthly_orders", "json_event_stats", "str_funcs", "parse_money",
     "evt_tumbling", "evt_sliding", "evt_sessionize", "evt_session_window",
     "evt_stream_join", "evt_enrich_static", "evt_funnel", "evt_retention", "evt_transitions",
-    "ts_resample_ffill",
+    "ts_resample_ffill", "ts_interpolate",
     "text_stats", "text_quality", "text_term_freq", "text_lang_dist",
     "text_langid", "text_token_counts", "text_quality_score", "text_entities",
     "text_chunk", "text_redact", "text_repetition",
@@ -2928,6 +2928,29 @@ object SparkEntry {
         .orderBy($"user_id", $"session_start")
     }),
 
+    "ts_interpolate" -> ((s, dir) => {
+      import s.implicits._
+      // Linear gap interpolation over an hourly per-user series.
+      // Engine-exactness by construction: hourly buckets make the
+      // order axis unique per key (no tie ambiguity between engines),
+      // and the value is integer cents / 100.0 (sum of longs, one
+      // division) so both engines lerp over IDENTICAL doubles. Every
+      // 5th hour is nulled and must come back as the straight line
+      // between its non-null neighbors (flat at the boundaries).
+      val hourly = Tables.events(s, dir)
+        .filter($"event_type" === "view")
+        .groupBy($"user_id", date_trunc("hour", $"ts").as("h"))
+        .agg(sum(round($"value" * 100).cast("long")).as("cents"))
+        .withColumn("v",
+          when(pmod(expr("CAST(h AS LONG) div 3600"), lit(5)) === 0,
+            lit(null).cast("double"))
+          .otherwise($"cents".cast("double") / lit(100.0)))
+      graft.operators.TimeSeries.interpolateLinear(
+          hourly, "user_id", "h", "v")
+        .select($"user_id", $"h", $"v", $"v_interp")
+        .orderBy($"user_id", $"h")
+    }),
+
     "ts_resample_ffill" -> ((s, dir) => {
       import s.implicits._
       // Irregular events -> regular hourly series per event_type, gap
@@ -3584,6 +3607,43 @@ object SparkEntry {
 
     // Replays resample+ffill: same hourly buckets, generate_series
     // grid, left join, and an IGNORE NULLS carry-forward window
+    // identical two-window + row-local-lerp construction; DuckDB
+    // supports IGNORE NULLS on window functions
+    "ts_interpolate" ->
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'view'
+        |  GROUP BY user_id, date_trunc('hour', ts)),
+        |src AS (
+        |  SELECT user_id, h,
+        |    CASE WHEN (CAST(epoch(h) AS BIGINT) // 3600) % 5 = 0 THEN NULL
+        |         ELSE CAST(cents AS DOUBLE) / 100.0 END AS v,
+        |    CAST(epoch(h) AS BIGINT) AS pos
+        |  FROM hourly),
+        |w AS (
+        |  SELECT user_id, h, v, pos,
+        |    last_value(v IGNORE NULLS) OVER pw AS v_prev,
+        |    last_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+        |      OVER pw AS p_prev,
+        |    first_value(v IGNORE NULLS) OVER nw AS v_next,
+        |    first_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+        |      OVER nw AS p_next
+        |  FROM src
+        |  WINDOW pw AS (PARTITION BY user_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  nw AS (PARTITION BY user_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, h, v,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN v_prev IS NOT NULL AND v_next IS NOT NULL
+        |            AND p_next <> p_prev
+        |         THEN v_prev + (v_next - v_prev) *
+        |           (CAST(pos - p_prev AS DOUBLE) / CAST(p_next - p_prev AS DOUBLE))
+        |       WHEN v_prev IS NOT NULL THEN v_prev
+        |       ELSE v_next END AS v_interp
+        |FROM w ORDER BY user_id, h""".stripMargin,
+
     "ts_resample_ffill" ->
       """WITH e AS (
         |  SELECT event_type,

@@ -34,6 +34,43 @@ object TimeSeries {
     }
   }
 
+  /** Linear interpolation: replace NULLs in `valueCol` with the
+    * straight-line value between the key's PREVIOUS and NEXT non-null
+    * observations in `orderCol` order (the gap-filling a sensor /
+    * metrics series wants when carry-forward would bias downstream
+    * aggregates). Boundary semantics: a NULL before the first or
+    * after the last observation has only one neighbor — it takes that
+    * neighbor's value (flat extrapolation; stays NULL only if the key
+    * has no observations at all).
+    *
+    * Scale: two window passes over one `keyCol` shuffle (previous
+    * non-null value+position, next non-null value+position), then a
+    * row-local lerp — deterministic IEEE arithmetic, so the DuckDB
+    * oracle replays it bit-exactly (`ts_interpolate`). `orderCol`
+    * must be numeric or timestamp (cast to long internally for the
+    * position axis). */
+  def interpolateLinear(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String): DataFrame = {
+    val pos = col(orderCol).cast("timestamp").cast("long")
+    val wPrev = Window.partitionBy(col(keyCol)).orderBy(pos)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col(keyCol)).orderBy(pos)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val vPrev = last(col(valueCol), ignoreNulls = true).over(wPrev)
+    val pPrev = last(when(col(valueCol).isNotNull, pos),
+      ignoreNulls = true).over(wPrev)
+    val vNext = first(col(valueCol), ignoreNulls = true).over(wNext)
+    val pNext = first(when(col(valueCol).isNotNull, pos),
+      ignoreNulls = true).over(wNext)
+    val lerp = vPrev + (vNext - vPrev) *
+      ((pos - pPrev).cast("double") / (pNext - pPrev).cast("double"))
+    df.withColumn(s"${valueCol}_interp",
+      when(col(valueCol).isNotNull, col(valueCol).cast("double"))
+        .when(vPrev.isNotNull && vNext.isNotNull && pNext =!= pPrev, lerp)
+        .when(vPrev.isNotNull, vPrev.cast("double"))
+        .otherwise(vNext.cast("double")))
+  }
+
   /** Resample each key's series onto a fixed `stepSeconds` grid from
     * its first to its last observation: one row per (key, bucket),
     * `aggs` evaluated over the observations inside each bucket, gap

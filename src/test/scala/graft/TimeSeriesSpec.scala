@@ -50,6 +50,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(filled.toSeq == Seq(3.0, 3.0, 3.0, 10.0))
   }
 
+  test("interpolateLinear: interior gaps take the straight line, edges flat, all-null stays null") {
+    val df = Seq(
+      ("a", t(0), Option(10.0)), ("a", t(1), None), ("a", t(2), None),
+      ("a", t(3), Option(40.0)),                  // gap of 2 -> 20, 30
+      ("a", t(4), Option(0.0)),
+      ("b", t(0), None), ("b", t(1), Option(5.0)), ("b", t(2), None),
+      ("c", t(0), None))                          // no observations at all
+      .toDF("k", "ts", "v")
+    val got = TimeSeries.interpolateLinear(df, "k", "ts", "v")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(got == Set(
+      ("a", t(0), Some(10.0)), ("a", t(1), Some(20.0)),
+      ("a", t(2), Some(30.0)), ("a", t(3), Some(40.0)),
+      ("a", t(4), Some(0.0)),
+      ("b", t(0), Some(5.0)),  // leading edge: flat from the next obs
+      ("b", t(1), Some(5.0)), ("b", t(2), Some(5.0)), // trailing flat
+      ("c", t(0), None)), got.toString)
+  }
+
   test("a key spanning more than maxStepsPerKey buckets fails loudly") {
     val wide = Seq(("a", t(0), 1.0), ("a", t(5000), 2.0)).toDF("k", "ts", "v")
     val ex = intercept[Exception] {
