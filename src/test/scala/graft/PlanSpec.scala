@@ -322,6 +322,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("evt_enrich_static broadcasts the dimension — the stream side never shuffles") {
+    val p = plan("evt_enrich_static")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // no hash-partitioned exchange anywhere below the join: the only
+    // exchanges allowed are the broadcast itself and the output sort
+    val hashEx = p.split("\\n\\n").count(b =>
+      b.linesIterator.exists(_.matches("\\(\\d+\\) Exchange.*")) &&
+        b.contains("Arguments: hashpartitioning"))
+    assert(hashEx == 0, s"stream side shuffled:\n$p")
+  }
+
+  test("dq_expectations: the whole row-rule suite costs ONE aggregation pass") {
+    val p = plan("dq_expectations")
+    // exchanges: one single-partition gather for the row-rule agg, one
+    // for the unique rule's agg, the FK anti-join's, and the output
+    // sort — growing the RULE LIST must not grow the exchange count
+    assert(countExchanges(p) <= 6, p)
+  }
+
   test("bpe encode is shuffle-free — tokenization adds zero exchanges") {
     val model = graft.llm.Bpe.BpeModel(Seq(("a", "b")),
       Set("a", "b", graft.llm.Bpe.EndOfWord))
