@@ -53,7 +53,12 @@ object Verify {
       i += 1
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        // No coalesce(1): without a shuffle, coalesce pulls the ENTIRE
+        // upstream plan into one task, serializing every query through
+        // a single thread. The driver's DuckDB mirror reads the whole
+        // directory (`/*.parquet` glob), so multi-file output is fine —
+        // and the plan runs at full local[32] parallelism.
+        fn(spark, sfDir).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         val secs = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[verify] ($i%d/$n%d) $name%s ok $secs%.1fs")

@@ -26,12 +26,50 @@ import org.apache.spark.sql.functions._
   * Determinism: pair counting breaks ties (count, then lexicographic
   * pair), so the same corpus always learns the same merge table.
   * Words are whitespace tokens of the lowercased text; each word ends
-  * with the terminal symbol `</w>` so token sequences are
+  * with the terminal symbol [[EndOfWord]] so token sequences are
   * word-reversible (round-trip gated in `bpe_gate`).
+  *
+  * Marker forgery-proofing: the terminal symbol is the single char
+  * U+0000, and input text is escaped so NUL (and the escape char
+  * U+0001) NEVER appear in symbol content — NUL becomes SOH+'0',
+  * SOH becomes SOH+SOH — a prefix code undone by [[unescape]]. A merged
+  * token therefore contains NUL iff it absorbed the terminal marker
+  * (always as suffix), so substring tests (`endsWith`, `replace`) in
+  * the round-trip gate are exact on ARBITRARY corpus text — an
+  * earlier `</w>` marker could be reassembled from a document that
+  * literally contained "</w>".
   */
 object Bpe {
 
-  final val EndOfWord = "</w>"
+  /** Terminal (end-of-word) symbol. Unforgeable: [[wordSymbols]]
+    * escapes NUL out of input, so no concatenation of input symbols
+    * can ever equal it. */
+  final val EndOfWord = "\u0000"
+
+  /** Escape lead-in char; also escaped out of input. */
+  private final val Esc = '\u0001'
+
+  /** Per-code-point escape of one input char (see object doc). */
+  private def escapedSymbol(cp: Int): String = cp match {
+    case 0 => "\u00010"     // NUL -> SOH '0'
+    case 1 => "\u0001\u0001" // SOH -> SOH SOH
+    case _ => new String(Character.toChars(cp))
+  }
+
+  /** Invert the escape: SOH + c decodes to (c == '0' ? NUL : c).
+    * Left-to-right unit parse — a plain String.replace would match
+    * across unit boundaries (e.g. raw SOH followed by raw '0'). */
+  private[graft] def unescape(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == Esc && i + 1 < s.length) {
+        b.append(if (s.charAt(i + 1) == '0') '\u0000' else s.charAt(i + 1))
+        i += 2
+      } else { b.append(s.charAt(i)); i += 1 }
+    }
+    b.toString
+  }
 
   /** A trained tokenizer: ordered merge table (rank = position) plus
     * the vocabulary it induces (base characters + one entry per
@@ -45,8 +83,20 @@ object Bpe {
     def vocabSize: Int = vocab.size
   }
 
-  private[graft] def wordSymbols(w: String): Vector[String] =
-    w.map(_.toString).toVector :+ EndOfWord
+  /** Symbolize one word: one symbol per CODE POINT (astral chars stay
+    * whole, so every symbol is UTF-8-encodable for the byte-fallback
+    * id path), escaped per [[escapedSymbol]], terminal marker last. */
+  private[graft] def wordSymbols(w: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += escapedSymbol(cp)
+      i += Character.charCount(cp)
+    }
+    out += EndOfWord
+    out.result()
+  }
 
   /** Distributed word-frequency table: the one corpus pass of
     * training. Lowercased whitespace words, capped to the
@@ -72,7 +122,7 @@ object Bpe {
       wordCounts(df, textCol, maxVocabWords)
         .collect().map(r => (r.getString(0), r.getLong(1)))
     val baseSymbols =
-      freq.iterator.flatMap(_._1.map(_.toString)).toSet + EndOfWord
+      freq.iterator.flatMap(p => wordSymbols(p._1)).toSet
 
     var words: Array[(Vector[String], Long)] =
       freq.map { case (w, n) => (wordSymbols(w), n) }
@@ -167,15 +217,23 @@ object Bpe {
   }
 
   /** Deterministic token-id assignment: vocabulary sorted
-    * lexicographically, ids = positions. Stable across runs on the
-    * same model; id 0.. vocabSize-1, OOV encodes as [[UnkId]]. */
+    * lexicographically, ids = positions 0..vocabSize-1. Ids
+    * vocabSize..vocabSize+255 are BYTE-FALLBACK tokens (UTF-8 byte b
+    * = id vocabSize+b): an OOV symbol encodes as its UTF-8 bytes, so
+    * NO text is unrepresentable and [[decodeIds]] is lossless —
+    * the GPT-2/SentencePiece byte-fallback contract. [[UnkId]] is
+    * retained for API compatibility but no longer emitted. */
   final val UnkId = -1
   def vocabIds(model: BpeModel): Map[String, Int] =
     model.vocab.toSeq.sorted.zipWithIndex.toMap
 
+  /** Id-space size including the 256 byte-fallback ids. */
+  def idSpaceSize(model: BpeModel): Int = model.vocabSize + 256
+
   /** [[encode]] to integer ids — what a training loader consumes.
-    * Same row-local shape; OOV tokens (characters outside the
-    * training alphabet) map to [[UnkId]]. */
+    * Same row-local shape; OOV tokens (symbols outside the training
+    * vocabulary) emit their UTF-8 bytes as byte-fallback ids (see
+    * [[vocabIds]]), never [[UnkId]]. */
   def encodeToIds(df: DataFrame, textCol: String, idCol: String,
       model: BpeModel): DataFrame = {
     val spark = df.sparkSession
@@ -185,17 +243,75 @@ object Bpe {
     df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions { rows =>
         val (ranks, ids) = (bcRanks.value, bcIds.value)
+        val nVocab = ids.size
         rows.map { case (id, text) =>
           val toks =
             if (text == null) Vector.empty[Int]
             else text.toLowerCase.split("\\s+").iterator
               .filter(_.nonEmpty)
               .flatMap(w => encodeWord(w, ranks))
-              .map(t => ids.getOrElse(t, UnkId)).toVector
+              .flatMap { t =>
+                ids.get(t) match {
+                  case Some(i) => Iterator.single(i)
+                  case None => t.getBytes(
+                      java.nio.charset.StandardCharsets.UTF_8)
+                    .iterator.map(b => nVocab + (b & 0xFF))
+                }
+              }.toVector
           (id, toks, toks.length)
         }
       }
       .toDF(idCol, "token_ids", "n_tokens")
+  }
+
+  /** Local inverse of [[encodeToIds]]: vocab ids resolve through the
+    * sorted vocabulary, byte-fallback runs UTF-8-decode, the symbol
+    * stream splits into words at the terminal markers, and each word
+    * unescapes. Output is the whitespace-normalized lowercased source
+    * (single spaces) — the exact round-trip `bpe_byte_fallback_gate`
+    * pins. */
+  def decodeIdSeq(ids: Seq[Int], model: BpeModel): String = {
+    val rev = vocabIds(model).map(_.swap)
+    decodeWith(ids, rev)
+  }
+
+  private def decodeWith(ids: Seq[Int], rev: Map[Int, String]): String = {
+    val nVocab = rev.size
+    val sb = new java.lang.StringBuilder
+    val bytes = new java.io.ByteArrayOutputStream
+    def flush(): Unit = if (bytes.size > 0) {
+      sb.append(new String(bytes.toByteArray,
+        java.nio.charset.StandardCharsets.UTF_8))
+      bytes.reset()
+    }
+    ids.foreach { i =>
+      if (i >= nVocab) bytes.write(i - nVocab)
+      else { flush(); sb.append(rev(i)) }
+    }
+    flush()
+    // escaped symbol stream -> words at the NUL markers -> unescape.
+    // (Byte-fallback content is in escaped space too, so it cannot
+    // contain a spurious NUL; -1 keeps the trailing empty segment,
+    // dropRight removes it so "" decodes to "".)
+    sb.toString.split(EndOfWord, -1).dropRight(1)
+      .map(unescape).mkString(" ")
+  }
+
+  /** Distributed [[decodeIdSeq]]: one row per document, reversing an
+    * `encodeToIds` output column. Row-local mapPartitions over the
+    * broadcast reverse vocabulary — zero shuffles, like encode. */
+  def decodeIds(df: DataFrame, idsCol: String, idCol: String,
+      model: BpeModel): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bcRev = spark.sparkContext.broadcast(vocabIds(model).map(_.swap))
+    df.select(col(idCol).cast("long"), col(idsCol).cast("array<int>"))
+      .as[(Long, Seq[Int])]
+      .mapPartitions { rows =>
+        val rev = bcRev.value
+        rows.map { case (id, ids) => (id, decodeWith(ids, rev)) }
+      }
+      .toDF(idCol, "decoded")
   }
 
   /** Tokenize a corpus with a trained model: row-local mapPartitions

@@ -81,8 +81,11 @@ object Quality {
     val rowReport: Option[DataFrame] =
       if (rowRules.isEmpty) None
       else {
+        // coalesce: sum() over an EMPTY table is NULL, not 0 — an empty
+        // input must report 0 violations / passed=true, not NULL/NULL.
         val aggs = rowRules.zipWithIndex.map { case (r, i) =>
-          sum(when(r.violation, 1L).otherwise(0L)).as(s"__v_$i")
+          coalesce(sum(when(r.violation, 1L).otherwise(0L)), lit(0L))
+            .as(s"__v_$i")
         }
         val pairs = rowRules.zipWithIndex.map { case (r, i) =>
           struct(lit(r.name).as("rule"), col(s"__v_$i").as("n_violations"))

@@ -45,19 +45,20 @@ object Scale {
     * composable. `join_bloom_prefilter` pins result-equality to the
     * plain join; ScaleSpec pins that the probe sits BELOW the join.
     *
-    * EAGER: building the sketch runs one aggregation job over the dim
-    * side at call time (the 1-row sketch must be a literal —
-    * `might_contain` requires a constant bloom, the same contract
-    * [[graft.llm.Decontaminate.flagBloom]] documents). The dim side
-    * of a prefilter is selective by construction; if it isn't, use a
-    * plain join. */
+    * LAZY: the sketch is a SCALAR SUBQUERY in the returned plan
+    * (`Dataset.scalar()`), not an eager collect — construction runs no
+    * job; the 1-row sketch aggregate executes as a subquery stage when
+    * the query runs, exactly how Spark's own injected runtime bloom
+    * filters are shaped (`BloomFilterMightContain` accepts a foldable
+    * OR a scalar-subquery bloom). The dim side of a prefilter is
+    * selective by construction; if it isn't, use a plain join. */
   def bloomPrefilteredJoin(fact: DataFrame, dim: DataFrame,
       factKey: String, dimKey: String,
       expectedDimKeys: Long = 1000000L): DataFrame = {
     val sketch = dim.agg(graft.functions.bloom_filter_agg(
         col(dimKey), expectedDimKeys, expectedDimKeys * 8).as("__bf"))
-      .head().getAs[Array[Byte]](0)
-    fact.filter(graft.functions.might_contain(lit(sketch), col(factKey)))
+      .scalar()
+    fact.filter(graft.functions.might_contain(sketch, col(factKey)))
       .join(dim, col(factKey) === col(dimKey))
   }
 

@@ -130,7 +130,10 @@ object Writers {
   def prunedRead(spark: SparkSession, dir: String, c: String,
       lo: Any, hi: Any): (DataFrame, Long, Long) = {
     import org.apache.spark.sql.functions._
-    val zm = spark.read.parquet(dir + "__zonemap").cache()
+    // No cache(): the zone map is one tiny metadata file scanned
+    // exactly twice below; caching it leaked a pinned table per call
+    // for the lifetime of the session.
+    val zm = spark.read.parquet(dir + "__zonemap")
     // staleness gate by FILESYSTEM listing (pure metadata — a table
     // scan here would defeat the point), compared on basenames
     // (part-file names carry a write-UUID, so they are unique)

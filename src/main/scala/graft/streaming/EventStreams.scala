@@ -91,10 +91,13 @@ object EventStreams {
     * static side is re-resolved per batch for file sources, which is
     * what makes slowly-refreshed dim snapshots pick up automatically.
     * Left join keeps unmatched events (an enrichment must not drop
-    * traffic); batch twin `evt_enrich_static` is oracle-checked. */
+    * traffic); batch twin `evt_enrich_static` is oracle-checked.
+    * `tsCol` names the event-time column the watermark rides on
+    * (default "ts", the [[Event]] schema). */
   def enrichStatic(events: DataFrame, dim: DataFrame, eventKey: String,
-      dimKey: String, watermark: String = "2 hours"): DataFrame =
-    events.withWatermark("ts", watermark)
+      dimKey: String, watermark: String = "2 hours",
+      tsCol: String = "ts"): DataFrame =
+    events.withWatermark(tsCol, watermark)
       .join(dim, col(eventKey) === col(dimKey), "left")
 
   /** Custom stateful sessionization with `flatMapGroupsWithState` —

@@ -86,10 +86,55 @@ class BpeSpec extends SparkSpec {
       assert(seq.forall(_ >= 0), "training corpus has no OOV")
       assert(seq.map(rev) == encToks(id), s"doc $id ids != tokens")
     }
-    // OOV chars map to UnkId
+    // OOV chars emit byte-fallback ids (vocabSize + UTF-8 byte), not
+    // UnkId, and decode losslessly
     val oov = Bpe.encodeToIds(Seq((9L, "☃")).toDF("doc_id", "text"),
       "text", "doc_id", model).select($"token_ids").head().getSeq[Int](0)
-    assert(oov.head == Bpe.UnkId)
+    assert(!oov.contains(Bpe.UnkId))
+    assert(oov.forall(i => i >= 0 && i < Bpe.idSpaceSize(model)))
+    // ☃ = 3 UTF-8 bytes, then the in-vocab terminal marker
+    assert(oov.count(_ >= model.vocabSize) == 3)
+    assert(Bpe.decodeIdSeq(oov, model) == "☃")
+  }
+
+  test("byte fallback round-trips marker/escape/astral chars losslessly") {
+    val model = Bpe.train(corpus, "text", nMerges = 30, minPairCount = 2)
+    // NUL (the terminal marker), SOH (the escape char), literal '</w>'
+    // (the forgeable old marker), and an astral code point — all must
+    // survive encode -> decode exactly (whitespace-normalized, lowercased)
+    val nasty = Seq(
+      (1L, "low\u0000mid\u0001end"),
+      (2L, "a</w>b \u0000\u0001 \u00010"),
+      (3L, "𝄞 clef 𝄞x"),
+      (4L, "newest widest plain"))
+    val df = nasty.toDF("doc_id", "text")
+    val ids = Bpe.encodeToIds(df, "text", "doc_id", model)
+    val dec = Bpe.decodeIds(ids, "token_ids", "doc_id", model)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    nasty.foreach { case (id, text) =>
+      val expect = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .mkString(" ")
+      assert(dec(id) == expect, s"doc $id: ${dec(id)} != $expect")
+    }
+    // zero UnkId anywhere
+    val allIds = ids.select($"token_ids").collect()
+      .flatMap(_.getSeq[Int](0))
+    assert(!allIds.contains(Bpe.UnkId))
+  }
+
+  test("unescape inverts the escape prefix code, unit-aligned") {
+    // raw SOH followed by raw '0' must NOT collapse into NUL
+    val tricky = Seq("\u0000", "\u0001", "\u00010", "\u0001\u0000",
+      "\u0000\u0001", "a\u0000b", "</w>", "plain", "")
+    tricky.foreach { raw =>
+      val escaped = raw.flatMap(c =>
+        if (c == '\u0000') "\u00010"
+        else if (c == '\u0001') "\u0001\u0001"
+        else c.toString)
+      assert(Bpe.unescape(escaped) == raw, s"raw=${raw.toList}")
+      // escaped text never contains the terminal marker
+      assert(!escaped.contains(Bpe.EndOfWord))
+    }
   }
 
   test("vocab: base alphabet + merge products, bounded by nMerges") {

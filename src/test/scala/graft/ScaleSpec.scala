@@ -161,6 +161,21 @@ class ScaleSpec extends SparkSpec {
       s"probe must be under the join (join@$joinIdx probe@$probeIdx):\n$p")
   }
 
+  test("bloomPrefilteredJoin construction runs no Spark job (lazy sketch)") {
+    // the sketch is a scalar subquery inside the plan, not an eager
+    // .head() at call time — building the query must launch nothing.
+    // Job submission is synchronous from the calling thread, so the
+    // statusTracker's job-id set is stable across a lazy construction.
+    val tracker = spark.sparkContext.statusTracker
+    val before = tracker.getJobIdsForGroup(null).toSet
+    val fact = spark.range(1000).selectExpr("id AS k", "id AS payload")
+    val dim = spark.range(10).selectExpr("id AS dk")
+    Scale.bloomPrefilteredJoin(fact, dim, "k", "dk", 100L)
+    val after = tracker.getJobIdsForGroup(null).toSet
+    assert(after == before,
+      s"plan construction launched job(s): ${(after -- before).mkString(",")}")
+  }
+
   test("AQE splits a pathologically skewed join partition at runtime") {
     // one key carries ~97% of the probe side — the moderate-skew case
     // AQE's skew-join handles without explicit salting. Thresholds are
