@@ -54,9 +54,16 @@ object Bench {
       // the log without re-running (the JSON line carries the median)
       System.err.println(
         f"[bench] $n%s samples: $a%.3f $b%.3f $c%.3f -> median ${median3(a, b, c)}%.3f")
-      n -> median3(a, b, c)
+      (n, median3(a, b, c), math.min(a, math.min(b, c)))
     }
     val total = results.map(_._2).sum
+    // sum of per-query MINIMUMS: under machine contention the median
+    // absorbs one bad sample but not two, so a loaded box can inflate
+    // "value" several-fold (rounds 7-8 burned ~100 s of graded total
+    // on load). min-vs-median separates contention from regression in
+    // the artifact itself: a real slowdown moves BOTH, contention
+    // moves only the median.
+    val totalMin = results.map(_._3).sum
 
     // The driver keeps only the last ~2000 characters of output and
     // parses the JSON line out of that window. Round 7's per-query map
@@ -66,7 +73,7 @@ object Bench {
     // stdout line is a short total-only JSON that cannot overflow.
     def fmt(v: Double, dp: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
-    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
+    val fullQs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
     // The graded line keeps the "queries" key but bounds it: the
     // slowest queries first, cut off before the line can approach the
@@ -75,7 +82,7 @@ object Bench {
     val topEntries = {
       val b = new StringBuilder
       val it = results.sortBy(-_._2).iterator
-        .map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
+        .map { case (k, v, _) => "\"" + k + "\":" + fmt(v, 2) }
       var full = false
       while (it.hasNext && !full) {
         val e = it.next()
@@ -92,6 +99,6 @@ object Bench {
     spark.stop()
     System.err.println(s"[bench] all queries: $fullQs")
     System.err.flush()
-    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":{$topEntries},"n":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"min":${fmt(totalMin, 3)},"unit":"sec","queries":{$topEntries},"n":${results.size},"sf":"$sfDir"}""")
   }
 }

@@ -93,7 +93,8 @@ object SparkEntry {
     * queries belong here too until a CORRECTNESS artifact records them. */
   private val neverGradedFirst: Seq[String] = Seq(
     // round-9 additions (no artifact yet)
-    "bpe_byte_fallback_gate",
+    "bpe_byte_fallback_gate", "evt_stream_join_outer", "bloommap_prune",
+    "mm_decode_video",
     // unseen by CORRECTNESS_r01..r08
     "agg_approx_distinct_gate", "agg_grouping_sets", "asof_signup_value",
     "bpe_tokenize", "corpus_overlap", "date_funcs", "decontaminate",
@@ -219,7 +220,8 @@ object SparkEntry {
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "str_funcs", "parse_money",
     "evt_tumbling", "evt_sliding", "evt_sessionize", "evt_session_window",
-    "evt_stream_join", "evt_enrich_static", "evt_funnel", "evt_retention", "evt_transitions",
+    "evt_stream_join", "evt_stream_join_outer", "evt_enrich_static",
+    "evt_funnel", "evt_retention", "evt_transitions",
     "ts_resample_ffill", "ts_interpolate",
     "text_stats", "text_quality", "text_term_freq", "text_lang_dist",
     "text_langid", "text_token_counts", "text_quality_score", "text_entities",
@@ -232,7 +234,7 @@ object SparkEntry {
     "sketch_freq_items",
     "sim_topk_brute", "sim_topk_ivf",
     "mm_content_hash", "mm_decode", "mm_decode_real", "mm_decode_audio",
-    "mm_frame_sample", "mm_resize")
+    "mm_decode_video", "mm_frame_sample", "mm_resize")
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1312,6 +1314,41 @@ object SparkEntry {
         .select($"n_rows", $"cents",
           lit(kept < total).as("files_skipped"),
           lit(kept0 == 0L && empty.count() == 0L).as("empty_range_prunes_all"))
+    }),
+
+    "bloommap_prune" -> ((s, dir) => {
+      import s.implicits._
+      // Equality-predicate data skipping: round-robin layout makes
+      // every file's min/max span the whole key range (zone maps are
+      // USELESS here by construction) — the per-file bloom still
+      // skips, because a key's hash lands in few files. The pruned
+      // filtered aggregate must equal the full-scan answer (oracle
+      // states it from the source table); the gates pin genuine
+      // skipping and that a never-present key prunes to zero files.
+      // SIDE-EFFECTING (writes layout + bloom map at construction).
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_bloommap_${math.abs(dir.hashCode)}"
+      val li = Tables.lineitem(s, dir)
+        .select($"l_orderkey".cast("long").as("ok"), $"l_extendedprice")
+      li.repartition(16).write.mode("overwrite").parquet(out)
+      Writers.writeBloomMap(s, out, "ok",
+        expectedItemsPerFile = 1000000L)
+      // probe keys: one present (the min orderkey — exists at every
+      // sf), one impossible (negative). Gates are stated so a bloom
+      // FALSE POSITIVE (possible by design) can never flip them:
+      // `kept < total` needs only ONE true negative among 16 files,
+      // and the missing-key read is checked by its FILTERED count
+      // (a FP file contains no matching rows), not by kept0 == 0.
+      val (pruned, kept, total) = Writers.prunedReadEquals(s, out, "ok", 1L)
+      val (miss, kept0, _) = Writers.prunedReadEquals(s, out, "ok", -42L)
+      pruned.filter($"ok" === 1L)
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          sum(round($"l_extendedprice" * 100).cast("long")).cast("bigint")
+            .as("cents"))
+        .select($"n_rows", $"cents",
+          lit(kept < total).as("files_skipped"),
+          lit(kept0 < total &&
+            miss.filter($"ok" === -42L).count() == 0L)
+            .as("missing_key_reads_nothing"))
     }),
 
     "compact_small_files" -> ((s, dir) => {
@@ -2523,6 +2560,21 @@ object SparkEntry {
         .orderBy($"media_id")
     }),
 
+    "mm_decode_video" -> ((s, dir) => {
+      import s.implicits._
+      // the video third of the decode family: build REAL container
+      // bytes (RIFF/AVI for even ids, MP4 ftyp+moov for odd), then
+      // walk the chunk/box tree back out — dims + duration must match
+      // the writer's closed form, which only happens if the header
+      // bytes were genuinely laid out and parsed (no codec involved;
+      // container metadata is the pre-decode pass a curation pipeline
+      // actually runs at scale).
+      Multimodal.decodeVideoMeta(
+          Multimodal.syntheticVideo(Tables.documents(s, dir), "doc_id"))
+        .toDF()
+        .orderBy($"media_id")
+    }),
+
     "mm_decode_audio" -> ((s, dir) => {
       import s.implicits._
       // the audio twin of mm_decode_real: a genuine
@@ -2986,6 +3038,25 @@ object SparkEntry {
         .select($"event_id", $"user_id", $"ts", $"value")
       val signups = ev.filter($"event_type" === "signup")
       EventStreams.purchaseAttribution(purchases, signups)
+        .select($"event_id", $"user_id",
+          date_trunc("second", $"ts").as("ts_s"),
+          date_trunc("second", $"signup_ts").as("signup_ts_s"),
+          $"signup_value")
+        .orderBy($"event_id", $"signup_ts_s", $"signup_value")
+    }),
+
+    "evt_stream_join_outer" -> ((s, dir) => {
+      import s.implicits._
+      // LEFT-OUTER attribution twin: purchases with no signup in the
+      // trailing 7 days survive NULL-extended — the row the streaming
+      // form emits at state expiry (watermark passage). Same plan as
+      // evt_stream_join otherwise, so the inner rows hash-match it.
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", $"value")
+      val signups = ev.filter($"event_type" === "signup")
+      EventStreams.purchaseAttribution(purchases, signups,
+          joinType = "leftOuter")
         .select($"event_id", $"user_id",
           date_trunc("second", $"ts").as("ts_s"),
           date_trunc("second", $"signup_ts").as("signup_ts_s"),
@@ -4006,6 +4077,15 @@ object SparkEntry {
         |  true AS files_skipped, true AS empty_range_prunes_all
         |FROM lineitem WHERE CAST(l_partkey AS INT) BETWEEN 1 AND 100""".stripMargin,
 
+    // equality-skipping twin: full-scan answer for the probed key,
+    // skip/miss gates stated as closed-form booleans
+    "bloommap_prune" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  true AS files_skipped, true AS missing_key_reads_nothing
+        |FROM lineitem WHERE CAST(l_orderkey AS BIGINT) = 1""".stripMargin,
+
     "range_layout" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  true AS files_ge_8, true AS ranges_disjoint
@@ -4381,6 +4461,21 @@ object SparkEntry {
         |  3 AS channels,
         |  CAST(doc_id % 256 AS DOUBLE) AS mean_px
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // container-writer closed forms (see Multimodal.syntheticVideo):
+    // avi duration = µs/frame * frames / 1000, mp4 = units/timescale
+    "mm_decode_video" ->
+      """SELECT doc_id AS media_id, true AS decoded,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'avi' ELSE 'mp4' END AS container,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 160 + (doc_id % 8) * 16
+        |            ELSE 320 + (doc_id % 16) * 8 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 120 + (doc_id % 6) * 8
+        |            ELSE 240 + (doc_id % 9) * 16 END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |            THEN (20 + doc_id % 10) * (30 + doc_id % 90)
+        |            ELSE (5 + doc_id % 55) * 1000 END AS BIGINT)
+        |    AS duration_ms
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     // constant-amplitude PCM: every |sample| == amp, so the mean is
     // exact in any engine
@@ -4871,6 +4966,15 @@ object SparkEntry {
         |  date_trunc('second', s.ts) AS signup_ts_s, s.value AS signup_value
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND s.ts <= p.ts
+        | AND s.ts >= p.ts - INTERVAL 7 DAY
+        |ORDER BY p.event_id, signup_ts_s, signup_value""".stripMargin,
+
+    "evt_stream_join_outer" ->
+      """SELECT p.event_id, p.user_id, date_trunc('second', p.ts) AS ts_s,
+        |  date_trunc('second', s.ts) AS signup_ts_s, s.value AS signup_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |  ON p.user_id = s.user_id AND s.ts <= p.ts
         | AND s.ts >= p.ts - INTERVAL 7 DAY
         |ORDER BY p.event_id, signup_ts_s, signup_value""".stripMargin,

@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   * audio payloads are actually parsed — dimensions, band counts, and
   * pixel/sample statistics come from the decoded raster/PCM stream.
   * Payloads no JDK reader accepts fall back to fabricated metadata
-  * flagged `decoded = false`. Video has no JDK codec and keeps the
-  * documented stub path. The Spark-side shape is shared by all:
+  * flagged `decoded = false`. Video has no JDK codec, but
+  * [[decodeVideoMeta]] parses the CONTAINER genuinely (RIFF/AVI chunk
+  * walk, MP4 box walk — dims + duration from real header bytes); only
+  * frame-pixel decode keeps the documented stub. The Spark-side shape
+  * is shared by all:
   * binary columns flow through parquet scans/shuffles untouched,
   * per-row decode is a typed `mapPartitions` (one codec init per
   * partition, the pattern a real JNI/FFI decoder needs), and frame
@@ -223,6 +226,204 @@ object Multimodal {
           }
         }
       }
+  }
+
+  case class DecodedVideo(media_id: Long, decoded: Boolean,
+      container: String, width: Int, height: Int, duration_ms: Long)
+
+  /** Deterministic REAL video CONTAINERS (no codec needed): even ids
+    * become minimal RIFF/AVI files (LIST/hdrl/avih main header), odd
+    * ids minimal MP4s (ftyp + moov/mvhd + trak/tkhd) — genuine
+    * container bytes a header parser must walk, with closed-form
+    * metadata so a SQL oracle can grade [[decodeVideoMeta]]:
+    *  - AVI:  width = 160 + (id%8)*16, height = 120 + (id%6)*8,
+    *    µs/frame = (20 + id%10)*1000, frames = 30 + id%90,
+    *    duration_ms = (20 + id%10) * (30 + id%90)
+    *  - MP4:  width = 320 + (id%16)*8, height = 240 + (id%9)*16,
+    *    timescale 1000, duration_ms = (5 + id%55) * 1000
+    * The video twin of [[syntheticPng]]/[[syntheticWav]]. */
+  def syntheticVideo(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val payload =
+            if (id % 2 == 0)
+              aviBytes(width = 160 + (id % 8).toInt * 16,
+                height = 120 + (id % 6).toInt * 8,
+                microsPerFrame = (20 + (id % 10).toInt) * 1000,
+                totalFrames = 30 + (id % 90).toInt)
+            else
+              mp4Bytes(width = 320 + (id % 16).toInt * 8,
+                height = 240 + (id % 9).toInt * 16,
+                timescale = 1000, duration = (5 + (id % 55)) * 1000)
+          (id, payload)
+        }
+      }
+      .toDF("media_id", "payload")
+      .withColumn("modality", lit("video"))
+  }
+
+  /** Minimal RIFF/AVI: RIFF('AVI ' LIST('hdrl' avih(<56-byte main
+    * header>))). Little-endian throughout, per the RIFF spec. */
+  private[llm] def aviBytes(width: Int, height: Int, microsPerFrame: Int,
+      totalFrames: Int): Array[Byte] = {
+    val avih = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    avih.putInt(microsPerFrame) // dwMicroSecPerFrame
+    avih.putInt(0).putInt(0).putInt(0) // maxBytesPerSec, padding, flags
+    avih.putInt(totalFrames) // dwTotalFrames
+    avih.putInt(0).putInt(1).putInt(0) // initialFrames, streams, bufSize
+    avih.putInt(width).putInt(height) // dwWidth, dwHeight
+    avih.putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
+    val hdrlPayload = 4 + 8 + 56 // 'hdrl' + avih header + avih body
+    val riffPayload = 4 + 8 + hdrlPayload // 'AVI ' + LIST header + LIST body
+    val b = java.nio.ByteBuffer.allocate(8 + riffPayload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(riffPayload)
+      .put("AVI ".getBytes("US-ASCII"))
+    b.put("LIST".getBytes("US-ASCII")).putInt(hdrlPayload)
+      .put("hdrl".getBytes("US-ASCII"))
+    b.put("avih".getBytes("US-ASCII")).putInt(56).put(avih.array())
+    b.array()
+  }
+
+  /** Minimal MP4: ftyp(isom) + moov(mvhd(v0) + trak(tkhd(v0))).
+    * Big-endian box sizes/fields per ISO BMFF; tkhd width/height are
+    * 16.16 fixed point. */
+  private[llm] def mp4Bytes(width: Int, height: Int, timescale: Int,
+      duration: Long): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    val ftyp = box("ftyp", {
+      val b = java.nio.ByteBuffer.allocate(8)
+      b.put("isom".getBytes("US-ASCII")).putInt(0)
+      b.array()
+    })
+    val mvhd = box("mvhd", {
+      val b = java.nio.ByteBuffer.allocate(100)
+      b.putInt(0) // version 0 + flags
+      b.putInt(0).putInt(0) // creation, modification
+      b.putInt(timescale).putInt(duration.toInt)
+      b.putInt(0x00010000).putShort(0x0100.toShort) // rate 1.0, volume 1.0
+      // 10 reserved + 36 matrix + 24 predefined zeros, next_track_id
+      b.position(b.position() + 70)
+      b.putInt(2)
+      b.array()
+    })
+    val tkhd = box("tkhd", {
+      val b = java.nio.ByteBuffer.allocate(84)
+      b.putInt(7) // version 0, flags: enabled|in-movie|in-preview
+      b.putInt(0).putInt(0) // creation, modification
+      b.putInt(1).putInt(0) // track id, reserved
+      b.putInt(duration.toInt)
+      b.position(b.position() + 52) // reserved/layer/group/volume/matrix
+      b.putInt(width << 16).putInt(height << 16) // 16.16 fixed
+      b.array()
+    })
+    val moov = box("moov", mvhd ++ box("trak", tkhd))
+    ftyp ++ moov
+  }
+
+  /** REAL video CONTAINER metadata: walk the RIFF/AVI chunk tree or
+    * the MP4 box tree in pure JVM bytes — dimensions + duration come
+    * from the avih main header / mvhd+tkhd boxes, no codec required
+    * (the metadata pass a 100 TB curation pipeline runs BEFORE ever
+    * shelling out to a decoder; frame-pixel decode itself stays
+    * environment-stubbed, documented at [[decodeImageStub]]).
+    * Unknown containers degrade to `decoded = false` with the stub's
+    * fabricated dimensions — same fallback posture as the image/audio
+    * decoders. */
+  def decodeVideoMeta(media: DataFrame): Dataset[DecodedVideo] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, p) =>
+          parseAvi(id, p).orElse(parseMp4(id, p)).getOrElse {
+            val n = p.length
+            DecodedVideo(id, decoded = false, container = "unknown",
+              width = 64 + (if (n == 0) 0 else (p(0) & 0xff) % 192),
+              height = 64 + (if (n < 2) 0 else (p(1) & 0xff) % 192),
+              duration_ms = 0L)
+          }
+        }
+      }
+  }
+
+  /** Walk RIFF → LIST('hdrl') → avih; LE fields. Tolerates unknown
+    * sibling chunks (real AVIs carry strl/movi/idx1 lists). */
+  private def parseAvi(id: Long, p: Array[Byte]): Option[DecodedVideo] = {
+    def fourCC(off: Int) = new String(p, off, 4, "US-ASCII")
+    def le32(off: Int): Int =
+      (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) |
+        ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
+    if (p.length < 24 || fourCC(0) != "RIFF" || fourCC(8) != "AVI ")
+      return None
+    // walk top-level chunks; descend into LIST('hdrl') for avih
+    def findAvih(off: Int, end: Int): Option[Int] = {
+      var o = off
+      while (o + 8 <= end) {
+        val (cc, sz) = (fourCC(o), le32(o + 4))
+        if (cc == "avih" && o + 8 + 56 <= p.length) return Some(o + 8)
+        if (cc == "LIST" && o + 12 <= end && fourCC(o + 8) == "hdrl") {
+          val inner = findAvih(o + 12, math.min(o + 8 + sz, end))
+          if (inner.isDefined) return inner
+        }
+        o += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+      }
+      None
+    }
+    findAvih(12, p.length).map { a =>
+      val (msPerFrame, frames) = (le32(a) / 1000L, le32(a + 16).toLong)
+      DecodedVideo(id, decoded = true, container = "avi",
+        width = le32(a + 32), height = le32(a + 36),
+        duration_ms = msPerFrame * frames)
+    }
+  }
+
+  /** Walk MP4 boxes → moov → mvhd (timescale/duration) + trak/tkhd
+    * (16.16 width/height); BE fields, version-0 boxes. */
+  private def parseMp4(id: Long, p: Array[Byte]): Option[DecodedVideo] = {
+    def typ(off: Int) = new String(p, off + 4, 4, "US-ASCII")
+    def be32(off: Int): Int =
+      ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
+        ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
+    def boxes(off: Int, end: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        private var o = off
+        def hasNext: Boolean = o + 8 <= end && be32(o) >= 8
+        def next(): (String, Int, Int) = {
+          val (sz, t) = (be32(o), typ(o))
+          val r = (t, o + 8, math.min(o + sz, end))
+          o += sz
+          r
+        }
+      }
+    if (p.length < 12 || typ(0) != "ftyp") return None
+    val moov = boxes(0, p.length).find(_._1 == "moov").getOrElse(return None)
+    var timescale = 0L; var duration = 0L
+    var w = 0; var h = 0
+    boxes(moov._2, moov._3).foreach {
+      case ("mvhd", s, _) =>
+        timescale = be32(s + 12).toLong & 0xffffffffL
+        duration = be32(s + 16).toLong & 0xffffffffL
+      case ("trak", s, e) =>
+        boxes(s, e).foreach {
+          case ("tkhd", ts, _) =>
+            w = be32(ts + 76) >>> 16 // 16.16 fixed point
+            h = be32(ts + 80) >>> 16
+          case _ => ()
+        }
+      case _ => ()
+    }
+    if (timescale == 0) None
+    else Some(DecodedVideo(id, decoded = true, container = "mp4",
+      width = w, height = h, duration_ms = duration * 1000L / timescale))
   }
 
   /** Resize STUB: normalize every payload to exactly `targetBytes` —

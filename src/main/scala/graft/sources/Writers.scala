@@ -154,4 +154,67 @@ object Writers {
       else spark.read.parquet(keep: _*)
     (df, keep.length.toLong, mapped.size.toLong)
   }
+
+  /** Per-file BLOOM side-file — the equality-predicate half of data
+    * skipping (the zone map covers ranges; a high-cardinality key
+    * whose values interleave across files has useless min/max but a
+    * sharp bloom). Delta and Iceberg both ship exactly this pair.
+    * One row per file: a serialized Bloom sketch over `xxhash64(c)`
+    * (hashing first makes the sketch type-agnostic — strings, longs,
+    * dates all probe the same way, the trick Spark's own injected
+    * runtime bloom filters use). One scan of the single projected
+    * column builds it. REBUILD after any write to the dir —
+    * [[prunedReadEquals]] fails loudly on drift, like [[prunedRead]].
+    *
+    * Sizing: `bitsPerFile` defaults to 8 bits/item at 1M items/file
+    * (~1% fpp, ~1 MB per file-entry) — at 100 TB the map is
+    * files × 1 MB of pure metadata while the skipped IO is the table. */
+  def writeBloomMap(spark: SparkSession, dir: String, c: String,
+      expectedItemsPerFile: Long = 1000000L): Long = {
+    import org.apache.spark.sql.functions._
+    val stats = spark.read.parquet(dir).select(col(c))
+      .groupBy(input_file_name().as("__file"))
+      .agg(graft.functions.bloom_filter_agg(xxhash64(col(c)),
+        expectedItemsPerFile, expectedItemsPerFile * 8L).as("__bloom"),
+        count(lit(1)).as("__n_rows"))
+    stats.coalesce(1).write.mode("overwrite").parquet(dir + "__bloommap")
+    spark.read.parquet(dir + "__bloommap").count()
+  }
+
+  /** Metadata-only pruned scan for `c = value`: keep the files whose
+    * bloom MIGHT contain the value's hash, read only those. Returns
+    * (pruned DataFrame, files kept, files total). False positives
+    * only cost IO (the caller's predicate still applies); a bloom
+    * miss is definitive, so skipping is exact. The per-file probe is
+    * the justified metadata-scale driver step — one deserialized
+    * sketch per file, same budget class as [[prunedRead]]'s keep-list
+    * collect. Fails loudly if the table's files drift from the map. */
+  def prunedReadEquals(spark: SparkSession, dir: String, c: String,
+      value: Any): (DataFrame, Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val bm = spark.read.parquet(dir + "__bloommap")
+    def base(f: String) = f.substring(f.lastIndexOf('/') + 1)
+    val entries = bm.select("__file", "__bloom").collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
+    val mapped = entries.map(e => base(e._1)).toSet
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val current = fs.listStatus(p).map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith(".")).toSet
+    require(mapped == current,
+      s"bloom map is stale for $dir (${mapped.size} mapped vs " +
+        s"${current.size} current files) — rebuild with writeBloomMap")
+    // hash the probe value with the ENGINE's xxhash64 (not a JVM
+    // reimplementation) so build and probe can never disagree
+    val h = spark.range(1).select(xxhash64(lit(value))).head().getLong(0)
+    val keep = entries.filter { case (_, bytes) =>
+      org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+        .mightContainLong(h)
+    }.map(_._1)
+    val df =
+      if (keep.isEmpty) spark.read.parquet(dir).limit(0)
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+    (df, keep.length.toLong, mapped.size.toLong)
+  }
 }

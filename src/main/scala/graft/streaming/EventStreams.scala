@@ -67,10 +67,19 @@ object EventStreams {
     * lets Structured Streaming EXPIRE buffered join state — an
     * unbounded-state stream join (equi-key only, no time bound) grows
     * forever on a 100 TB/day feed. Works identically as a batch join
-    * (the oracle-checked `evt_stream_join` twin). */
+    * (the oracle-checked `evt_stream_join` twin).
+    *
+    * `joinType = "leftOuter"` is the standard ATTRIBUTION semantics:
+    * purchases with no signup in the window still emit, NULL-extended,
+    * once the signup-side watermark passes the purchase's window (the
+    * state-expiry emission Structured Streaming defines for outer
+    * stream-stream joins — supported because both sides are
+    * watermarked AND the condition time-bounds the match). Batch twin
+    * `evt_stream_join_outer` is the plain left join. */
   def purchaseAttribution(purchases: DataFrame, signups: DataFrame,
       maxAgeSeconds: Long = 7L * 24 * 3600,
-      watermark: String = "2 hours"): DataFrame = {
+      watermark: String = "2 hours",
+      joinType: String = "inner"): DataFrame = {
     val p = purchases.withWatermark("ts", watermark)
     val s = signups
       .select(col("user_id").as("s_user_id"), col("ts").as("signup_ts"),
@@ -78,7 +87,8 @@ object EventStreams {
       .withWatermark("signup_ts", watermark)
     p.join(s, col("user_id") === col("s_user_id")
         && col("signup_ts") <= col("ts")
-        && col("signup_ts") >= col("ts") - expr(s"INTERVAL $maxAgeSeconds SECONDS"))
+        && col("signup_ts") >= col("ts") - expr(s"INTERVAL $maxAgeSeconds SECONDS"),
+        joinType)
       .drop("s_user_id")
   }
 

@@ -67,6 +67,33 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.forall(!_.decoded))
   }
 
+  test("decodeVideoMeta: AVI chunk walk + MP4 box walk recover writer closed forms") {
+    val docs = Tables.documents(spark, sf0001)
+    val decoded = Multimodal.decodeVideoMeta(
+        Multimodal.syntheticVideo(docs, "doc_id"))
+      .collect().sortBy(_.media_id)
+    assert(decoded.nonEmpty)
+    decoded.foreach { d =>
+      val id = d.media_id
+      assert(d.decoded, s"media $id must parse (real container bytes)")
+      if (id % 2 == 0) {
+        assert(d.container == "avi")
+        assert(d.width == 160 + (id % 8).toInt * 16)
+        assert(d.height == 120 + (id % 6).toInt * 8)
+        assert(d.duration_ms == (20 + id % 10) * (30 + id % 90))
+      } else {
+        assert(d.container == "mp4")
+        assert(d.width == 320 + (id % 16).toInt * 8)
+        assert(d.height == 240 + (id % 9).toInt * 16)
+        assert(d.duration_ms == (5 + id % 55) * 1000)
+      }
+    }
+    // text payloads are neither container → flagged fallback
+    val bad = Multimodal.decodeVideoMeta(media).collect()
+    assert(bad.forall(!_.decoded))
+    assert(bad.forall(_.container == "unknown"))
+  }
+
   test("frameSample stride=1 covers all payload bytes; stride=2 halves frames") {
     val all = Multimodal.frameSample(media, frameBytes = 64, stride = 1)
     val half = Multimodal.frameSample(media, frameBytes = 64, stride = 2)

@@ -127,6 +127,36 @@ class SourcesSpec extends SparkSpec {
     assert(t2 == 11 && p2.filter($"k" >= 50000).count() == 5)
   }
 
+  test("bloom map skips files on equality, survives FPs, stale maps fail loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm").toString + "/t"
+    // round-robin layout: every file's min/max spans the range, so a
+    // zone map could skip NOTHING — the bloom is the only skipper here
+    val df = spark.range(20000).selectExpr("id AS k", "id * 3 AS v")
+    df.repartition(10).write.parquet(dir)
+    val nFiles = Writers.writeBloomMap(spark, dir, "k",
+      expectedItemsPerFile = 100000L)
+    assert(nFiles == 10)
+    // present key: exact answer through the pruned read, files skipped
+    val (pruned, kept, total) = Writers.prunedReadEquals(spark, dir, "k", 777L)
+    assert(total == 10 && kept < total && kept >= 1)
+    val got = pruned.filter($"k" === 777L).select($"v").head().getLong(0)
+    assert(got == 2331L)
+    // absent key: the FILTERED read is empty regardless of bloom FPs
+    val (miss, keptMiss, _) = Writers.prunedReadEquals(spark, dir, "k", -1L)
+    assert(keptMiss < total && miss.filter($"k" === -1L).count() == 0)
+    // a write invalidates the map: fail loudly, not silently-stale
+    spark.range(5).selectExpr("id + 50000 AS k", "id AS v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Writers.prunedReadEquals(spark, dir, "k", 777L)
+    }
+    assert(e.getMessage.contains("stale"))
+    // rebuild heals it and the new file's keys probe true
+    Writers.writeBloomMap(spark, dir, "k", expectedItemsPerFile = 100000L)
+    val (p2, _, t2) = Writers.prunedReadEquals(spark, dir, "k", 50002L)
+    assert(t2 == 11 && p2.filter($"k" === 50002L).count() == 1)
+  }
+
   test("compactParquet recovers from a mid-swap crash instead of deleting the data") {
     import org.apache.hadoop.fs.Path
     val dir = java.nio.file.Files.createTempDirectory("graft_cmp2").toString + "/t"

@@ -233,6 +233,64 @@ class StreamingSpec extends SparkSpec {
     assert(batch == Set((10L, 0.0), (10L, 0.5), (11L, 0.7)))
   }
 
+  test("purchaseAttribution leftOuter emits unmatched purchases at watermark expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = Seq(
+      Event(10, ts(60), 1, "purchase", 9.99),
+      Event(12, ts(400), 3, "purchase", 1.00)) // user 3 never signed up
+    val signups = Seq(
+      Event(20, ts(0), 1, "signup", 0.0))
+    val memP = MemoryStream[Event]
+    val memS = MemoryStream[Event]
+    // short watermark so the test can push event time past expiry;
+    // ts() is in MINUTES, so the 2h window covers signup@0 → purchase@60
+    val joined = EventStreams.purchaseAttribution(
+      memP.toDF().select($"event_id", $"user_id", $"ts", $"value"),
+      memS.toDF(), maxAgeSeconds = 7200, watermark = "10 seconds",
+      joinType = "leftOuter")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_outer").start()
+    // signups first (their own micro-batch): adding both sides at once
+    // can let the purchase batch advance the watermark past ts(0) and
+    // drop the signup as late before it is ever seen
+    memS.addData(signups: _*)
+    q.processAllAvailable()
+    memP.addData(purchases: _*)
+    q.processAllAvailable()
+    // the unmatched purchase (user 3) may NOT emit yet: its window is
+    // still open until the signup-side watermark passes ts(400)
+    val early = spark.table("ssjoin_outer")
+      .filter($"signup_value".isNull).count()
+    assert(early == 0L, "NULL-extension must wait for state expiry")
+    // advance BOTH watermarks far past every open window, in two
+    // batches (the watermark update from batch N gates batch N+1's
+    // state eviction)
+    memS.addData(Event(98, ts(5000), 99, "signup", 0.0))
+    memP.addData(Event(99, ts(5000), 99, "purchase", 0.0))
+    q.processAllAvailable()
+    memS.addData(Event(96, ts(6000), 99, "signup", 0.0))
+    memP.addData(Event(97, ts(6000), 99, "purchase", 0.0))
+    q.processAllAvailable()
+    val rows = spark.table("ssjoin_outer")
+      .select($"event_id",
+        when($"signup_value".isNull, lit(-1.0)).otherwise($"signup_value")
+          .as("sv"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    q.stop()
+    // matched purchase joins; unmatched emits exactly once, NULL signup
+    assert(rows.contains((10L, 0.0)), s"matched row missing: $rows")
+    assert(rows.contains((12L, -1.0)),
+      s"unmatched purchase must NULL-extend at expiry: $rows")
+    // batch twin agrees on the same inputs (modulo the flush traffic)
+    val batch = EventStreams.purchaseAttribution(
+        purchases.toDF().select($"event_id", $"user_id", $"ts", $"value"),
+        signups.toDF(), maxAgeSeconds = 7200, joinType = "leftOuter")
+      .select($"event_id",
+        when($"signup_value".isNull, lit(-1.0)).otherwise($"signup_value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(batch == Set((10L, 0.0), (12L, -1.0)))
+  }
+
   test("checkpoint recovery: restart resumes exactly-once, no reprocessing") {
     // file source + checkpoint: run, stop, add data, restart with the
     // SAME checkpoint — the second run must process only the new file
