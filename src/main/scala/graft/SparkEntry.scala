@@ -94,7 +94,7 @@ object SparkEntry {
   private val neverGradedFirst: Seq[String] = Seq(
     // round-9 additions (no artifact yet)
     "bpe_byte_fallback_gate", "evt_stream_join_outer", "bloommap_prune",
-    "mm_decode_video",
+    "mm_decode_video", "asof_bucketed",
     // unseen by CORRECTNESS_r01..r08
     "agg_approx_distinct_gate", "agg_grouping_sets", "asof_signup_value",
     "bpe_tokenize", "corpus_overlap", "date_funcs", "decontaminate",
@@ -2622,6 +2622,25 @@ object SparkEntry {
         .orderBy($"event_id")
     }),
 
+    "asof_bucketed" -> ((s, dir) => {
+      import s.implicits._
+      // the skew escape hatch (time-sliced windows + boundary carry)
+      // run over the SAME shape as asof_signup_value with daily
+      // slices — the oracle is identical, pinning result-equality of
+      // the bucketed form end-to-end at the driver
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", $"value")
+      val signups = ev.filter($"event_type" === "signup")
+        .select($"user_id", $"ts".as("signup_ts"), $"value".as("signup_value"))
+      AsOf.joinAsOfBucketed(purchases, signups, "user_id", "ts",
+          "signup_ts", payload = Seq("signup_value"),
+          sliceSeconds = 24L * 3600)
+        .select($"event_id", $"user_id",
+          date_trunc("second", $"ts").as("ts_s"), $"signup_value")
+        .orderBy($"event_id")
+    }),
+
     "asof_next_purchase" -> ((s, dir) => {
       import s.implicits._
       // forward as-of: for each signup, the user's EARLIEST purchase
@@ -4980,6 +4999,16 @@ object SparkEntry {
         |ORDER BY p.event_id, signup_ts_s, signup_value""".stripMargin,
 
     "asof_signup_value" ->
+      """SELECT p.event_id, p.user_id, date_trunc('second', p.ts) AS ts_s,
+        |  s.value AS signup_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND s.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    // IDENTICAL oracle to asof_signup_value: the bucketed (skew
+    // escape hatch) form must be result-invisible
+    "asof_bucketed" ->
       """SELECT p.event_id, p.user_id, date_trunc('second', p.ts) AS ts_s,
         |  s.value AS signup_value
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p

@@ -84,4 +84,91 @@ object AsOf {
     }
     bounded.drop("__ts", "__side", "__rts")
   }
+
+  /** Skew escape hatch: [[joinAsOf]] with the time axis sliced into
+    * `sliceSeconds` buckets — the per-key window that serializes a
+    * hot key (one celebrity user = one task) becomes one window per
+    * (key, slice), so a key spanning S slices runs S parallel tasks.
+    *
+    * Boundary carry keeps it EXACT, not approximate: a left row's
+    * match can precede its slice, so each (key, slice) is seeded with
+    * a carry-in row — the key's latest right row before the slice
+    * start (earliest after the slice end, for forward). Carry-ins are
+    * computed on per-slice SUMMARIES (one extremal row per key-slice,
+    * slice-scale not row-scale) via a recursive [[joinAsOf]], then the
+    * main join runs [[joinAsOf]] verbatim on a composite (key, slice)
+    * struct key — same window logic, finer partitions. Result is
+    * pinned row-equal to the plain form by AsOfSpec properties.
+    *
+    * Cost: one extra slice-scale shuffle + window for the carry
+    * table. Use when a key's row count outgrows one task (the 100×
+    * posture note in SURVEY §2.4); the plain form is cheaper when
+    * keys are well distributed. */
+  def joinAsOfBucketed(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, payload: Seq[String],
+      sliceSeconds: Long, direction: String = "backward",
+      toleranceSeconds: Option[Long] = None): DataFrame = {
+    require(sliceSeconds > 0, s"sliceSeconds must be > 0 (got $sliceSeconds)")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward (got $direction)")
+    val back = direction == "backward"
+    val rtsType = right.schema(rightTs).dataType
+    def sliceOf(ts: Column): Column =
+      floor(ts.cast("long") / sliceSeconds).cast("long")
+
+    // per-(key, slice) extremal right row: the only candidate an
+    // out-of-slice left probe can match (latest for backward carry-in,
+    // earliest for forward carry-out)
+    val rCols = (keyCol +: rightTs +: payload).map(col)
+    val extremal = {
+      val pick = struct(col(rightTs).cast("long") +: rCols: _*)
+      if (back) max(pick) else min(pick)
+    }
+    val summaries = right.select(rCols: _*)
+      .groupBy(col(keyCol), sliceOf(col(rightTs)).as("__slice"))
+      .agg(extremal.as("__x"))
+      .select(Seq(col(keyCol), col("__slice"),
+        col(s"__x.$rightTs").as(rightTs)) ++
+          payload.map(p => col(s"__x.$p").as(p)): _*)
+
+    // every (key, slice) the LEFT probes, with a probe ts just outside
+    // the slice: backward = slice start minus 1 MICROSECOND (timestamp
+    // precision — a 1-second step would miss sub-second rights near
+    // the boundary), forward = exactly the slice end (rows there
+    // belong to the next slice by floor). timestamp_micros keeps both
+    // exact; the cast folds to integer seconds for long ts columns.
+    val probeTs =
+      if (back) timestamp_micros(col("__slice") * sliceSeconds * 1000000L - 1)
+        .cast(rtsType)
+      else timestamp_micros((col("__slice") + 1) * sliceSeconds * 1000000L)
+        .cast(rtsType)
+    val probes = left
+      .select(col(keyCol), sliceOf(col(leftTs)).as("__slice")).distinct()
+      .withColumn("__probe_ts", probeTs)
+    // slice-scale as-of: each probe picks the key's nearest summary
+    // outside its slice; carry the matched row's ORIGINAL ts through
+    // the payload so tolerance still sees the true distance
+    val withOrig = summaries.withColumn("__orig_rts", col(rightTs))
+    val carry = joinAsOf(
+        probes.select(col(keyCol), col("__slice"), col("__probe_ts")),
+        withOrig.drop("__slice"), keyCol, "__probe_ts", rightTs,
+        payload :+ "__orig_rts", direction)
+      .filter(col("__orig_rts").isNotNull)
+      .select(Seq(col(keyCol), col("__slice"),
+        col("__orig_rts").as(rightTs)) ++ payload.map(col): _*)
+
+    // composite-key join: raw rows in their own slice + carry rows
+    // seeded into each probed slice, through joinAsOf VERBATIM
+    val kslice = struct(col(keyCol), col("__slice"))
+    val l2 = left.withColumn("__slice", sliceOf(col(leftTs)))
+      .withColumn("__kslice", kslice)
+    val r2 = right.select(rCols: _*)
+      .withColumn("__slice", sliceOf(col(rightTs)))
+      .unionByName(carry)
+      .withColumn("__kslice", kslice)
+      .drop("__slice")
+    joinAsOf(l2, r2, "__kslice", leftTs, rightTs, payload,
+        direction, toleranceSeconds)
+      .drop("__kslice", "__slice")
+  }
 }

@@ -62,6 +62,56 @@ class AsOfSpec extends SparkSpec {
     assert(got.size == 2)
   }
 
+  test("joinAsOfBucketed equals joinAsOf: property over directions, slices, tolerance") {
+    // deterministic pseudo-random data with a HOT key (0) and
+    // cross-slice gaps: unique (key, ts) pairs per side so both forms
+    // are tie-free and must agree row-for-row
+    def lcg(seed: Long): LazyList[Long] =
+      LazyList.iterate(seed)(s => (s * 6364136223846793005L + 1442695040888963407L))
+    val rnd = lcg(42L).map(x => math.abs(x % 100000L))
+    val left = (0 until 300).map { i =>
+      val key = if (i % 3 == 0) 0L else rnd(i) % 7
+      (i.toLong, key, t(rnd(i + 1000).toInt % 2000))
+    }.toDF("l_id", "key", "lts")
+    val right = (0 until 200).map { i =>
+      val key = if (i % 4 == 0) 0L else rnd(i + 5000) % 7
+      // i*13 + jitter<13 → globally unique minutes: both forms are
+      // tie-free and must agree exactly
+      (key, t(i * 13 + (rnd(i + 7000) % 7).toInt), s"tag$i")
+    }.toDF("key", "rts", "tag")
+    for {
+      dir <- Seq("backward", "forward")
+      sliceSecs <- Seq(600L, 3600L, 7L * 24 * 3600)
+      tol <- Seq(None, Some(1800L))
+    } {
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select($"l_id", $"key", $"lts", $"tag").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+          if (r.isNullAt(3)) null else r.getString(3))).toSet
+      val plain = canon(AsOf.joinAsOf(left, right, "key", "lts", "rts",
+        Seq("tag"), dir, tol))
+      val bucketed = canon(AsOf.joinAsOfBucketed(left, right, "key",
+        "lts", "rts", Seq("tag"), sliceSecs, dir, tol))
+      assert(bucketed == plain,
+        s"dir=$dir slice=$sliceSecs tol=$tol: " +
+          s"missing=${(plain -- bucketed).take(3)} " +
+          s"extra=${(bucketed -- plain).take(3)}")
+    }
+  }
+
+  test("joinAsOfBucketed: sub-second right rows at a slice boundary still carry") {
+    // right row 500ms BEFORE the slice start must be visible to a
+    // left probe in the next slice (the 1-microsecond probe contract)
+    val left = Seq((1L, 10L, new Timestamp(3600_000L + 1000L)))
+      .toDF("l_id", "key", "lts") // 1s into slice 1 (3600s slices)
+    val right = Seq((10L, new Timestamp(3600_000L - 500L), "edge"))
+      .toDF("key", "rts", "tag") // 500ms before slice 1 starts
+    val got = AsOf.joinAsOfBucketed(left, right, "key", "lts", "rts",
+        Seq("tag"), sliceSeconds = 3600L)
+      .select($"tag").head()
+    assert(got.getString(0) == "edge")
+  }
+
   test("asof_signup_value: every purchase keeps exactly one row; signup precedes purchase") {
     val out = SparkEntry.queries("asof_signup_value")(spark, sf0001).cache()
     val purchases = Tables.events(spark, sf0001).filter($"event_type" === "purchase")
