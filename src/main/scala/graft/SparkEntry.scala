@@ -95,6 +95,8 @@ object SparkEntry {
     // round-9 additions (no artifact yet)
     "bpe_byte_fallback_gate", "evt_stream_join_outer", "bloommap_prune",
     "mm_decode_video", "asof_bucketed",
+    "q7_volume_shipping", "q8_market_share", "q13_custdist",
+    "q19_disjunctive", "q21_late_suppliers", "q22_idle_balances",
     // unseen by CORRECTNESS_r01..r08
     "agg_approx_distinct_gate", "agg_grouping_sets", "asof_signup_value",
     "bpe_tokenize", "corpus_overlap", "date_funcs", "decontaminate",
@@ -195,7 +197,9 @@ object SparkEntry {
     * (e.g. dedup_clusters, not dedup_clusters_gate). */
   val benchQueries: Seq[String] = Seq(
     "q1_agg", "q3_shipping", "q4_priority", "q5_region_revenue",
-    "q10_returns", "q14_promo_revenue", "sql_q6_discount",
+    "q7_volume_shipping", "q8_market_share", "q10_returns",
+    "q13_custdist", "q14_promo_revenue", "q19_disjunctive",
+    "q21_late_suppliers", "q22_idle_balances", "sql_q6_discount",
     "join_bloom_prefilter",
     "agg_distinct", "agg_minmax", "agg_rollup", "agg_cube", "agg_approx_distinct",
     "agg_collect_list", "agg_pivot", "agg_unpivot", "agg_grouping_sets",
@@ -404,6 +408,171 @@ object SparkEntry {
         .groupBy($"r_name", $"n_name")
         .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
         .orderBy($"r_name", $"n_name")
+    }),
+
+    "q7_volume_shipping" -> ((s, dir) => {
+      import s.implicits._
+      // TPC-H Q7 shape: bilateral shipping volume between two nations
+      // by ship year. Both nation-resolved dims are PRE-FILTERED to
+      // the two nations BEFORE the broadcast joins, so ~(23/25) of the
+      // fact rows die at the (broadcast) join probe instead of in a
+      // post-join filter; only the same-nation residual evaluates
+      // after. Two aliased reads of `nation` play TPC-H's n1/n2.
+      val pair = Seq("NATION_1", "NATION_2")
+      val supp = Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir).filter($"n_name".isin(pair: _*)),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name".as("supp_nation"))
+      val cust = Tables.customer(s, dir)
+        .join(Tables.nation(s, dir).filter($"n_name".isin(pair: _*)),
+          $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey", $"n_name".as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .filter($"supp_nation" =!= $"cust_nation")
+        .groupBy($"supp_nation", $"cust_nation",
+          year($"l_shipdate").as("l_year"))
+        .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy($"supp_nation", $"cust_nation", $"l_year")
+    }),
+
+    "q8_market_share" -> ((s, dir) => {
+      import s.implicits._
+      // TPC-H Q8 shape: one nation's share of PROMO-part revenue to
+      // ASIA customers, per order year. Part filter prunes to the
+      // p_partkey column only (the probe needs nothing else); every
+      // dim broadcasts; the share is ONE IEEE division of two exact
+      // DECIMAL sums (the q14 convention — no round()).
+      val rev = ($"l_extendedprice" * (lit(1.0d) - $"l_discount"))
+        .cast("decimal(24,8)")
+      val promoParts = Tables.part(s, dir)
+        .filter($"p_type" === "PROMO").select($"p_partkey")
+      val suppNation = Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir), $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name".as("supp_nation"))
+      val asiaCust = Tables.customer(s, dir)
+        .join(Tables.nation(s, dir), $"c_nationkey" === $"n_nationkey")
+        .join(Tables.region(s, dir).filter($"r_name" === "ASIA"),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"c_custkey")
+      Tables.lineitem(s, dir)
+        .join(broadcast(promoParts), $"l_partkey" === $"p_partkey")
+        .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(asiaCust), $"o_custkey" === $"c_custkey")
+        .join(broadcast(suppNation), $"l_suppkey" === $"s_suppkey")
+        .groupBy(year($"o_orderdate").as("o_year"))
+        .agg(
+          sum(when($"supp_nation" === "NATION_3", rev)
+            .otherwise(lit(0).cast("decimal(24,8)"))).as("nat_dec"),
+          sum(rev).as("tot_dec"))
+        .select($"o_year",
+          ($"nat_dec".cast("double") / $"tot_dec".cast("double"))
+            .as("mkt_share"))
+        .orderBy($"o_year")
+    }),
+
+    "q13_custdist" -> ((s, dir) => {
+      import s.implicits._
+      // TPC-H Q13: distribution of per-customer order counts with the
+      // order predicate INSIDE the outer-join condition — customers
+      // whose orders all fail it still count, at zero. Two cascaded
+      // aggregations; the second one's input is |customer| rows of two
+      // ints, so its shuffle is trivial at any scale.
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir)
+            .filter($"o_orderpriority" =!= "1-URGENT")
+            .select($"o_custkey", $"o_orderkey"),
+          $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("c_count"))
+        .groupBy($"c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy($"custdist".desc, $"c_count".desc)
+    }),
+
+    "q19_disjunctive" -> ((s, dir) => {
+      import s.implicits._
+      // TPC-H Q19 shape: OR-of-ANDs spanning both join sides.
+      // Catalyst's CNF conversion extracts the per-side implied
+      // disjuncts (p_brand IN (...) AND p_size<=50 on part;
+      // l_quantity<=30 on lineitem) and pushes them into the scans,
+      // so both sides prune BEFORE the broadcast join and only the
+      // cross-side residual evaluates after — the plan to want when
+      // the disjunction is 1%-selective over 100 TB.
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)),
+          $"l_partkey" === $"p_partkey")
+        .filter(
+          ($"p_brand" === "Brand#1" && $"p_size".between(1, 15) &&
+            $"l_quantity".between(1, 11)) ||
+          ($"p_brand" === "Brand#12" && $"p_size".between(10, 30) &&
+            $"l_quantity".between(10, 20)) ||
+          ($"p_brand" === "Brand#23" && $"p_size".between(20, 50) &&
+            $"l_quantity".between(20, 30)))
+        .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+    }),
+
+    "q21_late_suppliers" -> ((s, dir) => {
+      import s.implicits._
+      // TPC-H Q21 shape, adapted to this schema (no commit/receipt
+      // dates): "late" = shipped >60 days after the order date, on
+      // finalized orders. The classic EXISTS / NOT-EXISTS pair of
+      // correlated lineitem self-joins is DECORRELATED into ONE
+      // per-order aggregate — (distinct suppliers, distinct LATE
+      // suppliers) per order — and a late row qualifies iff its order
+      // has >1 suppliers but exactly 1 late one (necessarily its
+      // own). One keyed aggregation + one join replace two extra
+      // shuffles of the full fact table at 100 TB.
+      val withOrd = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+            .filter($"o_orderstatus" === "F")
+            .select($"o_orderkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .withColumn("late",
+          $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+      val perOrder = withOrd.groupBy($"l_orderkey".as("ok"))
+        .agg(countDistinct($"l_suppkey").as("n_supps"),
+          countDistinct(when($"late", $"l_suppkey")).as("n_late_supps"))
+      withOrd.filter($"late")
+        .join(perOrder, $"l_orderkey" === $"ok")
+        .filter($"n_supps" > 1 && $"n_late_supps" === 1)
+        .join(broadcast(Tables.supplier(s, dir)),
+          $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy($"numwait".desc, $"s_name")
+        .limit(10)
+    }),
+
+    "q22_idle_balances" -> ((s, dir) => {
+      import s.implicits._
+      // TPC-H Q22 shape, adapted (every synthetic customer has
+      // orders, so the anti join excludes URGENT-order customers; the
+      // phone-prefix grouping becomes the market segment). The
+      // above-average test is EXACT decimal cross-multiplication —
+      // bal*n > sum(bal) — so no float average can flip a row between
+      // engines, and the threshold rides the plan as a LAZY scalar
+      // subquery (Dataset.scalar), not a driver-side collect.
+      val cust = Tables.customer(s, dir)
+      val sn = cust.filter($"c_acctbal" > 0)
+        .agg(struct(
+          sum($"c_acctbal".cast("decimal(18,2)")).as("s"),
+          count(lit(1)).as("n")).as("sn"))
+        .scalar()
+      cust
+        .filter($"c_acctbal".cast("decimal(18,2)") * sn.getField("n") >
+          sn.getField("s"))
+        .join(Tables.orders(s, dir)
+            .filter($"o_orderpriority" === "1-URGENT")
+            .select($"o_custkey"),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("numcust"),
+          sum($"c_acctbal".cast("decimal(18,2)")).cast("double")
+            .as("totacctbal"))
+        .orderBy($"c_mktsegment")
     }),
 
     "join_semi" -> ((s, dir) => {
@@ -3449,6 +3618,104 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name
         |ORDER BY r_name, n_name""".stripMargin,
+
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q8_market_share" ->
+      """WITH j AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8)) AS rev,
+        |    n1.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  JOIN region ON n2.n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'PROMO')
+        |SELECT o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev
+        |         ELSE CAST(0 AS DECIMAL(24,8)) END) AS DOUBLE)
+        |    / CAST(sum(rev) AS DOUBLE) AS mkt_share
+        |FROM j
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin,
+
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30
+        |        AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50
+        |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q21_late_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 10""".stripMargin,
+
+    "q22_idle_balances" ->
+      """WITH sn AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s, count(*) AS n
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c, sn
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
 
     "join_semi" ->
       """SELECT c_custkey, c_name FROM customer

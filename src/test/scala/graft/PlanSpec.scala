@@ -349,4 +349,45 @@ class PlanSpec extends SparkSpec {
       .queryExecution.explainString(FormattedMode)
     assert(countExchanges(p) == 0, p)
   }
+
+  test("q19_disjunctive pushes the per-side implied disjuncts into both scans") {
+    // the OR-of-ANDs must not survive as a post-join-only filter: each
+    // side's implied union (p_size<=50 / l_quantity<=30 envelope, brand
+    // IN-list) belongs in the parquet scan
+    val p = plan("q19_disjunctive")
+    val scans = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(scans.exists(_.contains("l_quantity")),
+      "lineitem scan lost its quantity envelope:\n" + p)
+    assert(scans.exists(_.contains("p_brand")),
+      "part scan lost its brand disjuncts:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q7/q8 broadcast every dimension — the fact side never sort-merges") {
+    for (q <- Seq("q7_volume_shipping", "q8_market_share")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      // the only SMJ allowed is fact⋈orders (both 100 TB-scale);
+      // nation/supplier/customer dims must ride broadcasts
+      val smj = p.linesIterator.count(_.matches("\\(\\d+\\) SortMergeJoin.*"))
+      assert(smj <= 1, s"$q has $smj sort-merge joins:\n$p")
+    }
+  }
+
+  test("q21_late_suppliers decorrelation: no more than 3 hash exchanges of the fact") {
+    // the EXISTS/NOT-EXISTS reformulation must not reintroduce the two
+    // correlated self-shuffles: expected exchanges are the li⋈orders
+    // key shuffle (shared), the per-order aggregate, and the
+    // aggregate-back join — plus the final single-partition top-k
+    val p = plan("q21_late_suppliers")
+    assert(countExchanges(p) <= 5, p)
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must not global-sort:\n" + p)
+  }
+
+  test("q22_idle_balances: threshold is a scalar subquery, anti join broadcasts") {
+    val p = plan("q22_idle_balances")
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"),
+      "threshold must ride the plan, not a driver collect:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
