@@ -97,6 +97,7 @@ object SparkEntry {
     "mm_decode_video", "asof_bucketed",
     "q7_volume_shipping", "q8_market_share", "q13_custdist",
     "q19_disjunctive", "q21_late_suppliers", "q22_idle_balances",
+    "dedup_spans", "dedup_span_removal_gate",
     // unseen by CORRECTNESS_r01..r08
     "agg_approx_distinct_gate", "agg_grouping_sets", "asof_signup_value",
     "bpe_tokenize", "corpus_overlap", "date_funcs", "decontaminate",
@@ -232,7 +233,7 @@ object SparkEntry {
     "text_chunk", "text_redact", "text_repetition",
     "text_unigram_nll", "text_normalize", "bpe_tokenize",
     "decontaminate", "corpus_overlap",
-    "dedup_exact", "dedup_paragraph", "dedup_fingerprint", "dedup_simhash",
+    "dedup_exact", "dedup_spans", "dedup_paragraph", "dedup_fingerprint", "dedup_simhash",
     "dedup_clusters",
     "pipeline_clean_corpus", "pipeline_curation", "pipeline_tokenize_pack",
     "sketch_freq_items",
@@ -1765,6 +1766,45 @@ object SparkEntry {
       Dedup.paragraphDedup(Tables.documents(s, dir), "text", "doc_id",
           chunkTokens = 64)
         .orderBy($"doc_id", $"chunk_no")
+    }),
+
+    "dedup_spans" -> ((s, dir) => {
+      import s.implicits._
+      // span-level exact-substring dedup (Lee et al. ExactSubstr,
+      // shingle-reformulated): every maximal duplicated 8-token-window
+      // union per document. The oracle recomputes spans from the
+      // shingle STRINGS (no hashes), so an xxhash64 collision in the
+      // Spark path would hash-mismatch the artifact.
+      Dedup.duplicatedSpans(Tables.documents(s, dir), "text", "doc_id",
+          n = 8)
+        .select($"doc_id", $"span_start".cast("bigint").as("span_start"),
+          $"span_end".cast("bigint").as("span_end"), $"n_shingles")
+        .orderBy($"doc_id", $"span_start")
+    }),
+
+    "dedup_span_removal_gate" -> ((s, dir) => {
+      import s.implicits._
+      // Conservation gate for Dedup.removeSpans: token count of the
+      // ACTUAL cleaned text must equal (tokens before) - (summed span
+      // widths) — spans are disjoint by construction (island gap > n),
+      // so any interval off-by-one or dropped/duplicated doc breaks
+      // the equality, and the oracle replays the whole span pipeline
+      // in SQL to supply the independent expected counts.
+      val docs = Tables.documents(s, dir)
+      val spans = Dedup.duplicatedSpans(docs, "text", "doc_id", n = 8)
+      val cleaned = Dedup.removeSpans(docs, spans, "text", "doc_id")
+      def ntoks(c: Column): Column =
+        when(length(c) === 0, 0L)
+          .otherwise(size(split(c, "\\s+")).cast("bigint"))
+      docs.agg(count(lit(1)).as("n_docs"),
+          sum(ntoks($"text")).as("total_before"))
+        .crossJoin(spans.agg(
+          countDistinct($"doc_id").as("n_docs_affected"),
+          sum(($"span_end" - $"span_start").cast("bigint"))
+            .as("total_removed")))
+        .crossJoin(cleaned.agg(sum(ntoks($"text")).as("total_after")))
+        .select($"n_docs", $"n_docs_affected", $"total_before",
+          $"total_removed", $"total_after")
     }),
 
     "dedup_simhash" -> ((s, dir) => {
@@ -5087,6 +5127,56 @@ object SparkEntry {
         |  FROM ch)
         |SELECT doc_id, chunk_no, chunk_text, chunk_tokens
         |FROM w WHERE rn = 1 ORDER BY doc_id, chunk_no""".stripMargin,
+
+    // the span pipeline replayed on shingle STRINGS (no hashing): any
+    // Spark-side xxhash64 collision or island off-by-one mismatches
+    "dedup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(list_slice(t, i, i + 8 - 1), ' ') AS g
+        |  FROM (SELECT doc_id, t,
+        |          unnest(range(1, greatest(len(t) - 8 + 2, 1))) AS i
+        |        FROM toks)),
+        |dup AS (SELECT g FROM sh GROUP BY g HAVING count(*) >= 2),
+        |dp AS (SELECT doc_id, pos FROM sh JOIN dup USING (g)),
+        |sel AS (SELECT doc_id, pos,
+        |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |       THEN 0 ELSE 1 END AS brk FROM dp),
+        |isl AS (SELECT doc_id, pos,
+        |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM sel)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
+        |  count(*) AS n_shingles
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    "dedup_span_removal_gate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(list_slice(t, i, i + 8 - 1), ' ') AS g
+        |  FROM (SELECT doc_id, t,
+        |          unnest(range(1, greatest(len(t) - 8 + 2, 1))) AS i
+        |        FROM toks)),
+        |dup AS (SELECT g FROM sh GROUP BY g HAVING count(*) >= 2),
+        |dp AS (SELECT doc_id, pos FROM sh JOIN dup USING (g)),
+        |sel AS (SELECT doc_id, pos,
+        |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |       THEN 0 ELSE 1 END AS brk FROM dp),
+        |isl AS (SELECT doc_id, pos,
+        |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM sel),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+        |  FROM isl GROUP BY doc_id, island),
+        |b AS (SELECT count(*) AS n_docs,
+        |  CAST(sum(len(t)) AS BIGINT) AS total_before FROM toks),
+        |r AS (SELECT count(DISTINCT doc_id) AS n_docs_affected,
+        |  CAST(sum(e - s) AS BIGINT) AS total_removed FROM spans)
+        |SELECT n_docs, n_docs_affected, total_before, total_removed,
+        |  total_before - total_removed AS total_after
+        |FROM b, r""".stripMargin,
 
     // the transitive closure replayed independently: same 3-gram
     // Jaccard edge set as dedup_ngram_exact, then a recursive CTE

@@ -223,4 +223,92 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
       .distinct()
   }
+
+  /** Span-level exact-substring dedup — the "ExactSubstr" pass of
+    * modern corpus curation (Lee et al. 2022, *Deduplicating Training
+    * Data Makes Language Models Better*): doc-level [[exact]] only
+    * removes whole-file twins, but most web duplication is boilerplate
+    * SPANS inside otherwise-unique pages. Returns the duplicated
+    * token-coordinate intervals per document so a curation pipeline
+    * can cut them.
+    *
+    * Lee et al. build one corpus-wide suffix array — a single-machine
+    * design. The Spark-first reformulation works on n-token shingles
+    * (the RETRO / Bloom-ngram school): a position is DUPLICATED when
+    * its n-shingle occurs >= `minCount` times anywhere in the corpus;
+    * a true repeated substring of length >= n makes every shingle
+    * inside it duplicated, so every such substring is contained in
+    * some reported span (no false negatives at granularity n). A
+    * reported span may splice shingles that repeat against different
+    * partners — conservative over-marking, the right direction for
+    * curation.
+    *
+    * Scale shape at 100 TB: the shingle pass shuffles
+    * (xxhash64, doc_id, pos) = 24-byte rows — the TEXT never leaves
+    * its scan; the duplicate-set join is keyed on the 8-byte hash;
+    * the island merge shuffles (doc_id, pos) ints and sorts per doc.
+    * No suffix array, no all-pairs anything. A false-positive span
+    * needs an xxhash64 collision landing inside one document.
+    *
+    * `maxGap` controls span assembly over ascending duplicated
+    * positions: merge while `pos - prev <= maxGap`. The default `n`
+    * is interval union (overlapping/touching n-token windows fuse —
+    * what a cutter wants); `1` keeps only maximal runs of
+    * consecutively-duplicated positions (the strict repeated-substring
+    * reading). Output: (idCol, span_start, span_end, n_shingles),
+    * token coordinates, end exclusive. */
+  def duplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 20, minCount: Long = 2L, maxGap: Int = -1): DataFrame = {
+    require(n >= 2, s"shingle length must be >= 2 (got $n)")
+    val gap = if (maxGap < 0) n else maxGap
+    val toks = split(col(textCol), "\\s+")
+    // one row per shingle start: hash of the n tokens from pos,
+    // space-joined (unambiguous: \s+-split tokens contain no spaces)
+    val sh = df
+      .filter(size(toks) >= n)
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), size(toks) - n),
+          i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n)))))))
+      .toDF(idCol, "pos", "h")
+    val dup = sh.groupBy(col("h"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .select(col("h"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    sh.join(dup, "h") // 8-byte key; Catalyst/AQE picks build side
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= gap, 0)
+          .otherwise(1)) // null lag (first row) falls to otherwise
+      .withColumn("island", sum(col("brk")).over(w))
+      .groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + n).as("span_end"),
+        count(lit(1)).as("n_shingles"))
+      .drop("island")
+  }
+
+  /** Cut the spans reported by [[duplicatedSpans]] out of the text:
+    * returns (idCol, textCol) where every token whose index falls in a
+    * span is dropped and the survivors re-join on single spaces
+    * (whitespace runs are not preserved — curation output, not a
+    * byte-exact editor). Docs with no spans pass through unchanged.
+    * Row-local after one join: spans group to an array per doc (at
+    * most len/n entries — bounded), then a higher-order filter keeps
+    * tokens outside every interval. */
+  def removeSpans(df: DataFrame, spans: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val perDoc = spans.groupBy(col(idCol).as("__sid"))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
+    df.join(perDoc, col(idCol) === col("__sid"), "left_outer")
+      .withColumn("__kept",
+        when(col("__spans").isNull, split(col(textCol), "\\s+"))
+          .otherwise(filter(
+            split(col(textCol), "\\s+"),
+            (t, i) => !exists(col("__spans"),
+              s => i >= s.getField("span_start") &&
+                i < s.getField("span_end")))))
+      .select(col(idCol), concat_ws(" ", col("__kept")).as(textCol))
+  }
 }

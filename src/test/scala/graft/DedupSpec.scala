@@ -126,4 +126,73 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.contains((0L, 100L)), s"got ${pairs.mkString(",")}")
   }
+
+  test("duplicatedSpans: planted cross-doc phrase found at exact token coords") {
+    // docs 1 and 2 share an 8-token phrase at different offsets; the
+    // rest of each doc is unique. With n=4, every 4-shingle inside the
+    // phrase duplicates and nothing else does.
+    val phrase = "one two three four five six seven eight"
+    val df = Seq(
+      (1L, s"u1 u2 u3 $phrase t1 t2"),         // phrase at tokens 3..10
+      (2L, s"$phrase v1 v2 v3 v4 v5 v6"),      // phrase at tokens 0..7
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")). // no duplication
+      toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(df, "text", "doc_id", n = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(spans == Set((1L, 3, 11), (2L, 0, 8)), s"got $spans")
+  }
+
+  test("duplicatedSpans: within-doc repetition counts as duplication") {
+    val df = Seq(
+      (1L, "a b c d X Y a b c d Z")).toDF("doc_id", "text")
+    // "a b c d" occurs twice inside one doc → both positions dup'd;
+    // the two 4-token windows are >4 apart so they stay separate spans
+    val spans = Dedup.duplicatedSpans(df, "text", "doc_id", n = 4)
+      .collect().map(r => (r.getInt(1), r.getInt(2))).toSet
+    assert(spans == Set((0, 4), (6, 10)), s"got $spans")
+  }
+
+  test("duplicatedSpans: maxGap=1 keeps strict runs, default fuses overlaps") {
+    // doc 1's windows at pos 0 ("a b c d", shared with doc 2) and
+    // pos 2 ("c d e f", shared with doc 3) overlap as token intervals
+    // [0,4)+[2,6) while pos 1 is unique: the default (gap=n) fuses
+    // them into [0,6); strict gap=1 keeps the two runs apart
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x a b c d y"),
+      (3L, "z c d e f w")).toDF("doc_id", "text")
+    val fused = Dedup.duplicatedSpans(df, "text", "doc_id", n = 4)
+      .filter($"doc_id" === 1L)
+      .collect().map(r => (r.getInt(1), r.getInt(2))).toSet
+    assert(fused == Set((0, 6)), s"got $fused")
+    val strict = Dedup.duplicatedSpans(df, "text", "doc_id", n = 4,
+        maxGap = 1)
+      .filter($"doc_id" === 1L)
+      .collect().map(r => (r.getInt(1), r.getInt(2))).toSet
+    assert(strict == Set((0, 4), (2, 6)), s"got $strict")
+  }
+
+  test("removeSpans cuts exactly the span tokens; untouched docs pass through") {
+    val phrase = "one two three four five six seven eight"
+    val df = Seq(
+      (1L, s"u1 u2 u3 $phrase t1 t2"),
+      (2L, s"$phrase v1 v2 v3 v4 v5 v6"),
+      (3L, "w1 w2 w3 w4 w5")).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(df, "text", "doc_id", n = 4)
+    val out = Dedup.removeSpans(df, spans, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "u1 u2 u3 t1 t2")
+    assert(out(2L) == "v1 v2 v3 v4 v5 v6")
+    assert(out(3L) == "w1 w2 w3 w4 w5")
+  }
+
+  test("removeSpans: a fully-duplicated doc empties cleanly") {
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f")).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(df, "text", "doc_id", n = 4)
+    val out = Dedup.removeSpans(df, spans, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "", 2L -> ""))
+  }
 }

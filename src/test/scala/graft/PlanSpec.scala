@@ -390,4 +390,16 @@ class PlanSpec extends SparkSpec {
       "threshold must ride the plan, not a driver collect:\n" + p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("dedup_spans: every hash exchange carries (hash, id, pos) ints — never text") {
+    val p = plan("dedup_spans")
+    val hashExchanges = p.split("\\n\\n").toSeq.filter(b =>
+      b.linesIterator.exists(_.matches("\\(\\d+\\) Exchange.*")) &&
+        b.contains("Arguments: hashpartitioning"))
+    assert(hashExchanges.nonEmpty, p)
+    hashExchanges.foreach { b =>
+      val input = b.linesIterator.find(_.startsWith("Input")).getOrElse("")
+      assert(!input.contains("text#"), s"text in span shuffle:\n$b")
+    }
+  }
 }
