@@ -98,6 +98,7 @@ object SparkEntry {
     "q7_volume_shipping", "q8_market_share", "q13_custdist",
     "q19_disjunctive", "q21_late_suppliers", "q22_idle_balances",
     "dedup_spans", "dedup_span_removal_gate",
+    "sim_topk_pq", "sim_recall_pq",
     // unseen by CORRECTNESS_r01..r08
     "agg_approx_distinct_gate", "agg_grouping_sets", "asof_signup_value",
     "bpe_tokenize", "corpus_overlap", "date_funcs", "decontaminate",
@@ -137,7 +138,21 @@ object SparkEntry {
   private object built {
     import scala.collection.concurrent.TrieMap
     private val ivf = TrieMap.empty[String, graft.llm.Similarity.IvfIndex]
+    private val pq = TrieMap.empty[String,
+      (graft.llm.Similarity.PqCodebooks, DataFrame)]
     private val w2v = TrieMap.empty[String, org.apache.spark.ml.feature.Word2VecModel]
+    def pqIndex(s: SparkSession, dir: String):
+        (graft.llm.Similarity.PqCodebooks, DataFrame) =
+      pq.getOrElseUpdate(dir, {
+        // train-once + encode-once per sf dir, like ivfIndex: the
+        // codebooks are ~16 KB, the cached code table m shorts/row
+        val emb = Tables.embeddings(s, dir)
+        val books = graft.llm.Similarity.pqTrain(emb, "embedding",
+          m = 16, k = 64)
+        val codes = graft.llm.Similarity.pqEncode(emb, "embedding",
+          "vec_id", books).cache()
+        (books, codes)
+      })
     def ivfIndex(s: SparkSession, dir: String): graft.llm.Similarity.IvfIndex =
       ivf.getOrElseUpdate(dir, {
         // nlist scales with the corpus (√n), not a demo constant; the
@@ -237,7 +252,7 @@ object SparkEntry {
     "dedup_clusters",
     "pipeline_clean_corpus", "pipeline_curation", "pipeline_tokenize_pack",
     "sketch_freq_items",
-    "sim_topk_brute", "sim_topk_ivf",
+    "sim_topk_brute", "sim_topk_ivf", "sim_topk_pq",
     "mm_content_hash", "mm_decode", "mm_decode_real", "mm_decode_audio",
     "mm_decode_video", "mm_frame_sample", "mm_resize")
 
@@ -2257,6 +2272,44 @@ object SparkEntry {
         .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
         .select(lit(5).as("k"), $"n_true",
           (($"n_hit".cast("double") / $"n_true".cast("double")) >= 0.4).as("recall_ok"))
+    }),
+
+    "sim_topk_pq" -> ((s, dir) => {
+      import s.implicits._
+      // production PQ serving: ADC scores the cached code table (m
+      // table adds per candidate, zero float IO), exact cosine
+      // re-ranks only the 8k-per-query shortlist. Rows-only (the
+      // trained codebooks are environment-sensitive); sim_recall_pq
+      // is the deterministic-threshold companion gate.
+      val emb = Tables.embeddings(s, dir)
+      val (books, codes) = built.pqIndex(s, dir)
+      Similarity.pqAdcTopKRefined(codes, books,
+          emb.filter($"vec_id" < 20), emb, "embedding", "vec_id", k = 5)
+        .select($"q_id", $"n_id", round($"cosine", 6).as("cosine"), $"rn")
+        .orderBy($"q_id", $"rn")
+    }),
+
+    "sim_recall_pq" -> ((s, dir) => {
+      import s.implicits._
+      // boolean gate: PQ-refined top-5 must recall >= 0.7 of brute
+      // force — above the IVF/LSH bars because refine re-ranks with
+      // EXACT cosine; only a true top-5 member missing from the
+      // 40-deep ADC shortlist can cost recall. Measured 0.88 at
+      // sf0.1 (near-isotropic fixture, PQ's worst case) with
+      // m=16/k=64 codebooks; the bar sits 0.18 under that.
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter($"vec_id" < 20)
+      val (books, codes) = built.pqIndex(s, dir)
+      val brute = Similarity.bruteForceTopK(emb, q, "embedding", "vec_id", k = 5)
+        .select($"q_id", $"n_id")
+      val pq = Similarity.pqAdcTopKRefined(codes, books, q, emb,
+          "embedding", "vec_id", k = 5)
+        .select($"q_id", $"n_id")
+      val hits = brute.join(pq, Seq("q_id", "n_id"), "left_semi")
+      brute.agg(count(lit(1)).as("n_true"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select(lit(5).as("k"), $"n_true",
+          (($"n_hit".cast("double") / $"n_true".cast("double")) >= 0.7).as("recall_ok"))
     }),
 
     "sim_recall_ivf" -> ((s, dir) => {
@@ -4915,6 +4968,9 @@ object SparkEntry {
       "SELECT 5 AS k, 100 AS n_true, true AS recall_ok",
 
     "sim_recall_ivf" ->
+      "SELECT 5 AS k, 100 AS n_true, true AS recall_ok",
+
+    "sim_recall_pq" ->
       "SELECT 5 AS k, 100 AS n_true, true AS recall_ok",
 
     "sim_ivf_append_recall" ->

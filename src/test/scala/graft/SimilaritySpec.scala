@@ -102,4 +102,74 @@ class SimilaritySpec extends SparkSpec {
     val quant = cos(qz(1L)._1.map(_.toDouble), qz(2L)._1.map(_.toDouble))
     assert(math.abs(exact - quant) < 0.02, s"exact=$exact quant=$quant")
   }
+
+  test("pq: ADC top-k on clustered data recalls brute force") {
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat * 5))
+    val vecs = (0 until 100).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(v => v + rnd.nextGaussian().toFloat * 0.1f))
+    }
+    val df = vecs.toDF("vec_id", "embedding").cache()
+    val q = df.filter($"vec_id" < 8)
+    val books = Similarity.pqTrain(df, "embedding", m = 4, k = 16)
+    val codes = Similarity.pqEncode(df, "embedding", "vec_id", books)
+    val brute = Similarity.bruteForceTopK(df, q, "embedding", "vec_id", 3)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // raw ADC ranks clusters, not members (tied codes inside a tight
+    // cluster) — its contract is cluster-level: every hit shares the
+    // query's cluster (i % 4)
+    val adc = Similarity.pqAdcTopK(codes, books, q, "embedding", "vec_id", 3)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(adc.forall { case (qid, nid) => qid % 4 == nid % 4 },
+      s"ADC hit outside the query's cluster: ${adc.mkString(",")}")
+    // the refined path restores member-level ordering
+    val pq = Similarity.pqAdcTopKRefined(codes, books, q, df,
+        "embedding", "vec_id", 3)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("pq: codes are within [0,k); encode is deterministic; save/load round-trips") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 60).map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val books = Similarity.pqTrain(df, "embedding", m = 4, k = 8)
+    assert(books.dsub == 2 && books.m == 4 && books.k == 8)
+    val c1 = Similarity.pqEncode(df, "embedding", "vec_id", books)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Short](1).toVector).toMap
+    assert(c1.values.forall(cs => cs.length == 4 && cs.forall(c => c >= 0 && c < 8)))
+    val c2 = Similarity.pqEncode(df, "embedding", "vec_id", books)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Short](1).toVector).toMap
+    assert(c1 == c2, "encode must be deterministic")
+    val dir = java.nio.file.Files.createTempDirectory("pq").toString
+    Similarity.pqSave(spark, books, s"$dir/books")
+    val loaded = Similarity.pqLoad(spark, s"$dir/books")
+    assert(loaded.m == books.m && loaded.k == books.k && loaded.dsub == books.dsub)
+    val c3 = Similarity.pqEncode(df, "embedding", "vec_id", loaded)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Short](1).toVector).toMap
+    assert(c3 == c1, "reloaded codebooks must encode identically")
+  }
+
+  test("pq: ADC cosine approximates exact cosine within reconstruction error") {
+    // tight single cluster → reconstruction is near-exact, so ADC
+    // scores must track true cosine closely (not just the ranking)
+    val rnd = new scala.util.Random(13)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat * 3)
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, base.map(v => v + rnd.nextGaussian().toFloat * 0.05f)))
+    val df = vecs.toDF("vec_id", "embedding").cache()
+    val q = df.filter($"vec_id" === 0L)
+    val books = Similarity.pqTrain(df, "embedding", m = 4, k = 16)
+    val codes = Similarity.pqEncode(df, "embedding", "vec_id", books)
+    val adc = Similarity.pqAdcTopK(codes, books, q, "embedding", "vec_id", 5)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val exact = Similarity.bruteForceTopK(df, q, "embedding", "vec_id", 49)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    adc.foreach { case (nid, s) =>
+      assert(math.abs(s - exact(nid)) < 0.05,
+        s"ADC $s vs exact ${exact(nid)} for $nid")
+    }
+  }
 }
