@@ -99,6 +99,7 @@ object SparkEntry {
     "q19_disjunctive", "q21_late_suppliers", "q22_idle_balances",
     "dedup_spans", "dedup_span_removal_gate",
     "sim_topk_pq", "sim_recall_pq",
+    "ts_anomaly", "evt_top_paths", "agg_corr_regr",
     // unseen by CORRECTNESS_r01..r08
     "agg_approx_distinct_gate", "agg_grouping_sets", "asof_signup_value",
     "bpe_tokenize", "corpus_overlap", "date_funcs", "decontaminate",
@@ -242,7 +243,8 @@ object SparkEntry {
     "evt_tumbling", "evt_sliding", "evt_sessionize", "evt_session_window",
     "evt_stream_join", "evt_stream_join_outer", "evt_enrich_static",
     "evt_funnel", "evt_retention", "evt_transitions",
-    "ts_resample_ffill", "ts_interpolate",
+    "ts_resample_ffill", "ts_interpolate", "ts_anomaly", "evt_top_paths",
+    "agg_corr_regr",
     "text_stats", "text_quality", "text_term_freq", "text_lang_dist",
     "text_langid", "text_token_counts", "text_quality_score", "text_entities",
     "text_chunk", "text_redact", "text_repetition",
@@ -795,6 +797,28 @@ object SparkEntry {
             .as("lines"),
           count(lit(1)).as("n_lines"))
         .orderBy($"l_orderkey")
+    }),
+
+    "agg_corr_regr" -> ((s, dir) => {
+      import s.implicits._
+      // bivariate stats per return flag: correlation, sample
+      // covariance, and the OLS regression of extended price on
+      // quantity. Each stat rounds on BOTH engines at a precision
+      // tracking its magnitude (6/4/2 dp), so ~1e-12 noise between
+      // numerically-different implementations cannot flip a digit.
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qp"),
+          round(covar_samp($"l_quantity", $"l_extendedprice"), 2)
+            .as("covar_qp"),
+          round(regr_slope($"l_extendedprice", $"l_quantity"), 4)
+            .as("slope"),
+          round(regr_intercept($"l_extendedprice", $"l_quantity"), 2)
+            .as("intercept"),
+          round(regr_r2($"l_extendedprice", $"l_quantity"), 6).as("r2"))
+        .orderBy($"l_returnflag")
     }),
 
     // ================= Windows (SURVEY §2.9) =================
@@ -3375,6 +3399,30 @@ object SparkEntry {
         .orderBy($"user_id", $"h")
     }),
 
+    "ts_anomaly" -> ((s, dir) => {
+      import s.implicits._
+      // Rolling z-score anomalies over the hourly per-user series
+      // (same engine-exact cents construction as ts_interpolate:
+      // hourly buckets are unique per key, values are integer
+      // cents/100, so both engines window over IDENTICAL doubles).
+      // Baselines rounded at 6dp; the boolean compares raw values —
+      // a flip would need the two engines' stddev to straddle the
+      // 2σ boundary within ~1e-12.
+      val hourly = Tables.events(s, dir)
+        .filter($"event_type" === "view")
+        .groupBy($"user_id", date_trunc("hour", $"ts").as("h"))
+        .agg((sum(round($"value" * 100).cast("long")).cast("double") /
+          lit(100.0)).as("v"))
+      graft.operators.TimeSeries.zscoreAnomalies(
+          hourly, "user_id", "h", "v",
+          windowSize = 6, threshold = 2.0, minPoints = 3)
+        .select($"user_id", $"h", $"v",
+          round($"baseline_mean", 6).as("baseline_mean"),
+          round($"baseline_std", 6).as("baseline_std"),
+          $"n_baseline", $"is_anomaly")
+        .orderBy($"user_id", $"h")
+    }),
+
     "ts_resample_ffill" -> ((s, dir) => {
       import s.implicits._
       // Irregular events -> regular hourly series per event_type, gap
@@ -3407,6 +3455,15 @@ object SparkEntry {
         .groupBy($"prev", $"event_type".as("next"))
         .agg(count(lit(1)).as("n"))
         .orderBy($"prev", $"next")
+    }),
+
+    "evt_top_paths" -> ((s, dir) => {
+      import s.implicits._
+      // path discovery: each user's first 3 event types (event_id
+      // breaks ts ties, so the path string is partition-order
+      // independent), counted, top 20
+      EventStreams.topPaths(Tables.events(s, dir),
+        "user_id", "ts", "event_type", "event_id", pathLen = 3, k = 20)
     }),
 
     "evt_retention" -> ((s, dir) => {
@@ -4166,6 +4223,28 @@ object SparkEntry {
         |       ELSE v_next END AS v_interp
         |FROM w ORDER BY user_id, h""".stripMargin,
 
+    "ts_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS v
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |w AS (
+        |  SELECT user_id, h, v,
+        |    avg(v) OVER win AS mu,
+        |    stddev_samp(v) OVER win AS sd,
+        |    count(v) OVER win AS np
+        |  FROM hourly
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY h, v
+        |    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, h, v,
+        |  CAST(CAST(mu AS DECIMAL(18,6)) AS DOUBLE) AS baseline_mean,
+        |  CAST(CAST(sd AS DECIMAL(18,6)) AS DOUBLE) AS baseline_std,
+        |  np AS n_baseline,
+        |  CASE WHEN np < 3 THEN false
+        |       WHEN sd IS NULL OR sd <= 0 THEN false
+        |       ELSE abs(v - mu) > sd * 2 END AS is_anomaly
+        |FROM w ORDER BY user_id, h""".stripMargin,
+
     "ts_resample_ffill" ->
       """WITH e AS (
         |  SELECT event_type,
@@ -4197,6 +4276,19 @@ object SparkEntry {
         |SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS n
         |FROM seq WHERE prev IS NOT NULL
         |GROUP BY prev, next ORDER BY prev, next""".stripMargin,
+
+    "evt_top_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, ' > ' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY user_id)
+        |SELECT path, count(*) AS n_users
+        |FROM p GROUP BY path
+        |ORDER BY n_users DESC, path
+        |LIMIT 20""".stripMargin,
 
     "evt_retention" ->
       """WITH ev AS (
@@ -4698,6 +4790,15 @@ object SparkEntry {
         |  array_to_string(list(CAST(l_linenumber AS INT) ORDER BY l_linenumber), ',') AS lines,
         |  count(*) AS n_lines
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "agg_corr_regr" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(CAST(corr(l_quantity, l_extendedprice) AS DECIMAL(18,6)) AS DOUBLE) AS corr_qp,
+        |  CAST(CAST(covar_samp(l_quantity, l_extendedprice) AS DECIMAL(28,2)) AS DOUBLE) AS covar_qp,
+        |  CAST(CAST(regr_slope(l_extendedprice, l_quantity) AS DECIMAL(28,4)) AS DOUBLE) AS slope,
+        |  CAST(CAST(regr_intercept(l_extendedprice, l_quantity) AS DECIMAL(28,2)) AS DOUBLE) AS intercept,
+        |  CAST(CAST(regr_r2(l_extendedprice, l_quantity) AS DECIMAL(18,6)) AS DOUBLE) AS r2
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "bucketed_join" ->
       // same result as join_salted's oracle: bucketing, like salting,

@@ -110,4 +110,38 @@ object TimeSeries {
         (col("__b") * stepSeconds).cast("timestamp"))
       .drop("__b")
   }
+
+  /** Rolling z-score anomaly tagging: for each row, mean/stddev over
+    * the TRAILING `windowSize`-row frame per key (current row
+    * excluded — an anomaly must not dilute its own baseline), flag
+    * |x - μ| > `threshold`·σ. Rows whose trailing window has fewer
+    * than `minPoints` observations or zero variance report
+    * `is_anomaly = false` (no baseline, no verdict — a cold start
+    * never pages anyone).
+    *
+    * One keyed shuffle + sort (the window); everything else is
+    * row-local. ROWS framing (not RANGE) keeps the frame O(1) per row
+    * regardless of event clustering, so a hot key costs
+    * windowSize adds per row, not a quadratic re-scan. */
+  def zscoreAnomalies(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, windowSize: Int = 20, threshold: Double = 3.0,
+      minPoints: Int = 5): DataFrame = {
+    require(windowSize >= 2, s"windowSize must be >= 2 (got $windowSize)")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(valueCol))
+      .rowsBetween(-windowSize, -1)
+    val mu = avg(col(valueCol)).over(w)
+    val sd = stddev_samp(col(valueCol)).over(w)
+    val np = count(col(valueCol)).over(w)
+    df.withColumn("baseline_mean", mu)
+      .withColumn("baseline_std", sd)
+      .withColumn("n_baseline", np)
+      .withColumn("is_anomaly",
+        when(col("n_baseline") < minPoints, lit(false))
+          .when(col("baseline_std").isNull || col("baseline_std") <= 0,
+            lit(false))
+          .otherwise(
+            abs(col(valueCol) - col("baseline_mean")) >
+              col("baseline_std") * threshold))
+  }
 }

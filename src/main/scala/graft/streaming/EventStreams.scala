@@ -307,4 +307,35 @@ object EventStreams {
           min(when(col("__ts") >= col(prevT), col("__ts"))).as(s"t${i + 2}"): _*)
     }
   }
+
+  /** Top-k event PATHS: each user's first `pathLen` event types in
+    * (tsCol, tieCol) order joined into one path string, counted
+    * across users, top `k` by frequency — the "what do new users
+    * actually do" companion to [[funnel]] (which checks ONE
+    * prescribed order; this discovers the orders that exist). Users
+    * with fewer than pathLen events count under their shorter path.
+    *
+    * `tieCol` must break ts ties deterministically (an event id); a
+    * tie left ambiguous would make the path string partition-order
+    * dependent. One keyed shuffle for the per-user window, one tiny
+    * (path, count) aggregation, and a TakeOrderedAndProject top-k —
+    * no global sort of users at any scale. */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String, pathLen: Int = 3,
+      k: Int = 20): DataFrame = {
+    require(pathLen >= 1 && k >= 1, s"pathLen/k must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= pathLen)
+      .groupBy(col(userCol))
+      .agg(concat_ws(" > ", transform(
+        array_sort(collect_list(struct(col("__rn"), col(typeCol)))),
+        s => s.getField(typeCol))).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(k)
+  }
 }

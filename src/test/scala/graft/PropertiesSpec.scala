@@ -156,4 +156,46 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("duplicatedSpans: random corpora match a naive reference exactly") {
+    // reference: count every n-shingle STRING naively, mark positions
+    // whose shingle occurs >= 2 times, gap-merge ascending positions
+    // (diff <= gap) — the operator must agree span-for-span
+    def naive(docs: Seq[(Long, String)], n: Int, gap: Int): Set[(Long, Int, Int, Long)] = {
+      val shingles = docs.flatMap { case (id, t) =>
+        val toks = t.split("\\s+")
+        if (toks.length < n) Seq.empty
+        else (0 to toks.length - n).map(p =>
+          (id, p, toks.slice(p, p + n).mkString(" ")))
+      }
+      val counts = shingles.groupBy(_._3).view.mapValues(_.size).toMap
+      val dup = shingles.filter(s => counts(s._3) >= 2)
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      dup.flatMap { case (id, ps) =>
+        val spans = scala.collection.mutable.ListBuffer.empty[List[Int]]
+        ps.foreach { p =>
+          if (spans.nonEmpty && p - spans.last.last <= gap)
+            spans(spans.length - 1) = spans.last :+ p
+          else spans += List(p)
+        }
+        spans.map(run => (id, run.head, run.last + n, run.size.toLong))
+      }.toSet
+    }
+    val rnd = new Random(99)
+    for (trial <- 1 to 8) {
+      val n = 2 + rnd.nextInt(3)             // shingle 2..4
+      val gap = if (rnd.nextBoolean()) n else 1
+      val docs = (0 until (3 + rnd.nextInt(5))).map { i =>
+        (i.toLong, randText(rnd))            // tiny vocab → real repeats
+      }
+      val got = Dedup.duplicatedSpans(docs.toDF("doc_id", "text"),
+          "text", "doc_id", n = n, maxGap = gap)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+        .toSet
+      val want = naive(docs, n, gap)
+      assert(got == want,
+        s"trial $trial n=$n gap=$gap:\n got=$got\nwant=$want\ndocs=$docs")
+    }
+  }
 }

@@ -80,4 +80,29 @@ class TimeSeriesSpec extends SparkSpec {
       Option(e).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(ex).exists(_.contains("TimeSeries.resample")), ex.toString)
   }
+
+  test("zscoreAnomalies: spike flagged, steady series clean, cold start abstains") {
+    // key A: 10 steady points then a spike; key B: constant (zero
+    // variance — never anomalous); first minPoints rows must abstain
+    val rows =
+      (1 to 10).map(i => ("A", i.toLong, 100.0 + (i % 2))) ++
+        Seq(("A", 11L, 500.0)) ++
+        (1 to 8).map(i => ("B", i.toLong, 42.0))
+    val df = rows.toDF("k", "t", "v")
+    val out = graft.operators.TimeSeries.zscoreAnomalies(
+        df, "k", "t", "v", windowSize = 5, threshold = 3.0, minPoints = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getBoolean(r.fieldIndex("is_anomaly")),
+          r.getLong(r.fieldIndex("n_baseline")))).toMap
+    assert(out(("A", 11L))._1, "spike must be flagged")
+    (4 to 10).foreach(i =>
+      assert(!out(("A", i.toLong))._1, s"steady A@$i flagged"))
+    (1 to 8).foreach(i =>
+      assert(!out(("B", i.toLong))._1, s"zero-variance B@$i flagged"))
+    // cold start: trailing window has < minPoints rows -> abstain
+    (1 to 3).foreach { i =>
+      assert(out(("A", i.toLong))._2 < 3 && !out(("A", i.toLong))._1)
+    }
+  }
 }
