@@ -100,6 +100,8 @@ object SparkEntry {
     "dedup_spans", "dedup_span_removal_gate",
     "sim_topk_pq", "sim_recall_pq",
     "ts_anomaly", "evt_top_paths", "agg_corr_regr",
+    "q9_profit", "q12_ship_priority", "q15_top_supplier",
+    "q16_supplier_cnt", "q17_small_qty_revenue", "q18_large_orders",
     // unseen by CORRECTNESS_r01..r08
     "agg_approx_distinct_gate", "agg_grouping_sets", "asof_signup_value",
     "bpe_tokenize", "corpus_overlap", "date_funcs", "decontaminate",
@@ -214,8 +216,10 @@ object SparkEntry {
     * (e.g. dedup_clusters, not dedup_clusters_gate). */
   val benchQueries: Seq[String] = Seq(
     "q1_agg", "q3_shipping", "q4_priority", "q5_region_revenue",
-    "q7_volume_shipping", "q8_market_share", "q10_returns",
-    "q13_custdist", "q14_promo_revenue", "q19_disjunctive",
+    "q7_volume_shipping", "q8_market_share", "q9_profit", "q10_returns",
+    "q12_ship_priority", "q13_custdist", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_cnt", "q17_small_qty_revenue",
+    "q18_large_orders", "q19_disjunctive",
     "q21_late_suppliers", "q22_idle_balances", "sql_q6_discount",
     "join_bloom_prefilter",
     "agg_distinct", "agg_minmax", "agg_rollup", "agg_cube", "agg_approx_distinct",
@@ -591,6 +595,147 @@ object SparkEntry {
           sum($"c_acctbal".cast("decimal(18,2)")).cast("double")
             .as("totacctbal"))
         .orderBy($"c_mktsegment")
+    }),
+
+    "q9_profit" -> ((s, dir) => {
+      import s.implicits._
+      // TPC-H Q9 shape, adapted to this schema (no partsupp: supply
+      // cost is proxied by half the part's retail price — the SHAPE
+      // is what matters: a name-substring part filter fans through
+      // the whole fact table into a (supplier-nation, order-year)
+      // profit rollup). Filtered part dim prunes to the two probe
+      // columns and broadcasts; per-row profit is identical IEEE
+      // double math on both engines, summed as DECIMAL so partition
+      // order can't perturb the total.
+      val boltParts = Tables.part(s, dir)
+        .filter($"p_name".contains("bolt"))
+        .select($"p_partkey", $"p_retailprice")
+      val suppNation = Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir), $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name".as("nation"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(boltParts), $"l_partkey" === $"p_partkey")
+        .join(Tables.orders(s, dir).select($"o_orderkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(suppNation), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"nation", year($"o_orderdate").as("o_year"))
+        .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount") -
+            $"p_retailprice" * lit(0.5) * $"l_quantity")
+            .cast("decimal(24,8)")).cast("double").as("sum_profit"))
+        .orderBy($"nation", $"o_year".desc)
+    }),
+
+    "q12_ship_priority" -> ((s, dir) => {
+      import s.implicits._
+      // TPC-H Q12 shape, adapted (no shipmode/commit/receipt dates:
+      // lines bucket by ship DELAY instead of mode — FAST <=30 days,
+      // NORMAL <=60, else SLOW). The critical/non-critical CASE-sum
+      // pair per bucket is Q12's exact aggregation form; one fact
+      // shuffle on the order key, integer day arithmetic on both
+      // engines (midnight-NTZ timestamps), nothing float anywhere.
+      val delay = datediff($"l_shipdate", $"o_orderdate")
+      val critical = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+            .select($"o_orderkey", $"o_orderdate", $"o_orderpriority"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy(when(delay <= 30, "FAST").when(delay <= 60, "NORMAL")
+          .otherwise("SLOW").as("delay_bucket"))
+        .agg(
+          sum(when(critical, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(critical, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy($"delay_bucket")
+    }),
+
+    "q15_top_supplier" -> ((s, dir) => {
+      import s.implicits._
+      // TPC-H Q15: revenue view over a 3-month ship window, then the
+      // supplier(s) achieving max(total_revenue). The max rides the
+      // plan as a LAZY scalar subquery over the (tiny) per-supplier
+      // rollup — no driver collect — and the tie-safe equality
+      // compares DECIMAL totals, so no float max can disagree
+      // between engines; the supplier dim broadcasts for the name.
+      val rev0 = Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+        .groupBy($"l_suppkey")
+        .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .cast("decimal(24,8)")).as("rev_dec"))
+      val maxRev = rev0.agg(max($"rev_dec")).scalar()
+      rev0.filter($"rev_dec" === maxRev)
+        .join(broadcast(Tables.supplier(s, dir)),
+          $"l_suppkey" === $"s_suppkey")
+        .select($"s_suppkey", $"s_name",
+          $"rev_dec".cast("double").as("total_revenue"))
+        .orderBy($"s_suppkey")
+    }),
+
+    "q16_supplier_cnt" -> ((s, dir) => {
+      import s.implicits._
+      // TPC-H Q16 shape, adapted (no partsupp: lineitem plays the
+      // part↔supplier association; the "Customer Complaints" NOT-IN
+      // exclusion becomes negative-balance suppliers). Part predicate
+      // set (brand<>, type<>, size IN) pushes into a broadcast dim;
+      // excluded suppliers are a broadcast LEFT ANTI (the
+      // decorrelated NOT IN); countDistinct dedupes the association
+      // without a separate distinct pass.
+      val parts = Tables.part(s, dir)
+        .filter($"p_brand" =!= "Brand#1" && $"p_type" =!= "PROMO" &&
+          $"p_size".isin(1, 4, 7, 10, 15, 20, 25, 45))
+        .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+      val badSupp = Tables.supplier(s, dir)
+        .filter($"s_acctbal" < 0).select($"s_suppkey")
+      Tables.lineitem(s, dir)
+        .select($"l_partkey", $"l_suppkey")
+        .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+        .join(broadcast(badSupp), $"l_suppkey" === $"s_suppkey",
+          "left_anti")
+        .groupBy($"p_brand", $"p_type", $"p_size")
+        .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+        .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+    }),
+
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      import s.implicits._
+      // TPC-H Q17: yearly revenue lost if small-quantity orders for
+      // one brand's parts stopped. The correlated avg-quantity
+      // subquery decorrelates into ONE per-part (sum, count) rollup
+      // broadcast back; the 20%-of-average test cross-multiplies in
+      // exact DECIMAL (5·qty·n < Σqty), so no engine's float
+      // division picks the boundary differently.
+      val brandParts = Tables.part(s, dir)
+        .filter($"p_brand" === "Brand#13").select($"p_partkey")
+      val li = Tables.lineitem(s, dir)
+        .join(broadcast(brandParts), $"l_partkey" === $"p_partkey")
+      val perPart = li.groupBy($"p_partkey".as("pk"))
+        .agg(sum($"l_quantity".cast("decimal(18,2)")).as("sq"),
+          count(lit(1)).as("nq"))
+      li.join(broadcast(perPart), $"p_partkey" === $"pk")
+        .filter($"l_quantity".cast("decimal(18,2)") * 5 * $"nq" < $"sq")
+        .agg((sum($"l_extendedprice".cast("decimal(24,8)"))
+          .cast("double") / 7.0).as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    "q18_large_orders" -> ((s, dir) => {
+      import s.implicits._
+      // TPC-H Q18: orders whose total quantity exceeds 150 (the
+      // HAVING pre-aggregates the fact table to per-order scale
+      // BEFORE any dim join — at 100 TB the join input shrinks ~4×
+      // first), top-100 by order value. Integral quantities sum as
+      // DECIMAL and emit as BIGINT; (o_totalprice, o_orderkey)
+      // makes the top-100 cut deterministic.
+      val big = Tables.lineitem(s, dir)
+        .groupBy($"l_orderkey".as("lo"))
+        .agg(sum($"l_quantity".cast("decimal(18,2)")).as("sum_qty_dec"))
+        .filter($"sum_qty_dec" > 150)
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey")
+        .join(big, $"o_orderkey" === $"lo")
+        .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+          $"o_totalprice", $"sum_qty_dec".cast("bigint").as("sum_qty"))
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(100)
     }),
 
     "join_semi" -> ((s, dir) => {
@@ -3866,6 +4011,88 @@ object SparkEntry {
         |      AND o.o_orderpriority = '1-URGENT')
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+
+    "q9_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    - p_retailprice * 0.5 * l_quantity AS DECIMAL(24,8))) AS DOUBLE)
+        |    AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%bolt%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q12_ship_priority" ->
+      """SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+        |         THEN 'FAST'
+        |       WHEN date_diff('day', o_orderdate, l_shipdate) <= 60
+        |         THEN 'NORMAL'
+        |       ELSE 'SLOW' END AS delay_bucket,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |        THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |        THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(24,8))) AS rev_dec
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_dec = (SELECT max(rev_dec) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 7, 10, 15, 20, 25, 45)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#13'),
+        |pp AS (
+        |  SELECT l_partkey AS pk,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+        |    count(*) AS nq
+        |  FROM li GROUP BY 1)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(24,8))) AS DOUBLE)
+        |    / 7.0 AS avg_yearly,
+        |  count(*) AS n_lines
+        |FROM li JOIN pp ON l_partkey = pk
+        |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * nq < sq""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty_dec
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(sum_qty_dec AS BIGINT) AS sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN big ON o_orderkey = l_orderkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
 
     "join_semi" ->
       """SELECT c_custkey, c_name FROM customer

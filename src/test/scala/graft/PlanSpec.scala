@@ -391,6 +391,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q9/q16/q17 broadcast every dim — at most the fact⋈orders SMJ survives") {
+    // q9: part + supplier-nation dims broadcast; q16: part predicate
+    // set and the NOT-IN supplier exclusion both broadcast; q17: the
+    // brand dim AND the decorrelated per-part rollup broadcast back
+    for ((q, maxSmj) <- Seq(("q9_profit", 1), ("q16_supplier_cnt", 0),
+        ("q17_small_qty_revenue", 0))) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      val smj = p.linesIterator.count(_.matches("\\(\\d+\\) SortMergeJoin.*"))
+      assert(smj <= maxSmj, s"$q has $smj sort-merge joins:\n$p")
+    }
+  }
+
+  test("q15_top_supplier: max rides the plan as a subquery, supplier broadcasts") {
+    val p = plan("q15_top_supplier")
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"),
+      "max(rev) must ride the plan, not a driver collect:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q18_large_orders: HAVING pre-aggregates before dim joins, top-100 never global-sorts") {
+    val p = plan("q18_large_orders")
+    assert(p.contains("TakeOrderedAndProject"), "top-100 must not global-sort:\n" + p)
+    // the quantity filter must land on the per-order aggregate, not
+    // after the customer/orders joins (post-agg Filter before any join
+    // consumes it) — cheap structural proxy: a Filter on sum_qty_dec
+    assert(p.contains("sum_qty_dec"), p)
+  }
+
   test("dedup_spans: every hash exchange carries (hash, id, pos) ints — never text") {
     val p = plan("dedup_spans")
     val hashExchanges = p.split("\\n\\n").toSeq.filter(b =>
