@@ -102,6 +102,7 @@ object SparkEntry {
     "ts_anomaly", "evt_top_paths", "agg_corr_regr",
     "q9_profit", "q12_ship_priority", "q15_top_supplier",
     "q16_supplier_cnt", "q17_small_qty_revenue", "q18_large_orders",
+    "q2_min_cost_supplier", "q11_important_parts", "q20_excess_shippers",
     // unseen by CORRECTNESS_r01..r08
     "agg_approx_distinct_gate", "agg_grouping_sets", "asof_signup_value",
     "bpe_tokenize", "corpus_overlap", "date_funcs", "decontaminate",
@@ -215,11 +216,12 @@ object SparkEntry {
     * only; the production shape they verify is benched directly
     * (e.g. dedup_clusters, not dedup_clusters_gate). */
   val benchQueries: Seq[String] = Seq(
-    "q1_agg", "q3_shipping", "q4_priority", "q5_region_revenue",
-    "q7_volume_shipping", "q8_market_share", "q9_profit", "q10_returns",
+    "q1_agg", "q2_min_cost_supplier", "q3_shipping", "q4_priority",
+    "q5_region_revenue", "q7_volume_shipping", "q8_market_share",
+    "q9_profit", "q10_returns", "q11_important_parts",
     "q12_ship_priority", "q13_custdist", "q14_promo_revenue",
     "q15_top_supplier", "q16_supplier_cnt", "q17_small_qty_revenue",
-    "q18_large_orders", "q19_disjunctive",
+    "q18_large_orders", "q19_disjunctive", "q20_excess_shippers",
     "q21_late_suppliers", "q22_idle_balances", "sql_q6_discount",
     "join_bloom_prefilter",
     "agg_distinct", "agg_minmax", "agg_rollup", "agg_cube", "agg_approx_distinct",
@@ -736,6 +738,105 @@ object SparkEntry {
           $"o_totalprice", $"sum_qty_dec".cast("bigint").as("sum_qty"))
         .orderBy($"o_totalprice".desc, $"o_orderkey")
         .limit(100)
+    }),
+
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      import s.implicits._
+      // TPC-H Q2 shape, adapted (no partsupp: lineitem plays the
+      // part↔supplier association, as in q16, and supply cost is the
+      // pair's minimum observed unit price). The correlated
+      // min-cost-in-region subquery DECORRELATES into a per-part min
+      // over the already-aggregated pair costs — metadata-scale, so
+      // it broadcasts back instead of re-shuffling the fact table.
+      // Unit price is one IEEE division of the same parquet doubles
+      // on both engines; min and the equality re-join are
+      // order-insensitive, so no float summation can disagree.
+      val euro = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+            .join(broadcast(Tables.region(s, dir)
+              .filter($"r_name" === "EUROPE")),
+              $"n_regionkey" === $"r_regionkey")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"s_name", $"s_acctbal",
+          $"n_name".as("nation"))
+      val parts = Tables.part(s, dir)
+        .filter($"p_type" === "SMALL" && $"p_size" <= 15)
+        .select($"p_partkey", $"p_name")
+      val cost = Tables.lineitem(s, dir)
+        .join(broadcast(parts.select($"p_partkey")),
+          $"l_partkey" === $"p_partkey")
+        .join(broadcast(euro.select($"s_suppkey")),
+          $"l_suppkey" === $"s_suppkey")
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(min($"l_extendedprice" / $"l_quantity").as("cost"))
+      val minCost = cost.groupBy($"l_partkey".as("mk"))
+        .agg(min($"cost").as("min_cost"))
+      cost
+        .join(broadcast(minCost),
+          $"l_partkey" === $"mk" && $"cost" === $"min_cost")
+        .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+        .join(broadcast(euro), $"l_suppkey" === $"s_suppkey")
+        .select($"s_acctbal", $"s_name", $"nation", $"p_partkey",
+          $"p_name", $"cost")
+        .orderBy($"s_acctbal".desc, $"nation", $"s_name", $"p_partkey")
+    }),
+
+    "q11_important_parts" -> ((s, dir) => {
+      import s.implicits._
+      // TPC-H Q11 shape, adapted (value of a part held by one
+      // nation's suppliers = revenue shipped by them). The
+      // fraction-of-global-total HAVING rides the plan as a LAZY
+      // scalar subquery over the SAME per-part rollup — one fact
+      // shuffle total, no driver collect. The classic fixed fraction
+      // doesn't survive scale-factor changes (more parts → smaller
+      // shares), so the threshold is scale-free: parts worth at
+      // least TWICE the average, tested by exact-decimal
+      // cross-multiplication (value·n > 2·Σvalue) so no float
+      // division picks the boundary differently between engines.
+      val val0 = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)
+            .filter($"s_nationkey" === 7).select($"s_suppkey")),
+          $"l_suppkey" === $"s_suppkey")
+        .groupBy($"l_partkey".as("partkey"))
+        .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .cast("decimal(24,8)")).as("value_dec"))
+      val sn = val0.agg(struct(
+          sum($"value_dec").as("s"),
+          count(lit(1)).as("n")).as("sn"))
+        .scalar()
+      val0.filter($"value_dec" * sn.getField("n") > sn.getField("s") * 2)
+        .select($"partkey", $"value_dec".cast("double").as("part_value"))
+        .orderBy($"part_value".desc, $"partkey")
+    }),
+
+    "q20_excess_shippers" -> ((s, dir) => {
+      import s.implicits._
+      // TPC-H Q20 shape, adapted (no partsupp availqty: a supplier
+      // "has excess stock" of a bolt part when their 1997 shipments
+      // exceed half their 1998 shipments of it). The nested
+      // IN-subqueries decorrelate the classic way: broadcast part
+      // filter → ONE per-(part,supplier) conditional-sum rollup →
+      // distinct supplier keys → LEFT SEMI into the supplier dim.
+      // Integral quantities sum as exact DECIMAL and the half
+      // threshold cross-multiplies (2·q97 > q98) — nothing float.
+      val bolt = Tables.part(s, dir)
+        .filter($"p_name".contains("bolt")).select($"p_partkey")
+      val dec0 = lit(0).cast("decimal(18,2)")
+      val excess = Tables.lineitem(s, dir)
+        .join(broadcast(bolt), $"l_partkey" === $"p_partkey")
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(
+          sum(when(year($"l_shipdate") === 1997,
+            $"l_quantity".cast("decimal(18,2)")).otherwise(dec0)).as("q97"),
+          sum(when(year($"l_shipdate") === 1998,
+            $"l_quantity".cast("decimal(18,2)")).otherwise(dec0)).as("q98"))
+        .filter($"q97" > 0 && $"q97" * 2 > $"q98")
+        .select($"l_suppkey").distinct()
+      Tables.supplier(s, dir)
+        .filter($"s_nationkey" === 3)
+        .join(broadcast(excess), $"s_suppkey" === $"l_suppkey", "left_semi")
+        .select($"s_suppkey", $"s_name")
+        .orderBy($"s_name")
     }),
 
     "join_semi" -> ((s, dir) => {
@@ -4093,6 +4194,64 @@ object SparkEntry {
         |JOIN big ON o_orderkey = l_orderkey
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 100""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH euro AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name AS nation
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |parts AS (
+        |  SELECT p_partkey, p_name FROM part
+        |  WHERE p_type = 'SMALL' AND p_size <= 15),
+        |cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(l_extendedprice / l_quantity) AS cost
+        |  FROM lineitem
+        |  JOIN parts ON l_partkey = p_partkey
+        |  JOIN euro ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2)
+        |SELECT s_acctbal, s_name, nation, p_partkey, p_name, cost
+        |FROM cost
+        |JOIN parts ON l_partkey = p_partkey
+        |JOIN euro ON l_suppkey = s_suppkey
+        |WHERE cost = (SELECT min(c2.cost) FROM cost c2
+        |              WHERE c2.l_partkey = cost.l_partkey)
+        |ORDER BY s_acctbal DESC, nation, s_name, p_partkey""".stripMargin,
+
+    "q11_important_parts" ->
+      """WITH val AS (
+        |  SELECT l_partkey AS partkey,
+        |    sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(24,8))) AS value_dec
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE s_nationkey = 7
+        |  GROUP BY 1)
+        |SELECT partkey, CAST(value_dec AS DOUBLE) AS part_value
+        |FROM val
+        |WHERE value_dec * (SELECT count(*) FROM val)
+        |  > (SELECT sum(value_dec) FROM val) * 2
+        |ORDER BY part_value DESC, partkey""".stripMargin,
+
+    "q20_excess_shippers" ->
+      """WITH bolt AS (
+        |  SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%'),
+        |qty AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    sum(CASE WHEN year(l_shipdate) = 1997
+        |      THEN CAST(l_quantity AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS q97,
+        |    sum(CASE WHEN year(l_shipdate) = 1998
+        |      THEN CAST(l_quantity AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS q98
+        |  FROM lineitem JOIN bolt ON l_partkey = p_partkey
+        |  GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_nationkey = 3
+        |  AND EXISTS (SELECT 1 FROM qty WHERE l_suppkey = s_suppkey
+        |              AND q97 > 0 AND q97 * 2 > q98)
+        |ORDER BY s_name""".stripMargin,
 
     "join_semi" ->
       """SELECT c_custkey, c_name FROM customer

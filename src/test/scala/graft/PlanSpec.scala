@@ -411,6 +411,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q2/q20 broadcast every dim and never sort-merge the fact side") {
+    // q2: part + region-supplier dims and BOTH decorrelated rollups
+    // (pair cost, per-part min) broadcast — zero SMJs; q20: bolt
+    // parts broadcast, the excess rollup is supplier-key-distinct
+    // (metadata-scale) before the semi join
+    for (q <- Seq("q2_min_cost_supplier", "q20_excess_shippers")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      val smj = p.linesIterator.count(_.matches("\\(\\d+\\) SortMergeJoin.*"))
+      assert(smj == 0, s"$q has $smj sort-merge joins:\n$p")
+    }
+  }
+
+  test("q11_important_parts: threshold is a scalar subquery over the same rollup") {
+    val p = plan("q11_important_parts")
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"),
+      "total must ride the plan, not a driver collect:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q18_large_orders: HAVING pre-aggregates before dim joins, top-100 never global-sorts") {
     val p = plan("q18_large_orders")
     assert(p.contains("TakeOrderedAndProject"), "top-100 must not global-sort:\n" + p)
