@@ -103,6 +103,7 @@ object SparkEntry {
     "q9_profit", "q12_ship_priority", "q15_top_supplier",
     "q16_supplier_cnt", "q17_small_qty_revenue", "q18_large_orders",
     "q2_min_cost_supplier", "q11_important_parts", "q20_excess_shippers",
+    "skew_profile",
     // unseen by CORRECTNESS_r01..r08
     "agg_approx_distinct_gate", "agg_grouping_sets", "asof_signup_value",
     "bpe_tokenize", "corpus_overlap", "date_funcs", "decontaminate",
@@ -229,7 +230,8 @@ object SparkEntry {
     "date_funcs", "null_handling", "str_levenshtein", "sketch_bloom",
     "sketch_topk", "sketch_topk_grouped", "sketch_hll_persist", "sketch_kll_persist",
     "sketch_theta_persist", "sketch_join_cardinality",
-    "join_semi", "join_anti", "join_salted", "agg_copartition", "asof_signup_value",
+    "join_semi", "join_anti", "join_salted", "skew_profile",
+    "agg_copartition", "asof_signup_value",
     "asof_next_purchase", "interval_join_promo", "interval_join_incidents",
     "interval_overlap_campaigns",
     "win_topk_parts", "win_running_total", "win_lag_delta", "win_rank_family",
@@ -911,6 +913,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"),
           sum($"l_quantity".cast("int")).cast("bigint").as("sum_qty"))
         .orderBy($"o_orderpriority")
+    }),
+
+    "skew_profile" -> ((s, dir) => {
+      // Per-key skew diagnostic (operators.Scale.skewProfile): the 15
+      // heaviest part keys in lineitem with exact ppm share and the
+      // salt factor a 100-rows-per-task budget would demand. One
+      // partial-aggregated key shuffle + a broadcast 1-row total +
+      // TakeOrderedAndProject — integral arithmetic throughout.
+      graft.operators.Scale.skewProfile(
+        Tables.lineitem(s, dir).select("l_partkey"), "l_partkey",
+        topK = 15, targetRowsPerTask = 100L)
     }),
 
     "agg_copartition" -> ((s, dir) => {
@@ -5100,6 +5113,18 @@ object SparkEntry {
         |  CAST(sum(CAST(l.l_quantity AS INT)) AS BIGINT) AS sum_qty
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
+
+    "skew_profile" ->
+      """WITH pk AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS key_rows
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(key_rows) AS BIGINT) AS total FROM pk)
+        |SELECT l_partkey, key_rows,
+        |  CAST(key_rows * 1000000 // total AS BIGINT) AS share_ppm,
+        |  CAST((key_rows + 99) // 100 AS BIGINT) AS salt_factor
+        |FROM pk, t
+        |ORDER BY key_rows DESC, l_partkey
+        |LIMIT 15""".stripMargin,
 
     "agg_copartition" ->
       """WITH bf AS (

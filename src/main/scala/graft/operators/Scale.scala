@@ -90,6 +90,43 @@ object Scale {
   def copartition(df: DataFrame, keyCol: String, partitions: Int): DataFrame =
     df.repartition(partitions, col(keyCol))
 
+  /** Per-key skew profile — the diagnostic you run BEFORE choosing a
+    * join strategy at 100 TB: the `topK` heaviest keys with their row
+    * counts, exact parts-per-million share of the table, and the salt
+    * factor (`ceil(rows / targetRowsPerTask)`) that `saltedJoin`
+    * would need to spread that key to ~one task's worth of rows per
+    * reducer. A profile whose top entry reads `salt_factor = 1` says
+    * a plain shuffle join is safe; `salt_factor = 40` says AQE's
+    * skew splitting (or explicit salting) is mandatory.
+    *
+    * Cost shape: ONE partial-aggregated key shuffle (map-side combine
+    * shrinks it to distinct-key scale — fixed-width rows, the payload
+    * never moves), a lazy scalar subquery for the total (no driver
+    * collect), and a TakeOrderedAndProject top-k (no global sort).
+    * Share and salt are integral arithmetic (`div`, not IEEE `/`) so
+    * the numbers are exact past 2^53 and engine-independent. */
+  def skewProfile(df: DataFrame, keyCol: String, topK: Int = 20,
+      targetRowsPerTask: Long = 4000000L): DataFrame = {
+    val perKey = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("key_rows"))
+    // 1-row total, broadcast — a lazy plan stage, not a driver collect.
+    // Deliberately count(*) over the INPUT, not sum over perKey: the
+    // branches of a DAG re-execute, and summing the rollup would pay
+    // the key shuffle twice — a zero-column scan + partial count is
+    // the cheap way to the same number. The DECIMAL(38,0) widening
+    // before the multiply keeps the ppm numerator exact far past long
+    // overflow at 100 TB row counts.
+    val totalDf = df.agg(count(lit(1)).as("__total"))
+    perKey.crossJoin(broadcast(totalDf))
+      .withColumn("share_ppm",
+        expr("CAST(key_rows AS DECIMAL(38,0)) * 1000000 div __total"))
+      .withColumn("salt_factor",
+        expr(s"(key_rows + ${targetRowsPerTask - 1}L) div ${targetRowsPerTask}L"))
+      .drop("__total")
+      .orderBy(col("key_rows").desc, col(keyCol))
+      .limit(topK)
+  }
+
   /** Token-budget sharding: assign every row a `shard_id` such that
     * consecutive rows in `idCol` order accumulate ~`budgetTokens`
     * tokens per shard — how a training corpus is split into

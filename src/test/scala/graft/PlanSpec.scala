@@ -174,6 +174,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("skew_profile: top-k never global-sorts, one key shuffle, scan prunes to the key") {
+    val p = plan("skew_profile")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort:\n" + p)
+    // one hash exchange (the per-key partial agg) + the 1-row total's
+    // single-partition exchange — nothing else moves
+    val hashEx = p.linesIterator.count(_.contains("hashpartitioning"))
+    assert(hashEx <= 1, s"$hashEx hash exchanges:\n$p")
+    // the scan reads ONLY the profiled key column
+    val rs = p.linesIterator.find(_.startsWith("ReadSchema")).getOrElse("")
+    assert(rs.contains("l_partkey") && !rs.contains("l_quantity"), p)
+  }
+
   test("partitioned_roundtrip prunes the scan to one partition directory") {
     val p = plan("partitioned_roundtrip")
     val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
