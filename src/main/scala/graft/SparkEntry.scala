@@ -103,7 +103,7 @@ object SparkEntry {
     "q9_profit", "q12_ship_priority", "q15_top_supplier",
     "q16_supplier_cnt", "q17_small_qty_revenue", "q18_large_orders",
     "q2_min_cost_supplier", "q11_important_parts", "q20_excess_shippers",
-    "skew_profile",
+    "skew_profile", "sketch_cms_persist",
     // unseen by CORRECTNESS_r01..r08
     "agg_approx_distinct_gate", "agg_grouping_sets", "asof_signup_value",
     "bpe_tokenize", "corpus_overlap", "date_funcs", "decontaminate",
@@ -229,6 +229,7 @@ object SparkEntry {
     "agg_collect_list", "agg_pivot", "agg_unpivot", "agg_grouping_sets",
     "date_funcs", "null_handling", "str_levenshtein", "sketch_bloom",
     "sketch_topk", "sketch_topk_grouped", "sketch_hll_persist", "sketch_kll_persist",
+    "sketch_cms_persist",
     "sketch_theta_persist", "sketch_join_cardinality",
     "join_semi", "join_anti", "join_salted", "skew_profile",
     "agg_copartition", "asof_signup_value",
@@ -3385,6 +3386,39 @@ object SparkEntry {
           (abs(avg(($"x" <= $"p90").cast("double")) - 0.9) <= 0.05).as("p90_ok"))
     }),
 
+    "sketch_cms_persist" -> ((s, dir) => {
+      import s.implicits._
+      // Point-count queries from a persisted count-min sketch: HLL
+      // says how many distinct, SpaceSaving which items are heavy —
+      // CMS answers "how often did THIS key occur" for ANY key, from
+      // per-group grids that persist through parquet and merge
+      // cell-wise (exact, commutative). SIDE-EFFECTING (writes the
+      // sketch table at construction). The 15 heaviest parts probe
+      // the merged sketch; in the collision-free regime of a 2^16
+      // grid the estimates ARE the exact counts, and the oracle pins
+      // value-for-value equality (one-sided error means any collision
+      // would show as estimate > exact — a hash mismatch, not a
+      // silent pass).
+      val li = Tables.lineitem(s, dir)
+        .select($"l_partkey".cast("string").as("k"), $"l_returnflag")
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_cms_${math.abs(dir.hashCode)}"
+      li.groupBy($"l_returnflag")
+        .agg(graft.functions.cms_agg($"k").as("sk"))
+        .write.mode("overwrite").parquet(out)
+      val merged = s.read.parquet(out)
+        .agg(graft.functions.cms_merge_agg($"sk").as("sk"))
+        .scalar()
+      Tables.lineitem(s, dir)
+        .groupBy($"l_partkey")
+        .agg(count(lit(1)).cast("bigint").as("n_exact"))
+        .orderBy($"n_exact".desc, $"l_partkey")
+        .limit(15)
+        .withColumn("n_est",
+          graft.functions.cms_estimate(merged, $"l_partkey".cast("string")))
+        .select($"l_partkey", $"n_exact", $"n_est")
+        .orderBy($"l_partkey")
+    }),
+
     "sketch_join_cardinality" -> ((s, dir) => {
       import s.implicits._
       import graft.functions.{theta_sketch_agg, theta_estimate,
@@ -5521,6 +5555,17 @@ object SparkEntry {
     "feat_percentile_buckets_kll" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS kll_agree
         |FROM lineitem""".stripMargin,
+
+    // collision-free regime: the CMS estimate must EQUAL the exact
+    // count for every probed key (one-sided error — a collision shows
+    // as a hash mismatch, never a silent pass)
+    "sketch_cms_persist" ->
+      """WITH top AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM lineitem GROUP BY 1
+        |  ORDER BY n_exact DESC, l_partkey LIMIT 15)
+        |SELECT l_partkey, n_exact, n_exact AS n_est
+        |FROM top ORDER BY l_partkey""".stripMargin,
 
     // same exact-overlap CTE as corpus_overlap; the theta estimates
     // are gated in-plan, so the oracle pins the exact counts + true

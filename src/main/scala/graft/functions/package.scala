@@ -75,6 +75,22 @@ package object functions {
   def kll_merge_agg(c: Column): Column =
     col(graft.expr.KllMergeAgg(ex(c)).toAggregateExpression())
 
+  /** Count-min sketch aggregate (binary, mergeable, parquet-
+    * persistable): point-count queries for ANY key, one-sided error
+    * (never under; over by <= e/width * N w.p. 1 - e^-depth). */
+  def cms_agg(c: Column, depth: Int = 5, width: Int = 1 << 16): Column =
+    col(graft.expr.CmsAgg(ex(c), depth, width).toAggregateExpression())
+
+  /** Cell-wise merge of serialized count-min sketches — the read-back
+    * half of the persistence pattern. */
+  def cms_merge_agg(c: Column): Column =
+    col(graft.expr.CmsMergeAgg(ex(c)).toAggregateExpression())
+
+  /** Occurrence-count upper bound for `item` (string) from a
+    * serialized count-min sketch. */
+  def cms_estimate(sketch: Column, item: Column): Column =
+    col(graft.expr.CmsEstimate(ex(sketch), ex(item)))
+
   /** Quantile estimate at `rank` from a serialized KLL sketch;
     * NULL on an empty sketch. */
   def kll_quantile(sketch: Column, rank: Column): Column =
@@ -213,6 +229,22 @@ package object functions {
     ("kll_merge_agg", classOf[graft.expr.KllMergeAgg], {
       case Seq(c) => graft.expr.KllMergeAgg(c).toAggregateExpression()
       case _ => throw new IllegalArgumentException("kll_merge_agg(sketch)")
+    }),
+    ("cms_agg", classOf[graft.expr.CmsAgg], {
+      case Seq(c) => graft.expr.CmsAgg(c).toAggregateExpression()
+      case Seq(c, d, w) if d.foldable && w.foldable =>
+        graft.expr.CmsAgg(c, d.eval().asInstanceOf[Number].intValue(),
+          w.eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+      case _ => throw new IllegalArgumentException(
+        "cms_agg(x[, depth, width]) — depth/width must be literals")
+    }),
+    ("cms_merge_agg", classOf[graft.expr.CmsMergeAgg], {
+      case Seq(c) => graft.expr.CmsMergeAgg(c).toAggregateExpression()
+      case _ => throw new IllegalArgumentException("cms_merge_agg(sketch)")
+    }),
+    ("cms_estimate", classOf[graft.expr.CmsEstimate], {
+      case Seq(s, i) => graft.expr.CmsEstimate(s, i)
+      case _ => throw new IllegalArgumentException("cms_estimate(sketch, item)")
     }),
     ("kll_quantile", classOf[graft.expr.KllQuantile], {
       case Seq(s, q) => graft.expr.KllQuantile(s, q)
