@@ -103,7 +103,7 @@ object SparkEntry {
     "q9_profit", "q12_ship_priority", "q15_top_supplier",
     "q16_supplier_cnt", "q17_small_qty_revenue", "q18_large_orders",
     "q2_min_cost_supplier", "q11_important_parts", "q20_excess_shippers",
-    "skew_profile", "sketch_cms_persist",
+    "skew_profile", "sketch_cms_persist", "dedup_incremental_gate",
     // unseen by CORRECTNESS_r01..r08
     "agg_approx_distinct_gate", "agg_grouping_sets", "asof_signup_value",
     "bpe_tokenize", "corpus_overlap", "date_funcs", "decontaminate",
@@ -2304,6 +2304,47 @@ object SparkEntry {
         .crossJoin(brute.exceptAll(banded).union(banded.exceptAll(brute))
           .agg((count(lit(1)) === 0).as("complete")))
         .select(($"n_brute" > 0).as("nonempty"), $"complete")
+    }),
+
+    "dedup_incremental_gate" -> ((s, dir) => {
+      import s.implicits._
+      // Incremental dedup equivalence: split the capped corpus into a
+      // "historical" half (even ids → persisted band index) and a
+      // "new crawl" half (odd ids), then pin the contract
+      // pairs(old ∪ new) == pairs(old) ⊎ incremental(new, index(old))
+      // as exact set equality + disjointness — the daily-crawl loop's
+      // correctness condition (history never rescanned, no pair lost,
+      // no pair double-reported). SIDE-EFFECTING (writes the index at
+      // construction). Append-mode then folds the new batch in and
+      // the rebuilt-vs-appended index must agree row-for-row.
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+      val old = docs.filter($"doc_id" % 2 === 0)
+      val nw = docs.filter($"doc_id" % 2 === 1)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_shidx_${math.abs(dir.hashCode)}"
+      Dedup.writeSimhashIndex(old, "text", "doc_id", idx, maxHamming = 7)
+      // localCheckpoint PINS the incremental result before the append
+      // below mutates the index dir it reads (lazy plans would
+      // otherwise race the file listing)
+      val inc = Dedup.simhashNearDupIncremental(nw, idx, "text", "doc_id",
+        maxHamming = 7).select($"id_a", $"id_b").localCheckpoint()
+      val full = Dedup.simhashNearDup(docs, "text", "doc_id", maxHamming = 7)
+        .select($"id_a", $"id_b")
+      val oldOnly = Dedup.simhashNearDup(old, "text", "doc_id", maxHamming = 7)
+        .select($"id_a", $"id_b")
+      val merged = oldOnly.union(inc)
+      Dedup.writeSimhashIndex(nw, "text", "doc_id", idx, maxHamming = 7,
+        mode = "append")
+      val appended = s.read.parquet(idx)
+      full.agg(count(lit(1)).as("n_full"))
+        .crossJoin(full.exceptAll(merged).union(merged.exceptAll(full))
+          .agg((count(lit(1)) === 0).as("complete")))
+        .crossJoin(oldOnly.intersect(inc)
+          .agg((count(lit(1)) === 0).as("disjoint")))
+        .crossJoin(appended.agg(count(lit(1)).as("n_idx_rows"))
+          .crossJoin(docs.agg((count(lit(1)) * 8).as("n_expected")))
+          .select(($"n_idx_rows" === $"n_expected").as("append_folded")))
+        .select(($"n_full" > 0).as("nonempty"),
+          $"complete", $"disjoint", $"append_folded")
     }),
 
     "dedup_minhash_recall" -> ((s, dir) => {
@@ -5263,6 +5304,12 @@ object SparkEntry {
     // pigeonhole-complete banding: candidates == brute-force pairs
     "dedup_simhash_complete" ->
       "SELECT true AS nonempty, true AS complete",
+
+    // incremental == full-rebuild equivalence is pinned in-plan (set
+    // equality + disjointness + append fold); booleans only
+    "dedup_incremental_gate" ->
+      """SELECT true AS nonempty, true AS complete, true AS disjoint,
+        |  true AS append_folded""".stripMargin,
 
     // ground truth (exact char-5-gram Jaccard >= 0.6 over all pairs)
     // recomputed independently in DuckDB; the recall gate is a boolean

@@ -114,22 +114,29 @@ object Dedup {
     * width is 64/(maxHamming+1) bits, so radii past ~7 shrink the band
     * keyspace toward all-pairs. At 100 TB keep maxHamming <= 7
     * (8 bands × 8 bits) and use [[minhashNearDup]] for coarser radii. */
-  def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 63,
-      s"maxHamming must be in [0,63] (got $maxHamming)")
-    val bands = maxHamming + 1
-    // 64 bits distributed into `bands` chunks (graft.expr.BandLayout —
-    // shared with the HammingJoinRewrite optimizer rule)
+  /** Banded simhash fingerprints — the shared blocking layout of
+    * [[simhashNearDup]] and the persisted incremental index: one row
+    * per (doc, band) carrying (id, sh, band, key), 64 bits split into
+    * `bands` chunks (graft.expr.BandLayout — shared with the
+    * HammingJoinRewrite optimizer rule). */
+  private def bandedFingerprints(df: DataFrame, textCol: String,
+      idCol: String, bands: Int): DataFrame = {
     val layout = graft.expr.BandLayout(bands)
     val fp = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
     val bandKeys = layout.zipWithIndex.map { case ((offset, mask), b) =>
       struct(lit(b).as("band"),
         shiftright(col("sh"), offset).bitwiseAND(lit(mask)).as("key"))
     }
-    val banded = fp.select(col("id"), col("sh"),
+    fp.select(col("id"), col("sh"),
       explode(array(bandKeys: _*)).as("bk"))
       .select(col("id"), col("sh"), col("bk.band"), col("bk.key"))
+  }
+
+  def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0,63] (got $maxHamming)")
+    val banded = bandedFingerprints(df, textCol, idCol, maxHamming + 1)
     val a = banded.select(col("band"), col("key"),
       col("id").as("id_a"), col("sh").as("sh_a"))
     val b = banded.select(col("band"), col("key"),
@@ -139,6 +146,85 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .distinct() // a pair may collide on several bands
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Persist the simhash band index of a corpus — the historical half
+    * of INCREMENTAL dedup: fingerprint + band rows (id, sh, band, key)
+    * as parquet, plus a 1-row `__meta` sidecar recording the band
+    * layout so a mismatched read fails loudly instead of silently
+    * missing pairs. `mode = "append"` folds a new batch into the
+    * index after it has been dedup'd (the daily-crawl loop: dedup
+    * against history, then append the survivors — history is never
+    * rescanned, never refingerprinted). */
+  def writeSimhashIndex(df: DataFrame, textCol: String, idCol: String,
+      dir: String, maxHamming: Int = 3, mode: String = "overwrite"): Unit = {
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0,63] (got $maxHamming)")
+    val spark = df.sparkSession
+    if (mode == "append") {
+      // appending under a different layout would silently lose recall
+      // for every doc already indexed — refuse loudly
+      val idxMax = spark.read.parquet(dir + "__meta").head().getInt(0)
+      require(idxMax == maxHamming,
+        s"index at $dir was built with maxHamming=$idxMax, " +
+          s"append requested with $maxHamming")
+    }
+    bandedFingerprints(df, textCol, idCol, maxHamming + 1)
+      .write.mode(mode).parquet(dir)
+    if (mode != "append") {
+      import spark.implicits._
+      Seq(maxHamming).toDF("max_hamming")
+        .coalesce(1).write.mode("overwrite").parquet(dir + "__meta")
+    }
+  }
+
+  /** Near-dup pairs of a NEW batch against a persisted index plus
+    * within itself — incremental dedup without rescanning history:
+    * `pairs(old ∪ new) = pairs(old) ∪ incremental(new, index(old))`,
+    * disjointly (the equivalence `dedup_incremental_gate` pins).
+    * Returns (id_a, id_b, hamming) with id_a < id_b, hamming <=
+    * maxHamming, every pair touching at least one new doc. A new doc
+    * re-arriving under an id already in the index pairs with nothing
+    * of itself (`id_a =!= id_b` guard) but still pairs with its
+    * near-dups.
+    *
+    * Scale shape: the index joins on fixed-width (band, key) — the
+    * historical TEXT never loads, only its 28-byte band rows; the new
+    * batch fingerprints once. Both joins hash-partition on band keys;
+    * nothing quadratic, nothing driver-side except the 1-row meta
+    * guard. */
+  def simhashNearDupIncremental(newDf: DataFrame, indexDir: String,
+      textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
+    val spark = newDf.sparkSession
+    // loud O(1) layout guard — a bands mismatch would silently lose
+    // recall, the worst failure mode an index can have
+    val idxMax = spark.read.parquet(indexDir + "__meta")
+      .head().getInt(0)
+    require(idxMax == maxHamming,
+      s"index at $indexDir was built with maxHamming=$idxMax, " +
+        s"queried with $maxHamming — rebuild or re-query to match")
+    val nw = bandedFingerprints(newDf, textCol, idCol, maxHamming + 1)
+    val idx = spark.read.parquet(indexDir)
+    val newVsOld = nw
+      .select(col("band"), col("key"), col("id").as("id_n"), col("sh").as("sh_n"))
+      .join(idx.select(col("band"), col("key"),
+          col("id").as("id_o"), col("sh").as("sh_o")),
+        Seq("band", "key"))
+      .filter(col("id_n") =!= col("id_o"))
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"),
+        bit_count(col("sh_n").bitwiseXOR(col("sh_o"))).as("hamming"))
+    val a = nw.select(col("band"), col("key"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = nw.select(col("band"), col("key"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    val newVsNew = a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+    newVsOld.union(newVsNew)
+      .distinct() // band multi-collisions + old∩new id overlap
       .filter(col("hamming") <= maxHamming)
   }
 

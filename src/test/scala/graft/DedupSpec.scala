@@ -195,4 +195,51 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out == Map(1L -> "", 2L -> ""))
   }
+
+  private def incCorpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again"), // dup of 0 (old-new)
+    (2L, "a completely different document about distributed systems design"),
+    (3L, "an unrelated essay on the history of typography and printing"),
+    (4L, "a completely different document about distributed systems design"), // dup of 2 (old-old? 2,4 both even)
+    (5L, "an unrelated essay on the history of typography and printing")) // dup of 3 (odd-odd)
+    .toDF("doc_id", "text")
+
+  test("incremental index: pairs(old∪new) == pairs(old) ⊎ incremental(new, idx)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shidx").toString + "/idx"
+    val old = incCorpus.filter($"doc_id" % 2 === 0)
+    val nw = incCorpus.filter($"doc_id" % 2 === 1)
+    Dedup.writeSimhashIndex(old, "text", "doc_id", dir, maxHamming = 3)
+    val inc = Dedup.simhashNearDupIncremental(nw, dir, "text", "doc_id", 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.simhashNearDup(incCorpus, "text", "doc_id", 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oldOnly = Dedup.simhashNearDup(old, "text", "doc_id", 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc.contains((0L, 1L)), s"old-new dup missing: $inc") // crosses the index
+    assert(inc.contains((3L, 5L)), s"new-new dup missing: $inc")
+    assert(oldOnly.contains((2L, 4L)), s"old-old dup missing: $oldOnly")
+    assert((oldOnly ++ inc) == full, s"oldOnly=$oldOnly inc=$inc full=$full")
+    assert((oldOnly & inc).isEmpty)
+  }
+
+  test("incremental index: band-layout mismatch fails loudly, append folds in") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shidx2").toString + "/idx"
+    val old = incCorpus.filter($"doc_id" % 2 === 0)
+    val nw = incCorpus.filter($"doc_id" % 2 === 1)
+    Dedup.writeSimhashIndex(old, "text", "doc_id", dir, maxHamming = 3)
+    val exQ = intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupIncremental(nw, dir, "text", "doc_id", maxHamming = 7)
+    }
+    assert(exQ.getMessage.contains("maxHamming=3"), exQ.getMessage)
+    val exA = intercept[IllegalArgumentException] {
+      Dedup.writeSimhashIndex(nw, "text", "doc_id", dir, maxHamming = 7,
+        mode = "append")
+    }
+    assert(exA.getMessage.contains("append"), exA.getMessage)
+    Dedup.writeSimhashIndex(nw, "text", "doc_id", dir, maxHamming = 3,
+      mode = "append")
+    // 6 docs x 4 bands after the fold
+    assert(spark.read.parquet(dir).count() == 24L)
+  }
 }
