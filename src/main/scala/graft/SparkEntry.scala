@@ -104,6 +104,7 @@ object SparkEntry {
     "q16_supplier_cnt", "q17_small_qty_revenue", "q18_large_orders",
     "q2_min_cost_supplier", "q11_important_parts", "q20_excess_shippers",
     "skew_profile", "sketch_cms_persist", "dedup_incremental_gate",
+    "evt_stream_join_full",
     // unseen by CORRECTNESS_r01..r08
     "agg_approx_distinct_gate", "agg_grouping_sets", "asof_signup_value",
     "bpe_tokenize", "corpus_overlap", "date_funcs", "decontaminate",
@@ -3703,6 +3704,26 @@ object SparkEntry {
         .orderBy($"event_id", $"signup_ts_s", $"signup_value")
     }),
 
+    "evt_stream_join_full" -> ((s, dir) => {
+      import s.implicits._
+      // FULL-OUTER attribution twin: both unconverted signups AND
+      // unattributed purchases survive NULL-extended — the audit view
+      // (state-expiry emissions on BOTH sides in the streaming form).
+      // event_id is the purchase id (NULL on signup-only rows), so
+      // the signup identity columns disambiguate those rows.
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", $"value")
+      val signups = ev.filter($"event_type" === "signup")
+      EventStreams.purchaseAttribution(purchases, signups,
+          joinType = "fullOuter")
+        .select($"event_id", $"user_id",
+          date_trunc("second", $"ts").as("ts_s"),
+          date_trunc("second", $"signup_ts").as("signup_ts_s"),
+          $"signup_value")
+        .orderBy($"event_id", $"user_id", $"signup_ts_s", $"signup_value")
+    }),
+
     "evt_session_window" -> ((s, dir) => {
       import s.implicits._
       EventStreams.sessionWindows(Tables.events(s, dir))
@@ -6014,6 +6035,16 @@ object SparkEntry {
         |  ON p.user_id = s.user_id AND s.ts <= p.ts
         | AND s.ts >= p.ts - INTERVAL 7 DAY
         |ORDER BY p.event_id, signup_ts_s, signup_value""".stripMargin,
+
+    "evt_stream_join_full" ->
+      """SELECT p.event_id, coalesce(p.user_id, s.user_id) AS user_id,
+        |  date_trunc('second', p.ts) AS ts_s,
+        |  date_trunc('second', s.ts) AS signup_ts_s, s.value AS signup_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND s.ts <= p.ts
+        | AND s.ts >= p.ts - INTERVAL 7 DAY
+        |ORDER BY p.event_id, user_id, signup_ts_s, signup_value""".stripMargin,
 
     "asof_signup_value" ->
       """SELECT p.event_id, p.user_id, date_trunc('second', p.ts) AS ts_s,

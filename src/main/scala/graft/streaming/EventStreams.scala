@@ -75,7 +75,12 @@ object EventStreams {
     * state-expiry emission Structured Streaming defines for outer
     * stream-stream joins — supported because both sides are
     * watermarked AND the condition time-bounds the match). Batch twin
-    * `evt_stream_join_outer` is the plain left join. */
+    * `evt_stream_join_outer` is the plain left join.
+    *
+    * `joinType = "fullOuter"` additionally emits signups that never
+    * converted (no purchase in their forward window) — the audit view
+    * of the same join; `user_id` coalesces from whichever side is
+    * present. Batch twin `evt_stream_join_full`. */
   def purchaseAttribution(purchases: DataFrame, signups: DataFrame,
       maxAgeSeconds: Long = 7L * 24 * 3600,
       watermark: String = "2 hours",
@@ -89,6 +94,7 @@ object EventStreams {
         && col("signup_ts") <= col("ts")
         && col("signup_ts") >= col("ts") - expr(s"INTERVAL $maxAgeSeconds SECONDS"),
         joinType)
+      .withColumn("user_id", coalesce(col("user_id"), col("s_user_id")))
       .drop("s_user_id")
   }
 

@@ -291,6 +291,57 @@ class StreamingSpec extends SparkSpec {
     assert(batch == Set((10L, 0.0), (12L, -1.0)))
   }
 
+  test("purchaseAttribution fullOuter emits unmatched rows from BOTH sides at expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = Seq(
+      Event(10, ts(60), 1, "purchase", 9.99),
+      Event(12, ts(400), 3, "purchase", 1.00)) // user 3 never signed up
+    val signups = Seq(
+      Event(20, ts(0), 1, "signup", 0.0),
+      Event(21, ts(30), 7, "signup", 5.0)) // user 7 never purchased
+    val memP = MemoryStream[Event]
+    val memS = MemoryStream[Event]
+    val joined = EventStreams.purchaseAttribution(
+      memP.toDF().select($"event_id", $"user_id", $"ts", $"value"),
+      memS.toDF(), maxAgeSeconds = 7200, watermark = "10 seconds",
+      joinType = "fullOuter")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_full").start()
+    memS.addData(signups: _*)
+    q.processAllAvailable()
+    memP.addData(purchases: _*)
+    q.processAllAvailable()
+    // advance BOTH watermarks far past every open window, two batches
+    memS.addData(Event(98, ts(5000), 99, "signup", 0.0))
+    memP.addData(Event(99, ts(5000), 99, "purchase", 0.0))
+    q.processAllAvailable()
+    memS.addData(Event(96, ts(6000), 99, "signup", 0.0))
+    memP.addData(Event(97, ts(6000), 99, "purchase", 0.0))
+    q.processAllAvailable()
+    val rows = spark.table("ssjoin_full")
+      .select(coalesce($"event_id", lit(-1L)).as("pid"), $"user_id",
+        when($"signup_value".isNull, lit(-1.0)).otherwise($"signup_value")
+          .as("sv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    assert(rows.contains((10L, 1L, 0.0)), s"matched row missing: $rows")
+    assert(rows.contains((12L, 3L, -1.0)),
+      s"unmatched purchase must NULL-extend: $rows")
+    // the full-outer addition: the unconverted signup emits too, with
+    // user_id coalesced from the signup side
+    assert(rows.contains((-1L, 7L, 5.0)),
+      s"unconverted signup must NULL-extend at expiry: $rows")
+    // batch twin agrees on the same inputs (modulo the flush traffic)
+    val batch = EventStreams.purchaseAttribution(
+        purchases.toDF().select($"event_id", $"user_id", $"ts", $"value"),
+        signups.toDF(), maxAgeSeconds = 7200, joinType = "fullOuter")
+      .select(coalesce($"event_id", lit(-1L)), $"user_id",
+        when($"signup_value".isNull, lit(-1.0)).otherwise($"signup_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch == Set((10L, 1L, 0.0), (12L, 3L, -1.0), (-1L, 7L, 5.0)),
+      s"batch twin: $batch")
+  }
+
   test("checkpoint recovery: restart resumes exactly-once, no reprocessing") {
     // file source + checkpoint: run, stop, add data, restart with the
     // SAME checkpoint — the second run must process only the new file
