@@ -104,7 +104,7 @@ object SparkEntry {
     "q16_supplier_cnt", "q17_small_qty_revenue", "q18_large_orders",
     "q2_min_cost_supplier", "q11_important_parts", "q20_excess_shippers",
     "skew_profile", "sketch_cms_persist", "dedup_incremental_gate",
-    "evt_stream_join_full",
+    "evt_stream_join_full", "sketch_stream_cms",
     // unseen by CORRECTNESS_r01..r08
     "agg_approx_distinct_gate", "agg_grouping_sets", "asof_signup_value",
     "bpe_tokenize", "corpus_overlap", "date_funcs", "decontaminate",
@@ -3976,6 +3976,42 @@ object SparkEntry {
           (abs($"est_inc" - $"n_distinct") <= $"n_distinct" * 0.05).as("est_ok"))
         .orderBy($"source")
     }),
+
+    "sketch_stream_cms" -> ((s, dir) => {
+      import s.implicits._
+      // Streaming count-min maintenance through the same foreachBatch
+      // body: 3 deterministic micro-batches keep per-source CMS grids
+      // over `lang`. CMS merge is cell-wise ADDITION — so the
+      // incremental grid must equal the one-shot grid BYTE FOR BYTE
+      // (the strongest incremental==one-shot gate any sketch allows),
+      // and every (source, lang) probe must equal the exact count the
+      // oracle recomputes (collision-free regime, one-sided error).
+      val docs = Tables.documents(s, dir)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_skstream_cms_${math.abs(dir.hashCode)}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true) // stale prior runs
+      (0L to 2L).foreach { i =>
+        graft.streaming.SketchStreams.applySketchBatch(base, i,
+          docs.filter(pmod(xxhash64($"doc_id"), lit(3)) === i),
+          Seq("source"), graft.functions.cms_agg($"lang"),
+          c => graft.functions.cms_merge_agg(c))
+      }
+      val vFinal = Merge.latestSnapshotVersion(s, base).get
+      val inc = s.read.parquet(s"$base/v=$vFinal")
+      val oneShot = docs.groupBy($"source")
+        .agg(graft.functions.cms_agg($"lang").as("sk_one"))
+      val exact = docs.groupBy($"source", $"lang")
+        .agg(count(lit(1)).cast("bigint").as("n_exact"))
+      exact
+        .join(broadcast(inc.join(oneShot, "source")
+          .select($"source", $"sk", ($"sk" === $"sk_one").as("inc_eq_oneshot"))),
+          "source")
+        .select($"source", $"lang", $"n_exact",
+          graft.functions.cms_estimate($"sk", $"lang").as("n_est"),
+          $"inc_eq_oneshot")
+        .orderBy($"source", $"lang")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4864,6 +4900,13 @@ object SparkEntry {
       """SELECT source, CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
         |  true AS inc_eq_oneshot, true AS est_ok
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // CMS probes are value-matched to exact counts; the byte-equality
+    // of incremental vs one-shot grids is the boolean
+    "sketch_stream_cms" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(count(*) AS BIGINT) AS n_est, true AS inc_eq_oneshot
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // exact columns value-matched (DuckDB recomputes the md5-keyed
     // 3-gram vocabularies from scratch); the KMV-sketch arm is the
