@@ -104,7 +104,7 @@ object SparkEntry {
     "q16_supplier_cnt", "q17_small_qty_revenue", "q18_large_orders",
     "q2_min_cost_supplier", "q11_important_parts", "q20_excess_shippers",
     "skew_profile", "sketch_cms_persist", "dedup_incremental_gate",
-    "evt_stream_join_full", "sketch_stream_cms",
+    "evt_stream_join_full", "sketch_stream_cms", "text_bigram_nll",
     // unseen by CORRECTNESS_r01..r08
     "agg_approx_distinct_gate", "agg_grouping_sets", "asof_signup_value",
     "bpe_tokenize", "corpus_overlap", "date_funcs", "decontaminate",
@@ -2837,6 +2837,16 @@ object SparkEntry {
       // so the sum is order-independent and DuckDB-replayable.
       // Perplexity = exp(nll_micros/1e6/n_tok) downstream.
       TextAnalysis.unigramNll(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
+    "text_bigram_nll" -> ((s, dir) => {
+      import s.implicits._
+      // Bigram-LM NLL with add-one smoothing: the context-aware
+      // quality signal (word-salad has common WORDS but rare
+      // TRANSITIONS). Micro-nat integers keep the per-doc sums
+      // order-independent and DuckDB-replayable bit-for-bit.
+      TextAnalysis.bigramNll(Tables.documents(s, dir), "doc_id", "text")
         .orderBy($"doc_id")
     }),
 
@@ -5613,6 +5623,34 @@ object SparkEntry {
         |  CAST(sum(-round(ln(CAST(f AS DOUBLE) / n) * 1000000))
         |    AS BIGINT) AS nll_micros
         |FROM t JOIN v USING (tok), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same tokenizer, same add-one arithmetic, same micro-nat
+    // quantization — the per-doc sums are bit-identical
+    "text_bigram_nll" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, greatest(len(toks) - 1, 0)),
+        |    i -> struct_pack(w1 := toks[CAST(i AS INT) + 1],
+        |                     w2 := toks[CAST(i AS INT) + 2]))) AS bg
+        |  FROM t),
+        |b AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM bi),
+        |toks AS (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS tok
+        |  FROM documents),
+        |ctx AS (SELECT tok AS w1, count(*) AS c1 FROM toks
+        |        WHERE tok <> '' GROUP BY 1),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) AS vs FROM ctx),
+        |pair AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(-round(ln(CAST(c2 + 1 AS DOUBLE) / (c1 + vs))
+        |    * 1000000)) AS BIGINT) AS bnll_micros
+        |FROM b JOIN pair USING (w1, w2) JOIN ctx USING (w1), v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // ANN quality gates: threshold booleans, not pinned recall values —

@@ -88,6 +88,47 @@ object TextAnalysis {
         sum(col("__nll_micros")).cast("bigint").as("nll_micros"))
   }
 
+  /** Bigram language-model NLL with add-one smoothing — the
+    * context-aware upgrade of [[unigramNll]]: each transition scored
+    * by P(w2 | w1) = (c(w1,w2) + 1) / (c(w1) + V) over the corpus's
+    * own counts, summed per document as integer micro-nats (same
+    * replayable convention). Unigram NLL misses word-salad whose
+    * WORDS are common but whose TRANSITIONS are not (shuffled text,
+    * keyword stuffing, template glue) — exactly what the bigram
+    * surprisal catches. Docs with < 2 tokens drop out.
+    *
+    * Scale: bigrams assemble ROW-LOCALLY from the token array (one
+    * slide over `tokens`, no self-join, no window); then one
+    * bigram-keyed hash-agg, one context-keyed hash-agg, and two
+    * token-keyed joins of the exploded stream — fixed-width-ish token
+    * keys, documents never shuffle whole. V is a 1-row broadcast. */
+  def bigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toksCol = filter(tokens(col(textCol)), t => t =!= "")
+    val bi = df.select(col(idCol), toksCol.as("__toks"))
+      .select(col(idCol), explode(when(size(col("__toks")) >= 2,
+          transform(sequence(lit(0), size(col("__toks")) - 2),
+            i => struct(
+              element_at(col("__toks"), i + 1).as("w1"),
+              element_at(col("__toks"), i + 2).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok") =!= "")
+    val ctx = toks.groupBy(col("__tok").as("__w1")).agg(count(lit(1)).as("__c1"))
+    val pair = bi.groupBy(col("__w1").as("__p1"), col("__w2").as("__p2"))
+      .agg(count(lit(1)).as("__c2"))
+    val vocabSize = ctx.agg(count(lit(1)).as("__v"))
+    bi.join(pair, col("__w1") === col("__p1") && col("__w2") === col("__p2"))
+      .join(ctx, "__w1")
+      .crossJoin(broadcast(vocabSize)) // 1-row vocabulary size
+      .withColumn("__bnll_micros",
+        (-round(log((col("__c2") + 1L).cast("double") /
+          (col("__c1") + col("__v")).cast("double")) * 1e6)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("bigint").as("n_bigrams"),
+        sum(col("__bnll_micros")).cast("bigint").as("bnll_micros"))
+  }
+
   /** Quality score in [0,1]: penalizes very short docs, all-caps,
     * high digit/punct density, low stopword ratio (the C4/Gopher-style
     * hand rules, expressed as one column formula). */

@@ -234,4 +234,39 @@ class TextAnalysisSpec extends SparkSpec {
     // per-token NLL ordering: common < rare
     assert(got(2L)._2 / 4 < got(3L)._2 / 3)
   }
+
+  test("bigramNll matches a driver-side add-one model; shuffled text scores worse") {
+    import graft.llm.TextAnalysis
+    val docs = Seq(
+      (1L, "a b a b a b a b"),   // the dominant transition
+      (2L, "a b a b a b"),       // same transitions, shorter
+      (3L, "b a a b b a a a"),   // salad: same WORDS, rare transitions
+      (4L, "solo")).toDF("doc_id", "text") // < 2 tokens: drops out
+    val got = TextAnalysis.bigramNll(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // driver replica of the add-one model over the same corpus —
+    // including "solo": a doc too short for bigrams still contributes
+    // its tokens to the context counts and the vocabulary size
+    val texts = Seq("a b a b a b a b", "a b a b a b", "b a a b b a a a",
+      "solo")
+    val toks = texts.map(_.split("\\s+").filter(_.nonEmpty).toSeq)
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val big = toks.flatMap(t => t.zip(t.tail)).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val v = uni.size.toLong
+    def bnll(s: String): (Long, Long) = {
+      val t = s.split("\\s+").filter(_.nonEmpty).toSeq
+      val pairs = t.zip(t.tail)
+      (pairs.length.toLong, pairs.map { case (w1, w2) =>
+        -math.round(math.log((big((w1, w2)) + 1).toDouble / (uni(w1) + v)) * 1e6)
+      }.sum)
+    }
+    assert(got(1L) == bnll("a b a b a b a b"), s"got ${got(1L)}")
+    assert(got(2L) == bnll("a b a b a b"))
+    assert(got(3L) == bnll("b a a b b a a a"))
+    assert(!got.contains(4L))
+    // per-bigram surprisal: the salad doc scores worse than the
+    // dominant-transition doc even though the token sets are equal
+    assert(got(3L)._2 / got(3L)._1 > got(1L)._2 / got(1L)._1)
+  }
 }
