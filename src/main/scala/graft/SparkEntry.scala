@@ -105,6 +105,7 @@ object SparkEntry {
     "q2_min_cost_supplier", "q11_important_parts", "q20_excess_shippers",
     "skew_profile", "sketch_cms_persist", "dedup_incremental_gate",
     "evt_stream_join_full", "sketch_stream_cms", "text_bigram_nll",
+    "graph_pagerank",
     // unseen by CORRECTNESS_r01..r08
     "agg_approx_distinct_gate", "agg_grouping_sets", "asof_signup_value",
     "bpe_tokenize", "corpus_overlap", "date_funcs", "decontaminate",
@@ -2140,6 +2141,24 @@ object SparkEntry {
           minCosine = 0.35, planes = 4)
         .select($"id_a", $"id_b", round($"cosine", 6).as("cosine"))
         .orderBy($"id_a", $"id_b")
+    }),
+
+    "graph_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      // Integer-arithmetic PageRank over the customer↔supplier trade
+      // graph (edges both ways so nothing dangles): because every step
+      // is integral, DuckDB replays all 5 iterations VALUE-FOR-VALUE —
+      // an oracle no floating-point PageRank could pass. Top-50 by
+      // (rank, node) is a deterministic cut.
+      val cs = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+        .join(Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .select(concat(lit("c"), $"o_custkey").as("src"),
+          concat(lit("s"), $"l_suppkey").as("dst"))
+        .distinct()
+      val edges = cs.union(cs.select($"dst".as("src"), $"src".as("dst")))
+      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 5)
+        .orderBy($"rank_ppb".desc, $"node").limit(50)
     }),
 
     "dedup_clusters" -> ((s, dir) => {
@@ -5939,6 +5958,35 @@ object SparkEntry {
         |SELECT n_docs, n_docs_affected, total_before, total_removed,
         |  total_before - total_removed AS total_after
         |FROM b, r""".stripMargin,
+
+    // 5 unrolled iterations of the same integral recurrence — every
+    // op is integer div/multiply, so the replay is value-for-value
+    "graph_pagerank" -> {
+      def iter(i: Int) =
+        s"""r$i AS (
+           |  SELECT n.node, CAST(150000000 +
+           |      CAST(coalesce(m.s, 0) AS HUGEINT) * 850000 // 1000000
+           |    AS BIGINT) AS rank_ppb
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, sum(r.rank_ppb // d.out_deg) AS s
+           |    FROM edges e
+           |    JOIN r${i - 1} r ON e.src = r.node
+           |    JOIN outdeg d ON e.src = d.src
+           |    GROUP BY 1) m ON n.node = m.node)""".stripMargin
+      s"""WITH cs AS (
+         |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (SELECT src, dst FROM cs
+         |          UNION SELECT dst AS src, src AS dst FROM cs),
+         |outdeg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY 1),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges
+         |          UNION SELECT DISTINCT dst FROM edges),
+         |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank_ppb
+         |       FROM nodes),
+         |${(1 to 5).map(iter).mkString(",\n")}
+         |SELECT node, rank_ppb FROM r5
+         |ORDER BY rank_ppb DESC, node LIMIT 50""".stripMargin
+    },
 
     // the transitive closure replayed independently: same 3-gram
     // Jaccard edge set as dedup_ngram_exact, then a recursive CTE

@@ -177,4 +177,60 @@ object Graph {
       .withColumn("cluster_id", coalesce(col("comp"), df(idCol).cast("long")))
       .drop("__cc_id", "comp")
   }
+
+  /** PageRank in INTEGER arithmetic — centrality for the pair graphs
+    * this module already builds (which doc is the hub of a dup
+    * cluster, which supplier anchors a trade network). Ranks live in
+    * parts-per-billion units (a node starts at 1e9); per iteration
+    * each node sends `rank div out_degree` along its out-edges and
+    * collects `base + damping·Σcontrib div 1e6`. Every operation is
+    * integral (`div`, not IEEE `/`), so the result is a pure function
+    * of the graph — independent of partitioning, summation order, and
+    * engine: DuckDB replays it value-for-value (`graph_pagerank`),
+    * which no floating-point PageRank can promise. The quantization
+    * error per step is < 1 ppb per edge — irrelevant for ranking.
+    *
+    * Scale shape: per iteration ONE src-keyed join of the 16-byte
+    * (src, rank) table against the edge list + one dst-keyed hash-agg,
+    * lineage truncated per round (localCheckpoint — construction runs
+    * jobs, like connectedComponents). Dangling nodes (no out-edges)
+    * leak their damped mass, the standard simplification; symmetrize
+    * the edges if every node must keep in+out degree >= 1. The
+    * contrib sum widens through DECIMAL(38,0) before the damping
+    * multiply, so a hub fed by billions of nodes cannot overflow. */
+  def pageRank(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", iters: Int = 5,
+      dampingPpm: Long = 850000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50] (got $iters)")
+    require(dampingPpm >= 0L && dampingPpm <= 1000000L,
+      s"dampingPpm must be in [0, 1e6] (got $dampingPpm)")
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    // (1 - d) · 1e9, computed exactly in Scala longs
+    val base = (1000000L - dampingPpm) * 1000000000L / 1000000L
+    var ranks = nodes.withColumn("rank_ppb", lit(1000000000L))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outDeg, "src")
+        .select(col("dst").as("node"),
+          expr("rank_ppb div out_deg").as("contrib"))
+      val summed = contribs.groupBy("node")
+        .agg(sum(col("contrib").cast("decimal(38,0)")).as("s"))
+      ranks = nodes.join(summed, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr(
+            s"CAST(coalesce(s, 0) AS DECIMAL(38,0)) * $dampingPpm div 1000000"))
+            .as("rank_ppb"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
 }

@@ -90,6 +90,30 @@ class GraphSpec extends SparkSpec {
     assert(cc.size == 200 && cc.values.forall(_ == 0L))
   }
 
+  test("pageRank: integral recurrence matches a driver replica exactly; hub wins") {
+    // star + a back-edge so every node has out-degree >= 1:
+    // 1,2,3 -> 0 and 0 -> 1
+    val edges = Seq(("n1", "n0"), ("n2", "n0"), ("n3", "n0"), ("n0", "n1"))
+      .toDF("src", "dst")
+    val got = Graph.pageRank(edges, "src", "dst", iters = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // driver replica of the same integer recurrence
+    val es = Seq("n1" -> "n0", "n2" -> "n0", "n3" -> "n0", "n0" -> "n1")
+    val outDeg = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+    var rank = nodes.map(_ -> 1000000000L).toMap
+    (1 to 5).foreach { _ =>
+      val contribs = es.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => rank(s) / outDeg(s) }.sum).toMap
+      rank = nodes.map(n =>
+        n -> (150000000L + contribs.getOrElse(n, 0L) * 850000L / 1000000L)).toMap
+    }
+    assert(got == rank, s"got $got, replica $rank")
+    // the hub collects three leaves' mass every round
+    assert(got("n0") > got("n1") && got("n1") > got("n2"))
+    assert(got("n2") == got("n3")) // symmetric leaves tie
+  }
+
   test("property: star CC agrees with union-find on random graphs") {
     val rnd = new Random(7)
     (1 to 6).foreach { _ =>
