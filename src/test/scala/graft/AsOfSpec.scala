@@ -118,15 +118,18 @@ class AsOfSpec extends SparkSpec {
     assert(out.count() == purchases.count())
     // spot-check semantics: join back and verify signup_value matches
     // the max-ts signup <= purchase ts for 5 sampled purchases
-    val ev = Tables.events(spark, sf0001).collect()
+    // testdata ts is TIMESTAMP_NTZ (collects as LocalDateTime) — compare
+    // in epoch micros computed Spark-side, never via java.sql.Timestamp
+    val ev = Tables.events(spark, sf0001)
+      .withColumn("ts_us", unix_micros($"ts".cast("timestamp"))).collect()
     val signupsByUser = ev.filter(_.getAs[String]("event_type") == "signup")
       .groupBy(_.getAs[Long]("user_id"))
     out.limit(200).collect().take(50).foreach { r =>
       val eid = r.getLong(0); val uid = r.getLong(1)
-      val pts = ev.find(_.getAs[Long]("event_id") == eid).get.getAs[Timestamp]("ts")
+      val pts = ev.find(_.getAs[Long]("event_id") == eid).get.getAs[Long]("ts_us")
       val expect = signupsByUser.getOrElse(uid, Array.empty)
-        .filter(e => !e.getAs[Timestamp]("ts").after(pts))
-        .sortBy(e => (e.getAs[Timestamp]("ts").getTime, e.getAs[Long]("event_id")))
+        .filter(e => e.getAs[Long]("ts_us") <= pts)
+        .sortBy(e => (e.getAs[Long]("ts_us"), e.getAs[Long]("event_id")))
         .lastOption.map(_.getAs[Double]("value"))
       val gotV = if (r.isNullAt(3)) None else Some(r.getDouble(3))
       assert(gotV == expect, s"event $eid user $uid")

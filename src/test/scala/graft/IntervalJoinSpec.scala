@@ -134,11 +134,12 @@ class IntervalJoinSpec extends SparkSpec {
   test("interval_join_incidents agrees with a driver-side naive join at sf0.001") {
     val got = SparkEntry.queries("interval_join_incidents")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    def micros(t: Timestamp): Long =
-      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    // testdata ts is TIMESTAMP_NTZ (collects as LocalDateTime) — take
+    // epoch micros Spark-side instead of Row.getTimestamp
     val ev = Tables.events(spark, sf0001)
-      .select($"event_id", $"ts", $"value").collect()
-      .map(r => (r.getLong(0), micros(r.getTimestamp(1)), r.getDouble(2)))
+      .select($"event_id", unix_micros($"ts".cast("timestamp")).as("ts_us"),
+        $"value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val top = ev.sortBy { case (id, _, v) => (-v, id) }.take(20)
     val expect = top.map { case (iid, its, _) =>
       val in = ev.filter { case (_, ts, _) =>
