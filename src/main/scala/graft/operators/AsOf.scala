@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, TimestampNTZType, TimestampType}
 
 /** As-of join: for each left row, the latest right row with
   * `right.ts <= left.ts` (backward, the default) or the earliest with
@@ -22,6 +23,15 @@ import org.apache.spark.sql.functions._
   * per key).
   */
 object AsOf {
+
+  /** Epoch seconds from a ts column of any supported type. Spark 4
+    * refuses CAST(TIMESTAMP_NTZ AS BIGINT), so NTZ routes through
+    * TIMESTAMP first (identity on the stored micros under a UTC
+    * session zone); numeric ts columns cast directly. */
+  private def epochSeconds(c: Column, dt: DataType): Column = dt match {
+    case TimestampType | TimestampNTZType => c.cast(TimestampType).cast("long")
+    case _ => c.cast("long")
+  }
 
   /** @param left      fact side (keeps all rows)
     * @param right     lookup side
@@ -78,7 +88,8 @@ object AsOf {
       case None => matched
       case Some(tol) =>
         // out-of-tolerance matches null out; the left row survives
-        val within = abs(col(leftTs).cast("long") - col("__rts").cast("long")) <= tol
+        val within = abs(epochSeconds(col(leftTs), left.schema(leftTs).dataType) -
+          epochSeconds(col("__rts"), rtsType)) <= tol
         payload.foldLeft(matched)((df, p) =>
           df.withColumn(p, when(within, col(p))))
     }
@@ -113,19 +124,20 @@ object AsOf {
       s"direction must be backward|forward (got $direction)")
     val back = direction == "backward"
     val rtsType = right.schema(rightTs).dataType
-    def sliceOf(ts: Column): Column =
-      floor(ts.cast("long") / sliceSeconds).cast("long")
+    val ltsType = left.schema(leftTs).dataType
+    def sliceOf(ts: Column, dt: DataType): Column =
+      floor(epochSeconds(ts, dt) / sliceSeconds).cast("long")
 
     // per-(key, slice) extremal right row: the only candidate an
     // out-of-slice left probe can match (latest for backward carry-in,
     // earliest for forward carry-out)
     val rCols = (keyCol +: rightTs +: payload).map(col)
     val extremal = {
-      val pick = struct(col(rightTs).cast("long") +: rCols: _*)
+      val pick = struct(epochSeconds(col(rightTs), rtsType) +: rCols: _*)
       if (back) max(pick) else min(pick)
     }
     val summaries = right.select(rCols: _*)
-      .groupBy(col(keyCol), sliceOf(col(rightTs)).as("__slice"))
+      .groupBy(col(keyCol), sliceOf(col(rightTs), rtsType).as("__slice"))
       .agg(extremal.as("__x"))
       .select(Seq(col(keyCol), col("__slice"),
         col(s"__x.$rightTs").as(rightTs)) ++
@@ -143,7 +155,7 @@ object AsOf {
       else timestamp_micros((col("__slice") + 1) * sliceSeconds * 1000000L)
         .cast(rtsType)
     val probes = left
-      .select(col(keyCol), sliceOf(col(leftTs)).as("__slice")).distinct()
+      .select(col(keyCol), sliceOf(col(leftTs), ltsType).as("__slice")).distinct()
       .withColumn("__probe_ts", probeTs)
     // slice-scale as-of: each probe picks the key's nearest summary
     // outside its slice; carry the matched row's ORIGINAL ts through
@@ -160,10 +172,10 @@ object AsOf {
     // composite-key join: raw rows in their own slice + carry rows
     // seeded into each probed slice, through joinAsOf VERBATIM
     val kslice = struct(col(keyCol), col("__slice"))
-    val l2 = left.withColumn("__slice", sliceOf(col(leftTs)))
+    val l2 = left.withColumn("__slice", sliceOf(col(leftTs), ltsType))
       .withColumn("__kslice", kslice)
     val r2 = right.select(rCols: _*)
-      .withColumn("__slice", sliceOf(col(rightTs)))
+      .withColumn("__slice", sliceOf(col(rightTs), rtsType))
       .unionByName(carry)
       .withColumn("__kslice", kslice)
       .drop("__slice")

@@ -442,10 +442,15 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$sf0001/events.parquet"),
       dir.resolve("part-000.parquet"))
     val raw = spark.read.parquet(s"$sf0001/events.parquet")
+    // same ts normalization as Tables.events (nanos-long or NTZ testdata)
+    val tsFix = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
     val stream = spark.readStream.schema(raw.schema)
       .parquet(dir.toString)
-      // same nanos-long → timestamp conversion as Tables.events
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", tsFix)
     val q = EventStreams.tumblingCounts(stream, "6 hours")
       .writeStream.outputMode("complete").format("memory").queryName("pq").start()
     q.processAllAvailable()
