@@ -104,15 +104,63 @@ object Writers {
     * loudly on drift rather than returning silently stale results. */
   def writeZoneMap(spark: SparkSession, dir: String, cols: Seq[String]): Long = {
     require(cols.nonEmpty, "zone map needs at least one column")
+    val stats = zoneStats(spark.read.parquet(dir), cols)
+    stats.coalesce(1).write.mode("overwrite").parquet(dir + "__zonemap")
+    spark.read.parquet(dir + "__zonemap").count()
+  }
+
+  /** Per-file min/max/count rows for one scan of `cols` (shared by the
+    * full [[writeZoneMap]] build and the incremental [[appendZoneMap]]). */
+  private def zoneStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"__${c}_min"), max(col(c)).as(s"__${c}_max"))) :+
       count(lit(1)).as("__n_rows")
-    val stats = spark.read.parquet(dir).select(cols.map(col): _*)
+    df.select(cols.map(col): _*)
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
-    stats.coalesce(1).write.mode("overwrite").parquet(dir + "__zonemap")
-    spark.read.parquet(dir + "__zonemap").count()
+  }
+
+  /** Incremental zone-map maintenance — the daily-append path: scan
+    * ONLY files the map has not indexed yet (mirror of
+    * `Similarity.ivfAppend`'s no-refit contract). A 100 TB table
+    * growing by 0.1%/day must not rescan 100 TB to keep its skipping
+    * index fresh; this scans the appended files and unions their rows
+    * into the existing map, leaving every already-indexed entry
+    * byte-identical. `cols` must match the original build (checked
+    * against the map's schema). Returns (newFilesIndexed, totalFiles).
+    *
+    * The old-map read routes through a temp dir + two renames because
+    * parquet cannot lazily read and overwrite the same path in one
+    * job; the swap is crash-safe the same way [[compactParquet]] is
+    * (tmp is complete before the target moves). */
+  def appendZoneMap(spark: SparkSession, dir: String,
+      cols: Seq[String]): (Long, Long) = {
+    require(cols.nonEmpty, "zone map needs at least one column")
+    val zmPath = dir + "__zonemap"
+    val old = spark.read.parquet(zmPath)
+    val expect = (cols.flatMap(c => Seq(s"__${c}_min", s"__${c}_max")) :+
+      "__n_rows").toSet
+    require(old.columns.toSet == expect + "__file",
+      s"appendZoneMap cols $cols do not match the existing map schema " +
+        old.columns.mkString("(", ",", ")"))
+    def base(f: String) = f.substring(f.lastIndexOf('/') + 1)
+    val mapped = old.select("__file").collect().map(r => base(r.getString(0))).toSet
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newFiles = fs.listStatus(p).map(_.getPath)
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .filterNot(f => mapped.contains(f.getName))
+      .map(_.toString)
+    if (newFiles.isEmpty) return (0L, mapped.size.toLong)
+    val fresh = zoneStats(spark.read.parquet(newFiles.toIndexedSeq: _*), cols)
+    val tmp = new Path(zmPath + "__tmp")
+    fs.delete(tmp, true)
+    old.unionByName(fresh).coalesce(1).write.parquet(tmp.toString)
+    val zp = new Path(zmPath)
+    require(fs.delete(zp, true), s"delete of stale $zmPath failed")
+    require(fs.rename(tmp, zp), s"rename $tmp -> $zp failed")
+    (newFiles.length.toLong, (mapped.size + newFiles.length).toLong)
   }
 
   /** Metadata-only pruned scan: keep the files whose `[min, max]` zone
@@ -171,14 +219,52 @@ object Writers {
     * files × 1 MB of pure metadata while the skipped IO is the table. */
   def writeBloomMap(spark: SparkSession, dir: String, c: String,
       expectedItemsPerFile: Long = 1000000L): Long = {
+    val stats = bloomStats(spark.read.parquet(dir), c, expectedItemsPerFile)
+    stats.coalesce(1).write.mode("overwrite").parquet(dir + "__bloommap")
+    spark.read.parquet(dir + "__bloommap").count()
+  }
+
+  /** Per-file bloom rows for one scan of `c` (shared by the full
+    * [[writeBloomMap]] build and the incremental [[appendBloomMap]]). */
+  private def bloomStats(df: DataFrame, c: String,
+      expectedItemsPerFile: Long): DataFrame = {
     import org.apache.spark.sql.functions._
-    val stats = spark.read.parquet(dir).select(col(c))
+    df.select(col(c))
       .groupBy(input_file_name().as("__file"))
       .agg(graft.functions.bloom_filter_agg(xxhash64(col(c)),
         expectedItemsPerFile, expectedItemsPerFile * 8L).as("__bloom"),
         count(lit(1)).as("__n_rows"))
-    stats.coalesce(1).write.mode("overwrite").parquet(dir + "__bloommap")
-    spark.read.parquet(dir + "__bloommap").count()
+  }
+
+  /** Incremental bloom-map maintenance: scan ONLY files the map has
+    * not indexed yet — the equality-skipping twin of [[appendZoneMap]]
+    * (same no-rescan contract, same crash-safe tmp-then-rename swap).
+    * Per-file sketches are independent, so appended entries never
+    * perturb existing ones. `expectedItemsPerFile` must match the
+    * original build so all sketches stay merge- and probe-compatible.
+    * Returns (newFilesIndexed, totalFiles). */
+  def appendBloomMap(spark: SparkSession, dir: String, c: String,
+      expectedItemsPerFile: Long = 1000000L): (Long, Long) = {
+    val bmPath = dir + "__bloommap"
+    val old = spark.read.parquet(bmPath)
+    def base(f: String) = f.substring(f.lastIndexOf('/') + 1)
+    val mapped = old.select("__file").collect().map(r => base(r.getString(0))).toSet
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newFiles = fs.listStatus(p).map(_.getPath)
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .filterNot(f => mapped.contains(f.getName))
+      .map(_.toString)
+    if (newFiles.isEmpty) return (0L, mapped.size.toLong)
+    val fresh = bloomStats(spark.read.parquet(newFiles.toIndexedSeq: _*), c,
+      expectedItemsPerFile)
+    val tmp = new Path(bmPath + "__tmp")
+    fs.delete(tmp, true)
+    old.unionByName(fresh).coalesce(1).write.parquet(tmp.toString)
+    val bp = new Path(bmPath)
+    require(fs.delete(bp, true), s"delete of stale $bmPath failed")
+    require(fs.rename(tmp, bp), s"rename $tmp -> $bp failed")
+    (newFiles.length.toLong, (mapped.size + newFiles.length).toLong)
   }
 
   /** Metadata-only pruned scan for `c = value`: keep the files whose
@@ -216,5 +302,51 @@ object Writers {
       if (keep.isEmpty) spark.read.parquet(dir).limit(0)
       else spark.read.parquet(keep.toIndexedSeq: _*)
     (df, keep.length.toLong, mapped.size.toLong)
+  }
+
+  /** Write-audit-publish: stage `df` beside the table, run the
+    * expectation suite against the STAGED FILES (what was actually
+    * serialized, not the in-memory plan — a writer bug that corrupts
+    * rows on disk is exactly what the audit must catch), and publish
+    * atomically only when every rule passes. The quality firewall in
+    * front of every curated 100 TB table: a bad batch never becomes
+    * visible to readers, and the previous published version keeps
+    * serving throughout (audit included).
+    *
+    * Publish is the same two-rename swap as [[compactParquet]]
+    * (current → `__wap_old`, staged → dir, delete old), with the same
+    * startup recovery: a missing table dir with `__wap_old` present is
+    * a mid-swap crash — promote the old version back before doing
+    * anything else (conservative: the staged copy's audit verdict
+    * predates the crash, the old version was the serving one).
+    * A refused batch leaves its staging dir in place for inspection.
+    *
+    * Returns (published, per-rule report). The report is materialized
+    * (rule-count scale) before the verdict is read — the swap must not
+    * re-run audit aggregates over files it is about to move. */
+  def writeAuditPublish(spark: SparkSession, df: DataFrame, dir: String,
+      rules: Seq[graft.operators.Quality.Expectation]): (Boolean, DataFrame) = {
+    import org.apache.spark.sql.functions._
+    require(rules.nonEmpty, "write-audit-publish needs at least one rule")
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = new Path(dir + "__wap_staged")
+    val old = new Path(dir + "__wap_old")
+    if (!fs.exists(p) && fs.exists(old))
+      require(fs.rename(old, p), s"recovery rename $old -> $p failed")
+    df.write.mode("overwrite").parquet(staged.toString)
+    val report = graft.operators.Quality
+      .expect(spark.read.parquet(staged.toString), rules)
+    val rows = report.collect() // rule-count scale
+    val ok = rows.nonEmpty && rows.forall(_.getAs[Boolean]("passed"))
+    if (ok) {
+      fs.delete(old, true)
+      if (fs.exists(p))
+        require(fs.rename(p, old), s"rename $p -> $old failed")
+      require(fs.rename(staged, p), s"rename $staged -> $p failed")
+      fs.delete(old, true)
+    }
+    (ok, spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), report.schema))
   }
 }

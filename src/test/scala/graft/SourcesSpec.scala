@@ -157,6 +157,96 @@ class SourcesSpec extends SparkSpec {
     assert(t2 == 11 && p2.filter($"k" === 50002L).count() == 1)
   }
 
+  test("appendZoneMap indexes only new files; map equals a from-scratch rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zma").toString + "/t"
+    val df = spark.range(10000).selectExpr("id AS k", "id * 2 AS v")
+    df.filter($"k" < 5000)
+      .repartitionByRange(5, $"k").sortWithinPartitions($"k").write.parquet(dir)
+    assert(Writers.writeZoneMap(spark, dir, Seq("k")) == 5)
+    df.filter($"k" >= 5000)
+      .repartitionByRange(5, $"k").sortWithinPartitions($"k")
+      .write.mode("append").parquet(dir)
+    val (nNew, total) = Writers.appendZoneMap(spark, dir, Seq("k"))
+    assert(nNew == 5 && total == 10)
+    // appended map answers over BOTH chunks and matches a rebuild
+    val (pruned, kept, t) = Writers.prunedRead(spark, dir, "k", 4000, 6000)
+    assert(t == 10 && kept < t)
+    val got = pruned.filter($"k".between(4000, 6000)).agg(sum($"v")).head().getLong(0)
+    assert(got == df.filter($"k".between(4000, 6000)).agg(sum($"v")).head().getLong(0))
+    val appended = spark.read.parquet(dir + "__zonemap")
+      .collect().map(_.toSeq).toSet
+    Writers.writeZoneMap(spark, dir, Seq("k"))
+    val rebuilt = spark.read.parquet(dir + "__zonemap")
+      .collect().map(_.toSeq).toSet
+    assert(appended == rebuilt, "appended map must equal a full rebuild")
+    // no-op append: nothing new to index
+    assert(Writers.appendZoneMap(spark, dir, Seq("k")) == ((0L, 10L)))
+    // mismatched cols fail loudly instead of silently mixing schemas
+    val e = intercept[IllegalArgumentException] {
+      Writers.appendZoneMap(spark, dir, Seq("v"))
+    }
+    assert(e.getMessage.contains("do not match"))
+  }
+
+  test("appendBloomMap indexes only new files; probes match a rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bma").toString + "/t"
+    val df = spark.range(20000).selectExpr("id AS k", "id * 3 AS v")
+    df.filter($"k" % 2 === 0).repartition(5).write.parquet(dir)
+    assert(Writers.writeBloomMap(spark, dir, "k", 100000L) == 5)
+    df.filter($"k" % 2 === 1).repartition(5).write.mode("append").parquet(dir)
+    val (nNew, total) = Writers.appendBloomMap(spark, dir, "k", 100000L)
+    assert(nNew == 5 && total == 10)
+    // keys from both chunks probe through the appended map
+    for (k <- Seq(776L, 777L)) {
+      val (pruned, kept, t) = Writers.prunedReadEquals(spark, dir, "k", k)
+      assert(t == 10 && kept >= 1)
+      assert(pruned.filter($"k" === k).select($"v").head().getLong(0) == k * 3)
+    }
+    // bloom insertion is bit-OR: appended sketches equal rebuilt ones
+    val appended = spark.read.parquet(dir + "__bloommap")
+      .collect().map(r => (r.getString(0).split('/').last,
+        r.getAs[Array[Byte]](1).toSeq)).toMap
+    Writers.writeBloomMap(spark, dir, "k", 100000L)
+    val rebuilt = spark.read.parquet(dir + "__bloommap")
+      .collect().map(r => (r.getString(0).split('/').last,
+        r.getAs[Array[Byte]](1).toSeq)).toMap
+    assert(appended == rebuilt, "appended sketches must equal a full rebuild")
+    assert(Writers.appendBloomMap(spark, dir, "k", 100000L) == ((0L, 10L)))
+  }
+
+  test("writeAuditPublish: clean batch publishes, poisoned batch is refused") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft_wap").toString + "/t"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val good = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    val rules = Seq(Quality.Expectation.notNull("k"),
+      Quality.Expectation.unique("k"))
+    val (ok1, rep1) = Writers.writeAuditPublish(spark, good, dir, rules)
+    assert(ok1 && rep1.filter(!$"passed").count() == 0)
+    assert(spark.read.parquet(dir).count() == 100)
+    // poisoned second batch: refused, published table untouched,
+    // staging left for inspection
+    val bad = good.union(spark.range(3).selectExpr(
+      "CAST(null AS BIGINT) AS k", "id AS v"))
+    val (ok2, rep2) = Writers.writeAuditPublish(spark, bad, dir, rules)
+    assert(!ok2)
+    assert(rep2.filter($"rule" === "k is not null")
+      .head().getAs[Long]("n_violations") == 3)
+    assert(spark.read.parquet(dir).count() == 100,
+      "refused batch must not touch the published table")
+    assert(fs.exists(new Path(dir + "__wap_staged")),
+      "refused staging stays on disk for inspection")
+    // a clean third batch publishes over the first
+    val v3 = spark.range(50).selectExpr("id AS k", "id AS v")
+    val (ok3, _) = Writers.writeAuditPublish(spark, v3, dir, rules)
+    assert(ok3 && spark.read.parquet(dir).count() == 50)
+    assert(!fs.exists(new Path(dir + "__wap_old")), "swap sweeps __wap_old")
+    // mid-swap crash: dir missing, __wap_old present -> recovery promotes it
+    assert(fs.rename(new Path(dir), new Path(dir + "__wap_old")))
+    val (ok4, _) = Writers.writeAuditPublish(spark, good, dir, rules)
+    assert(ok4 && spark.read.parquet(dir).count() == 100)
+  }
+
   test("compactParquet recovers from a mid-swap crash instead of deleting the data") {
     import org.apache.hadoop.fs.Path
     val dir = java.nio.file.Files.createTempDirectory("graft_cmp2").toString + "/t"
