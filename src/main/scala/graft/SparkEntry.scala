@@ -95,7 +95,7 @@ object SparkEntry {
     // round-9 additions (no artifact yet)
     "bpe_byte_fallback_gate", "evt_stream_join_outer", "bloommap_prune",
     "mm_decode_video", "asof_bucketed",
-    "zonemap_append", "bloommap_append", "wap_publish",
+    "zonemap_append", "bloommap_append", "wap_publish", "compact_refresh",
     "q7_volume_shipping", "q8_market_share", "q13_custdist",
     "q19_disjunctive", "q21_late_suppliers", "q22_idle_balances",
     "dedup_spans", "dedup_span_removal_gate",
@@ -1921,6 +1921,56 @@ object SparkEntry {
         lit(nNew > 0 && total == n1 + nNew).as("append_indexed_only_new"),
         lit(kept < totalF).as("files_skipped"),
         lit(kept == keptR).as("matches_rebuild"))
+    }),
+
+    "compact_refresh" -> ((s, dir) => {
+      import s.implicits._
+      // FULL table-maintenance cycle: clustered layout with BOTH
+      // skipping maps → small-files compaction (the rewrite changes
+      // the file set, so both maps go stale BY CONTRACT — the pruned
+      // read must refuse, not serve wrong answers) →
+      // refreshSkippingIndexes re-derives each map from its own
+      // persisted metadata → both pruned reads serve the same
+      // answers the oracle states from the source table. Compaction
+      // round-robins the layout, so only the bloom's skip survives
+      // structurally; the zone map is pinned on correctness +
+      // freshness. SIDE-EFFECTING; clean dir per invocation.
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_cref_${math.abs(dir.hashCode)}"
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq("", "__zonemap", "__bloommap", "__zonemap__tmp",
+          "__bloommap__tmp", "__compact_tmp", "__compact_old")
+        .foreach(sfx =>
+          fs.delete(new org.apache.hadoop.fs.Path(out + sfx), true))
+      val li = Tables.lineitem(s, dir)
+        .select($"l_partkey".cast("int").as("pk"),
+          $"l_orderkey".cast("long").as("ok"), $"l_extendedprice")
+      li.repartitionByRange(64, $"pk").sortWithinPartitions($"pk")
+        .write.mode("overwrite").parquet(out)
+      Writers.writeZoneMap(s, out, Seq("pk"))
+      Writers.writeBloomMap(s, out, "ok", 100000L)
+      val n = li.count()
+      val (before, after) = Writers.compactParquet(s, out,
+        targetRowsPerFile = math.max(1L, n / 8))
+      val staleDetected =
+        try { Writers.prunedRead(s, out, "pk", 1, 100); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("stale") }
+      val (zr, br) = Writers.refreshSkippingIndexes(s, out)
+      val (pruned, _, _) = Writers.prunedRead(s, out, "pk", 1, 100)
+      val (bpruned, _, _) = Writers.prunedReadEquals(s, out, "ok", 1L)
+      pruned.filter($"pk".between(1, 100))
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          sum(round($"l_extendedprice" * 100).cast("long")).cast("bigint")
+            .as("cents"))
+        .crossJoin(bpruned.filter($"ok" === 1L)
+          .agg(count(lit(1)).cast("bigint").as("n_rows_eq"),
+            sum(round($"l_extendedprice" * 100).cast("long")).cast("bigint")
+              .as("cents_eq")))
+        .select($"n_rows", $"cents", $"n_rows_eq", $"cents_eq",
+          lit(after < before).as("compacted"),
+          lit(staleDetected).as("stale_detected"),
+          lit(zr && br).as("maps_refreshed"))
     }),
 
     "wap_publish" -> ((s, dir) => {
@@ -5264,6 +5314,21 @@ object SparkEntry {
         |  true AS append_indexed_only_new, true AS files_skipped,
         |  true AS matches_rebuild
         |FROM lineitem WHERE CAST(l_orderkey AS BIGINT) = 1""".stripMargin,
+
+    // maintenance cycle: both pruned answers stated from the source;
+    // compaction/staleness/refresh gates as closed-form booleans
+    "compact_refresh" ->
+      """WITH r AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM lineitem WHERE CAST(l_partkey AS INT) BETWEEN 1 AND 100),
+        |e AS (SELECT CAST(count(*) AS BIGINT) AS n_rows_eq,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents_eq
+        |  FROM lineitem WHERE CAST(l_orderkey AS BIGINT) = 1)
+        |SELECT r.n_rows, r.cents, e.n_rows_eq, e.cents_eq,
+        |  true AS compacted, true AS stale_detected, true AS maps_refreshed
+        |FROM r, e""".stripMargin,
 
     // write-audit-publish: the published table is exactly the clean
     // first batch (the refused second batch must leave no trace)

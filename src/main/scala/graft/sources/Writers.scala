@@ -234,6 +234,11 @@ object Writers {
       .agg(graft.functions.bloom_filter_agg(xxhash64(col(c)),
         expectedItemsPerFile, expectedItemsPerFile * 8L).as("__bloom"),
         count(lit(1)).as("__n_rows"))
+      // self-describing build parameters: [[refreshSkippingIndexes]]
+      // re-derives the map after a rewrite without the caller having
+      // to remember them
+      .withColumn("__col", lit(c))
+      .withColumn("__items", lit(expectedItemsPerFile))
   }
 
   /** Incremental bloom-map maintenance: scan ONLY files the map has
@@ -302,6 +307,39 @@ object Writers {
       if (keep.isEmpty) spark.read.parquet(dir).limit(0)
       else spark.read.parquet(keep.toIndexedSeq: _*)
     (df, keep.length.toLong, mapped.size.toLong)
+  }
+
+  /** Rebuild whichever data-skipping side-files exist for `dir` — the
+    * post-maintenance hook: [[compactParquet]] and clustering rewrites
+    * change the file set, so existing maps go stale (the pruned reads
+    * fail loudly rather than serve wrong answers); this re-derives
+    * each map from its own persisted metadata instead of making the
+    * caller remember build parameters. Zone-map columns come from the
+    * `__<c>_min`/`__<c>_max` field names; the bloom map records its
+    * column and sizing in `__col`/`__items` fields. Cost: one narrow
+    * scan per existing map — the same price as the original builds,
+    * paid only when a rewrite actually happened. Returns
+    * (zoneRebuilt, bloomRebuilt). */
+  def refreshSkippingIndexes(spark: SparkSession, dir: String): (Boolean, Boolean) = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val zmPath = new Path(dir + "__zonemap")
+    val zone = fs.exists(zmPath) && {
+      val cols = spark.read.parquet(zmPath.toString).schema.fieldNames
+        .collect { case n if n.startsWith("__") && n.endsWith("_min") =>
+          n.stripPrefix("__").stripSuffix("_min") }
+      require(cols.nonEmpty, s"$zmPath has no __<col>_min fields to re-derive from")
+      writeZoneMap(spark, dir, cols.toIndexedSeq)
+      true
+    }
+    val bmPath = new Path(dir + "__bloommap")
+    val bloom = fs.exists(bmPath) && {
+      val head = spark.read.parquet(bmPath.toString)
+        .select("__col", "__items").head()
+      writeBloomMap(spark, dir, head.getString(0), head.getLong(1))
+      true
+    }
+    (zone, bloom)
   }
 
   /** Write-audit-publish: stage `df` beside the table, run the

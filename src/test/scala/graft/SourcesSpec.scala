@@ -214,6 +214,33 @@ class SourcesSpec extends SparkSpec {
     assert(Writers.appendBloomMap(spark, dir, "k", 100000L) == ((0L, 10L)))
   }
 
+  test("refreshSkippingIndexes re-derives stale maps after compaction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ref").toString + "/t"
+    val df = spark.range(10000).selectExpr("id AS k", "id % 97 AS g", "id * 2 AS v")
+    df.repartitionByRange(10, $"k").sortWithinPartitions($"k").write.parquet(dir)
+    Writers.writeZoneMap(spark, dir, Seq("k"))
+    Writers.writeBloomMap(spark, dir, "g", 100000L)
+    Writers.compactParquet(spark, dir, targetRowsPerFile = 5000L)
+    // both maps now stale: pruned reads refuse
+    assert(intercept[IllegalArgumentException] {
+      Writers.prunedRead(spark, dir, "k", 0, 10)
+    }.getMessage.contains("stale"))
+    assert(intercept[IllegalArgumentException] {
+      Writers.prunedReadEquals(spark, dir, "g", 5L)
+    }.getMessage.contains("stale"))
+    // refresh re-derives each map from its own metadata (no params)
+    assert(Writers.refreshSkippingIndexes(spark, dir) == ((true, true)))
+    val (p1, _, t1) = Writers.prunedRead(spark, dir, "k", 100, 200)
+    assert(t1 == 2 && p1.filter($"k".between(100, 200)).count() == 101)
+    val (p2, _, _) = Writers.prunedReadEquals(spark, dir, "g", 5L)
+    assert(p2.filter($"g" === 5L).count() ==
+      df.filter($"g" === 5L).count())
+    // a dir with no maps refreshes nothing (and does not create any)
+    val bare = java.nio.file.Files.createTempDirectory("graft_ref2").toString + "/t"
+    df.limit(10).write.parquet(bare)
+    assert(Writers.refreshSkippingIndexes(spark, bare) == ((false, false)))
+  }
+
   test("writeAuditPublish: clean batch publishes, poisoned batch is refused") {
     import org.apache.hadoop.fs.Path
     val dir = java.nio.file.Files.createTempDirectory("graft_wap").toString + "/t"
