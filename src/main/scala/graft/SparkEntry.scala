@@ -96,6 +96,7 @@ object SparkEntry {
     "bpe_byte_fallback_gate", "evt_stream_join_outer", "bloommap_prune",
     "mm_decode_video", "asof_bucketed",
     "zonemap_append", "bloommap_append", "wap_publish", "compact_refresh",
+    "evt_audited_sink",
     "q7_volume_shipping", "q8_market_share", "q13_custdist",
     "q19_disjunctive", "q21_late_suppliers", "q22_idle_balances",
     "dedup_spans", "dedup_span_removal_gate",
@@ -4114,6 +4115,42 @@ object SparkEntry {
         .orderBy($"user_id")
     }),
 
+    "evt_audited_sink" -> ((s, dir) => {
+      import s.implicits._
+      // Driver-graded gate for the audited streaming sink
+      // (AuditedSink.publishBatch, the foreachBatch core): three
+      // deterministic micro-batches — clean, POISONED (NULL user_ids
+      // appended), clean — then BOTH a committed and the quarantined
+      // batch are REDELIVERED (restart semantics). Contracts: the
+      // committed read is exactly the two clean batches (oracle
+      // closed form over events), the poison never reaches readers,
+      // and both redeliveries are settled no-ops.
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_asink_${math.abs(dir.hashCode)}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true) // stale prior runs
+      val ev = Tables.events(s, dir).select($"event_id", $"user_id", $"value")
+      val rules = Seq(Quality.Expectation.notNull("user_id"),
+        Quality.Expectation.notNull("event_id"))
+      def b(i: Int) = ev.filter(pmod($"event_id", lit(3)) === i)
+      val poisoned = b(1).unionByName(b(1).limit(7)
+        .select(($"event_id" + 1000000000L).as("event_id"),
+          lit(null).cast("bigint").as("user_id"), $"value"))
+      import graft.streaming.AuditedSink
+      val r0 = AuditedSink.publishBatch(b(0), base, 0L, rules)
+      val r1 = AuditedSink.publishBatch(poisoned, base, 1L, rules)
+      val r2 = AuditedSink.publishBatch(b(2), base, 2L, rules)
+      val r0b = AuditedSink.publishBatch(b(0), base, 0L, rules)   // redelivery
+      val r1b = AuditedSink.publishBatch(poisoned, base, 1L, rules) // redelivery
+      AuditedSink.readCommitted(s, base)
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          sum(round($"value" * 100).cast("long")).cast("bigint").as("cents"))
+        .select($"n_rows", $"cents",
+          lit(r0 == "published" && r2 == "published").as("clean_published"),
+          lit(r1 == "quarantined").as("poison_quarantined"),
+          lit(r0b == "replayed" && r1b == "replayed").as("replays_skipped"))
+    }),
+
     "merge_cdc_replay" -> ((s, dir) => {
       import s.implicits._
       // Driver-graded gate for streaming CDC apply
@@ -5093,6 +5130,15 @@ object SparkEntry {
         |  date_trunc('milliseconds', s1.t1) AS first_step_ts
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |ORDER BY s1.user_id""".stripMargin,
+
+    // audited sink: committed rows are exactly the two CLEAN batches;
+    // the poisoned batch and both redeliveries leave no trace
+    "evt_audited_sink" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  true AS clean_published, true AS poison_quarantined,
+        |  true AS replays_skipped
+        |FROM events WHERE event_id % 3 <> 1""".stripMargin,
 
     // closed form of the 3-batch CDC fold (replayed batch included):
     // %16==0 deleted; surviving %8==0 carry +100 (version 11 wins over

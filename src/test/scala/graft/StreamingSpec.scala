@@ -478,4 +478,46 @@ class StreamingSpec extends SparkSpec {
     assert(got(2L) == ((ts(4), null, null)))
     assert(got(3L) == ((ts(7), ts(7), null)))
   }
+
+  test("audited sink: per-batch WAP with quarantine, exactly-once replay") {
+    import org.apache.hadoop.fs.Path
+    import graft.streaming.AuditedSink
+    import graft.operators.Quality
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_asink").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_asink_ck").toString
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rules = Seq(Quality.Expectation.notNull("user_id"))
+    val mem = MemoryStream[(Long, Option[Long], Double)]
+    val q = AuditedSink.start(
+      mem.toDF().toDF("event_id", "user_id", "value"), base, rules, ckpt)
+    // batch 0: clean -> published
+    mem.addData((1L, Some(10L), 1.0), (2L, Some(11L), 2.0))
+    q.processAllAvailable()
+    // batch 1: poisoned (NULL user_id) -> quarantined, stream survives
+    mem.addData((3L, None, 3.0), (4L, Some(12L), 4.0))
+    q.processAllAvailable()
+    // batch 2: clean -> published
+    mem.addData((5L, Some(13L), 5.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(fs.exists(new Path(s"$base/v=0/_SUCCESS")))
+    assert(fs.exists(new Path(s"$base/_quarantine/v=1")))
+    assert(!fs.exists(new Path(s"$base/v=1")))
+    assert(fs.exists(new Path(s"$base/v=2/_SUCCESS")))
+    // readers see exactly the clean rows; the quarantined batch never
+    // surfaces (underscore prefix + _SUCCESS gate)
+    val seen = AuditedSink.readCommitted(spark, base)
+      .select($"event_id").collect().map(_.getLong(0)).toSet
+    assert(seen == Set(1L, 2L, 5L))
+    // redelivery of a settled batch (restart with a lost checkpoint
+    // commit) is a no-op either way
+    val clean = Seq((1L, Option(10L), 1.0), (2L, Option(11L), 2.0))
+      .toDF("event_id", "user_id", "value")
+    assert(AuditedSink.publishBatch(clean, base, 0L, rules) == "replayed")
+    assert(AuditedSink.publishBatch(clean, base, 1L, rules) == "replayed")
+    assert(AuditedSink.readCommitted(spark, base).count() == 3)
+    // quarantined payload stays on disk for inspection
+    assert(spark.read.parquet(s"$base/_quarantine/v=1").count() == 2)
+  }
 }
