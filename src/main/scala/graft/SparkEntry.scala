@@ -190,12 +190,12 @@ object SparkEntry {
     private val mh = TrieMap.empty[String, DataFrame]
     def minhashPairs(s: SparkSession, dir: String): DataFrame =
       mh.getOrElseUpdate(dir, {
-        // one LSH self-join per sf dir, shared by dedup_minhash and
-        // dedup_minhash_recall. MinHash signatures are per-document
-        // (binary HashingTF, no corpus statistics), so the recall
-        // gate's capped-id subset is a FILTER over these pairs — a
-        // pair (a,b) shares a band bucket independently of what other
-        // documents exist.
+        // one banded self-join per sf dir, shared by dedup_minhash and
+        // dedup_minhash_recall. Minhash band keys are per-document
+        // (xxhash64 over the doc's own shingles, no corpus
+        // statistics), so the recall gate's capped-id subset is a
+        // FILTER over these pairs — a pair (a,b) shares a band bucket
+        // independently of what other documents exist.
         graft.llm.Dedup.minhashNearDup(Tables.documents(s, dir), "text",
           "doc_id", maxDist = 0.4).cache()
       })
