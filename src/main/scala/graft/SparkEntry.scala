@@ -96,7 +96,7 @@ object SparkEntry {
     "bpe_byte_fallback_gate", "evt_stream_join_outer", "bloommap_prune",
     "mm_decode_video", "asof_bucketed",
     "zonemap_append", "bloommap_append", "wap_publish", "compact_refresh",
-    "evt_audited_sink",
+    "evt_audited_sink", "graph_triangles",
     "q7_volume_shipping", "q8_market_share", "q13_custdist",
     "q19_disjunctive", "q21_late_suppliers", "q22_idle_balances",
     "dedup_spans", "dedup_span_removal_gate",
@@ -2346,6 +2346,24 @@ object SparkEntry {
       val edges = cs.union(cs.select($"dst".as("src"), $"src".as("dst")))
       graft.operators.Graph.pageRank(edges, "src", "dst", iters = 5)
         .orderBy($"rank_ppb".desc, $"node").limit(50)
+    }),
+
+    "graph_triangles" -> ((s, dir) => {
+      import s.implicits._
+      // Exact triangle count over the supplier co-order graph (two
+      // suppliers are linked iff some order contains lineitems from
+      // both) — the degree-oriented wedge join whose every
+      // intermediate DuckDB recomputes value-for-value from the same
+      // edge derivation. Per-order supplier fan-out is small (TPC-H
+      // orders hold a handful of lineitems), so the pair derivation
+      // is bounded; the count itself is the O(m^1.5)-guarded plan.
+      val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey")
+      val pairs = li.as("l1").join(li.as("l2"),
+          col("l1.l_orderkey") === col("l2.l_orderkey") &&
+            col("l1.l_suppkey") < col("l2.l_suppkey"))
+        .select(col("l1.l_suppkey").as("a"), col("l2.l_suppkey").as("b"))
+        .distinct()
+      graft.operators.Graph.triangleCount(pairs, "a", "b")
     }),
 
     "dedup_clusters" -> ((s, dir) => {
@@ -6228,6 +6246,24 @@ object SparkEntry {
         |SELECT n_docs, n_docs_affected, total_before, total_removed,
         |  total_before - total_removed AS total_after
         |FROM b, r""".stripMargin,
+
+    // triangle census replayed exactly: canonical (a<b) supplier
+    // co-order edges, then the textbook 3-way edge join (each
+    // triangle u<v<w matches exactly once as (u,v),(u,w),(v,w))
+    "graph_triangles" ->
+      """WITH p AS (SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |   AND l1.l_suppkey < l2.l_suppkey),
+        |d AS (SELECT id FROM
+        |  (SELECT a AS id FROM p UNION ALL SELECT b AS id FROM p)
+        |  GROUP BY id)
+        |SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_vertices,
+        |  CAST((SELECT count(*) FROM p) AS BIGINT) AS n_edges,
+        |  CAST((SELECT count(*)
+        |        FROM p e1 JOIN p e2 ON e1.a = e2.a AND e1.b < e2.b
+        |        JOIN p e3 ON e3.a = e1.b AND e3.b = e2.b) AS BIGINT)
+        |    AS n_triangles""".stripMargin,
 
     // 5 unrolled iterations of the same integral recurrence — every
     // op is integer div/multiply, so the replay is value-for-value

@@ -233,4 +233,54 @@ object Graph {
     }
     ranks
   }
+
+  /** Exact triangle count of the undirected simple graph in `edges`
+    * (orientation/duplicates/self-loops are cleaned first). Returns a
+    * 1-row DataFrame (n_vertices, n_edges, n_triangles).
+    *
+    * Degree-oriented wedge join (Suri & Vassilvitskii, WWW'11): give
+    * vertices the total order (degree, id) and orient every edge from
+    * its lower- to its higher-order endpoint. Each triangle then forms
+    * exactly ONE wedge at its minimum-order vertex, so one self-join
+    * of the oriented adjacency plus one closure join against the edge
+    * set counts every triangle exactly once — no post-hoc dedup, no
+    * division by 3.
+    *
+    * The orientation is the 100 TB guard: a raw wedge join explodes at
+    * hub vertices (Σ deg² — a celebrity node with 10M neighbors makes
+    * 10¹⁴ wedges alone), while the oriented out-degree is bounded by
+    * O(√m), capping the wedge set at O(m^1.5) REGARDLESS of skew.
+    * Every join is a fixed-width long-keyed equi-join; vertices carry
+    * no payload. */
+  def triangleCount(edges: DataFrame, srcCol: String = "id_a",
+      dstCol: String = "id_b"): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    // canonical simple undirected edge set: (min id, max id), distinct
+    val und = e0.select(least(col("u"), col("v")).as("a"),
+      greatest(col("u"), col("v")).as("b")).distinct()
+    val deg = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      .select(when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("x"), col("b").as("y")))
+        .otherwise(struct(col("b").as("x"), col("a").as("y"))).as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
+    // wedges at each apex (ordered by id so the closure edge is
+    // already in canonical (a < b) form), closed against the edge set
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.x") === col("e2.x") && col("e1.y") < col("e2.y"))
+      .select(col("e1.y").as("p"), col("e2.y").as("q"))
+    val tri = wedges
+      .join(und.select(col("a").as("p"), col("b").as("q")), Seq("p", "q"))
+      .agg(count(lit(1)).cast("bigint").as("n_triangles"))
+    deg.agg(count(lit(1)).cast("bigint").as("n_vertices"))
+      .crossJoin(und.agg(count(lit(1)).cast("bigint").as("n_edges")))
+      .crossJoin(tri)
+  }
 }

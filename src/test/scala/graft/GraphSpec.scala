@@ -130,4 +130,36 @@ class GraphSpec extends SparkSpec {
       }
     }
   }
+
+  test("triangleCount: K4 has 4, a star has 0; dirt (dups/loops/orientation) ignored") {
+    // K4 with duplicate, reversed, and self-loop edges mixed in
+    val k4 = for (i <- 0L to 3L; j <- 0L to 3L if i != j) yield (i, j)
+    val dirty = k4 ++ Seq((0L, 0L), (1L, 1L), (0L, 1L), (1L, 0L))
+    val r = Graph.triangleCount(dirty.toDF("id_a", "id_b")).head()
+    assert(r.getLong(0) == 4 && r.getLong(1) == 6 && r.getLong(2) == 4,
+      s"got $r")
+    // a star (hub 0 to 9 leaves): max-degree vertex, zero triangles
+    val star = (1L to 9L).map(i => (0L, i))
+    val s = Graph.triangleCount(star.toDF("id_a", "id_b")).head()
+    assert(s.getLong(0) == 10 && s.getLong(1) == 9 && s.getLong(2) == 0)
+  }
+
+  test("property: triangleCount matches brute-force enumeration on random graphs") {
+    val rnd = new scala.util.Random(11)
+    (1 to 6).foreach { _ =>
+      val n = 3 + rnd.nextInt(20)
+      val es = Seq.fill(1 + rnd.nextInt(60))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      if (es.nonEmpty) {
+        val und = es.map(e => (e._1 min e._2, e._1 max e._2)).toSet
+        val verts = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+        val truth = verts.combinations(3).count { case Seq(u, v, w) =>
+          und((u, v)) && und((u, w)) && und((v, w)) }
+        val got = Graph.triangleCount(es.toDF("id_a", "id_b"))
+          .head().getLong(2)
+        assert(got == truth, s"got $got want $truth (edges=$es)")
+      }
+    }
+  }
 }
