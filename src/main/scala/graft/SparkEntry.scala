@@ -290,7 +290,7 @@ object SparkEntry {
     "text_unigram_nll", "text_normalize", "bpe_tokenize",
     "decontaminate", "corpus_overlap",
     "dedup_exact", "dedup_spans", "dedup_paragraph", "dedup_fingerprint", "dedup_simhash",
-    "dedup_clusters",
+    "dedup_clusters", "graph_pagerank", "graph_triangles",
     "pipeline_clean_corpus", "pipeline_curation", "pipeline_tokenize_pack",
     "sketch_freq_items",
     "sim_topk_brute", "sim_topk_ivf", "sim_topk_pq",
@@ -2350,18 +2350,25 @@ object SparkEntry {
 
     "graph_triangles" -> ((s, dir) => {
       import s.implicits._
-      // Exact triangle count over the supplier co-order graph (two
-      // suppliers are linked iff some order contains lineitems from
-      // both) — the degree-oriented wedge join whose every
-      // intermediate DuckDB recomputes value-for-value from the same
-      // edge derivation. Per-order supplier fan-out is small (TPC-H
-      // orders hold a handful of lineitems), so the pair derivation
-      // is bounded; the count itself is the O(m^1.5)-guarded plan.
-      val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey")
+      // Exact triangle count over the part co-order graph (two parts
+      // are linked iff some order contains lineitems for both) — the
+      // degree-oriented wedge join whose result DuckDB recomputes
+      // from the same edge derivation. Parts, not suppliers: the
+      // part key space keeps the graph realistically sparse (avg
+      // degree tens), while the tiny supplier space degenerates into
+      // a near-clique whose triangle census is O(V^3) for ANY
+      // algorithm. Per-order fan-out is small, so the pair
+      // derivation is bounded; the count is the O(m^1.5) plan.
+      // deterministic quarter of orders: the census stays non-trivial
+      // (thousands of triangles at sf0.1) while the wedge set stays
+      // bench-sized — density, not data volume, is the triangle
+      // census's cost axis
+      val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+        .filter(pmod($"l_orderkey", lit(4)) === 0)
       val pairs = li.as("l1").join(li.as("l2"),
           col("l1.l_orderkey") === col("l2.l_orderkey") &&
-            col("l1.l_suppkey") < col("l2.l_suppkey"))
-        .select(col("l1.l_suppkey").as("a"), col("l2.l_suppkey").as("b"))
+            col("l1.l_partkey") < col("l2.l_partkey"))
+        .select(col("l1.l_partkey").as("a"), col("l2.l_partkey").as("b"))
         .distinct()
       graft.operators.Graph.triangleCount(pairs, "a", "b")
     }),
@@ -6247,14 +6254,15 @@ object SparkEntry {
         |  total_before - total_removed AS total_after
         |FROM b, r""".stripMargin,
 
-    // triangle census replayed exactly: canonical (a<b) supplier
+    // triangle census replayed exactly: canonical (a<b) part
     // co-order edges, then the textbook 3-way edge join (each
     // triangle u<v<w matches exactly once as (u,v),(u,w),(v,w))
     "graph_triangles" ->
-      """WITH p AS (SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+      """WITH p AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
         |  FROM lineitem l1 JOIN lineitem l2
         |    ON l1.l_orderkey = l2.l_orderkey
-        |   AND l1.l_suppkey < l2.l_suppkey),
+        |   AND l1.l_partkey < l2.l_partkey
+        |  WHERE l1.l_orderkey % 4 = 0),
         |d AS (SELECT id FROM
         |  (SELECT a AS id FROM p UNION ALL SELECT b AS id FROM p)
         |  GROUP BY id)
