@@ -96,7 +96,7 @@ object SparkEntry {
     "bpe_byte_fallback_gate", "evt_stream_join_outer", "bloommap_prune",
     "mm_decode_video", "asof_bucketed",
     "zonemap_append", "bloommap_append", "wap_publish", "compact_refresh",
-    "evt_audited_sink", "graph_triangles",
+    "evt_audited_sink", "graph_triangles", "graph_kcore",
     "q7_volume_shipping", "q8_market_share", "q13_custdist",
     "q19_disjunctive", "q21_late_suppliers", "q22_idle_balances",
     "dedup_spans", "dedup_span_removal_gate",
@@ -137,6 +137,23 @@ object SparkEntry {
         (neverGradedFirst.toSet -- all.keySet).mkString(", "))
     val rest = all.keysIterator.toSeq.sorted.filterNot(first.toSet)
     scala.collection.immutable.ListMap((first ++ rest).map(n => n -> all(n)): _*)
+  }
+
+  /** Part co-order graph shared by `graph_triangles`/`graph_kcore`:
+    * two parts are linked iff some order contains lineitems for both.
+    * A deterministic quarter of orders keeps the graph non-trivial
+    * (≈300k edges, ≈400k triangles at sf0.1) while density — the cost
+    * axis of triangle/core analytics — stays realistic; the part key
+    * space avoids the supplier near-clique degeneracy. */
+  private def partCoOrderPairs(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .filter(pmod(col("l_orderkey"), lit(4)) === 0)
+    li.as("l1").join(li.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.l_partkey") < col("l2.l_partkey"))
+      .select(col("l1.l_partkey").as("a"), col("l2.l_partkey").as("b"))
+      .distinct()
   }
 
   /** Fitted-artifact cache: model/index builds are do-once batch jobs,
@@ -290,7 +307,7 @@ object SparkEntry {
     "text_unigram_nll", "text_normalize", "bpe_tokenize",
     "decontaminate", "corpus_overlap",
     "dedup_exact", "dedup_spans", "dedup_paragraph", "dedup_fingerprint", "dedup_simhash",
-    "dedup_clusters", "graph_pagerank", "graph_triangles",
+    "dedup_clusters", "graph_pagerank", "graph_triangles", "graph_kcore",
     "pipeline_clean_corpus", "pipeline_curation", "pipeline_tokenize_pack",
     "sketch_freq_items",
     "sim_topk_brute", "sim_topk_ivf", "sim_topk_pq",
@@ -2359,18 +2376,21 @@ object SparkEntry {
       // a near-clique whose triangle census is O(V^3) for ANY
       // algorithm. Per-order fan-out is small, so the pair
       // derivation is bounded; the count is the O(m^1.5) plan.
-      // deterministic quarter of orders: the census stays non-trivial
-      // (thousands of triangles at sf0.1) while the wedge set stays
-      // bench-sized — density, not data volume, is the triangle
-      // census's cost axis
-      val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
-        .filter(pmod($"l_orderkey", lit(4)) === 0)
-      val pairs = li.as("l1").join(li.as("l2"),
-          col("l1.l_orderkey") === col("l2.l_orderkey") &&
-            col("l1.l_partkey") < col("l2.l_partkey"))
-        .select(col("l1.l_partkey").as("a"), col("l2.l_partkey").as("b"))
-        .distinct()
-      graft.operators.Graph.triangleCount(pairs, "a", "b")
+      graft.operators.Graph.triangleCount(
+        partCoOrderPairs(s, dir), "a", "b")
+    }),
+
+    "graph_kcore" -> ((s, dir) => {
+      import s.implicits._
+      // 12-core of the same part co-order graph: iterative peel to
+      // the unique maximal subgraph of minimum internal degree 12.
+      // The fixpoint is order-independent, so DuckDB replays the peel
+      // ROUND FOR ROUND (10 unrolled rounds in the oracle = kCore's
+      // loud maxIter bound) and the (id, within-core degree) rows
+      // must match exactly.
+      graft.operators.Graph.kCore(partCoOrderPairs(s, dir), k = 12,
+          "a", "b", maxIter = 10)
+        .orderBy($"id")
     }),
 
     "dedup_clusters" -> ((s, dir) => {
@@ -6272,6 +6292,32 @@ object SparkEntry {
         |        FROM p e1 JOIN p e2 ON e1.a = e2.a AND e1.b < e2.b
         |        JOIN p e3 ON e3.a = e1.b AND e3.b = e2.b) AS BIGINT)
         |    AS n_triangles""".stripMargin,
+
+    // 10 unrolled peel rounds (= kCore's maxIter) of the same
+    // degree-filter recurrence; the fixpoint is unique, so once the
+    // peel stabilizes the extra rounds are no-ops and the replay is
+    // row-for-row
+    "graph_kcore" -> {
+      // MATERIALIZED: each round references the previous one twice,
+      // so default CTE inlining would expand e0 2^10 times (measured:
+      // DuckDB exhausts file handles re-opening the parquet)
+      def round(i: Int) =
+        s"""s$i AS MATERIALIZED (SELECT u FROM e${i - 1} GROUP BY u
+           |  HAVING count(*) >= 12),
+           |e$i AS MATERIALIZED (SELECT e.u, e.v FROM e${i - 1} e
+           |  JOIN s$i x ON e.u = x.u JOIN s$i y ON e.v = y.u)""".stripMargin
+      s"""WITH p AS MATERIALIZED (
+         |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+         |  FROM lineitem l1 JOIN lineitem l2
+         |    ON l1.l_orderkey = l2.l_orderkey
+         |   AND l1.l_partkey < l2.l_partkey
+         |  WHERE l1.l_orderkey % 4 = 0),
+         |e0 AS MATERIALIZED (SELECT a AS u, b AS v FROM p
+         |  UNION ALL SELECT b AS u, a AS v FROM p),
+         |${(1 to 10).map(round).mkString(",\n")}
+         |SELECT u AS id, CAST(count(*) AS BIGINT) AS deg
+         |FROM e10 GROUP BY u ORDER BY id""".stripMargin
+    },
 
     // 5 unrolled iterations of the same integral recurrence — every
     // op is integer div/multiply, so the replay is value-for-value

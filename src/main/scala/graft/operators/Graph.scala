@@ -252,6 +252,53 @@ object Graph {
     * O(√m), capping the wedge set at O(m^1.5) REGARDLESS of skew.
     * Every join is a fixed-width long-keyed equi-join; vertices carry
     * no payload. */
+  /** k-core of the undirected simple graph in `edges`: the (unique)
+    * maximal vertex set in which every vertex has at least `k`
+    * neighbors INSIDE the set — the standard density filter for
+    * community mining and for pruning low-connectivity noise before
+    * heavier graph work. Returns (`id`, `deg`) for each core vertex,
+    * `deg` being its within-core degree.
+    *
+    * Iterative peel: drop all vertices of current degree < k,
+    * recompute degrees over the induced subgraph, repeat to fixpoint.
+    * Per round: one hash-agg over the live edge set + two long-keyed
+    * semi-joins — vertices carry no payload, lineage is truncated per
+    * round (localCheckpoint), and the edge set only shrinks.
+    * Convergence is at most O(V) rounds in pathological chains but a
+    * handful in practice (each round removes every currently-exposed
+    * vertex, not one); like [[connectedComponents]] this FAILS LOUDLY
+    * at `maxIter` instead of returning a non-core. The fixpoint is
+    * order-independent (the k-core is unique), so the output is
+    * deterministic and an oracle can replay the rounds exactly. */
+  def kCore(edges: DataFrame, k: Int, srcCol: String = "id_a",
+      dstCol: String = "id_b", maxIter: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val e0 = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    var e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint(true)
+    var nEdges = e.count()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      iter += 1
+      val alive = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("u").as("id"))
+      val pruned = e
+        .join(alive.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
+        .join(alive.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v")).localCheckpoint(true)
+      val n = pruned.count()
+      converged = n == nEdges
+      nEdges = n
+      e = pruned
+    }
+    require(converged, s"k-core did not converge in $maxIter rounds " +
+      "(raise maxIter)")
+    e.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+  }
+
   def triangleCount(edges: DataFrame, srcCol: String = "id_a",
       dstCol: String = "id_b"): DataFrame = {
     val e0 = edges.select(col(srcCol).cast("long").as("u"),

@@ -144,6 +144,54 @@ class GraphSpec extends SparkSpec {
     assert(s.getLong(0) == 10 && s.getLong(1) == 9 && s.getLong(2) == 0)
   }
 
+  test("kCore: peel cascade reaches the textbook core; low-k keeps everything") {
+    // K4 with a pendant path hanging off it: 3-core = exactly the K4
+    // (the path peels away in cascading rounds), 1-core = everything
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val path = Seq((3L, 4L), (4L, 5L), (5L, 6L))
+    val df = (k4 ++ path).toDF("id_a", "id_b")
+    val core3 = Graph.kCore(df, k = 3).as[(Long, Long)].collect().toMap
+    assert(core3 == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L), s"got $core3")
+    val core1 = Graph.kCore(df, k = 1).as[(Long, Long)].collect().toMap
+    assert(core1.keySet == (0L to 6L).toSet)
+    // k above the max degree: empty core, converged cleanly
+    assert(Graph.kCore(df, k = 10).count() == 0)
+  }
+
+  test("property: kCore matches a driver-side peel on random graphs") {
+    def peel(es: Set[(Long, Long)], k: Int): Map[Long, Int] = {
+      var cur = es
+      var done = false
+      while (!done) {
+        val deg = cur.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (v, o) => v -> o.size }
+        val alive = deg.filter(_._2 >= k).keySet
+        val next = cur.filter(e => alive(e._1) && alive(e._2))
+        done = next == cur
+        cur = next
+      }
+      cur.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (v, o) => v -> o.size }
+    }
+    val rnd = new scala.util.Random(13)
+    (1 to 5).foreach { _ =>
+      val n = 4 + rnd.nextInt(16)
+      val es = Seq.fill(5 + rnd.nextInt(50))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+        .map(e => (e._1 min e._2, e._1 max e._2)).toSet
+      if (es.nonEmpty) {
+        val k = 2 + rnd.nextInt(3)
+        val truth = peel(es, k)
+        val got = Graph.kCore(es.toSeq.toDF("id_a", "id_b"), k,
+            maxIter = 30)
+          .as[(Long, Long)].collect().toMap
+        assert(got == truth.map { case (v, d) => v -> d.toLong },
+          s"k=$k edges=$es: got $got want $truth")
+      }
+    }
+  }
+
   test("property: triangleCount matches brute-force enumeration on random graphs") {
     val rnd = new scala.util.Random(11)
     (1 to 6).foreach { _ =>
