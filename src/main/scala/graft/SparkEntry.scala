@@ -96,7 +96,7 @@ object SparkEntry {
     "bpe_byte_fallback_gate", "evt_stream_join_outer", "bloommap_prune",
     "mm_decode_video", "asof_bucketed",
     "zonemap_append", "bloommap_append", "wap_publish", "compact_refresh",
-    "evt_audited_sink", "graph_triangles", "graph_kcore",
+    "evt_audited_sink", "graph_triangles", "graph_kcore", "dq_drift",
     "q7_volume_shipping", "q8_market_share", "q13_custdist",
     "q19_disjunctive", "q21_late_suppliers", "q22_idle_balances",
     "dedup_spans", "dedup_span_removal_gate",
@@ -1244,6 +1244,30 @@ object SparkEntry {
         .select($"o_orderkey", $"change_type",
           concat_ws(",", $"changed_cols").as("changed_cols"))
         .orderBy($"o_orderkey")
+    }),
+
+    "dq_drift" -> ((s, dir) => {
+      import s.implicits._
+      // Two-sample drift monitor, graded on BOTH verdicts: an
+      // even/odd orderkey split of l_quantity must show NO drifted
+      // bucket (binomial share noise is ~9σ below the 5% threshold
+      // even at sf0.001), while a q <= 25 truncation of sample B must
+      // drift EVERY bucket (halves below 25 double their share, those
+      // above vanish). Counts and verdicts are exact integers, so the
+      // oracle replays rows and booleans value-for-value.
+      val li = Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_quantity".cast("int").as("q"))
+      val a = li.filter(pmod($"l_orderkey", lit(2)) === 0)
+      val b = li.filter(pmod($"l_orderkey", lit(2)) === 1)
+      val stable = Quality.driftReport(a, b, $"q",
+          lo = 1, width = 5, nBuckets = 10)
+        .withColumn("pair", lit("split"))
+      val shifted = Quality.driftReport(a, b.filter($"q" <= 25), $"q",
+          lo = 1, width = 5, nBuckets = 10)
+        .withColumn("pair", lit("truncated"))
+      stable.unionByName(shifted)
+        .select($"pair", $"bucket", $"n_a", $"n_b", $"drifted")
+        .orderBy($"pair", $"bucket")
     }),
 
     "dq_impute" -> ((s, dir) => {
@@ -4934,6 +4958,36 @@ object SparkEntry {
         |UNION ALL
         |SELECT k, c, p FROM changes WHERE NOT del
         |ORDER BY o_orderkey""".stripMargin,
+
+    // same fixed bucketing, totals, and cross-multiplied integer
+    // verdict — every row and boolean replays exactly
+    "dq_drift" ->
+      """WITH li AS (SELECT l_orderkey, CAST(l_quantity AS INT) AS q
+        |  FROM lineitem),
+        |ca AS (SELECT least(greatest((q - 1) // 5, 0), 9) AS bucket,
+        |    count(*) AS n FROM li WHERE l_orderkey % 2 = 0 GROUP BY 1),
+        |cb AS (SELECT least(greatest((q - 1) // 5, 0), 9) AS bucket,
+        |    count(*) AS n FROM li WHERE l_orderkey % 2 = 1 GROUP BY 1),
+        |ct AS (SELECT least(greatest((q - 1) // 5, 0), 9) AS bucket,
+        |    count(*) AS n FROM li WHERE l_orderkey % 2 = 1 AND q <= 25
+        |    GROUP BY 1),
+        |g AS (SELECT range AS bucket FROM range(10)),
+        |u AS (
+        |  SELECT 'split' AS pair, g.bucket,
+        |    coalesce(ca.n, 0) AS n_a, coalesce(cb.n, 0) AS n_b
+        |  FROM g LEFT JOIN ca USING (bucket) LEFT JOIN cb USING (bucket)
+        |  UNION ALL
+        |  SELECT 'truncated' AS pair, g.bucket,
+        |    coalesce(ca.n, 0) AS n_a, coalesce(ct.n, 0) AS n_b
+        |  FROM g LEFT JOIN ca USING (bucket) LEFT JOIN ct USING (bucket)),
+        |t AS (SELECT pair, sum(n_a) AS ta, sum(n_b) AS tb
+        |  FROM u GROUP BY pair)
+        |SELECT u.pair, u.bucket, CAST(u.n_a AS BIGINT) AS n_a,
+        |  CAST(u.n_b AS BIGINT) AS n_b,
+        |  abs(CAST(u.n_a AS HUGEINT) * t.tb -
+        |      CAST(u.n_b AS HUGEINT) * t.ta) * 1000000 >
+        |    50000 * CAST(t.ta AS HUGEINT) * t.tb AS drifted
+        |FROM u JOIN t USING (pair) ORDER BY pair, bucket""".stripMargin,
 
     "dq_impute" ->
       """WITH base AS (

@@ -119,6 +119,52 @@ object Quality {
       .agg(count(lit(1)).as("n_invalid"))
       .orderBy(col(column))
 
+  /** Two-sample distribution-drift report — the monitoring check that
+    * catches a silently changed upstream (schema intact, values
+    * shifted) before it poisons a model: bucket both samples with the
+    * SAME fixed integer bucketing (bounds come from the reference
+    * snapshot, never re-fit), then flag any bucket whose share moved
+    * by more than `thresholdPpm` parts-per-million.
+    *
+    * The comparison is EXACT integer arithmetic end to end: bucket b
+    * drifts iff |n_a·B − n_b·A| · 1,000,000 > thresholdPpm · A · B
+    * (cross-multiplied shares, DECIMAL(38,0) products so 10^8-row
+    * samples cannot overflow) — no floating-point shares, so an
+    * oracle replays every row AND every verdict value-for-value.
+    * Cost: one narrow scan + one tiny hash-agg per sample, a
+    * bucket-count-sized join, one broadcast of the two totals.
+    * Returns (bucket, n_a, n_b, drifted) with empty buckets present
+    * as zeros (a vanished bucket IS drift evidence, not a missing
+    * row). */
+  def driftReport(a: DataFrame, b: DataFrame, valueExpr: Column,
+      lo: Long, width: Long, nBuckets: Int,
+      thresholdPpm: Long = 50000L): DataFrame = {
+    require(width > 0 && nBuckets > 0 && thresholdPpm > 0,
+      "width, nBuckets, thresholdPpm must be positive")
+    def bucketOf(c: Column): Column =
+      least(greatest(floor((c.cast("long") - lo) / width), lit(0L)),
+        lit(nBuckets - 1L))
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.select(bucketOf(valueExpr).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(out))
+    val grid = a.sparkSession.range(nBuckets).select(col("id").as("bucket"))
+    val joined = grid
+      .join(counts(a, "n_a"), Seq("bucket"), "left")
+      .join(counts(b, "n_b"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totals = joined.agg(sum(col("n_a")).as("__ta"),
+      sum(col("n_b")).as("__tb"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        (abs(col("n_a").cast("decimal(38,0)") * col("__tb") -
+            col("n_b").cast("decimal(38,0)") * col("__ta")) * 1000000L >
+          lit(thresholdPpm).cast("decimal(38,0)") * col("__ta") * col("__tb"))
+          .as("drifted"))
+      .orderBy(col("bucket"))
+  }
+
   /** Tukey-fence outlier tagging: per group (or globally with a
     * constant group column), flag values outside
     * [q1 - k*IQR, q3 + k*IQR]. The robust alternative to z-scores —

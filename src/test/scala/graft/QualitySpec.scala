@@ -153,4 +153,26 @@ class QualitySpec extends SparkSpec {
     assert(got.count(!_._3) == 3 && got.length == 5)
     assert(got.filter(t => t._1 == "a" && !t._3).map(_._2).sorted.toSeq == Seq(1.0, 3.0))
   }
+
+  test("driftReport: exact verdicts, zero rows for empty buckets, clamped tails") {
+    import org.apache.spark.sql.functions.col
+    // A: 40 rows uniform over buckets 0-3; B: same except bucket 3's
+    // mass moved to bucket 0 (and one out-of-range value clamps up)
+    val a = ((0 until 40).map(i => i % 4 * 10 + 1)).toDF("v") // buckets 0..3
+    val b = ((0 until 30).map(i => i % 3 * 10 + 1) ++
+      Seq.fill(9)(1) :+ 99).toDF("v") // bucket 3 empty, 0 inflated; 99 clamps to 3
+    val got = Quality.driftReport(a, b, col("v"), lo = 1, width = 10,
+        nBuckets = 4, thresholdPpm = 100000L) // 10% threshold
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    // A: 10 per bucket (25% each). B: bucket0 = 19 (47.5%), buckets
+    // 1,2 = 10 (25%), bucket3 = 1 (2.5% — the clamped 99)
+    assert(got.toSeq == Seq((0L, 10L, 19L, true), (1L, 10L, 10L, false),
+      (2L, 10L, 10L, false), (3L, 10L, 1L, true)), got.mkString(","))
+    // identical samples: nothing drifts, empty buckets materialize as 0s
+    val z = Quality.driftReport(a, a, col("v"), lo = 1, width = 10,
+        nBuckets = 6).collect()
+    assert(z.length == 6 && z.forall(!_.getBoolean(3)))
+    assert(z.count(r => r.getLong(1) == 0 && r.getLong(2) == 0) == 2)
+  }
 }
