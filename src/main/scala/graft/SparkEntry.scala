@@ -97,6 +97,7 @@ object SparkEntry {
     "mm_decode_video", "asof_bucketed",
     "zonemap_append", "bloommap_append", "wap_publish", "compact_refresh",
     "evt_audited_sink", "graph_triangles", "graph_kcore", "dq_drift",
+    "graph_local_triangles",
     "q7_volume_shipping", "q8_market_share", "q13_custdist",
     "q19_disjunctive", "q21_late_suppliers", "q22_idle_balances",
     "dedup_spans", "dedup_span_removal_gate",
@@ -2402,6 +2403,17 @@ object SparkEntry {
       // derivation is bounded; the count is the O(m^1.5) plan.
       graft.operators.Graph.triangleCount(
         partCoOrderPairs(s, dir), "a", "b")
+    }),
+
+    "graph_local_triangles" -> ((s, dir) => {
+      import s.implicits._
+      // Per-vertex triangle participation on the part co-order graph
+      // (the local-clustering-coefficient numerator, kept as exact
+      // integers): top-50 by (n_tri, deg, id) is a deterministic cut
+      // the oracle recomputes from its own triple join.
+      graft.operators.Graph.localTriangles(partCoOrderPairs(s, dir),
+          "a", "b")
+        .orderBy($"n_tri".desc, $"deg".desc, $"id").limit(50)
     }),
 
     "graph_kcore" -> ((s, dir) => {
@@ -6346,6 +6358,30 @@ object SparkEntry {
         |        FROM p e1 JOIN p e2 ON e1.a = e2.a AND e1.b < e2.b
         |        JOIN p e3 ON e3.a = e1.b AND e3.b = e2.b) AS BIGINT)
         |    AS n_triangles""".stripMargin,
+
+    // per-vertex census from the same triple join, each triangle
+    // crediting its three vertices; deterministic top-50 cut
+    "graph_local_triangles" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |   AND l1.l_partkey < l2.l_partkey
+        |  WHERE l1.l_orderkey % 4 = 0),
+        |d AS (SELECT id, count(*) AS deg FROM
+        |  (SELECT a AS id FROM p UNION ALL SELECT b AS id FROM p)
+        |  GROUP BY id),
+        |tr AS MATERIALIZED (
+        |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        |  FROM p e1 JOIN p e2 ON e1.a = e2.a AND e1.b < e2.b
+        |  JOIN p e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |tv AS (SELECT id, count(*) AS n_tri FROM
+        |  (SELECT u AS id FROM tr UNION ALL SELECT v AS id FROM tr
+        |   UNION ALL SELECT w AS id FROM tr) GROUP BY id)
+        |SELECT d.id, CAST(d.deg AS BIGINT) AS deg,
+        |  CAST(coalesce(tv.n_tri, 0) AS BIGINT) AS n_tri
+        |FROM d LEFT JOIN tv USING (id)
+        |ORDER BY n_tri DESC, deg DESC, id LIMIT 50""".stripMargin,
 
     // 10 unrolled peel rounds (= kCore's maxIter) of the same
     // degree-filter recurrence; the fixpoint is unique, so once the

@@ -330,4 +330,45 @@ object Graph {
       .crossJoin(und.agg(count(lit(1)).cast("bigint").as("n_edges")))
       .crossJoin(tri)
   }
+
+  /** Per-vertex triangle participation — the numerator of the local
+    * clustering coefficient (2·tri / (deg·(deg−1))): for every vertex
+    * that appears in an edge, (`id`, `deg`, `n_tri`). Kept as exact
+    * integers rather than a float ratio so results replay exactly;
+    * divide downstream if a coefficient is wanted.
+    *
+    * Same degree-oriented wedge machinery as [[triangleCount]] (one
+    * wedge per triangle, O(m^1.5) bound), with the apex carried
+    * through the closure so each found triangle credits all three of
+    * its vertices — one explode + one long-keyed hash-agg on top of
+    * the count plan. */
+  def localTriangles(edges: DataFrame, srcCol: String = "id_a",
+      dstCol: String = "id_b"): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val und = e0.select(least(col("u"), col("v")).as("a"),
+      greatest(col("u"), col("v")).as("b")).distinct()
+    val deg = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      .select(when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("x"), col("b").as("y")))
+        .otherwise(struct(col("b").as("x"), col("a").as("y"))).as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.x") === col("e2.x") && col("e1.y") < col("e2.y"))
+      .select(col("e1.x").as("x"), col("e1.y").as("p"), col("e2.y").as("q"))
+    val triVerts = wedges
+      .join(und.select(col("a").as("p"), col("b").as("q")), Seq("p", "q"))
+      .select(explode(array(col("x"), col("p"), col("q"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    deg.join(triVerts, Seq("id"), "left")
+      .select(col("id"), col("deg").cast("bigint").as("deg"),
+        coalesce(col("n_tri"), lit(0L)).cast("bigint").as("n_tri"))
+  }
 }

@@ -207,6 +207,21 @@ class GraphSpec extends SparkSpec {
         val got = Graph.triangleCount(es.toDF("id_a", "id_b"))
           .head().getLong(2)
         assert(got == truth, s"got $got want $truth (edges=$es)")
+        // per-vertex census agrees with brute force on the same graph
+        val perV = Graph.localTriangles(es.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        val truthV = verts.map { v =>
+          v -> verts.combinations(2).count { case Seq(x, y) =>
+            x != v && y != v &&
+              und((v min x, v max x)) && und((v min y, v max y)) &&
+              und((x min y, x max y)) }
+        }.toMap
+        perV.foreach { case (v, (d, t)) =>
+          assert(t == truthV(v), s"vertex $v: got $t want ${truthV(v)}")
+          assert(d == und.count(e => e._1 == v || e._2 == v).toLong)
+        }
+        // 3 * total = sum of per-vertex counts
+        assert(perV.values.map(_._2).sum == 3 * truth)
       }
     }
   }
