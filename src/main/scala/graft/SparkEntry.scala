@@ -309,6 +309,7 @@ object SparkEntry {
     "decontaminate", "corpus_overlap",
     "dedup_exact", "dedup_spans", "dedup_paragraph", "dedup_fingerprint", "dedup_simhash",
     "dedup_clusters", "graph_pagerank", "graph_triangles", "graph_kcore",
+    "graph_local_triangles",
     "pipeline_clean_corpus", "pipeline_curation", "pipeline_tokenize_pack",
     "sketch_freq_items",
     "sim_topk_brute", "sim_topk_ivf", "sim_topk_pq",
