@@ -97,7 +97,7 @@ object SparkEntry {
     "mm_decode_video", "asof_bucketed",
     "zonemap_append", "bloommap_append", "wap_publish", "compact_refresh",
     "evt_audited_sink", "graph_triangles", "graph_kcore", "dq_drift",
-    "graph_local_triangles",
+    "graph_local_triangles", "dq_drift_categorical",
     "q7_volume_shipping", "q8_market_share", "q13_custdist",
     "q19_disjunctive", "q21_late_suppliers", "q22_idle_balances",
     "dedup_spans", "dedup_span_removal_gate",
@@ -1270,6 +1270,30 @@ object SparkEntry {
       stable.unionByName(shifted)
         .select($"pair", $"bucket", $"n_a", $"n_b", $"drifted")
         .orderBy($"pair", $"bucket")
+    }),
+
+    "dq_drift_categorical" -> ((s, dir) => {
+      import s.implicits._
+      // Categorical composition drift (source mix — the corpus check
+      // between pipeline snapshots). Split by doc_id div 20 parity:
+      // source IS doc_id % 20 in the testdata, so block-alternation
+      // gives every source an EXACTLY equal share in both halves
+      // (zero drift, deterministically), while additionally dropping
+      // the 11 'src1*' sources from B must drift every key — dropped
+      // ones to zero, survivors inflated past the 2% threshold.
+      val docs = Tables.documents(s, dir).select($"doc_id", $"source")
+      val a = docs.filter(pmod(expr("doc_id div 20"), lit(2)) === 0)
+      val b = docs.filter(pmod(expr("doc_id div 20"), lit(2)) === 1)
+      val stable = Quality.driftReportCategorical(a, b, $"source",
+          thresholdPpm = 20000L)
+        .withColumn("pair", lit("split"))
+      val shifted = Quality.driftReportCategorical(a,
+          b.filter(!$"source".startsWith("src1")), $"source",
+          thresholdPpm = 20000L)
+        .withColumn("pair", lit("narrowed"))
+      stable.unionByName(shifted)
+        .select($"pair", $"key".as("cat"), $"n_a", $"n_b", $"drifted")
+        .orderBy($"pair", $"cat")
     }),
 
     "dq_impute" -> ((s, dir) => {
@@ -5001,6 +5025,33 @@ object SparkEntry {
         |      CAST(u.n_b AS HUGEINT) * t.ta) * 1000000 >
         |    50000 * CAST(t.ta AS HUGEINT) * t.tb AS drifted
         |FROM u JOIN t USING (pair) ORDER BY pair, bucket""".stripMargin,
+
+    // categorical twin: full-joined per-source counts, same
+    // cross-multiplied integer verdict
+    "dq_drift_categorical" ->
+      """WITH a AS (SELECT source, count(*) AS n FROM documents
+        |  WHERE (doc_id // 20) % 2 = 0 GROUP BY 1),
+        |b AS (SELECT source, count(*) AS n FROM documents
+        |  WHERE (doc_id // 20) % 2 = 1 GROUP BY 1),
+        |c AS (SELECT source, count(*) AS n FROM documents
+        |  WHERE (doc_id // 20) % 2 = 1 AND source NOT LIKE 'src1%'
+        |  GROUP BY 1),
+        |u AS (
+        |  SELECT 'split' AS pair, coalesce(a.source, b.source) AS cat,
+        |    coalesce(a.n, 0) AS n_a, coalesce(b.n, 0) AS n_b
+        |  FROM a FULL JOIN b ON a.source = b.source
+        |  UNION ALL
+        |  SELECT 'narrowed' AS pair, coalesce(a.source, c.source) AS cat,
+        |    coalesce(a.n, 0) AS n_a, coalesce(c.n, 0) AS n_b
+        |  FROM a FULL JOIN c ON a.source = c.source),
+        |t AS (SELECT pair, sum(n_a) AS ta, sum(n_b) AS tb
+        |  FROM u GROUP BY pair)
+        |SELECT u.pair, u.cat, CAST(u.n_a AS BIGINT) AS n_a,
+        |  CAST(u.n_b AS BIGINT) AS n_b,
+        |  abs(CAST(u.n_a AS HUGEINT) * t.tb -
+        |      CAST(u.n_b AS HUGEINT) * t.ta) * 1000000 >
+        |    20000 * CAST(t.ta AS HUGEINT) * t.tb AS drifted
+        |FROM u JOIN t USING (pair) ORDER BY pair, cat""".stripMargin,
 
     "dq_impute" ->
       """WITH base AS (

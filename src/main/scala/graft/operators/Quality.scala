@@ -165,6 +165,35 @@ object Quality {
       .orderBy(col("bucket"))
   }
 
+  /** Categorical twin of [[driftReport]]: per-VALUE share comparison
+    * for a discrete column (language mix, source mix, label mix —
+    * the composition checks an LLM-corpus pipeline watches between
+    * snapshots). Keys are the union of values observed in either
+    * sample, so a vanished or brand-new category materializes as a
+    * (n, 0)/(0, n) row instead of silently disappearing; NULL is a
+    * category like any other. Same exact integer verdict as the
+    * numeric form. Returns (key, n_a, n_b, drifted) ordered by key. */
+  def driftReportCategorical(a: DataFrame, b: DataFrame, keyExpr: Column,
+      thresholdPpm: Long = 50000L): DataFrame = {
+    require(thresholdPpm > 0, "thresholdPpm must be positive")
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.select(keyExpr.cast("string").as("key"))
+        .groupBy("key").agg(count(lit(1)).as(out))
+    val joined = counts(a, "n_a").join(counts(b, "n_b"), Seq("key"), "full")
+      .select(col("key"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totals = joined.agg(sum(col("n_a")).as("__ta"),
+      sum(col("n_b")).as("__tb"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("key"), col("n_a"), col("n_b"),
+        (abs(col("n_a").cast("decimal(38,0)") * col("__tb") -
+            col("n_b").cast("decimal(38,0)") * col("__ta")) * 1000000L >
+          lit(thresholdPpm).cast("decimal(38,0)") * col("__ta") * col("__tb"))
+          .as("drifted"))
+      .orderBy(col("key"))
+  }
+
   /** Tukey-fence outlier tagging: per group (or globally with a
     * constant group column), flag values outside
     * [q1 - k*IQR, q3 + k*IQR]. The robust alternative to z-scores —

@@ -175,4 +175,28 @@ class QualitySpec extends SparkSpec {
     assert(z.length == 6 && z.forall(!_.getBoolean(3)))
     assert(z.count(r => r.getLong(1) == 0 && r.getLong(2) == 0) == 2)
   }
+
+  test("driftReportCategorical: vanished and new categories surface as drifted rows") {
+    import org.apache.spark.sql.functions.col
+    val a = (Seq.fill(50)("en") ++ Seq.fill(40)("de") ++ Seq.fill(10)("fr"))
+      .toDF("lang")
+    // B: fr vanished, es appeared, en/de shares mildly reshuffled
+    val b = (Seq.fill(55)("en") ++ Seq.fill(40)("de") ++ Seq.fill(5)("es"))
+      .toDF("lang")
+    val got = Quality.driftReportCategorical(a, b, col("lang"),
+        thresholdPpm = 100000L) // 10%
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got.keySet == Set("en", "de", "fr", "es"))
+    assert(got("fr") == ((10L, 0L, false)))   // 10% -> 0%: at threshold, not over
+    assert(got("es") == ((0L, 5L, false)))    // 0% -> 5%: under 10%
+    assert(got("de") == ((40L, 40L, false)))  // 40% both sides
+    assert(got("en") == ((50L, 55L, false)))  // 50% -> 55%: exactly at, not over
+    // tighter threshold flips the moved categories
+    val tight = Quality.driftReportCategorical(a, b, col("lang"),
+        thresholdPpm = 40000L) // 4%
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(tight == Map("en" -> true, "de" -> false, "fr" -> true,
+      "es" -> true), tight.toString)
+  }
 }
