@@ -463,4 +463,31 @@ class PlanSpec extends SparkSpec {
       assert(!input.contains("text#"), s"text in span shuffle:\n$b")
     }
   }
+
+  test("graph analytics: every join is an equi-join, never a nested loop") {
+    // the wedge join, closure join, peel semi-joins, and the banded
+    // minhash join must all key on fixed-width columns; a refactor
+    // that turns any of them into a cartesian/BNLJ is the quadratic
+    // plan these operators exist to avoid (the 1-row totals
+    // cross-join in summaries is the one legitimate exception and
+    // prints as a broadcast over a single row, not a cartesian)
+    for (q <- Seq("graph_triangles", "graph_local_triangles")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(p.contains("hashpartitioning") || p.contains("SortMergeJoin") ||
+        p.contains("BroadcastHashJoin"), s"$q:\n$p")
+    }
+    val mh = plan("dedup_minhash")
+    assert(!mh.contains("CartesianProduct") &&
+      !mh.contains("BroadcastNestedLoopJoin"), mh)
+  }
+
+  test("dq_drift: verdicts compute in two narrow scans, no nested loop") {
+    val p = plan("dq_drift")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only parquet columns read are the key and the value
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("l_extendedprice") && !l.contains("l_comment"), l)
+    }
+  }
 }
