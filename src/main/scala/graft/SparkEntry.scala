@@ -3642,8 +3642,8 @@ object SparkEntry {
           (SELECT count(*) FROM orders
              WHERE might_contain((SELECT b FROM bf), o_custkey))
             = (SELECT count(*) FROM orders) AS no_false_neg,
-          (SELECT sum(CASE WHEN might_contain((SELECT b FROM bf), o_custkey + 1000000)
-                           THEN 1 ELSE 0 END) FROM orders)
+          (SELECT CAST(sum(CASE WHEN might_contain((SELECT b FROM bf), o_custkey + 1000000)
+                           THEN 1 ELSE 0 END) AS BIGINT) FROM orders)
             <= (SELECT count(*) FROM orders) * 0.05 AS fp_bounded
       """)
     }),
@@ -4632,10 +4632,10 @@ object SparkEntry {
         |       WHEN date_diff('day', o_orderdate, l_shipdate) <= 60
         |         THEN 'NORMAL'
         |       ELSE 'SLOW' END AS delay_bucket,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |        THEN 1 ELSE 0 END) AS high_line_count,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |        THEN 0 ELSE 1 END) AS low_line_count
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -4737,12 +4737,12 @@ object SparkEntry {
         |  SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%'),
         |qty AS (
         |  SELECT l_partkey, l_suppkey,
-        |    sum(CASE WHEN year(l_shipdate) = 1997
+        |    CAST(sum(CASE WHEN year(l_shipdate) = 1997
         |      THEN CAST(l_quantity AS DECIMAL(18,2))
-        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS q97,
-        |    sum(CASE WHEN year(l_shipdate) = 1998
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS q97,
+        |    CAST(sum(CASE WHEN year(l_shipdate) = 1998
         |      THEN CAST(l_quantity AS DECIMAL(18,2))
-        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS q98
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS q98
         |  FROM lineitem JOIN bolt ON l_partkey = p_partkey
         |  GROUP BY 1, 2)
         |SELECT s_suppkey, s_name
