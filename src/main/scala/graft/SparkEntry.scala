@@ -5001,14 +5001,17 @@ object SparkEntry {
     "dq_drift" ->
       """WITH li AS (SELECT l_orderkey, CAST(l_quantity AS INT) AS q
         |  FROM lineitem),
-        |ca AS (SELECT least(greatest((q - 1) // 5, 0), 9) AS bucket,
+        |ca AS (SELECT CASE WHEN q IS NULL THEN -1
+        |      ELSE least(greatest((q - 1) // 5, 0), 9) END AS bucket,
         |    count(*) AS n FROM li WHERE l_orderkey % 2 = 0 GROUP BY 1),
-        |cb AS (SELECT least(greatest((q - 1) // 5, 0), 9) AS bucket,
+        |cb AS (SELECT CASE WHEN q IS NULL THEN -1
+        |      ELSE least(greatest((q - 1) // 5, 0), 9) END AS bucket,
         |    count(*) AS n FROM li WHERE l_orderkey % 2 = 1 GROUP BY 1),
-        |ct AS (SELECT least(greatest((q - 1) // 5, 0), 9) AS bucket,
+        |ct AS (SELECT CASE WHEN q IS NULL THEN -1
+        |      ELSE least(greatest((q - 1) // 5, 0), 9) END AS bucket,
         |    count(*) AS n FROM li WHERE l_orderkey % 2 = 1 AND q <= 25
         |    GROUP BY 1),
-        |g AS (SELECT range AS bucket FROM range(10)),
+        |g AS (SELECT range AS bucket FROM range(-1, 10)),
         |u AS (
         |  SELECT 'split' AS pair, g.bucket,
         |    coalesce(ca.n, 0) AS n_a, coalesce(cb.n, 0) AS n_b
@@ -5039,11 +5042,11 @@ object SparkEntry {
         |u AS (
         |  SELECT 'split' AS pair, coalesce(a.source, b.source) AS cat,
         |    coalesce(a.n, 0) AS n_a, coalesce(b.n, 0) AS n_b
-        |  FROM a FULL JOIN b ON a.source = b.source
+        |  FROM a FULL JOIN b ON a.source IS NOT DISTINCT FROM b.source
         |  UNION ALL
         |  SELECT 'narrowed' AS pair, coalesce(a.source, c.source) AS cat,
         |    coalesce(a.n, 0) AS n_a, coalesce(c.n, 0) AS n_b
-        |  FROM a FULL JOIN c ON a.source = c.source),
+        |  FROM a FULL JOIN c ON a.source IS NOT DISTINCT FROM c.source),
         |t AS (SELECT pair, sum(n_a) AS ta, sum(n_b) AS tb
         |  FROM u GROUP BY pair)
         |SELECT u.pair, u.cat, CAST(u.n_a AS BIGINT) AS n_a,

@@ -135,19 +135,26 @@ object Quality {
     * bucket-count-sized join, one broadcast of the two totals.
     * Returns (bucket, n_a, n_b, drifted) with empty buckets present
     * as zeros (a vanished bucket IS drift evidence, not a missing
-    * row). */
+    * row). NULL values land in a dedicated bucket -1 that feeds the
+    * same verdict AND the totals — a sample whose column goes largely
+    * NULL shifts every bucket's share and is flagged, instead of the
+    * NULLs silently vanishing from the denominator. Bucketing itself
+    * is long `div` arithmetic (no double division), so values beyond
+    * 2^53 bucket exactly. */
   def driftReport(a: DataFrame, b: DataFrame, valueExpr: Column,
       lo: Long, width: Long, nBuckets: Int,
       thresholdPpm: Long = 50000L): DataFrame = {
     require(width > 0 && nBuckets > 0 && thresholdPpm > 0,
       "width, nBuckets, thresholdPpm must be positive")
-    def bucketOf(c: Column): Column =
-      least(greatest(floor((c.cast("long") - lo) / width), lit(0L)),
-        lit(nBuckets - 1L))
     def counts(df: DataFrame, out: String): DataFrame =
-      df.select(bucketOf(valueExpr).as("bucket"))
+      df.select(valueExpr.cast("long").as("__v"))
+        .selectExpr(
+          s"""CASE WHEN __v IS NULL THEN -1L
+             |ELSE least(greatest((__v - ${lo}L) div ${width}L, 0L),
+             |           ${nBuckets - 1}L) END AS bucket""".stripMargin)
         .groupBy("bucket").agg(count(lit(1)).as(out))
-    val grid = a.sparkSession.range(nBuckets).select(col("id").as("bucket"))
+    val grid = a.sparkSession.range(-1L, nBuckets.toLong)
+      .select(col("id").as("bucket"))
     val joined = grid
       .join(counts(a, "n_a"), Seq("bucket"), "left")
       .join(counts(b, "n_b"), Seq("bucket"), "left")
@@ -179,8 +186,13 @@ object Quality {
     def counts(df: DataFrame, out: String): DataFrame =
       df.select(keyExpr.cast("string").as("key"))
         .groupBy("key").agg(count(lit(1)).as(out))
-    val joined = counts(a, "n_a").join(counts(b, "n_b"), Seq("key"), "full")
-      .select(col("key"),
+    // null-SAFE join: a USING("key") full join never matches NULL keys,
+    // so a NULL category present in both samples would split into two
+    // rows, each falsely flagged as vanished/appeared drift.
+    val ca = counts(a, "n_a").alias("__ca")
+    val cb = counts(b, "n_b").alias("__cb")
+    val joined = ca.join(cb, col("__ca.key") <=> col("__cb.key"), "full")
+      .select(coalesce(col("__ca.key"), col("__cb.key")).as("key"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))
     val totals = joined.agg(sum(col("n_a")).as("__ta"),

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.input_file_name
 
@@ -87,6 +87,42 @@ object Writers {
     (filesBefore, filesAfter)
   }
 
+  /** Crash-safe promotion of a freshly written skipping map: the live
+    * map is renamed ASIDE (`<map>__old`) before the tmp is renamed
+    * into place, so no instant ever has zero copies on disk — the
+    * compactParquet discipline applied to the map swap. A crash
+    * between the renames leaves `__old` (superseded but complete) and
+    * possibly `__tmp` (the newer union); [[recoverMap]] promotes one
+    * of them on the next touch. */
+  private def swapMap(fs: FileSystem, live: Path, tmp: Path): Unit = {
+    val old = new Path(live.toString + "__old")
+    fs.delete(old, true) // live exists => stale debris from a past swap
+    require(fs.rename(live, old), s"rename $live -> $old failed")
+    require(fs.rename(tmp, live), s"rename $tmp -> $live failed")
+    fs.delete(old, true)
+  }
+
+  /** Startup recovery for [[swapMap]]'s mid-swap crash window: if the
+    * live map is missing, promote the complete tmp copy when present
+    * (it strictly supersets the old map — append-only union), else
+    * restore the old map. Called by every map reader/appender before
+    * the live path is opened. */
+  private def recoverMap(fs: FileSystem, live: Path): Unit = {
+    if (!fs.exists(live)) {
+      val old = new Path(live.toString + "__old")
+      val tmp = new Path(live.toString + "__tmp")
+      if (fs.exists(tmp)) {
+        require(fs.rename(tmp, live), s"recovery rename $tmp -> $live failed")
+        fs.delete(old, true)
+      } else if (fs.exists(old)) {
+        require(fs.rename(old, live), s"recovery rename $old -> $live failed")
+      }
+    }
+  }
+
+  private def fsFor(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   /** Zone map — per-FILE min/max statistics for `cols`, persisted next
     * to the table (`<dir>__zonemap`). The data-skipping half of the
     * clustered-write story: [[compactParquet]]/range/Z-order layouts
@@ -132,12 +168,15 @@ object Writers {
     *
     * The old-map read routes through a temp dir + two renames because
     * parquet cannot lazily read and overwrite the same path in one
-    * job; the swap is crash-safe the same way [[compactParquet]] is
-    * (tmp is complete before the target moves). */
+    * job; the swap is crash-safe the same way [[compactParquet]] is —
+    * [[swapMap]] renames the live map aside before promoting tmp, and
+    * [[recoverMap]] promotes the surviving copy after a mid-swap
+    * crash. */
   def appendZoneMap(spark: SparkSession, dir: String,
       cols: Seq[String]): (Long, Long) = {
     require(cols.nonEmpty, "zone map needs at least one column")
     val zmPath = dir + "__zonemap"
+    recoverMap(fsFor(spark, new Path(zmPath)), new Path(zmPath))
     val old = spark.read.parquet(zmPath)
     val expect = (cols.flatMap(c => Seq(s"__${c}_min", s"__${c}_max")) :+
       "__n_rows").toSet
@@ -157,9 +196,7 @@ object Writers {
     val tmp = new Path(zmPath + "__tmp")
     fs.delete(tmp, true)
     old.unionByName(fresh).coalesce(1).write.parquet(tmp.toString)
-    val zp = new Path(zmPath)
-    require(fs.delete(zp, true), s"delete of stale $zmPath failed")
-    require(fs.rename(tmp, zp), s"rename $tmp -> $zp failed")
+    swapMap(fs, new Path(zmPath), tmp)
     (newFiles.length.toLong, (mapped.size + newFiles.length).toLong)
   }
 
@@ -181,6 +218,8 @@ object Writers {
     // No cache(): the zone map is one tiny metadata file scanned
     // exactly twice below; caching it leaked a pinned table per call
     // for the lifetime of the session.
+    recoverMap(fsFor(spark, new Path(dir + "__zonemap")),
+      new Path(dir + "__zonemap"))
     val zm = spark.read.parquet(dir + "__zonemap")
     // staleness gate by FILESYSTEM listing (pure metadata — a table
     // scan here would defeat the point), compared on basenames
@@ -245,13 +284,24 @@ object Writers {
     * not indexed yet — the equality-skipping twin of [[appendZoneMap]]
     * (same no-rescan contract, same crash-safe tmp-then-rename swap).
     * Per-file sketches are independent, so appended entries never
-    * perturb existing ones. `expectedItemsPerFile` must match the
-    * original build so all sketches stay merge- and probe-compatible.
-    * Returns (newFilesIndexed, totalFiles). */
+    * perturb existing ones. `c` and `expectedItemsPerFile` must match
+    * the original build so all sketches stay merge- and
+    * probe-compatible — CHECKED against the `__col`/`__items` the map
+    * itself records (appending sketches over a different column would
+    * make [[prunedReadEquals]] silently skip files that do contain
+    * the probed value). Returns (newFilesIndexed, totalFiles). */
   def appendBloomMap(spark: SparkSession, dir: String, c: String,
       expectedItemsPerFile: Long = 1000000L): (Long, Long) = {
     val bmPath = dir + "__bloommap"
+    recoverMap(fsFor(spark, new Path(bmPath)), new Path(bmPath))
     val old = spark.read.parquet(bmPath)
+    // an empty map (built over an empty dir) constrains nothing
+    old.select("__col", "__items").limit(1).collect().foreach { meta =>
+      require(meta.getString(0) == c && meta.getLong(1) == expectedItemsPerFile,
+        s"appendBloomMap($c, $expectedItemsPerFile) does not match the " +
+          s"existing map's build (${meta.getString(0)}, ${meta.getLong(1)}) " +
+          "— rebuild with writeBloomMap to change column or sizing")
+    }
     def base(f: String) = f.substring(f.lastIndexOf('/') + 1)
     val mapped = old.select("__file").collect().map(r => base(r.getString(0))).toSet
     val p = new Path(dir)
@@ -266,9 +316,7 @@ object Writers {
     val tmp = new Path(bmPath + "__tmp")
     fs.delete(tmp, true)
     old.unionByName(fresh).coalesce(1).write.parquet(tmp.toString)
-    val bp = new Path(bmPath)
-    require(fs.delete(bp, true), s"delete of stale $bmPath failed")
-    require(fs.rename(tmp, bp), s"rename $tmp -> $bp failed")
+    swapMap(fs, new Path(bmPath), tmp)
     (newFiles.length.toLong, (mapped.size + newFiles.length).toLong)
   }
 
@@ -283,6 +331,8 @@ object Writers {
   def prunedReadEquals(spark: SparkSession, dir: String, c: String,
       value: Any): (DataFrame, Long, Long) = {
     import org.apache.spark.sql.functions._
+    recoverMap(fsFor(spark, new Path(dir + "__bloommap")),
+      new Path(dir + "__bloommap"))
     val bm = spark.read.parquet(dir + "__bloommap")
     def base(f: String) = f.substring(f.lastIndexOf('/') + 1)
     val entries = bm.select("__file", "__bloom").collect()

@@ -166,14 +166,34 @@ class QualitySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getBoolean(3)))
     // A: 10 per bucket (25% each). B: bucket0 = 19 (47.5%), buckets
-    // 1,2 = 10 (25%), bucket3 = 1 (2.5% — the clamped 99)
-    assert(got.toSeq == Seq((0L, 10L, 19L, true), (1L, 10L, 10L, false),
+    // 1,2 = 10 (25%), bucket3 = 1 (2.5% — the clamped 99); bucket -1
+    // (the NULL bucket) is present-but-empty on both sides
+    assert(got.toSeq == Seq((-1L, 0L, 0L, false),
+      (0L, 10L, 19L, true), (1L, 10L, 10L, false),
       (2L, 10L, 10L, false), (3L, 10L, 1L, true)), got.mkString(","))
     // identical samples: nothing drifts, empty buckets materialize as 0s
     val z = Quality.driftReport(a, a, col("v"), lo = 1, width = 10,
         nBuckets = 6).collect()
-    assert(z.length == 6 && z.forall(!_.getBoolean(3)))
-    assert(z.count(r => r.getLong(1) == 0 && r.getLong(2) == 0) == 2)
+    assert(z.length == 7 && z.forall(!_.getBoolean(3)))
+    assert(z.count(r => r.getLong(1) == 0 && r.getLong(2) == 0) == 3)
+  }
+
+  test("driftReport: NULLs land in bucket -1 and count into the totals") {
+    import org.apache.spark.sql.functions.col
+    val a = (0 until 40).map(i => Option(i % 4 * 10 + 1)).toDF("v")
+    // B: half the rows go NULL — every surviving bucket keeps its
+    // RELATIVE mix, so only the NULL influx itself can flag drift
+    val b = ((0 until 20).map(i => Option(i % 4 * 10 + 1)) ++
+      Seq.fill[Option[Int]](20)(None)).toDF("v")
+    val got = Quality.driftReport(a, b, col("v"), lo = 1, width = 10,
+        nBuckets = 4, thresholdPpm = 100000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    // NULL bucket: 0% -> 50% (drifts); data buckets: 25% -> 12.5%
+    // each (drifts too — the denominator includes the NULLs)
+    assert(got.toSeq == Seq((-1L, 0L, 20L, true), (0L, 10L, 5L, true),
+      (1L, 10L, 5L, true), (2L, 10L, 5L, true), (3L, 10L, 5L, true)),
+      got.mkString(","))
   }
 
   test("driftReportCategorical: vanished and new categories surface as drifted rows") {
@@ -198,5 +218,23 @@ class QualitySpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
     assert(tight == Map("en" -> true, "de" -> false, "fr" -> true,
       "es" -> true), tight.toString)
+  }
+
+  test("driftReportCategorical: NULL present in BOTH samples is one matched row") {
+    import org.apache.spark.sql.functions.col
+    // the null-unsafe USING-join bug emitted (20,0) and (0,20) rows
+    // here, each falsely drifted; the null-safe join must produce a
+    // single undrifted (20,20) row
+    val a = (Seq.fill(80)(Option("en")) ++ Seq.fill[Option[String]](20)(None))
+      .toDF("lang")
+    val b = (Seq.fill(80)(Option("en")) ++ Seq.fill[Option[String]](20)(None))
+      .toDF("lang")
+    val got = Quality.driftReportCategorical(a, b, col("lang"),
+        thresholdPpm = 10000L).collect()
+    assert(got.length == 2, got.mkString(","))
+    val nullRow = got.filter(_.isNullAt(0))
+    assert(nullRow.length == 1 &&
+      nullRow(0).getLong(1) == 20L && nullRow(0).getLong(2) == 20L &&
+      !nullRow(0).getBoolean(3), got.mkString(","))
   }
 }

@@ -214,6 +214,53 @@ class SourcesSpec extends SparkSpec {
     assert(Writers.appendBloomMap(spark, dir, "k", 100000L) == ((0L, 10L)))
   }
 
+  test("appendBloomMap refuses a column or sizing mismatch against the map's own metadata") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bmm").toString + "/t"
+    val df = spark.range(1000).selectExpr("id AS k", "id * 3 AS v")
+    df.repartition(2).write.parquet(dir)
+    Writers.writeBloomMap(spark, dir, "k", 100000L)
+    df.selectExpr("k + 1000 AS k", "v").repartition(2)
+      .write.mode("append").parquet(dir)
+    // sketches over a different column would make prunedReadEquals
+    // silently skip files that DO contain the probed value
+    val e1 = intercept[IllegalArgumentException] {
+      Writers.appendBloomMap(spark, dir, "v", 100000L)
+    }
+    assert(e1.getMessage.contains("does not match"))
+    val e2 = intercept[IllegalArgumentException] {
+      Writers.appendBloomMap(spark, dir, "k", 50000L)
+    }
+    assert(e2.getMessage.contains("does not match"))
+    // the matching append still lands
+    assert(Writers.appendBloomMap(spark, dir, "k", 100000L) == ((2L, 4L)))
+  }
+
+  test("skipping-map swap: a mid-swap crash leaves a recoverable map, never zero copies") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rec").toString + "/t"
+    val df = spark.range(2000).selectExpr("id AS k", "id * 2 AS v")
+    df.filter($"k" < 1000).repartition(2).write.parquet(dir)
+    Writers.writeZoneMap(spark, dir, Seq("k"))
+    val live = new org.apache.hadoop.fs.Path(dir + "__zonemap")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash window 1: live renamed aside, tmp never promoted — the
+    // next pruned read transparently restores the old map
+    val old = new org.apache.hadoop.fs.Path(dir + "__zonemap__old")
+    assert(fs.rename(live, old))
+    val (p, _, total) = Writers.prunedRead(spark, dir, "k", 0, 10)
+    assert(total == 2 && p.count() > 0)
+    assert(fs.exists(live) && !fs.exists(old))
+    // crash window 2: tmp fully written, live already moved aside —
+    // tmp wins (append-only union, it supersets the old map)
+    df.filter($"k" >= 1000).repartition(2).write.mode("append").parquet(dir)
+    Writers.appendZoneMap(spark, dir, Seq("k"))
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__zonemap__tmp")
+    assert(fs.rename(live, tmp))
+    assert(Writers.appendZoneMap(spark, dir, Seq("k")) == ((0L, 4L)))
+    assert(fs.exists(live) && !fs.exists(tmp))
+    val (_, _, t2) = Writers.prunedRead(spark, dir, "k", 0, 2000)
+    assert(t2 == 4)
+  }
+
   test("refreshSkippingIndexes re-derives stale maps after compaction") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ref").toString + "/t"
     val df = spark.range(10000).selectExpr("id AS k", "id % 97 AS g", "id * 2 AS v")
