@@ -92,7 +92,10 @@ object SparkEntry {
     * the ones that have never produced official signal. Newly added
     * queries belong here too until a CORRECTNESS artifact records them. */
   private val neverGradedFirst: Seq[String] = Seq(
-    // round-9 additions (no artifact yet)
+    // round-10 additions (no artifact yet)
+    "mm_decode_video_frames",
+    // round-9 additions (all green in CORRECTNESS_r09 except q12's
+    // type artifact, fixed this round — kept early while the fix lands)
     "bpe_byte_fallback_gate", "evt_stream_join_outer", "bloommap_prune",
     "mm_decode_video", "asof_bucketed",
     "zonemap_append", "bloommap_append", "wap_publish", "compact_refresh",
@@ -3481,6 +3484,22 @@ object SparkEntry {
         .orderBy($"media_id")
     }),
 
+    "mm_decode_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      // retires the last documented stub: MJPEG-in-AVI payloads whose
+      // movi chunks are REAL quality-1.0 JPEGs (constant-gray frames
+      // round-trip bit-exactly through the JDK's JPEG codec), decoded
+      // back frame-0-first by decodeVideoFrame. The oracle states the
+      // writer's closed form — dims, chunk count, and frame 0's fill
+      // — which only a genuine container walk + JPEG decode of the
+      // FIRST chunk can reproduce (later frames carry different
+      // fills).
+      Multimodal.decodeVideoFrame(
+          Multimodal.syntheticMjpegAvi(Tables.documents(s, dir), "doc_id"))
+        .toDF()
+        .orderBy($"media_id")
+    }),
+
     "mm_decode_audio" -> ((s, dir) => {
       import s.implicits._
       // the audio twin of mm_decode_real: a genuine
@@ -5977,6 +5996,18 @@ object SparkEntry {
         |            ELSE (5 + doc_id % 55) * 1000 END AS BIGINT)
         |    AS duration_ms
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // MJPEG frame-decode closed form (see Multimodal.syntheticMjpegAvi):
+    // constant-gray frames survive quality-1.0 JPEG exactly, frame 0's
+    // fill is id % 256
+    "mm_decode_video_frames" ->
+      """SELECT doc_id AS media_id, true AS decoded,
+        |  CAST(1 + doc_id % 4 AS INT) AS n_frames,
+        |  CAST(16 + (doc_id % 8) * 8 AS INT) AS width,
+        |  CAST(16 + (doc_id % 6) * 8 AS INT) AS height,
+        |  3 AS channels,
+        |  CAST(doc_id % 256 AS DOUBLE) AS mean_px
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // constant-amplitude PCM: every |sample| == amp, so the mean is
     // exact in any engine

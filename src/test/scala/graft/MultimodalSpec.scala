@@ -94,6 +94,34 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.forall(_.container == "unknown"))
   }
 
+  test("decodeVideoFrame: first MJPEG frame round-trips the writer's closed form exactly") {
+    val ids = spark.range(64).toDF("doc_id")
+    val got = Multimodal.decodeVideoFrame(
+        Multimodal.syntheticMjpegAvi(ids, "doc_id"))
+      .collect().sortBy(_.media_id)
+    assert(got.length == 64)
+    for (d <- got) {
+      val id = d.media_id
+      assert(d.decoded, s"id $id did not decode")
+      assert(d.n_frames == 1 + (id % 4).toInt)
+      assert(d.width == 16 + (id % 8).toInt * 8)
+      assert(d.height == 16 + (id % 6).toInt * 8)
+      assert(d.channels == 3)
+      // quality-1.0 JPEG of a constant GRAY image decodes bit-exactly
+      assert(d.mean_px == (id % 256).toDouble,
+        s"id $id mean ${d.mean_px} != ${id % 256}")
+    }
+    // the container-metadata pass reads the same AVIs (header is real)
+    val meta = Multimodal.decodeVideoMeta(
+        Multimodal.syntheticMjpegAvi(ids, "doc_id"))
+      .collect().sortBy(_.media_id)
+    assert(meta.forall(m => m.decoded && m.container == "avi"))
+    assert(meta.forall(m => m.duration_ms == 40L * (1 + m.media_id % 4)))
+    // non-AVI payloads degrade to decoded=false with zero frames
+    val bad = Multimodal.decodeVideoFrame(media).collect()
+    assert(bad.forall(d => !d.decoded && d.n_frames == 0))
+  }
+
   test("frameSample stride=1 covers all payload bytes; stride=2 halves frames") {
     val all = Multimodal.frameSample(media, frameBytes = 64, stride = 1)
     val half = Multimodal.frameSample(media, frameBytes = 64, stride = 2)
