@@ -36,6 +36,26 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Per-round lineage truncation for the iterative ops. Default is
+    * `localCheckpoint` (executor-local blocks — fastest, but an
+    * executor loss mid-job kills a 30-round computation on a real
+    * cluster). Pass `checkpointDir` to use RELIABLE checkpoints
+    * instead: blocks land in the shared filesystem via
+    * `sparkContext.setCheckpointDir`, so a lost executor recomputes
+    * from the last round, not from round zero. local[*] tests and
+    * single-run jobs keep the default; long iterative jobs on
+    * preemptible clusters set the knob. */
+  private def truncate(df: DataFrame,
+      checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        // idempotent (mkdirs); cheap enough per round
+        sc.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(true)
+    }
+
   /** Connected components of the undirected graph given by `edges`
     * (two long-castable columns `srcCol`, `dstCol`; orientation and
     * duplicate edges are irrelevant). Returns (`id`, `comp`) for every
@@ -45,17 +65,18 @@ object Graph {
     * total assignment should left-join and coalesce to the vertex's
     * own id (see [[assignClusters]]). */
   def connectedComponents(edges: DataFrame, srcCol: String = "id_a",
-      dstCol: String = "id_b", maxIter: Int = 30): DataFrame = {
+      dstCol: String = "id_b", maxIter: Int = 30,
+      checkpointDir: Option[String] = None): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("u"),
       col(dstCol).cast("long").as("v"))
     // symmetrize + dedupe parallel edges once, so every propagation
     // round joins against the minimal edge set
-    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
-    var labels = sym.select(col("u").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
+    val sym = truncate(
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .filter(col("u") =!= col("v")).distinct(), checkpointDir)
+    var labels = truncate(
+      sym.select(col("u").as("id")).distinct()
+        .withColumn("comp", col("id")), checkpointDir)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -63,9 +84,8 @@ object Graph {
       // receives every neighbor's label, then takes the minimum
       val msgs = sym.join(labels.withColumnRenamed("id", "u"), "u")
         .select(col("v").as("id"), col("comp"))
-      val next = labels.union(msgs)
-        .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint(true)
+      val next = truncate(labels.union(msgs)
+        .groupBy("id").agg(min("comp").as("comp")), checkpointDir)
       changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
         .filter(col("comp") =!= col("prev")).count()
       labels = next
@@ -100,16 +120,16 @@ object Graph {
     * `comp` = smallest vertex id in the component — the same contract
     * as [[connectedComponents]], so the two are interchangeable. */
   def connectedComponentsStar(edges: DataFrame, srcCol: String = "id_a",
-      dstCol: String = "id_b", maxIter: Int = 50): DataFrame = {
+      dstCol: String = "id_b", maxIter: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
     val e0 = edges.select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
-    var e = e0.select(greatest(col("a"), col("b")).as("u"),
+    var e = truncate(e0.select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
-      .distinct().localCheckpoint(true)
-    val allVertices = e0.select(col("a").as("id"))
-      .union(e0.select(col("b").as("id"))).distinct()
-      .localCheckpoint(true)
+      .distinct(), checkpointDir)
+    val allVertices = truncate(e0.select(col("a").as("id"))
+      .union(e0.select(col("b").as("id"))).distinct(), checkpointDir)
 
     // full (node, neighbor) view of the canonical edge list
     def nbrs(es: DataFrame) =
@@ -130,10 +150,10 @@ object Graph {
       // LARGE-STAR: every node links its LARGER neighbors to its
       // neighborhood min — long tails fold onto local minima
       val nb = nbrs(e)
-      val large = nb.filter(col("v") > col("u"))
+      val large = truncate(nb.filter(col("v") > col("u"))
         .join(mins(nb), "u")
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct().localCheckpoint(true)
+        .distinct(), checkpointDir)
       val nLarge = large.count()
       val largeStable = sameEdges(large, e, nLarge, nE)
       // SMALL-STAR on large-star's output: every node links its
@@ -141,13 +161,13 @@ object Graph {
       // — stars flatten. Canonical (u > v) IS the smaller-neighbor view
       val smaller = large
       val mSmall = smaller.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val small = smaller.join(mSmall, "u")
+      val small = truncate(smaller.join(mSmall, "u")
         .select(explode(array(
           struct(col("u"), col("m").as("v")),
           struct(col("v").as("u"), col("m").as("v")))).as("e"))
         .select(col("e.u"), col("e.v"))
         .filter(col("u") =!= col("v"))
-        .distinct().localCheckpoint(true)
+        .distinct(), checkpointDir)
       val nSmall = small.count()
       converged = largeStable && sameEdges(small, large, nSmall, nLarge)
       e = small
@@ -200,19 +220,18 @@ object Graph {
     * multiply, so a hub fed by billions of nodes cannot overflow. */
   def pageRank(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", iters: Int = 5,
-      dampingPpm: Long = 850000L): DataFrame = {
+      dampingPpm: Long = 850000L,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1,50] (got $iters)")
     require(dampingPpm >= 0L && dampingPpm <= 1000000L,
       s"dampingPpm must be in [0, 1e6] (got $dampingPpm)")
-    val e = edges.select(col(srcCol).cast("string").as("src"),
+    val e = truncate(edges.select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
-      .localCheckpoint(true)
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
-      .localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+      .filter(col("src") =!= col("dst")).distinct(), checkpointDir)
+    val outDeg = truncate(
+      e.groupBy("src").agg(count(lit(1)).as("out_deg")), checkpointDir)
+    val nodes = truncate(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct(), checkpointDir)
     // (1 - d) · 1e9, computed exactly in Scala longs
     val base = (1000000L - dampingPpm) * 1000000000L / 1000000L
     var ranks = nodes.withColumn("rank_ppb", lit(1000000000L))
@@ -224,12 +243,11 @@ object Graph {
           expr("rank_ppb div out_deg").as("contrib"))
       val summed = contribs.groupBy("node")
         .agg(sum(col("contrib").cast("decimal(38,0)")).as("s"))
-      ranks = nodes.join(summed, Seq("node"), "left")
+      ranks = truncate(nodes.join(summed, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr(
             s"CAST(coalesce(s, 0) AS DECIMAL(38,0)) * $dampingPpm div 1000000"))
-            .as("rank_ppb"))
-        .localCheckpoint(true)
+            .as("rank_ppb")), checkpointDir)
     }
     ranks
   }
@@ -271,13 +289,14 @@ object Graph {
     * order-independent (the k-core is unique), so the output is
     * deterministic and an oracle can replay the rounds exactly. */
   def kCore(edges: DataFrame, k: Int, srcCol: String = "id_a",
-      dstCol: String = "id_b", maxIter: Int = 10): DataFrame = {
+      dstCol: String = "id_b", maxIter: Int = 10,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
     val e0 = edges.select(col(srcCol).cast("long").as("u"),
         col(dstCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
-    var e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint(true)
+    var e = truncate(e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct(), checkpointDir)
     var nEdges = e.count()
     var iter = 0
     var converged = false
@@ -285,10 +304,10 @@ object Graph {
       iter += 1
       val alive = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("u").as("id"))
-      val pruned = e
+      val pruned = truncate(e
         .join(alive.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
         .join(alive.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
-        .select(col("u"), col("v")).localCheckpoint(true)
+        .select(col("u"), col("v")), checkpointDir)
       val n = pruned.count()
       converged = n == nEdges
       nEdges = n

@@ -44,6 +44,34 @@ class GraphSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 2L))
   }
 
+  test("reliable checkpointDir: same labels/ranks as localCheckpoint, files land in the dir") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (12L, 10L)).toDF("id_a", "id_b")
+    val cc = Graph.connectedComponents(edges, checkpointDir = Some(ckpt))
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // the reliable path really wrote checkpoint blocks to the dir
+    def treeSize(p: java.io.File): Long =
+      if (p.isDirectory) p.listFiles().map(treeSize).sum else p.length()
+    assert(treeSize(new java.io.File(ckpt)) > 0,
+      "no checkpoint files written under the reliable dir")
+    // every iterative op converges identically on the reliable path
+    val star = Graph.connectedComponentsStar(edges,
+        checkpointDir = Some(ckpt)).as[(Long, Long)].collect().toMap
+    assert(star == cc)
+    val pr = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val prLocal = Graph.pageRank(pr, iters = 3)
+      .as[(String, Long)].collect().toMap
+    val prReliable = Graph.pageRank(pr, iters = 3,
+        checkpointDir = Some(ckpt)).as[(String, Long)].collect().toMap
+    assert(prReliable == prLocal)
+    val kc = Graph.kCore(edges, k = 2, checkpointDir = Some(ckpt))
+      .as[(Long, Long)].collect().toMap
+    assert(kc == Map(10L -> 2L, 11L -> 2L, 12L -> 2L))
+  }
+
   test("non-convergence fails loudly rather than returning bad labels") {
     // a 12-vertex path has diameter 11 > maxIter 2 rounds of hash-min
     val edges = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
