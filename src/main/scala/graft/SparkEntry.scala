@@ -93,7 +93,7 @@ object SparkEntry {
     * queries belong here too until a CORRECTNESS artifact records them. */
   private val neverGradedFirst: Seq[String] = Seq(
     // round-10 additions (no artifact yet)
-    "mm_decode_video_frames",
+    "mm_decode_video_frames", "catalog_persistent_roundtrip",
     // round-9 additions (all green in CORRECTNESS_r09 except q12's
     // type artifact, fixed this round — kept early while the fix lands)
     "bpe_byte_fallback_gate", "evt_stream_join_outer", "bloommap_prune",
@@ -1707,6 +1707,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("sum_price"))
         .orderBy($"o_orderstatus")
+    }),
+
+    "catalog_persistent_roundtrip" -> ((s, dir) => {
+      // The persistence half of the HCatalog analogue: save a
+      // file-backed catalog (name/format/location/schema), then load
+      // it into a FRESH session (newSession() — empty temp-view
+      // registry, isolated SQL state) and query BY NAME there. The
+      // aggregate can only match the oracle if the catalog carried
+      // the registration across the session boundary with the
+      // declared schema intact.
+      val meta = s"${System.getProperty("java.io.tmpdir")}/graft_cat_${math.abs(dir.hashCode)}"
+      Catalog.saveCatalog(s, meta, Seq(
+        ("orders_cat", "parquet", s"$dir/orders.parquet"),
+        ("customer_cat", "parquet", s"$dir/customer.parquet")))
+      val fresh = s.newSession()
+      val loaded = Catalog.loadCatalog(fresh, meta)
+      require(loaded.toSet == Set("orders_cat", "customer_cat"),
+        s"catalog load returned $loaded")
+      fresh.sql("""
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price
+        FROM orders_cat JOIN customer_cat ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
     }),
 
     "jsonl_roundtrip" -> ((s, dir) => {
@@ -5602,6 +5626,15 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // persistence half: the fresh session's by-name query must equal
+    // the same join/aggregate straight off the parquet sources
+    "catalog_persistent_roundtrip" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "partitioned_roundtrip" ->
       """SELECT o_orderpriority, count(*) AS n,

@@ -261,6 +261,26 @@ class SourcesSpec extends SparkSpec {
     assert(t2 == 4)
   }
 
+  test("persistent catalog: fresh session reads by name with the DECLARED schema") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cat").toString
+    // a CSV whose inferred schema would DRIFT (no header, all-digit
+    // strings would infer as ints): the catalog's declared schema is
+    // what must win in the fresh session
+    val csvDir = base + "/t"
+    Seq(("007", 1L), ("042", 2L)).toDF("code", "n")
+      .write.option("header", "false").csv(csvDir)
+    Catalog.saveCatalog(spark, base + "/meta", Seq(("codes", "csv", csvDir)),
+      schemas = Map("codes" -> "code STRING, n BIGINT"))
+    val fresh = spark.newSession()
+    assert(fresh.catalog.tableExists("codes") == false)
+    assert(Catalog.loadCatalog(fresh, base + "/meta") == Seq("codes"))
+    val got = fresh.sql("SELECT code, n FROM codes ORDER BY n")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // leading zeros survive ONLY if the declared STRING schema was
+    // applied; inference would have read 007 as the int 7
+    assert(got == Seq(("007", 1L), ("042", 2L)), got.toString)
+  }
+
   test("refreshSkippingIndexes re-derives stale maps after compaction") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ref").toString + "/t"
     val df = spark.range(10000).selectExpr("id AS k", "id % 97 AS g", "id * 2 AS v")
