@@ -1516,6 +1516,15 @@ object SparkEntry {
       import s.implicits._
       // README.md:236-261 shape: per-part percentile array of
       // quantities, broadcast-joined back, CASE-ladder bucket label.
+      // PERF PIN: exact percentile is the one memory-unbounded
+      // aggregate here — its TypedImperativeAggregate buffers every
+      // group value, which is the whole cost of this query (~1 s over
+      // the approx twin at sf0.1, plus ~0.3 s for the key-only
+      // pre-flight guard that keeps 100×-grown groups from OOMing an
+      // executor). The bounded 100 TB paths are the _approx and _kll
+      // twins behind the same operator surface; this query keeps
+      // exact=true deliberately because it is the semantics the
+      // reference ran.
       Percentiles.bucketByJoin(
           Tables.lineitem(s, dir), "l_partkey", $"l_quantity".cast("int"),
           outCols = Seq("l_suppkey"))

@@ -35,11 +35,36 @@ object Percentiles {
 
   /** Per-key percentile array: one row per key, `percentiles` =
     * array<double> indexed like the reference's `p.percentiles[k]`
-    * (README.md:239-258). */
+    * (README.md:239-258).
+    *
+    * Memory guard: exact `percentile` BUFFERS every group value in
+    * the aggregate's memory — the one aggregate here that can OOM an
+    * executor when a group grows 100×. When `exact`, a pre-flight
+    * narrow count over (key) fails loudly if any group exceeds
+    * `maxExactGroupRows` (default 10M values ≈ 80 MB of doubles per
+    * group buffer), naming the offending key and the two bounded
+    * alternatives. The pre-flight is one cheap hash-agg over the key
+    * column — small next to buffering the values themselves; pass
+    * `maxExactGroupRows = Long.MaxValue` to skip it when group sizes
+    * are known. */
   def grouped(df: DataFrame, keyCol: String, valueExpr: Column,
       ps: Seq[Double] = defaultPs, exact: Boolean = true,
-      accuracy: Int = 10000): DataFrame = {
+      accuracy: Int = 10000,
+      maxExactGroupRows: Long = 10000000L): DataFrame = {
     val arr = s"array(${ps.mkString(",")})"
+    if (exact && maxExactGroupRows < Long.MaxValue) {
+      // key-column-only scan (conservative: counts rows whose value is
+      // NULL too — a guard may over-trigger, never under-trigger)
+      val over = df.select(col(keyCol))
+        .groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxExactGroupRows)
+        .limit(1).collect() // pre-flight verdict: zero or one row
+      require(over.isEmpty,
+        s"exact percentile would buffer ${over.head.getLong(1)} values " +
+          s"for group ${keyCol}=${over.head.get(0)} (cap $maxExactGroupRows) " +
+          "— use exact=false (percentile_approx), bucketBySketch (KLL), " +
+          "or raise maxExactGroupRows if the executors are sized for it")
+    }
     val call =
       if (exact) s"percentile(__v, $arr)"
       else s"percentile_approx(__v, $arr, $accuracy)"
@@ -71,9 +96,11 @@ object Percentiles {
     * key cardinality makes a broadcast unsafe (see class doc). */
   def bucketByJoin(fact: DataFrame, keyCol: String, valueExpr: Column,
       outCols: Seq[String], ps: Seq[Double] = defaultPs,
-      exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
+      exact: Boolean = true, accuracy: Int = 10000,
+      maxExactGroupRows: Long = 10000000L): DataFrame = {
     val withV = fact.withColumn("__v", valueExpr)
-    val aggs = grouped(fact, keyCol, valueExpr, ps, exact, accuracy)
+    val aggs = grouped(fact, keyCol, valueExpr, ps, exact, accuracy,
+      maxExactGroupRows)
     withV.join(aggs, Seq(keyCol))
       .withColumn("bucket", bucketLadder(col("__v"), col("percentiles"), ps))
       .select((keyCol +: outCols :+ "bucket").map(col): _*)

@@ -35,6 +35,23 @@ class PercentilesSpec extends SparkSpec {
     }
   }
 
+  test("exact-percentile memory guard fails loudly past the group cap; approx path exempt") {
+    val e = intercept[IllegalArgumentException] {
+      Percentiles.grouped(li, "l_returnflag", $"l_quantity".cast("int"),
+        maxExactGroupRows = 100L)
+    }
+    assert(e.getMessage.contains("buffer") &&
+      e.getMessage.contains("exact=false"), e.getMessage)
+    // the approx path never buffers per-row values — no pre-flight
+    val ok = Percentiles.grouped(li, "l_returnflag",
+      $"l_quantity".cast("int"), exact = false, maxExactGroupRows = 100L)
+    assert(ok.count() > 0)
+    // cap disabled: exact path over the same big groups still runs
+    val big = Percentiles.grouped(li, "l_returnflag",
+      $"l_quantity".cast("int"), maxExactGroupRows = Long.MaxValue)
+    assert(big.count() > 0)
+  }
+
   test("bucketLadder assigns monotone buckets") {
     val df = Seq((1, 1), (1, 2), (1, 3), (1, 4), (1, 5), (1, 6), (1, 7), (1, 8), (1, 9), (1, 10))
       .toDF("k", "v")
