@@ -94,6 +94,7 @@ object SparkEntry {
   private val neverGradedFirst: Seq[String] = Seq(
     // round-10 additions (no artifact yet)
     "mm_decode_video_frames", "catalog_persistent_roundtrip",
+    "evt_dedup_replay",
     // round-9 additions (all green in CORRECTNESS_r09 except q12's
     // type artifact, fixed this round — kept early while the fix lands)
     "bpe_byte_fallback_gate", "evt_stream_join_outer", "bloommap_prune",
@@ -4273,6 +4274,42 @@ object SparkEntry {
         .orderBy($"user_id")
     }),
 
+    "evt_dedup_replay" -> ((s, dir) => {
+      import s.implicits._
+      // Driver-graded gate for streaming stateful dedup
+      // (EventStreams.dedupWithinWatermark, previously spec-tested
+      // only): feed the events table through a MemoryStream, then
+      // REDELIVER a tenth of it in a second micro-batch — the
+      // at-least-once source behavior the operator exists to absorb.
+      // Append-mode dropDuplicates emits each event_id exactly once,
+      // so the sink must equal the batch table itself (event_id is
+      // unique in the testdata), which the oracle states directly.
+      // GATE-ONLY collect: bounded test data feeding the in-memory
+      // source, same posture as evt_funnel_stateful_replay.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val evs = Tables.events(s, dir)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[EventStreams.Event].collect().toSeq
+      val redelivered = evs.filter(_.event_id % 10 == 3)
+      val sink = s"dedup_replay_${math.abs(dir.hashCode)}"
+      s.catalog.dropTempView(sink)
+      val mem = MemoryStream[EventStreams.Event]
+      val q = EventStreams.dedupWithinWatermark(mem.toDS().toDF())
+        .writeStream.outputMode("append").format("memory")
+        .queryName(sink).start()
+      try {
+        mem.addData(evs)
+        q.processAllAvailable()
+        mem.addData(redelivered) // at-least-once redelivery
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink)
+        .select($"event_id", $"user_id", $"event_type",
+          round($"value" * 100).cast("long").as("cents"))
+        .orderBy($"event_id")
+    }),
+
     "evt_audited_sink" -> ((s, dir) => {
       import s.implicits._
       // Driver-graded gate for the audited streaming sink
@@ -5357,6 +5394,13 @@ object SparkEntry {
         |  true AS clean_published, true AS poison_quarantined,
         |  true AS replays_skipped
         |FROM events WHERE event_id % 3 <> 1""".stripMargin,
+
+    // the deduped stream equals the batch table itself: event_id is
+    // unique in the testdata, so the redelivered tenth must vanish
+    "evt_dedup_replay" ->
+      """SELECT event_id, user_id, event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS cents
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // closed form of the 3-batch CDC fold (replayed batch included):
     // %16==0 deleted; surviving %8==0 carry +100 (version 11 wins over
