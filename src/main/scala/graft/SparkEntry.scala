@@ -318,7 +318,8 @@ object SparkEntry {
     "sketch_freq_items",
     "sim_topk_brute", "sim_topk_ivf", "sim_topk_pq",
     "mm_content_hash", "mm_decode", "mm_decode_real", "mm_decode_audio",
-    "mm_decode_video", "mm_frame_sample", "mm_resize")
+    "mm_decode_video", "mm_decode_video_frames", "mm_frame_sample",
+    "mm_resize", "catalog_persistent_roundtrip")
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
