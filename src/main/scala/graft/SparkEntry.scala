@@ -94,7 +94,7 @@ object SparkEntry {
   private val neverGradedFirst: Seq[String] = Seq(
     // round-10 additions (no artifact yet)
     "mm_decode_video_frames", "catalog_persistent_roundtrip",
-    "evt_dedup_replay",
+    "evt_dedup_replay", "dedup_minhash_incremental_gate",
     // round-9 additions (all green in CORRECTNESS_r09 except q12's
     // type artifact, fixed this round — kept early while the fix lands)
     "bpe_byte_fallback_gate", "evt_stream_join_outer", "bloommap_prune",
@@ -2694,6 +2694,48 @@ object SparkEntry {
         .crossJoin(appended.agg(count(lit(1)).as("n_idx_rows"))
           .crossJoin(docs.agg((count(lit(1)) * 8).as("n_expected")))
           .select(($"n_idx_rows" === $"n_expected").as("append_folded")))
+        .select(($"n_full" > 0).as("nonempty"),
+          $"complete", $"disjoint", $"append_folded")
+    }),
+
+    "dedup_minhash_incremental_gate" -> ((s, dir) => {
+      import s.implicits._
+      // MinHash twin of dedup_incremental_gate: even ids become the
+      // persisted band index (+ shingle-set sidecar), odd ids the new
+      // crawl; pairs(old ∪ new) == pairs(old) ⊎ incremental(new,
+      // index(old)) as exact set equality + disjointness — banding is
+      // a deterministic per-doc function of (text, seed), so the
+      // candidate set decomposes exactly and the exact-Jaccard verify
+      // closes the loop. Append-mode folds the new batch in; the
+      // appended band table must hold numTables rows per indexed doc.
+      // SIDE-EFFECTING (writes the index at construction).
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+      val old = docs.filter($"doc_id" % 2 === 0)
+      val nw = docs.filter($"doc_id" % 2 === 1)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_mhidx_${math.abs(dir.hashCode)}"
+      Dedup.writeMinhashIndex(old, "text", "doc_id", idx)
+      // pin the incremental result before append mutates the dir
+      val inc = Dedup.minhashNearDupIncremental(nw, idx, "text", "doc_id")
+        .select($"id_a", $"id_b").localCheckpoint()
+      val full = Dedup.minhashNearDup(docs, "text", "doc_id")
+        .select($"id_a", $"id_b")
+      val oldOnly = Dedup.minhashNearDup(old, "text", "doc_id")
+        .select($"id_a", $"id_b")
+      val merged = oldOnly.union(inc)
+      Dedup.writeMinhashIndex(nw, "text", "doc_id", idx, mode = "append")
+      val appended = s.read.parquet(idx)
+      // shingle filter drops docs shorter than the shingle; count the
+      // indexed docs from the sets sidecar, not the raw corpus
+      val nIndexed = s.read.parquet(idx + "__sets")
+        .agg(count(lit(1)).as("n_docs"))
+      full.agg(count(lit(1)).as("n_full"))
+        .crossJoin(full.exceptAll(merged).union(merged.exceptAll(full))
+          .agg((count(lit(1)) === 0).as("complete")))
+        .crossJoin(oldOnly.intersect(inc)
+          .agg((count(lit(1)) === 0).as("disjoint")))
+        .crossJoin(appended.agg(count(lit(1)).as("n_idx_rows"))
+          .crossJoin(nIndexed)
+          .select(($"n_idx_rows" === $"n_docs" * 8).as("append_folded")))
         .select(($"n_full" > 0).as("nonempty"),
           $"complete", $"disjoint", $"append_folded")
     }),
@@ -5943,6 +5985,10 @@ object SparkEntry {
     // incremental == full-rebuild equivalence is pinned in-plan (set
     // equality + disjointness + append fold); booleans only
     "dedup_incremental_gate" ->
+      """SELECT true AS nonempty, true AS complete, true AS disjoint,
+        |  true AS append_folded""".stripMargin,
+
+    "dedup_minhash_incremental_gate" ->
       """SELECT true AS nonempty, true AS complete, true AS disjoint,
         |  true AS append_folded""".stripMargin,
 

@@ -244,33 +244,34 @@ object Dedup {
     * approxSimilarityJoin (same pipeline, ~6× faster here, and the
     * distance is exact rather than subject to 2^18 feature-hash
     * collisions). */
-  def minhashNearDup(df: DataFrame, textCol: String, idCol: String,
-      maxDist: Double = 0.6, shingle: Int = 5, numTables: Int = 8,
-      seed: Long = 42L): DataFrame = {
-    require(numTables >= 1, s"numTables must be >= 1 (got $numTables)")
-    // distinct shingle-hash set per doc (whitespace-normalized chars)
-    val sh = df.select(col(idCol).as("id"),
+  /** Distinct shingle-hash set per doc (whitespace-normalized chars) —
+    * shared by [[minhashNearDup]] and the persisted-index forms. */
+  private def minhashSets(df: DataFrame, textCol: String, idCol: String,
+      shingle: Int, seed: Long): DataFrame =
+    df.select(col(idCol).as("id"),
         regexp_replace(col(textCol), "\\s+", " ").as("__t"))
       .filter(length(col("__t")) >= shingle)
       .select(col("id"), array_distinct(
         transform(sequence(lit(0), length(col("__t")) - shingle),
           i => xxhash64(col("__t").substr(i + 1, lit(shingle)), lit(seed))))
         .as("__sh"))
-    // banding: per table t, the min of a t-salted rehash of the set
-    val banded = sh.select(col("id"), explode(array(
+
+  /** Banding: per table t, the min of a t-salted rehash of the set —
+    * (id, t, mh), one 24-byte row per (doc, table). */
+  private def minhashBands(sh: DataFrame, numTables: Int): DataFrame =
+    sh.select(col("id"), explode(array(
         (0 until numTables).map(t => struct(lit(t).as("t"),
           array_min(transform(col("__sh"), x => xxhash64(x, lit(t))))
             .as("mh"))): _*)).as("b"))
       .select(col("id"), col("b.t").as("t"), col("b.mh").as("mh"))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.t") === col("b.t") && col("a.mh") === col("b.mh") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct() // a pair may collide in several tables
-    // exact-Jaccard verify; arrays ship only for candidate docs
+
+  /** Exact-Jaccard verify of candidate pairs against per-doc shingle
+    * sets; arrays ship only for docs appearing in some candidate. */
+  private def jaccardVerify(cand: DataFrame, sets: DataFrame,
+      maxDist: Double): DataFrame = {
     val candIds = cand.select(col("id_a").as("id"))
       .union(cand.select(col("id_b").as("id"))).distinct()
-    val g = sh.join(candIds, Seq("id"), "left_semi")
+    val g = sets.join(candIds, Seq("id"), "left_semi")
     cand
       .join(g.select(col("id").as("id_a"), col("__sh").as("__ga")), "id_a")
       .join(g.select(col("id").as("id_b"), col("__sh").as("__gb")), "id_b")
@@ -279,6 +280,96 @@ object Dedup {
         (size(col("__ga")) + size(col("__gb")) - col("__inter")))
       .filter(col("jaccard_dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("jaccard_dist"))
+  }
+
+  def minhashNearDup(df: DataFrame, textCol: String, idCol: String,
+      maxDist: Double = 0.6, shingle: Int = 5, numTables: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    require(numTables >= 1, s"numTables must be >= 1 (got $numTables)")
+    val sh = minhashSets(df, textCol, idCol, shingle, seed)
+    val banded = minhashBands(sh, numTables)
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.t") === col("b.t") && col("a.mh") === col("b.mh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct() // a pair may collide in several tables
+    jaccardVerify(cand, sh, maxDist)
+  }
+
+  /** Persist the MinHash band index of a corpus — the MinHash twin of
+    * [[writeSimhashIndex]] (the daily-crawl loop: dedup a new batch
+    * against history without rescanning or re-shingling it). Layout:
+    * `dir` holds the (id, t, mh) band rows the candidate join probes;
+    * `dir + "__sets"` holds each doc's distinct shingle-hash set (the
+    * exact-Jaccard verify needs the HISTORICAL side's set for
+    * new-vs-old candidates — persisting it is what keeps the verify
+    * from re-reading historical text); `dir + "__meta"` records
+    * (shingle, numTables, seed) so a mismatched read fails loudly
+    * instead of silently losing recall. `mode = "append"` folds an
+    * already-deduped batch in. */
+  def writeMinhashIndex(df: DataFrame, textCol: String, idCol: String,
+      dir: String, shingle: Int = 5, numTables: Int = 8,
+      seed: Long = 42L, mode: String = "overwrite"): Unit = {
+    require(numTables >= 1, s"numTables must be >= 1 (got $numTables)")
+    val spark = df.sparkSession
+    if (mode == "append") {
+      val m = spark.read.parquet(dir + "__meta").head()
+      require(m.getInt(0) == shingle && m.getInt(1) == numTables &&
+          m.getLong(2) == seed,
+        s"index at $dir was built with (shingle=${m.getInt(0)}, " +
+          s"tables=${m.getInt(1)}, seed=${m.getLong(2)}), append " +
+          s"requested with ($shingle, $numTables, $seed)")
+    }
+    val sh = minhashSets(df, textCol, idCol, shingle, seed)
+    minhashBands(sh, numTables).write.mode(mode).parquet(dir)
+    sh.write.mode(mode).parquet(dir + "__sets")
+    if (mode != "append") {
+      import spark.implicits._
+      Seq((shingle, numTables, seed))
+        .toDF("shingle", "num_tables", "seed")
+        .coalesce(1).write.mode("overwrite").parquet(dir + "__meta")
+    }
+  }
+
+  /** Near-dup pairs of a NEW batch against a persisted MinHash index
+    * plus within itself — `pairs(old ∪ new) = pairs(old) ⊎
+    * incremental(new, index(old))`, disjointly (the same contract
+    * [[simhashNearDupIncremental]] pins; banding is a deterministic
+    * per-doc function of text and seed, so candidates decompose
+    * exactly). Historical docs contribute 24-byte band rows to the
+    * candidate join and shingle-hash ARRAYS only for docs that appear
+    * in some candidate pair (semi-filtered) — historical text never
+    * loads. */
+  def minhashNearDupIncremental(newDf: DataFrame, indexDir: String,
+      textCol: String, idCol: String, maxDist: Double = 0.6,
+      shingle: Int = 5, numTables: Int = 8, seed: Long = 42L): DataFrame = {
+    val spark = newDf.sparkSession
+    val m = spark.read.parquet(indexDir + "__meta").head()
+    require(m.getInt(0) == shingle && m.getInt(1) == numTables &&
+        m.getLong(2) == seed,
+      s"index at $indexDir was built with (shingle=${m.getInt(0)}, " +
+        s"tables=${m.getInt(1)}, seed=${m.getLong(2)}), queried with " +
+        s"($shingle, $numTables, $seed) — rebuild or re-query to match")
+    val shNew = minhashSets(newDf, textCol, idCol, shingle, seed)
+    val bNew = minhashBands(shNew, numTables)
+    val idx = spark.read.parquet(indexDir)
+    val newVsOld = bNew
+      .select(col("t"), col("mh"), col("id").as("id_n"))
+      .join(idx.select(col("t"), col("mh"), col("id").as("id_o")),
+        Seq("t", "mh"))
+      .filter(col("id_n") =!= col("id_o"))
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"))
+    val newVsNew = bNew.as("a").join(bNew.as("b"),
+        col("a.t") === col("b.t") && col("a.mh") === col("b.mh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val cand = newVsOld.union(newVsNew).distinct()
+    // verify sets: new batch's in-flight sets win for re-arriving ids;
+    // historical sets come from the persisted sidecar, never from text
+    val oldSets = spark.read.parquet(indexDir + "__sets")
+      .join(shNew.select(col("id")), Seq("id"), "left_anti")
+    jaccardVerify(cand, shNew.unionByName(oldSets), maxDist)
   }
 
   /** Exact token n-gram Jaccard similarity for candidate pairs.

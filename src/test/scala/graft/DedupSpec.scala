@@ -242,4 +242,38 @@ class DedupSpec extends SparkSpec {
     // 6 docs x 4 bands after the fold
     assert(spark.read.parquet(dir).count() == 24L)
   }
+
+  test("minhash index: pairs(old∪new) == pairs(old) ⊎ incremental(new, idx); guards + append") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhidx").toString + "/idx"
+    val old = incCorpus.filter($"doc_id" % 2 === 0)
+    val nw = incCorpus.filter($"doc_id" % 2 === 1)
+    Dedup.writeMinhashIndex(old, "text", "doc_id", dir, numTables = 8)
+    val inc = Dedup.minhashNearDupIncremental(nw, dir, "text", "doc_id",
+        maxDist = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minhashNearDup(incCorpus, "text", "doc_id", maxDist = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oldOnly = Dedup.minhashNearDup(old, "text", "doc_id", maxDist = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc.contains((0L, 1L)), s"old-new dup missing: $inc")
+    assert(inc.contains((3L, 5L)), s"new-new dup missing: $inc")
+    assert(oldOnly.contains((2L, 4L)), s"old-old dup missing: $oldOnly")
+    assert((oldOnly ++ inc) == full, s"oldOnly=$oldOnly inc=$inc full=$full")
+    assert((oldOnly & inc).isEmpty)
+    // layout mismatches fail loudly on query AND append
+    val exQ = intercept[IllegalArgumentException] {
+      Dedup.minhashNearDupIncremental(nw, dir, "text", "doc_id",
+        numTables = 4)
+    }
+    assert(exQ.getMessage.contains("tables=8"), exQ.getMessage)
+    val exA = intercept[IllegalArgumentException] {
+      Dedup.writeMinhashIndex(nw, "text", "doc_id", dir, shingle = 7,
+        mode = "append")
+    }
+    assert(exA.getMessage.contains("append"), exA.getMessage)
+    // fold: 6 docs x 8 tables of band rows, 6 shingle-set rows
+    Dedup.writeMinhashIndex(nw, "text", "doc_id", dir, mode = "append")
+    assert(spark.read.parquet(dir).count() == 48L)
+    assert(spark.read.parquet(dir + "__sets").count() == 6L)
+  }
 }
