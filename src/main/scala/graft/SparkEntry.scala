@@ -95,6 +95,7 @@ object SparkEntry {
     // round-10 additions (no artifact yet)
     "mm_decode_video_frames", "catalog_persistent_roundtrip",
     "evt_dedup_replay", "dedup_minhash_incremental_gate",
+    "dedup_clusters_incremental_gate",
     // round-9 additions (all green in CORRECTNESS_r09 except q12's
     // type artifact, fixed this round — kept early while the fix lands)
     "bpe_byte_fallback_gate", "evt_stream_join_outer", "bloommap_prune",
@@ -2513,6 +2514,37 @@ object SparkEntry {
         .filter($"jaccard" >= 0.5)
       Graph.assignClusters(docs.select($"doc_id"), "doc_id", edges)
         .orderBy($"doc_id")
+    }),
+
+    "dedup_clusters_incremental_gate" -> ((s, dir) => {
+      import s.implicits._
+      // Incremental CC equivalence on the part co-order graph: the
+      // "historical" half is the edges within a partkey-parity class
+      // (even-even + odd-odd — its labeling necessarily has >= 2
+      // components, the parities never touch), the "new batch" is the
+      // mixed-parity edges, then pin labels(old ∪ new) ==
+      // incremental(labels(old), new) as exact set equality — history
+      // re-enters as ONE star edge per vertex, never as its raw edge
+      // set (the daily-crawl dedup loop's cluster-maintenance
+      // contract). `merged` pins that the batch bridged previously-
+      // distinct components — guaranteed by the parity construction,
+      // so a vacuous pass is impossible. n_vertices is
+      // DuckDB-recomputed from the same edge derivation.
+      val edges = partCoOrderPairs(s, dir)
+      val eOld = edges.filter(pmod($"a", lit(2)) === pmod($"b", lit(2)))
+      val eNew = edges.filter(pmod($"a", lit(2)) =!= pmod($"b", lit(2)))
+      val oldLabels = Graph.connectedComponents(eOld, "a", "b")
+      val inc = Graph.connectedComponentsIncremental(oldLabels, eNew,
+        "a", "b")
+      val full = Graph.connectedComponents(edges, "a", "b")
+      val bridged = eNew
+        .join(oldLabels.select($"id".as("a"), $"comp".as("ca")), Seq("a"))
+        .join(oldLabels.select($"id".as("b"), $"comp".as("cb")), Seq("b"))
+        .filter($"ca" =!= $"cb")
+      inc.agg(count(lit(1)).cast("bigint").as("n_vertices"))
+        .crossJoin(inc.exceptAll(full).union(full.exceptAll(inc))
+          .agg((count(lit(1)) === 0).as("equal")))
+        .crossJoin(bridged.agg((count(lit(1)) > 0).as("merged")))
     }),
 
     "dedup_clusters_star_gate" -> ((s, dir) => {
@@ -5991,6 +6023,18 @@ object SparkEntry {
     "dedup_minhash_incremental_gate" ->
       """SELECT true AS nonempty, true AS complete, true AS disjoint,
         |  true AS append_folded""".stripMargin,
+
+    // n_vertices recomputed from the same co-order pair derivation;
+    // the equality/merge verdicts are Spark-side set algebra
+    "dedup_clusters_incremental_gate" ->
+      """WITH p AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |   AND l1.l_partkey < l2.l_partkey
+        |  WHERE l1.l_orderkey % 4 = 0)
+        |SELECT CAST(count(DISTINCT id) AS BIGINT) AS n_vertices,
+        |  true AS equal, true AS merged
+        |FROM (SELECT a AS id FROM p UNION ALL SELECT b AS id FROM p)""".stripMargin,
 
     // ground truth (exact char-5-gram Jaccard >= 0.6 over all pairs)
     // recomputed independently in DuckDB; the recall gate is a boolean

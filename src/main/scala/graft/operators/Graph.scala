@@ -98,6 +98,40 @@ object Graph {
     labels
   }
 
+  /** INCREMENTAL connected components — the daily-crawl form of
+    * [[connectedComponents]]: fold a batch of NEW edges into an
+    * existing TOTAL labeling without reprocessing the historical edge
+    * set. The old labeling is itself a star graph ((id, comp) edges)
+    * with exactly the original connectivity classes, so hash-min over
+    * (stars ∪ new edges) recomputes the merged components while
+    * history contributes ONE 16-byte edge per vertex regardless of
+    * how many raw edges it had — a component of 10⁹ pair-edges
+    * re-enters as 10⁶ star edges. Labels stay canonical (smallest id
+    * in the MERGED component), so a merge can re-root previously
+    * settled vertices; vertices untouched by new edges keep their
+    * labels. Returns a total labeling over oldLabels' vertices ∪ the
+    * new edges' endpoints — equal to a full recompute over
+    * (old ∪ new), which `dedup_clusters_incremental_gate` pins as
+    * exact set equality. */
+  def connectedComponentsIncremental(oldLabels: DataFrame,
+      newEdges: DataFrame, srcCol: String = "id_a",
+      dstCol: String = "id_b", maxIter: Int = 30,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val star = oldLabels.select(col("id").cast("long").as("u"),
+      col("comp").cast("long").as("v"))
+    val ne = newEdges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+    val cc = connectedComponents(star.unionByName(ne), "u", "v", maxIter,
+      checkpointDir)
+    // a singleton's star edge is a self-loop the symmetrize step drops
+    // — restore those vertices as their own label (total assignment)
+    val allIds = oldLabels.select(col("id").cast("long").as("id"))
+      .union(ne.select(col("u").as("id")))
+      .union(ne.select(col("v").as("id"))).distinct()
+    allIds.join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+  }
+
   /** Connected components via alternating LARGE-STAR / SMALL-STAR
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14) — the adversarial-diameter fallback to

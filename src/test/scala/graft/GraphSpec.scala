@@ -81,6 +81,38 @@ class GraphSpec extends SparkSpec {
     assert(ex.getMessage.contains("converge"))
   }
 
+  test("incremental CC: fold new edges into an old labeling == full recompute") {
+    // merge case: new edge 4-10 bridges the chain and triangle
+    // components; labels must re-root to the merged min
+    val eOld = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (12L, 10L)).toDF("id_a", "id_b")
+    val eNew = Seq((4L, 10L), (20L, 21L)).toDF("id_a", "id_b")
+    val oldLabels = Graph.connectedComponents(eOld)
+    val inc = Graph.connectedComponentsIncremental(oldLabels, eNew)
+      .as[(Long, Long)].collect().toMap
+    assert(inc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 1L, 11L -> 1L, 12L -> 1L, 20L -> 20L, 21L -> 20L), inc.toString)
+    // property: random graphs, random half-splits — incremental equals
+    // a full recompute over the union
+    val rnd = new Random(11)
+    for (trial <- 1 to 5) {
+      val n = 30
+      val edges = (0 until 40).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val (o, nw) = edges.partition { case (a, b) => (a + b) % 2 == 0 }
+      if (o.nonEmpty && nw.nonEmpty) {
+        val lbl = Graph.connectedComponents(o.toDF("id_a", "id_b"))
+        val got = Graph.connectedComponentsIncremental(
+            lbl, nw.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+        val full = Graph.connectedComponents(edges.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+        assert(got == full, s"trial $trial: got=$got full=$full")
+      }
+    }
+  }
+
   test("property: labels match driver-side union-find on random graphs") {
     val rnd = new Random(42)
     (1 to 8).foreach { _ =>
