@@ -95,7 +95,7 @@ object SparkEntry {
     // round-10 additions (no artifact yet)
     "mm_decode_video_frames", "catalog_persistent_roundtrip",
     "evt_dedup_replay", "dedup_minhash_incremental_gate",
-    "dedup_clusters_incremental_gate",
+    "dedup_clusters_incremental_gate", "dedup_embedding_incremental_gate",
     // round-9 additions (all green in CORRECTNESS_r09 except q12's
     // type artifact, fixed this round — kept early while the fix lands)
     "bpe_byte_fallback_gate", "evt_stream_join_outer", "bloommap_prune",
@@ -2770,6 +2770,41 @@ object SparkEntry {
           .select(($"n_idx_rows" === $"n_docs" * 8).as("append_folded")))
         .select(($"n_full" > 0).as("nonempty"),
           $"complete", $"disjoint", $"append_folded")
+    }),
+
+    "dedup_embedding_incremental_gate" -> ((s, dir) => {
+      import s.implicits._
+      // Embedding twin of the simhash/minhash incremental gates,
+      // completing the incremental story for all three near-dup
+      // families: even vec_ids become the persisted sign-LSH index
+      // (+ vector sidecar), odd ids the new batch; pairs(old ∪ new)
+      // == pairs(old) ⊎ incremental(new, index(old)) as exact set
+      // equality + disjointness (bucketing is a deterministic per-doc
+      // function of vector and seed). SIDE-EFFECTING (writes the
+      // index at construction). Same (minCosine, planes) as the
+      // dedup_embedding production query.
+      val emb = Tables.embeddings(s, dir)
+      val old = emb.filter($"vec_id" % 2 === 0)
+      val nw = emb.filter($"vec_id" % 2 === 1)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_embidx_${math.abs(dir.hashCode)}"
+      Dedup.writeEmbeddingIndex(old, "embedding", "vec_id", idx,
+        minCosine = 0.35, planes = 4)
+      val inc = Dedup.embeddingNearDupIncremental(nw, idx, "embedding",
+          "vec_id", minCosine = 0.35, planes = 4)
+        .select($"id_a", $"id_b").localCheckpoint()
+      def pairsOf(d: org.apache.spark.sql.DataFrame) =
+        Dedup.embeddingNearDup(d, "embedding", "vec_id",
+            minCosine = 0.35, planes = 4)
+          .select($"id_a", $"id_b")
+      val full = pairsOf(emb)
+      val oldOnly = pairsOf(old)
+      val merged = oldOnly.union(inc)
+      full.agg(count(lit(1)).as("n_full"))
+        .crossJoin(full.exceptAll(merged).union(merged.exceptAll(full))
+          .agg((count(lit(1)) === 0).as("complete")))
+        .crossJoin(oldOnly.intersect(inc)
+          .agg((count(lit(1)) === 0).as("disjoint")))
+        .select(($"n_full" > 0).as("nonempty"), $"complete", $"disjoint")
     }),
 
     "dedup_minhash_recall" -> ((s, dir) => {
@@ -6023,6 +6058,10 @@ object SparkEntry {
     "dedup_minhash_incremental_gate" ->
       """SELECT true AS nonempty, true AS complete, true AS disjoint,
         |  true AS append_folded""".stripMargin,
+
+    "dedup_embedding_incremental_gate" ->
+      """SELECT true AS nonempty, true AS complete,
+        |  true AS disjoint""".stripMargin,
 
     // n_vertices recomputed from the same co-order pair derivation;
     // the equality/merge verdicts are Spark-side set algebra

@@ -408,15 +408,22 @@ object Dedup {
     * thresholds are intrinsically expensive for sign LSH — the derived
     * table count makes that cost explicit instead of silently dropping
     * recall. */
-  def embeddingNearDup(emb: DataFrame, vecCol: String, idCol: String,
-      minCosine: Double = 0.95, planes: Int = 12, targetRecall: Double = 0.95,
-      maxTables: Int = 32, seed: Long = 42L): DataFrame = {
+  /** Charikar-derived table count shared by [[embeddingNearDup]] and
+    * the persisted-index forms (see [[embeddingNearDup]]'s doc). */
+  private def lshTableCount(minCosine: Double, planes: Int,
+      targetRecall: Double, maxTables: Int): Int = {
     require(minCosine > -1.0 && minCosine < 1.0,
       s"minCosine must be in (-1,1) (got $minCosine)")
     val p = 1.0 - math.acos(minCosine) / math.Pi
     val pTable = math.pow(p, planes)
-    val tables = math.max(1, math.min(maxTables,
+    math.max(1, math.min(maxTables,
       math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - pTable)).toInt))
+  }
+
+  def embeddingNearDup(emb: DataFrame, vecCol: String, idCol: String,
+      minCosine: Double = 0.95, planes: Int = 12, targetRecall: Double = 0.95,
+      maxTables: Int = 32, seed: Long = 42L): DataFrame = {
+    val tables = lshTableCount(minCosine, planes, targetRecall, maxTables)
     val bucketed =
       Similarity.cosineLshBucketsMulti(emb, vecCol, idCol, planes, tables, seed)
     val a = bucketed.select(col("table"), col("bucket"),
@@ -429,6 +436,100 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cosine"))
       .distinct()
+  }
+
+  /** Persist the sign-LSH bucket index of an embedding corpus — the
+    * embedding twin of [[writeSimhashIndex]]/[[writeMinhashIndex]],
+    * completing the incremental story for all three near-dup
+    * families. Layout: `dir` holds (table, bucket, id) rows the
+    * candidate join probes; `dir + "__vecs"` holds each doc's vector
+    * (the exact-cosine verify needs the HISTORICAL side's vector for
+    * new-vs-old candidates without re-reading the corpus);
+    * `dir + "__meta"` records (planes, tables, seed) so a mismatched
+    * layout fails loudly instead of silently losing recall. `tables`
+    * derives from (minCosine, planes, targetRecall) exactly as in
+    * [[embeddingNearDup]]. `mode = "append"` folds an
+    * already-deduped batch in. */
+  def writeEmbeddingIndex(emb: DataFrame, vecCol: String, idCol: String,
+      dir: String, minCosine: Double = 0.95, planes: Int = 12,
+      targetRecall: Double = 0.95, maxTables: Int = 32,
+      seed: Long = 42L, mode: String = "overwrite"): Unit = {
+    val tables = lshTableCount(minCosine, planes, targetRecall, maxTables)
+    val spark = emb.sparkSession
+    if (mode == "append") {
+      val m = spark.read.parquet(dir + "__meta").head()
+      require(m.getInt(0) == planes && m.getInt(1) == tables &&
+          m.getLong(2) == seed,
+        s"index at $dir was built with (planes=${m.getInt(0)}, " +
+          s"tables=${m.getInt(1)}, seed=${m.getLong(2)}), append " +
+          s"requested with ($planes, $tables, $seed)")
+    }
+    val bucketed =
+      Similarity.cosineLshBucketsMulti(emb, vecCol, idCol, planes, tables, seed)
+    bucketed.select(col("table"), col("bucket"), col("id"))
+      .write.mode(mode).parquet(dir)
+    emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .write.mode(mode).parquet(dir + "__vecs")
+    if (mode != "append") {
+      import spark.implicits._
+      Seq((planes, tables, seed)).toDF("planes", "num_tables", "seed")
+        .coalesce(1).write.mode("overwrite").parquet(dir + "__meta")
+    }
+  }
+
+  /** Embedding near-dup pairs of a NEW batch against a persisted
+    * sign-LSH index plus within itself — `pairs(old ∪ new) =
+    * pairs(old) ⊎ incremental(new, index(old))`, disjointly:
+    * bucketing is a deterministic per-doc function of (vector, seed),
+    * so the candidate set decomposes exactly and the exact-cosine
+    * verify closes the loop. Historical docs contribute (table,
+    * bucket, id) rows to the candidate join and vectors only for docs
+    * appearing in some candidate pair (semi-filtered) — the
+    * historical corpus never re-buckets. */
+  def embeddingNearDupIncremental(newEmb: DataFrame, indexDir: String,
+      vecCol: String, idCol: String, minCosine: Double = 0.95,
+      planes: Int = 12, targetRecall: Double = 0.95, maxTables: Int = 32,
+      seed: Long = 42L): DataFrame = {
+    val tables = lshTableCount(minCosine, planes, targetRecall, maxTables)
+    val spark = newEmb.sparkSession
+    val m = spark.read.parquet(indexDir + "__meta").head()
+    require(m.getInt(0) == planes && m.getInt(1) == tables &&
+        m.getLong(2) == seed,
+      s"index at $indexDir was built with (planes=${m.getInt(0)}, " +
+        s"tables=${m.getInt(1)}, seed=${m.getLong(2)}), queried with " +
+        s"($planes, $tables, $seed) — rebuild or re-query to match")
+    val bNew = Similarity.cosineLshBucketsMulti(newEmb, vecCol, idCol,
+      planes, tables, seed)
+    val idx = spark.read.parquet(indexDir)
+    val newVsOld = bNew
+      .select(col("table"), col("bucket"), col("id").as("id_n"))
+      .join(idx.select(col("table"), col("bucket"), col("id").as("id_o")),
+        Seq("table", "bucket"))
+      .filter(col("id_n") =!= col("id_o"))
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"))
+    val newVsNew = bNew.as("a").join(bNew.as("b"),
+        col("a.table") === col("b.table") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val cand = newVsOld.union(newVsNew).distinct()
+    val candIds = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
+    // in-flight vectors win for re-arriving ids; historical vectors
+    // come from the sidecar, semi-filtered to candidate scale
+    val vNew = newEmb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val vecs = vNew
+      .unionByName(spark.read.parquet(indexDir + "__vecs")
+        .join(vNew.select(col("id")), Seq("id"), "left_anti"))
+      .join(candIds, Seq("id"), "left_semi")
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .withColumn("cosine",
+        graft.functions.cosine_similarity(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
   /** Span-level exact-substring dedup — the "ExactSubstr" pass of

@@ -276,4 +276,44 @@ class DedupSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 48L)
     assert(spark.read.parquet(dir + "__sets").count() == 6L)
   }
+
+  test("embedding index: pairs(old∪new) == pairs(old) ⊎ incremental(new, idx); guards") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_embidx").toString + "/idx"
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 40).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    // planted dups across the parity split: 41 dups 0 (old-new),
+    // 43 dups 1 (both odd: new-new), 42 dups 2 (both even: old-old)
+    val all = base ++ Seq(
+      (41L, base(0)._2.map(_ * 1.001f)),
+      (43L, base(1)._2.map(_ * 1.001f)),
+      (42L, base(2)._2.map(_ * 1.001f)))
+    val df = all.toDF("vec_id", "embedding")
+    val old = df.filter($"vec_id" % 2 === 0)
+    val nw = df.filter($"vec_id" % 2 === 1)
+    def pairsOf(d: org.apache.spark.sql.DataFrame) =
+      Dedup.embeddingNearDup(d, "embedding", "vec_id",
+          minCosine = 0.99, planes = 4)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.writeEmbeddingIndex(old, "embedding", "vec_id", dir,
+      minCosine = 0.99, planes = 4)
+    val inc = Dedup.embeddingNearDupIncremental(nw, dir, "embedding",
+        "vec_id", minCosine = 0.99, planes = 4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairsOf(df)
+    val oldOnly = pairsOf(old)
+    assert(inc.contains((0L, 41L)), s"old-new dup missing: $inc")
+    assert(inc.contains((1L, 43L)), s"new-new dup missing: $inc")
+    assert(oldOnly.contains((2L, 42L)), s"old-old dup missing: $oldOnly")
+    assert((oldOnly ++ inc) == full, s"oldOnly=$oldOnly inc=$inc full=$full")
+    assert((oldOnly & inc).isEmpty)
+    // layout mismatch fails loudly (different planes => different tables)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupIncremental(nw, dir, "embedding", "vec_id",
+        minCosine = 0.99, planes = 8)
+    }
+    assert(ex.getMessage.contains("planes=4"), ex.getMessage)
+  }
 }
