@@ -490,4 +490,41 @@ class PlanSpec extends SparkSpec {
       assert(!l.contains("l_extendedprice") && !l.contains("l_comment"), l)
     }
   }
+
+  test("incremental dedup indexes: candidate joins equi-key, text/vectors stay out of band shuffles") {
+    import graft.llm.Dedup
+    val base = java.nio.file.Files.createTempDirectory("graft_planidx").toString
+    val docs = Tables.documents(spark, sf0001).filter($"doc_id" < 100)
+    val old = docs.filter($"doc_id" % 2 === 0)
+    val nw = docs.filter($"doc_id" % 2 === 1)
+    Dedup.writeSimhashIndex(old, "text", "doc_id", base + "/sh", maxHamming = 7)
+    Dedup.writeMinhashIndex(old, "text", "doc_id", base + "/mh")
+    val shP = Dedup.simhashNearDupIncremental(nw, base + "/sh", "text",
+      "doc_id", maxHamming = 7).queryExecution.explainString(FormattedMode)
+    val mhP = Dedup.minhashNearDupIncremental(nw, base + "/mh", "text",
+      "doc_id").queryExecution.explainString(FormattedMode)
+    for ((p, n) <- Seq((shP, "simhash"), (mhP, "minhash"))) {
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$n:\n$p")
+    }
+    // the simhash candidate join carries only fixed-width band rows —
+    // historical text never shuffles (the minhash verify legitimately
+    // ships shingle-hash ARRAYS for semi-filtered candidates, but raw
+    // text must not appear in ANY exchange there either)
+    for ((p, n) <- Seq((shP, "simhash"), (mhP, "minhash"))) {
+      p.split("\\n\\n").toSeq.filter(b =>
+        b.linesIterator.exists(_.matches("\\(\\d+\\) Exchange.*"))).foreach { b =>
+        val input = b.linesIterator.find(_.startsWith("Input")).getOrElse("")
+        assert(!input.contains("text#"), s"$n text in shuffle:\n$b")
+      }
+    }
+    // incremental CC: star-graph fold keeps every join an equi-join
+    val lbl = graft.operators.Graph.connectedComponents(
+      Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b"))
+    val ccP = graft.operators.Graph.connectedComponentsIncremental(
+        lbl, Seq((2L, 3L)).toDF("id_a", "id_b"))
+      .queryExecution.explainString(FormattedMode)
+    assert(!ccP.contains("CartesianProduct") &&
+      !ccP.contains("BroadcastNestedLoopJoin"), ccP)
+  }
 }
