@@ -96,6 +96,7 @@ object SparkEntry {
     "mm_decode_video_frames", "catalog_persistent_roundtrip",
     "evt_dedup_replay", "dedup_minhash_incremental_gate",
     "dedup_clusters_incremental_gate", "dedup_embedding_incremental_gate",
+    "dq_drift_stream",
     // round-9 additions (all green in CORRECTNESS_r09 except q12's
     // type artifact, fixed this round — kept early while the fix lands)
     "bpe_byte_fallback_gate", "evt_stream_join_outer", "bloommap_prune",
@@ -1300,6 +1301,37 @@ object SparkEntry {
       stable.unionByName(shifted)
         .select($"pair", $"key".as("cat"), $"n_a", $"n_b", $"drifted")
         .orderBy($"pair", $"cat")
+    }),
+
+    "dq_drift_stream" -> ((s, dir) => {
+      import s.implicits._
+      // Streaming drift monitor graded end-to-end: the reference
+      // histogram is frozen from the even-orderkey half; the odd half
+      // arrives as three deterministic micro-batches folded into a
+      // versioned count snapshot, then batch 1 is REDELIVERED
+      // (restart semantics — the rewrite must be a no-op, not a
+      // double-count). The accumulated report must equal the batch
+      // driftReport over the same split, which the oracle restates in
+      // SQL (same grid, NULL bucket, and exact cross-multiplied
+      // verdict as dq_drift).
+      import graft.streaming.DriftStreams
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_dstream_${math.abs(dir.hashCode)}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true) // stale prior runs
+      val li = Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_quantity".cast("int").as("q"))
+      val ref = Quality.bucketCounts(li.filter(pmod($"l_orderkey", lit(2)) === 0),
+        $"q", lo = 1, width = 5, nBuckets = 10, out = "n_a")
+      val b = li.filter(pmod($"l_orderkey", lit(2)) === 1)
+      def slice(i: Int) = b.filter(pmod($"l_orderkey", lit(3)) === i)
+      for (i <- 0 until 3)
+        DriftStreams.applyDriftBatch(base, i.toLong, slice(i), $"q",
+          lo = 1, width = 5, nBuckets = 10)
+      // redelivery: deterministic rewrite of v=1 from v=0, no double-count
+      DriftStreams.applyDriftBatch(base, 1L, slice(1), $"q",
+        lo = 1, width = 5, nBuckets = 10)
+      DriftStreams.driftAgainstReference(s, base, ref, nBuckets = 10)
     }),
 
     "dq_impute" -> ((s, dir) => {
@@ -5227,6 +5259,30 @@ object SparkEntry {
         |      CAST(u.n_b AS HUGEINT) * t.ta) * 1000000 >
         |    50000 * CAST(t.ta AS HUGEINT) * t.tb AS drifted
         |FROM u JOIN t USING (pair) ORDER BY pair, bucket""".stripMargin,
+
+    // the accumulated stream report equals the batch drift report
+    // over the same even/odd split — same grid, NULL bucket, and
+    // exact integer verdict as dq_drift
+    "dq_drift_stream" ->
+      """WITH li AS (SELECT l_orderkey, CAST(l_quantity AS INT) AS q
+        |  FROM lineitem),
+        |ca AS (SELECT CASE WHEN q IS NULL THEN -1
+        |      ELSE least(greatest((q - 1) // 5, 0), 9) END AS bucket,
+        |    count(*) AS n FROM li WHERE l_orderkey % 2 = 0 GROUP BY 1),
+        |cb AS (SELECT CASE WHEN q IS NULL THEN -1
+        |      ELSE least(greatest((q - 1) // 5, 0), 9) END AS bucket,
+        |    count(*) AS n FROM li WHERE l_orderkey % 2 = 1 GROUP BY 1),
+        |g AS (SELECT range AS bucket FROM range(-1, 10)),
+        |u AS (SELECT g.bucket, coalesce(ca.n, 0) AS n_a,
+        |    coalesce(cb.n, 0) AS n_b
+        |  FROM g LEFT JOIN ca USING (bucket) LEFT JOIN cb USING (bucket)),
+        |t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM u)
+        |SELECT u.bucket, CAST(u.n_a AS BIGINT) AS n_a,
+        |  CAST(u.n_b AS BIGINT) AS n_b,
+        |  abs(CAST(u.n_a AS HUGEINT) * t.tb -
+        |      CAST(u.n_b AS HUGEINT) * t.ta) * 1000000 >
+        |    50000 * CAST(t.ta AS HUGEINT) * t.tb AS drifted
+        |FROM u, t ORDER BY bucket""".stripMargin,
 
     // categorical twin: full-joined per-source counts, same
     // cross-multiplied integer verdict

@@ -146,18 +146,36 @@ object Quality {
       thresholdPpm: Long = 50000L): DataFrame = {
     require(width > 0 && nBuckets > 0 && thresholdPpm > 0,
       "width, nBuckets, thresholdPpm must be positive")
-    def counts(df: DataFrame, out: String): DataFrame =
-      df.select(valueExpr.cast("long").as("__v"))
-        .selectExpr(
-          s"""CASE WHEN __v IS NULL THEN -1L
-             |ELSE least(greatest((__v - ${lo}L) div ${width}L, 0L),
-             |           ${nBuckets - 1}L) END AS bucket""".stripMargin)
-        .groupBy("bucket").agg(count(lit(1)).as(out))
-    val grid = a.sparkSession.range(-1L, nBuckets.toLong)
+    driftVerdict(bucketCounts(a, valueExpr, lo, width, nBuckets, "n_a"),
+      bucketCounts(b, valueExpr, lo, width, nBuckets, "n_b"),
+      nBuckets, thresholdPpm)
+  }
+
+  /** The fixed integer bucketing of [[driftReport]] as counts:
+    * (bucket, `out`) with NULL values in bucket -1. Exposed so a
+    * streaming monitor can ACCUMULATE counts per micro-batch and
+    * reuse [[driftVerdict]] against a frozen reference — counts are
+    * additive, raw values are not. */
+  private[graft] def bucketCounts(df: DataFrame, valueExpr: Column,
+      lo: Long, width: Long, nBuckets: Int, out: String): DataFrame =
+    df.select(valueExpr.cast("long").as("__v"))
+      .selectExpr(
+        s"""CASE WHEN __v IS NULL THEN -1L
+           |ELSE least(greatest((__v - ${lo}L) div ${width}L, 0L),
+           |           ${nBuckets - 1}L) END AS bucket""".stripMargin)
+      .groupBy("bucket").agg(count(lit(1)).as(out))
+
+  /** [[driftReport]]'s verdict over PRE-BUCKETED counts: `ca` carries
+    * (bucket, n_a), `cb` (bucket, n_b); the -1..nBuckets-1 grid,
+    * zero-fill, and exact cross-multiplied comparison are identical
+    * to the raw-value form. */
+  private[graft] def driftVerdict(ca: DataFrame, cb: DataFrame,
+      nBuckets: Int, thresholdPpm: Long): DataFrame = {
+    val grid = ca.sparkSession.range(-1L, nBuckets.toLong)
       .select(col("id").as("bucket"))
     val joined = grid
-      .join(counts(a, "n_a"), Seq("bucket"), "left")
-      .join(counts(b, "n_b"), Seq("bucket"), "left")
+      .join(ca, Seq("bucket"), "left")
+      .join(cb, Seq("bucket"), "left")
       .select(col("bucket"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))

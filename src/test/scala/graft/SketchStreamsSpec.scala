@@ -36,6 +36,51 @@ class SketchStreamsSpec extends SparkSpec {
     assert(got == Map("a" -> 150.0, "b" -> 50.0), s"got $got")
   }
 
+  test("streaming drift monitor: accumulated report == batch driftReport; replay idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.DriftStreams
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift_stream").toString
+    // reference: uniform buckets 0..3; stream: bucket 3's mass on 0
+    val refRows = (0 until 40).map(i => i % 4 * 10 + 1)
+    val streamRows = (0 until 30).map(i => i % 3 * 10 + 1) ++ Seq.fill(10)(1)
+    val ref = graft.operators.Quality.bucketCounts(refRows.toDF("v"), $"v",
+      lo = 1, width = 10, nBuckets = 4, out = "n_a")
+    val in = MemoryStream[Int]
+    val q = in.toDF().toDF("v")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        DriftStreams.applyDriftBatch(dir, id, b, col("v"),
+          lo = 1, width = 10, nBuckets = 4)
+      }
+      .start()
+    val (half1, half2) = streamRows.splitAt(20)
+    in.addData(half1: _*); q.processAllAvailable()
+    in.addData(half2: _*); q.processAllAvailable()
+    q.stop()
+    def report = DriftStreams.driftAgainstReference(spark, dir, ref,
+        nBuckets = 4, thresholdPpm = 100000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    val batch = graft.operators.Quality.driftReport(refRows.toDF("v"),
+        streamRows.toDF("v"), col("v"), lo = 1, width = 10, nBuckets = 4,
+        thresholdPpm = 100000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    assert(report == batch, s"report=$report batch=$batch")
+    // redelivered batch 0 rebuilds its snapshot from scratch — the
+    // LATEST snapshot (v=1) is untouched and the report is unchanged
+    DriftStreams.applyDriftBatch(dir, 0L, half1.toDF("v"), col("v"),
+      lo = 1, width = 10, nBuckets = 4)
+    assert(report == batch)
+    // before any batch: loud refusal, never a silent "no drift"
+    val ex = intercept[IllegalStateException] {
+      DriftStreams.driftAgainstReference(spark,
+        dir + "_nonexistent", ref, nBuckets = 4)
+    }
+    assert(ex.getMessage.contains("no committed drift snapshot"))
+  }
+
   test("batch replay is idempotent; kll quantiles stay correct incrementally") {
     val dir = java.nio.file.Files.createTempDirectory("graft_kll_stream").toString
     def b(lo: Long, hi: Long) =
