@@ -96,7 +96,7 @@ object SparkEntry {
     "mm_decode_video_frames", "catalog_persistent_roundtrip",
     "evt_dedup_replay", "dedup_minhash_incremental_gate",
     "dedup_clusters_incremental_gate", "dedup_embedding_incremental_gate",
-    "dq_drift_stream",
+    "dq_drift_stream", "pipeline_incremental_dedup_gate",
     // round-9 additions (all green in CORRECTNESS_r09 except q12's
     // type artifact, fixed this round — kept early while the fix lands)
     "bpe_byte_fallback_gate", "evt_stream_join_outer", "bloommap_prune",
@@ -162,6 +162,20 @@ object SparkEntry {
       .select(col("l1.l_partkey").as("a"), col("l2.l_partkey").as("b"))
       .distinct()
   }
+
+  /** Exact set-equality verdict for two DISTINCT row sets: full-join
+    * on every column and count one-sided rows — zero iff the sets are
+    * equal. Deliberately NOT `a.exceptAll(b) ⊎ b.exceptAll(a)`: when
+    * both operands derive from the same base plan, that fused union's
+    * rewrite double-resolved shared attribute ids and miscounted
+    * (observed in pipeline_incremental_dedup_gate: the standalone
+    * exceptAll was empty while the fused plan's count was not). */
+  private def setsEqual(a: DataFrame, b: DataFrame, keys: Seq[String],
+      out: String): DataFrame =
+    a.withColumn("__xa", lit(1))
+      .join(b.withColumn("__xb", lit(1)), keys, "full")
+      .agg((coalesce(sum(when(col("__xa").isNotNull && col("__xb").isNotNull,
+        0L).otherwise(1L)), lit(0L)) === 0).as(out))
 
   /** Fitted-artifact cache: model/index builds are do-once batch jobs,
     * not per-query work. Keyed by sf dir so repeated query invocations
@@ -2574,8 +2588,7 @@ object SparkEntry {
         .join(oldLabels.select($"id".as("b"), $"comp".as("cb")), Seq("b"))
         .filter($"ca" =!= $"cb")
       inc.agg(count(lit(1)).cast("bigint").as("n_vertices"))
-        .crossJoin(inc.exceptAll(full).union(full.exceptAll(inc))
-          .agg((count(lit(1)) === 0).as("equal")))
+        .crossJoin(setsEqual(inc, full, Seq("id", "comp"), "equal"))
         .crossJoin(bridged.agg((count(lit(1)) > 0).as("merged")))
     }),
 
@@ -2692,8 +2705,7 @@ object SparkEntry {
       val byText = docs.groupBy($"text").agg(min($"doc_id").as("doc_id"))
         .select($"doc_id")
       byFp.agg(count(lit(1)).cast("bigint").as("n_distinct"))
-        .crossJoin(byFp.exceptAll(byText).union(byText.exceptAll(byFp))
-          .agg((count(lit(1)) === 0).as("ids_agree")))
+        .crossJoin(setsEqual(byFp, byText, Seq("doc_id"), "ids_agree"))
     }),
 
     "dedup_simhash_complete" -> ((s, dir) => {
@@ -2716,8 +2728,7 @@ object SparkEntry {
         .select($"id_a", $"id_b")
       brute.agg(count(lit(1)).as("n_brute"))
         .crossJoin(banded.agg(count(lit(1)).as("n_banded")))
-        .crossJoin(brute.exceptAll(banded).union(banded.exceptAll(brute))
-          .agg((count(lit(1)) === 0).as("complete")))
+        .crossJoin(setsEqual(brute, banded, Seq("id_a", "id_b"), "complete"))
         .select(($"n_brute" > 0).as("nonempty"), $"complete")
     }),
 
@@ -2751,8 +2762,7 @@ object SparkEntry {
         mode = "append")
       val appended = s.read.parquet(idx)
       full.agg(count(lit(1)).as("n_full"))
-        .crossJoin(full.exceptAll(merged).union(merged.exceptAll(full))
-          .agg((count(lit(1)) === 0).as("complete")))
+        .crossJoin(setsEqual(full, merged, Seq("id_a", "id_b"), "complete"))
         .crossJoin(oldOnly.intersect(inc)
           .agg((count(lit(1)) === 0).as("disjoint")))
         .crossJoin(appended.agg(count(lit(1)).as("n_idx_rows"))
@@ -2793,8 +2803,7 @@ object SparkEntry {
       val nIndexed = s.read.parquet(idx + "__sets")
         .agg(count(lit(1)).as("n_docs"))
       full.agg(count(lit(1)).as("n_full"))
-        .crossJoin(full.exceptAll(merged).union(merged.exceptAll(full))
-          .agg((count(lit(1)) === 0).as("complete")))
+        .crossJoin(setsEqual(full, merged, Seq("id_a", "id_b"), "complete"))
         .crossJoin(oldOnly.intersect(inc)
           .agg((count(lit(1)) === 0).as("disjoint")))
         .crossJoin(appended.agg(count(lit(1)).as("n_idx_rows"))
@@ -2832,11 +2841,49 @@ object SparkEntry {
       val oldOnly = pairsOf(old)
       val merged = oldOnly.union(inc)
       full.agg(count(lit(1)).as("n_full"))
-        .crossJoin(full.exceptAll(merged).union(merged.exceptAll(full))
-          .agg((count(lit(1)) === 0).as("complete")))
+        .crossJoin(setsEqual(full, merged, Seq("id_a", "id_b"), "complete"))
         .crossJoin(oldOnly.intersect(inc)
           .agg((count(lit(1)) === 0).as("disjoint")))
         .select(($"n_full" > 0).as("nonempty"), $"complete", $"disjoint")
+    }),
+
+    "pipeline_incremental_dedup_gate" -> ((s, dir) => {
+      import s.implicits._
+      // The daily-crawl dedup loop END-TO-END, composing the r10
+      // incremental pieces: day 0 builds the minhash band index and a
+      // total cluster labeling; day 1's batch pairs against the
+      // PERSISTED index (no history rescan), folds the pairs into the
+      // labeling via the star-graph CC (no edge replay), and the
+      // resulting total assignment must equal a from-scratch recompute
+      // over the full corpus — the invariant that lets a 100 TB corpus
+      // absorb a daily crawl at daily-crawl cost. SIDE-EFFECTING
+      // (writes the index at construction).
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+      val old = docs.filter($"doc_id" % 2 === 0)
+      val nw = docs.filter($"doc_id" % 2 === 1)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_pinc_${math.abs(dir.hashCode)}"
+      Dedup.writeMinhashIndex(old, "text", "doc_id", idx)
+      val oldPairs = Dedup.minhashNearDup(old, "text", "doc_id")
+        .select($"id_a", $"id_b")
+      val oldLabels = Graph.assignClusters(old.select($"doc_id"),
+          "doc_id", oldPairs)
+        .select($"doc_id".as("id"), $"cluster_id".as("comp"))
+      val incPairs = Dedup.minhashNearDupIncremental(nw, idx, "text",
+          "doc_id")
+        .select($"id_a", $"id_b").localCheckpoint()
+      val incLabels = Graph.connectedComponentsIncremental(oldLabels, incPairs)
+      val incAssigned = docs.select($"doc_id")
+        .join(incLabels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"comp", $"doc_id").as("cluster_id"))
+      val fullPairs = Dedup.minhashNearDup(docs, "text", "doc_id")
+        .select($"id_a", $"id_b")
+      val fullAssigned = Graph.assignClusters(docs.select($"doc_id"),
+          "doc_id", fullPairs)
+        .select($"doc_id", $"cluster_id")
+      incAssigned.agg(count(lit(1)).cast("bigint").as("n_docs"))
+        .crossJoin(setsEqual(incAssigned, fullAssigned,
+          Seq("doc_id", "cluster_id"), "labels_equal"))
+        .crossJoin(incPairs.agg((count(lit(1)) > 0).as("nonempty_increment")))
     }),
 
     "dedup_minhash_recall" -> ((s, dir) => {
@@ -6118,6 +6165,13 @@ object SparkEntry {
     "dedup_embedding_incremental_gate" ->
       """SELECT true AS nonempty, true AS complete,
         |  true AS disjoint""".stripMargin,
+
+    // n_docs recomputed by DuckDB; the labeling equality is Spark-side
+    // set algebra over the two total assignments
+    "pipeline_incremental_dedup_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS labels_equal,
+        |  true AS nonempty_increment
+        |FROM documents WHERE doc_id < 500""".stripMargin,
 
     // n_vertices recomputed from the same co-order pair derivation;
     // the equality/merge verdicts are Spark-side set algebra

@@ -374,6 +374,10 @@ object Writers {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val zmPath = new Path(dir + "__zonemap")
+    // a mid-swap crash during a prior append leaves the live map
+    // aside — restore it first so "map exists" is answered correctly
+    recoverMap(fs, zmPath)
+    recoverMap(fs, new Path(dir + "__bloommap"))
     val zone = fs.exists(zmPath) && {
       val cols = spark.read.parquet(zmPath.toString).schema.fieldNames
         .collect { case n if n.startsWith("__") && n.endsWith("_min") =>
