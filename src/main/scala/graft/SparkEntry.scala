@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.llm.{CorpusOverlap, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.ml.{Projection, TextFeatures}
 import graft.operators.{AsOf, Graph, IntervalJoin, Merge, Percentiles, Quality, Sampling, Scale}
-import graft.sources.{Csv, Writers}
+import graft.sources.{Csv, Deletes, Writers}
 import graft.streaming.EventStreams
 
 /** Driver contract — registry of named queries (SURVEY.md §2 inventory).
@@ -2185,6 +2185,61 @@ object SparkEntry {
           lit(after >= 1L).as("nonempty"))
     }),
 
+    "delete_vectors" -> ((s, dir) => {
+      import s.implicits._
+      // Row-level deletes WITHOUT rewriting data files (the Iceberg-v2
+      // position-delete / Delta deletion-vector pattern): copy
+      // lineitem, log two stacked delete batches as (file, row_index)
+      // coordinates, then aggregate the LIVE view. The oracle replays
+      // the two predicates as WHERE NOT — one wrong coordinate in the
+      // log and the per-flag sums drift. The second deleteWhere also
+      // exercises stacking: its predicate runs over the already-
+      // thinned live view and its positions append to the same log.
+      // SIDE-EFFECTING (writes + logs deletes at construction).
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_delvec_${math.abs(dir.hashCode)}"
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out + "__deletes"), true) // stale log from a prior run
+      Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_quantity", $"l_discount",
+          $"l_extendedprice", $"l_returnflag")
+        .repartition(8).write.mode("overwrite").parquet(out)
+      val n1 = Deletes.deleteWhere(s, out, $"l_quantity" > 45)
+      val n2 = Deletes.deleteWhere(s, out, $"l_discount" > 0.05)
+      Deletes.readApplyingDeletes(s, out)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          sum(round($"l_extendedprice" * 100).cast("long")).cast("bigint")
+            .as("cents"))
+        .withColumn("deletes_logged", lit(n1 > 0 && n2 > 0))
+        .orderBy($"l_returnflag")
+    }),
+
+    "delete_vectors_materialize" -> ((s, dir) => {
+      import s.implicits._
+      // The maintenance sweep: after materializeDeletes the PLAIN
+      // parquet read (no delete application) must equal the live view,
+      // and the log must be retired — merge-on-read folded into
+      // copy-on-write at a moment the operator chooses, not the
+      // writer. SIDE-EFFECTING (writes + rewrites at construction).
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_delmat_${math.abs(dir.hashCode)}"
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out + "__deletes"), true)
+      Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_quantity", $"l_extendedprice")
+        .repartition(8).write.mode("overwrite").parquet(out)
+      Deletes.deleteWhere(s, out, $"l_quantity" > 45)
+      val survivors = Deletes.materializeDeletes(s, out, targetRowsPerFile = 20000L)
+      s.read.parquet(out).agg(
+          count(lit(1)).cast("bigint").as("n_rows"),
+          sum(round($"l_extendedprice" * 100).cast("long")).cast("bigint")
+            .as("cents"))
+        .select($"n_rows", $"cents",
+          lit(Deletes.deletedCount(s, out) == 0L).as("log_retired"),
+          ($"n_rows" === survivors).as("counts_agree"))
+    }),
+
     "wholefile_scan" -> ((s, dir) => {
       import s.implicits._
       // sc.wholeTextFiles analogue (README.md:297): one row per file
@@ -2537,6 +2592,75 @@ object SparkEntry {
       graft.operators.Graph.kCore(partCoOrderPairs(s, dir), k = 12,
           "a", "b", maxIter = 10)
         .orderBy($"id")
+    }),
+
+    "graph_shortest_paths" -> ((s, dir) => {
+      import s.implicits._
+      // Bounded multi-source BFS over the part co-order graph: hop
+      // distance from the nearest id%97==0 seed, depth-capped at 8 (the
+      // measured BFS depth here is 3, so the cap never binds and both
+      // engines compute the COMPLETE answer — DuckDB replays the same
+      // wavefront with a depth-capped recursive CTE). SIDE-EFFECTING
+      // (BFS rounds run eagerly at construction).
+      val edges = partCoOrderPairs(s, dir)
+      val verts = edges.select($"a".as("id"))
+        .union(edges.select($"b".as("id"))).distinct()
+      Graph.shortestPaths(edges, verts.filter($"id" % 97 === 0),
+          "a", "b", "id", maxHops = 8)
+        .select($"id", $"dist".cast("bigint").as("dist"))
+        .orderBy($"id")
+    }),
+
+    "dedup_semantic" -> ((s, dir) => {
+      import s.implicits._
+      // SemDeDup survivors (cluster-then-exhaustive-compare semantic
+      // dedup). Raw dump is rows-only by design: the k-means fit is
+      // seeded spark.ml, not SQL-replayable — dedup_semantic_gate
+      // holds the hash-matched contract.
+      Dedup.semDedup(Tables.embeddings(s, dir).select($"vec_id", $"embedding"),
+          "embedding", "vec_id", minCosine = 0.35, nlist = 16)
+        .orderBy($"vec_id")
+    }),
+
+    "dedup_semantic_gate" -> ((s, dir) => {
+      import s.implicits._
+      // The SemDeDup contract, checked exactly on whatever clustering
+      // the seeded fit produced: (a) every doc gets exactly one
+      // assignment and survivors+pruned partition the corpus, (b) the
+      // pass did real work (pruned nonempty at this threshold),
+      // (c) every pruned doc has a within-cluster neighbor >= the
+      // threshold (it was grouped for a reason), (d) NO two survivors
+      // in the same cluster are >= the threshold apart — within-cluster
+      // completeness is exact because the verify is exhaustive, the
+      // property LSH dedup cannot promise. SIDE-EFFECTING at
+      // construction (fit + CC rounds + the checks' own joins).
+      val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val assign = Dedup.semDedupAssign(emb, "embedding", "vec_id",
+        minCosine = 0.35, nlist = 16).cache()
+      val withVec = assign.join(emb, "vec_id")
+      val surv = withVec.filter($"group_id" === $"vec_id")
+      val pruned = withVec.filter($"group_id" =!= $"vec_id")
+      val nAll = emb.count()
+      val nAssign = assign.count()
+      val nSurv = surv.count()
+      val nPruned = pruned.count()
+      val prunedWithNeighbor = pruned.as("p").join(withVec.as("o"),
+          $"p.cluster" === $"o.cluster" && $"p.vec_id" =!= $"o.vec_id" &&
+            graft.functions.cosine_similarity($"p.embedding", $"o.embedding")
+              >= 0.35, "left_semi")
+        .count()
+      val survViolations = surv.as("x").join(surv.as("y"),
+          $"x.cluster" === $"y.cluster" && $"x.vec_id" < $"y.vec_id" &&
+            graft.functions.cosine_similarity($"x.embedding", $"y.embedding")
+              >= 0.35)
+        .count()
+      assign.unpersist()
+      Seq((nAssign == nAll && nSurv + nPruned == nAll,
+        nPruned > 0,
+        prunedWithNeighbor == nPruned,
+        survViolations == 0L))
+        .toDF("partition_ok", "pruned_nonempty", "pruned_grouped",
+          "survivors_separated")
     }),
 
     "dedup_clusters" -> ((s, dir) => {
@@ -3387,6 +3511,52 @@ object SparkEntry {
       // order-independent and DuckDB-replayable bit-for-bit.
       TextAnalysis.bigramNll(Tables.documents(s, dir), "doc_id", "text")
         .orderBy($"doc_id")
+    }),
+
+    "dsir_select" -> ((s, dir) => {
+      import s.implicits._
+      // DSIR curation (Xie et al. 2023): score every pool document by
+      // the add-one-smoothed unigram log-likelihood ratio against the
+      // English-labeled slice as target, keep the 50 most target-like.
+      // Micro-nat integer quantization makes every weight — and so the
+      // top-50 cut itself — replayable value-for-value in DuckDB.
+      val docs = Tables.documents(s, dir)
+      graft.llm.Dsir.selectTopK(docs, docs.filter($"lang" === "en"),
+        "doc_id", "text", k = 50)
+    }),
+
+    "dsir_resample_gate" -> ((s, dir) => {
+      import s.implicits._
+      // The paper's actual RESAMPLING arm: seeded Gumbel-top-k draw
+      // over the same weights. Deterministic (hash noise), so the gate
+      // pins the contract: k rows drawn from the pool, the draw is
+      // target-tilted (selected mean weight above the pool mean), and
+      // near-zero temperature recovers the greedy ranking's weight
+      // mass to within the noise span (Gumbel noise spans ~40 units =
+      // 40 micro-nats at T=1, so ≤50 boundary flips cost ≤2000
+      // micro-nats of sum — 0.002 nats). No SQL oracle can replay the
+      // hash noise — the weights themselves are graded by dsir_select.
+      val docs = Tables.documents(s, dir)
+      val target = docs.filter($"lang" === "en")
+      val w = graft.llm.Dsir.importanceWeights(docs, target, "doc_id", "text")
+        .cache()
+      val drawn = graft.llm.Dsir.resampleGumbel(docs, target, "doc_id", "text",
+        k = 50, temperatureMicros = 200000L)
+      val poolMean = w.agg(avg($"dsir_micros")).as[Double].head()
+      val drawnRows = drawn.select($"doc_id", $"dsir_micros").collect()
+      val poolIds = w.select($"doc_id").as[Long].collect().toSet
+      val greedy = graft.llm.Dsir.resampleGumbel(docs, target, "doc_id", "text",
+          k = 50, temperatureMicros = 1L)
+        .agg(sum($"dsir_micros")).as[Long].head()
+      val greedyTop = graft.llm.Dsir.selectTopK(docs, target, "doc_id", "text", 50)
+        .agg(sum($"dsir_micros")).as[Long].head()
+      w.unpersist()
+      Seq((
+        drawnRows.length == 50,
+        drawnRows.forall(r => poolIds.contains(r.getLong(0))),
+        drawnRows.map(_.getLong(1)).sum.toDouble / 50 > poolMean,
+        greedyTop >= greedy && greedyTop - greedy <= 2000L
+      )).toDF("k_drawn", "from_pool", "target_tilted", "cold_is_greedy")
     }),
 
     "text_redact" -> ((s, dir) => {
@@ -5810,6 +5980,24 @@ object SparkEntry {
         |  true AS files_shrunk, true AS nonempty
         |FROM lineitem""".stripMargin,
 
+    // the live view after two stacked position-delete batches must
+    // equal the WHERE NOT of both predicates — coordinates, not rows
+    "delete_vectors" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  true AS deletes_logged
+        |FROM lineitem
+        |WHERE NOT (l_quantity > 45) AND NOT (l_discount > 0.05)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "delete_vectors_materialize" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  true AS log_retired, true AS counts_agree
+        |FROM lineitem WHERE NOT (l_quantity > 45)""".stripMargin,
+
     // the pruned+filtered aggregate must equal the full-scan answer
     "zonemap_prune" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
@@ -6465,6 +6653,43 @@ object SparkEntry {
         |FROM b JOIN pair USING (w1, w2) JOIN ctx USING (w1), v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // DSIR log-likelihood-ratio weights replayed token for token: each
+    // model's add-one log-prob rounds to micro-nats separately (the
+    // unigramNll-proven shape), the difference is exact integers, and
+    // the top-50 cut (ties by doc_id) falls identically on both engines
+    "dsir_select" ->
+      """WITH rt AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+        |  FROM documents),
+        |r AS (SELECT doc_id, tok FROM rt WHERE tok <> ''),
+        |tt AS (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS tok
+        |  FROM documents WHERE lang = 'en'),
+        |t AS (SELECT tok FROM tt WHERE tok <> ''),
+        |cr AS (SELECT tok, count(*) AS cr FROM r GROUP BY 1),
+        |ct AS (SELECT tok, count(*) AS ct FROM t GROUP BY 1),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) AS v
+        |      FROM (SELECT tok FROM cr UNION SELECT tok FROM ct)),
+        |nr AS (SELECT CAST(sum(cr) AS DOUBLE) AS nr FROM cr),
+        |nt AS (SELECT CAST(sum(ct) AS DOUBLE) AS nt FROM ct),
+        |s AS (
+        |  SELECT cr.tok,
+        |    round(ln(CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE) / (nt.nt + v.v))
+        |      * 1000000)
+        |    - round(ln(CAST(cr.cr + 1 AS DOUBLE) / (nr.nr + v.v))
+        |      * 1000000) AS lr
+        |  FROM cr LEFT JOIN ct USING (tok), v, nr, nt)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(sum(lr) AS BIGINT) AS dsir_micros
+        |FROM r JOIN s USING (tok)
+        |GROUP BY doc_id
+        |ORDER BY dsir_micros DESC, doc_id
+        |LIMIT 50""".stripMargin,
+
+    "dsir_resample_gate" ->
+      """SELECT true AS k_drawn, true AS from_pool,
+        |  true AS target_tilted, true AS cold_is_greedy""".stripMargin,
+
     // ANN quality gates: threshold booleans, not pinned recall values —
     // a plane-count/seed/testdata retune shifts the exact recall but
     // not the contract (LSH >= 0.4 at 6 planes, IVF >= 0.6).
@@ -6799,6 +7024,31 @@ object SparkEntry {
     // degree-filter recurrence; the fixpoint is unique, so once the
     // peel stabilizes the extra rounds are no-ops and the replay is
     // row-for-row
+    // same co-order edge derivation as graph_kcore; the wavefront
+    // replays as a depth-capped recursive CTE (UNION dedups (id,d)
+    // states, min() collapses to the first hop that reached each id)
+    "graph_shortest_paths" ->
+      """WITH RECURSIVE p AS MATERIALIZED (
+        |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |   AND l1.l_partkey < l2.l_partkey
+        |  WHERE l1.l_orderkey % 4 = 0),
+        |e AS MATERIALIZED (SELECT a AS u, b AS v FROM p
+        |  UNION SELECT b AS u, a AS v FROM p),
+        |src AS (SELECT DISTINCT u AS id FROM e WHERE u % 97 = 0),
+        |bfs AS (
+        |  SELECT id, 0 AS d FROM src
+        |  UNION
+        |  SELECT e.v AS id, b.d + 1 AS d FROM bfs b
+        |  JOIN e ON e.u = b.id WHERE b.d < 8)
+        |SELECT id, CAST(min(d) AS BIGINT) AS dist
+        |FROM bfs GROUP BY id ORDER BY id""".stripMargin,
+
+    "dedup_semantic_gate" ->
+      """SELECT true AS partition_ok, true AS pruned_nonempty,
+        |  true AS pruned_grouped, true AS survivors_separated""".stripMargin,
+
     "graph_kcore" -> {
       // MATERIALIZED: each round references the previous one twice,
       // so default CTE inlining would expand e0 2^10 times (measured:

@@ -619,4 +619,73 @@ object Dedup {
                 i < s.getField("span_end")))))
       .select(col(idCol), concat_ws(" ", col("__kept")).as(textCol))
   }
+
+  /** SemDeDup (Abbas et al. 2023, *SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication* — public method):
+    * SEMANTIC dedup over an embedding column. Where
+    * [[embeddingNearDup]] hunts near-copies with LSH recall
+    * trade-offs, SemDeDup first k-means-clusters the corpus and then
+    * compares pairs EXHAUSTIVELY — but only within a cluster, which is
+    * the paper's whole trick: the candidate set shrinks from O(n²) to
+    * Σ|cluster|², and cross-cluster pairs (already far apart by the
+    * clustering objective) are the sacrificed recall. Within each
+    * cluster, documents with cosine ≥ `minCosine` form groups
+    * (transitive closure via hash-min CC) and one survivor per group
+    * is kept — min-id, this module's canonical election.
+    *
+    * Returns the SURVIVORS: (`idCol`, `cluster`). Within-cluster
+    * completeness is exact (no LSH in the verify), so no two survivors
+    * in the same cluster are ≥ `minCosine` apart — the gate's
+    * invariant. SIDE-EFFECTING at construction (KMeans fit + CC
+    * rounds run jobs).
+    *
+    * Scale shape: the fit samples/iterates via spark.ml KMeans (seeded);
+    * assignment is one broadcast pass; the pair join keys on the
+    * cluster id, so its cost is Σ|cluster|² — `maxClusterRows` fails
+    * loudly before a degenerate clustering (everything in one bucket)
+    * can detonate a quadratic join; raise `nlist` (paper: n/√n-scale
+    * cluster counts) rather than the cap. */
+  def semDedup(emb: DataFrame, vecCol: String, idCol: String,
+      minCosine: Double = 0.95, nlist: Int = 16, seed: Long = 42L,
+      maxClusterRows: Long = 100000L): DataFrame =
+    semDedupAssign(emb, vecCol, idCol, minCosine, nlist, seed, maxClusterRows)
+      .filter(col("group_id") === col(idCol).cast("long"))
+      .select(col(idCol), col("cluster"))
+
+  /** The full per-document SemDeDup assignment behind [[semDedup]]:
+    * (`idCol`, `cluster`, `group_id`) for EVERY input row, where
+    * `group_id` is the min id of the document's within-cluster
+    * semantic group (its own id when nothing ≥ `minCosine` shares the
+    * cluster). Survivors are the rows with `group_id == id`; auditors
+    * and gates use the rest (who pruned whom, per cluster). */
+  def semDedupAssign(emb: DataFrame, vecCol: String, idCol: String,
+      minCosine: Double = 0.95, nlist: Int = 16, seed: Long = 42L,
+      maxClusterRows: Long = 100000L): DataFrame = {
+    val (assigned, _) = Similarity.ivfAssign(
+      emb.select(col(idCol), col(vecCol)), vecCol, nlist, seed)
+    val biggest = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n")).agg(max(col("n"))).head().getLong(0)
+    require(biggest <= maxClusterRows,
+      s"largest cluster has $biggest rows > maxClusterRows=$maxClusterRows; " +
+        s"the within-cluster pair join is quadratic per cluster — raise " +
+        s"nlist (currently $nlist) to shrink clusters, or raise the cap " +
+        s"if the cost is understood")
+    val a = assigned.select(col("cluster"), col(idCol).as("id_a"),
+      col(vecCol).as("vec_a"))
+    val b = assigned.select(col("cluster"), col(idCol).as("id_b"),
+      col(vecCol).as("vec_b"))
+    val pairs = a.join(b, "cluster")
+      .filter(col("id_a") < col("id_b"))
+      .filter(graft.functions.cosine_similarity(col("vec_a"), col("vec_b"))
+        >= minCosine)
+      .select(col("id_a"), col("id_b"))
+    // hash-min CC labels every grouped doc with its group's min id;
+    // ungrouped docs anchor their own singleton group
+    val comps = graft.operators.Graph.connectedComponents(pairs)
+      .select(col("id").as("__cc_id"), col("comp"))
+    assigned.select(col(idCol), col("cluster"))
+      .join(comps, assigned(idCol).cast("long") === col("__cc_id"), "left_outer")
+      .withColumn("group_id", coalesce(col("comp"), col(idCol).cast("long")))
+      .drop("__cc_id", "comp")
+  }
 }

@@ -424,4 +424,55 @@ object Graph {
       .select(col("id"), col("deg").cast("bigint").as("deg"),
         coalesce(col("n_tri"), lit(0L)).cast("bigint").as("n_tri"))
   }
+
+  /** Bounded multi-source BFS: exact hop distance from the nearest
+    * source for every vertex within `maxHops` of one — the k-hop
+    * neighborhood primitive (influence radius around flagged spam
+    * domains, blast-radius of a bad seed crawl, "how far is every doc
+    * from a trusted root"). Deliberately HOP-BOUNDED rather than
+    * run-to-fixpoint: on a 100 TB graph an unbounded BFS is a bug, and
+    * the bound makes the semantics a pure function both engines can
+    * replay (DuckDB's recursive CTE caps at the same depth —
+    * `graph_shortest_paths`). Returns (`id`, `dist`) with dist ≤
+    * maxHops; unreached vertices are absent. Undirected (edges
+    * symmetrized), unweighted.
+    *
+    * Scale shape: per round ONE join of the 16-byte frontier against
+    * the edge list + a dst-keyed min-agg + an anti-join against the
+    * settled set — the frontier SHRINKS to newly reached vertices
+    * only, so total work is O(E · 1) amortized, not O(E · rounds);
+    * lineage truncated per round like every iterative op here
+    * (construction runs jobs eagerly). */
+  def shortestPaths(edges: DataFrame, sources: DataFrame,
+      srcCol: String = "id_a", dstCol: String = "id_b",
+      sourceCol: String = "id", maxHops: Int = 8,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val e = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+    val sym = truncate(
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .filter(col("u") =!= col("v")).distinct(), checkpointDir)
+    var settled = truncate(
+      sources.select(col(sourceCol).cast("long").as("id")).distinct()
+        .withColumn("dist", lit(0L)), checkpointDir)
+    var frontier = settled
+    var hop = 0
+    var live = frontier.count()
+    while (live > 0 && hop < maxHops) {
+      hop += 1
+      val next = truncate(
+        frontier.join(sym, frontier("id") === sym("u"))
+          .select(col("v").as("id"))
+          .join(settled.select(col("id")), Seq("id"), "left_anti")
+          .distinct()
+          .withColumn("dist", lit(hop.toLong)), checkpointDir)
+      live = next.count()
+      if (live > 0) {
+        settled = truncate(settled.unionByName(next), checkpointDir)
+        frontier = next
+      }
+    }
+    settled
+  }
 }

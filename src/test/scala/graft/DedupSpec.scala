@@ -316,4 +316,43 @@ class DedupSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("planes=4"), ex.getMessage)
   }
+
+  test("semDedup: planted near-identical vectors collapse to the min id") {
+    // two tight groups on orthogonal axes + a lone vector; any k-means
+    // split keeps each tight group inside ONE cluster (they are
+    // near-coincident points), so the within-cluster verify must group
+    // them regardless of where the centroids land
+    def v(x: Double, y: Double, z: Double) =
+      Array(x.toFloat, y.toFloat, z.toFloat)
+    val emb = Seq(
+      (1L, v(1, 0.01, 0)), (2L, v(1, 0.02, 0)), (3L, v(1, 0, 0.01)),
+      (10L, v(0, 1, 0.01)), (11L, v(0.01, 1, 0)),
+      (20L, v(0, 0.01, -1))).toDF("vec_id", "embedding")
+    val surv = Dedup.semDedup(emb, "embedding", "vec_id",
+        minCosine = 0.99, nlist = 3)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(surv == Set(1L, 10L, 20L))
+  }
+
+  test("semDedupAssign: group labels are min ids and partition the input") {
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val emb = Seq((5L, v(1, 0)), (6L, v(1, 0.001)), (7L, v(0, 1)))
+      .toDF("vec_id", "embedding")
+    val assign = Dedup.semDedupAssign(emb, "embedding", "vec_id",
+      minCosine = 0.99, nlist = 2).collect()
+    assert(assign.length == 3)
+    val groups = assign.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(groups(5L) == 5L && groups(6L) == 5L && groups(7L) == 7L)
+  }
+
+  test("semDedup: degenerate clustering fails loudly at the cap") {
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val emb = (1L to 20L).map(i => (i, v(i.toDouble, 1)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.semDedup(emb, "embedding", "vec_id", nlist = 2,
+        maxClusterRows = 5L)
+    }
+    assert(ex.getMessage.contains("maxClusterRows"), ex.getMessage)
+  }
 }

@@ -285,4 +285,40 @@ class GraphSpec extends SparkSpec {
       }
     }
   }
+
+  test("shortestPaths: hand graph, multi-source, nearest source wins") {
+    // chain 1-2-3-4-5, triangle 10-11-12, isolated source 99
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("id_a", "id_b")
+    val sources = Seq(1L, 5L, 10L, 99L).toDF("id")
+    val d = Graph.shortestPaths(edges, sources)
+      .as[(Long, Long)].collect().toMap
+    // 3 is two hops from BOTH 1 and 5 — min is what lands
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L,
+      10L -> 0L, 11L -> 1L, 12L -> 1L, 99L -> 0L))
+  }
+
+  test("shortestPaths: the hop cap truncates the wavefront exactly") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val d = Graph.shortestPaths(chain, Seq(1L).toDF("id"), maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L)) // 4,5,6 beyond the cap
+    // cycles terminate without the cap binding
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("id_a", "id_b")
+    val dc = Graph.shortestPaths(cyc, Seq(1L).toDF("id"), maxHops = 30)
+      .as[(Long, Long)].collect().toMap
+    assert(dc == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("shortestPaths: reliable-checkpoint path agrees with local") {
+    val dir = java.nio.file.Files.createTempDirectory("bfs_ckpt").toString
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val local = Graph.shortestPaths(edges, Seq(1L).toDF("id"))
+      .as[(Long, Long)].collect().toMap
+    val reliable = Graph.shortestPaths(edges, Seq(1L).toDF("id"),
+        checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(local == reliable)
+  }
 }
