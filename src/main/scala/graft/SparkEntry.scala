@@ -325,11 +325,12 @@ object SparkEntry {
     "text_stats", "text_quality", "text_term_freq", "text_lang_dist",
     "text_langid", "text_token_counts", "text_quality_score", "text_entities",
     "text_chunk", "text_redact", "text_repetition",
-    "text_unigram_nll", "text_normalize", "bpe_tokenize",
+    "text_unigram_nll", "text_normalize", "bpe_tokenize", "dsir_select",
+    "text_bm25",
     "decontaminate", "corpus_overlap",
     "dedup_exact", "dedup_spans", "dedup_paragraph", "dedup_fingerprint", "dedup_simhash",
     "dedup_clusters", "graph_pagerank", "graph_triangles", "graph_kcore",
-    "graph_local_triangles",
+    "graph_local_triangles", "graph_shortest_paths",
     "pipeline_clean_corpus", "pipeline_curation", "pipeline_tokenize_pack",
     "sketch_freq_items",
     "sim_topk_brute", "sim_topk_ivf", "sim_topk_pq",
@@ -3513,6 +3514,16 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    "text_bm25" -> ((s, dir) => {
+      import s.implicits._
+      // Okapi BM25 lexical search over the corpus for the 3-term query
+      // "hash join spark" — top-20 by integer micro-unit score. The
+      // oracle mirrors the arithmetic tree token for token, so the
+      // scores AND the ranking cut hash-match.
+      TextAnalysis.bm25Search(Tables.documents(s, dir), "doc_id", "text",
+        Seq("hash", "join", "spark"), k = 20)
+    }),
+
     "dsir_select" -> ((s, dir) => {
       import s.implicits._
       // DSIR curation (Xie et al. 2023): score every pool document by
@@ -6652,6 +6663,36 @@ object SparkEntry {
         |    * 1000000)) AS BIGINT) AS bnll_micros
         |FROM b JOIN pair USING (w1, w2) JOIN ctx USING (w1), v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // BM25 with the arithmetic tree mirrored exactly (same association,
+    // same cast points); per-(doc,term) micro-units make the sum
+    // order-independent, so ranking and scores replay value-for-value
+    "text_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+        |  FROM documents),
+        |t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        |st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS total
+        |       FROM dl),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+        |       WHERE tok IN ('hash', 'join', 'spark') GROUP BY 1, 2),
+        |dfr AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |s AS (
+        |  SELECT tf.doc_id,
+        |    round((ln((CAST(st.n - dfr.df AS DOUBLE) + 0.5)
+        |        / (CAST(dfr.df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75
+        |          * (CAST(dl.dl AS DOUBLE)
+        |            / (CAST(st.total AS DOUBLE) / CAST(st.n AS DOUBLE))))))
+        |      * 1000000) AS sm
+        |  FROM tf JOIN dfr USING (tok) JOIN dl USING (doc_id), st)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+        |  CAST(sum(sm) AS BIGINT) AS score_micros
+        |FROM s GROUP BY doc_id
+        |ORDER BY score_micros DESC, doc_id
+        |LIMIT 20""".stripMargin,
 
     // DSIR log-likelihood-ratio weights replayed token for token: each
     // model's add-one log-prob rounds to micro-nats separately (the

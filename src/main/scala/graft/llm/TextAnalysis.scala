@@ -260,4 +260,59 @@ object TextAnalysis {
     df.withColumn("entities",
       regexp_extract_all(col(textCol),
         lit("\\b[A-Z][a-z]+(?: [A-Z][a-z]+)*\\b"), lit(0)))
+
+  /** Okapi BM25 ranked retrieval (Robertson & Spärck Jones; Lucene's
+    * `+1`-inside-the-log idf variant so scores never go negative) —
+    * the lexical-search complement to the embedding ANN family:
+    *
+    *   score(d,Q) = Σ_{t∈Q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *   idf(t)     = ln((N − df_t + 0.5)/(df_t + 0.5) + 1)
+    *
+    * Per-(doc,term) contributions quantize to integer MICRO-units
+    * (`round(x·1e6)`), so the per-doc sum is order-independent and the
+    * whole ranking — including the top-k cut — replays value-for-value
+    * in DuckDB when the oracle mirrors the arithmetic tree exactly
+    * (`text_bm25`). Defaults k1=1.2, b=0.75 are the literature's.
+    *
+    * Scale shape: one explode for doc lengths (count-only hash-agg,
+    * 16-byte rows), the query-term postings shrink AT THE SCAN
+    * (`isin` filter pushes into the exploded stream — only matching
+    * (id, term) rows survive into the tf agg), document-frequency and
+    * corpus stats are tiny broadcasts, and the final ranking is a
+    * TakeOrderedAndProject. Nothing text-sized ever shuffles. */
+  def bm25Search(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int = 20, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val terms = queryTerms.distinct
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok") =!= "")
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__dl"))
+    val stats = dl.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__total"))
+    val tf = toks.filter(col("__tok").isin(terms.map(lit(_)): _*))
+      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    // the arithmetic TREE below is mirrored token-for-token by the
+    // text_bm25 oracle — change one association and the micro-units
+    // drift; idf and the saturation term stay fully parenthesized
+    tf.join(broadcast(dfreq), "__tok")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("__avgdl",
+        col("__total").cast("double") / col("__n").cast("double"))
+      .withColumn("__idf",
+        log(((col("__n") - col("__df")).cast("double") + 0.5) /
+          (col("__df").cast("double") + 0.5) + 1.0))
+      .withColumn("__s_micros",
+        round((col("__idf") * (col("__tf").cast("double") * (lit(k1) + 1.0)) /
+          (col("__tf").cast("double") +
+            lit(k1) * (lit(1.0) - lit(b) +
+              lit(b) * (col("__dl").cast("double") / col("__avgdl"))))) * 1e6)
+          .cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("bigint").as("n_terms_hit"),
+        sum(col("__s_micros")).cast("bigint").as("score_micros"))
+      .orderBy(desc("score_micros"), col(idCol))
+      .limit(k)
+  }
 }

@@ -527,4 +527,34 @@ class PlanSpec extends SparkSpec {
     assert(!ccP.contains("CartesianProduct") &&
       !ccP.contains("BroadcastNestedLoopJoin"), ccP)
   }
+
+  test("text_bm25 / dsir_select: document text never shuffles") {
+    for (name <- Seq("text_bm25", "dsir_select")) {
+      val p = plan(name)
+      p.split("\\n\\n").toSeq.filter(b =>
+        b.linesIterator.exists(_.matches("\\(\\d+\\) Exchange.*"))).foreach { b =>
+        val input = b.linesIterator.find(_.startsWith("Input")).getOrElse("")
+        assert(!input.contains("text#"), s"$name text in exchange:\n$b")
+      }
+    }
+  }
+
+  test("text_bm25 ranks via TakeOrderedAndProject, never a global sort") {
+    val p = plan("text_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("position-delete read: the log applies as a broadcast anti-join") {
+    // the delete log is fixed-width coordinates — tiny next to the
+    // table — so the live view must resolve as one scan plus a
+    // broadcast LeftAnti, never a shuffled join of the whole table
+    val dir = java.nio.file.Files.createTempDirectory("delplan").toString + "/t"
+    spark.range(0, 1000).selectExpr("id", "id * 2 AS v")
+      .write.parquet(dir)
+    graft.sources.Deletes.deleteWhere(spark, dir, col("v") > 1900)
+    val p = graft.sources.Deletes.readApplyingDeletes(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

@@ -269,4 +269,44 @@ class TextAnalysisSpec extends SparkSpec {
     // dominant-transition doc even though the token sets are equal
     assert(got(3L)._2 / got(3L)._1 > got(1L)._2 / got(1L)._1)
   }
+
+  test("bm25Search matches a driver-side replica; ranking + cut behave") {
+    val docs = Seq(
+      (1L, "hash hash hash filler filler"),
+      (2L, "hash join filler"),
+      (3L, "join join hash"),
+      (4L, "nothing relevant here at all"),
+      (5L, "hash")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Search(docs, "doc_id", "text",
+        Seq("hash", "join"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    // exact replica of the operator's arithmetic tree
+    val corpus = Map(1L -> "hash hash hash filler filler",
+      2L -> "hash join filler", 3L -> "join join hash",
+      4L -> "nothing relevant here at all", 5L -> "hash")
+    val toks = corpus.view.mapValues(_.split("\\s+").toSeq).toMap
+    val n = corpus.size.toLong
+    val avgdl = toks.values.map(_.size).sum.toDouble / n.toDouble
+    def dfOf(t: String) = toks.values.count(_.contains(t)).toLong
+    def score(id: Long): (Long, Long) = {
+      val hits = Seq("hash", "join").filter(t => toks(id).contains(t))
+      val s = hits.map { t =>
+        val tf = toks(id).count(_ == t).toDouble
+        val df = dfOf(t)
+        val idf = math.log(((n - df).toDouble + 0.5) / (df.toDouble + 0.5) + 1.0)
+        math.round((idf * (tf * (1.2 + 1.0)) /
+          (tf + 1.2 * (1.0 - 0.75 + 0.75 * (toks(id).size.toDouble / avgdl)))) * 1e6)
+      }.sum
+      (hits.size.toLong, s)
+    }
+    val want = Seq(1L, 2L, 3L, 5L).map(id => (id, score(id)))
+      .sortBy { case (id, (_, s)) => (-s, id) }.take(3)
+      .map { case (id, (h, s)) => (id, h, s) }
+    assert(got.toSeq == want, s"got ${got.toSeq} want $want")
+    // doc 4 has no query terms: absent even when k allows it
+    val all = TextAnalysis.bm25Search(docs, "doc_id", "text",
+      Seq("hash", "join"), k = 10).collect().map(_.getLong(0)).toSet
+    assert(all == Set(1L, 2L, 3L, 5L))
+  }
 }
