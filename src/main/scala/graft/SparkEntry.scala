@@ -330,7 +330,8 @@ object SparkEntry {
     "decontaminate", "corpus_overlap",
     "dedup_exact", "dedup_spans", "dedup_paragraph", "dedup_fingerprint", "dedup_simhash",
     "dedup_clusters", "graph_pagerank", "graph_triangles", "graph_kcore",
-    "graph_local_triangles", "graph_shortest_paths",
+    "graph_local_triangles", "graph_shortest_paths", "graph_cooccurrence",
+    "graph_weighted_paths",
     "pipeline_clean_corpus", "pipeline_curation", "pipeline_tokenize_pack",
     "sketch_freq_items",
     "sim_topk_brute", "sim_topk_ivf", "sim_topk_pq",
@@ -2608,6 +2609,42 @@ object SparkEntry {
         .union(edges.select($"b".as("id"))).distinct()
       Graph.shortestPaths(edges, verts.filter($"id" % 97 === 0),
           "a", "b", "id", maxHops = 8)
+        .select($"id", $"dist".cast("bigint").as("dist"))
+        .orderBy($"id")
+    }),
+
+    "graph_cooccurrence" -> ((s, dir) => {
+      import s.implicits._
+      // The edge builder the graph family consumes, now first-class:
+      // weighted part co-occurrence (n_shared = distinct orders the
+      // pair shares), top-50 strongest pairs. The loud quadratic guard
+      // is the operator's scale contract.
+      Graph.coOccurrence(
+          Tables.lineitem(s, dir).filter(pmod($"l_orderkey", lit(4)) === 0),
+          "l_orderkey", "l_partkey", weighted = true)
+        .orderBy($"n_shared".desc, $"id_a", $"id_b")
+        .limit(50)
+    }),
+
+    "graph_weighted_paths" -> ((s, dir) => {
+      import s.implicits._
+      // Hop-bounded Bellman-Ford over the WEIGHTED co-order graph:
+      // strong ties (many shared orders) are cheap to traverse
+      // (w = max(1, 8 - n_shared)), seeds are the id%97==0 vertices,
+      // walks capped at 6 edges. Integer weights make the bounded
+      // minimum a pure function; DuckDB enumerates the same walk
+      // space with a hop-counting recursive CTE. SIDE-EFFECTING
+      // (relaxation rounds run eagerly at construction).
+      val w = Graph.coOccurrence(
+          Tables.lineitem(s, dir).filter(pmod($"l_orderkey", lit(4)) === 0),
+          "l_orderkey", "l_partkey", weighted = true)
+        .withColumn("w", greatest(lit(1L), lit(8L) - $"n_shared"))
+      val e = w.select($"id_a".as("src"), $"id_b".as("dst"), $"w".as("weight"))
+        .unionByName(
+          w.select($"id_b".as("src"), $"id_a".as("dst"), $"w".as("weight")))
+      val verts = e.select($"src".as("id")).distinct()
+      Graph.weightedShortestPaths(e, verts.filter($"id" % 97 === 0),
+          maxHops = 6)
         .select($"id", $"dist".cast("bigint").as("dist"))
         .orderBy($"id")
     }),
@@ -7065,6 +7102,42 @@ object SparkEntry {
     // degree-filter recurrence; the fixpoint is unique, so once the
     // peel stabilizes the extra rounds are no-ops and the replay is
     // row-for-row
+    "graph_cooccurrence" ->
+      """SELECT a AS id_a, b AS id_b, n_shared FROM (
+        |  SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+        |    CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS n_shared
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |   AND l1.l_partkey < l2.l_partkey
+        |  WHERE l1.l_orderkey % 4 = 0
+        |  GROUP BY 1, 2)
+        |ORDER BY n_shared DESC, id_a, id_b LIMIT 50""".stripMargin,
+
+    // weighted Bellman-Ford replay: the recursive CTE enumerates the
+    // identical ≤6-hop walk space (hop counter caps recursion, UNION
+    // dedups (id, d, hop) states) and min() collapses per vertex
+    "graph_weighted_paths" ->
+      """WITH RECURSIVE p AS MATERIALIZED (
+        |  SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+        |    count(DISTINCT l1.l_orderkey) AS n_shared
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |   AND l1.l_partkey < l2.l_partkey
+        |  WHERE l1.l_orderkey % 4 = 0
+        |  GROUP BY 1, 2),
+        |e AS MATERIALIZED (
+        |  SELECT a AS u, b AS v, GREATEST(1, 8 - n_shared) AS w FROM p
+        |  UNION ALL SELECT b AS u, a AS v, GREATEST(1, 8 - n_shared) AS w
+        |  FROM p),
+        |src AS (SELECT DISTINCT u AS id FROM e WHERE u % 97 = 0),
+        |walk AS (
+        |  SELECT id, CAST(0 AS BIGINT) AS d, 0 AS hop FROM src
+        |  UNION
+        |  SELECT e.v AS id, b.d + e.w AS d, b.hop + 1 AS hop
+        |  FROM walk b JOIN e ON e.u = b.id WHERE b.hop < 6)
+        |SELECT id, CAST(min(d) AS BIGINT) AS dist
+        |FROM walk GROUP BY id ORDER BY id""".stripMargin,
+
     // same co-order edge derivation as graph_kcore; the wavefront
     // replays as a depth-capped recursive CTE (UNION dedups (id,d)
     // states, min() collapses to the first hop that reached each id)

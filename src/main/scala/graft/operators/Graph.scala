@@ -443,6 +443,92 @@ object Graph {
     * only, so total work is O(E · 1) amortized, not O(E · rounds);
     * lineage truncated per round like every iterative op here
     * (construction runs jobs eagerly). */
+  /** Co-occurrence pair graph — the edge builder behind "items that
+    * share a basket/order/document": every distinct item pair within a
+    * group becomes one undirected edge (`id_a < id_b`), optionally
+    * weighted by the number of groups the pair shares (`n_shared`).
+    * This is the input shape the whole graph family here consumes
+    * (co-order part graphs, doc-entity graphs, session-item graphs).
+    *
+    * Scale: the self-join keys on the group, so cost is Σ|group|² —
+    * quadratic in the LARGEST group, and one viral 10k-item group
+    * means 50M pairs from a single key. `maxGroupItems` fails loudly
+    * on the pre-flight (one narrow count, cheap next to the join it
+    * guards) instead of letting a skewed group detonate the shuffle;
+    * cap or pre-sample oversized groups upstream, deliberately. */
+  def coOccurrence(df: DataFrame, groupCol: String, itemCol: String,
+      maxGroupItems: Long = 10000L, weighted: Boolean = false): DataFrame = {
+    val g = df.select(col(groupCol).as("__g"), col(itemCol).as("__i"))
+      .filter(col("__i").isNotNull).distinct()
+    val biggest = g.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).head().getLong(0)
+    require(biggest <= maxGroupItems,
+      s"largest group has $biggest items > maxGroupItems=$maxGroupItems; " +
+        s"the pair fan-out is quadratic per group — cap or sample the " +
+        s"oversized groups upstream, or raise the cap if the cost is understood")
+    val pairs = g.as("x").join(g.as("y"),
+        col("x.__g") === col("y.__g") && col("x.__i") < col("y.__i"))
+      .select(col("x.__i").as("id_a"), col("y.__i").as("id_b"))
+    if (weighted)
+      pairs.groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).cast("bigint").as("n_shared"))
+    else pairs.distinct()
+  }
+
+  /** Hop-bounded WEIGHTED shortest paths (Bellman-Ford with delta
+    * iteration): minimum total weight over DIRECTED walks of at most
+    * `maxHops` edges from any source. Integer weights keep the
+    * minimum a pure function both engines replay exactly
+    * (`graph_weighted_paths` — a recursive CTE enumerates the same
+    * bounded walk space). Negative weights are accepted by the
+    * recurrence (bounded hops ⇒ no divergence), but distances are
+    * then walk-length-bounded minima, not classic shortest paths.
+    * Symmetrize the edges first for undirected graphs.
+    *
+    * Scale shape: classic delta iteration — only vertices whose
+    * distance IMPROVED last round re-expand (the frontier), so a
+    * converged region stops costing anything; per round one frontier ⋈
+    * edges join + a dst-keyed min + a min-merge into the running
+    * distance table, all fixed-width (id, dist) rows, lineage
+    * truncated per round. Early-exits when a round improves nothing
+    * (the fixpoint, which the hop bound can only truncate, never
+    * change). */
+  def weightedShortestPaths(edges: DataFrame, sources: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst",
+      weightCol: String = "weight", sourceCol: String = "id",
+      maxHops: Int = 8, checkpointDir: Option[String] = None): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val e = truncate(edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"),
+      col(weightCol).cast("long").as("w")), checkpointDir)
+    var dist = truncate(
+      sources.select(col(sourceCol).cast("long").as("id")).distinct()
+        .withColumn("dist", lit(0L)), checkpointDir)
+    var frontier = dist
+    var hop = 0
+    var improvedN = frontier.count()
+    while (improvedN > 0 && hop < maxHops) {
+      hop += 1
+      val cand = frontier.join(e, frontier("id") === e("u"))
+        .select(col("v").as("id"), (col("dist") + col("w")).as("__d"))
+        .groupBy(col("id")).agg(min(col("__d")).as("__d"))
+      // keep only genuine improvements: they are both the new frontier
+      // and the rows to fold into the distance table
+      val improved = truncate(
+        cand.join(dist.withColumnRenamed("dist", "__old"), Seq("id"), "left_outer")
+          .filter(col("__old").isNull || col("__d") < col("__old"))
+          .select(col("id"), col("__d").as("dist")), checkpointDir)
+      improvedN = improved.count()
+      if (improvedN > 0) {
+        dist = truncate(
+          dist.join(improved.select(col("id")), Seq("id"), "left_anti")
+            .unionByName(improved), checkpointDir)
+        frontier = improved
+      }
+    }
+    dist
+  }
+
   def shortestPaths(edges: DataFrame, sources: DataFrame,
       srcCol: String = "id_a", dstCol: String = "id_b",
       sourceCol: String = "id", maxHops: Int = 8,

@@ -311,6 +311,59 @@ class GraphSpec extends SparkSpec {
     assert(dc == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("coOccurrence: pairs, weights, duplicate rows, and the loud cap") {
+    val rows = Seq((100L, 1L), (100L, 2L), (100L, 3L), (100L, 2L), // dup row
+      (200L, 1L), (200L, 2L), (300L, 9L)) // singleton group -> no pairs
+      .toDF("grp", "item")
+    val w = Graph.coOccurrence(rows, "grp", "item", weighted = true)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(w == Set((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)))
+    val u = Graph.coOccurrence(rows, "grp", "item")
+      .as[(Long, Long)].collect().toSet
+    assert(u == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val ex = intercept[IllegalArgumentException] {
+      Graph.coOccurrence(rows, "grp", "item", maxGroupItems = 2L)
+    }
+    assert(ex.getMessage.contains("maxGroupItems"), ex.getMessage)
+  }
+
+  test("weightedShortestPaths: cheaper multi-hop beats direct; caps bind") {
+    val e = Seq((1L, 2L, 5L), (2L, 3L, 5L), (1L, 3L, 100L))
+      .toDF("src", "dst", "weight")
+    val full = Graph.weightedShortestPaths(e, Seq(1L).toDF("id"))
+      .as[(Long, Long)].collect().toMap
+    assert(full == Map(1L -> 0L, 2L -> 5L, 3L -> 10L))
+    // one hop only: the expensive direct edge is all that fits
+    val capped = Graph.weightedShortestPaths(e, Seq(1L).toDF("id"), maxHops = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(capped == Map(1L -> 0L, 2L -> 5L, 3L -> 100L))
+    // multi-source: a source vertex is distance 0 regardless of edges
+    val multi = Graph.weightedShortestPaths(e, Seq(1L, 3L).toDF("id"))
+      .as[(Long, Long)].collect().toMap
+    assert(multi == Map(1L -> 0L, 2L -> 5L, 3L -> 0L))
+    // directed: nothing reaches 1
+    assert(!Graph.weightedShortestPaths(e, Seq(3L).toDF("id"))
+      .as[(Long, Long)].collect().toMap.contains(2L))
+  }
+
+  test("weightedShortestPaths: cycles converge; unit weights equal BFS") {
+    val cyc = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "weight")
+    val d = Graph.weightedShortestPaths(cyc, Seq(1L).toDF("id"), maxHops = 30)
+      .as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // unit-weight distances match the BFS operator on the same graph
+    val sym = cyc.select($"src".as("id_a"), $"dst".as("id_b"))
+    val bfs = Graph.shortestPaths(sym, Seq(1L).toDF("id"), maxHops = 30)
+      .as[(Long, Long)].collect().toMap
+    // shortestPaths symmetrizes; compare on the symmetrized weighted twin
+    val wsym = cyc.unionByName(cyc.select($"dst".as("src"), $"src".as("dst"),
+      $"weight"))
+    val dw = Graph.weightedShortestPaths(wsym, Seq(1L).toDF("id"), maxHops = 30)
+      .as[(Long, Long)].collect().toMap
+    assert(dw == bfs)
+  }
+
   test("shortestPaths: reliable-checkpoint path agrees with local") {
     val dir = java.nio.file.Files.createTempDirectory("bfs_ckpt").toString
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
