@@ -129,7 +129,10 @@ object SparkEntry {
     "set_intersect", "sim_ivf_append_recall", "sim_recall_ivf",
     "sim_recall_lsh", "sim_topk_ivf", "sketch_theta_persist",
     "sql_tablesample", "str_funcs", "text_chunk", "text_repetition",
-    "win_lag_delta", "win_rank_family", "win_topk_parts")
+    "win_lag_delta", "win_rank_family", "win_topk_parts",
+    // round-10 additions
+    "graph_label_prop", "dedup_containment", "text_gopher_rules",
+    "text_collocations")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -331,7 +334,8 @@ object SparkEntry {
     "dedup_exact", "dedup_spans", "dedup_paragraph", "dedup_fingerprint", "dedup_simhash",
     "dedup_clusters", "graph_pagerank", "graph_triangles", "graph_kcore",
     "graph_local_triangles", "graph_shortest_paths", "graph_cooccurrence",
-    "graph_weighted_paths",
+    "graph_weighted_paths", "graph_label_prop", "dedup_containment",
+    "text_gopher_rules", "text_collocations",
     "pipeline_clean_corpus", "pipeline_curation", "pipeline_tokenize_pack",
     "sketch_freq_items",
     "sim_topk_brute", "sim_topk_ivf", "sim_topk_pq",
@@ -2647,6 +2651,59 @@ object SparkEntry {
           maxHops = 6)
         .select($"id", $"dist".cast("bigint").as("dist"))
         .orderBy($"id")
+    }),
+
+    "graph_label_prop" -> ((s, dir) => {
+      import s.implicits._
+      // Community detection by SYNCHRONOUS label propagation over the
+      // part co-order graph: 3 rounds of neighborhood consensus,
+      // min-label tie-break. The fixed-round synchronous form is a
+      // pure function of (edges, iters) — DuckDB replays each round's
+      // (count desc, label asc) argmax exactly. SIDE-EFFECTING
+      // (rounds run eagerly at construction).
+      Graph.labelPropagation(partCoOrderPairs(s, dir), "a", "b", iters = 3)
+        .orderBy($"id")
+    }),
+
+    "dedup_containment" -> ((s, dir) => {
+      import s.implicits._
+      // Asymmetric 3-gram containment (quote/subset detection — the
+      // pair shape Jaccard structurally misses): pairs whose SMALLER
+      // gram set is >= 50% inside the other. Candidates come from the
+      // shared-gram posting join (never all-pairs), inclusion is
+      // tested in integer micro-units, and the reported double is
+      // derived output. Capped to doc_id < 500 (no-op at sf0.01).
+      Dedup.containment(Tables.documents(s, dir).filter($"doc_id" < 500),
+          "text", "doc_id", n = 3, minContainment = 0.5)
+        .select($"id_a", $"id_b", $"n_overlap", $"n_a", $"n_b",
+          $"containment".cast("decimal(10,6)").cast("double")
+            .as("containment"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    "text_gopher_rules" -> ((s, dir) => {
+      import s.implicits._
+      // Gopher/C4-style rule-pack filter with REASONS: every rule is
+      // an integer cross-multiplied predicate, so pass/fail and the
+      // rule-ordered `failed` array replay exactly in DuckDB.
+      // failed[] scalarizes to a comma string: raw array columns
+      // crash the driver's pandas sort (agg_collect_list precedent)
+      TextAnalysis.gopherRules(Tables.documents(s, dir), "text", "doc_id")
+        .select($"doc_id", $"n_words",
+          concat_ws(",", $"failed").as("failed"), $"keep")
+        .orderBy($"doc_id")
+    }),
+
+    "text_collocations" -> ((s, dir) => {
+      import s.implicits._
+      // PMI collocation mining over adjacent token pairs, micro-nat
+      // quantized (the unigram-NLL convention): counts are exact
+      // integers, the log's operand is a ratio of exact integers, so
+      // the top-100 and every score replay value-for-value.
+      TextAnalysis.collocations(Tables.documents(s, dir), "text",
+          minCount = 5)
+        .orderBy($"pmi_micros".desc, $"w1", $"w2")
+        .limit(100)
     }),
 
     "dedup_semantic" -> ((s, dir) => {
@@ -7184,6 +7241,126 @@ object SparkEntry {
          |SELECT u AS id, CAST(count(*) AS BIGINT) AS deg
          |FROM e10 GROUP BY u ORDER BY id""".stripMargin
     },
+
+    // 3 unrolled synchronous-LPA rounds: per round, the (count desc,
+    // label asc) argmax over neighbor labels — deterministic in both
+    // engines, so labels replay value-for-value
+    "graph_label_prop" -> {
+      def round(i: Int) =
+        s"""c$i AS (SELECT e.u, l.label, count(*) AS c
+           |  FROM e JOIN l${i - 1} l ON e.v = l.id GROUP BY 1, 2),
+           |l$i AS MATERIALIZED (SELECT u AS id, label FROM (
+           |  SELECT u, label, row_number() OVER (
+           |    PARTITION BY u ORDER BY c DESC, label ASC) AS rn
+           |  FROM c$i) WHERE rn = 1)""".stripMargin
+      s"""WITH p AS MATERIALIZED (
+         |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+         |  FROM lineitem l1 JOIN lineitem l2
+         |    ON l1.l_orderkey = l2.l_orderkey
+         |   AND l1.l_partkey < l2.l_partkey
+         |  WHERE l1.l_orderkey % 4 = 0),
+         |e AS MATERIALIZED (SELECT a AS u, b AS v FROM p
+         |  UNION SELECT b AS u, a AS v FROM p),
+         |l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS label FROM e),
+         |${(1 to 3).map(round).mkString(",\n")}
+         |SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label
+         |FROM l3 ORDER BY id""".stripMargin
+    },
+
+    // same gram construction as dedup_ngram_exact, but the join is the
+    // shared-gram posting join (the engine's own candidate shape) and
+    // the threshold is the integer cross-multiplied containment test
+    "dedup_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id < 500),
+        |g AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(toks) - 3, 0) + 1),
+        |    i -> array_to_string(list_slice(toks, CAST(i AS INT) + 1,
+        |      least(CAST(i AS INT) + 3, len(toks))), ' ')))) AS gram
+        |  FROM t),
+        |s AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
+        |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(*) AS n_overlap
+        |  FROM g a JOIN g b USING (gram)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(n_overlap AS BIGINT) AS n_overlap,
+        |  CAST(sa.ng AS BIGINT) AS n_a, CAST(sb.ng AS BIGINT) AS n_b,
+        |  CAST(CAST(CAST(n_overlap AS DOUBLE) / least(sa.ng, sb.ng)
+        |    AS DECIMAL(10,6)) AS DOUBLE) AS containment
+        |FROM c JOIN s sa ON c.id_a = sa.doc_id
+        |       JOIN s sb ON c.id_b = sb.doc_id
+        |WHERE n_overlap * 1000000 >= 500000 * least(sa.ng, sb.ng)
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // every rule is an integer cross-multiplication over exact counts;
+    // the failed array is assembled in the same fixed rule order
+    "text_gopher_rules" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(toks,
+        |      t -> CAST(len(t) AS BIGINT))), 0) AS BIGINT) AS stc,
+        |    CAST(len(text) AS BIGINT) AS n_chars,
+        |    CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9 ]',
+        |      '', 'g')) AS BIGINT) AS n_sym,
+        |    CAST(len(text) - len(regexp_replace(text, '[0-9]',
+        |      '', 'g')) AS BIGINT) AS n_digit,
+        |    CAST(len(list_intersect(
+        |      list_distinct(list_filter(string_split_regex(lower(text),
+        |        '\s+'), x -> x <> '')),
+        |      ['the','and','of','to','a','in','is','that','it','for']))
+        |      AS BIGINT) AS n_stop
+        |  FROM d),
+        |r AS (
+        |  SELECT doc_id, n_words,
+        |    (n_words >= 5 AND n_words <= 100000) AS r_wc,
+        |    (2 * n_words <= stc AND stc <= 10 * n_words) AS r_mwl,
+        |    (10 * n_sym <= n_chars) AS r_sym,
+        |    (5 * n_digit <= n_chars) AS r_dig,
+        |    (n_stop >= 2) AS r_stop
+        |  FROM m)
+        |SELECT doc_id, n_words,
+        |  coalesce(array_to_string(list_filter([
+        |    CASE WHEN NOT r_wc THEN 'word_count' END,
+        |    CASE WHEN NOT r_mwl THEN 'mean_word_len' END,
+        |    CASE WHEN NOT r_sym THEN 'symbol_ratio' END,
+        |    CASE WHEN NOT r_dig THEN 'digit_ratio' END,
+        |    CASE WHEN NOT r_stop THEN 'stopwords' END],
+        |    x -> x IS NOT NULL), ','), '') AS failed,
+        |  (r_wc AND r_mwl AND r_sym AND r_dig AND r_stop) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // bigram assembly as in text_bigram_nll; PMI's log takes a ratio
+    // of exact integer products, micro-nat rounded — value-for-value
+    "text_collocations" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split_regex(text, '\s+'),
+        |    x -> x <> '') AS toks
+        |  FROM documents),
+        |bi AS (
+        |  SELECT unnest(list_transform(
+        |    range(0, greatest(len(toks) - 1, 0)),
+        |    i -> struct_pack(w1 := toks[CAST(i AS INT) + 1],
+        |                     w2 := toks[CAST(i AS INT) + 2]))) AS bg
+        |  FROM t),
+        |b AS MATERIALIZED (SELECT bg.w1 AS w1, bg.w2 AS w2 FROM bi),
+        |pair AS (SELECT w1, w2, count(*) AS np FROM b GROUP BY 1, 2),
+        |l AS (SELECT w1, count(*) AS cl FROM b GROUP BY 1),
+        |r AS (SELECT w2, count(*) AS cr FROM b GROUP BY 1),
+        |n AS (SELECT count(*) AS nb FROM b)
+        |SELECT w1, w2, CAST(np AS BIGINT) AS n_pair,
+        |  CAST(round(ln(CAST(np * nb AS DOUBLE) /
+        |    CAST(cl * cr AS DOUBLE)) * 1000000) AS BIGINT) AS pmi_micros
+        |FROM pair JOIN l USING (w1) JOIN r USING (w2), n
+        |WHERE np >= 5
+        |ORDER BY pmi_micros DESC, w1, w2 LIMIT 100""".stripMargin,
 
     // 5 unrolled iterations of the same integral recurrence — every
     // op is integer div/multiply, so the replay is value-for-value

@@ -688,4 +688,67 @@ object Dedup {
       .withColumn("group_id", coalesce(col("comp"), col(idCol).cast("long")))
       .drop("__cc_id", "comp")
   }
+
+  /** ASYMMETRIC n-gram containment (Broder 1997's containment, the
+    * complement of resemblance/Jaccard): pairs where the smaller
+    * gram set is mostly inside the larger one —
+    * `|grams(A) ∩ grams(B)| / min(|grams(A)|, |grams(B)|) >=
+    * minContainment`. This is the quote/subset detector Jaccard
+    * structurally misses: a 50-token article embedded verbatim in a
+    * 5000-token page has Jaccard ≈ 0.01 but containment 1.0. Returns
+    * (id_a, id_b, n_overlap, n_a, n_b, containment) with id_a < id_b.
+    *
+    * Scale shape — posting-list join, never all-pairs: distinct
+    * (gram, id) rows shuffle once on the gram (the same shape BM25
+    * gives query terms); candidate pairs exist ONLY where a gram is
+    * shared, and the overlap count is one hash-agg over the join.
+    * The threshold test cross-multiplies in integer micro-units
+    * (`overlap * 1e6 >= minPpm * min(n_a, n_b)`), so inclusion is
+    * exact — the reported `containment` double is derived output, not
+    * the filter. The quadratic hazard is a STOP-GRAM: a gram shared
+    * by k docs fans out k² candidate rows, so the operator counts
+    * per-gram document frequency first and FAILS LOUDLY when any gram
+    * exceeds `maxGramDf` (dropping hot grams silently would
+    * under-count overlap and change answers; the caller must decide —
+    * raise n, pre-filter boilerplate, or raise the cap). That df
+    * pre-flight is one narrow hash-agg over rows the join needs
+    * anyway. */
+  def containment(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, minContainment: Double = 0.5,
+      maxGramDf: Long = 10000L): DataFrame = {
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"minContainment must be in (0,1] (got $minContainment)")
+    require(n >= 1, s"n must be >= 1 (got $n)")
+    val minPpm = math.round(minContainment * 1000000L)
+    val toks = split(col(textCol), " ")
+    val grams = array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    val g = df.select(col(idCol).as("id"), explode(grams).as("gram"))
+    val hottest = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .agg(max(col("df"))).head().getLong(0)
+    require(hottest <= maxGramDf,
+      s"hottest $n-gram appears in $hottest docs > maxGramDf=$maxGramDf; " +
+        s"the candidate fan-out is quadratic per gram — raise n, strip " +
+        s"the boilerplate upstream, or raise the cap if the cost is " +
+        s"understood")
+    val sizes = g.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+    val overlap = g.select(col("id").as("id_a"), col("gram"))
+      .join(g.select(col("id").as("id_b"), col("gram")), "gram")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).cast("bigint").as("n_overlap"))
+    overlap
+      .join(sizes.select(col("id").as("id_a"), col("n_grams").as("n_a")),
+        "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_grams").as("n_b")),
+        "id_b")
+      .filter(col("n_overlap") * lit(1000000L) >=
+        lit(minPpm) * least(col("n_a"), col("n_b")))
+      .select(col("id_a"), col("id_b"), col("n_overlap"),
+        col("n_a").cast("bigint").as("n_a"),
+        col("n_b").cast("bigint").as("n_b"),
+        (col("n_overlap").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double")).as("containment"))
+  }
 }

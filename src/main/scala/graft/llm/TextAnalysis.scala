@@ -280,6 +280,109 @@ object TextAnalysis {
     * (id, term) rows survive into the tf agg), document-frequency and
     * corpus stats are tiny broadcasts, and the final ranking is a
     * TakeOrderedAndProject. Nothing text-sized ever shuffles. */
+  /** PMI collocation mining (Church & Hanks 1990): adjacent token
+    * pairs scored by pointwise mutual information over the bigram
+    * corpus — `pmi(w1,w2) = ln(c12 · N / (cL(w1) · cR(w2)))`, where
+    * `c12` counts the pair, `cL`/`cR` count each word's occurrences
+    * in the first/second slot, and N is the total bigram count. The
+    * standard phrase-mining primitive: high-PMI pairs are the
+    * multi-word units ("new york", "machine learning") a tokenizer or
+    * index should treat as one term. `minCount` floors the pair count
+    * — PMI is notoriously noisy on hapax pairs (a 1-occurrence pair
+    * of two rare words maxes the statistic).
+    *
+    * Returns (w1, w2, n_pair, pmi_micros), PMI quantized to integer
+    * micro-nats exactly like [[unigramNll]]: every operand of the log
+    * is an exact integer ratio, so the rounded micro-nat value
+    * replays engine-for-engine.
+    *
+    * Scale shape: bigrams assemble ROW-LOCALLY from the token array
+    * (no self-join); then three token-keyed hash-aggs (pair, left
+    * slot, right slot) and two slot-keyed joins of the PAIR table
+    * (already collapsed to distinct pairs — the exploded stream never
+    * joins). N is a 1-row broadcast. Nothing in the plan depends on
+    * document length. */
+  def collocations(df: DataFrame, textCol: String,
+      minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1 (got $minCount)")
+    val toksCol = filter(tokens(col(textCol)), t => t =!= "")
+    val bi = df.select(toksCol.as("__toks"))
+      .select(explode(when(size(col("__toks")) >= 2,
+          transform(sequence(lit(0), size(col("__toks")) - 2),
+            i => struct(
+              element_at(col("__toks"), i + 1).as("w1"),
+              element_at(col("__toks"), i + 2).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("__bg"))
+      .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val pair = bi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+    val left = bi.groupBy(col("w1")).agg(count(lit(1)).as("__cl"))
+    val right = bi.groupBy(col("w2")).agg(count(lit(1)).as("__cr"))
+    val total = bi.agg(count(lit(1)).as("__n"))
+    pair.filter(col("n_pair") >= minCount)
+      .join(left, "w1")
+      .join(right, "w2")
+      .crossJoin(broadcast(total)) // 1-row bigram total
+      .withColumn("pmi_micros",
+        round(log((col("n_pair") * col("__n")).cast("double") /
+          (col("__cl") * col("__cr")).cast("double")) * 1e6).cast("long"))
+      .select(col("w1"), col("w2"), col("n_pair").cast("bigint").as("n_pair"),
+        col("pmi_micros"))
+  }
+
+  /** Gopher-style rule-pack document filter (Rae et al. 2021 §A1.1.2
+    * popularized hard rule filtering; C4 (Raffel et al. 2020) is the
+    * other ancestor): a fixed battery of cheap structural rules, each
+    * a named pass/fail, returning per-doc (n_words, failed[], keep).
+    * Unlike [[qualityScore]]'s soft score this is the REASONS form —
+    * a curation pipeline wants to know *why* a doc fell out (and to
+    * tune one rule without re-deriving a scalar), and an ablation
+    * wants rule-level counts.
+    *
+    * Rules (all integer cross-multiplied — no ratio ever computed as
+    * a double, so both engines agree exactly):
+    *  - `word_count`: minWords <= n_words <= maxWords
+    *  - `mean_word_len`: 2 <= mean token length <= 10, tested as
+    *    2*n_words <= sum_token_chars <= 10*n_words
+    *  - `symbol_ratio`: non-alphanumeric-non-space chars <= 10% of
+    *    chars (10 * n_sym <= n_chars)
+    *  - `digit_ratio`: digits <= 20% of chars (5 * n_digit <= n_chars)
+    *  - `stopwords`: >= 2 DISTINCT English stopwords present (the
+    *    Gopher "stop word" rule — machine-generated keyword lists
+    *    rarely carry function words)
+    *
+    * Row-local, codegen'd, shuffle-free — linear in text bytes at any
+    * corpus scale; the `failed` array is built in rule order so the
+    * output is deterministic. */
+  def gopherRules(df: DataFrame, textCol: String, idCol: String,
+      minWords: Int = 5, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val toks = filter(tokens(t), x => x =!= "")
+    val nWords = size(toks).cast("long")
+    val sumTokChars = aggregate(toks, lit(0L), (acc, x) => acc + length(x))
+    val nChars = length(t).cast("long")
+    val nSym = (length(t) - length(regexp_replace(t, "[^A-Za-z0-9 ]", "")))
+      .cast("long")
+    val nDigit = (length(t) - length(regexp_replace(t, "[0-9]", "")))
+      .cast("long")
+    val stop = stopwordProfiles("en")
+    val nStop = size(array_intersect(
+      array_distinct(filter(tokens(lower(t)), x => x =!= "")),
+      array(stop.map(lit(_)): _*))).cast("long")
+    val rules: Seq[(String, Column)] = Seq(
+      "word_count" -> (nWords >= minWords && nWords <= maxWords),
+      "mean_word_len" -> (lit(2L) * nWords <= sumTokChars &&
+        sumTokChars <= lit(10L) * nWords),
+      "symbol_ratio" -> (lit(10L) * nSym <= nChars),
+      "digit_ratio" -> (lit(5L) * nDigit <= nChars),
+      "stopwords" -> (nStop >= 2L))
+    df.withColumn("n_words", nWords)
+      .withColumn("failed", array_compact(array(rules.map { case (name, ok) =>
+        when(!ok, lit(name)) }: _*)))
+      .withColumn("keep", size(col("failed")) === 0)
+  }
+
   def bm25Search(df: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int = 20, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {

@@ -561,4 +561,58 @@ object Graph {
     }
     settled
   }
+
+  /** Community detection by SYNCHRONOUS label propagation (Raghavan et
+    * al. 2007), run for a FIXED number of rounds with a deterministic
+    * tie-break. Returns (`id`, `label`) for every vertex in an edge.
+    *
+    * Every vertex starts labeled with its own id; each round, every
+    * vertex simultaneously adopts the label that is most frequent
+    * among its neighbors, ties broken by the SMALLEST label. Classic
+    * asynchronous LPA is order-dependent (its output changes with
+    * visit order — useless for a graded engine); the synchronous
+    * fixed-round form is a pure function of (edges, iters), so two
+    * engines replay it bit-for-bit. The cost of determinism is that
+    * synchronous LPA can oscillate on bipartite-ish structures rather
+    * than converge — `iters` is therefore a CONTRACT (how many rounds
+    * of neighborhood consensus), not a convergence heuristic, and the
+    * operator documents it as such instead of pretending a fixpoint.
+    *
+    * Scale shape, per round: one long-keyed equi-join (edge ⋈ labels,
+    * 16-byte rows) + two hash-aggs — the (u, label) count and the
+    * per-vertex argmax. The argmax rides ONE `max(struct(count,
+    * MaxValue-label))` aggregate, not a window sort: no per-vertex
+    * row_number over the full neighbor-label table, and map-side
+    * partial aggregation keeps hub vertices from concentrating rows on
+    * one reducer before the final combine. Lineage truncates per
+    * round. Vertex ids must be non-negative (the tie-break encodes
+    * min-label as a max over `Long.MaxValue - label`); the operator
+    * fails loudly otherwise. */
+  def labelPropagation(edges: DataFrame, srcCol: String = "id_a",
+      dstCol: String = "id_b", iters: Int = 3,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters must be in [1,20] (got $iters)")
+    val e0 = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val e = truncate(e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct(), checkpointDir)
+    require(e.filter(col("u") < 0L).isEmpty,
+      "labelPropagation requires non-negative vertex ids " +
+        "(the deterministic tie-break encodes min-label as a max)")
+    var labels = e.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+    for (_ <- 1 to iters) {
+      val nbr = e.join(labels.withColumnRenamed("id", "v"), "v")
+        .select(col("u"), col("label"))
+      val cnt = nbr.groupBy(col("u"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      labels = truncate(cnt.groupBy(col("u").as("id"))
+        .agg(max(struct(col("c"),
+          (lit(Long.MaxValue) - col("label")).as("nl"))).as("m"))
+        .select(col("id"), (lit(Long.MaxValue) - col("m.nl")).as("label")),
+        checkpointDir)
+    }
+    labels
+  }
 }

@@ -355,4 +355,50 @@ class DedupSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("maxClusterRows"), ex.getMessage)
   }
+
+  test("containment: a verbatim quote scores 1.0 where Jaccard is small") {
+    val short = "alpha beta gamma delta epsilon"
+    val long = ("x" + (1 to 40).map(i => s" w$i").mkString) +
+      " " + short + (41 to 80).map(i => s" w$i").mkString
+    val docs = Seq((1L, short), (2L, long), (3L, "zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containment(docs, "text", "doc_id", n = 3,
+      minContainment = 0.9).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    // every one of the short doc's 3 grams appears in the long doc
+    assert(r.getLong(2) == 3L && r.getLong(3) == 3L)
+    assert(r.getDouble(5) == 1.0)
+    // ...while Jaccard over the same grams is far below any dedup bar
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val jac = Dedup.ngramJaccard(pairs, docs, "text", "doc_id", n = 3)
+      .collect().head.getDouble(2)
+    assert(jac < 0.1, s"jaccard was $jac")
+  }
+
+  test("containment: threshold is integer-exact and symmetric in min-size") {
+    // A has 4 grams (6 tokens), B shares exactly 2 of them ->
+    // containment 2/4 = 0.5: included at 0.5, excluded just above
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c z1 z2 c d e"))
+      .toDF("doc_id", "text")
+    val at = Dedup.containment(docs, "text", "doc_id", n = 3,
+      minContainment = 0.5).collect()
+    assert(at.length == 1 && at.head.getLong(2) == 2L)
+    val above = Dedup.containment(docs, "text", "doc_id", n = 3,
+      minContainment = 0.500001).collect()
+    assert(above.isEmpty)
+  }
+
+  test("containment: hot gram fails loudly at maxGramDf") {
+    val docs = (1L to 30L).map(i => (i, s"same same same tail$i"))
+      .toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.containment(docs, "text", "doc_id", n = 3,
+        minContainment = 0.5, maxGramDf = 10L)
+    }
+    assert(ex.getMessage.contains("maxGramDf"), ex.getMessage)
+  }
 }

@@ -374,4 +374,51 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(local == reliable)
   }
+
+  test("labelPropagation: two cliques joined by a bridge separate") {
+    // cliques {1,2,3} and {10,11,12} plus bridge 3-10: each vertex's
+    // neighborhood majority stays inside its clique, so three rounds
+    // settle both cliques on their min label
+    val clique = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+      .toDF("id_a", "id_b")
+    val labels = Graph.labelPropagation(clique, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L)
+    // the second clique agrees on one label (the bridge's label 3 wins
+    // the consensus there) and that label differs from clique one's
+    assert(labels(10L) == labels(11L) && labels(11L) == labels(12L))
+    assert(labels(10L) != labels(1L))
+  }
+
+  test("labelPropagation: tie-break picks the smallest label") {
+    // vertex 5's neighbors 1 and 9 each contribute one label — the
+    // min-label tie-break must choose 1, deterministically
+    val path = Seq((1L, 5L), (5L, 9L)).toDF("id_a", "id_b")
+    val one = Graph.labelPropagation(path, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(one(5L) == 1L)
+  }
+
+  test("labelPropagation: synchronous rounds are a pure function of iters") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("id_a", "id_b")
+    val a = Graph.labelPropagation(edges, iters = 2)
+      .as[(Long, Long)].collect().toSet
+    val b = Graph.labelPropagation(edges, iters = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(a == b)
+    // 4-cycle, one round: every vertex adopts its smaller neighbor
+    val r1 = Graph.labelPropagation(edges, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("labelPropagation rejects negative vertex ids") {
+    val bad = Seq((-1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.labelPropagation(bad, iters = 1)
+    }
+    assert(ex.getMessage.contains("non-negative"))
+  }
 }

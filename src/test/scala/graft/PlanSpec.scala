@@ -557,4 +557,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("dedup_containment: posting join equi-keys on the gram, text never shuffles") {
+    val p = plan("dedup_containment")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    p.split("\\n\\n").toSeq.filter(b =>
+      b.linesIterator.exists(_.matches("\\(\\d+\\) Exchange.*"))).foreach { b =>
+      val input = b.linesIterator.find(_.startsWith("Input")).getOrElse("")
+      assert(!input.contains("text#"), s"text in exchange:\n$b")
+    }
+  }
+
+  test("graph_label_prop / text_collocations: equi-joins only, no nested loop") {
+    for (name <- Seq("graph_label_prop", "text_collocations")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      // the 1-row bigram total in collocations broadcasts; anything
+      // bigger must never ride a nested loop
+      val bnl = p.linesIterator.count(_.matches(
+        "\\(\\d+\\) BroadcastNestedLoopJoin.*"))
+      assert(bnl <= 1, s"$name has $bnl nested-loop joins:\n$p")
+    }
+  }
+
+  test("text_gopher_rules is one scan, zero exchanges before the sort") {
+    // every rule is row-local — a shuffle before the presentation
+    // sort would mean the rule pack isn't
+    val p = plan("text_gopher_rules")
+    val shuffles = p.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*"))
+    // only the rangepartitioning exchange for the final orderBy
+    assert(shuffles <= 1, s"expected only the orderBy exchange:\n$p")
+  }
 }

@@ -309,4 +309,42 @@ class TextAnalysisSpec extends SparkSpec {
       Seq("hash", "join"), k = 10).collect().map(_.getLong(0)).toSet
     assert(all == Set(1L, 2L, 3L, 5L))
   }
+
+  test("gopherRules: pass/fail reasons in rule order") {
+    val docs = Seq(
+      (1L, "the cat and the dog run to a tree in the park"),
+      (2L, "zzz"),
+      (3L, "the code 12345 6789 9999 of the"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "text", "doc_id")
+      .select("doc_id", "n_words", "failed", "keep")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getSeq[String](2).toList, r.getBoolean(3)))).toMap
+    assert(out(1L) == ((12L, Nil, true)))
+    // one word: fails the floor AND has no stopwords — reasons come
+    // out in fixed rule order
+    assert(out(2L) == ((1L, List("word_count", "stopwords"), false)))
+    // 13 digit chars of 31: 5*13 > 31 fails digit_ratio only
+    assert(out(3L) == ((7L, List("digit_ratio"), false)))
+  }
+
+  test("collocations: PMI micro-nats match the closed form") {
+    val docs = Seq(
+      (1L, "new york new york new york"),
+      (2L, "new york city"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, "text", minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // bigram corpus: (new,york) x4, (york,new) x2, (york,city) x1; N=7
+    // pmi(new,york)  = ln(4*7 / (cL(new)=4 * cR(york)=4)) = ln(1.75)
+    // pmi(york,new)  = ln(2*7 / (cL(york)=3 * cR(new)=2)) = ln(7/3)
+    assert(out.keySet == Set(("new", "york"), ("york", "new")))
+    assert(out(("new", "york")) ==
+      ((4L, math.round(math.log(1.75) * 1e6))))
+    assert(out(("york", "new")) ==
+      ((2L, math.round(math.log(7.0 / 3.0) * 1e6))))
+    // the rarer-but-tighter pair outranks the frequent one
+    assert(out(("york", "new"))._2 > out(("new", "york"))._2)
+  }
 }
