@@ -132,7 +132,7 @@ object SparkEntry {
     "win_lag_delta", "win_rank_family", "win_topk_parts",
     // round-10 additions
     "graph_label_prop", "dedup_containment", "text_gopher_rules",
-    "text_collocations")
+    "text_collocations", "agg_salted_collect", "sim_knn_graph_recall")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -335,7 +335,7 @@ object SparkEntry {
     "dedup_clusters", "graph_pagerank", "graph_triangles", "graph_kcore",
     "graph_local_triangles", "graph_shortest_paths", "graph_cooccurrence",
     "graph_weighted_paths", "graph_label_prop", "dedup_containment",
-    "text_gopher_rules", "text_collocations",
+    "text_gopher_rules", "text_collocations", "agg_salted_collect",
     "pipeline_clean_corpus", "pipeline_curation", "pipeline_tokenize_pack",
     "sketch_freq_items",
     "sim_topk_brute", "sim_topk_ivf", "sim_topk_pq",
@@ -2704,6 +2704,60 @@ object SparkEntry {
           minCount = 5)
         .orderBy($"pmi_micros".desc, $"w1", $"w2")
         .limit(100)
+    }),
+
+    "agg_salted_collect" -> ((s, dir) => {
+      import s.implicits._
+      // Holistic agg under skew: distinct user_id%100 per event_type
+      // (5 hot keys over 15k+ rows — exactly the shape that melts one
+      // reducer) through the two-phase salted collect. The sorted
+      // merge makes the salted result EXACTLY the direct form, which
+      // the oracle computes without any salting.
+      Scale.saltedCollect(Tables.events(s, dir), "event_type",
+          pmod($"user_id", lit(100)), distinct = true, salt = 8)
+        .select($"event_type",
+          concat_ws(",", transform($"values", v => v.cast("string")))
+            .as("vals"),
+          $"n_values")
+        .orderBy($"event_type")
+    }),
+
+    "sim_knn_graph_recall" -> ((s, dir) => {
+      import s.implicits._
+      // kNN-graph gate at production IVF sizing: directed top-5 edges
+      // for EVERY corpus vector via the self-probe, recall >= 0.6 vs
+      // the brute-force self-join (booleans, not raw recall — the
+      // KMeans fit is environment-sensitive, the contract is not);
+      // the mutual variant must equal the reciprocated subset of the
+      // directed graph (same seed => same fit => pure reciprocity
+      // filter) and be symmetric by construction.
+      val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val nlist = Similarity.ivfAutoNlist(emb.count())
+      val nprobe = Similarity.ivfAutoNprobe(nlist)
+      val g = Similarity.knnGraph(emb, "embedding", "vec_id", k = 5,
+        nlist = nlist, nprobe = nprobe).cache()
+      val brute = Similarity.bruteForceTopK(emb, emb, "embedding",
+        "vec_id", k = 5).select($"q_id", $"n_id").cache()
+      val hits = brute.join(g.select($"q_id", $"n_id"),
+        Seq("q_id", "n_id"), "left_semi")
+      val mutualOp = Similarity.knnGraph(emb, "embedding", "vec_id", k = 5,
+        nlist = nlist, nprobe = nprobe, mutual = true)
+        .select($"q_id", $"n_id")
+      val mutualExpected = g.select($"q_id", $"n_id")
+        .join(g.select($"n_id".as("q_id"), $"q_id".as("n_id")),
+          Seq("q_id", "n_id"), "left_semi")
+      val swapped = mutualOp.select($"n_id".as("q_id"), $"q_id".as("n_id"))
+      emb.agg(count(lit(1)).cast("bigint").as("n_vectors"))
+        .crossJoin(brute.agg(count(lit(1)).cast("bigint").as("n_true")))
+        .crossJoin(hits.agg(count(lit(1)).as("__hit")))
+        .crossJoin(setsEqual(mutualOp, mutualExpected,
+          Seq("q_id", "n_id"), "mutual_matches_op"))
+        .crossJoin(setsEqual(mutualOp, swapped,
+          Seq("q_id", "n_id"), "mutual_symmetric"))
+        .select($"n_vectors", $"n_true",
+          (($"__hit".cast("double") / $"n_true".cast("double")) >= 0.6)
+            .as("recall_ok"),
+          $"mutual_matches_op", $"mutual_symmetric")
     }),
 
     "dedup_semantic" -> ((s, dir) => {
@@ -7266,6 +7320,26 @@ object SparkEntry {
          |SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label
          |FROM l3 ORDER BY id""".stripMargin
     },
+
+    // the salted two-phase collect must EQUAL the direct form — the
+    // oracle computes the plain grouped distinct-sorted list
+    "agg_salted_collect" ->
+      """SELECT event_type,
+        |  array_to_string(list_sort(list_distinct(list(user_id % 100))),
+        |    ',') AS vals,
+        |  CAST(len(list_distinct(list(user_id % 100))) AS BIGINT)
+        |    AS n_values
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // gate booleans + deterministic counts (brute force emits exactly
+    // k rows per query vector); the recall and mutual contracts are
+    // computed Spark-side, the oracle pins what must hold
+    "sim_knn_graph_recall" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(count(*) * 5 AS BIGINT) AS n_true,
+        |  TRUE AS recall_ok, TRUE AS mutual_matches_op,
+        |  TRUE AS mutual_symmetric
+        |FROM embeddings""".stripMargin,
 
     // same gram construction as dedup_ngram_exact, but the join is the
     // shared-gram posting join (the engine's own candidate shape) and

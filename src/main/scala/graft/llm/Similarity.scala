@@ -264,6 +264,32 @@ object Similarity {
       seed: Long = 42L): DataFrame =
     ivfProbe(ivfBuild(emb, vecCol, idCol, nlist, seed), queries, vecCol, idCol, k, nprobe)
 
+  /** kNN GRAPH construction: the corpus probed against its own index —
+    * every vector gets its top-k nearest neighbors as directed
+    * (q_id, n_id, cosine, rn) edges. This is the input shape for
+    * graph-side corpus analytics (SemDeDup-style cluster election,
+    * mutual-kNN density clustering, connectivity audits); built
+    * through the IVF path so the cost is n·(nprobe/nlist)·n exact
+    * cosines instead of the n² brute-force — the only shape that
+    * survives a corpus-sized self-join.
+    *
+    * `mutual = true` keeps only RECIPROCATED edges (each endpoint in
+    * the other's top-k) — the mutual-kNN graph, whose components are
+    * the standard density-based clusters (hubs can be in many top-k
+    * lists; mutuality prunes the asymmetric hub edges). Implemented
+    * as one left-semi self-join on the swapped key pair — the edge
+    * table (4 fixed-width columns) is the only thing that shuffles;
+    * vectors never re-enter. */
+  def knnGraph(emb: DataFrame, vecCol: String, idCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+      mutual: Boolean = false): DataFrame = {
+    val directed = ivfTopK(emb, emb, vecCol, idCol, k, nlist, nprobe, seed)
+    if (!mutual) directed
+    else directed.join(
+      directed.select(col("n_id").as("q_id"), col("q_id").as("n_id")),
+      Seq("q_id", "n_id"), "left_semi")
+  }
+
   // ====================== Product quantization ======================
 
   /** Trained PQ codebooks: `m` sub-quantizers of `k` centroids over

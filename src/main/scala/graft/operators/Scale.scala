@@ -127,6 +127,43 @@ object Scale {
       .limit(topK)
   }
 
+  /** Skew-proof HOLISTIC aggregation: two-phase salted collect for
+    * the aggregates partial aggregation cannot decompose. Sums and
+    * counts shrink map-side, so a hot key never hurts them — but
+    * `collect_list`/`collect_set` ship every row of a key to ONE
+    * reducer, and a key holding 30% of a 100 TB table melts it. The
+    * fix is the salted two-phase shape: phase 1 collects per
+    * (key, salt) — the hot key's rows spread over `salt` reducers,
+    * each buffering 1/salt of the payload — and phase 2 merges `salt`
+    * pre-collected ARRAYS per key (rows already gone from the
+    * shuffle). The merged array is sorted, which both pins the
+    * nondeterministic collect order and makes the salted result
+    * EXACTLY equal the direct form — same elements, same order, any
+    * salt. Distinctness (the set form) applies after the merge;
+    * phase-1 `array_distinct` pre-shrinks each salted slice so the
+    * phase-2 payload is bounded by salt × distinct-values, not rows.
+    *
+    * The salt hashes the VALUE (not a random id): duplicate values
+    * land on the same reducer, so the set form dedups most copies in
+    * phase 1. */
+  def saltedCollect(df: DataFrame, keyCol: String, valueCol: Column,
+      distinct: Boolean = false, salt: Int = 16): DataFrame = {
+    require(salt >= 1, s"salt must be >= 1 (got $salt)")
+    val phase1 = df
+      .withColumn("__v", valueCol)
+      .withColumn("__salt", pmod(xxhash64(col("__v")), lit(salt)).cast("int"))
+      .groupBy(col(keyCol), col("__salt"))
+      .agg((if (distinct) array_distinct(collect_list(col("__v")))
+            else collect_list(col("__v"))).as("__part"))
+    val merged = phase1.groupBy(col(keyCol))
+      .agg(flatten(collect_list(col("__part"))).as("__all"))
+    val values =
+      if (distinct) sort_array(array_distinct(col("__all")))
+      else sort_array(col("__all"))
+    merged.select(col(keyCol), values.as("values"))
+      .withColumn("n_values", size(col("values")).cast("bigint"))
+  }
+
   /** Token-budget sharding: assign every row a `shard_id` such that
     * consecutive rows in `idCol` order accumulate ~`budgetTokens`
     * tokens per shard — how a training corpus is split into

@@ -441,4 +441,71 @@ object Writers {
     (ok, spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), report.schema))
   }
+
+  /** Debris vacuum for the table-maintenance layer: sweep the sidecar
+    * directories that a CRASHED job can leave next to a table —
+    * `__wap_staged` (refused or abandoned WAP batches),
+    * `__compact_old`/`__compact_tmp` (compaction swap), and the
+    * `__zonemap__tmp`/`__bloommap__tmp`/`__*__old` skipping-map swap
+    * debris. Live data, the live maps, and anything newer than
+    * `olderThanMs` are never touched; age is the standard vacuum
+    * guard (a CONCURRENT job's staging dir looks exactly like debris
+    * — retention must outlive the longest running write).
+    *
+    * SAFETY INVARIANT — recovery artifacts survive: `__wap_old` or
+    * `__compact_old` WITHOUT a live table dir is a mid-swap crash
+    * whose old copy is the only surviving version; the vacuum leaves
+    * it for the writer's startup recovery (deleting it would turn a
+    * recoverable crash into data loss). The same applies to a map's
+    * `__tmp`/`__old` when the live map is missing — `recoverMap`
+    * promotes the tmp (append-only superset) or restores the old.
+    *
+    * Driver-side FS metadata walk, `O(siblings)` — no Spark job, no
+    * data reads. Returns one row per candidate: (path, kind,
+    * age_seconds, deleted, reason). */
+  def vacuumDebris(spark: SparkSession, dir: String,
+      olderThanMs: Long = 24L * 3600 * 1000): DataFrame = {
+    import spark.implicits._
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent = p.getParent
+    val name = p.getName
+    val now = System.currentTimeMillis()
+    val debrisSuffixes = Seq("__wap_staged", "__compact_tmp")
+    val oldSuffixes = Seq("__wap_old", "__compact_old")
+    val mapSwapRe = ("^" + java.util.regex.Pattern.quote(name) +
+      "__(zonemap|bloommap)__(tmp|old)$").r
+    val rows = if (parent == null || !fs.exists(parent)) Seq.empty else {
+      fs.listStatus(parent).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        val ageMs = now - st.getModificationTime
+        val kind: Option[(String, Boolean)] =
+          if (debrisSuffixes.exists(s => n == name + s))
+            Some(("staging", true))
+          else if (oldSuffixes.exists(s => n == name + s))
+            // only debris when the live table exists (else: recovery)
+            Some(("swap_old", fs.exists(p)))
+          else n match {
+            case mapSwapRe(map, which) =>
+              // the live map present => tmp/old are leftovers; live
+              // missing => recoverMap will promote tmp (or restore
+              // old) — both are recovery artifacts then
+              val live = new Path(parent, s"${name}__$map")
+              Some((s"${map}_$which", fs.exists(live)))
+            case _ => None
+          }
+        kind.map { case (k, deletable) =>
+          val oldEnough = ageMs >= olderThanMs
+          val doDelete = deletable && oldEnough
+          if (doDelete) fs.delete(st.getPath, true)
+          val reason =
+            if (doDelete) "deleted"
+            else if (!deletable) "kept: crash-recovery artifact"
+            else "kept: younger than retention"
+          (st.getPath.toString, k, ageMs / 1000, doDelete, reason)
+        }
+      }
+    }
+    rows.toDF("path", "kind", "age_seconds", "deleted", "reason")
+  }
 }

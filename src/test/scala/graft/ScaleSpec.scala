@@ -212,4 +212,32 @@ class ScaleSpec extends SparkSpec {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("saltedCollect equals the direct form, any salt") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 5000).map(_ =>
+      (s"k${rnd.nextInt(3)}", rnd.nextInt(40).toLong))
+    val df = rows.toDF("k", "v").cache()
+    val direct = df.groupBy($"k")
+      .agg(sort_array(collect_list($"v")).as("values"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    for (salt <- Seq(1, 4, 16)) {
+      val salted = Scale.saltedCollect(df, "k", $"v", salt = salt)
+        .collect().map(r => (r.getString(0), r.getSeq[Long](1), r.getLong(2)))
+      salted.foreach { case (k, vs, n) =>
+        assert(vs == direct(k), s"salt=$salt key=$k")
+        assert(n == vs.size)
+      }
+    }
+  }
+
+  test("saltedCollect distinct form: set semantics, value-hashed salt dedups early") {
+    val df = Seq(("a", 1L), ("a", 1L), ("a", 2L), ("a", 2L), ("a", 3L),
+      ("b", 9L), ("b", 9L)).toDF("k", "v")
+    val out = Scale.saltedCollect(df, "k", $"v", distinct = true, salt = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getSeq[Long](1), r.getLong(2)))).toMap
+    assert(out("a") == ((Seq(1L, 2L, 3L), 3L)))
+    assert(out("b") == ((Seq(9L), 1L)))
+  }
 }

@@ -172,4 +172,42 @@ class SimilaritySpec extends SparkSpec {
         s"ADC $s vs exact ${exact(nid)} for $nid")
     }
   }
+
+  test("knnGraph: bounded out-degree, no self-edges, planted twins link") {
+    val rnd = new scala.util.Random(23)
+    // two tight blobs of 30 — twins inside a blob must out-rank the
+    // other blob at k=3
+    def blob(center: Float) = (0 until 30).map { i =>
+      Array.fill(8)(center + rnd.nextGaussian().toFloat * 0.05f)
+    }
+    val vecs = (blob(1f) ++ blob(-1f)).zipWithIndex.map { case (v, i) =>
+      (i.toLong, v) }
+    val df = vecs.toDF("vec_id", "embedding").cache()
+    val g = Similarity.knnGraph(df, "embedding", "vec_id", k = 3,
+      nlist = 2, nprobe = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val outDeg = g.groupBy(_._1).view.mapValues(_.length)
+    assert(outDeg.values.forall(_ <= 3))
+    assert(g.forall { case (q, n) => q != n })
+    // with nprobe=1 and a clean 2-blob split, neighbors stay in-blob
+    assert(g.forall { case (q, n) => (q < 30) == (n < 30) })
+  }
+
+  test("knnGraph mutual: symmetric and a subset of the directed graph") {
+    val rnd = new scala.util.Random(5)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(6)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding").cache()
+    val directed = Similarity.knnGraph(df, "embedding", "vec_id", k = 4,
+      nlist = 4, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mutual = Similarity.knnGraph(df, "embedding", "vec_id", k = 4,
+      nlist = 4, nprobe = 4, mutual = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mutual.subsetOf(directed))
+    assert(mutual.forall { case (a, b) => mutual.contains((b, a)) })
+    // reciprocity is exactly the definition: directed ∩ swapped
+    assert(mutual == directed.filter { case (a, b) =>
+      directed.contains((b, a)) })
+  }
 }

@@ -365,4 +365,46 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 1000)
     assert(a3 == 2)
   }
+
+  test("vacuumDebris sweeps stale staging, keeps recovery artifacts and young dirs") {
+    import org.apache.hadoop.fs.Path
+    val base = java.nio.file.Files.createTempDirectory("vacuum").toString
+    val dir = base + "/t"
+    spark.range(0, 100).write.parquet(dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // stale debris: abandoned WAP staging + compact tmp + a map __old
+    // while the LIVE map exists
+    spark.range(0, 5).write.parquet(dir + "__wap_staged")
+    spark.range(0, 5).write.parquet(dir + "__compact_tmp")
+    spark.range(0, 5).write.parquet(dir + "__zonemap")
+    spark.range(0, 5).write.parquet(dir + "__zonemap__old")
+    // recovery artifact: a bloommap __tmp with NO live bloommap —
+    // recoverMap would promote it; the vacuum must not eat it
+    spark.range(0, 5).write.parquet(dir + "__bloommap__tmp")
+    val out = Writers.vacuumDebris(spark, dir, olderThanMs = 0L)
+      .collect().map(r => r.getString(0).split('/').last ->
+        ((r.getBoolean(3), r.getString(4)))).toMap
+    assert(out("t__wap_staged")._1 && out("t__compact_tmp")._1)
+    assert(out("t__zonemap__old")._1)
+    assert(!out("t__bloommap__tmp")._1)
+    assert(out("t__bloommap__tmp")._2.contains("crash-recovery"))
+    // the live table, live map, and the recovery tmp survive
+    assert(fs.exists(new Path(dir)) && fs.exists(new Path(dir + "__zonemap")))
+    assert(fs.exists(new Path(dir + "__bloommap__tmp")))
+    assert(!fs.exists(new Path(dir + "__wap_staged")))
+    assert(!fs.exists(new Path(dir + "__zonemap__old")))
+    // retention: young debris survives a 1-hour window
+    spark.range(0, 5).write.parquet(dir + "__wap_staged")
+    val kept = Writers.vacuumDebris(spark, dir,
+        olderThanMs = 3600L * 1000).collect()
+      .filter(_.getString(0).endsWith("__wap_staged")).head
+    assert(!kept.getBoolean(3) && kept.getString(4).contains("younger"))
+    assert(fs.exists(new Path(dir + "__wap_staged")))
+    // __wap_old with NO live table = mid-swap crash: kept
+    assert(fs.rename(new Path(dir), new Path(dir + "__wap_old")))
+    val crash = Writers.vacuumDebris(spark, dir, olderThanMs = 0L)
+      .collect().filter(_.getString(0).endsWith("__wap_old")).head
+    assert(!crash.getBoolean(3))
+    assert(fs.exists(new Path(dir + "__wap_old")))
+  }
 }
