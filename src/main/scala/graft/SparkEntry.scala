@@ -132,7 +132,8 @@ object SparkEntry {
     "win_lag_delta", "win_rank_family", "win_topk_parts",
     // round-10 additions
     "graph_label_prop", "dedup_containment", "text_gopher_rules",
-    "text_collocations", "agg_salted_collect", "sim_knn_graph_recall")
+    "text_collocations", "agg_salted_collect", "sim_knn_graph_recall",
+    "evt_anomaly_replay")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -4828,6 +4829,54 @@ object SparkEntry {
         .orderBy($"event_id")
     }),
 
+    "evt_anomaly_replay" -> ((s, dir) => {
+      import s.implicits._
+      // Replay-identity gate for streaming EWMA anomaly scoring: the
+      // corpus feeds a MemoryStream, a far-future flush sentinel
+      // advances the watermark to seal every corpus event, then a
+      // tenth is REDELIVERED (at-least-once source) — sealed events
+      // are the fold's past, so the redelivery must be a no-op and
+      // the sink must equal the batch twin BIT-FOR-BIT (same shared
+      // fold, same (ts, event_id) order ⇒ identical IEEE doubles,
+      // compared at micro-z quantization). GATE-ONLY collect, same
+      // posture as evt_dedup_replay.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val evs = Tables.events(s, dir)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[EventStreams.Event].collect().toSeq
+      val maxTs = evs.map(_.ts.getTime).max
+      val sentinel = EventStreams.Event(-1L,
+        new java.sql.Timestamp(maxTs + 3L * 3600 * 1000), -1L, "__flush", 0.0)
+      val redelivered = evs.filter(_.event_id % 10 == 3)
+      val sink = s"anomaly_replay_${math.abs(dir.hashCode)}"
+      s.catalog.dropTempView(sink)
+      val mem = MemoryStream[EventStreams.Event]
+      val q = EventStreams.ewmaAnomaliesStateful(mem.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName(sink).start()
+      try {
+        mem.addData(evs)
+        q.processAllAvailable()
+        mem.addData(Seq(sentinel)) // watermark flush
+        q.processAllAvailable()
+        mem.addData(redelivered) // at-least-once redelivery: sealed past
+        q.processAllAvailable()
+      } finally q.stop()
+      def canon(df: DataFrame) = df.select($"event_id",
+        round($"zscore" * 1e6).cast("long").as("z_micros"), $"is_anomaly")
+      val stream = canon(s.table(sink))
+      val batch = canon(
+        EventStreams.ewmaAnomalies(Tables.events(s, dir)
+          .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+          .as[EventStreams.Event]).toDF())
+      stream.agg(count(lit(1)).cast("bigint").as("n_scored"))
+        .crossJoin(setsEqual(stream, batch,
+          Seq("event_id", "z_micros", "is_anomaly"), "stream_equals_batch"))
+        .crossJoin(stream.filter($"is_anomaly")
+          .agg((count(lit(1)) > 0).as("found_anomalies")))
+    }),
+
     "evt_audited_sink" -> ((s, dir) => {
       import s.implicits._
       // Driver-graded gate for the audited streaming sink
@@ -7320,6 +7369,14 @@ object SparkEntry {
          |SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label
          |FROM l3 ORDER BY id""".stripMargin
     },
+
+    // stream == batch identity + deterministic scored count; the EWMA
+    // recurrence itself has no tractable SQL form (sequential fold) —
+    // the oracle pins the counts and the contracts that must hold
+    "evt_anomaly_replay" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_scored,
+        |  TRUE AS stream_equals_batch, TRUE AS found_anomalies
+        |FROM events""".stripMargin,
 
     // the salted two-phase collect must EQUAL the direct form — the
     // oracle computes the plain grouped distinct-sorted list

@@ -14,7 +14,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * StreamingSpec); the batch twins are oracle-checked as `evt_*`
   * queries in SparkEntry.
   */
-object EventStreams {
+object EventStreams extends Serializable {
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
@@ -343,5 +343,115 @@ object EventStreams {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("n_users").desc, col("path"))
       .limit(k)
+  }
+
+  // ================== streaming EWMA anomaly scoring ==================
+
+  case class EwmaOut(event_type: String, event_id: Long,
+      ts: java.sql.Timestamp, value: Double, zscore: Double,
+      is_anomaly: Boolean)
+  case class EwmaState(mean: Double, variance: Double, n: Long)
+  case class EwmaBuffer(ewma: EwmaState, buffered: Seq[Event])
+
+  /** One EWMA step, SHARED by the batch and streaming forms — replay
+    * identity between them is a property of this function being the
+    * only fold either path runs, over the same (ts, event_id) order:
+    * identical IEEE operations in identical order give bit-identical
+    * doubles. Score first (against the baseline EXCLUDING the current
+    * event — an outlier must not dampen its own z-score), then fold
+    * the value in (West 1979's incremental EW variance). The first
+    * observation seeds the mean (no phantom zero baseline). */
+  private def ewmaStep(s: EwmaState, x: Double, alpha: Double,
+      minN: Long, threshold: Double): (EwmaState, Double, Boolean) = {
+    if (s.n == 0L) (EwmaState(x, 0.0, 1L), 0.0, false)
+    else {
+      val diff = x - s.mean
+      val scorable = s.n >= minN && s.variance > 0.0
+      val z = if (scorable) diff / math.sqrt(s.variance) else 0.0
+      val anomaly = scorable && math.abs(z) >= threshold
+      val incr = alpha * diff
+      (EwmaState(s.mean + incr,
+        (1.0 - alpha) * (s.variance + diff * incr), s.n + 1), z, anomaly)
+    }
+  }
+
+  private def foldOrdered(key: String, evs: Seq[Event], st0: EwmaState,
+      alpha: Double, minN: Long, threshold: Double): (EwmaState, Seq[EwmaOut]) = {
+    var st = st0
+    val out = evs.map { e =>
+      val (s2, z, a) = ewmaStep(st, e.value, alpha, minN, threshold)
+      st = s2
+      EwmaOut(key, e.event_id, e.ts, e.value, z, a)
+    }
+    (st, out)
+  }
+
+  /** Batch twin of [[ewmaAnomaliesStateful]]: per-`event_type` EWMA
+    * mean/variance baseline over events in (ts, event_id) order, each
+    * event z-scored against the baseline BEFORE it folds in. The
+    * parameters quantize as integers (alpha in ppm, threshold in
+    * hundredths) so a config is engine-portable text.
+    *
+    * Scale: one shuffle on the key, then a per-group in-memory sort +
+    * fold (`flatMapGroups` — genuine sequential recurrence; an EWMA
+    * has no windowed-SQL form). Group = one event_type's history: at
+    * 100 TB, key this by (type, shard-date) or similar bounded
+    * episode; the streaming twin is the form that holds the baseline
+    * forever in O(1) state and never re-sorts history. */
+  def ewmaAnomalies(events: Dataset[Event], alphaPpm: Long = 125000L,
+      minN: Long = 10L, thresholdX100: Long = 250L): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    val alpha = alphaPpm.toDouble / 1e6
+    val thr = thresholdX100.toDouble / 100.0
+    events.groupByKey(_.event_type).flatMapGroups { (k, it) =>
+      val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      foldOrdered(k, evs, EwmaState(0.0, 0.0, 0L), alpha, minN, thr)
+        ._2.iterator
+    }
+  }
+
+  /** Streaming EWMA anomaly scoring — the order-sensitive stateful
+    * op done with watermark discipline: events BUFFER per key until
+    * the event-time watermark seals them (no earlier event can still
+    * arrive), then fold into the baseline in (ts, event_id) order and
+    * emit exactly once. The EWMA baseline itself persists FOREVER in
+    * O(1) state per key (mean, variance, n — three numbers; the
+    * buffer holds only the unsealed tail, bounded by the watermark
+    * delay). Events arriving BELOW the watermark (true stragglers and
+    * at-least-once redeliveries — their position in the fold is
+    * already spoken for) are DROPPED, which is exactly what makes a
+    * redelivered batch a no-op and the sealed output equal
+    * [[ewmaAnomalies]] over the on-time corpus. */
+  def ewmaAnomaliesStateful(events: Dataset[Event],
+      alphaPpm: Long = 125000L, minN: Long = 10L,
+      thresholdX100: Long = 250L,
+      watermark: String = "2 hours"): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    val alpha = alphaPpm.toDouble / 1e6
+    val thr = thresholdX100.toDouble / 100.0
+
+    def fn(key: String, rows: Iterator[Event],
+        state: GroupState[EwmaBuffer]): Iterator[EwmaOut] = {
+      val prior = state.getOption.getOrElse(
+        EwmaBuffer(EwmaState(0.0, 0.0, 0L), Seq.empty))
+      val wmMs = state.getCurrentWatermarkMs()
+      // new events already below the watermark are stragglers /
+      // redeliveries: the fold's past — dropped, not re-ordered
+      val fresh = rows.filter(_.ts.getTime > wmMs).toSeq
+      val (ripe, open) = (prior.buffered ++ fresh)
+        .partition(_.ts.getTime <= wmMs)
+      val (st, out) = foldOrdered(key,
+        ripe.sortBy(e => (e.ts.getTime, e.event_id)),
+        prior.ewma, alpha, minN, thr)
+      state.update(EwmaBuffer(st, open))
+      if (open.nonEmpty)
+        state.setTimeoutTimestamp(open.map(_.ts.getTime).min + 1)
+      out.iterator
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
   }
 }

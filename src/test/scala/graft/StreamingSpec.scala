@@ -520,4 +520,54 @@ class StreamingSpec extends SparkSpec {
     // quarantined payload stays on disk for inspection
     assert(spark.read.parquet(s"$base/_quarantine/v=1").count() == 2)
   }
+
+  test("ewmaAnomalies: spike against a steady baseline flags, order is pinned") {
+    val t0 = 1700000000000L
+    val evs = (1 to 30).map(i =>
+      Event(i.toLong, new Timestamp(t0 + i * 60000L), 1L, "click",
+        if (i == 25) 100.0 else 10.0 + (i % 3) * 0.5))
+    val out = EventStreams.ewmaAnomalies(evs.toDS(),
+        minN = 5L, thresholdX100 = 300L)
+      .collect().map(o => o.event_id -> o).toMap
+    assert(out.size == 30)
+    assert(out(25L).is_anomaly, s"spike z=${out(25L).zscore}")
+    assert(!out(10L).is_anomaly && !out(24L).is_anomaly)
+    // the spike scores against the baseline BEFORE folding in
+    assert(math.abs(out(25L).zscore) > 3.0)
+  }
+
+  test("ewmaAnomaliesStateful == batch twin; redelivery and stragglers drop") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1700000000000L
+    val evs = (1 to 40).map(i =>
+      Event(i.toLong, new Timestamp(t0 + i * 60000L),
+        1L, if (i % 2 == 0) "a" else "b",
+        if (i == 30) 50.0 else 5.0 + (i % 4) * 0.25))
+    val sentinel = Event(-1L,
+      new Timestamp(t0 + 40 * 60000L + 3L * 3600 * 1000), -1L, "__flush", 0.0)
+    val mem = MemoryStream[Event]
+    val q = EventStreams.ewmaAnomaliesStateful(mem.toDS(),
+        minN = 5L, thresholdX100 = 300L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ewma_sink").start()
+    try {
+      mem.addData(evs)
+      q.processAllAvailable()
+      mem.addData(Seq(sentinel))
+      q.processAllAvailable()
+      mem.addData(evs.filter(_.event_id % 3 == 0)) // redelivery: sealed past
+      q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("ewma_sink")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5))).toSet
+    val batch = EventStreams.ewmaAnomalies(evs.toDS(),
+        minN = 5L, thresholdX100 = 300L)
+      .collect().map(o => (o.event_type, o.event_id, o.value,
+        o.zscore, o.is_anomaly)).toSet
+    // bit-identical doubles: the same fold ran in the same order
+    assert(stream == batch,
+      s"stream-only: ${stream -- batch}\nbatch-only: ${batch -- stream}")
+    assert(stream.count(_._5) >= 1, "the planted spike must flag")
+  }
 }
