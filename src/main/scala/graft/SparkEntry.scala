@@ -133,7 +133,8 @@ object SparkEntry {
     // round-10 additions
     "graph_label_prop", "dedup_containment", "text_gopher_rules",
     "text_collocations", "agg_salted_collect", "sim_knn_graph_recall",
-    "evt_anomaly_replay")
+    "evt_anomaly_replay", "graph_assoc_rules",
+    "graph_pagerank_personalized")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -333,9 +334,11 @@ object SparkEntry {
     "text_bm25",
     "decontaminate", "corpus_overlap",
     "dedup_exact", "dedup_spans", "dedup_paragraph", "dedup_fingerprint", "dedup_simhash",
-    "dedup_clusters", "graph_pagerank", "graph_triangles", "graph_kcore",
+    "dedup_clusters", "graph_pagerank", "graph_pagerank_personalized",
+    "graph_triangles", "graph_kcore",
     "graph_local_triangles", "graph_shortest_paths", "graph_cooccurrence",
-    "graph_weighted_paths", "graph_label_prop", "dedup_containment",
+    "graph_weighted_paths", "graph_label_prop", "graph_assoc_rules",
+    "dedup_containment",
     "text_gopher_rules", "text_collocations", "agg_salted_collect",
     "pipeline_clean_corpus", "pipeline_curation", "pipeline_tokenize_pack",
     "sketch_freq_items",
@@ -2562,6 +2565,29 @@ object SparkEntry {
         .orderBy($"rank_ppb".desc, $"node").limit(50)
     }),
 
+    "graph_pagerank_personalized" -> ((s, dir) => {
+      import s.implicits._
+      // Personalized PageRank from the custkey%50==0 seed customers
+      // over the same trade graph: teleport mass lands only on the
+      // seeds, rank = proximity to them. The identical integer
+      // recurrence (seed-split base, div arithmetic) replays
+      // value-for-value in DuckDB across all 4 iterations.
+      // SIDE-EFFECTING (iterations run eagerly at construction).
+      val cs = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+        .join(Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .select(concat(lit("c"), $"o_custkey").as("src"),
+          concat(lit("s"), $"l_suppkey").as("dst"))
+        .distinct()
+      val edges = cs.union(cs.select($"dst".as("src"), $"src".as("dst")))
+      val seeds = Tables.orders(s, dir)
+        .filter(pmod($"o_custkey", lit(50)) === 0)
+        .select(concat(lit("c"), $"o_custkey").as("id")).distinct()
+      Graph.pageRankPersonalized(edges, seeds, "src", "dst", "id",
+          iters = 4)
+        .orderBy($"rank_ppb".desc, $"node").limit(50)
+    }),
+
     "graph_triangles" -> ((s, dir) => {
       import s.implicits._
       // Exact triangle count over the part co-order graph (two parts
@@ -2759,6 +2785,20 @@ object SparkEntry {
           (($"__hit".cast("double") / $"n_true".cast("double")) >= 0.6)
             .as("recall_ok"),
           $"mutual_matches_op", $"mutual_symmetric")
+    }),
+
+    "graph_assoc_rules" -> ((s, dir) => {
+      import s.implicits._
+      // Directed association rules over part co-orders: support /
+      // confidence / lift in integer ppm/micro units (div over
+      // DECIMAL-widened products — DuckDB replays value-for-value).
+      // Top-100 by confidence; (antecedent, consequent) is unique so
+      // the cut is deterministic.
+      Graph.associationRules(
+          Tables.lineitem(s, dir).filter(pmod($"l_orderkey", lit(4)) === 0),
+          "l_orderkey", "l_partkey", minPairGroups = 2)
+        .orderBy($"confidence_ppm".desc, $"antecedent", $"consequent")
+        .limit(100)
     }),
 
     "dedup_semantic" -> ((s, dir) => {
@@ -7397,6 +7437,71 @@ object SparkEntry {
         |  TRUE AS recall_ok, TRUE AS mutual_matches_op,
         |  TRUE AS mutual_symmetric
         |FROM embeddings""".stripMargin,
+
+    // 4 unrolled iterations of the seed-split integral recurrence —
+    // the base lands on seeds only, everything else is graph_pagerank's
+    // proven integer replay
+    "graph_pagerank_personalized" -> {
+      def iter(i: Int) =
+        s"""r$i AS (
+           |  SELECT n.node, n.is_seed,
+           |    CAST((CASE WHEN n.is_seed THEN b.base ELSE 0 END) +
+           |      CAST(coalesce(m.s, 0) AS HUGEINT) * 850000 // 1000000
+           |    AS BIGINT) AS rank_ppb
+           |  FROM sn n LEFT JOIN (
+           |    SELECT e.dst AS node, sum(r.rank_ppb // d.out_deg) AS s
+           |    FROM edges e
+           |    JOIN r${i - 1} r ON e.src = r.node
+           |    JOIN outdeg d ON e.src = d.src
+           |    GROUP BY 1) m ON n.node = m.node, b)""".stripMargin
+      s"""WITH cs AS (
+         |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (SELECT src, dst FROM cs
+         |          UNION SELECT dst AS src, src AS dst FROM cs),
+         |outdeg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY 1),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |  SELECT src AS node FROM edges
+         |  UNION ALL SELECT dst FROM edges)),
+         |seeds AS (SELECT DISTINCT 'c' || o_custkey AS node FROM orders
+         |  WHERE o_custkey % 50 = 0),
+         |sn AS (SELECT n.node, (s.node IS NOT NULL) AS is_seed
+         |  FROM nodes n LEFT JOIN seeds s ON n.node = s.node),
+         |b AS (SELECT CAST(150000000 // count(*) AS BIGINT) AS base
+         |  FROM sn WHERE is_seed),
+         |r0 AS (SELECT node, is_seed,
+         |  CAST(CASE WHEN is_seed THEN base ELSE 0 END AS BIGINT)
+         |    AS rank_ppb FROM sn, b),
+         |${(1 to 4).map(iter).mkString(",\n")}
+         |SELECT node, rank_ppb FROM r4
+         |ORDER BY rank_ppb DESC, node LIMIT 50""".stripMargin
+    },
+
+    // integer div over widened products on both engines — support /
+    // confidence / lift replay value-for-value
+    "graph_assoc_rules" ->
+      """WITH g AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS gr, l_partkey AS it
+        |  FROM lineitem WHERE l_orderkey % 4 = 0),
+        |ng AS (SELECT count(DISTINCT gr) AS n FROM g),
+        |m AS (SELECT it, count(*) AS cnt FROM g GROUP BY 1),
+        |p AS (SELECT a.it AS ia, b.it AS ib, count(*) AS nb
+        |  FROM g a JOIN g b ON a.gr = b.gr AND a.it < b.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |d AS (SELECT ia AS antecedent, ib AS consequent, nb FROM p
+        |  UNION ALL SELECT ib, ia, nb FROM p)
+        |SELECT antecedent, consequent, CAST(nb AS BIGINT) AS n_both,
+        |  CAST(ma.cnt AS BIGINT) AS n_ante,
+        |  CAST(CAST(nb AS HUGEINT) * 1000000 // n.n AS BIGINT)
+        |    AS support_ppm,
+        |  CAST(CAST(nb AS HUGEINT) * 1000000 // ma.cnt AS BIGINT)
+        |    AS confidence_ppm,
+        |  CAST(CAST(nb AS HUGEINT) * n.n * 1000000 //
+        |    (CAST(ma.cnt AS HUGEINT) * mc.cnt) AS BIGINT) AS lift_micros
+        |FROM d JOIN m ma ON d.antecedent = ma.it
+        |       JOIN m mc ON d.consequent = mc.it, ng n
+        |ORDER BY confidence_ppm DESC, antecedent, consequent
+        |LIMIT 100""".stripMargin,
 
     // same gram construction as dedup_ngram_exact, but the join is the
     // shared-gram posting join (the engine's own candidate shape) and

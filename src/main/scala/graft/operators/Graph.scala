@@ -286,6 +286,64 @@ object Graph {
     ranks
   }
 
+  /** PERSONALIZED PageRank (Haveliwala 2002; the random-walk-with-
+    * restart form): the teleport mass lands only on the `seeds`
+    * instead of uniformly — rank becomes proximity TO the seed set,
+    * the standard "related items / local importance" graph feature
+    * (recommendations from a user's purchases, expansion from a
+    * trusted whitelist). Same integer recurrence as [[pageRank]]
+    * (ppb ranks, `div` arithmetic — engine-exact, oracle-replayable):
+    * `r' = 1_{seed} · base div |S| + d · Σ contribs`, iterated a
+    * fixed `iters` from a seed-only start. Non-seed vertices with no
+    * in-path to a seed stay at rank 0 — that IS the semantics, not a
+    * bug.
+    *
+    * Scale shape identical to [[pageRank]]: per iteration one
+    * src-keyed join + one dst-keyed agg over fixed-width rows,
+    * lineage truncated per round; the seed membership rides a
+    * broadcast-sized flag column on the node table (seeds are by
+    * definition a tiny fraction). */
+  def pageRankPersonalized(edges: DataFrame, seeds: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst",
+      seedCol: String = "id", iters: Int = 5,
+      dampingPpm: Long = 850000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50] (got $iters)")
+    require(dampingPpm >= 0L && dampingPpm <= 1000000L,
+      s"dampingPpm must be in [0, 1e6] (got $dampingPpm)")
+    val e = truncate(edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct(), checkpointDir)
+    val outDeg = truncate(
+      e.groupBy("src").agg(count(lit(1)).as("out_deg")), checkpointDir)
+    val sd = seeds.select(col(seedCol).cast("string").as("node")).distinct()
+    val nodes = truncate(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(sd.withColumn("__seed", lit(true)), Seq("node"), "left")
+      .withColumn("is_seed", coalesce(col("__seed"), lit(false)))
+      .drop("__seed"), checkpointDir)
+    val nSeeds = nodes.filter(col("is_seed")).count()
+    require(nSeeds > 0, "no seed appears in the edge set")
+    val base = (1000000L - dampingPpm) * 1000000000L / 1000000L / nSeeds
+    val seedBase = when(col("is_seed"), lit(base)).otherwise(lit(0L))
+    var ranks = nodes.withColumn("rank_ppb", seedBase)
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks.select(col("node").as("src"), col("rank_ppb")), "src")
+        .join(outDeg, "src")
+        .select(col("dst").as("node"),
+          expr("rank_ppb div out_deg").as("contrib"))
+      val summed = contribs.groupBy("node")
+        .agg(sum(col("contrib").cast("decimal(38,0)")).as("s"))
+      ranks = truncate(nodes.join(summed, Seq("node"), "left")
+        .select(col("node"), col("is_seed"),
+          (seedBase + expr(
+            s"CAST(coalesce(s, 0) AS DECIMAL(38,0)) * $dampingPpm div 1000000"))
+            .as("rank_ppb")), checkpointDir)
+    }
+    ranks.select(col("node"), col("rank_ppb"))
+  }
+
   /** Exact triangle count of the undirected simple graph in `edges`
     * (orientation/duplicates/self-loops are cleaned first). Returns a
     * 1-row DataFrame (n_vertices, n_edges, n_triangles).
@@ -473,6 +531,64 @@ object Graph {
       pairs.groupBy(col("id_a"), col("id_b"))
         .agg(count(lit(1)).cast("bigint").as("n_shared"))
     else pairs.distinct()
+  }
+
+  /** Association-rule mining over the same basket shape
+    * [[coOccurrence]] consumes (Agrawal & Srikant 1994's support/
+    * confidence frame, plus lift): for every DIRECTED item pair
+    * a → b co-occurring in at least `minPairGroups` groups, emit
+    *  - `n_both` / `n_ante` — groups containing both / the antecedent
+    *  - `support_ppm`    = n_both · 1e6 div n_groups
+    *  - `confidence_ppm` = n_both · 1e6 div n_ante
+    *  - `lift_micros`    = n_both · n_groups · 1e6 div (n_ante · n_cons)
+    * All three are INTEGER arithmetic end to end (`div` over
+    * DECIMAL(38,0)-widened products — exact at any corpus scale, and
+    * an oracle replays them value-for-value). Lift > 1e6 means the
+    * pair co-occurs more than independence predicts — the same signal
+    * PMI gives token bigrams, here over baskets.
+    *
+    * Scale shape: [[coOccurrence]]'s guarded group-keyed self-join
+    * builds the pair counts (quadratic per group, loud cap); item
+    * marginals are one distinct + hash-agg; the rule table then joins
+    * marginals on each side of the already-collapsed pair table.
+    * `minPairGroups` floors the pair count BEFORE the marginal joins
+    * — hapax pairs are noise for confidence exactly as they are for
+    * PMI. */
+  def associationRules(df: DataFrame, groupCol: String, itemCol: String,
+      minPairGroups: Long = 5L, maxGroupItems: Long = 10000L): DataFrame = {
+    require(minPairGroups >= 1L,
+      s"minPairGroups must be >= 1 (got $minPairGroups)")
+    val g = df.select(col(groupCol).as("__g"), col(itemCol).as("__i"))
+      .filter(col("__i").isNotNull).distinct()
+    val nGroups = g.agg(countDistinct(col("__g")).as("__ng"))
+    val marginals = g.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
+    val pairs = coOccurrence(df, groupCol, itemCol,
+        maxGroupItems = maxGroupItems, weighted = true)
+      .filter(col("n_shared") >= minPairGroups)
+    // both directions: a->b and b->a are distinct rules
+    val directed = pairs.select(col("id_a").as("antecedent"),
+        col("id_b").as("consequent"), col("n_shared").as("n_both"))
+      .unionByName(pairs.select(col("id_b").as("antecedent"),
+        col("id_a").as("consequent"), col("n_shared").as("n_both")))
+    directed
+      .join(marginals.select(col("__i").as("antecedent"),
+        col("__n").as("n_ante")), "antecedent")
+      .join(marginals.select(col("__i").as("consequent"),
+        col("__n").as("__n_cons")), "consequent")
+      .crossJoin(broadcast(nGroups)) // 1-row group total
+      .withColumn("support_ppm",
+        expr("CAST(n_both AS DECIMAL(38,0)) * 1000000 div __ng"))
+      .withColumn("confidence_ppm",
+        expr("CAST(n_both AS DECIMAL(38,0)) * 1000000 div n_ante"))
+      .withColumn("lift_micros",
+        expr("CAST(n_both AS DECIMAL(38,0)) * __ng * 1000000 " +
+          "div (CAST(n_ante AS DECIMAL(38,0)) * __n_cons)"))
+      .select(col("antecedent"), col("consequent"),
+        col("n_both").cast("bigint").as("n_both"),
+        col("n_ante").cast("bigint").as("n_ante"),
+        col("support_ppm").cast("bigint").as("support_ppm"),
+        col("confidence_ppm").cast("bigint").as("confidence_ppm"),
+        col("lift_micros").cast("bigint").as("lift_micros"))
   }
 
   /** Hop-bounded WEIGHTED shortest paths (Bellman-Ford with delta

@@ -414,6 +414,61 @@ class GraphSpec extends SparkSpec {
     assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
   }
 
+  test("pageRankPersonalized: mass stays near the seed, unreachable = 0") {
+    // directed: seed 1 -> 2 -> 3, and an isolated-from-seed edge 8 -> 9
+    val edges = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("src", "dst")
+    val r = Graph.pageRankPersonalized(edges, Seq(1L).toDF("id"),
+        iters = 3)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // base = 150000000 div 1 (one seed)
+    assert(r("1") == 150000000L)
+    // 2 receives d * base/outdeg(1): 150e6 * 0.85 = 127500000
+    assert(r("2") == 127500000L)
+    // 3 receives d^2 * base: 127500000 * 850000 div 1000000
+    assert(r("3") == 108375000L)
+    // no path from the seed: exactly zero, by design
+    assert(r("8") == 0L && r("9") == 0L)
+  }
+
+  test("pageRankPersonalized: seeds absent from the graph fail loudly when empty") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.pageRankPersonalized(edges, Seq(99L).toDF("id"), iters = 1)
+    }
+    assert(ex.getMessage.contains("seed"))
+    // seeds split the base: two seeds halve each share
+    val two = Graph.pageRankPersonalized(
+        Seq((1L, 2L), (3L, 2L)).toDF("src", "dst"),
+        Seq(1L, 3L).toDF("id"), iters = 1)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(two("1") == 75000000L && two("3") == 75000000L)
+    // 2 gets d * (75e6 + 75e6)
+    assert(two("2") == 127500000L)
+  }
+
+  test("associationRules: hand-checked support/confidence/lift") {
+    // baskets: {1,2} {1,2} {1,3} {2} -> only pair (1,2) reaches
+    // minPairGroups=2; n_groups=4, n(1)=3, n(2)=3
+    val baskets = Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L),
+      (30L, 1L), (30L, 3L), (40L, 2L))
+      .toDF("basket", "item")
+    val rules = Graph.associationRules(baskets, "basket", "item",
+        minPairGroups = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    assert(rules.keySet == Set((1L, 2L), (2L, 1L)))
+    // support 2/4 = 500000 ppm; confidence 2/3 = 666666 ppm;
+    // lift 2*4/(3*3) = 888888 micros — all integer-truncated
+    assert(rules((1L, 2L)) == ((2L, 3L, 500000L, 666666L, 888888L)))
+    assert(rules((2L, 1L)) == ((2L, 3L, 500000L, 666666L, 888888L)))
+    // duplicate items within one basket must not inflate counts
+    val dup = baskets.union(Seq((10L, 1L)).toDF("basket", "item"))
+    val again = Graph.associationRules(dup, "basket", "item",
+      minPairGroups = 2).collect()
+    assert(again.length == 2 && again.head.getLong(2) == 2L)
+  }
+
   test("labelPropagation rejects negative vertex ids") {
     val bad = Seq((-1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
     val ex = intercept[IllegalArgumentException] {
