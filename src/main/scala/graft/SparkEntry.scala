@@ -134,7 +134,7 @@ object SparkEntry {
     "graph_label_prop", "dedup_containment", "text_gopher_rules",
     "text_collocations", "agg_salted_collect", "sim_knn_graph_recall",
     "evt_anomaly_replay", "graph_assoc_rules",
-    "graph_pagerank_personalized")
+    "graph_pagerank_personalized", "json_variant_stats")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -321,7 +321,8 @@ object SparkEntry {
     "dq_invalid_codes", "dq_expectations", "dq_profile", "dq_outliers",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
-    "date_monthly_orders", "json_event_stats", "str_funcs", "parse_money",
+    "date_monthly_orders", "json_event_stats", "json_variant_stats",
+    "str_funcs", "parse_money",
     "evt_tumbling", "evt_sliding", "evt_sessionize", "evt_session_window",
     "evt_stream_join", "evt_stream_join_outer", "evt_enrich_static",
     "evt_funnel", "evt_retention", "evt_transitions",
@@ -2289,6 +2290,25 @@ object SparkEntry {
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
           (sum($"k").cast("double") / count($"k")).as("avg_k"))
+        .orderBy($"event_type")
+    }),
+
+    "json_variant_stats" -> ((s, dir) => {
+      import s.implicits._
+      // Spark-4 VariantType path: parse each props string ONCE into
+      // the binary variant encoding and extract with variant_get —
+      // the schema-on-read shape for semi-structured columns (a 100 TB
+      // props column parses once per row into a columnar-shreddable
+      // binary, not once per extracted key; and unlike from_json no
+      // up-front declared struct is needed).
+      Tables.events(s, dir)
+        .withColumn("k",
+          expr("variant_get(parse_json(props), '$.k', 'int')"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum($"k").cast("bigint").as("sum_k"),
+          min($"k").cast("int").as("min_k"),
+          max($"k").cast("int").as("max_k"))
         .orderBy($"event_type")
     }),
 
@@ -6374,6 +6394,16 @@ object SparkEntry {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE)
         |    / count(CAST(json_extract_string(props, '$.k') AS INT)) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "json_variant_stats" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT))
+        |    AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(json_extract_string(props, '$.k') AS INT))
+        |    AS INT) AS min_k,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS INT))
+        |    AS INT) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "str_funcs" ->

@@ -198,4 +198,55 @@ class PropertiesSpec extends SparkSpec {
         s"trial $trial n=$n gap=$gap:\n got=$got\nwant=$want\ndocs=$docs")
     }
   }
+
+  test("containment: matches a naive reference; always >= jaccard on shared pairs") {
+    val rnd = new Random(31)
+    def grams(t: String, n: Int): Set[String] = {
+      val toks = t.split(" ").toSeq
+      (0 to math.max(toks.length - n, 0))
+        .map(i => toks.slice(i, math.min(i + n, toks.length)).mkString(" "))
+        .toSet
+    }
+    for (_ <- 1 to 5) {
+      val docs = (1L to 12L).map(i => (i, randText(rnd)))
+      val df = docs.toDF("doc_id", "text")
+      val got = Dedup.containment(df, "text", "doc_id", n = 2,
+          minContainment = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(5)))).toMap
+      // naive reference over every pair
+      val gm = docs.map { case (i, t) => i -> grams(t, 2) }.toMap
+      val want = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        ov = (gm(a) & gm(b)).size
+        m = math.min(gm(a).size, gm(b).size)
+        if ov * 1000000L >= 300000L * m
+      } yield (a, b) -> ((ov.toLong, ov.toDouble / m))).toMap
+      assert(got == want, s"got=$got\nwant=$want")
+      // containment dominates jaccard (|A∩B|/min >= |A∩B|/|A∪B|)
+      got.foreach { case ((a, b), (_, c)) =>
+        val j = (gm(a) & gm(b)).size.toDouble / (gm(a) | gm(b)).size
+        assert(c >= j - 1e-12)
+      }
+    }
+  }
+
+  test("labelPropagation: labels are vertex ids; one label per vertex; pure") {
+    val rnd = new Random(77)
+    for (_ <- 1 to 3) {
+      val edges = (1 to 40).map(_ =>
+        (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+        .filter { case (a, b) => a != b }
+      val df = edges.toDF("id_a", "id_b")
+      val verts = edges.flatMap { case (a, b) => Seq(a, b) }.toSet
+      val out = graft.operators.Graph.labelPropagation(df, iters = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      assert(out.map(_._1).toSet == verts) // total assignment
+      assert(out.length == verts.size)     // exactly one label each
+      assert(out.forall { case (_, l) => verts.contains(l) }) // labels ⊆ ids
+      val again = graft.operators.Graph.labelPropagation(df, iters = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      assert(out.toMap == again.toMap)     // pure function
+    }
+  }
 }
