@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.llm.{CorpusOverlap, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.ml.{Projection, TextFeatures}
-import graft.operators.{AsOf, Graph, IntervalJoin, Merge, Percentiles, Quality, Sampling, Scale}
+import graft.operators.{AsOf, Features, Graph, IntervalJoin, Merge, Percentiles, Quality, Sampling, Scale}
 import graft.sources.{Csv, Deletes, Writers}
 import graft.streaming.EventStreams
 
@@ -134,7 +134,8 @@ object SparkEntry {
     "graph_label_prop", "dedup_containment", "text_gopher_rules",
     "text_collocations", "agg_salted_collect", "sim_knn_graph_recall",
     "evt_anomaly_replay", "graph_assoc_rules",
-    "graph_pagerank_personalized", "json_variant_stats")
+    "graph_pagerank_personalized", "json_variant_stats",
+    "feat_target_encode")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -316,7 +317,7 @@ object SparkEntry {
     "sample_percent", "sample_stratified", "split_train_test",
     "sample_weighted_pps", "sample_weighted_topk", "sample_weighted_by_group",
     "feat_percentile_buckets", "feat_percentile_buckets_approx",
-    "feat_percentile_buckets_window",
+    "feat_percentile_buckets_window", "feat_target_encode",
     "pipeline_feature_matrix",
     "dq_invalid_codes", "dq_expectations", "dq_profile", "dq_outliers",
     "dq_histogram",
@@ -2291,6 +2292,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
           (sum($"k").cast("double") / count($"k")).as("avg_k"))
         .orderBy($"event_type")
+    }),
+
+    "feat_target_encode" -> ((s, dir) => {
+      import s.implicits._
+      // K-fold OUT-OF-FOLD target encoding (leakage-controlled
+      // mean-target categorical encoder): integral cents target +
+      // pure-integer folds make every sum exact, so the one IEEE
+      // division tree replays value-for-value in DuckDB.
+      Features.targetEncodeOof(
+          Tables.events(s, dir).select($"event_id", $"event_type", $"value"),
+          "event_type", pmod($"event_id", lit(5)),
+          round($"value" * 100), smoothing = 20L)
+        .select($"event_id", $"event_type", $"target_enc")
+        .orderBy($"event_id")
     }),
 
     "json_variant_stats" -> ((s, dir) => {
@@ -6395,6 +6410,28 @@ object SparkEntry {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE)
         |    / count(CAST(json_extract_string(props, '$.k') AS INT)) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // exact integer sums (cents target, id-mod folds); the encoding is
+    // one division tree over exact integers mirrored association-for-
+    // association — raw doubles match bit-for-bit
+    "feat_target_encode" ->
+      """WITH t AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS tgt,
+        |    CAST(event_id % 5 AS INT) AS f
+        |  FROM events),
+        |kf AS (SELECT event_type, f, sum(tgt) AS fs, count(*) AS fn
+        |  FROM t GROUP BY 1, 2),
+        |k AS (SELECT event_type, sum(fs) AS ks, sum(fn) AS kn
+        |  FROM kf GROUP BY 1),
+        |g AS (SELECT sum(tgt) AS gs, count(*) AS gn FROM t)
+        |SELECT t.event_id, t.event_type,
+        |  (CAST(k.ks - kf.fs AS DOUBLE) +
+        |    CAST(20 AS DOUBLE) * (CAST(g.gs AS DOUBLE) / CAST(g.gn AS DOUBLE)))
+        |  / CAST(k.kn - kf.fn + 20 AS DOUBLE) AS target_enc
+        |FROM t JOIN kf ON t.event_type = kf.event_type AND t.f = kf.f
+        |       JOIN k ON t.event_type = k.event_type, g
+        |ORDER BY event_id""".stripMargin,
 
     "json_variant_stats" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Tabular-ML feature encoders (the step between curation and
+  * training that the events/orders pipelines feed). North-star
+  * addition; the reference's feature work stops at percentile
+  * bucketing (README.md:236-261 — see [[Percentiles]]).
+  */
+object Features {
+
+  /** K-fold OUT-OF-FOLD target encoding — the mean-target categorical
+    * encoder with the leakage control that makes it valid: a row's
+    * encoding is the (smoothed) mean of the target over OTHER folds'
+    * rows of its category, so no row's own target leaks into its own
+    * feature (the classic target-encoding failure mode: a
+    * high-cardinality category memorizes its labels and the model
+    * "learns" the training targets).
+    *
+    * `enc = (cat_sum - fold_sum + smoothing · global_mean)
+    *        / (cat_n - fold_n + smoothing)`,
+    * falling back to the global mean when the out-of-fold slice is
+    * empty (single-fold categories) and always when the denominator
+    * is zero. With `smoothing > 0` rare categories shrink toward the
+    * global mean (additive/m-estimate smoothing).
+    *
+    * ENGINE-PORTABILITY CONTRACT: `targetExpr` must be integral
+    * (cast your metric to cents/micros first) and `foldExpr` a pure
+    * integer function of the row (e.g. `pmod(id, k)`) — then every
+    * sum/count is an exact integer, the encoding is one IEEE
+    * division tree over exact integers, and an oracle replays it
+    * value-for-value. A double target would make the fold sums
+    * order-dependent.
+    *
+    * Scale shape: one (key, fold) hash-agg — k·|categories| rows —
+    * re-aggregated to per-key totals, then TWO broadcast-sized joins
+    * back to the rows (the per-(key,fold) table is k× the category
+    * count, nowhere near row scale) and a 1-row global broadcast.
+    * The fact table shuffles ZERO times. */
+  def targetEncodeOof(df: DataFrame, keyCol: String, foldExpr: Column,
+      targetExpr: Column, smoothing: Long = 0L): DataFrame = {
+    require(smoothing >= 0L, s"smoothing must be >= 0 (got $smoothing)")
+    val withCols = df.withColumn("__t", targetExpr.cast("long"))
+      .withColumn("__f", foldExpr.cast("int"))
+    val byKeyFold = withCols.groupBy(col(keyCol), col("__f"))
+      .agg(sum(col("__t")).as("__fs"), count(lit(1)).as("__fn"))
+    val byKey = byKeyFold.groupBy(col(keyCol))
+      .agg(sum(col("__fs")).as("__ks"), sum(col("__fn")).as("__kn"))
+    val global = withCols.agg(sum(col("__t")).as("__gs"),
+      count(lit(1)).as("__gn"))
+    val gMean = col("__gs").cast("double") / col("__gn").cast("double")
+    val denom = col("__kn") - col("__fn") + lit(smoothing)
+    val enc = when(denom > 0L,
+      ((col("__ks") - col("__fs")).cast("double") +
+        lit(smoothing).cast("double") * gMean) / denom.cast("double"))
+      .otherwise(gMean)
+    withCols
+      .join(broadcast(byKeyFold), Seq(keyCol, "__f"))
+      .join(broadcast(byKey), Seq(keyCol))
+      .crossJoin(broadcast(global)) // 1-row corpus total
+      .withColumn("target_enc", enc)
+      .drop("__t", "__f", "__fs", "__fn", "__ks", "__kn", "__gs", "__gn")
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Features
+
+class FeaturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // category a: fold0 target 100, fold1 target 200; category b: fold0
+  // target 0. global mean = 300/3 = 100.
+  private def fixture = Seq(
+    (1L, "a", 0, 100L), (2L, "a", 1, 200L), (3L, "b", 0, 0L))
+    .toDF("id", "cat", "fold", "tgt")
+
+  test("targetEncodeOof: a row's own target never leaks into its encoding") {
+    val enc = Features.targetEncodeOof(fixture, "cat", col("fold"),
+        col("tgt"), smoothing = 0L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Double]("target_enc")).toMap
+    // row 1 (a, fold0) sees only fold1's 200; row 2 sees only 100
+    assert(enc(1L) == 200.0 && enc(2L) == 100.0)
+    // category b has no out-of-fold rows: falls back to global mean
+    assert(enc(3L) == 100.0)
+  }
+
+  test("targetEncodeOof: smoothing shrinks toward the global mean") {
+    val enc = Features.targetEncodeOof(fixture, "cat", col("fold"),
+        col("tgt"), smoothing = 10L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Double]("target_enc")).toMap
+    // (200 + 10*100) / (1 + 10)
+    assert(math.abs(enc(1L) - 1200.0 / 11.0) < 1e-12)
+    assert(math.abs(enc(2L) - 1100.0 / 11.0) < 1e-12)
+    // b: (0 - 0 + 10*100) / (1 - 1 + 10) = 100 — pure prior
+    assert(enc(3L) == 100.0)
+    // heavier smoothing is closer to the global mean
+    val heavy = Features.targetEncodeOof(fixture, "cat", col("fold"),
+        col("tgt"), smoothing = 1000L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Double]("target_enc")).toMap
+    assert(math.abs(heavy(1L) - 100.0) < math.abs(enc(1L) - 100.0))
+  }
+
+  test("targetEncodeOof: encoding is a pure function of (category, fold)") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 500L).map(i =>
+      (i, s"c${rnd.nextInt(6)}", (i % 4).toInt, rnd.nextInt(1000).toLong))
+    val df = rows.toDF("id", "cat", "fold", "tgt")
+    val enc = Features.targetEncodeOof(df, "cat", col("fold"), col("tgt"),
+        smoothing = 5L)
+      .collect().map(r => (r.getAs[String]("cat"), r.getAs[Int]("fold")) ->
+        r.getAs[Double]("target_enc"))
+    // every row of one (cat, fold) cell gets the identical encoding
+    enc.groupBy(_._1).foreach { case (cell, vs) =>
+      assert(vs.map(_._2).distinct.length == 1, s"cell $cell")
+    }
+    // and it equals the hand-rolled out-of-fold mean with smoothing
+    val gMean = rows.map(_._4).sum.toDouble / rows.length
+    val byCell = rows.groupBy(r => (r._2, r._3))
+      .view.mapValues(rs => (rs.map(_._4).sum, rs.length)).toMap
+    val byCat = rows.groupBy(_._2)
+      .view.mapValues(rs => (rs.map(_._4).sum, rs.length)).toMap
+    enc.foreach { case ((cat, fold), got) =>
+      val (ks, kn) = byCat(cat)
+      val (fs, fn) = byCell((cat, fold))
+      val want = ((ks - fs).toDouble + 5.0 * gMean) / (kn - fn + 5).toDouble
+      assert(math.abs(got - want) < 1e-9, s"($cat,$fold): $got vs $want")
+    }
+  }
+}
