@@ -135,7 +135,7 @@ object SparkEntry {
     "text_collocations", "agg_salted_collect", "sim_knn_graph_recall",
     "evt_anomaly_replay", "graph_assoc_rules",
     "graph_pagerank_personalized", "json_variant_stats",
-    "feat_target_encode")
+    "feat_target_encode", "dq_outliers_mad", "dq_psi", "feat_cuped")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -320,6 +320,7 @@ object SparkEntry {
     "feat_percentile_buckets_window", "feat_target_encode",
     "pipeline_feature_matrix",
     "dq_invalid_codes", "dq_expectations", "dq_profile", "dq_outliers",
+    "dq_outliers_mad", "dq_psi", "feat_cuped",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -395,6 +396,51 @@ object SparkEntry {
           sum(when($"is_outlier", 1L).otherwise(0L)).cast("bigint")
             .as("n_outliers"))
         .orderBy($"o_orderpriority")
+    }),
+
+    "dq_outliers_mad" -> ((s, dir) => {
+      import s.implicits._
+      // median/MAD robust outliers per priority — the heavy-tail-safe
+      // twin of dq_outliers (a fat tail inflates the IQR and hides
+      // its own outliers; MAD doesn't). Both chained medians are
+      // order statistics the oracle replays with quantile_cont.
+      Quality.tagOutliersMad(Tables.orders(s, dir), "o_orderpriority",
+          $"o_totalprice")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          sum(when($"is_outlier", 1L).otherwise(0L)).cast("bigint")
+            .as("n_outliers"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    "dq_psi" -> ((s, dir) => {
+      import s.implicits._
+      // Population Stability Index between the click and purchase
+      // value distributions: exact integer bucketing, add-one
+      // smoothing, per-bucket contributions in micro-units — DuckDB
+      // replays contributions AND the implied score value-for-value.
+      val ev = Tables.events(s, dir)
+      Quality.psiReport(
+        ev.filter($"event_type" === "click"),
+        ev.filter($"event_type" === "purchase"),
+        round($"value" * 100), lo = 0L, width = 1000L, nBuckets = 10)
+    }),
+
+    "feat_cuped" -> ((s, dir) => {
+      import s.implicits._
+      // CUPED variance reduction over per-user pre/post cents (x =
+      // first half of January, y = second half — the canonical
+      // pre-period covariate). θ comes from exact integer moments,
+      // so θ and every adjusted value replay bit-for-bit.
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val ev = Tables.events(s, dir)
+        .withColumn("cents", round($"value" * 100).cast("long"))
+      val perUser = ev.groupBy($"user_id")
+        .agg(sum(when($"ts" < cut, $"cents").otherwise(0L)).as("x_pre"),
+          sum(when($"ts" >= cut, $"cents").otherwise(0L)).as("y_post"))
+      Features.cuped(perUser, $"y_post", $"x_pre")
+        .select($"user_id", $"x_pre", $"y_post", $"theta", $"y_adj")
+        .orderBy($"user_id")
     }),
 
     // ================= Aggregation (SURVEY §2.5) =================
@@ -5164,6 +5210,81 @@ object SparkEntry {
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM orders o JOIN f USING (o_orderpriority)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dq_outliers_mad" ->
+      """WITH m AS (
+        |  SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+        |  FROM orders GROUP BY 1),
+        |d AS (
+        |  SELECT o.o_orderpriority, o.o_totalprice, m.med
+        |  FROM orders o JOIN m USING (o_orderpriority)),
+        |md AS (
+        |  SELECT o_orderpriority,
+        |    quantile_cont(abs(o_totalprice - med), 0.5) AS mad
+        |  FROM d GROUP BY 1)
+        |SELECT d.o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN md.mad > 0
+        |      AND abs(d.o_totalprice - d.med) > 3.5 * 1.4826 * md.mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN md USING (o_orderpriority)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // bucketing is integer div; add-one smoothing keeps the log total;
+    // contributions quantize to micro-units the unigramNll way
+    "dq_psi" ->
+      """WITH ca AS (
+        |  SELECT CASE WHEN v IS NULL THEN -1
+        |    ELSE least(greatest(v // 1000, 0), 9) END AS bucket,
+        |    count(*) AS n_a
+        |  FROM (SELECT CAST(round(value * 100) AS BIGINT) AS v
+        |        FROM events WHERE event_type = 'click') GROUP BY 1),
+        |cb AS (
+        |  SELECT CASE WHEN v IS NULL THEN -1
+        |    ELSE least(greatest(v // 1000, 0), 9) END AS bucket,
+        |    count(*) AS n_b
+        |  FROM (SELECT CAST(round(value * 100) AS BIGINT) AS v
+        |        FROM events WHERE event_type = 'purchase') GROUP BY 1),
+        |grid AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(-1, 10)),
+        |j AS (SELECT g.bucket, coalesce(ca.n_a, 0) AS n_a,
+        |    coalesce(cb.n_b, 0) AS n_b
+        |  FROM grid g LEFT JOIN ca USING (bucket) LEFT JOIN cb USING (bucket)),
+        |t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j)
+        |SELECT bucket, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(round(
+        |    ((CAST(n_a + 1 AS DOUBLE) / CAST(ta + 11 AS DOUBLE)) -
+        |     (CAST(n_b + 1 AS DOUBLE) / CAST(tb + 11 AS DOUBLE))) *
+        |    ln(CAST(CAST(n_a + 1 AS HUGEINT) * (tb + 11) AS DOUBLE) /
+        |       CAST(CAST(n_b + 1 AS HUGEINT) * (ta + 11) AS DOUBLE)) *
+        |    1000000) AS BIGINT) AS psi_micros
+        |FROM j, t ORDER BY bucket""".stripMargin,
+
+    // exact integer moments; theta and the adjustment are one mirrored
+    // division tree — raw doubles match bit-for-bit
+    "feat_cuped" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS x_pre,
+        |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS y_post
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT count(*) AS n,
+        |  sum(CAST(x_pre AS HUGEINT)) AS sx,
+        |  sum(CAST(y_post AS HUGEINT)) AS sy,
+        |  sum(CAST(x_pre AS HUGEINT) * y_post) AS sxy,
+        |  sum(CAST(x_pre AS HUGEINT) * x_pre) AS sxx FROM u),
+        |t AS (SELECT
+        |  CASE WHEN CAST(n AS HUGEINT) * sxx - sx * sx > 0
+        |    THEN CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) /
+        |         CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+        |    ELSE 0.0 END AS theta,
+        |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar FROM m)
+        |SELECT u.user_id, u.x_pre, u.y_post, t.theta,
+        |  CAST(u.y_post AS DOUBLE) - t.theta *
+        |    (CAST(u.x_pre AS DOUBLE) - t.xbar) AS y_adj
+        |FROM u, t ORDER BY user_id""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

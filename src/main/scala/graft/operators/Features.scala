@@ -62,4 +62,48 @@ object Features {
       .withColumn("target_enc", enc)
       .drop("__t", "__f", "__fs", "__fn", "__ks", "__kn", "__gs", "__gn")
   }
+
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM'13 —
+    * *Improving the Sensitivity of Online Controlled Experiments*):
+    * adjust each unit's metric by its pre-experiment covariate,
+    * `y_adj = y - θ · (x - x̄)` with `θ = cov(x, y) / var(x)` — the
+    * regression adjustment that removes the covariate-explained
+    * variance from an A/B metric (the workhorse of every large
+    * experimentation platform; typical sensitivity gains 30-50% when
+    * x is the same metric pre-period). The adjusted mean is unchanged
+    * (E[y_adj] = E[y]); only the variance shrinks.
+    *
+    * θ from exact integer moments: with the same integral contract
+    * as [[targetEncodeOof]] (cast metrics to cents first), Sx, Sy,
+    * Sxy, Sxx and n are exact integers and
+    * `θ = (n·Sxy - Sx·Sy) / (n·Sxx - Sx²)` is one division of
+    * DECIMAL-widened products — an oracle replays θ and every
+    * adjusted value bit-for-bit. Zero-variance covariates get θ = 0
+    * (no adjustment), not a NaN. Adds (`theta`, `y_adj`).
+    *
+    * Scale: ONE aggregate over the unit table (5 exact sums → 1-row
+    * broadcast) + a row-local projection; nothing shuffles. */
+  def cuped(df: DataFrame, metricExpr: Column,
+      covariateExpr: Column): DataFrame = {
+    val withCols = df.withColumn("__y", metricExpr.cast("long"))
+      .withColumn("__x", covariateExpr.cast("long"))
+    val moments = withCols.agg(
+      count(lit(1)).as("__n"),
+      sum(col("__x").cast("decimal(38,0)")).as("__sx"),
+      sum(col("__y").cast("decimal(38,0)")).as("__sy"),
+      sum((col("__x").cast("decimal(38,0)") * col("__y"))).as("__sxy"),
+      sum((col("__x").cast("decimal(38,0)") * col("__x"))).as("__sxx"))
+    val varNum = (col("__n").cast("decimal(38,0)") * col("__sxx") -
+      col("__sx") * col("__sx"))
+    val covNum = (col("__n").cast("decimal(38,0)") * col("__sxy") -
+      col("__sx") * col("__sy"))
+    val theta = when(varNum > 0,
+      covNum.cast("double") / varNum.cast("double")).otherwise(0.0)
+    val xBar = col("__sx").cast("double") / col("__n").cast("double")
+    withCols.crossJoin(broadcast(moments)) // 1-row moment vector
+      .withColumn("theta", theta)
+      .withColumn("y_adj", col("__y").cast("double") -
+        col("theta") * (col("__x").cast("double") - xBar))
+      .drop("__x", "__y", "__n", "__sx", "__sy", "__sxy", "__sxx")
+  }
 }

@@ -335,4 +335,85 @@ object Quality {
     }
     df.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Population Stability Index — THE industry drift score (credit
+    * scoring heritage; the scalar companion to [[driftReport]]'s
+    * per-bucket verdicts): `PSI = Σ_b (p_b - q_b) · ln(p_b / q_b)`,
+    * rule of thumb < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted.
+    * Uses [[bucketCounts]]'s exact integer bucketing (NULLs in
+    * bucket -1, same grid), with ADD-ONE smoothing on every bucket —
+    * the standard fix for empty buckets, which otherwise send the log
+    * to ±∞, and it makes the score a total function of the two
+    * samples. Each bucket's contribution is quantized to integer
+    * micro-units the way [[graft.llm.TextAnalysis.unigramNll]]
+    * quantizes NLL: the log's operand is a ratio of exact integer
+    * products, so an oracle replays contributions AND the sum
+    * value-for-value. Returns (bucket, n_a, n_b, psi_micros) over
+    * the full -1..nBuckets-1 grid; `SUM(psi_micros)` is the score.
+    *
+    * Scale: two narrow scans collapse to (nBuckets+1)-row count
+    * tables; everything after is grid-sized. */
+  def psiReport(a: DataFrame, b: DataFrame, valueExpr: Column,
+      lo: Long, width: Long, nBuckets: Int): DataFrame = {
+    require(width > 0 && nBuckets > 0, "width and nBuckets must be positive")
+    val ca = bucketCounts(a, valueExpr, lo, width, nBuckets, "n_a")
+    val cb = bucketCounts(b, valueExpr, lo, width, nBuckets, "n_b")
+    val grid = a.sparkSession.range(-1L, nBuckets.toLong)
+      .select(col("id").as("bucket"))
+    val joined = grid
+      .join(ca, Seq("bucket"), "left")
+      .join(cb, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totals = joined.agg(sum(col("n_a")).as("__ta"),
+      sum(col("n_b")).as("__tb"))
+    val nb = nBuckets + 1 // add-one smoothing mass: one per grid cell
+    joined.crossJoin(broadcast(totals))
+      .withColumn("__pa", (col("n_a") + 1L).cast("double") /
+        (col("__ta") + nb).cast("double"))
+      .withColumn("__pb", (col("n_b") + 1L).cast("double") /
+        (col("__tb") + nb).cast("double"))
+      .withColumn("psi_micros",
+        round((col("__pa") - col("__pb")) *
+          log(((col("n_a") + 1L).cast("decimal(38,0)") *
+              (col("__tb") + nb)).cast("double") /
+            ((col("n_b") + 1L).cast("decimal(38,0)") *
+              (col("__ta") + nb)).cast("double")) * 1e6).cast("long"))
+      .select(col("bucket"), col("n_a"), col("n_b"), col("psi_micros"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Robust outlier tagging by median/MAD — the heavy-tail-safe twin
+    * of [[tagOutliers]]'s Tukey fences (a fat tail inflates the IQR
+    * and hides its own outliers; the median absolute deviation
+    * doesn't): flag rows where `|v - median| > k · 1.4826 · MAD`
+    * (1.4826 ≈ 1/Φ⁻¹(3/4) scales MAD to σ under normality — the
+    * standard consistency constant). Zero-MAD groups (over half the
+    * values identical) abstain rather than flagging everything not
+    * equal to the median. Row-preserving; adds group median, mad,
+    * is_outlier.
+    *
+    * Same scale shape as [[tagOutliers]]: two chained per-group exact
+    * percentile aggregates (median, then median of residuals) + an
+    * unhinted broadcast join-back. Both medians are order statistics
+    * — engine-exact, so the flags replay. */
+  def tagOutliersMad(df: DataFrame, groupCol: String, valueExpr: Column,
+      k: Double = 3.5): DataFrame = {
+    require(k > 0, s"k must be > 0 (got $k)")
+    val withV = df.withColumn("__v", valueExpr.cast("double"))
+    val med = withV.groupBy(col(groupCol))
+      .agg(expr("percentile(__v, 0.5)").as("median"))
+    val mad = withV.join(med, Seq(groupCol))
+      .withColumn("__r", abs(col("__v") - col("median")))
+      .groupBy(col(groupCol))
+      .agg(expr("percentile(__r, 0.5)").as("mad"))
+    withV.join(med, Seq(groupCol), "left")
+      .join(mad, Seq(groupCol), "left")
+      .withColumn("is_outlier",
+        when(col("mad") > 0.0,
+          abs(col("__v") - col("median")) > lit(k) * lit(1.4826) * col("mad"))
+          .otherwise(lit(false)))
+      .drop("__v")
+  }
 }

@@ -67,4 +67,36 @@ class FeaturesSpec extends SparkSpec {
       assert(math.abs(got - want) < 1e-9, s"($cat,$fold): $got vs $want")
     }
   }
+
+  test("cuped: mean preserved, variance reduced, perfect covariate zeroes it") {
+    val rnd = new scala.util.Random(3)
+    // y = 2x + noise: a strongly explanatory covariate
+    val rows = (1L to 400L).map { i =>
+      val x = rnd.nextInt(1000).toLong
+      (i, x, 2 * x + rnd.nextInt(50).toLong)
+    }
+    val df = rows.toDF("id", "x", "y")
+    val out = Features.cuped(df, col("y"), col("x"))
+      .collect().map(r => (r.getAs[Long]("y"), r.getAs[Double]("y_adj")))
+    def meanVar(vs: Seq[Double]): (Double, Double) = {
+      val m = vs.sum / vs.size
+      (m, vs.map(v => (v - m) * (v - m)).sum / vs.size)
+    }
+    val (my, vy) = meanVar(out.map(_._1.toDouble).toSeq)
+    val (ma, va) = meanVar(out.map(_._2).toSeq)
+    assert(math.abs(my - ma) < 1e-6, s"mean moved: $my vs $ma")
+    assert(va < vy * 0.05, s"variance $vy -> $va (expected >20x reduction)")
+    // perfect covariate (y == x): residual variance ~0
+    val perfect = (1L to 100L).map(i => (i, i * 3, i * 3)).toDF("id", "x", "y")
+    val pAdj = Features.cuped(perfect, col("y"), col("x"))
+      .collect().map(_.getAs[Double]("y_adj"))
+    val (_, pv) = meanVar(pAdj.toSeq)
+    assert(pv < 1e-12)
+    // constant covariate: theta = 0, y_adj == y (no NaN)
+    val const = (1L to 10L).map(i => (i, 7L, i)).toDF("id", "x", "y")
+    val cAdj = Features.cuped(const, col("y"), col("x")).collect()
+    assert(cAdj.forall(r => r.getAs[Double]("theta") == 0.0))
+    assert(cAdj.forall(r =>
+      r.getAs[Double]("y_adj") == r.getAs[Long]("y").toDouble))
+  }
 }

@@ -237,4 +237,39 @@ class QualitySpec extends SparkSpec {
       nullRow(0).getLong(1) == 20L && nullRow(0).getLong(2) == 20L &&
       !nullRow(0).getBoolean(3), got.mkString(","))
   }
+
+  test("psiReport: identical samples score ~0, a shifted sample scores high") {
+    import org.apache.spark.sql.functions.col
+    val a = (1 to 1000).map(i => (i % 100).toLong).toDF("v")
+    val shifted = (1 to 1000).map(i => (i % 100).toLong + 60L).toDF("v")
+    val same = Quality.psiReport(a, a, col("v"), lo = 0L, width = 20L,
+        nBuckets = 8).collect()
+    // full grid, conservation, zero score against itself
+    assert(same.length == 9)
+    assert(same.map(_.getLong(1)).sum == 1000L)
+    assert(same.map(_.getLong(3)).sum == 0L)
+    val far = Quality.psiReport(a, shifted, col("v"), lo = 0L,
+        width = 20L, nBuckets = 8).collect()
+    // rule of thumb: > 0.25 (250000 micros) = distribution shifted
+    assert(far.map(_.getLong(3)).sum > 250000L,
+      s"psi=${far.map(_.getLong(3)).sum}")
+    // every contribution is non-negative (p-q and ln(p/q) share sign)
+    assert(far.forall(_.getLong(3) >= 0L))
+  }
+
+  test("tagOutliersMad flags the far spike Tukey misses under a fat tail") {
+    import org.apache.spark.sql.functions.col
+    // tight cluster + one extreme value: MAD stays tiny, so the spike
+    // flags; and a >50%-identical group abstains (mad = 0)
+    val rows = ((1 to 50).map(i => ("g", 100.0 + (i % 5))) :+ ("g", 10000.0)) ++
+      (1 to 20).map(_ => ("h", 7.0)) :+ ("h", 7.5)
+    val df = rows.toDF("grp", "v")
+    val out = Quality.tagOutliersMad(df, "grp", col("v"))
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getAs[Boolean]("is_outlier")))
+    assert(out.count { case (g, v, o) => g == "g" && v == 10000.0 && o } == 1)
+    assert(out.count { case (g, _, o) => g == "g" && o } == 1)
+    // zero-MAD group abstains entirely rather than flagging 7.5
+    assert(out.filter(_._1 == "h").forall(!_._3))
+  }
 }
