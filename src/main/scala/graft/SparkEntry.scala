@@ -135,7 +135,8 @@ object SparkEntry {
     "text_collocations", "agg_salted_collect", "sim_knn_graph_recall",
     "evt_anomaly_replay", "graph_assoc_rules",
     "graph_pagerank_personalized", "json_variant_stats",
-    "feat_target_encode", "dq_outliers_mad", "dq_psi", "feat_cuped")
+    "feat_target_encode", "dq_outliers_mad", "dq_psi", "feat_cuped",
+    "dq_winsorize", "text_rrf_fusion")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -320,7 +321,8 @@ object SparkEntry {
     "feat_percentile_buckets_window", "feat_target_encode",
     "pipeline_feature_matrix",
     "dq_invalid_codes", "dq_expectations", "dq_profile", "dq_outliers",
-    "dq_outliers_mad", "dq_psi", "feat_cuped",
+    "dq_outliers_mad", "dq_psi", "feat_cuped", "dq_winsorize",
+    "text_rrf_fusion",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -441,6 +443,41 @@ object SparkEntry {
       Features.cuped(perUser, $"y_post", $"x_pre")
         .select($"user_id", $"x_pre", $"y_post", $"theta", $"y_adj")
         .orderBy($"user_id")
+    }),
+
+    "dq_winsorize" -> ((s, dir) => {
+      import s.implicits._
+      // Rank-based winsorization (percentile_disc bounds are ACTUAL
+      // data values — no interpolation arithmetic, so the clipped
+      // column is bit-exact on both engines).
+      Quality.winsorize(Tables.orders(s, dir), "o_orderpriority",
+          "o_totalprice")
+        .select($"o_orderkey", $"o_orderpriority",
+          $"o_totalprice_wins", $"o_totalprice_clipped")
+        .orderBy($"o_orderkey")
+    }),
+
+    "text_rrf_fusion" -> ((s, dir) => {
+      import s.implicits._
+      // Hybrid retrieval: BM25 top-20 fused with a freshness-proxy
+      // ranking (n_chars desc) by reciprocal-rank fusion. RRF needs
+      // no score calibration — only ranks — and the integer
+      // micro-unit contributions make the fused scores AND the fused
+      // order replay value-for-value. (The BM25 ⊕ ANN form is
+      // spec-exercised; the graded twin keeps both legs
+      // SQL-replayable.)
+      val docs = Tables.documents(s, dir)
+      val wBm = Window.orderBy($"score_micros".desc, $"doc_id")
+      val bm = TextAnalysis.bm25Search(docs, "doc_id", "text",
+          Seq("hash", "join", "spark"), k = 20)
+        .withColumn("rank", row_number().over(wBm))
+      val wFresh = Window.orderBy($"n_chars".desc, $"doc_id")
+      val fresh = docs.select($"doc_id", $"n_chars")
+        .orderBy($"n_chars".desc, $"doc_id").limit(20)
+        .withColumn("rank", row_number().over(wFresh))
+      Similarity.rrfFuse(Seq(bm.select($"doc_id", $"rank"),
+          fresh.select($"doc_id", $"rank")), "doc_id", "rank")
+        .orderBy($"fused_rank")
     }),
 
     // ================= Aggregation (SURVEY §2.5) =================
@@ -5210,6 +5247,62 @@ object SparkEntry {
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM orders o JOIN f USING (o_orderpriority)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // rank-based bounds are actual data values — clipping is pure
+    // comparison, no arithmetic to drift
+    "dq_winsorize" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority,
+        |    quantile_disc(o_totalprice, 0.05) AS lo,
+        |    quantile_disc(o_totalprice, 0.95) AS hi
+        |  FROM orders GROUP BY 1)
+        |SELECT o.o_orderkey, o.o_orderpriority,
+        |  least(greatest(o.o_totalprice, b.lo), b.hi) AS o_totalprice_wins,
+        |  (o.o_totalprice < b.lo OR o.o_totalprice > b.hi)
+        |    AS o_totalprice_clipped
+        |FROM orders o JOIN b USING (o_orderpriority)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // both legs SQL-replayable (the BM25 tree is text_bm25's proven
+    // mirror); RRF contributions are integer div — exact sums
+    "text_rrf_fusion" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+        |  FROM documents),
+        |t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        |st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS total
+        |       FROM dl),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+        |       WHERE tok IN ('hash', 'join', 'spark') GROUP BY 1, 2),
+        |dfr AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |s AS (
+        |  SELECT tf.doc_id,
+        |    round((ln((CAST(st.n - dfr.df AS DOUBLE) + 0.5)
+        |        / (CAST(dfr.df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75
+        |          * (CAST(dl.dl AS DOUBLE)
+        |            / (CAST(st.total AS DOUBLE) / CAST(st.n AS DOUBLE))))))
+        |      * 1000000) AS sm
+        |  FROM tf JOIN dfr USING (tok) JOIN dl USING (doc_id), st),
+        |bmtop AS (SELECT doc_id, CAST(sum(sm) AS BIGINT) AS score_micros
+        |  FROM s GROUP BY doc_id
+        |  ORDER BY score_micros DESC, doc_id LIMIT 20),
+        |bm AS (SELECT doc_id, row_number() OVER (
+        |    ORDER BY score_micros DESC, doc_id) AS rank FROM bmtop),
+        |freshtop AS (SELECT doc_id, n_chars FROM documents
+        |  ORDER BY n_chars DESC, doc_id LIMIT 20),
+        |fresh AS (SELECT doc_id, row_number() OVER (
+        |    ORDER BY n_chars DESC, doc_id) AS rank FROM freshtop),
+        |u AS (SELECT doc_id, 1000000 // (60 + rank) AS c FROM bm
+        |      UNION ALL SELECT doc_id, 1000000 // (60 + rank) FROM fresh)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_micros,
+        |  CAST(count(*) AS BIGINT) AS n_lists,
+        |  CAST(row_number() OVER (
+        |    ORDER BY sum(c) DESC, count(*) DESC, doc_id) AS INT)
+        |    AS fused_rank
+        |FROM u GROUP BY doc_id ORDER BY fused_rank""".stripMargin,
 
     "dq_outliers_mad" ->
       """WITH m AS (

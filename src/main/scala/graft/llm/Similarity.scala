@@ -290,6 +290,38 @@ object Similarity {
       Seq("q_id", "n_id"), "left_semi")
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09) —
+    * the standard hybrid-retrieval combiner: fuse N ranked lists into
+    * one by `score(d) = Σ_lists 1/(k + rank_d)`, which needs NO score
+    * calibration between lists (BM25 micro-units and cosine live on
+    * incomparable scales; ranks don't). The classic use is lexical ⊕
+    * vector (BM25 + ANN) hybrid search; any ranked DataFrames with
+    * (idCol, rankCol) fuse.
+    *
+    * Contributions quantize to integer micro-units (`1e6 div
+    * (k + rank)`) so the fused score is an exact integer sum — order-
+    * independent, engine-replayable — and the output rank is a
+    * deterministic (score desc, n_lists desc, id) ordering. Returns
+    * (idCol, rrf_micros, n_lists, fused_rank).
+    *
+    * Scale: each input is already a top-k list (k rows, not corpus
+    * rows); the fuse is a union + one tiny hash-agg + a window over
+    * result-size data. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+      k: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k >= 0, s"k must be >= 0 (got $k)")
+    val scored = rankings.map(_.select(col(idCol),
+      expr(s"1000000L div (${k}L + CAST($rankCol AS BIGINT))").as("__c")))
+    val fused = scored.reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("rrf_micros"),
+        count(lit(1)).cast("bigint").as("n_lists"))
+    val w = Window.orderBy(col("rrf_micros").desc, col("n_lists").desc,
+      col(idCol))
+    fused.withColumn("fused_rank", row_number().over(w))
+  }
+
   // ====================== Product quantization ======================
 
   /** Trained PQ codebooks: `m` sub-quantizers of `k` centroids over

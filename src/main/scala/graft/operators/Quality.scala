@@ -384,6 +384,42 @@ object Quality {
       .orderBy(col("bucket"))
   }
 
+  /** Winsorization: clip each value into its group's
+    * [pLo, pHi]-quantile range — the standard long-tail tamer for
+    * features and metrics (an aggregate over raw heavy-tailed data is
+    * one fat outlier's hostage; clipping at the 5th/95th keeps the row
+    * and bounds its influence). RANK-BASED bounds (`percentile_disc` —
+    * the smallest value whose cumulative distribution reaches p):
+    * bounds are ACTUAL data values, no interpolation arithmetic, so
+    * clipped output is bit-exact on any engine. Adds
+    * `<valueCol>_wins` (clipped value) and `<valueCol>_clipped`
+    * (flag, false for NULL values which pass through untouched).
+    * Row-preserving, NULL group keys keep their rows.
+    *
+    * Scale: one per-group order-statistic aggregate + the unhinted
+    * broadcast join-back ([[tagOutliers]] posture). */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1 (got $pLo, $pHi)")
+    val bounds = df.groupBy(col(groupCol)).agg(
+      expr(s"percentile_disc($pLo) WITHIN GROUP (ORDER BY $valueCol)")
+        .as("__lo"),
+      expr(s"percentile_disc($pHi) WITHIN GROUP (ORDER BY $valueCol)")
+        .as("__hi"))
+    df.join(bounds, Seq(groupCol), "left")
+      // explicit NULL pass-through: least/greatest SKIP null operands
+      // (a NULL value would silently clip to the lower bound)
+      .withColumn(s"${valueCol}_wins",
+        when(col(valueCol).isNull, lit(null))
+          .otherwise(least(greatest(col(valueCol), col("__lo")),
+            col("__hi"))))
+      .withColumn(s"${valueCol}_clipped",
+        coalesce(col(valueCol) < col("__lo") ||
+          col(valueCol) > col("__hi"), lit(false)))
+      .drop("__lo", "__hi")
+  }
+
   /** Robust outlier tagging by median/MAD — the heavy-tail-safe twin
     * of [[tagOutliers]]'s Tukey fences (a fat tail inflates the IQR
     * and hides its own outliers; the median absolute deviation

@@ -257,6 +257,33 @@ class QualitySpec extends SparkSpec {
     assert(far.forall(_.getLong(3) >= 0L))
   }
 
+  test("winsorize: rank-based bounds clip tails, NULLs pass, rows preserved") {
+    import org.apache.spark.sql.functions.col
+    val rows = (1 to 100).map(i => ("g", Some(i.toDouble))) :+
+      (("g", Option.empty[Double])) :+ (("g", Some(-500.0)))
+    val df = rows.toDF("grp", "v")
+    val out = Quality.winsorize(df, "grp", "v", pLo = 0.05, pHi = 0.95)
+      .collect()
+    assert(out.length == 102) // row-preserving
+    val clipped = out.filter(_.getAs[Boolean]("v_clipped"))
+    // -500 clips up to the lower bound; 1..5ish clip too; 96+ clip down
+    assert(clipped.nonEmpty)
+    assert(out.forall { r =>
+      r.isNullAt(r.fieldIndex("v")) ||
+        (r.getAs[Double]("v_wins") >= out.flatMap(x =>
+          Option(x.getAs[Double]("v_wins"))).min)
+    })
+    // NULL value passes through unclipped with a false flag
+    val nullRow = out.filter(_.isNullAt(1)).head
+    assert(nullRow.isNullAt(nullRow.fieldIndex("v_wins")))
+    assert(!nullRow.getAs[Boolean]("v_clipped"))
+    // winsorized column never exceeds the 95th-rank value
+    val vs = (1 to 100).map(_.toDouble) :+ -500.0
+    val hi = vs.sorted.apply(math.ceil(0.95 * vs.length).toInt - 1)
+    assert(out.filter(!_.isNullAt(1))
+      .forall(_.getAs[Double]("v_wins") <= hi))
+  }
+
   test("tagOutliersMad flags the far spike Tukey misses under a fat tail") {
     import org.apache.spark.sql.functions.col
     // tight cluster + one extreme value: MAD stays tiny, so the spike

@@ -193,6 +193,45 @@ class SimilaritySpec extends SparkSpec {
     assert(g.forall { case (q, n) => (q < 30) == (n < 30) })
   }
 
+  test("rrfFuse: closed-form scores; hybrid BM25+ANN legs fuse sanely") {
+    // two hand lists: doc 1 ranked 1st in both, doc 2 only in list A,
+    // doc 3 only in list B (rank 2)
+    val a = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
+    val b = Seq((1L, 1), (3L, 2)).toDF("doc_id", "rank")
+    val fused = Similarity.rrfFuse(Seq(a, b), "doc_id", "rank", k = 60)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    // 1e6 div 61 = 16393; div 62 = 16129
+    assert(fused(1L) == ((2 * 16393L, 2L, 1)))
+    assert(fused(2L) == ((16129L, 1L, 2))) // doc_id tie-break beats 3
+    assert(fused(3L) == ((16129L, 1L, 3)))
+    // hybrid: fuse a lexical and a vector leg end-to-end (rank shapes
+    // only — scores live on incomparable scales, which is the point)
+    val rnd = new scala.util.Random(41)
+    val docs = (1L to 30L).map(i =>
+      (i, s"term$i filler words here", Array.fill(6)(rnd.nextGaussian().toFloat)))
+      .toDF("doc_id", "text", "embedding")
+    val lex = graft.llm.TextAnalysis.bm25Search(
+        docs.select($"doc_id", $"text"), "doc_id", "text",
+        Seq("term3", "filler"), k = 5)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"score_micros".desc, $"doc_id")))
+      .select($"doc_id", $"rank")
+    val vec = Similarity.bruteForceTopK(
+        docs.select($"doc_id", $"embedding"),
+        docs.filter($"doc_id" === 3L).select($"doc_id", $"embedding"),
+        "embedding", "doc_id", k = 5)
+      .select($"n_id".as("doc_id"), $"rn".as("rank"))
+    val hybrid = Similarity.rrfFuse(Seq(lex, vec), "doc_id", "rank")
+      .collect()
+    assert(hybrid.nonEmpty && hybrid.length <= 10)
+    // appearing in both lists can only help: every 2-list doc outranks
+    // same-best-rank 1-list docs
+    val best = hybrid.minBy(_.getInt(3))
+    assert(best.getLong(1) >= hybrid.map(_.getLong(1)).max)
+  }
+
   test("knnGraph mutual: symmetric and a subset of the directed graph") {
     val rnd = new scala.util.Random(5)
     val vecs = (0 until 40).map(i =>
