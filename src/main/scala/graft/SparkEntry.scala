@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.llm.{CorpusOverlap, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Blocklist, CorpusOverlap, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.ml.{Projection, TextFeatures}
 import graft.operators.{AsOf, Features, Graph, IntervalJoin, Merge, Percentiles, Quality, Sampling, Scale}
 import graft.sources.{Csv, Deletes, Writers}
@@ -136,7 +136,8 @@ object SparkEntry {
     "evt_anomaly_replay", "graph_assoc_rules",
     "graph_pagerank_personalized", "json_variant_stats",
     "feat_target_encode", "dq_outliers_mad", "dq_psi", "feat_cuped",
-    "dq_winsorize", "text_rrf_fusion")
+    "dq_winsorize", "text_rrf_fusion", "text_blocklist",
+    "partition_dynamic_overwrite")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -336,7 +337,7 @@ object SparkEntry {
     "text_langid", "text_token_counts", "text_quality_score", "text_entities",
     "text_chunk", "text_redact", "text_repetition",
     "text_unigram_nll", "text_normalize", "bpe_tokenize", "dsir_select",
-    "text_bm25",
+    "text_bm25", "text_rrf_fusion", "text_blocklist",
     "decontaminate", "corpus_overlap",
     "dedup_exact", "dedup_spans", "dedup_paragraph", "dedup_fingerprint", "dedup_simhash",
     "dedup_clusters", "graph_pagerank", "graph_pagerank_personalized",
@@ -443,6 +444,39 @@ object SparkEntry {
       Features.cuped(perUser, $"y_post", $"x_pre")
         .select($"user_id", $"x_pre", $"y_post", $"theta", $"y_adj")
         .orderBy($"user_id")
+    }),
+
+    "text_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      // One-pass Aho-Corasick multi-pattern scan: the match set equals
+      // a per-pattern contains disjunction (which IS the oracle) —
+      // only the cost differs, one text read vs one per pattern.
+      Blocklist.scanBlocklist(Tables.documents(s, dir), "doc_id", "text",
+          Seq("spark", "merge batch", "window table", "zz"))
+        .select($"doc_id", concat_ws(",", $"matches").as("matches"),
+          $"flagged")
+        .orderBy($"doc_id")
+    }),
+
+    "partition_dynamic_overwrite" -> ((s, dir) => {
+      import s.implicits._
+      // Dynamic partition overwrite: rewrite ONLY the click partition
+      // (doubled cents); every other partition must survive — static
+      // overwrite mode would atomically drop the whole table.
+      // SIDE-EFFECTING (two writes at construction).
+      val base = java.nio.file.Files.createTempDirectory("dynpart")
+        .toString + "/t"
+      val ev = Tables.events(s, dir).select($"event_id", $"event_type",
+        round($"value" * 100).cast("long").as("cents"))
+      Writers.dynamicOverwrite(s, ev, base, Seq("event_type"))
+      val patch = ev.filter($"event_type" === "click")
+        .withColumn("cents", $"cents" * 2L)
+      Writers.dynamicOverwrite(s, patch, base, Seq("event_type"))
+      s.read.parquet(base)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum($"cents").cast("bigint").as("sum_cents"))
+        .orderBy($"event_type")
     }),
 
     "dq_winsorize" -> ((s, dir) => {
@@ -5247,6 +5281,28 @@ object SparkEntry {
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM orders o JOIN f USING (o_orderpriority)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the automaton's match set IS the contains disjunction — the
+    // oracle states the semantics, the engine pays one scan
+    "text_blocklist" ->
+      """SELECT doc_id,
+        |  coalesce(array_to_string(list_filter(
+        |    ['spark', 'merge batch', 'window table', 'zz'],
+        |    p -> contains(text, p)), ','), '') AS matches,
+        |  len(list_filter(
+        |    ['spark', 'merge batch', 'window table', 'zz'],
+        |    p -> contains(text, p))) > 0 AS flagged
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // only the click partition was rewritten; the others must read
+    // back exactly as first written
+    "partition_dynamic_overwrite" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN event_type = 'click'
+        |    THEN 2 * CAST(round(value * 100) AS BIGINT)
+        |    ELSE CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+        |    AS sum_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // rank-based bounds are actual data values — clipping is pure
     // comparison, no arithmetic to drift

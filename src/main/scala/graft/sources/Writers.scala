@@ -442,6 +442,28 @@ object Writers {
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), report.schema))
   }
 
+  /** Dynamic partition overwrite (Hive's INSERT OVERWRITE semantics,
+    * the lakehouse default): replace ONLY the partitions present in
+    * `df`, leaving every other partition untouched — the daily-ingest
+    * shape for a date-partitioned 100 TB table, where static
+    * overwrite mode would atomically DELETE THE WHOLE TABLE and write
+    * back one day. Scoped config flip (partitionOverwriteMode =
+    * dynamic), restored afterwards so the session's write semantics
+    * don't silently change for later writers. */
+  def dynamicOverwrite(spark: SparkSession, df: DataFrame, dir: String,
+      partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "dynamic")
+      df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(dir)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Debris vacuum for the table-maintenance layer: sweep the sidecar
     * directories that a CRASHED job can leave next to a table —
     * `__wap_staged` (refused or abandoned WAP batches),

@@ -366,6 +366,24 @@ class SourcesSpec extends SparkSpec {
     assert(a3 == 2)
   }
 
+  test("dynamicOverwrite rewrites only the touched partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("dynow").toString + "/t"
+    val base = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L),
+      (4L, "c", 40L)).toDF("id", "p", "v")
+    Writers.dynamicOverwrite(spark, base, dir, Seq("p"))
+    // overwrite ONLY partition b with a different payload
+    Writers.dynamicOverwrite(spark,
+      Seq((9L, "b", 999L)).toDF("id", "p", "v"), dir, Seq("p"))
+    val got = spark.read.parquet(dir)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("p"),
+        r.getAs[Long]("v"))).toSet
+    assert(got == Set((1L, "a", 10L), (2L, "a", 20L), (9L, "b", 999L),
+      (4L, "c", 40L)))
+    // the session's overwrite mode is restored afterwards
+    assert(spark.conf.getOption(
+      "spark.sql.sources.partitionOverwriteMode").forall(_ != "dynamic"))
+  }
+
   test("vacuumDebris sweeps stale staging, keeps recovery artifacts and young dirs") {
     import org.apache.hadoop.fs.Path
     val base = java.nio.file.Files.createTempDirectory("vacuum").toString
