@@ -137,7 +137,8 @@ object SparkEntry {
     "graph_pagerank_personalized", "json_variant_stats",
     "feat_target_encode", "dq_outliers_mad", "dq_psi", "feat_cuped",
     "dq_winsorize", "text_rrf_fusion", "text_blocklist",
-    "partition_dynamic_overwrite", "unigram_gate", "unigram_tokenize")
+    "partition_dynamic_overwrite", "unigram_gate", "unigram_tokenize",
+    "dq_woe")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -331,7 +332,7 @@ object SparkEntry {
     "feat_percentile_buckets_window", "feat_target_encode",
     "pipeline_feature_matrix",
     "dq_invalid_codes", "dq_expectations", "dq_profile", "dq_outliers",
-    "dq_outliers_mad", "dq_psi", "feat_cuped", "dq_winsorize",
+    "dq_outliers_mad", "dq_psi", "dq_woe", "feat_cuped", "dq_winsorize",
     "text_rrf_fusion",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
@@ -437,6 +438,15 @@ object SparkEntry {
         ev.filter($"event_type" === "click"),
         ev.filter($"event_type" === "purchase"),
         round($"value" * 100), lo = 0L, width = 1000L, nBuckets = 10)
+    }),
+
+    "dq_woe" -> ((s, dir) => {
+      import s.implicits._
+      // WOE/IV of the value distribution against the error outcome —
+      // the credit-scoring feature screen on the PSI machinery; both
+      // statistics replay in exact micro-nats.
+      Quality.woeReport(Tables.events(s, dir), round($"value" * 100),
+        $"event_type" === "error", lo = 0L, width = 1000L, nBuckets = 10)
     }),
 
     "feat_cuped" -> ((s, dir) => {
@@ -5459,13 +5469,46 @@ object SparkEntry {
         |  FROM grid g LEFT JOIN ca USING (bucket) LEFT JOIN cb USING (bucket)),
         |t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j)
         |SELECT bucket, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-        |  CAST(round(
+        |  CASE WHEN n_a = 0 AND n_b = 0 THEN 0 ELSE CAST(round(
         |    ((CAST(n_a + 1 AS DOUBLE) / CAST(ta + 11 AS DOUBLE)) -
         |     (CAST(n_b + 1 AS DOUBLE) / CAST(tb + 11 AS DOUBLE))) *
         |    ln(CAST(CAST(n_a + 1 AS HUGEINT) * (tb + 11) AS DOUBLE) /
         |       CAST(CAST(n_b + 1 AS HUGEINT) * (ta + 11) AS DOUBLE)) *
-        |    1000000) AS BIGINT) AS psi_micros
+        |    1000000) AS BIGINT) END AS psi_micros
         |FROM j, t ORDER BY bucket""".stripMargin,
+
+    // WOE is PSI's log term over (good, bad); identical replay shape
+    "dq_woe" ->
+      """WITH cg AS (
+        |  SELECT CASE WHEN v IS NULL THEN -1
+        |    ELSE least(greatest(v // 1000, 0), 9) END AS bucket,
+        |    count(*) AS n_good
+        |  FROM (SELECT CAST(round(value * 100) AS BIGINT) AS v
+        |        FROM events WHERE event_type <> 'error') GROUP BY 1),
+        |cb AS (
+        |  SELECT CASE WHEN v IS NULL THEN -1
+        |    ELSE least(greatest(v // 1000, 0), 9) END AS bucket,
+        |    count(*) AS n_bad
+        |  FROM (SELECT CAST(round(value * 100) AS BIGINT) AS v
+        |        FROM events WHERE event_type = 'error') GROUP BY 1),
+        |grid AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(-1, 10)),
+        |j AS (SELECT g.bucket, coalesce(cg.n_good, 0) AS n_good,
+        |    coalesce(cb.n_bad, 0) AS n_bad
+        |  FROM grid g LEFT JOIN cg USING (bucket) LEFT JOIN cb USING (bucket)),
+        |t AS (SELECT sum(n_good) AS tg, sum(n_bad) AS tb FROM j),
+        |r AS (SELECT bucket, n_good, n_bad,
+        |  ln(CAST(CAST(n_good + 1 AS HUGEINT) * (tb + 11) AS DOUBLE) /
+        |     CAST(CAST(n_bad + 1 AS HUGEINT) * (tg + 11) AS DOUBLE)) AS lnr,
+        |  tg, tb FROM j, t)
+        |SELECT bucket, CAST(n_good AS BIGINT) AS n_good,
+        |  CAST(n_bad AS BIGINT) AS n_bad,
+        |  CASE WHEN n_good = 0 AND n_bad = 0 THEN 0
+        |    ELSE CAST(round(lnr * 1000000) AS BIGINT) END AS woe_micros,
+        |  CASE WHEN n_good = 0 AND n_bad = 0 THEN 0 ELSE CAST(round(
+        |    (CAST(n_good + 1 AS DOUBLE) / CAST(tg + 11 AS DOUBLE) -
+        |     CAST(n_bad + 1 AS DOUBLE) / CAST(tb + 11 AS DOUBLE)) *
+        |    lnr * 1000000) AS BIGINT) END AS iv_micros
+        |FROM r ORDER BY bucket""".stripMargin,
 
     // exact integer moments; theta and the adjustment are one mirrored
     // division tree — raw doubles match bit-for-bit

@@ -374,13 +374,70 @@ object Quality {
         (col("__ta") + nb).cast("double"))
       .withColumn("__pb", (col("n_b") + 1L).cast("double") /
         (col("__tb") + nb).cast("double"))
+      // a bucket empty in BOTH samples carries no evidence and
+      // contributes exactly zero — the smoothed formula would invent
+      // a phantom contribution purely from unequal sample totals
       .withColumn("psi_micros",
-        round((col("__pa") - col("__pb")) *
-          log(((col("n_a") + 1L).cast("decimal(38,0)") *
-              (col("__tb") + nb)).cast("double") /
-            ((col("n_b") + 1L).cast("decimal(38,0)") *
-              (col("__ta") + nb)).cast("double")) * 1e6).cast("long"))
+        when(col("n_a") === 0L && col("n_b") === 0L, 0L)
+          .otherwise(round((col("__pa") - col("__pb")) *
+            log(((col("n_a") + 1L).cast("decimal(38,0)") *
+                (col("__tb") + nb)).cast("double") /
+              ((col("n_b") + 1L).cast("decimal(38,0)") *
+                (col("__ta") + nb)).cast("double")) * 1e6).cast("long")))
       .select(col("bucket"), col("n_a"), col("n_b"), col("psi_micros"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Weight-of-Evidence / Information-Value report — the
+    * credit-scoring feature screen (WOE bins a numeric feature
+    * against a binary outcome; IV = Σ (good% - bad%)·WOE ranks the
+    * feature's separating power, rule of thumb IV > 0.3 strong,
+    * < 0.02 useless). Same machinery as [[psiReport]] — WOE is PSI's
+    * log term with (good, bad) as the two samples — so the same
+    * exactness argument holds: [[bucketCounts]] integer bucketing
+    * (NULLs in bucket -1), add-one smoothing keeps empty bins finite,
+    * and both WOE and the IV contribution quantize to integer
+    * micro-nats an oracle replays value-for-value. Returns
+    * (bucket, n_good, n_bad, woe_micros, iv_micros); `SUM(iv_micros)`
+    * is the feature's IV. */
+  def woeReport(df: DataFrame, valueExpr: Column, badExpr: Column,
+      lo: Long, width: Long, nBuckets: Int): DataFrame = {
+    require(width > 0 && nBuckets > 0, "width and nBuckets must be positive")
+    val cg = bucketCounts(df.filter(!badExpr), valueExpr, lo, width,
+      nBuckets, "n_good")
+    val cb = bucketCounts(df.filter(badExpr), valueExpr, lo, width,
+      nBuckets, "n_bad")
+    val grid = df.sparkSession.range(-1L, nBuckets.toLong)
+      .select(col("id").as("bucket"))
+    val joined = grid
+      .join(cg, Seq("bucket"), "left")
+      .join(cb, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_good"), lit(0L)).as("n_good"),
+        coalesce(col("n_bad"), lit(0L)).as("n_bad"))
+    val totals = joined.agg(sum(col("n_good")).as("__tg"),
+      sum(col("n_bad")).as("__tb"))
+    val nb = nBuckets + 1
+    joined.crossJoin(broadcast(totals))
+      .withColumn("__lnr",
+        log(((col("n_good") + 1L).cast("decimal(38,0)") *
+            (col("__tb") + nb)).cast("double") /
+          ((col("n_bad") + 1L).cast("decimal(38,0)") *
+            (col("__tg") + nb)).cast("double")))
+      // empty-both buckets carry no evidence (see psiReport): zero,
+      // not a smoothing phantom
+      .withColumn("woe_micros",
+        when(col("n_good") === 0L && col("n_bad") === 0L, 0L)
+          .otherwise(round(col("__lnr") * 1e6).cast("long")))
+      .withColumn("iv_micros",
+        when(col("n_good") === 0L && col("n_bad") === 0L, 0L)
+          .otherwise(round(((col("n_good") + 1L).cast("double") /
+              (col("__tg") + nb).cast("double") -
+            (col("n_bad") + 1L).cast("double") /
+              (col("__tb") + nb).cast("double")) *
+            col("__lnr") * 1e6).cast("long")))
+      .select(col("bucket"), col("n_good"), col("n_bad"),
+        col("woe_micros"), col("iv_micros"))
       .orderBy(col("bucket"))
   }
 

@@ -257,6 +257,32 @@ class QualitySpec extends SparkSpec {
     assert(far.forall(_.getLong(3) >= 0L))
   }
 
+  test("woeReport: separating feature scores high IV, useless feature ~0") {
+    import org.apache.spark.sql.functions.col
+    // bad rows concentrate in high buckets: strong separation
+    val rows = (1 to 500).map { i =>
+      val bad = i % 5 == 0
+      (if (bad) 80L + (i % 20) else (i % 40).toLong, bad)
+    }
+    val strong = Quality.woeReport(rows.toDF("v", "bad"), col("v"),
+        col("bad"), lo = 0L, width = 10L, nBuckets = 10).collect()
+    assert(strong.length == 11) // full grid incl. the NULL bucket
+    assert(strong.map(_.getLong(1)).sum == 400L)
+    assert(strong.map(_.getLong(2)).sum == 100L)
+    assert(strong.map(_.getLong(4)).sum > 300000L, // IV > 0.3: strong
+      s"iv=${strong.map(_.getLong(4)).sum}")
+    // same marginal in both classes: v = i mod 8 and bad = (i mod 5)
+    // are exactly independent over a full mod-40 period (CRT), so IV
+    // collapses to the smoothing floor
+    val none = (1 to 400).map(i => ((i % 8).toLong * 10, i % 5 == 0))
+    val weak = Quality.woeReport(none.toDF("v", "bad"), col("v"),
+        col("bad"), lo = 0L, width = 10L, nBuckets = 10).collect()
+    assert(weak.map(_.getLong(4)).sum < 20000L, // IV < 0.02: useless
+      s"iv=${weak.map(_.getLong(4)).sum}")
+    // IV contributions are non-negative (share gap and WOE share sign)
+    assert(strong.forall(_.getLong(4) >= 0L))
+  }
+
   test("winsorize: rank-based bounds clip tails, NULLs pass, rows preserved") {
     import org.apache.spark.sql.functions.col
     val rows = (1 to 100).map(i => ("g", Some(i.toDouble))) :+
