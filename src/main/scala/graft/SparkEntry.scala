@@ -333,7 +333,6 @@ object SparkEntry {
     "pipeline_feature_matrix",
     "dq_invalid_codes", "dq_expectations", "dq_profile", "dq_outliers",
     "dq_outliers_mad", "dq_psi", "dq_woe", "feat_cuped", "dq_winsorize",
-    "text_rrf_fusion",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
