@@ -138,7 +138,7 @@ object SparkEntry {
     "feat_target_encode", "dq_outliers_mad", "dq_psi", "feat_cuped",
     "dq_winsorize", "text_rrf_fusion", "text_blocklist",
     "partition_dynamic_overwrite", "unigram_gate", "unigram_tokenize",
-    "dq_woe")
+    "dq_woe", "dq_benford")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -332,7 +332,8 @@ object SparkEntry {
     "feat_percentile_buckets_window", "feat_target_encode",
     "pipeline_feature_matrix",
     "dq_invalid_codes", "dq_expectations", "dq_profile", "dq_outliers",
-    "dq_outliers_mad", "dq_psi", "dq_woe", "feat_cuped", "dq_winsorize",
+    "dq_outliers_mad", "dq_psi", "dq_woe", "dq_benford", "feat_cuped",
+    "dq_winsorize",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -446,6 +447,16 @@ object SparkEntry {
       // statistics replay in exact micro-nats.
       Quality.woeReport(Tables.events(s, dir), round($"value" * 100),
         $"event_type" === "error", lo = 0L, width = 1000L, nBuckets = 10)
+    }),
+
+    "dq_benford" -> ((s, dir) => {
+      import s.implicits._
+      // Benford first-digit screen over order totals in cents (a
+      // genuinely multi-magnitude money column): string-extracted
+      // digits, integer shares, ppm-quantized expectation — replays
+      // exactly.
+      Quality.benfordReport(Tables.orders(s, dir),
+        round($"o_totalprice" * 100))
     }),
 
     "feat_cuped" -> ((s, dir) => {
@@ -5475,6 +5486,27 @@ object SparkEntry {
         |       CAST(CAST(n_b + 1 AS HUGEINT) * (ta + 11) AS DOUBLE)) *
         |    1000000) AS BIGINT) END AS psi_micros
         |FROM j, t ORDER BY bucket""".stripMargin,
+
+    // digit is string-extracted, shares integer div, expectation a
+    // mirrored ppm constant
+    "dq_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |        FROM orders) WHERE v > 0),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |grid AS (SELECT CAST(range AS INT) AS digit FROM range(1, 10)),
+        |j AS (SELECT g.digit, coalesce(c.n, 0) AS n
+        |  FROM grid g LEFT JOIN c USING (digit)),
+        |t AS (SELECT sum(n) AS tot FROM j)
+        |SELECT digit, CAST(n AS BIGINT) AS n,
+        |  CAST(CAST(n AS HUGEINT) * 1000000 // tot AS BIGINT) AS share_ppm,
+        |  CAST(round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)
+        |    * 1000000) AS BIGINT) AS expected_ppm,
+        |  CAST(abs(CAST(CAST(n AS HUGEINT) * 1000000 // tot AS BIGINT) -
+        |    CAST(round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)
+        |      * 1000000) AS BIGINT)) AS BIGINT) AS dev_ppm
+        |FROM j, t ORDER BY digit""".stripMargin,
 
     // WOE is PSI's log term over (good, bad); identical replay shape
     "dq_woe" ->

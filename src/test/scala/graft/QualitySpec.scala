@@ -257,6 +257,29 @@ class QualitySpec extends SparkSpec {
     assert(far.forall(_.getLong(3) >= 0L))
   }
 
+  test("benfordReport: geometric data conforms, uniform data deviates") {
+    import org.apache.spark.sql.functions.col
+    // log-uniform (multi-magnitude) values follow Benford closely
+    val rnd = new scala.util.Random(13)
+    val geo = (1 to 20000).map(_ =>
+      math.round(math.pow(10.0, 1 + rnd.nextDouble() * 5)))
+    val conforms = Quality.benfordReport(geo.toDF("v"), col("v")).collect()
+    assert(conforms.length == 9)
+    assert(conforms.map(_.getLong(1)).sum == 20000L)
+    val devGeo = conforms.map(_.getLong(4)).sum
+    assert(devGeo < 40000L, s"geometric dev=$devGeo ppm") // < 4% total
+    // uniform-in-[10000, 20000): every value starts with 1 — maximal
+    // first-digit fraud signature
+    val uni = (1 to 5000).map(i => 10000L + (i % 10000))
+    val dev = Quality.benfordReport(uni.toDF("v"), col("v")).collect()
+      .map(_.getLong(4)).sum
+    assert(dev > 1000000L, s"uniform dev=$dev ppm")
+    // zero and negative values are excluded, digits stay 1..9
+    val mixed = Seq(-5L, 0L, 123L, 999L).toDF("v")
+    val m = Quality.benfordReport(mixed, col("v")).collect()
+    assert(m.map(_.getLong(1)).sum == 2L)
+  }
+
   test("woeReport: separating feature scores high IV, useless feature ~0") {
     import org.apache.spark.sql.functions.col
     // bad rows concentrate in high buckets: strong separation
