@@ -138,7 +138,7 @@ object SparkEntry {
     "feat_target_encode", "dq_outliers_mad", "dq_psi", "feat_cuped",
     "dq_winsorize", "text_rrf_fusion", "text_blocklist",
     "partition_dynamic_overwrite", "unigram_gate", "unigram_tokenize",
-    "dq_woe", "dq_benford")
+    "dq_woe", "dq_benford", "fuzzy_rank_names")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -325,6 +325,7 @@ object SparkEntry {
     "win_rolling_range",
     "set_union", "set_intersect", "set_except",
     "merge_upsert", "merge_scd2", "merge_diff", "fuzzy_join_names",
+    "fuzzy_rank_names",
     "sample_first_n", "sample_by_key", "sample_rows_det", "sample_bernoulli",
     "sample_percent", "sample_stratified", "split_train_test",
     "sample_weighted_pps", "sample_weighted_topk", "sample_weighted_by_group",
@@ -1609,6 +1610,30 @@ object SparkEntry {
           "c_key", "c_name", "p_partkey", "p_name", k = 1)
         .select($"l_id", $"r_id", $"edit_dist")
         .orderBy($"l_id", $"r_id")
+    }),
+
+    "fuzzy_rank_names" -> ((s, dir) => {
+      import s.implicits._
+      // The fuzzy-join family's RANKER: same complete FastSS-blocked
+      // candidates as fuzzy_join_names, ordered by Jaro-Winkler
+      // (prefix-weighted typo tolerance — the name-matching metric
+      // levenshtein membership lacks). The expression matches
+      // DuckDB's jaro_winkler_similarity parameter-for-parameter;
+      // ranking runs over the DECIMAL(10,6)-quantized score on BOTH
+      // engines so ulp-level differences cannot flip a rank.
+      val parts = Tables.part(s, dir).select($"p_partkey", $"p_name")
+      val corrupted = parts.filter($"p_partkey" % 7 === 0)
+        .select($"p_partkey".as("c_key"),
+          concat(lit("x"), substring($"p_name", 2, 100)).as("c_name"))
+      operators.FuzzyJoin.joinWithinEditDistance(corrupted, parts,
+          "c_key", "c_name", "p_partkey", "p_name", k = 1)
+        .withColumn("jw", graft.functions
+          .jaro_winkler($"l_str", $"r_str")
+          .cast("decimal(10,6)").cast("double"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"l_id").orderBy($"jw".desc, $"r_id")))
+        .select($"l_id", $"r_id", $"jw", $"rank")
+        .orderBy($"l_id", $"rank")
     }),
 
     "merge_scd2" -> ((s, dir) => {
@@ -6266,6 +6291,23 @@ object SparkEntry {
         |  CAST(levenshtein(l_str, p.p_name) AS INT) AS edit_dist
         |FROM c JOIN part p ON levenshtein(l_str, p.p_name) <= 1
         |ORDER BY l_id, r_id""".stripMargin,
+
+    // DuckDB's jaro_winkler_similarity IS the expression's definition
+    // (canonical p=0.1, prefix cap 4, boost threshold 0.7); ranking
+    // over the quantized score on both sides
+    "fuzzy_rank_names" ->
+      """WITH c AS (
+        |  SELECT p_partkey AS l_id, 'x' || substr(p_name, 2) AS l_str
+        |  FROM part WHERE p_partkey % 7 = 0),
+        |j AS (
+        |  SELECT l_id, p.p_partkey AS r_id,
+        |    CAST(CAST(jaro_winkler_similarity(l_str, p.p_name)
+        |      AS DECIMAL(10,6)) AS DOUBLE) AS jw
+        |  FROM c JOIN part p ON levenshtein(l_str, p.p_name) <= 1)
+        |SELECT l_id, r_id, jw,
+        |  CAST(row_number() OVER (PARTITION BY l_id
+        |    ORDER BY jw DESC, r_id) AS INT) AS rank
+        |FROM j ORDER BY l_id, rank""".stripMargin,
 
     // diff(base, upsert(base, changes)) recovers the changeset: the
     // oracle states that recovery straight from the change definition

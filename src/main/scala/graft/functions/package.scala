@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftShims, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions._
 
-import graft.expr.{CosineSimilarity, DeflateLength, DocFingerprint, InterleaveBits, RegexpExtractOrNull, RepetitionStats, SimHash64, TokenNGrams, UnicodeNormalize}
+import graft.expr.{CosineSimilarity, DeflateLength, DocFingerprint, InterleaveBits, JaroWinklerSim, RegexpExtractOrNull, RepetitionStats, SimHash64, TokenNGrams, UnicodeNormalize}
 
 /** The engine's scalar-function surface: thin `Column` builders over
   * custom Catalyst expressions plus named compositions of built-ins.
@@ -27,6 +27,11 @@ package object functions {
 
   /** 64-bit rolling-hash fingerprint of a string column (codegen'd). */
   def doc_fingerprint(c: Column): Column = col(DocFingerprint(ex(c)))
+
+  /** Jaro-Winkler similarity of two string columns (codegen'd;
+    * canonical parameters — matches DuckDB's function exactly). */
+  def jaro_winkler(a: Column, b: Column): Column =
+    col(JaroWinklerSim(ex(a), ex(b)))
 
   /** 64-bit SimHash near-dup fingerprint of a document (codegen'd). */
   def simhash64(c: Column): Column = col(SimHash64(ex(c)))
@@ -180,6 +185,10 @@ package object functions {
     ("doc_fingerprint", classOf[DocFingerprint], {
       case Seq(c) => DocFingerprint(c)
       case _ => throw new IllegalArgumentException("doc_fingerprint(text)")
+    }),
+    ("jaro_winkler", classOf[JaroWinklerSim], {
+      case Seq(a, b) => JaroWinklerSim(a, b)
+      case _ => throw new IllegalArgumentException("jaro_winkler(a, b)")
     }),
     ("simhash64", classOf[SimHash64], {
       case Seq(c) => SimHash64(c)

@@ -231,6 +231,37 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("jaro_winkler: classic Winkler pairs, symmetry, codegen == interpreted") {
+    import graft.expr.JaroWinklerSim
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      JaroWinklerSim.compute(UTF8String.fromString(a),
+        UTF8String.fromString(b))
+    // canonical reference values (Winkler 1990 test set)
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333333332) < 1e-12)
+    assert(math.abs(jw("dwayne", "duane") - 0.84) < 1e-12)
+    assert(jw("abc", "abc") == 1.0 && jw("abc", "xyz") == 0.0)
+    assert(jw("", "") == 1.0 && jw("a", "") == 0.0)
+    // boost threshold: jaro 2/3 <= 0.7 stays unboosted despite prefix
+    assert(math.abs(jw("ab", "ac") - 2.0 / 3.0) < 1e-12)
+    val rnd = new Random(3)
+    val pairs = (1 to 100).map(_ => (randText(rnd).take(12), randText(rnd).take(12)))
+    pairs.foreach { case (a, b) =>
+      val s = jw(a, b)
+      assert(s >= 0.0 && s <= 1.0 && s == jw(b, a), s"($a,$b)")
+    }
+    // plan path (codegen) equals the static kernel
+    val df = pairs.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("id", "a", "b")
+    val viaPlan = df.select($"id",
+        graft.functions.jaro_winkler($"a", $"b").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    pairs.zipWithIndex.foreach { case ((a, b), i) =>
+      assert(viaPlan(i.toLong) == jw(a, b))
+    }
+  }
+
   test("labelPropagation: labels are vertex ids; one label per vertex; pure") {
     val rnd = new Random(77)
     for (_ <- 1 to 3) {
