@@ -589,4 +589,45 @@ class PlanSpec extends SparkSpec {
     // only the rangepartitioning exchange for the final orderBy
     assert(shuffles <= 1, s"expected only the orderBy exchange:\n$p")
   }
+
+  test("feat_target_encode / feat_cuped: the fact table never sort-merges") {
+    // target_encode joins its broadcast-sized aggregates back via
+    // BroadcastHashJoin; cuped's ONLY join is the 1-row moment-vector
+    // broadcast cross — in both, the unit table never hash-shuffles
+    // into a SortMergeJoin
+    val te = plan("feat_target_encode")
+    assert(te.contains("BroadcastHashJoin"), te)
+    assert(!te.contains("SortMergeJoin"), te)
+    val cu = plan("feat_cuped")
+    assert(!cu.contains("SortMergeJoin") && !cu.contains("CartesianProduct"),
+      cu)
+    val bnl = cu.linesIterator.count(_.matches(
+      "\\(\\d+\\) BroadcastNestedLoopJoin.*"))
+    assert(bnl <= 1, s"only the 1-row moments cross is allowed:\n$cu")
+  }
+
+  test("graph_assoc_rules / text_blocklist: equi-joins only, text stays put") {
+    val p = plan("graph_assoc_rules")
+    assert(!p.contains("CartesianProduct"), p)
+    // the 1-row group-total broadcasts; nothing bigger may nest-loop
+    val abnl = p.linesIterator.count(_.matches(
+      "\\(\\d+\\) BroadcastNestedLoopJoin.*"))
+    assert(abnl <= 1, s"graph_assoc_rules has $abnl nested loops:\n$p")
+    // blocklist: the scan is row-local mapPartitions — no exchange
+    // before the presentation sort
+    val b = plan("text_blocklist")
+    val shuffles = b.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*"))
+    assert(shuffles <= 1, s"expected only the orderBy exchange:\n$b")
+  }
+
+  test("dq_psi / dq_woe / dq_benford collapse to grid-sized aggregates") {
+    // two (one for benford) narrow scans -> tiny hash-aggs; nothing
+    // row-scale crosses an exchange after the counts
+    for (name <- Seq("dq_psi", "dq_woe", "dq_benford")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$name grid joins must broadcast:\n$p")
+    }
+  }
 }
