@@ -33,6 +33,29 @@ object Percentiles {
 
   val defaultPs: Seq[Double] = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95, 0.99)
 
+  /** Shared pre-flight for every exact order-statistic aggregate in
+    * the engine (here and the [[Quality]] family): fail LOUDLY before
+    * launching an exact `percentile`/`percentile_disc` whose
+    * per-group buffer would exceed `maxExactGroupRows` values. One
+    * cheap key-column-only hash-agg (counts NULL-valued rows too —
+    * the guard may over-trigger, never under-trigger); pass
+    * `Long.MaxValue` to skip when group sizes are known. `what` names
+    * the calling operator in the error. */
+  private[graft] def guardExactGroups(df: DataFrame, keyCol: String,
+      maxExactGroupRows: Long, what: String): Unit = {
+    if (maxExactGroupRows < Long.MaxValue) {
+      val over = df.select(col(keyCol))
+        .groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxExactGroupRows)
+        .limit(1).collect() // pre-flight verdict: zero or one row
+      require(over.isEmpty,
+        s"exact $what would buffer ${over.head.getLong(1)} values " +
+          s"for group ${keyCol}=${over.head.get(0)} (cap $maxExactGroupRows) " +
+          "— use exact=false (percentile_approx, bounded sketch), " +
+          "or raise maxExactGroupRows if the executors are sized for it")
+    }
+  }
+
   /** Per-key percentile array: one row per key, `percentiles` =
     * array<double> indexed like the reference's `p.percentiles[k]`
     * (README.md:239-258).
@@ -52,19 +75,7 @@ object Percentiles {
       accuracy: Int = 10000,
       maxExactGroupRows: Long = 10000000L): DataFrame = {
     val arr = s"array(${ps.mkString(",")})"
-    if (exact && maxExactGroupRows < Long.MaxValue) {
-      // key-column-only scan (conservative: counts rows whose value is
-      // NULL too — a guard may over-trigger, never under-trigger)
-      val over = df.select(col(keyCol))
-        .groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > maxExactGroupRows)
-        .limit(1).collect() // pre-flight verdict: zero or one row
-      require(over.isEmpty,
-        s"exact percentile would buffer ${over.head.getLong(1)} values " +
-          s"for group ${keyCol}=${over.head.get(0)} (cap $maxExactGroupRows) " +
-          "— use exact=false (percentile_approx), bucketBySketch (KLL), " +
-          "or raise maxExactGroupRows if the executors are sized for it")
-    }
+    if (exact) guardExactGroups(df, keyCol, maxExactGroupRows, "percentile")
     val call =
       if (exact) s"percentile(__v, $arr)"
       else s"percentile_approx(__v, $arr, $accuracy)"

@@ -242,9 +242,12 @@ object Quality {
     * row count). */
   def tagOutliers(df: DataFrame, groupCol: String, valueExpr: Column,
       k: Double = 1.5, exact: Boolean = true,
-      accuracy: Int = 10000): DataFrame = {
+      accuracy: Int = 10000,
+      maxExactGroupRows: Long = 10000000L): DataFrame = {
     val q = if (exact) "percentile(__v, array(0.25, 0.75))"
       else s"percentile_approx(__v, array(0.25, 0.75), $accuracy)"
+    if (exact) Percentiles.guardExactGroups(df, groupCol,
+      maxExactGroupRows, "tagOutliers quartiles")
     val withV = df.withColumn("__v", valueExpr)
     val fences = withV.groupBy(col(groupCol))
       .agg(expr(q).as("__q"))
@@ -265,15 +268,25 @@ object Quality {
     * and `<valueCol>_was_null`.
     *
     * Scale: one per-group aggregate + an unhinted join-back, the
-    * [[Percentiles.bucketByJoin]] posture; swap in
-    * `percentile_approx` upstream if a group's values can't buffer. */
+    * [[Percentiles.bucketByJoin]] posture. The exact median is a
+    * TypedImperativeAggregate that BUFFERS every group value, so it
+    * sits behind the same [[Percentiles.guardExactGroups]] pre-flight
+    * as the percentile family (fail loudly past `maxExactGroupRows`
+    * values per group); `exact = false` swaps in the bounded-memory
+    * `percentile_approx` sketch — the 100 TB path, same operator
+    * surface. */
   def imputeWithGroupMedian(df: DataFrame, groupCol: String,
-      valueCol: String): DataFrame = {
+      valueCol: String, exact: Boolean = true, accuracy: Int = 10000,
+      maxExactGroupRows: Long = 10000000L): DataFrame = {
+    if (exact) Percentiles.guardExactGroups(df, groupCol,
+      maxExactGroupRows, "imputeWithGroupMedian median")
+    val call = if (exact) s"percentile($valueCol, 0.5)"
+      else s"percentile_approx($valueCol, 0.5, $accuracy)"
     // LEFT join-back: rows with a NULL group key keep their value
     // un-imputed instead of vanishing (row-count preservation is the
     // operator's contract).
     val med = df.groupBy(col(groupCol))
-      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+      .agg(expr(call).cast("double").as("__med"))
     df.join(med, Seq(groupCol), "left")
       .withColumn(s"${valueCol}_was_null", col(valueCol).isNull)
       .withColumn(s"${valueCol}_imputed",
@@ -491,16 +504,25 @@ object Quality {
     * Row-preserving, NULL group keys keep their rows.
     *
     * Scale: one per-group order-statistic aggregate + the unhinted
-    * broadcast join-back ([[tagOutliers]] posture). */
+    * broadcast join-back ([[tagOutliers]] posture). Exact
+    * `percentile_disc` buffers every group value, so it sits behind
+    * the [[Percentiles.guardExactGroups]] pre-flight; `exact = false`
+    * swaps in `percentile_approx` — which also returns ACTUAL data
+    * values (within ±1/accuracy rank error), preserving the
+    * no-interpolation contract on the bounded path. */
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
-      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+      pLo: Double = 0.05, pHi: Double = 0.95, exact: Boolean = true,
+      accuracy: Int = 10000,
+      maxExactGroupRows: Long = 10000000L): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi,
       s"need 0 <= pLo < pHi <= 1 (got $pLo, $pHi)")
+    if (exact) Percentiles.guardExactGroups(df, groupCol,
+      maxExactGroupRows, "winsorize percentile_disc bounds")
+    def q(p: Double) = if (exact)
+      expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY $valueCol)")
+    else expr(s"percentile_approx($valueCol, $p, $accuracy)")
     val bounds = df.groupBy(col(groupCol)).agg(
-      expr(s"percentile_disc($pLo) WITHIN GROUP (ORDER BY $valueCol)")
-        .as("__lo"),
-      expr(s"percentile_disc($pHi) WITHIN GROUP (ORDER BY $valueCol)")
-        .as("__hi"))
+      q(pLo).as("__lo"), q(pHi).as("__hi"))
     df.join(bounds, Seq(groupCol), "left")
       // explicit NULL pass-through: least/greatest SKIP null operands
       // (a NULL value would silently clip to the lower bound)
@@ -527,17 +549,25 @@ object Quality {
     * Same scale shape as [[tagOutliers]]: two chained per-group exact
     * percentile aggregates (median, then median of residuals) + an
     * unhinted broadcast join-back. Both medians are order statistics
-    * — engine-exact, so the flags replay. */
+    * — engine-exact, so the flags replay. Both exact medians buffer
+    * every group value, so one [[Percentiles.guardExactGroups]]
+    * pre-flight covers them (same groups both passes); `exact = false`
+    * swaps both for the bounded `percentile_approx` sketch. */
   def tagOutliersMad(df: DataFrame, groupCol: String, valueExpr: Column,
-      k: Double = 3.5): DataFrame = {
+      k: Double = 3.5, exact: Boolean = true, accuracy: Int = 10000,
+      maxExactGroupRows: Long = 10000000L): DataFrame = {
     require(k > 0, s"k must be > 0 (got $k)")
+    if (exact) Percentiles.guardExactGroups(df, groupCol,
+      maxExactGroupRows, "tagOutliersMad median/MAD")
+    def q(c: String) = if (exact) s"percentile($c, 0.5)"
+      else s"percentile_approx($c, 0.5, $accuracy)"
     val withV = df.withColumn("__v", valueExpr.cast("double"))
     val med = withV.groupBy(col(groupCol))
-      .agg(expr("percentile(__v, 0.5)").as("median"))
+      .agg(expr(q("__v")).cast("double").as("median"))
     val mad = withV.join(med, Seq(groupCol))
       .withColumn("__r", abs(col("__v") - col("median")))
       .groupBy(col(groupCol))
-      .agg(expr("percentile(__r, 0.5)").as("mad"))
+      .agg(expr(q("__r")).cast("double").as("mad"))
     withV.join(med, Seq(groupCol), "left")
       .join(mad, Seq(groupCol), "left")
       .withColumn("is_outlier",

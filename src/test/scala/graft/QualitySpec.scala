@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions._
 import graft.operators.Quality
@@ -347,5 +348,45 @@ class QualitySpec extends SparkSpec {
     assert(out.count { case (g, _, o) => g == "g" && o } == 1)
     // zero-MAD group abstains entirely rather than flagging 7.5
     assert(out.filter(_._1 == "h").forall(!_._3))
+  }
+
+  test("order-statistic family: memory guard trips past the cap; approx path exempt and sane") {
+    import org.apache.spark.sql.functions.col
+    val df = (1 to 200).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    // every exact path fails LOUDLY once a group exceeds the cap
+    for (run <- Seq[DataFrame => Any](
+        d => Quality.tagOutliersMad(d, "grp", col("v"), maxExactGroupRows = 50L).collect(),
+        d => Quality.winsorize(d, "grp", "v", maxExactGroupRows = 50L).collect(),
+        d => Quality.imputeWithGroupMedian(d, "grp", "v", maxExactGroupRows = 50L).collect(),
+        d => Quality.tagOutliers(d, "grp", col("v"), maxExactGroupRows = 50L).collect())) {
+      val e = intercept[IllegalArgumentException](run(df))
+      assert(e.getMessage.contains("cap 50"), e.getMessage)
+    }
+    // approx path ignores the cap (bounded sketch); values land within
+    // the sketch's rank error of the exact order statistics (the
+    // sketch returns ACTUAL data values, so an even-count interpolated
+    // exact median can differ by up to one inter-value gap)
+    val spiked = df.union(Seq(("g", 10000.0)).toDF("grp", "v"))
+    val madA = Quality.tagOutliersMad(spiked, "grp", col("v"),
+      exact = false, maxExactGroupRows = 50L).collect()
+    assert(madA.length == 201) // row-preserving
+    assert(madA.count(r => r.getDouble(1) == 10000.0 &&
+      r.getAs[Boolean]("is_outlier")) == 1) // spike still flags
+    val median = madA.head.getAs[Double]("median")
+    assert(math.abs(median - 101.0) <= 2.0, s"approx median $median")
+    val winA = Quality.winsorize(df, "grp", "v",
+      exact = false, maxExactGroupRows = 50L).collect()
+    assert(winA.length == 200)
+    assert(winA.forall { r =>
+      val w = r.getAs[Double]("v_wins"); w >= 9.0 && w <= 192.0
+    }) // bounds within one rank of the exact 10/190 percentile_disc cut
+    val impA = Quality.imputeWithGroupMedian(
+      df.withColumn("v", when(col("v") < 3, lit(null)).otherwise(col("v"))),
+      "grp", "v", exact = false, maxExactGroupRows = 50L)
+    assert(impA.count() == 200 &&
+      impA.filter(col("v_imputed").isNull).count() == 0)
+    // opt-out: Long.MaxValue skips the pre-flight entirely
+    assert(Quality.winsorize(df, "grp", "v",
+      maxExactGroupRows = Long.MaxValue).count() == 200)
   }
 }
