@@ -5121,14 +5121,17 @@ object SparkEntry {
     "evt_anomaly_replay" -> ((s, dir) => {
       import s.implicits._
       // Replay-identity gate for streaming EWMA anomaly scoring: the
-      // corpus feeds a MemoryStream, a far-future flush sentinel
-      // advances the watermark to seal every corpus event, then a
-      // tenth is REDELIVERED (at-least-once source) — sealed events
-      // are the fold's past, so the redelivery must be a no-op and
-      // the sink must equal the batch twin BIT-FOR-BIT (same shared
-      // fold, same (ts, event_id) order ⇒ identical IEEE doubles,
-      // compared at micro-z quantization). GATE-ONLY collect, same
-      // posture as evt_dedup_replay.
+      // corpus feeds a MemoryStream; a tenth is REDELIVERED while its
+      // events are still ABOVE the watermark (in-window duplicates —
+      // the buffer must absorb them by event_id, not fold both
+      // copies); then a far-future flush sentinel advances the
+      // watermark to seal every corpus event, and a DIFFERENT tenth
+      // is redelivered after the seal (sealed events are the fold's
+      // past). Both redeliveries must be no-ops and the sink must
+      // equal the batch twin BIT-FOR-BIT (same shared fold, same
+      // (ts, event_id) order ⇒ identical IEEE doubles, compared at
+      // micro-z quantization). GATE-ONLY collect, same posture as
+      // evt_dedup_replay.
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val evs = Tables.events(s, dir)
@@ -5146,6 +5149,11 @@ object SparkEntry {
         .queryName(sink).start()
       try {
         mem.addData(evs)
+        q.processAllAvailable()
+        // in-window redelivery BEFORE the seal: these duplicates are
+        // above the watermark, pass the straggler filter, and must be
+        // absorbed by the buffer's event_id dedup
+        mem.addData(evs.filter(_.event_id % 10 == 7))
         q.processAllAvailable()
         mem.addData(Seq(sentinel)) // watermark flush
         q.processAllAvailable()

@@ -438,7 +438,15 @@ object EventStreams extends Serializable {
       // new events already below the watermark are stragglers /
       // redeliveries: the fold's past — dropped, not re-ordered
       val fresh = rows.filter(_.ts.getTime > wmMs).toSeq
+      // an at-least-once redelivery can also arrive while its event is
+      // still ABOVE the watermark — it passes the straggler filter and
+      // would sit in the buffer NEXT TO its first copy, double-folding
+      // into the baseline once sealed. The buffer is therefore
+      // deduplicated by event_id (first copy wins — duplicates are
+      // identical payloads under at-least-once semantics), making an
+      // in-window redelivery as much of a no-op as a sealed one.
       val (ripe, open) = (prior.buffered ++ fresh)
+        .distinctBy(_.event_id)
         .partition(_.ts.getTime <= wmMs)
       val (st, out) = foldOrdered(key,
         ripe.sortBy(e => (e.ts.getTime, e.event_id)),

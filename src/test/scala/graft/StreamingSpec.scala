@@ -570,4 +570,42 @@ class StreamingSpec extends SparkSpec {
       s"stream-only: ${stream -- batch}\nbatch-only: ${batch -- stream}")
     assert(stream.count(_._5) >= 1, "the planted spike must flag")
   }
+
+  test("ewmaAnomaliesStateful absorbs an IN-WINDOW redelivery: one output row per event_id") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1700000000000L
+    val evs = (1 to 30).map(i =>
+      Event(i.toLong, new Timestamp(t0 + i * 60000L), 1L, "c",
+        6.0 + (i % 3) * 0.5))
+    val sentinel = Event(-1L,
+      new Timestamp(t0 + 30 * 60000L + 3L * 3600 * 1000), -1L, "__flush", 0.0)
+    val mem = MemoryStream[Event]
+    val q = EventStreams.ewmaAnomaliesStateful(mem.toDS(),
+        minN = 5L, thresholdX100 = 300L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ewma_inwin_sink").start()
+    try {
+      mem.addData(evs)
+      q.processAllAvailable()
+      // redeliver a slice while every event is still ABOVE the
+      // watermark (no sentinel yet) — the duplicates pass the
+      // straggler filter and must dedupe inside the buffer, not fold
+      // twice once the seal arrives
+      mem.addData(evs.filter(_.event_id % 4 == 1))
+      q.processAllAvailable()
+      mem.addData(Seq(sentinel))
+      q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("ewma_inwin_sink")
+      .collect().map(r => (r.getLong(1), r.getDouble(4))).toSeq
+    assert(stream.map(_._1).distinct.length == stream.length,
+      "an in-window duplicate produced a second output row")
+    assert(stream.length == 30)
+    val batch = EventStreams.ewmaAnomalies(evs.toDS(),
+        minN = 5L, thresholdX100 = 300L)
+      .collect().map(o => (o.event_id, o.zscore)).toSeq
+    // duplicates must not perturb the baseline: z-scores bit-identical
+    assert(stream.toSet == batch.toSet,
+      s"diff: ${stream.toSet -- batch.toSet}")
+  }
 }
