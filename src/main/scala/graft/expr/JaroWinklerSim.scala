@@ -12,11 +12,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * above Jaro 0.7 — which is exactly DuckDB's
   * `jaro_winkler_similarity` (probed value-for-value on the classic
   * Winkler test pairs), so graded queries replay scores through the
-  * standard DECIMAL(10,6) presentation cast. */
+  * standard DECIMAL(10,6) presentation cast.
+  *
+  * UNIT OF COMPARISON: Unicode code points (not UTF-16 code units —
+  * a surrogate pair is one symbol, not two mismatching halves).
+  * Cross-engine parity scope: DuckDB's kernel walks UTF-8 BYTES, and
+  * on ASCII input bytes == code points, so the value-for-value parity
+  * claim (and the graded `fuzzy_rank_names` query, ASCII name pairs)
+  * holds on ASCII exactly; on non-ASCII input a multi-byte symbol
+  * counts once here and `len(utf8)` times there, so scores — and
+  * therefore candidate RANKINGS — can differ across engines. */
 object JaroWinklerSim {
   def compute(l: UTF8String, r: UTF8String): Double = {
-    val s1 = l.toString
-    val s2 = r.toString
+    val s1 = l.toString.codePoints().toArray
+    val s2 = r.toString.codePoints().toArray
     val n1 = s1.length
     val n2 = s2.length
     if (n1 == 0 && n2 == 0) return 1.0
@@ -32,7 +41,7 @@ object JaroWinklerSim {
       var j = lo
       var found = false
       while (j < hi && !found) {
-        if (!m2(j) && s2.charAt(j) == s1.charAt(i)) {
+        if (!m2(j) && s2(j) == s1(i)) {
           m1(i) = true; m2(j) = true; matches += 1; found = true
         }
         j += 1
@@ -46,7 +55,7 @@ object JaroWinklerSim {
     while (i < n1) {
       if (m1(i)) {
         while (!m2(k)) k += 1
-        if (s1.charAt(i) != s2.charAt(k)) transpositions += 1
+        if (s1(i) != s2(k)) transpositions += 1
         k += 1
       }
       i += 1
@@ -58,7 +67,7 @@ object JaroWinklerSim {
     else {
       var prefix = 0
       val cap = math.min(4, math.min(n1, n2))
-      while (prefix < cap && s1.charAt(prefix) == s2.charAt(prefix))
+      while (prefix < cap && s1(prefix) == s2(prefix))
         prefix += 1
       jaro + prefix * 0.1 * (1.0 - jaro)
     }

@@ -247,7 +247,7 @@ object Bpe {
         rows.map { case (id, text) =>
           val toks =
             if (text == null) Vector.empty[Int]
-            else text.toLowerCase.split("\\s+").iterator
+            else text.toLowerCase(java.util.Locale.ROOT).split("\\s+").iterator
               .filter(_.nonEmpty)
               .flatMap(w => encodeWord(w, ranks))
               .flatMap { t =>
@@ -330,7 +330,7 @@ object Bpe {
         rows.map { case (id, text) =>
           val toks =
             if (text == null) Vector.empty[String]
-            else text.toLowerCase.split("\\s+").iterator
+            else text.toLowerCase(java.util.Locale.ROOT).split("\\s+").iterator
               .filter(_.nonEmpty)
               .flatMap(w => encodeWord(w, ranks)).toVector
           (id, toks, toks.length)

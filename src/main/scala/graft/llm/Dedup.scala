@@ -725,8 +725,10 @@ object Dedup {
       sequence(lit(0), greatest(size(toks) - n, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
     val g = df.select(col(idCol).as("id"), explode(grams).as("gram"))
+    // coalesce: max over an EMPTY gram stream is NULL (empty input /
+    // all-empty texts) — that is zero hotness, not an NPE
     val hottest = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-      .agg(max(col("df"))).head().getLong(0)
+      .agg(coalesce(max(col("df")), lit(0L))).head().getLong(0)
     require(hottest <= maxGramDf,
       s"hottest $n-gram appears in $hottest docs > maxGramDf=$maxGramDf; " +
         s"the candidate fan-out is quadratic per gram — raise n, strip " +

@@ -167,7 +167,7 @@ object Unigram {
         rows.map { case (id, text) =>
           val pieces =
             if (text == null) Vector.empty[String]
-            else text.toLowerCase.split("\\s+").iterator
+            else text.toLowerCase(java.util.Locale.ROOT).split("\\s+").iterator
               .filter(_.nonEmpty)
               .flatMap(w => viterbi(w, lp, mpl)).toVector
           (id, pieces, pieces.length)

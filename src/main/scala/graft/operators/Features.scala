@@ -34,10 +34,15 @@ object Features {
     * order-dependent.
     *
     * Scale shape: one (key, fold) hash-agg — k·|categories| rows —
-    * re-aggregated to per-key totals, then TWO broadcast-sized joins
-    * back to the rows (the per-(key,fold) table is k× the category
-    * count, nowhere near row scale) and a 1-row global broadcast.
-    * The fact table shuffles ZERO times. */
+    * re-aggregated to per-key totals, then two UNHINTED joins back to
+    * the rows and a 1-row global broadcast. The joins are deliberately
+    * unhinted (the [[Percentiles.bucketByJoin]] posture): target
+    * encoding's motivating regime is HIGH-cardinality categoricals,
+    * where a forced `broadcast(byKeyFold)` of k·|categories| rows
+    * would OOM the driver exactly when the operator matters most —
+    * Catalyst's size estimate (plus AQE at runtime) broadcasts while
+    * the dimension is small and degrades to sort-merge past the
+    * threshold, where the fact table shuffles once per join key. */
   def targetEncodeOof(df: DataFrame, keyCol: String, foldExpr: Column,
       targetExpr: Column, smoothing: Long = 0L): DataFrame = {
     require(smoothing >= 0L, s"smoothing must be >= 0 (got $smoothing)")
@@ -56,8 +61,8 @@ object Features {
         lit(smoothing).cast("double") * gMean) / denom.cast("double"))
       .otherwise(gMean)
     withCols
-      .join(broadcast(byKeyFold), Seq(keyCol, "__f"))
-      .join(broadcast(byKey), Seq(keyCol))
+      .join(byKeyFold, Seq(keyCol, "__f"))
+      .join(byKey, Seq(keyCol))
       .crossJoin(broadcast(global)) // 1-row corpus total
       .withColumn("target_enc", enc)
       .drop("__t", "__f", "__fs", "__fn", "__ks", "__kn", "__gs", "__gn")

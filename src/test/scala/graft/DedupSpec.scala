@@ -401,4 +401,10 @@ class DedupSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("maxGramDf"), ex.getMessage)
   }
+
+  test("containment: empty input returns zero pairs, not an NPE from the hot-gram pre-flight") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.containment(empty, "text", "doc_id", n = 3,
+      minContainment = 0.5).collect().isEmpty)
+  }
 }

@@ -68,6 +68,34 @@ class FeaturesSpec extends SparkSpec {
     }
   }
 
+  test("targetEncodeOof: unhinted joins degrade to sort-merge with bit-identical encodings") {
+    // large synthetic key space (the operator's motivating regime —
+    // a forced broadcast of k x |categories| rows is exactly what the
+    // unhinted join exists to avoid)
+    val rnd = new scala.util.Random(23)
+    val rows = (1L to 4000L).map(i =>
+      (i, s"cat_${rnd.nextInt(1500)}", (i % 5).toInt,
+        rnd.nextInt(10000).toLong))
+    val df = rows.toDF("id", "cat", "fold", "tgt")
+    def run() = Features.targetEncodeOof(df, "cat", col("fold"),
+        col("tgt"), smoothing = 3L)
+      .select(col("id"), col("target_enc"))
+    val viaAuto = run().collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = run().queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"),
+        s"expected the dimension joins to degrade to sort-merge:\n$plan")
+      val viaSmj = run().collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // exact-integer sums + one IEEE division => join strategy cannot
+      // move a bit
+      assert(viaSmj == viaAuto)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("cuped: mean preserved, variance reduced, perfect covariate zeroes it") {
     val rnd = new scala.util.Random(3)
     // y = 2x + noise: a strongly explanatory covariate

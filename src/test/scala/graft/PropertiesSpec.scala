@@ -260,6 +260,13 @@ class PropertiesSpec extends SparkSpec {
     pairs.zipWithIndex.foreach { case ((a, b), i) =>
       assert(viaPlan(i.toLong) == jw(a, b))
     }
+    // code-point semantics: a non-BMP symbol (surrogate PAIR in
+    // UTF-16) is ONE unit — substituting it is one mismatch in a
+    // 4-symbol string, identical to substituting an ASCII letter
+    val emoji = jw("ab😀c", "ab😁c")
+    val ascii = jw("abXc", "abYc")
+    assert(emoji == ascii, s"$emoji != $ascii")
+    assert(jw("😀", "😀") == 1.0)
   }
 
   test("labelPropagation: labels are vertex ids; one label per vertex; pure") {
