@@ -49,12 +49,23 @@ object Bench {
       SparkEntry.benchQueries.filter(only.contains)
     } else SparkEntry.benchQueries
     val results = names.map { n =>
-      val (a, b, c) = (runOnce(n), runOnce(n), runOnce(n))
-      // all three samples to stderr so dispersion is auditable from
-      // the log without re-running (the JSON line carries the median)
+      val first = Seq(runOnce(n), runOnce(n), runOnce(n))
+      // contention screen: when the median exceeds its own min by >2x,
+      // two of three samples were load-polluted (a real plan cost
+      // moves ALL samples; round 10's official artifact carried five
+      // phantom multi-x "regressions" from exactly this). One extra
+      // sample, then the median of the three FASTEST — the floor is
+      // the plan, the spread is the box.
+      val med0 = median3(first(0), first(1), first(2))
+      val samples = if (med0 > 2.0 * first.min) first :+ runOnce(n) else first
+      val best3 = samples.sorted.take(3)
+      val med = median3(best3(0), best3(1), best3(2))
+      // all samples to stderr so dispersion is auditable from the log
+      // without re-running (the JSON line carries the median)
       System.err.println(
-        f"[bench] $n%s samples: $a%.3f $b%.3f $c%.3f -> median ${median3(a, b, c)}%.3f")
-      (n, median3(a, b, c), math.min(a, math.min(b, c)))
+        f"[bench] $n%s samples: ${samples.map(v => f"$v%.3f").mkString(" ")}%s -> median $med%.3f" +
+          (if (samples.length > 3) " (resampled: contention)" else ""))
+      (n, med, samples.min)
     }
     val total = results.map(_._2).sum
     // sum of per-query MINIMUMS: under machine contention the median
