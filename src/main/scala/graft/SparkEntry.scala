@@ -92,6 +92,8 @@ object SparkEntry {
     * the ones that have never produced official signal. Newly added
     * queries belong here too until a CORRECTNESS artifact records them. */
   private val neverGradedFirst: Seq[String] = Seq(
+    // round-11 additions (no artifact yet)
+    "text_bm25_indexed", "text_bm25_index_append_gate",
     // round-10 additions (no artifact yet)
     "mm_decode_video_frames", "catalog_persistent_roundtrip",
     "evt_dedup_replay", "dedup_minhash_incremental_gate",
@@ -253,6 +255,18 @@ object SparkEntry {
         // loop); every bpe_* query and bench repeat reuses the model
         graft.llm.Bpe.train(Tables.documents(s, dir), "text",
           nMerges = 200, maxVocabWords = 100000))
+    private val bm25D = TrieMap.empty[String, String]
+    def bm25Index(s: SparkSession, dir: String): String =
+      bm25D.getOrElseUpdate(dir, {
+        // build-once/probe-many: the persisted lexical index is a
+        // batch artifact like ivfIndex — repeated queries (Verify,
+        // bench repeats) measure the postings-scale probe, not the
+        // do-once corpus tokenize
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_${math.abs(dir.hashCode)}"
+        graft.llm.TextAnalysis.bm25SaveIndex(Tables.documents(s, dir),
+          "doc_id", "text", p)
+        p
+      })
     private val uniM = TrieMap.empty[String, graft.llm.Unigram.UnigramModel]
     def unigram(s: SparkSession, dir: String): graft.llm.Unigram.UnigramModel =
       uniM.getOrElseUpdate(dir,
@@ -349,7 +363,7 @@ object SparkEntry {
     "text_chunk", "text_redact", "text_repetition",
     "text_unigram_nll", "text_normalize", "bpe_tokenize",
     "unigram_tokenize", "dsir_select",
-    "text_bm25", "text_rrf_fusion", "text_blocklist",
+    "text_bm25", "text_bm25_indexed", "text_rrf_fusion", "text_blocklist",
     "decontaminate", "corpus_overlap",
     "dedup_exact", "dedup_spans", "dedup_paragraph", "dedup_fingerprint", "dedup_simhash",
     "dedup_clusters", "graph_pagerank", "graph_pagerank_personalized",
@@ -3962,6 +3976,48 @@ object SparkEntry {
         Seq("hash", "join", "spark"), k = 20)
     }),
 
+    "text_bm25_indexed" -> ((s, dir) => {
+      import s.implicits._
+      // The SAME search through the PERSISTED inverted index + doc
+      // stats sidecar (build-once via `built`, probe-many): the term
+      // isin pushes to the sorted postings parquet, text is never
+      // read, and the shared scorer tail makes the scores identical —
+      // graded against the SAME oracle SQL as text_bm25, which is the
+      // whole point.
+      TextAnalysis.bm25SearchIndexed(s, built.bm25Index(s, dir),
+        "doc_id", Seq("hash", "join", "spark"), k = 20)
+    }),
+
+    "text_bm25_index_append_gate" -> ((s, dir) => {
+      import s.implicits._
+      // Append-parity gate for the persisted lexical index: build on
+      // two-thirds of the corpus, APPEND the remaining third (the
+      // daily-crawl loop), and the appended index must answer the
+      // standard query identically to the ad-hoc corpus-scan search —
+      // scores included (shared scorer + totals derived from the
+      // __docs sidecar make append self-consistent). Also pins the
+      // duplicate-id append guard (re-appending would double-count
+      // tf). SIDE-EFFECTING (writes the index at construction).
+      val docs = Tables.documents(s, dir)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25a_${math.abs(dir.hashCode)}"
+      TextAnalysis.bm25SaveIndex(docs.filter($"doc_id" % 3 =!= 0),
+        "doc_id", "text", idx)
+      TextAnalysis.bm25SaveIndex(docs.filter($"doc_id" % 3 === 0),
+        "doc_id", "text", idx, mode = "append")
+      val dupRejected = scala.util.Try(
+        TextAnalysis.bm25SaveIndex(docs.filter($"doc_id" % 3 === 0),
+          "doc_id", "text", idx, mode = "append")).isFailure
+      val q = Seq("hash", "join", "spark")
+      val viaIndex = TextAnalysis.bm25SearchIndexed(s, idx, "doc_id", q)
+      val adhoc = TextAnalysis.bm25Search(docs, "doc_id", "text", q)
+      adhoc.agg((count(lit(1)) > 0).as("nonempty"))
+        .crossJoin(setsEqual(viaIndex, adhoc,
+          Seq("doc_id", "n_terms_hit", "score_micros"),
+          "append_equals_adhoc"))
+        .select($"nonempty", $"append_equals_adhoc",
+          lit(dupRejected).as("dup_append_rejected"))
+    }),
+
     "dsir_select" -> ((s, dir) => {
       import s.implicits._
       // DSIR curation (Xie et al. 2023): score every pool document by
@@ -5323,6 +5379,37 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** One BM25 oracle, two graded access paths: `text_bm25` (ad-hoc
+    * corpus scan) and `text_bm25_indexed` (persisted inverted index)
+    * must both hash-match this SQL — the index changes the plan, not
+    * the answer. */
+  private val bm25OracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+      |  FROM documents),
+      |t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+      |st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS total
+      |       FROM dl),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+      |       WHERE tok IN ('hash', 'join', 'spark') GROUP BY 1, 2),
+      |dfr AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      |s AS (
+      |  SELECT tf.doc_id,
+      |    round((ln((CAST(st.n - dfr.df AS DOUBLE) + 0.5)
+      |        / (CAST(dfr.df AS DOUBLE) + 0.5) + 1.0)
+      |      * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+      |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75
+      |          * (CAST(dl.dl AS DOUBLE)
+      |            / (CAST(st.total AS DOUBLE) / CAST(st.n AS DOUBLE))))))
+      |      * 1000000) AS sm
+      |  FROM tf JOIN dfr USING (tok) JOIN dl USING (doc_id), st)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+      |  CAST(sum(sm) AS BIGINT) AS score_micros
+      |FROM s GROUP BY doc_id
+      |ORDER BY score_micros DESC, doc_id
+      |LIMIT 20""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "dq_invalid_codes" ->
       """SELECT p_brand, count(*) AS n_invalid
@@ -7425,32 +7512,18 @@ object SparkEntry {
     // BM25 with the arithmetic tree mirrored exactly (same association,
     // same cast points); per-(doc,term) micro-units make the sum
     // order-independent, so ranking and scores replay value-for-value
-    "text_bm25" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
-        |  FROM documents),
-        |t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
-        |st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS total
-        |       FROM dl),
-        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
-        |       WHERE tok IN ('hash', 'join', 'spark') GROUP BY 1, 2),
-        |dfr AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
-        |s AS (
-        |  SELECT tf.doc_id,
-        |    round((ln((CAST(st.n - dfr.df AS DOUBLE) + 0.5)
-        |        / (CAST(dfr.df AS DOUBLE) + 0.5) + 1.0)
-        |      * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
-        |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75
-        |          * (CAST(dl.dl AS DOUBLE)
-        |            / (CAST(st.total AS DOUBLE) / CAST(st.n AS DOUBLE))))))
-        |      * 1000000) AS sm
-        |  FROM tf JOIN dfr USING (tok) JOIN dl USING (doc_id), st)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
-        |  CAST(sum(sm) AS BIGINT) AS score_micros
-        |FROM s GROUP BY doc_id
-        |ORDER BY score_micros DESC, doc_id
-        |LIMIT 20""".stripMargin,
+    "text_bm25" -> bm25OracleSql,
+
+    // the indexed path is graded against the SAME corpus-defined
+    // result as the ad-hoc scan — the index is an access path, not a
+    // different answer
+    "text_bm25_indexed" -> bm25OracleSql,
+
+    // index-vs-scan equality (scores included) is pinned in-plan;
+    // booleans only
+    "text_bm25_index_append_gate" ->
+      """SELECT true AS nonempty, true AS append_equals_adhoc,
+        |  true AS dup_append_rejected""".stripMargin,
 
     // DSIR log-likelihood-ratio weights replayed token for token: each
     // model's add-one log-prob rounds to micro-nats separately (the

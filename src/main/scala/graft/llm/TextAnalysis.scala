@@ -398,13 +398,25 @@ object TextAnalysis {
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
       .filter(col("__tok") =!= "")
     val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__dl"))
-    val stats = dl.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__total"))
     val tf = toks.filter(col("__tok").isin(terms.map(lit(_)): _*))
       .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__tf"))
+    bm25Score(tf, dl, idCol, k, k1, b)
+  }
+
+  /** Shared BM25 scorer over a term-frequency table `tf`
+    * (idCol, __tok, __tf) and doc-length table `dl` (idCol, __dl) —
+    * the tail of both the ad-hoc [[bm25Search]] and the persisted
+    * [[bm25SearchIndexed]] path, so the two produce IDENTICAL doubles
+    * by construction. Corpus stats (N, Σdl) derive from `dl` (one
+    * narrow index-scale agg → 1-row broadcast); per-term document
+    * frequency derives from `tf` (already term-filtered). The
+    * arithmetic TREE below is mirrored token-for-token by the
+    * text_bm25 oracle — change one association and the micro-units
+    * drift; idf and the saturation term stay fully parenthesized. */
+  private def bm25Score(tf: DataFrame, dl: DataFrame, idCol: String,
+      k: Int, k1: Double, b: Double): DataFrame = {
+    val stats = dl.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__total"))
     val dfreq = tf.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
-    // the arithmetic TREE below is mirrored token-for-token by the
-    // text_bm25 oracle — change one association and the micro-units
-    // drift; idf and the saturation term stay fully parenthesized
     tf.join(broadcast(dfreq), "__tok")
       .join(dl, idCol)
       .crossJoin(broadcast(stats))
@@ -424,5 +436,89 @@ object TextAnalysis {
         sum(col("__s_micros")).cast("bigint").as("score_micros"))
       .orderBy(desc("score_micros"), col(idCol))
       .limit(k)
+  }
+
+  /** Persist the lexical index of a corpus — the BM25 twin of the
+    * engine's other side-file indexes (ivfSave, writeMinhashIndex,
+    * zone/Bloom maps; same `__meta` guard discipline): `dir` holds
+    * the inverted postings (token, id, tf) RANGE-PARTITIONED AND
+    * SORTED on the token, so a query's `isin` filter reaches the
+    * parquet scan as a pushed predicate and row-group min/max prune
+    * everything but the probed terms' neighborhoods; `dir + "__docs"`
+    * holds the (id, dl) doc-length sidecar; `dir + "__meta"` records
+    * the tokenizer contract so a reader built against a different
+    * tokenization fails loudly instead of silently mis-scoring.
+    *
+    * `mode = "append"` folds a NEW batch's postings + doc lengths in
+    * (the daily-crawl loop). Corpus totals (N, Σdl) are deliberately
+    * NOT persisted — [[bm25SearchIndexed]] derives them from the
+    * `__docs` sidecar (one narrow index-scale agg), which makes an
+    * append self-consistent with zero stat-merge bookkeeping. A loud
+    * pre-flight rejects re-appending ids the index already holds
+    * (duplicate postings would double-count tf); the check is one
+    * id-column semi-join against the sidecar — index-scale, tiny next
+    * to the append's own tokenize pass. */
+  def bm25SaveIndex(df: DataFrame, idCol: String, textCol: String,
+      dir: String, mode: String = "overwrite",
+      partitions: Int = 32): Unit = {
+    val spark = df.sparkSession
+    if (mode == "append") {
+      val m = spark.read.parquet(dir + "__meta").head()
+      require(m.getString(0) == tokenizerTag,
+        s"index at $dir was built with tokenizer '${m.getString(0)}', " +
+          s"append requested with '$tokenizerTag' — rebuild to match")
+      val dup = spark.read.parquet(dir + "__docs")
+        .join(df.select(col(idCol).cast("long").as("id")), Seq("id"),
+          "left_semi").limit(1).collect()
+      require(dup.isEmpty,
+        s"id ${dup.headOption.map(_.get(0)).orNull} is already indexed " +
+          s"at $dir — appending it again would double-count its postings; " +
+          "dedup the batch against the index first")
+    }
+    val toks = df.select(col(idCol).cast("long").as("id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+    toks.groupBy(col("id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .repartitionByRange(partitions, col("tok"))
+      .sortWithinPartitions(col("tok"))
+      .write.mode(mode).parquet(dir)
+    toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+      .write.mode(mode).parquet(dir + "__docs")
+    if (mode != "append") {
+      import spark.implicits._
+      Seq(Tuple1(tokenizerTag)).toDF("tokenizer")
+        .coalesce(1).write.mode("overwrite").parquet(dir + "__meta")
+    }
+  }
+
+  /** Contract tag for [[bm25SaveIndex]]'s `__meta`: whitespace
+    * tokenization, empty tokens dropped. Bump on any change to
+    * [[tokens]] semantics. */
+  private val tokenizerTag = "ws-v1"
+
+  /** BM25 over a PERSISTED index — query cost is postings-scale, not
+    * corpus-scale: the term `isin` pushes to the postings parquet scan
+    * (sorted layout → row-group pruning), doc lengths join from the
+    * fixed-width `__docs` sidecar, and the text column is never read.
+    * Identical scores to [[bm25Search]] over the indexed corpus by
+    * construction (shared [[bm25Score]] tail — the `text_bm25_indexed`
+    * gate grades this through the SAME oracle as `text_bm25`). */
+  def bm25SearchIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, idCol: String, queryTerms: Seq[String],
+      k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val m = spark.read.parquet(indexDir + "__meta").head()
+    require(m.getString(0) == tokenizerTag,
+      s"index at $indexDir was built with tokenizer '${m.getString(0)}', " +
+        s"reader expects '$tokenizerTag' — rebuild the index to match")
+    val terms = queryTerms.distinct
+    val dl = spark.read.parquet(indexDir + "__docs")
+      .select(col("id").as(idCol), col("dl").as("__dl"))
+    val tf = spark.read.parquet(indexDir)
+      .filter(col("tok").isin(terms.map(lit(_)): _*))
+      .select(col("id").as(idCol), col("tok").as("__tok"),
+        col("tf").as("__tf"))
+    bm25Score(tf, dl, idCol, k, k1, b)
   }
 }

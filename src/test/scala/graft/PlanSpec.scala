@@ -620,6 +620,19 @@ class PlanSpec extends SparkSpec {
     assert(shuffles <= 1, s"expected only the orderBy exchange:\n$b")
   }
 
+  test("text_bm25_indexed probes the postings index: term filter pushed, text never read") {
+    val p = plan("text_bm25_indexed")
+    // the query terms reach the postings parquet scan as a pushed In
+    // filter (sorted layout -> row-group pruning does the rest)
+    assert(p.contains("PushedFilters"), p)
+    assert(p.linesIterator.exists(l => l.contains("PushedFilters") &&
+      l.contains("In(tok")), "term isin must push to the postings scan:\n" + p)
+    // the documents table's text column is nowhere in the plan — the
+    // whole point of the persisted index
+    assert(!p.contains("documents.parquet"),
+      "indexed search must not rescan the corpus:\n" + p)
+  }
+
   test("dq_psi / dq_woe / dq_benford collapse to grid-sized aggregates") {
     // two (one for benford) narrow scans -> tiny hash-aggs; nothing
     // row-scale crosses an exchange after the counts

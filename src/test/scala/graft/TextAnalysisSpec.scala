@@ -310,6 +310,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(all == Set(1L, 2L, 3L, 5L))
   }
 
+  test("bm25 persisted index: indexed == ad-hoc bit-for-bit; append parity; dup append rejected") {
+    val docs = (1L to 60L).map(i => (i,
+      (Seq.fill((i % 4).toInt)("hash") ++ Seq.fill((i % 3).toInt)("join") ++
+        Seq.fill((i % 5).toInt + 1)(s"filler${i % 7}")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val q = Seq("hash", "join")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val adhoc = rows(TextAnalysis.bm25Search(docs, "doc_id", "text", q, k = 15))
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bm25spec_${System.nanoTime()}"
+    // full build: indexed search equals the corpus scan exactly
+    TextAnalysis.bm25SaveIndex(docs, "doc_id", "text", base + "_full")
+    assert(rows(TextAnalysis.bm25SearchIndexed(spark, base + "_full",
+      "doc_id", q, k = 15)) == adhoc)
+    // split build + append: same answer as the full build (totals
+    // derive from the __docs sidecar, so append needs no stat merge)
+    TextAnalysis.bm25SaveIndex(docs.filter($"doc_id" <= 40),
+      "doc_id", "text", base + "_inc")
+    TextAnalysis.bm25SaveIndex(docs.filter($"doc_id" > 40),
+      "doc_id", "text", base + "_inc", mode = "append")
+    assert(rows(TextAnalysis.bm25SearchIndexed(spark, base + "_inc",
+      "doc_id", q, k = 15)) == adhoc)
+    // re-appending already-indexed ids fails loudly (tf would double)
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bm25SaveIndex(docs.filter($"doc_id" > 40),
+        "doc_id", "text", base + "_inc", mode = "append")
+    }
+    assert(e.getMessage.contains("already indexed"), e.getMessage)
+  }
+
   test("gopherRules: pass/fail reasons in rule order") {
     val docs = Seq(
       (1L, "the cat and the dog run to a tree in the park"),
