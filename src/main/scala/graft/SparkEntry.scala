@@ -94,6 +94,7 @@ object SparkEntry {
   private val neverGradedFirst: Seq[String] = Seq(
     // round-11 additions (no artifact yet)
     "text_bm25_indexed", "text_bm25_index_append_gate",
+    "graph_modularity",
     // round-10 additions (no artifact yet)
     "mm_decode_video_frames", "catalog_persistent_roundtrip",
     "evt_dedup_replay", "dedup_minhash_incremental_gate",
@@ -369,8 +370,8 @@ object SparkEntry {
     "dedup_clusters", "graph_pagerank", "graph_pagerank_personalized",
     "graph_triangles", "graph_kcore",
     "graph_local_triangles", "graph_shortest_paths", "graph_cooccurrence",
-    "graph_weighted_paths", "graph_label_prop", "graph_assoc_rules",
-    "dedup_containment",
+    "graph_weighted_paths", "graph_label_prop", "graph_modularity",
+    "graph_assoc_rules", "dedup_containment",
     "text_gopher_rules", "text_collocations", "agg_salted_collect",
     "pipeline_clean_corpus", "pipeline_curation", "pipeline_tokenize_pack",
     "sketch_freq_items",
@@ -2953,6 +2954,21 @@ object SparkEntry {
       // (rounds run eagerly at construction).
       Graph.labelPropagation(partCoOrderPairs(s, dir), "a", "b", iters = 3)
         .orderBy($"id")
+    }),
+
+    "graph_modularity" -> ((s, dir) => {
+      import s.implicits._
+      // Newman modularity of the p_brand labeling over the part
+      // co-order graph — the quality score the community family
+      // (LPA/k-core/triangles) was missing. Every count is an exact
+      // integer; the per-community numerator 2m·Σin − Σtot² widens to
+      // DECIMAL(38,0) before the one IEEE division by 4m², quantized
+      // to micro-units — DuckDB replays every row value-for-value.
+      Graph.modularity(partCoOrderPairs(s, dir),
+          Tables.part(s, dir).select($"p_partkey".as("id"),
+            $"p_brand".as("label")),
+          "a", "b")
+        .orderBy($"label")
     }),
 
     "dedup_containment" -> ((s, dir) => {
@@ -8003,6 +8019,37 @@ object SparkEntry {
          |SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label
          |FROM l3 ORDER BY id""".stripMargin
     },
+
+    // modularity replayed exactly: HUGEINT numerator mirrors the
+    // DECIMAL(38,0) widening, one double division by 4m², micro-unit
+    // round — per-community rows value-for-value
+    "graph_modularity" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |   AND l1.l_partkey < l2.l_partkey
+        |  WHERE l1.l_orderkey % 4 = 0),
+        |m AS (SELECT count(*) AS m FROM p),
+        |deg AS (SELECT id, count(*) AS deg FROM (
+        |  SELECT a AS id FROM p UNION ALL SELECT b AS id FROM p)
+        |  GROUP BY 1),
+        |lab AS (SELECT p_partkey AS id, p_brand AS label FROM part),
+        |intra AS (SELECT la.label, 2 * count(*) AS sum_in
+        |  FROM p JOIN lab la ON p.a = la.id JOIN lab lb ON p.b = lb.id
+        |  WHERE la.label = lb.label GROUP BY 1),
+        |tot AS (SELECT la.label, CAST(sum(d.deg) AS BIGINT) AS sum_tot,
+        |    CAST(count(*) AS BIGINT) AS n_nodes
+        |  FROM deg d JOIN lab la ON d.id = la.id GROUP BY 1)
+        |SELECT t.label, t.n_nodes,
+        |  CAST(coalesce(i.sum_in, 0) AS BIGINT) AS sum_in, t.sum_tot,
+        |  CAST(round(
+        |    CAST(2 * m.m * coalesce(i.sum_in, 0)
+        |      - t.sum_tot * t.sum_tot AS DOUBLE)
+        |    / CAST(4 * m.m * m.m AS DOUBLE) * 1000000) AS BIGINT)
+        |    AS q_micros
+        |FROM tot t LEFT JOIN intra i USING (label), m
+        |ORDER BY label""".stripMargin,
 
     // stream == batch identity + deterministic scored count; the EWMA
     // recurrence itself has no tractable SQL form (sequential fold) —

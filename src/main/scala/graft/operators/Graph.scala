@@ -731,4 +731,67 @@ object Graph {
     }
     labels
   }
+
+  /** Newman modularity of a community labeling — the QUALITY metric
+    * the community-mining family ([[labelPropagation]], [[kCore]],
+    * triangle counts) was missing: given undirected edges and a
+    * (node, label) assignment, score each community c by
+    * `Q_c = Σin_c/(2m) − (Σtot_c/(2m))²` (Σin = intra-community edge
+    * ENDPOINTS = 2·intra-edges, Σtot = total degree of c's nodes,
+    * m = edge count). Q = ΣQ_c ∈ [−1/2, 1); random labelings score
+    * ~0, strong community structure 0.3+. The labeling is an INPUT
+    * (LPA's output, an attribute, a Louvain pass — anything), which
+    * is what makes the score gradeable: a fixed labeling replays on
+    * any engine.
+    *
+    * EXACT INTEGER CONVENTION (the PageRank-recurrence discipline):
+    * every count is an exact integer; the per-community numerator
+    * `2m·Σin_c − Σtot_c²` widens to DECIMAL(38,0) before the ONE
+    * IEEE division by `4m²` (a raw long multiply of 2m·Σin wraps at
+    * graph scale), and the quotient quantizes to integer micro-units
+    * — an oracle replays every row value-for-value.
+    *
+    * Scale shape: one distinct-edge pass, one degree hash-agg, two
+    * long-keyed label equi-joins (intra test), one community
+    * hash-agg; m is a 1-row broadcast. Nothing row-scale crosses an
+    * exchange after the per-community counts, and no term is
+    * quadratic in anything (PlanSpec pins equi-joins only). Nodes
+    * absent from `labels` contribute degree but no community row —
+    * label coverage is the caller's contract. */
+  def modularity(edges: DataFrame, labels: DataFrame,
+      srcCol: String = "id_a", dstCol: String = "id_b",
+      idCol: String = "id", labelCol: String = "label"): DataFrame = {
+    val e = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val lab = labels.select(col(idCol).cast("long").as("id"),
+      col(labelCol).as("label"))
+    val m = e.agg(count(lit(1)).as("m"))
+    val deg = e.select(col("a").as("id"))
+      .union(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val intra = e
+      .join(lab.select(col("id").as("a"), col("label").as("__la")), "a")
+      .join(lab.select(col("id").as("b"), col("label").as("__lb")), "b")
+      .filter(col("__la") === col("__lb"))
+      .groupBy(col("__la").as("label"))
+      .agg((count(lit(1)) * 2).as("sum_in"))
+    val tot = deg.join(lab, "id")
+      .groupBy(col("label"))
+      .agg(sum(col("deg")).cast("bigint").as("sum_tot"),
+        count(lit(1)).cast("bigint").as("n_nodes"))
+    tot.join(intra, Seq("label"), "left")
+      .withColumn("sum_in", coalesce(col("sum_in"), lit(0L)).cast("bigint"))
+      .crossJoin(broadcast(m)) // 1-row edge total
+      .withColumn("q_micros",
+        round(((lit(2).cast("decimal(38,0)") * col("m") * col("sum_in")) -
+          (col("sum_tot").cast("decimal(38,0)") * col("sum_tot")))
+            .cast("double") /
+          (lit(4).cast("decimal(38,0)") * col("m") * col("m"))
+            .cast("double") * 1e6).cast("long"))
+      .select(col("label"), col("n_nodes"), col("sum_in"), col("sum_tot"),
+        col("q_micros"))
+  }
 }

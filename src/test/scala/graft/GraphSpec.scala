@@ -476,4 +476,36 @@ class GraphSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("non-negative"))
   }
+
+  test("modularity: closed form on two bridged triangles; zero-intra and all-one-label cases") {
+    // triangle {1,2,3} + triangle {4,5,6} + bridge 3-4: m = 7
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("id_a", "id_b")
+    val byTriangle = Seq((1L, "x"), (2L, "x"), (3L, "x"),
+      (4L, "y"), (5L, "y"), (6L, "y")).toDF("id", "label")
+    val got = Graph.modularity(edges, byTriangle)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // per community: sum_in = 6 (3 intra edges), sum_tot = 7,
+    // q = (2m*6 - 49)/(4m^2) = 35/196 -> 178571 micro-units
+    assert(got("x") == ((3L, 6L, 7L, 178571L)), got.toString)
+    assert(got("y") == ((3L, 6L, 7L, 178571L)))
+    // community with zero intra edges: negative contribution, no NULL
+    val split = Seq((1L, "x"), (2L, "x"), (3L, "x"),
+      (4L, "y"), (5L, "y"), (6L, "z")).toDF("id", "label")
+    val z = Graph.modularity(edges, split)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(4)))).toMap
+    // z = {6}: sum_in 0, sum_tot 2, q = -4/196 -> -20408
+    assert(z("z") == ((0L, -20408L)), z.toString)
+    // degenerate labeling (everything one community) scores exactly 0
+    val one = (1L to 6L).map(i => (i, "all")).toDF("id", "label")
+    val q0 = Graph.modularity(edges, one).collect()
+    assert(q0.length == 1 && q0.head.getLong(4) == 0L)
+    // duplicate/reversed edge rows do not double-count
+    val dup = edges.union(Seq((2L, 1L)).toDF("id_a", "id_b"))
+    assert(Graph.modularity(dup, byTriangle).collect()
+      .map(_.getLong(4)).toSeq.sorted ==
+      got.values.map(_._4).toSeq.sorted)
+  }
 }

@@ -620,6 +620,14 @@ class PlanSpec extends SparkSpec {
     assert(shuffles <= 1, s"expected only the orderBy exchange:\n$b")
   }
 
+  test("graph_modularity: long-keyed equi-joins only; just the 1-row edge total nest-loops") {
+    val p = plan("graph_modularity")
+    assert(!p.contains("CartesianProduct"), p)
+    val bnl = p.linesIterator.count(_.matches(
+      "\\(\\d+\\) BroadcastNestedLoopJoin.*"))
+    assert(bnl <= 1, s"only the 1-row m broadcast may nest-loop:\n$p")
+  }
+
   test("text_bm25_indexed probes the postings index: term filter pushed, text never read") {
     val p = plan("text_bm25_indexed")
     // the query terms reach the postings parquet scan as a pushed In
