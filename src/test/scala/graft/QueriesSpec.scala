@@ -42,6 +42,47 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("every no_oracle query is paired with a registered, oracle-backed gate") {
+    // A query without oracleSql is graded rows-only — acceptable ONLY
+    // because a named deterministic companion gate IS hash-matched.
+    // This pairing is load-bearing for the whole correctness story:
+    // renaming or dropping a gate must fail HERE, not silently turn a
+    // raw dump into ungraded output (round-10 verdict, 'Next round'
+    // #7). Keys = every registered query absent from oracleSql, each
+    // mapped to the gate that makes it honest.
+    val pairing = Map(
+      "agg_approx_distinct" -> "agg_approx_distinct_gate",
+      "bpe_tokenize" -> "bpe_gate",
+      "dedup_embedding" -> "dedup_embedding_recall",
+      "dedup_fingerprint" -> "dedup_fp_agree",
+      "dedup_minhash" -> "dedup_minhash_recall",
+      "dedup_ngram_jaccard" -> "dedup_ngram_exact",
+      "dedup_semantic" -> "dedup_semantic_gate",
+      "dedup_simhash" -> "dedup_simhash_complete",
+      "ml_pca" -> "ml_pca_gate",
+      "ml_tfidf" -> "ml_tfidf_gate",
+      "ml_word2vec" -> "ml_word2vec_gate",
+      "pipeline_tokenize_pack" -> "pipeline_tokenize_pack_gate",
+      "sample_bernoulli" -> "sample_gates",
+      "sample_percent" -> "sample_gates",
+      "sample_stratified" -> "sample_gates",
+      "sim_topk_ivf" -> "sim_recall_ivf",
+      "sim_topk_lsh" -> "sim_recall_lsh",
+      "sim_topk_pq" -> "sim_recall_pq",
+      "unigram_tokenize" -> "unigram_gate")
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == pairing.keySet,
+      s"unpaired no_oracle queries: ${noOracle -- pairing.keySet}; " +
+        s"stale pairings: ${pairing.keySet -- noOracle}")
+    pairing.foreach { case (q, gate) =>
+      assert(SparkEntry.queries.contains(gate),
+        s"$q's companion gate $gate is not registered")
+      assert(SparkEntry.oracleSql.contains(gate),
+        s"$q's companion gate $gate has no oracle — the pairing only " +
+          "counts if the gate itself is hash-graded")
+    }
+  }
+
   test("approx_count_distinct within 10% of exact") {
     val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
