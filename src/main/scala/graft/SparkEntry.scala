@@ -94,7 +94,8 @@ object SparkEntry {
   private val neverGradedFirst: Seq[String] = Seq(
     // round-11 additions (no artifact yet)
     "text_bm25_indexed", "text_bm25_index_append_gate",
-    "graph_modularity",
+    "graph_modularity", "dq_ks", "feat_auc", "evt_attribution",
+    "text_entropy",
     // round-10 additions (no artifact yet)
     "mm_decode_video_frames", "catalog_persistent_roundtrip",
     "evt_dedup_replay", "dedup_minhash_incremental_gate",
@@ -349,20 +350,20 @@ object SparkEntry {
     "pipeline_feature_matrix",
     "dq_invalid_codes", "dq_expectations", "dq_profile", "dq_outliers",
     "dq_outliers_mad", "dq_psi", "dq_woe", "dq_benford", "feat_cuped",
-    "dq_winsorize",
+    "dq_winsorize", "dq_ks", "feat_auc",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
     "str_funcs", "parse_money",
     "evt_tumbling", "evt_sliding", "evt_sessionize", "evt_session_window",
     "evt_stream_join", "evt_stream_join_outer", "evt_enrich_static",
-    "evt_funnel", "evt_retention", "evt_transitions",
+    "evt_funnel", "evt_retention", "evt_transitions", "evt_attribution",
     "ts_resample_ffill", "ts_interpolate", "ts_anomaly", "evt_top_paths",
     "agg_corr_regr",
     "text_stats", "text_quality", "text_term_freq", "text_lang_dist",
     "text_langid", "text_token_counts", "text_quality_score", "text_entities",
     "text_chunk", "text_redact", "text_repetition",
-    "text_unigram_nll", "text_normalize", "bpe_tokenize",
+    "text_unigram_nll", "text_normalize", "text_entropy", "bpe_tokenize",
     "unigram_tokenize", "dsir_select",
     "text_bm25", "text_bm25_indexed", "text_rrf_fusion", "text_blocklist",
     "decontaminate", "corpus_overlap",
@@ -463,6 +464,28 @@ object SparkEntry {
       // statistics replay in exact micro-nats.
       Quality.woeReport(Tables.events(s, dir), round($"value" * 100),
         $"event_type" === "error", lo = 0L, width = 1000L, nBuckets = 10)
+    }),
+
+    "dq_ks" -> ((s, dir) => {
+      import s.implicits._
+      // Exact two-sample Kolmogorov-Smirnov distance between returned
+      // ('R') and intact ('N') lineitems' price distributions — the
+      // scale-free escalation test for the binned drift family (no
+      // grid to choose). Integer cross-multiplied sup over distinct
+      // values via the two-phase prefix sum; one row, micro-quantized.
+      graft.operators.OrderedStats.ksTest(
+        Tables.lineitem(s, dir).filter($"l_returnflag".isin("R", "N")),
+        $"l_extendedprice", $"l_returnflag" === "R")
+    }),
+
+    "feat_auc" -> ((s, dir) => {
+      import s.implicits._
+      // Exact tie-corrected ROC-AUC of order value predicting urgent
+      // priority — the Mann-Whitney identity over distinct scores, no
+      // global sort, every term an exact integer. One row.
+      graft.operators.OrderedStats.aucExact(Tables.orders(s, dir),
+        $"o_totalprice",
+        $"o_orderpriority".isin("1-URGENT", "2-HIGH"))
     }),
 
     "dq_benford" -> ((s, dir) => {
@@ -3962,6 +3985,25 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    "text_entropy" -> ((s, dir) => {
+      import s.implicits._
+      // Character-class Shannon entropy per doc (codegen'd one-pass
+      // expression): per-class micro-nat terms rounded independently
+      // then integer-summed — order-free, so DuckDB's per-char unnest
+      // replays every value. Low = char floods; high = base64 noise;
+      // both tails carry curation signal.
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          coalesce(length($"text"), lit(0)).cast("bigint").as("n_chars"),
+          coalesce(graft.functions.char_entropy($"text"), lit(0L))
+            .as("h_sum_micros"))
+        .withColumn("ent_per_char_micros",
+          when($"n_chars" > 0,
+            round($"h_sum_micros".cast("double") / $"n_chars".cast("double"))
+              .cast("long")).otherwise(0L))
+        .orderBy($"doc_id")
+    }),
+
     "text_unigram_nll" -> ((s, dir) => {
       import s.implicits._
       // Unigram-LM NLL quality signal: per-doc sum of -ln p(token)
@@ -5114,6 +5156,18 @@ object SparkEntry {
         .orderBy($"user_id")
     }),
 
+    "evt_attribution" -> ((s, dir) => {
+      import s.implicits._
+      // Multi-touch attribution of purchases to view/click/signup
+      // touches in a 6-hour lookback — first/last/linear credited in
+      // integer micro-units (linear's remainder goes to the last
+      // touch, so per-conversion credit sums to exactly 10^6 and
+      // every total replays in DuckDB).
+      EventStreams.attribution(Tables.events(s, dir),
+        Seq("view", "click", "signup"), "purchase",
+        lookbackSeconds = 21600L)
+    }),
+
     "evt_funnel_stateful_replay" -> ((s, dir) => {
       import s.implicits._
       // Driver-graded gate for the STREAMING funnel
@@ -5676,6 +5730,51 @@ object SparkEntry {
         |     CAST(n_bad + 1 AS DOUBLE) / CAST(tb + 11 AS DOUBLE)) *
         |    lnr * 1000000) AS BIGINT) END AS iv_micros
         |FROM r ORDER BY bucket""".stripMargin,
+
+    // KS distance replayed exactly: DuckDB's window cumsum over
+    // distinct values mirrors the two-phase prefix sum, HUGEINT
+    // cross-products mirror the DECIMAL(38,0) widening, one double
+    // division, micro-unit round
+    "dq_ks" ->
+      """WITH s AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+        |    (l_returnflag = 'R') AS t
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+        |c AS (SELECT v,
+        |    sum(CASE WHEN t THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS cb
+        |  FROM s GROUP BY 1),
+        |cc AS (SELECT v, ca, cb,
+        |    sum(ca) OVER (ORDER BY v) AS cum_a,
+        |    sum(cb) OVER (ORDER BY v) AS cum_b FROM c),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) AS BIGINT) AS n_b FROM c)
+        |SELECT tot.n_a, tot.n_b,
+        |  CAST(round(
+        |    CAST(max(abs(cum_a * tot.n_b - cum_b * tot.n_a)) AS DOUBLE)
+        |    / CAST(CAST(tot.n_a AS HUGEINT) * tot.n_b AS DOUBLE)
+        |    * 1000000) AS BIGINT) AS d_micros
+        |FROM cc, tot GROUP BY tot.n_a, tot.n_b""".stripMargin,
+
+    // tie-corrected Mann-Whitney AUC: 2U accumulates as exact
+    // integers over distinct scores; one double division by 2·n₊·n₋
+    "feat_auc" ->
+      """WITH s AS (SELECT CAST(o_totalprice AS DOUBLE) AS v,
+        |    (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS t
+        |  FROM orders),
+        |c AS (SELECT v,
+        |    sum(CASE WHEN t THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS cb
+        |  FROM s GROUP BY 1),
+        |cc AS (SELECT v, ca, cb,
+        |    sum(cb) OVER (ORDER BY v) AS cum_b FROM c),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_pos,
+        |    CAST(sum(cb) AS BIGINT) AS n_neg FROM c)
+        |SELECT tot.n_pos, tot.n_neg,
+        |  CAST(round(
+        |    CAST(sum(ca * (2 * (cum_b - cb) + cb)) AS DOUBLE)
+        |    / CAST(2 * CAST(tot.n_pos AS HUGEINT) * tot.n_neg AS DOUBLE)
+        |    * 1000000) AS BIGINT) AS auc_micros
+        |FROM cc, tot GROUP BY tot.n_pos, tot.n_neg""".stripMargin,
 
     // exact integer moments; theta and the adjustment are one mirrored
     // division tree — raw doubles match bit-for-bit
@@ -6523,6 +6622,34 @@ object SparkEntry {
         |    PARTITION BY event_type ORDER BY b
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_ffill
         |FROM j ORDER BY event_type, b""".stripMargin,
+
+    // per-conversion micro-credits replay exactly: deterministic
+    // (ts, event_id) touch order, integer div/mod linear split with
+    // the remainder on the last touch
+    "evt_attribution" ->
+      """WITH conv AS (SELECT user_id, event_id AS conv_id, ts AS conv_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_type AS channel, ts AS touch_ts,
+        |    event_id AS touch_id FROM events
+        |  WHERE event_type IN ('view', 'click', 'signup')),
+        |j AS (SELECT conv.conv_id, t.channel, t.touch_ts, t.touch_id
+        |  FROM conv JOIN t USING (user_id)
+        |  WHERE t.touch_ts <= conv.conv_ts
+        |    AND t.touch_ts > conv.conv_ts - INTERVAL 21600 SECONDS),
+        |r AS (SELECT channel,
+        |    count(*) OVER (PARTITION BY conv_id) AS k,
+        |    row_number() OVER (PARTITION BY conv_id
+        |      ORDER BY touch_ts, touch_id) AS rn
+        |  FROM j)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1000000 ELSE 0 END) AS BIGINT)
+        |    AS first_micros,
+        |  CAST(sum(CASE WHEN rn = k THEN 1000000 ELSE 0 END) AS BIGINT)
+        |    AS last_micros,
+        |  CAST(sum(1000000 // k +
+        |    CASE WHEN rn = k THEN 1000000 % k ELSE 0 END) AS BIGINT)
+        |    AS linear_micros
+        |FROM r GROUP BY channel ORDER BY channel""".stripMargin,
 
     "evt_transitions" ->
       """WITH seq AS (
@@ -7481,6 +7608,30 @@ object SparkEntry {
         |    len_score * (1.0 - digit_ratio) * (1.0 - punct_ratio) * (0.5 + stop_ratio))) AS quality_score,
         |  stop_ratio, digit_ratio, punct_ratio
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // per-char-class micro-nat terms rounded independently then
+    // integer-summed — order-free, so the unnest replay matches the
+    // one-pass expression value-for-value
+    "text_entropy" ->
+      """WITH ch AS (SELECT doc_id,
+        |    unnest(string_split_regex(text, '')) AS c FROM documents),
+        |cnt AS (SELECT doc_id, c, count(*) AS n FROM ch
+        |  WHERE c <> '' GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars
+        |  FROM cnt GROUP BY 1),
+        |h AS (SELECT cnt.doc_id,
+        |    CAST(sum(CAST(round(n * ln(CAST(n_chars AS DOUBLE) / n)
+        |      * 1000000) AS BIGINT)) AS BIGINT) AS h_sum_micros
+        |  FROM cnt JOIN tot USING (doc_id) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(tot.n_chars, 0) AS BIGINT) AS n_chars,
+        |  CAST(coalesce(h.h_sum_micros, 0) AS BIGINT) AS h_sum_micros,
+        |  CASE WHEN coalesce(tot.n_chars, 0) > 0
+        |    THEN CAST(round(CAST(h.h_sum_micros AS DOUBLE) / tot.n_chars)
+        |      AS BIGINT) ELSE 0 END AS ent_per_char_micros
+        |FROM documents d LEFT JOIN tot USING (doc_id)
+        |  LEFT JOIN h USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // Exact replay of the micro-nat-quantized unigram NLL: same
     // tokens, same corpus frequencies, same per-token rounding

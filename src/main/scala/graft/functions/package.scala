@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftShims, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions._
 
-import graft.expr.{CosineSimilarity, DeflateLength, DocFingerprint, InterleaveBits, JaroWinklerSim, RegexpExtractOrNull, RepetitionStats, SimHash64, TokenNGrams, UnicodeNormalize}
+import graft.expr.{CharEntropy, CosineSimilarity, DeflateLength, DocFingerprint, InterleaveBits, JaroWinklerSim, RegexpExtractOrNull, RepetitionStats, SimHash64, TokenNGrams, UnicodeNormalize}
 
 /** The engine's scalar-function surface: thin `Column` builders over
   * custom Catalyst expressions plus named compositions of built-ins.
@@ -47,6 +47,11 @@ package object functions {
   /** Raw-DEFLATE byte length of a string (codegen'd; see
     * [[graft.expr.DeflateLength]]). */
   def deflate_length(c: Column): Column = col(DeflateLength(ex(c)))
+
+  /** Character-class Shannon entropy in summed micro-nat terms
+    * (codegen'd one-pass; see [[graft.expr.CharEntropy]]); divide by
+    * `length(c)` for per-char entropy. */
+  def char_entropy(c: Column): Column = col(CharEntropy(ex(c)))
 
   /** Morton Z-order key of 2-4 integral columns (codegen'd; see
     * [[graft.expr.InterleaveBits]]) — sort or range-partition by this
@@ -193,6 +198,10 @@ package object functions {
     ("simhash64", classOf[SimHash64], {
       case Seq(c) => SimHash64(c)
       case _ => throw new IllegalArgumentException("simhash64(text)")
+    }),
+    ("char_entropy", classOf[CharEntropy], {
+      case Seq(c) => CharEntropy(c)
+      case _ => throw new IllegalArgumentException("char_entropy(text)")
     }),
     ("repetition_stats", classOf[RepetitionStats], {
       case Seq(c) => RepetitionStats(c)

@@ -489,7 +489,7 @@ object Multimodal {
   /** RIFF/AVI with frames: RIFF('AVI ' LIST('hdrl' avih)
     * LIST('movi' 00dc...)) — the [[aviBytes]] header followed by a
     * movi list of JPEG chunks, word-aligned per the RIFF spec. */
-  private[llm] def mjpegAviBytes(width: Int, height: Int,
+  private[graft] def mjpegAviBytes(width: Int, height: Int,
       frames: Seq[Array[Byte]]): Array[Byte] = {
     val avih = java.nio.ByteBuffer.allocate(56)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -519,18 +519,46 @@ object Multimodal {
     b.array()
   }
 
+  /** Pluggable per-frame bitstream decoder for [[decodeVideoFrame]].
+    * The JDK ships exactly one video-frame codec (JPEG, the MJPEG
+    * case); every other codec (H.264, VP9, AV1…) needs a native
+    * library this engine deliberately does not bundle. This interface
+    * is the honest seam: a deployment with an FFI decoder implements
+    * it (serializable — instances ship to executors; do per-codec
+    * native init lazily inside `decode`), registers it ahead of the
+    * default, and the Spark-side plumbing — container walk, partition
+    * shape, raster statistics — is unchanged and already tested.
+    * `decode` returns None when the bytes are not this codec's
+    * bitstream, letting the chain fall through in order. */
+  trait FrameDecoder extends Serializable {
+    /** Codec family label, for diagnostics. */
+    def name: String
+    def decode(frame: Array[Byte]): Option[java.awt.image.BufferedImage]
+  }
+
+  /** The built-in JDK decoder: `javax.imageio` JPEG (MJPEG frames). */
+  object ImageIoFrameDecoder extends FrameDecoder {
+    val name = "mjpeg-imageio"
+    def decode(frame: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(frame)))
+      catch { case _: java.io.IOException => None }
+  }
+
   /** REAL video FRAME decode — retires the engine's last documented
     * stub: walk the RIFF tree to LIST('movi'), count the `..dc`/`..db`
-    * frame chunks, and decode the FIRST one with `javax.imageio`'s
-    * JPEG reader (pure JDK, the MJPEG case — the one video codec the
-    * JVM can decode without native deps), reporting the raster's
-    * dims/band count/exact mean like [[decodeImage]]. Non-AVI or
-    * frameless payloads degrade to `decoded = false` with zeroed
-    * fields — same fallback posture as the other decoders. Real
-    * non-MJPEG codecs (H.264 etc.) have no JDK decoder and still
-    * require the external-decoder path; their CONTAINER pass is
-    * [[decodeVideoMeta]]. */
-  def decodeVideoFrame(media: DataFrame): Dataset[DecodedFrame] = {
+    * frame chunks, and decode the FIRST one through the `decoders`
+    * chain (first Some wins; default = the pure-JDK MJPEG decoder),
+    * reporting the raster's dims/band count/exact mean like
+    * [[decodeImage]]. Non-AVI or frameless payloads, and frames no
+    * registered decoder claims, degrade to `decoded = false` with
+    * zeroed fields — same fallback posture as the other decoders.
+    * Real non-MJPEG codecs (H.264 etc.) plug in via [[FrameDecoder]];
+    * their CONTAINER pass is [[decodeVideoMeta]]. */
+  def decodeVideoFrame(media: DataFrame,
+      decoders: Seq[FrameDecoder] = Seq(ImageIoFrameDecoder))
+      : Dataset[DecodedFrame] = {
+    require(decoders.nonEmpty, "decoders must be non-empty")
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
@@ -540,10 +568,8 @@ object Multimodal {
           val frames = moviFrames(p)
           val img =
             if (frames.isEmpty) null
-            else
-              try javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(frames.head))
-              catch { case _: java.io.IOException => null }
+            else decoders.iterator.flatMap(_.decode(frames.head))
+              .nextOption().orNull
           if (img != null) {
             val raster = img.getRaster
             val (w, h, bands) = (img.getWidth, img.getHeight,

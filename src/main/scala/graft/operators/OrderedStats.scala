@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact rank/CDF statistics over two tagged samples — the
+  * order-statistic analytics that close the model-evaluation and
+  * drift-testing gap: a two-sample Kolmogorov-Smirnov distance
+  * ([[ksTest]]) and a tie-corrected ROC-AUC ([[aucExact]]). Both are
+  * functions of the joint empirical CDF, so they share one primitive:
+  * cumulative per-side counts over the DISTINCT values of the pooled
+  * sample ([[cumCounts]]).
+  *
+  * EXACT INTEGER CONVENTION (the modularity/PageRank discipline):
+  * every cumulative count is an exact integer, every cross-product
+  * widens to DECIMAL(38,0) before the ONE IEEE division, and the
+  * result quantizes to integer micro-units — an oracle replays the
+  * statistic value-for-value. No double ever accumulates.
+  *
+  * SCALE SHAPE — the trap in any CDF statistic is the global
+  * cumulative sum: a bare `Window.orderBy(value)` with no partition
+  * funnels EVERY distinct value through one task. [[cumCounts]] runs
+  * the textbook two-phase prefix sum instead: (1) one hash-agg
+  * collapses the row stream to per-distinct-value counts (the only
+  * row-scale pass); (2) counts range-partition by value and cumsum
+  * WITHIN each partition in parallel; (3) per-partition totals — one
+  * row per partition — prefix-sum on the driver-sized side and join
+  * back as broadcast offsets. The single-task window touches
+  * `nBuckets` rows, never the value stream.
+  */
+object OrderedStats {
+
+  /** Per distinct value of the pooled sample: this value's per-side
+    * counts (`ca`, `cb`) and the INCLUSIVE cumulative per-side counts
+    * (`cum_a`, `cum_b`) in ascending value order. `tagExpr` selects
+    * side a; NULL values and NULL tags are excluded (a sample
+    * membership must be decided). */
+  private[graft] def cumCounts(df: DataFrame, valueExpr: Column,
+      tagExpr: Column, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1 (got $nBuckets)")
+    val counts = df.select(valueExpr.cast("double").as("v"),
+        tagExpr.as("t"))
+      .filter(col("v").isNotNull && col("t").isNotNull)
+      .groupBy(col("v"))
+      .agg(sum(when(col("t"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("t"), 1L).otherwise(0L)).as("cb"))
+    // phase 2: parallel within-partition cumsum. The partition id is
+    // only a GROUPING DEVICE — offsets are computed from the actual
+    // partition contents, so the result is identical for any range
+    // boundary placement.
+    val parted = counts.repartitionByRange(nBuckets, col("v"))
+      .sortWithinPartitions(col("v"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint() // pin pid assignment: offsets and cumsums
+                         // below must see the SAME partitioning
+    val wIn = Window.partitionBy(col("__pid")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // phase 3: nBuckets-row offsets table; the single-task window is
+    // over partition TOTALS, not values
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy(col("__pid"))
+      .agg(sum(col("ca")).as("__ta"), sum(col("cb")).as("__tb"))
+      .select(col("__pid"),
+        coalesce(sum(col("__ta")).over(wOff), lit(0L)).as("__oa"),
+        coalesce(sum(col("__tb")).over(wOff), lit(0L)).as("__ob"))
+    parted
+      .withColumn("__cin_a", sum(col("ca")).over(wIn))
+      .withColumn("__cin_b", sum(col("cb")).over(wIn))
+      .join(broadcast(offsets), "__pid")
+      .select(col("v"), col("ca"), col("cb"),
+        (col("__cin_a") + col("__oa")).as("cum_a"),
+        (col("__cin_b") + col("__ob")).as("cum_b"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov distance, EXACT:
+    * `D = max_v |F_a(v) − F_b(v)|` computed as the integer maximum of
+    * `|cum_a·n_b − cum_b·n_a|` over distinct pooled values (the sup
+    * over all x is attained at a sample value, so scanning distinct
+    * values is exhaustive, not an approximation). Returns one row
+    * (n_a, n_b, d_micros) with `d_micros = round(D · 10⁶)`.
+    *
+    * Unlike the binned drift family ([[Quality.driftReport]] /
+    * [[Quality.psi]]), KS needs no grid choice — it is the
+    * scale-free test a drift monitor escalates to when bins are in
+    * question. */
+  def ksTest(df: DataFrame, valueExpr: Column, tagExpr: Column,
+      nBuckets: Int = 32): DataFrame = {
+    val cum = cumCounts(df, valueExpr, tagExpr, nBuckets)
+    val tot = cum.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    cum.crossJoin(broadcast(tot)) // 1-row sample sizes
+      .select(abs(col("cum_a").cast("decimal(38,0)") * col("n_b") -
+        col("cum_b").cast("decimal(38,0)") * col("n_a")).as("__d"),
+        col("n_a"), col("n_b"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(col("__d")).as("__dnum"))
+      // one empty side: no distance is defined — empty result, not 0/0
+      .filter(col("n_a") > 0L && col("n_b") > 0L)
+      .select(col("n_a").cast("bigint").as("n_a"),
+        col("n_b").cast("bigint").as("n_b"),
+        round(col("__dnum").cast("double") /
+          (col("n_a").cast("decimal(38,0)") * col("n_b")).cast("double")
+          * 1e6).cast("long").as("d_micros"))
+  }
+
+  /** ROC-AUC, EXACT with tie correction — the Mann-Whitney rank-sum
+    * identity: over distinct scores s (ascending), with `pos_s`
+    * positives and `neg_s` negatives at s and `negBelow_s` negatives
+    * strictly below,
+    * `2U = Σ_s pos_s · (2·negBelow_s + neg_s)` and
+    * `AUC = 2U / (2·n_pos·n_neg)` — ties contribute the standard ½.
+    * Every term is an exact integer (ties handled by GROUPING on the
+    * score, not by averaging fractional ranks), so the statistic
+    * replays on any engine. Returns one row
+    * (n_pos, n_neg, auc_micros).
+    *
+    * This is THE threshold-free binary-classifier metric; computing
+    * it exactly at corpus scale usually dies on the global sort —
+    * here it rides [[cumCounts]]'s two-phase prefix sum. Degenerate
+    * inputs (no positives or no negatives) return an empty result
+    * rather than a division by zero. */
+  def aucExact(df: DataFrame, scoreExpr: Column, labelExpr: Column,
+      nBuckets: Int = 32): DataFrame = {
+    val cum = cumCounts(df, scoreExpr, labelExpr, nBuckets)
+    val tot = cum.agg(sum(col("ca")).as("n_pos"), sum(col("cb")).as("n_neg"))
+    cum.crossJoin(broadcast(tot)) // 1-row class sizes
+      .select(col("n_pos"), col("n_neg"),
+        (col("ca").cast("decimal(38,0)") *
+          (lit(2).cast("decimal(38,0)") * (col("cum_b") - col("cb")) +
+            col("cb"))).as("__u2"))
+      .groupBy(col("n_pos"), col("n_neg"))
+      .agg(sum(col("__u2")).as("__twoU"))
+      .filter(col("n_pos") > 0L && col("n_neg") > 0L)
+      .select(col("n_pos").cast("bigint").as("n_pos"),
+        col("n_neg").cast("bigint").as("n_neg"),
+        round(col("__twoU").cast("double") /
+          (lit(2).cast("decimal(38,0)") * col("n_pos") * col("n_neg"))
+            .cast("double") * 1e6).cast("long").as("auc_micros"))
+  }
+}

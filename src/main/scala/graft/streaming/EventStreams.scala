@@ -386,6 +386,70 @@ object EventStreams extends Serializable {
     (st, out)
   }
 
+  /** Multi-touch attribution — the marketing-analytics workhorse the
+    * funnel family feeds: for each CONVERSION event, find the user's
+    * touch events (types in `touchTypes`) inside the lookback window
+    * ending at the conversion, and credit them under three standard
+    * models at once: first-touch, last-touch, and linear. Credits are
+    * integer MICRO-UNITS per conversion (1 conversion = 1 000 000
+    * micro-credits): linear gives each touch `10⁶ div k` and the LAST
+    * touch the remainder, so per-conversion credit sums to exactly
+    * 10⁶ under every model and the totals replay engine-for-engine
+    * (no fractional 1/k doubles). Touch order is pinned by
+    * (ts, event_id) — total and deterministic.
+    *
+    * Returns per channel: n_touches (attributed touch rows),
+    * first_micros / last_micros / linear_micros (summed credits).
+    * Conversions with NO in-window touch contribute nothing (the
+    * "unattributed" share is the caller's `n_conversions · 10⁶ −
+    * Σ credits`).
+    *
+    * Scale shape: one user-keyed equi-join (conversions ⋈ touches)
+    * filtered by the time range — per-user fan-out is conversions ×
+    * in-window touches, which the lookback bounds (that bound IS the
+    * attribution semantics); then one conversion-keyed window pass
+    * (count + row_number — conversions are high-cardinality, so the
+    * window parallelizes) and a channel-sized hash-agg. Nothing
+    * row-scale crosses an exchange after the per-touch credits. */
+  def attribution(events: DataFrame, touchTypes: Seq[String],
+      conversionType: String, lookbackSeconds: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(lookbackSeconds > 0, s"lookbackSeconds must be > 0 (got $lookbackSeconds)")
+    import org.apache.spark.sql.expressions.Window
+    val conv = events.filter(col("event_type") === conversionType)
+      .select(col("user_id"), col("event_id").as("__conv_id"),
+        col("ts").as("__conv_ts"))
+    val touch = events.filter(col("event_type").isin(touchTypes: _*))
+      .select(col("user_id"), col("event_type").as("channel"),
+        col("ts").as("__touch_ts"), col("event_id").as("__touch_id"))
+    val joined = conv.join(touch, Seq("user_id"))
+      .filter(col("__touch_ts") <= col("__conv_ts") &&
+        col("__touch_ts") >
+          col("__conv_ts") - expr(s"INTERVAL $lookbackSeconds SECONDS"))
+    val byConv = Window.partitionBy(col("__conv_id"))
+    val ordered = byConv.orderBy(col("__touch_ts"), col("__touch_id"))
+    val credited = joined
+      .withColumn("__k", count(lit(1)).over(byConv))
+      .withColumn("__rn", row_number().over(ordered))
+      .withColumn("__first",
+        when(col("__rn") === 1, 1000000L).otherwise(0L))
+      .withColumn("__last",
+        when(col("__rn") === col("__k"), 1000000L).otherwise(0L))
+      // integer div/mod, NOT `/` (Spark's `/` on longs is a double
+      // division); both operands non-negative so div == floor and the
+      // oracle's `//` agrees
+      .withColumn("__linear",
+        expr("CAST(1000000 AS BIGINT) div __k") +
+          when(col("__rn") === col("__k"),
+            lit(1000000L) % col("__k")).otherwise(0L))
+    credited.groupBy(col("channel"))
+      .agg(count(lit(1)).cast("bigint").as("n_touches"),
+        sum(col("__first")).cast("bigint").as("first_micros"),
+        sum(col("__last")).cast("bigint").as("last_micros"),
+        sum(col("__linear")).cast("bigint").as("linear_micros"))
+      .orderBy(col("channel"))
+  }
+
   /** Batch twin of [[ewmaAnomaliesStateful]]: per-`event_type` EWMA
     * mean/variance baseline over events in (ts, event_id) order, each
     * event z-scored against the baseline BEFORE it folds in. The

@@ -122,6 +122,42 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.forall(d => !d.decoded && d.n_frames == 0))
   }
 
+  test("decodeVideoFrame: a registered custom FrameDecoder handles a non-MJPEG bitstream") {
+    // a fake codec: frames starting "FAKE" decode to a constant 2x2
+    // single-band raster of the 5th byte — stands in for the FFI
+    // decoder a real H.264 deployment would register
+    object FakeDecoder extends Multimodal.FrameDecoder {
+      val name = "fake-codec"
+      def decode(f: Array[Byte]): Option[java.awt.image.BufferedImage] =
+        if (f.length >= 5 && new String(f.take(4), "US-ASCII") == "FAKE") {
+          val img = new java.awt.image.BufferedImage(2, 2,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val v = f(4) & 0xff
+          for (x <- 0 until 2; y <- 0 until 2)
+            img.getRaster.setSample(x, y, 0, v)
+          Some(img)
+        } else None
+    }
+    val frame = "FAKE".getBytes("US-ASCII") :+ 77.toByte
+    val avi = Multimodal.mjpegAviBytes(2, 2, Seq(frame))
+    val media = Seq((1L, avi)).toDF("media_id", "payload")
+    // default chain (JDK JPEG only): frame present but unclaimed
+    val without = Multimodal.decodeVideoFrame(media).collect().head
+    assert(!without.decoded && without.n_frames == 1)
+    // with the fake codec registered ahead of the default: decodes,
+    // raster statistics flow through the unchanged plumbing
+    val it = Multimodal.decodeVideoFrame(media,
+      Seq(FakeDecoder, Multimodal.ImageIoFrameDecoder)).collect().head
+    assert(it.decoded && it.width == 2 && it.height == 2 &&
+      it.channels == 1 && it.mean_px == 77.0, it.toString)
+    // MJPEG still decodes through the same chain (fallthrough works)
+    val ids = spark.range(4).toDF("doc_id")
+    val mj = Multimodal.decodeVideoFrame(
+      Multimodal.syntheticMjpegAvi(ids, "doc_id"),
+      Seq(FakeDecoder, Multimodal.ImageIoFrameDecoder)).collect()
+    assert(mj.forall(_.decoded))
+  }
+
   test("frameSample stride=1 covers all payload bytes; stride=2 halves frames") {
     val all = Multimodal.frameSample(media, frameBytes = 64, stride = 1)
     val half = Multimodal.frameSample(media, frameBytes = 64, stride = 2)

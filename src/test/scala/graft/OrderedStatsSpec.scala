@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.OrderedStats
+
+class OrderedStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cumCounts: inclusive per-side cumulatives match a driver fold across bucket boundaries") {
+    val rows = Seq((1.0, true), (1.0, false), (2.0, true), (3.0, false),
+      (3.0, false), (5.0, true), (8.0, false), (8.0, true), (9.0, true))
+    val df = rows.toDF("v", "t")
+    for (nBuckets <- Seq(1, 3, 7)) {
+      val got = OrderedStats.cumCounts(df, $"v", $"t", nBuckets)
+        .collect().map(r => (r.getDouble(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .sortBy(_._1)
+      val vs = rows.map(_._1).distinct.sorted
+      var (ca, cb) = (0L, 0L)
+      val want = vs.map { v =>
+        val a = rows.count(r => r._1 == v && r._2).toLong
+        val b = rows.count(r => r._1 == v && !r._2).toLong
+        ca += a; cb += b
+        (v, (a, b, ca, cb))
+      }
+      assert(got.toSeq == want, s"nBuckets=$nBuckets")
+    }
+  }
+
+  test("ksTest: disjoint supports score 1e6, identical samples 0, shifted hand case exact") {
+    // disjoint: a in {1,2}, b in {10,11} -> D = 1
+    val disjoint = Seq((1.0, true), (2.0, true), (10.0, false), (11.0, false))
+      .toDF("v", "t")
+    val d1 = OrderedStats.ksTest(disjoint, $"v", $"t").collect().head
+    assert((d1.getLong(0), d1.getLong(1), d1.getLong(2)) == ((2L, 2L, 1000000L)))
+    // identical distributions -> D = 0
+    val same = Seq(1.0, 2.0, 3.0).flatMap(v => Seq((v, true), (v, false)))
+      .toDF("v", "t")
+    assert(OrderedStats.ksTest(same, $"v", $"t")
+      .collect().head.getLong(2) == 0L)
+    // hand case: a = {1,2,3}, b = {2,3,4}: F gaps at v=1: |3*1-0| = 3;
+    // v=2: |2*3-1*3|=3; v=3: |9-6|=3; v=4: 0 -> D = 3/9
+    val hand = Seq((1.0, true), (2.0, true), (3.0, true),
+      (2.0, false), (3.0, false), (4.0, false)).toDF("v", "t")
+    assert(OrderedStats.ksTest(hand, $"v", $"t")
+      .collect().head.getLong(2) == math.round(3.0 / 9.0 * 1e6))
+    // null values and null tags are excluded; a side emptied by the
+    // exclusions yields an empty result, not a 0/0
+    val withNulls = Seq((Option(1.0), Option(true)),
+      (None: Option[Double], Option(false)), (Option(2.0), None))
+      .toDF("v", "t")
+    assert(OrderedStats.ksTest(withNulls, $"v", $"t").collect().isEmpty)
+  }
+
+  test("aucExact: separation 1e6, reversal 0, all-tied 500000, tie hand case exact") {
+    def auc(rows: Seq[(Double, Boolean)]): Long =
+      OrderedStats.aucExact(rows.toDF("s", "y"), $"s", $"y")
+        .collect().head.getLong(2)
+    // perfect separation / reversal / pure ties
+    assert(auc(Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false))) == 1000000L)
+    assert(auc(Seq((0.1, true), (0.2, true), (0.8, false), (0.9, false))) == 0L)
+    assert(auc(Seq((0.5, true), (0.5, true), (0.5, false))) == 500000L)
+    // hand case with a tie: pos {0.3, 0.5}, neg {0.3, 0.4}
+    // 2U = at 0.3: 1*(0+1)=1; at 0.5: 1*(2*2+0)=4 -> 5; AUC = 5/8
+    assert(auc(Seq((0.3, true), (0.5, true), (0.3, false), (0.4, false))) ==
+      math.round(5.0 / 8.0 * 1e6))
+    // one-class input: empty result, not a division by zero
+    assert(OrderedStats.aucExact(
+      Seq((0.5, true), (0.7, true)).toDF("s", "y"), $"s", $"y")
+      .collect().isEmpty)
+    // bucketing is a grouping device only: any nBuckets, same AUC
+    val rnd = new scala.util.Random(5)
+    val big = (1 to 500).map(_ => (rnd.nextInt(30).toDouble, rnd.nextBoolean()))
+    val ref = OrderedStats.aucExact(big.toDF("s", "y"), $"s", $"y", nBuckets = 1)
+      .collect().head.getLong(2)
+    for (nb <- Seq(4, 13)) {
+      assert(OrderedStats.aucExact(big.toDF("s", "y"), $"s", $"y", nBuckets = nb)
+        .collect().head.getLong(2) == ref, s"nBuckets=$nb")
+    }
+  }
+}

@@ -269,6 +269,34 @@ class PropertiesSpec extends SparkSpec {
     assert(jw("😀", "😀") == 1.0)
   }
 
+  test("char_entropy: closed forms, code-point classes, codegen == kernel, SQL-registered") {
+    import graft.expr.CharEntropy
+    import org.apache.spark.unsafe.types.UTF8String
+    def h(s: String): Long = CharEntropy.compute(UTF8String.fromString(s))
+    assert(h("") == 0L)
+    assert(h("aaaa") == 0L) // single class: ln(1) = 0
+    // uniform over 4 classes: each term round(1 * ln(4) * 1e6)
+    assert(h("abcd") == 4L * math.round(math.log(4.0) * 1e6))
+    // surrogate pair is ONE class: "😀😀" uniform -> 0
+    assert(h("😀😀") == 0L)
+    assert(h("😀a") == 2L * math.round(math.log(2.0) * 1e6))
+    // independent replica on a mixed string (order-free integer sum)
+    val s = "hello world"
+    val counts = s.codePoints().toArray.groupBy(identity).values.map(_.length)
+    val want = counts.map(c =>
+      math.round(c.toDouble * math.log(s.length.toDouble / c) * 1e6)).sum
+    assert(h(s) == want)
+    // plan path (codegen) + SQL registration agree with the kernel
+    val df = Seq((1L, "hello world"), (2L, "abcd")).toDF("id", "t")
+    val viaPlan = df.select($"id", graft.functions.char_entropy($"t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaPlan(1L) == want && viaPlan(2L) == h("abcd"))
+    graft.functions.registerAll(spark)
+    df.createOrReplaceTempView("ce_t")
+    assert(spark.sql("SELECT char_entropy(t) FROM ce_t WHERE id = 2")
+      .collect().head.getLong(0) == h("abcd"))
+  }
+
   test("labelPropagation: labels are vertex ids; one label per vertex; pure") {
     val rnd = new Random(77)
     for (_ <- 1 to 3) {

@@ -571,6 +571,35 @@ class StreamingSpec extends SparkSpec {
     assert(stream.count(_._5) >= 1, "the planted spike must flag")
   }
 
+  test("attribution: first/last/linear micro-credits, lookback cut, tie order, exact remainders") {
+    val t0 = 1700000000000L
+    def ev(id: Long, minute: Long, user: Long, typ: String) =
+      (id, new Timestamp(t0 + minute * 60000L), user, typ, 1.0)
+    val events = Seq(
+      // u1: view, click -> purchase (k=2); a second purchase far later
+      // finds nothing inside the 60-minute lookback
+      ev(1, 0, 1, "view"), ev(2, 10, 1, "click"), ev(10, 20, 1, "purchase"),
+      ev(11, 500, 1, "purchase"),
+      // u2: signup, view, click -> purchase (k=3; linear remainder 1
+      // goes to the LAST touch, the click)
+      ev(3, 0, 2, "signup"), ev(4, 1, 2, "view"), ev(5, 2, 2, "click"),
+      ev(12, 30, 2, "purchase"),
+      // u3: two views at the SAME ts — event_id breaks the tie
+      ev(6, 5, 3, "view"), ev(7, 5, 3, "view"), ev(13, 15, 3, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventStreams.attribution(events,
+        Seq("view", "click", "signup"), "purchase", lookbackSeconds = 3600L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("view") == ((4L, 2000000L, 1000000L, 1833333L)), got.toString)
+    assert(got("click") == ((2L, 0L, 2000000L, 833334L)))
+    assert(got("signup") == ((1L, 1000000L, 0L, 333333L)))
+    // every attributed conversion's credit sums to exactly 10^6 per model
+    val models = Seq(got.values.map(_._2).sum, got.values.map(_._3).sum,
+      got.values.map(_._4).sum)
+    assert(models.forall(_ == 3000000L), models.toString) // 3 attributed convs
+  }
+
   test("ewmaAnomaliesStateful absorbs an IN-WINDOW redelivery: one output row per event_id") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val t0 = 1700000000000L
