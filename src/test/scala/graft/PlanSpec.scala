@@ -620,6 +620,23 @@ class PlanSpec extends SparkSpec {
     assert(shuffles <= 1, s"expected only the orderBy exchange:\n$b")
   }
 
+  test("dq_ks / feat_auc / feat_gains: two-phase prefix sum — no row-scale single-partition window") {
+    for (name <- Seq("dq_ks", "feat_auc", "feat_gains")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      // the within-partition cumsum windows partition by __pid; the
+      // only unpartitioned windows run over partition totals / decile
+      // grids (bucket-scale). A value-scale global window would show
+      // as an Exchange SinglePartition feeding a Window over the raw
+      // counts — pin the exchange count instead: hash-agg + range
+      // partition + pid window + offsets + final agg stay bounded
+      // gains layers a decile agg + grid window on top of the shared
+      // prefix-sum core — 9 bounded exchanges; ks/auc use fewer
+      val exchanges = countExchanges(p)
+      assert(exchanges <= 9, s"$name has $exchanges exchanges:\n$p")
+    }
+  }
+
   test("graph_modularity: long-keyed equi-joins only; just the 1-row edge total nest-loops") {
     val p = plan("graph_modularity")
     assert(!p.contains("CartesianProduct"), p)

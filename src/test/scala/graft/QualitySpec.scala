@@ -350,6 +350,40 @@ class QualitySpec extends SparkSpec {
     assert(out.filter(_._1 == "h").forall(!_._3))
   }
 
+  test("chiSquare: closed-form 2x2, complete grid with zero cells, category cap trips") {
+    import org.apache.spark.sql.functions.col
+    // classic 2x2: chi2 = 20 exactly; each cell contributes 5 (d=±800,
+    // (d/80)·(d/1600) = 5 for every cell)
+    val rows = Seq.fill(30)(("a", "p")) ++ Seq.fill(10)(("a", "q")) ++
+      Seq.fill(10)(("b", "p")) ++ Seq.fill(30)(("b", "q"))
+    val got = Quality.chiSquare(rows.toDF("x", "y"), col("x"), col("y"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size == 4)
+    assert(got(("a", "p")) == ((30L, 5000000L)), got.toString)
+    assert(got(("b", "q")) == ((30L, 5000000L)))
+    assert(got.values.map(_._2).sum == 20000000L) // chi2 = 20
+    // a category pair never observed together still gets a grid cell
+    // with n = 0 and a POSITIVE contribution (its absence is evidence)
+    val rows3 = rows ++ Seq.fill(10)(("c", "p"))
+    val g3 = Quality.chiSquare(rows3.toDF("x", "y"), col("x"), col("y"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(g3.size == 6)
+    assert(g3(("c", "q"))._1 == 0L && g3(("c", "q"))._2 > 0L, g3.toString)
+    // independence: uniform grid scores exactly zero everywhere
+    val indep = (for (x <- Seq("a", "b"); y <- Seq("p", "q");
+      _ <- 1 to 5) yield (x, y)).toDF("x", "y")
+    assert(Quality.chiSquare(indep, col("x"), col("y")).collect()
+      .forall(_.getLong(3) == 0L))
+    // guarded cross: loud failure past maxCategories
+    val wide = (1 to 40).map(i => (s"x$i", "y")).toDF("x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Quality.chiSquare(wide, col("x"), col("y"), maxCategories = 10)
+    }
+    assert(e.getMessage.contains("maxCategories"), e.getMessage)
+  }
+
   test("order-statistic family: memory guard trips past the cap; approx path exempt and sane") {
     import org.apache.spark.sql.functions.col
     val df = (1 to 200).map(i => ("g", i.toDouble)).toDF("grp", "v")
