@@ -96,6 +96,7 @@ object SparkEntry {
     "text_bm25_indexed", "text_bm25_index_append_gate",
     "graph_modularity", "dq_ks", "feat_auc", "evt_attribution",
     "text_entropy", "graph_louvain", "dq_chi2", "feat_gains",
+    "dq_k_anonymity", "text_keywords", "link_fs_scores",
     // round-10 additions (no artifact yet)
     "mm_decode_video_frames", "catalog_persistent_roundtrip",
     "evt_dedup_replay", "dedup_minhash_incremental_gate",
@@ -341,7 +342,7 @@ object SparkEntry {
     "win_rolling_range",
     "set_union", "set_intersect", "set_except",
     "merge_upsert", "merge_scd2", "merge_diff", "fuzzy_join_names",
-    "fuzzy_rank_names",
+    "fuzzy_rank_names", "link_fs_scores",
     "sample_first_n", "sample_by_key", "sample_rows_det", "sample_bernoulli",
     "sample_percent", "sample_stratified", "split_train_test",
     "sample_weighted_pps", "sample_weighted_topk", "sample_weighted_by_group",
@@ -351,6 +352,7 @@ object SparkEntry {
     "dq_invalid_codes", "dq_expectations", "dq_profile", "dq_outliers",
     "dq_outliers_mad", "dq_psi", "dq_woe", "dq_benford", "feat_cuped",
     "dq_winsorize", "dq_ks", "feat_auc", "feat_gains", "dq_chi2",
+    "dq_k_anonymity",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -363,7 +365,8 @@ object SparkEntry {
     "text_stats", "text_quality", "text_term_freq", "text_lang_dist",
     "text_langid", "text_token_counts", "text_quality_score", "text_entities",
     "text_chunk", "text_redact", "text_repetition",
-    "text_unigram_nll", "text_normalize", "text_entropy", "bpe_tokenize",
+    "text_unigram_nll", "text_normalize", "text_entropy", "text_keywords",
+    "bpe_tokenize",
     "unigram_tokenize", "dsir_select",
     "text_bm25", "text_bm25_indexed", "text_rrf_fusion", "text_blocklist",
     "decontaminate", "corpus_overlap",
@@ -508,6 +511,58 @@ object SparkEntry {
       Quality.chiSquare(Tables.orders(s, dir),
           $"o_orderpriority", $"o_orderstatus")
         .orderBy($"x", $"y")
+    }),
+
+    "dq_k_anonymity" -> ((s, dir) => {
+      import s.implicits._
+      // k-anonymity profile of the (nation, segment) quasi-identifier
+      // over customers: the equivalence-class-size histogram (one row
+      // per distinct size, risky = size < 10) — quantifies
+      // re-identification exposure without publishing the rare
+      // combinations themselves.
+      Quality.kAnonymity(Tables.customer(s, dir),
+        Seq("c_nationkey", "c_mktsegment"), k = 10L)
+    }),
+
+    "text_keywords" -> ((s, dir) => {
+      import s.implicits._
+      // Per-doc top-3 keywords by TF-IDF in integer micro-nats
+      // (add-one-smoothed idf, term-ascending ties) — every score
+      // independently rounded, so the whole ranked cut replays.
+      TextAnalysis.keywords(Tables.documents(s, dir), "doc_id", "text",
+          k = 3)
+        .orderBy($"doc_id", $"rank")
+    }),
+
+    "link_fs_scores" -> ((s, dir) => {
+      import s.implicits._
+      // Fellegi-Sunter probabilistic linkage over brand-blocked
+      // candidate pairs (corrupted part names vs the catalog): three
+      // fields — Jaro-Winkler name agreement, type, size — with ppm
+      // m/u parameters; integer micro-nat weights, three-way
+      // match/possible/non_match decision. Every score is a sum of
+      // engine-identical constants selected by exact booleans.
+      val parts = Tables.part(s, dir)
+      val corrupted = parts.filter($"p_partkey" % 7 === 0)
+        .select($"p_partkey".as("c_key"),
+          concat(lit("x"), substring($"p_name", 2, 100)).as("c_name"),
+          $"p_brand", $"p_type".as("c_type"), $"p_size".as("c_size"))
+      val pairs = corrupted.join(
+        parts.select($"p_partkey", $"p_name", $"p_brand", $"p_type",
+          $"p_size"), "p_brand")
+      import graft.operators.Linkage
+      Linkage.fellegiSunter(pairs, Seq(
+          Linkage.FsField("name",
+            graft.functions.jaro_winkler($"c_name", $"p_name") >= 0.9,
+            mPpm = 900000L, uPpm = 20000L),
+          Linkage.FsField("type", $"c_type" === $"p_type",
+            mPpm = 980000L, uPpm = 150000L),
+          Linkage.FsField("size", $"c_size" === $"p_size",
+            mPpm = 990000L, uPpm = 30000L)),
+          upperMicros = 4000000L, lowerMicros = 0L)
+        .select($"c_key", $"p_partkey", $"agree_name", $"agree_type",
+          $"agree_size", $"match_weight_micros", $"decision")
+        .orderBy($"c_key", $"p_partkey")
     }),
 
     "dq_benford" -> ((s, dir) => {
@@ -5856,6 +5911,69 @@ object SparkEntry {
         |FROM xs CROSS JOIN ys
         |  LEFT JOIN cells ON cells.x = xs.x AND cells.y = ys.y, t
         |ORDER BY xs.x, ys.y""".stripMargin,
+
+    // the class-size histogram replays as plain integer aggregation
+    "dq_k_anonymity" ->
+      """WITH cls AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(n AS BIGINT) AS class_size,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  n < 10 AS risky
+        |FROM cls GROUP BY n ORDER BY class_size""".stripMargin,
+
+    // per-(doc, term) micro-nat scores rounded independently; the
+    // (score desc, tok asc) cut is total so the top-3 replays
+    "text_keywords" ->
+      """WITH t0 AS (SELECT doc_id,
+        |    unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+        |t AS (SELECT doc_id, tok FROM t0 WHERE tok <> ''),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+        |dfr AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT tf.doc_id, tf.tok, tf.tf,
+        |    CAST(round(tf.tf * ln(CAST(n.n + 1 AS DOUBLE) / (dfr.df + 1))
+        |      * 1000000) AS BIGINT) AS score_micros
+        |  FROM tf JOIN dfr USING (tok), n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_micros DESC, tok ASC) AS rn FROM s)
+        |SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, score_micros,
+        |  CAST(rn AS INT) AS rank
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // weights are engine-identical constants (ln of ppm ratios)
+    // selected by exact booleans; DuckDB's own jaro_winkler agrees on
+    // ASCII names (the fuzzy_rank_names precedent)
+    "link_fs_scores" ->
+      """WITH c AS (SELECT p_partkey AS c_key,
+        |    'x' || substring(p_name, 2) AS c_name, p_brand,
+        |    p_type AS c_type, p_size AS c_size
+        |  FROM part WHERE p_partkey % 7 = 0),
+        |pair AS (SELECT c.c_key, pr.p_partkey,
+        |    jaro_winkler_similarity(c.c_name, pr.p_name) >= 0.9 AS agree_name,
+        |    c.c_type = pr.p_type AS agree_type,
+        |    c.c_size = pr.p_size AS agree_size
+        |  FROM c JOIN part pr USING (p_brand)),
+        |w AS (SELECT *,
+        |    (CASE WHEN agree_name
+        |       THEN CAST(round(ln(900000.0 / 20000.0) * 1000000) AS BIGINT)
+        |       ELSE CAST(round(ln(100000.0 / 980000.0) * 1000000) AS BIGINT)
+        |     END) +
+        |    (CASE WHEN agree_type
+        |       THEN CAST(round(ln(980000.0 / 150000.0) * 1000000) AS BIGINT)
+        |       ELSE CAST(round(ln(20000.0 / 850000.0) * 1000000) AS BIGINT)
+        |     END) +
+        |    (CASE WHEN agree_size
+        |       THEN CAST(round(ln(990000.0 / 30000.0) * 1000000) AS BIGINT)
+        |       ELSE CAST(round(ln(10000.0 / 970000.0) * 1000000) AS BIGINT)
+        |     END) AS match_weight_micros
+        |  FROM pair)
+        |SELECT c_key, p_partkey, agree_name, agree_type, agree_size,
+        |  match_weight_micros,
+        |  CASE WHEN match_weight_micros >= 4000000 THEN 'match'
+        |       WHEN match_weight_micros <= 0 THEN 'non_match'
+        |       ELSE 'possible' END AS decision
+        |FROM w ORDER BY c_key, p_partkey""".stripMargin,
 
     // exact integer moments; theta and the adjustment are one mirrored
     // division tree — raw doubles match bit-for-bit

@@ -403,6 +403,44 @@ object TextAnalysis {
     bm25Score(tf, dl, idCol, k, k1, b)
   }
 
+  /** Per-document keyword extraction — top-k terms by TF·IDF in
+    * integer micro-units (the summarization/tagging primitive next to
+    * [[bm25Search]]'s retrieval): `score = tf · ln((N+1)/(df+1))`
+    * (add-one-smoothed idf, so corpus-universal terms score ~0 and
+    * hapax terms stay finite), each (doc, term) score independently
+    * rounded to micro-nats — order-free, engine-replayable. Ties
+    * break on the term string ascending, making the top-k cut total.
+    *
+    * Scale shape: one tokenize pass → (id, tok) hash-agg, one
+    * token-keyed df agg (broadcast back — vocabulary-scale), one
+    * doc-keyed window for the top-k (doc ids are high-cardinality, so
+    * the window parallelizes; no global sort). Returns
+    * (idCol, tok, tf, score_micros, rank), rank 1..k. */
+  def keywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+    val tf = toks.groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val n = tf.select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("__n"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(desc("score_micros"), col("tok"))
+    tf.join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(n)) // 1-row corpus size
+      .withColumn("score_micros",
+        round(col("tf").cast("double") *
+          log((col("__n") + 1L).cast("double") /
+            (col("__df") + 1L).cast("double")) * 1e6).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("tok"), col("tf").cast("bigint").as("tf"),
+        col("score_micros"), col("rank"))
+  }
+
   /** Shared BM25 scorer over a term-frequency table `tf`
     * (idCol, __tok, __tf) and doc-length table `dl` (idCol, __dl) —
     * the tail of both the ad-hoc [[bm25Search]] and the persisted

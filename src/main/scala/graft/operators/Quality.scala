@@ -438,6 +438,38 @@ object Quality {
       .orderBy(col("digit"))
   }
 
+  /** k-anonymity profile of a quasi-identifier combination — the
+    * privacy screen a training-data pipeline runs BEFORE release
+    * (Sweeney 2002: a row is re-identifiable when its quasi-identifier
+    * combination is rare; k-anonymity demands every combination cover
+    * ≥ k rows). Returns the equivalence-CLASS-SIZE histogram — one row
+    * per distinct class size with (class_size, n_classes, n_rows,
+    * risky = size < k) — rather than the risky rows themselves
+    * (publishing the rare combinations would BE the leak; the
+    * histogram quantifies exposure without reproducing it).
+    * `SUM(n_rows) WHERE risky` over the result is the re-identifiable
+    * row count.
+    *
+    * Scale: one hash-agg to equivalence classes (the only row-scale
+    * pass), one class-scale agg to the size histogram — output is
+    * bounded by the number of DISTINCT sizes. NULL quasi-identifier
+    * values form their own classes (a NULL combination is still a
+    * fingerprint). */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String],
+      k: Long = 10L): DataFrame = {
+    require(qiCols.nonEmpty, "qiCols must be non-empty")
+    require(k >= 2L, s"k must be >= 2 (got $k)")
+    val classes = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    classes.groupBy(col("__n").as("class_size"))
+      .agg(count(lit(1)).cast("bigint").as("n_classes"),
+        sum(col("__n")).cast("bigint").as("n_rows"))
+      .withColumn("risky", col("class_size") < k)
+      .select(col("class_size").cast("bigint").as("class_size"),
+        col("n_classes"), col("n_rows"), col("risky"))
+      .orderBy(col("class_size"))
+  }
+
   /** Pearson chi-square association screen for two CATEGORICAL
     * columns — the categorical✕categorical member of the screening
     * family (WOE/IV covers numeric✕binary, PSI covers

@@ -350,6 +350,25 @@ class QualitySpec extends SparkSpec {
     assert(out.filter(_._1 == "h").forall(!_._3))
   }
 
+  test("kAnonymity: class-size histogram, risky flag, NULL QI forms its own class") {
+    val rows = Seq.fill(5)(("a", Option(1))) ++ Seq.fill(2)(("b", Option(1))) ++
+      Seq.fill(2)(("c", Option(2))) :+ (("d", Option(2))) :+
+      (("d", Option.empty[Int]))
+    val got = Quality.kAnonymity(rows.toDF("qi1", "qi2"),
+        Seq("qi1", "qi2"), k = 3L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // sizes: 5 -> one class; 2 -> two classes (b,1) and (c,2);
+    // 1 -> two classes (d,2) and (d,NULL) — the NULL combination is
+    // still a fingerprint
+    assert(got == Map(
+      5L -> ((1L, 5L, false)),
+      2L -> ((2L, 4L, true)),
+      1L -> ((2L, 2L, true))), got.toString)
+    // row conservation
+    assert(got.values.map(_._2).sum == rows.length)
+  }
+
   test("chiSquare: closed-form 2x2, complete grid with zero cells, category cap trips") {
     import org.apache.spark.sql.functions.col
     // classic 2x2: chi2 = 20 exactly; each cell contributes 5 (d=±800,

@@ -358,6 +358,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == ((7L, List("digit_ratio"), false)))
   }
 
+  test("keywords: TF-IDF micro-nat closed form, tie order, top-k cut") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry date")).toDF("doc_id", "text")
+    val got = TextAnalysis.keywords(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(4)) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    def s(tf: Long, df: Long) =
+      math.round(tf.toDouble * math.log(4.0 / (df + 1).toDouble) * 1e6)
+    // doc 1: apple (tf 2, df 1) beats banana (tf 1, df 2)
+    assert(got((1L, 1)) == (("apple", 2L, s(2, 1))), got.toString)
+    assert(got((1L, 2)) == (("banana", 1L, s(1, 2))))
+    // doc 2: banana and cherry tie on score — term-ascending break
+    assert(got((2L, 1))._1 == "banana" && got((2L, 2))._1 == "cherry")
+    assert(got((2L, 1))._3 == got((2L, 2))._3)
+    // doc 3: cherry tf 3 over date
+    assert(got((3L, 1)) == (("cherry", 3L, s(3, 2))))
+    assert(got((3L, 2)) == (("date", 1L, s(1, 1))))
+    // k caps the cut: no rank-3 rows
+    assert(got.keySet.forall(_._2 <= 2))
+  }
+
   test("collocations: PMI micro-nats match the closed form") {
     val docs = Seq(
       (1L, "new york new york new york"),
