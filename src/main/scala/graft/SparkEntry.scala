@@ -97,6 +97,7 @@ object SparkEntry {
     "graph_modularity", "dq_ks", "feat_auc", "evt_attribution",
     "text_entropy", "graph_louvain", "dq_chi2", "feat_gains",
     "dq_k_anonymity", "text_keywords", "link_fs_scores",
+    "text_readability", "text_zipf",
     // round-10 additions (no artifact yet)
     "mm_decode_video_frames", "catalog_persistent_roundtrip",
     "evt_dedup_replay", "dedup_minhash_incremental_gate",
@@ -366,7 +367,7 @@ object SparkEntry {
     "text_langid", "text_token_counts", "text_quality_score", "text_entities",
     "text_chunk", "text_redact", "text_repetition",
     "text_unigram_nll", "text_normalize", "text_entropy", "text_keywords",
-    "bpe_tokenize",
+    "text_readability", "text_zipf", "bpe_tokenize",
     "unigram_tokenize", "dsir_select",
     "text_bm25", "text_bm25_indexed", "text_rrf_fusion", "text_blocklist",
     "decontaminate", "corpus_overlap",
@@ -4093,6 +4094,23 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    "text_readability" -> ((s, dir) => {
+      import s.implicits._
+      // Flesch-Kincaid grade + reading ease per doc: regex-exact
+      // word/sentence/vowel-run counts, one mirrored IEEE tree,
+      // micro-quantized — row-local and engine-replayable.
+      TextAnalysis.readability(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
+    "text_zipf" -> ((s, dir) => {
+      import s.implicits._
+      // Zipf slope of the corpus rank-frequency curve over the top
+      // 1000 terms: per-term ln(rank)/ln(f) micro-quantized, OLS
+      // moments as exact DECIMAL integers, one IEEE division.
+      TextAnalysis.zipfFit(Tables.documents(s, dir), "text", topN = 1000)
+    }),
+
     "text_unigram_nll" -> ((s, dir) => {
       import s.implicits._
       // Unigram-LM NLL quality signal: per-doc sum of -ln p(token)
@@ -7807,6 +7825,48 @@ object SparkEntry {
         |    len_score * (1.0 - digit_ratio) * (1.0 - punct_ratio) * (0.5 + stop_ratio))) AS quality_score,
         |  stop_ratio, digit_ratio, punct_ratio
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // regex-exact counts; the FK/ease trees mirrored left-associated
+    "text_readability" ->
+      """SELECT doc_id,
+        |  CAST(w AS BIGINT) AS n_words,
+        |  CAST(s AS BIGINT) AS n_sentences,
+        |  CAST(y AS BIGINT) AS n_syllables,
+        |  CAST(round((0.39 * (CAST(w AS DOUBLE) / s)
+        |    + 11.8 * (CAST(y AS DOUBLE) / w) - 15.59) * 1000000)
+        |    AS BIGINT) AS fk_grade_micros,
+        |  CAST(round((206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+        |    - 84.6 * (CAST(y AS DOUBLE) / w)) * 1000000)
+        |    AS BIGINT) AS reading_ease_micros
+        |FROM (SELECT doc_id,
+        |    greatest(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '')), 1) AS w,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+        |    greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+        |      AS y
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // per-term micro-quantized log points, HUGEINT OLS moments, one
+    // double division — the CUPED moment discipline
+    "text_zipf" ->
+      """WITH t0 AS (SELECT unnest(string_split_regex(text, '\s+')) AS tok
+        |  FROM documents),
+        |f AS (SELECT tok, count(*) AS f FROM t0 WHERE tok <> ''
+        |  GROUP BY 1 ORDER BY f DESC, tok LIMIT 1000),
+        |r AS (SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS rank
+        |  FROM f),
+        |xy AS (SELECT
+        |    CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(f AS DOUBLE)) * 1000000) AS BIGINT) AS y
+        |  FROM r),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy)
+        |SELECT n AS n_terms,
+        |  CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) AS BIGINT)
+        |    AS slope_micros
+        |FROM m""".stripMargin,
 
     // per-char-class micro-nat terms rounded independently then
     // integer-summed — order-free, so the unnest replay matches the

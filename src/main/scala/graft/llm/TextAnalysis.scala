@@ -403,6 +403,77 @@ object TextAnalysis {
     bm25Score(tf, dl, idCol, k, k1, b)
   }
 
+  /** Flesch-Kincaid readability per document — the classic
+    * grade-level signal a curation pipeline buckets on (too-low =
+    * fragment soup, too-high = legalese/generated filler):
+    * `grade = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59`
+    * and `ease = 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words)`, both micro-quantized. Counting is
+    * regex-exact and engine-portable: words = non-empty whitespace
+    * tokens, sentences = `[.!?]+` runs (min 1), syllables =
+    * `[aeiouy]+` vowel runs in the lowercased text (min 1 — the
+    * standard heuristic; a per-word floor would need a per-word pass
+    * for marginal accuracy). Row-local, codegen'd, shuffle-free;
+    * the two divisions are one mirrored IEEE tree. */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nWords = greatest(size(filter(tokens(t), x => x =!= "")), lit(1))
+      .cast("long")
+    val nSent = greatest(regexp_count(t, lit("[.!?]+")), lit(1)).cast("long")
+    val nSyl = greatest(regexp_count(lower(t), lit("[aeiouy]+")), lit(1))
+      .cast("long")
+    val wps = nWords.cast("double") / nSent.cast("double")
+    val spw = nSyl.cast("double") / nWords.cast("double")
+    df.select(col(idCol), nWords.as("n_words"), nSent.as("n_sentences"),
+      nSyl.as("n_syllables"),
+      round((lit(0.39) * wps + lit(11.8) * spw - lit(15.59)) * 1e6)
+        .cast("long").as("fk_grade_micros"),
+      round((lit(206.835) - lit(1.015) * wps - lit(84.6) * spw) * 1e6)
+        .cast("long").as("reading_ease_micros"))
+  }
+
+  /** Zipf-law fit of the corpus rank-frequency curve — the corpus
+    * health check (natural text slopes ≈ −1 on log-log; template
+    * floods flatten it, boilerplate dedup failures steepen it): OLS
+    * slope of `ln f` against `ln rank` over the top-`topN` terms.
+    *
+    * Exactness: per-term `x = round(ln(rank)·10⁶)`,
+    * `y = round(ln(f)·10⁶)` quantize independently (order-free), the
+    * OLS moments are DECIMAL-widened integer sums (the [[CUPED]]
+    * moment discipline), and the slope is ONE IEEE division —
+    * engine-replayable to the micro.
+    *
+    * Scale: one token hash-agg (the row-scale pass), a TakeOrdered
+    * top-`topN` cut ((f desc, tok asc) — total order), then all
+    * arithmetic on `topN` rows. Fitting the TAIL of a petabyte
+    * vocabulary is statistically pointless (hapax mass) and the top
+    * terms are what Zipf predicts — the cut is the method, not a
+    * shortcut. */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int = 1000): DataFrame = {
+    require(topN >= 10, s"topN must be >= 10 (got $topN)")
+    import org.apache.spark.sql.expressions.Window
+    val freq = df.select(explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      .orderBy(desc("f"), col("tok")).limit(topN)
+    val ranked = freq.withColumn("rank",
+      row_number().over(Window.orderBy(desc("f"), col("tok"))))
+    val xy = ranked.select(
+      round(log(col("rank").cast("double")) * 1e6).cast("long").as("__x"),
+      round(log(col("f").cast("double")) * 1e6).cast("long").as("__y"))
+    val m = xy.agg(count(lit(1)).as("__n"),
+      sum(col("__x").cast("decimal(38,0)")).as("__sx"),
+      sum(col("__y").cast("decimal(38,0)")).as("__sy"),
+      sum(col("__x").cast("decimal(38,0)") * col("__y")).as("__sxy"),
+      sum(col("__x").cast("decimal(38,0)") * col("__x")).as("__sxx"))
+    m.select(col("__n").cast("bigint").as("n_terms"),
+      round((col("__n").cast("decimal(38,0)") * col("__sxy") -
+          col("__sx") * col("__sy")).cast("double") /
+        (col("__n").cast("decimal(38,0)") * col("__sxx") -
+          col("__sx") * col("__sx")).cast("double") * 1e6)
+        .cast("long").as("slope_micros"))
+  }
+
   /** Per-document keyword extraction — top-k terms by TF·IDF in
     * integer micro-units (the summarization/tagging primitive next to
     * [[bm25Search]]'s retrieval): `score = tf · ln((N+1)/(df+1))`

@@ -358,6 +358,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == ((7L, List("digit_ratio"), false)))
   }
 
+  test("readability: closed-form counts and scores; floors prevent div-by-zero") {
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!"), // 6 words, 2 sentences
+      (2L, ""),                           // degenerate: all floors
+      (3L, "no terminator here")).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // doc 1: words 6, sentences 2, vowel runs: e,a,a,e,o,a (6)
+    assert(got(1L)._1 == 6L && got(1L)._2 == 2L && got(1L)._3 == 6L,
+      got.toString)
+    val fk1 = math.round((0.39 * (6.0 / 2.0) + 11.8 * (6.0 / 6.0) - 15.59) * 1e6)
+    assert(got(1L)._4 == fk1)
+    // empty text: every count floors to 1, no NaN/overflow
+    assert(got(2L)._1 == 1L && got(2L)._2 == 1L && got(2L)._3 == 1L)
+    // no sentence terminator: sentence floor of 1 absorbs it
+    assert(got(3L)._2 == 1L && got(3L)._1 == 3L)
+  }
+
+  test("zipfFit: exact-geometric corpus recovers its slope; topN caps the fit") {
+    // frequencies f(rank) = 2^(10 - rank) for ranks 1..8 — a pure
+    // power law in ln-ln is linear only for f ~ rank^s; use instead
+    // f = round(1000 / rank) which IS Zipf with slope -1
+    val words = (1 to 8).flatMap(r =>
+      Seq.fill(math.round(1000.0 / r).toInt)(s"w$r"))
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val row = TextAnalysis.zipfFit(docs, "text", topN = 100).collect().head
+    assert(row.getLong(0) == 8L)
+    val slope = row.getLong(1) / 1e6
+    assert(math.abs(slope - (-1.0)) < 0.01, s"slope $slope") // rounding only
+    // topN caps the vocabulary the fit sees
+    val capped = TextAnalysis.zipfFit(docs, "text", topN = 10)
+    assert(capped.collect().head.getLong(0) == 8L)
+  }
+
   test("keywords: TF-IDF micro-nat closed form, tie order, top-k cut") {
     val docs = Seq(
       (1L, "apple apple banana"),
