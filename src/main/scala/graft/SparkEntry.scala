@@ -97,7 +97,8 @@ object SparkEntry {
     "graph_modularity", "dq_ks", "feat_auc", "evt_attribution",
     "text_entropy", "graph_louvain", "dq_chi2", "feat_gains",
     "dq_k_anonymity", "text_keywords", "link_fs_scores",
-    "text_readability", "text_zipf",
+    "text_readability", "text_zipf", "agg_mode", "agg_winsorized_mean",
+    "merge_survivorship", "evt_attribution_replay",
     // round-10 additions (no artifact yet)
     "mm_decode_video_frames", "catalog_persistent_roundtrip",
     "evt_dedup_replay", "dedup_minhash_incremental_gate",
@@ -331,6 +332,7 @@ object SparkEntry {
     "join_bloom_prefilter",
     "agg_distinct", "agg_minmax", "agg_rollup", "agg_cube", "agg_approx_distinct",
     "agg_collect_list", "agg_pivot", "agg_unpivot", "agg_grouping_sets",
+    "agg_mode", "agg_winsorized_mean",
     "date_funcs", "null_handling", "str_levenshtein", "sketch_bloom",
     "sketch_topk", "sketch_topk_grouped", "sketch_hll_persist", "sketch_kll_persist",
     "sketch_cms_persist",
@@ -342,8 +344,8 @@ object SparkEntry {
     "win_topk_parts", "win_running_total", "win_lag_delta", "win_rank_family",
     "win_rolling_range",
     "set_union", "set_intersect", "set_except",
-    "merge_upsert", "merge_scd2", "merge_diff", "fuzzy_join_names",
-    "fuzzy_rank_names", "link_fs_scores",
+    "merge_upsert", "merge_scd2", "merge_diff", "merge_survivorship",
+    "fuzzy_join_names", "fuzzy_rank_names", "link_fs_scores",
     "sample_first_n", "sample_by_key", "sample_rows_det", "sample_bernoulli",
     "sample_percent", "sample_stratified", "split_train_test",
     "sample_weighted_pps", "sample_weighted_topk", "sample_weighted_by_group",
@@ -512,6 +514,41 @@ object SparkEntry {
       Quality.chiSquare(Tables.orders(s, dir),
           $"o_orderpriority", $"o_orderstatus")
         .orderBy($"x", $"y")
+    }),
+
+    "agg_mode" -> ((s, dir) => {
+      import s.implicits._
+      // Exact per-group mode with smallest-value ties: one
+      // (group, value) hash-agg + one min(struct) argmax — map-side
+      // combinable, no window sort.
+      Quality.modePerGroup(Tables.orders(s, dir), "o_orderstatus",
+          $"o_orderpriority")
+        .orderBy($"o_orderstatus")
+    }),
+
+    "agg_winsorized_mean" -> ((s, dir) => {
+      import s.implicits._
+      // Winsorized mean of order cents per priority: rank-based
+      // [p05, p95] clip (actual data values) then an exact integer
+      // sum — one IEEE division per group, micro-quantized.
+      Quality.winsorizedMean(Tables.orders(s, dir), "o_orderpriority",
+          round($"o_totalprice" * 100))
+        .orderBy($"o_orderpriority")
+    }),
+
+    "merge_survivorship" -> ((s, dir) => {
+      import s.implicits._
+      // Golden-record construction per user: every field takes its
+      // latest NON-NULL value by (ts desc, event_id desc) — the MDM
+      // survivorship default; cents is deliberately NULL for
+      // low-value events so the ignore-null rule is exercised.
+      val ev = Tables.events(s, dir)
+        .withColumn("cents",
+          when($"value" >= 50.0, round($"value" * 100).cast("long")))
+        .withColumn("etype", $"event_type")
+      graft.operators.Linkage.survivorship(ev, "user_id", "ts",
+          "event_id", Seq("cents", "etype"))
+        .orderBy($"user_id")
     }),
 
     "dq_k_anonymity" -> ((s, dir) => {
@@ -5275,6 +5312,56 @@ object SparkEntry {
         lookbackSeconds = 21600L)
     }),
 
+    "evt_attribution_replay" -> ((s, dir) => {
+      import s.implicits._
+      // Replay-identity gate for streaming attribution: corpus feeds
+      // a MemoryStream; a slice REDELIVERS while still above the
+      // watermark (the buffer must absorb it by event_id); a
+      // far-future sentinel seals every conversion; a different slice
+      // redelivers after the seal (dropped as stragglers). The sealed
+      // per-channel credit totals must equal the batch twin EXACTLY —
+      // same integer div/mod arithmetic, same (ts, event_id) touch
+      // order. GATE-ONLY collect, same posture as evt_anomaly_replay.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val evs = Tables.events(s, dir)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[EventStreams.Event].collect().toSeq
+      val maxTs = evs.map(_.ts.getTime).max
+      val sentinel = EventStreams.Event(-1L,
+        new java.sql.Timestamp(maxTs + 9L * 3600 * 1000), -1L, "__flush", 0.0)
+      val sink = s"attrib_replay_${math.abs(dir.hashCode)}"
+      s.catalog.dropTempView(sink)
+      val mem = MemoryStream[EventStreams.Event]
+      val q = EventStreams.attributionStateful(mem.toDS(),
+          Seq("view", "click", "signup"), "purchase",
+          lookbackSeconds = 21600L)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(sink).start()
+      try {
+        mem.addData(evs)
+        q.processAllAvailable()
+        mem.addData(evs.filter(_.event_id % 10 == 7)) // in-window dup
+        q.processAllAvailable()
+        mem.addData(Seq(sentinel)) // watermark flush: seal everything
+        q.processAllAvailable()
+        mem.addData(evs.filter(_.event_id % 10 == 3)) // sealed past
+        q.processAllAvailable()
+      } finally q.stop()
+      val stream = s.table(sink).groupBy($"channel")
+        .agg(count(lit(1)).cast("bigint").as("n_touches"),
+          sum($"first_micros").cast("bigint").as("first_micros"),
+          sum($"last_micros").cast("bigint").as("last_micros"),
+          sum($"linear_micros").cast("bigint").as("linear_micros"))
+      val batch = EventStreams.attribution(Tables.events(s, dir),
+        Seq("view", "click", "signup"), "purchase",
+        lookbackSeconds = 21600L)
+      stream.agg((count(lit(1)) > 0).as("nonempty"))
+        .crossJoin(setsEqual(stream, batch,
+          Seq("channel", "n_touches", "first_micros", "last_micros",
+            "linear_micros"), "stream_equals_batch"))
+    }),
+
     "evt_funnel_stateful_replay" -> ((s, dir) => {
       import s.implicits._
       // Driver-graded gate for the STREAMING funnel
@@ -5929,6 +6016,54 @@ object SparkEntry {
         |FROM xs CROSS JOIN ys
         |  LEFT JOIN cells ON cells.x = xs.x AND cells.y = ys.y, t
         |ORDER BY xs.x, ys.y""".stripMargin,
+
+    // argmax replay: (count desc, value asc) is total
+    "agg_mode" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority AS v,
+        |    count(*) AS c FROM orders GROUP BY 1, 2),
+        |r AS (SELECT o_orderstatus, v, c, row_number() OVER (
+        |    PARTITION BY o_orderstatus ORDER BY c DESC, v ASC) AS rn
+        |  FROM c)
+        |SELECT o_orderstatus, v AS mode_value, CAST(c AS BIGINT) AS n_mode
+        |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+
+    // quantile_disc bounds == percentile_disc; exact integer clipped
+    // sum, one double division per group
+    "agg_winsorized_mean" ->
+      """WITH v AS (SELECT o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        |b AS (SELECT o_orderpriority,
+        |    CAST(quantile_disc(v, 0.05) AS BIGINT) AS lo,
+        |    CAST(quantile_disc(v, 0.95) AS BIGINT) AS hi
+        |  FROM v GROUP BY 1)
+        |SELECT v.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(b.lo) AS BIGINT) AS lo, CAST(min(b.hi) AS BIGINT) AS hi,
+        |  CAST(round(CAST(sum(least(greatest(v.v, b.lo), b.hi)) AS DOUBLE)
+        |    / count(*) * 1000000) AS BIGINT) AS mean_micros
+        |FROM v JOIN b USING (o_orderpriority)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // latest-non-null survivorship: (ts desc, event_id desc) is total,
+    // IGNORE NULLS mirrors Spark's first(_, ignoreNulls)
+    "merge_survivorship" ->
+      """WITH ev AS (SELECT user_id, ts, event_id,
+        |    event_type AS etype,
+        |    CASE WHEN value >= 50.0
+        |      THEN CAST(round(value * 100) AS BIGINT) END AS cents
+        |  FROM events),
+        |r AS (SELECT user_id,
+        |    first_value(cents IGNORE NULLS) OVER w AS golden_cents,
+        |    first_value(etype IGNORE NULLS) OVER w AS golden_etype,
+        |    count(*) OVER w AS n_members,
+        |    max(ts) OVER w AS last_ts,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, golden_cents, golden_etype,
+        |  CAST(n_members AS BIGINT) AS n_members, last_ts
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     // the class-size histogram replays as plain integer aggregation
     "dq_k_anonymity" ->
@@ -6839,6 +6974,10 @@ object SparkEntry {
         |    PARTITION BY event_type ORDER BY b
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_ffill
         |FROM j ORDER BY event_type, b""".stripMargin,
+
+    // stream == batch identity pinned in-plan; booleans only
+    "evt_attribution_replay" ->
+      "SELECT true AS nonempty, true AS stream_equals_batch",
 
     // per-conversion micro-credits replay exactly: deterministic
     // (ts, event_id) touch order, integer div/mod linear split with

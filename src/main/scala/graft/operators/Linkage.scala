@@ -67,4 +67,42 @@ object Linkage {
           .when(col("match_weight_micros") <= lowerMicros, lit("non_match"))
           .otherwise(lit("possible")))
   }
+
+  /** Survivorship / golden-record construction — the LAST stage of
+    * entity resolution (blocking → [[fellegiSunter]] scoring →
+    * [[Graph.connectedComponents]] clustering → THIS): collapse each
+    * cluster to one record where every field takes its LATEST
+    * NON-NULL value by (orderCol desc, idCol desc) — the
+    * "most-recent-wins, but never let a NULL overwrite data" rule
+    * that real MDM systems default to. Adds `n_members` and
+    * `last_<orderCol>` per cluster. Deterministic: the (orderCol,
+    * idCol) order is total, so the golden record replays
+    * engine-for-engine.
+    *
+    * Scale: one window pass partitioned by the cluster key (clusters
+    * are high-cardinality — parallel) computing per-field
+    * `first(_, ignoreNulls)` over the desc order, then the rank-1 cut;
+    * no self-joins, fields resolve in a single pass regardless of
+    * field count. */
+  def survivorship(records: DataFrame, clusterCol: String,
+      orderCol: String, idCol: String, fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "fields must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(clusterCol))
+      .orderBy(col(orderCol).desc, col(idCol).desc)
+    val wAll = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val resolved = fields.foldLeft(records) { (df, f) =>
+      df.withColumn(s"golden_$f", first(col(f), ignoreNulls = true).over(wAll))
+    }
+    resolved
+      .withColumn("n_members", count(lit(1)).over(wAll))
+      .withColumn(s"last_$orderCol", max(col(orderCol)).over(wAll))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select((Seq(col(clusterCol)) ++
+        fields.map(f => col(s"golden_$f")) ++
+        Seq(col("n_members").cast("bigint").as("n_members"),
+          col(s"last_$orderCol"))): _*)
+  }
 }

@@ -438,6 +438,67 @@ object Quality {
       .orderBy(col("digit"))
   }
 
+  /** Exact per-group mode (most frequent value) with a deterministic
+    * smallest-value tie-break — the categorical "typical value" the
+    * profile/imputation family lacked (median covers numerics;
+    * imputing a categorical needs the mode). Returns
+    * (group, mode_value, n_mode).
+    *
+    * Scale: one (group, value) hash-agg then one group-keyed argmax
+    * via a single `min(struct(-count, value))` aggregate — map-side
+    * combinable, no per-group window sort, the [[Graph]] argmax
+    * discipline. Struct ordering is field-by-field, so (-count asc,
+    * value asc) = (count desc, value asc) exactly. NULL values are
+    * excluded (a mode of NULL helps no imputation). */
+  def modePerGroup(df: DataFrame, groupCol: String,
+      valueExpr: Column): DataFrame = {
+    val counts = df.select(col(groupCol), valueExpr.cast("string").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col(groupCol), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    counts.groupBy(col(groupCol))
+      .agg(min(struct((-col("__c")).as("nc"), col("__v").as("v"))).as("__m"))
+      .select(col(groupCol), col("__m.v").as("mode_value"),
+        (-col("__m.nc")).cast("bigint").as("n_mode"))
+  }
+
+  /** Winsorized mean per group — the robust location estimate that
+    * keeps every row's vote but bounds each vote's leverage (clip to
+    * the group's [pLo, pHi] rank bounds, then average): unlike a
+    * trimmed mean it never discards rows, unlike a raw mean one fat
+    * outlier cannot own it. INTEGRAL CONTRACT (the [[Features]]
+    * discipline): `valueExpr` must be integral (cast to cents first)
+    * — bounds are actual data values ([[winsorize]]'s rank-based
+    * cut), the clipped sum is an exact integer, and the mean is ONE
+    * IEEE division quantized to micros, so every row replays. Same
+    * `maxExactGroupRows` guard + `exact` knob as the rest of the
+    * order-statistic family. Returns
+    * (group, n, lo, hi, mean_micros). */
+  def winsorizedMean(df: DataFrame, groupCol: String, valueExpr: Column,
+      pLo: Double = 0.05, pHi: Double = 0.95, exact: Boolean = true,
+      accuracy: Int = 10000,
+      maxExactGroupRows: Long = 10000000L): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1 (got $pLo, $pHi)")
+    val withV = df.select(col(groupCol), valueExpr.cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+    if (exact) Percentiles.guardExactGroups(withV, groupCol,
+      maxExactGroupRows, "winsorizedMean percentile_disc bounds")
+    def q(p: Double) = if (exact)
+      expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY __v)")
+    else expr(s"percentile_approx(__v, $p, $accuracy)")
+    val bounds = withV.groupBy(col(groupCol)).agg(
+      q(pLo).cast("long").as("__lo"), q(pHi).cast("long").as("__hi"))
+    withV.join(bounds, Seq(groupCol))
+      .withColumn("__w", least(greatest(col("__v"), col("__lo")), col("__hi")))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        min(col("__lo")).cast("bigint").as("lo"),
+        min(col("__hi")).cast("bigint").as("hi"),
+        round(sum(col("__w")).cast("decimal(38,0)").cast("double") /
+          count(lit(1)).cast("double") * 1e6).cast("long").as("mean_micros"))
+  }
+
   /** k-anonymity profile of a quasi-identifier combination — the
     * privacy screen a training-data pipeline runs BEFORE release
     * (Sweeney 2002: a row is re-identifiable when its quasi-identifier

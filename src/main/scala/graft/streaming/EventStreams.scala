@@ -450,6 +450,80 @@ object EventStreams extends Serializable {
       .orderBy(col("channel"))
   }
 
+  case class AttribOut(user_id: Long, conv_id: Long, channel: String,
+      touch_id: Long, first_micros: Long, last_micros: Long,
+      linear_micros: Long)
+  case class AttribBuffer(buffered: Seq[Event])
+
+  /** Streaming twin of [[attribution]] — per-user watermark-sealed
+    * multi-touch credits: events buffer per user until the event-time
+    * watermark passes a CONVERSION's timestamp (no touch inside its
+    * lookback can still arrive on time), then that conversion's
+    * credits emit exactly once, per touch, under all three models.
+    * State is the unsealed tail only: events older than
+    * `watermark − lookback` can serve no future conversion and are
+    * dropped; the buffer dedupes by event_id, so at-least-once
+    * redeliveries — in-window or sealed — are no-ops (the
+    * [[ewmaAnomaliesStateful]] discipline). Late TOUCHES below the
+    * watermark are dropped like any straggler; the sealed output
+    * equals the batch twin over the on-time corpus
+    * (`evt_attribution_replay` pins the identity). Credits are the
+    * same integer div/mod arithmetic as the batch form — equality is
+    * exact, not approximate. */
+  def attributionStateful(events: Dataset[Event], touchTypes: Seq[String],
+      conversionType: String, lookbackSeconds: Long,
+      watermark: String = "2 hours"): Dataset[AttribOut] = {
+    import events.sparkSession.implicits._
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(lookbackSeconds > 0, s"lookbackSeconds must be > 0 (got $lookbackSeconds)")
+    val touchSet = touchTypes.toSet
+    val lookMs = lookbackSeconds * 1000L
+
+    def credits(user: Long, conv: Event, pool: Seq[Event]): Seq[AttribOut] = {
+      val inWin = pool.filter(t => touchSet(t.event_type) &&
+          t.ts.getTime <= conv.ts.getTime &&
+          t.ts.getTime > conv.ts.getTime - lookMs)
+        .sortBy(t => (t.ts.getTime, t.event_id))
+      val k = inWin.size
+      inWin.zipWithIndex.map { case (t, i) =>
+        val isLast = i == k - 1
+        AttribOut(user, conv.event_id, t.event_type, t.event_id,
+          if (i == 0) 1000000L else 0L,
+          if (isLast) 1000000L else 0L,
+          1000000L / k + (if (isLast) 1000000L % k else 0L))
+      }
+    }
+
+    def fn(key: Long, rows: Iterator[Event],
+        state: GroupState[AttribBuffer]): Iterator[AttribOut] = {
+      val prior = state.getOption.getOrElse(AttribBuffer(Seq.empty))
+      val wmMs = state.getCurrentWatermarkMs()
+      val fresh = rows.filter(_.ts.getTime > wmMs).toSeq
+      val merged = (prior.buffered ++ fresh).distinctBy(_.event_id)
+      val (ripe, open) = merged.partition(e =>
+        e.event_type == conversionType && e.ts.getTime <= wmMs)
+      val out = ripe.sortBy(e => (e.ts.getTime, e.event_id))
+        .flatMap(c => credits(key, c, merged))
+      // retain only what a future conversion's lookback can reach
+      val keep = open.filter(_.ts.getTime > wmMs - lookMs)
+      state.update(AttribBuffer(keep))
+      val pending = keep.filter(_.event_type == conversionType)
+      if (pending.nonEmpty)
+        state.setTimeoutTimestamp(pending.map(_.ts.getTime).min + 1)
+      out.iterator
+    }
+
+    // type filter AFTER the watermark node: every event (a flush
+    // sentinel included) must still advance event time, then
+    // irrelevant types drop before they reach any buffer
+    events.withWatermark("ts", watermark)
+      .filter(r => touchSet(r.event_type) ||
+        r.event_type == conversionType)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Batch twin of [[ewmaAnomaliesStateful]]: per-`event_type` EWMA
     * mean/variance baseline over events in (ts, event_id) order, each
     * event z-scored against the baseline BEFORE it folds in. The

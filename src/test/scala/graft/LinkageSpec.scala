@@ -40,6 +40,28 @@ class LinkageSpec extends SparkSpec {
       Set("match", "possible", "non_match")(v._2)))
   }
 
+  test("survivorship: latest non-null per field, deterministic ties, member count") {
+    val rows = Seq(
+      // cluster 1: newest row has NULL name — the older name survives;
+      // newest city wins
+      (1L, 10L, 3L, Option("alice"), Option("york")),
+      (1L, 20L, 4L, Option.empty[String], Option("leeds")),
+      // cluster 2: two rows at the SAME order value — higher id wins
+      (2L, 5L, 1L, Option("bob"), Option.empty[String]),
+      (2L, 5L, 2L, Option("bobby"), Option.empty[String]),
+      // cluster 3: all-null field stays null
+      (3L, 7L, 9L, Option.empty[String], Option("hull")))
+      .toDF("cluster", "ver", "id", "name", "city")
+    val got = Linkage.survivorship(rows, "cluster", "ver", "id",
+        Seq("name", "city"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.getString(2)),
+          r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((Some("alice"), Some("leeds"), 2L, 20L)), got.toString)
+    assert(got(2L) == ((Some("bobby"), None, 2L, 5L))) // id 2 > id 1
+    assert(got(3L) == ((None, Some("hull"), 1L, 7L)))
+  }
+
   test("fellegiSunter: uninformative field (u >= m) and empty field list fail loudly") {
     val e = intercept[IllegalArgumentException] {
       FsField("bad", col("x"), mPpm = 300000L, uPpm = 300000L)

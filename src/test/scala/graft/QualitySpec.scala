@@ -350,6 +350,49 @@ class QualitySpec extends SparkSpec {
     assert(out.filter(_._1 == "h").forall(!_._3))
   }
 
+  test("modePerGroup: argmax with smallest-value ties; NULLs excluded") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("g", Option("b")), ("g", Option("b")), ("g", Option("a")),
+      ("g", Option("a")), ("g", Option("c")),
+      ("h", Option("z")), ("h", None: Option[String]), ("h", None))
+      .toDF("grp", "v")
+    val got = Quality.modePerGroup(df, "grp", col("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2)))).toMap
+    // g: a and b tie at 2 — smallest value wins
+    assert(got("g") == (("a", 2L)), got.toString)
+    // h: NULLs excluded, z (count 1) is the mode
+    assert(got("h") == (("z", 1L)))
+  }
+
+  test("winsorizedMean: clipped integer sum, guard and approx knob inherited") {
+    import org.apache.spark.sql.functions.col
+    val df = ((1 to 100).map(i => ("g", i.toLong)) :+ (("g", 100000L)))
+      .toDF("grp", "cents")
+    val got = Quality.winsorizedMean(df, "grp", col("cents"))
+      .collect().head
+    val (n, lo, hi) = (got.getLong(1), got.getLong(2), got.getLong(3))
+    assert(n == 101L)
+    // rank bounds: p05 over 101 values -> 6th smallest = 6;
+    // p95 -> 96th = 96 (the 100000 spike clips to 96)
+    assert(lo == 6L && hi == 96L, s"lo=$lo hi=$hi")
+    val clipped = ((1 to 100).map(_.toLong) :+ 100000L)
+      .map(v => math.min(math.max(v, lo), hi))
+    assert(got.getLong(4) ==
+      math.round(clipped.sum.toDouble / clipped.length * 1e6))
+    // the family guard applies here too
+    val e = intercept[IllegalArgumentException] {
+      Quality.winsorizedMean(df, "grp", col("cents"),
+        maxExactGroupRows = 50L).collect()
+    }
+    assert(e.getMessage.contains("cap 50"))
+    // bounded path is exempt and sane (approx is exact at this size)
+    val approx = Quality.winsorizedMean(df, "grp", col("cents"),
+      exact = false, maxExactGroupRows = 50L).collect().head
+    assert(approx.getLong(1) == 101L &&
+      math.abs(approx.getLong(2) - 6L) <= 1L)
+  }
+
   test("kAnonymity: class-size histogram, risky flag, NULL QI forms its own class") {
     val rows = Seq.fill(5)(("a", Option(1))) ++ Seq.fill(2)(("b", Option(1))) ++
       Seq.fill(2)(("c", Option(2))) :+ (("d", Option(2))) :+

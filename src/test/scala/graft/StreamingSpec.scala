@@ -600,6 +600,47 @@ class StreamingSpec extends SparkSpec {
     assert(models.forall(_ == 3000000L), models.toString) // 3 attributed convs
   }
 
+  test("attributionStateful == batch twin; in-window and sealed redeliveries are no-ops") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1700000000000L
+    def ev(id: Long, minute: Long, user: Long, typ: String) =
+      Event(id, new Timestamp(t0 + minute * 60000L), user, typ, 1.0)
+    val evs = Seq(
+      ev(1, 0, 1, "view"), ev(2, 10, 1, "click"), ev(10, 20, 1, "purchase"),
+      ev(3, 0, 2, "signup"), ev(4, 1, 2, "view"), ev(5, 2, 2, "click"),
+      ev(12, 30, 2, "purchase"),
+      ev(6, 5, 3, "view"), ev(7, 5, 3, "view"), ev(13, 15, 3, "purchase"))
+    val sentinel = Event(-1L,
+      new Timestamp(t0 + 40 * 60000L + 5L * 3600 * 1000), -1L, "__flush", 0.0)
+    val mem = MemoryStream[Event]
+    val q = EventStreams.attributionStateful(mem.toDS(),
+        Seq("view", "click", "signup"), "purchase", lookbackSeconds = 3600L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attrib_sink").start()
+    try {
+      mem.addData(evs)
+      q.processAllAvailable()
+      mem.addData(evs.filter(_.event_id <= 5)) // in-window redelivery
+      q.processAllAvailable()
+      mem.addData(Seq(sentinel))
+      q.processAllAvailable()
+      mem.addData(evs.filter(_.event_id % 2 == 0)) // sealed redelivery
+      q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("attrib_sink")
+      .collect().map(r => (r.getLong(1), r.getLong(3)) ->
+        ((r.getString(2), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // one credit row per (conversion, touch) — duplicates absorbed
+    assert(stream.size == 7, stream.keys.toSeq.sorted.mkString(","))
+    // exact equality with the batch twin's per-touch credits: conv 12
+    // has k=3, remainder lands on the last touch (the click, id 5)
+    assert(stream((12L, 3L)) == (("signup", 1000000L, 0L, 333333L)))
+    assert(stream((12L, 5L)) == (("click", 0L, 1000000L, 333334L)))
+    // same-ts tie: id 6 is first, id 7 last for conversion 13
+    assert(stream((13L, 6L))._2 == 1000000L)
+    assert(stream((13L, 7L))._3 == 1000000L)
+  }
+
   test("ewmaAnomaliesStateful absorbs an IN-WINDOW redelivery: one output row per event_id") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val t0 = 1700000000000L
