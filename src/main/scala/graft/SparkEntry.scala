@@ -99,6 +99,7 @@ object SparkEntry {
     "dq_k_anonymity", "text_keywords", "link_fs_scores",
     "text_readability", "text_zipf", "agg_mode", "agg_winsorized_mean",
     "merge_survivorship", "evt_attribution_replay",
+    "feat_spearman", "ab_ztest",
     // round-10 additions (no artifact yet)
     "mm_decode_video_frames", "catalog_persistent_roundtrip",
     "evt_dedup_replay", "dedup_minhash_incremental_gate",
@@ -355,7 +356,7 @@ object SparkEntry {
     "dq_invalid_codes", "dq_expectations", "dq_profile", "dq_outliers",
     "dq_outliers_mad", "dq_psi", "dq_woe", "dq_benford", "feat_cuped",
     "dq_winsorize", "dq_ks", "feat_auc", "feat_gains", "dq_chi2",
-    "dq_k_anonymity",
+    "dq_k_anonymity", "feat_spearman", "ab_ztest",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -492,6 +493,30 @@ object SparkEntry {
       graft.operators.OrderedStats.aucExact(Tables.orders(s, dir),
         $"o_totalprice",
         $"o_orderpriority".isin("1-URGENT", "2-HIGH"))
+    }),
+
+    "feat_spearman" -> ((s, dir) => {
+      import s.implicits._
+      // Exact Spearman rank correlation of price vs quantity: both
+      // rankings via the two-phase prefix sum, average-rank ties kept
+      // exact by doubling, Pearson moments as DECIMAL integers, one
+      // mirrored num/(sqrt*sqrt) tree. One row.
+      graft.operators.OrderedStats.spearman(Tables.lineitem(s, dir),
+        $"l_extendedprice", $"l_quantity")
+    }),
+
+    "ab_ztest" -> ((s, dir) => {
+      import s.implicits._
+      // Two-proportion z-test of "heavy purchaser" (>= 13 purchases —
+      // every user buys at least once in this dense corpus, so plain
+      // conversion is degenerate) under a parity split, plus the SRM
+      // assignment-health statistic — exact integer counts through
+      // mirrored IEEE trees. One row.
+      val perUser = Tables.events(s, dir).groupBy($"user_id")
+        .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .as("n_purch"))
+      Features.twoProportionZTest(perUser,
+        pmod($"user_id", lit(2)) === 0, $"n_purch" >= 13L)
     }),
 
     "feat_gains" -> ((s, dir) => {
@@ -5969,6 +5994,53 @@ object SparkEntry {
         |    / CAST(2 * CAST(tot.n_pos AS HUGEINT) * tot.n_neg AS DOUBLE)
         |    * 1000000) AS BIGINT) AS auc_micros
         |FROM cc, tot GROUP BY tot.n_pos, tot.n_neg""".stripMargin,
+
+    // doubled average ranks are exact integers; HUGEINT moments, one
+    // num/(sqrt*sqrt) tree — doubling cancels in the ratio
+    "feat_spearman" ->
+      """WITH rws AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+        |    CAST(l_quantity AS DOUBLE) AS y FROM lineitem),
+        |cx AS (SELECT x, count(*) AS c FROM rws GROUP BY 1),
+        |ccx AS (SELECT x, 2 * (sum(c) OVER (ORDER BY x) - c) + c + 1 AS rx
+        |  FROM cx),
+        |cy AS (SELECT y, count(*) AS c FROM rws GROUP BY 1),
+        |ccy AS (SELECT y, 2 * (sum(c) OVER (ORDER BY y) - c) + c + 1 AS ry
+        |  FROM cy),
+        |r AS (SELECT rx, ry FROM rws
+        |  JOIN ccx USING (x) JOIN ccy USING (y)),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(rx) AS sx,
+        |    sum(ry) AS sy, sum(rx * ry) AS sxy, sum(rx * rx) AS sxx,
+        |    sum(ry * ry) AS syy FROM r)
+        |SELECT n, CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+        |  * 1000000) AS BIGINT) AS rho_micros
+        |FROM m""".stripMargin,
+
+    // four exact counts through mirrored IEEE trees (one sqrt)
+    "ab_ztest" ->
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1
+        |      ELSE 0 END) >= 13 THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_t,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 AND conv = 1 THEN 1
+        |      ELSE 0 END) AS BIGINT) AS s_t,
+        |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_c,
+        |    CAST(sum(CASE WHEN user_id % 2 <> 0 AND conv = 1 THEN 1
+        |      ELSE 0 END) AS BIGINT) AS s_c
+        |  FROM u)
+        |SELECT n_t, s_t, n_c, s_c,
+        |  CAST(round((CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c)
+        |    / sqrt((CAST(s_t + s_c AS DOUBLE) / (n_t + n_c))
+        |      * (1.0 - CAST(s_t + s_c AS DOUBLE) / (n_t + n_c))
+        |      * (1.0 / n_t + 1.0 / n_c)) * 1000000) AS BIGINT) AS z_micros,
+        |  CAST(round(CAST((n_t - n_c) * (n_t - n_c) AS DOUBLE)
+        |    / (n_t + n_c) * 1000000) AS BIGINT) AS srm_chi2_micros
+        |FROM c""".stripMargin,
 
     // gains/lift replay: same negated-score cumsum, integer-div gain,
     // one double division for lift over DECIMAL/HUGEINT products

@@ -68,6 +68,51 @@ object Features {
       .drop("__t", "__f", "__fs", "__fn", "__ks", "__kn", "__gs", "__gn")
   }
 
+  /** Two-proportion z-test + sample-ratio-mismatch check — the A/B
+    * readout that pairs with [[cuped]] (CUPED shrinks the variance;
+    * this tests the binary metric): pooled-variance z for
+    * `p_t − p_c`, plus the SRM statistic `(n_t − n_c)²/(n_t + n_c)`
+    * (χ², 1 dof against a 50/50 split — the assignment-health check
+    * every experimentation platform runs BEFORE reading the metric;
+    * > ~3.84 ⇒ the split itself is broken and the z-test is moot).
+    *
+    * Exactness: four exact integer counts → micro-quantized results
+    * through mirrored IEEE trees (one sqrt, engine-identical); the
+    * SRM numerator widens to DECIMAL before squaring via the split
+    * `(d/√n)·(d/√n)`-free form `(d·d)/n` kept in DECIMAL (d² ≤ n² —
+    * no overflow below 10¹⁹ rows per arm). Degenerate inputs (an
+    * empty arm, or pooled p ∈ {0, 1} — zero variance) return empty.
+    * Scale: ONE aggregate over the unit table; nothing shuffles. */
+  def twoProportionZTest(df: DataFrame, treatmentExpr: Column,
+      successExpr: Column): DataFrame = {
+    val c = df.select(treatmentExpr.as("__t"), successExpr.as("__s"))
+      .filter(col("__t").isNotNull && col("__s").isNotNull)
+      .agg(
+        sum(when(col("__t"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("__t") && col("__s"), 1L).otherwise(0L)).as("s_t"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(!col("__t") && col("__s"), 1L).otherwise(0L)).as("s_c"))
+    val pt = col("s_t").cast("double") / col("n_t").cast("double")
+    val pc = col("s_c").cast("double") / col("n_c").cast("double")
+    val pp = (col("s_t") + col("s_c")).cast("double") /
+      (col("n_t") + col("n_c")).cast("double")
+    val z = (pt - pc) / sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_t").cast("double") +
+        lit(1.0) / col("n_c").cast("double")))
+    val d = (col("n_t") - col("n_c")).cast("decimal(38,0)")
+    c.filter(col("n_t") > 0L && col("n_c") > 0L &&
+        col("s_t") + col("s_c") > 0L &&
+        col("s_t") + col("s_c") < col("n_t") + col("n_c"))
+      .select(col("n_t").cast("bigint").as("n_t"),
+        col("s_t").cast("bigint").as("s_t"),
+        col("n_c").cast("bigint").as("n_c"),
+        col("s_c").cast("bigint").as("s_c"),
+        round(z * 1e6).cast("long").as("z_micros"),
+        round((d * d).cast("double") /
+          (col("n_t") + col("n_c")).cast("double") * 1e6)
+          .cast("long").as("srm_chi2_micros"))
+  }
+
   /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM'13 —
     * *Improving the Sensitivity of Online Controlled Experiments*):
     * adjust each unit's metric by its pre-experiment covariate,

@@ -139,6 +139,50 @@ object OrderedStats {
             .cast("double") * 1e6).cast("long").as("auc_micros"))
   }
 
+  /** Spearman rank correlation, EXACT with average-rank ties — the
+    * robust dependence measure (Pearson on RANKS: monotone but
+    * non-linear relationships score |ρ| → 1, one fat outlier cannot
+    * own it). The whole difficulty at scale is ranking two columns of
+    * a petabyte table; both rankings ride [[cumCounts]]'s two-phase
+    * prefix sum, and ties take the textbook AVERAGE rank kept exact
+    * by DOUBLING: `2·rank_avg(v) = 2·cumBelow(v) + cnt(v) + 1` is an
+    * integer, so the Pearson moments over doubled ranks are exact
+    * DECIMAL integers and ρ (scale-invariant — doubling cancels) is
+    * one mirrored IEEE tree: `num / (√a · √b) · 10⁶`. Rows with a
+    * NULL on either side are excluded pairwise. Returns one row
+    * (n, rho_micros); degenerate inputs (constant column → zero
+    * variance) return empty rather than 0/0. */
+  def spearman(df: DataFrame, xExpr: Column, yExpr: Column,
+      nBuckets: Int = 32): DataFrame = {
+    val rows = df.select(xExpr.cast("double").as("__x"),
+        yExpr.cast("double").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    def rank2(valueCol: String, out: String): DataFrame =
+      cumCounts(rows, col(valueCol), lit(true), nBuckets)
+        .select(col("v").as(valueCol),
+          (lit(2L) * (col("cum_a") - col("ca")) + col("ca") + lit(1L))
+            .as(out))
+    val ranked = rows
+      .join(rank2("__x", "__rx"), "__x")
+      .join(rank2("__y", "__ry"), "__y")
+    val m = ranked.agg(count(lit(1)).as("__n"),
+      sum(col("__rx").cast("decimal(38,0)")).as("__sx"),
+      sum(col("__ry").cast("decimal(38,0)")).as("__sy"),
+      sum(col("__rx").cast("decimal(38,0)") * col("__ry")).as("__sxy"),
+      sum(col("__rx").cast("decimal(38,0)") * col("__rx")).as("__sxx"),
+      sum(col("__ry").cast("decimal(38,0)") * col("__ry")).as("__syy"))
+    val a = (col("__n").cast("decimal(38,0)") * col("__sxx") -
+      col("__sx") * col("__sx"))
+    val b = (col("__n").cast("decimal(38,0)") * col("__syy") -
+      col("__sy") * col("__sy"))
+    m.filter(a > 0 && b > 0)
+      .select(col("__n").cast("bigint").as("n"),
+        round((col("__n").cast("decimal(38,0)") * col("__sxy") -
+            col("__sx") * col("__sy")).cast("double") /
+          (sqrt(a.cast("double")) * sqrt(b.cast("double"))) * 1e6)
+          .cast("long").as("rho_micros"))
+  }
+
   /** Cumulative gains / lift table — the model-eval companion to
     * [[aucExact]] a campaign targeter actually reads: bucket the
     * population into score DECILES (decile 0 = highest scores) and

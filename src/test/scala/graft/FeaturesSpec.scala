@@ -96,6 +96,31 @@ class FeaturesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("twoProportionZTest: closed-form z, SRM statistic, degenerate inputs empty") {
+    def build(nt: Int, st: Int, nc: Int, sc: Int) =
+      ((1 to nt).map(i => (true, i <= st)) ++
+        (1 to nc).map(i => (false, i <= sc))).toDF("t", "s")
+    val r = Features.twoProportionZTest(build(100, 60, 100, 40),
+      col("t"), col("s")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((100L, 60L, 100L, 40L)))
+    // z = 0.2 / sqrt(0.5*0.5*(2/100)) = 2.828427...
+    assert(r.getLong(4) ==
+      math.round(0.2 / math.sqrt(0.5 * 0.5 * 0.02) * 1e6), r.toString)
+    assert(r.getLong(5) == 0L) // balanced arms: SRM 0
+    // imbalanced arms: SRM = (50)^2 / 150
+    val srm = Features.twoProportionZTest(build(100, 50, 50, 25),
+      col("t"), col("s")).collect().head.getLong(5)
+    assert(srm == math.round(2500.0 / 150.0 * 1e6))
+    // degenerate: empty arm, all-success, all-failure -> empty result
+    assert(Features.twoProportionZTest(build(100, 50, 0, 0),
+      col("t"), col("s")).collect().isEmpty)
+    assert(Features.twoProportionZTest(build(10, 10, 10, 10),
+      col("t"), col("s")).collect().isEmpty)
+    assert(Features.twoProportionZTest(build(10, 0, 10, 0),
+      col("t"), col("s")).collect().isEmpty)
+  }
+
   test("cuped: mean preserved, variance reduced, perfect covariate zeroes it") {
     val rnd = new scala.util.Random(3)
     // y = 2x + noise: a strongly explanatory covariate

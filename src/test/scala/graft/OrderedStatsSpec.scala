@@ -52,6 +52,35 @@ class OrderedStatsSpec extends SparkSpec {
     assert(OrderedStats.ksTest(withNulls, $"v", $"t").collect().isEmpty)
   }
 
+  test("spearman: monotone = 1e6 (ties included), reversal = -1e6, nonlinear monotone, degenerate empty") {
+    def rho(rows: Seq[(Double, Double)], nb: Int = 32): Option[Long] =
+      OrderedStats.spearman(rows.toDF("x", "y"), $"x", $"y", nBuckets = nb)
+        .collect().headOption.map(_.getLong(1))
+    // aligned ties: identical average ranks both sides -> exactly 1
+    assert(rho(Seq((1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 40.0)))
+      .contains(1000000L))
+    // reversed: exactly -1
+    assert(rho(Seq((1.0, 40.0), (2.0, 20.0), (2.0, 20.0), (3.0, 10.0)))
+      .contains(-1000000L))
+    // monotone but NON-linear: Spearman 1e6 where Pearson would not be
+    val cubic = (1 to 20).map(i => (i.toDouble, math.pow(i.toDouble, 3)))
+    assert(rho(cubic).contains(1000000L))
+    // independent seeded noise: |rho| small
+    val rnd = new scala.util.Random(9)
+    val noise = (1 to 200).map(_ => (rnd.nextDouble(), rnd.nextDouble()))
+    assert(math.abs(rho(noise).get) < 300000L)
+    // bucketing is a grouping device: same rho for any nBuckets
+    assert(rho(noise, nb = 3) == rho(noise, nb = 17))
+    // constant column: zero rank variance -> empty, not 0/0
+    assert(rho(Seq((5.0, 1.0), (5.0, 2.0), (5.0, 3.0))).isEmpty)
+    // pairwise NULL exclusion
+    val withNull = Seq((Option(1.0), Option(1.0)),
+      (Option(2.0), None: Option[Double]), (Option(3.0), Option(2.0)))
+      .toDF("x", "y")
+    assert(OrderedStats.spearman(withNull, $"x", $"y")
+      .collect().head.getLong(0) == 2L)
+  }
+
   test("gainsTable: per-decile closed form, tie collapse, gain/lift exact") {
     // 10 distinct scores, positives at the top 3: each score is its
     // own decile (decile 0 = score 10)
