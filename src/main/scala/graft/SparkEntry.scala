@@ -99,7 +99,8 @@ object SparkEntry {
     "dq_k_anonymity", "text_keywords", "link_fs_scores",
     "text_readability", "text_zipf", "agg_mode", "agg_winsorized_mean",
     "merge_survivorship", "evt_attribution_replay",
-    "feat_spearman", "ab_ztest",
+    "feat_spearman", "ab_ztest", "text_bm25_batch",
+    "evt_funnel_windowed", "graph_closeness",
     // round-10 additions (no artifact yet)
     "mm_decode_video_frames", "catalog_persistent_roundtrip",
     "evt_dedup_replay", "dedup_minhash_incremental_gate",
@@ -363,7 +364,8 @@ object SparkEntry {
     "str_funcs", "parse_money",
     "evt_tumbling", "evt_sliding", "evt_sessionize", "evt_session_window",
     "evt_stream_join", "evt_stream_join_outer", "evt_enrich_static",
-    "evt_funnel", "evt_retention", "evt_transitions", "evt_attribution",
+    "evt_funnel", "evt_funnel_windowed", "evt_retention",
+    "evt_transitions", "evt_attribution",
     "ts_resample_ffill", "ts_interpolate", "ts_anomaly", "evt_top_paths",
     "agg_corr_regr",
     "text_stats", "text_quality", "text_term_freq", "text_lang_dist",
@@ -372,12 +374,14 @@ object SparkEntry {
     "text_unigram_nll", "text_normalize", "text_entropy", "text_keywords",
     "text_readability", "text_zipf", "bpe_tokenize",
     "unigram_tokenize", "dsir_select",
-    "text_bm25", "text_bm25_indexed", "text_rrf_fusion", "text_blocklist",
+    "text_bm25", "text_bm25_indexed", "text_bm25_batch",
+    "text_rrf_fusion", "text_blocklist",
     "decontaminate", "corpus_overlap",
     "dedup_exact", "dedup_spans", "dedup_paragraph", "dedup_fingerprint", "dedup_simhash",
     "dedup_clusters", "graph_pagerank", "graph_pagerank_personalized",
     "graph_triangles", "graph_kcore",
-    "graph_local_triangles", "graph_shortest_paths", "graph_cooccurrence",
+    "graph_local_triangles", "graph_shortest_paths", "graph_closeness",
+    "graph_cooccurrence",
     "graph_weighted_paths", "graph_label_prop", "graph_modularity",
     "graph_louvain", "graph_assoc_rules", "dedup_containment",
     "text_gopher_rules", "text_collocations", "agg_salted_collect",
@@ -4215,6 +4219,20 @@ object SparkEntry {
         "doc_id", Seq("hash", "join", "spark"), k = 20)
     }),
 
+    "text_bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      // BATCH retrieval: three queries answered in one pass over the
+      // persisted index — shared df, one pushed term filter, per-qid
+      // parallel top-k. Same micro-unit scores as the single-query
+      // path.
+      val q = Seq((1L, "hash"), (1L, "join"), (1L, "spark"),
+        (2L, "data"), (2L, "query"), (3L, "spark"), (3L, "data"))
+        .toDF("qid", "term")
+      TextAnalysis.bm25SearchIndexedBatch(s, built.bm25Index(s, dir),
+          "doc_id", q, k = 10)
+        .orderBy($"qid", $"rank")
+    }),
+
     "text_bm25_index_append_gate" -> ((s, dir) => {
       import s.implicits._
       // Append-parity gate for the persisted lexical index: build on
@@ -5323,6 +5341,30 @@ object SparkEntry {
           steps = Seq("view", "click", "purchase"))
         .toDF("user_id", "t_view", "t_click", "t_purchase")
         .orderBy($"user_id")
+    }),
+
+    "evt_funnel_windowed" -> ((s, dir) => {
+      import s.implicits._
+      // Entry-anchored time-bounded funnel: later stages must land
+      // within 6 hours of the user's first view — the deadline real
+      // funnel products enforce; same replayable min-chain.
+      EventStreams.funnelWindowed(Tables.events(s, dir),
+          Seq("view", "click", "purchase"), windowSeconds = 21600L)
+        .toDF("user_id", "t_view", "t_click", "t_purchase")
+        .orderBy($"user_id")
+    }),
+
+    "graph_closeness" -> ((s, dir) => {
+      import s.implicits._
+      // Per-seed harmonic closeness over the part co-order graph for
+      // the %97 seed panel: hop-bounded per-seed BFS, integer-div ppm
+      // contributions — exact and order-free.
+      val edges = partCoOrderPairs(s, dir)
+      val seeds = edges.select($"a".as("id"))
+        .union(edges.select($"b".as("id")))
+        .filter(pmod($"id", lit(97)) === 0).distinct()
+      Graph.closenessFromSeeds(edges, seeds, "a", "b", "id", maxHops = 8)
+        .orderBy($"seed")
     }),
 
     "evt_attribution" -> ((s, dir) => {
@@ -7047,6 +7089,52 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_ffill
         |FROM j ORDER BY event_type, b""".stripMargin,
 
+    // the windowed min-chain adds one entry-anchored deadline
+    // predicate per stage
+    "evt_funnel_windowed" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts >= s1.t_view
+        |    AND e.ts <= s1.t_view + INTERVAL 21600 SECONDS
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+        |  JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t_click
+        |    AND e.ts <= s1.t_view + INTERVAL 21600 SECONDS
+        |  GROUP BY e.user_id)
+        |SELECT s1.user_id, t_view, t_click, t_purchase
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY s1.user_id""".stripMargin,
+
+    // per-seed BFS distances via the recursive CTE, harmonic ppm as
+    // integer floor-div contributions
+    "graph_closeness" ->
+      """WITH RECURSIVE p AS MATERIALIZED (
+        |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |   AND l1.l_partkey < l2.l_partkey
+        |  WHERE l1.l_orderkey % 4 = 0),
+        |e AS MATERIALIZED (SELECT a AS u, b AS v FROM p
+        |  UNION SELECT b AS u, a AS v FROM p),
+        |src AS (SELECT DISTINCT u AS id FROM e WHERE u % 97 = 0),
+        |bfs AS (
+        |  SELECT id AS seed, id, 0 AS d FROM src
+        |  UNION
+        |  SELECT b.seed, e.v AS id, b.d + 1 AS d FROM bfs b
+        |  JOIN e ON e.u = b.id WHERE b.d < 8),
+        |dist AS (SELECT seed, id, min(d) AS d FROM bfs GROUP BY 1, 2)
+        |SELECT seed,
+        |  CAST(count(*) FILTER (WHERE d > 0) AS BIGINT) AS n_reached,
+        |  CAST(coalesce(sum(1000000 // d) FILTER (WHERE d > 0), 0)
+        |    AS BIGINT) AS closeness_ppm
+        |FROM dist GROUP BY seed ORDER BY seed""".stripMargin,
+
     // stream == batch identity pinned in-plan; booleans only
     "evt_attribution_replay" ->
       "SELECT true AS nonempty, true AS stream_equals_batch",
@@ -8155,6 +8243,41 @@ object SparkEntry {
     // result as the ad-hoc scan — the index is an access path, not a
     // different answer
     "text_bm25_indexed" -> bm25OracleSql,
+
+    // batch retrieval: shared corpus-level df, per-(qid,doc,term)
+    // micro scores, per-qid (score desc, doc asc) top-10
+    "text_bm25_batch" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+        |  FROM documents),
+        |t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        |st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS total
+        |       FROM dl),
+        |q AS (SELECT * FROM (VALUES (1, 'hash'), (1, 'join'),
+        |    (1, 'spark'), (2, 'data'), (2, 'query'), (3, 'spark'),
+        |    (3, 'data')) AS q(qid, term)),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+        |       WHERE tok IN (SELECT term FROM q) GROUP BY 1, 2),
+        |dfr AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |s AS (
+        |  SELECT q.qid, tf.doc_id,
+        |    round((ln((CAST(st.n - dfr.df AS DOUBLE) + 0.5)
+        |        / (CAST(dfr.df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75
+        |          * (CAST(dl.dl AS DOUBLE)
+        |            / (CAST(st.total AS DOUBLE) / CAST(st.n AS DOUBLE))))))
+        |      * 1000000) AS sm
+        |  FROM tf JOIN dfr USING (tok) JOIN q ON q.term = tf.tok
+        |    JOIN dl USING (doc_id), st),
+        |g AS (SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+        |    CAST(sum(sm) AS BIGINT) AS score_micros FROM s GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY score_micros DESC, doc_id) AS rn FROM g)
+        |SELECT CAST(qid AS BIGINT) AS qid, doc_id, n_terms_hit,
+        |  score_micros, CAST(rn AS INT) AS rank
+        |FROM r WHERE rn <= 10 ORDER BY qid, rank""".stripMargin,
 
     // index-vs-scan equality (scores included) is pinned in-plan;
     // booleans only

@@ -630,4 +630,67 @@ object TextAnalysis {
         col("tf").as("__tf"))
     bm25Score(tf, dl, idCol, k, k1, b)
   }
+
+  /** BATCH retrieval over the persisted index — one pass answers a
+    * whole table of queries (the RAG-evaluation / offline-reranking
+    * shape: thousands of queries against one corpus): `queries` is
+    * (qid, term) rows; the result is each query's top-k docs with the
+    * same micro-unit scores as [[bm25Search]]. The union of query
+    * terms collects to the driver (guarded by `maxQueryTerms` —
+    * query VOCABULARY is human-scale even when the query COUNT is
+    * not) so the term filter still pushes into the postings scan;
+    * qids then fan out via one broadcast join, per-term df is shared
+    * across queries (computed once), and the per-query top-k is a
+    * qid-partitioned window — parallel in the query count. */
+  def bm25SearchIndexedBatch(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, idCol: String, queries: DataFrame,
+      k: Int = 20, k1: Double = 1.2, b: Double = 0.75,
+      maxQueryTerms: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = spark.read.parquet(indexDir + "__meta").head()
+    require(m.getString(0) == tokenizerTag,
+      s"index at $indexDir was built with tokenizer '${m.getString(0)}', " +
+        s"reader expects '$tokenizerTag' — rebuild the index to match")
+    val q = queries.select(col("qid").cast("long").as("qid"),
+      col("term").cast("string").as("__tok")).distinct()
+    val termList = q.select(col("__tok")).distinct()
+      .limit(maxQueryTerms + 1).collect().map(_.getString(0))
+    require(termList.length <= maxQueryTerms,
+      s"query batch spans more than $maxQueryTerms distinct terms — " +
+        "the pushed-filter plan needs a driver-bounded vocabulary; " +
+        "split the batch or raise maxQueryTerms")
+    require(termList.nonEmpty, "queries must be non-empty")
+    val dl = spark.read.parquet(indexDir + "__docs")
+      .select(col("id").as(idCol), col("dl").as("__dl"))
+    val stats = dl.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__total"))
+    val tf = spark.read.parquet(indexDir)
+      .filter(col("tok").isin(termList.map(lit(_)): _*))
+      .select(col("id").as(idCol), col("tok").as("__tok"),
+        col("tf").as("__tf"))
+    val dfreq = tf.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(desc("score_micros"), col(idCol))
+    tf.join(broadcast(dfreq), "__tok")
+      .join(broadcast(q), "__tok") // fan out to qids
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("__avgdl",
+        col("__total").cast("double") / col("__n").cast("double"))
+      .withColumn("__idf",
+        log(((col("__n") - col("__df")).cast("double") + 0.5) /
+          (col("__df").cast("double") + 0.5) + 1.0))
+      .withColumn("__s_micros",
+        round((col("__idf") * (col("__tf").cast("double") * (lit(k1) + 1.0)) /
+          (col("__tf").cast("double") +
+            lit(k1) * (lit(1.0) - lit(b) +
+              lit(b) * (col("__dl").cast("double") / col("__avgdl"))))) * 1e6)
+          .cast("long"))
+      .groupBy(col("qid"), col(idCol))
+      .agg(count(lit(1)).cast("bigint").as("n_terms_hit"),
+        sum(col("__s_micros")).cast("bigint").as("score_micros"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col(idCol), col("n_terms_hit"),
+        col("score_micros"), col("rank"))
+  }
 }

@@ -678,6 +678,71 @@ object Graph {
     settled
   }
 
+  /** Per-seed closeness centrality, hop-bounded — "how central are
+    * THESE vertices" for a designated panel (hub candidates, new
+    * content, suspected spam nodes): for each seed, BFS to `maxHops`
+    * and score `closeness_ppm = Σ_reached (10⁶ div dist)` (harmonic
+    * closeness in exact integer ppm — the harmonic form handles
+    * disconnected graphs gracefully where classic closeness does
+    * not). All-pairs centrality is a different problem — state here
+    * is (seed, vertex) pairs, so the operator guards the seed count
+    * LOUDLY (`maxSeeds`); the hop bound is the same contract as
+    * [[shortestPaths]].
+    *
+    * Scale shape, per hop: one (seed, id)-keyed frontier ⋈ edges
+    * equi-join + an anti-join against settled — 24-byte rows, k·V
+    * worst-case state, lineage truncated per hop. Integer div keeps
+    * every contribution exact; the per-seed sum is order-free. */
+  def closenessFromSeeds(edges: DataFrame, sources: DataFrame,
+      srcCol: String = "id_a", dstCol: String = "id_b",
+      sourceCol: String = "id", maxHops: Int = 8,
+      maxSeeds: Long = 10000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val e = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+    val sym = truncate(
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .filter(col("u") =!= col("v")).distinct(), checkpointDir)
+    val seeds = sources.select(col(sourceCol).cast("long").as("seed"))
+      .distinct()
+    val nSeeds = seeds.count()
+    require(nSeeds <= maxSeeds,
+      s"$nSeeds seeds exceed maxSeeds=$maxSeeds — per-seed BFS state is " +
+        "(seeds x vertices); sample the panel or raise the cap if the " +
+        "cluster is sized for it")
+    var settled = truncate(
+      seeds.select(col("seed"), col("seed").as("id"),
+        lit(0L).as("dist")), checkpointDir)
+    var frontier = settled
+    var hop = 0
+    var live = nSeeds
+    while (live > 0 && hop < maxHops) {
+      hop += 1
+      val next = truncate(
+        frontier.join(sym, frontier("id") === sym("u"))
+          .select(col("seed"), col("v").as("id")).distinct()
+          .join(settled.select(col("seed"), col("id")),
+            Seq("seed", "id"), "left_anti")
+          .withColumn("dist", lit(hop.toLong)), checkpointDir)
+      live = next.count()
+      if (live > 0) {
+        settled = truncate(settled.unionByName(next), checkpointDir)
+        frontier = next
+      }
+    }
+    seeds.join(
+        settled.filter(col("dist") > 0L)
+          .groupBy(col("seed"))
+          .agg(count(lit(1)).cast("bigint").as("n_reached"),
+            sum(expr("CAST(1000000 AS BIGINT) div dist")).cast("bigint")
+              .as("closeness_ppm")),
+        Seq("seed"), "left")
+      .select(col("seed"),
+        coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+        coalesce(col("closeness_ppm"), lit(0L)).as("closeness_ppm"))
+  }
+
   /** Community detection by SYNCHRONOUS label propagation (Raghavan et
     * al. 2007), run for a FIXED number of rounds with a deterministic
     * tie-break. Returns (`id`, `label`) for every vertex in an edge.

@@ -314,6 +314,36 @@ object EventStreams extends Serializable {
     }
   }
 
+  /** Time-bounded funnel — [[funnel]] with the completion DEADLINE
+    * real funnel products enforce: every later stage must land within
+    * `windowSeconds` of the user's FIRST stage-1 event (entry-anchored
+    * window, the standard convention), not merely after the previous
+    * stage. Same min-chain inequality semantics — order-free, exactly
+    * replayable — with one extra predicate per stage; the unbounded
+    * form is the `windowSeconds = ∞` limit. Same scale shape as
+    * [[funnel]]: one user-keyed aggregate per stage, no windows. */
+  def funnelWindowed(events: DataFrame, steps: Seq[String],
+      windowSeconds: Long, userCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type"): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps (got $steps)")
+    require(windowSeconds > 0, s"windowSeconds must be > 0 (got $windowSeconds)")
+    val s0 = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))
+    steps.tail.zipWithIndex.foldLeft(s0) { case (acc, (step, i)) =>
+      val prevT = s"t${i + 1}"
+      val evs = events.filter(col(typeCol) === step)
+        .select(col(userCol), col(tsCol).as("__ts"))
+      val priors = (1 to i + 1).map(j => min(col(s"t$j")).as(s"t$j"))
+      acc.join(evs, Seq(userCol), "left")
+        .groupBy(col(userCol))
+        .agg(priors.head, priors.tail :+
+          min(when(col("__ts") >= col(prevT) &&
+            col("__ts") <= col("t1") +
+              expr(s"INTERVAL $windowSeconds SECONDS"),
+            col("__ts"))).as(s"t${i + 2}"): _*)
+    }
+  }
+
   /** Top-k event PATHS: each user's first `pathLen` event types in
     * (tsCol, tieCol) order joined into one path string, counted
     * across users, top `k` by frequency — the "what do new users

@@ -477,6 +477,27 @@ class GraphSpec extends SparkSpec {
     assert(ex.getMessage.contains("non-negative"))
   }
 
+  test("closenessFromSeeds: path-graph closed form, hop bound, unreachable seeds, seed cap") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    def run(seeds: Seq[Long], hops: Int) =
+      Graph.closenessFromSeeds(path, seeds.toDF("id"), maxHops = hops)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+    // seed 1 on a 5-path: dists 1,2,3,4 -> 1e6/1 + 1e6/2 + 1e6/3 + 1e6/4
+    val full = 1000000L + 500000L + 333333L + 250000L
+    assert(run(Seq(1L, 5L), 8) == Map(1L -> ((4L, full)), 5L -> ((4L, full))))
+    // hop bound caps reach
+    assert(run(Seq(1L), 2) == Map(1L -> ((2L, 1500000L))))
+    // a seed absent from the graph scores zero, not a missing row
+    assert(run(Seq(1L, 99L), 8)(99L) == ((0L, 0L)))
+    // loud seed-count guard
+    val e = intercept[IllegalArgumentException] {
+      Graph.closenessFromSeeds(path, (1L to 20L).toDF("id"),
+        maxHops = 2, maxSeeds = 5L)
+    }
+    assert(e.getMessage.contains("maxSeeds"))
+  }
+
   test("louvainMove: clique collapses to one community; modularity improves; deterministic; guard") {
     // complete 4-clique: 2 synchronous rounds reach a single community
     val clique = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b))

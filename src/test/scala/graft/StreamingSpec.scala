@@ -600,6 +600,32 @@ class StreamingSpec extends SparkSpec {
     assert(models.forall(_ == 3000000L), models.toString) // 3 attributed convs
   }
 
+  test("funnelWindowed: the entry-anchored deadline cuts slow completions the unbounded chain keeps") {
+    val t0 = 1700000000000L
+    def ev(id: Long, minute: Long, user: Long, typ: String) =
+      (id, new Timestamp(t0 + minute * 60000L), user, typ, 1.0)
+    val events = Seq(
+      // u1 converts fast: all inside 1 hour
+      ev(1, 0, 1, "view"), ev(2, 10, 1, "click"), ev(3, 20, 1, "purchase"),
+      // u2's purchase lands 3 hours after the first view
+      ev(4, 0, 2, "view"), ev(5, 10, 2, "click"), ev(6, 180, 2, "purchase"),
+      // u3's CLICK is already past the deadline -> purchase can't chain
+      ev(7, 0, 3, "view"), ev(8, 90, 3, "click"), ev(9, 95, 3, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val win = EventStreams.funnelWindowed(events,
+        Seq("view", "click", "purchase"), windowSeconds = 3600L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.isNullAt(2), r.isNullAt(3)))).toMap
+    assert(win(1L) == ((false, false)))   // completed inside the hour
+    assert(win(2L) == ((false, true)))    // click in, purchase out
+    assert(win(3L) == ((true, true)))     // click already late
+    // the unbounded funnel keeps all three conversions
+    val unbounded = EventStreams.funnel(events,
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(3)).toMap
+    assert(unbounded.values.forall(_ == false))
+  }
+
   test("attributionStateful == batch twin; in-window and sealed redeliveries are no-ops") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val t0 = 1700000000000L

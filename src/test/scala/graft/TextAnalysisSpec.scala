@@ -338,6 +338,27 @@ class TextAnalysisSpec extends SparkSpec {
         "doc_id", "text", base + "_inc", mode = "append")
     }
     assert(e.getMessage.contains("already indexed"), e.getMessage)
+    // batch form: each qid's block equals the single-query path
+    val qtab = Seq((7L, "hash"), (7L, "join"), (9L, "join"))
+      .toDF("qid", "term")
+    val batch = TextAnalysis.bm25SearchIndexedBatch(spark, base + "_full",
+        "doc_id", qtab, k = 15)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sortBy(_._1)).toMap
+    val single7 = rows(TextAnalysis.bm25SearchIndexed(spark, base + "_full",
+      "doc_id", Seq("hash", "join"), k = 15)).sortBy(_._1)
+    assert(batch(7L) == single7)
+    val single9 = rows(TextAnalysis.bm25SearchIndexed(spark, base + "_full",
+      "doc_id", Seq("join"), k = 15)).sortBy(_._1)
+    assert(batch(9L) == single9)
+    // vocabulary cap fails loudly
+    val wide = (1 to 30).map(i => (1L, s"term$i")).toDF("qid", "term")
+    val e2 = intercept[IllegalArgumentException] {
+      TextAnalysis.bm25SearchIndexedBatch(spark, base + "_full",
+        "doc_id", wide, maxQueryTerms = 10)
+    }
+    assert(e2.getMessage.contains("maxQueryTerms"))
   }
 
   test("gopherRules: pass/fail reasons in rule order") {
