@@ -5357,13 +5357,16 @@ object SparkEntry {
     "graph_closeness" -> ((s, dir) => {
       import s.implicits._
       // Per-seed harmonic closeness over the part co-order graph for
-      // the %97 seed panel: hop-bounded per-seed BFS, integer-div ppm
-      // contributions — exact and order-free.
+      // a SMALL seed panel (%997 — per-seed BFS state is seeds x
+      // vertices, the exact cost model maxSeeds guards; a dense
+      // co-order graph saturates by hop ~4, so the %97 panel would
+      // buy 10x cost for no extra signal): hop-bounded BFS,
+      // integer-div ppm contributions — exact and order-free.
       val edges = partCoOrderPairs(s, dir)
       val seeds = edges.select($"a".as("id"))
         .union(edges.select($"b".as("id")))
-        .filter(pmod($"id", lit(97)) === 0).distinct()
-      Graph.closenessFromSeeds(edges, seeds, "a", "b", "id", maxHops = 8)
+        .filter(pmod($"id", lit(997)) === 0).distinct()
+      Graph.closenessFromSeeds(edges, seeds, "a", "b", "id", maxHops = 4)
         .orderBy($"seed")
     }),
 
@@ -7122,12 +7125,12 @@ object SparkEntry {
         |  WHERE l1.l_orderkey % 4 = 0),
         |e AS MATERIALIZED (SELECT a AS u, b AS v FROM p
         |  UNION SELECT b AS u, a AS v FROM p),
-        |src AS (SELECT DISTINCT u AS id FROM e WHERE u % 97 = 0),
+        |src AS (SELECT DISTINCT u AS id FROM e WHERE u % 997 = 0),
         |bfs AS (
         |  SELECT id AS seed, id, 0 AS d FROM src
         |  UNION
         |  SELECT b.seed, e.v AS id, b.d + 1 AS d FROM bfs b
-        |  JOIN e ON e.u = b.id WHERE b.d < 8),
+        |  JOIN e ON e.u = b.id WHERE b.d < 4),
         |dist AS (SELECT seed, id, min(d) AS d FROM bfs GROUP BY 1, 2)
         |SELECT seed,
         |  CAST(count(*) FILTER (WHERE d > 0) AS BIGINT) AS n_reached,
