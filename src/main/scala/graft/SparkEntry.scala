@@ -100,7 +100,8 @@ object SparkEntry {
     "text_readability", "text_zipf", "agg_mode", "agg_winsorized_mean",
     "merge_survivorship", "evt_attribution_replay",
     "feat_spearman", "ab_ztest", "text_bm25_batch",
-    "evt_funnel_windowed", "graph_closeness",
+    "evt_funnel_windowed", "graph_closeness", "growth_accounting",
+    "ts_seasonality", "feat_group_regression",
     // round-10 additions (no artifact yet)
     "mm_decode_video_frames", "catalog_persistent_roundtrip",
     "evt_dedup_replay", "dedup_minhash_incremental_gate",
@@ -366,7 +367,8 @@ object SparkEntry {
     "evt_stream_join", "evt_stream_join_outer", "evt_enrich_static",
     "evt_funnel", "evt_funnel_windowed", "evt_retention",
     "evt_transitions", "evt_attribution",
-    "ts_resample_ffill", "ts_interpolate", "ts_anomaly", "evt_top_paths",
+    "ts_resample_ffill", "ts_interpolate", "ts_anomaly", "ts_seasonality",
+    "growth_accounting", "feat_group_regression", "evt_top_paths",
     "agg_corr_regr",
     "text_stats", "text_quality", "text_term_freq", "text_lang_dist",
     "text_langid", "text_token_counts", "text_quality_score", "text_entities",
@@ -5343,6 +5345,35 @@ object SparkEntry {
         .orderBy($"user_id")
     }),
 
+    "growth_accounting" -> ((s, dir) => {
+      import s.implicits._
+      // Monthly growth accounting of customers by order activity over
+      // the 80-month span: new/retained/resurrected per active month,
+      // churn attributed to the month a customer went dark — calendar
+      // arithmetic only, replays exactly.
+      EventStreams.growthAccounting(Tables.orders(s, dir),
+        "o_custkey", "o_orderdate")
+    }),
+
+    "ts_seasonality" -> ((s, dir) => {
+      import s.implicits._
+      // Hour-of-day load profile with a complete 24-bucket grid:
+      // exact counts, integer-div load factors (1e6 = average).
+      graft.operators.TimeSeries.seasonalityProfile(
+        Tables.events(s, dir), $"ts", "hour")
+    }),
+
+    "feat_group_regression" -> ((s, dir) => {
+      import s.implicits._
+      // Per-priority OLS trend of order cents against days since
+      // 1995-01-01: exact DECIMAL moments, slope feeds intercept
+      // unrounded, both micro-quantized.
+      Features.groupRegression(Tables.orders(s, dir), "o_orderpriority",
+          datediff($"o_orderdate", lit("1995-01-01").cast("date")),
+          round($"o_totalprice" * 100))
+        .orderBy($"o_orderpriority")
+    }),
+
     "evt_funnel_windowed" -> ((s, dir) => {
       import s.implicits._
       // Entry-anchored time-bounded funnel: later stages must land
@@ -7091,6 +7122,71 @@ object SparkEntry {
         |    PARTITION BY event_type ORDER BY b
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_ffill
         |FROM j ORDER BY event_type, b""".stripMargin,
+
+    // calendar-month lag/lead classification; churn joined onto the
+    // active grid — all date arithmetic, no epoch math
+    "growth_accounting" ->
+      """WITH um AS (SELECT DISTINCT o_custkey AS u,
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS m
+        |  FROM orders),
+        |l AS (SELECT u, m,
+        |    lag(m) OVER (PARTITION BY u ORDER BY m) AS prev,
+        |    lead(m) OVER (PARTITION BY u ORDER BY m) AS next FROM um),
+        |mx AS (SELECT max(m) AS maxm FROM um),
+        |act AS (SELECT m,
+        |    CASE WHEN prev IS NULL THEN 'new'
+        |         WHEN CAST(prev + INTERVAL 1 MONTH AS DATE) = m
+        |           THEN 'retained'
+        |         ELSE 'resurrected' END AS st FROM l),
+        |ch AS (SELECT CAST(m + INTERVAL 1 MONTH AS DATE) AS m,
+        |    count(*) AS n_churned FROM l, mx
+        |  WHERE CAST(m + INTERVAL 1 MONTH AS DATE) <= maxm
+        |    AND (next IS NULL OR next <> CAST(m + INTERVAL 1 MONTH AS DATE))
+        |  GROUP BY 1),
+        |a AS (SELECT m,
+        |    CAST(sum(CASE WHEN st = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new,
+        |    CAST(sum(CASE WHEN st = 'retained' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN st = 'resurrected' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_resurrected
+        |  FROM act GROUP BY 1)
+        |SELECT coalesce(a.m, ch.m) AS month,
+        |  CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+        |  CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained,
+        |  CAST(coalesce(n_resurrected, 0) AS BIGINT) AS n_resurrected,
+        |  CAST(coalesce(ch.n_churned, 0) AS BIGINT) AS n_churned
+        |FROM a FULL JOIN ch ON ch.m = a.m ORDER BY month""".stripMargin,
+
+    // complete 24-bucket grid; integer-div load factors
+    "ts_seasonality" ->
+      """WITH c AS (SELECT CAST(hour(ts) AS BIGINT) AS bucket,
+        |    count(*) AS n FROM events GROUP BY 1),
+        |g AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(0, 24)),
+        |t AS (SELECT sum(n) AS t FROM c)
+        |SELECT g.bucket, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+        |  CAST(coalesce(c.n, 0) * 24 * 1000000 // t.t AS BIGINT)
+        |    AS load_ppm
+        |FROM g LEFT JOIN c USING (bucket), t ORDER BY bucket""".stripMargin,
+
+    // HUGEINT moments; slope feeds intercept unrounded — one shared
+    // double, rounded only at the edges
+    "feat_group_regression" ->
+      """WITH v AS (SELECT o_orderpriority,
+        |    CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS y FROM orders),
+        |m AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx FROM v GROUP BY 1),
+        |s AS (SELECT *, CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+        |  FROM m WHERE n * sxx - sx * sx > 0)
+        |SELECT o_orderpriority, n,
+        |  CAST(round(slope * 1000000) AS BIGINT) AS slope_micros,
+        |  CAST(round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+        |    / n * 1000000) AS BIGINT) AS intercept_micros
+        |FROM s ORDER BY o_orderpriority""".stripMargin,
 
     // the windowed min-chain adds one entry-anchored deadline
     // predicate per stage

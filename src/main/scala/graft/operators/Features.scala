@@ -68,6 +68,42 @@ object Features {
       .drop("__t", "__f", "__fs", "__fn", "__ks", "__kn", "__gs", "__gn")
   }
 
+  /** Per-group OLS regression — slope/intercept of y on x for EVERY
+    * group in one aggregate pass (per-entity trends: price drift per
+    * segment, usage slope per cohort; a driver-side model fit per
+    * group would be the anti-pattern). Same integral contract and
+    * DECIMAL moment discipline as [[cuped]]: x and y must be integral
+    * (days, cents), the five moments are exact integers, and slope
+    * (one IEEE division) feeds intercept UNROUNDED
+    * (`(Σy − slope·Σx)/n` — round only at the edges), so both
+    * micro-quantized outputs replay. Zero-variance groups (constant
+    * x) are excluded — no slope exists. Returns
+    * (group, n, slope_micros, intercept_micros). */
+  def groupRegression(df: DataFrame, groupCol: String, xExpr: Column,
+      yExpr: Column): DataFrame = {
+    val withCols = df.select(col(groupCol),
+        xExpr.cast("long").as("__x"), yExpr.cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val m = withCols.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("__n"),
+      sum(col("__x").cast("decimal(38,0)")).as("__sx"),
+      sum(col("__y").cast("decimal(38,0)")).as("__sy"),
+      sum(col("__x").cast("decimal(38,0)") * col("__y")).as("__sxy"),
+      sum(col("__x").cast("decimal(38,0)") * col("__x")).as("__sxx"))
+    val varNum = (col("__n").cast("decimal(38,0)") * col("__sxx") -
+      col("__sx") * col("__sx"))
+    val covNum = (col("__n").cast("decimal(38,0)") * col("__sxy") -
+      col("__sx") * col("__sy"))
+    m.filter(varNum > 0)
+      .withColumn("__slope", covNum.cast("double") / varNum.cast("double"))
+      .select(col(groupCol), col("__n").cast("bigint").as("n"),
+        round(col("__slope") * 1e6).cast("long").as("slope_micros"),
+        round((col("__sy").cast("double") -
+          col("__slope") * col("__sx").cast("double")) /
+          col("__n").cast("double") * 1e6).cast("long")
+          .as("intercept_micros"))
+  }
+
   /** Two-proportion z-test + sample-ratio-mismatch check — the A/B
     * readout that pairs with [[cuped]] (CUPED shrinks the variance;
     * this tests the binary metric): pooled-variance z for

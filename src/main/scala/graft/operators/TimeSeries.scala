@@ -144,4 +144,38 @@ object TimeSeries {
             abs(col(valueCol) - col("baseline_mean")) >
               col("baseline_std") * threshold))
   }
+
+  /** Seasonality profile — per calendar-bucket load factors (the
+    * capacity-planning / alerting-baseline table: "is 3am traffic
+    * really 0.2× average?"): bucket every event by hour-of-day,
+    * day-of-week or month, report exact counts and `load_ppm` =
+    * `n · nBuckets · 10⁶ div total` (10⁶ = exactly average load; the
+    * complete grid includes silent buckets — a missing 4am row reads
+    * as no-data, a 0-count row reads as dead air). Integer-exact
+    * throughout. DOW uses SPARK's convention (1 = Sunday) — an oracle
+    * must adapt its own (DuckDB counts 0 = Sunday). One row-scale
+    * hash-agg to the grid. */
+  def seasonalityProfile(df: DataFrame, tsExpr: Column,
+      unit: String = "hour"): DataFrame = {
+    val (bucketExpr, lo, n) = unit match {
+      case "hour" => (hour(tsExpr), 0L, 24L)
+      case "dow" => (dayofweek(tsExpr), 1L, 7L)
+      case "month" => (month(tsExpr), 1L, 12L)
+      case other => throw new IllegalArgumentException(
+        s"unit must be hour|dow|month (got $other)")
+    }
+    val counts = df.select(bucketExpr.cast("long").as("bucket"))
+      .filter(col("bucket").isNotNull)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val grid = df.sparkSession.range(lo, lo + n)
+      .select(col("id").as("bucket"))
+    val total = counts.agg(sum(col("n")).as("__t"))
+    grid.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("n"), lit(0L)).as("n"))
+      .crossJoin(broadcast(total)) // 1-row total
+      .select(col("bucket"), col("n").cast("bigint").as("n"),
+        expr(s"CAST(n AS DECIMAL(38,0)) * $n * 1000000 div __t")
+          .cast("long").as("load_ppm"))
+      .orderBy(col("bucket"))
+  }
 }

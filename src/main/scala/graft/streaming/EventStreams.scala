@@ -314,6 +314,62 @@ object EventStreams extends Serializable {
     }
   }
 
+  /** Growth accounting — the canonical product-analytics monthly
+    * decomposition (every MAU curve should be read this way): each
+    * (user, active-month) classifies as NEW (first month ever),
+    * RETAINED (also active the previous month) or RESURRECTED (active
+    * before, but not last month); CHURNED for month m counts users
+    * active in m−1 but not m (attributed to the month the user went
+    * dark, the standard convention — the final data month therefore
+    * shows no churn from itself). Identity: MAU(m) = new + retained +
+    * resurrected, and retained(m) = MAU(m−1) − churned(m).
+    *
+    * Exact by construction — calendar-month truncation and
+    * `add_months` comparisons only, no epoch arithmetic — so the
+    * table replays on any engine. Scale: one row-scale distinct to
+    * (user, month) pairs (MAU-scale from there), one user-keyed
+    * window for lag/lead, month-grid output. */
+  def growthAccounting(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val um = events.select(col(userCol).as("u"),
+        date_trunc("month", col(tsCol)).cast("date").as("m"))
+      .distinct()
+    val w = Window.partitionBy(col("u")).orderBy(col("m"))
+    val lagged = um
+      .withColumn("__prev", lag(col("m"), 1).over(w))
+      .withColumn("__next", lead(col("m"), 1).over(w))
+    val active = lagged.withColumn("__status",
+      when(col("__prev").isNull, lit("new"))
+        .when(add_months(col("__prev"), 1) === col("m"), lit("retained"))
+        .otherwise(lit("resurrected")))
+    val maxMonth = um.agg(max(col("m")).as("__maxm"))
+    // a user churns in m+1 when m+1 is inside the data range and the
+    // next activity is not m+1
+    val churn = lagged.crossJoin(broadcast(maxMonth)) // 1-row horizon
+      .filter(add_months(col("m"), 1) <= col("__maxm") &&
+        (col("__next").isNull || col("__next") =!= add_months(col("m"), 1)))
+      .select(add_months(col("m"), 1).as("m"))
+      .groupBy(col("m")).agg(count(lit(1)).as("n_churned"))
+    // FULL outer: a month can have churn but zero actives (everyone
+    // went dark) — dropping that row would hide the worst month
+    active.groupBy(col("m"))
+      .agg(sum(when(col("__status") === "new", 1L).otherwise(0L))
+          .cast("bigint").as("n_new"),
+        sum(when(col("__status") === "retained", 1L).otherwise(0L))
+          .cast("bigint").as("n_retained"),
+        sum(when(col("__status") === "resurrected", 1L).otherwise(0L))
+          .cast("bigint").as("n_resurrected"))
+      .join(churn, Seq("m"), "full")
+      .select(col("m").as("month"),
+        coalesce(col("n_new"), lit(0L)).cast("bigint").as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).cast("bigint").as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).cast("bigint")
+          .as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).cast("bigint").as("n_churned"))
+      .orderBy(col("month"))
+  }
+
   /** Time-bounded funnel — [[funnel]] with the completion DEADLINE
     * real funnel products enforce: every later stage must land within
     * `windowSeconds` of the user's FIRST stage-1 event (entry-anchored

@@ -96,6 +96,21 @@ class FeaturesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("groupRegression: exact line recovered per group; constant-x group excluded") {
+    // group a: y = 3x + 40 exactly; group b: y = -2x + 7;
+    // group c: constant x -> no slope, excluded
+    val rows = (0L to 10L).map(x => ("a", x, 3 * x + 40)) ++
+      (0L to 10L).map(x => ("b", x, -2 * x + 7)) ++
+      Seq(("c", 5L, 1L), ("c", 5L, 9L))
+    val got = Features.groupRegression(rows.toDF("g", "x", "y"),
+        "g", col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("a") == ((11L, 3000000L, 40000000L)), got.toString)
+    assert(got("b") == ((11L, -2000000L, 7000000L)))
+    assert(!got.contains("c"))
+  }
+
   test("twoProportionZTest: closed-form z, SRM statistic, degenerate inputs empty") {
     def build(nt: Int, st: Int, nc: Int, sc: Int) =
       ((1 to nt).map(i => (true, i <= st)) ++

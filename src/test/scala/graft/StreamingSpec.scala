@@ -600,6 +600,29 @@ class StreamingSpec extends SparkSpec {
     assert(models.forall(_ == 3000000L), models.toString) // 3 attributed convs
   }
 
+  test("growthAccounting: new/retained/resurrected/churned closed form; zero-active churn month survives") {
+    def ts(month: Int, day: Int) =
+      new Timestamp(java.sql.Timestamp.valueOf(
+        f"2024-$month%02d-$day%02d 10:00:00").getTime)
+    // u1: Jan, Feb, Apr (two events in Jan — months dedupe);
+    // u2: Feb only. March has ZERO actives but TWO churners.
+    val events = Seq(
+      (1L, ts(1, 5), 1L, "view", 1.0), (2L, ts(1, 20), 1L, "click", 1.0),
+      (3L, ts(2, 5), 1L, "view", 1.0), (4L, ts(4, 5), 1L, "view", 1.0),
+      (5L, ts(2, 10), 2L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventStreams.growthAccounting(events)
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      "2024-01-01" -> ((1L, 0L, 0L, 0L)),
+      "2024-02-01" -> ((1L, 1L, 0L, 0L)),
+      "2024-03-01" -> ((0L, 0L, 0L, 2L)), // the zero-active churn month
+      "2024-04-01" -> ((0L, 0L, 1L, 0L))), got.toString)
+    // MAU identity: new + retained + resurrected = distinct actives
+    assert(got.values.map(v => v._1 + v._2 + v._3).sum == 4L)
+  }
+
   test("funnelWindowed: the entry-anchored deadline cuts slow completions the unbounded chain keeps") {
     val t0 = 1700000000000L
     def ev(id: Long, minute: Long, user: Long, typ: String) =

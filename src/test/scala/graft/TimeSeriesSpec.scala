@@ -105,4 +105,28 @@ class TimeSeriesSpec extends SparkSpec {
       assert(out(("A", i.toLong))._2 < 3 && !out(("A", i.toLong))._1)
     }
   }
+
+  test("seasonalityProfile: complete grid, conservation, integer load factors, unit guard") {
+    import org.apache.spark.sql.functions.col
+    // 12 events at hour 9, 6 at hour 21, nothing else: total 18
+    val rows = (Seq.fill(12)("2024-03-01 09:15:00") ++
+      Seq.fill(6)("2024-03-01 21:40:00"))
+      .map(java.sql.Timestamp.valueOf)
+    val df = rows.map(Tuple1(_)).toDF("ts")
+    val got = TimeSeries.seasonalityProfile(df, col("ts"), "hour")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got.size == 24)                      // grid complete
+    assert(got(9L) == ((12L, 12L * 24 * 1000000L / 18L)))
+    assert(got(21L) == ((6L, 6L * 24 * 1000000L / 18L)))
+    assert(got(3L) == ((0L, 0L)))               // silent bucket explicit
+    assert(got.values.map(_._1).sum == 18L)     // conservation
+    intercept[IllegalArgumentException] {
+      TimeSeries.seasonalityProfile(df, col("ts"), "fortnight")
+    }
+    // dow grid is 1..7 (Spark convention)
+    val dow = TimeSeries.seasonalityProfile(df, col("ts"), "dow")
+      .collect().map(_.getLong(0))
+    assert(dow.toSeq == (1L to 7L))
+  }
 }
