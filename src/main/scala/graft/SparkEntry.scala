@@ -101,7 +101,8 @@ object SparkEntry {
     "merge_survivorship", "evt_attribution_replay",
     "feat_spearman", "ab_ztest", "text_bm25_batch",
     "evt_funnel_windowed", "graph_closeness", "growth_accounting",
-    "ts_seasonality", "feat_group_regression",
+    "ts_seasonality", "feat_group_regression", "dq_wasserstein",
+    "cohort_ltv", "graph_assortativity",
     // round-10 additions (no artifact yet)
     "mm_decode_video_frames", "catalog_persistent_roundtrip",
     "evt_dedup_replay", "dedup_minhash_incremental_gate",
@@ -356,7 +357,8 @@ object SparkEntry {
     "feat_percentile_buckets_window", "feat_target_encode",
     "pipeline_feature_matrix",
     "dq_invalid_codes", "dq_expectations", "dq_profile", "dq_outliers",
-    "dq_outliers_mad", "dq_psi", "dq_woe", "dq_benford", "feat_cuped",
+    "dq_outliers_mad", "dq_psi", "dq_wasserstein", "dq_woe", "dq_benford",
+    "feat_cuped",
     "dq_winsorize", "dq_ks", "feat_auc", "feat_gains", "dq_chi2",
     "dq_k_anonymity", "feat_spearman", "ab_ztest",
     "dq_histogram",
@@ -368,7 +370,8 @@ object SparkEntry {
     "evt_funnel", "evt_funnel_windowed", "evt_retention",
     "evt_transitions", "evt_attribution",
     "ts_resample_ffill", "ts_interpolate", "ts_anomaly", "ts_seasonality",
-    "growth_accounting", "feat_group_regression", "evt_top_paths",
+    "growth_accounting", "cohort_ltv", "feat_group_regression",
+    "evt_top_paths",
     "agg_corr_regr",
     "text_stats", "text_quality", "text_term_freq", "text_lang_dist",
     "text_langid", "text_token_counts", "text_quality_score", "text_entities",
@@ -385,7 +388,8 @@ object SparkEntry {
     "graph_local_triangles", "graph_shortest_paths", "graph_closeness",
     "graph_cooccurrence",
     "graph_weighted_paths", "graph_label_prop", "graph_modularity",
-    "graph_louvain", "graph_assoc_rules", "dedup_containment",
+    "graph_louvain", "graph_assortativity", "graph_assoc_rules",
+    "dedup_containment",
     "text_gopher_rules", "text_collocations", "agg_salted_collect",
     "pipeline_clean_corpus", "pipeline_curation", "pipeline_tokenize_pack",
     "sketch_freq_items",
@@ -5345,6 +5349,36 @@ object SparkEntry {
         .orderBy($"user_id")
     }),
 
+    "dq_wasserstein" -> ((s, dir) => {
+      import s.implicits._
+      // Binned W1 (earth-mover) distance between click and purchase
+      // value distributions — same grid as dq_psi, but the answer is
+      // in the value's own units ("the distribution moved X cents");
+      // no per-term rounding, one division from exact integers.
+      val ev = Tables.events(s, dir)
+      Quality.wassersteinBinned(
+        ev.filter($"event_type" === "click"),
+        ev.filter($"event_type" === "purchase"),
+        round($"value" * 100), lo = 0L, width = 1000L, nBuckets = 10)
+    }),
+
+    "cohort_ltv" -> ((s, dir) => {
+      import s.implicits._
+      // Cohort revenue triangle over customers' order months: rows =
+      // one cohort's lifetime curve, diagonals = calendar months —
+      // calendar-integer ages, exact cents.
+      EventStreams.cohortRevenue(Tables.orders(s, dir), "o_custkey",
+        "o_orderdate", round($"o_totalprice" * 100))
+    }),
+
+    "graph_assortativity" -> ((s, dir) => {
+      import s.implicits._
+      // Degree assortativity of the part co-order graph: Pearson over
+      // endpoint degrees of the symmetrized edge list, exact DECIMAL
+      // moments, one num/(sqrt*sqrt) tree. One row.
+      Graph.assortativity(partCoOrderPairs(s, dir), "a", "b")
+    }),
+
     "growth_accounting" -> ((s, dir) => {
       import s.implicits._
       // Monthly growth accounting of customers by order activity over
@@ -7122,6 +7156,74 @@ object SparkEntry {
         |    PARTITION BY event_type ORDER BY b
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_ffill
         |FROM j ORDER BY event_type, b""".stripMargin,
+
+    // cumulative gaps summed as exact integers, ONE division, then
+    // width/micro scaling — no per-term rounding anywhere
+    "dq_wasserstein" ->
+      """WITH ca AS (
+        |  SELECT CASE WHEN v IS NULL THEN -1
+        |    ELSE least(greatest(v // 1000, 0), 9) END AS bucket,
+        |    count(*) AS n_a
+        |  FROM (SELECT CAST(round(value * 100) AS BIGINT) AS v
+        |        FROM events WHERE event_type = 'click') GROUP BY 1),
+        |cb AS (
+        |  SELECT CASE WHEN v IS NULL THEN -1
+        |    ELSE least(greatest(v // 1000, 0), 9) END AS bucket,
+        |    count(*) AS n_b
+        |  FROM (SELECT CAST(round(value * 100) AS BIGINT) AS v
+        |        FROM events WHERE event_type = 'purchase') GROUP BY 1),
+        |g AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(0, 10)),
+        |j AS (SELECT g.bucket, coalesce(ca.n_a, 0) AS n_a,
+        |    coalesce(cb.n_b, 0) AS n_b
+        |  FROM g LEFT JOIN ca USING (bucket) LEFT JOIN cb USING (bucket)),
+        |c AS (SELECT bucket, n_a, n_b,
+        |    sum(n_a) OVER (ORDER BY bucket) AS cuma,
+        |    sum(n_b) OVER (ORDER BY bucket) AS cumb FROM j),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+        |    CAST(sum(n_b) AS BIGINT) AS tb FROM j)
+        |SELECT t.ta AS n_a, t.tb AS n_b,
+        |  CAST(round(CAST(sum(abs(cuma * t.tb - cumb * t.ta)) AS DOUBLE)
+        |    / CAST(CAST(t.ta AS HUGEINT) * t.tb AS DOUBLE)
+        |    * 1000 * 1000000) AS BIGINT) AS w1_micros
+        |FROM c, t GROUP BY t.ta, t.tb""".stripMargin,
+
+    // calendar-integer ages; exact cents
+    "cohort_ltv" ->
+      """WITH um AS (SELECT o_custkey AS u,
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |c AS (SELECT u, min(m) AS c FROM um GROUP BY 1)
+        |SELECT c.c AS cohort_month,
+        |  CAST((year(um.m) * 12 + month(um.m))
+        |    - (year(c.c) * 12 + month(c.c)) AS INT) AS age_months,
+        |  CAST(count(*) AS BIGINT) AS n_active,
+        |  CAST(sum(um.rev) AS BIGINT) AS revenue
+        |FROM um JOIN c USING (u) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Pearson over endpoint degrees; HUGEINT moments mirror DECIMAL
+    "graph_assortativity" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |   AND l1.l_partkey < l2.l_partkey
+        |  WHERE l1.l_orderkey % 4 = 0),
+        |e AS MATERIALIZED (SELECT a AS u, b AS v FROM p
+        |  UNION SELECT b AS u, a AS v FROM p),
+        |deg AS (SELECT u AS id, count(*) AS deg FROM e GROUP BY 1),
+        |xy AS (SELECT dx.deg AS x, dy.deg AS y FROM e
+        |  JOIN deg dx ON e.u = dx.id JOIN deg dy ON e.v = dy.id),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,
+        |    sum(y * y) AS syy FROM xy)
+        |SELECT n AS n_edges,
+        |  CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+        |    * 1000000) AS BIGINT) AS r_micros
+        |FROM m""".stripMargin,
 
     // calendar-month lag/lead classification; churn joined onto the
     // active grid — all date arithmetic, no epoch math

@@ -678,6 +678,46 @@ object Graph {
     settled
   }
 
+  /** Degree assortativity — Pearson correlation of endpoint degrees
+    * over the directed edge list (Newman 2002): positive ⇒ hubs link
+    * hubs (social graphs), negative ⇒ hubs link leaves (the web,
+    * biology), ~0 ⇒ neutral wiring. One number that says what KIND of
+    * graph this is — the sanity check before trusting any sampled or
+    * synthetic graph. Exact: degrees are integers, the five Pearson
+    * moments are DECIMAL-exact over the symmetrized edge list, and r
+    * is one mirrored `num / (√a·√b)` tree. Returns one row
+    * (n_edges = directed count = 2m, r_micros); degree-regular
+    * graphs (zero variance) return empty. Scale: one degree hash-agg
+    * + two long-keyed joins + one 1-row aggregate. */
+  def assortativity(edges: DataFrame, srcCol: String = "id_a",
+      dstCol: String = "id_b"): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+    val deg = e.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    val xy = e
+      .join(deg.select(col("id").as("u"), col("deg").as("__x")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("__y")), "v")
+    val m = xy.agg(count(lit(1)).as("__n"),
+      sum(col("__x").cast("decimal(38,0)")).as("__sx"),
+      sum(col("__y").cast("decimal(38,0)")).as("__sy"),
+      sum(col("__x").cast("decimal(38,0)") * col("__y")).as("__sxy"),
+      sum(col("__x").cast("decimal(38,0)") * col("__x")).as("__sxx"),
+      sum(col("__y").cast("decimal(38,0)") * col("__y")).as("__syy"))
+    val a = (col("__n").cast("decimal(38,0)") * col("__sxx") -
+      col("__sx") * col("__sx"))
+    val b = (col("__n").cast("decimal(38,0)") * col("__syy") -
+      col("__sy") * col("__sy"))
+    m.filter(a > 0 && b > 0)
+      .select(col("__n").cast("bigint").as("n_edges"),
+        round((col("__n").cast("decimal(38,0)") * col("__sxy") -
+            col("__sx") * col("__sy")).cast("double") /
+          (sqrt(a.cast("double")) * sqrt(b.cast("double"))) * 1e6)
+          .cast("long").as("r_micros"))
+  }
+
   /** Per-seed closeness centrality, hop-bounded — "how central are
     * THESE vertices" for a designated panel (hub candidates, new
     * content, suspected spam nodes): for each seed, BFS to `maxHops`

@@ -438,6 +438,54 @@ object Quality {
       .orderBy(col("digit"))
   }
 
+  /** Binned Wasserstein-1 (earth-mover) distance between two samples
+    * — the drift METRIC the PSI/KS pair lacks: PSI scores
+    * log-likelihood surprise and KS the worst single gap, but neither
+    * says "the distribution moved ~$12 to the right"; W1 does, in the
+    * VALUE's own units. Over [[bucketCounts]]'s exact integer grid,
+    * `W1 = width · Σ_b |CumA_b/n_a − CumB_b/n_b|` — the cumulative
+    * difference is the exact integer `|CumA_b·n_b − CumB_b·n_a|`
+    * summed in DECIMAL, then ONE IEEE division by n_a·n_b and the
+    * width/micro scaling: no per-term rounding at all, the whole
+    * statistic replays from integers. NULLs are excluded (no position
+    * on the value axis ⇒ no transport cost; [[psiReport]] is the
+    * screen that charges for NULL drift). Returns one row
+    * (n_a, n_b, w1_micros) — micro-units OF THE VALUE COLUMN.
+    * Grid-sized compute after two narrow scans. */
+  def wassersteinBinned(a: DataFrame, b: DataFrame, valueExpr: Column,
+      lo: Long, width: Long, nBuckets: Int): DataFrame = {
+    require(width > 0 && nBuckets > 0, "width and nBuckets must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val ca = bucketCounts(a, valueExpr, lo, width, nBuckets, "n_a")
+      .filter(col("bucket") >= 0L)
+    val cb = bucketCounts(b, valueExpr, lo, width, nBuckets, "n_b")
+      .filter(col("bucket") >= 0L)
+    val grid = a.sparkSession.range(0L, nBuckets.toLong)
+      .select(col("id").as("bucket"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid
+      .join(ca, Seq("bucket"), "left")
+      .join(cb, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .withColumn("__cuma", sum(col("n_a")).over(w)) // nBuckets rows
+      .withColumn("__cumb", sum(col("n_b")).over(w))
+    val tot = cum.agg(sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"))
+    cum.crossJoin(broadcast(tot)) // 1-row totals
+      .select(abs(col("__cuma").cast("decimal(38,0)") * col("__tb") -
+        col("__cumb").cast("decimal(38,0)") * col("__ta")).as("__d"),
+        col("__ta"), col("__tb"))
+      .groupBy(col("__ta"), col("__tb"))
+      .agg(sum(col("__d")).as("__sd"))
+      .filter(col("__ta") > 0L && col("__tb") > 0L)
+      .select(col("__ta").cast("bigint").as("n_a"),
+        col("__tb").cast("bigint").as("n_b"),
+        round(col("__sd").cast("double") /
+          (col("__ta").cast("decimal(38,0)") * col("__tb")).cast("double")
+          * width * 1e6).cast("long").as("w1_micros"))
+  }
+
   /** Exact per-group mode (most frequent value) with a deterministic
     * smallest-value tie-break — the categorical "typical value" the
     * profile/imputation family lacked (median covers numerics;

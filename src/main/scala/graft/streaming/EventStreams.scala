@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -368,6 +368,34 @@ object EventStreams extends Serializable {
           .as("n_resurrected"),
         coalesce(col("n_churned"), lit(0L)).cast("bigint").as("n_churned"))
       .orderBy(col("month"))
+  }
+
+  /** Cohort revenue triangle — the LTV table next to
+    * [[growthAccounting]]'s flow decomposition: users cohort by their
+    * FIRST active month; every later active month contributes at
+    * `age = months since cohort`; the (cohort, age) cell reports
+    * distinct actives and summed integer revenue. Reading a row
+    * across is one cohort's lifetime curve; reading a diagonal is a
+    * calendar month. Month age is computed as `year·12 + month`
+    * differences — pure calendar integers, engine-exact. Scale: one
+    * row-scale pass to (user, month, cents), a user-keyed min for the
+    * cohort, one (cohort, age) hash-agg. */
+  def cohortRevenue(events: DataFrame, userCol: String, tsCol: String,
+      revenueExpr: Column): DataFrame = {
+    val um = events.select(col(userCol).as("u"),
+        date_trunc("month", col(tsCol)).cast("date").as("m"),
+        revenueExpr.cast("long").as("__r"))
+      .groupBy(col("u"), col("m"))
+      .agg(sum(col("__r")).as("__rev"))
+    val cohorts = um.groupBy(col("u")).agg(min(col("m")).as("__c"))
+    um.join(cohorts, "u")
+      .withColumn("age_months",
+        (year(col("m")) * 12 + month(col("m"))) -
+          (year(col("__c")) * 12 + month(col("__c"))))
+      .groupBy(col("__c").as("cohort_month"), col("age_months"))
+      .agg(count(lit(1)).cast("bigint").as("n_active"),
+        sum(col("__rev")).cast("bigint").as("revenue"))
+      .orderBy(col("cohort_month"), col("age_months"))
   }
 
   /** Time-bounded funnel — [[funnel]] with the completion DEADLINE

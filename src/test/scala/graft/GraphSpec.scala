@@ -477,6 +477,21 @@ class GraphSpec extends SparkSpec {
     assert(ex.getMessage.contains("non-negative"))
   }
 
+  test("assortativity: star = -1, regular graph empty, mixed graph in range") {
+    // star K1,3: every edge joins degree 3 to degree 1 -> r = -1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
+    val r = Graph.assortativity(star).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((6L, -1000000L)), r.toString)
+    // triangle: degree-regular -> zero variance -> empty
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    assert(Graph.assortativity(tri).collect().isEmpty)
+    // a mixed graph scores in [-1, 1]
+    val mixed = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("id_a", "id_b")
+    val rm = Graph.assortativity(mixed).collect().head.getLong(1)
+    assert(rm >= -1000000L && rm <= 1000000L)
+  }
+
   test("closenessFromSeeds: path-graph closed form, hop bound, unreachable seeds, seed cap") {
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
     def run(seeds: Seq[Long], hops: Int) =

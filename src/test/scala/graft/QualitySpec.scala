@@ -350,6 +350,25 @@ class QualitySpec extends SparkSpec {
     assert(out.filter(_._1 == "h").forall(!_._3))
   }
 
+  test("wassersteinBinned: zero on identical, exact one-bucket shift, NULLs costless") {
+    import org.apache.spark.sql.functions.col
+    def buckets(bs: Seq[Int]) = bs.map(b => b * 10 + 1).toDF("v")
+    val a = buckets(Seq.tabulate(40)(_ % 4))        // uniform 0..3
+    val b = buckets(Seq.tabulate(40)(i => i % 4 + 1)) // shifted +1 bucket
+    val shifted = Quality.wassersteinBinned(a, b, col("v"),
+      lo = 0L, width = 10L, nBuckets = 8).collect().head
+    // every one of 40 units moved exactly one bucket: W1 = width
+    assert((shifted.getLong(0), shifted.getLong(1), shifted.getLong(2)) ==
+      ((40L, 40L, 10000000L)), shifted.toString)
+    // identical samples: zero transport
+    assert(Quality.wassersteinBinned(a, a, col("v"),
+      0L, 10L, 8).collect().head.getLong(2) == 0L)
+    // NULL values carry no transport cost (and don't count in n)
+    val withNull = a.union(Seq.fill(5)(Option.empty[Int]).toDF("v"))
+    assert(Quality.wassersteinBinned(withNull, a, col("v"),
+      0L, 10L, 8).collect().head.getLong(0) == 40L)
+  }
+
   test("modePerGroup: argmax with smallest-value ties; NULLs excluded") {
     import org.apache.spark.sql.functions.col
     val df = Seq(("g", Option("b")), ("g", Option("b")), ("g", Option("a")),

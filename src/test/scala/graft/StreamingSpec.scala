@@ -623,6 +623,26 @@ class StreamingSpec extends SparkSpec {
     assert(got.values.map(v => v._1 + v._2 + v._3).sum == 4L)
   }
 
+  test("cohortRevenue: triangle closed form — rows are lifetime curves, ages are calendar months") {
+    def ts(month: Int) = new Timestamp(java.sql.Timestamp.valueOf(
+      f"2024-$month%02d-10 09:00:00").getTime)
+    // u1 cohort Jan: revenue 100 (Jan), 50 (Mar — age 2);
+    // u2 cohort Jan: 30 (Jan); u3 cohort Mar: 70 (Mar)
+    val events = Seq(
+      (1L, ts(1), 1L, "purchase", 1.00), (2L, ts(3), 1L, "purchase", 0.50),
+      (3L, ts(1), 2L, "purchase", 0.30), (4L, ts(3), 3L, "purchase", 0.70))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventStreams.cohortRevenue(events, "user_id", "ts",
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("value") * 100))
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      ("2024-01-01", 0) -> ((2L, 130L)),
+      ("2024-01-01", 2) -> ((1L, 50L)),
+      ("2024-03-01", 0) -> ((1L, 70L))), got.toString)
+  }
+
   test("funnelWindowed: the entry-anchored deadline cuts slow completions the unbounded chain keeps") {
     val t0 = 1700000000000L
     def ev(id: Long, minute: Long, user: Long, typ: String) =
