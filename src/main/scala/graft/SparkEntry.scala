@@ -102,7 +102,7 @@ object SparkEntry {
     "feat_spearman", "ab_ztest", "text_bm25_batch",
     "evt_funnel_windowed", "graph_closeness", "growth_accounting",
     "ts_seasonality", "feat_group_regression", "dq_wasserstein",
-    "cohort_ltv", "graph_assortativity",
+    "cohort_ltv", "graph_assortativity", "evt_interarrival",
     // round-10 additions (no artifact yet)
     "mm_decode_video_frames", "catalog_persistent_roundtrip",
     "evt_dedup_replay", "dedup_minhash_incremental_gate",
@@ -371,7 +371,7 @@ object SparkEntry {
     "evt_transitions", "evt_attribution",
     "ts_resample_ffill", "ts_interpolate", "ts_anomaly", "ts_seasonality",
     "growth_accounting", "cohort_ltv", "feat_group_regression",
-    "evt_top_paths",
+    "evt_interarrival", "evt_top_paths",
     "agg_corr_regr",
     "text_stats", "text_quality", "text_term_freq", "text_lang_dist",
     "text_langid", "text_token_counts", "text_quality_score", "text_entities",
@@ -5389,6 +5389,29 @@ object SparkEntry {
         "o_custkey", "o_orderdate")
     }),
 
+    "evt_interarrival" -> ((s, dir) => {
+      import s.implicits._
+      // Per-type user cadence: inter-arrival gaps within each user's
+      // stream of one event type (user-keyed window — parallel), then
+      // per-type exact rank statistics of the gap in whole seconds
+      // (percentile_disc = actual data values, engine-exact).
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts", $"event_id")
+      val gaps = Tables.events(s, dir)
+        .withColumn("__prev", lag($"ts", 1).over(w))
+        .filter($"__prev".isNotNull)
+        .select($"event_type",
+          (unix_timestamp($"ts") - unix_timestamp($"__prev")).as("gap_s"))
+      gaps.groupBy($"event_type")
+        .agg(count(lit(1)).cast("bigint").as("n_gaps"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_s)")
+            .cast("bigint").as("median_gap_s"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_s)")
+            .cast("bigint").as("p90_gap_s"))
+        .orderBy($"event_type")
+    }),
+
     "ts_seasonality" -> ((s, dir) => {
       import s.implicits._
       // Hour-of-day load profile with a complete 24-bucket grid:
@@ -7259,6 +7282,22 @@ object SparkEntry {
         |  CAST(coalesce(n_resurrected, 0) AS BIGINT) AS n_resurrected,
         |  CAST(coalesce(ch.n_churned, 0) AS BIGINT) AS n_churned
         |FROM a FULL JOIN ch ON ch.m = a.m ORDER BY month""".stripMargin,
+
+    // (ts, event_id) gap order is total; quantile_disc == Spark's
+    // percentile_disc on integer seconds
+    "evt_interarrival" ->
+      """WITH g AS (SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      - CAST(floor(epoch(lag(ts) OVER (
+        |        PARTITION BY user_id, event_type
+        |        ORDER BY ts, event_id))) AS BIGINT) AS gap_s
+        |  FROM events),
+        |f AS (SELECT event_type, CAST(gap_s AS BIGINT) AS gap_s
+        |  FROM g WHERE gap_s IS NOT NULL)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  CAST(quantile_disc(gap_s, 0.5) AS BIGINT) AS median_gap_s,
+        |  CAST(quantile_disc(gap_s, 0.9) AS BIGINT) AS p90_gap_s
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // complete 24-bucket grid; integer-div load factors
     "ts_seasonality" ->
