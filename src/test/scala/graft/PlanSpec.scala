@@ -637,6 +637,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("graph_louvain / link_fs_scores / merge_survivorship: equi-joins only, no cartesians") {
+    for (name <- Seq("graph_louvain", "link_fs_scores",
+        "merge_survivorship")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      val bnl = p.linesIterator.count(_.matches(
+        "\\(\\d+\\) BroadcastNestedLoopJoin.*"))
+      assert(bnl == 0, s"$name has $bnl nested loops:\n$p")
+    }
+    // survivorship: ALL fields resolve in ONE window pass — exactly
+    // one Window operator (plus the final presentation sort)
+    val sv = plan("merge_survivorship")
+    val windows = sv.linesIterator.count(_.matches("\\(\\d+\\) Window.*"))
+    assert(windows == 1, s"expected one window pass:\n$sv")
+  }
+
   test("graph_modularity: long-keyed equi-joins only; just the 1-row edge total nest-loops") {
     val p = plan("graph_modularity")
     assert(!p.contains("CartesianProduct"), p)
