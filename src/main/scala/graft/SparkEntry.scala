@@ -103,6 +103,7 @@ object SparkEntry {
     "evt_funnel_windowed", "graph_closeness", "growth_accounting",
     "ts_seasonality", "feat_group_regression", "dq_wasserstein",
     "cohort_ltv", "graph_assortativity", "evt_interarrival",
+    "ab_ttest", "text_vocab_stats", "graph_degree_hist",
     // round-10 additions (no artifact yet)
     "mm_decode_video_frames", "catalog_persistent_roundtrip",
     "evt_dedup_replay", "dedup_minhash_incremental_gate",
@@ -360,7 +361,7 @@ object SparkEntry {
     "dq_outliers_mad", "dq_psi", "dq_wasserstein", "dq_woe", "dq_benford",
     "feat_cuped",
     "dq_winsorize", "dq_ks", "feat_auc", "feat_gains", "dq_chi2",
-    "dq_k_anonymity", "feat_spearman", "ab_ztest",
+    "dq_k_anonymity", "feat_spearman", "ab_ztest", "ab_ttest",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -377,7 +378,7 @@ object SparkEntry {
     "text_langid", "text_token_counts", "text_quality_score", "text_entities",
     "text_chunk", "text_redact", "text_repetition",
     "text_unigram_nll", "text_normalize", "text_entropy", "text_keywords",
-    "text_readability", "text_zipf", "bpe_tokenize",
+    "text_readability", "text_zipf", "text_vocab_stats", "bpe_tokenize",
     "unigram_tokenize", "dsir_select",
     "text_bm25", "text_bm25_indexed", "text_bm25_batch",
     "text_rrf_fusion", "text_blocklist",
@@ -388,8 +389,8 @@ object SparkEntry {
     "graph_local_triangles", "graph_shortest_paths", "graph_closeness",
     "graph_cooccurrence",
     "graph_weighted_paths", "graph_label_prop", "graph_modularity",
-    "graph_louvain", "graph_assortativity", "graph_assoc_rules",
-    "dedup_containment",
+    "graph_louvain", "graph_assortativity", "graph_degree_hist",
+    "graph_assoc_rules", "dedup_containment",
     "text_gopher_rules", "text_collocations", "agg_salted_collect",
     "pipeline_clean_corpus", "pipeline_curation", "pipeline_tokenize_pack",
     "sketch_freq_items",
@@ -5371,6 +5372,36 @@ object SparkEntry {
         "o_orderdate", round($"o_totalprice" * 100))
     }),
 
+    "ab_ttest" -> ((s, dir) => {
+      import s.implicits._
+      // Welch t on order cents under a customer-parity split — the
+      // continuous-metric A/B readout (z covers proportions): exact
+      // per-arm moments, mirrored t and Welch-Satterthwaite df.
+      Features.welchTTest(Tables.orders(s, dir),
+        pmod($"o_custkey", lit(2)) === 0, round($"o_totalprice" * 100))
+    }),
+
+    "text_vocab_stats" -> ((s, dir) => {
+      import s.implicits._
+      // One-row corpus health header: token volume, vocabulary size,
+      // hapax share, type-token ratio.
+      TextAnalysis.vocabStats(Tables.documents(s, dir), "text")
+    }),
+
+    "graph_degree_hist" -> ((s, dir) => {
+      import s.implicits._
+      // Degree distribution of the part co-order graph — the shape
+      // check next to assortativity; exact counts per degree.
+      val e0 = partCoOrderPairs(s, dir)
+      val e = e0.select($"a".as("u"), $"b".as("v"))
+        .union(e0.select($"b".as("u"), $"a".as("v")))
+        .distinct()
+      e.groupBy($"u").agg(count(lit(1)).as("deg"))
+        .groupBy($"deg").agg(count(lit(1)).cast("bigint").as("n_vertices"))
+        .select($"deg".cast("bigint").as("deg"), $"n_vertices")
+        .orderBy($"deg")
+    }),
+
     "graph_assortativity" -> ((s, dir) => {
       import s.implicits._
       // Degree assortativity of the part co-order graph: Pearson over
@@ -7224,6 +7255,65 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_active,
         |  CAST(sum(um.rev) AS BIGINT) AS revenue
         |FROM um JOIN c USING (u) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // per-arm HUGEINT moments; t and Welch df through mirrored trees
+    "ab_ttest" ->
+      """WITH c AS (SELECT
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |    sum(CASE WHEN t THEN y ELSE 0 END) AS st,
+        |    sum(CASE WHEN t THEN y * y ELSE 0 END) AS sst,
+        |    CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        |    sum(CASE WHEN NOT t THEN y ELSE 0 END) AS sc,
+        |    sum(CASE WHEN NOT t THEN y * y ELSE 0 END) AS ssc
+        |  FROM (SELECT (o_custkey % 2 = 0) AS t,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS y FROM orders)),
+        |d AS (SELECT *,
+        |    CAST(st AS DOUBLE) / n_t AS mt,
+        |    CAST(sc AS DOUBLE) / n_c AS mc,
+        |    (CAST(n_t * sst - st * st AS DOUBLE)
+        |      / CAST(n_t * (n_t - 1) AS DOUBLE)) / n_t AS se2t,
+        |    (CAST(n_c * ssc - sc * sc AS DOUBLE)
+        |      / CAST(n_c * (n_c - 1) AS DOUBLE)) / n_c AS se2c
+        |  FROM c)
+        |SELECT n_t, n_c,
+        |  CAST(round(mt * 1000000) AS BIGINT) AS mean_t_micros,
+        |  CAST(round(mc * 1000000) AS BIGINT) AS mean_c_micros,
+        |  CAST(round((mt - mc) / sqrt(se2t + se2c) * 1000000) AS BIGINT)
+        |    AS t_micros,
+        |  CAST(round((se2t + se2c) * (se2t + se2c)
+        |    / (se2t * se2t / (CAST(n_t AS DOUBLE) - 1.0)
+        |      + se2c * se2c / (CAST(n_c AS DOUBLE) - 1.0))
+        |    * 1000000) AS BIGINT) AS df_micros
+        |FROM d WHERE n_t > 1 AND n_c > 1 AND se2t + se2c > 0""".stripMargin,
+
+    // integer-exact except the TTR's one division
+    "text_vocab_stats" ->
+      """WITH t0 AS (SELECT unnest(string_split_regex(text, '\s+')) AS tok
+        |  FROM documents),
+        |f AS (SELECT tok, count(*) AS f FROM t0 WHERE tok <> ''
+        |  GROUP BY 1)
+        |SELECT CAST(sum(f) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS hapax_ppm,
+        |  CAST(round(CAST(count(*) AS DOUBLE) / CAST(sum(f) AS DOUBLE)
+        |    * 1000000) AS BIGINT) AS ttr_micros
+        |FROM f""".stripMargin,
+
+    // exact counts per degree over the symmetrized edge list
+    "graph_degree_hist" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |   AND l1.l_partkey < l2.l_partkey
+        |  WHERE l1.l_orderkey % 4 = 0),
+        |e AS (SELECT a AS u, b AS v FROM p
+        |  UNION SELECT b AS u, a AS v FROM p),
+        |deg AS (SELECT u, count(*) AS deg FROM e GROUP BY 1)
+        |SELECT CAST(deg AS BIGINT) AS deg,
+        |  CAST(count(*) AS BIGINT) AS n_vertices
+        |FROM deg GROUP BY deg ORDER BY deg""".stripMargin,
 
     // Pearson over endpoint degrees; HUGEINT moments mirror DECIMAL
     "graph_assortativity" ->

@@ -474,6 +474,26 @@ object TextAnalysis {
         .cast("long").as("slope_micros"))
   }
 
+  /** Corpus vocabulary statistics — the one-row corpus health header
+    * (token volume, vocabulary size, hapax share, type-token ratio):
+    * hapax share near 1 flags OCR noise / id floods, a collapsing TTR
+    * flags template repetition — the cheap companions to [[zipfFit]]'s
+    * slope. All integer-exact except the TTR's single division. */
+  def vocabStats(df: DataFrame, textCol: String): DataFrame = {
+    val tf = df.select(explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+    tf.agg(sum(col("f")).cast("bigint").as("n_tokens"),
+        count(lit(1)).cast("bigint").as("n_types"),
+        sum(when(col("f") === 1L, 1L).otherwise(0L)).as("__hapax"))
+      .select(col("n_tokens"), col("n_types"),
+        expr("CAST(__hapax AS DECIMAL(38,0)) * 1000000 div n_types")
+          .cast("long").as("hapax_ppm"),
+        round(col("n_types").cast("double") /
+          col("n_tokens").cast("double") * 1e6).cast("long")
+          .as("ttr_micros"))
+  }
+
   /** Per-document keyword extraction — top-k terms by TF·IDF in
     * integer micro-units (the summarization/tagging primitive next to
     * [[bm25Search]]'s retrieval): `score = tf · ln((N+1)/(df+1))`

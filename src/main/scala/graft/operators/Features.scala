@@ -149,6 +149,64 @@ object Features {
           .cast("long").as("srm_chi2_micros"))
   }
 
+  /** Welch's unequal-variance t-test — the continuous-metric A/B
+    * readout next to [[twoProportionZTest]]'s binary one (Welch, not
+    * Student: arm variances are never equal in practice and the
+    * pooled test silently miscalibrates): per-arm exact integer
+    * moments (the [[cuped]] integral contract — cents in, nothing
+    * accumulates as a double), then mean, sample variance
+    * `(n·SS − S²)/(n·(n−1))`, the t statistic and the
+    * Welch–Satterthwaite degrees of freedom through one mirrored
+    * IEEE tree each, micro-quantized. Returns one row (n_t, n_c,
+    * mean_t_micros, mean_c_micros, t_micros, df_micros); degenerate
+    * inputs (an arm with < 2 units, or both variances zero) return
+    * empty. ONE aggregate pass; nothing shuffles. */
+  def welchTTest(df: DataFrame, treatmentExpr: Column,
+      metricExpr: Column): DataFrame = {
+    val c = df.select(treatmentExpr.as("__t"),
+        metricExpr.cast("long").as("__y"))
+      .filter(col("__t").isNotNull && col("__y").isNotNull)
+      .agg(
+        sum(when(col("__t"), 1L).otherwise(0L)).as("n_t"),
+        // cast INSIDE the sum: a long accumulator would overflow at
+        // petabyte row counts before the cast ever ran
+        sum(when(col("__t"), col("__y")).otherwise(0L)
+          .cast("decimal(38,0)")).as("__st"),
+        sum(when(col("__t"),
+          col("__y").cast("decimal(38,0)") * col("__y")).otherwise(
+          lit(0).cast("decimal(38,0)"))).as("__sst"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(!col("__t"), col("__y")).otherwise(0L)
+          .cast("decimal(38,0)")).as("__sc"),
+        sum(when(!col("__t"),
+          col("__y").cast("decimal(38,0)") * col("__y")).otherwise(
+          lit(0).cast("decimal(38,0)"))).as("__ssc"))
+    def mean(s: Column, n: Column) = s.cast("double") / n.cast("double")
+    def variance(n: Column, s: Column, ss: Column) =
+      (n.cast("decimal(38,0)") * ss - s * s).cast("double") /
+        (n.cast("decimal(38,0)") * (n - 1)).cast("double")
+    val vt = variance(col("n_t"), col("__st"), col("__sst"))
+    val vc = variance(col("n_c"), col("__sc"), col("__ssc"))
+    val se2t = vt / col("n_t").cast("double")
+    val se2c = vc / col("n_c").cast("double")
+    val t = (mean(col("__st"), col("n_t")) - mean(col("__sc"), col("n_c"))) /
+      sqrt(se2t + se2c)
+    val dfW = (se2t + se2c) * (se2t + se2c) /
+      (se2t * se2t / (col("n_t").cast("double") - 1.0) +
+        se2c * se2c / (col("n_c").cast("double") - 1.0))
+    c.filter(col("n_t") > 1L && col("n_c") > 1L)
+      .withColumn("__se2", se2t + se2c)
+      .filter(col("__se2") > 0.0)
+      .select(col("n_t").cast("bigint").as("n_t"),
+        col("n_c").cast("bigint").as("n_c"),
+        round(mean(col("__st"), col("n_t")) * 1e6).cast("long")
+          .as("mean_t_micros"),
+        round(mean(col("__sc"), col("n_c")) * 1e6).cast("long")
+          .as("mean_c_micros"),
+        round(t * 1e6).cast("long").as("t_micros"),
+        round(dfW * 1e6).cast("long").as("df_micros"))
+  }
+
   /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM'13 —
     * *Improving the Sensitivity of Online Controlled Experiments*):
     * adjust each unit's metric by its pre-experiment covariate,

@@ -111,6 +111,29 @@ class FeaturesSpec extends SparkSpec {
     assert(!got.contains("c"))
   }
 
+  test("welchTTest: closed-form t and Welch df; degenerate arms empty") {
+    val rows = Seq((true, 10L), (true, 20L), (true, 30L),
+      (false, 10L), (false, 10L), (false, 20L), (false, 20L))
+    val r = Features.welchTTest(rows.toDF("t", "y"), col("t"), col("y"))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 4L)))
+    assert(r.getLong(2) == 20000000L && r.getLong(3) == 15000000L)
+    // replicate the IEEE tree: var_t = 100, var_c = 100/3
+    val (se2t, se2c) = (100.0 / 3.0, (100.0 / 3.0) / 4.0)
+    val t = (20.0 - 15.0) / math.sqrt(se2t + se2c)
+    val dfW = (se2t + se2c) * (se2t + se2c) /
+      (se2t * se2t / 2.0 + se2c * se2c / 3.0)
+    assert(r.getLong(4) == math.round(t * 1e6), r.toString)
+    assert(r.getLong(5) == math.round(dfW * 1e6))
+    // an arm with < 2 units, or zero variance everywhere: empty
+    assert(Features.welchTTest(
+      Seq((true, 5L), (false, 1L), (false, 2L)).toDF("t", "y"),
+      col("t"), col("y")).collect().isEmpty)
+    assert(Features.welchTTest(
+      Seq((true, 5L), (true, 5L), (false, 5L), (false, 5L)).toDF("t", "y"),
+      col("t"), col("y")).collect().isEmpty)
+  }
+
   test("twoProportionZTest: closed-form z, SRM statistic, degenerate inputs empty") {
     def build(nt: Int, st: Int, nc: Int, sc: Int) =
       ((1 to nt).map(i => (true, i <= st)) ++
