@@ -104,6 +104,7 @@ object SparkEntry {
     "ts_seasonality", "feat_group_regression", "dq_wasserstein",
     "cohort_ltv", "graph_assortativity", "evt_interarrival",
     "ab_ttest", "text_vocab_stats", "graph_degree_hist",
+    "evt_set_completion", "agg_share",
     // round-10 additions (no artifact yet)
     "mm_decode_video_frames", "catalog_persistent_roundtrip",
     "evt_dedup_replay", "dedup_minhash_incremental_gate",
@@ -337,7 +338,7 @@ object SparkEntry {
     "join_bloom_prefilter",
     "agg_distinct", "agg_minmax", "agg_rollup", "agg_cube", "agg_approx_distinct",
     "agg_collect_list", "agg_pivot", "agg_unpivot", "agg_grouping_sets",
-    "agg_mode", "agg_winsorized_mean",
+    "agg_mode", "agg_winsorized_mean", "agg_share",
     "date_funcs", "null_handling", "str_levenshtein", "sketch_bloom",
     "sketch_topk", "sketch_topk_grouped", "sketch_hll_persist", "sketch_kll_persist",
     "sketch_cms_persist",
@@ -368,7 +369,8 @@ object SparkEntry {
     "str_funcs", "parse_money",
     "evt_tumbling", "evt_sliding", "evt_sessionize", "evt_session_window",
     "evt_stream_join", "evt_stream_join_outer", "evt_enrich_static",
-    "evt_funnel", "evt_funnel_windowed", "evt_retention",
+    "evt_funnel", "evt_funnel_windowed", "evt_set_completion",
+    "evt_retention",
     "evt_transitions", "evt_attribution",
     "ts_resample_ffill", "ts_interpolate", "ts_anomaly", "ts_seasonality",
     "growth_accounting", "cohort_ltv", "feat_group_regression",
@@ -5462,6 +5464,56 @@ object SparkEntry {
         .orderBy($"o_orderpriority")
     }),
 
+    "evt_set_completion" -> ((s, dir) => {
+      import s.implicits._
+      // ANY-ORDER completion: did the user perform ALL of
+      // {view, click, purchase} with first occurrences spanning at
+      // most 6 hours? The unordered twin of the prescribed-order
+      // funnel (real journeys reorder steps); per-user first-ts per
+      // type + a greatest-least span test — exact timestamps, one
+      // user-keyed aggregate. Output: per-cohort counts.
+      val ev = Tables.events(s, dir)
+      val firsts = ev.filter($"event_type".isin("view", "click", "purchase"))
+        .groupBy($"user_id")
+        .agg(min(when($"event_type" === "view", $"ts")).as("t_view"),
+          min(when($"event_type" === "click", $"ts")).as("t_click"),
+          min(when($"event_type" === "purchase", $"ts")).as("t_purchase"))
+      firsts
+        .withColumn("all_steps", $"t_view".isNotNull &&
+          $"t_click".isNotNull && $"t_purchase".isNotNull)
+        .withColumn("completed", $"all_steps" &&
+          greatest($"t_view", $"t_click", $"t_purchase") <=
+            least($"t_view", $"t_click", $"t_purchase") +
+              expr("INTERVAL 21600 SECONDS"))
+        .agg(count(lit(1)).cast("bigint").as("n_users"),
+          sum(when($"all_steps", 1L).otherwise(0L)).cast("bigint")
+            .as("n_all_steps"),
+          sum(when($"completed", 1L).otherwise(0L)).cast("bigint")
+            .as("n_completed_in_window"))
+    }),
+
+    "agg_share" -> ((s, dir) => {
+      import s.implicits._
+      // Percent-of-total contribution: each nation's revenue share
+      // within its region in exact ppm (integer div of DECIMAL cents)
+      // — the classic BI share-of-segment readout.
+      val rev = Tables.customer(s, dir)
+        .join(Tables.orders(s, dir),
+          $"c_custkey" === $"o_custkey")
+        .join(Tables.nation(s, dir), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_regionkey", $"n_name")
+        .agg(sum(round($"o_totalprice" * 100).cast("long")).as("__cents"))
+      val tot = rev.groupBy($"n_regionkey")
+        .agg(sum($"__cents").as("__tot"))
+      rev.join(broadcast(tot), "n_regionkey") // region-sized dimension
+        .withColumn("share_ppm",
+          expr("CAST(__cents AS DECIMAL(38,0)) * 1000000 div __tot")
+            .cast("long"))
+        .select($"n_regionkey".cast("bigint").as("n_regionkey"), $"n_name",
+          $"__cents".cast("bigint").as("revenue_cents"), $"share_ppm")
+        .orderBy($"n_regionkey", $"n_name")
+    }),
+
     "evt_funnel_windowed" -> ((s, dir) => {
       import s.implicits._
       // Entry-anchored time-bounded funnel: later stages must land
@@ -7418,6 +7470,46 @@ object SparkEntry {
         |  CAST(round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
         |    / n * 1000000) AS BIGINT) AS intercept_micros
         |FROM s ORDER BY o_orderpriority""".stripMargin,
+
+    // any-order first-occurrence span test; Kleene false-AND-null
+    // keeps incomplete users out of the window count in both engines
+    "evt_set_completion" ->
+      """WITH f AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS tc,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        |  GROUP BY 1),
+        |c AS (SELECT
+        |    (tv IS NOT NULL AND tc IS NOT NULL AND tp IS NOT NULL)
+        |      AS all_steps,
+        |    (tv IS NOT NULL AND tc IS NOT NULL AND tp IS NOT NULL AND
+        |     greatest(tv, tc, tp) <=
+        |       least(tv, tc, tp) + INTERVAL 21600 SECONDS) AS completed
+        |  FROM f)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(CASE WHEN all_steps THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_all_steps,
+        |  CAST(sum(CASE WHEN completed THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_completed_in_window
+        |FROM c""".stripMargin,
+
+    // exact ppm shares by integer div of exact cents
+    "agg_share" ->
+      """WITH rev AS (SELECT n.n_regionkey, n.n_name,
+        |    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT n_regionkey, CAST(sum(cents) AS BIGINT) AS tot
+        |  FROM rev GROUP BY 1)
+        |SELECT CAST(rev.n_regionkey AS BIGINT) AS n_regionkey, rev.n_name,
+        |  rev.cents AS revenue_cents,
+        |  CAST(CAST(rev.cents AS HUGEINT) * 1000000 // t.tot AS BIGINT)
+        |    AS share_ppm
+        |FROM rev JOIN t USING (n_regionkey)
+        |ORDER BY n_regionkey, n_name""".stripMargin,
 
     // the windowed min-chain adds one entry-anchored deadline
     // predicate per stage
