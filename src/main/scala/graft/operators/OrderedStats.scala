@@ -39,9 +39,12 @@ object OrderedStats {
   private[graft] def cumCounts(df: DataFrame, valueExpr: Column,
       tagExpr: Column, nBuckets: Int): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1 (got $nBuckets)")
+    // NaN is excluded alongside NULL: it has no place on the value
+    // axis, and NaN != NaN would silently drop rows at any
+    // rank-join-back (spearman) while still perturbing the counts
     val counts = df.select(valueExpr.cast("double").as("v"),
         tagExpr.as("t"))
-      .filter(col("v").isNotNull && col("t").isNotNull)
+      .filter(col("v").isNotNull && !isnan(col("v")) && col("t").isNotNull)
       .groupBy(col("v"))
       .agg(sum(when(col("t"), 1L).otherwise(0L)).as("ca"),
         sum(when(!col("t"), 1L).otherwise(0L)).as("cb"))

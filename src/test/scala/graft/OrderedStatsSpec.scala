@@ -44,10 +44,11 @@ class OrderedStatsSpec extends SparkSpec {
       (2.0, false), (3.0, false), (4.0, false)).toDF("v", "t")
     assert(OrderedStats.ksTest(hand, $"v", $"t")
       .collect().head.getLong(2) == math.round(3.0 / 9.0 * 1e6))
-    // null values and null tags are excluded; a side emptied by the
-    // exclusions yields an empty result, not a 0/0
+    // null values, NaN values, and null tags are excluded; a side
+    // emptied by the exclusions yields an empty result, not a 0/0
     val withNulls = Seq((Option(1.0), Option(true)),
-      (None: Option[Double], Option(false)), (Option(2.0), None))
+      (None: Option[Double], Option(false)), (Option(2.0), None),
+      (Option(Double.NaN), Option(false)))
       .toDF("v", "t")
     assert(OrderedStats.ksTest(withNulls, $"v", $"t").collect().isEmpty)
   }
