@@ -586,7 +586,16 @@ object TextAnalysis {
     * pre-flight rejects re-appending ids the index already holds
     * (duplicate postings would double-count tf); the check is one
     * id-column semi-join against the sidecar — index-scale, tiny next
-    * to the append's own tokenize pass. */
+    * to the append's own tokenize pass.
+    *
+    * Crash discipline: append writes the `__docs` sidecar BEFORE the
+    * postings, because the duplicate-id guard above reads `__docs`. A
+    * failure between the two writes leaves sidecar-only ids (they
+    * inflate N/avgdl until repaired and never match a term — scores
+    * err LOW, never double-count), and a RETRY of the same batch then
+    * trips the guard loudly instead of silently appending a second
+    * copy of its postings. The reverse order would pass the retry's
+    * guard and corrupt tf for every document in the batch. */
   def bm25SaveIndex(df: DataFrame, idCol: String, textCol: String,
       dir: String, mode: String = "overwrite",
       partitions: Int = 32): Unit = {
@@ -607,14 +616,21 @@ object TextAnalysis {
     val toks = df.select(col(idCol).cast("long").as("id"),
         explode(tokens(col(textCol))).as("tok"))
       .filter(col("tok") =!= "")
-    toks.groupBy(col("id"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
-      .repartitionByRange(partitions, col("tok"))
-      .sortWithinPartitions(col("tok"))
-      .write.mode(mode).parquet(dir)
-    toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
-      .write.mode(mode).parquet(dir + "__docs")
-    if (mode != "append") {
+    def writeDocs(): Unit =
+      toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+        .write.mode(mode).parquet(dir + "__docs")
+    def writePostings(): Unit =
+      toks.groupBy(col("id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+        .repartitionByRange(partitions, col("tok"))
+        .sortWithinPartitions(col("tok"))
+        .write.mode(mode).parquet(dir)
+    if (mode == "append") {
+      // sidecar first — the dup guard reads __docs, so a retry after
+      // a crash between the writes fails loudly (see scaladoc)
+      writeDocs(); writePostings()
+    } else {
+      writePostings(); writeDocs()
       import spark.implicits._
       Seq(Tuple1(tokenizerTag)).toDF("tokenizer")
         .coalesce(1).write.mode("overwrite").parquet(dir + "__meta")

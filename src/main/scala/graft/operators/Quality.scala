@@ -597,36 +597,49 @@ object Quality {
     * by the oracle. NULL categories are excluded (screen what's
     * present; [[profile]] counts the NULLs).
     *
-    * Scale: one row-scale hash-agg to cells, two category-scale
-    * aggs, one GUARDED category✕category cross (fails loudly past
-    * `maxCategories` per side — a 10⁶✕10⁶ grid is a different
-    * problem), N a 1-row broadcast. */
+    * Scale: SIDE-EFFECTING (not a pure plan builder) — the row-scale
+    * hash-agg to cells runs ONCE, persisted; the guard counts, N, the
+    * two category-scale margins and the GUARDED category✕category
+    * cross (fails loudly past `maxCategories` per side — a 10⁶✕10⁶
+    * grid is a different problem) all read the cached cells, and the
+    * grid-scale report comes back as a local DataFrame with the cache
+    * released (the `csv_corrupt_rows` lifecycle) — nothing stays
+    * pinned in storage memory after the screen. */
   def chiSquare(df: DataFrame, xExpr: Column, yExpr: Column,
       maxCategories: Int = 1000): DataFrame = {
+    val spark = df.sparkSession
     val cells = df.select(xExpr.cast("string").as("x"),
         yExpr.cast("string").as("y"))
       .filter(col("x").isNotNull && col("y").isNotNull)
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))
-    val xs = cells.groupBy(col("x")).agg(sum(col("n")).as("__r"))
-    val ys = cells.groupBy(col("y")).agg(sum(col("n")).as("__c"))
-    val nx = xs.count(); val ny = ys.count()
-    require(nx <= maxCategories && ny <= maxCategories,
-      s"chi-square grid would be $nx x $ny cells (cap $maxCategories " +
-        "per side) — bucket the high-cardinality column first or raise " +
-        "maxCategories if the cost is understood")
-    val total = cells.agg(sum(col("n")).as("__nn"))
-    val d = (col("n").cast("decimal(38,0)") * col("__nn") -
-      col("__r").cast("decimal(38,0)") * col("__c"))
-    xs.crossJoin(broadcast(ys)) // guarded category grid
-      .join(cells, Seq("x", "y"), "left")
-      .withColumn("n", coalesce(col("n"), lit(0L)).cast("bigint"))
-      .crossJoin(broadcast(total)) // 1-row N
-      .withColumn("chi2_micros",
-        round((d.cast("double") / col("__nn").cast("double")) *
-          (d.cast("double") /
-            (col("__r").cast("decimal(38,0)") * col("__c")).cast("double"))
-          * 1e6).cast("long"))
-      .select(col("x"), col("y"), col("n"), col("chi2_micros"))
+      .persist()
+    try {
+      // one action over the cached cells yields both guard counts AND N
+      val head = cells.agg(countDistinct(col("x")).as("__nx"),
+        countDistinct(col("y")).as("__ny"),
+        coalesce(sum(col("n")), lit(0L)).as("__nn")).head()
+      val (nx, ny, nn) = (head.getLong(0), head.getLong(1), head.getLong(2))
+      require(nx <= maxCategories && ny <= maxCategories,
+        s"chi-square grid would be $nx x $ny cells (cap $maxCategories " +
+          "per side) — bucket the high-cardinality column first or raise " +
+          "maxCategories if the cost is understood")
+      val xs = cells.groupBy(col("x")).agg(sum(col("n")).as("__r"))
+      val ys = cells.groupBy(col("y")).agg(sum(col("n")).as("__c"))
+      val d = (col("n").cast("decimal(38,0)") * lit(nn) -
+        col("__r").cast("decimal(38,0)") * col("__c"))
+      val report = xs.crossJoin(broadcast(ys)) // guarded category grid
+        .join(cells, Seq("x", "y"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)).cast("bigint"))
+        .withColumn("chi2_micros",
+          round((d.cast("double") / lit(nn).cast("double")) *
+            (d.cast("double") /
+              (col("__r").cast("decimal(38,0)") * col("__c")).cast("double"))
+            * 1e6).cast("long"))
+        .select(col("x"), col("y"), col("n"), col("chi2_micros"))
+      val local = report.collect() // grid-scale, guard-bounded
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        local.toSeq, 1), report.schema)
+    } finally cells.unpersist()
   }
 
   /** Weight-of-Evidence / Information-Value report — the

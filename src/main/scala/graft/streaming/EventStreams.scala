@@ -620,10 +620,22 @@ object EventStreams extends Serializable {
         .flatMap(c => credits(key, c, merged))
       // retain only what a future conversion's lookback can reach
       val keep = open.filter(_.ts.getTime > wmMs - lookMs)
-      state.update(AttribBuffer(keep))
-      val pending = keep.filter(_.event_type == conversionType)
-      if (pending.nonEmpty)
-        state.setTimeoutTimestamp(pending.map(_.ts.getTime).min + 1)
+      if (keep.isEmpty) {
+        // a drained buffer must not pin an empty entry in the state
+        // store forever — long-running streams see unbounded users
+        if (state.exists) state.remove()
+      } else {
+        state.update(AttribBuffer(keep))
+        val pending = keep.filter(_.event_type == conversionType)
+        // pending conversion: wake when the watermark seals it.
+        // touch-only buffer: wake once no future conversion's lookback
+        // can reach the newest touch — that invocation's keep-filter
+        // drains the buffer and the branch above removes the entry,
+        // so idle users cannot accumulate state.
+        state.setTimeoutTimestamp(
+          if (pending.nonEmpty) pending.map(_.ts.getTime).min + 1
+          else keep.map(_.ts.getTime).max + lookMs + 1)
+      }
       out.iterator
     }
 

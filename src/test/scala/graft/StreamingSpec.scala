@@ -710,6 +710,41 @@ class StreamingSpec extends SparkSpec {
     assert(stream((13L, 7L))._3 == 1000000L)
   }
 
+  test("attributionStateful drains touch-only state by timeout and keeps serving the key") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1700000000000L
+    def ev(id: Long, minute: Long, user: Long, typ: String) =
+      Event(id, new Timestamp(t0 + minute * 60000L), user, typ, 1.0)
+    def flush(id: Long, minute: Long) = Event(id,
+      new Timestamp(t0 + minute * 60000L + 5L * 3600 * 1000), -1L, "__flush", 0.0)
+    val mem = MemoryStream[Event]
+    val q = EventStreams.attributionStateful(mem.toDS(),
+        Seq("view", "click"), "purchase", lookbackSeconds = 3600L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attrib_ttl_sink").start()
+    try {
+      // touch-only buffer for u1: no conversion ever arrives for it
+      mem.addData(Seq(ev(1, 0, 1, "view"), ev(2, 5, 1, "click")))
+      q.processAllAvailable()
+      // watermark passes maxTs + lookback -> the touch-only timeout
+      // fires, the keep-filter drains the buffer, state removes itself
+      mem.addData(Seq(flush(-1, 120)))
+      q.processAllAvailable()
+      // the SAME key must still be served from scratch afterwards: a
+      // fresh touch + conversion pair credits normally
+      mem.addData(Seq(ev(3, 400, 1, "view"), ev(4, 410, 1, "purchase")))
+      q.processAllAvailable()
+      mem.addData(Seq(flush(-2, 600)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("attrib_ttl_sink")
+      .collect().map(r => (r.getLong(1), r.getLong(3)) ->
+        ((r.getString(2), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // the expired touches (ids 1, 2) credit nothing; the fresh pair does
+    assert(out.size == 1, out.keys.toSeq.sorted.mkString(","))
+    assert(out((4L, 3L)) == (("view", 1000000L, 1000000L, 1000000L)))
+  }
+
   test("ewmaAnomaliesStateful absorbs an IN-WINDOW redelivery: one output row per event_id") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val t0 = 1700000000000L

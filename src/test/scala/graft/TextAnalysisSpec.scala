@@ -338,6 +338,17 @@ class TextAnalysisSpec extends SparkSpec {
         "doc_id", "text", base + "_inc", mode = "append")
     }
     assert(e.getMessage.contains("already indexed"), e.getMessage)
+    // crash discipline: a failure AFTER the __docs append but BEFORE
+    // the postings append (docs-first write order) must make a retry
+    // of the same batch trip the dup guard — never double-count tf.
+    TextAnalysis.bm25SaveIndex(docs, "doc_id", "text", base + "_crash")
+    val orphan = Seq((999L, 3L)).toDF("id", "dl")
+    orphan.write.mode("append").parquet(base + "_crash__docs")
+    val e3 = intercept[IllegalArgumentException] {
+      TextAnalysis.bm25SaveIndex(Seq((999L, "hash join")).toDF("doc_id", "text"),
+        "doc_id", "text", base + "_crash", mode = "append")
+    }
+    assert(e3.getMessage.contains("already indexed"), e3.getMessage)
     // batch form: each qid's block equals the single-query path
     val qtab = Seq((7L, "hash"), (7L, "join"), (9L, "join"))
       .toDF("qid", "term")
