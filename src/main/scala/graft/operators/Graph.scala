@@ -969,4 +969,62 @@ object Graph {
       .select(col("label"), col("n_nodes"), col("sum_in"), col("sum_tot"),
         col("q_micros"))
   }
+
+  /** Adamic-Adar link prediction over the undirected simple graph in
+    * `edges`: for every NON-adjacent vertex pair sharing at least one
+    * common neighbor, the common-neighbor count and the Adamic-Adar
+    * score Σ_w 1/ln(deg(w)) over the shared neighbors w — the classic
+    * "who should be connected" signal (follow suggestions, related
+    * items, entity-linkage candidates). Returns (`id_a` < `id_b`,
+    * `n_common`, `aa_micros`); existing edges are anti-joined out
+    * (predicting a present link is vacuous).
+    *
+    * Hub semantics, not a silent cap: candidate pairs are wedges at a
+    * shared apex, and a 10⁶-degree hub alone yields 10¹² wedges — so
+    * apexes of degree > `maxApexDegree` are EXCLUDED BY DEFINITION
+    * (scores count only common neighbors of degree ≤ the cap). This is
+    * the standard LP practice — a mega-hub certifies almost nothing
+    * (its term 1/ln(deg) → 0) — and making the cap part of the
+    * semantics keeps the output a pure function both engines replay
+    * (`graph_adamic_adar` mirrors the same rule). Degree-1 apexes form
+    * no wedge; ln(deg ≥ 2) > 0, no division hazard.
+    *
+    * Exactness: per-term round(10⁶/ln(deg)) then integer SUM — the
+    * order-free micro-quantization convention (`ln` agrees between
+    * engines on identical doubles). Scale: one degree hash-agg, one
+    * apex-keyed self-join bounded by Σ_{deg ≤ cap} deg² ≤ cap·m, one
+    * anti-join against the edge set — all fixed-width long-keyed
+    * exchanges; text/payloads never shuffle. The canonical edge set
+    * and the qualified-neighbor table each materialize ONCE (lineage
+    * truncation, construction runs jobs eagerly — the [[pageRank]]
+    * discipline): without it the upstream edge-builder re-executes
+    * for every one of the six consumers in the wedge plan. */
+  def adamicAdar(edges: DataFrame, srcCol: String = "id_a",
+      dstCol: String = "id_b", maxApexDegree: Int = 256,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxApexDegree >= 2,
+      s"maxApexDegree must be >= 2 (got $maxApexDegree)")
+    val e0 = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val und = truncate(e0.select(least(col("u"), col("v")).as("a"),
+      greatest(col("u"), col("v")).as("b")).distinct(), checkpointDir)
+    val adj = und.union(und.select(col("b").as("a"), col("a").as("b")))
+    val deg = adj.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+    // wedges at each qualifying apex w: every ordered neighbor pair
+    val nbrs = truncate(adj.join(deg.filter(col("deg") <= maxApexDegree)
+        .select(col("id").as("a"), col("deg").as("__dw")), "a")
+      .select(col("a").as("w"), col("b").as("n"), col("__dw")), checkpointDir)
+    val pairs = nbrs.as("l").join(nbrs.as("r"),
+        col("l.w") === col("r.w") && col("l.n") < col("r.n"))
+      .select(col("l.n").as("a"), col("r.n").as("b"),
+        round(lit(1e6) / log(col("l.__dw").cast("double"))).cast("long")
+          .as("__term"))
+    pairs.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).cast("bigint").as("n_common"),
+        sum(col("__term")).cast("bigint").as("aa_micros"))
+      .join(und, Seq("a", "b"), "left_anti") // non-edges only
+      .select(col("a").as("id_a"), col("b").as("id_b"),
+        col("n_common"), col("aa_micros"))
+  }
 }

@@ -178,4 +178,109 @@ object TimeSeries {
           .cast("long").as("load_ppm"))
       .orderBy(col("bucket"))
   }
+
+  /** Two-sided CUSUM changepoint detection — the sequential
+    * mean-shift monitor (Page 1954): per key in (`tsCol`, `valueCol`)
+    * order, s⁺ accumulates excess above `target + slack`, s⁻ excess
+    * below `target − slack`, each clamped at 0; an alarm fires when
+    * either exceeds `threshold`. CUSUM catches the small persistent
+    * drift that [[zscoreAnomalies]]' point z-score misses (a 0.5σ
+    * shift never trips a 3σ point test but accumulates linearly here).
+    *
+    * The textbook recurrence `s_t = max(0, s_{t−1} + y_t)` looks
+    * sequential, but it has a closed PREFIX form: with `S_t = Σ y_i`,
+    * `s_t = S_t − min(0, min_{j≤t} S_j)` — so the whole monitor is
+    * two cumulative-window passes (sum + running min) over ONE keyed
+    * shuffle, no flatMapGroups fold, and an oracle replays it with
+    * the same two window functions. Values quantize to micro-units
+    * first (`round(x·10⁶)`), so every sum/min/comparison is
+    * integer-exact; `target`/`slack`/`threshold` arrive in micro-units
+    * (a config is engine-portable text, the [[EventStreams]]
+    * convention). Returns the input keys + ts + value_micros + both
+    * accumulators + `alarm`. */
+  def cusum(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, targetMicros: Long, slackMicros: Long,
+      thresholdMicros: Long): DataFrame = {
+    require(slackMicros >= 0, s"slackMicros must be >= 0 (got $slackMicros)")
+    require(thresholdMicros > 0,
+      s"thresholdMicros must be > 0 (got $thresholdMicros)")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val v = round(col(valueCol).cast("double") * 1e6).cast("long")
+    val yp = v - targetMicros - slackMicros
+    val ym = lit(targetMicros) - v - slackMicros
+    df.withColumn("value_micros", v)
+      .withColumn("__sp", sum(yp).over(w))
+      .withColumn("__sm", sum(ym).over(w))
+      .withColumn("cusum_pos_micros",
+        col("__sp") - least(lit(0L), min(sum(yp).over(w)).over(w)))
+      .withColumn("cusum_neg_micros",
+        col("__sm") - least(lit(0L), min(sum(ym).over(w)).over(w)))
+      .withColumn("alarm", col("cusum_pos_micros") > thresholdMicros ||
+        col("cusum_neg_micros") > thresholdMicros)
+      .drop("__sp", "__sm")
+  }
+
+  /** Exact autocorrelation function of ONE series at lags 1..`maxLag`
+    * — the seasonality/memory diagnostic (a daily cycle shows as a
+    * spike at lag 24 on hourly data; white noise hugs 0). Input is a
+    * SERIES — (`orderExpr`, integer `valueExpr`) rows, i.e. the
+    * output of a row-scale pre-aggregation like hourly counts — not a
+    * raw event log; n is series-scale by construction.
+    *
+    * Exactness: with integer values, mean-centering multiplies
+    * through by n² — `r_ℓ · n²·den = Σ (n·x_t − S)(n·x_{t+ℓ} − S)`
+    * with `den·n² = Σ (n·x_t − S)²` — so numerator and denominator
+    * are DECIMAL(38,0)-exact integers and `acf_micros` is one final
+    * division (the modularity/W1 convention; no per-term rounding).
+    * Denominator 0 (constant series) yields NULL, not a phantom.
+    *
+    * Scale: one stats agg, one index window, one equi-join of the
+    * series against itself per the exploded lag range (≤ maxLag·n
+    * rows, fixed-width), one lag-keyed hash-agg. The indexed series
+    * materializes ONCE (lineage truncation, construction runs jobs
+    * eagerly): the plan consumes it from five positions, and without
+    * truncation each would re-run the caller's row-scale
+    * pre-aggregation — five 100 TB scans for a kilobyte series. */
+  def autocorrelation(df: DataFrame, orderExpr: Column,
+      valueExpr: Column, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1 (got $maxLag)")
+    val spark = df.sparkSession
+    val base = df.select(orderExpr.as("__o"),
+        valueExpr.cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+      .withColumn("__i", row_number().over(
+        Window.orderBy(col("__o"))).cast("long"))
+      .select(col("__i"), col("__x"))
+      .localCheckpoint(true)
+    val stats = base.agg(count(lit(1)).as("__n"),
+      sum(col("__x")).cast("decimal(38,0)").as("__s"))
+    val lags = spark.range(1L, maxLag + 1L).select(col("id").as("lag"))
+    val centeredL = (lit(1).cast("decimal(38,0)") * col("__n") *
+      col("__xl") - col("__s"))
+    val centeredR = (lit(1).cast("decimal(38,0)") * col("__n") *
+      col("__xr") - col("__s"))
+    val den = base.crossJoin(broadcast(stats))
+      .agg(sum((lit(1).cast("decimal(38,0)") * col("__n") * col("__x") -
+        col("__s")) * (lit(1).cast("decimal(38,0)") * col("__n") *
+        col("__x") - col("__s"))).as("__den"))
+    base.select(col("__i"), col("__x").as("__xl"))
+      .crossJoin(broadcast(lags)) // series-scale × maxLag, the documented explode
+      .withColumn("__j", col("__i") + col("lag"))
+      .join(base.select(col("__i").as("__j"), col("__x").as("__xr")),
+        Seq("__j"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+        sum(centeredL * centeredR).as("__num"))
+      .crossJoin(broadcast(den)) // 1-row denominator
+      .withColumn("acf_micros",
+        when(col("__den") === 0, lit(null).cast("long"))
+          .otherwise(round(col("__num").cast("double") /
+            col("__den").cast("double") * 1e6).cast("long")))
+      .select(col("lag").cast("bigint").as("lag"), col("n_pairs"),
+        col("acf_micros"))
+      .orderBy(col("lag"))
+  }
 }

@@ -577,4 +577,29 @@ class GraphSpec extends SparkSpec {
       .map(_.getLong(4)).toSeq.sorted ==
       got.values.map(_._4).toSeq.sorted)
   }
+
+  test("adamicAdar: closed form, edge exclusion, apex-degree cap semantics") {
+    import spark.implicits._
+    // square 1-2-4-3-1 plus diagonal 2-3: deg(1)=deg(4)=2, deg(2)=deg(3)=3
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val got = Graph.adamicAdar(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // only the absent pair (1,4) survives: common {2,3}, both deg 3;
+    // (2,3) shares {1,4} but is an existing edge -> anti-joined out
+    val term3 = math.round(1e6 / math.log(3.0))
+    assert(got == Map((1L, 4L) -> ((2L, 2 * term3))), got.toString)
+    // cap is SEMANTICS: deg-3 apexes excluded -> no wedges at all
+    assert(Graph.adamicAdar(edges, maxApexDegree = 2).count() == 0)
+    // reversed/duplicate edge rows change nothing
+    val dup = edges.union(Seq((2L, 1L), (4L, 2L)).toDF("id_a", "id_b"))
+    val got2 = Graph.adamicAdar(dup).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got2 == got)
+    intercept[IllegalArgumentException] {
+      Graph.adamicAdar(edges, maxApexDegree = 1)
+    }
+  }
 }

@@ -684,4 +684,44 @@ class PlanSpec extends SparkSpec {
         s"$name grid joins must broadcast:\n$p")
     }
   }
+
+  test("ts_cusum: both cumulative-window levels ride ONE keyed shuffle") {
+    val p = plan("ts_cusum")
+    // exchanges: the hourly-count agg, the key-window repartition, the
+    // output sort — the min-of-prefix-sum level must REUSE the first
+    // window's partitioning, never add a fourth
+    assert(countExchanges(p) <= 3, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("ts_acf: the indexed series materializes once — one scan feeds all five consumers") {
+    val p = plan("ts_acf")
+    // the truncated series is an ExistingRDD scan; the caller's
+    // row-scale pre-aggregation must appear ZERO times downstream
+    assert(!p.contains("events.parquet"),
+      "acf plan re-runs the row-scale pre-aggregation:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("surv_kaplan_meier: curve windows run on the study-scale table, not row scale") {
+    val p = plan("surv_kaplan_meier")
+    // after the per-duration reduction (truncated), no parquet rescan
+    // may feed the windows; events appears only in the two upstream
+    // passes (per-user firsts, 13th-purchase window)
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 2, s"events scanned $scans times:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("graph_adamic_adar: equi-joins only; top-100 never global-sorts") {
+    val p = plan("graph_adamic_adar")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 must be a TakeOrdered, not a global sort:\n" + p)
+    // the edge builder materializes once: wedge plan consumers read
+    // the truncated RDD, never the lineitem self-join again
+    assert(!p.contains("lineitem.parquet"),
+      "wedge plan re-runs the upstream edge builder:\n" + p)
+  }
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Survival
+
+class SurvivalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kaplanMeier: textbook curve with censoring, risk-set accounting, micro-nat terms") {
+    // subjects: events at 1, 2, 4; censored at 2, 3, 5
+    val df = Seq((1L, true), (2L, true), (2L, false), (3L, false),
+      (4L, true), (5L, false)).toDF("dur", "obs")
+    val got = Survival.kaplanMeier(df, $"dur", $"obs").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5))))
+    // curve steps at EVENT times only (t = 1, 2, 4)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    val m = got.toMap
+    def lnTerm(d: Long, n: Long) = math.round(math.log(1.0 - d.toDouble / n) * 1e6)
+    def hz(d: Long, n: Long) = math.round(d.toDouble / n * 1e6)
+    // t=1: 6 at risk, 1 event; t=2: 5 at risk, 1 event + 1 censored;
+    // t=4: 2 at risk (the t=3 censor left), 1 event
+    assert(m(1L) == ((6L, 1L, 0L, Some(lnTerm(1, 6)), hz(1, 6))))
+    assert(m(2L) == ((5L, 1L, 1L, Some(lnTerm(1, 6) + lnTerm(1, 5)),
+      hz(1, 6) + hz(1, 5))))
+    assert(m(4L) == ((2L, 1L, 0L,
+      Some(lnTerm(1, 6) + lnTerm(1, 5) + lnTerm(1, 2)),
+      hz(1, 6) + hz(1, 5) + hz(1, 2))))
+    // survival is monotone non-increasing in ln space
+    val lns = got.flatMap(_._2._4)
+    assert(lns.sameElements(lns.sorted.reverse))
+  }
+
+  test("kaplanMeier: survival hitting zero NULLs the curve from that row, hazard continues") {
+    val df = Seq((1L, true), (2L, true), (2L, true)).toDF("dur", "obs")
+    val got = Survival.kaplanMeier(df, $"dur", $"obs").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5))))
+      .toMap
+    val t1 = math.round(math.log(2.0 / 3.0) * 1e6)
+    assert(got(1L) == ((3L, 1L, Some(t1), math.round(1e6 / 3))))
+    // d = n at t=2: ln(0) has no finite value -> NULL by flag, and the
+    // Nelson-Aalen hazard still accumulates its exact d/n term
+    assert(got(2L) == ((2L, 2L, None, math.round(1e6 / 3) + 1000000L)))
+  }
+}

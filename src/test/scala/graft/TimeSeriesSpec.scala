@@ -129,4 +129,59 @@ class TimeSeriesSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(dow.toSeq == (1L to 7L))
   }
+
+  test("cusum: prefix form equals the textbook recurrence; alarms; per-key isolation") {
+    val vals = Seq(3.0, 3.2, 2.9, 3.1, 4.5, 4.8, 5.1, 4.9, 3.0, 1.0, 0.8)
+    val rows = vals.zipWithIndex.map { case (v, i) => ("k1", t(i), v) } ++
+      Seq(("k2", t(0), 100.0)) // a second key must not bleed in
+    val (target, slack, thr) = (3000000L, 200000L, 1500000L)
+    val got = TimeSeries.cusum(rows.toDF("k", "ts", "v"), "k", "ts", "v",
+        target, slack, thr)
+      .filter($"k" === "k1").orderBy($"ts")
+      .collect().map(r => (r.getAs[Long]("cusum_pos_micros"),
+        r.getAs[Long]("cusum_neg_micros"), r.getAs[Boolean]("alarm")))
+    // reference: the sequential max(0, s + y) recurrence
+    var sp = 0L; var sm = 0L
+    val want = vals.map { v =>
+      val m = math.round(v * 1e6)
+      sp = math.max(0L, sp + (m - target - slack))
+      sm = math.max(0L, sm + (target - m - slack))
+      (sp, sm, sp > thr || sm > thr)
+    }
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+    // the sustained +1.5..2 shift must alarm on the positive side
+    assert(got.exists(_._3))
+    intercept[IllegalArgumentException] {
+      TimeSeries.cusum(rows.toDF("k", "ts", "v"), "k", "ts", "v",
+        target, -1L, thr)
+    }
+  }
+
+  test("autocorrelation: closed form on a known series; constant series NULL; lag beyond n empty") {
+    // x = 1,2,3,4,5,4,3,2 has known positive acf at lag 1, negative at 4
+    val xs = Seq(1L, 2L, 3L, 4L, 5L, 4L, 3L, 2L)
+    val df = xs.zipWithIndex.map { case (x, i) => (i, x) }.toDF("o", "x")
+    val got = TimeSeries.autocorrelation(df, $"o", $"x", 9)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))))
+      .toMap
+    val n = xs.size; val s = xs.sum
+    def acf(l: Int): Long = {
+      val num = (0 until n - l)
+        .map(i => (n * xs(i) - s).toDouble * (n * xs(i + l) - s)).sum
+      val den = xs.map(x => (n * x - s).toDouble * (n * x - s)).sum
+      math.round(num / den * 1e6)
+    }
+    (1 to 7).foreach { l =>
+      assert(got(l.toLong) == (((n - l).toLong, Some(acf(l)))), s"lag $l")
+    }
+    assert(got(1L)._2.get >= 500000L)  // strong short-range memory
+    assert(got(4L)._2.get < 0L)        // the turn shows as anti-correlation
+    // lags with no pairs are absent (8, 9 over an 8-point series)
+    assert(!got.contains(8L) && !got.contains(9L))
+    // constant series: zero denominator -> NULL, not a phantom
+    val const = Seq.tabulate(5)(i => (i, 7L)).toDF("o", "x")
+    val c = TimeSeries.autocorrelation(const, $"o", $"x", 2).collect()
+    assert(c.forall(_.isNullAt(2)))
+  }
 }
