@@ -94,6 +94,7 @@ object SparkEntry {
   private val neverGradedFirst: Seq[String] = Seq(
     // round-12 additions (no artifact yet)
     "ts_cusum", "ts_acf", "surv_kaplan_meier", "graph_adamic_adar",
+    "dq_l_diversity", "dq_cramers_v", "cust_rfm", "hilbert_layout",
     // round-11 additions (no artifact yet)
     "text_bm25_indexed", "text_bm25_index_append_gate",
     "graph_modularity", "dq_ks", "feat_auc", "evt_attribution",
@@ -364,7 +365,8 @@ object SparkEntry {
     "dq_outliers_mad", "dq_psi", "dq_wasserstein", "dq_woe", "dq_benford",
     "feat_cuped",
     "dq_winsorize", "dq_ks", "feat_auc", "feat_gains", "dq_chi2",
-    "dq_k_anonymity", "feat_spearman", "ab_ztest", "ab_ttest",
+    "dq_k_anonymity", "dq_l_diversity", "dq_cramers_v", "cust_rfm",
+    "feat_spearman", "ab_ztest", "ab_ttest",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -601,6 +603,107 @@ object SparkEntry {
       // combinations themselves.
       Quality.kAnonymity(Tables.customer(s, dir),
         Seq("c_nationkey", "c_mktsegment"), k = 10L)
+    }),
+
+    "dq_l_diversity" -> ((s, dir) => {
+      import s.implicits._
+      // Distinct l-diversity of the same quasi-identifier: per
+      // (nation, segment) class, how many DISTINCT account-balance
+      // thousands-buckets appear — a large class with one sensitive
+      // value is k-anonymous and still fully disclosed; the histogram
+      // quantifies that without publishing the classes.
+      Quality.lDiversity(Tables.customer(s, dir),
+        Seq("c_nationkey", "c_mktsegment"),
+        floor($"c_acctbal" / 1000.0), l = 3L)
+    }),
+
+    "dq_cramers_v" -> ((s, dir) => {
+      import s.implicits._
+      // Cramér's V effect size over the chi-square grid: priority x
+      // status association strength in [0,1] micro-units — the
+      // N-invariant number the raw statistic isn't.
+      Quality.cramersV(Tables.orders(s, dir),
+        $"o_orderpriority", $"o_orderstatus")
+    }),
+
+    "cust_rfm" -> ((s, dir) => {
+      import s.implicits._
+      // RFM segmentation — the classic CRM scoring: per customer,
+      // recency (days from last order to corpus end), frequency,
+      // monetary cents; quintile scores via ntile over a total
+      // (metric, custkey) order so the cut replays exactly; rule-based
+      // segment labels. The ntiles sort CUSTOMER-scale rows (one
+      // row-scale hash-agg reduces first) — at larger scale swap in
+      // the percentile-bucket family for the scoring step.
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, dir)
+      val mx = o.agg(max($"o_orderdate").as("__mx"))
+      val per = o.groupBy($"o_custkey")
+        .agg(max($"o_orderdate").as("__last"),
+          count(lit(1)).cast("bigint").as("n_orders"),
+          sum(round($"o_totalprice" * 100).cast("long")).cast("bigint")
+            .as("monetary_cents"))
+      val base = per.crossJoin(broadcast(mx)) // 1-row corpus end
+        .withColumn("recency_days",
+          datediff($"__mx", $"__last").cast("bigint"))
+      base
+        .withColumn("r_score", ntile(5).over(
+          Window.orderBy($"recency_days".desc, $"o_custkey")).cast("bigint"))
+        .withColumn("f_score", ntile(5).over(
+          Window.orderBy($"n_orders".asc, $"o_custkey")).cast("bigint"))
+        .withColumn("m_score", ntile(5).over(
+          Window.orderBy($"monetary_cents".asc, $"o_custkey")).cast("bigint"))
+        .withColumn("segment",
+          when($"r_score" >= 4 && $"f_score" >= 4 && $"m_score" >= 4,
+            "champion")
+            .when($"r_score" >= 4 && $"f_score" <= 2, "new")
+            .when($"r_score" <= 2 && $"f_score" >= 4, "at_risk")
+            .when($"r_score" <= 2 && $"m_score" <= 2, "hibernating")
+            .otherwise("regular"))
+        .select($"o_custkey", $"recency_days", $"n_orders",
+          $"monetary_cents", $"r_score", $"f_score", $"m_score", $"segment")
+        .orderBy($"o_custkey")
+    }),
+
+    "hilbert_layout" -> ((s, dir) => {
+      import s.implicits._
+      // Hilbert-clustered writes vs the linear layout — the
+      // zorder_layout experiment with the locality-tighter curve:
+      // per-file suppkey span must shrink below 0.5x linear while the
+      // partkey span stays bounded (skipping on BOTH columns).
+      // SIDE-EFFECTING (writes both layouts at construction).
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_hilbert_${math.abs(dir.hashCode)}"
+      val li = Tables.lineitem(s, dir)
+        .select($"l_partkey".cast("int").as("pk"),
+          $"l_suppkey".cast("int").as("sk"))
+      li.repartitionByRange(16, $"pk")
+        .write.mode("overwrite").parquet(s"$out/linear")
+      // same 16-bit min/max normalization as the Morton layout — the
+      // curve wants a uniform square grid
+      val b = li.agg(min($"pk").as("pk0"), max($"pk").as("pk1"),
+        min($"sk").as("sk0"), max($"sk").as("sk1"))
+      def norm(c: Column, lo: Column, hi: Column): Column =
+        ((c - lo).cast("long") * 65535L / greatest(hi - lo, lit(1))).cast("long")
+      li.crossJoin(broadcast(b))
+        .repartitionByRange(16, graft.functions.hilbert_index(
+          norm($"pk", $"pk0", $"pk1"), norm($"sk", $"sk0", $"sk1")))
+        .select($"pk", $"sk")
+        .write.mode("overwrite").parquet(s"$out/hilbert")
+      def spans(path: String) = s.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max($"sk") - min($"sk")).as("span_sk"),
+          (max($"pk") - min($"pk")).as("span_pk"))
+        .agg(avg($"span_sk").as("avg_sk"), avg($"span_pk").as("avg_pk"))
+      val lin = spans(s"$out/linear")
+        .select($"avg_sk".as("lin_sk"), $"avg_pk".as("lin_pk"))
+      val hi = spans(s"$out/hilbert")
+        .select($"avg_sk".as("h_sk"), $"avg_pk".as("h_pk"))
+      val range = li.agg((max($"pk") - min($"pk")).as("pk_range"))
+      li.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(lin).crossJoin(hi).crossJoin(range)
+        .select($"n_rows".cast("bigint").as("n_rows"),
+          ($"h_sk" < $"lin_sk" * 0.5).as("h_sk_improves"),
+          ($"h_pk" < $"pk_range" * 0.5).as("h_pk_bounded"))
     }),
 
     "text_keywords" -> ((s, dir) => {
@@ -6436,6 +6539,87 @@ object SparkEntry {
         |  CAST(sum(n) AS BIGINT) AS n_rows,
         |  n < 10 AS risky
         |FROM cls GROUP BY n ORDER BY class_size""".stripMargin,
+
+    // distinct-count-plus-has-null per class then a diversity
+    // histogram; the thousands-bucket floors identically on both
+    // engines
+    "dq_l_diversity" ->
+      """WITH cls AS (SELECT c_nationkey, c_mktsegment,
+        |    count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+        |      + max(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS d,
+        |    count(*) AS n
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(d AS BIGINT) AS diversity,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  d < 3 AS risky
+        |FROM cls GROUP BY d ORDER BY diversity""".stripMargin,
+
+    // the dq_chi2 grid aggregated to one effect-size row; sqrt on the
+    // single final double agrees between engines
+    "dq_cramers_v" ->
+      """WITH cells AS (SELECT o_orderpriority AS x, o_orderstatus AS y,
+        |    count(*) AS n FROM orders GROUP BY 1, 2),
+        |xs AS (SELECT x, CAST(sum(n) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |ys AS (SELECT y, CAST(sum(n) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells),
+        |g AS (SELECT xs.x, ys.y, CAST(coalesce(cells.n, 0) AS BIGINT) AS n,
+        |  CAST(round(
+        |    (CAST(coalesce(cells.n, 0) * t.nn - xs.r * ys.c AS DOUBLE)
+        |      / CAST(t.nn AS DOUBLE)) *
+        |    (CAST(coalesce(cells.n, 0) * t.nn - xs.r * ys.c AS DOUBLE)
+        |      / CAST(xs.r * ys.c AS DOUBLE)) * 1000000) AS BIGINT)
+        |    AS chi2_micros
+        |  FROM xs CROSS JOIN ys
+        |    LEFT JOIN cells ON cells.x = xs.x AND cells.y = ys.y, t)
+        |SELECT CAST(count(DISTINCT x) AS BIGINT) AS n_x,
+        |  CAST(count(DISTINCT y) AS BIGINT) AS n_y,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(sum(chi2_micros) AS BIGINT) AS chi2_micros,
+        |  CASE WHEN least(count(DISTINCT x), count(DISTINCT y)) <= 1
+        |      OR sum(n) = 0 THEN NULL
+        |    ELSE CAST(round(sqrt(
+        |      (CAST(sum(chi2_micros) AS DOUBLE) / 1000000)
+        |      / (CAST(sum(n) AS DOUBLE)
+        |        * CAST(least(count(DISTINCT x), count(DISTINCT y)) - 1
+        |          AS DOUBLE))) * 1000000) AS BIGINT) END AS v_micros
+        |FROM g""".stripMargin,
+
+    // ntile over a total (metric, custkey) order is the SQL-standard
+    // quintile on both engines; date_diff mirrors datediff
+    "cust_rfm" ->
+      """WITH mx AS (SELECT max(o_orderdate) AS mxd FROM orders),
+        |per AS (SELECT o_custkey, max(o_orderdate) AS last_order,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT o_custkey,
+        |    CAST(date_diff('day', CAST(last_order AS DATE),
+        |      CAST(mxd AS DATE)) AS BIGINT) AS recency_days,
+        |    n_orders, monetary_cents FROM per, mx),
+        |sc AS (SELECT *,
+        |    CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey)
+        |      AS BIGINT) AS r_score,
+        |    CAST(ntile(5) OVER (ORDER BY n_orders ASC, o_custkey)
+        |      AS BIGINT) AS f_score,
+        |    CAST(ntile(5) OVER (ORDER BY monetary_cents ASC, o_custkey)
+        |      AS BIGINT) AS m_score
+        |  FROM b)
+        |SELECT o_custkey, recency_days, n_orders, monetary_cents,
+        |  r_score, f_score, m_score,
+        |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+        |      THEN 'champion'
+        |    WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+        |    WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+        |    WHEN r_score <= 2 AND m_score <= 2 THEN 'hibernating'
+        |    ELSE 'regular' END AS segment
+        |FROM sc ORDER BY o_custkey""".stripMargin,
+
+    "hilbert_layout" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  true AS h_sk_improves, true AS h_pk_bounded
+        |FROM lineitem""".stripMargin,
 
     // per-(doc, term) micro-nat scores rounded independently; the
     // (score desc, tok asc) cut is total so the top-3 replays

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftShims, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions._
 
-import graft.expr.{CharEntropy, CosineSimilarity, DeflateLength, DocFingerprint, InterleaveBits, JaroWinklerSim, RegexpExtractOrNull, RepetitionStats, SimHash64, TokenNGrams, UnicodeNormalize}
+import graft.expr.{CharEntropy, CosineSimilarity, DeflateLength, DocFingerprint, HilbertIndex, InterleaveBits, JaroWinklerSim, RegexpExtractOrNull, RepetitionStats, SimHash64, TokenNGrams, UnicodeNormalize}
 
 /** The engine's scalar-function surface: thin `Column` builders over
   * custom Catalyst expressions plus named compositions of built-ins.
@@ -60,6 +60,14 @@ package object functions {
     * keys into the budget first. */
   def interleave_bits(cols: Column*): Column =
     col(InterleaveBits(cols.map(ex)))
+
+  /** 2-D Hilbert-curve key of two integral columns (codegen'd; see
+    * [[graft.expr.HilbertIndex]]) — the locality-tighter alternative
+    * to [[interleave_bits]]: consecutive cells are always
+    * grid-adjacent, so per-file bounding boxes stay compact. Low 16
+    * bits of each input; normalize wider keys first. */
+  def hilbert_index(a: Column, b: Column): Column =
+    col(HilbertIndex(ex(a), ex(b)))
 
   /** Compression-ratio quality signal: `deflate_len / utf8_len`,
     * NULL-safe on empty strings. Repetitive boilerplate scores low,
@@ -228,6 +236,11 @@ package object functions {
       case cs if cs.size >= 2 && cs.size <= 4 => InterleaveBits(cs)
       case _ => throw new IllegalArgumentException(
         "interleave_bits(a, b[, c[, d]]) — 2 to 4 columns")
+    }),
+    ("hilbert_index", classOf[HilbertIndex], {
+      case Seq(a, b) => HilbertIndex(a, b)
+      case _ => throw new IllegalArgumentException(
+        "hilbert_index(a, b) — exactly 2 columns")
     }),
     ("topk_sketch", classOf[graft.expr.TopKSketch], {
       case Seq(c, k) if k.foldable =>

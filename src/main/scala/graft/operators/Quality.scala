@@ -579,6 +579,41 @@ object Quality {
       .orderBy(col("class_size"))
   }
 
+  /** Distinct l-diversity screen — [[kAnonymity]]'s necessary
+    * companion (Machanavajjhala 2006): a 10 000-row equivalence class
+    * is k-anonymous at any k, yet if every row shares ONE sensitive
+    * value the attribute is fully disclosed anyway. Per
+    * quasi-identifier class, count DISTINCT sensitive values; report
+    * the diversity histogram — (diversity, n_classes, n_rows,
+    * risky = diversity < l) — not the risky classes themselves (same
+    * rationale as kAnonymity: publishing the rare combinations would
+    * BE the leak).
+    *
+    * Scale: one row-scale hash-agg to (class, sensitive) pairs, one
+    * class-scale agg, one diversity-scale histogram agg. NULL is a
+    * disclosure-relevant sensitive value too: `countDistinct` skips
+    * NULLs, so diversity adds an explicit has-null flag — an all-NULL
+    * class reads diversity 1, not 0, with no sentinel string a real
+    * value could collide with. */
+  def lDiversity(df: DataFrame, qiCols: Seq[String],
+      sensitiveExpr: Column, l: Long = 3L): DataFrame = {
+    require(qiCols.nonEmpty, "qiCols must be non-empty")
+    require(l >= 2L, s"l must be >= 2 (got $l)")
+    val classes = df
+      .withColumn("__s", sensitiveExpr)
+      .groupBy(qiCols.map(col): _*)
+      .agg((countDistinct(col("__s")) +
+        max(when(col("__s").isNull, 1L).otherwise(0L))).as("__div"),
+        count(lit(1)).as("__n"))
+    classes.groupBy(col("__div").as("diversity"))
+      .agg(count(lit(1)).cast("bigint").as("n_classes"),
+        sum(col("__n")).cast("bigint").as("n_rows"))
+      .withColumn("risky", col("diversity") < l)
+      .select(col("diversity").cast("bigint").as("diversity"),
+        col("n_classes"), col("n_rows"), col("risky"))
+      .orderBy(col("diversity"))
+  }
+
   /** Pearson chi-square association screen for two CATEGORICAL
     * columns — the categorical✕categorical member of the screening
     * family (WOE/IV covers numeric✕binary, PSI covers
@@ -640,6 +675,35 @@ object Quality {
       spark.createDataFrame(spark.sparkContext.parallelize(
         local.toSeq, 1), report.schema)
     } finally cells.unpersist()
+  }
+
+  /** Cramér's V effect size on top of [[chiSquare]] — the number the
+    * χ² statistic itself refuses to be: χ² grows linearly with N (at
+    * petabyte row counts EVERYTHING is "significant"), while
+    * V = √(χ² / (N·min(r−1, c−1))) ∈ [0, 1] measures how STRONGLY the
+    * two categoricals associate, comparable across tables and sample
+    * sizes. One summary row: (n_x, n_y, n_rows, chi2_micros,
+    * v_micros); a single-category side has no association to measure —
+    * v_micros is NULL, never a division phantom.
+    *
+    * Same cost and lifecycle as the chi-square screen it aggregates
+    * (the grid report is local, guard-bounded); `sqrt` on the one
+    * final double agrees between engines on identical inputs, and
+    * everything under it is the already-replayable integer grid. */
+  def cramersV(df: DataFrame, xExpr: Column, yExpr: Column,
+      maxCategories: Int = 1000): DataFrame = {
+    chiSquare(df, xExpr, yExpr, maxCategories)
+      .agg(countDistinct(col("x")).cast("bigint").as("n_x"),
+        countDistinct(col("y")).cast("bigint").as("n_y"),
+        sum(col("n")).cast("bigint").as("n_rows"),
+        sum(col("chi2_micros")).cast("bigint").as("chi2_micros"))
+      .withColumn("v_micros",
+        when(least(col("n_x"), col("n_y")) <= 1L || col("n_rows") === 0L,
+          lit(null).cast("long"))
+          .otherwise(round(sqrt((col("chi2_micros").cast("double") / 1e6) /
+            (col("n_rows").cast("double") *
+              (least(col("n_x"), col("n_y")) - 1L).cast("double")))
+            * 1e6).cast("long")))
   }
 
   /** Weight-of-Evidence / Information-Value report — the

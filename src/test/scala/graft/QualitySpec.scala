@@ -465,6 +465,56 @@ class QualitySpec extends SparkSpec {
     assert(e.getMessage.contains("maxCategories"), e.getMessage)
   }
 
+  test("lDiversity: diversity histogram, risky flag, all-NULL sensitive reads 1 not 0") {
+    import org.apache.spark.sql.functions.col
+    // class A: 3 rows, 3 distinct sensitive; class B: 4 rows, 1 value;
+    // class C: 2 rows, both NULL sensitive -> diversity 1 (the NULL
+    // bucket), never 0
+    val rows = Seq(("A", Option(1)), ("A", Option(2)), ("A", Option(3)),
+      ("B", Option(7)), ("B", Option(7)), ("B", Option(7)), ("B", Option(7)),
+      ("C", Option.empty[Int]), ("C", Option.empty[Int]))
+    val got = Quality.lDiversity(rows.toDF("qi", "s"), Seq("qi"),
+        col("s"), l = 3L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == Map(
+      3L -> ((1L, 3L, false)),
+      1L -> ((2L, 6L, true))), got.toString)
+    // a NULL and the literal sentinel string don't collide
+    val tricky = Seq(("D", Option(" null")), ("D", Option.empty[String]))
+    val d = Quality.lDiversity(tricky.toDF("qi", "s"), Seq("qi"),
+      col("s"), l = 2L).collect()
+    assert(d.length == 1 && d.head.getLong(0) == 2L, d.toSeq.toString)
+    intercept[IllegalArgumentException] {
+      Quality.lDiversity(rows.toDF("qi", "s"), Seq("qi"), col("s"), l = 1L)
+    }
+  }
+
+  test("cramersV: perfect association = 1, independence = 0, single-category NULL") {
+    import org.apache.spark.sql.functions.col
+    // perfect 2x2 association: V = 1 exactly
+    val perfect = (Seq.fill(10)(("a", "p")) ++ Seq.fill(10)(("b", "q")))
+      .toDF("x", "y")
+    val p = Quality.cramersV(perfect, col("x"), col("y")).collect().head
+    assert(p.getLong(0) == 2L && p.getLong(1) == 2L && p.getLong(2) == 20L)
+    assert(p.getLong(4) == 1000000L, p.toString)
+    // independence: V = 0
+    val indep = (for (x <- Seq("a", "b"); y <- Seq("p", "q");
+      _ <- 1 to 5) yield (x, y)).toDF("x", "y")
+    assert(Quality.cramersV(indep, col("x"), col("y"))
+      .collect().head.getLong(4) == 0L)
+    // the 2x2 closed form from the chiSquare spec: chi2 = 20, N = 80,
+    // min side 2 -> V = sqrt(20/80) = 0.5
+    val rows = Seq.fill(30)(("a", "p")) ++ Seq.fill(10)(("a", "q")) ++
+      Seq.fill(10)(("b", "p")) ++ Seq.fill(30)(("b", "q"))
+    assert(Quality.cramersV(rows.toDF("x", "y"), col("x"), col("y"))
+      .collect().head.getLong(4) == 500000L)
+    // a single-category side has nothing to associate: NULL
+    val one = Seq(("a", "p"), ("a", "q")).toDF("x", "y")
+    assert(Quality.cramersV(one, col("x"), col("y"))
+      .collect().head.isNullAt(4))
+  }
+
   test("order-statistic family: memory guard trips past the cap; approx path exempt and sane") {
     import org.apache.spark.sql.functions.col
     val df = (1 to 200).map(i => ("g", i.toDouble)).toDF("grp", "v")

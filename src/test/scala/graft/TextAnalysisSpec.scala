@@ -204,6 +204,44 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[Exception] { spark.sql("SELECT interleave_bits('a', 'b')").collect() }
   }
 
+  test("hilbert_index: bijective, unit-step adjacent, inverse round-trips; codegen + SQL agree") {
+    import graft.expr.HilbertIndex._
+    // order-4 curve (16x16 grid): full enumeration
+    val order = 4; val side = 1L << order
+    val cells = for (x <- 0L until side; y <- 0L until side)
+      yield (x, y, xy2d(order, x, y))
+    // bijection onto [0, side^2)
+    assert(cells.map(_._3).sorted == (0L until side * side))
+    // the defining Hilbert property: consecutive d are GRID-ADJACENT
+    // (Manhattan distance exactly 1 — the Z-curve fails this at every
+    // power-of-two boundary)
+    val byD = cells.map(c => c._3 -> ((c._1, c._2))).toMap
+    for (d <- 0L until side * side - 1) {
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1, s"jump at d=$d")
+    }
+    // inverse round-trips
+    for (d <- 0L until side * side) {
+      val (x, y) = d2xy(order, d)
+      assert(xy2d(order, x, y) == d, s"d=$d")
+    }
+    // expression masks to 16 bits; codegen column + SQL forms agree
+    graft.functions.registerAll(spark)
+    val viaCol = Seq((40000, 123)).toDF("a", "b")
+      .select(graft.functions.hilbert_index($"a", $"b"))
+      .collect()(0).getLong(0)
+    assert(viaCol == xy2d(16, 40000L, 123L))
+    val viaSql = spark.sql("SELECT hilbert_index(40000, 123) AS h")
+      .collect()(0).getLong(0)
+    assert(viaSql == viaCol)
+    // NULL propagates; bad arity / non-integral rejected at analysis
+    assert(Seq((Some(1), Option.empty[Int])).toDF("a", "b")
+      .select(graft.functions.hilbert_index($"a", $"b"))
+      .collect()(0).isNullAt(0))
+    intercept[Exception] { spark.sql("SELECT hilbert_index(1)").collect() }
+    intercept[Exception] { spark.sql("SELECT hilbert_index('a', 'b')").collect() }
+  }
+
   test("deflate_length is usable from SQL after registerAll") {
     graft.functions.registerAll(spark)
     val r = spark.sql(
