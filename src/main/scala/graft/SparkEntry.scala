@@ -95,6 +95,7 @@ object SparkEntry {
     // round-12 additions (no artifact yet)
     "ts_cusum", "ts_acf", "surv_kaplan_meier", "graph_adamic_adar",
     "dq_l_diversity", "dq_cramers_v", "cust_rfm", "hilbert_layout",
+    "text_textrank", "sim_mmr_gate", "sample_kcenter_gate",
     // round-11 additions (no artifact yet)
     "text_bm25_indexed", "text_bm25_index_append_gate",
     "graph_modularity", "dq_ks", "feat_auc", "evt_attribution",
@@ -398,7 +399,8 @@ object SparkEntry {
     "graph_weighted_paths", "graph_label_prop", "graph_modularity",
     "graph_louvain", "graph_assortativity", "graph_degree_hist",
     "graph_assoc_rules", "graph_adamic_adar", "dedup_containment",
-    "text_gopher_rules", "text_collocations", "agg_salted_collect",
+    "text_gopher_rules", "text_collocations", "text_textrank",
+    "agg_salted_collect",
     "pipeline_clean_corpus", "pipeline_curation", "pipeline_tokenize_pack",
     "sketch_freq_items",
     "sim_topk_brute", "sim_topk_ivf", "sim_topk_pq",
@@ -3306,6 +3308,25 @@ object SparkEntry {
         .limit(100)
     }),
 
+    "text_textrank" -> ((s, dir) => {
+      import s.implicits._
+      // TextRank keyword extraction (Mihalcea-Tarau 2004): integer
+      // PageRank over the adjacent-token collocation graph (pairs
+      // seen >= 5 times, symmetrized) — corpus-level salient terms
+      // from graph centrality rather than TF-IDF counts. Both pieces
+      // replay value-for-value: the bigram graph is text_collocations'
+      // edge set, the 5-iteration integral recurrence is
+      // graph_pagerank's. Top-30 by (rank, word) is a total cut.
+      val pairs = TextAnalysis.collocations(Tables.documents(s, dir),
+          "text", minCount = 5)
+        .filter($"w1" =!= $"w2")
+        .select($"w1", $"w2")
+      val edges = pairs
+        .union(pairs.select($"w2".as("w1"), $"w1".as("w2"))).distinct()
+      graft.operators.Graph.pageRank(edges, "w1", "w2", iters = 5)
+        .orderBy($"rank_ppb".desc, $"node").limit(30)
+    }),
+
     "agg_salted_collect" -> ((s, dir) => {
       import s.implicits._
       // Holistic agg under skew: distinct user_id%100 per event_type
@@ -3358,6 +3379,71 @@ object SparkEntry {
           (($"__hit".cast("double") / $"n_true".cast("double")) >= 0.6)
             .as("recall_ok"),
           $"mutual_matches_op", $"mutual_symmetric")
+    }),
+
+    "sim_mmr_gate" -> ((s, dir) => {
+      import s.implicits._
+      // MMR re-rank gate over a real retrieval: candidates = brute
+      // top-100 for probe vec_id 0, re-ranked at λ=0.7. Contracts:
+      // λ=10⁶ degenerates to the plain relevance order EXACTLY, the
+      // first pick is the top-relevance item under any λ, and the
+      // selection is k distinct candidate members.
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val q = emb.filter($"vec_id" === 0)
+      val cands = Similarity.bruteForceTopK(emb, q, "embedding",
+          "vec_id", k = 100)
+        .join(emb.select($"vec_id".as("n_id"), $"embedding"), Seq("n_id"))
+        .select($"n_id", $"cosine", $"embedding").cache()
+      val mmr = Similarity.mmrRerank(cands, "n_id", "cosine",
+        "embedding", k = 10, lambdaPpm = 700000L)
+      val lam1 = Similarity.mmrRerank(cands, "n_id", "cosine",
+        "embedding", k = 10, lambdaPpm = 1000000L)
+      val plain = cands.withColumn("rank", row_number().over(
+          Window.orderBy($"cosine".desc, $"n_id")))
+        .filter($"rank" <= 10).select($"rank".cast("bigint").as("rank"),
+          $"n_id")
+      val degenerate = setsEqual(lam1.select($"rank", $"n_id"), plain,
+        Seq("rank", "n_id"), "degenerate_exact")
+      val firstPick = mmr.filter($"rank" === 1).select($"n_id")
+        .join(plain.filter($"rank" === 1).select($"n_id"), Seq("n_id"))
+        .agg((count(lit(1)) === 1L).as("first_is_top"))
+      val membership = mmr.join(cands.select($"n_id"), Seq("n_id"),
+          "left_semi")
+        .agg((count(lit(1)) === 10L &&
+          countDistinct($"n_id") === 10L).as("subset_distinct"))
+      mmr.agg(count(lit(1)).cast("bigint").as("n_selected"))
+        .crossJoin(degenerate).crossJoin(firstPick).crossJoin(membership)
+    }),
+
+    "sample_kcenter_gate" -> ((s, dir) => {
+      import s.implicits._
+      // k-center greedy coreset gate: 8 centers over the embedding
+      // corpus. Contracts: deterministic (a re-run picks identical
+      // centers), the seed is the smallest id at round 0, and the
+      // greedy coverage radius is no worse than an arbitrary
+      // first-k-by-id selection's (greedy 2-approximates optimal;
+      // the arbitrary pick has no guarantee at all).
+      val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val c1 = Similarity.kCenterGreedy(emb, "embedding", "vec_id", k = 8)
+      val c2 = Similarity.kCenterGreedy(emb, "embedding", "vec_id", k = 8)
+      val rerun = setsEqual(c1, c2, Seq("center_id", "round"),
+        "deterministic")
+      val seedOk = c1.filter($"round" === 0)
+        .join(emb.agg(min($"vec_id").as("center_id")), Seq("center_id"))
+        .agg((count(lit(1)) === 1L).as("seed_is_min_id"))
+      val baseline = emb.orderBy($"vec_id").limit(8)
+        .select($"vec_id".as("center_id"))
+      val rg = Similarity.coverageRadius(emb, "embedding", "vec_id",
+        c1.select($"center_id"))
+      val rb = Similarity.coverageRadius(emb, "embedding", "vec_id",
+        baseline)
+      c1.agg(count(lit(1)).cast("bigint").as("n_centers"))
+        .crossJoin(rerun).crossJoin(seedOk)
+        .crossJoin(rg.select($"radius_micros".as("__rg")))
+        .crossJoin(rb.select($"radius_micros".as("__rb")))
+        .select($"n_centers", $"deterministic", $"seed_is_min_id",
+          ($"__rg" <= $"__rb").as("covers_no_worse"))
     }),
 
     "graph_assoc_rules" -> ((s, dir) => {
@@ -9657,6 +9743,15 @@ object SparkEntry {
         |  TRUE AS mutual_symmetric
         |FROM embeddings""".stripMargin,
 
+    "sim_mmr_gate" ->
+      """SELECT CAST(10 AS BIGINT) AS n_selected,
+        |  TRUE AS degenerate_exact, TRUE AS first_is_top,
+        |  TRUE AS subset_distinct""".stripMargin,
+
+    "sample_kcenter_gate" ->
+      """SELECT CAST(8 AS BIGINT) AS n_centers, TRUE AS deterministic,
+        |  TRUE AS seed_is_min_id, TRUE AS covers_no_worse""".stripMargin,
+
     // 4 unrolled iterations of the seed-split integral recurrence —
     // the base lands on seeds only, everything else is graph_pagerank's
     // proven integer replay
@@ -9816,6 +9911,46 @@ object SparkEntry {
         |FROM pair JOIN l USING (w1) JOIN r USING (w2), n
         |WHERE np >= 5
         |ORDER BY pmi_micros DESC, w1, w2 LIMIT 100""".stripMargin,
+
+    // text_collocations' edge set feeding graph_pagerank's unrolled
+    // integral recurrence — both proven replay patterns composed
+    "text_textrank" -> {
+      def iter(i: Int) =
+        s"""r$i AS (
+           |  SELECT n.node, CAST(150000000 +
+           |      CAST(coalesce(m.s, 0) AS HUGEINT) * 850000 // 1000000
+           |    AS BIGINT) AS rank_ppb
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, sum(r.rank_ppb // d.out_deg) AS s
+           |    FROM edges e
+           |    JOIN r${i - 1} r ON e.src = r.node
+           |    JOIN outdeg d ON e.src = d.src
+           |    GROUP BY 1) m ON n.node = m.node)""".stripMargin
+      s"""WITH t AS (
+         |  SELECT list_filter(string_split_regex(text, '\\s+'),
+         |    x -> x <> '') AS toks
+         |  FROM documents),
+         |bi AS (
+         |  SELECT unnest(list_transform(
+         |    range(0, greatest(len(toks) - 1, 0)),
+         |    i -> struct_pack(w1 := toks[CAST(i AS INT) + 1],
+         |                     w2 := toks[CAST(i AS INT) + 2]))) AS bg
+         |  FROM t),
+         |b AS MATERIALIZED (SELECT bg.w1 AS w1, bg.w2 AS w2 FROM bi),
+         |pair AS (SELECT w1, w2 FROM b GROUP BY 1, 2
+         |  HAVING count(*) >= 5),
+         |p2 AS (SELECT w1, w2 FROM pair WHERE w1 <> w2),
+         |edges AS MATERIALIZED (SELECT w1 AS src, w2 AS dst FROM p2
+         |  UNION SELECT w2 AS src, w1 AS dst FROM p2),
+         |outdeg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY 1),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges
+         |          UNION SELECT DISTINCT dst FROM edges),
+         |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank_ppb
+         |       FROM nodes),
+         |${(1 to 5).map(iter).mkString(",\n")}
+         |SELECT node, rank_ppb FROM r5
+         |ORDER BY rank_ppb DESC, node LIMIT 30""".stripMargin
+    },
 
     // 5 unrolled iterations of the same integral recurrence — every
     // op is integer div/multiply, so the replay is value-for-value

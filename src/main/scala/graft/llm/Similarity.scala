@@ -600,4 +600,165 @@ object Similarity {
     rows.foreach { case (j, c, v) => cents(j)(c) = v }
     PqCodebooks(m, cents(0)(0).length, k, cents)
   }
+
+  // =============== Diversity: MMR re-rank, k-center =================
+
+  private def toVec(v: Any): Array[Double] = v match {
+    case s: scala.collection.Seq[_] => s.map {
+      case f: Float => f.toDouble
+      case d: Double => d
+      case n: Number => n.doubleValue()
+    }.toArray
+    case _ => throw new IllegalArgumentException(
+      s"expected an array vector column, got ${v.getClass}")
+  }
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Maximal-marginal-relevance re-rank (Carbonell-Goldstein 1998) —
+    * the diversity stage between retrieval and the context window:
+    * greedily pick the item maximizing
+    * `λ·relevance − (1−λ)·max_cosine_to_already_picked`, so the k
+    * survivors cover the query's facets instead of repeating the top
+    * hit k times. λ in ppm (engine-portable config, the house
+    * convention); λ = 10⁶ degenerates to the plain relevance order
+    * EXACTLY (the gate pins it).
+    *
+    * Deliberately DRIVER-SIDE: the input is the OUTPUT of a top-N
+    * retrieval stage (bruteForceTopK / ivfTopK / bm25 — human-scale
+    * by contract), and the greedy argmax is sequential by definition;
+    * `maxCandidates` fails loudly if someone points it at a corpus.
+    * Deterministic: fixed scan order, (score desc, id asc)
+    * tie-breaks. Returns (id, rank, mmr_micros). */
+  def mmrRerank(candidates: DataFrame, idCol: String, scoreCol: String,
+      vecCol: String, k: Int, lambdaPpm: Long = 700000L,
+      maxCandidates: Int = 10000): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(lambdaPpm >= 0L && lambdaPpm <= 1000000L,
+      s"lambdaPpm must be in [0, 1000000] (got $lambdaPpm)")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val rows = candidates
+      .select(col(idCol).cast("long"), col(scoreCol).cast("double"),
+        col(vecCol))
+      .limit(maxCandidates + 1).collect()
+    require(rows.length <= maxCandidates,
+      s"mmrRerank got more than $maxCandidates candidates — this is a " +
+        "RE-RANK stage for a retrieval's top-N, not a corpus operator; " +
+        "cut with a top-k first")
+    val ids = rows.map(_.getLong(0))
+    val rel = rows.map(_.getDouble(1))
+    val vecs = rows.map(r => toVec(r.get(2)))
+    val lam = lambdaPpm.toDouble / 1e6
+    val n = rows.length
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val maxSim = Array.fill(n)(0.0)
+    val taken = Array.fill(n)(false)
+    var step = 0
+    while (step < math.min(k, n)) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          val s = lam * rel(i) -
+            (1.0 - lam) * (if (step == 0) 0.0 else maxSim(i))
+          if (s > bestScore ||
+            (s == bestScore && (best < 0 || ids(i) < ids(best)))) {
+            best = i; bestScore = s
+          }
+        }
+        i += 1
+      }
+      taken(best) = true
+      picked += ((ids(best), math.round(bestScore * 1e6)))
+      var j = 0
+      while (j < n) {
+        if (!taken(j)) {
+          val c = cos(vecs(j), vecs(best))
+          if (c > maxSim(j)) maxSim(j) = c
+        }
+        j += 1
+      }
+      step += 1
+    }
+    picked.toSeq.zipWithIndex
+      .map { case ((id, s), r) => (id, (r + 1).toLong, s) }
+      .toDF(idCol, "rank", "mmr_micros")
+  }
+
+  /** k-center greedy coreset selection (farthest-point traversal) —
+    * the diversity SAMPLER for training data: pick k rows such that
+    * every corpus vector is close to some pick (2-approximation of
+    * the optimal covering radius — Gonzalez 1985). Where [[mmrRerank]]
+    * diversifies a retrieval's top-N on the driver, this walks the
+    * WHOLE corpus distributed: per round one max-aggregate over the
+    * corpus (argmax of cosine-distance-to-nearest-center, (dist desc,
+    * id asc) tie-break) and one row-local min-update of the running
+    * distance column — k rounds, no pairwise matrix, nothing
+    * corpus-scale ever collects (one row per round). Seed = smallest
+    * id (deterministic; re-runs pick identical centers). Lineage
+    * truncates per round. Returns (center_id, round, dist_micros) —
+    * dist_micros the picked row's distance to the previous centers
+    * (0 for the seed); max over the LAST round's column is the
+    * coverage radius, which the gate compares against an arbitrary
+    * k-sample's. */
+  def kCenterGreedy(emb: DataFrame, vecCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = emb.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
+    val seedRow = base.orderBy(col("__id")).limit(1).collect()
+    require(seedRow.nonEmpty, "kCenterGreedy: empty corpus")
+    var centers = List((seedRow(0).getLong(0), 0, 0L))
+    def vecLit(v: Array[Double]) =
+      typedLit(v.map(_.toFloat).toSeq) // cosine expr wants array<float>
+    var cur = base
+      .withColumn("__d", lit(1.0) - cosine_similarity(col("__v"),
+        vecLit(toVec(seedRow(0).get(1)))))
+      .localCheckpoint(true)
+    var round = 1
+    while (round < k) {
+      // argmax running distance, (dist desc, id asc) — one aggregate
+      val next = cur.filter(!col("__id").isInCollection(centers.map(_._1)))
+        .orderBy(col("__d").desc, col("__id")).limit(1).collect()
+      if (next.isEmpty) { round = k } // corpus smaller than k
+      else {
+        val id = next(0).getLong(0)
+        val d = next(0).getDouble(2)
+        val vec = toVec(next(0).get(1))
+        centers = (id, round, math.round(d * 1e6)) :: centers
+        cur = cur.withColumn("__d", least(col("__d"),
+            lit(1.0) - cosine_similarity(col("__v"), vecLit(vec))))
+          .localCheckpoint(true)
+        round += 1
+      }
+    }
+    centers.reverse.map { case (id, r, d) => (id, r.toLong, d) }
+      .toDF("center_id", "round", "dist_micros")
+  }
+
+  /** Coverage radius of a center set over the corpus: max over rows of
+    * (1 − cosine) distance to the NEAREST center — the quantity
+    * k-center greedy 2-approximates. One broadcast join + one
+    * row-local min + one max-agg; micro-quantized. */
+  def coverageRadius(emb: DataFrame, vecCol: String, idCol: String,
+      centers: DataFrame): DataFrame = {
+    val c = centers.select(col("center_id").cast("long"))
+      .join(emb.select(col(idCol).cast("long").as("center_id"),
+        col(vecCol).as("__cv")), Seq("center_id"))
+    emb.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(c)) // center-count-sized broadcast
+      .withColumn("__d", lit(1.0) - cosine_similarity(col("__v"), col("__cv")))
+      .groupBy(col("__id")).agg(min(col("__d")).as("__dmin"))
+      .agg(round(max(col("__dmin")) * 1e6).cast("long")
+        .as("radius_micros"))
+  }
 }

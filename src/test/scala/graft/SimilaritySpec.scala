@@ -249,4 +249,62 @@ class SimilaritySpec extends SparkSpec {
     assert(mutual == directed.filter { case (a, b) =>
       directed.contains((b, a)) })
   }
+
+  test("mmrRerank: hand-checked greedy, λ=1 degenerates to relevance order, guard trips") {
+    // a and b point the same way; c is orthogonal with lower relevance
+    val cands = Seq(
+      (1L, 1.0, Array(1f, 0f)),
+      (2L, 0.9, Array(0.99f, 0.14f)),
+      (3L, 0.5, Array(0f, 1f)))
+      .toDF("id", "score", "vec")
+    val got = Similarity.mmrRerank(cands, "id", "score", "vec",
+        k = 2, lambdaPpm = 500000L)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2)))
+    // first pick: top relevance (id 1), score λ·rel = 0.5
+    assert(got(0) == ((1L, 1L, 500000L)), got.toSeq.toString)
+    // second: c wins — b's redundancy penalty (cos ≈ 0.99) sinks it
+    // below c's 0.25 despite b's higher relevance
+    assert(got(1)._2 == 3L, got.toSeq.toString)
+    // λ = 1: plain relevance order, scores exactly rel·1e6
+    val lam1 = Similarity.mmrRerank(cands, "id", "score", "vec",
+        k = 3, lambdaPpm = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(lam1.toSeq == Seq((1L, 1000000L), (2L, 900000L), (3L, 500000L)))
+    // k past the candidate count returns them all; the guard is loud
+    assert(Similarity.mmrRerank(cands, "id", "score", "vec", k = 9)
+      .count() == 3)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(cands, "id", "score", "vec", k = 2,
+        maxCandidates = 2)
+    }
+    assert(e.getMessage.contains("RE-RANK"), e.getMessage)
+  }
+
+  test("kCenterGreedy: farthest-point walk on a closed form; coverageRadius agrees") {
+    val emb = Seq(
+      (1L, Array(1f, 0f)),          // seed (smallest id)
+      (2L, Array(0.9f, 0.1f)),      // near the seed
+      (3L, Array(0f, 1f)),          // orthogonal — first greedy pick
+      (4L, Array(0.7f, 0.7f)))      // between — second pick
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kCenterGreedy(emb, "embedding", "vec_id", k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2)))
+    assert(got.map(_._2).toSeq == Seq(1L, 3L, 4L), got.toSeq.toString)
+    assert(got(0)._3 == 0L)              // seed distance 0
+    assert(got(1)._3 == 1000000L)        // orthogonal: 1 − cos = 1
+    // id 4: cos to both centers ≈ 0.7071 → dist ≈ 0.29289
+    assert(math.abs(got(2)._3 - 292893L) <= 2L, got.toSeq.toString)
+    // coverage radius of {1, 3}: the worst-covered point is id 4
+    val r = Similarity.coverageRadius(emb, "embedding", "vec_id",
+        Seq(1L, 3L).toDF("center_id"))
+      .collect().head.getLong(0)
+    assert(math.abs(r - 292893L) <= 2L, r.toString)
+    // with all four selected the radius collapses to ~0
+    val r4 = Similarity.coverageRadius(emb, "embedding", "vec_id",
+      Seq(1L, 2L, 3L, 4L).toDF("center_id")).collect().head.getLong(0)
+    assert(r4 <= 1L, r4.toString)
+    // k larger than the corpus returns every point once
+    assert(Similarity.kCenterGreedy(emb, "embedding", "vec_id", k = 9)
+      .count() == 4)
+  }
 }
