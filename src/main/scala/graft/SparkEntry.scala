@@ -96,6 +96,7 @@ object SparkEntry {
     "ts_cusum", "ts_acf", "surv_kaplan_meier", "graph_adamic_adar",
     "dq_l_diversity", "dq_cramers_v", "cust_rfm", "hilbert_layout",
     "text_textrank", "sim_mmr_gate", "sample_kcenter_gate",
+    "evt_cusum_replay", "geo_radius_join",
     // round-11 additions (no artifact yet)
     "text_bm25_indexed", "text_bm25_index_append_gate",
     "graph_modularity", "dq_ks", "feat_auc", "evt_attribution",
@@ -350,7 +351,7 @@ object SparkEntry {
     "join_semi", "join_anti", "join_salted", "skew_profile",
     "agg_copartition", "asof_signup_value",
     "asof_next_purchase", "interval_join_promo", "interval_join_incidents",
-    "interval_overlap_campaigns",
+    "interval_overlap_campaigns", "geo_radius_join",
     "win_topk_parts", "win_running_total", "win_lag_delta", "win_rank_family",
     "win_rolling_range",
     "set_union", "set_intersect", "set_except",
@@ -605,6 +606,25 @@ object SparkEntry {
       // combinations themselves.
       Quality.kAnonymity(Tables.customer(s, dir),
         Seq("c_nationkey", "c_mktsegment"), k = 10L)
+    }),
+
+    "geo_radius_join" -> ((s, dir) => {
+      import s.implicits._
+      // Spatial radius join on an integer plane: customers and
+      // suppliers placed at deterministic modular coordinates, all
+      // pairs within 1500 units by the cell-bucketed 3x3 probe +
+      // exact integer verify. The oracle brute-forces the same pairs
+      // — the probe is exhaustive by construction, so the outputs
+      // are identical sets, not approximations.
+      val cust = Tables.customer(s, dir).select($"c_custkey",
+        (($"c_custkey" * 48271L) % 100000L).as("x"),
+        (($"c_custkey" * 69621L) % 100000L).as("y"))
+      val supp = Tables.supplier(s, dir).select($"s_suppkey",
+        (($"s_suppkey" * 16807L) % 100000L).as("x"),
+        (($"s_suppkey" * 39373L) % 100000L).as("y"))
+      graft.operators.Geo.radiusJoin(cust, "c_custkey", supp,
+          "s_suppkey", "x", "y", radius = 1500L)
+        .orderBy($"c_custkey", $"s_suppkey")
     }),
 
     "dq_l_diversity" -> ((s, dir) => {
@@ -5998,6 +6018,52 @@ object SparkEntry {
           .agg((count(lit(1)) > 0).as("found_anomalies")))
     }),
 
+    "evt_cusum_replay" -> ((s, dir) => {
+      import s.implicits._
+      // Replay-identity gate for streaming CUSUM: same protocol as
+      // evt_anomaly_replay (in-window redelivery BEFORE the flush
+      // sentinel, sealed redelivery after), but the identity is pure
+      // integer equality — the shared fold is long add/max, no IEEE
+      // argument needed. Target sits below the corpus mean so the
+      // positive accumulator genuinely alarms. GATE-ONLY collect.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val evs = Tables.events(s, dir)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[EventStreams.Event].collect().toSeq
+      val maxTs = evs.map(_.ts.getTime).max
+      val sentinel = EventStreams.Event(-1L,
+        new java.sql.Timestamp(maxTs + 3L * 3600 * 1000), -1L, "__flush", 0.0)
+      val (target, slack, thr) = (45000000L, 1000000L, 200000000L)
+      val sink = s"cusum_replay_${math.abs(dir.hashCode)}"
+      s.catalog.dropTempView(sink)
+      val mem = MemoryStream[EventStreams.Event]
+      val q = EventStreams.cusumStateful(mem.toDS(), target, slack, thr)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(sink).start()
+      try {
+        mem.addData(evs)
+        q.processAllAvailable()
+        mem.addData(evs.filter(_.event_id % 10 == 7)) // in-window dup
+        q.processAllAvailable()
+        mem.addData(Seq(sentinel)) // watermark flush
+        q.processAllAvailable()
+        mem.addData(evs.filter(_.event_id % 10 == 3)) // sealed dup
+        q.processAllAvailable()
+      } finally q.stop()
+      val cols = Seq("event_id", "value_micros", "cusum_pos_micros",
+        "cusum_neg_micros", "alarm")
+      val stream = s.table(sink).select(cols.map(col): _*)
+      val batch = EventStreams.cusumEvents(Tables.events(s, dir)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[EventStreams.Event], target, slack, thr)
+        .toDF().select(cols.map(col): _*)
+      stream.agg(count(lit(1)).cast("bigint").as("n_scored"))
+        .crossJoin(setsEqual(stream, batch, cols, "stream_equals_batch"))
+        .crossJoin(stream.filter($"alarm")
+          .agg((count(lit(1)) > 0).as("found_alarms")))
+    }),
+
     "evt_audited_sink" -> ((s, dir) => {
       import s.implicits._
       // Driver-graded gate for the audited streaming sink
@@ -6625,6 +6691,21 @@ object SparkEntry {
         |  CAST(sum(n) AS BIGINT) AS n_rows,
         |  n < 10 AS risky
         |FROM cls GROUP BY n ORDER BY class_size""".stripMargin,
+
+    // the cell probe is exhaustive, so the brute-force cross join
+    // filtered by the same exact integer predicate is the same set
+    "geo_radius_join" ->
+      """WITH c AS (SELECT c_custkey, (c_custkey * 48271) % 100000 AS x,
+        |    (c_custkey * 69621) % 100000 AS y FROM customer),
+        |s AS (SELECT s_suppkey, (s_suppkey * 16807) % 100000 AS x,
+        |    (s_suppkey * 39373) % 100000 AS y FROM supplier)
+        |SELECT c.c_custkey, s.s_suppkey,
+        |  CAST((c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+        |    AS BIGINT) AS dist2
+        |FROM c, s
+        |WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+        |  <= 1500 * 1500
+        |ORDER BY c_custkey, s_suppkey""".stripMargin,
 
     // distinct-count-plus-has-null per class then a diversity
     // histogram; the thousands-bucket floors identically on both
@@ -9721,6 +9802,11 @@ object SparkEntry {
     "evt_anomaly_replay" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_scored,
         |  TRUE AS stream_equals_batch, TRUE AS found_anomalies
+        |FROM events""".stripMargin,
+
+    "evt_cusum_replay" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_scored,
+        |  TRUE AS stream_equals_batch, TRUE AS found_alarms
         |FROM events""".stripMargin,
 
     // the salted two-phase collect must EQUAL the direct form — the

@@ -726,4 +726,98 @@ object EventStreams extends Serializable {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  case class CusumOut(event_type: String, event_id: Long,
+      ts: java.sql.Timestamp, value_micros: Long,
+      cusum_pos_micros: Long, cusum_neg_micros: Long, alarm: Boolean)
+  case class CusumState(sp: Long, sm: Long)
+  case class CusumBuffer(cusum: CusumState, buffered: Seq[Event])
+
+  /** One CUSUM step, SHARED by the batch and streaming forms —
+    * integer arithmetic, so replay identity is exact equality, not an
+    * IEEE argument: values quantize to micro-units, both clamped
+    * accumulators update with pure long add/max. */
+  private def cusumStep(s: CusumState, valueMicros: Long,
+      targetMicros: Long, slackMicros: Long,
+      thresholdMicros: Long): (CusumState, Boolean) = {
+    val sp = math.max(0L, s.sp + (valueMicros - targetMicros - slackMicros))
+    val sm = math.max(0L, s.sm + (targetMicros - valueMicros - slackMicros))
+    (CusumState(sp, sm), sp > thresholdMicros || sm > thresholdMicros)
+  }
+
+  private def cusumFold(key: String, evs: Seq[Event], st0: CusumState,
+      targetMicros: Long, slackMicros: Long,
+      thresholdMicros: Long): (CusumState, Seq[CusumOut]) = {
+    var st = st0
+    val out = evs.map { e =>
+      val v = math.round(e.value * 1e6)
+      val (s2, alarm) = cusumStep(st, v, targetMicros, slackMicros,
+        thresholdMicros)
+      st = s2
+      CusumOut(key, e.event_id, e.ts, v, s2.sp, s2.sm, alarm)
+    }
+    (st, out)
+  }
+
+  /** Batch twin of [[cusumStateful]]: per-type two-sided CUSUM over
+    * raw events in (ts, event_id) order — the EVENT-grain sibling of
+    * [[graft.operators.TimeSeries.cusum]]'s series form (same
+    * recurrence, same micro-unit config; this one keys the fold on
+    * the replayable (ts, event_id) total order so the streaming twin
+    * can match it exactly). One key shuffle, per-group sequential
+    * fold via the SHARED [[cusumStep]] — integer state, exact. */
+  def cusumEvents(events: Dataset[Event], targetMicros: Long,
+      slackMicros: Long, thresholdMicros: Long): Dataset[CusumOut] = {
+    import events.sparkSession.implicits._
+    require(slackMicros >= 0, s"slackMicros must be >= 0 (got $slackMicros)")
+    require(thresholdMicros > 0,
+      s"thresholdMicros must be > 0 (got $thresholdMicros)")
+    events.groupByKey(_.event_type).flatMapGroups { (k, it) =>
+      val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      cusumFold(k, evs, CusumState(0L, 0L), targetMicros, slackMicros,
+        thresholdMicros)._2.iterator
+    }
+  }
+
+  /** Streaming two-sided CUSUM — the drift monitor that pages on a
+    * small persistent shift long before a point z-score would: same
+    * watermark discipline as [[ewmaAnomaliesStateful]] (buffer the
+    * unsealed tail, fold sealed events in (ts, event_id) order, drop
+    * below-watermark stragglers, dedupe in-window redeliveries by
+    * event_id), but the persistent state is TWO LONGS per key — the
+    * clamped accumulators — so a key's state never grows with its
+    * history. Sealed output equals [[cusumEvents]] over the on-time
+    * corpus EXACTLY (shared integer fold; `evt_cusum_replay` pins it
+    * with both redelivery windows). */
+  def cusumStateful(events: Dataset[Event], targetMicros: Long,
+      slackMicros: Long, thresholdMicros: Long,
+      watermark: String = "2 hours"): Dataset[CusumOut] = {
+    import events.sparkSession.implicits._
+    require(slackMicros >= 0, s"slackMicros must be >= 0 (got $slackMicros)")
+    require(thresholdMicros > 0,
+      s"thresholdMicros must be > 0 (got $thresholdMicros)")
+
+    def fn(key: String, rows: Iterator[Event],
+        state: GroupState[CusumBuffer]): Iterator[CusumOut] = {
+      val prior = state.getOption.getOrElse(
+        CusumBuffer(CusumState(0L, 0L), Seq.empty))
+      val wmMs = state.getCurrentWatermarkMs()
+      val fresh = rows.filter(_.ts.getTime > wmMs).toSeq
+      val (ripe, open) = (prior.buffered ++ fresh)
+        .distinctBy(_.event_id)
+        .partition(_.ts.getTime <= wmMs)
+      val (st, out) = cusumFold(key,
+        ripe.sortBy(e => (e.ts.getTime, e.event_id)),
+        prior.cusum, targetMicros, slackMicros, thresholdMicros)
+      state.update(CusumBuffer(st, open))
+      if (open.nonEmpty)
+        state.setTimeoutTimestamp(open.map(_.ts.getTime).min + 1)
+      out.iterator
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 }

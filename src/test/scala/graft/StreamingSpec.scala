@@ -745,6 +745,50 @@ class StreamingSpec extends SparkSpec {
     assert(out((4L, 3L)) == (("view", 1000000L, 1000000L, 1000000L)))
   }
 
+  test("cusumStateful == cusumEvents exactly; in-window duplicates absorbed; O(1) state alarms") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1700000000000L
+    // a flat stretch then a sustained +shift: the accumulator must
+    // build across the seal boundary (state persists between folds)
+    val vals = Seq(5.0, 5.2, 4.9, 5.1, 5.0, 8.0, 8.2, 8.1, 8.3, 8.0, 8.2)
+    val evs = vals.zipWithIndex.map { case (v, i) =>
+      Event(i + 1L, new Timestamp(t0 + i * 60000L), 1L, "m", v) }
+    // a sentinel that advances the watermark to EXACTLY minute `seal`
+    // (watermark delay is 2h): later events stay above it
+    def flush(id: Long, seal: Long) = Event(id,
+      new Timestamp(t0 + seal * 60000L + 2L * 3600 * 1000), -1L, "__flush", 0.0)
+    val (target, slack, thr) = (5000000L, 200000L, 6000000L)
+    val mem = MemoryStream[Event]
+    val q = EventStreams.cusumStateful(mem.toDS(), target, slack, thr)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cusum_replay_sink").start()
+    try {
+      mem.addData(evs.take(6))
+      q.processAllAvailable()
+      mem.addData(evs.take(3)) // in-window duplicates — must absorb
+      q.processAllAvailable()
+      mem.addData(Seq(flush(-1, 5))) // seals minutes 0-5 (first six)
+      q.processAllAvailable()
+      mem.addData(evs.drop(6)) // state must CONTINUE, not reset
+      q.processAllAvailable()
+      mem.addData(Seq(flush(-2, 20)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("cusum_replay_sink")
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    val batch = EventStreams.cusumEvents(evs.toDS(), target, slack, thr)
+      .collect().map(r => r.event_id ->
+        ((r.value_micros, r.cusum_pos_micros, r.cusum_neg_micros, r.alarm)))
+      .toMap
+    assert(stream.size == vals.size, stream.keys.toSeq.sorted.mkString(","))
+    assert(stream == batch)
+    // the sustained shift (+3 over target) alarms within a few events
+    assert(stream(9L)._4, stream.toString)
+    // the flat stretch does not
+    assert(!stream(5L)._4, stream.toString)
+  }
+
   test("ewmaAnomaliesStateful absorbs an IN-WINDOW redelivery: one output row per event_id") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val t0 = 1700000000000L
