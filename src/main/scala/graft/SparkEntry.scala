@@ -97,6 +97,8 @@ object SparkEntry {
     "dq_l_diversity", "dq_cramers_v", "cust_rfm", "hilbert_layout",
     "text_textrank", "sim_mmr_gate", "sample_kcenter_gate",
     "evt_cusum_replay", "geo_radius_join",
+    "evt_markov_attribution", "evt_markov_attribution_gate",
+    "feat_cdf_normalize", "text_phrase_search",
     // round-11 additions (no artifact yet)
     "text_bm25_indexed", "text_bm25_index_append_gate",
     "graph_modularity", "dq_ks", "feat_auc", "evt_attribution",
@@ -362,7 +364,7 @@ object SparkEntry {
     "sample_weighted_pps", "sample_weighted_topk", "sample_weighted_by_group",
     "feat_percentile_buckets", "feat_percentile_buckets_approx",
     "feat_percentile_buckets_window", "feat_target_encode",
-    "pipeline_feature_matrix",
+    "feat_cdf_normalize", "pipeline_feature_matrix",
     "dq_invalid_codes", "dq_expectations", "dq_profile", "dq_outliers",
     "dq_outliers_mad", "dq_psi", "dq_wasserstein", "dq_woe", "dq_benford",
     "feat_cuped",
@@ -377,7 +379,7 @@ object SparkEntry {
     "evt_stream_join", "evt_stream_join_outer", "evt_enrich_static",
     "evt_funnel", "evt_funnel_windowed", "evt_set_completion",
     "evt_retention",
-    "evt_transitions", "evt_attribution",
+    "evt_transitions", "evt_attribution", "evt_markov_attribution",
     "ts_resample_ffill", "ts_interpolate", "ts_anomaly", "ts_seasonality",
     "ts_cusum", "ts_acf", "surv_kaplan_meier",
     "growth_accounting", "cohort_ltv", "feat_group_regression",
@@ -390,6 +392,7 @@ object SparkEntry {
     "text_readability", "text_zipf", "text_vocab_stats", "bpe_tokenize",
     "unigram_tokenize", "dsir_select",
     "text_bm25", "text_bm25_indexed", "text_bm25_batch",
+    "text_phrase_search",
     "text_rrf_fusion", "text_blocklist",
     "decontaminate", "corpus_overlap",
     "dedup_exact", "dedup_spans", "dedup_paragraph", "dedup_fingerprint", "dedup_simhash",
@@ -606,6 +609,40 @@ object SparkEntry {
       // combinations themselves.
       Quality.kAnonymity(Tables.customer(s, dir),
         Seq("c_nationkey", "c_mktsegment"), k = 10L)
+    }),
+
+    "feat_cdf_normalize" -> ((s, dir) => {
+      import s.implicits._
+      // Quantile (CDF) normalization per group — the rank-based
+      // feature transform: each order's cents mapped to its Hazen
+      // plotting position (2r−1)/2n within its priority, in exact
+      // ppm. rank() shares positions across ties on both engines, so
+      // every row replays.
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, dir).select($"o_orderkey",
+        $"o_orderpriority",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      val w = Window.partitionBy($"o_orderpriority").orderBy($"cents")
+      o.withColumn("__r", rank().over(w))
+        .withColumn("__n", count(lit(1)).over(
+          Window.partitionBy($"o_orderpriority")))
+        .select($"o_orderkey", $"o_orderpriority", $"cents",
+          expr("(2 * CAST(__r AS BIGINT) - 1) * 1000000 div (2 * __n)")
+            .cast("long").as("cdf_ppm"))
+        .orderBy($"o_orderkey")
+    }),
+
+    "text_phrase_search" -> ((s, dir) => {
+      import s.implicits._
+      // Exact-phrase occurrence count: a k-token phrase is a row-local
+      // count of matching k-grams from the codegen'd n-gram expression
+      // — scan-scale, pushdown-friendly, the text never shuffles.
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          size(filter(graft.functions.token_ngrams($"text", 2),
+            g => g === "hash join")).cast("bigint").as("n_occurrences"))
+        .filter($"n_occurrences" > 0)
+        .orderBy($"doc_id")
     }),
 
     "geo_radius_join" -> ((s, dir) => {
@@ -5836,6 +5873,36 @@ object SparkEntry {
         lookbackSeconds = 21600L)
     }),
 
+    "evt_markov_attribution" -> ((s, dir) => {
+      import s.implicits._
+      // Data-driven attribution: first-order journey chain, per-channel
+      // removal effects + shares normalized to exactly 10^6. The
+      // absorbing-chain solve has no SQL form — raw dump graded
+      // rows-only, honesty carried by evt_markov_attribution_gate.
+      EventStreams.markovAttribution(Tables.events(s, dir),
+          Seq("view", "click", "signup"), "purchase")
+        .orderBy($"channel")
+    }),
+
+    "evt_markov_attribution_gate" -> ((s, dir) => {
+      import s.implicits._
+      // Deterministic companion for the Markov solve: channel set,
+      // exact 10^6 share normalization, effects in range, and a
+      // rerun-identity check (fixed state order + fixed pivoting =>
+      // the solve is a pure function of the corpus).
+      val run1 = EventStreams.markovAttribution(Tables.events(s, dir),
+        Seq("view", "click", "signup"), "purchase").cache()
+      val run2 = EventStreams.markovAttribution(Tables.events(s, dir),
+        Seq("view", "click", "signup"), "purchase")
+      run1.agg(count(lit(1)).cast("bigint").as("n_channels"),
+          sum($"share_micros").cast("bigint").as("share_sum"),
+          (min($"removal_effect_micros") >= 0L &&
+            max($"removal_effect_micros") <= 1000000L).as("effects_in_range"))
+        .crossJoin(setsEqual(run1, run2,
+          Seq("channel", "n_visits", "removal_effect_micros",
+            "share_micros"), "deterministic"))
+    }),
+
     "evt_attribution_replay" -> ((s, dir) => {
       import s.implicits._
       // Replay-identity gate for streaming attribution: corpus feeds
@@ -6691,6 +6758,33 @@ object SparkEntry {
         |  CAST(sum(n) AS BIGINT) AS n_rows,
         |  n < 10 AS risky
         |FROM cls GROUP BY n ORDER BY class_size""".stripMargin,
+
+    // rank() shares tie positions identically; Hazen ppm is integer
+    // floor-div on non-negatives
+    "feat_cdf_normalize" ->
+      """WITH v AS (SELECT o_orderkey, o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (SELECT *, rank() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY cents) AS rk,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n FROM v)
+        |SELECT o_orderkey, o_orderpriority, cents,
+        |  CAST((2 * rk - 1) * 1000000 // (2 * n) AS BIGINT) AS cdf_ppm
+        |FROM r ORDER BY o_orderkey""".stripMargin,
+
+    // the same whitespace bigrams as the collocation CTEs, counted
+    // per doc; zero-hit docs drop out
+    "text_phrase_search" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(text, '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(
+        |    range(0, greatest(len(toks) - 1, 0)),
+        |    i -> toks[CAST(i AS INT) + 1] || ' ' ||
+        |      toks[CAST(i AS INT) + 2])) AS bg
+        |  FROM t)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM g WHERE bg = 'hash join'
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the cell probe is exhaustive, so the brute-force cross join
     // filtered by the same exact integer predicate is the same set
@@ -9808,6 +9902,11 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_scored,
         |  TRUE AS stream_equals_batch, TRUE AS found_alarms
         |FROM events""".stripMargin,
+
+    "evt_markov_attribution_gate" ->
+      """SELECT CAST(3 AS BIGINT) AS n_channels,
+        |  CAST(1000000 AS BIGINT) AS share_sum,
+        |  TRUE AS effects_in_range, TRUE AS deterministic""".stripMargin,
 
     // the salted two-phase collect must EQUAL the direct form — the
     // oracle computes the plain grouped distinct-sorted list

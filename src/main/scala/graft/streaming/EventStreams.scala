@@ -564,6 +564,134 @@ object EventStreams extends Serializable {
       .orderBy(col("channel"))
   }
 
+  /** Data-driven (Markov removal-effect) attribution — the model the
+    * heuristic family ([[attribution]]'s first/last/linear) is usually
+    * benchmarked against: build the first-order journey chain
+    * (START → touches → CONVERSION, or DROP when the journey dies),
+    * then credit each channel by how much the chain's conversion
+    * probability falls when that channel is removed (its states
+    * redirect to DROP) — channels that merely appear on converting
+    * paths earn nothing unless removing them actually loses
+    * conversions. Returns one row per channel: raw transition
+    * `n_visits`, `removal_effect_micros` (relative drop ∈ [0, 10⁶])
+    * and `share_micros` (effects normalized to EXACTLY 10⁶, remainder
+    * to the largest-share channel, ties by channel name — the
+    * integer-credit convention).
+    *
+    * Scale: journeys reduce per user (one user-keyed sort-agg; the
+    * per-user event list is bounded by `maxEventsPerUser`, loudly),
+    * transitions hash-agg to a CHANNEL²-sized matrix, and only that
+    * matrix ever reaches the driver, where the absorbing-chain solve
+    * (Gaussian elimination over channels+1 unknowns) is microseconds.
+    * The solve is deterministic (fixed state order, fixed pivoting),
+    * so reruns are identical; no SQL engine replays a linear solve,
+    * hence the gate-plus-raw grading pattern
+    * (`evt_markov_attribution_gate`). */
+  def markovAttribution(events: DataFrame, touchTypes: Seq[String],
+      conversionType: String,
+      maxEventsPerUser: Long = 100000L): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rel = events
+      .filter(col("event_type").isin((touchTypes :+ conversionType): _*))
+      .select(col("user_id").cast("long").as("u"),
+        col("ts"), col("event_id").cast("long").as("eid"),
+        col("event_type").as("t"))
+    val worst = rel.groupBy(col("u")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).collect()
+    val worstN = if (worst.isEmpty || worst.head.isNullAt(0)) 0L
+      else worst.head.getLong(0)
+    require(worstN <= maxEventsPerUser,
+      s"a user holds $worstN relevant events (cap $maxEventsPerUser) — " +
+        "the per-user journey list would not be bounded; sessionize or " +
+        "cap upstream, or raise the cap deliberately")
+    // per-user journey: ordered types truncated at the FIRST
+    // conversion; transitions = START→s0, sᵢ→sᵢ₊₁, tail→CONV|DROP
+    val trans = rel.groupBy(col("u"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("eid"),
+        col("t")))).as("__seq"))
+      .select(explode(expr(
+        s"""zip_with(
+           |  concat(array('START'),
+           |    transform(slice(__seq, 1,
+           |      coalesce(nullif(array_position(__seq.t, '$conversionType'), 0) - 1,
+           |        size(__seq))), x -> x.t)),
+           |  concat(
+           |    transform(slice(__seq, 1,
+           |      coalesce(nullif(array_position(__seq.t, '$conversionType'), 0) - 1,
+           |        size(__seq))), x -> x.t),
+           |    array(IF(nullif(array_position(__seq.t, '$conversionType'), 0)
+           |      IS NOT NULL, 'CONV', 'DROP'))),
+           |  (a, b) -> struct(a AS src, b AS dst))""".stripMargin)).as("__p"))
+      .select(col("__p.src"), col("__p.dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+      .collect()
+    // driver-side absorbing chain over channel-scale states
+    val counts = trans.map(r =>
+      (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def pConv(removed: Option[String]): Double = {
+      val live = ("START" +: touchTypes.filterNot(removed.contains))
+        .distinct
+      val idx = live.zipWithIndex.toMap
+      val n = live.length
+      // x_s = P(absorb in CONV | at s); (I - Q) x = r
+      val aM = Array.tabulate(n, n + 1) { (i, j) =>
+        if (j == i) 1.0 else 0.0
+      }
+      live.foreach { s =>
+        val outs = counts.filter { case ((src, _), _) => src == s }
+        val total = outs.values.sum.toDouble
+        if (total > 0) outs.foreach { case ((_, dst), c) =>
+          val p = c / total
+          val i = idx(s)
+          if (dst == "CONV") aM(i)(n) += p
+          else if (removed.contains(dst)) () // redirected to DROP
+          else idx.get(dst).foreach(j => aM(i)(j) -= p)
+        }
+      }
+      // Gaussian elimination, fixed order (states as listed)
+      var r0 = 0
+      while (r0 < n) {
+        val piv = aM(r0)(r0)
+        if (math.abs(piv) > 1e-12) {
+          var j = r0; while (j <= n) { aM(r0)(j) /= piv; j += 1 }
+          var i = 0
+          while (i < n) {
+            if (i != r0 && math.abs(aM(i)(r0)) > 0) {
+              val f = aM(i)(r0)
+              var k = r0; while (k <= n) { aM(i)(k) -= f * aM(r0)(k); k += 1 }
+            }
+            i += 1
+          }
+        }
+        r0 += 1
+      }
+      aM(idx("START"))(n)
+    }
+    val pFull = pConv(None)
+    val effects = touchTypes.sorted.map { c =>
+      val re = if (pFull <= 0) 0.0
+        else math.max(0.0, (pFull - pConv(Some(c))) / pFull)
+      (c, re)
+    }
+    val total = effects.map(_._2).sum
+    val shares0 = effects.map { case (c, re) =>
+      (c, math.round(re * 1e6),
+        if (total <= 0) 0L else (re / total * 1e6).toLong)
+    }
+    // exact 10⁶ share sum: remainder to the largest share, ties by name
+    val rem = 1000000L - shares0.map(_._3).sum
+    val target = if (total <= 0) None
+      else Some(shares0.sortBy(s => (-s._3, s._1)).head._1)
+    val visits = trans.filter(r => touchTypes.contains(r.getString(0)))
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    shares0.map { case (c, re, sh) =>
+      (c, visits.getOrElse(c, 0L), re,
+        if (target.contains(c)) sh + rem else sh)
+    }.toDF("channel", "n_visits", "removal_effect_micros", "share_micros")
+  }
+
   case class AttribOut(user_id: Long, conv_id: Long, channel: String,
       touch_id: Long, first_micros: Long, last_micros: Long,
       linear_micros: Long)

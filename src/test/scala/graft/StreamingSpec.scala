@@ -710,6 +710,35 @@ class StreamingSpec extends SparkSpec {
     assert(stream((13L, 7L))._3 == 1000000L)
   }
 
+  test("markovAttribution: hand-solved chain, post-conversion events ignored, shares sum to 1e6") {
+    val t0 = 1700000000000L
+    def ev(id: Long, minute: Long, user: Long, typ: String) =
+      (id, new Timestamp(t0 + minute * 60000L), user, typ, 1.0)
+    // u1: A -> CONV (then a post-conversion B that must NOT count);
+    // u2: B -> DROP; u3: A -> B -> CONV
+    val events = Seq(
+      ev(1, 0, 1, "A"), ev(2, 10, 1, "purchase"), ev(3, 20, 1, "B"),
+      ev(4, 0, 2, "B"),
+      ev(5, 0, 3, "A"), ev(6, 5, 3, "B"), ev(7, 10, 3, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventStreams.markovAttribution(events, Seq("A", "B"),
+        "purchase")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // chain: START->A 2/3, START->B 1/3; A->CONV 1/2, A->B 1/2;
+    // B->CONV 1/2, B->DROP 1/2. pFull = 2/3. Remove A: p = 1/6,
+    // RE_A = 3/4; remove B: p = 1/3, RE_B = 1/2. Shares 0.6 / 0.4.
+    assert(got("A") == ((2L, 750000L, 600000L)), got.toString)
+    assert(got("B") == ((2L, 500000L, 400000L)), got.toString)
+    assert(got.values.map(_._3).sum == 1000000L)
+    // per-user cap trips loudly
+    val e = intercept[IllegalArgumentException] {
+      EventStreams.markovAttribution(events, Seq("A", "B"), "purchase",
+        maxEventsPerUser = 2L)
+    }
+    assert(e.getMessage.contains("journey"), e.getMessage)
+  }
+
   test("attributionStateful drains touch-only state by timeout and keeps serving the key") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val t0 = 1700000000000L
