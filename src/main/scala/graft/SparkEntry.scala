@@ -99,6 +99,7 @@ object SparkEntry {
     "evt_cusum_replay", "geo_radius_join",
     "evt_markov_attribution", "evt_markov_attribution_gate",
     "feat_cdf_normalize", "text_phrase_search",
+    "dq_mutual_info", "ts_holt", "evt_cumulative_users",
     // round-11 additions (no artifact yet)
     "text_bm25_indexed", "text_bm25_index_append_gate",
     "graph_modularity", "dq_ks", "feat_auc", "evt_attribution",
@@ -381,8 +382,9 @@ object SparkEntry {
     "evt_retention",
     "evt_transitions", "evt_attribution", "evt_markov_attribution",
     "ts_resample_ffill", "ts_interpolate", "ts_anomaly", "ts_seasonality",
-    "ts_cusum", "ts_acf", "surv_kaplan_meier",
+    "ts_cusum", "ts_acf", "ts_holt", "surv_kaplan_meier",
     "growth_accounting", "cohort_ltv", "feat_group_regression",
+    "evt_cumulative_users", "dq_mutual_info",
     "evt_interarrival", "evt_top_paths",
     "agg_corr_regr",
     "text_stats", "text_quality", "text_term_freq", "text_lang_dist",
@@ -674,6 +676,44 @@ object SparkEntry {
       Quality.lDiversity(Tables.customer(s, dir),
         Seq("c_nationkey", "c_mktsegment"),
         floor($"c_acctbal" / 1000.0), l = 3L)
+    }),
+
+    "dq_mutual_info" -> ((s, dir) => {
+      import s.implicits._
+      // Mutual information priority x status in exact micro-nats:
+      // per-cell PMI micro-rounded, weighted integer sum, ONE final
+      // floor-div by N — the information-theoretic screen next to
+      // chi-square/V.
+      Quality.mutualInformation(Tables.orders(s, dir),
+        $"o_orderpriority", $"o_orderstatus")
+    }),
+
+    "ts_holt" -> ((s, dir) => {
+      import s.implicits._
+      // Holt level+trend forecast of per-type hourly volume, 12 steps
+      // ahead: pure truncating-long-division recurrence (Java / ==
+      // DuckDB //), so the recursive-CTE oracle replays every one of
+      // the ~680 steps per key and the forecasts exactly.
+      val hc = Tables.events(s, dir)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+        .agg((count(lit(1)) * 1000000L).as("x"))
+      graft.operators.TimeSeries.holtForecast(hc, "event_type", "hour",
+        "x", alphaPpm = 300000L, betaPpm = 100000L, horizon = 12)
+    }),
+
+    "evt_cumulative_users" -> ((s, dir) => {
+      import s.implicits._
+      // Cumulative-distinct growth curve: per day, users seen for the
+      // FIRST time and the running total — the exact form of the
+      // classic growth metric (first-seen reduction makes cumulative
+      // distinct a plain cumulative SUM; no sketch needed).
+      import org.apache.spark.sql.expressions.Window
+      val firsts = Tables.events(s, dir)
+        .groupBy($"user_id").agg(min(to_date($"ts")).as("day"))
+      firsts.groupBy($"day").agg(count(lit(1)).cast("bigint").as("n_new"))
+        .withColumn("cum_users",
+          sum($"n_new").over(Window.orderBy($"day")).cast("bigint"))
+        .orderBy($"day")
     }),
 
     "dq_cramers_v" -> ((s, dir) => {
@@ -6815,6 +6855,62 @@ object SparkEntry {
         |  CAST(sum(n) AS BIGINT) AS n_rows,
         |  d < 3 AS risky
         |FROM cls GROUP BY d ORDER BY diversity""".stripMargin,
+
+    // observed cells only (zero cells contribute 0); HUGEINT weighted
+    // sum, clamp, one truncating division
+    "dq_mutual_info" ->
+      """WITH cells AS (SELECT o_orderpriority AS x, o_orderstatus AS y,
+        |    count(*) AS n FROM orders GROUP BY 1, 2),
+        |xs AS (SELECT x, sum(n) AS r FROM cells GROUP BY 1),
+        |ys AS (SELECT y, sum(n) AS c FROM cells GROUP BY 1),
+        |t AS (SELECT sum(n) AS nn FROM cells),
+        |p AS (SELECT cells.n,
+        |    CAST(round(ln(CAST(cells.n * t.nn AS DOUBLE)
+        |      / CAST(xs.r * ys.c AS DOUBLE)) * 1000000) AS BIGINT) AS pmi
+        |  FROM cells JOIN xs USING (x) JOIN ys USING (y), t)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(greatest(sum(n * pmi), 0) // (SELECT nn FROM t)
+        |    AS BIGINT) AS mi_micros
+        |FROM p""".stripMargin,
+
+    // the full integer recurrence replayed by a recursive CTE — every
+    // step is long multiply + truncating division on both engines
+    "ts_holt" ->
+      """WITH RECURSIVE
+        |c AS (SELECT event_type AS k, date_trunc('hour', ts) AS h,
+        |    CAST(count(*) AS BIGINT) * 1000000 AS x
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT k, row_number() OVER (PARTITION BY k ORDER BY h)
+        |    AS i, x FROM c),
+        |r AS (
+        |  SELECT k, i, x AS l, CAST(0 AS BIGINT) AS b FROM s WHERE i = 1
+        |  UNION ALL
+        |  SELECT s.k, s.i,
+        |    (300000 * s.x + 700000 * (r.l + r.b)) // 1000000 AS l,
+        |    (100000 * (((300000 * s.x + 700000 * (r.l + r.b))
+        |        // 1000000) - r.l) + 900000 * r.b) // 1000000 AS b
+        |  FROM r JOIN s ON s.k = r.k AND s.i = r.i + 1),
+        |lst AS (SELECT k, max(i) AS n FROM r GROUP BY 1),
+        |fin AS (SELECT r.k, lst.n, r.l, r.b FROM r
+        |  JOIN lst ON r.k = lst.k AND r.i = lst.n),
+        |hh AS (SELECT CAST(range AS BIGINT) AS step FROM range(1, 13))
+        |SELECT k AS event_type, CAST(n AS BIGINT) AS n_obs,
+        |  l AS level_micros, b AS trend_micros, step,
+        |  CAST(l + step * b AS BIGINT) AS forecast_micros
+        |FROM fin, hh ORDER BY event_type, step""".stripMargin,
+
+    // first-seen reduction turns cumulative distinct into a plain
+    // running sum over unique days
+    "evt_cumulative_users" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new
+        |  FROM f GROUP BY 1)
+        |SELECT day, n_new, CAST(sum(n_new) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS BIGINT) AS cum_users
+        |FROM d ORDER BY day""".stripMargin,
 
     // the dq_chi2 grid aggregated to one effect-size row; sqrt on the
     // single final double agrees between engines

@@ -677,6 +677,50 @@ object Quality {
     } finally cells.unpersist()
   }
 
+  /** Mutual information between two categorical columns in exact
+    * integer micro-nats — the information-theoretic member of the
+    * screening family (χ²/V test association; MI MEASURES it in nats,
+    * additive across independent features, the quantity feature
+    * selection actually ranks by): MI = Σ (n/N)·ln(n·N/(r·c)) over
+    * OBSERVED cells — zero cells contribute exactly 0, so no complete
+    * grid and no category cap is needed; the cell table IS the cost
+    * bound.
+    *
+    * Exactness: per-cell pmi quantizes to micro-nats (round, the
+    * collocations convention), the weighted sum Σ n·pmi is
+    * DECIMAL-exact, and ONE final floor-div by N yields `mi_micros`
+    * (clamped at 0 first: MI ≥ 0 mathematically, but per-cell
+    * rounding can leave the integer sum a few micros negative — a
+    * clamp both engines apply identically, not a silent fixup).
+    * Returns one row: (n_cells, n_rows, mi_micros).
+    *
+    * Scale: one row-scale hash-agg to cells (materialized once —
+    * margins, total and the weighted sum all read it), two
+    * category-scale margin joins, a 1-row broadcast total. */
+  def mutualInformation(df: DataFrame, xExpr: Column,
+      yExpr: Column): DataFrame = {
+    val cells = df.select(xExpr.cast("string").as("x"),
+        yExpr.cast("string").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val xs = cells.groupBy(col("x")).agg(sum(col("n")).as("__r"))
+    val ys = cells.groupBy(col("y")).agg(sum(col("n")).as("__c"))
+    val total = cells.agg(sum(col("n")).as("__nn"))
+    cells.join(xs, "x").join(ys, "y")
+      .crossJoin(broadcast(total)) // 1-row N
+      .withColumn("__pmi",
+        round(log((col("n").cast("decimal(38,0)") * col("__nn"))
+            .cast("double") /
+          (col("__r").cast("decimal(38,0)") * col("__c")).cast("double"))
+          * 1e6).cast("long"))
+      .agg(count(lit(1)).cast("bigint").as("n_cells"),
+        sum(col("n")).cast("bigint").as("n_rows"),
+        expr("""CAST(greatest(sum(CAST(n AS DECIMAL(38,0)) * __pmi),
+            CAST(0 AS DECIMAL(38,0))) div first(__nn) AS BIGINT)""")
+          .as("mi_micros"))
+  }
+
   /** Cramér's V effect size on top of [[chiSquare]] — the number the
     * χ² statistic itself refuses to be: χ² grows linearly with N (at
     * petabyte row counts EVERYTHING is "significant"), while

@@ -283,4 +283,54 @@ object TimeSeries {
         col("acf_micros"))
       .orderBy(col("lag"))
   }
+
+  /** Holt double-exponential (level + trend) smoothing forecast — the
+    * capacity-planning workhorse one notch above a moving average:
+    * per key, fold the series in order through the integer recurrence
+    *   l_t = (α·x_t + (10⁶−α)·(l_{t−1}+b_{t−1})) / 10⁶
+    *   b_t = (β·(l_t−l_{t−1}) + (10⁶−β)·b_{t−1}) / 10⁶
+    * (plain truncating long division — Java `/` and DuckDB `//`
+    * truncate identically, including on negative trends, so a
+    * recursive-CTE oracle replays every step exactly; α, β in ppm,
+    * values in micro-units — engine-portable integer config
+    * throughout; init l₁ = x₁, b₁ = 0, documented convention).
+    * Returns per key one row per forecast step 1..`horizon`:
+    * (key, n_obs, level_micros, trend_micros, step,
+    * forecast_micros = l_n + step·b_n).
+    *
+    * Scale: one key shuffle, per-group in-memory sort + O(n) fold
+    * (`flatMapGroups` — a genuine sequential recurrence, the
+    * [[graft.streaming.EventStreams]] EWMA posture: group = one
+    * key's bounded series, pre-aggregate to a cadence first). */
+  def holtForecast(df: DataFrame, keyCol: String, orderCol: String,
+      valueMicrosCol: String, alphaPpm: Long = 300000L,
+      betaPpm: Long = 100000L, horizon: Int = 12): DataFrame = {
+    require(alphaPpm >= 0 && alphaPpm <= 1000000L,
+      s"alphaPpm must be in [0, 1000000] (got $alphaPpm)")
+    require(betaPpm >= 0 && betaPpm <= 1000000L,
+      s"betaPpm must be in [0, 1000000] (got $betaPpm)")
+    require(horizon >= 1, s"horizon must be >= 1 (got $horizon)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("k"),
+        col(orderCol).cast("long").as("o"),
+        col(valueMicrosCol).cast("long").as("x"))
+      .filter(col("x").isNotNull && col("o").isNotNull)
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val xs = it.toSeq.sortBy(r => (r._2, r._3)).map(_._3)
+        var l = xs.head; var b = 0L
+        xs.tail.foreach { x =>
+          val l2 = (alphaPpm * x + (1000000L - alphaPpm) * (l + b)) / 1000000L
+          b = (betaPpm * (l2 - l) + (1000000L - betaPpm) * b) / 1000000L
+          l = l2
+        }
+        (1 to horizon).iterator.map(h =>
+          (k, xs.size.toLong, l, b, h.toLong, l + h * b))
+      }
+      .toDF(keyCol, "n_obs", "level_micros", "trend_micros", "step",
+        "forecast_micros")
+      .orderBy(col(keyCol), col("step"))
+  }
 }

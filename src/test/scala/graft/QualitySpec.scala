@@ -490,6 +490,27 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("mutualInformation: independence = 0, perfect 2x2 = ln2 micro-nats, cell accounting") {
+    import org.apache.spark.sql.functions.col
+    val indep = (for (x <- Seq("a", "b"); y <- Seq("p", "q");
+      _ <- 1 to 5) yield (x, y)).toDF("x", "y")
+    val i = Quality.mutualInformation(indep, col("x"), col("y"))
+      .collect().head
+    assert(i.getLong(0) == 4L && i.getLong(1) == 20L && i.getLong(2) == 0L)
+    // perfect association: MI = ln(2) exactly (both cells pmi = ln 2)
+    val perfect = (Seq.fill(10)(("a", "p")) ++ Seq.fill(10)(("b", "q")))
+      .toDF("x", "y")
+    val p = Quality.mutualInformation(perfect, col("x"), col("y"))
+      .collect().head
+    assert(p.getLong(0) == 2L)
+    assert(p.getLong(2) == math.round(math.log(2.0) * 1e6), p.toString)
+    // MI never reads as negative even when rounding nudges below zero
+    val near = (Seq.fill(7)(("a", "p")) ++ Seq.fill(3)(("a", "q")) ++
+      Seq.fill(7)(("b", "p")) ++ Seq.fill(3)(("b", "q"))).toDF("x", "y")
+    assert(Quality.mutualInformation(near, col("x"), col("y"))
+      .collect().head.getLong(2) >= 0L)
+  }
+
   test("cramersV: perfect association = 1, independence = 0, single-category NULL") {
     import org.apache.spark.sql.functions.col
     // perfect 2x2 association: V = 1 exactly

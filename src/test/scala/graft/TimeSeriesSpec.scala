@@ -157,6 +157,31 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("holtForecast: hand-folded recurrence, horizon line, negative-trend truncation parity") {
+    val df = Seq(("k", 1L, 10000000L), ("k", 2L, 12000000L),
+      ("k", 3L, 14000000L)).toDF("key", "o", "x")
+    val got = TimeSeries.holtForecast(df, "key", "o", "x",
+        alphaPpm = 500000L, betaPpm = 500000L, horizon = 2)
+      .collect().map(r => (r.getLong(4), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(5)))
+    // l1=10e6,b=0; x=12e6 -> l=11e6,b=5e5; x=14e6 -> l=12.75e6,b=1.125e6
+    assert(got.toSeq == Seq(
+      (1L, 3L, 12750000L, 1125000L, 13875000L),
+      (2L, 3L, 12750000L, 1125000L, 15000000L)), got.toSeq.toString)
+    // declining series: trend goes negative; Java / truncates toward
+    // zero exactly like DuckDB // — pin the truncation direction
+    val dec = Seq(("k", 1L, 1000001L), ("k", 2L, 0L)).toDF("key", "o", "x")
+    val d = TimeSeries.holtForecast(dec, "key", "o", "x",
+        alphaPpm = 500000L, betaPpm = 500000L, horizon = 1)
+      .collect().head
+    // l2 = (0 + 500000*1000001)/1e6 = 500000 (trunc); b = 500000*(500000-1000001)/1e6
+    //    = -250000500000/1e6 -> trunc toward zero = -250000
+    assert(d.getLong(2) == 500000L && d.getLong(3) == -250000L, d.toString)
+    intercept[IllegalArgumentException] {
+      TimeSeries.holtForecast(df, "key", "o", "x", alphaPpm = 2000000L)
+    }
+  }
+
   test("autocorrelation: closed form on a known series; constant series NULL; lag beyond n empty") {
     // x = 1,2,3,4,5,4,3,2 has known positive acf at lag 1, negative at 4
     val xs = Seq(1L, 2L, 3L, 4L, 5L, 4L, 3L, 2L)
