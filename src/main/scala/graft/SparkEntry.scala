@@ -100,6 +100,8 @@ object SparkEntry {
     "evt_markov_attribution", "evt_markov_attribution_gate",
     "feat_cdf_normalize", "text_phrase_search",
     "dq_mutual_info", "ts_holt", "evt_cumulative_users",
+    "dq_js_divergence", "agg_topn_other", "feat_isotonic",
+    "feat_isotonic_gate",
     // round-11 additions (no artifact yet)
     "text_bm25_indexed", "text_bm25_index_append_gate",
     "graph_modularity", "dq_ks", "feat_auc", "evt_attribution",
@@ -346,7 +348,7 @@ object SparkEntry {
     "join_bloom_prefilter",
     "agg_distinct", "agg_minmax", "agg_rollup", "agg_cube", "agg_approx_distinct",
     "agg_collect_list", "agg_pivot", "agg_unpivot", "agg_grouping_sets",
-    "agg_mode", "agg_winsorized_mean", "agg_share",
+    "agg_mode", "agg_winsorized_mean", "agg_share", "agg_topn_other",
     "date_funcs", "null_handling", "str_levenshtein", "sketch_bloom",
     "sketch_topk", "sketch_topk_grouped", "sketch_hll_persist", "sketch_kll_persist",
     "sketch_cms_persist",
@@ -384,7 +386,8 @@ object SparkEntry {
     "ts_resample_ffill", "ts_interpolate", "ts_anomaly", "ts_seasonality",
     "ts_cusum", "ts_acf", "ts_holt", "surv_kaplan_meier",
     "growth_accounting", "cohort_ltv", "feat_group_regression",
-    "evt_cumulative_users", "dq_mutual_info",
+    "evt_cumulative_users", "dq_mutual_info", "dq_js_divergence",
+    "feat_isotonic",
     "evt_interarrival", "evt_top_paths",
     "agg_corr_regr",
     "text_stats", "text_quality", "text_term_freq", "text_lang_dist",
@@ -676,6 +679,92 @@ object SparkEntry {
       Quality.lDiversity(Tables.customer(s, dir),
         Seq("c_nationkey", "c_mktsegment"),
         floor($"c_acctbal" / 1000.0), l = 3L)
+    }),
+
+    "dq_js_divergence" -> ((s, dir) => {
+      import s.implicits._
+      // Jensen-Shannon drift between click and purchase value
+      // distributions over the PSI bucketing: symmetric, bounded by
+      // ln 2, finite on one-sided empty buckets without smoothing.
+      val ev = Tables.events(s, dir)
+      Quality.jsDivergence(
+        ev.filter($"event_type" === "click"),
+        ev.filter($"event_type" === "purchase"),
+        round($"value" * 100), lo = 0L, width = 1000L, nBuckets = 10)
+    }),
+
+    "agg_topn_other" -> ((s, dir) => {
+      import s.implicits._
+      // Top-3 nations per region by customer revenue with an OTHER
+      // rollup — the classic BI cut that keeps totals conserved while
+      // bounding the legend; (revenue desc, name) rank is total.
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey")
+        .join(Tables.nation(s, dir), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_regionkey", $"n_name")
+        .agg(sum(round($"o_totalprice" * 100).cast("long")).as("__cents"))
+      val w = Window.partitionBy($"n_regionkey")
+        .orderBy($"__cents".desc, $"n_name")
+      rev.withColumn("__rk", row_number().over(w))
+        .withColumn("label",
+          when($"__rk" <= 3, $"n_name").otherwise(lit("OTHER")))
+        .groupBy($"n_regionkey", $"label")
+        .agg(sum($"__cents").cast("bigint").as("revenue_cents"),
+          count(lit(1)).cast("bigint").as("n_members"))
+        .select($"n_regionkey".cast("bigint").as("n_regionkey"),
+          $"label", $"revenue_cents", $"n_members")
+        .orderBy($"n_regionkey", $"label")
+    }),
+
+    "feat_isotonic" -> ((s, dir) => {
+      import s.implicits._
+      // PAVA-calibrated click-score -> P(>= 13 purchases) per user
+      // segment: integer-exact pooling; no SQL replay for the loop —
+      // raw dump rows-only, honesty in feat_isotonic_gate.
+      val per = Tables.events(s, dir).groupBy($"user_id")
+        .agg(sum(when($"event_type" === "click", 1L).otherwise(0L))
+            .as("score"),
+          (sum(when($"event_type" === "purchase", 1L).otherwise(0L)) >= 13L)
+            .cast("long").as("label"))
+        .withColumn("seg", pmod($"user_id", lit(2)))
+      graft.operators.Features.isotonicCalibrate(per, "seg",
+        $"score", $"label")
+    }),
+
+    "feat_isotonic_gate" -> ((s, dir) => {
+      import s.implicits._
+      // Deterministic companion: per segment the block means are
+      // STRICTLY increasing (adjacent equal means must have pooled),
+      // n and label totals conserve exactly against an independent
+      // aggregate, and the blocks tile the observed score range.
+      import org.apache.spark.sql.expressions.Window
+      val per = Tables.events(s, dir).groupBy($"user_id")
+        .agg(sum(when($"event_type" === "click", 1L).otherwise(0L))
+            .as("score"),
+          (sum(when($"event_type" === "purchase", 1L).otherwise(0L)) >= 13L)
+            .cast("long").as("label"))
+        .withColumn("seg", pmod($"user_id", lit(2)))
+      val blocks = graft.operators.Features.isotonicCalibrate(per, "seg",
+        $"score", $"label").cache()
+      val w = Window.partitionBy($"seg").orderBy($"block")
+      val mono = blocks
+        .withColumn("__prev", lag($"mean_ppm", 1).over(w))
+        .agg(coalesce(sum(when($"__prev".isNotNull &&
+          $"__prev" >= $"mean_ppm", 1L).otherwise(0L)), lit(0L)) === 0L)
+        .toDF("monotone_strict")
+      val want = per.groupBy($"seg")
+        .agg(count(lit(1)).as("__n"), sum($"label").as("__pos"),
+          min($"score").as("__lo"), max($"score").as("__hi"))
+      val got = blocks.groupBy($"seg")
+        .agg(sum($"n").as("n2"), sum($"sum_labels").as("pos2"),
+          min($"score_lo").as("lo2"), max($"score_hi").as("hi2"))
+      val conserve = want.join(got, Seq("seg"))
+        .agg((coalesce(sum(when($"__n" === $"n2" && $"__pos" === $"pos2" &&
+          $"__lo" === $"lo2" && $"__hi" === $"hi2", 0L).otherwise(1L)),
+          lit(0L)) === 0L).as("conserved"))
+      blocks.agg(countDistinct($"seg").cast("bigint").as("n_segments"))
+        .crossJoin(mono).crossJoin(conserve)
     }),
 
     "dq_mutual_info" -> ((s, dir) => {
@@ -6855,6 +6944,68 @@ object SparkEntry {
         |  CAST(sum(n) AS BIGINT) AS n_rows,
         |  d < 3 AS risky
         |FROM cls GROUP BY d ORDER BY diversity""".stripMargin,
+
+    // same buckets as dq_psi; per-term mixture ratio of HUGEINT-exact
+    // integers, clamp each KL component, truncating divisions
+    "dq_js_divergence" ->
+      """WITH ca AS (
+        |  SELECT CASE WHEN v IS NULL THEN -1
+        |    ELSE least(greatest(v // 1000, 0), 9) END AS bucket,
+        |    count(*) AS n_a
+        |  FROM (SELECT CAST(round(value * 100) AS BIGINT) AS v
+        |        FROM events WHERE event_type = 'click') GROUP BY 1),
+        |cb AS (
+        |  SELECT CASE WHEN v IS NULL THEN -1
+        |    ELSE least(greatest(v // 1000, 0), 9) END AS bucket,
+        |    count(*) AS n_b
+        |  FROM (SELECT CAST(round(value * 100) AS BIGINT) AS v
+        |        FROM events WHERE event_type = 'purchase') GROUP BY 1),
+        |grid AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(-1, 10)),
+        |j AS (SELECT g.bucket, coalesce(ca.n_a, 0) AS n_a,
+        |    coalesce(cb.n_b, 0) AS n_b
+        |  FROM grid g LEFT JOIN ca USING (bucket) LEFT JOIN cb USING (bucket)),
+        |t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j),
+        |p AS (SELECT
+        |    CASE WHEN n_a > 0 THEN CAST(n_a AS HUGEINT) *
+        |      CAST(round(ln(
+        |        CAST(2 * CAST(n_a AS HUGEINT) * tb AS DOUBLE) /
+        |        CAST(CAST(n_a AS HUGEINT) * tb
+        |          + CAST(n_b AS HUGEINT) * ta AS DOUBLE)) * 1000000)
+        |        AS BIGINT) ELSE 0 END AS term_a,
+        |    CASE WHEN n_b > 0 THEN CAST(n_b AS HUGEINT) *
+        |      CAST(round(ln(
+        |        CAST(2 * CAST(n_b AS HUGEINT) * ta AS DOUBLE) /
+        |        CAST(CAST(n_b AS HUGEINT) * ta
+        |          + CAST(n_a AS HUGEINT) * tb AS DOUBLE)) * 1000000)
+        |        AS BIGINT) ELSE 0 END AS term_b
+        |  FROM j, t)
+        |SELECT CAST(t.ta AS BIGINT) AS n_a_total,
+        |  CAST(t.tb AS BIGINT) AS n_b_total,
+        |  CASE WHEN t.ta = 0 OR t.tb = 0 THEN NULL
+        |    ELSE CAST(greatest(sum(term_a), 0) // (2 * t.ta)
+        |      + greatest(sum(term_b), 0) // (2 * t.tb) AS BIGINT)
+        |  END AS js_micros
+        |FROM p, t GROUP BY t.ta, t.tb""".stripMargin,
+
+    // (revenue desc, name) rank is total; the OTHER rollup conserves
+    // region totals by construction
+    "agg_topn_other" ->
+      """WITH rev AS (SELECT n_regionkey, n_name,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY n_regionkey
+        |    ORDER BY cents DESC, n_name) AS rk FROM rev)
+        |SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |  CASE WHEN rk <= 3 THEN n_name ELSE 'OTHER' END AS label,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_cents,
+        |  CAST(count(*) AS BIGINT) AS n_members
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "feat_isotonic_gate" ->
+      """SELECT CAST(2 AS BIGINT) AS n_segments, TRUE AS monotone_strict,
+        |  TRUE AS conserved""".stripMargin,
 
     // observed cells only (zero cells contribute 0); HUGEINT weighted
     // sum, clamp, one truncating division

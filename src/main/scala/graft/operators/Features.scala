@@ -250,4 +250,72 @@ object Features {
         col("theta") * (col("__x").cast("double") - xBar))
       .drop("__x", "__y", "__n", "__sx", "__sy", "__sxy", "__sxx")
   }
+
+  /** Isotonic (PAVA) calibration — fit the best monotone
+    * non-decreasing step function from an integer score to a
+    * non-negative label mean (probability calibration for ranking
+    * scores, dose-response monotone fits): pool-adjacent-violators
+    * over the per-score aggregates, one output row per pooled block
+    * with (`score_lo`, `score_hi`, `n`, `sum_labels`,
+    * `mean_ppm` = sum·10⁶ div n).
+    *
+    * Exactness: the input first reduces to DISTINCT-SCORE aggregates
+    * (one row-scale hash-agg — the only row-scale pass), and every
+    * pooling decision is the cross-multiplied integer comparison
+    * `pos_prev·n_cur > pos_cur·n_prev` — no doubles anywhere, so the
+    * fit is a pure function of the counts; PAVA's result is the
+    * unique isotonic L2 fit regardless of merge order. No SQL engine
+    * replays the pooling loop, hence gate-plus-raw grading
+    * (`feat_isotonic_gate`: block means strictly increasing, exact
+    * conservation of n and Σlabels, block cover of the score range).
+    *
+    * Scale: per-group fold over its distinct scores
+    * (`maxDistinctScores` pre-flight, loud — integer scores are
+    * bucketed by contract; a million-point calibration curve is a
+    * different problem). */
+  def isotonicCalibrate(df: DataFrame, groupCol: String,
+      scoreExpr: Column, labelExpr: Column,
+      maxDistinctScores: Long = 1000000L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = df.select(col(groupCol).cast("string").as("g"),
+        scoreExpr.cast("long").as("s"), labelExpr.cast("long").as("y"))
+      .filter(col("s").isNotNull && col("y").isNotNull)
+      .groupBy(col("g"), col("s"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val worst = agg.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c"))).collect()
+    val worstN = if (worst.isEmpty || worst.head.isNullAt(0)) 0L
+      else worst.head.getLong(0)
+    require(worstN <= maxDistinctScores,
+      s"a group holds $worstN distinct scores (cap $maxDistinctScores) " +
+        "— bucket the score first; a calibration curve is score-scale " +
+        "by contract")
+    agg.as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        final case class Blk(lo: Long, hi: Long, n: Long, pos: Long)
+        val pts = it.toSeq.sortBy(_._2)
+        val stack = scala.collection.mutable.ArrayBuffer.empty[Blk]
+        pts.foreach { case (_, s, n, pos) =>
+          var cur = Blk(s, s, n, pos)
+          // violation: previous mean > current mean, cross-multiplied
+          // (BigInt: petabyte-scale counts would overflow a long
+          // product; the loop is score-scale so the cost is nil)
+          while (stack.nonEmpty &&
+            BigInt(stack.last.pos) * cur.n > BigInt(cur.pos) * stack.last.n) {
+            val p = stack.remove(stack.length - 1)
+            cur = Blk(p.lo, cur.hi, p.n + cur.n, p.pos + cur.pos)
+          }
+          stack += cur
+        }
+        stack.iterator.zipWithIndex.map { case (b, i) =>
+          (g, i.toLong, b.lo, b.hi, b.n, b.pos,
+            (BigInt(b.pos) * 1000000L / b.n).toLong)
+        }
+      }
+      .toDF(groupCol, "block", "score_lo", "score_hi", "n",
+        "sum_labels", "mean_ppm")
+      .orderBy(col(groupCol), col("block"))
+  }
 }

@@ -721,6 +721,60 @@ object Quality {
           .as("mi_micros"))
   }
 
+  /** Jensen-Shannon divergence between two samples over the fixed
+    * integer bucketing of [[driftReport]] — the drift score that is
+    * SYMMETRIC and BOUNDED (∈ [0, ln 2]) where PSI is neither, and
+    * finite even when a bucket empties on one side only (the mixture
+    * denominator never vanishes — no add-one smoothing needed, unlike
+    * [[psiReport]]). One summary row: (n_a_total, n_b_total,
+    * js_micros); NULLs ride the same -1 bucket as the rest of the
+    * drift family.
+    *
+    * Exactness: per bucket the ratio p/m = 2·n_a·B / (n_a·B + n_b·A)
+    * is a ratio of DECIMAL-exact integers; its log micro-rounds per
+    * term, weights are integer counts, and each KL component is one
+    * clamped truncating division (KL ≥ 0 mathematically; the clamp
+    * absorbs rounding, applied identically by the oracle). Empty
+    * samples yield NULL, not a division phantom. */
+  def jsDivergence(a: DataFrame, b: DataFrame, valueExpr: Column,
+      lo: Long, width: Long, nBuckets: Int): DataFrame = {
+    require(width > 0 && nBuckets > 0, "width and nBuckets must be positive")
+    val ca = bucketCounts(a, valueExpr, lo, width, nBuckets, "n_a")
+    val cb = bucketCounts(b, valueExpr, lo, width, nBuckets, "n_b")
+    val grid = a.sparkSession.range(-1L, nBuckets.toLong)
+      .select(col("id").as("bucket"))
+    val j = grid.join(ca, Seq("bucket"), "left")
+      .join(cb, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val t = j.agg(sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"))
+    // the tOther > 0 guard also keeps ANSI mode from raising on the
+    // 0.0/0.0 an empty opposite sample would produce (js is NULL then)
+    def term(n: String, other: String, tSelf: String, tOther: String) =
+      when(col(n) > 0 && col(tOther) > 0,
+        col(n).cast("decimal(38,0)") *
+          round(log((lit(2).cast("decimal(38,0)") * col(n) * col(tOther))
+              .cast("double") /
+            (col(n).cast("decimal(38,0)") * col(tOther) +
+              col(other).cast("decimal(38,0)") * col(tSelf)).cast("double"))
+            * 1e6).cast("long"))
+        .otherwise(lit(0).cast("decimal(38,0)"))
+    j.crossJoin(broadcast(t)) // 1-row totals
+      .withColumn("__termA", term("n_a", "n_b", "__ta", "__tb"))
+      .withColumn("__termB", term("n_b", "n_a", "__tb", "__ta"))
+      .agg(first(col("__ta")).cast("bigint").as("n_a_total"),
+        first(col("__tb")).cast("bigint").as("n_b_total"),
+        // nullif, not only the CASE guard: ANSI `div` raises on a
+        // zero divisor even inside an untaken branch
+        expr("""CASE WHEN first(__ta) = 0 OR first(__tb) = 0 THEN NULL
+          |ELSE CAST(
+          |  greatest(sum(__termA), CAST(0 AS DECIMAL(38,0)))
+          |    div (2 * nullif(first(__ta), 0))
+          |  + greatest(sum(__termB), CAST(0 AS DECIMAL(38,0)))
+          |    div (2 * nullif(first(__tb), 0)) AS BIGINT) END""".stripMargin)
+          .as("js_micros"))
+  }
+
   /** Cramér's V effect size on top of [[chiSquare]] — the number the
     * χ² statistic itself refuses to be: χ² grows linearly with N (at
     * petabyte row counts EVERYTHING is "significant"), while

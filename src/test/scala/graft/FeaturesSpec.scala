@@ -190,4 +190,34 @@ class FeaturesSpec extends SparkSpec {
     assert(cAdj.forall(r =>
       r.getAs[Double]("y_adj") == r.getAs[Long]("y").toDouble))
   }
+
+  test("isotonicCalibrate: violators pool, means monotone, totals conserve, guard trips") {
+    // score 1: 4 rows 0 pos; score 2: 2 rows 2 pos; score 3: 2 rows
+    // 0 pos. PAVA pools {2,3} -> mean 0.5; block 1 stays at 0.
+    val rows = Seq.fill(4)(("g", 1L, 0L)) ++ Seq.fill(2)(("g", 2L, 1L)) ++
+      Seq.fill(2)(("g", 3L, 0L))
+    val got = Features.isotonicCalibrate(rows.toDF("g", "s", "y"),
+        "g", col("s"), col("y"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == Seq(
+      (0L, 1L, 1L, 4L, 0L, 0L),
+      (1L, 2L, 3L, 4L, 2L, 500000L)), got.toSeq.toString)
+    // a fully decreasing curve pools to ONE block at the global mean
+    val dec = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 0L),
+      ("g", 4L, 0L))
+    val one = Features.isotonicCalibrate(dec.toDF("g", "s", "y"),
+      "g", col("s"), col("y")).collect()
+    assert(one.length == 1 && one.head.getLong(4) == 4L &&
+      one.head.getLong(6) == 500000L, one.toSeq.toString)
+    // already-isotonic input passes through block-per-score
+    val iso = Seq(("g", 1L, 0L), ("g", 2L, 1L))
+    assert(Features.isotonicCalibrate(iso.toDF("g", "s", "y"),
+      "g", col("s"), col("y")).count() == 2)
+    val e = intercept[IllegalArgumentException] {
+      Features.isotonicCalibrate(rows.toDF("g", "s", "y"), "g",
+        col("s"), col("y"), maxDistinctScores = 2L)
+    }
+    assert(e.getMessage.contains("distinct scores"), e.getMessage)
+  }
 }

@@ -490,6 +490,32 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("jsDivergence: identity 0, disjoint ln2, symmetric, empty side NULL") {
+    import org.apache.spark.sql.functions.col
+    val a = (1 to 50).map(i => Tuple1((i % 10) * 10L)).toDF("v")
+    // identical samples: JS = 0 exactly
+    val same = Quality.jsDivergence(a, a, col("v"), 0L, 10L, 10)
+      .collect().head
+    assert(same.getLong(0) == 50L && same.getLong(2) == 0L, same.toString)
+    // disjoint supports: JS = ln 2 (within integer-rounding slack)
+    val lo = (1 to 40).map(_ => Tuple1(5L)).toDF("v")
+    val hi = (1 to 60).map(_ => Tuple1(95L)).toDF("v")
+    val d = Quality.jsDivergence(lo, hi, col("v"), 0L, 10L, 10)
+      .collect().head.getLong(2)
+    assert(math.abs(d - math.round(math.log(2.0) * 1e6)) <= 2L, d.toString)
+    // symmetry: swapping the samples swaps only the totals
+    val ab = Quality.jsDivergence(lo, hi, col("v"), 0L, 10L, 10)
+      .collect().head
+    val ba = Quality.jsDivergence(hi, lo, col("v"), 0L, 10L, 10)
+      .collect().head
+    assert(ab.getLong(2) == ba.getLong(2))
+    assert(ab.getLong(0) == ba.getLong(1) && ab.getLong(1) == ba.getLong(0))
+    // an empty sample has no distribution: NULL, not a phantom
+    val empty = a.filter(col("v") < 0)
+    assert(Quality.jsDivergence(a, empty, col("v"), 0L, 10L, 10)
+      .collect().head.isNullAt(2))
+  }
+
   test("mutualInformation: independence = 0, perfect 2x2 = ln2 micro-nats, cell accounting") {
     import org.apache.spark.sql.functions.col
     val indep = (for (x <- Seq("a", "b"); y <- Seq("p", "q");

@@ -60,6 +60,7 @@ class QueriesSpec extends SparkSpec {
       "dedup_semantic" -> "dedup_semantic_gate",
       "dedup_simhash" -> "dedup_simhash_complete",
       "evt_markov_attribution" -> "evt_markov_attribution_gate",
+      "feat_isotonic" -> "feat_isotonic_gate",
       "ml_pca" -> "ml_pca_gate",
       "ml_tfidf" -> "ml_tfidf_gate",
       "ml_word2vec" -> "ml_word2vec_gate",
