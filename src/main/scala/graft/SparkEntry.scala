@@ -101,7 +101,7 @@ object SparkEntry {
     "feat_cdf_normalize", "text_phrase_search",
     "dq_mutual_info", "ts_holt", "evt_cumulative_users",
     "dq_js_divergence", "agg_topn_other", "feat_isotonic",
-    "feat_isotonic_gate",
+    "feat_isotonic_gate", "url_canonical_dedup",
     // round-11 additions (no artifact yet)
     "text_bm25_indexed", "text_bm25_index_append_gate",
     "graph_modularity", "dq_ks", "feat_auc", "evt_attribution",
@@ -401,6 +401,7 @@ object SparkEntry {
     "text_rrf_fusion", "text_blocklist",
     "decontaminate", "corpus_overlap",
     "dedup_exact", "dedup_spans", "dedup_paragraph", "dedup_fingerprint", "dedup_simhash",
+    "url_canonical_dedup",
     "dedup_clusters", "graph_pagerank", "graph_pagerank_personalized",
     "graph_triangles", "graph_kcore",
     "graph_local_triangles", "graph_shortest_paths", "graph_closeness",
@@ -635,6 +636,29 @@ object SparkEntry {
           expr("(2 * CAST(__r AS BIGINT) - 1) * 1000000 div (2 * __n)")
             .cast("long").as("cdf_ppm"))
         .orderBy($"o_orderkey")
+    }),
+
+    "url_canonical_dedup" -> ((s, dir) => {
+      import s.implicits._
+      // URL-level crawl dedup: two spellings per document (upper-cased
+      // host + default port + tracking params + fragment + shuffled
+      // param order vs the clean form) collapse to ONE canonical URL;
+      // the oracle constructs the expected canonical strings directly,
+      // so every output value — including the sample URL — grades
+      // exactly. Row-local codegen expression; text never shuffles.
+      val variants = Tables.documents(s, dir)
+        .select($"doc_id", $"source", explode(array(
+          concat(lit("HTTPS://Example-"), $"source", lit(".COM:443/docs/"),
+            $"doc_id", lit("?utm_source=feed&b=2&a=1#sec")),
+          concat(lit("https://example-"), $"source", lit(".com/docs/"),
+            $"doc_id", lit("?a=1&b=2")))).as("url"))
+      variants
+        .withColumn("canonical", graft.functions.url_canonicalize($"url"))
+        .groupBy($"source")
+        .agg(countDistinct($"url").cast("bigint").as("n_raw"),
+          countDistinct($"canonical").cast("bigint").as("n_canonical"),
+          min($"canonical").as("sample_url"))
+        .orderBy($"source")
     }),
 
     "text_phrase_search" -> ((s, dir) => {
@@ -6900,6 +6924,16 @@ object SparkEntry {
         |SELECT o_orderkey, o_orderpriority, cents,
         |  CAST((2 * rk - 1) * 1000000 // (2 * n) AS BIGINT) AS cdf_ppm
         |FROM r ORDER BY o_orderkey""".stripMargin,
+
+    // the canonical forms are constructible directly from the synth
+    // recipe — every value, including the min sample URL, is exact
+    "url_canonical_dedup" ->
+      """SELECT source,
+        |  CAST(2 * count(*) AS BIGINT) AS n_raw,
+        |  CAST(count(*) AS BIGINT) AS n_canonical,
+        |  min('https://example-' || source || '.com/docs/' || doc_id
+        |    || '?a=1&b=2') AS sample_url
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // the same whitespace bigrams as the collocation CTEs, counted
     // per doc; zero-hit docs drop out

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftShims, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions._
 
-import graft.expr.{CharEntropy, CosineSimilarity, DeflateLength, DocFingerprint, HilbertIndex, InterleaveBits, JaroWinklerSim, RegexpExtractOrNull, RepetitionStats, SimHash64, TokenNGrams, UnicodeNormalize}
+import graft.expr.{CharEntropy, CosineSimilarity, DeflateLength, DocFingerprint, HilbertIndex, InterleaveBits, JaroWinklerSim, RegexpExtractOrNull, RepetitionStats, SimHash64, TokenNGrams, UnicodeNormalize, UrlCanonicalize}
 
 /** The engine's scalar-function surface: thin `Column` builders over
   * custom Catalyst expressions plus named compositions of built-ins.
@@ -68,6 +68,13 @@ package object functions {
     * bits of each input; normalize wider keys first. */
   def hilbert_index(a: Column, b: Column): Column =
     col(HilbertIndex(ex(a), ex(b)))
+
+  /** Crawl-dedup URL canonicalization (codegen'd; see
+    * [[graft.expr.UrlCanonicalize]]): lowercase scheme/authority,
+    * default ports and fragments stripped, utm_* dropped, remaining
+    * query params sorted. Non-URLs pass through unchanged. */
+  def url_canonicalize(c: Column): Column =
+    col(UrlCanonicalize(ex(c)))
 
   /** Compression-ratio quality signal: `deflate_len / utf8_len`,
     * NULL-safe on empty strings. Repetitive boilerplate scores low,
@@ -241,6 +248,10 @@ package object functions {
       case Seq(a, b) => HilbertIndex(a, b)
       case _ => throw new IllegalArgumentException(
         "hilbert_index(a, b) — exactly 2 columns")
+    }),
+    ("url_canonicalize", classOf[UrlCanonicalize], {
+      case Seq(c) => UrlCanonicalize(c)
+      case _ => throw new IllegalArgumentException("url_canonicalize(url)")
     }),
     ("topk_sketch", classOf[graft.expr.TopKSketch], {
       case Seq(c, k) if k.foldable =>

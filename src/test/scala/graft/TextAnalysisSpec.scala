@@ -242,6 +242,38 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[Exception] { spark.sql("SELECT hilbert_index('a', 'b')").collect() }
   }
 
+  test("url_canonicalize: case, ports, fragments, utm, param order; non-URLs unchanged") {
+    import graft.expr.UrlCanonicalize.canonicalize
+    def c(s: String) = canonicalize(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+    // the full gauntlet in one URL
+    assert(c("HTTPS://WWW.Example.COM:443/Docs/A?utm_source=x&b=2&a=1#frag")
+      == "https://www.example.com/Docs/A?a=1&b=2")
+    // http default port; path case preserved (path IS identity)
+    assert(c("HTTP://Host:80/CaseSensitive") == "http://host/CaseSensitive")
+    // non-default port kept
+    assert(c("https://host:8443/x") == "https://host:8443/x")
+    // all params tracking -> query drops entirely
+    assert(c("https://h/p?utm_a=1&UTM_b=2") == "https://h/p")
+    // query on a path-less authority
+    assert(c("https://h?b=2&a=1") == "https://h?a=1&b=2")
+    // idempotent
+    assert(c(c("HTTPS://A.B:443/p?z=1&utm_x=9&y=2#f"))
+      == c("HTTPS://A.B:443/p?z=1&utm_x=9&y=2#f"))
+    // non-URL strings pass through byte-exact
+    assert(c("not a url") == "not a url")
+    assert(c("mailto:x@y.z") == "mailto:x@y.z")
+    // column + SQL forms agree; NULL propagates
+    graft.functions.registerAll(spark)
+    val viaSql = spark.sql(
+      "SELECT url_canonicalize('HTTP://A:80/x?b=1&a=2#z') AS u")
+      .collect()(0).getString(0)
+    assert(viaSql == "http://a/x?a=2&b=1")
+    assert(Seq(Tuple1(Option.empty[String])).toDF("u")
+      .select(graft.functions.url_canonicalize($"u"))
+      .collect()(0).isNullAt(0))
+  }
+
   test("deflate_length is usable from SQL after registerAll") {
     graft.functions.registerAll(spark)
     val r = spark.sql(
