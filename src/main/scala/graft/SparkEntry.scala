@@ -101,7 +101,7 @@ object SparkEntry {
     "feat_cdf_normalize", "text_phrase_search",
     "dq_mutual_info", "ts_holt", "evt_cumulative_users",
     "dq_js_divergence", "agg_topn_other", "feat_isotonic",
-    "feat_isotonic_gate", "url_canonical_dedup",
+    "feat_isotonic_gate", "url_canonical_dedup", "evt_holt_replay",
     // round-11 additions (no artifact yet)
     "text_bm25_indexed", "text_bm25_index_append_gate",
     "graph_modularity", "dq_ks", "feat_auc", "evt_attribution",
@@ -6284,6 +6284,48 @@ object SparkEntry {
           .agg((count(lit(1)) > 0).as("found_alarms")))
     }),
 
+    "evt_holt_replay" -> ((s, dir) => {
+      import s.implicits._
+      // Replay-identity gate for streaming Holt residuals: the same
+      // protocol as evt_cusum_replay (in-window redelivery before the
+      // flush sentinel, sealed redelivery after); identity is exact
+      // integer equality through the shared fold. GATE-ONLY collect.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val evs = Tables.events(s, dir)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[EventStreams.Event].collect().toSeq
+      val maxTs = evs.map(_.ts.getTime).max
+      val sentinel = EventStreams.Event(-1L,
+        new java.sql.Timestamp(maxTs + 3L * 3600 * 1000), -1L, "__flush", 0.0)
+      val sink = s"holt_replay_${math.abs(dir.hashCode)}"
+      s.catalog.dropTempView(sink)
+      val mem = MemoryStream[EventStreams.Event]
+      val q = EventStreams.holtStateful(mem.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName(sink).start()
+      try {
+        mem.addData(evs)
+        q.processAllAvailable()
+        mem.addData(evs.filter(_.event_id % 10 == 7)) // in-window dup
+        q.processAllAvailable()
+        mem.addData(Seq(sentinel)) // watermark flush
+        q.processAllAvailable()
+        mem.addData(evs.filter(_.event_id % 10 == 3)) // sealed dup
+        q.processAllAvailable()
+      } finally q.stop()
+      val cols = Seq("event_id", "value_micros", "forecast_micros",
+        "residual_micros")
+      val stream = s.table(sink).select(cols.map(col): _*)
+      val batch = EventStreams.holtResiduals(Tables.events(s, dir)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[EventStreams.Event]).toDF().select(cols.map(col): _*)
+      stream.agg(count(lit(1)).cast("bigint").as("n_scored"))
+        .crossJoin(setsEqual(stream, batch, cols, "stream_equals_batch"))
+        .crossJoin(stream.agg((coalesce(sum(when($"residual_micros" =!= 0L,
+          1L).otherwise(0L)), lit(0L)) > 0L).as("residuals_nonzero")))
+    }),
+
     "evt_audited_sink" -> ((s, dir) => {
       import s.implicits._
       // Driver-graded gate for the audited streaming sink
@@ -10182,6 +10224,11 @@ object SparkEntry {
     "evt_cusum_replay" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_scored,
         |  TRUE AS stream_equals_batch, TRUE AS found_alarms
+        |FROM events""".stripMargin,
+
+    "evt_holt_replay" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_scored,
+        |  TRUE AS stream_equals_batch, TRUE AS residuals_nonzero
         |FROM events""".stripMargin,
 
     "evt_markov_attribution_gate" ->

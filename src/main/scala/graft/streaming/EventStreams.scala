@@ -948,4 +948,91 @@ object EventStreams extends Serializable {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  case class HoltOut(event_type: String, event_id: Long,
+      ts: java.sql.Timestamp, value_micros: Long,
+      forecast_micros: Long, residual_micros: Long)
+  case class HoltState(l: Long, b: Long, n: Long)
+  case class HoltBuffer(holt: HoltState, buffered: Seq[Event])
+
+  /** One Holt step, SHARED by the batch and streaming forms — the
+    * [[graft.operators.TimeSeries.holtForecast]] recurrence (same
+    * init l₁ = x₁, b₁ = 0; same truncating long division) scoring
+    * each event against the one-step-ahead forecast BEFORE folding it
+    * in. The first observation seeds the level (forecast = value,
+    * residual 0 — no phantom zero baseline). */
+  private def holtStep(s: HoltState, v: Long, alphaPpm: Long,
+      betaPpm: Long): (HoltState, Long, Long) = {
+    if (s.n == 0L) (HoltState(v, 0L, 1L), v, 0L)
+    else {
+      val f = s.l + s.b
+      val l2 = (alphaPpm * v + (1000000L - alphaPpm) * (s.l + s.b)) / 1000000L
+      val b2 = (betaPpm * (l2 - s.l) + (1000000L - betaPpm) * s.b) / 1000000L
+      (HoltState(l2, b2, s.n + 1), f, v - f)
+    }
+  }
+
+  private def holtFold(key: String, evs: Seq[Event], st0: HoltState,
+      alphaPpm: Long, betaPpm: Long): (HoltState, Seq[HoltOut]) = {
+    var st = st0
+    val out = evs.map { e =>
+      val v = math.round(e.value * 1e6)
+      val (s2, f, r) = holtStep(st, v, alphaPpm, betaPpm)
+      st = s2
+      HoltOut(key, e.event_id, e.ts, v, f, r)
+    }
+    (st, out)
+  }
+
+  /** Batch twin of [[holtStateful]]: per-type one-step-ahead Holt
+    * forecasts + residuals over raw events in (ts, event_id) order —
+    * the online-forecast-monitoring view ([[graft.operators.TimeSeries
+    * .holtForecast]] is the horizon view of the same recurrence).
+    * Integer state, exact replay. */
+  def holtResiduals(events: Dataset[Event], alphaPpm: Long = 300000L,
+      betaPpm: Long = 100000L): Dataset[HoltOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type).flatMapGroups { (k, it) =>
+      val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      holtFold(k, evs, HoltState(0L, 0L, 0L), alphaPpm, betaPpm)
+        ._2.iterator
+    }
+  }
+
+  /** Streaming Holt forecast residuals — online "is traffic tracking
+    * the trend line" monitoring with THREE LONGS of persistent state
+    * per key (level, trend, count): same watermark discipline as the
+    * EWMA/CUSUM twins (buffer the unsealed tail, fold sealed events
+    * in (ts, event_id) order, drop below-watermark stragglers, dedupe
+    * in-window redeliveries by event_id). Sealed output equals
+    * [[holtResiduals]] EXACTLY — the shared fold is integer
+    * arithmetic (`evt_holt_replay` pins both redelivery windows). */
+  def holtStateful(events: Dataset[Event], alphaPpm: Long = 300000L,
+      betaPpm: Long = 100000L,
+      watermark: String = "2 hours"): Dataset[HoltOut] = {
+    import events.sparkSession.implicits._
+
+    def fn(key: String, rows: Iterator[Event],
+        state: GroupState[HoltBuffer]): Iterator[HoltOut] = {
+      val prior = state.getOption.getOrElse(
+        HoltBuffer(HoltState(0L, 0L, 0L), Seq.empty))
+      val wmMs = state.getCurrentWatermarkMs()
+      val fresh = rows.filter(_.ts.getTime > wmMs).toSeq
+      val (ripe, open) = (prior.buffered ++ fresh)
+        .distinctBy(_.event_id)
+        .partition(_.ts.getTime <= wmMs)
+      val (st, out) = holtFold(key,
+        ripe.sortBy(e => (e.ts.getTime, e.event_id)),
+        prior.holt, alphaPpm, betaPpm)
+      state.update(HoltBuffer(st, open))
+      if (open.nonEmpty)
+        state.setTimeoutTimestamp(open.map(_.ts.getTime).min + 1)
+      out.iterator
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 }

@@ -818,6 +818,46 @@ class StreamingSpec extends SparkSpec {
     assert(!stream(5L)._4, stream.toString)
   }
 
+  test("holtStateful == holtResiduals exactly; state continues across seals; first event seeds") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1700000000000L
+    val vals = Seq(10.0, 12.0, 14.0, 16.0, 18.0, 20.0, 22.0, 24.0)
+    val evs = vals.zipWithIndex.map { case (v, i) =>
+      Event(i + 1L, new Timestamp(t0 + i * 60000L), 1L, "m", v) }
+    def flush(id: Long, seal: Long) = Event(id,
+      new Timestamp(t0 + seal * 60000L + 2L * 3600 * 1000), -1L, "__flush", 0.0)
+    val mem = MemoryStream[Event]
+    val q = EventStreams.holtStateful(mem.toDS(),
+        alphaPpm = 500000L, betaPpm = 500000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("holt_replay_sink").start()
+    try {
+      mem.addData(evs.take(4))
+      q.processAllAvailable()
+      mem.addData(evs.take(2)) // in-window duplicates — must absorb
+      q.processAllAvailable()
+      mem.addData(Seq(flush(-1, 3))) // seals the first four
+      q.processAllAvailable()
+      mem.addData(evs.drop(4)) // level/trend must CONTINUE
+      q.processAllAvailable()
+      mem.addData(Seq(flush(-2, 20)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("holt_replay_sink")
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val batch = EventStreams.holtResiduals(evs.toDS(),
+        alphaPpm = 500000L, betaPpm = 500000L)
+      .collect().map(r => r.event_id ->
+        ((r.value_micros, r.forecast_micros, r.residual_micros))).toMap
+    assert(stream.size == vals.size)
+    assert(stream == batch)
+    // first event seeds: forecast == value, residual 0
+    assert(stream(1L) == ((10000000L, 10000000L, 0L)))
+    // on a clean linear ramp the trend locks in and residuals shrink
+    assert(math.abs(stream(8L)._3) < math.abs(stream(2L)._3))
+  }
+
   test("ewmaAnomaliesStateful absorbs an IN-WINDOW redelivery: one output row per event_id") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val t0 = 1700000000000L
