@@ -102,6 +102,7 @@ object SparkEntry {
     "dq_mutual_info", "ts_holt", "evt_cumulative_users",
     "dq_js_divergence", "agg_topn_other", "feat_isotonic",
     "feat_isotonic_gate", "url_canonical_dedup", "evt_holt_replay",
+    "dq_corr_matrix", "feat_decayed_activity", "evt_gini",
     // round-11 additions (no artifact yet)
     "text_bm25_indexed", "text_bm25_index_append_gate",
     "graph_modularity", "dq_ks", "feat_auc", "evt_attribution",
@@ -387,7 +388,8 @@ object SparkEntry {
     "ts_cusum", "ts_acf", "ts_holt", "surv_kaplan_meier",
     "growth_accounting", "cohort_ltv", "feat_group_regression",
     "evt_cumulative_users", "dq_mutual_info", "dq_js_divergence",
-    "feat_isotonic",
+    "feat_isotonic", "dq_corr_matrix", "feat_decayed_activity",
+    "evt_gini",
     "evt_interarrival", "evt_top_paths",
     "agg_corr_regr",
     "text_stats", "text_quality", "text_term_freq", "text_lang_dist",
@@ -789,6 +791,53 @@ object SparkEntry {
           lit(0L)) === 0L).as("conserved"))
       blocks.agg(countDistinct($"seg").cast("bigint").as("n_segments"))
         .crossJoin(mono).crossJoin(conserve)
+    }),
+
+    "dq_corr_matrix" -> ((s, dir) => {
+      import s.implicits._
+      // One-scan correlation matrix of four lineitem numerics
+      // (quantized to integers upstream, the house rule): 6 exact
+      // pairwise correlations from a single aggregate pass.
+      Quality.corrMatrix(Tables.lineitem(s, dir), Seq(
+          ("quantity", $"l_quantity"),
+          ("price_cents", round($"l_extendedprice" * 100)),
+          ("discount_bp", round($"l_discount" * 10000)),
+          ("tax_bp", round($"l_tax" * 10000))))
+        .orderBy($"col_a", $"col_b")
+    }),
+
+    "feat_decayed_activity" -> ((s, dir) => {
+      import s.implicits._
+      // Per-event exponentially decayed activity score (1-hour
+      // half-life): the recency-weighted engagement feature; every
+      // double in the fold replays bit-for-bit through the oracle's
+      // recursive CTE (same IEEE token order, exp agrees on identical
+      // inputs). Micro-rounded only at the output edge.
+      graft.operators.Features.decayedScore(Tables.events(s, dir),
+          "user_id", "ts", "event_id", "value", halfLifeSeconds = 3600L)
+        .orderBy($"user_id", $"event_id")
+    }),
+
+    "evt_gini" -> ((s, dir) => {
+      import s.implicits._
+      // Gini concentration of purchase revenue across users — the
+      // whale-dependence number: exact integer rank sums over the
+      // total (cents, user) order, one final integer division.
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.events(s, dir)
+        .filter($"event_type" === "purchase")
+        .groupBy($"user_id")
+        .agg(sum(round($"value" * 100).cast("long")).as("cents"))
+      val ranked = rev.withColumn("i",
+        row_number().over(Window.orderBy($"cents", $"user_id"))
+          .cast("long"))
+      ranked.agg(count(lit(1)).as("__n"),
+          sum($"cents").cast("decimal(38,0)").as("__sx"),
+          sum($"i".cast("decimal(38,0)") * $"cents").as("__sxy"))
+        .select($"__n".cast("bigint").as("n_users"),
+          $"__sx".cast("bigint").as("total_cents"),
+          expr("""CAST((2 * __sxy - (__n + 1) * __sx) * 1000000
+            div (__n * __sx) AS BIGINT)""").as("gini_ppm"))
     }),
 
     "dq_mutual_info" -> ((s, dir) => {
@@ -7082,6 +7131,85 @@ object SparkEntry {
     "feat_isotonic_gate" ->
       """SELECT CAST(2 AS BIGINT) AS n_segments, TRUE AS monotone_strict,
         |  TRUE AS conserved""".stripMargin,
+
+    // every moment HUGEINT-exact from one scan; each corr is the
+    // cov/(sqrt*sqrt) tree of exact integers, token-for-token
+    "dq_corr_matrix" ->
+      """WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS x0,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS x1,
+        |    CAST(round(l_discount * 10000) AS BIGINT) AS x2,
+        |    CAST(round(l_tax * 10000) AS BIGINT) AS x3
+        |  FROM lineitem),
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    sum(CAST(x0 AS HUGEINT)) AS s0, sum(CAST(x1 AS HUGEINT)) AS s1,
+        |    sum(CAST(x2 AS HUGEINT)) AS s2, sum(CAST(x3 AS HUGEINT)) AS s3,
+        |    sum(CAST(x0 AS HUGEINT) * x0) AS q0,
+        |    sum(CAST(x1 AS HUGEINT) * x1) AS q1,
+        |    sum(CAST(x2 AS HUGEINT) * x2) AS q2,
+        |    sum(CAST(x3 AS HUGEINT) * x3) AS q3,
+        |    sum(CAST(x0 AS HUGEINT) * x1) AS p01,
+        |    sum(CAST(x0 AS HUGEINT) * x2) AS p02,
+        |    sum(CAST(x0 AS HUGEINT) * x3) AS p03,
+        |    sum(CAST(x1 AS HUGEINT) * x2) AS p12,
+        |    sum(CAST(x1 AS HUGEINT) * x3) AS p13,
+        |    sum(CAST(x2 AS HUGEINT) * x3) AS p23
+        |  FROM v),
+        |pairs AS (
+        |  SELECT 'quantity' AS col_a, 'price_cents' AS col_b,
+        |    n * p01 - s0 * s1 AS cov, n * q0 - s0 * s0 AS va,
+        |    n * q1 - s1 * s1 AS vb FROM m
+        |  UNION ALL SELECT 'quantity', 'discount_bp',
+        |    n * p02 - s0 * s2, n * q0 - s0 * s0, n * q2 - s2 * s2 FROM m
+        |  UNION ALL SELECT 'quantity', 'tax_bp',
+        |    n * p03 - s0 * s3, n * q0 - s0 * s0, n * q3 - s3 * s3 FROM m
+        |  UNION ALL SELECT 'price_cents', 'discount_bp',
+        |    n * p12 - s1 * s2, n * q1 - s1 * s1, n * q2 - s2 * s2 FROM m
+        |  UNION ALL SELECT 'price_cents', 'tax_bp',
+        |    n * p13 - s1 * s3, n * q1 - s1 * s1, n * q3 - s3 * s3 FROM m
+        |  UNION ALL SELECT 'discount_bp', 'tax_bp',
+        |    n * p23 - s2 * s3, n * q2 - s2 * s2, n * q3 - s3 * s3 FROM m)
+        |SELECT col_a, col_b,
+        |  CASE WHEN va <= 0 OR vb <= 0 THEN NULL
+        |    ELSE CAST(round(CAST(cov AS DOUBLE)
+        |      / (sqrt(CAST(va AS DOUBLE)) * sqrt(CAST(vb AS DOUBLE)))
+        |      * 1000000) AS BIGINT) END AS corr_micros
+        |FROM pairs ORDER BY col_a, col_b""".stripMargin,
+
+    // the decayed-sum recurrence replayed bit-for-bit: same IEEE token
+    // order, exp on identical doubles, ln 2 as the same literal
+    "feat_decayed_activity" ->
+      """WITH RECURSIVE e AS (SELECT user_id, event_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS i
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, ts, i, value AS s FROM e WHERE i = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.ts, e.i,
+        |    e.value + exp(-(CAST(CAST(floor(epoch(e.ts)) AS BIGINT)
+        |      - CAST(floor(epoch(r.ts)) AS BIGINT) AS DOUBLE)
+        |      * 0.6931471805599453 / 3600.0)) * r.s
+        |  FROM r JOIN e ON e.user_id = r.user_id AND e.i = r.i + 1)
+        |SELECT user_id, event_id,
+        |  CAST(round(s * 1000000) AS BIGINT) AS score_micros
+        |FROM r ORDER BY user_id, event_id""".stripMargin,
+
+    // exact integer rank sums; numerator non-negative by the sorted
+    // order, one truncating division
+    "evt_gini" ->
+      """WITH rev AS (SELECT user_id,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |rk AS (SELECT cents, CAST(row_number() OVER (
+        |    ORDER BY cents, user_id) AS HUGEINT) AS i FROM rev),
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    sum(CAST(cents AS HUGEINT)) AS sx,
+        |    sum(i * cents) AS sxy FROM rk)
+        |SELECT CAST(n AS BIGINT) AS n_users, CAST(sx AS BIGINT)
+        |    AS total_cents,
+        |  CAST((2 * sxy - (n + 1) * sx) * 1000000 // (n * sx) AS BIGINT)
+        |    AS gini_ppm
+        |FROM m""".stripMargin,
 
     // observed cells only (zero cells contribute 0); HUGEINT weighted
     // sum, clamp, one truncating division

@@ -251,6 +251,51 @@ object Features {
       .drop("__x", "__y", "__n", "__sx", "__sy", "__sxy", "__sxx")
   }
 
+  /** Exponentially time-decayed activity score — the recency-weighted
+    * engagement feature (each event's score = its value plus the
+    * half-life-decayed score so far: `S = v + 2^(−Δt/halfLife)·S_prev`)
+    * that a plain windowed sum can't express (the decay factor depends
+    * on the per-step gap). Emits one row per event with the score
+    * AFTER folding that event, in exact micro-units at the output
+    * edge.
+    *
+    * Replay discipline: the fold is the IEEE tree
+    * `v + exp(−(Δseconds·ln2/halfLife))·S` evaluated in (ts, event_id)
+    * order with ln 2 as the LITERAL 0.6931471805599453 — a recursive
+    * CTE mirroring the same token order reproduces every double
+    * bit-for-bit (`exp` agrees between engines on identical inputs —
+    * the feat_target_encode convention). One key shuffle + per-group
+    * ordered fold (genuine sequential recurrence, the EWMA posture:
+    * group = one user's bounded history). */
+  def decayedScore(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String,
+      halfLifeSeconds: Long): DataFrame = {
+    require(halfLifeSeconds > 0,
+      s"halfLifeSeconds must be > 0 (got $halfLifeSeconds)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long").as("k"),
+        col(tsCol).cast("timestamp").cast("long").as("t"),
+        col(idCol).cast("long").as("id"),
+        col(valueCol).cast("double").as("v"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val evs = it.toSeq.sortBy(r => (r._2, r._3))
+        var s = 0.0
+        var prevT = 0L
+        var first = true
+        evs.iterator.map { case (_, t, id, v) =>
+          s = if (first) { first = false; v }
+            else v + math.exp(-((t - prevT).toDouble *
+              0.6931471805599453 / halfLifeSeconds)) * s
+          prevT = t
+          (k, id, math.round(s * 1e6))
+        }
+      }
+      .toDF(keyCol, idCol, "score_micros")
+  }
+
   /** Isotonic (PAVA) calibration — fit the best monotone
     * non-decreasing step function from an integer score to a
     * non-negative label mean (probability calibration for ranking

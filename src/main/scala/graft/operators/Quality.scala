@@ -721,6 +721,55 @@ object Quality {
           .as("mi_micros"))
   }
 
+  /** Pairwise Pearson correlation matrix of k integer-valued columns
+    * in ONE scan — the multicollinearity screen before feature
+    * selection (k separate `corr` calls re-read the table k²/2
+    * times): a single aggregate computes every sum, square-sum and
+    * cross-sum as DECIMAL(38,0)-exact integers; the k(k−1)/2
+    * correlations then derive on the driver from that one row, each
+    * the `(n·Σxy − ΣxΣy) / (√·√)` tree of exact integers the
+    * assortativity/regression family already replays. Returns
+    * (col_a, col_b, corr_micros), input order, zero-variance pairs
+    * NULL. `cols` are (name, integer-castable expr) pairs — quantize
+    * doubles to cents/bp upstream, the house rule. */
+  def corrMatrix(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 8,
+      s"corrMatrix takes 2..8 columns (got ${cols.size}) — a wide " +
+        "matrix is a different scan-cost problem; batch it")
+    val spark = df.sparkSession
+    val k = cols.size
+    val base = df.select(cols.zipWithIndex.map { case ((_, c), i) =>
+      c.cast("long").cast("decimal(38,0)").as(s"__x$i") }: _*)
+    val aggs =
+      Seq(count(lit(1)).as("__n")) ++
+      (0 until k).map(i => sum(col(s"__x$i")).as(s"__s$i")) ++
+      (0 until k).map(i => sum(col(s"__x$i") * col(s"__x$i")).as(s"__q$i")) ++
+      (for (i <- 0 until k; j <- i + 1 until k)
+        yield sum(col(s"__x$i") * col(s"__x$j")).as(s"__p${i}_$j"))
+    val row = base.agg(aggs.head, aggs.tail: _*).collect().head
+    val n = BigDecimal(row.getLong(0))
+    def dec(name: String) = BigDecimal(row.getAs[java.math.BigDecimal](name))
+    val out = for (i <- 0 until k; j <- i + 1 until k) yield {
+      val (si, sj) = (dec(s"__s$i"), dec(s"__s$j"))
+      val varI = n * dec(s"__q$i") - si * si
+      val varJ = n * dec(s"__q$j") - sj * sj
+      val cov = n * dec(s"__p${i}_$j") - si * sj
+      val corr: java.lang.Long =
+        if (varI <= 0 || varJ <= 0) null
+        else java.lang.Long.valueOf(math.round(cov.toDouble /
+          (math.sqrt(varI.toDouble) * math.sqrt(varJ.toDouble)) * 1e6))
+      org.apache.spark.sql.Row(cols(i)._1, cols(j)._1, corr)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(out, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("col_a",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("col_b",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("corr_micros",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+  }
+
   /** Jensen-Shannon divergence between two samples over the fixed
     * integer bucketing of [[driftReport]] — the drift score that is
     * SYMMETRIC and BOUNDED (∈ [0, ln 2]) where PSI is neither, and

@@ -191,6 +191,34 @@ class FeaturesSpec extends SparkSpec {
       r.getAs[Double]("y_adj") == r.getAs[Long]("y").toDouble))
   }
 
+  test("decayedScore: hand-folded chain, half-life decay, per-key isolation, order by (ts,id)") {
+    import java.sql.Timestamp
+    val t0 = 1700000000000L
+    def ts(sec: Long) = new Timestamp(t0 + sec * 1000L)
+    val df = Seq(
+      (1L, ts(0), 10L, 4.0), (1L, ts(3600), 11L, 2.0),
+      (1L, ts(3600 * 2), 12L, 1.0),
+      (2L, ts(0), 20L, 100.0)) // second key must not bleed in
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = Features.decayedScore(df, "user_id", "ts", "event_id",
+        "value", halfLifeSeconds = 3600L)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // reference fold with the same IEEE ops
+    val w = math.exp(-(3600.0 * 0.6931471805599453 / 3600L))
+    val s1 = 4.0
+    val s2 = 2.0 + w * s1
+    val s3 = 1.0 + w * s2
+    assert(got(10L) == math.round(s1 * 1e6))
+    assert(got(11L) == math.round(s2 * 1e6))
+    assert(got(12L) == math.round(s3 * 1e6))
+    assert(got(20L) == 100000000L)
+    // the half-life is a genuine half: w within rounding of 0.5
+    assert(math.abs(got(11L) - 4000000L) <= 2L, got(11L).toString)
+    intercept[IllegalArgumentException] {
+      Features.decayedScore(df, "user_id", "ts", "event_id", "value", 0L)
+    }
+  }
+
   test("isotonicCalibrate: violators pool, means monotone, totals conserve, guard trips") {
     // score 1: 4 rows 0 pos; score 2: 2 rows 2 pos; score 3: 2 rows
     // 0 pos. PAVA pools {2,3} -> mean 0.5; block 1 stays at 0.

@@ -490,6 +490,30 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("corrMatrix: perfect +/-, independence ~0, constant NULL, one row per pair, guard") {
+    import org.apache.spark.sql.functions.col
+    val df = (1 to 40).map { i =>
+      (i.toLong, 2L * i + 7, -3L * i, 5L, if (i % 2 == 0) 1L else 0L)
+    }.toDF("a", "b", "c", "k", "p")
+    val got = Quality.corrMatrix(df, Seq(("a", col("a")), ("b", col("b")),
+        ("c", col("c")), ("k", col("k"))))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got.size == 6)
+    assert(got(("a", "b")) == Some(1000000L))   // exact linear
+    assert(got(("a", "c")) == Some(-1000000L))  // exact anti
+    assert(got(("a", "k")) == None)             // zero variance
+    assert(got(("b", "c")) == Some(-1000000L))
+    // parity column vs index: near zero (alternating residual)
+    val df2 = df
+    val pk = Quality.corrMatrix(df2, Seq(("a", col("a")), ("p", col("p"))))
+      .collect().head
+    assert(math.abs(pk.getLong(2)) < 100000L, pk.toString)
+    intercept[IllegalArgumentException] {
+      Quality.corrMatrix(df, Seq(("a", col("a"))))
+    }
+  }
+
   test("jsDivergence: identity 0, disjoint ln2, symmetric, empty side NULL") {
     import org.apache.spark.sql.functions.col
     val a = (1 to 50).map(i => Tuple1((i % 10) * 10L)).toDF("v")
