@@ -103,6 +103,7 @@ object SparkEntry {
     "dq_js_divergence", "agg_topn_other", "feat_isotonic",
     "feat_isotonic_gate", "url_canonical_dedup", "evt_holt_replay",
     "dq_corr_matrix", "feat_decayed_activity", "evt_gini",
+    "dq_type_inference", "evt_stickiness", "ts_drawdown",
     // round-11 additions (no artifact yet)
     "text_bm25_indexed", "text_bm25_index_append_gate",
     "graph_modularity", "dq_ks", "feat_auc", "evt_attribution",
@@ -389,7 +390,7 @@ object SparkEntry {
     "growth_accounting", "cohort_ltv", "feat_group_regression",
     "evt_cumulative_users", "dq_mutual_info", "dq_js_divergence",
     "feat_isotonic", "dq_corr_matrix", "feat_decayed_activity",
-    "evt_gini",
+    "evt_gini", "dq_type_inference", "evt_stickiness", "ts_drawdown",
     "evt_interarrival", "evt_top_paths",
     "agg_corr_regr",
     "text_stats", "text_quality", "text_term_freq", "text_lang_dist",
@@ -791,6 +792,68 @@ object SparkEntry {
           lit(0L)) === 0L).as("conserved"))
       blocks.agg(countDistinct($"seg").cast("bigint").as("n_segments"))
         .crossJoin(mono).crossJoin(conserve)
+    }),
+
+    "dq_type_inference" -> ((s, dir) => {
+      import s.implicits._
+      // Schema inference over the RAW all-string CSV read (the step
+      // BEFORE csv_medicare_ingest's declared schema exists): one
+      // scan counts int/decimal/currency parses per column; a type is
+      // inferred only on total coverage. DROPMALFORMED mirrors the
+      // oracle's ignore_errors on the copyright header line.
+      val strSchema = org.apache.spark.sql.types.StructType(
+        Csv.medicareSchema.fields.map(f =>
+          org.apache.spark.sql.types.StructField(f.name,
+            org.apache.spark.sql.types.StringType)))
+      val raw = s.read.schema(strSchema)
+        .option("quote", "\"").option("escape", "\"")
+        .option("mode", "DROPMALFORMED")
+        .csv(medicareCsv)
+      Quality.inferTypes(raw, Seq("npi", "nppes_provider_zip",
+          "nppes_provider_city", "hcpcs_code", "line_srvc_cnt",
+          "average_medicare_allowed_amt", "stdev_submitted_chrg_amt"))
+        .orderBy($"column")
+    }),
+
+    "evt_stickiness" -> ((s, dir) => {
+      import s.implicits._
+      // DAU/MAU stickiness per month in exact ppm — the engagement
+      // ratio: sum of daily distinct users over days*monthly distinct,
+      // all integer counts, one division.
+      val d = Tables.events(s, dir)
+        .select(to_date($"ts").as("day"), $"user_id")
+      val dau = d.groupBy($"day")
+        .agg(countDistinct($"user_id").as("dau"))
+        .withColumn("month", date_trunc("month", $"day").cast("date"))
+        .groupBy($"month")
+        .agg(count(lit(1)).as("n_days"), sum($"dau").as("sum_dau"))
+      val mau = d.withColumn("month", date_trunc("month", $"day").cast("date"))
+        .groupBy($"month").agg(countDistinct($"user_id").as("mau"))
+      dau.join(mau, Seq("month"))
+        .select($"month", $"n_days".cast("bigint").as("n_days"),
+          $"mau".cast("bigint").as("mau"),
+          $"sum_dau".cast("bigint").as("sum_dau"),
+          expr("""CAST(CAST(sum_dau AS DECIMAL(38,0)) * 1000000
+            div (n_days * mau) AS BIGINT)""").as("stickiness_ppm"))
+        .orderBy($"month")
+    }),
+
+    "ts_drawdown" -> ((s, dir) => {
+      import s.implicits._
+      // Maximum drawdown of per-type hourly volume: running peak
+      // minus current, integer-exact — the "how far below its best
+      // has this stream fallen" monitor.
+      import org.apache.spark.sql.expressions.Window
+      val hc = Tables.events(s, dir)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"event_type").orderBy($"h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hc.withColumn("__dd", max($"n").over(w) - $"n")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).cast("bigint").as("n_hours"),
+          max($"__dd").cast("bigint").as("max_drawdown"))
+        .orderBy($"event_type")
     }),
 
     "dq_corr_matrix" -> ((s, dir) => {
@@ -7131,6 +7194,85 @@ object SparkEntry {
     "feat_isotonic_gate" ->
       """SELECT CAST(2 AS BIGINT) AS n_segments, TRUE AS monotone_strict,
         |  TRUE AS conserved""".stripMargin,
+
+    // all-varchar read (ignore_errors drops the copyright line like
+    // DROPMALFORMED); anchored RE2 classes evaluate identically
+    "dq_type_inference" -> {
+      val all = Seq("npi", "nppes_provider_last_org_name",
+        "nppes_provider_first_name", "nppes_provider_mi",
+        "nppes_credentials", "nppes_provider_gender", "nppes_entity_code",
+        "nppes_provider_street1", "nppes_provider_street2",
+        "nppes_provider_city", "nppes_provider_zip", "nppes_provider_state",
+        "nppes_provider_country", "provider_type",
+        "medicare_participation_indicator", "places_of_service",
+        "hcpcs_code", "hcpcs_description", "hcpcs_drug_indicator",
+        "line_srvc_cnt", "bene_unique_cnt", "bene_day_srvc_cnt",
+        "average_medicare_allowed_amt", "average_submitted_chrg_amt",
+        "stdev_submitted_chrg_amt", "average_medicare_payment_amt",
+        "stdev_medicare_payment_amt")
+      val colsSpec = all.map(c => s"'$c':'VARCHAR'").mkString(", ")
+      def sel(c: String) =
+        s"""SELECT '$c' AS col, count($c) AS nv,
+           |  sum(CASE WHEN $c IS NOT NULL AND
+           |    regexp_matches($c, '^[+-]?[0-9]+$$') THEN 1 ELSE 0 END)
+           |    AS ni,
+           |  sum(CASE WHEN $c IS NOT NULL AND
+           |    regexp_matches($c, '^[+-]?[0-9]*\\.[0-9]+$$')
+           |    THEN 1 ELSE 0 END) AS nd,
+           |  sum(CASE WHEN $c IS NOT NULL AND
+           |    regexp_matches($c, '^\\$$[0-9]+(\\.[0-9]+)?$$')
+           |    THEN 1 ELSE 0 END) AS nm
+           |FROM t""".stripMargin
+      val union = Seq("npi", "nppes_provider_zip", "nppes_provider_city",
+        "hcpcs_code", "line_srvc_cnt", "average_medicare_allowed_amt",
+        "stdev_submitted_chrg_amt").map(sel).mkString("\nUNION ALL\n")
+      s"""WITH t AS (SELECT * FROM read_csv('$medicareCsv', header=false,
+         |    delim=',', quote='"', escape='"', nullstr='',
+         |    auto_detect=false, ignore_errors=true,
+         |    columns={$colsSpec})),
+         |u AS (
+         |$union)
+         |SELECT col AS "column", CAST(nv AS BIGINT) AS n_values,
+         |  CAST(ni AS BIGINT) AS n_int, CAST(nd AS BIGINT) AS n_decimal,
+         |  CAST(nm AS BIGINT) AS n_money,
+         |  CASE WHEN nv = 0 THEN 'empty'
+         |    WHEN ni = nv THEN 'int'
+         |    WHEN ni + nd = nv THEN 'decimal'
+         |    WHEN nm = nv THEN 'money'
+         |    ELSE 'string' END AS inferred
+         |FROM u ORDER BY "column"""".stripMargin
+    },
+
+    // integer counts end-to-end; one division per month
+    "evt_stickiness" ->
+      """WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |  FROM events),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau
+        |  FROM d GROUP BY 1),
+        |bm AS (SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+        |    CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(dau) AS BIGINT) AS sum_dau
+        |  FROM dau GROUP BY 1),
+        |mau AS (SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+        |  FROM d GROUP BY 1)
+        |SELECT bm.month, bm.n_days, mau.mau, bm.sum_dau,
+        |  CAST(CAST(bm.sum_dau AS HUGEINT) * 1000000
+        |    // (bm.n_days * mau.mau) AS BIGINT) AS stickiness_ppm
+        |FROM bm JOIN mau USING (month) ORDER BY month""".stripMargin,
+
+    // running peak minus current over unique hours per type
+    "ts_drawdown" ->
+      """WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |dd AS (SELECT event_type,
+        |    max(n) OVER (PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+        |      AS dd
+        |  FROM hc)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        |  CAST(max(dd) AS BIGINT) AS max_drawdown
+        |FROM dd GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // every moment HUGEINT-exact from one scan; each corr is the
     // cov/(sqrt*sqrt) tree of exact integers, token-for-token

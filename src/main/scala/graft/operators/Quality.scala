@@ -721,6 +721,49 @@ object Quality {
           .as("mi_micros"))
   }
 
+  /** Schema inference report over STRING columns — the first thing an
+    * ingest of schemaless CSV/JSON needs: per column, how many
+    * non-null values parse as integer / decimal / currency, and the
+    * inferred type when a candidate covers EVERY value (anything
+    * mixed stays `string` — a 99%-int column is a data-quality
+    * finding, not an int). One scan total: every per-column
+    * conditional count lives in a single aggregate row (the
+    * [[expect]] one-pass discipline), exploded to (column, n_values,
+    * n_int, n_decimal, n_money, inferred) rows afterwards. The
+    * regexes are anchored RE2-safe classes that Java and DuckDB
+    * evaluate identically. */
+  def inferTypes(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "inferTypes needs at least one column")
+    val intRe = "^[+-]?[0-9]+$"
+    val decRe = "^[+-]?[0-9]*\\.[0-9]+$"
+    val moneyRe = "^\\$[0-9]+(\\.[0-9]+)?$"
+    def cnt(c: String, re: String) =
+      coalesce(sum(when(col(c).rlike(re), 1L).otherwise(0L)), lit(0L))
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
+      coalesce(sum(when(col(c).isNotNull, 1L).otherwise(0L)), lit(0L))
+        .as(s"__n_$i"),
+      cnt(c, intRe).as(s"__i_$i"),
+      cnt(c, decRe).as(s"__d_$i"),
+      cnt(c, moneyRe).as(s"__m_$i"))
+    }
+    val pairs = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("column"), col(s"__n_$i").as("n_values"),
+        col(s"__i_$i").as("n_int"), col(s"__d_$i").as("n_decimal"),
+        col(s"__m_$i").as("n_money"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(pairs: _*)).as("__kv"))
+      .select(col("__kv.column"), col("__kv.n_values"), col("__kv.n_int"),
+        col("__kv.n_decimal"), col("__kv.n_money"))
+      .withColumn("inferred",
+        when(col("n_values") === 0L, "empty")
+          .when(col("n_int") === col("n_values"), "int")
+          .when(col("n_int") + col("n_decimal") === col("n_values"),
+            "decimal")
+          .when(col("n_money") === col("n_values"), "money")
+          .otherwise("string"))
+  }
+
   /** Pairwise Pearson correlation matrix of k integer-valued columns
     * in ONE scan — the multicollinearity screen before feature
     * selection (k separate `corr` calls re-read the table k²/2

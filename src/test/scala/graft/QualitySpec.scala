@@ -490,6 +490,27 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("inferTypes: per-candidate counts, total-coverage ladder, empty column, one pass") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (Some("12"), Some("1.5"), Some("$3.20"), Some("a1"), Option.empty[String]),
+      (Some("-4"), Some("2"), Some("$7"), Some("99"), None),
+      (None, Some("-0.25"), Some("$0.64"), Some("x"), None))
+      .toDF("i", "d", "m", "s", "e")
+    val got = Quality.inferTypes(df, Seq("i", "d", "m", "s", "e"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5)))).toMap
+    assert(got("i") == ((2L, 2L, 0L, 0L, "int")))          // all ints
+    assert(got("d") == ((3L, 1L, 2L, 0L, "decimal")))      // ints+decimals
+    assert(got("m") == ((3L, 0L, 0L, 3L, "money")))
+    assert(got("s") == ((3L, 1L, 0L, 0L, "string")))       // mixed stays
+    assert(got("e") == ((0L, 0L, 0L, 0L, "empty")))
+    intercept[IllegalArgumentException] {
+      Quality.inferTypes(df, Seq.empty)
+    }
+  }
+
   test("corrMatrix: perfect +/-, independence ~0, constant NULL, one row per pair, guard") {
     import org.apache.spark.sql.functions.col
     val df = (1 to 40).map { i =>
