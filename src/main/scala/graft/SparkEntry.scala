@@ -104,6 +104,7 @@ object SparkEntry {
     "feat_isotonic_gate", "url_canonical_dedup", "evt_holt_replay",
     "dq_corr_matrix", "feat_decayed_activity", "evt_gini",
     "dq_type_inference", "evt_stickiness", "ts_drawdown",
+    "win_mom_change",
     // round-11 additions (no artifact yet)
     "text_bm25_indexed", "text_bm25_index_append_gate",
     "graph_modularity", "dq_ks", "feat_auc", "evt_attribution",
@@ -360,7 +361,7 @@ object SparkEntry {
     "asof_next_purchase", "interval_join_promo", "interval_join_incidents",
     "interval_overlap_campaigns", "geo_radius_join",
     "win_topk_parts", "win_running_total", "win_lag_delta", "win_rank_family",
-    "win_rolling_range",
+    "win_rolling_range", "win_mom_change",
     "set_union", "set_intersect", "set_except",
     "merge_upsert", "merge_scd2", "merge_diff", "merge_survivorship",
     "fuzzy_join_names", "fuzzy_rank_names", "link_fs_scores",
@@ -813,6 +814,25 @@ object SparkEntry {
           "nppes_provider_city", "hcpcs_code", "line_srvc_cnt",
           "average_medicare_allowed_amt", "stdev_submitted_chrg_amt"))
         .orderBy($"column")
+    }),
+
+    "win_mom_change" -> ((s, dir) => {
+      import s.implicits._
+      // Month-over-month revenue change in exact ppm: integer cents,
+      // lag window, one truncating division per month (Spark div and
+      // DuckDB // both truncate, including on negative deltas —
+      // verified, not assumed). First month NULL, not a phantom.
+      import org.apache.spark.sql.expressions.Window
+      val m = Tables.orders(s, dir)
+        .groupBy(date_trunc("month", $"o_orderdate").cast("date")
+          .as("month"))
+        .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      m.withColumn("__prev", lag($"cents", 1).over(Window.orderBy($"month")))
+        .select($"month", $"cents".cast("bigint").as("cents"),
+          expr("""CAST(CASE WHEN __prev IS NULL OR __prev = 0 THEN NULL
+            ELSE (CAST(cents AS DECIMAL(38,0)) - __prev) * 1000000
+              div nullif(__prev, 0) END AS BIGINT)""").as("change_ppm"))
+        .orderBy($"month")
     }),
 
     "evt_stickiness" -> ((s, dir) => {
@@ -7242,6 +7262,21 @@ object SparkEntry {
          |    ELSE 'string' END AS inferred
          |FROM u ORDER BY "column"""".stripMargin
     },
+
+    // integer cents; Spark div == DuckDB // (both truncate, negatives
+    // included); first month NULL
+    "win_mom_change" ->
+      """WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+        |    AS month,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT month, cents,
+        |    lag(cents) OVER (ORDER BY month) AS prev FROM m)
+        |SELECT month, CAST(cents AS BIGINT) AS cents,
+        |  CASE WHEN prev IS NULL OR prev = 0 THEN NULL
+        |    ELSE CAST((CAST(cents AS HUGEINT) - prev) * 1000000 // prev
+        |      AS BIGINT) END AS change_ppm
+        |FROM l ORDER BY month""".stripMargin,
 
     // integer counts end-to-end; one division per month
     "evt_stickiness" ->
