@@ -655,6 +655,13 @@ object Similarity {
     val ids = rows.map(_.getLong(0))
     val rel = rows.map(_.getDouble(1))
     val vecs = rows.map(r => toVec(r.get(2)))
+    require(!rel.exists(_.isNaN),
+      "mmrRerank: NaN relevance score — NaN never wins a comparison, " +
+        "so an all-NaN pool would select nothing; filter or score " +
+        "upstream")
+    require(vecs.iterator.map(_.length).distinct.size <= 1,
+      "mmrRerank: ragged embedding dimensions — cosine assumes " +
+        "equal-length vectors")
     val lam = lambdaPpm.toDouble / 1e6
     val n = rows.length
     val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
@@ -676,6 +683,11 @@ object Similarity {
         }
         i += 1
       }
+      // defensive: the NaN pre-flight makes best >= 0 certain, but a
+      // no-winner scan must exit the loop, never index with -1
+      if (best < 0) return picked.toSeq.zipWithIndex
+        .map { case ((id, s), r) => (id, (r + 1).toLong, s) }
+        .toDF(idCol, "rank", "mmr_micros")
       taken(best) = true
       picked += ((ids(best), math.round(bestScore * 1e6)))
       var j = 0

@@ -264,9 +264,14 @@ object Features {
     * order with ln 2 as the LITERAL 0.6931471805599453 — a recursive
     * CTE mirroring the same token order reproduces every double
     * bit-for-bit (`exp` agrees between engines on identical inputs —
-    * the feat_target_encode convention). One key shuffle + per-group
-    * ordered fold (genuine sequential recurrence, the EWMA posture:
-    * group = one user's bounded history). */
+    * the feat_target_encode convention). The fold ORDER uses the
+    * FULL-PRECISION timestamp (epoch micros) — timestamps carry
+    * microseconds, and an oracle's `ORDER BY ts` is sub-second-aware,
+    * so ordering by truncated seconds would silently diverge when two
+    * same-key events share a second; only the decay DELTA truncates
+    * to whole seconds (the documented `Δseconds` contract). One key
+    * shuffle + per-group ordered fold (genuine sequential recurrence,
+    * the EWMA posture: group = one user's bounded history). */
   def decayedScore(df: DataFrame, keyCol: String, tsCol: String,
       idCol: String, valueCol: String,
       halfLifeSeconds: Long): DataFrame = {
@@ -275,17 +280,18 @@ object Features {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(keyCol).cast("long").as("k"),
+        unix_micros(col(tsCol).cast("timestamp")).as("tm"),
         col(tsCol).cast("timestamp").cast("long").as("t"),
         col(idCol).cast("long").as("id"),
         col(valueCol).cast("double").as("v"))
-      .as[(Long, Long, Long, Double)]
+      .as[(Long, Long, Long, Long, Double)]
       .groupByKey(_._1)
       .flatMapGroups { (k, it) =>
-        val evs = it.toSeq.sortBy(r => (r._2, r._3))
+        val evs = it.toSeq.sortBy(r => (r._2, r._4))
         var s = 0.0
         var prevT = 0L
         var first = true
-        evs.iterator.map { case (_, t, id, v) =>
+        evs.iterator.map { case (_, _, t, id, v) =>
           s = if (first) { first = false; v }
             else v + math.exp(-((t - prevT).toDouble *
               0.6931471805599453 / halfLifeSeconds)) * s

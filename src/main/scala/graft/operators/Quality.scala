@@ -637,12 +637,14 @@ object Quality {
     * two category-scale margins and the GUARDED category✕category
     * cross (fails loudly past `maxCategories` per side — a 10⁶✕10⁶
     * grid is a different problem) all read the cached cells, and the
-    * grid-scale report comes back as a local DataFrame with the cache
-    * released (the `csv_corrupt_rows` lifecycle) — nothing stays
-    * pinned in storage memory after the screen. */
+    * grid-scale report is localCheckpointed — materialized ON THE
+    * EXECUTORS, lineage truncated so the cells cache releases safely —
+    * never collected to the driver (a 10⁶-cell grid belongs on the
+    * cluster; [[cramersV]] aggregates it distributed). Nothing stays
+    * pinned in storage memory after the screen beyond the
+    * checkpointed grid itself. */
   def chiSquare(df: DataFrame, xExpr: Column, yExpr: Column,
       maxCategories: Int = 1000): DataFrame = {
-    val spark = df.sparkSession
     val cells = df.select(xExpr.cast("string").as("x"),
         yExpr.cast("string").as("y"))
       .filter(col("x").isNotNull && col("y").isNotNull)
@@ -671,9 +673,9 @@ object Quality {
               (col("__r").cast("decimal(38,0)") * col("__c")).cast("double"))
             * 1e6).cast("long"))
         .select(col("x"), col("y"), col("n"), col("chi2_micros"))
-      val local = report.collect() // grid-scale, guard-bounded
-      spark.createDataFrame(spark.sparkContext.parallelize(
-        local.toSeq, 1), report.schema)
+      // materialize distributed + truncate lineage, so the finally
+      // block's unpersist can't trigger a cells recompute downstream
+      report.localCheckpoint(true)
     } finally cells.unpersist()
   }
 

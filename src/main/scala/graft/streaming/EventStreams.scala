@@ -576,7 +576,11 @@ object EventStreams extends Serializable {
     * `n_visits`, `removal_effect_micros` (relative drop ∈ [0, 10⁶])
     * and `share_micros` (effects normalized to EXACTLY 10⁶, remainder
     * to the largest-share channel, ties by channel name — the
-    * integer-credit convention).
+    * integer-credit convention). When ALL removal effects are zero
+    * (no channel removal loses conversions — possible on a corpus
+    * where every journey converts regardless), shares are a uniform
+    * split rather than all-zero, so the 10⁶ sum contract holds on
+    * every input.
     *
     * Scale: journeys reduce per user (one user-keyed sort-agg; the
     * per-user event list is bounded by `maxEventsPerUser`, loudly),
@@ -591,6 +595,13 @@ object EventStreams extends Serializable {
       conversionType: String,
       maxEventsPerUser: Long = 100000L): DataFrame = {
     require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    // type names are spliced into a SQL lambda below — refuse anything
+    // that could escape the string literal rather than trying to quote
+    (touchTypes :+ conversionType).foreach { t =>
+      require(t.matches("[A-Za-z0-9_.\\-]+"),
+        s"event type '$t' contains characters outside [A-Za-z0-9_.-] — " +
+          "refusing to splice it into a SQL expression")
+    }
     val spark = events.sparkSession
     import spark.implicits._
     val rel = events
@@ -676,14 +687,18 @@ object EventStreams extends Serializable {
       (c, re)
     }
     val total = effects.map(_._2).sum
+    // degenerate corpus (no channel removal loses conversions, or no
+    // conversions at all): shares are DEFINED as a uniform split so
+    // share_micros still sums to exactly 10⁶ — attribution's output
+    // contract — rather than silently summing to 0
+    val nCh = effects.length.toLong
     val shares0 = effects.map { case (c, re) =>
       (c, math.round(re * 1e6),
-        if (total <= 0) 0L else (re / total * 1e6).toLong)
+        if (total <= 0) 1000000L / nCh else (re / total * 1e6).toLong)
     }
     // exact 10⁶ share sum: remainder to the largest share, ties by name
     val rem = 1000000L - shares0.map(_._3).sum
-    val target = if (total <= 0) None
-      else Some(shares0.sortBy(s => (-s._3, s._1)).head._1)
+    val target = Some(shares0.sortBy(s => (-s._3, s._1)).head._1)
     val visits = trans.filter(r => touchTypes.contains(r.getString(0)))
       .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
     shares0.map { case (c, re, sh) =>

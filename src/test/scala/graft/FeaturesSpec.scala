@@ -219,6 +219,23 @@ class FeaturesSpec extends SparkSpec {
     }
   }
 
+  test("decayedScore: sub-second timestamps order by full-precision ts, not truncated seconds") {
+    import java.sql.Timestamp
+    val t0 = 1700000000000L
+    // same user, same whole second; sub-second order (id 5 at +500ms,
+    // id 4 at +900ms) is the REVERSE of event_id order — the fold must
+    // follow the timestamps. Δseconds truncates to 0, so w = exp(0) = 1.
+    val df = Seq(
+      (1L, new Timestamp(t0 + 900L), 4L, 2.0),
+      (1L, new Timestamp(t0 + 500L), 5L, 4.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = Features.decayedScore(df, "user_id", "ts", "event_id",
+        "value", halfLifeSeconds = 3600L)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got(5L) == 4000000L, got.toString) // folded FIRST: s = 4
+    assert(got(4L) == 6000000L, got.toString) // then 2 + 1·4 = 6
+  }
+
   test("isotonicCalibrate: violators pool, means monotone, totals conserve, guard trips") {
     // score 1: 4 rows 0 pos; score 2: 2 rows 2 pos; score 3: 2 rows
     // 0 pos. PAVA pools {2,3} -> mean 0.5; block 1 stays at 0.

@@ -278,6 +278,21 @@ class SimilaritySpec extends SparkSpec {
         maxCandidates = 2)
     }
     assert(e.getMessage.contains("RE-RANK"), e.getMessage)
+    // NaN relevance never wins a comparison — refuse up front instead
+    // of indexing with best = -1 deep in the greedy loop
+    val nan = Seq((1L, Double.NaN, Array(1f, 0f)))
+      .toDF("id", "score", "vec")
+    val eNan = intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(nan, "id", "score", "vec", k = 1)
+    }
+    assert(eNan.getMessage.contains("NaN"), eNan.getMessage)
+    // ragged embedding dimensions would throw inside cos()
+    val ragged = Seq((1L, 1.0, Array(1f, 0f)), (2L, 0.5, Array(1f)))
+      .toDF("id", "score", "vec")
+    val eRag = intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(ragged, "id", "score", "vec", k = 2)
+    }
+    assert(eRag.getMessage.contains("ragged"), eRag.getMessage)
   }
 
   test("kCenterGreedy: farthest-point walk on a closed form; coverageRadius agrees") {

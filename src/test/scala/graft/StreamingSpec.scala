@@ -739,6 +739,28 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("journey"), e.getMessage)
   }
 
+  test("markovAttribution: zero-removal-effect corpus splits shares uniformly; hostile type names refused") {
+    val t0 = 1700000000000L
+    // every journey converts with NO touches: removing any channel
+    // loses nothing, all effects are 0 — shares must still sum to 1e6
+    val events = Seq(
+      (1L, new Timestamp(t0), 1L, "purchase", 1.0),
+      (2L, new Timestamp(t0 + 60000L), 2L, "purchase", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventStreams.markovAttribution(events, Seq("A", "B"),
+        "purchase")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("A") == ((0L, 0L, 500000L)), got.toString)
+    assert(got("B") == ((0L, 0L, 500000L)), got.toString)
+    assert(got.values.map(_._3).sum == 1000000L)
+    // a quote in a type name would escape the SQL literal — loud refusal
+    val e = intercept[IllegalArgumentException] {
+      EventStreams.markovAttribution(events, Seq("A'||'", "B"), "purchase")
+    }
+    assert(e.getMessage.contains("splice"), e.getMessage)
+  }
+
   test("attributionStateful drains touch-only state by timeout and keeps serving the key") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val t0 = 1700000000000L
