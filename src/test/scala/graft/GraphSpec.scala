@@ -150,6 +150,49 @@ class GraphSpec extends SparkSpec {
     assert(cc.size == 200 && cc.values.forall(_ == 0L))
   }
 
+  test("hits: one hand-solved iteration; multi-iteration matches a driver replica exactly") {
+    // A->C, B->C, C->A: C is the authority (two hubs point at it),
+    // A and B are the hubs
+    val edges = Seq(("A", "C"), ("B", "C"), ("C", "A")).toDF("src", "dst")
+    val got1 = Graph.hits(edges, "src", "dst", iters = 1)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // hand-solved: aRaw = {C: 2e9, A: 1e9}, tot 3e9 ->
+    //   auth A = 333333333, C = 666666666, B = 0
+    // hRaw = {A: auth(C), B: auth(C), C: auth(A)}, tot 1666666665 ->
+    //   hub A = B = 400000000 exactly, C = 200000000 exactly
+    assert(got1("A") == ((400000000L, 333333333L)), got1.toString)
+    assert(got1("B") == ((400000000L, 0L)), got1.toString)
+    assert(got1("C") == ((200000000L, 666666666L)), got1.toString)
+    // 3 iterations vs a BigInt driver replica of the same recurrence
+    val es = Seq("A" -> "C", "B" -> "C", "C" -> "A")
+    val nodes = Seq("A", "B", "C")
+    var hub = nodes.map(_ -> BigInt(1000000000L)).toMap
+    var auth = nodes.map(_ -> BigInt(0L)).toMap
+    (1 to 3).foreach { _ =>
+      val ar = es.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => hub(s) }.sum).toMap
+      val ta = ar.values.sum
+      auth = nodes.map(n => n -> (if (ta == 0) BigInt(0)
+        else ar.getOrElse(n, BigInt(0)) * 1000000000L / ta)).toMap
+      val hr = es.groupBy(_._1).view.mapValues(
+        _.map { case (_, d) => auth(d) }.sum).toMap
+      val th = hr.values.sum
+      hub = nodes.map(n => n -> (if (th == 0) BigInt(0)
+        else hr.getOrElse(n, BigInt(0)) * 1000000000L / th)).toMap
+    }
+    val got3 = Graph.hits(edges, "src", "dst", iters = 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    nodes.foreach { n =>
+      assert(got3(n) == ((hub(n).toLong, auth(n).toLong)),
+        s"$n: got ${got3(n)}, replica (${hub(n)}, ${auth(n)})")
+    }
+    intercept[IllegalArgumentException] {
+      Graph.hits(edges, "src", "dst", iters = 0)
+    }
+  }
+
   test("pageRank: integral recurrence matches a driver replica exactly; hub wins") {
     // star + a back-edge so every node has out-degree >= 1:
     // 1,2,3 -> 0 and 0 -> 1
