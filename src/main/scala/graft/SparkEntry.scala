@@ -93,7 +93,7 @@ object SparkEntry {
     * queries belong here too until a CORRECTNESS artifact records them. */
   private val neverGradedFirst: Seq[String] = Seq(
     // round-13 additions (no artifact yet)
-    "graph_hits",
+    "graph_hits", "dq_fd_violations",
     // round-12 additions (no artifact yet)
     "ts_cusum", "ts_acf", "surv_kaplan_meier", "graph_adamic_adar",
     "dq_l_diversity", "dq_cramers_v", "cust_rfm", "hilbert_layout",
@@ -378,6 +378,7 @@ object SparkEntry {
     "feat_cuped",
     "dq_winsorize", "dq_ks", "feat_auc", "feat_gains", "dq_chi2",
     "dq_k_anonymity", "dq_l_diversity", "dq_cramers_v", "cust_rfm",
+    "dq_fd_violations",
     "feat_spearman", "ab_ztest", "ab_ttest",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
@@ -709,6 +710,26 @@ object SparkEntry {
       Quality.lDiversity(Tables.customer(s, dir),
         Seq("c_nationkey", "c_mktsegment"),
         floor($"c_acctbal" / 1000.0), l = 3L)
+    }),
+
+    "dq_fd_violations" -> ((s, dir) => {
+      import s.implicits._
+      // Functional-dependency profiler on two candidates at once: the
+      // key FD p_partkey→p_name HOLDS (contributes zero rows — the
+      // proof), while p_brand→p_type is heavily violated (every brand
+      // sells many types); the violating groups with their row and
+      // distinct-dependent counts are the constraint-validation
+      // report. One hash-agg per candidate, union'd.
+      val part = Tables.part(s, dir)
+      val held = Quality.fdViolations(part, Seq("p_partkey"), $"p_name")
+        .select(lit("p_partkey->p_name").as("fd"),
+          $"p_partkey".cast("string").as("det"),
+          $"n_rows", $"n_distinct_dep")
+      val viol = Quality.fdViolations(part, Seq("p_brand"), $"p_type")
+        .select(lit("p_brand->p_type").as("fd"),
+          $"p_brand".cast("string").as("det"),
+          $"n_rows", $"n_distinct_dep")
+      held.unionByName(viol).orderBy($"fd", $"det")
     }),
 
     "dq_js_divergence" -> ((s, dir) => {
@@ -7169,6 +7190,30 @@ object SparkEntry {
         |  CAST(sum(n) AS BIGINT) AS n_rows,
         |  d < 3 AS risky
         |FROM cls GROUP BY d ORDER BY diversity""".stripMargin,
+
+    // NULL dependents count as a value via the has-null flag, the
+    // l-diversity convention; a held FD contributes zero rows
+    "dq_fd_violations" ->
+      """WITH f1 AS (
+        |  SELECT 'p_partkey->p_name' AS fd,
+        |    CAST(p_partkey AS VARCHAR) AS det, count(*) AS n_rows,
+        |    count(DISTINCT p_name)
+        |      + max(CASE WHEN p_name IS NULL THEN 1 ELSE 0 END) AS nd
+        |  FROM part GROUP BY 1, 2
+        |  HAVING count(DISTINCT p_name)
+        |    + max(CASE WHEN p_name IS NULL THEN 1 ELSE 0 END) > 1),
+        |f2 AS (
+        |  SELECT 'p_brand->p_type' AS fd, p_brand AS det,
+        |    count(*) AS n_rows,
+        |    count(DISTINCT p_type)
+        |      + max(CASE WHEN p_type IS NULL THEN 1 ELSE 0 END) AS nd
+        |  FROM part GROUP BY 1, 2
+        |  HAVING count(DISTINCT p_type)
+        |    + max(CASE WHEN p_type IS NULL THEN 1 ELSE 0 END) > 1)
+        |SELECT fd, det, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(nd AS BIGINT) AS n_distinct_dep
+        |FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2)
+        |ORDER BY fd, det""".stripMargin,
 
     // same buckets as dq_psi; per-term mixture ratio of HUGEINT-exact
     // integers, clamp each KL component, truncating divisions

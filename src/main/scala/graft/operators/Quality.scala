@@ -614,6 +614,40 @@ object Quality {
       .orderBy(col("diversity"))
   }
 
+  /** Functional-dependency violation profiler — the data-profiling
+    * primitive behind key discovery and constraint validation: for a
+    * CANDIDATE dependency `determinant → dependent`, return every
+    * determinant group whose dependent takes MORE than one value
+    * (the witnesses that the FD does not hold), with the group's row
+    * count and its distinct-dependent count. An empty result IS the
+    * proof the dependency holds on this corpus — the natural
+    * pre-flight before declaring a primary key, building a dimension
+    * table, or trusting a join to be 1:1.
+    *
+    * NULL dependents are disclosure-relevant values like any other:
+    * `countDistinct` skips NULLs, so the count adds an explicit
+    * has-null flag (the [[lDiversity]] convention) — a group with one
+    * real value plus NULLs reads 2 distinct, a violation.
+    *
+    * Scale: ONE row-scale hash-agg per candidate (map-side partial
+    * dedup of (determinant, dependent) pairs, then the group agg);
+    * output is violating-group-scale. Nothing collects; profiling k
+    * candidate FDs is k independent aggs a caller can union. */
+  def fdViolations(df: DataFrame, determinant: Seq[String],
+      dependentExpr: Column): DataFrame = {
+    require(determinant.nonEmpty, "determinant must be non-empty")
+    df.withColumn("__y", dependentExpr)
+      .groupBy(determinant.map(col): _*)
+      .agg((countDistinct(col("__y")) +
+        max(when(col("__y").isNull, 1L).otherwise(0L)))
+        .as("n_distinct_dep"),
+        count(lit(1)).as("n_rows"))
+      .filter(col("n_distinct_dep") > 1L)
+      .select(determinant.map(col) ++ Seq(
+        col("n_rows").cast("bigint").as("n_rows"),
+        col("n_distinct_dep").cast("bigint").as("n_distinct_dep")): _*)
+  }
+
   /** Pearson chi-square association screen for two CATEGORICAL
     * columns — the categorical✕categorical member of the screening
     * family (WOE/IV covers numeric✕binary, PSI covers

@@ -465,6 +465,31 @@ class QualitySpec extends SparkSpec {
     assert(e.getMessage.contains("maxCategories"), e.getMessage)
   }
 
+  test("fdViolations: held FD is empty, violations report counts, NULL counts as a value") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("a", 1L, "x"), ("a", 1L, "x"),            // a -> 1, consistent
+      ("b", 2L, "x"), ("b", 3L, "x"),            // b -> {2,3}: violation
+      ("c", 4L, "y"), ("c", 4L, "y"), ("c", 4L, "y")) // consistent
+      .toDF("k", "v", "z")
+    // held FD ((k,v) -> z: every pair maps to one z): empty result IS
+    // the proof
+    assert(Quality.fdViolations(df, Seq("k", "v"), col("z")).count() == 0L)
+    val viol = Quality.fdViolations(df, Seq("k"), col("v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(viol == Map("b" -> ((2L, 2L))), viol.toString)
+    // NULL dependent counts as its own value: one real value + NULLs
+    // reads 2 distinct — a violation
+    val withNull = Seq(("d", Some(5L)), ("d", None)).toDF("k", "v")
+    val nv = Quality.fdViolations(withNull, Seq("k"), col("v"))
+      .collect()
+    assert(nv.length == 1 && nv.head.getLong(2) == 2L, nv.mkString(","))
+    intercept[IllegalArgumentException] {
+      Quality.fdViolations(df, Seq.empty, col("v"))
+    }
+  }
+
   test("lDiversity: diversity histogram, risky flag, all-NULL sensitive reads 1 not 0") {
     import org.apache.spark.sql.functions.col
     // class A: 3 rows, 3 distinct sensitive; class B: 4 rows, 1 value;
