@@ -93,7 +93,7 @@ object SparkEntry {
     * queries belong here too until a CORRECTNESS artifact records them. */
   private val neverGradedFirst: Seq[String] = Seq(
     // round-13 additions (no artifact yet)
-    "graph_hits", "dq_fd_violations",
+    "graph_hits", "dq_fd_violations", "ab_jackknife",
     // round-12 additions (no artifact yet)
     "ts_cusum", "ts_acf", "surv_kaplan_meier", "graph_adamic_adar",
     "dq_l_diversity", "dq_cramers_v", "cust_rfm", "hilbert_layout",
@@ -379,7 +379,7 @@ object SparkEntry {
     "dq_winsorize", "dq_ks", "feat_auc", "feat_gains", "dq_chi2",
     "dq_k_anonymity", "dq_l_diversity", "dq_cramers_v", "cust_rfm",
     "dq_fd_violations",
-    "feat_spearman", "ab_ztest", "ab_ttest",
+    "feat_spearman", "ab_ztest", "ab_ttest", "ab_jackknife",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -5955,6 +5955,19 @@ object SparkEntry {
         pmod($"o_custkey", lit(2)) === 0, round($"o_totalprice" * 100))
     }),
 
+    "ab_jackknife" -> ((s, dir) => {
+      import s.implicits._
+      // Delete-one-bucket jackknife CI for purchase cents per event,
+      // clustered by user (50 user buckets): leave-one-out ratios by
+      // truncating integer division, cross-multiplied integer
+      // variance, one sqrt — DuckDB replays the whole leave-out
+      // algebra value-for-value.
+      Features.jackknifeRatioCI(
+        Tables.events(s, dir).filter($"event_type" === "purchase"),
+        $"user_id", round($"value" * 100).cast("long"), lit(1L),
+        nBuckets = 50)
+    }),
+
     "text_vocab_stats" -> ((s, dir) => {
       import s.implicits._
       // One-row corpus health header: token volume, vocabulary size,
@@ -8546,6 +8559,37 @@ object SparkEntry {
         |      + se2c * se2c / (CAST(n_c AS DOUBLE) - 1.0))
         |    * 1000000) AS BIGINT) AS df_micros
         |FROM d WHERE n_t > 1 AND n_c > 1 AND se2t + se2c > 0""".stripMargin,
+
+    // the leave-one-out algebra replayed: truncating integer ratio
+    // divisions (all operands non-negative), HUGEINT-exact variance
+    // numerator, the one sqrt on identical doubles
+    "ab_jackknife" ->
+      """WITH b AS (
+        |  SELECT user_id % 50 AS g,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS s,
+        |    count(*) AS n
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |t AS (SELECT CAST(sum(s) AS HUGEINT) AS ss,
+        |      CAST(sum(n) AS HUGEINT) AS nn FROM b),
+        |r AS (SELECT (t.ss - b.s) * 1000000 // nullif(t.nn - b.n, 0) AS r
+        |      FROM b, t),
+        |a AS (SELECT CAST(count(r) AS HUGEINT) AS nb,
+        |    sum(CAST(r AS HUGEINT)) AS sr,
+        |    sum(CAST(r AS HUGEINT) * CAST(r AS HUGEINT)) AS srr
+        |  FROM r WHERE r IS NOT NULL),
+        |f AS (SELECT nb, ss, nn,
+        |    CAST(ss * 1000000 // nullif(nn, 0) AS BIGINT) AS ratio_micros,
+        |    CAST(round(sqrt(CAST((nb - 1) * (nb * srr - sr * sr)
+        |      AS DOUBLE)) / CAST(nb AS DOUBLE)) AS BIGINT) AS se_micros
+        |  FROM a, t WHERE nb >= 2 AND nn > 0)
+        |SELECT CAST(nb AS BIGINT) AS n_buckets,
+        |  CAST(ss AS BIGINT) AS num_total, CAST(nn AS BIGINT) AS den_total,
+        |  ratio_micros, se_micros,
+        |  ratio_micros - CAST(1959964 * CAST(se_micros AS HUGEINT)
+        |    // 1000000 AS BIGINT) AS ci_lo_micros,
+        |  ratio_micros + CAST(1959964 * CAST(se_micros AS HUGEINT)
+        |    // 1000000 AS BIGINT) AS ci_hi_micros
+        |FROM f""".stripMargin,
 
     // integer-exact except the TTR's one division
     "text_vocab_stats" ->

@@ -207,6 +207,74 @@ object Features {
         round(dfW * 1e6).cast("long").as("df_micros"))
   }
 
+  /** Delete-one-bucket jackknife confidence interval for a RATIO
+    * metric `Σ numerator / Σ denominator` with CLUSTERED units — the
+    * inference the z/t tests can't give: revenue-per-event style
+    * ratios have correlated rows within a user, so the naive SE is
+    * wrong; bucketing units and recomputing the ratio with each
+    * bucket deleted estimates the sampling variance without any
+    * per-row independence assumption (the standard experimentation-
+    * platform CI, and the deterministic sibling of the Poisson
+    * bootstrap — same leave-out algebra, no RNG).
+    *
+    * Exactness — integer until the one sqrt: bucket `g = unit mod B`
+    * (pmod, non-negative); per-bucket exact integer sums; each
+    * leave-one-out ratio quantizes by TRUNCATING division
+    * `(S−s_g)·10⁶ div (N−n_g)` (all non-negative, both engines
+    * truncate); the jackknife variance is the cross-multiplied
+    * integer `V = (B−1)·(B·Σr² − (Σr)²)` in DECIMAL(38,0) —
+    * non-negative by Cauchy–Schwarz — and `se = sqrt(V)/B` is the
+    * single double step (sqrt agrees on identical inputs). CI =
+    * ratio ± 1959964·se div 10⁶ (z₀.₉₇₅ in micros, integer). Returns
+    * one row (n_buckets, num_total, den_total, ratio_micros,
+    * se_micros, ci_lo_micros, ci_hi_micros); fewer than 2 usable
+    * buckets returns empty (no variance is estimable), not NaN.
+    *
+    * Scale: one row-scale hash-agg to B buckets, a 1-row broadcast
+    * total, bucket-scale leave-out arithmetic — the corpus is read
+    * once and nothing row-scale shuffles; B bounds every later stage
+    * regardless of input size. */
+  def jackknifeRatioCI(df: DataFrame, unitExpr: Column,
+      numerExpr: Column, denomExpr: Column,
+      nBuckets: Int = 50): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 100000,
+      s"nBuckets must be in [2, 100000] (got $nBuckets)")
+    val b = df.select(
+        pmod(unitExpr.cast("long"), lit(nBuckets.toLong)).as("g"),
+        numerExpr.cast("long").as("__x"),
+        denomExpr.cast("long").as("__d"))
+      .groupBy(col("g"))
+      .agg(sum(col("__x")).as("s"), sum(col("__d")).as("n"))
+    val t = b.agg(sum(col("s")).cast("decimal(38,0)").as("__ss"),
+      sum(col("n")).cast("decimal(38,0)").as("__nn"))
+    val r = b.crossJoin(broadcast(t)) // 1-row totals
+      .select(expr(
+        "(__ss - s) * 1000000 div nullif(__nn - n, 0)").as("r"))
+    val a = r.filter(col("r").isNotNull)
+      .agg(count(lit(1)).as("nb"),
+        sum(col("r").cast("decimal(38,0)")).as("sr"),
+        sum(col("r").cast("decimal(38,0)") *
+          col("r").cast("decimal(38,0)")).as("srr"))
+    val v = ((col("nb") - 1L).cast("decimal(38,0)") *
+      (col("nb").cast("decimal(38,0)") * col("srr") -
+        col("sr") * col("sr")))
+    val se = round(sqrt(v.cast("double")) /
+      col("nb").cast("double")).cast("long")
+    a.crossJoin(broadcast(t))
+      .filter(col("nb") >= 2L && col("__nn") > 0)
+      .withColumn("ratio_micros",
+        expr("__ss * 1000000 div nullif(__nn, 0)"))
+      .withColumn("se_micros", se)
+      .withColumn("__half",
+        expr("CAST(1959964 AS DECIMAL(38,0)) * se_micros div 1000000"))
+      .select(col("nb").cast("bigint").as("n_buckets"),
+        col("__ss").cast("bigint").as("num_total"),
+        col("__nn").cast("bigint").as("den_total"),
+        col("ratio_micros"), col("se_micros"),
+        (col("ratio_micros") - col("__half")).as("ci_lo_micros"),
+        (col("ratio_micros") + col("__half")).as("ci_hi_micros"))
+  }
+
   /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM'13 —
     * *Improving the Sensitivity of Online Controlled Experiments*):
     * adjust each unit's metric by its pre-experiment covariate,

@@ -159,6 +159,42 @@ class FeaturesSpec extends SparkSpec {
       col("t"), col("s")).collect().isEmpty)
   }
 
+  test("jackknifeRatioCI: BigInt replica of the leave-one-out algebra; degenerates empty") {
+    // 4 units -> 4 buckets (B=4, unit==bucket), one event each
+    val df = Seq((0L, 10L), (1L, 20L), (2L, 30L), (3L, 40L))
+      .toDF("unit", "cents")
+    val got = Features.jackknifeRatioCI(df, col("unit"), col("cents"),
+      lit(1L), nBuckets = 4).collect()
+    assert(got.length == 1)
+    val row = got.head
+    // driver replica, all-integer until the one sqrt
+    val s = Seq(10L, 20L, 30L, 40L); val n = Seq(1L, 1L, 1L, 1L)
+    val (ss, nn) = (BigInt(100), BigInt(4))
+    val r = s.zip(n).map { case (si, ni) =>
+      (ss - si) * 1000000 / (nn - ni) }
+    val (nb, sr, srr) = (BigInt(4), r.sum, r.map(x => x * x).sum)
+    val v = (nb - 1) * (nb * srr - sr * sr)
+    val se = math.round(math.sqrt(v.toDouble) / nb.toDouble)
+    val ratio = (ss * 1000000 / nn).toLong
+    val half = BigInt(1959964) * se / 1000000
+    assert(row.getAs[Long]("n_buckets") == 4L)
+    assert(row.getAs[Long]("ratio_micros") == ratio)
+    assert(row.getAs[Long]("se_micros") == se, row.toString)
+    assert(row.getAs[Long]("ci_lo_micros") == ratio - half.toLong)
+    assert(row.getAs[Long]("ci_hi_micros") == ratio + half.toLong)
+    // the CI brackets the point estimate and has positive width
+    assert(row.getAs[Long]("ci_lo_micros") < ratio &&
+      ratio < row.getAs[Long]("ci_hi_micros"))
+    // single usable bucket: no variance estimable -> empty, not NaN
+    val one = Seq((0L, 10L)).toDF("unit", "cents")
+    assert(Features.jackknifeRatioCI(one, col("unit"), col("cents"),
+      lit(1L), nBuckets = 4).count() == 0L)
+    intercept[IllegalArgumentException] {
+      Features.jackknifeRatioCI(df, col("unit"), col("cents"), lit(1L),
+        nBuckets = 1)
+    }
+  }
+
   test("cuped: mean preserved, variance reduced, perfect covariate zeroes it") {
     val rnd = new scala.util.Random(3)
     // y = 2x + noise: a strongly explanatory covariate
