@@ -93,7 +93,7 @@ object SparkEntry {
     * queries belong here too until a CORRECTNESS artifact records them. */
   private val neverGradedFirst: Seq[String] = Seq(
     // round-13 additions (no artifact yet)
-    "graph_hits", "dq_fd_violations", "ab_jackknife",
+    "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     // round-12 additions (no artifact yet)
     "ts_cusum", "ts_acf", "surv_kaplan_meier", "graph_adamic_adar",
     "dq_l_diversity", "dq_cramers_v", "cust_rfm", "hilbert_layout",
@@ -379,7 +379,7 @@ object SparkEntry {
     "dq_winsorize", "dq_ks", "feat_auc", "feat_gains", "dq_chi2",
     "dq_k_anonymity", "dq_l_diversity", "dq_cramers_v", "cust_rfm",
     "dq_fd_violations",
-    "feat_spearman", "ab_ztest", "ab_ttest", "ab_jackknife",
+    "feat_spearman", "ab_ztest", "ab_ttest", "ab_jackknife", "ab_did",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -5955,6 +5955,20 @@ object SparkEntry {
         pmod($"o_custkey", lit(2)) === 0, round($"o_totalprice" * 100))
     }),
 
+    "ab_did" -> ((s, dir) => {
+      import s.implicits._
+      // Difference-in-differences on purchase cents: even users
+      // "treated", the month's midpoint splits pre/post — the
+      // quasi-experimental readout that nets out the group gap and
+      // the common time shock. Integer cell means, mirrored IEEE
+      // inference tail.
+      Features.didEstimate(
+        Tables.events(s, dir).filter($"event_type" === "purchase"),
+        pmod($"user_id", lit(2)) === 0,
+        $"ts" >= lit("2024-01-16").cast("timestamp"),
+        round($"value" * 100))
+    }),
+
     "ab_jackknife" -> ((s, dir) => {
       import s.implicits._
       // Delete-one-bucket jackknife CI for purchase cents per event,
@@ -8559,6 +8573,57 @@ object SparkEntry {
         |      + se2c * se2c / (CAST(n_c AS DOUBLE) - 1.0))
         |    * 1000000) AS BIGINT) AS df_micros
         |FROM d WHERE n_t > 1 AND n_c > 1 AND se2t + se2c > 0""".stripMargin,
+
+    // four exact integer cells from one pass; truncating mean
+    // divisions, the mirrored IEEE inference tail
+    "ab_did" ->
+      """WITH c AS (SELECT
+        |    CAST(sum(CASE WHEN t AND p THEN 1 ELSE 0 END) AS HUGEINT) AS n_t1,
+        |    CAST(sum(CASE WHEN t AND p THEN y ELSE 0 END) AS HUGEINT) AS s_t1,
+        |    CAST(sum(CASE WHEN t AND p THEN y * y ELSE 0 END) AS HUGEINT) AS ss_t1,
+        |    CAST(sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS HUGEINT) AS n_t0,
+        |    CAST(sum(CASE WHEN t AND NOT p THEN y ELSE 0 END) AS HUGEINT) AS s_t0,
+        |    CAST(sum(CASE WHEN t AND NOT p THEN y * y ELSE 0 END) AS HUGEINT) AS ss_t0,
+        |    CAST(sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS HUGEINT) AS n_c1,
+        |    CAST(sum(CASE WHEN NOT t AND p THEN y ELSE 0 END) AS HUGEINT) AS s_c1,
+        |    CAST(sum(CASE WHEN NOT t AND p THEN y * y ELSE 0 END) AS HUGEINT) AS ss_c1,
+        |    CAST(sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS HUGEINT) AS n_c0,
+        |    CAST(sum(CASE WHEN NOT t AND NOT p THEN y ELSE 0 END) AS HUGEINT) AS s_c0,
+        |    CAST(sum(CASE WHEN NOT t AND NOT p THEN y * y ELSE 0 END) AS HUGEINT) AS ss_c0
+        |  FROM (SELECT user_id % 2 = 0 AS t,
+        |      ts >= TIMESTAMP '2024-01-16' AS p,
+        |      CAST(round(value * 100) AS BIGINT) AS y
+        |    FROM events WHERE event_type = 'purchase')),
+        |d AS (SELECT *,
+        |    sqrt(
+        |      (CAST(n_t1 * ss_t1 - s_t1 * s_t1 AS DOUBLE)
+        |        / CAST(n_t1 * (n_t1 - 1) AS DOUBLE)) / CAST(n_t1 AS DOUBLE)
+        |      + (CAST(n_t0 * ss_t0 - s_t0 * s_t0 AS DOUBLE)
+        |        / CAST(n_t0 * (n_t0 - 1) AS DOUBLE)) / CAST(n_t0 AS DOUBLE)
+        |      + (CAST(n_c1 * ss_c1 - s_c1 * s_c1 AS DOUBLE)
+        |        / CAST(n_c1 * (n_c1 - 1) AS DOUBLE)) / CAST(n_c1 AS DOUBLE)
+        |      + (CAST(n_c0 * ss_c0 - s_c0 * s_c0 AS DOUBLE)
+        |        / CAST(n_c0 * (n_c0 - 1) AS DOUBLE)) / CAST(n_c0 AS DOUBLE)
+        |    ) AS se FROM c)
+        |SELECT CAST(n_t1 AS BIGINT) AS n_t1, CAST(n_t0 AS BIGINT) AS n_t0,
+        |  CAST(n_c1 AS BIGINT) AS n_c1, CAST(n_c0 AS BIGINT) AS n_c0,
+        |  CAST(s_t1 * 1000000 // nullif(n_t1, 0) AS BIGINT) AS mean_t1_micros,
+        |  CAST(s_t0 * 1000000 // nullif(n_t0, 0) AS BIGINT) AS mean_t0_micros,
+        |  CAST(s_c1 * 1000000 // nullif(n_c1, 0) AS BIGINT) AS mean_c1_micros,
+        |  CAST(s_c0 * 1000000 // nullif(n_c0, 0) AS BIGINT) AS mean_c0_micros,
+        |  CAST(s_t1 * 1000000 // nullif(n_t1, 0)
+        |    - s_t0 * 1000000 // nullif(n_t0, 0)
+        |    - s_c1 * 1000000 // nullif(n_c1, 0)
+        |    + s_c0 * 1000000 // nullif(n_c0, 0) AS BIGINT) AS did_micros,
+        |  CAST(round(se * 1000000) AS BIGINT) AS se_micros,
+        |  CAST(round((CAST(s_t1 AS DOUBLE) / CAST(n_t1 AS DOUBLE)
+        |      - CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE)
+        |      - (CAST(s_c1 AS DOUBLE) / CAST(n_c1 AS DOUBLE)
+        |        - CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE)))
+        |    / se * 1000000) AS BIGINT) AS t_micros
+        |FROM d
+        |WHERE n_t1 > 1 AND n_t0 > 1 AND n_c1 > 1 AND n_c0 > 1
+        |  AND se > 0""".stripMargin,
 
     // the leave-one-out algebra replayed: truncating integer ratio
     // divisions (all operands non-negative), HUGEINT-exact variance

@@ -207,6 +207,76 @@ object Features {
         round(dfW * 1e6).cast("long").as("df_micros"))
   }
 
+  /** Difference-in-differences estimator — the quasi-experimental
+    * readout when assignment wasn't randomized but a PRE period
+    * exists: `DiD = (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre)`
+    * nets out both the stable group gap and the common time shock,
+    * leaving the treatment effect under the parallel-trends
+    * assumption (the launch-readout workhorse for staged rollouts,
+    * holdout regions, policy changes).
+    *
+    * Exactness: one aggregate computes all four cells' exact integer
+    * (n, Σy, Σy²); each cell mean quantizes by truncating division
+    * `Σy·10⁶ div n` (metric long-cast, non-negative by contract) and
+    * `did_micros` is their exact integer combination; the inferential
+    * tail (per-cell sample variance, `se = √Σ varᵢ/nᵢ`,
+    * `t = DiD/se`) is one mirrored IEEE tree, micro-quantized.
+    * Returns one row (four ns, four cell means, did_micros,
+    * se_micros, t_micros); any cell with < 2 rows or a zero SE
+    * returns empty (no inference is possible), not NaN.
+    *
+    * Scale: ONE aggregate over the unit table; nothing shuffles. */
+  def didEstimate(df: DataFrame, treatedExpr: Column, postExpr: Column,
+      metricExpr: Column): DataFrame = {
+    val base = df.select(treatedExpr.as("__t"), postExpr.as("__p"),
+        metricExpr.cast("long").as("__y"))
+      .filter(col("__t").isNotNull && col("__p").isNotNull &&
+        col("__y").isNotNull)
+    def cell(name: String, t: Boolean, p: Boolean): Seq[Column] = {
+      val in = col("__t") === t && col("__p") === p
+      Seq(sum(when(in, 1L).otherwise(0L)).as(s"n_$name"),
+        sum(when(in, col("__y")).otherwise(0L)).cast("decimal(38,0)")
+          .as(s"__s_$name"),
+        sum(when(in, col("__y").cast("decimal(38,0)") * col("__y"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as(s"__ss_$name"))
+    }
+    val aggs = cell("t1", t = true, p = true) ++
+      cell("t0", t = true, p = false) ++
+      cell("c1", t = false, p = true) ++
+      cell("c0", t = false, p = false)
+    val c = base.agg(aggs.head, aggs.tail: _*)
+    def meanMic(n: String) =
+      expr(s"__s_$n * 1000000 div nullif(n_$n, 0)")
+    def m(n: String) =
+      col(s"__s_$n").cast("double") / col(s"n_$n").cast("double")
+    def v(n: String) =
+      (col(s"n_$n").cast("decimal(38,0)") * col(s"__ss_$n") -
+        col(s"__s_$n") * col(s"__s_$n")).cast("double") /
+        (col(s"n_$n").cast("decimal(38,0)") * (col(s"n_$n") - 1))
+          .cast("double")
+    val se = sqrt(v("t1") / col("n_t1").cast("double") +
+      v("t0") / col("n_t0").cast("double") +
+      v("c1") / col("n_c1").cast("double") +
+      v("c0") / col("n_c0").cast("double"))
+    val didD = (m("t1") - m("t0")) - (m("c1") - m("c0"))
+    c.filter(col("n_t1") > 1L && col("n_t0") > 1L &&
+        col("n_c1") > 1L && col("n_c0") > 1L)
+      .withColumn("__se", se)
+      .filter(col("__se") > 0.0)
+      .select(col("n_t1").cast("bigint").as("n_t1"),
+        col("n_t0").cast("bigint").as("n_t0"),
+        col("n_c1").cast("bigint").as("n_c1"),
+        col("n_c0").cast("bigint").as("n_c0"),
+        meanMic("t1").as("mean_t1_micros"),
+        meanMic("t0").as("mean_t0_micros"),
+        meanMic("c1").as("mean_c1_micros"),
+        meanMic("c0").as("mean_c0_micros"),
+        (meanMic("t1") - meanMic("t0") - meanMic("c1") + meanMic("c0"))
+          .as("did_micros"),
+        round(col("__se") * 1e6).cast("long").as("se_micros"),
+        round(didD / col("__se") * 1e6).cast("long").as("t_micros"))
+  }
+
   /** Delete-one-bucket jackknife confidence interval for a RATIO
     * metric `Σ numerator / Σ denominator` with CLUSTERED units — the
     * inference the z/t tests can't give: revenue-per-event style

@@ -159,6 +159,29 @@ class FeaturesSpec extends SparkSpec {
       col("t"), col("s")).collect().isEmpty)
   }
 
+  test("didEstimate: closed-form 2x2 cells, exact integer DiD, degenerate cells empty") {
+    val df = Seq(
+      (true, true, 10L), (true, true, 20L),   // t1: mean 15
+      (true, false, 5L), (true, false, 7L),   // t0: mean 6
+      (false, true, 8L), (false, true, 12L),  // c1: mean 10
+      (false, false, 4L), (false, false, 6L)) // c0: mean 5
+      .toDF("t", "p", "y")
+    val got = Features.didEstimate(df, col("t"), col("p"), col("y"))
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("mean_t1_micros") == 15000000L)
+    assert(r.getAs[Long]("did_micros") == 4000000L) // (15-6)-(10-5)
+    // se^2 = 50/2 + 2/2 + 8/2 + 2/2 = 31
+    val se = math.sqrt(31.0)
+    assert(r.getAs[Long]("se_micros") == math.round(se * 1e6))
+    assert(r.getAs[Long]("t_micros") == math.round(4.0 / se * 1e6))
+    // a 1-row cell: no variance, empty result
+    val thin = df.filter(!(col("t") && col("p") && col("y") === 20L))
+    assert(Features.didEstimate(thin, col("t"), col("p"), col("y"))
+      .count() == 0L)
+  }
+
   test("jackknifeRatioCI: BigInt replica of the leave-one-out algebra; degenerates empty") {
     // 4 units -> 4 buckets (B=4, unit==bucket), one event each
     val df = Seq((0L, 10L), (1L, 20L), (2L, 30L), (3L, 40L))
