@@ -94,6 +94,7 @@ object SparkEntry {
   private val neverGradedFirst: Seq[String] = Seq(
     // round-13 additions (no artifact yet)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
+    "ab_bh_fdr",
     // round-12 additions (no artifact yet)
     "ts_cusum", "ts_acf", "surv_kaplan_meier", "graph_adamic_adar",
     "dq_l_diversity", "dq_cramers_v", "cust_rfm", "hilbert_layout",
@@ -380,6 +381,7 @@ object SparkEntry {
     "dq_k_anonymity", "dq_l_diversity", "dq_cramers_v", "cust_rfm",
     "dq_fd_violations",
     "feat_spearman", "ab_ztest", "ab_ttest", "ab_jackknife", "ab_did",
+    "ab_bh_fdr",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -5955,6 +5957,36 @@ object SparkEntry {
         pmod($"o_custkey", lit(2)) === 0, round($"o_totalprice" * 100))
     }),
 
+    "ab_bh_fdr" -> ((s, dir) => {
+      import s.implicits._
+      // Benjamini-Hochberg over a 10-test parity battery (per event
+      // type: even-user share vs 1/2 — a TRUE null — and mod-3 share
+      // vs 1/2 — false by construction): z from exact counts, p via
+      // the shared A&S polynomial (mirrored token-for-token), then
+      // the all-integer step-up. The false family must reject; the
+      // verdicts are integer-exact.
+      val agg = Tables.events(s, dir).groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(pmod($"user_id", lit(2)) === 0, 1L).otherwise(0L))
+            .as("s2"),
+          sum(when(pmod($"user_id", lit(3)) === 0, 1L).otherwise(0L))
+            .as("s3"))
+      def pOf(sc: Column): Column = {
+        val z = (lit(2L) * sc - $"n").cast("double") /
+          sqrt($"n".cast("double"))
+        round(graft.operators.Quality.pValueTwoSidedZ(z) * 1e6)
+          .cast("long")
+      }
+      val battery = agg.select(
+          concat($"event_type", lit(":even_half")).as("metric"),
+          pOf($"s2").as("p_micros"))
+        .unionByName(agg.select(
+          concat($"event_type", lit(":mod3_half")).as("metric"),
+          pOf($"s3").as("p_micros")))
+      graft.operators.Quality.bhFdr(battery, "metric", $"p_micros")
+        .orderBy($"rank")
+    }),
+
     "ab_did" -> ((s, dir) => {
       import s.implicits._
       // Difference-in-differences on purchase cents: even users
@@ -8573,6 +8605,45 @@ object SparkEntry {
         |      + se2c * se2c / (CAST(n_c AS DOUBLE) - 1.0))
         |    * 1000000) AS BIGINT) AS df_micros
         |FROM d WHERE n_t > 1 AND n_c > 1 AND se2t + se2c > 0""".stripMargin,
+
+    // the A&S erfc polynomial mirrored token-for-token on identical
+    // doubles from exact counts; every BH verdict is the
+    // cross-multiplied integer comparison p*m <= rank*alpha
+    "ab_bh_fdr" ->
+      """WITH agg AS (SELECT event_type, count(*) AS n,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS s2,
+        |    sum(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END) AS s3
+        |  FROM events GROUP BY 1),
+        |z AS (
+        |  SELECT event_type || ':even_half' AS metric,
+        |    CAST(2 * s2 - n AS DOUBLE) / sqrt(CAST(n AS DOUBLE)) AS z
+        |  FROM agg
+        |  UNION ALL
+        |  SELECT event_type || ':mod3_half' AS metric,
+        |    CAST(2 * s3 - n AS DOUBLE) / sqrt(CAST(n AS DOUBLE)) AS z
+        |  FROM agg),
+        |x0 AS (SELECT metric, abs(z) / 1.4142135623730951 AS x FROM z),
+        |t0 AS (SELECT metric, x,
+        |    1.0 / (1.0 + 0.3275911 * x) AS tt FROM x0),
+        |p AS (SELECT metric,
+        |    CAST(round((tt * (0.254829592 + tt * (-0.284496736
+        |      + tt * (1.421413741 + tt * (-1.453152027
+        |      + tt * 1.061405429)))) * exp(-(x * x))) * 1000000)
+        |      AS BIGINT) AS p_micros
+        |  FROM t0),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p),
+        |r AS (SELECT metric, p_micros,
+        |    CAST(row_number() OVER (ORDER BY p_micros, metric)
+        |      AS BIGINT) AS rank, m
+        |  FROM p, t),
+        |q AS (SELECT metric, p_micros, rank, m,
+        |    max(CASE WHEN p_micros * m <= rank * 50000
+        |      THEN rank ELSE 0 END) OVER () AS mq
+        |  FROM r)
+        |SELECT metric, p_micros, rank,
+        |  CAST(rank * 50000 // m AS BIGINT) AS bh_cut_micros,
+        |  rank <= mq AS rejected
+        |FROM q ORDER BY rank""".stripMargin,
 
     // four exact integer cells from one pass; truncating mean
     // divisions, the mirrored IEEE inference tail

@@ -614,6 +614,71 @@ object Quality {
       .orderBy(col("diversity"))
   }
 
+  /** Two-sided normal p-value for a z statistic, as a Column tree —
+    * `p = erfc(|z|/√2)` via the Abramowitz–Stegun 7.1.26 polynomial
+    * (|error| < 1.5·10⁻⁷, far below the micro-quantization edge):
+    * the missing tail of the z/t battery (the tests report
+    * `z_micros`; multiple-testing control needs p). The tree is pure
+    * arithmetic + one `exp` — an oracle mirrors it token-for-token
+    * and reproduces every double bit-for-bit on identical inputs
+    * (the feat_target_encode convention); no special-function
+    * library exists in either engine, so the SHARED polynomial IS
+    * the contract. */
+  def pValueTwoSidedZ(z: Column): Column = {
+    val x = abs(z) / lit(1.4142135623730951)
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = t * (lit(0.254829592) + t * (lit(-0.284496736) +
+      t * (lit(1.421413741) + t * (lit(-1.453152027) +
+        t * lit(1.061405429)))))
+    poly * exp(-(x * x))
+  }
+
+  /** Benjamini–Hochberg FDR control over a battery of test results —
+    * the multiple-testing step every metric sweep needs (20 metrics
+    * at α=0.05 expect one false positive; BH caps the EXPECTED SHARE
+    * of false discoveries at α while keeping far more power than
+    * Bonferroni): sort the m p-values, find the LARGEST rank i with
+    * `p₍ᵢ₎ ≤ (i/m)·α`, reject every hypothesis at or below it —
+    * including earlier ranks that individually failed (the step-up
+    * property). Returns one row per metric: (metric, p_micros, rank,
+    * bh_cut_micros = i·α div m, rejected).
+    *
+    * Exactness: every rejection decision is the cross-multiplied
+    * INTEGER comparison `p_micros·m ≤ i·α_micros` — no division, no
+    * doubles, so the verdict set is a pure function of the integer
+    * p-values; (p, metric) ordering makes ranks total.
+    *
+    * Scale: a p-value battery is METRIC-scale (tens to thousands of
+    * rows — the row-scale work happened in the tests that produced
+    * it), so the single-partition rank window is the right plan, not
+    * a compromise; the guard fails loudly past `maxMetrics`. */
+  def bhFdr(df: DataFrame, metricCol: String, pMicrosExpr: Column,
+      alphaMicros: Long = 50000L, maxMetrics: Long = 1000000L): DataFrame = {
+    require(alphaMicros > 0L && alphaMicros <= 1000000L,
+      s"alphaMicros must be in (0, 1e6] (got $alphaMicros)")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(metricCol).cast("string").as("metric"),
+        pMicrosExpr.cast("long").as("p_micros"))
+      .filter(col("metric").isNotNull && col("p_micros").isNotNull)
+    val tot = base.agg(count(lit(1)).as("__m"))
+    val nm = tot.head().getLong(0)
+    require(nm <= maxMetrics,
+      s"battery holds $nm metrics (cap $maxMetrics) — a table this " +
+        "large is row-scale data, not a test battery; aggregate first")
+    val w = Window.orderBy(col("p_micros"), col("metric"))
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    base.crossJoin(broadcast(tot)) // 1-row battery size
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("__q",
+        when(col("p_micros") * col("__m") <= col("rank") * alphaMicros,
+          col("rank")).otherwise(0L))
+      .withColumn("__mq", max(col("__q")).over(all))
+      .select(col("metric"), col("p_micros"), col("rank"),
+        expr(s"rank * $alphaMicros div __m").as("bh_cut_micros"),
+        (col("rank") <= col("__mq")).as("rejected"))
+  }
+
   /** Functional-dependency violation profiler — the data-profiling
     * primitive behind key discovery and constraint validation: for a
     * CANDIDATE dependency `determinant → dependent`, return every

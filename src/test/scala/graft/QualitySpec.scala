@@ -465,6 +465,36 @@ class QualitySpec extends SparkSpec {
     assert(e.getMessage.contains("maxCategories"), e.getMessage)
   }
 
+  test("bhFdr: step-up rescues an individually-failing rank; p-value polynomial sane") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // sorted p (micros): 5000, 40000, 49000 at alpha=0.05, m=3:
+    // rank 1: 15000 <= 50000 ok; rank 2: 120000 > 100000 FAILS alone;
+    // rank 3: 147000 <= 150000 ok -> step-up rejects ALL THREE
+    val battery = Seq(("a", 5000L), ("b", 40000L), ("c", 49000L))
+      .toDF("metric", "p")
+    val got = Quality.bhFdr(battery, "metric", col("p"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getAs[Boolean]("rejected")))).toMap
+    assert(got == Map("a" -> ((1L, true)), "b" -> ((2L, true)),
+      "c" -> ((3L, true))), got.toString)
+    // a clearly null battery: nothing rejected
+    val nulls = Seq(("a", 400000L), ("b", 700000L), ("c", 900000L))
+      .toDF("metric", "p")
+    assert(Quality.bhFdr(nulls, "metric", col("p"))
+      .filter(col("rejected")).count() == 0L)
+    // the A&S polynomial: p(0) = 1, p(1.96) ~ 0.05, p(5) ~ 0
+    val zs = Seq(0.0, 1.959964, 5.0).toDF("z")
+    val ps = zs.select(org.apache.spark.sql.functions.round(
+        Quality.pValueTwoSidedZ(col("z")) * 1e6).cast("long").as("p"))
+      .collect().map(_.getLong(0))
+    assert(ps(0) == 1000000L, ps.toSeq.toString)
+    assert(math.abs(ps(1) - 50000L) <= 5L, ps.toSeq.toString)
+    assert(ps(2) <= 2L, ps.toSeq.toString)
+    intercept[IllegalArgumentException] {
+      Quality.bhFdr(battery, "metric", col("p"), alphaMicros = 0L)
+    }
+  }
+
   test("fdViolations: held FD is empty, violations report counts, NULL counts as a value") {
     import org.apache.spark.sql.functions.col
     val df = Seq(
