@@ -94,7 +94,7 @@ object SparkEntry {
   private val neverGradedFirst: Seq[String] = Seq(
     // round-13 additions (no artifact yet)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
-    "ab_bh_fdr",
+    "ab_bh_fdr", "ts_theilsen",
     // round-12 additions (no artifact yet)
     "ts_cusum", "ts_acf", "surv_kaplan_meier", "graph_adamic_adar",
     "dq_l_diversity", "dq_cramers_v", "cust_rfm", "hilbert_layout",
@@ -392,7 +392,7 @@ object SparkEntry {
     "evt_retention",
     "evt_transitions", "evt_attribution", "evt_markov_attribution",
     "ts_resample_ffill", "ts_interpolate", "ts_anomaly", "ts_seasonality",
-    "ts_cusum", "ts_acf", "ts_holt", "surv_kaplan_meier",
+    "ts_cusum", "ts_acf", "ts_holt", "ts_theilsen", "surv_kaplan_meier",
     "growth_accounting", "cohort_ltv", "feat_group_regression",
     "evt_cumulative_users", "dq_mutual_info", "dq_js_divergence",
     "feat_isotonic", "dq_corr_matrix", "feat_decayed_activity",
@@ -969,6 +969,22 @@ object SparkEntry {
         .agg((count(lit(1)) * 1000000L).as("x"))
       graft.operators.TimeSeries.holtForecast(hc, "event_type", "hour",
         "x", alphaPpm = 300000L, betaPpm = 100000L, horizon = 12)
+    }),
+
+    "ts_theilsen" -> ((s, dir) => {
+      import s.implicits._
+      // Theil-Sen robust monthly-revenue trend per order priority:
+      // median of all pairwise slopes shrugs off outlier months that
+      // would drag an OLS fit; slopes and intercepts are exact
+      // integers (truncating division + percentile_disc), so DuckDB
+      // replays the whole pair set value-for-value.
+      val m = Tables.orders(s, dir)
+        .groupBy($"o_orderpriority",
+          (year($"o_orderdate") * 12 + month($"o_orderdate")).as("xm"))
+        .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      graft.operators.TimeSeries.theilSen(m, Seq("o_orderpriority"),
+          $"xm", $"cents")
+        .orderBy($"o_orderpriority")
     }),
 
     "evt_cumulative_users" -> ((s, dir) => {
@@ -7552,6 +7568,27 @@ object SparkEntry {
         |  l AS level_micros, b AS trend_micros, step,
         |  CAST(l + step * b AS BIGINT) AS forecast_micros
         |FROM fin, hh ORDER BY event_type, step""".stripMargin,
+
+    // pairwise slopes by truncating division (negatives agree), both
+    // medians via quantile_disc (actual data values), x centered per
+    // group so residual products stay in range
+    "ts_theilsen" ->
+      """WITH m AS (SELECT o_orderpriority AS k,
+        |    year(o_orderdate) * 12 + month(o_orderdate) AS x,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |c AS (SELECT k, x - min(x) OVER (PARTITION BY k) AS x0, y FROM m),
+        |p AS (SELECT a.k, (b.y - a.y) * 1000000 // (b.x0 - a.x0) AS s
+        |  FROM c a JOIN c b ON a.k = b.k AND a.x0 < b.x0),
+        |sl AS (SELECT k, CAST(quantile_disc(s, 0.5) AS BIGINT)
+        |    AS slope_micros FROM p GROUP BY 1)
+        |SELECT c.k AS o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_points,
+        |  CAST(sl.slope_micros AS BIGINT) AS slope_micros,
+        |  CAST(quantile_disc(c.y * 1000000 - sl.slope_micros * c.x0, 0.5)
+        |    AS BIGINT) AS intercept_micros
+        |FROM c JOIN sl ON c.k = sl.k
+        |GROUP BY 1, 3 ORDER BY o_orderpriority""".stripMargin,
 
     // first-seen reduction turns cumulative distinct into a plain
     // running sum over unique days

@@ -333,4 +333,64 @@ object TimeSeries {
         "forecast_micros")
       .orderBy(col(keyCol), col("step"))
   }
+
+  /** Theil–Sen robust trend per group — the slope OLS can't give when
+    * a series carries outliers (one bad month drags a least-squares
+    * fit arbitrarily; the MEDIAN of all pairwise slopes has a 29 %
+    * breakdown point and is the standard robust trend for monitoring
+    * series): per key, `slope = median{ (yⱼ−yᵢ)/(xⱼ−xᵢ) : xᵢ < xⱼ }`
+    * and `intercept = median{ yᵢ − slope·x⁰ᵢ }` at the group's FIRST
+    * x (x centers to x−min(x) per group before the residuals, so the
+    * intercept is the robust level at series start and the integer
+    * products stay small).
+    *
+    * Exactness: pair slopes quantize by TRUNCATING long division
+    * `(yⱼ−yᵢ)·10⁶ div (xⱼ−xᵢ)` (divisor positive; both engines
+    * truncate negatives toward zero identically), medians are
+    * `percentile_disc` — rank-based, returns actual data values, the
+    * winsorize convention — so every output is an exact integer.
+    *
+    * Scale: the pair join is the cost — Σ n_g² over groups — and this
+    * is a per-SERIES operator (a group is one monitored series of
+    * tens-to-thousands of points, not row-scale data); the
+    * `maxGroupPoints` pre-flight fails loudly before a degenerate
+    * group can detonate the join. Pairs are fixed-width (key, two
+    * longs); no text or payload ever enters the exchange. */
+  def theilSen(df: DataFrame, keyCols: Seq[String], xExpr: Column,
+      yExpr: Column, maxGroupPoints: Long = 10000L): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val base0 = df.select(keyCols.map(col) ++ Seq(
+        xExpr.cast("long").as("__x"), yExpr.cast("long").as("__y")): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val worst = base0.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).agg(max(col("__n"))).head()
+    val worstN = if (worst.isNullAt(0)) 0L else worst.getLong(0)
+    require(worstN <= maxGroupPoints,
+      s"a group holds $worstN points (cap $maxGroupPoints) — the " +
+        "pairwise-slope join is quadratic per group; resample the " +
+        "series or raise the cap deliberately")
+    val mins = base0.groupBy(keyCols.map(col): _*)
+      .agg(min(col("__x")).as("__x_min"))
+    val base = base0.join(mins, keyCols)
+      .withColumn("__x0", col("__x") - col("__x_min"))
+    val a = base.select(keyCols.map(col) ++
+      Seq(col("__x0").as("__xa"), col("__y").as("__ya")): _*)
+    val b = base.select(keyCols.map(col) ++
+      Seq(col("__x0").as("__xb"), col("__y").as("__yb")): _*)
+    val slopes = a.join(b, keyCols)
+      .filter(col("__xa") < col("__xb"))
+      .select(keyCols.map(col) :+
+        expr("(__yb - __ya) * 1000000 div (__xb - __xa)").as("__s"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __s)")
+        .cast("long").as("slope_micros"))
+    base.join(slopes, keyCols)
+      .withColumn("__r", col("__y") * lit(1000000L) -
+        col("slope_micros") * col("__x0"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).cast("bigint").as("n_points"),
+        first(col("slope_micros")).as("slope_micros"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __r)")
+          .cast("long").as("intercept_micros"))
+  }
 }

@@ -209,4 +209,27 @@ class TimeSeriesSpec extends SparkSpec {
     val c = TimeSeries.autocorrelation(const, $"o", $"x", 2).collect()
     assert(c.forall(_.isNullAt(2)))
   }
+
+  test("theilSen: outlier-immune slope, negative-trend truncation, per-key isolation, guard") {
+    // g: clean slope 10/step with one wild outlier the median ignores
+    // (OLS would report ~320/step); h: exact negative trend
+    val df = Seq(
+      ("g", 0L, 0L), ("g", 1L, 10L), ("g", 2L, 20L), ("g", 3L, 1000L),
+      ("h", 10L, 100L), ("h", 11L, 90L), ("h", 12L, 80L))
+      .toDF("k", "x", "y")
+    val got = TimeSeries.theilSen(df, Seq("k"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // g slopes (micros): [1e7,1e7,1e7,333333333,495000000,980000000]
+    // -> disc median 1e7; residuals [0,0,0,97e7] -> disc median 0
+    assert(got("g") == ((4L, 10000000L, 0L)), got.toString)
+    // h: x centers to [0,1,2]; slope -1e7 exactly (truncating division
+    // agrees on negatives), level at series start 100e6
+    assert(got("h") == ((3L, -10000000L, 100000000L)), got.toString)
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.theilSen(df, Seq("k"), col("x"), col("y"),
+        maxGroupPoints = 3L)
+    }
+    assert(e.getMessage.contains("cap 3"), e.getMessage)
+  }
 }
