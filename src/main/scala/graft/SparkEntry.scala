@@ -94,7 +94,8 @@ object SparkEntry {
   private val neverGradedFirst: Seq[String] = Seq(
     // round-13 additions (no artifact yet)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
-    "ab_bh_fdr", "ts_theilsen",
+    "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
+    "sim_hard_negatives_gate",
     // round-12 additions (no artifact yet)
     "ts_cusum", "ts_acf", "surv_kaplan_meier", "graph_adamic_adar",
     "dq_l_diversity", "dq_cramers_v", "cust_rfm", "hilbert_layout",
@@ -422,7 +423,7 @@ object SparkEntry {
     "agg_salted_collect",
     "pipeline_clean_corpus", "pipeline_curation", "pipeline_tokenize_pack",
     "sketch_freq_items",
-    "sim_topk_brute", "sim_topk_ivf", "sim_topk_pq",
+    "sim_topk_brute", "sim_topk_ivf", "sim_topk_pq", "sim_hard_negatives",
     "mm_content_hash", "mm_decode", "mm_decode_real", "mm_decode_audio",
     "mm_decode_video", "mm_decode_video_frames", "mm_frame_sample",
     "mm_resize", "catalog_persistent_roundtrip")
@@ -3739,6 +3740,73 @@ object SparkEntry {
             .as("vals"),
           $"n_values")
         .orderBy($"event_type")
+    }),
+
+    "sim_hard_negatives" -> ((s, dir) => {
+      import s.implicits._
+      // Hard-negative mining for contrastive training: per anchor the
+      // top-5 most-similar DIFFERENT-label vectors via the IVF
+      // self-probe. Raw dump graded rows-only (the KMeans fit is
+      // seeded spark.ml, not SQL-replayable); the label/rank/recall
+      // contracts live in sim_hard_negatives_gate.
+      val emb = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding", $"label")
+      val nlist = Similarity.ivfAutoNlist(emb.count())
+      Similarity.hardNegatives(emb, "embedding", "vec_id", "label",
+          k = 5, nlist = nlist,
+          nprobe = Similarity.ivfAutoNprobe(nlist), overfetch = 8)
+        .select($"q_id", $"n_id", $"rank")
+        .orderBy($"q_id", $"rank")
+    }),
+
+    "sim_hard_negatives_gate" -> ((s, dir) => {
+      import s.implicits._
+      // Deterministic contracts for the mined negatives: every pair
+      // crosses labels, no self-pairs, at most k per anchor with
+      // dense 1-based ranks, and recall >= 0.6 against the EXACT
+      // different-label top-5 (brute reference — a gate-only <=5k-row
+      // verification artifact, never benched).
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding", $"label")
+      val nlist = Similarity.ivfAutoNlist(emb.count())
+      val hn = Similarity.hardNegatives(emb, "embedding", "vec_id",
+        "label", k = 5, nlist = nlist,
+        nprobe = Similarity.ivfAutoNprobe(nlist), overfetch = 8).cache()
+      val lbl = emb.select($"vec_id", $"label")
+      val crossOk = hn
+        .join(lbl.select($"vec_id".as("q_id"), $"label".as("__ql")),
+          Seq("q_id"))
+        .join(lbl.select($"vec_id".as("n_id"), $"label".as("__nl")),
+          Seq("n_id"))
+        .agg((sum(when($"__ql" <=> $"__nl" || $"q_id" === $"n_id", 1L)
+          .otherwise(0L)) === 0L).as("all_cross_label"))
+      val perAnchor = hn.groupBy($"q_id")
+        .agg(count(lit(1)).as("__c"), max($"rank").as("__mr"))
+        .agg((max($"__c") <= 5L).as("at_most_k"),
+          (sum(when($"__mr" === $"__c", 0L).otherwise(1L)) === 0L)
+            .as("ranks_dense"))
+      val a = emb.select($"vec_id".as("q_id"), $"embedding".as("__va"),
+        $"label".as("__ql"))
+      val b = emb.select($"vec_id".as("n_id"), $"embedding".as("__vb"),
+        $"label".as("__nl"))
+      val exact = a.join(b, $"q_id" =!= $"n_id" &&
+          !($"__ql" <=> $"__nl"))
+        .select($"q_id", $"n_id",
+          graft.functions.cosine_similarity($"__va", $"__vb").as("__c"))
+        .withColumn("__r", row_number().over(
+          Window.partitionBy($"q_id").orderBy($"__c".desc, $"n_id")))
+        .filter($"__r" <= 5).select($"q_id", $"n_id")
+      val hits = exact.join(hn.select($"q_id", $"n_id"),
+        Seq("q_id", "n_id"), "left_semi")
+      emb.agg(count(lit(1)).cast("bigint").as("n_anchors"))
+        .crossJoin(exact.agg(count(lit(1)).cast("bigint").as("n_true")))
+        .crossJoin(hits.agg(count(lit(1)).as("__hit")))
+        .crossJoin(crossOk).crossJoin(perAnchor)
+        .select($"n_anchors", $"n_true",
+          (($"__hit".cast("double") / $"n_true".cast("double")) >= 0.6)
+            .as("recall_ok"),
+          $"all_cross_label", $"at_most_k", $"ranks_dense")
     }),
 
     "sim_knn_graph_recall" -> ((s, dir) => {
@@ -10838,6 +10906,16 @@ object SparkEntry {
         |  CAST(count(*) * 5 AS BIGINT) AS n_true,
         |  TRUE AS recall_ok, TRUE AS mutual_matches_op,
         |  TRUE AS mutual_symmetric
+        |FROM embeddings""".stripMargin,
+
+    // every label's different-label pool far exceeds k=5, so the
+    // exact reference holds count(*)*5 pairs; the booleans pin the
+    // label/rank/recall contracts computed Spark-side
+    "sim_hard_negatives_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_anchors,
+        |  CAST(count(*) * 5 AS BIGINT) AS n_true,
+        |  TRUE AS recall_ok, TRUE AS all_cross_label,
+        |  TRUE AS at_most_k, TRUE AS ranks_dense
         |FROM embeddings""".stripMargin,
 
     "sim_mmr_gate" ->

@@ -290,6 +290,49 @@ object Similarity {
       Seq("q_id", "n_id"), "left_semi")
   }
 
+  /** Hard-negative mining for contrastive training — per anchor
+    * vector, the top-k most-similar vectors with a DIFFERENT label
+    * (the "hard" negatives: near the anchor in embedding space yet
+    * labeled apart — the pairs that actually move a contrastive loss;
+    * random negatives are trivially separated and teach nothing).
+    *
+    * Built through the IVF self-probe (the [[knnGraph]] posture — the
+    * only shape that survives a corpus-sized self-join): overfetch
+    * `k·overfetch + 1` candidates per anchor (+1 absorbs the
+    * self-match, the factor covers same-label neighbors the filter
+    * discards — label-clustered corpora are exactly where hard
+    * negatives live, so overfetch generously), drop self and
+    * same-label (null-safe: an unlabeled row matches nothing), re-rank
+    * by (cosine desc, id) and cut at k. Anchors whose neighborhood is
+    * entirely same-label return fewer than k rows — mine deeper with
+    * a larger overfetch, don't silently pad with random vectors.
+    *
+    * Scale: candidates are n·(k·overfetch) fixed-width rows; the two
+    * label joins are id→label lookups (broadcast-sized next to the
+    * pair table); the re-rank window partitions by anchor. Vectors
+    * never re-enter after the probe. */
+  def hardNegatives(emb: DataFrame, vecCol: String, idCol: String,
+      labelCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      overfetch: Int = 4, seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(overfetch >= 1, s"overfetch must be >= 1 (got $overfetch)")
+    import org.apache.spark.sql.expressions.Window
+    val qLabels = emb.select(col(idCol).cast("long").as("q_id"),
+      col(labelCol).as("__ql"))
+    val nLabels = emb.select(col(idCol).cast("long").as("n_id"),
+      col(labelCol).as("__nl"))
+    val cand = ivfTopK(emb, emb, vecCol, idCol, k * overfetch + 1,
+      nlist, nprobe, seed)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    cand.filter(col("q_id") =!= col("n_id"))
+      .join(qLabels, Seq("q_id")).join(nLabels, Seq("n_id"))
+      .filter(!(col("__ql") <=> col("__nl")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cosine"), col("rank"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09) —
     * the standard hybrid-retrieval combiner: fuse N ranked lists into
     * one by `score(d) = Σ_lists 1/(k + rank_d)`, which needs NO score

@@ -295,6 +295,35 @@ class SimilaritySpec extends SparkSpec {
     assert(eRag.getMessage.contains("ragged"), eRag.getMessage)
   }
 
+  test("hardNegatives: same-label nearest is skipped, self never returned, rank order") {
+    // anchor 1 (label A): nearest is same-label id 2 — the hard
+    // negative must be the DIFFERENT-label id 3, not 2 and not the
+    // far id 4
+    val emb = Seq(
+      (1L, "A", Array(1f, 0f)),
+      (2L, "A", Array(0.99f, 0.14f)),
+      (3L, "B", Array(0.9f, 0.44f)),
+      (4L, "B", Array(0f, 1f)))
+      .toDF("id", "label", "vec")
+    val got = Similarity.hardNegatives(emb, "vec", "id", "label",
+        k = 1, nlist = 2, nprobe = 2, overfetch = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 3L, got.toString) // not the same-label 2
+    // anchor 4 (B): nearest is same-label 3 — skipped; next is A's 2
+    assert(got(4L) == 2L, got.toString)
+    val full = Similarity.hardNegatives(emb, "vec", "id", "label",
+        k = 2, nlist = 2, nprobe = 2, overfetch = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(1)))
+    // every pair crosses labels; ranks are 1-based dense per anchor
+    val lbl = Map(1L -> "A", 2L -> "A", 3L -> "B", 4L -> "B")
+    assert(full.forall { case (q, _, n) => lbl(q) != lbl(n) })
+    assert(full.groupBy(_._1).values.forall(rs =>
+      rs.map(_._2).sorted.sameElements(1L to rs.size.toLong)))
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(emb, "vec", "id", "label", k = 0)
+    }
+  }
+
   test("kCenterGreedy: farthest-point walk on a closed form; coverageRadius agrees") {
     val emb = Seq(
       (1L, Array(1f, 0f)),          // seed (smallest id)
