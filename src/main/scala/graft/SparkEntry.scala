@@ -95,7 +95,7 @@ object SparkEntry {
     // round-13 additions (no artifact yet)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
-    "sim_hard_negatives_gate",
+    "sim_hard_negatives_gate", "text_distinct_ngrams",
     // round-12 additions (no artifact yet)
     "ts_cusum", "ts_acf", "surv_kaplan_meier", "graph_adamic_adar",
     "dq_l_diversity", "dq_cramers_v", "cust_rfm", "hilbert_layout",
@@ -404,6 +404,7 @@ object SparkEntry {
     "text_langid", "text_token_counts", "text_quality_score", "text_entities",
     "text_chunk", "text_redact", "text_repetition",
     "text_unigram_nll", "text_normalize", "text_entropy", "text_keywords",
+    "text_distinct_ngrams",
     "text_readability", "text_zipf", "text_vocab_stats", "bpe_tokenize",
     "unigram_tokenize", "dsir_select",
     "text_bm25", "text_bm25_indexed", "text_bm25_batch",
@@ -6105,6 +6106,16 @@ object SparkEntry {
       TextAnalysis.vocabStats(Tables.documents(s, dir), "text")
     }),
 
+    "text_distinct_ngrams" -> ((s, dir) => {
+      import s.implicits._
+      // Distinct-1/2/3 corpus diversity per source: the template-spam
+      // / mode-collapse detector — exact gram counts, one truncating
+      // ppm division; gram boundaries replay exactly in DuckDB.
+      TextAnalysis.distinctNgrams(Tables.documents(s, dir), "text",
+          "source", maxN = 3)
+        .orderBy($"source", $"n")
+    }),
+
     "graph_degree_hist" -> ((s, dir) => {
       import s.implicits._
       // Degree distribution of the part co-order graph — the shape
@@ -8831,6 +8842,31 @@ object SparkEntry {
         |  ratio_micros + CAST(1959964 * CAST(se_micros AS HUGEINT)
         |    // 1000000 AS BIGINT) AS ci_hi_micros
         |FROM f""".stripMargin,
+
+    // same gram boundaries as the dedup oracles (list_slice windows
+    // over whitespace tokens, empties filtered); one ppm division
+    "text_distinct_ngrams" -> {
+      def perN(n: Int) =
+        s"""SELECT source, CAST($n AS BIGINT) AS n,
+           |  CAST(count(*) AS BIGINT) AS total_grams,
+           |  CAST(count(DISTINCT g) AS BIGINT) AS distinct_grams,
+           |  CAST(CAST(count(DISTINCT g) AS HUGEINT) * 1000000
+           |    // count(*) AS BIGINT) AS distinct_ppm
+           |FROM (
+           |  SELECT source, unnest(CASE WHEN len(toks) >= $n
+           |    THEN list_transform(range(0, len(toks) - $n + 1),
+           |      i -> array_to_string(list_slice(toks, CAST(i AS INT) + 1,
+           |        CAST(i AS INT) + $n), ' '))
+           |    ELSE [] END) AS g
+           |  FROM t)
+           |GROUP BY source""".stripMargin
+      s"""WITH t AS (SELECT source,
+         |    list_filter(string_split_regex(text, '\\s+'),
+         |      x -> x <> '') AS toks
+         |  FROM documents)
+         |${(1 to 3).map(perN).mkString("\nUNION ALL\n")}
+         |ORDER BY source, n""".stripMargin
+    },
 
     // integer-exact except the TTR's one division
     "text_vocab_stats" ->

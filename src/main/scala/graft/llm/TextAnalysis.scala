@@ -494,6 +494,46 @@ object TextAnalysis {
           .as("ttr_micros"))
   }
 
+  /** Distinct-n corpus diversity — the generation-quality /
+    * dedup-health metric next to [[vocabStats]]'s TTR: per group and
+    * per n ∈ [1, maxN], total n-grams, DISTINCT n-grams, and the
+    * distinct share in ppm (Li et al. 2016's distinct-1/distinct-2,
+    * corpus-level). A crawl slice whose distinct-2 ppm collapses is
+    * template spam; a model whose distinct-n falls against its
+    * training corpus is mode-collapsing — same number, both
+    * directions.
+    *
+    * Gram boundaries are the [[tokenGramsFromTokens]] contract over
+    * whitespace tokens with empties filtered, so an oracle replays
+    * the exact gram sets; the ppm is one truncating division of
+    * exact counts. Groups with no n-grams at some n (every doc
+    * shorter than n) emit no row for that n, not a 0/0.
+    *
+    * Scale: one tokenize pass per n (maxN is a tiny constant); each
+    * pass is a (group, gram)-keyed exact distinct — the gram strings
+    * are the distinct keys, so they shuffle once per n (~n·corpus
+    * bytes, the price of an EXACT distinct; use a sketch upstream if
+    * an estimate suffices). */
+  def distinctNgrams(df: DataFrame, textCol: String, groupCol: String,
+      maxN: Int = 3): DataFrame = {
+    require(maxN >= 1 && maxN <= 5, s"maxN must be in [1,5] (got $maxN)")
+    val base = df.select(col(groupCol).cast("string").as("__grp"),
+      expr(s"filter(split($textCol, '\\\\s+'), x -> x <> '')")
+        .as("__toks"))
+    (1 to maxN).map { n =>
+      base.select(col("__grp"),
+          explode(tokenGramsFromTokens(col("__toks"), n)).as("__g"))
+        .groupBy(col("__grp"))
+        .agg(count(lit(1)).as("__total"),
+          countDistinct(col("__g")).as("__distinct"))
+        .select(col("__grp").as(groupCol), lit(n.toLong).as("n"),
+          col("__total").cast("bigint").as("total_grams"),
+          col("__distinct").cast("bigint").as("distinct_grams"),
+          expr("CAST(__distinct AS DECIMAL(38,0)) * 1000000 div __total")
+            .as("distinct_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Per-document keyword extraction — top-k terms by TF·IDF in
     * integer micro-units (the summarization/tagging primitive next to
     * [[bm25Search]]'s retrieval): `score = tf · ln((N+1)/(df+1))`

@@ -537,4 +537,24 @@ class TextAnalysisSpec extends SparkSpec {
     // the rarer-but-tighter pair outranks the frequent one
     assert(out(("york", "new"))._2 > out(("new", "york"))._2)
   }
+
+  test("distinctNgrams: hand-counted gram sets per n, short docs drop out, ppm exact") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("a", "x y x y"), ("a", "x y"), ("b", "z"))
+      .toDF("src", "text")
+    val got = TextAnalysis.distinctNgrams(df, "text", "src", maxN = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // a/1: 6 tokens, {x,y}; a/2: grams [x y, y x, x y, x y] -> 4/2;
+    // a/3: [x y x, y x y] -> 2/2
+    assert(got(("a", 1L)) == ((6L, 2L, 333333L)), got.toString)
+    assert(got(("a", 2L)) == ((4L, 2L, 500000L)), got.toString)
+    assert(got(("a", 3L)) == ((2L, 2L, 1000000L)), got.toString)
+    assert(got(("b", 1L)) == ((1L, 1L, 1000000L)), got.toString)
+    // b has no 2-grams or 3-grams: no rows, not 0/0
+    assert(!got.contains(("b", 2L)) && !got.contains(("b", 3L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.distinctNgrams(df, "text", "src", maxN = 0)
+    }
+  }
 }
