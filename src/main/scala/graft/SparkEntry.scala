@@ -95,7 +95,7 @@ object SparkEntry {
     // round-13 additions (no artifact yet)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
-    "sim_hard_negatives_gate", "text_distinct_ngrams",
+    "sim_hard_negatives_gate", "text_distinct_ngrams", "ts_mann_kendall",
     // round-12 additions (no artifact yet)
     "ts_cusum", "ts_acf", "surv_kaplan_meier", "graph_adamic_adar",
     "dq_l_diversity", "dq_cramers_v", "cust_rfm", "hilbert_layout",
@@ -393,7 +393,8 @@ object SparkEntry {
     "evt_retention",
     "evt_transitions", "evt_attribution", "evt_markov_attribution",
     "ts_resample_ffill", "ts_interpolate", "ts_anomaly", "ts_seasonality",
-    "ts_cusum", "ts_acf", "ts_holt", "ts_theilsen", "surv_kaplan_meier",
+    "ts_cusum", "ts_acf", "ts_holt", "ts_theilsen", "ts_mann_kendall",
+    "surv_kaplan_meier",
     "growth_accounting", "cohort_ltv", "feat_group_regression",
     "evt_cumulative_users", "dq_mutual_info", "dq_js_divergence",
     "feat_isotonic", "dq_corr_matrix", "feat_decayed_activity",
@@ -985,6 +986,21 @@ object SparkEntry {
           (year($"o_orderdate") * 12 + month($"o_orderdate")).as("xm"))
         .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
       graft.operators.TimeSeries.theilSen(m, Seq("o_orderpriority"),
+          $"xm", $"cents")
+        .orderBy($"o_orderpriority")
+    }),
+
+    "ts_mann_kendall" -> ((s, dir) => {
+      import s.implicits._
+      // Mann-Kendall trend test (Kendall tau-b against the month
+      // index) on the same monthly series ts_theilsen fits: pair
+      // verdicts are pure sign comparisons, tie-corrected, one
+      // mirrored double tree at the edge — DuckDB replays every pair.
+      val m = Tables.orders(s, dir)
+        .groupBy($"o_orderpriority",
+          (year($"o_orderdate") * 12 + month($"o_orderdate")).as("xm"))
+        .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      graft.operators.TimeSeries.kendallTau(m, Seq("o_orderpriority"),
           $"xm", $"cents")
         .orderBy($"o_orderpriority")
     }),
@@ -7647,6 +7663,39 @@ object SparkEntry {
         |  l AS level_micros, b AS trend_micros, step,
         |  CAST(l + step * b AS BIGINT) AS forecast_micros
         |FROM fin, hh ORDER BY event_type, step""".stripMargin,
+
+    // pair verdicts are sign comparisons (no products); the tau
+    // denominator is a HUGEINT-exact tie-corrected product, one
+    // mirrored double tree
+    "ts_mann_kendall" ->
+      """WITH m AS (SELECT o_orderpriority AS k,
+        |    year(o_orderdate) * 12 + month(o_orderdate) AS x,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |i AS (SELECT k, x, y,
+        |    row_number() OVER (PARTITION BY k ORDER BY x, y) AS i
+        |  FROM m),
+        |p AS (SELECT a.k,
+        |    sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+        |      OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END) AS c,
+        |    sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+        |      OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END) AS d,
+        |    sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS tx,
+        |    sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS ty
+        |  FROM i a JOIN i b ON a.k = b.k AND a.i < b.i GROUP BY 1),
+        |n AS (SELECT k, CAST(count(*) AS HUGEINT) AS np FROM m
+        |      GROUP BY 1)
+        |SELECT n.k AS o_orderpriority, CAST(np AS BIGINT) AS n_points,
+        |  CAST(c AS BIGINT) AS n_concordant,
+        |  CAST(d AS BIGINT) AS n_discordant,
+        |  CASE WHEN CAST((np * (np - 1) - 2 * tx)
+        |      * (np * (np - 1) - 2 * ty) AS DOUBLE) > 0
+        |    THEN CAST(round(CAST(c - d AS DOUBLE) * 2.0
+        |      / sqrt(CAST((np * (np - 1) - 2 * tx)
+        |        * (np * (np - 1) - 2 * ty) AS DOUBLE)) * 1000000)
+        |      AS BIGINT)
+        |    ELSE NULL END AS tau_b_micros
+        |FROM n JOIN p ON n.k = p.k ORDER BY o_orderpriority""".stripMargin,
 
     // pairwise slopes by truncating division (negatives agree), both
     // medians via quantile_disc (actual data values), x centered per

@@ -334,6 +334,78 @@ object TimeSeries {
       .orderBy(col(keyCol), col("step"))
   }
 
+  /** Holt–Winters ADDITIVE-SEASONAL forecast — [[holtForecast]] plus
+    * the seasonal state it can't carry (hourly/weekly cycles dominate
+    * event volume; a level+trend line forecasts the daily average and
+    * misses every peak): per key, after seeding level with the first
+    * season's truncated mean and the seasonal vector with that
+    * season's deviations, fold
+    * `l′ = (α(x − s_slot) + (1−α)(l + b)) div 10⁶`,
+    * `b′ = (β(l′ − l) + (1−β)b) div 10⁶`,
+    * `s_slot′ = (γ(x − l′) + (1−γ)s_slot) div 10⁶`
+    * (slot = observation index mod period), then forecast
+    * `f_h = l + h·b + s_((T+h−1) mod period)`.
+    *
+    * Replay discipline: the whole recurrence is truncating long
+    * division on integers (Java `/` == DuckDB `//` on negatives —
+    * the [[holtForecast]] contract), and the seasonal vector replays
+    * as a LIST column in a recursive CTE (slice-splice update per
+    * step), so an oracle reproduces every one of the ~T steps AND the
+    * rotating seasonal state value-for-value. Keys with fewer than
+    * `period + 1` observations emit nothing (no season to seed plus
+    * at least one fold step — a shorter series has no seasonal
+    * signal to fit).
+    *
+    * Scale: the EWMA/Holt posture — one key shuffle, per-group
+    * ordered fold over a bounded series, period longs of state. */
+  def holtWintersForecast(df: DataFrame, keyCol: String,
+      orderCol: String, valueMicrosCol: String, period: Int,
+      alphaPpm: Long = 300000L, betaPpm: Long = 100000L,
+      gammaPpm: Long = 300000L, horizon: Int = 12): DataFrame = {
+    require(period >= 2 && period <= 100000,
+      s"period must be in [2, 100000] (got $period)")
+    Seq(("alphaPpm", alphaPpm), ("betaPpm", betaPpm),
+      ("gammaPpm", gammaPpm)).foreach { case (n, v) =>
+      require(v >= 0 && v <= 1000000L, s"$n must be in [0, 1000000] (got $v)")
+    }
+    require(horizon >= 1, s"horizon must be >= 1 (got $horizon)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("k"),
+        col(orderCol).cast("long").as("o"),
+        col(valueMicrosCol).cast("long").as("x"))
+      .filter(col("x").isNotNull && col("o").isNotNull)
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val xs = it.toSeq.sortBy(r => (r._2, r._3)).map(_._3)
+        if (xs.size <= period) Iterator.empty
+        else {
+          var l = xs.take(period).sum / period
+          var b = 0L
+          val s = xs.take(period).map(_ - l).toArray
+          var t = period
+          while (t < xs.size) {
+            val slot = t % period
+            val l2 = (alphaPpm * (xs(t) - s(slot)) +
+              (1000000L - alphaPpm) * (l + b)) / 1000000L
+            b = (betaPpm * (l2 - l) + (1000000L - betaPpm) * b) / 1000000L
+            s(slot) = (gammaPpm * (xs(t) - l2) +
+              (1000000L - gammaPpm) * s(slot)) / 1000000L
+            l = l2
+            t += 1
+          }
+          val tn = xs.size
+          (1 to horizon).iterator.map(h =>
+            (k, tn.toLong, l, b, h.toLong,
+              l + h * b + s((tn + h - 1) % period)))
+        }
+      }
+      .toDF(keyCol, "n_obs", "level_micros", "trend_micros", "step",
+        "forecast_micros")
+      .orderBy(col(keyCol), col("step"))
+  }
+
   /** Theil–Sen robust trend per group — the slope OLS can't give when
     * a series carries outliers (one bad month drags a least-squares
     * fit arbitrarily; the MEDIAN of all pairwise slopes has a 29 %
@@ -392,5 +464,74 @@ object TimeSeries {
         first(col("slope_micros")).as("slope_micros"),
         expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __r)")
           .cast("long").as("intercept_micros"))
+  }
+
+  /** Kendall τ-b rank correlation per group — [[theilSen]]'s
+    * significance companion (the Mann–Kendall trend test IS Kendall's
+    * τ against time): classify every pair as concordant, discordant,
+    * or tied, then `τ_b = (C − D) / √((n₀−T_x)(n₀−T_y))` with
+    * `n₀ = n(n−1)/2` and tie corrections per axis. Rank-based, so one
+    * outlier moves τ by at most its pair count — the robustness
+    * Pearson lacks; unlike Spearman it has a direct probabilistic
+    * reading (P(concordant) − P(discordant)).
+    *
+    * Exactness: every pair verdict is a pure sign comparison (no
+    * products — nothing can overflow), all five counts are exact
+    * integers, and the single double step is one mirrored
+    * `(C−D)/√(decimal·decimal)` tree, micro-quantized. Pair
+    * classification is invariant to how identical (x, y) rows are
+    * numbered, so the row_number pair orientation is deterministic
+    * across engines. An all-tied axis returns NULL τ (undefined),
+    * not a divide-by-zero.
+    *
+    * Scale: the [[theilSen]] posture — quadratic per SERIES behind
+    * the loud `maxGroupPoints` pre-flight, fixed-width pairs only. */
+  def kendallTau(df: DataFrame, keyCols: Seq[String], xExpr: Column,
+      yExpr: Column, maxGroupPoints: Long = 10000L): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(keyCols.map(col) ++ Seq(
+        xExpr.cast("long").as("__x"), yExpr.cast("long").as("__y")): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val worst = base.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).agg(max(col("__n"))).head()
+    val worstN = if (worst.isNullAt(0)) 0L else worst.getLong(0)
+    require(worstN <= maxGroupPoints,
+      s"a group holds $worstN points (cap $maxGroupPoints) — the " +
+        "pair classification is quadratic per group; resample the " +
+        "series or raise the cap deliberately")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__x"), col("__y"))
+    val idx = base.withColumn("__i", row_number().over(w))
+    val a = idx.select(keyCols.map(col) ++ Seq(col("__i").as("__ia"),
+      col("__x").as("__xa"), col("__y").as("__ya")): _*)
+    val b = idx.select(keyCols.map(col) ++ Seq(col("__i").as("__ib"),
+      col("__x").as("__xb"), col("__y").as("__yb")): _*)
+    val conc = (col("__xa") < col("__xb") && col("__ya") < col("__yb")) ||
+      (col("__xa") > col("__xb") && col("__ya") > col("__yb"))
+    val disc = (col("__xa") < col("__xb") && col("__ya") > col("__yb")) ||
+      (col("__xa") > col("__xb") && col("__ya") < col("__yb"))
+    val counts = a.join(b, keyCols).filter(col("__ia") < col("__ib"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(when(conc, 1L).otherwise(0L)).as("__c"),
+        sum(when(disc, 1L).otherwise(0L)).as("__d"),
+        sum(when(col("__xa") === col("__xb"), 1L).otherwise(0L))
+          .as("__tx"),
+        sum(when(col("__ya") === col("__yb"), 1L).otherwise(0L))
+          .as("__ty"))
+    val ns = base.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__np"))
+    val n0 = (col("__np").cast("decimal(38,0)") * (col("__np") - 1L))
+    val den = ((n0 - lit(2L) * col("__tx")) *
+      (n0 - lit(2L) * col("__ty"))).cast("double")
+    ns.join(counts, keyCols)
+      .select(keyCols.map(col) ++ Seq(
+        col("__np").cast("bigint").as("n_points"),
+        col("__c").cast("bigint").as("n_concordant"),
+        col("__d").cast("bigint").as("n_discordant"),
+        when(den > 0.0,
+          round((col("__c") - col("__d")).cast("double") * 2.0 /
+            sqrt(den) * 1e6).cast("long"))
+          .otherwise(lit(null).cast("long")).as("tau_b_micros")): _*)
   }
 }

@@ -232,4 +232,53 @@ class TimeSeriesSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("cap 3"), e.getMessage)
   }
+
+  test("holtWintersForecast: hand-folded seasonal recurrence; short series emit nothing") {
+    // period 2, alpha=beta=gamma=0.5, series 10,20,14,26 (micros)
+    // init: l=15, b=0, s=[-5,5]
+    // t=2 (x=14, slot 0): l=17, b=1, s0=-4
+    // t=3 (x=26, slot 1): l=(10.5+9)->19 (trunc), b=1 (1.5 trunc), s1=6
+    // forecasts: h=1 slot 0: 19+1-4=16; h=2 slot 1: 19+2+6=27
+    val df = Seq(("g", 1L, 10L), ("g", 2L, 20L), ("g", 3L, 14L),
+      ("g", 4L, 26L), ("short", 1L, 5L), ("short", 2L, 6L))
+      .toDF("k", "o", "x")
+    val got = TimeSeries.holtWintersForecast(df, "k", "o", "x",
+        period = 2, alphaPpm = 500000L, betaPpm = 500000L,
+        gammaPpm = 500000L, horizon = 2)
+      .collect().map(r => (r.getString(0), r.getLong(4)) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5))))
+      .toMap
+    assert(got(("g", 1L)) == ((4L, 19L, 1L, 16L)), got.toString)
+    assert(got(("g", 2L)) == ((4L, 19L, 1L, 27L)), got.toString)
+    // exactly period obs: no fold step possible, no output
+    assert(!got.keySet.exists(_._1 == "short"), got.toString)
+    intercept[IllegalArgumentException] {
+      TimeSeries.holtWintersForecast(df, "k", "o", "x", period = 1)
+    }
+  }
+
+  test("kendallTau: hand-classified pairs, tie corrections, all-tied axis NULL") {
+    val df = Seq(
+      // g: C=3, D=3 -> tau 0
+      ("g", 1L, 10L), ("g", 2L, 20L), ("g", 3L, 30L), ("g", 4L, 5L),
+      // h: one x-tie, one y-tie, C=1 -> tau_b = 1/sqrt(2*2) = 0.5
+      ("h", 1L, 5L), ("h", 1L, 6L), ("h", 2L, 6L),
+      // i: perfect concordance -> 1
+      ("i", 1L, 1L), ("i", 2L, 4L), ("i", 3L, 9L),
+      // j: constant y -> undefined
+      ("j", 1L, 7L), ("j", 2L, 7L))
+      .toDF("k", "x", "y")
+    val got = TimeSeries.kendallTau(df, Seq("k"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    assert(got("g") == ((4L, 3L, 3L, Some(0L))), got.toString)
+    assert(got("h") == ((3L, 1L, 0L, Some(500000L))), got.toString)
+    assert(got("i") == ((3L, 3L, 0L, Some(1000000L))), got.toString)
+    assert(got("j")._4.isEmpty, got.toString)
+    intercept[IllegalArgumentException] {
+      TimeSeries.kendallTau(df, Seq("k"), col("x"), col("y"),
+        maxGroupPoints = 2L)
+    }
+  }
 }
