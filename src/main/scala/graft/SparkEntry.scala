@@ -35,8 +35,12 @@ import graft.streaming.EventStreams
   * cross-checks), the `*_roundtrip`/`schema_evolution`/
   * `sketch_hll_persist` sink tests (write a tmp dataset at
   * construction), `shard_by_budget`/`dedup_clusters*` (run their
-  * eager subtotal/label-propagation passes), and
-  * `decontaminate_bloom_gate` (collects the benchmark Bloom sketch).
+  * eager subtotal/label-propagation passes),
+  * `decontaminate_bloom_gate` (collects the benchmark Bloom sketch),
+  * and the guarded-statistic pre-flights — `ab_bh_fdr` (bhFdr counts
+  * the battery to size the step-up), `ts_theilsen` /
+  * `ts_mann_kendall` (maxGroupPoints pre-flight before the pairwise
+  * self-join) — which each run one small eager count at construction.
   * Callers that only want a plan should skip those.
   */
 object SparkEntry {
@@ -3803,9 +3807,10 @@ object SparkEntry {
         .agg((max($"__c") <= 5L).as("at_most_k"),
           (sum(when($"__mr" === $"__c", 0L).otherwise(1L)) === 0L)
             .as("ranks_dense"))
-      val a = emb.select($"vec_id".as("q_id"), $"embedding".as("__va"),
+      val lab = emb.filter($"label".isNotNull)
+      val a = lab.select($"vec_id".as("q_id"), $"embedding".as("__va"),
         $"label".as("__ql"))
-      val b = emb.select($"vec_id".as("n_id"), $"embedding".as("__vb"),
+      val b = lab.select($"vec_id".as("n_id"), $"embedding".as("__vb"),
         $"label".as("__nl"))
       val exact = a.join(b, $"q_id" =!= $"n_id" &&
           !($"__ql" <=> $"__nl"))
@@ -8866,7 +8871,7 @@ object SparkEntry {
     // numerator, the one sqrt on identical doubles
     "ab_jackknife" ->
       """WITH b AS (
-        |  SELECT user_id % 50 AS g,
+        |  SELECT ((user_id % 50) + 50) % 50 AS g,
         |    sum(CAST(round(value * 100) AS BIGINT)) AS s,
         |    count(*) AS n
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),

@@ -302,7 +302,11 @@ object Similarity {
     * self-match, the factor covers same-label neighbors the filter
     * discards — label-clustered corpora are exactly where hard
     * negatives live, so overfetch generously), drop self and
-    * same-label (null-safe: an unlabeled row matches nothing), re-rank
+    * same-label. NULL-labeled rows are excluded UP FRONT, on both
+    * sides: an unknown label is not a known-different label, so an
+    * unlabeled row can neither anchor a mining query nor be emitted
+    * as a confirmed negative (emitting it would feed a contrastive
+    * loss pairs that might share a class). Re-rank the survivors
     * by (cosine desc, id) and cut at k. Anchors whose neighborhood is
     * entirely same-label return fewer than k rows — mine deeper with
     * a larger overfetch, don't silently pad with random vectors.
@@ -317,12 +321,13 @@ object Similarity {
     require(k >= 1, s"k must be >= 1 (got $k)")
     require(overfetch >= 1, s"overfetch must be >= 1 (got $overfetch)")
     import org.apache.spark.sql.expressions.Window
-    val qLabels = emb.select(col(idCol).cast("long").as("q_id"),
+    val labeled = emb.filter(col(labelCol).isNotNull)
+    val qLabels = labeled.select(col(idCol).cast("long").as("q_id"),
       col(labelCol).as("__ql"))
-    val nLabels = emb.select(col(idCol).cast("long").as("n_id"),
+    val nLabels = labeled.select(col(idCol).cast("long").as("n_id"),
       col(labelCol).as("__nl"))
-    val cand = ivfTopK(emb, emb, vecCol, idCol, k * overfetch + 1,
-      nlist, nprobe, seed)
+    val cand = ivfTopK(labeled, labeled, vecCol, idCol,
+      k * overfetch + 1, nlist, nprobe, seed)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("n_id"))
     cand.filter(col("q_id") =!= col("n_id"))

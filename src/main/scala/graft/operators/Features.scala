@@ -235,8 +235,11 @@ object Features {
     def cell(name: String, t: Boolean, p: Boolean): Seq[Column] = {
       val in = col("__t") === t && col("__p") === p
       Seq(sum(when(in, 1L).otherwise(0L)).as(s"n_$name"),
-        sum(when(in, col("__y")).otherwise(0L)).cast("decimal(38,0)")
-          .as(s"__s_$name"),
+        // promote BEFORE aggregating (matching the __ss path): a
+        // LongType sum can silently wrap under non-ANSI where the
+        // oracle's HUGEINT sum does not.
+        sum(when(in, col("__y").cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as(s"__s_$name"),
         sum(when(in, col("__y").cast("decimal(38,0)") * col("__y"))
           .otherwise(lit(0).cast("decimal(38,0)"))).as(s"__ss_$name"))
     }
