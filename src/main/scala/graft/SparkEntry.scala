@@ -96,7 +96,9 @@ object SparkEntry {
     * the ones that have never produced official signal. Newly added
     * queries belong here too until a CORRECTNESS artifact records them. */
   private val neverGradedFirst: Seq[String] = Seq(
-    // round-13 additions (no artifact yet)
+    // round-14 additions (no artifact yet)
+    "ts_holt_winters",
+    // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
     "sim_hard_negatives_gate", "text_distinct_ngrams", "ts_mann_kendall",
@@ -397,8 +399,8 @@ object SparkEntry {
     "evt_retention",
     "evt_transitions", "evt_attribution", "evt_markov_attribution",
     "ts_resample_ffill", "ts_interpolate", "ts_anomaly", "ts_seasonality",
-    "ts_cusum", "ts_acf", "ts_holt", "ts_theilsen", "ts_mann_kendall",
-    "surv_kaplan_meier",
+    "ts_cusum", "ts_acf", "ts_holt", "ts_holt_winters", "ts_theilsen",
+    "ts_mann_kendall", "surv_kaplan_meier",
     "growth_accounting", "cohort_ltv", "feat_group_regression",
     "evt_cumulative_users", "dq_mutual_info", "dq_js_divergence",
     "feat_isotonic", "dq_corr_matrix", "feat_decayed_activity",
@@ -976,6 +978,22 @@ object SparkEntry {
         .agg((count(lit(1)) * 1000000L).as("x"))
       graft.operators.TimeSeries.holtForecast(hc, "event_type", "hour",
         "x", alphaPpm = 300000L, betaPpm = 100000L, horizon = 12)
+    }),
+
+    "ts_holt_winters" -> ((s, dir) => {
+      import s.implicits._
+      // Holt-Winters additive-seasonal forecast of per-type hourly
+      // volume (period 24 = the daily cycle), 12 steps ahead: the
+      // level/trend/seasonal-slot recurrence is pure truncating long
+      // division, and the 24-slot seasonal vector replays as a LIST
+      // column in the recursive-CTE oracle (slice-splice update per
+      // step) — every fold step and the rotating state replay exactly.
+      val hc = Tables.events(s, dir)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+        .agg((count(lit(1)) * 1000000L).as("x"))
+      graft.operators.TimeSeries.holtWintersForecast(hc, "event_type",
+        "hour", "x", period = 24, alphaPpm = 300000L,
+        betaPpm = 100000L, gammaPpm = 300000L, horizon = 12)
     }),
 
     "ts_theilsen" -> ((s, dir) => {
@@ -7667,6 +7685,52 @@ object SparkEntry {
         |SELECT k AS event_type, CAST(n AS BIGINT) AS n_obs,
         |  l AS level_micros, b AS trend_micros, step,
         |  CAST(l + step * b AS BIGINT) AS forecast_micros
+        |FROM fin, hh ORDER BY event_type, step""".stripMargin,
+
+    // the Holt recurrence plus a 24-slot seasonal LIST carried through
+    // the recursion: slot s_t updates by a slice-splice, every step is
+    // long multiply + truncating division on both engines; l2 inlines
+    // where reused (recursive members can't alias laterally)
+    "ts_holt_winters" ->
+      """WITH RECURSIVE
+        |c AS (SELECT event_type AS k, date_trunc('hour', ts) AS h,
+        |    CAST(count(*) AS BIGINT) * 1000000 AS x
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT k, row_number() OVER (PARTITION BY k ORDER BY h)
+        |    AS i, x FROM c),
+        |cnt AS (SELECT k, max(i) AS n FROM s GROUP BY 1),
+        |f0 AS (SELECT k, i, x FROM s WHERE i <= 24),
+        |sl AS (SELECT k, sum(x) // 24 AS l FROM f0 GROUP BY 1),
+        |seed AS (SELECT f0.k, CAST(24 AS BIGINT) AS i, sl.l,
+        |    CAST(0 AS BIGINT) AS b, list(f0.x - sl.l ORDER BY f0.i) AS sv
+        |  FROM f0 JOIN sl ON f0.k = sl.k GROUP BY f0.k, sl.l),
+        |r AS (
+        |  SELECT k, i, l, b, sv FROM seed
+        |  UNION ALL
+        |  SELECT s.k, s.i,
+        |    (300000 * (s.x - list_extract(r.sv, ((s.i - 1) % 24) + 1))
+        |      + 700000 * (r.l + r.b)) // 1000000 AS l,
+        |    (100000 * (((300000 * (s.x
+        |          - list_extract(r.sv, ((s.i - 1) % 24) + 1))
+        |        + 700000 * (r.l + r.b)) // 1000000) - r.l)
+        |      + 900000 * r.b) // 1000000 AS b,
+        |    list_concat(list_concat(
+        |      list_slice(r.sv, 1, (s.i - 1) % 24),
+        |      [(300000 * (s.x - ((300000 * (s.x
+        |            - list_extract(r.sv, ((s.i - 1) % 24) + 1))
+        |          + 700000 * (r.l + r.b)) // 1000000))
+        |        + 700000 * list_extract(r.sv, ((s.i - 1) % 24) + 1))
+        |        // 1000000]),
+        |      list_slice(r.sv, ((s.i - 1) % 24) + 2, 24)) AS sv
+        |  FROM r JOIN s ON s.k = r.k AND s.i = r.i + 1),
+        |fin AS (SELECT r.k, cnt.n, r.l, r.b, r.sv FROM r
+        |  JOIN cnt ON r.k = cnt.k AND r.i = cnt.n WHERE cnt.n > 24),
+        |hh AS (SELECT CAST(range AS BIGINT) AS step FROM range(1, 13))
+        |SELECT k AS event_type, CAST(n AS BIGINT) AS n_obs,
+        |  l AS level_micros, b AS trend_micros, step,
+        |  CAST(l + step * b
+        |    + list_extract(sv, ((n + step - 1) % 24) + 1) AS BIGINT)
+        |    AS forecast_micros
         |FROM fin, hh ORDER BY event_type, step""".stripMargin,
 
     // pair verdicts are sign comparisons (no products); the tau
