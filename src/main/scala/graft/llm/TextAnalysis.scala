@@ -509,29 +509,33 @@ object TextAnalysis {
     * exact counts. Groups with no n-grams at some n (every doc
     * shorter than n) emit no row for that n, not a 0/0.
     *
-    * Scale: one tokenize pass per n (maxN is a tiny constant); each
-    * pass is a (group, gram)-keyed exact distinct — the gram strings
-    * are the distinct keys, so they shuffle once per n (~n·corpus
-    * bytes, the price of an EXACT distinct; use a sketch upstream if
-    * an estimate suffices). */
+    * Scale: ONE tokenize pass for every n — each document's token
+    * array expands to (n, gram) pairs for all n in one explode, so
+    * the corpus is read and split exactly once (maxN passes would
+    * re-read it maxN times); the (group, n, gram)-keyed exact
+    * distinct shuffles the same ~Σn·corpus bytes the per-n passes
+    * would, just in one exchange (the price of an EXACT distinct;
+    * use a sketch upstream if an estimate suffices). */
   def distinctNgrams(df: DataFrame, textCol: String, groupCol: String,
       maxN: Int = 3): DataFrame = {
     require(maxN >= 1 && maxN <= 5, s"maxN must be in [1,5] (got $maxN)")
     val base = df.select(col(groupCol).cast("string").as("__grp"),
       expr(s"filter(split($textCol, '\\\\s+'), x -> x <> '')")
         .as("__toks"))
-    (1 to maxN).map { n =>
-      base.select(col("__grp"),
-          explode(tokenGramsFromTokens(col("__toks"), n)).as("__g"))
-        .groupBy(col("__grp"))
-        .agg(count(lit(1)).as("__total"),
-          countDistinct(col("__g")).as("__distinct"))
-        .select(col("__grp").as(groupCol), lit(n.toLong).as("n"),
-          col("__total").cast("bigint").as("total_grams"),
-          col("__distinct").cast("bigint").as("distinct_grams"),
-          expr("CAST(__distinct AS DECIMAL(38,0)) * 1000000 div __total")
-            .as("distinct_ppm"))
-    }.reduce(_ unionByName _)
+    val pairs = flatten(array((1 to maxN).map(n =>
+      transform(tokenGramsFromTokens(col("__toks"), n),
+        g => struct(lit(n.toLong).as("n"), g.as("g")))): _*))
+    base.select(col("__grp"), explode(pairs).as("__ng"))
+      .select(col("__grp"), col("__ng.n").as("n"),
+        col("__ng.g").as("__g"))
+      .groupBy(col("__grp"), col("n"))
+      .agg(count(lit(1)).as("__total"),
+        countDistinct(col("__g")).as("__distinct"))
+      .select(col("__grp").as(groupCol), col("n"),
+        col("__total").cast("bigint").as("total_grams"),
+        col("__distinct").cast("bigint").as("distinct_grams"),
+        expr("CAST(__distinct AS DECIMAL(38,0)) * 1000000 div __total")
+          .as("distinct_ppm"))
   }
 
   /** Per-document keyword extraction — top-k terms by TF·IDF in

@@ -724,4 +724,53 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("lineitem.parquet"),
       "wedge plan re-runs the upstream edge builder:\n" + p)
   }
+
+  test("text_distinct_ngrams reads the corpus ONCE for every n") {
+    // all n-gram sizes expand from one explode over one tokenize —
+    // a per-n union would rescan documents.parquet maxN times
+    val p = plan("text_distinct_ngrams")
+    // count detail headers only (each scan prints a tree line AND a
+    // "(n) Scan parquet" detail header)
+    val scans = p.linesIterator.count(_.matches("\\(\\d+\\) Scan parquet\\s*"))
+    assert(scans == 1, s"documents scanned $scans times:\n$p")
+    assert(!p.contains("Union"), "per-n union re-reads the corpus:\n" + p)
+  }
+
+  test("graph_hits: final hub⋈auth is an equi-join; top-50 never global-sorts") {
+    // iterations localCheckpoint eagerly, so the returned plan is the
+    // final state join + cut — pin that it stays an equi-join over the
+    // truncated RDDs (the per-iteration dataflow is pinned by the
+    // identical pageRank posture) and that the cut is a TakeOrdered
+    val p = plan("graph_hits")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-50 must be a TakeOrdered, not a global sort:\n" + p)
+    // state joined by node only: no parquet rescan may feed it
+    assert(!p.contains("Scan parquet"),
+      "hits final join re-runs the upstream edge builder:\n" + p)
+  }
+
+  test("ts_theilsen / ts_mann_kendall: pair joins exchange the monthly series only, never order payload") {
+    // the pairwise self-join is quadratic per group — it must run over
+    // the aggregated (key, month, cents) series; the raw order columns
+    // are consumed map-side by the partial aggregate and may never
+    // cross a hash exchange
+    for (name <- Seq("ts_theilsen", "ts_mann_kendall")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
+      val blocks = p.split("\\n\\n").toSeq
+      val hashExchanges = blocks.filter(b =>
+        b.linesIterator.exists(_.matches("\\(\\d+\\) Exchange.*")) &&
+          b.contains("Arguments: hashpartitioning"))
+      assert(hashExchanges.nonEmpty, s"$name:\n$p")
+      hashExchanges.foreach { b =>
+        val input = b.linesIterator.find(_.startsWith("Input")).getOrElse("")
+        assert(!input.contains("o_totalprice#") &&
+          !input.contains("o_orderdate#"),
+          s"$name ships raw order payload through an exchange:\n$b")
+      }
+    }
+  }
 }
