@@ -97,7 +97,7 @@ object SparkEntry {
     * queries belong here too until a CORRECTNESS artifact records them. */
   private val neverGradedFirst: Seq[String] = Seq(
     // round-14 additions (no artifact yet)
-    "ts_holt_winters",
+    "ts_holt_winters", "ts_changepoint",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -399,8 +399,8 @@ object SparkEntry {
     "evt_retention",
     "evt_transitions", "evt_attribution", "evt_markov_attribution",
     "ts_resample_ffill", "ts_interpolate", "ts_anomaly", "ts_seasonality",
-    "ts_cusum", "ts_acf", "ts_holt", "ts_holt_winters", "ts_theilsen",
-    "ts_mann_kendall", "surv_kaplan_meier",
+    "ts_cusum", "ts_acf", "ts_holt", "ts_holt_winters", "ts_changepoint",
+    "ts_theilsen", "ts_mann_kendall", "surv_kaplan_meier",
     "growth_accounting", "cohort_ltv", "feat_group_regression",
     "evt_cumulative_users", "dq_mutual_info", "dq_js_divergence",
     "feat_isotonic", "dq_corr_matrix", "feat_decayed_activity",
@@ -994,6 +994,22 @@ object SparkEntry {
       graft.operators.TimeSeries.holtWintersForecast(hc, "event_type",
         "hour", "x", period = 24, alphaPpm = 300000L,
         betaPpm = 100000L, gammaPpm = 300000L, horizon = 12)
+    }),
+
+    "ts_changepoint" -> ((s, dir) => {
+      import s.implicits._
+      // CUSUM-argmax changepoint location per event type: WHEN the
+      // hourly-volume level shifted (the question ts_cusum's alarm
+      // raises). The statistic multiplies through by n so every
+      // comparison is integer-exact; the argmax tie-break
+      // (stat desc, t) makes the location total — DuckDB replays
+      // every row.
+      val hc = Tables.events(s, dir)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+        .agg((count(lit(1)) * 1000000L).as("x"))
+      graft.operators.TimeSeries.changepoint(hc, "event_type", "hour",
+          "x")
+        .orderBy($"event_type")
     }),
 
     "ts_theilsen" -> ((s, dir) => {
@@ -7732,6 +7748,33 @@ object SparkEntry {
         |    + list_extract(sv, ((n + step - 1) % 24) + 1) AS BIGINT)
         |    AS forecast_micros
         |FROM fin, hh ORDER BY event_type, step""".stripMargin,
+
+    // the argmax statistic multiplied through by n — HUGEINT-exact,
+    // no per-step division; all reported divisions have non-negative
+    // dividends here (volume sums), so // == div trivially
+    "ts_changepoint" ->
+      """WITH c AS (SELECT event_type AS k, date_trunc('hour', ts) AS h,
+        |    CAST(count(*) AS BIGINT) * 1000000 AS x
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT k, h, x,
+        |    CAST(row_number() OVER (PARTITION BY k ORDER BY h, x)
+        |      AS BIGINT) AS t,
+        |    sum(x) OVER (PARTITION BY k ORDER BY h, x
+        |      ROWS UNBOUNDED PRECEDING) AS st,
+        |    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+        |    sum(x) OVER (PARTITION BY k) AS sn
+        |  FROM c),
+        |sc AS (SELECT k, h, t, st, n, sn,
+        |    abs(CAST(n AS HUGEINT) * st - CAST(t AS HUGEINT) * sn)
+        |      AS cst
+        |  FROM s WHERE t < n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY k
+        |    ORDER BY cst DESC, t) AS rn FROM sc)
+        |SELECT k AS event_type, n AS n_obs, t AS split_index,
+        |  h AS changepoint_at, CAST(cst // n AS BIGINT) AS stat_micros,
+        |  CAST(st // t AS BIGINT) AS mean_pre_micros,
+        |  CAST((sn - st) // (n - t) AS BIGINT) AS mean_post_micros
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
 
     // pair verdicts are sign comparisons (no products); the tau
     // denominator is a HUGEINT-exact tie-corrected product, one

@@ -222,6 +222,59 @@ object TimeSeries {
       .drop("__sp", "__sm")
   }
 
+  /** Changepoint LOCATION for a single mean shift per key — the
+    * question a [[cusum]] alarm triggers but cannot answer: WHEN did
+    * the level change. The estimator is the CUSUM argmax: with
+    * prefix sums `S_t` over the (order, value)-sorted series, the
+    * split point maximizes `|S_t − (t/n)·S_n|` over `t ∈ [1, n−1]` —
+    * the classic single-changepoint least-squares location (the
+    * binary-segmentation base step; run it on each half for multiple
+    * changes).
+    *
+    * Exactness: the statistic multiplies through by n —
+    * `C_t = |n·S_t − t·S_n|` in DECIMAL(38,0)-exact integers (no
+    * per-step division), the argmax tie-breaks (stat desc, t asc) so
+    * the location is total, and the reported `stat_micros = C_max
+    * div n`, `mean_pre = S_t div t`, `mean_post = (S_n−S_t) div
+    * (n−t)` are truncating divisions both engines compute
+    * identically (C non-negative; the means may be negative — Java
+    * `/` == DuckDB `//`, verified). An oracle replays every row.
+    *
+    * Scale: ONE keyed shuffle — the prefix window, the per-key
+    * totals window, and the argmax rank all partition by the same
+    * key (Catalyst reuses the exchange; sorts differ only within
+    * partitions). Input is a SERIES per key (the output of a
+    * row-scale pre-aggregation), so n is series-scale; keys with a
+    * single observation emit nothing (no interior split exists). */
+  def changepoint(df: DataFrame, keyCol: String, orderCol: String,
+      valueMicrosCol: String): DataFrame = {
+    val wKey = Window.partitionBy(col(keyCol))
+    val ord = wKey.orderBy(col("__o"), col("__x"))
+    val wPrefix = ord.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val wAll = wKey.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val dec = "decimal(38,0)"
+    df.select(col(keyCol), col(orderCol).as("__o"),
+        col(valueMicrosCol).cast("long").as("__x"))
+      .filter(col("__x").isNotNull && col("__o").isNotNull)
+      .withColumn("__t", row_number().over(ord).cast("long"))
+      .withColumn("__st", sum(col("__x")).over(wPrefix))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__sn", sum(col("__x")).over(wAll))
+      .filter(col("__t") < col("__n"))
+      .withColumn("__c", abs(col("__n").cast(dec) * col("__st") -
+        col("__t").cast(dec) * col("__sn")))
+      .withColumn("__r", row_number().over(
+        wKey.orderBy(col("__c").desc, col("__t"))))
+      .filter(col("__r") === 1)
+      .select(col(keyCol), col("__n").cast("bigint").as("n_obs"),
+        col("__t").as("split_index"), col("__o").as("changepoint_at"),
+        expr("CAST(__c div __n AS BIGINT)").as("stat_micros"),
+        expr("__st div __t").as("mean_pre_micros"),
+        expr("(__sn - __st) div (__n - __t)").as("mean_post_micros"))
+  }
+
   /** Exact autocorrelation function of ONE series at lags 1..`maxLag`
     * — the seasonality/memory diagnostic (a daily cycle shows as a
     * spike at lag 24 on hourly data; white noise hugs 0). Input is a

@@ -281,4 +281,37 @@ class TimeSeriesSpec extends SparkSpec {
         maxGroupPoints = 2L)
     }
   }
+
+  test("changepoint: clean level shift localized exactly; means; single-obs key empty") {
+    // key "a": 4 obs at 10, then 4 at 20 — the split is after t=4:
+    // C_t = |8*S_t - t*S_8| peaks at t=4 (|8*40 - 4*120| = 160)
+    val df = (Seq.fill(4)(10L) ++ Seq.fill(4)(20L)).zipWithIndex
+      .map { case (v, i) => ("a", i.toLong + 1L, v * 1000000L) }
+      .++(Seq(("b", 1L, 5000000L))) // single obs: no interior split
+      .toDF("k", "o", "x")
+    val got = TimeSeries.changepoint(df, "k", "o", "x")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.length == 1) // key b emits nothing
+    val (k, n, split, at, stat, pre, post) = got(0)
+    assert(k == "a" && n == 8L && split == 4L && at == 4L)
+    // stat = C_max div n = (8*40 - 4*120 = 160 in value units) -> micros
+    assert(stat == 160L * 1000000L / 8L)
+    assert(pre == 10000000L && post == 20000000L)
+  }
+
+  test("changepoint: argmax tie-break takes the earliest t; negative means truncate like the oracle") {
+    // symmetric V shape: ties in C_t resolve to the smaller t
+    val df = Seq(("a", 1L, -3000000L), ("a", 2L, 1000000L),
+      ("a", 3L, -3000000L)).toDF("k", "o", "x")
+    val got = TimeSeries.changepoint(df, "k", "o", "x").collect()
+    assert(got.length == 1)
+    val r = got(0)
+    // S = [-3, -2, -5]; C_t = |3*S_t - t*(-5)|: t=1 -> |-9+5|=4,
+    // t=2 -> |-6+10|=4 — tie, earliest wins
+    assert(r.getLong(2) == 1L, r.toString)
+    // mean_pre = -3e6 div 1 (negative dividend truncates toward zero
+    // on both engines)
+    assert(r.getLong(5) == -3000000L)
+  }
 }
