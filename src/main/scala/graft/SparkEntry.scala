@@ -37,10 +37,12 @@ import graft.streaming.EventStreams
   * construction), `shard_by_budget`/`dedup_clusters*` (run their
   * eager subtotal/label-propagation passes),
   * `decontaminate_bloom_gate` (collects the benchmark Bloom sketch),
-  * and the guarded-statistic pre-flights — `ab_bh_fdr` (bhFdr counts
-  * the battery to size the step-up), `ts_theilsen` /
-  * `ts_mann_kendall` (maxGroupPoints pre-flight before the pairwise
-  * self-join) — which each run one small eager count at construction.
+  * and the guarded-statistic pre-flights — `ab_bh_fdr` /
+  * `dq_drift_fdr` (bhFdr counts the battery to size the step-up;
+  * the drift sweep also pre-flights per-metric distinct values),
+  * `ts_theilsen` / `ts_mann_kendall` (maxGroupPoints pre-flight
+  * before the pairwise self-join) — which each run one or two small
+  * eager counts at construction.
   * Callers that only want a plan should skip those.
   */
 object SparkEntry {
@@ -97,7 +99,7 @@ object SparkEntry {
     * queries belong here too until a CORRECTNESS artifact records them. */
   private val neverGradedFirst: Seq[String] = Seq(
     // round-14 additions (no artifact yet)
-    "ts_holt_winters", "ts_changepoint",
+    "ts_holt_winters", "ts_changepoint", "dq_drift_fdr",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -388,7 +390,7 @@ object SparkEntry {
     "dq_k_anonymity", "dq_l_diversity", "dq_cramers_v", "cust_rfm",
     "dq_fd_violations",
     "feat_spearman", "ab_ztest", "ab_ttest", "ab_jackknife", "ab_did",
-    "ab_bh_fdr",
+    "ab_bh_fdr", "dq_drift_fdr",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -6097,6 +6099,29 @@ object SparkEntry {
         pmod($"o_custkey", lit(2)) === 0, round($"o_totalprice" * 100))
     }),
 
+    "dq_drift_fdr" -> ((s, dir) => {
+      import s.implicits._
+      // The production drift pipeline composed end-to-end: a
+      // per-metric KS sweep (value-cents and hour-of-day
+      // distributions per event type, early vs late half of the
+      // month) -> one-term Kolmogorov-tail p-values -> BH-FDR
+      // verdict set. D is integer cross-multiplied per metric, the
+      // p trees mirror token-for-token, and every rejection is the
+      // cross-multiplied integer comparison.
+      val e = Tables.events(s, dir)
+      val tag = $"ts" < lit("2024-01-16").cast("timestamp")
+      val bv = graft.operators.OrderedStats.ksBattery(e,
+        concat($"event_type", lit(":value")),
+        round($"value" * 100).cast("long"), tag)
+      val bh = graft.operators.OrderedStats.ksBattery(e,
+        concat($"event_type", lit(":hour")), hour($"ts").cast("long"),
+        tag)
+      graft.operators.Quality.bhFdr(
+          bv.unionByName(bh).select($"metric", $"p_micros"),
+          "metric", $"p_micros")
+        .orderBy($"rank")
+    }),
+
     "ab_bh_fdr" -> ((s, dir) => {
       import s.implicits._
       // Benjamini-Hochberg over a 10-test parity battery (per event
@@ -8886,6 +8911,54 @@ object SparkEntry {
     // the A&S erfc polynomial mirrored token-for-token on identical
     // doubles from exact counts; every BH verdict is the
     // cross-multiplied integer comparison p*m <= rank*alpha
+    // two KS batteries over one UNION ALL, per-metric integer sup,
+    // the mirrored one-term tail, then the integer BH step-up
+    "dq_drift_fdr" ->
+      """WITH s AS (SELECT event_type || ':value' AS metric,
+        |    CAST(round(value * 100) AS BIGINT) AS v,
+        |    (ts < TIMESTAMP '2024-01-16') AS t FROM events
+        |  UNION ALL
+        |  SELECT event_type || ':hour' AS metric,
+        |    CAST(hour(ts) AS BIGINT) AS v,
+        |    (ts < TIMESTAMP '2024-01-16') AS t FROM events),
+        |c AS (SELECT metric, v,
+        |    sum(CASE WHEN t THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS cb
+        |  FROM s GROUP BY 1, 2),
+        |cc AS (SELECT metric, v, ca, cb,
+        |    sum(ca) OVER (PARTITION BY metric ORDER BY v) AS cum_a,
+        |    sum(cb) OVER (PARTITION BY metric ORDER BY v) AS cum_b,
+        |    CAST(sum(ca) OVER (PARTITION BY metric) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) OVER (PARTITION BY metric) AS BIGINT) AS n_b
+        |  FROM c),
+        |d AS (SELECT metric, n_a, n_b,
+        |    max(abs(CAST(cum_a AS HUGEINT) * n_b
+        |      - CAST(cum_b AS HUGEINT) * n_a)) AS dnum
+        |  FROM cc WHERE n_a > 0 AND n_b > 0 GROUP BY 1, 2, 3),
+        |pv AS (SELECT metric,
+        |    CAST(round(least(1.0, 2.0 * exp(-2.0
+        |      * (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |        / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+        |      * (CAST(dnum AS DOUBLE)
+        |        / CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE))
+        |      * (CAST(dnum AS DOUBLE)
+        |        / CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE))))
+        |      * 1000000) AS BIGINT) AS p_micros
+        |  FROM d),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pv),
+        |r AS (SELECT metric, p_micros,
+        |    CAST(row_number() OVER (ORDER BY p_micros, metric)
+        |      AS BIGINT) AS rank, m
+        |  FROM pv, t),
+        |q AS (SELECT metric, p_micros, rank, m,
+        |    max(CASE WHEN p_micros * m <= rank * 50000
+        |      THEN rank ELSE 0 END) OVER () AS mq
+        |  FROM r)
+        |SELECT metric, p_micros, rank,
+        |  CAST(rank * 50000 // m AS BIGINT) AS bh_cut_micros,
+        |  rank <= mq AS rejected
+        |FROM q ORDER BY rank""".stripMargin,
+
     "ab_bh_fdr" ->
       """WITH agg AS (SELECT event_type, count(*) AS n,
         |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS s2,

@@ -107,6 +107,73 @@ object OrderedStats {
           * 1e6).cast("long").as("d_micros"))
   }
 
+  /** Per-metric two-sample KS battery with one-term asymptotic
+    * p-values — the drift SWEEP that feeds [[Quality.bhFdr]]: one
+    * call screens every metric of a monitoring panel (column ×
+    * segment) against the same A/B split and emits the p-values the
+    * FDR step-up needs. The production shape is
+    * `bhFdr(ksBattery(...), "metric", col("p_micros"))` — drift
+    * sweep → p-values → FDR-controlled verdict set.
+    *
+    * D is the same exact integer cross-multiplied sup as [[ksTest]]
+    * (per metric); the p-value is the standard one-term Kolmogorov
+    * tail `p = min(1, 2·exp(−2·m·D²))` with `m = n_a·n_b/(n_a+n_b)`
+    * — that truncation IS the contract (neither engine has the full
+    * series; the one-term bound is what monitoring systems deploy),
+    * and the IEEE tree is mirrored token-for-token so an oracle
+    * replays every p bit-for-bit from the exact integer inputs.
+    *
+    * Scale: one row-scale hash-agg to (metric, value) counts — the
+    * only row-scale pass; the cumulative windows partition BY METRIC
+    * (a panel of metrics parallelizes across them), so per-metric
+    * distinct values must fit a partition — the loud
+    * `maxDistinctPerMetric` pre-flight (one narrow count over the
+    * already-aggregated counts) refuses a metric whose value stream
+    * belongs in [[ksTest]]'s two-phase prefix sum instead. */
+  def ksBattery(df: DataFrame, metricExpr: Column, valueExpr: Column,
+      tagExpr: Column, maxDistinctPerMetric: Long = 2000000L): DataFrame = {
+    val dec = "decimal(38,0)"
+    val c = df.select(metricExpr.cast("string").as("metric"),
+        valueExpr.as("v"), tagExpr.as("t"))
+      .filter(col("metric").isNotNull && col("v").isNotNull &&
+        col("t").isNotNull)
+      .groupBy(col("metric"), col("v"))
+      .agg(sum(when(col("t"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("t"), 1L).otherwise(0L)).as("cb"))
+    val worst = c.groupBy(col("metric"))
+      .agg(count(lit(1)).as("__n")).agg(max(col("__n"))).head()
+    val worstN = if (worst.isNullAt(0)) 0L else worst.getLong(0)
+    require(worstN <= maxDistinctPerMetric,
+      s"a metric holds $worstN distinct values (cap " +
+        s"$maxDistinctPerMetric) — the per-metric cumulative window " +
+        "buffers them in one partition; run ksTest's two-phase " +
+        "prefix sum for that column or bucket the values first")
+    val wCum = Window.partitionBy(col("metric")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("metric"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val agg = c
+      .withColumn("cum_a", sum(col("ca")).over(wCum))
+      .withColumn("cum_b", sum(col("cb")).over(wCum))
+      .withColumn("n_a", sum(col("ca")).over(wAll))
+      .withColumn("n_b", sum(col("cb")).over(wAll))
+      .groupBy(col("metric"), col("n_a"), col("n_b"))
+      .agg(max(abs(col("cum_a").cast(dec) * col("n_b") -
+        col("cum_b").cast(dec) * col("n_a"))).as("__dnum"))
+      .filter(col("n_a") > 0L && col("n_b") > 0L)
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val dD = col("__dnum").cast("double") /
+      (col("n_a").cast(dec) * col("n_b")).cast("double")
+    val p = least(lit(1.0),
+      lit(2.0) * exp(lit(-2.0) * (naD * nbD / (naD + nbD)) * dD * dD))
+    agg.select(col("metric"),
+      col("n_a").cast("bigint").as("n_a"),
+      col("n_b").cast("bigint").as("n_b"),
+      round(dD * 1e6).cast("long").as("d_micros"),
+      round(p * 1e6).cast("long").as("p_micros"))
+  }
+
   /** ROC-AUC, EXACT with tie correction — the Mann-Whitney rank-sum
     * identity: over distinct scores s (ascending), with `pos_s`
     * positives and `neg_s` negatives at s and `negBelow_s` negatives

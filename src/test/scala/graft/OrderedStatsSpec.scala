@@ -140,4 +140,31 @@ class OrderedStatsSpec extends SparkSpec {
         .collect().head.getLong(2) == ref, s"nBuckets=$nb")
     }
   }
+
+  test("ksBattery: disjoint supports give D=1 with the one-term tail; identical samples p=1; metric isolation") {
+    val rows = Seq(
+      // m1: a={1,2}, b={3,4} -> D=1, m_eff=1, p=2*exp(-2)
+      ("m1", 1L, true), ("m1", 2L, true), ("m1", 3L, false), ("m1", 4L, false),
+      // m2: identical samples -> D=0, p clamps to 1
+      ("m2", 1L, true), ("m2", 2L, true), ("m2", 1L, false), ("m2", 2L, false))
+      .toDF("m", "v", "t")
+    val got = OrderedStats.ksBattery(rows, $"m", $"v", $"t")
+      .orderBy($"metric").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.length == 2)
+    assert(got(0) == (("m1", 2L, 2L, 1000000L,
+      math.round(2.0 * math.exp(-2.0) * 1e6))))
+    assert(got(1) == (("m2", 2L, 2L, 0L, 1000000L)))
+  }
+
+  test("ksBattery: one-sided metric drops; distinct-value guard fails loudly") {
+    val oneSided = Seq(("m", 1L, true), ("m", 2L, true)).toDF("m", "v", "t")
+    assert(OrderedStats.ksBattery(oneSided, $"m", $"v", $"t").count() == 0L)
+    val two = Seq(("m", 1L, true), ("m", 2L, false)).toDF("m", "v", "t")
+    assertThrows[IllegalArgumentException] {
+      OrderedStats.ksBattery(two, $"m", $"v", $"t",
+        maxDistinctPerMetric = 1L)
+    }
+  }
 }
