@@ -41,8 +41,9 @@ import graft.streaming.EventStreams
   * `dq_drift_fdr` (bhFdr counts the battery to size the step-up;
   * the drift sweep also pre-flights per-metric distinct values),
   * `ts_theilsen` / `ts_mann_kendall` (maxGroupPoints pre-flight
-  * before the pairwise self-join) — which each run one or two small
-  * eager counts at construction.
+  * before the pairwise self-join), `ab_sequential` (maxLooks
+  * pre-flight before the look window) — which each run one or two
+  * small eager counts at construction.
   * Callers that only want a plan should skip those.
   */
 object SparkEntry {
@@ -99,7 +100,7 @@ object SparkEntry {
     * queries belong here too until a CORRECTNESS artifact records them. */
   private val neverGradedFirst: Seq[String] = Seq(
     // round-14 additions (no artifact yet)
-    "ts_holt_winters", "ts_changepoint", "dq_drift_fdr",
+    "ts_holt_winters", "ts_changepoint", "dq_drift_fdr", "ab_sequential",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -390,7 +391,7 @@ object SparkEntry {
     "dq_k_anonymity", "dq_l_diversity", "dq_cramers_v", "cust_rfm",
     "dq_fd_violations",
     "feat_spearman", "ab_ztest", "ab_ttest", "ab_jackknife", "ab_did",
-    "ab_bh_fdr", "dq_drift_fdr",
+    "ab_bh_fdr", "dq_drift_fdr", "ab_sequential",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -6099,6 +6100,21 @@ object SparkEntry {
         pmod($"o_custkey", lit(2)) === 0, round($"o_totalprice" * 100))
     }),
 
+    "ab_sequential" -> ((s, dir) => {
+      import s.implicits._
+      // Always-valid sequential test over a daily look schedule:
+      // purchase cents, arms by user parity (a true null — the
+      // always-valid p should never reject), mixture sd tau = 50
+      // cents. Each look's 1/Lambda is one mirrored IEEE tree on
+      // exact cumulative integers; the running min and the verdict
+      // compare as longs, so DuckDB replays all 30 looks.
+      graft.operators.Features.sequentialMsprt(
+        Tables.events(s, dir).filter($"event_type" === "purchase"),
+        date_trunc("day", $"ts"), pmod($"user_id", lit(2)) === 0,
+        round($"value" * 100), tau = 50.0, alphaMicros = 50000L)
+        .orderBy($"look")
+    }),
+
     "dq_drift_fdr" -> ((s, dir) => {
       import s.implicits._
       // The production drift pipeline composed end-to-end: a
@@ -8911,6 +8927,55 @@ object SparkEntry {
     // the A&S erfc polynomial mirrored token-for-token on identical
     // doubles from exact counts; every BH verdict is the
     // cross-multiplied integer comparison p*m <= rank*alpha
+    // exact cumulative look cells, the reciprocal-free mSPRT tree
+    // mirrored token-for-token, running min + verdicts as longs
+    "ab_sequential" ->
+      """WITH base AS (SELECT date_trunc('day', ts) AS look,
+        |    (user_id % 2 = 0) AS t,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events WHERE event_type = 'purchase'),
+        |lk AS (SELECT look,
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    sum(CASE WHEN t THEN y ELSE 0 END) AS sa,
+        |    sum(CASE WHEN t THEN y * y ELSE 0 END) AS ssa,
+        |    CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    sum(CASE WHEN NOT t THEN y ELSE 0 END) AS sb,
+        |    sum(CASE WHEN NOT t THEN y * y ELSE 0 END) AS ssb
+        |  FROM base GROUP BY 1),
+        |cum AS (SELECT look,
+        |    CAST(sum(na) OVER w AS BIGINT) AS n_a,
+        |    CAST(sum(sa) OVER w AS HUGEINT) AS csa,
+        |    CAST(sum(ssa) OVER w AS HUGEINT) AS cssa,
+        |    CAST(sum(nb) OVER w AS BIGINT) AS n_b,
+        |    CAST(sum(sb) OVER w AS HUGEINT) AS csb,
+        |    CAST(sum(ssb) OVER w AS HUGEINT) AS cssb
+        |  FROM lk
+        |  WINDOW w AS (ORDER BY look ROWS UNBOUNDED PRECEDING)),
+        |vd AS (SELECT look, n_a, n_b,
+        |    CAST(csa AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |      - CAST(csb AS DOUBLE) / CAST(n_b AS DOUBLE) AS d,
+        |    (CAST(n_a * cssa - csa * csa AS DOUBLE)
+        |        / CAST(n_a * (n_a - 1) AS DOUBLE))
+        |      / CAST(n_a AS DOUBLE)
+        |    + (CAST(n_b * cssb - csb * csb AS DOUBLE)
+        |        / CAST(n_b * (n_b - 1) AS DOUBLE))
+        |      / CAST(n_b AS DOUBLE) AS v
+        |  FROM cum WHERE n_a > 1 AND n_b > 1),
+        |pp AS (SELECT look, n_a, n_b, d,
+        |    CAST(round(least(1.0, sqrt((v + 2500.0) / v)
+        |      * exp(-(d * d * 2500.0) / (2.0 * v * (v + 2500.0))))
+        |      * 1000000) AS BIGINT) AS p_micros
+        |  FROM vd WHERE v > 0),
+        |av AS (SELECT look, n_a, n_b,
+        |    CAST(round(d * 1000000) AS BIGINT) AS d_micros, p_micros,
+        |    min(p_micros) OVER (ORDER BY look ROWS UNBOUNDED PRECEDING)
+        |      AS p_av_micros
+        |  FROM pp)
+        |SELECT look, n_a, n_b, d_micros, p_micros,
+        |  CAST(p_av_micros AS BIGINT) AS p_av_micros,
+        |  p_av_micros <= 50000 AS rejected
+        |FROM av ORDER BY look""".stripMargin,
+
     // two KS batteries over one UNION ALL, per-metric integer sup,
     // the mirrored one-term tail, then the integer BH step-up
     "dq_drift_fdr" ->

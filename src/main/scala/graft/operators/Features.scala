@@ -207,6 +207,98 @@ object Features {
         round(dfW * 1e6).cast("long").as("df_micros"))
   }
 
+  /** Always-valid sequential inference — the mixture sequential
+    * probability ratio test (mSPRT, Robbins 1970; Johari et al. 2017
+    * "Peeking at A/B tests") over a LOOK SCHEDULE: the fixed-horizon
+    * z/t tests ([[twoProportionZ]]/[[welchTTest]]) are only valid at
+    * ONE pre-registered n, but every real dashboard is peeked at
+    * daily — the mSPRT's always-valid p-value can be monitored
+    * continuously and still caps the type-I error at α. Per look k
+    * (cumulative through that look), with mean difference `d` and
+    * its Welch variance `v`, the normal-mixture likelihood ratio is
+    * `Λ = sqrt(v/(v+τ²))·exp(d²τ²/(2v(v+τ²)))`; the always-valid
+    * p-value is the RUNNING MIN of `min(1, 1/Λ)` — once rejected,
+    * always rejected (the decision is monotone by construction).
+    *
+    * Exactness: per-look counts/sums/square-sums are exact integers
+    * (DECIMAL before summing, the [[welchTTest]] discipline) folded
+    * by ONE cumulative window; `1/Λ` is a single mirrored IEEE tree
+    * on those integers (`sqrt((v+τ²)/v)·exp(−d²τ²/(2v(v+τ²)))` —
+    * written reciprocal-free), p quantizes to micros and the running
+    * min + rejection threshold compare as LONGS — the verdict
+    * sequence is a pure function of the integer look aggregates.
+    * `tau` is the mixture sd in METRIC UNITS (a plain literal both
+    * engines embed verbatim). Looks where either arm has < 2
+    * observations, or the variance is 0, emit nothing (no test is
+    * defined yet); the running min starts at the first testable look.
+    *
+    * Scale: one row-scale hash-agg to per-look cells — the only
+    * row-scale pass; the cumulative window runs over the LOOK
+    * schedule (tens of rows — a look table is not row-scale data,
+    * and the loud `maxLooks` pre-flight refuses one that is).
+    * Returns one row per testable look: (look, n_a, n_b, d_micros,
+    * p_micros, p_av_micros, rejected). */
+  def sequentialMsprt(df: DataFrame, lookExpr: Column,
+      treatmentExpr: Column, metricExpr: Column, tau: Double,
+      alphaMicros: Long = 50000L, maxLooks: Long = 100000L): DataFrame = {
+    require(tau > 0.0, s"tau must be > 0 (got $tau)")
+    require(alphaMicros > 0L && alphaMicros <= 1000000L,
+      s"alphaMicros must be in (0, 1e6] (got $alphaMicros)")
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    def cell(p: Column, suffix: String): Seq[Column] = Seq(
+      sum(when(p, 1L).otherwise(0L)).as(s"__n$suffix"),
+      sum(when(p, col("__y")).otherwise(0L).cast(dec)).as(s"__s$suffix"),
+      sum(when(p, col("__y").cast(dec) * col("__y"))
+        .otherwise(lit(0).cast(dec))).as(s"__ss$suffix"))
+    val cells = cell(col("__t"), "a") ++ cell(!col("__t"), "b")
+    val byLookFull = df.select(lookExpr.as("look"),
+        treatmentExpr.as("__t"), metricExpr.cast("long").as("__y"))
+      .filter(col("look").isNotNull && col("__t").isNotNull &&
+        col("__y").isNotNull)
+      .groupBy(col("look"))
+      .agg(cells.head, cells.tail: _*)
+    val nLooks = byLookFull.count()
+    require(nLooks <= maxLooks,
+      s"schedule holds $nLooks looks (cap $maxLooks) — a look table " +
+        "this large is row-scale data, not a monitoring schedule; " +
+        "coarsen lookExpr")
+    val w = Window.orderBy(col("look"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byLookFull
+      .withColumn("n_a", sum(col("__na")).over(w))
+      .withColumn("__csa", sum(col("__sa")).over(w))
+      .withColumn("__cssa", sum(col("__ssa")).over(w))
+      .withColumn("n_b", sum(col("__nb")).over(w))
+      .withColumn("__csb", sum(col("__sb")).over(w))
+      .withColumn("__cssb", sum(col("__ssb")).over(w))
+      .filter(col("n_a") > 1L && col("n_b") > 1L)
+    def variance(n: Column, s: Column, ss: Column) =
+      (n.cast(dec) * ss - s * s).cast("double") /
+        (n.cast(dec) * (n - 1)).cast("double")
+    val vA = variance(col("n_a"), col("__csa"), col("__cssa"))
+    val vB = variance(col("n_b"), col("__csb"), col("__cssb"))
+    val v = vA / col("n_a").cast("double") + vB / col("n_b").cast("double")
+    val d = col("__csa").cast("double") / col("n_a").cast("double") -
+      col("__csb").cast("double") / col("n_b").cast("double")
+    val t2 = lit(tau * tau)
+    val lamInv = sqrt((col("__v") + t2) / col("__v")) *
+      exp(-(col("__d") * col("__d") * t2) /
+        (lit(2.0) * col("__v") * (col("__v") + t2)))
+    val wMin = Window.orderBy(col("look"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum.withColumn("__v", v).withColumn("__d", d)
+      .filter(col("__v") > 0.0)
+      .withColumn("p_micros",
+        round(least(lit(1.0), lamInv) * 1e6).cast("long"))
+      .withColumn("p_av_micros", min(col("p_micros")).over(wMin))
+      .select(col("look"), col("n_a").cast("bigint").as("n_a"),
+        col("n_b").cast("bigint").as("n_b"),
+        round(col("__d") * 1e6).cast("long").as("d_micros"),
+        col("p_micros"), col("p_av_micros"),
+        (col("p_av_micros") <= alphaMicros).as("rejected"))
+  }
+
   /** Difference-in-differences estimator — the quasi-experimental
     * readout when assignment wasn't randomized but a PRE period
     * exists: `DiD = (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre)`

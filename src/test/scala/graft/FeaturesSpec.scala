@@ -324,4 +324,47 @@ class FeaturesSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("distinct scores"), e.getMessage)
   }
+
+  test("sequentialMsprt: identical arms clamp to p=1; second look matches the hand-computed tree; running min") {
+    val rows = Seq(
+      (1L, true, 100L), (1L, true, 200L),
+      (1L, false, 100L), (1L, false, 200L),
+      (2L, true, 400L), (2L, false, 50L))
+    val got = Features.sequentialMsprt(rows.toDF("lk", "t", "y"),
+        col("lk"), col("t"), col("y"), tau = 50.0)
+      .orderBy(col("look")).collect()
+    assert(got.length == 2)
+    // look 1: d = 0, v > 0 -> 1/Lambda = sqrt((v+t2)/v) >= 1, clamps
+    assert(got(0).getLong(4) == 1000000L)
+    assert(got(0).getLong(5) == 1000000L && !got(0).getBoolean(6))
+    // look 2: recompute the documented tree independently
+    val (sa, ssa) = (700.0, 100.0 * 100 + 200.0 * 200 + 400.0 * 400)
+    val (sb, ssb) = (350.0, 100.0 * 100 + 200.0 * 200 + 50.0 * 50)
+    val va = (3.0 * ssa - sa * sa) / (3.0 * 2.0)
+    val vb = (3.0 * ssb - sb * sb) / (3.0 * 2.0)
+    val v = va / 3.0 + vb / 3.0
+    val d = sa / 3.0 - sb / 3.0
+    val t2 = 2500.0
+    val p2 = math.min(1.0, math.sqrt((v + t2) / v) *
+      math.exp(-(d * d * t2) / (2.0 * v * (v + t2))))
+    val p2m = math.round(p2 * 1e6)
+    assert(got(1).getLong(3) == math.round(d * 1e6), got(1).toString)
+    assert(got(1).getLong(4) == p2m, got(1).toString)
+    assert(got(1).getLong(5) == math.min(1000000L, p2m))
+  }
+
+  test("sequentialMsprt: sub-minimum looks emit nothing; maxLooks guard fails loudly") {
+    // one arm has a single observation at look 1 -> no test defined
+    val rows = Seq((1L, true, 10L), (1L, false, 10L), (1L, false, 20L),
+      (2L, true, 30L), (2L, false, 40L))
+    val got = Features.sequentialMsprt(rows.toDF("lk", "t", "y"),
+      col("lk"), col("t"), col("y"), tau = 10.0).collect()
+    // look 1 drops (n_a = 1); look 2 has cumulative n_a = 2, n_b = 3
+    assert(got.length == 1 && got(0).getLong(1) == 2L &&
+      got(0).getLong(2) == 3L)
+    assertThrows[IllegalArgumentException] {
+      Features.sequentialMsprt(rows.toDF("lk", "t", "y"), col("lk"),
+        col("t"), col("y"), tau = 10.0, maxLooks = 1L)
+    }
+  }
 }
