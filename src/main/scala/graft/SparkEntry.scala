@@ -101,6 +101,7 @@ object SparkEntry {
   private val neverGradedFirst: Seq[String] = Seq(
     // round-14 additions (no artifact yet)
     "ts_holt_winters", "ts_changepoint", "dq_drift_fdr", "ab_sequential",
+    "dq_referential",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -391,7 +392,7 @@ object SparkEntry {
     "dq_k_anonymity", "dq_l_diversity", "dq_cramers_v", "cust_rfm",
     "dq_fd_violations",
     "feat_spearman", "ab_ztest", "ab_ttest", "ab_jackknife", "ab_did",
-    "ab_bh_fdr", "dq_drift_fdr", "ab_sequential",
+    "ab_bh_fdr", "dq_drift_fdr", "ab_sequential", "dq_referential",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -6100,6 +6101,26 @@ object SparkEntry {
         pmod($"o_custkey", lit(2)) === 0, round($"o_totalprice" * 100))
     }),
 
+    "dq_referential" -> ((s, dir) => {
+      import s.implicits._
+      // FK orphan census over three relations: two clean TPC-H keys
+      // (the proof the joins are safe) and one deliberately-broken
+      // parent (customers with custkey % 7 == 0 removed) whose
+      // orphan counts must surface exactly. One left join per
+      // relation against the distinct parent keys; all counts exact.
+      val q = graft.operators.Quality
+      val orders = Tables.orders(s, dir)
+      val cust = Tables.customer(s, dir)
+      q.referentialOrphans(Tables.lineitem(s, dir), $"l_orderkey",
+          orders, $"o_orderkey", "lineitem.l_orderkey->orders.o_orderkey")
+        .unionByName(q.referentialOrphans(orders, $"o_custkey", cust,
+          $"c_custkey", "orders.o_custkey->customer.c_custkey"))
+        .unionByName(q.referentialOrphans(orders, $"o_custkey",
+          cust.filter(pmod($"c_custkey", lit(7)) =!= 0), $"c_custkey",
+          "orders.o_custkey->customer[c_custkey%7!=0]"))
+        .orderBy($"relation")
+    }),
+
     "ab_sequential" -> ((s, dir) => {
       import s.implicits._
       // Always-valid sequential test over a daily look schedule:
@@ -8927,6 +8948,61 @@ object SparkEntry {
     // the A&S erfc polynomial mirrored token-for-token on identical
     // doubles from exact counts; every BH verdict is the
     // cross-multiplied integer comparison p*m <= rank*alpha
+    // one left join per relation against distinct parent keys; NULL
+    // FKs reported separately, never as orphans; exact counts + one
+    // truncating ppm division
+    "dq_referential" ->
+      """WITH p1 AS (SELECT DISTINCT o_orderkey AS pk FROM orders
+        |    WHERE o_orderkey IS NOT NULL),
+        |j1 AS (SELECT c.l_orderkey AS k, p1.pk FROM lineitem c
+        |  LEFT JOIN p1 ON c.l_orderkey = p1.pk),
+        |s1 AS (SELECT 'lineitem.l_orderkey->orders.o_orderkey'
+        |    AS relation,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_null_rows,
+        |    CAST(sum(CASE WHEN k IS NOT NULL AND pk IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_rows,
+        |    CAST(count(DISTINCT CASE WHEN k IS NOT NULL AND pk IS NULL
+        |      THEN k END) AS BIGINT) AS n_orphan_keys
+        |  FROM j1),
+        |p2 AS (SELECT DISTINCT c_custkey AS pk FROM customer
+        |    WHERE c_custkey IS NOT NULL),
+        |j2 AS (SELECT c.o_custkey AS k, p2.pk FROM orders c
+        |  LEFT JOIN p2 ON c.o_custkey = p2.pk),
+        |s2 AS (SELECT 'orders.o_custkey->customer.c_custkey'
+        |    AS relation,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_null_rows,
+        |    CAST(sum(CASE WHEN k IS NOT NULL AND pk IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_rows,
+        |    CAST(count(DISTINCT CASE WHEN k IS NOT NULL AND pk IS NULL
+        |      THEN k END) AS BIGINT) AS n_orphan_keys
+        |  FROM j2),
+        |p3 AS (SELECT DISTINCT c_custkey AS pk FROM customer
+        |    WHERE c_custkey IS NOT NULL
+        |      AND ((c_custkey % 7) + 7) % 7 <> 0),
+        |j3 AS (SELECT c.o_custkey AS k, p3.pk FROM orders c
+        |  LEFT JOIN p3 ON c.o_custkey = p3.pk),
+        |s3 AS (SELECT 'orders.o_custkey->customer[c_custkey%7!=0]'
+        |    AS relation,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_null_rows,
+        |    CAST(sum(CASE WHEN k IS NOT NULL AND pk IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_rows,
+        |    CAST(count(DISTINCT CASE WHEN k IS NOT NULL AND pk IS NULL
+        |      THEN k END) AS BIGINT) AS n_orphan_keys
+        |  FROM j3),
+        |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |  UNION ALL SELECT * FROM s3)
+        |SELECT relation, n_rows, n_null_rows, n_orphan_rows,
+        |  n_orphan_keys,
+        |  CAST(CAST(n_orphan_rows AS HUGEINT) * 1000000
+        |    // nullif(n_rows - n_null_rows, 0) AS BIGINT) AS orphan_ppm
+        |FROM u ORDER BY relation""".stripMargin,
+
     // exact cumulative look cells, the reciprocal-free mSPRT tree
     // mirrored token-for-token, running min + verdicts as longs
     "ab_sequential" ->

@@ -713,6 +713,46 @@ object Quality {
         col("n_distinct_dep").cast("bigint").as("n_distinct_dep")): _*)
   }
 
+  /** Referential-integrity orphan census for one FK relation — the
+    * companion to [[fdViolations]] on the OTHER side of a join: how
+    * many child rows (and distinct keys) reference a parent that
+    * does not exist. An inner join silently DROPS those rows and a
+    * left join NULL-fills them — either way a metric moves with no
+    * error anywhere, so the orphan count is the pre-flight any
+    * pipeline join deserves. NULL child keys follow SQL FK
+    * semantics: a NULL reference is not an orphan (it references
+    * nothing) and is reported separately as `n_null_rows`.
+    *
+    * Scale: parent keys reduce by one hash-agg (distinct) before the
+    * join, so the probe side is key-scale — broadcast when it fits,
+    * SMJ otherwise (unhinted; AQE decides); the child is read ONCE
+    * (null / matched / orphan all counted from the single left
+    * join). Exact integer counts; ppm over non-null child rows by
+    * one truncating division. Returns one row per call — profile k
+    * relations by unioning k calls. */
+  def referentialOrphans(child: DataFrame, childKey: Column,
+      parent: DataFrame, parentKey: Column,
+      relation: String): DataFrame = {
+    val c = child.select(childKey.cast("long").as("__k"))
+    val p = parent.select(parentKey.cast("long").as("__pk"))
+      .filter(col("__pk").isNotNull).distinct()
+    c.join(p, col("__k") === col("__pk"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__k").isNull, 1L).otherwise(0L)).as("n_null_rows"),
+        sum(when(col("__k").isNotNull && col("__pk").isNull, 1L)
+          .otherwise(0L)).as("n_orphan_rows"),
+        countDistinct(when(col("__k").isNotNull && col("__pk").isNull,
+          col("__k"))).as("n_orphan_keys"))
+      .select(lit(relation).as("relation"),
+        col("n_rows").cast("bigint").as("n_rows"),
+        col("n_null_rows").cast("bigint").as("n_null_rows"),
+        col("n_orphan_rows").cast("bigint").as("n_orphan_rows"),
+        col("n_orphan_keys").cast("bigint").as("n_orphan_keys"),
+        expr("CAST(n_orphan_rows AS DECIMAL(38,0)) * 1000000 " +
+          "div nullif(n_rows - n_null_rows, 0)").cast("bigint")
+          .as("orphan_ppm"))
+  }
+
   /** Pearson chi-square association screen for two CATEGORICAL
     * columns — the categorical✕categorical member of the screening
     * family (WOE/IV covers numeric✕binary, PSI covers

@@ -701,4 +701,19 @@ class QualitySpec extends SparkSpec {
     assert(Quality.winsorize(df, "grp", "v",
       maxExactGroupRows = Long.MaxValue).count() == 200)
   }
+
+  test("referentialOrphans: orphan/null census exact; duplicate parents never fan out") {
+    val child = Seq(Option(1L), Option(1L), Option(2L), None, Option(5L))
+      .toDF("k")
+    val parent = Seq(1L, 1L, 2L, 3L).toDF("pk") // dup parent key
+    val got = Quality.referentialOrphans(child, col("k"), parent,
+      col("pk"), "child->parent").collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getString(0) == "child->parent")
+    assert(r.getLong(1) == 5L, "n_rows")      // dup parent didn't fan out
+    assert(r.getLong(2) == 1L, "n_null_rows") // NULL FK is not an orphan
+    assert(r.getLong(3) == 1L && r.getLong(4) == 1L) // key 5
+    assert(r.getLong(5) == 250000L) // 1 of 4 non-null rows
+  }
 }
