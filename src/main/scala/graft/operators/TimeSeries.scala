@@ -387,6 +387,86 @@ object TimeSeries {
       .orderBy(col(keyCol), col("step"))
   }
 
+  /** Rolling-origin backtest of the Holt forecaster — the evaluation
+    * harness a forecast needs before anyone trusts it: at every
+    * origin `t ≥ minTrain`, forecast `h = 1..horizon` steps ahead
+    * FROM THE STATE FITTED ON THE PREFIX and score against the
+    * actuals, reporting per key the forecast MAE, the persistence
+    * (last-value naive) MAE, and their ratio `mase_ppm` — MASE < 10⁶
+    * means the model beats the naive a dashboard would otherwise
+    * ship. The key insight making this one pass: the Holt fold's
+    * state at time t IS the fit on the prefix of length t, so ALL
+    * origins evaluate during a single ordered fold (k separate
+    * refits would re-read the series k times).
+    *
+    * Exactness: the fold is [[holtForecast]]'s truncating-division
+    * recurrence verbatim; forecasts, actuals and both absolute
+    * errors are exact longs; the MAEs and the MASE are truncating
+    * divisions of non-negative integer sums — the recursive-CTE
+    * oracle replays every state, every origin and every error
+    * value-for-value. Keys with fewer than `minTrain + 1`
+    * observations emit nothing (no origin has a fit).
+    *
+    * Scale: the EWMA/Holt posture — one key shuffle, one per-group
+    * ordered fold; the emitted error stream is ≤ n·horizon rows of
+    * three fixed-width columns, reduced by one key-scale hash-agg. */
+  def holtBacktest(df: DataFrame, keyCol: String, orderCol: String,
+      valueMicrosCol: String, alphaPpm: Long = 300000L,
+      betaPpm: Long = 100000L, horizon: Int = 6,
+      minTrain: Int = 24): DataFrame = {
+    require(alphaPpm >= 0 && alphaPpm <= 1000000L,
+      s"alphaPpm must be in [0, 1000000] (got $alphaPpm)")
+    require(betaPpm >= 0 && betaPpm <= 1000000L,
+      s"betaPpm must be in [0, 1000000] (got $betaPpm)")
+    require(horizon >= 1, s"horizon must be >= 1 (got $horizon)")
+    require(minTrain >= 2, s"minTrain must be >= 2 (got $minTrain)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val errs = df.select(col(keyCol).cast("string").as("k"),
+        col(orderCol).cast("long").as("o"),
+        col(valueMicrosCol).cast("long").as("x"))
+      .filter(col("x").isNotNull && col("o").isNotNull)
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val xs = it.toSeq.sortBy(r => (r._2, r._3)).map(_._3).toArray
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Long, Long)]
+        if (xs.length >= 2) {
+          var l = xs(0); var b = 0L
+          var t = 1 // observations consumed; state fits prefix t
+          while (t < xs.length) {
+            if (t >= minTrain) {
+              var h = 1
+              while (h <= horizon && t + h <= xs.length) {
+                val f = l + h * b
+                out += ((k, math.abs(f - xs(t + h - 1)),
+                  math.abs(xs(t - 1) - xs(t + h - 1))))
+                h += 1
+              }
+            }
+            val x = xs(t)
+            val l2 = (alphaPpm * x +
+              (1000000L - alphaPpm) * (l + b)) / 1000000L
+            b = (betaPpm * (l2 - l) + (1000000L - betaPpm) * b) / 1000000L
+            l = l2
+            t += 1
+          }
+        }
+        out.iterator
+      }
+      .toDF("k", "__ef", "__en")
+    errs.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_evals"),
+        sum(col("__ef")).as("__sf"), sum(col("__en")).as("__sn"))
+      .select(col("k").as(keyCol),
+        col("n_evals").cast("bigint").as("n_evals"),
+        expr("__sf div n_evals").as("mae_forecast_micros"),
+        expr("__sn div n_evals").as("mae_naive_micros"),
+        expr("CAST(__sf AS DECIMAL(38,0)) * 1000000 " +
+          "div nullif(__sn, 0)").cast("bigint").as("mase_ppm"))
+  }
+
   /** Holt–Winters ADDITIVE-SEASONAL forecast — [[holtForecast]] plus
     * the seasonal state it can't carry (hourly/weekly cycles dominate
     * event volume; a level+trend line forecasts the daily average and

@@ -282,6 +282,25 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("holtBacktest: hand-folded origins, exact MAEs and MASE; short series emit nothing") {
+    // alpha=0.5, beta=0: l folds as (x + l)/2 with truncation; every
+    // origin >= 2 forecasts flat l for h=1,2 against a rising line
+    val rows = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L),
+      ("a", 4L, 40L), ("a", 5L, 50L),
+      ("b", 1L, 5L), ("b", 2L, 5L)) // 2 obs < minTrain+1 -> no origin
+      .toDF("k", "o", "x")
+    val got = TimeSeries.holtBacktest(rows, "k", "o", "x",
+        alphaPpm = 500000L, betaPpm = 0L, horizon = 2, minTrain = 2)
+      .collect()
+    assert(got.length == 1)
+    val r = got(0)
+    // hand fold: states l=15,22,31 at origins t=2,3,4; errors
+    // ef = 15,25,18,28,19 (sum 105), en = 10,20,10,20,10 (sum 70)
+    assert(r.getString(0) == "a" && r.getLong(1) == 5L)
+    assert(r.getLong(2) == 21L && r.getLong(3) == 14L)
+    assert(r.getLong(4) == 1500000L)
+  }
+
   test("changepoint: clean level shift localized exactly; means; single-obs key empty") {
     // key "a": 4 obs at 10, then 4 at 20 — the split is after t=4:
     // C_t = |8*S_t - t*S_8| peaks at t=4 (|8*40 - 4*120| = 160)
