@@ -40,10 +40,11 @@ import graft.streaming.EventStreams
   * and the guarded-statistic pre-flights — `ab_bh_fdr` /
   * `dq_drift_fdr` (bhFdr counts the battery to size the step-up;
   * the drift sweep also pre-flights per-metric distinct values),
-  * `ts_theilsen` / `ts_mann_kendall` (maxGroupPoints pre-flight
-  * before the pairwise self-join), `ab_sequential` (maxLooks
-  * pre-flight before the look window) — which each run one or two
-  * small eager counts at construction.
+  * `ts_theilsen` / `ts_mann_kendall` / `ts_decompose`
+  * (maxGroupPoints pre-flight before the pairwise self-join;
+  * decompose also localCheckpoints its series), `ab_sequential`
+  * (maxLooks pre-flight before the look window) — which each run
+  * one or two small eager counts at construction.
   * Callers that only want a plan should skip those.
   */
 object SparkEntry {
@@ -101,7 +102,7 @@ object SparkEntry {
   private val neverGradedFirst: Seq[String] = Seq(
     // round-14 additions (no artifact yet)
     "ts_holt_winters", "ts_changepoint", "dq_drift_fdr", "ab_sequential",
-    "dq_referential", "ts_backtest",
+    "dq_referential", "ts_backtest", "ts_decompose",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -404,7 +405,8 @@ object SparkEntry {
     "evt_transitions", "evt_attribution", "evt_markov_attribution",
     "ts_resample_ffill", "ts_interpolate", "ts_anomaly", "ts_seasonality",
     "ts_cusum", "ts_acf", "ts_holt", "ts_holt_winters", "ts_changepoint",
-    "ts_backtest", "ts_theilsen", "ts_mann_kendall", "surv_kaplan_meier",
+    "ts_backtest", "ts_decompose", "ts_theilsen", "ts_mann_kendall",
+    "surv_kaplan_meier",
     "growth_accounting", "cohort_ltv", "feat_group_regression",
     "evt_cumulative_users", "dq_mutual_info", "dq_js_divergence",
     "feat_isotonic", "dq_corr_matrix", "feat_decayed_activity",
@@ -998,6 +1000,22 @@ object SparkEntry {
       graft.operators.TimeSeries.holtWintersForecast(hc, "event_type",
         "hour", "x", period = 24, alphaPpm = 300000L,
         betaPpm = 100000L, gammaPpm = 300000L, horizon = 12)
+    }),
+
+    "ts_decompose" -> ((s, dir) => {
+      import s.implicits._
+      // Robust STL-shaped decomposition of per-type hourly volume:
+      // Theil-Sen trend + hour-of-day slot medians + residual —
+      // every column an exact long, the whole decomposition
+      // replayed value-for-value. SIDE-EFFECTING (the series
+      // localCheckpoints and the quadratic guard pre-flights at
+      // construction).
+      val hc = Tables.events(s, dir)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+        .agg((count(lit(1)) * 1000000L).as("v"))
+      graft.operators.TimeSeries.decompose(hc, "event_type",
+          expr("unix_timestamp(hour) div 3600"), hour($"hour"), "v")
+        .orderBy($"event_type", $"x")
     }),
 
     "ts_backtest" -> ((s, dir) => {
@@ -7826,6 +7844,39 @@ object SparkEntry {
         |    + list_extract(sv, ((n + step - 1) % 24) + 1) AS BIGINT)
         |    AS forecast_micros
         |FROM fin, hh ORDER BY event_type, step""".stripMargin,
+
+    // the theilSen replay evaluated at every x, slot medians by
+    // quantile_disc on the detrended integers, residual by
+    // subtraction — exact longs end to end
+    "ts_decompose" ->
+      """WITH m AS (SELECT event_type AS k, date_trunc('hour', ts) AS hb,
+        |    CAST(count(*) AS BIGINT) * 1000000 AS y
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT k, CAST(floor(epoch(hb)) AS BIGINT) // 3600 AS x,
+        |    CAST(hour(hb) AS BIGINT) AS slot, y FROM m),
+        |c AS (SELECT k, x, slot, y,
+        |    x - min(x) OVER (PARTITION BY k) AS x0 FROM b),
+        |p AS (SELECT a.k, (bb.y - a.y) * 1000000 // (bb.x0 - a.x0) AS s
+        |  FROM c a JOIN c bb ON a.k = bb.k AND a.x0 < bb.x0),
+        |sl AS (SELECT k, CAST(quantile_disc(s, 0.5) AS BIGINT)
+        |    AS slope FROM p GROUP BY 1),
+        |ic AS (SELECT c.k, sl.slope,
+        |    CAST(quantile_disc(c.y * 1000000 - sl.slope * c.x0, 0.5)
+        |      AS BIGINT) AS icpt
+        |  FROM c JOIN sl ON c.k = sl.k GROUP BY 1, 2),
+        |t AS (SELECT c.k, c.x, c.slot, c.y,
+        |    (ic.icpt + ic.slope * c.x0) // 1000000 AS trend
+        |  FROM c JOIN ic ON c.k = ic.k),
+        |se AS (SELECT k, slot,
+        |    CAST(quantile_disc(y - trend, 0.5) AS BIGINT) AS seasonal
+        |  FROM t GROUP BY 1, 2)
+        |SELECT t.k AS event_type, t.x, t.slot, t.y AS value_micros,
+        |  CAST(t.trend AS BIGINT) AS trend_micros,
+        |  se.seasonal AS seasonal_micros,
+        |  CAST(t.y - t.trend - se.seasonal AS BIGINT)
+        |    AS residual_micros
+        |FROM t JOIN se ON t.k = se.k AND t.slot = se.slot
+        |ORDER BY event_type, x""".stripMargin,
 
     // every origin's state comes from the same recursive-CTE fold
     // ts_holt replays; errors are exact longs, MAEs/MASE truncating

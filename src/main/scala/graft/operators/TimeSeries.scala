@@ -599,6 +599,56 @@ object TimeSeries {
           .cast("long").as("intercept_micros"))
   }
 
+  /** Robust trend + seasonal decomposition per key — the STL-shaped
+    * readout (`x = trend + seasonal + residual`) built from two
+    * exact primitives instead of loess: the trend is the
+    * [[theilSen]] line (29 % breakdown — one outlier hour cannot
+    * bend it) evaluated at every x, the seasonal component is the
+    * PER-SLOT MEDIAN of the detrended series (`percentile_disc` —
+    * an actual data value, outlier-immune), and the residual is what
+    * remains — the series a monitor should actually alarm on, with
+    * the daily/weekly cycle and the drift both removed.
+    *
+    * Exactness: the fit is [[theilSen]]'s integer contract; the
+    * trend evaluates as `(intercept + slope·(x−x_min)) div 10⁶`
+    * (truncating, negatives agree across engines); slot medians are
+    * rank-based exact values; every output column is an exact long —
+    * the whole decomposition replays value-for-value.
+    *
+    * Scale: inherits theilSen's per-SERIES quadratic-pair contract
+    * (loud `maxGroupPoints`); the base series localCheckpoints ONCE
+    * (fit + mins + row stream = three consumers — without
+    * truncation each re-runs the caller's row-scale pre-aggregation;
+    * construction therefore runs jobs eagerly, the acf posture).
+    * Slot medians are a (key, slot)-sized exact aggregate. */
+  def decompose(df: DataFrame, keyCol: String, xExpr: Column,
+      slotExpr: Column, valueMicrosCol: String,
+      maxGroupPoints: Long = 10000L): DataFrame = {
+    val base = df.select(col(keyCol), xExpr.cast("long").as("x"),
+        slotExpr.cast("long").as("slot"),
+        col(valueMicrosCol).cast("long").as("value_micros"))
+      .filter(col("x").isNotNull && col("slot").isNotNull &&
+        col("value_micros").isNotNull)
+      .localCheckpoint(true)
+    val fit = theilSen(base, Seq(keyCol), col("x"),
+      col("value_micros"), maxGroupPoints)
+    val mins = base.groupBy(col(keyCol)).agg(min(col("x")).as("__xmin"))
+    val t = base
+      .join(fit.select(col(keyCol), col("slope_micros"),
+        col("intercept_micros")), Seq(keyCol))
+      .join(mins, Seq(keyCol))
+      .withColumn("trend_micros", expr(
+        "(intercept_micros + slope_micros * (x - __xmin)) div 1000000"))
+      .withColumn("__detr", col("value_micros") - col("trend_micros"))
+    val seas = t.groupBy(col(keyCol), col("slot"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __detr)")
+        .cast("long").as("seasonal_micros"))
+    t.join(seas, Seq(keyCol, "slot"))
+      .select(col(keyCol), col("x"), col("slot"), col("value_micros"),
+        col("trend_micros"), col("seasonal_micros"),
+        (col("__detr") - col("seasonal_micros")).as("residual_micros"))
+  }
+
   /** Kendall τ-b rank correlation per group — [[theilSen]]'s
     * significance companion (the Mann–Kendall trend test IS Kendall's
     * τ against time): classify every pair as concordant, discordant,

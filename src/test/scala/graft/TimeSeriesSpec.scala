@@ -301,6 +301,33 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.getLong(4) == 1500000L)
   }
 
+  test("decompose: pure line is all trend; square-wave seasonality lands in the slot medians") {
+    // pure line y = 100 + 10x: slope 10e6, intercept 100e6, zero
+    // seasonal and residual everywhere
+    val line = (0L to 7L).map(x => ("a", x, x % 2, 100L + 10L * x))
+      .toDF("k", "x", "slot", "v")
+    val gl = TimeSeries.decompose(line, "k", col("x"), col("slot"), "v")
+      .orderBy(col("x")).collect()
+    assert(gl.length == 8)
+    gl.foreach { r =>
+      assert(r.getLong(4) == r.getLong(3), "trend == value on a line")
+      assert(r.getLong(5) == 0L && r.getLong(6) == 0L)
+    }
+    // square wave y = 105/95 alternating: slope's disc-median is 0,
+    // intercept disc-median 95e6 -> trend 95; slot medians 10 / 0
+    val sq = (0L to 7L).map(x =>
+      ("a", x, x % 2, if (x % 2 == 0) 105L else 95L))
+      .toDF("k", "x", "slot", "v")
+    val gs = TimeSeries.decompose(sq, "k", col("x"), col("slot"), "v")
+      .orderBy(col("x")).collect()
+    gs.foreach { r =>
+      assert(r.getLong(4) == 95L, "trend")
+      assert(r.getLong(5) == (if (r.getLong(2) == 0L) 10L else 0L),
+        "seasonal")
+      assert(r.getLong(6) == 0L, "residual")
+    }
+  }
+
   test("changepoint: clean level shift localized exactly; means; single-obs key empty") {
     // key "a": 4 obs at 10, then 4 at 20 — the split is after t=4:
     // C_t = |8*S_t - t*S_8| peaks at t=4 (|8*40 - 4*120| = 160)
