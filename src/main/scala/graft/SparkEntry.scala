@@ -102,7 +102,7 @@ object SparkEntry {
   private val neverGradedFirst: Seq[String] = Seq(
     // round-14 additions (no artifact yet)
     "ts_holt_winters", "ts_changepoint", "dq_drift_fdr", "ab_sequential",
-    "dq_referential", "ts_backtest", "ts_decompose",
+    "dq_referential", "ts_backtest", "ts_decompose", "graph_jaccard",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -432,7 +432,8 @@ object SparkEntry {
     "graph_cooccurrence",
     "graph_weighted_paths", "graph_label_prop", "graph_modularity",
     "graph_louvain", "graph_assortativity", "graph_degree_hist",
-    "graph_assoc_rules", "graph_adamic_adar", "dedup_containment",
+    "graph_assoc_rules", "graph_adamic_adar", "graph_jaccard",
+    "dedup_containment",
     "text_gopher_rules", "text_collocations", "text_textrank",
     "agg_salted_collect",
     "pipeline_clean_corpus", "pipeline_curation", "pipeline_tokenize_pack",
@@ -6401,6 +6402,19 @@ object SparkEntry {
         .limit(100)
     }),
 
+    "graph_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      // Neighborhood Jaccard link prediction on the part co-order
+      // graph: size-invariant overlap share of absent pairs, same
+      // capped-apex census as adamic-adar (64) with TRUE degrees in
+      // the denominator; one truncating ppm division, top-100 by a
+      // total tie-break.
+      Graph.jaccardNeighbors(partCoOrderPairs(s, dir), "a", "b",
+          maxApexDegree = 64)
+        .orderBy(desc("jaccard_ppm"), $"id_a", $"id_b")
+        .limit(100)
+    }),
+
     "feat_group_regression" -> ((s, dir) => {
       import s.implicits._
       // Per-priority OLS trend of order cents against days since
@@ -9573,6 +9587,36 @@ object SparkEntry {
         |  SELECT 1 FROM p WHERE p.a = ag.a AND p.b = ag.b))
         |SELECT a AS id_a, b AS id_b, n_common, aa_micros FROM res
         |ORDER BY aa_micros DESC, id_a, id_b LIMIT 100""".stripMargin,
+
+    // same capped-apex wedge census as adamic-adar; true degrees in
+    // the denominator, one truncating ppm division
+    "graph_jaccard" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |   AND l1.l_partkey < l2.l_partkey
+        |  WHERE l1.l_orderkey % 4 = 0),
+        |adj AS MATERIALIZED (SELECT a AS w, b AS n FROM p
+        |  UNION ALL SELECT b AS w, a AS n FROM p),
+        |deg AS (SELECT w AS id, CAST(count(*) AS BIGINT) AS deg
+        |  FROM adj GROUP BY 1),
+        |nb AS (SELECT adj.w, adj.n FROM adj
+        |  JOIN deg ON adj.w = deg.id WHERE deg.deg <= 64),
+        |ag AS (SELECT l.n AS a, r.n AS b,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM nb l JOIN nb r ON l.w = r.w AND l.n < r.n
+        |  GROUP BY 1, 2),
+        |res AS (SELECT * FROM ag WHERE NOT EXISTS (
+        |  SELECT 1 FROM p WHERE p.a = ag.a AND p.b = ag.b))
+        |SELECT res.a AS id_a, res.b AS id_b, res.n_common,
+        |  da.deg AS deg_a, db.deg AS deg_b,
+        |  CAST(CAST(res.n_common AS HUGEINT) * 1000000
+        |    // (da.deg + db.deg - res.n_common) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM res JOIN deg da ON res.a = da.id
+        |  JOIN deg db ON res.b = db.id
+        |ORDER BY jaccard_ppm DESC, id_a, id_b LIMIT 100""".stripMargin,
 
     // HUGEINT moments; slope feeds intercept unrounded — one shared
     // double, rounded only at the edges

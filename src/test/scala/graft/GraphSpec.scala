@@ -645,4 +645,28 @@ class GraphSpec extends SparkSpec {
       Graph.adamicAdar(edges, maxApexDegree = 1)
     }
   }
+
+  test("jaccardNeighbors: closed-form square + pendant; true degrees; apex cap semantics") {
+    import org.apache.spark.sql.functions.col
+    // square 1-2-3-4-1 plus pendant 1-5: deg(1)=3, others 2/1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 5L))
+      .toDF("id_a", "id_b")
+    val got = Graph.jaccardNeighbors(edges).orderBy(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // (1,3): common {2,4}, J = 2/(3+2-2); (2,4): common {1,3}, J = 1;
+    // (2,5)/(4,5): common {1}, J = 1/2
+    assert(got.toSeq == Seq(
+      (1L, 3L, 2L, 3L, 2L, 666666L),
+      (2L, 4L, 2L, 2L, 2L, 1000000L),
+      (2L, 5L, 1L, 2L, 1L, 500000L),
+      (4L, 5L, 1L, 2L, 1L, 500000L)), got.mkString(", "))
+    // cap 2 excludes apex 1 (deg 3): hub-mediated overlap uncounted,
+    // true degrees still in the denominator
+    val capped = Graph.jaccardNeighbors(edges, maxApexDegree = 2)
+      .orderBy(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    assert(capped.toSeq == Seq((1L, 3L, 2L, 666666L),
+      (2L, 4L, 1L, 333333L)), capped.mkString(", "))
+  }
 }
