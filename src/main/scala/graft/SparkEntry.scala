@@ -103,6 +103,7 @@ object SparkEntry {
     // round-14 additions (no artifact yet)
     "ts_holt_winters", "ts_changepoint", "dq_drift_fdr", "ab_sequential",
     "dq_referential", "ts_backtest", "ts_decompose", "graph_jaccard",
+    "ab_power",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -394,6 +395,7 @@ object SparkEntry {
     "dq_fd_violations",
     "feat_spearman", "ab_ztest", "ab_ttest", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "dq_drift_fdr", "ab_sequential", "dq_referential",
+    "ab_power",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -6156,6 +6158,21 @@ object SparkEntry {
         .orderBy($"relation")
     }),
 
+    "ab_power" -> ((s, dir) => {
+      import s.implicits._
+      // Power/MDE table for per-user purchase revenue: required
+      // per-arm n for 1/2/5/10% relative effects and the minimum
+      // detectable effect at the current size (alpha 0.05, power
+      // 0.80). Exact moments, one mirrored closed-form tree.
+      val perUser = Tables.events(s, dir)
+        .filter($"event_type" === "purchase")
+        .groupBy($"user_id")
+        .agg(sum(round($"value" * 100).cast("long")).as("cents"))
+      graft.operators.Features.powerAnalysis(perUser, $"cents",
+          Seq(10000L, 20000L, 50000L, 100000L))
+        .orderBy($"effect_ppm")
+    }),
+
     "ab_sequential" -> ((s, dir) => {
       import s.implicits._
       // Always-valid sequential test over a daily look schedule:
@@ -9119,6 +9136,36 @@ object SparkEntry {
         |  CAST(CAST(n_orphan_rows AS HUGEINT) * 1000000
         |    // nullif(n_rows - n_null_rows, 0) AS BIGINT) AS orphan_ppm
         |FROM u ORDER BY relation""".stripMargin,
+
+    // exact per-user moments; the closed-form power tree mirrored
+    // (z literals fold identically); ceil rounds fractional units UP
+    "ab_power" ->
+      """WITH u AS (SELECT user_id,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS y
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS HUGEINT) AS s,
+        |    CAST(sum(y * y) AS HUGEINT) AS ss
+        |  FROM u),
+        |d AS (SELECT n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+        |    CAST(n * ss - s * s AS DOUBLE)
+        |      / CAST(n * (n - 1) AS DOUBLE) AS v
+        |  FROM c WHERE n > 1),
+        |e AS (SELECT CAST(unnest([10000, 20000, 50000, 100000])
+        |    AS BIGINT) AS effect_ppm)
+        |SELECT e.effect_ppm, d.n AS n_current,
+        |  CAST(round(m * 1000000) AS BIGINT) AS mean_micros,
+        |  CAST(round(sqrt(v) * 1000000) AS BIGINT) AS sd_micros,
+        |  CAST(ceil(2.0 * v
+        |      * ((1.959964 + 0.841621) * (1.959964 + 0.841621))
+        |    / ((m * CAST(e.effect_ppm AS DOUBLE) / 1000000.0)
+        |      * (m * CAST(e.effect_ppm AS DOUBLE) / 1000000.0)))
+        |    AS BIGINT) AS n_required,
+        |  CAST(round((1.959964 + 0.841621)
+        |    * sqrt(2.0 * v / CAST(d.n AS DOUBLE)) * 1000000)
+        |    AS BIGINT) AS mde_micros
+        |FROM d, e WHERE v > 0 AND m <> 0
+        |ORDER BY effect_ppm""".stripMargin,
 
     // exact cumulative look cells, the reciprocal-free mSPRT tree
     // mirrored token-for-token, running min + verdicts as longs

@@ -207,6 +207,58 @@ object Features {
         round(dfW * 1e6).cast("long").as("df_micros"))
   }
 
+  /** Power analysis / minimum-detectable-effect table — the question
+    * that comes BEFORE every test in the kit (z, t, CUPED, DiD,
+    * jackknife, sequential): is this experiment even big enough?
+    * From the unit-level baseline metric, for each target relative
+    * effect `e` (ppm of the baseline mean): the required per-arm
+    * sample size `n_req = ⌈2σ²(z_{α/2}+z_β)²/δ²⌉` with `δ = e·mean`,
+    * and the minimum detectable effect at the CURRENT size
+    * `mde = (z_{α/2}+z_β)·√(2σ²/n)` — both at the standard
+    * α = 0.05 two-sided, power = 0.80 (z constants 1.959964 and
+    * 0.841621, shared literals both engines fold identically).
+    *
+    * Exactness: n/Σy/Σy² are exact integers (DECIMAL before summing);
+    * mean, σ² and the closed forms are ONE mirrored IEEE tree;
+    * outputs micro-quantize (`ceil` for n_req — a fractional unit
+    * rounds UP, you cannot run 0.4 of a user). Zero-variance or
+    * zero-mean baselines emit nothing (no effect is detectable or
+    * the relative grid is undefined), not NaN.
+    *
+    * Scale: ONE aggregate over the unit table, cross-joined with the
+    * effect grid (a handful of literal rows). Nothing shuffles. */
+  def powerAnalysis(df: DataFrame, metricExpr: Column,
+      effectsPpm: Seq[Long]): DataFrame = {
+    require(effectsPpm.nonEmpty && effectsPpm.forall(_ > 0),
+      s"effectsPpm must be non-empty positive (got $effectsPpm)")
+    val dec = "decimal(38,0)"
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(metricExpr.cast("long").as("__y"))
+      .filter(col("__y").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__y").cast(dec)).as("__s"),
+        sum(col("__y").cast(dec) * col("__y")).as("__ss"))
+      .filter(col("n") > 1L)
+    val m = col("__s").cast("double") / col("n").cast("double")
+    val v = (col("n").cast(dec) * col("__ss") - col("__s") * col("__s"))
+      .cast("double") /
+      (col("n").cast(dec) * (col("n") - 1)).cast("double")
+    val z = lit(1.959964) + lit(0.841621)
+    val delta = col("__m") * col("effect_ppm").cast("double") / lit(1e6)
+    base.withColumn("__m", m).withColumn("__v", v)
+      .filter(col("__v") > 0.0 && col("__m") =!= 0.0)
+      .crossJoin(effectsPpm.toDF("effect_ppm"))
+      .select(col("effect_ppm"),
+        col("n").cast("bigint").as("n_current"),
+        round(col("__m") * 1e6).cast("long").as("mean_micros"),
+        round(sqrt(col("__v")) * 1e6).cast("long").as("sd_micros"),
+        ceil(lit(2.0) * col("__v") * (z * z) / (delta * delta))
+          .cast("bigint").as("n_required"),
+        round(z * sqrt(lit(2.0) * col("__v") / col("n").cast("double"))
+          * 1e6).cast("long").as("mde_micros"))
+  }
+
   /** Always-valid sequential inference — the mixture sequential
     * probability ratio test (mSPRT, Robbins 1970; Johari et al. 2017
     * "Peeking at A/B tests") over a LOOK SCHEDULE: the fixed-horizon

@@ -325,6 +325,30 @@ class FeaturesSpec extends SparkSpec {
     assert(e.getMessage.contains("distinct scores"), e.getMessage)
   }
 
+  test("powerAnalysis: hand-computed closed forms; degenerate baselines empty") {
+    val df = Seq(10L, 20L, 30L, 40L).toDF("y")
+    val got = Features.powerAnalysis(df, col("y"), Seq(100000L))
+      .collect()
+    assert(got.length == 1)
+    val r = got(0)
+    val m = 100.0 / 4.0
+    val v = (4.0 * 3000.0 - 100.0 * 100.0) / (4.0 * 3.0)
+    val z = 1.959964 + 0.841621
+    val delta = m * 100000.0 / 1e6
+    assert(r.getLong(0) == 100000L && r.getLong(1) == 4L)
+    assert(r.getLong(2) == math.round(m * 1e6))
+    assert(r.getLong(3) == math.round(math.sqrt(v) * 1e6))
+    assert(r.getLong(4) ==
+      math.ceil(2.0 * v * (z * z) / (delta * delta)).toLong)
+    assert(r.getLong(5) == math.round(z * math.sqrt(2.0 * v / 4.0) * 1e6))
+    // constant metric: zero variance -> nothing is detectable
+    assert(Features.powerAnalysis(Seq(5L, 5L).toDF("y"), col("y"),
+      Seq(100000L)).count() == 0L)
+    // single observation: no variance estimate
+    assert(Features.powerAnalysis(Seq(5L).toDF("y"), col("y"),
+      Seq(100000L)).count() == 0L)
+  }
+
   test("sequentialMsprt: identical arms clamp to p=1; second look matches the hand-computed tree; running min") {
     val rows = Seq(
       (1L, true, 100L), (1L, true, 200L),
