@@ -103,7 +103,8 @@ object SparkEntry {
     // round-14 additions (no artifact yet)
     "ts_holt_winters", "ts_changepoint", "dq_drift_fdr", "ab_sequential",
     "dq_referential", "ts_backtest", "ts_decompose", "graph_jaccard",
-    "ab_power",
+    "ab_power", "feat_conformal", "sim_range_search",
+    "sim_range_search_gate", "ab_poststrat",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -395,7 +396,7 @@ object SparkEntry {
     "dq_fd_violations",
     "feat_spearman", "ab_ztest", "ab_ttest", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "dq_drift_fdr", "ab_sequential", "dq_referential",
-    "ab_power",
+    "ab_power", "ab_poststrat",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -410,6 +411,7 @@ object SparkEntry {
     "ts_backtest", "ts_decompose", "ts_theilsen", "ts_mann_kendall",
     "surv_kaplan_meier",
     "growth_accounting", "cohort_ltv", "feat_group_regression",
+    "feat_conformal",
     "evt_cumulative_users", "dq_mutual_info", "dq_js_divergence",
     "feat_isotonic", "dq_corr_matrix", "feat_decayed_activity",
     "evt_gini", "dq_type_inference", "evt_stickiness", "ts_drawdown",
@@ -441,6 +443,7 @@ object SparkEntry {
     "pipeline_clean_corpus", "pipeline_curation", "pipeline_tokenize_pack",
     "sketch_freq_items",
     "sim_topk_brute", "sim_topk_ivf", "sim_topk_pq", "sim_hard_negatives",
+    "sim_range_search",
     "mm_content_hash", "mm_decode", "mm_decode_real", "mm_decode_audio",
     "mm_decode_video", "mm_decode_video_frames", "mm_frame_sample",
     "mm_resize", "catalog_persistent_roundtrip")
@@ -4628,6 +4631,53 @@ object SparkEntry {
         .orderBy($"q_id", $"rn")
     }),
 
+    "sim_range_search" -> ((s, dir) => {
+      import s.implicits._
+      // Threshold (range) retrieval via the IVF probe: every
+      // neighbor at cosine >= 0.35 for a 100-query panel — the
+      // retrieval shape where top-k is wrong (true match counts
+      // vary per query; k truncates or pads). Rows-only (seeded
+      // KMeans); one-sided-error + recall contracts live in
+      // sim_range_search_gate.
+      val emb = Tables.embeddings(s, dir)
+      val idx = built.ivfIndex(s, dir)
+      Similarity.ivfRangeSearch(idx, emb.filter($"vec_id" < 100),
+          "embedding", "vec_id", minCosineMicros = 350000L,
+          nprobe = Similarity.ivfAutoNprobe(idx.nlist))
+        .orderBy($"q_id", $"n_id")
+    }),
+
+    "sim_range_search_gate" -> ((s, dir) => {
+      import s.implicits._
+      // One-sided error is a CONSTRUCTION property (exact cosines
+      // over probed cells can only miss, never fabricate) — pinned
+      // here against the exact brute-force range set, plus the
+      // recall >= 0.6 floor and a non-degenerate truth set.
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter($"vec_id" < 100)
+      val idx = built.ivfIndex(s, dir)
+      val got = Similarity.ivfRangeSearch(idx, q, "embedding",
+        "vec_id", 350000L, Similarity.ivfAutoNprobe(idx.nlist)).cache()
+      val a = q.select($"vec_id".as("q_id"), $"embedding".as("__va"))
+      val b = emb.select($"vec_id".as("n_id"), $"embedding".as("__vb"))
+      val brute = a.join(b, $"q_id" =!= $"n_id")
+        .withColumn("__c", round(graft.functions
+          .cosine_similarity($"__va", $"__vb") * 1e6).cast("long"))
+        .filter($"__c" >= 350000L)
+        .select($"q_id", $"n_id")
+      val hits = brute.join(got.select($"q_id", $"n_id"),
+        Seq("q_id", "n_id"), "left_semi")
+      val fabricated = got.select($"q_id", $"n_id")
+        .join(brute, Seq("q_id", "n_id"), "left_anti")
+      brute.agg(count(lit(1)).as("__nt"))
+        .crossJoin(hits.agg(count(lit(1)).as("__hit")))
+        .crossJoin(fabricated.agg((count(lit(1)) === 0L).as("one_sided")))
+        .select(($"__nt" > 0L).as("n_true_positive"),
+          (($"__hit".cast("double") / $"__nt".cast("double")) >= 0.6)
+            .as("recall_ok"),
+          $"one_sided")
+    }),
+
     // ---- ANN quality gates: recall@k of each approximate tier vs the
     // exact brute-force answer, as one driver-checkable row ----
     "sim_quantized_recall" -> ((s, dir) => {
@@ -6158,6 +6208,17 @@ object SparkEntry {
         .orderBy($"relation")
     }),
 
+    "ab_poststrat" -> ((s, dir) => {
+      import s.implicits._
+      // Post-stratified value difference by user parity, stratified
+      // on event type: per-stratum exact cells, weights applied as
+      // counts with ONE final division — the no-pre-period variance
+      // reduction next to CUPED. One row, fully integer.
+      Features.postStratifiedDiff(Tables.events(s, dir),
+        $"event_type", pmod($"user_id", lit(2)) === 0,
+        round($"value" * 100))
+    }),
+
     "ab_power" -> ((s, dir) => {
       import s.implicits._
       // Power/MDE table for per-user purchase revenue: required
@@ -6430,6 +6491,30 @@ object SparkEntry {
           maxApexDegree = 64)
         .orderBy(desc("jaccard_ppm"), $"id_a", $"id_b")
         .limit(100)
+    }),
+
+    "feat_conformal" -> ((s, dir) => {
+      import s.implicits._
+      // Split-conformal intervals around the per-priority OLS fit:
+      // calibration = even order keys, alpha = 0.10. Residuals are
+      // exact longs off the micro-quantized fit, the radius is the
+      // k-th order statistic, coverage one ppm division — the whole
+      // composition (fit -> predict -> calibrate -> check) replays.
+      val xCol = datediff($"o_orderdate",
+        lit("1995-01-01").cast("date"))
+      val rows = Tables.orders(s, dir).select($"o_orderpriority",
+        $"o_orderkey", xCol.cast("long").as("x"),
+        round($"o_totalprice" * 100).cast("long").as("y"))
+      val fit = Features.groupRegression(Tables.orders(s, dir),
+        "o_orderpriority", xCol, round($"o_totalprice" * 100))
+      val pred = rows.join(fit.select($"o_orderpriority",
+          $"slope_micros", $"intercept_micros"), Seq("o_orderpriority"))
+        .withColumn("yhat",
+          expr("(intercept_micros + slope_micros * x) div 1000000"))
+      Features.conformalInterval(pred, Seq("o_orderpriority"), $"y",
+          $"yhat", pmod($"o_orderkey", lit(2)) === 0,
+          alphaMicros = 100000L)
+        .orderBy($"o_orderpriority")
     }),
 
     "feat_group_regression" -> ((s, dir) => {
@@ -9137,6 +9222,41 @@ object SparkEntry {
         |    // nullif(n_rows - n_null_rows, 0) AS BIGINT) AS orphan_ppm
         |FROM u ORDER BY relation""".stripMargin,
 
+    // per-stratum HUGEINT cells; stratum means by truncating
+    // division, weighted as counts, one final division per estimate
+    "ab_poststrat" ->
+      """WITH c AS (SELECT event_type AS s,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nt,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS HUGEINT) AS st,
+        |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nc,
+        |    CAST(sum(CASE WHEN user_id % 2 <> 0
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS HUGEINT) AS sc
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT * FROM c WHERE nt > 0 AND nc > 0),
+        |a AS (SELECT CAST(sum(nt + nc) AS BIGINT) AS n,
+        |    CAST(sum(nt) AS HUGEINT) AS tn,
+        |    CAST(sum(nc) AS HUGEINT) AS cn,
+        |    sum(st) AS ts, sum(sc) AS cs,
+        |    sum(CAST(nt + nc AS HUGEINT) * (st * 1000000 // nt))
+        |      AS wt,
+        |    sum(CAST(nt + nc AS HUGEINT) * (sc * 1000000 // nc))
+        |      AS wc
+        |  FROM f)
+        |SELECT n,
+        |  CAST(ts * 1000000 // tn AS BIGINT) AS naive_t_micros,
+        |  CAST(cs * 1000000 // cn AS BIGINT) AS naive_c_micros,
+        |  CAST(ts * 1000000 // tn - cs * 1000000 // cn AS BIGINT)
+        |    AS naive_diff_micros,
+        |  CAST(wt // n AS BIGINT) AS poststrat_t_micros,
+        |  CAST(wc // n AS BIGINT) AS poststrat_c_micros,
+        |  CAST(wt // n - wc // n AS BIGINT) AS poststrat_diff_micros
+        |FROM a WHERE n > 0""".stripMargin,
+
     // exact per-user moments; the closed-form power tree mirrored
     // (z literals fold identically); ceil rounds fractional units UP
     "ab_power" ->
@@ -9664,6 +9784,49 @@ object SparkEntry {
         |FROM res JOIN deg da ON res.a = da.id
         |  JOIN deg db ON res.b = db.id
         |ORDER BY jaccard_ppm DESC, id_a, id_b LIMIT 100""".stripMargin,
+
+    // the OLS fit replayed, predictions by truncating division,
+    // radius = k-th order statistic, coverage one ppm division
+    "feat_conformal" ->
+      """WITH v AS (SELECT o_orderpriority AS g, o_orderkey AS id,
+        |    CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS y FROM orders),
+        |m AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx FROM v GROUP BY 1),
+        |sl AS (SELECT *, CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+        |  FROM m WHERE n * sxx - sx * sx > 0),
+        |f AS (SELECT g,
+        |    CAST(round(slope * 1000000) AS BIGINT) AS sm,
+        |    CAST(round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+        |      / n * 1000000) AS BIGINT) AS im
+        |  FROM sl),
+        |p AS (SELECT v.g, v.id,
+        |    abs(v.y - (f.im + f.sm * v.x) // 1000000) AS r,
+        |    (v.id % 2 = 0) AS cal FROM v JOIN f ON v.g = f.g),
+        |sz AS (SELECT g,
+        |    CAST(sum(CASE WHEN cal THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_cal,
+        |    CAST(sum(CASE WHEN NOT cal THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_test FROM p GROUP BY 1),
+        |kk AS (SELECT g, n_cal, n_test,
+        |    ((n_cal + 1) * 900000 + 999999) // 1000000 AS k FROM sz
+        |  WHERE n_test > 0),
+        |rk AS (SELECT g, r, row_number() OVER (PARTITION BY g
+        |    ORDER BY r) AS rn FROM p WHERE cal),
+        |rad AS (SELECT kk.g, kk.n_cal, kk.n_test, kk.k, rk.r AS radius
+        |  FROM kk JOIN rk ON kk.g = rk.g AND rk.rn = kk.k
+        |  WHERE kk.k <= kk.n_cal)
+        |SELECT p.g AS o_orderpriority, rad.n_cal, rad.n_test,
+        |  CAST(rad.k AS BIGINT) AS k_cal,
+        |  CAST(rad.radius AS BIGINT) AS radius,
+        |  CAST(CAST(sum(CASE WHEN p.r <= rad.radius THEN 1 ELSE 0 END)
+        |    AS HUGEINT) * 1000000 // rad.n_test AS BIGINT)
+        |    AS coverage_ppm
+        |FROM p JOIN rad ON p.g = rad.g WHERE NOT p.cal
+        |GROUP BY 1, 2, 3, 4, 5 ORDER BY o_orderpriority""".stripMargin,
 
     // HUGEINT moments; slope feeds intercept unrounded — one shared
     // double, rounded only at the edges
@@ -10968,6 +11131,14 @@ object SparkEntry {
 
     "sim_recall_ivf" ->
       "SELECT 5 AS k, 100 AS n_true, true AS recall_ok",
+
+    // booleans only: the truth-set size is deterministic but floats
+    // in DuckDB's list cosine could flicker a boundary pair; the
+    // CONTRACTS (non-degenerate truth, recall floor, no fabricated
+    // pair) are environment-stable
+    "sim_range_search_gate" ->
+      ("SELECT true AS n_true_positive, true AS recall_ok, " +
+        "true AS one_sided"),
 
     "sim_recall_pq" ->
       "SELECT 5 AS k, 100 AS n_true, true AS recall_ok",

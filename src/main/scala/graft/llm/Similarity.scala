@@ -264,6 +264,51 @@ object Similarity {
       seed: Long = 42L): DataFrame =
     ivfProbe(ivfBuild(emb, vecCol, idCol, nlist, seed), queries, vecCol, idCol, k, nprobe)
 
+  /** RANGE (threshold) search through the IVF index — every neighbor
+    * with cosine ≥ τ, the retrieval shape dedup and
+    * near-duplicate audits need where top-k is wrong (a query can
+    * have 0 or 10 000 true matches; k silently truncates or pads):
+    * probe the nprobe nearest cells exactly like [[ivfProbe]], keep
+    * every candidate at or above the threshold instead of a rank
+    * cut. Cosines quantize to integer micros AT THE COMPARISON
+    * (`round(cos·10⁶) ≥ minCosineMicros`) so the emitted pair set is
+    * a deterministic function of the probe — no boundary pair can
+    * flicker on an IEEE tiebreak. Returns (q_id, n_id,
+    * cosine_micros).
+    *
+    * One-sided error by construction: every emitted pair truly
+    * passes the threshold (cosines are exact over the probed cells —
+    * the index can only MISS pairs whose cell was not probed, never
+    * fabricate); the recall side is what a gate measures against
+    * brute force. Output size is data-dependent — the caller bounds
+    * it with the threshold, not a k.
+    *
+    * Scale: identical dataflow to [[ivfProbe]] minus the rank
+    * window — candidates never re-sort, the threshold filter is
+    * row-local, so the only shuffles are the probe join's. */
+  def ivfRangeSearch(index: IvfIndex, queries: DataFrame,
+      vecCol: String, idCol: String, minCosineMicros: Long,
+      nprobe: Int = 4): DataFrame = {
+    require(minCosineMicros >= -1000000L && minCosineMicros <= 1000000L,
+      s"minCosineMicros must be in [-1e6, 1e6] (got $minCosineMicros)")
+    val qCents = queries.select(col(idCol).as("q_id"),
+        col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(index.centroids))
+      .withColumn("cdist", cosine_similarity(col("q_vec"), col("centroid")))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("cdist").desc, col("cluster"))
+    val probes = qCents.withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("cluster"))
+    probes.join(index.assigned, "cluster")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine_micros",
+        round(cosine_similarity(col("q_vec"), col("n_vec")) * 1e6)
+          .cast("long"))
+      .filter(col("cosine_micros") >= minCosineMicros)
+      .select(col("q_id"), col("n_id"), col("cosine_micros"))
+  }
+
   /** kNN GRAPH construction: the corpus probed against its own index —
     * every vector gets its top-k nearest neighbors as directed
     * (q_id, n_id, cosine, rn) edges. This is the input shape for

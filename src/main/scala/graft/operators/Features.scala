@@ -104,6 +104,127 @@ object Features {
           .as("intercept_micros"))
   }
 
+  /** Post-stratified treatment-effect estimate — the variance
+    * reduction that needs NO pre-period (CUPED's requirement): when
+    * a categorical covariate (country, platform, user tier) predicts
+    * the metric, reweighting per-arm stratum means by the POOLED
+    * stratum shares removes the noise from accidental stratum
+    * imbalance between arms: `est_arm = Σ_s w_s·m̄_{s,arm}` with
+    * `w_s = n_s/n`. Reported next to the naive difference — on a
+    * perfectly balanced assignment the two agree, and the gap IS the
+    * imbalance correction.
+    *
+    * Exactness: per-(stratum, arm) exact integer (n, Σy); stratum
+    * means quantize by truncating division; the weighted combination
+    * `Σ n_s·m̄_s div n` stays integer (weights applied as counts, ONE
+    * final division — no float shares). Strata missing an arm drop
+    * from BOTH estimates (no mean exists to reweight; the naive
+    * estimate is restated over the same covered strata so the
+    * comparison is apples-to-apples). Returns one row.
+    *
+    * Scale: one row-scale hash-agg to (stratum, arm) cells; stratum-
+    * scale arithmetic after. Nothing else shuffles. */
+  def postStratifiedDiff(df: DataFrame, stratumExpr: Column,
+      treatmentExpr: Column, metricExpr: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.select(stratumExpr.as("__s"), treatmentExpr.as("__t"),
+        metricExpr.cast("long").as("__y"))
+      .filter(col("__s").isNotNull && col("__t").isNotNull &&
+        col("__y").isNotNull)
+      .groupBy(col("__s"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__nt"),
+        sum(when(col("__t"), col("__y")).otherwise(0L).cast(dec))
+          .as("__st"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("__nc"),
+        sum(when(!col("__t"), col("__y")).otherwise(0L).cast(dec))
+          .as("__sc"))
+      .filter(col("__nt") > 0L && col("__nc") > 0L)
+    cells
+      .agg(sum(col("__nt") + col("__nc")).as("n"),
+        sum(col("__nt")).as("__tn"), sum(col("__nc")).as("__cn"),
+        sum(col("__st")).as("__ts"), sum(col("__sc")).as("__cs"),
+        sum((col("__nt") + col("__nc")).cast(dec) *
+          expr("__st * 1000000 div __nt")).as("__wt"),
+        sum((col("__nt") + col("__nc")).cast(dec) *
+          expr("__sc * 1000000 div __nc")).as("__wc"))
+      .filter(col("n") > 0L)
+      .select(col("n").cast("bigint").as("n"),
+        expr("CAST(__ts * 1000000 div __tn AS BIGINT)")
+          .as("naive_t_micros"),
+        expr("CAST(__cs * 1000000 div __cn AS BIGINT)")
+          .as("naive_c_micros"),
+        expr("CAST(__ts * 1000000 div __tn - __cs * 1000000 div __cn " +
+          "AS BIGINT)").as("naive_diff_micros"),
+        expr("CAST(__wt div n AS BIGINT)").as("poststrat_t_micros"),
+        expr("CAST(__wc div n AS BIGINT)").as("poststrat_c_micros"),
+        expr("CAST(__wt div n - __wc div n AS BIGINT)")
+          .as("poststrat_diff_micros"))
+  }
+
+  /** Split-conformal prediction intervals per group — the
+    * distribution-free calibration step for ANY point predictor
+    * (OLS, isotonic, a black-box model): on a held-out CALIBRATION
+    * split, take the `k = ⌈(n_cal+1)(1−α)⌉`-th smallest absolute
+    * residual as the interval radius; then `ŷ ± radius` covers the
+    * truth with probability ≥ 1−α on exchangeable data — a GUARANTEE,
+    * not a hope (Vovk; Lei et al. 2018). The test split's empirical
+    * coverage is reported next to it as the sanity check.
+    *
+    * Exactness: residuals are exact longs; `k` is an integer ceiling
+    * (`((n_cal+1)·(10⁶−α) + 10⁶−1) div 10⁶`); the radius is the k-th
+    * ORDER STATISTIC (row_number over (residual, tie) — the value at
+    * rank k is a multiset property, tie order cannot change it);
+    * coverage is one truncating ppm division. Groups where
+    * k > n_cal emit nothing (the finite-sample guarantee needs an
+    * infinite interval there — a result row would lie).
+    *
+    * Scale: one row-scale pass computes residuals and splits; the
+    * rank window partitions by GROUP (high-cardinality groups
+    * parallelize; per-group calibration rows must fit a partition —
+    * the percentile-family contract); everything after is
+    * group-scale. Returns (keys..., n_cal, n_test, k, radius,
+    * coverage_ppm). */
+  def conformalInterval(df: DataFrame, keyCols: Seq[String],
+      yExpr: Column, yhatExpr: Column, calibExpr: Column,
+      alphaMicros: Long = 100000L): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(alphaMicros > 0L && alphaMicros < 1000000L,
+      s"alphaMicros must be in (0, 1e6) (got $alphaMicros)")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(keyCols.map(col) ++ Seq(
+        abs(yExpr.cast("long") - yhatExpr.cast("long")).as("__r"),
+        calibExpr.as("__cal")): _*)
+      .filter(col("__r").isNotNull && col("__cal").isNotNull)
+    val sizes = base.groupBy(keyCols.map(col): _*)
+      .agg(sum(when(col("__cal"), 1L).otherwise(0L)).as("n_cal"),
+        sum(when(!col("__cal"), 1L).otherwise(0L)).as("n_test"))
+      .withColumn("k_cal", expr(
+        s"((n_cal + 1) * ${1000000L - alphaMicros} + 999999) " +
+          "div 1000000"))
+      .filter(col("k_cal") <= col("n_cal") && col("n_test") > 0L)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__r"))
+    val radius = base.filter(col("__cal"))
+      .withColumn("__rank", row_number().over(w).cast("long"))
+      .join(sizes, keyCols)
+      .filter(col("__rank") === col("k_cal"))
+      .select(keyCols.map(col) ++ Seq(col("n_cal"), col("n_test"),
+        col("k_cal"), col("__r").as("radius")): _*)
+    base.filter(!col("__cal"))
+      .join(radius, keyCols)
+      .groupBy(keyCols.map(col): _*)
+      .agg(first(col("n_cal")).cast("bigint").as("n_cal"),
+        first(col("n_test")).cast("bigint").as("n_test"),
+        first(col("k_cal")).cast("bigint").as("k_cal"),
+        first(col("radius")).cast("bigint").as("radius"),
+        sum(when(col("__r") <= col("radius"), 1L).otherwise(0L))
+          .as("__cov"))
+      .select(keyCols.map(col) ++ Seq(col("n_cal"), col("n_test"),
+        col("k_cal"), col("radius"),
+        expr("CAST(__cov AS DECIMAL(38,0)) * 1000000 div n_test")
+          .cast("bigint").as("coverage_ppm")): _*)
+  }
+
   /** Two-proportion z-test + sample-ratio-mismatch check — the A/B
     * readout that pairs with [[cuped]] (CUPED shrinks the variance;
     * this tests the binary metric): pooled-variance z for

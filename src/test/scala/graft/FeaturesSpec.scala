@@ -325,6 +325,44 @@ class FeaturesSpec extends SparkSpec {
     assert(e.getMessage.contains("distinct scores"), e.getMessage)
   }
 
+  test("postStratifiedDiff: imbalance correction hand-checked; one-armed strata drop from both") {
+    val rows = Seq(
+      ("A", true, 10L), ("A", false, 20L), ("A", false, 20L),
+      ("B", true, 100L), ("B", true, 100L), ("B", false, 200L),
+      ("C", true, 999L)) // no control -> dropped everywhere
+      .toDF("s", "t", "y")
+    val got = Features.postStratifiedDiff(rows, col("s"), col("t"),
+      col("y")).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getLong(0) == 6L) // stratum C excluded from n too
+    assert(r.getLong(1) == 70000000L && r.getLong(2) == 80000000L)
+    assert(r.getLong(3) == -10000000L)
+    assert(r.getLong(4) == 55000000L && r.getLong(5) == 110000000L)
+    assert(r.getLong(6) == -55000000L)
+  }
+
+  test("conformalInterval: k-th residual radius, coverage, small-calibration refusal") {
+    // calibration residuals 1..10 (yhat = 0), test residuals 0 and 100
+    val rows = (1L to 10L).map(r => ("g", r, 0L, true)) ++
+      Seq(("g", 0L, 0L, false), ("g", 100L, 0L, false))
+    val df = rows.toDF("k", "y", "yhat", "cal")
+    val got = Features.conformalInterval(df, Seq("k"), col("y"),
+      col("yhat"), col("cal"), alphaMicros = 100000L).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    // k = ceil(11 * 0.9) = 10 -> radius = 10th smallest = 10
+    assert(r.getLong(1) == 10L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 10L && r.getLong(4) == 10L)
+    assert(r.getLong(5) == 500000L) // 0 covered, 100 not
+    // 3 calibration rows at alpha=0.1: k = ceil(4*0.9) = 4 > 3 ->
+    // the finite-sample guarantee needs an infinite interval: empty
+    val small = (1L to 3L).map(r => ("g", r, 0L, true))
+      .++(Seq(("g", 1L, 0L, false))).toDF("k", "y", "yhat", "cal")
+    assert(Features.conformalInterval(small, Seq("k"), col("y"),
+      col("yhat"), col("cal"), alphaMicros = 100000L).count() == 0L)
+  }
+
   test("powerAnalysis: hand-computed closed forms; degenerate baselines empty") {
     val df = Seq(10L, 20L, 30L, 40L).toDF("y")
     val got = Features.powerAnalysis(df, col("y"), Seq(100000L))

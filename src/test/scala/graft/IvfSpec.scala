@@ -82,4 +82,32 @@ class IvfSpec extends SparkSpec {
       .select($"n_id").collect().map(_.getLong(0))
     assert(got.sameElements(Array(0L)))
   }
+
+  test("ivfRangeSearch: full probe equals exact brute-force range set; one-sided under partial probe") {
+    val emb = syntheticEmb(120)
+    val idx = Similarity.ivfBuild(emb, "embedding", "vec_id", nlist = 6)
+    val tau = 100000L
+    def brute = {
+      val a = emb.select($"vec_id".as("q_id"), $"embedding".as("va"))
+      val b = emb.select($"vec_id".as("n_id"), $"embedding".as("vb"))
+      a.join(b, $"q_id" =!= $"n_id")
+        .withColumn("c", round(
+          graft.functions.cosine_similarity($"va", $"vb") * 1e6)
+          .cast("long"))
+        .filter($"c" >= tau).select($"q_id", $"n_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val exact = brute
+    assert(exact.nonEmpty, "degenerate fixture")
+    // nprobe = nlist probes every cell: the range search is EXACT
+    val full = Similarity.ivfRangeSearch(idx, emb, "embedding",
+        "vec_id", tau, nprobe = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, s"full probe diverged: ${full.size} vs ${exact.size}")
+    // partial probe: subset of the truth, never a fabricated pair
+    val part = Similarity.ivfRangeSearch(idx, emb, "embedding",
+        "vec_id", tau, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(part.subsetOf(exact), "partial probe fabricated a pair")
+  }
 }

@@ -751,6 +751,35 @@ class PlanSpec extends SparkSpec {
       "hits final join re-runs the upstream edge builder:\n" + p)
   }
 
+  test("ts_changepoint: one keyed shuffle feeds prefix, totals and argmax windows") {
+    val p = plan("ts_changepoint")
+    // exchanges: hourly-count agg, the key repartition, the output
+    // sort — the three windows must REUSE one key partitioning
+    assert(countExchanges(p) <= 3, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("dq_referential: parent keys reduce before the probe; no nested loops") {
+    val p = plan("dq_referential")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // every relation probes an aggregated (distinct) parent side
+    val aggs = p.linesIterator.count(_.matches("\\(\\d+\\) HashAggregate.*"))
+    assert(aggs > 0, p)
+  }
+
+  test("ab_sequential / ab_poststrat / ab_power: one row-scale pass, no row-scale joins") {
+    for (name <- Seq("ab_sequential", "ab_poststrat", "ab_power")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$name must not row-scale join:\n$p")
+      val scans = p.linesIterator.count(
+        _.matches("\\(\\d+\\) Scan parquet\\s*"))
+      assert(scans == 1, s"$name reads events $scans times:\n$p")
+    }
+  }
+
   test("ts_theilsen / ts_mann_kendall: pair joins exchange the monthly series only, never order payload") {
     // the pairwise self-join is quadratic per group — it must run over
     // the aggregated (key, month, cents) series; the raw order columns
