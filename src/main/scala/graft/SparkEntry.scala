@@ -104,7 +104,7 @@ object SparkEntry {
     "ts_holt_winters", "ts_changepoint", "dq_drift_fdr", "ab_sequential",
     "dq_referential", "ts_backtest", "ts_decompose", "graph_jaccard",
     "ab_power", "feat_conformal", "sim_range_search",
-    "sim_range_search_gate", "ab_poststrat",
+    "sim_range_search_gate", "ab_poststrat", "ab_mannwhitney",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -396,7 +396,7 @@ object SparkEntry {
     "dq_fd_violations",
     "feat_spearman", "ab_ztest", "ab_ttest", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "dq_drift_fdr", "ab_sequential", "dq_referential",
-    "ab_power", "ab_poststrat",
+    "ab_power", "ab_poststrat", "ab_mannwhitney",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -6208,6 +6208,18 @@ object SparkEntry {
         .orderBy($"relation")
     }),
 
+    "ab_mannwhitney" -> ((s, dir) => {
+      import s.implicits._
+      // Mann-Whitney rank-sum test of purchase cents by user parity:
+      // the nonparametric reading next to ab_ttest (one whale can't
+      // own a rank test). 2U and the tie sum are exact integers off
+      // the two-phase prefix sum; z and p mirror token-for-token.
+      graft.operators.OrderedStats.mannWhitney(
+        Tables.events(s, dir).filter($"event_type" === "purchase"),
+        round($"value" * 100).cast("long"),
+        pmod($"user_id", lit(2)) === 0)
+    }),
+
     "ab_poststrat" -> ((s, dir) => {
       import s.implicits._
       // Post-stratified value difference by user parity, stratified
@@ -9221,6 +9233,48 @@ object SparkEntry {
         |  CAST(CAST(n_orphan_rows AS HUGEINT) * 1000000
         |    // nullif(n_rows - n_null_rows, 0) AS BIGINT) AS orphan_ppm
         |FROM u ORDER BY relation""".stripMargin,
+
+    // 2U and the tie sum exact off distinct-value counts; the
+    // cross-multiplied variance form and the A&S polynomial mirrored
+    "ab_mannwhitney" ->
+      """WITH s AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |    (user_id % 2 = 0) AS t
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT v,
+        |    sum(CASE WHEN t THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS cb
+        |  FROM s GROUP BY 1),
+        |cc AS (SELECT v, ca, cb, sum(cb) OVER (ORDER BY v) AS cum_b
+        |  FROM c),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) AS BIGINT) AS n_b FROM c),
+        |a AS (SELECT tot.n_a, tot.n_b,
+        |    CAST(sum(CAST(ca AS HUGEINT) * (2 * (cum_b - cb) + cb))
+        |      AS HUGEINT) AS u2,
+        |    CAST(sum(CAST(ca + cb AS HUGEINT) * (ca + cb) * (ca + cb)
+        |      - CAST(ca + cb AS HUGEINT)) AS HUGEINT) AS ties
+        |  FROM cc, tot GROUP BY 1, 2),
+        |b AS (SELECT *, n_a + n_b AS n FROM a
+        |  WHERE n_a > 0 AND n_b > 0),
+        |zt AS (SELECT n_a, n_b, u2,
+        |    CAST(u2 - CAST(n_a AS HUGEINT) * n_b AS DOUBLE)
+        |      / (2.0 * sqrt(CAST(CAST(n_a AS HUGEINT) * n_b
+        |          * (CAST(n + 1 AS HUGEINT) * n * (n - 1) - ties)
+        |          AS DOUBLE)
+        |        / CAST(12 * CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)))
+        |      AS z
+        |  FROM b WHERE n > 1
+        |    AND CAST(n_a AS HUGEINT) * n_b
+        |      * (CAST(n + 1 AS HUGEINT) * n * (n - 1) - ties) > 0),
+        |x0 AS (SELECT *, abs(z) / 1.4142135623730951 AS x FROM zt),
+        |t0 AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS tt FROM x0)
+        |SELECT n_a, n_b, CAST(u2 AS BIGINT) AS u2,
+        |  CAST(round(z * 1000000) AS BIGINT) AS z_micros,
+        |  CAST(round((tt * (0.254829592 + tt * (-0.284496736
+        |    + tt * (1.421413741 + tt * (-1.453152027
+        |    + tt * 1.061405429)))) * exp(-(x * x))) * 1000000)
+        |    AS BIGINT) AS p_micros
+        |FROM t0""".stripMargin,
 
     // per-stratum HUGEINT cells; stratum means by truncating
     // division, weighted as counts, one final division per estimate

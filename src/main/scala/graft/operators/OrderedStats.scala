@@ -209,6 +209,64 @@ object OrderedStats {
             .cast("double") * 1e6).cast("long").as("auc_micros"))
   }
 
+  /** Mann-Whitney U rank-sum test, EXACT with tie correction — the
+    * nonparametric two-sample test the t-test family can't replace
+    * when the metric is ordinal or heavy-tailed (session counts,
+    * latencies, ratings: one whale breaks a mean comparison; ranks
+    * don't care). Shares [[aucExact]]'s identity — `2U` is the same
+    * doubled Mann-Whitney statistic (AUC = U/(n₁n₂) IS the
+    * probability-of-superiority reading) — and adds the inferential
+    * tail: the normal approximation
+    * `z = (2U − n₁n₂) / (2·√Var U)` with the TIE-CORRECTED variance
+    * `Var U = (n₁n₂/12)·((n+1) − Σ(t³−t)/(n(n−1)))`, and the
+    * two-sided p through the shared [[Quality.pValueTwoSidedZ]]
+    * polynomial.
+    *
+    * Exactness: 2U and the tie sum `Σ(t³−t)` are exact integers off
+    * the distinct-value counts; the variance cross-multiplies to the
+    * DECIMAL-exact `n₁n₂·((n+1)n(n−1) − T) / (12n(n−1))` form — one
+    * mirrored double tree from exact integers to z and p, both
+    * micro-quantized. Degenerate inputs (an empty side, or all
+    * values tied — zero variance) return empty, not NaN.
+    *
+    * Scale: identical to [[aucExact]] — one row-scale hash-agg to
+    * distinct values, the two-phase prefix sum, everything after is
+    * distinct-value-scale. Returns one row
+    * (n_a, n_b, u2, z_micros, p_micros). */
+  def mannWhitney(df: DataFrame, valueExpr: Column, tagExpr: Column,
+      nBuckets: Int = 32): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cum = cumCounts(df, valueExpr, tagExpr, nBuckets)
+    val tot = cum.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val agg = cum.crossJoin(broadcast(tot)) // 1-row sample sizes
+      .select(col("n_a"), col("n_b"),
+        (col("ca").cast(dec) *
+          (lit(2).cast(dec) * (col("cum_b") - col("cb")) + col("cb")))
+          .as("__u2"),
+        ((col("ca") + col("cb")).cast(dec) * (col("ca") + col("cb")) *
+          (col("ca") + col("cb")) - (col("ca") + col("cb")).cast(dec))
+          .as("__t3"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(sum(col("__u2")).as("__twoU"), sum(col("__t3")).as("__ties"))
+      .filter(col("n_a") > 0L && col("n_b") > 0L)
+      .withColumn("__n", col("n_a") + col("n_b"))
+    val varNum = (col("n_a").cast(dec) * col("n_b") *
+      ((col("__n") + 1L).cast(dec) * col("__n") * (col("__n") - 1L) -
+        col("__ties")))
+    val varDen = (lit(12).cast(dec) * col("__n") * (col("__n") - 1L))
+    val z = (col("__twoU") - col("n_a").cast(dec) * col("n_b"))
+      .cast("double") /
+      (lit(2.0) * sqrt(varNum.cast("double") / varDen.cast("double")))
+    agg.filter(col("__n") > 1L && varNum > 0)
+      .withColumn("__z", z)
+      .select(col("n_a").cast("bigint").as("n_a"),
+        col("n_b").cast("bigint").as("n_b"),
+        col("__twoU").cast("bigint").as("u2"),
+        round(col("__z") * 1e6).cast("long").as("z_micros"),
+        round(Quality.pValueTwoSidedZ(col("__z")) * 1e6).cast("long")
+          .as("p_micros"))
+  }
+
   /** Spearman rank correlation, EXACT with average-rank ties — the
     * robust dependence measure (Pearson on RANKS: monotone but
     * non-linear relationships score |ρ| → 1, one fat outlier cannot

@@ -141,6 +141,33 @@ class OrderedStatsSpec extends SparkSpec {
     }
   }
 
+  test("mannWhitney: separated samples hand-checked; ties corrected; degenerate all-tied empty") {
+    // A = {1,2} entirely below B = {3,4}: 2U = 0,
+    // z = -4 / (2*sqrt((4*(5*4*3))/(12*4*3))) = -2*sqrt(3/5)
+    val df = Seq((1L, true), (2L, true), (3L, false), (4L, false))
+      .toDF("v", "t")
+    val got = OrderedStats.mannWhitney(df, col("v"), col("t")).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L && r.getLong(2) == 0L)
+    val z = -2.0 * math.sqrt(3.0 / 5.0)
+    assert(r.getLong(3) == math.round(z * 1e6), r.toString)
+    // p from the same A&S polynomial
+    val x = math.abs(z) / 1.4142135623730951
+    val tt = 1.0 / (1.0 + 0.3275911 * x)
+    val p = tt * (0.254829592 + tt * (-0.284496736 + tt * (1.421413741 +
+      tt * (-1.453152027 + tt * 1.061405429)))) * math.exp(-(x * x))
+    assert(r.getLong(4) == math.round(p * 1e6), r.toString)
+    // tie correction: all values identical -> zero variance -> empty
+    val tied = Seq((5L, true), (5L, true), (5L, false), (5L, false))
+      .toDF("v", "t")
+    assert(OrderedStats.mannWhitney(tied, col("v"), col("t")).count() == 0L)
+    // one empty side -> empty
+    val oneSide = Seq((1L, true), (2L, true)).toDF("v", "t")
+    assert(OrderedStats.mannWhitney(oneSide, col("v"), col("t"))
+      .count() == 0L)
+  }
+
   test("ksBattery: disjoint supports give D=1 with the one-term tail; identical samples p=1; metric isolation") {
     val rows = Seq(
       // m1: a={1,2}, b={3,4} -> D=1, m_eff=1, p=2*exp(-2)
