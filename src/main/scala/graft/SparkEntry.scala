@@ -105,6 +105,7 @@ object SparkEntry {
     "dq_referential", "ts_backtest", "ts_decompose", "graph_jaccard",
     "ab_power", "feat_conformal", "sim_range_search",
     "sim_range_search_gate", "ab_poststrat", "ab_mannwhitney",
+    "decontaminate_semantic", "decontaminate_semantic_gate",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -427,7 +428,7 @@ object SparkEntry {
     "text_bm25", "text_bm25_indexed", "text_bm25_batch",
     "text_phrase_search",
     "text_rrf_fusion", "text_blocklist",
-    "decontaminate", "corpus_overlap",
+    "decontaminate", "decontaminate_semantic", "corpus_overlap",
     "dedup_exact", "dedup_spans", "dedup_paragraph", "dedup_fingerprint", "dedup_simhash",
     "url_canonical_dedup",
     "dedup_clusters", "graph_pagerank", "graph_pagerank_personalized",
@@ -5186,6 +5187,55 @@ object SparkEntry {
           docs.filter($"doc_id" % 97 === 0),
           "text", "doc_id", n = 4)
         .orderBy($"doc_id")
+    }),
+
+    "decontaminate_semantic" -> ((s, dir) => {
+      import s.implicits._
+      // Semantic decontamination: benchmark = every 11th embedding,
+      // corpus = the rest; flag corpus vectors within cosine >= 0.35
+      // of any benchmark item via the IVF range probe (paraphrase
+      // contamination no 13-gram check can see). Rows-only (seeded
+      // KMeans); one-sided + recall contracts in the gate.
+      val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val corpus = emb.filter($"vec_id" % 11 =!= 0)
+      val bench = emb.filter($"vec_id" % 11 === 0)
+      val nlist = Similarity.ivfAutoNlist(corpus.count())
+      graft.llm.Decontaminate.flagSemantic(corpus, bench, "embedding",
+          "vec_id", minCosineMicros = 350000L, nlist = nlist,
+          nprobe = Similarity.ivfAutoNprobe(nlist))
+        .orderBy($"vec_id")
+    }),
+
+    "decontaminate_semantic_gate" -> ((s, dir) => {
+      import s.implicits._
+      // Contracts vs the exact brute-force range set: flags are a
+      // SUBSET of the truth (one-sided — the probe can only miss),
+      // recall >= 0.6 over truly-contaminated docs, truth non-empty.
+      val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val corpus = emb.filter($"vec_id" % 11 =!= 0)
+      val bench = emb.filter($"vec_id" % 11 === 0)
+      val nlist = Similarity.ivfAutoNlist(corpus.count())
+      val got = graft.llm.Decontaminate.flagSemantic(corpus, bench,
+          "embedding", "vec_id", 350000L, nlist,
+          Similarity.ivfAutoNprobe(nlist))
+        .filter($"contaminated").select($"vec_id").cache()
+      val c = corpus.select($"vec_id".as("cid"), $"embedding".as("__vc"))
+      val b = bench.select($"embedding".as("__vb"))
+      val truth = c.join(b,
+          round(graft.functions.cosine_similarity($"__vc", $"__vb")
+            * 1e6).cast("long") >= 350000L)
+        .select($"cid").distinct()
+      val hits = truth.join(got.withColumnRenamed("vec_id", "cid"),
+        Seq("cid"), "left_semi")
+      val fabricated = got.withColumnRenamed("vec_id", "cid")
+        .join(truth, Seq("cid"), "left_anti")
+      truth.agg(count(lit(1)).as("__nt"))
+        .crossJoin(hits.agg(count(lit(1)).as("__hit")))
+        .crossJoin(fabricated.agg((count(lit(1)) === 0L).as("one_sided")))
+        .select(($"__nt" > 0L).as("n_true_positive"),
+          (($"__hit".cast("double") / $"__nt".cast("double")) >= 0.6)
+            .as("recall_ok"),
+          $"one_sided")
     }),
 
     "corpus_overlap" -> ((s, dir) => {
@@ -11191,6 +11241,10 @@ object SparkEntry {
     // CONTRACTS (non-degenerate truth, recall floor, no fabricated
     // pair) are environment-stable
     "sim_range_search_gate" ->
+      ("SELECT true AS n_true_positive, true AS recall_ok, " +
+        "true AS one_sided"),
+
+    "decontaminate_semantic_gate" ->
       ("SELECT true AS n_true_positive, true AS recall_ok, " +
         "true AS one_sided"),
 

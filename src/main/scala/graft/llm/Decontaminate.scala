@@ -46,6 +46,43 @@ object Decontaminate {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** SEMANTIC decontamination — the contamination the n-gram families
+    * ([[flag]]/[[flagBloom]]) cannot see: a benchmark item
+    * paraphrased, translated, or re-templated into the training
+    * corpus shares no 13-gram yet embeds nearby. Flags every corpus
+    * document whose embedding sits within cosine ≥ τ of ANY
+    * benchmark embedding, through the IVF range search (benchmark
+    * probes the corpus index — never an n² cross join). Corpus and
+    * benchmark ids must be distinct (the range search drops
+    * id-equal pairs as self-matches).
+    *
+    * Same one-sided-error posture as
+    * [[graft.llm.Similarity.ivfRangeSearch]]: every flag is a true
+    * ≥ τ neighbor (exact cosines over probed cells); the index can
+    * only MISS — conservative in the UNSAFE direction here (unlike
+    * flagBloom), so a deployment pairs it with the n-gram pass and a
+    * recall gate, exactly as the graded query does.
+    *
+    * Scale: index build is a do-once job; the probe is
+    * benchmark-scale queries × (nprobe/nlist) of the corpus —
+    * benchmark sets are tiny next to a training corpus, so the probe
+    * side stays small; the flag join-back is id-keyed fixed-width.
+    * Returns one row per corpus doc: (idCol, n_hits, contaminated). */
+  def flagSemantic(corpus: DataFrame, benchmark: DataFrame,
+      vecCol: String, idCol: String, minCosineMicros: Long,
+      nlist: Int, nprobe: Int, seed: Long = 42L): DataFrame = {
+    val idx = Similarity.ivfBuild(corpus, vecCol, idCol, nlist, seed)
+    val pairs = Similarity.ivfRangeSearch(idx, benchmark, vecCol,
+      idCol, minCosineMicros, nprobe)
+    val hits = pairs.groupBy(col("n_id").as("__cid"))
+      .agg(countDistinct(col("q_id")).as("__nh"))
+    corpus.select(col(idCol))
+      .join(hits, col(idCol) === col("__cid"), "left")
+      .select(col(idCol),
+        coalesce(col("__nh"), lit(0L)).cast("bigint").as("n_hits"),
+        (coalesce(col("__nh"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Bloom-sketch variant of [[flag]] for when even the benchmark's
     * raw gram set is too big to broadcast comfortably: aggregate the
     * benchmark's gram hashes into ONE Bloom sketch (a do-once job —

@@ -57,6 +57,7 @@ class QueriesSpec extends SparkSpec {
       "dedup_fingerprint" -> "dedup_fp_agree",
       "dedup_minhash" -> "dedup_minhash_recall",
       "dedup_ngram_jaccard" -> "dedup_ngram_exact",
+      "decontaminate_semantic" -> "decontaminate_semantic_gate",
       "dedup_semantic" -> "dedup_semantic_gate",
       "dedup_simhash" -> "dedup_simhash_complete",
       "evt_markov_attribution" -> "evt_markov_attribution_gate",

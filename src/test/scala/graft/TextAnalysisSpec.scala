@@ -70,6 +70,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bloom == exact)
   }
 
+  test("flagSemantic: near-duplicate embedding flagged, orthogonal clean; full probe exact") {
+    // corpus: vec 1 nearly parallel to benchmark vec 100; vec 2
+    // orthogonal; vec 3 anti-parallel
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.01f, 0f, 0f)),
+      (2L, Array(0f, 1.0f, 0f, 0f)),
+      (3L, Array(-1.0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val bench = Seq((100L, Array(1.0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    // nprobe == nlist: every cell probed, the flag set is EXACT
+    val got = graft.llm.Decontaminate.flagSemantic(corpus, bench,
+        "embedding", "vec_id", minCosineMicros = 900000L, nlist = 2,
+        nprobe = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(got == Map(1L -> ((1L, true)), 2L -> ((0L, false)),
+      3L -> ((0L, false))), got.toString)
+  }
+
   test("qualityScore in [0,1]; clean prose scores above digit soup") {
     val df = Seq(
       (1L, ("the quick brown fox jumps over the lazy dog and it is a fine day " * 4)),
