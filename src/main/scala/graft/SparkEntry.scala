@@ -40,11 +40,13 @@ import graft.streaming.EventStreams
   * and the guarded-statistic pre-flights — `ab_bh_fdr` /
   * `dq_drift_fdr` (bhFdr counts the battery to size the step-up;
   * the drift sweep also pre-flights per-metric distinct values),
-  * `ts_theilsen` / `ts_mann_kendall` / `ts_decompose`
-  * (maxGroupPoints pre-flight before the pairwise self-join;
-  * decompose also localCheckpoints its series), `ab_sequential`
-  * (maxLooks pre-flight before the look window) — which each run
-  * one or two small eager counts at construction.
+  * `ts_theilsen` / `ts_mann_kendall` / `ts_decompose` /
+  * `ts_anomaly_robust` (maxGroupPoints pre-flight before the
+  * pairwise self-join; decompose also localCheckpoints its series),
+  * `ab_sequential` (maxLooks pre-flight before the look window) —
+  * which each run one or two small eager counts at construction —
+  * and `graph_ktruss` (the peel loop runs its fixpoint rounds
+  * eagerly, one count per round).
   * Callers that only want a plan should skip those.
   */
 object SparkEntry {
@@ -106,6 +108,7 @@ object SparkEntry {
     "ab_power", "feat_conformal", "sim_range_search",
     "sim_range_search_gate", "ab_poststrat", "ab_mannwhitney",
     "decontaminate_semantic", "decontaminate_semantic_gate",
+    "feat_median_ci", "ts_anomaly_robust", "graph_ktruss",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -409,10 +412,10 @@ object SparkEntry {
     "evt_transitions", "evt_attribution", "evt_markov_attribution",
     "ts_resample_ffill", "ts_interpolate", "ts_anomaly", "ts_seasonality",
     "ts_cusum", "ts_acf", "ts_holt", "ts_holt_winters", "ts_changepoint",
-    "ts_backtest", "ts_decompose", "ts_theilsen", "ts_mann_kendall",
-    "surv_kaplan_meier",
+    "ts_backtest", "ts_decompose", "ts_anomaly_robust", "ts_theilsen",
+    "ts_mann_kendall", "surv_kaplan_meier",
     "growth_accounting", "cohort_ltv", "feat_group_regression",
-    "feat_conformal",
+    "feat_conformal", "feat_median_ci",
     "evt_cumulative_users", "dq_mutual_info", "dq_js_divergence",
     "feat_isotonic", "dq_corr_matrix", "feat_decayed_activity",
     "evt_gini", "dq_type_inference", "evt_stickiness", "ts_drawdown",
@@ -432,7 +435,7 @@ object SparkEntry {
     "dedup_exact", "dedup_spans", "dedup_paragraph", "dedup_fingerprint", "dedup_simhash",
     "url_canonical_dedup",
     "dedup_clusters", "graph_pagerank", "graph_pagerank_personalized",
-    "graph_hits", "graph_triangles", "graph_kcore",
+    "graph_hits", "graph_triangles", "graph_kcore", "graph_ktruss",
     "graph_local_triangles", "graph_shortest_paths", "graph_closeness",
     "graph_cooccurrence",
     "graph_weighted_paths", "graph_label_prop", "graph_modularity",
@@ -1022,6 +1025,23 @@ object SparkEntry {
         .agg((count(lit(1)) * 1000000L).as("v"))
       graft.operators.TimeSeries.decompose(hc, "event_type",
           expr("unix_timestamp(hour) div 3600"), hour($"hour"), "v")
+        .orderBy($"event_type", $"x")
+    }),
+
+    "ts_anomaly_robust" -> ((s, dir) => {
+      import s.implicits._
+      // MAD anomalies on the DECOMPOSED hourly-volume residual: the
+      // daily cycle and the trend are removed first, so a real spike
+      // at a quiet hour flags and the evening peak doesn't. Flag is
+      // the cross-multiplied integer comparison; only flagged rows
+      // return. SIDE-EFFECTING (decompose localCheckpoints +
+      // pre-flights at construction).
+      val hc = Tables.events(s, dir)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+        .agg((count(lit(1)) * 1000000L).as("v"))
+      graft.operators.TimeSeries.robustAnomalies(hc, "event_type",
+          expr("unix_timestamp(hour) div 3600"), hour($"hour"), "v",
+          thresholdMicros = 3000000L)
         .orderBy($"event_type", $"x")
     }),
 
@@ -6542,6 +6562,17 @@ object SparkEntry {
         .limit(100)
     }),
 
+    "graph_ktruss" -> ((s, dir) => {
+      import s.implicits._
+      // 4-truss backbone of the part co-order graph: every surviving
+      // edge closes >= 2 triangles inside the truss — the community
+      // backbone one notch stricter than k-core. Unique fixpoint, so
+      // the unrolled-rounds oracle replays the peel exactly.
+      // SIDE-EFFECTING (peel rounds run eagerly at construction).
+      Graph.kTruss(partCoOrderPairs(s, dir), k = 4, "a", "b")
+        .orderBy($"id_a", $"id_b")
+    }),
+
     "graph_jaccard" -> ((s, dir) => {
       import s.implicits._
       // Neighborhood Jaccard link prediction on the part co-order
@@ -6553,6 +6584,17 @@ object SparkEntry {
           maxApexDegree = 64)
         .orderBy(desc("jaccard_ppm"), $"id_a", $"id_b")
         .limit(100)
+    }),
+
+    "feat_median_ci" -> ((s, dir) => {
+      import s.implicits._
+      // Order-statistic 95% CI for the per-priority median order
+      // cents: the rank bracket floor((n - z*sqrt(n))/2) selects two
+      // ACTUAL data values — distribution-free, outlier-immune, and
+      // exactly replayable.
+      graft.operators.OrderedStats.medianCI(Tables.orders(s, dir),
+          Seq("o_orderpriority"), round($"o_totalprice" * 100))
+        .orderBy($"o_orderpriority")
     }),
 
     "feat_conformal" -> ((s, dir) => {
@@ -8054,6 +8096,50 @@ object SparkEntry {
         |  CAST(t.y - t.trend - se.seasonal AS BIGINT)
         |    AS residual_micros
         |FROM t JOIN se ON t.k = se.k AND t.slot = se.slot
+        |ORDER BY event_type, x""".stripMargin,
+
+    // the ts_decompose replay extended with quantile_disc median/MAD
+    // and the cross-multiplied HUGEINT flag — no division anywhere
+    "ts_anomaly_robust" ->
+      """WITH m AS (SELECT event_type AS k, date_trunc('hour', ts) AS hb,
+        |    CAST(count(*) AS BIGINT) * 1000000 AS y
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT k, CAST(floor(epoch(hb)) AS BIGINT) // 3600 AS x,
+        |    CAST(hour(hb) AS BIGINT) AS slot, y FROM m),
+        |c AS (SELECT k, x, slot, y,
+        |    x - min(x) OVER (PARTITION BY k) AS x0 FROM b),
+        |p AS (SELECT a.k, (bb.y - a.y) * 1000000 // (bb.x0 - a.x0) AS s
+        |  FROM c a JOIN c bb ON a.k = bb.k AND a.x0 < bb.x0),
+        |sl AS (SELECT k, CAST(quantile_disc(s, 0.5) AS BIGINT)
+        |    AS slope FROM p GROUP BY 1),
+        |ic AS (SELECT c.k, sl.slope,
+        |    CAST(quantile_disc(c.y * 1000000 - sl.slope * c.x0, 0.5)
+        |      AS BIGINT) AS icpt
+        |  FROM c JOIN sl ON c.k = sl.k GROUP BY 1, 2),
+        |t AS (SELECT c.k, c.x, c.slot, c.y,
+        |    (ic.icpt + ic.slope * c.x0) // 1000000 AS trend
+        |  FROM c JOIN ic ON c.k = ic.k),
+        |se AS (SELECT k, slot,
+        |    CAST(quantile_disc(y - trend, 0.5) AS BIGINT) AS seasonal
+        |  FROM t GROUP BY 1, 2),
+        |res AS (SELECT t.k, t.x, t.slot, t.y, t.trend, se.seasonal,
+        |    t.y - t.trend - se.seasonal AS r
+        |  FROM t JOIN se ON t.k = se.k AND t.slot = se.slot),
+        |md AS (SELECT k, CAST(quantile_disc(r, 0.5) AS BIGINT) AS med
+        |  FROM res GROUP BY 1),
+        |ad AS (SELECT res.*, abs(res.r - md.med) AS adev
+        |  FROM res JOIN md ON res.k = md.k),
+        |mad AS (SELECT k, CAST(quantile_disc(adev, 0.5) AS BIGINT)
+        |    AS madv FROM ad GROUP BY 1)
+        |SELECT ad.k AS event_type, ad.x, ad.slot,
+        |  ad.y AS value_micros,
+        |  CAST(ad.trend AS BIGINT) AS trend_micros,
+        |  ad.seasonal AS seasonal_micros,
+        |  CAST(ad.r AS BIGINT) AS residual_micros,
+        |  mad.madv AS mad_micros
+        |FROM ad JOIN mad ON ad.k = mad.k
+        |WHERE CAST(ad.adev AS HUGEINT) * 1000000000000
+        |  > CAST(3000000 AS HUGEINT) * 1482602 * mad.madv
         |ORDER BY event_type, x""".stripMargin,
 
     // every origin's state comes from the same recursive-CTE fold
@@ -9859,6 +9945,40 @@ object SparkEntry {
         |SELECT a AS id_a, b AS id_b, n_common, aa_micros FROM res
         |ORDER BY aa_micros DESC, id_a, id_b LIMIT 100""".stripMargin,
 
+    // unrolled peel rounds (fixpoint rounds are idempotent — the
+    // kcore contract); triangles by the canonical a<b<c 3-way join,
+    // each credited to its three edges
+    "graph_ktruss" -> {
+      def round(i: Int) =
+        s"""t$i AS (SELECT e1.a, e1.b, e2.b AS c
+           |  FROM e${i - 1} e1 JOIN e${i - 1} e2 ON e1.b = e2.a
+           |  JOIN e${i - 1} e3 ON e3.a = e1.a AND e3.b = e2.b),
+           |s$i AS (SELECT a, b, count(*) AS s FROM (
+           |  SELECT a, b FROM t$i
+           |  UNION ALL SELECT b AS a, c AS b FROM t$i
+           |  UNION ALL SELECT a, c AS b FROM t$i) GROUP BY 1, 2),
+           |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+           |  JOIN s$i s ON e.a = s.a AND e.b = s.b WHERE s.s >= 2)""".stripMargin
+      s"""WITH p AS MATERIALIZED (
+         |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+         |  FROM lineitem l1 JOIN lineitem l2
+         |    ON l1.l_orderkey = l2.l_orderkey
+         |   AND l1.l_partkey < l2.l_partkey
+         |  WHERE l1.l_orderkey % 4 = 0),
+         |e0 AS MATERIALIZED (SELECT a, b FROM p),
+         |${(1 to 10).map(round).mkString(",\n")},
+         |tf AS (SELECT e1.a, e1.b, e2.b AS c
+         |  FROM e10 e1 JOIN e10 e2 ON e1.b = e2.a
+         |  JOIN e10 e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |sf AS (SELECT a, b, CAST(count(*) AS BIGINT) AS support
+         |  FROM (SELECT a, b FROM tf
+         |    UNION ALL SELECT b AS a, c AS b FROM tf
+         |    UNION ALL SELECT a, c AS b FROM tf) GROUP BY 1, 2)
+         |SELECT e.a AS id_a, e.b AS id_b, sf.support
+         |FROM e10 e JOIN sf ON e.a = sf.a AND e.b = sf.b
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
     // same capped-apex wedge census as adamic-adar; true degrees in
     // the denominator, one truncating ppm division
     "graph_jaccard" ->
@@ -9888,6 +10008,33 @@ object SparkEntry {
         |FROM res JOIN deg da ON res.a = da.id
         |  JOIN deg db ON res.b = db.id
         |ORDER BY jaccard_ppm DESC, id_a, id_b LIMIT 100""".stripMargin,
+
+    // the rank bracket mirrored (floor/sqrt agree on identical
+    // doubles); all three outputs are actual data values at ranks
+    "feat_median_ci" ->
+      """WITH v AS (SELECT o_orderpriority AS g,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS y FROM orders),
+        |r AS (SELECT g, y,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY y)
+        |      AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM v),
+        |k AS (SELECT g, y, rn, n,
+        |    CAST(floor((CAST(n AS DOUBLE)
+        |      - 1.959964 * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT)
+        |      AS klo
+        |  FROM r),
+        |q AS (SELECT * FROM k WHERE klo >= 1),
+        |med AS (SELECT g, n, klo, n + 1 - klo AS khi, y AS median
+        |  FROM q WHERE rn = (n + 1) // 2),
+        |lo AS (SELECT g, y AS ci_lo FROM q WHERE rn = klo),
+        |hi AS (SELECT g, y AS ci_hi FROM q WHERE rn = n + 1 - klo)
+        |SELECT med.g AS o_orderpriority, med.n, med.median,
+        |  lo.ci_lo, hi.ci_hi,
+        |  CAST(med.klo AS BIGINT) AS k_lo,
+        |  CAST(med.khi AS BIGINT) AS k_hi
+        |FROM med JOIN lo ON med.g = lo.g JOIN hi ON med.g = hi.g
+        |ORDER BY o_orderpriority""".stripMargin,
 
     // the OLS fit replayed, predictions by truncating division,
     // radius = k-th order statistic, coverage one ppm division

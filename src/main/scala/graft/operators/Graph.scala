@@ -1087,6 +1087,89 @@ object Graph {
         col("n_common"), col("aa_micros"))
   }
 
+  /** k-truss decomposition — the edge-level density filter one notch
+    * stricter than [[kCore]]: the (unique) maximal subgraph in which
+    * EVERY EDGE closes at least `k − 2` triangles inside the
+    * subgraph. A k-core keeps a vertex for having k neighbors even
+    * if none of them know each other; a k-truss demands the mutual
+    * acquaintance — the standard community-backbone extractor.
+    * Returns the surviving edges as (id_a, id_b, support), support
+    * being the edge's triangle count WITHIN the truss.
+    *
+    * Iterative peel to the unique fixpoint (order-independent, so an
+    * oracle replays the rounds exactly; extra rounds past
+    * convergence are no-ops — the kCore unrolling contract): per
+    * round, enumerate triangles over the live edge set through the
+    * DEGREE-ORIENTED wedge join (apex fan-out capped at O(√m) —
+    * [[triangleCount]]'s hub-safe shape, NOT the naive Σdeg²),
+    * credit each triangle to its three canonical edges, and
+    * semi-join away edges below `k − 2`. The edge set only shrinks;
+    * lineage truncates per round; FAILS LOUDLY at `maxIter` instead
+    * of returning a non-truss.
+    *
+    * Scale: per round O(m^1.5) wedge work over a shrinking m, all
+    * fixed-width long-keyed exchanges; rounds are a handful in
+    * practice (each round removes every currently-exposed edge). */
+  def kTruss(edges: DataFrame, k: Int, srcCol: String = "id_a",
+      dstCol: String = "id_b", maxIter: Int = 15,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 3, s"k must be >= 3 (got $k)")
+    val e0 = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    def supports(und: DataFrame): DataFrame = {
+      val deg = und.select(col("a").as("id"))
+        .union(und.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val oriented = und
+        .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+        .select(when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+            struct(col("a").as("x"), col("b").as("y")))
+          .otherwise(struct(col("b").as("x"), col("a").as("y"))).as("e"))
+        .select(col("e.x").as("x"), col("e.y").as("y"))
+      val wedges = oriented.as("e1").join(oriented.as("e2"),
+          col("e1.x") === col("e2.x") && col("e1.y") < col("e2.y"))
+        .select(col("e1.x").as("x"), col("e1.y").as("p"),
+          col("e2.y").as("q"))
+      wedges
+        .join(und.select(col("a").as("p"), col("b").as("q")),
+          Seq("p", "q"))
+        .select(explode(array(
+          struct(least(col("x"), col("p")).as("a"),
+            greatest(col("x"), col("p")).as("b")),
+          struct(least(col("x"), col("q")).as("a"),
+            greatest(col("x"), col("q")).as("b")),
+          struct(col("p").as("a"), col("q").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("support"))
+    }
+    var und = truncate(e0.select(least(col("u"), col("v")).as("a"),
+      greatest(col("u"), col("v")).as("b")).distinct(), checkpointDir)
+    var nEdges = und.count()
+    var iter = 0
+    var converged = nEdges == 0L
+    while (!converged && iter < maxIter) {
+      iter += 1
+      val keep = supports(und).filter(col("support") >= (k - 2).toLong)
+      val pruned = truncate(und.join(keep.select(col("a"), col("b")),
+        Seq("a", "b"), "left_semi"), checkpointDir)
+      val n2 = pruned.count()
+      converged = n2 == nEdges
+      und = pruned
+      nEdges = n2
+      if (nEdges == 0L) converged = true
+    }
+    require(converged,
+      s"k-truss did not converge in $maxIter rounds ($nEdges edges " +
+        "live) — raise maxIter deliberately")
+    und.join(supports(und), Seq("a", "b"))
+      .select(col("a").as("id_a"), col("b").as("id_b"),
+        col("support").cast("bigint").as("support"))
+  }
+
   /** Neighborhood Jaccard similarity for link prediction —
     * [[adamicAdar]]'s normalized sibling: `J(u,v) = |N(u)∩N(v)| /
     * |N(u)∪N(v)|` over absent pairs, the size-invariant overlap

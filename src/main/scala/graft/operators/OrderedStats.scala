@@ -209,6 +209,62 @@ object OrderedStats {
             .cast("double") * 1e6).cast("long").as("auc_micros"))
   }
 
+  /** Order-statistic confidence interval for a per-group MEDIAN — the
+    * nonparametric CI the mean-based SE cannot give (a median's
+    * sampling error comes from rank uncertainty, not variance): the
+    * binomial/normal rank bracket `k_lo = ⌊(n − z·√n)/2⌋`,
+    * `k_hi = n + 1 − k_lo` selects two ACTUAL data values whose span
+    * covers the true median with ≥ 95 % probability —
+    * distribution-free, outlier-immune, exactly replayable (the
+    * bracket is a pure function of n; the values are order
+    * statistics).
+    *
+    * Exactness: ranks come from one per-group row_number window
+    * (value at a rank is a multiset property); the only doubles are
+    * the mirrored `⌊(n − 1.959964·√n)/2⌋` bracket computation —
+    * floor/sqrt agree between engines on identical inputs — and the
+    * result re-enters integer land as a rank. Groups with k_lo < 1
+    * (n too small for a 95 % bracket, n ≲ 4) emit nothing — a
+    * degenerate bracket would claim certainty the sample can't give.
+    *
+    * Scale: one row-scale rank window partitioned by GROUP
+    * (high-cardinality groups parallelize; the percentile-family
+    * contract), then group-scale joins of three rank lookups. */
+  def medianCI(df: DataFrame, keyCols: Seq[String],
+      valueExpr: Column): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val base = df.select(keyCols.map(col) :+
+        valueExpr.cast("long").as("__v"): _*)
+      .filter(col("__v").isNotNull)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__v"))
+    val ranked = base
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(keyCols.map(col): _*)))
+    val nD = col("__n").cast("double")
+    val kLo = floor((nD - lit(1.959964) * sqrt(nD)) / lit(2.0))
+      .cast("long")
+    // percentile_disc(0.5) convention: smallest rank with cume >= 0.5
+    val kMed = expr("(__n + 1) div 2")
+    val marked = ranked
+      .withColumn("__klo", kLo)
+      .withColumn("__khi", col("__n") + 1L - kLo)
+      .filter(col("__klo") >= 1L)
+    def at(rankCol: String, out: String) = marked
+      .filter(col("__r") === col(rankCol))
+      .select(keyCols.map(col) :+ col("__v").as(out): _*)
+    marked.withColumn("__kmed", kMed)
+      .filter(col("__r") === col("__kmed"))
+      .select(keyCols.map(col) ++ Seq(
+        col("__n").cast("bigint").as("n"),
+        col("__v").as("median"), col("__klo").as("k_lo"),
+        col("__khi").as("k_hi")): _*)
+      .join(at("__klo", "ci_lo"), keyCols)
+      .join(at("__khi", "ci_hi"), keyCols)
+      .select(keyCols.map(col) ++ Seq(col("n"), col("median"),
+        col("ci_lo"), col("ci_hi"), col("k_lo"), col("k_hi")): _*)
+  }
+
   /** Mann-Whitney U rank-sum test, EXACT with tie correction — the
     * nonparametric two-sample test the t-test family can't replace
     * when the metric is ordinal or heavy-tailed (session counts,

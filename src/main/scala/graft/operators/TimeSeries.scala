@@ -649,6 +649,53 @@ object TimeSeries {
         (col("__detr") - col("seasonal_micros")).as("residual_micros"))
   }
 
+  /** Robust anomalies on the DECOMPOSED residual — what
+    * [[zscoreAnomalies]] should have been for seasonal series: a
+    * plain z-score on raw values calls every daily peak an anomaly
+    * and misses a real spike at 3 a.m.; here the [[decompose]]
+    * residual (trend and cycle removed) is flagged by the MAD rule
+    * `|r − median(r)| > k·1.4826·MAD` — median/MAD because the
+    * anomalies being hunted would poison a mean/sd estimate of
+    * "normal".
+    *
+    * Exactness: median and MAD are `percentile_disc` (actual data
+    * values); the flag is the cross-multiplied DECIMAL comparison
+    * `|r − med|·10¹² > k_micros·1482602·MAD` — no division, no
+    * doubles, replayable. Zero-MAD groups (a majority of identical
+    * residuals) flag any nonzero deviation — deviating from a
+    * constant majority IS anomalous; the degenerate direction is
+    * documented, not hidden. Returns ONLY the flagged rows (with
+    * the full decomposition and the group MAD attached) — the
+    * alarm stream, not a row-per-observation dump.
+    *
+    * Scale: inherits [[decompose]]'s guarded contract; the
+    * decomposition localCheckpoints once (three consumers: median,
+    * MAD, flag join — each would otherwise re-run the quadratic
+    * fit), and everything past it is series/group-scale. */
+  def robustAnomalies(df: DataFrame, keyCol: String, xExpr: Column,
+      slotExpr: Column, valueMicrosCol: String,
+      thresholdMicros: Long = 3000000L,
+      maxGroupPoints: Long = 10000L): DataFrame = {
+    require(thresholdMicros > 0,
+      s"thresholdMicros must be > 0 (got $thresholdMicros)")
+    val d = decompose(df, keyCol, xExpr, slotExpr, valueMicrosCol,
+      maxGroupPoints).localCheckpoint(true)
+    val med = d.groupBy(col(keyCol)).agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY residual_micros)")
+        .cast("long").as("__med"))
+    val dm = d.join(med, keyCol)
+      .withColumn("__ad", abs(col("residual_micros") - col("__med")))
+    val mad = dm.groupBy(col(keyCol)).agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __ad)")
+        .cast("long").as("mad_micros"))
+    dm.join(mad, keyCol)
+      .filter(expr(s"CAST(__ad AS DECIMAL(38,0)) * 1000000000000 > " +
+        s"CAST($thresholdMicros AS DECIMAL(38,0)) * 1482602 * mad_micros"))
+      .select(col(keyCol), col("x"), col("slot"), col("value_micros"),
+        col("trend_micros"), col("seasonal_micros"),
+        col("residual_micros"), col("mad_micros"))
+  }
+
   /** Kendall τ-b rank correlation per group — [[theilSen]]'s
     * significance companion (the Mann–Kendall trend test IS Kendall's
     * τ against time): classify every pair as concordant, discordant,

@@ -646,6 +646,26 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("kTruss: K4 plus a pendant triangle peels to K4; k=3 keeps the triangle; loud non-convergence") {
+    import org.apache.spark.sql.functions.col
+    // K4 on 1..4 (every edge in 2 triangles) + triangle (1,2,5)
+    // hanging off edge (1,2): its side edges close only 1 triangle
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L), (2L, 5L)).toDF("id_a", "id_b")
+    val t4 = Graph.kTruss(edges, k = 4).orderBy(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(t4.toSeq == Seq((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)), t4.mkString(", "))
+    // k=3: any triangle survives — all 8 edges stay
+    assert(Graph.kTruss(edges, k = 3).count() == 8L)
+    // triangle-free graph: 4-truss is empty
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    assert(Graph.kTruss(path, k = 4).count() == 0L)
+    intercept[IllegalArgumentException] {
+      Graph.kTruss(edges, k = 4, maxIter = 0)
+    }
+  }
+
   test("jaccardNeighbors: closed-form square + pendant; true degrees; apex cap semantics") {
     import org.apache.spark.sql.functions.col
     // square 1-2-3-4-1 plus pendant 1-5: deg(1)=3, others 2/1

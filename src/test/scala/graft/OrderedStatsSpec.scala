@@ -141,6 +141,20 @@ class OrderedStatsSpec extends SparkSpec {
     }
   }
 
+  test("medianCI: rank bracket on 1..25; too-small groups refuse") {
+    // n=25: k_lo = floor((25 - 1.959964*5)/2) = 7, k_hi = 19, med rank 13
+    val df = (1L to 25L).map(v => ("g", v)).toDF("k", "v")
+    val got = OrderedStats.medianCI(df, Seq("k"), col("v")).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getLong(1) == 25L && r.getLong(2) == 13L)
+    assert(r.getLong(3) == 7L && r.getLong(4) == 19L)
+    assert(r.getLong(5) == 7L && r.getLong(6) == 19L)
+    // n=4: k_lo = floor((4 - 3.92)/2) = 0 -> no 95% bracket exists
+    val small = (1L to 4L).map(v => ("g", v)).toDF("k", "v")
+    assert(OrderedStats.medianCI(small, Seq("k"), col("v")).count() == 0L)
+  }
+
   test("mannWhitney: separated samples hand-checked; ties corrected; degenerate all-tied empty") {
     // A = {1,2} entirely below B = {3,4}: 2U = 0,
     // z = -4 / (2*sqrt((4*(5*4*3))/(12*4*3))) = -2*sqrt(3/5)

@@ -328,6 +328,28 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("robustAnomalies: spike on a square wave flags alone; clean cycle stays silent") {
+    // square wave 105/95 with one +50 spike at x=10 (a peak slot):
+    // trend 95, seasonal (10, 0), residuals all 0 except 50 at x=10;
+    // zero MAD -> any nonzero deviation flags (documented direction)
+    val rows = (0L to 15L).map { x =>
+      val base = if (x % 2 == 0) 105L else 95L
+      ("a", x, x % 2, if (x == 10L) base + 50L else base)
+    }.toDF("k", "x", "slot", "v")
+    val got = TimeSeries.robustAnomalies(rows, "k", col("x"),
+      col("slot"), "v").collect()
+    assert(got.length == 1, got.mkString(", "))
+    val r = got(0)
+    assert(r.getLong(1) == 10L && r.getLong(6) == 50L &&
+      r.getLong(7) == 0L, r.toString)
+    // the clean wave alone: nothing flags
+    val clean = (0L to 15L).map(x =>
+      ("a", x, x % 2, if (x % 2 == 0) 105L else 95L))
+      .toDF("k", "x", "slot", "v")
+    assert(TimeSeries.robustAnomalies(clean, "k", col("x"), col("slot"),
+      "v").count() == 0L)
+  }
+
   test("changepoint: clean level shift localized exactly; means; single-obs key empty") {
     // key "a": 4 obs at 10, then 4 at 20 — the split is after t=4:
     // C_t = |8*S_t - t*S_8| peaks at t=4 (|8*40 - 4*120| = 160)
