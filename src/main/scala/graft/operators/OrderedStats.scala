@@ -414,4 +414,191 @@ object OrderedStats {
             .cast("double") * 1e6).cast("long").as("lift_micros"))
       .orderBy(col("decile"))
   }
+
+  /** Kruskal-Wallis H test, EXACT with tie correction — the k-group
+    * extension of [[mannWhitney]] (one-way ANOVA on RANKS): does at
+    * least one of k groups stochastically dominate? The parametric
+    * F-test needs equal-variance normal groups; ranks need nothing.
+    *
+    * Exactness: doubled average ranks `2r(v) = 2·cumBelow + cnt + 1`
+    * are exact integers (the [[spearman]] device), so each group's
+    * doubled rank sum `2R_g` is a DECIMAL-exact integer. The rank-sum
+    * square term is the per-group truncating division
+    * `S₃ = Σ_g ((2R_g)²·10³) div (4n_g)` — milli-scaled exact
+    * integers, order-free sum — and the tie-corrected statistic is
+    * ONE cross-multiplied integer division:
+    * `H_micros = (12·S₃·10³ − 3n(n+1)²·10⁶)·(n³−n) div
+    * (n(n+1)·(n³−n−T))`, `T = Σ(t³−t)`. The upper-tail p comes from
+    * the Wilson–Hilferty cube-root normalization
+    * `z = (∛(H/d) − (1−2/(9d))) / √(2/(9d))`, d = k−1, through the
+    * shared [[Quality.pValueTwoSidedZ]] polynomial — a mirrored
+    * double tree (`exp(ln(u)/3)` is the cube root both engines
+    * replay bit-for-bit). Degenerate inputs (k < 2, or all values
+    * tied) return empty; an H truncated to ≤ 0 reports p = 1.
+    *
+    * Scale: one row-scale (group, value) hash-agg + [[cumCounts]]'s
+    * two-phase prefix sum; everything after is distinct-value- and
+    * group-scale. DECIMAL(38) bounds the exact path at
+    * `n_g·n² ≲ 9·10¹⁵` per group (the [[mannWhitney]] n⁵ posture) —
+    * a significance test's sample, not a corpus. Returns one row
+    * (n, n_groups, h_micros, p_micros). */
+  def kruskalWallis(df: DataFrame, groupExpr: Column, valueExpr: Column,
+      nBuckets: Int = 32): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.select(groupExpr.cast("string").as("g"),
+        valueExpr.cast("double").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull &&
+        !isnan(col("v")))
+    val gv = base.groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val pooled = cumCounts(base, col("v"), lit(true), nBuckets)
+      .select(col("v"), col("ca").as("cnt"), col("cum_a").as("cum"))
+    // doubled average rank of value v (integer): 2·cumBelow + cnt + 1
+    val r2 = pooled.withColumn("__r2",
+      lit(2L) * col("cum") - col("cnt") + 1L)
+    val perGroup = gv.join(r2.select(col("v"), col("__r2")), Seq("v"))
+      .groupBy(col("g"))
+      .agg(sum(col("c").cast(dec) * col("__r2")).as("__tr"),
+        sum(col("c")).as("__ng"))
+    val sAgg = perGroup
+      .select(expr(s"(__tr * __tr * 1000) div (4 * __ng)").as("__sg"))
+      .agg(sum(col("__sg").cast(dec)).as("__s"), count(lit(1)).as("__k"))
+    val nTies = r2.agg(sum(col("cnt")).as("__n"),
+      sum(col("cnt").cast(dec) * col("cnt") * col("cnt") -
+        col("cnt").cast(dec)).as("__t"))
+    val hc = sAgg.crossJoin(broadcast(nTies)) // 1-row totals
+      .filter(col("__k") >= 2L && col("__n").isNotNull)
+      .withColumn("__n3",
+        col("__n").cast(dec) * col("__n") * col("__n") - col("__n"))
+      .filter(col("__n3") > col("__t"))
+      .withColumn("__hc", expr(
+        "((12 * __s * 1000 - CAST(3 AS DECIMAL(38,0)) * __n * (__n + 1)" +
+          " * (__n + 1) * 1000000) * __n3)" +
+          " div nullif(CAST(__n AS DECIMAL(38,0)) * (__n + 1)" +
+          " * (__n3 - __t), 0)"))
+    val d = (col("__k") - 1L).cast("double")
+    val u = when(col("__hc") > 0L, col("__hc").cast("double") / 1e6 / d)
+    val zw = (exp(log(u) / lit(3.0)) -
+      (lit(1.0) - lit(2.0) / (lit(9.0) * d))) /
+      sqrt(lit(2.0) / (lit(9.0) * d))
+    val p2 = Quality.pValueTwoSidedZ(zw)
+    hc.withColumn("__p",
+        when(col("__hc") <= 0L, lit(1.0))
+          .when(zw >= 0.0, p2 / 2.0)
+          .otherwise(lit(1.0) - p2 / 2.0))
+      .select(col("__n").cast("bigint").as("n"),
+        col("__k").cast("bigint").as("n_groups"),
+        col("__hc").cast("bigint").as("h_micros"),
+        round(col("__p") * 1e6).cast("long").as("p_micros"))
+  }
+
+  /** Average precision (area under the precision-recall STEP curve),
+    * EXACT over distinct score thresholds — the ranking metric that
+    * matters when positives are rare ([[aucExact]] saturates under
+    * class imbalance; AP weighs every retrieved positive by the
+    * precision AT ITS THRESHOLD): `AP = Σ_v ΔTP(v)·P(v) / n_pos`
+    * over distinct scores v descending, `P(v) = TP(v)/(TP(v)+FP(v))`
+    * the precision of the "score ≥ v" cut. Ties in scores land whole
+    * at one threshold — no arbitrary within-tie order exists, so the
+    * metric is deterministic where a sorted-list AP is not.
+    *
+    * Exactness: TP/FP at each threshold are exact integers off
+    * [[cumCounts]] read from the top (`TP(v) = n_pos − cum_a + ca`);
+    * each term is the pico-scaled truncating division
+    * `(ΔTP·TP·10¹²) div (TP+FP)` — exact integers, order-free sum —
+    * and AP is one final division by `n_pos·10⁶`, leaving micros.
+    * Returns one row (n_pos, n_neg, ap_micros, prevalence_micros);
+    * prevalence is the random-ranking baseline AP. Empty if either
+    * side is absent.
+    *
+    * Scale: identical to [[aucExact]] — one row-scale hash-agg, the
+    * two-phase prefix sum, distinct-value-scale everything after. */
+  def averagePrecision(df: DataFrame, scoreExpr: Column,
+      labelExpr: Column, nBuckets: Int = 32): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cum = cumCounts(df, scoreExpr, labelExpr, nBuckets)
+    val tot = cum.agg(sum(col("ca")).as("__na"), sum(col("cb")).as("__nb"))
+    cum.crossJoin(broadcast(tot)) // 1-row sample sizes
+      .filter(col("__na") > 0L && col("__nb") > 0L)
+      .withColumn("__tp", col("__na") - col("cum_a") + col("ca"))
+      .withColumn("__fp", col("__nb") - col("cum_b") + col("cb"))
+      .select(col("__na"), col("__nb"), expr(
+        "(CAST(ca AS DECIMAL(38,0)) * __tp * 1000000000000)" +
+          " div (__tp + __fp)").as("__term"))
+      .groupBy(col("__na"), col("__nb"))
+      .agg(sum(col("__term").cast(dec)).as("__ap"))
+      .select(col("__na").cast("bigint").as("n_pos"),
+        col("__nb").cast("bigint").as("n_neg"),
+        expr("__ap div (__na * CAST(1000000 AS DECIMAL(38,0)))")
+          .cast("long").as("ap_micros"),
+        expr("(CAST(__na AS DECIMAL(38,0)) * 1000000)" +
+          " div (__na + __nb)").cast("long").as("prevalence_micros"))
+  }
+
+  /** Standardized two-sample effect sizes — the magnitude reading a
+    * p-value refuses to give (at n = 10⁷ everything is significant;
+    * WHETHER IT MATTERS is d): Cohen's d on the pooled SD, the
+    * small-sample-debiased Hedges' g `g = d·(1 − 3/(4n−9))`, and the
+    * nonparametric Cliff's δ `= 2U/(n₁n₂) − 1 ∈ [−1,1]` (the
+    * probability-of-superiority gap — immune to the heavy tails that
+    * make d lie).
+    *
+    * Exactness: one pass accumulates exact integer moments
+    * (n, Σx, Σx²) per side; d is ONE mirrored IEEE tree
+    * `(S₁/n₁ − S₂/n₂) / √(((Q₁−S₁²/n₁)+(Q₂−S₂²/n₂))/(n₁+n₂−2))`
+    * from DECIMAL-exact integers, micro-quantized; g multiplies the
+    * UNROUNDED d; δ is the cross-multiplied integer division
+    * `(2U − n₁n₂)·10⁶ div (n₁n₂)` off [[cumCounts]], no doubles at
+    * all. Degenerate inputs (an empty side, zero pooled variance, or
+    * n ≤ 2) return empty.
+    *
+    * Scale: the moments are one map-side-combined hash-agg; δ rides
+    * the two-phase prefix sum. Returns one row
+    * (n_a, n_b, d_micros, g_micros, cliff_micros). */
+  def effectSizes(df: DataFrame, valueExpr: Column, tagExpr: Column,
+      nBuckets: Int = 32): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.select(valueExpr.cast("long").as("x"),
+        tagExpr.as("t"))
+      .filter(col("x").isNotNull && col("t").isNotNull)
+    val mom = base.agg(
+      sum(when(col("t"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("t"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("t"), col("x").cast(dec)).otherwise(lit(0).cast(dec)))
+        .as("__s1"),
+      sum(when(!col("t"), col("x").cast(dec)).otherwise(lit(0).cast(dec)))
+        .as("__s2"),
+      sum(when(col("t"), col("x").cast(dec) * col("x"))
+        .otherwise(lit(0).cast(dec))).as("__q1"),
+      sum(when(!col("t"), col("x").cast(dec) * col("x"))
+        .otherwise(lit(0).cast(dec))).as("__q2"))
+    // 2U off the prefix sum (the mannWhitney/aucExact identity)
+    val cum = cumCounts(base, col("x"), col("t"), nBuckets)
+    val u2 = cum.agg(sum(col("ca").cast(dec) *
+      (lit(2).cast(dec) * (col("cum_b") - col("cb")) + col("cb")))
+      .as("__u2"))
+    val n1 = col("n_a").cast("double")
+    val n2 = col("n_b").cast("double")
+    val ssq = (col("__q1").cast("double") -
+        col("__s1").cast("double") * col("__s1").cast("double") / n1) +
+      (col("__q2").cast("double") -
+        col("__s2").cast("double") * col("__s2").cast("double") / n2)
+    val dCol = (col("__s1").cast("double") / n1 -
+      col("__s2").cast("double") / n2) /
+      sqrt(ssq / (n1 + n2 - lit(2.0)))
+    val gCol = dCol * (lit(1.0) -
+      lit(3.0) / (lit(4.0) * (n1 + n2) - lit(9.0)))
+    mom.crossJoin(broadcast(u2)) // two 1-row aggregates
+      .filter(col("n_a") > 0L && col("n_b") > 0L &&
+        col("n_a") + col("n_b") > 2L)
+      .withColumn("__ssq", ssq)
+      .filter(col("__ssq") > 0.0)
+      .select(col("n_a").cast("bigint").as("n_a"),
+        col("n_b").cast("bigint").as("n_b"),
+        round(dCol * 1e6).cast("long").as("d_micros"),
+        round(gCol * 1e6).cast("long").as("g_micros"),
+        expr("((__u2 - CAST(n_a AS DECIMAL(38,0)) * n_b) * 1000000)" +
+          " div (CAST(n_a AS DECIMAL(38,0)) * n_b)")
+          .cast("long").as("cliff_micros"))
+  }
 }

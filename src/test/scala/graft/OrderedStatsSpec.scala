@@ -155,6 +155,66 @@ class OrderedStatsSpec extends SparkSpec {
     assert(OrderedStats.medianCI(small, Seq("k"), col("v")).count() == 0L)
   }
 
+  test("kruskalWallis: three separated groups hand-checked; all-tied and single-group empty") {
+    // g1={1,2} g2={3,4} g3={5,6}: doubled rank sums 6/14/22,
+    // S3 = (36+196+484)*1000/8 = 89500, n=6 T=0:
+    // hc = ((12*89500*1000 - 3*6*49*1e6) * 210) div (42*210) = 4571428
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L),
+      ("c", 5L), ("c", 6L)).toDF("g", "v")
+    val got = OrderedStats.kruskalWallis(df, col("g"), col("v")).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == 6L && got(0).getLong(1) == 3L)
+    assert(got(0).getLong(2) == 4571428L, got(0).toString)
+    // Wilson-Hilferty p for H=4.5714, df=2 is ~0.0994
+    assert(got(0).getLong(3) > 95000L && got(0).getLong(3) < 105000L,
+      got(0).toString)
+    // all values tied: zero rank variance -> empty
+    val tied = Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L))
+      .toDF("g", "v")
+    assert(OrderedStats.kruskalWallis(tied, col("g"), col("v"))
+      .count() == 0L)
+    // a single group: no between-group contrast -> empty
+    val one = Seq(("a", 1L), ("a", 2L)).toDF("g", "v")
+    assert(OrderedStats.kruskalWallis(one, col("g"), col("v"))
+      .count() == 0L)
+  }
+
+  test("averagePrecision: step-curve hand example; tie lands whole; one-sided empty") {
+    // scores desc: v=3 (tp=1,fp=0, term 1e12), v=2 tie pair
+    // (tp=2,fp=1, term 2e12 div 3), v=1 adds no positive ->
+    // ap = 1666666666666 div 2e6 = 833333
+    val df = Seq((3.0, true), (2.0, true), (2.0, false), (1.0, false))
+      .toDF("s", "l")
+    val got = OrderedStats.averagePrecision(df, col("s"), col("l"))
+      .collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == 2L && got(0).getLong(1) == 2L)
+    assert(got(0).getLong(2) == 833333L, got(0).toString)
+    assert(got(0).getLong(3) == 500000L)
+    // all-positive input: no PR curve exists -> empty
+    val pos = Seq((1.0, true), (2.0, true)).toDF("s", "l")
+    assert(OrderedStats.averagePrecision(pos, col("s"), col("l"))
+      .count() == 0L)
+  }
+
+  test("effectSizes: hand d/g/delta on two tiny samples; zero-variance empty") {
+    // A={2,4} B={1,3}: d = 1/sqrt(2) -> 707107, g = d*4/7 -> 404061,
+    // 2U = 6 -> cliff = (6-4)*1e6 div 4 = 500000
+    val df = Seq((2L, true), (4L, true), (1L, false), (3L, false))
+      .toDF("x", "t")
+    val got = OrderedStats.effectSizes(df, col("x"), col("t")).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == 2L && got(0).getLong(1) == 2L)
+    assert(got(0).getLong(2) == 707107L, got(0).toString)
+    assert(got(0).getLong(3) == 404061L, got(0).toString)
+    assert(got(0).getLong(4) == 500000L, got(0).toString)
+    // both sides constant: zero pooled variance -> empty
+    val const = Seq((5L, true), (5L, true), (5L, false), (5L, false))
+      .toDF("x", "t")
+    assert(OrderedStats.effectSizes(const, col("x"), col("t"))
+      .count() == 0L)
+  }
+
   test("mannWhitney: separated samples hand-checked; ties corrected; degenerate all-tied empty") {
     // A = {1,2} entirely below B = {3,4}: 2U = 0,
     // z = -4 / (2*sqrt((4*(5*4*3))/(12*4*3))) = -2*sqrt(3/5)
