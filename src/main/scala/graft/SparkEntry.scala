@@ -110,7 +110,8 @@ object SparkEntry {
     "decontaminate_semantic", "decontaminate_semantic_gate",
     "feat_median_ci", "ts_anomaly_robust", "graph_ktruss",
     "ab_kruskal", "ab_effect_size", "feat_avg_precision",
-    "ts_dominant_period",
+    "ts_dominant_period", "dq_cvm", "ab_anova", "feat_calibration",
+    "surv_logrank",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -403,7 +404,8 @@ object SparkEntry {
     "feat_spearman", "ab_ztest", "ab_ttest", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "dq_drift_fdr", "ab_sequential", "dq_referential",
     "ab_power", "ab_poststrat", "ab_mannwhitney", "ab_kruskal",
-    "ab_effect_size", "feat_avg_precision",
+    "ab_effect_size", "feat_avg_precision", "dq_cvm", "ab_anova",
+    "feat_calibration",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -417,7 +419,7 @@ object SparkEntry {
     "ts_cusum", "ts_acf", "ts_dominant_period", "ts_holt",
     "ts_holt_winters", "ts_changepoint",
     "ts_backtest", "ts_decompose", "ts_anomaly_robust", "ts_theilsen",
-    "ts_mann_kendall", "surv_kaplan_meier",
+    "ts_mann_kendall", "surv_kaplan_meier", "surv_logrank",
     "growth_accounting", "cohort_ltv", "feat_group_regression",
     "feat_conformal", "feat_median_ci",
     "evt_cumulative_users", "dq_mutual_info", "dq_js_divergence",
@@ -6328,6 +6330,41 @@ object SparkEntry {
         $"o_orderpriority".isin("1-URGENT", "2-HIGH"))
     }),
 
+    "dq_cvm" -> ((s, dir) => {
+      import s.implicits._
+      // Cramér–von Mises distance between returned and intact
+      // lineitems' price distributions — the whole-distribution
+      // companion to dq_ks over the SAME split: the squared CDF gap
+      // INTEGRATED over the pooled sample (a thin drift across the
+      // whole range accumulates where KS's single sup is blind),
+      // exact integer numerator, one final division. One row.
+      graft.operators.OrderedStats.cramerVonMises(
+        Tables.lineitem(s, dir).filter($"l_returnflag".isin("R", "N")),
+        $"l_extendedprice", $"l_returnflag" === "R")
+    }),
+
+    "ab_anova" -> ((s, dir) => {
+      import s.implicits._
+      // One-way ANOVA F across the five order priorities on order
+      // cents — the parametric MEAN test next to ab_kruskal's rank
+      // verdict: exact milli-integer sums of squares, F one IEEE
+      // division, p via the mirrored Paulson tree. One row.
+      Features.anovaF(Tables.orders(s, dir),
+        $"o_orderpriority", round($"o_totalprice" * 100).cast("long"))
+    }),
+
+    "feat_calibration" -> ((s, dir) => {
+      import s.implicits._
+      // Reliability table of a clipped-linear urgency score from
+      // order value against actual urgent priority, 10 bins + ECE —
+      // the probability-quality reading next to feat_auc over the
+      // same label: per-bin exact truncating ppm divisions, the ECE
+      // folded over the bin grid.
+      Features.calibrationTable(Tables.orders(s, dir),
+        least(round($"o_totalprice" * 2).cast("long"), lit(1000000L)),
+        $"o_orderpriority".isin("1-URGENT", "2-HIGH"), bins = 10)
+    }),
+
     "ab_poststrat" -> ((s, dir) => {
       import s.implicits._
       // Post-stratified value difference by user parity, stratified
@@ -6603,6 +6640,35 @@ object SparkEntry {
             .as("dur_h"),
           $"t13".isNotNull.as("observed"))
       graft.operators.Survival.kaplanMeier(durations, $"dur_h", $"observed")
+    }),
+
+    "surv_logrank" -> ((s, dir) => {
+      import s.implicits._
+      // Log-rank test of the time-to-13th-purchase curves by user
+      // parity — the inferential companion to surv_kaplan_meier on
+      // the SAME durations: hypergeometric O-E and variance as
+      // pico-scaled exact integers per event time, ONE mirrored z
+      // tree through the shared p polynomial. One row.
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val t13 = ev.filter($"event_type" === "purchase")
+        .withColumn("__rn", row_number().over(w))
+        .filter($"__rn" === 13)
+        .select($"user_id", $"ts".as("t13"))
+      val first = ev.groupBy($"user_id")
+        .agg(min($"ts").as("t0"), max($"ts").as("__tn"))
+        .localCheckpoint(true)
+      val mx = first.agg(max($"__tn").as("__mt"))
+      val durations = first.join(t13, Seq("user_id"), "left")
+        .crossJoin(broadcast(mx)) // 1-row corpus end
+        .select(
+          expr("(unix_timestamp(coalesce(t13, __mt)) - unix_timestamp(t0)) div 3600")
+            .as("dur_h"),
+          $"t13".isNotNull.as("observed"),
+          (pmod($"user_id", lit(2)) === 0).as("grp"))
+      graft.operators.Survival.logRank(durations, $"dur_h",
+        $"observed", $"grp")
     }),
 
     "graph_adamic_adar" -> ((s, dir) => {
@@ -9602,6 +9668,110 @@ object SparkEntry {
         |    AS prevalence_micros
         |FROM ap""".stripMargin,
 
+    // squared CDF gap integrated over the pooled sample: exact
+    // HUGEINT numerator sum(c*delta^2), ONE final double division
+    "dq_cvm" ->
+      """WITH s AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+        |    (l_returnflag = 'R') AS t
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+        |c AS (SELECT v,
+        |    sum(CASE WHEN t THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS cb
+        |  FROM s GROUP BY 1),
+        |cc AS (SELECT v, ca, cb,
+        |    sum(ca) OVER (ORDER BY v) AS cum_a,
+        |    sum(cb) OVER (ORDER BY v) AS cum_b FROM c),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) AS BIGINT) AS n_b FROM c),
+        |a AS (SELECT tot.n_a, tot.n_b,
+        |    sum(CAST(ca + cb AS HUGEINT)
+        |      * (CAST(cum_a AS HUGEINT) * tot.n_b
+        |        - CAST(cum_b AS HUGEINT) * tot.n_a)
+        |      * (CAST(cum_a AS HUGEINT) * tot.n_b
+        |        - CAST(cum_b AS HUGEINT) * tot.n_a)) AS num
+        |  FROM cc, tot WHERE tot.n_a > 0 AND tot.n_b > 0
+        |  GROUP BY 1, 2),
+        |f AS (SELECT n_a, n_b,
+        |    CAST(round(CAST(num AS DOUBLE)
+        |      / CAST(CAST(n_a + n_b AS HUGEINT) * (n_a + n_b)
+        |        * n_a * n_b AS DOUBLE)
+        |      * 1000000) AS BIGINT) AS t_micros
+        |  FROM a)
+        |SELECT n_a, n_b, t_micros, t_micros > 461000 AS drifted
+        |FROM f""".stripMargin,
+
+    // exact HUGEINT group moments; milli-scaled sums of squares by
+    // truncating division; F one IEEE division; Paulson cube roots
+    // via exp(ln/3) mirrored through the shared p polynomial
+    "ab_anova" ->
+      """WITH base AS (SELECT o_orderpriority AS g,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS x FROM orders),
+        |pg AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sg,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS qg
+        |  FROM base GROUP BY 1),
+        |a AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(sg) AS HUGEINT) AS s,
+        |    CAST(sum(qg) AS HUGEINT) AS q,
+        |    sum((sg * sg * 1000) // CAST(ng AS HUGEINT)) AS aa
+        |  FROM pg),
+        |b AS (SELECT *, aa - (s * s * 1000) // CAST(n AS HUGEINT) AS ssb,
+        |    q * 1000 - aa AS ssw
+        |  FROM a WHERE k >= 2 AND n > k),
+        |c AS (SELECT * FROM b WHERE ssw > 0),
+        |f0 AS (SELECT n, k,
+        |    CASE WHEN ssb > 0 THEN
+        |      (CAST(ssb AS DOUBLE) * CAST(n - k AS DOUBLE))
+        |      / (CAST(ssw AS DOUBLE) * CAST(k - 1 AS DOUBLE))
+        |    ELSE 0.0 END AS f,
+        |    CAST(k - 1 AS DOUBLE) AS d1, CAST(n - k AS DOUBLE) AS d2
+        |  FROM c),
+        |cb AS (SELECT *,
+        |    exp(ln(CASE WHEN f > 0 THEN f END) / 3.0) AS cbf
+        |  FROM f0),
+        |zz AS (SELECT *,
+        |    ((1.0 - 2.0 / (9.0 * d2)) * cbf - (1.0 - 2.0 / (9.0 * d1)))
+        |    / sqrt((2.0 / (9.0 * d2)) * cbf * cbf + 2.0 / (9.0 * d1))
+        |      AS z
+        |  FROM cb),
+        |x0 AS (SELECT *, abs(z) / 1.4142135623730951 AS x FROM zz),
+        |t0 AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS tt FROM x0),
+        |p AS (SELECT n, k, f, z,
+        |    (tt * (0.254829592 + tt * (-0.284496736
+        |      + tt * (1.421413741 + tt * (-1.453152027
+        |      + tt * 1.061405429)))) * exp(-(x * x))) AS p2
+        |  FROM t0)
+        |SELECT n, k AS n_groups,
+        |  CAST(round(f * 1000000) AS BIGINT) AS f_micros,
+        |  CAST(round((CASE WHEN f <= 0.0 THEN 1.0
+        |    WHEN z >= 0.0 THEN p2 / 2.0
+        |    ELSE 1.0 - p2 / 2.0 END) * 1000000) AS BIGINT) AS p_micros
+        |FROM p""".stripMargin,
+
+    // clipped-linear micros score; per-bin truncating ppm divisions;
+    // ECE folded over the bin grid with one final truncating division
+    "feat_calibration" ->
+      """WITH base AS (SELECT
+        |    least(CAST(round(o_totalprice * 2) AS BIGINT), 1000000)
+        |      AS p,
+        |    (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS y
+        |  FROM orders),
+        |b AS (SELECT least(p * 10 // 1000000, 9) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(p AS HUGEINT)) AS HUGEINT) AS sp,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM base GROUP BY 1),
+        |t AS (SELECT bin, n,
+        |    CAST(sp // CAST(n AS HUGEINT) AS BIGINT) AS mp,
+        |    CAST((CAST(pos AS HUGEINT) * 1000000) // n AS BIGINT) AS fp
+        |  FROM b)
+        |SELECT CAST(bin AS INT) AS bin, n, mp AS mean_pred_micros,
+        |  fp AS frac_pos_micros, fp - mp AS gap_micros,
+        |  CAST(sum(CAST(n AS HUGEINT) * abs(fp - mp)) OVER ()
+        |    // sum(CAST(n AS HUGEINT)) OVER () AS BIGINT) AS ece_micros
+        |FROM t""".stripMargin,
+
     // per-stratum HUGEINT cells; stratum means by truncating
     // division, weighted as counts, one final division per estimate
     "ab_poststrat" ->
@@ -10132,6 +10302,67 @@ object SparkEntry {
         |    AS ln_s_micros,
         |  CAST(ch AS BIGINT) AS cumhaz_micros
         |FROM w ORDER BY t""".stripMargin,
+
+    // same duration construction as surv_kaplan_meier; O-E and V as
+    // pico-scaled truncating divisions per event time, order-free
+    // HUGEINT sums, one mirrored z tree through the shared polynomial
+    "surv_logrank" ->
+      """WITH p AS (SELECT user_id, ts, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE event_type = 'purchase'),
+        |t13 AS (SELECT user_id, ts AS t13 FROM p WHERE rn = 13),
+        |f AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1),
+        |mx AS (SELECT max(ts) AS mt FROM events),
+        |d AS (SELECT (CAST(floor(epoch(coalesce(t13, mt))) AS BIGINT)
+        |      - CAST(floor(epoch(t0)) AS BIGINT)) // 3600 AS t,
+        |    t13 IS NOT NULL AS obs, (user_id % 2 = 0) AS g
+        |  FROM f LEFT JOIN t13 USING (user_id), mx),
+        |byt AS (SELECT t,
+        |    CAST(sum(CASE WHEN obs AND g THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d1,
+        |    CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS exits1,
+        |    CAST(count(*) AS BIGINT) AS exits
+        |  FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(sum(exits) AS BIGINT) AS n0,
+        |    CAST(sum(exits1) AS BIGINT) AS n10 FROM byt),
+        |r AS (SELECT byt.*, tot.n0, tot.n10,
+        |    tot.n0 - coalesce(sum(exits) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n,
+        |    tot.n10 - coalesce(sum(exits1) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n1
+        |  FROM byt, tot),
+        |e AS (SELECT n0, n10, d1,
+        |    (CAST(d AS HUGEINT) * n1 * 1000000000000) // n AS ee,
+        |    CASE WHEN n > 1 THEN
+        |      (CAST(d AS HUGEINT) * n1 * (n - n1) * (n - d)
+        |        * 1000000000000)
+        |      // (CAST(n AS HUGEINT) * n * (n - 1))
+        |    ELSE 0 END AS vv
+        |  FROM r WHERE d > 0),
+        |a AS (SELECT n0, n10, CAST(sum(d1) AS BIGINT) AS o1,
+        |    CAST(sum(ee) AS HUGEINT) AS ep,
+        |    CAST(sum(vv) AS HUGEINT) AS vp
+        |  FROM e GROUP BY 1, 2),
+        |b AS (SELECT * FROM a
+        |  WHERE n10 > 0 AND n0 > n10 AND vp > 0),
+        |z AS (SELECT *,
+        |    CAST(CAST(o1 AS HUGEINT) * 1000000000000 - ep AS DOUBLE)
+        |      / (1000000.0 * sqrt(CAST(vp AS DOUBLE))) AS zz
+        |  FROM b),
+        |x0 AS (SELECT *, abs(zz) / 1.4142135623730951 AS x FROM z),
+        |t0 AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS tt FROM x0)
+        |SELECT n10 AS n_1, n0 - n10 AS n_2, o1 AS observed_1,
+        |  CAST(ep // 1000000 AS BIGINT) AS expected_1_micros,
+        |  CAST(round(zz * 1000000) AS BIGINT) AS z_micros,
+        |  CAST(round((tt * (0.254829592 + tt * (-0.284496736
+        |    + tt * (1.421413741 + tt * (-1.453152027
+        |    + tt * 1.061405429)))) * exp(-(x * x))) * 1000000)
+        |    AS BIGINT) AS p_micros
+        |FROM t0""".stripMargin,
 
     // same wedge rule as the engine: apexes of degree <= 64 only,
     // per-term round(1e6/ln(deg)) summed as integers, non-edges via

@@ -775,4 +775,143 @@ object Features {
         "sum_labels", "mean_ppm")
       .orderBy(col(groupCol), col("block"))
   }
+
+  /** One-way ANOVA F — the parametric k-group mean comparison next
+    * to [[graft.operators.OrderedStats.kruskalWallis]] (ranks test
+    * stochastic dominance; this tests MEANS, the quantity a revenue
+    * decision is actually about): does at least one of k groups have
+    * a different mean? `F = (SSB/(k−1)) / (SSW/(N−k))`.
+    *
+    * Exactness: one pass accumulates exact DECIMAL moments
+    * (n_g, Σx, Σx²) per group; the between/within sums of squares
+    * are milli-scaled exact integers via the per-group truncating
+    * division `A = Σ_g (1000·S_g²) div n_g` (order-free sum — the
+    * kruskalWallis device), `SSB_milli = A − (1000·S²) div N`,
+    * `SSW_milli = 1000·ΣΣx² − A`; F is ONE IEEE division of exact
+    * integers, micro-quantized. The upper-tail p uses the Paulson
+    * (1942) normal approximation
+    * `z = ((1 − 2/(9d₂))·∛F − (1 − 2/(9d₁))) /
+    * √((2/(9d₂))·∛F² + 2/(9d₁))` — cube roots as `exp(ln/3)`, the
+    * mirrored tree both engines replay bit-for-bit, through the
+    * shared [[Quality.pValueTwoSidedZ]] polynomial. Truncation can
+    * leave SSB_milli ≤ 0 when the group means coincide — that
+    * reports F = 0, p = 1 (the correct verdict, not an error).
+    * Degenerate inputs (k < 2, N ≤ k, or zero within-group variance)
+    * return empty. Returns one row
+    * (n, n_groups, f_micros, p_micros).
+    *
+    * Scale: the moments are one map-side-combined hash-agg to k
+    * rows; everything after is group-scale. DECIMAL(38) bounds the
+    * exact path at `1000·S_g² < 10³⁸` (|x| ≤ 10⁹ cents and
+    * n_g ≲ 10⁸ — a significance test's sample, not a corpus). */
+  def anovaF(df: DataFrame, groupExpr: Column, valueExpr: Column)
+      : DataFrame = {
+    val dec = "decimal(38,0)"
+    val perGroup = df.select(groupExpr.cast("string").as("g"),
+        valueExpr.cast("long").as("x"))
+      .filter(col("g").isNotNull && col("x").isNotNull)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("__ng"),
+        sum(col("x").cast(dec)).as("__sg"),
+        sum(col("x").cast(dec) * col("x")).as("__qg"))
+    // Quality.decimalDivTrunc, NOT SQL `div`: these quotients
+    // (1000·Σx² scale) overflow a long at modest group sizes and
+    // IntegralDivide wraps silently there
+    val agg = perGroup
+      .select(col("__ng"), col("__sg"), col("__qg"),
+        Quality.decimalDivTrunc(
+          col("__sg") * col("__sg") * lit(1000),
+          col("__ng").cast(dec)).as("__ag"))
+      .agg(sum(col("__ng")).as("__n"), count(lit(1)).as("__k"),
+        sum(col("__sg")).as("__s"), sum(col("__qg")).as("__q"),
+        sum(col("__ag")).as("__a"))
+      .filter(col("__k") >= 2L && col("__n") > col("__k"))
+      .withColumn("__ssb", col("__a") - Quality.decimalDivTrunc(
+        col("__s") * col("__s") * lit(1000), col("__n").cast(dec)))
+      .withColumn("__ssw", expr("__q * 1000 - __a"))
+      .filter(col("__ssw") > 0)
+    val d1 = (col("__k") - 1L).cast("double")
+    val d2 = (col("__n") - col("__k")).cast("double")
+    val f = when(col("__ssb") > 0,
+        (col("__ssb").cast("double") * d2) /
+          (col("__ssw").cast("double") * d1))
+      .otherwise(lit(0.0))
+    val cbrtF = exp(log(f) / lit(3.0))
+    val zp = ((lit(1.0) - lit(2.0) / (lit(9.0) * d2)) * cbrtF -
+      (lit(1.0) - lit(2.0) / (lit(9.0) * d1))) /
+      sqrt((lit(2.0) / (lit(9.0) * d2)) * cbrtF * cbrtF +
+        lit(2.0) / (lit(9.0) * d1))
+    val p2 = Quality.pValueTwoSidedZ(zp)
+    agg.withColumn("__f", f)
+      .withColumn("__p",
+        when(col("__f") <= 0.0, lit(1.0))
+          .when(zp >= 0.0, p2 / 2.0)
+          .otherwise(lit(1.0) - p2 / 2.0))
+      .select(col("__n").cast("bigint").as("n"),
+        col("__k").cast("bigint").as("n_groups"),
+        round(col("__f") * 1e6).cast("long").as("f_micros"),
+        round(col("__p") * 1e6).cast("long").as("p_micros"))
+  }
+
+  /** Calibration reliability table + expected calibration error —
+    * the probability-quality reading next to [[isotonicCalibrate]]
+    * (isotonic FIXES miscalibration; this MEASURES it): bin the
+    * predicted probability into `bins` equal-width bins and compare,
+    * per bin, the mean predicted probability against the observed
+    * positive rate. A model can have perfect AUC and still lie about
+    * its probabilities — this is the table that says so, and
+    * `ece_micros = Σ_b n_b·|obs_b − pred_b| / N` (the standard
+    * expected calibration error) is its one-number summary, repeated
+    * on every row so a single scan reads both.
+    *
+    * Exactness: predictions arrive as integer MICROS (the caller
+    * quantizes — a probability pipeline that can't state its scores
+    * to 10⁻⁶ has bigger problems); bins are the integer division
+    * `min(p_micros·bins div 10⁶, bins−1)`; per-bin means are
+    * truncating ppm divisions of exact sums; the ECE folds the
+    * per-bin integer micros with one final truncating division by N.
+    * Out-of-range predictions (outside [0, 10⁶]) are refused loudly —
+    * they are bugs, not data. Returns per-bin rows
+    * (bin, n, mean_pred_micros, frac_pos_micros, gap_micros,
+    * ece_micros); empty bins are absent.
+    *
+    * Scale: one row-scale hash-agg to ≤ bins rows; the ECE window
+    * runs over the bin grid, never the row stream. */
+  def calibrationTable(df: DataFrame, predMicrosExpr: Column,
+      labelExpr: Column, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 10000,
+      s"bins must be in [2, 10000] (got $bins)")
+    val base = df.select(predMicrosExpr.cast("long").as("__p"),
+        labelExpr.as("__y"))
+      .filter(col("__p").isNotNull && col("__y").isNotNull)
+      .withColumn("__p",
+        when(col("__p") < 0L || col("__p") > 1000000L,
+          raise_error(concat(lit("calibrationTable: prediction " +
+            "outside [0, 1e6] micros — quantize upstream (value="),
+            col("__p").cast("string"), lit(")"))))
+        .otherwise(col("__p")))
+      .withColumn("bin",
+        least(expr(s"__p * $bins div 1000000"), lit(bins - 1L))
+          .cast("int"))
+    val perBin = base.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__p").cast("decimal(38,0)")).as("__sp"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"))
+      .withColumn("mean_pred_micros",
+        expr("CAST(__sp div n AS BIGINT)"))
+      .withColumn("frac_pos_micros",
+        expr("CAST(__pos AS DECIMAL(38,0)) * 1000000 div n")
+          .cast("long"))
+      .withColumn("gap_micros",
+        col("frac_pos_micros") - col("mean_pred_micros"))
+    // bin-grid window (<= bins rows), never the row stream
+    perBin
+      .withColumn("ece_micros", expr(
+        "CAST(sum(CAST(n AS DECIMAL(38,0)) * abs(gap_micros)) OVER () " +
+          "div sum(CAST(n AS DECIMAL(38,0))) OVER () AS BIGINT)"))
+      .select(col("bin"), col("n").cast("bigint").as("n"),
+        col("mean_pred_micros"), col("frac_pos_micros"),
+        col("gap_micros"), col("ece_micros"))
+      .orderBy(col("bin"))
+  }
 }

@@ -460,9 +460,14 @@ object OrderedStats {
       .groupBy(col("g"))
       .agg(sum(col("c").cast(dec) * col("__r2")).as("__tr"),
         sum(col("c")).as("__ng"))
+    // Quality.decimalDivTrunc, NOT SQL `div`: (2R_g)²·10³ quotients
+    // outgrow a long around n ~ 10⁶·√n_g and IntegralDivide wraps
+    // silently there
     val sAgg = perGroup
-      .select(expr(s"(__tr * __tr * 1000) div (4 * __ng)").as("__sg"))
-      .agg(sum(col("__sg").cast(dec)).as("__s"), count(lit(1)).as("__k"))
+      .select(Quality.decimalDivTrunc(
+        col("__tr") * col("__tr") * lit(1000),
+        lit(4).cast(dec) * col("__ng")).as("__sg"))
+      .agg(sum(col("__sg")).as("__s"), count(lit(1)).as("__k"))
     val nTies = r2.agg(sum(col("cnt")).as("__n"),
       sum(col("cnt").cast(dec) * col("cnt") * col("cnt") -
         col("cnt").cast(dec)).as("__t"))
@@ -600,5 +605,54 @@ object OrderedStats {
         expr("((__u2 - CAST(n_a AS DECIMAL(38,0)) * n_b) * 1000000)" +
           " div (CAST(n_a AS DECIMAL(38,0)) * n_b)")
           .cast("long").as("cliff_micros"))
+  }
+
+  /** Two-sample Cramér–von Mises statistic, EXACT — the
+    * whole-distribution companion to [[ksTest]]: KS reads only the
+    * single worst CDF gap (sensitive in the middle, blind to tails
+    * and to many small gaps); CvM INTEGRATES the squared gap over the
+    * pooled sample, `T = (n_a·n_b/N²)·Σ_x (F_a(x) − F_b(x))²` with
+    * the sum over all N pooled observations (ties contribute their
+    * multiplicity), so a drift spread thinly across the whole range —
+    * invisible to KS — accumulates here.
+    *
+    * Exactness: per distinct value, `Δ = cum_a·n_b − cum_b·n_a` is
+    * the exact integer numerator of `F_a − F_b` (the [[ksTest]]
+    * device) and the multiplicity is `c = ca + cb`, so
+    * `Σ c·Δ²` is one exact DECIMAL(38,0) integer and
+    * `T = Σc·Δ² / (N²·n_a·n_b)` is ONE final IEEE division,
+    * micro-quantized. `drifted` compares the statistic against the
+    * asymptotic 5% critical value of the limiting ω² distribution
+    * (0.461) — an integer compare on micros. Degenerate inputs (an
+    * empty side) return empty.
+    *
+    * Scale: identical to [[ksTest]] — one row-scale hash-agg, the
+    * two-phase prefix sum, distinct-value-scale everything after.
+    * DECIMAL(38) bounds the exact sum at `N·(n_a·n_b)² < 10³⁸`
+    * (N ≲ 7·10⁷ — the [[mannWhitney]] n⁵ posture: a significance
+    * test's sample, not a corpus). Returns one row
+    * (n_a, n_b, t_micros, drifted). */
+  def cramerVonMises(df: DataFrame, valueExpr: Column, tagExpr: Column,
+      nBuckets: Int = 32): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cum = cumCounts(df, valueExpr, tagExpr, nBuckets)
+    val tot = cum.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    cum.crossJoin(broadcast(tot)) // 1-row sample sizes
+      .filter(col("n_a") > 0L && col("n_b") > 0L)
+      .withColumn("__d", col("cum_a").cast(dec) * col("n_b") -
+        col("cum_b").cast(dec) * col("n_a"))
+      .select(col("n_a"), col("n_b"),
+        ((col("ca") + col("cb")).cast(dec) * col("__d") * col("__d"))
+          .as("__term"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(sum(col("__term")).as("__num"))
+      .withColumn("__t_micros", round(col("__num").cast("double") /
+        (((col("n_a") + col("n_b")).cast(dec) *
+          (col("n_a") + col("n_b")) * col("n_a") * col("n_b"))
+          .cast("double")) * 1e6).cast("long"))
+      .select(col("n_a").cast("bigint").as("n_a"),
+        col("n_b").cast("bigint").as("n_b"),
+        col("__t_micros").as("t_micros"),
+        (col("__t_micros") > 461000L).as("drifted"))
   }
 }

@@ -633,6 +633,24 @@ object Quality {
     poly * exp(-(x * x))
   }
 
+  /** Truncating integer division that STAYS in DECIMAL(38,0) — the
+    * safe form of SQL `div` for big integer statistics. Spark's
+    * `div` (IntegralDivide) returns LONG and silently WRAPS when the
+    * true quotient exceeds 2⁶³−1, even on DECIMAL operands and even
+    * under ANSI (verified on 4.1.2: `(2·10²¹·1000) div 2` returns a
+    * negative long) — a statistic built on it is silently wrong the
+    * day the data grows. Here the quotient is computed exactly:
+    * `(a − pmod(a, b)) / b` has a zero remainder by construction, so
+    * the decimal divide is exact and the result holds any quotient
+    * up to DECIMAL(38,6)'s 32 integral digits.
+    *
+    * Contract: `a` must be NON-NEGATIVE (pmod makes this FLOOR
+    * division; floor == truncate — the DuckDB `//` semantics — only
+    * for a ≥ 0, which every caller's numerator is by construction).
+    * NULL-safe: a NULL divisor yields NULL, as `div` would. */
+  private[graft] def decimalDivTrunc(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("decimal(38,0)")
+
   /** Benjamini–Hochberg FDR control over a battery of test results —
     * the multiple-testing step every metric sweep needs (20 metrics
     * at α=0.05 expect one false positive; BH caps the EXPECTED SHARE

@@ -82,4 +82,83 @@ object Survival {
         col("ln_s_micros"), col("cumhaz_micros"))
       .orderBy(col("t"))
   }
+
+  /** Two-group log-rank test — the inferential companion to
+    * [[kaplanMeier]] (the curve shows churn differs; this says
+    * whether the difference survives chance): at each distinct event
+    * time, compare group 1's observed events `d₁` against the
+    * hypergeometric expectation `E = d·n₁/n` under "both curves
+    * identical", accumulate `O₁−E₁` and the variance
+    * `V = d·n₁·(n−n₁)·(n−d) / (n²·(n−1))`, and read
+    * `z = (O₁−E₁)/√V` (χ² = z², 1 dof). The standard censoring rule
+    * rides along from kaplanMeier: censored subjects are at risk at
+    * their own time.
+    *
+    * Exactness: per-event-time E and V are the pico-scaled
+    * truncating divisions `(d·n₁·10¹²) div n` and
+    * `(d·n₁·(n−n₁)·(n−d)·10¹²) div (n²·(n−1))` — exact DECIMAL
+    * integers, order-free sums (the averagePrecision device); times
+    * with n ≤ 1 contribute nothing to V by definition. z is ONE
+    * mirrored IEEE tree `(O₁·10¹² − ΣE) / (10⁶·√ΣV)` from exact
+    * integers, through the shared [[Quality.pValueTwoSidedZ]]
+    * polynomial. Degenerate inputs (either group empty, or zero
+    * variance — e.g. no event time where both groups are at risk)
+    * return empty. Returns one row (n_1, n_2, observed_1,
+    * expected_1_micros, z_micros, p_micros).
+    *
+    * Scale: identical to [[kaplanMeier]] — one row-scale hash-agg to
+    * the distinct-time table, cumulative windows over that
+    * study-length-scale table only. */
+  def logRank(df: DataFrame, durationExpr: Column,
+      observedExpr: Column, groupExpr: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val rows = df.select(durationExpr.cast("long").as("t"),
+        observedExpr.cast("boolean").as("obs"),
+        groupExpr.cast("boolean").as("g"))
+      .filter(col("t").isNotNull && col("t") >= 0 &&
+        col("obs").isNotNull && col("g").isNotNull)
+    val byT = rows.groupBy(col("t"))
+      .agg(sum(when(col("obs") && col("g"), 1L).otherwise(0L)).as("d1"),
+        sum(when(col("obs"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("g"), 1L).otherwise(0L)).as("exits1"),
+        count(lit(1)).as("exits"))
+      .localCheckpoint(true) // two consumers of the row-scale reduction
+    val total = byT.agg(sum(col("exits")).as("__n0"),
+      sum(col("exits1")).as("__n10"))
+    val wBefore = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val terms = byT.crossJoin(broadcast(total)) // 1-row subject counts
+      .withColumn("__n",
+        col("__n0") - coalesce(sum(col("exits")).over(wBefore), lit(0L)))
+      .withColumn("__n1",
+        col("__n10") - coalesce(sum(col("exits1")).over(wBefore), lit(0L)))
+      .filter(col("d") > 0L) // event times only
+      // Quality.decimalDivTrunc, NOT SQL `div`: the pico-scaled
+      // quotients reach d·10¹² and IntegralDivide wraps silently
+      // past a long
+      .select(col("__n0"), col("__n10"), col("d1"),
+        Quality.decimalDivTrunc(
+          col("d").cast(dec) * col("__n1") * lit(1000000000000L),
+          col("__n").cast(dec)).as("__e"),
+        when(col("__n") > 1L, Quality.decimalDivTrunc(
+          col("d").cast(dec) * col("__n1") * (col("__n") - col("__n1")) *
+            (col("__n") - col("d")) * lit(1000000000000L),
+          col("__n").cast(dec) * col("__n") * (col("__n") - 1L)))
+          .otherwise(lit(0).cast(dec)).as("__v"))
+    val agg = terms.groupBy(col("__n0"), col("__n10"))
+      .agg(sum(col("d1")).as("__o1"), sum(col("__e").cast(dec)).as("__ep"),
+        sum(col("__v").cast(dec)).as("__vp"))
+      .filter(col("__n10") > 0L && col("__n0") > col("__n10") &&
+        col("__vp") > 0)
+    val z = (col("__o1").cast(dec) * lit(1000000000000L) - col("__ep"))
+      .cast("double") / (lit(1e6) * sqrt(col("__vp").cast("double")))
+    agg.withColumn("__z", z)
+      .select((col("__n10")).cast("bigint").as("n_1"),
+        (col("__n0") - col("__n10")).cast("bigint").as("n_2"),
+        col("__o1").cast("bigint").as("observed_1"),
+        expr("CAST(__ep div 1000000 AS BIGINT)").as("expected_1_micros"),
+        round(col("__z") * 1e6).cast("long").as("z_micros"),
+        round(Quality.pValueTwoSidedZ(col("__z")) * 1e6).cast("long")
+          .as("p_micros"))
+  }
 }

@@ -429,4 +429,54 @@ class FeaturesSpec extends SparkSpec {
         col("t"), col("y"), tau = 10.0, maxLooks = 1L)
     }
   }
+
+  test("anovaF: hand case F=73 exact, equal means F=0 p=1, degenerates empty") {
+    import spark.implicits._
+    // g1={1,2,3}, g2={2,3,4}, g3={10,11,12}: SSB=146, SSW=6,
+    // F = (146/2)/(6/6) = 73 exactly in milli-integers
+    val rows = Seq(("g1", 1L), ("g1", 2L), ("g1", 3L),
+      ("g2", 2L), ("g2", 3L), ("g2", 4L),
+      ("g3", 10L), ("g3", 11L), ("g3", 12L)).toDF("g", "x")
+    val r = Features.anovaF(rows, $"g", $"x").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((9L, 3L, 73000000L)))
+    assert(r.getLong(3) < 20000L) // strongly significant
+    // identical group means: SSB truncates to 0 -> F=0, p=1
+    val flat = Seq(("a", 1L), ("a", 3L), ("b", 2L), ("b", 2L))
+      .toDF("g", "x")
+    val fr = Features.anovaF(flat, $"g", $"x").collect().head
+    assert((fr.getLong(2), fr.getLong(3)) == ((0L, 1000000L)))
+    // one group, or zero within-group variance -> empty
+    assert(Features.anovaF(rows.filter($"g" === "g1"), $"g", $"x")
+      .count() == 0L)
+    val const = Seq(("a", 5L), ("a", 5L), ("b", 7L), ("b", 7L))
+      .toDF("g", "x")
+    assert(Features.anovaF(const, $"g", $"x").count() == 0L)
+  }
+
+  test("calibrationTable: hand bins, clamp at 1e6, ECE fold, out-of-range raises") {
+    import spark.implicits._
+    val rows = Seq((100000L, false), (300000L, true),
+      (600000L, true), (900000L, true)).toDF("p", "y")
+    val got = Features.calibrationTable(rows, $"p", $"y", bins = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (0, 2L, 200000L, 500000L, 300000L, 275000L),
+      (1, 2L, 750000L, 1000000L, 250000L, 275000L)))
+    // p = 1e6 exactly lands in the LAST bin, not a phantom bin
+    val top = Features.calibrationTable(
+      Seq((1000000L, true)).toDF("p", "y"), $"p", $"y", bins = 10)
+      .collect().head
+    assert(top.getInt(0) == 9)
+    // out-of-range predictions are bugs, refused loudly
+    val e = intercept[Exception] {
+      Features.calibrationTable(Seq((1000001L, true)).toDF("p", "y"),
+        $"p", $"y").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("calibrationTable")), e.toString)
+  }
 }

@@ -268,4 +268,37 @@ class OrderedStatsSpec extends SparkSpec {
         maxDistinctPerMetric = 1L)
     }
   }
+
+  test("cramerVonMises: identical samples 0, disjoint 2/2 hand value 0.375, tied hand case, degenerate empty") {
+    def t(rows: Seq[(Double, Boolean)], nb: Int = 32): Option[(Long, Long, Long, Boolean)] =
+      OrderedStats.cramerVonMises(rows.toDF("v", "t"), $"v", $"t",
+        nBuckets = nb).collect().headOption
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3)))
+    // identical distributions -> T = 0 exactly
+    val same = Seq(1.0, 2.0, 3.0).flatMap(v => Seq((v, true), (v, false)))
+    assert(t(same) == Some((3L, 3L, 0L, false)))
+    // disjoint a={1,2}, b={10,11}: per-value deltas 2,4,2,0 ->
+    // sum c*d^2 = 24, T = 24/(16*4) = 0.375 (matches the rank form
+    // U = 16 -> T = 16/(2*2*4) - 15/24 = 0.375)
+    assert(t(Seq((1.0, true), (2.0, true), (10.0, false), (11.0, false)))
+      == Some((2L, 2L, 375000L, false)))
+    // ties contribute multiplicity: a={1,2,3}, b={2,3,4} ->
+    // deltas 3,3,3,0 with counts 1,2,2,1 -> sum = 45, T = 45/324
+    assert(t(Seq((1.0, true), (2.0, true), (3.0, true),
+        (2.0, false), (3.0, false), (4.0, false)))
+      == Some((3L, 3L, math.round(45.0 / 324.0 * 1e6), false)))
+    // bucketing invariance
+    assert(t(Seq((1.0, true), (2.0, true), (3.0, true),
+        (2.0, false), (3.0, false), (4.0, false)), nb = 2)
+      == Some((3L, 3L, math.round(45.0 / 324.0 * 1e6), false)))
+    // an emptied side -> empty result
+    assert(t(Seq((1.0, true), (2.0, true))).isEmpty)
+    // a gross shift at a size where T crosses the 0.461 critical
+    // value -> drifted = true
+    val shifted = (1 to 40).map(i => (i.toDouble, true)) ++
+      (1 to 40).map(i => (i + 100.0, false))
+    val big = t(shifted)
+    assert(big.exists(r => r._3 > 461000L && r._4))
+  }
 }

@@ -43,4 +43,41 @@ class SurvivalSpec extends SparkSpec {
     // Nelson-Aalen hazard still accumulates its exact d/n term
     assert(got(2L) == ((2L, 2L, None, math.round(1e6 / 3) + 1000000L)))
   }
+
+  test("logRank: hand O/E/V on a separated pair of groups; censoring keeps at-risk; degenerates empty") {
+    // group 1 = {1, 2} observed, group 2 = {3, 4} observed:
+    // t=1: n=4, n1=2, d=1 -> E += (1*2*1e12) div 4,
+    //   V += (1*2*2*3*1e12) div 48; t=2: n=3, n1=1 ->
+    //   E += 1e12 div 3, V += 4e12 div 18; t=3,4: n1=0 -> 0
+    val df = Seq((1L, true, true), (2L, true, true),
+      (3L, true, false), (4L, true, false)).toDF("dur", "obs", "g")
+    val r = Survival.logRank(df, $"dur", $"obs", $"g").collect().head
+    val ep = 500000000000L + 333333333333L
+    val vp = 250000000000L + 222222222222L
+    val zExp = (2000000000000L - ep).toDouble /
+      (1e6 * math.sqrt(vp.toDouble))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 2L, 2L, ep / 1000000L)))
+    assert(r.getLong(4) == math.round(zExp * 1e6))
+    assert(r.getLong(5) > 0L && r.getLong(5) < 150000L) // p ~ 0.09
+    // censored subject at an event time stays at risk AT that time:
+    // group1 = {1 obs}, group2 = {1 censored, 2 obs} -> t=1 sees n=3
+    val cen = Seq((1L, true, true), (1L, false, false),
+      (2L, true, false)).toDF("dur", "obs", "g")
+    val c = Survival.logRank(cen, $"dur", $"obs", $"g").collect().head
+    val epC = 333333333333L // (1*1*1e12) div 3
+    val vpC = 222222222222L // (1*1*2*2*1e12) div (9*2)
+    val zC = (1000000000000L - epC).toDouble /
+      (1e6 * math.sqrt(vpC.toDouble))
+    assert(c.getLong(2) == 1L && c.getLong(3) == epC / 1000000L)
+    assert(c.getLong(4) == math.round(zC * 1e6))
+    // one-group input, and zero-variance input, return empty
+    assert(Survival.logRank(df.filter($"g"), $"dur", $"obs", $"g")
+      .count() == 0L)
+    val noOverlap = Seq((1L, false, true), (2L, true, false))
+      .toDF("dur", "obs", "g")
+    // only event time t=2 has n1=0 -> V = 0 -> empty, not 0/0
+    assert(Survival.logRank(noOverlap, $"dur", $"obs", $"g")
+      .count() == 0L)
+  }
 }
