@@ -111,7 +111,7 @@ object SparkEntry {
     "feat_median_ci", "ts_anomaly_robust", "graph_ktruss",
     "ab_kruskal", "ab_effect_size", "feat_avg_precision",
     "ts_dominant_period", "dq_cvm", "ab_anova", "feat_calibration",
-    "surv_logrank",
+    "surv_logrank", "dq_ad", "feat_brier",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -405,7 +405,7 @@ object SparkEntry {
     "ab_bh_fdr", "dq_drift_fdr", "ab_sequential", "dq_referential",
     "ab_power", "ab_poststrat", "ab_mannwhitney", "ab_kruskal",
     "ab_effect_size", "feat_avg_precision", "dq_cvm", "ab_anova",
-    "feat_calibration",
+    "feat_calibration", "dq_ad", "feat_brier",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -6343,6 +6343,18 @@ object SparkEntry {
         $"l_extendedprice", $"l_returnflag" === "R")
     }),
 
+    "dq_ad" -> ((s, dir) => {
+      import s.implicits._
+      // Anderson-Darling distance between returned and intact
+      // lineitems' prices — the TAIL-weighted member of the drift
+      // trio next to dq_ks (sup) and dq_cvm (uniform integral): the
+      // screen for a drifting p99. Exact pico-scaled terms off the
+      // prefix sum, one final division. One row.
+      graft.operators.OrderedStats.andersonDarling(
+        Tables.lineitem(s, dir).filter($"l_returnflag".isin("R", "N")),
+        $"l_extendedprice", $"l_returnflag" === "R")
+    }),
+
     "ab_anova" -> ((s, dir) => {
       import s.implicits._
       // One-way ANOVA F across the five order priorities on order
@@ -6361,6 +6373,17 @@ object SparkEntry {
       // same label: per-bin exact truncating ppm divisions, the ECE
       // folded over the bin grid.
       Features.calibrationTable(Tables.orders(s, dir),
+        least(round($"o_totalprice" * 2).cast("long"), lit(1000000L)),
+        $"o_orderpriority".isin("1-URGENT", "2-HIGH"), bins = 10)
+    }),
+
+    "feat_brier" -> ((s, dir) => {
+      import s.implicits._
+      // Brier score + Murphy decomposition for the same clipped
+      // urgency score — the one-number summary next to
+      // feat_calibration's table: exact unbinned BS, binned
+      // REL/RES/UNC, no doubles anywhere. One row.
+      Features.brierDecomposition(Tables.orders(s, dir),
         least(round($"o_totalprice" * 2).cast("long"), lit(1000000L)),
         $"o_orderpriority".isin("1-URGENT", "2-HIGH"), bins = 10)
     }),
@@ -9700,6 +9723,40 @@ object SparkEntry {
         |SELECT n_a, n_b, t_micros, t_micros > 461000 AS drifted
         |FROM f""".stripMargin,
 
+    // tail-weighted squared CDF gaps: exact pico-scaled truncating
+    // terms over interior distinct values, one final division
+    "dq_ad" ->
+      """WITH s AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+        |    (l_returnflag = 'R') AS t
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+        |c AS (SELECT v,
+        |    sum(CASE WHEN t THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS cb
+        |  FROM s GROUP BY 1),
+        |cc AS (SELECT v, ca, cb,
+        |    sum(ca) OVER (ORDER BY v) AS cum_a,
+        |    sum(cb) OVER (ORDER BY v) AS cum_b FROM c),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) AS BIGINT) AS n_b FROM c),
+        |t AS (SELECT tot.n_a, tot.n_b,
+        |    ((CAST(ca + cb AS HUGEINT)
+        |      * (CAST(cum_a AS HUGEINT) * (tot.n_a + tot.n_b)
+        |        - CAST(tot.n_a AS HUGEINT) * (cum_a + cum_b))
+        |      * (CAST(cum_a AS HUGEINT) * (tot.n_a + tot.n_b)
+        |        - CAST(tot.n_a AS HUGEINT) * (cum_a + cum_b))
+        |      * 1000000000000)
+        |     // (CAST(cum_a + cum_b AS HUGEINT)
+        |        * (tot.n_a + tot.n_b - cum_a - cum_b))) AS tt
+        |  FROM cc, tot
+        |  WHERE tot.n_a > 0 AND tot.n_b > 0
+        |    AND cum_a + cum_b < tot.n_a + tot.n_b),
+        |a AS (SELECT n_a, n_b, CAST(sum(tt) AS HUGEINT) AS s
+        |  FROM t GROUP BY 1, 2)
+        |SELECT n_a, n_b,
+        |  CAST(s // (CAST(n_a AS HUGEINT) * n_b * 1000000) AS BIGINT)
+        |    AS a2_micros
+        |FROM a""".stripMargin,
+
     // exact HUGEINT group moments; milli-scaled sums of squares by
     // truncating division; F one IEEE division; Paulson cube roots
     // via exp(ln/3) mirrored through the shared p polynomial
@@ -9771,6 +9828,50 @@ object SparkEntry {
         |  CAST(sum(CAST(n AS HUGEINT) * abs(fp - mp)) OVER ()
         |    // sum(CAST(n AS HUGEINT)) OVER () AS BIGINT) AS ece_micros
         |FROM t""".stripMargin,
+
+    // exact unbinned BS; binned Murphy REL/RES/UNC, all truncating
+    // integer divisions — no doubles anywhere
+    "feat_brier" ->
+      """WITH base AS (SELECT
+        |    least(CAST(round(o_totalprice * 2) AS BIGINT), 1000000)
+        |      AS p,
+        |    (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS y
+        |  FROM orders),
+        |b0 AS (SELECT p, y, least(p * 10 // 1000000, 9) AS bin,
+        |    p - CASE WHEN y THEN 1000000 ELSE 0 END AS e FROM base),
+        |b AS (SELECT bin, CAST(count(*) AS BIGINT) AS nb,
+        |    CAST(sum(CAST(p AS HUGEINT)) AS HUGEINT) AS sp,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |    CAST(sum(CAST(e AS HUGEINT) * e) AS HUGEINT) AS sq
+        |  FROM b0 GROUP BY 1),
+        |c AS (SELECT bin, nb, pos, sq,
+        |    CAST(sp // CAST(nb AS HUGEINT) AS BIGINT) AS conf,
+        |    CAST((CAST(pos AS HUGEINT) * 1000000) // nb AS BIGINT)
+        |      AS acc
+        |  FROM b),
+        |tot AS (SELECT CAST(sum(nb) AS BIGINT) AS n,
+        |    CAST(sum(pos) AS BIGINT) AS tpos FROM b),
+        |w AS (SELECT c.*, tot.n,
+        |    CAST((CAST(tot.tpos AS HUGEINT) * 1000000) // tot.n
+        |      AS BIGINT) AS bb
+        |  FROM c, tot),
+        |a AS (SELECT n, bb,
+        |    CAST(sum(sq) AS HUGEINT) AS bs,
+        |    CAST(sum(CAST(nb AS HUGEINT) * (conf - acc) * (conf - acc))
+        |      AS HUGEINT) AS rel,
+        |    CAST(sum(CAST(nb AS HUGEINT) * (acc - bb) * (acc - bb))
+        |      AS HUGEINT) AS res
+        |  FROM w GROUP BY 1, 2)
+        |SELECT n,
+        |  CAST(bs // (CAST(n AS HUGEINT) * 1000000) AS BIGINT)
+        |    AS bs_micros,
+        |  CAST(rel // (CAST(n AS HUGEINT) * 1000000) AS BIGINT)
+        |    AS reliability_micros,
+        |  CAST(res // (CAST(n AS HUGEINT) * 1000000) AS BIGINT)
+        |    AS resolution_micros,
+        |  CAST((CAST(bb AS HUGEINT) * (1000000 - bb)) // 1000000
+        |    AS BIGINT) AS uncertainty_micros
+        |FROM a""".stripMargin,
 
     // per-stratum HUGEINT cells; stratum means by truncating
     // division, weighted as counts, one final division per estimate

@@ -914,4 +914,75 @@ object Features {
         col("gap_micros"), col("ece_micros"))
       .orderBy(col("bin"))
   }
+
+  /** Brier score with the Murphy reliability/resolution/uncertainty
+    * decomposition — the one-number probability-quality summary next
+    * to [[calibrationTable]]'s per-bin view: `BS = mean (p − y)²`
+    * (exact, unbinned), and on the BINNED forecast the classic
+    * `REL − RES + UNC` reading — REL (calibration error to drive to
+    * 0), RES (sharpness to drive UP), UNC (the base-rate floor no
+    * model can beat). The decomposition is computed on bin means, as
+    * Murphy (1973) defines it; it reproduces `bs_micros` exactly
+    * only when forecasts within a bin are identical — the
+    * within-bin spread is the (documented) gap, not an error.
+    *
+    * Exactness: NO doubles anywhere — `(p − y·10⁶)²` per row is an
+    * exact integer summed per bin in DECIMAL; bin means are
+    * truncating micro divisions; each component is one final
+    * truncating division by `N·10⁶`. Out-of-range predictions are
+    * refused loudly. Returns one row (n, bs_micros,
+    * reliability_micros, resolution_micros, uncertainty_micros);
+    * empty input returns empty.
+    *
+    * Scale: one row-scale hash-agg to ≤ bins rows; everything after
+    * is bin-grid-scale. */
+  def brierDecomposition(df: DataFrame, predMicrosExpr: Column,
+      labelExpr: Column, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 10000,
+      s"bins must be in [2, 10000] (got $bins)")
+    val dec = "decimal(38,0)"
+    val base = df.select(predMicrosExpr.cast("long").as("__p"),
+        labelExpr.as("__y"))
+      .filter(col("__p").isNotNull && col("__y").isNotNull)
+      .withColumn("__p",
+        when(col("__p") < 0L || col("__p") > 1000000L,
+          raise_error(concat(lit("brierDecomposition: prediction " +
+            "outside [0, 1e6] micros — quantize upstream (value="),
+            col("__p").cast("string"), lit(")"))))
+        .otherwise(col("__p")))
+      .withColumn("__bin",
+        least(expr(s"__p * $bins div 1000000"), lit(bins - 1L)))
+      .withColumn("__e",
+        col("__p") - when(col("__y"), 1000000L).otherwise(0L))
+    val perBin = base.groupBy(col("__bin"))
+      .agg(count(lit(1)).as("__nb"),
+        sum(col("__p").cast(dec)).as("__sp"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"),
+        sum(col("__e").cast(dec) * col("__e")).as("__sq"))
+      .withColumn("__conf", expr("CAST(__sp div __nb AS BIGINT)"))
+      .withColumn("__acc",
+        expr("CAST(CAST(__pos AS DECIMAL(38,0)) * 1000000 div __nb" +
+          " AS BIGINT)"))
+    val tot = perBin.agg(sum(col("__nb")).as("__n"),
+      sum(col("__pos")).as("__tpos"))
+    perBin.crossJoin(broadcast(tot)) // 1-row totals over the bin grid
+      .withColumn("__base",
+        expr("CAST(CAST(__tpos AS DECIMAL(38,0)) * 1000000 div __n" +
+          " AS BIGINT)"))
+      .groupBy(col("__n"), col("__base"))
+      .agg(sum(col("__sq")).as("__bs"),
+        sum(col("__nb").cast(dec) * (col("__conf") - col("__acc")) *
+          (col("__conf") - col("__acc"))).as("__rel"),
+        sum(col("__nb").cast(dec) * (col("__acc") - col("__base")) *
+          (col("__acc") - col("__base"))).as("__res"))
+      .select(col("__n").cast("bigint").as("n"),
+        expr("CAST(__bs div (CAST(__n AS DECIMAL(38,0)) * 1000000)" +
+          " AS BIGINT)").as("bs_micros"),
+        expr("CAST(__rel div (CAST(__n AS DECIMAL(38,0)) * 1000000)" +
+          " AS BIGINT)").as("reliability_micros"),
+        expr("CAST(__res div (CAST(__n AS DECIMAL(38,0)) * 1000000)" +
+          " AS BIGINT)").as("resolution_micros"),
+        expr("CAST((CAST(__base AS DECIMAL(38,0)) * (1000000 - __base))" +
+          " div 1000000 AS BIGINT)").as("uncertainty_micros"))
+  }
 }

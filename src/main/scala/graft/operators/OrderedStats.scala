@@ -655,4 +655,58 @@ object OrderedStats {
         col("__t_micros").as("t_micros"),
         (col("__t_micros") > 461000L).as("drifted"))
   }
+
+  /** Two-sample Anderson–Darling statistic (Scholz–Stephens k=2,
+    * right-continuous ECDF) — the TAIL-weighted member of the drift
+    * trio: [[ksTest]] reads the single worst gap, [[cramerVonMises]]
+    * integrates it uniformly, AD divides each squared gap by
+    * `B(N−B)` so the same absolute gap counts ~N/4× more in the
+    * tails — the right screen when what drifts is the p99, not the
+    * median. For two samples the per-side terms coincide
+    * (`N·M₂ − n_b·B = −(N·M₁ − n_a·B)`), so
+    * `A² = Σ_j ℓ_j·D_j² / (B_j(N−B_j)) / (n_a·n_b)` over distinct
+    * pooled values with `B_j < N`, `D_j = N·M₁ − n_a·B` — exactly
+    * scipy's `anderson_ksamp(midrank=False)` at k=2.
+    *
+    * Exactness: D and the term numerators are exact DECIMAL
+    * integers off [[cumCounts]]; each term is the pico-scaled
+    * truncating division `(ℓ·D²·10¹²) div (B·(N−B))` — exact
+    * integers, order-free sum, kept in DECIMAL by
+    * [[Quality.decimalDivTrunc]] (a tail term's quotient alone can
+    * pass a long) — and A² is one final truncating division by
+    * `n_a·n_b·10⁶`, leaving micros. Inference uses the
+    * Scholz–Stephens tables downstream — the raw statistic is the
+    * deliverable, same stance as the drift battery. Degenerate
+    * inputs (an empty side, or a single distinct pooled value — no
+    * interior point exists) return empty. Returns one row
+    * (n_a, n_b, a2_micros).
+    *
+    * Scale: identical to [[ksTest]] — one row-scale hash-agg, the
+    * two-phase prefix sum, distinct-value-scale everything after;
+    * DECIMAL(38) bounds `ℓ·D²·10¹² < 10³⁸` (the n⁵·10¹² posture —
+    * a significance test's sample, not a corpus). */
+  def andersonDarling(df: DataFrame, valueExpr: Column,
+      tagExpr: Column, nBuckets: Int = 32): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cum = cumCounts(df, valueExpr, tagExpr, nBuckets)
+    val tot = cum.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    cum.crossJoin(broadcast(tot)) // 1-row sample sizes
+      .filter(col("n_a") > 0L && col("n_b") > 0L)
+      .withColumn("__nn", col("n_a") + col("n_b"))
+      .withColumn("__b", col("cum_a") + col("cum_b"))
+      .filter(col("__b") < col("__nn")) // the B = N term is excluded
+      .withColumn("__d", col("cum_a").cast(dec) * col("__nn") -
+        col("n_a").cast(dec) * col("__b"))
+      .select(col("n_a"), col("n_b"),
+        Quality.decimalDivTrunc(
+          (col("ca") + col("cb")).cast(dec) * col("__d") * col("__d") *
+            lit(1000000000000L),
+          col("__b").cast(dec) * (col("__nn") - col("__b"))).as("__t"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(sum(col("__t")).as("__s"))
+      .select(col("n_a").cast("bigint").as("n_a"),
+        col("n_b").cast("bigint").as("n_b"),
+        expr("CAST(__s div (CAST(n_a AS DECIMAL(38,0)) * n_b * 1000000)" +
+          " AS BIGINT)").as("a2_micros"))
+  }
 }

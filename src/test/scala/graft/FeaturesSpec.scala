@@ -479,4 +479,29 @@ class FeaturesSpec extends SparkSpec {
         Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("calibrationTable")), e.toString)
   }
+
+  test("brierDecomposition: hand BS/REL/RES/UNC on 2 bins; perfect forecasts; empty input") {
+    import spark.implicits._
+    // bin0: p={1e5(f), 3e5(t)}, bin1: p={6e5(t), 9e5(t)} ->
+    // BS = (1e10+4.9e11+1.6e11+1e10) div 4e6 = 167500
+    // conf={2e5,7.5e5}, acc={5e5,1e6}, base=75e4
+    // REL = (2*9e10+2*6.25e10) div 4e6 = 76250
+    // RES = (2*6.25e10+2*6.25e10) div 4e6 = 62500
+    // UNC = 75e4*25e4 div 1e6 = 187500
+    val rows = Seq((100000L, false), (300000L, true),
+      (600000L, true), (900000L, true)).toDF("p", "y")
+    val r = Features.brierDecomposition(rows, $"p", $"y", bins = 2)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((4L, 167500L, 76250L, 62500L, 187500L)))
+    // a perfect sharp forecaster: BS = REL = 0, RES = UNC
+    val perfect = Seq((0L, false), (0L, false), (1000000L, true),
+      (1000000L, true)).toDF("p", "y")
+    val p = Features.brierDecomposition(perfect, $"p", $"y", bins = 2)
+      .collect().head
+    assert((p.getLong(1), p.getLong(2)) == ((0L, 0L)))
+    assert(p.getLong(3) == p.getLong(4)) // RES == UNC == 250000
+    assert(Features.brierDecomposition(
+      rows.filter($"p" < 0L), $"p", $"y").count() == 0L)
+  }
 }

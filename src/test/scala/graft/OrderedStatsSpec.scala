@@ -301,4 +301,28 @@ class OrderedStatsSpec extends SparkSpec {
     val big = t(shifted)
     assert(big.exists(r => r._3 > 461000L && r._4))
   }
+
+  test("andersonDarling: disjoint 2/2 hand value 5/3, identical 0, tie weighting, degenerates empty") {
+    def a2(rows: Seq[(Double, Boolean)], nb: Int = 32): Option[(Long, Long, Long)] =
+      OrderedStats.andersonDarling(rows.toDF("v", "t"), $"v", $"t",
+        nBuckets = nb).collect().headOption
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // disjoint a={1,2}, b={3,4}: terms (4e12 div 3) + 4e12 +
+    // (4e12 div 3), A2 = S div 4e6 = 1666666 (true 5/3)
+    assert(a2(Seq((1.0, true), (2.0, true), (3.0, false), (4.0, false)))
+      == Some((2L, 2L, 1666666L)))
+    // identical samples: every D = 0 -> A2 = 0
+    assert(a2(Seq(1.0, 2.0, 3.0).flatMap(v => Seq((v, true), (v, false))))
+      == Some((3L, 3L, 0L)))
+    // ties carry multiplicity: a={1,1}, b={2} -> single interior
+    // value with l=2, D=2 -> A2 = 2.0 (matches scipy midrank=False)
+    assert(a2(Seq((1.0, true), (1.0, true), (2.0, false)))
+      == Some((2L, 1L, 2000000L)))
+    // bucketing invariance
+    assert(a2(Seq((1.0, true), (2.0, true), (3.0, false), (4.0, false)),
+      nb = 3) == Some((2L, 2L, 1666666L)))
+    // empty side, and all-mass-at-one-value (no interior), are empty
+    assert(a2(Seq((1.0, true), (2.0, true))).isEmpty)
+    assert(a2(Seq((5.0, true), (5.0, false))).isEmpty)
+  }
 }
