@@ -111,7 +111,7 @@ object SparkEntry {
     "feat_median_ci", "ts_anomaly_robust", "graph_ktruss",
     "ab_kruskal", "ab_effect_size", "feat_avg_precision",
     "ts_dominant_period", "dq_cvm", "ab_anova", "feat_calibration",
-    "surv_logrank", "dq_ad", "feat_brier",
+    "surv_logrank", "dq_ad", "feat_brier", "ab_mcnemar", "ab_cmh",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -405,7 +405,7 @@ object SparkEntry {
     "ab_bh_fdr", "dq_drift_fdr", "ab_sequential", "dq_referential",
     "ab_power", "ab_poststrat", "ab_mannwhitney", "ab_kruskal",
     "ab_effect_size", "feat_avg_precision", "dq_cvm", "ab_anova",
-    "feat_calibration", "dq_ad", "feat_brier",
+    "feat_calibration", "dq_ad", "feat_brier", "ab_mcnemar", "ab_cmh",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -6388,6 +6388,36 @@ object SparkEntry {
         $"o_orderpriority".isin("1-URGENT", "2-HIGH"), bins = 10)
     }),
 
+    "ab_mcnemar" -> ((s, dir) => {
+      import s.implicits._
+      // McNemar paired test: does the same user's heavy-purchaser
+      // status (>= 7 purchases) flip between the first and second
+      // half of the observation window? Only discordant users inform
+      // the verdict — the within-subject reading no independent-group
+      // z-test can give. Exact integer cells, clamped continuity
+      // correction, mirrored sqrt tree. One row.
+      val ev = Tables.events(s, dir).filter($"event_type" === "purchase")
+      val mm = ev.agg(min(unix_timestamp($"ts")).as("__t0"),
+        max(unix_timestamp($"ts")).as("__t1"))
+      val per = ev.crossJoin(broadcast(mm)) // 1-row window bounds
+        .withColumn("__late",
+          unix_timestamp($"ts") * 2 >= $"__t0" + $"__t1")
+        .groupBy($"user_id")
+        .agg((sum(when(!$"__late", 1L).otherwise(0L)) >= 7L).as("ya"),
+          (sum(when($"__late", 1L).otherwise(0L)) >= 7L).as("yb"))
+      Features.mcNemar(per, $"ya", $"yb")
+    }),
+
+    "ab_cmh" -> ((s, dir) => {
+      import s.implicits._
+      // Cochran-Mantel-Haenszel test of parity -> high-value (>= $50)
+      // association with the event type held fixed per stratum — the
+      // Simpson's-paradox guard next to ab_poststrat. Pico-scaled
+      // hypergeometric terms, one mirrored z tree. One row.
+      Features.cmhTest(Tables.events(s, dir), $"event_type",
+        pmod($"user_id", lit(2)) === 0, $"value" >= 50.0)
+    }),
+
     "ab_poststrat" -> ((s, dir) => {
       import s.implicits._
       // Post-stratified value difference by user parity, stratified
@@ -9872,6 +9902,82 @@ object SparkEntry {
         |  CAST((CAST(bb AS HUGEINT) * (1000000 - bb)) // 1000000
         |    AS BIGINT) AS uncertainty_micros
         |FROM a""".stripMargin,
+
+    // exact discordant cells; clamped continuity correction; the
+    // chi2(1) upper tail read as the two-sided normal tail of sqrt
+    "ab_mcnemar" ->
+      """WITH ev AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+        |  FROM events WHERE event_type = 'purchase'),
+        |mm AS (SELECT min(tsec) AS t0, max(tsec) AS t1 FROM ev),
+        |per AS (SELECT user_id,
+        |    sum(CASE WHEN tsec * 2 >= t0 + t1 THEN 0 ELSE 1 END) >= 7
+        |      AS ya,
+        |    sum(CASE WHEN tsec * 2 >= t0 + t1 THEN 1 ELSE 0 END) >= 7
+        |      AS yb
+        |  FROM ev, mm GROUP BY 1),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN ya AND NOT yb THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN NOT ya AND yb THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c
+        |  FROM per),
+        |f AS (SELECT *, greatest(abs(b - c) - 1, 0) AS num
+        |  FROM agg WHERE b + c > 0),
+        |z AS (SELECT *, sqrt(CAST(num * num AS DOUBLE)
+        |    / CAST(b + c AS DOUBLE)) AS zz FROM f),
+        |x0 AS (SELECT *, abs(zz) / 1.4142135623730951 AS x FROM z),
+        |t0 AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS tt FROM x0)
+        |SELECT n_pairs, b, c,
+        |  CAST((CAST(num AS HUGEINT) * num * 1000000) // (b + c)
+        |    AS BIGINT) AS chi2_micros,
+        |  CAST(round((tt * (0.254829592 + tt * (-0.284496736
+        |    + tt * (1.421413741 + tt * (-1.453152027
+        |    + tt * 1.061405429)))) * exp(-(x * x))) * 1000000)
+        |    AS BIGINT) AS p_micros
+        |FROM t0""".stripMargin,
+
+    // per-stratum hypergeometric margins; pico-scaled truncating E
+    // and V terms, order-free HUGEINT sums, one mirrored z tree
+    "ab_cmh" ->
+      """WITH base AS (SELECT event_type AS s, (user_id % 2 = 0) AS t,
+        |    (value >= 50.0) AS y FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |ps AS (SELECT s,
+        |    CAST(sum(CASE WHEN t AND y THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a,
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM base GROUP BY 1),
+        |tm AS (SELECT a, n,
+        |    (CAST(n1 AS HUGEINT) * m1 * 1000000000000) // n AS ee,
+        |    CASE WHEN n > 1 THEN
+        |      (CAST(n1 AS HUGEINT) * (n - n1) * m1 * (n - m1)
+        |        * 1000000000000)
+        |      // (CAST(n AS HUGEINT) * n * (n - 1))
+        |    ELSE 0 END AS vv
+        |  FROM ps),
+        |agg AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(a) AS BIGINT) AS a,
+        |    CAST(sum(ee) AS HUGEINT) AS ep,
+        |    CAST(sum(vv) AS HUGEINT) AS vp FROM tm),
+        |b AS (SELECT * FROM agg WHERE vp > 0),
+        |z AS (SELECT *,
+        |    CAST(CAST(a AS HUGEINT) * 1000000000000 - ep AS DOUBLE)
+        |      / (1000000.0 * sqrt(CAST(vp AS DOUBLE))) AS zz
+        |  FROM b),
+        |x0 AS (SELECT *, abs(zz) / 1.4142135623730951 AS x FROM z),
+        |t0 AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS tt FROM x0)
+        |SELECT n, k AS n_strata, a AS a_total,
+        |  CAST(ep // 1000000 AS BIGINT) AS e_total_micros,
+        |  CAST(round(zz * 1000000) AS BIGINT) AS z_micros,
+        |  CAST(round((tt * (0.254829592 + tt * (-0.284496736
+        |    + tt * (1.421413741 + tt * (-1.453152027
+        |    + tt * 1.061405429)))) * exp(-(x * x))) * 1000000)
+        |    AS BIGINT) AS p_micros
+        |FROM t0""".stripMargin,
 
     // per-stratum HUGEINT cells; stratum means by truncating
     // division, weighted as counts, one final division per estimate

@@ -985,4 +985,106 @@ object Features {
         expr("CAST((CAST(__base AS DECIMAL(38,0)) * (1000000 - __base))" +
           " div 1000000 AS BIGINT)").as("uncertainty_micros"))
   }
+
+  /** McNemar's test on PAIRED binary outcomes — the within-subject
+    * A/B readout ([[twoProportionZTest]] compares two independent
+    * groups; this compares the SAME units under two conditions,
+    * where only the DISCORDANT pairs carry information): with
+    * `b` = yes→no and `c` = no→yes counts, the continuity-corrected
+    * `χ² = (max(|b−c|−1, 0))² / (b+c)` against χ²₁.
+    *
+    * Exactness: b and c are exact integers from one hash-agg;
+    * `chi2_micros` is the cross-multiplied truncating division
+    * `((|b−c|−1)²·10⁶) div (b+c)` (clamped at 0 when the discordants
+    * balance — the correction must not manufacture signal from
+    * b = c); the p-value is the mirrored tree
+    * `p = pValueTwoSidedZ(√χ²)` (the χ²₁ upper tail IS the two-sided
+    * normal tail of its square root). No discordant pairs → empty
+    * (the test is undefined, not "p = 1"). Returns one row
+    * (n_pairs, b, c, chi2_micros, p_micros).
+    *
+    * Scale: one map-side-combined aggregate over the pair stream —
+    * nothing after is row-scale. */
+  def mcNemar(df: DataFrame, yesAExpr: Column, yesBExpr: Column)
+      : DataFrame = {
+    val agg = df.select(yesAExpr.cast("boolean").as("__a"),
+        yesBExpr.cast("boolean").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__a") && !col("__b"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("__a") && col("__b"), 1L).otherwise(0L)).as("c"))
+      .filter(col("b") + col("c") > 0L)
+      .withColumn("__num", greatest(abs(col("b") - col("c")) - 1L,
+        lit(0L)))
+    val chi2 = (col("__num") * col("__num")).cast("double") /
+      (col("b") + col("c")).cast("double")
+    agg.withColumn("__chi2", chi2)
+      .select(col("n_pairs").cast("bigint").as("n_pairs"),
+        col("b").cast("bigint").as("b"), col("c").cast("bigint").as("c"),
+        expr("CAST((CAST(__num AS DECIMAL(38,0)) * __num * 1000000)" +
+          " div (b + c) AS BIGINT)").as("chi2_micros"),
+        round(Quality.pValueTwoSidedZ(sqrt(col("__chi2"))) * 1e6)
+          .cast("long").as("p_micros"))
+  }
+
+  /** Cochran–Mantel–Haenszel test — the STRATIFIED 2×2 association
+    * test next to [[postStratifiedDiff]] (post-stratification
+    * adjusts the estimate; CMH tests the common association while a
+    * confounder is held fixed per stratum — the Simpson's-paradox
+    * guard): per stratum, compare the treated-positive cell `a`
+    * against its hypergeometric expectation `E = n₁m₁/n` and
+    * variance `V = n₁n₀m₁m₀/(n²(n−1))`, then
+    * `z = (Σa − ΣE)/√ΣV` (CMH χ² = z², 1 dof).
+    *
+    * Exactness: the four margins per stratum are exact integers from
+    * one hash-agg; E and V are the pico-scaled truncating divisions
+    * `(n₁·m₁·10¹²) div n` and
+    * `(n₁·n₀·m₁·m₀·10¹²) div (n²·(n−1))` — exact DECIMAL integers
+    * via [[Quality.decimalDivTrunc]], order-free sums (the
+    * [[Survival.logRank]] algebra on strata instead of event
+    * times); z is ONE mirrored IEEE tree through the shared
+    * polynomial. Single-subject strata contribute nothing to V by
+    * definition; zero total variance → empty. Returns one row
+    * (n, n_strata, a_total, e_total_micros, z_micros, p_micros).
+    *
+    * Scale: one row-scale hash-agg to the strata table; everything
+    * after is strata-scale. */
+  def cmhTest(df: DataFrame, stratumExpr: Column, treatExpr: Column,
+      outcomeExpr: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val perStratum = df.select(stratumExpr.cast("string").as("__s"),
+        treatExpr.cast("boolean").as("__t"),
+        outcomeExpr.cast("boolean").as("__y"))
+      .filter(col("__s").isNotNull && col("__t").isNotNull &&
+        col("__y").isNotNull)
+      .groupBy(col("__s"))
+      .agg(sum(when(col("__t") && col("__y"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("m1"),
+        count(lit(1)).as("n"))
+    val terms = perStratum
+      .select(col("a"), col("n"),
+        Quality.decimalDivTrunc(
+          col("n1").cast(dec) * col("m1") * lit(1000000000000L),
+          col("n").cast(dec)).as("__e"),
+        when(col("n") > 1L, Quality.decimalDivTrunc(
+          col("n1").cast(dec) * (col("n") - col("n1")) * col("m1") *
+            (col("n") - col("m1")) * lit(1000000000000L),
+          col("n").cast(dec) * col("n") * (col("n") - 1L)))
+          .otherwise(lit(0).cast(dec)).as("__v"))
+    val agg = terms.agg(sum(col("n")).as("__n"),
+        count(lit(1)).as("__k"), sum(col("a")).as("__a"),
+        sum(col("__e")).as("__ep"), sum(col("__v")).as("__vp"))
+      .filter(col("__vp") > 0)
+    val z = (col("__a").cast(dec) * lit(1000000000000L) - col("__ep"))
+      .cast("double") / (lit(1e6) * sqrt(col("__vp").cast("double")))
+    agg.withColumn("__z", z)
+      .select(col("__n").cast("bigint").as("n"),
+        col("__k").cast("bigint").as("n_strata"),
+        col("__a").cast("bigint").as("a_total"),
+        expr("CAST(__ep div 1000000 AS BIGINT)").as("e_total_micros"),
+        round(col("__z") * 1e6).cast("long").as("z_micros"),
+        round(Quality.pValueTwoSidedZ(col("__z")) * 1e6).cast("long")
+          .as("p_micros"))
+  }
 }

@@ -504,4 +504,55 @@ class FeaturesSpec extends SparkSpec {
     assert(Features.brierDecomposition(
       rows.filter($"p" < 0L), $"p", $"y").count() == 0L)
   }
+
+  test("mcNemar: continuity-corrected hand case, balanced discordants clamp to 0, no discordants empty") {
+    import spark.implicits._
+    // b=3 (T,F), c=1 (F,T), 2 concordant-yes, 1 concordant-no:
+    // chi2 = (|3-1|-1)^2 / 4 = 0.25
+    val rows = Seq((true, false), (true, false), (true, false),
+      (false, true), (true, true), (true, true), (false, false))
+      .toDF("a", "b")
+    val r = Features.mcNemar(rows, $"a", $"b").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((7L, 3L, 1L, 250000L)))
+    assert(r.getLong(4) > 600000L && r.getLong(4) < 650000L) // p~0.617
+    // b = c: the correction must NOT manufacture signal -> chi2 = 0
+    val bal = Seq((true, false), (false, true)).toDF("a", "b")
+    val b = Features.mcNemar(bal, $"a", $"b").collect().head
+    assert(b.getLong(3) == 0L && b.getLong(4) == 1000000L)
+    // all concordant: the test is undefined -> empty
+    val conc = Seq((true, true), (false, false)).toDF("a", "b")
+    assert(Features.mcNemar(conc, $"a", $"b").count() == 0L)
+  }
+
+  test("cmhTest: hand strata terms, single-subject strata add no variance, zero variance empty") {
+    import spark.implicits._
+    // stratum s1: a=3, n1=4, m1=4, n=8 -> E=2, V=256/448
+    // stratum s2: a=1, n1=2, m1=2, n=4 -> E=1, V=16/48
+    val s1 = Seq((true, true), (true, true), (true, true), (true, false),
+      (false, true), (false, false), (false, false), (false, false))
+      .map { case (t, y) => ("s1", t, y) }
+    val s2 = Seq((true, true), (true, false), (false, true),
+      (false, false)).map { case (t, y) => ("s2", t, y) }
+    val rows = (s1 ++ s2).toDF("s", "t", "y")
+    val r = Features.cmhTest(rows, $"s", $"t", $"y").collect().head
+    val ep = 2000000000000L + 1000000000000L
+    val vp = 571428571428L + 333333333333L
+    val zExp = (4000000000000L - ep).toDouble /
+      (1e6 * math.sqrt(vp.toDouble))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((12L, 2L, 4L, ep / 1000000L)))
+    assert(r.getLong(4) == math.round(zExp * 1e6))
+    // a single-subject stratum adds E but zero V (n-1 = 0 guard)
+    val withSingleton = (s1 ++ s2 ++ Seq(("s3", true, true)))
+      .toDF("s", "t", "y")
+    val w = Features.cmhTest(withSingleton, $"s", $"t", $"y")
+      .collect().head
+    assert(w.getLong(1) == 3L &&
+      w.getLong(3) == (ep + 1000000000000L) / 1000000L)
+    // all strata degenerate -> zero variance -> empty
+    val degenerate = Seq(("x", true, true), ("y", false, false))
+      .toDF("s", "t", "y")
+    assert(Features.cmhTest(degenerate, $"s", $"t", $"y").count() == 0L)
+  }
 }
