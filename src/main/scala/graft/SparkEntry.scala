@@ -43,7 +43,9 @@ import graft.streaming.EventStreams
   * `ts_theilsen` / `ts_mann_kendall` / `ts_decompose` /
   * `ts_anomaly_robust` (maxGroupPoints pre-flight before the
   * pairwise self-join; decompose also localCheckpoints its series),
-  * `ab_sequential` (maxLooks pre-flight before the look window) —
+  * `ab_sequential` (maxLooks pre-flight before the look window),
+  * `ab_posthoc` (maxGroups pre-flight + localCheckpoint of the
+  * k-row group moments before the pair join) —
   * which each run one or two small eager counts at construction —
   * and `graph_ktruss` (the peel loop runs its fixpoint rounds
   * eagerly, one count per round).
@@ -112,6 +114,7 @@ object SparkEntry {
     "ab_kruskal", "ab_effect_size", "feat_avg_precision",
     "ts_dominant_period", "dq_cvm", "ab_anova", "feat_calibration",
     "surv_logrank", "dq_ad", "feat_brier", "ab_mcnemar", "ab_cmh",
+    "ab_posthoc",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -406,6 +409,7 @@ object SparkEntry {
     "ab_power", "ab_poststrat", "ab_mannwhitney", "ab_kruskal",
     "ab_effect_size", "feat_avg_precision", "dq_cvm", "ab_anova",
     "feat_calibration", "dq_ad", "feat_brier", "ab_mcnemar", "ab_cmh",
+    "ab_posthoc",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -6418,6 +6422,17 @@ object SparkEntry {
         pmod($"user_id", lit(2)) === 0, $"value" >= 50.0)
     }),
 
+    "ab_posthoc" -> ((s, dir) => {
+      import s.implicits._
+      // Pairwise Welch comparisons of order cents across the five
+      // priorities with the Holm step-down — WHICH priorities differ
+      // after ab_anova / ab_kruskal say "some do". Exact per-group
+      // moments, mirrored t trees, integer step-down verdicts. Ten
+      // rows.
+      Features.posthocPairs(Tables.orders(s, dir),
+        $"o_orderpriority", round($"o_totalprice" * 100).cast("long"))
+    }),
+
     "ab_poststrat" -> ((s, dir) => {
       import s.implicits._
       // Post-stratified value difference by user parity, stratified
@@ -9978,6 +9993,59 @@ object SparkEntry {
         |    + tt * 1.061405429)))) * exp(-(x * x))) * 1000000)
         |    AS BIGINT) AS p_micros
         |FROM t0""".stripMargin,
+
+    // per-group exact moments; pairwise mirrored Welch trees; Holm
+    // step-down as cross-multiplied integer prefix verdicts
+    "ab_posthoc" ->
+      """WITH base AS (SELECT o_orderpriority AS g,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS x FROM orders),
+        |pg AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS s,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+        |  FROM base GROUP BY 1),
+        |pr AS (SELECT a.g AS g1, b.g AS g2,
+        |    a.n AS n1, b.n AS n2, a.s AS s1, b.s AS s2,
+        |    a.q AS q1, b.q AS q2
+        |  FROM pg a JOIN pg b ON a.g < b.g
+        |  WHERE a.n > 1 AND b.n > 1),
+        |w AS (SELECT g1, g2, n1, n2,
+        |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+        |    CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+        |      / CAST(CAST(n1 AS HUGEINT) * (n1 - 1) AS DOUBLE)
+        |      / CAST(n1 AS DOUBLE) AS se21,
+        |    CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+        |      / CAST(CAST(n2 AS HUGEINT) * (n2 - 1) AS DOUBLE)
+        |      / CAST(n2 AS DOUBLE) AS se22
+        |  FROM pr),
+        |tt0 AS (SELECT *, (m1 - m2) / sqrt(se21 + se22) AS t
+        |  FROM w WHERE se21 + se22 > 0.0),
+        |x0 AS (SELECT *, abs(t) / 1.4142135623730951 AS x FROM tt0),
+        |t1 AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS tp FROM x0),
+        |p AS (SELECT g1, g2, n1, n2, m1, m2, t,
+        |    CAST(round((tp * (0.254829592 + tp * (-0.284496736
+        |      + tp * (1.421413741 + tp * (-1.453152027
+        |      + tp * 1.061405429)))) * exp(-(x * x))) * 1000000)
+        |      AS BIGINT) AS p_micros
+        |  FROM t1),
+        |r AS (SELECT *,
+        |    CAST(count(*) OVER () AS BIGINT) AS m,
+        |    CAST(row_number() OVER (ORDER BY p_micros, g1, g2)
+        |      AS BIGINT) AS rank
+        |  FROM p),
+        |v AS (SELECT *,
+        |    CASE WHEN p_micros * (m - rank + 1) <= 50000
+        |      THEN 1 ELSE 0 END AS ok
+        |  FROM r)
+        |SELECT g1, g2, n1 AS n_1, n2 AS n_2,
+        |  CAST(round(m1 * 1000000) AS BIGINT) AS mean_1_micros,
+        |  CAST(round(m2 * 1000000) AS BIGINT) AS mean_2_micros,
+        |  CAST(round(t * 1000000) AS BIGINT) AS t_micros,
+        |  p_micros, rank,
+        |  min(ok) OVER (ORDER BY p_micros, g1, g2
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+        |    AS rejected
+        |FROM v ORDER BY rank""".stripMargin,
 
     // per-stratum HUGEINT cells; stratum means by truncating
     // division, weighted as counts, one final division per estimate

@@ -1087,4 +1087,91 @@ object Features {
         round(Quality.pValueTwoSidedZ(col("__z")) * 1e6).cast("long")
           .as("p_micros"))
   }
+
+  /** Pairwise post-hoc comparisons with Holm step-down — the
+    * follow-up [[anovaF]] / [[graft.operators.OrderedStats.kruskalWallis]]
+    * demand (an omnibus rejection says "SOME group differs", never
+    * WHICH; running k²/2 naked t-tests inflates the family error):
+    * every group pair gets a Welch t (the [[welchTTest]] tree on
+    * per-group exact moments), its large-sample normal p (the
+    * documented stance of the rank tests — at per-group n where this
+    * engine runs, t ≈ z), and the Holm step-down verdict — reject
+    * ranks 1..i while `p₍ᵢ₎·(m−i+1) ≤ α` holds, an exact integer
+    * comparison, stopping at the first failure (step-down: stronger
+    * than Bonferroni, still controls FWER with NO independence
+    * assumption — the safe default where [[Quality.bhFdr]] trades
+    * FWER for FDR).
+    *
+    * Pairs where the test is undefined (an arm with < 2 rows, or
+    * both variances zero) are ABSENT and do not consume Holm budget
+    * (m counts performed tests only). Returns one row per testable
+    * pair: (g1, g2, n_1, n_2, mean_1_micros, mean_2_micros,
+    * t_micros, p_micros, rank, rejected), g1 < g2.
+    *
+    * Scale: one row-scale hash-agg to k group-moment rows; the pair
+    * join and the rank window are k²-scale — the loud `maxGroups`
+    * pre-flight (one narrow count, a documented eager exception)
+    * refuses a grouping column that isn't a treatment arm. */
+  def posthocPairs(df: DataFrame, groupExpr: Column, valueExpr: Column,
+      alphaMicros: Long = 50000L, maxGroups: Long = 200L): DataFrame = {
+    require(alphaMicros > 0L && alphaMicros < 1000000L,
+      s"alphaMicros must be in (0, 1e6) (got $alphaMicros)")
+    val dec = "decimal(38,0)"
+    import org.apache.spark.sql.expressions.Window
+    val perGroup = df.select(groupExpr.cast("string").as("g"),
+        valueExpr.cast("long").as("x"))
+      .filter(col("g").isNotNull && col("x").isNotNull)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x").cast(dec)).as("s"),
+        sum(col("x").cast(dec) * col("x")).as("q"))
+      .localCheckpoint() // consumed twice (both sides of the pair join)
+    val k = perGroup.count()
+    require(k <= maxGroups,
+      s"posthocPairs: $k groups (cap $maxGroups) — the pair join is " +
+        "k²-scale; a grouping column this wide is not a treatment arm")
+    val a = perGroup.select(col("g").as("g1"), col("n").as("__n1"),
+      col("s").as("__s1"), col("q").as("__q1"))
+    val b = perGroup.select(col("g").as("g2"), col("n").as("__n2"),
+      col("s").as("__s2"), col("q").as("__q2"))
+    def se2(n: Column, s: Column, q: Column) =
+      (n.cast(dec) * q - s * s).cast("double") /
+        (n.cast(dec) * (n - 1)).cast("double") / n.cast("double")
+    def mean(s: Column, n: Column) = s.cast("double") / n.cast("double")
+    val se21 = se2(col("__n1"), col("__s1"), col("__q1"))
+    val se22 = se2(col("__n2"), col("__s2"), col("__q2"))
+    val t = (mean(col("__s1"), col("__n1")) -
+      mean(col("__s2"), col("__n2"))) / sqrt(se21 + se22)
+    val pairs = a.join(b, col("g1") < col("g2"))
+      .filter(col("__n1") > 1L && col("__n2") > 1L)
+      .withColumn("__se2", se21 + se22)
+      .filter(col("__se2") > 0.0)
+      .withColumn("__t", t)
+      .withColumn("p_micros",
+        round(Quality.pValueTwoSidedZ(col("__t")) * 1e6).cast("long"))
+    // k²-scale windows: rank the performed tests, then the step-down
+    // prefix AND (reject until the first surviving null)
+    val wRank = Window.orderBy(col("p_micros"), col("g1"), col("g2"))
+    val wPrefix = wRank.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    pairs
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("__ok",
+        when(col("p_micros") * (col("__m") - col("rank") + 1L) <=
+          lit(alphaMicros), 1).otherwise(0))
+      .withColumn("rejected",
+        min(col("__ok")).over(wPrefix) === 1)
+      .select(col("g1"), col("g2"),
+        col("__n1").cast("bigint").as("n_1"),
+        col("__n2").cast("bigint").as("n_2"),
+        round(mean(col("__s1"), col("__n1")) * 1e6).cast("long")
+          .as("mean_1_micros"),
+        round(mean(col("__s2"), col("__n2")) * 1e6).cast("long")
+          .as("mean_2_micros"),
+        round(col("__t") * 1e6).cast("long").as("t_micros"),
+        col("p_micros"), col("rank"), col("rejected"))
+      .orderBy(col("rank"))
+  }
 }

@@ -555,4 +555,32 @@ class FeaturesSpec extends SparkSpec {
       .toDF("s", "t", "y")
     assert(Features.cmhTest(degenerate, $"s", $"t", $"y").count() == 0L)
   }
+
+  test("posthocPairs: Welch t mirrored, Holm step-down rejects the far pairs only, guard trips") {
+    import spark.implicits._
+    // means 2, 3, 11, each group variance 1: the g3 pairs are
+    // overwhelming, (g1,g2) is not — Holm must split exactly there
+    val rows = Seq(("g1", 1L), ("g1", 2L), ("g1", 3L),
+      ("g2", 2L), ("g2", 3L), ("g2", 4L),
+      ("g3", 10L), ("g3", 11L), ("g3", 12L)).toDF("g", "x")
+    val got = Features.posthocPairs(rows, $"g", $"x").collect()
+    assert(got.length == 3)
+    val byPair = got.map(r => (r.getString(0), r.getString(1)) ->
+      ((r.getLong(6), r.getLong(7), r.getLong(8), r.getBoolean(9))))
+      .toMap
+    val t12 = -1.0 / math.sqrt(1.0 / 3.0 + 1.0 / 3.0)
+    val (tM, pM, rk, rej) = byPair(("g1", "g2"))
+    assert(tM == math.round(t12 * 1e6))
+    assert(pM > 200000L && pM < 250000L) // normal two-sided ~ 0.2207
+    assert(rk == 3L && !rej) // last rank, survives Holm
+    assert(byPair(("g1", "g3"))._4 && byPair(("g2", "g3"))._4)
+    // a 1-row group is untestable: its pairs are absent, m shrinks
+    val withTiny = (Seq(("g1", 1L), ("g1", 2L), ("g1", 3L),
+      ("g2", 2L), ("g2", 3L), ("g2", 4L), ("g4", 7L))).toDF("g", "x")
+    assert(Features.posthocPairs(withTiny, $"g", $"x").count() == 1L)
+    // maxGroups guard
+    assertThrows[IllegalArgumentException] {
+      Features.posthocPairs(rows, $"g", $"x", maxGroups = 2L)
+    }
+  }
 }
