@@ -48,7 +48,8 @@ import graft.streaming.EventStreams
   * k-row group moments before the pair join) —
   * which each run one or two small eager counts at construction —
   * and `graph_ktruss` (the peel loop runs its fixpoint rounds
-  * eagerly, one count per round).
+  * eagerly, one count per round); `graph_diameter` runs both BFS
+  * sweeps and its two 1-row seed lookups eagerly.
   * Callers that only want a plan should skip those.
   */
 object SparkEntry {
@@ -114,7 +115,7 @@ object SparkEntry {
     "ab_kruskal", "ab_effect_size", "feat_avg_precision",
     "ts_dominant_period", "dq_cvm", "ab_anova", "feat_calibration",
     "surv_logrank", "dq_ad", "feat_brier", "ab_mcnemar", "ab_cmh",
-    "ab_posthoc",
+    "ab_posthoc", "graph_diameter",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -409,7 +410,7 @@ object SparkEntry {
     "ab_power", "ab_poststrat", "ab_mannwhitney", "ab_kruskal",
     "ab_effect_size", "feat_avg_precision", "dq_cvm", "ab_anova",
     "feat_calibration", "dq_ad", "feat_brier", "ab_mcnemar", "ab_cmh",
-    "ab_posthoc",
+    "ab_posthoc", "graph_diameter",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -3719,6 +3720,16 @@ object SparkEntry {
           "a", "b", "id", maxHops = 8)
         .select($"id", $"dist".cast("bigint").as("dist"))
         .orderBy($"id")
+    }),
+
+    "graph_diameter" -> ((s, dir) => {
+      import s.implicits._
+      // Two-sweep BFS diameter lower bound on the part co-order
+      // graph: start at (max degree, min id), sweep, re-sweep from
+      // the farthest vertex — the "how wide is this graph" reading.
+      // SIDE-EFFECTING (both sweeps run eagerly at construction).
+      Graph.diameterBound(partCoOrderPairs(s, dir), "a", "b",
+        maxHops = 12)
     }),
 
     "graph_cooccurrence" -> ((s, dir) => {
@@ -12493,6 +12504,37 @@ object SparkEntry {
         |  JOIN e ON e.u = b.id WHERE b.d < 8)
         |SELECT id, CAST(min(d) AS BIGINT) AS dist
         |FROM bfs GROUP BY id ORDER BY id""".stripMargin,
+
+    // the double sweep replayed: deterministic (max degree, min id)
+    // start, farthest (max dist, min id) restart, both hop-bounded
+    "graph_diameter" ->
+      """WITH RECURSIVE p AS MATERIALIZED (
+        |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |   AND l1.l_partkey < l2.l_partkey
+        |  WHERE l1.l_orderkey % 4 = 0),
+        |e AS MATERIALIZED (SELECT a AS u, b AS v FROM p
+        |  UNION SELECT b AS u, a AS v FROM p),
+        |deg AS (SELECT u AS id, count(*) AS dg FROM e GROUP BY 1),
+        |s1 AS (SELECT id FROM deg ORDER BY dg DESC, id LIMIT 1),
+        |b1 AS (
+        |  SELECT id, 0 AS d FROM s1
+        |  UNION
+        |  SELECT e.v AS id, b.d + 1 AS d FROM b1 b
+        |  JOIN e ON e.u = b.id WHERE b.d < 12),
+        |d1 AS (SELECT id, min(d) AS dist FROM b1 GROUP BY 1),
+        |s2 AS (SELECT id, dist FROM d1 ORDER BY dist DESC, id LIMIT 1),
+        |b2 AS (
+        |  SELECT id, 0 AS d FROM s2
+        |  UNION
+        |  SELECT e.v AS id, b.d + 1 AS d FROM b2 b
+        |  JOIN e ON e.u = b.id WHERE b.d < 12),
+        |d2 AS (SELECT id, min(d) AS dist FROM b2 GROUP BY 1)
+        |SELECT (SELECT CAST(id AS BIGINT) FROM s1) AS seed_a,
+        |  (SELECT CAST(dist AS BIGINT) FROM s2) AS ecc_a,
+        |  (SELECT CAST(id AS BIGINT) FROM s2) AS seed_b,
+        |  (SELECT CAST(max(dist) AS BIGINT) FROM d2) AS diameter_lb""".stripMargin,
 
     "dedup_semantic_gate" ->
       """SELECT true AS partition_ok, true AS pruned_nonempty,

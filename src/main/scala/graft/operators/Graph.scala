@@ -737,6 +737,60 @@ object Graph {
     settled
   }
 
+  /** Two-sweep BFS diameter LOWER bound (the double-sweep heuristic:
+    * BFS from a deterministic high-degree start, then BFS again from
+    * the farthest vertex found — the second eccentricity is a lower
+    * bound on the true diameter that is exact on trees and
+    * near-exact on real-world graphs, at the cost of TWO sweeps
+    * instead of the all-pairs problem nobody can afford): the
+    * "how wide is this graph" reading next to [[closenessFromSeeds]]'
+    * "how central are these vertices".
+    *
+    * Determinism: the start is (max degree, min id); the far vertex
+    * is (max dist, min id); both BFS sweeps are exact hop counts via
+    * [[shortestPaths]] under the same `maxHops` contract — a bound
+    * that truncates the sweep truncates it identically in a replay,
+    * so the output is a pure function of (edges, maxHops). Returns
+    * one row (seed_a, ecc_a, seed_b, diameter_lb); an empty edge set
+    * returns empty. SIDE-EFFECTING: both sweeps and the two 1-row
+    * seed extractions run eagerly at construction.
+    *
+    * Scale: two [[shortestPaths]] sweeps (per hop: one long-keyed
+    * equi-join + anti-join, 24-byte frontier rows, lineage truncated)
+    * plus one degree hash-agg; the driver sees exactly three 1-row
+    * lookups. */
+  def diameterBound(edges: DataFrame, srcCol: String = "id_a",
+      dstCol: String = "id_b", maxHops: Int = 12,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+    val start = sym.groupBy(col("u").as("id"))
+      .agg(count(lit(1)).as("__deg"))
+      .orderBy(col("__deg").desc, col("id"))
+      .limit(1).collect()
+    if (start.isEmpty) {
+      Seq.empty[(Long, Long, Long, Long)]
+        .toDF("seed_a", "ecc_a", "seed_b", "diameter_lb")
+    } else {
+      val seedA = start.head.getLong(0)
+      val d1 = shortestPaths(edges, Seq(seedA).toDF("id"),
+        srcCol, dstCol, "id", maxHops, checkpointDir)
+      val far = d1.orderBy(col("dist").desc, col("id")).limit(1)
+        .collect().head
+      val (seedB, eccA) = (far.getLong(0), far.getLong(1))
+      val d2 = shortestPaths(edges, Seq(seedB).toDF("id"),
+        srcCol, dstCol, "id", maxHops, checkpointDir)
+      val lb = d2.agg(max(col("dist"))).collect().head.getLong(0)
+      Seq((seedA, eccA, seedB, lb))
+        .toDF("seed_a", "ecc_a", "seed_b", "diameter_lb")
+    }
+  }
+
   /** Degree assortativity — Pearson correlation of endpoint degrees
     * over the directed edge list (Newman 2002): positive ⇒ hubs link
     * hubs (social graphs), negative ⇒ hubs link leaves (the web,

@@ -689,4 +689,22 @@ class GraphSpec extends SparkSpec {
     assert(capped.toSeq == Seq((1L, 3L, 2L, 666666L),
       (2L, 4L, 1L, 333333L)), capped.mkString(", "))
   }
+
+  test("diameterBound: exact on a path, deterministic seeds, hop cap honored, empty edges empty") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus a disconnected pair: degrees tie at 2 for
+    // {2,3,4} -> min id 2 starts; farthest is 5 (dist 3); sweep 2
+    // from 5 finds the true diameter 4
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L)).toDF("id_a", "id_b")
+    val r = Graph.diameterBound(edges).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 3L, 5L, 4L)))
+    // a hop cap truncates both sweeps identically
+    val c = Graph.diameterBound(edges, maxHops = 1).collect().head
+    assert((c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3)) ==
+      ((2L, 1L, 1L, 1L)))
+    assert(Graph.diameterBound(
+      edges.filter($"id_a" < 0)).count() == 0L)
+  }
 }
