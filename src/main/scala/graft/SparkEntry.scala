@@ -115,7 +115,7 @@ object SparkEntry {
     "ab_kruskal", "ab_effect_size", "feat_avg_precision",
     "ts_dominant_period", "dq_cvm", "ab_anova", "feat_calibration",
     "surv_logrank", "dq_ad", "feat_brier", "ab_mcnemar", "ab_cmh",
-    "ab_posthoc", "graph_diameter",
+    "ab_posthoc", "graph_diameter", "ab_yuen", "text_code_detect",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -410,7 +410,7 @@ object SparkEntry {
     "ab_power", "ab_poststrat", "ab_mannwhitney", "ab_kruskal",
     "ab_effect_size", "feat_avg_precision", "dq_cvm", "ab_anova",
     "feat_calibration", "dq_ad", "feat_brier", "ab_mcnemar", "ab_cmh",
-    "ab_posthoc", "graph_diameter",
+    "ab_posthoc", "graph_diameter", "ab_yuen", "text_code_detect",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -6433,6 +6433,19 @@ object SparkEntry {
         pmod($"user_id", lit(2)) === 0, $"value" >= 50.0)
     }),
 
+    "ab_yuen" -> ((s, dir) => {
+      import s.implicits._
+      // Yuen 20%-trimmed robust t on purchase cents by user parity —
+      // the whale-proof mean comparison next to ab_ttest (raw means)
+      // and ab_mannwhitney (ranks): exact order-statistic trim
+      // boundaries and winsorized moments off the prefix sum, one
+      // mirrored t/df/p tree. One row.
+      graft.operators.OrderedStats.yuenTTest(
+        Tables.events(s, dir).filter($"event_type" === "purchase"),
+        round($"value" * 100).cast("long"),
+        pmod($"user_id", lit(2)) === 0)
+    }),
+
     "ab_posthoc" -> ((s, dir) => {
       import s.implicits._
       // Pairwise Welch comparisons of order cents across the five
@@ -6570,6 +6583,18 @@ object SparkEntry {
       // One-row corpus health header: token volume, vocabulary size,
       // hapax share, type-token ratio.
       TextAnalysis.vocabStats(Tables.documents(s, dir), "text")
+    }),
+
+    "text_code_detect" -> ((s, dir) => {
+      import s.implicits._
+      // Code-vs-prose score per document — the corpus-mix classifier
+      // before language-ID: symbol density + indented-line share +
+      // keyword panel, pure substring arithmetic (no regex dialect
+      // surface), all truncating ppm divisions. Row-local, text
+      // never shuffles.
+      graft.llm.TextAnalysis.codeScore(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy($"doc_id")
     }),
 
     "text_distinct_ngrams" -> ((s, dir) => {
@@ -10005,6 +10030,114 @@ object SparkEntry {
         |    AS BIGINT) AS p_micros
         |FROM t0""".stripMargin,
 
+    // order-statistic trim boundaries with tie-safe excess terms;
+    // exact HUGEINT winsorized moments; one mirrored t/df/p tree
+    "ab_yuen" ->
+      """WITH s AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |    (user_id % 2 = 0) AS t
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT v,
+        |    sum(CASE WHEN t THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS cb
+        |  FROM s GROUP BY 1),
+        |cc AS (SELECT v, ca, cb,
+        |    sum(ca) OVER (ORDER BY v) AS cum_a,
+        |    sum(cb) OVER (ORDER BY v) AS cum_b FROM c),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb,
+        |    sum(CAST(ca AS HUGEINT) * v) AS sa,
+        |    sum(CAST(cb AS HUGEINT) * v) AS sb,
+        |    sum(CAST(ca AS HUGEINT) * v * v) AS qa,
+        |    sum(CAST(cb AS HUGEINT) * v * v) AS qb
+        |  FROM c),
+        |g AS (SELECT *, (na * 200000) // 1000000 AS ga,
+        |    (nb * 200000) // 1000000 AS gb FROM tot),
+        |b AS (SELECT g.na, g.nb, g.ga, g.gb, g.sa, g.sb, g.qa, g.qb,
+        |    min(CASE WHEN cc.cum_a >= g.ga + 1 THEN cc.v END) AS bla,
+        |    min(CASE WHEN cc.cum_a >= g.na - g.ga THEN cc.v END) AS bha,
+        |    min(CASE WHEN cc.cum_b >= g.gb + 1 THEN cc.v END) AS blb,
+        |    min(CASE WHEN cc.cum_b >= g.nb - g.gb THEN cc.v END) AS bhb
+        |  FROM cc, g GROUP BY ALL),
+        |m AS (SELECT b.*,
+        |    sum(CASE WHEN cc.v < b.bla
+        |      THEN CAST(cc.ca AS HUGEINT) * cc.v ELSE 0 END) AS sloa,
+        |    sum(CASE WHEN cc.v < b.bla
+        |      THEN CAST(cc.ca AS HUGEINT) * cc.v * cc.v ELSE 0 END)
+        |      AS qloa,
+        |    CAST(sum(CASE WHEN cc.v < b.bla THEN cc.ca ELSE 0 END)
+        |      AS BIGINT) AS cloa,
+        |    sum(CASE WHEN cc.v > b.bha
+        |      THEN CAST(cc.ca AS HUGEINT) * cc.v ELSE 0 END) AS shia,
+        |    sum(CASE WHEN cc.v > b.bha
+        |      THEN CAST(cc.ca AS HUGEINT) * cc.v * cc.v ELSE 0 END)
+        |      AS qhia,
+        |    CAST(sum(CASE WHEN cc.v > b.bha THEN cc.ca ELSE 0 END)
+        |      AS BIGINT) AS chia,
+        |    sum(CASE WHEN cc.v < b.blb
+        |      THEN CAST(cc.cb AS HUGEINT) * cc.v ELSE 0 END) AS slob,
+        |    sum(CASE WHEN cc.v < b.blb
+        |      THEN CAST(cc.cb AS HUGEINT) * cc.v * cc.v ELSE 0 END)
+        |      AS qlob,
+        |    CAST(sum(CASE WHEN cc.v < b.blb THEN cc.cb ELSE 0 END)
+        |      AS BIGINT) AS clob,
+        |    sum(CASE WHEN cc.v > b.bhb
+        |      THEN CAST(cc.cb AS HUGEINT) * cc.v ELSE 0 END) AS shib,
+        |    sum(CASE WHEN cc.v > b.bhb
+        |      THEN CAST(cc.cb AS HUGEINT) * cc.v * cc.v ELSE 0 END)
+        |      AS qhib,
+        |    CAST(sum(CASE WHEN cc.v > b.bhb THEN cc.cb ELSE 0 END)
+        |      AS BIGINT) AS chib
+        |  FROM cc, b GROUP BY ALL),
+        |ar AS (SELECT *,
+        |    na - 2 * ga AS ha, nb - 2 * gb AS hb,
+        |    sa - sloa - CAST(ga - cloa AS HUGEINT) * bla
+        |      - shia - CAST(ga - chia AS HUGEINT) * bha AS sta,
+        |    sb - slob - CAST(gb - clob AS HUGEINT) * blb
+        |      - shib - CAST(gb - chib AS HUGEINT) * bhb AS stb
+        |  FROM m),
+        |wn AS (SELECT *,
+        |    sta + CAST(ga AS HUGEINT) * bla + CAST(ga AS HUGEINT) * bha
+        |      AS swa,
+        |    stb + CAST(gb AS HUGEINT) * blb + CAST(gb AS HUGEINT) * bhb
+        |      AS swb,
+        |    qa - qloa - CAST(ga - cloa AS HUGEINT) * bla * bla
+        |      - qhia - CAST(ga - chia AS HUGEINT) * bha * bha
+        |      + CAST(ga AS HUGEINT) * bla * bla
+        |      + CAST(ga AS HUGEINT) * bha * bha AS qwa,
+        |    qb - qlob - CAST(gb - clob AS HUGEINT) * blb * blb
+        |      - qhib - CAST(gb - chib AS HUGEINT) * bhb * bhb
+        |      + CAST(gb AS HUGEINT) * blb * blb
+        |      + CAST(gb AS HUGEINT) * bhb * bhb AS qwb
+        |  FROM ar WHERE na - 2 * ga >= 2 AND nb - 2 * gb >= 2),
+        |dd AS (SELECT *,
+        |    CAST(na * qwa - swa * swa AS DOUBLE)
+        |      / CAST(CAST(na AS HUGEINT) * ha * (ha - 1) AS DOUBLE)
+        |      AS da,
+        |    CAST(nb * qwb - swb * swb AS DOUBLE)
+        |      / CAST(CAST(nb AS HUGEINT) * hb * (hb - 1) AS DOUBLE)
+        |      AS db,
+        |    CAST(sta AS DOUBLE) / CAST(ha AS DOUBLE) AS mta,
+        |    CAST(stb AS DOUBLE) / CAST(hb AS DOUBLE) AS mtb
+        |  FROM wn),
+        |zt AS (SELECT *, (mta - mtb) / sqrt(da + db) AS t,
+        |    (da + db) * (da + db)
+        |      / (da * da / (CAST(ha AS DOUBLE) - 1.0)
+        |        + db * db / (CAST(hb AS DOUBLE) - 1.0)) AS dfy
+        |  FROM dd WHERE da + db > 0.0),
+        |x0 AS (SELECT *, abs(t) / 1.4142135623730951 AS x FROM zt),
+        |t1 AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS tp FROM x0)
+        |SELECT na AS n_1, nb AS n_2,
+        |  CAST(ha AS BIGINT) AS h_1, CAST(hb AS BIGINT) AS h_2,
+        |  CAST(round(mta * 1000000) AS BIGINT) AS mean_t1_micros,
+        |  CAST(round(mtb * 1000000) AS BIGINT) AS mean_t2_micros,
+        |  CAST(round(t * 1000000) AS BIGINT) AS t_micros,
+        |  CAST(round(dfy * 1000000) AS BIGINT) AS df_micros,
+        |  CAST(round((tp * (0.254829592 + tp * (-0.284496736
+        |    + tp * (1.421413741 + tp * (-1.453152027
+        |    + tp * 1.061405429)))) * exp(-(x * x))) * 1000000)
+        |    AS BIGINT) AS p_micros
+        |FROM t1""".stripMargin,
+
     // per-group exact moments; pairwise mirrored Welch trees; Holm
     // step-down as cross-multiplied integer prefix verdicts
     "ab_posthoc" ->
@@ -10337,6 +10470,46 @@ object SparkEntry {
         |  ratio_micros + CAST(1959964 * CAST(se_micros AS HUGEINT)
         |    // 1000000 AS BIGINT) AS ci_hi_micros
         |FROM f""".stripMargin,
+
+    // pure substring arithmetic (replace/length), no regex; ppm via
+    // truncating division; chr(10) for the newline literal (DuckDB
+    // single-quoted strings do not process backslash escapes)
+    "text_code_detect" ->
+      """WITH d AS (SELECT doc_id, text AS t FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0),
+        |c AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+        |    CAST((length(t) - length(replace(t, '{', '')))
+        |      + (length(t) - length(replace(t, '}', '')))
+        |      + (length(t) - length(replace(t, ';', '')))
+        |      + (length(t) - length(replace(t, '=', '')))
+        |      + (length(t) - length(replace(t, '(', '')))
+        |      + (length(t) - length(replace(t, ')', ''))) AS BIGINT)
+        |      AS sym,
+        |    CAST(length(t) - length(replace(t, chr(10), '')) AS BIGINT)
+        |      AS nl,
+        |    CAST((length(t) - length(replace(t, chr(10) || '    ', '')))
+        |      // 5 AS BIGINT) AS ind,
+        |    CAST((CASE WHEN length(t) > length(replace(t, 'def ', ''))
+        |        THEN 1 ELSE 0 END)
+        |      + (CASE WHEN length(t) > length(replace(t, 'return', ''))
+        |        THEN 1 ELSE 0 END)
+        |      + (CASE WHEN length(t) > length(replace(t, 'import ', ''))
+        |        THEN 1 ELSE 0 END)
+        |      + (CASE WHEN length(t) > length(replace(t, 'void ', ''))
+        |        THEN 1 ELSE 0 END)
+        |      + (CASE WHEN length(t) > length(replace(t, '#include', ''))
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS kw
+        |  FROM d),
+        |p AS (SELECT doc_id, n_chars,
+        |    CAST((sym * 1000000) // n_chars AS BIGINT) AS symbol_ppm,
+        |    CAST((ind * 1000000) // greatest(nl, 1) AS BIGINT)
+        |      AS indent_ppm,
+        |    kw AS kw_hits
+        |  FROM c)
+        |SELECT doc_id, n_chars, symbol_ppm, indent_ppm, kw_hits,
+        |  symbol_ppm + indent_ppm + kw_hits * 50000 AS code_score_ppm,
+        |  symbol_ppm + indent_ppm + kw_hits * 50000 >= 120000 AS is_code
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // same gram boundaries as the dedup oracles (list_slice windows
     // over whitespace tokens, empties filtered); one ppm division

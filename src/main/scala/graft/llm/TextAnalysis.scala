@@ -773,4 +773,58 @@ object TextAnalysis {
       .select(col("qid"), col(idCol), col("n_terms_hit"),
         col("score_micros"), col("rank"))
   }
+
+  /** Code-vs-prose detection — the corpus-mix classifier a training
+    * pipeline runs before language-ID makes sense (code crushes an
+    * NL language model's perplexity stats, and a prose filter
+    * silently deletes the code split): scores each document on
+    * symbol density (`{};=()` per char), indented-line share (the
+    * layout fingerprint of every language with blocks), and a small
+    * keyword panel (`def `, `return`, `import `, `void `, `#include`)
+    * — pure substring arithmetic, NO regex (the one text feature
+    * class where two engines' regex dialects can silently disagree;
+    * `count(pat) = (len(s) − len(replace(s, pat, ''))) / len(pat)`
+    * replays exactly anywhere).
+    *
+    * Exactness: every count is an integer of length/replace
+    * arithmetic; the ratios are truncating ppm divisions; the score
+    * is the integer sum `symbol_ppm + indent_ppm + kw_hits·50000`
+    * (weights are the contract, stated not learned); `is_code`
+    * compares the score against the threshold — an integer compare.
+    * Row-local everything: zero shuffles beyond the scan.
+    *
+    * Scale: embarrassingly parallel map over the corpus; emits one
+    * fixed-width row per document, text never shuffles. */
+  def codeScore(df: DataFrame, idCol: String, textCol: String,
+      thresholdPpm: Long = 120000L): DataFrame = {
+    val txt = col("__txt")
+    // the pattern rides as a QUOTED regex literal — the substring
+    // count (len − len(removed)) / len(pat) is exact integer
+    // arithmetic (the double division divides an exact multiple)
+    def cnt(pat: String): Column =
+      ((length(txt) - length(regexp_replace(txt,
+        lit(java.util.regex.Pattern.quote(pat)), lit("")))) /
+        lit(pat.length)).cast("long")
+    val symbols = Seq("{", "}", ";", "=", "(", ")").map(cnt)
+      .reduce(_ + _)
+    val kw = Seq("def ", "return", "import ", "void ", "#include")
+      .map(p => when(cnt(p) > 0L, 1L).otherwise(0L)).reduce(_ + _)
+    df.select(col(idCol), col(textCol).as("__txt"))
+      .filter(txt.isNotNull && length(txt) > 0)
+      .withColumn("n_chars", length(txt).cast("long"))
+      .withColumn("__sym", symbols)
+      .withColumn("__nl", cnt("\n"))
+      .withColumn("__ind", cnt("\n    "))
+      .withColumn("kw_hits", kw)
+      .withColumn("symbol_ppm",
+        expr("(__sym * 1000000) div n_chars"))
+      .withColumn("indent_ppm",
+        expr("(__ind * 1000000) div greatest(__nl, CAST(1 AS BIGINT))"))
+      .withColumn("code_score_ppm",
+        col("symbol_ppm") + col("indent_ppm") + col("kw_hits") * 50000L)
+      .withColumn("is_code", col("code_score_ppm") >= thresholdPpm)
+      .select(col(idCol), col("n_chars"), col("symbol_ppm"),
+        col("indent_ppm"), col("kw_hits").cast("bigint").as("kw_hits"),
+        col("code_score_ppm"), col("is_code"))
+  }
 }

@@ -685,6 +685,136 @@ object OrderedStats {
     * two-phase prefix sum, distinct-value-scale everything after;
     * DECIMAL(38) bounds `ℓ·D²·10¹² < 10³⁸` (the n⁵·10¹² posture —
     * a significance test's sample, not a corpus). */
+  /** Yuen's trimmed-mean t-test — the ROBUST two-sample mean
+    * comparison next to [[graft.operators.Features.welchTTest]]
+    * (one whale in an arm owns a raw mean; Yuen compares 20 %-trimmed
+    * means with winsorized variances, keeping near-full efficiency
+    * under normality and sanity under heavy tails — the
+    * recommended default for revenue metrics): per arm, trim
+    * `g = ⌊n·trim⌋` values from EACH end, compare trimmed means with
+    * `d_i = s²_{w,i}(n_i−1)/(h_i(h_i−1))`, `h = n−2g`, and the
+    * Welch-style combination `t = Δm_t/√(d₁+d₂)`.
+    *
+    * Exactness: the trim boundaries are ORDER STATISTICS (the
+    * (g+1)-th and (n−g)-th smallest — multiset properties, tie-safe
+    * by the boundary-excess arithmetic: `sum-of-g-smallest =
+    * Σ_{v<bl} c·v + (g − cntBelow)·bl`), read off [[cumCounts]];
+    * every trimmed/winsorized sum and sum of squares is an exact
+    * DECIMAL integer; `d_i` is the one-division form
+    * `(n·Q_w − S_w²) / (n·h·(h−1))` and t/df/p are ONE mirrored IEEE
+    * tree each through the shared [[Quality.pValueTwoSidedZ]]
+    * polynomial (the large-sample normal stance of the rank tests).
+    * `trimPpm = 0` degenerates to plain Welch by construction.
+    * Degenerate inputs (an arm with h < 2, or zero combined
+    * variance) return empty. Returns one row (n_1, n_2, h_1, h_2,
+    * mean_t1_micros, mean_t2_micros, t_micros, df_micros, p_micros).
+    *
+    * Scale: one row-scale hash-agg into the prefix sum; the
+    * boundary lookups and moment corrections are three passes over
+    * the distinct-value table (localCheckpointed once). */
+  def yuenTTest(df: DataFrame, valueExpr: Column, tagExpr: Column,
+      trimPpm: Long = 200000L, nBuckets: Int = 32): DataFrame = {
+    require(trimPpm >= 0L && trimPpm < 500000L,
+      s"trimPpm must be in [0, 5e5) (got $trimPpm)")
+    val dec = "decimal(38,0)"
+    val cum = cumCounts(df, valueExpr, tagExpr, nBuckets)
+      .localCheckpoint(true) // three distinct-value-scale consumers
+    def cnt(side: String) = sum(col(s"c$side"))
+    val tot = cum.agg(cnt("a").as("__na"), cnt("b").as("__nb"),
+      sum(col("ca").cast(dec) * col("v")).as("__sa"),
+      sum(col("cb").cast(dec) * col("v")).as("__sb"),
+      sum(col("ca").cast(dec) * col("v") * col("v")).as("__qa"),
+      sum(col("cb").cast(dec) * col("v") * col("v")).as("__qb"))
+      .withColumn("__ga", expr(s"__na * $trimPpm div 1000000"))
+      .withColumn("__gb", expr(s"__nb * $trimPpm div 1000000"))
+    // pass 2: the four order-statistic boundaries
+    val c1 = cum.crossJoin(broadcast(tot))
+      .groupBy(col("__na"), col("__nb"), col("__ga"), col("__gb"),
+        col("__sa"), col("__sb"), col("__qa"), col("__qb"))
+      .agg(
+        min(when(col("cum_a") >= col("__ga") + 1L, col("v"))).as("__bla"),
+        min(when(col("cum_a") >= col("__na") - col("__ga"), col("v")))
+          .as("__bha"),
+        min(when(col("cum_b") >= col("__gb") + 1L, col("v"))).as("__blb"),
+        min(when(col("cum_b") >= col("__nb") - col("__gb"), col("v")))
+          .as("__bhb"))
+    // pass 3: boundary-corrected trimmed/winsorized moments
+    def corr(side: String, bl: String, bh: String, g: String,
+        n: String) = Seq(
+      sum(when(col("v") < col(bl), col(s"c$side").cast(dec) * col("v"))
+        .otherwise(lit(0).cast(dec))).as(s"__slo$side"),
+      sum(when(col("v") < col(bl),
+          col(s"c$side").cast(dec) * col("v") * col("v"))
+        .otherwise(lit(0).cast(dec))).as(s"__qlo$side"),
+      sum(when(col("v") < col(bl), col(s"c$side")).otherwise(0L))
+        .as(s"__clo$side"),
+      sum(when(col("v") > col(bh), col(s"c$side").cast(dec) * col("v"))
+        .otherwise(lit(0).cast(dec))).as(s"__shi$side"),
+      sum(when(col("v") > col(bh),
+          col(s"c$side").cast(dec) * col("v") * col("v"))
+        .otherwise(lit(0).cast(dec))).as(s"__qhi$side"),
+      sum(when(col("v") > col(bh), col(s"c$side")).otherwise(0L))
+        .as(s"__chi$side"))
+    val keys = Seq("__na", "__nb", "__ga", "__gb", "__sa", "__sb",
+      "__qa", "__qb", "__bla", "__bha", "__blb", "__bhb")
+    val c2 = cum.crossJoin(broadcast(c1))
+      .groupBy(keys.map(col): _*)
+      .agg(corr("a", "__bla", "__bha", "__ga", "__na").head,
+        (corr("a", "__bla", "__bha", "__ga", "__na").tail ++
+          corr("b", "__blb", "__bhb", "__gb", "__nb")): _*)
+    // exact per-arm trimmed sum / winsorized moments
+    def arm(side: String, s: String, q: String, n: String, g: String,
+        bl: String, bh: String) = {
+      val exLo = (col(g) - col(s"__clo$side")).cast(dec) // ties at bl
+      val exHi = (col(g) - col(s"__chi$side")).cast(dec) // ties at bh
+      val st = col(s) - col(s"__slo$side") - exLo * col(bl) -
+        col(s"__shi$side") - exHi * col(bh)
+      val sw = st + col(g).cast(dec) * col(bl) +
+        col(g).cast(dec) * col(bh)
+      val qw = col(q) - col(s"__qlo$side") - exLo * col(bl) * col(bl) -
+        col(s"__qhi$side") - exHi * col(bh) * col(bh) +
+        col(g).cast(dec) * col(bl) * col(bl) +
+        col(g).cast(dec) * col(bh) * col(bh)
+      (st, sw, qw)
+    }
+    val (sta, swa, qwa) = arm("a", "__sa", "__qa", "__na", "__ga",
+      "__bla", "__bha")
+    val (stb, swb, qwb) = arm("b", "__sb", "__qb", "__nb", "__gb",
+      "__blb", "__bhb")
+    val ha = col("__na") - lit(2L) * col("__ga")
+    val hb = col("__nb") - lit(2L) * col("__gb")
+    val base = c2
+      .withColumn("__ha", ha).withColumn("__hb", hb)
+      .filter(col("__ha") >= 2L && col("__hb") >= 2L)
+      .withColumn("__sta", sta).withColumn("__stb", stb)
+      .withColumn("__da",
+        (col("__na").cast(dec) * qwa - swa * swa).cast("double") /
+          (col("__na").cast(dec) * col("__ha") * (col("__ha") - 1L))
+            .cast("double"))
+      .withColumn("__db",
+        (col("__nb").cast(dec) * qwb - swb * swb).cast("double") /
+          (col("__nb").cast(dec) * col("__hb") * (col("__hb") - 1L))
+            .cast("double"))
+      .filter(col("__da") + col("__db") > 0.0)
+    val mta = col("__sta").cast("double") / col("__ha").cast("double")
+    val mtb = col("__stb").cast("double") / col("__hb").cast("double")
+    val t = (mta - mtb) / sqrt(col("__da") + col("__db"))
+    val dfY = (col("__da") + col("__db")) * (col("__da") + col("__db")) /
+      (col("__da") * col("__da") / (col("__ha").cast("double") - 1.0) +
+        col("__db") * col("__db") / (col("__hb").cast("double") - 1.0))
+    base.withColumn("__t", t)
+      .select(col("__na").cast("bigint").as("n_1"),
+        col("__nb").cast("bigint").as("n_2"),
+        col("__ha").cast("bigint").as("h_1"),
+        col("__hb").cast("bigint").as("h_2"),
+        round(mta * 1e6).cast("long").as("mean_t1_micros"),
+        round(mtb * 1e6).cast("long").as("mean_t2_micros"),
+        round(col("__t") * 1e6).cast("long").as("t_micros"),
+        round(dfY * 1e6).cast("long").as("df_micros"),
+        round(Quality.pValueTwoSidedZ(col("__t")) * 1e6).cast("long")
+          .as("p_micros"))
+  }
+
   def andersonDarling(df: DataFrame, valueExpr: Column,
       tagExpr: Column, nBuckets: Int = 32): DataFrame = {
     val dec = "decimal(38,0)"

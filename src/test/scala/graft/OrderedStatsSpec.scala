@@ -325,4 +325,38 @@ class OrderedStatsSpec extends SparkSpec {
     assert(a2(Seq((1.0, true), (2.0, true))).isEmpty)
     assert(a2(Seq((5.0, true), (5.0, false))).isEmpty)
   }
+
+  test("yuenTTest: hand trim/winsorize algebra, outlier immunity, trim 0 = Welch, degenerates empty") {
+    // arm A {0,1,2,3,100} (one whale), arm B {10..14}: g=1, h=3.
+    // A: bl=1, bh=3, trimmed mean 2, winsorized {1,1,2,3,3} ->
+    //   d = (5*24 - 100)/(5*3*2) = 2/3. B symmetric: mean 12, d=2/3.
+    val rows = (Seq(0L, 1L, 2L, 3L, 100L).map((_, true)) ++
+      Seq(10L, 11L, 12L, 13L, 14L).map((_, false)))
+      .map { case (v, t) => (v.toDouble, t) }
+    val r = OrderedStats.yuenTTest(rows.toDF("v", "t"), $"v", $"t")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((5L, 5L, 3L, 3L)))
+    assert((r.getLong(4), r.getLong(5)) == ((2000000L, 12000000L)))
+    val d = (5.0 * 24 - 100) / (5.0 * 3 * 2) // = 2/3, both arms
+    val tExp = (2.0 - 12.0) / math.sqrt(d + d)
+    assert(r.getLong(6) == math.round(tExp * 1e6))
+    assert(r.getLong(7) == 4000000L) // symmetric d, h -> df = 4 exactly
+    // the whale does NOT own the verdict: raw Welch on arm A's mean
+    // (21.2) would look away from 12; the trimmed t points firmly at
+    // A < B
+    assert(r.getLong(6) < -5000000L)
+    // trimPpm = 0 degenerates to Welch: same t as welchTTest
+    val y0 = OrderedStats.yuenTTest(rows.toDF("v", "t"), $"v", $"t",
+      trimPpm = 0L).collect().head
+    val w = graft.operators.Features.welchTTest(rows.toDF("v", "t"),
+      $"t", $"v")
+      .collect().head
+    assert(y0.getLong(6) == w.getLong(4), s"${y0.getLong(6)} vs ${w.getLong(4)}")
+    // h < 2 after trimming (n=3, g=1 -> h=1) -> empty
+    val tiny = Seq((1.0, true), (2.0, true), (5.0, true),
+      (3.0, false), (4.0, false), (6.0, false))
+    assert(OrderedStats.yuenTTest(tiny.toDF("v", "t"), $"v", $"t",
+      trimPpm = 400000L).count() == 0L)
+  }
 }

@@ -802,4 +802,15 @@ class PlanSpec extends SparkSpec {
       }
     }
   }
+
+  test("ab_yuen: boundary and moment passes read the checkpointed prefix table, never events again") {
+    val p = plan("ab_yuen")
+    // cumCounts localCheckpoints the distinct-value table; the three
+    // downstream passes (totals, boundaries, corrections) must all
+    // consume it — a parquet rescan means the row-scale reduction
+    // re-ran per pass
+    assert(!p.contains("events.parquet"),
+      "yuen plan re-runs the row-scale reduction:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -576,4 +576,24 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.distinctNgrams(df, "text", "src", maxN = 0)
     }
   }
+
+  test("codeScore: hand counts on a snippet, prose scores 0, keywords alone stay under threshold") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a = {1};\n    b(2)\nc"),
+      (2L, "The quick brown fox jumps over the lazy dog."),
+      (3L, "import os\nreturn")).toDF("doc_id", "text")
+    val got = TextAnalysis.codeScore(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    // doc 1: 19 chars, 6 symbols -> 6e6 div 19; 2 newlines, 1
+    // indented -> 500000; no keywords
+    assert(got(0) == ((1L, 19L, 6000000L / 19L, 500000L, 0L,
+      6000000L / 19L + 500000L, true)))
+    // pure prose: everything 0
+    assert(got(1)._6 == 0L && !got(1)._7)
+    // two keywords alone = 100000 ppm, below the 120000 threshold
+    assert(got(2) == ((3L, 16L, 0L, 0L, 2L, 100000L, false)))
+  }
 }
