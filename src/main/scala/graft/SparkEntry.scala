@@ -49,7 +49,8 @@ import graft.streaming.EventStreams
   * which each run one or two small eager counts at construction —
   * and `graph_ktruss` (the peel loop runs its fixpoint rounds
   * eagerly, one count per round); `graph_diameter` runs both BFS
-  * sweeps and its two 1-row seed lookups eagerly.
+  * sweeps and its two 1-row seed lookups eagerly; `ts_pacf` collects
+  * the lag-scale acf for the driver-side Durbin-Levinson fold.
   * Callers that only want a plan should skip those.
   */
 object SparkEntry {
@@ -116,6 +117,7 @@ object SparkEntry {
     "ts_dominant_period", "dq_cvm", "ab_anova", "feat_calibration",
     "surv_logrank", "dq_ad", "feat_brier", "ab_mcnemar", "ab_cmh",
     "ab_posthoc", "graph_diameter", "ab_yuen", "text_code_detect",
+    "ts_pacf",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -411,6 +413,7 @@ object SparkEntry {
     "ab_effect_size", "feat_avg_precision", "dq_cvm", "ab_anova",
     "feat_calibration", "dq_ad", "feat_brier", "ab_mcnemar", "ab_cmh",
     "ab_posthoc", "graph_diameter", "ab_yuen", "text_code_detect",
+    "ts_pacf",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -6699,6 +6702,19 @@ object SparkEntry {
       graft.operators.TimeSeries.autocorrelation(hc, $"hour", $"x", 48)
     }),
 
+    "ts_pacf" -> ((s, dir) => {
+      import s.implicits._
+      // Partial autocorrelation of the hourly event-count series at
+      // lags 1..24 — the AR-order pick next to ts_acf's memory
+      // profile: Durbin-Levinson over the QUANTIZED acf in fixed
+      // summation order, replayed by a list-state recursive CTE.
+      // SIDE-EFFECTING (the lag-scale acf collect runs eagerly).
+      val hc = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", $"ts").as("hour"))
+        .agg(count(lit(1)).as("x"))
+      graft.operators.TimeSeries.pacf(hc, $"hour", $"x", 24)
+    }),
+
     "ts_dominant_period" -> ((s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -10692,6 +10708,53 @@ object SparkEntry {
         |    ELSE CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
         |      * 1000000) AS BIGINT) END AS acf_micros
         |FROM num, den ORDER BY lag""".stripMargin,
+
+    // the ts_acf replay (lags 1..24) feeding Durbin-Levinson as a
+    // recursive CTE over a LIST state — phi updates and both inner
+    // products fold in the same ascending-j order as the engine
+    "ts_pacf" ->
+      """WITH RECURSIVE c AS (SELECT date_trunc('hour', ts) AS h,
+        |    count(*) AS x
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT row_number() OVER (ORDER BY h) AS i,
+        |    CAST(x AS BIGINT) AS x FROM c),
+        |st AS (SELECT count(*) AS n, sum(x) AS s FROM b),
+        |den AS (SELECT sum((n * x - s) * (n * x - s)) AS den
+        |  FROM b, st),
+        |l AS (SELECT CAST(range AS BIGINT) AS lag FROM range(1, 25)),
+        |pr AS (SELECT l.lag, bl.x AS xl, br.x AS xr
+        |  FROM l CROSS JOIN b bl JOIN b br ON br.i = bl.i + l.lag),
+        |num AS (SELECT lag, sum((n * xl - s) * (n * xr - s)) AS num
+        |  FROM pr, st GROUP BY 1),
+        |acf AS (SELECT lag,
+        |    CASE WHEN den = 0 THEN NULL
+        |      ELSE CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+        |        * 1000000) AS BIGINT) END AS am
+        |  FROM num, den),
+        |rl AS (SELECT list(CAST(am AS DOUBLE) / 1000000.0
+        |      ORDER BY lag) AS rs,
+        |    CAST(count(*) AS BIGINT) AS kmax
+        |  FROM acf WHERE am IS NOT NULL),
+        |dl AS (
+        |  SELECT CAST(1 AS BIGINT) AS k, [rs[1]] AS phi, rs, kmax
+        |  FROM rl WHERE kmax >= 1
+        |  UNION ALL
+        |  SELECT k + 1,
+        |    list_append(list_transform(range(1, CAST(k + 1 AS INT)),
+        |      j -> phi[j] - pkk * phi[CAST(k AS INT) + 1 - j]), pkk),
+        |    rs, kmax
+        |  FROM (SELECT k, phi, rs, kmax,
+        |      (rs[CAST(k AS INT) + 1]
+        |        - list_sum(list_transform(range(1, CAST(k + 1 AS INT)),
+        |            j -> phi[j] * rs[CAST(k AS INT) + 1 - j])))
+        |      / nullif(1.0
+        |        - list_sum(list_transform(range(1, CAST(k + 1 AS INT)),
+        |            j -> phi[j] * rs[j])), 0.0) AS pkk
+        |    FROM dl) t WHERE k < kmax)
+        |SELECT k AS lag,
+        |  CAST(round(phi[CAST(k AS INT)] * 1000000) AS BIGINT)
+        |    AS pacf_micros
+        |FROM dl ORDER BY k""".stripMargin,
 
     // the ts_acf replay cut to its (acf desc, lag) argmax over lags
     // 2..48 — the deterministic dominant-period pick

@@ -337,6 +337,65 @@ object TimeSeries {
       .orderBy(col("lag"))
   }
 
+  /** Partial autocorrelation (Durbin–Levinson) at lags 1..`maxLag` —
+    * the AR-order diagnostic [[autocorrelation]] can't give: ACF of
+    * an AR(1) decays forever (every lag looks "correlated"); PACF
+    * removes the shorter-lag pathways, so an AR(p) cuts off sharply
+    * after lag p — THE plot that picks p. Same series contract as
+    * [[autocorrelation]].
+    *
+    * Exactness: the recursion consumes the QUANTIZED acf
+    * (`acf_micros/10⁶` — both engines start from bit-identical
+    * doubles) and runs Durbin–Levinson in fixed ascending-j
+    * summation order:
+    * `φ_kk = (r_k − Σφ_{k−1,j}r_{k−j}) / (1 − Σφ_{k−1,j}r_j)`,
+    * `φ_kj = φ_{k−1,j} − φ_kk·φ_{k−1,k−j}` — a lag-scale (≤ maxLag)
+    * driver fold, mirrored by a recursive CTE with a LIST state (the
+    * holtWintersForecast device). A zero denominator NULLs that lag
+    * and every later one (the recursion is dead, not zero).
+    * Returns (lag, pacf_micros); constant series (all-NULL acf)
+    * return empty. SIDE-EFFECTING: the acf collect (≤ maxLag rows)
+    * runs eagerly at construction.
+    *
+    * Scale: everything row-scale rides [[autocorrelation]]'s one
+    * materialized pass; the recursion itself touches ≤ maxLag
+    * doubles on the driver. */
+  def pacf(df: DataFrame, orderExpr: Column, valueExpr: Column,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 1000,
+      s"maxLag must be in [1, 1000] (got $maxLag)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rs = autocorrelation(df, orderExpr, valueExpr, maxLag)
+      .filter(col("acf_micros").isNotNull)
+      .select(col("lag"), col("acf_micros"))
+      .collect().sortBy(_.getLong(0))
+      .map(_.getLong(1).toDouble / 1e6)
+    var phi: Array[Double] = Array.empty
+    var dead = false
+    val rows = (1 to rs.length).map { k =>
+      if (k == 1) {
+        phi = Array(rs(0))
+        (1L, Option(math.round(rs(0) * 1e6)))
+      } else if (dead) (k.toLong, Option.empty[Long])
+      else {
+        // fixed ascending-j order — the oracle's list fold matches
+        val num = rs(k - 1) -
+          (1 until k).map(j => phi(j - 1) * rs(k - j - 1)).sum
+        val den = 1.0 -
+          (1 until k).map(j => phi(j - 1) * rs(j - 1)).sum
+        if (den == 0.0) { dead = true; (k.toLong, Option.empty[Long]) }
+        else {
+          val pkk = num / den
+          phi = (1 until k).map(j =>
+            phi(j - 1) - pkk * phi(k - j - 1)).toArray :+ pkk
+          (k.toLong, Option(math.round(pkk * 1e6)))
+        }
+      }
+    }
+    rows.toDF("lag", "pacf_micros")
+  }
+
   /** Holt double-exponential (level + trend) smoothing forecast — the
     * capacity-planning workhorse one notch above a moving average:
     * per key, fold the series in order through the integer recurrence

@@ -210,6 +210,28 @@ class TimeSeriesSpec extends SparkSpec {
     assert(c.forall(_.isNullAt(2)))
   }
 
+  test("pacf: lag 1 = acf, lag 2 closed form off the quantized acf, constant series empty") {
+    val xs = Seq(1L, 2L, 3L, 4L, 5L, 4L, 3L, 2L)
+    val df = xs.zipWithIndex.map { case (x, i) => (i, x) }.toDF("o", "x")
+    val acf = TimeSeries.autocorrelation(df, $"o", $"x", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = TimeSeries.pacf(df, $"o", $"x", 4)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got.size == 4)
+    // Durbin-Levinson base: phi_11 = r1 (the quantized acf value)
+    val r1 = acf(1L).toDouble / 1e6
+    val r2 = acf(2L).toDouble / 1e6
+    assert(got(1L) == Some(math.round(r1 * 1e6)))
+    // order 2 closed form: (r2 - r1^2) / (1 - r1^2)
+    assert(got(2L) ==
+      Some(math.round((r2 - r1 * r1) / (1.0 - r1 * r1) * 1e6)))
+    // lag 3 exists and is finite (full recursion ran)
+    assert(got(3L).isDefined && got(4L).isDefined)
+    val const = Seq.tabulate(6)(i => (i, 7L)).toDF("o", "x")
+    assert(TimeSeries.pacf(const, $"o", $"x", 3).count() == 0L)
+  }
+
   test("theilSen: outlier-immune slope, negative-trend truncation, per-key isolation, guard") {
     // g: clean slope 10/step with one wild outlier the median ignores
     // (OLS would report ~320/step); h: exact negative trend
