@@ -117,7 +117,7 @@ object SparkEntry {
     "ts_dominant_period", "dq_cvm", "ab_anova", "feat_calibration",
     "surv_logrank", "dq_ad", "feat_brier", "ab_mcnemar", "ab_cmh",
     "ab_posthoc", "graph_diameter", "ab_yuen", "text_code_detect",
-    "ts_pacf",
+    "ts_pacf", "graph_rich_club",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -413,7 +413,7 @@ object SparkEntry {
     "ab_effect_size", "feat_avg_precision", "dq_cvm", "ab_anova",
     "feat_calibration", "dq_ad", "feat_brier", "ab_mcnemar", "ab_cmh",
     "ab_posthoc", "graph_diameter", "ab_yuen", "text_code_detect",
-    "ts_pacf",
+    "ts_pacf", "graph_rich_club",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -3723,6 +3723,14 @@ object SparkEntry {
           "a", "b", "id", maxHops = 8)
         .select($"id", $"dist".cast("bigint").as("dist"))
         .orderBy($"id")
+    }),
+
+    "graph_rich_club" -> ((s, dir) => {
+      import s.implicits._
+      // Rich-club curve of the part co-order graph over a log degree
+      // grid — at which degree do the hubs close ranks? Exact
+      // histogram-tail integers, one ppm division per threshold.
+      Graph.richClub(partCoOrderPairs(s, dir), "a", "b")
     }),
 
     "graph_diameter" -> ((s, dir) => {
@@ -12740,6 +12748,40 @@ object SparkEntry {
         |  JOIN e ON e.u = b.id WHERE b.d < 8)
         |SELECT id, CAST(min(d) AS BIGINT) AS dist
         |FROM bfs GROUP BY id ORDER BY id""".stripMargin,
+
+    // histogram tails per threshold; one ppm division; N_k < 2 absent
+    "graph_rich_club" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |   AND l1.l_partkey < l2.l_partkey
+        |  WHERE l1.l_orderkey % 4 = 0),
+        |e AS (SELECT least(a, b) AS u, greatest(a, b) AS v FROM p
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT u FROM e UNION ALL SELECT v FROM e),
+        |deg AS (SELECT u AS id, CAST(count(*) AS BIGINT) AS deg
+        |  FROM sym GROUP BY 1),
+        |dh AS (SELECT deg, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM deg GROUP BY 1),
+        |mh AS (SELECT least(du.deg, dv.deg) AS md,
+        |    CAST(count(*) AS BIGINT) AS cnte
+        |  FROM e JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v
+        |  GROUP BY 1),
+        |ks AS (SELECT CAST(unnest([1, 2, 4, 8, 16, 32, 64, 128])
+        |    AS BIGINT) AS k),
+        |clubs AS (SELECT k, CAST(sum(CASE WHEN deg > k THEN cnt
+        |    ELSE 0 END) AS BIGINT) AS n_nodes
+        |  FROM ks, dh GROUP BY 1),
+        |intr AS (SELECT k, CAST(sum(CASE WHEN md > k THEN cnte
+        |    ELSE 0 END) AS BIGINT) AS n_edges
+        |  FROM ks, mh GROUP BY 1)
+        |SELECT clubs.k, n_nodes, n_edges,
+        |  CAST((CAST(2 AS HUGEINT) * n_edges * 1000000)
+        |    // (CAST(n_nodes AS HUGEINT) * (n_nodes - 1)) AS BIGINT)
+        |    AS phi_ppm
+        |FROM clubs JOIN intr ON clubs.k = intr.k
+        |WHERE n_nodes >= 2 ORDER BY clubs.k""".stripMargin,
 
     // the double sweep replayed: deterministic (max degree, min id)
     // start, farthest (max dist, min id) restart, both hop-bounded

@@ -791,6 +791,66 @@ object Graph {
     }
   }
 
+  /** Rich-club coefficient over a degree-threshold grid — do the
+    * hubs form their own club? `φ(k) = 2·E_k / (N_k(N_k−1))` with
+    * `N_k` the nodes of degree > k and `E_k` the edges BETWEEN them
+    * (Colizza et al. 2006) — the structural reading next to
+    * [[assortativity]]'s one-number correlation: assortativity says
+    * hubs prefer hubs; the rich-club curve says at WHICH degree the
+    * club closes.
+    *
+    * Exactness: degrees and both histograms are exact integers; per
+    * grid threshold the club size and internal edge count are
+    * integer sums over the histogram tails, and φ is ONE truncating
+    * ppm division. Thresholds with N_k < 2 emit nothing (no pair
+    * exists to be or not be an edge). Returns one row per grid k:
+    * (k, n_nodes, n_edges, phi_ppm).
+    *
+    * Scale: one degree hash-agg, two long-keyed joins to attach
+    * endpoint degrees, then two DEGREE-HISTOGRAM-scale tables
+    * crossed with the ≤ |grid|-element threshold list — the grid
+    * pass never touches edge-scale data again. */
+  def richClub(edges: DataFrame, srcCol: String = "id_a",
+      dstCol: String = "id_b",
+      grid: Seq[Long] = Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L))
+      : DataFrame = {
+    require(grid.nonEmpty && grid.forall(_ >= 1L),
+      "grid must be non-empty thresholds >= 1")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    val degHist = deg.groupBy(col("deg")).agg(count(lit(1)).as("cnt"))
+    val mdHist = e0
+      .join(deg.select(col("id").as("u"), col("deg").as("__du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("__dv")), "v")
+      .select(least(col("__du"), col("__dv")).as("md"))
+      .groupBy(col("md")).agg(count(lit(1)).as("cntE"))
+    val ks = grid.distinct.sorted.toDF("k")
+    val clubs = ks.crossJoin(degHist) // grid × degree histogram
+      .groupBy(col("k"))
+      .agg(sum(when(col("deg") > col("k"), col("cnt")).otherwise(0L))
+        .as("n_nodes"))
+    val internal = ks.crossJoin(mdHist) // grid × min-degree histogram
+      .groupBy(col("k"))
+      .agg(sum(when(col("md") > col("k"), col("cntE")).otherwise(0L))
+        .as("n_edges"))
+    clubs.join(internal, "k")
+      .filter(col("n_nodes") >= 2L)
+      .select(col("k"), col("n_nodes").cast("bigint").as("n_nodes"),
+        col("n_edges").cast("bigint").as("n_edges"),
+        expr("CAST(2 AS DECIMAL(38,0)) * n_edges * 1000000" +
+          " div (CAST(n_nodes AS DECIMAL(38,0)) * (n_nodes - 1))")
+          .cast("long").as("phi_ppm"))
+      .orderBy(col("k"))
+  }
+
   /** Degree assortativity — Pearson correlation of endpoint degrees
     * over the directed edge list (Newman 2002): positive ⇒ hubs link
     * hubs (social graphs), negative ⇒ hubs link leaves (the web,

@@ -707,4 +707,22 @@ class GraphSpec extends SparkSpec {
     assert(Graph.diameterBound(
       edges.filter($"id_a" < 0)).count() == 0L)
   }
+
+  test("richClub: clique + pendant hand case, duplicate/reversed edges collapse, small clubs absent") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant 4-1: degrees 3,2,2,1. k=1: club
+    // {1,2,3}, all 3 internal edges -> phi = 1. k=2: club {1} alone
+    // -> absent. Reversed + duplicate edges must not double-count.
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L), (1L, 4L),
+      (3L, 2L)).toDF("id_a", "id_b")
+    val got = Graph.richClub(edges, grid = Seq(1L, 2L, 4L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 3L, 3L, 1000000L)), got.mkString(", "))
+    // a looser threshold includes everyone: k grid {0 invalid} ->
+    // guard trips on zero/negative thresholds
+    assertThrows[IllegalArgumentException] {
+      Graph.richClub(edges, grid = Seq(0L))
+    }
+  }
 }
