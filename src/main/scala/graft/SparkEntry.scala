@@ -117,7 +117,7 @@ object SparkEntry {
     "ts_dominant_period", "dq_cvm", "ab_anova", "feat_calibration",
     "surv_logrank", "dq_ad", "feat_brier", "ab_mcnemar", "ab_cmh",
     "ab_posthoc", "graph_diameter", "ab_yuen", "text_code_detect",
-    "ts_pacf", "graph_rich_club",
+    "ts_pacf", "graph_rich_club", "evt_lorenz", "dedup_lsh_tuning",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -413,7 +413,7 @@ object SparkEntry {
     "ab_effect_size", "feat_avg_precision", "dq_cvm", "ab_anova",
     "feat_calibration", "dq_ad", "feat_brier", "ab_mcnemar", "ab_cmh",
     "ab_posthoc", "graph_diameter", "ab_yuen", "text_code_detect",
-    "ts_pacf", "graph_rich_club",
+    "ts_pacf", "graph_rich_club", "evt_lorenz", "dedup_lsh_tuning",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -985,6 +985,50 @@ object SparkEntry {
           $"__sx".cast("bigint").as("total_cents"),
           expr("""CAST((2 * __sxy - (__n + 1) * __sx) * 1000000
             div (__n * __sx) AS BIGINT)""").as("gini_ppm"))
+    }),
+
+    "evt_lorenz" -> ((s, dir) => {
+      import s.implicits._
+      // Lorenz concentration curve of purchase activity — the decile
+      // table behind evt_gini's single number: users ranked ascending
+      // by purchase count, TIE GROUPS land whole in the decile of
+      // their last cumulative position (the gainsTable device — no
+      // arbitrary splits), cumulative event share per decile. The
+      // cumulative windows run over the COUNT HISTOGRAM (distinct
+      // activity levels), never the user stream.
+      import org.apache.spark.sql.expressions.Window
+      val hist = Tables.events(s, dir)
+        .filter($"event_type" === "purchase")
+        .groupBy($"user_id").agg(count(lit(1)).as("c"))
+        .groupBy($"c").agg(count(lit(1)).as("nu"))
+      val tot = hist.agg(sum($"nu").as("__n"),
+        sum($"nu" * $"c").cast("decimal(38,0)").as("__e"))
+      val wCum = Window.orderBy($"c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wDec = Window.orderBy($"decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.withColumn("__cu", sum($"nu").over(wCum))
+        .crossJoin(broadcast(tot)) // 1-row totals
+        .withColumn("decile",
+          expr("CAST(__cu - 1 AS DECIMAL(38,0)) * 10 div __n")
+            .cast("int"))
+        .groupBy($"decile", $"__e")
+        .agg(sum($"nu").cast("bigint").as("n_users"),
+          sum($"nu" * $"c").cast("bigint").as("n_events"))
+        .withColumn("cum_events_ppm",
+          expr("CAST(CAST(sum(n_events) OVER (ORDER BY decile" +
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)" +
+            " AS DECIMAL(38,0)) * 1000000 div __e AS BIGINT)"))
+        .select($"decile", $"n_users", $"n_events", $"cum_events_ppm")
+        .orderBy($"decile")
+    }),
+
+    "dedup_lsh_tuning" -> ((s, dir) => {
+      // S-curve of the shipped MinHash banding (8 tables x 1 hash):
+      // detection probability per true-Jaccard grid point — the
+      // recall contract the dedup_minhash threshold rests on.
+      // Mirrored exp/ln powers; reads no data by design.
+      graft.llm.Dedup.lshTuning(s, bands = 8, rowsPerBand = 1)
     }),
 
     "dq_mutual_info" -> ((s, dir) => {
@@ -8235,6 +8279,44 @@ object SparkEntry {
         |  CAST((2 * sxy - (n + 1) * sx) * 1000000 // (n * sx) AS BIGINT)
         |    AS gini_ppm
         |FROM m""".stripMargin,
+
+    // tie groups land whole via the last-cumulative-position decile;
+    // cumulative windows over the count histogram only
+    "evt_lorenz" ->
+      """WITH pc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |h AS (SELECT c, CAST(count(*) AS BIGINT) AS nu
+        |  FROM pc GROUP BY 1),
+        |t AS (SELECT CAST(sum(nu) AS BIGINT) AS n,
+        |    CAST(sum(nu * c) AS HUGEINT) AS e FROM h),
+        |cu AS (SELECT c, nu,
+        |    sum(nu) OVER (ORDER BY c) AS cuu FROM h),
+        |d AS (SELECT
+        |    CAST((CAST(cuu - 1 AS HUGEINT) * 10) // t.n AS INT)
+        |      AS decile,
+        |    nu, nu * c AS ev, t.e
+        |  FROM cu, t),
+        |g AS (SELECT decile, e, CAST(sum(nu) AS BIGINT) AS n_users,
+        |    CAST(sum(ev) AS BIGINT) AS n_events
+        |  FROM d GROUP BY 1, 2)
+        |SELECT decile, n_users, n_events,
+        |  CAST((CAST(sum(n_events) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS HUGEINT) * 1000000) // e AS BIGINT) AS cum_events_ppm
+        |FROM g ORDER BY decile""".stripMargin,
+
+    // the S-curve is a pure function of the banding config; powers
+    // through the mirrored exp(k*ln(x)) pair
+    "dedup_lsh_tuning" ->
+      """WITH g AS (SELECT CAST(range AS BIGINT) AS j
+        |  FROM range(5, 100, 5)),
+        |p AS (SELECT j,
+        |    exp(1.0 * ln(CAST(j AS DOUBLE) / 100.0)) AS pb FROM g)
+        |SELECT j AS j_pct,
+        |  CAST(round(pb * 1000000) AS BIGINT) AS p_band_micros,
+        |  CAST(round((1.0 - exp(8.0 * ln(1.0 - pb))) * 1000000)
+        |    AS BIGINT) AS p_detect_micros
+        |FROM p ORDER BY j""".stripMargin,
 
     // observed cells only (zero cells contribute 0); HUGEINT weighted
     // sum, clamp, one truncating division

@@ -753,4 +753,34 @@ object Dedup {
         (col("n_overlap").cast("double") /
           least(col("n_a"), col("n_b")).cast("double")).as("containment"))
   }
+
+  /** LSH S-curve tuning table — the question every banding choice
+    * answers blind: for `bands` tables of `rowsPerBand` min-hashes,
+    * what fraction of TRUE near-duplicates at Jaccard similarity J
+    * does the index actually surface?
+    * `P(detect | J) = 1 − (1 − J^r)^b` — steep around the implicit
+    * threshold `(1/b)^{1/r}`; a pipeline that tightens `maxDist`
+    * without re-reading this curve silently loses recall. One row
+    * per J on a 5 %-step grid.
+    *
+    * Determinism: powers go through `exp(k·ln(x))` — the mirrored
+    * `ln`/`exp` pair both engines replay bit-for-bit on identical
+    * doubles (the Wilson–Hilferty convention) — and the grid stays
+    * inside (0, 1) so every log argument is strictly positive.
+    * Micro-quantized outputs; no data is read at all (the curve is a
+    * property of the CONFIG, not the corpus). */
+  def lshTuning(spark: org.apache.spark.sql.SparkSession,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    require(bands >= 1 && rowsPerBand >= 1,
+      s"bands and rowsPerBand must be >= 1 (got $bands, $rowsPerBand)")
+    val j = col("id").cast("double") / lit(100.0)
+    val pBand = exp(lit(rowsPerBand.toDouble) * log(j))
+    val pDetect = lit(1.0) -
+      exp(lit(bands.toDouble) * log(lit(1.0) - pBand))
+    spark.range(5L, 100L, 5L)
+      .select(col("id").cast("bigint").as("j_pct"),
+        round(pBand * 1e6).cast("long").as("p_band_micros"),
+        round(pDetect * 1e6).cast("long").as("p_detect_micros"))
+      .orderBy(col("j_pct"))
+  }
 }

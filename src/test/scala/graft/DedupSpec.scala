@@ -407,4 +407,33 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.containment(empty, "text", "doc_id", n = 3,
       minContainment = 0.5).collect().isEmpty)
   }
+
+  test("lshTuning: closed forms at the grid, monotone S-curve, guard") {
+    val got = Dedup.lshTuning(spark, bands = 8, rowsPerBand = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got.size == 19) // 5..95 by 5
+    // r=1: p_band = J exactly through exp(ln); at J=0.5 the detect
+    // probability is 1 - 0.5^8 = 255/256
+    def mirrored(j: Double, r: Double, b: Double): (Long, Long) = {
+      val pb = math.exp(r * math.log(j))
+      (math.round(pb * 1e6),
+        math.round((1.0 - math.exp(b * math.log(1.0 - pb))) * 1e6))
+    }
+    assert(got(50L) == mirrored(0.5, 1.0, 8.0))
+    assert(got(50L)._2 == 996094L) // 1 - 1/256
+    assert(got(5L) == mirrored(0.05, 1.0, 8.0))
+    assert(got(95L) == mirrored(0.95, 1.0, 8.0))
+    // monotone increasing in J
+    val curve = (5L to 95L by 5L).map(got(_)._2)
+    assert(curve == curve.sorted)
+    // a multi-row banding shifts the knee right: at J=0.5, 4x4 is
+    // far less sensitive than 8x1
+    val wide = Dedup.lshTuning(spark, bands = 4, rowsPerBand = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(wide(50L) == mirrored(0.5, 4.0, 4.0)._2 && wide(50L) < got(50L)._2)
+    assertThrows[IllegalArgumentException] {
+      Dedup.lshTuning(spark, bands = 0, rowsPerBand = 1)
+    }
+  }
 }
