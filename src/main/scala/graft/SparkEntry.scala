@@ -118,6 +118,7 @@ object SparkEntry {
     "surv_logrank", "dq_ad", "feat_brier", "ab_mcnemar", "ab_cmh",
     "ab_posthoc", "graph_diameter", "ab_yuen", "text_code_detect",
     "ts_pacf", "graph_rich_club", "evt_lorenz", "dedup_lsh_tuning",
+    "sim_centroid_assign",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -414,6 +415,7 @@ object SparkEntry {
     "feat_calibration", "dq_ad", "feat_brier", "ab_mcnemar", "ab_cmh",
     "ab_posthoc", "graph_diameter", "ab_yuen", "text_code_detect",
     "ts_pacf", "graph_rich_club", "evt_lorenz", "dedup_lsh_tuning",
+    "sim_centroid_assign",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -4728,6 +4730,16 @@ object SparkEntry {
         .orderBy($"q_id", $"rn")
     }),
 
+    "sim_centroid_assign" -> ((s, dir) => {
+      // One exact Lloyd E-step over the embedding corpus with the 8
+      // lowest-id vectors as centroids — the HASH-GRADED member of
+      // the similarity family (the ANN ops grade through recall
+      // gates): pico-quantized order-free dot products, one mirrored
+      // cosine division, (cos desc, seed) argmax. Eight rows.
+      graft.llm.Similarity.centroidAssign(
+        Tables.embeddings(s, dir), "vec_id", "embedding", numSeeds = 8)
+    }),
+
     "sim_range_search" -> ((s, dir) => {
       import s.implicits._
       // Threshold (range) retrieval via the IVF probe: every
@@ -8317,6 +8329,38 @@ object SparkEntry {
         |  CAST(round((1.0 - exp(8.0 * ln(1.0 - pb))) * 1000000)
         |    AS BIGINT) AS p_detect_micros
         |FROM p ORDER BY j""".stripMargin,
+
+    // pico-quantized order-free dot products over the 64-dim lists;
+    // one mirrored cosine division; (cos desc, seed) argmax
+    "sim_centroid_assign" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |nrm AS (SELECT vec_id,
+        |    list_sum(list_transform(embedding, x ->
+        |      CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |        * 1000000000000) AS BIGINT))) AS np
+        |  FROM e),
+        |base AS (SELECT e.vec_id, e.embedding, nrm.np
+        |  FROM e JOIN nrm ON nrm.vec_id = e.vec_id WHERE nrm.np > 0),
+        |seeds AS (SELECT vec_id AS sid, embedding AS sv, np AS snp
+        |  FROM base ORDER BY vec_id LIMIT 8),
+        |pr AS (SELECT b.vec_id, s.sid, b.np, s.snp,
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)
+        |        * CAST(s.sv[CAST(i AS INT)] AS DOUBLE)
+        |        * 1000000000000) AS BIGINT))) AS dp
+        |  FROM base b, seeds s),
+        |cosr AS (SELECT vec_id, sid,
+        |    CAST(round(CAST(dp AS DOUBLE)
+        |      / (sqrt(CAST(np AS DOUBLE)) * sqrt(CAST(snp AS DOUBLE)))
+        |      * 1000000) AS BIGINT) AS cm
+        |  FROM pr),
+        |a AS (SELECT vec_id, sid, cm, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY cm DESC, sid) AS rn
+        |  FROM cosr)
+        |SELECT sid AS seed_id, CAST(count(*) AS BIGINT) AS n_assigned,
+        |  CAST(CAST(sum(cm) AS HUGEINT) // count(*) AS BIGINT)
+        |    AS mean_cos_micros
+        |FROM a WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // observed cells only (zero cells contribute 0); HUGEINT weighted
     // sum, clamp, one truncating division

@@ -866,4 +866,62 @@ object Similarity {
       .agg(round(max(col("__dmin")) * 1e6).cast("long")
         .as("radius_micros"))
   }
+
+  /** Deterministic centroid assignment — one exact Lloyd E-step with
+    * the `numSeeds` LOWEST-id vectors as centroids: every vector
+    * joins its most-cosine-similar seed. The HASH-GRADED member of
+    * the similarity family (the ANN operators trade exactness for
+    * scale and grade through recall gates; this one is small-k exact
+    * by construction, so a second engine replays it value-for-value)
+    * — the quick "is this embedding space clustered at all" read,
+    * and the seeding step a real k-means would iterate from.
+    *
+    * Exactness: per-coordinate products are PICO-QUANTIZED then
+    * integer-summed (`Σ round(aᵢbᵢ·10¹²)` — order-free, the
+    * micro-quantization discipline; float→double widening is exact
+    * on both engines), norms likewise; cosine is ONE mirrored IEEE
+    * division `dot/(√nₐ·√n_b)` of exact integers, micro-quantized;
+    * the argmax tie-breaks (cos desc, seed asc). Zero-norm vectors
+    * and seeds are excluded (no direction exists). Returns one row
+    * per seed: (seed_id, n_assigned, mean_cos_micros).
+    *
+    * Scale: n·numSeeds fixed-width comparison rows (numSeeds is a
+    * small constant by contract), one per-vector argmax window keyed
+    * by vector id (parallelizes), one seed-scale aggregate. */
+  def centroidAssign(df: DataFrame, idCol: String, vecCol: String,
+      numSeeds: Int = 8): DataFrame = {
+    require(numSeeds >= 1 && numSeeds <= 1024,
+      s"numSeeds must be in [1, 1024] (got $numSeeds)")
+    val picoDot = (a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) =>
+          round(x.cast("double") * y.cast("double") * lit(1e12))
+            .cast("long")),
+        lit(0L), (acc, t) => acc + t)
+    val base = df.select(col(idCol).cast("long").as("__id"),
+        col(vecCol).as("__v"))
+      .filter(col("__id").isNotNull && col("__v").isNotNull)
+      .withColumn("__np", picoDot(col("__v"), col("__v")))
+      .filter(col("__np") > 0L)
+    val seeds = base.orderBy(col("__id")).limit(numSeeds)
+      .select(col("__id").as("__sid"), col("__v").as("__sv"),
+        col("__np").as("__snp"))
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("__cm").desc, col("__sid"))
+    base.crossJoin(broadcast(seeds)) // n x numSeeds fixed-width rows
+      .withColumn("__cm",
+        round(picoDot(col("__v"), col("__sv")).cast("double") /
+          (sqrt(col("__np").cast("double")) *
+            sqrt(col("__snp").cast("double"))) * 1e6).cast("long"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col("__sid"))
+      .agg(count(lit(1)).as("n_assigned"),
+        sum(col("__cm")).as("__sum"))
+      .select(col("__sid").cast("bigint").as("seed_id"),
+        col("n_assigned").cast("bigint").as("n_assigned"),
+        expr("CAST(__sum div n_assigned AS BIGINT)")
+          .as("mean_cos_micros"))
+      .orderBy(col("seed_id"))
+  }
 }

@@ -351,4 +351,26 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.kCenterGreedy(emb, "embedding", "vec_id", k = 9)
       .count() == 4)
   }
+
+  test("centroidAssign: axis seeds split the plane, tie goes to the lower seed, zero-norm excluded") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f)),  // seed 0
+      (1L, Array(0.0f, 1.0f)),  // seed 1
+      (2L, Array(0.9f, 0.1f)),  // -> seed 0
+      (3L, Array(0.1f, 0.9f)),  // -> seed 1
+      (4L, Array(1.0f, 1.0f)),  // tie -> lower seed id 0
+      (5L, Array(0.0f, 0.0f))). // zero norm -> excluded
+      toDF("vec_id", "embedding")
+    val got = Similarity.centroidAssign(rows, "vec_id", "embedding",
+      numSeeds = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(g => g._1 -> g._2).toMap == Map(0L -> 3L, 1L -> 2L))
+    // seed self-assignment scores ~1e6; means stay in (0, 1e6]
+    assert(got.forall(g => g._3 > 0L && g._3 <= 1000000L))
+    assertThrows[IllegalArgumentException] {
+      Similarity.centroidAssign(rows, "vec_id", "embedding",
+        numSeeds = 0)
+    }
+  }
 }
