@@ -118,7 +118,7 @@ object SparkEntry {
     "surv_logrank", "dq_ad", "feat_brier", "ab_mcnemar", "ab_cmh",
     "ab_posthoc", "graph_diameter", "ab_yuen", "text_code_detect",
     "ts_pacf", "graph_rich_club", "evt_lorenz", "dedup_lsh_tuning",
-    "sim_centroid_assign",
+    "sim_centroid_assign", "evt_entry_exit",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -415,7 +415,7 @@ object SparkEntry {
     "feat_calibration", "dq_ad", "feat_brier", "ab_mcnemar", "ab_cmh",
     "ab_posthoc", "graph_diameter", "ab_yuen", "text_code_detect",
     "ts_pacf", "graph_rich_club", "evt_lorenz", "dedup_lsh_tuning",
-    "sim_centroid_assign",
+    "sim_centroid_assign", "evt_entry_exit",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -3448,6 +3448,47 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"))
         .select($"window.start".as("window_start"), $"n_events")
         .orderBy($"window_start")
+    }),
+
+    "evt_entry_exit" -> ((s, dir) => {
+      import s.implicits._
+      // Entry/exit event-type distribution over 30-min sessions —
+      // which actions OPEN and CLOSE a visit (the landing/exit-page
+      // product readout): first/last by the (ts, event_id) total
+      // order per session; a single-event session is both its own
+      // entry and exit. Shares as truncating ppm of session count.
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val secs = $"ts".cast("long")
+      val sess = Tables.events(s, dir)
+        .withColumn("prev_secs", lag(secs, 1).over(byUser))
+        .withColumn("is_new",
+          when($"prev_secs".isNull || (secs - $"prev_secs") > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum($"is_new").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val bySess = Window.partitionBy($"user_id", $"session_id")
+        .orderBy($"ts", $"event_id")
+      val bySessDesc = Window.partitionBy($"user_id", $"session_id")
+        .orderBy($"ts".desc, $"event_id".desc)
+      val fl = sess
+        .withColumn("__rf", row_number().over(bySess))
+        .withColumn("__rl", row_number().over(bySessDesc))
+        .filter($"__rf" === 1 || $"__rl" === 1)
+      val tot = fl.agg(
+        sum(when($"__rf" === 1, 1L).otherwise(0L)).as("__ns"))
+      fl.groupBy($"event_type")
+        .agg(sum(when($"__rf" === 1, 1L).otherwise(0L)).as("n_entries"),
+          sum(when($"__rl" === 1, 1L).otherwise(0L)).as("n_exits"))
+        .crossJoin(broadcast(tot)) // 1-row session count
+        .select($"event_type",
+          $"n_entries".cast("bigint").as("n_entries"),
+          $"n_exits".cast("bigint").as("n_exits"),
+          expr("CAST(n_entries AS DECIMAL(38,0)) * 1000000 div __ns")
+            .cast("long").as("entry_share_ppm"),
+          expr("CAST(n_exits AS DECIMAL(38,0)) * 1000000 div __ns")
+            .cast("long").as("exit_share_ppm"))
+        .orderBy($"event_type")
     }),
 
     "evt_sessionize" -> ((s, dir) => {
@@ -11819,6 +11860,44 @@ object SparkEntry {
         |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events)
         |SELECT window_start, count(*) AS n_events
         |FROM starts GROUP BY window_start ORDER BY window_start""".stripMargin,
+
+    // same session construction as evt_sessionize; first/last by the
+    // (ts, event_id) total order; single-event sessions count twice
+    "evt_entry_exit" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER w IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT)
+        |              - lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER w > 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS session_id
+        |  FROM marked),
+        |fl AS (SELECT event_type,
+        |    row_number() OVER (PARTITION BY user_id, session_id
+        |      ORDER BY ts, event_id) AS rf,
+        |    row_number() OVER (PARTITION BY user_id, session_id
+        |      ORDER BY ts DESC, event_id DESC) AS rl
+        |  FROM sessions),
+        |t AS (SELECT CAST(sum(CASE WHEN rf = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS ns FROM fl),
+        |g AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_entries,
+        |    CAST(sum(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_exits
+        |  FROM fl WHERE rf = 1 OR rl = 1 GROUP BY 1)
+        |SELECT event_type, n_entries, n_exits,
+        |  CAST((CAST(n_entries AS HUGEINT) * 1000000) // ns AS BIGINT)
+        |    AS entry_share_ppm,
+        |  CAST((CAST(n_exits AS HUGEINT) * 1000000) // ns AS BIGINT)
+        |    AS exit_share_ppm
+        |FROM g, t ORDER BY event_type""".stripMargin,
 
     "evt_sessionize" ->
       """WITH marked AS (
