@@ -118,7 +118,7 @@ object SparkEntry {
     "surv_logrank", "dq_ad", "feat_brier", "ab_mcnemar", "ab_cmh",
     "ab_posthoc", "graph_diameter", "ab_yuen", "text_code_detect",
     "ts_pacf", "graph_rich_club", "evt_lorenz", "dedup_lsh_tuning",
-    "sim_centroid_assign", "evt_entry_exit",
+    "sim_centroid_assign", "evt_entry_exit", "dq_overdispersion",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -415,7 +415,7 @@ object SparkEntry {
     "feat_calibration", "dq_ad", "feat_brier", "ab_mcnemar", "ab_cmh",
     "ab_posthoc", "graph_diameter", "ab_yuen", "text_code_detect",
     "ts_pacf", "graph_rich_club", "evt_lorenz", "dedup_lsh_tuning",
-    "sim_centroid_assign", "evt_entry_exit",
+    "sim_centroid_assign", "evt_entry_exit", "dq_overdispersion",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -1031,6 +1031,18 @@ object SparkEntry {
       // recall contract the dedup_minhash threshold rests on.
       // Mirrored exp/ln powers; reads no data by design.
       graft.llm.Dedup.lshTuning(s, bands = 8, rowsPerBand = 1)
+    }),
+
+    "dq_overdispersion" -> ((s, dir) => {
+      import s.implicits._
+      // Poisson overdispersion of hourly event counts per event type
+      // — is a var=mean rate alert even calibratable on this stream?
+      // Exact cross-multiplied D per type, mirrored Wilson-Hilferty
+      // upper tail. One row per event type.
+      val hourly = Tables.events(s, dir)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+        .agg(count(lit(1)).as("x"))
+      Quality.overdispersion(hourly, $"event_type", $"x")
     }),
 
     "dq_mutual_info" -> ((s, dir) => {
@@ -8402,6 +8414,42 @@ object SparkEntry {
         |  CAST(CAST(sum(cm) AS HUGEINT) // count(*) AS BIGINT)
         |    AS mean_cos_micros
         |FROM a WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // exact cross-multiplied dispersion (nQ - S^2)/S per group;
+    // Wilson-Hilferty upper tail via the shared polynomial
+    "dq_overdispersion" ->
+      """WITH hourly AS (SELECT event_type AS g,
+        |    date_trunc('hour', ts) AS h,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS s,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+        |  FROM hourly WHERE x >= 0 GROUP BY 1),
+        |f AS (SELECT *, ((CAST(n AS HUGEINT) * q - s * s) * 1000000)
+        |    // s AS dm
+        |  FROM m WHERE n > 1 AND s > 0),
+        |z AS (SELECT *, CAST(n - 1 AS DOUBLE) AS d,
+        |    CASE WHEN dm > 0
+        |      THEN CAST(dm AS DOUBLE) / 1000000.0 / CAST(n - 1 AS DOUBLE)
+        |    END AS u
+        |  FROM f),
+        |zw AS (SELECT *, (exp(ln(u) / 3.0) - (1.0 - 2.0 / (9.0 * d)))
+        |    / sqrt(2.0 / (9.0 * d)) AS zz FROM z),
+        |x0 AS (SELECT *, abs(zz) / 1.4142135623730951 AS x FROM zw),
+        |t0 AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS tt FROM x0),
+        |p AS (SELECT *, (tt * (0.254829592 + tt * (-0.284496736
+        |      + tt * (1.421413741 + tt * (-1.453152027
+        |      + tt * 1.061405429)))) * exp(-(x * x))) AS p2
+        |  FROM t0)
+        |SELECT g AS grp, n,
+        |  CAST((s * 1000000) // n AS BIGINT) AS mean_micros,
+        |  CAST(dm AS BIGINT) AS dispersion_micros,
+        |  CAST(round(zz * 1000000) AS BIGINT) AS z_micros,
+        |  CAST(round((CASE WHEN dm <= 0 THEN 1.0
+        |    WHEN zz >= 0.0 THEN p2 / 2.0
+        |    ELSE 1.0 - p2 / 2.0 END) * 1000000) AS BIGINT) AS p_micros
+        |FROM p ORDER BY g""".stripMargin,
 
     // observed cells only (zero cells contribute 0); HUGEINT weighted
     // sum, clamp, one truncating division

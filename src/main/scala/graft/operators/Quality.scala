@@ -1193,4 +1193,56 @@ object Quality {
           .otherwise(lit(false)))
       .drop("__v")
   }
+
+  /** Poisson overdispersion screen per group — the sanity check
+    * BEFORE any count model or Poisson-rate alert: real event counts
+    * are almost never Poisson (bursts, heavy users), and a monitor
+    * calibrated on `var = mean` pages constantly when
+    * `var ≫ mean`. The dispersion statistic
+    * `D = Σ(x−x̄)²/x̄ = (nΣx² − S²)/(n·x̄·n) · n` reduces to the
+    * cross-multiplied exact form `D = (nΣx² − S²)/S`, distributed
+    * χ²_{n−1} under the Poisson null.
+    *
+    * Exactness: per-group (n, S = Σx, Q = Σx²) are exact DECIMAL
+    * integers; `dispersion_micros = ((nQ − S²)·10⁶) div S` stays in
+    * DECIMAL via [[decimalDivTrunc]]; the upper-tail p uses the
+    * mirrored Wilson–Hilferty cube root through the shared
+    * [[pValueTwoSidedZ]] polynomial (the kruskalWallis convention).
+    * Groups with n < 2 or S ≤ 0 emit nothing. Returns one row per
+    * group: (group, n, mean_micros, dispersion_micros, z_micros,
+    * p_micros).
+    *
+    * Scale: one map-side-combined hash-agg to group moments;
+    * everything after is group-scale. */
+  def overdispersion(df: DataFrame, groupExpr: Column,
+      countExpr: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val g = df.select(groupExpr.cast("string").as("grp"),
+        countExpr.cast("long").as("__x"))
+      .filter(col("grp").isNotNull && col("__x").isNotNull &&
+        col("__x") >= 0L)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("__x").cast(dec)).as("__s"),
+        sum(col("__x").cast(dec) * col("__x")).as("__q"))
+      .filter(col("n") > 1L && col("__s") > 0)
+      .withColumn("__dm", decimalDivTrunc(
+        (col("n").cast(dec) * col("__q") - col("__s") * col("__s")) *
+          lit(1000000L), col("__s")))
+    val d = (col("n") - 1L).cast("double")
+    val u = when(col("__dm") > 0, col("__dm").cast("double") / 1e6 / d)
+    val zw = (exp(log(u) / lit(3.0)) -
+      (lit(1.0) - lit(2.0) / (lit(9.0) * d))) /
+      sqrt(lit(2.0) / (lit(9.0) * d))
+    val p2 = pValueTwoSidedZ(zw)
+    g.withColumn("__p",
+        when(col("__dm") <= 0L, lit(1.0))
+          .when(zw >= 0.0, p2 / 2.0)
+          .otherwise(lit(1.0) - p2 / 2.0))
+      .select(col("grp"), col("n").cast("bigint").as("n"),
+        expr("CAST(__s * 1000000 div n AS BIGINT)").as("mean_micros"),
+        col("__dm").cast("bigint").as("dispersion_micros"),
+        round(zw * 1e6).cast("long").as("z_micros"),
+        round(col("__p") * 1e6).cast("long").as("p_micros"))
+      .orderBy(col("grp"))
+  }
 }

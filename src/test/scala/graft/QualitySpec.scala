@@ -716,4 +716,24 @@ class QualitySpec extends SparkSpec {
     assert(r.getLong(3) == 1L && r.getLong(4) == 1L) // key 5
     assert(r.getLong(5) == 250000L) // 1 of 4 non-null rows
   }
+
+  test("overdispersion: exact D hand cases, constant counts p=1, burst flags, degenerates absent") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 2L), ("a", 4L),              // D = (2*20-36)/6 = 2/3
+      ("b", 0L), ("b", 10L),             // D = (2*100-100)/10 = 10
+      ("c", 3L), ("c", 3L), ("c", 3L),   // constant: D = 0, p = 1
+      ("d", 5L),                          // n < 2 -> absent
+      ("e", 0L), ("e", 0L))               // S = 0 -> absent
+      .toDF("g", "x")
+    val got = Quality.overdispersion(rows, $"g", $"x").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3),
+        r.getLong(5)))).toMap
+    assert(got.keySet == Set("a", "b", "c"))
+    assert(got("a")._2 == 666666L)   // (4 * 1e6) div 6
+    assert(got("b")._2 == 10000000L) // exactly 10
+    assert(got("c") == ((3L, 0L, 1000000L)))
+    // the burst group is far more suspect than the mild one
+    assert(got("b")._3 < got("a")._3)
+  }
 }
