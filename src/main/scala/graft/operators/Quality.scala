@@ -641,8 +641,11 @@ object Quality {
     * negative long) — a statistic built on it is silently wrong the
     * day the data grows. Here the quotient is computed exactly:
     * `(a − pmod(a, b)) / b` has a zero remainder by construction, so
-    * the decimal divide is exact and the result holds any quotient
-    * up to DECIMAL(38,6)'s 32 integral digits.
+    * the decimal divide is exact. CAPACITY: the divide lands in
+    * DECIMAL(38,6), so the quotient must fit 32 integral digits —
+    * 10¹³ times a long's range; quotients beyond that fail LOUDLY
+    * under ANSI (verified: 10³⁵/3 raises NUMERIC_VALUE_OUT_OF_RANGE)
+    * where `div` would have wrapped silently.
     *
     * Contract: `a` must be NON-NEGATIVE (pmod makes this FLOOR
     * division; floor == truncate — the DuckDB `//` semantics — only

@@ -803,6 +803,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("surv_logrank: O-E/V terms run on the checkpointed distinct-time table, events scanned at most twice") {
+    val p = plan("surv_logrank")
+    // the duration construction may scan events twice (per-user
+    // firsts + the 13th-purchase window, the kaplan_meier posture);
+    // the cumulative windows and term sums must NOT add a third
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 2, s"events scanned $scans times:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("ab_yuen: boundary and moment passes read the checkpointed prefix table, never events again") {
     val p = plan("ab_yuen")
     // cumCounts localCheckpoints the distinct-value table; the three

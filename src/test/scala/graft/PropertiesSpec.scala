@@ -315,4 +315,42 @@ class PropertiesSpec extends SparkSpec {
       assert(out.toMap == again.toMap)     // pure function
     }
   }
+
+  test("decimalDivTrunc == BigInt floor division, including past-long quotients where SQL div wraps") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(20260815L)
+    // adversarial band: quotients straddling Long.MaxValue, huge
+    // dividends near DECIMAL(38) capacity, tiny divisors, exact
+    // multiples, and b > a
+    // quotients stay inside the documented 32-integral-digit
+    // DECIMAL(38,6) capacity; dividends range up to full DECIMAL(38)
+    val cases = Seq(
+      (BigInt("2000000000000000000000") * 1000, BigInt(2)),
+      (BigInt("99999999999999999999999999999999999"), BigInt(9999)),
+      (BigInt(Long.MaxValue) * 7 + 3, BigInt(7)),
+      (BigInt(0), BigInt(5)),
+      (BigInt(4), BigInt(9)),
+      (BigInt(10).pow(37), BigInt(10).pow(6)),
+      (BigInt(10).pow(34), BigInt(10).pow(30))) ++
+      Seq.fill(200) {
+        // dividends up to 105 bits (~3.2e31): any divisor >= 1 keeps
+        // the quotient inside capacity
+        val a = BigInt(rnd.nextInt(98) + 8, rnd)
+        val b = BigInt(rnd.nextInt(60) + 4, rnd) + 1
+        (a, b)
+      }
+    val df = cases.zipWithIndex
+      .map { case ((a, b), i) => (i, a.toString, b.toString) }
+      .toDF("i", "a", "b")
+      .select(col("i"), col("a").cast("decimal(38,0)").as("a"),
+        col("b").cast("decimal(38,0)").as("b"))
+    val got = df.select(col("i"),
+        graft.operators.Quality.decimalDivTrunc(col("a"), col("b"))
+          .cast("string").as("q"))
+      .collect().map(r => r.getInt(0) -> BigInt(r.getString(1))).toMap
+    cases.zipWithIndex.foreach { case ((a, b), i) =>
+      assert(got(i) == a / b, s"case $i: $a / $b")
+    }
+  }
 }
