@@ -119,6 +119,7 @@ object SparkEntry {
     "ab_posthoc", "graph_diameter", "ab_yuen", "text_code_detect",
     "ts_pacf", "graph_rich_club", "evt_lorenz", "dedup_lsh_tuning",
     "sim_centroid_assign", "evt_entry_exit", "dq_overdispersion",
+    "dq_aggregate_consistency",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -416,6 +417,7 @@ object SparkEntry {
     "ab_posthoc", "graph_diameter", "ab_yuen", "text_code_detect",
     "ts_pacf", "graph_rich_club", "evt_lorenz", "dedup_lsh_tuning",
     "sim_centroid_assign", "evt_entry_exit", "dq_overdispersion",
+    "dq_aggregate_consistency",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -1031,6 +1033,32 @@ object SparkEntry {
       // recall contract the dedup_minhash threshold rests on.
       // Mirrored exp/ln powers; reads no data by design.
       graft.llm.Dedup.lshTuning(s, bands = 8, rowsPerBand = 1)
+    }),
+
+    "dq_aggregate_consistency" -> ((s, dir) => {
+      import s.implicits._
+      // Cross-table AGGREGATE consistency audit — dq_referential
+      // checks that children have parents; this checks that the
+      // parent's denormalized total still equals the sum of its
+      // lines (the invariant ETL bugs silently break): per order,
+      // recompute round(extprice*(1-disc)*(1+tax)*100) cents per
+      // line (order-free integer sum), compare against the stored
+      // total. One summary row.
+      val li = Tables.lineitem(s, dir)
+        .groupBy($"l_orderkey")
+        .agg(sum(expr("CAST(round(l_extendedprice * (1 - l_discount)" +
+          " * (1 + l_tax) * 100) AS BIGINT)")).as("__rc"))
+      Tables.orders(s, dir)
+        .join(li, $"o_orderkey" === $"l_orderkey")
+        .withColumn("__gap",
+          abs(expr("CAST(round(o_totalprice * 100) AS BIGINT)") -
+            $"__rc"))
+        .agg(count(lit(1)).cast("bigint").as("n_orders"),
+          sum(when($"__gap" === 0L, 1L).otherwise(0L)).cast("bigint")
+            .as("n_exact"),
+          sum(when($"__gap" <= 100L, 1L).otherwise(0L)).cast("bigint")
+            .as("n_within_dollar"),
+          max($"__gap").cast("bigint").as("max_gap_cents"))
     }),
 
     "dq_overdispersion" -> ((s, dir) => {
@@ -8414,6 +8442,23 @@ object SparkEntry {
         |  CAST(CAST(sum(cm) AS HUGEINT) // count(*) AS BIGINT)
         |    AS mean_cos_micros
         |FROM a WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // per-line cents re-rounded identically; integer gap summary
+    "dq_aggregate_consistency" ->
+      """WITH li AS (SELECT l_orderkey,
+        |    sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |      * (1 + l_tax) * 100) AS BIGINT)) AS rc
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT
+        |    abs(CAST(round(o_totalprice * 100) AS BIGINT) - rc) AS gap
+        |  FROM orders JOIN li ON o_orderkey = l_orderkey)
+        |SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CASE WHEN gap = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_exact,
+        |  CAST(sum(CASE WHEN gap <= 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_within_dollar,
+        |  CAST(max(gap) AS BIGINT) AS max_gap_cents
+        |FROM j""".stripMargin,
 
     // exact cross-multiplied dispersion (nQ - S^2)/S per group;
     // Wilson-Hilferty upper tail via the shared polynomial
