@@ -119,7 +119,7 @@ object SparkEntry {
     "ab_posthoc", "graph_diameter", "ab_yuen", "text_code_detect",
     "ts_pacf", "graph_rich_club", "evt_lorenz", "dedup_lsh_tuning",
     "sim_centroid_assign", "evt_entry_exit", "dq_overdispersion",
-    "dq_aggregate_consistency",
+    "dq_aggregate_consistency", "geo_hotspot",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -417,7 +417,7 @@ object SparkEntry {
     "ab_posthoc", "graph_diameter", "ab_yuen", "text_code_detect",
     "ts_pacf", "graph_rich_club", "evt_lorenz", "dedup_lsh_tuning",
     "sim_centroid_assign", "evt_entry_exit", "dq_overdispersion",
-    "dq_aggregate_consistency",
+    "dq_aggregate_consistency", "geo_hotspot",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -724,6 +724,23 @@ object SparkEntry {
             g => g === "hash join")).cast("bigint").as("n_occurrences"))
         .filter($"n_occurrences" > 0)
         .orderBy($"doc_id")
+    }),
+
+    "geo_hotspot" -> ((s, dir) => {
+      import s.implicits._
+      // Grid hotspot screen: every tenth customer sits in a 300x300
+      // patch, the rest scatter modularly across the 100k plane —
+      // the patch cells light up at z >> 2 while uniform scatter
+      // stays dark. Exact cell counts, one mirrored z division,
+      // 3x3 neighborhood counts riding along.
+      val pts = Tables.customer(s, dir).select(
+        when(pmod($"c_custkey", lit(10)) === 0,
+            lit(500L) + pmod($"c_custkey", lit(300)))
+          .otherwise(($"c_custkey" * 48271L) % 100000L).as("x"),
+        when(pmod($"c_custkey", lit(10)) === 0,
+            lit(700L) + pmod($"c_custkey", lit(300)))
+          .otherwise(($"c_custkey" * 69621L) % 100000L).as("y"))
+      graft.operators.Geo.hotspot(pts, "x", "y", cellSize = 1000L)
     }),
 
     "geo_radius_join" -> ((s, dir) => {
@@ -8086,6 +8103,36 @@ object SparkEntry {
 
     // the cell probe is exhaustive, so the brute-force cross join
     // filtered by the same exact integer predicate is the same set
+    // exact cell counts over the bounding grid (empties via T);
+    // one mirrored z division; 9-offset neighborhood sums
+    "geo_hotspot" ->
+      """WITH pts AS (SELECT
+        |    CASE WHEN c_custkey % 10 = 0 THEN 500 + c_custkey % 300
+        |         ELSE (c_custkey * 48271) % 100000 END AS x,
+        |    CASE WHEN c_custkey % 10 = 0 THEN 700 + c_custkey % 300
+        |         ELSE (c_custkey * 69621) % 100000 END AS y
+        |  FROM customer),
+        |cells AS (SELECT x // 1000 AS cx, y // 1000 AS cy,
+        |    CAST(count(*) AS BIGINT) AS n FROM pts GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS q,
+        |    CAST(max(cx) + 1 AS HUGEINT) * (max(cy) + 1) AS tc
+        |  FROM cells),
+        |nb AS (SELECT cells.cx + o1.o AS cx, cells.cy + o2.o AS cy, n
+        |  FROM cells, (SELECT unnest([-1, 0, 1]) AS o) o1,
+        |    (SELECT unnest([-1, 0, 1]) AS o) o2),
+        |nbg AS (SELECT cx, cy, CAST(sum(n) AS BIGINT) AS n_nbhd
+        |  FROM nb GROUP BY 1, 2),
+        |z AS (SELECT c.cx, c.cy, c.n, g.n_nbhd,
+        |    CAST(CAST(c.n AS HUGEINT) * t.tc - t.nn AS DOUBLE)
+        |      / sqrt(CAST(t.tc * t.q
+        |        - CAST(t.nn AS HUGEINT) * t.nn AS DOUBLE)) AS zz
+        |  FROM cells c JOIN nbg g ON g.cx = c.cx AND g.cy = c.cy, t
+        |  WHERE t.tc * t.q - CAST(t.nn AS HUGEINT) * t.nn > 0)
+        |SELECT CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy,
+        |  n, n_nbhd, CAST(round(zz * 1000000) AS BIGINT) AS z_micros
+        |FROM z WHERE zz >= 2.0 ORDER BY cx, cy""".stripMargin,
+
     "geo_radius_join" ->
       """WITH c AS (SELECT c_custkey, (c_custkey * 48271) % 100000 AS x,
         |    (c_custkey * 69621) % 100000 AS y FROM customer),

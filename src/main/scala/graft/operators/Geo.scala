@@ -76,4 +76,71 @@ object Geo {
       .filter(col("dist2") <= radius * radius)
       .select(col("a_id").as(aIdCol), col("b_id").as(bIdCol), col("dist2"))
   }
+
+  /** Grid-cell hotspot screen — WHERE does the point set concentrate:
+    * bucket to `cellSize` cells, score each occupied cell's count
+    * against the bounding-grid density (`z = (n·T − N)/√(T·Σn² − N²)`
+    * over all T grid cells, empties included — a hotspot is dense
+    * relative to the STUDY AREA, not to other hotspots), and report
+    * cells at `z ≥ zMin` with their 3×3 neighborhood count riding
+    * along (the smoothed reading that separates an isolated spike
+    * from a dense REGION). The binned density screen — cheap,
+    * deterministic, the step before a proper spatial-statistics
+    * package.
+    *
+    * Exactness: counts, T, and the z numerator/denominator are exact
+    * integers (DECIMAL products); z is ONE mirrored IEEE division,
+    * micro-quantized; the threshold compares the unrounded double
+    * (mirrored). Same non-negative-integer-coordinate contract as
+    * [[radiusJoin]]; a degenerate grid (zero variance — everything
+    * uniform or one cell) returns empty.
+    *
+    * Scale: one row-scale hash-agg to occupied cells; the
+    * neighborhood sum is a 9-offset explode + equi-join on the
+    * CELL table (occupied-cell scale); totals are one 1-row
+    * aggregate. */
+  def hotspot(df: DataFrame, xCol: String, yCol: String,
+      cellSize: Long, zMinMicros: Long = 2000000L): DataFrame = {
+    require(cellSize > 0, s"cellSize must be > 0 (got $cellSize)")
+    val dec = "decimal(38,0)"
+    val p = df.select(col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val bad = p.filter(col("__x") < 0 || col("__y") < 0).limit(1).collect()
+    require(bad.isEmpty,
+      "hotspot needs non-negative integer coordinates — scale to " +
+        "offsets first (the radiusJoin contract)")
+    val cells = p
+      .withColumn("cx", expr(s"__x div ${cellSize}L"))
+      .withColumn("cy", expr(s"__y div ${cellSize}L"))
+      .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // three consumers: totals, target, nbhd
+    val tot = cells.agg(sum(col("n")).as("__nn"),
+      sum(col("n").cast(dec) * col("n")).as("__q"),
+      ((max(col("cx")) + 1L).cast(dec) * (max(col("cy")) + 1L))
+        .as("__t"))
+    val offsets = for (ox <- Seq(-1L, 0L, 1L); oy <- Seq(-1L, 0L, 1L))
+      yield (ox, oy)
+    val nbhd = cells
+      .withColumn("__off", explode(typedLit(offsets)))
+      .select((col("cx") + col("__off._1")).as("cx"),
+        (col("cy") + col("__off._2")).as("cy"), col("n"))
+      .groupBy(col("cx"), col("cy")).agg(sum(col("n")).as("n_nbhd"))
+    val z = (col("n").cast(dec) * col("__t") - col("__nn"))
+      .cast("double") /
+      sqrt((col("__t") * col("__q") - col("__nn").cast(dec) *
+        col("__nn")).cast("double"))
+    cells.join(nbhd, Seq("cx", "cy"))
+      .crossJoin(broadcast(tot)) // 1-row totals
+      .filter(col("__t") * col("__q") -
+        col("__nn").cast(dec) * col("__nn") > 0)
+      .withColumn("__z", z)
+      .filter(col("__z") >= lit(zMinMicros.toDouble / 1e6))
+      .select(col("cx").cast("bigint").as("cx"),
+        col("cy").cast("bigint").as("cy"),
+        col("n").cast("bigint").as("n"),
+        col("n_nbhd").cast("bigint").as("n_nbhd"),
+        round(col("__z") * 1e6).cast("long").as("z_micros"))
+      .orderBy(col("cx"), col("cy"))
+  }
 }

@@ -51,4 +51,31 @@ class GeoSpec extends SparkSpec {
     }).flatten.toSet
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
   }
+
+  test("hotspot: dense cell flagged with mirrored z, sparse cells below, neighborhood count, degenerates") {
+    import spark.implicits._
+    // 8 points in cell (0,0), singles in (5,5) and (9,0): grid T =
+    // 10*6 = 60 cells, N = 10, Q = 66 -> z(0,0) = 470/sqrt(3860)
+    val pts = (1 to 8).map(i => (i.toLong, 1L)) ++
+      Seq((55L, 55L), (95L, 5L))
+    val df = pts.toDF("x", "y")
+    val got = Geo.hotspot(df, "x", "y", cellSize = 10L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val zExp = (8.0 * 60 - 10) / math.sqrt((60.0 * 66 - 100))
+    assert(got.toSeq ==
+      Seq((0L, 0L, 8L, 8L, math.round(zExp * 1e6))), got.mkString(", "))
+    // adjacent mass shows in n_nbhd: move the (5,5) point next door
+    val near = ((1 to 8).map(i => (i.toLong, 1L)) ++
+      Seq((15L, 5L), (95L, 5L))).toDF("x", "y")
+    val n2 = Geo.hotspot(near, "x", "y", cellSize = 10L).collect()
+    assert(n2.head.getLong(3) == 9L) // 8 own + 1 neighbor
+    // uniform occupancy (zero variance) -> empty, not 0/0
+    val flat = Seq((1L, 1L), (11L, 1L)).toDF("x", "y")
+    assert(Geo.hotspot(flat, "x", "y", cellSize = 10L).count() == 0L)
+    // negative coordinates refused loudly
+    assertThrows[IllegalArgumentException] {
+      Geo.hotspot(Seq((-1L, 2L)).toDF("x", "y"), "x", "y", 10L)
+    }
+  }
 }
