@@ -119,7 +119,7 @@ object SparkEntry {
     "ab_posthoc", "graph_diameter", "ab_yuen", "text_code_detect",
     "ts_pacf", "graph_rich_club", "evt_lorenz", "dedup_lsh_tuning",
     "sim_centroid_assign", "evt_entry_exit", "dq_overdispersion",
-    "dq_aggregate_consistency", "geo_hotspot",
+    "dq_aggregate_consistency", "geo_hotspot", "asof_nearest",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -390,7 +390,8 @@ object SparkEntry {
     "sketch_theta_persist", "sketch_join_cardinality",
     "join_semi", "join_anti", "join_salted", "skew_profile",
     "agg_copartition", "asof_signup_value",
-    "asof_next_purchase", "interval_join_promo", "interval_join_incidents",
+    "asof_next_purchase", "asof_nearest", "interval_join_promo",
+    "interval_join_incidents",
     "interval_overlap_campaigns", "geo_radius_join",
     "win_topk_parts", "win_running_total", "win_lag_delta", "win_rank_family",
     "win_rolling_range", "win_mom_change",
@@ -5790,6 +5791,23 @@ object SparkEntry {
         .select($"user_id", $"ts".as("purchase_ts"), $"value".as("purchase_value"))
       AsOf.joinAsOf(signups, purchases, "user_id", "ts", "purchase_ts",
           payload = Seq("purchase_value"), direction = "forward")
+        .select($"event_id", $"user_id",
+          date_trunc("second", $"ts").as("ts_s"), $"purchase_value")
+        .orderBy($"event_id")
+    }),
+
+    "asof_nearest" -> ((s, dir) => {
+      import s.implicits._
+      // nearest as-of: for each signup, the user's temporally
+      // CLOSEST purchase either side (truncated-second distance,
+      // ties go backward — the full pandas merge_asof surface)
+      val ev = Tables.events(s, dir)
+      val signups = ev.filter($"event_type" === "signup")
+        .select($"event_id", $"user_id", $"ts")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts".as("purchase_ts"), $"value".as("purchase_value"))
+      AsOf.joinAsOf(signups, purchases, "user_id", "ts", "purchase_ts",
+          payload = Seq("purchase_value"), direction = "nearest")
         .select($"event_id", $"user_id",
           date_trunc("second", $"ts").as("ts_s"), $"purchase_value")
         .orderBy($"event_id")
@@ -13827,6 +13845,37 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON s.user_id = p.user_id AND p.ts >= s.ts
         |ORDER BY s.event_id""".stripMargin,
+
+    // the two directional candidates derived independently, then the
+    // engine's pick: truncated-second distance, ties backward
+    "asof_nearest" ->
+      """WITH s AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, ts AS pts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |b AS (SELECT s.event_id, max(p.pts) AS bts
+        |  FROM s JOIN p ON p.user_id = s.user_id AND p.pts <= s.ts
+        |  GROUP BY 1),
+        |f AS (SELECT s.event_id, min(p.pts) AS fts
+        |  FROM s JOIN p ON p.user_id = s.user_id AND p.pts >= s.ts
+        |  GROUP BY 1),
+        |c AS (SELECT s.event_id, s.user_id, s.ts, b.bts, f.fts
+        |  FROM s LEFT JOIN b USING (event_id)
+        |  LEFT JOIN f USING (event_id)),
+        |pick AS (SELECT *,
+        |    CASE WHEN bts IS NOT NULL AND (fts IS NULL OR
+        |      abs(CAST(floor(epoch(ts)) AS BIGINT)
+        |        - CAST(floor(epoch(bts)) AS BIGINT))
+        |      <= abs(CAST(floor(epoch(fts)) AS BIGINT)
+        |        - CAST(floor(epoch(ts)) AS BIGINT)))
+        |    THEN bts ELSE fts END AS mts
+        |  FROM c)
+        |SELECT pick.event_id, pick.user_id,
+        |  date_trunc('second', pick.ts) AS ts_s,
+        |  p.value AS purchase_value
+        |FROM pick LEFT JOIN p
+        |  ON p.user_id = pick.user_id AND p.pts = pick.mts
+        |ORDER BY pick.event_id""".stripMargin,
 
     "interval_join_promo" ->
       """SELECT a.o_orderkey AS promo_id, CAST(count(*) AS BIGINT) AS n_orders,

@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, TimestampNTZType, TimestampType}
 
 /** As-of join: for each left row, the latest right row with
-  * `right.ts <= left.ts` (backward, the default) or the earliest with
-  * `right.ts >= left.ts` (forward) on the same key — the time-series
-  * join the reference's stack lacks entirely; standard in
-  * market/telemetry analytics (pandas `merge_asof` surface).
+  * `right.ts <= left.ts` (backward, the default), the earliest with
+  * `right.ts >= left.ts` (forward), or whichever of the two is
+  * temporally closer (nearest; equal distance goes backward — the
+  * pandas rule) on the same key — the time-series join the
+  * reference's stack lacks entirely; standard in market/telemetry
+  * analytics (the full pandas `merge_asof` direction surface).
   *
   * Implemented by composition, not a custom SparkPlan (SURVEY.md §4
   * preference (a)): tag both sides, union, then one window pass per
@@ -50,14 +52,17 @@ object AsOf {
       leftTs: String, rightTs: String, payload: Seq[String],
       direction: String = "backward",
       toleranceSeconds: Option[Long] = None): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"direction must be backward|forward (got $direction)")
+    require(direction == "backward" || direction == "forward" ||
+      direction == "nearest",
+      s"direction must be backward|forward|nearest (got $direction)")
     require(toleranceSeconds.forall(_ >= 0), "tolerance must be >= 0")
     val back = direction == "backward"
     // side marker ordering puts the right row INSIDE the frame at
     // equal ts: before left rows for backward (<=), after for
-    // forward (>=)
-    val (leftSide, rightSide) = if (back) (1, 0) else (0, 1)
+    // forward (>=). Nearest uses the backward marker and derives the
+    // forward ordering from it (1 − side).
+    val (leftSide, rightSide) =
+      if (direction == "forward") (0, 1) else (1, 0)
     val lCols = left.columns
     val rtsType = right.schema(rightTs).dataType
     val l = left.withColumn("__ts", col(leftTs))
@@ -74,16 +79,44 @@ object AsOf {
       "__ts" :+ "__side" :+ "__rts"
     val unioned = l.select(outCols.map(col): _*)
       .unionByName(r.select(outCols.map(col): _*))
-    val w0 = Window.partitionBy(col(keyCol)).orderBy(col("__ts"), col("__side"))
-    val w = if (back) w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      else w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    def carry(c: Column): Column =
-      if (back) last(c, ignoreNulls = true).over(w)
-      else first(c, ignoreNulls = true).over(w)
-    val carried = (payload :+ "__rts").foldLeft(unioned) { (df, p) =>
-      df.withColumn(p, carry(col(p)))
+    val matched = if (direction != "nearest") {
+      val w0 = Window.partitionBy(col(keyCol)).orderBy(col("__ts"), col("__side"))
+      val w = if (back) w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        else w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      def carry(c: Column): Column =
+        if (back) last(c, ignoreNulls = true).over(w)
+        else first(c, ignoreNulls = true).over(w)
+      val carried = (payload :+ "__rts").foldLeft(unioned) { (df, p) =>
+        df.withColumn(p, carry(col(p)))
+      }
+      carried.filter(col("__side") === leftSide)
+    } else {
+      // nearest: carry BOTH directions (each with its own tie
+      // placement), then pick per left row by absolute distance —
+      // ties go backward (the pandas merge_asof rule)
+      val wb = Window.partitionBy(col(keyCol))
+        .orderBy(col("__ts"), col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy(col(keyCol))
+        .orderBy(col("__ts"), lit(1) - col("__side"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val carried = (payload :+ "__rts").foldLeft(unioned) { (df, p) =>
+        df.withColumn(s"__b_$p", last(col(p), ignoreNulls = true).over(wb))
+          .withColumn(s"__f_$p", first(col(p), ignoreNulls = true).over(wf))
+      }
+      val lsec = epochSeconds(col(leftTs), left.schema(leftTs).dataType)
+      val db = abs(lsec - epochSeconds(col("__b___rts"), rtsType))
+      val dfw = abs(epochSeconds(col("__f___rts"), rtsType) - lsec)
+      val useB = col("__b___rts").isNotNull &&
+        (col("__f___rts").isNull || db <= dfw)
+      val picked = (payload :+ "__rts").foldLeft(
+        carried.filter(col("__side") === leftSide)) { (df, p) =>
+        df.withColumn(p,
+          when(useB, col(s"__b_$p")).otherwise(col(s"__f_$p")))
+      }
+      picked.drop((payload :+ "__rts")
+        .flatMap(p => Seq(s"__b_$p", s"__f_$p")): _*)
     }
-    val matched = carried.filter(col("__side") === leftSide)
     val bounded = toleranceSeconds match {
       case None => matched
       case Some(tol) =>

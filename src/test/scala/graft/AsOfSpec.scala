@@ -135,4 +135,43 @@ class AsOfSpec extends SparkSpec {
       assert(gotV == expect, s"event $eid user $uid")
     }
   }
+
+  test("nearest direction picks the temporally closer side, ties go backward, tolerance nulls far matches") {
+    val left = Seq(
+      (1L, 10L, t(10)),  // t(7) is 3 away, t(12) is 2 -> forward b
+      (2L, 10L, t(5)),   // nothing at-or-before -> forward a
+      (3L, 10L, t(40)),  // nothing at-or-after -> backward b
+      (4L, 10L, t(9)),   // t(7) is 2 away, t(12) is 3 -> backward a
+      (5L, 20L, t(50)))  // no rights at all -> null payload
+      .toDF("l_id", "key", "lts")
+    val right = Seq(
+      (10L, t(7), "a"), (10L, t(12), "b")).toDF("key", "rts", "tag")
+    val got = AsOf.joinAsOf(left, right, "key", "lts", "rts",
+        Seq("tag"), direction = "nearest")
+      .select($"l_id", $"tag").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got(1L) == "b")   // |10-12| = 2 < |10-7| = 3
+    assert(got(2L) == "a")   // nothing at-or-before; forward wins
+    assert(got(3L) == "b")   // nothing at-or-after; backward wins
+    assert(got(4L) == "a")   // |9-7| = 2 < |9-12| = 3
+    assert(got(5L) == null)
+    assert(AsOf.joinAsOf(left, right, "key", "lts", "rts",
+      Seq("tag"), direction = "nearest").count() == 5)
+    // equal distance: t(9.5) is unbuildable at minute grain — use
+    // t(7)/t(11) rights against a t(9) left: both distance 2, the
+    // pandas rule takes the BACKWARD match
+    val tie = Seq((1L, 10L, t(9))).toDF("l_id", "key", "lts")
+    val rightTie = Seq((10L, t(7), "back"), (10L, t(11), "fwd"))
+      .toDF("key", "rts", "tag")
+    val tied = AsOf.joinAsOf(tie, rightTie, "key", "lts", "rts",
+      Seq("tag"), direction = "nearest").collect().head
+    assert(tied.getString(tied.fieldIndex("tag")) == "back")
+    // tolerance bounds the CHOSEN match: 60s tolerance nulls a
+    // 2-minute-away nearest match, the row survives
+    val bounded = AsOf.joinAsOf(tie, rightTie, "key", "lts", "rts",
+      Seq("tag"), direction = "nearest",
+      toleranceSeconds = Some(60L)).collect().head
+    assert(bounded.isNullAt(bounded.fieldIndex("tag")))
+  }
 }
