@@ -120,6 +120,7 @@ object SparkEntry {
     "ts_pacf", "graph_rich_club", "evt_lorenz", "dedup_lsh_tuning",
     "sim_centroid_assign", "evt_entry_exit", "dq_overdispersion",
     "dq_aggregate_consistency", "geo_hotspot", "asof_nearest",
+    "evt_streaks",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -418,7 +419,7 @@ object SparkEntry {
     "ab_posthoc", "graph_diameter", "ab_yuen", "text_code_detect",
     "ts_pacf", "graph_rich_club", "evt_lorenz", "dedup_lsh_tuning",
     "sim_centroid_assign", "evt_entry_exit", "dq_overdispersion",
-    "dq_aggregate_consistency", "geo_hotspot",
+    "dq_aggregate_consistency", "geo_hotspot", "evt_streaks",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -3506,6 +3507,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"))
         .select($"window.start".as("window_start"), $"n_events")
         .orderBy($"window_start")
+    }),
+
+    "evt_streaks" -> ((s, dir) => {
+      import s.implicits._
+      // Longest consecutive-active-day streak per user — the classic
+      // gaps-and-islands shape (day − dense index is constant within
+      // a run): distinct active days, per-user index window, island
+      // group-by, max run. Exact integer day arithmetic end to end.
+      import org.apache.spark.sql.expressions.Window
+      val days = Tables.events(s, dir)
+        .select($"user_id", datediff($"ts".cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("d"))
+        .distinct()
+      val w = Window.partitionBy($"user_id").orderBy($"d")
+      days
+        .withColumn("__rn", row_number().over(w).cast("long"))
+        .withColumn("__isl", $"d" - $"__rn")
+        .groupBy($"user_id", $"__isl")
+        .agg(count(lit(1)).as("__len"))
+        .groupBy($"user_id")
+        .agg(max($"__len").cast("bigint").as("longest_streak"),
+          sum($"__len").cast("bigint").as("n_active_days"),
+          count(lit(1)).cast("bigint").as("n_streaks"))
+        .orderBy($"user_id")
     }),
 
     "evt_entry_exit" -> ((s, dir) => {
@@ -12018,6 +12043,23 @@ object SparkEntry {
         |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events)
         |SELECT window_start, count(*) AS n_events
         |FROM starts GROUP BY window_start ORDER BY window_start""".stripMargin,
+
+    // gaps-and-islands: day - dense index constant within a run
+    "evt_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+        |  FROM events),
+        |idx AS (SELECT user_id, d,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+        |      AS BIGINT) AS rn
+        |  FROM days),
+        |isl AS (SELECT user_id, d - rn AS g,
+        |    CAST(count(*) AS BIGINT) AS len
+        |  FROM idx GROUP BY 1, 2)
+        |SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+        |  CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  CAST(count(*) AS BIGINT) AS n_streaks
+        |FROM isl GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     // same session construction as evt_sessionize; first/last by the
     // (ts, event_id) total order; single-event sessions count twice
