@@ -120,7 +120,7 @@ object SparkEntry {
     "ts_pacf", "graph_rich_club", "evt_lorenz", "dedup_lsh_tuning",
     "sim_centroid_assign", "evt_entry_exit", "dq_overdispersion",
     "dq_aggregate_consistency", "geo_hotspot", "asof_nearest",
-    "evt_streaks",
+    "evt_streaks", "ts_forecast_interval",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -420,6 +420,7 @@ object SparkEntry {
     "ts_pacf", "graph_rich_club", "evt_lorenz", "dedup_lsh_tuning",
     "sim_centroid_assign", "evt_entry_exit", "dq_overdispersion",
     "dq_aggregate_consistency", "geo_hotspot", "evt_streaks",
+    "ts_forecast_interval",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -1178,6 +1179,20 @@ object SparkEntry {
           "x", alphaPpm = 300000L, betaPpm = 100000L, horizon = 6,
           minTrain = 24)
         .orderBy($"event_type")
+    }),
+
+    "ts_forecast_interval" -> ((s, dir) => {
+      import s.implicits._
+      // Holt forecast with conformal-rank prediction intervals from
+      // the SAME rolling-origin errors ts_backtest scores: per
+      // (type, horizon), forecast ± the ceil((n+1)·0.9)-th smallest
+      // absolute error — the band a capacity plan consumes.
+      val hc = Tables.events(s, dir)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+        .agg((count(lit(1)) * 1000000L).as("x"))
+      graft.operators.TimeSeries.holtForecastInterval(hc, "event_type",
+        "hour", "x", alphaPpm = 300000L, betaPpm = 100000L,
+        horizon = 6, minTrain = 24, coverPpm = 900000L)
     }),
 
     "ts_changepoint" -> ((s, dir) => {
@@ -8788,6 +8803,53 @@ object SparkEntry {
         |  CAST(sum(ef) * 1000000 // nullif(sum(en), 0) AS BIGINT)
         |    AS mase_ppm
         |FROM f GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // the ts_backtest fold replayed per (key, horizon); the radius
+    // is the value at the conformal rank; the band rides the FINAL
+    // state
+    "ts_forecast_interval" ->
+      """WITH RECURSIVE
+        |c AS (SELECT event_type AS k, date_trunc('hour', ts) AS h,
+        |    CAST(count(*) AS BIGINT) * 1000000 AS x
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT k, row_number() OVER (PARTITION BY k ORDER BY h)
+        |    AS i, x FROM c),
+        |r AS (
+        |  SELECT k, i, x AS l, CAST(0 AS BIGINT) AS b FROM s WHERE i = 1
+        |  UNION ALL
+        |  SELECT s.k, s.i,
+        |    (300000 * s.x + 700000 * (r.l + r.b)) // 1000000 AS l,
+        |    (100000 * (((300000 * s.x + 700000 * (r.l + r.b))
+        |        // 1000000) - r.l) + 900000 * r.b) // 1000000 AS b
+        |  FROM r JOIN s ON s.k = r.k AND s.i = r.i + 1),
+        |n AS (SELECT k, max(i) AS n FROM s GROUP BY 1),
+        |hh AS (SELECT CAST(range AS BIGINT) AS step FROM range(1, 7)),
+        |f AS (SELECT r.k, hh.step,
+        |    abs(r.l + hh.step * r.b - a.x) AS ef
+        |  FROM r
+        |  JOIN n ON n.k = r.k
+        |  CROSS JOIN hh
+        |  JOIN s a ON a.k = r.k AND a.i = r.i + hh.step
+        |  WHERE r.i >= 24 AND r.i + hh.step <= n.n),
+        |q AS (SELECT k, step, ef,
+        |    row_number() OVER (PARTITION BY k, step ORDER BY ef)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY k, step) AS ne
+        |  FROM f),
+        |fin AS (SELECT r.k, r.l, r.b
+        |  FROM r JOIN n ON n.k = r.k AND r.i = n.n),
+        |pick AS (SELECT k, step, CAST(ne AS BIGINT) AS n_errors,
+        |    ef AS radius
+        |  FROM q WHERE rn = ((ne + 1) * 900000 + 999999) // 1000000)
+        |SELECT p.k AS event_type, p.step, p.n_errors,
+        |  CAST(fin.l + p.step * fin.b AS BIGINT) AS forecast_micros,
+        |  CAST(p.radius AS BIGINT) AS radius_micros,
+        |  CAST(fin.l + p.step * fin.b - p.radius AS BIGINT)
+        |    AS lo_micros,
+        |  CAST(fin.l + p.step * fin.b + p.radius AS BIGINT)
+        |    AS hi_micros
+        |FROM pick p JOIN fin ON fin.k = p.k
+        |ORDER BY event_type, step""".stripMargin,
 
     // the argmax statistic multiplied through by n — HUGEINT-exact,
     // no per-step division; all reported divisions have non-negative

@@ -469,6 +469,85 @@ object TimeSeries {
     * Scale: the EWMA/Holt posture — one key shuffle, one per-group
     * ordered fold; the emitted error stream is ≤ n·horizon rows of
     * three fixed-width columns, reduced by one key-scale hash-agg. */
+  /** Holt forecast WITH distribution-free prediction intervals — the
+    * uncertainty [[holtForecast]] refuses to fake: the rolling-origin
+    * errors [[holtBacktest]] scores are exactly the out-of-sample
+    * |forecast − actual| distribution at each horizon, so the
+    * conformal rank rule (`k = ⌈(n_h+1)·cover⌉`-th smallest absolute
+    * error, the [[graft.operators.Features.conformalInterval]]
+    * device) turns them into a per-horizon radius with finite-sample
+    * coverage on exchangeable errors. `forecast ± radius` is the
+    * band a capacity plan can actually consume; horizons whose error
+    * sample is too small for the requested coverage emit nothing (a
+    * row would lie).
+    *
+    * Exactness: the SAME truncating-ppm integer fold as holtForecast
+    * / holtBacktest (one pass collects the per-horizon error
+    * multisets AND the final state); the radius is an order
+    * statistic (a multiset property); lo/hi are integer sums. The
+    * recursive-CTE oracle replays every state, error, rank and
+    * band. Per-key series fit one task (the ts family contract).
+    * Returns (key, step, n_errors, forecast_micros, radius_micros,
+    * lo_micros, hi_micros). */
+  def holtForecastInterval(df: DataFrame, keyCol: String,
+      orderCol: String, valueMicrosCol: String,
+      alphaPpm: Long = 300000L, betaPpm: Long = 100000L,
+      horizon: Int = 6, minTrain: Int = 24,
+      coverPpm: Long = 900000L): DataFrame = {
+    require(alphaPpm >= 0 && alphaPpm <= 1000000L, "alphaPpm in [0,1e6]")
+    require(betaPpm >= 0 && betaPpm <= 1000000L, "betaPpm in [0,1e6]")
+    require(horizon >= 1 && minTrain >= 2, "horizon >= 1, minTrain >= 2")
+    require(coverPpm > 0L && coverPpm < 1000000L,
+      s"coverPpm must be in (0, 1e6) (got $coverPpm)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("k"),
+        col(orderCol).cast("long").as("o"),
+        col(valueMicrosCol).cast("long").as("x"))
+      .filter(col("x").isNotNull && col("o").isNotNull)
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val xs = it.toSeq.sortBy(r => (r._2, r._3)).map(_._3).toArray
+        if (xs.length < 2) Iterator.empty
+        else {
+          val errs = Array.fill(horizon)(
+            scala.collection.mutable.ArrayBuffer.empty[Long])
+          var l = xs(0); var b = 0L
+          var t = 1
+          while (t < xs.length) {
+            if (t >= minTrain) {
+              var h = 1
+              while (h <= horizon && t + h <= xs.length) {
+                errs(h - 1) += math.abs(l + h * b - xs(t + h - 1))
+                h += 1
+              }
+            }
+            val x = xs(t)
+            val l2 = (alphaPpm * x +
+              (1000000L - alphaPpm) * (l + b)) / 1000000L
+            b = (betaPpm * (l2 - l) + (1000000L - betaPpm) * b) / 1000000L
+            l = l2
+            t += 1
+          }
+          (1 to horizon).iterator.flatMap { h =>
+            val es = errs(h - 1).sorted
+            val kIdx = ((es.length + 1L) * coverPpm + 999999L) / 1000000L
+            if (kIdx > es.length || es.isEmpty) Iterator.empty
+            else {
+              val radius = es(kIdx.toInt - 1)
+              val f = l + h * b
+              Iterator((k, h.toLong, es.length.toLong, f, radius,
+                f - radius, f + radius))
+            }
+          }
+        }
+      }
+      .toDF(keyCol, "step", "n_errors", "forecast_micros",
+        "radius_micros", "lo_micros", "hi_micros")
+      .orderBy(col(keyCol), col("step"))
+  }
+
   def holtBacktest(df: DataFrame, keyCol: String, orderCol: String,
       valueMicrosCol: String, alphaPpm: Long = 300000L,
       betaPpm: Long = 100000L, horizon: Int = 6,

@@ -232,6 +232,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(TimeSeries.pacf(const, $"o", $"x", 3).count() == 0L)
   }
 
+  test("holtForecastInterval: hand error multisets at alpha=1, rank radius, small samples refuse") {
+    // alpha = 1e6, beta = 0: level tracks the last value, so the
+    // rolling errors are |x_t - x_{t+h}|: h=1 -> {1,4,2}, h=2 -> {3,2}
+    val xs = Seq(10L, 12L, 11L, 15L, 13L)
+    val df = xs.zipWithIndex.map { case (x, i) => ("a", i.toLong, x) }
+      .toDF("k", "o", "x")
+    val got = TimeSeries.holtForecastInterval(df, "k", "o", "x",
+      alphaPpm = 1000000L, betaPpm = 0L, horizon = 2, minTrain = 2,
+      coverPpm = 500000L).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // h=1: sorted {1,2,4}, k = ceil(4*0.5) = 2 -> radius 2, f = 13
+    assert(got(1L) == ((3L, 13L, 2L, 11L, 15L)))
+    // h=2: sorted {2,3}, k = ceil(3*0.5) = 2 -> radius 3
+    assert(got(2L) == ((2L, 13L, 3L, 10L, 16L)))
+    // 90% coverage needs more errors than exist -> no row lies
+    assert(TimeSeries.holtForecastInterval(df, "k", "o", "x",
+      alphaPpm = 1000000L, betaPpm = 0L, horizon = 2, minTrain = 2,
+      coverPpm = 900000L).count() == 0L)
+  }
+
   test("theilSen: outlier-immune slope, negative-trend truncation, per-key isolation, guard") {
     // g: clean slope 10/step with one wild outlier the median ignores
     // (OLS would report ~320/step); h: exact negative trend
