@@ -120,7 +120,7 @@ object SparkEntry {
     "ts_pacf", "graph_rich_club", "evt_lorenz", "dedup_lsh_tuning",
     "sim_centroid_assign", "evt_entry_exit", "dq_overdispersion",
     "dq_aggregate_consistency", "geo_hotspot", "asof_nearest",
-    "evt_streaks", "ts_forecast_interval",
+    "evt_streaks", "ts_forecast_interval", "agg_theil",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -420,7 +420,7 @@ object SparkEntry {
     "ts_pacf", "graph_rich_club", "evt_lorenz", "dedup_lsh_tuning",
     "sim_centroid_assign", "evt_entry_exit", "dq_overdispersion",
     "dq_aggregate_consistency", "geo_hotspot", "evt_streaks",
-    "ts_forecast_interval",
+    "ts_forecast_interval", "agg_theil",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -1079,6 +1079,20 @@ object SparkEntry {
           sum(when($"__gap" <= 100L, 1L).otherwise(0L)).cast("bigint")
             .as("n_within_dollar"),
           max($"__gap").cast("bigint").as("max_gap_cents"))
+    }),
+
+    "agg_theil" -> ((s, dir) => {
+      import s.implicits._
+      // Theil T of per-customer order revenue decomposed by nation —
+      // how much of the revenue inequality is BETWEEN nations vs
+      // WITHIN them (the additive decomposition gini can't do).
+      // Micro-quantized ln terms, order-free sums, exact identity.
+      val rev = Tables.orders(s, dir)
+        .groupBy($"o_custkey")
+        .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      val withNation = rev.join(Tables.customer(s, dir),
+        $"o_custkey" === $"c_custkey")
+      Quality.theilIndex(withNation, $"c_nationkey", $"cents")
     }),
 
     "dq_overdispersion" -> ((s, dir) => {
@@ -8547,6 +8561,37 @@ object SparkEntry {
         |  CAST(CAST(sum(cm) AS HUGEINT) // count(*) AS BIGINT)
         |    AS mean_cos_micros
         |FROM a WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // per-row and per-group micro-quantized ln terms summed
+    // order-free; the decomposition identity exact on quantized ints
+    "agg_theil" ->
+      """WITH rev AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT c_nationkey AS g, x
+        |  FROM rev JOIN customer ON c_custkey = o_custkey
+        |  WHERE x > 0),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS s FROM b),
+        |t AS (SELECT CAST(sum(CAST(round(CAST(x AS DOUBLE)
+        |      * ln(CAST(x AS DOUBLE) * CAST(n AS DOUBLE)
+        |        / CAST(s AS DOUBLE))
+        |      * 1000000.0 / CAST(s AS DOUBLE)) AS BIGINT)) AS BIGINT)
+        |    AS tt
+        |  FROM b, tot),
+        |pg AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sg
+        |  FROM b GROUP BY 1),
+        |bt AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(CAST(round(CAST(sg AS DOUBLE) / CAST(s AS DOUBLE)
+        |      * ln((CAST(sg AS DOUBLE) / CAST(s AS DOUBLE))
+        |        / (CAST(ng AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT)) AS BIGINT) AS bb
+        |  FROM pg, tot)
+        |SELECT tot.n, bt.k AS n_groups, t.tt AS theil_micros,
+        |  bt.bb AS between_micros, t.tt - bt.bb AS within_micros
+        |FROM tot, t, bt WHERE tot.n > 0""".stripMargin,
 
     // per-line cents re-rounded identically; integer gap summary
     "dq_aggregate_consistency" ->

@@ -1217,6 +1217,60 @@ object Quality {
     *
     * Scale: one map-side-combined hash-agg to group moments;
     * everything after is group-scale. */
+  /** Theil T inequality index with the between/within-group
+    * decomposition — the reading [[graft.operators.Graph]]-style
+    * concentration numbers (gini, Lorenz) can't give: Theil is the
+    * ONE standard inequality measure that decomposes ADDITIVELY, so
+    * "how much of the revenue inequality is BETWEEN nations vs
+    * WITHIN them" is a single subtraction, not a modeling exercise.
+    * `T = Σᵢ (xᵢ/S)·ln(xᵢN/S)`;
+    * `T_between = Σ_g (S_g/S)·ln((S_g/S)/(N_g/N))`;
+    * `T_within = T − T_between`.
+    *
+    * Exactness: the micro-quantization discipline — each row's term
+    * `round(xᵢ·ln(xᵢ·N/S)·10⁶/S)` is an integer (one mirrored
+    * ln/multiply tree from exact integer inputs; `ln` agrees between
+    * engines), summed order-free; the between terms quantize per
+    * GROUP the same way; within is the integer subtraction (the
+    * additive identity holds exactly on the quantized values by
+    * construction). Rows with x ≤ 0 are excluded (ln demands it —
+    * Theil is defined on positive quantities). Returns one row
+    * (n, n_groups, theil_micros, between_micros, within_micros);
+    * empty input returns empty.
+    *
+    * Scale: one row-scale pass for totals (1-row broadcast), one
+    * row-scale term map + sum, one group-scale aggregate. */
+  def theilIndex(df: DataFrame, groupExpr: Column, valueExpr: Column)
+      : DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.select(groupExpr.cast("string").as("g"),
+        valueExpr.cast("long").as("x"))
+      .filter(col("g").isNotNull && col("x").isNotNull && col("x") > 0L)
+    val tot = base.agg(count(lit(1)).as("__n"),
+      sum(col("x").cast(dec)).as("__s"))
+    val nD = col("__n").cast("double")
+    val sD = col("__s").cast("double")
+    val rowTerm = round(col("x").cast("double") *
+      log(col("x").cast("double") * nD / sD) * lit(1e6) / sD)
+      .cast("long")
+    val t = base.crossJoin(broadcast(tot)) // 1-row totals
+      .agg(sum(rowTerm).as("__t"))
+    val perGroup = base.groupBy(col("g"))
+      .agg(count(lit(1)).as("__ng"), sum(col("x").cast(dec)).as("__sg"))
+    val grpTerm = round(col("__sg").cast("double") / sD *
+      log((col("__sg").cast("double") / sD) /
+        (col("__ng").cast("double") / nD)) * lit(1e6)).cast("long")
+    val between = perGroup.crossJoin(broadcast(tot))
+      .agg(count(lit(1)).as("__k"), sum(grpTerm).as("__b"))
+    tot.crossJoin(broadcast(t)).crossJoin(broadcast(between))
+      .filter(col("__n") > 0L)
+      .select(col("__n").cast("bigint").as("n"),
+        col("__k").cast("bigint").as("n_groups"),
+        col("__t").cast("bigint").as("theil_micros"),
+        col("__b").cast("bigint").as("between_micros"),
+        (col("__t") - col("__b")).cast("bigint").as("within_micros"))
+  }
+
   def overdispersion(df: DataFrame, groupExpr: Column,
       countExpr: Column): DataFrame = {
     val dec = "decimal(38,0)"

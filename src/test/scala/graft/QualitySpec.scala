@@ -736,4 +736,27 @@ class QualitySpec extends SparkSpec {
     // the burst group is far more suspect than the mild one
     assert(got("b")._3 < got("a")._3)
   }
+
+  test("theilIndex: perfect equality is 0, mirrored concentrated case, additive identity, x<=0 excluded") {
+    import spark.implicits._
+    val equal = Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L))
+      .toDF("g", "x")
+    val e = Quality.theilIndex(equal, $"g", $"x").collect().head
+    assert((e.getLong(2), e.getLong(3), e.getLong(4)) == ((0L, 0L, 0L)))
+    // one whale in its own group: mirror the per-term quantization
+    val rows = Seq(("a", 10L), ("b", 1L), ("b", 1L), ("b", 1L),
+      ("b", 1L), ("b", 0L)).toDF("g", "x") // the 0 row is excluded
+    val r = Quality.theilIndex(rows, $"g", $"x").collect().head
+    val (n, s) = (5.0, 14.0)
+    def q(x: Double): Long =
+      math.round(x * math.log(x * n / s) * 1e6 / s)
+    val tExp = q(10.0) + 4 * q(1.0)
+    def bq(sg: Double, ng: Double): Long =
+      math.round(sg / s * math.log((sg / s) / (ng / n)) * 1e6)
+    val bExp = bq(10.0, 1.0) + bq(4.0, 4.0)
+    assert((r.getLong(0), r.getLong(1)) == ((5L, 2L)))
+    assert(r.getLong(2) == tExp && r.getLong(3) == bExp)
+    assert(r.getLong(4) == tExp - bExp) // additive identity, exact
+    assert(r.getLong(2) > 0L && r.getLong(3) > 0L)
+  }
 }
