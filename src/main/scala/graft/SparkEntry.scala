@@ -120,7 +120,7 @@ object SparkEntry {
     "ts_pacf", "graph_rich_club", "evt_lorenz", "dedup_lsh_tuning",
     "sim_centroid_assign", "evt_entry_exit", "dq_overdispersion",
     "dq_aggregate_consistency", "geo_hotspot", "asof_nearest",
-    "evt_streaks", "ts_forecast_interval", "agg_theil",
+    "evt_streaks", "ts_forecast_interval", "agg_theil", "text_heaps",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -420,7 +420,7 @@ object SparkEntry {
     "ts_pacf", "graph_rich_club", "evt_lorenz", "dedup_lsh_tuning",
     "sim_centroid_assign", "evt_entry_exit", "dq_overdispersion",
     "dq_aggregate_consistency", "geo_hotspot", "evt_streaks",
-    "ts_forecast_interval", "agg_theil",
+    "ts_forecast_interval", "agg_theil", "text_heaps",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -6822,6 +6822,17 @@ object SparkEntry {
       TextAnalysis.vocabStats(Tables.documents(s, dir), "text")
     }),
 
+    "text_heaps" -> ((s, dir) => {
+      import s.implicits._
+      // Heaps'-law vocabulary growth over the documents corpus: the
+      // curve at 10 doc-id thresholds plus the cross-multiplied
+      // quantized-OLS exponent — does doubling the crawl double the
+      // OOV problem? SIDE-EFFECTING (the grid and curve
+      // localCheckpoint at construction).
+      graft.llm.TextAnalysis.heapsLaw(
+        Tables.documents(s, dir), "doc_id", "text")
+    }),
+
     "text_code_detect" -> ((s, dir) => {
       import s.implicits._
       // Code-vs-prose score per document — the corpus-mix classifier
@@ -10951,6 +10962,52 @@ object SparkEntry {
         |  ratio_micros + CAST(1959964 * CAST(se_micros AS HUGEINT)
         |    // 1000000 AS BIGINT) AS ci_hi_micros
         |FROM f""".stripMargin,
+
+    // same tokenize as the dedup oracles; first occurrence is
+    // min(doc_id); grid sums over doc-scale histograms; beta from
+    // micro-quantized log-log points, cross-multiplied
+    "text_heaps" ->
+      """WITH toks AS (SELECT doc_id AS id,
+        |    unnest(string_split_regex(text, '\s+')) AS w
+        |  FROM documents),
+        |tk AS (SELECT id, w FROM toks WHERE length(w) > 0),
+        |pd AS (SELECT id, CAST(count(*) AS BIGINT) AS ntok
+        |  FROM tk GROUP BY 1),
+        |fd AS (SELECT min(id) AS f FROM tk GROUP BY w),
+        |fh AS (SELECT f, CAST(count(*) AS BIGINT) AS nv
+        |  FROM fd GROUP BY 1),
+        |b AS (SELECT min(id) AS lo, max(id) AS hi FROM pd),
+        |g AS (SELECT CAST(range AS BIGINT) AS step,
+        |    b.lo + ((b.hi - b.lo + 1) * range) // 10 - 1 AS t
+        |  FROM range(1, 11), b),
+        |c1 AS (SELECT g.step, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(ntok) AS BIGINT) AS n_tokens
+        |  FROM g JOIN pd ON pd.id <= g.t GROUP BY 1),
+        |c2 AS (SELECT g.step, CAST(sum(nv) AS BIGINT) AS vocab
+        |  FROM g JOIN fh ON fh.f <= g.t GROUP BY 1),
+        |cur AS (SELECT g.step, CAST(g.t AS BIGINT) AS threshold_id,
+        |    c1.n_docs, c1.n_tokens, c2.vocab
+        |  FROM g JOIN c1 ON c1.step = g.step
+        |  JOIN c2 ON c2.step = g.step
+        |  WHERE n_tokens > 0 AND vocab > 0),
+        |pts AS (SELECT
+        |    CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000)
+        |      AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(vocab AS DOUBLE)) * 1000000)
+        |      AS BIGINT) AS y
+        |  FROM cur),
+        |bt AS (SELECT CAST(count(*) AS HUGEINT) AS k,
+        |    sum(CAST(x AS HUGEINT)) AS sx,
+        |    sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx FROM pts),
+        |bb AS (SELECT CASE WHEN k * sxx - sx * sx > 0
+        |    THEN CAST((k * sxy - sx * sy) * 1000000
+        |      // nullif(k * sxx - sx * sx, 0) AS BIGINT) END
+        |    AS beta_ppm FROM bt)
+        |SELECT cur.step, cur.threshold_id, cur.n_docs, cur.n_tokens,
+        |  cur.vocab, bb.beta_ppm
+        |FROM cur, bb ORDER BY step""".stripMargin,
 
     // pure substring arithmetic (replace/length), no regex; ppm via
     // truncating division; chr(10) for the newline literal (DuckDB

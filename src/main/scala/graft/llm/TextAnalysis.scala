@@ -795,6 +795,87 @@ object TextAnalysis {
     *
     * Scale: embarrassingly parallel map over the corpus; emits one
     * fixed-width row per document, text never shuffles. */
+  /** Heaps'-law vocabulary growth curve + exponent — the corpus-size
+    * planning read ([[vocabStats]] says how big the vocabulary IS;
+    * this says how fast it GROWS: `V ≈ K·Tᵝ`, and β tells you
+    * whether doubling the crawl doubles the tokenizer's OOV problem
+    * or barely moves it): cumulative distinct words and tokens at a
+    * grid of doc-id thresholds, plus β fitted by OLS on the
+    * log-log curve.
+    *
+    * Exactness: a word's first occurrence is `min(doc_id)` (a
+    * multiset property); per grid threshold the doc/token/vocab
+    * counts are conditional integer sums over DOC-SCALE histograms
+    * crossed with the ≤ `gridSteps`-row threshold list — no global
+    * window, no single-task pass anywhere; the log-log points
+    * quantize to integer micros FIRST (`round(ln·10⁶)` — mirrored
+    * ln), so the OLS slope is the cross-multiplied integer form
+    * `β_ppm = ((kΣxy − ΣxΣy)·10⁶) div (kΣxx − (Σx)²)` — order-free.
+    * Thresholds with zero tokens are absent; β needs ≥ 2 distinct
+    * points (degenerate grids emit the curve with a NULL β).
+    * Returns one row per grid step:
+    * (step, threshold_id, n_docs, n_tokens, vocab, beta_ppm). */
+  def heapsLaw(df: DataFrame, idCol: String, textCol: String,
+      gridSteps: Int = 10): DataFrame = {
+    require(gridSteps >= 2 && gridSteps <= 1000,
+      s"gridSteps must be in [2, 1000] (got $gridSteps)")
+    val dec = "decimal(38,0)"
+    val toks = df.select(col(idCol).cast("long").as("__id"),
+        explode(split(col(textCol), "\\s+")).as("__w"))
+      .filter(length(col("__w")) > 0)
+    val perDoc = toks.groupBy(col("__id"))
+      .agg(count(lit(1)).as("__ntok"))
+    val fdHist = toks.groupBy(col("__w"))
+      .agg(min(col("__id")).as("__fd"))
+      .groupBy(col("__fd")).agg(count(lit(1)).as("__nv"))
+    val bounds = perDoc.agg(min(col("__id")).as("__lo"),
+      max(col("__id")).as("__hi"))
+    val grid = bounds.crossJoin(
+        df.sparkSession.range(1L, gridSteps + 1L)
+          .select(col("id").as("step")))
+      .select(col("step"), (col("__lo") +
+        expr(s"(__hi - __lo + 1) * step div $gridSteps") - 1L)
+        .as("threshold_id"))
+      .localCheckpoint(true) // grid-scale, three consumers
+    val curve = grid
+      .join(perDoc.crossJoin(broadcast(grid.select(col("step").as("__s"),
+          col("threshold_id").as("__t"))))
+        .filter(col("__id") <= col("__t"))
+        .groupBy(col("__s"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__ntok")).as("n_tokens")),
+        col("step") === col("__s"))
+      .join(fdHist.crossJoin(broadcast(grid.select(col("step").as("__s2"),
+          col("threshold_id").as("__t2"))))
+        .filter(col("__fd") <= col("__t2"))
+        .groupBy(col("__s2"))
+        .agg(sum(col("__nv")).as("vocab")),
+        col("step") === col("__s2"))
+      .filter(col("n_tokens") > 0L && col("vocab") > 0L)
+      .select(col("step"), col("threshold_id"),
+        col("n_docs").cast("bigint").as("n_docs"),
+        col("n_tokens").cast("bigint").as("n_tokens"),
+        col("vocab").cast("bigint").as("vocab"))
+      .localCheckpoint(true) // consumed twice: output + the beta fit
+    val pts = curve.select(
+      round(log(col("n_tokens").cast("double")) * lit(1e6)).cast("long")
+        .as("__x"),
+      round(log(col("vocab").cast("double")) * lit(1e6)).cast("long")
+        .as("__y"))
+    val beta = pts.agg(count(lit(1)).as("__k"),
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        sum(col("__x").cast(dec) * col("__y")).as("__sxy"),
+        sum(col("__x").cast(dec) * col("__x")).as("__sxx"))
+      .select(when(
+        col("__k").cast(dec) * col("__sxx") - col("__sx") * col("__sx")
+          > 0,
+        expr("CAST((__k * __sxy - __sx * __sy) * 1000000" +
+          " div nullif(__k * __sxx - __sx * __sx, 0) AS BIGINT)"))
+        .as("beta_ppm"))
+    curve.crossJoin(broadcast(beta)) // 1-row fitted exponent
+      .orderBy(col("step"))
+  }
+
   def codeScore(df: DataFrame, idCol: String, textCol: String,
       thresholdPpm: Long = 120000L): DataFrame = {
     val txt = col("__txt")

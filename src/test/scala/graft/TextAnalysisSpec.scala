@@ -596,4 +596,35 @@ class TextAnalysisSpec extends SparkSpec {
     // two keywords alone = 100000 ppm, below the 120000 threshold
     assert(got(2) == ((3L, 16L, 0L, 0L, 2L, 100000L, false)))
   }
+
+  test("heapsLaw: hand curve on 4 docs, quantized-OLS beta, degenerate grid gives NULL beta") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b c"), (1L, "a b"), (2L, "a d"), (3L, "e"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.heapsLaw(docs, "doc_id", "text",
+      gridSteps = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    // step 1: ids <= 1 -> 2 docs, 5 tokens, vocab {a,b,c};
+    // step 2: all -> 4 docs, 8 tokens, vocab 5
+    assert(got.map(g => (g._1, g._2, g._3, g._4, g._5)).toSeq ==
+      Seq((1L, 1L, 2L, 5L, 3L), (2L, 3L, 4L, 8L, 5L)))
+    // beta from the QUANTIZED log-log points, cross-multiplied
+    val (x1, y1) = (math.round(math.log(5.0) * 1e6),
+      math.round(math.log(3.0) * 1e6))
+    val (x2, y2) = (math.round(math.log(8.0) * 1e6),
+      math.round(math.log(5.0) * 1e6))
+    val num = BigInt(2) * (BigInt(x1) * y1 + BigInt(x2) * y2) -
+      BigInt(x1 + x2) * BigInt(y1 + y2)
+    val den = BigInt(2) * (BigInt(x1) * x1 + BigInt(x2) * x2) -
+      BigInt(x1 + x2) * BigInt(x1 + x2)
+    val betaExp = (num * 1000000 / den).toLong
+    assert(got.forall(_._6 == Some(betaExp)), got.mkString(", "))
+    // a single-doc corpus: the first threshold falls below the doc
+    // (absent), one curve point remains -> NULL beta (k*sxx = sx^2)
+    val one = Seq((5L, "a b")).toDF("doc_id", "text")
+    val g1 = TextAnalysis.heapsLaw(one, "doc_id", "text", gridSteps = 2)
+      .collect()
+    assert(g1.length == 1 && g1.forall(_.isNullAt(5)), g1.mkString(","))
+  }
 }
