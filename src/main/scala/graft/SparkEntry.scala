@@ -121,6 +121,7 @@ object SparkEntry {
     "sim_centroid_assign", "evt_entry_exit", "dq_overdispersion",
     "dq_aggregate_consistency", "geo_hotspot", "asof_nearest",
     "evt_streaks", "ts_forecast_interval", "agg_theil", "text_heaps",
+    "sample_balanced",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -421,6 +422,7 @@ object SparkEntry {
     "sim_centroid_assign", "evt_entry_exit", "dq_overdispersion",
     "dq_aggregate_consistency", "geo_hotspot", "evt_streaks",
     "ts_forecast_interval", "agg_theil", "text_heaps",
+    "sample_balanced",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -1079,6 +1081,19 @@ object SparkEntry {
           sum(when($"__gap" <= 100L, 1L).otherwise(0L)).cast("bigint")
             .as("n_within_dollar"),
           max($"__gap").cast("bigint").as("max_gap_cents"))
+    }),
+
+    "sample_balanced" -> ((s, dir) => {
+      import s.implicits._
+      // Class-balanced deterministic downsample: 50 orders per
+      // priority by the Lehmer-permuted id order — the imbalance fix
+      // a uniform sample preserves. Pure function of the ids; both
+      // engines replay the exact pick.
+      graft.operators.Sampling.balancedByClass(
+          Tables.orders(s, dir), "o_orderpriority", "o_orderkey",
+          perClass = 50)
+        .select($"o_orderpriority", $"sample_rank", $"o_orderkey")
+        .orderBy($"o_orderpriority", $"sample_rank")
     }),
 
     "agg_theil" -> ((s, dir) => {
@@ -8572,6 +8587,18 @@ object SparkEntry {
         |  CAST(CAST(sum(cm) AS HUGEINT) // count(*) AS BIGINT)
         |    AS mean_cos_micros
         |FROM a WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the Lehmer permutation (id*48271 mod 2^31-1) replays exactly;
+    // short classes keep everything
+    "sample_balanced" ->
+      """WITH r AS (SELECT o_orderpriority, o_orderkey,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY (o_orderkey * 48271) % 2147483647, o_orderkey)
+        |      AS BIGINT) AS sample_rank
+        |  FROM orders)
+        |SELECT o_orderpriority, sample_rank, o_orderkey
+        |FROM r WHERE sample_rank <= 50
+        |ORDER BY o_orderpriority, sample_rank""".stripMargin,
 
     // per-row and per-group micro-quantized ln terms summed
     // order-free; the decomposition identity exact on quantized ints

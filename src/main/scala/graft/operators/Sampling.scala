@@ -239,4 +239,31 @@ object Sampling {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Class-balanced deterministic downsample — `perClass` rows from
+    * EACH class by a modular pseudo-random total order (the training
+    * fix for class imbalance that a uniform sample preserves rather
+    * than cures): rank within class by `(id·48271 mod 2³¹−1, id)` —
+    * a full-period Lehmer permutation of the id space, so the pick
+    * is spread across the table rather than prefix-biased, yet is a
+    * pure function of the ids (both engines replay it; no RNG, no
+    * gate needed — the modular alternative to xxhash orderings,
+    * which a second engine cannot reproduce). Classes with fewer
+    * than `perClass` rows keep everything (a balanced sample cannot
+    * invent rows; the caller sees the shortfall in the counts).
+    *
+    * Scale: one class-partitioned rank window (classes parallelize;
+    * per-class rows must fit a partition only if a class is one
+    * task's worth — the window is keyed by class, the percentile
+    * contract). Returns the selected rows with `sample_rank`. */
+  def balancedByClass(df: DataFrame, classCol: String, idCol: String,
+      perClass: Int): DataFrame = {
+    require(perClass >= 1, s"perClass must be >= 1 (got $perClass)")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(classCol))
+      .orderBy(pmod(col(idCol).cast("long") * 48271L,
+        lit(2147483647L)), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= perClass)
+  }
 }
