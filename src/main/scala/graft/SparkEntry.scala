@@ -121,7 +121,7 @@ object SparkEntry {
     "sim_centroid_assign", "evt_entry_exit", "dq_overdispersion",
     "dq_aggregate_consistency", "geo_hotspot", "asof_nearest",
     "evt_streaks", "ts_forecast_interval", "agg_theil", "text_heaps",
-    "sample_balanced",
+    "sample_balanced", "text_novelty",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -422,7 +422,7 @@ object SparkEntry {
     "sim_centroid_assign", "evt_entry_exit", "dq_overdispersion",
     "dq_aggregate_consistency", "geo_hotspot", "evt_streaks",
     "ts_forecast_interval", "agg_theil", "text_heaps",
-    "sample_balanced",
+    "sample_balanced", "text_novelty",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -6837,6 +6837,16 @@ object SparkEntry {
       TextAnalysis.vocabStats(Tables.documents(s, dir), "text")
     }),
 
+    "text_novelty" -> ((s, dir) => {
+      import s.implicits._
+      // 3-gram novelty per doc-id decile — is the tail of the crawl
+      // still adding content, or repeating it? Exact first-occurrence
+      // accounting, one ppm division per decile. SIDE-EFFECTING (the
+      // occurrence table localCheckpoints at construction).
+      graft.llm.TextAnalysis.ngramNovelty(
+        Tables.documents(s, dir), "doc_id", "text", n = 3)
+    }),
+
     "text_heaps" -> ((s, dir) => {
       import s.implicits._
       // Heaps'-law vocabulary growth over the documents corpus: the
@@ -10989,6 +10999,30 @@ object SparkEntry {
         |  ratio_micros + CAST(1959964 * CAST(se_micros AS HUGEINT)
         |    // 1000000 AS BIGINT) AS ci_hi_micros
         |FROM f""".stripMargin,
+
+    // same gram construction as the dedup oracles; first occurrence
+    // is min(doc_id); integer decile map; one ppm division per row
+    "text_novelty" ->
+      """WITH toks AS (SELECT doc_id AS id,
+        |    string_split_regex(text, '\s+') AS t FROM documents),
+        |oc AS (SELECT id,
+        |    array_to_string(list_slice(t, i, i + 2), ' ') AS g
+        |  FROM (SELECT id, t,
+        |      unnest(range(1, greatest(len(t) - 3 + 2, 1))) AS i
+        |    FROM toks)),
+        |fd AS (SELECT g, min(id) AS f FROM oc GROUP BY 1),
+        |b AS (SELECT min(id) AS lo, max(id) AS hi FROM oc),
+        |j AS (SELECT oc.id, fd.f, b.lo, b.hi
+        |  FROM oc JOIN fd ON fd.g = oc.g, b),
+        |d AS (SELECT ((id - lo) * 10) // (hi - lo + 1) + 1 AS step,
+        |    CASE WHEN id = f THEN 1 ELSE 0 END AS nov
+        |  FROM j)
+        |SELECT CAST(step AS BIGINT) AS step,
+        |  CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(sum(nov) AS BIGINT) AS n_novel,
+        |  CAST((CAST(sum(nov) AS HUGEINT) * 1000000) // count(*)
+        |    AS BIGINT) AS novelty_ppm
+        |FROM d GROUP BY 1 ORDER BY step""".stripMargin,
 
     // same tokenize as the dedup oracles; first occurrence is
     // min(doc_id); grid sums over doc-scale histograms; beta from

@@ -815,6 +815,56 @@ object TextAnalysis {
     * points (degenerate grids emit the curve with a NULL β).
     * Returns one row per grid step:
     * (step, threshold_id, n_docs, n_tokens, vocab, beta_ppm). */
+  /** N-gram novelty curve over crawl order — how much of each slice
+    * of the corpus is TEXT THE CORPUS ALREADY CONTAINS: per doc-id
+    * decile, the share of n-gram occurrences whose gram first
+    * appeared in an EARLIER document ([[heapsLaw]] tracks new WORDS;
+    * this tracks repeated PHRASES — the redundancy/memorization
+    * read that tells a dedup pipeline whether the tail of the crawl
+    * is still adding content). A gram occurrence is novel iff its
+    * gram's first-occurrence doc is its own doc (every occurrence
+    * inside the introducing doc counts novel — the doc-grain
+    * contract, stated).
+    *
+    * Exactness: first occurrence is `min(doc_id)` (multiset
+    * property); the decile is the integer map
+    * `((id − lo)·steps) div span + 1`; counts are exact integers
+    * with one truncating ppm division per decile. Gram strings
+    * shuffle once for the first-occurrence join — the documented
+    * price of exactness (the [[distinctNgrams]] stance; sketch
+    * upstream if the corpus outgrows it).
+    *
+    * Returns one row per non-empty decile:
+    * (step, n_occurrences, n_novel, novelty_ppm). */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, gridSteps: Int = 10): DataFrame = {
+    require(n >= 1 && n <= 16, s"n must be in [1, 16] (got $n)")
+    require(gridSteps >= 2 && gridSteps <= 1000,
+      s"gridSteps must be in [2, 1000] (got $gridSteps)")
+    val occ = df.select(col(idCol).cast("long").as("__id"),
+        explode(graft.functions.token_ngrams(col(textCol), n))
+          .as("__g"))
+      .localCheckpoint(true) // two consumers: first-occurrence + join
+    val firstDoc = occ.groupBy(col("__g"))
+      .agg(min(col("__id")).as("__fd"))
+    val bounds = occ.agg(min(col("__id")).as("__lo"),
+      max(col("__id")).as("__hi"))
+    occ.join(firstDoc, "__g")
+      .crossJoin(broadcast(bounds)) // 1-row id range
+      .withColumn("step", expr(
+        s"(__id - __lo) * $gridSteps div (__hi - __lo + 1) + 1"))
+      .groupBy(col("step"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        sum(when(col("__id") === col("__fd"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("step"),
+        col("n_occurrences").cast("bigint").as("n_occurrences"),
+        col("n_novel").cast("bigint").as("n_novel"),
+        expr("CAST(n_novel AS DECIMAL(38,0)) * 1000000" +
+          " div n_occurrences").cast("long").as("novelty_ppm"))
+      .orderBy(col("step"))
+  }
+
   def heapsLaw(df: DataFrame, idCol: String, textCol: String,
       gridSteps: Int = 10): DataFrame = {
     require(gridSteps >= 2 && gridSteps <= 1000,
