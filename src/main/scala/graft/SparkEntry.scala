@@ -50,7 +50,8 @@ import graft.streaming.EventStreams
   * and `graph_ktruss` (the peel loop runs its fixpoint rounds
   * eagerly, one count per round); `graph_diameter` runs both BFS
   * sweeps and its two 1-row seed lookups eagerly; `ts_pacf` collects
-  * the lag-scale acf for the driver-side Durbin-Levinson fold.
+  * the lag-scale acf for the driver-side Durbin-Levinson fold;
+  * `ml_logreg` runs its fixed GD-step aggregates eagerly.
   * Callers that only want a plan should skip those.
   */
 object SparkEntry {
@@ -121,7 +122,7 @@ object SparkEntry {
     "sim_centroid_assign", "evt_entry_exit", "dq_overdispersion",
     "dq_aggregate_consistency", "geo_hotspot", "asof_nearest",
     "evt_streaks", "ts_forecast_interval", "agg_theil", "text_heaps",
-    "sample_balanced", "text_novelty",
+    "sample_balanced", "text_novelty", "ml_logreg",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -422,7 +423,7 @@ object SparkEntry {
     "sim_centroid_assign", "evt_entry_exit", "dq_overdispersion",
     "dq_aggregate_consistency", "geo_hotspot", "evt_streaks",
     "ts_forecast_interval", "agg_theil", "text_heaps",
-    "sample_balanced", "text_novelty",
+    "sample_balanced", "text_novelty", "ml_logreg",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -1081,6 +1082,18 @@ object SparkEntry {
           sum(when($"__gap" <= 100L, 1L).otherwise(0L)).cast("bigint")
             .as("n_within_dollar"),
           max($"__gap").cast("bigint").as("max_gap_cents"))
+    }),
+
+    "ml_logreg" -> ((s, dir) => {
+      import s.implicits._
+      // Hash-graded logistic regression: urgency from clipped order
+      // value, 5 full-batch integer-state GD steps — the ML query a
+      // second engine replays bit for bit where float pipelines can
+      // only gate. SIDE-EFFECTING (the step aggregates run eagerly).
+      Features.logisticGd(Tables.orders(s, dir),
+        least($"o_totalprice" / 600000.0, lit(1.0)),
+        $"o_orderpriority".isin("1-URGENT", "2-HIGH"),
+        iters = 5, lrPpm = 500000L)
     }),
 
     "sample_balanced" -> ((s, dir) => {
@@ -8597,6 +8610,44 @@ object SparkEntry {
         |  CAST(CAST(sum(cm) AS HUGEINT) // count(*) AS BIGINT)
         |    AS mean_cos_micros
         |FROM a WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the 5 GD steps unrolled: per-row micro-quantized gradients,
+    // integer weight state, truncating-division updates
+    "ml_logreg" -> {
+      def sig(s: String) =
+        s"(1.0 / (1.0 + exp(-(($s.a + $s.b * x) / 1000000.0))))"
+      def grad(s: String, g: String) =
+        s"$g AS (SELECT\n" +
+          s"    CAST(sum(CAST(round((${sig(s)}\n" +
+          "      - CASE WHEN y THEN 1.0 ELSE 0.0 END) * 1000000)" +
+          " AS BIGINT)) AS BIGINT) AS g0,\n" +
+          s"    CAST(sum(CAST(round(((${sig(s)}\n" +
+          "      - CASE WHEN y THEN 1.0 ELSE 0.0 END) * x) * 1000000)" +
+          " AS BIGINT)) AS BIGINT) AS g1\n" +
+          s"  FROM base, $s)"
+      def upd(prev: String, g: String, next: String) =
+        s"$next AS (SELECT" +
+          s" $prev.a - (500000 * $g.g0) // (nn.n * 1000000) AS a,\n" +
+          s"    $prev.b - (500000 * $g.g1) // (nn.n * 1000000) AS b\n" +
+          s"  FROM $prev, $g, nn)"
+      val steps = (1 to 5).map(k =>
+        grad(s"s${k - 1}", s"g$k") + ",\n" +
+          upd(s"s${k - 1}", s"g$k", s"s$k")).mkString(",\n")
+      "WITH base AS (SELECT least(o_totalprice / 600000.0, 1.0) AS x,\n" +
+        "    (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS y\n" +
+        "  FROM orders WHERE o_totalprice IS NOT NULL),\n" +
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),\n" +
+        "s0 AS (SELECT CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b),\n" +
+        steps + ",\n" +
+        "acc AS (SELECT CAST(count(*) AS BIGINT) AS n,\n" +
+        "    CAST(sum(CASE WHEN ((s5.a + s5.b * x) >= 0.0) = y\n" +
+        "      THEN 1 ELSE 0 END) AS BIGINT) AS nc\n" +
+        "  FROM base, s5)\n" +
+        "SELECT acc.n, s5.a AS w0_micros, s5.b AS w1_micros,\n" +
+        "  acc.nc AS n_correct,\n" +
+        "  CAST((acc.nc * 1000000) // acc.n AS BIGINT) AS accuracy_ppm\n" +
+        "FROM acc, s5"
+    },
 
     // the Lehmer permutation (id*48271 mod 2^31-1) replays exactly;
     // short classes keep everything

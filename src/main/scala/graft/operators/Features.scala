@@ -1088,6 +1088,74 @@ object Features {
           .as("p_micros"))
   }
 
+  /** Logistic regression by fixed-schedule gradient descent with
+    * INTEGER weight state — the hash-graded member of the ML family
+    * (TF-IDF/W2V/PCA grade through gates because their float
+    * pipelines don't replay; this one does): a single-feature
+    * bias+slope model trained for exactly `iters` full-batch steps,
+    * weights held in integer MICROS and updated by truncating
+    * division, so the entire training trajectory is a pure function
+    * of the data — a second engine unrolls the same steps and lands
+    * on the same weights bit for bit. The point is not to beat a
+    * solver; it is a REPLAYABLE baseline classifier (calibration,
+    * drift baselines, sanity checks) the correctness harness can
+    * hash.
+    *
+    * Per step: `g₀ = Σ round((σ(z) − y)·10⁶)`,
+    * `g₁ = Σ round((σ(z) − y)·x·10⁶)` (per-row micro-quantized —
+    * order-free integer sums; `σ` is one mirrored exp tree with
+    * `z = (w₀ + w₁x)/10⁶`), then
+    * `w ← w − (lrPpm·g) div (n·10⁶)` in driver LONG arithmetic
+    * (Java `/` and DuckDB `//` both truncate toward zero).
+    * SIDE-EFFECTING: `iters` aggregate jobs run at construction.
+    * Returns one row (n, w0_micros, w1_micros, n_correct,
+    * accuracy_ppm) — accuracy at the z ≥ 0 decision rule. Empty
+    * input returns empty.
+    *
+    * Scale: each step is ONE map-side-combined aggregate over the
+    * (localCheckpointed) feature table; nothing shuffles wide. */
+  def logisticGd(df: DataFrame, xExpr: Column, yExpr: Column,
+      iters: Int = 5, lrPpm: Long = 500000L): DataFrame = {
+    require(iters >= 1 && iters <= 100,
+      s"iters must be in [1, 100] (got $iters)")
+    require(lrPpm > 0L, s"lrPpm must be > 0 (got $lrPpm)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(xExpr.cast("double").as("x"),
+        yExpr.cast("boolean").as("y"))
+      .filter(col("x").isNotNull && !isnan(col("x")) &&
+        col("y").isNotNull)
+      .localCheckpoint(true) // iters + 1 consumers
+    val nRow = base.count()
+    if (nRow == 0L) {
+      Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("n", "w0_micros", "w1_micros", "n_correct",
+          "accuracy_ppm")
+    } else {
+      var w0 = 0L; var w1 = 0L
+      val yD = when(col("y"), lit(1.0)).otherwise(lit(0.0))
+      for (_ <- 1 to iters) {
+        val z = (lit(w0).cast("double") +
+          lit(w1).cast("double") * col("x")) / lit(1000000.0)
+        val sig = lit(1.0) / (lit(1.0) + exp(-z))
+        val g = base.agg(
+          sum(round((sig - yD) * lit(1000000.0)).cast("long")).as("g0"),
+          sum(round((sig - yD) * col("x") * lit(1000000.0))
+            .cast("long")).as("g1")).collect().head
+        w0 -= lrPpm * g.getLong(0) / (nRow * 1000000L)
+        w1 -= lrPpm * g.getLong(1) / (nRow * 1000000L)
+      }
+      val zF = lit(w0).cast("double") + lit(w1).cast("double") * col("x")
+      val acc = base.agg(count(lit(1)).as("n"),
+        sum(when((zF >= 0.0) === col("y"), 1L).otherwise(0L))
+          .as("nc")).collect().head
+      Seq((acc.getLong(0), w0, w1, acc.getLong(1),
+        acc.getLong(1) * 1000000L / acc.getLong(0)))
+        .toDF("n", "w0_micros", "w1_micros", "n_correct",
+          "accuracy_ppm")
+    }
+  }
+
   /** Pairwise post-hoc comparisons with Holm step-down — the
     * follow-up [[anovaF]] / [[graft.operators.OrderedStats.kruskalWallis]]
     * demand (an omnibus rejection says "SOME group differs", never
