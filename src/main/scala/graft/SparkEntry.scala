@@ -123,6 +123,7 @@ object SparkEntry {
     "dq_aggregate_consistency", "geo_hotspot", "asof_nearest",
     "evt_streaks", "ts_forecast_interval", "agg_theil", "text_heaps",
     "sample_balanced", "text_novelty", "ml_logreg",
+    "interval_coverage",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -424,6 +425,7 @@ object SparkEntry {
     "dq_aggregate_consistency", "geo_hotspot", "evt_streaks",
     "ts_forecast_interval", "agg_theil", "text_heaps",
     "sample_balanced", "text_novelty", "ml_logreg",
+    "interval_coverage",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -3564,6 +3566,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"))
         .select($"window.start".as("window_start"), $"n_events")
         .orderBy($"window_start")
+    }),
+
+    "interval_coverage" -> ((s, dir) => {
+      import s.implicits._
+      // Union length of overlapping intervals per user (each event
+      // opens a 2-hour attention window): the classic interval-merge
+      // — islands split where a start clears the running max end, an
+      // island's coverage is its extent by construction. Exact
+      // integer seconds end to end.
+      import org.apache.spark.sql.expressions.Window
+      val iv = Tables.events(s, dir).select($"user_id",
+        $"ts".cast("long").as("st"),
+        ($"ts".cast("long") + 7200L).as("en"))
+      val w = Window.partitionBy($"user_id").orderBy($"st", $"en")
+      val prevMax = max($"en").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+      iv.withColumn("__new",
+          when(prevMax.isNull || $"st" > prevMax, 1).otherwise(0))
+        .withColumn("__isl", sum($"__new").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"__isl")
+        .agg(count(lit(1)).as("__n"), min($"st").as("__s"),
+          max($"en").as("__e"))
+        .groupBy($"user_id")
+        .agg(sum($"__n").cast("bigint").as("n_intervals"),
+          count(lit(1)).cast("bigint").as("n_islands"),
+          sum($"__e" - $"__s").cast("bigint").as("covered_seconds"))
+        .orderBy($"user_id")
     }),
 
     "evt_streaks" -> ((s, dir) => {
@@ -12319,6 +12349,34 @@ object SparkEntry {
         |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events)
         |SELECT window_start, count(*) AS n_events
         |FROM starts GROUP BY window_start ORDER BY window_start""".stripMargin,
+
+    // interval merge: island splits where a start clears the running
+    // max end; island coverage = extent by construction
+    "interval_coverage" ->
+      """WITH iv AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS st,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + 7200 AS en
+        |  FROM events),
+        |m AS (SELECT user_id, st, en,
+        |    CASE WHEN max(en) OVER (PARTITION BY user_id
+        |        ORDER BY st, en
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      IS NULL OR st > max(en) OVER (PARTITION BY user_id
+        |        ORDER BY st, en
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM iv),
+        |isl AS (SELECT user_id, st, en,
+        |    sum(nw) OVER (PARTITION BY user_id ORDER BY st, en
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        |  FROM m),
+        |agg AS (SELECT user_id, g, CAST(count(*) AS BIGINT) AS n,
+        |    min(st) AS s, max(en) AS e
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(n) AS BIGINT) AS n_intervals,
+        |  CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(e - s) AS BIGINT) AS covered_seconds
+        |FROM agg GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     // gaps-and-islands: day - dense index constant within a run
     "evt_streaks" ->
