@@ -123,7 +123,7 @@ object SparkEntry {
     "dq_aggregate_consistency", "geo_hotspot", "asof_nearest",
     "evt_streaks", "ts_forecast_interval", "agg_theil", "text_heaps",
     "sample_balanced", "text_novelty", "ml_logreg",
-    "interval_coverage",
+    "interval_coverage", "ts_strength",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -425,7 +425,7 @@ object SparkEntry {
     "dq_aggregate_consistency", "geo_hotspot", "evt_streaks",
     "ts_forecast_interval", "agg_theil", "text_heaps",
     "sample_balanced", "text_novelty", "ml_logreg",
-    "interval_coverage",
+    "interval_coverage", "ts_strength",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -1190,6 +1190,46 @@ object SparkEntry {
       graft.operators.TimeSeries.decompose(hc, "event_type",
           expr("unix_timestamp(hour) div 3600"), hour($"hour"), "v")
         .orderBy($"event_type", $"x")
+    }),
+
+    "ts_strength" -> ((s, dir) => {
+      import s.implicits._
+      // Trend/seasonal STRENGTH (Hyndman FPP) of the per-type hourly
+      // decomposition: F = max(0, 1 - Var(R)/Var(component + R)) —
+      // fully integer via cross-multiplied variance ratios and one
+      // guarded decimalDivTrunc per component; "is there even a
+      // cycle worth modeling" in one row per type. SIDE-EFFECTING
+      // (rides the decompose construction).
+      val hc = Tables.events(s, dir)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+        .agg((count(lit(1)) * 1000000L).as("v"))
+      val d = graft.operators.TimeSeries.decompose(hc, "event_type",
+        expr("unix_timestamp(hour) div 3600"), hour($"hour"), "v")
+      val dec = "decimal(38,0)"
+      val m = d.select($"event_type",
+          ($"value_micros" - $"trend_micros" - $"seasonal_micros")
+            .as("r"),
+          ($"value_micros" - $"seasonal_micros").as("tr"),
+          ($"value_micros" - $"trend_micros").as("sr"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"r".cast(dec)).as("sr_"), sum($"r".cast(dec) * $"r").as("qr"),
+          sum($"tr".cast(dec)).as("st"), sum($"tr".cast(dec) * $"tr").as("qt"),
+          sum($"sr".cast(dec)).as("ss"), sum($"sr".cast(dec) * $"sr").as("qs"))
+      def strength(q: String, sCol: String) = {
+        val ratio = graft.operators.Quality.decimalDivTrunc(
+          ($"n".cast(dec) * $"qr" - $"sr_" * $"sr_") * lit(1000000L),
+          nullif($"n".cast(dec) * col(q) - col(sCol) * col(sCol),
+            lit(0).cast(dec))).cast("long")
+        // NULL must stay NULL: Spark greatest SKIPS null operands
+        when(ratio.isNull, lit(null).cast("long"))
+          .otherwise(greatest(lit(0L), lit(1000000L) - ratio))
+      }
+      m.filter($"n" > 1L)
+        .select($"event_type", $"n".cast("bigint").as("n"),
+          strength("qt", "st").as("trend_strength_ppm"),
+          strength("qs", "ss").as("seasonal_strength_ppm"))
+        .orderBy($"event_type")
     }),
 
     "ts_anomaly_robust" -> ((s, dir) => {
@@ -8897,6 +8937,56 @@ object SparkEntry {
         |    AS residual_micros
         |FROM t JOIN se ON t.k = se.k AND t.slot = se.slot
         |ORDER BY event_type, x""".stripMargin,
+
+    // the decompose replay reduced to per-key variance ratios; the
+    // strengths are cross-multiplied integer divisions, clamped
+    "ts_strength" ->
+      """WITH m AS (SELECT event_type AS k, date_trunc('hour', ts) AS hb,
+        |    CAST(count(*) AS BIGINT) * 1000000 AS y
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT k, CAST(floor(epoch(hb)) AS BIGINT) // 3600 AS x,
+        |    CAST(hour(hb) AS BIGINT) AS slot, y FROM m),
+        |c AS (SELECT k, x, slot, y,
+        |    x - min(x) OVER (PARTITION BY k) AS x0 FROM b),
+        |p AS (SELECT a.k, (bb.y - a.y) * 1000000 // (bb.x0 - a.x0) AS s
+        |  FROM c a JOIN c bb ON a.k = bb.k AND a.x0 < bb.x0),
+        |sl AS (SELECT k, CAST(quantile_disc(s, 0.5) AS BIGINT)
+        |    AS slope FROM p GROUP BY 1),
+        |ic AS (SELECT c.k, sl.slope,
+        |    CAST(quantile_disc(c.y * 1000000 - sl.slope * c.x0, 0.5)
+        |      AS BIGINT) AS icpt
+        |  FROM c JOIN sl ON c.k = sl.k GROUP BY 1, 2),
+        |t AS (SELECT c.k, c.x, c.slot, c.y,
+        |    (ic.icpt + ic.slope * c.x0) // 1000000 AS trend
+        |  FROM c JOIN ic ON c.k = ic.k),
+        |se AS (SELECT k, slot,
+        |    CAST(quantile_disc(y - trend, 0.5) AS BIGINT) AS seasonal
+        |  FROM t GROUP BY 1, 2),
+        |comp AS (SELECT t.k,
+        |    t.y - t.trend - se.seasonal AS r,
+        |    t.y - se.seasonal AS tr,
+        |    t.y - t.trend AS sr
+        |  FROM t JOIN se ON t.k = se.k AND t.slot = se.slot),
+        |mm AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(r AS HUGEINT)) AS sr_,
+        |    sum(CAST(r AS HUGEINT) * r) AS qr,
+        |    sum(CAST(tr AS HUGEINT)) AS st,
+        |    sum(CAST(tr AS HUGEINT) * tr) AS qt,
+        |    sum(CAST(sr AS HUGEINT)) AS ss,
+        |    sum(CAST(sr AS HUGEINT) * sr) AS qs
+        |  FROM comp GROUP BY 1)
+        |SELECT k AS event_type, n,
+        |  CASE WHEN n * qt - st * st = 0 THEN NULL
+        |    ELSE greatest(0, 1000000 -
+        |      CAST(((CAST(n AS HUGEINT) * qr - sr_ * sr_) * 1000000)
+        |        // (CAST(n AS HUGEINT) * qt - st * st) AS BIGINT)) END
+        |    AS trend_strength_ppm,
+        |  CASE WHEN n * qs - ss * ss = 0 THEN NULL
+        |    ELSE greatest(0, 1000000 -
+        |      CAST(((CAST(n AS HUGEINT) * qr - sr_ * sr_) * 1000000)
+        |        // (CAST(n AS HUGEINT) * qs - ss * ss) AS BIGINT)) END
+        |    AS seasonal_strength_ppm
+        |FROM mm WHERE n > 1 ORDER BY k""".stripMargin,
 
     // the ts_decompose replay extended with quantile_disc median/MAD
     // and the cross-multiplied HUGEINT flag — no division anywhere
