@@ -123,7 +123,7 @@ object SparkEntry {
     "dq_aggregate_consistency", "geo_hotspot", "asof_nearest",
     "evt_streaks", "ts_forecast_interval", "agg_theil", "text_heaps",
     "sample_balanced", "text_novelty", "ml_logreg",
-    "interval_coverage", "ts_strength",
+    "interval_coverage", "ts_strength", "agg_hhi",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -425,7 +425,7 @@ object SparkEntry {
     "dq_aggregate_consistency", "geo_hotspot", "evt_streaks",
     "ts_forecast_interval", "agg_theil", "text_heaps",
     "sample_balanced", "text_novelty", "ml_logreg",
-    "interval_coverage", "ts_strength",
+    "interval_coverage", "ts_strength", "agg_hhi",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -1109,6 +1109,25 @@ object SparkEntry {
           perClass = 50)
         .select($"o_orderpriority", $"sample_rank", $"o_orderkey")
         .orderBy($"o_orderpriority", $"sample_rank")
+    }),
+
+    "agg_hhi" -> ((s, dir) => {
+      import s.implicits._
+      // Herfindahl-Hirschman concentration of supplier revenue — the
+      // antitrust-style market-concentration number next to
+      // gini/theil/lorenz: HHI = sum(share^2), exact as
+      // (sum(rev^2)*1e6) div (sum(rev))^2. One row, fully integer.
+      val rev = Tables.lineitem(s, dir)
+        .groupBy($"l_suppkey")
+        .agg(sum(round($"l_extendedprice" * 100).cast("long"))
+          .as("cents"))
+      rev.agg(count(lit(1)).as("__k"),
+          sum($"cents".cast("decimal(38,0)")).as("__s"),
+          sum($"cents".cast("decimal(38,0)") * $"cents").as("__q"))
+        .filter($"__s" > 0)
+        .select($"__k".cast("bigint").as("n_suppliers"),
+          expr("CAST(__q * 1000000 div (__s * __s) AS BIGINT)")
+            .as("hhi_ppm"))
     }),
 
     "agg_theil" -> ((s, dir) => {
@@ -8730,6 +8749,20 @@ object SparkEntry {
         |SELECT o_orderpriority, sample_rank, o_orderkey
         |FROM r WHERE sample_rank <= 50
         |ORDER BY o_orderpriority, sample_rank""".stripMargin,
+
+    // sum of squared shares as one cross-multiplied integer division
+    "agg_hhi" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS s,
+        |    CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS q
+        |  FROM rev)
+        |SELECT k AS n_suppliers,
+        |  CAST((q * 1000000) // (s * s) AS BIGINT) AS hhi_ppm
+        |FROM m WHERE s > 0""".stripMargin,
 
     // per-row and per-group micro-quantized ln terms summed
     // order-free; the decomposition identity exact on quantized ints
