@@ -51,7 +51,9 @@ import graft.streaming.EventStreams
   * eagerly, one count per round); `graph_diameter` runs both BFS
   * sweeps and its two 1-row seed lookups eagerly; `ts_pacf` collects
   * the lag-scale acf for the driver-side Durbin-Levinson fold;
-  * `ml_logreg` runs its fixed GD-step aggregates eagerly.
+  * `ml_logreg` runs its fixed GD-step aggregates eagerly;
+  * `agg_theil`/`text_novelty`/`text_heaps` localCheckpoint their
+  * multi-consumer derived tables at construction.
   * Callers that only want a plan should skip those.
   */
 object SparkEntry {

@@ -1246,6 +1246,8 @@ object Quality {
     val base = df.select(groupExpr.cast("string").as("g"),
         valueExpr.cast("long").as("x"))
       .filter(col("g").isNotNull && col("x").isNotNull && col("x") > 0L)
+      .localCheckpoint(true) // three consumers (totals, terms, groups)
+                             // must not re-run the caller's upstream
     val tot = base.agg(count(lit(1)).as("__n"),
       sum(col("x").cast(dec)).as("__s"))
     val nD = col("__n").cast("double")

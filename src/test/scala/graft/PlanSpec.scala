@@ -813,6 +813,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("agg_theil: totals/terms/groups read the checkpointed unit table, never orders again") {
+    val p = plan("agg_theil")
+    assert(!p.contains("orders.parquet"),
+      "theil plan re-runs the caller's revenue aggregation:\n" + p)
+    assert(!p.contains("customer.parquet"),
+      "theil plan re-runs the nation join:\n" + p)
+  }
+
+  test("text_novelty: first-occurrence join reads the checkpointed occurrence table, never documents again") {
+    val p = plan("text_novelty")
+    assert(!p.contains("documents.parquet"),
+      "novelty plan re-tokenizes the corpus per consumer:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("ab_yuen: boundary and moment passes read the checkpointed prefix table, never events again") {
     val p = plan("ab_yuen")
     // cumCounts localCheckpoints the distinct-value table; the three
