@@ -126,6 +126,7 @@ object SparkEntry {
     "evt_streaks", "ts_forecast_interval", "agg_theil", "text_heaps",
     "sample_balanced", "text_novelty", "ml_logreg",
     "interval_coverage", "ts_strength", "agg_hhi",
+    "feat_eb_shrinkage",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -428,6 +429,7 @@ object SparkEntry {
     "ts_forecast_interval", "agg_theil", "text_heaps",
     "sample_balanced", "text_novelty", "ml_logreg",
     "interval_coverage", "ts_strength", "agg_hhi",
+    "feat_eb_shrinkage",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -1086,6 +1088,18 @@ object SparkEntry {
           sum(when($"__gap" <= 100L, 1L).otherwise(0L)).cast("bigint")
             .as("n_within_dollar"),
           max($"__gap").cast("bigint").as("max_gap_cents"))
+    }),
+
+    "feat_eb_shrinkage" -> ((s, dir) => {
+      import s.implicits._
+      // Empirical-Bayes shrinkage of per-nation urgent-order rates —
+      // thin nations pull toward the prior, rich ones barely move.
+      // Rates quantize to exact ppm FIRST, so the MoM prior is a
+      // pure function of integers; one mirrored tree per posterior.
+      val j = Tables.orders(s, dir).join(Tables.customer(s, dir),
+        $"o_custkey" === $"c_custkey")
+      Features.ebShrinkRates(j, $"c_nationkey",
+        $"o_orderpriority".isin("1-URGENT", "2-HIGH"))
     }),
 
     "ml_logreg" -> ((s, dir) => {
@@ -8701,6 +8715,45 @@ object SparkEntry {
         |  CAST(CAST(sum(cm) AS HUGEINT) // count(*) AS BIGINT)
         |    AS mean_cos_micros
         |FROM a WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // rates quantized to ppm first; MoM prior and posteriors are
+    // mirrored trees over exact integers; degenerate prior = pass-through
+    "feat_eb_shrinkage" ->
+      """WITH seg AS (SELECT c_nationkey AS segment,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN o_orderpriority IN
+        |      ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS successes
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |r AS (SELECT *, CAST((CAST(successes AS HUGEINT) * 1000000)
+        |    // n AS BIGINT) AS raw_ppm FROM seg),
+        |pr AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(CAST(raw_ppm AS HUGEINT)) AS HUGEINT) AS sp,
+        |    CAST(sum(CAST(raw_ppm AS HUGEINT) * raw_ppm) AS HUGEINT)
+        |      AS qp
+        |  FROM r),
+        |p2 AS (SELECT *,
+        |    CAST(sp AS DOUBLE) / CAST(k AS DOUBLE) / 1000000.0 AS m,
+        |    CAST(k AS HUGEINT) * qp - sp * sp AS vnum
+        |  FROM pr),
+        |p3 AS (SELECT *,
+        |    CASE WHEN k >= 2 AND vnum > 0 THEN
+        |      m * (1.0 - m)
+        |      / (CAST(vnum AS DOUBLE)
+        |        / CAST(CAST(k AS HUGEINT) * (k - 1) AS DOUBLE)
+        |        / 1000000000000.0) - 1.0
+        |    END AS kp
+        |  FROM p2)
+        |SELECT r.segment, r.n, r.successes, r.raw_ppm,
+        |  CASE WHEN p3.kp IS NOT NULL AND p3.kp > 0.0 THEN
+        |    CAST(round((CAST(r.successes AS DOUBLE) + p3.kp * p3.m)
+        |      / (CAST(r.n AS DOUBLE) + p3.kp) * 1000000) AS BIGINT)
+        |  ELSE r.raw_ppm END AS shrunk_ppm,
+        |  CASE WHEN p3.kp IS NOT NULL AND p3.kp > 0.0
+        |    THEN CAST(round(p3.kp * 1000000) AS BIGINT) END
+        |    AS prior_strength_micros
+        |FROM r, p3 ORDER BY r.segment""".stripMargin,
 
     // the 5 GD steps unrolled: per-row micro-quantized gradients,
     // integer weight state, truncating-division updates

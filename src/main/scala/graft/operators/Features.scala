@@ -1088,6 +1088,68 @@ object Features {
           .as("p_micros"))
   }
 
+  /** Empirical-Bayes rate shrinkage (beta-binomial, method of
+    * moments) — the small-segment stabilizer every per-segment rate
+    * dashboard needs (a 3-of-7 segment "beats" a 3000-of-10000 one
+    * on the raw rate; shrinkage pulls thin evidence toward the
+    * prior, leaving rich evidence alone): fit the prior strength
+    * `K = m(1−m)/v − 1` from the moments of the segment rates, then
+    * `shrunk_i = (s_i + K·m)/(n_i + K)`.
+    *
+    * Exactness: segment rates quantize FIRST to exact integer ppm
+    * (`(s·10⁶) div n`), so the across-segment moments are exact
+    * integer sums (order-free); m, v, K and each posterior are ONE
+    * mirrored IEEE tree from exact integers, micro-quantized on
+    * output. Degenerate priors (k < 2, zero across-segment variance,
+    * or K ≤ 0 — rates more dispersed than any beta-binomial) emit
+    * the RAW rate as the shrunk rate with a NULL prior strength:
+    * no-shrinkage is a statement, not an error. Returns one row per
+    * segment: (segment, n, successes, raw_ppm, shrunk_ppm,
+    * prior_strength_micros).
+    *
+    * Scale: one row-scale hash-agg to k segment rows; the prior fit
+    * is a 1-row broadcast. */
+  def ebShrinkRates(df: DataFrame, segmentExpr: Column,
+      successExpr: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val seg = df.select(segmentExpr.cast("string").as("segment"),
+        successExpr.cast("boolean").as("__y"))
+      .filter(col("segment").isNotNull && col("__y").isNotNull)
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("successes"))
+      .withColumn("raw_ppm",
+        expr("CAST(successes AS DECIMAL(38,0)) * 1000000 div n")
+          .cast("long"))
+    val prior = seg.agg(count(lit(1)).as("__k"),
+      sum(col("raw_ppm").cast(dec)).as("__sp"),
+      sum(col("raw_ppm").cast(dec) * col("raw_ppm")).as("__qp"))
+    val kD = col("__k").cast("double")
+    val m = col("__sp").cast("double") / kD / lit(1e6)
+    val vNum = (col("__k").cast(dec) * col("__qp") -
+      col("__sp") * col("__sp"))
+    val v = vNum.cast("double") /
+      (col("__k").cast(dec) * (col("__k") - 1L)).cast("double") / lit(1e12)
+    val kPrior = m * (lit(1.0) - m) / v - lit(1.0)
+    val shrunk = (col("successes").cast("double") +
+      col("__kp") * col("__m")) /
+      (col("n").cast("double") + col("__kp"))
+    seg.crossJoin(broadcast(prior)) // 1-row prior moments
+      .withColumn("__m", m)
+      .withColumn("__kp",
+        when(col("__k") >= 2L && vNum > 0, kPrior))
+      .select(col("segment"), col("n").cast("bigint").as("n"),
+        col("successes").cast("bigint").as("successes"),
+        col("raw_ppm"),
+        when(col("__kp").isNotNull && col("__kp") > 0.0,
+            round(shrunk * 1e6).cast("long"))
+          .otherwise(col("raw_ppm")).as("shrunk_ppm"),
+        when(col("__kp").isNotNull && col("__kp") > 0.0,
+            round(col("__kp") * 1e6).cast("long"))
+          .otherwise(lit(null).cast("long")).as("prior_strength_micros"))
+      .orderBy(col("segment"))
+  }
+
   /** Logistic regression by fixed-schedule gradient descent with
     * INTEGER weight state — the hash-graded member of the ML family
     * (TF-IDF/W2V/PCA grade through gates because their float

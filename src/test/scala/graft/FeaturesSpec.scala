@@ -583,4 +583,38 @@ class FeaturesSpec extends SparkSpec {
       Features.posthocPairs(rows, $"g", $"x", maxGroups = 2L)
     }
   }
+
+  test("ebShrinkRates: mirrored MoM prior, thin segments shrink hardest, flat rates pass through") {
+    import spark.implicits._
+    // a: 3/7 (thin), b: 3000/10000 (rich), c: 500/1000
+    val rows = (Seq.fill(3)(("a", true)) ++ Seq.fill(4)(("a", false)) ++
+      Seq.fill(3000)(("b", true)) ++ Seq.fill(7000)(("b", false)) ++
+      Seq.fill(500)(("c", true)) ++ Seq.fill(500)(("c", false)))
+      .toDF("g", "y")
+    val got = Features.ebShrinkRates(rows, $"g", $"y").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5)))))
+      .toMap
+    val pm = Seq(3000000L / 7L, 300000L, 500000L) // quantized ppm
+    val k = 3.0
+    val m = pm.sum.toDouble / k / 1e6
+    val vNum = (BigInt(3) * pm.map(p => BigInt(p) * p).sum -
+      BigInt(pm.sum) * BigInt(pm.sum)).toDouble
+    val v = vNum / (k * (k - 1)) / 1e12
+    val kp = m * (1.0 - m) / v - 1.0
+    def shrunk(s: Double, n: Double): Long =
+      math.round((s + kp * m) / (n + kp) * 1e6)
+    assert(got("a") == ((7L, 3000000L / 7L, shrunk(3, 7),
+      Some(math.round(kp * 1e6)))))
+    assert(got("b")._3 == shrunk(3000, 10000))
+    // the thin segment moves farther toward the prior mean
+    assert(math.abs(got("a")._3 - got("a")._2) >
+      math.abs(got("b")._3 - got("b")._2))
+    // identical rates: zero across-segment variance -> pass-through
+    val flat = (Seq.fill(2)(("x", true)) ++ Seq.fill(2)(("x", false)) ++
+      Seq.fill(5)(("y", true)) ++ Seq.fill(5)(("y", false)))
+      .toDF("g", "y")
+    val f = Features.ebShrinkRates(flat, $"g", $"y").collect()
+    assert(f.forall(r => r.getLong(4) == r.getLong(3) && r.isNullAt(5)))
+  }
 }
