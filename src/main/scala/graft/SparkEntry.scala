@@ -126,7 +126,7 @@ object SparkEntry {
     "evt_streaks", "ts_forecast_interval", "agg_theil", "text_heaps",
     "sample_balanced", "text_novelty", "ml_logreg",
     "interval_coverage", "ts_strength", "agg_hhi",
-    "feat_eb_shrinkage",
+    "feat_eb_shrinkage", "ab_tost",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -429,7 +429,7 @@ object SparkEntry {
     "ts_forecast_interval", "agg_theil", "text_heaps",
     "sample_balanced", "text_novelty", "ml_logreg",
     "interval_coverage", "ts_strength", "agg_hhi",
-    "feat_eb_shrinkage",
+    "feat_eb_shrinkage", "ab_tost",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -1088,6 +1088,18 @@ object SparkEntry {
           sum(when($"__gap" <= 100L, 1L).otherwise(0L)).cast("bigint")
             .as("n_within_dollar"),
           max($"__gap").cast("bigint").as("max_gap_cents"))
+    }),
+
+    "ab_tost" -> ((s, dir) => {
+      import s.implicits._
+      // TOST equivalence of purchase cents by user parity at a $2
+      // margin — the A/A-check/ship-if-not-worse readout: a pass is
+      // a POSITIVE statement of sameness, not a failure to detect.
+      // Exact moments, mirrored one-sided tails. One row.
+      Features.tostEquivalence(
+        Tables.events(s, dir).filter($"event_type" === "purchase"),
+        pmod($"user_id", lit(2)) === 0,
+        round($"value" * 100).cast("long"), margin = 200L)
     }),
 
     "feat_eb_shrinkage" -> ((s, dir) => {
@@ -8715,6 +8727,73 @@ object SparkEntry {
         |  CAST(CAST(sum(cm) AS HUGEINT) // count(*) AS BIGINT)
         |    AS mean_cos_micros
         |FROM a WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // exact HUGEINT moments; both one-sided tails mirrored through
+    // the shared polynomial; verdict on the unrounded max
+    "ab_tost" ->
+      """WITH base AS (SELECT (user_id % 2 = 0) AS t,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    sum(CASE WHEN t THEN CAST(y AS HUGEINT) ELSE 0 END) AS st,
+        |    sum(CASE WHEN t THEN CAST(y AS HUGEINT) * y ELSE 0 END)
+        |      AS sst,
+        |    CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nc,
+        |    sum(CASE WHEN NOT t THEN CAST(y AS HUGEINT) ELSE 0 END)
+        |      AS sc,
+        |    sum(CASE WHEN NOT t THEN CAST(y AS HUGEINT) * y ELSE 0 END)
+        |      AS ssc
+        |  FROM base),
+        |d AS (SELECT *,
+        |    CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+        |      - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE) AS diff,
+        |    CAST(CAST(nt AS HUGEINT) * sst - st * st AS DOUBLE)
+        |      / CAST(CAST(nt AS HUGEINT) * (nt - 1) AS DOUBLE)
+        |      / CAST(nt AS DOUBLE)
+        |    + CAST(CAST(nc AS HUGEINT) * ssc - sc * sc AS DOUBLE)
+        |      / CAST(CAST(nc AS HUGEINT) * (nc - 1) AS DOUBLE)
+        |      / CAST(nc AS DOUBLE) AS se2
+        |  FROM m WHERE nt > 1 AND nc > 1),
+        |tt AS (SELECT *, (diff + 200.0) / sqrt(se2) AS tl,
+        |    (200.0 - diff) / sqrt(se2) AS tu
+        |  FROM d WHERE se2 > 0.0),
+        |pp AS (SELECT *,
+        |    CASE WHEN tl >= 0.0 THEN
+        |      ((1.0 / (1.0 + 0.3275911 * (abs(tl) / 1.4142135623730951)))
+        |       * (0.254829592 + (1.0 / (1.0 + 0.3275911 * (abs(tl) / 1.4142135623730951))) * (-0.284496736
+        |       + (1.0 / (1.0 + 0.3275911 * (abs(tl) / 1.4142135623730951))) * (1.421413741
+        |       + (1.0 / (1.0 + 0.3275911 * (abs(tl) / 1.4142135623730951))) * (-1.453152027
+        |       + (1.0 / (1.0 + 0.3275911 * (abs(tl) / 1.4142135623730951))) * 1.061405429))))
+        |       * exp(-((abs(tl) / 1.4142135623730951) * (abs(tl) / 1.4142135623730951)))) / 2.0
+        |    ELSE 1.0 - ((1.0 / (1.0 + 0.3275911 * (abs(tl) / 1.4142135623730951)))
+        |       * (0.254829592 + (1.0 / (1.0 + 0.3275911 * (abs(tl) / 1.4142135623730951))) * (-0.284496736
+        |       + (1.0 / (1.0 + 0.3275911 * (abs(tl) / 1.4142135623730951))) * (1.421413741
+        |       + (1.0 / (1.0 + 0.3275911 * (abs(tl) / 1.4142135623730951))) * (-1.453152027
+        |       + (1.0 / (1.0 + 0.3275911 * (abs(tl) / 1.4142135623730951))) * 1.061405429))))
+        |       * exp(-((abs(tl) / 1.4142135623730951) * (abs(tl) / 1.4142135623730951)))) / 2.0 END AS pl,
+        |    CASE WHEN tu >= 0.0 THEN
+        |      ((1.0 / (1.0 + 0.3275911 * (abs(tu) / 1.4142135623730951)))
+        |       * (0.254829592 + (1.0 / (1.0 + 0.3275911 * (abs(tu) / 1.4142135623730951))) * (-0.284496736
+        |       + (1.0 / (1.0 + 0.3275911 * (abs(tu) / 1.4142135623730951))) * (1.421413741
+        |       + (1.0 / (1.0 + 0.3275911 * (abs(tu) / 1.4142135623730951))) * (-1.453152027
+        |       + (1.0 / (1.0 + 0.3275911 * (abs(tu) / 1.4142135623730951))) * 1.061405429))))
+        |       * exp(-((abs(tu) / 1.4142135623730951) * (abs(tu) / 1.4142135623730951)))) / 2.0
+        |    ELSE 1.0 - ((1.0 / (1.0 + 0.3275911 * (abs(tu) / 1.4142135623730951)))
+        |       * (0.254829592 + (1.0 / (1.0 + 0.3275911 * (abs(tu) / 1.4142135623730951))) * (-0.284496736
+        |       + (1.0 / (1.0 + 0.3275911 * (abs(tu) / 1.4142135623730951))) * (1.421413741
+        |       + (1.0 / (1.0 + 0.3275911 * (abs(tu) / 1.4142135623730951))) * (-1.453152027
+        |       + (1.0 / (1.0 + 0.3275911 * (abs(tu) / 1.4142135623730951))) * 1.061405429))))
+        |       * exp(-((abs(tu) / 1.4142135623730951) * (abs(tu) / 1.4142135623730951)))) / 2.0 END AS pu
+        |  FROM tt)
+        |SELECT nt AS n_t, nc AS n_c,
+        |  CAST(round(diff * 1000000) AS BIGINT) AS diff_micros,
+        |  CAST(round(tl * 1000000) AS BIGINT) AS t_lower_micros,
+        |  CAST(round(tu * 1000000) AS BIGINT) AS t_upper_micros,
+        |  CAST(round(greatest(pl, pu) * 1000000) AS BIGINT) AS p_micros,
+        |  greatest(pl, pu) < 0.05 AS equivalent
+        |FROM pp""".stripMargin,
 
     // rates quantized to ppm first; MoM prior and posteriors are
     // mirrored trees over exact integers; degenerate prior = pass-through

@@ -1088,6 +1088,75 @@ object Features {
           .as("p_micros"))
   }
 
+  /** TOST equivalence test (two one-sided tests) — the question
+    * [[welchTTest]] cannot answer: "are these arms the SAME, up to a
+    * margin we don't care about?" (failing to reject a difference is
+    * NOT evidence of equivalence; TOST rejects both "worse than −δ"
+    * and "better than +δ", so a pass is a positive statement — the
+    * test behind ship-if-not-worse decisions and A/A checks):
+    * `t_L = (Δ + δ)/se`, `t_U = (δ − Δ)/se` on the Welch standard
+    * error, `p = max` of the two one-sided tails; equivalent iff
+    * p < α.
+    *
+    * Exactness: per-arm exact DECIMAL moments (the welch contract);
+    * Δ, se, both t's and both one-sided tails are mirrored IEEE
+    * trees through the shared [[Quality.pValueTwoSidedZ]] polynomial
+    * (large-sample normal read, the rank tests' stance); the verdict
+    * compares the unrounded p against α — both engines branch on
+    * identical doubles. Degenerate arms (n < 2 or zero combined
+    * variance) return empty. Returns one row (n_t, n_c, diff_micros,
+    * t_lower_micros, t_upper_micros, p_micros, equivalent).
+    *
+    * Scale: ONE map-side-combined aggregate; nothing shuffles. */
+  def tostEquivalence(df: DataFrame, treatmentExpr: Column,
+      metricExpr: Column, margin: Long,
+      alphaMicros: Long = 50000L): DataFrame = {
+    require(margin > 0L, s"margin must be > 0 (got $margin)")
+    require(alphaMicros > 0L && alphaMicros < 1000000L,
+      s"alphaMicros must be in (0, 1e6) (got $alphaMicros)")
+    val dec = "decimal(38,0)"
+    val c = df.select(treatmentExpr.as("__t"),
+        metricExpr.cast("long").as("__y"))
+      .filter(col("__t").isNotNull && col("__y").isNotNull)
+      .agg(
+        sum(when(col("__t"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("__t"), col("__y")).otherwise(0L).cast(dec))
+          .as("__st"),
+        sum(when(col("__t"), col("__y").cast(dec) * col("__y"))
+          .otherwise(lit(0).cast(dec))).as("__sst"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(!col("__t"), col("__y")).otherwise(0L).cast(dec))
+          .as("__sc"),
+        sum(when(!col("__t"), col("__y").cast(dec) * col("__y"))
+          .otherwise(lit(0).cast(dec))).as("__ssc"))
+    def variance(n: Column, s: Column, ss: Column) =
+      (n.cast(dec) * ss - s * s).cast("double") /
+        (n.cast(dec) * (n - 1)).cast("double")
+    val se2 = variance(col("n_t"), col("__st"), col("__sst")) /
+      col("n_t").cast("double") +
+      variance(col("n_c"), col("__sc"), col("__ssc")) /
+        col("n_c").cast("double")
+    val diff = col("__st").cast("double") / col("n_t").cast("double") -
+      col("__sc").cast("double") / col("n_c").cast("double")
+    val d = lit(margin.toDouble)
+    val tL = (diff + d) / sqrt(col("__se2"))
+    val tU = (d - diff) / sqrt(col("__se2"))
+    def upperTail(t: Column) =
+      when(t >= 0.0, Quality.pValueTwoSidedZ(t) / 2.0)
+        .otherwise(lit(1.0) - Quality.pValueTwoSidedZ(t) / 2.0)
+    c.filter(col("n_t") > 1L && col("n_c") > 1L)
+      .withColumn("__se2", se2)
+      .filter(col("__se2") > 0.0)
+      .withColumn("__p", greatest(upperTail(tL), upperTail(tU)))
+      .select(col("n_t").cast("bigint").as("n_t"),
+        col("n_c").cast("bigint").as("n_c"),
+        round(diff * 1e6).cast("long").as("diff_micros"),
+        round(tL * 1e6).cast("long").as("t_lower_micros"),
+        round(tU * 1e6).cast("long").as("t_upper_micros"),
+        round(col("__p") * 1e6).cast("long").as("p_micros"),
+        (col("__p") < lit(alphaMicros.toDouble / 1e6)).as("equivalent"))
+  }
+
   /** Empirical-Bayes rate shrinkage (beta-binomial, method of
     * moments) — the small-segment stabilizer every per-segment rate
     * dashboard needs (a 3-of-7 segment "beats" a 3000-of-10000 one

@@ -617,4 +617,29 @@ class FeaturesSpec extends SparkSpec {
     val f = Features.ebShrinkRates(flat, $"g", $"y").collect()
     assert(f.forall(r => r.getLong(4) == r.getLong(3) && r.isNullAt(5)))
   }
+
+  test("tostEquivalence: mirrored one-sided t's, wide margin passes, tight margin refuses") {
+    import spark.implicits._
+    val rows = (Seq(10L, 12L, 14L).map((true, _)) ++
+      Seq(11L, 13L, 15L).map((false, _))).toDF("t", "y")
+    val se2 = 4.0 / 3.0 + 4.0 / 3.0 // both arm variances are 4
+    val wide = Features.tostEquivalence(rows, $"t", $"y", margin = 5L)
+      .collect().head
+    assert(wide.getLong(2) == -1000000L)
+    assert(wide.getLong(3) ==
+      math.round((-1.0 + 5.0) / math.sqrt(se2) * 1e6))
+    assert(wide.getLong(4) ==
+      math.round((5.0 - -1.0) / math.sqrt(se2) * 1e6))
+    assert(wide.getLong(5) < 50000L && wide.getBoolean(6))
+    // margin 1: t_lower = 0 -> one-sided p = 0.5 -> not equivalent
+    val tight = Features.tostEquivalence(rows, $"t", $"y", margin = 1L)
+      .collect().head
+    assert(tight.getLong(3) == 0L)
+    assert(tight.getLong(5) >= 499000L && !tight.getBoolean(6))
+    // degenerate arm -> empty
+    assert(Features.tostEquivalence(rows.filter($"y" =!= 10L), $"t",
+      $"y", margin = 5L).count() == 1L) // n_t = 2 still fine
+    assert(Features.tostEquivalence(rows.filter($"t"), $"t", $"y",
+      margin = 5L).count() == 0L)
+  }
 }
