@@ -126,7 +126,7 @@ object SparkEntry {
     "evt_streaks", "ts_forecast_interval", "agg_theil", "text_heaps",
     "sample_balanced", "text_novelty", "ml_logreg",
     "interval_coverage", "ts_strength", "agg_hhi",
-    "feat_eb_shrinkage", "ab_tost",
+    "feat_eb_shrinkage", "ab_tost", "ab_delta_method",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -429,7 +429,7 @@ object SparkEntry {
     "ts_forecast_interval", "agg_theil", "text_heaps",
     "sample_balanced", "text_novelty", "ml_logreg",
     "interval_coverage", "ts_strength", "agg_hhi",
-    "feat_eb_shrinkage", "ab_tost",
+    "feat_eb_shrinkage", "ab_tost", "ab_delta_method",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -1088,6 +1088,21 @@ object SparkEntry {
           sum(when($"__gap" <= 100L, 1L).otherwise(0L)).cast("bigint")
             .as("n_within_dollar"),
           max($"__gap").cast("bigint").as("max_gap_cents"))
+    }),
+
+    "ab_delta_method" -> ((s, dir) => {
+      import s.implicits._
+      // Delta-method z for the RATIO metric revenue-per-purchase by
+      // user parity — the closed form next to ab_jackknife's
+      // resampling CI (a ratio of sums is not a mean of ratios).
+      // Six exact moments per arm, one mirrored linearized tree.
+      val per = Tables.events(s, dir)
+        .filter($"event_type" === "purchase")
+        .groupBy($"user_id")
+        .agg(sum(round($"value" * 100).cast("long")).as("cents"),
+          count(lit(1)).as("cnt"))
+      Features.deltaMethodRatio(per, pmod($"user_id", lit(2)) === 0,
+        $"cents", $"cnt")
     }),
 
     "ab_tost" -> ((s, dir) => {
@@ -8727,6 +8742,80 @@ object SparkEntry {
         |  CAST(CAST(sum(cm) AS HUGEINT) // count(*) AS BIGINT)
         |    AS mean_cos_micros
         |FROM a WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // six exact HUGEINT moments per arm; the linearized variance and
+    // z one mirrored tree through the shared polynomial
+    "ab_delta_method" ->
+      """WITH per AS (SELECT user_id,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS x,
+        |    CAST(count(*) AS BIGINT) AS y,
+        |    (user_id % 2 = 0) AS t
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    sum(CASE WHEN t THEN CAST(x AS HUGEINT) ELSE 0 END) AS sxt,
+        |    sum(CASE WHEN t THEN CAST(y AS HUGEINT) ELSE 0 END) AS syt,
+        |    sum(CASE WHEN t THEN CAST(x AS HUGEINT) * x ELSE 0 END)
+        |      AS qxt,
+        |    sum(CASE WHEN t THEN CAST(y AS HUGEINT) * y ELSE 0 END)
+        |      AS qyt,
+        |    sum(CASE WHEN t THEN CAST(x AS HUGEINT) * y ELSE 0 END)
+        |      AS xyt,
+        |    CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nc,
+        |    sum(CASE WHEN NOT t THEN CAST(x AS HUGEINT) ELSE 0 END)
+        |      AS sxc,
+        |    sum(CASE WHEN NOT t THEN CAST(y AS HUGEINT) ELSE 0 END)
+        |      AS syc,
+        |    sum(CASE WHEN NOT t THEN CAST(x AS HUGEINT) * x ELSE 0 END)
+        |      AS qxc,
+        |    sum(CASE WHEN NOT t THEN CAST(y AS HUGEINT) * y ELSE 0 END)
+        |      AS qyc,
+        |    sum(CASE WHEN NOT t THEN CAST(x AS HUGEINT) * y ELSE 0 END)
+        |      AS xyc
+        |  FROM per),
+        |d AS (SELECT *,
+        |    CAST(sxt AS DOUBLE) / CAST(syt AS DOUBLE) AS rt,
+        |    CAST(sxc AS DOUBLE) / CAST(syc AS DOUBLE) AS rc,
+        |    (CAST(CAST(nt AS HUGEINT) * qxt - sxt * sxt AS DOUBLE)
+        |        / CAST(CAST(nt AS HUGEINT) * (nt - 1) AS DOUBLE)
+        |      - 2.0 * (CAST(sxt AS DOUBLE) / CAST(syt AS DOUBLE))
+        |        * CAST(CAST(nt AS HUGEINT) * xyt - sxt * syt AS DOUBLE)
+        |        / CAST(CAST(nt AS HUGEINT) * (nt - 1) AS DOUBLE)
+        |      + (CAST(sxt AS DOUBLE) / CAST(syt AS DOUBLE))
+        |        * (CAST(sxt AS DOUBLE) / CAST(syt AS DOUBLE))
+        |        * CAST(CAST(nt AS HUGEINT) * qyt - syt * syt AS DOUBLE)
+        |        / CAST(CAST(nt AS HUGEINT) * (nt - 1) AS DOUBLE))
+        |    / (CAST(nt AS DOUBLE)
+        |      * (CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      * (CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE))) AS se2t,
+        |    (CAST(CAST(nc AS HUGEINT) * qxc - sxc * sxc AS DOUBLE)
+        |        / CAST(CAST(nc AS HUGEINT) * (nc - 1) AS DOUBLE)
+        |      - 2.0 * (CAST(sxc AS DOUBLE) / CAST(syc AS DOUBLE))
+        |        * CAST(CAST(nc AS HUGEINT) * xyc - sxc * syc AS DOUBLE)
+        |        / CAST(CAST(nc AS HUGEINT) * (nc - 1) AS DOUBLE)
+        |      + (CAST(sxc AS DOUBLE) / CAST(syc AS DOUBLE))
+        |        * (CAST(sxc AS DOUBLE) / CAST(syc AS DOUBLE))
+        |        * CAST(CAST(nc AS HUGEINT) * qyc - syc * syc AS DOUBLE)
+        |        / CAST(CAST(nc AS HUGEINT) * (nc - 1) AS DOUBLE))
+        |    / (CAST(nc AS DOUBLE)
+        |      * (CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE))
+        |      * (CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE))) AS se2c
+        |  FROM m WHERE nt > 1 AND nc > 1 AND syt <> 0 AND syc <> 0),
+        |z AS (SELECT *, (rt - rc) / sqrt(se2t + se2c) AS zz
+        |  FROM d WHERE se2t + se2c > 0.0),
+        |x0 AS (SELECT *, abs(zz) / 1.4142135623730951 AS x FROM z),
+        |t0 AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS tt FROM x0)
+        |SELECT nt AS n_t, nc AS n_c,
+        |  CAST(round(rt * 1000000) AS BIGINT) AS ratio_t_micros,
+        |  CAST(round(rc * 1000000) AS BIGINT) AS ratio_c_micros,
+        |  CAST(round(zz * 1000000) AS BIGINT) AS z_micros,
+        |  CAST(round((tt * (0.254829592 + tt * (-0.284496736
+        |    + tt * (1.421413741 + tt * (-1.453152027
+        |    + tt * 1.061405429)))) * exp(-(x * x))) * 1000000)
+        |    AS BIGINT) AS p_micros
+        |FROM t0""".stripMargin,
 
     // exact HUGEINT moments; both one-sided tails mirrored through
     // the shared polynomial; verdict on the unrounded max

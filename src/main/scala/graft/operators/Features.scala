@@ -1088,6 +1088,73 @@ object Features {
           .as("p_micros"))
   }
 
+  /** Delta-method test for RATIO metrics (revenue per session,
+    * clicks per view) — the closed form next to [[jackknifeRatioCI]]'s
+    * resampling answer: a ratio of sums is NOT a mean of ratios, and
+    * naive per-unit averaging biases both the estimate and its
+    * variance; the delta method linearizes `R = Σx/Σy` around the
+    * means, `Var(R) ≈ (σ²_x − 2Rσ_xy + R²σ²_y)/(n·ȳ²)`, and the two
+    * arms compare on `z = (R_t − R_c)/√(se²_t + se²_c)`.
+    *
+    * Exactness: per arm the six moments (n, Σx, Σy, Σx², Σy², Σxy)
+    * are exact DECIMAL integers in ONE aggregate; every downstream
+    * quantity is a mirrored IEEE tree through the shared
+    * [[Quality.pValueTwoSidedZ]] polynomial. Degenerate inputs (an
+    * arm with n < 2 or Σy = 0, or zero combined variance) return
+    * empty. Returns one row (n_t, n_c, ratio_t_micros,
+    * ratio_c_micros, z_micros, p_micros).
+    *
+    * Scale: ONE map-side-combined aggregate over the unit table. */
+  def deltaMethodRatio(df: DataFrame, treatmentExpr: Column,
+      numExpr: Column, denExpr: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    def side(p: String, t: Column) = Seq(
+      sum(when(t, 1L).otherwise(0L)).as(s"n_$p"),
+      sum(when(t, col("__x")).otherwise(0L).cast(dec)).as(s"__sx_$p"),
+      sum(when(t, col("__y")).otherwise(0L).cast(dec)).as(s"__sy_$p"),
+      sum(when(t, col("__x").cast(dec) * col("__x"))
+        .otherwise(lit(0).cast(dec))).as(s"__qx_$p"),
+      sum(when(t, col("__y").cast(dec) * col("__y"))
+        .otherwise(lit(0).cast(dec))).as(s"__qy_$p"),
+      sum(when(t, col("__x").cast(dec) * col("__y"))
+        .otherwise(lit(0).cast(dec))).as(s"__xy_$p"))
+    val base = df.select(treatmentExpr.as("__t"),
+        numExpr.cast("long").as("__x"), denExpr.cast("long").as("__y"))
+      .filter(col("__t").isNotNull && col("__x").isNotNull &&
+        col("__y").isNotNull)
+    val aggs = side("t", col("__t")) ++ side("c", !col("__t"))
+    val m = base.agg(aggs.head, aggs.tail: _*)
+    def se2(p: String): Column = {
+      val n = col(s"n_$p").cast("double")
+      val r = col(s"__sx_$p").cast("double") /
+        col(s"__sy_$p").cast("double")
+      val nn = col(s"n_$p").cast(dec)
+      val vx = (nn * col(s"__qx_$p") - col(s"__sx_$p") * col(s"__sx_$p"))
+        .cast("double") / (nn * (col(s"n_$p") - 1L)).cast("double")
+      val vy = (nn * col(s"__qy_$p") - col(s"__sy_$p") * col(s"__sy_$p"))
+        .cast("double") / (nn * (col(s"n_$p") - 1L)).cast("double")
+      val cxy = (nn * col(s"__xy_$p") - col(s"__sx_$p") * col(s"__sy_$p"))
+        .cast("double") / (nn * (col(s"n_$p") - 1L)).cast("double")
+      val ybar = col(s"__sy_$p").cast("double") / n
+      (vx - lit(2.0) * r * cxy + r * r * vy) / (n * ybar * ybar)
+    }
+    def ratio(p: String) = col(s"__sx_$p").cast("double") /
+      col(s"__sy_$p").cast("double")
+    val z = (ratio("t") - ratio("c")) / sqrt(se2("t") + se2("c"))
+    m.filter(col("n_t") > 1L && col("n_c") > 1L &&
+        col("__sy_t") =!= 0 && col("__sy_c") =!= 0)
+      .withColumn("__se2", se2("t") + se2("c"))
+      .filter(col("__se2") > 0.0)
+      .withColumn("__z", z)
+      .select(col("n_t").cast("bigint").as("n_t"),
+        col("n_c").cast("bigint").as("n_c"),
+        round(ratio("t") * 1e6).cast("long").as("ratio_t_micros"),
+        round(ratio("c") * 1e6).cast("long").as("ratio_c_micros"),
+        round(col("__z") * 1e6).cast("long").as("z_micros"),
+        round(Quality.pValueTwoSidedZ(col("__z")) * 1e6).cast("long")
+          .as("p_micros"))
+  }
+
   /** TOST equivalence test (two one-sided tests) — the question
     * [[welchTTest]] cannot answer: "are these arms the SAME, up to a
     * margin we don't care about?" (failing to reject a difference is

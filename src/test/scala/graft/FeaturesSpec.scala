@@ -642,4 +642,44 @@ class FeaturesSpec extends SparkSpec {
     assert(Features.tostEquivalence(rows.filter($"t"), $"t", $"y",
       margin = 5L).count() == 0L)
   }
+
+  test("deltaMethodRatio: mirrored linearized variance, identical arms z=0, degenerates empty") {
+    import spark.implicits._
+    // unit rows (treat, num, den): t-arm {(10,2),(20,4),(30,4)},
+    // c-arm {(12,3),(18,3),(30,4)} — ratios 6 and 6: z must be 0
+    val same = Seq((true, 10L, 2L), (true, 20L, 4L), (true, 30L, 4L),
+      (false, 12L, 3L), (false, 18L, 3L), (false, 30L, 4L))
+      .toDF("t", "x", "y")
+    val s = Features.deltaMethodRatio(same, $"t", $"x", $"y")
+      .collect().head
+    assert((s.getLong(2), s.getLong(3)) == ((6000000L, 6000000L)))
+    assert(s.getLong(4) == 0L && s.getLong(5) == 1000000L)
+    // a shifted t-arm: mirror the full tree
+    val rows = Seq((true, 12L, 2L), (true, 24L, 4L), (true, 36L, 4L),
+      (false, 12L, 3L), (false, 18L, 3L), (false, 30L, 4L))
+      .toDF("t", "x", "y")
+    val r = Features.deltaMethodRatio(rows, $"t", $"x", $"y")
+      .collect().head
+    def se2(xs: Seq[(Long, Long)]): Double = {
+      val n = xs.size.toDouble
+      val (sx, sy) = (xs.map(_._1).sum.toDouble, xs.map(_._2).sum.toDouble)
+      val rr = sx / sy
+      val qx = xs.map(p => p._1.toDouble * p._1).sum
+      val qy = xs.map(p => p._2.toDouble * p._2).sum
+      val xy = xs.map(p => p._1.toDouble * p._2).sum
+      val vx = (n * qx - sx * sx) / (n * (n - 1))
+      val vy = (n * qy - sy * sy) / (n * (n - 1))
+      val cxy = (n * xy - sx * sy) / (n * (n - 1))
+      val ybar = sy / n
+      (vx - 2.0 * rr * cxy + rr * rr * vy) / (n * ybar * ybar)
+    }
+    val tArm = Seq((12L, 2L), (24L, 4L), (36L, 4L))
+    val cArm = Seq((12L, 3L), (18L, 3L), (30L, 4L))
+    val zExp = (72.0 / 10.0 - 60.0 / 10.0) /
+      math.sqrt(se2(tArm) + se2(cArm))
+    assert(r.getLong(4) == math.round(zExp * 1e6))
+    // zero denominator sum, or 1-row arm -> empty
+    assert(Features.deltaMethodRatio(
+      same.withColumn("y", lit(0L)), $"t", $"x", $"y").count() == 0L)
+  }
 }
