@@ -813,6 +813,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("one-aggregate stats scan their fact table exactly once") {
+    // the one-pass contract of the moment-based tests: a second scan
+    // means the conditional aggregation silently split
+    // formatted explain prints each scan twice (tree line + detail
+    // header), so one physical scan = two matching lines
+    for (name <- Seq("ab_tost", "ab_delta_method", "ab_effect_size")) {
+      val p = plan(name)
+      val scans = p.linesIterator.count(_.contains("Scan parquet")) / 2
+      assert(scans <= (if (name == "ab_effect_size") 2 else 1),
+        s"$name scans $scans times:\n$p")
+      assert(!p.contains("CartesianProduct"), name + "\n" + p)
+    }
+  }
+
   test("agg_theil: totals/terms/groups read the checkpointed unit table, never orders again") {
     val p = plan("agg_theil")
     assert(!p.contains("orders.parquet"),
