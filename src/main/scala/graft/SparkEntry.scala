@@ -126,7 +126,7 @@ object SparkEntry {
     "evt_streaks", "ts_forecast_interval", "agg_theil", "text_heaps",
     "sample_balanced", "text_novelty", "ml_logreg",
     "interval_coverage", "ts_strength", "agg_hhi",
-    "feat_eb_shrinkage", "ab_tost", "ab_delta_method",
+    "feat_eb_shrinkage", "ab_tost", "ab_delta_method", "ab_levene",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -429,7 +429,7 @@ object SparkEntry {
     "ts_forecast_interval", "agg_theil", "text_heaps",
     "sample_balanced", "text_novelty", "ml_logreg",
     "interval_coverage", "ts_strength", "agg_hhi",
-    "feat_eb_shrinkage", "ab_tost", "ab_delta_method",
+    "feat_eb_shrinkage", "ab_tost", "ab_delta_method", "ab_levene",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -6767,6 +6767,24 @@ object SparkEntry {
         $"l_extendedprice", $"l_returnflag" === "R")
     }),
 
+    "ab_levene" -> ((s, dir) => {
+      import s.implicits._
+      // Levene/Brown-Forsythe variance-homogeneity test across the
+      // five priorities — the assumption check BEFORE any pooled
+      // test: one-way ANOVA on |x - group median| (median, not mean:
+      // robust to the tails that motivate the question). The median
+      // is percentile_disc (an actual data value), so the absolute
+      // deviations stay exact integers into the anovaF machinery.
+      val base = Tables.orders(s, dir).select($"o_orderpriority".as("g"),
+        round($"o_totalprice" * 100).cast("long").as("x"))
+      val med = base.groupBy($"g")
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY x)")
+          .cast("long").as("__med"))
+      val dev = base.join(med, "g")
+        .select($"g", abs($"x" - $"__med").as("z"))
+      Features.anovaF(dev, $"g", $"z")
+    }),
+
     "ab_anova" -> ((s, dir) => {
       import s.implicits._
       // One-way ANOVA F across the five order priorities on order
@@ -10793,6 +10811,59 @@ object SparkEntry {
         |  CAST(s // (CAST(n_a AS HUGEINT) * n_b * 1000000) AS BIGINT)
         |    AS a2_micros
         |FROM a""".stripMargin,
+
+    // quantile_disc medians (actual data values) keep the absolute
+    // deviations exact integers; then the ab_anova machinery verbatim
+    "ab_levene" ->
+      """WITH raw AS (SELECT o_orderpriority AS g,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v0
+        |  FROM orders),
+        |med AS (SELECT g, CAST(quantile_disc(v0, 0.5) AS BIGINT) AS m
+        |  FROM raw GROUP BY 1),
+        |base AS (SELECT raw.g, abs(v0 - m) AS x
+        |  FROM raw JOIN med ON med.g = raw.g),
+        |pg AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sg,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS qg
+        |  FROM base GROUP BY 1),
+        |a AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(sg) AS HUGEINT) AS s,
+        |    CAST(sum(qg) AS HUGEINT) AS q,
+        |    sum((sg * sg * 1000) // CAST(ng AS HUGEINT)) AS aa
+        |  FROM pg),
+        |b AS (SELECT *, aa - (s * s * 1000) // CAST(n AS HUGEINT) AS ssb,
+        |    q * 1000 - aa AS ssw
+        |  FROM a WHERE k >= 2 AND n > k),
+        |c AS (SELECT * FROM b WHERE ssw > 0),
+        |f0 AS (SELECT n, k,
+        |    CASE WHEN ssb > 0 THEN
+        |      (CAST(ssb AS DOUBLE) * CAST(n - k AS DOUBLE))
+        |      / (CAST(ssw AS DOUBLE) * CAST(k - 1 AS DOUBLE))
+        |    ELSE 0.0 END AS f,
+        |    CAST(k - 1 AS DOUBLE) AS d1, CAST(n - k AS DOUBLE) AS d2
+        |  FROM c),
+        |cb AS (SELECT *,
+        |    exp(ln(CASE WHEN f > 0 THEN f END) / 3.0) AS cbf
+        |  FROM f0),
+        |zz AS (SELECT *,
+        |    ((1.0 - 2.0 / (9.0 * d2)) * cbf - (1.0 - 2.0 / (9.0 * d1)))
+        |    / sqrt((2.0 / (9.0 * d2)) * cbf * cbf + 2.0 / (9.0 * d1))
+        |      AS z
+        |  FROM cb),
+        |x0 AS (SELECT *, abs(z) / 1.4142135623730951 AS x FROM zz),
+        |t0 AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS tt FROM x0),
+        |p AS (SELECT n, k, f, z,
+        |    (tt * (0.254829592 + tt * (-0.284496736
+        |      + tt * (1.421413741 + tt * (-1.453152027
+        |      + tt * 1.061405429)))) * exp(-(x * x))) AS p2
+        |  FROM t0)
+        |SELECT n, k AS n_groups,
+        |  CAST(round(f * 1000000) AS BIGINT) AS f_micros,
+        |  CAST(round((CASE WHEN f <= 0.0 THEN 1.0
+        |    WHEN z >= 0.0 THEN p2 / 2.0
+        |    ELSE 1.0 - p2 / 2.0 END) * 1000000) AS BIGINT) AS p_micros
+        |FROM p""".stripMargin,
 
     // exact HUGEINT group moments; milli-scaled sums of squares by
     // truncating division; F one IEEE division; Paulson cube roots
