@@ -127,6 +127,7 @@ object SparkEntry {
     "sample_balanced", "text_novelty", "ml_logreg",
     "interval_coverage", "ts_strength", "agg_hhi",
     "feat_eb_shrinkage", "ab_tost", "ab_delta_method", "ab_levene",
+    "dq_duplicate_rows",
     // round-13 additions (graded green in CORRECTNESS_r13)
     "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
@@ -430,6 +431,7 @@ object SparkEntry {
     "sample_balanced", "text_novelty", "ml_logreg",
     "interval_coverage", "ts_strength", "agg_hhi",
     "feat_eb_shrinkage", "ab_tost", "ab_delta_method", "ab_levene",
+    "dq_duplicate_rows",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -1062,6 +1064,21 @@ object SparkEntry {
       // recall contract the dedup_minhash threshold rests on.
       // Mirrored exp/ln powers; reads no data by design.
       graft.llm.Dedup.lshTuning(s, bands = 8, rowsPerBand = 1)
+    }),
+
+    "dq_duplicate_rows" -> ((s, dir) => {
+      import s.implicits._
+      // Full-row duplicate census over lineitem — the load-bug
+      // detector (a re-run ingest doubles rows bit-identically; no
+      // key-based check sees it): group by EVERY column, count the
+      // multiplicity tail. One summary row, exact integers.
+      val li = Tables.lineitem(s, dir)
+      li.groupBy(li.columns.map(col): _*)
+        .agg(count(lit(1)).as("__c"))
+        .agg(sum($"__c").cast("bigint").as("n_rows"),
+          count(lit(1)).cast("bigint").as("n_distinct"),
+          sum($"__c" - 1L).cast("bigint").as("dup_rows"),
+          max($"__c").cast("bigint").as("max_multiplicity"))
     }),
 
     "dq_aggregate_consistency" -> ((s, dir) => {
@@ -9035,6 +9052,18 @@ object SparkEntry {
         |SELECT tot.n, bt.k AS n_groups, t.tt AS theil_micros,
         |  bt.bb AS between_micros, t.tt - bt.bb AS within_micros
         |FROM tot, t, bt WHERE tot.n > 0""".stripMargin,
+
+    // group by every column; the multiplicity tail is the census
+    "dq_duplicate_rows" ->
+      """WITH g AS (SELECT count(*) AS c FROM lineitem
+        |  GROUP BY l_orderkey, l_partkey, l_suppkey, l_linenumber,
+        |    l_quantity, l_extendedprice, l_discount, l_tax,
+        |    l_returnflag, l_linestatus, l_shipdate)
+        |SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(c - 1) AS BIGINT) AS dup_rows,
+        |  CAST(max(c) AS BIGINT) AS max_multiplicity
+        |FROM g""".stripMargin,
 
     // per-line cents re-rounded identically; integer gap summary
     "dq_aggregate_consistency" ->
