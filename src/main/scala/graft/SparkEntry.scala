@@ -102,109 +102,16 @@ object SparkEntry {
        |    columns={$cols})""".stripMargin
   }
 
-  /** Queries the driver's correctness window has never graded (rounds
-    * 1-8 capped at ~130 of 175 registered). Verify iterates `queries`
-    * in insertion order, so these run FIRST: if the window caps again,
-    * it caps on queries that already have official PASS rows, not on
-    * the ones that have never produced official signal. Newly added
-    * queries belong here too until a CORRECTNESS artifact records them. */
+  /** Queries with no official PASS row yet. Verify iterates
+    * `queries` in insertion order, so these run FIRST: if the
+    * driver's correctness window ever caps again, it caps on queries
+    * that already have official PASS rows, not on the ones still
+    * waiting for one. CORRECTNESS_r14 graded the full 399-query
+    * registry, so the list resets to: the one r14 FAIL, plus each
+    * round's new queries until an artifact records them. */
   private val neverGradedFirst: Seq[String] = Seq(
-    // round-14 additions (no artifact yet)
-    "ts_holt_winters", "ts_changepoint", "dq_drift_fdr", "ab_sequential",
-    "dq_referential", "ts_backtest", "ts_decompose", "graph_jaccard",
-    "ab_power", "feat_conformal", "sim_range_search",
-    "sim_range_search_gate", "ab_poststrat", "ab_mannwhitney",
-    "decontaminate_semantic", "decontaminate_semantic_gate",
-    "feat_median_ci", "ts_anomaly_robust", "graph_ktruss",
-    "ab_kruskal", "ab_effect_size", "feat_avg_precision",
-    "ts_dominant_period", "dq_cvm", "ab_anova", "feat_calibration",
-    "surv_logrank", "dq_ad", "feat_brier", "ab_mcnemar", "ab_cmh",
-    "ab_posthoc", "graph_diameter", "ab_yuen", "text_code_detect",
-    "ts_pacf", "graph_rich_club", "evt_lorenz", "dedup_lsh_tuning",
-    "sim_centroid_assign", "evt_entry_exit", "dq_overdispersion",
-    "dq_aggregate_consistency", "geo_hotspot", "asof_nearest",
-    "evt_streaks", "ts_forecast_interval", "agg_theil", "text_heaps",
-    "sample_balanced", "text_novelty", "ml_logreg",
-    "interval_coverage", "ts_strength", "agg_hhi",
-    "feat_eb_shrinkage", "ab_tost", "ab_delta_method", "ab_levene",
-    "dq_duplicate_rows",
-    // round-13 additions (graded green in CORRECTNESS_r13)
-    "graph_hits", "dq_fd_violations", "ab_jackknife", "ab_did",
-    "ab_bh_fdr", "ts_theilsen", "sim_hard_negatives",
-    "sim_hard_negatives_gate", "text_distinct_ngrams", "ts_mann_kendall",
-    // round-12 additions (no artifact yet)
-    "ts_cusum", "ts_acf", "surv_kaplan_meier", "graph_adamic_adar",
-    "dq_l_diversity", "dq_cramers_v", "cust_rfm", "hilbert_layout",
-    "text_textrank", "sim_mmr_gate", "sample_kcenter_gate",
-    "evt_cusum_replay", "geo_radius_join",
-    "evt_markov_attribution", "evt_markov_attribution_gate",
-    "feat_cdf_normalize", "text_phrase_search",
-    "dq_mutual_info", "ts_holt", "evt_cumulative_users",
-    "dq_js_divergence", "agg_topn_other", "feat_isotonic",
-    "feat_isotonic_gate", "url_canonical_dedup", "evt_holt_replay",
-    "dq_corr_matrix", "feat_decayed_activity", "evt_gini",
-    "dq_type_inference", "evt_stickiness", "ts_drawdown",
-    "win_mom_change",
-    // round-11 additions (no artifact yet)
-    "text_bm25_indexed", "text_bm25_index_append_gate",
-    "graph_modularity", "dq_ks", "feat_auc", "evt_attribution",
-    "text_entropy", "graph_louvain", "dq_chi2", "feat_gains",
-    "dq_k_anonymity", "text_keywords", "link_fs_scores",
-    "text_readability", "text_zipf", "agg_mode", "agg_winsorized_mean",
-    "merge_survivorship", "evt_attribution_replay",
-    "feat_spearman", "ab_ztest", "text_bm25_batch",
-    "evt_funnel_windowed", "graph_closeness", "growth_accounting",
-    "ts_seasonality", "feat_group_regression", "dq_wasserstein",
-    "cohort_ltv", "graph_assortativity", "evt_interarrival",
-    "ab_ttest", "text_vocab_stats", "graph_degree_hist",
-    "evt_set_completion", "agg_share",
-    // round-10 additions (no artifact yet)
-    "mm_decode_video_frames", "catalog_persistent_roundtrip",
-    "evt_dedup_replay", "dedup_minhash_incremental_gate",
-    "dedup_clusters_incremental_gate", "dedup_embedding_incremental_gate",
-    "dq_drift_stream", "pipeline_incremental_dedup_gate",
-    // round-9 additions (all green in CORRECTNESS_r09 except q12's
-    // type artifact, fixed this round — kept early while the fix lands)
-    "bpe_byte_fallback_gate", "evt_stream_join_outer", "bloommap_prune",
-    "mm_decode_video", "asof_bucketed",
-    "zonemap_append", "bloommap_append", "wap_publish", "compact_refresh",
-    "evt_audited_sink", "graph_triangles", "graph_kcore", "dq_drift",
-    "graph_local_triangles", "dq_drift_categorical",
-    "q7_volume_shipping", "q8_market_share", "q13_custdist",
-    "q19_disjunctive", "q21_late_suppliers", "q22_idle_balances",
-    "dedup_spans", "dedup_span_removal_gate",
-    "sim_topk_pq", "sim_recall_pq",
-    "ts_anomaly", "evt_top_paths", "agg_corr_regr",
-    "q9_profit", "q12_ship_priority", "q15_top_supplier",
-    "q16_supplier_cnt", "q17_small_qty_revenue", "q18_large_orders",
-    "q2_min_cost_supplier", "q11_important_parts", "q20_excess_shippers",
-    "skew_profile", "sketch_cms_persist", "dedup_incremental_gate",
-    "evt_stream_join_full", "sketch_stream_cms", "text_bigram_nll",
-    "graph_pagerank",
-    // unseen by CORRECTNESS_r01..r08
-    "agg_approx_distinct_gate", "agg_grouping_sets", "asof_signup_value",
-    "bpe_tokenize", "corpus_overlap", "date_funcs", "decontaminate",
-    "decontaminate_bloom_gate", "dedup_fingerprint", "dedup_minhash",
-    "dq_invalid_codes", "dq_profile", "feat_percentile_buckets_approx",
-    "feat_percentile_buckets_kll", "feat_percentile_buckets_window",
-    "fuzzy_join_names", "interval_overlap_campaigns", "json_event_stats",
-    "ml_tfidf", "ml_word2vec", "mm_content_hash", "orc_roundtrip",
-    "pack_sequences", "pipeline_text_features", "pipeline_tokenize_pack",
-    "q14_promo_revenue", "q3_shipping", "q4_priority", "range_layout",
-    "sample_by_key", "sample_weighted_pps", "sample_weighted_topk",
-    "set_intersect", "sim_ivf_append_recall", "sim_recall_ivf",
-    "sim_recall_lsh", "sim_topk_ivf", "sketch_theta_persist",
-    "sql_tablesample", "str_funcs", "text_chunk", "text_repetition",
-    "win_lag_delta", "win_rank_family", "win_topk_parts",
-    // round-10 additions
-    "graph_label_prop", "dedup_containment", "text_gopher_rules",
-    "text_collocations", "agg_salted_collect", "sim_knn_graph_recall",
-    "evt_anomaly_replay", "graph_assoc_rules",
-    "graph_pagerank_personalized", "json_variant_stats",
-    "feat_target_encode", "dq_outliers_mad", "dq_psi", "feat_cuped",
-    "dq_winsorize", "text_rrf_fusion", "text_blocklist",
-    "partition_dynamic_overwrite", "unigram_gate", "unigram_tokenize",
-    "dq_woe", "dq_benford", "fuzzy_rank_names")
+    // the one non-PASS row in CORRECTNESS_r14 (oracle rewritten r15)
+    "ts_holt_winters")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -6031,12 +5938,17 @@ object SparkEntry {
       import s.implicits._
       // nearest as-of: for each signup, the user's temporally
       // CLOSEST purchase either side (truncated-second distance,
-      // ties go backward — the full pandas merge_asof surface)
+      // ties go backward — the full pandas merge_asof surface).
+      // Purchases pre-reduce to one row per (user_id, ts) with
+      // min(value) so same-timestamp duplicates resolve the same way
+      // on both engines (the window carry would otherwise pick an
+      // arbitrary row among exact-ts ties).
       val ev = Tables.events(s, dir)
       val signups = ev.filter($"event_type" === "signup")
         .select($"event_id", $"user_id", $"ts")
       val purchases = ev.filter($"event_type" === "purchase")
-        .select($"user_id", $"ts".as("purchase_ts"), $"value".as("purchase_value"))
+        .groupBy($"user_id", $"ts".as("purchase_ts"))
+        .agg(min($"value").as("purchase_value"))
       AsOf.joinAsOf(signups, purchases, "user_id", "ts", "purchase_ts",
           payload = Seq("purchase_value"), direction = "nearest")
         .select($"event_id", $"user_id",
@@ -7272,7 +7184,11 @@ object SparkEntry {
             $"l1.l_partkey" < $"l2.l_partkey")
         .select($"l1.l_partkey".as("a"), $"l2.l_partkey".as("b"))
         .distinct()
-      Graph.kTruss(pairs, k = 4, "a", "b")
+      // maxIter matches the oracle's 10 unrolled rounds exactly: a
+      // graph needing more rounds makes the engine fail LOUDLY
+      // (kTruss convergence require) instead of silently grading
+      // against a not-yet-converged oracle edge set.
+      Graph.kTruss(pairs, k = 4, "a", "b", maxIter = 10)
         .orderBy($"id_a", $"id_b")
     }),
 
@@ -9163,9 +9079,13 @@ object SparkEntry {
         |FROM fin, hh ORDER BY event_type, step""".stripMargin,
 
     // the Holt recurrence plus a 24-slot seasonal LIST carried through
-    // the recursion: slot s_t updates by a slice-splice, every step is
-    // long multiply + truncating division on both engines; l2 inlines
-    // where reused (recursive members can't alias laterally)
+    // the recursion: slot s_t updates by rebuilding the list with
+    // list_transform over range(1,25) and a CASE on the slot index —
+    // the ts_pacf dialect (list_transform + bracket indexing), chosen
+    // over list_slice/list_concat splicing for grader portability;
+    // every step is long multiply + truncating division on both
+    // engines; the recursive member computes shared terms (slot, old
+    // slot value, new level) in a FROM-subquery, pacf-style
     "ts_holt_winters" ->
       """WITH RECURSIVE
         |c AS (SELECT event_type AS k, date_trunc('hour', ts) AS h,
@@ -9182,29 +9102,26 @@ object SparkEntry {
         |r AS (
         |  SELECT k, i, l, b, sv FROM seed
         |  UNION ALL
-        |  SELECT s.k, s.i,
-        |    (300000 * (s.x - list_extract(r.sv, ((s.i - 1) % 24) + 1))
-        |      + 700000 * (r.l + r.b)) // 1000000 AS l,
-        |    (100000 * (((300000 * (s.x
-        |          - list_extract(r.sv, ((s.i - 1) % 24) + 1))
-        |        + 700000 * (r.l + r.b)) // 1000000) - r.l)
-        |      + 900000 * r.b) // 1000000 AS b,
-        |    list_concat(list_concat(
-        |      list_slice(r.sv, 1, (s.i - 1) % 24),
-        |      [(300000 * (s.x - ((300000 * (s.x
-        |            - list_extract(r.sv, ((s.i - 1) % 24) + 1))
-        |          + 700000 * (r.l + r.b)) // 1000000))
-        |        + 700000 * list_extract(r.sv, ((s.i - 1) % 24) + 1))
-        |        // 1000000]),
-        |      list_slice(r.sv, ((s.i - 1) % 24) + 2, 24)) AS sv
-        |  FROM r JOIN s ON s.k = r.k AND s.i = r.i + 1),
+        |  SELECT k, i, lnew AS l,
+        |    (100000 * (lnew - lold) + 900000 * bold) // 1000000 AS b,
+        |    list_transform(range(1, 25), j ->
+        |      CASE WHEN j = slot
+        |        THEN (300000 * (x - lnew) + 700000 * sold) // 1000000
+        |        ELSE sv[CAST(j AS INT)] END) AS sv
+        |  FROM (SELECT s.k AS k, s.i AS i, s.x AS x,
+        |      r.l AS lold, r.b AS bold, r.sv AS sv,
+        |      ((s.i - 1) % 24) + 1 AS slot,
+        |      r.sv[CAST(((s.i - 1) % 24) + 1 AS INT)] AS sold,
+        |      (300000 * (s.x - r.sv[CAST(((s.i - 1) % 24) + 1 AS INT)])
+        |        + 700000 * (r.l + r.b)) // 1000000 AS lnew
+        |    FROM r JOIN s ON s.k = r.k AND s.i = r.i + 1) t),
         |fin AS (SELECT r.k, cnt.n, r.l, r.b, r.sv FROM r
         |  JOIN cnt ON r.k = cnt.k AND r.i = cnt.n WHERE cnt.n > 24),
         |hh AS (SELECT CAST(range AS BIGINT) AS step FROM range(1, 13))
         |SELECT k AS event_type, CAST(n AS BIGINT) AS n_obs,
         |  l AS level_micros, b AS trend_micros, step,
         |  CAST(l + step * b
-        |    + list_extract(sv, ((n + step - 1) % 24) + 1) AS BIGINT)
+        |    + sv[CAST(((n + step - 1) % 24) + 1 AS INT)] AS BIGINT)
         |    AS forecast_micros
         |FROM fin, hh ORDER BY event_type, step""".stripMargin,
 
@@ -12854,7 +12771,8 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sessions AS (
         |  SELECT user_id, event_id, ts, event_type,
-        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |      AS BIGINT) AS session_id
         |  FROM marked),
@@ -12881,7 +12799,7 @@ object SparkEntry {
 
     "evt_sessionize" ->
       """WITH marked AS (
-        |  SELECT user_id, ts, value,
+        |  SELECT user_id, event_id, ts, value,
         |    CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER w IS NULL
         |           OR CAST(floor(epoch(ts)) AS BIGINT)
         |              - lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER w > 1800
@@ -12890,7 +12808,8 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sessions AS (
         |  SELECT user_id, ts, value,
-        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM marked)
         |SELECT user_id, session_id, date_trunc('second', min(ts)) AS session_start,
@@ -14669,12 +14588,15 @@ object SparkEntry {
         |ORDER BY s.event_id""".stripMargin,
 
     // the two directional candidates derived independently, then the
-    // engine's pick: truncated-second distance, ties backward
+    // engine's pick: truncated-second distance, ties backward;
+    // purchases pre-reduced to one row per (user_id, ts) by
+    // min(value) so the payload join-back cannot fan out on
+    // same-timestamp duplicates
     "asof_nearest" ->
       """WITH s AS (SELECT event_id, user_id, ts FROM events
         |  WHERE event_type = 'signup'),
-        |p AS (SELECT user_id, ts AS pts, value FROM events
-        |  WHERE event_type = 'purchase'),
+        |p AS (SELECT user_id, ts AS pts, min(value) AS value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
         |b AS (SELECT s.event_id, max(p.pts) AS bts
         |  FROM s JOIN p ON p.user_id = s.user_id AND p.pts <= s.ts
         |  GROUP BY 1),
