@@ -977,10 +977,20 @@ object SparkEntry {
       import s.implicits._
       // Full-row duplicate census over lineitem — the load-bug
       // detector (a re-run ingest doubles rows bit-identically; no
-      // key-based check sees it): group by EVERY column, count the
-      // multiplicity tail. One summary row, exact integers.
+      // key-based check sees it). Fingerprint-first: the row
+      // canonicalizes to md5(to_json(struct(*))) — 128 bits, and
+      // to_json keeps field NAMES so null-position twins like
+      // (NULL,'a') vs ('a',NULL) stay distinct (the raw multi-column
+      // hash null-skip would merge them) — and the census aggregates
+      // multiplicities on the 16-byte key. At 100 TB the exchange
+      // carries fingerprints + partial counts, never the full row
+      // width (the Dedup.exact posture). One summary row, exact
+      // integers; identical output to the group-by-every-column plan
+      // up to a 2^-64 birthday bound.
       val li = Tables.lineitem(s, dir)
-      li.groupBy(li.columns.map(col): _*)
+      li.select(md5(to_json(struct(li.columns.map(col): _*)))
+          .as("__fp"))
+        .groupBy($"__fp")
         .agg(count(lit(1)).as("__c"))
         .agg(sum($"__c").cast("bigint").as("n_rows"),
           count(lit(1)).cast("bigint").as("n_distinct"),

@@ -1265,23 +1265,37 @@ object Graph {
     var nEdges = und.count()
     var iter = 0
     var converged = nEdges == 0L
+    // the converged round's surviving support rows — on convergence
+    // the semi-join removed nothing, so these ARE the supports of the
+    // final edge set (supports() only emits in-edge-set pairs, and
+    // every pair with support >= k-2 survives the prune); returning
+    // them directly saves the post-loop O(m^1.5) wedge re-enumeration
+    var lastKeep: Option[DataFrame] = None
     while (!converged && iter < maxIter) {
       iter += 1
       val keep = supports(und).filter(col("support") >= (k - 2).toLong)
+        .localCheckpoint(true)
       val pruned = truncate(und.join(keep.select(col("a"), col("b")),
         Seq("a", "b"), "left_semi"), checkpointDir)
       val n2 = pruned.count()
       converged = n2 == nEdges
       und = pruned
       nEdges = n2
+      lastKeep = Some(keep)
       if (nEdges == 0L) converged = true
     }
     require(converged,
       s"k-truss did not converge in $maxIter rounds ($nEdges edges " +
         "live) — raise maxIter deliberately")
-    und.join(supports(und), Seq("a", "b"))
-      .select(col("a").as("id_a"), col("b").as("id_b"),
-        col("support").cast("bigint").as("support"))
+    lastKeep match {
+      case Some(keep) =>
+        keep.select(col("a").as("id_a"), col("b").as("id_b"),
+          col("support").cast("bigint").as("support"))
+      case None => // empty input graph: loop never ran
+        und.join(supports(und), Seq("a", "b"))
+          .select(col("a").as("id_a"), col("b").as("id_b"),
+            col("support").cast("bigint").as("support"))
+    }
   }
 
   /** Neighborhood Jaccard similarity for link prediction —

@@ -852,4 +852,22 @@ class PlanSpec extends SparkSpec {
       "yuen plan re-runs the row-scale reduction:\n" + p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("dq_duplicate_rows: the census shuffle carries only the row fingerprint") {
+    // the full-row duplicate census must exchange the 128-bit md5
+    // fingerprint + partial counts, never the full lineitem row width
+    // (the one shape the dedup module exists to avoid at 100 TB)
+    val p = plan("dq_duplicate_rows")
+    val blocks = p.split("\\n\\n").toSeq
+    val hashExchanges = blocks.filter(b =>
+      b.linesIterator.exists(_.matches("\\(\\d+\\) Exchange.*")) &&
+        b.contains("Arguments: hashpartitioning"))
+    assert(hashExchanges.nonEmpty, p)
+    hashExchanges.foreach { b =>
+      val input = b.linesIterator.find(_.startsWith("Input")).getOrElse("")
+      assert(input.contains("__fp"), s"fingerprint missing from census shuffle:\n$b")
+      assert(!input.contains("l_extendedprice") && !input.contains("l_orderkey"),
+        s"full row width in census shuffle:\n$b")
+    }
+  }
 }
