@@ -111,7 +111,9 @@ object SparkEntry {
     * round's new queries until an artifact records them. */
   private val neverGradedFirst: Seq[String] = Seq(
     // the one non-PASS row in CORRECTNESS_r14 (oracle rewritten r15)
-    "ts_holt_winters")
+    "ts_holt_winters",
+    // round-15 additions (no artifact yet)
+    "graph_betweenness")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -376,7 +378,7 @@ object SparkEntry {
     "dedup_clusters", "graph_pagerank", "graph_pagerank_personalized",
     "graph_hits", "graph_triangles", "graph_kcore", "graph_ktruss",
     "graph_local_triangles", "graph_shortest_paths", "graph_closeness",
-    "graph_cooccurrence",
+    "graph_betweenness", "graph_cooccurrence",
     "graph_weighted_paths", "graph_label_prop", "graph_modularity",
     "graph_louvain", "graph_assortativity", "graph_degree_hist",
     "graph_assoc_rules", "graph_adamic_adar", "graph_jaccard",
@@ -7338,6 +7340,34 @@ object SparkEntry {
         .orderBy($"seed")
     }),
 
+    "graph_betweenness" -> ((s, dir) => {
+      import s.implicits._
+      // k-seed Brandes betweenness over the 1/8-orders part co-order
+      // graph: forward BFS carries exact path counts, the back sweep
+      // accumulates ppm-quantized dependencies (one truncating
+      // division per successor term — order-free, oracle-replayed by
+      // unrolled level CTEs). Seed panel %997 (the graph_closeness
+      // posture), hop bound 3 — a dense co-order graph saturates by
+      // hop ~4, and each extra hop is a back-sweep round too. Top-100
+      // brokers by a total tie-break. SIDE-EFFECTING (per-hop counts
+      // run eagerly at construction).
+      val li = Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_partkey")
+        .filter(pmod($"l_orderkey", lit(8)) === 0)
+      val pairs = li.as("l1").join(li.as("l2"),
+          $"l1.l_orderkey" === $"l2.l_orderkey" &&
+            $"l1.l_partkey" < $"l2.l_partkey")
+        .select($"l1.l_partkey".as("a"), $"l2.l_partkey".as("b"))
+        .distinct()
+      val seeds = pairs.select($"a".as("id"))
+        .union(pairs.select($"b".as("id")))
+        .filter(pmod($"id", lit(997)) === 0).distinct()
+      Graph.betweennessFromSeeds(pairs, seeds, "a", "b", "id",
+          maxHops = 3)
+        .orderBy($"bc_ppm".desc, $"id")
+        .limit(100)
+    }),
+
     "evt_attribution" -> ((s, dir) => {
       import s.implicits._
       // Multi-touch attribution of purchases to view/click/signup
@@ -12187,6 +12217,75 @@ object SparkEntry {
         |  CAST(coalesce(sum(1000000 // d) FILTER (WHERE d > 0), 0)
         |    AS BIGINT) AS closeness_ppm
         |FROM dist GROUP BY seed ORDER BY seed""".stripMargin,
+
+    // unrolled Brandes: BFS levels l0..l3 carry exact HUGEINT path
+    // counts (sigma of a new vertex = sum over frontier
+    // predecessors); the back sweep d3->d1 quantizes each dependency
+    // term by ONE truncating division of non-negative integers —
+    // order-free, so the per-(seed,vertex) sums replay exactly
+    "graph_betweenness" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |   AND l1.l_partkey < l2.l_partkey
+        |  WHERE l1.l_orderkey % 8 = 0),
+        |e AS MATERIALIZED (SELECT a AS u, b AS v FROM p
+        |  UNION SELECT b AS u, a AS v FROM p),
+        |src AS (SELECT DISTINCT u AS id FROM e WHERE u % 997 = 0),
+        |l0 AS MATERIALIZED (SELECT id AS seed, id,
+        |  CAST(1 AS HUGEINT) AS sigma FROM src),
+        |l1 AS MATERIALIZED (
+        |  SELECT l0.seed, e.v AS id, sum(l0.sigma) AS sigma
+        |  FROM l0 JOIN e ON e.u = l0.id
+        |  WHERE NOT EXISTS (SELECT 1 FROM l0 s
+        |    WHERE s.seed = l0.seed AND s.id = e.v)
+        |  GROUP BY 1, 2),
+        |l2 AS MATERIALIZED (
+        |  SELECT l1.seed, e.v AS id, sum(l1.sigma) AS sigma
+        |  FROM l1 JOIN e ON e.u = l1.id
+        |  WHERE NOT EXISTS (SELECT 1 FROM l0 s
+        |      WHERE s.seed = l1.seed AND s.id = e.v)
+        |    AND NOT EXISTS (SELECT 1 FROM l1 s
+        |      WHERE s.seed = l1.seed AND s.id = e.v)
+        |  GROUP BY 1, 2),
+        |l3 AS MATERIALIZED (
+        |  SELECT l2.seed, e.v AS id, sum(l2.sigma) AS sigma
+        |  FROM l2 JOIN e ON e.u = l2.id
+        |  WHERE NOT EXISTS (SELECT 1 FROM l0 s
+        |      WHERE s.seed = l2.seed AND s.id = e.v)
+        |    AND NOT EXISTS (SELECT 1 FROM l1 s
+        |      WHERE s.seed = l2.seed AND s.id = e.v)
+        |    AND NOT EXISTS (SELECT 1 FROM l2 s
+        |      WHERE s.seed = l2.seed AND s.id = e.v)
+        |  GROUP BY 1, 2),
+        |d3 AS (SELECT seed, id, sigma, CAST(0 AS HUGEINT) AS delta
+        |  FROM l3),
+        |d2 AS MATERIALIZED (
+        |  SELECT c.seed, c.id, c.sigma,
+        |    coalesce(t.dsum, CAST(0 AS HUGEINT)) AS delta
+        |  FROM l2 c LEFT JOIN (
+        |    SELECT c2.seed, c2.id,
+        |      sum((c2.sigma * (1000000 + n.delta)) // n.sigma) AS dsum
+        |    FROM l2 c2 JOIN e ON e.u = c2.id
+        |    JOIN d3 n ON n.seed = c2.seed AND n.id = e.v
+        |    GROUP BY 1, 2) t ON t.seed = c.seed AND t.id = c.id),
+        |d1 AS MATERIALIZED (
+        |  SELECT c.seed, c.id, c.sigma,
+        |    coalesce(t.dsum, CAST(0 AS HUGEINT)) AS delta
+        |  FROM l1 c LEFT JOIN (
+        |    SELECT c2.seed, c2.id,
+        |      sum((c2.sigma * (1000000 + n.delta)) // n.sigma) AS dsum
+        |    FROM l1 c2 JOIN e ON e.u = c2.id
+        |    JOIN d2 n ON n.seed = c2.seed AND n.id = e.v
+        |    GROUP BY 1, 2) t ON t.seed = c.seed AND t.id = c.id),
+        |allv AS (SELECT seed, id, delta FROM d1
+        |  UNION ALL SELECT seed, id, delta FROM d2
+        |  UNION ALL SELECT seed, id, delta FROM d3)
+        |SELECT id, CAST(count(*) AS BIGINT) AS n_seeds,
+        |  CAST(sum(delta) AS BIGINT) AS bc_ppm
+        |FROM allv GROUP BY id
+        |ORDER BY bc_ppm DESC, id LIMIT 100""".stripMargin,
 
     // stream == batch identity pinned in-plan; booleans only
     "evt_attribution_replay" ->

@@ -956,6 +956,122 @@ object Graph {
         coalesce(col("closeness_ppm"), lit(0L)).as("closeness_ppm"))
   }
 
+  /** k-seed Brandes betweenness centrality, hop-bounded — "how much
+    * shortest-path traffic flows THROUGH each vertex", sampled from a
+    * designated seed panel (Brandes 2001 single-source dependency
+    * accumulation; Brandes–Pich 2007 for the k-seed estimator). The
+    * most-requested centrality after PageRank: closeness says how
+    * near a vertex is to everything, betweenness says how much of the
+    * graph's traffic has no way around it — the broker/bottleneck
+    * reading.
+    *
+    * Per seed s: (1) forward BFS levels carrying the shortest-path
+    * COUNT `σ_s(v)` (σ of a new vertex = Σ σ of its frontier
+    * predecessors — exact integers in DECIMAL(38,0)); (2) a back
+    * sweep from the deepest level accumulating the dependency
+    * `δ_s(v) = Σ_{w: succ} σ(v)/σ(w) · (1 + δ(w))` in ppm-quantized
+    * integers: each term is ONE truncating division
+    * `σ(v)·(10⁶ + δ_ppm(w)) div σ(w)` of exact non-negative integers
+    * (σ(v) ≤ σ(w) because v is one of w's predecessors, so the
+    * quotient is ≤ 10⁶ + δ_ppm(w) ≤ 10⁶·V — never near long range),
+    * summed order-free per (seed, vertex). The quantization is
+    * SEMANTICS, replayed identically by a second engine. Returns
+    * (id, n_seeds, bc_ppm) for every vertex reached by ≥ 1 seed at
+    * hop ≥ 1: bc_ppm = Σ_seeds δ_ppm, the unnormalized panel
+    * estimate (scale by V/k externally for the Brandes–Pich
+    * estimate; the seed's own level-0 row is excluded per Brandes).
+    *
+    * Hop bound: dependencies count only shortest paths of length ≤
+    * `maxHops` — the same truncation contract as [[shortestPaths]],
+    * identical in a replay. SIDE-EFFECTING: the per-hop counts run
+    * eagerly at construction.
+    *
+    * Scale, per hop and per back-sweep round: one (seed,id)-keyed
+    * frontier ⋈ edges equi-join + one hash-agg — fixed-width rows
+    * (≤ 40 B), k·V worst-case state guarded LOUDLY by `maxSeeds`,
+    * lineage truncated per round; never an all-pairs anything. */
+  def betweennessFromSeeds(edges: DataFrame, sources: DataFrame,
+      srcCol: String = "id_a", dstCol: String = "id_b",
+      sourceCol: String = "id", maxHops: Int = 4,
+      maxSeeds: Long = 10000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val e = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+    val sym = truncate(
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .filter(col("u") =!= col("v")).distinct(), checkpointDir)
+    val seeds = sources.select(col(sourceCol).cast("long").as("seed"))
+      .distinct()
+    val nSeeds = seeds.count()
+    require(nSeeds <= maxSeeds,
+      s"$nSeeds seeds exceed maxSeeds=$maxSeeds — per-seed BFS state is " +
+        "(seeds x vertices); sample the panel or raise the cap if the " +
+        "cluster is sized for it")
+    // forward sweep: levels(d) = (seed, id, sigma) for vertices first
+    // reached at hop d; sigma = number of shortest s→v paths
+    val levels = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    levels += truncate(seeds.select(col("seed"), col("seed").as("id"),
+      lit(1).cast("decimal(38,0)").as("sigma")), checkpointDir)
+    var reached = levels.head.select(col("seed"), col("id"))
+    var frontier = levels.head
+    var hop = 0
+    var live = nSeeds
+    while (live > 0 && hop < maxHops) {
+      hop += 1
+      val next = truncate(
+        frontier.join(sym, frontier("id") === sym("u"))
+          .select(col("seed"), col("v").as("id"), col("sigma"))
+          .groupBy(col("seed"), col("id"))
+          .agg(sum(col("sigma")).cast("decimal(38,0)").as("sigma"))
+          .join(reached, Seq("seed", "id"), "left_anti"), checkpointDir)
+      live = next.count()
+      if (live > 0) {
+        levels += next
+        reached = truncate(
+          reached.unionByName(next.select(col("seed"), col("id"))),
+          checkpointDir)
+        frontier = next
+      }
+    }
+    val spark = edges.sparkSession
+    if (levels.size == 1) {
+      // nothing reached beyond the seeds themselves
+      import spark.implicits._
+      Seq.empty[(Long, Long, Long)].toDF("id", "n_seeds", "bc_ppm")
+    } else {
+      // back sweep: deepest level has dependency 0; each shallower
+      // level sums its successors' quantized dependencies
+      var delta = levels.last.select(col("seed"), col("id"),
+        col("sigma"), lit(0L).as("delta_ppm"))
+      var out = delta.select(col("seed"), col("id"), col("delta_ppm"))
+      for (d <- (levels.size - 2) to 1 by -1) {
+        val cur = levels(d)
+        val nxt = delta.select(col("seed"), col("id").as("__w"),
+          col("sigma").as("__sw"), col("delta_ppm").as("__dw"))
+        val contrib = cur.join(sym, cur("id") === sym("u"))
+          .select(col("seed"), col("id"), col("sigma"),
+            col("v").as("__w"))
+          .join(nxt, Seq("seed", "__w"))
+          .select(col("seed"), col("id"),
+            expr("CAST(sigma * (1000000 + __dw) AS DECIMAL(38,0))" +
+              " div __sw").as("__term"))
+          .groupBy(col("seed"), col("id"))
+          .agg(sum(col("__term")).cast("bigint").as("__dsum"))
+        delta = truncate(
+          cur.join(contrib, Seq("seed", "id"), "left")
+            .select(col("seed"), col("id"), col("sigma"),
+              coalesce(col("__dsum"), lit(0L)).as("delta_ppm")),
+          checkpointDir)
+        out = out.unionByName(
+          delta.select(col("seed"), col("id"), col("delta_ppm")))
+      }
+      out.groupBy(col("id"))
+        .agg(count(lit(1)).cast("bigint").as("n_seeds"),
+          sum(col("delta_ppm")).cast("bigint").as("bc_ppm"))
+    }
+  }
+
   /** Community detection by SYNCHRONOUS label propagation (Raghavan et
     * al. 2007), run for a FIXED number of rounds with a deterministic
     * tie-break. Returns (`id`, `label`) for every vertex in an edge.

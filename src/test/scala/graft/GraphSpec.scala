@@ -556,6 +556,35 @@ class GraphSpec extends SparkSpec {
     assert(e.getMessage.contains("maxSeeds"))
   }
 
+  test("betweennessFromSeeds: path and diamond closed forms, multi-seed sum, seed cap") {
+    def run(edges: Seq[(Long, Long)], seeds: Seq[Long], hops: Int) =
+      Graph.betweennessFromSeeds(edges.toDF("id_a", "id_b"),
+          seeds.toDF("id"), maxHops = hops)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+    // path 1-2-3-4-5, seed 1, hops 3: levels 2,3,4; delta(4)=0,
+    // delta(3)=1e6, delta(2)=2e6 (each hop adds one full dependency)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(run(path, Seq(1L), 3) ==
+      Map(2L -> ((1L, 2000000L)), 3L -> ((1L, 1000000L)), 4L -> ((1L, 0L))))
+    // diamond 1-2-4, 1-3-4: two equal shortest paths split the
+    // dependency — sigma(4)=2, delta(2)=delta(3)=1e6//2
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    assert(run(diamond, Seq(1L), 4) ==
+      Map(2L -> ((1L, 500000L)), 3L -> ((1L, 500000L)), 4L -> ((1L, 0L))))
+    // both endpoints as seeds: dependencies SUM per vertex and
+    // endpoint rows appear with the other seed's zero dependency
+    assert(run(diamond, Seq(1L, 4L), 4) ==
+      Map(1L -> ((1L, 0L)), 2L -> ((2L, 1000000L)),
+        3L -> ((2L, 1000000L)), 4L -> ((1L, 0L))))
+    // loud seed-count guard
+    val e = intercept[IllegalArgumentException] {
+      Graph.betweennessFromSeeds(path.toDF("id_a", "id_b"),
+        (1L to 20L).toDF("id"), maxHops = 2, maxSeeds = 5L)
+    }
+    assert(e.getMessage.contains("maxSeeds"))
+  }
+
   test("louvainMove: clique collapses to one community; modularity improves; deterministic; guard") {
     // complete 4-clique: 2 synchronous rounds reach a single community
     val clique = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b))

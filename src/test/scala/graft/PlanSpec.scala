@@ -853,6 +853,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("graph_betweenness: equi-joins only; top-100 never global-sorts; no parquet rescan") {
+    // forward levels and back-sweep deltas localCheckpoint eagerly,
+    // so the returned plan is the dependency union + per-id agg + cut:
+    // it must stay long-keyed equi-joins over truncated RDDs
+    val p = plan("graph_betweenness")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 must be a TakeOrdered, not a global sort:\n" + p)
+    assert(!p.contains("Scan parquet"),
+      "betweenness final plan re-runs the upstream edge builder:\n" + p)
+  }
+
   test("dq_duplicate_rows: the census shuffle carries only the row fingerprint") {
     // the full-row duplicate census must exchange the 128-bit md5
     // fingerprint + partial counts, never the full lineitem row width
