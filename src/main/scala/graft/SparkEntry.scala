@@ -113,7 +113,7 @@ object SparkEntry {
     // the one non-PASS row in CORRECTNESS_r14 (oracle rewritten r15)
     "ts_holt_winters",
     // round-15 additions (no artifact yet)
-    "graph_betweenness")
+    "graph_betweenness", "ml_logreg_multi")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -337,7 +337,7 @@ object SparkEntry {
     "sim_centroid_assign", "evt_entry_exit", "dq_overdispersion",
     "dq_aggregate_consistency", "geo_hotspot", "evt_streaks",
     "ts_forecast_interval", "agg_theil", "text_heaps",
-    "sample_balanced", "text_novelty", "ml_logreg",
+    "sample_balanced", "text_novelty", "ml_logreg", "ml_logreg_multi",
     "interval_coverage", "ts_strength", "agg_hhi",
     "feat_eb_shrinkage", "ab_tost", "ab_delta_method", "ab_levene",
     "dq_duplicate_rows",
@@ -1073,6 +1073,21 @@ object SparkEntry {
       // only gate. SIDE-EFFECTING (the step aggregates run eagerly).
       Features.logisticGd(Tables.orders(s, dir),
         least($"o_totalprice" / 600000.0, lit(1.0)),
+        $"o_orderpriority".isin("1-URGENT", "2-HIGH"),
+        iters = 5, lrPpm = 500000L)
+    }),
+
+    "ml_logreg_multi" -> ((s, dir) => {
+      import s.implicits._
+      // Two-covariate replayable logistic regression: urgency from
+      // clipped order value AND order month — the model ml_logreg's
+      // single-feature form cannot fit by construction. Same
+      // integer-state GD; the oracle unrolls the same 5 steps with a
+      // 3-wide LIST-free weight state (one CTE column per weight).
+      // SIDE-EFFECTING (the step aggregates run eagerly).
+      Features.logisticGdMulti(Tables.orders(s, dir),
+        Seq(least($"o_totalprice" / 600000.0, lit(1.0)),
+          month($"o_orderdate").cast("double") / 12.0),
         $"o_orderpriority".isin("1-URGENT", "2-HIGH"),
         iters = 5, lrPpm = 500000L)
     }),
@@ -8950,6 +8965,57 @@ object SparkEntry {
         "  acc.nc AS n_correct,\n" +
         "  CAST((acc.nc * 1000000) // acc.n AS BIGINT) AS accuracy_ppm\n" +
         "FROM acc, s5"
+    },
+
+    // the ml_logreg unroll widened to a 3-column weight state (bias +
+    // two slopes); z accumulates left-to-right exactly as the engine's
+    // fold, every gradient term micro-quantized per row
+    "ml_logreg_multi" -> {
+      def sig(s: String) =
+        s"(1.0 / (1.0 + exp(-((($s.a + $s.b * x1 + $s.c * x2))" +
+          " / 1000000.0))))"
+      def gterm(s: String, xf: String) =
+        s"    CAST(sum(CAST(round(((${sig(s)}\n" +
+          "      - CASE WHEN y THEN 1.0 ELSE 0.0 END)" + xf +
+          ") * 1000000) AS BIGINT)) AS BIGINT)"
+      def grad(s: String, g: String) =
+        s"$g AS (SELECT\n" +
+          gterm(s, "") + " AS g0,\n" +
+          gterm(s, " * x1") + " AS g1,\n" +
+          gterm(s, " * x2") + " AS g2\n" +
+          s"  FROM base, $s)"
+      def upd(prev: String, g: String, next: String) =
+        s"$next AS (SELECT" +
+          s" $prev.a - (500000 * $g.g0) // (nn.n * 1000000) AS a,\n" +
+          s"    $prev.b - (500000 * $g.g1) // (nn.n * 1000000) AS b,\n" +
+          s"    $prev.c - (500000 * $g.g2) // (nn.n * 1000000) AS c\n" +
+          s"  FROM $prev, $g, nn)"
+      val steps = (1 to 5).map(k =>
+        grad(s"s${k - 1}", s"g$k") + ",\n" +
+          upd(s"s${k - 1}", s"g$k", s"s$k")).mkString(",\n")
+      "WITH base AS (SELECT least(o_totalprice / 600000.0, 1.0) AS x1,\n" +
+        "    CAST(month(o_orderdate) AS DOUBLE) / 12.0 AS x2,\n" +
+        "    (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS y\n" +
+        "  FROM orders WHERE o_totalprice IS NOT NULL\n" +
+        "    AND o_orderdate IS NOT NULL),\n" +
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),\n" +
+        "s0 AS (SELECT CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b,\n" +
+        "  CAST(0 AS BIGINT) AS c),\n" +
+        steps + ",\n" +
+        "acc AS (SELECT CAST(count(*) AS BIGINT) AS n,\n" +
+        "    CAST(sum(CASE WHEN ((s5.a + s5.b * x1 + s5.c * x2) >= 0.0)" +
+        " = y\n" +
+        "      THEN 1 ELSE 0 END) AS BIGINT) AS nc\n" +
+        "  FROM base, s5)\n" +
+        "SELECT CAST(0 AS BIGINT) AS weight_idx, s5.a AS w_micros,\n" +
+        "  acc.n, acc.nc AS n_correct,\n" +
+        "  CAST((acc.nc * 1000000) // acc.n AS BIGINT) AS accuracy_ppm\n" +
+        "FROM acc, s5\n" +
+        "UNION ALL SELECT CAST(1 AS BIGINT), s5.b, acc.n, acc.nc,\n" +
+        "  CAST((acc.nc * 1000000) // acc.n AS BIGINT) FROM acc, s5\n" +
+        "UNION ALL SELECT CAST(2 AS BIGINT), s5.c, acc.n, acc.nc,\n" +
+        "  CAST((acc.nc * 1000000) // acc.n AS BIGINT) FROM acc, s5\n" +
+        "ORDER BY weight_idx"
     },
 
     // the Lehmer permutation (id*48271 mod 2^31-1) replays exactly;

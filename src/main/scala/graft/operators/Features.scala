@@ -1354,6 +1354,84 @@ object Features {
     }
   }
 
+  /** Multi-feature [[logisticGd]] — the same replayable
+    * integer-state GD with the weight state widened to a bias + one
+    * slope per feature (array-of-longs in the driver, same
+    * truncating per-step update): the smallest model that can fit
+    * two covariates, which the single-feature form cannot by
+    * construction. Everything that makes [[logisticGd]] hash-gradable
+    * carries over unchanged: per-row gradient terms micro-quantize
+    * (`round((σ(z) − y)·x_j·10⁶)`) so the per-step sums are
+    * order-free exact integers; `z = (w₀ + Σ w_j x_j)/10⁶`
+    * accumulates LEFT-TO-RIGHT in the feature order (the IEEE tree a
+    * second engine mirrors token-for-token); each weight updates by
+    * `w_j ← w_j − (lrPpm·g_j) div (n·10⁶)` in driver LONG arithmetic
+    * (Java `/` and DuckDB `//` both truncate toward zero).
+    *
+    * The feature count guards LOUDLY at 16: per step the aggregate
+    * is one map-side-combined pass with k+1 sums — wide-feature
+    * models belong in a real solver, not the replay harness.
+    * SIDE-EFFECTING: `iters` aggregate jobs run at construction.
+    * Returns k+1 rows (weight_idx [0 = bias], w_micros, n,
+    * n_correct, accuracy_ppm) — accuracy at the z ≥ 0 rule, summary
+    * columns repeated per row so the output stays a flat hashable
+    * table. Empty input returns empty.
+    *
+    * Scale: identical to [[logisticGd]] — each step ONE
+    * map-side-combined aggregate over the localCheckpointed feature
+    * table; nothing shuffles wide. */
+  def logisticGdMulti(df: DataFrame, xExprs: Seq[Column],
+      yExpr: Column, iters: Int = 5, lrPpm: Long = 500000L)
+      : DataFrame = {
+    require(xExprs.nonEmpty && xExprs.size <= 16,
+      s"feature count must be in [1, 16] (got ${xExprs.size}) — " +
+        "wide models belong in a real solver, not the replay harness")
+    require(iters >= 1 && iters <= 100,
+      s"iters must be in [1, 100] (got $iters)")
+    require(lrPpm > 0L, s"lrPpm must be > 0 (got $lrPpm)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = xExprs.size
+    val xCols = (1 to k).map(j => s"__x$j")
+    val base = df.select(xExprs.zip(xCols).map {
+          case (e, n) => e.cast("double").as(n)
+        } :+ yExpr.cast("boolean").as("__y"): _*)
+      .filter(xCols.map(c => col(c).isNotNull && !isnan(col(c)))
+        .reduce(_ && _) && col("__y").isNotNull)
+      .localCheckpoint(true) // iters + 1 consumers
+    val nRow = base.count()
+    if (nRow == 0L) {
+      Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("weight_idx", "w_micros", "n", "n_correct",
+          "accuracy_ppm")
+    } else {
+      val w = Array.fill(k + 1)(0L)
+      val yD = when(col("__y"), lit(1.0)).otherwise(lit(0.0))
+      def zTree: Column = xCols.zipWithIndex.foldLeft(
+        lit(w(0)).cast("double")) { case (acc, (c, j)) =>
+          acc + lit(w(j + 1)).cast("double") * col(c) }
+      for (_ <- 1 to iters) {
+        val sig = lit(1.0) / (lit(1.0) + exp(-(zTree / lit(1000000.0))))
+        val gAggs = sum(round((sig - yD) * lit(1000000.0))
+            .cast("long")).as("g0") +:
+          xCols.zipWithIndex.map { case (c, j) =>
+            sum(round((sig - yD) * col(c) * lit(1000000.0))
+              .cast("long")).as(s"g${j + 1}") }
+        val g = base.agg(gAggs.head, gAggs.tail: _*).collect().head
+        for (j <- 0 to k) w(j) -= lrPpm * g.getLong(j) / (nRow * 1000000L)
+      }
+      val acc = base.agg(count(lit(1)).as("n"),
+        sum(when((zTree >= 0.0) === col("__y"), 1L).otherwise(0L))
+          .as("nc")).collect().head
+      val (n, nc) = (acc.getLong(0), acc.getLong(1))
+      w.toSeq.zipWithIndex.map { case (wj, j) =>
+        (j.toLong, wj, n, nc, nc * 1000000L / n) }
+        .toDF("weight_idx", "w_micros", "n", "n_correct",
+          "accuracy_ppm")
+        .orderBy(col("weight_idx"))
+    }
+  }
+
   /** Pairwise post-hoc comparisons with Holm step-down — the
     * follow-up [[anovaF]] / [[graft.operators.OrderedStats.kruskalWallis]]
     * demand (an omnibus rejection says "SOME group differs", never

@@ -682,4 +682,37 @@ class FeaturesSpec extends SparkSpec {
     assert(Features.deltaMethodRatio(
       same.withColumn("y", lit(0L)), $"t", $"x", $"y").count() == 0L)
   }
+
+  test("logisticGdMulti: one feature reproduces logisticGd exactly; guards; empty") {
+    import graft.operators.Features
+    // 40 rows, separable-ish: y ~ x > 0.5
+    val rows = (1 to 40).map { i =>
+      val x = i / 40.0
+      (x, x > 0.5 ^ (i % 7 == 0))
+    }.toDF("x", "y")
+    val single = Features.logisticGd(rows, $"x", $"y", iters = 5)
+      .collect().head
+    val multi = Features.logisticGdMulti(rows, Seq($"x"), $"y", iters = 5)
+      .collect()
+    // same trajectory: bias row 0 == w0, slope row 1 == w1, same summary
+    assert(multi.length == 2)
+    val byIdx = multi.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(byIdx(0L)._1 == single.getLong(1), "bias differs from logisticGd")
+    assert(byIdx(1L)._1 == single.getLong(2), "slope differs from logisticGd")
+    assert(byIdx(0L)._2 == single.getLong(0) &&
+      byIdx(0L)._3 == single.getLong(3) && byIdx(0L)._4 == single.getLong(4))
+    // a second feature changes the fit (the whole point)
+    val two = Features.logisticGdMulti(rows,
+      Seq($"x", lit(1.0) - $"x"), $"y", iters = 5).collect()
+    assert(two.length == 3)
+    // loud guards
+    val e = intercept[IllegalArgumentException] {
+      Features.logisticGdMulti(rows, (1 to 17).map(_ => $"x"), $"y")
+    }
+    assert(e.getMessage.contains("[1, 16]"))
+    // empty input -> empty output
+    assert(Features.logisticGdMulti(rows.filter(lit(false)),
+      Seq($"x"), $"y").count() == 0L)
+  }
 }
