@@ -113,7 +113,7 @@ object SparkEntry {
     // the one non-PASS row in CORRECTNESS_r14 (oracle rewritten r15)
     "ts_holt_winters",
     // round-15 additions (no artifact yet)
-    "graph_betweenness", "ml_logreg_multi")
+    "graph_betweenness", "ml_logreg_multi", "ts_changepoints")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -352,7 +352,7 @@ object SparkEntry {
     "evt_transitions", "evt_attribution", "evt_markov_attribution",
     "ts_resample_ffill", "ts_interpolate", "ts_anomaly", "ts_seasonality",
     "ts_cusum", "ts_acf", "ts_dominant_period", "ts_holt",
-    "ts_holt_winters", "ts_changepoint",
+    "ts_holt_winters", "ts_changepoint", "ts_changepoints",
     "ts_backtest", "ts_decompose", "ts_anomaly_robust", "ts_theilsen",
     "ts_mann_kendall", "surv_kaplan_meier", "surv_logrank",
     "growth_accounting", "cohort_ltv", "feat_group_regression",
@@ -1306,6 +1306,23 @@ object SparkEntry {
       graft.operators.TimeSeries.changepoint(hc, "event_type", "hour",
           "x")
         .orderBy($"event_type")
+    }),
+
+    "ts_changepoints" -> ((s, dir) => {
+      import s.implicits._
+      // Multiple-changepoint binary segmentation per event type —
+      // up to 3 mean shifts, each round the key's single best
+      // remaining split (CUSUM argmax per current segment, both
+      // halves >= 6 obs, zero-statistic splits refused). Round r's
+      // segmentation is a pure function of rounds 1..r-1, so the
+      // oracle unrolls the greedy recursion verbatim.
+      // SIDE-EFFECTING (each round's pick runs eagerly).
+      val hc = Tables.events(s, dir)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+        .agg((count(lit(1)) * 1000000L).as("x"))
+      graft.operators.TimeSeries.changepoints(hc, "event_type",
+          "hour", "x", maxChangepoints = 3, minSegment = 6)
+        .orderBy($"event_type", $"rank")
     }),
 
     "ts_theilsen" -> ((s, dir) => {
@@ -9467,6 +9484,64 @@ object SparkEntry {
         |  CAST(st // t AS BIGINT) AS mean_pre_micros,
         |  CAST((sn - st) // (n - t) AS BIGINT) AS mean_post_micros
         |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    // the greedy binseg recursion unrolled: round r's segmentation is
+    // the LEFT JOIN of rounds 1..r-1's picks (seg = boundaries < i);
+    // per round the same exact-integer CUSUM argmax, zero-statistic
+    // splits refused, both halves >= 6
+    "ts_changepoints" -> {
+      def round(r: Int, segSrc: String) =
+        s"""a$r AS (SELECT k, h, i, seg,
+           |    CAST(row_number() OVER (PARTITION BY k, seg
+           |      ORDER BY i) AS BIGINT) AS tl,
+           |    sum(x) OVER (PARTITION BY k, seg ORDER BY i
+           |      ROWS UNBOUNDED PRECEDING) AS stl,
+           |    CAST(count(*) OVER (PARTITION BY k, seg) AS BIGINT)
+           |      AS nl,
+           |    sum(x) OVER (PARTITION BY k, seg) AS snl
+           |  FROM $segSrc),
+           |q$r AS (SELECT *, abs(CAST(nl AS HUGEINT) * stl
+           |      - CAST(tl AS HUGEINT) * snl) AS cst
+           |  FROM a$r WHERE tl >= 6 AND nl - tl >= 6),
+           |p$r AS (SELECT k, h, i, tl, nl, stl, snl, cst FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY k
+           |      ORDER BY cst DESC, i) AS rn
+           |    FROM q$r WHERE cst > 0) WHERE rn = 1)""".stripMargin
+      def emit(r: Int) =
+        s"""SELECT k AS event_type, CAST($r AS BIGINT) AS rank,
+           |  i AS split_index, h AS changepoint_at, nl AS seg_len,
+           |  CAST(cst // nl AS BIGINT) AS stat_micros,
+           |  CAST(stl // tl AS BIGINT) AS mean_pre_micros,
+           |  CAST((snl - stl) // (nl - tl) AS BIGINT)
+           |    AS mean_post_micros
+           |FROM p$r""".stripMargin
+      s"""WITH c AS (SELECT event_type AS k, date_trunc('hour', ts) AS h,
+         |    CAST(count(*) AS BIGINT) * 1000000 AS x
+         |  FROM events GROUP BY 1, 2),
+         |s AS (SELECT k, h, x,
+         |    CAST(row_number() OVER (PARTITION BY k ORDER BY h, x)
+         |      AS BIGINT) AS i
+         |  FROM c),
+         |s1 AS (SELECT k, h, i, x, 0 AS seg FROM s),
+         |${round(1, "s1")},
+         |s2 AS (SELECT s.k, s.h, s.i, s.x,
+         |    CASE WHEN p1.i IS NOT NULL AND s.i > p1.i
+         |      THEN 1 ELSE 0 END AS seg
+         |  FROM s LEFT JOIN p1 ON p1.k = s.k),
+         |${round(2, "s2")},
+         |s3 AS (SELECT s.k, s.h, s.i, s.x,
+         |    (CASE WHEN p1.i IS NOT NULL AND s.i > p1.i
+         |      THEN 1 ELSE 0 END)
+         |    + (CASE WHEN p2.i IS NOT NULL AND s.i > p2.i
+         |      THEN 1 ELSE 0 END) AS seg
+         |  FROM s LEFT JOIN p1 ON p1.k = s.k
+         |  LEFT JOIN p2 ON p2.k = s.k),
+         |${round(3, "s3")}
+         |${emit(1)}
+         |UNION ALL ${emit(2)}
+         |UNION ALL ${emit(3)}
+         |ORDER BY event_type, rank""".stripMargin
+    },
 
     // pair verdicts are sign comparisons (no products); the tau
     // denominator is a HUGEINT-exact tie-corrected product, one

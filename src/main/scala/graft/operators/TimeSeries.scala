@@ -275,6 +275,120 @@ object TimeSeries {
         expr("(__sn - __st) div (__n - __t)").as("mean_post_micros"))
   }
 
+  /** Multiple-changepoint BINARY SEGMENTATION per key — the
+    * multi-shift answer to [[changepoint]]'s single-argmax (real
+    * series shift more than once; the single location is the r = 1
+    * special case): greedily split the segment with the largest
+    * CUSUM-argmax statistic, re-segment, repeat up to
+    * `maxChangepoints` rounds (Scott–Knott / binseg, the classic
+    * recursion run breadth-greedy — each round takes the key's
+    * single best remaining split across ALL current segments, which
+    * is deterministic where per-branch recursion order is not).
+    *
+    * Exactness is [[changepoint]]'s, applied per segment: with the
+    * segment-local index `t`, prefix `S_t`, length `n` and total
+    * `S_n`, the statistic is `C_t = |n·S_t − t·S_n|` in
+    * DECIMAL(38,0)-exact integers; admissible splits leave both
+    * halves ≥ `minSegment`; the per-key argmax tie-breaks
+    * (stat desc, global index asc) so every round's pick is total
+    * and an oracle unrolls the rounds verbatim (round r's
+    * segmentation is a pure function of rounds 1..r−1's picks).
+    * Emitted `stat_micros`/`mean_*` are truncating divisions both
+    * engines compute identically. Returns one row per found
+    * changepoint: (key, rank, split_index [global], changepoint_at,
+    * seg_len, stat_micros, mean_pre_micros, mean_post_micros);
+    * keys with no admissible split emit nothing.
+    *
+    * SIDE-EFFECTING: each round runs eagerly (the pick feeds the
+    * next round's segmentation). Scale, per round: ONE keyed window
+    * pass over the series-scale table + a per-key argmax; the
+    * boundary list rides back in as a broadcast ≤maxChangepoints
+    * array per key — never a non-equi join. The indexed series
+    * localCheckpoints once; rounds never re-run the caller's
+    * row-scale pre-aggregation. */
+  def changepoints(df: DataFrame, keyCol: String, orderCol: String,
+      valueMicrosCol: String, maxChangepoints: Int = 3,
+      minSegment: Int = 2): DataFrame = {
+    require(maxChangepoints >= 1 && maxChangepoints <= 16,
+      s"maxChangepoints must be in [1, 16] (got $maxChangepoints)")
+    require(minSegment >= 1, s"minSegment must be >= 1 (got $minSegment)")
+    val dec = "decimal(38,0)"
+    val ordKey = Window.partitionBy(col("__k"))
+      .orderBy(col("__o"), col("__x"))
+    val base = df.select(col(keyCol).as("__k"), col(orderCol).as("__o"),
+        col(valueMicrosCol).cast("long").as("__x"))
+      .filter(col("__x").isNotNull && col("__o").isNotNull)
+      .withColumn("__i", row_number().over(ordKey).cast("long"))
+      .localCheckpoint(true) // maxChangepoints consumers
+    // schema-correct empty accumulator (changepoint_at inherits the
+    // caller's order-column type)
+    var found: DataFrame = base.limit(0)
+      .select(col("__k"), lit(0L).as("rank"), col("__i").as("__pos"),
+        col("__o").as("changepoint_at"), lit(0L).as("seg_len"),
+        lit(0L).as("stat_micros"), lit(0L).as("mean_pre_micros"),
+        lit(0L).as("mean_post_micros"))
+    var nFound = 0L
+    var r = 0
+    var live = true
+    while (live && r < maxChangepoints) {
+      r += 1
+      val seg =
+        if (nFound == 0L) base.withColumn("__seg", lit(0))
+        else {
+          val bl = found.groupBy(col("__k"))
+            .agg(collect_list(col("__pos")).as("__bl"))
+          base.join(broadcast(bl), Seq("__k"), "left")
+            .withColumn("__seg", size(filter(
+              coalesce(col("__bl"), array().cast("array<bigint>")),
+              p => p < col("__i"))))
+            .drop("__bl")
+        }
+      val wSeg = Window.partitionBy(col("__k"), col("__seg"))
+      val ordSeg = wSeg.orderBy(col("__i"))
+      val cand = seg
+        .withColumn("__tl", row_number().over(ordSeg).cast("long"))
+        .withColumn("__stl", sum(col("__x")).over(
+          ordSeg.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .withColumn("__nl", count(lit(1)).over(
+          wSeg.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)).cast("long"))
+        .withColumn("__snl", sum(col("__x")).over(
+          wSeg.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .filter(col("__tl") >= minSegment.toLong &&
+          col("__nl") - col("__tl") >= minSegment.toLong)
+        .withColumn("__c", abs(col("__nl").cast(dec) * col("__stl") -
+          col("__tl").cast(dec) * col("__snl")))
+        // C = 0 is NO shift evidence (prefix means exactly equal) —
+        // emitting it would pad ranks with noise splits
+        .filter(col("__c") > lit(0))
+      val pick = cand
+        .withColumn("__rn", row_number().over(Window.partitionBy(
+          col("__k")).orderBy(col("__c").desc, col("__i"))))
+        .filter(col("__rn") === 1)
+        .select(col("__k"), lit(r.toLong).as("rank"),
+          col("__i").as("__pos"), col("__o").as("changepoint_at"),
+          col("__nl").as("seg_len"),
+          expr("CAST(__c div __nl AS BIGINT)").as("stat_micros"),
+          expr("__stl div __tl").as("mean_pre_micros"),
+          expr("(__snl - __stl) div (__nl - __tl)")
+            .as("mean_post_micros"))
+        .localCheckpoint(true)
+      val nPicked = pick.count()
+      live = nPicked > 0L
+      if (live) {
+        found = found.unionByName(pick)
+        nFound += nPicked
+      }
+    }
+    found.select(col("__k").as(keyCol), col("rank"),
+      col("__pos").as("split_index"), col("changepoint_at"),
+      col("seg_len").cast("bigint").as("seg_len"),
+      col("stat_micros"), col("mean_pre_micros"),
+      col("mean_post_micros"))
+  }
+
   /** Exact autocorrelation function of ONE series at lags 1..`maxLag`
     * — the seasonality/memory diagnostic (a daily cycle shows as a
     * spike at lag 24 on hourly data; white noise hugs 0). Input is a

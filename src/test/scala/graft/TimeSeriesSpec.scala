@@ -425,4 +425,33 @@ class TimeSeriesSpec extends SparkSpec {
     // on both engines)
     assert(r.getLong(5) == -3000000L)
   }
+
+  test("changepoints: two staircase shifts found in statistic order; constant tail stops; guard") {
+    // 0,0,0,0, 1,1,1,1, 3,3,3,3 (micros x 1e6): round 1 splits at
+    // t=8 (the bigger 1->3 shift, C=80e6 on the full series), round
+    // 2 at t=4 inside the left segment (C=16e6 over n=8), round 3
+    // finds only zero-statistic splits (constant segments) and stops
+    val xs = Seq.fill(4)(0L) ++ Seq.fill(4)(1000000L) ++
+      Seq.fill(4)(3000000L)
+    val df = xs.zipWithIndex.map { case (v, i) => ("a", i.toLong + 1L, v) }
+      .toDF("k", "o", "x")
+    val got = TimeSeries.changepoints(df, "k", "o", "x",
+        maxChangepoints = 3, minSegment = 2)
+      .orderBy($"rank")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(got.length == 2, got.mkString(";"))
+    // rank 1: full series n=12, S_8=4e6, S_12=16e6, C=|12*4-8*16|e6
+    assert(got(0) == ((1L, 8L, 12L, 80000000L / 12L, 500000L, 3000000L)))
+    // rank 2: left segment n=8, split at local t=4 (global 4)
+    assert(got(1) == ((2L, 4L, 8L, 16000000L / 8L, 0L, 1000000L)))
+    // single-round reproduces changepoint's pick on the same data
+    val single = TimeSeries.changepoint(df, "k", "o", "x")
+      .collect().head
+    assert(single.getLong(2) == 8L)
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.changepoints(df, "k", "o", "x", maxChangepoints = 0)
+    }
+    assert(e.getMessage.contains("[1, 16]"))
+  }
 }
