@@ -113,7 +113,8 @@ object SparkEntry {
     // the one non-PASS row in CORRECTNESS_r14 (oracle rewritten r15)
     "ts_holt_winters",
     // round-15 additions (no artifact yet)
-    "graph_betweenness", "ml_logreg_multi", "ts_changepoints")
+    "graph_betweenness", "ml_logreg_multi", "ts_changepoints",
+    "evt_drift_fdr_replay")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -6909,6 +6910,54 @@ object SparkEntry {
         .orderBy($"rank")
     }),
 
+    "evt_drift_fdr_replay" -> ((s, dir) => {
+      import s.implicits._
+      // Replay-identity gate for the STREAMING drift->FDR battery:
+      // the dq_drift_fdr monitoring panel (value-cents + hour-of-day
+      // per event type, early/late split) arrives as three
+      // deterministic micro-batches folded into a versioned
+      // (metric, value) side-count snapshot — ksBattery's sufficient
+      // statistic, additive per batch — then batch 1 is REDELIVERED
+      // (restart semantics: the rewrite must be a no-op). The
+      // trigger-time verdict set over the sealed window must equal
+      // the batch bhFdr(ksBattery(...)) exactly — shared code
+      // downstream of the count table makes the identity structural.
+      // GATE-ONLY side effects (snapshot writes under tmpdir).
+      import graft.streaming.DriftStreams
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ksfdr_${math.abs(dir.hashCode)}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true) // stale prior runs
+      val e = Tables.events(s, dir)
+      val tag = $"ts" < lit("2024-01-16").cast("timestamp")
+      def shaped(df: org.apache.spark.sql.DataFrame) =
+        df.select(concat($"event_type", lit(":value")).as("metric"),
+            round($"value" * 100).cast("long").as("v"), tag.as("t"))
+          .unionByName(
+            df.select(concat($"event_type", lit(":hour")).as("metric"),
+              hour($"ts").cast("long").as("v"), tag.as("t")))
+      def slice(i: Int) = e.filter(pmod($"event_id", lit(3)) === i)
+      for (i <- 0 until 3)
+        DriftStreams.applyKsBatch(base, i.toLong, shaped(slice(i)))
+      // redelivery: deterministic rewrite of v=1 from v=0
+      DriftStreams.applyKsBatch(base, 1L, shaped(slice(1)))
+      val stream = DriftStreams.ksFdrAgainstSealed(s, base)
+      val batch = graft.operators.Quality.bhFdr(
+        graft.operators.OrderedStats.ksBattery(e,
+            concat($"event_type", lit(":value")),
+            round($"value" * 100).cast("long"), tag)
+          .unionByName(graft.operators.OrderedStats.ksBattery(e,
+            concat($"event_type", lit(":hour")),
+            hour($"ts").cast("long"), tag))
+          .select($"metric", $"p_micros"),
+        "metric", $"p_micros")
+      val cols = Seq("metric", "p_micros", "rank", "bh_cut_micros",
+        "rejected")
+      stream.agg((count(lit(1)) > 0L).as("nonempty"))
+        .crossJoin(setsEqual(stream.select(cols.map(col): _*),
+          batch.select(cols.map(col): _*), cols, "stream_equals_batch"))
+    }),
+
     "ab_bh_fdr" -> ((s, dir) => {
       import s.implicits._
       // Benjamini-Hochberg over a 10-test parity battery (per event
@@ -12430,6 +12479,10 @@ object SparkEntry {
 
     // stream == batch identity pinned in-plan; booleans only
     "evt_attribution_replay" ->
+      "SELECT true AS nonempty, true AS stream_equals_batch",
+
+    // stream == batch identity for the KS->FDR battery; booleans only
+    "evt_drift_fdr_replay" ->
       "SELECT true AS nonempty, true AS stream_equals_batch",
 
     // per-conversion micro-credits replay exactly: deterministic

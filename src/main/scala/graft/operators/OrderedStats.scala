@@ -132,7 +132,6 @@ object OrderedStats {
     * belongs in [[ksTest]]'s two-phase prefix sum instead. */
   def ksBattery(df: DataFrame, metricExpr: Column, valueExpr: Column,
       tagExpr: Column, maxDistinctPerMetric: Long = 2000000L): DataFrame = {
-    val dec = "decimal(38,0)"
     val c = df.select(metricExpr.cast("string").as("metric"),
         valueExpr.as("v"), tagExpr.as("t"))
       .filter(col("metric").isNotNull && col("v").isNotNull &&
@@ -140,6 +139,24 @@ object OrderedStats {
       .groupBy(col("metric"), col("v"))
       .agg(sum(when(col("t"), 1L).otherwise(0L)).as("ca"),
         sum(when(!col("t"), 1L).otherwise(0L)).as("cb"))
+    ksBatteryFromCounts(c, maxDistinctPerMetric)
+  }
+
+  /** [[ksBattery]] from its own sufficient statistic — a
+    * `(metric, v, ca, cb)` per-distinct-value count table (side A /
+    * side B counts). This is the entry point the STREAMING twin
+    * needs: per-value counts are additive where raw values are not,
+    * so a micro-batch monitor folds counts into a versioned snapshot
+    * ([[graft.streaming.DriftStreams]] posture) and computes the
+    * identical battery at trigger time — value-identical to running
+    * [[ksBattery]] over the union of every batch's rows, which is
+    * the replay identity `evt_drift_fdr_replay` grades. Everything
+    * downstream of the count table (cumulative windows, exact
+    * cross-multiplied D, the one-term p tree) is shared code, so the
+    * identity is structural, not re-derived. */
+  def ksBatteryFromCounts(c: DataFrame,
+      maxDistinctPerMetric: Long = 2000000L): DataFrame = {
+    val dec = "decimal(38,0)"
     val worst = c.groupBy(col("metric"))
       .agg(count(lit(1)).as("__n")).agg(max(col("__n"))).head()
     val worstN = if (worst.isNullAt(0)) 0L else worst.getLong(0)

@@ -53,6 +53,60 @@ object DriftStreams {
     merged.write.mode("overwrite").parquet(s"$targetBase/v=$batchId")
   }
 
+  /** `foreachBatch` body for the KS→FDR drift battery — the
+    * streaming fold of [[graft.operators.OrderedStats.ksBattery]]'s
+    * sufficient statistic: `shaped` is the batch's monitoring rows
+    * pre-framed as (metric STRING, v, t BOOLEAN) (metric = the panel
+    * cell, v = the metric's value, t = the A/B split tag); the batch
+    * reduces to per-(metric, value) side counts and folds them into
+    * the versioned snapshot. Counts are additive, so the snapshot
+    * after batch k equals the count table over the union of batches
+    * 0..k — the exact KS sufficient statistic, with the same
+    * idempotent-redelivery contract as [[applyDriftBatch]] (a
+    * redelivered batch rebuilds its version from the one BELOW it).
+    * State is O(distinct (metric, value)), never O(rows). */
+  def applyKsBatch(targetBase: String, batchId: Long,
+      shaped: DataFrame): Unit = {
+    val spark = shaped.sparkSession
+    val fresh = shaped
+      .select(col("metric").cast("string").as("metric"), col("v"),
+        col("t").cast("boolean").as("t"))
+      .filter(col("metric").isNotNull && col("v").isNotNull &&
+        col("t").isNotNull)
+      .groupBy(col("metric"), col("v"))
+      .agg(sum(when(col("t"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("t"), 1L).otherwise(0L)).as("cb"))
+    val merged = Merge.latestSnapshotVersion(spark, targetBase,
+        below = batchId) match {
+      case Some(v) =>
+        spark.read.parquet(s"$targetBase/v=$v")
+          .unionByName(fresh)
+          .groupBy(col("metric"), col("v"))
+          .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+      case None => fresh
+    }
+    merged.write.mode("overwrite").parquet(s"$targetBase/v=$batchId")
+  }
+
+  /** The trigger-time verdict set over the latest sealed KS
+    * snapshot: per-metric KS battery from the accumulated counts →
+    * Benjamini–Hochberg step-up — the streaming twin of the batch
+    * `bhFdr(ksBattery(...))` production shape, value-identical on
+    * the same sealed window. Fails loudly when no committed snapshot
+    * exists (a monitor that reports "no drift" before the stream
+    * starts is worse than one that refuses). */
+  def ksFdrAgainstSealed(spark: SparkSession, targetBase: String,
+      alphaMicros: Long = 50000L): DataFrame = {
+    val v = Merge.latestSnapshotVersion(spark, targetBase).getOrElse(
+      throw new IllegalStateException(
+        s"no committed KS snapshot under $targetBase — the stream " +
+          "has not processed a batch yet"))
+    val counts = spark.read.parquet(s"$targetBase/v=$v")
+    val battery = graft.operators.OrderedStats.ksBatteryFromCounts(counts)
+    Quality.bhFdr(battery.select(col("metric"), col("p_micros")),
+      "metric", col("p_micros"), alphaMicros)
+  }
+
   /** Drift report of the latest accumulated snapshot against a frozen
     * reference histogram (`reference` = (bucket, n_a), typically a
     * [[graft.operators.Quality.bucketCounts]] of the training-time

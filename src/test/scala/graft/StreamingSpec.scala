@@ -917,4 +917,33 @@ class StreamingSpec extends SparkSpec {
     assert(stream.toSet == batch.toSet,
       s"diff: ${stream.toSet -- batch.toSet}")
   }
+
+  test("applyKsBatch: folded snapshot == batch ksBattery; redelivery is a no-op") {
+    import graft.streaming.DriftStreams
+    import graft.operators.{OrderedStats, Quality}
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_ksfdr_spec"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    // two metrics, deterministic values, a real location shift on m1
+    val rows = (1 to 120).map { i =>
+      val t = i % 2 == 0
+      val m = if (i % 3 == 0) "m1" else "m2"
+      val v = if (m == "m1" && !t) (i % 10) + 5L else (i % 10).toLong
+      (m, v, t, i.toLong)
+    }.toDF("metric", "v", "t", "id")
+    def slice(k: Int) = rows.filter($"id" % 3 === k)
+      .select($"metric", $"v", $"t")
+    for (k <- 0 until 3)
+      DriftStreams.applyKsBatch(base, k.toLong, slice(k))
+    DriftStreams.applyKsBatch(base, 1L, slice(1)) // redelivery no-op
+    val stream = DriftStreams.ksFdrAgainstSealed(spark, base)
+      .collect().map(_.toSeq).toSet
+    val batch = Quality.bhFdr(
+      OrderedStats.ksBattery(rows, $"metric", $"v", $"t")
+        .select($"metric", $"p_micros"), "metric", $"p_micros")
+      .collect().map(_.toSeq).toSet
+    assert(stream == batch, s"stream $stream != batch $batch")
+    assert(stream.nonEmpty)
+  }
 }
