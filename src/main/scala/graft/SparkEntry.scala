@@ -114,7 +114,7 @@ object SparkEntry {
     "ts_holt_winters",
     // round-15 additions (no artifact yet)
     "graph_betweenness", "ml_logreg_multi", "ts_changepoints",
-    "evt_drift_fdr_replay")
+    "evt_drift_fdr_replay", "sample_to_mix")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -338,7 +338,8 @@ object SparkEntry {
     "sim_centroid_assign", "evt_entry_exit", "dq_overdispersion",
     "dq_aggregate_consistency", "geo_hotspot", "evt_streaks",
     "ts_forecast_interval", "agg_theil", "text_heaps",
-    "sample_balanced", "text_novelty", "ml_logreg", "ml_logreg_multi",
+    "sample_balanced", "sample_to_mix", "text_novelty", "ml_logreg",
+    "ml_logreg_multi",
     "interval_coverage", "ts_strength", "agg_hhi",
     "feat_eb_shrinkage", "ab_tost", "ab_delta_method", "ab_levene",
     "dq_duplicate_rows",
@@ -1103,6 +1104,23 @@ object SparkEntry {
           Tables.orders(s, dir), "o_orderpriority", "o_orderkey",
           perClass = 50)
         .select($"o_orderpriority", $"sample_rank", $"o_orderkey")
+        .orderBy($"o_orderpriority", $"sample_rank")
+    }),
+
+    "sample_to_mix" -> ((s, dir) => {
+      import s.implicits._
+      // Downsample to a TARGET MIX (the "X% web, Y% code" training
+      // recipe): largest subset of orders hitting 30/50/20
+      // URGENT/MEDIUM/LOW, untargeted priorities excluded, rows
+      // picked by the Lehmer permutation — a pure function of
+      // (counts, targets, ids) both engines replay.
+      // SIDE-EFFECTING (the attainability pre-flight runs eagerly).
+      graft.operators.Sampling.sampleToMix(Tables.orders(s, dir),
+          "o_orderpriority", "o_orderkey",
+          Seq("1-URGENT" -> 300000L, "3-MEDIUM" -> 500000L,
+            "5-LOW" -> 200000L))
+        .select($"o_orderpriority", $"sample_rank", $"o_orderkey",
+          $"quota")
         .orderBy($"o_orderpriority", $"sample_rank")
     }),
 
@@ -9083,6 +9101,30 @@ object SparkEntry {
         "  CAST((acc.nc * 1000000) // acc.n AS BIGINT) FROM acc, s5\n" +
         "ORDER BY weight_idx"
     },
+
+    // T = min(n_g*1e6 // w_g), quota = (w_g*T) // 1e6 — all integer;
+    // the same Lehmer-permutation pick order as sample_balanced
+    "sample_to_mix" ->
+      """WITH tgt AS (SELECT * FROM (VALUES
+        |    ('1-URGENT', 300000), ('3-MEDIUM', 500000),
+        |    ('5-LOW', 200000)) t(g, w)),
+        |cnt AS (SELECT o_orderpriority AS g,
+        |    CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1),
+        |q AS (SELECT tgt.g, tgt.w,
+        |    min((CAST(n AS HUGEINT) * 1000000) // w) OVER () AS t
+        |  FROM tgt JOIN cnt ON cnt.g = tgt.g),
+        |qq AS (SELECT g,
+        |    CAST((CAST(w AS HUGEINT) * t) // 1000000 AS BIGINT)
+        |      AS quota
+        |  FROM q),
+        |r AS (SELECT o.o_orderpriority, o.o_orderkey, qq.quota,
+        |    CAST(row_number() OVER (PARTITION BY o.o_orderpriority
+        |      ORDER BY (o.o_orderkey * 48271) % 2147483647,
+        |        o.o_orderkey) AS BIGINT) AS sample_rank
+        |  FROM orders o JOIN qq ON qq.g = o.o_orderpriority)
+        |SELECT o_orderpriority, sample_rank, o_orderkey, quota
+        |FROM r WHERE sample_rank <= quota
+        |ORDER BY o_orderpriority, sample_rank""".stripMargin,
 
     // the Lehmer permutation (id*48271 mod 2^31-1) replays exactly;
     // short classes keep everything

@@ -266,4 +266,70 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= perClass)
   }
+
+  /** Downsample to a TARGET MIX — the corpus-curation operator
+    * behind every "X% web, Y% code, Z% books" training recipe
+    * ([[balancedByClass]] equalizes classes; this hits an arbitrary
+    * ppm composition): given target shares per group, take the
+    * LARGEST subset whose group composition matches the targets,
+    * i.e. `T = min over targeted groups of (n_g·10⁶ div w_g)` rows
+    * total, quota `q_g = (w_g·T) div 10⁶` per group, rows picked by
+    * the same full-period Lehmer permutation `(id·48271 mod 2³¹−1,
+    * id)` — a pure function of (counts, targets, ids) both engines
+    * replay; no RNG.
+    *
+    * Semantics stated, not guessed: groups ABSENT from `targets`
+    * are excluded (that is what a mix recipe means); a TARGETED
+    * group with zero rows fails LOUDLY (the mix is unattainable —
+    * an empty pick would silently ship the wrong recipe); truncating
+    * quotas mean `Σq_g ≤ T` with per-group shortfall < 1 row —
+    * exact by construction, never resampled. Shares must be
+    * positive and sum to ≤ 10⁶. Returns the selected rows +
+    * (sample_rank, quota).
+    *
+    * Scale: ONE group-count hash-agg (k rows, k = targeted groups —
+    * a loud 10⁶ cap via the counts themselves being collected is
+    * avoided: quotas ride back as a BROADCAST join, the driver sees
+    * only the k-row count table), then one class-partitioned rank
+    * window — the balancedByClass shape. */
+  def sampleToMix(df: DataFrame, groupCol: String, idCol: String,
+      targets: Seq[(String, Long)]): DataFrame = {
+    require(targets.nonEmpty, "targets must be non-empty")
+    require(targets.forall(_._2 > 0L),
+      s"target shares must be positive ppm (got $targets)")
+    require(targets.map(_._2).sum <= 1000000L,
+      s"target shares sum past 10^6 ppm (got ${targets.map(_._2).sum})")
+    require(targets.map(_._1).distinct.size == targets.size,
+      "duplicate group in targets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tgt = targets.toDF("__g", "__w")
+    val counts = df.select(col(groupCol).cast("string").as("__g"))
+      .groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+      .join(tgt, Seq("__g"), "right") // targeted groups only
+    val missing = counts.filter(col("__n").isNull || col("__n") === 0L)
+      .select(col("__g")).collect().map(_.getString(0))
+    require(missing.isEmpty,
+      s"targeted groups absent from the data: ${missing.mkString(", ")}" +
+        " — the mix is unattainable; fix the recipe or the corpus")
+    val quotas = counts
+      .withColumn("__t", min(expr("CAST(__n AS DECIMAL(38,0))" +
+        " * 1000000 div __w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions.Window
+            .unboundedFollowing)))
+      .withColumn("quota", expr("CAST(__w AS DECIMAL(38,0)) * __t" +
+        " div 1000000").cast("long"))
+      .select(col("__g"), col("quota"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(pmod(col(idCol).cast("long") * 48271L,
+        lit(2147483647L)), col(idCol))
+    df.join(broadcast(quotas),
+        df(groupCol).cast("string") === quotas("__g"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= col("quota"))
+      .drop("__g")
+  }
 }

@@ -272,4 +272,45 @@ class SamplingSpec extends SparkSpec {
     assert(got.keySet.subsetOf(fr.keySet))
     assert(math.abs(got("BUILDING").toDouble / base("BUILDING") - 0.5) < 0.15)
   }
+
+  test("sampleToMix: quotas hit the recipe exactly; exclusion; unattainable fails loudly") {
+    import graft.operators.Sampling
+    // groups a:60, b:30, c:10 rows; recipe 50/25 a/b (ppm 500000/250000)
+    val rows = ((1 to 60).map(i => ("a", i.toLong)) ++
+      (61 to 90).map(i => ("b", i.toLong)) ++
+      (91 to 100).map(i => ("c", i.toLong))).toDF("g", "id")
+    val got = Sampling.sampleToMix(rows, "g", "id",
+      Seq("a" -> 500000L, "b" -> 250000L))
+    // T = min(60e6//500000, 30e6//250000) = min(120, 120) = 120
+    // quotas: a = 500000*120//1e6 = 60, b = 30
+    val byG = got.groupBy($"g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG == Map("a" -> 60L, "b" -> 30L), byG.toString)
+    // untargeted c excluded entirely
+    assert(!byG.contains("c"))
+    // picks are the Lehmer order: rank 1 of b == balancedByClass pick
+    val mix1 = got.filter($"g" === "b" && $"sample_rank" === 1L)
+      .select($"id").collect().head.getLong(0)
+    val bal1 = Sampling.balancedByClass(rows.filter($"g" === "b"),
+      "g", "id", perClass = 1).select($"id").collect().head.getLong(0)
+    assert(mix1 == bal1)
+    // a skewer recipe truncates: a 100000ppm, b 800000ppm ->
+    // T = min(60e6//100000=600, 30e6//800000=37), quotas 3 and 29
+    val skew = Sampling.sampleToMix(rows, "g", "id",
+      Seq("a" -> 100000L, "b" -> 800000L))
+      .groupBy($"g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(skew == Map("a" -> 3L, "b" -> 29L), skew.toString)
+    // targeted-but-absent group fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Sampling.sampleToMix(rows, "g", "id", Seq("zz" -> 500000L))
+    }
+    assert(e.getMessage.contains("unattainable"))
+    // shares must sum <= 1e6
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.sampleToMix(rows, "g", "id",
+        Seq("a" -> 700000L, "b" -> 400000L))
+    }
+    assert(e2.getMessage.contains("ppm"))
+  }
 }
