@@ -114,7 +114,8 @@ object SparkEntry {
     "ts_holt_winters",
     // round-15 additions (no artifact yet)
     "graph_betweenness", "ml_logreg_multi", "ts_changepoints",
-    "evt_drift_fdr_replay", "sample_to_mix")
+    "evt_drift_fdr_replay", "sample_to_mix", "ab_trend",
+    "ab_cochran_q")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -342,6 +343,7 @@ object SparkEntry {
     "ml_logreg_multi",
     "interval_coverage", "ts_strength", "agg_hhi",
     "feat_eb_shrinkage", "ab_tost", "ab_delta_method", "ab_levene",
+    "ab_trend", "ab_cochran_q",
     "dq_duplicate_rows",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
@@ -7006,6 +7008,28 @@ object SparkEntry {
         .orderBy($"rank")
     }),
 
+    "ab_trend" -> ((s, dir) => {
+      import s.implicits._
+      // Cochran-Armitage linear trend of urgency share across order
+      // months: exact DECIMAL moments multiplied through by N, one
+      // mirrored z tree, two-sided p via the shared polynomial.
+      Features.cochranArmitage(Tables.orders(s, dir),
+        month($"o_orderdate"),
+        $"o_orderpriority".isin("1-URGENT", "2-HIGH"))
+    }),
+
+    "ab_cochran_q" -> ((s, dir) => {
+      import s.implicits._
+      // Cochran's Q over three correlated binary rules on the same
+      // orders (high value / urgent priority / first half-year) —
+      // the matched-flags disagreement test a per-rule rate table
+      // cannot answer; k = 3 gives the exact chi2(2) tail exp(-Q/2).
+      Features.cochranQ(Tables.orders(s, dir), Seq(
+        $"o_totalprice" > 150000.0,
+        $"o_orderpriority".isin("1-URGENT", "2-HIGH"),
+        month($"o_orderdate") <= 6))
+    }),
+
     "ab_did" -> ((s, dir) => {
       import s.implicits._
       // Difference-in-differences on purchase cents: even users
@@ -12526,6 +12550,66 @@ object SparkEntry {
     // stream == batch identity for the KS->FDR battery; booleans only
     "evt_drift_fdr_replay" ->
       "SELECT true AS nonempty, true AS stream_equals_batch",
+
+    // moments multiplied through by N (exact HUGEINT), the z tree and
+    // the shared A&S polynomial mirrored token-for-token
+    "ab_trend" ->
+      """WITH g AS (SELECT CAST(month(o_orderdate) AS BIGINT) AS s2,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN o_orderpriority IN
+        |      ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    sum(CAST(n AS HUGEINT)) AS nn, sum(CAST(r AS HUGEINT)) AS rr,
+        |    sum(CAST(n AS HUGEINT) * s2) AS sns,
+        |    sum(CAST(n AS HUGEINT) * s2 * s2) AS sns2,
+        |    sum(CAST(s2 AS HUGEINT) * r) AS ssr
+        |  FROM g),
+        |t AS (SELECT k, nn, rr, nn * ssr - sns * rr AS tn,
+        |    nn * sns2 - sns * sns AS an FROM m
+        |  WHERE rr > 0 AND rr < nn AND nn * sns2 - sns * sns > 0),
+        |z AS (SELECT k, nn, rr,
+        |    CAST(tn AS DOUBLE) * sqrt(CAST(nn AS DOUBLE))
+        |      / sqrt(CAST(rr * (nn - rr) AS DOUBLE)
+        |        * CAST(an AS DOUBLE)) AS zz
+        |  FROM t),
+        |x0 AS (SELECT *, abs(zz) / 1.4142135623730951 AS x FROM z),
+        |t0 AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS tt FROM x0),
+        |p AS (SELECT *, (tt * (0.254829592 + tt * (-0.284496736
+        |    + tt * (1.421413741 + tt * (-1.453152027
+        |    + tt * 1.061405429)))) * exp(-(x * x))) AS p2 FROM t0)
+        |SELECT k AS n_groups, CAST(nn AS BIGINT) AS n,
+        |  CAST(rr AS BIGINT) AS successes,
+        |  CAST(round(zz * 1000000) AS BIGINT) AS z_micros,
+        |  CAST(round(p2 * 1000000) AS BIGINT) AS p_micros
+        |FROM p""".stripMargin,
+
+    // every term an exact HUGEINT from one aggregate; Q is one double
+    // division; the chi2(2) tail exp(-Q/2) is exact at k = 3
+    "ab_cochran_q" ->
+      """WITH b AS (SELECT
+        |    CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END AS f1,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END AS f2,
+        |    CASE WHEN month(o_orderdate) <= 6 THEN 1 ELSE 0 END AS f3
+        |  FROM orders),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(f1 + f2 + f3 AS HUGEINT)) AS sr,
+        |    sum(CAST((f1 + f2 + f3) * (f1 + f2 + f3) AS HUGEINT))
+        |      AS sr2,
+        |    sum(CAST(f1 AS HUGEINT)) AS c1,
+        |    sum(CAST(f2 AS HUGEINT)) AS c2,
+        |    sum(CAST(f3 AS HUGEINT)) AS c3
+        |  FROM b),
+        |q AS (SELECT n,
+        |    CAST(2 * (3 * (c1 * c1 + c2 * c2 + c3 * c3)
+        |        - (c1 + c2 + c3) * (c1 + c2 + c3)) AS DOUBLE)
+        |      / CAST(3 * sr - sr2 AS DOUBLE) AS qq
+        |  FROM m WHERE 3 * sr - sr2 > 0)
+        |SELECT n AS n_rows, CAST(3 AS BIGINT) AS k,
+        |  CAST(round(qq * 1000000) AS BIGINT) AS q_micros,
+        |  CAST(round(exp(-qq / 2.0) * 1000000) AS BIGINT) AS p_micros
+        |FROM q""".stripMargin,
 
     // per-conversion micro-credits replay exactly: deterministic
     // (ts, event_id) touch order, integer div/mod linear split with

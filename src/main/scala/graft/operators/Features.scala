@@ -1354,6 +1354,104 @@ object Features {
     }
   }
 
+  /** Cochran–Armitage trend test — "does the success rate MOVE with
+    * the dose": linear-trend alternative over ordered groups
+    * (exposure buckets, deciles, months), the question [[anovaF]] on
+    * a binary outcome wastes power on (omnibus tests spend their α
+    * on every permutation of the groups; a monotone alternative
+    * earns a one-degree test). With integer group scores s, group
+    * sizes n_i and successes r_i: `T = Σ s·r − (Σ s·n)·R/N`,
+    * `Var = p̄(1−p̄)·[Σ n·s² − (Σ n·s)²/N]`.
+    *
+    * Exactness: multiply through by N — `T·N = N·Σs·r − (Σs·n)·R`
+    * and `A·N = N·Σn·s² − (Σn·s)²` are DECIMAL(38,0)-exact, and
+    * `z = (T·N)·√N / √(R·(N−R) · A·N)` is ONE mirrored IEEE tree
+    * over casts of exact integers (the product under the root is
+    * taken in DOUBLE — R(N−R)·AN can pass 38 digits at petabyte
+    * rows; the split cast is the contract). Two-sided p through the
+    * shared A&S polynomial. Degenerate (all/no successes, zero
+    * score variance) returns empty. Returns one row
+    * (n_groups, n, successes, z_micros, p_micros).
+    *
+    * Scale: one row-scale hash-agg to k group rows + one k-row
+    * aggregate; nothing shuffles wide. */
+  def cochranArmitage(df: DataFrame, scoreExpr: Column,
+      successExpr: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val g = df.select(scoreExpr.cast("long").as("s"),
+        successExpr.cast("boolean").as("y"))
+      .filter(col("s").isNotNull && col("y").isNotNull)
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("r"))
+    val m = g.agg(count(lit(1)).as("k"),
+      sum(col("n").cast(dec)).as("nn"),
+      sum(col("r").cast(dec)).as("rr"),
+      sum(col("n").cast(dec) * col("s")).as("sns"),
+      sum(col("n").cast(dec) * col("s") * col("s")).as("sns2"),
+      sum(col("s").cast(dec) * col("r")).as("ssr"))
+    val tn = col("nn") * col("ssr") - col("sns") * col("rr")
+    val an = col("nn") * col("sns2") - col("sns") * col("sns")
+    val z = tn.cast("double") * sqrt(col("nn").cast("double")) /
+      sqrt((col("rr") * (col("nn") - col("rr"))).cast("double") *
+        an.cast("double"))
+    m.filter(col("rr") > 0 && col("rr") < col("nn") && an > 0)
+      .select(col("k").cast("bigint").as("n_groups"),
+        col("nn").cast("bigint").as("n"),
+        col("rr").cast("bigint").as("successes"),
+        round(z * 1e6).cast("long").as("z_micros"),
+        round(Quality.pValueTwoSidedZ(z) * 1e6).cast("long")
+          .as("p_micros"))
+  }
+
+  /** Cochran's Q — k matched binary flags on the SAME rows ("do
+    * these k classifiers/rules disagree beyond chance"): the
+    * repeated-measures cousin of [[mcnemarTest]] (k = 2 reduces to
+    * it), the eval-harness question a per-flag rate table cannot
+    * answer because the flags are correlated through the rows.
+    * `Q = (k−1)·[k·ΣC_j² − (ΣC_j)²] / (k·ΣR_i − ΣR_i²)` with C_j
+    * the per-flag totals and R_i the per-row success counts — every
+    * term an exact integer from ONE aggregate (ΣR and ΣR² fold
+    * row-locally; the C_j are k conditional sums), so Q is one
+    * truncating-free division of DECIMAL-exact integers mirrored in
+    * IEEE. Rows where all flags agree (R_i = 0 or k) carry no
+    * information and drop from the denominator by algebra, not by
+    * filtering. p is the EXACT χ²(2) tail `exp(−Q/2)` when k = 3
+    * (the only df with a closed form both engines share), NULL
+    * otherwise — stated, not approximated. Degenerate (denominator
+    * 0: every row unanimous) returns empty. Returns one row
+    * (n_rows, k, q_micros, p_micros).
+    *
+    * Scale: ONE map-side-combined aggregate; flags are row-local
+    * column algebra. Flag count guards loudly at 16. */
+  def cochranQ(df: DataFrame, flagExprs: Seq[Column]): DataFrame = {
+    require(flagExprs.size >= 2 && flagExprs.size <= 16,
+      s"flag count must be in [2, 16] (got ${flagExprs.size})")
+    val dec = "decimal(38,0)"
+    val k = flagExprs.size
+    val fCols = (1 to k).map(j => s"__f$j")
+    val base = df.select(flagExprs.zip(fCols).map { case (e, n) =>
+      when(e.cast("boolean"), 1L).otherwise(0L).as(n) }: _*)
+    val rSum = fCols.map(col).reduce(_ + _)
+    val aggs = Seq(count(lit(1)).as("n"),
+      sum(rSum.cast(dec)).as("sr"),
+      sum((rSum * rSum).cast(dec)).as("sr2")) ++
+      fCols.zipWithIndex.map { case (c, j) =>
+        sum(col(c).cast(dec)).as(s"c${j + 1}") }
+    val m = base.agg(aggs.head, aggs.tail: _*)
+    val sc2 = (1 to k).map(j => col(s"c$j") * col(s"c$j")).reduce(_ + _)
+    val sc = (1 to k).map(j => col(s"c$j")).reduce(_ + _)
+    val num = lit(k - 1).cast(dec) * (lit(k).cast(dec) * sc2 - sc * sc)
+    val den = lit(k).cast(dec) * col("sr") - col("sr2")
+    val q = num.cast("double") / den.cast("double")
+    m.filter(den > 0)
+      .select(col("n").cast("bigint").as("n_rows"),
+        lit(k.toLong).as("k"),
+        round(q * 1e6).cast("long").as("q_micros"),
+        (if (k == 3) round(exp(-q / lit(2.0)) * 1e6).cast("long")
+         else lit(null).cast("long")).as("p_micros"))
+  }
+
   /** Multi-feature [[logisticGd]] — the same replayable
     * integer-state GD with the weight state widened to a bias + one
     * slope per feature (array-of-longs in the driver, same

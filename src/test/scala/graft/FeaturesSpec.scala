@@ -715,4 +715,44 @@ class FeaturesSpec extends SparkSpec {
     assert(Features.logisticGdMulti(rows.filter(lit(false)),
       Seq($"x"), $"y").count() == 0L)
   }
+
+  test("cochranArmitage: hand trend; degenerate empty") {
+    import graft.operators.Features
+    // s=1: 2/10, s=2: 5/10, s=3: 8/10 — a clean dose response
+    val rows = ((1 to 10).map(i => (1L, i <= 2)) ++
+      (1 to 10).map(i => (2L, i <= 5)) ++
+      (1 to 10).map(i => (3L, i <= 8))).toDF("s", "y")
+    val r = Features.cochranArmitage(rows, $"s", $"y").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 30L && r.getLong(2) == 15L)
+    // TN = 30*36 - 60*15 = 180, AN = 30*140 - 60^2 = 600,
+    // z = 180*sqrt(30)/sqrt(15*15*600) — the engine's exact tree
+    val zExp = 180.0 * math.sqrt(30.0) / math.sqrt(225.0 * 600.0)
+    assert(r.getLong(3) == math.round(zExp * 1e6), r.toString)
+    assert(r.getLong(4) > 0L && r.getLong(4) < 10000L) // strongly significant
+    // all successes -> empty
+    assert(Features.cochranArmitage(rows.withColumn("y", lit(true)),
+      $"s", $"y").count() == 0L)
+  }
+
+  test("cochranQ: hand Q and exact chi2(2) tail; k=2 reduces to McNemar; unanimous empty") {
+    import graft.operators.Features
+    // 4 rows x 3 flags: C=(4,2,2), R=(1,2,2,3) -> Q = 16/6
+    val rows = Seq((1, 0, 0), (1, 1, 0), (1, 0, 1), (1, 1, 1))
+      .toDF("a", "b", "c")
+    val r = Features.cochranQ(rows,
+      Seq($"a" === 1, $"b" === 1, $"c" === 1)).collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == math.round(16.0 / 6.0 * 1e6))
+    assert(r.getLong(3) == math.round(math.exp(-(16.0 / 6.0) / 2.0) * 1e6))
+    // k=2: Q == uncorrected McNemar (b-c)^2/(b+c) = 1 on 3-vs-1 discordant
+    val two = Seq((1, 0), (1, 0), (0, 1), (1, 0)).toDF("a", "b")
+    val r2 = Features.cochranQ(two, Seq($"a" === 1, $"b" === 1))
+      .collect().head
+    assert(r2.getLong(2) == 1000000L)
+    assert(r2.isNullAt(3)) // no closed-form tail at k != 3
+    // unanimous rows only -> empty
+    val u = Seq((1, 1, 1), (0, 0, 0)).toDF("a", "b", "c")
+    assert(Features.cochranQ(u,
+      Seq($"a" === 1, $"b" === 1, $"c" === 1)).count() == 0L)
+  }
 }
