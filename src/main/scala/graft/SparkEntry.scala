@@ -115,7 +115,7 @@ object SparkEntry {
     // round-15 additions (no artifact yet)
     "graph_betweenness", "ml_logreg_multi", "ts_changepoints",
     "evt_drift_fdr_replay", "sample_to_mix", "ab_trend",
-    "ab_cochran_q")
+    "ab_cochran_q", "graph_katz", "asof_tolerance", "feat_kendall_w")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -309,7 +309,8 @@ object SparkEntry {
     "sketch_theta_persist", "sketch_join_cardinality",
     "join_semi", "join_anti", "join_salted", "skew_profile",
     "agg_copartition", "asof_signup_value",
-    "asof_next_purchase", "asof_nearest", "interval_join_promo",
+    "asof_next_purchase", "asof_nearest", "asof_tolerance",
+    "interval_join_promo",
     "interval_join_incidents",
     "interval_overlap_campaigns", "geo_radius_join",
     "win_topk_parts", "win_running_total", "win_lag_delta", "win_rank_family",
@@ -343,7 +344,7 @@ object SparkEntry {
     "ml_logreg_multi",
     "interval_coverage", "ts_strength", "agg_hhi",
     "feat_eb_shrinkage", "ab_tost", "ab_delta_method", "ab_levene",
-    "ab_trend", "ab_cochran_q",
+    "ab_trend", "ab_cochran_q", "feat_kendall_w",
     "dq_duplicate_rows",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
@@ -382,7 +383,7 @@ object SparkEntry {
     "dedup_clusters", "graph_pagerank", "graph_pagerank_personalized",
     "graph_hits", "graph_triangles", "graph_kcore", "graph_ktruss",
     "graph_local_triangles", "graph_shortest_paths", "graph_closeness",
-    "graph_betweenness", "graph_cooccurrence",
+    "graph_betweenness", "graph_katz", "graph_cooccurrence",
     "graph_weighted_paths", "graph_label_prop", "graph_modularity",
     "graph_louvain", "graph_assortativity", "graph_degree_hist",
     "graph_assoc_rules", "graph_adamic_adar", "graph_jaccard",
@@ -3994,6 +3995,26 @@ object SparkEntry {
         .orderBy($"rank_ppb".desc, $"node").limit(50)
     }),
 
+    "graph_katz" -> ((s, dir) => {
+      import s.implicits._
+      // Katz centrality over the same customer<->supplier trade
+      // graph: attenuated walk counts (influence does NOT dilute
+      // across out-edges — the un-normalized complement to
+      // PageRank's random surfer). Integer ppb state in DECIMAL, 5
+      // fixed rounds, alpha=1% — DuckDB replays every iterate in
+      // HUGEINT. Top-50 by (katz, node) is a deterministic cut.
+      val cs = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+        .join(Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .select(concat(lit("c"), $"o_custkey").as("src"),
+          concat(lit("s"), $"l_suppkey").as("dst"))
+        .distinct()
+      val edges = cs.union(cs.select($"dst".as("src"), $"src".as("dst")))
+      graft.operators.Graph.katzCentrality(edges, "src", "dst",
+          iters = 5, alphaPpm = 10000L)
+        .orderBy($"katz_ppb".desc, $"node").limit(50)
+    }),
+
     "graph_pagerank_personalized" -> ((s, dir) => {
       import s.implicits._
       // Personalized PageRank from the custkey%50==0 seed customers
@@ -6021,6 +6042,28 @@ object SparkEntry {
         .orderBy($"event_id")
     }),
 
+    "asof_tolerance" -> ((s, dir) => {
+      import s.implicits._
+      // Tolerance-bounded backward as-of: each signup takes the
+      // user's latest purchase AT MOST 1 HOUR back — out-of-window
+      // matches NULL out while the signup row survives (the pandas
+      // merge_asof tolerance semantics; a stale quote is worse than
+      // no quote). Purchases pre-reduce per (user_id, ts) by
+      // min(value) — the asof_nearest tie discipline.
+      val ev = Tables.events(s, dir)
+      val signups = ev.filter($"event_type" === "signup")
+        .select($"event_id", $"user_id", $"ts")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id", $"ts".as("purchase_ts"))
+        .agg(min($"value").as("purchase_value"))
+      AsOf.joinAsOf(signups, purchases, "user_id", "ts", "purchase_ts",
+          payload = Seq("purchase_value"), direction = "backward",
+          toleranceSeconds = Some(3600L))
+        .select($"event_id", $"user_id",
+          date_trunc("second", $"ts").as("ts_s"), $"purchase_value")
+        .orderBy($"event_id")
+    }),
+
     "interval_join_promo" -> ((s, dir) => {
       import s.implicits._
       // Keyed point-in-interval join (operators.IntervalJoin): every
@@ -7006,6 +7049,18 @@ object SparkEntry {
           pOf($"s3").as("p_micros")))
       graft.operators.Quality.bhFdr(battery, "metric", $"p_micros")
         .orderBy($"rank")
+    }),
+
+    "feat_kendall_w" -> ((s, dir) => {
+      import s.implicits._
+      // Kendall's W concordance of three row-local document scorers
+      // (chars, tokens, 'a'-count) — ONE agreement coefficient where
+      // pairwise Spearman gives a matrix; tie-corrected, the x2
+      // integer rank trick end to end. SIDE-EFFECTING (the item
+      // table localCheckpoints; a 1-row guard runs eagerly).
+      graft.operators.OrderedStats.kendallW(Tables.documents(s, dir),
+        Seq(length($"text"), size(split($"text", " ")),
+          length($"text") - length(regexp_replace($"text", "a", ""))))
     }),
 
     "ab_trend" -> ((s, dir) => {
@@ -12584,6 +12639,47 @@ object SparkEntry {
         |  CAST(round(p2 * 1000000) AS BIGINT) AS p_micros
         |FROM p""".stripMargin,
 
+    // the x2 integer rank trick per rater (2*below + t + 1), HUGEINT
+    // deviations and tie terms, one truncating ppm division
+    "feat_kendall_w" ->
+      """WITH b AS (SELECT CAST(length(text) AS DOUBLE) AS s1,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS s2,
+        |    CAST(length(text) - length(replace(text, 'a', ''))
+        |      AS DOUBLE) AS s3
+        |  FROM documents),
+        |v1 AS (SELECT s1, count(*) AS t FROM b GROUP BY 1),
+        |r1 AS (SELECT s1, 2 * coalesce(sum(t) OVER (ORDER BY s1
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + t + 1 AS r2_1 FROM v1),
+        |t1 AS (SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS tt
+        |  FROM v1),
+        |v2 AS (SELECT s2, count(*) AS t FROM b GROUP BY 1),
+        |r2 AS (SELECT s2, 2 * coalesce(sum(t) OVER (ORDER BY s2
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + t + 1 AS r2_2 FROM v2),
+        |t2 AS (SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS tt
+        |  FROM v2),
+        |v3 AS (SELECT s3, count(*) AS t FROM b GROUP BY 1),
+        |r3 AS (SELECT s3, 2 * coalesce(sum(t) OVER (ORDER BY s3
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + t + 1 AS r2_3 FROM v3),
+        |t3 AS (SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS tt
+        |  FROM v3),
+        |j AS (SELECT r1.r2_1 + r2.r2_2 + r3.r2_3 AS rsum
+        |  FROM b JOIN r1 USING (s1) JOIN r2 USING (s2)
+        |  JOIN r3 USING (s3)),
+        |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM b),
+        |s4 AS (SELECT sum((CAST(rsum AS HUGEINT) - 3 * (n + 1))
+        |    * (CAST(rsum AS HUGEINT) - 3 * (n + 1))) AS s4
+        |  FROM j, nn),
+        |tt AS (SELECT t1.tt + t2.tt + t3.tt AS ties FROM t1, t2, t3)
+        |SELECT CAST(n AS BIGINT) AS n_items, CAST(3 AS BIGINT) AS k,
+        |  CAST(ties AS BIGINT) AS ties,
+        |  CAST((3 * s4 * 1000000) // (9 * (n * n * n - n) - 3 * ties)
+        |    AS BIGINT) AS w_ppm
+        |FROM s4, tt, nn
+        |WHERE 9 * (n * n * n - n) - 3 * ties > 0""".stripMargin,
+
     // every term an exact HUGEINT from one aggregate; Q is one double
     // division; the chi2(2) tail exp(-Q/2) is exact at k = 3
     "ab_cochran_q" ->
@@ -14803,6 +14899,33 @@ object SparkEntry {
          |ORDER BY rank_ppb DESC, node LIMIT 50""".stripMargin
     },
 
+    // attenuated walk counts in HUGEINT: x <- 1e9 + (sum of in-rank
+    // * alpha) // 1e6, five unrolled rounds — no degree division
+    "graph_katz" -> {
+      def iter(i: Int) =
+        s"""r$i AS (
+           |  SELECT n.node, CAST(1000000000 AS HUGEINT) +
+           |      (CAST(coalesce(m.s, 0) AS HUGEINT) * 10000) // 1000000
+           |    AS katz_ppb
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, sum(r.katz_ppb) AS s
+           |    FROM edges e
+           |    JOIN r${i - 1} r ON e.src = r.node
+           |    GROUP BY 1) m ON n.node = m.node)""".stripMargin
+      s"""WITH cs AS (
+         |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (SELECT src, dst FROM cs
+         |          UNION SELECT dst AS src, src AS dst FROM cs),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges
+         |          UNION SELECT DISTINCT dst FROM edges),
+         |r0 AS (SELECT node, CAST(1000000000 AS HUGEINT) AS katz_ppb
+         |       FROM nodes),
+         |${(1 to 5).map(iter).mkString(",\n")}
+         |SELECT node, CAST(katz_ppb AS BIGINT) AS katz_ppb FROM r5
+         |ORDER BY katz_ppb DESC, node LIMIT 50""".stripMargin
+    },
+
     // the transitive closure replayed independently: same 3-gram
     // Jaccard edge set as dedup_ngram_exact, then a recursive CTE
     // walks each component (symmetric edges ⇒ reachable = component)
@@ -15049,6 +15172,28 @@ object SparkEntry {
         |FROM pick LEFT JOIN p
         |  ON p.user_id = pick.user_id AND p.pts = pick.mts
         |ORDER BY pick.event_id""".stripMargin,
+
+    // backward candidate then the tolerance gate in truncated seconds;
+    // the same (user_id, ts)-deduped purchase side as asof_nearest
+    "asof_tolerance" ->
+      """WITH s AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, ts AS pts, min(value) AS value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |b AS (SELECT s.event_id, max(p.pts) AS bts
+        |  FROM s JOIN p ON p.user_id = s.user_id AND p.pts <= s.ts
+        |  GROUP BY 1),
+        |c AS (SELECT s.event_id, s.user_id, s.ts, b.bts
+        |  FROM s LEFT JOIN b USING (event_id)),
+        |j AS (SELECT c.event_id, c.user_id, c.ts, c.bts, p.value
+        |  FROM c LEFT JOIN p
+        |    ON p.user_id = c.user_id AND p.pts = c.bts)
+        |SELECT event_id, user_id, date_trunc('second', ts) AS ts_s,
+        |  CASE WHEN bts IS NOT NULL
+        |      AND CAST(floor(epoch(ts)) AS BIGINT)
+        |        - CAST(floor(epoch(bts)) AS BIGINT) <= 3600
+        |    THEN value END AS purchase_value
+        |FROM j ORDER BY event_id""".stripMargin,
 
     "interval_join_promo" ->
       """SELECT a.o_orderkey AS promo_id, CAST(count(*) AS BIGINT) AS n_orders,

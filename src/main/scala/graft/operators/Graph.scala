@@ -344,6 +344,58 @@ object Graph {
     ranks.select(col("node"), col("rank_ppb"))
   }
 
+  /** Katz centrality by fixed-round power iteration — the
+    * UNNORMALIZED influence measure next to [[pageRank]] (PageRank
+    * splits a vertex's mass across its out-edges — right for random
+    * surfers, wrong for influence that does NOT dilute as it spreads:
+    * citations, infections, endorsements): `x ← 1 + α·Aᵀx`, so after
+    * t rounds `x_v = Σ_{ℓ≤t} α^ℓ · (walks of length ℓ into v)` — the
+    * attenuated walk count (Katz 1953), truncated at `iters` exactly
+    * like [[pageRank]]'s fixed-round contract (the truncation IS the
+    * semantics both engines replay; no spectral-radius convergence
+    * argument needed).
+    *
+    * Exactness: ranks live in integer ppb carried as DECIMAL(38,0)
+    * (attenuated walk counts GROW with α·deg > 1 — a long would
+    * silently cap the reachable scale); each round is one exact sum
+    * + one truncating division of non-negative integers
+    * ([[Quality.decimalDivTrunc]] — never the long-wrapping `div`),
+    * so every iterate replays in HUGEINT. The final cast to BIGINT
+    * fails LOUDLY under ANSI if α·degree ran the walk counts past a
+    * long — raise nothing silently. Returns (node, katz_ppb).
+    *
+    * Scale shape identical to [[pageRank]]: per round one src-keyed
+    * equi-join + one dst-keyed hash-agg over fixed-width rows,
+    * lineage truncated per round. */
+  def katzCentrality(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", iters: Int = 5, alphaPpm: Long = 10000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50] (got $iters)")
+    require(alphaPpm > 0L && alphaPpm < 1000000L,
+      s"alphaPpm must be in (0, 1e6) (got $alphaPpm)")
+    val e = truncate(edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct(), checkpointDir)
+    val nodes = truncate(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct(), checkpointDir)
+    val one = lit(1000000000L).cast("decimal(38,0)")
+    var ranks = nodes.withColumn("katz_ppb", one)
+    for (_ <- 1 to iters) {
+      val summed = e
+        .join(ranks.select(col("node").as("src"), col("katz_ppb")), "src")
+        .select(col("dst").as("node"), col("katz_ppb"))
+        .groupBy("node")
+        .agg(sum(col("katz_ppb")).cast("decimal(38,0)").as("s"))
+      ranks = truncate(nodes.join(summed, Seq("node"), "left")
+        .select(col("node"),
+          (one + Quality.decimalDivTrunc(
+            expr(s"CAST(coalesce(s, 0) AS DECIMAL(38,0)) * $alphaPpm"),
+            lit(1000000L))).cast("decimal(38,0)").as("katz_ppb")),
+        checkpointDir)
+    }
+    ranks.select(col("node"), col("katz_ppb").cast("bigint").as("katz_ppb"))
+  }
+
   /** Exact triangle count of the undirected simple graph in `edges`
     * (orientation/duplicates/self-loops are cleaned first). Returns a
     * 1-row DataFrame (n_vertices, n_edges, n_triangles).

@@ -191,6 +191,91 @@ object OrderedStats {
       round(p * 1e6).cast("long").as("p_micros"))
   }
 
+  /** Kendall's W — concordance of k RANKINGS of the same items ("do
+    * these k scoring functions agree on the ordering"), the
+    * eval-harness question behind ensemble rankers and judge panels
+    * (pairwise [[spearman]] gives k²/2 numbers; W is the ONE
+    * coefficient, 0 = no agreement, 1 = unanimous), tie-corrected
+    * (Kendall & Babington Smith 1939).
+    *
+    * Exactness via the ×2 rank trick: the average rank of a tie
+    * group is `below + (t+1)/2` — a HALF-integer — so the engine
+    * carries `2·avgRank = 2·below + t + 1`, an exact integer from
+    * the per-rater distinct-value table; the rank-sum deviations
+    * `D2_i = Σ_j r2_ij − k(n+1)` and `S4 = ΣD2²` are DECIMAL-exact,
+    * the tie correction `T_j = Σ(t³−t)` likewise, and
+    * `W = 3·S4 / (k²(n³−n) − k·ΣT)` is ONE truncating ppm division
+    * ([[Quality.decimalDivTrunc]]). All-tied raters (denominator 0)
+    * return empty. Returns one row (n_items, k, ties, w_ppm).
+    *
+    * SIDE-EFFECTING: the item table localCheckpoints (k+2
+    * consumers) and a 1-row distinct-count guard runs eagerly.
+    * Scale: per rater one distinct-value hash-agg + one
+    * DISTINCT-VALUE-scale cumulative window (the ksBattery posture —
+    * per-rater distinct values must fit a partition, guarded loudly)
+    * + one value-keyed join back; k ≤ 16 row-scale joins, nothing
+    * quadratic in items. */
+  def kendallW(df: DataFrame, scoreExprs: Seq[Column],
+      maxDistinctPerRater: Long = 2000000L): DataFrame = {
+    require(scoreExprs.size >= 2 && scoreExprs.size <= 16,
+      s"rater count must be in [2, 16] (got ${scoreExprs.size})")
+    val dec = "decimal(38,0)"
+    val k = scoreExprs.size
+    val sCols = (1 to k).map(j => s"__s$j")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(scoreExprs.zip(sCols).map {
+        case (e, nm) => e.cast("double").as(nm) }: _*)
+      .filter(sCols.map(c => col(c).isNotNull && !isnan(col(c)))
+        .reduce(_ && _))
+      .localCheckpoint(true)
+    val n = base.count()
+    if (n < 2L) {
+      Seq.empty[(Long, Long, Long, Long)]
+        .toDF("n_items", "k", "ties", "w_ppm")
+    } else {
+      val guard = base.agg(sCols.map(c =>
+        countDistinct(col(c)).as(c)).head,
+        sCols.map(c => countDistinct(col(c)).as(c)).tail: _*).head()
+      (0 until k).foreach { j =>
+        require(guard.getLong(j) <= maxDistinctPerRater,
+          s"rater ${j + 1} holds ${guard.getLong(j)} distinct scores " +
+            s"(cap $maxDistinctPerRater) — the per-rater cumulative " +
+            "window buffers them in one partition; bucket the scores")
+      }
+      var joined = base
+      var tie: DataFrame = null
+      for ((c, j) <- sCols.zipWithIndex) {
+        val vc = base.groupBy(col(c)).agg(count(lit(1)).as("__t"))
+        val wBelow = Window.orderBy(col(c))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ranked = vc.withColumn("__below",
+            coalesce(sum(col("__t")).over(wBelow), lit(0L)))
+          .select(col(c),
+            (lit(2L) * col("__below") + col("__t") + 1L)
+              .as(s"__r2$j"))
+        joined = joined.join(ranked, Seq(c))
+        val tj = vc.agg(sum((col("__t").cast(dec) * col("__t") *
+          col("__t") - col("__t"))).as("__tt"))
+        tie = if (tie == null) tj else tie.unionByName(tj)
+      }
+      val r2Sum = (0 until k).map(j => col(s"__r2$j")).reduce(_ + _)
+      val dev = r2Sum.cast(dec) - lit(k.toLong) * (lit(n) + 1L)
+      val s4 = joined.agg(sum(dev * dev).as("__s4"))
+      val tiesTot = tie.agg(sum(col("__tt")).as("__ties"))
+      val denom = lit(k.toLong).cast(dec) * lit(k.toLong) *
+        (lit(n).cast(dec) * lit(n) * lit(n) - lit(n)) -
+        lit(k.toLong).cast(dec) * col("__ties")
+      s4.crossJoin(tiesTot) // two 1-row moment tables
+        .filter(denom > 0)
+        .select(lit(n).as("n_items"), lit(k.toLong).as("k"),
+          col("__ties").cast("bigint").as("ties"),
+          Quality.decimalDivTrunc(
+            (lit(3L).cast(dec) * col("__s4")) * lit(1000000L),
+            denom).cast("long").as("w_ppm"))
+    }
+  }
+
   /** ROC-AUC, EXACT with tie correction — the Mann-Whitney rank-sum
     * identity: over distinct scores s (ascending), with `pos_s`
     * positives and `neg_s` negatives at s and `negBelow_s` negatives

@@ -556,6 +556,25 @@ class GraphSpec extends SparkSpec {
     assert(e.getMessage.contains("maxSeeds"))
   }
 
+  test("katzCentrality: walk-length terms accumulate; no in-edges stays at base; guard") {
+    // directed chain 1->2->3, alpha = 0.1, 2 rounds:
+    // x2 = 1e9 + 1e8; x3 = 1e9 + (1e9 + 1e8)//10 (the length-2 term)
+    val chain = Seq(("1", "2"), ("2", "3")).toDF("src", "dst")
+    val got = Graph.katzCentrality(chain, iters = 2, alphaPpm = 100000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("1" -> 1000000000L, "2" -> 1100000000L,
+      "3" -> 1110000000L), got.toString)
+    // two sources into one sink: contributions SUM (no degree split)
+    val vee = Seq(("1", "2"), ("3", "2")).toDF("src", "dst")
+    val g2 = Graph.katzCentrality(vee, iters = 2, alphaPpm = 100000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g2("2") == 1200000000L, g2.toString)
+    val e = intercept[IllegalArgumentException] {
+      Graph.katzCentrality(chain, iters = 0)
+    }
+    assert(e.getMessage.contains("[1,50]"))
+  }
+
   test("betweennessFromSeeds: path and diamond closed forms, multi-seed sum, seed cap") {
     def run(edges: Seq[(Long, Long)], seeds: Seq[Long], hops: Int) =
       Graph.betweennessFromSeeds(edges.toDF("id_a", "id_b"),

@@ -359,4 +359,33 @@ class OrderedStatsSpec extends SparkSpec {
     assert(OrderedStats.yuenTTest(tiny.toDF("v", "t"), $"v", $"t",
       trimPpm = 400000L).count() == 0L)
   }
+
+  test("kendallW: perfect/opposed/tied closed forms; all-tied empty; guard") {
+    import graft.operators.OrderedStats
+    val asc = Seq((1.0, 1.0, 1.0), (2.0, 2.0, 2.0), (3.0, 3.0, 3.0),
+      (4.0, 4.0, 4.0)).toDF("a", "b", "c")
+    // three identical rankings -> W = 1 exactly
+    val r = OrderedStats.kendallW(asc, Seq($"a", $"b", $"c"))
+      .collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L && r.getLong(2) == 0L)
+    assert(r.getLong(3) == 1000000L, r.toString)
+    // third rater reversed: S4 = 20, denom = 540 -> W = 60e6/540 trunc
+    val rev = Seq((1.0, 1.0, 4.0), (2.0, 2.0, 3.0), (3.0, 3.0, 2.0),
+      (4.0, 4.0, 1.0)).toDF("a", "b", "c")
+    val r2 = OrderedStats.kendallW(rev, Seq($"a", $"b", $"c"))
+      .collect().head
+    assert(r2.getLong(3) == 111111L, r2.toString)
+    // one perfect + one constant rater: tie-corrected W = 0.5
+    val tied = Seq((1.0, 7.0), (2.0, 7.0), (3.0, 7.0), (4.0, 7.0))
+      .toDF("a", "b")
+    val r3 = OrderedStats.kendallW(tied, Seq($"a", $"b")).collect().head
+    assert(r3.getLong(2) == 60L && r3.getLong(3) == 500000L, r3.toString)
+    // both raters constant: denominator 0 -> empty
+    val allTied = Seq((7.0, 7.0), (7.0, 7.0)).toDF("a", "b")
+    assert(OrderedStats.kendallW(allTied, Seq($"a", $"b")).count() == 0L)
+    val e = intercept[IllegalArgumentException] {
+      OrderedStats.kendallW(asc, Seq($"a"))
+    }
+    assert(e.getMessage.contains("[2, 16]"))
+  }
 }
