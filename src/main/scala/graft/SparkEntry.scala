@@ -984,20 +984,27 @@ object SparkEntry {
       import s.implicits._
       // Full-row duplicate census over lineitem — the load-bug
       // detector (a re-run ingest doubles rows bit-identically; no
-      // key-based check sees it). Fingerprint-first: the row
-      // canonicalizes to md5(to_json(struct(*))) — 128 bits, and
-      // to_json keeps field NAMES so null-position twins like
-      // (NULL,'a') vs ('a',NULL) stay distinct (the raw multi-column
-      // hash null-skip would merge them) — and the census aggregates
-      // multiplicities on the 16-byte key. At 100 TB the exchange
+      // key-based check sees it). Fingerprint-first: a 128-bit
+      // xxhash64 pair (distinct salts) plus an explicit null-position
+      // BITMASK — Spark's multi-column hash SKIPS null operands, so
+      // without the mask (NULL,'a') and ('a',NULL) would collide; the
+      // mask restores the distinction row-locally with no string
+      // serialization (an earlier md5(to_json) form was 10× slower —
+      // native codegen hashing is the point). The census aggregates
+      // multiplicities on the ~24-byte key: at 100 TB the exchange
       // carries fingerprints + partial counts, never the full row
       // width (the Dedup.exact posture). One summary row, exact
       // integers; identical output to the group-by-every-column plan
       // up to a 2^-64 birthday bound.
       val li = Tables.lineitem(s, dir)
-      li.select(md5(to_json(struct(li.columns.map(col): _*)))
-          .as("__fp"))
-        .groupBy($"__fp")
+      val cols = li.columns.map(col)
+      val nullMask = li.columns.zipWithIndex.map { case (c, i) =>
+        when(col(c).isNull, lit(1L << i)).otherwise(0L) }
+        .reduce(_ + _)
+      li.select(xxhash64(cols: _*).as("__h1"),
+          xxhash64(lit("dq2") +: cols: _*).as("__h2"),
+          nullMask.as("__nm"))
+        .groupBy($"__h1", $"__h2", $"__nm")
         .agg(count(lit(1)).as("__c"))
         .agg(sum($"__c").cast("bigint").as("n_rows"),
           count(lit(1)).cast("bigint").as("n_distinct"),

@@ -878,7 +878,7 @@ class PlanSpec extends SparkSpec {
     assert(hashExchanges.nonEmpty, p)
     hashExchanges.foreach { b =>
       val input = b.linesIterator.find(_.startsWith("Input")).getOrElse("")
-      assert(input.contains("__fp"), s"fingerprint missing from census shuffle:\n$b")
+      assert(input.contains("__h1"), s"fingerprint missing from census shuffle:\n$b")
       assert(!input.contains("l_extendedprice") && !input.contains("l_orderkey"),
         s"full row width in census shuffle:\n$b")
     }
