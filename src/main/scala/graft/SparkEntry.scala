@@ -115,7 +115,9 @@ object SparkEntry {
     // round-15 additions (no artifact yet)
     "graph_betweenness", "ml_logreg_multi", "ts_changepoints",
     "evt_drift_fdr_replay", "sample_to_mix", "ab_trend",
-    "ab_cochran_q", "graph_katz", "asof_tolerance", "feat_kendall_w")
+    "ab_cochran_q", "graph_katz", "asof_tolerance", "feat_kendall_w",
+    "feat_ndcg", "win_rolling_median", "agg_weighted_median",
+    "evt_bot_screen")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -302,7 +304,8 @@ object SparkEntry {
     "join_bloom_prefilter",
     "agg_distinct", "agg_minmax", "agg_rollup", "agg_cube", "agg_approx_distinct",
     "agg_collect_list", "agg_pivot", "agg_unpivot", "agg_grouping_sets",
-    "agg_mode", "agg_winsorized_mean", "agg_share", "agg_topn_other",
+    "agg_mode", "agg_winsorized_mean", "agg_weighted_median",
+    "agg_share", "agg_topn_other",
     "date_funcs", "null_handling", "str_levenshtein", "sketch_bloom",
     "sketch_topk", "sketch_topk_grouped", "sketch_hll_persist", "sketch_kll_persist",
     "sketch_cms_persist",
@@ -314,7 +317,7 @@ object SparkEntry {
     "interval_join_incidents",
     "interval_overlap_campaigns", "geo_radius_join",
     "win_topk_parts", "win_running_total", "win_lag_delta", "win_rank_family",
-    "win_rolling_range", "win_mom_change",
+    "win_rolling_range", "win_rolling_median", "win_mom_change",
     "set_union", "set_intersect", "set_except",
     "merge_upsert", "merge_scd2", "merge_diff", "merge_survivorship",
     "fuzzy_join_names", "fuzzy_rank_names", "link_fs_scores",
@@ -344,7 +347,7 @@ object SparkEntry {
     "ml_logreg_multi",
     "interval_coverage", "ts_strength", "agg_hhi",
     "feat_eb_shrinkage", "ab_tost", "ab_delta_method", "ab_levene",
-    "ab_trend", "ab_cochran_q", "feat_kendall_w",
+    "ab_trend", "ab_cochran_q", "feat_kendall_w", "feat_ndcg",
     "dq_duplicate_rows",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
@@ -365,7 +368,7 @@ object SparkEntry {
     "evt_cumulative_users", "dq_mutual_info", "dq_js_divergence",
     "feat_isotonic", "dq_corr_matrix", "feat_decayed_activity",
     "evt_gini", "dq_type_inference", "evt_stickiness", "ts_drawdown",
-    "evt_interarrival", "evt_top_paths",
+    "evt_interarrival", "evt_bot_screen", "evt_top_paths",
     "agg_corr_regr",
     "text_stats", "text_quality", "text_term_freq", "text_lang_dist",
     "text_langid", "text_token_counts", "text_quality_score", "text_entities",
@@ -6677,6 +6680,52 @@ object SparkEntry {
         .orderBy($"event_id")
     }),
 
+    "agg_weighted_median" -> ((s, dir) => {
+      import s.implicits._
+      // Quantity-weighted median line price per priority — "the price
+      // of the median UNIT SOLD", which the unweighted median of line
+      // items cannot answer. Weighted percentile_disc convention:
+      // cross-multiplied integer threshold, actual data values out.
+      graft.operators.Percentiles.weightedPercentileDisc(
+          Tables.orders(s, dir).select($"o_orderkey", $"o_orderpriority")
+            .join(Tables.lineitem(s, dir)
+              .select($"l_orderkey", $"l_extendedprice", $"l_quantity"),
+              $"o_orderkey" === $"l_orderkey"),
+          "o_orderpriority",
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
+          $"l_quantity")
+        .withColumnRenamed("value", "wmedian_cents")
+        .orderBy($"o_orderpriority")
+    }),
+
+    "win_rolling_median" -> ((s, dir) => {
+      import s.implicits._
+      // 24-hour ROLLING MEDIAN of hourly volume per event type — the
+      // robust smoother a rolling mean is not (one burst hour drags a
+      // mean for a day; the median shrugs). Spark refuses median/
+      // percentile with a bounded frame, so the frame collects into a
+      // sorted <=24-element array and the interpolation is explicit
+      // row-local algebra mirrored token-for-token (odd: the middle
+      // element; even: (a+b)/2.0) — the O(frame)-per-row cost IS the
+      // exact-rolling-median contract. One keyed window over the
+      // series-scale table; the array never reaches output.
+      val hc = Tables.events(s, dir)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+        .agg((count(lit(1)) * 1000000L).as("x"))
+      val w = Window.partitionBy($"event_type").orderBy($"hour")
+        .rowsBetween(-23, Window.currentRow)
+      hc.withColumn("__arr", sort_array(collect_list($"x").over(w)))
+        .withColumn("roll_med", expr(
+          "CASE WHEN size(__arr) % 2 = 1 THEN CAST(element_at(__arr," +
+            " CAST((size(__arr) + 1) DIV 2 AS INT)) AS DOUBLE)" +
+            " ELSE (CAST(element_at(__arr, CAST(size(__arr) DIV 2" +
+            " AS INT)) AS DOUBLE) + CAST(element_at(__arr," +
+            " CAST(size(__arr) DIV 2 + 1 AS INT)) AS DOUBLE)) / 2.0" +
+            " END"))
+        .select($"event_type", $"hour", $"x", $"roll_med")
+        .orderBy($"event_type", $"hour")
+    }),
+
     "evt_funnel" -> ((s, dir) => {
       import s.implicits._
       // view -> click -> purchase conversion funnel: earliest per-user
@@ -7058,6 +7107,18 @@ object SparkEntry {
         .orderBy($"rank")
     }),
 
+    "feat_ndcg" -> ((s, dir) => {
+      import s.implicits._
+      // NDCG@100 of the "longer is better" document ranker against a
+      // 0-3 token-count grade — graded-relevance ranking quality
+      // where AUC/AP see only binary labels. Both cuts TakeOrdered,
+      // per-rank terms micro-quantized. SIDE-EFFECTING (the item
+      // table localCheckpoints).
+      graft.operators.OrderedStats.ndcgAtK(Tables.documents(s, dir),
+        $"doc_id", length($"text"),
+        pmod(size(split($"text", " ")), lit(4)), k = 100)
+    }),
+
     "feat_kendall_w" -> ((s, dir) => {
       import s.implicits._
       // Kendall's W concordance of three row-local document scorers
@@ -7199,6 +7260,35 @@ object SparkEntry {
       // arithmetic only, replays exactly.
       EventStreams.growthAccounting(Tables.orders(s, dir),
         "o_custkey", "o_orderdate")
+    }),
+
+    "evt_bot_screen" -> ((s, dir) => {
+      import s.implicits._
+      // Bot/automation screen: the 50 MOST-REGULAR active users by
+      // interarrival coefficient of variation — humans are bursty
+      // (CV near or above 1), schedulers are metronomes (CV near 0);
+      // rate alone can't tell a power user from a cron job, cadence
+      // regularity can. Exact integer gap moments per user, one
+      // mirrored sqrt tree, TakeOrdered cut.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val d = Tables.events(s, dir)
+        .withColumn("__sec", unix_timestamp($"ts"))
+        .withColumn("__dt", $"__sec" - lag($"__sec", 1).over(w))
+        .filter($"__dt".isNotNull)
+      val dec = "decimal(38,0)"
+      val m = d.groupBy($"user_id")
+        .agg(count(lit(1)).as("n"),
+          sum($"__dt".cast(dec)).as("s"),
+          sum(($"__dt".cast(dec) * $"__dt")).as("q"))
+        .filter($"n" >= 30L && $"s" > 0)
+      val cv = sqrt(($"n".cast(dec) * $"q" - $"s" * $"s").cast("double") /
+          ($"n".cast(dec) * ($"n" - 1L)).cast("double")) /
+        ($"s".cast("double") / $"n".cast("double"))
+      m.select($"user_id", $"n".cast("bigint").as("n_gaps"),
+          expr("CAST(s * 1000 div n AS BIGINT)").as("mean_gap_ms"),
+          round(cv * 1e6).cast("long").as("cv_ppm"))
+        .orderBy($"cv_ppm", $"user_id").limit(50)
     }),
 
     "evt_interarrival" -> ((s, dir) => {
@@ -12646,6 +12736,38 @@ object SparkEntry {
         |  CAST(round(p2 * 1000000) AS BIGINT) AS p_micros
         |FROM p""".stripMargin,
 
+    // both cuts replayed with window-then-limit; per-rank terms
+    // micro-quantized through the mirrored ln tree; one truncating
+    // ppm division
+    "feat_ndcg" ->
+      """WITH b AS (SELECT doc_id AS id,
+        |    CAST(length(text) AS DOUBLE) AS s,
+        |    CAST(len(string_split(text, ' ')) % 4 AS BIGINT) AS rel
+        |  FROM documents),
+        |top AS (SELECT rel,
+        |    CAST(row_number() OVER (ORDER BY s DESC, id) AS BIGINT)
+        |      AS i
+        |  FROM b ORDER BY s DESC, id LIMIT 100),
+        |d AS (SELECT coalesce(sum(CAST(round(CAST(rel AS DOUBLE)
+        |      / (ln(CAST(i AS DOUBLE) + 1.0) / ln(2.0)) * 1000000)
+        |      AS BIGINT)), 0) AS dcg_micros
+        |  FROM top),
+        |ideal AS (SELECT rel,
+        |    CAST(row_number() OVER (ORDER BY rel DESC, id) AS BIGINT)
+        |      AS i
+        |  FROM b ORDER BY rel DESC, id LIMIT 100),
+        |di AS (SELECT coalesce(sum(CAST(round(CAST(rel AS DOUBLE)
+        |      / (ln(CAST(i AS DOUBLE) + 1.0) / ln(2.0)) * 1000000)
+        |      AS BIGINT)), 0) AS idcg_micros
+        |  FROM ideal),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM b)
+        |SELECT CAST(100 AS BIGINT) AS k, n_rows,
+        |  CAST(dcg_micros AS BIGINT) AS dcg_micros,
+        |  CAST(idcg_micros AS BIGINT) AS idcg_micros,
+        |  CAST((dcg_micros * 1000000) // idcg_micros AS BIGINT)
+        |    AS ndcg_ppm
+        |FROM d, di, nn WHERE idcg_micros > 0""".stripMargin,
+
     // the x2 integer rank trick per rater (2*below + t + 1), HUGEINT
     // deviations and tie terms, one truncating ppm division
     "feat_kendall_w" ->
@@ -12783,6 +12905,61 @@ object SparkEntry {
         |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_1h
         |FROM events
         |ORDER BY event_id""".stripMargin,
+
+    // exact integer gap moments per user; cv through one mirrored
+    // sqrt tree; truncating mean; deterministic TakeOrdered cut
+    "evt_bot_screen" ->
+      """WITH t AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT)
+        |    AS sec, ts, event_id FROM events),
+        |d AS (SELECT user_id, sec - lag(sec) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS dt FROM t),
+        |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(dt AS HUGEINT)) AS s,
+        |    sum(CAST(dt AS HUGEINT) * dt) AS q
+        |  FROM d WHERE dt IS NOT NULL GROUP BY 1),
+        |c AS (SELECT user_id, n, s,
+        |    sqrt(CAST(n * q - s * s AS DOUBLE)
+        |        / CAST(n * (n - 1) AS DOUBLE))
+        |      / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS cv
+        |  FROM m WHERE n >= 30 AND s > 0)
+        |SELECT user_id, n AS n_gaps,
+        |  CAST((s * 1000) // n AS BIGINT) AS mean_gap_ms,
+        |  CAST(round(cv * 1000000) AS BIGINT) AS cv_ppm
+        |FROM c ORDER BY cv_ppm, user_id LIMIT 50""".stripMargin,
+
+    // weights aggregated per distinct value; the pick is the
+    // cross-multiplied integer threshold, min(v) over qualifiers
+    "agg_weighted_median" ->
+      """WITH b AS (SELECT o_orderpriority AS k,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |    CAST(l_quantity AS BIGINT) AS w
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |vc AS (SELECT k, v, sum(w) AS w FROM b GROUP BY 1, 2),
+        |cc AS (SELECT k, v, w,
+        |    sum(w) OVER (PARTITION BY k ORDER BY v) AS cw,
+        |    sum(w) OVER (PARTITION BY k) AS tw FROM vc)
+        |SELECT k AS o_orderpriority, CAST(tw AS BIGINT) AS total_weight,
+        |  CAST(min(CASE WHEN cw * 1000000 >= 500000 * tw THEN v END)
+        |    AS BIGINT) AS wmedian_cents
+        |FROM cc GROUP BY k, tw ORDER BY k""".stripMargin,
+
+    // the same sorted-frame-array interpolation, token-for-token
+    "win_rolling_median" ->
+      """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(count(*) AS BIGINT) * 1000000 AS x
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, hour, x,
+        |    list_sort(list(x) OVER (PARTITION BY event_type
+        |      ORDER BY hour
+        |      ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)) AS arr
+        |  FROM c)
+        |SELECT event_type, hour, x,
+        |  CASE WHEN len(arr) % 2 = 1
+        |    THEN CAST(arr[(len(arr) + 1) // 2] AS DOUBLE)
+        |    ELSE (CAST(arr[len(arr) // 2] AS DOUBLE)
+        |      + CAST(arr[len(arr) // 2 + 1] AS DOUBLE)) / 2.0 END
+        |    AS roll_med
+        |FROM l ORDER BY event_type, hour""".stripMargin,
 
     "evt_funnel" ->
       """WITH s1 AS (

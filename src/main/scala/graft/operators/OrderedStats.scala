@@ -191,6 +191,57 @@ object OrderedStats {
       round(p * 1e6).cast("long").as("p_micros"))
   }
 
+  /** NDCG@k — graded-relevance ranking quality (Järvelin &
+    * Kekäläinen 2002), the eval-harness metric where [[aucExact]]
+    * (binary, threshold-free) and [[averagePrecision]] (binary,
+    * rank-weighted) cannot see GRADES: highly-relevant items must
+    * rank above mildly-relevant ones, discounted by `1/log₂(i+1)`.
+    *
+    * Determinism: the model cut is top-k by (score desc, id) — a
+    * TOTAL order; each rank term `round(rel / (ln(i+1)/ln 2) · 10⁶)`
+    * micro-quantizes per rank so the DCG sum is order-free (the
+    * unigramNll convention; ln agrees between engines); the ideal
+    * cut sorts by (rel desc, id) — equal grades contribute equal
+    * terms, so the tie-break cannot change IDCG; `ndcg_ppm` is one
+    * truncating division of exact integers. Zero IDCG (no relevant
+    * item exists) returns empty — NDCG of nothing is a category
+    * error, not 0. Returns one row (k, n_rows, dcg_micros,
+    * idcg_micros, ndcg_ppm).
+    *
+    * Scale: BOTH cuts are TakeOrdered top-k (never a global sort);
+    * the rank windows run over ≤ k rows in one partition — k is the
+    * caller's contract (≤ 100k guard). SIDE-EFFECTING: the item
+    * table localCheckpoints (two cut consumers + the total). */
+  def ndcgAtK(df: DataFrame, idExpr: Column, scoreExpr: Column,
+      relExpr: Column, k: Int = 100): DataFrame = {
+    require(k >= 1 && k <= 100000, s"k must be in [1, 100000] (got $k)")
+    val base = df.select(idExpr.cast("long").as("id"),
+        scoreExpr.cast("double").as("s"),
+        relExpr.cast("long").as("rel"))
+      .filter(col("s").isNotNull && !isnan(col("s")) &&
+        col("rel").isNotNull && col("rel") >= 0L)
+      .localCheckpoint(true)
+    def termSum(cut: DataFrame, name: String): DataFrame =
+      cut.agg(coalesce(sum(round(col("rel").cast("double") /
+          (log(col("__i").cast("double") + lit(1.0)) / log(lit(2.0))) *
+          lit(1000000.0)).cast("long")), lit(0L)).as(name))
+    val top = base.orderBy(col("s").desc, col("id")).limit(k)
+      .withColumn("__i", row_number().over(
+        Window.orderBy(col("s").desc, col("id"))).cast("long"))
+    val ideal = base.orderBy(col("rel").desc, col("id")).limit(k)
+      .withColumn("__i", row_number().over(
+        Window.orderBy(col("rel").desc, col("id"))).cast("long"))
+    val n = base.agg(count(lit(1)).as("n_rows"))
+    termSum(top, "dcg_micros")
+      .crossJoin(termSum(ideal, "idcg_micros")) // 1-row cuts
+      .crossJoin(n)
+      .filter(col("idcg_micros") > 0L)
+      .select(lit(k.toLong).as("k"),
+        col("n_rows").cast("bigint").as("n_rows"),
+        col("dcg_micros"), col("idcg_micros"),
+        expr("dcg_micros * 1000000 div idcg_micros").as("ndcg_ppm"))
+  }
+
   /** Kendall's W — concordance of k RANKINGS of the same items ("do
     * these k scoring functions agree on the ordering"), the
     * eval-harness question behind ensemble rankers and judge panels

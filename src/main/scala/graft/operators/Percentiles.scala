@@ -84,6 +84,53 @@ object Percentiles {
       .agg(expr(call).as("percentiles"))
   }
 
+  /** WEIGHTED discrete percentile per key — the family member the
+    * unweighted forms cannot fake (the quantity-weighted median price
+    * asks "the price of the median UNIT SOLD", not of the median line
+    * item): the smallest value v whose cumulative weight reaches
+    * `p`·totalWeight — the weighted `percentile_disc` convention
+    * (rank-based, returns an ACTUAL data value, bit-exact on any
+    * engine; interpolation on weights is a modeling choice this
+    * operator deliberately refuses).
+    *
+    * Exactness: weights aggregate per distinct value (exact longs in
+    * DECIMAL), the threshold test is the cross-multiplied integer
+    * comparison `cumW·10⁶ ≥ p_micros·totalW` (never a double ratio),
+    * and the pick is `min(v | test)` — total by construction.
+    * Non-positive weights are REFUSED rows (filtered with the NULLs:
+    * a zero-weight observation cannot move a weighted rank).
+    * Returns one row per key: (key, total_weight, value).
+    *
+    * Scale: one row-scale hash-agg to (key, value) weight cells,
+    * then DISTINCT-VALUE-scale windows partitioned by key (the
+    * grouped-percentile contract: per-key distinct values fit a
+    * partition) and one final hash-agg. */
+  def weightedPercentileDisc(df: DataFrame, keyCol: String,
+      valueExpr: Column, weightExpr: Column,
+      pMicros: Long = 500000L): DataFrame = {
+    require(pMicros > 0L && pMicros <= 1000000L,
+      s"pMicros must be in (0, 1e6] (got $pMicros)")
+    val dec = "decimal(38,0)"
+    val vc = df.select(col(keyCol).as("__k"),
+        valueExpr.cast("long").as("__v"),
+        weightExpr.cast("long").as("__w"))
+      .filter(col("__v").isNotNull && col("__w").isNotNull &&
+        col("__w") > 0L)
+      .groupBy(col("__k"), col("__v"))
+      .agg(sum(col("__w")).as("__w"))
+    val wCum = Window.partitionBy(col("__k")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("__k"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    vc.withColumn("__cw", sum(col("__w")).over(wCum))
+      .withColumn("__tw", sum(col("__w")).over(wAll))
+      .groupBy(col("__k"), col("__tw"))
+      .agg(min(when(col("__cw").cast(dec) * 1000000L >=
+        lit(pMicros).cast(dec) * col("__tw"), col("__v"))).as("value"))
+      .select(col("__k").as(keyCol),
+        col("__tw").cast("bigint").as("total_weight"), col("value"))
+  }
+
   /** The reference's 12-arm CASE ladder (README.md:238-251): label a
     * value with the decile band it falls into, given the percentile
     * array. `<= p[0]` → "10", `<= p[1]` → "20", …, else "99+". */

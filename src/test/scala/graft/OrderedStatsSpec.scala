@@ -388,4 +388,31 @@ class OrderedStatsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("[2, 16]"))
   }
+
+  test("ndcgAtK: hand DCG/IDCG at k=n and k<n; zero-relevance empty; guard") {
+    import graft.operators.OrderedStats
+    // model order 1,2,3,4 (score desc); grades 3,0,2,0
+    val rows = Seq((1L, 40.0, 3L), (2L, 30.0, 0L), (3L, 20.0, 2L),
+      (4L, 10.0, 0L)).toDF("id", "s", "rel")
+    def term(rel: Long, i: Long): Long =
+      math.round(rel.toDouble / (math.log(i.toDouble + 1.0) / math.log(2.0)) * 1e6)
+    val idcg = term(3L, 1L) + term(2L, 2L)
+    val r = OrderedStats.ndcgAtK(rows, $"id", $"s", $"rel", k = 4)
+      .collect().head
+    // DCG: 3 at rank 1 (log2(2)=1) + 2 at rank 3 (log2(4)=2) = 4e6
+    assert(r.getLong(2) == 4000000L, r.toString)
+    assert(r.getLong(3) == idcg, r.toString)
+    assert(r.getLong(4) == 4000000L * 1000000L / idcg, r.toString)
+    // k=2 cuts the rank-3 gain from DCG, ideal unchanged
+    val r2 = OrderedStats.ndcgAtK(rows, $"id", $"s", $"rel", k = 2)
+      .collect().head
+    assert(r2.getLong(2) == 3000000L && r2.getLong(3) == idcg)
+    // all-zero relevance: NDCG is a category error -> empty
+    assert(OrderedStats.ndcgAtK(rows.withColumn("rel", lit(0L)),
+      $"id", $"s", $"rel", k = 4).count() == 0L)
+    val e = intercept[IllegalArgumentException] {
+      OrderedStats.ndcgAtK(rows, $"id", $"s", $"rel", k = 0)
+    }
+    assert(e.getMessage.contains("[1, 100000]"))
+  }
 }

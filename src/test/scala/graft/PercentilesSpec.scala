@@ -75,4 +75,28 @@ class PercentilesSpec extends SparkSpec {
     assert(j.count() == w.count())
     assert(j.select("l_partkey").distinct().count() == w.select("l_partkey").distinct().count())
   }
+
+  test("weightedPercentileDisc: weights move the median; p edges; zero weights refused") {
+    import graft.operators.Percentiles
+    // value 10 carries 5 of 7 units -> weighted median 10 (unweighted
+    // row median would be 20); dup values aggregate; w=0 is inert
+    val rows = Seq(("a", 10L, 2L), ("a", 10L, 3L), ("a", 20L, 1L),
+      ("a", 30L, 1L), ("a", 40L, 0L), ("b", 7L, 1L))
+      .toDF("k", "v", "w")
+    val got = Percentiles.weightedPercentileDisc(rows, "k", $"v", $"w")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("a" -> ((7L, 10L)), "b" -> ((1L, 7L))), got.toString)
+    // p = 1e6 -> the maximum; tiny p -> the minimum
+    val pMax = Percentiles.weightedPercentileDisc(rows, "k", $"v", $"w",
+      pMicros = 1000000L).filter($"k" === "a").collect().head.getLong(2)
+    assert(pMax == 30L)
+    val pMin = Percentiles.weightedPercentileDisc(rows, "k", $"v", $"w",
+      pMicros = 1L).filter($"k" === "a").collect().head.getLong(2)
+    assert(pMin == 10L)
+    val e = intercept[IllegalArgumentException] {
+      Percentiles.weightedPercentileDisc(rows, "k", $"v", $"w", pMicros = 0L)
+    }
+    assert(e.getMessage.contains("(0, 1e6]"))
+  }
 }
