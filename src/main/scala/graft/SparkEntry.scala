@@ -117,7 +117,7 @@ object SparkEntry {
     "evt_drift_fdr_replay", "sample_to_mix", "ab_trend",
     "ab_cochran_q", "graph_katz", "asof_tolerance", "feat_kendall_w",
     "feat_ndcg", "win_rolling_median", "agg_weighted_median",
-    "evt_bot_screen")
+    "evt_bot_screen", "pipeline_dataset_card")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -394,6 +394,7 @@ object SparkEntry {
     "text_gopher_rules", "text_collocations", "text_textrank",
     "agg_salted_collect",
     "pipeline_clean_corpus", "pipeline_curation", "pipeline_tokenize_pack",
+    "pipeline_dataset_card",
     "sketch_freq_items",
     "sim_topk_brute", "sim_topk_ivf", "sim_topk_pq", "sim_hard_negatives",
     "sim_range_search",
@@ -4921,6 +4922,51 @@ object SparkEntry {
     // actually runs — language filter + quality filter + exact dedup,
     // emitting the kept corpus with token counts. Every stage is
     // row-local or one hash-agg; the whole plan is one shuffle. ----
+    "pipeline_dataset_card" -> ((s, dir) => {
+      import s.implicits._
+      // The corpus DATASET CARD in one scan — the summary table every
+      // training-data release publishes (sizes, duplication, length
+      // distribution, stopword mass): 10 exact-integer metrics in
+      // long (metric, value) format. Distinct docs count by a 128-bit
+      // fingerprint pair (the Dedup.exact convention — the oracle's
+      // count(DISTINCT text) equals it up to a 2^-64 birthday bound,
+      // and text itself never shuffles at 100 TB); everything else is
+      // row-local column algebra into ONE map-side-combined
+      // aggregate.
+      val base = Tables.documents(s, dir).select($"text",
+        length($"text").cast("long").as("__chars"),
+        size(split($"text", " ")).cast("long").as("__toks"),
+        size(filter(split($"text", " "),
+          t => t.isin("the", "a", "of", "and"))).cast("long")
+          .as("__stop"))
+      val m = base.agg(
+        count(lit(1)).as("n_docs"),
+        sum($"__chars").as("total_chars"),
+        sum($"__toks").as("total_tokens"),
+        countDistinct(xxhash64($"text"), xxhash64(lit("dc2"), $"text"))
+          .as("distinct_docs"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY __toks)"
+          + " AS BIGINT)").as("median_doc_tokens"),
+        sum(when($"__toks" < 50L, 1L).otherwise(0L)).as("short_docs"),
+        sum(when($"__toks" > 1000L, 1L).otherwise(0L)).as("long_docs"),
+        sum($"__stop").as("stop_tokens"))
+      m.select(expr(
+          "stack(10," +
+            " 'n_docs', n_docs," +
+            " 'total_chars', total_chars," +
+            " 'total_tokens', total_tokens," +
+            " 'distinct_docs', distinct_docs," +
+            " 'dup_docs', n_docs - distinct_docs," +
+            " 'mean_doc_tokens', total_tokens div n_docs," +
+            " 'median_doc_tokens', median_doc_tokens," +
+            " 'short_docs', short_docs," +
+            " 'long_docs', long_docs," +
+            " 'stop_ratio_ppm', stop_tokens * 1000000 div total_tokens" +
+            ") AS (metric, value)"))
+        .select($"metric", $"value".cast("long").as("value"))
+        .orderBy($"metric")
+    }),
+
     "pipeline_clean_corpus" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
@@ -13747,6 +13793,43 @@ object SparkEntry {
 
     // langId + qualityScore + exact dedup composed — the full DuckDB
     // replica of the clean-corpus pipeline
+    // one aggregate CTE unpivoted by UNION ALL; distinct docs by
+    // count(DISTINCT text) == the engine's fingerprint-pair distinct
+    "pipeline_dataset_card" ->
+      """WITH b AS (SELECT text,
+        |    CAST(length(text) AS BIGINT) AS chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS stop
+        |  FROM documents),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(chars) AS BIGINT) AS total_chars,
+        |    CAST(sum(toks) AS BIGINT) AS total_tokens,
+        |    CAST(count(DISTINCT text) AS BIGINT) AS distinct_docs,
+        |    CAST(quantile_disc(toks, 0.5) AS BIGINT)
+        |      AS median_doc_tokens,
+        |    CAST(sum(CASE WHEN toks < 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS short_docs,
+        |    CAST(sum(CASE WHEN toks > 1000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS long_docs,
+        |    CAST(sum(stop) AS BIGINT) AS stop_tokens
+        |  FROM b)
+        |SELECT metric, value FROM (
+        |  SELECT 'n_docs' AS metric, n_docs AS value FROM m
+        |  UNION ALL SELECT 'total_chars', total_chars FROM m
+        |  UNION ALL SELECT 'total_tokens', total_tokens FROM m
+        |  UNION ALL SELECT 'distinct_docs', distinct_docs FROM m
+        |  UNION ALL SELECT 'dup_docs', n_docs - distinct_docs FROM m
+        |  UNION ALL SELECT 'mean_doc_tokens',
+        |    total_tokens // n_docs FROM m
+        |  UNION ALL SELECT 'median_doc_tokens', median_doc_tokens
+        |    FROM m
+        |  UNION ALL SELECT 'short_docs', short_docs FROM m
+        |  UNION ALL SELECT 'long_docs', long_docs FROM m
+        |  UNION ALL SELECT 'stop_ratio_ppm',
+        |    (stop_tokens * 1000000) // total_tokens FROM m)
+        |ORDER BY metric""".stripMargin,
+
     "pipeline_clean_corpus" ->
       """WITH t AS (
         |  SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks FROM documents),
