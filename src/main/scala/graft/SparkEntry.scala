@@ -117,7 +117,7 @@ object SparkEntry {
     "evt_drift_fdr_replay", "sample_to_mix", "ab_trend",
     "ab_cochran_q", "graph_katz", "asof_tolerance", "feat_kendall_w",
     "feat_ndcg", "win_rolling_median", "agg_weighted_median",
-    "evt_bot_screen", "pipeline_dataset_card")
+    "evt_bot_screen", "pipeline_dataset_card", "surv_rmst")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -362,7 +362,7 @@ object SparkEntry {
     "ts_cusum", "ts_acf", "ts_dominant_period", "ts_holt",
     "ts_holt_winters", "ts_changepoint", "ts_changepoints",
     "ts_backtest", "ts_decompose", "ts_anomaly_robust", "ts_theilsen",
-    "ts_mann_kendall", "surv_kaplan_meier", "surv_logrank",
+    "ts_mann_kendall", "surv_kaplan_meier", "surv_logrank", "surv_rmst",
     "growth_accounting", "cohort_ltv", "feat_group_regression",
     "feat_conformal", "feat_median_ci",
     "evt_cumulative_users", "dq_mutual_info", "dq_js_divergence",
@@ -7428,6 +7428,34 @@ object SparkEntry {
         .select($"lag".as("period"), $"n_pairs", $"acf_micros")
     }),
 
+    "surv_rmst" -> ((s, dir) => {
+      import s.implicits._
+      // Restricted mean time-to-13th-purchase within 500 hours — the
+      // censoring-proof one-number summary of the KM curve (area
+      // under the steps to the horizon). Same duration construction
+      // as surv_kaplan_meier. SIDE-EFFECTING (the KM table
+      // localCheckpoints).
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val t13 = ev.filter($"event_type" === "purchase")
+        .withColumn("__rn", row_number().over(w))
+        .filter($"__rn" === 13)
+        .select($"user_id", $"ts".as("t13"))
+      val first = ev.groupBy($"user_id")
+        .agg(min($"ts").as("t0"), max($"ts").as("__tn"))
+        .localCheckpoint(true)
+      val mx = first.agg(max($"__tn").as("__mt"))
+      val durations = first.join(t13, Seq("user_id"), "left")
+        .crossJoin(broadcast(mx)) // 1-row corpus end
+        .select(
+          expr("(unix_timestamp(coalesce(t13, __mt)) - unix_timestamp(t0)) div 3600")
+            .as("dur_h"),
+          $"t13".isNotNull.as("observed"))
+      graft.operators.Survival.rmst(durations, $"dur_h", $"observed",
+        horizonT = 500L)
+    }),
+
     "surv_kaplan_meier" -> ((s, dir) => {
       import s.implicits._
       // Kaplan-Meier time-to-13th-purchase: per user, whole hours
@@ -12345,6 +12373,59 @@ object SparkEntry {
         |    AS ln_s_micros,
         |  CAST(ch AS BIGINT) AS cumhaz_micros
         |FROM w ORDER BY t""".stripMargin,
+
+    // the KM CTEs extended by the segment integral: lead-capped
+    // widths, per-segment micro-quantized exp terms, exact first
+    // segment at S = 1
+    "surv_rmst" ->
+      """WITH p AS (SELECT user_id, ts, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE event_type = 'purchase'),
+        |t13 AS (SELECT user_id, ts AS t13 FROM p WHERE rn = 13),
+        |f AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1),
+        |mx AS (SELECT max(ts) AS mt FROM events),
+        |d AS (SELECT (CAST(floor(epoch(coalesce(t13, mt))) AS BIGINT)
+        |      - CAST(floor(epoch(t0)) AS BIGINT)) // 3600 AS t,
+        |    t13 IS NOT NULL AS obs
+        |  FROM f LEFT JOIN t13 USING (user_id), mx),
+        |byt AS (SELECT t,
+        |    CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    count(*) AS exits FROM d GROUP BY 1),
+        |n0 AS (SELECT sum(exits) AS n0 FROM byt),
+        |r AS (SELECT t, d, exits, n0 - coalesce(sum(exits) OVER (
+        |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS n_risk
+        |  FROM byt, n0),
+        |e AS (SELECT t, n_risk, d,
+        |    CASE WHEN d < n_risk THEN CAST(round(ln(1 - CAST(d AS DOUBLE)
+        |      / CAST(n_risk AS DOUBLE)) * 1000000) AS BIGINT)
+        |      ELSE NULL END AS term
+        |  FROM r WHERE d > 0),
+        |w AS (SELECT t, n_risk,
+        |    max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER (
+        |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS hit0,
+        |    sum(term) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS lns
+        |  FROM e),
+        |seg AS (SELECT t,
+        |    CASE WHEN hit0 = 1 THEN NULL ELSE lns END AS lns2
+        |  FROM w WHERE t < 500),
+        |sg2 AS (SELECT t, lns2,
+        |    least(coalesce(lead(t) OVER (ORDER BY t), 500), 500) AS nxt
+        |  FROM seg),
+        |tm AS (SELECT coalesce(sum(CAST(round(
+        |    (CASE WHEN lns2 IS NULL THEN 0.0
+        |      ELSE exp(CAST(lns2 AS DOUBLE) / 1000000.0) END)
+        |    * CAST(nxt - t AS DOUBLE) * 1000000.0) AS BIGINT)), 0)
+        |    AS terms
+        |  FROM sg2),
+        |fs AS (SELECT least(coalesce(min(t), 500), 500) AS ff,
+        |    coalesce(max(n_risk), 0) AS nr FROM w)
+        |SELECT CAST(500 AS BIGINT) AS horizon,
+        |  CAST(nr AS BIGINT) AS n_subjects,
+        |  CAST(ff * 1000000 + terms AS BIGINT) AS rmst_micros
+        |FROM fs, tm""".stripMargin,
 
     // same duration construction as surv_kaplan_meier; O-E and V as
     // pico-scaled truncating divisions per event time, order-free

@@ -83,6 +83,57 @@ object Survival {
       .orderBy(col("t"))
   }
 
+  /** Restricted mean survival time — the AREA under the
+    * [[kaplanMeier]] curve up to a horizon τ: "average event-free
+    * time within the first τ units", the one-number survival summary
+    * that stays defined under censoring where the plain mean does
+    * not (median fails too once S never crosses ½) — the standard
+    * product readout ("average active hours in the first week").
+    *
+    * Exactness: the KM step function is integrated segment by
+    * segment — the pre-first-event segment contributes
+    * `min(t₁, τ)·10⁶` exactly (S = 1); each event-time segment
+    * contributes `round(exp(ln_s/10⁶) · width · 10⁶)` — per-segment
+    * micro-quantization, order-free sum, `exp` agreeing between
+    * engines on identical doubles (the micro-nat discipline);
+    * S-hit-zero rows (NULL ln_s) contribute exactly 0. Returns one
+    * row (horizon, n_subjects, rmst_micros); n_subjects is the risk
+    * set at the FIRST event time (0 when no event was ever
+    * observed — then rmst = τ exactly, everyone survived the
+    * window).
+    *
+    * Scale: rides [[kaplanMeier]] (one row-scale hash-agg; windows
+    * at study-length scale); the segment lead window and both 1-row
+    * reductions run on the study-length table only. SIDE-EFFECTING:
+    * the KM table localCheckpoints (two consumers). */
+  def rmst(df: DataFrame, durationExpr: Column, observedExpr: Column,
+      horizonT: Long): DataFrame = {
+    require(horizonT > 0L, s"horizonT must be > 0 (got $horizonT)")
+    val km = kaplanMeier(df, durationExpr, observedExpr)
+      .localCheckpoint(true)
+    val wLead = Window.orderBy(col("t"))
+    val seg = km.filter(col("t") < horizonT)
+      .withColumn("__next", least(
+        coalesce(lead(col("t"), 1).over(wLead), lit(horizonT)),
+        lit(horizonT)))
+      .withColumn("__s",
+        when(col("ln_s_micros").isNull, lit(0.0))
+          .otherwise(exp(col("ln_s_micros").cast("double") /
+            lit(1000000.0))))
+    val terms = seg.agg(coalesce(sum(round(col("__s") *
+        (col("__next") - col("t")).cast("double") * lit(1000000.0))
+        .cast("long")), lit(0L)).as("__terms"))
+    km.agg(
+        least(coalesce(min(col("t")), lit(horizonT)), lit(horizonT))
+          .as("__f"),
+        coalesce(max(col("n_risk")), lit(0L)).as("__nr"))
+      .crossJoin(terms) // 1-row segment sum
+      .select(lit(horizonT).as("horizon"),
+        col("__nr").cast("bigint").as("n_subjects"),
+        (col("__f") * 1000000L + col("__terms")).cast("bigint")
+          .as("rmst_micros"))
+  }
+
   /** Two-group log-rank test — the inferential companion to
     * [[kaplanMeier]] (the curve shows churn differs; this says
     * whether the difference survives chance): at each distinct event

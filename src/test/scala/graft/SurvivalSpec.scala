@@ -80,4 +80,32 @@ class SurvivalSpec extends SparkSpec {
     assert(Survival.logRank(noOverlap, $"dur", $"obs", $"g")
       .count() == 0L)
   }
+
+  test("rmst: hand step integral; horizon before first event; all-censored = full horizon") {
+    import graft.operators.Survival
+    // events at t=2 (3 at risk) and t=4 (2 at risk); censor at 6
+    val rows = Seq((2L, true), (4L, true), (6L, false)).toDF("t", "obs")
+    val r = Survival.rmst(rows, $"t", $"obs", horizonT = 10L)
+      .collect().head
+    val ln2 = math.round(math.log(1.0 - 1.0 / 3.0) * 1e6)
+    val ln4 = ln2 + math.round(math.log(1.0 - 1.0 / 2.0) * 1e6)
+    val expected = 2L * 1000000L +
+      math.round(math.exp(ln2 / 1e6) * 2.0 * 1e6) +
+      math.round(math.exp(ln4 / 1e6) * 6.0 * 1e6)
+    assert(r.getLong(0) == 10L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == expected, r.toString)
+    // horizon before the first event: S = 1 throughout
+    val r2 = Survival.rmst(rows, $"t", $"obs", horizonT = 1L)
+      .collect().head
+    assert(r2.getLong(2) == 1000000L)
+    // nobody ever observed: rmst = horizon exactly
+    val cens = Seq((2L, false), (4L, false)).toDF("t", "obs")
+    val r3 = Survival.rmst(cens, $"t", $"obs", horizonT = 7L)
+      .collect().head
+    assert(r3.getLong(1) == 0L && r3.getLong(2) == 7000000L)
+    val e = intercept[IllegalArgumentException] {
+      Survival.rmst(rows, $"t", $"obs", horizonT = 0L)
+    }
+    assert(e.getMessage.contains("> 0"))
+  }
 }
