@@ -117,7 +117,8 @@ object SparkEntry {
     "evt_drift_fdr_replay", "sample_to_mix", "ab_trend",
     "ab_cochran_q", "graph_katz", "asof_tolerance", "feat_kendall_w",
     "feat_ndcg", "win_rolling_median", "agg_weighted_median",
-    "evt_bot_screen", "pipeline_dataset_card", "surv_rmst")
+    "evt_bot_screen", "pipeline_dataset_card", "surv_rmst",
+    "sim_embedding_drift")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -397,7 +398,7 @@ object SparkEntry {
     "pipeline_dataset_card",
     "sketch_freq_items",
     "sim_topk_brute", "sim_topk_ivf", "sim_topk_pq", "sim_hard_negatives",
-    "sim_range_search",
+    "sim_range_search", "sim_embedding_drift",
     "mm_content_hash", "mm_decode", "mm_decode_real", "mm_decode_audio",
     "mm_decode_video", "mm_decode_video_frames", "mm_frame_sample",
     "mm_resize", "catalog_persistent_roundtrip")
@@ -7428,6 +7429,44 @@ object SparkEntry {
         .select($"lag".as("period"), $"n_pairs", $"acf_micros")
     }),
 
+    "sim_embedding_drift" -> ((s, dir) => {
+      import s.implicits._
+      // Embedding-centroid drift between two corpus halves (vec_id
+      // parity as "yesterday vs today"): cosine between the side
+      // CENTROIDS — the embedding-space reading of distribution
+      // shift (dq_drift sees per-feature marginals; this sees the
+      // semantic direction move). Cosine is scale-invariant, so the
+      // integer SUM vectors stand in for the means exactly: values
+      // micro-quantize per element (order-free sums), the dot and
+      // norms are DECIMAL-exact, one mirrored sqrt tree at the edge.
+      val base = Tables.embeddings(s, dir)
+        .select($"vec_id", posexplode($"embedding"))
+        .select((pmod($"vec_id", lit(2)) === 0).as("t"),
+          $"pos".as("dim"),
+          round($"col".cast("double") * 1e6).cast("long").as("q"))
+      val dec = "decimal(38,0)"
+      val byDim = base.groupBy($"dim")
+        .agg(sum(when($"t", $"q").otherwise(0L)).as("sa"),
+          sum(when(!$"t", $"q").otherwise(0L)).as("sb"))
+      val m = byDim.agg(count(lit(1)).as("n_dims"),
+        sum($"sa".cast(dec) * $"sb").as("num"),
+        sum($"sa".cast(dec) * $"sa").as("qa"),
+        sum($"sb".cast(dec) * $"sb").as("qb"))
+      val counts = Tables.embeddings(s, dir).agg(
+        sum(when(pmod($"vec_id", lit(2)) === 0, 1L).otherwise(0L))
+          .as("n_a"),
+        sum(when(pmod($"vec_id", lit(2)) =!= 0, 1L).otherwise(0L))
+          .as("n_b"))
+      m.crossJoin(counts) // 1-row side counts
+        .filter($"qa" > 0 && $"qb" > 0)
+        .select($"n_a".cast("bigint").as("n_a"),
+          $"n_b".cast("bigint").as("n_b"),
+          $"n_dims".cast("bigint").as("n_dims"),
+          round($"num".cast("double") /
+            (sqrt($"qa".cast("double")) * sqrt($"qb".cast("double")))
+            * 1e6).cast("long").as("cos_micros"))
+    }),
+
     "surv_rmst" -> ((s, dir) => {
       import s.implicits._
       // Restricted mean time-to-13th-purchase within 500 hours — the
@@ -12373,6 +12412,34 @@ object SparkEntry {
         |    AS ln_s_micros,
         |  CAST(ch AS BIGINT) AS cumhaz_micros
         |FROM w ORDER BY t""".stripMargin,
+
+    // per-element micro-quantization, per-dim integer sums over the
+    // fixed 64-dim range, DECIMAL dot/norms, one mirrored sqrt tree
+    "sim_embedding_drift" ->
+      """WITH x AS (SELECT (vec_id % 2 = 0) AS t, i AS dim,
+        |    CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+        |      * 1000000) AS BIGINT) AS q
+        |  FROM embeddings, range(1, 65) r(i)),
+        |bd AS (SELECT dim,
+        |    sum(CASE WHEN t THEN q ELSE 0 END) AS sa,
+        |    sum(CASE WHEN NOT t THEN q ELSE 0 END) AS sb
+        |  FROM x GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_dims,
+        |    sum(CAST(sa AS HUGEINT) * sb) AS num,
+        |    sum(CAST(sa AS HUGEINT) * sa) AS qa,
+        |    sum(CAST(sb AS HUGEINT) * sb) AS qb
+        |  FROM bd),
+        |c AS (SELECT
+        |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b
+        |  FROM embeddings)
+        |SELECT n_a, n_b, n_dims,
+        |  CAST(round(CAST(num AS DOUBLE)
+        |    / (sqrt(CAST(qa AS DOUBLE)) * sqrt(CAST(qb AS DOUBLE)))
+        |    * 1000000) AS BIGINT) AS cos_micros
+        |FROM m, c WHERE qa > 0 AND qb > 0""".stripMargin,
 
     // the KM CTEs extended by the segment integral: lead-capped
     // widths, per-segment micro-quantized exp terms, exact first
