@@ -118,7 +118,7 @@ object SparkEntry {
     "ab_cochran_q", "graph_katz", "asof_tolerance", "feat_kendall_w",
     "feat_ndcg", "win_rolling_median", "agg_weighted_median",
     "evt_bot_screen", "pipeline_dataset_card", "surv_rmst",
-    "sim_embedding_drift")
+    "sim_embedding_drift", "feat_confusion", "ab_srm_segments")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -348,7 +348,8 @@ object SparkEntry {
     "ml_logreg_multi",
     "interval_coverage", "ts_strength", "agg_hhi",
     "feat_eb_shrinkage", "ab_tost", "ab_delta_method", "ab_levene",
-    "ab_trend", "ab_cochran_q", "feat_kendall_w", "feat_ndcg",
+    "ab_trend", "ab_cochran_q", "ab_srm_segments", "feat_kendall_w",
+    "feat_ndcg", "feat_confusion",
     "dq_duplicate_rows",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
@@ -7154,6 +7155,37 @@ object SparkEntry {
         .orderBy($"rank")
     }),
 
+    "feat_confusion" -> ((s, dir) => {
+      import s.implicits._
+      // Thresholded confusion matrix + precision/recall/F1/accuracy —
+      // the basic operating-point readout next to the threshold-free
+      // family (AUC/AP/gains say how the RANKING behaves; shipping a
+      // classifier means picking a threshold and living with THESE
+      // four cells). Exact integer cells from one aggregate; the
+      // ratios are cross-multiplied truncating ppm, F1 in its
+      // integer-exact form 2tp*1e6 div (2tp+fp+fn).
+      val m = Tables.orders(s, dir).agg(
+        sum(when($"o_totalprice" > 150000.0 &&
+          $"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when($"o_totalprice" > 150000.0 &&
+          !$"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when($"o_totalprice" <= 150000.0 &&
+          $"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when($"o_totalprice" <= 150000.0 &&
+          !$"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("tn"))
+      m.filter($"tp" + $"fp" > 0L && $"tp" + $"fn" > 0L)
+        .select($"tp", $"fp", $"fn", $"tn",
+          expr("tp * 1000000 div (tp + fp)").as("precision_ppm"),
+          expr("tp * 1000000 div (tp + fn)").as("recall_ppm"),
+          expr("2 * tp * 1000000 div (2 * tp + fp + fn)").as("f1_ppm"),
+          expr("(tp + tn) * 1000000 div (tp + fp + fn + tn)")
+            .as("accuracy_ppm"))
+    }),
+
     "feat_ndcg" -> ((s, dir) => {
       import s.implicits._
       // NDCG@100 of the "longer is better" document ranker against a
@@ -7176,6 +7208,28 @@ object SparkEntry {
       graft.operators.OrderedStats.kendallW(Tables.documents(s, dir),
         Seq(length($"text"), size(split($"text", " ")),
           length($"text") - length(regexp_replace($"text", "a", ""))))
+    }),
+
+    "ab_srm_segments" -> ((s, dir) => {
+      import s.implicits._
+      // Sample-ratio-mismatch BATTERY: the one-number SRM health
+      // check (ab_ztest) swept across every segment — a global 50/50
+      // that holds overall can still be broken inside one segment
+      // (the classic redirect bug), and k segment checks need FDR
+      // control. Distinct-user counts per arm per event type, the
+      // SRM z, the shared p polynomial, then the bhFdr step-up.
+      val seg = Tables.events(s, dir).groupBy($"event_type")
+        .agg(countDistinct(when(pmod($"user_id", lit(2)) === 0,
+            $"user_id")).as("n_t"),
+          countDistinct(when(pmod($"user_id", lit(2)) =!= 0,
+            $"user_id")).as("n_c"))
+      val z = ($"n_t" - $"n_c").cast("double") /
+        sqrt(($"n_t" + $"n_c").cast("double"))
+      val battery = seg.select($"event_type".as("metric"),
+        round(graft.operators.Quality.pValueTwoSidedZ(z) * 1e6)
+          .cast("long").as("p_micros"))
+      graft.operators.Quality.bhFdr(battery, "metric", $"p_micros")
+        .orderBy($"rank")
     }),
 
     "ab_trend" -> ((s, dir) => {
@@ -12897,6 +12951,42 @@ object SparkEntry {
     "evt_drift_fdr_replay" ->
       "SELECT true AS nonempty, true AS stream_equals_batch",
 
+    // distinct-user arm counts per segment, the SRM z, the shared
+    // polynomial, then the same all-integer BH step-up as ab_bh_fdr
+    "ab_srm_segments" ->
+      """WITH agg AS (SELECT event_type,
+        |    count(DISTINCT CASE WHEN user_id % 2 = 0
+        |      THEN user_id END) AS n_t,
+        |    count(DISTINCT CASE WHEN user_id % 2 <> 0
+        |      THEN user_id END) AS n_c
+        |  FROM events GROUP BY 1),
+        |z AS (SELECT event_type AS metric,
+        |    CAST(n_t - n_c AS DOUBLE)
+        |      / sqrt(CAST(n_t + n_c AS DOUBLE)) AS z
+        |  FROM agg),
+        |x0 AS (SELECT metric, abs(z) / 1.4142135623730951 AS x FROM z),
+        |t0 AS (SELECT metric, x,
+        |    1.0 / (1.0 + 0.3275911 * x) AS tt FROM x0),
+        |p AS (SELECT metric,
+        |    CAST(round((tt * (0.254829592 + tt * (-0.284496736
+        |      + tt * (1.421413741 + tt * (-1.453152027
+        |      + tt * 1.061405429)))) * exp(-(x * x))) * 1000000)
+        |      AS BIGINT) AS p_micros
+        |  FROM t0),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p),
+        |r AS (SELECT metric, p_micros,
+        |    CAST(row_number() OVER (ORDER BY p_micros, metric)
+        |      AS BIGINT) AS rank, m
+        |  FROM p, t),
+        |q AS (SELECT metric, p_micros, rank, m,
+        |    max(CASE WHEN p_micros * m <= rank * 50000
+        |      THEN rank ELSE 0 END) OVER () AS mq
+        |  FROM r)
+        |SELECT metric, p_micros, rank,
+        |  CAST(rank * 50000 // m AS BIGINT) AS bh_cut_micros,
+        |  rank <= mq AS rejected
+        |FROM q ORDER BY rank""".stripMargin,
+
     // moments multiplied through by N (exact HUGEINT), the z tree and
     // the shared A&S polynomial mirrored token-for-token
     "ab_trend" ->
@@ -12929,6 +13019,31 @@ object SparkEntry {
         |  CAST(round(zz * 1000000) AS BIGINT) AS z_micros,
         |  CAST(round(p2 * 1000000) AS BIGINT) AS p_micros
         |FROM p""".stripMargin,
+
+    // four exact cells from one aggregate; cross-multiplied ppm
+    "feat_confusion" ->
+      """WITH m AS (SELECT
+        |    CAST(sum(CASE WHEN o_totalprice > 150000.0
+        |      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN o_totalprice > 150000.0
+        |      AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN o_totalprice <= 150000.0
+        |      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN o_totalprice <= 150000.0
+        |      AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM orders)
+        |SELECT tp, fp, fn, tn,
+        |  CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS precision_ppm,
+        |  CAST(tp * 1000000 // (tp + fn) AS BIGINT) AS recall_ppm,
+        |  CAST(2 * tp * 1000000 // (2 * tp + fp + fn) AS BIGINT)
+        |    AS f1_ppm,
+        |  CAST((tp + tn) * 1000000 // (tp + fp + fn + tn) AS BIGINT)
+        |    AS accuracy_ppm
+        |FROM m WHERE tp + fp > 0 AND tp + fn > 0""".stripMargin,
 
     // both cuts replayed with window-then-limit; per-rank terms
     // micro-quantized through the mirrored ln tree; one truncating
