@@ -118,7 +118,8 @@ object SparkEntry {
     "ab_cochran_q", "graph_katz", "asof_tolerance", "feat_kendall_w",
     "feat_ndcg", "win_rolling_median", "agg_weighted_median",
     "evt_bot_screen", "pipeline_dataset_card", "surv_rmst",
-    "sim_embedding_drift", "feat_confusion", "ab_srm_segments")
+    "sim_embedding_drift", "feat_confusion", "ab_srm_segments",
+    "ml_kmeans_step")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -345,7 +346,7 @@ object SparkEntry {
     "dq_aggregate_consistency", "geo_hotspot", "evt_streaks",
     "ts_forecast_interval", "agg_theil", "text_heaps",
     "sample_balanced", "sample_to_mix", "text_novelty", "ml_logreg",
-    "ml_logreg_multi",
+    "ml_logreg_multi", "ml_kmeans_step",
     "interval_coverage", "ts_strength", "agg_hhi",
     "feat_eb_shrinkage", "ab_tost", "ab_delta_method", "ab_levene",
     "ab_trend", "ab_cochran_q", "ab_srm_segments", "feat_kendall_w",
@@ -5121,6 +5122,16 @@ object SparkEntry {
         Tables.embeddings(s, dir), "vec_id", "embedding", numSeeds = 8)
     }),
 
+    "ml_kmeans_step" -> ((s, dir) => {
+      // One FULL hash-graded Lloyd iteration: the centroid_assign
+      // E-step plus the M-step centroid update — 8 x 64 integer
+      // centroid cells a second engine lands on bit for bit
+      // (per-coordinate micro sums, one truncating division; the
+      // float k-means in graft.ml gates, this replays).
+      graft.llm.Similarity.kmeansStep(
+        Tables.embeddings(s, dir), "vec_id", "embedding", numSeeds = 8)
+    }),
+
     "sim_range_search" -> ((s, dir) => {
       import s.implicits._
       // Threshold (range) retrieval via the IVF probe: every
@@ -9175,6 +9186,45 @@ object SparkEntry {
         |  CAST(CAST(sum(cm) AS HUGEINT) // count(*) AS BIGINT)
         |    AS mean_cos_micros
         |FROM a WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the centroid_assign CTEs plus the M-step: per-(seed, dim)
+    // micro-coordinate sums, one truncating division (negative sums
+    // truncate toward zero on both engines)
+    "ml_kmeans_step" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |nrm AS (SELECT vec_id,
+        |    list_sum(list_transform(embedding, x ->
+        |      CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |        * 1000000000000) AS BIGINT))) AS np
+        |  FROM e),
+        |base AS (SELECT e.vec_id, e.embedding, nrm.np
+        |  FROM e JOIN nrm ON nrm.vec_id = e.vec_id WHERE nrm.np > 0),
+        |seeds AS (SELECT vec_id AS sid, embedding AS sv, np AS snp
+        |  FROM base ORDER BY vec_id LIMIT 8),
+        |pr AS (SELECT b.vec_id, s.sid, b.np, s.snp,
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)
+        |        * CAST(s.sv[CAST(i AS INT)] AS DOUBLE)
+        |        * 1000000000000) AS BIGINT))) AS dp
+        |  FROM base b, seeds s),
+        |cosr AS (SELECT vec_id, sid,
+        |    CAST(round(CAST(dp AS DOUBLE)
+        |      / (sqrt(CAST(np AS DOUBLE)) * sqrt(CAST(snp AS DOUBLE)))
+        |      * 1000000) AS BIGINT) AS cm
+        |  FROM pr),
+        |a AS (SELECT vec_id, sid, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY cm DESC, sid) AS rn
+        |  FROM cosr),
+        |asg AS (SELECT vec_id, sid FROM a WHERE rn = 1),
+        |cd AS (SELECT asg.sid, i AS dim,
+        |    CAST(round(CAST(e2.embedding[CAST(i AS INT)] AS DOUBLE)
+        |      * 1000000) AS BIGINT) AS q
+        |  FROM asg JOIN e e2 ON e2.vec_id = asg.vec_id,
+        |    range(1, 65) r(i))
+        |SELECT sid AS seed_id, CAST(dim - 1 AS BIGINT) AS dim,
+        |  CAST(count(*) AS BIGINT) AS n_assigned,
+        |  CAST(sum(q) // count(*) AS BIGINT) AS centroid_micros
+        |FROM cd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // six exact HUGEINT moments per arm; the linearized variance and
     // z one mirrored tree through the shared polynomial

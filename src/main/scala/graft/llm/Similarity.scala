@@ -924,4 +924,62 @@ object Similarity {
           .as("mean_cos_micros"))
       .orderBy(col("seed_id"))
   }
+
+  /** ONE full Lloyd iteration, hash-gradable — [[centroidAssign]]'s
+    * assignment followed by the centroid UPDATE (the half of k-means
+    * the assignment query stops short of): every vector joins its
+    * pico-cosine-argmax seed, then each (seed, dimension) cell
+    * averages the micro-quantized coordinates. The float k-means in
+    * [[graft.ml]] gates (seeded fits don't replay across engines);
+    * this one does — per-coordinate `round(v·10⁶)` integer sums are
+    * order-free and the mean is one truncating division (negative
+    * sums truncate toward zero identically on both engines), so a
+    * second engine lands on the same 8×64 centroid table bit for
+    * bit. Returns one row per (seed_id, dim): (seed_id, dim [0-based],
+    * n_assigned, centroid_micros).
+    *
+    * Scale: the assignment is [[centroidAssign]]'s n×numSeeds
+    * broadcast shape; the update adds one explode (n·dims fixed-width
+    * rows) + one (seed, dim)-keyed hash-agg — numSeeds·dims output
+    * rows, nothing pairwise. */
+  def kmeansStep(df: DataFrame, idCol: String, vecCol: String,
+      numSeeds: Int = 8): DataFrame = {
+    require(numSeeds >= 1 && numSeeds <= 1024,
+      s"numSeeds must be in [1, 1024] (got $numSeeds)")
+    val picoDot = (a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) =>
+          round(x.cast("double") * y.cast("double") * lit(1e12))
+            .cast("long")),
+        lit(0L), (acc, t) => acc + t)
+    val base = df.select(col(idCol).cast("long").as("__id"),
+        col(vecCol).as("__v"))
+      .filter(col("__id").isNotNull && col("__v").isNotNull)
+      .withColumn("__np", picoDot(col("__v"), col("__v")))
+      .filter(col("__np") > 0L)
+    val seeds = base.orderBy(col("__id")).limit(numSeeds)
+      .select(col("__id").as("__sid"), col("__v").as("__sv"),
+        col("__np").as("__snp"))
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("__cm").desc, col("__sid"))
+    base.crossJoin(broadcast(seeds)) // n x numSeeds fixed-width rows
+      .withColumn("__cm",
+        round(picoDot(col("__v"), col("__sv")).cast("double") /
+          (sqrt(col("__np").cast("double")) *
+            sqrt(col("__snp").cast("double"))) * 1e6).cast("long"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__sid"), posexplode(col("__v")))
+      .select(col("__sid"), col("pos").as("dim"),
+        round(col("col").cast("double") * lit(1e6)).cast("long")
+          .as("__q"))
+      .groupBy(col("__sid"), col("dim"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__q").cast("decimal(38,0)")).as("__s"))
+      .select(col("__sid").cast("bigint").as("seed_id"),
+        col("dim").cast("bigint").as("dim"),
+        col("__n").cast("bigint").as("n_assigned"),
+        expr("CAST(__s div __n AS BIGINT)").as("centroid_micros"))
+      .orderBy(col("seed_id"), col("dim"))
+  }
 }
