@@ -866,6 +866,30 @@ class PlanSpec extends SparkSpec {
       "betweenness final plan re-runs the upstream edge builder:\n" + p)
   }
 
+  test("graph_katz: final plan is a TakeOrdered over the truncated ranks — no rescan") {
+    val p = plan("graph_katz")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-50 must be a TakeOrdered, not a global sort:\n" + p)
+    assert(!p.contains("Scan parquet"),
+      "katz final plan re-runs the upstream edge builder:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sample_to_mix: quotas ride a broadcast join; the rank window is the only wide work") {
+    val p = plan("sample_to_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      "quota table must broadcast, not shuffle:\n" + p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("evt_bot_screen: top-50 never global-sorts") {
+    val p = plan("evt_bot_screen")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-50 must be a TakeOrdered, not a global sort:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("dq_duplicate_rows: the census shuffle carries only the row fingerprint") {
     // the full-row duplicate census must exchange the 128-bit md5
     // fingerprint + partial counts, never the full lineitem row width
