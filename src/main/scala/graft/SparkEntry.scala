@@ -119,7 +119,7 @@ object SparkEntry {
     "feat_ndcg", "win_rolling_median", "agg_weighted_median",
     "evt_bot_screen", "pipeline_dataset_card", "surv_rmst",
     "sim_embedding_drift", "feat_confusion", "ab_srm_segments",
-    "ml_kmeans_step")
+    "ml_kmeans_step", "evt_incidents")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -371,7 +371,8 @@ object SparkEntry {
     "evt_cumulative_users", "dq_mutual_info", "dq_js_divergence",
     "feat_isotonic", "dq_corr_matrix", "feat_decayed_activity",
     "evt_gini", "dq_type_inference", "evt_stickiness", "ts_drawdown",
-    "evt_interarrival", "evt_bot_screen", "evt_top_paths",
+    "evt_interarrival", "evt_bot_screen", "evt_incidents",
+    "evt_top_paths",
     "agg_corr_regr",
     "text_stats", "text_quality", "text_term_freq", "text_lang_dist",
     "text_langid", "text_token_counts", "text_quality_score", "text_entities",
@@ -7374,6 +7375,38 @@ object SparkEntry {
         "o_custkey", "o_orderdate")
     }),
 
+    "evt_incidents" -> ((s, dir) => {
+      import s.implicits._
+      // Alarm-fatigue control: hours where volume exceeds 2x the
+      // type's median are ALARMS; consecutive alarm hours within a
+      // 2-hour cooldown merge into INCIDENTS (gaps-and-islands) —
+      // the page-once-per-episode shape every on-call pipeline needs.
+      // Exact: integer thresholds (percentile_disc = actual data
+      // values), island ids by running sum over a keyed window.
+      import org.apache.spark.sql.expressions.Window
+      val hc = Tables.events(s, dir)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+        .agg(count(lit(1)).as("x"))
+      val med = hc.groupBy($"event_type")
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY x)")
+          .as("__med"))
+      val w = Window.partitionBy($"event_type").orderBy($"hour")
+      val alarms = hc.join(broadcast(med), Seq("event_type"))
+        .filter($"x" > lit(2L) * $"__med")
+        .withColumn("__sec", unix_timestamp($"hour"))
+        .withColumn("__newi",
+          when(($"__sec" - lag($"__sec", 1).over(w)) <= 7200L, 0L)
+            .otherwise(1L))
+        .withColumn("incident_id", sum($"__newi").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      alarms.groupBy($"event_type", $"incident_id")
+        .agg(min($"hour").as("incident_start"),
+          max($"hour").as("incident_end"),
+          count(lit(1)).cast("bigint").as("n_alarm_hours"),
+          max($"x").cast("bigint").as("peak_hourly"))
+        .orderBy($"event_type", $"incident_id")
+    }),
+
     "evt_bot_screen" -> ((s, dir) => {
       import s.implicits._
       // Bot/automation screen: the 50 MOST-REGULAR active users by
@@ -13264,6 +13297,34 @@ object SparkEntry {
         |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_1h
         |FROM events
         |ORDER BY event_id""".stripMargin,
+
+    // per-type integer thresholds (quantile_disc), islands by running
+    // sum over the lag gap test — every step integer-exact
+    "evt_incidents" ->
+      """WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |med AS (SELECT event_type,
+        |    CAST(quantile_disc(x, 0.5) AS BIGINT) AS med
+        |  FROM hc GROUP BY 1),
+        |al AS (SELECT hc.event_type, hc.hour, hc.x,
+        |    CAST(floor(epoch(hc.hour)) AS BIGINT) AS sec
+        |  FROM hc JOIN med ON med.event_type = hc.event_type
+        |  WHERE hc.x > 2 * med.med),
+        |isl AS (SELECT event_type, hour, x,
+        |    CASE WHEN sec - lag(sec) OVER (PARTITION BY event_type
+        |      ORDER BY hour) <= 7200 THEN 0 ELSE 1 END AS newi
+        |  FROM al),
+        |ids AS (SELECT event_type, hour, x,
+        |    sum(newi) OVER (PARTITION BY event_type ORDER BY hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS incident_id
+        |  FROM isl)
+        |SELECT event_type, CAST(incident_id AS BIGINT) AS incident_id,
+        |  min(hour) AS incident_start, max(hour) AS incident_end,
+        |  CAST(count(*) AS BIGINT) AS n_alarm_hours,
+        |  CAST(max(x) AS BIGINT) AS peak_hourly
+        |FROM ids GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // exact integer gap moments per user; cv through one mirrored
     // sqrt tree; truncating mean; deterministic TakeOrdered cut
