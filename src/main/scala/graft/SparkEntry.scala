@@ -119,7 +119,7 @@ object SparkEntry {
     "feat_ndcg", "win_rolling_median", "agg_weighted_median",
     "evt_bot_screen", "pipeline_dataset_card", "surv_rmst",
     "sim_embedding_drift", "feat_confusion", "ab_srm_segments",
-    "ml_kmeans_step", "evt_incidents")
+    "ml_kmeans_step", "evt_incidents", "pipeline_source_mix")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -398,7 +398,7 @@ object SparkEntry {
     "text_gopher_rules", "text_collocations", "text_textrank",
     "agg_salted_collect",
     "pipeline_clean_corpus", "pipeline_curation", "pipeline_tokenize_pack",
-    "pipeline_dataset_card",
+    "pipeline_dataset_card", "pipeline_source_mix",
     "sketch_freq_items",
     "sim_topk_brute", "sim_topk_ivf", "sim_topk_pq", "sim_hard_negatives",
     "sim_range_search", "sim_embedding_drift",
@@ -4969,6 +4969,33 @@ object SparkEntry {
             ") AS (metric, value)"))
         .select($"metric", $"value".cast("long").as("value"))
         .orderBy($"metric")
+    }),
+
+    "pipeline_source_mix" -> ((s, dir) => {
+      import s.implicits._
+      // Per-(source, lang) corpus composition — the mix table a
+      // sample_to_mix recipe consumes and every dataset card slices
+      // by: docs, tokens, within-cell duplication, and doc/token
+      // shares in exact ppm. One group hash-agg + a broadcast 1-row
+      // total; distinct docs by the fingerprint pair (text never
+      // shuffles).
+      val g = Tables.documents(s, dir)
+        .groupBy($"source", $"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split($"text", " ")).cast("long")).as("n_tokens"),
+          countDistinct(xxhash64($"text"),
+            xxhash64(lit("sm2"), $"text")).as("distinct_docs"))
+      val tot = g.agg(sum($"n_docs").as("__td"),
+        sum($"n_tokens").as("__tt"))
+      g.crossJoin(broadcast(tot)) // 1-row corpus totals
+        .select($"source", $"lang",
+          $"n_docs".cast("bigint").as("n_docs"),
+          $"n_tokens".cast("bigint").as("n_tokens"),
+          expr("(n_docs - distinct_docs) * 1000000 div n_docs")
+            .as("dup_ppm"),
+          expr("n_docs * 1000000 div __td").as("doc_share_ppm"),
+          expr("n_tokens * 1000000 div __tt").as("token_share_ppm"))
+        .orderBy($"source", $"lang")
     }),
 
     "pipeline_clean_corpus" -> ((s, dir) => {
@@ -14167,6 +14194,24 @@ object SparkEntry {
 
     // langId + qualityScore + exact dedup composed — the full DuckDB
     // replica of the clean-corpus pipeline
+    // group agg + corpus totals; distinct by count(DISTINCT text) ==
+    // the engine's fingerprint-pair distinct; all shares integer ppm
+    "pipeline_source_mix" ->
+      """WITH g AS (SELECT source, lang,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |      AS n_tokens,
+        |    CAST(count(DISTINCT text) AS BIGINT) AS distinct_docs
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+        |    CAST(sum(n_tokens) AS BIGINT) AS tt FROM g)
+        |SELECT source, lang, n_docs, n_tokens,
+        |  CAST((n_docs - distinct_docs) * 1000000 // n_docs AS BIGINT)
+        |    AS dup_ppm,
+        |  CAST(n_docs * 1000000 // td AS BIGINT) AS doc_share_ppm,
+        |  CAST(n_tokens * 1000000 // tt AS BIGINT) AS token_share_ppm
+        |FROM g, t ORDER BY source, lang""".stripMargin,
+
     // one aggregate CTE unpivoted by UNION ALL; distinct docs by
     // count(DISTINCT text) == the engine's fingerprint-pair distinct
     "pipeline_dataset_card" ->
