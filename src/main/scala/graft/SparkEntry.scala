@@ -119,7 +119,8 @@ object SparkEntry {
     "feat_ndcg", "win_rolling_median", "agg_weighted_median",
     "evt_bot_screen", "pipeline_dataset_card", "surv_rmst",
     "sim_embedding_drift", "feat_confusion", "ab_srm_segments",
-    "ml_kmeans_step", "evt_incidents", "pipeline_source_mix")
+    "ml_kmeans_step", "evt_incidents", "pipeline_source_mix",
+    "sample_neyman")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -345,7 +346,8 @@ object SparkEntry {
     "sim_centroid_assign", "evt_entry_exit", "dq_overdispersion",
     "dq_aggregate_consistency", "geo_hotspot", "evt_streaks",
     "ts_forecast_interval", "agg_theil", "text_heaps",
-    "sample_balanced", "sample_to_mix", "text_novelty", "ml_logreg",
+    "sample_balanced", "sample_to_mix", "sample_neyman",
+    "text_novelty", "ml_logreg",
     "ml_logreg_multi", "ml_kmeans_step",
     "interval_coverage", "ts_strength", "agg_hhi",
     "feat_eb_shrinkage", "ab_tost", "ab_delta_method", "ab_levene",
@@ -1123,6 +1125,44 @@ object SparkEntry {
           perClass = 50)
         .select($"o_orderpriority", $"sample_rank", $"o_orderkey")
         .orderBy($"o_orderpriority", $"sample_rank")
+    }),
+
+    "sample_neyman" -> ((s, dir) => {
+      import s.implicits._
+      // Neyman minimum-variance allocation: split a 10k-row sample
+      // budget across priority strata proportionally to N_h*S_h —
+      // the survey-sampling answer to "where do my sample rows buy
+      // the most variance reduction" (proportional allocation
+      // over-samples big HOMOGENEOUS strata; Neyman weights by
+      // spread too). Exact DECIMAL stratum moments; S_h is one
+      // mirrored sqrt of exact integers; the weights quantize to
+      // ppm integers BEFORE the budget split so the allocation is
+      // a pure integer function (truncating; the documented
+      // shortfall is < strata rows).
+      val dec = "decimal(38,0)"
+      val m = Tables.orders(s, dir)
+        .select($"o_orderpriority".as("stratum"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("y"))
+        .groupBy($"stratum")
+        .agg(count(lit(1)).as("n"), sum($"y".cast(dec)).as("s"),
+          sum(($"y".cast(dec) * $"y")).as("q"))
+        .filter($"n" >= 2L)
+      // N_h * S_h with S_h = sqrt((n*q - s^2) / (n*(n-1))): carried
+      // as one double tree from exact integers
+      val ns = $"n".cast("double") *
+        sqrt(($"n".cast(dec) * $"q" - $"s" * $"s").cast("double") /
+          ($"n".cast(dec) * ($"n" - 1L)).cast("double"))
+      val wtab = m.select($"stratum", $"n",
+        round(ns).cast("long").as("__ns"))
+      val tot = wtab.agg(sum($"__ns".cast(dec)).as("__tns"))
+      wtab.crossJoin(broadcast(tot)) // 1-row weight total
+        .filter($"__tns" > 0)
+        .select($"stratum", $"n".cast("bigint").as("n_rows"),
+          expr("CAST(CAST(__ns AS DECIMAL(38,0)) * 1000000" +
+            " div __tns AS BIGINT)").as("weight_ppm"),
+          expr("CAST(CAST(__ns AS DECIMAL(38,0)) * 10000" +
+            " div __tns AS BIGINT)").as("n_alloc"))
+        .orderBy($"stratum")
     }),
 
     "sample_to_mix" -> ((s, dir) => {
@@ -9554,6 +9594,30 @@ object SparkEntry {
         "  CAST((acc.nc * 1000000) // acc.n AS BIGINT) FROM acc, s5\n" +
         "ORDER BY weight_idx"
     },
+
+    // stratum moments exact in HUGEINT; N_h*S_h one mirrored sqrt
+    // tree rounded to a long weight; the split all-integer after
+    "sample_neyman" ->
+      """WITH m AS (SELECT o_orderpriority AS stratum,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |      AS HUGEINT)) AS s,
+        |    sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |      AS HUGEINT) * CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS q
+        |  FROM orders GROUP BY 1 HAVING count(*) >= 2),
+        |w AS (SELECT stratum, n,
+        |    CAST(round(CAST(n AS DOUBLE)
+        |      * sqrt(CAST(n * q - s * s AS DOUBLE)
+        |        / CAST(n * (n - 1) AS DOUBLE))) AS BIGINT) AS ns
+        |  FROM m),
+        |t AS (SELECT sum(CAST(ns AS HUGEINT)) AS tns FROM w)
+        |SELECT stratum, n AS n_rows,
+        |  CAST((CAST(ns AS HUGEINT) * 1000000) // tns AS BIGINT)
+        |    AS weight_ppm,
+        |  CAST((CAST(ns AS HUGEINT) * 10000) // tns AS BIGINT)
+        |    AS n_alloc
+        |FROM w, t WHERE tns > 0 ORDER BY stratum""".stripMargin,
 
     // T = min(n_g*1e6 // w_g), quota = (w_g*T) // 1e6 — all integer;
     // the same Lehmer-permutation pick order as sample_balanced
