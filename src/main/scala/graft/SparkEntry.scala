@@ -54,6 +54,15 @@ import graft.streaming.EventStreams
   * `ml_logreg` runs its fixed GD-step aggregates eagerly;
   * `agg_theil`/`text_novelty`/`text_heaps` localCheckpoint their
   * multi-consumer derived tables at construction.
+  * Round-15 additions to the list: `graph_betweenness` (per-hop and
+  * per-back-sweep counts), `ml_logreg_multi` (GD-step aggregates),
+  * `ts_changepoints` (one pick count per binseg round),
+  * `graph_katz` (per-round lineage truncation),
+  * `evt_drift_fdr_replay` (versioned snapshot writes under tmpdir),
+  * `sample_to_mix` (the attainability pre-flight),
+  * `feat_kendall_w` (item-table localCheckpoint + a 1-row
+  * distinct-count guard), `feat_ndcg` (item-table localCheckpoint),
+  * `surv_rmst` (the KM table localCheckpoints).
   * Callers that only want a plan should skip those.
   */
 object SparkEntry {
