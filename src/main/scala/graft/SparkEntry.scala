@@ -129,7 +129,7 @@ object SparkEntry {
     "evt_bot_screen", "pipeline_dataset_card", "surv_rmst",
     "sim_embedding_drift", "feat_confusion", "ab_srm_segments",
     "ml_kmeans_step", "evt_incidents", "pipeline_source_mix",
-    "sample_neyman")
+    "sample_neyman", "feat_cuped_multi", "ts_decompose_forecast")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -341,7 +341,7 @@ object SparkEntry {
     "feat_cdf_normalize", "pipeline_feature_matrix",
     "dq_invalid_codes", "dq_expectations", "dq_profile", "dq_outliers",
     "dq_outliers_mad", "dq_psi", "dq_wasserstein", "dq_woe", "dq_benford",
-    "feat_cuped",
+    "feat_cuped", "feat_cuped_multi",
     "dq_winsorize", "dq_ks", "feat_auc", "feat_gains", "dq_chi2",
     "dq_k_anonymity", "dq_l_diversity", "dq_cramers_v", "cust_rfm",
     "dq_fd_violations",
@@ -375,7 +375,8 @@ object SparkEntry {
     "ts_resample_ffill", "ts_interpolate", "ts_anomaly", "ts_seasonality",
     "ts_cusum", "ts_acf", "ts_dominant_period", "ts_holt",
     "ts_holt_winters", "ts_changepoint", "ts_changepoints",
-    "ts_backtest", "ts_decompose", "ts_anomaly_robust", "ts_theilsen",
+    "ts_backtest", "ts_decompose", "ts_decompose_forecast",
+    "ts_anomaly_robust", "ts_theilsen",
     "ts_mann_kendall", "surv_kaplan_meier", "surv_logrank", "surv_rmst",
     "growth_accounting", "cohort_ltv", "feat_group_regression",
     "feat_conformal", "feat_median_ci",
@@ -1394,6 +1395,51 @@ object SparkEntry {
         .orderBy($"event_type")
     }),
 
+    "ts_decompose_forecast" -> ((s, dir) => {
+      import s.implicits._
+      // Forecast FROM the robust decomposition: the Theil-Sen trend
+      // line extrapolates 12 hours past each key's last observation
+      // and the seasonal slot medians repeat — the robust
+      // counterpart to ts_holt_winters (one outlier hour cannot bend
+      // this forecast; exponential smoothing chases it). Slots are
+      // pure hour arithmetic (x mod 24 — timezone-free on both
+      // engines); every term integer-exact through the proven
+      // ts_decompose algebra. SIDE-EFFECTING (theilSen pre-flight;
+      // the hourly series localCheckpoints for its three consumers).
+      val m = Tables.events(s, dir)
+        .groupBy($"event_type".as("k"), date_trunc("hour", $"ts").as("hb"))
+        .agg((count(lit(1)) * 1000000L).as("y"))
+      val b = m.select($"k", expr("unix_timestamp(hb) div 3600").as("x"),
+          $"y")
+        .localCheckpoint(true) // theilSen + seasonal + bounds
+      val fit = graft.operators.TimeSeries.theilSen(b, Seq("k"),
+          $"x", $"y")
+        .select($"k", $"slope_micros", $"intercept_micros")
+      val bounds = b.groupBy($"k")
+        .agg(min($"x").as("xmin"), max($"x").as("xmax"))
+      val seasonal = b.join(fit, Seq("k")).join(bounds, Seq("k"))
+        .withColumn("trend", expr("CAST((intercept_micros +" +
+          " CAST(slope_micros AS DECIMAL(38,0)) * (x - xmin))" +
+          " div 1000000 AS BIGINT)"))
+        .withColumn("slot", pmod($"x", lit(24L)))
+        .groupBy($"k", $"slot")
+        .agg(expr("CAST(percentile_disc(0.5) WITHIN GROUP" +
+          " (ORDER BY y - trend) AS BIGINT)").as("seasonal_micros"))
+      val steps = s.range(1L, 13L).select($"id".as("step"))
+      fit.join(bounds, Seq("k"))
+        .crossJoin(broadcast(steps)) // 12-step horizon per key
+        .withColumn("xf", $"xmax" + $"step")
+        .withColumn("slot", pmod($"xf", lit(24L)))
+        .withColumn("trend_micros", expr("CAST((intercept_micros +" +
+          " CAST(slope_micros AS DECIMAL(38,0)) * (xf - xmin))" +
+          " div 1000000 AS BIGINT)"))
+        .join(seasonal, Seq("k", "slot"))
+        .select($"k".as("event_type"), $"step", $"slot",
+          $"trend_micros", $"seasonal_micros",
+          ($"trend_micros" + $"seasonal_micros").as("forecast_micros"))
+        .orderBy($"event_type", $"step")
+    }),
+
     "ts_changepoints" -> ((s, dir) => {
       import s.implicits._
       // Multiple-changepoint binary segmentation per event type —
@@ -1611,6 +1657,27 @@ object SparkEntry {
           sum(when($"ts" >= cut, $"cents").otherwise(0L)).as("y_post"))
       Features.cuped(perUser, $"y_post", $"x_pre")
         .select($"user_id", $"x_pre", $"y_post", $"theta", $"y_adj")
+        .orderBy($"user_id")
+    }),
+
+    "feat_cuped_multi" -> ((s, dir) => {
+      import s.implicits._
+      // Two-covariate CUPED: pre-period spend AND pre-period event
+      // count jointly adjust post-period spend (the covariates
+      // correlate, so two sequential single-covariate passes are NOT
+      // the joint answer). Exact integer moments; theta pair by
+      // Cramer's rule in mirrored doubles; every adjusted value
+      // replays bit-for-bit.
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val ev = Tables.events(s, dir)
+        .withColumn("cents", round($"value" * 100).cast("long"))
+      val perUser = ev.groupBy($"user_id")
+        .agg(sum(when($"ts" < cut, $"cents").otherwise(0L)).as("x_pre"),
+          sum(when($"ts" < cut, 1L).otherwise(0L)).as("n_pre"),
+          sum(when($"ts" >= cut, $"cents").otherwise(0L)).as("y_post"))
+      Features.cupedMulti(perUser, $"y_post", $"x_pre", $"n_pre")
+        .select($"user_id", $"x_pre", $"n_pre", $"y_post",
+          $"theta1", $"theta2", $"y_adj")
         .orderBy($"user_id")
     }),
 
@@ -9865,6 +9932,48 @@ object SparkEntry {
         |    AS forecast_micros
         |FROM fin, hh ORDER BY event_type, step""".stripMargin,
 
+    // the ts_decompose algebra with x%24 slots, extrapolated 12
+    // steps: trend line in HUGEINT, slot medians repeat
+    "ts_decompose_forecast" ->
+      """WITH m AS (SELECT event_type AS k, date_trunc('hour', ts) AS hb,
+        |    CAST(count(*) AS BIGINT) * 1000000 AS y
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT k, CAST(floor(epoch(hb)) AS BIGINT) // 3600 AS x,
+        |    y FROM m),
+        |mn AS (SELECT k, min(x) AS xmin, max(x) AS xmax FROM b
+        |  GROUP BY 1),
+        |c AS (SELECT b.k, b.x, b.y, b.x - mn.xmin AS x0
+        |  FROM b JOIN mn ON b.k = mn.k),
+        |p AS (SELECT a.k, (bb.y - a.y) * 1000000 // (bb.x0 - a.x0) AS s
+        |  FROM c a JOIN c bb ON a.k = bb.k AND a.x0 < bb.x0),
+        |sl AS (SELECT k, CAST(quantile_disc(s, 0.5) AS BIGINT)
+        |    AS slope FROM p GROUP BY 1),
+        |ic AS (SELECT c.k, sl.slope,
+        |    CAST(quantile_disc(c.y * 1000000 - sl.slope * c.x0, 0.5)
+        |      AS BIGINT) AS icpt
+        |  FROM c JOIN sl ON c.k = sl.k GROUP BY 1, 2),
+        |t AS (SELECT c.k, c.x, c.y,
+        |    (ic.icpt + CAST(ic.slope AS HUGEINT) * c.x0) // 1000000
+        |      AS trend
+        |  FROM c JOIN ic ON c.k = ic.k),
+        |se AS (SELECT k, x % 24 AS slot,
+        |    CAST(quantile_disc(y - trend, 0.5) AS BIGINT) AS seasonal
+        |  FROM t GROUP BY 1, 2),
+        |hh AS (SELECT CAST(range AS BIGINT) AS step FROM range(1, 13)),
+        |f AS (SELECT ic.k, hh.step, mn.xmax + hh.step AS xf,
+        |    mn.xmin, ic.slope, ic.icpt
+        |  FROM ic JOIN mn ON ic.k = mn.k, hh),
+        |g AS (SELECT k, step, xf % 24 AS slot,
+        |    CAST((icpt + CAST(slope AS HUGEINT) * (xf - xmin))
+        |      // 1000000 AS BIGINT) AS trend_micros
+        |  FROM f)
+        |SELECT g.k AS event_type, g.step, g.slot, g.trend_micros,
+        |  se.seasonal AS seasonal_micros,
+        |  CAST(g.trend_micros + se.seasonal AS BIGINT)
+        |    AS forecast_micros
+        |FROM g JOIN se ON se.k = g.k AND se.slot = g.slot
+        |ORDER BY event_type, step""".stripMargin,
+
     // the theilSen replay evaluated at every x, slot medians by
     // quantile_disc on the detrended integers, residual by
     // subtraction — exact longs end to end
@@ -10371,6 +10480,51 @@ object SparkEntry {
         |SELECT u.user_id, u.x_pre, u.y_post, t.theta,
         |  CAST(u.y_post AS DOUBLE) - t.theta *
         |    (CAST(u.x_pre AS DOUBLE) - t.xbar) AS y_adj
+        |FROM u, t ORDER BY user_id""".stripMargin,
+
+    // nine HUGEINT moments; Cramer's rule in mirrored doubles at the
+    // cast edge (A*A products can pass 38 digits); singular -> 0,0
+    "feat_cuped_multi" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS x1,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS x2,
+        |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |  sum(CAST(x1 AS HUGEINT)) AS s1,
+        |  sum(CAST(x2 AS HUGEINT)) AS s2,
+        |  sum(CAST(y AS HUGEINT)) AS sy,
+        |  sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+        |  sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+        |  sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+        |  sum(CAST(x1 AS HUGEINT) * y) AS s1y,
+        |  sum(CAST(x2 AS HUGEINT) * y) AS s2y FROM u),
+        |c AS (SELECT n, s1, s2,
+        |  CAST(n * s11 - s1 * s1 AS DOUBLE) AS a11,
+        |  CAST(n * s22 - s2 * s2 AS DOUBLE) AS a22,
+        |  CAST(n * s12 - s1 * s2 AS DOUBLE) AS a12,
+        |  CAST(n * s1y - s1 * sy AS DOUBLE) AS b1,
+        |  CAST(n * s2y - s2 * sy AS DOUBLE) AS b2 FROM m),
+        |t AS (SELECT
+        |  CASE WHEN a11 * a22 - a12 * a12 > 0.0
+        |    THEN (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12)
+        |    ELSE 0.0 END AS theta1,
+        |  CASE WHEN a11 * a22 - a12 * a12 > 0.0
+        |    THEN (b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12)
+        |    ELSE 0.0 END AS theta2,
+        |  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS xb1,
+        |  CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS xb2 FROM c)
+        |SELECT u.user_id, u.x1 AS x_pre, u.x2 AS n_pre,
+        |  u.y AS y_post, t.theta1, t.theta2,
+        |  CAST(u.y AS DOUBLE)
+        |    - t.theta1 * (CAST(u.x1 AS DOUBLE) - t.xb1)
+        |    - t.theta2 * (CAST(u.x2 AS DOUBLE) - t.xb2) AS y_adj
         |FROM u, t ORDER BY user_id""".stripMargin,
 
     "q1_agg" ->

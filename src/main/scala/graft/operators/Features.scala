@@ -657,6 +657,70 @@ object Features {
       .drop("__x", "__y", "__n", "__sx", "__sy", "__sxy", "__sxx")
   }
 
+  /** Two-covariate [[cuped]] — regression adjustment with a PAIR of
+    * pre-period covariates (pre-period spend AND pre-period
+    * activity): one covariate leaves correlated variance on the
+    * table that the second removes, and running cuped twice
+    * sequentially is NOT the joint answer (the covariates correlate
+    * with each other). θ = (XᵀX)⁻¹Xᵀy on centered covariates,
+    * solved by Cramer's rule on the 2×2.
+    *
+    * Replay discipline: the centered moments multiply through by n —
+    * `A₁₁ = n·Σx₁² − (Σx₁)²` etc. are DECIMAL-exact integers (the
+    * cuped convention); the determinant and both θ's are mirrored
+    * IEEE trees over casts of those exact integers (the A·A products
+    * can pass 38 digits, so the algebra deliberately moves to DOUBLE
+    * at the cast edge — deterministic on both engines); a singular
+    * or collinear Gram matrix (det ≤ 0) falls back to θ = (0, 0) —
+    * no adjustment is a statement, not an error. Appends (theta1,
+    * theta2, y_adj) to every row:
+    * `y_adj = y − θ₁(x₁−x̄₁) − θ₂(x₂−x̄₂)`, left-associated.
+    *
+    * Scale: one map-side-combined moment aggregate broadcast back —
+    * the cuped shape, nine sums instead of four. */
+  def cupedMulti(df: DataFrame, metricExpr: Column,
+      cov1Expr: Column, cov2Expr: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val withCols = df.withColumn("__y", metricExpr.cast("long"))
+      .withColumn("__x1", cov1Expr.cast("long"))
+      .withColumn("__x2", cov2Expr.cast("long"))
+    val m = withCols.agg(
+      count(lit(1)).as("__n"),
+      sum(col("__x1").cast(dec)).as("__s1"),
+      sum(col("__x2").cast(dec)).as("__s2"),
+      sum(col("__y").cast(dec)).as("__sy"),
+      sum(col("__x1").cast(dec) * col("__x1")).as("__s11"),
+      sum(col("__x2").cast(dec) * col("__x2")).as("__s22"),
+      sum(col("__x1").cast(dec) * col("__x2")).as("__s12"),
+      sum(col("__x1").cast(dec) * col("__y")).as("__s1y"),
+      sum(col("__x2").cast(dec) * col("__y")).as("__s2y"))
+    val nD = col("__n").cast(dec)
+    val a11 = (nD * col("__s11") - col("__s1") * col("__s1"))
+      .cast("double")
+    val a22 = (nD * col("__s22") - col("__s2") * col("__s2"))
+      .cast("double")
+    val a12 = (nD * col("__s12") - col("__s1") * col("__s2"))
+      .cast("double")
+    val b1 = (nD * col("__s1y") - col("__s1") * col("__sy"))
+      .cast("double")
+    val b2 = (nD * col("__s2y") - col("__s2") * col("__sy"))
+      .cast("double")
+    val det = a11 * a22 - a12 * a12
+    val t1 = when(det > 0.0, (b1 * a22 - b2 * a12) / det).otherwise(0.0)
+    val t2 = when(det > 0.0, (b2 * a11 - b1 * a12) / det).otherwise(0.0)
+    val xb1 = col("__s1").cast("double") / col("__n").cast("double")
+    val xb2 = col("__s2").cast("double") / col("__n").cast("double")
+    withCols.crossJoin(broadcast(m)) // 1-row moment vector
+      .withColumn("theta1", t1)
+      .withColumn("theta2", t2)
+      .withColumn("y_adj",
+        col("__y").cast("double") -
+          col("theta1") * (col("__x1").cast("double") - xb1) -
+          col("theta2") * (col("__x2").cast("double") - xb2))
+      .drop("__x1", "__x2", "__y", "__n", "__s1", "__s2", "__sy",
+        "__s11", "__s22", "__s12", "__s1y", "__s2y")
+  }
+
   /** Exponentially time-decayed activity score — the recency-weighted
     * engagement feature (each event's score = its value plus the
     * half-life-decayed score so far: `S = v + 2^(−Δt/halfLife)·S_prev`)
