@@ -353,4 +353,63 @@ class PropertiesSpec extends SparkSpec {
       assert(got(i) == a / b, s"case $i: $a / $b")
     }
   }
+
+  test("sampleToMix: quotas match a driver BigInt reference; composition within one row per group") {
+    val rnd = new Random(19)
+    (1 to 10).foreach { _ =>
+      val nGroups = 2 + rnd.nextInt(3)
+      val counts = (0 until nGroups).map(g =>
+        s"g$g" -> (5L + rnd.nextInt(200))).toMap
+      // random positive shares summing to <= 1e6
+      val raw = (0 until nGroups).map(_ => 1 + rnd.nextInt(500000))
+      val scale = BigInt(1000000) * 9 / 10 / raw.sum
+      val shares = (0 until nGroups).map(g =>
+        s"g$g" -> ((BigInt(raw(g)) * scale).toLong max 1L)).toMap
+      val rows = counts.toSeq.flatMap { case (g, n) =>
+        (1L to n).map(i => (g, i + g.hashCode.toLong.abs % 1000 * 10000))
+      }.toDF("g", "id")
+      val got = Sampling.sampleToMix(rows, "g", "id", shares.toSeq)
+        .groupBy($"g").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // driver reference in exact BigInt arithmetic
+      val t = counts.map { case (g, n) =>
+        BigInt(n) * 1000000 / shares(g) }.min
+      val expect = shares.map { case (g, w) =>
+        g -> (BigInt(w) * t / 1000000).toLong }.filter(_._2 > 0L)
+      assert(got == expect, s"counts=$counts shares=$shares got=$got expect=$expect")
+      // composition check: realized share (of the SELECTED rows)
+      // within a few rows of the NORMALIZED target share — the
+      // generator's shares need not sum to 1e6, so normalize by Σw
+      val total = expect.values.sum
+      val wSum = shares.values.map(BigInt(_)).sum
+      if (total > 0) expect.foreach { case (g, q) =>
+        val target = BigInt(shares(g)) * total / wSum
+        assert((BigInt(q) - target).abs <= BigInt(nGroups),
+          s"group $g quota $q vs target $target (total $total)")
+      }
+    }
+  }
+
+  test("changepoints: rank-1 pick equals the single-changepoint argmax on random series") {
+    import graft.operators.TimeSeries
+    val rnd = new Random(23)
+    (1 to 8).foreach { _ =>
+      val n = 12 + rnd.nextInt(30)
+      val xs = (1 to n).map(i =>
+        ("k", i.toLong, (rnd.nextInt(5) + (if (i > n / 2) 7 else 0)) * 1000000L))
+      val df = xs.toDF("k", "o", "x")
+      val single = TimeSeries.changepoint(df, "k", "o", "x").collect()
+      val multi = TimeSeries.changepoints(df, "k", "o", "x",
+        maxChangepoints = 3, minSegment = 2).collect()
+      if (single.nonEmpty && single.head.getLong(4) > 0L) {
+        val r1 = multi.find(_.getLong(1) == 1L)
+        assert(r1.isDefined, "rank-1 missing where changepoint found a shift")
+        assert(r1.get.getLong(2) == single.head.getLong(2),
+          s"rank-1 split ${r1.get.getLong(2)} != argmax ${single.head.getLong(2)}")
+      }
+      // ranks are dense from 1 with strictly admissible segments
+      val ranks = multi.map(_.getLong(1)).sorted
+      assert(ranks.sameElements(1L to ranks.length))
+    }
+  }
 }
