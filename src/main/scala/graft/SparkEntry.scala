@@ -129,7 +129,8 @@ object SparkEntry {
     "evt_bot_screen", "pipeline_dataset_card", "surv_rmst",
     "sim_embedding_drift", "feat_confusion", "ab_srm_segments",
     "ml_kmeans_step", "evt_incidents", "pipeline_source_mix",
-    "sample_neyman", "feat_cuped_multi", "ts_decompose_forecast")
+    "sample_neyman", "feat_cuped_multi", "ts_decompose_forecast",
+    "ts_ljung_box")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -373,7 +374,8 @@ object SparkEntry {
     "evt_retention",
     "evt_transitions", "evt_attribution", "evt_markov_attribution",
     "ts_resample_ffill", "ts_interpolate", "ts_anomaly", "ts_seasonality",
-    "ts_cusum", "ts_acf", "ts_dominant_period", "ts_holt",
+    "ts_cusum", "ts_acf", "ts_ljung_box", "ts_dominant_period",
+    "ts_holt",
     "ts_holt_winters", "ts_changepoint", "ts_changepoints",
     "ts_backtest", "ts_decompose", "ts_decompose_forecast",
     "ts_anomaly_robust", "ts_theilsen",
@@ -7639,6 +7641,39 @@ object SparkEntry {
       graft.operators.TimeSeries.autocorrelation(hc, $"hour", $"x", 48)
     }),
 
+    "ts_ljung_box" -> ((s, dir) => {
+      import s.implicits._
+      // Ljung-Box whiteness over lags 1..24 of the hourly series —
+      // the "is anything left" portmanteau after a model fits
+      // (ts_acf SHOWS the memory; this tests all 24 lags jointly):
+      // Q = n(n+2) sum r_k^2/(n-k). Per-lag terms quantize off the
+      // already-quantized acf (order-free integer sum); Q is one
+      // mirrored tree; the verdict is an INTEGER comparison against
+      // the chi2(24) 5% critical (36.415) — exact on both engines.
+      // SIDE-EFFECTING (autocorrelation localCheckpoints its series).
+      val hc = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", $"ts").as("hour"))
+        .agg(count(lit(1)).as("x"))
+      val acf = graft.operators.TimeSeries
+        .autocorrelation(hc, $"hour", $"x", 24)
+        .filter($"acf_micros".isNotNull)
+      val nrow = hc.agg(count(lit(1)).as("__n"))
+      acf.crossJoin(broadcast(nrow)) // 1-row series length
+        .select($"__n",
+          round(($"acf_micros".cast("double") *
+            $"acf_micros".cast("double")) /
+            ($"__n" - $"lag").cast("double")).cast("long").as("__t"))
+        .groupBy($"__n")
+        .agg(sum($"__t").as("__s"), count(lit(1)).as("__m"))
+        .filter($"__s".isNotNull)
+        .withColumn("q_micros",
+          round($"__n".cast("double") * ($"__n" + 2L).cast("double") *
+            $"__s".cast("double") / lit(1000000.0)).cast("long"))
+        .select($"__n".cast("bigint").as("n_obs"),
+          $"__m".cast("bigint").as("n_lags"), $"q_micros",
+          ($"q_micros" > 36415000L).as("rejected"))
+    }),
+
     "ts_pacf" -> ((s, dir) => {
       import s.implicits._
       // Partial autocorrelation of the hourly event-count series at
@@ -12691,6 +12726,39 @@ object SparkEntry {
     // the ts_acf replay (lags 1..24) feeding Durbin-Levinson as a
     // recursive CTE over a LIST state — phi updates and both inner
     // products fold in the same ascending-j order as the engine
+    // the ts_acf construction to lag 24, per-lag quantized terms,
+    // one mirrored Q tree, integer verdict vs the chi2(24) critical
+    "ts_ljung_box" ->
+      """WITH c AS (SELECT date_trunc('hour', ts) AS h, count(*) AS x
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT row_number() OVER (ORDER BY h) AS i,
+        |    CAST(x AS BIGINT) AS x FROM c),
+        |st AS (SELECT count(*) AS n, sum(x) AS s FROM b),
+        |den AS (SELECT sum((n * x - s) * (n * x - s)) AS den
+        |  FROM b, st),
+        |l AS (SELECT CAST(range AS BIGINT) AS lag FROM range(1, 25)),
+        |pr AS (SELECT l.lag, bl.x AS xl, br.x AS xr
+        |  FROM l CROSS JOIN b bl JOIN b br ON br.i = bl.i + l.lag),
+        |num AS (SELECT lag, sum((n * xl - s) * (n * xr - s)) AS num
+        |  FROM pr, st GROUP BY 1),
+        |acf AS (SELECT lag,
+        |    CASE WHEN den = 0 THEN NULL
+        |      ELSE CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+        |        * 1000000) AS BIGINT) END AS am
+        |  FROM num, den),
+        |tt AS (SELECT
+        |    CAST(sum(CAST(round(CAST(am AS DOUBLE) * CAST(am AS DOUBLE)
+        |      / CAST(n - lag AS DOUBLE)) AS BIGINT)) AS BIGINT) AS ss,
+        |    CAST(count(*) AS BIGINT) AS m
+        |  FROM acf, st WHERE am IS NOT NULL),
+        |q AS (SELECT CAST(n AS BIGINT) AS n_obs, m AS n_lags,
+        |    CAST(round(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE)
+        |      * CAST(ss AS DOUBLE) / 1000000.0) AS BIGINT) AS q_micros
+        |  FROM tt, st WHERE ss IS NOT NULL)
+        |SELECT n_obs, n_lags, q_micros,
+        |  q_micros > 36415000 AS rejected
+        |FROM q""".stripMargin,
+
     "ts_pacf" ->
       """WITH RECURSIVE c AS (SELECT date_trunc('hour', ts) AS h,
         |    count(*) AS x
