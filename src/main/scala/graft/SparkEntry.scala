@@ -130,7 +130,7 @@ object SparkEntry {
     "sim_embedding_drift", "feat_confusion", "ab_srm_segments",
     "ml_kmeans_step", "evt_incidents", "pipeline_source_mix",
     "sample_neyman", "feat_cuped_multi", "ts_decompose_forecast",
-    "ts_ljung_box")
+    "ts_ljung_box", "ml_naive_bayes")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -358,7 +358,7 @@ object SparkEntry {
     "ts_forecast_interval", "agg_theil", "text_heaps",
     "sample_balanced", "sample_to_mix", "sample_neyman",
     "text_novelty", "ml_logreg",
-    "ml_logreg_multi", "ml_kmeans_step",
+    "ml_logreg_multi", "ml_kmeans_step", "ml_naive_bayes",
     "interval_coverage", "ts_strength", "agg_hhi",
     "feat_eb_shrinkage", "ab_tost", "ab_delta_method", "ab_levene",
     "ab_trend", "ab_cochran_q", "ab_srm_segments", "feat_kendall_w",
@@ -5268,6 +5268,20 @@ object SparkEntry {
         Tables.embeddings(s, dir), "vec_id", "embedding", numSeeds = 8)
     }),
 
+    "ml_naive_bayes" -> ((s, dir) => {
+      import s.implicits._
+      // Multinomial Naive Bayes language ID, hash-graded end to end:
+      // train on even doc_ids, score odd, confusion matrix out. The
+      // log-posterior decomposes so unseen (token, class) pairs
+      // contribute exactly 0 and only trained pairs join; every term
+      // integer micro-nats. SIDE-EFFECTING (a 1-row class guard).
+      val d = Tables.documents(s, dir)
+      graft.llm.TextAnalysis.naiveBayesConfusion(
+        d.filter(pmod($"doc_id", lit(2)) === 0),
+        d.filter(pmod($"doc_id", lit(2)) =!= 0),
+        "text", "lang", "doc_id")
+    }),
+
     "ml_kmeans_step" -> ((s, dir) => {
       // One FULL hash-graded Lloyd iteration: the centroid_assign
       // E-step plus the M-step centroid update — 8 x 64 integer
@@ -9397,6 +9411,48 @@ object SparkEntry {
         |  CAST(CAST(sum(cm) AS HUGEINT) // count(*) AS BIGINT)
         |    AS mean_cos_micros
         |FROM a WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the log-posterior decomposition: sparse sum over trained
+    // (token, class) pairs only (ln 1 = 0 for unseen), micro-nat
+    // terms, total argmax tie-break
+    "ml_naive_bayes" ->
+      """WITH trn AS (SELECT doc_id, lang AS c,
+        |    string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |tok AS (SELECT c, unnest(toks) AS t FROM trn),
+        |tc AS (SELECT c, t,
+        |    CAST(round(ln(CAST(count(*) AS DOUBLE) + 1.0) * 1000000)
+        |      AS BIGINT) AS lnc
+        |  FROM tok GROUP BY 1, 2),
+        |cs AS (SELECT c, CAST(count(*) AS BIGINT) AS tot FROM tok
+        |  GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM tok),
+        |pri AS (SELECT c, CAST(count(*) AS BIGINT) AS d FROM trn
+        |  GROUP BY 1),
+        |dt AS (SELECT CAST(count(*) AS BIGINT) AS dt FROM trn),
+        |cls AS (SELECT cs.c AS pc,
+        |    CAST(round(ln(CAST(pri.d AS DOUBLE) / CAST(dt.dt AS DOUBLE))
+        |      * 1000000) AS BIGINT) AS prior,
+        |    CAST(round(ln(CAST(cs.tot + v.v AS DOUBLE)) * 1000000)
+        |      AS BIGINT) AS lnden
+        |  FROM cs JOIN pri ON pri.c = cs.c, v, dt),
+        |tst AS (SELECT doc_id AS id, lang AS tr,
+        |    string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |  FROM documents WHERE doc_id % 2 <> 0),
+        |stok AS (SELECT id, unnest(toks) AS t FROM tst),
+        |sp AS (SELECT stok.id, tc.c, CAST(sum(tc.lnc) AS BIGINT) AS sp
+        |  FROM stok JOIN tc ON tc.t = stok.t GROUP BY 1, 2),
+        |sc AS (SELECT tst.id, tst.tr, cls.pc,
+        |    cls.prior - tst.ntok * cls.lnden + coalesce(sp.sp, 0)
+        |      AS score
+        |  FROM tst CROSS JOIN cls
+        |  LEFT JOIN sp ON sp.id = tst.id AND sp.c = cls.pc),
+        |pk AS (SELECT id, tr, pc, row_number() OVER (PARTITION BY id
+        |    ORDER BY score DESC, pc) AS rn FROM sc)
+        |SELECT tr AS label_true, pc AS label_pred,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM pk WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the centroid_assign CTEs plus the M-step: per-(seed, dim)
     // micro-coordinate sums, one truncating division (negative sums

@@ -958,4 +958,84 @@ object TextAnalysis {
         col("indent_ppm"), col("kw_hits").cast("bigint").as("kw_hits"),
         col("code_score_ppm"), col("is_code"))
   }
+
+  /** Multinomial Naive Bayes, hash-gradable end to end — train on
+    * one split, score the other, return the confusion matrix: the
+    * classical text classifier (language ID, source attribution,
+    * spam) as a REPLAYABLE query where library NB fits are not. The
+    * per-class log-posterior decomposes so the sparse join suffices:
+    * `score_c = ln P(c) − nTok·ln(totTok_c + V) + Σ_tok ln(cnt_{t,c}+1)`
+    * — unseen (token, class) pairs contribute ln 1 = 0 exactly, so
+    * only TRAINED pairs join; every term micro-quantizes
+    * (`round(ln(·)·10⁶)` — ln agrees between engines), the per-(doc,
+    * class) sums are order-free integers, and the argmax tie-breaks
+    * (score desc, label asc). Returns (label_true, label_pred, n)
+    * over the test split.
+    *
+    * Scale: training is one (token, label) hash-agg + two
+    * label-scale tables; scoring explodes test tokens ONCE, joins
+    * the token-keyed count table, and sums per (doc, label) — the
+    * label grid rides a BROADCAST (labels guard loudly at
+    * `maxClasses`); nothing pairwise in documents. SIDE-EFFECTING:
+    * a 1-row class-count guard runs eagerly. */
+  def naiveBayesConfusion(train: DataFrame, test: DataFrame,
+      textCol: String, labelCol: String, idCol: String,
+      maxClasses: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val trn = train.select(col(idCol).as("__id"),
+        col(labelCol).cast("string").as("__c"),
+        split(col(textCol), " ").as("__toks"))
+      .filter(col("__c").isNotNull && col("__toks").isNotNull)
+    val nClasses = trn.select(col("__c")).distinct().count()
+    require(nClasses >= 2 && nClasses <= maxClasses,
+      s"$nClasses classes (need 2..$maxClasses) — a label column this " +
+        "wide is not a classification target")
+    val tokTrain = trn.select(col("__c"), explode(col("__toks")).as("__t"))
+    val tc = tokTrain.groupBy(col("__c"), col("__t"))
+      .agg(count(lit(1)).as("__n"))
+      .select(col("__c"), col("__t"),
+        round(log(col("__n").cast("double") + lit(1.0)) * lit(1e6))
+          .cast("long").as("__lnc"))
+    val classStats = tokTrain.groupBy(col("__c"))
+      .agg(count(lit(1)).as("__tot"))
+    val vocab = tokTrain.select(col("__t")).distinct()
+      .agg(count(lit(1)).as("__v"))
+    val priors = trn.groupBy(col("__c")).agg(count(lit(1)).as("__d"))
+    val dTot = trn.agg(count(lit(1)).as("__dt"))
+    val classes = classStats.join(priors, Seq("__c"))
+      .crossJoin(vocab).crossJoin(dTot) // label-scale x two 1-rows
+      .select(col("__c").as("__pc"),
+        round(log(col("__d").cast("double") /
+          col("__dt").cast("double")) * lit(1e6)).cast("long")
+          .as("__prior"),
+        round(log((col("__tot") + col("__v")).cast("double")) *
+          lit(1e6)).cast("long").as("__lnden"))
+    val tst = test.select(col(idCol).as("__id"),
+        col(labelCol).cast("string").as("__true"),
+        split(col(textCol), " ").as("__toks"))
+      .filter(col("__true").isNotNull && col("__toks").isNotNull)
+      .withColumn("__ntok", size(col("__toks")).cast("long"))
+    // sparse part: only trained (token, class) pairs contribute
+    val sparse = tst.select(col("__id"), explode(col("__toks")).as("__t"))
+      .join(tc, Seq("__t"))
+      .groupBy(col("__id"), col("__c"))
+      .agg(sum(col("__lnc")).as("__sp"))
+    val sparseR = sparse.select(col("__id").as("__sid"),
+      col("__c").as("__sc"), col("__sp"))
+    val scored = tst.select(col("__id"), col("__true"), col("__ntok"))
+      .crossJoin(broadcast(classes)) // doc x label grid
+      .join(sparseR, col("__id") === col("__sid") &&
+        col("__pc") === col("__sc"), "left")
+      .select(col("__id").as("__doc"), col("__true"), col("__pc"),
+        (col("__prior") - col("__ntok") * col("__lnden") +
+          coalesce(col("__sp"), lit(0L))).as("__score"))
+    val w = Window.partitionBy(col("__doc"))
+      .orderBy(col("__score").desc, col("__pc"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col("__true").as("label_true"),
+        col("__pc").as("label_pred"))
+      .agg(count(lit(1)).cast("bigint").as("n"))
+      .orderBy(col("label_true"), col("label_pred"))
+  }
 }
