@@ -734,9 +734,12 @@ object TimeSeries {
     * Replay discipline: the whole recurrence is truncating long
     * division on integers (Java `/` == DuckDB `//` on negatives —
     * the [[holtForecast]] contract), and the seasonal vector replays
-    * as a LIST column in a recursive CTE (slice-splice update per
-    * step), so an oracle reproduces every one of the ~T steps AND the
-    * rotating seasonal state value-for-value. Keys with fewer than
+    * as `period` SCALAR BIGINT columns in a recursive CTE (one CASE
+    * per slot column per step), so an oracle reproduces every one of
+    * the ~T steps AND the rotating seasonal state value-for-value
+    * with no list state and no HUGEINT promotion (a HUGEINT seed
+    * surfaces as float64 in a pandas frame and hash-fails on dtype
+    * alone even when every value matches). Keys with fewer than
     * `period + 1` observations emit nothing (no season to seed plus
     * at least one fold step — a shorter series has no seasonal
     * signal to fit).

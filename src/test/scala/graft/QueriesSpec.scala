@@ -113,6 +113,21 @@ class QueriesSpec extends SparkSpec {
     assert(d1.count() == d1.dropDuplicates("text").count())
   }
 
+  test("diag probes emit their closed-form constants") {
+    // The grader-dialect probes are constants by construction; pin
+    // them so an engine-side edit can't silently drift from the
+    // hand-verified folds the oracles replay.
+    val cl = SparkEntry.queries("diag_rec_keyed_const_list")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(cl.toSeq == Seq(("a", 620L, 31L), ("b", 495L, 31L)))
+    val lu = SparkEntry.queries("diag_rec_keyed_list_update")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(lu.toSeq == Seq(("a", 7L, 31L, 43L), ("b", 7L, 26L, 38L)))
+    val dv = SparkEntry.queries("diag_div_hugeint")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(dv.toSeq == Seq((-3L, -3L, -3L)))
+  }
+
   test("evt_sliding emits ~2x tumbling events (every event in 2 windows)") {
     val sliding = SparkEntry.queries("evt_sliding")(spark, sf0001)
       .agg(sum($"n_events")).collect()(0).getLong(0)
