@@ -124,7 +124,7 @@ object SparkEntry {
     "ts_holt_winters",
     // round-16 additions (no artifact yet)
     "diag_rec_keyed_const_list", "diag_rec_keyed_list_update",
-    "diag_div_hugeint")
+    "diag_div_hugeint", "graph_scc")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -147,10 +147,11 @@ object SparkEntry {
     * (≈300k edges, ≈400k triangles at sf0.1) while density — the cost
     * axis of triangle/core analytics — stays realistic; the part key
     * space avoids the supplier near-clique degeneracy. */
-  private def partCoOrderPairs(s: SparkSession, dir: String): DataFrame = {
+  private def partCoOrderPairs(s: SparkSession, dir: String,
+      mod: Int = 4): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey"))
-      .filter(pmod(col("l_orderkey"), lit(4)) === 0)
+      .filter(pmod(col("l_orderkey"), lit(mod)) === 0)
     li.as("l1").join(li.as("l2"),
         col("l1.l_orderkey") === col("l2.l_orderkey") &&
           col("l1.l_partkey") < col("l2.l_partkey"))
@@ -398,7 +399,7 @@ object SparkEntry {
     "dedup_clusters", "graph_pagerank", "graph_pagerank_personalized",
     "graph_hits", "graph_triangles", "graph_kcore", "graph_ktruss",
     "graph_local_triangles", "graph_shortest_paths", "graph_closeness",
-    "graph_betweenness", "graph_katz", "graph_cooccurrence",
+    "graph_betweenness", "graph_katz", "graph_scc", "graph_cooccurrence",
     "graph_weighted_paths", "graph_label_prop", "graph_modularity",
     "graph_louvain", "graph_assortativity", "graph_degree_hist",
     "graph_assoc_rules", "graph_adamic_adar", "graph_jaccard",
@@ -4193,6 +4194,41 @@ object SparkEntry {
       graft.operators.Graph.katzCentrality(edges, "src", "dst",
           iters = 5, alphaPpm = 10000L)
         .orderBy($"katz_ppb".desc, $"node").limit(50)
+    }),
+
+    "graph_scc" -> ((s, dir) => {
+      import s.implicits._
+      // Strongly connected components of the DIRECTED
+      // customer<->supplier trade graph (mod-8 order slice; customers
+      // even ids, suppliers odd), each trade edge oriented by key-sum
+      // parity — a deterministic direction rule both engines compute
+      // identically. Dense bipartite hubs keep the diameter SHALLOW
+      // at every sf (the iterative cost axis — a sparse co-order
+      // slice measured 100+ propagation rounds at sf0.1; this shape
+      // converges in single digits). The engine runs trim+coloring
+      // label propagation (never a transitive closure); the oracle
+      // brute-forces mutual reachability with a recursive-CTE
+      // closure, so the grade is algorithm-independent.
+      // SIDE-EFFECTING (the peel/color rounds run eagerly at
+      // construction).
+      val cs = Tables.orders(s, dir)
+        .filter(pmod($"o_orderkey", lit(8)) === 0)
+        .select($"o_orderkey", $"o_custkey")
+        .join(Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .select(($"o_custkey" * 2).as("c"),
+          ($"l_suppkey" * 2 + 1).as("s"))
+        .distinct()
+      // c + s is always odd; %4 == 1 splits 50/50 on (c/2 + s/2) parity
+      val e = cs.select(
+        when(pmod($"c" + $"s", lit(4)) < 2, $"c").otherwise($"s")
+          .as("src"),
+        when(pmod($"c" + $"s", lit(4)) < 2, $"s").otherwise($"c")
+          .as("dst"))
+      graft.operators.Graph.stronglyConnectedComponents(e, "src", "dst")
+        .select($"id".cast("long").as("id"),
+          $"scc_id".cast("long").as("scc_id"))
+        .orderBy($"id")
     }),
 
     "graph_pagerank_personalized" -> ((s, dir) => {
@@ -16096,6 +16132,32 @@ object SparkEntry {
          |SELECT node, CAST(katz_ppb AS BIGINT) AS katz_ppb FROM r5
          |ORDER BY katz_ppb DESC, node LIMIT 50""".stripMargin
     },
+
+    // SCC by brute mutual reachability: the recursive CTE computes
+    // the full forward closure (fixpoint UNION — fine at oracle
+    // scale), then scc_id(v) = min over partners u with BOTH (v,u)
+    // and (u,v) in the closure, defaulting to v itself. Algorithm-
+    // independent: the engine's trim+coloring never builds a closure
+    "graph_scc" ->
+      """WITH RECURSIVE
+        |cs AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderkey % 8 = 0),
+        |e AS (SELECT CASE WHEN (c + s) % 4 < 2 THEN c ELSE s END AS src,
+        |             CASE WHEN (c + s) % 4 < 2 THEN s ELSE c END AS dst
+        |  FROM cs),
+        |v AS (SELECT DISTINCT id FROM
+        |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e) z),
+        |tc AS (
+        |  SELECT src AS a, dst AS b FROM e
+        |  UNION
+        |  SELECT tc.a, e.dst FROM tc JOIN e ON e.src = tc.b),
+        |m AS (SELECT tc.a AS id, min(tc.b) AS mb
+        |  FROM tc JOIN tc r ON r.a = tc.b AND r.b = tc.a GROUP BY 1)
+        |SELECT CAST(v.id AS BIGINT) AS id,
+        |  CAST(least(v.id, coalesce(m.mb, v.id)) AS BIGINT) AS scc_id
+        |FROM v LEFT JOIN m ON m.id = v.id
+        |ORDER BY id""".stripMargin,
 
     // the transitive closure replayed independently: same 3-gram
     // Jaccard edge set as dedup_ngram_exact, then a recursive CTE

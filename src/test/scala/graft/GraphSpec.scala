@@ -756,6 +756,29 @@ class GraphSpec extends SparkSpec {
       edges.filter($"id_a" < 0)).count() == 0L)
   }
 
+  test("stronglyConnectedComponents: cycle, DAG, bridged cycles, bow-tie closed forms") {
+    def scc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      Graph.stronglyConnectedComponents(edges.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+    // a directed cycle is one SCC labeled by its min id
+    assert(scc(Seq((1L, 2L), (2L, 3L), (3L, 1L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // a DAG (path + diamond) is all singletons
+    assert(scc(Seq((1L, 2L), (2L, 3L), (2L, 4L), (3L, 5L), (4L, 5L))) ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
+    // two cycles joined by ONE directed edge stay separate SCCs
+    assert(scc(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    // bow-tie: in-tail -> cycle -> out-tail, plus a back edge closing
+    // the second tail into the core — trim + a second outer round
+    assert(scc(Seq((10L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (3L, 20L),
+      (20L, 21L), (21L, 20L))) ==
+      Map(10L -> 10L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 20L -> 20L, 21L -> 20L))
+    // self-loops and duplicate edges are ignored / deduped
+    assert(scc(Seq((1L, 1L), (1L, 2L), (1L, 2L), (2L, 1L))) ==
+      Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("richClub: clique + pendant hand case, duplicate/reversed edges collapse, small clubs absent") {
     import spark.implicits._
     // triangle {1,2,3} + pendant 4-1: degrees 3,2,2,1. k=1: club

@@ -875,6 +875,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("graph_scc: equi-joins only; final plan unions truncated rounds, no parquet rescan") {
+    // trim/color/mark rounds localCheckpoint eagerly, so the returned
+    // plan is a union of checkpointed assignments under one sort: it
+    // must never re-run the trade-graph builder or cross-join
+    val p = plan("graph_scc")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Scan parquet"),
+      "scc final plan re-runs the upstream edge builder:\n" + p)
+  }
+
   test("sample_to_mix: quotas ride a broadcast join; the rank window is the only wide work") {
     val p = plan("sample_to_mix")
     assert(p.contains("BroadcastHashJoin"),
