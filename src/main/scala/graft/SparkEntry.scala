@@ -124,7 +124,7 @@ object SparkEntry {
     "ts_holt_winters",
     // round-16 additions (no artifact yet)
     "diag_rec_keyed_const_list", "diag_rec_keyed_list_update",
-    "diag_div_hugeint", "graph_scc")
+    "diag_div_hugeint", "graph_scc", "ts_ar_forecast")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -370,7 +370,7 @@ object SparkEntry {
     "evt_transitions", "evt_attribution", "evt_markov_attribution",
     "ts_resample_ffill", "ts_interpolate", "ts_anomaly", "ts_seasonality",
     "ts_cusum", "ts_acf", "ts_ljung_box", "ts_dominant_period",
-    "ts_holt",
+    "ts_ar_forecast", "ts_holt",
     "ts_holt_winters", "ts_changepoint", "ts_changepoints",
     "ts_backtest", "ts_decompose", "ts_decompose_forecast",
     "ts_anomaly_robust", "ts_theilsen",
@@ -7784,6 +7784,25 @@ object SparkEntry {
       graft.operators.TimeSeries.pacf(hc, $"hour", $"x", 24)
     }),
 
+    "ts_ar_forecast" -> ((s, dir) => {
+      import s.implicits._
+      // AR(3) Yule-Walker fit of the hourly event-count series +
+      // 12-step forecast + Ljung-Box over the in-sample residuals
+      // (df = 12 - 3 lags) — ts_acf profiles the memory, ts_pacf
+      // picks the order, this CLOSES the loop: fit, predict, and
+      // test that nothing autocorrelated is left. Coefficients come
+      // from the quantized acf through the pacf Durbin-Levinson
+      // order; residuals and forecasts are pure long multiply +
+      // truncating division over the integer-centered series, so the
+      // oracle replays them exactly. SIDE-EFFECTING (the lag-scale
+      // acf collect and p-row tail collect run eagerly).
+      val hc = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", $"ts").as("hour"))
+        .agg(count(lit(1)).as("x"))
+      graft.operators.TimeSeries.arForecast(hc, $"hour", $"x",
+        p = 3, horizon = 12, lbLags = 12)
+    }),
+
     "ts_dominant_period" -> ((s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -13028,6 +13047,94 @@ object SparkEntry {
         |  CAST(round(phi[CAST(k AS INT)] * 1000000) AS BIGINT)
         |    AS pacf_micros
         |FROM dl ORDER BY k""".stripMargin,
+
+    // AR(3) fit + forecast + residual whiteness: acf on the integer-
+    // centered series, Durbin-Levinson unrolled to order 3 in scalar
+    // DOUBLE columns (the engine's exact summation order), micro-phi
+    // residuals and the 12-step forecast as pure BIGINT truncating
+    // division (global recursion, scalar state — the proven-green
+    // shape), Ljung-Box over the residual acf
+    "ts_ar_forecast" ->
+      """WITH RECURSIVE
+        |c AS (SELECT date_trunc('hour', ts) AS h, count(*) AS x
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT row_number() OVER (ORDER BY h) AS i,
+        |    CAST(x AS BIGINT) AS x FROM c),
+        |st AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s FROM b),
+        |y AS (SELECT i, n * x - s AS y FROM b, st),
+        |den AS (SELECT sum(y * y) AS den FROM y),
+        |l AS (SELECT CAST(range AS BIGINT) AS lag FROM range(1, 4)),
+        |pr AS (SELECT l.lag, a.y AS yl, bb.y AS yr
+        |  FROM l CROSS JOIN y a JOIN y bb ON bb.i = a.i + l.lag),
+        |num AS (SELECT lag, sum(yl * yr) AS num FROM pr GROUP BY 1),
+        |am AS (SELECT lag, CAST(round(CAST(num AS DOUBLE)
+        |    / CAST(den AS DOUBLE) * 1000000) AS BIGINT) AS am
+        |  FROM num, den),
+        |rr AS (SELECT
+        |    CAST(max(CASE WHEN lag = 1 THEN am END) AS DOUBLE)
+        |      / 1000000.0 AS r1,
+        |    CAST(max(CASE WHEN lag = 2 THEN am END) AS DOUBLE)
+        |      / 1000000.0 AS r2,
+        |    CAST(max(CASE WHEN lag = 3 THEN am END) AS DOUBLE)
+        |      / 1000000.0 AS r3
+        |  FROM am),
+        |dl AS (
+        |  SELECT CAST(round(phi31 * 1000000) AS BIGINT) AS m1,
+        |    CAST(round(phi32 * 1000000) AS BIGINT) AS m2,
+        |    CAST(round(phi33 * 1000000) AS BIGINT) AS m3
+        |  FROM (SELECT phi21 - pkk3 * phi22 AS phi31,
+        |      phi22 - pkk3 * phi21 AS phi32, pkk3 AS phi33
+        |    FROM (SELECT phi21, phi22,
+        |        (r3 - (phi21 * r2 + phi22 * r1))
+        |          / (1.0 - (phi21 * r1 + phi22 * r2)) AS pkk3
+        |      FROM (SELECT phi11 - pkk2 * phi11 AS phi21,
+        |          pkk2 AS phi22, r1, r2, r3
+        |        FROM (SELECT r1, r2, r3, r1 AS phi11,
+        |            (r2 - r1 * r1) / (1.0 - r1 * r1) AS pkk2
+        |          FROM rr) t1) t2) t3) t4),
+        |e AS (SELECT t.i,
+        |    (1000000 * t.y - d.m1 * p1.y - d.m2 * p2.y - d.m3 * p3.y)
+        |      // 1000000 AS e
+        |  FROM y t JOIN y p1 ON p1.i = t.i - 1
+        |    JOIN y p2 ON p2.i = t.i - 2
+        |    JOIN y p3 ON p3.i = t.i - 3, dl d),
+        |ste AS (SELECT count(*) AS ne, CAST(sum(e) AS BIGINT) AS se
+        |  FROM e),
+        |dene AS (SELECT sum((ne * e - se) * (ne * e - se)) AS den
+        |  FROM e, ste),
+        |le AS (SELECT CAST(range AS BIGINT) AS lag FROM range(1, 13)),
+        |pre AS (SELECT le.lag, a.e AS el, bb.e AS er
+        |  FROM le CROSS JOIN e a JOIN e bb ON bb.i = a.i + le.lag),
+        |nume AS (SELECT lag, sum((ne * el - se) * (ne * er - se)) AS num
+        |  FROM pre, ste GROUP BY 1),
+        |acfe AS (SELECT lag, CASE WHEN den = 0 THEN NULL
+        |    ELSE CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+        |      * 1000000) AS BIGINT) END AS am
+        |  FROM nume, dene),
+        |lbt AS (SELECT CAST(sum(CAST(round(CAST(am AS DOUBLE)
+        |      * CAST(am AS DOUBLE) / CAST(ne - lag AS DOUBLE))
+        |      AS BIGINT)) AS BIGINT) AS ss
+        |  FROM acfe, ste WHERE am IS NOT NULL),
+        |lb AS (SELECT CAST(round(CAST(ne AS DOUBLE)
+        |    * CAST(ne + 2 AS DOUBLE) * CAST(ss AS DOUBLE) / 1000000.0)
+        |    AS BIGINT) AS q FROM lbt, ste),
+        |last AS (SELECT
+        |    max(CASE WHEN y.i = st.n THEN y.y END) AS a,
+        |    max(CASE WHEN y.i = st.n - 1 THEN y.y END) AS b,
+        |    max(CASE WHEN y.i = st.n - 2 THEN y.y END) AS c
+        |  FROM y, st),
+        |fc AS (
+        |  SELECT CAST(0 AS BIGINT) AS step, la.a, la.b, la.c FROM last la
+        |  UNION ALL
+        |  SELECT step + 1,
+        |    (d.m1 * a + d.m2 * b + d.m3 * c) // 1000000, a, b
+        |  FROM fc, dl d WHERE step < 12)
+        |SELECT fc.step, CAST(st.n AS BIGINT) AS n_obs,
+        |  d.m1 AS phi1_micros, d.m2 AS phi2_micros, d.m3 AS phi3_micros,
+        |  (1000000 * (fc.a + st.s)) // st.n AS forecast_micros,
+        |  lb.q AS lb_q_micros, lb.q > 16919000 AS lb_rejected
+        |FROM fc, st, dl d, lb WHERE fc.step >= 1
+        |ORDER BY step""".stripMargin,
 
     // the ts_acf replay cut to its (acf desc, lag) argmax over lags
     // 2..48 — the deterministic dominant-period pick

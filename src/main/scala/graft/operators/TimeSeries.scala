@@ -510,6 +510,139 @@ object TimeSeries {
     rows.toDF("lag", "pacf_micros")
   }
 
+  /** AR(p) fit + h-step forecast + residual whiteness — the member
+    * that makes the classical-TS family actionable: [[autocorrelation]]
+    * profiles the memory, [[pacf]] picks the order, this CLOSES the
+    * loop by fitting the AR(p) model (Yule–Walker via the same
+    * Durbin–Levinson recursion — the order-p row of [[pacf]]'s
+    * triangle IS the coefficient vector), forecasting `horizon` steps,
+    * and testing the in-sample residuals with the Ljung–Box
+    * portmanteau (df = lbLags − p): "fit, predict, and check there is
+    * nothing left to model" in one operator.
+    *
+    * Exactness contract (every output replayable value-for-value):
+    *  - φ comes from the QUANTIZED acf (`acf_micros/10⁶` — both
+    *    engines start from bit-identical doubles) through the fixed
+    *    ascending-j Durbin–Levinson order, then quantizes to micro
+    *    units `φM_j = round(φ_j·10⁶)`.
+    *  - Work happens on the integer-centered series `y_t = n·x_t − s`
+    *    (exact mean-zero without a division). Residuals are
+    *    `e_t = (10⁶·y_t − Σ φM_j·y_{t−j}) div 10⁶` — pure long
+    *    multiply + truncating division.
+    *  - The h-step forecast folds the SAME integer recurrence over
+    *    the last p values (predicted values feed later steps), and
+    *    maps back to x-scale via `(10⁶·(ŷ+s)) div n`.
+    *  - Residual whiteness reuses [[autocorrelation]] on the residual
+    *    series + the ts_ljung_box Q tree; the verdict compares
+    *    q_micros against the chi²(lbLags − p) 5 % critical value as
+    *    an integer.
+    * Loud guards: series shorter than p + lbLags + 1, any NULL acf in
+    * lags 1..p, or a degenerate Yule–Walker denominator fail fast.
+    *
+    * SIDE-EFFECTING: the lag-scale acf collect and the p-row tail
+    * collect run eagerly at construction.
+    *
+    * Scale: rides [[autocorrelation]]'s one materialized pass (the
+    * only row-scale work); the fit itself touches ≤ p doubles and the
+    * forecast ≤ p + horizon longs on the driver. */
+  def arForecast(df: DataFrame, orderExpr: Column, valueExpr: Column,
+      p: Int = 3, horizon: Int = 12, lbLags: Int = 12,
+      chi2CritMicros: Long = 16919000L): DataFrame = {
+    require(p >= 1 && p <= 10, s"p must be in [1, 10] (got $p)")
+    require(horizon >= 1 && horizon <= 1000,
+      s"horizon must be in [1, 1000] (got $horizon)")
+    require(lbLags > p,
+      s"lbLags must exceed p for a positive-df whiteness test " +
+        s"(got lbLags=$lbLags, p=$p)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(orderExpr.as("__o"),
+        valueExpr.cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+      .withColumn("__i", row_number().over(
+        Window.orderBy(col("__o"))).cast("long"))
+      .select(col("__i"), col("__x"))
+      .localCheckpoint(true)
+    val stRow = base.agg(count(lit(1)), sum(col("__x"))).head()
+    val n = stRow.getLong(0)
+    require(n > p + lbLags,
+      s"series has $n points — need more than ${p + lbLags} to fit " +
+        s"AR($p) and test $lbLags residual lags")
+    val s = stRow.getLong(1)
+    // quantized acf at lags 1..p — the Yule-Walker right-hand side
+    val rsArr = autocorrelation(base, col("__i"), col("__x"), p)
+      .collect().sortBy(_.getLong(0))
+      .map(r => if (r.isNullAt(2)) Option.empty[Long]
+                else Some(r.getLong(2)))
+    require(rsArr.length == p && rsArr.forall(_.isDefined),
+      s"acf is NULL inside lags 1..$p (constant series?) — " +
+        "no AR model to fit")
+    val r = rsArr.map(_.get.toDouble / 1e6)
+    // Durbin-Levinson to order p, fixed ascending-j summation order
+    // (the pacf contract — an oracle replays the identical doubles)
+    var phi = Array(r(0))
+    for (k <- 2 to p) {
+      val num = r(k - 1) - (1 until k).map(j => phi(j - 1) * r(k - j - 1)).sum
+      val den = 1.0 - (1 until k).map(j => phi(j - 1) * r(j - 1)).sum
+      require(den != 0.0,
+        s"degenerate Yule-Walker system at order $k (zero denominator)")
+      val pkk = num / den
+      phi = (1 until k).map(j => phi(j - 1) - pkk * phi(k - j - 1))
+        .toArray :+ pkk
+    }
+    val phiM = phi.map(v => math.round(v * 1e6))
+    // integer-centered series and micro-phi residuals
+    val y = base.select(col("__i"),
+        (lit(n) * col("__x") - lit(s)).as("__y"))
+      .localCheckpoint(true)
+    val w = Window.orderBy(col("__i"))
+    val lagged = (1 to p).foldLeft(y) { (d, j) =>
+      d.withColumn(s"__y$j", lag(col("__y"), j).over(w))
+    }.filter(col(s"__y$p").isNotNull)
+    val phiTerms = (1 to p)
+      .map(j => s"- (${phiM(j - 1)}L) * __y$j").mkString(" ")
+    val resid = lagged.select(col("__i"),
+        expr(s"(1000000L * __y $phiTerms) div 1000000L").as("__e"))
+      .localCheckpoint(true)
+    // residual Ljung-Box: the ts_ljung_box tree over the residual acf
+    val acfE = autocorrelation(resid, col("__i"), col("__e"), lbLags)
+      .filter(col("acf_micros").isNotNull)
+    val nrowE = resid.agg(count(lit(1)).as("__n"))
+    val lb = acfE.crossJoin(broadcast(nrowE))
+      .select(col("__n"),
+        round((col("acf_micros").cast("double") *
+          col("acf_micros").cast("double")) /
+          (col("__n") - col("lag")).cast("double")).cast("long")
+          .as("__t"))
+      .groupBy(col("__n"))
+      .agg(sum(col("__t")).as("__s"))
+      .select(round(col("__n").cast("double") *
+        (col("__n") + 2L).cast("double") *
+        col("__s").cast("double") / lit(1000000.0)).cast("long")
+        .as("lb_q_micros"))
+    // h-step forecast: integer recurrence over the last p y-values
+    val tail = y.filter(col("__i") > n - p).orderBy(col("__i"))
+      .collect().map(_.getLong(1))
+    var buf = tail.toVector // ascending: buf.last = y_n
+    val fcRows = (1 to horizon).map { h =>
+      val yh = (1 to p).map(j => phiM(j - 1) * buf(buf.size - j)).sum /
+        1000000L
+      buf :+= yh
+      (h.toLong, yh)
+    }
+    val phiCols = (1 to p).map(j =>
+      lit(phiM(j - 1)).as(s"phi${j}_micros"))
+    fcRows.toDF("step", "__yh")
+      .crossJoin(broadcast(lb))
+      .select(Seq(col("step").cast("bigint").as("step"),
+        lit(n).cast("bigint").as("n_obs")) ++ phiCols ++ Seq(
+        expr(s"(1000000L * (__yh + ${s}L)) div ${n}L").cast("bigint")
+          .as("forecast_micros"),
+        col("lb_q_micros"),
+        (col("lb_q_micros") > chi2CritMicros).as("lb_rejected")): _*)
+      .orderBy(col("step"))
+  }
+
   /** Holt double-exponential (level + trend) smoothing forecast — the
     * capacity-planning workhorse one notch above a moving average:
     * per key, fold the series in order through the integer recurrence
