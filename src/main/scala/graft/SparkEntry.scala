@@ -124,7 +124,7 @@ object SparkEntry {
     "ts_holt_winters",
     // round-16 additions (no artifact yet)
     "diag_rec_keyed_const_list", "diag_rec_keyed_list_update",
-    "diag_div_hugeint", "graph_scc", "ts_ar_forecast")
+    "diag_div_hugeint", "graph_scc", "ts_ar_forecast", "ml_kmeans")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -353,7 +353,7 @@ object SparkEntry {
     "ts_forecast_interval", "agg_theil", "text_heaps",
     "sample_balanced", "sample_to_mix", "sample_neyman",
     "text_novelty", "ml_logreg",
-    "ml_logreg_multi", "ml_kmeans_step", "ml_naive_bayes",
+    "ml_logreg_multi", "ml_kmeans_step", "ml_kmeans", "ml_naive_bayes",
     "interval_coverage", "ts_strength", "agg_hhi",
     "feat_eb_shrinkage", "ab_tost", "ab_delta_method", "ab_levene",
     "ab_trend", "ab_cochran_q", "ab_srm_segments", "feat_kendall_w",
@@ -5375,6 +5375,20 @@ object SparkEntry {
         Tables.embeddings(s, dir), "vec_id", "embedding", numSeeds = 8)
     }),
 
+    "ml_kmeans" -> ((s, dir) => {
+      // THREE full Lloyd rounds, hash-graded — the actual clustering
+      // loop, not one step: vectors quantize once to micro
+      // coordinates, then every assignment (integer-dot cosine
+      // argmax) and every centroid update (Sum div n) is exact
+      // integer arithmetic, so the oracle unrolls all three rounds
+      // kcore-style and lands on the same final 8 x 64 centroid
+      // table bit for bit. Spherical-kmeans mean-cosine monotonicity
+      // is pinned in SimilaritySpec.
+      graft.llm.Similarity.kmeansRounds(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        numSeeds = 8, rounds = 3)
+    }),
+
     "sim_range_search" -> ((s, dir) => {
       import s.implicits._
       // Threshold (range) retrieval via the IVF probe: every
@@ -8712,6 +8726,45 @@ object SparkEntry {
        |FROM fin, hh ORDER BY event_type, step""".stripMargin
   }
 
+  /** ml_kmeans oracle, generated: the three Lloyd rounds unrolled
+    * kcore-style. Vectors quantize once to micro BIGINT coordinates;
+    * each round is an integer-dot cosine argmax (doubles only inside
+    * the mirrored divide-and-round tree) followed by a `Σq // n`
+    * centroid update — every intermediate CAST back to BIGINT so no
+    * HUGEINT reaches the frame (the ts_holt_winters lesson). */
+  private lazy val mlKmeansOracleSql: String = {
+    def round(r: Int): String =
+      s"""a$r AS (SELECT b.id, c.sid,
+         |    CAST(round(CAST(list_sum(list_transform(range(1, 65), i ->
+         |        b.q[CAST(i AS INT)] * c.c[CAST(i AS INT)])) AS DOUBLE)
+         |      / (sqrt(CAST(b.nq AS DOUBLE)) * sqrt(CAST(c.nc AS DOUBLE)))
+         |      * 1000000) AS BIGINT) AS cm
+         |  FROM base b, c${r - 1} c),
+         |s$r AS (SELECT id, sid, row_number() OVER (
+         |    PARTITION BY id ORDER BY cm DESC, sid) AS rn FROM a$r),
+         |u$r AS (SELECT t.sid, r2.i AS dim, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(b.q[CAST(r2.i AS INT)]) // count(*) AS BIGINT) AS cd
+         |  FROM s$r t JOIN base b ON b.id = t.id, range(1, 65) r2(i)
+         |  WHERE t.rn = 1 GROUP BY 1, 2),
+         |c$r AS (SELECT sid, list(cd ORDER BY dim) AS c,
+         |    CAST(sum(cd * cd) AS BIGINT) AS nc
+         |  FROM u$r GROUP BY sid)""".stripMargin
+    s"""WITH qv AS (SELECT vec_id AS id,
+       |    list_transform(embedding, x ->
+       |      CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |qn AS (SELECT id, q,
+       |    list_sum(list_transform(q, x -> x * x)) AS nq FROM qv),
+       |base AS (SELECT id, q, CAST(nq AS BIGINT) AS nq FROM qn
+       |  WHERE nq > 0),
+       |c0 AS (SELECT id AS sid, q AS c, nq AS nc FROM base
+       |  ORDER BY id LIMIT 8),
+       |${(1 to 3).map(round).mkString(",\n")}
+       |SELECT sid AS seed_id, CAST(dim - 1 AS BIGINT) AS dim,
+       |  n AS n_assigned, cd AS centroid_micros
+       |FROM u3 ORDER BY 1, 2""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "dq_invalid_codes" ->
       """SELECT p_brand, count(*) AS n_invalid
@@ -9631,6 +9684,10 @@ object SparkEntry {
     // the centroid_assign CTEs plus the M-step: per-(seed, dim)
     // micro-coordinate sums, one truncating division (negative sums
     // truncate toward zero on both engines)
+    // three unrolled Lloyd rounds over micro-quantized vectors; see
+    // mlKmeansOracleSql for the generation
+    "ml_kmeans" -> mlKmeansOracleSql,
+
     "ml_kmeans_step" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |nrm AS (SELECT vec_id,

@@ -982,4 +982,88 @@ object Similarity {
         expr("CAST(__s div __n AS BIGINT)").as("centroid_micros"))
       .orderBy(col("seed_id"), col("dim"))
   }
+
+  /** MULTI-ROUND Lloyd k-means, hash-gradable — the actual clustering
+    * loop [[kmeansStep]] grades one iteration of: `rounds` full
+    * assign+update passes, all integer after a single up-front
+    * quantization. Every vector quantizes ONCE to micro coordinates
+    * `q_i = round(v_i·10⁶)`; from there each round is exact integer
+    * arithmetic on both engines — assignment by argmax of
+    * `round(⟨q,c⟩ / (√Σq²·√Σc²) · 10⁶)` (integer dot of micro
+    * vectors; the doubles enter only through the mirrored
+    * divide-and-round tree), tie-broken `(cos desc, seed_id)`, then
+    * per-(seed, dim) centroid update `Σq div n` (truncating division,
+    * negative sums truncate identically). Round-0 centroids are the
+    * `numSeeds` lowest-id vectors' OWN micro coordinates, so every
+    * round — not just the first — replays value-for-value in a SQL
+    * oracle that unrolls the rounds kcore-style. Seeds that lose all
+    * their points drop out of later rounds naturally (their group is
+    * empty on both engines).
+    *
+    * This is spherical k-means (cosine assignment, mean update —
+    * cosine is scale-invariant in the centroid, so the un-normalized
+    * mean acts as the normalized one), hence the mean assigned cosine
+    * is non-decreasing round over round up to quantization noise —
+    * SimilaritySpec pins that monotonicity.
+    *
+    * Returns the FINAL round's centroid table: one row per
+    * (seed_id, dim): (seed_id, dim [0-based], n_assigned,
+    * centroid_micros).
+    *
+    * Scale: per round one n×numSeeds broadcast probe (fixed-width,
+    * never pairwise) + one n·dims explode into a (seed, dim) hash-agg;
+    * the centroid state is numSeeds rows, localCheckpointed per round
+    * so the plan stays O(1) in `rounds`. */
+  def kmeansRounds(df: DataFrame, idCol: String, vecCol: String,
+      numSeeds: Int = 8, rounds: Int = 3): DataFrame = {
+    require(numSeeds >= 1 && numSeeds <= 1024,
+      s"numSeeds must be in [1, 1024] (got $numSeeds)")
+    require(rounds >= 1 && rounds <= 50,
+      s"rounds must be in [1, 50] (got $rounds)")
+    val qv = df.select(col(idCol).cast("long").as("__id"),
+        transform(col(vecCol), x =>
+          round(x.cast("double") * lit(1e6)).cast("long")).as("__q"))
+      .filter(col("__id").isNotNull && col("__q").isNotNull)
+      .withColumn("__nq", aggregate(col("__q"), lit(0L),
+        (acc, x) => acc + x * x))
+      .filter(col("__nq") > 0L)
+      .localCheckpoint(true)
+    var cent = qv.orderBy(col("__id")).limit(numSeeds)
+      .select(col("__id").as("__sid"), col("__q").as("__c"),
+        col("__nq").as("__nc"))
+      .localCheckpoint(true)
+    var upd: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val w = Window.partitionBy(col("__id"))
+        .orderBy(col("__cm").desc, col("__sid"))
+      val assigned = qv.crossJoin(broadcast(cent))
+        .withColumn("__dot", aggregate(
+          zip_with(col("__q"), col("__c"), (x, y) => x * y),
+          lit(0L), (acc, t) => acc + t))
+        .withColumn("__cm",
+          round(col("__dot").cast("double") /
+            (sqrt(col("__nq").cast("double")) *
+              sqrt(col("__nc").cast("double"))) * 1e6).cast("long"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+      upd = assigned.select(col("__sid"), posexplode(col("__q")))
+        .groupBy(col("__sid"), col("pos"))
+        .agg(count(lit(1)).as("__n"),
+          sum(col("col").cast("decimal(38,0)")).as("__s"))
+        .select(col("__sid"), col("pos"), col("__n"),
+          expr("CAST(__s div __n AS BIGINT)").as("__cd"))
+        .localCheckpoint(true)
+      cent = upd.groupBy(col("__sid"))
+        .agg(transform(array_sort(collect_list(
+          struct(col("pos"), col("__cd")))), t => t("__cd")).as("__c"))
+        .withColumn("__nc", aggregate(col("__c"), lit(0L),
+          (acc, x) => acc + x * x))
+        .localCheckpoint(true)
+    }
+    upd.select(col("__sid").cast("bigint").as("seed_id"),
+        col("pos").cast("bigint").as("dim"),
+        col("__n").cast("bigint").as("n_assigned"),
+        col("__cd").as("centroid_micros"))
+      .orderBy(col("seed_id"), col("dim"))
+  }
 }

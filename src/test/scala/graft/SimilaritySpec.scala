@@ -373,4 +373,51 @@ class SimilaritySpec extends SparkSpec {
         numSeeds = 0)
     }
   }
+
+  test("kmeansRounds: two-cluster closed form; mean max-cosine monotone over rounds") {
+    import spark.implicits._
+    // seeds = lowest ids (1, 2) land one per cluster; assignments are
+    // stable from round 1, so 3 rounds return the exact integer
+    // cluster means: A = {[1,0], [.98,.02]} -> [990000, 10000],
+    // B = {[0,1], [.02,.98]} -> [10000, 990000]
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.98f, 0.02f)), (4L, Array(0.02f, 0.98f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansRounds(vecs, "vec_id", "embedding",
+        numSeeds = 2, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 2L, 990000L), (1L, 1L, 2L, 10000L),
+      (2L, 0L, 2L, 10000L), (2L, 1L, 2L, 990000L)), out.mkString(";"))
+    // spherical-kmeans objective (mean best cosine against the round's
+    // centroid table) is non-decreasing in rounds, modulo micro
+    // quantization — the inertia-monotone contract of the Lloyd loop
+    val emb = Tables.embeddings(spark, sf0001)
+    def objective(rounds: Int): Double = {
+      val cent = Similarity.kmeansRounds(emb, "vec_id", "embedding",
+        numSeeds = 8, rounds = rounds)
+      val c = cent.groupBy($"seed_id")
+        .agg(transform(array_sort(collect_list(
+          struct($"dim", $"centroid_micros"))),
+          t => t("centroid_micros")).as("c"))
+        .withColumn("nc", aggregate($"c", lit(0L), (a, x) => a + x * x))
+      val qv = emb.select($"vec_id",
+          transform($"embedding", x =>
+            round(x.cast("double") * lit(1e6)).cast("long")).as("q"))
+        .withColumn("nq", aggregate($"q", lit(0L), (a, x) => a + x * x))
+        .filter($"nq" > 0L)
+      qv.crossJoin(broadcast(c))
+        .withColumn("cm",
+          aggregate(zip_with($"q", $"c", (x, y) => x * y), lit(0L),
+            (a, t) => a + t).cast("double") /
+            (sqrt($"nq".cast("double")) * sqrt($"nc".cast("double"))))
+        .groupBy($"vec_id").agg(max($"cm").as("m"))
+        .agg(avg($"m")).head().getDouble(0)
+    }
+    val js = (1 to 3).map(objective)
+    assert(js(1) >= js(0) - 1e-4 && js(2) >= js(1) - 1e-4,
+      s"objective not monotone: $js")
+  }
 }
