@@ -124,7 +124,8 @@ object SparkEntry {
     "ts_holt_winters",
     // round-16 additions (no artifact yet)
     "diag_rec_keyed_const_list", "diag_rec_keyed_list_update",
-    "diag_div_hugeint", "graph_scc", "ts_ar_forecast", "ml_kmeans")
+    "diag_div_hugeint", "graph_scc", "ts_ar_forecast", "ml_kmeans",
+    "mm_phash_dedup")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -411,7 +412,8 @@ object SparkEntry {
     "sketch_freq_items",
     "sim_topk_brute", "sim_topk_ivf", "sim_topk_pq", "sim_hard_negatives",
     "sim_range_search", "sim_embedding_drift",
-    "mm_content_hash", "mm_decode", "mm_decode_real", "mm_decode_audio",
+    "mm_content_hash", "mm_phash_dedup", "mm_decode", "mm_decode_real",
+    "mm_decode_audio",
     "mm_decode_video", "mm_decode_video_frames", "mm_frame_sample",
     "mm_resize", "catalog_persistent_roundtrip")
 
@@ -6231,6 +6233,29 @@ object SparkEntry {
           Multimodal.syntheticPng(Tables.documents(s, dir), "doc_id"))
         .toDF()
         .orderBy($"media_id")
+    }),
+
+    "mm_phash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      // Perceptual image near-dup — the case mm_content_hash is blind
+      // to: byte-NEW payloads (re-encoded / brightness-edited copies)
+      // with near-identical pixel structure. 500 deterministic
+      // textured PNGs in 50 texture groups (10 brightness-shifted
+      // renders each): a REAL ImageIO decode feeds a 64-bit dHash,
+      // whose neighbor comparisons are exactly invariant to the shift
+      // — so the pigeonhole band join must return precisely the
+      // within-group pairs at hamming 0, which is the closed form the
+      // oracle states. A fabricated hash could not match it: the
+      // values only agree if the PNGs were really encoded, decoded,
+      // box-averaged, and banded.
+      val ids = Tables.documents(s, dir).select($"doc_id")
+        .filter($"doc_id" < 500)
+      val hashed = Multimodal.dhash64(
+        Multimodal.syntheticTexturedPng(ids, "doc_id", groups = 50))
+      graft.llm.Dedup.hammingNearDup(hashed.filter($"decoded"),
+          "dhash", "media_id", maxHamming = 3)
+        .select($"id_a", $"id_b", $"hamming".cast("long").as("hamming"))
+        .orderBy($"id_a", $"id_b")
     }),
 
     "mm_decode_video" -> ((s, dir) => {
@@ -15034,6 +15059,20 @@ object SparkEntry {
         |  3 AS channels,
         |  CAST(doc_id % 256 AS DOUBLE) AS mean_px
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // perceptual-dedup closed form: ids sharing id % 50 render the
+    // SAME texture at different brightness, and dHash's neighbor
+    // comparisons are exactly shift-invariant, so the pairs are
+    // precisely the within-group pairs at hamming 0 (cross-group
+    // textures are independent 64-bit patterns, nowhere near the
+    // 3-bit band threshold) — values only the real encode -> decode
+    // -> box-mean -> band-join chain can reproduce
+    "mm_phash_dedup" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents
+        |  WHERE doc_id < 500)
+        |SELECT a.id AS id_a, b.id AS id_b, CAST(0 AS BIGINT) AS hamming
+        |FROM ids a JOIN ids b ON a.id < b.id AND a.id % 50 = b.id % 50
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // container-writer closed forms (see Multimodal.syntheticVideo):
     // avi duration = µs/frame * frames / 1000, mp4 = units/timescale

@@ -118,10 +118,12 @@ object Dedup {
     * per (doc, band) carrying (id, sh, band, key), 64 bits split into
     * `bands` chunks (graft.expr.BandLayout — shared with the
     * HammingJoinRewrite optimizer rule). */
-  private def bandedFingerprints(df: DataFrame, textCol: String,
-      idCol: String, bands: Int): DataFrame = {
+  /** Band-explode PRECOMPUTED 64-bit fingerprints `(id, sh)` into
+    * (id, sh, band, key) pigeonhole rows — the layout step shared by
+    * text simhash and any other 64-bit perceptual fingerprint (e.g.
+    * [[graft.llm.Multimodal.dhash64]]). */
+  private def bandedBits(fp: DataFrame, bands: Int): DataFrame = {
     val layout = graft.expr.BandLayout(bands)
-    val fp = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
     val bandKeys = layout.zipWithIndex.map { case ((offset, mask), b) =>
       struct(lit(b).as("band"),
         shiftright(col("sh"), offset).bitwiseAND(lit(mask)).as("key"))
@@ -131,11 +133,15 @@ object Dedup {
       .select(col("id"), col("sh"), col("bk.band"), col("bk.key"))
   }
 
-  def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 63,
-      s"maxHamming must be in [0,63] (got $maxHamming)")
-    val banded = bandedFingerprints(df, textCol, idCol, maxHamming + 1)
+  private def bandedFingerprints(df: DataFrame, textCol: String,
+      idCol: String, bands: Int): DataFrame =
+    bandedBits(
+      df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh")),
+      bands)
+
+  /** Pigeonhole self-join of banded fingerprints → near-dup pairs. */
+  private def pairsFromBanded(banded: DataFrame,
+      maxHamming: Int): DataFrame = {
     val a = banded.select(col("band"), col("key"),
       col("id").as("id_a"), col("sh").as("sh_a"))
     val b = banded.select(col("band"), col("key"),
@@ -146,6 +152,34 @@ object Dedup {
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .distinct() // a pair may collide on several bands
       .filter(col("hamming") <= maxHamming)
+  }
+
+  def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0,63] (got $maxHamming)")
+    pairsFromBanded(bandedFingerprints(df, textCol, idCol, maxHamming + 1),
+      maxHamming)
+  }
+
+  /** Hamming near-dup pairs over an ARBITRARY precomputed 64-bit
+    * fingerprint column — the [[simhashNearDup]] pigeonhole machinery
+    * (maxHamming+1 fixed-width band keys, equi-join, XOR popcount)
+    * opened to non-text fingerprints: perceptual image dHash
+    * ([[graft.llm.Multimodal.dhash64]]) being the motivating caller —
+    * re-encoded/brightness-shifted duplicate images hash to byte-new
+    * payloads that mm_content_hash can never pair, but their dHashes
+    * sit within a few bits. Same recall contract: a pair at distance
+    * <= maxHamming shares at least one of the maxHamming+1 bands by
+    * pigeonhole, so recall is 1.0 BY CONSTRUCTION, never probabilistic.
+    * Returns (id_a, id_b, hamming) with id_a < id_b. */
+  def hammingNearDup(df: DataFrame, bitsCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0,63] (got $maxHamming)")
+    pairsFromBanded(bandedBits(
+      df.select(col(idCol).as("id"), col(bitsCol).cast("long").as("sh")),
+      maxHamming + 1), maxHamming)
   }
 
   /** Persist the simhash band index of a corpus — the historical half

@@ -105,6 +105,139 @@ object Multimodal {
       .withColumn("modality", lit("image"))
   }
 
+  /** Deterministic TEXTURED PNGs for the perceptual-dedup gate — the
+    * [[syntheticPng]] pattern, but with per-pixel structure (constant
+    * rasters dHash to all-zeros and every image would pair with every
+    * other): ids sharing `id % groups` render the SAME pseudo-random
+    * texture — per-pixel values from a splitmix-style 64-bit mix of
+    * (group, x, y) mapped into [32, 221] (a LINEAR formula is not
+    * enough: its box means vary smoothly, so every group's
+    * neighbor-comparison pattern collapses to the same few hashes) —
+    * shifted by a per-id brightness delta `(id / groups) % 5 − 2`
+    * that never clips, so
+    * within a group the PNGs are byte-DIFFERENT images whose
+    * neighbor-comparison structure is EXACTLY preserved (the
+    * re-encoded/brightness-edited duplicate case), while different
+    * groups are independent 64-bit textures. */
+  def syntheticTexturedPng(df: DataFrame, idCol: String,
+      groups: Int = 50, width: Int = 32, height: Int = 24): DataFrame = {
+    require(groups >= 1, s"groups must be >= 1 (got $groups)")
+    require(width >= 9 && height >= 8,
+      s"dims must fit the 9x8 dHash grid (got ${width}x$height)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          val g = id % groups
+          val delta = ((id / groups) % 5 - 2).toInt
+          val img = new java.awt.image.BufferedImage(
+            width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < width) {
+              var z = g * 0x9E3779B97F4A7C15L + x * 0xBF58476D1CE4E5B9L +
+                y * 0x94D049BB133111EBL
+              z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL; z ^= z >>> 29
+              val v = (32L + java.lang.Long.remainderUnsigned(z, 190L))
+                .toInt + delta
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("media_id", "payload")
+      .withColumn("modality", lit("image"))
+  }
+
+  /** 64-bit perceptual difference hash (dHash) over the DECODED
+    * raster — the fingerprint [[syntheticPng]]-style byte hashing
+    * can't give: a re-encoded, brightness-shifted, or metadata-edited
+    * duplicate image has brand-new bytes but near-identical pixel
+    * STRUCTURE. Standard dHash: box-average the luma plane onto a 9×8
+    * grid (integer sums, one truncating division per cell — exact and
+    * engine-portable), then bit `j·8+i = cell(i+1,j) > cell(i,j)`.
+    * Uniform brightness shifts cancel EXACTLY even under the
+    * truncating mean (`(S + d·N) div N = S div N + d`), so the
+    * classic brightness-edit duplicate lands at hamming 0; pair the
+    * hashes with [[graft.llm.Dedup.hammingNearDup]]'s pigeonhole
+    * bands. Undecodable or sub-9×8 payloads return `decoded = false`
+    * (filter before pairing). Returns (media_id, dhash, decoded).
+    *
+    * Scale: mapPartitions with partition-level codec init (the
+    * [[decodeImage]] posture); output is 17 bytes/row — the payload
+    * never re-shuffles. */
+  def dhash64(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, payload) =>
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))
+            catch { case _: java.io.IOException => null }
+          if (img == null || img.getWidth < 9 || img.getHeight < 8)
+            (id, 0L, false)
+          else {
+            val raster = img.getRaster
+            val (w, h, bands) =
+              (img.getWidth, img.getHeight, raster.getNumBands)
+            // integer box-mean of all band samples per grid cell
+            val cells = Array.ofDim[Long](8, 9)
+            var j = 0
+            while (j < 8) {
+              val y0 = j * h / 8
+              val y1 = (j + 1) * h / 8
+              var i = 0
+              while (i < 9) {
+                val x0 = i * w / 9
+                val x1 = (i + 1) * w / 9
+                var sum = 0L
+                var y = y0
+                while (y < y1) {
+                  var x = x0
+                  while (x < x1) {
+                    var b = 0
+                    while (b < bands) {
+                      sum += raster.getSample(x, y, b); b += 1
+                    }
+                    x += 1
+                  }
+                  y += 1
+                }
+                cells(j)(i) =
+                  sum / ((x1 - x0).toLong * (y1 - y0) * bands)
+                i += 1
+              }
+              j += 1
+            }
+            var bits = 0L
+            j = 0
+            while (j < 8) {
+              var i = 0
+              while (i < 8) {
+                if (cells(j)(i + 1) > cells(j)(i))
+                  bits |= 1L << (j * 8 + i)
+                i += 1
+              }
+              j += 1
+            }
+            (id, bits, true)
+          }
+        }
+      }
+      .toDF("media_id", "dhash", "decoded")
+  }
+
   /** REAL image decode: parse each payload with `javax.imageio` and
     * report the decoded raster's width, height, band count, and exact
     * mean sample value (sum of every sample in every band / count —

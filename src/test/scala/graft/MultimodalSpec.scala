@@ -168,6 +168,37 @@ class MultimodalSpec extends SparkSpec {
     assert(nHalf >= nAll / 2 && nHalf <= nAll / 2 + media.count())
   }
 
+  test("dhash64: brightness-shift invariant, texture-sensitive, sub-grid payloads excluded") {
+    // same texture group at different brightness deltas -> identical
+    // dHash (the shift cancels exactly under the truncating box mean);
+    // different groups -> far hashes (independent mixed textures)
+    val ids = Seq(0L, 50L, 100L, 1L, 2L).toDF("id") // g=0 x3, g=1, g=2
+    val hashed = Multimodal.dhash64(
+        Multimodal.syntheticTexturedPng(ids, "id", groups = 50))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(hashed.values.forall(_._2), "all PNGs must decode")
+    assert(hashed(0L)._1 == hashed(50L)._1 &&
+      hashed(0L)._1 == hashed(100L)._1,
+      "brightness shift must not move the dHash")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hashed(0L)._1, hashed(1L)._1) > 3 &&
+      ham(hashed(0L)._1, hashed(2L)._1) > 3 &&
+      ham(hashed(1L)._1, hashed(2L)._1) > 3,
+      "distinct textures must not band-collide")
+    // undecodable bytes and sub-9x8 rasters degrade to decoded=false
+    val junk = Seq((7L, Array[Byte](1, 2, 3), "image")).toDF(
+      "media_id", "payload", "modality")
+    val j = Multimodal.dhash64(junk).collect().head
+    assert(!j.getBoolean(2) && j.getLong(1) == 0L)
+    // pigeonhole recall is structural: the hamming-0 pair always found
+    val pairs = graft.llm.Dedup.hammingNearDup(
+        Multimodal.dhash64(Multimodal.syntheticTexturedPng(
+          Seq(0L, 50L, 1L).toDF("id"), "id", groups = 50)),
+        "dhash", "media_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((0L, 50L, 0)), pairs.mkString(";"))
+  }
+
   test("resizeStub: every payload becomes exactly targetBytes; short ones zero-padded") {
     val resized = Multimodal.resizeStub(media, targetBytes = 100)
     val sizes = resized.select("resized_bytes").distinct()
