@@ -766,6 +766,16 @@ object Graph {
     val sym = truncate(
       e.union(e.select(col("v").as("u"), col("u").as("v")))
         .filter(col("u") =!= col("v")).distinct(), checkpointDir)
+    shortestPathsFromSym(sym, sources, sourceCol, maxHops, checkpointDir)
+  }
+
+  /** BFS over an ALREADY symmetrized, deduped, checkpointed edge
+    * table — the sweep body of [[shortestPaths]], split out so
+    * multi-sweep callers ([[diameterBound]]) derive the edge table
+    * ONCE instead of re-running the upstream pair builder per sweep. */
+  private def shortestPathsFromSym(sym: DataFrame, sources: DataFrame,
+      sourceCol: String, maxHops: Int,
+      checkpointDir: Option[String]): DataFrame = {
     var settled = truncate(
       sources.select(col(sourceCol).cast("long").as("id")).distinct()
         .withColumn("dist", lit(0L)), checkpointDir)
@@ -819,8 +829,12 @@ object Graph {
     val e0 = edges.select(col(srcCol).cast("long").as("u"),
         col(dstCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
-    val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-      .distinct()
+    // symmetrize + checkpoint ONCE: both sweeps and the degree agg
+    // read this table — previously each sweep re-ran the upstream
+    // edge builder (the expensive co-order pair join at bench scale)
+    val sym = truncate(
+      e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+        .distinct(), checkpointDir)
     val start = sym.groupBy(col("u").as("id"))
       .agg(count(lit(1)).as("__deg"))
       .orderBy(col("__deg").desc, col("id"))
@@ -830,13 +844,13 @@ object Graph {
         .toDF("seed_a", "ecc_a", "seed_b", "diameter_lb")
     } else {
       val seedA = start.head.getLong(0)
-      val d1 = shortestPaths(edges, Seq(seedA).toDF("id"),
-        srcCol, dstCol, "id", maxHops, checkpointDir)
+      val d1 = shortestPathsFromSym(sym, Seq(seedA).toDF("id"),
+        "id", maxHops, checkpointDir)
       val far = d1.orderBy(col("dist").desc, col("id")).limit(1)
         .collect().head
       val (seedB, eccA) = (far.getLong(0), far.getLong(1))
-      val d2 = shortestPaths(edges, Seq(seedB).toDF("id"),
-        srcCol, dstCol, "id", maxHops, checkpointDir)
+      val d2 = shortestPathsFromSym(sym, Seq(seedB).toDF("id"),
+        "id", maxHops, checkpointDir)
       val lb = d2.agg(max(col("dist"))).collect().head.getLong(0)
       Seq((seedA, eccA, seedB, lb))
         .toDF("seed_a", "ecc_a", "seed_b", "diameter_lb")
