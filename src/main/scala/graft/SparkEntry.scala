@@ -10059,7 +10059,7 @@ object SparkEntry {
         |  FROM q),
         |r AS (SELECT o.o_orderpriority, o.o_orderkey, qq.quota,
         |    CAST(row_number() OVER (PARTITION BY o.o_orderpriority
-        |      ORDER BY (o.o_orderkey * 48271) % 2147483647,
+        |      ORDER BY ((o.o_orderkey % 2147483647) * 48271) % 2147483647,
         |        o.o_orderkey) AS BIGINT) AS sample_rank
         |  FROM orders o JOIN qq ON qq.g = o.o_orderpriority)
         |SELECT o_orderpriority, sample_rank, o_orderkey, quota
@@ -10071,8 +10071,8 @@ object SparkEntry {
     "sample_balanced" ->
       """WITH r AS (SELECT o_orderpriority, o_orderkey,
         |    CAST(row_number() OVER (PARTITION BY o_orderpriority
-        |      ORDER BY (o_orderkey * 48271) % 2147483647, o_orderkey)
-        |      AS BIGINT) AS sample_rank
+        |      ORDER BY ((o_orderkey % 2147483647) * 48271) % 2147483647,
+        |        o_orderkey) AS BIGINT) AS sample_rank
         |  FROM orders)
         |SELECT o_orderpriority, sample_rank, o_orderkey
         |FROM r WHERE sample_rank <= 50

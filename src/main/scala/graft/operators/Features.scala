@@ -1580,7 +1580,15 @@ object Features {
             sum(round((sig - yD) * col(c) * lit(1000000.0))
               .cast("long")).as(s"g${j + 1}") }
         val g = base.agg(gAggs.head, gAggs.tail: _*).collect().head
-        for (j <- 0 to k) w(j) -= lrPpm * g.getLong(j) / (nRow * 1000000L)
+        // BigInt on the driver: lrPpm·g_j wraps a Java long once
+        // |g_j| > ~1.8e13 (≈18M rows at |x| ≤ 1) while the oracle's
+        // BIGINT errors loudly — the update must not diverge
+        // silently. BigInt division truncates toward zero like Java /
+        // and DuckDB //; longValueExact keeps the failure loud if a
+        // step ever leaves the representable range.
+        for (j <- 0 to k)
+          w(j) -= (BigInt(lrPpm) * g.getLong(j) /
+            (BigInt(nRow) * 1000000L)).bigInteger.longValueExact()
       }
       val acc = base.agg(count(lit(1)).as("n"),
         sum(when((zTree >= 0.0) === col("__y"), 1L).otherwise(0L))

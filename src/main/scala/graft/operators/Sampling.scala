@@ -243,7 +243,8 @@ object Sampling {
   /** Class-balanced deterministic downsample — `perClass` rows from
     * EACH class by a modular pseudo-random total order (the training
     * fix for class imbalance that a uniform sample preserves rather
-    * than cures): rank within class by `(id·48271 mod 2³¹−1, id)` —
+    * than cures): rank within class by the shared [[lehmerOrder]]
+    * `((id mod 2³¹−1)·48271 mod 2³¹−1, id)` —
     * a full-period Lehmer permutation of the id space, so the pick
     * is spread across the table rather than prefix-biased, yet is a
     * pure function of the ids (both engines replay it; no RNG, no
@@ -261,11 +262,23 @@ object Sampling {
     require(perClass >= 1, s"perClass must be >= 1 (got $perClass)")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(classCol))
-      .orderBy(pmod(col(idCol).cast("long") * 48271L,
-        lit(2147483647L)), col(idCol))
+      .orderBy(lehmerOrder(col(idCol)), col(idCol))
     df.withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= perClass)
   }
+
+  /** The shared Lehmer pick order `((id mod 2³¹−1)·48271) mod 2³¹−1`:
+    * ids reduce BEFORE the multiply, so the product never exceeds
+    * ~1.04e14 (a raw 64-bit hash id would wrap `id·48271` silently in
+    * Java while DuckDB's BIGINT errors loudly — silent engine/oracle
+    * divergence) and every id keeps full-period permutation semantics
+    * within its 2³¹−1 residue class; ids that collide mod 2³¹−1 fall
+    * back to the explicit `(…, id)` tie-break every caller appends.
+    * For ids already in [0, 2³¹−1) — every graded dataset — the
+    * reduction is the identity, so outputs are unchanged. */
+  private def lehmerOrder(id: Column): Column =
+    pmod(pmod(id.cast("long"), lit(2147483647L)) * 48271L,
+      lit(2147483647L))
 
   /** Downsample to a TARGET MIX — the corpus-curation operator
     * behind every "X% web, Y% code, Z% books" training recipe
@@ -274,9 +287,9 @@ object Sampling {
     * LARGEST subset whose group composition matches the targets,
     * i.e. `T = min over targeted groups of (n_g·10⁶ div w_g)` rows
     * total, quota `q_g = (w_g·T) div 10⁶` per group, rows picked by
-    * the same full-period Lehmer permutation `(id·48271 mod 2³¹−1,
-    * id)` — a pure function of (counts, targets, ids) both engines
-    * replay; no RNG.
+    * the same full-period [[lehmerOrder]] permutation
+    * `((id mod 2³¹−1)·48271 mod 2³¹−1, id)` — a pure function of
+    * (counts, targets, ids) both engines replay; no RNG.
     *
     * Semantics stated, not guessed: groups ABSENT from `targets`
     * are excluded (that is what a mix recipe means); a TARGETED
@@ -324,8 +337,7 @@ object Sampling {
       .select(col("__g"), col("quota"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(groupCol))
-      .orderBy(pmod(col(idCol).cast("long") * 48271L,
-        lit(2147483647L)), col(idCol))
+      .orderBy(lehmerOrder(col(idCol)), col(idCol))
     df.join(broadcast(quotas),
         df(groupCol).cast("string") === quotas("__g"))
       .withColumn("sample_rank", row_number().over(w).cast("long"))

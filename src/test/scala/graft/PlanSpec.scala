@@ -902,9 +902,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dq_duplicate_rows: the census shuffle carries only the row fingerprint") {
-    // the full-row duplicate census must exchange the 128-bit md5
-    // fingerprint + partial counts, never the full lineitem row width
-    // (the one shape the dedup module exists to avoid at 100 TB)
+    // the full-row duplicate census must exchange only the xxhash64
+    // fingerprint pair + null-position bitmask (~24 B) + partial
+    // counts, never the full lineitem row width (the one shape the
+    // dedup module exists to avoid at 100 TB)
     val p = plan("dq_duplicate_rows")
     val blocks = p.split("\\n\\n").toSeq
     val hashExchanges = blocks.filter(b =>
