@@ -486,6 +486,77 @@ object Quality {
           * width * 1e6).cast("long").as("w1_micros"))
   }
 
+  /** t-closeness audit — the privacy screen [[kAnonymity]] and
+    * l-diversity stop short of: a QI group can be k-anonymous and
+    * l-diverse while its SENSITIVE-value distribution still leaks
+    * ("every 40-something in this zip earns top-bracket"); t-closeness
+    * (Li, Li & Venkatasubramanian, ICDE'07) demands each group's
+    * sensitive distribution sit within distance t of the GLOBAL one.
+    * Distance is [[wassersteinBinned]]'s binned W1 in the value's own
+    * units, computed for ALL groups in one pass: per-(group, bucket)
+    * integer counts, per-group cumulative sums against the global
+    * cumulative, `|cum_g·N − cum_global·n_g|` summed DECIMAL-exact,
+    * ONE IEEE division per group. NULL sensitive values are excluded
+    * (no position on the value axis ⇒ no transport cost — the
+    * [[wassersteinBinned]] stance). Returns one row per group:
+    * (group, n, w1_micros, breached = w1_micros > tMicros, tMicros in
+    * value micro-units).
+    *
+    * Scale: one (group, bucket) hash-agg over the row scan, then
+    * groups×buckets grid work (group-scale, never row-scale) with a
+    * group-partitioned cumulative window; the global side is one
+    * broadcast grid. */
+  def tCloseness(df: DataFrame, groupCol: String, valueExpr: Column,
+      lo: Long, width: Long, nBuckets: Int,
+      tMicros: Long): DataFrame = {
+    require(width > 0 && nBuckets > 0 && tMicros > 0,
+      "width, nBuckets, tMicros must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val b = df.select(col(groupCol).cast("string").as("__g"),
+        valueExpr.cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+      .selectExpr("__g",
+        s"least(greatest((__v - ${lo}L) div ${width}L, 0L), " +
+          s"${nBuckets - 1}L) AS bucket")
+      .groupBy(col("__g"), col("bucket")).agg(count(lit(1)).as("n"))
+    val grid = df.sparkSession.range(0L, nBuckets.toLong)
+      .select(col("id").as("bucket"))
+    val full = b.select("__g").distinct()
+      .crossJoin(broadcast(grid)) // group-scale × grid
+      .join(b, Seq("__g", "bucket"), "left")
+      .select(col("__g"), col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val wg = Window.partitionBy(col("__g")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = full.withColumn("__cum", sum(col("n")).over(wg))
+    val glob = full.groupBy(col("bucket")).agg(sum(col("n")).as("gn"))
+      .withColumn("__gcum", sum(col("gn")).over(
+        Window.orderBy(col("bucket")).rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .select(col("bucket"), col("__gcum"))
+    val tot = full.agg(sum(col("n")).as("__N"))
+    cum.join(broadcast(glob), Seq("bucket"))
+      .crossJoin(broadcast(tot))
+      .select(col("__g"), col("__N"),
+        abs(col("__cum").cast("decimal(38,0)") * col("__N") -
+          col("__gcum").cast("decimal(38,0)") *
+            sum(col("n")).over(Window.partitionBy(col("__g"))
+              .rowsBetween(Window.unboundedPreceding,
+                Window.unboundedFollowing))).as("__d"),
+        sum(col("n")).over(Window.partitionBy(col("__g"))
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)).as("__ng"))
+      .groupBy(col("__g"), col("__ng"), col("__N"))
+      .agg(sum(col("__d")).as("__sd"))
+      .filter(col("__ng") > 0L && col("__N") > 0L)
+      .select(col("__g").as(groupCol),
+        col("__ng").cast("bigint").as("n"),
+        round(col("__sd").cast("double") /
+          (col("__ng").cast("decimal(38,0)") * col("__N")).cast("double")
+          * width * 1e6).cast("long").as("w1_micros"))
+      .withColumn("breached", col("w1_micros") > tMicros)
+  }
+
   /** Exact per-group mode (most frequent value) with a deterministic
     * smallest-value tie-break — the categorical "typical value" the
     * profile/imputation family lacked (median covers numerics;

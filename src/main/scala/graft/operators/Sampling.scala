@@ -267,6 +267,58 @@ object Sampling {
       .filter(col("sample_rank") <= perClass)
   }
 
+  /** TEMPERATURE-scaled mixture downsample — the multilingual /
+    * multi-source sampling standard (the mBERT / XLM-R "alpha
+    * sampling" rule): draw group g with probability ∝ n_g^α, α < 1,
+    * so small sources are over-represented relative to their raw
+    * share without ever dominating ([[sampleToMix]] hits an EXPLICIT
+    * recipe; this derives the recipe from the corpus itself). Given a
+    * total row budget: per-group weight `w_g = round(n_g^α·10⁶)`
+    * (α = 1/2 computes via `sqrt`, which is correctly rounded in
+    * IEEE and agrees across engines — other exponents go through
+    * `pow`, whose last-ulp behavior is libm-specific, so only the
+    * α = 1/2 path is oracle-mirrored and the default), quota
+    * `q_g = min(n_g, (budget·w_g) div Σw)` — all integer after the
+    * one mirrored root, truncating (Σq ≤ budget, shortfall < one row
+    * per group plus whatever the n_g caps withhold — stated, never
+    * redistributed: redistribution would make q_g depend on OTHER
+    * groups' caps and the replay recursive). Rows picked by the
+    * shared [[lehmerOrder]] permutation. Returns selected rows +
+    * (sample_rank, quota).
+    *
+    * Scale: the [[sampleToMix]] shape — one k-row group-count
+    * hash-agg, quota algebra at group scale, broadcast quota join,
+    * one class-partitioned rank window. */
+  def sampleTemperature(df: DataFrame, groupCol: String, idCol: String,
+      budget: Long, alphaPpm: Long = 500000L): DataFrame = {
+    require(budget >= 1L, s"budget must be >= 1 (got $budget)")
+    require(alphaPpm > 0L && alphaPpm <= 1000000L,
+      s"alphaPpm must be in (0, 10^6] (got $alphaPpm)")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(col(groupCol).cast("string").as("__g"))
+      .groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val rootW =
+      if (alphaPpm == 500000L) sqrt(col("__n").cast("double"))
+      else pow(col("__n").cast("double"), lit(alphaPpm.toDouble / 1e6))
+    val weighted = counts
+      .withColumn("__w", round(rootW * lit(1e6)).cast("long"))
+    val quotas = weighted
+      .withColumn("__sw", sum(col("__w")).over(
+        Window.partitionBy(lit(1)).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("quota", least(col("__n"),
+        expr(s"CAST(${budget}L AS DECIMAL(38,0)) * __w div __sw")
+          .cast("long")))
+      .select(col("__g"), col("quota"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(lehmerOrder(col(idCol)), col(idCol))
+    df.join(broadcast(quotas),
+        df(groupCol).cast("string") === quotas("__g"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= col("quota"))
+      .drop("__g")
+  }
+
   /** The shared Lehmer pick order `((id mod 2³¹−1)·48271) mod 2³¹−1`:
     * ids reduce BEFORE the multiply, so the product never exceeds
     * ~1.04e14 (a raw 64-bit hash id would wrap `id·48271` silently in

@@ -106,6 +106,55 @@ object Survival {
     * at study-length scale); the segment lead window and both 1-row
     * reductions run on the study-length table only. SIDE-EFFECTING:
     * the KM table localCheckpoints (two consumers). */
+  /** KM curve with GREENWOOD confidence bands — the uncertainty the
+    * point curve refuses to fake: a churn curve from 40 subjects and
+    * one from 40,000 print identically; the Greenwood variance
+    * `Var(S) = S²·Σ d/(n(n−d))` says which one you may act on. Plain
+    * (linear-scale) Greenwood bands `S ± z·S·√Σg`, clamped to
+    * [0, 10⁶] micros.
+    *
+    * Exactness: per-event-time Greenwood terms pico-quantize
+    * (`round(10¹²·d/(n(n−d)))` — doubles from exact integers, then
+    * order-free integer cumulative sums); S and the half-width are
+    * ONE mirrored tree each off the integer ln_s / cumulative-term
+    * columns. Rows after survival hits zero (d = n) carry NULL
+    * S/bands by the kaplanMeier flag discipline (the variance is
+    * undefined there, and d = n can only occur at the final event
+    * time, so the skipped NULL term never corrupts an emitted band).
+    * Returns one row per event time:
+    * (t, n_risk, n_events, s_micros, lo_micros, hi_micros).
+    *
+    * Scale: rides [[kaplanMeier]]'s study-length-scale posture — the
+    * extra work is two more window sums over the distinct-event-time
+    * table. */
+  def kmBands(df: DataFrame, durationExpr: Column,
+      observedExpr: Column, zMicros: Long = 1959964L): DataFrame = {
+    require(zMicros > 0L, s"zMicros must be positive (got $zMicros)")
+    val km = kaplanMeier(df, durationExpr, observedExpr)
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    km.withColumn("__gt", when(col("n_events") < col("n_risk"),
+        round(col("n_events").cast("double") /
+          (col("n_risk").cast("double") *
+            (col("n_risk") - col("n_events")).cast("double")) * 1e12)
+          .cast("long")))
+      .withColumn("__cg", sum(col("__gt")).over(w))
+      .withColumn("s_micros", when(col("ln_s_micros").isNotNull,
+        round(exp(col("ln_s_micros").cast("double") / 1e6) * 1e6)
+          .cast("long")))
+      .withColumn("__half", when(col("ln_s_micros").isNotNull,
+        round(lit(zMicros.toDouble / 1e6) *
+          exp(col("ln_s_micros").cast("double") / 1e6) *
+          sqrt(col("__cg").cast("double") / 1e12) * 1e6).cast("long")))
+      .select(col("t"), col("n_risk"), col("n_events"), col("s_micros"),
+        when(col("__half").isNotNull,
+          greatest(lit(0L), col("s_micros") - col("__half")))
+          .as("lo_micros"),
+        when(col("__half").isNotNull,
+          least(lit(1000000L), col("s_micros") + col("__half")))
+          .as("hi_micros"))
+  }
+
   def rmst(df: DataFrame, durationExpr: Column, observedExpr: Column,
       horizonT: Long): DataFrame = {
     require(horizonT > 0L, s"horizonT must be > 0 (got $horizonT)")

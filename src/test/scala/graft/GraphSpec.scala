@@ -777,6 +777,18 @@ class GraphSpec extends SparkSpec {
     // self-loops and duplicate edges are ignored / deduped
     assert(scc(Seq((1L, 1L), (1L, 2L), (1L, 2L), (2L, 1L))) ==
       Map(1L -> 1L, 2L -> 1L))
+    // condensation composition: two cycles + one bridge -> exactly
+    // one cross-SCC edge (1-SCC feeds 3-SCC once)
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L))
+      .toDF("src", "dst")
+    val lab = Graph.stronglyConnectedComponents(edges, "src", "dst")
+    val cond = edges
+      .join(lab.select($"id".as("src"), $"scc_id".as("scc_a")), "src")
+      .join(lab.select($"id".as("dst"), $"scc_id".as("scc_b")), "dst")
+      .filter($"scc_a" =!= $"scc_b")
+      .groupBy($"scc_a", $"scc_b").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(cond.toSeq == Seq((1L, 3L, 1L)), cond.mkString(";"))
   }
 
   test("richClub: clique + pendant hand case, duplicate/reversed edges collapse, small clubs absent") {

@@ -759,4 +759,31 @@ class QualitySpec extends SparkSpec {
     assert(r.getLong(4) == tExp - bExp) // additive identity, exact
     assert(r.getLong(2) > 0L && r.getLong(3) > 0L)
   }
+
+  test("tCloseness: opposed-bucket closed form; identical groups at zero; threshold verdict") {
+    // group A sits entirely in bucket 0, B entirely in bucket 9
+    // (lo=0, width=10, 10 buckets): each group's W1 against the
+    // pooled 50/50 global is 9 buckets x 0.5 mass x width 10 = 45
+    // value units = 45e6 micros exactly
+    val rows = (1 to 4).map(i => ("A", 3L)) ++ (1 to 4).map(i => ("B", 95L))
+    val df = rows.toDF("g", "v")
+    val got = Quality.tCloseness(df, "g", col("v"), lo = 0L,
+        width = 10L, nBuckets = 10, tMicros = 40000000L)
+      .orderBy(col("g")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq(("A", 4L, 45000000L, true),
+      ("B", 4L, 45000000L, true)), got.mkString(";"))
+    // identical group distributions -> W1 exactly 0, not breached
+    val same = ((1 to 3).map(i => ("A", i * 10L)) ++
+      (1 to 3).map(i => ("B", i * 10L))).toDF("g", "v")
+    val z = Quality.tCloseness(same, "g", col("v"), 0L, 10L, 10, 1L)
+      .collect().map(r => (r.getLong(2), r.getBoolean(3)))
+    assert(z.forall(_ == ((0L, false))), z.mkString(";"))
+    // NULL sensitive values are excluded, not bucketed
+    val withNull = (rows.map { case (g, v) => (g, Option(v)) } :+
+      ("A" -> Option.empty[Long])).toDF("g", "v")
+    val n = Quality.tCloseness(withNull, "g", col("v"), 0L, 10L, 10,
+      40000000L).filter(col("g") === "A").head().getLong(1)
+    assert(n == 4L)
+  }
 }

@@ -313,4 +313,32 @@ class SamplingSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("ppm"))
   }
+
+  test("sampleTemperature: sqrt quotas closed form, n_g cap, determinism, guards") {
+    // A: 100 rows, B: 4 rows -> w = (10e6, 2e6), sw = 12e6; budget 12
+    // -> quotas (10, 2): the small group gets 5x its raw share
+    val df = ((1 to 100).map(i => ("A", i.toLong)) ++
+      (101 to 104).map(i => ("B", i.toLong))).toDF("g", "id")
+    val got = Sampling.sampleTemperature(df, "g", "id", budget = 12L)
+    val byG = got.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG == Map("A" -> 10L, "B" -> 2L), byG.toString)
+    assert(got.filter(col("sample_rank") > col("quota")).count() == 0L)
+    // quota caps at the group's own size (no upsampling)
+    val capped = Sampling.sampleTemperature(df, "g", "id", budget = 60L)
+      .groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped("B") == 4L, capped.toString)
+    // pure function of the data: identical rows on a second run
+    val again = Sampling.sampleTemperature(df, "g", "id", budget = 12L)
+    assert(got.select("g", "id").collect().map(_.toString).sorted.toSeq ==
+      again.select("g", "id").collect().map(_.toString).sorted.toSeq)
+    assertThrows[IllegalArgumentException] {
+      Sampling.sampleTemperature(df, "g", "id", budget = 0L)
+    }
+    assertThrows[IllegalArgumentException] {
+      Sampling.sampleTemperature(df, "g", "id", budget = 10L,
+        alphaPpm = 0L)
+    }
+  }
 }

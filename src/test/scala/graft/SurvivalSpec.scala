@@ -81,6 +81,36 @@ class SurvivalSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("kmBands: mirrored Greenwood closed form; clamping; bands NULL once S hits zero") {
+    // one event at t=1, one censor at t=2: single event row with
+    // n=2, d=1 — every quantity computable by the same mirrored tree
+    val df = Seq((1L, true), (2L, false)).toDF("dur", "obs")
+    val r = Survival.kmBands(df, col("dur"), col("obs")).collect()
+    assert(r.length == 1)
+    val lns = math.round(math.log(1.0 - 1.0 / 2.0) * 1e6)
+    val s = math.round(math.exp(lns.toDouble / 1e6) * 1e6)
+    val cg = math.round(1.0 / (2.0 * 1.0) * 1e12)
+    val half = math.round(1.959964 * math.exp(lns.toDouble / 1e6) *
+      math.sqrt(cg.toDouble / 1e12) * 1e6)
+    val row = r.head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((1L, 2L, 1L)))
+    assert(row.getLong(3) == s)
+    assert(row.getLong(4) == math.max(0L, s - half))
+    assert(row.getLong(5) == math.min(1000000L, s + half))
+    // lower band clamps at 0 when the half-width exceeds S (tiny n,
+    // deep curve): 3 events at distinct times, last row S-hits-zero
+    // so its S and bands are NULL; earlier rows carry finite bands
+    val df2 = Seq((1L, true), (2L, true), (3L, true)).toDF("dur", "obs")
+    val rows = Survival.kmBands(df2, col("dur"), col("obs"))
+      .orderBy(col("t")).collect()
+    assert(rows.length == 3)
+    assert(rows.take(2).forall(x => !x.isNullAt(3) &&
+      x.getLong(4) >= 0L && x.getLong(5) <= 1000000L &&
+      x.getLong(4) <= x.getLong(3) && x.getLong(3) <= x.getLong(5)))
+    assert(rows.last.isNullAt(3) && rows.last.isNullAt(4) &&
+      rows.last.isNullAt(5))
+  }
+
   test("rmst: hand step integral; horizon before first event; all-censored = full horizon") {
     import graft.operators.Survival
     // events at t=2 (3 at risk) and t=4 (2 at risk); censor at 6
