@@ -127,7 +127,10 @@ object SparkEntry {
     "diag_div_hugeint", "graph_scc", "ts_ar_forecast", "ml_kmeans",
     "mm_phash_dedup", "win_rolling_mad", "dq_t_closeness",
     "mm_phash_clusters", "sample_temperature",
-    "graph_scc_condensation", "dq_sequence_gaps", "surv_km_bands")
+    "graph_scc_condensation", "dq_sequence_gaps", "surv_km_bands",
+    "interval_gaps", "ts_ar_order", "graph_reciprocity",
+    "agg_quantiles", "text_compression", "text_compression_gate",
+    "graph_scc_dag_levels")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -344,7 +347,7 @@ object SparkEntry {
     "agg_distinct", "agg_minmax", "agg_rollup", "agg_cube", "agg_approx_distinct",
     "agg_collect_list", "agg_pivot", "agg_unpivot", "agg_grouping_sets",
     "agg_mode", "agg_winsorized_mean", "agg_weighted_median",
-    "agg_share", "agg_topn_other",
+    "agg_share", "agg_topn_other", "agg_quantiles",
     "date_funcs", "null_handling", "str_levenshtein", "sketch_bloom",
     "sketch_topk", "sketch_topk_grouped", "sketch_hll_persist", "sketch_kll_persist",
     "sketch_cms_persist",
@@ -353,7 +356,7 @@ object SparkEntry {
     "agg_copartition", "asof_signup_value",
     "asof_next_purchase", "asof_nearest", "asof_tolerance",
     "interval_join_promo",
-    "interval_join_incidents",
+    "interval_join_incidents", "interval_gaps",
     "interval_overlap_campaigns", "geo_radius_join",
     "win_topk_parts", "win_running_total", "win_lag_delta", "win_rank_family",
     "win_rolling_range", "win_rolling_median", "win_rolling_mad",
@@ -405,7 +408,7 @@ object SparkEntry {
     "evt_transitions", "evt_attribution", "evt_markov_attribution",
     "ts_resample_ffill", "ts_interpolate", "ts_anomaly", "ts_seasonality",
     "ts_cusum", "ts_acf", "ts_ljung_box", "ts_dominant_period",
-    "ts_ar_forecast", "ts_holt",
+    "ts_ar_order", "ts_ar_forecast", "ts_holt",
     "ts_holt_winters", "ts_changepoint", "ts_changepoints",
     "ts_backtest", "ts_decompose", "ts_decompose_forecast",
     "ts_anomaly_robust", "ts_theilsen",
@@ -424,7 +427,8 @@ object SparkEntry {
     "text_chunk", "text_redact", "text_repetition",
     "text_unigram_nll", "text_normalize", "text_entropy", "text_keywords",
     "text_distinct_ngrams",
-    "text_readability", "text_zipf", "text_vocab_stats", "bpe_tokenize",
+    "text_readability", "text_zipf", "text_vocab_stats",
+    "text_compression", "bpe_tokenize",
     "unigram_tokenize", "dsir_select",
     "text_bm25", "text_bm25_indexed", "text_bm25_batch",
     "text_phrase_search",
@@ -436,7 +440,8 @@ object SparkEntry {
     "graph_hits", "graph_triangles", "graph_kcore", "graph_ktruss",
     "graph_local_triangles", "graph_shortest_paths", "graph_closeness",
     "graph_betweenness", "graph_katz", "graph_scc",
-    "graph_scc_condensation", "graph_cooccurrence",
+    "graph_scc_condensation", "graph_scc_dag_levels",
+    "graph_reciprocity", "graph_cooccurrence",
     "graph_weighted_paths", "graph_label_prop", "graph_modularity",
     "graph_louvain", "graph_assortativity", "graph_degree_hist",
     "graph_assoc_rules", "graph_adamic_adar", "graph_jaccard",
@@ -1241,6 +1246,67 @@ object SparkEntry {
           "source", "doc_id", budget = 200L)
         .select($"source", $"sample_rank", $"doc_id", $"quota")
         .orderBy($"source", $"sample_rank")
+    }),
+
+    "agg_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      // Five-point quantile summary per event type over value cents
+      // — the per-group distribution header (dq_profile is one GLOBAL
+      // row; a monitoring table wants this per segment).
+      // percentile_disc returns ACTUAL data values, bit-exact on both
+      // engines — the winsorize convention.
+      val v = Tables.events(s, dir)
+        .select($"event_type", round($"value" * 100).cast("long").as("__v"))
+        .filter($"__v".isNotNull)
+      def q(p: Double) =
+        expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY __v)")
+      v.groupBy($"event_type")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          q(0.1).cast("bigint").as("p10"),
+          q(0.25).cast("bigint").as("p25"),
+          q(0.5).cast("bigint").as("p50"),
+          q(0.75).cast("bigint").as("p75"),
+          q(0.9).cast("bigint").as("p90"))
+        .orderBy($"event_type")
+    }),
+
+    "text_compression" -> ((s, dir) => {
+      import s.implicits._
+      // Per-document zlib compression ratio — the Gopher/RedPajama
+      // quality signal measured directly (entropy/repetition are its
+      // symptoms): boilerplate compresses far below prose, noise
+      // barely compresses. Rows-only (no SQL engine replays zlib) —
+      // text_compression_gate pins the closed-form extremes.
+      graft.llm.TextAnalysis.compressionRatio(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
+    "text_compression_gate" -> ((s, dir) => {
+      import s.implicits._
+      // The gate that makes text_compression honest: on synthetic
+      // extremes the ratio must separate — a pure 2000-char
+      // repetition compresses below 20%, a splitmix-driven hex
+      // stream stays above 40%, the ordering holds, and every ratio
+      // is positive and bounded (deflate overhead can push a tiny
+      // doc slightly past 100%).
+      val rep = "ab" * 1000
+      val sb = new StringBuilder
+      var z = 0x12345678L
+      for (_ <- 1 to 2000) {
+        z += 0x9E3779B97F4A7C15L
+        var w = z; w ^= w >>> 33; w *= 0xFF51AFD7ED558CCDL; w ^= w >>> 29
+        sb.append(java.lang.Long.toHexString(w & 0xfL))
+      }
+      val docs = Seq((1L, rep), (2L, sb.toString)).toDF("doc_id", "text")
+      graft.llm.TextAnalysis.compressionRatio(docs, "doc_id", "text")
+        .agg(max(when($"doc_id" === 1, $"ratio_ppm")).as("__r1"),
+          max(when($"doc_id" === 2, $"ratio_ppm")).as("__r2"),
+          min($"ratio_ppm").as("__mn"), max($"ratio_ppm").as("__mx"))
+        .select(($"__r1" < 200000L).as("rep_low"),
+          ($"__r2" > 400000L).as("noise_high"),
+          ($"__r1" < $"__r2").as("ordered"),
+          ($"__mn" > 0L && $"__mx" <= 1100000L).as("bounded"))
     }),
 
     "agg_hhi" -> ((s, dir) => {
@@ -3923,6 +3989,42 @@ object SparkEntry {
         .orderBy($"user_id")
     }),
 
+    "interval_gaps" -> ((s, dir) => {
+      import s.implicits._
+      // The COMPLEMENT of interval_coverage: the uncovered gaps
+      // between a user's merged attention islands — the
+      // downtime/absence report every uptime pipeline needs next to
+      // the coverage number (total covered says how much; this says
+      // how FRAGMENTED, and how long the longest outage ran). Same
+      // island construction, one lag pass over the island table
+      // (user-scale, not row-scale). Islands are disjoint by
+      // construction, so every gap is strictly positive.
+      import org.apache.spark.sql.expressions.Window
+      val iv = Tables.events(s, dir).select($"user_id",
+        $"ts".cast("long").as("st"),
+        ($"ts".cast("long") + 7200L).as("en"))
+      val w = Window.partitionBy($"user_id").orderBy($"st", $"en")
+      val prevMax = max($"en").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+      val isl = iv.withColumn("__new",
+          when(prevMax.isNull || $"st" > prevMax, 1).otherwise(0))
+        .withColumn("__isl", sum($"__new").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"__isl")
+        .agg(min($"st").as("__s"), max($"en").as("__e"))
+      val w2 = Window.partitionBy($"user_id").orderBy($"__s")
+      isl.withColumn("__pe", lag($"__e", 1).over(w2))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).cast("bigint").as("n_islands"),
+          sum(when($"__pe".isNotNull, 1L).otherwise(0L))
+            .cast("bigint").as("n_gaps"),
+          coalesce(sum($"__s" - $"__pe"), lit(0L)).cast("bigint")
+            .as("gap_seconds"),
+          coalesce(max($"__s" - $"__pe"), lit(0L)).cast("bigint")
+            .as("max_gap_seconds"))
+        .orderBy($"user_id")
+    }),
+
     "evt_streaks" -> ((s, dir) => {
       import s.implicits._
       // Longest consecutive-active-day streak per user — the classic
@@ -4270,6 +4372,60 @@ object SparkEntry {
       lab.select($"id".cast("long").as("id"),
           $"scc_id".cast("long").as("scc_id"))
         .orderBy($"id")
+    }),
+
+    "graph_reciprocity" -> ((s, dir) => {
+      import s.implicits._
+      // Edge reciprocity of a DIRECTED trade graph — the one-number
+      // directedness reading next to the SCC family (a reciprocity
+      // near 1 says the graph is effectively undirected; near 0 says
+      // flow matters): here each trade pair orients per ORDER-key
+      // parity, so both directions can genuinely coexist. One edge
+      // self-join on the reversed key — edge-scale, never pairwise.
+      val e = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_custkey")
+        .join(Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"),
+          pmod($"o_orderkey", lit(2)).as("p"))
+        .distinct()
+        .select(when($"p" === 0, $"c").otherwise($"s").as("src"),
+          when($"p" === 0, $"s").otherwise($"c").as("dst"))
+        .distinct()
+      val rev = e.select($"dst".as("src"), $"src".as("dst"))
+        .withColumn("__r", lit(1))
+      e.join(rev, Seq("src", "dst"), "left")
+        .agg(count(lit(1)).as("n_edges"),
+          sum(when($"__r".isNotNull, 1L).otherwise(0L))
+            .as("n_reciprocal"))
+        .select($"n_edges".cast("bigint").as("n_edges"),
+          $"n_reciprocal".cast("bigint").as("n_reciprocal"),
+          expr("CAST(n_reciprocal AS DECIMAL(38,0)) * 1000000" +
+            " div n_edges").cast("long").as("reciprocity_ppm"))
+    }),
+
+    "graph_scc_dag_levels" -> ((s, dir) => {
+      import s.implicits._
+      // Topological WAVES of the SCC condensation — which component
+      // layer feeds which: longest-path level per SCC (sources at 0).
+      // The condensation is a DAG by construction, so dagLevels'
+      // loud cycle guard cannot fire; the oracle walks every path
+      // with a recursive CTE and takes the max depth per node —
+      // algorithm-independent like the rest of the scc family.
+      // SIDE-EFFECTING (shared decomposition + level rounds eager).
+      val (e, scc) = built.sccLabels(s, dir)
+      val ce = e
+        .join(scc.select($"id".as("src"), $"scc_id".as("a")), "src")
+        .join(scc.select($"id".as("dst"), $"scc_id".as("b")), "dst")
+        .filter($"a" =!= $"b").select($"a", $"b").distinct()
+      val lv = graft.operators.Graph.dagLevels(ce, "a", "b")
+      // isolated SCCs (no cross edge) are sources at level 0
+      scc.select($"scc_id").distinct()
+        .join(lv.select($"id".as("scc_id"), $"level"), Seq("scc_id"),
+          "left")
+        .select($"scc_id".cast("long").as("scc_id"),
+          coalesce($"level", lit(0L)).cast("long").as("level"))
+        .orderBy($"scc_id")
     }),
 
     "graph_scc_condensation" -> ((s, dir) => {
@@ -7982,6 +8138,35 @@ object SparkEntry {
       graft.operators.TimeSeries.pacf(hc, $"hour", $"x", 24)
     }),
 
+    "ts_ar_order" -> ((s, dir) => {
+      import s.implicits._
+      // AR ORDER pick from the PACF +-2/sqrt(n) band — the standard
+      // "where does the PACF cut off" rule made a query: the largest
+      // lag whose |pacf| clears the band (0 if none), plus the band
+      // and the significant-lag census. Composes the graded ts_pacf
+      // machinery; ts_ar_forecast consumes the pick's fixed-p twin.
+      // SIDE-EFFECTING (the lag-scale acf collect runs eagerly).
+      val hc = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", $"ts").as("hour"))
+        .agg(count(lit(1)).as("x"))
+      val pac = graft.operators.TimeSeries.pacf(hc, $"hour", $"x", 24)
+        .filter($"pacf_micros".isNotNull)
+      val n = hc.agg(count(lit(1)).as("__n"))
+      pac.crossJoin(broadcast(n))
+        .withColumn("__band",
+          round(lit(2000000.0) / sqrt($"__n".cast("double")))
+            .cast("long"))
+        .groupBy($"__n", $"__band")
+        .agg(
+          coalesce(max(when(abs($"pacf_micros") > $"__band", $"lag")),
+            lit(0L)).cast("bigint").as("p_hat"),
+          sum(when(abs($"pacf_micros") > $"__band", 1L).otherwise(0L))
+            .cast("bigint").as("n_significant"))
+        .select($"__n".cast("bigint").as("n_obs"),
+          $"__band".cast("bigint").as("band_micros"),
+          $"p_hat", $"n_significant")
+    }),
+
     "ts_ar_forecast" -> ((s, dir) => {
       import s.implicits._
       // AR(3) Yule-Walker fit of the hourly event-count series +
@@ -8977,6 +9162,50 @@ object SparkEntry {
        |  n AS n_assigned, cd AS centroid_micros
        |FROM u3 ORDER BY 1, 2""".stripMargin
   }
+
+  /** Shared WITH-body of the ts_pacf / ts_ar_order oracles: the
+    * global hourly series, exact integer acf at lags 1..24, and the
+    * Durbin–Levinson list-state recursion (`dl(k, phi, ...)`) whose
+    * order-k row carries the full coefficient triangle row. */
+  private lazy val pacfOracleCore: String =
+    """c AS (SELECT date_trunc('hour', ts) AS h,
+      |    count(*) AS x
+      |  FROM events GROUP BY 1),
+      |b AS (SELECT row_number() OVER (ORDER BY h) AS i,
+      |    CAST(x AS BIGINT) AS x FROM c),
+      |st AS (SELECT count(*) AS n, sum(x) AS s FROM b),
+      |den AS (SELECT sum((n * x - s) * (n * x - s)) AS den
+      |  FROM b, st),
+      |l AS (SELECT CAST(range AS BIGINT) AS lag FROM range(1, 25)),
+      |pr AS (SELECT l.lag, bl.x AS xl, br.x AS xr
+      |  FROM l CROSS JOIN b bl JOIN b br ON br.i = bl.i + l.lag),
+      |num AS (SELECT lag, sum((n * xl - s) * (n * xr - s)) AS num
+      |  FROM pr, st GROUP BY 1),
+      |acf AS (SELECT lag,
+      |    CASE WHEN den = 0 THEN NULL
+      |      ELSE CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+      |        * 1000000) AS BIGINT) END AS am
+      |  FROM num, den),
+      |rl AS (SELECT list(CAST(am AS DOUBLE) / 1000000.0
+      |      ORDER BY lag) AS rs,
+      |    CAST(count(*) AS BIGINT) AS kmax
+      |  FROM acf WHERE am IS NOT NULL),
+      |dl AS (
+      |  SELECT CAST(1 AS BIGINT) AS k, [rs[1]] AS phi, rs, kmax
+      |  FROM rl WHERE kmax >= 1
+      |  UNION ALL
+      |  SELECT k + 1,
+      |    list_append(list_transform(range(1, CAST(k + 1 AS INT)),
+      |      j -> phi[j] - pkk * phi[CAST(k AS INT) + 1 - j]), pkk),
+      |    rs, kmax
+      |  FROM (SELECT k, phi, rs, kmax,
+      |      (rs[CAST(k AS INT) + 1]
+      |        - list_sum(list_transform(range(1, CAST(k + 1 AS INT)),
+      |            j -> phi[j] * rs[CAST(k AS INT) + 1 - j])))
+      |      / nullif(1.0
+      |        - list_sum(list_transform(range(1, CAST(k + 1 AS INT)),
+      |            j -> phi[j] * rs[j])), 0.0) AS pkk
+      |    FROM dl) t WHERE k < kmax)""".stripMargin
 
   /** Shared WITH-body of the graph_scc / graph_scc_condensation
     * oracles: the trade-graph construction, the recursive-CTE
@@ -10313,6 +10542,23 @@ object SparkEntry {
         |SELECT o_orderpriority, sample_rank, o_orderkey
         |FROM r WHERE sample_rank <= 50
         |ORDER BY o_orderpriority, sample_rank""".stripMargin,
+
+    // quantile_disc == percentile_disc: rank-based, actual data values
+    "agg_quantiles" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(quantile_disc(v, 0.1) AS BIGINT) AS p10,
+        |  CAST(quantile_disc(v, 0.25) AS BIGINT) AS p25,
+        |  CAST(quantile_disc(v, 0.5) AS BIGINT) AS p50,
+        |  CAST(quantile_disc(v, 0.75) AS BIGINT) AS p75,
+        |  CAST(quantile_disc(v, 0.9) AS BIGINT) AS p90
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_compression_gate" ->
+      """SELECT true AS rep_low, true AS noise_high,
+        |  true AS ordered, true AS bounded""".stripMargin,
 
     // sum of squared shares as one cross-multiplied integer division
     "agg_hhi" ->
@@ -13383,48 +13629,31 @@ object SparkEntry {
         |FROM q""".stripMargin,
 
     "ts_pacf" ->
-      """WITH RECURSIVE c AS (SELECT date_trunc('hour', ts) AS h,
-        |    count(*) AS x
-        |  FROM events GROUP BY 1),
-        |b AS (SELECT row_number() OVER (ORDER BY h) AS i,
-        |    CAST(x AS BIGINT) AS x FROM c),
-        |st AS (SELECT count(*) AS n, sum(x) AS s FROM b),
-        |den AS (SELECT sum((n * x - s) * (n * x - s)) AS den
-        |  FROM b, st),
-        |l AS (SELECT CAST(range AS BIGINT) AS lag FROM range(1, 25)),
-        |pr AS (SELECT l.lag, bl.x AS xl, br.x AS xr
-        |  FROM l CROSS JOIN b bl JOIN b br ON br.i = bl.i + l.lag),
-        |num AS (SELECT lag, sum((n * xl - s) * (n * xr - s)) AS num
-        |  FROM pr, st GROUP BY 1),
-        |acf AS (SELECT lag,
-        |    CASE WHEN den = 0 THEN NULL
-        |      ELSE CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
-        |        * 1000000) AS BIGINT) END AS am
-        |  FROM num, den),
-        |rl AS (SELECT list(CAST(am AS DOUBLE) / 1000000.0
-        |      ORDER BY lag) AS rs,
-        |    CAST(count(*) AS BIGINT) AS kmax
-        |  FROM acf WHERE am IS NOT NULL),
-        |dl AS (
-        |  SELECT CAST(1 AS BIGINT) AS k, [rs[1]] AS phi, rs, kmax
-        |  FROM rl WHERE kmax >= 1
-        |  UNION ALL
-        |  SELECT k + 1,
-        |    list_append(list_transform(range(1, CAST(k + 1 AS INT)),
-        |      j -> phi[j] - pkk * phi[CAST(k AS INT) + 1 - j]), pkk),
-        |    rs, kmax
-        |  FROM (SELECT k, phi, rs, kmax,
-        |      (rs[CAST(k AS INT) + 1]
-        |        - list_sum(list_transform(range(1, CAST(k + 1 AS INT)),
-        |            j -> phi[j] * rs[CAST(k AS INT) + 1 - j])))
-        |      / nullif(1.0
-        |        - list_sum(list_transform(range(1, CAST(k + 1 AS INT)),
-        |            j -> phi[j] * rs[j])), 0.0) AS pkk
-        |    FROM dl) t WHERE k < kmax)
-        |SELECT k AS lag,
-        |  CAST(round(phi[CAST(k AS INT)] * 1000000) AS BIGINT)
-        |    AS pacf_micros
-        |FROM dl ORDER BY k""".stripMargin,
+      s"""WITH RECURSIVE $pacfOracleCore
+         |SELECT k AS lag,
+         |  CAST(round(phi[CAST(k AS INT)] * 1000000) AS BIGINT)
+         |    AS pacf_micros
+         |FROM dl ORDER BY k""".stripMargin,
+
+    // the pacf replay cut to the standard order pick: the largest lag
+    // whose |pacf| clears the +-2/sqrt(n) band (0 if none)
+    "ts_ar_order" ->
+      s"""WITH RECURSIVE $pacfOracleCore,
+         |nb AS (SELECT CAST(n AS BIGINT) AS n,
+         |    CAST(round(2000000.0 / sqrt(CAST(n AS DOUBLE)))
+         |      AS BIGINT) AS band
+         |  FROM st),
+         |pm AS (SELECT k,
+         |    CAST(round(phi[CAST(k AS INT)] * 1000000) AS BIGINT)
+         |      AS pacf_micros
+         |  FROM dl)
+         |SELECT nb.n AS n_obs, nb.band AS band_micros,
+         |  CAST(coalesce(max(CASE WHEN abs(pacf_micros) > nb.band
+         |    THEN k END), 0) AS BIGINT) AS p_hat,
+         |  CAST(sum(CASE WHEN abs(pacf_micros) > nb.band
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_significant
+         |FROM pm, nb WHERE pacf_micros IS NOT NULL
+         |GROUP BY 1, 2""".stripMargin,
 
     // AR(3) fit + forecast + residual whiteness: acf on the integer-
     // centered series, Durbin-Levinson unrolled to order 3 in scalar
@@ -14988,6 +15217,38 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_islands,
         |  CAST(sum(e - s) AS BIGINT) AS covered_seconds
         |FROM agg GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    // the island construction again, then one lag pass: gaps are
+    // strictly positive because islands are disjoint by construction
+    "interval_gaps" ->
+      """WITH iv AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS st,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + 7200 AS en
+        |  FROM events),
+        |m AS (SELECT user_id, st, en,
+        |    CASE WHEN max(en) OVER (PARTITION BY user_id
+        |        ORDER BY st, en
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      IS NULL OR st > max(en) OVER (PARTITION BY user_id
+        |        ORDER BY st, en
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM iv),
+        |isl AS (SELECT user_id, st, en,
+        |    sum(nw) OVER (PARTITION BY user_id ORDER BY st, en
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        |  FROM m),
+        |agg AS (SELECT user_id, g, min(st) AS s, max(en) AS e
+        |  FROM isl GROUP BY 1, 2),
+        |lg AS (SELECT user_id, s, e,
+        |    lag(e, 1) OVER (PARTITION BY user_id ORDER BY s) AS pe
+        |  FROM agg)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(CASE WHEN pe IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_gaps,
+        |  CAST(coalesce(sum(s - pe), 0) AS BIGINT) AS gap_seconds,
+        |  CAST(coalesce(max(s - pe), 0) AS BIGINT) AS max_gap_seconds
+        |FROM lg GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     // gaps-and-islands: day - dense index constant within a run
     "evt_streaks" ->
@@ -16737,6 +16998,43 @@ object SparkEntry {
       s"""WITH RECURSIVE
          |$sccOracleCore
          |SELECT id, scc_id FROM lab ORDER BY id""".stripMargin,
+
+    // per-edge parity orientation, one reversed-key self-join; ppm
+    // by HUGEINT truncating division
+    "graph_reciprocity" ->
+      """WITH b AS (SELECT DISTINCT o_custkey * 2 AS c,
+        |    l_suppkey * 2 + 1 AS s, o_orderkey % 2 AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT DISTINCT
+        |    CASE WHEN p = 0 THEN c ELSE s END AS src,
+        |    CASE WHEN p = 0 THEN s ELSE c END AS dst
+        |  FROM b),
+        |r AS (SELECT e.src, e.dst,
+        |    CASE WHEN ee.src IS NOT NULL THEN 1 ELSE 0 END AS has
+        |  FROM e LEFT JOIN e ee
+        |  ON ee.src = e.dst AND ee.dst = e.src)
+        |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |  CAST(sum(has) AS BIGINT) AS n_reciprocal,
+        |  CAST((CAST(sum(has) AS HUGEINT) * 1000000) // count(*)
+        |    AS BIGINT) AS reciprocity_ppm
+        |FROM r""".stripMargin,
+
+    // max walk depth per condensation node: seed every SCC at 0 and
+    // walk the (finite, DAG) paths — UNION dedupes (node, depth)
+    "graph_scc_dag_levels" ->
+      s"""WITH RECURSIVE
+         |$sccOracleCore,
+         |ce AS (SELECT DISTINCT la.scc_id AS a, lb.scc_id AS b
+         |  FROM e JOIN lab la ON la.id = e.src
+         |  JOIN lab lb ON lb.id = e.dst
+         |  WHERE la.scc_id <> lb.scc_id),
+         |nodes AS (SELECT DISTINCT scc_id FROM lab),
+         |walk AS (
+         |  SELECT scc_id AS v, CAST(0 AS BIGINT) AS d FROM nodes
+         |  UNION
+         |  SELECT ce.b, walk.d + 1 FROM walk JOIN ce ON ce.a = walk.v)
+         |SELECT v AS scc_id, CAST(max(d) AS BIGINT) AS level
+         |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the same brute labels joined back onto the edges: cross-SCC
     // edge census = the condensation DAG

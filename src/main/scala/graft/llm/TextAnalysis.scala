@@ -926,6 +926,54 @@ object TextAnalysis {
       .orderBy(col("step"))
   }
 
+  /** Per-document zlib compression ratio — the Gopher/RedPajama
+    * quality signal the rest of the text-quality family approximates
+    * from the outside: entropy ([[textEntropy]]) and repetition score
+    * SYMPTOMS of low-information text, the deflate ratio measures the
+    * information directly (boilerplate, repeated templates, and
+    * keyword-stuffed spam compress far below prose; random noise
+    * barely compresses at all). Returns (id, raw_bytes,
+    * deflate_bytes, ratio_ppm = deflate·10⁶ div raw; empty text
+    * reports NULL ratio).
+    *
+    * Grading: no SQL engine can replay zlib, so this is a
+    * GATE-PAIRED rows-only query — `text_compression_gate` pins the
+    * closed-form ordering on synthetic extremes (a pure repetition
+    * must compress below 20 %, a splitmix-mixed hex stream must stay
+    * above 40 %, and every ratio is positive and bounded). Within one
+    * JVM the output is deterministic (level-6 Deflater, UTF-8 bytes).
+    *
+    * Scale: mapPartitions with ONE reused Deflater per partition
+    * (reset per row — allocation is the classic deflate-in-a-loop
+    * cost); output is 32 bytes/row, the text never re-shuffles. */
+  def compressionRatio(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("__id"),
+        col(textCol).cast("string").as("__t"))
+      .filter(col("__id").isNotNull)
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val d = new java.util.zip.Deflater(6, false)
+        val buf = new Array[Byte](1 << 16)
+        val out = rows.map { case (id, t) =>
+          val raw =
+            if (t == null) Array.empty[Byte] else t.getBytes("UTF-8")
+          d.reset()
+          d.setInput(raw)
+          d.finish()
+          var comp = 0L
+          while (!d.finished()) comp += d.deflate(buf)
+          (id, raw.length.toLong, comp,
+            if (raw.length == 0) Option.empty[Long]
+            else Some(comp * 1000000L / raw.length))
+        }
+        out // the Deflater frees with the partition's JVM references
+      }
+      .toDF("doc_id", "raw_bytes", "deflate_bytes", "ratio_ppm")
+  }
+
   def codeScore(df: DataFrame, idCol: String, textCol: String,
       thresholdPpm: Long = 120000L): DataFrame = {
     val txt = col("__txt")

@@ -1545,6 +1545,52 @@ object Graph {
           .as("jaccard_ppm"))
   }
 
+  /** Longest-path level of every vertex in a DAG — the topological
+    * "stage number" (which pipeline stage, which dependency wave,
+    * which condensation layer): `level(v) = 0` for sources, else
+    * `1 + max(level(u) : u→v)`. The natural consumer is
+    * [[stronglyConnectedComponents]]' condensation — SCC ids in,
+    * execution waves out.
+    *
+    * Iterative longest-path relaxation: levels only INCREASE and are
+    * bounded by the DAG depth, so the monotone `sum(level)` is the
+    * convergence witness; a graph with a cycle would relax forever,
+    * so hitting `maxIter` fails LOUDLY naming the cause (this
+    * operator's contract is a DAG — feed a raw directed graph to
+    * [[stronglyConnectedComponents]] first). Returns (`id`, `level`).
+    *
+    * Scale: per round one 8-byte-keyed equi-join + hash-agg with
+    * lineage truncation; rounds = DAG depth (condensations of real
+    * graphs are shallow). */
+  def dagLevels(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", maxIter: Int = 100,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val e = truncate(edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct(), checkpointDir)
+    var lvl = truncate(
+      e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+        .distinct().withColumn("level", lit(0L)), checkpointDir)
+    var prevSum = 0L
+    var changed = true
+    var it = 0
+    while (changed && it < maxIter) {
+      val cand = e.join(lvl.withColumnRenamed("id", "u"), "u")
+        .select(col("v").as("id"), (col("level") + 1L).as("level"))
+      lvl = truncate(lvl.union(cand)
+        .groupBy("id").agg(max("level").as("level")), checkpointDir)
+      val s2 = lvl.agg(sum("level")).head().getLong(0)
+      changed = s2 != prevSum
+      prevSum = s2
+      it += 1
+    }
+    require(!changed,
+      s"dagLevels did not converge within $maxIter rounds — the " +
+        "input has a cycle (or is deeper than maxIter); run " +
+        "stronglyConnectedComponents first and feed the condensation")
+    lvl
+  }
+
   /** Strongly connected components of a DIRECTED graph — the member
     * the component family lacked: [[connectedComponents]] ignores
     * orientation, but citation/hyperlink/money-flow graphs need

@@ -777,6 +777,18 @@ class GraphSpec extends SparkSpec {
     // self-loops and duplicate edges are ignored / deduped
     assert(scc(Seq((1L, 1L), (1L, 2L), (1L, 2L), (2L, 1L))) ==
       Map(1L -> 1L, 2L -> 1L))
+    // dagLevels: path and diamond closed forms; a cycle fails loudly
+    def lv(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      Graph.dagLevels(edges.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+    assert(lv(Seq((1L, 2L), (2L, 3L))) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    assert(lv(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    val ce = intercept[IllegalArgumentException] {
+      Graph.dagLevels(Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"),
+        maxIter = 10)
+    }
+    assert(ce.getMessage.contains("cycle"))
     // condensation composition: two cycles + one bridge -> exactly
     // one cross-SCC edge (1-SCC feeds 3-SCC once)
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L))

@@ -70,6 +70,7 @@ class QueriesSpec extends SparkSpec {
       "sample_percent" -> "sample_gates",
       "sample_stratified" -> "sample_gates",
       "sim_hard_negatives" -> "sim_hard_negatives_gate",
+      "text_compression" -> "text_compression_gate",
       "sim_range_search" -> "sim_range_search_gate",
       "sim_topk_ivf" -> "sim_recall_ivf",
       "sim_topk_lsh" -> "sim_recall_lsh",

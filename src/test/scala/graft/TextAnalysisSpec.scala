@@ -597,6 +597,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2) == ((3L, 16L, 0L, 0L, 2L, 100000L, false)))
   }
 
+  test("compressionRatio: repetition below noise, exact byte counts, empty text NULL ratio") {
+    val docs = Seq(
+      (1L, "ab" * 500),                       // pure repetition
+      (2L, (1 to 500).map(i => (i * 7919 % 93 + 33).toChar).mkString),
+      (3L, "")).toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis
+      .compressionRatio(docs, "doc_id", "text")
+      .orderBy(col("doc_id")).collect()
+    assert(got.length == 3)
+    val rep = got(0); val mix = got(1); val empty = got(2)
+    assert(rep.getLong(1) == 1000L && empty.getLong(1) == 0L)
+    assert(rep.getLong(2) > 0L && rep.getLong(2) < rep.getLong(1))
+    assert(rep.getLong(3) < mix.getLong(3),
+      s"repetition ${rep.getLong(3)} must compress below mixed ${mix.getLong(3)}")
+    assert(empty.isNullAt(3) && empty.getLong(2) >= 0L)
+    // deterministic within the JVM: a second run reproduces exactly
+    val again = graft.llm.TextAnalysis
+      .compressionRatio(docs, "doc_id", "text")
+      .orderBy(col("doc_id")).collect()
+    assert(got.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("heapsLaw: hand curve on 4 docs, quantized-OLS beta, degenerate grid gives NULL beta") {
     import spark.implicits._
     val docs = Seq((0L, "a b c"), (1L, "a b"), (2L, "a d"), (3L, "e"))
