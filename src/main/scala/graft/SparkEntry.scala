@@ -130,7 +130,7 @@ object SparkEntry {
     "graph_scc_condensation", "dq_sequence_gaps", "surv_km_bands",
     "interval_gaps", "ts_ar_order", "graph_reciprocity",
     "agg_quantiles", "text_compression", "text_compression_gate",
-    "graph_scc_dag_levels")
+    "graph_scc_dag_levels", "evt_incidents_replay")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -8001,6 +8001,60 @@ object SparkEntry {
           count(lit(1)).cast("bigint").as("n_alarm_hours"),
           max($"x").cast("bigint").as("peak_hourly"))
         .orderBy($"event_type", $"incident_id")
+    }),
+
+    "evt_incidents_replay" -> ((s, dir) => {
+      import s.implicits._
+      // Replay-identity gate for STREAMING incident grouping: the
+      // evt_cusum_replay protocol (in-window redelivery before the
+      // flush sentinel, sealed redelivery after) over the hourly
+      // count series, with SEALED per-type median thresholds (the
+      // frozen-reference stance — a live monitor can't threshold on
+      // a median it hasn't finished seeing). Identity is exact
+      // integer equality through the shared fold. GATE-ONLY collect
+      // (hour-scale series + a 5-row threshold table).
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val hc = Tables.events(s, dir)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+        .agg(count(lit(1)).as("x"))
+        .localCheckpoint(true)
+      val medMap = hc.groupBy($"event_type")
+        .agg(expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY x)"
+          + " AS BIGINT)").as("__med"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val evs = hc.collect().map(r => EventStreams.Event(
+        r.getTimestamp(1).getTime / 1000L, r.getTimestamp(1),
+        0L, r.getString(0), r.getLong(2).toDouble)).toSeq
+      val maxTs = evs.map(_.ts.getTime).max
+      val sentinel = EventStreams.Event(-1L,
+        new java.sql.Timestamp(maxTs + 3L * 3600 * 1000), -1L,
+        "__flush", 0.0)
+      val sink = s"incidents_replay_${math.abs(dir.hashCode)}"
+      s.catalog.dropTempView(sink)
+      val mem = MemoryStream[EventStreams.Event]
+      val q = EventStreams.incidentsStateful(mem.toDS(), medMap, 7200L)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(sink).start()
+      try {
+        mem.addData(evs)
+        q.processAllAvailable()
+        mem.addData(evs.filter(_.event_id % 10 == 7)) // in-window dup
+        q.processAllAvailable()
+        mem.addData(Seq(sentinel)) // watermark flush
+        q.processAllAvailable()
+        mem.addData(evs.filter(_.event_id % 10 == 3)) // sealed dup
+        q.processAllAvailable()
+      } finally q.stop()
+      val cols = Seq("event_type", "hour", "x", "incident_id")
+      val stream = s.table(sink).select(cols.map(col): _*)
+      val batch = EventStreams.incidentHours(evs.toDS(), medMap, 7200L)
+        .toDF().select(cols.map(col): _*)
+      stream.agg(count(lit(1)).cast("bigint").as("n_alarm_hours"))
+        .crossJoin(stream.select($"event_type", $"incident_id")
+          .distinct().agg(count(lit(1)).cast("bigint").as("n_incidents")))
+        .crossJoin(setsEqual(stream, batch, cols, "stream_equals_batch"))
+        .crossJoin(stream.agg((count(lit(1)) > 0).as("found_incidents")))
     }),
 
     "evt_bot_screen" -> ((s, dir) => {
@@ -16645,6 +16699,29 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_scored,
         |  TRUE AS stream_equals_batch, TRUE AS residuals_nonzero
         |FROM events""".stripMargin,
+
+    // the alarm-hour and incident counts restated independently from
+    // the hourly series + sealed medians; the identity booleans are
+    // computed Spark-side
+    "evt_incidents_replay" ->
+      """WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |med AS (SELECT event_type,
+        |    CAST(quantile_disc(x, 0.5) AS BIGINT) AS m
+        |  FROM hc GROUP BY 1),
+        |al AS (SELECT hc.event_type, hc.hour, hc.x
+        |  FROM hc JOIN med USING (event_type) WHERE hc.x > 2 * med.m),
+        |ni AS (SELECT event_type, hour,
+        |    CASE WHEN CAST(floor(epoch(hour)) AS BIGINT)
+        |        - lag(CAST(floor(epoch(hour)) AS BIGINT)) OVER (
+        |          PARTITION BY event_type ORDER BY hour) <= 7200
+        |      THEN 0 ELSE 1 END AS nw
+        |  FROM al)
+        |SELECT CAST(count(*) AS BIGINT) AS n_alarm_hours,
+        |  CAST(sum(nw) AS BIGINT) AS n_incidents,
+        |  TRUE AS stream_equals_batch, TRUE AS found_incidents
+        |FROM ni""".stripMargin,
 
     "evt_markov_attribution_gate" ->
       """SELECT CAST(3 AS BIGINT) AS n_channels,

@@ -964,6 +964,101 @@ object EventStreams extends Serializable {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  case class IncidentOut(event_type: String, hour: java.sql.Timestamp,
+      x: Long, incident_id: Long)
+  case class IncState(nextId: Long, lastAlarmSec: Long)
+  case class IncBuffer(inc: IncState, buffered: Seq[Event])
+
+  /** One incident step, SHARED by the batch and streaming forms —
+    * pure integer comparisons: an hour whose count exceeds 2× the
+    * SEALED per-type median is an alarm; an alarm within
+    * `coolSeconds` of the previous alarm joins its incident,
+    * otherwise opens the next one. */
+  private def incidentFold(key: String, evs: Seq[Event], st0: IncState,
+      medByType: Map[String, Long],
+      coolSeconds: Long): (IncState, Seq[IncidentOut]) = {
+    // a type with no sealed threshold is SILENT (no reference, no
+    // alarm) — and must not ride a sentinel value into `2 * med`,
+    // which wraps a Long at MaxValue and would alarm on everything
+    val medOpt = medByType.get(key)
+    if (medOpt.isEmpty) return (st0, Seq.empty)
+    val med = medOpt.get
+    var st = st0
+    val out = evs.flatMap { e =>
+      val x = math.round(e.value)
+      if (x <= 2L * med) None
+      else {
+        val sec = e.ts.getTime / 1000L
+        val sameIncident = st.lastAlarmSec != Long.MinValue &&
+          sec - st.lastAlarmSec <= coolSeconds
+        val id = if (sameIncident) st.nextId else st.nextId + 1
+        st = IncState(id, sec)
+        Some(IncidentOut(key, e.ts, x, id))
+      }
+    }
+    (st, out)
+  }
+
+  /** Batch twin of [[incidentsStateful]]: per-type alarm-hour rows
+    * with incident ids over an HOURLY count series in (ts, event_id)
+    * order — the pre-aggregated-cadence posture (the raw-event
+    * evt_incidents query derives the same hourly series; this form
+    * takes it as input so the streaming twin can match it exactly).
+    * Thresholds are a SEALED per-type median map — the
+    * [[graft.streaming.DriftStreams]] frozen-reference stance: a
+    * streaming monitor cannot threshold on the median of a series
+    * it has not finished seeing. */
+  def incidentHours(hours: Dataset[Event], medByType: Map[String, Long],
+      coolSeconds: Long = 7200L): Dataset[IncidentOut] = {
+    import hours.sparkSession.implicits._
+    require(coolSeconds >= 0, s"coolSeconds must be >= 0 (got $coolSeconds)")
+    hours.groupByKey(_.event_type).flatMapGroups { (k, it) =>
+      val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      incidentFold(k, evs, IncState(0L, Long.MinValue), medByType,
+        coolSeconds)._2.iterator
+    }
+  }
+
+  /** Streaming incident grouping — the page-once-per-episode shape
+    * ([[incidentHours]]'s batch contract) as a live monitor: same
+    * watermark discipline as the EWMA/CUSUM/Holt twins (buffer the
+    * unsealed tail, fold sealed hours in (ts, event_id) order, drop
+    * below-watermark stragglers, dedupe in-window redeliveries by
+    * event_id), with TWO LONGS of persistent state per key (open
+    * incident id, last alarm second). Sealed output equals
+    * [[incidentHours]] over the on-time corpus EXACTLY (shared
+    * integer fold; `evt_incidents_replay` pins both redelivery
+    * windows). */
+  def incidentsStateful(hours: Dataset[Event],
+      medByType: Map[String, Long], coolSeconds: Long = 7200L,
+      watermark: String = "2 hours"): Dataset[IncidentOut] = {
+    import hours.sparkSession.implicits._
+    require(coolSeconds >= 0, s"coolSeconds must be >= 0 (got $coolSeconds)")
+
+    def fn(key: String, rows: Iterator[Event],
+        state: GroupState[IncBuffer]): Iterator[IncidentOut] = {
+      val prior = state.getOption.getOrElse(
+        IncBuffer(IncState(0L, Long.MinValue), Seq.empty))
+      val wmMs = state.getCurrentWatermarkMs()
+      val fresh = rows.filter(_.ts.getTime > wmMs).toSeq
+      val (ripe, open) = (prior.buffered ++ fresh)
+        .distinctBy(_.event_id)
+        .partition(_.ts.getTime <= wmMs)
+      val (st, out) = incidentFold(key,
+        ripe.sortBy(e => (e.ts.getTime, e.event_id)),
+        prior.inc, medByType, coolSeconds)
+      state.update(IncBuffer(st, open))
+      if (open.nonEmpty)
+        state.setTimeoutTimestamp(open.map(_.ts.getTime).min + 1)
+      out.iterator
+    }
+
+    hours.withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   case class HoltOut(event_type: String, event_id: Long,
       ts: java.sql.Timestamp, value_micros: Long,
       forecast_micros: Long, residual_micros: Long)

@@ -918,6 +918,28 @@ class StreamingSpec extends SparkSpec {
       s"diff: ${stream.toSet -- batch.toSet}")
   }
 
+  test("incidentHours: cooldown merges, gaps split, sealed threshold gates, unknown type silent") {
+    def ev(id: Long, hourOffset: Long, typ: String, x: Double) =
+      Event(id, new Timestamp(hourOffset * 3600 * 1000), 0L, typ, x)
+    // median map seals threshold at 10 -> alarm iff x > 20
+    val med = Map("a" -> 10L)
+    // hours 0,1 alarm (consecutive, <=2h cooldown -> one incident);
+    // hour 5 alarms after a gap -> second incident; hour 2 is quiet
+    val hours = Seq(ev(0, 0, "a", 25), ev(1, 1, "a", 30),
+      ev(2, 2, "a", 15), ev(5, 5, "a", 99),
+      ev(100, 0, "zzz", 1000)) // type with no sealed median: silent
+    val got = EventStreams.incidentHours(hours.toDS(), med, 7200L)
+      .collect().map(o => (o.event_type, o.hour.getTime / 3600000L,
+        o.x, o.incident_id)).sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(("a", 0L, 25L, 1L), ("a", 1L, 30L, 1L),
+      ("a", 5L, 99L, 2L)), got.mkString(";"))
+    // exactly the boundary: gap == cooldown stays in the incident
+    val edge = Seq(ev(0, 0, "a", 25), ev(2, 2, "a", 25))
+    val g2 = EventStreams.incidentHours(edge.toDS(), med, 7200L)
+      .collect().map(_.incident_id).distinct
+    assert(g2.length == 1)
+  }
+
   test("applyKsBatch: folded snapshot == batch ksBattery; redelivery is a no-op") {
     import graft.streaming.DriftStreams
     import graft.operators.{OrderedStats, Quality}
