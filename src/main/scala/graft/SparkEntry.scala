@@ -130,7 +130,7 @@ object SparkEntry {
     "graph_scc_condensation", "dq_sequence_gaps", "surv_km_bands",
     "interval_gaps", "ts_ar_order", "graph_reciprocity",
     "agg_quantiles", "text_compression", "text_compression_gate",
-    "graph_scc_dag_levels", "evt_incidents_replay")
+    "graph_scc_dag_levels", "evt_incidents_replay", "evt_dau_wau_mau")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -416,7 +416,8 @@ object SparkEntry {
     "surv_logrank", "surv_rmst",
     "growth_accounting", "cohort_ltv", "feat_group_regression",
     "feat_conformal", "feat_median_ci",
-    "evt_cumulative_users", "dq_mutual_info", "dq_js_divergence",
+    "evt_cumulative_users", "evt_dau_wau_mau", "dq_mutual_info",
+    "dq_js_divergence",
     "feat_isotonic", "dq_corr_matrix", "feat_decayed_activity",
     "evt_gini", "dq_type_inference", "evt_stickiness", "ts_drawdown",
     "evt_interarrival", "evt_bot_screen", "evt_incidents",
@@ -1656,6 +1657,35 @@ object SparkEntry {
       graft.operators.TimeSeries.kendallTau(m, Seq("o_orderpriority"),
           $"xm", $"cents")
         .orderBy($"o_orderpriority")
+    }),
+
+    "evt_dau_wau_mau" -> ((s, dir) => {
+      import s.implicits._
+      // The engagement header every product team publishes: per
+      // observed day, DAU / trailing-7d WAU / trailing-28d MAU and
+      // DAU/MAU stickiness. Each (user, day) contributes to the 7
+      // (resp. 28) trailing windows by an EXPLODE into equi-join
+      // keys — never a non-equi range join (a BNLJ at 100 TB), and
+      // the distinct-user counts stay exact. Unobserved days carry
+      // no row (the grid is the data's own days).
+      val ud = Tables.events(s, dir)
+        .select($"user_id", $"ts".cast("date").as("d")).distinct()
+        .localCheckpoint(true) // three consumers
+      val dg = ud.select($"d").distinct()
+      val dau = ud.groupBy($"d").agg(count(lit(1)).as("dau"))
+      def trailing(n: Int, out: String) = ud
+        .withColumn("__i", explode(sequence(lit(0), lit(n - 1))))
+        .select($"user_id", date_add($"d", $"__i").as("d"))
+        .join(dg, Seq("d")) // only observed days
+        .groupBy($"d").agg(countDistinct($"user_id").as(out))
+      dau.join(trailing(7, "wau"), Seq("d"))
+        .join(trailing(28, "mau"), Seq("d"))
+        .select($"d".as("day"), $"dau".cast("bigint").as("dau"),
+          $"wau".cast("bigint").as("wau"),
+          $"mau".cast("bigint").as("mau"),
+          expr("CAST(dau AS DECIMAL(38,0)) * 1000000 div mau")
+            .cast("long").as("stickiness_ppm"))
+        .orderBy($"day")
     }),
 
     "evt_cumulative_users" -> ((s, dir) => {
@@ -16699,6 +16729,28 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_scored,
         |  TRUE AS stream_equals_batch, TRUE AS residuals_nonzero
         |FROM events""".stripMargin,
+
+    // trailing windows as a date range join (the oracle can afford
+    // the non-equi form; the engine explodes to equi-keys)
+    "evt_dau_wau_mau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |  FROM events),
+        |dg AS (SELECT DISTINCT d FROM ud),
+        |dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud
+        |  GROUP BY 1),
+        |wau AS (SELECT dg.d,
+        |    CAST(count(DISTINCT ud.user_id) AS BIGINT) AS wau
+        |  FROM dg JOIN ud ON ud.d BETWEEN dg.d - 6 AND dg.d
+        |  GROUP BY 1),
+        |mau AS (SELECT dg.d,
+        |    CAST(count(DISTINCT ud.user_id) AS BIGINT) AS mau
+        |  FROM dg JOIN ud ON ud.d BETWEEN dg.d - 27 AND dg.d
+        |  GROUP BY 1)
+        |SELECT dau.d AS day, dau.dau, wau.wau, mau.mau,
+        |  CAST((CAST(dau.dau AS HUGEINT) * 1000000) // mau.mau
+        |    AS BIGINT) AS stickiness_ppm
+        |FROM dau JOIN wau ON wau.d = dau.d JOIN mau ON mau.d = dau.d
+        |ORDER BY day""".stripMargin,
 
     // the alarm-hour and incident counts restated independently from
     // the hourly series + sealed medians; the identity booleans are
