@@ -130,7 +130,8 @@ object SparkEntry {
     "graph_scc_condensation", "dq_sequence_gaps", "surv_km_bands",
     "interval_gaps", "ts_ar_order", "graph_reciprocity",
     "agg_quantiles", "text_compression", "text_compression_gate",
-    "graph_scc_dag_levels", "evt_incidents_replay", "evt_dau_wau_mau")
+    "graph_scc_dag_levels", "evt_incidents_replay", "evt_dau_wau_mau",
+    "agg_skew_kurt", "win_rolling_zscore", "evt_funnel_by_segment")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -347,7 +348,7 @@ object SparkEntry {
     "agg_distinct", "agg_minmax", "agg_rollup", "agg_cube", "agg_approx_distinct",
     "agg_collect_list", "agg_pivot", "agg_unpivot", "agg_grouping_sets",
     "agg_mode", "agg_winsorized_mean", "agg_weighted_median",
-    "agg_share", "agg_topn_other", "agg_quantiles",
+    "agg_share", "agg_topn_other", "agg_quantiles", "agg_skew_kurt",
     "date_funcs", "null_handling", "str_levenshtein", "sketch_bloom",
     "sketch_topk", "sketch_topk_grouped", "sketch_hll_persist", "sketch_kll_persist",
     "sketch_cms_persist",
@@ -360,7 +361,7 @@ object SparkEntry {
     "interval_overlap_campaigns", "geo_radius_join",
     "win_topk_parts", "win_running_total", "win_lag_delta", "win_rank_family",
     "win_rolling_range", "win_rolling_median", "win_rolling_mad",
-    "win_mom_change",
+    "win_rolling_zscore", "win_mom_change",
     "set_union", "set_intersect", "set_except",
     "merge_upsert", "merge_scd2", "merge_diff", "merge_survivorship",
     "fuzzy_join_names", "fuzzy_rank_names", "link_fs_scores",
@@ -403,7 +404,8 @@ object SparkEntry {
     "str_funcs", "parse_money",
     "evt_tumbling", "evt_sliding", "evt_sessionize", "evt_session_window",
     "evt_stream_join", "evt_stream_join_outer", "evt_enrich_static",
-    "evt_funnel", "evt_funnel_windowed", "evt_set_completion",
+    "evt_funnel", "evt_funnel_windowed", "evt_funnel_by_segment",
+    "evt_set_completion",
     "evt_retention",
     "evt_transitions", "evt_attribution", "evt_markov_attribution",
     "ts_resample_ffill", "ts_interpolate", "ts_anomaly", "ts_seasonality",
@@ -1247,6 +1249,47 @@ object SparkEntry {
           "source", "doc_id", budget = 200L)
         .select($"source", $"sample_rank", $"doc_id", $"quota")
         .orderBy($"source", $"sample_rank")
+    }),
+
+    "agg_skew_kurt" -> ((s, dir) => {
+      import s.implicits._
+      // Per-group skewness + excess kurtosis from EXACT raw power
+      // sums — the distribution-shape header next to agg_quantiles'
+      // positional one (a monitoring table wants "how asymmetric,
+      // how heavy-tailed" per segment without collecting anything):
+      // Sx..Sx4 are DECIMAL(38)-exact integer sums (cents^4 stays
+      // within 38 digits at this value scale), the central-moment
+      // algebra and both ratios are ONE mirrored double tree each.
+      // Zero-variance groups report NULL shape, not a division error.
+      val v = Tables.events(s, dir)
+        .select($"event_type", round($"value" * 100).cast("long").as("x"))
+        .filter($"x".isNotNull)
+      v.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"x".cast("decimal(38,0)")).as("s1"),
+          sum($"x".cast("decimal(38,0)") * $"x").as("s2"),
+          sum($"x".cast("decimal(38,0)") * $"x" * $"x").as("s3"),
+          sum($"x".cast("decimal(38,0)") * $"x" * $"x" * $"x").as("s4"))
+        .filter($"n" >= 2L)
+        .selectExpr("event_type", "CAST(n AS BIGINT) AS n",
+          "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu",
+          "CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS q2",
+          "CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS q3",
+          "CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS q4")
+        .selectExpr("event_type", "n", "mu",
+          "q2 - mu * mu AS m2",
+          "q3 - 3.0 * mu * q2 + 2.0 * mu * mu * mu AS m3",
+          "q4 - 4.0 * mu * q3 + 6.0 * mu * mu * q2" +
+            " - 3.0 * mu * mu * mu * mu AS m4")
+        .selectExpr("event_type", "n",
+          "CAST(round(mu * 100) AS BIGINT) AS mean_centi",
+          "CASE WHEN m2 <= 0.0 THEN NULL ELSE CAST(round(" +
+            "m3 / (m2 * sqrt(m2)) * 1000000) AS BIGINT) END" +
+            " AS skew_micros",
+          "CASE WHEN m2 <= 0.0 THEN NULL ELSE CAST(round(" +
+            "(m4 / (m2 * m2) - 3.0) * 1000000) AS BIGINT) END" +
+            " AS kurtosis_micros")
+        .orderBy($"event_type")
     }),
 
     "agg_quantiles" -> ((s, dir) => {
@@ -4017,6 +4060,34 @@ object SparkEntry {
           count(lit(1)).cast("bigint").as("n_islands"),
           sum($"__e" - $"__s").cast("bigint").as("covered_seconds"))
         .orderBy($"user_id")
+    }),
+
+    "win_rolling_zscore" -> ((s, dir) => {
+      import s.implicits._
+      // 24-hour rolling z-score of hourly volume — the windowed
+      // anomaly primitive next to the rolling median/MAD pair (the
+      // z form is what alert thresholds are written against): frame
+      // mean/variance from EXACT integer frame sums, one mirrored
+      // tree; constant frames report NULL, not a division error.
+      import org.apache.spark.sql.expressions.Window
+      val hc = Tables.events(s, dir)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy($"event_type").orderBy($"hour")
+        .rowsBetween(-23, Window.currentRow)
+      hc.withColumn("__c", count(lit(1)).over(w))
+        .withColumn("__s", sum($"x").over(w))
+        .withColumn("__q", sum($"x" * $"x").over(w))
+        .selectExpr("event_type", "hour", "x",
+          "CAST(__s AS DOUBLE) / CAST(__c AS DOUBLE) AS m",
+          "CAST(__q AS DOUBLE) / CAST(__c AS DOUBLE)" +
+            " - (CAST(__s AS DOUBLE) / CAST(__c AS DOUBLE))" +
+            " * (CAST(__s AS DOUBLE) / CAST(__c AS DOUBLE)) AS v")
+        .selectExpr("event_type", "hour", "x",
+          "CASE WHEN v <= 0.0 THEN NULL ELSE CAST(round(" +
+            "(CAST(x AS DOUBLE) - m) / sqrt(v) * 1000000) AS BIGINT)" +
+            " END AS z_micros")
+        .orderBy($"event_type", $"hour")
     }),
 
     "interval_gaps" -> ((s, dir) => {
@@ -7379,6 +7450,30 @@ object SparkEntry {
         .orderBy($"user_id")
     }),
 
+    "evt_funnel_by_segment" -> ((s, dir) => {
+      import s.implicits._
+      // The funnel SPLIT by experiment arm (user parity) — the table
+      // an A/B readout actually consumes: per segment, users reaching
+      // each stage plus stage-over-stage conversion ppm. Composes the
+      // graded min-chain; counts exact, ratios truncating.
+      val f = EventStreams.funnel(Tables.events(s, dir),
+          steps = Seq("view", "click", "purchase"))
+        .toDF("user_id", "t_view", "t_click", "t_purchase")
+      f.groupBy(pmod($"user_id", lit(2)).cast("bigint").as("segment"))
+        .agg(sum(when($"t_view".isNotNull, 1L).otherwise(0L)).as("n_view"),
+          sum(when($"t_click".isNotNull, 1L).otherwise(0L)).as("n_click"),
+          sum(when($"t_purchase".isNotNull, 1L).otherwise(0L))
+            .as("n_purchase"))
+        .selectExpr("segment", "CAST(n_view AS BIGINT) AS n_view",
+          "CAST(n_click AS BIGINT) AS n_click",
+          "CAST(n_purchase AS BIGINT) AS n_purchase",
+          "CAST(CAST(n_click AS DECIMAL(38,0)) * 1000000" +
+            " div nullif(n_view, 0) AS BIGINT) AS click_ppm",
+          "CAST(CAST(n_purchase AS DECIMAL(38,0)) * 1000000" +
+            " div nullif(n_click, 0) AS BIGINT) AS purchase_ppm")
+        .orderBy($"segment")
+    }),
+
     "dq_wasserstein" -> ((s, dir) => {
       import s.implicits._
       // Binned W1 (earth-mover) distance between click and purchase
@@ -10626,6 +10721,39 @@ object SparkEntry {
         |SELECT o_orderpriority, sample_rank, o_orderkey
         |FROM r WHERE sample_rank <= 50
         |ORDER BY o_orderpriority, sample_rank""".stripMargin,
+
+    // HUGEINT-exact power sums, the same double trees token-for-token
+    "agg_skew_kurt" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS s1,
+        |    sum(CAST(x AS HUGEINT) * x) AS s2,
+        |    sum(CAST(x AS HUGEINT) * x * x) AS s3,
+        |    sum(CAST(x AS HUGEINT) * x * x * x) AS s4
+        |  FROM v GROUP BY 1 HAVING count(*) >= 2),
+        |b AS (SELECT event_type, n,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS q2,
+        |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS q3,
+        |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS q4
+        |  FROM a),
+        |c AS (SELECT event_type, n, mu,
+        |    q2 - mu * mu AS m2,
+        |    q3 - 3.0 * mu * q2 + 2.0 * mu * mu * mu AS m3,
+        |    q4 - 4.0 * mu * q3 + 6.0 * mu * mu * q2
+        |      - 3.0 * mu * mu * mu * mu AS m4
+        |  FROM b)
+        |SELECT event_type, n,
+        |  CAST(round(mu * 100) AS BIGINT) AS mean_centi,
+        |  CASE WHEN m2 <= 0.0 THEN NULL ELSE CAST(round(
+        |    m3 / (m2 * sqrt(m2)) * 1000000) AS BIGINT) END
+        |    AS skew_micros,
+        |  CASE WHEN m2 <= 0.0 THEN NULL ELSE CAST(round(
+        |    (m4 / (m2 * m2) - 3.0) * 1000000) AS BIGINT) END
+        |    AS kurtosis_micros
+        |FROM c ORDER BY event_type""".stripMargin,
 
     // quantile_disc == percentile_disc: rank-based, actual data values
     "agg_quantiles" ->
@@ -14783,6 +14911,29 @@ object SparkEntry {
         |    AS roll_med
         |FROM l ORDER BY event_type, hour""".stripMargin,
 
+    // exact frame sums, one mirrored mean/variance/z tree
+    "win_rolling_zscore" ->
+      """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |f AS (SELECT event_type, hour, x,
+        |    CAST(count(*) OVER w AS BIGINT) AS c,
+        |    CAST(sum(x) OVER w AS BIGINT) AS s,
+        |    CAST(sum(x * x) OVER w AS BIGINT) AS q
+        |  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+        |g AS (SELECT event_type, hour, x,
+        |    CAST(s AS DOUBLE) / CAST(c AS DOUBLE) AS m,
+        |    CAST(q AS DOUBLE) / CAST(c AS DOUBLE)
+        |      - (CAST(s AS DOUBLE) / CAST(c AS DOUBLE))
+        |      * (CAST(s AS DOUBLE) / CAST(c AS DOUBLE)) AS v
+        |  FROM f)
+        |SELECT event_type, hour, x,
+        |  CASE WHEN v <= 0.0 THEN NULL ELSE CAST(round(
+        |    (CAST(x AS DOUBLE) - m) / sqrt(v) * 1000000) AS BIGINT)
+        |    END AS z_micros
+        |FROM g ORDER BY event_type, hour""".stripMargin,
+
     // the rolling-median machinery twice: median interpolation, then
     // the same interpolation over the sorted absolute deviations
     "win_rolling_mad" ->
@@ -14812,6 +14963,41 @@ object SparkEntry {
         |      + CAST(dev[len(dev) // 2 + 1] AS DOUBLE)) / 2.0 END
         |    AS roll_mad
         |FROM d ORDER BY event_type, hour""".stripMargin,
+
+    // the min-chain per segment; counts exact, truncating ppm ratios
+    "evt_funnel_by_segment" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts >= s1.t_view
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t_click
+        |  GROUP BY e.user_id),
+        |j AS (SELECT s1.user_id % 2 AS segment,
+        |    s1.t_view, s2.t_click, s3.t_purchase
+        |  FROM s1 LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id)),
+        |a AS (SELECT segment,
+        |    CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_view,
+        |    CAST(sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_click,
+        |    CAST(sum(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_purchase
+        |  FROM j GROUP BY 1)
+        |SELECT CAST(segment AS BIGINT) AS segment, n_view, n_click,
+        |  n_purchase,
+        |  CAST((CAST(n_click AS HUGEINT) * 1000000)
+        |    // nullif(n_view, 0) AS BIGINT) AS click_ppm,
+        |  CAST((CAST(n_purchase AS HUGEINT) * 1000000)
+        |    // nullif(n_click, 0) AS BIGINT) AS purchase_ppm
+        |FROM a ORDER BY segment""".stripMargin,
 
     "evt_funnel" ->
       """WITH s1 AS (
