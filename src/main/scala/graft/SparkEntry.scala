@@ -131,7 +131,8 @@ object SparkEntry {
     "interval_gaps", "ts_ar_order", "graph_reciprocity",
     "agg_quantiles", "text_compression", "text_compression_gate",
     "graph_scc_dag_levels", "evt_incidents_replay", "evt_dau_wau_mau",
-    "agg_skew_kurt", "win_rolling_zscore", "evt_funnel_by_segment")
+    "agg_skew_kurt", "win_rolling_zscore", "evt_funnel_by_segment",
+    "ml_kmeans_assign")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -392,7 +393,8 @@ object SparkEntry {
     "sample_balanced", "sample_to_mix", "sample_neyman",
     "sample_temperature",
     "text_novelty", "ml_logreg",
-    "ml_logreg_multi", "ml_kmeans_step", "ml_kmeans", "ml_naive_bayes",
+    "ml_logreg_multi", "ml_kmeans_step", "ml_kmeans", "ml_kmeans_assign",
+    "ml_naive_bayes",
     "interval_coverage", "ts_strength", "agg_hhi",
     "feat_eb_shrinkage", "ab_tost", "ab_delta_method", "ab_levene",
     "ab_trend", "ab_cochran_q", "ab_srm_segments", "feat_kendall_w",
@@ -5693,6 +5695,50 @@ object SparkEntry {
         Tables.embeddings(s, dir), "vec_id", "embedding", numSeeds = 8)
     }),
 
+    "ml_kmeans_assign" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // TRAIN/APPLY for clustering — the contract a deployed model
+      // runs: fit the three Lloyd rounds on the 75% train slice
+      // (vec_id % 4 != 0), then assign the HOLDOUT quarter to the
+      // final integer centroid table by the same integer-dot cosine
+      // argmax. Everything downstream of the one quantization is
+      // exact, so the oracle unrolls the fit and replays the
+      // assignment bit for bit. SIDE-EFFECTING (the fit's rounds run
+      // eagerly).
+      val emb = Tables.embeddings(s, dir)
+      val cent = graft.llm.Similarity.kmeansRounds(
+        emb.filter(pmod($"vec_id", lit(4)) =!= 0), "vec_id",
+        "embedding", numSeeds = 8, rounds = 3)
+      val c = cent.groupBy($"seed_id")
+        .agg(transform(array_sort(collect_list(
+          struct($"dim", $"centroid_micros"))),
+          t => t("centroid_micros")).as("__c"))
+        .withColumn("__nc", aggregate($"__c", lit(0L),
+          (a, x) => a + x * x))
+      val qv = emb.filter(pmod($"vec_id", lit(4)) === 0)
+        .select($"vec_id", transform($"embedding", x =>
+          round(x.cast("double") * lit(1e6)).cast("long")).as("__q"))
+        .withColumn("__nq", aggregate($"__q", lit(0L),
+          (a, x) => a + x * x))
+        .filter($"__nq" > 0L)
+      val w = Window.partitionBy($"vec_id")
+        .orderBy($"__cm".desc, $"seed_id")
+      qv.crossJoin(broadcast(c))
+        .withColumn("__dot", aggregate(
+          zip_with($"__q", $"__c", (x, y) => x * y), lit(0L),
+          (a, t) => a + t))
+        .withColumn("__cm", round($"__dot".cast("double") /
+          (sqrt($"__nq".cast("double")) * sqrt($"__nc".cast("double")))
+          * 1e6).cast("long"))
+        .withColumn("__rn", row_number().over(w))
+        .filter($"__rn" === 1)
+        .select($"vec_id".cast("long").as("vec_id"),
+          $"seed_id".cast("long").as("seed_id"),
+          $"__cm".as("cos_micros"))
+        .orderBy($"vec_id")
+    }),
+
     "ml_kmeans" -> ((s, dir) => {
       // THREE full Lloyd rounds, hash-graded — the actual clustering
       // loop, not one step: vectors quantize once to micro
@@ -9309,7 +9355,40 @@ object SparkEntry {
     * the mirrored divide-and-round tree) followed by a `Σq // n`
     * centroid update — every intermediate CAST back to BIGINT so no
     * HUGEINT reaches the frame (the ts_holt_winters lesson). */
-  private lazy val mlKmeansOracleSql: String = {
+  private lazy val mlKmeansOracleSql: String =
+    mlKmeansOracle("", """SELECT sid AS seed_id,
+      |  CAST(dim - 1 AS BIGINT) AS dim,
+      |  n AS n_assigned, cd AS centroid_micros
+      |FROM u3 ORDER BY 1, 2""".stripMargin)
+
+  /** ml_kmeans_assign oracle: the SAME three generated rounds fitted
+    * on the TRAIN slice (vec_id % 4 <> 0), then the holdout quarter
+    * assigned to the final integer centroid table by the identical
+    * integer-dot cosine argmax — the train/apply contract. */
+  private lazy val mlKmeansAssignOracleSql: String =
+    mlKmeansOracle("AND id % 4 <> 0",
+      """ho AS (SELECT id, q, CAST(nq AS BIGINT) AS nq
+        |  FROM qn WHERE id % 4 = 0 AND nq > 0),
+        |pr AS (SELECT h.id, c.sid,
+        |    CAST(round(CAST(list_sum(list_transform(range(1, 65), i ->
+        |        h.q[CAST(i AS INT)] * c.c[CAST(i AS INT)])) AS DOUBLE)
+        |      / (sqrt(CAST(h.nq AS DOUBLE)) * sqrt(CAST(c.nc AS DOUBLE)))
+        |      * 1000000) AS BIGINT) AS cm
+        |  FROM ho h, c3 c),
+        |rk AS (SELECT id, sid, cm, row_number() OVER (
+        |    PARTITION BY id ORDER BY cm DESC, sid) AS rn FROM pr)
+        |SELECT id AS vec_id, sid AS seed_id, cm AS cos_micros
+        |FROM rk WHERE rn = 1 ORDER BY vec_id""".stripMargin)
+
+  /** Generator shared by ml_kmeans / ml_kmeans_assign: the quantized
+    * vectors, three unrolled Lloyd rounds over the (optionally
+    * filtered) base, then either a plain final SELECT or extra CTEs
+    * + SELECT spliced after round 3. */
+  private def mlKmeansOracle(basePredicate: String,
+      finalSql: String): String = {
+    val finalPart =
+      if (finalSql.startsWith("SELECT")) s"\n$finalSql"
+      else s",\n$finalSql"
     def round(r: Int): String =
       s"""a$r AS (SELECT b.id, c.sid,
          |    CAST(round(CAST(list_sum(list_transform(range(1, 65), i ->
@@ -9333,13 +9412,10 @@ object SparkEntry {
        |qn AS (SELECT id, q,
        |    list_sum(list_transform(q, x -> x * x)) AS nq FROM qv),
        |base AS (SELECT id, q, CAST(nq AS BIGINT) AS nq FROM qn
-       |  WHERE nq > 0),
+       |  WHERE nq > 0 $basePredicate),
        |c0 AS (SELECT id AS sid, q AS c, nq AS nc FROM base
        |  ORDER BY id LIMIT 8),
-       |${(1 to 3).map(round).mkString(",\n")}
-       |SELECT sid AS seed_id, CAST(dim - 1 AS BIGINT) AS dim,
-       |  n AS n_assigned, cd AS centroid_micros
-       |FROM u3 ORDER BY 1, 2""".stripMargin
+       |${(1 to 3).map(round).mkString(",\n")}""".stripMargin + finalPart
   }
 
   /** Shared WITH-body of the ts_pacf / ts_ar_order oracles: the
@@ -10333,6 +10409,10 @@ object SparkEntry {
     // three unrolled Lloyd rounds over micro-quantized vectors; see
     // mlKmeansOracleSql for the generation
     "ml_kmeans" -> mlKmeansOracleSql,
+
+    // the same generated fit on the train slice + the holdout
+    // assignment replayed by the identical argmax
+    "ml_kmeans_assign" -> mlKmeansAssignOracleSql,
 
     "ml_kmeans_step" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
