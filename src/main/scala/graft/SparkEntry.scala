@@ -132,7 +132,7 @@ object SparkEntry {
     "agg_quantiles", "text_compression", "text_compression_gate",
     "graph_scc_dag_levels", "evt_incidents_replay", "evt_dau_wau_mau",
     "agg_skew_kurt", "win_rolling_zscore", "evt_funnel_by_segment",
-    "ml_kmeans_assign")
+    "ml_kmeans_assign", "dq_completeness", "evt_hourly_profile")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -372,7 +372,8 @@ object SparkEntry {
     "feat_percentile_buckets", "feat_percentile_buckets_approx",
     "feat_percentile_buckets_window", "feat_target_encode",
     "feat_cdf_normalize", "pipeline_feature_matrix",
-    "dq_invalid_codes", "dq_expectations", "dq_profile", "dq_outliers",
+    "dq_invalid_codes", "dq_expectations", "dq_profile",
+    "dq_completeness", "dq_outliers",
     "dq_outliers_mad", "dq_psi", "dq_wasserstein", "dq_woe", "dq_benford",
     "feat_cuped", "feat_cuped_multi",
     "dq_winsorize", "dq_ks", "feat_auc", "feat_gains", "dq_chi2",
@@ -404,7 +405,8 @@ object SparkEntry {
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
     "str_funcs", "parse_money",
-    "evt_tumbling", "evt_sliding", "evt_sessionize", "evt_session_window",
+    "evt_tumbling", "evt_sliding", "evt_hourly_profile",
+    "evt_sessionize", "evt_session_window",
     "evt_stream_join", "evt_stream_join_outer", "evt_enrich_static",
     "evt_funnel", "evt_funnel_windowed", "evt_funnel_by_segment",
     "evt_set_completion",
@@ -7568,6 +7570,52 @@ object SparkEntry {
         .orderBy($"o_orderpriority")
     }),
 
+    "dq_completeness" -> ((s, dir) => {
+      import s.implicits._
+      // Per-column completeness census in long format — the
+      // column-grain companion to dq_profile's one-row header: NULL
+      // and blank-string counts plus null ppm for every orders
+      // column, from ONE scan (conditional sums, then a stack
+      // unpivot of the 9-column aggregate row).
+      val o = Tables.orders(s, dir)
+      val cols = o.schema.fieldNames.toSeq
+      val aggs = cols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n_$c"),
+          sum(when(col(c).cast("string") === "", 1L).otherwise(0L))
+            .as(s"__b_$c"))
+      }
+      val stackArgs = cols.map(c => s"'$c', __n_$c, __b_$c")
+        .mkString(", ")
+      o.agg(count(lit(1)).as("__t"), aggs: _*)
+        .selectExpr("__t",
+          s"stack(${cols.size}, $stackArgs)" +
+            " AS (column_name, n_null, n_blank)")
+        .selectExpr("column_name", "CAST(n_null AS BIGINT) AS n_null",
+          "CAST(n_blank AS BIGINT) AS n_blank",
+          "CAST(CAST(n_null AS DECIMAL(38,0)) * 1000000 div __t" +
+            " AS BIGINT) AS null_ppm")
+        .orderBy($"column_name")
+    }),
+
+    "evt_hourly_profile" -> ((s, dir) => {
+      import s.implicits._
+      // The seasonality heatmap table: volume by (day-of-week,
+      // hour-of-day) with each cell's share of the week in exact ppm
+      // — the profile every capacity plan and anomaly baseline reads
+      // before any model. One group hash-agg + a broadcast 1-row
+      // total. dayofweek is the Sunday=1 convention on both engines.
+      val e = Tables.events(s, dir)
+        .select(dayofweek($"ts").cast("long").as("dow"),
+          hour($"ts").cast("long").as("hod"))
+      val g = e.groupBy($"dow", $"hod").agg(count(lit(1)).as("n"))
+      val t = g.agg(sum($"n").as("__t"))
+      g.crossJoin(broadcast(t))
+        .select($"dow", $"hod", $"n".cast("bigint").as("n"),
+          expr("CAST(CAST(n AS DECIMAL(38,0)) * 1000000 div __t" +
+            " AS BIGINT)").as("share_ppm"))
+        .orderBy($"dow", $"hod")
+    }),
+
     "dq_sequence_gaps" -> ((s, dir) => {
       import s.implicits._
       // Sequence-integrity audit of the order-key space — the
@@ -12554,6 +12602,47 @@ object SparkEntry {
         |      * 2000000 * 1000000) AS BIGINT) AS w1_micros
         |  FROM s) z
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // conditional sums per column, unpivoted; blank test on the
+    // string rendering like the engine
+    "dq_completeness" ->
+      """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS t,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(sum(CASE WHEN CAST(o_orderkey AS VARCHAR) = '' THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  CAST(sum(CASE WHEN CAST(o_custkey AS VARCHAR) = '' THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+        |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |  CAST(sum(CASE WHEN CAST(o_orderstatus AS VARCHAR) = '' THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+        |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+        |  CAST(sum(CASE WHEN CAST(o_totalprice AS VARCHAR) = '' THEN 1 ELSE 0 END) AS BIGINT) AS b4,
+        |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n5,
+        |  CAST(sum(CASE WHEN CAST(o_orderdate AS VARCHAR) = '' THEN 1 ELSE 0 END) AS BIGINT) AS b5,
+        |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n6,
+        |  CAST(sum(CASE WHEN CAST(o_orderpriority AS VARCHAR) = '' THEN 1 ELSE 0 END) AS BIGINT) AS b6
+        |  FROM orders),
+        |u AS (
+        |  SELECT 'o_orderkey' AS column_name, n1 AS n_null, b1 AS n_blank, t FROM a
+        |  UNION ALL SELECT 'o_custkey', n2, b2, t FROM a
+        |  UNION ALL SELECT 'o_orderstatus', n3, b3, t FROM a
+        |  UNION ALL SELECT 'o_totalprice', n4, b4, t FROM a
+        |  UNION ALL SELECT 'o_orderdate', n5, b5, t FROM a
+        |  UNION ALL SELECT 'o_orderpriority', n6, b6, t FROM a)
+        |SELECT column_name, n_null, n_blank,
+        |  CAST((CAST(n_null AS HUGEINT) * 1000000) // t AS BIGINT)
+        |    AS null_ppm
+        |FROM u ORDER BY column_name""".stripMargin,
+
+    // DuckDB dayofweek is Sunday=0; +1 mirrors Spark's Sunday=1
+    "evt_hourly_profile" ->
+      """WITH e AS (SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+        |    CAST(hour(ts) AS BIGINT) AS hod FROM events),
+        |g AS (SELECT dow, hod, CAST(count(*) AS BIGINT) AS n FROM e
+        |  GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM g)
+        |SELECT dow, hod, n,
+        |  CAST((CAST(n AS HUGEINT) * 1000000) // t AS BIGINT)
+        |    AS share_ppm
+        |FROM g, t ORDER BY dow, hod""".stripMargin,
 
     // exact integer censuses over the id space; the lag pass runs on
     // the distinct-id table
