@@ -132,7 +132,8 @@ object SparkEntry {
     "agg_quantiles", "text_compression", "text_compression_gate",
     "graph_scc_dag_levels", "evt_incidents_replay", "evt_dau_wau_mau",
     "agg_skew_kurt", "win_rolling_zscore", "evt_funnel_by_segment",
-    "ml_kmeans_assign", "dq_completeness", "evt_hourly_profile")
+    "ml_kmeans_assign", "dq_completeness", "evt_hourly_profile",
+    "text_line_stats", "evt_weekend_lift")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -406,7 +407,7 @@ object SparkEntry {
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
     "str_funcs", "parse_money",
     "evt_tumbling", "evt_sliding", "evt_hourly_profile",
-    "evt_sessionize", "evt_session_window",
+    "evt_weekend_lift", "evt_sessionize", "evt_session_window",
     "evt_stream_join", "evt_stream_join_outer", "evt_enrich_static",
     "evt_funnel", "evt_funnel_windowed", "evt_funnel_by_segment",
     "evt_set_completion",
@@ -435,7 +436,7 @@ object SparkEntry {
     "text_unigram_nll", "text_normalize", "text_entropy", "text_keywords",
     "text_distinct_ngrams",
     "text_readability", "text_zipf", "text_vocab_stats",
-    "text_compression", "bpe_tokenize",
+    "text_compression", "text_line_stats", "bpe_tokenize",
     "unigram_tokenize", "dsir_select",
     "text_bm25", "text_bm25_indexed", "text_bm25_batch",
     "text_phrase_search",
@@ -1316,6 +1317,27 @@ object SparkEntry {
           q(0.75).cast("bigint").as("p75"),
           q(0.9).cast("bigint").as("p90"))
         .orderBy($"event_type")
+    }),
+
+    "text_line_stats" -> ((s, dir) => {
+      import s.implicits._
+      // Per-document LINE structure — the Gopher-family layout
+      // signal the token stats miss (code and tables are many short
+      // lines; prose is few long ones): line count, max line length,
+      // and exact mean line length in micros. The mean needs no
+      // per-line sum: sum(line lengths) = len(text) − (n_lines − 1)
+      // exactly, so the whole row is integer algebra plus one
+      // array-max.
+      Tables.documents(s, dir)
+        .selectExpr("doc_id",
+          "size(split(text, '\\n')) AS n_lines",
+          "length(text) AS len",
+          "CAST(array_max(transform(split(text, '\\n')," +
+            " x -> length(x))) AS BIGINT) AS max_line")
+        .selectExpr("doc_id", "CAST(n_lines AS BIGINT) AS n_lines",
+          "CAST(CAST((len - n_lines + 1) AS DECIMAL(38,0)) * 1000000" +
+            " div n_lines AS BIGINT) AS avg_line_micros", "max_line")
+        .orderBy($"doc_id")
     }),
 
     "text_compression" -> ((s, dir) => {
@@ -7597,6 +7619,31 @@ object SparkEntry {
         .orderBy($"column_name")
     }),
 
+    "evt_weekend_lift" -> ((s, dir) => {
+      import s.implicits._
+      // Weekend-vs-weekday volume lift per event type — the first
+      // seasonality question an analyst asks of any metric, as exact
+      // PER-DAY rates (weekend days and weekdays are 2:5, so raw
+      // counts mislead): lift_ppm = (weekend count x weekday days x
+      // 1e6) div (weekday count x weekend days), day counts from the
+      // data's own calendar.
+      val e = Tables.events(s, dir)
+        .select($"event_type", $"ts".cast("date").as("d"),
+          (dayofweek($"ts").isin(1, 7)).as("we"))
+      val days = e.select($"d", $"we").distinct()
+        .agg(sum(when($"we", 1L).otherwise(0L)).as("__wed"),
+          sum(when(!$"we", 1L).otherwise(0L)).as("__wdd"))
+      e.groupBy($"event_type")
+        .agg(sum(when($"we", 1L).otherwise(0L)).as("__wec"),
+          sum(when(!$"we", 1L).otherwise(0L)).as("__wdc"))
+        .crossJoin(broadcast(days))
+        .selectExpr("event_type", "CAST(__wec AS BIGINT) AS weekend_n",
+          "CAST(__wdc AS BIGINT) AS weekday_n",
+          "CAST(CAST(__wec AS DECIMAL(38,0)) * __wdd * 1000000" +
+            " div nullif(__wdc * __wed, 0) AS BIGINT) AS lift_ppm")
+        .orderBy($"event_type")
+    }),
+
     "evt_hourly_profile" -> ((s, dir) => {
       import s.implicits._
       // The seasonality heatmap table: volume by (day-of-week,
@@ -12631,6 +12678,39 @@ object SparkEntry {
         |  CAST((CAST(n_null AS HUGEINT) * 1000000) // t AS BIGINT)
         |    AS null_ppm
         |FROM u ORDER BY column_name""".stripMargin,
+
+    // exact per-day rate ratio; DuckDB dayofweek Sunday=0/Saturday=6
+    "evt_weekend_lift" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    dayofweek(ts) IN (0, 6) AS we FROM events),
+        |days AS (SELECT
+        |    CAST(sum(CASE WHEN we THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS wed,
+        |    CAST(sum(CASE WHEN NOT we THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS wdd
+        |  FROM (SELECT DISTINCT d, we FROM e) z),
+        |c AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN we THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS wec,
+        |    CAST(sum(CASE WHEN NOT we THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS wdc
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, wec AS weekend_n, wdc AS weekday_n,
+        |  CAST((CAST(wec AS HUGEINT) * wdd * 1000000)
+        |    // nullif(wdc * wed, 0) AS BIGINT) AS lift_ppm
+        |FROM c, days ORDER BY event_type""".stripMargin,
+
+    // one-scan integer line algebra; list_max mirrors array_max
+    "text_line_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+        |  CAST((CAST(length(text)
+        |      - len(string_split(text, chr(10))) + 1 AS HUGEINT)
+        |    * 1000000) // len(string_split(text, chr(10))) AS BIGINT)
+        |    AS avg_line_micros,
+        |  CAST(list_max(list_transform(string_split(text, chr(10)),
+        |    x -> length(x))) AS BIGINT) AS max_line
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // DuckDB dayofweek is Sunday=0; +1 mirrors Spark's Sunday=1
     "evt_hourly_profile" ->
