@@ -133,7 +133,8 @@ object SparkEntry {
     "graph_scc_dag_levels", "evt_incidents_replay", "evt_dau_wau_mau",
     "agg_skew_kurt", "win_rolling_zscore", "evt_funnel_by_segment",
     "ml_kmeans_assign", "dq_completeness", "evt_hourly_profile",
-    "text_line_stats", "evt_weekend_lift")
+    "text_line_stats", "evt_weekend_lift",
+    "ts_croston", "ts_ewm_volatility", "ml_knn_classify")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -396,7 +397,7 @@ object SparkEntry {
     "sample_temperature",
     "text_novelty", "ml_logreg",
     "ml_logreg_multi", "ml_kmeans_step", "ml_kmeans", "ml_kmeans_assign",
-    "ml_naive_bayes",
+    "ml_naive_bayes", "ml_knn_classify",
     "interval_coverage", "ts_strength", "agg_hhi",
     "feat_eb_shrinkage", "ab_tost", "ab_delta_method", "ab_levene",
     "ab_trend", "ab_cochran_q", "ab_srm_segments", "feat_kendall_w",
@@ -416,7 +417,8 @@ object SparkEntry {
     "ts_resample_ffill", "ts_interpolate", "ts_anomaly", "ts_seasonality",
     "ts_cusum", "ts_acf", "ts_ljung_box", "ts_dominant_period",
     "ts_ar_order", "ts_ar_forecast", "ts_holt",
-    "ts_holt_winters", "ts_changepoint", "ts_changepoints",
+    "ts_holt_winters", "ts_croston", "ts_ewm_volatility",
+    "ts_changepoint", "ts_changepoints",
     "ts_backtest", "ts_decompose", "ts_decompose_forecast",
     "ts_anomaly_robust", "ts_theilsen",
     "ts_mann_kendall", "surv_kaplan_meier", "surv_km_bands",
@@ -1445,6 +1447,42 @@ object SparkEntry {
         .agg((count(lit(1)) * 1000000L).as("x"))
       graft.operators.TimeSeries.holtForecast(hc, "event_type", "hour",
         "x", alphaPpm = 300000L, betaPpm = 100000L, horizon = 12)
+    }),
+
+    "ts_croston" -> ((s, dir) => {
+      import s.implicits._
+      // Croston forecast of INTERMITTENT demand per event type — the
+      // member the Holt family is wrong for (SES on a mostly-zero
+      // series collapses between demands): demand = hourly cents of
+      // the deterministic 1-in-13 value slice (cents % 13 == 0),
+      // mostly-zero by construction at every sf. Two SES states
+      // (sizes, intervals) in the proven truncating-long recurrence;
+      // the keyed recursive-CTE oracle replays every step.
+      val d = Tables.events(s, dir)
+        .select($"event_type",
+          expr("unix_timestamp(ts) div 3600").as("h"),
+          round($"value" * 100).cast("long").as("c"))
+        .filter(pmod($"c", lit(13)) === 0)
+        .groupBy($"event_type", $"h").agg(sum($"c").as("z"))
+      graft.operators.TimeSeries.croston(d, "event_type", "h", "z",
+        alphaPpm = 200000L)
+    }),
+
+    "ts_ewm_volatility" -> ((s, dir) => {
+      import s.implicits._
+      // EWMA volatility (RiskMetrics λ=0.94) of the hourly-volume
+      // first differences per event type — the VARIANCE twin of
+      // ts_holt's level forecast, emitted at EVERY hour (the "how
+      // noisy is this stream right now" monitor): v in exact micro
+      // units via one truncating long division per step, sigma one
+      // mirrored sqrt tree. The keyed recursive-CTE oracle replays
+      // all ~680 steps per key.
+      val hc = Tables.events(s, dir)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+        .agg(count(lit(1)).as("x"))
+        .select($"event_type", unix_timestamp($"hour").as("o"), $"x")
+      graft.operators.TimeSeries.ewmVolatility(hc, "event_type", "o",
+        "x", lambdaPpm = 940000L)
     }),
 
     "ts_holt_winters" -> ((s, dir) => {
@@ -5717,6 +5755,20 @@ object SparkEntry {
       // float k-means in graft.ml gates, this replays).
       graft.llm.Similarity.kmeansStep(
         Tables.embeddings(s, dir), "vec_id", "embedding", numSeeds = 8)
+    }),
+
+    "ml_knn_classify" -> ((s, dir) => {
+      import s.implicits._
+      // kNN majority-vote classifier, hash-graded: train on even
+      // vec_ids, classify odd, k=5 cosine neighbors, confusion
+      // matrix out — the zero-training-cost baseline every embedding
+      // space gets judged by, in the centroidAssign pico-dot
+      // discipline (deterministic neighbor and vote tie-breaks).
+      val e = Tables.embeddings(s, dir)
+      graft.llm.Similarity.knnClassify(
+        e.filter(pmod($"vec_id", lit(2)) === 0),
+        e.filter(pmod($"vec_id", lit(2)) =!= 0),
+        "vec_id", "embedding", "label", k = 5)
     }),
 
     "ml_kmeans_assign" -> ((s, dir) => {
@@ -10456,6 +10508,42 @@ object SparkEntry {
         |    AS mean_cos_micros
         |FROM a WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // the centroid_assign pico-dot discipline over probes x train,
+    // (cos desc, tid) neighbor rank, (votes desc, label) vote rank
+    "ml_knn_classify" ->
+      """WITH e AS (SELECT vec_id, embedding, label FROM embeddings
+        |  WHERE label IS NOT NULL),
+        |nrm AS (SELECT vec_id,
+        |    list_sum(list_transform(embedding, x ->
+        |      CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |        * 1000000000000) AS BIGINT))) AS np
+        |  FROM e),
+        |base AS (SELECT e.vec_id, e.embedding, e.label, nrm.np
+        |  FROM e JOIN nrm ON nrm.vec_id = e.vec_id WHERE nrm.np > 0),
+        |trn AS (SELECT vec_id AS tid, embedding AS tv,
+        |    CAST(label AS BIGINT) AS tl, np AS tnp
+        |  FROM base WHERE vec_id % 2 = 0),
+        |prb AS (SELECT vec_id AS pid, embedding AS pv,
+        |    CAST(label AS BIGINT) AS pl, np AS pnp
+        |  FROM base WHERE vec_id % 2 <> 0),
+        |pr AS (SELECT pid, pl, tid, tl,
+        |    CAST(round(CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(round(CAST(pv[CAST(i AS INT)] AS DOUBLE)
+        |        * CAST(tv[CAST(i AS INT)] AS DOUBLE)
+        |        * 1000000000000) AS BIGINT))) AS DOUBLE)
+        |      / (sqrt(CAST(pnp AS DOUBLE)) * sqrt(CAST(tnp AS DOUBLE)))
+        |      * 1000000) AS BIGINT) AS cm
+        |  FROM prb, trn),
+        |top AS (SELECT pid, pl, tl, row_number() OVER (
+        |    PARTITION BY pid ORDER BY cm DESC, tid) AS rn FROM pr),
+        |votes AS (SELECT pid, pl, tl, count(*) AS v FROM top
+        |  WHERE rn <= 5 GROUP BY 1, 2, 3),
+        |win AS (SELECT pid, pl, tl, row_number() OVER (
+        |    PARTITION BY pid ORDER BY v DESC, tl) AS rn FROM votes)
+        |SELECT pl AS true_label, tl AS pred_label,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM win WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // the log-posterior decomposition: sparse sum over trained
     // (token, class) pairs only (ln 1 = 0 for unseen), micro-nat
     // terms, total argmax tie-break
@@ -11100,6 +11188,67 @@ object SparkEntry {
         |  l AS level_micros, b AS trend_micros, step,
         |  CAST(l + step * b AS BIGINT) AS forecast_micros
         |FROM fin, hh ORDER BY event_type, step""".stripMargin,
+
+    // Croston: two scalar-BIGINT SES states (sizes, intervals) in the
+    // proven ts_holt keyed-recursion shape; the interval state seeds
+    // at the SECOND demand (the first interval is its first
+    // observation); sum(c) CAST back from HUGEINT before the
+    // recursion (the ts_holt_winters lesson)
+    "ts_croston" ->
+      """WITH RECURSIVE
+        |c AS (SELECT event_type AS k,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |d AS (SELECT k, h, CAST(sum(c) AS BIGINT) AS z FROM c
+        |  WHERE c % 13 = 0 GROUP BY 1, 2),
+        |s AS (SELECT k, row_number() OVER (PARTITION BY k ORDER BY h)
+        |    AS i, h, z FROM d WHERE z <> 0),
+        |r AS (
+        |  SELECT k, CAST(1 AS BIGINT) AS i, z * 1000000 AS zs,
+        |    CAST(0 AS BIGINT) AS qs, h AS po
+        |  FROM s WHERE i = 1
+        |  UNION ALL
+        |  SELECT s.k, s.i,
+        |    (200000 * (s.z * 1000000) + 800000 * r.zs) // 1000000,
+        |    CASE WHEN r.i = 1 THEN (s.h - r.po) * 1000000
+        |      ELSE (200000 * ((s.h - r.po) * 1000000) + 800000 * r.qs)
+        |        // 1000000 END,
+        |    s.h
+        |  FROM r JOIN s ON s.k = r.k AND s.i = r.i + 1),
+        |m AS (SELECT k, max(i) AS n FROM r GROUP BY 1
+        |  HAVING max(i) >= 2),
+        |f AS (SELECT r.k, m.n, r.zs, r.qs FROM r
+        |  JOIN m ON r.k = m.k AND r.i = m.n)
+        |SELECT k AS event_type, CAST(n AS BIGINT) AS n_demands,
+        |  zs AS size_micros, qs AS interval_micros,
+        |  CAST((zs * 1000000) // qs AS BIGINT) AS croston_micros,
+        |  CAST(((zs * 1000000) // qs) * 900000 // 1000000 AS BIGINT)
+        |    AS sba_micros
+        |FROM f ORDER BY event_type""".stripMargin,
+
+    // RiskMetrics EWMA variance: one scalar-BIGINT state in the keyed
+    // recursion, every row emitted; sigma is the one mirrored sqrt
+    "ts_ewm_volatility" ->
+      """WITH RECURSIVE
+        |c AS (SELECT event_type AS k, date_trunc('hour', ts) AS hour,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT k, row_number() OVER (PARTITION BY k ORDER BY hour)
+        |    AS i, CAST(floor(epoch(hour)) AS BIGINT) AS o, x FROM c),
+        |r AS (
+        |  SELECT k, CAST(1 AS BIGINT) AS i, o, x,
+        |    CAST(0 AS BIGINT) AS ret, CAST(0 AS BIGINT) AS v
+        |  FROM s WHERE i = 1
+        |  UNION ALL
+        |  SELECT s.k, s.i, s.o, s.x, s.x - r.x,
+        |    (940000 * r.v + 60000 * ((s.x - r.x) * (s.x - r.x)
+        |      * 1000000)) // 1000000
+        |  FROM r JOIN s ON s.k = r.k AND s.i = r.i + 1)
+        |SELECT k AS event_type, o, x, ret, v AS var_micros,
+        |  CAST(round(sqrt(CAST(v AS DOUBLE) / 1000000.0) * 1000000)
+        |    AS BIGINT) AS sigma_micros
+        |FROM r ORDER BY event_type, o""".stripMargin,
 
     // the Holt recurrence plus 24 SCALAR seasonal slot columns in the
     // same recursion shape — generated (see holtWintersOracleSql for

@@ -1066,4 +1066,71 @@ object Similarity {
         col("__cd").as("centroid_micros"))
       .orderBy(col("seed_id"), col("dim"))
   }
+
+  /** k-nearest-neighbor CLASSIFIER over an embedding column — the
+    * supervised member of the similarity family ([[centroidAssign]]
+    * clusters, this predicts): each probe vector takes the majority
+    * label of its k nearest TRAIN vectors by cosine, the standard
+    * zero-training-cost baseline every embedding space gets judged
+    * by ("do my neighbors share my label?"). Returns the confusion
+    * matrix (true_label, pred_label, n) — the per-class readout that
+    * says WHICH classes bleed into which.
+    *
+    * Exactness: the [[centroidAssign]] discipline end to end —
+    * pico-quantized order-free integer dot products, ONE mirrored
+    * IEEE cosine division per (probe, train) pair, micro-quantized;
+    * neighbor rank ties break (cos desc, train id asc) and vote ties
+    * (votes desc, label asc), so a second engine lands on the same
+    * matrix bit for bit. Zero-norm vectors are excluded on both
+    * sides (no direction exists); NULL labels are excluded loudly by
+    * filter (a labeled classifier cannot vote with an unlabeled
+    * neighbor).
+    *
+    * Scale: this is the EXACT baseline — probes × train fixed-width
+    * comparison rows (never train × train); for corpus-scale probe
+    * sets substitute the IVF probe ([[topkIvf]]) for the cross join
+    * and keep the vote/confusion tail unchanged. The vote is one
+    * (probe, label)-keyed hash-agg plus two probe-keyed windows. */
+  def knnClassify(train: DataFrame, probe: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int = 5): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000] (got $k)")
+    val picoDot = (a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) =>
+          round(x.cast("double") * y.cast("double") * lit(1e12))
+            .cast("long")),
+        lit(0L), (acc, t) => acc + t)
+    def prep(df: DataFrame) = df
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"),
+        col(labelCol).cast("long").as("__l"))
+      .filter(col("__id").isNotNull && col("__v").isNotNull &&
+        col("__l").isNotNull)
+      .withColumn("__np", picoDot(col("__v"), col("__v")))
+      .filter(col("__np") > 0L)
+    val tr = prep(train).select(col("__id").as("__tid"),
+      col("__v").as("__tv"), col("__l").as("__tl"),
+      col("__np").as("__tnp"))
+    val pb = prep(probe).select(col("__id").as("__pid"),
+      col("__v").as("__pv"), col("__l").as("__pl"),
+      col("__np").as("__pnp"))
+    val wRank = Window.partitionBy(col("__pid"))
+      .orderBy(col("__cm").desc, col("__tid"))
+    val wVote = Window.partitionBy(col("__pid"))
+      .orderBy(col("__votes").desc, col("__tl"))
+    pb.crossJoin(tr) // probes x train fixed-width rows — the exact baseline
+      .withColumn("__cm",
+        round(picoDot(col("__pv"), col("__tv")).cast("double") /
+          (sqrt(col("__pnp").cast("double")) *
+            sqrt(col("__tnp").cast("double"))) * 1e6).cast("long"))
+      .withColumn("__rn", row_number().over(wRank))
+      .filter(col("__rn") <= k)
+      .groupBy(col("__pid"), col("__pl"), col("__tl"))
+      .agg(count(lit(1)).as("__votes"))
+      .withColumn("__wr", row_number().over(wVote))
+      .filter(col("__wr") === 1)
+      .groupBy(col("__pl").as("true_label"),
+        col("__tl").as("pred_label"))
+      .agg(count(lit(1)).cast("bigint").as("n"))
+      .orderBy(col("true_label"), col("pred_label"))
+  }
 }

@@ -1152,4 +1152,162 @@ object TimeSeries {
             sqrt(den) * 1e6).cast("long"))
           .otherwise(lit(null).cast("long")).as("tau_b_micros")): _*)
   }
+
+  /** Croston's method for INTERMITTENT demand — the forecaster the
+    * Holt family is wrong for (reference scope: the same per-period
+    * volume forecasting README.md's aggregation queries feed, but for
+    * series that are MOSTLY ZERO — spare parts, rare SKUs, long-tail
+    * document sources): SES over a zero-heavy series collapses toward
+    * zero between demands and spikes after each one; Croston smooths
+    * the nonzero demand SIZES and the INTER-DEMAND INTERVALS as two
+    * separate SES states and forecasts their ratio, plus the
+    * Syntetos-Boylan (SBA) bias correction `·(1 − α/2)`.
+    *
+    * Exactness: both states are the [[holtForecast]] truncating-long
+    * recurrence (`(α·new·10⁶ + (10⁶−α)·state) / 10⁶` in micro units,
+    * Java `/` == DuckDB `//` on the non-negative inputs enforced
+    * here), the size state seeded at the first demand, the interval
+    * state seeded at the SECOND (the first interval is the first
+    * observation of an interval — before it the state does not
+    * exist); the rate and SBA are truncating divisions of exact
+    * longs — a keyed recursive-CTE oracle with scalar BIGINT state
+    * (the proven ts_holt shape) replays every step bit for bit. Keys
+    * with fewer than 2 demand points emit nothing (no interval was
+    * ever observed — a forecast would be an invention). Negative
+    * demand sizes refuse loudly (intermittent DEMAND is a count or a
+    * quantity; a negative row means the caller fed returns or
+    * deltas, which Croston does not model).
+    *
+    * Returns one row per key: (key, n_demands, size_micros,
+    * interval_micros, croston_micros — forecast demand per period,
+    * sba_micros). Scale: one key shuffle, one per-group ordered fold
+    * over DEMAND POINTS only (the zeros never shuffle — for a
+    * 99%-zero series the fold reads 1% of the rows); output is
+    * key-scale. */
+  def croston(df: DataFrame, keyCol: String, orderCol: String,
+      demandCol: String, alphaPpm: Long = 200000L): DataFrame = {
+    require(alphaPpm >= 0 && alphaPpm <= 1000000L,
+      s"alphaPpm must be in [0, 1000000] (got $alphaPpm)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("k"),
+        col(orderCol).cast("long").as("o"),
+        col(demandCol).cast("long").as("z"))
+      .filter(col("o").isNotNull && col("z").isNotNull && col("z") =!= 0L)
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val pts = it.toSeq.sortBy(r => (r._2, r._3))
+        pts.find(_._3 < 0L).foreach { bad =>
+          throw new IllegalArgumentException(
+            s"croston: negative demand ${bad._3} at order ${bad._2} " +
+              s"(key $k) — demand sizes must be non-negative")
+        }
+        // z·10⁶ (and the final rate numerator zState·10⁶) must stay a
+        // long: 9·10⁶ bounds both at < 10¹⁹ for every α — refuse loudly
+        pts.find(_._3 > 9000000L).foreach { bad =>
+          throw new IllegalArgumentException(
+            s"croston: demand ${bad._3} at order ${bad._2} (key $k) " +
+              "exceeds the overflow-safe bound 9000000 — quantize coarser")
+        }
+        if (pts.size < 2) Iterator.empty
+        else {
+          var zState = pts.head._3 * 1000000L
+          var qState = 0L
+          var prevO = pts.head._2
+          var i = 1
+          while (i < pts.size) {
+            val (_, o, z) = pts(i)
+            val q = o - prevO
+            // q = 0 means two demands at one order value (malformed
+            // input — the period axis must be strictly increasing);
+            // q > 9·10⁶ would overflow α·q·10⁶ for α → 10⁶
+            if (q < 1L || q > 9000000L)
+              throw new IllegalArgumentException(
+                s"croston: inter-demand interval $q at order $o " +
+                  s"(key $k) outside [1, 9000000] — orders must be " +
+                  "strictly increasing integers at a sane period scale")
+            qState =
+              if (i == 1) q * 1000000L
+              else (alphaPpm * (q * 1000000L) +
+                (1000000L - alphaPpm) * qState) / 1000000L
+            zState = (alphaPpm * (z * 1000000L) +
+              (1000000L - alphaPpm) * zState) / 1000000L
+            prevO = o
+            i += 1
+          }
+          val rate = zState * 1000000L / qState
+          val sba = rate * (1000000L - alphaPpm / 2L) / 1000000L
+          Iterator.single((k, pts.size.toLong, zState, qState, rate, sba))
+        }
+      }
+      .toDF(keyCol, "n_demands", "size_micros", "interval_micros",
+        "croston_micros", "sba_micros")
+      .orderBy(col(keyCol))
+  }
+
+  /** EWMA volatility (the RiskMetrics recurrence) of a keyed series —
+    * the VARIANCE twin of the Holt/EWMA level forecasters already
+    * here: `v_t = λ·v_{t−1} + (1−λ)·r_t²` over the first differences
+    * `r_t = x_t − x_{t−1}`, the estimator monitoring dashboards use
+    * for "how noisy is this stream RIGHT NOW" (a rolling stddev
+    * forgets abruptly at the window edge; EWMA decays smoothly and
+    * carries no window buffer).
+    *
+    * Exactness: v is held in micro units and the recurrence is one
+    * truncating long division per step
+    * (`(λ·v + (10⁶−λ)·r²·10⁶) / 10⁶` — every operand an exact long,
+    * Java `/` == DuckDB `//` on the non-negative v), so a keyed
+    * recursive-CTE oracle with scalar BIGINT state replays every
+    * row; sigma is ONE mirrored IEEE tree `round(√(v/10⁶)·10⁶)` from
+    * the exact integer v. The first row of each key carries r = 0,
+    * v = 0 by the seed convention. Overflow: v is a (truncated)
+    * convex combination of past `r²·10⁶` terms, so the recurrence
+    * numerator is bounded by `10⁶·max(r)²·10⁶` — |r| ≤ 3000 keeps it
+    * under Long.MaxValue for EVERY λ; the fold refuses loudly above
+    * that rather than wrap (at that magnitude the caller should
+    * quantize the series coarser, not lose bits silently).
+    *
+    * Returns every observation: (key, o, x, ret, var_micros,
+    * sigma_micros). Scale: one key shuffle + one per-group ordered
+    * fold (the EWMA posture); output is row-scale fixed-width. */
+  def ewmVolatility(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String, lambdaPpm: Long = 940000L): DataFrame = {
+    require(lambdaPpm >= 0 && lambdaPpm <= 1000000L,
+      s"lambdaPpm must be in [0, 1000000] (got $lambdaPpm)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("k"),
+        col(orderCol).cast("long").as("o"),
+        col(valueCol).cast("long").as("x"))
+      .filter(col("o").isNotNull && col("x").isNotNull)
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val xs = it.toSeq.sortBy(r => (r._2, r._3))
+        if (xs.isEmpty) Iterator.empty
+        else {
+          var v = 0L
+          var prev = xs.head._3
+          var first = true
+          xs.iterator.map { case (_, o, x) =>
+            val r = if (first) 0L else x - prev
+            if (math.abs(r) > 3000L)
+              throw new IllegalArgumentException(
+                s"ewmVolatility: |delta| ${math.abs(r)} at order $o " +
+                  s"(key $k) exceeds the overflow-safe bound 3000 — " +
+                  "quantize the series coarser")
+            if (!first)
+              v = (lambdaPpm * v +
+                (1000000L - lambdaPpm) * (r * r * 1000000L)) / 1000000L
+            first = false
+            prev = x
+            val sigma = math.round(math.sqrt(v.toDouble / 1e6) * 1e6)
+            (k, o, x, r, v, sigma)
+          }
+        }
+      }
+      .toDF(keyCol, "o", "x", "ret", "var_micros", "sigma_micros")
+      .orderBy(col(keyCol), col("o"))
+  }
 }

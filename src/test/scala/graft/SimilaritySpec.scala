@@ -420,4 +420,43 @@ class SimilaritySpec extends SparkSpec {
     assert(js(1) >= js(0) - 1e-4 && js(2) >= js(1) - 1e-4,
       s"objective not monotone: $js")
   }
+
+  test("knnClassify: majority vote, vote tie-break label asc, zero-norm excluded, guard") {
+    // train: two axis pairs, labels 1 and 2
+    val train = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 1),
+      (2L, Array(0.9f, 0.1f, 0f, 0f), 1),
+      (4L, Array(0f, 1f, 0f, 0f), 2),
+      (6L, Array(0f, 0.9f, 0.1f, 0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val probe = Seq(
+      (1L, Array(1f, 0.05f, 0f, 0f), 1),  // x-ish: votes {1:2, 2:1}
+      (3L, Array(0.05f, 1f, 0f, 0f), 2),  // y-ish: votes {2:2, 1:1}
+      (9L, Array(0f, 0f, 0f, 0f), 1))     // zero-norm: excluded
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassify(train, probe, "vec_id",
+        "embedding", "label", k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 1L, 1L), (2L, 2L, 1L)))
+    // vote tie at k=2 with one train vector per label: the winner is
+    // the SMALLER label (votes desc, label asc)
+    val t2 = Seq((0L, Array(1f, 0f, 0f, 0f), 7),
+      (4L, Array(0f, 1f, 0f, 0f), 3)).toDF("vec_id", "embedding", "label")
+    val p2 = Seq((1L, Array(1f, 1f, 0f, 0f), 7))
+      .toDF("vec_id", "embedding", "label")
+    val tie = Similarity.knnClassify(t2, p2, "vec_id", "embedding",
+        "label", k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tie.toSeq == Seq((7L, 3L, 1L)))
+    // determinism: a second run reproduces identical rows
+    val again = Similarity.knnClassify(train, probe, "vec_id",
+        "embedding", "label", k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == got.toSeq)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnClassify(train, probe, "vec_id", "embedding",
+        "label", k = 0)
+    }
+    assert(e.getMessage.contains("k must be"))
+  }
 }

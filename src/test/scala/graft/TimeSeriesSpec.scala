@@ -494,4 +494,61 @@ class TimeSeriesSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("lbLags"))
   }
+
+  test("croston: hand-folded size/interval states, SBA truncation, guards") {
+    // key a: demands z=10@o=1, z=20@o=3, z=40@o=4 at alpha=0.5
+    //   seed: zs=10e6; i=2: q=2 -> qs=2e6, zs=(.5*20e6+.5*10e6)=15e6
+    //   i=3: q=1 -> qs=(.5*1e6+.5*2e6)=1.5e6, zs=(.5*40e6+.5*15e6)=27.5e6
+    //   rate = 27.5e12 // 1.5e6 = 18333333 (trunc)
+    //   sba  = 18333333 * 750000 // 1e6 = 13749999 (trunc .75)
+    // key b: one demand -> emits nothing; zero demand rows ignored
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 0L), ("a", 3L, 20L),
+      ("a", 4L, 40L), ("b", 9L, 5L)).toDF("k", "o", "z")
+    val got = TimeSeries.croston(df, "k", "o", "z", alphaPpm = 500000L)
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getString(0) == "a" && r.getLong(1) == 3L)
+    assert(r.getLong(2) == 27500000L && r.getLong(3) == 1500000L)
+    assert(r.getLong(4) == 18333333L && r.getLong(5) == 13749999L)
+    // guards: negative demand; duplicate order (q = 0); oversize z
+    val neg = Seq(("a", 1L, 5L), ("a", 2L, -3L)).toDF("k", "o", "z")
+    val e1 = intercept[org.apache.spark.SparkException] {
+      TimeSeries.croston(neg, "k", "o", "z").collect()
+    }
+    assert(e1.getMessage.contains("non-negative"))
+    val dup = Seq(("a", 1L, 5L), ("a", 1L, 7L)).toDF("k", "o", "z")
+    val e2 = intercept[org.apache.spark.SparkException] {
+      TimeSeries.croston(dup, "k", "o", "z").collect()
+    }
+    assert(e2.getMessage.contains("strictly increasing"))
+    val big = Seq(("a", 1L, 5L), ("a", 2L, 10000000L)).toDF("k", "o", "z")
+    val e3 = intercept[org.apache.spark.SparkException] {
+      TimeSeries.croston(big, "k", "o", "z").collect()
+    }
+    assert(e3.getMessage.contains("overflow-safe"))
+  }
+
+  test("ewmVolatility: hand-folded variance at lambda=0.5, seed row, guard") {
+    // x = 10, 13, 7: ret 0/3/-6; v = 0, 4.5e6, 20.25e6 micro;
+    // sigma = 0, round(sqrt(4.5)*1e6)=2121320, sqrt(20.25)=4.5 exact
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 13L), ("a", 3L, 7L),
+      ("b", 1L, 99L)).toDF("k", "o", "x")
+    val got = TimeSeries.ewmVolatility(df, "k", "o", "x",
+        lambdaPpm = 500000L)
+      .orderBy($"k", $"o").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      ("a", 1L, 10L, 0L, 0L, 0L),
+      ("a", 2L, 13L, 3L, 4500000L, 2121320L),
+      ("a", 3L, 7L, -6L, 20250000L, 4500000L),
+      ("b", 1L, 99L, 0L, 0L, 0L))) // single-row key: seed only
+    // overflow guard: |delta| beyond 3000 refuses loudly
+    val wild = Seq(("a", 1L, 0L), ("a", 2L, 5000L)).toDF("k", "o", "x")
+    val e = intercept[org.apache.spark.SparkException] {
+      TimeSeries.ewmVolatility(wild, "k", "o", "x").collect()
+    }
+    assert(e.getMessage.contains("overflow-safe"))
+  }
 }
