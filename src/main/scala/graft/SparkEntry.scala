@@ -134,7 +134,8 @@ object SparkEntry {
     "agg_skew_kurt", "win_rolling_zscore", "evt_funnel_by_segment",
     "ml_kmeans_assign", "dq_completeness", "evt_hourly_profile",
     "text_line_stats", "evt_weekend_lift",
-    "ts_croston", "ts_ewm_volatility", "ml_knn_classify")
+    "ts_croston", "ts_ewm_volatility", "ml_knn_classify",
+    "ml_decision_stump", "win_rolling_corr")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -364,7 +365,7 @@ object SparkEntry {
     "interval_overlap_campaigns", "geo_radius_join",
     "win_topk_parts", "win_running_total", "win_lag_delta", "win_rank_family",
     "win_rolling_range", "win_rolling_median", "win_rolling_mad",
-    "win_rolling_zscore", "win_mom_change",
+    "win_rolling_zscore", "win_rolling_corr", "win_mom_change",
     "set_union", "set_intersect", "set_except",
     "merge_upsert", "merge_scd2", "merge_diff", "merge_survivorship",
     "fuzzy_join_names", "fuzzy_rank_names", "link_fs_scores",
@@ -397,7 +398,7 @@ object SparkEntry {
     "sample_temperature",
     "text_novelty", "ml_logreg",
     "ml_logreg_multi", "ml_kmeans_step", "ml_kmeans", "ml_kmeans_assign",
-    "ml_naive_bayes", "ml_knn_classify",
+    "ml_naive_bayes", "ml_knn_classify", "ml_decision_stump",
     "interval_coverage", "ts_strength", "agg_hhi",
     "feat_eb_shrinkage", "ab_tost", "ab_delta_method", "ab_levene",
     "ab_trend", "ab_cochran_q", "ab_srm_segments", "feat_kendall_w",
@@ -4154,6 +4155,44 @@ object SparkEntry {
         .orderBy($"event_type", $"hour")
     }),
 
+    "win_rolling_corr" -> ((s, dir) => {
+      import s.implicits._
+      // 24-hour rolling Pearson correlation between hourly click and
+      // purchase volume — the CO-MOVEMENT monitor next to the rolling
+      // z/median/MAD singles ("did these two streams decouple this
+      // window?" is how funnels break silently): the two series align
+      // on a full-outer hour join (a missing hour on one side is a
+      // true 0), every moment an exact integer frame sum, the
+      // correlation ONE mirrored tree; degenerate frames (either
+      // series constant) report NULL, not a division error.
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      def hourly(t: String, as: String) = ev
+        .filter($"event_type" === t)
+        .groupBy(date_trunc("hour", $"ts").as("hour"))
+        .agg(count(lit(1)).as(as))
+      val j = hourly("click", "x")
+        .join(hourly("purchase", "y"), Seq("hour"), "full_outer")
+        .select($"hour", coalesce($"x", lit(0L)).as("x"),
+          coalesce($"y", lit(0L)).as("y"))
+      val w = Window.orderBy($"hour").rowsBetween(-23, Window.currentRow)
+      j.withColumn("__c", count(lit(1)).over(w))
+        .withColumn("__sx", sum($"x").over(w))
+        .withColumn("__sy", sum($"y").over(w))
+        .withColumn("__sxx", sum($"x" * $"x").over(w))
+        .withColumn("__syy", sum($"y" * $"y").over(w))
+        .withColumn("__sxy", sum($"x" * $"y").over(w))
+        .selectExpr("hour", "x", "y", "CAST(__c AS BIGINT) AS n_frame",
+          "CAST(__c * __sxy - __sx * __sy AS DOUBLE) AS num",
+          "CAST(__c * __sxx - __sx * __sx AS DOUBLE) AS vx",
+          "CAST(__c * __syy - __sy * __sy AS DOUBLE) AS vy")
+        .selectExpr("hour", "x", "y", "n_frame",
+          "CASE WHEN vx <= 0.0 OR vy <= 0.0 THEN NULL ELSE " +
+            "CAST(round(num / (sqrt(vx) * sqrt(vy)) * 1000000)" +
+            " AS BIGINT) END AS corr_micros")
+        .orderBy($"hour")
+    }),
+
     "interval_gaps" -> ((s, dir) => {
       import s.implicits._
       // The COMPLEMENT of interval_coverage: the uncovered gaps
@@ -5769,6 +5808,20 @@ object SparkEntry {
         e.filter(pmod($"vec_id", lit(2)) === 0),
         e.filter(pmod($"vec_id", lit(2)) =!= 0),
         "vec_id", "embedding", "label", k = 5)
+    }),
+
+    "ml_decision_stump" -> ((s, dir) => {
+      import s.implicits._
+      // Best single Gini split of value cents against "is this a
+      // purchase" — the base learner any boosting/forest loop starts
+      // from, hash-graded: the candidate scan is one distinct-value
+      // census + one cumulative window (value-scale, never
+      // row-scale), impurities DECIMAL-exact with the stated
+      // two-level truncation, argmin tie-break (gini, threshold).
+      graft.operators.Features.decisionStump(
+        Tables.events(s, dir),
+        round($"value" * 100).cast("long"),
+        $"event_type" === "purchase")
     }),
 
     "ml_kmeans_assign" -> ((s, dir) => {
@@ -10543,6 +10596,45 @@ object SparkEntry {
         |SELECT pl AS true_label, tl AS pred_label,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM win WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // distinct-value census + cumulative split scan; HUGEINT-exact
+    // impurities with the stated two-level truncation, (gini,
+    // threshold) argmin — mirrors Features.decisionStump
+    "ml_decision_stump" ->
+      """WITH r AS (SELECT CAST(round(value * 100) AS BIGINT) AS f,
+        |    (event_type = 'purchase') AS y
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |v AS (SELECT f,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM r GROUP BY 1),
+        |t AS (SELECT CAST(sum(p) AS BIGINT) AS tp,
+        |    CAST(sum(c) AS BIGINT) AS tn, max(f) AS fmax FROM v),
+        |cum AS (SELECT f,
+        |    CAST(sum(p) OVER (ORDER BY f ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS pl,
+        |    CAST(sum(c) OVER (ORDER BY f ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS nl
+        |  FROM v),
+        |cand AS (SELECT f, pl, nl, nl - pl AS ql, tp - pl AS pr,
+        |    tn - nl AS nr, (tn - nl) - (tp - pl) AS qr, tp, tn
+        |  FROM cum, t WHERE f < fmax),
+        |g AS (SELECT f, pl, nl, pr, nr,
+        |    (((CAST(nl AS HUGEINT) * nl - CAST(pl AS HUGEINT) * pl
+        |        - CAST(ql AS HUGEINT) * ql) * 1000000 // nl)
+        |     + ((CAST(nr AS HUGEINT) * nr - CAST(pr AS HUGEINT) * pr
+        |        - CAST(qr AS HUGEINT) * qr) * 1000000 // nr)) // tn
+        |      AS gi,
+        |    ((CAST(tn AS HUGEINT) * tn - CAST(tp AS HUGEINT) * tp
+        |        - CAST(tn - tp AS HUGEINT) * (tn - tp)) * 1000000)
+        |      // (CAST(tn AS HUGEINT) * tn) AS gp
+        |  FROM cand),
+        |b AS (SELECT *, row_number() OVER (ORDER BY gi, f) AS rn FROM g)
+        |SELECT f AS threshold, nl AS n_left, nr AS n_right,
+        |  pl AS pos_left, pr AS pos_right,
+        |  CAST(gi AS BIGINT) AS gini_ppm,
+        |  CAST(gp AS BIGINT) AS parent_gini_ppm
+        |FROM b WHERE rn = 1""".stripMargin,
 
     // the log-posterior decomposition: sparse sum over trained
     // (token, class) pairs only (ln 1 = 0 for unseen), micro-nat
@@ -15331,6 +15423,38 @@ object SparkEntry {
         |    (CAST(x AS DOUBLE) - m) / sqrt(v) * 1000000) AS BIGINT)
         |    END AS z_micros
         |FROM g ORDER BY event_type, hour""".stripMargin,
+
+    // two hourly series aligned on a full-outer hour join (missing
+    // hour = true 0), exact integer frame moments, ONE mirrored tree
+    "win_rolling_corr" ->
+      """WITH cl AS (SELECT date_trunc('hour', ts) AS hour,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |pu AS (SELECT date_trunc('hour', ts) AS hour,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |j AS (SELECT coalesce(cl.hour, pu.hour) AS hour,
+        |    coalesce(x, 0) AS x, coalesce(y, 0) AS y
+        |  FROM cl FULL OUTER JOIN pu ON cl.hour = pu.hour),
+        |f AS (SELECT hour, x, y,
+        |    CAST(count(*) OVER w AS BIGINT) AS c,
+        |    CAST(sum(x) OVER w AS BIGINT) AS sx,
+        |    CAST(sum(y) OVER w AS BIGINT) AS sy,
+        |    CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) OVER w AS BIGINT) AS syy,
+        |    CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+        |  FROM j WINDOW w AS (ORDER BY hour ROWS BETWEEN 23 PRECEDING
+        |    AND CURRENT ROW)),
+        |g AS (SELECT hour, x, y, c AS n_frame,
+        |    CAST(c * sxy - sx * sy AS DOUBLE) AS num,
+        |    CAST(c * sxx - sx * sx AS DOUBLE) AS vx,
+        |    CAST(c * syy - sy * sy AS DOUBLE) AS vy
+        |  FROM f)
+        |SELECT hour, x, y, n_frame,
+        |  CASE WHEN vx <= 0.0 OR vy <= 0.0 THEN NULL ELSE
+        |    CAST(round(num / (sqrt(vx) * sqrt(vy)) * 1000000)
+        |    AS BIGINT) END AS corr_micros
+        |FROM g ORDER BY hour""".stripMargin,
 
     // the rolling-median machinery twice: median interpolation, then
     // the same interpolation over the sorted absolute deviations

@@ -1688,4 +1688,83 @@ object Features {
         col("p_micros"), col("rank"), col("rejected"))
       .orderBy(col("rank"))
   }
+
+  /** Decision STUMP — the best single binary split `feature ≤ t` by
+    * weighted Gini impurity: the supervised atom the feature family
+    * stops short of (target_encode and woe SCORE a feature; this
+    * turns one into a deployable rule and the measured impurity says
+    * whether it was worth it — and it is the base learner any
+    * boosting/forest loop starts from). Returns ONE row: the chosen
+    * threshold, the split's class counts, the split's weighted Gini
+    * and the parent Gini (both ppm — gain = parent − split).
+    *
+    * Exactness: candidate thresholds are the DISTINCT feature values
+    * except the maximum (x ≤ max keeps the right side empty — not a
+    * split); per candidate the weighted impurity
+    * `[(nL²−pL²−qL²)·10⁶/nL + (nR²−pR²−qR²)·10⁶/nR] / n` is two
+    * DECIMAL-exact truncating divisions summed then one more (every
+    * operand an exact integer — the two-level truncation is stated
+    * convention, mirrored token-for-token in the oracle); the argmin
+    * tie-breaks (gini asc, threshold asc), so a second engine lands
+    * on the same rule bit for bit. NULL features or labels are
+    * excluded (no vote). A constant feature emits NOTHING (there is
+    * no split) rather than a fake rule.
+    *
+    * Scale: one feature-keyed hash-agg to the distinct-value table,
+    * one ordered cumulative window + one argmin over it (value-scale,
+    * not row-scale) — 10¹¹ rows with 10⁴ distinct quantized values
+    * window over 10⁴ rows. Quantize continuous features first (the
+    * census IS the algorithm: a split between two adjacent quantized
+    * values cannot beat splitting AT one). */
+  def decisionStump(df: DataFrame, featureExpr: Column,
+      labelExpr: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val rows = df.select(featureExpr.cast("long").as("__f"),
+        labelExpr.cast("boolean").as("__y"))
+      .filter(col("__f").isNotNull && col("__y").isNotNull)
+    val byV = rows.groupBy(col("__f"))
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__p"),
+        count(lit(1)).as("__c"))
+      .localCheckpoint(true) // two consumers: totals + cumulative scan
+    val tot = byV.agg(sum(col("__p")).as("__tp"), sum(col("__c")).as("__tn"),
+      max(col("__f")).as("__fmax"))
+    val wCum = Window.orderBy(col("__f"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cand = byV.crossJoin(broadcast(tot)) // 1-row totals
+      .withColumn("__pl", sum(col("__p")).over(wCum))
+      .withColumn("__nl", sum(col("__c")).over(wCum))
+      .filter(col("__f") < col("__fmax")) // right side must be nonempty
+      .withColumn("__ql", col("__nl") - col("__pl"))
+      .withColumn("__pr", col("__tp") - col("__pl"))
+      .withColumn("__nr", col("__tn") - col("__nl"))
+      .withColumn("__qr", col("__nr") - col("__pr"))
+    val gSplit = Quality.decimalDivTrunc(
+      Quality.decimalDivTrunc(
+        (col("__nl").cast(dec) * col("__nl") - col("__pl").cast(dec) *
+          col("__pl") - col("__ql").cast(dec) * col("__ql")) * 1000000L,
+        col("__nl").cast(dec)) +
+      Quality.decimalDivTrunc(
+        (col("__nr").cast(dec) * col("__nr") - col("__pr").cast(dec) *
+          col("__pr") - col("__qr").cast(dec) * col("__qr")) * 1000000L,
+        col("__nr").cast(dec)),
+      col("__tn").cast(dec))
+    val gParent = Quality.decimalDivTrunc(
+      (col("__tn").cast(dec) * col("__tn") - col("__tp").cast(dec) *
+        col("__tp") - (col("__tn") - col("__tp")).cast(dec) *
+        (col("__tn") - col("__tp"))) * 1000000L,
+      col("__tn").cast(dec) * col("__tn"))
+    val wBest = Window.orderBy(col("__g").cast(dec).asc, col("__f"))
+    cand.withColumn("__g", gSplit)
+      .withColumn("__gp", gParent)
+      .withColumn("__rn", row_number().over(wBest))
+      .filter(col("__rn") === 1)
+      .select(col("__f").cast("bigint").as("threshold"),
+        col("__nl").cast("bigint").as("n_left"),
+        col("__nr").cast("bigint").as("n_right"),
+        col("__pl").cast("bigint").as("pos_left"),
+        col("__pr").cast("bigint").as("pos_right"),
+        col("__g").cast("bigint").as("gini_ppm"),
+        col("__gp").cast("bigint").as("parent_gini_ppm"))
+  }
 }

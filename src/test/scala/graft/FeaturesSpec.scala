@@ -755,4 +755,32 @@ class FeaturesSpec extends SparkSpec {
     assert(Features.cochranQ(u,
       Seq($"a" === 1, $"b" === 1, $"c" === 1)).count() == 0L)
   }
+
+  test("decisionStump: hand Ginis, argmin tie-break threshold asc, perfect split, guards") {
+    // f=1:(T,T) f=2:(T,F) f=3:(F,F) — splits at 1 and 2 tie at
+    // 250000 ppm, tie-break picks threshold 1; parent = 500000
+    val df = Seq((1L, true), (1L, true), (2L, true), (2L, false),
+      (3L, false), (3L, false)).toDF("f", "y")
+    val got = Features.decisionStump(df, $"f", $"y").collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      ((1L, 2L, 4L, 2L, 1L, 250000L, 500000L)))
+    // perfectly separable: split gini 0 at the class boundary
+    val sep = Seq((1L, true), (1L, true), (2L, false), (2L, false))
+      .toDF("f", "y")
+    val p = Features.decisionStump(sep, $"f", $"y").collect().head
+    assert(p.getLong(0) == 1L && p.getLong(5) == 0L &&
+      p.getLong(6) == 500000L)
+    // constant feature: no proper split exists — emits NOTHING
+    val const = Seq((5L, true), (5L, false)).toDF("f", "y")
+    assert(Features.decisionStump(const, $"f", $"y").count() == 0L)
+    // NULL feature/label rows are excluded, not voted
+    val withNull = Seq((Some(1L), Some(true)), (Some(1L), Some(true)),
+      (Some(2L), Some(false)), (None, Some(true)), (Some(3L), None))
+      .toDF("f", "y")
+    val n = Features.decisionStump(withNull, $"f", $"y").collect().head
+    assert(n.getLong(0) == 1L && n.getLong(1) == 2L && n.getLong(2) == 1L)
+  }
 }
