@@ -135,7 +135,7 @@ object SparkEntry {
     "ml_kmeans_assign", "dq_completeness", "evt_hourly_profile",
     "text_line_stats", "evt_weekend_lift",
     "ts_croston", "ts_ewm_volatility", "ml_knn_classify",
-    "ml_decision_stump", "win_rolling_corr")
+    "ml_decision_stump", "win_rolling_corr", "ts_granger")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -419,7 +419,7 @@ object SparkEntry {
     "ts_cusum", "ts_acf", "ts_ljung_box", "ts_dominant_period",
     "ts_ar_order", "ts_ar_forecast", "ts_holt",
     "ts_holt_winters", "ts_croston", "ts_ewm_volatility",
-    "ts_changepoint", "ts_changepoints",
+    "ts_granger", "ts_changepoint", "ts_changepoints",
     "ts_backtest", "ts_decompose", "ts_decompose_forecast",
     "ts_anomaly_robust", "ts_theilsen",
     "ts_mann_kendall", "surv_kaplan_meier", "surv_km_bands",
@@ -1484,6 +1484,26 @@ object SparkEntry {
         .select($"event_type", unix_timestamp($"hour").as("o"), $"x")
       graft.operators.TimeSeries.ewmVolatility(hc, "event_type", "o",
         "x", lambdaPpm = 940000L)
+    }),
+
+    "ts_granger" -> ((s, dir) => {
+      import s.implicits._
+      // Do clicks LEAD purchases, or just move with them? Lag-1
+      // Granger F in both directions over the hourly click/purchase
+      // series (same full-outer grid as win_rolling_corr — a missing
+      // hour is a true 0): 14 exact integer moments in one pass,
+      // DECIMAL-exact RSS numerators via the Cramer elimination, F
+      // one mirrored tree. Degenerate fits are NULL, never errors.
+      val ev = Tables.events(s, dir)
+      def hourly(t: String, as: String) = ev
+        .filter($"event_type" === t)
+        .groupBy(date_trunc("hour", $"ts").as("hour"))
+        .agg(count(lit(1)).as(as))
+      val j = hourly("click", "x")
+        .join(hourly("purchase", "y"), Seq("hour"), "full_outer")
+        .select($"hour", coalesce($"x", lit(0L)).as("x"),
+          coalesce($"y", lit(0L)).as("y"))
+      graft.operators.TimeSeries.grangerLag1(j, "hour", "x", "y")
     }),
 
     "ts_holt_winters" -> ((s, dir) => {
@@ -11341,6 +11361,67 @@ object SparkEntry {
         |  CAST(round(sqrt(CAST(v AS DOUBLE) / 1000000.0) * 1000000)
         |    AS BIGINT) AS sigma_micros
         |FROM r ORDER BY event_type, o""".stripMargin,
+
+    // 14 HUGEINT-exact moments in one pass, Cramer-eliminated RSS
+    // numerators, F one mirrored tree — mirrors TimeSeries.grangerLag1
+    "ts_granger" ->
+      """WITH cl AS (SELECT date_trunc('hour', ts) AS hour,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |pu AS (SELECT date_trunc('hour', ts) AS hour,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |j AS (SELECT coalesce(cl.hour, pu.hour) AS hour,
+        |    coalesce(x, 0) AS x, coalesce(y, 0) AS y
+        |  FROM cl FULL OUTER JOIN pu ON cl.hour = pu.hour),
+        |l AS (SELECT x AS xt, y AS yt,
+        |    lag(x) OVER (ORDER BY hour) AS x1,
+        |    lag(y) OVER (ORDER BY hour) AS y1
+        |  FROM j),
+        |f AS (SELECT * FROM l WHERE x1 IS NOT NULL AND y1 IS NOT NULL),
+        |mo AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(yt) AS HUGEINT) AS syt,
+        |    CAST(sum(xt) AS HUGEINT) AS sxt,
+        |    CAST(sum(y1) AS HUGEINT) AS sy1,
+        |    CAST(sum(x1) AS HUGEINT) AS sx1,
+        |    CAST(sum(yt * yt) AS HUGEINT) AS sytyt,
+        |    CAST(sum(xt * xt) AS HUGEINT) AS sxtxt,
+        |    CAST(sum(y1 * y1) AS HUGEINT) AS sy1y1,
+        |    CAST(sum(x1 * x1) AS HUGEINT) AS sx1x1,
+        |    CAST(sum(yt * y1) AS HUGEINT) AS syty1,
+        |    CAST(sum(yt * x1) AS HUGEINT) AS sytx1,
+        |    CAST(sum(xt * x1) AS HUGEINT) AS sxtx1,
+        |    CAST(sum(xt * y1) AS HUGEINT) AS sxty1,
+        |    CAST(sum(y1 * x1) AS HUGEINT) AS sy1x1
+        |  FROM f HAVING count(*) >= 10),
+        |u AS (
+        |  SELECT 'x_to_y' AS direction, n,
+        |    n * sytyt - syt * syt AS ctt, n * syty1 - syt * sy1 AS ct1,
+        |    n * sytx1 - syt * sx1 AS ct2, n * sy1y1 - sy1 * sy1 AS c11,
+        |    n * sx1x1 - sx1 * sx1 AS c22, n * sy1x1 - sy1 * sx1 AS c12
+        |  FROM mo
+        |  UNION ALL
+        |  SELECT 'y_to_x', n,
+        |    n * sxtxt - sxt * sxt, n * sxtx1 - sxt * sx1,
+        |    n * sxty1 - sxt * sy1, n * sx1x1 - sx1 * sx1,
+        |    n * sy1y1 - sy1 * sy1, n * sy1x1 - sy1 * sx1
+        |  FROM mo),
+        |g AS (SELECT direction, n, c11,
+        |    ctt * c11 - ct1 * ct1 AS p,
+        |    c11 * c22 - c12 * c12 AS det,
+        |    ctt * (c11 * c22 - c12 * c12)
+        |      - (ct1 * ct1 * c22 - 2 * ct1 * ct2 * c12
+        |         + ct2 * ct2 * c11) AS q
+        |  FROM u)
+        |SELECT direction, CAST(n AS BIGINT) AS n_obs,
+        |  CASE WHEN c11 > 0 AND det > 0 AND q > 0 THEN
+        |    CAST(round(CAST(n - 3 AS DOUBLE)
+        |      * (CAST(p AS DOUBLE) / CAST(c11 AS DOUBLE)
+        |         - CAST(q AS DOUBLE) / CAST(det AS DOUBLE))
+        |      / (CAST(q AS DOUBLE) / CAST(det AS DOUBLE))
+        |      * 1000000) AS BIGINT)
+        |  ELSE NULL END AS f_micros
+        |FROM g ORDER BY direction""".stripMargin,
 
     // the Holt recurrence plus 24 SCALAR seasonal slot columns in the
     // same recursion shape — generated (see holtWintersOracleSql for

@@ -1310,4 +1310,94 @@ object TimeSeries {
       .toDF(keyCol, "o", "x", "ret", "var_micros", "sigma_micros")
       .orderBy(col(keyCol), col("o"))
   }
+
+  /** Lag-1 Granger causality between two aligned series — the
+    * DIRECTED co-movement question [[win-rolling correlation]] style
+    * monitors cannot answer (correlation is symmetric; "do clicks
+    * LEAD purchases or just move with them?" is what a funnel owner
+    * actually asks): for each direction, compare the restricted
+    * autoregression `T_t ~ 1 + T_{t−1}` against the full
+    * `T_t ~ 1 + T_{t−1} + O_{t−1}` and report the classical F
+    * statistic `(n−3)·(RSS_r − RSS_f)/RSS_f` (1 numerator df). Both
+    * directions come from ONE moment pass.
+    *
+    * Exactness: all 14 raw moments are exact integer sums in one
+    * row-scale aggregate; the centered cross-moments
+    * `C_ab = n·Σab − Σa·Σb`, the determinant and the two RSS
+    * numerators `P = C_TT·C_11 − C_T1²`,
+    * `Q = C_TT·det − (C_T1²·C_22 − 2·C_T1·C_T2·C_12 + C_T2²·C_11)`
+    * are DECIMAL(38,0)-exact (n·RSS_r = P/C_11, n·RSS_f = Q/det by
+    * the Cramer elimination), and F is ONE mirrored IEEE tree
+    * `(n−3)·(P/C11 − Q/det)/(Q/det)` over doubles cast from those
+    * exact integers — a second engine replays it bit for bit.
+    * Degenerate cases are NULL, never a division error: a constant
+    * lag regressor (C11 ≤ 0), collinear lags (det ≤ 0), or a perfect
+    * full fit (Q ≤ 0, F would be infinite). Fewer than 10 aligned
+    * lagged rows emit nothing (an F on single-digit df is noise
+    * theater). The lag is ROW-lag over the given order (densify the
+    * grid first if calendar gaps must count as zeros).
+    *
+    * Returns two rows: (direction ∈ {x_to_y, y_to_x}, n_obs,
+    * f_micros). Scale: one row-scale aggregate to a single moment
+    * row; everything after is constant work. DECIMAL(38,0) holds Q
+    * to |series sums| ~10¹², far past any quantized hourly volume. */
+  def grangerLag1(df: DataFrame, orderCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val w = Window.orderBy(col(orderCol))
+    val lagged = df.select(col(orderCol),
+        col(xCol).cast("long").as("__xt"),
+        col(yCol).cast("long").as("__yt"))
+      .withColumn("__x1", lag(col("__xt"), 1).over(w))
+      .withColumn("__y1", lag(col("__yt"), 1).over(w))
+      .filter(col("__x1").isNotNull && col("__y1").isNotNull &&
+        col("__xt").isNotNull && col("__yt").isNotNull)
+    val m = lagged.agg(
+      count(lit(1)).as("n"),
+      sum(col("__yt")).as("syt"), sum(col("__xt")).as("sxt"),
+      sum(col("__y1")).as("sy1"), sum(col("__x1")).as("sx1"),
+      sum(col("__yt") * col("__yt")).as("sytyt"),
+      sum(col("__xt") * col("__xt")).as("sxtxt"),
+      sum(col("__y1") * col("__y1")).as("sy1y1"),
+      sum(col("__x1") * col("__x1")).as("sx1x1"),
+      sum(col("__yt") * col("__y1")).as("syty1"),
+      sum(col("__yt") * col("__x1")).as("sytx1"),
+      sum(col("__xt") * col("__x1")).as("sxtx1"),
+      sum(col("__xt") * col("__y1")).as("sxty1"),
+      sum(col("__y1") * col("__x1")).as("sy1x1"))
+      .filter(col("n") >= 10L)
+      .localCheckpoint(true) // 1-row moment table, two consumers
+    // centered moment C_ab = n·Σab − Σa·Σb, DECIMAL-exact
+    def c(sab: String, sa: String, sb: String) =
+      (col("n").cast(dec) * col(sab) - col(sa).cast(dec) * col(sb))
+        .cast(dec)
+    def direction(name: String, stt: String, st: String, s1: String,
+        s2: String, st1: String, st2: String, s11: String, s22: String,
+        s12: String) = {
+      val ctt = c(stt, st, st)
+      val ct1 = c(st1, st, s1)
+      val ct2 = c(st2, st, s2)
+      val c11 = c(s11, s1, s1)
+      val c22 = c(s22, s2, s2)
+      val c12 = c(s12, s1, s2)
+      val det = (c11 * c22 - c12 * c12).cast(dec)
+      val p = (ctt * c11 - ct1 * ct1).cast(dec)
+      val q = (ctt * det - (ct1 * ct1 * c22 - lit(2L) * ct1 * ct2 * c12 +
+        ct2 * ct2 * c11)).cast(dec)
+      val rssR = p.cast("double") / c11.cast("double")
+      val rssF = q.cast("double") / det.cast("double")
+      m.select(lit(name).as("direction"),
+        col("n").cast("bigint").as("n_obs"),
+        when(c11 > 0 && det > 0 && q > 0,
+          round((col("n") - 3L).cast("double") * (rssR - rssF) / rssF
+            * 1e6).cast("long"))
+          .otherwise(lit(null).cast("long")).as("f_micros"))
+    }
+    direction("x_to_y", "sytyt", "syt", "sy1", "sx1", "syty1", "sytx1",
+        "sy1y1", "sx1x1", "sy1x1")
+      .unionByName(direction("y_to_x", "sxtxt", "sxt", "sx1", "sy1",
+        "sxtx1", "sxty1", "sx1x1", "sy1y1", "sy1x1"))
+      .orderBy(col("direction"))
+  }
 }

@@ -551,4 +551,54 @@ class TimeSeriesSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("overflow-safe"))
   }
+
+  test("grangerLag1: lead-lag asymmetry, double-entry F, degenerate NULLs, short empty") {
+    // y follows x with one period of lag plus i%2 noise — the x->y F
+    // must dominate y->x; cross-check the winning F against an
+    // independent BigInt/double reimplementation of the formula.
+    val n = 40
+    val xs = (0 until n).map(i => ((i * 7) % 5 + 1).toLong)
+    val ys = (0 until n).map(i =>
+      if (i == 0) 3L else xs(i - 1) * 3 + (i % 2))
+    val df = xs.indices.map(i => (i.toLong, xs(i), ys(i)))
+      .toDF("o", "x", "y")
+    val got = TimeSeries.grangerLag1(df, "o", "x", "y").collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) Long.MinValue else r.getLong(2))).toMap
+    assert(got.keySet == Set("x_to_y", "y_to_x"))
+    val fxy = got("x_to_y")._2
+    val fyx = got("y_to_x")._2
+    assert(got("x_to_y")._1 == (n - 1).toLong)
+    assert(fxy > fyx, s"expected x->y ($fxy) to dominate y->x ($fyx)")
+    assert(fxy > 10000000L, s"x->y F should be large, got $fxy")
+    // double-entry: recompute F(x->y) from raw moments independently
+    val rows = (1 until n).map(i => (ys(i), ys(i - 1), xs(i - 1)))
+    val nn = BigInt(rows.size)
+    def s(f: ((Long, Long, Long)) => Long) = BigInt(rows.map(f).sum)
+    val (syt, sy1, sx1) = (s(_._1), s(_._2), s(_._3))
+    val ctt = nn * s(r => r._1 * r._1) - syt * syt
+    val ct1 = nn * s(r => r._1 * r._2) - syt * sy1
+    val ct2 = nn * s(r => r._1 * r._3) - syt * sx1
+    val c11 = nn * s(r => r._2 * r._2) - sy1 * sy1
+    val c22 = nn * s(r => r._3 * r._3) - sx1 * sx1
+    val c12 = nn * s(r => r._2 * r._3) - sy1 * sx1
+    val det = c11 * c22 - c12 * c12
+    val p = ctt * c11 - ct1 * ct1
+    val q = ctt * det - (ct1 * ct1 * c22 - 2 * ct1 * ct2 * c12 +
+      ct2 * ct2 * c11)
+    val rssR = p.toDouble / c11.toDouble
+    val rssF = q.toDouble / det.toDouble
+    val expect = math.round(
+      (nn.toLong - 3).toDouble * (rssR - rssF) / rssF * 1e6)
+    assert(fxy == expect, s"engine $fxy vs double-entry $expect")
+    // degenerate: constant series -> C11 = 0 -> NULL both directions
+    val const = (0 until 20).map(i => (i.toLong, 5L, (i % 3).toLong))
+      .toDF("o", "x", "y")
+    val cg = TimeSeries.grangerLag1(const, "o", "x", "y").collect()
+    assert(cg.length == 2 && cg.forall(_.isNullAt(2)))
+    // short series (under 10 lagged rows) emits nothing
+    val short = (0 until 9).map(i => (i.toLong, i.toLong, (i * 2).toLong))
+      .toDF("o", "x", "y")
+    assert(TimeSeries.grangerLag1(short, "o", "x", "y").count() == 0L)
+  }
 }
