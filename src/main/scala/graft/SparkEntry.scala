@@ -135,7 +135,8 @@ object SparkEntry {
     "ml_kmeans_assign", "dq_completeness", "evt_hourly_profile",
     "text_line_stats", "evt_weekend_lift",
     "ts_croston", "ts_ewm_volatility", "ml_knn_classify",
-    "ml_decision_stump", "win_rolling_corr", "ts_granger")
+    "ml_decision_stump", "win_rolling_corr", "ts_granger",
+    "graph_mst")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -452,7 +453,7 @@ object SparkEntry {
     "graph_local_triangles", "graph_shortest_paths", "graph_closeness",
     "graph_betweenness", "graph_katz", "graph_scc",
     "graph_scc_condensation", "graph_scc_dag_levels",
-    "graph_reciprocity", "graph_cooccurrence",
+    "graph_reciprocity", "graph_mst", "graph_cooccurrence",
     "graph_weighted_paths", "graph_label_prop", "graph_modularity",
     "graph_louvain", "graph_assortativity", "graph_degree_hist",
     "graph_assoc_rules", "graph_adamic_adar", "graph_jaccard",
@@ -4596,6 +4597,32 @@ object SparkEntry {
       lab.select($"id".cast("long").as("id"),
           $"scc_id".cast("long").as("scc_id"))
         .orderBy($"id")
+    }),
+
+    "graph_mst" -> ((s, dir) => {
+      import s.implicits._
+      // Minimum spanning forest of the mod-97 supplier co-order
+      // graph (vertices = l_suppkey % 97, an edge when two classes
+      // share an order in the deterministic 1-in-8 order slice;
+      // weight a fixed hash of the pair, strict total order by
+      // (w, a, b)): the engine runs distributed Boruvka — per round
+      // one label join + one per-component argmin + component-scale
+      // contraction — while the oracle runs KRUSKAL over the same
+      // strict order, so the grade is algorithm-independent (the
+      // unique-MST theorem is the bridge). Edge count is BOUNDED by
+      // construction (≤ C(97,2)) at every sf. SIDE-EFFECTING
+      // (per-round convergence counts).
+      val li = Tables.lineitem(s, dir)
+        .filter(pmod($"l_orderkey", lit(8)) === 0)
+        .select($"l_orderkey".as("ok"), pmod($"l_suppkey", lit(97)).as("v"))
+        .distinct()
+      val pairs = li.select($"ok", $"v".as("va"))
+        .join(li.select($"ok", $"v".as("vb")), "ok")
+        .filter($"va" < $"vb")
+        .select($"va".as("a"), $"vb".as("b")).distinct()
+      val e = pairs.select($"a", $"b",
+        (pmod($"a" * 131 + $"b" * 53, lit(997)) + 1).as("w"))
+      graft.operators.Graph.minimumSpanningForest(e, "a", "b", "w")
     }),
 
     "graph_reciprocity" -> ((s, dir) => {
@@ -17919,6 +17946,45 @@ object SparkEntry {
 
     // per-edge parity orientation, one reversed-key self-join; ppm
     // by HUGEINT truncating division
+    // KRUSKAL over the same strict (w, a, b) order the engine's
+    // Boruvka tie-breaks by — algorithm-independent via the
+    // unique-MST theorem; global recursion + list label state (the
+    // ts_pacf-green shape), MATERIALIZED so the 97-vertex label fold
+    // does not re-derive the edge table per step
+    "graph_mst" ->
+      """WITH RECURSIVE
+        |li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+        |    l_suppkey % 97 AS v
+        |  FROM lineitem WHERE l_orderkey % 8 = 0),
+        |p AS MATERIALIZED (SELECT DISTINCT x.v AS a, y.v AS b
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.v < y.v),
+        |s AS MATERIALIZED (SELECT a, b, w,
+        |    CAST(row_number() OVER (ORDER BY w, a, b) AS BIGINT) AS i
+        |  FROM (SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+        |      CAST((a * 131 + b * 53) % 997 + 1 AS BIGINT) AS w
+        |    FROM p) e),
+        |r AS (
+        |  SELECT CAST(0 AS BIGINT) AS i,
+        |    list_transform(range(0, 97), v -> CAST(v AS BIGINT)) AS lab,
+        |    CAST(NULL AS BIGINT) AS ea, CAST(NULL AS BIGINT) AS eb,
+        |    CAST(NULL AS BIGINT) AS ew, FALSE AS took
+        |  UNION ALL
+        |  SELECT s.i,
+        |    CASE WHEN r.lab[CAST(s.a + 1 AS INT)]
+        |        <> r.lab[CAST(s.b + 1 AS INT)]
+        |      THEN list_transform(r.lab, x -> CASE
+        |        WHEN x = greatest(r.lab[CAST(s.a + 1 AS INT)],
+        |                          r.lab[CAST(s.b + 1 AS INT)])
+        |        THEN least(r.lab[CAST(s.a + 1 AS INT)],
+        |                   r.lab[CAST(s.b + 1 AS INT)])
+        |        ELSE x END)
+        |      ELSE r.lab END,
+        |    s.a, s.b, s.w,
+        |    r.lab[CAST(s.a + 1 AS INT)] <> r.lab[CAST(s.b + 1 AS INT)]
+        |  FROM r JOIN s ON s.i = r.i + 1)
+        |SELECT ea AS src, eb AS dst, ew AS weight
+        |FROM r WHERE took ORDER BY weight, src, dst""".stripMargin,
+
     "graph_reciprocity" ->
       """WITH b AS (SELECT DISTINCT o_custkey * 2 AS c,
         |    l_suppkey * 2 + 1 AS s, o_orderkey % 2 AS p

@@ -1734,4 +1734,143 @@ object Graph {
       verts.select(col("id"), col("id").as("scc_id"))
     else assignedParts.reduceLeft(_.unionByName(_))
   }
+
+  /** Minimum spanning FOREST (Boruvka) of a weighted undirected
+    * graph — the member the component family proves connectivity
+    * with but never prices: "cheapest backbone that keeps everything
+    * connected" (network build-out, single-linkage clustering's
+    * dendrogram skeleton, dedup-cluster canonical trees). Each round
+    * every component claims its cheapest outgoing edge and the
+    * claimed edges merge components; with the strict total edge
+    * order (w, a, b) the forest is UNIQUE, so the grade can use a
+    * different algorithm entirely (the oracle runs Kruskal — an
+    * algorithm-independent check, like graph_scc's closure oracle).
+    *
+    * Determinism/exactness: parallel edges collapse to their minimum
+    * weight per canonical (a < b) pair, making (w, a, b) a strict
+    * total order; per-component argmin breaks ties by that order;
+    * simultaneous claims cannot form a cycle under a strict order
+    * (a cycle needs every edge minimal for some component — only the
+    * 2-cycle case arises and it is the SAME edge claimed from both
+    * sides, deduped). All arithmetic is exact longs.
+    *
+    * Scale: per round one both-ends label join (edge-scale,
+    * fixed-width), one per-component argmin window, then a
+    * contraction of the CLAIMED-edge label graph only — component-
+    * scale, and components at least HALVE per round, so rounds ≤
+    * log₂(V) and the label graph shrinks geometrically. The
+    * contraction is HYBRID: while the round's CLAIMED-edge count
+    * (≤ one per component — the convergence witness already counted)
+    * exceeds `driverContractBound` it runs the distributed hash-min
+    * [[connectedComponents]] (early rounds at 10⁹ vertices — big
+    * data amortizes the per-iteration barrier); at or below the
+    * bound it collects exactly those counted claimed edges and
+    * union-finds on the driver in one pass
+    * — the latency-optimal tail that keeps a log₂V-round loop from
+    * paying the full fixpoint-loop barrier cost per round. Labels
+    * localCheckpoint per round (lineage truncation; pass
+    * `checkpointDir` for reliable checkpoints on preemptible
+    * clusters). SIDE-EFFECTING: one count per round (the convergence
+    * witness). Loud maxRounds guard.
+    *
+    * Returns the forest edges (src, dst, weight), src < dst. */
+  def minimumSpanningForest(edges: DataFrame, srcCol: String = "id_a",
+      dstCol: String = "id_b", weightCol: String = "w",
+      maxRounds: Int = 25, driverContractBound: Long = 1000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 64,
+      s"maxRounds must be in [1, 64] (got $maxRounds)")
+    require(driverContractBound >= 0L,
+      s"driverContractBound must be >= 0 (got $driverContractBound)")
+    import org.apache.spark.sql.expressions.Window
+    val e0 = edges.select(col(srcCol).cast("long").as("__s"),
+        col(dstCol).cast("long").as("__d"),
+        col(weightCol).cast("long").as("__w"))
+      .filter(col("__s").isNotNull && col("__d").isNotNull &&
+        col("__w").isNotNull && col("__s") =!= col("__d"))
+    val canon = truncate(e0
+      .select(least(col("__s"), col("__d")).as("a"),
+        greatest(col("__s"), col("__d")).as("b"), col("__w"))
+      .groupBy(col("a"), col("b")).agg(min(col("__w")).as("w")),
+      checkpointDir)
+    var labels = truncate(canon.select(col("a").as("id"))
+      .union(canon.select(col("b").as("id"))).distinct()
+      .withColumn("lab", col("id")), checkpointDir)
+    val spark = edges.sparkSession
+    var chosen = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      canon.schema) // (a, b, w)
+    var round = 0
+    var active = 1L
+    while (active > 0 && round < maxRounds) {
+      val le = canon
+        .join(labels.select(col("id").as("a"), col("lab").as("__la")), "a")
+        .join(labels.select(col("id").as("b"), col("lab").as("__lb")), "b")
+        .filter(col("__la") =!= col("__lb"))
+      val cand = le.select(col("__la").as("__g"), col("a"), col("b"),
+          col("w"))
+        .union(le.select(col("__lb").as("__g"), col("a"), col("b"),
+          col("w")))
+      val wMin = Window.partitionBy(col("__g"))
+        .orderBy(col("w"), col("a"), col("b"))
+      val picked = truncate(cand
+        .withColumn("__rn", row_number().over(wMin))
+        .filter(col("__rn") === 1)
+        .select(col("a"), col("b"), col("w")).distinct(), checkpointDir)
+      // convergence witness: no component claimed an edge ⇔ no
+      // cross-component edge remained (cheap — picked is checkpointed)
+      active = picked.count()
+      if (active > 0) {
+        chosen = chosen.unionByName(picked) // ≤ log₂V unions deep
+        // contract the CLAIMED label graph (≤ one edge per component)
+        val lg = picked
+          .join(labels.select(col("id").as("a"), col("lab").as("__la")), "a")
+          .join(labels.select(col("id").as("b"), col("lab").as("__lb")), "b")
+          .select(col("__la"), col("__lb"))
+        val remap: DataFrame =
+          if (active <= driverContractBound) {
+            // driver union-find over ≤ `active` claimed label edges —
+            // bounded by the count just taken, one collect, one pass
+            val parent = scala.collection.mutable.LongMap.empty[Long]
+            def find(x: Long): Long = {
+              var r = x
+              while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+              var c = x
+              while (parent.getOrElse(c, c) != c) {
+                val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+              }
+              r
+            }
+            lg.collect().foreach { row =>
+              val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+              if (ra != rb) { // canonical min-label root
+                if (ra < rb) parent(rb) = ra else parent(ra) = rb
+              }
+            }
+            val mapped = parent.keysIterator
+              .map(l => (l, find(l))).filter(p => p._1 != p._2).toSeq
+            val spk = edges.sparkSession
+            import spk.implicits._
+            broadcast(mapped.toDF("lab", "comp")) // bounded by the count
+          } else {
+            connectedComponents(lg, "__la", "__lb", maxIter = 50,
+              checkpointDir = checkpointDir)
+              .select(col("id").as("lab"), col("comp"))
+          }
+        labels = truncate(labels
+          .join(remap, Seq("lab"), "left")
+          .select(col("id"), coalesce(col("comp"), col("lab")).as("lab")),
+          checkpointDir)
+      }
+      round += 1
+    }
+    require(active == 0L,
+      s"minimumSpanningForest did not converge within $maxRounds " +
+        "rounds — components halve per round, so this graph has more " +
+        s"than 2^$maxRounds components merging; raise maxRounds")
+    chosen.select(col("a").cast("bigint").as("src"),
+        col("b").cast("bigint").as("dst"),
+        col("w").cast("bigint").as("weight"))
+      .orderBy(col("weight"), col("src"), col("dst"))
+  }
 }

@@ -820,4 +820,36 @@ class GraphSpec extends SparkSpec {
       Graph.richClub(edges, grid = Seq(0L))
     }
   }
+
+  test("minimumSpanningForest: triangle cycle property, forest, ties, parallel edges, guard") {
+    import spark.implicits._
+    def mst(rows: Seq[(Long, Long, Long)], maxRounds: Int = 25) =
+      Graph.minimumSpanningForest(rows.toDF("a", "b", "w"), "a", "b",
+          "w", maxRounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    // triangle: the heaviest edge is the one the cycle property drops
+    assert(mst(Seq((0L, 1L, 1L), (1L, 2L, 2L), (0L, 2L, 3L))) ==
+      Set((0L, 1L, 1L), (1L, 2L, 2L)))
+    // disconnected graph: a FOREST keeps one tree per component
+    assert(mst(Seq((0L, 1L, 4L), (5L, 6L, 9L))) ==
+      Set((0L, 1L, 4L), (5L, 6L, 9L)))
+    // all-tied square: strict (w, a, b) order keeps the Kruskal set
+    assert(mst(Seq((0L, 1L, 5L), (1L, 2L, 5L), (2L, 3L, 5L),
+      (0L, 3L, 5L))) ==
+      Set((0L, 1L, 5L), (0L, 3L, 5L), (1L, 2L, 5L)))
+    // parallel edges collapse to min weight; self-loops are dropped;
+    // orientation is irrelevant (canonical a < b output)
+    assert(mst(Seq((1L, 0L, 9L), (0L, 1L, 2L), (3L, 3L, 1L),
+      (1L, 2L, 7L))) == Set((0L, 1L, 2L), (1L, 2L, 7L)))
+    // a two-stage merge (outer edge heavier than both leaf edges)
+    // cannot finish in one round: the loud guard fires
+    val twoStage = Seq((0L, 1L, 1L), (1L, 2L, 9L), (2L, 3L, 2L))
+    assert(mst(twoStage) ==
+      Set((0L, 1L, 1L), (1L, 2L, 9L), (2L, 3L, 2L)))
+    val e = intercept[IllegalArgumentException] {
+      mst(twoStage, maxRounds = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
 }
