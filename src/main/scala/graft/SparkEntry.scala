@@ -136,7 +136,7 @@ object SparkEntry {
     "text_line_stats", "evt_weekend_lift",
     "ts_croston", "ts_ewm_volatility", "ml_knn_classify",
     "ml_decision_stump", "win_rolling_corr", "ts_granger",
-    "graph_mst")
+    "graph_mst", "feat_ols_diagnostics")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -384,7 +384,8 @@ object SparkEntry {
     "dq_k_anonymity", "dq_l_diversity", "dq_t_closeness",
     "dq_cramers_v", "cust_rfm",
     "dq_fd_violations",
-    "feat_spearman", "ab_ztest", "ab_ttest", "ab_jackknife", "ab_did",
+    "feat_spearman", "feat_ols_diagnostics",
+    "ab_ztest", "ab_ttest", "ab_jackknife", "ab_did",
     "ab_bh_fdr", "dq_drift_fdr", "ab_sequential", "dq_referential",
     "dq_sequence_gaps",
     "ab_power", "ab_poststrat", "ab_mannwhitney", "ab_kruskal",
@@ -4212,6 +4213,81 @@ object SparkEntry {
             "CAST(round(num / (sqrt(vx) * sqrt(vy)) * 1000000)" +
             " AS BIGINT) END AS corr_micros")
         .orderBy($"hour")
+    }),
+
+    "feat_ols_diagnostics" -> ((s, dir) => {
+      import s.implicits._
+      // Residual DIAGNOSTICS of the hourly click→purchase OLS fit —
+      // the step every regression readout here (feat_group_regression,
+      // agg_corr_regr) stops short of: a slope means nothing if the
+      // residuals are autocorrelated (Durbin-Watson ≈ 2 is clean) or
+      // wildly non-normal (Jarque-Bera). Residuals are EXACT up to
+      // one stated truncating quantization: e_t ∝ (n·y_t − Sy)·Cxx −
+      // Cxy·(n·x_t − Sx) (positive scale n·Cxx preserved — DW, skew,
+      // kurtosis are scale-invariant), quantized to micro-residual
+      // units by ONE truncating division; DW and the JB pieces are
+      // mirrored double trees over the exact integer moments. At
+      // micro-residuals beyond ~10⁹ the DECIMAL(38) fourth-power sum
+      // would overflow — quantize the series coarser at that scale.
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      def hourly(t: String, as: String) = ev
+        .filter($"event_type" === t)
+        .groupBy(date_trunc("hour", $"ts").as("hour"))
+        .agg(count(lit(1)).as(as))
+      val j = hourly("click", "x")
+        .join(hourly("purchase", "y"), Seq("hour"), "full_outer")
+        .select($"hour", coalesce($"x", lit(0L)).as("x"),
+          coalesce($"y", lit(0L)).as("y"))
+      val m = j.agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum($"y").as("sy"), sum($"x" * $"x").as("sxx"),
+        sum($"x" * $"y").as("sxy"))
+      val base = j.crossJoin(broadcast(m)) // 1-row moments
+        .selectExpr("hour",
+          "CAST(n AS DECIMAL(38,0)) * sxx" +
+            " - CAST(sx AS DECIMAL(38,0)) * sx AS cxx",
+          "CAST(n AS DECIMAL(38,0)) * sxy" +
+            " - CAST(sx AS DECIMAL(38,0)) * sy AS cxy",
+          "n", "sx", "sy", "x", "y")
+        .filter($"cxx" > 0)
+        .selectExpr("hour",
+          "CAST(((CAST(n AS DECIMAL(38,0)) * y - sy) * cxx" +
+            " - cxy * (CAST(n AS DECIMAL(38,0)) * x - sx)) * 1000000" +
+            " div (CAST(n AS DECIMAL(38,0)) * cxx) AS BIGINT) AS eq")
+      val wl = Window.orderBy($"hour")
+      base.withColumn("d", $"eq" - lag($"eq", 1).over(wl))
+        .agg(count(lit(1)).as("n"),
+          sum($"eq".cast("decimal(38,0)")).as("s1"),
+          sum($"eq".cast("decimal(38,0)") * $"eq").as("s2"),
+          sum($"eq".cast("decimal(38,0)") * $"eq" * $"eq").as("s3"),
+          sum($"eq".cast("decimal(38,0)") * $"eq" * $"eq" * $"eq")
+            .as("s4"),
+          sum($"d".cast("decimal(38,0)") * $"d").as("dwn"))
+        .filter($"n" >= 10L)
+        .selectExpr("CAST(n AS BIGINT) AS n",
+          "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu",
+          "CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS q2",
+          "CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS q3",
+          "CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS q4",
+          "CAST(s2 AS DOUBLE) AS s2d", "CAST(dwn AS DOUBLE) AS dwnd")
+        .selectExpr("n", "s2d", "dwnd",
+          "q2 - mu * mu AS m2",
+          "q3 - 3.0 * mu * q2 + 2.0 * mu * mu * mu AS m3",
+          "q4 - 4.0 * mu * q3 + 6.0 * mu * mu * q2" +
+            " - 3.0 * mu * mu * mu * mu AS m4")
+        .selectExpr("n", "s2d", "dwnd", "m2",
+          "CASE WHEN m2 <= 0.0 THEN NULL" +
+            " ELSE m3 / (m2 * sqrt(m2)) END AS sk",
+          "CASE WHEN m2 <= 0.0 THEN NULL" +
+            " ELSE m4 / (m2 * m2) - 3.0 END AS kx")
+        .selectExpr("n",
+          "CASE WHEN s2d <= 0.0 THEN NULL ELSE CAST(round(" +
+            "dwnd / s2d * 1000000) AS BIGINT) END AS dw_micros",
+          "CAST(round(sk * 1000000) AS BIGINT) AS skew_micros",
+          "CAST(round(kx * 1000000) AS BIGINT) AS kurt_excess_micros",
+          "CASE WHEN sk IS NULL THEN NULL ELSE CAST(round(" +
+            "CAST(n AS DOUBLE) * (sk * sk / 6.0 + kx * kx / 24.0)" +
+            " * 1000000) AS BIGINT) END AS jb_micros")
     }),
 
     "interval_gaps" -> ((s, dir) => {
@@ -15563,6 +15639,69 @@ object SparkEntry {
         |    CAST(round(num / (sqrt(vx) * sqrt(vy)) * 1000000)
         |    AS BIGINT) END AS corr_micros
         |FROM g ORDER BY hour""".stripMargin,
+
+    // exact scaled OLS residuals, ONE truncating micro-quantization,
+    // DW + central-moment JB as mirrored double trees
+    "feat_ols_diagnostics" ->
+      """WITH cl AS (SELECT date_trunc('hour', ts) AS hour,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |pu AS (SELECT date_trunc('hour', ts) AS hour,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |j AS (SELECT coalesce(cl.hour, pu.hour) AS hour,
+        |    coalesce(x, 0) AS x, coalesce(y, 0) AS y
+        |  FROM cl FULL OUTER JOIN pu ON cl.hour = pu.hour),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy FROM j),
+        |b AS (SELECT hour,
+        |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS cxx,
+        |    CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS cxy,
+        |    n, sx, sy, x, y FROM j, m),
+        |e AS (SELECT hour,
+        |    CAST(((CAST(n AS HUGEINT) * y - sy) * cxx
+        |      - cxy * (CAST(n AS HUGEINT) * x - sx)) * 1000000
+        |      // (CAST(n AS HUGEINT) * cxx) AS BIGINT) AS eq
+        |  FROM b WHERE cxx > 0),
+        |l AS (SELECT eq, eq - lag(eq) OVER (ORDER BY hour) AS d FROM e),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(eq AS HUGEINT)) AS HUGEINT) AS s1,
+        |    CAST(sum(CAST(eq AS HUGEINT) * eq) AS HUGEINT) AS s2,
+        |    CAST(sum(CAST(eq AS HUGEINT) * eq * eq) AS HUGEINT) AS s3,
+        |    CAST(sum(CAST(eq AS HUGEINT) * eq * eq * eq) AS HUGEINT)
+        |      AS s4,
+        |    CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS dwn
+        |  FROM l HAVING count(*) >= 10),
+        |g AS (SELECT n,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS q2,
+        |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS q3,
+        |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS q4,
+        |    CAST(s2 AS DOUBLE) AS s2d, CAST(dwn AS DOUBLE) AS dwnd
+        |  FROM a),
+        |h AS (SELECT n, s2d, dwnd,
+        |    q2 - mu * mu AS m2,
+        |    q3 - 3.0 * mu * q2 + 2.0 * mu * mu * mu AS m3,
+        |    q4 - 4.0 * mu * q3 + 6.0 * mu * mu * q2
+        |      - 3.0 * mu * mu * mu * mu AS m4
+        |  FROM g),
+        |k AS (SELECT n, s2d, dwnd,
+        |    CASE WHEN m2 <= 0.0 THEN NULL
+        |      ELSE m3 / (m2 * sqrt(m2)) END AS sk,
+        |    CASE WHEN m2 <= 0.0 THEN NULL
+        |      ELSE m4 / (m2 * m2) - 3.0 END AS kx
+        |  FROM h)
+        |SELECT n,
+        |  CASE WHEN s2d <= 0.0 THEN NULL ELSE CAST(round(
+        |    dwnd / s2d * 1000000) AS BIGINT) END AS dw_micros,
+        |  CAST(round(sk * 1000000) AS BIGINT) AS skew_micros,
+        |  CAST(round(kx * 1000000) AS BIGINT) AS kurt_excess_micros,
+        |  CASE WHEN sk IS NULL THEN NULL ELSE CAST(round(
+        |    CAST(n AS DOUBLE) * (sk * sk / 6.0 + kx * kx / 24.0)
+        |    * 1000000) AS BIGINT) END AS jb_micros
+        |FROM k""".stripMargin,
 
     // the rolling-median machinery twice: median interpolation, then
     // the same interpolation over the sorted absolute deviations
