@@ -136,7 +136,8 @@ object SparkEntry {
     "text_line_stats", "evt_weekend_lift",
     "ts_croston", "ts_ewm_volatility", "ml_knn_classify",
     "ml_decision_stump", "win_rolling_corr", "ts_granger",
-    "graph_mst", "feat_ols_diagnostics")
+    "graph_mst", "feat_ols_diagnostics", "binaryfile_scan",
+    "ml_boosted_stumps")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -401,6 +402,7 @@ object SparkEntry {
     "text_novelty", "ml_logreg",
     "ml_logreg_multi", "ml_kmeans_step", "ml_kmeans", "ml_kmeans_assign",
     "ml_naive_bayes", "ml_knn_classify", "ml_decision_stump",
+    "ml_boosted_stumps",
     "interval_coverage", "ts_strength", "agg_hhi",
     "feat_eb_shrinkage", "ab_tost", "ab_delta_method", "ab_levene",
     "ab_trend", "ab_cochran_q", "ab_srm_segments", "feat_kendall_w",
@@ -4018,6 +4020,38 @@ object SparkEntry {
           sum(when(length($"line") === 0, 1L).otherwise(0L)).as("n_empty"))
     }),
 
+    "binaryfile_scan" -> ((s, dir) => {
+      import s.implicits._
+      // The `binaryFile` DataSource — the scan a raw multimodal
+      // corpus lands on BEFORE anyone parquets it (one row per blob:
+      // path, length, content bytes; the mm_* family reads payloads
+      // already inside parquet columns, this reads the files
+      // themselves). Fixture prep writes 20 document payloads as
+      // .bin files driver-side (20 rows by design); the graded part
+      // is the scan: id recovered from the path, byte length and
+      // md5 from the content column — which the oracle recomputes
+      // from the documents table without ever seeing a file.
+      import java.nio.file.{Files, Paths}
+      val outDir = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_binfiles_${dir.replaceAll("[^0-9a-zA-Z]", "_")}")
+      val docs = Tables.documents(s, dir).filter($"doc_id" < 20)
+        .select($"doc_id", $"text").collect() // 20-row fixture prep
+      if (Files.exists(outDir)) {
+        Files.list(outDir).forEach(p => Files.delete(p))
+      } else Files.createDirectories(outDir)
+      docs.foreach { r =>
+        Files.write(outDir.resolve(s"${r.getLong(0)}.bin"),
+          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      s.read.format("binaryFile").load(outDir.toString)
+        .select(
+          regexp_extract(col("path"), "(\\d+)\\.bin$", 1).cast("long")
+            .as("doc_id"),
+          col("length").cast("long").as("byte_len"),
+          md5(col("content")).as("content_hash"))
+        .orderBy($"doc_id")
+    }),
+
     // ================= Dates / JSON scalar ops (SURVEY §2.3) =================
     "date_monthly_orders" -> ((s, dir) => {
       import s.implicits._
@@ -5945,6 +5979,22 @@ object SparkEntry {
         Tables.events(s, dir),
         round($"value" * 100).cast("long"),
         $"event_type" === "purchase")
+    }),
+
+    "ml_boosted_stumps" -> ((s, dir) => {
+      import s.implicits._
+      // The actual BOOSTING loop, hash-graded: two rounds of L2
+      // gradient boosting of purchase value (micro-cents) on
+      // hour-of-day — round 2 fits the best SSE split of what round
+      // 1 failed to explain. Truncating integer base/leaf values,
+      // DECIMAL-exact split gains, residual updates exact longs;
+      // the chained-CTE oracle replays both rounds. SIDE-EFFECTING
+      // (two 1-row model collects per round).
+      graft.operators.Features.boostedStumpsL2(
+        Tables.events(s, dir).filter($"event_type" === "purchase"),
+        hour($"ts"),
+        round($"value" * 100).cast("long") * 1000000L,
+        rounds = 2)
     }),
 
     "ml_kmeans_assign" -> ((s, dir) => {
@@ -10758,6 +10808,60 @@ object SparkEntry {
         |  CAST(gi AS BIGINT) AS gini_ppm,
         |  CAST(gp AS BIGINT) AS parent_gini_ppm
         |FROM b WHERE rn = 1""".stripMargin,
+
+    // two chained stump rounds over exact integer residuals: gain
+    // SL²//nL + SR²//nR (HUGEINT), truncating leaf means, (gain
+    // desc, threshold) argmax — mirrors Features.boostedStumpsL2
+    "ml_boosted_stumps" ->
+      """WITH r0 AS (SELECT CAST(hour(ts) AS BIGINT) AS f,
+        |    CAST(round(value * 100) AS BIGINT) * 1000000 AS y
+        |  FROM events WHERE event_type = 'purchase'),
+        |m0 AS (SELECT CAST(sum(y) AS HUGEINT) AS s,
+        |    CAST(count(*) AS HUGEINT) AS n FROM r0),
+        |c1 AS (SELECT f, y - CAST(s // n AS BIGINT) AS r FROM r0, m0),
+        |v1 AS (SELECT f, CAST(sum(r) AS BIGINT) AS sr,
+        |    CAST(count(*) AS BIGINT) AS c FROM c1 GROUP BY 1),
+        |t1 AS (SELECT CAST(sum(sr) AS BIGINT) AS st,
+        |    CAST(sum(c) AS BIGINT) AS nt, max(f) AS fmax FROM v1),
+        |w1 AS (SELECT f, CAST(sum(sr) OVER win AS BIGINT) AS pl,
+        |    CAST(sum(c) OVER win AS BIGINT) AS nl
+        |  FROM v1 WINDOW win AS (ORDER BY f ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW)),
+        |g1 AS (SELECT f, pl, nl, st, nt,
+        |    (CAST(pl AS HUGEINT) * pl) // nl
+        |      + (CAST(st - pl AS HUGEINT) * (st - pl)) // (nt - nl) AS g
+        |  FROM w1, t1 WHERE f < fmax),
+        |b1 AS (SELECT f AS t, pl, nl, st, nt, nt - nl AS nr,
+        |    CAST(CAST(pl AS HUGEINT) // nl AS BIGINT) AS vl,
+        |    CAST(CAST(st - pl AS HUGEINT) // (nt - nl) AS BIGINT) AS vr,
+        |    row_number() OVER (ORDER BY g DESC, f) AS rn FROM g1),
+        |s1 AS (SELECT * FROM b1 WHERE rn = 1),
+        |c2 AS (SELECT c1.f,
+        |    c1.r - CASE WHEN c1.f <= s1.t THEN s1.vl ELSE s1.vr END AS r
+        |  FROM c1, s1),
+        |v2 AS (SELECT f, CAST(sum(r) AS BIGINT) AS sr,
+        |    CAST(count(*) AS BIGINT) AS c FROM c2 GROUP BY 1),
+        |t2 AS (SELECT CAST(sum(sr) AS BIGINT) AS st,
+        |    CAST(sum(c) AS BIGINT) AS nt, max(f) AS fmax FROM v2),
+        |w2 AS (SELECT f, CAST(sum(sr) OVER win AS BIGINT) AS pl,
+        |    CAST(sum(c) OVER win AS BIGINT) AS nl
+        |  FROM v2 WINDOW win AS (ORDER BY f ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW)),
+        |g2 AS (SELECT f, pl, nl, st, nt,
+        |    (CAST(pl AS HUGEINT) * pl) // nl
+        |      + (CAST(st - pl AS HUGEINT) * (st - pl)) // (nt - nl) AS g
+        |  FROM w2, t2 WHERE f < fmax),
+        |b2 AS (SELECT f AS t, pl, nl, st, nt, nt - nl AS nr,
+        |    CAST(CAST(pl AS HUGEINT) // nl AS BIGINT) AS vl,
+        |    CAST(CAST(st - pl AS HUGEINT) // (nt - nl) AS BIGINT) AS vr,
+        |    row_number() OVER (ORDER BY g DESC, f) AS rn FROM g2),
+        |s2 AS (SELECT * FROM b2 WHERE rn = 1)
+        |SELECT CAST(1 AS BIGINT) AS round, t AS threshold,
+        |  nl AS n_left, nr AS n_right, vl AS v_left_micros,
+        |  vr AS v_right_micros FROM s1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), t, nl, nr, vl, vr FROM s2
+        |ORDER BY round""".stripMargin,
 
     // the log-posterior decomposition: sparse sum over trained
     // (token, class) pairs only (ln 1 = 0 for unseen), micro-nat
@@ -16685,6 +16789,14 @@ object SparkEntry {
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len,
         |  md5(text) AS content_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the binaryFile scan graded without the oracle seeing a file:
+    // length and md5 recomputed from the payload source rows
+    "binaryfile_scan" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+        |  md5(text) AS content_hash
+        |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin,
 
     // ML / sketch / sampler gates: counts recomputed independently by
     // DuckDB; booleans pin the metamorphic contract

@@ -1767,4 +1767,97 @@ object Features {
         col("__g").cast("bigint").as("gini_ppm"),
         col("__gp").cast("bigint").as("parent_gini_ppm"))
   }
+
+  /** L2 gradient boosting over regression STUMPS — the actual
+    * boosting LOOP ([[decisionStump]] fits one rule; this chains
+    * them on residuals, which is the whole trick of gradient
+    * boosting with squared loss: each round fits the best
+    * SSE-reducing split of what the previous rounds failed to
+    * explain). Returns one row per round: (round, threshold, n_left,
+    * n_right, v_left_micros, v_right_micros) — the full additive
+    * model, base prediction excluded by convention (it is the
+    * truncated global mean, recomputable from round 0 residuals).
+    *
+    * Exactness: the target enters in micro units; the base
+    * prediction and every leaf value are truncating integer
+    * divisions (toward zero, both engines); per-round split gain
+    * `SL² div nL + SR² div nR` is DECIMAL-exact with the stated
+    * truncation (SL² ≥ 0, so floor == trunc), argmax ties break
+    * (gain desc, threshold asc); residual updates are exact long
+    * subtraction. A chained-CTE oracle replays every round bit for
+    * bit. NULL features/targets are excluded; a constant feature
+    * emits nothing (no split exists).
+    *
+    * Scale: per round one feature-keyed hash-agg to the
+    * distinct-value census + one cumulative window over it
+    * (value-scale), plus one broadcast-free residual update (the
+    * stump is three scalars folded into the expression).
+    * SIDE-EFFECTING: two 1-row collects per round (totals and the
+    * winning split — model-scale, documented). Rounds are a small
+    * constant by contract. */
+  def boostedStumpsL2(df: DataFrame, featureExpr: Column,
+      targetMicrosExpr: Column, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"rounds must be in [1, 16] (got $rounds)")
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(featureExpr.cast("long").as("__f"),
+        targetMicrosExpr.cast("long").as("__y"))
+      .filter(col("__f").isNotNull && col("__y").isNotNull)
+      .localCheckpoint(true) // every round re-scans it
+    val head0 = base.agg(sum(col("__y")).as("s"),
+      count(lit(1)).as("n")).head() // 1-row totals (documented eager)
+    if (head0.isNullAt(0) || head0.getLong(1) == 0L)
+      return Seq.empty[(Long, Long, Long, Long, Long, Long)]
+        .toDF("round", "threshold", "n_left", "n_right",
+          "v_left_micros", "v_right_micros")
+    val p0 = (BigInt(head0.getLong(0)) / head0.getLong(1)).toLong
+    var cur = base.withColumn("__r", col("__y") - lit(p0))
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long)]
+    var rnd = 1
+    var splittable = true
+    while (rnd <= rounds && splittable) {
+      val byV = cur.groupBy(col("__f"))
+        .agg(sum(col("__r")).as("__sr"), count(lit(1)).as("__c"))
+        .localCheckpoint(true) // totals + cumulative scan consumers
+      val tot = byV.agg(sum(col("__sr")).as("st"), sum(col("__c")).as("nt"),
+        max(col("__f")).as("fmax")).head()
+      val (st, nt, fmax) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+      val wCum = Window.orderBy(col("__f"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cand = byV
+        .withColumn("__pl", sum(col("__sr")).over(wCum))
+        .withColumn("__nl", sum(col("__c")).over(wCum))
+        .filter(col("__f") < lit(fmax))
+      if (cand.isEmpty) splittable = false
+      else {
+        val gain = Quality.decimalDivTrunc(
+          col("__pl").cast(dec) * col("__pl"), col("__nl").cast(dec)) +
+          Quality.decimalDivTrunc(
+            (lit(st).cast(dec) - col("__pl")) *
+              (lit(st).cast(dec) - col("__pl")),
+            lit(nt).cast(dec) - col("__nl"))
+        val wBest = Window.orderBy(col("__g").desc, col("__f"))
+        val best = cand.withColumn("__g", gain)
+          .withColumn("__rn", row_number().over(wBest))
+          .filter(col("__rn") === 1)
+          .select(col("__f"), col("__pl"), col("__nl")).head()
+        val (t, sl, nl) = (best.getLong(0), best.getLong(1),
+          best.getLong(2))
+        val (nr, sr) = (nt - nl, st - sl)
+        val vL = (BigInt(sl) / nl).toLong // trunc toward zero, mirrored
+        val vR = (BigInt(sr) / nr).toLong
+        out += ((rnd.toLong, t, nl, nr, vL, vR))
+        cur = cur.withColumn("__r", col("__r") -
+          when(col("__f") <= lit(t), lit(vL)).otherwise(lit(vR)))
+        rnd += 1
+      }
+    }
+    out.toSeq.toDF("round", "threshold", "n_left", "n_right",
+        "v_left_micros", "v_right_micros")
+      .orderBy(col("round"))
+  }
 }

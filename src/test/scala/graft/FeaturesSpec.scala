@@ -783,4 +783,30 @@ class FeaturesSpec extends SparkSpec {
     val n = Features.decisionStump(withNull, $"f", $"y").collect().head
     assert(n.getLong(0) == 1L && n.getLong(1) == 2L && n.getLong(2) == 1L)
   }
+
+  test("boostedStumpsL2: two hand-folded rounds, gain tie-break, constant feature, guard") {
+    // f=0: y {0,0}; f=1: y {60,60}; f=2: y {120,120}. p0 = 60.
+    // Round 1 residuals: -60,-60 | 0,0 | 60,60 — splits at t=0 and
+    // t=1 tie at gain 10800, tie-break picks t=0; vL=-60, vR=30.
+    // Round 2 residuals: 0,0 | -30,-30 | 30,30 — t=1 wins (gain
+    // 2700); vL = -60/4 = -15, vR = 60/2 = 30.
+    val df = Seq((0L, 0L), (0L, 0L), (1L, 60L), (1L, 60L),
+      (2L, 120L), (2L, 120L)).toDF("f", "y")
+    val got = Features.boostedStumpsL2(df, $"f", $"y", rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 2L, 4L, -60L, 30L),
+      (2L, 1L, 4L, 2L, -15L, 30L)))
+    // rounds = 1 stops after the first stump
+    assert(Features.boostedStumpsL2(df, $"f", $"y", rounds = 1)
+      .count() == 1L)
+    // constant feature: no split exists — emits nothing
+    val const = Seq((5L, 1L), (5L, 9L)).toDF("f", "y")
+    assert(Features.boostedStumpsL2(const, $"f", $"y").count() == 0L)
+    val e = intercept[IllegalArgumentException] {
+      Features.boostedStumpsL2(df, $"f", $"y", rounds = 0)
+    }
+    assert(e.getMessage.contains("rounds must be"))
+  }
 }
