@@ -137,7 +137,7 @@ object SparkEntry {
     "ts_croston", "ts_ewm_volatility", "ml_knn_classify",
     "ml_decision_stump", "win_rolling_corr", "ts_granger",
     "graph_mst", "feat_ols_diagnostics", "binaryfile_scan",
-    "ml_boosted_stumps")
+    "ml_boosted_stumps", "surv_competing_risks")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -427,7 +427,7 @@ object SparkEntry {
     "ts_backtest", "ts_decompose", "ts_decompose_forecast",
     "ts_anomaly_robust", "ts_theilsen",
     "ts_mann_kendall", "surv_kaplan_meier", "surv_km_bands",
-    "surv_logrank", "surv_rmst",
+    "surv_logrank", "surv_rmst", "surv_competing_risks",
     "growth_accounting", "cohort_ltv", "feat_group_regression",
     "feat_conformal", "feat_median_ci",
     "evt_cumulative_users", "evt_dau_wau_mau", "dq_mutual_info",
@@ -8926,6 +8926,43 @@ object SparkEntry {
         .orderBy($"t")
     }),
 
+    "surv_competing_risks" -> ((s, dir) => {
+      import s.implicits._
+      // Aalen-Johansen cumulative incidence with COMPETING causes:
+      // time to the 13th purchase (cause 1) vs the 13th error
+      // (cause 2), whichever strikes FIRST (ties to cause 1 by
+      // convention), censored at corpus end — the estimator 1−KM
+      // per cause overstates. Same duration construction as the KM
+      // family; incidence increments pico-quantized off the
+      // all-cause S(u⁻), truncating micro output.
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      def t13(tpe: String, as: String) = ev
+        .filter($"event_type" === tpe)
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy($"user_id").orderBy($"ts", $"event_id")))
+        .filter($"__rn" === 13)
+        .select($"user_id", $"ts".as(as))
+      val first = ev.groupBy($"user_id")
+        .agg(min($"ts").as("t0"), max($"ts").as("__tn"))
+        .localCheckpoint(true)
+      val mx = first.agg(max($"__tn").as("__mt"))
+      val d = first
+        .join(t13("purchase", "tp"), Seq("user_id"), "left")
+        .join(t13("error", "te"), Seq("user_id"), "left")
+        .crossJoin(broadcast(mx)) // 1-row corpus end
+        .selectExpr(
+          "CASE WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te)" +
+            " THEN tp WHEN te IS NOT NULL THEN te ELSE __mt END AS tev",
+          "CASE WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te)" +
+            " THEN 1 WHEN te IS NOT NULL THEN 2 ELSE NULL END AS cause",
+          "t0")
+        .selectExpr(
+          "(unix_timestamp(tev) - unix_timestamp(t0)) div 3600 AS dur_h",
+          "cause")
+      graft.operators.Survival.competingRisks(d, $"dur_h", $"cause")
+    }),
+
     "surv_logrank" -> ((s, dir) => {
       import s.implicits._
       // Log-rank test of the time-to-13th-purchase curves by user
@@ -14857,6 +14894,74 @@ object SparkEntry {
         |  CASE WHEN half IS NULL THEN NULL
         |    ELSE least(1000000, s_micros + half) END AS hi_micros
         |FROM z ORDER BY t""".stripMargin,
+
+    // Aalen-Johansen: all-cause S(u-) from the km micro-nat terms,
+    // per-(time, cause) pico increments, truncating micro output
+    "surv_competing_risks" ->
+      """WITH p AS (SELECT user_id, ts, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE event_type = 'purchase'),
+        |tp AS (SELECT user_id, ts AS tp FROM p WHERE rn = 13),
+        |q AS (SELECT user_id, ts, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE event_type = 'error'),
+        |te AS (SELECT user_id, ts AS te FROM q WHERE rn = 13),
+        |f AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1),
+        |mx AS (SELECT max(ts) AS mt FROM events),
+        |d AS (SELECT
+        |    (CAST(floor(epoch(CASE WHEN tp IS NOT NULL
+        |        AND (te IS NULL OR tp <= te) THEN tp
+        |      WHEN te IS NOT NULL THEN te ELSE mt END)) AS BIGINT)
+        |     - CAST(floor(epoch(t0)) AS BIGINT)) // 3600 AS t,
+        |    CASE WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te)
+        |      THEN 1 WHEN te IS NOT NULL THEN 2 ELSE NULL END AS cause
+        |  FROM f LEFT JOIN tp USING (user_id)
+        |    LEFT JOIN te USING (user_id), mx),
+        |byt AS (SELECT t,
+        |    CAST(sum(CASE WHEN cause IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d,
+        |    count(*) AS exits FROM d GROUP BY 1),
+        |bytc AS (SELECT t, CAST(cause AS BIGINT) AS cause,
+        |    CAST(count(*) AS BIGINT) AS dk
+        |  FROM d WHERE cause IS NOT NULL GROUP BY 1, 2),
+        |causes AS (SELECT DISTINCT CAST(cause AS BIGINT) AS cause
+        |  FROM d WHERE cause IS NOT NULL),
+        |n0 AS (SELECT sum(exits) AS n0 FROM byt),
+        |r AS (SELECT t, d, exits, n0 - coalesce(sum(exits) OVER (
+        |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS n_risk
+        |  FROM byt, n0),
+        |e AS (SELECT t, n_risk, d,
+        |    CASE WHEN d < n_risk THEN CAST(round(ln(1 - CAST(d AS DOUBLE)
+        |      / CAST(n_risk AS DOUBLE)) * 1000000) AS BIGINT)
+        |      ELSE NULL END AS term
+        |  FROM r WHERE d > 0),
+        |w AS (SELECT t, n_risk,
+        |    coalesce(max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER (
+        |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS hit0p,
+        |    coalesce(sum(term) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0) AS lnsp
+        |  FROM e),
+        |sp AS (SELECT t, n_risk, CASE WHEN hit0p = 1 THEN 0.0
+        |    ELSE exp(CAST(lnsp AS DOUBLE) / 1000000.0) END AS s_prev
+        |  FROM w),
+        |g AS (SELECT sp.t, c.cause, sp.n_risk,
+        |    coalesce(bytc.dk, CAST(0 AS BIGINT)) AS dk, sp.s_prev
+        |  FROM sp CROSS JOIN causes c
+        |  LEFT JOIN bytc ON bytc.t = sp.t AND bytc.cause = c.cause),
+        |i AS (SELECT t, cause, n_risk, dk,
+        |    CAST(round(s_prev * CAST(dk AS DOUBLE)
+        |      / CAST(n_risk AS DOUBLE) * 1000000000000) AS BIGINT) AS inc
+        |  FROM g),
+        |cum AS (SELECT t, cause, n_risk, dk,
+        |    CAST(sum(inc) OVER (PARTITION BY cause ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cumv
+        |  FROM i)
+        |SELECT t, cause, CAST(n_risk AS BIGINT) AS n_risk,
+        |  dk AS n_events, CAST(cumv // 1000000 AS BIGINT) AS cif_micros
+        |FROM cum ORDER BY cause, t""".stripMargin,
 
     // per-element micro-quantization, per-dim integer sums over the
     // fixed 64-dim range, DECIMAL dot/norms, one mirrored sqrt tree

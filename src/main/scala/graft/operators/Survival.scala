@@ -261,4 +261,85 @@ object Survival {
         round(Quality.pValueTwoSidedZ(col("__z")) * 1e6).cast("long")
           .as("p_micros"))
   }
+
+  /** COMPETING-RISKS cumulative incidence (Aalen-Johansen) — the
+    * estimator [[kaplanMeier]] is WRONG for when more than one event
+    * type removes a subject ("churned to rival" vs "churned
+    * inactive": 1−KM per cause overstates both, because it treats
+    * the other cause's exits as censoring that could still fail
+    * later). CIF_k(t) = Σ_{u≤t} S(u⁻)·d_k(u)/n(u), where S is the
+    * ALL-CAUSE survival — incidences sum to 1−S and never overstate.
+    * Input: one row per subject (duration, cause — NULL cause =
+    * right-censored). Returns one row per (event time, cause):
+    * (t, cause, n_risk, n_events, cif_micros) — every observed
+    * cause gets a row at every event time (d = 0 contributes 0), so
+    * each cause's curve is complete.
+    *
+    * Exactness: the kaplanMeier discipline end to end — all-cause
+    * ln(1−d/n) terms micro-rounded then integer-cumulated, S(u⁻)
+    * ONE mirrored exp over the PRIOR cumulative (1.0 at the first
+    * event time); per-(time, cause) increments
+    * `round(10¹²·S(u⁻)·d_k/n)` pico-quantized then integer-cumulated
+    * per cause; cif_micros is one truncating division of the
+    * non-negative pico sum. After all-cause survival hits zero
+    * (d = n), S(u⁻) for later times is exactly 0 by flag, not by a
+    * NULL-swallowing sum.
+    *
+    * Scale: one row-scale hash-agg per axis (all-cause and
+    * per-cause), a times × causes grid at study-length × cause-count
+    * scale, ordered windows over that grid only. */
+  def competingRisks(df: DataFrame, durationExpr: Column,
+      causeExpr: Column): DataFrame = {
+    val rows = df.select(durationExpr.cast("long").as("t"),
+        causeExpr.cast("long").as("cause"))
+      .filter(col("t").isNotNull && col("t") >= 0)
+    val byT = rows.groupBy(col("t"))
+      .agg(sum(when(col("cause").isNotNull, 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("exits"))
+      .localCheckpoint(true) // totals + grid + curve consumers
+    val byTC = rows.filter(col("cause").isNotNull)
+      .groupBy(col("t"), col("cause"))
+      .agg(count(lit(1)).as("dk"))
+    val causes = rows.select(col("cause")).filter(col("cause").isNotNull)
+      .distinct()
+    val total = byT.agg(sum(col("exits")).as("__n0"))
+    val wBefore = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wUpTo = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // all-cause risk set, event-time rows only, S(u-) per time
+    val km = byT.crossJoin(broadcast(total)) // 1-row subject count
+      .withColumn("n_risk",
+        col("__n0") - coalesce(sum(col("exits")).over(wBefore), lit(0L)))
+      .filter(col("d") > 0)
+      .withColumn("__term",
+        when(col("d") < col("n_risk"),
+          round(log(lit(1.0) - col("d").cast("double") /
+            col("n_risk").cast("double")) * 1e6).cast("long"))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("__hit0_prev",
+        coalesce(max(when(col("d") >= col("n_risk"), 1).otherwise(0))
+          .over(wBefore), lit(0)))
+      .withColumn("__lns_prev",
+        coalesce(sum(col("__term")).over(wBefore), lit(0L)))
+      .withColumn("__s_prev",
+        when(col("__hit0_prev") === 1, lit(0.0))
+          .otherwise(exp(col("__lns_prev").cast("double") / 1e6)))
+      .select(col("t"), col("n_risk"), col("__s_prev"))
+      .localCheckpoint(true) // grid join + per-cause windows
+    val wCause = Window.partitionBy(col("cause")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    km.crossJoin(broadcast(causes)) // times x causes grid
+      .join(byTC, Seq("t", "cause"), "left")
+      .withColumn("__dk", coalesce(col("dk"), lit(0L)))
+      .withColumn("__inc",
+        round(col("__s_prev") * col("__dk").cast("double") /
+          col("n_risk").cast("double") * 1e12).cast("long"))
+      .withColumn("__cum", sum(col("__inc")).over(wCause))
+      .select(col("t"), col("cause").cast("bigint").as("cause"),
+        col("n_risk").cast("bigint").as("n_risk"),
+        col("__dk").cast("bigint").as("n_events"),
+        expr("CAST(__cum div 1000000 AS BIGINT)").as("cif_micros"))
+      .orderBy(col("cause"), col("t"))
+  }
 }

@@ -138,4 +138,35 @@ class SurvivalSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("> 0"))
   }
+
+  test("competingRisks: hand grid, first increment exact, monotone, sums bound 1-S") {
+    // durations/causes: (1, c1), (2, c2), (3, censored), (4, c1)
+    val df = Seq((1L, Some(1L)), (2L, Some(2L)), (3L, Option.empty[Long]),
+      (4L, Some(1L))).toDF("dur", "cause")
+    val got = Survival.competingRisks(df, $"dur", $"cause").collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4))) // (cause, t, n_risk, n_events, cif)
+    // grid: every cause gets a row at EVERY event time (1, 2, 4);
+    // the censor-only time 3 creates no row
+    assert(got.map(_._2).distinct.sorted.toSeq == Seq(1L, 2L, 4L))
+    assert(got.length == 6)
+    val c1 = got.filter(_._1 == 1L).sortBy(_._2)
+    val c2 = got.filter(_._1 == 2L).sortBy(_._2)
+    // first event time: S(u-) = 1 exactly, inc = 1/4 -> 250000 micros
+    assert(c1.head == ((1L, 1L, 4L, 1L, 250000L)))
+    assert(c2.head == ((2L, 1L, 4L, 0L, 0L)))
+    // double-entry replay of the remaining curve (mirrored formula)
+    val term1 = math.round(math.log(1.0 - 1.0 / 4.0) * 1e6)
+    val term2 = math.round(math.log(1.0 - 1.0 / 3.0) * 1e6)
+    val sPrev2 = math.exp(term1.toDouble / 1e6)
+    val sPrev4 = math.exp((term1 + term2).toDouble / 1e6)
+    val incC2t2 = math.round(sPrev2 * 1.0 / 3.0 * 1e12)
+    val incC1t4 = math.round(sPrev4 * 1.0 / 1.0 * 1e12)
+    assert(c2(1)._5 == incC2t2 / 1000000L)
+    assert(c1(2)._5 == (250000000000L + incC1t4) / 1000000L)
+    // monotone per cause; total incidence bounded by 1
+    assert(c1.map(_._5).sliding(2).forall(p => p(0) <= p(1)))
+    assert(c2.map(_._5).sliding(2).forall(p => p(0) <= p(1)))
+    assert(c1.last._5 + c2.last._5 <= 1000000L)
+  }
 }
