@@ -137,7 +137,8 @@ object SparkEntry {
     "ts_croston", "ts_ewm_volatility", "ml_knn_classify",
     "ml_decision_stump", "win_rolling_corr", "ts_granger",
     "graph_mst", "feat_ols_diagnostics", "binaryfile_scan",
-    "ml_boosted_stumps", "surv_competing_risks")
+    "ml_boosted_stumps", "surv_competing_risks",
+    "evt_funnel_latency", "dq_psi_timeline")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -379,7 +380,8 @@ object SparkEntry {
     "feat_cdf_normalize", "pipeline_feature_matrix",
     "dq_invalid_codes", "dq_expectations", "dq_profile",
     "dq_completeness", "dq_outliers",
-    "dq_outliers_mad", "dq_psi", "dq_wasserstein", "dq_woe", "dq_benford",
+    "dq_outliers_mad", "dq_psi", "dq_psi_timeline", "dq_wasserstein",
+    "dq_woe", "dq_benford",
     "feat_cuped", "feat_cuped_multi",
     "dq_winsorize", "dq_ks", "feat_auc", "feat_gains", "dq_chi2",
     "dq_k_anonymity", "dq_l_diversity", "dq_t_closeness",
@@ -416,6 +418,7 @@ object SparkEntry {
     "evt_weekend_lift", "evt_sessionize", "evt_session_window",
     "evt_stream_join", "evt_stream_join_outer", "evt_enrich_static",
     "evt_funnel", "evt_funnel_windowed", "evt_funnel_by_segment",
+    "evt_funnel_latency",
     "evt_set_completion",
     "evt_retention",
     "evt_transitions", "evt_attribution", "evt_markov_attribution",
@@ -556,6 +559,51 @@ object SparkEntry {
       // statistics replay in exact micro-nats.
       Quality.woeReport(Tables.events(s, dir), round($"value" * 100),
         $"event_type" === "error", lo = 0L, width = 1000L, nBuckets = 10)
+    }),
+
+    "dq_psi_timeline" -> ((s, dir) => {
+      import s.implicits._
+      // The drift TRAJECTORY dq_psi's one pairwise score cannot show:
+      // PSI of each week's value distribution against the FIRST week
+      // — the monitoring table that says when the population started
+      // moving, in the exact psiReport conventions (same buckets,
+      // same add-one smoothing, both-empty buckets contribute exactly
+      // 0, per-bucket micro terms summed order-free per week).
+      val ev = Tables.events(s, dir)
+        .select(date_trunc("week", $"ts").cast("date").as("wk"),
+          round($"value" * 100).cast("long").as("v"))
+        .selectExpr("wk",
+          "CASE WHEN v IS NULL THEN -1L" +
+            " ELSE least(greatest(v div 1000, 0L), 9L) END AS bucket")
+      val counts = ev.groupBy($"wk", $"bucket").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // weeks + baseline + grid consumers
+      val weeks = counts.select($"wk").distinct()
+      val bwk = weeks.agg(min($"wk").as("bwk"))
+      val buckets = s.range(-1, 10).select($"id".as("bucket"))
+      val bl = counts.crossJoin(broadcast(bwk)) // 1-row baseline week
+        .filter($"wk" === $"bwk").select($"bucket", $"n".as("nb0"))
+      val tb = bl.agg(sum($"nb0").as("tb"))
+      val full = weeks.crossJoin(buckets)
+        .join(counts, Seq("wk", "bucket"), "left")
+        .join(bl, Seq("bucket"), "left")
+        .select($"wk", $"bucket", coalesce($"n", lit(0L)).as("n_a"),
+          coalesce($"nb0", lit(0L)).as("n_b"))
+      val ta = full.groupBy($"wk").agg(sum($"n_a").as("ta"))
+      full.join(ta, "wk").crossJoin(broadcast(tb)) // 1-row baseline total
+        .withColumn("__term",
+          when($"n_a" === 0L && $"n_b" === 0L, 0L)
+            .otherwise(round((($"n_a" + 1L).cast("double") /
+              ($"ta" + 11L).cast("double") -
+              ($"n_b" + 1L).cast("double") /
+                ($"tb" + 11L).cast("double")) *
+              log((($"n_a" + 1L).cast("decimal(38,0)") * ($"tb" + 11L))
+                .cast("double") /
+                (($"n_b" + 1L).cast("decimal(38,0)") * ($"ta" + 11L))
+                  .cast("double")) * 1e6).cast("long")))
+        .groupBy($"wk")
+        .agg(sum($"n_a").cast("bigint").as("n_rows"),
+          sum($"__term").cast("bigint").as("psi_micros"))
+        .orderBy($"wk")
     }),
 
     "dq_ks" -> ((s, dir) => {
@@ -7798,6 +7846,34 @@ object SparkEntry {
         .orderBy($"user_id")
     }),
 
+    "evt_funnel_latency" -> ((s, dir) => {
+      import s.implicits._
+      // HOW LONG each funnel stage takes, not just how many convert
+      // (evt_funnel counts; a product team also sets SLAs on the
+      // median and tail): per stage pair, converter count and the
+      // p50/p90 latency in whole seconds — rank-based percentile_disc
+      // returns ACTUAL data values, bit-exact on both engines, and
+      // the latencies are exact floor-second differences off the
+      // graded min-chain.
+      val f = EventStreams.funnel(Tables.events(s, dir),
+          steps = Seq("view", "click", "purchase"))
+        .toDF("user_id", "t_view", "t_click", "t_purchase")
+      def leg(name: String, from: String, to: String) = f
+        .filter(col(to).isNotNull)
+        .select(lit(name).as("step"),
+          (unix_timestamp(col(to)) - unix_timestamp(col(from)))
+            .as("lat"))
+      leg("click_to_purchase", "t_click", "t_purchase")
+        .unionByName(leg("view_to_click", "t_view", "t_click"))
+        .groupBy($"step")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lat)")
+            .cast("bigint").as("p50_s"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lat)")
+            .cast("bigint").as("p90_s"))
+        .orderBy($"step")
+    }),
+
     "evt_funnel_by_segment" -> ((s, dir) => {
       import s.implicits._
       // The funnel SPLIT by experiment arm (user parity) — the table
@@ -10093,6 +10169,43 @@ object SparkEntry {
         |       CAST(CAST(n_b + 1 AS HUGEINT) * (ta + 11) AS DOUBLE)) *
         |    1000000) AS BIGINT) END AS psi_micros
         |FROM j, t ORDER BY bucket""".stripMargin,
+
+    // PSI per week vs the first week, same smoothing conventions,
+    // per-bucket micro terms summed per week
+    "dq_psi_timeline" ->
+      """WITH r AS (SELECT date_trunc('week', ts)::DATE AS wk,
+        |    CASE WHEN v IS NULL THEN -1
+        |      ELSE least(greatest(v // 1000, 0), 9) END AS bucket
+        |  FROM (SELECT ts, CAST(round(value * 100) AS BIGINT) AS v
+        |        FROM events)),
+        |c AS (SELECT wk, bucket, CAST(count(*) AS BIGINT) AS n
+        |  FROM r GROUP BY 1, 2),
+        |wks AS (SELECT DISTINCT wk FROM c),
+        |bw AS (SELECT min(wk) AS bwk FROM wks),
+        |grid AS (SELECT CAST(range AS BIGINT) AS bucket
+        |  FROM range(-1, 10)),
+        |bl AS (SELECT bucket, n AS nb0 FROM c, bw WHERE wk = bwk),
+        |tbt AS (SELECT sum(nb0) AS tb FROM bl),
+        |fl AS (SELECT w.wk, g.bucket,
+        |    coalesce(c.n, 0) AS n_a, coalesce(bl.nb0, 0) AS n_b
+        |  FROM wks w CROSS JOIN grid g
+        |  LEFT JOIN c ON c.wk = w.wk AND c.bucket = g.bucket
+        |  LEFT JOIN bl ON bl.bucket = g.bucket),
+        |tat AS (SELECT wk, sum(n_a) AS ta FROM fl GROUP BY 1),
+        |terms AS (SELECT f.wk, f.n_a,
+        |    CASE WHEN f.n_a = 0 AND f.n_b = 0 THEN 0 ELSE CAST(round(
+        |      ((CAST(f.n_a + 1 AS DOUBLE) / CAST(tat.ta + 11 AS DOUBLE))
+        |       - (CAST(f.n_b + 1 AS DOUBLE)
+        |          / CAST(tbt.tb + 11 AS DOUBLE))) *
+        |      ln(CAST(CAST(f.n_a + 1 AS HUGEINT) * (tbt.tb + 11)
+        |            AS DOUBLE) /
+        |         CAST(CAST(f.n_b + 1 AS HUGEINT) * (tat.ta + 11)
+        |            AS DOUBLE)) *
+        |      1000000) AS BIGINT) END AS term
+        |  FROM fl f JOIN tat ON tat.wk = f.wk, tbt)
+        |SELECT wk, CAST(sum(n_a) AS BIGINT) AS n_rows,
+        |  CAST(sum(term) AS BIGINT) AS psi_micros
+        |FROM terms GROUP BY 1 ORDER BY wk""".stripMargin,
 
     // digit is string-extracted, shares integer div, expectation a
     // mirrored ppm constant
@@ -15976,6 +16089,40 @@ object SparkEntry {
         |  CAST((CAST(n_purchase AS HUGEINT) * 1000000)
         |    // nullif(n_click, 0) AS BIGINT) AS purchase_ppm
         |FROM a ORDER BY segment""".stripMargin,
+
+    // the graded min-chain, then rank-based percentiles over exact
+    // floor-second latencies — actual data values on both engines
+    "evt_funnel_latency" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts >= s1.t_view
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t_click
+        |  GROUP BY e.user_id),
+        |f AS (SELECT s1.user_id, t_view, t_click, t_purchase
+        |  FROM s1 LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id)),
+        |legs AS (
+        |  SELECT 'view_to_click' AS step,
+        |    CAST(floor(epoch(t_click)) AS BIGINT)
+        |      - CAST(floor(epoch(t_view)) AS BIGINT) AS lat
+        |  FROM f WHERE t_click IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'click_to_purchase',
+        |    CAST(floor(epoch(t_purchase)) AS BIGINT)
+        |      - CAST(floor(epoch(t_click)) AS BIGINT)
+        |  FROM f WHERE t_purchase IS NOT NULL)
+        |SELECT step, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(quantile_disc(lat, 0.5) AS BIGINT) AS p50_s,
+        |  CAST(quantile_disc(lat, 0.9) AS BIGINT) AS p90_s
+        |FROM legs GROUP BY 1 ORDER BY step""".stripMargin,
 
     "evt_funnel" ->
       """WITH s1 AS (
