@@ -138,7 +138,8 @@ object SparkEntry {
     "ml_decision_stump", "win_rolling_corr", "ts_granger",
     "graph_mst", "feat_ols_diagnostics", "binaryfile_scan",
     "ml_boosted_stumps", "surv_competing_risks",
-    "evt_funnel_latency", "dq_psi_timeline")
+    "evt_funnel_latency", "dq_psi_timeline",
+    "interval_concurrency", "graph_bipartite_check")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -365,6 +366,7 @@ object SparkEntry {
     "asof_next_purchase", "asof_nearest", "asof_tolerance",
     "interval_join_promo",
     "interval_join_incidents", "interval_gaps",
+    "interval_concurrency",
     "interval_overlap_campaigns", "geo_radius_join",
     "win_topk_parts", "win_running_total", "win_lag_delta", "win_rank_family",
     "win_rolling_range", "win_rolling_median", "win_rolling_mad",
@@ -459,7 +461,8 @@ object SparkEntry {
     "graph_local_triangles", "graph_shortest_paths", "graph_closeness",
     "graph_betweenness", "graph_katz", "graph_scc",
     "graph_scc_condensation", "graph_scc_dag_levels",
-    "graph_reciprocity", "graph_mst", "graph_cooccurrence",
+    "graph_reciprocity", "graph_mst", "graph_bipartite_check",
+    "graph_cooccurrence",
     "graph_weighted_paths", "graph_label_prop", "graph_modularity",
     "graph_louvain", "graph_assortativity", "graph_degree_hist",
     "graph_assoc_rules", "graph_adamic_adar", "graph_jaccard",
@@ -4372,6 +4375,33 @@ object SparkEntry {
             " * 1000000) AS BIGINT) END AS jb_micros")
     }),
 
+    "interval_concurrency" -> ((s, dir) => {
+      import s.implicits._
+      // PEAK CONCURRENCY — the capacity question coverage/gaps can't
+      // answer ("how many sessions were open AT ONCE?" sizes the
+      // fleet; total covered time doesn't): classic sweep line over
+      // the same 2-hour session intervals, +1 at open, −1 at close,
+      // ends processed before starts at the same second (half-open
+      // [st, en) semantics — touching sessions never double-count),
+      // hourly max of the running count. Exact integers end to end;
+      // within a tie group the prefix-sum multiset is order-free, so
+      // the hourly max is deterministic. The running sum is one
+      // global ordered window (shard by day first at corpus scale).
+      import org.apache.spark.sql.expressions.Window
+      val iv = Tables.events(s, dir).select(
+        $"ts".cast("long").as("st"),
+        ($"ts".cast("long") + 7200L).as("en"))
+      val evs = iv.select($"st".as("t"), lit(1L).as("d"))
+        .unionByName(iv.select($"en".as("t"), lit(-1L).as("d")))
+      val w = Window.orderBy($"t", $"d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      evs.withColumn("__run", sum($"d").over(w))
+        .groupBy(expr("t div 3600").as("hour_idx"))
+        .agg(count(lit(1)).cast("bigint").as("n_boundaries"),
+          max($"__run").cast("bigint").as("peak_concurrent"))
+        .orderBy($"hour_idx")
+    }),
+
     "interval_gaps" -> ((s, dir) => {
       import s.implicits._
       // The COMPLEMENT of interval_coverage: the uncovered gaps
@@ -4781,6 +4811,48 @@ object SparkEntry {
       val e = pairs.select($"a", $"b",
         (pmod($"a" * 131 + $"b" * 53, lit(997)) + 1).as("w"))
       graft.operators.Graph.minimumSpanningForest(e, "a", "b", "w")
+    }),
+
+    "graph_bipartite_check" -> ((s, dir) => {
+      import s.implicits._
+      // Is the graph TWO-SIDED? Per component: BFS parity classes
+      // from the canonical root and the count of same-parity edges —
+      // zero means bipartite (a valid 2-coloring exists), nonzero
+      // counts the odd-cycle evidence. Engine: the existing CC +
+      // multi-source BFS machinery (distances from every component
+      // root in ONE sweep); oracle: closure-based components and a
+      // UNION-dedup BFS — algorithm-independent, graded against the
+      // DEFINITION of distance parity. SIDE-EFFECTING (CC/BFS
+      // rounds are eager).
+      val li = Tables.lineitem(s, dir)
+        .filter(pmod($"l_orderkey", lit(8)) === 0)
+        .select($"l_orderkey".as("ok"), pmod($"l_suppkey", lit(97)).as("v"))
+        .distinct()
+      val pairs = li.select($"ok", $"v".as("va"))
+        .join(li.select($"ok", $"v".as("vb")), "ok")
+        .filter($"va" < $"vb")
+        .select($"va".as("a"), $"vb".as("b")).distinct()
+        .localCheckpoint(true) // cc + bfs + parity-join consumers
+      val cc = graft.operators.Graph.connectedComponents(pairs, "a", "b")
+      val roots = cc.select($"comp".as("id")).distinct()
+      val dist = graft.operators.Graph.shortestPaths(pairs, roots,
+        "a", "b", "id", maxHops = 24)
+      val da = dist.select($"id".as("a"), pmod($"dist", lit(2)).as("qa"))
+      val db = dist.select($"id".as("b"), pmod($"dist", lit(2)).as("qb"))
+      val compA = cc.select($"id".as("a"), $"comp")
+      val vcount = cc.groupBy($"comp")
+        .agg(count(lit(1)).as("n_vertices"))
+      val ecount = pairs.join(compA, "a").join(da, "a").join(db, "b")
+        .groupBy($"comp")
+        .agg(count(lit(1)).as("n_edges"),
+          sum(when($"qa" === $"qb", 1L).otherwise(0L)).as("n_odd_edges"))
+      vcount.join(ecount, "comp") // every component has >= 1 edge
+        .select($"comp".cast("bigint").as("component"),
+          $"n_vertices".cast("bigint").as("n_vertices"),
+          $"n_edges".cast("bigint").as("n_edges"),
+          $"n_odd_edges".cast("bigint").as("n_odd_edges"),
+          ($"n_odd_edges" === 0L).as("is_bipartite"))
+        .orderBy($"component")
     }),
 
     "graph_reciprocity" -> ((s, dir) => {
@@ -16613,6 +16685,21 @@ object SparkEntry {
         |  CAST(sum(e - s) AS BIGINT) AS covered_seconds
         |FROM agg GROUP BY 1 ORDER BY user_id""".stripMargin,
 
+    // sweep line: +1/-1 boundaries, ends before starts at ties
+    // (half-open intervals), hourly max of the running count
+    "interval_concurrency" ->
+      """WITH iv AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS st,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + 7200 AS en
+        |  FROM events),
+        |ev AS (SELECT st AS t, CAST(1 AS BIGINT) AS d FROM iv
+        |  UNION ALL SELECT en, CAST(-1 AS BIGINT) FROM iv),
+        |r AS (SELECT t, d, sum(d) OVER (ORDER BY t, d ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM ev)
+        |SELECT t // 3600 AS hour_idx,
+        |  CAST(count(*) AS BIGINT) AS n_boundaries,
+        |  CAST(max(run) AS BIGINT) AS peak_concurrent
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // the island construction again, then one lag pass: gaps are
     // strictly positive because islands are disjoint by construction
     "interval_gaps" ->
@@ -18487,6 +18574,47 @@ object SparkEntry {
         |  FROM r JOIN s ON s.i = r.i + 1)
         |SELECT ea AS src, eb AS dst, ew AS weight
         |FROM r WHERE took ORDER BY weight, src, dst""".stripMargin,
+
+    // closure-based components + UNION-dedup BFS (min dist per id,
+    // bounded by the 97-vertex construction) — graded against the
+    // DEFINITION of distance parity, not a replay of the engine
+    "graph_bipartite_check" ->
+      """WITH RECURSIVE
+        |li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+        |    l_suppkey % 97 AS v
+        |  FROM lineitem WHERE l_orderkey % 8 = 0),
+        |p AS MATERIALIZED (SELECT DISTINCT CAST(x.v AS BIGINT) AS a,
+        |    CAST(y.v AS BIGINT) AS b
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.v < y.v),
+        |sym AS MATERIALIZED (SELECT a AS u, b AS v FROM p
+        |  UNION SELECT b, a FROM p),
+        |vt AS (SELECT DISTINCT u AS id FROM sym),
+        |reach AS (
+        |  SELECT id AS a, id AS b FROM vt
+        |  UNION
+        |  SELECT r.a, s.v FROM reach r JOIN sym s ON s.u = r.b),
+        |cmp AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY 1),
+        |bfs AS (
+        |  SELECT comp AS id, CAST(0 AS BIGINT) AS dist
+        |  FROM (SELECT DISTINCT comp FROM cmp) roots
+        |  UNION
+        |  SELECT s.v, b.dist + 1 FROM bfs b JOIN sym s ON s.u = b.id
+        |  WHERE b.dist < 97),
+        |d AS (SELECT id, min(dist) AS dist FROM bfs GROUP BY 1),
+        |par AS (SELECT p.a, p.b, da.dist % 2 AS qa, db.dist % 2 AS qb,
+        |    ca.comp
+        |  FROM p JOIN d da ON da.id = p.a JOIN d db ON db.id = p.b
+        |  JOIN cmp ca ON ca.id = p.a),
+        |vs AS (SELECT comp, CAST(count(*) AS BIGINT) AS n_vertices
+        |  FROM cmp GROUP BY 1),
+        |es AS (SELECT comp, CAST(count(*) AS BIGINT) AS n_edges,
+        |    CAST(sum(CASE WHEN qa = qb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_odd_edges
+        |  FROM par GROUP BY 1)
+        |SELECT CAST(vs.comp AS BIGINT) AS component, n_vertices,
+        |  n_edges, n_odd_edges, n_odd_edges = 0 AS is_bipartite
+        |FROM vs JOIN es ON es.comp = vs.comp
+        |ORDER BY component""".stripMargin,
 
     "graph_reciprocity" ->
       """WITH b AS (SELECT DISTINCT o_custkey * 2 AS c,
