@@ -139,7 +139,8 @@ object SparkEntry {
     "graph_mst", "feat_ols_diagnostics", "binaryfile_scan",
     "ml_boosted_stumps", "surv_competing_risks",
     "evt_funnel_latency", "dq_psi_timeline",
-    "interval_concurrency", "graph_bipartite_check")
+    "interval_concurrency", "graph_bipartite_check",
+    "ts_hampel", "agg_geomean", "evt_hill_tail")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -357,6 +358,7 @@ object SparkEntry {
     "agg_collect_list", "agg_pivot", "agg_unpivot", "agg_grouping_sets",
     "agg_mode", "agg_winsorized_mean", "agg_weighted_median",
     "agg_share", "agg_topn_other", "agg_quantiles", "agg_skew_kurt",
+    "agg_geomean",
     "date_funcs", "null_handling", "str_levenshtein", "sketch_bloom",
     "sketch_topk", "sketch_topk_grouped", "sketch_hll_persist", "sketch_kll_persist",
     "sketch_cms_persist",
@@ -397,7 +399,8 @@ object SparkEntry {
     "ab_effect_size", "feat_avg_precision", "dq_cvm", "ab_anova",
     "feat_calibration", "dq_ad", "feat_brier", "ab_mcnemar", "ab_cmh",
     "ab_posthoc", "graph_diameter", "ab_yuen", "text_code_detect",
-    "ts_pacf", "graph_rich_club", "evt_lorenz", "dedup_lsh_tuning",
+    "ts_pacf", "graph_rich_club", "evt_lorenz", "evt_hill_tail",
+    "dedup_lsh_tuning",
     "sim_centroid_assign", "evt_entry_exit", "dq_overdispersion",
     "dq_aggregate_consistency", "geo_hotspot", "evt_streaks",
     "ts_forecast_interval", "agg_theil", "text_heaps",
@@ -428,7 +431,7 @@ object SparkEntry {
     "ts_cusum", "ts_acf", "ts_ljung_box", "ts_dominant_period",
     "ts_ar_order", "ts_ar_forecast", "ts_holt",
     "ts_holt_winters", "ts_croston", "ts_ewm_volatility",
-    "ts_granger", "ts_changepoint", "ts_changepoints",
+    "ts_granger", "ts_hampel", "ts_changepoint", "ts_changepoints",
     "ts_backtest", "ts_decompose", "ts_decompose_forecast",
     "ts_anomaly_robust", "ts_theilsen",
     "ts_mann_kendall", "surv_kaplan_meier", "surv_km_bands",
@@ -1062,6 +1065,39 @@ object SparkEntry {
             div (__n * __sx) AS BIGINT)""").as("gini_ppm"))
     }),
 
+    "evt_hill_tail" -> ((s, dir) => {
+      import s.implicits._
+      // Hill tail-index of the order-value distribution — the ONE
+      // number behind "is this heavy-tailed, and how heavy" that
+      // gini/lorenz (concentration) don't give: α̂ over the top
+      // k = 100 order statistics; α ≤ 2 means infinite variance
+      // (plan capacity for extremes), α large means the tail is
+      // tame. Each log micro-rounded BEFORE differencing (order-free
+      // sums), truncating integer mean, α one mirrored division.
+      // Rank ties break by order key — fully deterministic.
+      import org.apache.spark.sql.expressions.Window
+      val k = 100
+      val v = Tables.orders(s, dir)
+        .select($"o_orderkey",
+          round($"o_totalprice" * 100).cast("long").as("c"))
+        .filter($"c" > 0)
+      val ranked = v.withColumn("__rn", row_number().over(
+          Window.orderBy($"c".desc, $"o_orderkey")))
+        .filter($"__rn" <= k)
+        .withColumn("__ln", round(log($"c".cast("double")) * 1e6)
+          .cast("long"))
+      val xk = ranked.filter($"__rn" === k)
+        .select($"c".as("__ck"), $"__ln".as("__lnk"))
+      ranked.filter($"__rn" < k).crossJoin(broadcast(xk)) // 1-row x_(k)
+        .agg(count(lit(1)).cast("bigint").as("n_tail"),
+          max($"__ck").cast("bigint").as("threshold_cents"),
+          sum($"__ln" - $"__lnk").as("__s"))
+        .selectExpr("n_tail", "threshold_cents",
+          "CASE WHEN __s div n_tail <= 0 THEN NULL ELSE" +
+            " CAST(round(1000000000000 / CAST(__s div n_tail AS DOUBLE))" +
+            " AS BIGINT) END AS alpha_micros")
+    }),
+
     "evt_lorenz" -> ((s, dir) => {
       import s.implicits._
       // Lorenz concentration curve of purchase activity — the decile
@@ -1352,6 +1388,26 @@ object SparkEntry {
           "CASE WHEN m2 <= 0.0 THEN NULL ELSE CAST(round(" +
             "(m4 / (m2 * m2) - 3.0) * 1000000) AS BIGINT) END" +
             " AS kurtosis_micros")
+        .orderBy($"event_type")
+    }),
+
+    "agg_geomean" -> ((s, dir) => {
+      import s.implicits._
+      // Per-group GEOMETRIC mean of value cents — the right average
+      // for ratios and skewed positive metrics (the arithmetic mean
+      // of latencies/prices overweights the tail; the geomean is the
+      // exp of the mean log): micro-nat terms summed order-free, the
+      // truncating integer mean, ONE mirrored exp.
+      val v = Tables.events(s, dir)
+        .select($"event_type", round($"value" * 100).cast("long").as("x"))
+        .filter($"x".isNotNull && $"x" > 0)
+      v.groupBy($"event_type")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(round(log($"x".cast("double")) * 1e6).cast("long"))
+            .as("__s"))
+        .selectExpr("event_type", "n",
+          "CAST(round(exp(CAST(__s div n AS DOUBLE) / 1000000.0)" +
+            " * 1000000) AS BIGINT) AS geomean_cents_micros")
         .orderBy($"event_type")
     }),
 
@@ -7906,6 +7962,40 @@ object SparkEntry {
         .orderBy($"event_type", $"hour")
     }),
 
+    "ts_hampel" -> ((s, dir) => {
+      import s.implicits._
+      // The Hampel FILTER — the cleaning step the anomaly flags stop
+      // short of (win_rolling_zscore/mad FLAG the burst hour; a
+      // forecasting pipeline must also REPLACE it before fitting):
+      // flag where |x − rolling median| > 3·1.4826·MAD, replace
+      // flagged points with the median. Same sorted-frame-array
+      // interpolation as the rolling median/MAD pair, token-for-token
+      // mirrored doubles; the replacement is the one extra CASE.
+      val hc = Tables.events(s, dir)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+        .agg((count(lit(1)) * 1000000L).as("x"))
+      val w = Window.partitionBy($"event_type").orderBy($"hour")
+        .rowsBetween(-23, Window.currentRow)
+      def interp(arr: String): String =
+        s"CASE WHEN size($arr) % 2 = 1 THEN CAST(element_at($arr," +
+          s" CAST((size($arr) + 1) DIV 2 AS INT)) AS DOUBLE)" +
+          s" ELSE (CAST(element_at($arr, CAST(size($arr) DIV 2" +
+          s" AS INT)) AS DOUBLE) + CAST(element_at($arr," +
+          s" CAST(size($arr) DIV 2 + 1 AS INT)) AS DOUBLE)) / 2.0 END"
+      hc.withColumn("__arr", sort_array(collect_list($"x").over(w)))
+        .withColumn("__med", expr(interp("__arr")))
+        .withColumn("__dev", expr(
+          "array_sort(transform(__arr, e -> abs(CAST(e AS DOUBLE)" +
+            " - __med)))"))
+        .withColumn("__mad", expr(interp("__dev")))
+        .withColumn("is_outlier", expr(
+          "abs(CAST(x AS DOUBLE) - __med) > 4.4478 * __mad"))
+        .selectExpr("event_type", "hour", "x", "is_outlier",
+          "CAST(round(CASE WHEN is_outlier THEN __med" +
+            " ELSE CAST(x AS DOUBLE) END) AS BIGINT) AS cleaned_micros")
+        .orderBy($"event_type", $"hour")
+    }),
+
     "evt_funnel" -> ((s, dir) => {
       import s.implicits._
       // view -> click -> purchase conversion funnel: earliest per-user
@@ -10887,6 +10977,29 @@ object SparkEntry {
         |FROM m""".stripMargin,
 
     // tie groups land whole via the last-cumulative-position decile;
+    // logs micro-rounded BEFORE differencing, truncating mean,
+    // alpha one mirrored division; (value desc, key) rank ties
+    "evt_hill_tail" ->
+      """WITH v AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders
+        |  WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+        |r AS (SELECT c,
+        |    CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)
+        |      AS lnv,
+        |    row_number() OVER (ORDER BY c DESC, o_orderkey) AS rn
+        |  FROM v),
+        |xk AS (SELECT c AS ck, lnv AS lnk FROM r WHERE rn = 100),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_tail,
+        |    CAST(max(ck) AS BIGINT) AS threshold_cents,
+        |    CAST(sum(lnv - lnk) AS BIGINT) AS s
+        |  FROM r, xk WHERE rn < 100)
+        |SELECT n_tail, threshold_cents,
+        |  CASE WHEN s // n_tail <= 0 THEN NULL ELSE
+        |    CAST(round(1000000000000 / CAST(s // n_tail AS DOUBLE))
+        |    AS BIGINT) END AS alpha_micros
+        |FROM a""".stripMargin,
+
     // cumulative windows over the count histogram only
     "evt_lorenz" ->
       """WITH pc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
@@ -11558,6 +11671,21 @@ object SparkEntry {
         |    (m4 / (m2 * m2) - 3.0) * 1000000) AS BIGINT) END
         |    AS kurtosis_micros
         |FROM c ORDER BY event_type""".stripMargin,
+
+    // micro-nat log terms, truncating integer mean, one mirrored exp
+    "agg_geomean" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL
+        |    AND CAST(round(value * 100) AS BIGINT) > 0),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(ln(CAST(x AS DOUBLE)) * 1000000)
+        |      AS BIGINT)) AS BIGINT) AS s
+        |  FROM v GROUP BY 1)
+        |SELECT event_type, n,
+        |  CAST(round(exp(CAST(s // n AS DOUBLE) / 1000000.0)
+        |    * 1000000) AS BIGINT) AS geomean_cents_micros
+        |FROM a ORDER BY event_type""".stripMargin,
 
     // quantile_disc == percentile_disc: rank-based, actual data values
     "agg_quantiles" ->
@@ -16126,6 +16254,42 @@ object SparkEntry {
         |      + CAST(dev[len(dev) // 2 + 1] AS DOUBLE)) / 2.0 END
         |    AS roll_mad
         |FROM d ORDER BY event_type, hour""".stripMargin,
+
+    // the rolling median/MAD machinery + the Hampel flag/replace CASE
+    "ts_hampel" ->
+      """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(count(*) AS BIGINT) * 1000000 AS x
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, hour, x,
+        |    list_sort(list(x) OVER (PARTITION BY event_type
+        |      ORDER BY hour
+        |      ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)) AS arr
+        |  FROM c),
+        |m AS (SELECT event_type, hour, x, arr,
+        |    CASE WHEN len(arr) % 2 = 1
+        |      THEN CAST(arr[(len(arr) + 1) // 2] AS DOUBLE)
+        |      ELSE (CAST(arr[len(arr) // 2] AS DOUBLE)
+        |        + CAST(arr[len(arr) // 2 + 1] AS DOUBLE)) / 2.0 END
+        |      AS med
+        |  FROM l),
+        |d AS (SELECT event_type, hour, x, med,
+        |    list_sort(list_transform(arr, e ->
+        |      abs(CAST(e AS DOUBLE) - med))) AS dev
+        |  FROM m),
+        |h AS (SELECT event_type, hour, x, med,
+        |    CASE WHEN len(dev) % 2 = 1
+        |      THEN CAST(dev[(len(dev) + 1) // 2] AS DOUBLE)
+        |      ELSE (CAST(dev[len(dev) // 2] AS DOUBLE)
+        |        + CAST(dev[len(dev) // 2 + 1] AS DOUBLE)) / 2.0 END
+        |      AS mad
+        |  FROM d),
+        |fl AS (SELECT event_type, hour, x,
+        |    abs(CAST(x AS DOUBLE) - med) > 4.4478 * mad AS is_outlier,
+        |    med FROM h)
+        |SELECT event_type, hour, x, is_outlier,
+        |  CAST(round(CASE WHEN is_outlier THEN med
+        |    ELSE CAST(x AS DOUBLE) END) AS BIGINT) AS cleaned_micros
+        |FROM fl ORDER BY event_type, hour""".stripMargin,
 
     // the min-chain per segment; counts exact, truncating ppm ratios
     "evt_funnel_by_segment" ->
