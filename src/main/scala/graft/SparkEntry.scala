@@ -140,7 +140,8 @@ object SparkEntry {
     "ml_boosted_stumps", "surv_competing_risks",
     "evt_funnel_latency", "dq_psi_timeline",
     "interval_concurrency", "graph_bipartite_check",
-    "ts_hampel", "agg_geomean", "evt_hill_tail")
+    "ts_hampel", "agg_geomean", "evt_hill_tail",
+    "graph_matching", "ts_ccf")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -431,7 +432,8 @@ object SparkEntry {
     "ts_cusum", "ts_acf", "ts_ljung_box", "ts_dominant_period",
     "ts_ar_order", "ts_ar_forecast", "ts_holt",
     "ts_holt_winters", "ts_croston", "ts_ewm_volatility",
-    "ts_granger", "ts_hampel", "ts_changepoint", "ts_changepoints",
+    "ts_granger", "ts_ccf", "ts_hampel",
+    "ts_changepoint", "ts_changepoints",
     "ts_backtest", "ts_decompose", "ts_decompose_forecast",
     "ts_anomaly_robust", "ts_theilsen",
     "ts_mann_kendall", "surv_kaplan_meier", "surv_km_bands",
@@ -464,8 +466,8 @@ object SparkEntry {
     "graph_local_triangles", "graph_shortest_paths", "graph_closeness",
     "graph_betweenness", "graph_katz", "graph_scc",
     "graph_scc_condensation", "graph_scc_dag_levels",
-    "graph_reciprocity", "graph_mst", "graph_bipartite_check",
-    "graph_cooccurrence",
+    "graph_reciprocity", "graph_mst", "graph_matching",
+    "graph_bipartite_check", "graph_cooccurrence",
     "graph_weighted_paths", "graph_label_prop", "graph_modularity",
     "graph_louvain", "graph_assortativity", "graph_degree_hist",
     "graph_assoc_rules", "graph_adamic_adar", "graph_jaccard",
@@ -1615,6 +1617,47 @@ object SparkEntry {
         .select($"hour", coalesce($"x", lit(0L)).as("x"),
           coalesce($"y", lit(0L)).as("y"))
       graft.operators.TimeSeries.grangerLag1(j, "hour", "x", "y")
+    }),
+
+    "ts_ccf" -> ((s, dir) => {
+      import s.implicits._
+      // The cross-correlation FUNCTION at lags −6..+6 — ts_granger's
+      // descriptive sibling (granger tests ONE lag; the CCF profile
+      // shows WHERE the lead-lag mass sits): positive lag means
+      // clicks lead purchases by that many hours. Hour-index
+      // self-join per lag (13 equi-joins' worth of fixed-width rows,
+      // never a range join), exact integer moments per lag, the
+      // correlation ONE mirrored tree; degenerate lags NULL.
+      val ev = Tables.events(s, dir)
+      def hourly(t: String, as: String) = ev
+        .filter($"event_type" === t)
+        .groupBy(date_trunc("hour", $"ts").as("hour"))
+        .agg(count(lit(1)).as(as))
+      val g = hourly("click", "x")
+        .join(hourly("purchase", "y"), Seq("hour"), "full_outer")
+        .select(expr("unix_timestamp(hour) div 3600").as("h"),
+          coalesce($"x", lit(0L)).as("x"),
+          coalesce($"y", lit(0L)).as("y"))
+        .localCheckpoint(true) // both sides of the lag join
+      val lags = s.range(-6, 7).select($"id".as("lag"))
+      val a = g.select($"h", $"x")
+      val b = g.select($"h".as("h2"), $"y")
+      lags.crossJoin(a) // 13 x grid fixed-width rows
+        .withColumn("h2", $"h" + $"lag")
+        .join(b, "h2")
+        .groupBy($"lag")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+          sum($"y").as("sy"), sum($"x" * $"x").as("sxx"),
+          sum($"y" * $"y").as("syy"), sum($"x" * $"y").as("sxy"))
+        .selectExpr("lag", "CAST(n AS BIGINT) AS n",
+          "CAST(n * sxy - sx * sy AS DOUBLE) AS num",
+          "CAST(n * sxx - sx * sx AS DOUBLE) AS vx",
+          "CAST(n * syy - sy * sy AS DOUBLE) AS vy")
+        .selectExpr("lag", "n",
+          "CASE WHEN vx <= 0.0 OR vy <= 0.0 THEN NULL ELSE " +
+            "CAST(round(num / (sqrt(vx) * sqrt(vy)) * 1000000)" +
+            " AS BIGINT) END AS ccf_micros")
+        .orderBy($"lag")
     }),
 
     "ts_holt_winters" -> ((s, dir) => {
@@ -4867,6 +4910,29 @@ object SparkEntry {
       val e = pairs.select($"a", $"b",
         (pmod($"a" * 131 + $"b" * 53, lit(997)) + 1).as("w"))
       graft.operators.Graph.minimumSpanningForest(e, "a", "b", "w")
+    }),
+
+    "graph_matching" -> ((s, dir) => {
+      import s.implicits._
+      // Greedy maximal matching of the same mod-97 weighted co-order
+      // graph — the assignment member (pair entities so no one is
+      // claimed twice, 1/2-approx on the weight order): the engine
+      // runs locally-dominant rounds (mutual-minimum edges match,
+      // matched vertices leave), the oracle replays the SEQUENTIAL
+      // greedy scan — identical results under a strict total order,
+      // so the grade is algorithm-independent. SIDE-EFFECTING
+      // (per-round convergence counts).
+      val li = Tables.lineitem(s, dir)
+        .filter(pmod($"l_orderkey", lit(8)) === 0)
+        .select($"l_orderkey".as("ok"), pmod($"l_suppkey", lit(97)).as("v"))
+        .distinct()
+      val pairs = li.select($"ok", $"v".as("va"))
+        .join(li.select($"ok", $"v".as("vb")), "ok")
+        .filter($"va" < $"vb")
+        .select($"va".as("a"), $"vb".as("b")).distinct()
+      val e = pairs.select($"a", $"b",
+        (pmod($"a" * 131 + $"b" * 53, lit(997)) + 1).as("w"))
+      graft.operators.Graph.maximalMatching(e, "a", "b", "w")
     }),
 
     "graph_bipartite_check" -> ((s, dir) => {
@@ -11980,6 +12046,39 @@ object SparkEntry {
         |  ELSE NULL END AS f_micros
         |FROM g ORDER BY direction""".stripMargin,
 
+    // hour-index self-join per lag, exact per-lag moments, one
+    // mirrored correlation tree
+    "ts_ccf" ->
+      """WITH cl AS (SELECT date_trunc('hour', ts) AS hour,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |pu AS (SELECT date_trunc('hour', ts) AS hour,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |j AS (SELECT CAST(floor(epoch(coalesce(cl.hour, pu.hour)))
+        |      AS BIGINT) // 3600 AS h,
+        |    coalesce(x, 0) AS x, coalesce(y, 0) AS y
+        |  FROM cl FULL OUTER JOIN pu ON cl.hour = pu.hour),
+        |lg AS (SELECT CAST(range AS BIGINT) AS lag FROM range(-6, 7)),
+        |pr AS (SELECT l.lag, a.x, b.y
+        |  FROM lg l CROSS JOIN j a JOIN j b ON b.h = a.h + l.lag),
+        |m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM pr GROUP BY 1),
+        |g AS (SELECT lag, n,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS vy
+        |  FROM m)
+        |SELECT lag, n,
+        |  CASE WHEN vx <= 0.0 OR vy <= 0.0 THEN NULL ELSE
+        |    CAST(round(num / (sqrt(vx) * sqrt(vy)) * 1000000)
+        |    AS BIGINT) END AS ccf_micros
+        |FROM g ORDER BY lag""".stripMargin,
+
     // the Holt recurrence plus 24 SCALAR seasonal slot columns in the
     // same recursion shape — generated (see holtWintersOracleSql for
     // the two-round dtype post-mortem: the old list oracle's HUGEINT
@@ -18735,6 +18834,43 @@ object SparkEntry {
         |      ELSE r.lab END,
         |    s.a, s.b, s.w,
         |    r.lab[CAST(s.a + 1 AS INT)] <> r.lab[CAST(s.b + 1 AS INT)]
+        |  FROM r JOIN s ON s.i = r.i + 1)
+        |SELECT ea AS src, eb AS dst, ew AS weight
+        |FROM r WHERE took ORDER BY weight, src, dst""".stripMargin,
+
+    // SEQUENTIAL greedy matching over the same strict (w, a, b)
+    // order the engine's locally-dominant rounds use — identical
+    // result under a strict total order (see maximalMatching doc);
+    // positional flags list rebuilt per step (the proven
+    // list_transform-over-range dialect)
+    "graph_matching" ->
+      """WITH RECURSIVE
+        |li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+        |    l_suppkey % 97 AS v
+        |  FROM lineitem WHERE l_orderkey % 8 = 0),
+        |p AS MATERIALIZED (SELECT DISTINCT x.v AS a, y.v AS b
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.v < y.v),
+        |s AS MATERIALIZED (SELECT a, b, w,
+        |    CAST(row_number() OVER (ORDER BY w, a, b) AS BIGINT) AS i
+        |  FROM (SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+        |      CAST((a * 131 + b * 53) % 997 + 1 AS BIGINT) AS w
+        |    FROM p) e),
+        |r AS (
+        |  SELECT CAST(0 AS BIGINT) AS i,
+        |    list_transform(range(0, 97), v -> CAST(0 AS BIGINT)) AS fl,
+        |    CAST(NULL AS BIGINT) AS ea, CAST(NULL AS BIGINT) AS eb,
+        |    CAST(NULL AS BIGINT) AS ew, FALSE AS took
+        |  UNION ALL
+        |  SELECT s.i,
+        |    CASE WHEN r.fl[CAST(s.a + 1 AS INT)] = 0
+        |        AND r.fl[CAST(s.b + 1 AS INT)] = 0
+        |      THEN list_transform(range(0, 97), v ->
+        |        CASE WHEN v = s.a OR v = s.b THEN CAST(1 AS BIGINT)
+        |          ELSE r.fl[CAST(v + 1 AS INT)] END)
+        |      ELSE r.fl END,
+        |    s.a, s.b, s.w,
+        |    r.fl[CAST(s.a + 1 AS INT)] = 0
+        |      AND r.fl[CAST(s.b + 1 AS INT)] = 0
         |  FROM r JOIN s ON s.i = r.i + 1)
         |SELECT ea AS src, eb AS dst, ew AS weight
         |FROM r WHERE took ORDER BY weight, src, dst""".stripMargin,

@@ -852,4 +852,31 @@ class GraphSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("did not converge"))
   }
+
+  test("maximalMatching: greedy identity on chains/triangles, ties, rounds guard") {
+    import spark.implicits._
+    def mm(rows: Seq[(Long, Long, Long)], maxRounds: Int = 50) =
+      Graph.maximalMatching(rows.toDF("a", "b", "w"), "a", "b", "w",
+          maxRounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    // triangle: only the lightest edge matches (its endpoints block
+    // the other two)
+    assert(mm(Seq((0L, 1L, 1L), (1L, 2L, 2L), (0L, 2L, 3L))) ==
+      Set((0L, 1L, 1L)))
+    // path with increasing weights: greedy takes edges 1 and 3 —
+    // and needs a SECOND locally-dominant round for edge 3
+    val chain = Seq((0L, 1L, 1L), (1L, 2L, 2L), (2L, 3L, 3L))
+    assert(mm(chain) == Set((0L, 1L, 1L), (2L, 3L, 3L)))
+    val e = intercept[IllegalArgumentException] {
+      mm(chain, maxRounds = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // all-tied square: strict (w, a, b) order takes (0,1) then (2,3)
+    assert(mm(Seq((0L, 1L, 5L), (1L, 2L, 5L), (2L, 3L, 5L),
+      (0L, 3L, 5L))) == Set((0L, 1L, 5L), (2L, 3L, 5L)))
+    // parallel edges collapse to min weight; self-loops dropped
+    assert(mm(Seq((1L, 0L, 9L), (0L, 1L, 2L), (4L, 4L, 1L))) ==
+      Set((0L, 1L, 2L)))
+  }
 }
