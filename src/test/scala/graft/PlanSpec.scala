@@ -886,6 +886,25 @@ class PlanSpec extends SparkSpec {
       "scc final plan re-runs the upstream edge builder:\n" + p)
   }
 
+  test("graph_mst: final plan unions truncated round picks — equi-only, no parquet rescan") {
+    // every round's picked edges localCheckpoint eagerly; the
+    // returned plan is their union under one small sort — it must
+    // never re-run the pair builder or cross-join
+    val p = plan("graph_mst")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Scan parquet"),
+      "mst final plan re-runs the upstream pair builder:\n" + p)
+  }
+
+  test("graph_matching: final plan unions truncated mutual picks — equi-only, no rescan") {
+    val p = plan("graph_matching")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Scan parquet"),
+      "matching final plan re-runs the upstream pair builder:\n" + p)
+  }
+
   test("sample_to_mix: quotas ride a broadcast join; the rank window is the only wide work") {
     val p = plan("sample_to_mix")
     assert(p.contains("BroadcastHashJoin"),
