@@ -141,7 +141,8 @@ object SparkEntry {
     "evt_funnel_latency", "dq_psi_timeline",
     "interval_concurrency", "graph_bipartite_check",
     "ts_hampel", "agg_geomean", "evt_hill_tail",
-    "graph_matching", "ts_ccf")
+    "graph_matching", "ts_ccf",
+    "evt_seasonal_anomaly", "pipeline_keep_best_dup")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -415,12 +416,13 @@ object SparkEntry {
     "feat_eb_shrinkage", "ab_tost", "ab_delta_method", "ab_levene",
     "ab_trend", "ab_cochran_q", "ab_srm_segments", "feat_kendall_w",
     "feat_ndcg", "feat_confusion",
-    "dq_duplicate_rows",
+    "dq_duplicate_rows", "pipeline_keep_best_dup",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
     "str_funcs", "parse_money",
     "evt_tumbling", "evt_sliding", "evt_hourly_profile",
+    "evt_seasonal_anomaly",
     "evt_weekend_lift", "evt_sessionize", "evt_session_window",
     "evt_stream_join", "evt_stream_join_outer", "evt_enrich_static",
     "evt_funnel", "evt_funnel_windowed", "evt_funnel_by_segment",
@@ -8245,6 +8247,68 @@ object SparkEntry {
         .orderBy($"dow", $"hod")
     }),
 
+    "evt_seasonal_anomaly" -> ((s, dir) => {
+      import s.implicits._
+      // Anomalies against the SEASONAL baseline, not the recent
+      // window (win_rolling_zscore flags "unusual vs the last 24h";
+      // Monday 9am must be compared to OTHER Monday 9ams or every
+      // rush hour pages): per (type, dow, hod) cohort median and MAD
+      // — both rank-based percentile_disc, ACTUAL integer data
+      // values on both engines — flag hours where |x − med| > 3·MAD.
+      // Degenerate cohorts (MAD = 0) flag nothing by convention.
+      // Fully integer-exact: no floats anywhere.
+      val hc = Tables.events(s, dir)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+        .agg(count(lit(1)).as("x"))
+        .select($"event_type", $"hour", $"x",
+          dayofweek($"hour").cast("long").as("dow"),
+          hour($"hour").cast("long").as("hod"))
+        .localCheckpoint(true) // med agg + dev join + mad agg
+      val med = hc.groupBy($"event_type", $"dow", $"hod")
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY x)")
+          .cast("long").as("med"))
+      val dev = hc.join(med, Seq("event_type", "dow", "hod"))
+        .withColumn("__dev", abs($"x" - $"med"))
+      val mad = dev.groupBy($"event_type", $"dow", $"hod")
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __dev)")
+          .cast("long").as("mad"))
+      dev.join(mad, Seq("event_type", "dow", "hod"))
+        .filter($"mad" > 0L && $"__dev" > lit(3L) * $"mad")
+        .select($"event_type", $"hour", $"x".cast("bigint").as("x"),
+          $"med".cast("bigint").as("cohort_median"),
+          $"mad".cast("bigint").as("cohort_mad"))
+        .orderBy($"event_type", $"hour")
+    }),
+
+    "pipeline_keep_best_dup" -> ((s, dir) => {
+      import s.implicits._
+      // Duplicate SURVIVORSHIP for a corpus — the election rule real
+      // curation uses (dedup_exact keeps the min id; a crawl keeps
+      // the HIGHEST-QUALITY twin — cleanest render, longest text):
+      // the corpus is doubled into twins with a deterministic score,
+      // clusters form on the exact text fingerprint, and each
+      // cluster elects (score desc, doc_id asc). Hash-graded end to
+      // end; the winner differs from min-id whenever the twin
+      // scores higher, so an election bug cannot hide.
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir).select($"doc_id", $"text")
+      val corpus = d.unionByName(
+          d.select(($"doc_id" + 100000L).as("doc_id"), $"text"))
+        .withColumn("score", pmod($"doc_id" * 37L, lit(1000)))
+        .withColumn("fp", md5($"text"))
+      val w = Window.partitionBy($"fp")
+        .orderBy($"score".desc, $"doc_id")
+      corpus.withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(
+          Window.partitionBy($"fp")))
+        .filter($"__rn" === 1)
+        .select($"fp".as("fingerprint"),
+          $"__n".cast("bigint").as("n_dups"),
+          $"doc_id".cast("bigint").as("winner_id"),
+          $"score".cast("bigint").as("winner_score"))
+        .orderBy($"fingerprint")
+    }),
+
     "dq_sequence_gaps" -> ((s, dir) => {
       import s.implicits._
       // Sequence-integrity audit of the order-key space — the
@@ -13701,6 +13765,48 @@ object SparkEntry {
         |  CAST((CAST(n AS HUGEINT) * 1000000) // t AS BIGINT)
         |    AS share_ppm
         |FROM g, t ORDER BY dow, hod""".stripMargin,
+
+    // cohort median/MAD both rank-based (actual integer values),
+    // +1 mirrors DuckDB's Sunday=0 to Spark's Sunday=1
+    "evt_seasonal_anomaly" ->
+      """WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |k AS (SELECT event_type, hour, x,
+        |    CAST(dayofweek(hour) + 1 AS BIGINT) AS dow,
+        |    CAST(hour(hour) AS BIGINT) AS hod FROM hc),
+        |med AS (SELECT event_type, dow, hod,
+        |    CAST(quantile_disc(x, 0.5) AS BIGINT) AS med
+        |  FROM k GROUP BY 1, 2, 3),
+        |dev AS (SELECT k.event_type, k.hour, k.x, k.dow, k.hod,
+        |    med.med, abs(k.x - med.med) AS d
+        |  FROM k JOIN med USING (event_type, dow, hod)),
+        |mad AS (SELECT event_type, dow, hod,
+        |    CAST(quantile_disc(d, 0.5) AS BIGINT) AS mad
+        |  FROM dev GROUP BY 1, 2, 3)
+        |SELECT dev.event_type, dev.hour, dev.x,
+        |  dev.med AS cohort_median, mad.mad AS cohort_mad
+        |FROM dev JOIN mad USING (event_type, dow, hod)
+        |WHERE mad.mad > 0 AND dev.d > 3 * mad.mad
+        |ORDER BY dev.event_type, dev.hour""".stripMargin,
+
+    // exact-fingerprint clusters elect (score desc, id asc) — the
+    // keep-best rule, with twins ensuring min-id is often WRONG
+    "pipeline_keep_best_dup" ->
+      """WITH c AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents),
+        |sc AS (SELECT doc_id, md5(text) AS fp,
+        |    (doc_id * 37) % 1000 AS score FROM c),
+        |r AS (SELECT fp, doc_id, score,
+        |    row_number() OVER (PARTITION BY fp
+        |      ORDER BY score DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY fp) AS n FROM sc)
+        |SELECT fp AS fingerprint, CAST(n AS BIGINT) AS n_dups,
+        |  CAST(doc_id AS BIGINT) AS winner_id,
+        |  CAST(score AS BIGINT) AS winner_score
+        |FROM r WHERE rn = 1 ORDER BY fingerprint""".stripMargin,
 
     // exact integer censuses over the id space; the lag pass runs on
     // the distinct-id table
