@@ -142,7 +142,8 @@ object SparkEntry {
     "interval_concurrency", "graph_bipartite_check",
     "ts_hampel", "agg_geomean", "evt_hill_tail",
     "graph_matching", "ts_ccf",
-    "evt_seasonal_anomaly", "pipeline_keep_best_dup")
+    "evt_seasonal_anomaly", "pipeline_keep_best_dup",
+    "evt_ewm_vol_replay")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -9875,6 +9876,49 @@ object SparkEntry {
           1L).otherwise(0L)), lit(0L)) > 0L).as("residuals_nonzero")))
     }),
 
+    "evt_ewm_vol_replay" -> ((s, dir) => {
+      import s.implicits._
+      // Replay-identity gate for streaming EWMA volatility: the same
+      // redelivery protocol as evt_holt_replay (in-window duplicate
+      // tenth before the flush sentinel, sealed redelivery after);
+      // identity is exact through the shared integer fold plus one
+      // mirrored sqrt. GATE-ONLY collect.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val evs = Tables.events(s, dir)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[EventStreams.Event].collect().toSeq
+      val maxTs = evs.map(_.ts.getTime).max
+      val sentinel = EventStreams.Event(-1L,
+        new java.sql.Timestamp(maxTs + 3L * 3600 * 1000), -1L, "__flush", 0.0)
+      val sink = s"ewm_vol_replay_${math.abs(dir.hashCode)}"
+      s.catalog.dropTempView(sink)
+      val mem = MemoryStream[EventStreams.Event]
+      val q = EventStreams.ewmVolStateful(mem.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName(sink).start()
+      try {
+        mem.addData(evs)
+        q.processAllAvailable()
+        mem.addData(evs.filter(_.event_id % 10 == 7)) // in-window dup
+        q.processAllAvailable()
+        mem.addData(Seq(sentinel)) // watermark flush
+        q.processAllAvailable()
+        mem.addData(evs.filter(_.event_id % 10 == 3)) // sealed dup
+        q.processAllAvailable()
+      } finally q.stop()
+      val cols = Seq("event_id", "x", "ret", "var_micros",
+        "sigma_micros")
+      val stream = s.table(sink).select(cols.map(col): _*)
+      val batch = EventStreams.ewmVolResiduals(Tables.events(s, dir)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[EventStreams.Event]).toDF().select(cols.map(col): _*)
+      stream.agg(count(lit(1)).cast("bigint").as("n_scored"))
+        .crossJoin(setsEqual(stream, batch, cols, "stream_equals_batch"))
+        .crossJoin(stream.agg((coalesce(sum(when($"var_micros" =!= 0L,
+          1L).otherwise(0L)), lit(0L)) > 0L).as("variance_nonzero")))
+    }),
+
     "evt_audited_sink" -> ((s, dir) => {
       import s.implicits._
       // Driver-graded gate for the audited streaming sink
@@ -18503,6 +18547,13 @@ object SparkEntry {
     "evt_holt_replay" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_scored,
         |  TRUE AS stream_equals_batch, TRUE AS residuals_nonzero
+        |FROM events""".stripMargin,
+
+    // replay identity restated: every event scored once, booleans
+    // pinned — the count is the oracle's independent restatement
+    "evt_ewm_vol_replay" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_scored,
+        |  TRUE AS stream_equals_batch, TRUE AS variance_nonzero
         |FROM events""".stripMargin,
 
     // trailing windows as a date range join (the oracle can afford

@@ -1145,4 +1145,98 @@ object EventStreams extends Serializable {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  case class VolOut(event_type: String, event_id: Long,
+      ts: java.sql.Timestamp, x: Long, ret: Long,
+      var_micros: Long, sigma_micros: Long)
+  case class VolState(v: Long, prev: Long, n: Long)
+  case class VolBuffer(vol: VolState, buffered: Seq[Event])
+
+  /** One EWMA-variance step, SHARED by the batch and streaming
+    * forms — the [[graft.operators.TimeSeries.ewmVolatility]]
+    * recurrence (`v' = (λ·v + (10⁶−λ)·r²·10⁶) / 10⁶` over the first
+    * difference r, truncating long division, seed r = 0 / v = 0).
+    * Values fold in WHOLE units (`round(value)`) so the convex-
+    * combination overflow bound (|r| ≤ 3000 for every λ) holds for
+    * the event value range by construction — the same loud guard
+    * otherwise. */
+  private def volStep(s: VolState, x: Long,
+      lambdaPpm: Long): (VolState, Long, Long) = {
+    if (s.n == 0L) (VolState(0L, x, 1L), 0L, 0L)
+    else {
+      val r = x - s.prev
+      if (math.abs(r) > 3000L)
+        throw new IllegalArgumentException(
+          s"ewm volatility fold: |delta| ${math.abs(r)} exceeds the " +
+            "overflow-safe bound 3000 — quantize the series coarser")
+      val v2 = (lambdaPpm * s.v +
+        (1000000L - lambdaPpm) * (r * r * 1000000L)) / 1000000L
+      (VolState(v2, x, s.n + 1), r, v2)
+    }
+  }
+
+  private def volFold(key: String, evs: Seq[Event], st0: VolState,
+      lambdaPpm: Long): (VolState, Seq[VolOut]) = {
+    var st = st0
+    val out = evs.map { e =>
+      val x = math.round(e.value)
+      val (s2, r, v) = volStep(st, x, lambdaPpm)
+      st = s2
+      VolOut(key, e.event_id, e.ts, x, r, v,
+        math.round(math.sqrt(v.toDouble / 1e6) * 1e6))
+    }
+    (st, out)
+  }
+
+  /** Batch twin of [[ewmVolStateful]]: per-type EWMA volatility of
+    * the event-value first differences in (ts, event_id) order — the
+    * "how noisy is this stream right now" monitor over raw events
+    * ([[graft.operators.TimeSeries.ewmVolatility]] is the same
+    * recurrence over a resampled series). Integer state, exact
+    * replay. */
+  def ewmVolResiduals(events: Dataset[Event],
+      lambdaPpm: Long = 940000L): Dataset[VolOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type).flatMapGroups { (k, it) =>
+      val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      volFold(k, evs, VolState(0L, 0L, 0L), lambdaPpm)._2.iterator
+    }
+  }
+
+  /** Streaming EWMA volatility — online dispersion monitoring with
+    * THREE LONGS of persistent state per key (variance, previous
+    * value, count): the EWMA/CUSUM/Holt watermark discipline (buffer
+    * the unsealed tail, fold sealed events in (ts, event_id) order,
+    * drop below-watermark stragglers, dedupe in-window redeliveries
+    * by event_id). Sealed output equals [[ewmVolResiduals]] EXACTLY
+    * — the shared fold is integer arithmetic plus one mirrored sqrt
+    * (`evt_ewm_vol_replay` pins both redelivery windows). */
+  def ewmVolStateful(events: Dataset[Event],
+      lambdaPpm: Long = 940000L,
+      watermark: String = "2 hours"): Dataset[VolOut] = {
+    import events.sparkSession.implicits._
+
+    def fn(key: String, rows: Iterator[Event],
+        state: GroupState[VolBuffer]): Iterator[VolOut] = {
+      val prior = state.getOption.getOrElse(
+        VolBuffer(VolState(0L, 0L, 0L), Seq.empty))
+      val wmMs = state.getCurrentWatermarkMs()
+      val fresh = rows.filter(_.ts.getTime > wmMs).toSeq
+      val (ripe, open) = (prior.buffered ++ fresh)
+        .distinctBy(_.event_id)
+        .partition(_.ts.getTime <= wmMs)
+      val (st, out) = volFold(key,
+        ripe.sortBy(e => (e.ts.getTime, e.event_id)),
+        prior.vol, lambdaPpm)
+      state.update(VolBuffer(st, open))
+      if (open.nonEmpty)
+        state.setTimeoutTimestamp(open.map(_.ts.getTime).min + 1)
+      out.iterator
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 }

@@ -880,6 +880,43 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(stream(8L)._3) < math.abs(stream(2L)._3))
   }
 
+  test("ewmVolStateful == ewmVolResiduals exactly; hand-folded variance at lambda=0.5") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1700000000000L
+    // values 10, 13, 7: ret 0/3/-6, v = 0, 4.5e6, 20.25e6 micro (the
+    // TimeSeriesSpec hand fold — same recurrence, shared step)
+    val vals = Seq(10.0, 13.0, 7.0)
+    val evs = vals.zipWithIndex.map { case (v, i) =>
+      Event(i + 1L, new Timestamp(t0 + i * 60000L), 1L, "m", v) }
+    def flush(id: Long) = Event(id,
+      new Timestamp(t0 + 100 * 60000L + 2L * 3600 * 1000), -1L,
+      "__flush", 0.0)
+    val mem = MemoryStream[Event]
+    val q = EventStreams.ewmVolStateful(mem.toDS(), lambdaPpm = 500000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ewm_vol_sink").start()
+    try {
+      mem.addData(evs)
+      q.processAllAvailable()
+      mem.addData(evs.take(1)) // in-window duplicate — must absorb
+      q.processAllAvailable()
+      mem.addData(Seq(flush(-1)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("ewm_vol_sink")
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val batch = EventStreams.ewmVolResiduals(evs.toDS(),
+        lambdaPpm = 500000L)
+      .collect().map(r => r.event_id ->
+        ((r.x, r.ret, r.var_micros, r.sigma_micros))).toMap
+    assert(stream.size == vals.size)
+    assert(stream == batch)
+    assert(stream(1L) == ((10L, 0L, 0L, 0L)))
+    assert(stream(2L) == ((13L, 3L, 4500000L, 2121320L)))
+    assert(stream(3L) == ((7L, -6L, 20250000L, 4500000L)))
+  }
+
   test("ewmaAnomaliesStateful absorbs an IN-WINDOW redelivery: one output row per event_id") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val t0 = 1700000000000L
