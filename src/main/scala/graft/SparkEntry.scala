@@ -143,7 +143,7 @@ object SparkEntry {
     "ts_hampel", "agg_geomean", "evt_hill_tail",
     "graph_matching", "ts_ccf",
     "evt_seasonal_anomaly", "pipeline_keep_best_dup",
-    "evt_ewm_vol_replay")
+    "evt_ewm_vol_replay", "ml_stump_eval")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -412,7 +412,7 @@ object SparkEntry {
     "text_novelty", "ml_logreg",
     "ml_logreg_multi", "ml_kmeans_step", "ml_kmeans", "ml_kmeans_assign",
     "ml_naive_bayes", "ml_knn_classify", "ml_decision_stump",
-    "ml_boosted_stumps",
+    "ml_stump_eval", "ml_boosted_stumps",
     "interval_coverage", "ts_strength", "agg_hhi",
     "feat_eb_shrinkage", "ab_tost", "ab_delta_method", "ab_levene",
     "ab_trend", "ab_cochran_q", "ab_srm_segments", "feat_kendall_w",
@@ -6226,6 +6226,34 @@ object SparkEntry {
         $"event_type" === "purchase")
     }),
 
+    "ml_stump_eval" -> ((s, dir) => {
+      import s.implicits._
+      // TRAIN/APPLY for the decision stump — the deployed-model
+      // contract (ml_kmeans_assign's posture for the supervised
+      // atom): fit the Gini split on even event_ids, predict each
+      // side's majority class (ties predict negative — stated), and
+      // read the HOLDOUT confusion matrix. The stump is a 1-row
+      // model collect (documented); everything else is exact counts.
+      val ev = Tables.events(s, dir)
+        .select(round($"value" * 100).cast("long").as("c"),
+          ($"event_type" === "purchase").as("y"),
+          pmod($"event_id", lit(2)).as("par"))
+        .localCheckpoint(true) // train fit + holdout apply
+      val stump = graft.operators.Features.decisionStump(
+        ev.filter($"par" === 0), $"c", $"y").head() // 1-row model
+      val (t, nl, nr, pl, pr) = (stump.getLong(0), stump.getLong(1),
+        stump.getLong(2), stump.getLong(3), stump.getLong(4))
+      val predL = 2L * pl > nl
+      val predR = 2L * pr > nr
+      ev.filter($"par" === 1)
+        .select($"y".as("true_label"),
+          when($"c" <= lit(t), lit(predL)).otherwise(lit(predR))
+            .as("pred_label"))
+        .groupBy($"true_label", $"pred_label")
+        .agg(count(lit(1)).cast("bigint").as("n"))
+        .orderBy($"true_label", $"pred_label")
+    }),
+
     "ml_boosted_stumps" -> ((s, dir) => {
       import s.implicits._
       // The actual BOOSTING loop, hash-graded: two rounds of L2
@@ -11317,6 +11345,44 @@ object SparkEntry {
         |  CAST(gi AS BIGINT) AS gini_ppm,
         |  CAST(gp AS BIGINT) AS parent_gini_ppm
         |FROM b WHERE rn = 1""".stripMargin,
+
+    // the stump fit restated on the even train slice, majority-class
+    // predictions per side (ties negative), holdout confusion counts
+    "ml_stump_eval" ->
+      """WITH r AS (SELECT CAST(round(value * 100) AS BIGINT) AS f,
+        |    (event_type = 'purchase') AS y, event_id % 2 AS par
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |v AS (SELECT f,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM r WHERE par = 0 GROUP BY 1),
+        |t AS (SELECT CAST(sum(p) AS BIGINT) AS tp,
+        |    CAST(sum(c) AS BIGINT) AS tn, max(f) AS fmax FROM v),
+        |cum AS (SELECT f,
+        |    CAST(sum(p) OVER (ORDER BY f ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS pl,
+        |    CAST(sum(c) OVER (ORDER BY f ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS nl
+        |  FROM v),
+        |cand AS (SELECT f, pl, nl, nl - pl AS ql, tp - pl AS pr,
+        |    tn - nl AS nr, (tn - nl) - (tp - pl) AS qr
+        |  FROM cum, t WHERE f < fmax),
+        |g AS (SELECT f, pl, nl, pr, nr,
+        |    (((CAST(nl AS HUGEINT) * nl - CAST(pl AS HUGEINT) * pl
+        |        - CAST(ql AS HUGEINT) * ql) * 1000000 // nl)
+        |     + ((CAST(nr AS HUGEINT) * nr - CAST(pr AS HUGEINT) * pr
+        |        - CAST(qr AS HUGEINT) * qr) * 1000000 // nr))
+        |      // (nl + nr) AS gi
+        |  FROM cand),
+        |b AS (SELECT f, pl, nl, pr, nr,
+        |    row_number() OVER (ORDER BY gi, f) AS rn FROM g),
+        |s1 AS (SELECT f AS t, 2 * pl > nl AS predl,
+        |    2 * pr > nr AS predr FROM b WHERE rn = 1)
+        |SELECT y AS true_label,
+        |  CASE WHEN f <= s1.t THEN predl ELSE predr END AS pred_label,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM r, s1 WHERE par = 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // two chained stump rounds over exact integer residuals: gain
     // SL²//nL + SR²//nR (HUGEINT), truncating leaf means, (gain
