@@ -143,7 +143,7 @@ object SparkEntry {
     "ts_hampel", "agg_geomean", "evt_hill_tail",
     "graph_matching", "ts_ccf",
     "evt_seasonal_anomaly", "pipeline_keep_best_dup",
-    "evt_ewm_vol_replay", "ml_stump_eval")
+    "evt_ewm_vol_replay", "ml_stump_eval", "ab_bootstrap_ci")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -395,7 +395,8 @@ object SparkEntry {
     "dq_cramers_v", "cust_rfm",
     "dq_fd_violations",
     "feat_spearman", "feat_ols_diagnostics",
-    "ab_ztest", "ab_ttest", "ab_jackknife", "ab_did",
+    "ab_ztest", "ab_ttest", "ab_jackknife", "ab_bootstrap_ci",
+    "ab_did",
     "ab_bh_fdr", "dq_drift_fdr", "ab_sequential", "dq_referential",
     "dq_sequence_gaps",
     "ab_power", "ab_poststrat", "ab_mannwhitney", "ab_kruskal",
@@ -6226,6 +6227,52 @@ object SparkEntry {
         $"event_type" === "purchase")
     }),
 
+    "ab_bootstrap_ci" -> ((s, dir) => {
+      import s.implicits._
+      // Poisson-bootstrap confidence interval for the mean purchase
+      // value — the resampling member next to ab_jackknife and
+      // feat_median_ci (bootstrap is the tool when the statistic has
+      // no closed-form variance): 50 DETERMINISTIC replicas, each
+      // row's weight drawn from Poisson(1) via the shared Lehmer
+      // pick order and a ppm-quantized CDF ladder (both stated
+      // conventions — the replicas replay anywhere); replica means
+      // are truncating integer micro-cents, the CI bounds rank-based
+      // percentile_disc over them (actual values). One explode to
+      // row x 50 fixed-width rows, two hash-aggs — never a collect.
+      val B = 50
+      val x = Tables.events(s, dir)
+        .filter($"event_type" === "purchase")
+        .select($"event_id".cast("long").as("id"),
+          round($"value" * 100).cast("long").as("c"))
+      val reps = s.range(0, B).select($"id".as("b"))
+      val ladder =
+        "CASE WHEN v < 367879 THEN 0 WHEN v < 735759 THEN 1" +
+          " WHEN v < 919699 THEN 2 WHEN v < 980960 THEN 3" +
+          " WHEN v < 996286 THEN 4 WHEN v < 999406 THEN 5" +
+          " WHEN v < 999917 THEN 6 WHEN v < 999990 THEN 7 ELSE 8 END"
+      val means = x.crossJoin(reps) // rows x B fixed-width
+        .selectExpr("b", "c",
+          "pmod(id * 48271 + b * 1000003, 2147483647) % 1000000 AS v")
+        .selectExpr("b", "c", s"CAST($ladder AS BIGINT) AS w")
+        .groupBy($"b")
+        .agg(sum($"w" * $"c").as("__swc"), sum($"w").as("__sw"))
+        .filter($"__sw" > 0L)
+        .selectExpr(
+          "CAST(CAST(__swc AS DECIMAL(38,0)) * 1000000 div __sw" +
+            " AS BIGINT) AS m")
+      val point = x.agg(count(lit(1)).cast("bigint").as("n"),
+        expr("CAST(CAST(sum(c) AS DECIMAL(38,0)) * 1000000" +
+          " div count(*) AS BIGINT)").as("point_micros"))
+      means.agg(count(lit(1)).cast("bigint").as("n_replicas"),
+          expr("percentile_disc(0.025) WITHIN GROUP (ORDER BY m)")
+            .cast("bigint").as("lo_micros"),
+          expr("percentile_disc(0.975) WITHIN GROUP (ORDER BY m)")
+            .cast("bigint").as("hi_micros"))
+        .crossJoin(point) // 1-row point estimate
+        .select($"n", $"point_micros", $"n_replicas",
+          $"lo_micros", $"hi_micros")
+    }),
+
     "ml_stump_eval" -> ((s, dir) => {
       import s.implicits._
       // TRAIN/APPLY for the decision stump — the deployed-model
@@ -11345,6 +11392,36 @@ object SparkEntry {
         |  CAST(gi AS BIGINT) AS gini_ppm,
         |  CAST(gp AS BIGINT) AS parent_gini_ppm
         |FROM b WHERE rn = 1""".stripMargin,
+
+    // the shared Lehmer pick order + the ppm Poisson(1) CDF ladder;
+    // replica means truncating micro-cents, CI rank-based
+    "ab_bootstrap_ci" ->
+      """WITH x AS (SELECT event_id AS id,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'purchase'),
+        |reps AS (SELECT CAST(range AS BIGINT) AS b FROM range(0, 50)),
+        |u AS (SELECT b, c,
+        |    ((id * 48271 + b * 1000003) % 2147483647) % 1000000 AS v
+        |  FROM x, reps),
+        |w AS (SELECT b, c, CAST(CASE WHEN v < 367879 THEN 0
+        |    WHEN v < 735759 THEN 1 WHEN v < 919699 THEN 2
+        |    WHEN v < 980960 THEN 3 WHEN v < 996286 THEN 4
+        |    WHEN v < 999406 THEN 5 WHEN v < 999917 THEN 6
+        |    WHEN v < 999990 THEN 7 ELSE 8 END AS BIGINT) AS w
+        |  FROM u),
+        |m AS (SELECT b,
+        |    CAST(CAST(sum(w * c) AS HUGEINT) * 1000000
+        |      // CAST(sum(w) AS HUGEINT) AS BIGINT) AS m
+        |  FROM w GROUP BY b HAVING sum(w) > 0),
+        |pt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(CAST(sum(c) AS HUGEINT) * 1000000 // count(*)
+        |      AS BIGINT) AS point_micros
+        |  FROM x)
+        |SELECT n, point_micros,
+        |  CAST(count(*) AS BIGINT) AS n_replicas,
+        |  CAST(quantile_disc(m, 0.025) AS BIGINT) AS lo_micros,
+        |  CAST(quantile_disc(m, 0.975) AS BIGINT) AS hi_micros
+        |FROM m, pt GROUP BY n, point_micros""".stripMargin,
 
     // the stump fit restated on the even train slice, majority-class
     // predictions per side (ties negative), holdout confusion counts
