@@ -11322,29 +11322,31 @@ object SparkEntry {
         |    AS mean_cos_micros
         |FROM a WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    // the centroid_assign pico-dot discipline over probes x train,
+    // the kmeansRounds convention: coordinates quantize ONCE to
+    // micros, dots/norms exact integers, one mirrored cosine round;
     // (cos desc, tid) neighbor rank, (votes desc, label) vote rank
     "ml_knn_classify" ->
-      """WITH e AS (SELECT vec_id, embedding, label FROM embeddings
-        |  WHERE label IS NOT NULL),
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q,
+        |    label
+        |  FROM embeddings WHERE label IS NOT NULL),
         |nrm AS (SELECT vec_id,
-        |    list_sum(list_transform(embedding, x ->
-        |      CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-        |        * 1000000000000) AS BIGINT))) AS np
+        |    CAST(list_sum(list_transform(q, t -> t * t)) AS BIGINT)
+        |      AS np
         |  FROM e),
-        |base AS (SELECT e.vec_id, e.embedding, e.label, nrm.np
+        |base AS (SELECT e.vec_id, e.q, e.label, nrm.np
         |  FROM e JOIN nrm ON nrm.vec_id = e.vec_id WHERE nrm.np > 0),
-        |trn AS (SELECT vec_id AS tid, embedding AS tv,
+        |trn AS (SELECT vec_id AS tid, q AS tv,
         |    CAST(label AS BIGINT) AS tl, np AS tnp
         |  FROM base WHERE vec_id % 2 = 0),
-        |prb AS (SELECT vec_id AS pid, embedding AS pv,
+        |prb AS (SELECT vec_id AS pid, q AS pv,
         |    CAST(label AS BIGINT) AS pl, np AS pnp
         |  FROM base WHERE vec_id % 2 <> 0),
         |pr AS (SELECT pid, pl, tid, tl,
-        |    CAST(round(CAST(list_sum(list_transform(range(1, 65), i ->
-        |      CAST(round(CAST(pv[CAST(i AS INT)] AS DOUBLE)
-        |        * CAST(tv[CAST(i AS INT)] AS DOUBLE)
-        |        * 1000000000000) AS BIGINT))) AS DOUBLE)
+        |    CAST(round(CAST(CAST(list_sum(list_transform(range(1, 65),
+        |      i -> pv[CAST(i AS INT)] * tv[CAST(i AS INT)]))
+        |        AS BIGINT) AS DOUBLE)
         |      / (sqrt(CAST(pnp AS DOUBLE)) * sqrt(CAST(tnp AS DOUBLE)))
         |      * 1000000) AS BIGINT) AS cm
         |  FROM prb, trn),

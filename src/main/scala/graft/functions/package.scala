@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftShims, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions._
 
-import graft.expr.{CharEntropy, CosineSimilarity, DeflateLength, DocFingerprint, HilbertIndex, InterleaveBits, JaroWinklerSim, RegexpExtractOrNull, RepetitionStats, SimHash64, TokenNGrams, UnicodeNormalize, UrlCanonicalize}
+import graft.expr.{CharEntropy, CosineSimilarity, DeflateLength, DocFingerprint, HilbertIndex, InterleaveBits, JaroWinklerSim, QuantizedCosine, RegexpExtractOrNull, RepetitionStats, SimHash64, TokenNGrams, UnicodeNormalize, UrlCanonicalize}
 
 /** The engine's scalar-function surface: thin `Column` builders over
   * custom Catalyst expressions plus named compositions of built-ins.
@@ -24,6 +24,12 @@ package object functions {
   /** Cosine similarity of two `array<float>` columns (codegen'd). */
   def cosine_similarity(a: Column, b: Column): Column =
     col(CosineSimilarity(ex(a), ex(b)))
+
+  /** Cosine in micros over once-quantized `array<bigint>` coordinates
+    * (exact integer dot/norms, one mirrored round — codegen'd; the
+    * n²-brute inner-loop form). */
+  def micro_cosine(a: Column, b: Column): Column =
+    col(QuantizedCosine(ex(a), ex(b)))
 
   /** 64-bit rolling-hash fingerprint of a string column (codegen'd). */
   def doc_fingerprint(c: Column): Column = col(DocFingerprint(ex(c)))
@@ -201,6 +207,10 @@ package object functions {
     ("cosine_similarity", classOf[CosineSimilarity], {
       case Seq(a, b) => CosineSimilarity(a, b)
       case _ => throw new IllegalArgumentException("cosine_similarity(a, b)")
+    }),
+    ("micro_cosine", classOf[QuantizedCosine], {
+      case Seq(a, b) => QuantizedCosine(a, b)
+      case _ => throw new IllegalArgumentException("micro_cosine(a, b)")
     }),
     ("doc_fingerprint", classOf[DocFingerprint], {
       case Seq(c) => DocFingerprint(c)

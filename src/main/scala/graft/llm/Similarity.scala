@@ -1076,52 +1076,71 @@ object Similarity {
     * matrix (true_label, pred_label, n) — the per-class readout that
     * says WHICH classes bleed into which.
     *
-    * Exactness: the [[centroidAssign]] discipline end to end —
-    * pico-quantized order-free integer dot products, ONE mirrored
-    * IEEE cosine division per (probe, train) pair, micro-quantized;
-    * neighbor rank ties break (cos desc, train id asc) and vote ties
-    * (votes desc, label asc), so a second engine lands on the same
-    * matrix bit for bit. Zero-norm vectors are excluded on both
-    * sides (no direction exists); NULL labels are excluded loudly by
-    * filter (a labeled classifier cannot vote with an unlabeled
-    * neighbor).
+    * Exactness: the [[kmeansRounds]] convention — every vector
+    * quantizes ONCE to micro coordinates (`round(x·10⁶)`), so dot
+    * products and norms are EXACT integer arithmetic (order-free by
+    * construction, and the n²-scale hot loop is pure long
+    * multiply-add — the per-pair-rounding pico convention costs a
+    * double round per term, 400M of them on this brute shape);
+    * cosine is ONE mirrored IEEE division per (probe, train) pair,
+    * micro-rounded. Neighbor rank ties break (cos desc, train id
+    * asc) and vote ties (votes desc, label asc), so a second engine
+    * lands on the same matrix bit for bit. Zero-norm vectors (all
+    * coordinates under 5·10⁻⁷) are excluded on both sides (no
+    * direction exists); NULL labels are excluded by filter (a
+    * labeled classifier cannot vote with an unlabeled neighbor).
     *
     * Scale: this is the EXACT baseline — probes × train fixed-width
     * comparison rows (never train × train); for corpus-scale probe
     * sets substitute the IVF probe ([[topkIvf]]) for the cross join
     * and keep the vote/confusion tail unchanged. The vote is one
-    * (probe, label)-keyed hash-agg plus two probe-keyed windows. */
+    * (probe, label)-keyed hash-agg plus two probe-keyed windows. The
+    * pairwise cosine is the codegen'd [[graft.expr.QuantizedCosine]]
+    * expression — column-algebra forms of the n²-scale inner loop
+    * all lose (a 64-term unrolled tree blows the JIT method limits,
+    * lambda higher-order functions allocate per pair, `round()`
+    * allocates a BigDecimal per call); one tight integer loop is the
+    * difference between 36 s and sub-second on the brute shape. */
   def knnClassify(train: DataFrame, probe: DataFrame, idCol: String,
       vecCol: String, labelCol: String, k: Int = 5): DataFrame = {
     require(k >= 1 && k <= 1000, s"k must be in [1, 1000] (got $k)")
-    val picoDot = (a: org.apache.spark.sql.Column,
-        b: org.apache.spark.sql.Column) =>
-      aggregate(zip_with(a, b, (x, y) =>
-          round(x.cast("double") * y.cast("double") * lit(1e12))
-            .cast("long")),
+    // norms at ROW scale (for the zero-norm exclusion filter): the
+    // lambda form is fine here — it runs once per vector, not per pair
+    val intNorm = (a: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, a, (x, y) => x * y),
         lit(0L), (acc, t) => acc + t)
     def prep(df: DataFrame) = df
-      .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"),
+      .select(col(idCol).cast("long").as("__id"),
+        transform(col(vecCol), x =>
+          round(x.cast("double") * lit(1e6)).cast("long")).as("__v"),
         col(labelCol).cast("long").as("__l"))
       .filter(col("__id").isNotNull && col("__v").isNotNull &&
         col("__l").isNotNull)
-      .withColumn("__np", picoDot(col("__v"), col("__v")))
+      .withColumn("__np", intNorm(col("__v")))
       .filter(col("__np") > 0L)
+    // localCheckpoint BEFORE the n² join: projection collapse would
+    // otherwise inline the quantizing transform into every
+    // element_at reference — re-quantizing the whole vector once per
+    // unrolled term per pair (measured 3× slower than the lambda
+    // path it was meant to beat). SIDE-EFFECTING by design.
     val tr = prep(train).select(col("__id").as("__tid"),
       col("__v").as("__tv"), col("__l").as("__tl"),
-      col("__np").as("__tnp"))
+      col("__np").as("__tnp")).localCheckpoint(true)
     val pb = prep(probe).select(col("__id").as("__pid"),
       col("__v").as("__pv"), col("__l").as("__pl"),
-      col("__np").as("__pnp"))
+      col("__np").as("__pnp")).localCheckpoint(true)
     val wRank = Window.partitionBy(col("__pid"))
       .orderBy(col("__cm").desc, col("__tid"))
     val wVote = Window.partitionBy(col("__pid"))
       .orderBy(col("__votes").desc, col("__tl"))
-    pb.crossJoin(tr) // probes x train fixed-width rows — the exact baseline
+    // train is the bounded side by contract (a corpus-scale train
+    // set goes through the IVF probe instead) — broadcast it
+    // explicitly: the quantized long arrays inflate the size
+    // estimate past the auto-broadcast threshold and the join
+    // otherwise degrades to a CartesianProduct of tiny tasks
+    pb.crossJoin(broadcast(tr)) // probes x train — the exact baseline
       .withColumn("__cm",
-        round(picoDot(col("__pv"), col("__tv")).cast("double") /
-          (sqrt(col("__pnp").cast("double")) *
-            sqrt(col("__tnp").cast("double"))) * 1e6).cast("long"))
+        graft.functions.micro_cosine(col("__pv"), col("__tv")))
       .withColumn("__rn", row_number().over(wRank))
       .filter(col("__rn") <= k)
       .groupBy(col("__pid"), col("__pl"), col("__tl"))

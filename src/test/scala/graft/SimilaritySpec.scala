@@ -453,6 +453,35 @@ class SimilaritySpec extends SparkSpec {
         "embedding", "label", k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(again.toSeq == got.toSeq)
+    // the codegen'd micro_cosine agrees with a from-scratch
+    // reimplementation of the quantize-once convention (double-entry)
+    val qc = Seq((Array(1f, 0f, 0f, 0f), Array(0.9f, 0.1f, 0f, 0f)),
+      (Array(-1f, 0.5f, 0f, 0f), Array(1f, 0.5f, 0f, 0f)),
+      (Array(0f, 0f, 0f, 0f), Array(1f, 0f, 0f, 0f))) // zero norm
+      .toDF("a", "b")
+      .select(graft.functions.micro_cosine(
+        transform($"a", x => round(x.cast("double") * lit(1e6))
+          .cast("long")),
+        transform($"b", x => round(x.cast("double") * lit(1e6))
+          .cast("long"))).as("cm"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    def ref(a: Seq[Double], b: Seq[Double]): Option[Long] = {
+      val qa = a.map(x => math.round(x * 1e6))
+      val qb = b.map(x => math.round(x * 1e6))
+      val dot = qa.zip(qb).map { case (x, y) => x * y }.sum
+      val (na, nb) = (qa.map(x => x * x).sum, qb.map(x => x * x).sum)
+      if (na == 0L || nb == 0L) None
+      else {
+        val c = dot.toDouble / (math.sqrt(na.toDouble) *
+          math.sqrt(nb.toDouble)) * 1e6
+        Some(if (c >= 0) math.floor(c + 0.5).toLong
+        else -math.floor(0.5 - c).toLong)
+      }
+    }
+    assert(qc(0) == ref(Seq(1, 0, 0, 0), Seq(0.9, 0.1, 0, 0)))
+    assert(qc(1) == ref(Seq(-1, 0.5, 0, 0), Seq(1, 0.5, 0, 0)))
+    assert(qc(1).get < 0L) // negative cosine rounds away from zero
+    assert(qc(2).isEmpty)  // zero norm is NULL, not 0
     val e = intercept[IllegalArgumentException] {
       Similarity.knnClassify(train, probe, "vec_id", "embedding",
         "label", k = 0)
