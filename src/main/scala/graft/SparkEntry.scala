@@ -143,7 +143,8 @@ object SparkEntry {
     "ts_hampel", "agg_geomean", "evt_hill_tail",
     "graph_matching", "ts_ccf",
     "evt_seasonal_anomaly", "pipeline_keep_best_dup",
-    "evt_ewm_vol_replay", "ml_stump_eval", "ab_bootstrap_ci")
+    "evt_ewm_vol_replay", "ml_stump_eval", "ab_bootstrap_ci",
+    "dedup_cluster_sizes", "ml_kfold_cv")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -413,12 +414,13 @@ object SparkEntry {
     "text_novelty", "ml_logreg",
     "ml_logreg_multi", "ml_kmeans_step", "ml_kmeans", "ml_kmeans_assign",
     "ml_naive_bayes", "ml_knn_classify", "ml_decision_stump",
-    "ml_stump_eval", "ml_boosted_stumps",
+    "ml_stump_eval", "ml_kfold_cv", "ml_boosted_stumps",
     "interval_coverage", "ts_strength", "agg_hhi",
     "feat_eb_shrinkage", "ab_tost", "ab_delta_method", "ab_levene",
     "ab_trend", "ab_cochran_q", "ab_srm_segments", "feat_kendall_w",
     "feat_ndcg", "feat_confusion",
     "dq_duplicate_rows", "pipeline_keep_best_dup",
+    "dedup_cluster_sizes",
     "dq_histogram",
     "dq_histogram_depth", "dq_impute",
     "date_monthly_orders", "json_event_stats", "json_variant_stats",
@@ -6277,6 +6279,43 @@ object SparkEntry {
           $"lo_micros", $"hi_micros")
     }),
 
+    "ml_kfold_cv" -> ((s, dir) => {
+      import s.implicits._
+      // The cross-validation HARNESS — the evaluation loop every
+      // model selection runs (ml_stump_eval grades ONE split; CV
+      // says whether the rule is stable across folds): 4 folds by
+      // event-id residue, fit the Gini stump on each fold's
+      // complement, score the held-out fold. Four 1-row model
+      // collects (model-scale, documented); everything else exact
+      // counts and one truncating ppm per fold.
+      val ev = Tables.events(s, dir)
+        .select(round($"value" * 100).cast("long").as("c"),
+          ($"event_type" === "purchase").as("y"),
+          pmod($"event_id", lit(4)).as("fold"))
+        .localCheckpoint(true) // 4 fits + 4 holdout scans
+      val folds = (0L until 4L).map { f =>
+        val st = graft.operators.Features.decisionStump(
+          ev.filter($"fold" =!= f), $"c", $"y").head()
+        val (t, nl, nr, pl, pr) = (st.getLong(0), st.getLong(1),
+          st.getLong(2), st.getLong(3), st.getLong(4))
+        val predL = 2L * pl > nl
+        val predR = 2L * pr > nr
+        ev.filter($"fold" === f)
+          .select($"y",
+            when($"c" <= lit(t), lit(predL)).otherwise(lit(predR))
+              .as("p"))
+          .agg(count(lit(1)).cast("bigint").as("n_test"),
+            sum(when($"y" === $"p", 1L).otherwise(0L)).cast("bigint")
+              .as("n_correct"))
+          .select(lit(f).cast("bigint").as("fold"),
+            lit(t).cast("bigint").as("threshold"),
+            $"n_test", $"n_correct",
+            expr("CAST(CAST(n_correct AS DECIMAL(38,0)) * 1000000" +
+              " div n_test AS BIGINT)").as("acc_ppm"))
+      }
+      folds.reduce(_.unionByName(_)).orderBy($"fold")
+    }),
+
     "ml_stump_eval" -> ((s, dir) => {
       import s.implicits._
       // TRAIN/APPLY for the decision stump — the deployed-model
@@ -8360,6 +8399,26 @@ object SparkEntry {
         .orderBy($"event_type", $"hour")
     }),
 
+    "dedup_cluster_sizes" -> ((s, dir) => {
+      import s.implicits._
+      // The duplication PROFILE of a corpus — the census a dedup run
+      // is judged by before anyone looks at pairs ("how much mass
+      // sits in clusters of size 2? of size 10+?"): exact-fingerprint
+      // cluster sizes histogrammed, with per-size document counts
+      // and the share of the corpus that would survive keep-one.
+      // Doubled corpus (the keep_best twin construction) so sizes
+      // ≥ 2 are guaranteed present at every sf.
+      val d = Tables.documents(s, dir).select($"doc_id", $"text")
+      val corpus = d.unionByName(
+        d.select(($"doc_id" + 100000L).as("doc_id"), $"text"))
+      val cl = corpus.groupBy(md5($"text").as("fp"))
+        .agg(count(lit(1)).as("sz"))
+      cl.groupBy($"sz".as("cluster_size"))
+        .agg(count(lit(1)).cast("bigint").as("n_clusters"),
+          sum($"sz").cast("bigint").as("n_docs"))
+        .orderBy($"cluster_size")
+    }),
+
     "pipeline_keep_best_dup" -> ((s, dir) => {
       import s.implicits._
       // Duplicate SURVIVORSHIP for a corpus — the election rule real
@@ -10388,6 +10447,60 @@ object SparkEntry {
       |    CAST(least(v.id, coalesce(m.mb, v.id)) AS BIGINT) AS scc_id
       |  FROM v LEFT JOIN m ON m.id = v.id)""".stripMargin
 
+  /** Generated ml_kfold_cv oracle: the ml_stump_eval fit/apply block
+    * stamped once per fold (train = the fold's complement, score =
+    * the held-out fold), unioned — fit and apply can never drift
+    * from the graded stump because the block IS the stump SQL. */
+  private lazy val kfoldCvOracleSql: String = {
+    def block(f: Int): String =
+      s"""v$f AS (SELECT f,
+         |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM r WHERE fold <> $f GROUP BY 1),
+         |t$f AS (SELECT CAST(sum(p) AS BIGINT) AS tp,
+         |    CAST(sum(c) AS BIGINT) AS tn, max(f) AS fmax FROM v$f),
+         |cum$f AS (SELECT f,
+         |    CAST(sum(p) OVER w AS BIGINT) AS pl,
+         |    CAST(sum(c) OVER w AS BIGINT) AS nl
+         |  FROM v$f WINDOW w AS (ORDER BY f ROWS BETWEEN UNBOUNDED
+         |    PRECEDING AND CURRENT ROW)),
+         |cand$f AS (SELECT f, pl, nl, nl - pl AS ql, tp - pl AS pr,
+         |    tn - nl AS nr, (tn - nl) - (tp - pl) AS qr
+         |  FROM cum$f, t$f WHERE f < fmax),
+         |g$f AS (SELECT f, pl, nl, pr, nr,
+         |    (((CAST(nl AS HUGEINT) * nl - CAST(pl AS HUGEINT) * pl
+         |        - CAST(ql AS HUGEINT) * ql) * 1000000 // nl)
+         |     + ((CAST(nr AS HUGEINT) * nr - CAST(pr AS HUGEINT) * pr
+         |        - CAST(qr AS HUGEINT) * qr) * 1000000 // nr))
+         |      // (nl + nr) AS gi
+         |  FROM cand$f),
+         |b$f AS (SELECT f AS t, 2 * pl > nl AS predl,
+         |    2 * pr > nr AS predr,
+         |    row_number() OVER (ORDER BY gi, f) AS rn FROM g$f),
+         |s$f AS (SELECT * FROM b$f WHERE rn = 1),
+         |e$f AS (SELECT CAST($f AS BIGINT) AS fold,
+         |    CAST(s$f.t AS BIGINT) AS threshold,
+         |    CAST(count(*) AS BIGINT) AS n_test,
+         |    CAST(sum(CASE WHEN r.y = (CASE WHEN r.f <= s$f.t
+         |      THEN s$f.predl ELSE s$f.predr END) THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_correct
+         |  FROM r, s$f WHERE fold = $f GROUP BY 1, 2)""".stripMargin
+    val head =
+      """WITH r AS MATERIALIZED (SELECT
+        |    CAST(round(value * 100) AS BIGINT) AS f,
+        |    (event_type = 'purchase') AS y, event_id % 4 AS fold
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),""".stripMargin
+    val tail =
+      """u AS (SELECT * FROM e0 UNION ALL SELECT * FROM e1
+        |  UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3)
+        |SELECT fold, threshold, n_test, n_correct,
+        |  CAST(CAST(n_correct AS HUGEINT) * 1000000 // n_test
+        |    AS BIGINT) AS acc_ppm
+        |FROM u ORDER BY fold""".stripMargin
+    head + "\n" + (0 to 3).map(block).mkString(",\n") + ",\n" + tail
+  }
+
   def oracleSql: Map[String, String] = Map(
     "dq_invalid_codes" ->
       """SELECT p_brand, count(*) AS n_invalid
@@ -11428,6 +11541,9 @@ object SparkEntry {
         |  CAST(quantile_disc(m, 0.025) AS BIGINT) AS lo_micros,
         |  CAST(quantile_disc(m, 0.975) AS BIGINT) AS hi_micros
         |FROM m, pt GROUP BY n, point_micros""".stripMargin,
+
+    // the stump fit/apply block stamped per fold — generated
+    "ml_kfold_cv" -> kfoldCvOracleSql,
 
     // the stump fit restated on the even train slice, majority-class
     // predictions per side (ties negative), holdout confusion counts
@@ -13982,6 +14098,19 @@ object SparkEntry {
         |FROM dev JOIN mad USING (event_type, dow, hod)
         |WHERE mad.mad > 0 AND dev.d > 3 * mad.mad
         |ORDER BY dev.event_type, dev.hour""".stripMargin,
+
+    // fingerprint cluster sizes histogrammed — exact census
+    "dedup_cluster_sizes" ->
+      """WITH c AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents),
+        |cl AS (SELECT md5(text) AS fp, CAST(count(*) AS BIGINT) AS sz
+        |  FROM c GROUP BY 1)
+        |SELECT sz AS cluster_size,
+        |  CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(sum(sz) AS BIGINT) AS n_docs
+        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // exact-fingerprint clusters elect (score desc, id asc) — the
     // keep-best rule, with twins ensuring min-id is often WRONG
