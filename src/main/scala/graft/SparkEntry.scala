@@ -144,7 +144,8 @@ object SparkEntry {
     "graph_matching", "ts_ccf",
     "evt_seasonal_anomaly", "pipeline_keep_best_dup",
     "evt_ewm_vol_replay", "ml_stump_eval", "ab_bootstrap_ci",
-    "dedup_cluster_sizes", "ml_kfold_cv")
+    "dedup_cluster_sizes", "ml_kfold_cv",
+    "sim_threshold_sweep", "ts_reconcile")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -438,7 +439,7 @@ object SparkEntry {
     "ts_cusum", "ts_acf", "ts_ljung_box", "ts_dominant_period",
     "ts_ar_order", "ts_ar_forecast", "ts_holt",
     "ts_holt_winters", "ts_croston", "ts_ewm_volatility",
-    "ts_granger", "ts_ccf", "ts_hampel",
+    "ts_granger", "ts_ccf", "ts_hampel", "ts_reconcile",
     "ts_changepoint", "ts_changepoints",
     "ts_backtest", "ts_decompose", "ts_decompose_forecast",
     "ts_anomaly_robust", "ts_theilsen",
@@ -483,7 +484,8 @@ object SparkEntry {
     "pipeline_clean_corpus", "pipeline_curation", "pipeline_tokenize_pack",
     "pipeline_dataset_card", "pipeline_source_mix",
     "sketch_freq_items",
-    "sim_topk_brute", "sim_topk_ivf", "sim_topk_pq", "sim_hard_negatives",
+    "sim_topk_brute", "sim_topk_ivf", "sim_topk_pq",
+    "sim_threshold_sweep", "sim_hard_negatives",
     "sim_range_search", "sim_embedding_drift",
     "mm_content_hash", "mm_phash_dedup", "mm_phash_clusters",
     "mm_decode", "mm_decode_real", "mm_decode_audio",
@@ -1623,6 +1625,42 @@ object SparkEntry {
         .select($"hour", coalesce($"x", lit(0L)).as("x"),
           coalesce($"y", lit(0L)).as("y"))
       graft.operators.TimeSeries.grangerLag1(j, "hour", "x", "y")
+    }),
+
+    "ts_reconcile" -> ((s, dir) => {
+      import s.implicits._
+      // HIERARCHICAL forecast reconciliation — the coherence step a
+      // forecast hierarchy needs (per-type Holt forecasts and the
+      // all-types total are fitted independently and do NOT sum; a
+      // capacity plan needs them coherent): proportional top-down
+      // reconciliation, each type's step-h forecast rescaled so the
+      // five types sum to the total's own forecast. Exact
+      // cross-multiplied truncating division per cell; a
+      // non-positive bottom-up sum reports NULL (nothing to
+      // proportion against), never a division error.
+      val ev = Tables.events(s, dir)
+      val perType = graft.operators.TimeSeries.holtForecast(
+        ev.groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+          .agg((count(lit(1)) * 1000000L).as("x")),
+        "event_type", "hour", "x", alphaPpm = 300000L,
+        betaPpm = 100000L, horizon = 12)
+      val total = graft.operators.TimeSeries.holtForecast(
+        ev.groupBy(date_trunc("hour", $"ts").as("hour"))
+          .agg((count(lit(1)) * 1000000L).as("x"))
+          .withColumn("k", lit("ALL")),
+        "k", "hour", "x", alphaPpm = 300000L,
+        betaPpm = 100000L, horizon = 12)
+        .select($"step", $"forecast_micros".as("total_f"))
+      val sums = perType.groupBy($"step")
+        .agg(sum($"forecast_micros").as("bu_sum"))
+      perType.join(sums, "step").join(total, "step")
+        .select($"event_type", $"step",
+          $"forecast_micros",
+          when($"bu_sum" > 0L,
+            expr("CAST(CAST(forecast_micros AS DECIMAL(38,0))" +
+              " * total_f div bu_sum AS BIGINT)"))
+            .otherwise(lit(null).cast("long")).as("reconciled_micros"))
+        .orderBy($"event_type", $"step")
     }),
 
     "ts_ccf" -> ((s, dir) => {
@@ -6199,6 +6237,40 @@ object SparkEntry {
       // float k-means in graft.ml gates, this replays).
       graft.llm.Similarity.kmeansStep(
         Tables.embeddings(s, dir), "vec_id", "embedding", numSeeds = 8)
+    }),
+
+    "sim_threshold_sweep" -> ((s, dir) => {
+      import s.implicits._
+      // The EMPIRICAL near-dup tuning curve — dedup_lsh_tuning gives
+      // the theoretical S-curve; this counts the actual pairs the
+      // corpus has at each candidate threshold, which is the number
+      // a curator stares at before picking one ("0.95 keeps 40
+      // pairs, 0.80 keeps 4,000 — which cut do we mean?"). Exact
+      // n²/2 pass in the quantize-once micro_cosine discipline (the
+      // codegen'd expression makes brute feasible); one conditional
+      // sum per threshold, unpivoted.
+      val q = Tables.embeddings(s, dir)
+        .select($"vec_id".cast("long").as("id"),
+          transform($"embedding", x =>
+            round(x.cast("double") * lit(1e6)).cast("long")).as("q"))
+        .filter($"id".isNotNull)
+        .localCheckpoint(true) // both sides of the pair join
+      val a = q.select($"id".as("ia"), $"q".as("qa"))
+      val b = q.select($"id".as("ib"), $"q".as("qb"))
+      val pairs = a.crossJoin(broadcast(b)).filter($"ia" < $"ib")
+        .select(graft.functions.micro_cosine($"qa", $"qb").as("cm"))
+        .filter($"cm".isNotNull)
+      pairs.agg(
+          sum(when($"cm" >= 800000L, 1L).otherwise(0L)).as("t800000"),
+          sum(when($"cm" >= 850000L, 1L).otherwise(0L)).as("t850000"),
+          sum(when($"cm" >= 900000L, 1L).otherwise(0L)).as("t900000"),
+          sum(when($"cm" >= 950000L, 1L).otherwise(0L)).as("t950000"))
+        .selectExpr("stack(4, 800000L, t800000, 850000L, t850000," +
+          " 900000L, t900000, 950000L, t950000)" +
+          " AS (threshold_micros, n_pairs)")
+        .selectExpr("threshold_micros",
+          "CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs")
+        .orderBy($"threshold_micros")
     }),
 
     "ml_knn_classify" -> ((s, dir) => {
@@ -11435,6 +11507,34 @@ object SparkEntry {
         |    AS mean_cos_micros
         |FROM a WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // exact n²/2 pair counts at each threshold in the quantize-once
+    // convention (NULL cosines — zero norms — excluded both sides)
+    "sim_threshold_sweep" ->
+      """WITH q AS (SELECT vec_id AS id,
+        |    list_transform(embedding, x ->
+        |      CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |pr AS (SELECT a.id AS ia, b.id AS ib,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT)
+        |      AS dp,
+        |    CAST(list_sum(list_transform(a.q, t -> t * t)) AS BIGINT)
+        |      AS na,
+        |    CAST(list_sum(list_transform(b.q, t -> t * t)) AS BIGINT)
+        |      AS nb
+        |  FROM q a, q b WHERE a.id < b.id),
+        |cm AS (SELECT CAST(round(CAST(dp AS DOUBLE)
+        |    / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+        |    * 1000000) AS BIGINT) AS cm
+        |  FROM pr WHERE na > 0 AND nb > 0),
+        |t AS (SELECT CAST(range AS BIGINT) * 50000 + 800000
+        |    AS threshold_micros FROM range(0, 4))
+        |SELECT threshold_micros,
+        |  CAST(coalesce(sum(CASE WHEN cm >= threshold_micros THEN 1
+        |    ELSE 0 END), 0) AS BIGINT) AS n_pairs
+        |FROM t LEFT JOIN cm ON TRUE
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // the kmeansRounds convention: coordinates quantize ONCE to
     // micros, dots/norms exact integers, one mirrored cosine round;
     // (cos desc, tid) neighbor rank, (votes desc, label) vote rank
@@ -12418,6 +12518,56 @@ object SparkEntry {
         |      * 1000000) AS BIGINT)
         |  ELSE NULL END AS f_micros
         |FROM g ORDER BY direction""".stripMargin,
+
+    // the green ts_holt recursion stamped twice (per-type keyed +
+    // unkeyed total), proportional top-down division exact
+    "ts_reconcile" ->
+      """WITH RECURSIVE
+        |c AS (SELECT event_type AS k, date_trunc('hour', ts) AS h,
+        |    CAST(count(*) AS BIGINT) * 1000000 AS x
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT k, row_number() OVER (PARTITION BY k ORDER BY h)
+        |    AS i, x FROM c),
+        |r AS (
+        |  SELECT k, i, x AS l, CAST(0 AS BIGINT) AS b FROM s WHERE i = 1
+        |  UNION ALL
+        |  SELECT s.k, s.i,
+        |    (300000 * s.x + 700000 * (r.l + r.b)) // 1000000 AS l,
+        |    (100000 * (((300000 * s.x + 700000 * (r.l + r.b))
+        |        // 1000000) - r.l) + 900000 * r.b) // 1000000 AS b
+        |  FROM r JOIN s ON s.k = r.k AND s.i = r.i + 1),
+        |lst AS (SELECT k, max(i) AS n FROM r GROUP BY 1),
+        |fin AS (SELECT r.k, r.l, r.b FROM r
+        |  JOIN lst ON r.k = lst.k AND r.i = lst.n),
+        |ct AS (SELECT date_trunc('hour', ts) AS h,
+        |    CAST(count(*) AS BIGINT) * 1000000 AS x
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT row_number() OVER (ORDER BY h) AS i, x FROM ct),
+        |rt AS (
+        |  SELECT i, x AS l, CAST(0 AS BIGINT) AS b FROM st WHERE i = 1
+        |  UNION ALL
+        |  SELECT st.i,
+        |    (300000 * st.x + 700000 * (rt.l + rt.b)) // 1000000 AS l,
+        |    (100000 * (((300000 * st.x + 700000 * (rt.l + rt.b))
+        |        // 1000000) - rt.l) + 900000 * rt.b) // 1000000 AS b
+        |  FROM rt JOIN st ON st.i = rt.i + 1),
+        |lt AS (SELECT max(i) AS n FROM rt),
+        |ft AS (SELECT rt.l, rt.b FROM rt, lt WHERE rt.i = lt.n),
+        |hh AS (SELECT CAST(range AS BIGINT) AS step FROM range(1, 13)),
+        |pf AS (SELECT k AS event_type, step,
+        |    CAST(l + step * b AS BIGINT) AS forecast_micros
+        |  FROM fin, hh),
+        |tf AS (SELECT step, CAST(l + step * b AS BIGINT) AS total_f
+        |  FROM ft, hh),
+        |bu AS (SELECT step, CAST(sum(forecast_micros) AS BIGINT)
+        |    AS bu_sum FROM pf GROUP BY 1)
+        |SELECT pf.event_type, pf.step, pf.forecast_micros,
+        |  CASE WHEN bu.bu_sum > 0 THEN
+        |    CAST(CAST(pf.forecast_micros AS HUGEINT) * tf.total_f
+        |      // bu.bu_sum AS BIGINT)
+        |  ELSE NULL END AS reconciled_micros
+        |FROM pf JOIN bu USING (step) JOIN tf USING (step)
+        |ORDER BY event_type, step""".stripMargin,
 
     // hour-index self-join per lag, exact per-lag moments, one
     // mirrored correlation tree
