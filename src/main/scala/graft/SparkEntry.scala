@@ -145,7 +145,8 @@ object SparkEntry {
     "evt_seasonal_anomaly", "pipeline_keep_best_dup",
     "evt_ewm_vol_replay", "ml_stump_eval", "ab_bootstrap_ci",
     "dedup_cluster_sizes", "ml_kfold_cv",
-    "sim_threshold_sweep", "ts_reconcile")
+    "sim_threshold_sweep", "ts_reconcile",
+    "feat_elasticity", "feat_best_f1")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -396,7 +397,8 @@ object SparkEntry {
     "dq_k_anonymity", "dq_l_diversity", "dq_t_closeness",
     "dq_cramers_v", "cust_rfm",
     "dq_fd_violations",
-    "feat_spearman", "feat_ols_diagnostics",
+    "feat_spearman", "feat_ols_diagnostics", "feat_elasticity",
+    "feat_best_f1",
     "ab_ztest", "ab_ttest", "ab_jackknife", "ab_bootstrap_ci",
     "ab_did",
     "ab_bh_fdr", "dq_drift_fdr", "ab_sequential", "dq_referential",
@@ -4441,6 +4443,80 @@ object SparkEntry {
             "CAST(round(num / (sqrt(vx) * sqrt(vy)) * 1000000)" +
             " AS BIGINT) END AS corr_micros")
         .orderBy($"hour")
+    }),
+
+    "feat_elasticity" -> ((s, dir) => {
+      import s.implicits._
+      // PRICE ELASTICITY per brand — the log-log regression econ
+      // reads demand sensitivity from (slope of ln(quantity) on
+      // ln(price): −1.2 means a 1% price rise cuts quantity 1.2%):
+      // both logs micro-nat quantized (exact integers thereafter),
+      // centered moments DECIMAL-exact, the slope ONE truncating
+      // cross-multiplied division per brand. Zero-variance brands
+      // report NULL, never a division error.
+      val dec = "decimal(38,0)"
+      val li = Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir),
+          $"l_partkey" === $"p_partkey")
+        .select($"p_brand",
+          round(log(round($"l_extendedprice" * 100).cast("long")
+            .cast("double")) * 1e6).cast("long").as("x"),
+          round(log($"l_quantity".cast("double")) * 1e6).cast("long")
+            .as("y"))
+        .filter($"x".isNotNull && $"y".isNotNull)
+      li.groupBy($"p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum($"x".cast(dec)).as("sx"), sum($"y".cast(dec)).as("sy"),
+          sum($"x".cast(dec) * $"x").as("sxx"),
+          sum($"x".cast(dec) * $"y").as("sxy"))
+        .selectExpr("p_brand", "CAST(n AS BIGINT) AS n",
+          "CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS cxx",
+          "CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS cxy")
+        .selectExpr("p_brand", "n",
+          "CASE WHEN cxx <= 0 THEN NULL ELSE" +
+            " CAST((cxy * 1000000) div cxx AS BIGINT)" +
+            " END AS elasticity_ppm")
+        .orderBy($"p_brand")
+    }),
+
+    "feat_best_f1" -> ((s, dir) => {
+      import s.implicits._
+      // The F1-OPTIMAL decision threshold — the tuning step between
+      // the score curve readouts (auc/gains) and a deployed rule
+      // ("positive when score ≥ t"): for every candidate cut (the
+      // distinct quantized scores), TP/FP/FN from one descending
+      // cumulative window over the value census, F1 exact via one
+      // truncating ppm, argmax (f1 desc, threshold asc). One row:
+      // the chosen cut and its confusion/P/R/F1.
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.events(s, dir)
+        .select(round($"value" * 100).cast("long").as("c"),
+          ($"event_type" === "purchase").as("y"))
+        .filter($"c".isNotNull)
+      val byV = v.groupBy($"c")
+        .agg(sum(when($"y", 1L).otherwise(0L)).as("p"),
+          count(lit(1)).as("n"))
+        .localCheckpoint(true) // totals + cumulative scan
+      val tot = byV.agg(sum($"p").as("tp_all"))
+      val wDesc = Window.orderBy($"c".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byV.crossJoin(broadcast(tot)) // 1-row positive total
+        .withColumn("tp", sum($"p").over(wDesc))
+        .withColumn("pred_pos", sum($"n").over(wDesc))
+        .selectExpr("c AS threshold", "tp",
+          "pred_pos - tp AS fp", "tp_all - tp AS fn")
+        .withColumn("f1_ppm", expr(
+          "CAST(CAST(2 * tp AS DECIMAL(38,0)) * 1000000" +
+            " div (2 * tp + fp + fn) AS BIGINT)"))
+        .withColumn("__rn", row_number().over(
+          Window.orderBy($"f1_ppm".desc, $"threshold")))
+        .filter($"__rn" === 1)
+        .selectExpr("threshold", "CAST(tp AS BIGINT) AS tp",
+          "CAST(fp AS BIGINT) AS fp", "CAST(fn AS BIGINT) AS fn",
+          "CAST(CAST(tp AS DECIMAL(38,0)) * 1000000" +
+            " div (tp + fp) AS BIGINT) AS precision_ppm",
+          "CAST(CAST(tp AS DECIMAL(38,0)) * 1000000" +
+            " div (tp + fn) AS BIGINT) AS recall_ppm", "f1_ppm")
     }),
 
     "feat_ols_diagnostics" -> ((s, dir) => {
@@ -16838,6 +16914,57 @@ object SparkEntry {
         |    CAST(round(num / (sqrt(vx) * sqrt(vy)) * 1000000)
         |    AS BIGINT) END AS corr_micros
         |FROM g ORDER BY hour""".stripMargin,
+
+    // micro-nat logs both axes, DECIMAL/HUGEINT centered moments,
+    // slope one truncating cross-multiplied division per brand
+    "feat_elasticity" ->
+      """WITH li AS (SELECT p_brand,
+        |    CAST(round(ln(CAST(CAST(round(l_extendedprice * 100)
+        |      AS BIGINT) AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(l_quantity AS DOUBLE)) * 1000000)
+        |      AS BIGINT) AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |a AS (SELECT p_brand, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        |  FROM li GROUP BY 1),
+        |c AS (SELECT p_brand, CAST(n AS BIGINT) AS n,
+        |    n * sxx - sx * sx AS cxx, n * sxy - sx * sy AS cxy
+        |  FROM a)
+        |SELECT p_brand, n,
+        |  CASE WHEN cxx <= 0 THEN NULL ELSE
+        |    CAST((cxy * 1000000) // cxx AS BIGINT) END AS elasticity_ppm
+        |FROM c ORDER BY p_brand""".stripMargin,
+
+    // descending cumulative census, exact TP/FP/FN per candidate cut,
+    // (f1 desc, threshold) argmax
+    "feat_best_f1" ->
+      """WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS c,
+        |    (event_type = 'purchase') AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |bv AS (SELECT c,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+        |    CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+        |t AS (SELECT CAST(sum(p) AS BIGINT) AS tp_all FROM bv),
+        |w AS (SELECT c, CAST(sum(p) OVER win AS BIGINT) AS tp,
+        |    CAST(sum(n) OVER win AS BIGINT) AS pred_pos
+        |  FROM bv WINDOW win AS (ORDER BY c DESC ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT c AS threshold, tp, pred_pos - tp AS fp,
+        |    tp_all - tp AS fn,
+        |    CAST((CAST(2 * tp AS HUGEINT) * 1000000)
+        |      // (2 * tp + fp + fn) AS BIGINT) AS f1_ppm
+        |  FROM w, t),
+        |b AS (SELECT *, row_number() OVER (
+        |    ORDER BY f1_ppm DESC, threshold) AS rn FROM f)
+        |SELECT threshold, tp, fp, fn,
+        |  CAST((CAST(tp AS HUGEINT) * 1000000) // (tp + fp)
+        |    AS BIGINT) AS precision_ppm,
+        |  CAST((CAST(tp AS HUGEINT) * 1000000) // (tp + fn)
+        |    AS BIGINT) AS recall_ppm, f1_ppm
+        |FROM b WHERE rn = 1""".stripMargin,
 
     // exact scaled OLS residuals, ONE truncating micro-quantization,
     // DW + central-moment JB as mirrored double trees
