@@ -146,7 +146,8 @@ object SparkEntry {
     "evt_ewm_vol_replay", "ml_stump_eval", "ab_bootstrap_ci",
     "dedup_cluster_sizes", "ml_kfold_cv",
     "sim_threshold_sweep", "ts_reconcile",
-    "feat_elasticity", "feat_best_f1")
+    "feat_elasticity", "feat_best_f1",
+    "graph_centralization", "evt_transition_entropy")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -436,7 +437,8 @@ object SparkEntry {
     "evt_funnel_latency",
     "evt_set_completion",
     "evt_retention",
-    "evt_transitions", "evt_attribution", "evt_markov_attribution",
+    "evt_transitions", "evt_transition_entropy",
+    "evt_attribution", "evt_markov_attribution",
     "ts_resample_ffill", "ts_interpolate", "ts_anomaly", "ts_seasonality",
     "ts_cusum", "ts_acf", "ts_ljung_box", "ts_dominant_period",
     "ts_ar_order", "ts_ar_forecast", "ts_holt",
@@ -480,6 +482,7 @@ object SparkEntry {
     "graph_weighted_paths", "graph_label_prop", "graph_modularity",
     "graph_louvain", "graph_assortativity", "graph_degree_hist",
     "graph_assoc_rules", "graph_adamic_adar", "graph_jaccard",
+    "graph_centralization",
     "dedup_containment",
     "text_gopher_rules", "text_collocations", "text_textrank",
     "agg_salted_collect",
@@ -9152,6 +9155,64 @@ object SparkEntry {
         .orderBy($"deg")
     }),
 
+    "graph_centralization" -> ((s, dir) => {
+      import s.implicits._
+      // Freeman degree centralization — the one-number "how
+      // hub-dominated is this graph" next to the degree histogram's
+      // full shape (1 = a perfect star, 0 = a regular graph):
+      // Σ(d_max − d_i) over the star's maximum (n−1)(n−2), exact
+      // integers end to end, one truncating ppm. Fewer than 3
+      // vertices emit nothing (the normalizer is zero).
+      val e0 = partCoOrderPairs(s, dir)
+      val e = e0.select($"a".as("u"), $"b".as("v"))
+        .union(e0.select($"b".as("u"), $"a".as("v")))
+        .distinct()
+      val deg = e.groupBy($"u").agg(count(lit(1)).as("d"))
+      deg.agg(count(lit(1)).as("n"), max($"d").as("dmax"),
+          sum($"d").as("sumd"))
+        .filter($"n" >= 3L)
+        .selectExpr("CAST(n AS BIGINT) AS n_vertices",
+          "CAST(dmax AS BIGINT) AS max_degree",
+          "CAST((CAST(n AS DECIMAL(38,0)) * dmax - sumd) * 1000000" +
+            " div (CAST(n - 1 AS DECIMAL(38,0)) * (n - 2))" +
+            " AS BIGINT) AS centralization_ppm")
+    }),
+
+    "evt_transition_entropy" -> ((s, dir) => {
+      import s.implicits._
+      // Behavioral PREDICTABILITY — the entropy rate of the
+      // event-type transition chain (evt_transitions counts the
+      // edges; this says how RANDOM the walk is: 0 bits means the
+      // next step is determined, log2(5) means anything goes):
+      // per-from-state Shannon entropy in micro-nats from exact
+      // transition counts, weighted by from-state mass. Per-row
+      // micro-nat terms summed order-free, two truncating divisions.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val tr = Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("next", lead($"event_type", 1).over(w))
+        .filter($"next".isNotNull)
+        .groupBy($"event_type".as("from_t"), $"next".as("to_t"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // row totals + entropy terms
+      val byFrom = tr.groupBy($"from_t").agg(sum($"c").as("tot"))
+      val ent = tr.join(byFrom, "from_t")
+        .withColumn("__term", (col("c").cast("double") /
+          col("tot").cast("double") *
+          log(col("tot").cast("double") / col("c").cast("double"))))
+        .withColumn("__tq", round($"__term" * 1e6).cast("long"))
+        .groupBy($"from_t")
+        .agg(max($"tot").as("tot"), sum($"__tq").as("h_micros"))
+      val total = ent.agg(sum($"tot").as("allm"))
+      ent.crossJoin(broadcast(total)) // 1-row total mass
+        .select($"from_t", $"tot".cast("bigint").as("n_transitions"),
+          $"h_micros".cast("bigint").as("entropy_micronats"),
+          expr("CAST(CAST(h_micros AS DECIMAL(38,0)) * tot div allm" +
+            " AS BIGINT)").as("weighted_micronats"))
+        .orderBy($"from_t")
+    }),
+
     "graph_assortativity" -> ((s, dir) => {
       import s.implicits._
       // Degree assortativity of the part co-order graph: Pearson over
@@ -15556,6 +15617,52 @@ object SparkEntry {
         |SELECT CAST(deg AS BIGINT) AS deg,
         |  CAST(count(*) AS BIGINT) AS n_vertices
         |FROM deg GROUP BY deg ORDER BY deg""".stripMargin,
+
+    // Freeman centralization: exact degree census, one truncating
+    // ppm against the star maximum (n-1)(n-2)
+    "graph_centralization" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |   AND l1.l_partkey < l2.l_partkey
+        |  WHERE l1.l_orderkey % 4 = 0),
+        |e AS (SELECT a AS u, b AS v FROM p
+        |  UNION SELECT b AS u, a AS v FROM p),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM e
+        |  GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(max(d) AS BIGINT) AS dmax,
+        |    CAST(sum(d) AS BIGINT) AS sumd FROM deg)
+        |SELECT n AS n_vertices, dmax AS max_degree,
+        |  CAST(((CAST(n AS HUGEINT) * dmax - sumd) * 1000000)
+        |    // (CAST(n - 1 AS HUGEINT) * (n - 2)) AS BIGINT)
+        |    AS centralization_ppm
+        |FROM a WHERE n >= 3""".stripMargin,
+
+    // per-from-state Shannon entropy in micro-nats from exact
+    // transition counts, weighted by from-state mass
+    "evt_transition_entropy" ->
+      """WITH tr AS (SELECT event_type, lead(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS next
+        |  FROM events),
+        |c AS (SELECT event_type AS from_t, next AS to_t,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM tr WHERE next IS NOT NULL GROUP BY 1, 2),
+        |bf AS (SELECT from_t, CAST(sum(c) AS BIGINT) AS tot FROM c
+        |  GROUP BY 1),
+        |term AS (SELECT c.from_t, bf.tot,
+        |    CAST(round(CAST(c.c AS DOUBLE) / CAST(bf.tot AS DOUBLE)
+        |      * ln(CAST(bf.tot AS DOUBLE) / CAST(c.c AS DOUBLE))
+        |      * 1000000) AS BIGINT) AS tq
+        |  FROM c JOIN bf USING (from_t)),
+        |ent AS (SELECT from_t, CAST(max(tot) AS BIGINT) AS tot,
+        |    CAST(sum(tq) AS BIGINT) AS h FROM term GROUP BY 1),
+        |al AS (SELECT CAST(sum(tot) AS BIGINT) AS allm FROM ent)
+        |SELECT from_t, tot AS n_transitions, h AS entropy_micronats,
+        |  CAST((CAST(h AS HUGEINT) * tot) // allm AS BIGINT)
+        |    AS weighted_micronats
+        |FROM ent, al ORDER BY from_t""".stripMargin,
 
     // Pearson over endpoint degrees; HUGEINT moments mirror DECIMAL
     "graph_assortativity" ->
