@@ -147,7 +147,7 @@ object SparkEntry {
     "dedup_cluster_sizes", "ml_kfold_cv",
     "sim_threshold_sweep", "ts_reconcile",
     "feat_elasticity", "feat_best_f1",
-    "graph_centralization", "evt_transition_entropy")
+    "graph_centralization", "graph_clustering_coeff", "evt_transition_entropy")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -401,6 +401,7 @@ object SparkEntry {
     "feat_spearman", "feat_ols_diagnostics", "feat_elasticity",
     "feat_best_f1",
     "ab_ztest", "ab_ttest", "ab_jackknife", "ab_bootstrap_ci",
+    "ab_sample_size",
     "ab_did",
     "ab_bh_fdr", "dq_drift_fdr", "ab_sequential", "dq_referential",
     "dq_sequence_gaps",
@@ -6380,6 +6381,36 @@ object SparkEntry {
         $"event_type" === "purchase")
     }),
 
+    "ab_sample_size" -> ((s, dir) => {
+      import s.implicits._
+      // The PLANNING table every experiment starts from — required n
+      // per arm across an MDE grid (ab_power grades one test after
+      // the fact; this says how long to run BEFORE launching):
+      // n = ceil((z_α/2 + z_β)²·2σ̂²/Δ²) at α=0.05, power 0.80, with
+      // σ̂² from exact integer moments of the purchase values and the
+      // z-sum constant spelled identically on both engines; ceil of
+      // the one mirrored tree is deterministic.
+      val m = Tables.events(s, dir)
+        .filter($"event_type" === "purchase")
+        .select(round($"value" * 100).cast("long").as("c"))
+        .agg(count(lit(1)).as("n"), sum($"c").as("sx"),
+          sum($"c".cast("decimal(38,0)") * $"c").as("sxx"))
+        .filter($"n" >= 2L)
+      val grid = Seq(100L, 200L, 500L, 1000L, 2000L)
+        .toDF("mde_cents")
+      grid.crossJoin(broadcast(m)) // 1-row moments
+        .selectExpr("mde_cents",
+          "(CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx" +
+            " AS DECIMAL(38,0)) * sx AS DOUBLE))" +
+            " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS s2")
+        .selectExpr("mde_cents",
+          "CAST(round(s2 * 100) AS BIGINT) AS var_centi",
+          "CAST(ceil((2.801585 * 2.801585) * 2.0 * s2" +
+            " / (CAST(mde_cents AS DOUBLE) * CAST(mde_cents" +
+            " AS DOUBLE))) AS BIGINT) AS n_per_arm")
+        .orderBy($"mde_cents")
+    }),
+
     "ab_bootstrap_ci" -> ((s, dir) => {
       import s.implicits._
       // Poisson-bootstrap confidence interval for the mean purchase
@@ -9153,6 +9184,34 @@ object SparkEntry {
         .groupBy($"deg").agg(count(lit(1)).cast("bigint").as("n_vertices"))
         .select($"deg".cast("bigint").as("deg"), $"n_vertices")
         .orderBy($"deg")
+    }),
+
+    "graph_clustering_coeff" -> ((s, dir) => {
+      import s.implicits._
+      // GLOBAL clustering coefficient — "of all the wedges, how many
+      // close?" (3·triangles / wedges): the one-number transitivity
+      // reading next to the exact triangle census; high means
+      // communities, low means a hub-and-spoke world. Triangles via
+      // the graded degree-oriented wedge join, wedges an exact
+      // integer census Σ d(d−1)/2, the ratio one truncating ppm.
+      val e0 = partCoOrderPairs(s, dir).localCheckpoint(true)
+      val tri = e0.as("e1")
+        .join(e0.as("e2"), col("e1.a") === col("e2.a") &&
+          col("e1.b") < col("e2.b"))
+        .join(e0.as("e3"), col("e3.a") === col("e1.b") &&
+          col("e3.b") === col("e2.b"))
+        .agg(count(lit(1)).as("tri"))
+      val deg = e0.select($"a".as("u"))
+        .union(e0.select($"b".as("u")))
+        .groupBy($"u").agg(count(lit(1)).as("d"))
+      val wed = deg.agg(
+        sum(($"d".cast("decimal(38,0)") * ($"d" - 1L))).as("w2"))
+      tri.crossJoin(wed) // two 1-row reductions
+        .selectExpr("CAST(tri AS BIGINT) AS n_triangles",
+          "CAST(w2 div 2 AS BIGINT) AS n_wedges",
+          "CASE WHEN w2 <= 0 THEN NULL ELSE" +
+            " CAST(CAST(6 * tri AS DECIMAL(38,0)) * 1000000 div w2" +
+            " AS BIGINT) END AS clustering_ppm")
     }),
 
     "graph_centralization" -> ((s, dir) => {
@@ -15617,6 +15676,53 @@ object SparkEntry {
         |SELECT CAST(deg AS BIGINT) AS deg,
         |  CAST(count(*) AS BIGINT) AS n_vertices
         |FROM deg GROUP BY deg ORDER BY deg""".stripMargin,
+
+    // 3*triangles/wedges from the graded wedge join + exact degree
+    // census, one truncating ppm
+    "graph_clustering_coeff" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |   AND l1.l_partkey < l2.l_partkey
+        |  WHERE l1.l_orderkey % 4 = 0),
+        |tri AS (SELECT CAST(count(*) AS BIGINT) AS tri
+        |  FROM p e1 JOIN p e2 ON e1.a = e2.a AND e1.b < e2.b
+        |  JOIN p e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM
+        |  (SELECT a AS u FROM p UNION ALL SELECT b FROM p)
+        |  GROUP BY 1),
+        |wed AS (SELECT CAST(sum(CAST(d AS HUGEINT) * (d - 1))
+        |    AS HUGEINT) AS w2 FROM deg)
+        |SELECT tri AS n_triangles,
+        |  CAST(w2 // 2 AS BIGINT) AS n_wedges,
+        |  CASE WHEN w2 <= 0 THEN NULL ELSE
+        |    CAST(CAST(6 * tri AS HUGEINT) * 1000000 // w2 AS BIGINT)
+        |  END AS clustering_ppm
+        |FROM tri, wed""".stripMargin,
+
+    // the standard two-arm mean-difference sizing formula over an
+    // MDE grid; sigma^2 from exact moments, z-sum spelled identically
+    "ab_sample_size" ->
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS sx,
+        |    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sxx
+        |  FROM (SELECT CAST(round(value * 100) AS BIGINT) AS c
+        |        FROM events WHERE event_type = 'purchase')
+        |  HAVING count(*) >= 2),
+        |g AS (SELECT CAST(unnest([100, 200, 500, 1000, 2000])
+        |    AS BIGINT) AS mde_cents),
+        |s AS (SELECT mde_cents,
+        |    CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+        |      AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+        |      AS s2
+        |  FROM g, m)
+        |SELECT mde_cents,
+        |  CAST(round(s2 * 100) AS BIGINT) AS var_centi,
+        |  CAST(ceil((2.801585 * 2.801585) * 2.0 * s2
+        |    / (CAST(mde_cents AS DOUBLE) * CAST(mde_cents AS DOUBLE)))
+        |    AS BIGINT) AS n_per_arm
+        |FROM s ORDER BY mde_cents""".stripMargin,
 
     // Freeman centralization: exact degree census, one truncating
     // ppm against the star maximum (n-1)(n-2)
