@@ -147,7 +147,8 @@ object SparkEntry {
     "dedup_cluster_sizes", "ml_kfold_cv",
     "sim_threshold_sweep", "ts_reconcile",
     "feat_elasticity", "feat_best_f1",
-    "graph_centralization", "graph_clustering_coeff", "evt_transition_entropy")
+    "graph_centralization", "graph_clustering_coeff",
+    "evt_transition_entropy", "ab_sample_size")
 
   /** One entry per implemented operator from SURVEY.md §2.
     * Iteration order is significant (see [[neverGradedFirst]]): a
@@ -483,7 +484,7 @@ object SparkEntry {
     "graph_weighted_paths", "graph_label_prop", "graph_modularity",
     "graph_louvain", "graph_assortativity", "graph_degree_hist",
     "graph_assoc_rules", "graph_adamic_adar", "graph_jaccard",
-    "graph_centralization",
+    "graph_centralization", "graph_clustering_coeff",
     "dedup_containment",
     "text_gopher_rules", "text_collocations", "text_textrank",
     "agg_salted_collect",
