@@ -4238,7 +4238,13 @@ object SparkEntry {
       val docs = Tables.documents(s, dir).filter($"doc_id" < 20)
         .select($"doc_id", $"text").collect() // 20-row fixture prep
       if (Files.exists(outDir)) {
-        Files.list(outDir).forEach(p => Files.delete(p))
+        // close the directory stream (Files.list leaks a handle per
+        // run otherwise) and only delete regular files — a stray
+        // subdirectory must not abort the scan
+        val ls = Files.list(outDir)
+        try ls.forEach { p =>
+          if (Files.isRegularFile(p)) Files.delete(p)
+        } finally ls.close()
       } else Files.createDirectories(outDir)
       docs.foreach { r =>
         Files.write(outDir.resolve(s"${r.getLong(0)}.bin"),
@@ -5082,8 +5088,13 @@ object SparkEntry {
         .localCheckpoint(true) // cc + bfs + parity-join consumers
       val cc = graft.operators.Graph.connectedComponents(pairs, "a", "b")
       val roots = cc.select($"comp".as("id")).distinct()
+      // maxHops bounds eccentricity from the min-id root: 96 is the
+      // vertex-count bound for this 97-vertex (suppkey mod 97) graph,
+      // so shortestPaths can never silently truncate — a hop-capped
+      // BFS would drop vertices from `dist`, the parity joins would
+      // drop edges, and a non-bipartite component could read bipartite
       val dist = graft.operators.Graph.shortestPaths(pairs, roots,
-        "a", "b", "id", maxHops = 24)
+        "a", "b", "id", maxHops = 96)
       val da = dist.select($"id".as("a"), pmod($"dist", lit(2)).as("qa"))
       val db = dist.select($"id".as("b"), pmod($"dist", lit(2)).as("qb"))
       val compA = cc.select($"id".as("a"), $"comp")
@@ -6472,6 +6483,11 @@ object SparkEntry {
       // collects (model-scale, documented); everything else exact
       // counts and one truncating ppm per fold.
       val ev = Tables.events(s, dir)
+        // NULL value/event_type rows are excluded on BOTH fit and
+        // holdout sides, matching the oracle's base CTE — a NULL c
+        // would silently fall through when/otherwise to predR and a
+        // NULL y would emit a group the oracle never produces
+        .filter($"value".isNotNull && $"event_type".isNotNull)
         .select(round($"value" * 100).cast("long").as("c"),
           ($"event_type" === "purchase").as("y"),
           pmod($"event_id", lit(4)).as("fold"))
@@ -6508,6 +6524,9 @@ object SparkEntry {
       // read the HOLDOUT confusion matrix. The stump is a 1-row
       // model collect (documented); everything else is exact counts.
       val ev = Tables.events(s, dir)
+        // exclude NULL value/event_type like the oracle's base CTE
+        // (see ml_kfold_cv) — agreement by construction, not fixture
+        .filter($"value".isNotNull && $"event_type".isNotNull)
         .select(round($"value" * 100).cast("long").as("c"),
           ($"event_type" === "purchase").as("y"),
           pmod($"event_id", lit(2)).as("par"))

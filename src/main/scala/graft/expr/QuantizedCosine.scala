@@ -30,6 +30,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * exact below 2⁵¹ and micro cosines are < 2²¹). NULL when either
   * input is null, lengths differ (malformed pair), or either norm is
   * zero (no direction exists).
+  *
+  * The contract is ENFORCED, not just documented: any coordinate
+  * with |q| > 10⁶ throws loudly (matching the croston/ewmVolatility
+  * overflow discipline) — outside the bound the long accumulators
+  * could overflow silently and return a wrong cosine. The per-element
+  * branch is perfectly predicted in the hot loop (never taken on
+  * in-contract data), so the guard costs nothing measurable.
   */
 case class QuantizedCosine(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -64,6 +71,10 @@ case class QuantizedCosine(left: Expression, right: Expression)
     var dot = 0L; var nx = 0L; var ny = 0L; var i = 0
     while (i < n) {
       val xi = x.getLong(i); val yi = y.getLong(i)
+      if (xi > 1000000L || xi < -1000000L || yi > 1000000L || yi < -1000000L)
+        throw new IllegalArgumentException(
+          s"micro_cosine: coordinate out of contract (|q| <= 1e6): " +
+            s"x[$i]=$xi y[$i]=$yi")
       dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
     }
     if (nx == 0L || ny == 0L) null
@@ -91,6 +102,11 @@ case class QuantizedCosine(left: Expression, right: Expression)
          |  for (int $i = 0; $i < $n; $i++) {
          |    final long $xi = $a.getLong($i);
          |    final long $yi = $b.getLong($i);
+         |    if ($xi > 1000000L || $xi < -1000000L
+         |        || $yi > 1000000L || $yi < -1000000L) {
+         |      throw new IllegalArgumentException(
+         |        "micro_cosine: coordinate out of contract (|q| <= 1e6)");
+         |    }
          |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |  }
          |  if ($nx == 0L || $ny == 0L) {

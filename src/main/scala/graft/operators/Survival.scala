@@ -305,8 +305,6 @@ object Survival {
     val total = byT.agg(sum(col("exits")).as("__n0"))
     val wBefore = Window.orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wUpTo = Window.orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // all-cause risk set, event-time rows only, S(u-) per time
     val km = byT.crossJoin(broadcast(total)) // 1-row subject count
       .withColumn("n_risk",
