@@ -182,6 +182,31 @@ object Dedup {
       maxHamming + 1), maxHamming)
   }
 
+  /** Hamming near-dup pairs over MULTI-fingerprint signatures — the
+    * [[hammingNearDup]] machinery for entities carrying SEVERAL 64-bit
+    * fingerprints each (a video's signature is one dHash per frame,
+    * [[graft.llm.Multimodal.dhashFrames]]): two entities are near-dups
+    * when ANY fingerprint pair sits within `maxHamming`, and the
+    * reported distance is the MINIMUM over their fingerprint pairs.
+    * Recall is still 1.0 by pigeonhole — the minimizing fingerprint
+    * pair shares a band, so the pair is found and the min is exact
+    * (pairs whose every fingerprint distance exceeds maxHamming are
+    * correctly absent). Returns (id_a, id_b, hamming), id_a < id_b.
+    *
+    * Scale: band-keyed equi-join over k·(maxHamming+1) fixed-width
+    * rows per k-frame entity + one pair-keyed hash-agg — never
+    * all-pairs, payloads never shuffle. */
+  def signatureNearDup(df: DataFrame, bitsCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0,63] (got $maxHamming)")
+    pairsFromBanded(bandedBits(
+      df.select(col(idCol).as("id"), col(bitsCol).cast("long").as("sh")),
+      maxHamming + 1), maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
+  }
+
   /** Persist the simhash band index of a corpus — the historical half
     * of INCREMENTAL dedup: fingerprint + band rows (id, sh, band, key)
     * as parquet, plus a 1-row `__meta` sidecar recording the band

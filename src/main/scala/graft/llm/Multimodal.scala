@@ -187,55 +187,57 @@ object Multimodal {
             catch { case _: java.io.IOException => null }
           if (img == null || img.getWidth < 9 || img.getHeight < 8)
             (id, 0L, false)
-          else {
-            val raster = img.getRaster
-            val (w, h, bands) =
-              (img.getWidth, img.getHeight, raster.getNumBands)
-            // integer box-mean of all band samples per grid cell
-            val cells = Array.ofDim[Long](8, 9)
-            var j = 0
-            while (j < 8) {
-              val y0 = j * h / 8
-              val y1 = (j + 1) * h / 8
-              var i = 0
-              while (i < 9) {
-                val x0 = i * w / 9
-                val x1 = (i + 1) * w / 9
-                var sum = 0L
-                var y = y0
-                while (y < y1) {
-                  var x = x0
-                  while (x < x1) {
-                    var b = 0
-                    while (b < bands) {
-                      sum += raster.getSample(x, y, b); b += 1
-                    }
-                    x += 1
-                  }
-                  y += 1
-                }
-                cells(j)(i) =
-                  sum / ((x1 - x0).toLong * (y1 - y0) * bands)
-                i += 1
-              }
-              j += 1
-            }
-            var bits = 0L
-            j = 0
-            while (j < 8) {
-              var i = 0
-              while (i < 8) {
-                if (cells(j)(i + 1) > cells(j)(i))
-                  bits |= 1L << (j * 8 + i)
-                i += 1
-              }
-              j += 1
-            }
-            (id, bits, true)
-          }
+          else (id, dhashOfRaster(img), true)
         }
       }
       .toDF("media_id", "dhash", "decoded")
+  }
+
+  /** The dHash core shared by [[dhash64]] (whole images) and
+    * [[dhashFrames]] (per-video-frame): integer box-mean of all band
+    * samples onto the 9×8 grid, bit `j·8+i = cell(i+1,j) > cell(i,j)`.
+    * Caller guarantees width ≥ 9 and height ≥ 8. */
+  private def dhashOfRaster(img: java.awt.image.BufferedImage): Long = {
+    val raster = img.getRaster
+    val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+    val cells = Array.ofDim[Long](8, 9)
+    var j = 0
+    while (j < 8) {
+      val y0 = j * h / 8
+      val y1 = (j + 1) * h / 8
+      var i = 0
+      while (i < 9) {
+        val x0 = i * w / 9
+        val x1 = (i + 1) * w / 9
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            var b = 0
+            while (b < bands) {
+              sum += raster.getSample(x, y, b); b += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        cells(j)(i) = sum / ((x1 - x0).toLong * (y1 - y0) * bands)
+        i += 1
+      }
+      j += 1
+    }
+    var bits = 0L
+    j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        if (cells(j)(i + 1) > cells(j)(i)) bits |= 1L << (j * 8 + i)
+        i += 1
+      }
+      j += 1
+    }
+    bits
   }
 
   /** REAL image decode: parse each payload with `javax.imageio` and
@@ -361,6 +363,269 @@ object Multimodal {
           }
         }
       }
+  }
+
+  /** Deterministic pseudo-random 16-bit mono WAVs for the audio
+    * perceptual-dedup gate — the audio twin of
+    * [[syntheticTexturedPng]] (constant-amplitude [[syntheticWav]]
+    * clips fingerprint to all-zero bands and every clip would pair
+    * with every other): ids sharing `id % groups` carry the SAME
+    * base waveform — per-sample values from a splitmix-style 64-bit
+    * mix of (group, i) mapped into [−1024, 1023] — transformed by a
+    * per-id integer gain `1 + (id/groups) % 4` and DC offset
+    * `((id/groups) % 3 − 1) · 40` that never clip 16-bit, so within
+    * a group the WAVs are byte-DIFFERENT clips whose lag-energy
+    * structure is EXACTLY preserved (gain scales every difference
+    * energy by gain², offsets cancel in differences — the re-encoded
+    * / gain-shifted / level-shifted duplicate cases), while
+    * different groups are independent noise. 4096 samples at 8 kHz,
+    * written through `javax.sound.sampled`'s WAV encoder. */
+  def syntheticNoiseWav(df: DataFrame, idCol: String,
+      groups: Int = 50, nSamples: Int = 4096): DataFrame = {
+    require(groups >= 1, s"groups must be >= 1 (got $groups)")
+    require(nSamples >= 2048,
+      s"nSamples must be >= 2048 so every ahash64 band has terms " +
+        s"(got $nSamples)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val g = id % groups
+          val gain = 1 + ((id / groups) % 4).toInt
+          val offset = (((id / groups) % 3).toInt - 1) * 40
+          val pcm = new Array[Byte](nSamples * 2) // 16-bit mono LE
+          var i = 0
+          while (i < nSamples) {
+            var z = g * 0x9E3779B97F4A7C15L + i * 0xBF58476D1CE4E5B9L
+            z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL; z ^= z >>> 29
+            val base = java.lang.Long.remainderUnsigned(z, 2048L).toInt - 1024
+            val s = gain * base + offset // |s| <= 4*1024+40, never clips
+            pcm(2 * i) = (s & 0xff).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+            true, false) // signed, little-endian
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("media_id", "payload")
+      .withColumn("modality", lit("audio"))
+  }
+
+  /** 64-bit perceptual audio fingerprint over the DECODED PCM — the
+    * audio member of the perceptual-dedup family ([[dhash64]] for
+    * images): a re-encoded, gain-adjusted, or DC-shifted duplicate
+    * clip has brand-new bytes (invisible to content hashing) but
+    * near-identical ENERGY STRUCTURE. Decode via
+    * `javax.sound.sampled` (the [[decodeAudio]] path, 16-bit PCM),
+    * then over the interleaved sample stream:
+    *  - 8 equal time slices t = 0..7 (integer index ranges);
+    *  - per slice, 8 lag-difference energy bands k = 0..7 with lags
+    *    L_k = 2^k ∈ {1..128}: `E[t][k] = Σ (s[i+L_k] − s[i])²` over
+    *    the slice (a crude integer filterbank — lag L emphasizes
+    *    frequency ≈ rate/2L; exact long sums, engine-portable);
+    *  - bit `t·8+k = E[t][k] > E[t][(k+1) mod 8]` — within-slice
+    *    band-shape comparisons, the dHash convention on the
+    *    time × frequency-proxy grid.
+    * Exact invariances (not approximations): an integer gain g
+    * scales every E by g² (comparisons unchanged), a DC offset
+    * cancels in every difference — so the classic gain/level-edit
+    * duplicate lands at hamming 0. Pair the hashes with
+    * [[graft.llm.Dedup.hammingNearDup]]'s pigeonhole bands.
+    * Undecodable, non-16-bit, or shorter-than-2048-sample payloads
+    * return `decoded = false` (filter before pairing; below 2048
+    * samples the lag-128 band has almost no terms and the
+    * fingerprint would be mostly ties).
+    *
+    * Scale: mapPartitions over the payload column, 17 bytes/row out
+    * — the audio bytes never re-shuffle (the [[dhash64]] posture). */
+  def ahash64(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val samples =
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(payload))
+              val fmt = ais.getFormat
+              if (fmt.getSampleSizeInBits != 16) null
+              else {
+                val bytes = ais.readAllBytes()
+                val le = !fmt.isBigEndian
+                val out = new Array[Int](bytes.length / 2)
+                var i = 0
+                while (2 * i + 1 < bytes.length) {
+                  out(i) =
+                    if (le) ((bytes(2 * i + 1) << 8) |
+                      (bytes(2 * i) & 0xff)).toShort.toInt
+                    else ((bytes(2 * i) << 8) |
+                      (bytes(2 * i + 1) & 0xff)).toShort.toInt
+                  i += 1
+                }
+                out
+              }
+            } catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException |
+                   _: java.io.IOException => null
+            }
+          if (samples == null || samples.length < 2048) (id, 0L, false)
+          else {
+            val n = samples.length
+            val e = Array.ofDim[Long](8, 8)
+            var t = 0
+            while (t < 8) {
+              val i0 = t * n / 8
+              val i1 = (t + 1) * n / 8
+              var k = 0
+              while (k < 8) {
+                val lag = 1 << k
+                var sum = 0L
+                var i = i0
+                while (i + lag < i1) {
+                  val d = (samples(i + lag) - samples(i)).toLong
+                  sum += d * d // |d| < 2^17, slice < 2^29 terms: exact
+                  i += 1
+                }
+                e(t)(k) = sum
+                k += 1
+              }
+              t += 1
+            }
+            var bits = 0L
+            t = 0
+            while (t < 8) {
+              var k = 0
+              while (k < 8) {
+                if (e(t)(k) > e(t)((k + 1) % 8)) bits |= 1L << (t * 8 + k)
+                k += 1
+              }
+              t += 1
+            }
+            (id, bits, true)
+          }
+        }
+      }
+      .toDF("media_id", "ahash", "decoded")
+  }
+
+  /** Deterministic PULSE WAVs — a constant-amplitude active prefix
+    * followed by digital silence — so the audio-quality audit
+    * ([[audioQuality]]) has non-degenerate closed forms: 16-bit mono
+    * at 8 kHz, `n = 256 + (id % 64)·16` samples, the first
+    * `a = (id % 97) + 1` at amplitude `amp = 1000 + (id % 50)·500`
+    * (1000..25500 — straddles any clip threshold in that range), the
+    * rest exactly 0. peak = amp, silent count = n − a, and the
+    * clipped count is `a` or 0 depending on the threshold — all
+    * closed-form in the id. */
+  def syntheticPulseWav(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = 256 + (id % 64).toInt * 16
+          val a = (id % 97).toInt + 1
+          val amp = 1000 + (id % 50).toInt * 500
+          val pcm = new Array[Byte](n * 2) // 16-bit mono LE, zeros
+          var i = 0
+          while (i < a) {
+            pcm(2 * i) = (amp & 0xff).toByte
+            pcm(2 * i + 1) = ((amp >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+            true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("media_id", "payload")
+      .withColumn("modality", lit("audio"))
+  }
+
+  /** Audio QUALITY audit over the decoded PCM — the screen a
+    * curation pipeline runs before a clip earns training budget
+    * (the audio face of text_quality): per clip the exact sample
+    * count, peak |sample|, silence ratio (samples below
+    * `silenceThreshold`) and clipping ratio (samples at or above
+    * `clipThreshold` — a distorted/hot signal rides the rail).
+    * Ratios are truncating ppm of exact integer counts — engine-
+    * portable; a SQL oracle with the generator's closed form grades
+    * the decode end-to-end. Undecodable or non-16-bit payloads
+    * return `decoded = false` with zeroed fields.
+    *
+    * Scale: one mapPartitions over the payload column, fixed-width
+    * rows out — the [[decodeAudio]] posture. */
+  def audioQuality(media: DataFrame, silenceThreshold: Int = 500,
+      clipThreshold: Int = 20000): DataFrame = {
+    require(silenceThreshold >= 0 && clipThreshold > silenceThreshold,
+      s"need 0 <= silenceThreshold < clipThreshold " +
+        s"(got $silenceThreshold, $clipThreshold)")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val samples =
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(payload))
+              val fmt = ais.getFormat
+              if (fmt.getSampleSizeInBits != 16) null
+              else {
+                val bytes = ais.readAllBytes()
+                val le = !fmt.isBigEndian
+                val out = new Array[Int](bytes.length / 2)
+                var i = 0
+                while (2 * i + 1 < bytes.length) {
+                  out(i) =
+                    if (le) ((bytes(2 * i + 1) << 8) |
+                      (bytes(2 * i) & 0xff)).toShort.toInt
+                    else ((bytes(2 * i) << 8) |
+                      (bytes(2 * i + 1) & 0xff)).toShort.toInt
+                  i += 1
+                }
+                out
+              }
+            } catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException |
+                   _: java.io.IOException => null
+            }
+          if (samples == null || samples.isEmpty)
+            (id, false, 0L, 0L, 0L, 0L)
+          else {
+            val n = samples.length.toLong
+            var peak = 0L
+            var silent = 0L
+            var clipped = 0L
+            var i = 0
+            while (i < samples.length) {
+              val a = math.abs(samples(i).toLong)
+              if (a > peak) peak = a
+              if (a < silenceThreshold) silent += 1
+              if (a >= clipThreshold) clipped += 1
+              i += 1
+            }
+            (id, true, n, peak,
+              silent * 1000000L / n, clipped * 1000000L / n)
+          }
+        }
+      }
+      .toDF("media_id", "decoded", "n_samples", "peak",
+        "silence_ppm", "clip_ppm")
   }
 
   case class DecodedVideo(media_id: Long, decoded: Boolean,
@@ -617,6 +882,121 @@ object Multimodal {
       }
       .toDF("media_id", "payload")
       .withColumn("modality", lit("video"))
+  }
+
+  /** Deterministic TEXTURED MJPEG-in-AVI videos for the video
+    * perceptual-dedup gate — the [[syntheticMjpegAvi]] pattern with
+    * per-frame STRUCTURE (constant-fill frames dHash to all-zeros and
+    * every video would pair with every other), kept EXACT through the
+    * lossy codec by aligning the texture to the JPEG transform: each
+    * 72×64 frame is constant within every 8×8 DCT block (9×8 blocks —
+    * exactly the dHash grid), and a blockwise-constant gray raster
+    * survives a quality-1.0 JPEG round-trip bit-for-bit (each block's
+    * DCT has only the DC term; unit quant tables; Cb=Cr=128 constant
+    * under any chroma subsampling — verified exact over 6.2M samples).
+    * Ids sharing `id % groups` render the SAME block pattern — block
+    * (bx,by) of frame f from a splitmix mix of (group·31+f, bx, by)
+    * into [32, 221] — shifted by a per-id brightness delta
+    * `(id/groups) % 5 − 2` that never clips, so within a group the
+    * videos are byte-DIFFERENT files whose per-frame dHashes are
+    * IDENTICAL (the re-encoded / brightness-edited duplicate video),
+    * while different (group, frame) pairs are independent patterns.
+    * `2 + group % 3` frames per video (equal within a group). */
+  def syntheticBlockMjpegAvi(df: DataFrame, idCol: String,
+      groups: Int = 50): DataFrame = {
+    require(groups >= 1, s"groups must be >= 1 (got $groups)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("jpeg").next()
+        val params = writer.getDefaultWriteParam
+        params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        params.setCompressionQuality(1.0f)
+        val (w, h) = (72, 64) // 9x8 blocks of 8x8 = the dHash grid
+        val it = ids.map { id =>
+          val g = id % groups
+          val delta = ((id / groups) % 5 - 2).toInt
+          val frames = (0 until (2 + (g % 3)).toInt).map { f =>
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+            var by = 0
+            while (by < 8) {
+              var bx = 0
+              while (bx < 9) {
+                var z = (g * 31L + f) * 0x9E3779B97F4A7C15L +
+                  bx * 0xBF58476D1CE4E5B9L + by * 0x94D049BB133111EBL
+                z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL; z ^= z >>> 29
+                val v = (32L + java.lang.Long.remainderUnsigned(z, 190L))
+                  .toInt + delta
+                val rgb = (v << 16) | (v << 8) | v
+                var y = by * 8
+                while (y < by * 8 + 8) {
+                  var x = bx * 8
+                  while (x < bx * 8 + 8) { img.setRGB(x, y, rgb); x += 1 }
+                  y += 1
+                }
+                bx += 1
+              }
+              by += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+            writer.setOutput(ios)
+            writer.write(null, new javax.imageio.IIOImage(img, null, null),
+              params)
+            ios.close()
+            bos.toByteArray
+          }
+          (id, mjpegAviBytes(w, h, frames))
+        }
+        new Iterator[(Long, Array[Byte])] {
+          def hasNext: Boolean = { val n = it.hasNext; if (!n) writer.dispose(); n }
+          def next(): (Long, Array[Byte]) = it.next()
+        }
+      }
+      .toDF("media_id", "payload")
+      .withColumn("modality", lit("video"))
+  }
+
+  /** Per-frame perceptual hashes — a video's SIGNATURE is the dHash
+    * of each of its frames: walk the RIFF tree to LIST('movi')
+    * ([[decodeVideoFrame]]'s container pass), decode EVERY frame
+    * chunk through the `decoders` chain, and emit one
+    * (media_id, frame_no, dhash, decoded) row per frame — the layout
+    * [[graft.llm.Dedup.signatureNearDup]] pairs with any-frame banded
+    * Hamming. Frames no decoder claims, or smaller than the 9×8 dHash
+    * grid, emit `decoded = false` (filter before pairing); non-AVI or
+    * frameless payloads emit ONE such row at frame_no = −1 so the id
+    * stays visible to audits.
+    *
+    * Scale: one mapPartitions over the payload column (per-partition
+    * codec init), k·17 bytes out per k-frame video — the video bytes
+    * never re-shuffle, and pairing downstream touches only
+    * fingerprints. */
+  def dhashFrames(media: DataFrame,
+      decoders: Seq[FrameDecoder] = Seq(ImageIoFrameDecoder)): DataFrame = {
+    require(decoders.nonEmpty, "decoders must be non-empty")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+        rows.flatMap { case (id, p) =>
+          val frames = moviFrames(p)
+          if (frames.isEmpty) Iterator.single((id, -1L, 0L, false))
+          else frames.iterator.zipWithIndex.map { case (fb, k) =>
+            val img = decoders.iterator.flatMap(_.decode(fb))
+              .nextOption().orNull
+            if (img == null || img.getWidth < 9 || img.getHeight < 8)
+              (id, k.toLong, 0L, false)
+            else (id, k.toLong, dhashOfRaster(img), true)
+          }
+        }
+      }
+      .toDF("media_id", "frame_no", "dhash", "decoded")
   }
 
   /** RIFF/AVI with frames: RIFF('AVI ' LIST('hdrl' avih)

@@ -1860,4 +1860,90 @@ object Features {
         "v_left_micros", "v_right_micros")
       .orderBy(col("round"))
   }
+
+  /** Two-covariate RIDGE regression — the regularized member the
+    * linear family lacks (feat_group_regression / feat_ols_diagnostics
+    * fit plain OLS; near-collinear covariates make those coefficients
+    * explode, and the standard fix is L2 shrinkage): solve
+    * `(C + λ·n²·I)·β = c_y` over the CENTERED exact moment matrix
+    * `C_ab = n·Σab − Σa·Σb` (so λ is in per-observation covariance
+    * units — λ = 0 reproduces OLS exactly), intercept
+    * `(Σy − β₁Σx₁ − β₂Σx₂)/n` from the same sums. One row per
+    * requested λ — the shrinkage path a model selection actually
+    * reads.
+    *
+    * Exactness: the nine raw moments are exact integer sums in ONE
+    * row-scale pass (inputs must be integral — cast to cents first);
+    * centered moments, both Cramer numerators and the determinant
+    * are DECIMAL(38,0)-exact; each β is ONE mirrored IEEE division
+    * of exact integers and the intercept one mirrored tree — a
+    * second engine replays every bit. Degenerate systems (det ≤ 0 —
+    * constant or perfectly collinear covariates at λ = 0) emit NULL
+    * coefficients, never a division error. DECIMAL(38,0) holds the
+    * numerators to |Σay| ~ 10¹⁹ — far past any cents-quantized
+    * column at group scale; re-quantize coarser beyond that.
+    *
+    * Returns (lambda, n_obs, b1_micros, b2_micros, intercept_micros).
+    * Scale: one hash-agg to a 1-row moment table; everything after
+    * is constant work broadcast over the λ list. */
+  def ridgeRegression(df: DataFrame, yExpr: Column, x1Expr: Column,
+      x2Expr: Column, lambdas: Seq[Long]): DataFrame = {
+    require(lambdas.nonEmpty, "lambdas must be non-empty")
+    require(lambdas.forall(_ >= 0L),
+      s"lambdas must be >= 0 (got ${lambdas.mkString(",")})")
+    val dec = "decimal(38,0)"
+    val rows = df.select(yExpr.cast("long").as("__y"),
+        x1Expr.cast("long").as("__x1"), x2Expr.cast("long").as("__x2"))
+      .filter(col("__y").isNotNull && col("__x1").isNotNull &&
+        col("__x2").isNotNull)
+    val m = rows.agg(count(lit(1)).as("n"),
+      sum(col("__y")).as("sy"),
+      sum(col("__x1")).as("s1"), sum(col("__x2")).as("s2"),
+      sum(col("__x1") * col("__x1")).as("s11"),
+      sum(col("__x2") * col("__x2")).as("s22"),
+      sum(col("__x1") * col("__x2")).as("s12"),
+      sum(col("__x1") * col("__y")).as("s1y"),
+      sum(col("__x2") * col("__y")).as("s2y"))
+      .filter(col("n") >= 3L)
+    def c(sab: String, sa: String, sb: String) =
+      (col("n").cast(dec) * col(sab) - col(sa).cast(dec) * col(sb))
+        .cast(dec)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ls = lambdas.toDF("lambda")
+    m.crossJoin(broadcast(ls)) // 1-row moments x the lambda list
+      .withColumn("__l",
+        (col("lambda").cast(dec) * col("n").cast(dec) * col("n").cast(dec))
+          .cast(dec))
+      .withColumn("__a11", (c("s11", "s1", "s1") + col("__l")).cast(dec))
+      .withColumn("__a22", (c("s22", "s2", "s2") + col("__l")).cast(dec))
+      .withColumn("__a12", c("s12", "s1", "s2"))
+      .withColumn("__c1y", c("s1y", "s1", "sy"))
+      .withColumn("__c2y", c("s2y", "s2", "sy"))
+      .withColumn("__det",
+        (col("__a11") * col("__a22") - col("__a12") * col("__a12"))
+          .cast(dec))
+      // the division is guarded AT THE SITE (not just in the output
+      // projection): ANSI mode raises DIVIDE_BY_ZERO eagerly on the
+      // degenerate det = 0 row even when a later `when` discards it
+      .withColumn("__b1", when(col("__det") > 0,
+        (col("__a22") * col("__c1y") - col("__a12") * col("__c2y"))
+          .cast(dec).cast("double") / col("__det").cast("double")))
+      .withColumn("__b2", when(col("__det") > 0,
+        (col("__a11") * col("__c2y") - col("__a12") * col("__c1y"))
+          .cast(dec).cast("double") / col("__det").cast("double")))
+      .select(col("lambda").cast("bigint").as("lambda"),
+        col("n").cast("bigint").as("n_obs"),
+        when(col("__det") > 0, round(col("__b1") * 1e6).cast("long"))
+          .otherwise(lit(null).cast("long")).as("b1_micros"),
+        when(col("__det") > 0, round(col("__b2") * 1e6).cast("long"))
+          .otherwise(lit(null).cast("long")).as("b2_micros"),
+        when(col("__det") > 0,
+          round((col("sy").cast("double") - col("__b1") *
+            col("s1").cast("double") - col("__b2") *
+            col("s2").cast("double")) / col("n").cast("double") * 1e6)
+            .cast("long"))
+          .otherwise(lit(null).cast("long")).as("intercept_micros"))
+      .orderBy(col("lambda"))
+  }
 }

@@ -473,6 +473,56 @@ object Graph {
     hub.join(auth, Seq("node"))
   }
 
+  /** Eigenvector centrality — the undamped member the family lacks:
+    * PageRank normalizes by out-degree and teleports, Katz attenuates
+    * and re-seeds, HITS runs two mutually-recursive matrices;
+    * eigenvector centrality is the BARE power iteration `x ← A x`
+    * (importance = sum of neighbors' importance, nothing else), the
+    * principal-eigenvector reading of "connected to well-connected".
+    *
+    * Integer recurrence (the [[hits]] replay discipline run on ONE
+    * matrix): scores in parts-per-billion longs; per iteration
+    * `x'(v) = (Σ_{u→v} x(u)) · 10⁹ div Σ_all` — L1 normalization by
+    * truncating division of DECIMAL(38,0)-exact sums, so every step
+    * is integral and an oracle replays all rounds value-for-value.
+    * Pass the edge set pre-symmetrized for the undirected reading
+    * (the usual one); directed edges give the in-edge ("prestige")
+    * variant. Vertices with no in-mass score 0 via the nullif guard,
+    * never a division error. Note the power iteration inherits the
+    * eigen-structure's caveats: on a bipartite graph it oscillates
+    * with the iteration parity (fixed `iters` keeps it deterministic
+    * and replayable either way).
+    *
+    * Scale: per iteration ONE fixed-width src-keyed equi-join + one
+    * dst-keyed hash-agg + a 1-row broadcast total — half the HITS
+    * dataflow; lineage truncates per round; vertices carry an 8-byte
+    * score and no payload. */
+  def eigenvectorCentrality(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", iters: Int = 4,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50] (got $iters)")
+    val e = truncate(edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct(), checkpointDir)
+    val nodes = truncate(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct(), checkpointDir)
+    var ranks = nodes.withColumn("eig_ppb", lit(1000000000L))
+    for (_ <- 1 to iters) {
+      val raw = e.join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("eig_ppb").cast("decimal(38,0)")).as("er"))
+      val tot = raw.agg(coalesce(sum(col("er")), lit(0L))
+        .cast("decimal(38,0)").as("__t"))
+      ranks = truncate(nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(tot)) // 1-row normalization total
+        .select(col("node"), coalesce(expr(
+          "CAST(coalesce(er, 0) AS DECIMAL(38,0)) * 1000000000" +
+            " div nullif(__t, 0)"), lit(0L)).as("eig_ppb")),
+        checkpointDir)
+    }
+    ranks.select(col("node"), col("eig_ppb").cast("bigint").as("eig_ppb"))
+  }
+
   /** k-core of the undirected simple graph in `edges`: the (unique)
     * maximal vertex set in which every vertex has at least `k`
     * neighbors INSIDE the set — the standard density filter for

@@ -643,6 +643,61 @@ object TimeSeries {
       .orderBy(col("step"))
   }
 
+  /** ARIMA(p,1,0) via differencing — the integrated member
+    * [[arForecast]] lacks: fit the AR(p) on the FIRST DIFFERENCES of
+    * the series (a trending series violates AR's stationarity
+    * premise; its differences don't), forecast the differences h
+    * steps ahead, then integrate back to levels by exact cumulative
+    * addition from the last observed value. The machinery is
+    * [[arForecast]] verbatim on the diff series (quantized acf →
+    * Durbin–Levinson → integer residuals → Ljung–Box → integer
+    * forecast recurrence), so the oracle replays it token for token
+    * with one diff CTE inserted and one cumulative window appended —
+    * and [[holtBacktest]]-style MASE comparison against the
+    * undifferenced AR says when differencing earns its keep.
+    *
+    * Exactness: the diff is an exact long subtraction; integration is
+    * exact long addition of the diff forecasts onto `10⁶·x_n` — no
+    * new division anywhere. Returns per step 1..horizon:
+    * (step, n_obs = level count, phi*_micros of the diff fit,
+    * diff_forecast_micros, forecast_micros = integrated level,
+    * lb_q_micros, lb_rejected — whiteness of the DIFF residuals).
+    * SIDE-EFFECTING like [[arForecast]] (acf + tail collects, plus
+    * the 1-row last-level lookup). */
+  def arimaForecast(df: DataFrame, orderExpr: Column, valueExpr: Column,
+      p: Int = 3, horizon: Int = 12, lbLags: Int = 12,
+      chi2CritMicros: Long = 16919000L): DataFrame = {
+    val base = df.select(orderExpr.as("__o"),
+        valueExpr.cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+      .withColumn("__i", row_number().over(
+        Window.orderBy(col("__o"))).cast("long"))
+      .select(col("__i"), col("__x"))
+      .localCheckpoint(true) // diff scan + last-level lookup
+    val lastRow = base.agg(count(lit(1)),
+      max_by(col("__x"), col("__i"))).head() // 1-row model-scale lookup
+    val (n, xn) = (lastRow.getLong(0), lastRow.getLong(1))
+    val diffs = base
+      .withColumn("__d",
+        col("__x") - lag(col("__x"), 1).over(Window.orderBy(col("__i"))))
+      .filter(col("__d").isNotNull)
+      .select(col("__i"), col("__d"))
+    val fc = arForecast(diffs, col("__i"), col("__d"), p, horizon,
+      lbLags, chi2CritMicros)
+    val wCum = Window.orderBy(col("step"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val phiCols = (1 to p).map(j => col(s"phi${j}_micros"))
+    fc.withColumnRenamed("forecast_micros", "diff_forecast_micros")
+      .select(Seq(col("step"), lit(n).cast("bigint").as("n_obs")) ++
+        phiCols ++ Seq(
+        col("diff_forecast_micros"),
+        (lit(xn * 1000000L) +
+          sum(col("diff_forecast_micros")).over(wCum)).cast("bigint")
+          .as("forecast_micros"),
+        col("lb_q_micros"), col("lb_rejected")): _*)
+      .orderBy(col("step"))
+  }
+
   /** Holt double-exponential (level + trend) smoothing forecast — the
     * capacity-planning workhorse one notch above a moving average:
     * per key, fold the series in order through the integer recurrence
@@ -1308,6 +1363,172 @@ object TimeSeries {
         }
       }
       .toDF(keyCol, "o", "x", "ret", "var_micros", "sigma_micros")
+      .orderBy(col(keyCol), col("o"))
+  }
+
+  /** Kalman LOCAL-LEVEL filter — the state-space member the classical
+    * family (AR, Holt, Holt–Winters, Croston, EWMA) lacks: the model
+    * `level_t = level_{t−1} + w_t (Var w = Q)`,
+    * `y_t = level_t + v_t (Var v = R)`, filtered exactly. Unlike the
+    * fixed-α EWMA, the gain is TIME-VARYING — high while the level
+    * estimate is uncertain (early observations move it a lot), then
+    * settling to the steady state the Q/R ratio implies — which is
+    * what makes the filter the principled version of "how much should
+    * this observation move my estimate".
+    *
+    * Integer recurrence in the proven ts_holt scalar-BIGINT keyed
+    * shape (every operation a long add/multiply or ONE truncating
+    * long division — Java `/` and DuckDB `//` truncate identically,
+    * so a recursive-CTE oracle replays every step exactly):
+    *   P⁻ = P_{t−1} + Q                      (prediction variance)
+    *   K  = P⁻·10⁶ / (P⁻ + R)               (gain in ppm)
+    *   e  = y_t − l_{t−1}                    (innovation, exact)
+    *   l_t = l_{t−1} + K·e / 10⁶
+    *   P_t = P⁻·(10⁶ − K) / 10⁶
+    * Init (documented convention): l₁ = y₁, P₁ = R (one observation's
+    * worth of certainty), K₁ = 0, e₁ = 0. Q and R are micro-variance
+    * config longs; values in micro units.
+    *
+    * Overflow is guarded LOUDLY (the croston/ewmVolatility
+    * discipline): P never exceeds P⁻ ≤ R + Q, so `qMicros + rMicros ≤
+    * 9·10¹²` keeps `P⁻·10⁶` inside a long (enforced at entry), and
+    * any |innovation| > 9·10¹² throws at the offending step
+    * (K ≤ 10⁶ would overflow K·e past 2⁶³).
+    *
+    * Returns one row per observation:
+    * (key, o, x, innovation_micros, gain_ppm, level_micros, p_micros).
+    *
+    * Scale: one key shuffle, per-group in-memory sort + O(n) fold —
+    * the [[holtForecast]] posture (group = one key's bounded series;
+    * pre-aggregate to a cadence first). */
+  def kalmanLocalLevel(df: DataFrame, keyCol: String, orderCol: String,
+      valueMicrosCol: String, qMicros: Long = 1000000000L,
+      rMicros: Long = 10000000000L): DataFrame = {
+    require(qMicros > 0L, s"qMicros must be > 0 (got $qMicros)")
+    require(rMicros > 0L, s"rMicros must be > 0 (got $rMicros)")
+    require(qMicros + rMicros <= 9000000000000L,
+      s"qMicros + rMicros must be <= 9e12 so the gain's P⁻·10⁶ " +
+        s"numerator stays inside a long (got ${qMicros + rMicros})")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("k"),
+        col(orderCol).cast("long").as("o"),
+        col(valueMicrosCol).cast("long").as("x"))
+      .filter(col("o").isNotNull && col("x").isNotNull)
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val xs = it.toSeq.sortBy(r => (r._2, r._3))
+        if (xs.isEmpty) Iterator.empty
+        else {
+          var l = xs.head._3
+          var p = rMicros
+          var first = true
+          xs.iterator.map { case (_, o, x) =>
+            if (first) {
+              first = false
+              (k, o, x, 0L, 0L, l, p)
+            } else {
+              val pp = p + qMicros // <= R + Q by induction: P_t <= P⁻
+              val gain = pp * 1000000L / (pp + rMicros)
+              val e = x - l
+              if (math.abs(e) > 9000000000000L)
+                throw new IllegalArgumentException(
+                  s"kalmanLocalLevel: |innovation| ${math.abs(e)} at " +
+                    s"order $o (key $k) exceeds the overflow-safe " +
+                    "bound 9e12 — quantize the series coarser")
+              l = l + gain * e / 1000000L
+              p = pp * (1000000L - gain) / 1000000L
+              (k, o, x, e, gain, l, p)
+            }
+          }
+        }
+      }
+      .toDF(keyCol, "o", "x", "innovation_micros", "gain_ppm",
+        "level_micros", "p_micros")
+      .orderBy(col(keyCol), col("o"))
+  }
+
+  /** Rauch–Tung–Striebel SMOOTHER for the local-level model — the
+    * hindsight pass [[kalmanLocalLevel]] cannot give: the filter at
+    * time t has seen only y₁..y_t; the smoother conditions every
+    * level on the WHOLE series (the retrospective "what was the level
+    * really doing" read a backfill or anomaly postmortem wants).
+    * Forward pass = the filter recurrence verbatim; backward pass
+    *   C_t = P_t·10⁶ / (P_t + Q)          (smoother gain, ppm)
+    *   l̃_t = l_t + C_t·(l̃_{t+1} − l_t) / 10⁶
+    * (the local-level prediction mean at t+1 IS l_t, so the classic
+    * x̃ₜ = x̂ₜ + C·(x̃ₜ₊₁ − x̂ₜ₊₁|ₜ) collapses to one line), seeded
+    * l̃_n = l_n. Same truncating-long arithmetic, so a DOUBLY
+    * recursive CTE oracle (one forward, one backward over i = n..1)
+    * replays every step. Overflow bounds inherit the filter's
+    * guards: P ≤ R keeps C's numerator inside a long, and the
+    * smoothing correction |l̃_{t+1} − l_t| is bounded by the filtered
+    * levels themselves (guarded loudly at the filter).
+    *
+    * Returns one row per observation:
+    * (key, o, x, level_micros — filtered, c_ppm, smooth_micros).
+    *
+    * Scale: the [[kalmanLocalLevel]] posture — one key shuffle, one
+    * per-group O(n) forward fold + O(n) backward fold in memory
+    * (group = one key's bounded, pre-aggregated series). */
+  def kalmanSmooth(df: DataFrame, keyCol: String, orderCol: String,
+      valueMicrosCol: String, qMicros: Long = 1000000000L,
+      rMicros: Long = 10000000000L): DataFrame = {
+    require(qMicros > 0L, s"qMicros must be > 0 (got $qMicros)")
+    require(rMicros > 0L, s"rMicros must be > 0 (got $rMicros)")
+    require(qMicros + rMicros <= 9000000000000L,
+      s"qMicros + rMicros must be <= 9e12 so the gain's P⁻·10⁶ " +
+        s"numerator stays inside a long (got ${qMicros + rMicros})")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("k"),
+        col(orderCol).cast("long").as("o"),
+        col(valueMicrosCol).cast("long").as("x"))
+      .filter(col("o").isNotNull && col("x").isNotNull)
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val xs = it.toSeq.sortBy(r => (r._2, r._3)).toArray
+        if (xs.isEmpty) Iterator.empty
+        else {
+          val n = xs.length
+          val ls = new Array[Long](n)
+          val ps = new Array[Long](n)
+          var l = xs(0)._3
+          var p = rMicros
+          ls(0) = l; ps(0) = p
+          var t = 1
+          while (t < n) {
+            val pp = p + qMicros
+            val gain = pp * 1000000L / (pp + rMicros)
+            val e = xs(t)._3 - l
+            if (math.abs(e) > 9000000000000L)
+              throw new IllegalArgumentException(
+                s"kalmanSmooth: |innovation| ${math.abs(e)} at order " +
+                  s"${xs(t)._2} (key $k) exceeds the overflow-safe " +
+                  "bound 9e12 — quantize the series coarser")
+            l = l + gain * e / 1000000L
+            p = pp * (1000000L - gain) / 1000000L
+            ls(t) = l; ps(t) = p
+            t += 1
+          }
+          val sm = new Array[Long](n)
+          val cs = new Array[Long](n)
+          sm(n - 1) = ls(n - 1)
+          cs(n - 1) = 0L // no later evidence flows into the last step
+          t = n - 2
+          while (t >= 0) {
+            val c = ps(t) * 1000000L / (ps(t) + qMicros)
+            sm(t) = ls(t) + c * (sm(t + 1) - ls(t)) / 1000000L
+            cs(t) = c
+            t -= 1
+          }
+          (0 until n).iterator.map(i =>
+            (k, xs(i)._2, xs(i)._3, ls(i), cs(i), sm(i)))
+        }
+      }
+      .toDF(keyCol, "o", "x", "level_micros", "c_ppm", "smooth_micros")
       .orderBy(col(keyCol), col("o"))
   }
 

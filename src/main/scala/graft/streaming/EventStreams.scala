@@ -1239,4 +1239,97 @@ object EventStreams extends Serializable {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  case class KalmanOut(event_type: String, event_id: Long,
+      ts: java.sql.Timestamp, x: Long, innovation: Long,
+      gain_ppm: Long, level: Long, p_var: Long)
+  case class KalmanState(l: Long, p: Long, n: Long)
+  case class KalmanBuffer(kal: KalmanState, buffered: Seq[Event])
+
+  /** One Kalman local-level step, SHARED by the batch and streaming
+    * forms — the [[graft.operators.TimeSeries.kalmanLocalLevel]]
+    * recurrence (time-varying gain `K = P⁻·10⁶/(P⁻+R)`, truncating
+    * long division; seed l₁ = x₁, P₁ = R). Values fold in CENTS
+    * (`round(value·100)`) — |innovation| stays far inside the 9·10¹²
+    * overflow bound for the event value range, guarded loudly
+    * otherwise. */
+  private def kalmanStep(s: KalmanState, x: Long, qVar: Long,
+      rVar: Long): (KalmanState, Long, Long) = {
+    if (s.n == 0L) (KalmanState(x, rVar, 1L), 0L, 0L)
+    else {
+      val pp = s.p + qVar
+      val gain = pp * 1000000L / (pp + rVar)
+      val e = x - s.l
+      if (math.abs(e) > 9000000000000L)
+        throw new IllegalArgumentException(
+          s"kalman fold: |innovation| ${math.abs(e)} exceeds the " +
+            "overflow-safe bound 9e12 — quantize the series coarser")
+      (KalmanState(s.l + gain * e / 1000000L,
+        pp * (1000000L - gain) / 1000000L, s.n + 1), e, gain)
+    }
+  }
+
+  private def kalmanFold(key: String, evs: Seq[Event], st0: KalmanState,
+      qVar: Long, rVar: Long): (KalmanState, Seq[KalmanOut]) = {
+    var st = st0
+    val out = evs.map { e =>
+      val x = math.round(e.value * 100) // cents
+      val (s2, innov, gain) = kalmanStep(st, x, qVar, rVar)
+      st = s2
+      KalmanOut(key, e.event_id, e.ts, x, innov, gain, s2.l, s2.p)
+    }
+    (st, out)
+  }
+
+  /** Batch twin of [[kalmanStateful]]: per-type Kalman local-level
+    * filtering of the event value stream (cents) in (ts, event_id)
+    * order — the time-varying-gain level monitor next to the EWMA
+    * pair ([[graft.operators.TimeSeries.kalmanLocalLevel]] is the
+    * same recurrence over a resampled series). Integer state, exact
+    * replay. */
+  def kalmanResiduals(events: Dataset[Event], qVar: Long = 10000L,
+      rVar: Long = 250000L): Dataset[KalmanOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type).flatMapGroups { (k, it) =>
+      val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      kalmanFold(k, evs, KalmanState(0L, 0L, 0L), qVar, rVar)._2.iterator
+    }
+  }
+
+  /** Streaming Kalman local-level filter — online level tracking with
+    * THREE LONGS of persistent state per key (level, variance,
+    * count): the EWMA/CUSUM/Holt watermark discipline (buffer the
+    * unsealed tail, fold sealed events in (ts, event_id) order, drop
+    * below-watermark stragglers, dedupe in-window redeliveries by
+    * event_id). Sealed output equals [[kalmanResiduals]] EXACTLY —
+    * the shared fold is pure integer arithmetic
+    * (`evt_kalman_replay` pins both redelivery windows). */
+  def kalmanStateful(events: Dataset[Event], qVar: Long = 10000L,
+      rVar: Long = 250000L,
+      watermark: String = "2 hours"): Dataset[KalmanOut] = {
+    import events.sparkSession.implicits._
+
+    def fn(key: String, rows: Iterator[Event],
+        state: GroupState[KalmanBuffer]): Iterator[KalmanOut] = {
+      val prior = state.getOption.getOrElse(
+        KalmanBuffer(KalmanState(0L, 0L, 0L), Seq.empty))
+      val wmMs = state.getCurrentWatermarkMs()
+      val fresh = rows.filter(_.ts.getTime > wmMs).toSeq
+      val (ripe, open) = (prior.buffered ++ fresh)
+        .distinctBy(_.event_id)
+        .partition(_.ts.getTime <= wmMs)
+      val (st, out) = kalmanFold(key,
+        ripe.sortBy(e => (e.ts.getTime, e.event_id)),
+        prior.kal, qVar, rVar)
+      state.update(KalmanBuffer(st, open))
+      if (open.nonEmpty)
+        state.setTimeoutTimestamp(open.map(_.ts.getTime).min + 1)
+      out.iterator
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 }

@@ -809,4 +809,36 @@ class FeaturesSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("rounds must be"))
   }
+
+  test("ridgeRegression: lambda=0 recovers exact OLS, shrinkage hand case, collinear NULL, guards") {
+    // y = 3*x1 + 2*x2 exactly: moments C11=C22=14, C12=4, C1y=50,
+    // C2y=40, det=180 -> OLS (3, 2, 0) exactly; at lambda=1 (L=n²=25)
+    // det=1505, b1=1790/1505, b2=1360/1505 — hand-rounded micros
+    val df = Seq((1L, 0L, 3L), (0L, 1L, 2L), (2L, 1L, 8L),
+      (1L, 2L, 7L), (0L, 0L, 0L)).toDF("x1", "x2", "y")
+    val got = graft.operators.Features.ridgeRegression(df, $"y", $"x1",
+        $"x2", lambdas = Seq(0L, 1L))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(0L) == ((3000000L, 2000000L, 0L)), got(0L).toString)
+    assert(got(1L) == ((1189369L, 903654L, 2325581L)), got(1L).toString)
+    // shrinkage is monotone toward zero
+    assert(got(1L)._1 < got(0L)._1 && got(1L)._2 < got(0L)._2)
+    // perfectly collinear covariates at lambda=0: det=0 -> NULL row,
+    // but lambda>0 regularizes the system back to solvable
+    val coll = Seq((1L, 1L, 3L), (2L, 2L, 6L), (3L, 3L, 9L))
+      .toDF("x1", "x2", "y")
+    val c = graft.operators.Features.ridgeRegression(coll, $"y", $"x1",
+        $"x2", lambdas = Seq(0L, 1L)).collect()
+    assert(c(0).isNullAt(2) && c(0).isNullAt(3) && c(0).isNullAt(4))
+    assert(!c(1).isNullAt(2))
+    intercept[IllegalArgumentException] {
+      graft.operators.Features.ridgeRegression(df, $"y", $"x1", $"x2",
+        lambdas = Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Features.ridgeRegression(df, $"y", $"x1", $"x2",
+        lambdas = Seq(-1L))
+    }
+  }
 }

@@ -575,6 +575,34 @@ class GraphSpec extends SparkSpec {
     assert(e.getMessage.contains("[1,50]"))
   }
 
+  test("eigenvectorCentrality: cycle uniform, star closed forms both parities, guard") {
+    // symmetrized 4-cycle: every node has two unit in-neighbors, so
+    // the normalized score is 1e9 div 4 at EVERY round (fixed point)
+    val cyc = Seq(("1", "2"), ("2", "3"), ("3", "4"), ("4", "1"))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val g = Graph.eigenvectorCentrality(cyc, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g.values.toSet == Set(250000000L), g.toString)
+    // star (center 0, leaves 1..4, symmetrized), round 1:
+    //   raw(center)=4e9, raw(leaf)=1e9, total=8e9
+    //   center = 4e9*1e9//8e9 = 5e8; leaf = 1e9*1e9//8e9 = 1.25e8
+    val star = (1 to 4).flatMap(i =>
+      Seq(("0", i.toString), (i.toString, "0"))).toDF("src", "dst")
+    val s1 = Graph.eigenvectorCentrality(star, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s1("0") == 500000000L &&
+      (1 to 4).forall(i => s1(i.toString) == 125000000L), s1.toString)
+    // round 2 (bipartite parity — fixed iters keeps it replayable):
+    //   raw(center)=4*1.25e8=5e8, raw(leaf)=5e8, total=2.5e9 -> all 2e8
+    val s2 = Graph.eigenvectorCentrality(star, iters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s2.values.toSet == Set(200000000L), s2.toString)
+    val e = intercept[IllegalArgumentException] {
+      Graph.eigenvectorCentrality(star, iters = 0)
+    }
+    assert(e.getMessage.contains("[1,50]"))
+  }
+
   test("betweennessFromSeeds: path and diamond closed forms, multi-seed sum, seed cap") {
     def run(edges: Seq[(Long, Long)], seeds: Seq[Long], hops: Int) =
       Graph.betweennessFromSeeds(edges.toDF("id_a", "id_b"),

@@ -199,6 +199,101 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((0L, 50L, 0)), pairs.mkString(";"))
   }
 
+  test("ahash64: gain/offset invariant, waveform-sensitive, short/junk payloads excluded") {
+    // same waveform group under different gain (x1..x4) and DC offset
+    // -> identical fingerprint (energies scale by gain^2 exactly,
+    // offsets cancel in differences); different groups -> far hashes
+    val ids = Seq(0L, 50L, 100L, 150L, 1L, 2L).toDF("id")
+    val hashed = Multimodal.ahash64(
+        Multimodal.syntheticNoiseWav(ids, "id", groups = 50))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(hashed.values.forall(_._2), "all WAVs must decode")
+    assert(Set(50L, 100L, 150L).forall(i => hashed(i)._1 == hashed(0L)._1),
+      "gain/offset transforms must not move the fingerprint")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hashed(0L)._1, hashed(1L)._1) > 3 &&
+      ham(hashed(0L)._1, hashed(2L)._1) > 3 &&
+      ham(hashed(1L)._1, hashed(2L)._1) > 3,
+      "distinct waveforms must not band-collide")
+    // undecodable bytes and short clips degrade to decoded=false
+    val junk = Seq((7L, Array[Byte](1, 2, 3), "audio")).toDF(
+      "media_id", "payload", "modality")
+    val j = Multimodal.ahash64(junk).collect().head
+    assert(!j.getBoolean(2) && j.getLong(1) == 0L)
+    val short = Multimodal.ahash64(Multimodal.syntheticWav(
+      Seq(5L).toDF("id"), "id")).collect().head // 64..192 frames < 2048
+    assert(!short.getBoolean(2), "sub-2048-sample clips must be excluded")
+    // pigeonhole recall is structural: the hamming-0 pair always found
+    val pairs = graft.llm.Dedup.hammingNearDup(
+        Multimodal.ahash64(Multimodal.syntheticNoiseWav(
+          Seq(0L, 50L, 1L).toDF("id"), "id", groups = 50)),
+        "ahash", "media_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((0L, 50L, 0)), pairs.mkString(";"))
+  }
+
+  test("dhashFrames + signatureNearDup: JPEG-exact block textures, any-frame pairing, min distance") {
+    // brightness-shifted twins in the same group: every frame's dHash
+    // identical (8x8-aligned blocks survive quality-1.0 JPEG exactly,
+    // the shift cancels in the comparisons); group g has 2 + g%3 frames
+    val ids = Seq(0L, 50L, 100L, 1L, 2L).toDF("id")
+    val sigs = Multimodal.dhashFrames(
+        Multimodal.syntheticBlockMjpegAvi(ids, "id", groups = 50))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(sigs.values.forall(_._2), "every frame must decode")
+    assert(sigs.keys.count(_._1 == 0L) == 2 && // group 0: 2 frames
+      sigs.keys.count(_._1 == 1L) == 3 &&      // group 1: 3 frames
+      sigs.keys.count(_._1 == 2L) == 4)        // group 2: 4 frames
+    (0 until 2).foreach { k =>
+      assert(sigs((0L, k.toLong))._1 == sigs((50L, k.toLong))._1 &&
+        sigs((0L, k.toLong))._1 == sigs((100L, k.toLong))._1,
+        s"frame $k dHash must be brightness-invariant")
+    }
+    // frames within a video are distinct patterns; cross-group far
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sigs((0L, 0L))._1 != sigs((0L, 1L))._1)
+    assert(ham(sigs((0L, 0L))._1, sigs((1L, 0L))._1) > 3)
+    // any-frame pairing: twins at min hamming 0; no cross-group pair
+    val pairs = graft.llm.Dedup.signatureNearDup(
+        Multimodal.dhashFrames(Multimodal.syntheticBlockMjpegAvi(
+            Seq(0L, 50L, 1L, 2L).toDF("id"), "id", groups = 50))
+          .filter($"decoded"),
+        "dhash", "media_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((0L, 50L, 0)), pairs.mkString(";"))
+    // non-AVI payloads surface as one decoded=false row at frame -1
+    val junk = Seq((7L, Array[Byte](9, 9, 9), "video")).toDF(
+      "media_id", "payload", "modality")
+    val j = Multimodal.dhashFrames(junk).collect()
+    assert(j.length == 1 && j.head.getLong(1) == -1L && !j.head.getBoolean(3))
+  }
+
+  test("audioQuality: pulse-WAV closed forms, junk excluded, threshold guard") {
+    // id 0: n=256, a=1, amp=1000 -> peak 1000, silence (255e6)//256,
+    //   no clipping (1000 < 20000)
+    // id 38: n=864, a=39, amp=20000 -> clip (39e6)//864, silence
+    //   (825e6)//864
+    val got = Multimodal.audioQuality(
+        Multimodal.syntheticPulseWav(Seq(0L, 38L).toDF("id"), "id"),
+        silenceThreshold = 500, clipThreshold = 20000)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(0L) == ((true, 256L, 1000L, 996093L, 0L)), got(0L).toString)
+    assert(got(38L) == ((true, 864L, 20000L, 954861L, 45138L)),
+      got(38L).toString)
+    val junk = Seq((7L, Array[Byte](1, 2, 3), "audio")).toDF(
+      "media_id", "payload", "modality")
+    val j = Multimodal.audioQuality(junk).collect().head
+    assert(!j.getBoolean(1) && j.getLong(2) == 0L)
+    intercept[IllegalArgumentException] {
+      Multimodal.audioQuality(junk, silenceThreshold = 600,
+        clipThreshold = 500)
+    }
+  }
+
   test("resizeStub: every payload becomes exactly targetBytes; short ones zero-padded") {
     val resized = Multimodal.resizeStub(media, targetBytes = 100)
     val sizes = resized.select("resized_bytes").distinct()

@@ -917,6 +917,45 @@ class StreamingSpec extends SparkSpec {
     assert(stream(3L) == ((7L, -6L, 20250000L, 4500000L)))
   }
 
+  test("kalmanStateful == kalmanResiduals exactly; hand-folded gain/level at Q=R=1e6") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1700000000000L
+    // values 0, 10000, 10000 dollars -> cents 0, 1e6, 1e6: the
+    // TimeSeriesSpec kalman hand fold — same recurrence, shared step:
+    // gains 0/666666/625000, levels 0/666666/874999
+    val vals = Seq(0.0, 10000.0, 10000.0)
+    val evs = vals.zipWithIndex.map { case (v, i) =>
+      Event(i + 1L, new Timestamp(t0 + i * 60000L), 1L, "m", v) }
+    def flush(id: Long) = Event(id,
+      new Timestamp(t0 + 100 * 60000L + 2L * 3600 * 1000), -1L,
+      "__flush", 0.0)
+    val mem = MemoryStream[Event]
+    val q = EventStreams.kalmanStateful(mem.toDS(),
+        qVar = 1000000L, rVar = 1000000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("kalman_sink").start()
+    try {
+      mem.addData(evs)
+      q.processAllAvailable()
+      mem.addData(evs.take(1)) // in-window duplicate — must absorb
+      q.processAllAvailable()
+      mem.addData(Seq(flush(-1)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("kalman_sink")
+      .collect().map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    val batch = EventStreams.kalmanResiduals(evs.toDS(),
+        qVar = 1000000L, rVar = 1000000L)
+      .collect().map(r => r.event_id ->
+        ((r.x, r.innovation, r.gain_ppm, r.level, r.p_var))).toMap
+    assert(stream.size == vals.size)
+    assert(stream == batch)
+    assert(stream(1L) == ((0L, 0L, 0L, 0L, 1000000L)))
+    assert(stream(2L) == ((1000000L, 1000000L, 666666L, 666666L, 666668L)))
+    assert(stream(3L) == ((1000000L, 333334L, 625000L, 874999L, 625000L)))
+  }
+
   test("ewmaAnomaliesStateful absorbs an IN-WINDOW redelivery: one output row per event_id") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val t0 = 1700000000000L

@@ -552,6 +552,115 @@ class TimeSeriesSpec extends SparkSpec {
     assert(e.getMessage.contains("overflow-safe"))
   }
 
+  test("kalmanLocalLevel: hand-folded gain/level/variance, negative innovation, guards") {
+    // Q = R = 1e6, series 0, 1e6, 1e6:
+    //  t1 seed: l=0, p=R=1e6, e=0, g=0
+    //  t2: pp=2e6, g=2e12//3e6=666666, e=1e6,
+    //      l=666666*1e6//1e6=666666, p=2e6*333334//1e6=666668
+    //  t3: pp=1666668, g=1666668e6//2666668=625000, e=333334,
+    //      l=666666+625000*333334//1e6=666666+208333=874999,
+    //      p=1666668*375000//1e6=625000
+    val df = Seq(("a", 1L, 0L), ("a", 2L, 1000000L), ("a", 3L, 1000000L))
+      .toDF("k", "o", "x")
+    val got = TimeSeries.kalmanLocalLevel(df, "k", "o", "x",
+        qMicros = 1000000L, rMicros = 1000000L)
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, 0L, 1000000L),
+      (2L, 1000000L, 666666L, 666666L, 666668L),
+      (3L, 333334L, 625000L, 874999L, 625000L)), got.toSeq.toString)
+    // negative innovation truncates toward zero like DuckDB //
+    val dec = Seq(("a", 1L, 1000000L), ("a", 2L, 0L)).toDF("k", "o", "x")
+    val d = TimeSeries.kalmanLocalLevel(dec, "k", "o", "x",
+        qMicros = 1000000L, rMicros = 1000000L).collect()(1)
+    assert(d.getLong(3) == -1000000L && d.getLong(5) == 333334L, d.toString)
+    // gain settles: on a long series the variance reaches its steady
+    // state (p stops moving), and the gain with it
+    val long = (1 to 40).map(i => ("a", i.toLong, 0L)).toDF("k", "o", "x")
+    val ps = TimeSeries.kalmanLocalLevel(long, "k", "o", "x",
+        qMicros = 1000000L, rMicros = 1000000L)
+      .collect().map(_.getLong(6))
+    assert(math.abs(ps(39) - ps(38)) <= 1L, ps.takeRight(5).mkString(","))
+    assert(ps(39) < 1000000L && ps(39) > 500000L, ps.last.toString)
+    // guards: non-positive variances; overflow-safe Q+R bound;
+    // oversize innovation refuses loudly
+    intercept[IllegalArgumentException] {
+      TimeSeries.kalmanLocalLevel(df, "k", "o", "x", qMicros = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.kalmanLocalLevel(df, "k", "o", "x",
+        qMicros = 5000000000000L, rMicros = 5000000000000L)
+    }
+    val wild = Seq(("a", 1L, 0L), ("a", 2L, 9000000000001L))
+      .toDF("k", "o", "x")
+    val e = intercept[org.apache.spark.SparkException] {
+      TimeSeries.kalmanLocalLevel(wild, "k", "o", "x").collect()
+    }
+    assert(e.getMessage.contains("overflow-safe"))
+  }
+
+  test("kalmanSmooth: forward pass == filter, hand-folded backward pass, last step untouched") {
+    // same Q = R = 1e6 series as the filter test: filtered
+    // l = (0, 666666, 874999), p = (1e6, 666668, 625000); backward:
+    //  t3: c=0, sm=874999 (no later evidence)
+    //  t2: c = 666668e6//1666668 = 400000,
+    //      sm = 666666 + 400000*(874999-666666)//1e6 = 749999
+    //  t1: c = 1e6*1e6//2e6 = 500000, sm = 0 + 500000*749999//1e6 = 374999
+    val df = Seq(("a", 1L, 0L), ("a", 2L, 1000000L), ("a", 3L, 1000000L))
+      .toDF("k", "o", "x")
+    val got = TimeSeries.kalmanSmooth(df, "k", "o", "x",
+        qMicros = 1000000L, rMicros = 1000000L)
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 500000L, 374999L),
+      (2L, 666666L, 400000L, 749999L),
+      (3L, 874999L, 0L, 874999L)), got.toSeq.toString)
+    // a single-observation key is its own smooth
+    val one = Seq(("b", 1L, 42L)).toDF("k", "o", "x")
+    val o1 = TimeSeries.kalmanSmooth(one, "k", "o", "x",
+      qMicros = 1000000L, rMicros = 1000000L).collect().head
+    assert(o1.getLong(3) == 42L && o1.getLong(5) == 42L)
+    intercept[IllegalArgumentException] {
+      TimeSeries.kalmanSmooth(df, "k", "o", "x", rMicros = 0L)
+    }
+  }
+
+  test("arimaForecast: diff fit matches arForecast on the diffs; integration is exact cumsum") {
+    // levels are the running sum of the period-3 cycle, so the DIFF
+    // series is exactly the arForecast test's series — the ARIMA fit
+    // must reproduce that AR fit on diffs, and the level forecasts
+    // must be 1e6*x_n + the running sum of the diff forecasts.
+    val diffs = (0 until 30).map(i => Seq(10L, 20L, 30L)(i % 3))
+    val levels = diffs.scanLeft(100L)(_ + _) // 31 levels, x_1 = 100
+    val df = levels.zipWithIndex.map { case (v, i) => (i.toLong + 1L, v) }
+      .toDF("o", "x")
+    val got = TimeSeries.arimaForecast(df, $"o", $"x", p = 3,
+      horizon = 6, lbLags = 6).collect()
+    assert(got.length == 6)
+    val ar = TimeSeries.arForecast(
+        diffs.zipWithIndex.map { case (v, i) => (i.toLong + 1L, v) }
+          .toDF("o", "x"), $"o", $"x", p = 3, horizon = 6, lbLags = 6)
+      .collect()
+    // phi, diff forecast, and Ljung-Box all match the AR-on-diffs fit
+    (got zip ar).foreach { case (g, a) =>
+      assert(g.getLong(0) == a.getLong(0)) // step
+      assert(g.getLong(2) == a.getLong(2) && g.getLong(3) == a.getLong(3)
+        && g.getLong(4) == a.getLong(4)) // phi1..3
+      assert(g.getLong(5) == a.getLong(5),
+        s"diff forecast ${g.getLong(5)} != AR ${a.getLong(5)}")
+      assert(g.getLong(7) == a.getLong(6)) // lb_q
+    }
+    // n_obs counts LEVELS; integration: forecast = 1e6*x_31 + cumsum
+    assert(got.head.getLong(1) == 31L)
+    var cum = levels.last * 1000000L
+    got.foreach { g =>
+      cum += g.getLong(5)
+      assert(g.getLong(6) == cum, s"step ${g.getLong(0)}: ${g.getLong(6)} != $cum")
+    }
+  }
+
   test("grangerLag1: lead-lag asymmetry, double-entry F, degenerate NULLs, short empty") {
     // y follows x with one period of lag plus i%2 noise — the x->y F
     // must dominate y->x; cross-check the winning F against an
