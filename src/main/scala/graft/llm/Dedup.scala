@@ -216,10 +216,30 @@ object Dedup {
     * against history, then append the survivors — history is never
     * rescanned, never refingerprinted). */
   def writeSimhashIndex(df: DataFrame, textCol: String, idCol: String,
-      dir: String, maxHamming: Int = 3, mode: String = "overwrite"): Unit = {
+      dir: String, maxHamming: Int = 3, mode: String = "overwrite"): Unit =
+    writeFpIndex(
+      df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh")),
+      dir, maxHamming, mode)
+
+  /** Persist the band index of an ARBITRARY precomputed 64-bit
+    * fingerprint column — [[writeSimhashIndex]]'s machinery opened to
+    * non-text fingerprints (perceptual image/audio hashes:
+    * [[graft.llm.Multimodal.dhash64]] / `ahash64`), so a multimodal
+    * corpus gets the same daily-crawl loop text has: dedup the new
+    * batch against history via [[hammingNearDupIncremental]], then
+    * append the survivors — history is never re-decoded, never
+    * re-fingerprinted, never rescanned. */
+  def writeHammingIndex(df: DataFrame, bitsCol: String, idCol: String,
+      dir: String, maxHamming: Int = 3, mode: String = "overwrite"): Unit =
+    writeFpIndex(
+      df.select(col(idCol).as("id"), col(bitsCol).cast("long").as("sh")),
+      dir, maxHamming, mode)
+
+  private def writeFpIndex(fp: DataFrame, dir: String, maxHamming: Int,
+      mode: String): Unit = {
     require(maxHamming >= 0 && maxHamming <= 63,
       s"maxHamming must be in [0,63] (got $maxHamming)")
-    val spark = df.sparkSession
+    val spark = fp.sparkSession
     if (mode == "append") {
       // appending under a different layout would silently lose recall
       // for every doc already indexed — refuse loudly
@@ -228,7 +248,7 @@ object Dedup {
         s"index at $dir was built with maxHamming=$idxMax, " +
           s"append requested with $maxHamming")
     }
-    bandedFingerprints(df, textCol, idCol, maxHamming + 1)
+    bandedBits(fp, maxHamming + 1)
       .write.mode(mode).parquet(dir)
     if (mode != "append") {
       import spark.implicits._
@@ -253,8 +273,25 @@ object Dedup {
     * nothing quadratic, nothing driver-side except the 1-row meta
     * guard. */
   def simhashNearDupIncremental(newDf: DataFrame, indexDir: String,
-      textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
-    val spark = newDf.sparkSession
+      textCol: String, idCol: String, maxHamming: Int = 3): DataFrame =
+    fpNearDupIncremental(
+      newDf.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh")),
+      indexDir, maxHamming)
+
+  /** Near-dup pairs of a NEW batch of precomputed 64-bit fingerprints
+    * against a [[writeHammingIndex]] — [[simhashNearDupIncremental]]'s
+    * contract for multimodal fingerprints: every pair touches at
+    * least one new id, `pairs(old ∪ new) = pairs(old) ⊎ incremental`,
+    * history joins as 28-byte band rows (payloads never re-decoded). */
+  def hammingNearDupIncremental(newDf: DataFrame, indexDir: String,
+      bitsCol: String, idCol: String, maxHamming: Int = 3): DataFrame =
+    fpNearDupIncremental(
+      newDf.select(col(idCol).as("id"), col(bitsCol).cast("long").as("sh")),
+      indexDir, maxHamming)
+
+  private def fpNearDupIncremental(newFp: DataFrame, indexDir: String,
+      maxHamming: Int): DataFrame = {
+    val spark = newFp.sparkSession
     // loud O(1) layout guard — a bands mismatch would silently lose
     // recall, the worst failure mode an index can have
     val idxMax = spark.read.parquet(indexDir + "__meta")
@@ -262,7 +299,7 @@ object Dedup {
     require(idxMax == maxHamming,
       s"index at $indexDir was built with maxHamming=$idxMax, " +
         s"queried with $maxHamming — rebuild or re-query to match")
-    val nw = bandedFingerprints(newDf, textCol, idCol, maxHamming + 1)
+    val nw = bandedBits(newFp, maxHamming + 1)
     val idx = spark.read.parquet(indexDir)
     val newVsOld = nw
       .select(col("band"), col("key"), col("id").as("id_n"), col("sh").as("sh_n"))

@@ -243,6 +243,38 @@ class DedupSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 24L)
   }
 
+  test("hamming index: generic fingerprints — equivalence, layout guard, append folds in") {
+    // hand-planted 64-bit fingerprints: 0≈1 (old-new, hamming 1),
+    // 2≈4 (old-old), 3≈5 (new-new, hamming 2), 6 isolated
+    val fps = Seq((0L, 0x00FFL), (1L, 0x00FEL), (2L, 0xAA00L),
+      (4L, 0xAA00L), (3L, 0x1111L), (5L, 0x1113L), (6L, 0x7f00ff00L))
+      .toDF("id", "bits")
+    val dir = java.nio.file.Files.createTempDirectory("graft_hidx").toString + "/idx"
+    val old = fps.filter($"id" % 2 === 0)
+    val nw = fps.filter($"id" % 2 === 1)
+    Dedup.writeHammingIndex(old, "bits", "id", dir, maxHamming = 3)
+    val inc = Dedup.hammingNearDupIncremental(nw, dir, "bits", "id", 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.hammingNearDup(fps, "bits", "id", 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oldOnly = Dedup.hammingNearDup(old, "bits", "id", 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == Set((0L, 1L), (3L, 5L)), inc.toString)
+    assert(oldOnly == Set((2L, 4L)), oldOnly.toString)
+    assert((oldOnly ++ inc) == full && (oldOnly & inc).isEmpty)
+    // layout guard + append fold (7 ids x 4 bands after the fold)
+    val exQ = intercept[IllegalArgumentException] {
+      Dedup.hammingNearDupIncremental(nw, dir, "bits", "id", maxHamming = 7)
+    }
+    assert(exQ.getMessage.contains("maxHamming=3"), exQ.getMessage)
+    Dedup.writeHammingIndex(nw, "bits", "id", dir, maxHamming = 3,
+      mode = "append")
+    assert(spark.read.parquet(dir).count() == 28L)
+  }
+
   test("minhash index: pairs(old∪new) == pairs(old) ⊎ incremental(new, idx); guards + append") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mhidx").toString + "/idx"
     val old = incCorpus.filter($"doc_id" % 2 === 0)
