@@ -545,29 +545,20 @@ object TimeSeries {
     * Scale: rides [[autocorrelation]]'s one materialized pass (the
     * only row-scale work); the fit itself touches ≤ p doubles and the
     * forecast ≤ p + horizon longs on the driver. */
-  def arForecast(df: DataFrame, orderExpr: Column, valueExpr: Column,
-      p: Int = 3, horizon: Int = 12, lbLags: Int = 12,
-      chi2CritMicros: Long = 16919000L): DataFrame = {
-    require(p >= 1 && p <= 10, s"p must be in [1, 10] (got $p)")
-    require(horizon >= 1 && horizon <= 1000,
-      s"horizon must be in [1, 1000] (got $horizon)")
-    require(lbLags > p,
-      s"lbLags must exceed p for a positive-df whiteness test " +
-        s"(got lbLags=$lbLags, p=$p)")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val base = df.select(orderExpr.as("__o"),
-        valueExpr.cast("long").as("__x"))
-      .filter(col("__x").isNotNull)
-      .withColumn("__i", row_number().over(
-        Window.orderBy(col("__o"))).cast("long"))
-      .select(col("__i"), col("__x"))
-      .localCheckpoint(true)
+  /** Yule–Walker fit shared by [[arForecast]] / [[arimaForecast]] /
+    * [[arimaVsAr]] — the exact stages previously inlined in
+    * arForecast, moved verbatim: 1-row stats, quantized acf at lags
+    * 1..p, Durbin–Levinson in the pacf contract's fixed ascending-j
+    * summation order, micro-rounded φ. `base` must carry (__i, __x).
+    * Returns (n, Σx, φ_micros). SIDE-EFFECTING (stats + acf
+    * collects). */
+  private def fitArPhiMicros(base: DataFrame, p: Int, minBeyondP: Int,
+      needText: String): (Long, Long, Array[Long]) = {
     val stRow = base.agg(count(lit(1)), sum(col("__x"))).head()
     val n = stRow.getLong(0)
-    require(n > p + lbLags,
-      s"series has $n points — need more than ${p + lbLags} to fit " +
-        s"AR($p) and test $lbLags residual lags")
+    require(n > p + minBeyondP,
+      s"series has $n points — need more than ${p + minBeyondP} to fit " +
+        needText)
     val s = stRow.getLong(1)
     // quantized acf at lags 1..p — the Yule-Walker right-hand side
     val rsArr = autocorrelation(base, col("__i"), col("__x"), p)
@@ -590,8 +581,14 @@ object TimeSeries {
       phi = (1 until k).map(j => phi(j - 1) - pkk * phi(k - j - 1))
         .toArray :+ pkk
     }
-    val phiM = phi.map(v => math.round(v * 1e6))
-    // integer-centered series and micro-phi residuals
+    (n, s, phi.map(v => math.round(v * 1e6)))
+  }
+
+  /** Integer-centered series + micro-phi residuals — arForecast's
+    * resid stage, moved verbatim. Returns (y = (__i, __y) centered,
+    * resid = (__i, __e)), both lineage-truncated. */
+  private def arResiduals(base: DataFrame, n: Long, s: Long,
+      phiM: Array[Long], p: Int): (DataFrame, DataFrame) = {
     val y = base.select(col("__i"),
         (lit(n) * col("__x") - lit(s)).as("__y"))
       .localCheckpoint(true)
@@ -604,6 +601,30 @@ object TimeSeries {
     val resid = lagged.select(col("__i"),
         expr(s"(1000000L * __y $phiTerms) div 1000000L").as("__e"))
       .localCheckpoint(true)
+    (y, resid)
+  }
+
+  def arForecast(df: DataFrame, orderExpr: Column, valueExpr: Column,
+      p: Int = 3, horizon: Int = 12, lbLags: Int = 12,
+      chi2CritMicros: Long = 16919000L): DataFrame = {
+    require(p >= 1 && p <= 10, s"p must be in [1, 10] (got $p)")
+    require(horizon >= 1 && horizon <= 1000,
+      s"horizon must be in [1, 1000] (got $horizon)")
+    require(lbLags > p,
+      s"lbLags must exceed p for a positive-df whiteness test " +
+        s"(got lbLags=$lbLags, p=$p)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(orderExpr.as("__o"),
+        valueExpr.cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+      .withColumn("__i", row_number().over(
+        Window.orderBy(col("__o"))).cast("long"))
+      .select(col("__i"), col("__x"))
+      .localCheckpoint(true)
+    val (n, s, phiM) = fitArPhiMicros(base, p, minBeyondP = lbLags,
+      needText = s"AR($p) and test $lbLags residual lags")
+    val (y, resid) = arResiduals(base, n, s, phiM, p)
     // residual Ljung-Box: the ts_ljung_box tree over the residual acf
     val acfE = autocorrelation(resid, col("__i"), col("__e"), lbLags)
       .filter(col("acf_micros").isNotNull)
@@ -696,6 +717,63 @@ object TimeSeries {
           .as("forecast_micros"),
         col("lb_q_micros"), col("lb_rejected")): _*)
       .orderBy(col("step"))
+  }
+
+  /** AR(p) vs ARIMA(p,1,0) — the readout that says when differencing
+    * EARNS ITS KEEP: fit both models ([[fitArPhiMicros]] on the
+    * levels; the same fit on the first differences), score each by
+    * its in-sample one-step mean absolute error ON THE LEVEL SCALE
+    * (an ARIMA one-step level prediction is x_{t−1} + d̂_t, so its
+    * level error IS the diff-fit residual — same units, honest
+    * comparison), and report the MASE-style ratio: below 10⁶ ppm the
+    * differenced model explains the series better and a trend was
+    * real; above, differencing only added noise.
+    *
+    * Exactness: residuals are [[arForecast]]'s integer micro-phi
+    * streams verbatim; each MAE is ONE truncating DECIMAL division
+    * `Σ|e| · 10⁶ div (m · n)` (residuals live on the n-times-centered
+    * scale, so dividing by m·n lands in value-micros); the ratio one
+    * more truncating division. A perfect AR fit (MAE 0) reports a
+    * NULL ratio, never a division error. SIDE-EFFECTING (two fits'
+    * stats + acf collects).
+    *
+    * Returns 1 row: (n_levels, n_diffs, p, mae_ar_micros,
+    * mae_arima_micros, mase_ppm, differencing_wins). */
+  def arimaVsAr(df: DataFrame, orderExpr: Column, valueExpr: Column,
+      p: Int = 3): DataFrame = {
+    require(p >= 1 && p <= 10, s"p must be in [1, 10] (got $p)")
+    val base = df.select(orderExpr.as("__o"),
+        valueExpr.cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+      .withColumn("__i", row_number().over(
+        Window.orderBy(col("__o"))).cast("long"))
+      .select(col("__i"), col("__x"))
+      .localCheckpoint(true) // level fit + diff scan
+    val (nl, sl, phiL) = fitArPhiMicros(base, p, minBeyondP = 2,
+      needText = s"AR($p) on the levels plus a comparison window")
+    val (_, residL) = arResiduals(base, nl, sl, phiL, p)
+    val diffs = base
+      .withColumn("__d",
+        col("__x") - lag(col("__x"), 1).over(Window.orderBy(col("__i"))))
+      .filter(col("__d").isNotNull)
+      .select(col("__i"), col("__d").as("__x"))
+      .localCheckpoint(true) // diff fit + resid consumer
+    val (nd, sd, phiD) = fitArPhiMicros(diffs, p, minBeyondP = 1,
+      needText = s"AR($p) on the differences")
+    val (_, residD) = arResiduals(diffs, nd, sd, phiD, p)
+    def mae(resid: DataFrame, n: Long, mName: String, maeName: String) =
+      resid.agg(count(lit(1)).cast("bigint").as(mName),
+        expr(s"CAST(CAST(sum(abs(__e)) AS DECIMAL(38,0)) * 1000000" +
+          s" div (count(*) * ${n}L) AS BIGINT)").as(maeName))
+    mae(residL, nl, "__ml", "mae_ar_micros")
+      .crossJoin(mae(residD, nd, "__md", "mae_arima_micros")) // 1x1 rows
+      .select(lit(nl).cast("bigint").as("n_levels"),
+        lit(nd).cast("bigint").as("n_diffs"),
+        lit(p).cast("bigint").as("p"),
+        col("mae_ar_micros"), col("mae_arima_micros"),
+        expr("CAST(CAST(mae_arima_micros AS DECIMAL(38,0)) * 1000000" +
+          " div nullif(mae_ar_micros, 0) AS BIGINT)").as("mase_ppm"))
+      .withColumn("differencing_wins", col("mase_ppm") < 1000000L)
   }
 
   /** Holt double-exponential (level + trend) smoothing forecast — the

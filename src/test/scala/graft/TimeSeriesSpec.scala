@@ -661,6 +661,27 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("arimaVsAr: differencing wins on an integrated cycle; ratio exactly consistent") {
+    // levels = running sum of the period-3 cycle: the DIFF series is
+    // the pure cycle (AR(3) nails it), the level series trends (AR
+    // regresses against the trend) — differencing must win, and the
+    // reported ratio must be exactly mae_arima*1e6 div mae_ar
+    val diffs = (0 until 30).map(i => Seq(10L, 20L, 30L)(i % 3))
+    val levels = diffs.scanLeft(100L)(_ + _)
+    val df = levels.zipWithIndex.map { case (v, i) => (i.toLong + 1L, v) }
+      .toDF("o", "x")
+    val r = TimeSeries.arimaVsAr(df, $"o", $"x", p = 3).collect().head
+    assert(r.getLong(0) == 31L && r.getLong(1) == 30L && r.getLong(2) == 3L)
+    val (maeAr, maeArima, mase) = (r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(maeAr > 0L && maeArima > 0L)
+    assert(mase == (BigInt(maeArima) * 1000000 / maeAr).toLong)
+    assert(maeArima < maeAr && r.getBoolean(6),
+      s"differencing must win on the integrated cycle: $maeArima vs $maeAr")
+    intercept[IllegalArgumentException] {
+      TimeSeries.arimaVsAr(df, $"o", $"x", p = 0)
+    }
+  }
+
   test("grangerLag1: lead-lag asymmetry, double-entry F, degenerate NULLs, short empty") {
     // y follows x with one period of lag plus i%2 noise — the x->y F
     // must dominate y->x; cross-check the winning F against an
