@@ -483,8 +483,9 @@ object Multimodal {
             val e = Array.ofDim[Long](8, 8)
             var t = 0
             while (t < 8) {
-              val i0 = t * n / 8
-              val i1 = (t + 1) * n / 8
+              // long math: t*n overflows Int past ~2^28 samples
+              val i0 = (t.toLong * n / 8).toInt
+              val i1 = ((t + 1).toLong * n / 8).toInt
               var k = 0
               while (k < 8) {
                 val lag = 1 << k
