@@ -1375,4 +1375,46 @@ object Quality {
         round(col("__p") * 1e6).cast("long").as("p_micros"))
       .orderBy(col("grp"))
   }
+
+  /** Functional-dependency DISCOVERY over a declared column panel —
+    * the search pass [[fdViolations]] (which checks a GIVEN FD)
+    * pairs with: for every ordered column pair a→b, the exact g3
+    * error (the minimum number of rows to delete for a→b to hold:
+    * `n − Σ_a max_b count(a,b)` — Kivinen & Mannila's standard FD
+    * approximation measure) and the holds verdict at zero. NULLs
+    * count as ordinary values on both sides (one NULL determinant
+    * group, one NULL dependent value — the grouping semantics both
+    * engines share).
+    *
+    * Returns one row per ordered pair:
+    * (lhs, rhs, n_rows, n_violations, holds).
+    *
+    * Scale: k·(k−1) independent two-level hash-aggs over the SAME
+    * scan (Spark schedules them as one pass per pair; columns are
+    * pruned to the pair) — declare a small candidate panel, not the
+    * whole schema: discovery over w columns is quadratic by nature,
+    * and at 100 TB you pre-filter candidates by distinct-count
+    * profile (dq_profile) first. */
+  def fdDiscovery(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least 2 columns (got ${cols.size})")
+    require(cols.distinct.size == cols.size,
+      s"duplicate columns in panel: ${cols.mkString(", ")}")
+    require(cols.size <= 8,
+      s"panel capped at 8 columns (${cols.size} requested) — " +
+        "discovery is quadratic; pre-filter candidates")
+    val tot = df.agg(count(lit(1)).as("n_rows"))
+    val pairs = for (a <- cols; b <- cols if a != b) yield {
+      df.groupBy(col(a).as("__a"), col(b).as("__b"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("__a")).agg(max(col("__c")).as("__m"))
+        .agg(coalesce(sum(col("__m")), lit(0L)).as("__keep"))
+        .crossJoin(tot) // 1-row total
+        .select(lit(a).as("lhs"), lit(b).as("rhs"),
+          col("n_rows").cast("bigint").as("n_rows"),
+          (col("n_rows") - col("__keep")).cast("bigint")
+            .as("n_violations"),
+          (col("n_rows") === col("__keep")).as("holds"))
+    }
+    pairs.reduce(_.unionByName(_)).orderBy(col("lhs"), col("rhs"))
+  }
 }

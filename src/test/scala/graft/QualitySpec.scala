@@ -786,4 +786,31 @@ class QualitySpec extends SparkSpec {
       40000000L).filter(col("g") === "A").head().getLong(1)
     assert(n == 4L)
   }
+
+  test("fdDiscovery: exact g3 per ordered pair, NULLs are values, guards") {
+    // a->b holds (every a maps to one b); b->a needs one deletion
+    // (y determines both 2 and 3 -> keep max group = 1, g3 = 1)
+    val df = Seq((1L, "x"), (1L, "x"), (2L, "y"), (3L, "y")).toDF("a", "b")
+    val got = Quality.fdDiscovery(df, Seq("a", "b")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(("a", "b")) == ((4L, 0L, true)), got.toString)
+    assert(got(("b", "a")) == ((4L, 1L, false)), got.toString)
+    // NULL determinants form one ordinary group: NULL -> {x, y}
+    // keeps its max (1) and violates by 1
+    val withNull = Seq((Option(1L), "x"), (Option.empty[Long], "x"),
+      (Option.empty[Long], "y")).toDF("a", "b")
+    val g2 = Quality.fdDiscovery(withNull, Seq("a", "b")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(g2(("a", "b")) == 1L, g2.toString)
+    intercept[IllegalArgumentException] {
+      Quality.fdDiscovery(df, Seq("a"))
+    }
+    intercept[IllegalArgumentException] {
+      Quality.fdDiscovery(df, Seq("a", "a"))
+    }
+    intercept[IllegalArgumentException] {
+      Quality.fdDiscovery(df, (1 to 9).map("c" + _))
+    }
+  }
 }
