@@ -1527,6 +1527,107 @@ object TimeSeries {
       .orderBy(col(keyCol), col("o"))
   }
 
+  /** [[kalmanLocalLevel]] over a FIXED GRID WITH GAPS — the filter's
+    * real edge over any fixed-α smoother: a missing observation is a
+    * PREDICT-ONLY step (level carries forward, variance grows by Q,
+    * no innovation), so uncertainty honestly accumulates across a
+    * gap and the NEXT observation gets a correspondingly larger gain
+    * — where an EWMA either skips the gap (pretending time didn't
+    * pass) or fabricates a zero. The grid is per key from the first
+    * to the last observation in steps of `stepMicros`' order units;
+    * every observed order must sit on the grid (guarded loudly —
+    * a misaligned timestamp means the caller aggregated wrong).
+    *
+    * Same truncating-long recurrence as the filter; gap rows emit
+    * NULL x/innovation/gain with `observed = false`. The recursive-
+    * CTE oracle replays every grid step, observed or not.
+    *
+    * Returns one row per GRID point: (key, o, x, observed,
+    * innovation_micros, gain_ppm, level_micros, p_micros).
+    *
+    * Scale: the filter's posture plus the densified grid — guarded
+    * at 500k grid points per key (the grid is materialized in the
+    * group fold; pre-aggregate to a coarser cadence past that). */
+  def kalmanLocalLevelGaps(df: DataFrame, keyCol: String,
+      orderCol: String, valueMicrosCol: String, step: Long,
+      qMicros: Long = 1000000000L,
+      rMicros: Long = 10000000000L): DataFrame = {
+    require(step > 0L, s"step must be > 0 (got $step)")
+    require(qMicros > 0L, s"qMicros must be > 0 (got $qMicros)")
+    require(rMicros > 0L, s"rMicros must be > 0 (got $rMicros)")
+    require(qMicros + rMicros <= 9000000000000L,
+      s"qMicros + rMicros must be <= 9e12 so the gain's P⁻·10⁶ " +
+        s"numerator stays inside a long (got ${qMicros + rMicros})")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("k"),
+        col(orderCol).cast("long").as("o"),
+        col(valueMicrosCol).cast("long").as("x"))
+      .filter(col("o").isNotNull && col("x").isNotNull)
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val obs = it.toSeq.sortBy(_._2)
+        if (obs.isEmpty) Iterator.empty
+        else {
+          val byO = scala.collection.mutable.LongMap.empty[Long]
+          obs.foreach { r =>
+            require(!byO.contains(r._2),
+              s"kalmanLocalLevelGaps: duplicate order ${r._2} (key $k)" +
+                " — the grid needs one value per point")
+            byO(r._2) = r._3
+          }
+          val (lo, hi) = (obs.head._2, obs.last._2)
+          obs.foreach { r =>
+            require((r._2 - lo) % step == 0,
+              s"kalmanLocalLevelGaps: order ${r._2} (key $k) is off " +
+                s"the $step-grid anchored at $lo — aggregate to the " +
+                "grid cadence first")
+          }
+          val nPoints = (hi - lo) / step + 1
+          require(nPoints <= 500000L,
+            s"kalmanLocalLevelGaps: $nPoints grid points (key $k) " +
+              "exceed the 500k in-memory fold guard — coarsen the grid")
+          var l = obs.head._3
+          var p = rMicros
+          var first = true
+          (0L until nPoints).iterator.map { j =>
+            val o = lo + j * step
+            val xOpt = byO.get(o)
+            if (first) {
+              first = false
+              (k, o, xOpt, true, Option(0L), Option(0L), l, p)
+            } else if (xOpt.isEmpty) {
+              p = p + qMicros // predict-only: uncertainty accumulates
+              if (p > 9000000000000L)
+                throw new IllegalArgumentException(
+                  s"kalmanLocalLevelGaps: predicted variance $p at " +
+                    s"order $o (key $k) exceeds the overflow-safe " +
+                    "bound 9e12 after a long gap — coarsen the grid " +
+                    "or lower qMicros")
+              (k, o, Option.empty[Long], false, Option.empty[Long],
+                Option.empty[Long], l, p)
+            } else {
+              val pp = p + qMicros
+              val gain = pp * 1000000L / (pp + rMicros)
+              val e = xOpt.get - l
+              if (math.abs(e) > 9000000000000L)
+                throw new IllegalArgumentException(
+                  s"kalmanLocalLevelGaps: |innovation| ${math.abs(e)} " +
+                    s"at order $o (key $k) exceeds the overflow-safe " +
+                    "bound 9e12 — quantize the series coarser")
+              l = l + gain * e / 1000000L
+              p = pp * (1000000L - gain) / 1000000L
+              (k, o, xOpt, true, Option(e), Option(gain), l, p)
+            }
+          }
+        }
+      }
+      .toDF(keyCol, "o", "x", "observed", "innovation_micros",
+        "gain_ppm", "level_micros", "p_micros")
+      .orderBy(col(keyCol), col("o"))
+  }
+
   /** Rauch–Tung–Striebel SMOOTHER for the local-level model — the
     * hindsight pass [[kalmanLocalLevel]] cannot give: the filter at
     * time t has seen only y₁..y_t; the smoother conditions every

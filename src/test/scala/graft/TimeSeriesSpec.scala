@@ -600,6 +600,51 @@ class TimeSeriesSpec extends SparkSpec {
     assert(e.getMessage.contains("overflow-safe"))
   }
 
+  test("kalmanLocalLevelGaps: predict-only steps grow variance, next gain larger, guards") {
+    // Q = R = 1e6; observations at o = 0 and o = 2 with a gap at 1:
+    //  o=0 seed: l=0, p=1e6
+    //  o=1 gap:  l=0, p=2e6, NULL x/innovation/gain
+    //  o=2: pp=3e6, gain=3e12//4e6=750000 (vs 666666 without the gap
+    //       — the gap honestly raised the gain), e=1e6, l=750000,
+    //       p=3e6*250000//1e6=750000
+    val df = Seq(("a", 0L, 0L), ("a", 2L, 1000000L)).toDF("k", "o", "x")
+    val got = TimeSeries.kalmanLocalLevelGaps(df, "k", "o", "x",
+        step = 1L, qMicros = 1000000L, rMicros = 1000000L).collect()
+    assert(got.length == 3)
+    val gap = got(1)
+    assert(gap.isNullAt(2) && !gap.getBoolean(3) && gap.isNullAt(4) &&
+      gap.isNullAt(5) && gap.getLong(6) == 0L && gap.getLong(7) == 2000000L,
+      gap.toString)
+    val upd = got(2)
+    assert(upd.getBoolean(3) && upd.getLong(5) == 750000L &&
+      upd.getLong(6) == 750000L && upd.getLong(7) == 750000L, upd.toString)
+    // a gapless grid reproduces the plain filter exactly
+    val dense = Seq(("a", 1L, 0L), ("a", 2L, 1000000L), ("a", 3L, 1000000L))
+      .toDF("k", "o", "x")
+    val viaGaps = TimeSeries.kalmanLocalLevelGaps(dense, "k", "o", "x",
+        step = 1L, qMicros = 1000000L, rMicros = 1000000L)
+      .collect().map(r => (r.getLong(1), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7)))
+    val viaFilter = TimeSeries.kalmanLocalLevel(dense, "k", "o", "x",
+        qMicros = 1000000L, rMicros = 1000000L)
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(viaGaps.toSeq == viaFilter.toSeq)
+    // guards: off-grid order; duplicate order
+    val off = Seq(("a", 0L, 1L), ("a", 3L, 2L)).toDF("k", "o", "x")
+    val e1 = intercept[org.apache.spark.SparkException] {
+      TimeSeries.kalmanLocalLevelGaps(off, "k", "o", "x", step = 2L,
+        qMicros = 1000000L, rMicros = 1000000L).collect()
+    }
+    assert(e1.getMessage.contains("off the 2-grid"), e1.getMessage)
+    val dup = Seq(("a", 0L, 1L), ("a", 0L, 2L)).toDF("k", "o", "x")
+    val e2 = intercept[org.apache.spark.SparkException] {
+      TimeSeries.kalmanLocalLevelGaps(dup, "k", "o", "x", step = 1L,
+        qMicros = 1000000L, rMicros = 1000000L).collect()
+    }
+    assert(e2.getMessage.contains("duplicate order"), e2.getMessage)
+  }
+
   test("kalmanSmooth: forward pass == filter, hand-folded backward pass, last step untouched") {
     // same Q = R = 1e6 series as the filter test: filtered
     // l = (0, 666666, 874999), p = (1e6, 666668, 625000); backward:
