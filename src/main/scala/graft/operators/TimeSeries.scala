@@ -697,7 +697,15 @@ object TimeSeries {
       .localCheckpoint(true) // diff scan + last-level lookup
     val lastRow = base.agg(count(lit(1)),
       max_by(col("__x"), col("__i"))).head() // 1-row model-scale lookup
-    val (n, xn) = (lastRow.getLong(0), lastRow.getLong(1))
+    val n = lastRow.getLong(0)
+    require(n >= 1L,
+      "arimaForecast needs at least 1 non-NULL level to anchor the " +
+        s"integration (got $n)")
+    val xn = lastRow.getLong(1)
+    require(math.abs(xn) <= 9000000000000L,
+      s"arimaForecast: |last level| ${math.abs(xn)} exceeds the " +
+        "overflow-safe bound 9e12 for the 10⁶·xₙ integration base — " +
+        "quantize the series coarser")
     val diffs = base
       .withColumn("__d",
         col("__x") - lag(col("__x"), 1).over(Window.orderBy(col("__i"))))
@@ -1609,6 +1617,15 @@ object TimeSeries {
                 Option.empty[Long], l, p)
             } else {
               val pp = p + qMicros
+              // the predict-only guard bounds p at 9e12 but this step
+              // adds one more Q on top — guard pp itself before the
+              // gain's pp·10⁶ multiply, same discipline as above
+              if (pp > 9000000000000L)
+                throw new IllegalArgumentException(
+                  s"kalmanLocalLevelGaps: predicted variance $pp at " +
+                    s"order $o (key $k) exceeds the overflow-safe " +
+                    "bound 9e12 after a long gap — coarsen the grid " +
+                    "or lower qMicros")
               val gain = pp * 1000000L / (pp + rMicros)
               val e = xOpt.get - l
               if (math.abs(e) > 9000000000000L)
@@ -1699,7 +1716,19 @@ object TimeSeries {
           t = n - 2
           while (t >= 0) {
             val c = ps(t) * 1000000L / (ps(t) + qMicros)
-            sm(t) = ls(t) + c * (sm(t + 1) - ls(t)) / 1000000L
+            // the smoothing delta is bounded by the whole-series
+            // spread of filtered levels, not the per-step innovation
+            // guard — a long drifting series could overflow c·delta
+            // where the forward pass stays legal, so guard it here
+            // with the same loud discipline
+            val delta = sm(t + 1) - ls(t)
+            if (math.abs(delta) > 9000000000000L)
+              throw new IllegalArgumentException(
+                s"kalmanSmooth: |smoothing delta| ${math.abs(delta)} " +
+                  s"at order ${xs(t)._2} (key $k) exceeds the " +
+                  "overflow-safe bound 9e12 — quantize the series " +
+                  "coarser")
+            sm(t) = ls(t) + c * delta / 1000000L
             cs(t) = c
             t -= 1
           }

@@ -643,6 +643,16 @@ class TimeSeriesSpec extends SparkSpec {
         qMicros = 1000000L, rMicros = 1000000L).collect()
     }
     assert(e2.getMessage.contains("duplicate order"), e2.getMessage)
+    // the observed step AFTER a gap adds one more Q on top of the
+    // gap-grown p: q=4.5e12/r=1e6 passes the entry guard and the gap
+    // step (p = 1e6+4.5e12 < 9e12), but the update's pp = p+q breaks
+    // 9e12 — must throw loudly, not overflow pp*1e6 silently
+    val nearMax = Seq(("a", 0L, 0L), ("a", 2L, 1L)).toDF("k", "o", "x")
+    val e3 = intercept[org.apache.spark.SparkException] {
+      TimeSeries.kalmanLocalLevelGaps(nearMax, "k", "o", "x", step = 1L,
+        qMicros = 4500000000000L, rMicros = 1000000L).collect()
+    }
+    assert(e3.getMessage.contains("predicted variance"), e3.getMessage)
   }
 
   test("kalmanSmooth: forward pass == filter, hand-folded backward pass, last step untouched") {
@@ -670,6 +680,21 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TimeSeries.kalmanSmooth(df, "k", "o", "x", rMicros = 0L)
     }
+    // the backward smoothing delta is bounded by the SPREAD of
+    // filtered levels, not by any single innovation: this series keeps
+    // every innovation at exactly 9e12 (legal — the forward guard is
+    // strict >) yet drifts the levels so far that sm(t+1) − ls(0)
+    // breaks 9e12 on the backward pass — must throw loudly there
+    val drift = Seq(0L, 9000000000000L, 14999994000000L,
+        20624994000000L, 26196417000000L, 31760046000000L)
+      .zipWithIndex.map { case (v, i) => ("a", i.toLong, v) }
+      .toDF("k", "o", "x")
+    val eDrift = intercept[org.apache.spark.SparkException] {
+      TimeSeries.kalmanSmooth(drift, "k", "o", "x",
+        qMicros = 1000000L, rMicros = 1000000L).collect()
+    }
+    assert(eDrift.getMessage.contains("smoothing delta"),
+      eDrift.getMessage)
   }
 
   test("arimaForecast: diff fit matches arForecast on the diffs; integration is exact cumsum") {
@@ -704,6 +729,21 @@ class TimeSeriesSpec extends SparkSpec {
       cum += g.getLong(5)
       assert(g.getLong(6) == cum, s"step ${g.getLong(0)}: ${g.getLong(6)} != $cum")
     }
+    // guards: an empty / all-NULL series refuses with the friendly
+    // message (not an NPE on the NULL max_by), and a last level past
+    // 9e12 refuses before the 10⁶·xₙ integration base can overflow
+    val empty = Seq.empty[(Long, java.lang.Long)].toDF("o", "x")
+    val eEmpty = intercept[IllegalArgumentException] {
+      TimeSeries.arimaForecast(empty, $"o", $"x", p = 3, horizon = 2)
+    }
+    assert(eEmpty.getMessage.contains("at least 1 non-NULL level"),
+      eEmpty.getMessage)
+    val big = (1 to 12).map(i => (i.toLong, 9000000000001L + i))
+      .toDF("o", "x")
+    val eBig = intercept[IllegalArgumentException] {
+      TimeSeries.arimaForecast(big, $"o", $"x", p = 3, horizon = 2)
+    }
+    assert(eBig.getMessage.contains("overflow-safe"), eBig.getMessage)
   }
 
   test("arimaVsAr: differencing wins on an integrated cycle; ratio exactly consistent") {
