@@ -629,6 +629,118 @@ object Multimodal {
         "silence_ppm", "clip_ppm")
   }
 
+  /** Deterministic REAL PNGs with SQL-restatable per-channel rasters —
+    * the image twin of [[syntheticPulseWav]]: each id renders a
+    * vertical gradient whose red value at row y is `base + y·step`
+    * (base = 10 + id % 100, step = id % 5, so id % 5 == 0 gives a
+    * FLAT raster), green = red + 20, blue = red + 40; width 16,
+    * height 8 + id % 9. Every value stays in [10, 229] — no clipping
+    * anywhere — and PNG is lossless, so a SQL oracle can re-derive
+    * every per-band statistic from (id, y) alone. Channel offsets
+    * differ ON PURPOSE: they make the per-band output genuinely
+    * per-band (band 0 = R, 1 = G, 2 = B after the round-trip —
+    * pinned in MultimodalSpec). */
+  def syntheticGradientPng(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          val w = 16
+          val h = 8 + (id % 9).toInt
+          val base = 10 + (id % 100).toInt
+          val step = (id % 5).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          var y = 0
+          while (y < h) {
+            val r = base + y * step
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, (r << 16) | ((r + 20) << 8) | (r + 40))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("media_id", "payload")
+      .withColumn("modality", lit("image"))
+  }
+
+  /** Image QUALITY audit over the decoded raster — the screen a
+    * curation pipeline runs before an image earns training budget
+    * (the image face of [[audioQuality]], closing the last modality
+    * without one): per image and per BAND the exact sample count,
+    * integer min/max, truncating milli-mean (`Σ·1000 div n` — exact
+    * and engine-portable), extreme-pixel ratios (samples below
+    * `darkThreshold` / above `brightThreshold`, truncating ppm of
+    * exact counts — a near-black thumbnail or blown-out scan is
+    * training-budget waste), and a flat-band flag (min == max — a
+    * solid-color placeholder carries no signal). One row per (image,
+    * band); an undecodable payload degrades to a single
+    * `(band = -1, decoded = false)` row so the junk is countable, not
+    * silently dropped.
+    *
+    * Scale: one mapPartitions over the payload column with partition-
+    * level codec init (the [[decodeImage]] posture); fixed-width rows
+    * out — ≤ 4 per image — and the payload never re-shuffles. */
+  def imageQuality(media: DataFrame, darkThreshold: Int = 32,
+      brightThreshold: Int = 224): DataFrame = {
+    require(darkThreshold >= 0 && brightThreshold > darkThreshold,
+      s"need 0 <= darkThreshold < brightThreshold " +
+        s"(got $darkThreshold, $brightThreshold)")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { case (id, payload) =>
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))
+            catch { case _: java.io.IOException => null }
+          if (img == null)
+            Iterator.single((id, -1, false, 0L, 0, 0, 0L, 0L, 0L, false))
+          else {
+            val raster = img.getRaster
+            val (w, h, bands) =
+              (img.getWidth, img.getHeight, raster.getNumBands)
+            val n = w.toLong * h
+            (0 until bands).iterator.map { b =>
+              var mn = Int.MaxValue
+              var mx = Int.MinValue
+              var sum = 0L
+              var dark = 0L
+              var bright = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val v = raster.getSample(x, y, b)
+                  if (v < mn) mn = v
+                  if (v > mx) mx = v
+                  sum += v
+                  if (v < darkThreshold) dark += 1
+                  if (v > brightThreshold) bright += 1
+                  x += 1
+                }
+                y += 1
+              }
+              (id, b, true, n, mn, mx, sum * 1000L / n,
+                dark * 1000000L / n, bright * 1000000L / n, mn == mx)
+            }
+          }
+        }
+      }
+      .toDF("media_id", "band", "decoded", "n_samples", "min_sample",
+        "max_sample", "mean_milli", "dark_ppm", "bright_ppm", "flat")
+  }
+
   case class DecodedVideo(media_id: Long, decoded: Boolean,
       container: String, width: Int, height: Int, duration_ms: Long)
 

@@ -294,6 +294,48 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("imageQuality: gradient-PNG closed forms per band, flat flag, junk row, guard") {
+    // id 0: h=8, base=10, step=0 -> every band FLAT; band 0 all 10
+    //   (dark: 10 < 32), band 1 all 30 (dark), band 2 all 50 (not)
+    // id 899: h=16, base=109, step=4 -> band 0 spans 109..169, band 2
+    //   spans 149..209 with rows y >= 11 past the 192 bright line
+    //   (5 of 16 rows -> 312500 ppm); mean band 2 =
+    //   16*(16*149 + 4*120)*1000 // 256 = 179000 milli
+    val got = Multimodal.imageQuality(
+        Multimodal.syntheticGradientPng(Seq(0L, 899L).toDF("id"), "id"),
+        darkThreshold = 32, brightThreshold = 192)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getBoolean(2), r.getLong(3), r.getInt(4), r.getInt(5),
+          r.getLong(6), r.getLong(7), r.getLong(8), r.getBoolean(9))))
+      .toMap
+    assert(got.size == 6)
+    assert(got((0L, 0)) ==
+      ((true, 128L, 10, 10, 10000L, 1000000L, 0L, true)),
+      got((0L, 0)).toString)
+    assert(got((0L, 1)) ==
+      ((true, 128L, 30, 30, 30000L, 1000000L, 0L, true)),
+      got((0L, 1)).toString)
+    assert(got((0L, 2)) ==
+      ((true, 128L, 50, 50, 50000L, 0L, 0L, true)),
+      got((0L, 2)).toString)
+    assert(got((899L, 0)) ==
+      ((true, 256L, 109, 169, 139000L, 0L, 0L, false)),
+      got((899L, 0)).toString)
+    assert(got((899L, 2)) ==
+      ((true, 256L, 149, 209, 179000L, 0L, 312500L, false)),
+      got((899L, 2)).toString)
+    // an undecodable payload degrades to one band = -1 row, flagged
+    val junk = Seq((7L, Array[Byte](1, 2, 3), "image")).toDF(
+      "media_id", "payload", "modality")
+    val j = Multimodal.imageQuality(junk).collect()
+    assert(j.length == 1 && j.head.getInt(1) == -1 &&
+      !j.head.getBoolean(2) && j.head.getLong(3) == 0L)
+    intercept[IllegalArgumentException] {
+      Multimodal.imageQuality(junk, darkThreshold = 200,
+        brightThreshold = 100)
+    }
+  }
+
   test("resizeStub: every payload becomes exactly targetBytes; short ones zero-padded") {
     val resized = Multimodal.resizeStub(media, targetBytes = 100)
     val sizes = resized.select("resized_bytes").distinct()
