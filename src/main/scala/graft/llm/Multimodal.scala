@@ -1074,6 +1074,147 @@ object Multimodal {
       .withColumn("modality", lit("video"))
   }
 
+  /** Deterministic MJPEG/AVI fixtures for the video-quality screen —
+    * constant-value frames survive quality-1.0 JPEG bit-exactly, so
+    * every statistic [[videoQuality]] derives has a closed form:
+    * `n = 5 + id % 4` frames; frame 0 is constant 200; frames
+    * `1 .. r` (r = 2 + id % 3 ≤ 4 < n) repeat constant 100 — a
+    * PLANTED FROZEN RUN of exactly r frames; the tail
+    * `r+1 .. n−1` are near-black constants `f % 12` (all distinct,
+    * all under any sane black threshold). Frame identity in
+    * [[videoQuality]] is (dhash, mean) — constant rasters all dHash
+    * to 0, so the means alone separate every non-repeated frame here
+    * (the spec plants a same-mean different-texture pair to pin the
+    * dhash half). */
+  def syntheticFreezeMjpegAvi(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("jpeg").next()
+        val params = writer.getDefaultWriteParam
+        params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        params.setCompressionQuality(1.0f)
+        val (w, h) = (72, 64)
+        def constFrame(v: Int): Array[Byte] = {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          val rgb = (v << 16) | (v << 8) | v
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.write(null, new javax.imageio.IIOImage(img, null, null),
+            params)
+          ios.close()
+          bos.toByteArray
+        }
+        val it = ids.map { id =>
+          val n = 5 + (id % 4).toInt
+          val r = 2 + (id % 3).toInt
+          val frames = (0 until n).map { f =>
+            if (f == 0) constFrame(200)
+            else if (f <= r) constFrame(100)
+            else constFrame(f % 12)
+          }
+          (id, mjpegAviBytes(w, h, frames))
+        }
+        new Iterator[(Long, Array[Byte])] {
+          def hasNext: Boolean = { val n = it.hasNext; if (!n) writer.dispose(); n }
+          def next(): (Long, Array[Byte]) = it.next()
+        }
+      }
+      .toDF("media_id", "payload")
+      .withColumn("modality", lit("video"))
+  }
+
+  /** Video QUALITY audit — the freeze / black-screen screen a
+    * curation pipeline runs before a clip earns training budget
+    * (completing the quality trio: [[audioQuality]], [[imageQuality]],
+    * and now video): walk the movi list, decode every frame through
+    * the `decoders` chain, and per video report the exact frame
+    * count, undecodable-frame count, the longest run of consecutive
+    * IDENTICAL frames (identity = equal dHash AND equal truncating
+    * integer pixel mean — the mean half separates flat frames of
+    * different brightness that all dHash to 0, the dHash half
+    * separates same-mean textures), a frozen flag (run ≥ `freezeRun`),
+    * and the count/ppm of near-black frames (mean < `blackThreshold`).
+    * An undecodable frame breaks any run and is never black; a
+    * frameless or non-AVI payload degrades to one
+    * `decoded = false` row so junk is countable, not dropped.
+    *
+    * Scale: one mapPartitions over the payload column (per-partition
+    * codec init), frames decoded ONCE, one fixed-width row out per
+    * video — the payload never re-shuffles. */
+  def videoQuality(media: DataFrame, blackThreshold: Int = 16,
+      freezeRun: Int = 3,
+      decoders: Seq[FrameDecoder] = Seq(ImageIoFrameDecoder)): DataFrame = {
+    require(blackThreshold >= 0,
+      s"blackThreshold must be >= 0 (got $blackThreshold)")
+    require(freezeRun >= 2, s"freezeRun must be >= 2 (got $freezeRun)")
+    require(decoders.nonEmpty, "decoders must be non-empty")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, p) =>
+          val frames = moviFrames(p)
+          if (frames.isEmpty)
+            (id, false, 0L, 0L, 0L, false, 0L, 0L)
+          else {
+            var nBad = 0L
+            var nBlack = 0L
+            var maxRun = 0L
+            var run = 0L
+            var prevKey: (Long, Long) = null
+            frames.foreach { fb =>
+              val img = decoders.iterator.flatMap(_.decode(fb))
+                .nextOption().orNull
+              if (img == null || img.getWidth < 9 || img.getHeight < 8) {
+                nBad += 1
+                run = 0L
+                prevKey = null
+              } else {
+                val raster = img.getRaster
+                val (w, h, bands) =
+                  (img.getWidth, img.getHeight, raster.getNumBands)
+                var sum = 0L
+                var b = 0
+                while (b < bands) {
+                  var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) { sum += raster.getSample(x, y, b); x += 1 }
+                    y += 1
+                  }
+                  b += 1
+                }
+                val mean = sum / (w.toLong * h * bands)
+                if (mean < blackThreshold) nBlack += 1
+                val key = (dhashOfRaster(img), mean)
+                run = if (key == prevKey) run + 1 else 1L
+                prevKey = key
+                if (run > maxRun) maxRun = run
+              }
+            }
+            val n = frames.length.toLong
+            (id, true, n, nBad, maxRun, maxRun >= freezeRun, nBlack,
+              nBlack * 1000000L / n)
+          }
+        }
+      }
+      .toDF("media_id", "decoded", "n_frames", "n_undecoded",
+        "max_frozen_run", "frozen", "n_black", "black_ppm")
+  }
+
   /** Per-frame perceptual hashes — a video's SIGNATURE is the dHash
     * of each of its frames: walk the RIFF tree to LIST('movi')
     * ([[decodeVideoFrame]]'s container pass), decode EVERY frame

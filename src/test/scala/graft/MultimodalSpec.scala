@@ -271,6 +271,80 @@ class MultimodalSpec extends SparkSpec {
     assert(j.length == 1 && j.head.getLong(1) == -1L && !j.head.getBoolean(3))
   }
 
+  test("videoQuality: planted freeze run + black tail closed forms, dhash half of identity, junk, guards") {
+    // id 0: n=5, r=2 -> [200, 100, 100, f3=3, f4=4]: max run 2 (not
+    //   frozen at threshold 3), 2 near-black frames -> 400000 ppm
+    // id 7: n=8, r=3 -> run 3 (frozen), black 4 of 8 -> 500000 ppm
+    val got = Multimodal.videoQuality(
+        Multimodal.syntheticFreezeMjpegAvi(Seq(0L, 7L).toDF("id"), "id"),
+        blackThreshold = 16, freezeRun = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(got(0L) == ((true, 5L, 0L, 2L, false, 2L, 400000L)),
+      got(0L).toString)
+    assert(got(7L) == ((true, 8L, 0L, 3L, true, 4L, 500000L)),
+      got(7L).toString)
+    // frame identity is dHash AND mean: two same-mean frames with
+    // different block textures must NOT extend a run (a mean-only
+    // identity would see [A, B, B] as one 3-run)
+    def jpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpeg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(1.0f)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null),
+        params)
+      ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    def blockImg(v: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        72, 64, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (by <- 0 until 8; bx <- 0 until 9) {
+        val g = v(bx, by)
+        val rgb = (g << 16) | (g << 8) | g
+        for (y <- by * 8 until by * 8 + 8; x <- bx * 8 until bx * 8 + 8)
+          img.setRGB(x, y, rgb)
+      }
+      img
+    }
+    // A: 6 columns of 50 + 3 of 200 (mean 100, horizontal edges ->
+    // dhash != 0); B: 4 row-bands of 50 + 4 of 150 (mean 100, rows
+    // constant horizontally -> dhash 0)
+    val a = jpeg(blockImg((bx, _) => if (bx < 6) 50 else 200))
+    val bF = jpeg(blockImg((_, by) => if (by < 4) 50 else 150))
+    val abb = Seq((1L,
+      Multimodal.mjpegAviBytes(72, 64, Seq(a, bF, bF)), "video"))
+      .toDF("media_id", "payload", "modality")
+    val vq = Multimodal.videoQuality(abb, freezeRun = 2).collect().head
+    assert(vq.getLong(2) == 3L && vq.getLong(4) == 2L &&
+      vq.getBoolean(5), vq.toString)
+    // an undecodable frame breaks a run and counts as n_undecoded
+    val bjb = Seq((2L,
+      Multimodal.mjpegAviBytes(72, 64,
+        Seq(bF, Array[Byte](1, 2, 3), bF)), "video"))
+      .toDF("media_id", "payload", "modality")
+    val vj = Multimodal.videoQuality(bjb, freezeRun = 2).collect().head
+    assert(vj.getLong(2) == 3L && vj.getLong(3) == 1L &&
+      vj.getLong(4) == 1L && !vj.getBoolean(5), vj.toString)
+    // frameless junk degrades to one decoded = false row
+    val junk = Seq((7L, Array[Byte](9, 9, 9), "video")).toDF(
+      "media_id", "payload", "modality")
+    val j = Multimodal.videoQuality(junk).collect().head
+    assert(!j.getBoolean(1) && j.getLong(2) == 0L)
+    intercept[IllegalArgumentException] {
+      Multimodal.videoQuality(junk, blackThreshold = -1)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.videoQuality(junk, freezeRun = 1)
+    }
+  }
+
   test("audioQuality: pulse-WAV closed forms, junk excluded, threshold guard") {
     // id 0: n=256, a=1, amp=1000 -> peak 1000, silence (255e6)//256,
     //   no clipping (1000 < 20000)
