@@ -1332,4 +1332,175 @@ object EventStreams extends Serializable {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  case class KalmanGapsOut(event_type: String, ts: java.sql.Timestamp,
+      observed: Boolean, event_id: Long, x: Option[Long],
+      innovation: Option[Long], gain_ppm: Option[Long], level: Long,
+      p_var: Long)
+  case class KalmanGapsState(kal: KalmanState, anchorMs: Long,
+      nextMs: Long, buffered: Seq[Event])
+
+  /** One densified-grid Kalman catch-up, SHARED by the batch and
+    * streaming gap-aware forms — the
+    * [[graft.operators.TimeSeries.kalmanLocalLevelGaps]] semantics on
+    * events: walk grid points `startMs, startMs+stepMs, …` up to and
+    * including `upToMs`; a point with an observation folds the
+    * [[kalmanStep]] update (cents), a point without one is a
+    * PREDICT-ONLY step — the level carries, the variance grows by Q,
+    * and the row goes out with `observed = false` so uncertainty is
+    * visible downstream. Observations must sit on the grid and be
+    * unique per point (guarded loudly — a misaligned or duplicated
+    * timestamp means the upstream cadence aggregation is wrong);
+    * both variance paths guard the 9·10¹² overflow bound before any
+    * ·10⁶ multiply, the batch op's discipline. Returns the advanced
+    * state, the next unemitted grid point, and the rows. */
+  private def kalmanGapsFold(key: String, obs: Seq[Event],
+      st0: KalmanState, anchorMs: Long, startMs: Long, stepMs: Long,
+      upToMs: Long, qVar: Long, rVar: Long):
+      (KalmanState, Long, Seq[KalmanGapsOut]) = {
+    val byTs = scala.collection.mutable.LongMap.empty[Event]
+    obs.foreach { e =>
+      val t = e.ts.getTime
+      require((t - anchorMs) % stepMs == 0,
+        s"kalman gaps: observation at $t (key $key) is off the " +
+          s"$stepMs-ms grid anchored at $anchorMs — aggregate to the " +
+          "grid cadence first")
+      require(t >= startMs,
+        s"kalman gaps: observation at $t (key $key) is below the " +
+          s"already-sealed grid point $startMs")
+      require(!byTs.contains(t),
+        s"kalman gaps: duplicate observation at $t (key $key) — the " +
+          "grid needs one value per point")
+      byTs(t) = e
+    }
+    require(upToMs == Long.MinValue ||
+      (upToMs - startMs) / stepMs + 1 <= 500000L,
+      s"kalman gaps: ${(upToMs - startMs) / stepMs + 1} grid points " +
+        s"(key $key) exceed the 500k catch-up guard — coarsen the grid")
+    var st = st0
+    var o = startMs
+    val out = Seq.newBuilder[KalmanGapsOut]
+    while (o <= upToMs) {
+      byTs.get(o) match {
+        case Some(e) =>
+          if (st.n > 0L && st.p + qVar > 9000000000000L)
+            throw new IllegalArgumentException(
+              s"kalman gaps: predicted variance ${st.p + qVar} at $o " +
+                s"(key $key) exceeds the overflow-safe bound 9e12 " +
+                "after a long gap — coarsen the grid or lower Q")
+          val x = math.round(e.value * 100) // cents
+          val (s2, innov, gain) = kalmanStep(st, x, qVar, rVar)
+          val seeded = st.n == 0L
+          st = s2
+          out += KalmanGapsOut(key, e.ts, observed = true, e.event_id,
+            Some(x), if (seeded) Some(0L) else Some(innov),
+            if (seeded) Some(0L) else Some(gain), s2.l, s2.p)
+        case None =>
+          if (st.n > 0L) { // before the seed there is nothing to carry
+            val p2 = st.p + qVar
+            if (p2 > 9000000000000L)
+              throw new IllegalArgumentException(
+                s"kalman gaps: predicted variance $p2 at $o (key $key)" +
+                  " exceeds the overflow-safe bound 9e12 after a long " +
+                  "gap — coarsen the grid or lower Q")
+            st = KalmanState(st.l, p2, st.n)
+            out += KalmanGapsOut(key, new java.sql.Timestamp(o),
+              observed = false, -1L, None, None, None, st.l, p2)
+          }
+      }
+      o += stepMs
+    }
+    (st, o, out.result())
+  }
+
+  /** Batch twin of [[kalmanGapsStateful]]: per-type gap-aware Kalman
+    * filtering over a fixed event-time grid (anchored at each key's
+    * first observation, ending at its last) — a missing grid point is
+    * a predict-only step, so uncertainty honestly accumulates across
+    * gaps and the next observation earns a larger gain
+    * ([[graft.operators.TimeSeries.kalmanLocalLevelGaps]] is the same
+    * recurrence over an order column). Integer state, exact replay. */
+  def kalmanGapsResiduals(events: Dataset[Event],
+      stepMs: Long = 3600000L, qVar: Long = 10000L,
+      rVar: Long = 250000L): Dataset[KalmanGapsOut] = {
+    require(stepMs > 0L, s"stepMs must be > 0 (got $stepMs)")
+    require(qVar > 0L && rVar > 0L && qVar + rVar <= 9000000000000L,
+      s"need 0 < qVar, 0 < rVar, qVar + rVar <= 9e12 (got $qVar, $rVar)")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type).flatMapGroups { (k, it) =>
+      val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      if (evs.isEmpty) Iterator.empty
+      else {
+        val anchor = evs.head.ts.getTime
+        kalmanGapsFold(k, evs, KalmanState(0L, 0L, 0L), anchor, anchor,
+          stepMs, evs.last.ts.getTime, qVar, rVar)._3.iterator
+      }
+    }
+  }
+
+  /** Streaming GAP-AWARE Kalman filter — the online form of
+    * [[kalmanGapsResiduals]] and the piece a fixed-α smoother cannot
+    * give a monitoring pipeline: when a key goes SILENT, the
+    * event-time TIMEOUT fires as the watermark passes each unobserved
+    * grid point and emits a predict-only row — the level carries, the
+    * variance grows by Q online, and the next observation earns a
+    * correspondingly larger gain. State is the Kalman triple plus the
+    * grid anchor and next unemitted point; the usual watermark
+    * discipline applies (buffer the unsealed tail, dedupe in-window
+    * redeliveries by event_id, drop below-watermark stragglers).
+    * Sealed output through each key's last observation equals the
+    * batch twin EXACTLY (`evt_kalman_gaps_replay` pins it); past the
+    * last observation the stream keeps predicting until the key's
+    * state is dropped — the honest online semantics, since no online
+    * operator can know an observation was the last. */
+  def kalmanGapsStateful(events: Dataset[Event],
+      stepMs: Long = 3600000L, qVar: Long = 10000L,
+      rVar: Long = 250000L,
+      watermark: String = "2 hours"): Dataset[KalmanGapsOut] = {
+    require(stepMs > 0L, s"stepMs must be > 0 (got $stepMs)")
+    require(qVar > 0L && rVar > 0L && qVar + rVar <= 9000000000000L,
+      s"need 0 < qVar, 0 < rVar, qVar + rVar <= 9e12 (got $qVar, $rVar)")
+    import events.sparkSession.implicits._
+
+    def fn(key: String, rows: Iterator[Event],
+        state: GroupState[KalmanGapsState]): Iterator[KalmanGapsOut] = {
+      val prior = state.getOption.getOrElse(KalmanGapsState(
+        KalmanState(0L, 0L, 0L), Long.MinValue, Long.MinValue, Seq.empty))
+      val wmMs = state.getCurrentWatermarkMs()
+      val fresh = rows.filter(_.ts.getTime > wmMs).toSeq
+      val (ripe, open) = (prior.buffered ++ fresh)
+        .distinctBy(_.event_id)
+        .partition(_.ts.getTime <= wmMs)
+      val sorted = ripe.sortBy(e => (e.ts.getTime, e.event_id))
+      val anchor =
+        if (prior.anchorMs != Long.MinValue) prior.anchorMs
+        else if (sorted.nonEmpty) sorted.head.ts.getTime
+        else Long.MinValue
+      if (anchor == Long.MinValue) {
+        // nothing sealed yet for this key — buffer and wait
+        state.update(prior.copy(buffered = open))
+        if (open.nonEmpty)
+          state.setTimeoutTimestamp(open.map(_.ts.getTime).min + 1)
+        Iterator.empty
+      } else {
+        val start = if (prior.nextMs != Long.MinValue) prior.nextMs
+          else anchor
+        val (st, next, out) = kalmanGapsFold(key, sorted, prior.kal,
+          anchor, start, stepMs, wmMs, qVar, rVar)
+        state.update(KalmanGapsState(st, anchor, next, open))
+        // wake at whichever seals first: the next grid point (gap
+        // emission for a silent key) or the earliest buffered event
+        val wake = math.min(next,
+          open.map(_.ts.getTime).reduceOption(_ min _)
+            .getOrElse(Long.MaxValue))
+        state.setTimeoutTimestamp(wake + 1)
+        out.iterator
+      }
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 }

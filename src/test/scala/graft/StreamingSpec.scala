@@ -956,6 +956,81 @@ class StreamingSpec extends SparkSpec {
     assert(stream(3L) == ((1000000L, 333334L, 625000L, 874999L, 625000L)))
   }
 
+  test("kalmanGapsStateful == kalmanGapsResiduals; timeouts emit predict-only rows online; guards") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1700000000000L
+    val H = 3600000L
+    def ev(id: Long, h: Long, v: Double) =
+      Event(id, new Timestamp(t0 + h * H), 1L, "m", v)
+    // observations at hours 0, 2, 3 (hour 1 is a gap), Q = R = 1e6
+    // cents: seed (l=0, p=1e6); gap h1 (l=0, p=2e6); h2 pp=3e6 ->
+    // gain 750000, l=750000, p=750000; h3 pp=1750000 -> gain 636363,
+    // e=250000, l=909090, p=636364 (the TimeSeriesSpec gaps algebra)
+    val evs = Seq(ev(1, 0, 0.0), ev(2, 2, 10000.0), ev(3, 3, 10000.0))
+    val flush = Event(-1L, new Timestamp(t0 + 102 * H), -1L, "__flush", 0.0)
+    val mem = MemoryStream[Event]
+    val q = EventStreams.kalmanGapsStateful(mem.toDS(), stepMs = H,
+        qVar = 1000000L, rVar = 1000000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("kgaps_sink").start()
+    try {
+      mem.addData(Seq(evs(0), evs(1)))
+      q.processAllAvailable()
+      mem.addData(Seq(evs(2)))
+      q.processAllAvailable()
+      mem.addData(Seq(evs(1))) // in-window duplicate — must absorb
+      q.processAllAvailable()
+      mem.addData(Seq(flush)) // watermark to t0 + 100h
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("kgaps_sink").collect()
+      .map(r => r.getTimestamp(1).getTime -> ((r.getBoolean(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Long]),
+        Option(r.get(6)).map(_.asInstanceOf[Long]),
+        r.getLong(7), r.getLong(8)))).toMap
+    // observed rows exactly the hand fold
+    assert(rows(t0) ==
+      ((true, 1L, Some(0L), Some(0L), Some(0L), 0L, 1000000L)))
+    assert(rows(t0 + 2 * H) == ((true, 2L, Some(1000000L),
+      Some(1000000L), Some(750000L), 750000L, 750000L)))
+    assert(rows(t0 + 3 * H) == ((true, 3L, Some(1000000L),
+      Some(250000L), Some(636363L), 909090L, 636364L)))
+    // the in-between gap is a predict-only row
+    assert(rows(t0 + H) == ((false, -1L, None, None, None, 0L, 2000000L)))
+    // ONLINE gap emission: after the flush the watermark sits at
+    // t0+100h, so hours 4..100 must have been emitted by event-time
+    // TIMEOUT — 97 predict-only rows, level carried, variance growing
+    // by Q per silent hour
+    assert(rows.size == 101, s"got ${rows.size} rows")
+    val gaps = rows.filter(!_._2._1)
+    assert(gaps.size == 98)
+    assert(rows(t0 + 100 * H) ==
+      ((false, -1L, None, None, None, 909090L, 97636364L)))
+    // sealed rows through the last observation == the batch twin
+    val batch = EventStreams.kalmanGapsResiduals(evs.toDS(), stepMs = H,
+        qVar = 1000000L, rVar = 1000000L)
+      .collect().map(o => o.ts.getTime -> ((o.observed, o.event_id,
+        o.x, o.innovation, o.gain_ppm, o.level, o.p_var))).toMap
+    assert(batch.size == 4)
+    assert(batch.forall { case (k, v) => rows(k) == v })
+    // guards: off-grid observation; duplicate grid point; entry bound
+    val off = Seq(ev(1, 0, 0.0),
+      Event(9, new Timestamp(t0 + 90 * 60000L), 1L, "m", 1.0))
+    val e1 = intercept[org.apache.spark.SparkException] {
+      EventStreams.kalmanGapsResiduals(off.toDS(), stepMs = H).collect()
+    }
+    assert(e1.getMessage.contains("off the"), e1.getMessage)
+    val dup = Seq(ev(1, 0, 0.0), ev(2, 0, 1.0))
+    val e2 = intercept[org.apache.spark.SparkException] {
+      EventStreams.kalmanGapsResiduals(dup.toDS(), stepMs = H).collect()
+    }
+    assert(e2.getMessage.contains("duplicate observation"), e2.getMessage)
+    intercept[IllegalArgumentException] {
+      EventStreams.kalmanGapsResiduals(dup.toDS(), stepMs = 0L)
+    }
+  }
+
   test("ewmaAnomaliesStateful absorbs an IN-WINDOW redelivery: one output row per event_id") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val t0 = 1700000000000L
