@@ -784,6 +784,157 @@ object TimeSeries {
       .withColumn("differencing_wins", col("mase_ppm") < 1000000L)
   }
 
+  /** SEASONAL ARIMA(p,0,0)×(0,1,0)_period via seasonal differencing —
+    * the member [[arimaForecast]] lacks when the series repeats
+    * rather than trends: fit the AR(p) on the SEASONAL differences
+    * `d_t = x_t − x_{t−period}` (a daily-cycled hourly series violates
+    * AR's stationarity premise; its day-over-day changes don't),
+    * forecast the differences h steps ahead, then integrate back onto
+    * the last `period` observed levels — step h lands on seasonal
+    * slot `((h−1) mod period) + 1`, so its level is
+    * `10⁶·x_{n−period+slot}` plus the cumulative sum of the diff
+    * forecasts IN ITS SLOT (one window partitioned by slot; for
+    * `horizon ≤ period` each slot holds one step and the integration
+    * is a single exact addition). The machinery is [[arForecast]]
+    * verbatim on the seasonal-diff series, so the oracle replays it
+    * with one seasonal-diff CTE and one slot-partitioned window.
+    *
+    * Exactness: the seasonal diff is an exact long subtraction;
+    * integration is exact long addition onto 10⁶·x (each base level
+    * loudly bounded at 9·10¹²). Returns per step 1..horizon: (step,
+    * n_obs = level count, phi*_micros of the seasonal-diff fit,
+    * diff_forecast_micros, forecast_micros, lb_q_micros, lb_rejected).
+    * SIDE-EFFECTING like [[arForecast]] (acf + tail collects, plus
+    * the period-row seasonal-base lookup). */
+  def sarimaForecast(df: DataFrame, orderExpr: Column,
+      valueExpr: Column, period: Int = 24, p: Int = 3,
+      horizon: Int = 12, lbLags: Int = 12,
+      chi2CritMicros: Long = 16919000L): DataFrame = {
+    require(period >= 2 && period <= 100000,
+      s"period must be in [2, 100000] (got $period)")
+    val base = df.select(orderExpr.as("__o"),
+        valueExpr.cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+      .withColumn("__i", row_number().over(
+        Window.orderBy(col("__o"))).cast("long"))
+      .select(col("__i"), col("__x"))
+      .localCheckpoint(true) // diff scan + seasonal-base lookup
+    val n = base.count()
+    require(n > period,
+      s"series has $n points — need more than period=$period to " +
+        "seasonally difference")
+    // the last `period` levels anchor the integration, one per slot
+    val baseVals = base.filter(col("__i") > n - period)
+      .collect().map(r => (r.getLong(0) - (n - period), r.getLong(1)))
+    baseVals.foreach { case (slot, x) =>
+      require(math.abs(x) <= 9000000000000L,
+        s"sarimaForecast: |level| ${math.abs(x)} at seasonal slot " +
+          s"$slot exceeds the overflow-safe bound 9e12 for the " +
+          "10⁶·x integration base — quantize the series coarser")
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sdiffs = base
+      .withColumn("__d", col("__x") -
+        lag(col("__x"), period).over(Window.orderBy(col("__i"))))
+      .filter(col("__d").isNotNull)
+      .select(col("__i"), col("__d"))
+    val fc = arForecast(sdiffs, col("__i"), col("__d"), p, horizon,
+      lbLags, chi2CritMicros)
+    val slots = baseVals.toSeq.toDF("__slot", "__xbase")
+    val wSeas = Window.partitionBy(col("__slot")).orderBy(col("step"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val phiCols = (1 to p).map(j => col(s"phi${j}_micros"))
+    fc.withColumnRenamed("forecast_micros", "diff_forecast_micros")
+      .withColumn("__slot", (col("step") - 1) % period + 1)
+      .join(broadcast(slots), "__slot")
+      .select(Seq(col("step"), lit(n).cast("bigint").as("n_obs")) ++
+        phiCols ++ Seq(
+        col("diff_forecast_micros"),
+        (col("__xbase") * 1000000L +
+          sum(col("diff_forecast_micros")).over(wSeas)).cast("bigint")
+          .as("forecast_micros"),
+        col("lb_q_micros"), col("lb_rejected")): _*)
+      .orderBy(col("step"))
+  }
+
+  /** Three-way AR / ARIMA / SARIMA model selection — [[arimaVsAr]]
+    * extended with the seasonal candidate: fit the shared Yule–Walker
+    * core on the levels, the first differences, AND the seasonal
+    * differences at `period` (feed it the [[autocorrelation]] argmax
+    * — the ts_dominant_period answer — and the pick consumes the
+    * measured seasonality instead of a guess), score each by its
+    * in-sample one-step MAE ON THE LEVEL SCALE (a differenced model's
+    * one-step level error IS its diff-fit residual), and report which
+    * model explains the series best — ties go to the simpler model
+    * (AR over ARIMA over SARIMA), since equal error never justifies
+    * extra differencing.
+    *
+    * Exactness: three stampings of the [[arimaVsAr]] integer
+    * machinery (each MAE one truncating DECIMAL division, each ratio
+    * one more, NULL on a perfect AR fit — never a division error).
+    * SIDE-EFFECTING (three fits' stats + acf collects).
+    *
+    * Returns 1 row: (n_levels, n_diffs, n_sdiffs, p, period,
+    * mae_ar_micros, mae_arima_micros, mae_sarima_micros,
+    * mase_arima_ppm, mase_sarima_ppm, best_model). */
+  def modelSelect(df: DataFrame, orderExpr: Column, valueExpr: Column,
+      p: Int = 3, period: Int = 24): DataFrame = {
+    require(p >= 1 && p <= 10, s"p must be in [1, 10] (got $p)")
+    require(period >= 2 && period <= 100000,
+      s"period must be in [2, 100000] (got $period)")
+    val base = df.select(orderExpr.as("__o"),
+        valueExpr.cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+      .withColumn("__i", row_number().over(
+        Window.orderBy(col("__o"))).cast("long"))
+      .select(col("__i"), col("__x"))
+      .localCheckpoint(true) // level fit + two diff scans
+    val (nl, sl, phiL) = fitArPhiMicros(base, p, minBeyondP = 2,
+      needText = s"AR($p) on the levels plus a comparison window")
+    val (_, residL) = arResiduals(base, nl, sl, phiL, p)
+    def diffSeries(lagN: Int): DataFrame = base
+      .withColumn("__d", col("__x") -
+        lag(col("__x"), lagN).over(Window.orderBy(col("__i"))))
+      .filter(col("__d").isNotNull)
+      .select(col("__i"), col("__d").as("__x"))
+      .localCheckpoint(true)
+    val diffs = diffSeries(1)
+    val (nd, sd, phiD) = fitArPhiMicros(diffs, p, minBeyondP = 1,
+      needText = s"AR($p) on the differences")
+    val (_, residD) = arResiduals(diffs, nd, sd, phiD, p)
+    val sdiffs = diffSeries(period)
+    val (ns, ss, phiS) = fitArPhiMicros(sdiffs, p, minBeyondP = 1,
+      needText = s"AR($p) on the seasonal differences at $period")
+    val (_, residS) = arResiduals(sdiffs, ns, ss, phiS, p)
+    def mae(resid: DataFrame, n: Long, mName: String, maeName: String) =
+      resid.agg(count(lit(1)).cast("bigint").as(mName),
+        expr(s"CAST(CAST(sum(abs(__e)) AS DECIMAL(38,0)) * 1000000" +
+          s" div (count(*) * ${n}L) AS BIGINT)").as(maeName))
+    mae(residL, nl, "__ml", "mae_ar_micros")
+      .crossJoin(mae(residD, nd, "__md", "mae_arima_micros")) // 1x1
+      .crossJoin(mae(residS, ns, "__ms", "mae_sarima_micros")) // 1x1
+      .select(lit(nl).cast("bigint").as("n_levels"),
+        lit(nd).cast("bigint").as("n_diffs"),
+        lit(ns).cast("bigint").as("n_sdiffs"),
+        lit(p).cast("bigint").as("p"),
+        lit(period).cast("bigint").as("period"),
+        col("mae_ar_micros"), col("mae_arima_micros"),
+        col("mae_sarima_micros"),
+        expr("CAST(CAST(mae_arima_micros AS DECIMAL(38,0)) * 1000000" +
+          " div nullif(mae_ar_micros, 0) AS BIGINT)")
+          .as("mase_arima_ppm"),
+        expr("CAST(CAST(mae_sarima_micros AS DECIMAL(38,0)) * 1000000" +
+          " div nullif(mae_ar_micros, 0) AS BIGINT)")
+          .as("mase_sarima_ppm"))
+      .withColumn("best_model",
+        when(col("mae_ar_micros") <= col("mae_arima_micros") &&
+          col("mae_ar_micros") <= col("mae_sarima_micros"), "ar")
+          .when(col("mae_arima_micros") <= col("mae_sarima_micros"),
+            "arima")
+          .otherwise("sarima"))
+  }
+
   /** Holt double-exponential (level + trend) smoothing forecast — the
     * capacity-planning workhorse one notch above a moving average:
     * per key, fold the series in order through the integer recurrence

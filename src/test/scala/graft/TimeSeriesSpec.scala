@@ -746,6 +746,98 @@ class TimeSeriesSpec extends SparkSpec {
     assert(eBig.getMessage.contains("overflow-safe"), eBig.getMessage)
   }
 
+  test("sarimaForecast: seasonal-diff fit matches arForecast; slot integration exact; guards") {
+    // levels are seeded (100, 200, 300, 400) then x_i = x_{i-4} + d,
+    // d cycling 10/20/30 — so the PERIOD-4 seasonal diffs are exactly
+    // the arForecast test's period-3 cycle, and each forecast step h
+    // integrates onto slot base x_{30+((h-1)%4)+1} plus the cumulative
+    // diff forecasts of its own slot (steps 5, 6 reuse slots 1, 2)
+    val d = (0 until 30).map(i => Seq(10L, 20L, 30L)(i % 3))
+    val seeds = Seq(100L, 200L, 300L, 400L)
+    val levels = (0 until 30).foldLeft(seeds)((acc, j) =>
+      acc :+ (acc(j) + d(j))) // x_{j+5} = x_{j+1} + d_j (1-based)
+    assert(levels.size == 34)
+    val df = levels.zipWithIndex.map { case (v, i) => (i.toLong + 1L, v) }
+      .toDF("o", "x")
+    val got = TimeSeries.sarimaForecast(df, $"o", $"x", period = 4,
+      p = 3, horizon = 6, lbLags = 6).collect()
+    assert(got.length == 6)
+    val ar = TimeSeries.arForecast(
+        d.zipWithIndex.map { case (v, i) => (i.toLong + 1L, v) }
+          .toDF("o", "x"), $"o", $"x", p = 3, horizon = 6, lbLags = 6)
+      .collect()
+    (got zip ar).foreach { case (g, a) =>
+      assert(g.getLong(0) == a.getLong(0)) // step
+      assert(g.getLong(2) == a.getLong(2) && g.getLong(3) == a.getLong(3)
+        && g.getLong(4) == a.getLong(4)) // phi1..3 of the diff fit
+      assert(g.getLong(5) == a.getLong(5),
+        s"diff forecast ${g.getLong(5)} != AR ${a.getLong(5)}")
+      assert(g.getLong(7) == a.getLong(6)) // lb_q
+    }
+    assert(got.head.getLong(1) == 34L) // n_obs counts LEVELS
+    // integration: slot-partitioned exact cumulative addition
+    val dHat = got.map(g => g.getLong(0) -> g.getLong(5)).toMap
+    got.foreach { g =>
+      val h = g.getLong(0)
+      val slot = ((h - 1) % 4 + 1).toInt
+      val base = levels(30 + slot - 1) * 1000000L
+      val cum = (1L to h).filter(j => (j - 1) % 4 + 1 == slot)
+        .map(dHat).sum
+      assert(g.getLong(6) == base + cum,
+        s"step $h: ${g.getLong(6)} != ${base + cum}")
+    }
+    // guards: period bound; series not longer than the period; a
+    // seasonal base level past the 9e12 integration bound
+    intercept[IllegalArgumentException] {
+      TimeSeries.sarimaForecast(df, $"o", $"x", period = 1)
+    }
+    val short = (1 to 4).map(i => (i.toLong, i * 10L)).toDF("o", "x")
+    val eShort = intercept[IllegalArgumentException] {
+      TimeSeries.sarimaForecast(short, $"o", $"x", period = 4)
+    }
+    assert(eShort.getMessage.contains("seasonally difference"),
+      eShort.getMessage)
+    val big = levels.zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1L, v + 9000000000001L) }.toDF("o", "x")
+    val eBig = intercept[IllegalArgumentException] {
+      TimeSeries.sarimaForecast(big, $"o", $"x", period = 4)
+    }
+    assert(eBig.getMessage.contains("overflow-safe"), eBig.getMessage)
+  }
+
+  test("modelSelect: seasonal integrated series picks sarima; counts and ratios consistent") {
+    // the sarimaForecast fixture: levels repeat a period-4 seasonal
+    // walk whose seasonal diffs are a clean period-3 cycle — the
+    // seasonal-diff AR(3) fit is near-perfect while levels and first
+    // diffs are not, so sarima must win the three-way pick
+    val d = (0 until 30).map(i => Seq(10L, 20L, 30L)(i % 3))
+    val seeds = Seq(100L, 200L, 300L, 400L)
+    val levels = (0 until 30).foldLeft(seeds)((acc, j) =>
+      acc :+ (acc(j) + d(j)))
+    val df = levels.zipWithIndex.map { case (v, i) => (i.toLong + 1L, v) }
+      .toDF("o", "x")
+    val r = TimeSeries.modelSelect(df, $"o", $"x", p = 3, period = 4)
+      .collect().head
+    assert(r.getLong(0) == 34L && r.getLong(1) == 33L &&
+      r.getLong(2) == 30L && r.getLong(3) == 3L && r.getLong(4) == 4L,
+      r.toString)
+    val (maeAr, maeArima, maeSarima) =
+      (r.getLong(5), r.getLong(6), r.getLong(7))
+    assert(maeSarima < maeAr && maeSarima < maeArima, r.toString)
+    assert(r.getString(10) == "sarima", r.toString)
+    // ratios are the exact truncating divisions of the reported MAEs
+    assert(r.getLong(8) ==
+      (BigInt(maeArima) * 1000000 / maeAr).toLong, r.toString)
+    assert(r.getLong(9) ==
+      (BigInt(maeSarima) * 1000000 / maeAr).toLong, r.toString)
+    intercept[IllegalArgumentException] {
+      TimeSeries.modelSelect(df, $"o", $"x", p = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.modelSelect(df, $"o", $"x", period = 1)
+    }
+  }
+
   test("arimaVsAr: differencing wins on an integrated cycle; ratio exactly consistent") {
     // levels = running sum of the period-3 cycle: the DIFF series is
     // the pure cycle (AR(3) nails it), the level series trends (AR
