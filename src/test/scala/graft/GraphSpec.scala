@@ -457,6 +457,42 @@ class GraphSpec extends SparkSpec {
     assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
   }
 
+  test("pageRankWeighted: two-edge split closed form, parallel-edge merge, junk weights dropped") {
+    // a -> b at weight 3, a -> c at weight 1: b gets 3/4 of a's rank
+    //   iter 1: contrib(b) = (1e9*3) div 4 = 750000000 ->
+    //     rank(b) = 150000000 + 637500000 = 787500000;
+    //     contrib(c) = 250000000 -> rank(c) = 362500000;
+    //     rank(a) = 150000000 (no in-edges)
+    //   iter 2: a's 150000000 splits 112500000 / 37500000 ->
+    //     rank(b) = 245625000, rank(c) = 181875000
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L)).toDF("src", "dst", "w")
+    val g1 = Graph.pageRankWeighted(edges, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g1 == Map("a" -> 150000000L, "b" -> 787500000L,
+      "c" -> 362500000L), g1.toString)
+    val g2 = Graph.pageRankWeighted(edges, iters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g2 == Map("a" -> 150000000L, "b" -> 245625000L,
+      "c" -> 181875000L), g2.toString)
+    // parallel edges merge by exact weight sum: (1 + 2) == 3
+    val par = Seq(("a", "b", 1L), ("a", "b", 2L), ("a", "c", 1L))
+      .toDF("src", "dst", "w")
+    val gp = Graph.pageRankWeighted(par, iters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gp == g2, s"parallel-edge merge: $gp != $g2")
+    // NULL and non-positive weights are dropped, self-loops too
+    val junk = Seq(("a", "b", Some(3L)), ("a", "c", Some(1L)),
+      ("a", "d", Some(0L)), ("a", "e", Option.empty[Long]),
+      ("a", "f", Some(-5L)), ("a", "a", Some(9L)))
+      .toDF("src", "dst", "w")
+    val gj = Graph.pageRankWeighted(junk, iters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gj == g2, s"junk weights must drop: $gj != $g2")
+    intercept[IllegalArgumentException] {
+      Graph.pageRankWeighted(edges, iters = 0)
+    }
+  }
+
   test("pageRankPersonalized: mass stays near the seed, unreachable = 0") {
     // directed: seed 1 -> 2 -> 3, and an isolated-from-seed edge 8 -> 9
     val edges = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("src", "dst")
