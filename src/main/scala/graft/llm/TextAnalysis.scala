@@ -974,6 +974,54 @@ object TextAnalysis {
       .toDF("doc_id", "raw_bytes", "deflate_bytes", "ratio_ppm")
   }
 
+  /** Cross-document BOILERPLATE line detection — the cleanup pass a
+    * crawl corpus needs before any quality scoring: a line that
+    * appears verbatim in at least `minDocs` DISTINCT documents
+    * (navigation, footers, cookie banners, license headers) carries
+    * no per-document signal and poisons n-gram statistics. Per
+    * document: exact line count, boilerplate-line count, truncating
+    * boilerplate ppm, and the character mass that SURVIVES removal
+    * (the cleaned-size budget a downstream tokenizer sees). Empty
+    * lines are never boilerplate (they appear everywhere by
+    * construction and removing them is a formatting choice, not a
+    * dedup decision).
+    *
+    * Scale: the [[graft.llm.Dedup]] fingerprint posture — the census
+    * shuffles (xxhash64-pair, doc_id) = 24 bytes/row, never the line
+    * text; the per-doc pass joins lines against the (typically tiny,
+    * broadcastable) boilerplate set by fingerprint. A 128-bit pair
+    * collision would surface as an oracle hash mismatch, not silent
+    * wrongness (the oracle censuses the raw lines). */
+  def boilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 5): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs)")
+    val lines = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(split(coalesce(col(textCol).cast("string"), lit("")),
+          "\n", -1)).as("line"))
+      .withColumn("fp", xxhash64(col("line")))
+      .withColumn("fp2", xxhash64(col("line"), lit(1)))
+    val boiler = lines
+      .filter(length(col("line")) > 0)
+      .select(col("fp"), col("fp2"), col("doc_id")).distinct()
+      .groupBy(col("fp"), col("fp2"))
+      .agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("fp"), col("fp2"), lit(true).as("__boiler"))
+    lines.join(boiler, Seq("fp", "fp2"), "left")
+      .withColumn("__is_boiler",
+        coalesce(col("__boiler"), lit(false)) && length(col("line")) > 0)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__is_boiler"), 1L).otherwise(0L))
+          .as("n_boilerplate"),
+        sum(when(!col("__is_boiler"), length(col("line")).cast("long"))
+          .otherwise(0L)).as("kept_chars"))
+      .select(col("doc_id"), col("n_lines"), col("n_boilerplate"),
+        expr("n_boilerplate * 1000000L div n_lines")
+          .as("boilerplate_ppm"),
+        col("kept_chars"))
+  }
+
   def codeScore(df: DataFrame, idCol: String, textCol: String,
       thresholdPpm: Long = 120000L): DataFrame = {
     val txt = col("__txt")

@@ -619,6 +619,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("boilerplateLines: cross-doc census, duplicate lines in ONE doc don't count, empties never boiler") {
+    import spark.implicits._
+    // "FOOT" is in 4 distinct docs (boiler at minDocs=4); "NAV" in 3
+    // (not); doc 5 repeats "SOLO" three times IN THE SAME DOC (distinct
+    // doc count 1 — must not count); empty lines are never boilerplate
+    val docs = Seq(
+      (1L, "NAV\nbody one\nFOOT"),
+      (2L, "NAV\n\nbody two\nFOOT"),
+      (3L, "NAV\nbody three\nFOOT"),
+      (4L, "body four\nFOOT"),
+      (5L, "SOLO\nSOLO\nSOLO")).toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis
+      .boilerplateLines(docs, "doc_id", "text", minDocs = 4)
+      .orderBy(col("doc_id")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    // doc 1: 3 lines, FOOT boiler -> ppm 1e6/3 = 333333,
+    //   kept = len(NAV) + len(body one) = 3 + 8 = 11
+    assert(got(1L) == ((3L, 1L, 333333L, 11L)), got(1L).toString)
+    // doc 2: 4 lines (one empty), kept = 3 + 0 + 8 = 11
+    assert(got(2L) == ((4L, 1L, 250000L, 11L)), got(2L).toString)
+    assert(got(3L) == ((3L, 1L, 333333L, 13L)), got(3L).toString)
+    assert(got(4L) == ((2L, 1L, 500000L, 9L)), got(4L).toString)
+    // doc 5: SOLO repeats within one doc only -> nothing is boiler
+    assert(got(5L) == ((3L, 0L, 0L, 12L)), got(5L).toString)
+    // at minDocs=3 NAV joins the boilerplate set
+    val g3 = graft.llm.TextAnalysis
+      .boilerplateLines(docs, "doc_id", "text", minDocs = 3)
+      .orderBy(col("doc_id")).collect()
+    assert(g3(0).getLong(2) == 2L && g3(0).getLong(4) == 8L)
+    intercept[IllegalArgumentException] {
+      graft.llm.TextAnalysis.boilerplateLines(docs, "doc_id", "text",
+        minDocs = 1)
+    }
+  }
+
   test("heapsLaw: hand curve on 4 docs, quantized-OLS beta, degenerate grid gives NULL beta") {
     import spark.implicits._
     val docs = Seq((0L, "a b c"), (1L, "a b"), (2L, "a d"), (3L, "e"))
