@@ -1417,4 +1417,62 @@ object Quality {
     }
     pairs.reduce(_.unionByName(_)).orderBy(col("lhs"), col("rhs"))
   }
+
+  /** Candidate-KEY discovery over a declared panel — the uniqueness
+    * face of [[fdDiscovery]] (an FD says a column DETERMINES another;
+    * a key says it determines the whole row): for every single column
+    * and every unordered pair, the exact distinct-combination count,
+    * the duplicate-row mass `n − n_distinct` (how many rows a dedup
+    * on that key would drop), the truncating uniqueness ppm, and the
+    * is_key verdict at zero duplicates — plus `is_minimal` for pairs
+    * (a pair key is only interesting if NEITHER column is a key
+    * alone). NULLs count as ordinary values (one NULL group — the
+    * grouping semantics both engines share), so a nullable "key"
+    * with two NULL rows is correctly NOT a key.
+    *
+    * Returns one row per candidate:
+    * (key_cols — comma-joined in panel order, width, n_rows,
+    * n_distinct, dup_rows, uniqueness_ppm, is_key, is_minimal).
+    *
+    * Scale: k + k·(k−1)/2 independent hash-aggs over the same scan,
+    * columns pruned per candidate — the [[fdDiscovery]] posture and
+    * the same 8-column loud cap (pre-filter candidates with
+    * dq_profile's distinct counts at 100 TB). */
+  def keyDiscovery(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least 1 column")
+    require(cols.distinct.size == cols.size,
+      s"duplicate columns in panel: ${cols.mkString(", ")}")
+    require(cols.size <= 8,
+      s"panel capped at 8 columns (${cols.size} requested) — " +
+        "discovery is quadratic; pre-filter candidates")
+    val tot = df.agg(count(lit(1)).as("n_rows"))
+    def candidate(cs: Seq[String]): DataFrame =
+      df.groupBy(cs.map(col): _*).agg(count(lit(1)).as("__c"))
+        .agg(count(lit(1)).as("__nd"))
+        .crossJoin(tot) // 1-row total
+        .select(lit(cs.mkString(",")).as("key_cols"),
+          lit(cs.size).cast("bigint").as("width"),
+          col("n_rows").cast("bigint").as("n_rows"),
+          col("__nd").cast("bigint").as("n_distinct"),
+          (col("n_rows") - col("__nd")).cast("bigint").as("dup_rows"),
+          expr("CAST(__nd * 1000000L div n_rows AS BIGINT)")
+            .as("uniqueness_ppm"),
+          (col("n_rows") === col("__nd")).as("is_key"))
+    val singles = cols.map(c => candidate(Seq(c)))
+    // a single is a minimal key iff it is a key; a pair is MINIMAL
+    // only if NEITHER member is a key alone. The single-column
+    // verdicts are a panel-scale lookup — SIDE-EFFECTING collect, the
+    // fitted-lookup posture the fd/ar family shares.
+    val keySingles = singles.reduce(_.unionByName(_))
+      .filter(col("is_key")).select(col("key_cols")).collect()
+      .map(_.getString(0)).toSet
+    val rows =
+      singles.map(_.withColumn("is_minimal", col("is_key"))) ++ (for {
+        i <- cols.indices; j <- cols.indices if i < j
+        pair = Seq(cols(i), cols(j))
+      } yield candidate(pair).withColumn("is_minimal",
+        col("is_key") && lit(!pair.exists(keySingles.contains))))
+    rows.reduce(_.unionByName(_))
+      .orderBy(col("width"), col("key_cols"))
+  }
 }

@@ -813,4 +813,41 @@ class QualitySpec extends SparkSpec {
       Quality.fdDiscovery(df, (1 to 9).map("c" + _))
     }
   }
+
+  test("keyDiscovery: singles + pairs census, NULL groups count, superkeys are non-minimal") {
+    // id unique (a key); a = {x,x,y,y}; b = {1,2,NULL,NULL} — the
+    // NULL group makes b's census 3, not 2 (count-distinct would lie)
+    val df = Seq((1L, "x", Option(1L)), (2L, "x", Option(2L)),
+      (3L, "y", Option.empty[Long]), (4L, "y", Option.empty[Long]))
+      .toDF("id", "a", "b")
+    val got = Quality.keyDiscovery(df, Seq("id", "a", "b")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6),
+        r.getBoolean(7)))).toMap
+    assert(got.size == 6)
+    assert(got("id") == ((1L, 4L, 4L, 0L, 1000000L, true, true)))
+    assert(got("a") == ((1L, 4L, 2L, 2L, 500000L, false, false)))
+    assert(got("b") == ((1L, 4L, 3L, 1L, 750000L, false, false)))
+    // pairs containing the key are keys but NOT minimal
+    assert(got("id,a") == ((2L, 4L, 4L, 0L, 1000000L, true, false)))
+    assert(got("id,b") == ((2L, 4L, 4L, 0L, 1000000L, true, false)))
+    // (a, b): combos (x,1) (x,2) (y,NULL) (y,NULL) -> 3 distinct
+    assert(got("a,b") == ((2L, 4L, 3L, 1L, 750000L, false, false)))
+    // a genuinely MINIMAL pair key: neither column is a key alone
+    val grid = Seq((1L, "x", 1L), (2L, "x", 2L), (3L, "y", 1L),
+      (4L, "y", 2L)).toDF("id", "a", "b")
+    val gm = Quality.keyDiscovery(grid, Seq("a", "b")).collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(6), r.getBoolean(7))))
+      .toMap
+    assert(gm("a,b") == ((true, true)), gm.toString)
+    intercept[IllegalArgumentException] {
+      Quality.keyDiscovery(df, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Quality.keyDiscovery(df, Seq("a", "a"))
+    }
+    intercept[IllegalArgumentException] {
+      Quality.keyDiscovery(df, (1 to 9).map("c" + _))
+    }
+  }
 }
