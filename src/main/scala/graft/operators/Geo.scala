@@ -77,6 +77,36 @@ object Geo {
       .select(col("a_id").as(aIdCol), col("b_id").as(bIdCol), col("dist2"))
   }
 
+  /** Nearest neighbor WITHIN a radius cap — the lookup
+    * [[radiusJoin]]'s pair dump doesn't answer directly: for each
+    * a-point, its single closest b-point by exact squared Euclidean
+    * distance, ties broken by smallest b id (deterministic — two
+    * engines agree). The cap is the honest distributed contract: an
+    * UNCAPPED global nearest neighbor degenerates to all-pairs for
+    * isolated points, while "nearest within r, else NULL" is one
+    * exhaustive 3×3 probe (cell side = r) plus a min — and the NULL
+    * rows surface exactly the isolated points a caller should know
+    * about. Returns one row per a-point:
+    * (aId, bId nullable, dist2 nullable, matched).
+    *
+    * Scale: the [[radiusJoin]] candidate set plus one a-keyed min
+    * aggregation (min over a (dist2, b_id) struct — fixed-width) and
+    * one left join-back; same cell-occupancy pre-flight. */
+  def nearestNeighbor(a: DataFrame, aIdCol: String, b: DataFrame,
+      bIdCol: String, xCol: String, yCol: String, maxRadius: Long,
+      maxCellPoints: Long = 100000L): DataFrame = {
+    val pairs = radiusJoin(a, aIdCol, b, bIdCol, xCol, yCol,
+      maxRadius, maxCellPoints)
+    val best = pairs.groupBy(col(aIdCol))
+      .agg(min(struct(col("dist2"), col(bIdCol))).as("__b"))
+      .select(col(aIdCol), col(s"__b.$bIdCol").as(bIdCol),
+        col("__b.dist2").as("dist2"))
+    a.select(col(aIdCol).cast("long").as(aIdCol)).distinct()
+      .join(best, Seq(aIdCol), "left")
+      .withColumn("matched", col(bIdCol).isNotNull)
+      .select(col(aIdCol), col(bIdCol), col("dist2"), col("matched"))
+  }
+
   /** Grid-cell hotspot screen — WHERE does the point set concentrate:
     * bucket to `cellSize` cells, score each occupied cell's count
     * against the bounding-grid density (`z = (n·T − N)/√(T·Σn² − N²)`

@@ -78,4 +78,35 @@ class GeoSpec extends SparkSpec {
       Geo.hotspot(Seq((-1L, 2L)).toDF("x", "y"), "x", "y", 10L)
     }
   }
+
+  test("nearestNeighbor: closest wins, ties to smallest id, isolated points keep a NULL row") {
+    // a1 at (10,10): b1 at (13,14) dist2=25 beats b2 at (16,18) dist2=100
+    // a2 at (50,50): b3 and b4 both at dist2=25 -> the SMALLER id wins
+    // a3 at (500,500): nothing within 20 -> explicit NULL row
+    val a = Seq((1L, 10L, 10L), (2L, 50L, 50L), (3L, 500L, 500L))
+      .toDF("aid", "x", "y")
+    val b = Seq((1L, 13L, 14L), (2L, 16L, 18L),
+      (3L, 53L, 54L), (4L, 47L, 46L)).toDF("bid", "x", "y")
+    val got = Geo.nearestNeighbor(a, "aid", b, "bid", "x", "y",
+        maxRadius = 20L)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          r.getBoolean(3)))).toMap
+    assert(got.size == 3)
+    assert(got(1L) == ((Some(1L), Some(25L), true)), got(1L).toString)
+    assert(got(2L) == ((Some(3L), Some(25L), true)), got(2L).toString)
+    assert(got(3L) == ((None, None, false)), got(3L).toString)
+    // boundary inclusive: exactly maxRadius away still matches
+    val edge = Geo.nearestNeighbor(
+      Seq((9L, 0L, 0L)).toDF("aid", "x", "y"), "aid",
+      Seq((8L, 20L, 0L)).toDF("bid", "x", "y"), "bid", "x", "y",
+      maxRadius = 20L)
+    assert(edge.collect().head.getBoolean(3))
+    // negative coordinates refuse loudly (the radiusJoin contract)
+    assertThrows[IllegalArgumentException] {
+      Geo.nearestNeighbor(Seq((1L, -5L, 0L)).toDF("aid", "x", "y"),
+        "aid", b, "bid", "x", "y", maxRadius = 10L).collect()
+    }
+  }
 }
