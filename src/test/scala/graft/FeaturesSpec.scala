@@ -841,4 +841,56 @@ class FeaturesSpec extends SparkSpec {
         lambdas = Seq(-1L))
     }
   }
+
+  test("isotonicFit: hand PAVA both directions, weights pool exactly, guards") {
+    import spark.implicits._
+    // increasing on rates 1, 3, 2, 4 (unit weights): the 3/2 violation
+    // pools to 2.5 -> fits 1e6, 2.5e6, 2.5e6, 4e6
+    val up = Seq((10L, 1L, 1L), (20L, 1L, 3L), (30L, 1L, 2L),
+      (40L, 1L, 4L)).toDF("bucket", "w", "s")
+    val gotUp = graft.operators.Features
+      .isotonicFit(up, "bucket", "w", "s", increasing = true)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(gotUp(10L) == ((1000000L, 1000000L)), gotUp.toString)
+    assert(gotUp(20L) == ((3000000L, 2500000L)), gotUp.toString)
+    assert(gotUp(30L) == ((2000000L, 2500000L)), gotUp.toString)
+    assert(gotUp(40L) == ((4000000L, 4000000L)), gotUp.toString)
+    // decreasing on 3, 1, 2: the 1/2 violation pools to 1.5
+    val down = Seq((1L, 1L, 3L), (2L, 1L, 1L), (3L, 1L, 2L))
+      .toDF("bucket", "w", "s")
+    val gotDn = graft.operators.Features
+      .isotonicFit(down, "bucket", "w", "s", increasing = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(gotDn == Map(1L -> 3000000L, 2L -> 1500000L, 3L -> 1500000L),
+      gotDn.toString)
+    // WEIGHTS pool exactly: rates 1 (w=3) then 2 (w=1) decreasing ->
+    // one pool mean (3+2)/4 = 1.25 -> 1250000 ppm for both
+    val wt = Seq((1L, 3L, 3L), (2L, 1L, 2L)).toDF("bucket", "w", "s")
+    val gotWt = graft.operators.Features
+      .isotonicFit(wt, "bucket", "w", "s", increasing = false)
+      .collect().map(_.getLong(4)).toSet
+    assert(gotWt == Set(1250000L), gotWt.toString)
+    // a cascade: 4, 1 pools to 2.5, then 2 arrives and re-pools all
+    // three to (4+1+2)/3 -> 2333333 (increasing)
+    val cas = Seq((1L, 1L, 4L), (2L, 1L, 1L), (3L, 1L, 2L))
+      .toDF("bucket", "w", "s")
+    val gotCas = graft.operators.Features
+      .isotonicFit(cas, "bucket", "w", "s", increasing = true)
+      .collect().map(_.getLong(4)).toSet
+    assert(gotCas == Set(2333333L), gotCas.toString)
+    // guards: non-positive weight; duplicate bucket
+    val e1 = intercept[org.apache.spark.SparkException] {
+      graft.operators.Features.isotonicFit(
+        Seq((1L, 0L, 1L)).toDF("bucket", "w", "s"),
+        "bucket", "w", "s").collect()
+    }
+    assert(e1.getMessage.contains("0 < w"), e1.getMessage)
+    val e2 = intercept[org.apache.spark.SparkException] {
+      graft.operators.Features.isotonicFit(
+        Seq((1L, 1L, 1L), (1L, 1L, 2L)).toDF("bucket", "w", "s"),
+        "bucket", "w", "s").collect()
+    }
+    assert(e2.getMessage.contains("duplicate bucket"), e2.getMessage)
+  }
 }
