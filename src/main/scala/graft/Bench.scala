@@ -175,14 +175,14 @@ object Bench {
     // 3 runs). Name list bounded; the count is always exact.
     val resampled = results.filter(_._4).map(_._1)
     val resampledJson = {
-      val names = resampled.take(12).map("\"" + _ + "\"").mkString(",")
+      val names = resampled.take(8).map("\"" + _ + "\"").mkString(",")
       s""""n_resampled":${resampled.size},"resampled":[$names]"""
     }
     // suspects + their end-of-pass requeue times (capped to protect
     // the driver's ~2000-char tail window; the full list is on stderr)
     val adjJson = {
-      val sNames = suspects.take(12).map("\"" + _ + "\"").mkString(",")
-      val rq = requeued.take(12)
+      val sNames = suspects.take(8).map("\"" + _ + "\"").mkString(",")
+      val rq = requeued.take(8)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }.mkString(",")
       s""""suspect":[$sNames],"requeued":{$rq}"""
     }
@@ -191,10 +191,14 @@ object Bench {
     System.err.println(s"[bench] vs history (${history.size} entries):" +
       s" regression_candidate=${regressionCandidates.mkString(",")}" +
       s" load=${loadFlagged.mkString(",")}")
+    // caps sized so even the worst case (every list full) keeps the
+    // whole line inside the driver's ~2000-char tail window — a line
+    // that overflows loses its HEAD and parses as null, which is
+    // worse than a truncated name list (counts stay exact)
     val histJson = {
-      val rc = regressionCandidates.take(12)
+      val rc = regressionCandidates.take(8)
         .map("\"" + _ + "\"").mkString(",")
-      val ld = loadFlagged.take(12).map("\"" + _ + "\"").mkString(",")
+      val ld = loadFlagged.take(8).map("\"" + _ + "\"").mkString(",")
       s""""n_regression_candidate":${regressionCandidates.size},""" +
         s""""regression_candidate":[$rc],""" +
         s""""n_load":${loadFlagged.size},"load":[$ld]"""
@@ -210,10 +214,10 @@ object Bench {
       var full = false
       while (it.hasNext && !full) {
         val e = it.next()
-        // 550-char budget (was 700) leaves room for the suspect +
+        // 450-char budget (was 700) leaves room for the suspect +
         // requeued + historical-classification keys inside the same
-        // tail window
-        if (b.length + e.length + 1 < 550) {
+        // tail window even when every list is full
+        if (b.length + e.length + 1 < 450) {
           if (b.nonEmpty) b.append(',')
           b.append(e)
         } else full = true

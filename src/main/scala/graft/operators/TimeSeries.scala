@@ -1980,4 +1980,79 @@ object TimeSeries {
         "sxtx1", "sxty1", "sx1x1", "sy1y1", "sy1x1"))
       .orderBy(col("direction"))
   }
+
+  /** Wald–Wolfowitz RUNS test — is the series random around its
+    * median, or does it trend/oscillate? The nonparametric
+    * randomness diagnostic next to [[autocorrelation]] (the acf says
+    * HOW values co-move; the runs test gives one calibrated verdict):
+    * mark each value above/below the LOWER MEDIAN (the rank-based
+    * actual value both engines agree on; ties with the median drop —
+    * the standard convention), count the runs R of consecutive equal
+    * marks, and score `z = (R − μ)/σ` with
+    * `μ = 2·n₁·n₂/(n₁+n₂) + 1` and
+    * `σ² = 2·n₁·n₂·(2·n₁·n₂ − n₁ − n₂) / ((n₁+n₂)²·(n₁+n₂−1))`.
+    * Too FEW runs = trending/sticky; too MANY = oscillating.
+    *
+    * Exactness: the median is an order statistic (row (n+1) div 2 of
+    * the sort — an actual value, never an average); marks, R, n₁, n₂
+    * are exact integers; μ and σ are ONE mirrored IEEE tree over
+    * doubles cast from those integers, z micro-rounded. Degenerate
+    * splits (n₁ = 0 or n₂ = 0, or 2·n₁·n₂ ≤ n₁+n₂ — the σ² = 0 case
+    * n₁ = n₂ = 1 included) return a NULL z, never a division error
+    * or an infinity.
+    *
+    * Returns 1 row: (n_above, n_below, n_runs, z_micros,
+    * nonrandom_at_5pct = |z| > 1.96). Scale: one sort-based median
+    * rank + one ordered lag scan + 1-row aggregates — all window
+    * work over a single ordered pass (pre-aggregate to a cadence
+    * first; a diagnostic is series-scale by contract). */
+  def runsTest(df: DataFrame, orderExpr: Column,
+      valueExpr: Column): DataFrame = {
+    val base = df.select(orderExpr.as("__o"),
+        valueExpr.cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+      .localCheckpoint(true) // median rank + mark scan
+    val n = base.count()
+    require(n >= 1, "runsTest needs at least 1 non-NULL value")
+    val med = base
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__x"), col("__o"))))
+      .filter(col("__rk") === (n + 1) / 2)
+      .head().getLong(1) // 1-row order-statistic lookup
+    val marks = base
+      .filter(col("__x") =!= med)
+      .withColumn("__up", (col("__x") > med).cast("long"))
+    val w = Window.orderBy(col("__o"))
+    val runs = marks
+      .withColumn("__prev", lag(col("__up"), 1).over(w))
+      .agg(
+        coalesce(sum(col("__up")), lit(0L)).as("n_above"),
+        (count(lit(1)) - coalesce(sum(col("__up")), lit(0L)))
+          .as("n_below"),
+        (coalesce(sum(when(col("__prev").isNull ||
+          col("__prev") =!= col("__up"), 1L).otherwise(0L)), lit(0L)))
+          .as("n_runs"))
+    runs.select(
+        col("n_above").cast("bigint").as("n_above"),
+        col("n_below").cast("bigint").as("n_below"),
+        col("n_runs").cast("bigint").as("n_runs"),
+        when(col("n_above") > 0L && col("n_below") > 0L &&
+          lit(2L) * col("n_above") * col("n_below") >
+            col("n_above") + col("n_below"),
+          round((col("n_runs").cast("double") -
+            (lit(2.0) * col("n_above") * col("n_below") /
+              (col("n_above") + col("n_below")).cast("double") +
+              lit(1.0))) /
+            sqrt(lit(2.0) * col("n_above") * col("n_below") *
+              (lit(2.0) * col("n_above") * col("n_below") -
+                col("n_above") - col("n_below")).cast("double") /
+              ((col("n_above") + col("n_below")).cast("double") *
+                (col("n_above") + col("n_below")).cast("double") *
+                (col("n_above") + col("n_below") - 1L).cast("double")))
+            * 1e6).cast("long"))
+          .otherwise(lit(null).cast("long")).as("z_micros"))
+      .withColumn("nonrandom_at_5pct",
+        when(col("z_micros").isNotNull, abs(col("z_micros")) > 1960000L)
+          .otherwise(lit(null).cast("boolean")))
+  }
 }

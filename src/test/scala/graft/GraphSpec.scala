@@ -457,6 +457,31 @@ class GraphSpec extends SparkSpec {
     assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
   }
 
+  test("coreness: h-index rounds land on exact core numbers; pendant stays 1; guard") {
+    // triangle a-b-c plus pendant d-a: true coreness 2/2/2/1.
+    //  seed = degrees (3, 2, 2, 1);
+    //  round 1: a = H{2,2,1} = 2, b = H{3,2} = 2, c = 2, d = H{3} = 1
+    //  — already the fixpoint; later rounds must not move it
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L))
+      .toDF("id_a", "id_b")
+    val got = Graph.coreness(edges, "id_a", "id_b", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L),
+      got.toString)
+    // one round from the degree seed already equals it here
+    val one = Graph.coreness(edges, "id_a", "id_b", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == got, one.toString)
+    // a path is all 1-core; direction of input edges is irrelevant
+    val path = Seq((10L, 11L), (12L, 11L)).toDF("id_a", "id_b")
+    val p = Graph.coreness(path, "id_a", "id_b", iters = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(p == Set(1L), p.toString)
+    intercept[IllegalArgumentException] {
+      Graph.coreness(edges, "id_a", "id_b", iters = 0)
+    }
+  }
+
   test("pageRankWeighted: two-edge split closed form, parallel-edge merge, junk weights dropped") {
     // a -> b at weight 3, a -> c at weight 1: b gets 3/4 of a's rank
     //   iter 1: contrib(b) = (1e9*3) div 4 = 750000000 ->

@@ -938,4 +938,22 @@ class PlanSpec extends SparkSpec {
         s"full row width in census shuffle:\n$b")
     }
   }
+
+  test("text_boilerplate: no hash shuffle ever carries line text") {
+    // the census shuffles (fp, fp2, doc_id) = 24 B rows; the per-doc
+    // aggregation partial-aggregates map-side; the boilerplate set
+    // joins back by broadcast — so LINE TEXT must appear in no
+    // hash-partitioned exchange anywhere in the plan
+    val p = plan("text_boilerplate")
+    val blocks = p.split("\n\n").toSeq
+    val hashExchanges = blocks.filter(b =>
+      b.linesIterator.exists(_.matches("\\(\\d+\\) Exchange.*")) &&
+        b.contains("Arguments: hashpartitioning"))
+    assert(hashExchanges.nonEmpty, p)
+    hashExchanges.foreach { b =>
+      val input = b.linesIterator.find(_.startsWith("Input")).getOrElse("")
+      assert(!input.contains("line#"), s"line text in a shuffle:\n$b")
+    }
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }

@@ -746,6 +746,40 @@ class TimeSeriesSpec extends SparkSpec {
     assert(eBig.getMessage.contains("overflow-safe"), eBig.getMessage)
   }
 
+  test("runsTest: alternation and trend closed forms, median ties drop, degenerates NULL") {
+    // [3, 9, 1, 9, 1]: lower median 3 drops itself; marks up/dn/up/dn
+    // -> R=4, n1=n2=2, mu=3, sigma^2=2/3, z = 1/sqrt(2/3)
+    val alt = Seq((1L, 3L), (2L, 9L), (3L, 1L), (4L, 9L), (5L, 1L))
+      .toDF("o", "x")
+    val a = TimeSeries.runsTest(alt, $"o", $"x").collect().head
+    assert((a.getLong(0), a.getLong(1), a.getLong(2)) == ((2L, 2L, 4L)),
+      a.toString)
+    val zAlt = (4.0 - (2.0 * 2 * 2 / 4.0 + 1.0)) /
+      math.sqrt(2.0 * 2 * 2 * (2.0 * 2 * 2 - 2 - 2) / (4.0 * 4.0 * 3.0))
+    assert(a.getLong(3) == math.round(zAlt * 1e6), a.toString)
+    assert(!a.getBoolean(4))
+    // a two-level trend: 1..5 then 20..24 — median 5 drops, ONE run
+    // below then one above -> R=2, strongly non-random
+    val tr = (Seq(1L, 2L, 3L, 4L, 5L) ++ Seq(20L, 21L, 22L, 23L, 24L))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("o", "x")
+    val t = TimeSeries.runsTest(tr, $"o", $"x").collect().head
+    assert((t.getLong(0), t.getLong(1), t.getLong(2)) == ((5L, 4L, 2L)),
+      t.toString)
+    val zTr = (2.0 - (2.0 * 5 * 4 / 9.0 + 1.0)) /
+      math.sqrt(2.0 * 5 * 4 * (2.0 * 5 * 4 - 5 - 4) / (9.0 * 9.0 * 8.0))
+    assert(t.getLong(3) == math.round(zTr * 1e6), t.toString)
+    assert(t.getBoolean(4)) // |z| = 2.49 > 1.96
+    // constant series: everything ties the median -> NULL verdict
+    val cst = (1 to 6).map(i => (i.toLong, 7L)).toDF("o", "x")
+    val c = TimeSeries.runsTest(cst, $"o", $"x").collect().head
+    assert(c.getLong(0) == 0L && c.getLong(1) == 0L &&
+      c.getLong(2) == 0L && c.isNullAt(3) && c.isNullAt(4), c.toString)
+    // one-sided split (all but the median above it): NULL z too
+    val oneSided = Seq((1L, 1L), (2L, 5L), (3L, 6L)).toDF("o", "x")
+    val os = TimeSeries.runsTest(oneSided, $"o", $"x").collect().head
+    assert(os.isNullAt(3), os.toString)
+  }
+
   test("sarimaForecast: seasonal-diff fit matches arForecast; slot integration exact; guards") {
     // levels are seeded (100, 200, 300, 400) then x_i = x_{i-4} + d,
     // d cycling 10/20/30 — so the PERIOD-4 seasonal diffs are exactly
