@@ -382,17 +382,20 @@ object Graph {
       .filter(col("src") =!= col("dst") && col("w").isNotNull &&
         col("w") > 0L)
       .groupBy("src", "dst").agg(sum(col("w")).as("w")), checkpointDir)
-    val outW = truncate(e.groupBy("src")
-      .agg(sum(col("w").cast("decimal(38,0)")).as("w_tot")),
-      checkpointDir)
+    // the per-source total is STATIC across iterations — join it onto
+    // the edge table once, so each round pays a single src-keyed join
+    // (the plain pageRank joins its static out-degree every round;
+    // here the weight column makes the fused form measurably cheaper)
+    val outW = e.groupBy("src")
+      .agg(sum(col("w").cast("decimal(38,0)")).as("w_tot"))
+    val ew = truncate(e.join(outW, "src"), checkpointDir)
     val nodes = truncate(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct(), checkpointDir)
     val base = (1000000L - dampingPpm) * 1000000000L / 1000000L
     var ranks = nodes.withColumn("rank_ppb", lit(1000000000L))
     for (_ <- 1 to iters) {
-      val contribs = e
+      val contribs = ew
         .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(outW, "src")
         .select(col("dst").as("node"),
           Quality.decimalDivTrunc(
             col("rank_ppb").cast("decimal(38,0)") *
