@@ -425,4 +425,43 @@ class SourcesSpec extends SparkSpec {
     assert(!crash.getBoolean(3))
     assert(fs.exists(new Path(dir + "__wap_old")))
   }
+
+  test("fixedWidth: offsets slice exactly, short lines yield empty tails, render refuses overflow") {
+    import graft.sources.FixedWidth
+    import spark.implicits._
+    val spec = Seq(("id", 4), ("name", 6), ("amt", 5))
+    // exact round-trip: values with internal spaces padded, parsed back
+    val src = Seq(("7", "ab cd", "12345"), ("42", "x", "9"))
+      .toDF("id", "name", "amt")
+    val lines = FixedWidth.render(src, spec).collect().map(_.getString(0))
+    assert(lines.toSet == Set("7   ab cd 12345", "42  x     9    "),
+      lines.mkString("|"))
+    val back = FixedWidth.parse(FixedWidth.render(src, spec), "line", spec)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(back.toSet == Set(("7", "ab cd", "12345"), ("42", "x", "9")),
+      back.mkString("|"))
+    // a truncated record: missing tail fields surface as empty strings
+    val short = Seq("99  ab").toDF("line")
+    val sp = FixedWidth.parse(short, "line", spec).collect().head
+    assert((sp.getString(0), sp.getString(1), sp.getString(2)) ==
+      (("99", "ab", "")), sp.toString)
+    // NULL renders as all spaces (parses back to empty string)
+    val withNull = Seq((Option.empty[String], "n", "1"))
+      .toDF("id", "name", "amt")
+    val nl = FixedWidth.render(withNull, spec).collect().head.getString(0)
+    assert(nl.startsWith("    n"), nl)
+    // an overflowing value refuses loudly instead of corrupting offsets
+    val wide = Seq(("12345", "n", "1")).toDF("id", "name", "amt")
+    val e = intercept[Exception] {
+      FixedWidth.render(wide, spec).collect()
+    }
+    assert(e.getMessage.contains("overflows width"), e.getMessage)
+    // spec guards
+    intercept[IllegalArgumentException] {
+      FixedWidth.parse(short, "line", Seq(("a", 2), ("a", 3)))
+    }
+    intercept[IllegalArgumentException] {
+      FixedWidth.parse(short, "line", Seq(("a", 0)))
+    }
+  }
 }
