@@ -43,6 +43,42 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cosine"), col("rn"))
   }
 
+  /** FILTERED vector search — the production shape [[bruteForceTopK]]
+    * skips: "nearest neighbors among rows my predicate matches"
+    * (same tenant, same language, same category), where post-filtering
+    * a plain top-k silently under-fills k whenever the filter is
+    * selective. Here the equality predicate on `filterCols` joins
+    * BEFORE scoring, so every query gets its true top-k within its
+    * slice; NULL filter values match null-safely (a NULL tenant is
+    * its own slice, not a wildcard). Self-matches excluded. Returns
+    * (q_id, n_id, cosine, rn ≤ k).
+    *
+    * Scale: queries broadcast (the probe set is small by contract);
+    * the candidate side is scanned once with the filter columns
+    * riding as join keys — at corpus scale, partition the vectors by
+    * the filter key (or per-slice IVF indexes) so the scan prunes to
+    * the slice instead of reading everything. */
+  def filteredTopK(candidates: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, filterCols: Seq[String],
+      k: Int): DataFrame = {
+    require(filterCols.nonEmpty, "filterCols must be non-empty")
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val q = queries.select(col(idCol).as("q_id") +:
+      col(vecCol).as("q_vec") +:
+      filterCols.map(f => col(f).as(s"__q_$f")): _*)
+    val c = candidates.select(col(idCol).as("n_id") +:
+      col(vecCol).as("n_vec") +: filterCols.map(col): _*)
+    val cond = filterCols.map(f => col(f) <=> col(s"__q_$f"))
+      .reduce(_ && _) && col("q_id") =!= col("n_id")
+    val scored = c.join(broadcast(q), cond)
+      .withColumn("cosine", cosine_similarity(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("n_id"), col("cosine"), col("rn"))
+  }
+
   /** Symmetric per-vector int8 quantization: `q_vec[i] = round(v[i] *
     * 127 / max|v|)` as TINYINT, plus the per-row `q_scale` — a 4x
     * storage and scan-IO cut for a 100 TB float32 embedding table.

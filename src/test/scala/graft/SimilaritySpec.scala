@@ -45,6 +45,40 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("filteredTopK: slice isolation, NULL label is its own slice, no under-fill, guards") {
+    // label 1: query 1 with in-slice neighbors 2 (near) and 3 (far);
+    // 4 is an EXACT duplicate vector but label 2 — must never appear.
+    // NULL-label rows 5 and 6 form their own slice (null-safe match).
+    val rows = Seq(
+      (1L, Array(1f, 0f), Option(1)),
+      (2L, Array(0.9f, 0.1f), Option(1)),
+      (3L, Array(0f, 1f), Option(1)),
+      (4L, Array(1f, 0f), Option(2)),
+      (5L, Array(1f, 0f), Option.empty[Int]),
+      (6L, Array(0.5f, 0.5f), Option.empty[Int]))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.filteredTopK(rows,
+        rows.filter($"vec_id" === 1L || $"vec_id" === 5L),
+        "embedding", "vec_id", Seq("label"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1))
+      .toMap
+    // query 1 sees ONLY its slice: 2 first (closer), then 3 — never 4
+    assert(got((1L, 1)) == 2L && got((1L, 2)) == 3L, got.toString)
+    assert(!got.values.toSet.contains(4L), got.toString)
+    // query 5 (NULL label) matches only the other NULL-label row
+    assert(got((5L, 1)) == 6L && !got.contains((5L, 2)), got.toString)
+    // within-slice top-k never under-fills: 2 in-slice rows -> 2 hits
+    assert(got.keys.count(_._1 == 1L) == 2)
+    intercept[IllegalArgumentException] {
+      Similarity.filteredTopK(rows, rows, "embedding", "vec_id",
+        Seq.empty, k = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.filteredTopK(rows, rows, "embedding", "vec_id",
+        Seq("label"), k = 0)
+    }
+  }
+
   test("lshTopK: on clustered data recall@3 vs brute force is high") {
     val rnd = new scala.util.Random(3)
     // 4 tight clusters of 25 vectors each
