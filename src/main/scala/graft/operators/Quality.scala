@@ -1475,4 +1475,59 @@ object Quality {
     rows.reduce(_.unionByName(_))
       .orderBy(col("width"), col("key_cols"))
   }
+
+  /** Missingness CO-OCCURRENCE over a declared panel — the third face
+    * of the discovery trio ([[fdDiscovery]]: what determines what;
+    * [[keyDiscovery]]: what identifies rows; this: what goes missing
+    * TOGETHER): per unordered column pair, the exact null counts, the
+    * both-null overlap, its LIFT against independence
+    * (`both·n·10⁶ div (nₐ·n_b)` — above 10⁶ the columns fail
+    * together: one upstream extract, one broken joiner), and the
+    * null-set Jaccard. A pipeline that sees lift ≫ 10⁶ on
+    * (ship_date, carrier) learns the real shape of its dirt — rows
+    * aren't missing fields independently, whole SEGMENTS are.
+    *
+    * Exactness: all counts from ONE row-scale aggregate pass
+    * (k + k·(k−1)/2 conditional sums over the same scan); ratios are
+    * truncating divisions of DECIMAL-exact products, NULL (never an
+    * error) when a column has no nulls at all. Same 8-column loud cap
+    * as the sibling discoveries.
+    *
+    * Returns one row per unordered pair (panel order):
+    * (col_a, col_b, n_rows, n_a_null, n_b_null, n_both_null,
+    * lift_ppm, jaccard_ppm). */
+  def nullCorrelation(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least 2 columns (got ${cols.size})")
+    require(cols.distinct.size == cols.size,
+      s"duplicate columns in panel: ${cols.mkString(", ")}")
+    require(cols.size <= 8,
+      s"panel capped at 8 columns (${cols.size} requested) — " +
+        "discovery is quadratic; pre-filter candidates")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs =
+      (count(lit(1)).as("__n") +:
+        cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L))
+          .as(s"__null_$c"))) ++
+        pairs.map { case (a, b) =>
+          sum(when(col(a).isNull && col(b).isNull, 1L).otherwise(0L))
+            .as(s"__both_${a}__$b")
+        }
+    val m = df.agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(true) // 1-row census, one consumer per pair
+    pairs.map { case (a, b) =>
+      m.select(lit(a).as("col_a"), lit(b).as("col_b"),
+        col("__n").cast("bigint").as("n_rows"),
+        col(s"__null_$a").cast("bigint").as("n_a_null"),
+        col(s"__null_$b").cast("bigint").as("n_b_null"),
+        col(s"__both_${a}__$b").cast("bigint").as("n_both_null"),
+        expr(s"CAST(CAST(__both_${a}__$b AS DECIMAL(38,0)) * __n" +
+          s" * 1000000 div nullif(CAST(__null_$a AS DECIMAL(38,0))" +
+          s" * __null_$b, 0) AS BIGINT)").as("lift_ppm"),
+        expr(s"CAST(CAST(__both_${a}__$b AS DECIMAL(38,0)) * 1000000" +
+          s" div nullif(__null_$a + __null_$b - __both_${a}__$b, 0)" +
+          " AS BIGINT)").as("jaccard_ppm"))
+    }.reduce(_.unionByName(_)).orderBy(col("col_a"), col("col_b"))
+  }
 }

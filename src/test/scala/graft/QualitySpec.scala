@@ -850,4 +850,37 @@ class QualitySpec extends SparkSpec {
       Quality.keyDiscovery(df, (1 to 9).map("c" + _))
     }
   }
+
+  test("nullCorrelation: subset missingness lifts, no-null column yields NULL lift, guards") {
+    // 12 rows: a null on 1..6, b null on 1..3 (a strict subset ->
+    // lift = 3*12/(6*3) = 2e6 ppm, jaccard = 3/6 = 500000), c never
+    // null (lift NULL via the nullif guard, jaccard 0)
+    val df = (1 to 12).map { i =>
+      (if (i <= 6) Option.empty[Long] else Option(i.toLong),
+        if (i <= 3) Option.empty[String] else Option("x"),
+        i.toLong)
+    }.toDF("a", "b", "c")
+    val got = Quality.nullCorrelation(df, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          Option(r.get(6)).map(_.asInstanceOf[Long]),
+          Option(r.get(7)).map(_.asInstanceOf[Long])))).toMap
+    assert(got.size == 3)
+    assert(got(("a", "b")) ==
+      ((12L, 6L, 3L, 3L, Some(2000000L), Some(500000L))),
+      got(("a", "b")).toString)
+    assert(got(("a", "c")) ==
+      ((12L, 6L, 0L, 0L, None, Some(0L))), got(("a", "c")).toString)
+    assert(got(("b", "c")) ==
+      ((12L, 3L, 0L, 0L, None, Some(0L))), got(("b", "c")).toString)
+    intercept[IllegalArgumentException] {
+      Quality.nullCorrelation(df, Seq("a"))
+    }
+    intercept[IllegalArgumentException] {
+      Quality.nullCorrelation(df, Seq("a", "a"))
+    }
+    intercept[IllegalArgumentException] {
+      Quality.nullCorrelation(df, (1 to 9).map("c" + _))
+    }
+  }
 }
