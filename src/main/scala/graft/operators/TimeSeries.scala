@@ -1981,6 +1981,59 @@ object TimeSeries {
       .orderBy(col("direction"))
   }
 
+  /** Moving-average CROSSOVER signals — the regime-change flag a
+    * monitoring dashboard actually draws: when the `fast`-row mean
+    * crosses ABOVE the `slow`-row mean the series has turned up
+    * ("golden"), when it crosses below it has turned down ("death").
+    * The comparison is exact — `fastSum·slow vs slowSum·fast` in
+    * DECIMAL(38,0), never two truncated means whose rounding could
+    * invent or swallow a crossing — and a signal fires only on a
+    * strict sign change through or past zero (a flat tie extends no
+    * signal). Only rows with BOTH windows full participate (a
+    * half-warm mean is noise, not a regime).
+    *
+    * Returns one row per signal: (o, signal ∈ {golden, death},
+    * fast_mean_milli, slow_mean_milli — truncating `sum·1000 div k`).
+    *
+    * Scale: two rolling sums + one lag over a single ordered window
+    * pass (pre-aggregate to a cadence first; the ts family
+    * contract). */
+  def maCrossover(df: DataFrame, orderExpr: Column, valueExpr: Column,
+      fast: Int = 6, slow: Int = 24): DataFrame = {
+    require(fast >= 1, s"fast must be >= 1 (got $fast)")
+    require(slow > fast, s"slow must exceed fast (got $slow <= $fast)")
+    val dec = "decimal(38,0)"
+    val base = df.select(orderExpr.as("__o"),
+        valueExpr.cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+    val w = Window.orderBy(col("__o"))
+    def winSum(k: Int) = sum(col("__x"))
+      .over(w.rowsBetween(-(k - 1), 0))
+    def winCnt(k: Int) = count(lit(1))
+      .over(w.rowsBetween(-(k - 1), 0))
+    val scored = base
+      .withColumn("__fs", winSum(fast))
+      .withColumn("__ss", winSum(slow))
+      .withColumn("__full", winCnt(slow) === slow.toLong)
+      .withColumn("__d",
+        (col("__fs").cast(dec) * slow - col("__ss").cast(dec) * fast)
+          .cast(dec))
+      .filter(col("__full"))
+      .withColumn("__dp", lag(col("__d"), 1).over(w))
+      .filter(col("__dp").isNotNull)
+    scored
+      .withColumn("signal",
+        when(col("__d") > 0 && col("__dp") <= 0, "golden")
+          .when(col("__d") < 0 && col("__dp") >= 0, "death"))
+      .filter(col("signal").isNotNull)
+      .select(col("__o").as("o"), col("signal"),
+        expr(s"CAST(CAST(__fs AS DECIMAL(38,0)) * 1000 div $fast" +
+          " AS BIGINT)").as("fast_mean_milli"),
+        expr(s"CAST(CAST(__ss AS DECIMAL(38,0)) * 1000 div $slow" +
+          " AS BIGINT)").as("slow_mean_milli"))
+      .orderBy(col("o"))
+  }
+
   /** Wald–Wolfowitz RUNS test — is the series random around its
     * median, or does it trend/oscillate? The nonparametric
     * randomness diagnostic next to [[autocorrelation]] (the acf says

@@ -746,6 +746,33 @@ class TimeSeriesSpec extends SparkSpec {
     assert(eBig.getMessage.contains("overflow-safe"), eBig.getMessage)
   }
 
+  test("maCrossover: hand signals both directions, flat series silent, guards") {
+    // fast=2/slow=3 over [10,10,10, 1,1, 100,100]:
+    //  i3: d = 20*3 - 30*2 = 0 (first full row, no prev)
+    //  i4: d = 11*3 - 21*2 = -9, prev 0  -> DEATH
+    //  i5: d = -18 (no change of sign)
+    //  i6: d = 101*3 - 102*2 = 99, prev -18 -> GOLDEN
+    //  i7: d = 198 (no signal)
+    val df = Seq(10L, 10L, 10L, 1L, 1L, 100L, 100L).zipWithIndex
+      .map { case (v, i) => (i.toLong + 1L, v) }.toDF("o", "x")
+    val got = TimeSeries.maCrossover(df, $"o", $"x", fast = 2, slow = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (4L, "death", 5500L, 7000L),
+      (6L, "golden", 50500L, 34000L)), got.mkString(";"))
+    // a flat series never signals (d = 0 everywhere is not a cross)
+    val flat = (1 to 10).map(i => (i.toLong, 7L)).toDF("o", "x")
+    assert(TimeSeries.maCrossover(flat, $"o", $"x", fast = 2, slow = 3)
+      .collect().isEmpty)
+    intercept[IllegalArgumentException] {
+      TimeSeries.maCrossover(df, $"o", $"x", fast = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.maCrossover(df, $"o", $"x", fast = 6, slow = 6)
+    }
+  }
+
   test("runsTest: alternation and trend closed forms, median ties drop, degenerates NULL") {
     // [3, 9, 1, 9, 1]: lower median 3 drops itself; marks up/dn/up/dn
     // -> R=4, n1=n2=2, mu=3, sigma^2=2/3, z = 1/sqrt(2/3)
