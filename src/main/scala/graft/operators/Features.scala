@@ -1969,8 +1969,12 @@ object Features {
     * segment means replays every fitted value.
     *
     * Input: one row per bucket (orderCol, weightCol > 0, sumCol);
-    * duplicate buckets and w ≤ 0 refuse loudly; |s| and w are
-    * bounded at 2³¹ so every cross-product stays inside a long.
+    * duplicate buckets and w ≤ 0 refuse loudly; the TOTALS Σw and
+    * Σ|s| are bounded at 2³¹ — the violation test multiplies
+    * MERGED-pool sums, which per-bucket bounds alone cannot keep
+    * inside a long (two max-sized buckets pooled together would
+    * silently flip merge decisions) — so every cross-product of pool
+    * sums stays ≤ 2⁶² and every `s·10⁶` stays ≤ 2³¹·10⁶.
     * Returns one row per bucket:
     * (bucket, n, n_pos, raw_ppm, fit_ppm).
     *
@@ -1989,11 +1993,24 @@ object Features {
       .flatMapGroups { (_, it) =>
         val rows = it.toArray.sortBy(_._1)
         rows.foreach { case (b, w, s) =>
+          // per-bucket pre-screen so the totals below sum without
+          // overflow (an in-memory array never holds 2^31 buckets)
           require(w > 0 && w <= (1L << 31) && math.abs(s) <= (1L << 31),
             s"isotonicFit: bucket $b needs 0 < w <= 2^31 and " +
               s"|s| <= 2^31 (got w=$w, s=$s) — aggregate to buckets " +
               "first and keep counts in range")
         }
+        // bound the TOTALS, not just each bucket: PAVA compares
+        // MERGED-pool sums cross-wise (prev.s * cur.w), so the worst
+        // cross-product is (Σ|s|)·(Σw) — per-bucket bounds would let
+        // two max-sized buckets pooled together overflow silently and
+        // flip a merge decision
+        val totW = rows.iterator.map(_._2).sum
+        val totS = rows.iterator.map(r => math.abs(r._3)).sum
+        require(totW <= (1L << 31) && totS <= (1L << 31),
+          s"isotonicFit: total weight $totW and total |s| $totS must " +
+            "each stay <= 2^31 so pooled cross-products fit in a " +
+            "long — aggregate to coarser buckets or rescale")
         require(rows.map(_._1).distinct.length == rows.length,
           "isotonicFit: duplicate bucket order values — one row per " +
             "bucket")

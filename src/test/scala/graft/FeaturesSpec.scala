@@ -893,4 +893,30 @@ class FeaturesSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("duplicate bucket"), e2.getMessage)
   }
+
+  test("isotonicFit: planted merged-pool overflow refuses on TOTALS, not per-bucket") {
+    import spark.implicits._
+    // three buckets each inside the per-bucket 2^31 bound, but their
+    // POOLED sums cross-multiply past Long.MaxValue: w = s = 1.5e9
+    // per bucket means a two-bucket pool (3e9, 3e9) against the third
+    // gives 3e9 * 1.5e9 = 4.5e18 < 2^63, but four buckets pool to
+    // 4.5e9 * 3e9 = 1.35e19 > Long.MaxValue — the silent flip the
+    // totals bound exists to refuse. Decreasing rates force pooling.
+    val big = 1500000000L // 1.5e9 < 2^31
+    val rows = Seq((1L, big, big), (2L, big, big - 1L),
+      (3L, big, big - 2L), (4L, big, big - 3L))
+      .toDF("bucket", "w", "s")
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.operators.Features.isotonicFit(rows, "bucket", "w", "s",
+        increasing = false).collect()
+    }
+    assert(e.getMessage.contains("total weight"), e.getMessage)
+    // and totals at exactly the bound still work: 2^31 split 4 ways
+    val q = (1L << 29)
+    val ok = graft.operators.Features.isotonicFit(
+      Seq((1L, q, q), (2L, q, q - 1L), (3L, q, q - 2L), (4L, q, q - 3L))
+        .toDF("bucket", "w", "s"),
+      "bucket", "w", "s", increasing = false).collect()
+    assert(ok.length == 4)
+  }
 }
