@@ -1987,10 +1987,13 @@ object TimeSeries {
     * ("golden"), when it crosses below it has turned down ("death").
     * The comparison is exact — `fastSum·slow vs slowSum·fast` in
     * DECIMAL(38,0), never two truncated means whose rounding could
-    * invent or swallow a crossing — and a signal fires only on a
-    * strict sign change through or past zero (a flat tie extends no
-    * signal). Only rows with BOTH windows full participate (a
-    * half-warm mean is noise, not a regime).
+    * invent or swallow a crossing — and a signal fires only when the
+    * sign flips against the LAST NONZERO sign: a flat tie extends no
+    * signal AND carries no regime of its own, so +,0,+ is a touch-
+    * and-return (silent), −,0,+ is one golden at the +, and rows
+    * before any nonzero sign exists never fire (there is no regime
+    * to cross from). Only rows with BOTH windows full participate
+    * (a half-warm mean is noise, not a regime).
     *
     * Returns one row per signal: (o, signal ∈ {golden, death},
     * fast_mean_milli, slow_mean_milli — truncating `sum·1000 div k`).
@@ -2019,12 +2022,19 @@ object TimeSeries {
         (col("__fs").cast(dec) * slow - col("__ss").cast(dec) * fast)
           .cast(dec))
       .filter(col("__full"))
-      .withColumn("__dp", lag(col("__d"), 1).over(w))
-      .filter(col("__dp").isNotNull)
+      .withColumn("__sgn",
+        when(col("__d") > 0, 1).when(col("__d") < 0, -1).otherwise(0))
+      // the regime is the last NONZERO sign — a lag-1 comparison has
+      // no memory across a zero touch, so +,0,+ would fire a phantom
+      // golden (the pre-tie regime was already up)
+      .withColumn("__pnz",
+        last(when(col("__sgn") =!= 0, col("__sgn")), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("__pnz").isNotNull)
     scored
       .withColumn("signal",
-        when(col("__d") > 0 && col("__dp") <= 0, "golden")
-          .when(col("__d") < 0 && col("__dp") >= 0, "death"))
+        when(col("__sgn") === 1 && col("__pnz") === -1, "golden")
+          .when(col("__sgn") === -1 && col("__pnz") === 1, "death"))
       .filter(col("signal").isNotNull)
       .select(col("__o").as("o"), col("signal"),
         expr(s"CAST(CAST(__fs AS DECIMAL(38,0)) * 1000 div $fast" +

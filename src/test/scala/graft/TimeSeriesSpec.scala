@@ -748,10 +748,11 @@ class TimeSeriesSpec extends SparkSpec {
 
   test("maCrossover: hand signals both directions, flat series silent, guards") {
     // fast=2/slow=3 over [10,10,10, 1,1, 100,100]:
-    //  i3: d = 20*3 - 30*2 = 0 (first full row, no prev)
-    //  i4: d = 11*3 - 21*2 = -9, prev 0  -> DEATH
+    //  i3: d = 20*3 - 30*2 = 0 (sign 0 — no regime established yet)
+    //  i4: d = 11*3 - 21*2 = -9, NO preceding nonzero sign -> silent
+    //    (a tie carries no regime to cross from)
     //  i5: d = -18 (no change of sign)
-    //  i6: d = 101*3 - 102*2 = 99, prev -18 -> GOLDEN
+    //  i6: d = 101*3 - 102*2 = 99, last nonzero -1 -> GOLDEN
     //  i7: d = 198 (no signal)
     val df = Seq(10L, 10L, 10L, 1L, 1L, 100L, 100L).zipWithIndex
       .map { case (v, i) => (i.toLong + 1L, v) }.toDF("o", "x")
@@ -759,7 +760,6 @@ class TimeSeriesSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
         r.getLong(3)))
     assert(got.toSeq == Seq(
-      (4L, "death", 5500L, 7000L),
       (6L, "golden", 50500L, 34000L)), got.mkString(";"))
     // a flat series never signals (d = 0 everywhere is not a cross)
     val flat = (1 to 10).map(i => (i.toLong, 7L)).toDF("o", "x")
@@ -771,6 +771,26 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TimeSeries.maCrossover(df, $"o", $"x", fast = 6, slow = 6)
     }
+  }
+
+  test("maCrossover: a zero TOUCH without a true cross stays silent") {
+    // fast=1/slow=2: x = [2,4, 3,3, 4, 1,3, 2] gives d (=x_i*2 - (x_{i-1}+x_i))
+    //  = x_i - x_{i-1}: +2, -1, 0, +1, -3, +2, -1 at i2..i8.
+    //  i3: -1 after +2 -> death; i4: 0 (touch); i5: +1 with last
+    //  nonzero -1 -> golden (the -,0,+ true cross); i6: -3 -> death;
+    //  i7: +2 -> golden; i8: -1 -> death. Crucially a +,0,+ sequence
+    //  (build one: x=[1,2,2,3]: d=+1,0,+1) must NOT fire on the
+    //  second +.
+    val touch = Seq(1L, 2L, 2L, 3L).zipWithIndex
+      .map { case (v, i) => (i.toLong + 1L, v) }.toDF("o", "x")
+    assert(TimeSeries.maCrossover(touch, $"o", $"x", fast = 1, slow = 2)
+      .collect().isEmpty)
+    // and -,0,+ DOES fire exactly once, at the +
+    val cross = Seq(3L, 2L, 2L, 3L).zipWithIndex
+      .map { case (v, i) => (i.toLong + 1L, v) }.toDF("o", "x")
+    val gotC = TimeSeries.maCrossover(cross, $"o", $"x", fast = 1, slow = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(gotC.toSeq == Seq((4L, "golden")), gotC.mkString(";"))
   }
 
   test("runsTest: alternation and trend closed forms, median ties drop, degenerates NULL") {
