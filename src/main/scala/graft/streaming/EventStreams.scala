@@ -1338,7 +1338,7 @@ object EventStreams extends Serializable {
       innovation: Option[Long], gain_ppm: Option[Long], level: Long,
       p_var: Long)
   case class KalmanGapsState(kal: KalmanState, anchorMs: Long,
-      nextMs: Long, buffered: Seq[Event])
+      nextMs: Long, buffered: Seq[Event], lastObsMs: Long)
 
   /** One densified-grid Kalman catch-up, SHARED by the batch and
     * streaming gap-aware forms — the
@@ -1450,22 +1450,35 @@ object EventStreams extends Serializable {
     * redeliveries by event_id, drop below-watermark stragglers).
     * Sealed output through each key's last observation equals the
     * batch twin EXACTLY (`evt_kalman_gaps_replay` pins it); past the
-    * last observation the stream keeps predicting until the key's
-    * state is dropped — the honest online semantics, since no online
-    * operator can know an observation was the last. */
+    * last observation the stream keeps predicting — but only for
+    * `maxSilentPoints` grid points: a production stream churns keys,
+    * and a key that re-armed its timeout forever would grow state and
+    * output without bound. Once a key has been event-time silent for
+    * `maxSilentPoints` points past its last observation (and nothing
+    * is buffered above the watermark), its state is DROPPED — a later
+    * straggler re-seeds a fresh grid anchored at that observation,
+    * the same loud-bounds posture as the 500k catch-up guard. */
   def kalmanGapsStateful(events: Dataset[Event],
       stepMs: Long = 3600000L, qVar: Long = 10000L,
       rVar: Long = 250000L,
-      watermark: String = "2 hours"): Dataset[KalmanGapsOut] = {
+      watermark: String = "2 hours",
+      maxSilentPoints: Long = 100000L): Dataset[KalmanGapsOut] = {
     require(stepMs > 0L, s"stepMs must be > 0 (got $stepMs)")
     require(qVar > 0L && rVar > 0L && qVar + rVar <= 9000000000000L,
       s"need 0 < qVar, 0 < rVar, qVar + rVar <= 9e12 (got $qVar, $rVar)")
+    require(maxSilentPoints > 0L && maxSilentPoints <= 500000L,
+      s"maxSilentPoints must be in (0, 500k] — the catch-up guard's " +
+        s"bound (got $maxSilentPoints)")
+    require(stepMs <= Long.MaxValue / maxSilentPoints,
+      s"maxSilentPoints * stepMs overflows a long " +
+        s"(got $maxSilentPoints * $stepMs)")
     import events.sparkSession.implicits._
 
     def fn(key: String, rows: Iterator[Event],
         state: GroupState[KalmanGapsState]): Iterator[KalmanGapsOut] = {
       val prior = state.getOption.getOrElse(KalmanGapsState(
-        KalmanState(0L, 0L, 0L), Long.MinValue, Long.MinValue, Seq.empty))
+        KalmanState(0L, 0L, 0L), Long.MinValue, Long.MinValue, Seq.empty,
+        Long.MinValue))
       val wmMs = state.getCurrentWatermarkMs()
       val fresh = rows.filter(_.ts.getTime > wmMs).toSeq
       val (ripe, open) = (prior.buffered ++ fresh)
@@ -1485,15 +1498,37 @@ object EventStreams extends Serializable {
       } else {
         val start = if (prior.nextMs != Long.MinValue) prior.nextMs
           else anchor
+        // an anchored key always has a sealed observation (the fold
+        // that set the anchor consumed one), so lastObs is never
+        // MinValue here
+        val lastObs =
+          if (sorted.nonEmpty) sorted.last.ts.getTime else prior.lastObsMs
+        // the silence budget: predict-only emission stops
+        // maxSilentPoints past the last observation (saturating — a
+        // pathological epoch never wraps into an instant expiry)
+        val expiryMs =
+          try Math.addExact(lastObs, maxSilentPoints * stepMs)
+          catch { case _: ArithmeticException => Long.MaxValue }
         val (st, next, out) = kalmanGapsFold(key, sorted, prior.kal,
-          anchor, start, stepMs, wmMs, qVar, rVar)
-        state.update(KalmanGapsState(st, anchor, next, open))
-        // wake at whichever seals first: the next grid point (gap
-        // emission for a silent key) or the earliest buffered event
-        val wake = math.min(next,
-          open.map(_.ts.getTime).reduceOption(_ min _)
-            .getOrElse(Long.MaxValue))
-        state.setTimeoutTimestamp(wake + 1)
+          anchor, start, stepMs, math.min(wmMs, expiryMs), qVar, rVar)
+        if (open.isEmpty && wmMs >= expiryMs) {
+          // budget exhausted and nothing buffered above the watermark:
+          // drop the key instead of re-arming forever
+          state.remove()
+        } else {
+          state.update(KalmanGapsState(st, anchor, next, open, lastObs))
+          // wake at whichever seals first: the next grid point (gap
+          // emission for a silent key) or the earliest buffered event
+          // — candidates at or below the watermark are excluded
+          // (setTimeoutTimestamp refuses them; `next` can sit below
+          // the watermark when the silence budget clamped the fold
+          // but a buffered event keeps the key alive). At least one
+          // candidate is always above: open events by construction,
+          // and next > min(wm, expiry) = wm whenever open is empty.
+          val wake = (Iterator.single(next) ++
+            open.iterator.map(_.ts.getTime)).filter(_ > wmMs).min
+          state.setTimeoutTimestamp(wake + 1)
+        }
         out.iterator
       }
     }

@@ -1031,6 +1031,52 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("kalmanGapsStateful: maxSilentPoints expires a silent key; a later observation re-seeds") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1700000000000L
+    val H = 3600000L
+    def ev(id: Long, h: Long, v: Double) =
+      Event(id, new Timestamp(t0 + h * H), 1L, "m", v)
+    def flush(id: Long, h: Long) =
+      Event(id, new Timestamp(t0 + h * H), -1L, "__flush", 0.0)
+    val mem = MemoryStream[Event]
+    val q = EventStreams.kalmanGapsStateful(mem.toDS(), stepMs = H,
+        qVar = 1000000L, rVar = 1000000L, maxSilentPoints = 3L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("kgaps_exp_sink").start()
+    try {
+      // one observation at h0, then silence; the flush at h10 moves
+      // the watermark to h8 — WITHOUT the budget that would emit 8
+      // predict rows and re-arm forever
+      mem.addData(Seq(ev(1, 0, 0.0), flush(-1, 10)))
+      q.processAllAvailable()
+      // more silence — watermark to h58; an expired key must emit
+      // NOTHING more
+      mem.addData(Seq(flush(-2, 60)))
+      q.processAllAvailable()
+      // an above-watermark observation re-seeds a FRESH grid at h70
+      // (innovation 0, variance back to the seed), then expires again
+      mem.addData(Seq(ev(2, 70, 5.0), flush(-3, 80)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val m = spark.table("kgaps_exp_sink")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "m")
+      .collect()
+      .map(r => r.getTimestamp(1).getTime -> ((r.getBoolean(2),
+        r.getLong(3), r.getLong(7), r.getLong(8)))).toMap
+    // h0 observed + exactly 3 trailing predict rows (h1..h3), then the
+    // re-seed at h70 + its own 3 trailing predict rows (h71..h73)
+    assert(m.keySet == Set(0L, 1L, 2L, 3L, 70L, 71L, 72L, 73L)
+      .map(t0 + _ * H), m.keys.map(k => (k - t0) / H).toSeq.sorted.toString)
+    assert(m(t0) == ((true, 1L, 0L, 1000000L)), m(t0).toString)
+    assert(m(t0 + 3 * H) == ((false, -1L, 0L, 4000000L)))
+    // the re-seed is a fresh filter: level = 500 cents, p back to the
+    // seed variance (no 70-hour variance carry)
+    assert(m(t0 + 70 * H) == ((true, 2L, 500L, 1000000L)),
+      m(t0 + 70 * H).toString)
+    assert(m(t0 + 73 * H) == ((false, -1L, 500L, 4000000L)))
+  }
+
   test("ewmaAnomaliesStateful absorbs an IN-WINDOW redelivery: one output row per event_id") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val t0 = 1700000000000L
