@@ -919,4 +919,47 @@ class FeaturesSpec extends SparkSpec {
       "bucket", "w", "s", increasing = false).collect()
     assert(ok.length == 4)
   }
+
+  test("isotonicFitGrouped: per-key fits equal isotonicFit per key; bounds apply per group") {
+    import spark.implicits._
+    // two segments whose pools genuinely differ: "a" has the 3/2
+    // violation (pools to 2.5e6), "b" is already isotonic (no pools)
+    val a = Seq((10L, 1L, 1L), (20L, 1L, 3L), (30L, 1L, 2L),
+      (40L, 1L, 4L))
+    val b = Seq((10L, 2L, 1L), (20L, 2L, 5L), (30L, 2L, 9L))
+    val fleet = (a.map { case (bk, w, s) => ("a", bk, w, s) } ++
+      b.map { case (bk, w, s) => ("b", bk, w, s) })
+      .toDF("seg", "bucket", "w", "s")
+    val got = graft.operators.Features
+      .isotonicFitGrouped(fleet, "seg", "bucket", "w", "s",
+        increasing = true)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    def single(rows: Seq[(Long, Long, Long)]) = graft.operators.Features
+      .isotonicFit(rows.toDF("bucket", "w", "s"), "bucket", "w", "s",
+        increasing = true)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val wantA = single(a); val wantB = single(b)
+    assert(got.size == 7)
+    wantA.foreach { case (bk, v) => assert(got(("a", bk)) == v) }
+    wantB.foreach { case (bk, v) => assert(got(("b", bk)) == v) }
+    // the pools DO differ across segments at bucket 20/30
+    assert(got(("a", 20L))._4 == 2500000L && got(("b", 20L))._4 == 2500000L)
+    assert(got(("a", 30L))._4 == 2500000L && got(("b", 30L))._4 == 4500000L)
+    // the totals bound applies PER GROUP: a group over budget refuses
+    // even when the other group is tiny
+    val big = 1500000000L
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.operators.Features.isotonicFitGrouped(
+        (Seq(("x", 1L, 1L, 1L)) ++ (1 to 2).map(i =>
+          ("y", i.toLong, big, big))).toDF("seg", "bucket", "w", "s"),
+        "seg", "bucket", "w", "s").collect()
+    }
+    assert(e.getMessage.contains("total weight"), e.getMessage)
+  }
 }
