@@ -988,20 +988,27 @@ object TextAnalysis {
     *
     * Scale: the [[graft.llm.Dedup]] fingerprint posture — the census
     * shuffles (xxhash64-pair, doc_id) = 24 bytes/row, never the line
-    * text; the per-doc pass joins lines against the (typically tiny,
-    * broadcastable) boilerplate set by fingerprint. A 128-bit pair
-    * collision would surface as an oracle hash mismatch, not silent
-    * wrongness (the oracle censuses the raw lines). */
+    * text; the per-doc pass joins against the boilerplate set on
+    * FINGERPRINTS ONLY, with `length(line)` precomputed and the text
+    * column dropped before the join — so even when the boiler set
+    * exceeds the broadcast threshold (template-flooded corpora) and
+    * the join degrades to a shuffle, only fixed-width rows move.
+    * A 128-bit pair collision would surface as an oracle hash
+    * mismatch, not silent wrongness (the oracle censuses the raw
+    * lines). */
   def boilerplateLines(docs: DataFrame, idCol: String, textCol: String,
       minDocs: Int = 5): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs)")
+    // the text exists only inside this projection: everything past it
+    // is (doc_id, fp, fp2, len) = 28 B/row
     val lines = docs.select(col(idCol).cast("long").as("doc_id"),
         explode(split(coalesce(col(textCol).cast("string"), lit("")),
           "\n", -1)).as("line"))
-      .withColumn("fp", xxhash64(col("line")))
-      .withColumn("fp2", xxhash64(col("line"), lit(1)))
+      .select(col("doc_id"), xxhash64(col("line")).as("fp"),
+        xxhash64(col("line"), lit(1)).as("fp2"),
+        length(col("line")).cast("long").as("len"))
     val boiler = lines
-      .filter(length(col("line")) > 0)
+      .filter(col("len") > 0)
       .select(col("fp"), col("fp2"), col("doc_id")).distinct()
       .groupBy(col("fp"), col("fp2"))
       .agg(count(lit(1)).as("__nd"))
@@ -1009,13 +1016,13 @@ object TextAnalysis {
       .select(col("fp"), col("fp2"), lit(true).as("__boiler"))
     lines.join(boiler, Seq("fp", "fp2"), "left")
       .withColumn("__is_boiler",
-        coalesce(col("__boiler"), lit(false)) && length(col("line")) > 0)
+        coalesce(col("__boiler"), lit(false)) && col("len") > 0)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("__is_boiler"), 1L).otherwise(0L))
           .as("n_boilerplate"),
-        sum(when(!col("__is_boiler"), length(col("line")).cast("long"))
-          .otherwise(0L)).as("kept_chars"))
+        sum(when(!col("__is_boiler"), col("len")).otherwise(0L))
+          .as("kept_chars"))
       .select(col("doc_id"), col("n_lines"), col("n_boilerplate"),
         expr("n_boilerplate * 1000000L div n_lines")
           .as("boilerplate_ppm"),

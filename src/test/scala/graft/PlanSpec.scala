@@ -956,4 +956,26 @@ class PlanSpec extends SparkSpec {
     }
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("text_boilerplate: with broadcast DISABLED the join-back still moves no line text") {
+    // the template-flooded-corpus case: when the boiler set exceeds
+    // the broadcast threshold the fingerprint join degrades to a
+    // shuffle — length(line) is precomputed and the text dropped
+    // before the join, so even then NO exchange of any kind carries
+    // the line string (the dq_duplicate_rows discipline)
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("text_boilerplate")
+      val blocks = p.split("\n\n").toSeq
+      val exchanges = blocks.filter(_.linesIterator
+        .exists(_.matches("\\(\\d+\\) Exchange.*")))
+      assert(exchanges.nonEmpty, p)
+      exchanges.foreach { b =>
+        val input = b.linesIterator.find(_.startsWith("Input")).getOrElse("")
+        assert(!input.contains("line#"), s"line text in an exchange:\n$b")
+      }
+      assert(!p.contains("BroadcastHashJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
 }
