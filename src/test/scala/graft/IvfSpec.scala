@@ -110,4 +110,42 @@ class IvfSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(part.subsetOf(exact), "partial probe fabricated a pair")
   }
+
+  test("sliced index: exhaustive filtered probe == filteredTopK; NULL slice is its own slice; partitioned save/load agrees") {
+    // three slices, one of them NULL — a NULL tenant must match only
+    // NULL-tenant candidates, never act as a wildcard
+    val emb = syntheticEmb(180).withColumn("tenant",
+      when($"vec_id" % 3 === 0, "a")
+        .when($"vec_id" % 3 === 1, "b")
+        .otherwise(lit(null).cast("string")))
+    val idx = Similarity.ivfBuildSliced(emb, "embedding", "vec_id",
+      Seq("tenant"), nlist = 8)
+    val q = emb.filter($"vec_id" < 6)
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select($"q_id", $"n_id", $"rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    // nprobe = nlist probes every cell: exact within-slice agreement
+    val exhaustive = norm(Similarity.ivfProbeFiltered(idx, q,
+      "embedding", "vec_id", Seq("tenant"), k = 3, nprobe = 8))
+    val truth = norm(Similarity.filteredTopK(emb, q, "embedding",
+      "vec_id", Seq("tenant"), k = 3))
+    assert(exhaustive == truth, s"diff: ${exhaustive.diff(truth)} / ${truth.diff(exhaustive)}")
+    assert(exhaustive.nonEmpty)
+    // every returned neighbor shares the query's slice (incl. NULL)
+    val slices = emb.select($"vec_id", $"tenant").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    exhaustive.foreach { case (qi, ni, _) =>
+      assert(slices(qi) == slices(ni), s"cross-slice pair $qi -> $ni")
+    }
+    // partitioned save → load → probe parity at partial nprobe
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfsl").toString + "/idx"
+    Similarity.ivfSavePartitioned(idx, path, Seq("tenant"))
+    val loaded = Similarity.ivfLoad(spark, path)
+    assert(loaded.nlist == 8)
+    def part(i: Similarity.IvfIndex) = norm(Similarity.ivfProbeFiltered(
+      i, q, "embedding", "vec_id", Seq("tenant"), k = 3, nprobe = 3))
+    assert(part(loaded) == part(idx))
+  }
 }
