@@ -289,6 +289,33 @@ object Dedup {
       newDf.select(col(idCol).as("id"), col(bitsCol).cast("long").as("sh")),
       indexDir, maxHamming)
 
+  /** Incremental form of [[signatureNearDup]] — the daily-crawl loop
+    * for MULTI-fingerprint entities (a video is one dHash per frame):
+    * persist the frame rows through [[writeHammingIndex]] (the index
+    * holds one band row per (id, frame fingerprint, band) — the same
+    * 28-byte layout, ids just repeat per frame), then pair a new
+    * batch's frames against history + itself and aggregate to the
+    * per-pair MINIMUM distance. Yesterday's frames never re-decode,
+    * never re-pair among themselves: the video-pair decomposition
+    * `pairs(old ∪ new) = pairs(old) ⊎ incremental` is exact because a
+    * pair's minimizing frame pair lives wholly on one side of it
+    * (both-old pairs use only old frames; pairs touching a new id are
+    * exactly the incremental frame joins). Returns (id_a, id_b,
+    * hamming ≤ maxHamming), id_a < id_b, every pair touching at least
+    * one new id.
+    *
+    * Scale: identical dataflow to [[hammingNearDupIncremental]] plus
+    * one pair-keyed hash-agg — band-keyed equi-joins over
+    * k·(maxHamming+1) fixed-width rows per k-frame entity, never
+    * all-pairs. */
+  def signatureNearDupIncremental(newDf: DataFrame, indexDir: String,
+      bitsCol: String, idCol: String, maxHamming: Int = 3): DataFrame =
+    fpNearDupIncremental(
+      newDf.select(col(idCol).as("id"), col(bitsCol).cast("long").as("sh")),
+      indexDir, maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
+
   private def fpNearDupIncremental(newFp: DataFrame, indexDir: String,
       maxHamming: Int): DataFrame = {
     val spark = newFp.sparkSession

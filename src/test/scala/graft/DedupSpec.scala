@@ -275,6 +275,39 @@ class DedupSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 28L)
   }
 
+  test("signature index: multi-fingerprint incremental — per-pair min exact, decomposition holds") {
+    // entities with SEVERAL fingerprints each (a video's per-frame
+    // dHashes): 1,2 old; 3,4 new. Planted minima:
+    //  (1,2) old-only at 0; (1,3) min over 4 frame pairs = 1 — the
+    //  minimizing pair is (new frame 0x01, old frame 0x00), so the
+    //  min must come from the new-vs-index join; (2,3)=1, (1,4)=2,
+    //  (2,4)=2, (3,4)=1 new-new.
+    val frames = Seq((1L, 0x00L), (1L, 0xF0L), (2L, 0x00L),
+      (3L, 0x01L), (3L, 0xFFL), (4L, 0x03L)).toDF("id", "bits")
+    val old = frames.filter($"id" <= 2)
+    val nw = frames.filter($"id" >= 3)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sigidx").toString + "/idx"
+    Dedup.writeHammingIndex(old, "bits", "id", dir, maxHamming = 3)
+    val inc = Dedup.signatureNearDupIncremental(nw, dir, "bits", "id",
+        maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    assert(inc == Set((1L, 3L, 1), (2L, 3L, 1), (1L, 4L, 2),
+      (2L, 4L, 2), (3L, 4L, 1)), inc.toString)
+    // decomposition at the pair level, min values included
+    val full = Dedup.signatureNearDup(frames, "bits", "id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    val oldOnly = Dedup.signatureNearDup(old, "bits", "id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    assert(oldOnly == Set((1L, 2L, 0)), oldOnly.toString)
+    assert((oldOnly ++ inc) == full)
+    assert(oldOnly.map(p => (p._1, p._2))
+      .intersect(inc.map(p => (p._1, p._2))).isEmpty)
+  }
+
   test("minhash index: pairs(old∪new) == pairs(old) ⊎ incremental(new, idx); guards + append") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mhidx").toString + "/idx"
     val old = incCorpus.filter($"doc_id" % 2 === 0)
