@@ -999,21 +999,41 @@ object TextAnalysis {
   def boilerplateLines(docs: DataFrame, idCol: String, textCol: String,
       minDocs: Int = 5): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs)")
-    // the text exists only inside this projection: everything past it
-    // is (doc_id, fp, fp2, len) = 28 B/row
-    val lines = docs.select(col(idCol).cast("long").as("doc_id"),
+    val lines = lineFingerprints(docs, idCol, textCol)
+    val boiler = lineCensus(docs, idCol, textCol)
+      .filter(col("n_docs") >= minDocs)
+      .select(col("fp"), col("fp2"), lit(true).as("__boiler"))
+    perDocBoilerStats(lines, boiler)
+  }
+
+  /** (doc_id, fp, fp2, len) line projection shared by the batch and
+    * incremental boilerplate forms — the text exists only inside this
+    * select; everything downstream is 28 B fixed-width. */
+  private def lineFingerprints(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
         explode(split(coalesce(col(textCol).cast("string"), lit("")),
           "\n", -1)).as("line"))
       .select(col("doc_id"), xxhash64(col("line")).as("fp"),
         xxhash64(col("line"), lit(1)).as("fp2"),
         length(col("line")).cast("long").as("len"))
-    val boiler = lines
+
+  /** The cross-document LINE CENSUS: one row per distinct non-empty
+    * line fingerprint with its DISTINCT-document count — the
+    * aggregable core of boilerplate detection (disjoint doc sets'
+    * counts ADD exactly, which is what makes the incremental form
+    * below decompose). 24 B/row; the line text never shuffles. */
+  def lineCensus(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    lineFingerprints(docs, idCol, textCol)
       .filter(col("len") > 0)
       .select(col("fp"), col("fp2"), col("doc_id")).distinct()
       .groupBy(col("fp"), col("fp2"))
-      .agg(count(lit(1)).as("__nd"))
-      .filter(col("__nd") >= minDocs)
-      .select(col("fp"), col("fp2"), lit(true).as("__boiler"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** the join-back + per-doc aggregation shared by both forms */
+  private def perDocBoilerStats(lines: DataFrame,
+      boiler: DataFrame): DataFrame =
     lines.join(boiler, Seq("fp", "fp2"), "left")
       .withColumn("__is_boiler",
         coalesce(col("__boiler"), lit(false)) && col("len") > 0)
@@ -1027,6 +1047,45 @@ object TextAnalysis {
         expr("n_boilerplate * 1000000L div n_lines")
           .as("boilerplate_ppm"),
         col("kept_chars"))
+
+  /** Persist a corpus batch's [[lineCensus]] as parquet — the
+    * historical half of INCREMENTAL boilerplate detection (the
+    * daily-crawl loop [[graft.llm.Dedup.writeSimhashIndex]] gives
+    * dedup): `mode = "append"` folds a NEW batch's census rows in.
+    * Batches must have DISJOINT doc-id sets (the crawl contract) —
+    * then distinct-doc counts add exactly and readers aggregate by
+    * fingerprint; history is never re-censused, its text never
+    * reloads. */
+  def writeLineCensus(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, mode: String = "overwrite"): Unit =
+    lineCensus(docs, idCol, textCol).write.mode(mode).parquet(dir)
+
+  /** Per-document boilerplate stats of a NEW batch against a
+    * persisted census — [[boilerplateLines]]'s incremental form: a
+    * line is boilerplate when its distinct-doc count across
+    * history ∪ batch reaches `minDocs`, so the output equals the full
+    * recompute over (old ∪ new) RESTRICTED to the new docs
+    * (`text_boilerplate_incremental_gate` pins it). Call
+    * [[writeLineCensus]] with `mode = "append"` afterwards to fold
+    * the batch in for tomorrow.
+    *
+    * Scale: history joins as 24 B census rows (its text never
+    * reloads); the batch censuses once; same fingerprint-only
+    * join-back as the batch form. */
+  def boilerplateLinesIncremental(newDocs: DataFrame, idCol: String,
+      textCol: String, censusDir: String,
+      minDocs: Int = 5): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs)")
+    val spark = newDocs.sparkSession
+    val lines = lineFingerprints(newDocs, idCol, textCol)
+    val boiler = spark.read.parquet(censusDir)
+      .select(col("fp"), col("fp2"), col("n_docs"))
+      .unionByName(lineCensus(newDocs, idCol, textCol))
+      .groupBy(col("fp"), col("fp2"))
+      .agg(sum(col("n_docs")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("fp"), col("fp2"), lit(true).as("__boiler"))
+    perDocBoilerStats(lines, boiler)
   }
 
   def codeScore(df: DataFrame, idCol: String, textCol: String,

@@ -655,6 +655,46 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("boilerplateLinesIncremental: census merges across the boundary; equals full recompute; append folds") {
+    import spark.implicits._
+    // "NAV" is in old docs 1-3 and new docs 4-5: only the MERGED
+    // census reaches minDocs=5 — a batch-only census (2) or a
+    // history-only one (3) would both miss it
+    val docs = (1L to 5L).map(id => (id, s"NAV\nbody $id"))
+      .toDF("doc_id", "text")
+    val old = docs.filter($"doc_id" <= 3)
+    val nw = docs.filter($"doc_id" >= 4)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_blcen").toString + "/census"
+    graft.llm.TextAnalysis.writeLineCensus(old, "doc_id", "text", dir)
+    def stats(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val inc = stats(graft.llm.TextAnalysis.boilerplateLinesIncremental(
+      nw, "doc_id", "text", dir, minDocs = 5))
+    // each new doc: 2 lines, NAV boiler -> ppm 500000, kept "body N"
+    assert(inc(4L) == ((2L, 1L, 500000L, 6L)), inc.toString)
+    assert(inc(5L) == ((2L, 1L, 500000L, 6L)), inc.toString)
+    // == full recompute over old ∪ new restricted to new ids
+    val full = stats(graft.llm.TextAnalysis.boilerplateLines(
+      docs, "doc_id", "text", minDocs = 5).filter(col("doc_id") >= 4))
+    assert(inc == full)
+    // append folds: re-aggregated census == from-scratch census
+    graft.llm.TextAnalysis.writeLineCensus(nw, "doc_id", "text", dir,
+      mode = "append")
+    val merged = spark.read.parquet(dir)
+      .groupBy(col("fp"), col("fp2"))
+      .agg(org.apache.spark.sql.functions.sum(col("n_docs")).as("n_docs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val scratch = graft.llm.TextAnalysis.lineCensus(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(merged == scratch && merged.nonEmpty)
+    // NAV's merged count is 5
+    assert(merged.count(_._3 == 5L) == 1, merged.toString)
+  }
+
   test("heapsLaw: hand curve on 4 docs, quantized-OLS beta, degenerate grid gives NULL beta") {
     import spark.implicits._
     val docs = Seq((0L, "a b c"), (1L, "a b"), (2L, "a d"), (3L, "e"))
