@@ -957,6 +957,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("keyed fleet diagnostics never funnel through a single partition") {
+    // the whole point of the ByKey forms: every window partitions by
+    // the key, so the fleet distributes — a SinglePartition exchange
+    // anywhere before the (tiny) final sort would mean a window
+    // silently lost its partition spec and the operator re-grew the
+    // single-series funnel
+    Seq("ts_runs_test_by_key", "ts_ma_crossover_by_key",
+        "ml_isotonic_grouped").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Arguments: SinglePartition"),
+        s"$q funnels through SinglePartition:\n$p")
+      assert(p.contains("hashpartitioning"), s"$q has no keyed exchange:\n$p")
+    }
+  }
+
+  test("sim_topk_filtered_ivf: the inverted-list join carries the slice key") {
+    // the sliced index's contract: candidates join on (slice,
+    // cluster), so a probe can never scan another slice's lists — if
+    // the label ever drops out of the join, the filter silently
+    // becomes a post-filter and k under-fills
+    val p = plan("sim_topk_filtered_ivf")
+    val joinBlock = p.split("\n\n").find(b =>
+      b.contains("Join") && b.contains("cluster") && b.contains("label"))
+    assert(joinBlock.isDefined,
+      s"no join carries (cluster, label) together:\n$p")
+  }
+
   test("text_boilerplate: with broadcast DISABLED the join-back still moves no line text") {
     // the template-flooded-corpus case: when the boiler set exceeds
     // the broadcast threshold the fingerprint join degrades to a
