@@ -292,8 +292,51 @@ object Similarity {
   def ivfProbeFiltered(index: IvfIndex, queries: DataFrame,
       vecCol: String, idCol: String, filterCols: Seq[String], k: Int,
       nprobe: Int = 4): DataFrame = {
-    require(filterCols.nonEmpty, "filterCols must be non-empty")
     require(k >= 1, s"k must be >= 1 (got $k)")
+    val scored = filteredCandidates(index, queries, vecCol, idCol,
+        filterCols, nprobe)
+      .withColumn("cosine", cosine_similarity(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("n_id"), col("cosine"), col("rn"))
+  }
+
+  /** FILTERED threshold (range) search through a sliced index —
+    * completing the {top-k, range} × {unfiltered, filtered}
+    * retrieval grid: every WITHIN-SLICE neighbor at
+    * `cosine_micros ≥ minCosineMicros` (the tenant-scoped dedup /
+    * near-dup audit shape, where top-k truncates or pads). Candidates
+    * join on (slice, cluster) null-safely like [[ivfProbeFiltered]];
+    * cosines quantize to integer micros AT the comparison like
+    * [[ivfRangeSearch]], so no boundary pair can flicker on an IEEE
+    * tiebreak. One-sided error by construction (probed cells can
+    * only miss, never fabricate); `nprobe = nlist` is exhaustive
+    * within the slice and agrees with the brute filtered range set
+    * value-for-value. Returns (q_id, n_id, cosine_micros). */
+  def ivfRangeSearchFiltered(index: IvfIndex, queries: DataFrame,
+      vecCol: String, idCol: String, filterCols: Seq[String],
+      minCosineMicros: Long, nprobe: Int = 4): DataFrame = {
+    require(minCosineMicros >= -1000000L && minCosineMicros <= 1000000L,
+      s"minCosineMicros must be in [-1e6, 1e6] (got $minCosineMicros)")
+    filteredCandidates(index, queries, vecCol, idCol, filterCols, nprobe)
+      .withColumn("cosine_micros",
+        round(cosine_similarity(col("q_vec"), col("n_vec")) * 1e6)
+          .cast("long"))
+      .filter(col("cosine_micros") >= minCosineMicros)
+      .select(col("q_id"), col("n_id"), col("cosine_micros"))
+  }
+
+  /** probe routing + (slice, cluster) candidate join shared by the
+    * filtered top-k and filtered range forms — one definition so the
+    * two can never drift on the slice semantics. Emits one row per
+    * (query, in-slice candidate from a probed cell), self-matches
+    * excluded, with q_vec/n_vec riding for the caller's scoring. */
+  private def filteredCandidates(index: IvfIndex, queries: DataFrame,
+      vecCol: String, idCol: String, filterCols: Seq[String],
+      nprobe: Int): DataFrame = {
+    require(filterCols.nonEmpty, "filterCols must be non-empty")
     val q = queries.select(col(idCol).as("q_id") +:
       col(vecCol).as("q_vec") +:
       filterCols.map(f => col(f).as(s"__q_$f")): _*)
@@ -308,14 +351,8 @@ object Similarity {
     val asg = index.assigned
     val cond = (probes("cluster") === asg("cluster")) &&
       filterCols.map(f => asg(f) <=> probes(s"__q_$f")).reduce(_ && _)
-    val scored = probes.join(asg, cond)
+    probes.join(asg, cond)
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cosine", cosine_similarity(col("q_vec"), col("n_vec")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("n_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("n_id"), col("cosine"), col("rn"))
   }
 
   /** Incremental index maintenance: assign NEW vectors to the nearest

@@ -147,5 +147,24 @@ class IvfSpec extends SparkSpec {
     def part(i: Similarity.IvfIndex) = norm(Similarity.ivfProbeFiltered(
       i, q, "embedding", "vec_id", Seq("tenant"), k = 3, nprobe = 3))
     assert(part(loaded) == part(idx))
+    // FILTERED RANGE: exhaustive == brute within-slice threshold set;
+    // a partial probe is a subset (one-sided error), never cross-slice
+    val tau = -200000L // permissive: gaussian cosines cluster near 0
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exhaustiveR = pairs(Similarity.ivfRangeSearchFiltered(idx, q,
+      "embedding", "vec_id", Seq("tenant"), tau, nprobe = 8))
+    val bruteR = pairs(Similarity.filteredTopK(emb, q, "embedding",
+        "vec_id", Seq("tenant"), k = 180)
+      .filter(round($"cosine" * 1e6).cast("long") >= tau)
+      .select($"q_id", $"n_id"))
+    assert(exhaustiveR == bruteR && exhaustiveR.nonEmpty,
+      s"diff: ${exhaustiveR.diff(bruteR)} / ${bruteR.diff(exhaustiveR)}")
+    exhaustiveR.foreach { case (qi, ni) =>
+      assert(slices(qi) == slices(ni), s"cross-slice range pair $qi -> $ni")
+    }
+    val partR = pairs(Similarity.ivfRangeSearchFiltered(idx, q,
+      "embedding", "vec_id", Seq("tenant"), tau, nprobe = 2))
+    assert(partR.subsetOf(exhaustiveR), "partial probe fabricated a pair")
   }
 }
