@@ -1490,10 +1490,16 @@ object EventStreams extends Serializable {
         else if (sorted.nonEmpty) sorted.head.ts.getTime
         else Long.MinValue
       if (anchor == Long.MinValue) {
-        // nothing sealed yet for this key — buffer and wait
-        state.update(prior.copy(buffered = open))
-        if (open.nonEmpty)
+        if (open.isEmpty) {
+          // every delivered event was a below-watermark straggler:
+          // keeping an empty, timeout-less state here would leak a
+          // zombie entry per such key forever — keep nothing
+          if (state.exists) state.remove()
+        } else {
+          // nothing sealed yet for this key — buffer and wait
+          state.update(prior.copy(buffered = open))
           state.setTimeoutTimestamp(open.map(_.ts.getTime).min + 1)
+        }
         Iterator.empty
       } else {
         val start = if (prior.nextMs != Long.MinValue) prior.nextMs

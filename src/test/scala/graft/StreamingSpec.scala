@@ -1077,6 +1077,33 @@ class StreamingSpec extends SparkSpec {
     assert(m(t0 + 73 * H) == ((false, -1L, 500L, 4000000L)))
   }
 
+  test("kalmanGapsStateful: below-watermark-only keys leave no zombie state") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1700000000000L
+    val H = 3600000L
+    val mem = MemoryStream[Event]
+    val q = EventStreams.kalmanGapsStateful(mem.toDS(), stepMs = H,
+        qVar = 1000000L, rVar = 1000000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("kgaps_zombie_sink").start()
+    try {
+      mem.addData(Seq(
+        Event(1L, new Timestamp(t0), 1L, "m", 0.0),
+        Event(-1L, new Timestamp(t0 + 10 * H), -1L, "__flush", 0.0)))
+      q.processAllAvailable() // watermark -> t0 + 8h
+      // a key whose ONLY delivery is already below the watermark must
+      // not leave an empty, timeout-less state entry behind
+      mem.addData(Seq(
+        Event(99L, new Timestamp(t0 + 5 * H), 1L, "zombie", 1.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(
+        Event(-2L, new Timestamp(t0 + 20 * H), -1L, "__flush", 0.0)))
+      q.processAllAvailable()
+      val live = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(live == 2L, s"expected 2 live keys (m + __flush), got $live")
+    } finally q.stop()
+  }
+
   test("ewmaAnomaliesStateful absorbs an IN-WINDOW redelivery: one output row per event_id") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val t0 = 1700000000000L
