@@ -151,9 +151,14 @@ object Bench {
       case (n, _, mn, _) if history.get(n).exists(h =>
         mn > 1.5 * h && mn - h >= 0.5) => n
     }
+    // load = inflated this pass but NOT a confirmed candidate — the
+    // complement, not "min inside the ratio": a sub-resolution min
+    // delta (ratio exceeded, delta < 0.5 s) must still surface as
+    // load rather than fall between the two buckets
+    val rcSet = regressionCandidates.toSet
     val loadFlagged = results.collect {
-      case (n, med, mn, _) if history.get(n).exists(h =>
-        med > 1.5 * h && mn <= 1.5 * h) => n
+      case (n, med, _, _) if !rcSet.contains(n) &&
+        history.get(n).exists(h => med > 1.5 * h) => n
     }
     // persist the merged record (best min per query) for the next
     // round — committed alongside the round artifacts

@@ -310,9 +310,8 @@ object Dedup {
     * all-pairs. */
   def signatureNearDupIncremental(newDf: DataFrame, indexDir: String,
       bitsCol: String, idCol: String, maxHamming: Int = 3): DataFrame =
-    fpNearDupIncremental(
-      newDf.select(col(idCol).as("id"), col(bitsCol).cast("long").as("sh")),
-      indexDir, maxHamming)
+    hammingNearDupIncremental(newDf, indexDir, bitsCol, idCol,
+        maxHamming)
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("hamming")).as("hamming"))
 

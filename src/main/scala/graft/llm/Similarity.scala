@@ -218,11 +218,20 @@ object Similarity {
   }
 
   /** Reload a persisted index; the centroid table is tiny (nlist
-    * rows), the assigned lists load lazily like any parquet scan. */
+    * rows), the assigned lists load lazily like any parquet scan.
+    * A [[ivfSavePartitioned]] layout carries a schema sidecar — pinned
+    * on the read so partition-column type inference can never re-type
+    * (and thereby merge) slice values. */
   def ivfLoad(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
     val centroids = spark.read.parquet(s"$path/centroids")
-    IvfIndex(spark.read.parquet(s"$path/assigned"), centroids,
-      centroids.count().toInt)
+    val fs = new org.apache.hadoop.fs.Path(s"$path/assigned__schema")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val assigned =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/assigned__schema"))) {
+        val pinned = spark.read.parquet(s"$path/assigned__schema").schema
+        spark.read.schema(pinned).parquet(s"$path/assigned")
+      } else spark.read.parquet(s"$path/assigned")
+    IvfIndex(assigned, centroids, centroids.count().toInt)
   }
 
   /** Build the IVF index (the expensive, do-once half). */
@@ -253,6 +262,15 @@ object Similarity {
       sliceCols: Seq[String], nlist: Int = 16,
       seed: Long = 42L): IvfIndex = {
     require(sliceCols.nonEmpty, "sliceCols must be non-empty")
+    buildIndex(emb, vecCol, idCol, sliceCols, nlist, seed)
+  }
+
+  /** the KMeans fit + centroid table + assigned projection shared by
+    * [[ivfBuild]] and [[ivfBuildSliced]] — one definition so the
+    * sliced index can never drift from the plain one it is documented
+    * to extend. */
+  private def buildIndex(emb: DataFrame, vecCol: String, idCol: String,
+      sliceCols: Seq[String], nlist: Int, seed: Long): IvfIndex = {
     val spark = emb.sparkSession
     val (assigned, model) = ivfAssign(emb, vecCol, nlist, seed)
     import spark.implicits._
@@ -268,10 +286,36 @@ object Similarity {
   /** Persist a sliced index PARTITIONED by the slice columns: the
     * filtered probe's scan then prunes to the slice's directory, so
     * at 100 TB a selective filter reads ~(|slice|·nprobe/nlist) of
-    * the corpus instead of everything. Reload with [[ivfLoad]]. */
+    * the corpus instead of everything. Reload with [[ivfLoad]].
+    *
+    * Slice FIDELITY across the roundtrip: directory-encoded partition
+    * values would re-enter through Spark's partition-column TYPE
+    * INFERENCE ("01" and "1" both parse to integer 1 — two tenants
+    * silently merged), so the assigned schema is persisted as a
+    * zero-row sidecar and [[ivfLoad]] pins it on the read. The ONE
+    * value the Hive directory encoding cannot round-trip is the empty
+    * string (written as the default partition, read back as NULL —
+    * merged into the NULL slice), so empty-string slice values refuse
+    * loudly here instead of corrupting tenants at read time. */
   def ivfSavePartitioned(index: IvfIndex, path: String,
       sliceCols: Seq[String]): Unit = {
     require(sliceCols.nonEmpty, "sliceCols must be non-empty")
+    val stringSlices = index.assigned.schema.fields
+      .filter(f => sliceCols.contains(f.name))
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(_.name)
+    if (stringSlices.nonEmpty) {
+      val nEmpty = index.assigned
+        .filter(stringSlices.map(col(_) === "").reduce(_ || _))
+        .limit(1).count()
+      require(nEmpty == 0L,
+        "ivfSavePartitioned: an empty-string slice value cannot " +
+          "round-trip through the Hive directory encoding (it reads " +
+          "back as NULL and merges into the NULL slice) — map it to " +
+          "a sentinel before saving")
+    }
+    index.assigned.limit(0).coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/assigned__schema")
     index.assigned.write.mode("overwrite")
       .partitionBy(sliceCols: _*).parquet(s"$path/assigned")
     index.centroids.write.mode("overwrite").parquet(s"$path/centroids")

@@ -1992,7 +1992,7 @@ object Features {
         col(sumCol).cast("long").as("s"))
       .as[(Long, Long, Long)]
       .groupByKey(_ => 0)
-      .flatMapGroups { (_, it) => pavaFold(it, increasing) }
+      .flatMapGroups { (_, it) => pavaFold(it, increasing, "") }
       .toDF("bucket", "n", "n_pos", "raw_ppm", "fit_ppm")
       .orderBy(col("bucket"))
   }
@@ -2018,7 +2018,8 @@ object Features {
       .as[(String, Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (k, it) =>
-        pavaFold(it.map(r => (r._2, r._3, r._4)), increasing)
+        pavaFold(it.map(r => (r._2, r._3, r._4)), increasing,
+            s" (key=$k)")
           .map { case (b, w, s, raw, fit) => (k, b, w, s, raw, fit) }
       }
       .toDF("key", "bucket", "n", "n_pos", "raw_ppm", "fit_ppm")
@@ -2030,13 +2031,14 @@ object Features {
     * grouped form can never drift from the graded single-group one.
     * Emits (bucket, w, s, raw_ppm, fit_ppm) in bucket order. */
   private def pavaFold(it: Iterator[(Long, Long, Long)],
-      increasing: Boolean): Iterator[(Long, Long, Long, Long, Long)] = {
+      increasing: Boolean,
+      ctx: String): Iterator[(Long, Long, Long, Long, Long)] = {
     val rows = it.toArray.sortBy(_._1)
     rows.foreach { case (b, w, s) =>
       // per-bucket pre-screen so the totals below sum without
       // overflow (an in-memory array never holds 2^31 buckets)
       require(w > 0 && w <= (1L << 31) && math.abs(s) <= (1L << 31),
-        s"isotonicFit: bucket $b needs 0 < w <= 2^31 and " +
+        s"isotonicFit$ctx: bucket $b needs 0 < w <= 2^31 and " +
           s"|s| <= 2^31 (got w=$w, s=$s) — aggregate to buckets " +
           "first and keep counts in range")
     }
@@ -2048,11 +2050,11 @@ object Features {
     val totW = rows.iterator.map(_._2).sum
     val totS = rows.iterator.map(r => math.abs(r._3)).sum
     require(totW <= (1L << 31) && totS <= (1L << 31),
-      s"isotonicFit: total weight $totW and total |s| $totS must " +
+      s"isotonicFit$ctx: total weight $totW and total |s| $totS must " +
         "each stay <= 2^31 so pooled cross-products fit in a " +
         "long — aggregate to coarser buckets or rescale")
     require(rows.map(_._1).distinct.length == rows.length,
-      "isotonicFit: duplicate bucket order values — one row per " +
+      s"isotonicFit$ctx: duplicate bucket order values — one row per " +
         "bucket")
     // PAVA: pools as (startIdx, w, s); a violation exists when the
     // previous pool's mean is above (increasing) / below

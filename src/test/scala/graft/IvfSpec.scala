@@ -167,4 +167,39 @@ class IvfSpec extends SparkSpec {
       "embedding", "vec_id", Seq("tenant"), tau, nprobe = 2))
     assert(partR.subsetOf(exhaustiveR), "partial probe fabricated a pair")
   }
+
+  test("ivfSavePartitioned: slice values survive the roundtrip typed; empty-string slices refuse") {
+    // tenants "1" and "01" both parse to integer 1 under partition
+    // type inference — the schema sidecar must pin them apart, or a
+    // reloaded index fabricates cross-tenant neighbors
+    val emb = syntheticEmb(120).withColumn("tenant",
+      when($"vec_id" % 2 === 0, "1").otherwise("01"))
+    val idx = Similarity.ivfBuildSliced(emb, "embedding", "vec_id",
+      Seq("tenant"), nlist = 4)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfty").toString + "/idx"
+    Similarity.ivfSavePartitioned(idx, path, Seq("tenant"))
+    val loaded = Similarity.ivfLoad(spark, path)
+    assert(loaded.assigned.schema("tenant").dataType ==
+      org.apache.spark.sql.types.StringType,
+      loaded.assigned.schema.treeString)
+    val q = emb.filter($"vec_id" < 4)
+    def probe(i: Similarity.IvfIndex) = Similarity.ivfProbeFiltered(
+        i, q, "embedding", "vec_id", Seq("tenant"), k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = probe(loaded)
+    assert(got == probe(idx) && got.nonEmpty)
+    got.foreach { case (qi, ni) =>
+      assert(qi % 2 == ni % 2, s"merged tenants: $qi -> $ni")
+    }
+    // the one value the Hive directory encoding cannot round-trip
+    // ("" reads back as NULL) refuses loudly at save time
+    val bad = Similarity.ivfBuildSliced(
+      syntheticEmb(20).withColumn("tenant", lit("")),
+      "embedding", "vec_id", Seq("tenant"), nlist = 2)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfSavePartitioned(bad, path + "_bad", Seq("tenant"))
+    }
+    assert(e.getMessage.contains("empty-string"), e.getMessage)
+  }
 }
