@@ -139,9 +139,16 @@ object Dedup {
       df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh")),
       bands)
 
-  /** Pigeonhole self-join of banded fingerprints → near-dup pairs. */
-  private def pairsFromBanded(banded: DataFrame,
-      maxHamming: Int): DataFrame = {
+  /** Raw pigeonhole self-join of banded fingerprints — one row per
+    * band collision (a pair may appear under several bands, and a
+    * multi-fingerprint pair under several fingerprint pairs). The two
+    * consumers reduce it differently, each in ONE shuffle: the
+    * single-fingerprint path dedups ([[pairsFromBanded]] — per pair
+    * every hamming is equal, so distinct IS the reduction), the
+    * signature path takes the per-pair MIN ([[signatureNearDup]] —
+    * min subsumes the dedup, so stacking distinct under it would be
+    * a redundant second shuffle). */
+  private def rawBandPairs(banded: DataFrame): DataFrame = {
     val a = banded.select(col("band"), col("key"),
       col("id").as("id_a"), col("sh").as("sh_a"))
     val b = banded.select(col("band"), col("key"),
@@ -150,9 +157,14 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+  }
+
+  /** Pigeonhole self-join of banded fingerprints → near-dup pairs. */
+  private def pairsFromBanded(banded: DataFrame,
+      maxHamming: Int): DataFrame =
+    rawBandPairs(banded)
       .distinct() // a pair may collide on several bands
       .filter(col("hamming") <= maxHamming)
-  }
 
   def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
@@ -194,17 +206,25 @@ object Dedup {
     * correctly absent). Returns (id_a, id_b, hamming), id_a < id_b.
     *
     * Scale: band-keyed equi-join over k·(maxHamming+1) fixed-width
-    * rows per k-frame entity + one pair-keyed hash-agg — never
-    * all-pairs, payloads never shuffle. */
+    * rows per k-frame entity + ONE pair-keyed min hash-agg (the min
+    * subsumes the single-fingerprint path's distinct — exactly one
+    * reduction layer) — never all-pairs, payloads never shuffle.
+    *
+    * Min exactness under the threshold: the true minimizing
+    * fingerprint pair sits within `maxHamming`, so by pigeonhole it
+    * collides on some band and its distance enters the min; larger
+    * collided distances can only lose, and a pair whose min exceeds
+    * the threshold is filtered after the agg. */
   def signatureNearDup(df: DataFrame, bitsCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 63,
       s"maxHamming must be in [0,63] (got $maxHamming)")
-    pairsFromBanded(bandedBits(
+    rawBandPairs(bandedBits(
       df.select(col(idCol).as("id"), col(bitsCol).cast("long").as("sh")),
-      maxHamming + 1), maxHamming)
+      maxHamming + 1))
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("hamming")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Persist the simhash band index of a corpus — the historical half
@@ -304,18 +324,31 @@ object Dedup {
     * hamming ≤ maxHamming), id_a < id_b, every pair touching at least
     * one new id.
     *
-    * Scale: identical dataflow to [[hammingNearDupIncremental]] plus
-    * one pair-keyed hash-agg — band-keyed equi-joins over
-    * k·(maxHamming+1) fixed-width rows per k-frame entity, never
-    * all-pairs. */
+    * Scale: identical dataflow to [[hammingNearDupIncremental]] with
+    * the reduction swapped — the raw band collisions go through ONE
+    * pair-keyed min hash-agg instead of the distinct (min subsumes
+    * the dedup; stacking both would shuffle the pair stream twice),
+    * with [[signatureNearDup]]'s min-exactness argument. */
   def signatureNearDupIncremental(newDf: DataFrame, indexDir: String,
       bitsCol: String, idCol: String, maxHamming: Int = 3): DataFrame =
-    hammingNearDupIncremental(newDf, indexDir, bitsCol, idCol,
-        maxHamming)
+    rawPairsIncremental(
+      newDf.select(col(idCol).as("id"), col(bitsCol).cast("long").as("sh")),
+      indexDir, maxHamming)
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("hamming")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
 
   private def fpNearDupIncremental(newFp: DataFrame, indexDir: String,
+      maxHamming: Int): DataFrame =
+    rawPairsIncremental(newFp, indexDir, maxHamming)
+      .distinct() // band multi-collisions + old∩new id overlap
+      .filter(col("hamming") <= maxHamming)
+
+  /** Raw new-vs-index + new-vs-new band collisions — the incremental
+    * twin of [[rawBandPairs]], one row per collision, reduced by the
+    * caller (distinct for single fingerprints, per-pair min for
+    * signatures). */
+  private def rawPairsIncremental(newFp: DataFrame, indexDir: String,
       maxHamming: Int): DataFrame = {
     val spark = newFp.sparkSession
     // loud O(1) layout guard — a bands mismatch would silently lose
@@ -345,8 +378,6 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
     newVsOld.union(newVsNew)
-      .distinct() // band multi-collisions + old∩new id overlap
-      .filter(col("hamming") <= maxHamming)
   }
 
   /** Character-shingle MinHash-LSH near-dup pairs with exact Jaccard

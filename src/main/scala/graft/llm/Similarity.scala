@@ -412,26 +412,110 @@ object Similarity {
     * parity against a full rebuild. Re-fit on schedule when drift
     * accumulates; that is a policy knob, not a per-batch cost. */
   def ivfAppend(index: IvfIndex, newRows: DataFrame, vecCol: String,
-      idCol: String): IvfIndex = {
-    // KMeans assigned the original corpus by EUCLIDEAN distance; the
-    // append must apply the identical rule or identical vectors could
-    // land in different lists than their build-time twins.
+      idCol: String): IvfIndex =
+    IvfIndex(index.assigned.unionByName(
+        assignToCentroids(index.centroids, newRows, vecCol, idCol, Nil)),
+      index.centroids, index.nlist)
+
+  /** [[ivfAppend]] for a SLICED index ([[ivfBuildSliced]]): new
+    * vectors route to their nearest existing centroid AND keep their
+    * slice columns riding next to (n_id, n_vec, cluster), so the
+    * appended index serves [[ivfProbeFiltered]] /
+    * [[ivfRangeSearchFiltered]] exactly like a rebuilt one — the
+    * daily-crawl contract the tenant-partitioned index was missing.
+    * Same no-re-fit semantics and recall posture as the plain append
+    * (`sim_ivf_sliced_append` gates probe parity + the recall
+    * floor). */
+  def ivfAppendSliced(index: IvfIndex, newRows: DataFrame,
+      vecCol: String, idCol: String, sliceCols: Seq[String]): IvfIndex = {
+    require(sliceCols.nonEmpty, "sliceCols must be non-empty")
+    IvfIndex(index.assigned.unionByName(
+        assignToCentroids(index.centroids, newRows, vecCol, idCol,
+          sliceCols)),
+      index.centroids, index.nlist)
+  }
+
+  /** nearest-existing-centroid assignment shared by [[ivfAppend]] /
+    * [[ivfAppendSliced]] / [[ivfAppendPartitioned]] — one definition
+    * so the three append paths can never drift on the distance rule.
+    * KMeans assigned the original corpus by EUCLIDEAN distance; the
+    * append must apply the identical rule or identical vectors could
+    * land in different lists than their build-time twins. */
+  private def assignToCentroids(centroids: DataFrame, newRows: DataFrame,
+      vecCol: String, idCol: String, sliceCols: Seq[String]): DataFrame = {
     val euclid2 = aggregate(
       zip_with(col("n_vec"), col("centroid"),
         (v, c) => (v.cast("double") - c.cast("double"))
           * (v.cast("double") - c.cast("double"))),
       lit(0.0), (acc, x) => acc + x)
     val scored = newRows
-      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-      .crossJoin(broadcast(index.centroids))
+      .select(col(idCol).as("n_id") +: col(vecCol).as("n_vec") +:
+        sliceCols.map(col): _*)
+      .crossJoin(broadcast(centroids))
       .withColumn("cdist", euclid2)
     val w = Window.partitionBy(col("n_id"))
       .orderBy(col("cdist").asc, col("cluster"))
-    val assignedNew = scored.withColumn("rn", row_number().over(w))
+    scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("n_id"), col("n_vec"), col("cluster"))
-    IvfIndex(index.assigned.unionByName(assignedNew), index.centroids,
-      index.nlist)
+      .select(col("n_id") +: col("n_vec") +: col("cluster") +:
+        sliceCols.map(col): _*)
+  }
+
+  /** Incremental append AGAINST THE PERSISTED sliced layout — the
+    * on-disk half of the daily-crawl loop: load the centroid table
+    * and the pinned assigned schema from a [[ivfSavePartitioned]]
+    * directory, route the new batch to its nearest existing centroids
+    * (slice columns riding), and APPEND only the new rows under the
+    * partitioned layout — new slice directories/files appear, nothing
+    * already indexed is rewritten or re-read (beyond the nlist-row
+    * centroid table and the zero-row schema sidecar).
+    *
+    * Guards, all loud: the batch's (n_id, n_vec, cluster, slices)
+    * schema must EQUAL the sidecar's (a drifted slice type would
+    * corrupt the directory encoding — the "01"/"1" tenant merge the
+    * sidecar exists to prevent); empty-string slice values refuse
+    * exactly as at save time. [[ivfLoad]] reads the appended index
+    * unchanged. */
+  def ivfAppendPartitioned(spark: org.apache.spark.sql.SparkSession,
+      path: String, newRows: DataFrame, vecCol: String,
+      idCol: String): Unit = {
+    val pinned = spark.read.parquet(s"$path/assigned__schema").schema
+    val baseCols = Set("n_id", "n_vec", "cluster")
+    val sliceCols = pinned.fields.map(_.name).filterNot(baseCols).toSeq
+    require(sliceCols.nonEmpty,
+      s"index at $path is not sliced (no slice columns in the schema " +
+        "sidecar) — use ivfSave/ivfAppend for plain indexes")
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val assignedNew = assignToCentroids(centroids, newRows, vecCol,
+      idCol, sliceCols)
+      // align field order to the sidecar so the schema comparison is
+      // order-insensitive on the caller side but exact on disk
+      .select(pinned.fields.map(f => col(f.name)): _*)
+    // names + dataTypes, NOT nullability (parquet round-trips flip
+    // nullable flags; only a TYPE drift merges tenants)
+    val gotTypes = assignedNew.schema.fields
+      .map(f => (f.name, f.dataType)).toSeq
+    val wantTypes = pinned.fields.map(f => (f.name, f.dataType)).toSeq
+    require(gotTypes == wantTypes,
+      s"ivfAppendPartitioned: batch schema ${assignedNew.schema.sql} " +
+        s"does not match the index's pinned schema ${pinned.sql} — a " +
+        "re-typed slice column would silently merge tenants in the " +
+        "directory encoding; cast the batch to the index's types")
+    val stringSlices = pinned.fields
+      .filter(f => sliceCols.contains(f.name))
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(_.name)
+    if (stringSlices.nonEmpty) {
+      val nEmpty = assignedNew
+        .filter(stringSlices.map(col(_) === "").reduce(_ || _))
+        .limit(1).count()
+      require(nEmpty == 0L,
+        "ivfAppendPartitioned: an empty-string slice value cannot " +
+          "round-trip through the Hive directory encoding — map it " +
+          "to a sentinel before appending")
+    }
+    assignedNew.write.mode("append")
+      .partitionBy(sliceCols: _*).parquet(s"$path/assigned")
   }
 
   /** Probe a built index: route each query to its `nprobe` nearest

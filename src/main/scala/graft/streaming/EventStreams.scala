@@ -1457,7 +1457,14 @@ object EventStreams extends Serializable {
     * `maxSilentPoints` points past its last observation (and nothing
     * is buffered above the watermark), its state is DROPPED — a later
     * straggler re-seeds a fresh grid anchored at that observation,
-    * the same loud-bounds posture as the 500k catch-up guard. */
+    * the same loud-bounds posture as the 500k catch-up guard.
+    *
+    * CHECKPOINT COMPATIBILITY: the silence budget added `lastObsMs`
+    * to [[KalmanGapsState]], so a query restarted from a checkpoint
+    * written by a pre-r19 build fails to decode its state
+    * (state-encoder schema change). Restart such a query with a
+    * FRESH checkpoint (and a replayable source offset) — the state
+    * rebuilds from the stream; there is no in-place migration. */
   def kalmanGapsStateful(events: Dataset[Event],
       stepMs: Long = 3600000L, qVar: Long = 10000L,
       rVar: Long = 250000L,
