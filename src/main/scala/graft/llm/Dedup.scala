@@ -866,20 +866,23 @@ object Dedup {
     * raise n, pre-filter boilerplate, or raise the cap). That df
     * pre-flight is one narrow hash-agg over rows the join needs
     * anyway. */
-  def containment(df: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, minContainment: Double = 0.5,
-      maxGramDf: Long = 10000L): DataFrame = {
-    require(minContainment > 0.0 && minContainment <= 1.0,
-      s"minContainment must be in (0,1] (got $minContainment)")
-    require(n >= 1, s"n must be >= 1 (got $n)")
-    val minPpm = math.round(minContainment * 1000000L)
+  /** Per-doc DISTINCT (id, gram) posting rows — [[containment]]'s
+    * gram projection, shared with the persisted-index forms so the
+    * incremental path can never drift on tokenization or shingling. */
+  private def gramRows(df: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
     val toks = split(col(textCol), " ")
     val grams = array_distinct(transform(
       sequence(lit(0), greatest(size(toks) - n, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-    val g = df.select(col(idCol).as("id"), explode(grams).as("gram"))
-    // coalesce: max over an EMPTY gram stream is NULL (empty input /
-    // all-empty texts) — that is zero hotness, not an NPE
+    df.select(col(idCol).as("id"), explode(grams).as("gram"))
+  }
+
+  /** The [[containment]] loud-quadratic pre-flight over a posting
+    * stream: the hottest gram's document frequency, as a 1-row head
+    * (NULL-coalesced — an empty stream is zero hotness, not an NPE). */
+  private def requireNoHotGram(g: DataFrame, n: Int,
+      maxGramDf: Long): Unit = {
     val hottest = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .agg(coalesce(max(col("df")), lit(0L))).head().getLong(0)
     require(hottest <= maxGramDf,
@@ -887,12 +890,14 @@ object Dedup {
         s"the candidate fan-out is quadratic per gram — raise n, strip " +
         s"the boilerplate upstream, or raise the cap if the cost is " +
         s"understood")
-    val sizes = g.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
-    val overlap = g.select(col("id").as("id_a"), col("gram"))
-      .join(g.select(col("id").as("id_b"), col("gram")), "gram")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).cast("bigint").as("n_overlap"))
+  }
+
+  /** the threshold filter + output projection shared by the batch and
+    * incremental containment forms: integer cross-multiplied
+    * inclusion, the double derived after. `sizes` maps id →
+    * n_grams. */
+  private def containmentTail(overlap: DataFrame, sizes: DataFrame,
+      minPpm: Long): DataFrame =
     overlap
       .join(sizes.select(col("id").as("id_a"), col("n_grams").as("n_a")),
         "id_a")
@@ -905,6 +910,120 @@ object Dedup {
         col("n_b").cast("bigint").as("n_b"),
         (col("n_overlap").cast("double") /
           least(col("n_a"), col("n_b")).cast("double")).as("containment"))
+
+  def containment(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, minContainment: Double = 0.5,
+      maxGramDf: Long = 10000L): DataFrame = {
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"minContainment must be in (0,1] (got $minContainment)")
+    require(n >= 1, s"n must be >= 1 (got $n)")
+    val minPpm = math.round(minContainment * 1000000L)
+    val g = gramRows(df, textCol, idCol, n)
+    requireNoHotGram(g, n, maxGramDf)
+    val sizes = g.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+    val overlap = g.select(col("id").as("id_a"), col("gram"))
+      .join(g.select(col("id").as("id_b"), col("gram")), "gram")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).cast("bigint").as("n_overlap"))
+    containmentTail(overlap, sizes, minPpm)
+  }
+
+  /** Persist the n-gram POSTING index of a corpus — the containment
+    * twin of [[writeSimhashIndex]], closing the last heavy curation
+    * family without a daily-crawl form: `dir` holds the per-doc
+    * distinct (gram, id) posting rows the candidate join probes
+    * (exactly the BM25 posting shape); `dir + "__sizes"` holds each
+    * doc's gram-set size (the denominator — historical text never
+    * reloads); `dir + "__meta"` records `n` so a mismatched shingle
+    * width fails loudly instead of silently under-counting overlap.
+    * `mode = "append"` folds a new batch in; batches must have
+    * DISJOINT doc ids (distinct posting rows then ADD exactly, the
+    * line-census contract) — GUARDED against the sizes sidecar, not
+    * trusted. */
+  def writeGramIndex(df: DataFrame, textCol: String, idCol: String,
+      dir: String, n: Int = 3, mode: String = "overwrite"): Unit = {
+    require(n >= 1, s"n must be >= 1 (got $n)")
+    val spark = df.sparkSession
+    val g = gramRows(df, textCol, idCol, n)
+    if (mode == "append") {
+      val idxN = spark.read.parquet(dir + "__meta").head().getInt(0)
+      require(idxN == n,
+        s"index at $dir was built with n=$idxN, append requested " +
+          s"with $n")
+      val seen = spark.read.parquet(dir + "__sizes").select(col("id"))
+      val nOverlap = df.select(col(idCol).as("id")).distinct()
+        .join(seen, Seq("id"), "left_semi").limit(1).count()
+      require(nOverlap == 0L,
+        s"writeGramIndex append to $dir: the batch shares doc ids " +
+          "with an already-indexed batch — posting rows and sizes " +
+          "would double-count; dedup the crawl boundary upstream or " +
+          "rebuild the index")
+    }
+    g.write.mode(mode).parquet(dir)
+    g.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+      .write.mode(mode).parquet(dir + "__sizes")
+    if (mode != "append") {
+      import spark.implicits._
+      Seq(n).toDF("n").coalesce(1).write.mode("overwrite")
+        .parquet(dir + "__meta")
+    }
+  }
+
+  /** Containment pairs of a NEW batch against a persisted gram index
+    * plus within itself — the quote/subset detector's daily-crawl
+    * form: `pairs(old ∪ new) = pairs(old) ⊎ incremental(new,
+    * index(old))`, disjointly, because grams are a deterministic
+    * per-doc function of text and batches have disjoint ids (a mixed
+    * pair's overlap is exactly the new-vs-index join's gram count; a
+    * both-old pair never touches the batch). History joins as
+    * posting rows and a sizes sidecar — its text never re-explodes,
+    * never re-shuffles.
+    *
+    * The [[containment]] loud-quadratic guard evaluates over
+    * history ∪ batch (one narrow hash-agg over the union): a hot
+    * gram must fail loudly even when its heat is split across the
+    * crawl boundary. Returns the containment columns, every pair
+    * touching at least one new id. */
+  def containmentIncremental(newDf: DataFrame, indexDir: String,
+      textCol: String, idCol: String, n: Int = 3,
+      minContainment: Double = 0.5,
+      maxGramDf: Long = 10000L): DataFrame = {
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"minContainment must be in (0,1] (got $minContainment)")
+    require(n >= 1, s"n must be >= 1 (got $n)")
+    val spark = newDf.sparkSession
+    val idxN = spark.read.parquet(indexDir + "__meta").head().getInt(0)
+    require(idxN == n,
+      s"index at $indexDir was built with n=$idxN, queried with $n — " +
+        "rebuild or re-query to match")
+    val minPpm = math.round(minContainment * 1000000L)
+    val gNew = gramRows(newDf, textCol, idCol, n)
+    val idx = spark.read.parquet(indexDir)
+    val oldSizes = spark.read.parquet(indexDir + "__sizes")
+    val nOverlap = newDf.select(col(idCol).as("id")).distinct()
+      .join(oldSizes.select(col("id")), Seq("id"), "left_semi")
+      .limit(1).count()
+    require(nOverlap == 0L,
+      s"containmentIncremental: the batch shares doc ids with the " +
+        s"index at $indexDir — the disjoint-batch contract is broken " +
+        "and overlap counts would be wrong; dedup the crawl boundary " +
+        "upstream")
+    requireNoHotGram(gNew.unionByName(idx), n, maxGramDf)
+    val newVsOld = gNew.select(col("id").as("id_n"), col("gram"))
+      .join(idx.select(col("id").as("id_o"), col("gram")), "gram")
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"))
+    val newVsNew = gNew.select(col("id").as("id_a"), col("gram"))
+      .join(gNew.select(col("id").as("id_b"), col("gram")), "gram")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val overlap = newVsOld.unionByName(newVsNew)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).cast("bigint").as("n_overlap"))
+    val sizes = gNew.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+      .unionByName(oldSizes)
+    containmentTail(overlap, sizes, minPpm)
   }
 
   /** LSH S-curve tuning table — the question every banding choice

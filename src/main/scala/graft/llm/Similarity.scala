@@ -492,10 +492,24 @@ object Similarity {
       // order-insensitive on the caller side but exact on disk
       .select(pinned.fields.map(f => col(f.name)): _*)
     // names + dataTypes, NOT nullability (parquet round-trips flip
-    // nullable flags; only a TYPE drift merges tenants)
+    // nullable flags AND nested containsNull; only a TYPE drift
+    // merges tenants — normalize the whole type tree to nullable)
+    def norm(dt: org.apache.spark.sql.types.DataType):
+        org.apache.spark.sql.types.DataType = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case ArrayType(e, _) => ArrayType(norm(e), containsNull = true)
+        case MapType(kT, v, _) =>
+          MapType(norm(kT), norm(v), valueContainsNull = true)
+        case StructType(fs) => StructType(fs.map(f =>
+          f.copy(dataType = norm(f.dataType), nullable = true)))
+        case other => other
+      }
+    }
     val gotTypes = assignedNew.schema.fields
-      .map(f => (f.name, f.dataType)).toSeq
-    val wantTypes = pinned.fields.map(f => (f.name, f.dataType)).toSeq
+      .map(f => (f.name, norm(f.dataType))).toSeq
+    val wantTypes = pinned.fields
+      .map(f => (f.name, norm(f.dataType))).toSeq
     require(gotTypes == wantTypes,
       s"ivfAppendPartitioned: batch schema ${assignedNew.schema.sql} " +
         s"does not match the index's pinned schema ${pinned.sql} — a " +
@@ -937,6 +951,154 @@ object Similarity {
       k: Int, shortlist: Int = -1): DataFrame = {
     val sl = if (shortlist <= 0) 8 * k else shortlist
     val short = pqAdcTopK(codes, books, queries, vecCol, idCol, sl)
+      .select(col("q_id"), col("n_id"))
+    val qv = queries.select(col(idCol).cast("long").as("q_id"),
+      col(vecCol).as("__qv"))
+    val nv = emb.select(col(idCol).cast("long").as("n_id"),
+      col(vecCol).as("__nv"))
+    val exact = short
+      .join(nv, "n_id") // shortlist-sized — tiny vs the corpus
+      .join(broadcast(qv), "q_id")
+      .withColumn("cosine", cosine_similarity(col("__qv"), col("__nv")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    exact.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("n_id"), col("cosine"), col("rn"))
+  }
+
+  /** Injective slice-key canonicalization shared by the filtered PQ
+    * encode and probe: NULL is its own slice (`"n"`), every non-NULL
+    * value renders type-tagged (`"<type>:v<string>"`). The tag means
+    * a slice column whose TYPE drifts between encode and query time
+    * can never MERGE tenants (an int 1 and a string "1" get different
+    * keys) — drift shows up as empty results, the recoverable failure
+    * mode, never as cross-tenant hits. Atomic types only (the string
+    * cast is injective per type). */
+  private def pqSliceKey(df: DataFrame,
+      sliceCol: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(sliceCol).dataType
+    require(!dt.isInstanceOf[ArrayType] && !dt.isInstanceOf[MapType] &&
+      !dt.isInstanceOf[StructType],
+      s"slice column $sliceCol must be an atomic type (got ${dt.sql})")
+    when(col(sliceCol).isNull, lit("n"))
+      .otherwise(concat(lit(dt.simpleString + ":v"),
+        col(sliceCol).cast("string")))
+  }
+
+  /** [[pqEncode]] with the slice (filter) column riding next to the
+    * codes — the storage-scale half of FILTERED ANN at PQ
+    * compression: (idCol, codes, slice_key), still m small ints +
+    * one short string per vector, encoded row-locally in one pass.
+    * `slice_key` is the canonical [[pqSliceKey]] rendering (the codes
+    * table is an internal index artifact, like the LSH bucket ids —
+    * audit joins go back through idCol). */
+  def pqEncodeSliced(emb: DataFrame, vecCol: String, idCol: String,
+      books: PqCodebooks, sliceCol: String): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(books)
+    emb.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"),
+        pqSliceKey(emb, sliceCol))
+      .as[(Long, Array[Double], String)]
+      .mapPartitions { it => val b = bc.value; it.map { case (id, v, s) =>
+        (id, b.encode(v), s) } }
+      .toDF(idCol, "codes", "slice_key")
+  }
+
+  /** FILTERED ADC top-k over sliced PQ codes — the {filtered} axis
+    * for the 16-32× storage path ([[filteredTopK]] is the
+    * full-precision form, [[ivfProbeFiltered]] the IVF form): each
+    * query scores ONLY candidates in its own slice (NULL-safe — a
+    * NULL tenant is its own slice), so k never under-fills the way
+    * post-filtering a plain [[pqAdcTopK]] would. Same dataflow as the
+    * unfiltered scan: the query batch (with slice keys) rides a
+    * broadcast, per-partition LUTs group BY slice key, and each code
+    * row looks up exactly its slice's queries — candidates from other
+    * slices cost a hash probe, not m table adds. Returns (q_id, n_id,
+    * cosine_adc, rn ≤ k). `codes` must come from [[pqEncodeSliced]];
+    * pass the RAW slice column on the query side (canonicalized here
+    * with the same rendering). */
+  def pqAdcTopKFiltered(codes: DataFrame, books: PqCodebooks,
+      queries: DataFrame, vecCol: String, idCol: String,
+      sliceCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val qBatch: Array[(Long, Array[Double], String)] = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"),
+        pqSliceKey(queries, sliceCol))
+      .as[(Long, Array[Double], String)].collect()
+    val bc = spark.sparkContext.broadcast((books, qBatch))
+    val scored = codes
+      .select(col(idCol).cast("long"), col("codes"), col("slice_key"))
+      .as[(Long, Array[Short], String)]
+      .mapPartitions { it =>
+        val (b, qs) = bc.value
+        val m = b.m; val dsub = b.dsub; val kk = b.k
+        val lutsBySlice: Map[String, Array[(Long, Array[Array[Double]], Double)]] =
+          qs.groupBy(_._3).map { case (sk, grp) =>
+            sk -> grp.map { case (qid, qv, _) =>
+              val lut = Array.ofDim[Double](m, kk)
+              var qn = 0.0
+              var tq = 0
+              while (tq < qv.length) { qn += qv(tq) * qv(tq); tq += 1 }
+              var j = 0
+              while (j < m) {
+                val cs = b.centroids(j); val off = j * dsub
+                var c = 0
+                while (c < kk) {
+                  var s = 0.0; var t = 0
+                  while (t < dsub) { s += qv(off + t) * cs(c)(t); t += 1 }
+                  lut(j)(c) = s; c += 1
+                }
+                j += 1
+              }
+              (qid, lut, math.sqrt(qn))
+            }
+          }
+        val n2 = b.norm2
+        it.flatMap { case (nid, code, ck) =>
+          lutsBySlice.get(ck) match {
+            case None => Iterator.empty
+            case Some(luts) =>
+              var cn2 = 0.0
+              var jc = 0
+              while (jc < m) { cn2 += n2(jc)(code(jc)); jc += 1 }
+              val cn = math.sqrt(cn2)
+              luts.iterator.collect { case (qid, lut, qn) if qid != nid =>
+                var dot = 0.0
+                var j = 0
+                while (j < m) { dot += lut(j)(code(j)); j += 1 }
+                val denom = qn * cn
+                (qid, nid, if (denom <= 0) 0.0 else dot / denom)
+              }
+          }
+        }
+      }.toDF("q_id", "n_id", "cosine_adc")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine_adc").desc, col("n_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("n_id"), col("cosine_adc"), col("rn"))
+  }
+
+  /** Filtered PQ + exact refine — [[pqAdcTopKRefined]] through the
+    * sliced code table: the ADC scan shortlists WITHIN each query's
+    * slice, then one 8-byte-keyed join fetches only the shortlist's
+    * float vectors for exact cosine re-ranking. With `shortlist` at
+    * least the largest slice the shortlist IS the whole slice and the
+    * result equals [[filteredTopK]] value-for-value (the
+    * hash-grading device — `sim_topk_filtered_pq`); at production
+    * sizing (default 8k) recall is `sim_filtered_pq_recall`'s
+    * contract. Returns (q_id, n_id, cosine, rn ≤ k). */
+  def pqAdcTopKRefinedFiltered(codes: DataFrame, books: PqCodebooks,
+      queries: DataFrame, emb: DataFrame, vecCol: String, idCol: String,
+      sliceCol: String, k: Int, shortlist: Int = -1): DataFrame = {
+    val sl = if (shortlist <= 0) 8 * k else shortlist
+    val short = pqAdcTopKFiltered(codes, books, queries, vecCol, idCol,
+        sliceCol, sl)
       .select(col("q_id"), col("n_id"))
     val qv = queries.select(col(idCol).cast("long").as("q_id"),
       col(vecCol).as("__qv"))

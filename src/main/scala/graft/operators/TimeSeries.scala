@@ -2196,4 +2196,218 @@ object TimeSeries {
           .otherwise(lit(null).cast("boolean")))
       .orderBy(col("key"))
   }
+
+  /** Keyed fleet MODEL SELECTION — [[modelSelect]]'s three-way
+    * AR / ARIMA / SARIMA readout for EVERY series in a keyed fleet,
+    * entirely IN-PLAN (the ByKey discipline [[runsTestByKey]] /
+    * [[maCrossoverByKey]] set: no per-key driver funnel, no
+    * SinglePartition window — one hash-shuffle on the key,
+    * key-partitioned windows, key-grouped aggregates). The capacity
+    * planner's first fleet question ("which of my 10 000 metrics
+    * trend, which cycle, which are noise?") becomes one query.
+    *
+    * Differences from the single-series member, both forced by the
+    * in-plan contract and documented here rather than hidden:
+    *  - the AR order is FIXED at p = 3 (the [[modelSelect]] default):
+    *    Durbin–Levinson to order 3 has a closed form that stamps as
+    *    column algebra per key; an arbitrary p would need a per-key
+    *    driver recursion.
+    *  - the per-key dominant period is measured IN-PLAN (the
+    *    ts_dominant_period argmax — acf over lags 2..`maxPeriod`,
+    *    (acf desc, lag) tie-break) and consumed through a
+    *    computed-offset self-join (a window `lag` cannot take a
+    *    per-key offset).
+    *  - ineligible keys EMIT NOTHING instead of failing the job: a
+    *    key is selected only if every variant (levels, first
+    *    differences, seasonal differences at its measured period) has
+    *    enough points for the order-3 fit (≥ 4 acf pairs at lag 3), a
+    *    positive centered sum of squares, non-degenerate
+    *    Durbin–Levinson denominators, and micro-phis within ±10
+    *    (|φ| > 10 is a numerically meaningless fit whose residual
+    *    algebra would also threaten the 9.2·10¹⁸ long bound).
+    *
+    * Exactness: per key, the [[arimaVsAr]] integer machinery
+    * verbatim — quantized acf (`round(num/den·10⁶)` over the exact
+    * integer-centered series `y = n·x − s`), the fixed ascending-j
+    * Durbin–Levinson closed form on the quantized r's (one mirrored
+    * IEEE tree), micro-phi residuals by truncating division, each
+    * MAE one truncating DECIMAL division on the level scale, ties to
+    * the simpler model. A SQL oracle replays every key's selection
+    * value-for-value.
+    *
+    * SIDE-EFFECTING: one 1-row overflow pre-flight (max over keys of
+    * n·(max|x|+1) must stay ≤ 7·10¹⁰ so every residual term fits a
+    * long with the ±10⁷ phi cap) runs eagerly — the only driver
+    * touch; it is a separate job, not part of the returned plan.
+    *
+    * Returns one row per eligible key: (key, n_levels, n_diffs,
+    * n_sdiffs, p = 3, period, mae_ar_micros, mae_arima_micros,
+    * mae_sarima_micros, mase_arima_ppm, mase_sarima_ppm,
+    * best_model).
+    *
+    * Scale: the acf/period pass is series-scale × maxPeriod
+    * fixed-width rows per key (the [[autocorrelation]] explode, keyed);
+    * everything else is key-partitioned windows + key-grouped
+    * hash-aggs. A series never leaves its partition. */
+  def modelSelectByKey(df: DataFrame, keyExpr: Column,
+      orderExpr: Column, valueExpr: Column,
+      maxPeriod: Int = 48): DataFrame = {
+    require(maxPeriod >= 2 && maxPeriod <= 100000,
+      s"maxPeriod must be in [2, 100000] (got $maxPeriod)")
+    val spark = df.sparkSession
+    val dec = "decimal(38,0)"
+    val base = df.select(keyExpr.as("key"), orderExpr.as("__o"),
+        valueExpr.cast("long").as("__x"))
+      .filter(col("key").isNotNull && col("__x").isNotNull)
+      .withColumn("__i", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("__o"))).cast("long"))
+      .select(col("key"), col("__i"), col("__x"))
+      .localCheckpoint(true) // period pass + three variant fits
+    // overflow pre-flight: |y| = |n·x − s| ≤ 2·n·max|x|, diffs double
+    // it, and the residual tree is 10⁶·y + 3·10⁷·y — the 7e10 cap
+    // keeps the worst term sum under 9.2e18 with margin
+    val bound = base.groupBy(col("key"))
+      .agg((count(lit(1)) * (max(abs(col("__x"))) + 1L)).as("__b"))
+      .agg(coalesce(max(col("__b")), lit(0L))).head().getLong(0)
+    require(bound <= 70000000000L,
+      s"modelSelectByKey: max over keys of n·(max|x|+1) = $bound " +
+        "exceeds the overflow-safe bound 7e10 for the integer residual " +
+        "algebra — quantize the series coarser or split the fleet")
+    // ---- per-key dominant period (the ts_dominant_period argmax) ----
+    val stL = base.groupBy(col("key"))
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"))
+    val yL = base.join(stL, "key")
+      .select(col("key"), col("__i"),
+        (col("__n") * col("__x") - col("__s")).as("__y"))
+    val denP = yL.groupBy(col("key"))
+      .agg(sum(col("__y").cast(dec) * col("__y")).as("__den"))
+    val lagsDf = spark.range(2L, maxPeriod + 1L)
+      .select(col("id").as("__lag"))
+    val numP = yL.select(col("key"), col("__i"), col("__y").as("__yl"))
+      .crossJoin(broadcast(lagsDf))
+      .withColumn("__j", col("__i") + col("__lag"))
+      .join(yL.select(col("key"), col("__i").as("__j"),
+        col("__y").as("__yr")), Seq("key", "__j"))
+      .groupBy(col("key"), col("__lag"))
+      .agg(sum(col("__yl").cast(dec) * col("__yr")).as("__num"))
+    val wPer = Window.partitionBy(col("key"))
+      .orderBy(col("__am").desc, col("__lag"))
+    val period = numP.join(denP, "key")
+      .filter(col("__den") > 0)
+      .withColumn("__am", round(col("__num").cast("double") /
+        col("__den").cast("double") * lit(1e6)).cast("long"))
+      .withColumn("__rk", row_number().over(wPer))
+      .filter(col("__rk") === 1)
+      .select(col("key"), col("__lag").as("__per"))
+    // ---- variant series: levels, first diffs, seasonal diffs ----
+    val wOrd = Window.partitionBy(col("key")).orderBy(col("__i"))
+    val diffs = base
+      .withColumn("__d", col("__x") - lag(col("__x"), 1).over(wOrd))
+      .filter(col("__d").isNotNull)
+      .select(col("key"), col("__i"), col("__d").as("__x"))
+    val sdiffs = base.join(period, "key")
+      .withColumn("__j", col("__i") - col("__per"))
+      .join(base.select(col("key"), col("__i").as("__j"),
+        col("__x").as("__xp")), Seq("key", "__j"))
+      .select(col("key"), col("__i"),
+        (col("__x") - col("__xp")).as("__x"))
+    // ---- the per-key AR(3) fit + level-scale MAE, stamped 3x ----
+    def fitMae(v: DataFrame): DataFrame = {
+      val st = v.groupBy(col("key"))
+        .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"))
+      val y = v.join(st, "key")
+        .select(col("key"), col("__i"),
+          (col("__n") * col("__x") - col("__s")).as("__y"))
+      val wk = Window.partitionBy(col("key")).orderBy(col("__i"))
+      val nums = y
+        .withColumn("__l1", lead(col("__y"), 1).over(wk))
+        .withColumn("__l2", lead(col("__y"), 2).over(wk))
+        .withColumn("__l3", lead(col("__y"), 3).over(wk))
+        .groupBy(col("key"))
+        .agg(sum(col("__y").cast(dec) * col("__y")).as("__den"),
+          sum(col("__y").cast(dec) * col("__l1")).as("__nm1"),
+          sum(col("__y").cast(dec) * col("__l2")).as("__nm2"),
+          sum(col("__y").cast(dec) * col("__l3")).as("__nm3"),
+          count(col("__l3")).as("__np3"))
+      // closed-form Durbin–Levinson to order 3 on the QUANTIZED acf —
+      // the pacf contract's fixed ascending-j order, stamped as one
+      // mirrored IEEE tree per key; eligibility filters mirror the
+      // single-series loud guards (acf defined at lags 1..3 with >= 4
+      // pairs at lag 3, non-zero DL denominators, sane phis)
+      def am(nm: String) = round(col(nm).cast("double") /
+        col("__den").cast("double") * lit(1e6)).cast("long")
+      val phis = nums
+        .filter(col("__den") > 0 && col("__np3") >= 4)
+        .withColumn("__r1", am("__nm1").cast("double") / lit(1e6))
+        .withColumn("__r2", am("__nm2").cast("double") / lit(1e6))
+        .withColumn("__r3", am("__nm3").cast("double") / lit(1e6))
+        .withColumn("__pd2", lit(1.0) - col("__r1") * col("__r1"))
+        .filter(col("__pd2") =!= 0.0)
+        .withColumn("__pkk2",
+          (col("__r2") - col("__r1") * col("__r1")) / col("__pd2"))
+        .withColumn("__phi21",
+          col("__r1") - col("__pkk2") * col("__r1"))
+        .withColumn("__pd3", lit(1.0) -
+          (col("__phi21") * col("__r1") + col("__pkk2") * col("__r2")))
+        .filter(col("__pd3") =!= 0.0)
+        .withColumn("__pkk3", (col("__r3") -
+          (col("__phi21") * col("__r2") + col("__pkk2") * col("__r1")))
+          / col("__pd3"))
+        .withColumn("__m1", round((col("__phi21") -
+          col("__pkk3") * col("__pkk2")) * lit(1e6)).cast("long"))
+        .withColumn("__m2", round((col("__pkk2") -
+          col("__pkk3") * col("__phi21")) * lit(1e6)).cast("long"))
+        .withColumn("__m3",
+          round(col("__pkk3") * lit(1e6)).cast("long"))
+        .filter(abs(col("__m1")) <= 10000000L &&
+          abs(col("__m2")) <= 10000000L &&
+          abs(col("__m3")) <= 10000000L)
+        .select(col("key"), col("__m1"), col("__m2"), col("__m3"))
+      val resid = y
+        .withColumn("__y1", lag(col("__y"), 1).over(wk))
+        .withColumn("__y2", lag(col("__y"), 2).over(wk))
+        .withColumn("__y3", lag(col("__y"), 3).over(wk))
+        .filter(col("__y3").isNotNull)
+        .join(phis, "key")
+        .select(col("key"),
+          expr("(1000000 * __y - __m1 * __y1 - __m2 * __y2" +
+            " - __m3 * __y3) div 1000000").as("__e"))
+      resid.groupBy(col("key"))
+        .agg(count(lit(1)).as("__m"),
+          sum(abs(col("__e")).cast(dec)).as("__sae"))
+        .join(st.select(col("key"), col("__n")), "key")
+        .select(col("key"), col("__n"),
+          expr("CAST(CAST(__sae AS DECIMAL(38,0)) * 1000000" +
+            " div (CAST(__m AS DECIMAL(38,0)) * __n) AS BIGINT)")
+            .as("__mae"))
+    }
+    val fAr = fitMae(base).select(col("key"),
+      col("__n").as("n_levels"), col("__mae").as("mae_ar_micros"))
+    val fDi = fitMae(diffs).select(col("key"),
+      col("__n").as("n_diffs"), col("__mae").as("mae_arima_micros"))
+    val fSd = fitMae(sdiffs).select(col("key"),
+      col("__n").as("n_sdiffs"), col("__mae").as("mae_sarima_micros"))
+    fAr.join(fDi, "key").join(fSd, "key").join(period, "key")
+      .select(col("key"),
+        col("n_levels").cast("bigint").as("n_levels"),
+        col("n_diffs").cast("bigint").as("n_diffs"),
+        col("n_sdiffs").cast("bigint").as("n_sdiffs"),
+        lit(3L).as("p"),
+        col("__per").cast("bigint").as("period"),
+        col("mae_ar_micros"), col("mae_arima_micros"),
+        col("mae_sarima_micros"),
+        expr("CAST(CAST(mae_arima_micros AS DECIMAL(38,0)) * 1000000" +
+          " div nullif(mae_ar_micros, 0) AS BIGINT)")
+          .as("mase_arima_ppm"),
+        expr("CAST(CAST(mae_sarima_micros AS DECIMAL(38,0)) * 1000000" +
+          " div nullif(mae_ar_micros, 0) AS BIGINT)")
+          .as("mase_sarima_ppm"))
+      .withColumn("best_model",
+        when(col("mae_ar_micros") <= col("mae_arima_micros") &&
+          col("mae_ar_micros") <= col("mae_sarima_micros"), "ar")
+          .when(col("mae_arima_micros") <= col("mae_sarima_micros"),
+            "arima")
+          .otherwise("sarima"))
+      .orderBy(col("key"))
+  }
 }

@@ -501,4 +501,72 @@ class DedupSpec extends SparkSpec {
       Dedup.lshTuning(spark, bands = 0, rowsPerBand = 1)
     }
   }
+
+  test("gram index: incremental containment equals the restricted full recompute") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d x y z w"),        // shares the a-b-c-d prefix with 1
+      (3L, "p q r s t u v"),
+      (4L, "a b c d e f g h extra"),  // contains doc 1 wholesale
+      (5L, "p q r s t different")     // shares p-q-r-s with 3
+    ).toDF("doc_id", "text")
+    val old = docs.filter($"doc_id" <= 2)
+    val nw = docs.filter($"doc_id" >= 3)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_gridx").toString + "/idx"
+    Dedup.writeGramIndex(old, "text", "doc_id", dir, n = 3)
+    val inc = Dedup.containmentIncremental(nw, dir, "text", "doc_id",
+        n = 3, minContainment = 0.5)
+      .select($"id_a", $"id_b", $"n_overlap", $"n_a", $"n_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val fullRestricted = Dedup.containment(docs, "text", "doc_id",
+        n = 3, minContainment = 0.5)
+      .filter($"id_a" >= 3 || $"id_b" >= 3)
+      .select($"id_a", $"id_b", $"n_overlap", $"n_a", $"n_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(inc == fullRestricted, s"inc=$inc full=$fullRestricted")
+    // the mixed containment pair (1 inside 4) must be present
+    assert(inc.exists(p => p._1 == 1L && p._2 == 4L), inc)
+  }
+
+  test("gram index guards: n mismatch, id overlap, hot gram split across the boundary") {
+    val old = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_gridx2").toString + "/idx"
+    Dedup.writeGramIndex(old, "text", "doc_id", dir, n = 3)
+    // shingle-width mismatch refuses on query and append
+    val exN = intercept[IllegalArgumentException] {
+      Dedup.containmentIncremental(
+        Seq((3L, "a b c d")).toDF("doc_id", "text"), dir, "text",
+        "doc_id", n = 4)
+    }
+    assert(exN.getMessage.contains("n=3"), exN.getMessage)
+    val exA = intercept[IllegalArgumentException] {
+      Dedup.writeGramIndex(Seq((3L, "x")).toDF("doc_id", "text"),
+        "text", "doc_id", dir, n = 4, mode = "append")
+    }
+    assert(exA.getMessage.contains("n=3"), exA.getMessage)
+    // a re-crawled id refuses loudly (silent double-count otherwise)
+    val exId = intercept[IllegalArgumentException] {
+      Dedup.containmentIncremental(
+        Seq((1L, "a b c d")).toDF("doc_id", "text"), dir, "text",
+        "doc_id", n = 3)
+    }
+    assert(exId.getMessage.contains("disjoint"), exId.getMessage)
+    val exIdA = intercept[IllegalArgumentException] {
+      Dedup.writeGramIndex(Seq((1L, "a b c d")).toDF("doc_id", "text"),
+        "text", "doc_id", dir, n = 3, mode = "append")
+    }
+    assert(exIdA.getMessage.contains("double-count"), exIdA.getMessage)
+    // a gram hot only ACROSS the boundary (1 old + 2 new = 3 > cap 2)
+    // must still fail loudly — the guard sums history and batch
+    val exHot = intercept[IllegalArgumentException] {
+      Dedup.containmentIncremental(
+        Seq((10L, "a b c z"), (11L, "a b c w")).toDF("doc_id", "text"),
+        dir, "text", "doc_id", n = 3, maxGramDf = 2L)
+    }
+    assert(exHot.getMessage.contains("maxGramDf"), exHot.getMessage)
+  }
 }

@@ -202,4 +202,73 @@ class IvfSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("empty-string"), e.getMessage)
   }
+
+  test("ivfAppendSliced / ivfAppendPartitioned: appended rows carry slices, probe equals in-memory append, guards refuse") {
+    val emb = syntheticEmb(150).withColumn("tenant",
+      when($"vec_id" % 3 === 0, "a")
+        .when($"vec_id" % 3 === 1, "b")
+        .otherwise(lit(null).cast("string")))
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val extra = emb.filter($"vec_id" % 5 === 0)
+    val idx = Similarity.ivfBuildSliced(base, "embedding", "vec_id",
+      Seq("tenant"), nlist = 8)
+    // in-memory sliced append: every row indexed once, slices riding
+    val app = Similarity.ivfAppendSliced(idx, extra, "embedding",
+      "vec_id", Seq("tenant"))
+    assert(app.assigned.count() == 150L)
+    assert(app.assigned.columns.contains("tenant"))
+    // persisted append: new files under the partitioned layout
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfslap").toString + "/idx"
+    Similarity.ivfSavePartitioned(idx, path, Seq("tenant"))
+    Similarity.ivfAppendPartitioned(spark, path, extra, "embedding",
+      "vec_id")
+    val loaded = Similarity.ivfLoad(spark, path)
+    assert(loaded.assigned.count() == 150L)
+    assert(loaded.assigned.select($"n_id").distinct().count() == 150L)
+    // probe through the reloaded appended index == in-memory append
+    val q = emb.filter($"vec_id" < 6)
+    def norm(i: Similarity.IvfIndex) = Similarity.ivfProbeFiltered(
+        i, q, "embedding", "vec_id", Seq("tenant"), k = 3, nprobe = 8)
+      .select($"q_id", $"n_id", $"rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    assert(norm(loaded) == norm(app))
+    // exhaustive probe through the appended index == brute force
+    val truth = Similarity.filteredTopK(emb, q, "embedding", "vec_id",
+        Seq("tenant"), k = 3)
+      .select($"q_id", $"n_id", $"rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    assert(norm(loaded) == truth)
+    // a re-typed slice column refuses (the "01"/"1" tenant merge)
+    val drifted = extra.withColumn("tenant",
+      when($"tenant".isNull, 0).otherwise(1))
+    val exT = intercept[IllegalArgumentException] {
+      Similarity.ivfAppendPartitioned(spark, path, drifted,
+        "embedding", "vec_id")
+    }
+    assert(exT.getMessage.contains("pinned schema"), exT.getMessage)
+    // empty-string slices refuse at append exactly as at save
+    val exE = intercept[IllegalArgumentException] {
+      Similarity.ivfAppendPartitioned(spark, path,
+        extra.withColumn("tenant", lit("")), "embedding", "vec_id")
+    }
+    assert(exE.getMessage.contains("empty-string"), exE.getMessage)
+    // a PLAIN (unsliced) persisted index refuses the partitioned
+    // append — there is no layout to append under
+    val plain = Similarity.ivfBuild(base, "embedding", "vec_id", nlist = 8)
+    val plainPath = java.nio.file.Files
+      .createTempDirectory("graft_ivfplain").toString + "/idx"
+    // ivfSave writes no sidecar; write one via the partitioned saver's
+    // schema convention to simulate a sliced dir missing slice cols
+    plain.assigned.limit(0).coalesce(1).write
+      .parquet(plainPath + "/assigned__schema")
+    plain.centroids.write.parquet(plainPath + "/centroids")
+    val exP = intercept[IllegalArgumentException] {
+      Similarity.ivfAppendPartitioned(spark, plainPath, extra,
+        "embedding", "vec_id")
+    }
+    assert(exP.getMessage.contains("not sliced"), exP.getMessage)
+  }
 }

@@ -972,6 +972,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("modelSelectByKey: the fleet fit never funnels through a single partition") {
+    // the operator's own plan (the graded query's FIXTURE builds its
+    // planted series through one tiny global row_number — that window
+    // is fixture scaffolding, not the operator): every window and
+    // aggregate partitions by the key, so the only non-hash exchange
+    // is the final key-ordered sort's rangepartitioning
+    val fleet = spark.range(1, 200)
+      .select((col("id") % 4).cast("string").as("k"),
+        col("id").as("i"), (col("id") * 7 % 100).as("x"))
+    val p = graft.operators.TimeSeries
+      .modelSelectByKey(fleet, col("k"), col("i"), col("x"),
+        maxPeriod = 12)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Arguments: SinglePartition"),
+      s"keyed model select funnels through SinglePartition:\n$p")
+    assert(p.contains("hashpartitioning"), p)
+  }
+
   test("sim_topk_filtered_ivf: the inverted-list join carries the slice key") {
     // the sliced index's contract: candidates join on (slice,
     // cluster), so a probe can never scan another slice's lists — if

@@ -165,6 +165,64 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("pq filtered: slice-scoped ADC + refine equals filteredTopK exhaustively; NULL slice own slice; type drift never merges") {
+    val rnd = new scala.util.Random(19)
+    val vecs = (0 until 90).map(i =>
+      (i.toLong, Array.fill(12)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+      .withColumn("tenant",
+        when($"vec_id" % 3 === 0, "a")
+          .when($"vec_id" % 3 === 1, "b")
+          .otherwise(lit(null).cast("string")))
+      .cache()
+    val q = df.filter($"vec_id" < 6)
+    val books = Similarity.pqTrain(df, "embedding", m = 4, k = 16)
+    val codes = Similarity.pqEncodeSliced(df, "embedding", "vec_id",
+      books, "tenant")
+    // exhaustive shortlist: refined filtered PQ == within-slice brute
+    def norm(d: org.apache.spark.sql.DataFrame) = d
+      .select($"q_id", $"n_id", $"rn".cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val got = norm(Similarity.pqAdcTopKRefinedFiltered(codes, books,
+      q, df, "embedding", "vec_id", "tenant", k = 3,
+      shortlist = Int.MaxValue))
+    val truth = norm(Similarity.filteredTopK(df, q, "embedding",
+      "vec_id", Seq("tenant"), k = 3))
+    assert(got == truth, s"diff: ${got.diff(truth)} / ${truth.diff(got)}")
+    assert(got.nonEmpty)
+    // every ADC hit stays in the query's slice, NULL included
+    val slices = df.select($"vec_id", $"tenant").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    norm(Similarity.pqAdcTopKFiltered(codes, books, q, "embedding",
+      "vec_id", "tenant", k = 5)).foreach { case (qi, ni, _) =>
+      assert(slices(qi) == slices(ni), s"cross-slice pair $qi -> $ni")
+    }
+    // TYPE drift between encode and query: int tenants on the query
+    // side must never match the string-encoded slices (fail-empty,
+    // never cross-tenant)
+    val qDrift = q.withColumn("tenant",
+      when($"tenant" === "a", 1).when($"tenant" === "b", 2)
+        .otherwise(lit(null).cast("int")))
+    val drifted = Similarity.pqAdcTopKFiltered(codes, books, qDrift,
+      "embedding", "vec_id", "tenant", k = 3)
+    // NULL keys still match (NULL is type-agnostic: its own slice);
+    // non-NULL typed keys must not
+    val driftPairs = drifted.select($"q_id", $"n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    driftPairs.foreach { case (qi, ni) =>
+      assert(slices(qi).isEmpty && slices(ni).isEmpty,
+        s"type-drifted non-NULL slice matched: $qi -> $ni")
+    }
+    // composite types refuse loudly
+    val exC = intercept[IllegalArgumentException] {
+      Similarity.pqAdcTopKFiltered(codes, books,
+        q.withColumn("tenant", array($"tenant")), "embedding",
+        "vec_id", "tenant", k = 3)
+    }
+    assert(exC.getMessage.contains("atomic"), exC.getMessage)
+  }
+
   test("pq: codes are within [0,k); encode is deterministic; save/load round-trips") {
     val rnd = new scala.util.Random(11)
     val vecs = (0 until 60).map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))

@@ -695,6 +695,64 @@ class TextAnalysisSpec extends SparkSpec {
     assert(merged.count(_._3 == 5L) == 1, merged.toString)
   }
 
+  test("writeLineCensus: overlapping doc ids refuse at append (silent double-count otherwise)") {
+    import spark.implicits._
+    val docs = (1L to 4L).map(id => (id, s"NAV\nbody $id"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_blceng2").toString + "/census"
+    graft.llm.TextAnalysis.writeLineCensus(
+      docs.filter($"doc_id" <= 2), "doc_id", "text", dir)
+    // doc 2 re-crawled in the second batch — must refuse, because its
+    // NAV line would double-count in n_docs and inflate verdicts
+    val ex = intercept[IllegalArgumentException] {
+      graft.llm.TextAnalysis.writeLineCensus(
+        docs.filter($"doc_id" >= 2), "doc_id", "text", dir,
+        mode = "append")
+    }
+    assert(ex.getMessage.contains("double-count"), ex.getMessage)
+    // the disjoint batch still appends fine afterwards
+    graft.llm.TextAnalysis.writeLineCensus(
+      docs.filter($"doc_id" >= 3), "doc_id", "text", dir,
+      mode = "append")
+    assert(spark.read.parquet(dir + "__docids").count() == 4L)
+  }
+
+  test("compactLineCensus: one row per fingerprint after, verdicts identical, row drift aborts") {
+    import spark.implicits._
+    val docs = (1L to 6L).map(id => (id, s"NAV\nFOOT\nbody $id"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_blcmp").toString + "/census"
+    graft.llm.TextAnalysis.writeLineCensus(
+      docs.filter($"doc_id" <= 2), "doc_id", "text", dir)
+    graft.llm.TextAnalysis.writeLineCensus(
+      docs.filter($"doc_id" === 3), "doc_id", "text", dir, mode = "append")
+    graft.llm.TextAnalysis.writeLineCensus(
+      docs.filter($"doc_id" >= 4), "doc_id", "text", dir, mode = "append")
+    val nw = Seq((100L, "NAV\nnew body")).toDF("doc_id", "text")
+    def stats(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val before = stats(graft.llm.TextAnalysis
+      .boilerplateLinesIncremental(nw, "doc_id", "text", dir, minDocs = 5))
+    // three appended batches -> NAV appears as 3 census rows
+    val census0 = spark.read.parquet(dir)
+    assert(census0.count() >
+      census0.select("fp", "fp2").distinct().count())
+    val (fb, fa) = graft.llm.TextAnalysis.compactLineCensus(spark, dir)
+    assert(fa < fb, s"files $fb -> $fa")
+    val census1 = spark.read.parquet(dir)
+    assert(census1.count() ==
+      census1.select("fp", "fp2").distinct().count())
+    val after = stats(graft.llm.TextAnalysis
+      .boilerplateLinesIncremental(nw, "doc_id", "text", dir, minDocs = 5))
+    assert(before == after, s"before=$before after=$after")
+    // NAV: 6 history docs + 1 new = 7 >= 5 -> the new doc's verdict
+    // flags 1 boilerplate line of 2
+    assert(after(100L)._2 == 1L, after.toString)
+  }
+
   test("heapsLaw: hand curve on 4 docs, quantized-OLS beta, degenerate grid gives NULL beta") {
     import spark.implicits._
     val docs = Seq((0L, "a b c"), (1L, "a b"), (2L, "a d"), (3L, "e"))

@@ -1040,4 +1040,55 @@ class TimeSeriesSpec extends SparkSpec {
       .toDF("o", "x", "y")
     assert(TimeSeries.grangerLag1(short, "o", "x", "y").count() == 0L)
   }
+
+  test("modelSelectByKey: regimes select differently, MAEs equal the single-series member, ineligible keys drop") {
+    val n = 120
+    val rows = (1 to n).flatMap { i =>
+      val il = i.toLong
+      Seq(
+        ("noise", il, (il * il * 761L + il * 37L) % 1000L),
+        ("trend", il, il * 100L + (il / 2L) * 37L % 25L),
+        ("season", il, (il % 12L) * 200L +
+          (il * il * 761L + il * 37L) % 50L),
+        ("flat", il, 5L),         // constant: zero variance, drops
+        ("short", il, il))        // cut to 5 rows below: < 4 lag-3 pairs
+    }
+    val df = rows.toDF("k", "i", "x")
+      .filter($"k" =!= "short" || $"i" <= 5)
+    val got = TimeSeries.modelSelectByKey(df, $"k", $"i", $"x",
+      maxPeriod = 24)
+    val byKey = got.collect().map(r => r.getString(0) -> r).toMap
+    assert(byKey.keySet == Set("noise", "trend", "season"), byKey.keySet)
+    assert(byKey("noise").getAs[String]("best_model") == "ar",
+      byKey("noise").toString)
+    assert(byKey("trend").getAs[String]("best_model") == "arima",
+      byKey("trend").toString)
+    assert(byKey("season").getAs[String]("best_model") == "sarima",
+      byKey("season").toString)
+    // the measured dominant period of the 12-cycle is a multiple of 12
+    val per = byKey("season").getAs[Long]("period")
+    assert(per % 12L == 0L, s"period $per")
+    // EXACT agreement with the graded single-series member at the
+    // measured period — same quantized acf, same Durbin–Levinson
+    // order, same integer residual algebra
+    val one = df.filter($"k" === "season")
+    val single = TimeSeries.modelSelect(one, $"i", $"x", p = 3,
+      period = per.toInt).head()
+    Seq("mae_ar_micros", "mae_arima_micros", "mae_sarima_micros",
+        "mase_arima_ppm", "mase_sarima_ppm").foreach { c =>
+      assert(single.getAs[Long](c) == byKey("season").getAs[Long](c),
+        s"$c: single=${single.getAs[Long](c)} " +
+          s"keyed=${byKey("season").getAs[Long](c)}")
+    }
+    assert(single.getAs[String]("best_model") ==
+      byKey("season").getAs[String]("best_model"))
+    // the overflow pre-flight refuses loudly
+    val big = Seq(("k", 1L, 4000000000L), ("k", 2L, 4000000000L),
+      ("k", 3L, 4000000000L)).toDF("k", "i", "x")
+      .crossJoin(spark.range(40).select())
+    val ex = intercept[IllegalArgumentException] {
+      TimeSeries.modelSelectByKey(big, $"k", $"i", $"x")
+    }
+    assert(ex.getMessage.contains("7e10"), ex.getMessage)
+  }
 }
