@@ -262,17 +262,20 @@ object Graph {
     val e = truncate(edges.select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .filter(col("src") =!= col("dst")).distinct(), checkpointDir)
-    val outDeg = truncate(
-      e.groupBy("src").agg(count(lit(1)).as("out_deg")), checkpointDir)
+    // the out-degree is STATIC across iterations — fuse it onto the
+    // edge table ONCE (the pageRankWeighted discipline), so each round
+    // pays a single src-keyed join instead of two
+    val ew = truncate(e.join(
+      e.groupBy("src").agg(count(lit(1)).as("out_deg")), "src"),
+      checkpointDir)
     val nodes = truncate(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct(), checkpointDir)
     // (1 - d) · 1e9, computed exactly in Scala longs
     val base = (1000000L - dampingPpm) * 1000000000L / 1000000L
     var ranks = nodes.withColumn("rank_ppb", lit(1000000000L))
     for (_ <- 1 to iters) {
-      val contribs = e
+      val contribs = ew
         .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(outDeg, "src")
         .select(col("dst").as("node"),
           expr("rank_ppb div out_deg").as("contrib"))
       val summed = contribs.groupBy("node")
@@ -314,8 +317,10 @@ object Graph {
     val e = truncate(edges.select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .filter(col("src") =!= col("dst")).distinct(), checkpointDir)
-    val outDeg = truncate(
-      e.groupBy("src").agg(count(lit(1)).as("out_deg")), checkpointDir)
+    // static out-degree fused onto the edge table once (see pageRank)
+    val ew = truncate(e.join(
+      e.groupBy("src").agg(count(lit(1)).as("out_deg")), "src"),
+      checkpointDir)
     val sd = seeds.select(col(seedCol).cast("string").as("node")).distinct()
     val nodes = truncate(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
@@ -328,9 +333,8 @@ object Graph {
     val seedBase = when(col("is_seed"), lit(base)).otherwise(lit(0L))
     var ranks = nodes.withColumn("rank_ppb", seedBase)
     for (_ <- 1 to iters) {
-      val contribs = e
+      val contribs = ew
         .join(ranks.select(col("node").as("src"), col("rank_ppb")), "src")
-        .join(outDeg, "src")
         .select(col("dst").as("node"),
           expr("rank_ppb div out_deg").as("contrib"))
       val summed = contribs.groupBy("node")
@@ -458,8 +462,7 @@ object Graph {
         .select(col("node"),
           (one + Quality.decimalDivTrunc(
             expr(s"CAST(coalesce(s, 0) AS DECIMAL(38,0)) * $alphaPpm"),
-            lit(1000000L))).cast("decimal(38,0)").as("katz_ppb")),
-        checkpointDir)
+            lit(1000000L))).cast("decimal(38,0)").as("katz_ppb")), checkpointDir)
     }
     ranks.select(col("node"), col("katz_ppb").cast("bigint").as("katz_ppb"))
   }
@@ -682,8 +685,7 @@ object Graph {
       c = truncate(nbr
         .withColumn("__rn", row_number().over(w).cast("long"))
         .select(col("node"), least(col("__rn"), col("cv")).as("__h"))
-        .groupBy(col("node")).agg(max(col("__h")).as("coreness")),
-        checkpointDir)
+        .groupBy(col("node")).agg(max(col("__h")).as("coreness")), checkpointDir)
     }
     c.select(col("node"), col("coreness").cast("bigint").as("coreness"))
   }
@@ -1353,8 +1355,7 @@ object Graph {
       labels = truncate(cnt.groupBy(col("u").as("id"))
         .agg(max(struct(col("c"),
           (lit(Long.MaxValue) - col("label")).as("nl"))).as("m"))
-        .select(col("id"), (lit(Long.MaxValue) - col("m.nl")).as("label")),
-        checkpointDir)
+        .select(col("id"), (lit(Long.MaxValue) - col("m.nl")).as("label")), checkpointDir)
     }
     labels
   }
@@ -1580,24 +1581,39 @@ object Graph {
     val e0 = edges.select(col(srcCol).cast("long").as("u"),
         col(dstCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
-    def supports(und: DataFrame): DataFrame = {
+    var und = truncate(e0.select(least(col("u"), col("v")).as("a"),
+      greatest(col("u"), col("v")).as("b")).distinct(), checkpointDir)
+    // Orientation computed ONCE from the INITIAL degrees and reused
+    // every round: wedge enumeration needs only SOME consistent total
+    // vertex order (each triangle then has exactly one apex with two
+    // out-edges), so per-round supports are identical under the stale
+    // order — the initial (deg, id) order stays a total order on every
+    // SUBGRAPH, and oriented out-degrees only shrink with the peel, so
+    // the O(m^1.5) wedge bound derived from the initial degrees still
+    // holds. Saves a degree hash-agg + two edge-scale joins per round
+    // (guide §2.4: loop-invariant work out of the loop).
+    val oriented0 = truncate({
       val deg = und.select(col("a").as("id"))
         .union(und.select(col("b").as("id")))
         .groupBy("id").agg(count(lit(1)).as("deg"))
-      val oriented = und
+      und
         .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
         .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
-        .select(when(col("da") < col("db") ||
+        .select(col("a"), col("b"), when(col("da") < col("db") ||
             (col("da") === col("db") && col("a") < col("b")),
             struct(col("a").as("x"), col("b").as("y")))
           .otherwise(struct(col("b").as("x"), col("a").as("y"))).as("e"))
-        .select(col("e.x").as("x"), col("e.y").as("y"))
+        .select(col("a"), col("b"), col("e.x").as("x"), col("e.y").as("y"))
+    }, checkpointDir)
+    def supports(live: DataFrame): DataFrame = {
+      val oriented = oriented0.join(live, Seq("a", "b"), "left_semi")
+        .select(col("x"), col("y"))
       val wedges = oriented.as("e1").join(oriented.as("e2"),
           col("e1.x") === col("e2.x") && col("e1.y") < col("e2.y"))
         .select(col("e1.x").as("x"), col("e1.y").as("p"),
           col("e2.y").as("q"))
       wedges
-        .join(und.select(col("a").as("p"), col("b").as("q")),
+        .join(live.select(col("a").as("p"), col("b").as("q")),
           Seq("p", "q"))
         .select(explode(array(
           struct(least(col("x"), col("p")).as("a"),
@@ -1609,8 +1625,6 @@ object Graph {
         .groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("support"))
     }
-    var und = truncate(e0.select(least(col("u"), col("v")).as("a"),
-      greatest(col("u"), col("v")).as("b")).distinct(), checkpointDir)
     var nEdges = und.count()
     var iter = 0
     var converged = nEdges == 0L

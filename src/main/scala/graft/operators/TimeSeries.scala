@@ -2276,9 +2276,11 @@ object TimeSeries {
     // ---- per-key dominant period (the ts_dominant_period argmax) ----
     val stL = base.groupBy(col("key"))
       .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"))
+    // consumed three ways (denominator + both sides of the lag join)
     val yL = base.join(stL, "key")
       .select(col("key"), col("__i"),
         (col("__n") * col("__x") - col("__s")).as("__y"))
+      .localCheckpoint(true)
     val denP = yL.groupBy(col("key"))
       .agg(sum(col("__y").cast(dec) * col("__y")).as("__den"))
     val lagsDf = spark.range(2L, maxPeriod + 1L)
@@ -2292,6 +2294,13 @@ object TimeSeries {
       .agg(sum(col("__yl").cast(dec) * col("__yr")).as("__num"))
     val wPer = Window.partitionBy(col("key"))
       .orderBy(col("__am").desc, col("__lag"))
+    // one row per key — materialized: the period table is consumed by
+    // BOTH the seasonal-difference builder and the final readout join,
+    // and its acf subtree (the maxPeriod-way explode + self-join) is
+    // the most expensive fragment of the whole fit; without the
+    // checkpoint the optimizer re-plans and re-runs it per consumer
+    // (duplicated-subtree blowup — guide §3.3 "materialise an
+    // intermediate to truncate the plan")
     val period = numP.join(denP, "key")
       .filter(col("__den") > 0)
       .withColumn("__am", round(col("__num").cast("double") /
@@ -2299,25 +2308,34 @@ object TimeSeries {
       .withColumn("__rk", row_number().over(wPer))
       .filter(col("__rk") === 1)
       .select(col("key"), col("__lag").as("__per"))
+      .localCheckpoint(true)
     // ---- variant series: levels, first diffs, seasonal diffs ----
+    // each variant series is consumed twice inside fitMae (the stats
+    // agg and the centered-series build) — materialize once so the
+    // window/join subtrees don't replicate into every consumer
     val wOrd = Window.partitionBy(col("key")).orderBy(col("__i"))
     val diffs = base
       .withColumn("__d", col("__x") - lag(col("__x"), 1).over(wOrd))
       .filter(col("__d").isNotNull)
       .select(col("key"), col("__i"), col("__d").as("__x"))
+      .localCheckpoint(true)
     val sdiffs = base.join(period, "key")
       .withColumn("__j", col("__i") - col("__per"))
       .join(base.select(col("key"), col("__i").as("__j"),
         col("__x").as("__xp")), Seq("key", "__j"))
       .select(col("key"), col("__i"),
         (col("__x") - col("__xp")).as("__x"))
+      .localCheckpoint(true)
     // ---- the per-key AR(3) fit + level-scale MAE, stamped 3x ----
     def fitMae(v: DataFrame): DataFrame = {
       val st = v.groupBy(col("key"))
         .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"))
+      // y feeds both the acf-numerator agg and the residual pass —
+      // materialize once (same duplicated-subtree argument as period)
       val y = v.join(st, "key")
         .select(col("key"), col("__i"),
           (col("__n") * col("__x") - col("__s")).as("__y"))
+        .localCheckpoint(true)
       val wk = Window.partitionBy(col("key")).orderBy(col("__i"))
       val nums = y
         .withColumn("__l1", lead(col("__y"), 1).over(wk))
