@@ -945,10 +945,15 @@ object Graph {
   private def shortestPathsFromSym(sym: DataFrame, sources: DataFrame,
       sourceCol: String, maxHops: Int,
       checkpointDir: Option[String]): DataFrame = {
-    var settled = truncate(
+    // append-only settled set — see closenessFromSeeds: per-hop
+    // frontiers are checkpointed once, the settled state is a lazy
+    // union of them instead of a per-hop full rewrite
+    val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    parts += truncate(
       sources.select(col(sourceCol).cast("long").as("id")).distinct()
         .withColumn("dist", lit(0L)), checkpointDir)
-    var frontier = settled
+    def settled = parts.reduce(_.unionByName(_))
+    var frontier = parts.head
     var hop = 0
     var live = frontier.count()
     while (live > 0 && hop < maxHops) {
@@ -961,7 +966,7 @@ object Graph {
           .withColumn("dist", lit(hop.toLong)), checkpointDir)
       live = next.count()
       if (live > 0) {
-        settled = truncate(settled.unionByName(next), checkpointDir)
+        parts += next
         frontier = next
       }
     }
@@ -1159,10 +1164,18 @@ object Graph {
       s"$nSeeds seeds exceed maxSeeds=$maxSeeds — per-seed BFS state is " +
         "(seeds x vertices); sample the panel or raise the cap if the " +
         "cluster is sized for it")
-    var settled = truncate(
+    // append-only settled set (the betweenness levels-buffer pattern):
+    // each hop's frontier is checkpointed ONCE and the running settled
+    // state is a lazy union of those materialized frontiers — the old
+    // per-hop `truncate(settled ∪ next)` re-wrote the ENTIRE
+    // (seed, id, dist) state every hop, O(state · hops) writes for no
+    // information gain (guide §1.2: don't compute things you throw away)
+    val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    parts += truncate(
       seeds.select(col("seed"), col("seed").as("id"),
         lit(0L).as("dist")), checkpointDir)
-    var frontier = settled
+    def settled = parts.reduce(_.unionByName(_))
+    var frontier = parts.head
     var hop = 0
     var live = nSeeds
     while (live > 0 && hop < maxHops) {
@@ -1175,7 +1188,7 @@ object Graph {
           .withColumn("dist", lit(hop.toLong)), checkpointDir)
       live = next.count()
       if (live > 0) {
-        settled = truncate(settled.unionByName(next), checkpointDir)
+        parts += next
         frontier = next
       }
     }
