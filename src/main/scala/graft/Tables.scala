@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, lit, pmod, timestamp_micros, xxhash64}
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Table access layer: every engine query reads the driver-generated
@@ -37,12 +37,20 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     val minBytes = sys.env.getOrElse("SPARK_GRAFT_SMALL_SCAN_BYTES",
-      "262144").toLong
+      "131072").toLong
     val par = spark.sparkContext.defaultParallelism
     val scanParts = df.rdd.getNumPartitions
     if (scanParts < par &&
         df.queryExecution.optimizedPlan.stats.sizeInBytes > minBytes)
-      df.repartition(par)
+      // hash-on-content, NOT round-robin: a keyless repartition(n)
+      // first SORTS its input partition (sortBeforeRepartition, needed
+      // for retry determinism) — a single-task full-table sort that
+      // can cost more than the parallelism buys on light queries. A
+      // deterministic content hash needs no sort, is retry-safe by
+      // construction (guide §2.5), and spreads evenly at ~row
+      // cardinality.
+      df.repartition(par, pmod(xxhash64(df.columns.map(col): _*),
+        lit(par * 64)))
     else df
   }
 
