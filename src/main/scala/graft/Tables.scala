@@ -42,15 +42,18 @@ object Tables {
     val scanParts = df.rdd.getNumPartitions
     if (scanParts < par &&
         df.queryExecution.optimizedPlan.stats.sizeInBytes > minBytes)
-      // hash-on-content, NOT round-robin: a keyless repartition(n)
-      // first SORTS its input partition (sortBeforeRepartition, needed
-      // for retry determinism) — a single-task full-table sort that
-      // can cost more than the parallelism buys on light queries. A
-      // deterministic content hash needs no sort, is retry-safe by
-      // construction (guide §2.5), and spreads evenly at ~row
-      // cardinality.
-      df.repartition(par, pmod(xxhash64(df.columns.map(col): _*),
-        lit(par * 64)))
+      // hash-on-key, NOT round-robin and NOT all-columns: a keyless
+      // repartition(n) first SORTS its input partition
+      // (sortBeforeRepartition, needed for retry determinism) — a
+      // single-task full-table sort; and hashing EVERY column forces
+      // the scan to read every column, silently defeating column
+      // pruning (measured: +2 s on closeness via the 16-column
+      // lineitem). The leading columns are the generator's keys —
+      // high-cardinality, usually read anyway — so hashing just the
+      // first two is deterministic, retry-safe (guide §2.5),
+      // pruning-friendly, and spreads at ~row cardinality.
+      df.repartition(par, pmod(
+        xxhash64(df.columns.take(2).map(col): _*), lit(par * 64)))
     else df
   }
 
@@ -93,5 +96,15 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  /** UNSPREAD deliberately: embeddings is a 2k-row vector table whose
+    * heavy consumers either shuffle by a join key immediately (brute
+    * top-k, band joins) or run seeded spark.ml KMeans fits — and a
+    * seeded fit is PARTITIONING-SENSITIVE (floating-point sum order
+    * changes the centroids), so spreading this scan changes what the
+    * recall-gated ANN queries compute (measured: sim_recall_ivf /
+    * sim_filtered_ivf_recall dipped below their floors under a spread
+    * scan). The spread buys nothing at 2k rows and costs fit
+    * reproducibility; keep the natural scan. */
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    tableUnspread(s, d, "embeddings")
 }

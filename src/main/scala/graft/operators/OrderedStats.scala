@@ -154,9 +154,15 @@ object OrderedStats {
     * downstream of the count table (cumulative windows, exact
     * cross-multiplied D, the one-term p tree) is shared code, so the
     * identity is structural, not re-derived. */
-  def ksBatteryFromCounts(c: DataFrame,
+  def ksBatteryFromCounts(c0: DataFrame,
       maxDistinctPerMetric: Long = 2000000L): DataFrame = {
     val dec = "decimal(38,0)"
+    // the count table feeds BOTH the pre-flight head() and the main
+    // window plan — materialize it once (distinct-value scale) so the
+    // row-scale upstream (e.g. a full events scan per ksBattery call)
+    // is paid once, not twice; the op was already eager via the
+    // pre-flight, so this changes cost, not semantics
+    val c = c0.localCheckpoint(true)
     val worst = c.groupBy(col("metric"))
       .agg(count(lit(1)).as("__n")).agg(max(col("__n"))).head()
     val worstN = if (worst.isNullAt(0)) 0L else worst.getLong(0)
