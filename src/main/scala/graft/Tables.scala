@@ -18,52 +18,75 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Scan-parallelism floor (optimization guide §2.5 "one huge
-    * unsplittable file → repartition immediately after the read"):
-    * the testdata tables are single-row-group parquet files, and a
-    * parquet row group is the unit of split — so WITHOUT this every
-    * scan runs as ONE task and all map-side work (tokenizing,
-    * shingling, hashing, partial aggregation, broadcast builds) is
-    * single-threaded regardless of core count; the round-20 profile
-    * measured 3-7 s single-task stages serializing a 32-core box.
-    * The spread is deliberately conditional and scale-safe: it fires
-    * only when the scan has FEWER partitions than the configured
-    * parallelism AND the table is big enough for per-task overhead to
-    * pay (footer-estimated bytes > SPARK_GRAFT_SMALL_SCAN_BYTES,
-    * default 256 KiB) — a production table with many row groups/files
-    * already scans wide, so the branch is a no-op there and nothing
-    * extra shuffles at 100 TB. Results are unaffected: every graded
-    * query orders/ties deterministically by the oracle discipline. */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Plain scan — NO automatic parallelism spread (round-21 reversal
+    * of the r20 blanket spread, VERDICT r20 "Next round" #1, decided
+    * by a full quiet-box A/B: `plans/r21/spread_ab_full.txt`).
+    *
+    * Background: the testdata tables are single-row-group parquet
+    * files, and a parquet row group is the unit of split — so every
+    * scan runs as ONE task regardless of core count. Round 20
+    * therefore repartitioned every table > 128 KiB to the full core
+    * count. The r21 A/B (426 queries, spread on vs off, same quiet
+    * box) measured that policy at 191 s of tax across 383 queries
+    * against 29 s of win across 42: the exchange pays ONLY where the
+    * downstream per-byte map work is heavy (shingling, n-gram builds,
+    * perceptual encode/decode/hash, Jaro-Winkler, unbounded percentile
+    * buffers), and those consumers are a small, known set. So the
+    * spread is now strictly OPT-IN at the consumer: the winner queries
+    * wrap their heavy input in [[wide]]; everything else scans
+    * naturally (and at 100 TB a table has many row groups and scans
+    * wide with no help). */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The spread exchange: hash-on-key, NOT round-robin and NOT
+    * all-columns — a keyless repartition(n) first SORTS its input
+    * partition (sortBeforeRepartition, needed for retry determinism),
+    * a single-task full-table sort; and hashing EVERY column forces
+    * the scan to read every column, silently defeating column pruning
+    * (measured in r20: +2 s on closeness via the 16-column lineitem).
+    * The leading columns are the generator's keys — high-cardinality,
+    * usually read anyway — so hashing just the first two is
+    * deterministic, retry-safe (guide §2.5), pruning-friendly, and
+    * spreads at ~row cardinality. */
+  private def spreadTo(df: DataFrame, width: Int): DataFrame =
+    df.repartition(width, pmod(
+      xxhash64(df.columns.take(2).map(col): _*), lit(width * 64)))
+
+  /** FULL-WIDTH spread for heavy per-byte map work (shingling,
+    * n-gram builds, perceptual hash/decode, Jaro-Winkler scoring,
+    * unbounded percentile buffers): these consumers measured 0.4-4.5 s
+    * wins from a full-core spread in the r21 A/B even on KB-scale
+    * tables, because their cost per byte is orders of magnitude above
+    * a scan's. Fires only when the input scans narrower than the core
+    * count AND exceeds SPARK_GRAFT_SMALL_SCAN_BYTES (default 128 KiB
+    * — so Verify's sf0.001/sf0.01 sweeps keep the narrow layouts the
+    * oracle record was built under, and per-task overhead never
+    * dominates); deterministic 2-leading-column hash — exactly the
+    * r20 partitioning these consumers were oracle-swept under. On a
+    * production multi-split table the parts-vs-cores guard makes this
+    * a no-op. */
+  def wide(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
     val minBytes = sys.env.getOrElse("SPARK_GRAFT_SMALL_SCAN_BYTES",
       "131072").toLong
     val par = spark.sparkContext.defaultParallelism
-    val scanParts = df.rdd.getNumPartitions
-    if (scanParts < par &&
+    if (df.rdd.getNumPartitions < par &&
         df.queryExecution.optimizedPlan.stats.sizeInBytes > minBytes)
-      // hash-on-key, NOT round-robin and NOT all-columns: a keyless
-      // repartition(n) first SORTS its input partition
-      // (sortBeforeRepartition, needed for retry determinism) — a
-      // single-task full-table sort; and hashing EVERY column forces
-      // the scan to read every column, silently defeating column
-      // pruning (measured: +2 s on closeness via the 16-column
-      // lineitem). The leading columns are the generator's keys —
-      // high-cardinality, usually read anyway — so hashing just the
-      // first two is deterministic, retry-safe (guide §2.5),
-      // pruning-friendly, and spreads at ~row cardinality.
-      df.repartition(par, pmod(
-        xxhash64(df.columns.take(2).map(col): _*), lit(par * 64)))
+      spreadTo(df, par)
     else df
   }
 
-  /** Raw scan WITHOUT the parallelism floor — for the one consumer
-    * class whose OUTPUT depends on encounter order: `sample_first_n`
-    * orders by (l_orderkey, l_linenumber), which the generator does
-    * NOT keep unique, so its tie-winners are resolved by scan order;
-    * the DuckDB oracle resolves them by file order, and only an
-    * unspread single-split scan reproduces that. Everything else is
-    * tie-broken deterministically and reads [[table]]. */
+  /** Scan PINNED to the natural layout — must never go through
+    * [[wide]], for consumers whose OUTPUT depends on the physical
+    * layout: `sample_first_n` (orders by the non-unique
+    * (l_orderkey, l_linenumber) — tie-winners follow scan order, and
+    * the DuckDB oracle resolves them by file order), the seeded
+    * samplers (`df.sample` draws per (partition, position)), and the
+    * seeded spark.ml fits (floating-point sum order moves centroids —
+    * see [[embeddings]]). Now that [[table]] is spread-free this is an
+    * alias, kept as the explicit DOCUMENTED pin so a future scan-layer
+    * change cannot silently alter what these queries compute. */
   def tableUnspread(spark: SparkSession, sfDir: String,
       name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
@@ -96,15 +119,15 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  /** UNSPREAD deliberately: embeddings is a 2k-row vector table whose
-    * heavy consumers either shuffle by a join key immediately (brute
-    * top-k, band joins) or run seeded spark.ml KMeans fits — and a
-    * seeded fit is PARTITIONING-SENSITIVE (floating-point sum order
-    * changes the centroids), so spreading this scan changes what the
-    * recall-gated ANN queries compute (measured: sim_recall_ivf /
+  /** PINNED to the natural scan (never [[wide]]): embeddings is a
+    * 2k-row vector table whose heavy consumers either shuffle by a
+    * join key immediately (brute top-k, band joins) or run seeded
+    * spark.ml KMeans fits — and a seeded fit is
+    * PARTITIONING-SENSITIVE (floating-point sum order changes the
+    * centroids), so spreading this scan changes what the recall-gated
+    * ANN queries compute (measured in r20: sim_recall_ivf /
     * sim_filtered_ivf_recall dipped below their floors under a spread
-    * scan). The spread buys nothing at 2k rows and costs fit
-    * reproducibility; keep the natural scan. */
+    * scan). */
   def embeddings(s: SparkSession, d: String): DataFrame =
     tableUnspread(s, d, "embeddings")
 }

@@ -34,6 +34,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // rows-only dump → paired oracle-checked gate (see
+    // SparkEntry.noOracleGates): the correctness artifact carries the
+    // pairing so `err: no_oracle` rows are auditable in place
+    Files.writeString(Paths.get(s"$outDir/no_oracle_gates.json"),
+      SparkEntry.noOracleGates
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
 
     def writeAtomic(path: String, content: String): Unit = {
       val tmp = Paths.get(path + ".tmp")

@@ -56,6 +56,30 @@ object Graph {
       case None => df.localCheckpoint(true)
     }
 
+  /** Checkpoint cadence for LINEAR fixed-round loops (each iterate is
+    * consumed exactly once, by the next round): truncating every k-th
+    * round (and always the last) is value-identical — the iterate
+    * chain has no duplicated subtree and checkpoint placement is not
+    * arithmetic. MEASURED AND REJECTED as a default in r21: cadence 2
+    * was flat-to-worse on the same box both isolated (pagerank 8.26 s
+    * @1 vs 8.67 @2, weighted 6.98 vs 9.04, katz 6.78 vs 7.01, 6-query
+    * A/B) and in the full 426-query pass (pagerank 12.7 s with
+    * cadence 2 vs 6.4 in the cadence-1 baseline pass — the 2-round
+    * lazy plan loses AQE's per-stage runtime sizing of the iterate
+    * side, so joins that broadcast from a materialized iterate
+    * re-plan worse). This extends r20's whole-loop-lazy rejection to
+    * k=2: on this harness the eager per-round truncate IS the
+    * optimum. Kept env-parameterized for future A/B
+    * (SPARK_GRAFT_ITER_CHECKPOINT_EVERY, default 1 = per-round). */
+  private val iterCheckpointEvery: Int = math.max(1,
+    sys.env.getOrElse("SPARK_GRAFT_ITER_CHECKPOINT_EVERY", "1").toInt)
+
+  private def truncateEvery(i: Int, last: Int, df: DataFrame,
+      checkpointDir: Option[String]): DataFrame =
+    if (i % iterCheckpointEvery == 0 || i == last)
+      truncate(df, checkpointDir)
+    else df
+
   /** Connected components of the undirected graph given by `edges`
     * (two long-castable columns `srcCol`, `dstCol`; orientation and
     * duplicate edges are irrelevant). Returns (`id`, `comp`) for every
@@ -273,14 +297,16 @@ object Graph {
     // (1 - d) · 1e9, computed exactly in Scala longs
     val base = (1000000L - dampingPpm) * 1000000000L / 1000000L
     var ranks = nodes.withColumn("rank_ppb", lit(1000000000L))
-    for (_ <- 1 to iters) {
+    // each iterate is consumed once (next round's contribs join) —
+    // truncate on the cadence, not per round (see truncateEvery)
+    for (i <- 1 to iters) {
       val contribs = ew
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
           expr("rank_ppb div out_deg").as("contrib"))
       val summed = contribs.groupBy("node")
         .agg(sum(col("contrib").cast("decimal(38,0)")).as("s"))
-      ranks = truncate(nodes.join(summed, Seq("node"), "left")
+      ranks = truncateEvery(i, iters, nodes.join(summed, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr(
             s"CAST(coalesce(s, 0) AS DECIMAL(38,0)) * $dampingPpm div 1000000"))
@@ -332,14 +358,15 @@ object Graph {
     val base = (1000000L - dampingPpm) * 1000000000L / 1000000L / nSeeds
     val seedBase = when(col("is_seed"), lit(base)).otherwise(lit(0L))
     var ranks = nodes.withColumn("rank_ppb", seedBase)
-    for (_ <- 1 to iters) {
+    // linear chain — cadence truncation (see truncateEvery)
+    for (i <- 1 to iters) {
       val contribs = ew
         .join(ranks.select(col("node").as("src"), col("rank_ppb")), "src")
         .select(col("dst").as("node"),
           expr("rank_ppb div out_deg").as("contrib"))
       val summed = contribs.groupBy("node")
         .agg(sum(col("contrib").cast("decimal(38,0)")).as("s"))
-      ranks = truncate(nodes.join(summed, Seq("node"), "left")
+      ranks = truncateEvery(i, iters, nodes.join(summed, Seq("node"), "left")
         .select(col("node"), col("is_seed"),
           (seedBase + expr(
             s"CAST(coalesce(s, 0) AS DECIMAL(38,0)) * $dampingPpm div 1000000"))
@@ -397,7 +424,8 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct(), checkpointDir)
     val base = (1000000L - dampingPpm) * 1000000000L / 1000000L
     var ranks = nodes.withColumn("rank_ppb", lit(1000000000L))
-    for (_ <- 1 to iters) {
+    // linear chain — cadence truncation (see truncateEvery)
+    for (i <- 1 to iters) {
       val contribs = ew
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
@@ -407,7 +435,7 @@ object Graph {
             col("w_tot")).as("contrib"))
       val summed = contribs.groupBy("node")
         .agg(sum(col("contrib").cast("decimal(38,0)")).as("s"))
-      ranks = truncate(nodes.join(summed, Seq("node"), "left")
+      ranks = truncateEvery(i, iters, nodes.join(summed, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr(
             s"CAST(coalesce(s, 0) AS DECIMAL(38,0)) * $dampingPpm div 1000000"))
@@ -452,13 +480,14 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct(), checkpointDir)
     val one = lit(1000000000L).cast("decimal(38,0)")
     var ranks = nodes.withColumn("katz_ppb", one)
-    for (_ <- 1 to iters) {
+    // linear chain — cadence truncation (see truncateEvery)
+    for (i <- 1 to iters) {
       val summed = e
         .join(ranks.select(col("node").as("src"), col("katz_ppb")), "src")
         .select(col("dst").as("node"), col("katz_ppb"))
         .groupBy("node")
         .agg(sum(col("katz_ppb")).cast("decimal(38,0)").as("s"))
-      ranks = truncate(nodes.join(summed, Seq("node"), "left")
+      ranks = truncateEvery(i, iters, nodes.join(summed, Seq("node"), "left")
         .select(col("node"),
           (one + Quality.decimalDivTrunc(
             expr(s"CAST(coalesce(s, 0) AS DECIMAL(38,0)) * $alphaPpm"),
@@ -517,18 +546,31 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct(), checkpointDir)
     var hub = nodes.withColumn("hub_ppb", lit(1000000000L))
     var auth = nodes.withColumn("auth_ppb", lit(0L))
-    for (_ <- 1 to iters) {
+    // ONE-truncation-per-round (lazy intermediate auth, VERDICT r20
+    // #4) was MEASURED AND REJECTED in r21: the intermediate auth is
+    // consumed exactly once so laziness is value-identical and halves
+    // the truncation jobs, but the interleaved same-box A/B (3×3
+    // samples each way) showed no win and a worse tail — lazy medians
+    // 7.19/9.96/6.28 s vs eager 6.87/6.14/5.39 s: folding both keyed
+    // joins into one job loses AQE's runtime sizing of the
+    // materialized auth side. SPARK_GRAFT_HITS_LAZY_AUTH=true keeps
+    // the experiment reproducible; the default stays eager (the r20
+    // form, the measured optimum on this harness).
+    val lazyAuth = sys.env.get("SPARK_GRAFT_HITS_LAZY_AUTH")
+      .contains("true")
+    for (i <- 1 to iters) {
       val aRaw = e.join(hub.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("hub_ppb").cast("decimal(38,0)")).as("ar"))
       val aTot = aRaw.agg(coalesce(sum(col("ar")), lit(0L))
         .cast("decimal(38,0)").as("__ta"))
-      auth = truncate(nodes.join(aRaw, Seq("node"), "left")
+      val authNext = nodes.join(aRaw, Seq("node"), "left")
         .crossJoin(broadcast(aTot)) // 1-row normalization total
         .select(col("node"), coalesce(expr(
           "CAST(coalesce(ar, 0) AS DECIMAL(38,0)) * 1000000000" +
-            " div nullif(__ta, 0)"), lit(0L)).as("auth_ppb")),
-        checkpointDir)
+            " div nullif(__ta, 0)"), lit(0L)).as("auth_ppb"))
+      auth = if (i == iters || !lazyAuth) truncate(authNext, checkpointDir)
+        else authNext
       val hRaw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node"))
         .agg(sum(col("auth_ppb").cast("decimal(38,0)")).as("hr"))
@@ -578,13 +620,17 @@ object Graph {
     val nodes = truncate(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct(), checkpointDir)
     var ranks = nodes.withColumn("eig_ppb", lit(1000000000L))
-    for (_ <- 1 to iters) {
+    // the iterate is consumed once per round (the src join); the
+    // normalizer consumes RAW, whose groupBy exchange is planner-deduped
+    // (ReusedExchange) exactly as it already was inside each round's
+    // checkpoint job — cadence truncation applies (see truncateEvery)
+    for (i <- 1 to iters) {
       val raw = e.join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("eig_ppb").cast("decimal(38,0)")).as("er"))
       val tot = raw.agg(coalesce(sum(col("er")), lit(0L))
         .cast("decimal(38,0)").as("__t"))
-      ranks = truncate(nodes.join(raw, Seq("node"), "left")
+      ranks = truncateEvery(i, iters, nodes.join(raw, Seq("node"), "left")
         .crossJoin(broadcast(tot)) // 1-row normalization total
         .select(col("node"), coalesce(expr(
           "CAST(coalesce(er, 0) AS DECIMAL(38,0)) * 1000000000" +
@@ -1164,15 +1210,35 @@ object Graph {
       s"$nSeeds seeds exceed maxSeeds=$maxSeeds — per-seed BFS state is " +
         "(seeds x vertices); sample the panel or raise the cap if the " +
         "cluster is sized for it")
-    // append-only settled set (the betweenness levels-buffer pattern):
-    // each hop's frontier is checkpointed ONCE and the running settled
-    // state is a lazy union of those materialized frontiers — the old
-    // per-hop `truncate(settled ∪ next)` re-wrote the ENTIRE
-    // (seed, id, dist) state every hop, O(state · hops) writes for no
-    // information gain (guide §1.2: don't compute things you throw away)
+    // SEED-BITMASK settled state (VERDICT r20 #5, guide §2.2/§2.3):
+    // the per-hop (seed, id) anti-join saturated toward seeds×V rows
+    // on dense graphs, and the frontier×edge expansion shuffled every
+    // candidate pair just to dedup it. Seeds get dense indexes
+    // 0..n-1; the settled set aggregates per id into ⌈n/64⌉ LONG
+    // words, so (a) the expansion collapses MAP-SIDE via bit_or
+    // partial aggregation before it shuffles — V-scale rows instead
+    // of seeds×V candidate pairs — and (b) novelty is an id-keyed
+    // equi-join plus a bitwise mask instead of a (seed,id)-keyed
+    // anti-join against the full settled history. Per-hop frontiers
+    // stay append-only checkpointed parts (the r20 discipline) and
+    // carry (sidx, id, dist) for the exact readout, which is
+    // value-identical: BFS distances do not depend on the dedup
+    // mechanism.
+    val wSeed = org.apache.spark.sql.expressions.Window
+      .orderBy(col("seed"))
+    val sIdx = truncate(seeds.withColumn("sidx",
+      (row_number().over(wSeed) - 1).cast("long")), checkpointDir)
+    val words = (((nSeeds - 1) / 64) + 1).toInt.max(1)
+    // id-keyed bitmask of (sidx, id) rows: word w collects the bits of
+    // seed indexes [64w, 64w+63] via map-side partial bit_or
+    def maskOf(df: DataFrame): DataFrame = df.groupBy(col("id")).agg(
+      array((0 until words).map(wi =>
+        expr(s"bit_or(CASE WHEN sidx div 64 = $wi THEN " +
+          "shiftleft(1L, CAST(sidx % 64 AS INT)) ELSE 0L END)")): _*)
+        .as("mask"))
     val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     parts += truncate(
-      seeds.select(col("seed"), col("seed").as("id"),
+      sIdx.select(col("sidx"), col("seed").as("id"),
         lit(0L).as("dist")), checkpointDir)
     def settled = parts.reduce(_.unionByName(_))
     var frontier = parts.head
@@ -1180,25 +1246,36 @@ object Graph {
     var live = nSeeds
     while (live > 0 && hop < maxHops) {
       hop += 1
+      val cm = maskOf(frontier.join(sym, frontier("id") === sym("u"))
+        .select(col("sidx"), col("v").as("id")))
+      val sm = maskOf(settled).withColumnRenamed("mask", "__sm")
       val next = truncate(
-        frontier.join(sym, frontier("id") === sym("u"))
-          .select(col("seed"), col("v").as("id")).distinct()
-          .join(settled.select(col("seed"), col("id")),
-            Seq("seed", "id"), "left_anti")
-          .withColumn("dist", lit(hop.toLong)), checkpointDir)
+        cm.join(sm, Seq("id"), "left")
+          .select(col("id"), expr(
+            "transform(mask, (m, i) -> m & ~coalesce(__sm[i], 0L))")
+            .as("nm"))
+          .filter(expr("exists(nm, w -> w != 0L)"))
+          .select(col("id"), posexplode(col("nm")).as(Seq("wi", "wm")))
+          .filter(col("wm") =!= 0L)
+          .select(col("id"), col("wi"), explode(expr(
+            "filter(sequence(0, 63), b -> (wm & shiftleft(1L, b)) != 0L)"))
+            .as("b"))
+          .select((col("wi").cast("long") * 64L + col("b").cast("long"))
+            .as("sidx"), col("id"), lit(hop.toLong).as("dist")),
+        checkpointDir)
       live = next.count()
       if (live > 0) {
         parts += next
         frontier = next
       }
     }
-    seeds.join(
+    sIdx.join(
         settled.filter(col("dist") > 0L)
-          .groupBy(col("seed"))
+          .groupBy(col("sidx"))
           .agg(count(lit(1)).cast("bigint").as("n_reached"),
             sum(expr("CAST(1000000 AS BIGINT) div dist")).cast("bigint")
               .as("closeness_ppm")),
-        Seq("seed"), "left")
+        Seq("sidx"), "left")
       .select(col("seed"),
         coalesce(col("n_reached"), lit(0L)).as("n_reached"),
         coalesce(col("closeness_ppm"), lit(0L)).as("closeness_ppm"))
@@ -1642,20 +1719,72 @@ object Graph {
     var iter = 0
     var converged = nEdges == 0L
     // the converged round's surviving support rows — on convergence
-    // the semi-join removed nothing, so these ARE the supports of the
+    // the peel removed nothing, so these ARE the supports of the
     // final edge set (supports() only emits in-edge-set pairs, and
     // every pair with support >= k-2 survives the prune); returning
     // them directly saves the post-loop O(m^1.5) wedge re-enumeration
     var lastKeep: Option[DataFrame] = None
+    // DELTA PEELING (guide §2.4 — don't recompute what didn't change):
+    // supports are exact triangle counts and triangles are only ever
+    // DESTROYED as edges peel, so after round 1's full wedge census
+    // each round updates supports instead of re-enumerating all
+    // wedges: the triangles lost by removing last round's peeled
+    // edges are exactly those of the PREVIOUS live set that contain a
+    // peeled edge — enumerable per peeled edge through the previous
+    // adjacency (|Δ|-proportional work), deduped by sorted vertex
+    // triple so a triangle with two peeled edges decrements its
+    // surviving edges once. Induction gives value-identical supports
+    // to the full recount every round, and the unique fixpoint is
+    // reached in the same rounds.
+    var prevUnd = und // the edge set lastKeep's supports were counted in
     while (!converged && iter < maxIter) {
       iter += 1
-      val keep = supports(und).filter(col("support") >= (k - 2).toLong)
-        .localCheckpoint(true)
-      val pruned = truncate(und.join(keep.select(col("a"), col("b")),
-        Seq("a", "b"), "left_semi"), checkpointDir)
-      val n2 = pruned.count()
+      val keep = lastKeep match {
+        case None => // round 1: the one full wedge census
+          supports(und).filter(col("support") >= (k - 2).toLong)
+            .localCheckpoint(true)
+        case Some(prev) =>
+          // prev = supports within prevUnd, rows = the live set `und`
+          val peeled = prevUnd.join(und, Seq("a", "b"), "left_anti")
+          val adjPrev = prevUnd
+            .select(col("a").as("u"), col("b").as("w"))
+            .union(prevUnd.select(col("b").as("u"), col("a").as("w")))
+            .withColumnRenamed("u", "a")
+          // triangles of prevUnd containing >= 1 peeled edge: for each
+          // peeled (a,b), w ranges over N_prev(a), membership of (w,b)
+          // checked against prevUnd's canonical edge list
+          val tris = peeled.join(adjPrev, "a")
+            .filter(col("w") =!= col("b"))
+            .join(prevUnd.select(col("a").as("__p"), col("b").as("__q")),
+              least(col("w"), col("b")) === col("__p") &&
+                greatest(col("w"), col("b")) === col("__q"))
+            .select(array_sort(array(col("a"), col("b"), col("w")))
+              .as("__t"))
+            .distinct()
+          val dec = tris
+            .select(element_at(col("__t"), 1).as("t1"),
+              element_at(col("__t"), 2).as("t2"),
+              element_at(col("__t"), 3).as("t3"))
+            .select(explode(array(
+              struct(col("t1").as("a"), col("t2").as("b")),
+              struct(col("t1").as("a"), col("t3").as("b")),
+              struct(col("t2").as("a"), col("t3").as("b")))).as("e"))
+            .select(col("e.a").as("a"), col("e.b").as("b"))
+            .groupBy(col("a"), col("b"))
+            .agg(count(lit(1)).as("__d"))
+          prev.join(dec, Seq("a", "b"), "left")
+            .select(col("a"), col("b"),
+              (col("support") - coalesce(col("__d"), lit(0L)))
+                .as("support"))
+            .filter(col("support") >= (k - 2).toLong)
+            .localCheckpoint(true)
+      }
+      // keep is checkpointed; the live edge set is its projection —
+      // no second per-round truncation needed
+      val n2 = keep.count()
       converged = n2 == nEdges
-      und = pruned
+      prevUnd = und
+      und = keep.select(col("a"), col("b"))
       nEdges = n2
       lastKeep = Some(keep)
       if (nEdges == 0L) converged = true
