@@ -617,6 +617,49 @@ class GraphSpec extends SparkSpec {
     assert(e.getMessage.contains("maxSeeds"))
   }
 
+  test("closenessFromSeeds: >64 seeds exercises the multi-word settled bitmask") {
+    // star K1,70 with ALL 71 vertices as seeds: seed indexes span two
+    // 64-bit mask words, so the word-selection (sidx div 64), the
+    // per-word bit_or aggregation and the transform/explode decode all
+    // run on the words > 1 path the sf-scale bench never reaches.
+    // Closed form: center reaches 70 leaves at dist 1; each leaf
+    // reaches the center at 1 and 69 leaves at 2.
+    val star = (1L to 70L).map(i => (0L, i)).toDF("id_a", "id_b")
+    val seeds = (0L to 70L).toDF("id")
+    val got = Graph.closenessFromSeeds(star, seeds, maxHops = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got.size == 71)
+    assert(got(0L) == ((70L, 70L * 1000000L)), got(0L).toString)
+    val leaf = (70L, 1000000L + 69L * 500000L)
+    assert((1L to 70L).forall(i => got(i) == leaf),
+      got.filterNot(_._2 == leaf).toString)
+  }
+
+  test("kTruss delta peel: a triangle losing TWO edges in one round decrements survivors once") {
+    // K4 on {1,2,3,4} (every edge closes 2 triangles) plus vertex 5
+    // tied to 1 and 2 only. Round 1 peels exactly (1,5) and (2,5)
+    // (support 1 < k-2); that destroys the SINGLE triangle (1,2,5),
+    // which contains BOTH peeled edges — the surviving edge (1,2) must
+    // lose exactly ONE support (3 -> 2, stays in the truss). A
+    // per-peeled-edge decrement without the sorted-triple dedup would
+    // take it to 1 and wrongly cascade the whole K4 away.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L), (2L, 5L)).toDF("id_a", "id_b")
+    val got = Graph.kTruss(edges, k = 4)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)), got.mkString(", "))
+    // multi-round cascade through the delta path: a strip of 4
+    // triangles where the 3 shared edges start at support 2 and every
+    // round-1 peel destroys ALL triangles -> the truss empties over
+    // two delta decrements per surviving edge, never one
+    val strip = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 5L), (4L, 5L), (4L, 6L), (5L, 6L)).toDF("id_a", "id_b")
+    assert(Graph.kTruss(strip, k = 4).count() == 0L)
+  }
+
   test("katzCentrality: walk-length terms accumulate; no in-edges stays at base; guard") {
     // directed chain 1->2->3, alpha = 0.1, 2 rounds:
     // x2 = 1e9 + 1e8; x3 = 1e9 + (1e9 + 1e8)//10 (the length-2 term)
